@@ -1,0 +1,60 @@
+"""Entity-id encoding and key-space partitioning scalar functions.
+
+Reference analogs: ``clean_htid``/``extract_htid`` filesystem-safe id codecs
+(utils.py:9-22, 38-63) and the pairtree/stubbytree/ziptree id→path layouts
+(utils.py:206-233, resolvers.py:202-318). In the web-scale engine the entity
+key is a ``url``; the ziptree's sha1-prefix sharding becomes stable
+hash-bucketing of urls, used for partitioned parquet lakes and co-partitioned
+shuffle ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_ENC = str.maketrans({":": "+", "/": "=", ".": ","})
+_DEC = str.maketrans({"+": ":", "=": "/", ",": "."})
+
+
+def clean_id(raw_id: str) -> str:
+    """Filesystem-safe encoding of an entity id (``:/.`` → ``+=,``)."""
+    return raw_id.translate(_ENC)
+
+
+def extract_id(clean: str) -> str:
+    """Inverse of :func:`clean_id` (also strips a trailing ``.ext`` suffix
+    chain if the input looks like a filename)."""
+    base = clean
+    for suffix in (".json", ".parquet", ".bz2", ".gz"):
+        while base.endswith(suffix):
+            base = base[: -len(suffix)]
+    return base.translate(_DEC)
+
+
+def stable_hash64(values, *, seed: str = "graft") -> np.ndarray:
+    """Deterministic (cross-process, cross-run) uint64 hash of a string array.
+
+    Uses pandas' siphash with a fixed key — vectorized in C, stable regardless
+    of PYTHONHASHSEED. This is the engine's ONE hash used for url bucketing,
+    exact-dup keys and minhash base hashes, so partitioning is reproducible.
+    """
+    arr = np.asarray(values, dtype=object)
+    key = (seed * 16)[:16]
+    return pd.util.hash_array(arr, hash_key=key, categorize=False)
+
+
+def hash_bucket(values, num_buckets: int, *, seed: str = "graft") -> np.ndarray:
+    """``hash(value) % num_buckets`` as int64 — the shuffle/partition key."""
+    return (stable_hash64(values, seed=seed) % np.uint64(num_buckets)).astype(
+        np.int64
+    )
+
+
+def shard_path(entity_id: str, depth: int = 2, width: int = 2) -> str:
+    """Stubbytree-style deterministic directory prefix for one entity
+    (utils.py:222-233 analog): hex of the stable hash, sliced into
+    ``depth`` path components of ``width`` chars."""
+    h = format(int(stable_hash64([entity_id])[0]), "016x")
+    parts = [h[i * width : (i + 1) * width] for i in range(depth)]
+    return "/".join(parts + [clean_id(entity_id)])

@@ -1,0 +1,136 @@
+"""Deterministic synthetic web-pages source (the ``input_hint`` table).
+
+Produces the engine's primary input — Common-Crawl-style snapshots
+``(url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string)``
+— derived deterministically from the driver's ``documents`` parquet table, so
+the same rows are constructible both as a Ray pipeline and as a DuckDB CTE
+(``PAGES_SQL``), which is what makes every downstream pipeline
+oracle-checkable.
+
+Shape (mirrors one EF volume = ordered pages, SURVEY §1.1):
+  * one document → one url; ``1 + doc_id % 3`` snapshots per url with
+    irregular time gaps (0h, 1h, 4h) — the analog of ordered page ``seq``;
+  * each snapshot's html wraps three section zones (header/main/footer —
+    the analog of SECREF header/body/footer, parsers.py:24);
+  * the ground-truth ``text`` column is exactly what the extractor must
+    reproduce byte-identically: ``header \\n body \\n footer``.
+
+The body of snapshot k drops the first k tokens of the document text, so
+snapshots of one url genuinely differ over time (needed by as-of joins and
+windowed features).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+EPOCH_2024_US = 1_704_067_200_000_000  # TIMESTAMP '2024-01-01' in epoch µs
+MINUTE_US = 60_000_000
+HOUR_US = 3_600_000_000
+
+# DuckDB CTE producing the identical table (minus html, which SQL never needs:
+# oracles always compare against the ground-truth text/sections).
+PAGES_SQL = """
+pages AS (
+    SELECT
+        'https://' || source || '.example.com/doc/' || doc_id AS url,
+        TIMESTAMP '2024-01-01' + to_minutes(doc_id)
+            + to_hours(CAST(snap * snap AS BIGINT)) AS warc_ts,
+        'header ' || source AS header,
+        array_to_string(
+            list_slice(string_split(text, ' '), snap + 1,
+                       len(string_split(text, ' '))), ' ') AS body,
+        'footer doc ' || doc_id AS footer,
+        lang
+    FROM documents, unnest(range(1 + doc_id % 3)) AS t(snap)
+)
+"""
+
+# Section union in SQL form, matching stages/extract.py's section explode.
+SECTIONS_SQL = """
+sections AS (
+    SELECT url, warc_ts, 'header' AS section, header AS sect_text FROM pages
+    UNION ALL
+    SELECT url, warc_ts, 'body', body FROM pages
+    UNION ALL
+    SELECT url, warc_ts, 'footer', footer FROM pages
+)
+"""
+
+PAGES_TEXT_SQL = (
+    "header || chr(10) || body || chr(10) || footer"
+)  # ground-truth text column
+
+
+def synth_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> pages batch (fixture generator, not a hot-path op).
+
+    Deterministic; arithmetic is integer-µs so timestamps match the SQL CTE
+    exactly.
+    """
+    doc_id = batch.column("doc_id").to_numpy()
+    source = batch.column("source").to_pylist()
+    text = batch.column("text").to_pylist()
+    lang = batch.column("lang").to_pylist()
+
+    n_snaps = 1 + (doc_id % 3)
+    total = int(n_snaps.sum())
+
+    urls = np.empty(total, dtype=object)
+    ts = np.empty(total, dtype=np.int64)
+    htmls = np.empty(total, dtype=object)
+    texts = np.empty(total, dtype=object)
+    langs = np.empty(total, dtype=object)
+
+    pos = 0
+    for i in range(len(doc_id)):
+        d = int(doc_id[i])
+        url = f"https://{source[i]}.example.com/doc/{d}"
+        header = f"header {source[i]}"
+        footer = f"footer doc {d}"
+        toks = text[i].split(" ")
+        for snap in range(int(n_snaps[i])):
+            body = " ".join(toks[snap:])
+            gt = header + "\n" + body + "\n" + footer
+            html = (
+                f"<html><head><title>{url}</title></head><body>"
+                f"<header>{header}</header><main>{body}</main>"
+                f"<footer>{footer}</footer></body></html>"
+            ).encode("utf-8")
+            urls[pos] = url
+            ts[pos] = EPOCH_2024_US + d * MINUTE_US + snap * snap * HOUR_US
+            htmls[pos] = html
+            texts[pos] = gt
+            langs[pos] = lang[i]
+            pos += 1
+
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(ts, type=pa.timestamp("us")),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+
+
+def read_pages(sf_dir: str, *, drop_text: bool = False) -> "ray.data.Dataset":
+    """The engine's primary input Dataset: synthesize pages from the
+    ``documents`` table of ``sf_dir``.
+
+    ``drop_text=True`` removes the ground-truth text column so pipelines are
+    forced through the html extractor (production shape).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "text", "lang"],
+    )
+    ds = ds.map_batches(synth_pages_batch, batch_format="pyarrow")
+    if drop_text:
+        ds = ds.select_columns(["url", "warc_ts", "html", "lang"])
+    return ds

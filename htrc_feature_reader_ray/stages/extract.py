@@ -1,0 +1,195 @@
+"""HTML extraction + token-count explode — the engine's core parse stage.
+
+Reference analog: ``JsonFileHandler.parse`` + ``_make_tokencount_df``
+(parsers.py:192-250, 342-382) which explode per-page nested token maps into a
+long typed table. Here the input is raw html bytes; the stage is an actor pool
+(``map_batches(HtmlExtractor, concurrency=N)``) holding compiled regexes —
+state built once per actor (__init__), applied per Arrow batch (__call__).
+
+Invariant (BASELINE.json input_hint): the extracted ``text`` is byte-identical
+to the ground-truth ``text`` column of the pages source for every row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from htrc_feature_reader_ray.errors import require_columns
+from htrc_feature_reader_ray.functions.tokenize import (
+    nonempty_mask,
+    pos_tags,
+    split_tokens,
+)
+
+SECTIONS = ("header", "body", "footer")
+
+
+class HtmlExtractor:
+    """Actor-pool stage: html binary -> header/body/footer zones + text.
+
+    ``__init__`` compiles the zone regex once per actor (the analog of the
+    reference's warmed parser state, SURVEY §2.5). ``__call__`` is per-batch.
+    Extraction is deterministic: no locale, no dict ordering.
+    """
+
+    def __init__(self) -> None:
+        self._zone_re = re.compile(
+            rb"<header>(?P<header>.*?)</header>"
+            rb"<main>(?P<body>.*?)</main>"
+            rb"<footer>(?P<footer>.*?)</footer>",
+            re.DOTALL,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = batch.column("html").to_pylist()
+        n = len(html)
+        header = np.empty(n, dtype=object)
+        body = np.empty(n, dtype=object)
+        footer = np.empty(n, dtype=object)
+        text = np.empty(n, dtype=object)
+        search = self._zone_re.search
+        for i, doc in enumerate(html):
+            m = search(doc)
+            if m is None:
+                header[i] = body[i] = footer[i] = ""
+                text[i] = ""
+                continue
+            h = m.group("header").decode("utf-8")
+            b = m.group("body").decode("utf-8")
+            f = m.group("footer").decode("utf-8")
+            header[i] = h
+            body[i] = b
+            footer[i] = f
+            text[i] = h + "\n" + b + "\n" + f
+
+        keep = [c for c in batch.column_names if c not in ("html", "text")]
+        out = batch.select(keep)
+        for name, arr in (
+            ("header", header),
+            ("body", body),
+            ("footer", footer),
+            ("text", text),
+        ):
+            out = out.append_column(name, pa.array(arr, type=pa.string()))
+        return out
+
+
+def default_actor_pool():
+    """Autoscaling actor-pool size (1, CPUs-2): leaves headroom for the read
+    and downstream stages so the pool never starves the pipeline."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus - 2))
+
+
+def extract_pages(pages_ds, *, concurrency=None, batch_size: int = 2048):
+    """pages (with html) -> pages with header/body/footer/text columns.
+
+    Actor pool so regex state amortizes across batches; batch_size kept modest
+    because html is a wide binary column (memory-aware batching).
+    """
+    return pages_ds.map_batches(
+        HtmlExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or default_actor_pool(),
+    )
+
+
+def sections_long(extracted_ds):
+    """Explode extracted pages into the long section table
+    ``(url, warc_ts, lang, section, sect_text)`` — 3 rows per snapshot
+    (the SECREF explode, parsers.py:315-330 analog). Pure batch op: each
+    output group (url, warc_ts) stays inside one batch."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = []
+        for sect in SECTIONS:
+            t = pa.table(
+                {
+                    "url": batch.column("url"),
+                    "warc_ts": batch.column("warc_ts"),
+                    "lang": batch.column("lang"),
+                    "section": pa.array([sect] * len(batch), type=pa.string()),
+                    "sect_text": batch.column(sect),
+                }
+            )
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    return extracted_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def token_counts_batch(batch: pa.Table) -> pa.Table:
+    """sections batch -> token-count batch, fully vectorized Arrow.
+
+    ``(url, warc_ts, section, token, pos, count)`` — the web analog of the
+    reference's ``_make_tokencount_df`` typed explode (parsers.py:342-382),
+    done with list-flatten + parent-index take + Arrow group_by instead of a
+    Python walk over nested dicts. Because every section's tokens live in one
+    input row, the per-batch group_by is complete for keys that include
+    (url, warc_ts): no cross-batch merge is needed (shuffle-free fold).
+    """
+    tok_list = split_tokens(batch.column("sect_text"))
+    if isinstance(tok_list, pa.ChunkedArray):
+        tok_list = tok_list.combine_chunks()
+    parent = pc.list_parent_indices(tok_list)
+    tokens = pc.list_flatten(tok_list)
+    mask = nonempty_mask(tokens)
+    tokens = tokens.filter(mask)
+    parent = parent.filter(mask)
+
+    flat = pa.table(
+        {
+            "url": batch.column("url").take(parent),
+            "warc_ts": batch.column("warc_ts").take(parent),
+            "section": batch.column("section").take(parent),
+            "token": tokens,
+            "pos": pos_tags(tokens),
+        }
+    )
+    grouped = flat.group_by(
+        ["url", "warc_ts", "section", "token", "pos"]
+    ).aggregate([([], "count_all")])
+    return grouped.rename_columns(
+        ["url", "warc_ts", "section", "token", "pos", "count"]
+    )
+
+
+def token_counts(sections_ds):
+    """sections -> long token-count Dataset (see token_counts_batch)."""
+    require_columns(
+        sections_ds.schema().names,
+        ["url", "warc_ts", "section", "sect_text"],
+        op="token_counts",
+    )
+    return sections_ds.map_batches(token_counts_batch, batch_format="pyarrow")
+
+
+def tokens_from_pages(sf_dir: str, *, via_html: bool = True, concurrency=None):
+    """Convenience composition: pages source -> (extract) -> sections ->
+    token counts. ``via_html=True`` runs the production path through the
+    actor-pool extractor."""
+    from htrc_feature_reader_ray.sources.pages import read_pages
+
+    pages = read_pages(sf_dir, drop_text=via_html)
+    if via_html:
+        pages = extract_pages(pages, concurrency=concurrency)
+    else:
+        # trusted-text path: derive sections from ground truth text
+        def from_text(batch: pa.Table) -> pa.Table:
+            split = pc.split_pattern(batch.column("text"), pattern="\n")
+            out = batch.select(["url", "warc_ts", "lang"])
+            for i, sect in enumerate(SECTIONS):
+                out = out.append_column(
+                    sect, pc.list_element(split, i)
+                )
+            return out
+
+        pages = pages.map_batches(from_text, batch_format="pyarrow")
+    return token_counts(sections_long(pages))

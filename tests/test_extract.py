@@ -1,0 +1,93 @@
+import pyarrow as pa
+
+from htrc_feature_reader_ray.sources.pages import (
+    PAGES_SQL,
+    PAGES_TEXT_SQL,
+    read_pages,
+    synth_pages_batch,
+)
+from htrc_feature_reader_ray.stages.extract import (
+    HtmlExtractor,
+    extract_pages,
+    sections_long,
+    token_counts,
+    tokens_from_pages,
+)
+from tests.util import assert_frames_match
+
+
+def test_synth_pages_matches_sql(duck):
+    ray_pages = read_pages("/root/testdata/sf0.001").to_pandas()
+    ray_pages = ray_pages.drop(columns=["html"])
+    oracle = duck.execute(
+        f"WITH {PAGES_SQL.strip()} SELECT url, warc_ts, "
+        f"{PAGES_TEXT_SQL} AS text, lang FROM pages"
+    ).df()
+    assert_frames_match(ray_pages, oracle)
+
+
+def test_extractor_byte_identical_text():
+    """input_hint invariant: extracted text == ground-truth text per row."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array([7, 8], type=pa.int64()),
+            "source": ["srcA", "srcB"],
+            "text": ["hello world foo", "bar baz"],
+            "lang": ["en", "de"],
+        }
+    )
+    pages = synth_pages_batch(docs)
+    out = HtmlExtractor()(pages)
+    assert out.column("text").to_pylist() == pages.column("text").to_pylist()
+
+
+def test_extract_pages_dataset_byte_identity(sf_dir):
+    pages = read_pages(sf_dir)
+    truth = pages.select_columns(["url", "warc_ts", "text"]).to_pandas()
+    extracted = (
+        extract_pages(read_pages(sf_dir, drop_text=True))
+        .select_columns(["url", "warc_ts", "text"])
+        .to_pandas()
+    )
+    merged = truth.merge(
+        extracted, on=["url", "warc_ts"], suffixes=("_gt", "_ex"), how="outer"
+    )
+    assert len(merged) == len(truth)
+    assert (merged["text_gt"] == merged["text_ex"]).all()
+
+
+def test_token_counts_small_exact():
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3], type=pa.int64()),
+            "source": ["s"],
+            "text": ["dog dog cats"],
+            "lang": ["en"],
+        }
+    )
+    pages = synth_pages_batch(docs)  # doc_id=3 -> 1 snapshot
+    sect = pa.table(
+        {
+            "url": pages.column("url"),
+            "warc_ts": pages.column("warc_ts"),
+            "section": pa.array(["body"]),
+            "sect_text": pa.array(["dog dog cats"]),
+        }
+    )
+    from htrc_feature_reader_ray.stages.extract import token_counts_batch
+
+    out = token_counts_batch(sect).to_pandas()
+    got = {
+        (r.token, r.pos): r.count for r in out.itertuples()
+    }
+    assert got == {("dog", "NN"): 2, ("cats", "NNS"): 1}
+
+
+def test_tokens_from_pages_html_vs_text_paths(sf_dir):
+    via_html = tokens_from_pages(sf_dir, via_html=True).to_pandas()
+    via_text = tokens_from_pages(sf_dir, via_html=False).to_pandas()
+    key = ["url", "warc_ts", "section", "token", "pos"]
+    left = via_html.sort_values(key).reset_index(drop=True)
+    right = via_text.sort_values(key).reset_index(drop=True)
+    assert left.equals(right[left.columns])
+    assert left["count"].sum() > 0
