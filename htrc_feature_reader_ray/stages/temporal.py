@@ -1,0 +1,265 @@
+"""Point-in-time operators: as-of join, lag/lead, sessionize, windows,
+backfill — the north-rule generalization of the reference's ordered-page
+machinery (chunk-label join feature_reader.py:755-756; page ordering
+parsers.py:379-381).
+
+Watermark invariant (structural, not by convention): a backward as-of join can
+only consume right-side rows with ``ts_right <= ts_left`` because
+``pd.merge_asof`` enforces it per row; every join emits a ``matched_ts``
+column so zero-temporal-leakage is auditable (``audit_no_leakage``).
+
+Two physical strategies per SURVEY §2.6:
+  * broadcast (small right side): ``ray.put`` the sorted right table once; a
+    stateless ``map_batches`` merges each left batch against it — NO shuffle
+    on the big side.
+  * partitioned (both sides large): tag + schema-align + union both sides,
+    hash-bucket on the key, and sort-merge inside ``map_groups`` per bucket —
+    ONE co-partitioning shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from htrc_feature_reader_ray.errors import require_columns
+from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+_SIDE = "_side"
+
+
+def _to_timedelta(tolerance):
+    if tolerance is None:
+        return None
+    return pd.Timedelta(tolerance)
+
+
+def audit_no_leakage(df: pd.DataFrame, *, ts: str, matched_ts: str = "matched_ts",
+                     direction: str = "backward") -> None:
+    """Raise AssertionError if any joined feature violates the watermark:
+    backward joins must never read a timestamp after the as-of point."""
+    m = df[matched_ts].notna()
+    if direction == "backward":
+        bad = (df.loc[m, matched_ts] > df.loc[m, ts]).sum()
+    else:
+        bad = (df.loc[m, matched_ts] < df.loc[m, ts]).sum()
+    if bad:
+        raise AssertionError(f"temporal leakage: {bad} rows read across the as-of point")
+
+
+def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, *, on, ts,
+                direction, tolerance) -> pd.DataFrame:
+    left_sorted = left.sort_values(ts, kind="mergesort")
+    out = pd.merge_asof(
+        left_sorted,
+        right,
+        on=ts,
+        by=on,
+        direction=direction,
+        tolerance=_to_timedelta(tolerance),
+        allow_exact_matches=True,
+    )
+    return out
+
+
+def broadcast_asof_join(left_ds, right_df: pd.DataFrame, *, on, ts,
+                        direction: str = "backward", tolerance=None,
+                        keep_matched_ts: bool = True):
+    """As-of join with a SMALL right side (dimension/feature table).
+
+    ``right_df`` must be unique per (on, ts) — dedupe upstream with
+    :func:`latest_per_key_ts`. It is sorted once and placed in the object
+    store (``ray.put``); every map task reads it zero-copy. The left Dataset
+    streams through unshuffled.
+    """
+    right = right_df.sort_values(ts, kind="mergesort").reset_index(drop=True)
+    if keep_matched_ts:
+        right = right.assign(matched_ts=right[ts])
+    right_ref = ray.put(right)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(right_ref)
+        return _merge_asof(batch, r, on=on, ts=ts,
+                           direction=direction, tolerance=tolerance)
+
+    return left_ds.map_batches(join, batch_format="pandas")
+
+
+def partitioned_asof_join(left_ds, right_ds, *, on, ts,
+                          direction: str = "backward", tolerance=None,
+                          num_buckets: int = 32,
+                          keep_matched_ts: bool = True):
+    """As-of join with BOTH sides large: tag + union + hash-bucket co-shuffle
+    + per-bucket sort-merge (`pd.merge_asof` with ``by=on``).
+
+    The streaming sort-merge as-of join of the north rule: within a bucket
+    both sides are sorted by ts and merged in one pass; buckets co-locate all
+    rows of each key.
+    """
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_names = list(l_schema.names)
+    r_value_cols = [c for c in r_schema.names if c not in (on, ts)]
+    overlap = set(r_value_cols) & set(l_names)
+    if overlap:
+        raise ValueError(f"right-side columns clash with left: {sorted(overlap)}")
+
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    all_cols = l_names + r_value_cols  # unioned layout
+
+    def align(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for c in all_cols:
+                if c in batch.column_names:
+                    cols[c] = batch.column(c)
+                else:
+                    typ = r_types.get(c) or l_types.get(c)
+                    cols[c] = pa.nulls(n, type=typ)
+            cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    unioned = left_ds.map_batches(align(0), batch_format="pyarrow").union(
+        right_ds.map_batches(align(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df[_SIDE] == 0][l_names]
+        right = df[df[_SIDE] == 1][[on, ts] + r_value_cols].sort_values(
+            ts, kind="mergesort"
+        )
+        if keep_matched_ts:
+            right = right.assign(matched_ts=right[ts])
+        return _merge_asof(left, right, on=on, ts=ts,
+                           direction=direction, tolerance=tolerance)
+
+    return bucketed_map_groups(unioned, on, per_bucket, num_buckets=num_buckets)
+
+
+def latest_per_key_ts(df: pd.DataFrame, *, on, ts, tiebreak) -> pd.DataFrame:
+    """Dedupe a feature table to one row per (key, ts), keeping the row with
+    the greatest ``tiebreak`` — the deterministic contract required by as-of
+    right sides."""
+    return (
+        df.sort_values([on, ts, tiebreak], kind="mergesort")
+        .groupby([on, ts], as_index=False)
+        .tail(1)
+        .reset_index(drop=True)
+    )
+
+
+def lag_lead(ds, *, key, ts, cols, n: int = 1, tiebreak=None,
+             num_buckets: int = 32):
+    """Per-key lag/lead of ``cols`` by ``n`` rows in ts order (ties broken by
+    ``tiebreak``) — per-partition ring-buffer semantics done as vectorized
+    ``groupby(key).shift`` inside hash buckets. Adds ``lag_<col>``/
+    ``lead_<col>`` columns."""
+    require_columns(ds.schema().names, [key, ts] + list(cols), op="lag_lead")
+    sort_cols = [key, ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort")
+        g = df.groupby(key, sort=False)
+        for c in cols:
+            df[f"lag_{c}"] = g[c].shift(n)
+            df[f"lead_{c}"] = g[c].shift(-n)
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def sessionize(ds, *, key, ts, gap, tiebreak=None, num_buckets: int = 32,
+               aggregate: bool = False, count_col: str = "n_events"):
+    """Gap-based sessionization: a new session starts when the time since the
+    previous event of the same key exceeds ``gap``. The web-scale analog of
+    the reference's page chunking (SURVEY §2.4): order-sensitive, per-entity,
+    run inside hash-bucketed sorted groups.
+
+    Adds ``session_id`` (1-based per key). With ``aggregate=True`` returns
+    one row per session: key, session_id, n_events, ts_start, ts_end — the
+    pstart/pend analog (feature_reader.py:763-767).
+    """
+    gap_td = pd.Timedelta(gap)
+    sort_cols = [key, ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort")
+        prev = df.groupby(key, sort=False)[ts].shift(1)
+        new_sess = (df[ts] - prev > gap_td) | prev.isna()
+        df["session_id"] = new_sess.groupby(df[key]).cumsum().astype(np.int64)
+        if not aggregate:
+            return df
+        agg = df.groupby([key, "session_id"], sort=False).agg(
+            **{
+                count_col: (ts, "size"),
+                "ts_start": (ts, "min"),
+                "ts_end": (ts, "max"),
+            }
+        )
+        agg[count_col] = agg[count_col].astype(np.int64)
+        return agg.reset_index()
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def tumbling_window(ds, *, key, ts, width, sum_cols=(), count_col: str = "n_events"):
+    """Fixed-width event-time windows with exact (integer) aggregates.
+
+    window_start = floor(epoch_us(ts) / width) * width — pure integer
+    arithmetic, so results are bit-exact and shuffle input is pre-aggregated
+    per batch (partial combine) before the small global groupby.
+    """
+    width_us = int(pd.Timedelta(width).value // 1000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = batch.column(ts).cast(pa.int64()).to_numpy()
+        w = (epoch // width_us) * width_us
+        t = batch.append_column(
+            "window_start", pa.array(w, type=pa.int64()).cast(pa.timestamp("us"))
+        )
+        aggs = [([], "count_all")] + [(c, "sum") for c in sum_cols]
+        g = t.group_by([key, "window_start"]).aggregate(aggs)
+        names = [key, "window_start", count_col] + [f"{c}" for c in sum_cols]
+        return g.rename_columns(names)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(count_col, alias_name=count_col)] + [
+        Sum(c, alias_name=c) for c in sum_cols
+    ]
+    return partials.groupby([key, "window_start"]).aggregate(*aggs)
+
+
+def make_time_grid(keys, *, start, end, step) -> pd.DataFrame:
+    """Deterministic (key × timestamp) grid for backfill: every key at every
+    step in [start, end]."""
+    ts = pd.date_range(start=start, end=end, freq=step).values.astype(
+        "datetime64[us]"
+    )  # µs — the engine-wide timestamp unit (matches parquet/DuckDB)
+    keys = list(keys)
+    return pd.DataFrame(
+        {
+            "user_id": np.repeat(np.asarray(keys), len(ts)),
+            "ts": np.tile(ts, len(keys)),
+        }
+    )
+
+
+def backfill(grid_ds, features_df: pd.DataFrame, *, on, ts,
+             tolerance=None):
+    """Point-in-time backfill: for every (key, grid ts) take the latest
+    feature value with ``feature_ts <= grid_ts`` (within ``tolerance``), never
+    a future value — strict watermark enforcement by construction
+    (backward as-of)."""
+    return broadcast_asof_join(
+        grid_ds, features_df, on=on, ts=ts,
+        direction="backward", tolerance=tolerance,
+    )

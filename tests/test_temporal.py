@@ -1,0 +1,217 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from htrc_feature_reader_ray.stages.temporal import (
+    audit_no_leakage,
+    backfill,
+    broadcast_asof_join,
+    lag_lead,
+    latest_per_key_ts,
+    make_time_grid,
+    partitioned_asof_join,
+    sessionize,
+    tumbling_window,
+)
+from tests.util import assert_frames_match
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _clicks():
+    return ray.data.read_parquet(
+        EVENTS, columns=["event_id", "user_id", "ts", "value", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("event_type"), "click")).drop(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _purchases_df():
+    df = pd.read_parquet(EVENTS, columns=["event_id", "user_id", "ts", "value", "event_type"])
+    df = df[df.event_type == "purchase"].rename(columns={"value": "purchase_value"})
+    df = latest_per_key_ts(df, on="user_id", ts="ts", tiebreak="event_id")
+    return df[["user_id", "ts", "purchase_value"]]
+
+
+ASOF_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), r0 AS (
+  SELECT user_id, ts, value AS purchase_value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), r AS (SELECT user_id, ts, purchase_value FROM r0 WHERE rn = 1)
+"""
+
+
+def test_partitioned_asof_backward_parity(duck):
+    left = _clicks()
+    right = ray.data.from_pandas(_purchases_df())
+    got = partitioned_asof_join(
+        left, right, on="user_id", ts="ts", direction="backward", num_buckets=8
+    )
+    oracle = duck.execute(
+        ASOF_ORACLE
+        + """
+        SELECT l.event_id, l.user_id, l.ts, l.value, r.purchase_value,
+               r.ts AS matched_ts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """
+    ).df()
+    got_df = got.to_pandas()
+    audit_no_leakage(got_df, ts="ts", direction="backward")
+    assert_frames_match(got_df, oracle)
+
+
+def test_broadcast_asof_forward_parity(duck):
+    got = broadcast_asof_join(
+        _clicks(), _purchases_df(), on="user_id", ts="ts", direction="forward"
+    )
+    oracle = duck.execute(
+        ASOF_ORACLE
+        + """
+        SELECT l.event_id, l.user_id, l.ts, l.value, r.purchase_value,
+               r.ts AS matched_ts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        """
+    ).df()
+    got_df = got.to_pandas()
+    audit_no_leakage(got_df, ts="ts", direction="forward")
+    assert_frames_match(got_df, oracle)
+
+
+def test_broadcast_asof_tolerance_parity(duck):
+    got = broadcast_asof_join(
+        _clicks(), _purchases_df(), on="user_id", ts="ts",
+        direction="backward", tolerance="30m",
+    )
+    oracle = duck.execute(
+        ASOF_ORACLE
+        + """
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               CASE WHEN l.ts - r.ts <= INTERVAL 30 MINUTE THEN r.purchase_value END
+                   AS purchase_value,
+               CASE WHEN l.ts - r.ts <= INTERVAL 30 MINUTE THEN r.ts END AS matched_ts
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        """
+    ).df()
+    assert_frames_match(got, oracle)
+
+
+def test_lag_lead_parity(duck):
+    ds = ray.data.read_parquet(EVENTS, columns=["event_id", "user_id", "ts", "value"])
+    got = lag_lead(ds, key="user_id", ts="ts", cols=["value"], tiebreak="event_id",
+                   num_buckets=8)
+    oracle = duck.execute(
+        """
+        SELECT event_id, user_id, ts, value,
+               lag(value) OVER w AS lag_value,
+               lead(value) OVER w AS lead_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    ).df()
+    assert_frames_match(got, oracle)
+
+
+def test_sessionize_parity(duck):
+    ds = ray.data.read_parquet(EVENTS, columns=["event_id", "user_id", "ts"])
+    got = sessionize(ds, key="user_id", ts="ts", gap="30m", tiebreak="event_id",
+                     num_buckets=8, aggregate=True)
+    oracle = duck.execute(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id::BIGINT AS session_id,
+               count(*)::BIGINT AS n_events,
+               min(ts) AS ts_start, max(ts) AS ts_end
+        FROM sess GROUP BY user_id, session_id
+        """
+    ).df()
+    assert_frames_match(got, oracle)
+
+
+def test_tumbling_window_parity(duck):
+    ds = ray.data.read_parquet(EVENTS, columns=["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(t.column("value").to_numpy() * 100).astype(np.int64)
+        return t.drop(["value"]).append_column(
+            "value_cents", pa.array(v, type=pa.int64())
+        )
+
+    got = tumbling_window(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key="user_id", ts="ts", width="1h", sum_cols=["value_cents"],
+    )
+    oracle = duck.execute(
+        """
+        SELECT user_id,
+               make_timestamp(epoch_us(ts) // 3600000000 * 3600000000) AS window_start,
+               count(*)::BIGINT AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1, 2
+        """
+    ).df()
+    assert_frames_match(got, oracle)
+
+
+def test_backfill_parity(duck):
+    users = sorted(
+        pd.read_parquet(EVENTS, columns=["user_id"])["user_id"].unique()
+    )
+    grid = make_time_grid(users, start="2024-01-01", end="2024-01-08", step="1D")
+    got = backfill(
+        ray.data.from_pandas(grid),
+        _purchases_df(),
+        on="user_id", ts="ts", tolerance="2D",
+    )
+    oracle = duck.execute(
+        ASOF_ORACLE
+        + """
+        , users AS (SELECT DISTINCT user_id FROM events),
+        grid AS (
+          SELECT user_id, g.ts FROM users,
+                 unnest(generate_series(TIMESTAMP '2024-01-01',
+                                        TIMESTAMP '2024-01-08',
+                                        INTERVAL 1 DAY)) AS g(ts)
+        )
+        SELECT grid.user_id, grid.ts,
+               CASE WHEN grid.ts - r.ts <= INTERVAL 2 DAY THEN r.purchase_value END
+                   AS purchase_value,
+               CASE WHEN grid.ts - r.ts <= INTERVAL 2 DAY THEN r.ts END AS matched_ts
+        FROM grid ASOF LEFT JOIN r ON grid.user_id = r.user_id AND grid.ts >= r.ts
+        """
+    ).df()
+    got_df = got.to_pandas()
+    audit_no_leakage(got_df, ts="ts", direction="backward")
+    assert_frames_match(got_df, oracle)
+
+
+def test_leakage_audit_catches_violation():
+    df = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-02"]),
+            "matched_ts": pd.to_datetime(["2024-01-03"]),
+        }
+    )
+    try:
+        audit_no_leakage(df, ts="ts", direction="backward")
+    except AssertionError:
+        return
+    raise AssertionError("leakage not detected")
