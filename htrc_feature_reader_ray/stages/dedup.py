@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (per the training-data-pipeline requirements):
+  * exact      — content hash per batch (vectorized) → tiny groupby on the
+                 digest → keep min id. Shuffle carries only (digest, id).
+  * minhash    — per-batch signature computation (numpy, one matrix op per
+                 batch) → explode to (band, band_hash, id) rows → groupby
+                 bands → candidate pairs → exact-Jaccard verification.
+  * simhash    — 64-bit signed-bit fingerprint per doc; equal-hash grouping
+                 plus 16-bit band candidates for small Hamming distances.
+
+All base hashing uses the engine's stable 64-bit hash (functions/ids.py), so
+results are reproducible across runs/processes/nodes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Count, Min
+
+from htrc_feature_reader_ray.functions.ids import stable_hash64
+
+_WS_RE = re.compile(r"\s+")
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def _normalize(t: str) -> str:
+    return _WS_RE.sub(" ", t).lower()
+
+
+def text_md5_batch(batch: pa.Table, text_col: str) -> pa.Array:
+    return pa.array(
+        [
+            hashlib.md5(_normalize(t).encode("utf-8")).hexdigest()
+            for t in batch.column(text_col).to_pylist()
+        ],
+        type=pa.string(),
+    )
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """One row per distinct (normalized) text: (text_md5, kept id = min id,
+    n_dups). SQL mirror: GROUP BY md5(lower(regexp_replace(text,...)))."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "text_md5": text_md5_batch(batch, text_col),
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    return hashed.groupby("text_md5").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def word_shingles(tokens: list[str], k: int) -> list[str]:
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+class MinHasher:
+    """Actor-pool stage: text -> (num_perm,) minhash signature + LSH band rows.
+
+    Permutation coefficients are generated ONCE per actor in __init__ from a
+    fixed seed (state amortized across batches); per batch the signature is a
+    single broadcasted (num_perm × n_shingles) numpy min-reduce per doc.
+    """
+
+    def __init__(self, *, k_shingle: int = 3, num_perm: int = 64,
+                 bands: int = 16, id_col: str = "doc_id",
+                 text_col: str = "text") -> None:
+        assert num_perm % bands == 0
+        rng = np.random.RandomState(1729)
+        self.a = rng.randint(1, MERSENNE_P, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, MERSENNE_P, size=num_perm, dtype=np.uint64)
+        self.k = k_shingle
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles([t for t in text.split(" ") if t], self.k)
+        if not sh:
+            return np.full(self.num_perm, np.uint64(0xFFFFFFFFFFFFFFFF))
+        base = stable_hash64(sh)  # (S,) uint64
+        # (P, S) permuted hashes via affine map mod 2^64 (uint64 wraparound —
+        # cheap, vectorized, and adequate mixing for minhash), min over shingles
+        perm = self.a[:, None] * base[None, :] + self.b[:, None]
+        return perm.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_band, out_bh = [], [], []
+        for i, text in enumerate(texts):
+            sig = self.signature(text)
+            for b in range(self.bands):
+                chunk = sig[b * self.rows : (b + 1) * self.rows]
+                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                out_id.append(ids[i])
+                out_band.append(b)
+                out_bh.append(bh)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_hash": pa.array(out_bh, type=pa.string()),
+            }
+        )
+
+
+def jaccard(tokens_a: list[str], tokens_b: list[str], k: int) -> float:
+    sa, sb = set(word_shingles(tokens_a, k)), set(word_shingles(tokens_b, k))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        k_shingle: int = 3, num_perm: int = 64,
+                        bands: int = 16, threshold: float = 0.5,
+                        concurrency=(1, 8)):
+    """Near-duplicate pairs via MinHash-LSH: signature (actor pool) → band
+    explode → band groupby → candidate pairs → exact n-gram-Jaccard verify.
+
+    Verification fetches texts via a broadcast (ray.put) id→tokens map — valid
+    while the corpus's token lists fit the object store; at 100 TB swap the
+    broadcast for a hash-bucket join of pairs against the documents table
+    (same verify kernel per bucket). Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b and jaccard >= threshold.
+    """
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            k_shingle=k_shingle, num_perm=num_perm, bands=bands,
+            id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+    )
+
+    token_map = {
+        row[id_col]: [t for t in row[text_col].split(" ") if t]
+        for row in ds.select_columns([id_col, text_col]).iter_rows()
+    }
+    tokens_ref = ray.put(token_map)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = ray.get(tokens_ref)
+        jac = [
+            jaccard(toks[a], toks[b], k_shingle)
+            for a, b in zip(batch["doc_a"], batch["doc_b"])
+        ]
+        batch = batch.assign(jaccard=jac)
+        return batch[batch["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+
+    return cand.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized-ish 64-bit simhash per text: token hashes weighted by
+    counts, bitwise sign aggregation."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            continue
+        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+        h = stable_hash64(uniq)  # (U,) uint64
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )  # (U, 64) in {0,1}
+        score = ((2 * bits - 1) * counts[:, None]).sum(axis=0)  # (64,)
+        bitvec = (score > 0).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(bitvec << np.arange(64, dtype=np.uint64))
+    return out
+
+
+def simhash(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, simhash:int64-bitcast, band0..band3:int64) per doc. Equal simhash
+    = near-dup cluster key; equal 16-bit band = Hamming<=3-candidate key."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch.column(text_col).to_pylist())
+        out = pa.table(
+            {
+                id_col: batch.column(id_col),
+                "simhash": pa.array(sh.view(np.int64), type=pa.int64()),
+            }
+        )
+        for b in range(4):
+            band = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out = out.append_column(f"band{b}", pa.array(band, type=pa.int64()))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,157 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — one numpy matmul per Arrow batch against
+a broadcast (``ray.put``) float64 query matrix; per-batch local top-k shrinks
+the shuffle to (num_batches × Q × k) rows before the tiny global fold.
+
+Scale path: LSH-bucketed (random-hyperplane) search — vectors and queries
+hash to sign-pattern buckets; only same-bucket vectors are scored (approximate
+but embarrassingly parallel; bucket key doubles as the partition key of an
+embedding lake).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk(ds, query_matrix: np.ndarray, *, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_ids=None):
+    """Exact top-k cosine neighbours of each query row: returns a Dataset of
+    (query_id, vec_id, rank) — rank 1-based, ties broken by vec_id asc.
+
+    All scoring in float64 (matches DuckDB ``list_cosine_similarity`` on
+    DOUBLE lists for rank parity).
+    """
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(q)), dtype=np.int64
+    )
+    q_ref = ray.put((q, qids))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, qi = ray.get(q_ref)
+        vecs = _normalize(_as_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy()
+        sims = vecs @ qm.T  # (n, Q)
+        kk = min(k, len(ids))
+        # per query: local top-k by (sim desc, id asc)
+        order = np.lexsort((ids[:, None].repeat(sims.shape[1], 1), -sims), axis=0)
+        top = order[:kk]  # (kk, Q)
+        out_q = np.repeat(qi, kk)
+        out_id = ids[top].T.reshape(-1)
+        out_sim = np.take_along_axis(sims, top, axis=0).T.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                id_col: pa.array(out_id.astype(np.int64), type=pa.int64()),
+                "sim": pa.array(out_sim, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "sim", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        ).groupby("query_id", sort=False).head(k)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df[["query_id", id_col, "rank"]]
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Seeded random-hyperplane signer: vector -> int bucket (sign pattern)."""
+
+    def __init__(self, dim: int, nbits: int = 8, seed: int = 42) -> None:
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, nbits))
+
+    def buckets(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes) > 0  # (n, nbits)
+        weights = (1 << np.arange(signs.shape[1])).astype(np.int64)
+        return (signs @ weights).astype(np.int64)
+
+
+def lsh_topk(ds, query_matrix: np.ndarray, *, k: int = 10, nbits: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_ids=None, seed: int = 42):
+    """Approximate top-k: score only vectors sharing the query's LSH bucket.
+    Same output schema as cosine_topk; recall < 1 by design (bench op)."""
+    q = np.asarray(query_matrix, dtype=np.float64)
+    lsh = HyperplaneLSH(q.shape[1], nbits=nbits, seed=seed)
+    q_buckets = lsh.buckets(q)
+    qn = _normalize(q)
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(q)), dtype=np.int64
+    )
+    ref = ray.put((qn, qids, q_buckets))
+
+    def local(batch: pa.Table) -> pa.Table:
+        qm, qi, qb = ray.get(ref)
+        vecs = _as_matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy()
+        vb = lsh.buckets(vecs)
+        vn = _normalize(vecs)
+        rows_q, rows_id, rows_sim = [], [], []
+        for j in range(len(qi)):
+            mask = vb == qb[j]
+            if not mask.any():
+                continue
+            sims = vn[mask] @ qm[j]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            order = np.lexsort((sub_ids, -sims))[:kk]
+            rows_q.append(np.full(kk, qi[j]))
+            rows_id.append(sub_ids[order])
+            rows_sim.append(sims[order])
+        if not rows_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q), type=pa.int64()),
+                id_col: pa.array(
+                    np.concatenate(rows_id).astype(np.int64), type=pa.int64()
+                ),
+                "sim": pa.array(np.concatenate(rows_sim), type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "sim", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        ).groupby("query_id", sort=False).head(k)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df[["query_id", id_col, "rank"]]
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")

@@ -1,0 +1,171 @@
+"""Per-document text analysis: token counting, quality scoring, language-ID,
+fingerprinting — the training-data-pipeline operators layered on the same
+vectorized token explode as the folding engine (SURVEY: 'Beyond the
+reference').
+
+Every op is a stateless ``map_batches`` (pure projection per row — no
+shuffle); all arithmetic is defined to be bit-identical to the DuckDB oracle
+(integer counts, IEEE double ratios computed in the same order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from htrc_feature_reader_ray.functions.tokenize import STOPWORDS_EN, sql_in_list
+
+# language marker-word lists for the n-gram/stopword langid heuristic.
+# Priority order is the tie-break (first max wins) — mirrored in LANGID SQL.
+LANG_MARKERS = (
+    ("en", ("the", "a", "and", "of")),
+    ("de", ("der", "die", "und", "das")),
+    ("fr", ("le", "la", "et", "les")),
+    ("es", ("el", "los", "y", "de")),
+)
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _tok_stats(batch: pa.Table, text_col: str):
+    toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    parent = pc.list_parent_indices(toks)
+    flat = pc.list_flatten(toks)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parent = parent.filter(mask).to_numpy()
+    return flat, parent, len(batch)
+
+
+def token_count(ds, *, text_col: str = "text", id_cols=("doc_id",)):
+    """(ids..., n_tokens) — whitespace token count per document."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        _, parent, n = _tok_stats(batch, text_col)
+        counts = np.bincount(parent, minlength=n).astype(np.int64)
+        out = batch.select(list(id_cols))
+        return out.append_column("n_tokens", pa.array(counts, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+TOKEN_COUNT_SQL = (
+    "len(list_filter(string_split({text}, ' '), t -> t != ''))::BIGINT"
+)
+
+
+def quality_score(ds, *, text_col: str = "text", id_cols=("doc_id",)):
+    """Per-doc quality features: n_chars, n_tokens, mean_token_len,
+    stopword_ratio (exact-integer numerators; double division mirrors SQL)."""
+    stop = set(STOPWORDS_EN)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, n = _tok_stats(batch, text_col)
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        tok_len = pc.utf8_length(flat).to_numpy()
+        sum_len = np.bincount(parent, weights=tok_len, minlength=n).astype(np.int64)
+        is_stop = pc.is_in(flat, value_set=pa.array(sorted(stop))).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.bincount(parent, weights=is_stop, minlength=n).astype(np.int64)
+        denom = np.maximum(n_tokens, 1).astype(np.float64)
+        out = batch.select(list(id_cols))
+        out = out.append_column(
+            "n_chars", pc.utf8_length(batch.column(text_col)).cast(pa.int64())
+        )
+        out = out.append_column("n_tokens", pa.array(n_tokens, type=pa.int64()))
+        out = out.append_column(
+            "mean_token_len", pa.array(sum_len / denom, type=pa.float64())
+        )
+        out = out.append_column(
+            "stopword_ratio", pa.array(n_stop / denom, type=pa.float64())
+        )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score_sql(text: str = "text") -> str:
+    toks = f"list_filter(string_split({text}, ' '), t -> t != '')"
+    stop = sql_in_list(sorted(set(STOPWORDS_EN)))
+    return f"""
+        length({text})::BIGINT AS n_chars,
+        len({toks})::BIGINT AS n_tokens,
+        (SELECT coalesce(sum(length(t)), 0) FROM unnest({toks}) AS u(t))::BIGINT
+            / greatest(len({toks}), 1)::DOUBLE AS mean_token_len,
+        (SELECT count(*) FILTER (WHERE t IN {stop}) FROM unnest({toks}) AS u(t))::BIGINT
+            / greatest(len({toks}), 1)::DOUBLE AS stopword_ratio
+    """
+
+
+def langid(ds, *, text_col: str = "text", id_cols=("doc_id",)):
+    """Marker-word language ID: count hits per language list, predict the
+    first language (in LANG_MARKERS order) achieving the max hit count."""
+    markers = [(lang, pa.array(sorted(words))) for lang, words in LANG_MARKERS]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, n = _tok_stats(batch, text_col)
+        hits = []
+        for _, words in markers:
+            h = pc.is_in(flat, value_set=words).to_numpy(zero_copy_only=False)
+            hits.append(np.bincount(parent, weights=h, minlength=n).astype(np.int64))
+        hits = np.stack(hits)  # (L, n)
+        best = hits.argmax(axis=0)  # first max wins (argmax tie: lowest index)
+        langs = np.array([lang for lang, _ in markers], dtype=object)
+        out = batch.select(list(id_cols))
+        return out.append_column(
+            "pred_lang", pa.array(langs[best], type=pa.string())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def langid_sql(text: str = "text") -> str:
+    toks = f"list_filter(string_split({text}, ' '), t -> t != '')"
+    hit_exprs = {
+        lang: (
+            f"(SELECT count(*) FILTER (WHERE t IN {sql_in_list(sorted(words))}) "
+            f"FROM unnest({toks}) AS u(t))"
+        )
+        for lang, words in LANG_MARKERS
+    }
+    langs = [lang for lang, _ in LANG_MARKERS]
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"{hit_exprs[lang]} >= {hit_exprs[other]}"
+            for other in langs[i + 1 :]
+        )
+        prior = " AND ".join(
+            f"{hit_exprs[lang]} > {hit_exprs[other]}" for other in langs[:i]
+        )
+        all_conds = " AND ".join(c for c in (prior, conds) if c) or "TRUE"
+        cases.append(f"WHEN {all_conds} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def fingerprint(ds, *, text_col: str = "text", id_cols=("doc_id",)):
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text (SQL mirror: md5(lower(regexp_replace(...)))) — the
+    content-address used by exact dedup."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        fps = [
+            hashlib.md5(_WS_RE.sub(" ", t).lower().encode("utf-8")).hexdigest()
+            for t in texts
+        ]
+        out = batch.select(list(id_cols))
+        return out.append_column("fp", pa.array(fps, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+FINGERPRINT_SQL = "md5(lower(regexp_replace({text}, '\\s+', ' ', 'g')))"

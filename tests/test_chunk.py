@@ -1,0 +1,107 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from htrc_feature_reader_ray.stages.chunk import (
+    chunk_labels_even,
+    chunk_labels_last,
+    chunk_units,
+    chunked_tokenlist,
+)
+from htrc_feature_reader_ray.stages.extract import tokens_from_pages
+
+
+def sizes(labels, weights):
+    return pd.Series(weights).groupby(pd.Series(labels)).sum()
+
+
+def test_even_uniform_perfect_split():
+    """F7: 1000 unit pages, target 100 -> every chunk exactly 100."""
+    labels = chunk_labels_even(np.ones(1000), 100)
+    s = sizes(labels, np.ones(1000))
+    assert len(s) == 10
+    assert (s == 100).all()
+    assert (np.diff(labels) >= 0).all()  # monotone
+
+
+def test_last_uniform_perfect_split():
+    labels = chunk_labels_last(np.ones(1000), 100)
+    s = sizes(labels, np.ones(1000))
+    assert len(s) == 10
+    assert (s == 100).all()
+
+
+def test_even_giant_last_page_terminates_bounded():
+    """F7: giant last page (reference infinite-loop regression shape)."""
+    w = np.ones(1000)
+    w[-1] = 500
+    labels = chunk_labels_even(w, 100)
+    s = sizes(labels, w)
+    assert s.max() <= 600  # giant page dominates one chunk
+    assert s.min() >= 50
+    assert labels[-1] == labels.max()
+
+
+def test_even_giant_middle_page():
+    w = np.ones(1000)
+    w[500] = 500
+    labels = chunk_labels_even(w, 100)
+    s = sizes(labels, w)
+    assert s.max() <= 501 + 100
+
+
+def test_pages_larger_than_target_each_own_chunk():
+    """F7: [500]*10 with target 100 -> 10 chunks of 500."""
+    w = np.full(10, 500)
+    labels = chunk_labels_even(w, 100)
+    assert labels.tolist() == list(range(1, 11))
+    labels2 = chunk_labels_last(w, 100)
+    assert labels2.tolist() == list(range(1, 11))
+
+
+def test_statistical_bounds_random():
+    rng = np.random.RandomState(7)
+    w = rng.randint(50, 400, size=200)
+    for fn in (chunk_labels_even, chunk_labels_last):
+        labels = fn(w, 1000)
+        s = sizes(labels, w)
+        assert abs(s.mean() - 1000) < 1000 / 3
+        assert s.iloc[1:-1].max() <= 1000 + w.max()
+        assert s.iloc[1:-1].min() >= 1000 / 4
+
+
+def test_chunk_units_dataset_parity_with_local():
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b"], 50),
+            "ord": np.tile(np.arange(50), 2),
+            "w": np.concatenate([np.ones(50), np.full(50, 3)]).astype(np.int64),
+        }
+    )
+    out = (
+        chunk_units(
+            ray.data.from_pandas(df), key="k", order="ord", weight_col="w",
+            target=10, num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "ord"])
+        .reset_index(drop=True)
+    )
+    for k, grp in df.groupby("k"):
+        expect = chunk_labels_even(grp["w"].to_numpy(), 10)
+        got = out[out["k"] == k].sort_values("ord")["chunk"].to_numpy()
+        assert (got == expect).all()
+
+
+def test_chunked_tokenlist_conserves_counts(sf_dir):
+    tokens = tokens_from_pages(sf_dir, via_html=False).materialize()
+    total = tokens.to_pandas()["count"].sum()
+    out = chunked_tokenlist(
+        tokens, target=40, page_ref=True, num_buckets=8
+    ).to_pandas()
+    assert out["count"].sum() == total
+    assert {"url", "chunk", "token", "count", "ts_start", "ts_end"} <= set(out.columns)
+    assert (out["ts_start"] <= out["ts_end"]).all()
+    # chunk labels start at 1 per url
+    assert out.groupby("url")["chunk"].min().eq(1).all()

@@ -1,0 +1,87 @@
+import numpy as np
+import pandas as pd
+import ray.data
+
+from htrc_feature_reader_ray.stages.dedup import (
+    MinHasher,
+    exact_dedup,
+    jaccard,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_batch,
+    word_shingles,
+)
+from tests.util import assert_frames_match
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_exact_dedup_parity(duck):
+    got = exact_dedup(ray.data.read_parquet(DOCS, columns=["doc_id", "text"]))
+    oracle = duck.execute(
+        r"""
+        SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_md5,
+               min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+        FROM documents GROUP BY 1
+        """
+    ).df()
+    assert_frames_match(got, oracle)
+
+
+def test_jaccard_exact():
+    a = "the quick brown fox jumps".split()
+    b = "the quick brown fox leaps".split()
+    sa, sb = set(word_shingles(a, 3)), set(word_shingles(b, 3))
+    expect = len(sa & sb) / len(sa | sb)
+    assert jaccard(a, b, 3) == expect
+    assert jaccard(a, a, 3) == 1.0
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    mh = MinHasher(num_perm=128, bands=32)
+    t1 = "a b c d e f g h i j k l m n o p"
+    t2 = "a b c d e f g h i j k l m n o q"  # high overlap
+    t3 = "z y x w v u t s r q p o n m l k"
+    s1, s2, s3 = mh.signature(t1), mh.signature(t2), mh.signature(t3)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.5
+    assert sim13 < sim12
+
+
+def test_minhash_dedup_pairs_finds_near_dups():
+    docs = []
+    base = " ".join(f"w{i}" for i in range(60))
+    docs.append({"doc_id": 1, "text": base})
+    docs.append({"doc_id": 2, "text": base})  # exact dup
+    docs.append({"doc_id": 3, "text": base.replace("w10", "xx")})  # near dup
+    docs.append({"doc_id": 4, "text": " ".join(f"z{i}" for i in range(60))})
+    ds = ray.data.from_items(docs)
+    pairs = minhash_dedup_pairs(ds, threshold=0.5, concurrency=2).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (1, 2) in got
+    assert (1, 3) in got
+    assert not any(4 in p for p in got)
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_simhash_properties():
+    base = " ".join(f"w{i}" for i in range(100))
+    near = base.replace("w5", "aa").replace("w50", "bb")
+    far = " ".join(f"q{i}" for i in range(100))
+    h = simhash_batch([base, base, near, far])
+    assert h[0] == h[1]
+    ham_near = bin(int(h[0]) ^ int(h[2])).count("1")
+    ham_far = bin(int(h[0]) ^ int(h[3])).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 12
+
+
+def test_simhash_dataset_bands():
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": "a b c d"}, {"doc_id": 2, "text": "a b c d"}]
+    )
+    out = simhash(ds).to_pandas()
+    assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
+    for b in range(4):
+        assert out.loc[0, f"band{b}"] == out.loc[1, f"band{b}"]

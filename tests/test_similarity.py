@@ -1,0 +1,82 @@
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from htrc_feature_reader_ray.stages.similarity import (
+    cosine_topk,
+    lsh_topk,
+)
+from tests.util import assert_frames_match
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _query_matrix(n=5):
+    t = pq.read_table(EMB)
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return q, df["vec_id"].to_numpy()
+
+
+def test_cosine_topk_vs_bruteforce():
+    q, qids = _query_matrix(5)
+    ds = ray.data.read_parquet(EMB, columns=["vec_id", "embedding"])
+    got = cosine_topk(ds, q, k=10, query_ids=qids).to_pandas()
+
+    t = pq.read_table(EMB).to_pandas().sort_values("vec_id")
+    m = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    for j, qid in enumerate(qids):
+        order = np.lexsort((ids, -sims[:, j]))[:10]
+        expect = ids[order]
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert sub["vec_id"].tolist() == expect.tolist()
+
+
+def test_cosine_topk_vs_duckdb(duck):
+    q, qids = _query_matrix(3)
+    ds = ray.data.read_parquet(EMB, columns=["vec_id", "embedding"])
+    got = cosine_topk(ds, q, k=5, query_ids=qids)
+    oracle = duck.execute(
+        """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < 3
+        ), s AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+          FROM q, embeddings e
+        )
+        SELECT query_id, vec_id, rank FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM s
+        ) WHERE rank <= 5
+        """
+    ).df()
+    assert_frames_match(got, oracle)
+
+
+def test_lsh_topk_sane_and_partial_recall():
+    q, qids = _query_matrix(5)
+    ds = ray.data.read_parquet(EMB, columns=["vec_id", "embedding"])
+    approx = lsh_topk(ds, q, k=10, nbits=4, query_ids=qids).to_pandas()
+    exact = cosine_topk(ds, q, k=10, query_ids=qids).to_pandas()
+    assert len(approx) > 0
+    # each query's rank sequence is 1..n
+    for qid, grp in approx.groupby("query_id"):
+        assert grp.sort_values("rank")["rank"].tolist() == list(
+            range(1, len(grp) + 1)
+        )
+    # the query vector itself shares its own bucket -> rank 1 is itself
+    self_hits = approx[approx["rank"] == 1]
+    assert (self_hits["query_id"] == self_hits["vec_id"]).all()
+    # recall vs exact is nonzero
+    a = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    e = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    assert len(a & e) > 0
