@@ -1,0 +1,135 @@
+"""Lineage manifests + checkpoint-resume for the partitioned parquet lake.
+
+Reference analogs: the read-through cache resolver (caching.py:76-87 — a rerun
+skips work already materialized) and the ziptree's refuse-to-overwrite
+discipline (resolvers.py:306-310 — write-once outputs). North rule: "each
+partition emits a lineage manifest (input files, row ranges, checksums)
+enabling checkpoint-resume of any stage".
+
+Model: a stage writes its output as hash-bucketed parquet
+(``out_dir/bucket=K/``) plus ``_MANIFEST.json`` recording the input
+fingerprint (paths, sizes, mtimes), per-bucket row counts, and the stage
+parameters. ``run_stage`` skips recompute when the manifest matches;
+``resume_missing_buckets`` recomputes ONLY absent buckets by filtering the
+input on the same stable hash — safe because bucketing is deterministic
+(functions/ids.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from htrc_feature_reader_ray.stages.partition import BUCKET_COL, add_bucket_column
+
+MANIFEST = "_MANIFEST.json"
+
+
+def fingerprint_inputs(paths) -> list[dict]:
+    out = []
+    for p in sorted(paths):
+        st = os.stat(p)
+        out.append({"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns})
+    return out
+
+
+def _load_manifest(out_dir: str) -> dict | None:
+    p = os.path.join(out_dir, MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
+                      inputs=(), params: dict | None = None) -> dict:
+    """Write ``ds`` as a hash-bucketed parquet lake + lineage manifest.
+
+    Output layout: ``out_dir/bucket=K/*.parquet`` (one directory per key
+    range — resumable, never one giant file). Written atomically: data goes
+    to ``out_dir.tmp`` first, then a single rename."""
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    bucketed = add_bucket_column(ds, key, num_buckets, name="bucket")
+    bucketed.write_parquet(tmp, partition_cols=["bucket"])
+
+    counts = (
+        ray.data.read_parquet(tmp)
+        .groupby("bucket")
+        .count()
+        .to_pandas()
+        .set_index("bucket")["count()"]
+        .to_dict()
+    )
+    manifest = {
+        "key": key,
+        "num_buckets": num_buckets,
+        "inputs": fingerprint_inputs(inputs),
+        "params": params or {},
+        "buckets": {str(int(k)): int(v) for k, v in counts.items()},
+        "row_count": int(sum(counts.values())),
+        "completed_at": time.time(),
+    }
+    with open(os.path.join(tmp, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+    return manifest
+
+
+def run_stage(out_dir: str, build_fn, *, key: str, num_buckets: int,
+              inputs=(), params: dict | None = None):
+    """Checkpointed stage: if ``out_dir``'s manifest matches the current
+    input fingerprint + params, read the lake instead of recomputing;
+    otherwise call ``build_fn() -> Dataset`` and persist it."""
+    m = _load_manifest(out_dir)
+    current = {
+        "inputs": fingerprint_inputs(inputs),
+        "params": params or {},
+        "key": key,
+        "num_buckets": num_buckets,
+    }
+    if m is not None and all(m.get(k) == v for k, v in current.items()):
+        return ray.data.read_parquet(out_dir), m
+    manifest = write_partitioned(
+        build_fn(), out_dir, key=key, num_buckets=num_buckets,
+        inputs=inputs, params=params,
+    )
+    return ray.data.read_parquet(out_dir), manifest
+
+
+def missing_buckets(out_dir: str, num_buckets: int) -> list[int]:
+    """Buckets whose directory is absent (e.g. after a partial failure)."""
+    have = set()
+    if os.path.exists(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("bucket="):
+                have.add(int(name.split("=", 1)[1]))
+    return [b for b in range(num_buckets) if b not in have]
+
+
+def resume_missing_buckets(ds, out_dir: str, *, key: str, num_buckets: int):
+    """Recompute ONLY the missing buckets of a partially-written lake:
+    filter the input to rows hashing into missing buckets (deterministic
+    bucketing) and append their partitions. Returns the list recomputed."""
+    todo = missing_buckets(out_dir, num_buckets)
+    if not todo:
+        return []
+    todo_set = set(todo)
+    bucketed = add_bucket_column(ds, key, num_buckets, name="bucket")
+    subset = bucketed.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t.column("bucket"), value_set=pa.array(sorted(todo_set)))
+        ),
+        batch_format="pyarrow",
+    )
+    subset.write_parquet(out_dir, partition_cols=["bucket"])
+    return todo
