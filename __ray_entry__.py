@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes every implemented operator/pipeline of SURVEY.md §2 as a
+callable over an sf_dir; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+each SQL-expressible query (tables region/nation/.../documents/embeddings are
+pre-registered views). Column names match exactly between both sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()``/``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,700 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# shared SQL preambles (single definition site: sources/pages.py, functions/)
+
+from htrc_feature_reader_ray.sources.pages import (
+    PAGES_SQL,
+    PAGES_TEXT_SQL,
+    SECTIONS_SQL,
+)
+from htrc_feature_reader_ray.functions.tokenize import POS_SQL
+
+PAGES_PRE = f"WITH {PAGES_SQL.strip()}"
+TOK_PRE = f"""
+WITH {PAGES_SQL.strip()}, {SECTIONS_SQL.strip()},
+tok AS (
+    SELECT url, warc_ts, section, t.token
+    FROM sections, unnest(string_split(sect_text, ' ')) AS t(token)
+    WHERE t.token != ''
+),
+tokpos AS (
+    SELECT url, warc_ts, section, token, {POS_SQL.format(tok='token')} AS pos
+    FROM tok
+)
+"""
+
+ASOF_PRE = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), r0 AS (
+  SELECT user_id, ts, value AS purchase_value,
+         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+), r AS (SELECT user_id, ts, purchase_value FROM r0 WHERE rn = 1)
+"""
+
+SNAPFEAT_PRE = (
+    TOK_PRE
+    + """,
+snapfeat AS (
+  SELECT url, warc_ts, count(*)::BIGINT AS n_tokens,
+         count(distinct token)::BIGINT AS distinct_tokens
+  FROM tokpos GROUP BY 1, 2
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Ray-side helpers
+
+def _events(sf_dir: str, columns):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=list(columns)
+    )
+
+
+def _tokens(sf_dir: str):
+    from htrc_feature_reader_ray.stages.extract import tokens_from_pages
+
+    return tokens_from_pages(sf_dir, via_html=True)
+
+
+def _clicks(sf_dir: str):
+    import pyarrow.compute as pc
+
+    return _events(
+        sf_dir, ["event_id", "user_id", "ts", "value", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "click")).drop(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _purchases_df(sf_dir: str) -> pd.DataFrame:
+    from htrc_feature_reader_ray.stages.temporal import latest_per_key_ts
+
+    df = pd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+    df = df[df.event_type == "purchase"].rename(columns={"value": "purchase_value"})
+    df = latest_per_key_ts(df, on="user_id", ts="ts", tiebreak="event_id")
+    return df[["user_id", "ts", "purchase_value"]]
+
+
+def _purchases_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.from_pandas(_purchases_df(sf_dir))
+
+
+def _with_cents(ds):
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(t.column("value").to_numpy() * 100).astype(np.int64)
+        return t.drop(["value"]).append_column(
+            "value_cents", pa.array(v, type=pa.int64())
+        )
+
+    return ds.map_batches(cents, batch_format="pyarrow")
+
+
+def _event_weights(sf_dir: str):
+    """Chunking fixture over events: weight = event_id % 10 + 1."""
+    def wt(t: pa.Table) -> pa.Table:
+        w = (t.column("event_id").to_numpy() % 10 + 1).astype(np.int64)
+        return t.append_column("wt", pa.array(w, type=pa.int64()))
+
+    return _events(sf_dir, ["event_id", "user_id", "ts"]).map_batches(
+        wt, batch_format="pyarrow"
+    )
+
+
+CHUNK_EVEN_RAW = (
+    "least(nchunks - 1, floor((cum - wt / 2.0) * nchunks / total))"
+)
+CHUNK_EVENTS_PRE = """
+WITH w AS (
+  SELECT user_id, ts, event_id, event_id % 10 + 1 AS wt FROM events
+), c AS (
+  SELECT user_id, ts, event_id, wt,
+         sum(wt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(wt) OVER (PARTITION BY user_id) AS total
+  FROM w
+), p AS (
+  SELECT *, greatest(1, floor(total / 50 + 0.5)) AS nchunks FROM c
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (html-extraction path)."""
+    from htrc_feature_reader_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001", via_html=True, num_buckets=16)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from htrc_feature_reader_ray.pipelines.flagship import (
+        flagship,
+        snapshot_features,
+        source_stats_table,
+        windowed_features,
+    )
+    from htrc_feature_reader_ray.sources.pages import read_pages
+    from htrc_feature_reader_ray.stages.chunk import chunk_units, chunked_tokenlist
+    from htrc_feature_reader_ray.stages.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+        simhash,
+    )
+    from htrc_feature_reader_ray.stages.extract import (
+        extract_pages,
+        line_chars,
+        section_features,
+        sections_long,
+    )
+    from htrc_feature_reader_ray.stages.fold import (
+        distinct_tokens,
+        fold_tokenlist,
+        term_freqs_topk,
+    )
+    from htrc_feature_reader_ray.stages.similarity import cosine_topk, lsh_topk
+    from htrc_feature_reader_ray.stages.temporal import (
+        backfill,
+        broadcast_asof_join,
+        lag_lead,
+        make_time_grid,
+        partitioned_asof_join,
+        sessionize,
+        tumbling_window,
+    )
+    from htrc_feature_reader_ray.stages.textstats import (
+        fingerprint,
+        langid,
+        quality_score,
+        token_count,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_extract_text(sf):
+        return extract_pages(read_pages(sf, drop_text=True)).select_columns(
+            ["url", "warc_ts", "lang", "text"]
+        )
+
+    def q_sections(sf):
+        return section_features(
+            sections_long(extract_pages(read_pages(sf, drop_text=True)))
+        )
+
+    def q_line_chars(sf):
+        return line_chars(
+            sections_long(extract_pages(read_pages(sf, drop_text=True)))
+        )
+
+    def q_backfill(sf):
+        users = sorted(
+            pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])[
+                "user_id"
+            ].unique()
+        )
+        import ray.data
+
+        grid = make_time_grid(users, start="2024-01-01", end="2024-01-08",
+                              step="1D")
+        return backfill(ray.data.from_pandas(grid), _purchases_df(sf),
+                        on="user_id", ts="ts", tolerance="2D")
+
+    def q_chunk_events(strategy):
+        def run(sf):
+            labeled = chunk_units(
+                _event_weights(sf), key="user_id", order="ts",
+                weight_col="wt", target=50, strategy=strategy,
+                tiebreak="event_id", num_buckets=32,
+            )
+
+            def fold(t: pa.Table) -> pa.Table:
+                g = t.group_by(["user_id", "chunk"]).aggregate(
+                    [([], "count_all"), ("wt", "sum")]
+                )
+                return g.rename_columns(
+                    ["user_id", "chunk", "n_units", "weight_sum"]
+                )
+
+            from ray.data.aggregate import Sum
+
+            return (
+                labeled.map_batches(fold, batch_format="pyarrow")
+                .groupby(["user_id", "chunk"])
+                .aggregate(Sum("n_units", alias_name="n_units"),
+                           Sum("weight_sum", alias_name="weight_sum"))
+            )
+
+        return run
+
+    def q_chunked_tokenlist(sf):
+        return chunked_tokenlist(_tokens(sf), target=40, strategy="even",
+                                 section="group", case=True, pos=False,
+                                 num_buckets=32)
+
+    def q_chunk_bounds(sf):
+        out = chunked_tokenlist(_tokens(sf), target=40, strategy="even",
+                                section="group", case=True, pos=False,
+                                page_ref=True, num_buckets=32)
+
+        def bounds(df: pd.DataFrame) -> pd.DataFrame:
+            return df[["url", "chunk", "ts_start", "ts_end"]].drop_duplicates()
+
+        return out.map_batches(bounds, batch_format="pandas")
+
+    def q_ann(sf):
+        t = pd.read_parquet(f"{sf}/embeddings.parquet")
+        qdf = t[t.vec_id < 10].sort_values("vec_id")
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        return cosine_topk(ds, q, k=10, query_ids=qdf["vec_id"].to_numpy())
+
+    def q_ann_lsh(sf):
+        t = pd.read_parquet(f"{sf}/embeddings.parquet")
+        qdf = t[t.vec_id < 10].sort_values("vec_id")
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        return lsh_topk(ds, q, k=10, nbits=6, query_ids=qdf["vec_id"].to_numpy())
+
+    def q_filter_project(sf):
+        import pyarrow.compute as pc
+
+        return _docs(sf, ["doc_id", "lang", "n_chars"]).map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.equal(t.column("lang"), "en"),
+                        pc.greater(t.column("n_chars"), 200))
+            ).select(["doc_id", "n_chars"]),
+            batch_format="pyarrow",
+        )
+
+    def q_source_stats(sf):
+        import ray
+
+        stats = source_stats_table(sf)
+        ref = ray.put(stats.set_index("source")["src_avg_chars"].to_dict())
+
+        def join(batch: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(ref)
+            batch["src_avg_chars"] = batch["source"].map(lookup)
+            return batch
+
+        return _docs(sf, ["doc_id", "source", "n_chars"]).map_batches(
+            join, batch_format="pandas"
+        )
+
+    return {
+        # -- extraction / tokenlist family (SURVEY §2.1-2.3) --
+        "extract_text": q_extract_text,
+        "tokenlist": lambda sf: fold_tokenlist(_tokens(sf)),
+        "tokenlist_case_fold": lambda sf: fold_tokenlist(
+            _tokens(sf), case=False, pos=False
+        ),
+        "tokenlist_pos_fold": lambda sf: fold_tokenlist(_tokens(sf), pos=False),
+        "tokenlist_section_group": lambda sf: fold_tokenlist(
+            _tokens(sf), section="group"
+        ),
+        "tokenlist_body": lambda sf: fold_tokenlist(
+            _tokens(sf), section="body", pos=False, drop_section=True
+        ),
+        "tokenlist_snapshots_fold": lambda sf: fold_tokenlist(
+            _tokens(sf), snapshots=False, section="group", pos=False
+        ),
+        "corpus_term_freqs": lambda sf: fold_tokenlist(
+            _tokens(sf), entity=False, snapshots=False, section="ignore",
+            pos=False,
+        ),
+        "term_freqs_top50": lambda sf: term_freqs_topk(_tokens(sf), k=50),
+        "page_freq_snapshots": lambda sf: fold_tokenlist(
+            _tokens(sf), snapshots=False, section="group", pos=False,
+            page_freq=True,
+        ),
+        "tokens_min_count": lambda sf: distinct_tokens(
+            _tokens(sf), min_count=100, case=False
+        ),
+        "section_features": q_sections,
+        "line_chars": q_line_chars,
+        "snapshot_features": lambda sf: snapshot_features(sf, via_html=True),
+        "windowed_features": lambda sf: windowed_features(
+            snapshot_features(sf, via_html=True), num_buckets=32
+        ),
+        "flagship": lambda sf: flagship(sf, via_html=True, num_buckets=32),
+        # -- temporal family (SURVEY §2.4/2.6, north rule) --
+        "asof_backward": lambda sf: partitioned_asof_join(
+            _clicks(sf), _purchases_ds(sf), on="user_id", ts="ts",
+            direction="backward", num_buckets=32,
+        ),
+        "asof_forward": lambda sf: broadcast_asof_join(
+            _clicks(sf), _purchases_df(sf), on="user_id", ts="ts",
+            direction="forward",
+        ),
+        "asof_tolerance": lambda sf: broadcast_asof_join(
+            _clicks(sf), _purchases_df(sf), on="user_id", ts="ts",
+            direction="backward", tolerance="30m",
+        ),
+        "lag_lead": lambda sf: lag_lead(
+            _events(sf, ["event_id", "user_id", "ts", "value"]),
+            key="user_id", ts="ts", cols=["value"], tiebreak="event_id",
+            num_buckets=32,
+        ),
+        "sessionize": lambda sf: sessionize(
+            _events(sf, ["event_id", "user_id", "ts"]),
+            key="user_id", ts="ts", gap="30m", tiebreak="event_id",
+            num_buckets=32, aggregate=True,
+        ),
+        "window_tumbling": lambda sf: tumbling_window(
+            _with_cents(_events(sf, ["user_id", "ts", "value"])),
+            key="user_id", ts="ts", width="1h", sum_cols=["value_cents"],
+        ),
+        "backfill_daily": q_backfill,
+        # -- chunking (SURVEY §2.4) --
+        "chunk_even_events": q_chunk_events("even"),
+        "chunk_last_events": q_chunk_events("last"),
+        "chunked_tokenlist": q_chunked_tokenlist,
+        "chunk_bounds": q_chunk_bounds,
+        # -- dedup / similarity / text analysis (training-data ops) --
+        "dedup_exact": lambda sf: exact_dedup(_docs(sf)),
+        "dedup_minhash": lambda sf: minhash_dedup_pairs(
+            _docs(sf), threshold=0.5, concurrency=(1, 4)
+        ),
+        "dedup_simhash": lambda sf: simhash(_docs(sf)),
+        "ann_cosine_topk": q_ann,
+        "ann_lsh_topk": q_ann_lsh,
+        "token_count": lambda sf: token_count(_docs(sf)),
+        "quality_score": lambda sf: quality_score(_docs(sf)),
+        "langid": lambda sf: langid(_docs(sf)),
+        "fingerprint": lambda sf: fingerprint(_docs(sf)),
+        "filter_project": q_filter_project,
+        "docs_with_source_stats": q_source_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from htrc_feature_reader_ray.stages.textstats import (
+        FINGERPRINT_SQL,
+        TOKEN_COUNT_SQL,
+        langid_sql,
+        quality_score_sql,
+    )
+
+    tol_case = (
+        "CASE WHEN l.ts - r.ts <= INTERVAL 30 MINUTE THEN {expr} END"
+    )
+
+    return {
+        "extract_text": (
+            PAGES_PRE
+            + f" SELECT url, warc_ts, lang, {PAGES_TEXT_SQL} AS text FROM pages"
+        ),
+        "tokenlist": TOK_PRE + """
+            SELECT url, warc_ts, section, token, pos,
+                   count(*)::BIGINT AS count
+            FROM tokpos GROUP BY ALL""",
+        "tokenlist_case_fold": TOK_PRE + """
+            SELECT url, warc_ts, section, lower(token) AS lowercase,
+                   count(*)::BIGINT AS count
+            FROM tokpos GROUP BY ALL""",
+        "tokenlist_pos_fold": TOK_PRE + """
+            SELECT url, warc_ts, section, token, count(*)::BIGINT AS count
+            FROM tokpos GROUP BY ALL""",
+        "tokenlist_section_group": TOK_PRE + """
+            SELECT url, warc_ts, token, pos, count(*)::BIGINT AS count
+            FROM tokpos GROUP BY ALL""",
+        "tokenlist_body": TOK_PRE + """
+            SELECT url, warc_ts, token, count(*)::BIGINT AS count
+            FROM tokpos WHERE section = 'body' GROUP BY ALL""",
+        "tokenlist_snapshots_fold": TOK_PRE + """
+            SELECT url, token, count(*)::BIGINT AS count
+            FROM tokpos GROUP BY ALL""",
+        "corpus_term_freqs": TOK_PRE + """
+            SELECT token, count(*)::BIGINT AS count FROM tokpos GROUP BY 1""",
+        "term_freqs_top50": TOK_PRE + """
+            SELECT token, count(*)::BIGINT AS count FROM tokpos GROUP BY 1
+            ORDER BY count DESC, token ASC LIMIT 50""",
+        "page_freq_snapshots": TOK_PRE + """
+            SELECT url, token, count(distinct warc_ts)::BIGINT AS count
+            FROM tokpos GROUP BY 1, 2""",
+        "tokens_min_count": TOK_PRE + """
+            SELECT lowercase, count FROM (
+              SELECT lower(token) AS lowercase, count(*)::BIGINT AS count
+              FROM tokpos GROUP BY 1
+            ) WHERE count >= 100""",
+        "section_features": TOK_PRE.replace("tokpos AS (", "tokpos_unused AS (")
+        + """,
+            sf AS (
+              SELECT url, warc_ts, section,
+                     count(*)::BIGINT AS token_count,
+                     count(distinct token)::BIGINT AS distinct_tokens
+              FROM tok GROUP BY 1, 2, 3
+            )
+            SELECT s.url, s.warc_ts, s.section,
+                   coalesce(sf.token_count, 0)::BIGINT AS token_count,
+                   length(s.sect_text)::BIGINT AS char_count,
+                   coalesce(sf.distinct_tokens, 0)::BIGINT AS distinct_tokens
+            FROM sections s LEFT JOIN sf
+              ON s.url = sf.url AND s.warc_ts = sf.warc_ts
+             AND s.section = sf.section""",
+        "line_chars": PAGES_PRE + f""",
+            lines AS (
+              SELECT url, warc_ts, header AS line FROM pages
+              UNION ALL SELECT url, warc_ts, body FROM pages
+              UNION ALL SELECT url, warc_ts, footer FROM pages
+            ), nonempty AS (SELECT * FROM lines WHERE line != '')
+            SELECT url, warc_ts, place, char, count(*)::BIGINT AS count
+            FROM (
+              SELECT url, warc_ts, 'begin' AS place, left(line, 1) AS char
+              FROM nonempty
+              UNION ALL
+              SELECT url, warc_ts, 'end', right(line, 1) FROM nonempty
+            ) GROUP BY ALL""",
+        "snapshot_features": SNAPFEAT_PRE
+        + " SELECT url, warc_ts, n_tokens, distinct_tokens FROM snapfeat",
+        "windowed_features": SNAPFEAT_PRE + """,
+            flagged AS (
+              SELECT url, warc_ts, n_tokens, distinct_tokens,
+                     (lag(n_tokens) OVER w)::DOUBLE AS lag_n_tokens,
+                     (lead(n_tokens) OVER w)::DOUBLE AS lead_n_tokens,
+                     CASE WHEN lag(warc_ts) OVER w IS NULL
+                          OR warc_ts - lag(warc_ts) OVER w > INTERVAL 90 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM snapfeat
+              WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+            )
+            SELECT url, warc_ts, n_tokens, distinct_tokens, lag_n_tokens,
+                   lead_n_tokens,
+                   (sum(new_sess) OVER (PARTITION BY url ORDER BY warc_ts
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+            FROM flagged""",
+        "flagship": SNAPFEAT_PRE + """,
+            flagged AS (
+              SELECT url, warc_ts, n_tokens, distinct_tokens,
+                     (lag(n_tokens) OVER w)::DOUBLE AS lag_n_tokens,
+                     (lead(n_tokens) OVER w)::DOUBLE AS lead_n_tokens,
+                     CASE WHEN lag(warc_ts) OVER w IS NULL
+                          OR warc_ts - lag(warc_ts) OVER w > INTERVAL 90 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM snapfeat
+              WINDOW w AS (PARTITION BY url ORDER BY warc_ts)
+            ), wf AS (
+              SELECT url, warc_ts, n_tokens, distinct_tokens, lag_n_tokens,
+                     lead_n_tokens,
+                     (sum(new_sess) OVER (PARTITION BY url ORDER BY warc_ts
+                          ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+              FROM flagged
+            ), src AS (
+              SELECT source, avg(n_chars) AS src_avg_chars
+              FROM documents GROUP BY 1
+            )
+            SELECT wf.*, src.src_avg_chars
+            FROM wf JOIN src
+              ON regexp_extract(wf.url, 'https://([^.]+)\\.', 1) = src.source""",
+        "asof_backward": ASOF_PRE + """
+            SELECT l.event_id, l.user_id, l.ts, l.value, r.purchase_value,
+                   r.ts AS matched_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "asof_forward": ASOF_PRE + """
+            SELECT l.event_id, l.user_id, l.ts, l.value, r.purchase_value,
+                   r.ts AS matched_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts <= r.ts""",
+        "asof_tolerance": ASOF_PRE + f"""
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   {tol_case.format(expr='r.purchase_value')} AS purchase_value,
+                   {tol_case.format(expr='r.ts')} AS matched_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "lag_lead": """
+            SELECT event_id, user_id, ts, value,
+                   lag(value) OVER w AS lag_value,
+                   lead(value) OVER w AS lead_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*)::BIGINT AS n_events,
+                   min(ts) AS ts_start, max(ts) AS ts_end
+            FROM sess GROUP BY 1, 2""",
+        "window_tumbling": """
+            SELECT user_id,
+                   make_timestamp(epoch_us(ts) // 3600000000 * 3600000000)
+                       AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1, 2""",
+        "backfill_daily": ASOF_PRE + """
+            , users AS (SELECT DISTINCT user_id FROM events),
+            grid AS (
+              SELECT user_id, g.ts FROM users,
+                     unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-08',
+                                            INTERVAL 1 DAY)) AS g(ts)
+            )
+            SELECT grid.user_id, grid.ts,
+                   CASE WHEN grid.ts - r.ts <= INTERVAL 2 DAY
+                        THEN r.purchase_value END AS purchase_value,
+                   CASE WHEN grid.ts - r.ts <= INTERVAL 2 DAY
+                        THEN r.ts END AS matched_ts
+            FROM grid ASOF LEFT JOIN r
+              ON grid.user_id = r.user_id AND grid.ts >= r.ts""",
+        "chunk_even_events": CHUNK_EVENTS_PRE + f""",
+            lab AS (
+              SELECT user_id, wt, {CHUNK_EVEN_RAW} AS raw FROM p
+            ), d AS (
+              SELECT user_id, wt,
+                     dense_rank() OVER (PARTITION BY user_id ORDER BY raw)
+                         AS chunk
+              FROM lab
+            )
+            SELECT user_id, chunk::BIGINT AS chunk,
+                   count(*)::BIGINT AS n_units, sum(wt)::BIGINT AS weight_sum
+            FROM d GROUP BY 1, 2""",
+        "chunk_last_events": CHUNK_EVENTS_PRE + """,
+            lab AS (
+              SELECT user_id, wt, floor((cum - wt) / 50.0) AS raw FROM p
+            ), d AS (
+              SELECT user_id, wt,
+                     dense_rank() OVER (PARTITION BY user_id ORDER BY raw)
+                         AS chunk
+              FROM lab
+            )
+            SELECT user_id, chunk::BIGINT AS chunk,
+                   count(*)::BIGINT AS n_units, sum(wt)::BIGINT AS weight_sum
+            FROM d GROUP BY 1, 2""",
+        "chunked_tokenlist": SNAPFEAT_PRE + """,
+            wt AS (
+              SELECT url, warc_ts, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY url ORDER BY warc_ts
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(n_tokens) OVER (PARTITION BY url) AS total
+              FROM snapfeat
+            ), p AS (
+              SELECT *, greatest(1, floor(total / 40 + 0.5)) AS nchunks FROM wt
+            ), lab AS (
+              SELECT url, warc_ts,
+                     least(nchunks - 1,
+                           floor((cum - n_tokens / 2.0) * nchunks / total))
+                         AS raw
+              FROM p
+            ), d AS (
+              SELECT url, warc_ts,
+                     dense_rank() OVER (PARTITION BY url ORDER BY raw) AS chunk
+              FROM lab
+            )
+            SELECT t.url, d.chunk::BIGINT AS chunk, t.token,
+                   count(*)::BIGINT AS count
+            FROM tokpos t JOIN d ON t.url = d.url AND t.warc_ts = d.warc_ts
+            GROUP BY 1, 2, 3""",
+        "chunk_bounds": SNAPFEAT_PRE + """,
+            wt AS (
+              SELECT url, warc_ts, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY url ORDER BY warc_ts
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(n_tokens) OVER (PARTITION BY url) AS total
+              FROM snapfeat
+            ), p AS (
+              SELECT *, greatest(1, floor(total / 40 + 0.5)) AS nchunks FROM wt
+            ), lab AS (
+              SELECT url, warc_ts,
+                     least(nchunks - 1,
+                           floor((cum - n_tokens / 2.0) * nchunks / total))
+                         AS raw
+              FROM p
+            ), d AS (
+              SELECT url, warc_ts,
+                     dense_rank() OVER (PARTITION BY url ORDER BY raw) AS chunk
+              FROM lab
+            )
+            SELECT url, chunk::BIGINT AS chunk,
+                   min(warc_ts) AS ts_start, max(warc_ts) AS ts_end
+            FROM d GROUP BY 1, 2""",
+        "dedup_exact": r"""
+            SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS text_md5,
+                   min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY 1""",
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < 10
+            ), s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+              FROM q, embeddings e
+            )
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM s
+            ) WHERE rank <= 10""",
+        "token_count": (
+            f"SELECT doc_id, {TOKEN_COUNT_SQL.format(text='text')} AS n_tokens"
+            " FROM documents"
+        ),
+        "quality_score": (
+            f"SELECT doc_id, {quality_score_sql('text')} FROM documents"
+        ),
+        "langid": (
+            f"SELECT doc_id, {langid_sql('text')} AS pred_lang FROM documents"
+        ),
+        "fingerprint": (
+            f"SELECT doc_id, {FINGERPRINT_SQL.format(text='text')} AS fp"
+            " FROM documents"
+        ),
+        "filter_project": (
+            "SELECT doc_id, n_chars FROM documents"
+            " WHERE lang = 'en' AND n_chars > 200"
+        ),
+        "docs_with_source_stats": """
+            SELECT d.doc_id, d.source, d.n_chars, s.src_avg_chars
+            FROM documents d JOIN (
+              SELECT source, avg(n_chars) AS src_avg_chars
+              FROM documents GROUP BY 1
+            ) s USING (source)""",
+        # dedup_minhash / dedup_simhash / ann_lsh_topk: non-SQL-expressible
+        # (hash-sketch ops) -> rows-only check by the driver.
+    }

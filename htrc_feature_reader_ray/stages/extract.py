@@ -171,6 +171,82 @@ def token_counts(sections_ds):
     return sections_ds.map_batches(token_counts_batch, batch_format="pyarrow")
 
 
+def section_features(sections_ds):
+    """Per-(url, warc_ts, section) scalar features — the analog of the
+    reference's ``_make_section_feature_df`` 5-int table (parsers.py:315-330),
+    web-generalized: token_count, char_count, distinct_tokens. Shuffle-free
+    (sections of one snapshot are batch-local)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tok_list = split_tokens(batch.column("sect_text"))
+        if isinstance(tok_list, pa.ChunkedArray):
+            tok_list = tok_list.combine_chunks()
+        parent = pc.list_parent_indices(tok_list)
+        tokens = pc.list_flatten(tok_list)
+        mask = nonempty_mask(tokens)
+        tokens = tokens.filter(mask)
+        parent = parent.filter(mask)
+        n = len(batch)
+        import numpy as np
+
+        counts = np.bincount(parent.to_numpy(), minlength=n).astype("int64")
+        # distinct per row: unique (parent, token) pairs, then count per parent
+        pairs = (
+            pa.table({"p": parent, "t": tokens})
+            .group_by(["p", "t"])
+            .aggregate([])
+        )
+        distinct = np.bincount(
+            pairs.column("p").to_numpy(), minlength=n
+        ).astype("int64")
+        out = batch.select(["url", "warc_ts", "section"])
+        out = out.append_column("token_count", pa.array(counts, type=pa.int64()))
+        out = out.append_column(
+            "char_count", pc.utf8_length(batch.column("sect_text")).cast(pa.int64())
+        )
+        out = out.append_column(
+            "distinct_tokens", pa.array(distinct, type=pa.int64())
+        )
+        return out
+
+    return sections_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def line_chars(sections_ds):
+    """Begin/end line-character counts — the analog of the reference's
+    ``_make_line_char_df`` (parsers.py:384-429): each extracted section zone
+    is one text line; count first/last characters per snapshot. Output:
+    (url, warc_ts, place, char, count)."""
+    import pandas as pd
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sect_text"] != ""]
+        parts = []
+        for place, sl in (("begin", df["sect_text"].str[:1]),
+                          ("end", df["sect_text"].str[-1:])):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "url": df["url"],
+                        "warc_ts": df["warc_ts"],
+                        "place": place,
+                        "char": sl,
+                    }
+                )
+            )
+        longf = pd.concat(parts, ignore_index=True)
+        out = (
+            longf.groupby(["url", "warc_ts", "place", "char"], sort=False)
+            .size()
+            .rename("count")
+            .reset_index()
+        )
+        out["count"] = out["count"].astype("int64")
+        return out
+
+    return sections_ds.map_batches(fn, batch_format="pandas")
+
+
 def tokens_from_pages(sf_dir: str, *, via_html: bool = True, concurrency=None):
     """Convenience composition: pages source -> (extract) -> sections ->
     token counts. ``via_html=True`` runs the production path through the
