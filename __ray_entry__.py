@@ -221,9 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_line_chars(sf):
-        return line_chars(
-            sections_long(extract_pages(read_pages(sf, drop_text=True)))
-        )
+        return line_chars(extract_pages(read_pages(sf, drop_text=True)))
 
     def q_backfill(sf):
         users = sorted(

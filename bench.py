@@ -1,0 +1,141 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on the same input and reports both throughputs and
+the scaling efficiency (the sandbox evidence for the N→4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Scale knob: snapshots per url (pages = docs × (1 + doc_id%3) × MULT).
+# Correctness gates run with MULT=1; the bench defaults to 20 so the pipeline
+# is compute-bound rather than startup-bound at the small sampled SF tiers.
+SNAPSHOT_MULT = os.environ.setdefault("GRAFT_SNAPSHOT_MULT", "20")
+
+BENCH_QUERIES = [
+    # name in __ray_entry__.queries()
+    "flagship",            # headline: extract -> features -> windows -> join
+    "tokenlist",
+    "corpus_term_freqs",
+    "asof_backward",
+    "sessionize",
+    "window_tumbling",
+    "chunked_tokenlist",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_cosine_topk",
+    "quality_score",
+]
+
+HEADLINE = "flagship"
+
+
+def _consume(result) -> int:
+    """Materialize a query result enough to have actually executed it."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, (pd.DataFrame,)):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    # Dataset: count() executes the full pipeline in the cluster without
+    # funnelling every block through the driver (we time compute, not IPC).
+    return result.count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import __ray_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # warm the OS page cache (untimed) so we measure compute+shuffle
+    _consume(queries["token_count"](SF_DIR))
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        rows[name] = _consume(queries[name](SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    n_docs = rows[HEADLINE]
+    headline_sec = timings[HEADLINE]
+    out = {
+        "metric": "flagship end-to-end (extract->features->windows->join) wall time",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "snapshot_mult": int(SNAPSHOT_MULT),
+        "docs_per_sec": round(n_docs / headline_sec, 1) if headline_sec else None,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (flagship, num_cpus 8 vs 32)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -25,7 +25,7 @@ import ray
 from htrc_feature_reader_ray.sources.pages import read_pages
 from htrc_feature_reader_ray.stages.extract import (
     extract_pages,
-    sections_long,
+    sections_from_text,
     token_counts,
 )
 from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
@@ -41,19 +41,9 @@ def snapshot_features(sf_dir: str, *, via_html: bool = True, concurrency=None):
     if via_html:
         pages = extract_pages(pages, concurrency=concurrency)
     else:
-        import pyarrow.compute as pc
-        from htrc_feature_reader_ray.stages.extract import SECTIONS
+        pages = pages.map_batches(sections_from_text, batch_format="pyarrow")
 
-        def from_text(batch: pa.Table) -> pa.Table:
-            split = pc.split_pattern(batch.column("text"), pattern="\n")
-            out = batch.select(["url", "warc_ts", "lang"])
-            for i, sect in enumerate(SECTIONS):
-                out = out.append_column(sect, pc.list_element(split, i))
-            return out
-
-        pages = pages.map_batches(from_text, batch_format="pyarrow")
-
-    tokens = token_counts(sections_long(pages))
+    tokens = token_counts(pages)
 
     def fold(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["url", "warc_ts"]).aggregate(

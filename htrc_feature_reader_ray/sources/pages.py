@@ -22,6 +22,8 @@ windowed features).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -66,18 +68,21 @@ PAGES_TEXT_SQL = (
 )  # ground-truth text column
 
 
-def synth_pages_batch(batch: pa.Table) -> pa.Table:
+def synth_pages_batch(batch: pa.Table, *, mult: int = 1) -> pa.Table:
     """documents batch -> pages batch (fixture generator, not a hot-path op).
 
     Deterministic; arithmetic is integer-µs so timestamps match the SQL CTE
-    exactly.
+    exactly (at ``mult=1``). ``mult > 1`` multiplies the snapshot count per
+    url (extra snapshots continue the ``snap²``-hour offset series) — used by
+    the benchmark to scale work without external data; the SQL oracle only
+    covers ``mult=1``.
     """
     doc_id = batch.column("doc_id").to_numpy()
     source = batch.column("source").to_pylist()
     text = batch.column("text").to_pylist()
     lang = batch.column("lang").to_pylist()
 
-    n_snaps = 1 + (doc_id % 3)
+    n_snaps = (1 + (doc_id % 3)) * mult
     total = int(n_snaps.sum())
 
     urls = np.empty(total, dtype=object)
@@ -125,12 +130,17 @@ def read_pages(sf_dir: str, *, drop_text: bool = False) -> "ray.data.Dataset":
 
     ``drop_text=True`` removes the ground-truth text column so pipelines are
     forced through the html extractor (production shape).
+    ``GRAFT_SNAPSHOT_MULT`` (env, default 1) multiplies snapshots per url —
+    the benchmark's scale knob; correctness gates always run with 1.
     """
+    mult = int(os.environ.get("GRAFT_SNAPSHOT_MULT", "1"))
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "source", "text", "lang"],
     )
-    ds = ds.map_batches(synth_pages_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: synth_pages_batch(t, mult=mult), batch_format="pyarrow"
+    )
     if drop_text:
         ds = ds.select_columns(["url", "warc_ts", "html", "lang"])
     return ds

@@ -126,33 +126,43 @@ def sections_long(extracted_ds):
 
 
 def token_counts_batch(batch: pa.Table) -> pa.Table:
-    """sections batch -> token-count batch, fully vectorized Arrow.
+    """extracted-pages batch (ONE ROW PER SNAPSHOT, header/body/footer
+    columns) -> token-count batch, fully vectorized Arrow.
 
     ``(url, warc_ts, section, token, pos, count)`` — the web analog of the
     reference's ``_make_tokencount_df`` typed explode (parsers.py:342-382),
     done with list-flatten + parent-index take + Arrow group_by instead of a
-    Python walk over nested dicts. Because every section's tokens live in one
-    input row, the per-batch group_by is complete for keys that include
-    (url, warc_ts): no cross-batch merge is needed (shuffle-free fold).
-    """
-    tok_list = split_tokens(batch.column("sect_text"))
-    if isinstance(tok_list, pa.ChunkedArray):
-        tok_list = tok_list.combine_chunks()
-    parent = pc.list_parent_indices(tok_list)
-    tokens = pc.list_flatten(tok_list)
-    mask = nonempty_mask(tokens)
-    tokens = tokens.filter(mask)
-    parent = parent.filter(mask)
+    Python walk over nested dicts.
 
-    flat = pa.table(
-        {
-            "url": batch.column("url").take(parent),
-            "warc_ts": batch.column("warc_ts").take(parent),
-            "section": batch.column("section").take(parent),
-            "token": tokens,
-            "pos": pos_tags(tokens),
-        }
-    )
+    ALIGNMENT GUARANTEE (the structural basis of every shuffle-free fold
+    downstream): all sections of a snapshot live in ONE input row, and a
+    batch boundary can never split a row — so the per-batch group_by is
+    complete for ANY key subset that includes (url, warc_ts).
+    """
+    flats = []
+    for sect in SECTIONS:
+        tok_list = split_tokens(batch.column(sect))
+        if isinstance(tok_list, pa.ChunkedArray):
+            tok_list = tok_list.combine_chunks()
+        parent = pc.list_parent_indices(tok_list)
+        tokens = pc.list_flatten(tok_list)
+        mask = nonempty_mask(tokens)
+        tokens = tokens.filter(mask)
+        parent = parent.filter(mask)
+        flats.append(
+            pa.table(
+                {
+                    "url": batch.column("url").take(parent),
+                    "warc_ts": batch.column("warc_ts").take(parent),
+                    "section": pa.array(
+                        [sect] * len(tokens), type=pa.string()
+                    ),
+                    "token": tokens,
+                }
+            )
+        )
+    flat = pa.concat_tables(flats)
+    flat = flat.append_column("pos", pos_tags(flat.column("token")))
     grouped = flat.group_by(
         ["url", "warc_ts", "section", "token", "pos"]
     ).aggregate([([], "count_all")])
@@ -161,14 +171,14 @@ def token_counts_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def token_counts(sections_ds):
-    """sections -> long token-count Dataset (see token_counts_batch)."""
+def token_counts(extracted_ds):
+    """extracted pages -> long token-count Dataset (see token_counts_batch)."""
     require_columns(
-        sections_ds.schema().names,
-        ["url", "warc_ts", "section", "sect_text"],
+        extracted_ds.schema().names,
+        ["url", "warc_ts", *SECTIONS],
         op="token_counts",
     )
-    return sections_ds.map_batches(token_counts_batch, batch_format="pyarrow")
+    return extracted_ds.map_batches(token_counts_batch, batch_format="pyarrow")
 
 
 def section_features(sections_ds):
@@ -212,28 +222,30 @@ def section_features(sections_ds):
     return sections_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def line_chars(sections_ds):
+def line_chars(extracted_ds):
     """Begin/end line-character counts — the analog of the reference's
     ``_make_line_char_df`` (parsers.py:384-429): each extracted section zone
     is one text line; count first/last characters per snapshot. Output:
-    (url, warc_ts, place, char, count)."""
+    (url, warc_ts, place, char, count). Consumes extracted pages (one row per
+    snapshot) so per-snapshot groups are batch-complete structurally."""
     import pandas as pd
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["sect_text"] != ""]
         parts = []
-        for place, sl in (("begin", df["sect_text"].str[:1]),
-                          ("end", df["sect_text"].str[-1:])):
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "url": df["url"],
-                        "warc_ts": df["warc_ts"],
-                        "place": place,
-                        "char": sl,
-                    }
+        for sect in SECTIONS:
+            line = df[sect]
+            keep = line != ""
+            for place, sl in (("begin", line.str[:1]), ("end", line.str[-1:])):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "url": df.loc[keep, "url"],
+                            "warc_ts": df.loc[keep, "warc_ts"],
+                            "place": place,
+                            "char": sl[keep],
+                        }
+                    )
                 )
-            )
         longf = pd.concat(parts, ignore_index=True)
         out = (
             longf.groupby(["url", "warc_ts", "place", "char"], sort=False)
@@ -244,7 +256,7 @@ def line_chars(sections_ds):
         out["count"] = out["count"].astype("int64")
         return out
 
-    return sections_ds.map_batches(fn, batch_format="pandas")
+    return extracted_ds.map_batches(fn, batch_format="pandas")
 
 
 def tokens_from_pages(sf_dir: str, *, via_html: bool = True, concurrency=None):
@@ -257,15 +269,15 @@ def tokens_from_pages(sf_dir: str, *, via_html: bool = True, concurrency=None):
     if via_html:
         pages = extract_pages(pages, concurrency=concurrency)
     else:
-        # trusted-text path: derive sections from ground truth text
-        def from_text(batch: pa.Table) -> pa.Table:
-            split = pc.split_pattern(batch.column("text"), pattern="\n")
-            out = batch.select(["url", "warc_ts", "lang"])
-            for i, sect in enumerate(SECTIONS):
-                out = out.append_column(
-                    sect, pc.list_element(split, i)
-                )
-            return out
+        pages = pages.map_batches(sections_from_text, batch_format="pyarrow")
+    return token_counts(pages)
 
-        pages = pages.map_batches(from_text, batch_format="pyarrow")
-    return token_counts(sections_long(pages))
+
+def sections_from_text(batch: pa.Table) -> pa.Table:
+    """Trusted-text path: derive the three section columns from the
+    ground-truth ``text`` column (header\\nbody\\nfooter)."""
+    split = pc.split_pattern(batch.column("text"), pattern="\n")
+    out = batch.select(["url", "warc_ts", "lang"])
+    for i, sect in enumerate(SECTIONS):
+        out = out.append_column(sect, pc.list_element(split, i))
+    return out

@@ -57,30 +57,26 @@ def test_extract_pages_dataset_byte_identity(sf_dir):
 
 
 def test_token_counts_small_exact():
-    docs = pa.table(
+    pages = pa.table(
         {
-            "doc_id": pa.array([3], type=pa.int64()),
-            "source": ["s"],
-            "text": ["dog dog cats"],
-            "lang": ["en"],
-        }
-    )
-    pages = synth_pages_batch(docs)  # doc_id=3 -> 1 snapshot
-    sect = pa.table(
-        {
-            "url": pages.column("url"),
-            "warc_ts": pages.column("warc_ts"),
-            "section": pa.array(["body"]),
-            "sect_text": pa.array(["dog dog cats"]),
+            "url": ["u1"],
+            "warc_ts": pa.array([1], type=pa.timestamp("us")),
+            "header": ["head hi"],
+            "body": ["dog dog cats"],
+            "footer": ["bye"],
         }
     )
     from htrc_feature_reader_ray.stages.extract import token_counts_batch
 
-    out = token_counts_batch(sect).to_pandas()
-    got = {
-        (r.token, r.pos): r.count for r in out.itertuples()
+    out = token_counts_batch(pages).to_pandas()
+    got = {(r.section, r.token, r.pos): r.count for r in out.itertuples()}
+    assert got == {
+        ("header", "head", "NN"): 1,
+        ("header", "hi", "NN"): 1,
+        ("body", "dog", "NN"): 2,
+        ("body", "cats", "NNS"): 1,
+        ("footer", "bye", "NN"): 1,
     }
-    assert got == {("dog", "NN"): 2, ("cats", "NNS"): 1}
 
 
 def test_tokens_from_pages_html_vs_text_paths(sf_dir):
