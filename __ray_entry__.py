@@ -223,6 +223,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_line_chars(sf):
         return line_chars(extract_pages(read_pages(sf, drop_text=True)))
 
+    def q_line_chars_begin(sf):
+        return line_chars(
+            extract_pages(read_pages(sf, drop_text=True)),
+            section="group", place="begin",
+        )
+
     def q_backfill(sf):
         users = sorted(
             pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])[
@@ -355,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "section_features": q_sections,
         "line_chars": q_line_chars,
+        "line_chars_begin_group": q_line_chars_begin,
         "snapshot_features": lambda sf: snapshot_features(sf, via_html=True),
         "windowed_features": lambda sf: windowed_features(
             snapshot_features(sf, via_html=True), num_buckets=32
@@ -475,7 +482,21 @@ def oracle_sql() -> dict[str, str]:
             FROM sections s LEFT JOIN sf
               ON s.url = sf.url AND s.warc_ts = sf.warc_ts
              AND s.section = sf.section""",
-        "line_chars": PAGES_PRE + f""",
+        "line_chars": PAGES_PRE + """,
+            lines AS (
+              SELECT url, warc_ts, 'header' AS section, header AS line FROM pages
+              UNION ALL SELECT url, warc_ts, 'body', body FROM pages
+              UNION ALL SELECT url, warc_ts, 'footer', footer FROM pages
+            ), nonempty AS (SELECT * FROM lines WHERE line != '')
+            SELECT url, warc_ts, section, place, char, count(*)::BIGINT AS count
+            FROM (
+              SELECT url, warc_ts, section, 'begin' AS place,
+                     left(line, 1) AS char
+              FROM nonempty
+              UNION ALL
+              SELECT url, warc_ts, section, 'end', right(line, 1) FROM nonempty
+            ) GROUP BY ALL""",
+        "line_chars_begin_group": PAGES_PRE + """,
             lines AS (
               SELECT url, warc_ts, header AS line FROM pages
               UNION ALL SELECT url, warc_ts, body FROM pages
@@ -485,8 +506,6 @@ def oracle_sql() -> dict[str, str]:
             FROM (
               SELECT url, warc_ts, 'begin' AS place, left(line, 1) AS char
               FROM nonempty
-              UNION ALL
-              SELECT url, warc_ts, 'end', right(line, 1) FROM nonempty
             ) GROUP BY ALL""",
         "snapshot_features": SNAPFEAT_PRE
         + " SELECT url, warc_ts, n_tokens, distinct_tokens FROM snapfeat",

@@ -1,0 +1,112 @@
+"""Model-based scoring stages: chunk/document embedding vectors.
+
+Reference analog: ``chunk_to_wem`` (transformations.py:3-45) — a
+word-embedding model held in memory scores each chunk's tokenlist as the
+log-count-weighted sum of its in-vocabulary token vectors. Here the model is
+an actor-pool state (loaded once per actor in ``__init__`` — the SURVEY §2.5
+pattern); scoring is one numpy matmul per batch group.
+
+No embedding model ships in this container, so the default model is a
+DETERMINISTIC pseudo-embedding (hash-seeded unit vectors per token): the Ray
+plumbing — actor signature, batching, output schema (fixed-size list<float>)
+— is real and tested; swap ``HashEmbeddingModel`` for a real lookup (e.g.
+word2vec binary) via ``model_factory``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from htrc_feature_reader_ray.functions.ids import stable_hash64
+from htrc_feature_reader_ray.functions.tokenize import STOPWORDS_EN
+
+
+class HashEmbeddingModel:
+    """Deterministic stand-in for a word-embedding model: each token's vector
+    is a unit-norm gaussian seeded from the token's stable hash. Same token →
+    same vector on every actor/node/run."""
+
+    def __init__(self, dim: int = 32) -> None:
+        self.dim = dim
+
+    def vectors(self, tokens: np.ndarray) -> np.ndarray:
+        out = np.empty((len(tokens), self.dim), dtype=np.float64)
+        seeds = stable_hash64(tokens)
+        for i, s in enumerate(seeds):
+            rng = np.random.RandomState(int(s) % (2**32))
+            v = rng.standard_normal(self.dim)
+            out[i] = v / np.linalg.norm(v)
+        return out
+
+
+class ChunkEmbedder:
+    """Actor-pool stage: chunk tokenlist rows -> one embedding per chunk.
+
+    Input batches: long rows (group_cols..., token_col, count). The embedding
+    of a group is sum(log(1+count) * vec(token)) over non-stop in-vocab
+    tokens (the reference's weighting, transformations.py:36-43), zero-vector
+    when fewer than ``min_tokens`` distinct tokens match (placeholder rule,
+    transformations.py:29-30).
+
+    NOTE: a group's rows must be batch-local (run after chunked_tokenlist's
+    bucketed pass, or with group keys deriving from one row).
+    """
+
+    def __init__(self, *, group_cols=("url", "chunk"), token_col: str = "token",
+                 dim: int = 32, stop: bool = True, log: bool = True,
+                 min_tokens: int = 1, model_factory=None) -> None:
+        self.model = (model_factory or (lambda: HashEmbeddingModel(dim)))()
+        self.dim = self.model.dim
+        self.group_cols = list(group_cols)
+        self.token_col = token_col
+        self.stop = frozenset(STOPWORDS_EN) if stop else frozenset()
+        self.log = log
+        self.min_tokens = min_tokens
+        self._cache: dict[str, np.ndarray] = {}
+
+    def _vecs(self, tokens: np.ndarray) -> np.ndarray:
+        missing = [t for t in tokens if t not in self._cache]
+        if missing:
+            for t, v in zip(missing, self.model.vectors(np.array(missing, dtype=object))):
+                self._cache[t] = v
+        return np.stack([self._cache[t] for t in tokens])
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        keep = ~df[self.token_col].isin(self.stop)
+        df = df[keep]
+        for key, g in df.groupby(self.group_cols, sort=False):
+            toks = g[self.token_col].to_numpy(dtype=object)
+            counts = g["count"].to_numpy(dtype=np.float64)
+            if len(toks) < self.min_tokens:
+                vec = np.zeros(self.dim)
+            else:
+                w = np.log1p(counts) if self.log else counts
+                vec = self._vecs(toks).T @ w
+            key = key if isinstance(key, tuple) else (key,)
+            rows.append((*key, vec))
+        out = pd.DataFrame(rows, columns=self.group_cols + ["embedding"])
+        return out
+
+
+def chunk_embeddings(chunk_tokens_ds, *, group_cols=("url", "chunk"),
+                     token_col: str = "token", dim: int = 32,
+                     concurrency=(1, 8), **kwargs):
+    """chunked tokenlist -> (group_cols..., embedding list<double>[dim]).
+
+    Actor pool (model state amortized across batches). ``batch_size=None``
+    feeds WHOLE blocks as batches: chunked_tokenlist emits one block per url
+    bucket, so every chunk's rows are batch-complete (size num_buckets so a
+    bucket stays under the target block size — same partitioning assumption
+    as every bucketed op)."""
+    return chunk_tokens_ds.map_batches(
+        ChunkEmbedder,
+        fn_constructor_kwargs=dict(
+            group_cols=group_cols, token_col=token_col, dim=dim, **kwargs
+        ),
+        batch_format="pandas",
+        batch_size=None,
+        concurrency=concurrency,
+    )

@@ -222,33 +222,49 @@ def section_features(sections_ds):
     return sections_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def line_chars(extracted_ds):
+def line_chars(extracted_ds, *, section: str = "all", place: str = "all"):
     """Begin/end line-character counts — the analog of the reference's
-    ``_make_line_char_df`` (parsers.py:384-429): each extracted section zone
-    is one text line; count first/last characters per snapshot. Output:
-    (url, warc_ts, place, char, count). Consumes extracted pages (one row per
-    snapshot) so per-snapshot groups are batch-complete structurally."""
+    ``_make_line_char_df`` + ``group_linechars`` (parsers.py:384-429,
+    feature_reader.py:144-173): each extracted section zone is one text line;
+    count first/last characters per snapshot. Output:
+    (url, warc_ts[, section][, place], char, count).
+
+    ``section``: 'all' (keep level) | one of header/body/footer (filter) |
+    'group' (fold the level out). ``place``: 'all' | 'begin' | 'end' |
+    'group'. Consumes extracted pages (one row per snapshot) so per-snapshot
+    groups are batch-complete structurally — shuffle-free."""
     import pandas as pd
+
+    keys = ["url", "warc_ts"]
+    if section in SECTIONS or section == "all":
+        keys.append("section")
+    if place in ("begin", "end", "all"):
+        keys.append("place")
+    keys.append("char")
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         parts = []
-        for sect in SECTIONS:
+        sects = [section] if section in SECTIONS else list(SECTIONS)
+        places = [place] if place in ("begin", "end") else ["begin", "end"]
+        for sect in sects:
             line = df[sect]
             keep = line != ""
-            for place, sl in (("begin", line.str[:1]), ("end", line.str[-1:])):
+            for pl in places:
+                sl = line.str[:1] if pl == "begin" else line.str[-1:]
                 parts.append(
                     pd.DataFrame(
                         {
                             "url": df.loc[keep, "url"],
                             "warc_ts": df.loc[keep, "warc_ts"],
-                            "place": place,
+                            "section": sect,
+                            "place": pl,
                             "char": sl[keep],
                         }
                     )
                 )
         longf = pd.concat(parts, ignore_index=True)
         out = (
-            longf.groupby(["url", "warc_ts", "place", "char"], sort=False)
+            longf.groupby(keys, sort=False)
             .size()
             .rename("count")
             .reset_index()

@@ -1,0 +1,140 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Ray-side plumbing — schemas, actor-pool signatures, memory-aware batch
+sizing, output layout — is real and tested; the actual codec calls are
+STUBBED (no image/audio libraries in this container): ``DecodeImage`` raises
+``NotImplementedError`` unless given a decoder, and ``FakeImageCodec``
+provides a deterministic stand-in so pipelines are exercised end-to-end.
+
+Design rules encoded here (SURVEY 'Multimodal columns' requirement):
+  * payloads stay ``binary`` columns; metadata is typed scalar columns —
+    never Python objects;
+  * decode/feature stages are ACTOR POOLS (codec init is expensive);
+  * batch_size is small (payloads are wide): a batch × concurrency must fit
+    the worker heap — callers size it from payload_bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("url", pa.string()),
+        ("kind", pa.string()),          # image | audio | video
+        ("payload", pa.binary()),        # opaque encoded bytes
+        ("width", pa.int32()),           # typed metadata, nullable
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def media_batch_size(payload_bytes: int, *, worker_heap_bytes: int = 512 << 20,
+                     safety: int = 4) -> int:
+    """Memory-aware batch size: decoded payloads expand ~safety×; keep a
+    batch within a fraction of the worker heap."""
+    return max(1, int(worker_heap_bytes / (payload_bytes * safety)))
+
+
+class FakeImageCodec:
+    """Deterministic stand-in codec: 'decodes' payload bytes to a fake pixel
+    array whose stats depend only on the bytes (so tests are exact)."""
+
+    def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        n = max(1, int(width) * int(height))
+        reps = -(-n // max(1, len(arr)))
+        return np.tile(arr, reps)[:n].reshape(int(height), int(width))
+
+
+class DecodeImage:
+    """Actor-pool stage: image payload -> per-image features
+    (mean/std intensity, n_pixels). Codec loaded ONCE per actor.
+
+    With no codec available this raises NotImplementedError at init —
+    the documented stub behavior for this container."""
+
+    def __init__(self, codec_factory=None) -> None:
+        if codec_factory is None:
+            raise NotImplementedError(
+                "no image codec in this environment; pass "
+                "codec_factory=FakeImageCodec for the deterministic stub"
+            )
+        self.codec = codec_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id")
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        mean = np.empty(len(payloads))
+        std = np.empty(len(payloads))
+        npix = np.empty(len(payloads), dtype=np.int64)
+        for i, (p, w, h) in enumerate(zip(payloads, ws, hs)):
+            px = self.codec.decode(p, w, h)
+            mean[i] = float(px.mean())
+            std[i] = float(px.std())
+            npix[i] = px.size
+        return pa.table(
+            {
+                "media_id": ids,
+                "mean_intensity": pa.array(mean, type=pa.float64()),
+                "std_intensity": pa.array(std, type=pa.float64()),
+                "n_pixels": pa.array(npix, type=pa.int64()),
+            }
+        )
+
+
+def decode_images(media_ds, *, codec_factory=None, concurrency=(1, 4),
+                  payload_bytes: int = 1 << 20):
+    """Run the image-decode actor pool over a media Dataset (binary payload
+    column). Batch size derived from payload size (memory-aware)."""
+    return media_ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs=dict(codec_factory=codec_factory),
+        batch_format="pyarrow",
+        batch_size=media_batch_size(payload_bytes),
+        concurrency=concurrency,
+    )
+
+
+def frame_sample(media_ds, *, every_ms: int = 1000):
+    """Video frame-sampling plan: one output row per sampled frame timestamp
+    (the decode itself is stubbed; the explode/planning is real)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        dur = batch.column("duration_ms").to_numpy(zero_copy_only=False)
+        counts = np.maximum(1, (np.nan_to_num(dur) // every_ms).astype(np.int64))
+        out_id = np.repeat(ids, counts)
+        offsets = np.concatenate(
+            [np.arange(c) * every_ms for c in counts]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame_ms": pa.array(offsets, type=pa.int64()),
+            }
+        )
+
+    return media_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def synth_media(n: int = 64, *, seed: int = 7) -> pa.Table:
+    """Deterministic media fixture matching MEDIA_SCHEMA."""
+    rng = np.random.RandomState(seed)
+    rows = {
+        "media_id": np.arange(n, dtype=np.int64),
+        "url": [f"https://m.example.com/{i}" for i in range(n)],
+        "kind": ["image" if i % 2 == 0 else "video" for i in range(n)],
+        "payload": [rng.bytes(128 + (i % 5) * 64) for i in range(n)],
+        "width": np.full(n, 16, dtype=np.int32),
+        "height": np.full(n, 8, dtype=np.int32),
+        "sample_rate": np.full(n, 0, dtype=np.int32),
+        "duration_ms": np.asarray([(i % 7 + 1) * 1500 for i in range(n)], dtype=np.int32),
+    }
+    return pa.table(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,81 @@
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from htrc_feature_reader_ray.stages.embed import (
+    ChunkEmbedder,
+    HashEmbeddingModel,
+    chunk_embeddings,
+)
+from htrc_feature_reader_ray.stages.multimodal import (
+    DecodeImage,
+    FakeImageCodec,
+    decode_images,
+    frame_sample,
+    synth_media,
+)
+
+
+def test_hash_embedding_deterministic():
+    m = HashEmbeddingModel(dim=16)
+    v1 = m.vectors(np.array(["dog", "cat"], dtype=object))
+    v2 = m.vectors(np.array(["dog", "cat"], dtype=object))
+    assert np.allclose(v1, v2)
+    assert not np.allclose(v1[0], v1[1])
+    assert np.allclose(np.linalg.norm(v1, axis=1), 1.0)
+
+
+def test_chunk_embedder_weighting_exact():
+    df = pd.DataFrame(
+        {
+            "url": ["u"] * 3,
+            "chunk": [1, 1, 1],
+            "token": ["dog", "cat", "the"],  # 'the' is a stopword
+            "count": [3, 1, 10],
+        }
+    )
+    emb = ChunkEmbedder(dim=16)(df)
+    m = HashEmbeddingModel(dim=16)
+    vd, vc = m.vectors(np.array(["dog", "cat"], dtype=object))
+    expect = np.log1p(3) * vd + np.log1p(1) * vc
+    assert np.allclose(np.asarray(emb.loc[0, "embedding"]), expect)
+
+
+def test_chunk_embeddings_dataset(sf_dir):
+    from htrc_feature_reader_ray.stages.chunk import chunked_tokenlist
+    from htrc_feature_reader_ray.stages.extract import tokens_from_pages
+
+    tokens = tokens_from_pages(sf_dir, via_html=False)
+    chunks = chunked_tokenlist(tokens, target=40, num_buckets=8)
+    out = chunk_embeddings(chunks, dim=8, concurrency=2).to_pandas()
+    assert {"url", "chunk", "embedding"} <= set(out.columns)
+    # one embedding per (url, chunk)
+    assert not out.duplicated(["url", "chunk"]).any()
+    assert all(len(e) == 8 for e in out["embedding"])
+
+
+def test_decode_image_requires_codec():
+    with pytest.raises(NotImplementedError):
+        DecodeImage()
+
+
+def test_decode_images_with_fake_codec():
+    media = synth_media(32)
+    ds = ray.data.from_arrow(media)
+    out = decode_images(ds, codec_factory=FakeImageCodec, concurrency=2).to_pandas()
+    assert len(out) == 32
+    assert (out["n_pixels"] == 16 * 8).all()
+    # deterministic: same payload -> same stats
+    codec = FakeImageCodec()
+    px = codec.decode(media.column("payload")[0].as_py(), 16, 8)
+    assert abs(out.loc[0, "mean_intensity"] - px.mean()) < 1e-12
+
+
+def test_frame_sample_explode():
+    ds = ray.data.from_arrow(synth_media(16))
+    out = frame_sample(ds, every_ms=1000).to_pandas()
+    per = out.groupby("media_id").size()
+    # duration (i%7+1)*1500ms -> floor(d/1000) frames
+    for i in range(16):
+        assert per[i] == ((i % 7 + 1) * 1500) // 1000
