@@ -87,6 +87,20 @@ def _tokens(sf_dir: str):
     return tokens_from_pages(sf_dir, via_html=True)
 
 
+def _extracted(sf_dir: str):
+    from htrc_feature_reader_ray.sources.pages import read_pages
+    from htrc_feature_reader_ray.stages.extract import extract_pages
+
+    return extract_pages(read_pages(sf_dir, drop_text=True))
+
+
+def _folded(sf_dir: str, **kw):
+    """Fused explode+fold tokenlist (shuffle-free when url+warc_ts kept)."""
+    from htrc_feature_reader_ray.stages.extract import folded_token_counts
+
+    return folded_token_counts(_extracted(sf_dir), **kw)
+
+
 def _clicks(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -333,28 +347,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- extraction / tokenlist family (SURVEY §2.1-2.3) --
         "extract_text": q_extract_text,
-        "tokenlist": lambda sf: fold_tokenlist(_tokens(sf)),
-        "tokenlist_case_fold": lambda sf: fold_tokenlist(
-            _tokens(sf), case=False, pos=False
+        "tokenlist": lambda sf: _folded(sf),
+        "tokenlist_case_fold": lambda sf: _folded(sf, case=False, pos=False),
+        "tokenlist_pos_fold": lambda sf: _folded(sf, pos=False),
+        "tokenlist_section_group": lambda sf: _folded(sf, section="group"),
+        "tokenlist_body": lambda sf: _folded(
+            sf, section="body", pos=False, drop_section=True
         ),
-        "tokenlist_pos_fold": lambda sf: fold_tokenlist(_tokens(sf), pos=False),
-        "tokenlist_section_group": lambda sf: fold_tokenlist(
-            _tokens(sf), section="group"
+        "tokenlist_snapshots_fold": lambda sf: _folded(
+            sf, snapshots=False, section="group", pos=False
         ),
-        "tokenlist_body": lambda sf: fold_tokenlist(
-            _tokens(sf), section="body", pos=False, drop_section=True
-        ),
-        "tokenlist_snapshots_fold": lambda sf: fold_tokenlist(
-            _tokens(sf), snapshots=False, section="group", pos=False
-        ),
-        "corpus_term_freqs": lambda sf: fold_tokenlist(
-            _tokens(sf), entity=False, snapshots=False, section="ignore",
-            pos=False,
+        "corpus_term_freqs": lambda sf: _folded(
+            sf, entity=False, snapshots=False, section="ignore", pos=False
         ),
         "term_freqs_top50": lambda sf: term_freqs_topk(_tokens(sf), k=50),
-        "page_freq_snapshots": lambda sf: fold_tokenlist(
-            _tokens(sf), snapshots=False, section="group", pos=False,
-            page_freq=True,
+        "page_freq_snapshots": lambda sf: _folded(
+            sf, snapshots=False, section="group", pos=False, page_freq=True
         ),
         "tokens_min_count": lambda sf: distinct_tokens(
             _tokens(sf), min_count=100, case=False

@@ -43,25 +43,25 @@ def snapshot_features(sf_dir: str, *, via_html: bool = True, concurrency=None):
     else:
         pages = pages.map_batches(sections_from_text, batch_format="pyarrow")
 
-    tokens = token_counts(pages)
+    from htrc_feature_reader_ray.stages.extract import token_counts_batch
 
-    def fold(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["url", "warc_ts"]).aggregate(
-            [("count", "sum"), ("token", "count_distinct")]
-        )
-        return g.rename_columns(["url", "warc_ts", "n_tokens", "distinct_tokens"])
-
-    def to_int64(batch: pa.Table) -> pa.Table:
+    def fused_features(batch: pa.Table) -> pa.Table:
+        """Explode + per-snapshot fold in ONE batch fn: input rows are whole
+        pages, so every (url, warc_ts) group is complete — no shuffle, and no
+        cross-stage re-batching can split a group (fold.py docstring)."""
         import pyarrow.compute as pc
 
+        toks = token_counts_batch(batch)
+        g = toks.group_by(["url", "warc_ts"]).aggregate(
+            [("count", "sum"), ("token", "count_distinct")]
+        )
+        g = g.rename_columns(["url", "warc_ts", "n_tokens", "distinct_tokens"])
         for col in ("n_tokens", "distinct_tokens"):
-            i = batch.schema.get_field_index(col)
-            batch = batch.set_column(i, col, pc.cast(batch.column(col), pa.int64()))
-        return batch
+            i = g.schema.get_field_index(col)
+            g = g.set_column(i, col, pc.cast(g.column(col), pa.int64()))
+        return g
 
-    return tokens.map_batches(fold, batch_format="pyarrow").map_batches(
-        to_int64, batch_format="pyarrow"
-    )
+    return pages.map_batches(fused_features, batch_format="pyarrow")
 
 
 def windowed_features(snap_feats, *, gap: str = SESSION_GAP, num_buckets: int = 32):

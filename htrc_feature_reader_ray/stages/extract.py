@@ -181,6 +181,51 @@ def token_counts(extracted_ds):
     return extracted_ds.map_batches(token_counts_batch, batch_format="pyarrow")
 
 
+def folded_token_counts(extracted_ds, **fold_kwargs):
+    """Fused explode + fold in ONE batch function — the shuffle-free
+    tokenlist path.
+
+    Soundness: the batch function's input rows are whole pages, so every
+    (url, warc_ts) group it produces is complete within the call; folding to
+    any key set that keeps (url, warc_ts) therefore needs NO global merge
+    (phase1_complete). Folds that drop url/warc_ts still get the fused
+    per-batch combiner, then one small global groupby. This is the fusion the
+    reference performs implicitly by being volume-at-a-time
+    (feature_reader.py:615-721); Ray re-batches between separate stages, so
+    the fusion must be explicit (cf. fold.py docstring)."""
+    from htrc_feature_reader_ray.stages.fold import (
+        FoldSpec,
+        finish_fold,
+        phase1_fold,
+    )
+
+    require_columns(
+        extracted_ds.schema().names,
+        ["url", "warc_ts", *SECTIONS],
+        op="folded_token_counts",
+    )
+    tok_cols = ["url", "warc_ts", "section", "token", "pos", "count"]
+    spec = FoldSpec(tok_cols, **{
+        "entity": fold_kwargs.pop("entity", True),
+        "snapshots": fold_kwargs.pop("snapshots", True),
+        "section": fold_kwargs.pop("section", "all"),
+        "case": fold_kwargs.pop("case", True),
+        "pos": fold_kwargs.pop("pos", True),
+        "page_freq": fold_kwargs.pop("page_freq", False),
+        "snapshot_col": "warc_ts",
+        "drop_section": fold_kwargs.pop("drop_section", False),
+    })
+    if fold_kwargs:
+        raise TypeError(f"unknown fold kwargs: {sorted(fold_kwargs)}")
+
+    def fused(batch: pa.Table) -> pa.Table:
+        return phase1_fold(token_counts_batch(batch), spec)
+
+    partials = extracted_ds.map_batches(fused, batch_format="pyarrow")
+    complete = "url" in spec.phase1_keys and "warc_ts" in spec.phase1_keys
+    return finish_fold(partials, spec, phase1_complete=complete)
+
+
 def section_features(sections_ds):
     """Per-(url, warc_ts, section) scalar features — the analog of the
     reference's ``_make_section_feature_df`` 5-int table (parsers.py:315-330),

@@ -8,12 +8,14 @@ Ray-Data aggregate:
   phase 1 (``map_batches``, zero-copy Arrow): filter + derive the lowercase
      column + PARTIAL ``pyarrow.Table.group_by(...).sum`` inside each batch
      (the combiner: shrinks the shuffle input to per-batch key cardinality);
-  phase 2 (only when needed): ``ds.groupby(keys).sum`` across batches.
+  phase 2: ``ds.groupby(keys).sum`` across batches.
 
-Phase 2 is skipped entirely when the key set contains (url, warc_ts) and the
-input is *snapshot-aligned* (every (url, warc_ts) group lives inside one batch
-— guaranteed by the extract stage, stages/extract.py): per-entity folds are
-shuffle-free, matching SURVEY §2.3's "key incl. url keeps it shuffle-free".
+Phase 2 can be skipped ONLY when phase 1 is known to produce exactly one row
+per key — which holds when the fold is FUSED into the same batch function as
+the page-row token explode (every (url, warc_ts) group derives from a single
+page row there; see stages/extract.py::folded_token_counts). It does NOT hold
+across separate pipeline stages: Ray may re-batch/split blocks between
+stages, so a standalone ``fold_tokenlist`` always runs phase 2.
 """
 
 from __future__ import annotations
@@ -28,57 +30,122 @@ from htrc_feature_reader_ray.errors import MissingFieldError, require_columns
 SECTIONS = ("header", "body", "footer")
 
 
-def _resolve_keys(
-    cols,
-    *,
-    entity: bool,
-    snapshots: bool,
-    section: str,
-    case: bool,
-    pos: bool,
-    snapshot_col: str,
-):
-    """Compute (output key list, needs section filter, needs lowercase)."""
-    keys: list[str] = []
-    if entity:
-        require_columns(cols, ["url"], op="fold_tokenlist(entity=True)")
-        keys.append("url")
-    if snapshots:
-        require_columns(
-            cols, [snapshot_col], op=f"fold_tokenlist(snapshots={snapshot_col})"
+class FoldSpec:
+    """Resolved folding plan: output keys, phase-1 keys, filters."""
+
+    def __init__(self, cols, *, entity: bool, snapshots: bool, section: str,
+                 case: bool, pos: bool, page_freq: bool, snapshot_col: str,
+                 drop_section: bool):
+        keys: list[str] = []
+        if entity:
+            require_columns(cols, ["url"], op="fold_tokenlist(entity=True)")
+            keys.append("url")
+        if snapshots:
+            require_columns(
+                cols, [snapshot_col],
+                op=f"fold_tokenlist(snapshots={snapshot_col})",
+            )
+            keys.append(snapshot_col)
+
+        self.sect_filter = None
+        if "section" not in cols:
+            section = "ignore"  # reference: missing section level is ignored
+        if section == "all":
+            keys.append("section")
+        elif section in SECTIONS:
+            keys.append("section")
+            self.sect_filter = section
+        elif section in ("group", "ignore"):
+            pass
+        else:
+            raise ValueError(f"invalid section argument: {section}")
+
+        self.need_lower = False
+        if case:
+            require_columns(cols, ["token"], op="fold_tokenlist(case=True)")
+            keys.append("token")
+        else:
+            if "lowercase" not in cols:
+                if "token" not in cols:
+                    raise MissingFieldError(
+                        "fold_tokenlist(case=False) needs a 'token' or "
+                        "'lowercase' column"
+                    )
+                self.need_lower = True
+            keys.append("lowercase")
+
+        if pos:
+            require_columns(cols, ["pos"], op="fold_tokenlist(pos=True)")
+            keys.append("pos")
+
+        self.keys = keys
+        self.page_freq = page_freq
+        self.snapshot_col = snapshot_col
+        self.drop_section = drop_section and self.sect_filter is not None
+
+        # page_freq with snapshots folded: phase 1 keeps snapshot granularity
+        # so presence can be counted per snapshot (feature_reader.py:106-112).
+        if page_freq and snapshot_col not in keys:
+            require_columns(
+                cols, ["url", snapshot_col], op="fold_tokenlist(page_freq)"
+            )
+            self.phase1_keys = ["url", snapshot_col] + [
+                k for k in keys if k != "url"
+            ]
+        else:
+            self.phase1_keys = keys
+
+
+def phase1_fold(batch: pa.Table, spec: FoldSpec) -> pa.Table:
+    """Per-table fold at phase-1 granularity (COMPLETE iff the table contains
+    whole (url, snapshot) groups; otherwise a partial combiner)."""
+    if spec.sect_filter is not None:
+        batch = batch.filter(pc.equal(batch.column("section"), spec.sect_filter))
+    if spec.need_lower:
+        batch = batch.append_column(
+            "lowercase", pc.utf8_lower(batch.column("token"))
         )
-        keys.append(snapshot_col)
+    g = batch.group_by(spec.phase1_keys).aggregate([("count", "sum")])
+    return g.rename_columns(spec.phase1_keys + ["count"])
 
-    sect_filter = None
-    if "section" not in cols:
-        section = "ignore"  # reference: missing section level is ignored
-    if section == "all":
-        keys.append("section")
-    elif section in SECTIONS:
-        keys.append("section")
-        sect_filter = section
-    elif section in ("group", "ignore"):
-        pass
-    else:
-        raise ValueError(f"invalid section argument: {section}")
 
-    need_lower = False
-    if case:
-        require_columns(cols, ["token"], op="fold_tokenlist(case=True)")
-        keys.append("token")
-    else:
-        if "lowercase" not in cols:
-            if "token" not in cols:
-                raise MissingFieldError(
-                    "fold_tokenlist(case=False) needs a 'token' or 'lowercase' column"
-                )
-            need_lower = True
-        keys.append("lowercase")
+def finish_fold(ds, spec: FoldSpec, *, phase1_complete: bool):
+    """Phase 2: global merge (skipped when phase 1 is complete), page_freq
+    binarization/second fold, dtype normalization, section drop."""
+    out = ds
+    if not phase1_complete:
+        out = out.groupby(spec.phase1_keys).aggregate(
+            Sum("count", alias_name="count")
+        )
 
-    if pos:
-        require_columns(cols, ["pos"], op="fold_tokenlist(pos=True)")
-        keys.append("pos")
-    return keys, sect_filter, need_lower
+    if spec.page_freq:
+        def binarize(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.schema.get_field_index("count"),
+                "count",
+                pa.array([1] * len(batch), type=pa.int64()),
+            )
+
+        out = out.map_batches(binarize, batch_format="pyarrow")
+        if spec.phase1_keys != spec.keys:
+            # fold presence over snapshots -> snapshot frequency; phase-1
+            # rows for one output key can span batches -> global groupby.
+            out = out.groupby(spec.keys).aggregate(
+                Sum("count", alias_name="count")
+            )
+
+    if spec.drop_section:
+        out = out.select_columns(
+            [c for c in spec.keys if c != "section"] + ["count"]
+        )
+
+    def to_int64(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("count")
+        return batch.set_column(
+            idx, "count", pc.cast(batch.column("count"), pa.int64())
+        )
+
+    return out.map_batches(to_int64, batch_format="pyarrow")
 
 
 def fold_tokenlist(
@@ -90,95 +157,27 @@ def fold_tokenlist(
     case: bool = True,
     pos: bool = True,
     page_freq: bool = False,
-    aligned: bool = True,
     snapshot_col: str = "warc_ts",
     drop_section: bool = False,
 ):
-    """Fold a long token-count Dataset onto the requested key subset.
+    """Fold a long token-count Dataset onto the requested key subset
+    (semantics per the reference, feature_reader.py:25-112 — see FoldSpec).
 
-    Args mirror the reference semantics (feature_reader.py:25-112):
-      entity: keep the url level (False = corpus-wide fold).
-      snapshots: keep the warc_ts level (the reference's ``pages``);
-        ``snapshot_col`` may name a different ordered level (e.g. ``chunk`` —
-        chunked lakes are first-class, feature_reader.py:676-681).
-      section: 'all' | 'header'|'body'|'footer' (filter) | 'group' (fold out).
-      case: False folds counts onto lowercase tokens.
-      pos: False folds the pos facet out.
-      page_freq: True counts per-snapshot presence (0/1) instead of counts;
-        with snapshots folded out it returns the number of snapshots
-        containing the key (two-stage fold, feature_reader.py:106-112).
-      aligned: input guarantees every (url, snapshot) group is inside one
-        batch (true for the extract stage's output) — enables the
-        shuffle-free fast path.
-      drop_section: after filtering to one section, drop the constant column
-        (feature_reader.py:707-710 analog).
-    """
+    Standalone version: ALWAYS runs the global phase-2 groupby (correct for
+    any batching). For the shuffle-free path over raw pages use
+    ``stages.extract.folded_token_counts`` which fuses phase 1 with the
+    explode inside one batch function."""
     cols = tokens_ds.schema().names
     require_columns(cols, ["count"], op="fold_tokenlist")
-    keys, sect_filter, need_lower = _resolve_keys(
-        cols,
-        entity=entity,
-        snapshots=snapshots,
-        section=section,
-        case=case,
-        pos=pos,
-        snapshot_col=snapshot_col,
+    spec = FoldSpec(
+        cols, entity=entity, snapshots=snapshots, section=section, case=case,
+        pos=pos, page_freq=page_freq, snapshot_col=snapshot_col,
+        drop_section=drop_section,
     )
-
-    # page_freq with snapshots folded: first fold at snapshot granularity.
-    presence_keys = None
-    if page_freq and not snapshots:
-        presence_keys = ["url", snapshot_col] + [k for k in keys if k != "url"]
-        require_columns(cols, ["url", snapshot_col], op="fold_tokenlist(page_freq)")
-        phase1_keys = presence_keys
-    else:
-        phase1_keys = keys
-
-    def partial(batch: pa.Table) -> pa.Table:
-        if sect_filter is not None:
-            batch = batch.filter(pc.equal(batch.column("section"), sect_filter))
-        if need_lower:
-            batch = batch.append_column(
-                "lowercase", pc.utf8_lower(batch.column("token"))
-            )
-        g = batch.group_by(phase1_keys).aggregate([("count", "sum")])
-        return g.rename_columns(phase1_keys + ["count"])
-
-    out = tokens_ds.map_batches(partial, batch_format="pyarrow")
-
-    snapshot_complete = aligned and "url" in phase1_keys and snapshot_col in phase1_keys
-    if not snapshot_complete:
-        out = out.groupby(phase1_keys).aggregate(Sum("count", alias_name="count"))
-
-    if page_freq:
-        def binarize(batch: pa.Table) -> pa.Table:
-            return batch.set_column(
-                batch.schema.get_field_index("count"),
-                "count",
-                pa.array([1] * len(batch), type=pa.int64()),
-            )
-
-        out = out.map_batches(binarize, batch_format="pyarrow")
-        if presence_keys is not None:
-            # second stage: sum presence over snapshots -> snapshot frequency
-            def partial2(batch: pa.Table) -> pa.Table:
-                g = batch.group_by(keys).aggregate([("count", "sum")])
-                return g.rename_columns(keys + ["count"])
-
-            out = out.map_batches(partial2, batch_format="pyarrow")
-            out = out.groupby(keys).aggregate(Sum("count", alias_name="count"))
-
-    if drop_section and sect_filter is not None:
-        out = out.select_columns([c for c in keys if c != "section"] + ["count"])
-
-    # normalize count dtype to int64 (pandas-sum parity, SURVEY §7.5.5)
-    def to_int64(batch: pa.Table) -> pa.Table:
-        idx = batch.schema.get_field_index("count")
-        return batch.set_column(
-            idx, "count", pc.cast(batch.column("count"), pa.int64())
-        )
-
-    return out.map_batches(to_int64, batch_format="pyarrow")
+    partials = tokens_ds.map_batches(
+        lambda t: phase1_fold(t, spec), batch_format="pyarrow"
+    )
+    return finish_fold(partials, spec, phase1_complete=False)
 
 
 def distinct_tokens(tokens_ds, *, min_count: int = 1, case: bool = True):

@@ -151,7 +151,7 @@ def test_chunk_as_snapshot_col():
         )
     )
     out = fold_tokenlist(
-        ds, snapshot_col="chunk", pos=False, aligned=False
+        ds, snapshot_col="chunk", pos=False
     ).to_pandas()
     assert out["count"].tolist() == [3]
 
