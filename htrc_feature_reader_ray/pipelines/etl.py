@@ -1,0 +1,107 @@
+"""Feature-lake ETL: persist extracted features as partitioned parquet lakes
+and read them back — the reference's ``Volume.save`` / format-conversion path
+(``ParquetFileHandler.write``, parsers.py:476-558) at corpus scale.
+
+Reference semantics kept:
+  * folding happens AT WRITE TIME via ``token_kwargs``
+    (parsers.py:505-506): a lake can be persisted case-folded / pos-folded /
+    chunked, and is then a first-class input whose missing levels raise
+    ``MissingFieldError`` only when a requested folding needs them
+    (feature_reader.py:683-699);
+  * one output directory per url-hash bucket + lineage manifest
+    (state/lineage.py) replaces the reference's pairtree/ziptree layouts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+from htrc_feature_reader_ray.errors import MissingDataError
+from htrc_feature_reader_ray.sources.pages import read_pages
+from htrc_feature_reader_ray.stages.extract import (
+    extract_pages,
+    folded_token_counts,
+    line_chars,
+    section_features,
+    sections_long,
+)
+from htrc_feature_reader_ray.state.lineage import run_stage
+
+TABLES = ("tokens", "sections", "chars", "meta")
+
+
+def save_feature_lake(sf_dir: str, out_dir: str, *, token_kwargs=None,
+                      num_buckets: int = 16, tables=TABLES) -> dict:
+    """Extract once, persist up to four logical tables as bucketed lakes:
+    ``tokens`` (folded per token_kwargs), ``sections``, ``chars``, ``meta``.
+    Each table is checkpointed independently (run_stage): a rerun skips
+    completed tables whose inputs are unchanged."""
+    inputs = [f"{sf_dir}/documents.parquet"]
+    token_kwargs = token_kwargs or {}
+    manifests = {}
+
+    def extracted():
+        return extract_pages(read_pages(sf_dir, drop_text=True))
+
+    if "tokens" in tables:
+        _, manifests["tokens"] = run_stage(
+            os.path.join(out_dir, "tokens"),
+            lambda: folded_token_counts(extracted(), **token_kwargs),
+            key="url", num_buckets=num_buckets, inputs=inputs,
+            params={"token_kwargs": {k: str(v) for k, v in token_kwargs.items()}},
+        )
+    if "sections" in tables:
+        _, manifests["sections"] = run_stage(
+            os.path.join(out_dir, "sections"),
+            lambda: section_features(sections_long(extracted())),
+            key="url", num_buckets=num_buckets, inputs=inputs,
+        )
+    if "chars" in tables:
+        _, manifests["chars"] = run_stage(
+            os.path.join(out_dir, "chars"),
+            lambda: line_chars(extracted()),
+            key="url", num_buckets=num_buckets, inputs=inputs,
+        )
+    if "meta" in tables:
+        def meta():
+            import pyarrow as pa
+
+            def per_batch(batch: pa.Table) -> pa.Table:
+                g = batch.group_by(["url", "lang"]).aggregate(
+                    [("warc_ts", "min"), ("warc_ts", "max"), ([], "count_all")]
+                )
+                return g.rename_columns(
+                    ["url", "lang", "first_ts", "last_ts", "n_snapshots"]
+                )
+
+            # per-url groups may span batches -> global fold
+            from ray.data.aggregate import Count, Max, Min, Sum
+
+            partial = read_pages(sf_dir, drop_text=True).map_batches(
+                per_batch, batch_format="pyarrow"
+            )
+            return (
+                partial.groupby(["url", "lang"]).aggregate(
+                    Min("first_ts", alias_name="first_ts"),
+                    Max("last_ts", alias_name="last_ts"),
+                    Sum("n_snapshots", alias_name="n_snapshots"),
+                )
+            )
+
+        _, manifests["meta"] = run_stage(
+            os.path.join(out_dir, "meta"), meta,
+            key="url", num_buckets=num_buckets, inputs=inputs,
+        )
+    return manifests
+
+
+def read_lake(out_dir: str, table: str):
+    """Read one logical table back as a Dataset; MissingDataError when the
+    lake lacks it (the reference's missing-table discipline,
+    parsers.py:20-21 / test_parsers.py:28-78)."""
+    path = os.path.join(out_dir, table)
+    if not os.path.isdir(path):
+        raise MissingDataError(f"lake at {out_dir} has no '{table}' table")
+    return ray.data.read_parquet(path)

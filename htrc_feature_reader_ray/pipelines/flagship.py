@@ -33,35 +33,36 @@ from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 SESSION_GAP = "90m"
 
 
-def snapshot_features(sf_dir: str, *, via_html: bool = True, concurrency=None):
-    """Per-(url, warc_ts) feature fold — complete within each batch because
-    token rows of one snapshot never straddle batches (extract stage
-    guarantee), so this is a map-only aggregation."""
-    pages = read_pages(sf_dir, drop_text=via_html)
-    if via_html:
-        pages = extract_pages(pages, concurrency=concurrency)
-    else:
-        pages = pages.map_batches(sections_from_text, batch_format="pyarrow")
+def page_features_batch(batch: pa.Table) -> pa.Table:
+    """Explode + per-snapshot fold in ONE batch fn: input rows are whole
+    pages, so every (url, warc_ts) group is complete — no shuffle, and no
+    cross-stage re-batching can split a group (fold.py docstring)."""
+    import pyarrow.compute as pc
 
     from htrc_feature_reader_ray.stages.extract import token_counts_batch
 
-    def fused_features(batch: pa.Table) -> pa.Table:
-        """Explode + per-snapshot fold in ONE batch fn: input rows are whole
-        pages, so every (url, warc_ts) group is complete — no shuffle, and no
-        cross-stage re-batching can split a group (fold.py docstring)."""
-        import pyarrow.compute as pc
+    toks = token_counts_batch(batch)
+    g = toks.group_by(["url", "warc_ts"]).aggregate(
+        [("count", "sum"), ("token", "count_distinct")]
+    )
+    g = g.rename_columns(["url", "warc_ts", "n_tokens", "distinct_tokens"])
+    for col in ("n_tokens", "distinct_tokens"):
+        i = g.schema.get_field_index(col)
+        g = g.set_column(i, col, pc.cast(g.column(col), pa.int64()))
+    return g
 
-        toks = token_counts_batch(batch)
-        g = toks.group_by(["url", "warc_ts"]).aggregate(
-            [("count", "sum"), ("token", "count_distinct")]
+
+def snapshot_features(sf_dir: str, *, via_html: bool = True, concurrency=None):
+    """Per-(url, warc_ts) feature fold, fused INTO the extractor actor call
+    (post_fn) so the wide extracted text never leaves the actor — the stage
+    emits only the small feature rows (extract.py::HtmlExtractor)."""
+    pages = read_pages(sf_dir, drop_text=via_html)
+    if via_html:
+        return extract_pages(
+            pages, concurrency=concurrency, post_fn=page_features_batch
         )
-        g = g.rename_columns(["url", "warc_ts", "n_tokens", "distinct_tokens"])
-        for col in ("n_tokens", "distinct_tokens"):
-            i = g.schema.get_field_index(col)
-            g = g.set_column(i, col, pc.cast(g.column(col), pa.int64()))
-        return g
-
-    return pages.map_batches(fused_features, batch_format="pyarrow")
+    pages = pages.map_batches(sections_from_text, batch_format="pyarrow")
+    return pages.map_batches(page_features_batch, batch_format="pyarrow")
 
 
 def windowed_features(snap_feats, *, gap: str = SESSION_GAP, num_buckets: int = 32):

@@ -124,6 +124,21 @@ def synth_pages_batch(batch: pa.Table, *, mult: int = 1) -> pa.Table:
     )
 
 
+def snapshot_mult() -> int:
+    return int(os.environ.get("GRAFT_SNAPSHOT_MULT", "1"))
+
+
+def fixture_batch_size(target_pages: int = 32768) -> int:
+    """Batch size (in DOCUMENT rows) for stages fused onto the synth source.
+
+    Ray fuses the synth map into downstream ops, so their batch_size applies
+    to pre-expansion rows; each doc expands to ~2×mult pages. Sizing by the
+    expansion keeps task granularity (and thus parallelism) constant in
+    OUTPUT rows — without this, a high mult collapses the whole pipeline to
+    a handful of tasks."""
+    return max(16, target_pages // (2 * snapshot_mult()))
+
+
 def read_pages(sf_dir: str, *, drop_text: bool = False) -> "ray.data.Dataset":
     """The engine's primary input Dataset: synthesize pages from the
     ``documents`` table of ``sf_dir``.
@@ -133,13 +148,28 @@ def read_pages(sf_dir: str, *, drop_text: bool = False) -> "ray.data.Dataset":
     ``GRAFT_SNAPSHOT_MULT`` (env, default 1) multiplies snapshots per url —
     the benchmark's scale knob; correctness gates always run with 1.
     """
-    mult = int(os.environ.get("GRAFT_SNAPSHOT_MULT", "1"))
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "source", "text", "lang"],
-    )
+    mult = snapshot_mult()
+    if mult > 1:
+        # bench mode: the documents table is tiny relative to the expansion —
+        # read it driver-side and seed 128 blocks directly, skipping the
+        # fixed multi-second ReadParquet+SplitBlocks startup that would
+        # otherwise dominate the scaling measurement
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text", "lang"],
+        )
+        ds = ray.data.from_arrow(tbl, override_num_blocks=128)
+    else:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text", "lang"],
+        )
     ds = ds.map_batches(
-        lambda t: synth_pages_batch(t, mult=mult), batch_format="pyarrow"
+        lambda t: synth_pages_batch(t, mult=mult),
+        batch_format="pyarrow",
+        batch_size=fixture_batch_size(),
     )
     if drop_text:
         ds = ds.select_columns(["url", "warc_ts", "html", "lang"])

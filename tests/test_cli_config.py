@@ -1,0 +1,30 @@
+import json
+import subprocess
+import sys
+
+from htrc_feature_reader_ray.config import EngineConfig
+from htrc_feature_reader_ray.__main__ import main
+
+
+def test_cli_id_utils(capsys):
+    assert main(["clean-id", "https://a.b/c"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert "/" not in out and ":" not in out
+    assert main(["extract-id", out]) == 0
+    assert capsys.readouterr().out.strip() == "https://a.b/c"
+    assert main(["shard-path", "https://a.b/c"]) == 0
+    parts = capsys.readouterr().out.strip().split("/")
+    assert len(parts) == 3
+
+
+def test_config_layering(tmp_path, monkeypatch):
+    (tmp_path / "graft_engine.yml").write_text(
+        "num_buckets: 17\nsession_gap: 45m\n"
+    )
+    cfg = EngineConfig.load(cwd=str(tmp_path))
+    assert cfg.num_buckets == 17
+    assert cfg.session_gap == "45m"
+    monkeypatch.setenv("GRAFT_NUM_BUCKETS", "23")
+    cfg2 = EngineConfig.load(cwd=str(tmp_path))
+    assert cfg2.num_buckets == 23  # env beats file
+    assert cfg2.chunk_target == 40  # default survives

@@ -1,0 +1,88 @@
+"""Format-conversion conformance: the reference's copy_between_resolvers
+matrix (test_resolvers.py:27-119) re-expressed — write lakes / JSON volumes,
+read back, assert the tokenlist checksum invariant survives every trip."""
+
+import shutil
+
+import pytest
+
+from htrc_feature_reader_ray.errors import MissingDataError, MissingFieldError
+from htrc_feature_reader_ray.pipelines.etl import read_lake, save_feature_lake
+from htrc_feature_reader_ray.sources.jsonvol import (
+    read_json_volumes,
+    volumes_to_json,
+)
+from htrc_feature_reader_ray.stages.extract import tokens_from_pages
+from htrc_feature_reader_ray.stages.fold import fold_tokenlist
+
+OUT = "/tmp/graft_test_etl"
+
+
+def setup_module(mod):
+    shutil.rmtree(OUT, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def tokens(sf_dir):
+    return tokens_from_pages(sf_dir, via_html=False).materialize()
+
+
+@pytest.fixture(scope="module")
+def checksum(tokens):
+    return int(tokens.to_pandas()["count"].sum())
+
+
+def test_lake_roundtrip_checksum(sf_dir, checksum):
+    save_feature_lake(sf_dir, f"{OUT}/full", num_buckets=4)
+    back = read_lake(f"{OUT}/full", "tokens")
+    assert int(back.to_pandas()["count"].sum()) == checksum
+    # sections/chars/meta present and keyed
+    meta = read_lake(f"{OUT}/full", "meta").to_pandas()
+    assert meta["n_snapshots"].sum() == sum(1 + d % 3 for d in range(500))
+    with pytest.raises(MissingDataError):
+        read_lake(f"{OUT}/full", "nope")
+
+
+def test_folded_lake_partial_schema(sf_dir, checksum):
+    """A case+pos-folded lake (partialparq analog) keeps the checksum and
+    raises MissingFieldError for foldings needing dropped levels."""
+    save_feature_lake(
+        sf_dir, f"{OUT}/folded",
+        token_kwargs=dict(case=False, pos=False, section="group"),
+        num_buckets=4, tables=("tokens",),
+    )
+    back = read_lake(f"{OUT}/folded", "tokens")
+    assert int(back.to_pandas()["count"].sum()) == checksum
+    # folding on the already-folded lake works on remaining levels
+    refold = fold_tokenlist(back, snapshots=False, section="ignore",
+                            case=False, pos=False).to_pandas()
+    assert int(refold["count"].sum()) == checksum
+    # requesting a dropped level raises
+    with pytest.raises(MissingFieldError):
+        fold_tokenlist(back, case=True, pos=False)
+    with pytest.raises(MissingFieldError):
+        fold_tokenlist(back, case=False, pos=True)
+
+
+def test_json_volume_roundtrip(sf_dir, tokens, checksum):
+    volumes_to_json(tokens, f"{OUT}/json", num_buckets=4)
+    back = read_json_volumes(f"{OUT}/json")
+    df = back.to_pandas()
+    assert int(df["count"].sum()) == checksum
+    # exact row-level equality after sorting
+    orig = tokens.to_pandas()
+    key = ["url", "warc_ts", "section", "token", "pos"]
+    a = orig.sort_values(key).reset_index(drop=True)
+    b = df.sort_values(key).reset_index(drop=True)[a.columns]
+    assert a["count"].equals(b["count"])
+    assert (a["token"] == b["token"]).all()
+
+
+def test_lake_rerun_resumes(sf_dir):
+    """Second save with identical inputs recomputes nothing (manifest hit)."""
+    m1 = save_feature_lake(sf_dir, f"{OUT}/resume", num_buckets=4,
+                           tables=("tokens",))
+    t1 = m1["tokens"]["completed_at"]
+    m2 = save_feature_lake(sf_dir, f"{OUT}/resume", num_buckets=4,
+                           tables=("tokens",))
+    assert m2["tokens"]["completed_at"] == t1
