@@ -329,6 +329,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_join_embeddings(sf):
+        """Large×large equi-join via Ray Data's native hash join
+        (Dataset.join, hash-partitioned on the key) — the both-sides-large
+        complement of the broadcast joins (SURVEY §2.6)."""
+        import ray.data
+
+        docs = _docs(sf, ["doc_id", "lang", "n_chars"])
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "label"]
+        )
+        joined = docs.join(
+            emb, join_type="inner", num_partitions=16,
+            on=("doc_id",), right_on=("vec_id",),
+        )
+        return joined.select_columns(["doc_id", "lang", "n_chars", "label"])
+
     def q_source_stats(sf):
         import ray
 
@@ -422,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "filter_project": q_filter_project,
         "docs_with_source_stats": q_source_stats,
+        "docs_join_embeddings": q_join_embeddings,
     }
 
 
@@ -733,6 +750,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, avg(n_chars) AS src_avg_chars
               FROM documents GROUP BY 1
             ) s USING (source)""",
+        "docs_join_embeddings": """
+            SELECT d.doc_id, d.lang, d.n_chars, e.label
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
         # dedup_minhash / dedup_simhash / ann_lsh_topk: non-SQL-expressible
         # (hash-sketch ops) -> rows-only check by the driver.
     }

@@ -106,23 +106,53 @@ class MinHasher:
         perm = self.a[:, None] * base[None, :] + self.b[:, None]
         return perm.min(axis=1)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        out_id, out_band, out_bh = [], [], []
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """(D, num_perm) signatures for a whole batch in ONE pass: all docs'
+        shingles are flattened, hashed once, permuted as a (P, S_total)
+        matrix, and per-doc minima taken with segmented reduceat — no
+        per-document Python work."""
+        all_sh: list[str] = []
+        starts = np.empty(len(texts), dtype=np.int64)
+        empty = np.zeros(len(texts), dtype=bool)
+        pos = 0
         for i, text in enumerate(texts):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows : (b + 1) * self.rows]
-                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                out_id.append(ids[i])
-                out_band.append(b)
-                out_bh.append(bh)
+            sh = word_shingles([t for t in text.split(" ") if t], self.k)
+            starts[i] = pos
+            if not sh:
+                empty[i] = True
+                all_sh.append("")  # placeholder so segments stay non-empty
+                pos += 1
+            else:
+                all_sh.extend(sh)
+                pos += len(sh)
+        base = stable_hash64(all_sh)  # (S_total,)
+        perm = self.a[:, None] * base[None, :] + self.b[:, None]  # (P, S)
+        sigs = np.minimum.reduceat(perm, starts, axis=1).T  # (D, P)
+        sigs[empty] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        return sigs
+
+    # odd multipliers mix the band rows into one 64-bit key (cheap, stable)
+    _BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = self.signatures_batch(texts)  # (D, P)
+        d = len(ids)
+        banded = sigs.reshape(d, self.bands, self.rows)
+        mix = self._BAND_MIX ** np.arange(1, self.rows + 1, dtype=np.uint64)
+        band_hash = (banded * mix[None, None, :]).sum(
+            axis=2, dtype=np.uint64
+        )  # (D, bands)
+        out_id = np.repeat(ids, self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), d)
         return pa.table(
             {
                 self.id_col: pa.array(out_id),
                 "band": pa.array(out_band, type=pa.int32()),
-                "band_hash": pa.array(out_bh, type=pa.string()),
+                "band_hash": pa.array(
+                    band_hash.reshape(-1).view(np.int64), type=pa.int64()
+                ),
             }
         )
 
@@ -158,23 +188,36 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         concurrency=concurrency,
     )
 
-    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    def pairs_of_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs within one band_hash hash-bucket. Most LSH
+        buckets are singletons — filter them vectorized first, then loop
+        only over the (few) genuine collision groups."""
+        dup = df[df.duplicated(["band", "band_hash"], keep=False)]
+        if dup.empty:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        parts = []
+        for _, g in dup.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(g[id_col].unique())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            parts.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
+        if not parts:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        return pd.concat(parts, ignore_index=True).drop_duplicates()
 
-    cand = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands"))
-    )
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
+    cand = bucketed_map_groups(
+        band_rows, "band_hash", pairs_of_bucket, num_buckets=32
+    ).groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+
+    docs_df = ds.select_columns([id_col, text_col]).to_pandas()
     token_map = {
-        row[id_col]: [t for t in row[text_col].split(" ") if t]
-        for row in ds.select_columns([id_col, text_col]).iter_rows()
+        i: [t for t in s.split(" ") if t]
+        for i, s in zip(docs_df[id_col], docs_df[text_col])
     }
     tokens_ref = ray.put(token_map)
 

@@ -180,6 +180,32 @@ def fold_tokenlist(
     return finish_fold(partials, spec, phase1_complete=False)
 
 
+def term_snapshot_matrix(tokens_ds, url: str, *, page_freq: bool = False):
+    """Per-entity wide pivot — the reference's ``term_page_freqs``
+    (feature_reader.py:723-733): snapshot × token count (or 0/1 presence)
+    matrix for ONE url, NaN→0.
+
+    Deliberately per-entity: a corpus-wide snapshot×vocab pivot blows up row
+    width (SURVEY §7.5.4), so the engine keeps long form globally and pivots
+    only after filtering to one entity (small driver-side frame)."""
+    sub = tokens_ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("url"), url)),
+        batch_format="pyarrow",
+    )
+    df = sub.to_pandas()
+    if df.empty:
+        import pandas as pd
+
+        return pd.DataFrame()
+    grouped = (
+        df.groupby(["warc_ts", "token"], as_index=False)["count"].sum()
+    )
+    if page_freq:
+        grouped["count"] = 1
+    wide = grouped.pivot(index="warc_ts", columns="token", values="count")
+    return wide.fillna(0).astype("int64")
+
+
 def distinct_tokens(tokens_ds, *, min_count: int = 1, case: bool = True):
     """Distinct tokens with a minimum total-count threshold — the reference's
     ``Volume.tokens(min_count=…)`` (feature_reader.py:559-568) at corpus
