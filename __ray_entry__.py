@@ -288,6 +288,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  section="group", case=True, pos=False,
                                  num_buckets=32)
 
+    def q_chunk_embeddings(sf):
+        """Stateful model actor pool (chunk_to_wem analog) — rows-only check
+        (embedding vectors are model outputs, not SQL-expressible)."""
+        from htrc_feature_reader_ray.stages.embed import chunk_embeddings
+
+        chunks = chunked_tokenlist(_tokens(sf), target=40, strategy="even",
+                                   section="group", case=True, pos=False,
+                                   num_buckets=16)
+        return chunk_embeddings(chunks, dim=16, concurrency=(1, 4))
+
     def q_chunk_bounds(sf):
         out = chunked_tokenlist(_tokens(sf), target=40, strategy="even",
                                 section="group", case=True, pos=False,
@@ -424,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_last_events": q_chunk_events("last"),
         "chunked_tokenlist": q_chunked_tokenlist,
         "chunk_bounds": q_chunk_bounds,
+        "chunk_embeddings": q_chunk_embeddings,
         # -- dedup / similarity / text analysis (training-data ops) --
         "dedup_exact": lambda sf: exact_dedup(_docs(sf)),
         "dedup_minhash": lambda sf: minhash_dedup_pairs(

@@ -17,6 +17,53 @@ from htrc_feature_reader_ray.errors import MissingDataError, MissingFieldError
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    """Lazy re-exports of the main operator surface (keeps bare import light
+    — no Ray import until an operator is touched)."""
+    surface = {
+        "read_pages": ("htrc_feature_reader_ray.sources.pages", "read_pages"),
+        "extract_pages": ("htrc_feature_reader_ray.stages.extract", "extract_pages"),
+        "token_counts": ("htrc_feature_reader_ray.stages.extract", "token_counts"),
+        "folded_token_counts": (
+            "htrc_feature_reader_ray.stages.extract", "folded_token_counts"),
+        "fold_tokenlist": ("htrc_feature_reader_ray.stages.fold", "fold_tokenlist"),
+        "distinct_tokens": ("htrc_feature_reader_ray.stages.fold", "distinct_tokens"),
+        "term_freqs_topk": ("htrc_feature_reader_ray.stages.fold", "term_freqs_topk"),
+        "term_snapshot_matrix": (
+            "htrc_feature_reader_ray.stages.fold", "term_snapshot_matrix"),
+        "broadcast_asof_join": (
+            "htrc_feature_reader_ray.stages.temporal", "broadcast_asof_join"),
+        "partitioned_asof_join": (
+            "htrc_feature_reader_ray.stages.temporal", "partitioned_asof_join"),
+        "lag_lead": ("htrc_feature_reader_ray.stages.temporal", "lag_lead"),
+        "sessionize": ("htrc_feature_reader_ray.stages.temporal", "sessionize"),
+        "tumbling_window": (
+            "htrc_feature_reader_ray.stages.temporal", "tumbling_window"),
+        "backfill": ("htrc_feature_reader_ray.stages.temporal", "backfill"),
+        "chunk_units": ("htrc_feature_reader_ray.stages.chunk", "chunk_units"),
+        "chunked_tokenlist": (
+            "htrc_feature_reader_ray.stages.chunk", "chunked_tokenlist"),
+        "exact_dedup": ("htrc_feature_reader_ray.stages.dedup", "exact_dedup"),
+        "minhash_dedup_pairs": (
+            "htrc_feature_reader_ray.stages.dedup", "minhash_dedup_pairs"),
+        "simhash": ("htrc_feature_reader_ray.stages.dedup", "simhash"),
+        "cosine_topk": ("htrc_feature_reader_ray.stages.similarity", "cosine_topk"),
+        "lsh_topk": ("htrc_feature_reader_ray.stages.similarity", "lsh_topk"),
+        "flagship": ("htrc_feature_reader_ray.pipelines.flagship", "flagship"),
+        "save_feature_lake": ("htrc_feature_reader_ray.pipelines.etl",
+                              "save_feature_lake"),
+        "read_lake": ("htrc_feature_reader_ray.pipelines.etl", "read_lake"),
+        "EngineConfig": ("htrc_feature_reader_ray.config", "EngineConfig"),
+    }
+    if name in surface:
+        import importlib
+
+        mod, attr = surface[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
+
+
 __all__ = [
     "MissingDataError",
     "MissingFieldError",
