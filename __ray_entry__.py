@@ -328,6 +328,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["vec_id", "embedding"])
         return lsh_topk(ds, q, k=10, nbits=6, query_ids=qdf["vec_id"].to_numpy())
 
+    def q_sample(sf):
+        """Deterministic 1-in-8 sample by doc_id hash — reproducible sampling
+        (ds.random_sample is seed-dependent across cluster shapes; a hash
+        predicate samples identically everywhere and is SQL-checkable)."""
+        import pyarrow.compute as pc
+
+        def pick(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 7), 0)
+            )
+
+        return _docs(sf, ["doc_id", "lang"]).map_batches(
+            pick, batch_format="pyarrow"
+        )
+
     def q_filter_project(sf):
         import pyarrow.compute as pc
 
@@ -448,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": lambda sf: langid(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "filter_project": q_filter_project,
+        "deterministic_sample": q_sample,
         "docs_with_source_stats": q_source_stats,
         "docs_join_embeddings": q_join_embeddings,
     }
@@ -754,6 +770,9 @@ def oracle_sql() -> dict[str, str]:
         "filter_project": (
             "SELECT doc_id, n_chars FROM documents"
             " WHERE lang = 'en' AND n_chars > 200"
+        ),
+        "deterministic_sample": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 8 = 0"
         ),
         "docs_with_source_stats": """
             SELECT d.doc_id, d.source, d.n_chars, s.src_avg_chars
