@@ -54,11 +54,13 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
     Output layout: ``out_dir/bucket=K/*.parquet`` (one directory per key
     range — resumable, never one giant file). Written atomically: data goes
     to ``out_dir.tmp`` first, then a single rename."""
+    t_start = time.time()
     tmp = out_dir + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     bucketed = add_bucket_column(ds, key, num_buckets, name="bucket")
     bucketed.write_parquet(tmp, partition_cols=["bucket"])
+    t_written = time.time()
 
     counts = (
         ray.data.read_parquet(tmp)
@@ -68,13 +70,28 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
         .set_index("bucket")["count()"]
         .to_dict()
     )
+    bytes_per_bucket = {}
+    for name in os.listdir(tmp):
+        if name.startswith("bucket="):
+            total = sum(
+                os.path.getsize(os.path.join(tmp, name, f))
+                for f in os.listdir(os.path.join(tmp, name))
+            )
+            bytes_per_bucket[name.split("=", 1)[1]] = total
+    row_count = int(sum(counts.values()))
     manifest = {
         "key": key,
         "num_buckets": num_buckets,
         "inputs": fingerprint_inputs(inputs),
         "params": params or {},
         "buckets": {str(int(k)): int(v) for k, v in counts.items()},
-        "row_count": int(sum(counts.values())),
+        "bucket_bytes": bytes_per_bucket,
+        "row_count": row_count,
+        "metrics": {
+            "write_sec": round(t_written - t_start, 3),
+            "rows_per_sec": round(row_count / max(t_written - t_start, 1e-9), 1),
+            "total_bytes": int(sum(bytes_per_bucket.values())),
+        },
         "completed_at": time.time(),
     }
     with open(os.path.join(tmp, MANIFEST), "w") as f:
