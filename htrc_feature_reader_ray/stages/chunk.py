@@ -115,11 +115,30 @@ def chunked_tokenlist(tokens_ds, *, target, strategy: str = "even",
     """
     token_col = "token" if case else "lowercase"
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if not case and "lowercase" not in df.columns:
-            df = df.assign(lowercase=df["token"].str.lower())
+    def prefold(batch):
+        """Map-side combiner BEFORE the bucket shuffle: filter/derive levels
+        and partially fold the ones being dropped (section/pos/case), so the
+        all-to-all exchange carries only the columns and cardinality the
+        chunked output needs. Partial sums merge correctly in per_bucket."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         if section in ("header", "body", "footer"):
-            df = df[df["section"] == section]
+            batch = batch.filter(pc.equal(batch.column("section"), section))
+        if not case and "lowercase" not in batch.column_names:
+            batch = batch.append_column(
+                "lowercase", pc.utf8_lower(batch.column("token"))
+            )
+        keys = ["url", "warc_ts"]
+        if section == "all" and "section" in batch.column_names:
+            keys.append("section")
+        keys.append(token_col)
+        if pos:
+            keys.append("pos")
+        g = batch.group_by(keys).aggregate([("count", "sum")])
+        return g.rename_columns(keys + ["count"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # per-snapshot weights, ordered
         wt = (
             df.groupby(["url", "warc_ts"], as_index=False)["count"]
@@ -145,4 +164,5 @@ def chunked_tokenlist(tokens_ds, *, target, strategy: str = "even",
         out["count"] = out["count"].astype(np.int64)
         return out
 
-    return bucketed_map_groups(tokens_ds, "url", per_bucket, num_buckets=num_buckets)
+    prefolded = tokens_ds.map_batches(prefold, batch_format="pyarrow")
+    return bucketed_map_groups(prefolded, "url", per_bucket, num_buckets=num_buckets)
