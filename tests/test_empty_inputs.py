@@ -1,0 +1,92 @@
+"""Empty/degenerate-input robustness: every batch kernel must handle 0-row
+tables (Ray delivers them after selective filters) and single-row groups."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from htrc_feature_reader_ray.pipelines.flagship import page_features_batch
+from htrc_feature_reader_ray.stages.chunk import chunk_labels_even, chunk_labels_last
+from htrc_feature_reader_ray.stages.dedup import MinHasher, simhash_batch
+from htrc_feature_reader_ray.stages.extract import (
+    HtmlExtractor,
+    token_counts_batch,
+)
+
+
+def _empty_pages():
+    return pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "warc_ts": pa.array([], type=pa.timestamp("us")),
+            "lang": pa.array([], type=pa.string()),
+            "header": pa.array([], type=pa.string()),
+            "body": pa.array([], type=pa.string()),
+            "footer": pa.array([], type=pa.string()),
+        }
+    )
+
+
+def test_token_counts_empty_batch():
+    out = token_counts_batch(_empty_pages())
+    assert out.num_rows == 0
+    assert out.column_names == ["url", "warc_ts", "section", "token", "pos", "count"]
+
+
+def test_page_features_empty_batch():
+    out = page_features_batch(_empty_pages())
+    assert out.num_rows == 0
+
+
+def test_extractor_empty_and_malformed():
+    batch = pa.table(
+        {
+            "url": ["u1", "u2"],
+            "warc_ts": pa.array([1, 2], type=pa.timestamp("us")),
+            "lang": ["en", "en"],
+            "html": pa.array([b"", b"<html>no zones</html>"], type=pa.binary()),
+        }
+    )
+    out = HtmlExtractor()(batch)
+    assert out.column("text").to_pylist() == ["", ""]
+
+
+def test_chunk_labels_degenerate():
+    assert chunk_labels_even(np.array([]), 100).tolist() == []
+    assert chunk_labels_even(np.array([0, 0, 0]), 100).tolist() == [1, 1, 1]
+    assert chunk_labels_last(np.array([5]), 100).tolist() == [1]
+
+
+def test_minhash_empty_text():
+    mh = MinHasher()
+    sigs = mh.signatures_batch(["", "a b c d e"])
+    assert sigs.shape == (2, 64)
+    assert (sigs[0] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    out = mh(pa.table({"doc_id": pa.array([1, 2]), "text": ["", "a b c"]}))
+    assert out.num_rows == 2 * mh.bands
+
+
+def test_simhash_empty_text():
+    h = simhash_batch(["", "x"])
+    assert h[0] == 0
+
+
+def test_sessionize_single_event_per_user():
+    from htrc_feature_reader_ray.stages.temporal import sessionize
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    out = sessionize(
+        ray.data.from_pandas(df), key="user_id", ts="ts", gap="30m",
+        num_buckets=2, aggregate=True,
+    ).to_pandas()
+    assert len(out) == 2
+    assert (out["session_id"] == 1).all()
+    assert (out["n_events"] == 1).all()
