@@ -99,6 +99,26 @@ def source_stats_table(sf_dir: str) -> pd.DataFrame:
     return agg.rename(columns={col: "src_avg_chars"})
 
 
+def flagship_from_lake(lake_dir: str, sf_dir: str, *, num_buckets: int = 32,
+                       batch_size: int = 2048, concurrency=None):
+    """Production-shape flagship: stream a pages PARQUET LAKE (column-pruned
+    read — html/url/warc_ts only, the ground-truth text column never leaves
+    storage) through the same extract→features→windows→join pipeline."""
+    from htrc_feature_reader_ray.sources.pages import read_pages_lake
+    from htrc_feature_reader_ray.stages.extract import extract_pages
+
+    pages = read_pages_lake(
+        lake_dir, columns=["url", "warc_ts", "html", "lang"]
+    )
+    feats = extract_pages(
+        pages, concurrency=concurrency, batch_size=batch_size,
+        post_fn=page_features_batch,
+    )
+    return _join_source_stats(
+        windowed_features(feats, num_buckets=num_buckets), sf_dir
+    )
+
+
 def flagship(sf_dir: str, *, via_html: bool = True, num_buckets: int = 32,
              concurrency=None):
     """The full flagship pipeline; returns the windowed feature Dataset."""
@@ -106,6 +126,10 @@ def flagship(sf_dir: str, *, via_html: bool = True, num_buckets: int = 32,
         snapshot_features(sf_dir, via_html=via_html, concurrency=concurrency),
         num_buckets=num_buckets,
     )
+    return _join_source_stats(feats, sf_dir)
+
+
+def _join_source_stats(feats, sf_dir: str):
     src = source_stats_table(sf_dir)
     src_ref = ray.put(src.set_index("source")["src_avg_chars"].to_dict())
 

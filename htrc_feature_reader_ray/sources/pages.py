@@ -139,6 +139,24 @@ def fixture_batch_size(target_pages: int = 32768) -> int:
     return max(16, target_pages // (2 * snapshot_mult()))
 
 
+def write_pages_lake(sf_dir: str, out_dir: str, *, num_buckets: int = 32) -> dict:
+    """Persist the pages table as a url-hash-bucketed parquet lake — the
+    PRODUCTION input shape of the input_hint (a Parquet table of
+    (url, warc_ts, html, text, lang)). Returns the lineage manifest."""
+    from htrc_feature_reader_ray.state.lineage import write_partitioned
+
+    return write_partitioned(
+        read_pages(sf_dir), out_dir, key="url", num_buckets=num_buckets,
+        inputs=[f"{sf_dir}/documents.parquet"],
+    )
+
+
+def read_pages_lake(lake_dir: str, *, columns=None) -> "ray.data.Dataset":
+    """Stream a pages lake with column pruning — pipelines that only extract
+    must NOT pay for the ground-truth text column (prune at the read)."""
+    return ray.data.read_parquet(lake_dir, columns=columns)
+
+
 def read_pages(sf_dir: str, *, drop_text: bool = False) -> "ray.data.Dataset":
     """The engine's primary input Dataset: synthesize pages from the
     ``documents`` table of ``sf_dir``.
