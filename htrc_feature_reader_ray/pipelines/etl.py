@@ -46,9 +46,27 @@ def save_feature_lake(sf_dir: str, out_dir: str, *, token_kwargs=None,
         return extract_pages(read_pages(sf_dir, drop_text=True))
 
     if "tokens" in tables:
+        chunk_kwargs = dict(token_kwargs)
+        chunk_target = chunk_kwargs.pop("chunk_target", None)
+        if chunk_target is not None:
+            # chunked lake (the reference's chunkedparq, tests/data/chunkedparq):
+            # the chunk level REPLACES warc_ts and the persisted table is a
+            # first-class input (fold with snapshot_col='chunk')
+            from htrc_feature_reader_ray.stages.chunk import chunked_tokenlist
+            from htrc_feature_reader_ray.stages.extract import token_counts
+
+            def build_tokens():
+                return chunked_tokenlist(
+                    token_counts(extracted()), target=chunk_target,
+                    num_buckets=num_buckets, **chunk_kwargs,
+                )
+        else:
+            def build_tokens():
+                return folded_token_counts(extracted(), **chunk_kwargs)
+
         _, manifests["tokens"] = run_stage(
             os.path.join(out_dir, "tokens"),
-            lambda: folded_token_counts(extracted(), **token_kwargs),
+            build_tokens,
             key="url", num_buckets=num_buckets, inputs=inputs,
             params={"token_kwargs": {k: str(v) for k, v in token_kwargs.items()}},
         )

@@ -64,6 +64,28 @@ def test_folded_lake_partial_schema(sf_dir, checksum):
         fold_tokenlist(back, case=False, pos=True)
 
 
+def test_chunked_lake_first_class(sf_dir, checksum):
+    """chunkedparq analog: persist a chunk-level tokenlist; re-read and fold
+    with chunk treated as the snapshot level (feature_reader.py:676-681)."""
+    save_feature_lake(
+        sf_dir, f"{OUT}/chunked",
+        token_kwargs=dict(chunk_target=40, section="group", case=True,
+                          pos=False),
+        num_buckets=4, tables=("tokens",),
+    )
+    back = read_lake(f"{OUT}/chunked", "tokens")
+    df = back.to_pandas()
+    assert {"url", "chunk", "token", "count"} <= set(df.columns)
+    assert "warc_ts" not in df.columns
+    assert int(df["count"].sum()) == checksum
+    refold = fold_tokenlist(
+        back, snapshot_col="chunk", section="ignore", pos=False
+    ).to_pandas()
+    assert int(refold["count"].sum()) == checksum
+    with pytest.raises(MissingFieldError):
+        fold_tokenlist(back, pos=True, snapshot_col="chunk")
+
+
 def test_json_volume_roundtrip(sf_dir, tokens, checksum):
     volumes_to_json(tokens, f"{OUT}/json", num_buckets=4)
     back = read_json_volumes(f"{OUT}/json")
