@@ -354,6 +354,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
 
+    def q_props_extract(sf):
+        """Semi-structured projection: pull the integer field k out of the
+        events' JSON props column, vectorized (no per-row json.loads)."""
+        import pyarrow.compute as pc
+
+        def fn(t: pa.Table) -> pa.Table:
+            k = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+            kk = pc.cast(pc.struct_field(k, "k"), pa.int64())
+            return pa.table({"event_id": t.column("event_id"), "k": kk})
+
+        return _events(sf, ["event_id", "props"]).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
     def q_join_embeddings(sf):
         """Large×large equi-join via Ray Data's native hash join
         (Dataset.join, hash-partitioned on the key) — the both-sides-large
@@ -466,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": q_sample,
         "docs_with_source_stats": q_source_stats,
         "docs_join_embeddings": q_join_embeddings,
+        "props_extract": q_props_extract,
     }
 
 
@@ -783,6 +798,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_join_embeddings": """
             SELECT d.doc_id, d.lang, d.n_chars, e.label
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
+        "props_extract": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events""",
         # dedup_minhash / dedup_simhash / ann_lsh_topk: non-SQL-expressible
         # (hash-sketch ops) -> rows-only check by the driver.
     }

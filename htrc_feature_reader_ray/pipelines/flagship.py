@@ -86,17 +86,20 @@ def windowed_features(snap_feats, *, gap: str = SESSION_GAP, num_buckets: int = 
 
 def source_stats_table(sf_dir: str) -> pd.DataFrame:
     """Small per-source dimension table (broadcast side of the
-    metadata↔features join): avg document length per source."""
-    agg = (
-        ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
-        )
-        .groupby("source")
-        .mean("n_chars")
-        .to_pandas()
-    )
-    col = [c for c in agg.columns if c != "source"][0]
-    return agg.rename(columns={col: "src_avg_chars"})
+    metadata↔features join): avg document length per source.
+
+    Computed driver-side (pyarrow read of a few-MB dimension table): a
+    dimension-table aggregate is not worth a Ray execution of its own — the
+    broadcast join is the distributed part. (Sum of int64 then one division
+    is exact, matching DuckDB avg.)"""
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    ).to_pandas()
+    g = df.groupby("source")["n_chars"]
+    out = (g.sum() / g.count()).rename("src_avg_chars").reset_index()
+    return out
 
 
 def flagship_from_lake(lake_dir: str, sf_dir: str, *, num_buckets: int = 32,
