@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- chunking (SURVEY §2.4) --
         "chunk_even_events": q_chunk_events("even"),
         "chunk_last_events": q_chunk_events("last"),
+        "chunk_ends_events": q_chunk_events("ends"),
         "chunked_tokenlist": q_chunked_tokenlist,
         "chunk_bounds": q_chunk_bounds,
         "chunk_embeddings": q_chunk_embeddings,
@@ -680,6 +681,22 @@ def oracle_sql() -> dict[str, str]:
         "chunk_even_events": CHUNK_EVENTS_PRE + f""",
             lab AS (
               SELECT user_id, wt, {CHUNK_EVEN_RAW} AS raw FROM p
+            ), d AS (
+              SELECT user_id, wt,
+                     dense_rank() OVER (PARTITION BY user_id ORDER BY raw)
+                         AS chunk
+              FROM lab
+            )
+            SELECT user_id, chunk::BIGINT AS chunk,
+                   count(*)::BIGINT AS n_units, sum(wt)::BIGINT AS weight_sum
+            FROM d GROUP BY 1, 2""",
+        "chunk_ends_events": CHUNK_EVENTS_PRE + """,
+            lab AS (
+              SELECT user_id, wt,
+                     least(nchunks - 1, greatest(0,
+                       floor((cum - wt / 2.0 - (total - nchunks * 50) / 2.0)
+                             / 50.0))) AS raw
+              FROM p
             ), d AS (
               SELECT user_id, wt,
                      dense_rank() OVER (PARTITION BY user_id ORDER BY raw)

@@ -49,12 +49,34 @@ def chunk_labels_last(weights: np.ndarray, target: float) -> np.ndarray:
     return _dense_rank(raw)
 
 
+def chunk_labels_ends(weights: np.ndarray, target: float) -> np.ndarray:
+    """Ends-absorb strategy (the reference's ``chunk_ends``,
+    transformations.py:53-54): interior chunks are exactly ``target``-sized
+    cuts; the total's overflow is split between the FIRST and LAST chunks by
+    shifting the cut grid half the overflow inward."""
+    w = np.asarray(weights, dtype=np.float64)
+    total = w.sum()
+    if total <= 0:
+        return np.ones(len(w), dtype=np.int64)
+    n_chunks = max(1.0, np.floor(total / target + 0.5))
+    overflow = total - n_chunks * target
+    shift = overflow / 2.0
+    cum = np.cumsum(w)
+    raw = np.floor((cum - w / 2.0 - shift) / float(target))
+    raw = np.minimum(n_chunks - 1, np.maximum(0.0, raw))
+    return _dense_rank(raw)
+
+
 def _dense_rank(raw: np.ndarray) -> np.ndarray:
     _, inv = np.unique(raw, return_inverse=True)
     return (inv + 1).astype(np.int64)
 
 
-STRATEGIES = {"even": chunk_labels_even, "last": chunk_labels_last}
+STRATEGIES = {
+    "even": chunk_labels_even,
+    "last": chunk_labels_last,
+    "ends": chunk_labels_ends,
+}
 
 
 def _labels_grouped(df: pd.DataFrame, key, weight_col, target, strategy) -> np.ndarray:
@@ -70,6 +92,11 @@ def _labels_grouped(df: pd.DataFrame, key, weight_col, target, strategy) -> np.n
         raw = np.minimum(n_chunks - 1, np.floor((cum - w / 2.0) * n_chunks / total))
     elif strategy == "last":
         raw = np.floor((cum - w) / float(target))
+    elif strategy == "ends":
+        n_chunks = np.maximum(1.0, np.floor(total / target + 0.5))
+        shift = (total - n_chunks * target) / 2.0
+        raw = np.floor((cum - w / 2.0 - shift) / float(target))
+        raw = np.minimum(n_chunks - 1, np.maximum(0.0, raw))
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     # dense-rank raw within each key (raw is monotone within a key)

@@ -4,6 +4,7 @@ import pyarrow as pa
 import ray.data
 
 from htrc_feature_reader_ray.stages.chunk import (
+    chunk_labels_ends,
     chunk_labels_even,
     chunk_labels_last,
     chunk_units,
@@ -30,6 +31,22 @@ def test_last_uniform_perfect_split():
     s = sizes(labels, np.ones(1000))
     assert len(s) == 10
     assert (s == 100).all()
+
+
+def test_ends_uniform_and_overflow():
+    # perfect split: behaves like the other strategies
+    labels = chunk_labels_ends(np.ones(1000), 100)
+    s = sizes(labels, np.ones(1000))
+    assert len(s) == 10 and (s == 100).all()
+    # overflow of 40 splits between the first and last chunks (~20 each);
+    # interior chunks stay exactly at target
+    w = np.ones(1040)
+    labels = chunk_labels_ends(w, 100)
+    s = sizes(labels, w)
+    assert len(s) == 10
+    assert (s.iloc[1:-1] == 100).all()
+    assert s.iloc[0] + s.iloc[-1] == 240
+    assert abs(s.iloc[0] - s.iloc[-1]) <= 1
 
 
 def test_even_giant_last_page_terminates_bounded():
