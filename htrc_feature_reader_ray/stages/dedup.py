@@ -168,15 +168,20 @@ def jaccard(tokens_a: list[str], tokens_b: list[str], k: int) -> float:
 def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         k_shingle: int = 3, num_perm: int = 64,
                         bands: int = 16, threshold: float = 0.5,
-                        concurrency=(1, 8)):
+                        concurrency=(1, 8), verify: str = "auto",
+                        broadcast_limit: int = 1_000_000):
     """Near-duplicate pairs via MinHash-LSH: signature (actor pool) → band
     explode → band groupby → candidate pairs → exact n-gram-Jaccard verify.
 
-    Verification fetches texts via a broadcast (ray.put) id→tokens map — valid
-    while the corpus's token lists fit the object store; at 100 TB swap the
-    broadcast for a hash-bucket join of pairs against the documents table
-    (same verify kernel per bucket). Returns (doc_a, doc_b, jaccard) with
-    doc_a < doc_b and jaccard >= threshold.
+    Verification strategies (``verify``):
+      * 'broadcast' — ray.put an id→tokens map once; valid while the corpus
+        token lists fit the object store (fastest at small scale);
+      * 'join' — the 100 TB path: candidate pairs are hash-JOINED back to the
+        documents table twice (doc_a side, doc_b side) so only candidate
+        texts move, then Jaccard is computed per batch;
+      * 'auto' — 'join' when the corpus exceeds ``broadcast_limit`` rows.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
     band_rows = ds.map_batches(
         MinHasher,
@@ -210,27 +215,83 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
-    cand = bucketed_map_groups(
+    def dedupe_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["doc_a", "doc_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_bands"})
+        )
+        out["n_bands"] = out["n_bands"].astype(np.int64)
+        return out
+
+    pairs = bucketed_map_groups(
         band_rows, "band_hash", pairs_of_bucket, num_buckets=32
-    ).groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    )
+    # dedupe pairs found in multiple bands; bucketing on doc_a co-locates all
+    # occurrences of a pair (second bucketed pass rather than ds.groupby —
+    # Ray's Aggregate can emit schemaless empty blocks that break a
+    # downstream hash join in this version)
+    cand = bucketed_map_groups(pairs, "doc_a", dedupe_pairs, num_buckets=16)
 
-    docs_df = ds.select_columns([id_col, text_col]).to_pandas()
-    token_map = {
-        i: [t for t in s.split(" ") if t]
-        for i, s in zip(docs_df[id_col], docs_df[text_col])
-    }
-    tokens_ref = ray.put(token_map)
+    if verify == "auto":
+        verify = "join" if ds.count() > broadcast_limit else "broadcast"
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = ray.get(tokens_ref)
+    if verify == "broadcast":
+        docs_df = ds.select_columns([id_col, text_col]).to_pandas()
+        token_map = {
+            i: [t for t in s.split(" ") if t]
+            for i, s in zip(docs_df[id_col], docs_df[text_col])
+        }
+        tokens_ref = ray.put(token_map)
+
+        def check(batch: pd.DataFrame) -> pd.DataFrame:
+            toks = ray.get(tokens_ref)
+            jac = [
+                jaccard(toks[a], toks[b], k_shingle)
+                for a, b in zip(batch["doc_a"], batch["doc_b"])
+            ]
+            batch = batch.assign(jaccard=jac)
+            return batch[batch["jaccard"] >= threshold][
+                ["doc_a", "doc_b", "jaccard"]
+            ]
+
+        return cand.map_batches(check, batch_format="pandas")
+
+    # 'join' path: move only candidate texts via two partitioned hash joins
+    from htrc_feature_reader_ray.stages.partition import bucket_join
+
+    docs = ds.select_columns([id_col, text_col])
+
+    def rename(suffix):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([f"id_{suffix}", f"text_{suffix}"])
+
+        return fn
+
+    with_a = bucket_join(
+        cand, docs.map_batches(rename("a"), batch_format="pyarrow"),
+        left_key="doc_a", right_key="id_a", num_buckets=16,
+    )
+    with_ab = bucket_join(
+        with_a, docs.map_batches(rename("b"), batch_format="pyarrow"),
+        left_key="doc_b", right_key="id_b", num_buckets=16,
+    )
+
+    def check_joined(batch: pd.DataFrame) -> pd.DataFrame:
         jac = [
-            jaccard(toks[a], toks[b], k_shingle)
-            for a, b in zip(batch["doc_a"], batch["doc_b"])
+            jaccard(
+                [t for t in ta.split(" ") if t],
+                [t for t in tb.split(" ") if t],
+                k_shingle,
+            )
+            for ta, tb in zip(batch["text_a"], batch["text_b"])
         ]
         batch = batch.assign(jaccard=jac)
-        return batch[batch["jaccard"] >= threshold][["doc_a", "doc_b", "jaccard"]]
+        return batch[batch["jaccard"] >= threshold][
+            ["doc_a", "doc_b", "jaccard"]
+        ]
 
-    return cand.map_batches(verify, batch_format="pandas")
+    return with_ab.map_batches(check_joined, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

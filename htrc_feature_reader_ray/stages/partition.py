@@ -46,6 +46,88 @@ def salt_column(ds, *, num_salts: int, name: str = "_salt"):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def bucket_join(left_ds, right_ds, *, left_key: str, right_key: str,
+                num_buckets: int = 32, how: str = "inner"):
+    """Explicit partitioned hash join: tag + schema-align + union both sides,
+    hash-bucket on the join key, pandas-merge inside each bucket.
+
+    This is the portable join pattern (one co-partitioning exchange) used
+    where Ray's native ``Dataset.join`` can't be (its hash-shuffle
+    aggregator rejects the schemaless empty blocks Ray groupbys may emit in
+    this version). Right-side columns keep their names; the right key column
+    is dropped from the output.
+    """
+    import pandas as pd
+
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    r_carry = [c for c in r_names if c != right_key]
+    overlap = set(r_carry) & set(l_names)
+    if overlap:
+        raise ValueError(f"right columns clash with left: {sorted(overlap)}")
+    def _arrow_type(t):
+        # Ray reports pandas-block schemas with numpy/python types
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (str, object) or str(t) == "object":
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    types = {n: _arrow_type(t) for n, t in zip(l_schema.names, l_schema.types)}
+    types.update(
+        {n: _arrow_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+    )
+    all_cols = l_names + r_carry
+
+    def align(side: int, key_src: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for c in all_cols:
+                if c in batch.column_names:
+                    cols[c] = batch.column(c)
+                elif c == key_src and right_key in batch.column_names:
+                    cols[c] = batch.column(right_key)
+                else:
+                    cols[c] = pa.nulls(n, type=types[c])
+            # right rows carry their key in the LEFT key column for bucketing
+            if side == 1:
+                cols[left_key] = batch.column(right_key).cast(types[left_key])
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    unioned = left_ds.map_batches(align(0, left_key), batch_format="pyarrow").union(
+        right_ds.map_batches(align(1, left_key), batch_format="pyarrow")
+    )
+
+    def _restore_ints(frame: pd.DataFrame, cols) -> pd.DataFrame:
+        # the union pads each side's missing columns with nulls, which turns
+        # pandas int columns float; cast back once the sides are split
+        for c in cols:
+            if pa.types.is_integer(types[c]) and frame[c].notna().all():
+                frame[c] = frame[c].astype("int64")
+        return frame
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = _restore_ints(df[df["_side"] == 0][l_names].copy(), l_names)
+        right = df[df["_side"] == 1][[left_key] + r_carry].rename(
+            columns={left_key: right_key}
+        )
+        right = _restore_ints(
+            right.copy(), [right_key] + [c for c in r_carry]
+        )
+        return left.merge(
+            right, how=how, left_on=left_key, right_on=right_key
+        ).drop(columns=[right_key] if right_key != left_key else [])
+
+    return bucketed_map_groups(unioned, left_key, per_bucket,
+                               num_buckets=num_buckets)
+
+
 def bucketed_map_groups(ds, key, fn, *, num_buckets: int, drop_bucket: bool = True):
     """Co-partition ``ds`` on ``hash(key)`` buckets and run ``fn`` (pandas
     DataFrame -> DataFrame) once per bucket. This is the engine's substrate

@@ -65,6 +65,53 @@ def test_minhash_dedup_pairs_finds_near_dups():
     assert (pairs["jaccard"] >= 0.5).all()
 
 
+def test_minhash_join_verify_matches_broadcast():
+    """The 100TB verify path (bucket joins) equals the broadcast path."""
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},
+        {"doc_id": 3, "text": base.replace("w10", "xx")},
+        {"doc_id": 4, "text": " ".join(f"z{i}" for i in range(60))},
+    ]
+    ds = ray.data.from_items(docs)
+    out = {}
+    for mode in ("broadcast", "join"):
+        p = minhash_dedup_pairs(ds, threshold=0.5, concurrency=2,
+                                verify=mode).to_pandas()
+        out[mode] = sorted(
+            (int(a), int(b), round(j, 9))
+            for a, b, j in zip(p.doc_a, p.doc_b, p.jaccard)
+        )
+    assert out["broadcast"] == out["join"]
+
+
+def test_bucket_join_matches_pandas_merge():
+    from htrc_feature_reader_ray.stages.partition import bucket_join
+
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({"k": rng.randint(0, 40, 300), "x": np.arange(300)})
+    right = pd.DataFrame({"rk": np.arange(40), "y": np.arange(40) * 2})
+    got = (
+        bucket_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            left_key="k", right_key="rk", num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    expect = (
+        left.merge(right, left_on="k", right_on="rk")
+        .drop(columns=["rk"])
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    assert got[["k", "x", "y"]].astype("int64").equals(
+        expect[["k", "x", "y"]].astype("int64")
+    )
+
+
 def test_simhash_properties():
     base = " ".join(f"w{i}" for i in range(100))
     near = base.replace("w5", "aa").replace("w50", "bb")
