@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from htrc_feature_reader_ray.sources.pages import read_pages
     from htrc_feature_reader_ray.stages.chunk import chunk_units, chunked_tokenlist
     from htrc_feature_reader_ray.stages.dedup import (
+        embedding_dedup_pairs,
         exact_dedup,
         minhash_dedup_pairs,
         simhash,
@@ -471,6 +472,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), threshold=0.5, concurrency=(1, 4)
         ),
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
+        "dedup_embedding_cosine": lambda sf: embedding_dedup_pairs(
+            __import__("ray.data", fromlist=["data"]).read_parquet(
+                f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            threshold=0.4,
+        ),
         "ann_cosine_topk": q_ann,
         "ann_lsh_topk": q_ann_lsh,
         "token_count": lambda sf: token_count(_docs(sf)),
@@ -770,6 +777,12 @@ def oracle_sql() -> dict[str, str]:
                        AS text_md5,
                    min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
             FROM documents GROUP BY 1""",
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4""",
         "ann_cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -295,6 +295,54 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+
+
+def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Near-duplicate pairs by embedding cosine similarity: all (a < b) pairs
+    with cos(a, b) >= threshold.
+
+    Physical shape: the normalized matrix is broadcast once (``ray.put``) and
+    each batch does one matmul against it — O(N·B) per batch, no shuffle. At
+    corpus scale, pre-bucket by hyperplane LSH (similarity.HyperplaneLSH) and
+    run this kernel per bucket; the small-side broadcast here is the
+    exact-baseline variant. Scoring in float64.
+    """
+    import pandas as pd
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    full = full.sort_values(id_col).reset_index(drop=True)
+    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ids = full[id_col].to_numpy().astype(np.int64)
+    ref = ray.put((mat, ids))
+
+    def find(batch: pa.Table) -> pa.Table:
+        m, all_ids = ray.get(ref)
+        vecs = np.stack(
+            batch.column(vec_col).to_pandas().to_numpy()
+        ).astype(np.float64)
+        vn = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300
+        )
+        bids = batch.column(id_col).to_numpy().astype(np.int64)
+        sims = vn @ m.T  # (b, N)
+        keep = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+        bi, ni = np.nonzero(keep)
+        return pa.table(
+            {
+                "id_a": pa.array(bids[bi], type=pa.int64()),
+                "id_b": pa.array(all_ids[ni], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(find, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 
 
