@@ -329,6 +329,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["vec_id", "embedding"])
         return lsh_topk(ds, q, k=10, nbits=6, query_ids=qdf["vec_id"].to_numpy())
 
+    def q_dedup_emb(sf):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return embedding_dedup_pairs(ds, threshold=0.4)
+
     def q_sample(sf):
         """Deterministic 1-in-8 sample by doc_id hash — reproducible sampling
         (ds.random_sample is seed-dependent across cluster shapes; a hash
@@ -472,12 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), threshold=0.5, concurrency=(1, 4)
         ),
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
-        "dedup_embedding_cosine": lambda sf: embedding_dedup_pairs(
-            __import__("ray.data", fromlist=["data"]).read_parquet(
-                f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
-            ),
-            threshold=0.4,
-        ),
+        "dedup_embedding_cosine": q_dedup_emb,
         "ann_cosine_topk": q_ann,
         "ann_lsh_topk": q_ann_lsh,
         "token_count": lambda sf: token_count(_docs(sf)),

@@ -309,25 +309,31 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
     run this kernel per bucket; the small-side broadcast here is the
     exact-baseline variant. Scoring in float64.
     """
-    import pandas as pd
+    from htrc_feature_reader_ray.stages.similarity import _as_matrix, _normalize
 
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    full = full.sort_values(id_col).reset_index(drop=True)
-    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
-    ids = full[id_col].to_numpy().astype(np.int64)
+    full = ds.select_columns([id_col, vec_col]).materialize()
+    full_tbl = pa.concat_tables(
+        [b for b in full.iter_batches(batch_format="pyarrow", batch_size=None)]
+    )
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+        }
+    )
+    if full_tbl.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    mat = _normalize(_as_matrix(full_tbl.column(vec_col)))
+    ids = full_tbl.column(id_col).to_numpy().astype(np.int64)
     ref = ray.put((mat, ids))
 
     def find(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
         m, all_ids = ray.get(ref)
-        vecs = np.stack(
-            batch.column(vec_col).to_pandas().to_numpy()
-        ).astype(np.float64)
-        vn = vecs / np.maximum(
-            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300
-        )
+        vn = _normalize(_as_matrix(batch.column(vec_col)))
         bids = batch.column(id_col).to_numpy().astype(np.int64)
         sims = vn @ m.T  # (b, N)
         keep = (sims >= threshold) & (bids[:, None] < all_ids[None, :])

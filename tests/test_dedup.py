@@ -112,6 +112,28 @@ def test_bucket_join_matches_pandas_merge():
     )
 
 
+def test_embedding_dedup_pairs_exact():
+    from htrc_feature_reader_ray.stages.dedup import embedding_dedup_pairs
+    import pyarrow as pa
+
+    v = np.array([1.0, 0.0, 0.0])
+    vecs = [v, v * 3.0, np.array([0.0, 1.0, 0.0]),
+            np.array([0.9, 0.1, 0.0])]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "embedding": pa.array([list(x) for x in vecs],
+                                  type=pa.list_(pa.float64())),
+        }
+    )
+    out = embedding_dedup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.95
+    ).to_pandas()
+    got = sorted(map(tuple, out[["id_a", "id_b"]].values))
+    # cos(1,2)=1; cos(1,4)=0.9939 >= .95; cos(2,4) same; others below
+    assert got == [(1, 2), (1, 4), (2, 4)]
+
+
 def test_simhash_properties():
     base = " ".join(f"w{i}" for i in range(100))
     near = base.replace("w5", "aa").replace("w50", "bb")
