@@ -38,11 +38,15 @@ class EngineConfig:
         cfg._apply(env)
         return cfg
 
+    _INT_FIELDS = frozenset(
+        {"num_buckets", "extract_batch_size", "chunk_target", "snapshot_mult"}
+    )
+
     def _apply(self, overrides: dict) -> None:
         for f in fields(self):
             if f.name in overrides and overrides[f.name] is not None:
                 raw = overrides[f.name]
-                if f.type in ("int", int) or isinstance(getattr(self, f.name), int):
+                if f.name in self._INT_FIELDS:
                     try:
                         raw = int(raw)
                     except (TypeError, ValueError):

@@ -68,12 +68,19 @@ def parse_volume_batch(batch: pa.Table) -> pa.Table:
     Collected into flat Python lists then one Arrow conversion per batch —
     the JSON walk itself is irreducibly per-document (reference hits the same
     wall, README.md:1082's GIL note; here each batch is a separate task)."""
+    import warnings
+
     urls, tss, sects, toks, poss, counts = [], [], [], [], [], []
     for doc_str in batch.column("doc").to_pylist():
         doc = json.loads(doc_str)
         if doc.get("schemaVersion") != SCHEMA_VERSION:
-            # tolerate, like the reference's version-mismatch warning
-            pass
+            # tolerate but surface, like the reference's version-mismatch
+            # warning (parsers.py:197-202)
+            warnings.warn(
+                f"jsonvol schema version mismatch: "
+                f"{doc.get('schemaVersion')!r} != {SCHEMA_VERSION!r}",
+                stacklevel=2,
+            )
         url = doc["url"]
         for snap in doc["snapshots"]:
             ts = snap["warc_ts"]

@@ -169,7 +169,8 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         k_shingle: int = 3, num_perm: int = 64,
                         bands: int = 16, threshold: float = 0.5,
                         concurrency=(1, 8), verify: str = "auto",
-                        broadcast_limit: int = 1_000_000):
+                        broadcast_limit: int = 1_000_000,
+                        corpus_rows: int | None = None):
     """Near-duplicate pairs via MinHash-LSH: signature (actor pool) → band
     explode → band groupby → candidate pairs → exact n-gram-Jaccard verify.
 
@@ -179,7 +180,9 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
       * 'join' — the 100 TB path: candidate pairs are hash-JOINED back to the
         documents table twice (doc_a side, doc_b side) so only candidate
         texts move, then Jaccard is computed per batch;
-      * 'auto' — 'join' when the corpus exceeds ``broadcast_limit`` rows.
+      * 'auto' — 'join' when the corpus exceeds ``broadcast_limit`` rows;
+        pass ``corpus_rows`` when known to avoid the sizing ``ds.count()``
+        (which re-executes a non-trivial upstream pipeline).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
@@ -234,7 +237,8 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     cand = bucketed_map_groups(pairs, "doc_a", dedupe_pairs, num_buckets=16)
 
     if verify == "auto":
-        verify = "join" if ds.count() > broadcast_limit else "broadcast"
+        n = corpus_rows if corpus_rows is not None else ds.count()
+        verify = "join" if n > broadcast_limit else "broadcast"
 
     if verify == "broadcast":
         docs_df = ds.select_columns([id_col, text_col]).to_pandas()

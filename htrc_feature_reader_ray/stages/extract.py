@@ -328,6 +328,11 @@ def line_chars(extracted_ds, *, section: str = "all", place: str = "all"):
     groups are batch-complete structurally — shuffle-free."""
     import pandas as pd
 
+    if section not in SECTIONS and section not in ("all", "group"):
+        raise ValueError(f"invalid section argument: {section!r}")
+    if place not in ("begin", "end", "all", "group"):
+        raise ValueError(f"invalid place argument: {place!r}")
+
     keys = ["url", "warc_ts"]
     if section in SECTIONS or section == "all":
         keys.append("section")

@@ -22,8 +22,10 @@ import ray
 def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(n, -1)
 
 
@@ -48,7 +50,17 @@ def cosine_topk(ds, query_matrix: np.ndarray, *, k: int = 10,
     )
     q_ref = ray.put((q, qids))
 
+    empty_out = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+        }
+    )
+
     def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_out
         qm, qi = ray.get(q_ref)
         vecs = _normalize(_as_matrix(batch.column(vec_col)))
         ids = batch.column(id_col).to_numpy()
@@ -108,7 +120,17 @@ def lsh_topk(ds, query_matrix: np.ndarray, *, k: int = 10, nbits: int = 8,
     )
     ref = ray.put((qn, qids, q_buckets))
 
+    empty_out = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+        }
+    )
+
     def local(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_out
         qm, qi, qb = ray.get(ref)
         vecs = _as_matrix(batch.column(vec_col))
         ids = batch.column(id_col).to_numpy()

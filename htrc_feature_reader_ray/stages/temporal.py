@@ -238,17 +238,19 @@ def tumbling_window(ds, *, key, ts, width, sum_cols=(), count_col: str = "n_even
     return partials.groupby([key, "window_start"]).aggregate(*aggs)
 
 
-def make_time_grid(keys, *, start, end, step) -> pd.DataFrame:
+def make_time_grid(keys, *, start, end, step, key_col: str = "user_id",
+                   ts_col: str = "ts") -> pd.DataFrame:
     """Deterministic (key × timestamp) grid for backfill: every key at every
-    step in [start, end]."""
+    step in [start, end]. Column names follow ``key_col``/``ts_col`` so the
+    grid composes with any as-of key."""
     ts = pd.date_range(start=start, end=end, freq=step).values.astype(
         "datetime64[us]"
     )  # µs — the engine-wide timestamp unit (matches parquet/DuckDB)
     keys = list(keys)
     return pd.DataFrame(
         {
-            "user_id": np.repeat(np.asarray(keys), len(ts)),
-            "ts": np.tile(ts, len(keys)),
+            key_col: np.repeat(np.asarray(keys), len(ts)),
+            ts_col: np.tile(ts, len(keys)),
         }
     )
 

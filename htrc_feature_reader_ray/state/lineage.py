@@ -62,22 +62,25 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
     bucketed.write_parquet(tmp, partition_cols=["bucket"])
     t_written = time.time()
 
-    counts = (
-        ray.data.read_parquet(tmp)
-        .groupby("bucket")
-        .count()
-        .to_pandas()
-        .set_index("bucket")["count()"]
-        .to_dict()
-    )
-    bytes_per_bucket = {}
+    # counts from parquet footers in the same directory walk as byte sizes —
+    # no second scan of the written data
+    import pyarrow.parquet as pq
+
+    counts: dict = {}
+    bytes_per_bucket: dict = {}
     for name in os.listdir(tmp):
         if name.startswith("bucket="):
-            total = sum(
-                os.path.getsize(os.path.join(tmp, name, f))
-                for f in os.listdir(os.path.join(tmp, name))
-            )
-            bytes_per_bucket[name.split("=", 1)[1]] = total
+            bid = name.split("=", 1)[1]
+            total_bytes = 0
+            total_rows = 0
+            bdir = os.path.join(tmp, name)
+            for f in os.listdir(bdir):
+                fp = os.path.join(bdir, f)
+                total_bytes += os.path.getsize(fp)
+                if f.endswith(".parquet"):
+                    total_rows += pq.ParquetFile(fp).metadata.num_rows
+            bytes_per_bucket[bid] = total_bytes
+            counts[bid] = total_rows
     row_count = int(sum(counts.values()))
     manifest = {
         "key": key,
