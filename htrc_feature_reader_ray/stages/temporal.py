@@ -209,6 +209,124 @@ def sessionize(ds, *, key, ts, gap, tiebreak=None, num_buckets: int = 32,
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
 
 
+def sessionize_sorted(ds, *, key, ts, gap, tiebreak=None):
+    """Split-merge sessionization over a GLOBALLY SORTED dataset — the
+    hot-key-safe variant (north rule: per-key split-merge): no key's rows
+    ever need to be co-resident in one worker.
+
+    Plan (sort → local pass → tiny driver merge → broadcast fix-up):
+      1. ``ds.sort([key, ts])`` range-partitions the stream; each block is a
+         contiguous (key, ts) run, so a key may SPAN blocks.
+      2. Pass 1 (per block): local session labels + a boundary summary
+         (first/last key+ts, local session count), keyed by the block's
+         first row (unique given the sort).
+      3. Driver: order the (tiny, one-per-block) summaries, decide for each
+         block a session-id offset and whether its first local session
+         continues the previous block's last session (same key and gap not
+         exceeded across the boundary).
+      4. Pass 2 (per block): relabel ``session_id`` with the broadcast
+         offsets. Row order/partitioning untouched.
+
+    Session ids are globally consecutive per key (1-based), identical to
+    :func:`sessionize`.
+    """
+    gap_td = pd.Timedelta(gap)
+    sort_cols = [key, ts] + ([tiebreak] if tiebreak else [])
+    sorted_ds = ds.sort(sort_cols).materialize()
+
+    def local_pass(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-key 1-based local session ids within one sorted block."""
+        prev_key = df[key].shift(1)
+        prev_ts = df[ts].shift(1)
+        new_sess = (df[key] != prev_key) | (df[ts] - prev_ts > gap_td)
+        run = new_sess.cumsum()
+        df = df.copy()
+        base = run.groupby(df[key].to_numpy(), sort=False).transform("min")
+        df["session_id"] = (run - base + 1).astype(np.int64)
+        return df
+
+    def summary_pass(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in (
+                    ("first_key", object), ("first_ts", "datetime64[us]"),
+                    ("first_tie", object),
+                    ("last_key", object), ("last_ts", "datetime64[us]"),
+                    ("first_key_sessions", "int64"),
+                    ("last_key_sessions", "int64"),
+                )}
+            )
+        d = local_pass(df)
+        first, last = d.iloc[0], d.iloc[-1]
+        return pd.DataFrame(
+            {
+                "first_key": [first[key]],
+                "first_ts": [first[ts]],
+                "first_tie": [first[tiebreak] if tiebreak else 0],
+                "last_key": [last[key]],
+                "last_ts": [last[ts]],
+                "first_key_sessions": [
+                    int(d.loc[d[key] == first[key], "session_id"].max())
+                ],
+                "last_key_sessions": [
+                    int(d.loc[d[key] == last[key], "session_id"].max())
+                ],
+            }
+        )
+
+    summaries = (
+        sorted_ds.map_batches(summary_pass, batch_format="pandas",
+                              batch_size=None)
+        .to_pandas()
+        .sort_values(["first_key", "first_ts", "first_tie"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    # Driver-side stitch over the tiny one-row-per-block summaries. Only the
+    # boundary key can span adjacent blocks in a sorted dataset, so a single
+    # (carry_key, carry_sessions, carry_last_ts) state suffices. off(block) is
+    # added to the session ids of the block's FIRST key: previous blocks'
+    # session count for that key, minus 1 when the boundary gap is within
+    # ``gap`` (the two local sessions are one session).
+    offsets: dict = {}
+    carry_key = None
+    carry_sessions = 0
+    carry_last_ts = None
+    for _, row in summaries.iterrows():
+        bkey = (row["first_key"], row["first_ts"], row["first_tie"])
+        if row["first_key"] == carry_key:
+            cont = (row["first_ts"] - carry_last_ts) <= gap_td
+            off = carry_sessions - (1 if cont else 0)
+        else:
+            off = 0
+        offsets[bkey] = off
+        if row["last_key"] == row["first_key"]:
+            carry_sessions = off + int(row["first_key_sessions"])
+        else:
+            carry_sessions = int(row["last_key_sessions"])
+        carry_key = row["last_key"]
+        carry_last_ts = row["last_ts"]
+
+    off_ref = ray.put(offsets)
+
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(session_id=pd.Series(dtype="int64"))
+        offs = ray.get(off_ref)
+        d = local_pass(df)
+        first = d.iloc[0]
+        off = offs.get(
+            (first[key], first[ts], first[tiebreak] if tiebreak else 0), 0
+        )
+        if off:
+            mask = d[key] == d.iloc[0][key]
+            d.loc[mask, "session_id"] = d.loc[mask, "session_id"] + off
+        return d
+
+    return sorted_ds.map_batches(relabel, batch_format="pandas",
+                                 batch_size=None)
+
+
 def tumbling_window(ds, *, key, ts, width, sum_cols=(), count_col: str = "n_events"):
     """Fixed-width event-time windows with exact (integer) aggregates.
 

@@ -1,0 +1,50 @@
+"""Split-merge sessionization over sorted blocks must equal the bucketed
+sessionizer — including when one hot key spans many blocks."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from htrc_feature_reader_ray.stages.temporal import sessionize, sessionize_sorted
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _compare(ds, *, gap, tiebreak):
+    a = (
+        sessionize(ds, key="user_id", ts="ts", gap=gap, tiebreak=tiebreak,
+                   num_buckets=8, aggregate=False)
+        .to_pandas()
+        .sort_values(["user_id", "ts"] + ([tiebreak] if tiebreak else []))
+        .reset_index(drop=True)
+    )
+    b = (
+        sessionize_sorted(ds, key="user_id", ts="ts", gap=gap,
+                          tiebreak=tiebreak)
+        .to_pandas()
+        .sort_values(["user_id", "ts"] + ([tiebreak] if tiebreak else []))
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert a["session_id"].tolist() == b["session_id"].tolist()
+
+
+def test_sorted_equals_bucketed_on_events():
+    ds = ray.data.read_parquet(EVENTS, columns=["event_id", "user_id", "ts"])
+    _compare(ds, gap="30m", tiebreak="event_id")
+
+
+def test_sorted_handles_hot_key_spanning_blocks():
+    rng = np.random.RandomState(3)
+    n = 5000
+    # one user owns 80% of events; many tiny blocks force the hot key to
+    # span block boundaries repeatedly
+    user = np.where(rng.rand(n) < 0.8, 7, rng.randint(0, 20, n))
+    ts = pd.to_datetime(
+        np.sort(rng.randint(0, 10**6, n)), unit="s"
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {"event_id": np.arange(n), "user_id": user, "ts": ts}
+    )
+    ds = ray.data.from_pandas(df).repartition(40)
+    _compare(ds, gap="5m", tiebreak="event_id")
