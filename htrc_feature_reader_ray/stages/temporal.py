@@ -175,6 +175,92 @@ def lag_lead(ds, *, key, ts, cols, n: int = 1, tiebreak=None,
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
 
 
+def lag_lead_sorted(ds, *, key, ts, cols, tiebreak=None):
+    """Hot-key-safe lag/lead (n=1) over sorted range partitions — the
+    split-merge sibling of :func:`sessionize_sorted`: per-block vectorized
+    shifts, plus a boundary exchange of each block's edge rows so the first
+    row's lag / last row's lead read across block boundaries."""
+    sort_cols = [key, ts] + ([tiebreak] if tiebreak else [])
+    sorted_ds = ds.sort(sort_cols).materialize()
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = {"pos": pd.Series(dtype=object),
+                   "edge_key": pd.Series(dtype=object)}
+            for c in cols:
+                out[f"edge_{c}"] = pd.Series(dtype=object)
+            out["bkey"] = pd.Series(dtype=object)
+            return pd.DataFrame(out)
+        first, last = df.iloc[0], df.iloc[-1]
+        bkey = (first[key], first[ts], first[tiebreak] if tiebreak else 0)
+        rows = []
+        for pos, edge in (("first", first), ("last", last)):
+            rows.append(
+                {"pos": pos, "edge_key": edge[key],
+                 **{f"edge_{c}": edge[c] for c in cols}, "bkey": [bkey]}
+            )
+        return pd.DataFrame(rows)
+
+    summaries = sorted_ds.map_batches(
+        edges, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    summaries["bkey"] = summaries["bkey"].apply(lambda x: x[0] if isinstance(x, list) else x)
+    firsts = summaries[summaries["pos"] == "first"].sort_values(
+        "bkey", key=lambda s: s.map(lambda t: t)
+    )
+    # order blocks by their first row's sort key
+    order = sorted(
+        firsts.to_dict("records"), key=lambda r: r["bkey"]
+    )
+    lasts = {
+        r["bkey"]: r
+        for r in summaries[summaries["pos"] == "last"].to_dict("records")
+    }
+    # neighbor maps: for each block, the previous block's last row and the
+    # next block's first row (for lag and lead respectively)
+    prev_map: dict = {}
+    next_map: dict = {}
+    for i, rec in enumerate(order):
+        bkey = rec["bkey"]
+        if i > 0:
+            prev_rec = lasts[order[i - 1]["bkey"]]
+            if prev_rec["edge_key"] == rec["edge_key"]:
+                prev_map[bkey] = prev_rec
+        if i + 1 < len(order):
+            nxt = order[i + 1]
+            this_last = lasts[bkey]
+            if nxt["edge_key"] == this_last["edge_key"]:
+                next_map[bkey] = nxt
+    ref = ray.put((prev_map, next_map))
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            for c in cols:
+                df[f"lag_{c}"] = pd.Series(dtype="float64")
+                df[f"lead_{c}"] = pd.Series(dtype="float64")
+            return df
+        pm, nm = ray.get(ref)
+        df = df.copy()
+        g = df.groupby(key, sort=False)
+        for c in cols:
+            df[f"lag_{c}"] = g[c].shift(1)
+            df[f"lead_{c}"] = g[c].shift(-1)
+        first = df.iloc[0]
+        bkey = (first[key], first[ts], first[tiebreak] if tiebreak else 0)
+        if bkey in pm:
+            for c in cols:
+                df.iloc[0, df.columns.get_loc(f"lag_{c}")] = pm[bkey][f"edge_{c}"]
+        if bkey in nm:
+            last_idx = len(df) - 1
+            for c in cols:
+                df.iloc[last_idx, df.columns.get_loc(f"lead_{c}")] = nm[bkey][
+                    f"edge_{c}"
+                ]
+        return df
+
+    return sorted_ds.map_batches(apply, batch_format="pandas", batch_size=None)
+
+
 def sessionize(ds, *, key, ts, gap, tiebreak=None, num_buckets: int = 32,
                aggregate: bool = False, count_col: str = "n_events"):
     """Gap-based sessionization: a new session starts when the time since the

@@ -34,6 +34,35 @@ def test_sorted_equals_bucketed_on_events():
     _compare(ds, gap="30m", tiebreak="event_id")
 
 
+def test_lag_lead_sorted_equals_bucketed():
+    from htrc_feature_reader_ray.stages.temporal import lag_lead, lag_lead_sorted
+
+    rng = np.random.RandomState(9)
+    n = 3000
+    user = np.where(rng.rand(n) < 0.7, 3, rng.randint(0, 10, n))
+    ts = pd.to_datetime(
+        np.sort(rng.randint(0, 10**6, n)), unit="s"
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {"event_id": np.arange(n), "user_id": user, "ts": ts,
+         "value": rng.standard_normal(n)}
+    )
+    ds = ray.data.from_pandas(df).repartition(25)
+    key_cols = ["user_id", "ts", "event_id"]
+    a = (
+        lag_lead(ds, key="user_id", ts="ts", cols=["value"],
+                 tiebreak="event_id", num_buckets=8)
+        .to_pandas().sort_values(key_cols).reset_index(drop=True)
+    )
+    b = (
+        lag_lead_sorted(ds, key="user_id", ts="ts", cols=["value"],
+                        tiebreak="event_id")
+        .to_pandas().sort_values(key_cols).reset_index(drop=True)
+    )
+    for c in ("lag_value", "lead_value"):
+        assert np.allclose(a[c].fillna(-9e9), b[c].fillna(-9e9))
+
+
 def test_sorted_handles_hot_key_spanning_blocks():
     rng = np.random.RandomState(3)
     n = 5000
