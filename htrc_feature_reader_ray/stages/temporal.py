@@ -175,6 +175,11 @@ def lag_lead(ds, *, key, ts, cols, n: int = 1, tiebreak=None,
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
 
 
+def _block_key(row, key, ts, tiebreak):
+    """Unique identity of a sorted block = its first row's full sort key."""
+    return (row[key], row[ts], row[tiebreak] if tiebreak else 0)
+
+
 def lag_lead_sorted(ds, *, key, ts, cols, tiebreak=None):
     """Hot-key-safe lag/lead (n=1) over sorted range partitions — the
     split-merge sibling of :func:`sessionize_sorted`: per-block vectorized
@@ -184,33 +189,27 @@ def lag_lead_sorted(ds, *, key, ts, cols, tiebreak=None):
     sorted_ds = ds.sort(sort_cols).materialize()
 
     def edges(df: pd.DataFrame) -> pd.DataFrame:
+        cols_out = ["pos", "edge_key"] + [f"edge_{c}" for c in cols] + ["bkey"]
         if df.empty:
-            out = {"pos": pd.Series(dtype=object),
-                   "edge_key": pd.Series(dtype=object)}
-            for c in cols:
-                out[f"edge_{c}"] = pd.Series(dtype=object)
-            out["bkey"] = pd.Series(dtype=object)
-            return pd.DataFrame(out)
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols_out})
         first, last = df.iloc[0], df.iloc[-1]
-        bkey = (first[key], first[ts], first[tiebreak] if tiebreak else 0)
-        rows = []
-        for pos, edge in (("first", first), ("last", last)):
-            rows.append(
-                {"pos": pos, "edge_key": edge[key],
-                 **{f"edge_{c}": edge[c] for c in cols}, "bkey": [bkey]}
-            )
-        return pd.DataFrame(rows)
+        bkey = _block_key(first, key, ts, tiebreak)
+        rows = [
+            {"pos": pos, "edge_key": edge[key],
+             **{f"edge_{c}": edge[c] for c in cols}, "bkey": bkey}
+            for pos, edge in (("first", first), ("last", last))
+        ]
+        out = pd.DataFrame(rows)
+        out["bkey"] = out["bkey"].astype(object)
+        return out
 
     summaries = sorted_ds.map_batches(
         edges, batch_format="pandas", batch_size=None
     ).to_pandas()
-    summaries["bkey"] = summaries["bkey"].apply(lambda x: x[0] if isinstance(x, list) else x)
-    firsts = summaries[summaries["pos"] == "first"].sort_values(
-        "bkey", key=lambda s: s.map(lambda t: t)
-    )
     # order blocks by their first row's sort key
     order = sorted(
-        firsts.to_dict("records"), key=lambda r: r["bkey"]
+        summaries[summaries["pos"] == "first"].to_dict("records"),
+        key=lambda r: r["bkey"],
     )
     lasts = {
         r["bkey"]: r
@@ -245,8 +244,7 @@ def lag_lead_sorted(ds, *, key, ts, cols, tiebreak=None):
         for c in cols:
             df[f"lag_{c}"] = g[c].shift(1)
             df[f"lead_{c}"] = g[c].shift(-1)
-        first = df.iloc[0]
-        bkey = (first[key], first[ts], first[tiebreak] if tiebreak else 0)
+        bkey = _block_key(df.iloc[0], key, ts, tiebreak)
         if bkey in pm:
             for c in cols:
                 df.iloc[0, df.columns.get_loc(f"lag_{c}")] = pm[bkey][f"edge_{c}"]
@@ -400,10 +398,7 @@ def sessionize_sorted(ds, *, key, ts, gap, tiebreak=None):
             return df.assign(session_id=pd.Series(dtype="int64"))
         offs = ray.get(off_ref)
         d = local_pass(df)
-        first = d.iloc[0]
-        off = offs.get(
-            (first[key], first[ts], first[tiebreak] if tiebreak else 0), 0
-        )
+        off = offs.get(_block_key(d.iloc[0], key, ts, tiebreak), 0)
         if off:
             mask = d[key] == d.iloc[0][key]
             d.loc[mask, "session_id"] = d.loc[mask, "session_id"] + off
