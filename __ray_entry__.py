@@ -319,6 +319,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["vec_id", "embedding"])
         return cosine_topk(ds, q, k=10, query_ids=qdf["vec_id"].to_numpy())
 
+    def q_ann_ivf(sf):
+        from htrc_feature_reader_ray.stages.similarity import ivf_topk
+
+        t = pd.read_parquet(f"{sf}/embeddings.parquet")
+        qdf = t[t.vec_id < 10].sort_values("vec_id")
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        import ray.data
+
+        ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        return ivf_topk(ds, q, k=10, n_lists=16, nprobe=4,
+                        query_ids=qdf["vec_id"].to_numpy())
+
     def q_ann_lsh(sf):
         t = pd.read_parquet(f"{sf}/embeddings.parquet")
         qdf = t[t.vec_id < 10].sort_values("vec_id")
@@ -483,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": q_dedup_emb,
         "ann_cosine_topk": q_ann,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "token_count": lambda sf: token_count(_docs(sf)),
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),

@@ -93,6 +93,112 @@ def cosine_topk(ds, query_matrix: np.ndarray, *, k: int = 10,
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
 
 
+class IVFIndex:
+    """Inverted-file coarse quantizer: k-means-lite centroids (seeded, fixed
+    iteration count — deterministic) assign every vector to one list; a query
+    probes the ``nprobe`` nearest lists and reranks exactly inside them.
+
+    The centroid fit runs on a driver-side sample; assignment is one matmul
+    per batch against the broadcast centroids — the same physical shape as a
+    partitioned lake keyed by the list id."""
+
+    def __init__(self, sample: np.ndarray, *, n_lists: int = 16,
+                 iters: int = 10, seed: int = 42) -> None:
+        x = _normalize(np.asarray(sample, dtype=np.float64))
+        rng = np.random.RandomState(seed)
+        n_lists = min(n_lists, len(x))
+        centroids = x[rng.choice(len(x), size=n_lists, replace=False)]
+        for _ in range(iters):
+            assign = (x @ centroids.T).argmax(axis=1)
+            for j in range(n_lists):
+                members = x[assign == j]
+                if len(members):
+                    c = members.mean(axis=0)
+                    norm = np.linalg.norm(c)
+                    if norm > 0:
+                        centroids[j] = c / norm
+        self.centroids = centroids
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return (_normalize(m) @ self.centroids.T).argmax(axis=1)
+
+    def probe(self, q: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = _normalize(q) @ self.centroids.T  # (Q, L)
+        return np.argsort(-sims, axis=1)[:, :nprobe]  # (Q, nprobe)
+
+
+def ivf_topk(ds, query_matrix: np.ndarray, *, k: int = 10, n_lists: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_ids=None, seed: int = 42,
+             fit_sample: int = 4096):
+    """Approximate top-k via IVF: score only vectors whose coarse list is
+    among each query's ``nprobe`` nearest lists. Same output schema as
+    cosine_topk (query_id, vec_id, rank); recall grows with nprobe."""
+    sample = ds.limit(fit_sample).to_pandas()
+    smat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    index = IVFIndex(smat, n_lists=n_lists, seed=seed)
+
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = _normalize(q)
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(q)), dtype=np.int64
+    )
+    q_probe = index.probe(q, nprobe)  # (Q, nprobe)
+    ref = ray.put((qn, qids, q_probe, index))
+
+    empty_out = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def local(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_out
+        qm, qi, probes, idx = ray.get(ref)
+        vecs = _as_matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy()
+        lists = idx.assign(vecs)
+        vn = _normalize(vecs)
+        rows_q, rows_id, rows_sim = [], [], []
+        for j in range(len(qi)):
+            mask = np.isin(lists, probes[j])
+            if not mask.any():
+                continue
+            sims = vn[mask] @ qm[j]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            order = np.lexsort((sub_ids, -sims))[:kk]
+            rows_q.append(np.full(kk, qi[j]))
+            rows_id.append(sub_ids[order])
+            rows_sim.append(sims[order])
+        if not rows_q:
+            return empty_out
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q), type=pa.int64()),
+                id_col: pa.array(
+                    np.concatenate(rows_id).astype(np.int64), type=pa.int64()
+                ),
+                "sim": pa.array(np.concatenate(rows_sim), type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "sim", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        ).groupby("query_id", sort=False).head(k)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df[["query_id", id_col, "rank"]]
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
 class HyperplaneLSH:
     """Seeded random-hyperplane signer: vector -> int bucket (sign pattern)."""
 

@@ -62,6 +62,32 @@ def test_cosine_topk_vs_duckdb(duck):
     assert_frames_match(got, oracle)
 
 
+def test_ivf_topk_recall_grows_with_nprobe():
+    from htrc_feature_reader_ray.stages.similarity import ivf_topk
+
+    q, qids = _query_matrix(5)
+    ds = ray.data.read_parquet(EMB, columns=["vec_id", "embedding"])
+    exact = cosine_topk(ds, q, k=10, query_ids=qids).to_pandas()
+    e = set(map(tuple, exact[["query_id", "vec_id"]].values))
+
+    def recall(nprobe):
+        approx = ivf_topk(ds, q, k=10, n_lists=8, nprobe=nprobe,
+                          query_ids=qids).to_pandas()
+        a = set(map(tuple, approx[["query_id", "vec_id"]].values))
+        return len(a & e) / len(e)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 == 1.0  # probing every list == exact
+    # deterministic across runs
+    a1 = ivf_topk(ds, q, k=5, n_lists=8, nprobe=2, query_ids=qids).to_pandas()
+    a2 = ivf_topk(ds, q, k=5, n_lists=8, nprobe=2, query_ids=qids).to_pandas()
+    key = ["query_id", "rank"]
+    assert a1.sort_values(key).reset_index(drop=True).equals(
+        a2.sort_values(key).reset_index(drop=True)
+    )
+
+
 def test_lsh_topk_sane_and_partial_recall():
     q, qids = _query_matrix(5)
     ds = ray.data.read_parquet(EMB, columns=["vec_id", "embedding"])
