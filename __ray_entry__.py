@@ -390,6 +390,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fn, batch_format="pyarrow"
         )
 
+    def q_pricing_summary(sf):
+        """TPC-H-Q1-shaped grouped aggregate over lineitem with exact integer
+        arithmetic (cents) — column-pruned read, per-batch partial combine,
+        small global groupby."""
+        import ray.data
+        import pyarrow.compute as pc
+        from ray.data.aggregate import Sum
+
+        ds = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_shipdate"],
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            import datetime
+
+            cutoff = pa.scalar(
+                datetime.datetime(1998, 9, 2), type=pa.timestamp("us")
+            )
+            t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+            cents = np.round(
+                t.column("l_extendedprice").to_numpy() * 100
+            ).astype(np.int64)
+            qty = pc.cast(t.column("l_quantity"), pa.int64())
+            t2 = pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "qty": qty,
+                    "price_cents": pa.array(cents, type=pa.int64()),
+                }
+            )
+            g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+                [("qty", "sum"), ("price_cents", "sum"), ([], "count_all")]
+            )
+            return g.rename_columns(
+                ["l_returnflag", "l_linestatus", "sum_qty",
+                 "sum_price_cents", "count_order"]
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                Sum("sum_qty", alias_name="sum_qty"),
+                Sum("sum_price_cents", alias_name="sum_price_cents"),
+                Sum("count_order", alias_name="count_order"),
+            )
+        )
+
+    def q_top_customers(sf):
+        """Join orders→customer (broadcast small side) + grouped integer sum
+        + deterministic top-k — the reference's corpus merge pattern over the
+        star schema."""
+        import ray
+        import ray.data
+
+        cust = pd.read_parquet(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = np.round(
+                t.column("o_totalprice").to_numpy() * 100
+            ).astype(np.int64)
+            t2 = pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "total_cents": pa.array(cents, type=pa.int64()),
+                    "n_orders": pa.array(
+                        np.ones(len(t), dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            )
+            g = t2.group_by(["o_custkey"]).aggregate(
+                [("total_cents", "sum"), ("n_orders", "sum")]
+            )
+            return g.rename_columns(["o_custkey", "total_cents", "n_orders"])
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("total_cents", alias_name="total_cents"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .sort(["total_cents", "o_custkey"], descending=[True, False])
+            .limit(10)
+        )
+
+        def join_name(df: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(ref)
+            df["c_name"] = df["o_custkey"].map(lookup)
+            return df
+
+        return agg.map_batches(join_name, batch_format="pandas")
+
     def q_join_embeddings(sf):
         """Large×large equi-join via Ray Data's native hash join
         (Dataset.join, hash-partitioned on the key) — the both-sides-large
@@ -506,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_with_source_stats": q_source_stats,
         "docs_join_embeddings": q_join_embeddings,
         "props_extract": q_props_extract,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
     }
 
 
@@ -849,6 +953,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS sum_price_cents,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY 1, 2""",
+        "top_customers": """
+            SELECT o.o_custkey,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                       AS total_cents,
+                   count(*)::BIGINT AS n_orders,
+                   any_value(c.c_name) AS c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+            ORDER BY total_cents DESC, o_custkey ASC
+            LIMIT 10""",
         # dedup_minhash / dedup_simhash / ann_lsh_topk: non-SQL-expressible
         # (hash-sketch ops) -> rows-only check by the driver.
     }
