@@ -349,7 +349,9 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
             }
         )
 
-    return ds.map_batches(find, batch_format="pyarrow")
+    # scan the already-materialized projection, not ds (whose upstream would
+    # re-execute a second time)
+    return full.map_batches(find, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

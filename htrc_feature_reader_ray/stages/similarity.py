@@ -35,6 +35,32 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+
+def _empty_topk(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+        }
+    )
+
+
+def _global_topk_fn(k: int, id_col: str):
+    """Deterministic global top-k per query: sim desc, id asc, stable sort —
+    the single definition of the ranking tie-break contract."""
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["query_id", "sim", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        ).groupby("query_id", sort=False).head(k)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df[["query_id", id_col, "rank"]]
+
+    return global_topk
+
+
 def cosine_topk(ds, query_matrix: np.ndarray, *, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_ids=None):
@@ -50,13 +76,7 @@ def cosine_topk(ds, query_matrix: np.ndarray, *, k: int = 10,
     )
     q_ref = ray.put((q, qids))
 
-    empty_out = pa.table(
-        {
-            "query_id": pa.array([], type=pa.int64()),
-            id_col: pa.array([], type=pa.int64()),
-            "sim": pa.array([], type=pa.float64()),
-        }
-    )
+    empty_out = _empty_topk(id_col)
 
     def local_topk(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -82,15 +102,9 @@ def cosine_topk(ds, query_matrix: np.ndarray, *, k: int = 10,
 
     partials = ds.map_batches(local_topk, batch_format="pyarrow")
 
-    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["query_id", "sim", id_col], ascending=[True, False, True],
-            kind="mergesort",
-        ).groupby("query_id", sort=False).head(k)
-        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
-        return df[["query_id", id_col, "rank"]]
-
-    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k, id_col), batch_format="pandas"
+    )
 
 
 class IVFIndex:
@@ -135,6 +149,13 @@ def ivf_topk(ds, query_matrix: np.ndarray, *, k: int = 10, n_lists: int = 16,
     among each query's ``nprobe`` nearest lists. Same output schema as
     cosine_topk (query_id, vec_id, rank); recall grows with nprobe."""
     sample = ds.limit(fit_sample).to_pandas()
+    if sample.empty:
+        import ray.data as rd
+
+        out = _empty_topk(id_col).drop(["sim"]).append_column(
+            "rank", pa.array([], type=pa.int64())
+        )
+        return rd.from_arrow(out)
     smat = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     index = IVFIndex(smat, n_lists=n_lists, seed=seed)
 
@@ -146,13 +167,7 @@ def ivf_topk(ds, query_matrix: np.ndarray, *, k: int = 10, n_lists: int = 16,
     q_probe = index.probe(q, nprobe)  # (Q, nprobe)
     ref = ray.put((qn, qids, q_probe, index))
 
-    empty_out = pa.table(
-        {
-            "query_id": pa.array([], type=pa.int64()),
-            id_col: pa.array([], type=pa.int64()),
-            "sim": pa.array([], type=pa.float64()),
-        }
-    )
+    empty_out = _empty_topk(id_col)
 
     def local(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -188,15 +203,9 @@ def ivf_topk(ds, query_matrix: np.ndarray, *, k: int = 10, n_lists: int = 16,
 
     partials = ds.map_batches(local, batch_format="pyarrow")
 
-    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["query_id", "sim", id_col], ascending=[True, False, True],
-            kind="mergesort",
-        ).groupby("query_id", sort=False).head(k)
-        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
-        return df[["query_id", id_col, "rank"]]
-
-    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k, id_col), batch_format="pandas"
+    )
 
 
 class HyperplaneLSH:
@@ -226,13 +235,7 @@ def lsh_topk(ds, query_matrix: np.ndarray, *, k: int = 10, nbits: int = 8,
     )
     ref = ray.put((qn, qids, q_buckets))
 
-    empty_out = pa.table(
-        {
-            "query_id": pa.array([], type=pa.int64()),
-            id_col: pa.array([], type=pa.int64()),
-            "sim": pa.array([], type=pa.float64()),
-        }
-    )
+    empty_out = _empty_topk(id_col)
 
     def local(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -274,12 +277,6 @@ def lsh_topk(ds, query_matrix: np.ndarray, *, k: int = 10, nbits: int = 8,
 
     partials = ds.map_batches(local, batch_format="pyarrow")
 
-    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["query_id", "sim", id_col], ascending=[True, False, True],
-            kind="mergesort",
-        ).groupby("query_id", sort=False).head(k)
-        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
-        return df[["query_id", id_col, "rank"]]
-
-    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k, id_col), batch_format="pandas"
+    )

@@ -88,6 +88,23 @@ def test_ivf_topk_recall_grows_with_nprobe():
     )
 
 
+def test_ivf_topk_empty_dataset():
+    import pyarrow as pa
+    from htrc_feature_reader_ray.stages.similarity import ivf_topk
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = ivf_topk(empty, np.ones((2, 4)))
+    assert out.count() == 0
+    assert out.schema().names == ["query_id", "vec_id", "rank"]
+
+
 def test_lsh_topk_sane_and_partial_recall():
     q, qids = _query_matrix(5)
     ds = ray.data.read_parquet(EMB, columns=["vec_id", "embedding"])
