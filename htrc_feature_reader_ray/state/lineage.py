@@ -48,7 +48,8 @@ def _load_manifest(out_dir: str) -> dict | None:
 
 
 def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
-                      inputs=(), params: dict | None = None) -> dict:
+                      inputs=(), params: dict | None = None,
+                      ts_col: str | None = None) -> dict:
     """Write ``ds`` as a hash-bucketed parquet lake + lineage manifest.
 
     Output layout: ``out_dir/bucket=K/*.parquet`` (one directory per key
@@ -68,19 +69,41 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
 
     counts: dict = {}
     bytes_per_bucket: dict = {}
+    watermarks: dict = {}
     for name in os.listdir(tmp):
         if name.startswith("bucket="):
             bid = name.split("=", 1)[1]
             total_bytes = 0
             total_rows = 0
+            ts_min = ts_max = None
             bdir = os.path.join(tmp, name)
             for f in os.listdir(bdir):
                 fp = os.path.join(bdir, f)
                 total_bytes += os.path.getsize(fp)
                 if f.endswith(".parquet"):
-                    total_rows += pq.ParquetFile(fp).metadata.num_rows
+                    meta = pq.ParquetFile(fp).metadata
+                    total_rows += meta.num_rows
+                    if ts_col is not None:
+                        # per-partition event-time watermark from the same
+                        # footers (SURVEY §7: partition metadata = counts +
+                        # min/max ts), no data scan
+                        schema_names = [
+                            meta.row_group(0).column(i).path_in_schema
+                            for i in range(meta.num_columns)
+                        ] if meta.num_row_groups else []
+                        if ts_col in schema_names:
+                            ci = schema_names.index(ts_col)
+                            for rg in range(meta.num_row_groups):
+                                stats = meta.row_group(rg).column(ci).statistics
+                                if stats is None or not stats.has_min_max:
+                                    continue
+                                lo, hi = stats.min, stats.max
+                                ts_min = lo if ts_min is None else min(ts_min, lo)
+                                ts_max = hi if ts_max is None else max(ts_max, hi)
             bytes_per_bucket[bid] = total_bytes
             counts[bid] = total_rows
+            if ts_col is not None and ts_min is not None:
+                watermarks[bid] = {"ts_min": str(ts_min), "ts_max": str(ts_max)}
     row_count = int(sum(counts.values()))
     manifest = {
         "key": key,
@@ -89,6 +112,7 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
         "params": params or {},
         "buckets": {str(int(k)): int(v) for k, v in counts.items()},
         "bucket_bytes": bytes_per_bucket,
+        "watermarks": watermarks,
         "row_count": row_count,
         "metrics": {
             "write_sec": round(t_written - t_start, 3),

@@ -35,6 +35,24 @@ def test_write_partitioned_manifest_and_layout():
     assert len(back) == 500
 
 
+def test_watermarks_from_footers():
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+    )
+    m = write_partitioned(ds, f"{OUT}/wm", key="user_id", num_buckets=4,
+                          ts_col="ts")
+    assert m["watermarks"]
+    import pandas as pd
+
+    df = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["ts"])
+    global_max = max(
+        pd.Timestamp(w["ts_max"]) for w in m["watermarks"].values()
+    )
+    assert global_max == df["ts"].max()
+
+
 def test_run_stage_skips_when_manifest_matches():
     calls = []
 
