@@ -147,7 +147,7 @@ def write_pages_lake(sf_dir: str, out_dir: str, *, num_buckets: int = 32) -> dic
 
     return write_partitioned(
         read_pages(sf_dir), out_dir, key="url", num_buckets=num_buckets,
-        inputs=[f"{sf_dir}/documents.parquet"],
+        inputs=[f"{sf_dir}/documents.parquet"], ts_col="warc_ts",
     )
 
 
