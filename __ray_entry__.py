@@ -550,6 +550,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_chars": q_line_chars,
         "line_chars_begin_group": q_line_chars_begin,
         "snapshot_features": lambda sf: snapshot_features(sf, via_html=True),
+        "tokens_per_snapshot": lambda sf: snapshot_features(
+            sf, via_html=True
+        ).select_columns(["url", "warc_ts", "n_tokens"]),
+        "distinct_token_set": lambda sf: distinct_tokens(
+            _tokens(sf), case=False
+        ).select_columns(["lowercase"]),
         "windowed_features": lambda sf: windowed_features(
             snapshot_features(sf, via_html=True), num_buckets=32
         ),
@@ -705,6 +711,10 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY ALL""",
         "snapshot_features": SNAPFEAT_PRE
         + " SELECT url, warc_ts, n_tokens, distinct_tokens FROM snapfeat",
+        "tokens_per_snapshot": SNAPFEAT_PRE
+        + " SELECT url, warc_ts, n_tokens FROM snapfeat",
+        "distinct_token_set": TOK_PRE
+        + " SELECT DISTINCT lower(token) AS lowercase FROM tokpos",
         "windowed_features": SNAPFEAT_PRE + """,
             flagged AS (
               SELECT url, warc_ts, n_tokens, distinct_tokens,
