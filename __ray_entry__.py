@@ -799,7 +799,8 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(epoch_us(ts) // 3600000000 * 3600000000)
                        AS window_start,
                    count(*)::BIGINT AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT
+                       AS value_cents
             FROM events GROUP BY 1, 2""",
         "backfill_daily": ASOF_PRE + """
             , users AS (SELECT DISTINCT user_id FROM events),
@@ -965,8 +966,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
                        AS sum_price_cents,
                    count(*)::BIGINT AS count_order
             FROM lineitem
@@ -974,7 +975,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2""",
         "top_customers": """
             SELECT o.o_custkey,
-                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT
                        AS total_cents,
                    count(*)::BIGINT AS n_orders,
                    any_value(c.c_name) AS c_name

@@ -23,6 +23,16 @@ from htrc_feature_reader_ray.functions.ids import stable_hash64
 BUCKET_COL = "_bucket"
 
 
+def arrow_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() type to a pyarrow DataType (Ray reports
+    pandas-block schemas with numpy/python types)."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in (str, object) or str(t) == "object":
+        return pa.string()
+    return pa.from_numpy_dtype(np.dtype(t))
+
+
 def add_bucket_column(ds, key: str, num_buckets: int, *, name: str = BUCKET_COL):
     """Add ``hash(key) % num_buckets`` as an int64 column (vectorized)."""
 
@@ -67,17 +77,9 @@ def bucket_join(left_ds, right_ds, *, left_key: str, right_key: str,
     overlap = set(r_carry) & set(l_names)
     if overlap:
         raise ValueError(f"right columns clash with left: {sorted(overlap)}")
-    def _arrow_type(t):
-        # Ray reports pandas-block schemas with numpy/python types
-        if isinstance(t, pa.DataType):
-            return t
-        if t in (str, object) or str(t) == "object":
-            return pa.string()
-        return pa.from_numpy_dtype(np.dtype(t))
-
-    types = {n: _arrow_type(t) for n, t in zip(l_schema.names, l_schema.types)}
+    types = {n: arrow_type(t) for n, t in zip(l_schema.names, l_schema.types)}
     types.update(
-        {n: _arrow_type(t) for n, t in zip(r_schema.names, r_schema.types)}
+        {n: arrow_type(t) for n, t in zip(r_schema.names, r_schema.types)}
     )
     all_cols = l_names + r_carry
 

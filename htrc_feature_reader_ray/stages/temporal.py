@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 
 from htrc_feature_reader_ray.errors import require_columns
-from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+from htrc_feature_reader_ray.stages.partition import arrow_type, bucketed_map_groups
 
 _SIDE = "_side"
 
@@ -109,6 +109,7 @@ def partitioned_asof_join(left_ds, right_ds, *, on, ts,
 
     r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
     l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    all_types = {n: arrow_type(t) for n, t in {**r_types, **l_types}.items()}
     all_cols = l_names + r_value_cols  # unioned layout
 
     def align(side: int):
@@ -130,11 +131,27 @@ def partitioned_asof_join(left_ds, right_ds, *, on, ts,
         right_ds.map_batches(align(1), batch_format="pyarrow")
     )
 
+    def _restore_ints(frame: pd.DataFrame, names) -> pd.DataFrame:
+        # the tag+union null-pads each side's missing columns, turning pandas
+        # int columns float64 (silently corrupting ids >= 2^53); once the
+        # sides are split the pads are gone, so cast back (same pattern as
+        # partition.bucket_join._restore_ints)
+        for c in names:
+            t = all_types.get(c)
+            if (
+                isinstance(t, pa.DataType)
+                and pa.types.is_integer(t)
+                and frame[c].notna().all()
+            ):
+                frame[c] = frame[c].astype("int64")
+        return frame
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df[_SIDE] == 0][l_names]
+        left = _restore_ints(df[df[_SIDE] == 0][l_names].copy(), l_names)
         right = df[df[_SIDE] == 1][[on, ts] + r_value_cols].sort_values(
             ts, kind="mergesort"
         )
+        right = _restore_ints(right.copy(), [on] + r_value_cols)
         if keep_matched_ts:
             right = right.assign(matched_ts=right[ts])
         return _merge_asof(left, right, on=on, ts=ts,
@@ -434,7 +451,18 @@ def tumbling_window(ds, *, key, ts, width, sum_cols=(), count_col: str = "n_even
     aggs = [Sum(count_col, alias_name=count_col)] + [
         Sum(c, alias_name=c) for c in sum_cols
     ]
-    return partials.groupby([key, "window_start"]).aggregate(*aggs)
+    out = partials.groupby([key, "window_start"]).aggregate(*aggs)
+
+    def fix_ts_unit(batch: pa.Table) -> pa.Table:
+        # the int64->timestamp(us) cast round-trips to seconds precision
+        # through the global groupby key; restore the engine-wide
+        # timestamp[us] contract
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column(i).cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(fix_ts_unit, batch_format="pyarrow")
 
 
 def make_time_grid(keys, *, start, end, step, key_col: str = "user_id",
