@@ -348,7 +348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(
             f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        return embedding_dedup_pairs(ds, threshold=0.4)
+        # exercise the distributed exact path (no driver materialization);
+        # 'broadcast' is the small-N fast path, 'lsh' the high-threshold one
+        return embedding_dedup_pairs(ds, threshold=0.4, method="triangle")
 
     def q_sample(sf):
         """Deterministic 1-in-8 sample by doc_id hash — reproducible sampling

@@ -302,56 +302,282 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 # Embedding-cosine near-duplicates
 
 
-def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
-                          id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Near-duplicate pairs by embedding cosine similarity: all (a < b) pairs
-    with cos(a, b) >= threshold.
+_EMPTY_PAIRS = pa.table(
+    {
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+    }
+)
 
-    Physical shape: the normalized matrix is broadcast once (``ray.put``) and
-    each batch does one matmul against it — O(N·B) per batch, no shuffle. At
-    corpus scale, pre-bucket by hyperplane LSH (similarity.HyperplaneLSH) and
-    run this kernel per bucket; the small-side broadcast here is the
-    exact-baseline variant. Scoring in float64.
+
+def _empty_pairs_df() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+
+def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          method: str = "auto",
+                          broadcast_limit: int = 100_000,
+                          corpus_rows: int | None = None,
+                          num_groups: int = 16,
+                          nbits: int = 8, n_tables: int = 24,
+                          seed: int = 42):
+    """Near-duplicate pairs by embedding cosine similarity: (a < b) pairs with
+    cos(a, b) >= threshold, as ``(id_a, id_b)`` int64. Scoring in float64.
+
+    Three physical strategies (``method``):
+      * ``'broadcast'`` — EXACT small-N fast path: the whole (normalized)
+        matrix is ``ray.put`` once; each batch does one matmul against it.
+        Valid only while N×d floats fit a worker heap (``broadcast_limit``).
+      * ``'triangle'`` — EXACT distributed path, no driver materialization:
+        rows hash into ``num_groups`` groups; each row is replicated to the
+        ``num_groups`` cells (min(g,j), max(g,j)) of the upper-triangular
+        group grid, and each cell runs the dense kernel on its two groups.
+        Every unordered pair of rows lands in exactly one cell, so no
+        cross-cell dedup. Shuffle = num_groups × corpus rows; per-cell memory
+        = 2N/num_groups vectors — size ``num_groups`` so that fits a worker.
+        This is the honest shape for exact all-pairs (compute is O(N²)
+        regardless; the grid spreads it over g(g+1)/2 independent cells).
+      * ``'lsh'`` — APPROXIMATE candidate-pruned path for high thresholds:
+        random-hyperplane sign buckets (``n_tables`` tables × ``nbits`` bits,
+        same family as similarity.HyperplaneLSH), candidate pairs from bucket
+        collisions (only (id, bucket) rows shuffle), then candidates join
+        back to their vectors (bucket_join) for EXACT cosine verification —
+        false positives impossible, false negatives ≈
+        (1 - p^nbits)^n_tables with p = 1 - θ/π. At the defaults and
+        threshold 0.95 the miss rate per true pair is ~2e-6; at low
+        thresholds (θ → π/2) LSH prunes nothing — use 'triangle'.
+      * ``'auto'`` — 'broadcast' when the corpus is under ``broadcast_limit``
+        rows (pass ``corpus_rows`` to avoid a sizing ``ds.count()``), else
+        'triangle' (exactness preserved at any threshold).
     """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
     from htrc_feature_reader_ray.stages.similarity import _as_matrix, _normalize
 
-    full = ds.select_columns([id_col, vec_col]).materialize()
-    full_tbl = pa.concat_tables(
-        [b for b in full.iter_batches(batch_format="pyarrow", batch_size=None)]
-    )
-    empty = pa.table(
-        {
-            "id_a": pa.array([], type=pa.int64()),
-            "id_b": pa.array([], type=pa.int64()),
-        }
-    )
-    if full_tbl.num_rows == 0:
-        import ray.data as rd
+    if method == "auto":
+        n = corpus_rows if corpus_rows is not None else ds.count()
+        method = "broadcast" if n <= broadcast_limit else "triangle"
 
-        return rd.from_arrow(empty)
-    mat = _normalize(_as_matrix(full_tbl.column(vec_col)))
-    ids = full_tbl.column(id_col).to_numpy().astype(np.int64)
-    ref = ray.put((mat, ids))
+    vecs_ds = ds.select_columns([id_col, vec_col])
 
-    def find(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return empty
-        m, all_ids = ray.get(ref)
-        vn = _normalize(_as_matrix(batch.column(vec_col)))
-        bids = batch.column(id_col).to_numpy().astype(np.int64)
-        sims = vn @ m.T  # (b, N)
-        keep = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
-        bi, ni = np.nonzero(keep)
+    if method == "broadcast":
+        full = vecs_ds.materialize()
+        full_tbl = pa.concat_tables(
+            [b for b in
+             full.iter_batches(batch_format="pyarrow", batch_size=None)]
+        )
+        if full_tbl.num_rows == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(_EMPTY_PAIRS)
+        if full_tbl.num_rows > broadcast_limit:
+            raise ValueError(
+                f"broadcast path on {full_tbl.num_rows} rows exceeds "
+                f"broadcast_limit={broadcast_limit}; use method='triangle'"
+            )
+        mat = _normalize(_as_matrix(full_tbl.column(vec_col)))
+        ids = full_tbl.column(id_col).to_numpy().astype(np.int64)
+        ref = ray.put((mat, ids))
+
+        def find(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return _EMPTY_PAIRS
+            m, all_ids = ray.get(ref)
+            vn = _normalize(_as_matrix(batch.column(vec_col)))
+            bids = batch.column(id_col).to_numpy().astype(np.int64)
+            sims = vn @ m.T  # (b, N)
+            keep = (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+            bi, ni = np.nonzero(keep)
+            return pa.table(
+                {
+                    "id_a": pa.array(bids[bi], type=pa.int64()),
+                    "id_b": pa.array(all_ids[ni], type=pa.int64()),
+                }
+            )
+
+        # scan the already-materialized projection, not ds (whose upstream
+        # would re-execute a second time)
+        return full.map_batches(find, batch_format="pyarrow")
+
+    if method == "triangle":
+        g = num_groups
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            if n == 0:
+                return batch.append_column(
+                    "grp", pa.array([], type=pa.int64())
+                ).append_column("cell", pa.array([], type=pa.int64()))
+            ids = batch.column(id_col).to_numpy().astype(np.int64)
+            gi = (stable_hash64(ids.astype(object)) % np.uint64(g)).astype(
+                np.int64
+            )
+            take = np.repeat(np.arange(n), g)
+            j = np.tile(np.arange(g, dtype=np.int64), n)
+            girep = np.repeat(gi, g)
+            a = np.minimum(girep, j)
+            b = np.maximum(girep, j)
+            rep = batch.take(pa.array(take))
+            rep = rep.append_column("grp", pa.array(girep, type=pa.int64()))
+            return rep.append_column(
+                "cell", pa.array(a * g + b, type=pa.int64())
+            )
+
+        replicated = vecs_ds.map_batches(replicate, batch_format="pyarrow")
+
+        def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return _empty_pairs_df()
+            parts = []
+            for cell, cdf in df.groupby("cell", sort=False):
+                a_g, b_g = divmod(int(cell), g)
+                ids = cdf[id_col].to_numpy().astype(np.int64)
+                mat = _normalize(
+                    np.stack(cdf[vec_col].to_numpy()).astype(np.float64)
+                )
+                if a_g == b_g:
+                    sims = mat @ mat.T
+                    ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+                else:
+                    left = (cdf["grp"] == a_g).to_numpy()
+                    sims = mat[left] @ mat[~left].T
+                    li, ri = np.nonzero(sims >= threshold)
+                    ii = np.flatnonzero(left)[li]
+                    jj = np.flatnonzero(~left)[ri]
+                if len(ii):
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(ids[ii], ids[jj]),
+                                "id_b": np.maximum(ids[ii], ids[jj]),
+                            }
+                        )
+                    )
+            if not parts:
+                return _empty_pairs_df()
+            return pd.concat(parts, ignore_index=True)
+
+        return bucketed_map_groups(
+            replicated, "cell", pairs_in_bucket,
+            num_buckets=g * (g + 1) // 2,
+        )
+
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+
+    # ---- LSH candidate path (high-threshold near-dup at corpus scale) ----
+    from htrc_feature_reader_ray.stages.partition import bucket_join
+
+    def sign(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "bkey": pa.array([], type=pa.int64()),
+                }
+            )
+        m = _as_matrix(batch.column(vec_col))
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((m.shape[1], nbits * n_tables))
+        signs = (m @ planes) > 0  # sign pattern is scale-invariant
+        signs = signs.reshape(n, n_tables, nbits)
+        weights = (1 << np.arange(nbits)).astype(np.int64)
+        buckets = signs @ weights  # (n, T)
+        table_tag = (np.arange(n_tables, dtype=np.int64) + 1) << nbits
+        bkey = (buckets + table_tag[None, :]).reshape(-1)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
         return pa.table(
             {
-                "id_a": pa.array(bids[bi], type=pa.int64()),
-                "id_b": pa.array(all_ids[ni], type=pa.int64()),
+                id_col: pa.array(np.repeat(ids, n_tables), type=pa.int64()),
+                "bkey": pa.array(bkey, type=pa.int64()),
             }
         )
 
-    # scan the already-materialized projection, not ds (whose upstream would
-    # re-execute a second time)
-    return full.map_batches(find, batch_format="pyarrow")
+    band_rows = vecs_ds.map_batches(sign, batch_format="pyarrow")
+
+    def cand_of_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated("bkey", keep=False)]
+        if dup.empty:
+            return _empty_pairs_df().rename(
+                columns={"id_a": "doc_a", "id_b": "doc_b"}
+            )
+        parts = []
+        for _, gdf in dup.groupby("bkey", sort=False):
+            ids = np.sort(gdf[id_col].unique())
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            parts.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
+        if not parts:
+            return _empty_pairs_df().rename(
+                columns={"id_a": "doc_a", "id_b": "doc_b"}
+            )
+        return pd.concat(parts, ignore_index=True).drop_duplicates()
+
+    def dedupe_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_a", "doc_b"]].drop_duplicates()
+
+    pairs = bucketed_map_groups(band_rows, "bkey", cand_of_bucket,
+                                num_buckets=32)
+    cand = bucketed_map_groups(pairs, "doc_a", dedupe_pairs, num_buckets=16)
+
+    def pack(suffix):
+        # vectors travel through the join as packed float64 BYTES: a plain
+        # binary column passes pandas bucket passes untouched, where a
+        # list/tensor column would become Ray's Arrow tensor extension and
+        # hit its sliced-buffer to_numpy bug inside map_groups
+        def fn(t: pa.Table) -> pa.Table:
+            m = _as_matrix(t.column(vec_col))
+            packed = pa.array([row.tobytes() for row in m], type=pa.binary())
+            return pa.table(
+                {f"id_{suffix}": t.column(id_col), f"vec_{suffix}": packed}
+            )
+
+        return fn
+
+    with_a = bucket_join(
+        cand, vecs_ds.map_batches(pack("a"), batch_format="pyarrow"),
+        left_key="doc_a", right_key="id_a", num_buckets=16,
+    )
+    with_ab = bucket_join(
+        with_a, vecs_ds.map_batches(pack("b"), batch_format="pyarrow"),
+        left_key="doc_b", right_key="id_b", num_buckets=16,
+    )
+
+    def check(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_PAIRS
+        va = _normalize(
+            np.stack([np.frombuffer(x, dtype=np.float64)
+                      for x in batch.column("vec_a").to_pylist()])
+        )
+        vb = _normalize(
+            np.stack([np.frombuffer(x, dtype=np.float64)
+                      for x in batch.column("vec_b").to_pylist()])
+        )
+        sims = (va * vb).sum(axis=1)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    batch.column("doc_a").to_numpy(zero_copy_only=False)[
+                        keep
+                    ].astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "id_b": pa.array(
+                    batch.column("doc_b").to_numpy(zero_copy_only=False)[
+                        keep
+                    ].astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return with_ab.map_batches(check, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -154,3 +154,70 @@ def test_simhash_dataset_bands():
     assert out.loc[0, "simhash"] == out.loc[1, "simhash"]
     for b in range(4):
         assert out.loc[0, f"band{b}"] == out.loc[1, f"band{b}"]
+
+
+def _random_embeddings(n=400, d=16, seed=7, planted=40):
+    """n random vectors + `planted` near-duplicates of the first rows."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n, d))
+    dup = base[:planted] + 0.02 * rng.standard_normal((planted, d))
+    mat = np.vstack([base, dup])
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in mat],
+                                  type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def test_embedding_dedup_triangle_equals_broadcast():
+    from htrc_feature_reader_ray.stages.dedup import embedding_dedup_pairs
+
+    tbl = _random_embeddings()
+    exact = embedding_dedup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.6, method="broadcast"
+    ).to_pandas()
+    tri = embedding_dedup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.6, method="triangle",
+        num_groups=5,
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values))
+    assert key(tri) == key(exact)
+    assert len(exact) >= 40  # the planted dups are found
+
+
+def test_embedding_dedup_lsh_recall():
+    from htrc_feature_reader_ray.stages.dedup import embedding_dedup_pairs
+
+    tbl = _random_embeddings()
+    exact = embedding_dedup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.95, method="broadcast"
+    ).to_pandas()
+    lsh = embedding_dedup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.95, method="lsh"
+    ).to_pandas()
+    exact_pairs = set(map(tuple, exact[["id_a", "id_b"]].values))
+    lsh_pairs = set(map(tuple, lsh[["id_a", "id_b"]].values))
+    assert lsh_pairs <= exact_pairs  # exact verification: no false positives
+    assert len(exact_pairs) >= 40
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.98, recall
+
+
+def test_embedding_dedup_auto_threshold_switch():
+    from htrc_feature_reader_ray.stages.dedup import embedding_dedup_pairs
+
+    tbl = _random_embeddings(n=50, planted=5)
+    # auto with a tiny broadcast_limit must route to triangle and stay exact
+    small = embedding_dedup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.9, method="auto",
+        broadcast_limit=10, corpus_rows=55, num_groups=3,
+    ).to_pandas()
+    exact = embedding_dedup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.9, method="broadcast"
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values))
+    assert key(small) == key(exact)
