@@ -290,14 +290,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  num_buckets=32)
 
     def q_chunk_embeddings(sf):
-        """Stateful model actor pool (chunk_to_wem analog) — rows-only check
-        (embedding vectors are model outputs, not SQL-expressible)."""
+        """Stateful model actor pool (chunk_to_wem analog). The model is
+        md5-constructed (SQL-replayable), so the driver-checked projection is
+        the chunk vector's L2 norm quantized to 1e-6 — the oracle recomputes
+        the full embedding from scratch in SQL. (The raw vectors stay
+        available via stages.embed.chunk_embeddings.)"""
         from htrc_feature_reader_ray.stages.embed import chunk_embeddings
 
         chunks = chunked_tokenlist(_tokens(sf), target=40, strategy="even",
                                    section="group", case=True, pos=False,
                                    num_buckets=16)
-        return chunk_embeddings(chunks, dim=16, concurrency=(1, 4))
+        emb = chunk_embeddings(chunks, dim=16, concurrency=(1, 4))
+
+        def norms(df: pd.DataFrame) -> pd.DataFrame:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+            )
+            n = np.sqrt((vecs * vecs).sum(axis=1))
+            # floor(x*1e6 + 0.5) == SQL round() for non-negative x
+            return pd.DataFrame(
+                {
+                    "url": df["url"],
+                    "chunk": df["chunk"].astype("int64"),
+                    "norm_e6": np.floor(n * 1e6 + 0.5).astype("int64"),
+                }
+            )
+
+        return emb.map_batches(norms, batch_format="pandas")
 
     def q_chunk_bounds(sf):
         out = chunked_tokenlist(_tokens(sf), target=40, strategy="even",
@@ -329,7 +348,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                    columns=["vec_id", "embedding"])
-        return ivf_topk(ds, q, k=10, n_lists=16, nprobe=4,
+        # nprobe = n_lists: exhaustive probe, where IVF provably equals the
+        # exact top-k (oracle-checkable); partial-probe recall behavior is
+        # pinned by tests/test_similarity.py's recall-growth test
+        return ivf_topk(ds, q, k=10, n_lists=16, nprobe=16,
                         query_ids=qdf["vec_id"].to_numpy())
 
     def q_ann_lsh(sf):
@@ -599,8 +621,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_embeddings": q_chunk_embeddings,
         # -- dedup / similarity / text analysis (training-data ops) --
         "dedup_exact": lambda sf: exact_dedup(_docs(sf)),
+        # bands=64 (2 rows/band): candidate-miss probability <= 1e-8 per true
+        # pair at jaccard 0.5, so the LSH output equals exact all-pairs
+        # Jaccard and is oracle-checkable (verification is exact either way)
         "dedup_minhash": lambda sf: minhash_dedup_pairs(
-            _docs(sf), threshold=0.5, concurrency=(1, 4)
+            _docs(sf), threshold=0.5, num_perm=128, bands=64,
+            concurrency=(1, 4)
         ),
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
         "dedup_embedding_cosine": q_dedup_emb,
@@ -621,6 +647,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _stoplist_sql() -> str:
+    from htrc_feature_reader_ray.functions.tokenize import STOPWORDS_EN
+
+    return ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+_STOPLIST_SQL = _stoplist_sql()
+
+
+def _ann_lsh_sql(*, nbits: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """SQL re-derivation of lsh_topk: the seeded hyperplanes are literal
+    DOUBLE arrays (repr round-trips exactly), buckets = sign-bit sums via
+    list_dot_product, then per-bucket exact rerank — same rank contract as
+    ann_cosine_topk (sim DESC, vec_id ASC)."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).standard_normal((dim, nbits))
+
+    def bucket_expr(col: str) -> str:
+        terms = []
+        for j in range(nbits):
+            arr = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {arr}) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+          FROM embeddings WHERE vec_id < 10
+        ), qb AS (
+          SELECT query_id, qe, {bucket_expr('qe')} AS b FROM q
+        ), eb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e, {bucket_expr('e')} AS b
+          FROM embeddings
+        ), s AS (
+          SELECT qb.query_id, eb.vec_id,
+                 list_cosine_similarity(qb.qe, eb.e) AS sim
+          FROM qb JOIN eb USING (b)
+        )
+        SELECT query_id, vec_id, rank FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM s
+        ) WHERE rank <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     from htrc_feature_reader_ray.stages.textstats import (
         FINGERPRINT_SQL,
@@ -632,6 +708,22 @@ def oracle_sql() -> dict[str, str]:
     tol_case = (
         "CASE WHEN l.ts - r.ts <= INTERVAL 30 MINUTE THEN {expr} END"
     )
+
+    exact_topk_sql = """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+              FROM embeddings WHERE vec_id < 10
+            ), s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+              FROM q, embeddings e
+            )
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM s
+            ) WHERE rank <= 10"""
 
     return {
         "extract_text": (
@@ -883,6 +975,56 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS count
             FROM tokpos t JOIN d ON t.url = d.url AND t.warc_ts = d.warc_ts
             GROUP BY 1, 2, 3""",
+        # full SQL re-derivation of the model-scored pipeline: md5-constructed
+        # token vectors (same formula as HashEmbeddingModel), log1p-count
+        # weighting, stopword filter, L2 norm quantized to 1e-6 (float
+        # sum-order differences are ~1e-13 — far inside the quantization)
+        "chunk_embeddings": SNAPFEAT_PRE + f""",
+            wt AS (
+              SELECT url, warc_ts, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY url ORDER BY warc_ts
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(n_tokens) OVER (PARTITION BY url) AS total
+              FROM snapfeat
+            ), p AS (
+              SELECT *, greatest(1, floor(total / 40 + 0.5)) AS nchunks FROM wt
+            ), lab AS (
+              SELECT url, warc_ts,
+                     least(nchunks - 1,
+                           floor((cum - n_tokens / 2.0) * nchunks / total))
+                         AS raw
+              FROM p
+            ), d AS (
+              SELECT url, warc_ts,
+                     dense_rank() OVER (PARTITION BY url ORDER BY raw) AS chunk
+              FROM lab
+            ), ct AS (
+              SELECT t.url, d.chunk::BIGINT AS chunk, t.token,
+                     count(*)::BIGINT AS cnt
+              FROM tokpos t JOIN d ON t.url = d.url AND t.warc_ts = d.warc_ts
+              GROUP BY 1, 2, 3
+            ), ftok AS (
+              SELECT * FROM ct
+              WHERE token NOT IN ({_STOPLIST_SQL})
+            ), tokd AS (
+              SELECT token, dd.d AS d,
+                     ((md5_number_upper(token || '|' || dd.d::VARCHAR)::DOUBLE
+                       / 18446744073709551616.0) * 2 - 1) AS raw
+              FROM (SELECT DISTINCT token FROM ftok) tk,
+                   (SELECT unnest(range(16)) AS d) dd
+            ), toknorm AS (
+              SELECT token, sqrt(sum(raw * raw)) AS nrm FROM tokd GROUP BY 1
+            ), vecs AS (
+              SELECT t.token, t.d, t.raw / n.nrm AS v
+              FROM tokd t JOIN toknorm n USING (token)
+            ), comp AS (
+              SELECT f.url, f.chunk, v.d, sum(ln(1 + f.cnt) * v.v) AS e
+              FROM ftok f JOIN vecs v USING (token)
+              GROUP BY 1, 2, 3
+            )
+            SELECT url, chunk,
+                   round(sqrt(sum(e * e)) * 1000000)::BIGINT AS norm_e6
+            FROM comp GROUP BY 1, 2""",
         "chunk_bounds": SNAPFEAT_PRE + """,
             wt AS (
               SELECT url, warc_ts, n_tokens,
@@ -917,21 +1059,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4""",
-        "ann_cosine_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-              FROM embeddings WHERE vec_id < 10
-            ), s AS (
-              SELECT q.query_id, e.vec_id,
-                     list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
-              FROM q, embeddings e
-            )
-            SELECT query_id, vec_id, rank FROM (
-              SELECT query_id, vec_id,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, vec_id) AS rank
-              FROM s
-            ) WHERE rank <= 10""",
+        "ann_cosine_topk": exact_topk_sql,
+        # hyperplane buckets re-derived in SQL from literal seeded planes
+        "ann_lsh_topk": _ann_lsh_sql(),
+        # the oracled IVF query probes ALL lists (nprobe = n_lists), where
+        # IVF must equal exact top-k — fit/assign/probe/rerank machinery is
+        # exercised end-to-end; partial-probe approximation is covered by
+        # the recall-growth pytest (non-SQL-expressible: data-dependent
+        # k-means centroids)
+        "ann_ivf_topk": exact_topk_sql,
         "token_count": (
             f"SELECT doc_id, {TOKEN_COUNT_SQL.format(text='text')} AS n_tokens"
             " FROM documents"
@@ -985,6 +1121,73 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY total_cents DESC, o_custkey ASC
             LIMIT 10""",
-        # dedup_minhash / dedup_simhash / ann_lsh_topk: non-SQL-expressible
-        # (hash-sketch ops) -> rows-only check by the driver.
+        # LSH near-dup: with bands=64/num_perm=128 the candidate-miss
+        # probability is <= 1e-8 per true pair, so the verified output equals
+        # exact all-pairs shingle-Jaccard — which SQL recomputes from scratch
+        # (shingles -> self-join intersections -> jaccard; same int division).
+        "dedup_minhash": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+              FROM toks, LATERAL unnest(range(1, len(arr) - 1)) AS t(i)
+              WHERE len(arr) >= 3
+              UNION
+              SELECT doc_id, array_to_string(arr, ' ') AS shingle
+              FROM toks WHERE len(arr) BETWEEN 1 AND 2
+            ), sizes AS (
+              SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*)::BIGINT AS i
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i / (sa.n + sb.n - i) >= 0.5""",
+        # simhash's token hash is md5-based precisely so SQL can replay it:
+        # md5_number_upper(token) == little-endian first 8 md5 bytes.
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, token, count(*)::BIGINT AS cnt
+              FROM toks GROUP BY 1, 2
+            ), th AS (
+              SELECT doc_id, md5_number_upper(token) AS h, cnt FROM tc
+            ), bits AS (
+              SELECT doc_id, b.b,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1
+                              THEN cnt ELSE -cnt END) AS score
+              FROM th, (SELECT unnest(range(64)) AS b) b
+              GROUP BY 1, 2
+            ), sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN score > 0
+                              THEN (1::UBIGINT << b)::HUGEINT
+                              ELSE 0 END) AS s
+              FROM bits GROUP BY 1
+            ), su AS (
+              SELECT d.doc_id AS doc_id, COALESCE(sh.s, 0) AS s
+              FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+            )
+            SELECT doc_id,
+                   (CASE WHEN s >= 9223372036854775808
+                         THEN s - 18446744073709551616
+                         ELSE s END)::BIGINT AS simhash,
+                   ((s::UBIGINT >> 0) & 65535)::BIGINT AS band0,
+                   ((s::UBIGINT >> 16) & 65535)::BIGINT AS band1,
+                   ((s::UBIGINT >> 32) & 65535)::BIGINT AS band2,
+                   ((s::UBIGINT >> 48) & 65535)::BIGINT AS band3
+            FROM su""",
     }

@@ -584,22 +584,73 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
 # SimHash
 
 
+def md5_hash64(tokens) -> np.ndarray:
+    """uint64 token hash = little-endian first 8 bytes of md5 — chosen so SQL
+    can replay it exactly (DuckDB ``md5_number_upper(token)``), making simhash
+    a fully oracle-checkable op. Hashed once per batch VOCABULARY, not per
+    occurrence."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def simhash_scalar(text: str) -> np.uint64:
+    """Reference single-doc simhash (test oracle for the batched kernel)."""
+    toks = [t for t in text.split(" ") if t]
+    if not toks:
+        return np.uint64(0)
+    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    h = md5_hash64(uniq)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    score = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+    bitvec = (score > 0).astype(np.uint64)
+    return np.bitwise_or.reduce(bitvec << np.arange(64, dtype=np.uint64))
+
+
 def simhash_batch(texts: list[str]) -> np.ndarray:
-    """Vectorized-ish 64-bit simhash per text: token hashes weighted by
-    counts, bitwise sign aggregation."""
-    out = np.zeros(len(texts), dtype=np.uint64)
+    """Batched 64-bit simhash: token-count weighted bitwise sign aggregation.
+
+    One pass for the whole batch (the ``signatures_batch`` pattern): all
+    docs' tokens are factorized into one vocabulary, each vocab entry hashed
+    ONCE, per-(doc, token) counts built with one ``np.unique``, and per-doc
+    bit scores reduced with a single segmented ``np.add.reduceat`` — no
+    per-document hashing or (U, 64) matrices per doc."""
+    all_toks: list[str] = []
+    doc_of: list[int] = []
     for i, text in enumerate(texts):
-        toks = [t for t in text.split(" ") if t]
-        if not toks:
-            continue
-        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        h = stable_hash64(uniq)  # (U,) uint64
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        tk = [t for t in text.split(" ") if t]
+        all_toks.extend(tk)
+        doc_of.extend([i] * len(tk))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not all_toks:
+        return out
+    codes, vocab = pd.factorize(np.asarray(all_toks, dtype=object))
+    h = md5_hash64(vocab)  # (V,)
+    signed = (
+        ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
-        )  # (U, 64) in {0,1}
-        score = ((2 * bits - 1) * counts[:, None]).sum(axis=0)  # (64,)
-        bitvec = (score > 0).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(bitvec << np.arange(64, dtype=np.uint64))
+        )
+        * 2
+        - 1
+    )  # (V, 64) in {-1, +1}
+    v = len(vocab)
+    key = np.asarray(doc_of, dtype=np.int64) * v + codes
+    uk, cnt = np.unique(key, return_counts=True)  # per-(doc, token) counts
+    d_id = uk // v
+    contrib = signed[uk % v] * cnt[:, None]  # (K, 64)
+    starts = np.flatnonzero(np.r_[True, d_id[1:] != d_id[:-1]])
+    scores = np.add.reduceat(contrib, starts, axis=0)  # (docs-present, 64)
+    vals = (
+        (scores > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+    ).sum(axis=1, dtype=np.uint64)
+    out[d_id[starts]] = vals
     return out
 
 

@@ -19,25 +19,38 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from htrc_feature_reader_ray.functions.ids import stable_hash64
 from htrc_feature_reader_ray.functions.tokenize import STOPWORDS_EN
 
 
 class HashEmbeddingModel:
-    """Deterministic stand-in for a word-embedding model: each token's vector
-    is a unit-norm gaussian seeded from the token's stable hash. Same token →
-    same vector on every actor/node/run."""
+    """Deterministic stand-in for a word-embedding model: component d of a
+    token's vector is ``(md5_u64(token + '|' + d) / 2^64) * 2 - 1`` (uniform
+    in [-1, 1)), then unit-normalized. Same token → same vector on every
+    actor/node/run — AND the construction is SQL-replayable (DuckDB
+    ``md5_number_upper``), so model-scored pipelines can be oracle-checked
+    end-to-end (see the chunk_embeddings oracle in __ray_entry__.py)."""
 
     def __init__(self, dim: int = 32) -> None:
         self.dim = dim
 
     def vectors(self, tokens: np.ndarray) -> np.ndarray:
+        import hashlib
+
         out = np.empty((len(tokens), self.dim), dtype=np.float64)
-        seeds = stable_hash64(tokens)
-        for i, s in enumerate(seeds):
-            rng = np.random.RandomState(int(s) % (2**32))
-            v = rng.standard_normal(self.dim)
-            out[i] = v / np.linalg.norm(v)
+        for i, t in enumerate(tokens):
+            h = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(f"{t}|{d}".encode("utf-8")).digest()[:8],
+                        "little",
+                    )
+                    for d in range(self.dim)
+                ),
+                dtype=np.uint64,
+                count=self.dim,
+            )
+            v = (h.astype(np.float64) / 2.0**64) * 2.0 - 1.0
+            out[i] = v / np.sqrt((v * v).sum())
         return out
 
 

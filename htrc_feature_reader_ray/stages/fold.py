@@ -83,14 +83,17 @@ class FoldSpec:
         self.snapshot_col = snapshot_col
         self.drop_section = drop_section and self.sect_filter is not None
 
-        # page_freq with snapshots folded: phase 1 keeps snapshot granularity
-        # so presence can be counted per snapshot (feature_reader.py:106-112).
-        if page_freq and snapshot_col not in keys:
+        # page_freq: presence must be binarized per PAGE = (url, snapshot) —
+        # phase 1 keeps full page granularity whenever either page component
+        # is folded away (feature_reader.py:106-112). Folding only one of
+        # them (e.g. entity=False, snapshots=True) would collapse distinct
+        # urls sharing a snapshot ts into a single presence row.
+        if page_freq and ("url" not in keys or snapshot_col not in keys):
             require_columns(
                 cols, ["url", snapshot_col], op="fold_tokenlist(page_freq)"
             )
             self.phase1_keys = ["url", snapshot_col] + [
-                k for k in keys if k != "url"
+                k for k in keys if k not in ("url", snapshot_col)
             ]
         else:
             self.phase1_keys = keys
@@ -139,13 +142,21 @@ def finish_fold(ds, spec: FoldSpec, *, phase1_complete: bool):
             [c for c in spec.keys if c != "section"] + ["count"]
         )
 
-    def to_int64(batch: pa.Table) -> pa.Table:
+    def normalize_types(batch: pa.Table) -> pa.Table:
         idx = batch.schema.get_field_index("count")
-        return batch.set_column(
+        batch = batch.set_column(
             idx, "count", pc.cast(batch.column("count"), pa.int64())
         )
+        # Ray's groupby can downcast timestamp[us] -> [s] when every value is
+        # whole-second; restore the engine-wide µs contract
+        for i, f in enumerate(batch.schema):
+            if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+                batch = batch.set_column(
+                    i, f.name, batch.column(i).cast(pa.timestamp("us"))
+                )
+        return batch
 
-    return out.map_batches(to_int64, batch_format="pyarrow")
+    return out.map_batches(normalize_types, batch_format="pyarrow")
 
 
 def fold_tokenlist(

@@ -221,3 +221,19 @@ def test_embedding_dedup_auto_threshold_switch():
     ).to_pandas()
     key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values))
     assert key(small) == key(exact)
+
+
+def test_simhash_batch_equals_scalar():
+    from htrc_feature_reader_ray.stages.dedup import simhash_scalar
+
+    texts = [
+        "a b c d e f",
+        "",
+        "the the the and of",
+        " ".join(f"w{i % 7}" for i in range(100)),
+        "unicode töken ünïts · and 中文 words",
+        "x",
+    ]
+    batched = simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert batched[i] == simhash_scalar(t), i

@@ -56,7 +56,7 @@ rows_strategy = st.lists(
 )
 
 fold_params = st.tuples(
-    st.booleans(),                               # entity... keep True (url needed for page_freq)
+    st.booleans(),                               # entity
     st.booleans(),                               # snapshots
     st.sampled_from(["all", "group", "body", "header"]),
     st.booleans(),                               # case
@@ -68,8 +68,10 @@ fold_params = st.tuples(
 @settings(max_examples=20, deadline=None)
 @given(rows=rows_strategy, params=fold_params)
 def test_fold_matches_pandas_model(rows, params):
-    _, snapshots, section, case, pos, page_freq = params
-    entity = True  # corpus folds covered by dedicated oracle tests
+    # entity=False + page_freq is the ADVICE-flagged combo: urls in the
+    # fixture share warc_ts values, so binarizing per (warc_ts, token) alone
+    # would wrongly collapse distinct pages
+    entity, snapshots, section, case, pos, page_freq = params
     df = pd.DataFrame(
         {
             "url": [f"u{r[0]}" for r in rows],

@@ -164,7 +164,7 @@ def test_tumbling_window_parity(duck):
         SELECT user_id,
                make_timestamp(epoch_us(ts) // 3600000000 * 3600000000) AS window_start,
                count(*)::BIGINT AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
         FROM events GROUP BY 1, 2
         """
     ).df()
