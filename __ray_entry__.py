@@ -319,14 +319,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return emb.map_batches(norms, batch_format="pandas")
 
     def q_chunk_bounds(sf):
-        out = chunked_tokenlist(_tokens(sf), target=40, strategy="even",
-                                section="group", case=True, pos=False,
-                                page_ref=True, num_buckets=32)
+        from htrc_feature_reader_ray.stages.chunk import chunk_bounds
 
-        def bounds(df: pd.DataFrame) -> pd.DataFrame:
-            return df[["url", "chunk", "ts_start", "ts_end"]].drop_duplicates()
-
-        return out.map_batches(bounds, batch_format="pandas")
+        # bounds come straight from the bucketed pass (group-complete per
+        # bucket) — NOT per-batch dedup of chunked_tokenlist, which breaks
+        # when Ray re-slices blocks
+        return chunk_bounds(_tokens(sf), target=40, strategy="even",
+                            section="group", num_buckets=32)
 
     def q_ann(sf):
         t = pd.read_parquet(f"{sf}/embeddings.parquet")

@@ -193,3 +193,39 @@ def chunked_tokenlist(tokens_ds, *, target, strategy: str = "even",
 
     prefolded = tokens_ds.map_batches(prefold, batch_format="pyarrow")
     return bucketed_map_groups(prefolded, "url", per_bucket, num_buckets=num_buckets)
+
+
+def chunk_bounds(tokens_ds, *, target, strategy: str = "even",
+                 section: str = "group", num_buckets: int = 32):
+    """Per-chunk (url, chunk, ts_start, ts_end) — the pstart/pend table
+    (feature_reader.py:763-767) WITHOUT the token columns.
+
+    Emitted directly from the bucketed pass where each (url, chunk) group is
+    complete by construction — never derived by per-batch dedup of the
+    chunked tokenlist, whose blocks Ray may re-slice at larger scale
+    (duplicate bounds rows). The shuffle carries only per-snapshot weight
+    rows (map-side combined), not tokens."""
+
+    def prefold(batch):
+        import pyarrow.compute as pc
+
+        if section in ("header", "body", "footer"):
+            batch = batch.filter(pc.equal(batch.column("section"), section))
+        g = batch.group_by(["url", "warc_ts"]).aggregate([("count", "sum")])
+        return g.rename_columns(["url", "warc_ts", "count"])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        wt = (
+            df.groupby(["url", "warc_ts"], as_index=False)["count"]
+            .sum()
+            .sort_values(["url", "warc_ts"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        wt["chunk"] = _labels_grouped(wt, "url", "count", target, strategy)
+        return wt.groupby(["url", "chunk"], as_index=False).agg(
+            ts_start=("warc_ts", "min"), ts_end=("warc_ts", "max")
+        )
+
+    prefolded = tokens_ds.map_batches(prefold, batch_format="pyarrow")
+    return bucketed_map_groups(prefolded, "url", per_bucket,
+                               num_buckets=num_buckets)

@@ -122,3 +122,39 @@ def test_chunked_tokenlist_conserves_counts(sf_dir):
     assert (out["ts_start"] <= out["ts_end"]).all()
     # chunk labels start at 1 per url
     assert out.groupby("url")["chunk"].min().eq(1).all()
+
+
+def test_chunk_bounds_unique_under_tiny_blocks():
+    """chunk_bounds must emit exactly one row per (url, chunk) even when the
+    input arrives as many tiny blocks (the re-slicing that broke the old
+    per-batch drop_duplicates derivation)."""
+    import pandas as pd
+    from htrc_feature_reader_ray.stages.chunk import chunk_bounds
+
+    rows = []
+    for u in range(6):
+        for s in range(10):
+            for t in range(5):
+                rows.append(
+                    {
+                        "url": f"u{u}",
+                        "warc_ts": pd.Timestamp(2024, 1, 1)
+                        + pd.Timedelta(hours=s),
+                        "section": "body",
+                        "token": f"tok{t}",
+                        "count": 3,
+                    }
+                )
+    df = pd.DataFrame(rows)
+    df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+    ds = ray.data.from_pandas(df).repartition(40)  # tiny blocks
+    out = chunk_bounds(ds, target=30, num_buckets=4).to_pandas()
+    assert not out.duplicated(["url", "chunk"]).any()
+    # pandas recompute: per-snapshot weight 15, n_chunks = round(150/30) = 5
+    expect = (
+        df.groupby(["url", "warc_ts"], as_index=False)["count"].sum()
+    )
+    assert len(out) == 6 * 5
+    assert (out.groupby("url")["chunk"].max() == 5).all()
+    # bounds are consistent: ts_start <= ts_end, contiguous per url
+    assert (out["ts_start"] <= out["ts_end"]).all()

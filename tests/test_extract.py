@@ -87,3 +87,34 @@ def test_tokens_from_pages_html_vs_text_paths(sf_dir):
     right = via_text.sort_values(key).reset_index(drop=True)
     assert left.equals(right[left.columns])
     assert left["count"].sum() > 0
+
+
+def test_extractor_vectorized_matches_scalar():
+    """The RE2 batch kernel must agree byte-for-byte with the Python-loop
+    reference on adversarial shapes (no match, multiline zones, unicode,
+    stray tags, empty zones)."""
+    from htrc_feature_reader_ray.stages.extract import HtmlExtractor
+
+    docs = [
+        b"<header>h1</header><main>b1</main><footer>f1</footer>",
+        b"no zones here at all",
+        b"<header>multi\nline\nhead</header><main>b\n\nb</main><footer></footer>",
+        b"prefix junk <header>h</header><main>m</main><footer>f</footer> suffix",
+        "<header>ünicode</header><main>中文</main><footer>x</footer>".encode(),
+        b"<header>h</header><main>m</main>",  # incomplete -> no match
+        b"<header></header><main></main><footer></footer>",
+        b"<header>a<main>inner?</main>b</header><main>m</main><footer>f</footer>",
+    ]
+    batch = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(docs))],
+            "warc_ts": pa.array([1] * len(docs), type=pa.timestamp("us")),
+            "lang": ["en"] * len(docs),
+            "html": pa.array(docs, type=pa.binary()),
+        }
+    )
+    ex = HtmlExtractor()
+    got = ex(batch)
+    ref = ex._extract_scalar(docs)
+    for col in ("header", "body", "footer", "text"):
+        assert got.column(col).to_pylist() == list(ref[col]), col
