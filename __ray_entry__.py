@@ -373,6 +373,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 'broadcast' is the small-N fast path, 'lsh' the high-threshold one
         return embedding_dedup_pairs(ds, threshold=0.4, method="triangle")
 
+    def q_metadata(sf):
+        """Schema-versioned metadata extraction (parsers.py:145-242 analog):
+        synthesize nested metadata JSON deterministically over documents
+        (both schema variants), run the dotted-path walk + JSON-LD unwrap +
+        MARC genre decode, and emit the typed table (list columns joined
+        with '|' for hashability)."""
+        import pyarrow.compute as pc
+        import ray.data
+        from htrc_feature_reader_ray.stages.metadata import (
+            extract_metadata,
+            synthesize_meta_json,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "lang", "source", "n_chars"],
+        )
+        meta = extract_metadata(
+            docs.map_batches(synthesize_meta_json, batch_format="pyarrow")
+        )
+
+        def join_lists(batch: pa.Table) -> pa.Table:
+            for col in ("names", "genre"):
+                i = batch.schema.get_field_index(col)
+                joined = pc.binary_join(batch.column(col), "|")
+                name = "author" if col == "names" else col
+                batch = batch.remove_column(i).append_column(name, joined)
+            return batch
+
+        return meta.map_batches(join_lists, batch_format="pyarrow")
+
     def q_sample(sf):
         """Deterministic 1-in-8 sample by doc_id hash — reproducible sampling
         (ds.random_sample is seed-dependent across cluster shapes; a hash
@@ -636,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
+        "metadata": q_metadata,
         "filter_project": q_filter_project,
         "deterministic_sample": q_sample,
         "docs_with_source_stats": q_source_stats,
@@ -644,6 +676,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
+
+
+def _metadata_sql() -> str:
+    """Direct SQL recomputation of the synthesized-then-extracted metadata
+    table (the extraction semantics themselves are pinned by
+    tests/test_metadata.py against reference-fixture-shaped documents). The
+    MARC genre decode is a literal VALUES join over the LOC vocabulary."""
+    from htrc_feature_reader_ray.stages.metadata import MARCGT, MARC_CODES
+
+    marc_rows = ", ".join(
+        f"({i}, '{MARCGT[c]}')" for i, c in enumerate(MARC_CODES)
+    )
+    return f"""
+        WITH marc(idx, genre_name) AS (VALUES {marc_rows})
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN '2.0' ELSE '3.0-ld' END
+                   AS metadata_schema_version,
+               'Doc ' || d.doc_id AS title,
+               CAST(1950 + d.doc_id % 50 AS VARCHAR) AS pub_date,
+               d.lang AS language,
+               'text' AS type_of_resource,
+               CASE WHEN d.doc_id % 3 = 0 THEN 'restricted' ELSE 'open' END
+                   AS access_profile,
+               (d.n_chars % 100 + 1)::BIGINT AS page_count,
+               CASE WHEN d.doc_id % 2 = 0 THEN '2.0' ELSE '3.0-ld' END
+                   AS feature_schema_version,
+               CASE WHEN d.doc_id % 2 = 0 THEN d.source || ' Press' END
+                   AS imprint,
+               'p' || (d.doc_id % 5) AS pub_place,
+               upper(d.source) AS source_institution,
+               CASE WHEN d.doc_id % 2 = 1 THEN d.source || ' Press' END
+                   AS publisher,
+               'doc.' || d.doc_id AS id,
+               CASE WHEN d.doc_id % 2 = 0
+                    THEN 'Author ' || (d.doc_id % 7)
+                    ELSE 'Author ' || (d.doc_id % 7) || '|Author '
+                         || ((d.doc_id + 1) % 7) END AS author,
+               CASE WHEN d.doc_id % 2 = 0
+                    THEN 'fiction|subject-' || (d.doc_id % 4)
+                    ELSE m.genre_name || '|subject-' || (d.doc_id % 4) END
+                   AS genre
+        FROM documents d LEFT JOIN marc m ON m.idx = d.doc_id % 100"""
 
 
 def _stoplist_sql() -> str:
@@ -1047,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, chunk::BIGINT AS chunk,
                    min(warc_ts) AS ts_start, max(warc_ts) AS ts_end
             FROM d GROUP BY 1, 2""",
+        "metadata": _metadata_sql(),
         "dedup_exact": r"""
             SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
                        AS text_md5,
