@@ -18,24 +18,48 @@ Round-tripping through this lake is the engine's format-conformance gate
 
 from __future__ import annotations
 
+import bz2
+import gzip
 import json
+import os
 
 import pandas as pd
 import pyarrow as pa
 
 import ray.data
 
-from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+from htrc_feature_reader_ray.stages.partition import BUCKET_COL, bucketed_map_groups
 
 SCHEMA_VERSION = "graft-1.0"
 
+# codec name -> (filename suffix, compress fn, decompress fn) — the
+# resolver-compression matrix analog (resolvers round-trip
+# {json, parquet} x {bz2, gz, None}; test_resolvers.py:27-119)
+CODECS = {
+    None: ("", lambda b: b, lambda b: b),
+    "gz": (".gz", gzip.compress, gzip.decompress),
+    "bz2": (".bz2", bz2.compress, bz2.decompress),
+}
 
-def volumes_to_json(tokens_ds, out_dir: str, *, num_buckets: int = 16) -> None:
+
+def volumes_to_json(tokens_ds, out_dir: str, *, num_buckets: int = 16,
+                    codec: str | None = None) -> pd.DataFrame:
     """Serialize (url, warc_ts, section, token, pos, count) rows into one
-    nested JSON document per url; write as bucketed JSONL."""
+    nested JSON document per url, written as a hash-bucketed JSONL lake —
+    one ``part-<bucket>.jsonl[.gz|.bz2]`` per bucket, atomic rename per
+    file (resumable/idempotent). Returns the (path, n_docs) manifest."""
+    if codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}; one of {sorted(map(str, CODECS))}")
+    ext, compress, _ = CODECS[codec]
+    os.makedirs(out_dir, exist_ok=True)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        if df.empty:
+            return pd.DataFrame(
+                {"path": pd.Series(dtype=object),
+                 "n_docs": pd.Series(dtype="int64")}
+            )
+        lines = []
         for url, g in df.groupby("url", sort=True):
             snaps = []
             for ts, gs in g.groupby("warc_ts", sort=True):
@@ -54,12 +78,20 @@ def volumes_to_json(tokens_ds, out_dir: str, *, num_buckets: int = 16) -> None:
                 "schemaVersion": SCHEMA_VERSION,
                 "snapshots": snaps,
             }
-            rows.append({"url": url, "doc": json.dumps(doc, sort_keys=True)})
-        return pd.DataFrame(rows)
+            lines.append(json.dumps(doc, sort_keys=True))
+        bucket = int(df[BUCKET_COL].iloc[0])
+        path = os.path.join(out_dir, f"part-{bucket:05d}.jsonl{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(compress(("\n".join(lines) + "\n").encode("utf-8")))
+        os.replace(tmp, path)  # atomic: partial writes never become visible
+        return pd.DataFrame({"path": [path], "n_docs": [len(lines)]})
 
-    docs = bucketed_map_groups(tokens_ds, "url", per_bucket,
-                               num_buckets=num_buckets)
-    docs.write_json(out_dir)
+    manifest = bucketed_map_groups(
+        tokens_ds, "url", per_bucket, num_buckets=num_buckets,
+        drop_bucket=False,
+    )
+    return manifest.to_pandas()
 
 
 def parse_volume_batch(batch: pa.Table) -> pa.Table:
@@ -72,7 +104,7 @@ def parse_volume_batch(batch: pa.Table) -> pa.Table:
 
     urls, tss, sects, toks, poss, counts = [], [], [], [], [], []
     for doc_str in batch.column("doc").to_pylist():
-        doc = json.loads(doc_str)
+        doc = json.loads(doc_str) if isinstance(doc_str, str) else doc_str
         if doc.get("schemaVersion") != SCHEMA_VERSION:
             # tolerate but surface, like the reference's version-mismatch
             # warning (parsers.py:197-202)
@@ -105,7 +137,30 @@ def parse_volume_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_json_volumes(path: str):
-    """JSONL volume lake -> token-count Dataset (long form)."""
-    docs = ray.data.read_json(path)
+def read_json_volumes(path: str, *, codec: str | None = "auto"):
+    """JSONL volume lake -> token-count Dataset (long form), any codec.
+
+    ``codec='auto'`` (default) detects per file from the suffix, so mixed
+    lakes read fine. Each part file decompresses inside the map task (one
+    task per file — the bucket is the parallelism unit, matching the
+    writer's partitioning)."""
+    files = ray.data.read_binary_files(path)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        docs = []
+        for payload in batch.column("bytes").to_pylist():
+            # arrow's open_input_stream already auto-decompresses known
+            # suffixes; detect residual compression by magic bytes so both
+            # behaviors (and explicit codec overrides) read correctly
+            if payload[:2] == b"\x1f\x8b":
+                payload = gzip.decompress(payload)
+            elif payload[:3] == b"BZh":
+                payload = bz2.decompress(payload)
+            elif codec not in ("auto", None):
+                payload = CODECS[codec][2](payload)
+            raw = payload.decode("utf-8")
+            docs.extend(line for line in raw.splitlines() if line)
+        return pa.table({"doc": pa.array(docs, type=pa.string())})
+
+    docs = files.map_batches(decode, batch_format="pyarrow")
     return docs.map_batches(parse_volume_batch, batch_format="pyarrow")

@@ -72,10 +72,98 @@ def _dense_rank(raw: np.ndarray) -> np.ndarray:
     return (inv + 1).astype(np.int64)
 
 
+def _reference_chunk_breaks(weights: np.ndarray, target: float, *,
+                            even, two_sided: bool,
+                            procrastinate: bool) -> np.ndarray:
+    """Conformance mode: the reference's sequential two-pointer chunking
+    (transformations.py:57-156), re-implemented from its documented
+    semantics so migrating users get the reference's exact chunk boundaries.
+
+    Loop invariant: the active window [lo, hi) of un-assigned units shrinks
+    from both ends (or just the front when ``two_sided`` is False); each
+    round cuts a chunk of ``target`` plus a share of the window's overflow
+    (nearest-multiple signed remainder), with the even/'mids' variants
+    spreading that overflow over the chunks still expected.
+
+    Divergence from the reference (documented): where the reference would
+    raise IndexError on a midpoint break landing past the array (a giant
+    final page in the 1.5–2.5×target window), this guard simply stops.
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    n = len(w)
+    breaks = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return breaks
+    breaks[0] = 1
+    lo, hi = 0, n
+    loop = 0
+    while True:
+        loop += 1
+        if loop > 10000:
+            raise OverflowError("reference chunking failed to converge")
+        if lo == hi:
+            break
+        seg = w[lo:hi]
+        fwd = np.cumsum(seg)
+        remaining = fwd[-1]
+        if remaining < target * 1.5:
+            break
+
+        overflow = remaining % target
+        if (target - overflow) < overflow:
+            overflow = overflow - target
+        if even is True or (even == "mids" and loop > 1):
+            chunks_remaining = np.round(remaining / target)
+            if two_sided and chunks_remaining > 2:
+                overflow = overflow * 2 / chunks_remaining
+            if not two_sided and chunks_remaining > 1:
+                overflow = overflow / chunks_remaining
+        loc_target = target + (overflow / 2 if two_sided else overflow)
+        if procrastinate:
+            loc_target = target
+
+        if two_sided and remaining < target * 2.5:
+            mid = int(np.argmin(np.abs(fwd - remaining / 2)))
+            if lo + mid + 1 < n:
+                breaks[lo + mid + 1] = 1
+            break
+
+        best_front = int(np.argmin(np.abs(fwd - loc_target)))
+        lo = lo + best_front + 1
+        if lo >= n:
+            break
+        breaks[lo] = 1
+        if two_sided:
+            bwd = np.cumsum(seg[::-1])
+            best_back = int(np.argmin(np.abs(bwd - loc_target)))
+            hi = hi - best_back - 1
+            breaks[hi] = 1
+            if lo > hi:
+                # both ends claimed the same units (giant middle page);
+                # collapse the window like the reference does
+                hi = lo
+    return np.cumsum(breaks)
+
+
+def chunk_labels_reference(weights: np.ndarray, target: float,
+                           variant: str = "even") -> np.ndarray:
+    """Reference-exact labels, one ordered weight array. ``variant`` mirrors
+    chunk_even / chunk_last / chunk_ends (transformations.py:47-54)."""
+    params = {
+        "even": dict(even=True, two_sided=True, procrastinate=False),
+        "last": dict(even=False, two_sided=False, procrastinate=True),
+        "ends": dict(even="mids", two_sided=True, procrastinate=False),
+    }[variant]
+    return _reference_chunk_breaks(weights, float(target), **params)
+
+
 STRATEGIES = {
     "even": chunk_labels_even,
     "last": chunk_labels_last,
     "ends": chunk_labels_ends,
+    "reference_even": lambda w, t: chunk_labels_reference(w, t, "even"),
+    "reference_last": lambda w, t: chunk_labels_reference(w, t, "last"),
+    "reference_ends": lambda w, t: chunk_labels_reference(w, t, "ends"),
 }
 
 
@@ -97,6 +185,16 @@ def _labels_grouped(df: pd.DataFrame, key, weight_col, target, strategy) -> np.n
         shift = (total - n_chunks * target) / 2.0
         raw = np.floor((cum - w / 2.0 - shift) / float(target))
         raw = np.minimum(n_chunks - 1, np.maximum(0.0, raw))
+    elif strategy.startswith("reference"):
+        # conformance mode (reference-exact boundaries): the two-pointer
+        # algorithm is inherently sequential per entity, so fall back to a
+        # per-key loop inside the bucket — use the closed-form strategies
+        # for throughput at scale
+        variant = strategy.split("_", 1)[1] if "_" in strategy else "even"
+        labels = np.empty(len(df), dtype=np.int64)
+        for _, idx in df.groupby(key, sort=False).indices.items():
+            labels[idx] = chunk_labels_reference(w[idx], target, variant)
+        return labels
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     # dense-rank raw within each key (raw is monotone within a key)

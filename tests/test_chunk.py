@@ -158,3 +158,102 @@ def test_chunk_bounds_unique_under_tiny_blocks():
     assert (out.groupby("url")["chunk"].max() == 5).all()
     # bounds are consistent: ts_start <= ts_end, contiguous per url
     assert (out["ts_start"] <= out["ts_end"]).all()
+
+
+# ---- reference-exact conformance mode (transformations.py:57-156) ----
+# adversarial cases ported from the reference's test_chunking.py:29-77
+
+def _sizes(labels, counts):
+    from collections import Counter
+
+    c = Counter()
+    for lab, cnt in zip(labels, counts):
+        c[lab] += cnt
+    return c
+
+
+def test_reference_even_chunking_uniform():
+    from collections import Counter
+    from htrc_feature_reader_ray.stages.chunk import chunk_labels_reference
+
+    counts = np.ones(1000)
+    for variant in ("even", "last", "ends"):
+        c = _sizes(chunk_labels_reference(counts, 100, variant), counts)
+        assert Counter(c.values()) == Counter({100: 10}), variant
+
+
+def test_reference_asymmetric_end():
+    from htrc_feature_reader_ray.stages.chunk import chunk_labels_reference
+
+    counts = np.ones(1000)
+    counts[-1] = 500
+    for variant in ("even", "last", "ends"):
+        c = _sizes(chunk_labels_reference(counts, 100, variant), counts)
+        assert max(c.values()) == 500, variant
+        assert min(c.values()) == 99, variant
+
+
+def test_reference_giant_middle_page():
+    from htrc_feature_reader_ray.stages.chunk import chunk_labels_reference
+
+    counts = np.ones(1000)
+    counts[500] = 500
+    for variant in ("even", "last", "ends"):
+        c = _sizes(chunk_labels_reference(counts, 100, variant), counts)
+        assert max(c.values()) <= 501, variant
+
+
+def test_reference_tiny_target():
+    from htrc_feature_reader_ray.stages.chunk import chunk_labels_reference
+
+    counts = np.array([500.0] * 10)
+    for variant in ("even", "last", "ends"):
+        c = _sizes(chunk_labels_reference(counts, 100, variant), counts)
+        assert max(c.values()) == 500, variant
+
+
+def test_reference_labels_monotone_consecutive():
+    from htrc_feature_reader_ray.stages.chunk import chunk_labels_reference
+
+    rng = np.random.RandomState(5)
+    for _ in range(20):
+        counts = rng.randint(1, 200, size=rng.randint(1, 60)).astype(float)
+        for variant in ("even", "last", "ends"):
+            labs = chunk_labels_reference(counts, 75, variant)
+            assert (np.diff(labs) >= 0).all()
+            assert labs[0] == 1
+            assert set(np.diff(labs)) <= {0, 1}
+
+
+def test_reference_strategy_in_chunk_units():
+    """strategy='reference_even' flows through the bucketed Dataset op and
+    matches the scalar kernel per key."""
+    import pandas as pd
+    from htrc_feature_reader_ray.stages.chunk import (
+        chunk_labels_reference,
+        chunk_units,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for u in range(5):
+        for s in range(30):
+            rows.append(
+                {
+                    "user_id": u,
+                    "ts": pd.Timestamp(2024, 1, 1) + pd.Timedelta(hours=s),
+                    "wt": int(rng.randint(1, 120)),
+                }
+            )
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = chunk_units(
+        ray.data.from_pandas(df), key="user_id", order="ts", weight_col="wt",
+        target=100, strategy="reference_even", num_buckets=3,
+    ).to_pandas()
+    for u, g in out.groupby("user_id"):
+        g = g.sort_values("ts")
+        expect = chunk_labels_reference(
+            g["wt"].to_numpy(dtype=float), 100, "even"
+        )
+        assert g["chunk"].tolist() == expect.tolist(), u

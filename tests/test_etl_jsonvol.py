@@ -86,9 +86,18 @@ def test_chunked_lake_first_class(sf_dir, checksum):
         fold_tokenlist(back, pos=True, snapshot_col="chunk")
 
 
-def test_json_volume_roundtrip(sf_dir, tokens, checksum):
-    volumes_to_json(tokens, f"{OUT}/json", num_buckets=4)
-    back = read_json_volumes(f"{OUT}/json")
+@pytest.mark.parametrize("codec", [None, "gz", "bz2"])
+def test_json_volume_roundtrip(sf_dir, tokens, checksum, codec):
+    """{jsonl} x {None, gz, bz2} codec matrix — the reference's resolver
+    compression round-trip analog (test_resolvers.py:27-119)."""
+    out = f"{OUT}/json_{codec or 'plain'}"
+    manifest = volumes_to_json(tokens, out, num_buckets=4, codec=codec)
+    assert manifest["n_docs"].sum() > 0
+    import os
+    ext = {None: ".jsonl", "gz": ".jsonl.gz", "bz2": ".jsonl.bz2"}[codec]
+    assert all(p.endswith(ext) for p in manifest["path"])
+    assert all(os.path.exists(p) for p in manifest["path"])
+    back = read_json_volumes(out)  # codec auto-detected from suffix
     df = back.to_pandas()
     assert int(df["count"].sum()) == checksum
     # exact row-level equality after sorting
