@@ -653,10 +653,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": lambda sf: exact_dedup(_docs(sf)),
         # bands=64 (2 rows/band): candidate-miss probability <= 1e-8 per true
         # pair at jaccard 0.5, so the LSH output equals exact all-pairs
-        # Jaccard and is oracle-checkable (verification is exact either way)
+        # Jaccard and is oracle-checkable (verification is exact either way).
+        # corpus_rows from the parquet footer (free) lets verify='auto' pick
+        # its path without a sizing count() that re-executes the pipeline.
         "dedup_minhash": lambda sf: minhash_dedup_pairs(
             _docs(sf), threshold=0.5, num_perm=128, bands=64,
-            concurrency=(1, 4)
+            concurrency=(1, 4),
+            corpus_rows=__import__("pyarrow.parquet", fromlist=["ParquetFile"])
+            .ParquetFile(f"{sf}/documents.parquet").metadata.num_rows,
         ),
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
         "dedup_embedding_cosine": q_dedup_emb,

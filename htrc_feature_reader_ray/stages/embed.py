@@ -79,28 +79,45 @@ class ChunkEmbedder:
         self.min_tokens = min_tokens
         self._cache: dict[str, np.ndarray] = {}
 
+    _CACHE_LIMIT = 1 << 18  # bound per-actor memory: vectors are cheap to
+    # recompute, so a full reset on overflow beats an LRU's bookkeeping
+
     def _vecs(self, tokens: np.ndarray) -> np.ndarray:
         missing = [t for t in tokens if t not in self._cache]
         if missing:
+            if len(self._cache) + len(missing) > self._CACHE_LIMIT:
+                self._cache.clear()
             for t, v in zip(missing, self.model.vectors(np.array(missing, dtype=object))):
                 self._cache[t] = v
         return np.stack([self._cache[t] for t in tokens])
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        keep = ~df[self.token_col].isin(self.stop)
-        df = df[keep]
-        for key, g in df.groupby(self.group_cols, sort=False):
-            toks = g[self.token_col].to_numpy(dtype=object)
-            counts = g["count"].to_numpy(dtype=np.float64)
-            if len(toks) < self.min_tokens:
-                vec = np.zeros(self.dim)
-            else:
-                w = np.log1p(counts) if self.log else counts
-                vec = self._vecs(toks).T @ w
-            key = key if isinstance(key, tuple) else (key,)
-            rows.append((*key, vec))
-        out = pd.DataFrame(rows, columns=self.group_cols + ["embedding"])
+        """Vectorized over the WHOLE batch: one vocabulary factorize, one
+        (rows × dim) weighted gather, one segmented reduce — no per-group
+        Python loop (groups per batch grow with corpus size; rows do too,
+        but all row-wise work here is numpy)."""
+        df = df[~df[self.token_col].isin(self.stop)]
+        if df.empty:
+            return pd.DataFrame(
+                {**{c: [] for c in self.group_cols}, "embedding": []}
+            )
+        codes = df.groupby(self.group_cols, sort=False).ngroup().to_numpy()
+        tcodes, vocab = pd.factorize(
+            df[self.token_col].to_numpy(dtype=object)
+        )
+        vmat = self._vecs(np.asarray(vocab, dtype=object))  # (V, dim)
+        counts = df["count"].to_numpy(dtype=np.float64)
+        w = np.log1p(counts) if self.log else counts
+        contrib = vmat[tcodes] * w[:, None]  # (rows, dim)
+        order = np.argsort(codes, kind="stable")
+        c_sorted = codes[order]
+        starts = np.flatnonzero(np.r_[True, c_sorted[1:] != c_sorted[:-1]])
+        sums = np.add.reduceat(contrib[order], starts, axis=0)  # (G, dim)
+        sizes = np.diff(np.r_[starts, len(c_sorted)])
+        sums[sizes < self.min_tokens] = 0.0
+        first_rows = order[starts]  # one representative row per group
+        out = df.iloc[first_rows][self.group_cols].reset_index(drop=True)
+        out["embedding"] = list(sums)
         return out
 
 

@@ -197,57 +197,67 @@ def _block_key(row, key, ts, tiebreak):
     return (row[key], row[ts], row[tiebreak] if tiebreak else 0)
 
 
-def lag_lead_sorted(ds, *, key, ts, cols, tiebreak=None):
-    """Hot-key-safe lag/lead (n=1) over sorted range partitions — the
+def lag_lead_sorted(ds, *, key, ts, cols, n: int = 1, tiebreak=None):
+    """Hot-key-safe lag/lead (any ``n``) over sorted range partitions — the
     split-merge sibling of :func:`sessionize_sorted`: per-block vectorized
-    shifts, plus a boundary exchange of each block's edge rows so the first
-    row's lag / last row's lead read across block boundaries."""
+    shifts, plus a boundary exchange of each block's first/last ``n`` rows so
+    rows near block edges read across block boundaries.
+
+    Soundness of the edge capture: a row NOT captured (the middle of a
+    block longer than 2n) is followed by at least ``n`` same-block rows, so
+    it can never be within ``n`` positions of another block's row — the
+    captured edges are exactly the cross-block-visible rows."""
     sort_cols = [key, ts] + ([tiebreak] if tiebreak else [])
     sorted_ds = ds.sort(sort_cols).materialize()
+    edge_cols = [key] + [c for c in cols if c != key]
 
     def edges(df: pd.DataFrame) -> pd.DataFrame:
-        cols_out = ["pos", "edge_key"] + [f"edge_{c}" for c in cols] + ["bkey"]
+        cols_out = ["bkey", "pos"] + edge_cols
         if df.empty:
             return pd.DataFrame({c: pd.Series(dtype=object) for c in cols_out})
-        first, last = df.iloc[0], df.iloc[-1]
-        bkey = _block_key(first, key, ts, tiebreak)
-        rows = [
-            {"pos": pos, "edge_key": edge[key],
-             **{f"edge_{c}": edge[c] for c in cols}, "bkey": bkey}
-            for pos, edge in (("first", first), ("last", last))
-        ]
-        out = pd.DataFrame(rows)
-        out["bkey"] = out["bkey"].astype(object)
-        return out
+        bkey = _block_key(df.iloc[0], key, ts, tiebreak)
+        if len(df) <= 2 * n:
+            part = df[edge_cols].copy()
+            part["pos"] = np.arange(len(df))
+        else:
+            head = df[edge_cols].head(n).copy()
+            head["pos"] = np.arange(n)
+            tail = df[edge_cols].tail(n).copy()
+            tail["pos"] = np.arange(len(df) - n, len(df))
+            part = pd.concat([head, tail], ignore_index=True)
+        part["bkey"] = [bkey] * len(part)
+        part["bkey"] = part["bkey"].astype(object)
+        return part[cols_out]
 
     summaries = sorted_ds.map_batches(
         edges, batch_format="pandas", batch_size=None
     ).to_pandas()
-    # order blocks by their first row's sort key
-    order = sorted(
-        summaries[summaries["pos"] == "first"].to_dict("records"),
-        key=lambda r: r["bkey"],
-    )
-    lasts = {
-        r["bkey"]: r
-        for r in summaries[summaries["pos"] == "last"].to_dict("records")
-    }
-    # neighbor maps: for each block, the previous block's last row and the
-    # next block's first row (for lag and lead respectively)
-    prev_map: dict = {}
-    next_map: dict = {}
-    for i, rec in enumerate(order):
-        bkey = rec["bkey"]
-        if i > 0:
-            prev_rec = lasts[order[i - 1]["bkey"]]
-            if prev_rec["edge_key"] == rec["edge_key"]:
-                prev_map[bkey] = prev_rec
-        if i + 1 < len(order):
-            nxt = order[i + 1]
-            this_last = lasts[bkey]
-            if nxt["edge_key"] == this_last["edge_key"]:
-                next_map[bkey] = nxt
-    ref = ray.put((prev_map, next_map))
+    block_keys = sorted(summaries["bkey"].unique())
+    order_of = {b: i for i, b in enumerate(block_keys)}
+    summaries["_ord"] = summaries["bkey"].map(order_of)
+    summaries = summaries.sort_values(["_ord", "pos"], kind="mergesort")
+
+    # per block: the n same-key rows immediately before its first row (lag
+    # context) and after its last row (lead context), drawn from other
+    # blocks' captured edges
+    prev_ctx: dict = {}
+    next_ctx: dict = {}
+    for b in block_keys:
+        i = order_of[b]
+        mine = summaries[summaries["_ord"] == i]
+        first_key = mine.iloc[0][key]
+        last_key = mine.iloc[-1][key]
+        before = summaries[
+            (summaries["_ord"] < i) & (summaries[key] == first_key)
+        ].tail(n)
+        after = summaries[
+            (summaries["_ord"] > i) & (summaries[key] == last_key)
+        ].head(n)
+        if len(before):
+            prev_ctx[b] = before[edge_cols].to_dict("records")
+        if len(after):
+            next_ctx[b] = after[edge_cols].to_dict("records")
+    ref = ray.put((prev_ctx, next_ctx))
 
     def apply(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -256,22 +266,23 @@ def lag_lead_sorted(ds, *, key, ts, cols, tiebreak=None):
                 df[f"lead_{c}"] = pd.Series(dtype="float64")
             return df
         pm, nm = ray.get(ref)
-        df = df.copy()
-        g = df.groupby(key, sort=False)
-        for c in cols:
-            df[f"lag_{c}"] = g[c].shift(1)
-            df[f"lead_{c}"] = g[c].shift(-1)
         bkey = _block_key(df.iloc[0], key, ts, tiebreak)
-        if bkey in pm:
-            for c in cols:
-                df.iloc[0, df.columns.get_loc(f"lag_{c}")] = pm[bkey][f"edge_{c}"]
-        if bkey in nm:
-            last_idx = len(df) - 1
-            for c in cols:
-                df.iloc[last_idx, df.columns.get_loc(f"lead_{c}")] = nm[bkey][
-                    f"edge_{c}"
-                ]
-        return df
+        prev_df = pd.DataFrame(pm.get(bkey, []), columns=edge_cols)
+        next_df = pd.DataFrame(nm.get(bkey, []), columns=edge_cols)
+        work = pd.concat(
+            [prev_df, df[edge_cols], next_df], ignore_index=True
+        )
+        g = work.groupby(key, sort=False)
+        lo, hi = len(prev_df), len(prev_df) + len(df)
+        out = df.copy()
+        for c in cols:
+            out[f"lag_{c}"] = (
+                g[c].shift(n).iloc[lo:hi].reset_index(drop=True).to_numpy()
+            )
+            out[f"lead_{c}"] = (
+                g[c].shift(-n).iloc[lo:hi].reset_index(drop=True).to_numpy()
+            )
+        return out
 
     return sorted_ds.map_batches(apply, batch_format="pandas", batch_size=None)
 

@@ -28,3 +28,16 @@ def test_config_layering(tmp_path, monkeypatch):
     cfg2 = EngineConfig.load(cwd=str(tmp_path))
     assert cfg2.num_buckets == 23  # env beats file
     assert cfg2.chunk_target == 40  # default survives
+
+
+def test_filename_or_id_classifier():
+    import pytest
+    from htrc_feature_reader_ray.functions.ids import filename_or_id
+
+    assert filename_or_id("part-00001.jsonl.gz") == "filename"
+    assert filename_or_id("lake/tokens.parquet") == "filename"
+    assert filename_or_id("vol.123.json") == "filename"
+    assert filename_or_id("https://example.com/a/b") == "id"
+    assert filename_or_id("example.com/page") == "id"
+    with pytest.raises(ValueError):
+        filename_or_id("ambiguous_thing")

@@ -77,3 +77,36 @@ def test_sorted_handles_hot_key_spanning_blocks():
     )
     ds = ray.data.from_pandas(df).repartition(40)
     _compare(ds, gap="5m", tiebreak="event_id")
+
+
+def test_lag_lead_sorted_n_greater_than_one():
+    """n=3 over many tiny blocks with a dominant key: sorted split-merge must
+    equal the bucketed shift even when the lag window spans several blocks."""
+    from htrc_feature_reader_ray.stages.temporal import lag_lead, lag_lead_sorted
+
+    rng = np.random.RandomState(17)
+    n = 2000
+    user = np.where(rng.rand(n) < 0.6, 5, rng.randint(0, 8, n))
+    ts = pd.to_datetime(
+        np.sort(rng.randint(0, 10**6, n)), unit="s"
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {"event_id": np.arange(n), "user_id": user, "ts": ts,
+         "value": rng.standard_normal(n)}
+    )
+    # 100 blocks of ~20 rows: with n=3 a lag window regularly crosses 1-2
+    # block boundaries
+    ds = ray.data.from_pandas(df).repartition(100)
+    key_cols = ["user_id", "ts", "event_id"]
+    a = (
+        lag_lead(ds, key="user_id", ts="ts", cols=["value"], n=3,
+                 tiebreak="event_id", num_buckets=8)
+        .to_pandas().sort_values(key_cols).reset_index(drop=True)
+    )
+    b = (
+        lag_lead_sorted(ds, key="user_id", ts="ts", cols=["value"], n=3,
+                        tiebreak="event_id")
+        .to_pandas().sort_values(key_cols).reset_index(drop=True)
+    )
+    for c in ("lag_value", "lead_value"):
+        assert np.allclose(a[c].fillna(-9e9), b[c].fillna(-9e9)), c
