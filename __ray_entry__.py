@@ -373,6 +373,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 'broadcast' is the small-N fast path, 'lsh' the high-threshold one
         return embedding_dedup_pairs(ds, threshold=0.4, method="triangle")
 
+    def q_dedup_minhash(sf):
+        import pyarrow.parquet as pq
+
+        # corpus_rows from the parquet footer (free) lets verify='auto' pick
+        # its path without a sizing count() that re-executes the pipeline
+        return minhash_dedup_pairs(
+            _docs(sf), threshold=0.5, num_perm=128, bands=64,
+            concurrency=(1, 4),
+            corpus_rows=pq.ParquetFile(
+                f"{sf}/documents.parquet"
+            ).metadata.num_rows,
+        )
+
+    def q_dedup_clusters(sf):
+        from htrc_feature_reader_ray.stages.dedup import dedup_clusters
+
+        return dedup_clusters(q_dedup_minhash(sf))
+
     def q_metadata(sf):
         """Schema-versioned metadata extraction (parsers.py:145-242 analog):
         synthesize nested metadata JSON deterministically over documents
@@ -654,14 +672,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bands=64 (2 rows/band): candidate-miss probability <= 1e-8 per true
         # pair at jaccard 0.5, so the LSH output equals exact all-pairs
         # Jaccard and is oracle-checkable (verification is exact either way).
-        # corpus_rows from the parquet footer (free) lets verify='auto' pick
-        # its path without a sizing count() that re-executes the pipeline.
-        "dedup_minhash": lambda sf: minhash_dedup_pairs(
-            _docs(sf), threshold=0.5, num_perm=128, bands=64,
-            concurrency=(1, 4),
-            corpus_rows=__import__("pyarrow.parquet", fromlist=["ParquetFile"])
-            .ParquetFile(f"{sf}/documents.parquet").metadata.num_rows,
-        ),
+        "dedup_minhash": q_dedup_minhash,
+        # canonical-document assignment: connected components over the
+        # near-dup pairs (union-find on the collected pair list — the pair
+        # set is the tiny near-dup subset; 'distributed' label propagation
+        # covers the edge-list-exceeds-one-node regime)
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
         "dedup_embedding_cosine": q_dedup_emb,
         "ann_cosine_topk": q_ann,
@@ -680,6 +696,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
+
+
+# exact all-pairs shingle-Jaccard >= 0.5 — shared by the dedup_minhash
+# oracle and (as the edge list) the dedup_clusters recursive-CTE oracle
+JACCARD_PAIRS_BODY = r"""toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+      FROM toks, LATERAL unnest(range(1, len(arr) - 1)) AS t(i)
+      WHERE len(arr) >= 3
+      UNION
+      SELECT doc_id, array_to_string(arr, ' ') AS shingle
+      FROM toks WHERE len(arr) BETWEEN 1 AND 2
+    ), sizes AS (
+      SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), jac_pairs AS (
+      SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE i / (sa.n + sb.n - i) >= 0.5
+    )"""
+
+JACCARD_PAIRS_PRE = "WITH " + JACCARD_PAIRS_BODY
 
 
 def _metadata_sql() -> str:
@@ -1203,33 +1251,24 @@ def oracle_sql() -> dict[str, str]:
         # probability is <= 1e-8 per true pair, so the verified output equals
         # exact all-pairs shingle-Jaccard — which SQL recomputes from scratch
         # (shingles -> self-join intersections -> jaccard; same int division).
-        "dedup_minhash": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
-              FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                     arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
-              FROM toks, LATERAL unnest(range(1, len(arr) - 1)) AS t(i)
-              WHERE len(arr) >= 3
+        "dedup_minhash": JACCARD_PAIRS_PRE + """
+            SELECT doc_a, doc_b, jaccard FROM jac_pairs""",
+        # connected components over the near-dup pairs: min reachable id per
+        # node via a recursive CTE (UNION dedups, so the walk terminates)
+        "dedup_clusters": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + """,
+            sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM jac_pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM jac_pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM sym
+            ), walk(node, reach) AS (
+              SELECT node, node FROM nodes
               UNION
-              SELECT doc_id, array_to_string(arr, ' ') AS shingle
-              FROM toks WHERE len(arr) BETWEEN 1 AND 2
-            ), sizes AS (
-              SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
-            ), inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     count(*)::BIGINT AS i
-              FROM sh a JOIN sh b USING (shingle)
-              WHERE a.doc_id < b.doc_id
-              GROUP BY 1, 2
+              SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
             )
-            SELECT doc_a, doc_b, i / (sa.n + sb.n - i) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE i / (sa.n + sb.n - i) >= 0.5""",
+            SELECT node AS doc_id, min(reach)::BIGINT AS cluster_id
+            FROM walk GROUP BY 1""",
         # simhash's token hash is md5-based precisely so SQL can replay it:
         # md5_number_upper(token) == little-endian first 8 md5 bytes.
         "dedup_simhash": r"""

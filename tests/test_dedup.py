@@ -237,3 +237,55 @@ def test_simhash_batch_equals_scalar():
     batched = simhash_batch(texts)
     for i, t in enumerate(texts):
         assert batched[i] == simhash_scalar(t), i
+
+
+def _cc_pairs():
+    import pyarrow as pa
+
+    # components: {1,2,3,9} (chain 9-3, 3-2, 2-1), {5,6}, {10,11,12}
+    return pa.table(
+        {
+            "doc_a": pa.array([2, 1, 3, 5, 10, 11], type=pa.int64()),
+            "doc_b": pa.array([3, 2, 9, 6, 11, 12], type=pa.int64()),
+        }
+    )
+
+
+CC_EXPECT = {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 10: 10, 11: 10, 12: 10}
+
+
+def test_dedup_clusters_driver_path():
+    from htrc_feature_reader_ray.stages.dedup import dedup_clusters
+
+    out = dedup_clusters(
+        ray.data.from_arrow(_cc_pairs()), num_buckets=4, method="driver"
+    ).to_pandas()
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == CC_EXPECT
+
+
+def test_dedup_clusters_distributed_equals_driver():
+    """Pointer-doubled label propagation (the huge-edge-list path) must give
+    the same components as union-find."""
+    from htrc_feature_reader_ray.stages.dedup import dedup_clusters
+
+    out = dedup_clusters(
+        ray.data.from_arrow(_cc_pairs()), num_buckets=4, method="distributed"
+    ).to_pandas()
+    assert dict(zip(out["doc_id"], out["cluster_id"])) == CC_EXPECT
+
+
+def test_dedup_clusters_long_chain_driver():
+    """A 4000-node path graph: one union-find pass, exact."""
+    from htrc_feature_reader_ray.stages.dedup import dedup_clusters
+    import pyarrow as pa
+
+    n = 4000
+    pairs = pa.table(
+        {
+            "doc_a": pa.array(list(range(n - 1)), type=pa.int64()),
+            "doc_b": pa.array(list(range(1, n)), type=pa.int64()),
+        }
+    )
+    out = dedup_clusters(ray.data.from_arrow(pairs), num_buckets=4).to_pandas()
+    assert (out["cluster_id"] == 0).all()
+    assert len(out) == n
