@@ -391,6 +391,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_numeric_profile(sf):
+        """Distributed EXACT quantiles + summary stats over value_cents —
+        histogram combiner -> tiny value-space fold -> rank lookup."""
+        from htrc_feature_reader_ray.stages.profile import numeric_profile
+
+        return numeric_profile(
+            _with_cents(_events(sf, ["event_id", "value"])), "value_cents"
+        )
+
+    def q_stratified_sample(sf):
+        """Exact per-language fraction, lowest-md5 ids win — deterministic
+        on any cluster shape and SQL-replayable."""
+        from htrc_feature_reader_ray.stages.sample import stratified_sample
+        import ray.data
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang", "source"]
+        )
+        return stratified_sample(
+            docs, stratum_col="lang", id_col="doc_id", fraction=0.1,
+            num_buckets=8,
+        )
+
     def q_metadata(sf):
         """Schema-versioned metadata extraction (parsers.py:145-242 analog):
         synthesize nested metadata JSON deterministically over documents
@@ -688,6 +711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": lambda sf: langid(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "metadata": q_metadata,
+        "numeric_profile": q_numeric_profile,
+        "stratified_sample": q_stratified_sample,
         "filter_project": q_filter_project,
         "deterministic_sample": q_sample,
         "docs_with_source_stats": q_source_stats,
@@ -1174,6 +1199,29 @@ def oracle_sql() -> dict[str, str]:
                    min(warc_ts) AS ts_start, max(warc_ts) AS ts_end
             FROM d GROUP BY 1, 2""",
         "metadata": _metadata_sql(),
+        "numeric_profile": """
+            WITH v AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS val FROM events
+            )
+            SELECT count(*)::BIGINT AS n,
+                   min(val)::BIGINT AS "min",
+                   max(val)::BIGINT AS "max",
+                   sum(val)::BIGINT AS "sum",
+                   quantile_disc(val, 0.5)::BIGINT AS p50,
+                   quantile_disc(val, 0.9)::BIGINT AS p90,
+                   quantile_disc(val, 0.99)::BIGINT AS p99
+            FROM v""",
+        "stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n_s
+              FROM documents
+            )
+            SELECT doc_id, lang, source FROM r
+            WHERE rn <= ceil(0.1 * n_s)""",
         "dedup_exact": r"""
             SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
                        AS text_md5,

@@ -162,12 +162,17 @@ def extract_pages(pages_ds, *, concurrency=None, batch_size: int | None = None,
     Two physical strategies for the warmed-extractor stage:
       * tasks (default): stateless map tasks with a per-worker-process
         extractor cache — same warm-state amortization (workers are reused),
-        elastic, and measured ~8× faster end-to-end than the actor pool in
-        Ray 2.49, whose ActorPoolMapOperator data plane serializes badly on
-        this workload;
+        elastic, and crucially FUSES with the upstream pages map so raw html
+        never crosses the object store between stages (an actor op is a
+        fusion barrier in Ray 2.49). Round-1's "8× slower actors" was this
+        fusion/batch-size interaction; re-measured round 2 on
+        pre-materialized blocks the actor pool is at parity or slightly
+        ahead (1.4 s vs 1.75 s warm on 1M pages, 14 actors) — the task
+        default is about keeping the fused pipeline, not actor overhead;
       * ``use_actors=True``: a classic ``map_batches(Cls, concurrency=N)``
         actor pool — the right shape when extractor state is too big for
-        every worker (e.g. a model) or needs controlled replica count.
+        every worker (e.g. a model), needs a controlled replica count, or
+        the input is already materialized (no fusion to lose).
 
     Default batch_size is None = whole upstream blocks. Task parallelism is
     governed by the SOURCE's batching (sources/pages.py::fixture_batch_size

@@ -1,0 +1,87 @@
+"""Numeric column profiling — distributed EXACT quantiles + summary stats.
+
+The reference ships per-section scalar summaries (``_make_section_feature_df``,
+parsers.py:315-330); a web-scale training-data pipeline additionally needs
+corpus-level numeric profiles (length/score distributions) to pick filter
+thresholds. Exact — not sketched — via the distributed-histogram shape:
+
+  per-batch ``np.unique`` value counts (the map-side combiner) → one small
+  ``groupby(value).sum`` shuffle → driver cumsum over the DISTINCT-value
+  histogram → rank lookup.
+
+Scale assumption (documented contract): the profiled column has bounded
+cardinality (integer cents, token counts, quality buckets — value space ≪
+row count), so the folded histogram is tiny even at 10^12 rows. For
+unbounded doubles, quantize first (e.g. cents) — which is also what makes
+the result exactly reproducible cross-engine.
+
+Quantile convention: value at 1-based rank ``ceil(q * n)`` — chosen to match
+DuckDB's ``quantile_disc`` exactly so results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+
+def value_histogram(ds, col: str):
+    """(value, cnt) Dataset: per-batch unique-counts combiner + global fold."""
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {col: pa.array(u), "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    partial = ds.map_batches(hist, batch_format="pyarrow")
+    return partial.groupby(col).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """Exact discrete quantiles of ``col``: DataFrame (q, value) with value
+    at 1-based rank ceil(q*n) of the sorted column (== quantile_disc)."""
+    hdf = value_histogram(ds, col).to_pandas().sort_values(col)
+    if hdf.empty:
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "value": pd.Series(dtype="int64")})
+    cum = hdf["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = hdf[col].to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        out_q.append(float(q))
+        out_v.append(vals[int(np.searchsorted(cum, rank))])
+    return pd.DataFrame({"q": out_q, "value": np.asarray(out_v)})
+
+
+def numeric_profile(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """One-row exact profile: n, min, max, sum (int64) + the quantiles as
+    columns ``p50``-style. Integer-exact end to end (the column must be an
+    integer quantization, per the module contract)."""
+    hdf = value_histogram(ds, col).to_pandas().sort_values(col)
+    if hdf.empty:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ["n", "min", "max", "sum"]
+             + [f"p{int(q * 100)}" for q in qs]}
+        )
+    cnt = hdf["cnt"].to_numpy()
+    vals = hdf[col].to_numpy()
+    cum = cnt.cumsum()
+    n = int(cum[-1])
+    row = {
+        "n": n,
+        "min": int(vals[0]),
+        "max": int(vals[-1]),
+        "sum": int((vals * cnt).sum()),
+    }
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        row[f"p{int(q * 100)}"] = int(vals[int(np.searchsorted(cum, rank))])
+    return pd.DataFrame([row]).astype("int64")

@@ -1,0 +1,57 @@
+"""Deterministic sampling operators.
+
+``Dataset.random_sample`` is seed- and shape-dependent (different cluster
+sizes draw different rows), which breaks reproducibility contracts and
+oracle checks. These samplers are pure functions of the DATA:
+
+  * hash-predicate sampling (1-in-k by stable id hash) lives in the query
+    layer (see ``deterministic_sample`` in __ray_entry__.py);
+  * :func:`stratified_sample` draws an exact per-stratum fraction, picking
+    each stratum's lowest-md5 ids — the same rows on any cluster shape, and
+    replayable in SQL (``row_number() OVER (PARTITION BY stratum ORDER BY
+    md5(id))``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+
+def _md5_hex(values) -> np.ndarray:
+    return np.fromiter(
+        (hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in values),
+        dtype=object,
+        count=len(values),
+    )
+
+
+def stratified_sample(ds, *, stratum_col: str, id_col: str, fraction: float,
+                      num_buckets: int = 32):
+    """ceil(fraction × n_s) rows from every stratum s, deterministically:
+    the stratum's lowest md5(id) rows win. One bucketed exchange on the
+    stratum column (all rows of a stratum co-located); everything inside is
+    vectorized pandas. Skewed strata are bounded by the per-bucket memory of
+    the largest stratum — for web-scale strata (language, domain bucket)
+    prefer more buckets over salting, since rank selection is order-exact,
+    not commutative."""
+    if not 0 < fraction <= 1:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = _md5_hex(df[id_col].to_numpy())
+        df = df.sort_values(["_h", id_col], kind="mergesort")
+        g = df.groupby(stratum_col, sort=False)
+        keep = g.cumcount() < np.ceil(
+            fraction * g[id_col].transform("size").to_numpy()
+        )
+        return df[keep].drop(columns=["_h"])
+
+    return bucketed_map_groups(ds, stratum_col, per_bucket,
+                               num_buckets=num_buckets)
