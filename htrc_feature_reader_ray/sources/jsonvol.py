@@ -137,6 +137,97 @@ def parse_volume_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def volumes_to_json_tree(tokens_ds, out_dir: str, *, num_buckets: int = 16,
+                         codec: str | None = None,
+                         layout: str = "stubbytree") -> pd.DataFrame:
+    """One file PER URL under a sharded directory tree — the reference's
+    resolver file layout (stubbytree resolvers.py:202-256 / pairtree
+    :102-143) as an interchange format: ``<root>/<shard>/<clean-url>.json``.
+
+    Caveat (documented contract): one-file-per-entity is an interchange /
+    random-access layout, not the scan layout — at 10^12 urls the metadata
+    ops alone dominate. Bulk pipelines use the bucketed JSONL lake
+    (:func:`volumes_to_json`); this tree exists for reference-style per-
+    volume access via :class:`TreeResolver`. Same nested JSON, same codecs;
+    :func:`read_json_volumes` reads either layout (it globs recursively and
+    detects codecs by content)."""
+    from htrc_feature_reader_ray.functions.ids import clean_id, shard_path
+
+    if codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}")
+    if layout != "stubbytree":
+        raise ValueError(f"unknown layout {layout!r} (stubbytree only)")
+    ext, compress, _ = CODECS[codec]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        paths = []
+        for url, g in df.groupby("url", sort=True):
+            snaps = []
+            for ts, gs in g.groupby("warc_ts", sort=True):
+                sections: dict = {}
+                for (sect, token, pos), gg in gs.groupby(
+                    ["section", "token", "pos"], sort=True
+                ):
+                    sections.setdefault(sect, {}).setdefault(token, {})[
+                        pos
+                    ] = int(gg["count"].sum())
+                snaps.append(
+                    {"warc_ts": int(ts.value // 1000),
+                     "tokenPosCount": sections}
+                )
+            doc = {"url": url, "schemaVersion": SCHEMA_VERSION,
+                   "snapshots": snaps}
+            rel = shard_path(url) + ".json" + ext
+            path = os.path.join(out_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(compress(json.dumps(doc, sort_keys=True)
+                                 .encode("utf-8")))
+            os.replace(tmp, path)
+            paths.append({"url": url, "path": path})
+        if not paths:
+            return pd.DataFrame({"url": pd.Series(dtype=object),
+                                 "path": pd.Series(dtype=object)})
+        return pd.DataFrame(paths)
+
+    return bucketed_map_groups(
+        tokens_ds, "url", per_bucket, num_buckets=num_buckets
+    ).to_pandas()
+
+
+class TreeResolver:
+    """Random access into a volume tree — the IdResolver surface
+    (resolvers.py:30-100): ``path_for(url)`` and ``open(url)`` -> parsed
+    nested doc, any codec."""
+
+    def __init__(self, root: str, *, codec: str | None = None) -> None:
+        if codec not in CODECS:
+            raise ValueError(f"unknown codec {codec!r}")
+        self.root = root
+        self.codec = codec
+
+    def path_for(self, url: str) -> str:
+        from htrc_feature_reader_ray.functions.ids import shard_path
+
+        ext = CODECS[self.codec][0]
+        return os.path.join(self.root, shard_path(url) + ".json" + ext)
+
+    def open(self, url: str) -> dict:
+        from htrc_feature_reader_ray.errors import MissingDataError
+
+        path = self.path_for(url)
+        if not os.path.exists(path):
+            raise MissingDataError(f"no volume file for {url!r} at {path}")
+        with open(path, "rb") as f:
+            payload = f.read()
+        if payload[:2] == b"\x1f\x8b":
+            payload = gzip.decompress(payload)
+        elif payload[:3] == b"BZh":
+            payload = bz2.decompress(payload)
+        return json.loads(payload.decode("utf-8"))
+
+
 def read_json_volumes(path: str, *, codec: str | None = "auto"):
     """JSONL volume lake -> token-count Dataset (long form), any codec.
 

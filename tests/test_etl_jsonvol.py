@@ -117,3 +117,28 @@ def test_lake_rerun_resumes(sf_dir):
     m2 = save_feature_lake(sf_dir, f"{OUT}/resume", num_buckets=4,
                            tables=("tokens",))
     assert m2["tokens"]["completed_at"] == t1
+
+
+@pytest.mark.parametrize("codec", [None, "gz"])
+def test_json_volume_tree_roundtrip_and_resolver(sf_dir, tokens, checksum, codec):
+    """Stubbytree one-file-per-url layout: bulk read-back equals the source,
+    and TreeResolver random access returns the exact per-url doc."""
+    from htrc_feature_reader_ray.errors import MissingDataError
+    from htrc_feature_reader_ray.sources.jsonvol import (
+        TreeResolver,
+        volumes_to_json_tree,
+    )
+
+    out = f"{OUT}/tree_{codec or 'plain'}"
+    manifest = volumes_to_json_tree(tokens, out, num_buckets=4, codec=codec)
+    assert len(manifest) == tokens.to_pandas()["url"].nunique()
+    back = read_json_volumes(out).to_pandas()
+    assert int(back["count"].sum()) == checksum
+
+    res = TreeResolver(out, codec=codec)
+    url = manifest["url"].iloc[0]
+    doc = res.open(url)
+    assert doc["url"] == url
+    assert res.path_for(url) == manifest["path"].iloc[0]
+    with pytest.raises(MissingDataError):
+        res.open("http://nope.example/xyz")
