@@ -383,14 +383,14 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
 
     if method == "broadcast":
         full = vecs_ds.materialize()
-        full_tbl = pa.concat_tables(
-            [b for b in
-             full.iter_batches(batch_format="pyarrow", batch_size=None)]
+        batches = list(
+            full.iter_batches(batch_format="pyarrow", batch_size=None)
         )
-        if full_tbl.num_rows == 0:
+        if not batches or sum(b.num_rows for b in batches) == 0:
             import ray.data as rd
 
             return rd.from_arrow(_EMPTY_PAIRS)
+        full_tbl = pa.concat_tables(batches)
         if full_tbl.num_rows > broadcast_limit:
             raise ValueError(
                 f"broadcast path on {full_tbl.num_rows} rows exceeds "

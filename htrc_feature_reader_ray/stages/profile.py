@@ -42,10 +42,18 @@ def value_histogram(ds, col: str):
     return partial.groupby(col).aggregate(Sum("cnt", alias_name="cnt"))
 
 
+def _hist_df(ds, col: str) -> pd.DataFrame:
+    hdf = value_histogram(ds, col).to_pandas()
+    if col not in hdf.columns:  # Ray's to_pandas drops columns on 0 rows
+        return pd.DataFrame({col: pd.Series(dtype="int64"),
+                             "cnt": pd.Series(dtype="int64")})
+    return hdf.sort_values(col)
+
+
 def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
     """Exact discrete quantiles of ``col``: DataFrame (q, value) with value
     at 1-based rank ceil(q*n) of the sorted column (== quantile_disc)."""
-    hdf = value_histogram(ds, col).to_pandas().sort_values(col)
+    hdf = _hist_df(ds, col)
     if hdf.empty:
         return pd.DataFrame({"q": pd.Series(dtype="float64"),
                              "value": pd.Series(dtype="int64")})
@@ -64,7 +72,7 @@ def numeric_profile(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
     """One-row exact profile: n, min, max, sum (int64) + the quantiles as
     columns ``p50``-style. Integer-exact end to end (the column must be an
     integer quantization, per the module contract)."""
-    hdf = value_histogram(ds, col).to_pandas().sort_values(col)
+    hdf = _hist_df(ds, col)
     if hdf.empty:
         return pd.DataFrame(
             {c: pd.Series(dtype="int64")

@@ -90,3 +90,58 @@ def test_sessionize_single_event_per_user():
     assert len(out) == 2
     assert (out["session_id"] == 1).all()
     assert (out["n_events"] == 1).all()
+
+
+def test_metadata_extract_empty_batch():
+    from htrc_feature_reader_ray.stages.metadata import extract_metadata_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "meta_json": pa.array([], type=pa.string()),
+        }
+    )
+    out = extract_metadata_batch(batch)
+    assert out.num_rows == 0
+    assert "genre" in out.column_names
+
+
+def test_profile_empty_dataset():
+    from htrc_feature_reader_ray.stages.profile import (
+        exact_quantiles,
+        numeric_profile,
+    )
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([], type=pa.int64())}))
+    assert exact_quantiles(ds, "v").empty
+    assert numeric_profile(ds, "v").empty
+
+
+def test_chunk_labels_reference_degenerate():
+    from htrc_feature_reader_ray.stages.chunk import chunk_labels_reference
+
+    for variant in ("even", "last", "ends"):
+        assert chunk_labels_reference(np.array([]), 100, variant).tolist() == []
+        assert chunk_labels_reference(np.array([5.0]), 100, variant).tolist() == [1]
+
+
+def test_simhash_and_md5_empty():
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    assert simhash_batch([]).tolist() == []
+    assert md5_hash64([]).tolist() == []
+
+
+def test_embedding_dedup_triangle_empty():
+    from htrc_feature_reader_ray.stages.dedup import embedding_dedup_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = embedding_dedup_pairs(ds, threshold=0.9, method="broadcast").to_pandas()
+    assert out.empty
