@@ -128,14 +128,15 @@ def snapshot_mult() -> int:
     return int(os.environ.get("GRAFT_SNAPSHOT_MULT", "1"))
 
 
-def fixture_batch_size(target_pages: int = 32768) -> int:
+def fixture_batch_size(target_pages: int = 8192) -> int:
     """Batch size (in DOCUMENT rows) for stages fused onto the synth source.
 
     Ray fuses the synth map into downstream ops, so their batch_size applies
     to pre-expansion rows; each doc expands to ~2×mult pages. Sizing by the
     expansion keeps task granularity (and thus parallelism) constant in
     OUTPUT rows — without this, a high mult collapses the whole pipeline to
-    a handful of tasks."""
+    a handful of tasks. 8192 measured fastest at mult=20/32cpus (1.27s vs
+    1.75s at 32768: 24 tasks instead of 6; below 8192 task overhead wins)."""
     return max(16, target_pages // (2 * snapshot_mult()))
 
 
