@@ -391,6 +391,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_multimodal_decode(sf):
+        """Multimodal decode plumbing end-to-end: documents' (ASCII) text
+        bytes become the opaque binary payload of a media table, the
+        actor-pool decode stage runs the deterministic codec (tile payload
+        bytes to width×height pixels), and the exact integer projections
+        (n_pixels, pixel_sum) are oracle-checked — SQL re-derives the tiled
+        byte sum from the text. Real-codec swap = pass a different
+        codec_factory; the Ray plumbing is identical."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.multimodal import (
+            FakeImageCodec,
+            decode_images,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        )
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            n_chars = batch.column("n_chars").to_numpy()
+            payloads = [t.encode("utf-8")
+                        for t in batch.column("text").to_pylist()]
+            return pa.table(
+                {
+                    "media_id": batch.column("doc_id"),
+                    "payload": pa.array(payloads, type=pa.binary()),
+                    "width": pa.array(
+                        np.full(len(payloads), 16, dtype=np.int32)
+                    ),
+                    "height": pa.array(
+                        (n_chars % 8 + 1).astype(np.int32)
+                    ),
+                }
+            )
+
+        media = docs.map_batches(to_media, batch_format="pyarrow")
+        feats = decode_images(media, codec_factory=FakeImageCodec,
+                              concurrency=(1, 4))
+        return feats.select_columns(["media_id", "n_pixels", "pixel_sum"])
+
     def q_numeric_profile(sf):
         """Distributed EXACT quantiles + summary stats over value_cents —
         histogram combiner -> tiny value-space fold -> rank lookup."""
@@ -711,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": lambda sf: langid(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "metadata": q_metadata,
+        "multimodal_decode": q_multimodal_decode,
         "numeric_profile": q_numeric_profile,
         "stratified_sample": q_stratified_sample,
         "filter_project": q_filter_project,
@@ -1199,6 +1240,29 @@ def oracle_sql() -> dict[str, str]:
                    min(warc_ts) AS ts_start, max(warc_ts) AS ts_end
             FROM d GROUP BY 1, 2""",
         "metadata": _metadata_sql(),
+        # re-derive the fake codec's tile-to-(w*h)-pixels byte sum: pixel i
+        # is byte (i mod len); sum = full_cycles*total + prefix(remainder).
+        # documents.text is ASCII so ord(substr) == byte value.
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS blen,
+                     16 * ((n_chars % 8) + 1) AS n
+              FROM documents
+            ), b AS (
+              SELECT media_id, blen, n,
+                     sum(o)::BIGINT AS total,
+                     sum(CASE WHEN i <= n % blen THEN o ELSE 0 END)::BIGINT
+                         AS prefix
+              FROM (
+                SELECT media_id, blen, n, t.i,
+                       ord(substr(text, t.i, 1)) AS o
+                FROM m, LATERAL unnest(range(1, blen + 1)) AS t(i)
+              )
+              GROUP BY 1, 2, 3
+            )
+            SELECT media_id, n::BIGINT AS n_pixels,
+                   ((n // blen) * total + prefix)::BIGINT AS pixel_sum
+            FROM b""",
         "numeric_profile": """
             WITH v AS (
               SELECT CAST(round(value * 100) AS BIGINT) AS val FROM events

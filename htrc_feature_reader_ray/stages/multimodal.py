@@ -74,17 +74,20 @@ class DecodeImage:
         mean = np.empty(len(payloads))
         std = np.empty(len(payloads))
         npix = np.empty(len(payloads), dtype=np.int64)
+        psum = np.empty(len(payloads), dtype=np.int64)
         for i, (p, w, h) in enumerate(zip(payloads, ws, hs)):
             px = self.codec.decode(p, w, h)
             mean[i] = float(px.mean())
             std[i] = float(px.std())
             npix[i] = px.size
+            psum[i] = int(px.sum(dtype=np.int64))  # exact (oracle-checkable)
         return pa.table(
             {
                 "media_id": ids,
                 "mean_intensity": pa.array(mean, type=pa.float64()),
                 "std_intensity": pa.array(std, type=pa.float64()),
                 "n_pixels": pa.array(npix, type=pa.int64()),
+                "pixel_sum": pa.array(psum, type=pa.int64()),
             }
         )
 
