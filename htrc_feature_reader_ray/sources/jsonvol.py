@@ -228,6 +228,38 @@ class TreeResolver:
         return json.loads(payload.decode("utf-8"))
 
 
+class CachedResolver:
+    """Read-through cache composition — the reference's fallback resolver
+    (caching.py:14-89): open() tries the PREFERRED tree first; on miss the
+    volume is copied from the FALLBACK tree into the preferred one (atomic
+    rename, re-encoded to the preferred codec) and served from there — the
+    ``copy_between_resolvers`` miss path (resolvers.py:321-350)."""
+
+    def __init__(self, preferred: TreeResolver, fallback: TreeResolver) -> None:
+        self.preferred = preferred
+        self.fallback = fallback
+
+    def path_for(self, url: str) -> str:
+        return self.preferred.path_for(url)
+
+    def open(self, url: str) -> dict:
+        from htrc_feature_reader_ray.errors import MissingDataError
+
+        try:
+            return self.preferred.open(url)
+        except MissingDataError:
+            doc = self.fallback.open(url)  # raises if truly absent
+            path = self.preferred.path_for(url)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            compress = CODECS[self.preferred.codec][1]
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(compress(json.dumps(doc, sort_keys=True)
+                                 .encode("utf-8")))
+            os.replace(tmp, path)
+            return self.preferred.open(url)
+
+
 def read_json_volumes(path: str, *, codec: str | None = "auto"):
     """JSONL volume lake -> token-count Dataset (long form), any codec.
 

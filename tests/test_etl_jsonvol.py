@@ -142,3 +142,34 @@ def test_json_volume_tree_roundtrip_and_resolver(sf_dir, tokens, checksum, codec
     assert res.path_for(url) == manifest["path"].iloc[0]
     with pytest.raises(MissingDataError):
         res.open("http://nope.example/xyz")
+
+
+def test_cached_resolver_read_through(sf_dir, tokens):
+    """caching.py analog: miss in preferred -> copy from fallback (with
+    codec re-encode) -> subsequent opens hit the preferred tree."""
+    import os
+    from htrc_feature_reader_ray.errors import MissingDataError
+    from htrc_feature_reader_ray.sources.jsonvol import (
+        CachedResolver,
+        TreeResolver,
+        volumes_to_json_tree,
+    )
+
+    fallback_dir = f"{OUT}/cache_fallback"
+    preferred_dir = f"{OUT}/cache_preferred"
+    manifest = volumes_to_json_tree(tokens, fallback_dir, num_buckets=4,
+                                    codec="gz")
+    url = manifest["url"].iloc[0]
+    res = CachedResolver(
+        TreeResolver(preferred_dir, codec=None),
+        TreeResolver(fallback_dir, codec="gz"),
+    )
+    assert not os.path.exists(res.path_for(url))
+    doc = res.open(url)  # miss -> copies (and gz -> plain re-encode)
+    assert doc["url"] == url
+    assert os.path.exists(res.path_for(url))
+    # second open served from preferred (delete fallback to prove it)
+    os.remove(TreeResolver(fallback_dir, codec="gz").path_for(url))
+    assert res.open(url)["url"] == url
+    with pytest.raises(MissingDataError):
+        res.open("http://missing.example/x")
