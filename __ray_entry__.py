@@ -391,6 +391,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_window_hopping(sf):
+        from htrc_feature_reader_ray.stages.temporal import hopping_window
+
+        return hopping_window(
+            _with_cents(_events(sf, ["user_id", "ts", "value"])),
+            key="user_id", ts="ts", width="2h", slide="1h",
+            sum_cols=["value_cents"],
+        )
+
+    def q_top_tokens_per_lang(sf):
+        """Per-group top-k (the per-entity term_volume_freqs shape): global
+        (lang, token) counts via partial-combine + groupby, then the
+        lossless local-top-k combiner + bucketed finish."""
+        import pyarrow.compute as pc
+        import ray.data
+        from ray.data.aggregate import Sum
+        from htrc_feature_reader_ray.stages.fold import topk_per_group
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["lang", "text"]
+        )
+
+        def explode_count(batch: pa.Table) -> pa.Table:
+            tok_list = pc.split_pattern(batch.column("text"), pattern=" ")
+            if isinstance(tok_list, pa.ChunkedArray):
+                tok_list = tok_list.combine_chunks()
+            parent = pc.list_parent_indices(tok_list)
+            tokens = pc.list_flatten(tok_list)
+            mask = pc.not_equal(tokens, "")
+            t = pa.table(
+                {
+                    "lang": batch.column("lang").take(parent.filter(mask)),
+                    "token": tokens.filter(mask),
+                }
+            )
+            g = t.group_by(["lang", "token"]).aggregate([([], "count_all")])
+            return g.rename_columns(["lang", "token", "cnt"])
+
+        counts = (
+            docs.map_batches(explode_count, batch_format="pyarrow")
+            .groupby(["lang", "token"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        return topk_per_group(
+            counts, group_cols=["lang"], sort_col="cnt", k=3,
+            tie_cols=["token"], num_buckets=8,
+        )
+
+    def q_customers_without_orders(sf):
+        """Partitioned ANTI join (bucket_join how='anti'): right side
+        pre-projected to its key column — only key presence crosses the
+        exchange."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        cust = ray.data.read_parquet(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        # customers with no HIGH-VALUE order: filter pushed into the read,
+        # right side projected to the key alone
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet", columns=["o_custkey"],
+            filter=pads.field("o_totalprice") > 250000.0,
+        )
+        return bucket_join(cust, orders, left_key="c_custkey",
+                           right_key="o_custkey", how="anti", num_buckets=16)
+
     def q_multimodal_decode(sf):
         """Multimodal decode plumbing end-to-end: documents' (ASCII) text
         bytes become the opaque binary payload of a media table, the
@@ -750,6 +820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
+        "window_hopping": q_window_hopping,
+        "top_tokens_per_lang": q_top_tokens_per_lang,
+        "customers_without_orders": q_customers_without_orders,
         "metadata": q_metadata,
         "multimodal_decode": q_multimodal_decode,
         "numeric_profile": q_numeric_profile,
@@ -1239,6 +1312,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, chunk::BIGINT AS chunk,
                    min(warc_ts) AS ts_start, max(warc_ts) AS ts_end
             FROM d GROUP BY 1, 2""",
+        "window_hopping": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t,
+                     CAST(round(value * 100) AS BIGINT) AS vc
+              FROM events
+            ), w AS (
+              SELECT user_id, vc,
+                     (t // 3600000000 - g.i) * 3600000000 AS ws, t
+              FROM e, (SELECT unnest(range(2)) AS i) g
+            )
+            SELECT user_id, make_timestamp(ws) AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   sum(vc)::BIGINT AS value_cents
+            FROM w
+            WHERE t >= ws AND t < ws + 7200000000
+            GROUP BY 1, 2""",
+        "top_tokens_per_lang": """
+            WITH toks AS (
+              SELECT lang,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+              FROM documents
+            ), tc AS (
+              SELECT lang, token, count(*)::BIGINT AS cnt
+              FROM toks GROUP BY 1, 2
+            )
+            SELECT lang, token, cnt FROM (
+              SELECT *, row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY cnt DESC, token) AS rn
+              FROM tc
+            ) WHERE rn <= 3""",
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+            )""",
         "metadata": _metadata_sql(),
         # re-derive the fake codec's tile-to-(w*h)-pixels byte sum: pixel i
         # is byte (i mod len); sum = full_cycles*total + prefix(remainder).

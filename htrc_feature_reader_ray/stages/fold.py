@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Sum
 
 from htrc_feature_reader_ray.errors import MissingFieldError, require_columns
+from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
 SECTIONS = ("header", "body", "footer")
 
@@ -235,6 +236,33 @@ def distinct_tokens(tokens_ds, *, min_count: int = 1, case: bool = True):
             batch_format="pyarrow",
         )
     return folded
+
+
+def topk_per_group(ds, *, group_cols, sort_col, k: int, tie_cols=(),
+                   descending: bool = True, num_buckets: int = 32):
+    """Top-k ROWS per group by ``sort_col`` (ties broken by ``tie_cols``
+    ascending) — the per-entity sibling of the corpus-level desc-sort top-k
+    (``term_volume_freqs``, feature_reader.py:772-779).
+
+    Two-phase: a per-batch local top-k (any row outside its batch's group
+    top-k can't be in the global top-k, so the combiner is lossless) shrinks
+    the exchange to ≤ groups×k rows per batch, then one bucketed pass
+    finishes each group. Input rows must already be globally aggregated
+    (one row per candidate) — run the fold first."""
+    import pandas as pd  # noqa: F401  (pandas batch path)
+
+    group_cols = list(group_cols)
+    sort_by = group_cols + [sort_col] + list(tie_cols)
+    asc = [True] * len(group_cols) + [not descending] + [True] * len(tie_cols)
+
+    def local_topk(df):
+        df = df.sort_values(sort_by, ascending=asc, kind="mergesort")
+        return df.groupby(group_cols, sort=False).head(k)
+
+    partial = ds.map_batches(local_topk, batch_format="pandas")
+    return bucketed_map_groups(
+        partial, group_cols[0], local_topk, num_buckets=num_buckets
+    )
 
 
 def term_freqs_topk(tokens_ds, k: int = 50, *, descending: bool = True):

@@ -66,6 +66,11 @@ def bucket_join(left_ds, right_ds, *, left_key: str, right_key: str,
     aggregator rejects the schemaless empty blocks Ray groupbys may emit in
     this version). Right-side columns keep their names; the right key column
     is dropped from the output.
+
+    ``how``: 'inner' | 'left' | 'semi' (left rows WITH a right match, left
+    columns only) | 'anti' (left rows WITHOUT a right match). For semi/anti
+    the right side should be pre-projected to its key column — only key
+    presence matters and anything else is wasted exchange volume.
     """
     import pandas as pd
 
@@ -116,6 +121,10 @@ def bucket_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left = _restore_ints(df[df["_side"] == 0][l_names].copy(), l_names)
+        if how in ("semi", "anti"):
+            rkeys = df.loc[df["_side"] == 1, left_key].unique()
+            mask = left[left_key].isin(rkeys)
+            return left[mask] if how == "semi" else left[~mask]
         right = df[df["_side"] == 1][[left_key] + r_carry].rename(
             columns={left_key: right_key}
         )

@@ -476,6 +476,62 @@ def tumbling_window(ds, *, key, ts, width, sum_cols=(), count_col: str = "n_even
     return out.map_batches(fix_ts_unit, batch_format="pyarrow")
 
 
+def hopping_window(ds, *, key, ts, width, slide, sum_cols=(),
+                   count_col: str = "n_events"):
+    """Hopping (sliding) event-time windows: width ``width``, advancing by
+    ``slide`` — each event lands in ``width/slide`` overlapping windows.
+
+    Same exact-integer shape as :func:`tumbling_window`: the per-batch
+    partial EXPLODES each row into its member windows and pre-aggregates
+    (combiner), so the shuffle carries per-(key, window) partials — the
+    explode factor never crosses the exchange unaggregated. window_start is
+    the window's inclusive start; an event at t belongs to windows
+    floor((t - width + slide) / slide) … floor(t / slide) (clamped)."""
+    width_us = int(pd.Timedelta(width).value // 1000)
+    slide_us = int(pd.Timedelta(slide).value // 1000)
+    if width_us % slide_us != 0:
+        raise ValueError("width must be a multiple of slide")
+    k = width_us // slide_us  # windows per event
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = batch.column(ts).cast(pa.int64()).to_numpy()
+        n = len(epoch)
+        # member window index grid: last window start is floor(t/slide);
+        # earlier members step back by slide
+        last = (epoch // slide_us) * slide_us
+        starts = last[:, None] - np.arange(k)[None, :] * slide_us  # (n, k)
+        valid = (epoch[:, None] >= starts) & (
+            epoch[:, None] < starts + width_us
+        )
+        take = np.repeat(np.arange(n), k)[valid.reshape(-1)]
+        w = starts.reshape(-1)[valid.reshape(-1)]
+        t = batch.take(pa.array(take)).append_column(
+            "window_start",
+            pa.array(w, type=pa.int64()).cast(pa.timestamp("us")),
+        )
+        aggs = [([], "count_all")] + [(c, "sum") for c in sum_cols]
+        g = t.group_by([key, "window_start"]).aggregate(aggs)
+        return g.rename_columns(
+            [key, "window_start", count_col] + list(sum_cols)
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum(count_col, alias_name=count_col)] + [
+        Sum(c, alias_name=c) for c in sum_cols
+    ]
+    out = partials.groupby([key, "window_start"]).aggregate(*aggs)
+
+    def fix_ts_unit(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("window_start")
+        return batch.set_column(
+            i, "window_start", batch.column(i).cast(pa.timestamp("us"))
+        )
+
+    return out.map_batches(fix_ts_unit, batch_format="pyarrow")
+
+
 def make_time_grid(keys, *, start, end, step, key_col: str = "user_id",
                    ts_col: str = "ts") -> pd.DataFrame:
     """Deterministic (key × timestamp) grid for backfill: every key at every

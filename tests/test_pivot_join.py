@@ -1,4 +1,5 @@
 import numpy as np
+import ray.data
 
 from htrc_feature_reader_ray.stages.extract import tokens_from_pages
 from htrc_feature_reader_ray.stages.fold import term_snapshot_matrix
@@ -26,3 +27,82 @@ def test_docs_join_embeddings_parity(duck, sf_dir):
     got = to_pandas(m.queries()["docs_join_embeddings"](sf_dir))
     oracle = duck.execute(m.oracle_sql()["docs_join_embeddings"]).df()
     assert_frames_match(got, oracle)
+
+
+def test_bucket_join_semi_anti():
+    import pandas as pd
+    import pyarrow as pa
+    from htrc_feature_reader_ray.stages.partition import bucket_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+            "name": ["a", "b", "c", "d", "e"],
+        }
+    )
+    right = pa.table({"rk": pa.array([2, 4, 4, 9], type=pa.int64())})
+    l_ds = ray.data.from_arrow(left)
+    r_ds = ray.data.from_arrow(right)
+    semi = bucket_join(l_ds, r_ds, left_key="k", right_key="rk",
+                       how="semi", num_buckets=4).to_pandas()
+    anti = bucket_join(l_ds, r_ds, left_key="k", right_key="rk",
+                       how="anti", num_buckets=4).to_pandas()
+    assert sorted(semi["k"]) == [2, 4]          # no duplication from dup rk
+    assert sorted(anti["k"]) == [1, 3, 5]
+    assert list(semi.columns) == ["k", "name"]  # left columns only
+
+
+def test_topk_per_group_lossless_combiner():
+    import numpy as np
+    import pandas as pd
+    from htrc_feature_reader_ray.stages.fold import topk_per_group
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(list("abcd"), 3000),
+            "item": rng.randint(0, 500, 3000),
+            "score": rng.randint(0, 10_000, 3000).astype("int64"),
+        }
+    ).drop_duplicates(["g", "item"])
+    ds = ray.data.from_pandas(df).repartition(17)  # split groups over blocks
+    got = topk_per_group(
+        ds, group_cols=["g"], sort_col="score", k=5, tie_cols=["item"],
+        num_buckets=3,
+    ).to_pandas()
+    expect = (
+        df.sort_values(["g", "score", "item"], ascending=[True, False, True])
+        .groupby("g").head(5)
+    )
+    key = lambda d: sorted(map(tuple, d[["g", "item", "score"]].values))
+    assert key(got) == key(expect)
+
+
+def test_hopping_window_membership():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from htrc_feature_reader_ray.stages.temporal import hopping_window
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:20"]
+    ).astype("datetime64[us]")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1], type=pa.int64()),
+                "ts": pa.array(ts),
+                "v": pa.array([10, 20, 30], type=pa.int64()),
+            }
+        )
+    )
+    out = (
+        hopping_window(ds, key="user_id", ts="ts", width="2h", slide="1h",
+                       sum_cols=["v"])
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # windows: 23:00 (events 1,2), 00:00 (all 3), 01:00 (event 3)
+    assert out["v"].tolist() == [30, 60, 30]
+    assert out["n_events"].tolist() == [2, 3, 1]
