@@ -391,6 +391,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_rolling_features(sf):
+        from htrc_feature_reader_ray.stages.temporal import rolling_key_features
+
+        return rolling_key_features(
+            _with_cents(_events(sf, ["event_id", "user_id", "ts", "value"])),
+            key="user_id", ts="ts", value_col="value_cents", window=3,
+            tiebreak="event_id",
+        )
+
     def q_window_hopping(sf):
         from htrc_feature_reader_ray.stages.temporal import hopping_window
 
@@ -820,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
+        "rolling_features": q_rolling_features,
         "window_hopping": q_window_hopping,
         "top_tokens_per_lang": q_top_tokens_per_lang,
         "customers_without_orders": q_customers_without_orders,
@@ -1312,6 +1322,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, chunk::BIGINT AS chunk,
                    min(warc_ts) AS ts_start, max(warc_ts) AS ts_end
             FROM d GROUP BY 1, 2""",
+        "rolling_features": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents
+              FROM events
+            )
+            SELECT event_id, user_id, ts, value_cents,
+                   sum(value_cents) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_value_cents,
+                   sum(value_cents) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS 2 PRECEDING)::BIGINT AS roll_value_cents,
+                   row_number() OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)::BIGINT
+                       AS rn,
+                   percent_rank() OVER (
+                     PARTITION BY user_id ORDER BY value_cents) AS pct_rank
+            FROM e""",
         "window_hopping": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS t,

@@ -476,6 +476,51 @@ def tumbling_window(ds, *, key, ts, width, sum_cols=(), count_col: str = "n_even
     return out.map_batches(fix_ts_unit, batch_format="pyarrow")
 
 
+def rolling_key_features(ds, *, key, ts, value_col, window: int,
+                         tiebreak=None, num_buckets: int = 32):
+    """Per-key ordered feature battery in ONE bucketed pass — the windowed
+    feature vectors of the north rule as row-window aggregates:
+
+      * ``cum_<v>``  — running total (ROWS UNBOUNDED PRECEDING)
+      * ``roll_<v>`` — rolling sum over the last ``window`` rows
+      * ``rn``       — 1-based row number within the key
+      * ``pct_rank`` — SQL ``percent_rank()`` over ``value_col`` within the
+        key: (rank-1)/(n-1), 0.0 for single-row keys — exact (one IEEE
+        division of integers, identical cross-engine)
+
+    Integer inputs stay integer (cum/roll are int64) so every output is
+    oracle-exact. Watermark-safe by construction: every feature reads only
+    rows at or before its own position in ts order."""
+    require_columns(ds.schema().names, [key, ts, value_col],
+                    op="rolling_key_features")
+    sort_cols = [key, ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        g = df.groupby(key, sort=False)
+        v = df[value_col]
+        df[f"cum_{value_col}"] = g[value_col].cumsum().astype(np.int64)
+        df[f"roll_{value_col}"] = (
+            g[value_col]
+            .rolling(window, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+        df["rn"] = (g.cumcount() + 1).astype(np.int64)
+        # percent_rank: (rank-1)/(n-1) with rank = COUNT of strictly smaller
+        # values + 1 (ties share the min rank, like SQL RANK())
+        rank = g[value_col].rank(method="min")
+        n = g[value_col].transform("size")
+        denom = (n - 1).to_numpy()
+        pr = np.where(denom > 0, (rank.to_numpy() - 1) / denom, 0.0)
+        df["pct_rank"] = pr
+        _ = v
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
 def hopping_window(ds, *, key, ts, width, slide, sum_cols=(),
                    count_col: str = "n_events"):
     """Hopping (sliding) event-time windows: width ``width``, advancing by

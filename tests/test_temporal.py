@@ -215,3 +215,45 @@ def test_leakage_audit_catches_violation():
     except AssertionError:
         return
     raise AssertionError("leakage not detected")
+
+
+def test_rolling_key_features_vs_pandas():
+    from htrc_feature_reader_ray.stages.temporal import rolling_key_features
+
+    rng = np.random.RandomState(6)
+    n = 1000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 20, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                np.sort(rng.randint(0, 10**6, n)), unit="s"
+            ).astype("datetime64[us]"),
+            "v": rng.randint(-50, 50, n).astype(np.int64),
+        }
+    )
+    got = (
+        rolling_key_features(
+            ray.data.from_pandas(df).repartition(9), key="user_id", ts="ts",
+            value_col="v", window=4, tiebreak="event_id", num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    g = ref.groupby("user_id", sort=False)
+    ref["cum_v"] = g["v"].cumsum()
+    ref["roll_v"] = (
+        g["v"].rolling(4, min_periods=1).sum().reset_index(drop=True).to_numpy()
+    )
+    ref["rn"] = g.cumcount() + 1
+    rank = g["v"].rank(method="min")
+    nn = g["v"].transform("size")
+    ref["pct_rank"] = np.where(
+        nn > 1, (rank - 1) / (nn - 1).replace(0, 1), 0.0
+    )
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    for c in ("cum_v", "roll_v", "rn"):
+        assert got[c].astype("int64").tolist() == ref[c].astype("int64").tolist(), c
+    assert np.allclose(got["pct_rank"], ref["pct_rank"])
