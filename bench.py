@@ -37,8 +37,14 @@ BENCH_QUERIES = [
     "chunked_tokenlist",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_clusters",
     "ann_cosine_topk",
     "quality_score",
+    # round-2 ops
+    "metadata",
+    "rolling_features",
+    "window_hopping",
+    "dedup_embedding_cosine",
 ]
 
 HEADLINE = "flagship"
