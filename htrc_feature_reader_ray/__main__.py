@@ -46,6 +46,31 @@ def main(argv=None) -> int:
     lake.add_argument("--num-cpus", type=int, default=None)
     lake.add_argument("--num-buckets", type=int, default=16)
 
+    dedup = sub.add_parser(
+        "dedup-docs",
+        help="near-dup pairs + clusters over a documents parquet",
+    )
+    dedup.add_argument("--docs", required=True,
+                       help="parquet with (doc_id, text)")
+    dedup.add_argument("--out", required=True,
+                       help="writes <out>/pairs and <out>/clusters parquet")
+    dedup.add_argument("--threshold", type=float, default=0.5)
+    dedup.add_argument("--num-perm", type=int, default=128)
+    dedup.add_argument("--bands", type=int, default=64)
+    dedup.add_argument("--num-cpus", type=int, default=None)
+
+    meta = sub.add_parser(
+        "extract-metadata",
+        help="schema-versioned metadata extraction -> parquet",
+    )
+    meta.add_argument("--docs", required=True,
+                      help="parquet with (doc_id, meta_json) — or pass "
+                           "--synthesize to derive meta_json from a "
+                           "documents table")
+    meta.add_argument("--out", required=True)
+    meta.add_argument("--synthesize", action="store_true")
+    meta.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "clean-id":
@@ -92,6 +117,54 @@ def main(argv=None) -> int:
         print(json.dumps({t: m["row_count"] for t, m in manifests.items()}))
         import ray
 
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "dedup-docs":
+        _ensure_ray(args.num_cpus)
+        import pyarrow.parquet as pq
+
+        import ray
+        import ray.data
+        from htrc_feature_reader_ray.stages.dedup import (
+            dedup_clusters,
+            minhash_dedup_pairs,
+        )
+
+        docs = ray.data.read_parquet(args.docs, columns=["doc_id", "text"])
+        pairs = minhash_dedup_pairs(
+            docs, threshold=args.threshold, num_perm=args.num_perm,
+            bands=args.bands,
+            corpus_rows=pq.ParquetFile(args.docs).metadata.num_rows
+            if args.docs.endswith(".parquet") else None,
+        ).materialize()
+        clusters = dedup_clusters(pairs)
+        pairs.write_parquet(f"{args.out}/pairs")
+        clusters.write_parquet(f"{args.out}/clusters")
+        print(json.dumps(
+            {"pairs": pairs.count(), "clusters": clusters.count()}
+        ))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "extract-metadata":
+        _ensure_ray(args.num_cpus)
+        import ray
+        import ray.data
+        from htrc_feature_reader_ray.stages.metadata import (
+            extract_metadata,
+            synthesize_meta_json,
+        )
+
+        if args.synthesize:
+            src = ray.data.read_parquet(
+                args.docs, columns=["doc_id", "lang", "source", "n_chars"]
+            ).map_batches(synthesize_meta_json, batch_format="pyarrow")
+        else:
+            src = ray.data.read_parquet(args.docs)
+        out = extract_metadata(src)
+        out.write_parquet(args.out)
+        print(json.dumps({"rows": out.count(), "out": args.out}))
         ray.shutdown()
         return 0
     return 1

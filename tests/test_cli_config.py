@@ -41,3 +41,28 @@ def test_filename_or_id_classifier():
     assert filename_or_id("example.com/page") == "id"
     with pytest.raises(ValueError):
         filename_or_id("ambiguous_thing")
+
+
+def test_cli_dedup_and_metadata(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "htrc_feature_reader_ray", "dedup-docs",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--out", str(tmp_path / "dd"), "--num-cpus", "4"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    ).stdout
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["pairs"] > 0 and res["clusters"] > 0
+
+    out = subprocess.run(
+        [sys.executable, "-m", "htrc_feature_reader_ray", "extract-metadata",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--synthesize", "--out", str(tmp_path / "meta"),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    ).stdout
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["rows"] == 500
