@@ -56,3 +56,51 @@ def test_bucketed_map_groups_sees_whole_keys():
     got = out.to_pandas().set_index("domain")["v"].sort_index()
     expect = _skewed().to_pandas().groupby("domain")["v"].sum().sort_index()
     assert got.equals(expect)
+
+
+def test_topk_per_group_hot_group():
+    """One group holds 90% of candidate rows across many blocks — the local
+    combiner must stay lossless and the bucketed finish exact."""
+    import numpy as np
+    import pandas as pd
+    from htrc_feature_reader_ray.stages.fold import topk_per_group
+
+    rng = np.random.RandomState(13)
+    n = 20000
+    g = np.where(rng.rand(n) < 0.9, "hot", rng.choice(list("xyz"), n))
+    df = pd.DataFrame(
+        {"g": g, "item": np.arange(n, dtype=np.int64),
+         "score": rng.randint(0, 10**6, n).astype("int64")}
+    )
+    ds = ray.data.from_pandas(df).repartition(40)
+    got = topk_per_group(
+        ds, group_cols=["g"], sort_col="score", k=10, tie_cols=["item"],
+        num_buckets=4,
+    ).to_pandas()
+    expect = (
+        df.sort_values(["g", "score", "item"], ascending=[True, False, True])
+        .groupby("g").head(10)
+    )
+    key = lambda d: sorted(map(tuple, d[["g", "item", "score"]].values))
+    assert key(got) == key(expect)
+
+
+def test_stratified_sample_hot_stratum():
+    import numpy as np
+    import pandas as pd
+    from htrc_feature_reader_ray.stages.sample import stratified_sample
+
+    rng = np.random.RandomState(14)
+    n = 10000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": np.where(rng.rand(n) < 0.95, "en", "de"),
+        }
+    )
+    out = stratified_sample(
+        ray.data.from_pandas(df).repartition(30), stratum_col="lang",
+        id_col="doc_id", fraction=0.01, num_buckets=4,
+    ).to_pandas()
+    for lang, g in df.groupby("lang"):
+        assert (out["lang"] == lang).sum() == int(np.ceil(0.01 * len(g)))
