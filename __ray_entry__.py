@@ -391,6 +391,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_corpus_curation(sf):
+        """THE canonical training-data curation pipeline, composed from the
+        engine's own operators: per-doc quality stats + language ID →
+        threshold filter → near-dup LOSERS (cluster members that are not
+        their cluster's canonical min-id doc) removed by ANTI join. Kept
+        docs stream out; every stage is the scale shape (vectorized batch
+        stats, one 1:1 bucket join, pair-list-sized cluster step)."""
+        import pyarrow.compute as pc
+        from htrc_feature_reader_ray.stages.dedup import dedup_clusters
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+
+        quality = quality_score(_docs(sf))
+        lang = langid(_docs(sf)).map_batches(
+            lambda t: t.rename_columns(["lang_doc_id", "pred_lang"]),
+            batch_format="pyarrow",
+        )
+        feats = bucket_join(quality, lang, left_key="doc_id",
+                            right_key="lang_doc_id", num_buckets=16)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(batch.column("pred_lang"), "en"),
+                    pc.greater_equal(batch.column("n_tokens"), 30),
+                ),
+                pc.less_equal(batch.column("stopword_ratio"), 0.5),
+            )
+            return batch.filter(m).select(
+                ["doc_id", "pred_lang", "n_tokens", "stopword_ratio"]
+            )
+
+        filtered = feats.map_batches(keep, batch_format="pyarrow")
+
+        losers = dedup_clusters(q_dedup_minhash(sf)).map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
+            ).select(["doc_id"]).rename_columns(["loser_id"]),
+            batch_format="pyarrow",
+        )
+        return bucket_join(filtered, losers, left_key="doc_id",
+                           right_key="loser_id", how="anti", num_buckets=16)
+
     def q_rolling_features(sf):
         from htrc_feature_reader_ray.stages.temporal import rolling_key_features
 
@@ -829,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
+        "corpus_curation": q_corpus_curation,
         "rolling_features": q_rolling_features,
         "window_hopping": q_window_hopping,
         "top_tokens_per_lang": q_top_tokens_per_lang,
@@ -1322,6 +1365,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, chunk::BIGINT AS chunk,
                    min(warc_ts) AS ts_start, max(warc_ts) AS ts_end
             FROM d GROUP BY 1, 2""",
+        "corpus_curation": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + f""",
+            sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM jac_pairs
+              UNION ALL SELECT doc_b, doc_a FROM jac_pairs
+            ), nodes AS (SELECT DISTINCT src AS node FROM sym),
+            walk(node, reach) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
+            ), losers AS (
+              SELECT node AS doc_id FROM walk
+              GROUP BY node HAVING min(reach) < node
+            ), feat AS (
+              SELECT doc_id, {langid_sql('text')} AS pred_lang,
+                     {quality_score_sql('text')}
+              FROM documents
+            )
+            SELECT doc_id, pred_lang, n_tokens, stopword_ratio
+            FROM feat
+            WHERE pred_lang = 'en' AND n_tokens >= 30
+              AND stopword_ratio <= 0.5
+              AND doc_id NOT IN (SELECT doc_id FROM losers)""",
         "rolling_features": """
             WITH e AS (
               SELECT event_id, user_id, ts,
