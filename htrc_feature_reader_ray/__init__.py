@@ -48,6 +48,31 @@ def __getattr__(name):
         "minhash_dedup_pairs": (
             "htrc_feature_reader_ray.stages.dedup", "minhash_dedup_pairs"),
         "simhash": ("htrc_feature_reader_ray.stages.dedup", "simhash"),
+        "embedding_dedup_pairs": (
+            "htrc_feature_reader_ray.stages.dedup", "embedding_dedup_pairs"),
+        "dedup_clusters": (
+            "htrc_feature_reader_ray.stages.dedup", "dedup_clusters"),
+        "extract_metadata": (
+            "htrc_feature_reader_ray.stages.metadata", "extract_metadata"),
+        "numeric_profile": (
+            "htrc_feature_reader_ray.stages.profile", "numeric_profile"),
+        "exact_quantiles": (
+            "htrc_feature_reader_ray.stages.profile", "exact_quantiles"),
+        "stratified_sample": (
+            "htrc_feature_reader_ray.stages.sample", "stratified_sample"),
+        "hopping_window": (
+            "htrc_feature_reader_ray.stages.temporal", "hopping_window"),
+        "rolling_key_features": (
+            "htrc_feature_reader_ray.stages.temporal", "rolling_key_features"),
+        "topk_per_group": (
+            "htrc_feature_reader_ray.stages.fold", "topk_per_group"),
+        "chunk_bounds": ("htrc_feature_reader_ray.stages.chunk", "chunk_bounds"),
+        "bucket_join": (
+            "htrc_feature_reader_ray.stages.partition", "bucket_join"),
+        "TreeResolver": (
+            "htrc_feature_reader_ray.sources.jsonvol", "TreeResolver"),
+        "CachedResolver": (
+            "htrc_feature_reader_ray.sources.jsonvol", "CachedResolver"),
         "cosine_topk": ("htrc_feature_reader_ray.stages.similarity", "cosine_topk"),
         "lsh_topk": ("htrc_feature_reader_ray.stages.similarity", "lsh_topk"),
         "flagship": ("htrc_feature_reader_ray.pipelines.flagship", "flagship"),
