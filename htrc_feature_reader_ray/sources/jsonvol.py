@@ -263,24 +263,25 @@ class CachedResolver:
 def read_json_volumes(path: str, *, codec: str | None = "auto"):
     """JSONL volume lake -> token-count Dataset (long form), any codec.
 
-    ``codec='auto'`` (default) detects per file from the suffix, so mixed
-    lakes read fine. Each part file decompresses inside the map task (one
+    Compression is detected per FILE by content (magic bytes), not by the
+    ``codec`` argument: Arrow's ``read_binary_files`` already
+    auto-decompresses known suffixes, so payloads may arrive plain even for
+    ``.gz`` paths, and files a writer produced without a suffix still carry
+    their magic. ``codec`` is validated (fail fast on typos) but otherwise
+    informational. Each part file decompresses inside the map task (one
     task per file — the bucket is the parallelism unit, matching the
     writer's partitioning)."""
+    if codec != "auto" and codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}")
     files = ray.data.read_binary_files(path)
 
     def decode(batch: pa.Table) -> pa.Table:
         docs = []
         for payload in batch.column("bytes").to_pylist():
-            # arrow's open_input_stream already auto-decompresses known
-            # suffixes; detect residual compression by magic bytes so both
-            # behaviors (and explicit codec overrides) read correctly
             if payload[:2] == b"\x1f\x8b":
                 payload = gzip.decompress(payload)
             elif payload[:3] == b"BZh":
                 payload = bz2.decompress(payload)
-            elif codec not in ("auto", None):
-                payload = CODECS[codec][2](payload)
             raw = payload.decode("utf-8")
             docs.extend(line for line in raw.splitlines() if line)
         return pa.table({"doc": pa.array(docs, type=pa.string())})

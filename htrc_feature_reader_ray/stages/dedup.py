@@ -376,8 +376,15 @@ def embedding_dedup_pairs(ds, *, threshold: float = 0.95,
     from htrc_feature_reader_ray.stages.similarity import _as_matrix, _normalize
 
     if method == "auto":
-        n = corpus_rows if corpus_rows is not None else ds.count()
-        method = "broadcast" if n <= broadcast_limit else "triangle"
+        if corpus_rows is None:
+            # no sizing hint: take the always-scale-safe path rather than a
+            # ds.count() that re-executes the upstream pipeline (same rule
+            # as minhash verify='auto')
+            method = "triangle"
+        else:
+            method = (
+                "broadcast" if corpus_rows <= broadcast_limit else "triangle"
+            )
 
     vecs_ds = ds.select_columns([id_col, vec_col])
 

@@ -86,7 +86,10 @@ class ChunkEmbedder:
         missing = [t for t in tokens if t not in self._cache]
         if missing:
             if len(self._cache) + len(missing) > self._CACHE_LIMIT:
+                # full reset: EVERY token of this call must be (re)computed,
+                # not just the ones that were missing before the clear
                 self._cache.clear()
+                missing = list(dict.fromkeys(tokens))
             for t, v in zip(missing, self.model.vectors(np.array(missing, dtype=object))):
                 self._cache[t] = v
         return np.stack([self._cache[t] for t in tokens])

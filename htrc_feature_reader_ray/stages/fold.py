@@ -249,8 +249,6 @@ def topk_per_group(ds, *, group_cols, sort_col, k: int, tie_cols=(),
     the exchange to ≤ groups×k rows per batch, then one bucketed pass
     finishes each group. Input rows must already be globally aggregated
     (one row per candidate) — run the fold first."""
-    import pandas as pd  # noqa: F401  (pandas batch path)
-
     group_cols = list(group_cols)
     sort_by = group_cols + [sort_col] + list(tie_cols)
     asc = [True] * len(group_cols) + [not descending] + [True] * len(tie_cols)

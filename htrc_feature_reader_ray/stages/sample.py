@@ -42,15 +42,21 @@ def stratified_sample(ds, *, stratum_col: str, id_col: str, fraction: float,
     not commutative."""
     if not 0 < fraction <= 1:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    # exact-rational ceil: float ceil(0.07 * 300) gives 22 (0.07*300 =
+    # 21.000000000000004) while SQL DECIMAL arithmetic gives 21 — mirror the
+    # SQL replay exactly by taking ceil over the fraction's decimal literal
+    from fractions import Fraction
+
+    frac = Fraction(str(fraction))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_h"] = _md5_hex(df[id_col].to_numpy())
         df = df.sort_values(["_h", id_col], kind="mergesort")
         g = df.groupby(stratum_col, sort=False)
-        keep = g.cumcount() < np.ceil(
-            fraction * g[id_col].transform("size").to_numpy()
-        )
+        sizes = g[id_col].transform("size").to_numpy()
+        quota = -(-sizes * frac.numerator // frac.denominator)  # exact ceil
+        keep = g.cumcount().to_numpy() < quota
         return df[keep].drop(columns=["_h"])
 
     return bucketed_map_groups(ds, stratum_col, per_bucket,

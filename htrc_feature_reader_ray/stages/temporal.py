@@ -541,15 +541,15 @@ def hopping_window(ds, *, key, ts, width, slide, sum_cols=(),
     def partial(batch: pa.Table) -> pa.Table:
         epoch = batch.column(ts).cast(pa.int64()).to_numpy()
         n = len(epoch)
-        # member window index grid: last window start is floor(t/slide);
-        # earlier members step back by slide
+        # member window starts: last is floor(t/slide)*slide; the k-1
+        # earlier ones step back by slide. Membership is total by
+        # construction: t >= last - j*slide for j >= 0, and
+        # t < start_j + width iff (j+1)*slide <= width, true for every
+        # j <= k-1 given width == k*slide — no mask needed.
         last = (epoch // slide_us) * slide_us
         starts = last[:, None] - np.arange(k)[None, :] * slide_us  # (n, k)
-        valid = (epoch[:, None] >= starts) & (
-            epoch[:, None] < starts + width_us
-        )
-        take = np.repeat(np.arange(n), k)[valid.reshape(-1)]
-        w = starts.reshape(-1)[valid.reshape(-1)]
+        take = np.repeat(np.arange(n), k)
+        w = starts.reshape(-1)
         t = batch.take(pa.array(take)).append_column(
             "window_start",
             pa.array(w, type=pa.int64()).cast(pa.timestamp("us")),

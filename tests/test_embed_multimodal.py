@@ -79,3 +79,25 @@ def test_frame_sample_explode():
     # duration (i%7+1)*1500ms -> floor(d/1000) frames
     for i in range(16):
         assert per[i] == ((i % 7 + 1) * 1500) // 1000
+
+
+def test_embedder_cache_overflow_recovers():
+    """Cache reset on overflow must recompute EVERY token of the call, not
+    just the previously-missing ones (regression: KeyError after clear)."""
+    import pandas as pd
+    from htrc_feature_reader_ray.stages.embed import ChunkEmbedder
+
+    emb = ChunkEmbedder(group_cols=["g"], dim=4, stop=False)
+    emb._CACHE_LIMIT = 4
+    df1 = pd.DataFrame(
+        {"g": ["a"] * 3, "token": ["t1", "t2", "t3"], "count": [1, 1, 1]}
+    )
+    emb(df1)  # caches t1..t3
+    df2 = pd.DataFrame(
+        {"g": ["b"] * 5,
+         "token": ["t1", "t2", "n1", "n2", "n3"],  # mix cached + new
+         "count": [1] * 5}
+    )
+    out = emb(df2)  # overflow -> clear -> must still embed t1/t2
+    assert len(out) == 1
+    assert len(out["embedding"].iloc[0]) == 4

@@ -65,3 +65,19 @@ def test_stratified_sample_exact_fraction_and_determinism():
         id_col="doc_id", fraction=0.25, num_buckets=11,
     ).to_pandas()
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_stratified_sample_decimal_exact_quota():
+    """fraction=0.07 on a 300-row stratum: float ceil gives 22, the SQL
+    DECIMAL replay gives 21 — the op must match SQL (regression)."""
+    import duckdb
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(300, dtype=np.int64), "lang": ["en"] * 300}
+    )
+    out = stratified_sample(
+        ray.data.from_pandas(df), stratum_col="lang", id_col="doc_id",
+        fraction=0.07, num_buckets=2,
+    ).to_pandas()
+    sql_quota = duckdb.sql("SELECT ceil(0.07 * 300)").fetchone()[0]
+    assert len(out) == int(sql_quota) == 21
