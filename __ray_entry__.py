@@ -391,6 +391,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_url_parts(sf):
+        """URL decomposition/normalization (scheme, host, domain, path) —
+        vectorized pandas string kernels, SQL-mirrored 1:1."""
+        import ray.data
+        from htrc_feature_reader_ray.functions.ids import url_parts_frame
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source"]
+        )
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            url = (
+                "https://" + df["source"].astype(str)
+                + ".example.com/doc/" + df["doc_id"].astype(str)
+            )
+            parts = url_parts_frame(url)
+            return pd.concat(
+                [df[["doc_id"]].reset_index(drop=True),
+                 url.rename("url").reset_index(drop=True),
+                 parts.reset_index(drop=True)],
+                axis=1,
+            )
+
+        return docs.map_batches(fn, batch_format="pandas")
+
     def q_corpus_curation(sf):
         """THE canonical training-data curation pipeline, composed from the
         engine's own operators: per-doc quality stats + language ID →
@@ -871,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
+        "url_parts": q_url_parts,
         "corpus_curation": q_corpus_curation,
         "rolling_features": q_rolling_features,
         "window_hopping": q_window_hopping,
@@ -1365,6 +1391,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, chunk::BIGINT AS chunk,
                    min(warc_ts) AS ts_start, max(warc_ts) AS ts_end
             FROM d GROUP BY 1, 2""",
+        "url_parts": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.com/doc/' || doc_id
+                         AS url
+              FROM documents
+            )
+            SELECT doc_id, url,
+                   split_part(url, '://', 1) AS scheme,
+                   lower(split_part(split_part(url, '://', 2), '/', 1))
+                       AS host,
+                   array_to_string(
+                     (string_split(
+                        lower(split_part(split_part(url, '://', 2), '/', 1)),
+                        '.'))[-2:], '.') AS domain,
+                   regexp_replace(split_part(url, '://', 2), '^[^/]*', '')
+                       AS path
+            FROM u""",
         "corpus_curation": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + f""",
             sym AS (
               SELECT doc_a AS src, doc_b AS dst FROM jac_pairs

@@ -53,6 +53,26 @@ def filename_or_id(s: str) -> str:
     )
 
 
+def url_parts_frame(urls: pd.Series) -> pd.DataFrame:
+    """Vectorized URL decomposition (scheme, host, domain, path) — the
+    web-scale id→components normalizer (every pandas .str op is one C pass).
+    Semantics (mirrored 1:1 by the SQL oracle):
+      scheme = text before '://' ('' if absent); rest = text after;
+      host   = lowercased text before the first '/' of rest;
+      path   = the remainder INCLUDING its leading '/' ('' if none);
+      domain = last two dot-labels of host (the host itself if fewer)."""
+    s = urls.astype(str)
+    has_scheme = s.str.contains("://", regex=False)
+    scheme = s.str.split("://", n=1, regex=False).str[0].where(has_scheme, "")
+    rest = s.str.split("://", n=1, regex=False).str[-1]
+    host = rest.str.split("/", n=1, regex=False).str[0].str.lower()
+    path = rest.str.replace(r"^[^/]*", "", regex=True)
+    domain = host.str.split(".").str[-2:].str.join(".")
+    return pd.DataFrame(
+        {"scheme": scheme, "host": host, "domain": domain, "path": path}
+    )
+
+
 def stable_hash64(values, *, seed: str = "graft") -> np.ndarray:
     """Deterministic (cross-process, cross-run) uint64 hash of a string array.
 

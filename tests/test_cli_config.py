@@ -66,3 +66,21 @@ def test_cli_dedup_and_metadata(tmp_path):
     ).stdout
     res = json.loads(out.strip().splitlines()[-1])
     assert res["rows"] == 500
+
+
+def test_url_parts_frame():
+    import pandas as pd
+    from htrc_feature_reader_ray.functions.ids import url_parts_frame
+
+    df = url_parts_frame(
+        pd.Series(
+            ["https://H.com/p", "http://a.b.example.com/x/y",
+             "https://example.com", "ftp://one"]
+        )
+    )
+    assert df["scheme"].tolist() == ["https", "http", "https", "ftp"]
+    assert df["host"].tolist() == ["h.com", "a.b.example.com",
+                                   "example.com", "one"]
+    assert df["domain"].tolist() == ["h.com", "example.com",
+                                     "example.com", "one"]
+    assert df["path"].tolist() == ["/p", "/x/y", "", ""]
