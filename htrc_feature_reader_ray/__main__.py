@@ -98,8 +98,17 @@ def main(argv=None) -> int:
 
         ds = flagship(args.sf_dir)
         if args.out:
-            ds.write_parquet(args.out)
-            print(json.dumps({"rows": "written", "out": args.out}))
+            # resumable sink: url-hash-bucketed parquet + lineage manifest
+            # (one dir per key range, atomic rename — never one giant file)
+            from htrc_feature_reader_ray.state.lineage import write_partitioned
+
+            manifest = write_partitioned(
+                ds, args.out, key="url", num_buckets=32,
+                inputs=[f"{args.sf_dir}/documents.parquet"],
+            )
+            print(json.dumps(
+                {"rows": manifest["row_count"], "out": args.out}
+            ))
         else:
             print(json.dumps({"rows": ds.count()}))
         import ray
