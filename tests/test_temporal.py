@@ -257,3 +257,30 @@ def test_rolling_key_features_vs_pandas():
     for c in ("cum_v", "roll_v", "rn"):
         assert got[c].astype("int64").tolist() == ref[c].astype("int64").tolist(), c
     assert np.allclose(got["pct_rank"], ref["pct_rank"])
+
+
+def test_hopping_equals_tumbling_when_slide_is_width():
+    from htrc_feature_reader_ray.stages.temporal import hopping_window
+
+    ds = ray.data.read_parquet(EVENTS, columns=["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(t.column("value").to_numpy() * 100).astype(np.int64)
+        return t.drop(["value"]).append_column(
+            "value_cents", pa.array(v, type=pa.int64())
+        )
+
+    src = ds.map_batches(cents, batch_format="pyarrow")
+    hop = (
+        hopping_window(src, key="user_id", ts="ts", width="1h", slide="1h",
+                       sum_cols=["value_cents"])
+        .to_pandas().sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    tum = (
+        tumbling_window(src, key="user_id", ts="ts", width="1h",
+                        sum_cols=["value_cents"])
+        .to_pandas().sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert hop.equals(tum)
