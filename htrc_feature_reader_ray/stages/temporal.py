@@ -50,6 +50,10 @@ def audit_no_leakage(df: pd.DataFrame, *, ts: str, matched_ts: str = "matched_ts
         raise AssertionError(f"temporal leakage: {bad} rows read across the as-of point")
 
 
+def _key_list(on) -> list:
+    return [on] if isinstance(on, str) else list(on)
+
+
 def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, *, on, ts,
                 direction, tolerance) -> pd.DataFrame:
     left_sorted = left.sort_values(ts, kind="mergesort")
@@ -57,7 +61,7 @@ def _merge_asof(left: pd.DataFrame, right: pd.DataFrame, *, on, ts,
         left_sorted,
         right,
         on=ts,
-        by=on,
+        by=_key_list(on),  # composite as-of keys supported
         direction=direction,
         tolerance=_to_timedelta(tolerance),
         allow_exact_matches=True,
@@ -99,10 +103,11 @@ def partitioned_asof_join(left_ds, right_ds, *, on, ts,
     both sides are sorted by ts and merged in one pass; buckets co-locate all
     rows of each key.
     """
+    keys = _key_list(on)
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
     l_names = list(l_schema.names)
-    r_value_cols = [c for c in r_schema.names if c not in (on, ts)]
+    r_value_cols = [c for c in r_schema.names if c not in (*keys, ts)]
     overlap = set(r_value_cols) & set(l_names)
     if overlap:
         raise ValueError(f"right-side columns clash with left: {sorted(overlap)}")
@@ -148,25 +153,29 @@ def partitioned_asof_join(left_ds, right_ds, *, on, ts,
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left = _restore_ints(df[df[_SIDE] == 0][l_names].copy(), l_names)
-        right = df[df[_SIDE] == 1][[on, ts] + r_value_cols].sort_values(
+        right = df[df[_SIDE] == 1][keys + [ts] + r_value_cols].sort_values(
             ts, kind="mergesort"
         )
-        right = _restore_ints(right.copy(), [on] + r_value_cols)
+        right = _restore_ints(right.copy(), keys + r_value_cols)
         if keep_matched_ts:
             right = right.assign(matched_ts=right[ts])
         return _merge_asof(left, right, on=on, ts=ts,
                            direction=direction, tolerance=tolerance)
 
-    return bucketed_map_groups(unioned, on, per_bucket, num_buckets=num_buckets)
+    # co-partitioning on the FIRST key suffices: every row of a composite
+    # key shares that key's bucket
+    return bucketed_map_groups(unioned, keys[0], per_bucket,
+                               num_buckets=num_buckets)
 
 
 def latest_per_key_ts(df: pd.DataFrame, *, on, ts, tiebreak) -> pd.DataFrame:
     """Dedupe a feature table to one row per (key, ts), keeping the row with
     the greatest ``tiebreak`` — the deterministic contract required by as-of
     right sides."""
+    keys = _key_list(on)
     return (
-        df.sort_values([on, ts, tiebreak], kind="mergesort")
-        .groupby([on, ts], as_index=False)
+        df.sort_values(keys + [ts, tiebreak], kind="mergesort")
+        .groupby(keys + [ts], as_index=False)
         .tail(1)
         .reset_index(drop=True)
     )

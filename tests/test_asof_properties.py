@@ -142,3 +142,54 @@ def test_partitioned_equals_broadcast_random():
     )
     assert np.allclose(a["v"].fillna(-9), b["v"].fillna(-9))
     assert a["matched_ts"].equals(b["matched_ts"])
+
+
+def test_asof_composite_keys():
+    """Composite (user_id, event_type) as-of keys on both physical paths."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from htrc_feature_reader_ray.stages.temporal import (
+        broadcast_asof_join,
+        partitioned_asof_join,
+    )
+
+    rng = np.random.RandomState(21)
+    n = 600
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 5, n).astype(np.int64),
+            "kind": rng.choice(["a", "b"], n),
+            "ts": pd.to_datetime(
+                np.sort(rng.randint(0, 10**6, n)), unit="s"
+            ).astype("datetime64[us]"),
+        }
+    )
+    right = (
+        left.sample(frac=0.3, random_state=3)[["user_id", "kind", "ts"]]
+        .drop_duplicates(["user_id", "kind", "ts"])
+        .assign(feat=lambda d: np.arange(len(d), dtype=np.int64))
+        .reset_index(drop=True)
+    )
+    expect = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort").assign(matched_ts=lambda d: d["ts"]),
+        on="ts", by=["user_id", "kind"], direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+
+    b = (
+        broadcast_asof_join(
+            ray.data.from_pandas(left), right, on=["user_id", "kind"],
+            ts="ts", direction="backward",
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    p = (
+        partitioned_asof_join(
+            ray.data.from_pandas(left).repartition(7),
+            ray.data.from_pandas(right), on=["user_id", "kind"], ts="ts",
+            direction="backward", num_buckets=4,
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    for got in (b, p):
+        assert got["feat"].fillna(-1).tolist() == expect["feat"].fillna(-1).tolist()
