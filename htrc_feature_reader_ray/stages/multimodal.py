@@ -105,6 +105,67 @@ def decode_images(media_ds, *, codec_factory=None, concurrency=(1, 4),
     )
 
 
+class ResizeImages:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> raw-pixel
+    payload with updated typed metadata. The RESIZE math is real numpy
+    (nearest-neighbor index sampling — no codec needed beyond decode);
+    output payload is the raw resized pixel bytes (row-major uint8), the
+    universal interchange the next stage (feature extraction, model input)
+    consumes without a codec."""
+
+    def __init__(self, *, out_w: int, out_h: int, codec_factory=None) -> None:
+        if codec_factory is None:
+            raise NotImplementedError(
+                "no image codec in this environment; pass "
+                "codec_factory=FakeImageCodec for the deterministic stub"
+            )
+        self.codec = codec_factory()
+        self.out_w = int(out_w)
+        self.out_h = int(out_h)
+
+    def resize(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape
+        rows = (np.arange(self.out_h) * h) // self.out_h
+        cols = (np.arange(self.out_w) * w) // self.out_w
+        return px[rows[:, None], cols[None, :]]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        out = [
+            self.resize(self.codec.decode(p, w, h)).astype(np.uint8).tobytes()
+            for p, w, h in zip(payloads, ws, hs)
+        ]
+        n = len(out)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "payload": pa.array(out, type=pa.binary()),
+                "width": pa.array(
+                    np.full(n, self.out_w, dtype=np.int32)
+                ),
+                "height": pa.array(
+                    np.full(n, self.out_h, dtype=np.int32)
+                ),
+            }
+        )
+
+
+def resize_images(media_ds, *, out_w: int, out_h: int, codec_factory=None,
+                  concurrency=(1, 4), payload_bytes: int = 1 << 20):
+    """Run the resize actor pool (memory-aware batch size, codec loaded once
+    per actor)."""
+    return media_ds.map_batches(
+        ResizeImages,
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h,
+                                   codec_factory=codec_factory),
+        batch_format="pyarrow",
+        batch_size=media_batch_size(payload_bytes),
+        concurrency=concurrency,
+    )
+
+
 def frame_sample(media_ds, *, every_ms: int = 1000):
     """Video frame-sampling plan: one output row per sampled frame timestamp
     (the decode itself is stubbed; the explode/planning is real)."""

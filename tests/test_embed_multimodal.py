@@ -101,3 +101,38 @@ def test_embedder_cache_overflow_recovers():
     out = emb(df2)  # overflow -> clear -> must still embed t1/t2
     assert len(out) == 1
     assert len(out["embedding"].iloc[0]) == 4
+
+
+def test_resize_images_nearest_neighbor_exact():
+    import numpy as np
+    import pyarrow as pa
+    from htrc_feature_reader_ray.stages.multimodal import (
+        FakeImageCodec,
+        ResizeImages,
+        resize_images,
+        synth_media,
+    )
+
+    # scalar exactness: 4x4 -> 2x2 picks rows/cols 0 and 2
+    r = ResizeImages(out_w=2, out_h=2, codec_factory=FakeImageCodec)
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert r.resize(px).tolist() == [[0, 2], [8, 10]]
+
+    media = ray.data.from_arrow(synth_media(16))
+    out = resize_images(
+        media, out_w=4, out_h=2, codec_factory=FakeImageCodec,
+        concurrency=(1, 2),
+    ).to_pandas()
+    assert len(out) == 16
+    assert (out["width"] == 4).all() and (out["height"] == 2).all()
+    assert out["payload"].map(len).eq(8).all()  # 4x2 uint8 bytes
+    # deterministic: equals decode+resize done directly
+    codec = FakeImageCodec()
+    src = synth_media(16).to_pylist()[0]
+    direct = ResizeImages(out_w=4, out_h=2, codec_factory=FakeImageCodec)
+    exp = direct.resize(codec.decode(src["payload"], src["width"], src["height"]))
+    got = np.frombuffer(
+        out.loc[out["media_id"] == src["media_id"], "payload"].iloc[0],
+        dtype=np.uint8,
+    ).reshape(2, 4)
+    assert np.array_equal(got, exp)
