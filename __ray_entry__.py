@@ -171,6 +171,16 @@ WITH w AS (
 """
 
 
+# curation-op fixtures shared by queries() and oracle_sql(): a host
+# blocklist and a benchmark-needle list (both the small broadcast side)
+BLOCKED_HOSTS = ("src1.example.com", "src3.example.com")
+BENCHMARK_NEEDLES = (
+    "key agg row",
+    "slow fast table",
+    "window stream sort",
+)
+
+
 # ---------------------------------------------------------------------------
 # queries
 
@@ -671,6 +681,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fn, batch_format="pyarrow"
         )
 
+    def q_tfidf(sf):
+        """TF-IDF with the rational BM25 idf — tf rows bucket-join the
+        vocabulary-sized df table on token (no driver materialization);
+        n_docs from the parquet footer, not a ds.count()."""
+        import pyarrow.parquet as pq
+        from htrc_feature_reader_ray.stages.curate import tfidf
+
+        n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        return tfidf(_docs(sf), n_docs=n)
+
+    def q_pii_redaction(sf):
+        """Vectorized RE2 PII scrub (emails/phones/IPv4). The fixture text
+        carries no PII, so deterministic PII is synthesized per doc (same
+        expression mirrored in the oracle) before the redaction stage."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.curate import redact_pii
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+
+        def aug(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["doc_id"]
+            text = (
+                df["text"] + " contact user" + i.astype(str) + "@mail-"
+                + df["source"] + ".org tel " + (100 + i % 900).astype(str)
+                + "-" + (1000 + i % 9000).astype(str)
+                + " ip 10." + (i % 256).astype(str) + ".0."
+                + ((i * 3) % 256).astype(str)
+            )
+            return pd.DataFrame({"doc_id": i, "text": text})
+
+        return redact_pii(docs.map_batches(aug, batch_format="pandas"))
+
+    def q_repetition_stats(sf):
+        from htrc_feature_reader_ray.stages.curate import repetition_stats
+
+        return repetition_stats(_docs(sf))
+
+    def q_bigrams_top40(sf):
+        from htrc_feature_reader_ray.stages.curate import ngram_top
+
+        return ngram_top(_docs(sf), n=2, k=40)
+
+    def q_domain_blocklist(sf):
+        """Broadcast blocklist filter: host extracted with the engine's URL
+        decomposition, then a value-set membership filter riding in the task
+        closure — no shuffle to drop a handful of hosts."""
+        import ray.data
+        from htrc_feature_reader_ray.functions.ids import url_parts_frame
+        from htrc_feature_reader_ray.stages.curate import (
+            broadcast_membership_filter,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source"]
+        )
+
+        def to_host(df: pd.DataFrame) -> pd.DataFrame:
+            url = (
+                "https://" + df["source"].astype(str)
+                + ".example.com/doc/" + df["doc_id"].astype(str)
+            )
+            return pd.DataFrame(
+                {"doc_id": df["doc_id"],
+                 "host": url_parts_frame(url)["host"]}
+            )
+
+        hosts = docs.map_batches(to_host, batch_format="pandas")
+        return broadcast_membership_filter(
+            hosts, col="host", values=BLOCKED_HOSTS, keep=False
+        )
+
+    def q_decontaminate(sf):
+        from htrc_feature_reader_ray.stages.curate import contamination_flags
+
+        return contamination_flags(_docs(sf), BENCHMARK_NEEDLES)
+
+    def q_pack_sequences(sf):
+        """Token-budget sequence packing via the two-pass distributed
+        prefix sum (range partition → per-partition sums → driver exclusive
+        scan → broadcast offsets); id bounds from parquet column stats."""
+        from htrc_feature_reader_ray.stages.pack import (
+            pack_sequences,
+            parquet_column_bounds,
+        )
+
+        bounds = parquet_column_bounds(f"{sf}/documents.parquet", "doc_id")
+        counts = token_count(_docs(sf))
+        return pack_sequences(
+            counts, weight_col="n_tokens", id_col="doc_id", budget=2048,
+            id_bounds=bounds, num_buckets=16,
+        )
+
     def q_pricing_summary(sf):
         """TPC-H-Q1-shaped grouped aggregate over lineitem with exact integer
         arithmetic (cents) — column-pruned read, per-batch partial combine,
@@ -911,6 +1015,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_with_source_stats": q_source_stats,
         "docs_join_embeddings": q_join_embeddings,
         "props_extract": q_props_extract,
+        # -- corpus-curation ops (training-data pipeline surface) --
+        "tfidf": q_tfidf,
+        "pii_redaction": q_pii_redaction,
+        "repetition_stats": q_repetition_stats,
+        "bigrams_top40": q_bigrams_top40,
+        "domain_blocklist": q_domain_blocklist,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
@@ -1041,6 +1153,8 @@ def _ann_lsh_sql(*, nbits: int = 6, dim: int = 64, seed: int = 42) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from htrc_feature_reader_ray.stages import curate
+    from htrc_feature_reader_ray.stages.pack import pack_sequences_sql
     from htrc_feature_reader_ray.stages.textstats import (
         FINGERPRINT_SQL,
         TOKEN_COUNT_SQL,
@@ -1668,4 +1782,32 @@ def oracle_sql() -> dict[str, str]:
                    ((s::UBIGINT >> 32) & 65535)::BIGINT AS band2,
                    ((s::UBIGINT >> 48) & 65535)::BIGINT AS band3
             FROM su""",
+        # -- corpus-curation ops --
+        "tfidf": curate.tfidf_sql(),
+        "pii_redaction": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@mail-' || source
+                          || '.org tel ' || (100 + doc_id % 900) || '-'
+                          || (1000 + doc_id % 9000)
+                          || ' ip 10.' || (doc_id % 256) || '.0.'
+                          || ((doc_id * 3) % 256) AS text
+              FROM documents
+            )
+            SELECT doc_id, {curate.redact_pii_sql('text')} FROM aug""",
+        "repetition_stats": curate.repetition_stats_sql(),
+        "bigrams_top40": curate.ngram_top_sql(k=40),
+        "domain_blocklist": f"""
+            SELECT doc_id, source || '.example.com' AS host
+            FROM documents
+            WHERE source || '.example.com' NOT IN
+                  {"('" + "', '".join(BLOCKED_HOSTS) + "')"}""",
+        "decontaminate": f"""
+            SELECT doc_id,
+                   {curate.contamination_sql(BENCHMARK_NEEDLES)} AS n_hits
+            FROM documents""",
+        "pack_sequences": pack_sequences_sql(
+            weight_expr=TOKEN_COUNT_SQL.format(text="text"),
+            id_col="doc_id", budget=2048, table="documents",
+        ),
     }

@@ -45,6 +45,12 @@ BENCH_QUERIES = [
     "rolling_features",
     "window_hopping",
     "dedup_embedding_cosine",
+    # curation ops
+    "tfidf",
+    "repetition_stats",
+    "pii_redaction",
+    "pack_sequences",
+    "bigrams_top40",
 ]
 
 HEADLINE = "flagship"

@@ -80,6 +80,22 @@ def __getattr__(name):
                               "save_feature_lake"),
         "read_lake": ("htrc_feature_reader_ray.pipelines.etl", "read_lake"),
         "EngineConfig": ("htrc_feature_reader_ray.config", "EngineConfig"),
+        "tfidf": ("htrc_feature_reader_ray.stages.curate", "tfidf"),
+        "doc_frequency": (
+            "htrc_feature_reader_ray.stages.curate", "doc_frequency"),
+        "term_frequencies": (
+            "htrc_feature_reader_ray.stages.curate", "term_frequencies"),
+        "redact_pii": ("htrc_feature_reader_ray.stages.curate", "redact_pii"),
+        "repetition_stats": (
+            "htrc_feature_reader_ray.stages.curate", "repetition_stats"),
+        "ngram_top": ("htrc_feature_reader_ray.stages.curate", "ngram_top"),
+        "broadcast_membership_filter": (
+            "htrc_feature_reader_ray.stages.curate",
+            "broadcast_membership_filter"),
+        "contamination_flags": (
+            "htrc_feature_reader_ray.stages.curate", "contamination_flags"),
+        "pack_sequences": (
+            "htrc_feature_reader_ray.stages.pack", "pack_sequences"),
     }
     if name in surface:
         import importlib

@@ -1,0 +1,424 @@
+"""Corpus-curation operators for LLM training-data pipelines: TF-IDF,
+PII redaction, repetition (Gopher-style) quality signals, broadcast
+blocklist/decontamination filters, and corpus n-gram statistics.
+
+These extend the reference's per-document folding vocabulary
+(feature_reader.py:25-112) with the document-scoring ops a 100 TB curation
+run needs. Every op is either a stateless vectorized ``map_batches`` or a
+partial-combine + small ``groupby`` — no op materializes the corpus, and the
+only shuffles are vocabulary-sized (token/df) or output-sized.
+
+Parity contract: each op has a DuckDB SQL mirror built from the exact same
+arithmetic (integer counts; IEEE double division/multiplication in the same
+order). Transcendental functions are avoided on purpose — ``ln`` is NOT
+bit-identical between numpy and DuckDB — so TF-IDF uses the BM25-style
+*rational* idf ``(N - df + 0.5) / (df + 0.5)``, a monotone transform of the
+classic ``ln(N/df)`` (identical rankings, bit-exact parity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+# ---------------------------------------------------------------------------
+# TF-IDF (rational idf)
+
+
+def term_frequencies(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, token, tf) — per-document term frequencies, one vectorized
+    explode + Arrow group_by per batch (each document row lives in exactly
+    one batch, so the per-batch fold is already complete — no shuffle)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        ids = batch.column(id_col).take(pa.array(parent))
+        t = pa.table({id_col: ids, "token": flat})
+        g = t.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "token", "tf"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def doc_frequency(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(token, df) — number of documents containing each token.
+
+    Partial-combine shape: per-batch distinct (doc, token) collapses to a
+    per-batch (token, partial_df) table (vocabulary-sized, tiny vs the
+    text), then ONE vocabulary-sized groupby-sum finishes. Correct because
+    a document row never splits across batches."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        t = pa.table(
+            {"d": pa.array(parent, type=pa.int64()), "token": flat}
+        )
+        distinct = t.group_by(["d", "token"]).aggregate([])
+        g = distinct.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "df"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+
+
+def tfidf(ds, *, n_docs: int, text_col: str = "text",
+          id_col: str = "doc_id", method: str = "broadcast",
+          num_buckets: int = 16):
+    """(id, token, tf, df, tfidf) with the rational BM25 idf
+    ``tfidf = tf * ((N - df + 0.5) / (df + 0.5))``.
+
+    The tf table is computed ONCE (materialized — it is also the output
+    skeleton) and df is folded from it, so the document explode never runs
+    twice. Two physical paths for attaching df, mirroring minhash's
+    ``verify`` switch:
+
+    * ``'broadcast'`` (default) — per-batch (token, partial_df) partials
+      (vocabulary-sized, tiny vs the text) are folded on the driver and the
+      df lookup is ``ray.put`` once; scoring is one 1:1 ``map_batches``
+      with a vectorized map — NO shuffle. Right while the vocabulary fits
+      the object store (natural-language vocabularies do).
+    * ``'join'`` — the unbounded-vocab path: df via a distributed
+      groupby-sum, then tf bucket-joins it on ``token``.
+
+    ``n_docs`` comes from lake metadata / parquet footers, never a
+    ``ds.count()`` re-execution."""
+    import pandas as pd
+    import ray
+
+    tf = term_frequencies(ds, text_col=text_col, id_col=id_col).materialize()
+
+    def score_with_ratio(batch: pa.Table) -> pa.Table:
+        df = batch.column("df").to_numpy()
+        ratio = ((n_docs - df).astype(np.float64) + 0.5) / (
+            df.astype(np.float64) + 0.5
+        )
+        val = batch.column("tf").to_numpy().astype(np.float64) * ratio
+        return batch.append_column(
+            "tfidf", pa.array(val, type=pa.float64())
+        )
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        g = t.select(["token"]).group_by("token").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["token", "df"])
+
+    if method == "broadcast":
+        folded = (
+            tf.map_batches(df_partials, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("token", as_index=False)["df"]
+            .sum()
+        )
+        lookup_ref = ray.put(dict(zip(folded["token"], folded["df"])))
+
+        def attach(pdf: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(lookup_ref)
+            pdf = pdf.copy()
+            pdf["df"] = pdf["token"].map(lookup).astype(np.int64)
+            return pdf
+
+        joined = tf.map_batches(attach, batch_format="pandas")
+    elif method == "join":
+        from ray.data.aggregate import Sum
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+
+        dfs = (
+            tf.map_batches(df_partials, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("df", alias_name="df"))
+        )
+        joined = bucket_join(tf, dfs, left_key="token", right_key="token",
+                             num_buckets=num_buckets)
+    else:
+        raise ValueError(f"unknown tfidf method {method!r}")
+
+    return joined.map_batches(score_with_ratio, batch_format="pyarrow")
+
+
+def tfidf_sql(*, table: str = "documents", text: str = "text",
+              id_col: str = "doc_id") -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH tok AS (
+          SELECT {id_col}, t.token
+          FROM {table}, unnest({toks}) AS t(token)
+        ), tf AS (
+          SELECT {id_col}, token, count(*)::BIGINT AS tf
+          FROM tok GROUP BY 1, 2
+        ), dfs AS (
+          SELECT token, count(DISTINCT {id_col})::BIGINT AS df
+          FROM tok GROUP BY 1
+        ), n AS (SELECT count(*)::BIGINT AS n_docs FROM {table})
+        SELECT tf.{id_col}, tf.token, tf.tf, dfs.df,
+               tf.tf * (((n.n_docs - dfs.df) + 0.5) / (dfs.df + 0.5))
+                   AS tfidf
+        FROM tf JOIN dfs USING (token), n"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+# (name, RE2 pattern, replacement) — applied in order; counts are taken on
+# the ORIGINAL text, replacements chain. Patterns are RE2 on both sides
+# (Arrow and DuckDB both embed RE2), so behavior is identical by
+# construction.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(ds, *, text_col: str = "text", id_cols=("doc_id",)):
+    """(ids..., n_email, n_phone, n_ip, clean_text) — vectorized RE2
+    scrub of emails / phone fragments / IPv4 literals. One C pass per
+    pattern per batch; no Python row loop."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        out = batch.select(list(id_cols))
+        clean = text
+        for name, pat, repl in PII_PATTERNS:
+            out = out.append_column(
+                f"n_{name}",
+                pc.count_substring_regex(text, pattern=pat).cast(pa.int64()),
+            )
+            clean = pc.replace_substring_regex(
+                clean, pattern=pat, replacement=repl
+            )
+        return out.append_column("clean_text", clean)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def redact_pii_sql(text: str = "text") -> str:
+    """SELECT-list fragment mirroring :func:`redact_pii` exactly."""
+    counts = ",\n".join(
+        f"len(regexp_extract_all({text}, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = text
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return f"{counts}, {clean} AS clean_text"
+
+
+# ---------------------------------------------------------------------------
+# repetition / duplication quality signals (Gopher-style)
+
+
+def _adjacent_ngrams(flat: pa.Array, parent: np.ndarray, n: int):
+    """(ngram_strings, parent_ids) for order-n adjacent token n-grams that
+    stay within one document (tokens of a doc are contiguous in flat)."""
+    m = len(parent)
+    if m < n:
+        return pa.array([], type=pa.string()), np.array([], dtype=np.int64)
+    same = parent[: m - n + 1] == parent[n - 1 :]
+    slices = [flat.slice(i, m - n + 1) for i in range(n)]
+    joined = pc.binary_join_element_wise(*slices, " ")
+    mask = pa.array(same)
+    return joined.filter(mask), parent[: m - n + 1][same]
+
+
+def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document repetition signals (the Gopher/C4-style filters):
+
+    * ``n_tokens``
+    * ``distinct_frac``     = distinct tokens / n_tokens
+    * ``top_bigram_frac``   = count of the most frequent bigram / (n_tokens-1)
+    * ``dup_trigram_frac``  = (trigrams - distinct trigrams) / trigrams
+
+    All fractions are 0.0 on degenerate lengths (``greatest(x, 1)``
+    denominators). Vectorized: one token explode + three Arrow group_bys per
+    batch; no shuffle (per-doc stats complete within the batch)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        parent = parent.astype(np.int64)
+        n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
+
+        t = pa.table({"d": pa.array(parent), "tok": flat})
+        dd = t.group_by(["d", "tok"]).aggregate([])
+        distinct = np.bincount(
+            dd.column("d").to_numpy(), minlength=nrows
+        ).astype(np.int64)
+
+        def top_count(n: int) -> np.ndarray:
+            grams, gparent = _adjacent_ngrams(flat, parent, n)
+            top = np.zeros(nrows, dtype=np.int64)
+            if len(gparent):
+                tg = pa.table({"d": pa.array(gparent), "g": grams})
+                cnt = tg.group_by(["d", "g"]).aggregate([([], "count_all")])
+                mx = cnt.group_by("d").aggregate([("count_all", "max")])
+                top[mx.column("d").to_numpy()] = mx.column(
+                    "count_all_max"
+                ).to_numpy()
+            return top
+
+        def distinct_count(n: int) -> np.ndarray:
+            grams, gparent = _adjacent_ngrams(flat, parent, n)
+            out = np.zeros(nrows, dtype=np.int64)
+            if len(gparent):
+                tg = pa.table({"d": pa.array(gparent), "g": grams})
+                dg = tg.group_by(["d", "g"]).aggregate([])
+                out = np.bincount(
+                    dg.column("d").to_numpy(), minlength=nrows
+                ).astype(np.int64)
+            return out
+
+        top_big = top_count(2)
+        n_tri = np.maximum(n_tok - 2, 0)
+        d_tri = distinct_count(3)
+
+        out = batch.select([id_col])
+        out = out.append_column("n_tokens", pa.array(n_tok))
+        out = out.append_column(
+            "distinct_frac",
+            pa.array(distinct / np.maximum(n_tok, 1).astype(np.float64)),
+        )
+        out = out.append_column(
+            "top_bigram_frac",
+            pa.array(top_big / np.maximum(n_tok - 1, 1).astype(np.float64)),
+        )
+        out = out.append_column(
+            "dup_trigram_frac",
+            pa.array(
+                (n_tri - d_tri) / np.maximum(n_tri, 1).astype(np.float64)
+            ),
+        )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_stats_sql(*, table: str = "documents", text: str = "text",
+                         id_col: str = "doc_id") -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {toks} AS arr, len({toks})::BIGINT AS n
+          FROM {table}
+        ), dtok AS (
+          SELECT {id_col}, count(DISTINCT t.tok)::BIGINT AS d1
+          FROM base, LATERAL unnest(arr) AS t(tok) GROUP BY 1
+        ), big AS (
+          SELECT {id_col}, arr[i] || ' ' || arr[i+1] AS bg
+          FROM base, LATERAL unnest(range(1, n)) AS t(i)
+        ), bgtop AS (
+          SELECT {id_col}, max(c)::BIGINT AS top_bg FROM (
+            SELECT {id_col}, bg, count(*) AS c FROM big GROUP BY 1, 2
+          ) GROUP BY 1
+        ), tri AS (
+          SELECT {id_col}, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS tg
+          FROM base, LATERAL unnest(range(1, n - 1)) AS t(i)
+        ), dtri AS (
+          SELECT {id_col}, count(DISTINCT tg)::BIGINT AS d3,
+                 count(*)::BIGINT AS n3
+          FROM tri GROUP BY 1
+        )
+        SELECT b.{id_col}, b.n AS n_tokens,
+               coalesce(d1, 0) / greatest(b.n, 1)::DOUBLE AS distinct_frac,
+               coalesce(top_bg, 0) / greatest(b.n - 1, 1)::DOUBLE
+                   AS top_bigram_frac,
+               (greatest(b.n - 2, 0) - coalesce(d3, 0))
+                   / greatest(b.n - 2, 1)::DOUBLE AS dup_trigram_frac
+        FROM base b
+        LEFT JOIN dtok USING ({id_col})
+        LEFT JOIN bgtop USING ({id_col})
+        LEFT JOIN dtri USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics
+
+
+def ngram_top(ds, *, n: int = 2, k: int = 40, text_col: str = "text"):
+    """Corpus-wide top-k adjacent n-grams: per-batch explode + Arrow
+    group_by (partial combine — only (ngram, count) partials cross the
+    exchange), vocabulary-sized groupby-sum, desc sort with deterministic
+    ngram tie-break, limit k."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        grams, _gp = _adjacent_ngrams(flat, parent.astype(np.int64), n)
+        if len(grams) == 0:
+            return pa.table(
+                {"ngram": pa.array([], type=pa.string()),
+                 "count": pa.array([], type=pa.int64())}
+            )
+        t = pa.table({"ngram": grams})
+        g = t.group_by("ngram").aggregate([([], "count_all")])
+        return g.rename_columns(["ngram", "count"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    summed = partials.groupby("ngram").aggregate(
+        Sum("count", alias_name="count")
+    )
+    return summed.sort(["count", "ngram"], descending=[True, False]).limit(k)
+
+
+def ngram_top_sql(*, k: int = 40, table: str = "documents",
+                  text: str = "text") -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH base AS (SELECT {toks} AS arr FROM {table}),
+        big AS (
+          SELECT arr[i] || ' ' || arr[i+1] AS ngram
+          FROM base, LATERAL unnest(range(1, len(arr))) AS t(i)
+        )
+        SELECT ngram, count(*)::BIGINT AS count FROM big GROUP BY 1
+        ORDER BY count DESC, ngram ASC LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast membership filters (blocklist, decontamination)
+
+
+def broadcast_membership_filter(ds, *, col: str, values, keep: bool = False):
+    """Filter rows whose ``col`` is (keep=True) / is not (keep=False) in a
+    small value set. The set rides along in the task closure — the
+    broadcast-small-side pattern (a shuffle anti-join would move the whole
+    corpus to drop a handful of domains)."""
+    vset = pa.array(sorted(set(values)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(col), value_set=vset)
+        return batch.filter(m if keep else pc.invert(m))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def contamination_flags(ds, needles, *, text_col: str = "text",
+                        id_cols=("doc_id",)):
+    """(ids..., n_hits) — how many benchmark strings (needles) each document
+    contains, via vectorized substring search (one C pass per needle per
+    batch; the needle list is the small broadcast side). The
+    train/test-decontamination primitive: filter ``n_hits == 0`` to keep."""
+    needles = list(needles)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for nd in needles:
+            hits += pc.match_substring(text, pattern=nd).to_numpy(
+                zero_copy_only=False
+            )
+        out = batch.select(list(id_cols))
+        return out.append_column("n_hits", pa.array(hits, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def contamination_sql(needles, text: str = "text") -> str:
+    """SQL mirror of n_hits (needles must be SQL-literal-safe)."""
+    terms = " + ".join(
+        f"(CASE WHEN contains({text}, '{nd}') THEN 1 ELSE 0 END)"
+        for nd in needles
+    )
+    return f"({terms})::BIGINT"

@@ -1,0 +1,131 @@
+"""Token-budget sequence packing — assign every document a position in a
+stream of fixed-budget training shards, distributed.
+
+``shard_id = global_token_offset // budget`` where ``global_token_offset``
+is the exclusive prefix sum of per-document token counts in ``id`` order
+(boundary-straddling documents belong to the shard their first token lands
+in — the streaming-packing-with-split convention, so shard boundaries are a
+pure function of the offset and need no sequential scan).
+
+The prefix sum is the classic two-pass distributed algorithm:
+
+1. range-partition rows by contiguous id range (ORDER-PRESERVING, unlike
+   hash buckets) and fold per-partition weight sums — B tiny rows;
+2. exclusive-scan those B sums on the driver (B ≈ num_buckets, bytes);
+3. broadcast the per-partition base offsets and finish with a local sorted
+   cumsum inside each partition.
+
+At lake scale the id bounds come from partition metadata / parquet column
+statistics — never a data scan. Nothing here materializes the corpus; the
+only driver-side data is the B partial sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+RANGE_COL = "_range_bucket"
+
+
+def parquet_column_bounds(path: str, col: str) -> tuple[int, int]:
+    """(min, max) of a column from parquet row-group statistics — a footer
+    read, no data scan (the partitioned-lake analog reads the lineage
+    manifest's per-partition key ranges instead)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    los, his = [], []
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            c = group.column(ci)
+            if c.path_in_schema == col and c.statistics is not None:
+                los.append(c.statistics.min)
+                his.append(c.statistics.max)
+    if not los:
+        raise ValueError(f"no statistics for column {col!r} in {path}")
+    return min(los), max(his)
+
+
+def _range_bucket(ids: np.ndarray, lo: int, hi: int, num_buckets: int):
+    span = max(hi - lo + 1, 1)
+    b = (ids.astype(np.int64) - lo) * num_buckets // span
+    return np.clip(b, 0, num_buckets - 1)
+
+
+def pack_sequences(ds, *, weight_col: str, id_col: str, budget: int,
+                   id_bounds: tuple[int, int], num_buckets: int = 32):
+    """Input: one row per document with an integer ``weight_col`` (token
+    count) and a unique orderable ``id_col``. Output adds:
+
+    * ``global_offset``    exclusive prefix sum of weights in id order
+    * ``shard_id``         global_offset // budget
+    * ``offset_in_shard``  global_offset % budget
+
+    ``id_bounds`` = (min_id, max_id) from lake/parquet metadata.
+    """
+    lo, hi = id_bounds
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        b = _range_bucket(ids, lo, hi, num_buckets)
+        return batch.append_column(RANGE_COL, pa.array(b, type=pa.int64()))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    # the weight table is O(rows × 2 ints); persist it so the two passes
+    # below don't re-execute the upstream pipeline twice
+    bucketed = bucketed.materialize()
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        return t.select([RANGE_COL, weight_col]).group_by(
+            RANGE_COL
+        ).aggregate([(weight_col, "sum")])
+
+    sums = (
+        bucketed.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby(RANGE_COL)
+        .sum(f"{weight_col}_sum")
+        .to_pandas()
+    )  # ≤ num_buckets rows
+    sums = sums.sort_values(RANGE_COL)
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    totals[sums[RANGE_COL].to_numpy()] = sums[
+        f"sum({weight_col}_sum)"
+    ].to_numpy()
+    base = np.concatenate([[0], np.cumsum(totals)[:-1]])  # exclusive scan
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        start = int(base[int(df[RANGE_COL].iloc[0])])
+        offs = start + np.cumsum(w) - w
+        df = df.drop(columns=[RANGE_COL])
+        df["global_offset"] = offs
+        df["shard_id"] = offs // budget
+        df["offset_in_shard"] = offs % budget
+        return df
+
+    return bucketed.groupby(RANGE_COL).map_groups(
+        finish, batch_format="pandas"
+    )
+
+
+def pack_sequences_sql(*, weight_expr: str, id_col: str, budget: int,
+                       table: str) -> str:
+    return f"""
+        WITH tc AS (
+          SELECT {id_col}, {weight_expr} AS n_tokens FROM {table}
+        ), o AS (
+          SELECT {id_col}, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                     ORDER BY {id_col}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS global_offset
+          FROM tc
+        )
+        SELECT {id_col}, n_tokens, global_offset,
+               (global_offset // {budget})::BIGINT AS shard_id,
+               (global_offset % {budget})::BIGINT AS offset_in_shard
+        FROM o"""

@@ -1,0 +1,225 @@
+"""Exact-value unit tests for the corpus-curation operators
+(stages/curate.py, stages/pack.py) on tiny in-memory fixtures. The
+sf0.001 DuckDB parity of the corresponding queries is covered by
+test_oracle_parity.py."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from htrc_feature_reader_ray.stages.curate import (
+    broadcast_membership_filter,
+    contamination_flags,
+    doc_frequency,
+    ngram_top,
+    redact_pii,
+    repetition_stats,
+    term_frequencies,
+    tfidf,
+)
+from htrc_feature_reader_ray.stages.pack import pack_sequences
+
+
+def _docs_ds(texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": ids, "text": texts})
+    )
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+
+
+def test_doc_frequency_counts_docs_not_occurrences():
+    ds = _docs_ds(["a a a b", "a c", "c c"])
+    df = doc_frequency(ds).to_pandas().set_index("token")["df"]
+    assert df["a"] == 2  # three occurrences in doc0 count once
+    assert df["b"] == 1
+    assert df["c"] == 2
+
+
+def test_term_frequencies_exact():
+    ds = _docs_ds(["a a b", ""])
+    tf = term_frequencies(ds).to_pandas()
+    got = {(r.doc_id, r.token): r.tf for r in tf.itertuples()}
+    assert got == {(0, "a"): 2, (0, "b"): 1}
+
+
+def test_tfidf_rational_idf_exact():
+    ds = _docs_ds(["a a b", "a c", "b b"])
+    out = tfidf(ds, n_docs=3, num_buckets=4).to_pandas()
+    row = out[(out.doc_id == 0) & (out.token == "a")].iloc[0]
+    # df(a)=2: idf = (3-2+0.5)/(2+0.5) = 0.6; tf=2 -> 1.2
+    assert row.tf == 2 and row.df == 2
+    assert row.tfidf == pytest.approx(1.2)
+    # rarer token scores higher at equal tf: df(c)=1 -> idf=(3-1+.5)/1.5
+    c = out[(out.doc_id == 1) & (out.token == "c")].iloc[0]
+    assert c.tfidf == pytest.approx(2.5 / 1.5)
+    # ranking matches the classic ln(N/df) ranking (monotone transform)
+    assert c.tfidf > out[(out.doc_id == 1) & (out.token == "a")].iloc[0].tfidf
+
+
+def test_tfidf_join_path_equals_broadcast_path():
+    texts = [f"tok{i % 7} tok{i % 3} shared tok{i}" for i in range(40)]
+    cols = ["doc_id", "token", "tf", "df", "tfidf"]
+
+    def run(method):
+        out = tfidf(
+            _docs_ds(texts), n_docs=40, method=method, num_buckets=4
+        ).to_pandas()
+        return (
+            out[cols].sort_values(["doc_id", "token"]).reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run("broadcast"), run("join"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+
+def test_redact_pii_patterns_and_counts():
+    ds = _docs_ds(
+        [
+            "write to First.Last+x@sub.example.org or call 555-0199 now",
+            "server at 192.168.0.1 and 10.0.0.255 no mail",
+            "clean text only",
+        ]
+    )
+    out = redact_pii(ds).to_pandas().sort_values("doc_id")
+    assert list(out.n_email) == [1, 0, 0]
+    assert list(out.n_phone) == [1, 0, 0]
+    assert list(out.n_ip) == [0, 2, 0]
+    assert out.iloc[0].clean_text == "write to <EMAIL> or call <PHONE> now"
+    assert out.iloc[1].clean_text == "server at <IP> and <IP> no mail"
+    assert out.iloc[2].clean_text == "clean text only"
+
+
+def test_redact_pii_no_boundary_inside_words():
+    # digits glued to letters are not phone numbers (\b semantics)
+    ds = _docs_ds(["id x555-01999 stays"])
+    out = redact_pii(ds).to_pandas()
+    assert out.iloc[0].n_phone == 0
+    assert out.iloc[0].clean_text == "id x555-01999 stays"
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+
+
+def test_repetition_stats_exact():
+    ds = _docs_ds(
+        [
+            "a b a b a b",  # 6 tokens, 2 distinct; bigrams: 'a b'x3,'b a'x2
+            "x y z w",      # no repetition
+            "",             # degenerate
+        ]
+    )
+    out = repetition_stats(ds).to_pandas().sort_values("doc_id")
+    r0, r1, r2 = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert r0.n_tokens == 6
+    assert r0.distinct_frac == pytest.approx(2 / 6)
+    assert r0.top_bigram_frac == pytest.approx(3 / 5)
+    # trigrams: aba, bab, aba, bab -> 4 total, 2 distinct
+    assert r0.dup_trigram_frac == pytest.approx(2 / 4)
+    assert r1.distinct_frac == 1.0
+    assert r1.top_bigram_frac == pytest.approx(1 / 3)
+    assert r1.dup_trigram_frac == 0.0
+    assert r2.n_tokens == 0
+    assert (r2.distinct_frac, r2.top_bigram_frac, r2.dup_trigram_frac) == (
+        0.0, 0.0, 0.0,
+    )
+
+
+def test_repetition_bigrams_do_not_cross_documents():
+    # last token of doc0 + first of doc1 must NOT form a bigram
+    ds = _docs_ds(["p q", "q p q"])
+    out = repetition_stats(ds).to_pandas().sort_values("doc_id")
+    # doc1 bigrams: 'q p', 'p q' -> top count 1 of 2
+    assert out.iloc[1].top_bigram_frac == pytest.approx(1 / 2)
+
+
+# ---------------------------------------------------------------------------
+# n-gram top-k
+
+
+def test_ngram_top_exact_and_tiebreak():
+    ds = _docs_ds(["a b a b", "a b c"])
+    out = ngram_top(ds, n=2, k=3).to_pandas()
+    assert list(out.itertuples(index=False)) == [
+        ("a b", 3), ("b a", 1), ("b c", 1),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# broadcast filters
+
+
+def test_broadcast_membership_filter_keep_and_drop():
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"host": ["a.com", "b.com", "c.com"], "v": [1, 2, 3]})
+    )
+    kept = broadcast_membership_filter(
+        ds, col="host", values=["b.com"], keep=False
+    ).to_pandas()
+    assert sorted(kept.host) == ["a.com", "c.com"]
+    only = broadcast_membership_filter(
+        ds, col="host", values=["b.com"], keep=True
+    ).to_pandas()
+    assert list(only.host) == ["b.com"]
+
+
+def test_contamination_flags_counts_needles_not_occurrences():
+    ds = _docs_ds(["the quick brown fox", "quick quick", "nothing here"])
+    out = (
+        contamination_flags(ds, ["quick", "fox"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.n_hits) == [2, 1, 0]  # doc1: 'quick' twice counts once
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def test_pack_sequences_exact_offsets_and_shards():
+    w = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4],
+                      "n_tokens": [4, 3, 5, 2, 6]})
+    out = (
+        pack_sequences(
+            ray.data.from_pandas(w), weight_col="n_tokens", id_col="doc_id",
+            budget=7, id_bounds=(0, 4), num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.global_offset) == [0, 4, 7, 12, 14]
+    assert list(out.shard_id) == [0, 0, 1, 1, 2]
+    assert list(out.offset_in_shard) == [0, 4, 0, 5, 0]
+
+
+def test_pack_sequences_matches_serial_prefix_sum_many_buckets():
+    rng = np.random.RandomState(7)
+    n = 500
+    ids = rng.permutation(n * 3)[:n]  # sparse, unordered ids
+    w = rng.randint(0, 50, n)
+    df = pd.DataFrame({"doc_id": ids, "n_tokens": w})
+    out = (
+        pack_sequences(
+            ray.data.from_pandas(df), weight_col="n_tokens",
+            id_col="doc_id", budget=256,
+            id_bounds=(int(ids.min()), int(ids.max())), num_buckets=32,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    serial = df.sort_values("doc_id").reset_index(drop=True)
+    expect = serial.n_tokens.cumsum() - serial.n_tokens
+    assert list(out.global_offset) == list(expect)
+    assert (out.shard_id == out.global_offset // 256).all()
+    # every shard's docs are contiguous in id order
+    assert (out.shard_id.diff().dropna() >= 0).all()
