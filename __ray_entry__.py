@@ -775,6 +775,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             id_bounds=bounds, num_buckets=16,
         )
 
+    def q_asof_nearest(sf):
+        """Nearest-direction as-of (closer of backward/forward; equidistant
+        ties prefer backward — pandas merge_asof semantics, mirrored in the
+        oracle's rank expression) on the partitioned sort-merge path."""
+        return partitioned_asof_join(
+            _clicks(sf), _purchases_ds(sf), on="user_id", ts="ts",
+            direction="nearest", num_buckets=32,
+        )
+
+    def q_interval_join(sf):
+        """Equi-key range join: click points against ±4h purchase windows
+        (one co-partitioning shuffle, vectorized BETWEEN per bucket)."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.temporal import interval_join
+
+        ivals = _purchases_df(sf)
+        ivals = pd.DataFrame(
+            {
+                "user_id": ivals["user_id"],
+                "win_start": (ivals["ts"] - pd.Timedelta("4h")).astype(
+                    "datetime64[us]"
+                ),
+                "win_end": (ivals["ts"] + pd.Timedelta("4h")).astype(
+                    "datetime64[us]"
+                ),
+                "purchase_value": ivals["purchase_value"],
+            }
+        )
+        return interval_join(
+            _clicks(sf), ray.data.from_pandas(ivals), on="user_id",
+            ts="ts", start="win_start", end="win_end", num_buckets=32,
+        )
+
+    def q_approx_distinct_users(sf):
+        """HyperLogLog distinct users per event type — the mergeable-sketch
+        scale path for per-group distinct (registers, not values, cross the
+        exchange); bit-exact SQL re-derivation via md5_number_upper."""
+        from htrc_feature_reader_ray.stages.sketch import approx_distinct
+
+        return approx_distinct(
+            _events(sf, ["event_type", "user_id"]),
+            group_cols=["event_type"], value_col="user_id", p=6,
+        )
+
     def q_pricing_summary(sf):
         """TPC-H-Q1-shaped grouped aggregate over lineitem with exact integer
         arithmetic (cents) — column-pruned read, per-batch partial combine,
@@ -972,6 +1016,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _with_cents(_events(sf, ["user_id", "ts", "value"])),
             key="user_id", ts="ts", width="1h", sum_cols=["value_cents"],
         ),
+        "asof_nearest": q_asof_nearest,
+        "interval_join": q_interval_join,
+        "approx_distinct_users": q_approx_distinct_users,
         "backfill_daily": q_backfill,
         # -- chunking (SURVEY §2.4) --
         "chunk_even_events": q_chunk_events("even"),
@@ -1153,7 +1200,7 @@ def _ann_lsh_sql(*, nbits: int = 6, dim: int = 64, seed: int = 42) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from htrc_feature_reader_ray.stages import curate
+    from htrc_feature_reader_ray.stages import curate, sketch
     from htrc_feature_reader_ray.stages.pack import pack_sequences_sql
     from htrc_feature_reader_ray.stages.textstats import (
         FINGERPRINT_SQL,
@@ -1321,6 +1368,33 @@ def oracle_sql() -> dict[str, str]:
                    {tol_case.format(expr='r.ts')} AS matched_ts
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        # nearest = min |Δts|, equidistant prefers backward (pandas
+        # merge_asof contract); left rows keyed by unique event_id
+        "asof_nearest": ASOF_PRE + """
+            , ranked AS (
+              SELECT l.event_id, l.user_id, l.ts, l.value,
+                     r.purchase_value, r.ts AS matched_ts,
+                     row_number() OVER (
+                       PARTITION BY l.event_id
+                       ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)),
+                                CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END
+                     ) AS rn
+              FROM l LEFT JOIN r ON l.user_id = r.user_id
+            )
+            SELECT event_id, user_id, ts, value, purchase_value, matched_ts
+            FROM ranked WHERE rn = 1""",
+        "interval_join": ASOF_PRE + """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts - INTERVAL 4 HOUR AS win_start,
+                   r.ts + INTERVAL 4 HOUR AS win_end,
+                   r.purchase_value
+            FROM l JOIN r ON l.user_id = r.user_id
+             AND l.ts BETWEEN r.ts - INTERVAL 4 HOUR
+                          AND r.ts + INTERVAL 4 HOUR""",
+        "approx_distinct_users": sketch.approx_distinct_sql(
+            group_cols=["event_type"], value_expr="user_id",
+            table="events", p=6,
+        ),
         "lag_lead": """
             SELECT event_id, user_id, ts, value,
                    lag(value) OVER w AS lag_value,

@@ -96,6 +96,10 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.curate", "contamination_flags"),
         "pack_sequences": (
             "htrc_feature_reader_ray.stages.pack", "pack_sequences"),
+        "interval_join": (
+            "htrc_feature_reader_ray.stages.temporal", "interval_join"),
+        "approx_distinct": (
+            "htrc_feature_reader_ray.stages.sketch", "approx_distinct"),
     }
     if name in surface:
         import importlib

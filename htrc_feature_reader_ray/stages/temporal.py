@@ -168,6 +168,87 @@ def partitioned_asof_join(left_ds, right_ds, *, on, ts,
                                num_buckets=num_buckets)
 
 
+def interval_join(left_ds, right_ds, *, on, ts: str, start: str, end: str,
+                  how: str = "inner", num_buckets: int = 32):
+    """Equi-key RANGE join: each left point row (key, ts) matches every
+    right interval row (key, start, end) with ``start <= ts <= end``
+    (closed bounds). Output multiplicity = number of containing intervals;
+    ``how='left'`` keeps unmatched points with null interval columns.
+
+    Physical plan: tag + schema-align + union both sides, ONE hash-bucket
+    co-partitioning shuffle on the key, then a vectorized key-equi merge +
+    BETWEEN mask per bucket. Partitioning assumption (same contract as the
+    other bucketed ops): all rows of one key fit a worker's heap — interval
+    sides are typically few-per-key (session spans, campaign windows); a
+    key × interval blow-up is the semantic output size, not a plan defect.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join how={how!r}")
+    keys = _key_list(on)
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_names = list(l_schema.names)
+    r_carry = [c for c in r_schema.names if c not in keys]
+    overlap = set(r_carry) & set(l_names)
+    if overlap:
+        raise ValueError(f"right-side columns clash with left: {sorted(overlap)}")
+    for c in (start, end):
+        if c not in r_carry:
+            raise ValueError(f"right side lacks interval column {c!r}")
+
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    all_types = {n: arrow_type(t) for n, t in {**r_types, **l_types}.items()}
+    all_cols = l_names + r_carry
+
+    def align(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for c in all_cols:
+                if c in batch.column_names:
+                    cols[c] = batch.column(c)
+                else:
+                    cols[c] = pa.nulls(n, type=all_types[c])
+            cols[_SIDE] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    unioned = left_ds.map_batches(align(0), batch_format="pyarrow").union(
+        right_ds.map_batches(align(1), batch_format="pyarrow")
+    )
+
+    def _restore_ints(frame: pd.DataFrame, names) -> pd.DataFrame:
+        for c in names:
+            t = all_types.get(c)
+            if (
+                isinstance(t, pa.DataType)
+                and pa.types.is_integer(t)
+                and frame[c].notna().all()
+            ):
+                frame[c] = frame[c].astype("int64")
+        return frame
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = _restore_ints(df[df[_SIDE] == 0][l_names].copy(), l_names)
+        right = _restore_ints(
+            df[df[_SIDE] == 1][keys + r_carry].copy(), keys + r_carry
+        )
+        merged = left.merge(right, on=keys, how="inner")
+        mask = (merged[start] <= merged[ts]) & (merged[ts] <= merged[end])
+        hits = merged[mask]
+        if how == "left":
+            l_index = pd.MultiIndex.from_frame(left[keys + [ts]])
+            h_index = pd.MultiIndex.from_frame(hits[keys + [ts]])
+            missed = left[~l_index.isin(h_index)]
+            hits = pd.concat([hits, missed], ignore_index=True)
+        return hits
+
+    return bucketed_map_groups(unioned, keys[0], per_bucket,
+                               num_buckets=num_buckets)
+
+
 def latest_per_key_ts(df: pd.DataFrame, *, on, ts, tiebreak) -> pd.DataFrame:
     """Dedupe a feature table to one row per (key, ts), keeping the row with
     the greatest ``tiebreak`` — the deterministic contract required by as-of

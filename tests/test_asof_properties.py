@@ -27,6 +27,17 @@ def brute_force(left: pd.DataFrame, right: pd.DataFrame, *, direction,
         if direction == "backward":
             cand = cand[cand["ts"] <= row["ts"]]
             cand = cand.sort_values("ts").tail(1)
+        elif direction == "nearest":
+            if len(cand):
+                order = pd.DataFrame(
+                    {
+                        "diff": (cand["ts"] - row["ts"]).abs(),
+                        # equidistant ties prefer the backward candidate
+                        "fwd": cand["ts"] > row["ts"],
+                    },
+                    index=cand.index,
+                ).sort_values(["diff", "fwd"])
+                cand = cand.loc[[order.index[0]]]
         else:
             cand = cand[cand["ts"] >= row["ts"]]
             cand = cand.sort_values("ts").head(1)
@@ -54,7 +65,7 @@ ts_strategy = st.lists(
     left_ts=ts_strategy,
     right_ts=ts_strategy,
     keys=st.lists(st.integers(0, 3), min_size=1, max_size=40),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
     tol_minutes=st.sampled_from([None, 30, 120]),
 )
 def test_asof_matches_bruteforce(left_ts, right_ts, keys, direction,
@@ -100,7 +111,8 @@ def test_asof_matches_bruteforce(left_ts, right_ts, keys, direction,
     g_ts = pd.to_datetime(got["matched_ts"]).astype("datetime64[ns]")
     e_ts = pd.to_datetime(expect["matched_ts"]).astype("datetime64[ns]")
     assert g_ts.equals(e_ts)
-    audit_no_leakage(got, ts="ts", direction=direction)
+    if direction != "nearest":  # nearest reads both sides by design
+        audit_no_leakage(got, ts="ts", direction=direction)
 
 
 def test_partitioned_equals_broadcast_random():

@@ -1,0 +1,218 @@
+"""Tests for the equi-key range join (temporal.interval_join) and the
+HyperLogLog distinct sketch (sketch.approx_distinct)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from htrc_feature_reader_ray.stages.sketch import (
+    approx_distinct,
+    hll_registers_batch,
+)
+from htrc_feature_reader_ray.stages.temporal import interval_join
+
+T = pd.Timestamp
+
+
+def _us(series):
+    return pd.Series(series).astype("datetime64[us]")
+
+
+def _points(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "pid": np.arange(len(rows), dtype=np.int64),
+                "k": [r[0] for r in rows],
+                "ts": _us([r[1] for r in rows]),
+            }
+        )
+    )
+
+
+def _intervals(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "k": [r[0] for r in rows],
+                "lo": _us([r[1] for r in rows]),
+                "hi": _us([r[2] for r in rows]),
+                "tag": [r[3] for r in rows],
+            }
+        )
+    )
+
+
+def test_interval_join_multiplicity_and_closed_bounds():
+    pts = _points(
+        [
+            (1, T("2024-01-01 10:00")),  # inside both intervals of k=1
+            (1, T("2024-01-01 12:00")),  # exactly on a closed upper bound
+            (1, T("2024-01-01 13:00")),  # outside all
+            (2, T("2024-01-01 10:00")),  # right key, no intervals
+        ]
+    )
+    ivs = _intervals(
+        [
+            (1, T("2024-01-01 09:00"), T("2024-01-01 12:00"), "a"),
+            (1, T("2024-01-01 10:00"), T("2024-01-01 11:00"), "b"),
+        ]
+    )
+    out = (
+        interval_join(pts, ivs, on="k", ts="ts", start="lo", end="hi",
+                      num_buckets=4)
+        .to_pandas()
+        .sort_values(["pid", "tag"])
+    )
+    assert list(zip(out.pid, out.tag)) == [(0, "a"), (0, "b"), (1, "a")]
+
+
+def test_interval_join_left_keeps_unmatched():
+    pts = _points([(1, T("2024-01-01 10:00")), (3, T("2024-01-01 10:00"))])
+    ivs = _intervals([(1, T("2024-01-01 09:00"), T("2024-01-01 11:00"), "a")])
+    out = (
+        interval_join(pts, ivs, on="k", ts="ts", start="lo", end="hi",
+                      how="left", num_buckets=4)
+        .to_pandas()
+        .sort_values("pid")
+    )
+    assert len(out) == 2
+    assert out.iloc[0].tag == "a"
+    assert pd.isna(out.iloc[1].tag) and pd.isna(out.iloc[1].lo)
+
+
+def test_interval_join_matches_bruteforce_random():
+    rng = np.random.RandomState(5)
+    n_p, n_i = 400, 120
+    pts_df = pd.DataFrame(
+        {
+            "pid": np.arange(n_p, dtype=np.int64),
+            "k": rng.randint(0, 12, n_p).astype(np.int64),
+            "ts": _us(pd.to_datetime(rng.randint(0, 10**6, n_p), unit="s")),
+        }
+    )
+    ivs_lo = pd.to_datetime(rng.randint(0, 10**6, n_i), unit="s")
+    ivs_df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 12, n_i).astype(np.int64),
+            "lo": _us(ivs_lo),
+            "hi": _us(ivs_lo + pd.to_timedelta(
+                rng.randint(0, 10**5, n_i), unit="s"
+            )),
+            "tag": np.arange(n_i, dtype=np.int64),
+        }
+    )
+    got = (
+        interval_join(
+            ray.data.from_pandas(pts_df).repartition(9),
+            ray.data.from_pandas(ivs_df), on="k", ts="ts",
+            start="lo", end="hi", num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values(["pid", "tag"])
+        .reset_index(drop=True)
+    )
+    brute = pts_df.merge(ivs_df, on="k", how="inner")
+    brute = (
+        brute[(brute.lo <= brute.ts) & (brute.ts <= brute.hi)]
+        .sort_values(["pid", "tag"])
+        .reset_index(drop=True)
+    )
+    assert list(got.pid) == list(brute.pid)
+    assert list(got.tag) == list(brute.tag)
+
+
+def test_interval_join_rejects_column_clash():
+    pts = _points([(1, T("2024-01-01"))])
+    bad = ray.data.from_pandas(
+        pd.DataFrame({"k": [1], "lo": _us([T("2024-01-01")]),
+                      "hi": _us([T("2024-01-02")]),
+                      "ts": _us([T("2024-01-01")])})
+    )
+    with pytest.raises(ValueError, match="clash"):
+        interval_join(pts, bad, on="k", ts="ts", start="lo", end="hi")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def _hll_scalar(values, p=6):
+    """Serial reference estimator (same math as the distributed op)."""
+    m = 1 << p
+    j, rho = hll_registers_batch([str(v) for v in set(values)], p)
+    M = np.zeros(m, dtype=np.int64)
+    np.maximum.at(M, j, rho)
+    S = sum(2 ** (64 - int(r)) for r in M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m * 2.0**64 / float(S)
+
+
+def _groups_ds(n_rows, n_vals, seed=0):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], n_rows),
+            "v": rng.randint(0, n_vals, n_rows).astype(np.int64),
+        }
+    )
+
+
+def test_approx_distinct_equals_serial_reference():
+    df = _groups_ds(5000, 800)
+    out = (
+        approx_distinct(
+            ray.data.from_pandas(df).repartition(11),
+            group_cols=["g"], value_col="v", num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in ("x", "y"):
+        expect = _hll_scalar(df[df.g == g]["v"])
+        assert out.loc[g, "approx_distinct"] == expect  # bit-identical
+
+
+def test_approx_distinct_independent_of_cluster_shape():
+    df = _groups_ds(3000, 500, seed=3)
+    outs = []
+    for parts, buckets in ((1, 2), (7, 4), (23, 8)):
+        outs.append(
+            approx_distinct(
+                ray.data.from_pandas(df).repartition(parts),
+                group_cols=["g"], value_col="v", num_buckets=buckets,
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_approx_distinct_error_band():
+    rng = np.random.RandomState(9)
+    true = 2500
+    df = pd.DataFrame(
+        {"g": "a", "v": rng.randint(0, true * 50, 20000) % true}
+    )
+    est = (
+        approx_distinct(ray.data.from_pandas(df), group_cols=["g"],
+                        value_col="v")
+        .to_pandas()
+        .iloc[0]["approx_distinct"]
+    )
+    n_true = df["v"].nunique()
+    # m=64 -> sigma ~ 13%; allow 3 sigma
+    assert abs(est - n_true) / n_true < 0.4
+
+
+def test_approx_distinct_duplicates_do_not_inflate():
+    df = pd.DataFrame({"g": "a", "v": [7] * 10000})
+    out = approx_distinct(
+        ray.data.from_pandas(df).repartition(13), group_cols=["g"],
+        value_col="v",
+    ).to_pandas()
+    assert out.iloc[0]["registers_used"] == 1
+    assert out.iloc[0]["approx_distinct"] == _hll_scalar([7])
