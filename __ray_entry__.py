@@ -596,6 +596,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _with_cents(_events(sf, ["event_id", "value"])), "value_cents"
         )
 
+    def q_grouped_profile(sf):
+        """Per-event-type EXACT quantiles + summary stats — the grouped
+        histogram-fold (nothing driver-side, unlike numeric_profile's
+        single global row)."""
+        from htrc_feature_reader_ray.stages.profile import grouped_profile
+
+        return grouped_profile(
+            _with_cents(_events(sf, ["event_type", "value"])),
+            group_cols=["event_type"], col="value_cents",
+        )
+
+    def q_mixture_sample(sf):
+        """Weighted training-mixture composition: per-language fractions
+        (en 5%, fr 25%, de 50%; other languages dropped), deterministic
+        lowest-md5 winners, exact-rational quotas."""
+        from htrc_feature_reader_ray.stages.sample import mixture_sample
+        import ray.data
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang", "source"]
+        )
+        return mixture_sample(
+            docs, stratum_col="lang", id_col="doc_id",
+            fractions={"en": 0.05, "fr": 0.25, "de": 0.5}, num_buckets=8,
+        )
+
     def q_stratified_sample(sf):
         """Exact per-language fraction, lowest-md5 ids win — deterministic
         on any cluster shape and SQL-replayable."""
@@ -1056,7 +1082,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metadata": q_metadata,
         "multimodal_decode": q_multimodal_decode,
         "numeric_profile": q_numeric_profile,
+        "grouped_profile": q_grouped_profile,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
         "filter_project": q_filter_project,
         "deterministic_sample": q_sample,
         "docs_with_source_stats": q_source_stats,
@@ -1712,6 +1740,35 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(val, 0.9)::BIGINT AS p90,
                    quantile_disc(val, 0.99)::BIGINT AS p99
             FROM v""",
+        "grouped_profile": """
+            WITH vc AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents
+              FROM events
+            )
+            SELECT event_type, count(*)::BIGINT AS n,
+                   min(value_cents)::BIGINT AS min,
+                   max(value_cents)::BIGINT AS max,
+                   sum(value_cents)::BIGINT AS sum,
+                   quantile_disc(value_cents, 0.5)::BIGINT AS p50,
+                   quantile_disc(value_cents, 0.9)::BIGINT AS p90,
+                   quantile_disc(value_cents, 0.99)::BIGINT AS p99
+            FROM vc GROUP BY 1""",
+        "mixture_sample": """
+            WITH r AS (
+              SELECT doc_id, lang, source,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n_s
+              FROM documents WHERE lang IN ('en', 'fr', 'de')
+            )
+            SELECT doc_id, lang, source FROM r
+            WHERE rn <= CASE lang
+                          WHEN 'en' THEN ceil(0.05 * n_s)
+                          WHEN 'fr' THEN ceil(0.25 * n_s)
+                          ELSE ceil(0.5 * n_s)
+                        END""",
         "stratified_sample": """
             WITH r AS (
               SELECT doc_id, lang, source,

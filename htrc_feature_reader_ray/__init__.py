@@ -100,6 +100,14 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.temporal", "interval_join"),
         "approx_distinct": (
             "htrc_feature_reader_ray.stages.sketch", "approx_distinct"),
+        "grouped_profile": (
+            "htrc_feature_reader_ray.stages.profile", "grouped_profile"),
+        "mixture_sample": (
+            "htrc_feature_reader_ray.stages.sample", "mixture_sample"),
+        "incremental_dedup": (
+            "htrc_feature_reader_ray.state.dedup_index", "incremental_dedup"),
+        "create_dedup_index": (
+            "htrc_feature_reader_ray.state.dedup_index", "create_dedup_index"),
     }
     if name in surface:
         import importlib

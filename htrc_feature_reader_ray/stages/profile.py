@@ -68,6 +68,54 @@ def exact_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
     return pd.DataFrame({"q": out_q, "value": np.asarray(out_v)})
 
 
+def grouped_profile(ds, *, group_cols, col: str, qs=(0.5, 0.9, 0.99),
+                    num_buckets: int = 16):
+    """Per-GROUP exact profile (n, min, max, sum, quantiles) — the grouped
+    sibling of :func:`numeric_profile`, fully distributed: per-batch
+    (group, value) count combiner, then ONE bucketed pass that folds the
+    per-group histograms and evaluates ranks (histograms are value-space
+    sized per group; nothing reaches the driver)."""
+    group_cols = list(group_cols)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = batch.select(group_cols + [col])
+        g = t.group_by(group_cols + [col]).aggregate([([], "count_all")])
+        return g.rename_columns(group_cols + [col, "cnt"])
+
+    partial = ds.map_batches(hist, batch_format="pyarrow")
+    qcols = [f"p{int(q * 100)}" for q in qs]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        merged = df.groupby(group_cols + [col], as_index=False)["cnt"].sum()
+        rows = []
+        for key, g in merged.groupby(group_cols, sort=False):
+            key = key if isinstance(key, tuple) else (key,)
+            g = g.sort_values(col)
+            cnt = g["cnt"].to_numpy()
+            vals = g[col].to_numpy()
+            cum = cnt.cumsum()
+            n = int(cum[-1])
+            ranks = tuple(
+                int(vals[int(np.searchsorted(
+                    cum, max(1, int(np.ceil(q * n)))
+                ))])
+                for q in qs
+            )
+            rows.append(
+                (*key, n, int(vals[0]), int(vals[-1]),
+                 int((vals * cnt).sum()), *ranks)
+            )
+        return pd.DataFrame(
+            rows, columns=group_cols + ["n", "min", "max", "sum"] + qcols
+        )
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    return bucketed_map_groups(
+        partial, group_cols[0], finish, num_buckets=num_buckets
+    )
+
+
 def numeric_profile(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
     """One-row exact profile: n, min, max, sum (int64) + the quantiles as
     columns ``p50``-style. Integer-exact end to end (the column must be an

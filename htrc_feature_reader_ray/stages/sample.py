@@ -61,3 +61,39 @@ def stratified_sample(ds, *, stratum_col: str, id_col: str, fraction: float,
 
     return bucketed_map_groups(ds, stratum_col, per_bucket,
                                num_buckets=num_buckets)
+
+
+def mixture_sample(ds, *, stratum_col: str, id_col: str,
+                   fractions: dict, num_buckets: int = 32):
+    """Weighted multi-source mixture: an exact per-stratum fraction PER
+    STRATUM (``fractions = {stratum: fraction}``; strata absent from the
+    map are dropped) — the training-mixture composition op (e.g. 20% of
+    web, 50% of books). Same deterministic lowest-md5 selection and
+    exact-rational quotas as :func:`stratified_sample`, so the drawn set is
+    identical on any cluster shape and SQL-replayable."""
+    from fractions import Fraction
+
+    fracs = {k: Fraction(str(v)) for k, v in fractions.items()}
+    for k, f in fracs.items():
+        if not 0 < f <= 1:
+            raise ValueError(f"fraction for {k!r} must be in (0, 1]")
+    nums = {k: f.numerator for k, f in fracs.items()}
+    dens = {k: f.denominator for k, f in fracs.items()}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[stratum_col].isin(fracs.keys())]
+        if df.empty:
+            return df
+        df = df.copy()
+        df["_h"] = _md5_hex(df[id_col].to_numpy())
+        df = df.sort_values(["_h", id_col], kind="mergesort")
+        g = df.groupby(stratum_col, sort=False)
+        sizes = g[id_col].transform("size").to_numpy()
+        num = df[stratum_col].map(nums).to_numpy()
+        den = df[stratum_col].map(dens).to_numpy()
+        quota = -(-sizes * num // den)  # exact per-stratum ceil
+        keep = g.cumcount().to_numpy() < quota
+        return df[keep].drop(columns=["_h"])
+
+    return bucketed_map_groups(ds, stratum_col, per_bucket,
+                               num_buckets=num_buckets)
