@@ -108,12 +108,11 @@ def tfidf(ds, *, n_docs: int, text_col: str = "text",
         return g.rename_columns(["token", "df"])
 
     if method == "broadcast":
-        folded = (
-            tf.map_batches(df_partials, batch_format="pyarrow")
-            .to_pandas()
-            .groupby("token", as_index=False)["df"]
-            .sum()
-        )
+        raw = tf.map_batches(df_partials, batch_format="pyarrow").to_pandas()
+        if "token" not in raw.columns:  # Ray drops columns on 0 rows
+            raw = pd.DataFrame({"token": pd.Series(dtype=object),
+                                "df": pd.Series(dtype="int64")})
+        folded = raw.groupby("token", as_index=False)["df"].sum()
         lookup_ref = ray.put(dict(zip(folded["token"], folded["df"])))
 
         def attach(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -89,11 +89,11 @@ def pack_sequences(ds, *, weight_col: str, id_col: str, budget: int,
         .sum(f"{weight_col}_sum")
         .to_pandas()
     )  # ≤ num_buckets rows
-    sums = sums.sort_values(RANGE_COL)
     totals = np.zeros(num_buckets, dtype=np.int64)
-    totals[sums[RANGE_COL].to_numpy()] = sums[
-        f"sum({weight_col}_sum)"
-    ].to_numpy()
+    if RANGE_COL in sums.columns:  # Ray drops columns on 0 rows
+        totals[sums[RANGE_COL].to_numpy()] = sums[
+            f"sum({weight_col}_sum)"
+        ].to_numpy()
     base = np.concatenate([[0], np.cumsum(totals)[:-1]])  # exclusive scan
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -145,3 +145,103 @@ def test_embedding_dedup_triangle_empty():
     )
     out = embedding_dedup_pairs(ds, threshold=0.9, method="broadcast").to_pandas()
     assert out.empty
+
+
+def _empty_docs():
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+        }
+    )
+
+
+def test_curate_kernels_empty_batch():
+    """The curation batch kernels must pass 0-row tables through."""
+    from htrc_feature_reader_ray.stages.curate import (
+        contamination_flags,
+        redact_pii,
+        repetition_stats,
+        term_frequencies,
+    )
+
+    ds = ray.data.from_arrow(_empty_docs())
+    assert term_frequencies(ds).count() == 0
+    assert redact_pii(ds).count() == 0
+    assert repetition_stats(ds).count() == 0
+    assert contamination_flags(ds, ["x"]).count() == 0
+
+
+def test_tfidf_empty_corpus():
+    from htrc_feature_reader_ray.stages.curate import tfidf
+
+    ds = ray.data.from_arrow(_empty_docs())
+    assert tfidf(ds, n_docs=0).count() == 0
+
+
+def test_pack_sequences_empty():
+    from htrc_feature_reader_ray.stages.pack import pack_sequences
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    out = pack_sequences(ds, weight_col="n_tokens", id_col="doc_id",
+                         budget=128, id_bounds=(0, 0), num_buckets=4)
+    assert out.count() == 0
+
+
+def test_approx_distinct_empty():
+    from htrc_feature_reader_ray.stages.sketch import approx_distinct
+
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array([], type=pa.string()),
+                  "v": pa.array([], type=pa.int64())})
+    )
+    assert approx_distinct(ds, group_cols=["g"], value_col="v").count() == 0
+
+
+def test_grouped_profile_empty():
+    from htrc_feature_reader_ray.stages.profile import grouped_profile
+
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array([], type=pa.string()),
+                  "v": pa.array([], type=pa.int64())})
+    )
+    assert grouped_profile(ds, group_cols=["g"], col="v").count() == 0
+
+
+def test_interval_join_empty_sides():
+    from htrc_feature_reader_ray.stages.temporal import interval_join
+
+    pts = ray.data.from_arrow(
+        pa.table({"k": pa.array([], type=pa.int64()),
+                  "ts": pa.array([], type=pa.timestamp("us"))})
+    )
+    ivs = ray.data.from_arrow(
+        pa.table({"k": pa.array([], type=pa.int64()),
+                  "lo": pa.array([], type=pa.timestamp("us")),
+                  "hi": pa.array([], type=pa.timestamp("us"))})
+    )
+    assert interval_join(pts, ivs, on="k", ts="ts", start="lo",
+                         end="hi").count() == 0
+
+
+def test_mixture_sample_empty_and_no_matching_strata():
+    from htrc_feature_reader_ray.stages.sample import mixture_sample
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "lang": pa.array([], type=pa.string())})
+    )
+    assert mixture_sample(empty, stratum_col="lang", id_col="doc_id",
+                          fractions={"en": 0.5}).count() == 0
+    only_zh = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "lang": ["zh", "zh"]})
+    )
+    assert mixture_sample(only_zh, stratum_col="lang", id_col="doc_id",
+                          fractions={"en": 0.5}).count() == 0
