@@ -71,6 +71,33 @@ def main(argv=None) -> int:
     meta.add_argument("--synthesize", action="store_true")
     meta.add_argument("--num-cpus", type=int, default=None)
 
+    pack = sub.add_parser(
+        "pack-shards",
+        help="pack documents into token-budget training shards "
+             "(shard_id=K/ parquet lake + manifest)",
+    )
+    pack.add_argument("--docs", required=True,
+                      help="parquet with (doc_id, text)")
+    pack.add_argument("--out", required=True)
+    pack.add_argument("--budget", type=int, default=65536,
+                      help="tokens per shard")
+    pack.add_argument("--num-cpus", type=int, default=None)
+    pack.add_argument("--num-buckets", type=int, default=32)
+
+    cur = sub.add_parser(
+        "curate-docs",
+        help="language + quality filter + near-dup-loser removal -> "
+             "kept documents parquet",
+    )
+    cur.add_argument("--docs", required=True,
+                     help="parquet with (doc_id, text)")
+    cur.add_argument("--out", required=True)
+    cur.add_argument("--lang", default="en")
+    cur.add_argument("--min-tokens", type=int, default=30)
+    cur.add_argument("--max-stopword-ratio", type=float, default=0.5)
+    cur.add_argument("--dedup-threshold", type=float, default=0.5)
+    cur.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "clean-id":
@@ -153,6 +180,89 @@ def main(argv=None) -> int:
         print(json.dumps(
             {"pairs": pairs.count(), "clusters": clusters.count()}
         ))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "pack-shards":
+        _ensure_ray(args.num_cpus)
+        import ray
+        from htrc_feature_reader_ray.pipelines.export import (
+            write_training_shards,
+        )
+
+        manifest = write_training_shards(
+            args.docs, args.out, budget=args.budget,
+            num_buckets=args.num_buckets,
+        )
+        print(json.dumps(
+            {"rows": manifest["row_count"],
+             "shards": len(manifest["buckets"]), "out": args.out}
+        ))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "curate-docs":
+        _ensure_ray(args.num_cpus)
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        import ray
+        import ray.data
+        from htrc_feature_reader_ray.stages.dedup import (
+            dedup_clusters,
+            minhash_dedup_pairs,
+        )
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+        from htrc_feature_reader_ray.stages.textstats import (
+            langid,
+            quality_score,
+        )
+
+        def docs():
+            return ray.data.read_parquet(
+                args.docs, columns=["doc_id", "text"]
+            )
+
+        quality = quality_score(docs())
+        lang = langid(docs()).map_batches(
+            lambda t: t.rename_columns(["lang_doc_id", "pred_lang"]),
+            batch_format="pyarrow",
+        )
+        feats = bucket_join(quality, lang, left_key="doc_id",
+                            right_key="lang_doc_id", num_buckets=16)
+        want_lang, min_tok, max_stop = (
+            args.lang, args.min_tokens, args.max_stopword_ratio,
+        )
+
+        def keep(batch):
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(batch.column("pred_lang"), want_lang),
+                    pc.greater_equal(batch.column("n_tokens"), min_tok),
+                ),
+                pc.less_equal(batch.column("stopword_ratio"), max_stop),
+            )
+            return batch.filter(m).select(["doc_id"])
+
+        filtered = feats.map_batches(keep, batch_format="pyarrow")
+        pairs = minhash_dedup_pairs(
+            docs(), threshold=args.dedup_threshold, num_perm=128, bands=64,
+            corpus_rows=pq.ParquetFile(args.docs).metadata.num_rows,
+        )
+        losers = dedup_clusters(pairs).map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
+            ).select(["doc_id"]).rename_columns(["loser_id"]),
+            batch_format="pyarrow",
+        )
+        kept_ids = bucket_join(filtered, losers, left_key="doc_id",
+                               right_key="loser_id", how="anti",
+                               num_buckets=16)
+        kept = bucket_join(kept_ids, docs(), left_key="doc_id",
+                           right_key="doc_id", num_buckets=16)
+        kept.write_parquet(args.out)
+        n = ray.data.read_parquet(args.out).count()
+        print(json.dumps({"kept": n, "out": args.out}))
         ray.shutdown()
         return 0
 

@@ -49,18 +49,24 @@ def _load_manifest(out_dir: str) -> dict | None:
 
 def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
                       inputs=(), params: dict | None = None,
-                      ts_col: str | None = None) -> dict:
-    """Write ``ds`` as a hash-bucketed parquet lake + lineage manifest.
+                      ts_col: str | None = None,
+                      partition_col: str | None = None) -> dict:
+    """Write ``ds`` as a partitioned parquet lake + lineage manifest.
 
-    Output layout: ``out_dir/bucket=K/*.parquet`` (one directory per key
-    range — resumable, never one giant file). Written atomically: data goes
-    to ``out_dir.tmp`` first, then a single rename."""
+    Default layout: hash-bucket ``key`` into ``out_dir/bucket=K/*.parquet``
+    (one directory per key range — resumable, never one giant file). With
+    ``partition_col`` set, the dataset's OWN column partitions the layout
+    instead (e.g. ``shard_id`` for training-shard exports) and no bucket
+    column is added. Written atomically: data goes to ``out_dir.tmp``
+    first, then a single rename."""
     t_start = time.time()
     tmp = out_dir + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    bucketed = add_bucket_column(ds, key, num_buckets, name="bucket")
-    bucketed.write_parquet(tmp, partition_cols=["bucket"])
+    part = partition_col or "bucket"
+    if partition_col is None:
+        ds = add_bucket_column(ds, key, num_buckets, name="bucket")
+    ds.write_parquet(tmp, partition_cols=[part])
     t_written = time.time()
 
     # counts from parquet footers in the same directory walk as byte sizes —
@@ -71,7 +77,7 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
     bytes_per_bucket: dict = {}
     watermarks: dict = {}
     for name in os.listdir(tmp):
-        if name.startswith("bucket="):
+        if name.startswith(f"{part}="):
             bid = name.split("=", 1)[1]
             total_bytes = 0
             total_rows = 0
@@ -108,6 +114,7 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
     manifest = {
         "key": key,
         "num_buckets": num_buckets,
+        "partition_col": part,
         "inputs": fingerprint_inputs(inputs),
         "params": params or {},
         "buckets": {str(int(k)): int(v) for k, v in counts.items()},
