@@ -801,6 +801,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             id_bounds=bounds, num_buckets=16,
         )
 
+    def q_late_events(sf):
+        """Watermark late-data flag: late iff ts < per-user max ts − 1 day
+        (per-batch key-max partials broadcast; no shuffle of the events)."""
+        from htrc_feature_reader_ray.stages.temporal import mark_late_events
+
+        return mark_late_events(
+            _events(sf, ["event_id", "user_id", "ts"]),
+            key="user_id", ts="ts", delay="1D",
+        )
+
     def q_asof_nearest(sf):
         """Nearest-direction as-of (closer of backward/forward; equidistant
         ties prefer backward — pandas merge_asof semantics, mirrored in the
@@ -1043,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", width="1h", sum_cols=["value_cents"],
         ),
         "asof_nearest": q_asof_nearest,
+        "late_events": q_late_events,
         "interval_join": q_interval_join,
         "approx_distinct_users": q_approx_distinct_users,
         "backfill_daily": q_backfill,
@@ -1396,6 +1407,12 @@ def oracle_sql() -> dict[str, str]:
                    {tol_case.format(expr='r.ts')} AS matched_ts
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "late_events": """
+            SELECT event_id, user_id, ts,
+                   (CASE WHEN ts < max(ts) OVER (PARTITION BY user_id)
+                              - INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END)::BIGINT AS is_late
+            FROM events""",
         # nearest = min |Δts|, equidistant prefers backward (pandas
         # merge_asof contract); left rows keyed by unique event_id
         "asof_nearest": ASOF_PRE + """

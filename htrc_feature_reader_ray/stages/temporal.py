@@ -249,6 +249,43 @@ def interval_join(left_ds, right_ds, *, on, ts: str, start: str, end: str,
                                num_buckets=num_buckets)
 
 
+def mark_late_events(ds, *, key, ts: str, delay, flag_col: str = "is_late"):
+    """Watermark-based late-event flagging (batch replay of the streaming
+    semantics): an event is late iff ``ts < watermark(key) - delay`` where
+    the watermark is the key's maximum observed event time.
+
+    Two passes, no shuffle of the big side: per-batch (key, max ts)
+    partials (key-space sized — tiny vs the events) fold on the driver and
+    broadcast via ``ray.put``; the flag pass is a stateless 1:1
+    ``map_batches``. ``flag_col`` is int64 0/1 (SQL-hashable). Downstream:
+    filter on the flag to drop/divert late arrivals; the lineage manifests
+    already persist per-partition watermark ranges (state/lineage.py)."""
+    delay_td = pd.Timedelta(delay)
+
+    def partial_max(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, ts])
+        return t.group_by(key).aggregate([(ts, "max")])
+
+    partials = ds.map_batches(partial_max, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        watermarks = {}
+    else:
+        watermarks = partials.groupby(key)[f"{ts}_max"].max().to_dict()
+    wm_ref = ray.put(watermarks)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        wm = ray.get(wm_ref)
+        if df.empty:
+            df[flag_col] = pd.Series(dtype="int64")
+            return df
+        cutoff = df[key].map(wm) - delay_td
+        df = df.copy()
+        df[flag_col] = (df[ts] < cutoff).astype(np.int64)
+        return df
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
 def latest_per_key_ts(df: pd.DataFrame, *, on, ts, tiebreak) -> pd.DataFrame:
     """Dedupe a feature table to one row per (key, ts), keeping the row with
     the greatest ``tiebreak`` — the deterministic contract required by as-of

@@ -284,3 +284,36 @@ def test_hopping_equals_tumbling_when_slide_is_width():
         .reset_index(drop=True)
     )
     assert hop.equals(tum)
+
+
+def test_mark_late_events_watermark_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from htrc_feature_reader_ray.stages.temporal import mark_late_events
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-10 12:00",  # u1: 2d before max -> late
+                    "2024-01-12 11:00",  # u1: 1h inside delay -> on time
+                    "2024-01-12 12:00",  # u1: the watermark row itself
+                    "2024-01-05 00:00",  # u2: exactly delay before max -> NOT late (<, not <=)
+                    "2024-01-06 00:00",  # u2 max
+                    "2024-03-01 00:00",  # u3 single event -> never late
+                ]
+            ).astype("datetime64[us]"),
+        }
+    )
+    out = (
+        mark_late_events(
+            ray.data.from_pandas(df).repartition(3), key="user_id",
+            ts="ts", delay="1D",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert list(out.is_late) == [1, 0, 0, 0, 0, 0]
