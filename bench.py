@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "pii_redaction",
     "pack_sequences",
     "bigrams_top40",
+    "corpus_curation",
+    "approx_distinct_users",
+    "interval_join",
+    "late_events",
 ]
 
 HEADLINE = "flagship"

@@ -69,6 +69,13 @@ def __getattr__(name):
         "chunk_bounds": ("htrc_feature_reader_ray.stages.chunk", "chunk_bounds"),
         "bucket_join": (
             "htrc_feature_reader_ray.stages.partition", "bucket_join"),
+        "bloom_join": (
+            "htrc_feature_reader_ray.stages.partition", "bloom_join"),
+        "mark_late_events": (
+            "htrc_feature_reader_ray.stages.temporal", "mark_late_events"),
+        "write_training_shards": (
+            "htrc_feature_reader_ray.pipelines.export",
+            "write_training_shards"),
         "TreeResolver": (
             "htrc_feature_reader_ray.sources.jsonvol", "TreeResolver"),
         "CachedResolver": (
