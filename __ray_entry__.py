@@ -741,6 +741,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return redact_pii(docs.map_batches(aug, batch_format="pandas"))
 
+    def q_normalize_text(sf):
+        """Unicode canonicalization: NFC + lower + whitespace collapse +
+        trim, over text augmented with decomposed combining accents and
+        messy spacing (same augmentation mirrored in the oracle)."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.curate import normalize_text
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def aug(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "text": "  CAFÉ  " + df["text"] + "\tNAÏVE ",
+                }
+            )
+
+        return normalize_text(docs.map_batches(aug, batch_format="pandas"))
+
     def q_repetition_stats(sf):
         from htrc_feature_reader_ray.stages.curate import repetition_stats
 
@@ -1104,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- corpus-curation ops (training-data pipeline surface) --
         "tfidf": q_tfidf,
         "pii_redaction": q_pii_redaction,
+        "normalize_text": q_normalize_text,
         "repetition_stats": q_repetition_stats,
         "bigrams_top40": q_bigrams_top40,
         "domain_blocklist": q_domain_blocklist,
@@ -1943,6 +1965,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, {curate.redact_pii_sql('text')} FROM aug""",
+        "normalize_text": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     '  CAFE' || chr(769) || '  ' || text
+                         || chr(9) || 'NAI' || chr(776) || 'VE ' AS text
+              FROM documents
+            )
+            SELECT doc_id, {curate.normalize_text_sql('text')} FROM aug""",
         "repetition_stats": curate.repetition_stats_sql(),
         "bigrams_top40": curate.ngram_top_sql(k=40),
         "domain_blocklist": f"""

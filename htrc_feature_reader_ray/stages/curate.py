@@ -333,6 +333,64 @@ def repetition_stats_sql(*, table: str = "documents", text: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# text normalization
+
+
+def normalize_text(ds, *, text_col: str = "text", id_cols=("doc_id",),
+                   out_col: str = "norm_text"):
+    """Canonical text form: Unicode NFC → lowercase → whitespace runs
+    collapsed to one space → trimmed; plus the normalized code-point
+    length. All four steps are single Arrow C kernels per batch, each
+    mirrored 1:1 by a DuckDB function (``nfc_normalize``/``lower``/
+    ``regexp_replace``/``trim``) — the canonicalization contract upstream
+    of fingerprinting and exact dedup."""
+
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # NFC composition. NOT pc.utf8_normalize: this pyarrow's
+        # form="NFC" DECOMPOSES composed characters (observed: 'É' ->
+        # 'E'+U+0301), diverging from DuckDB's nfc_normalize. ASCII rows
+        # (the bulk of web text after extraction) are NFC-invariant and
+        # skip Python entirely; only non-ASCII rows pay the per-row call.
+        ascii_mask = pc.string_is_ascii(col)
+        has_non_ascii = len(col) > 0 and not pc.min(ascii_mask).as_py()
+        if has_non_ascii:
+            flags = ascii_mask.to_numpy(zero_copy_only=False)
+            vals = col.to_pylist()
+            t = pa.array(
+                [
+                    v if a else unicodedata.normalize("NFC", v)
+                    for v, a in zip(vals, flags)
+                ],
+                type=pa.string(),
+            )
+        else:
+            t = col
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        out = batch.select(list(id_cols))
+        out = out.append_column(out_col, t)
+        return out.append_column(
+            "n_chars_norm", pc.utf8_length(t).cast(pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text_sql(text: str = "text", out_col: str = "norm_text") -> str:
+    expr = (
+        f"trim(regexp_replace(lower(nfc_normalize({text})), "
+        f"'\\s+', ' ', 'g'))"
+    )
+    return f"{expr} AS {out_col}, length({expr})::BIGINT AS n_chars_norm"
+
+
+# ---------------------------------------------------------------------------
 # corpus n-gram statistics
 
 

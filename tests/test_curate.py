@@ -223,3 +223,28 @@ def test_pack_sequences_matches_serial_prefix_sum_many_buckets():
     assert (out.shard_id == out.global_offset // 256).all()
     # every shard's docs are contiguous in id order
     assert (out.shard_id.diff().dropna() >= 0).all()
+
+
+def test_normalize_text_nfc_lower_ws():
+    from htrc_feature_reader_ray.stages.curate import normalize_text
+
+    ds = _docs_ds(["  CAFÉ  x\tNAÏVE ", "plain  ascii", ""])
+    out = normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert out.iloc[0].norm_text == "café x naïve"  # composed NFC
+    assert out.iloc[0].n_chars_norm == 12
+    assert out.iloc[1].norm_text == "plain ascii"
+    assert out.iloc[2].norm_text == "" and out.iloc[2].n_chars_norm == 0
+
+
+def test_normalize_text_ascii_fast_path_equals_python():
+    import unicodedata
+
+    from htrc_feature_reader_ray.stages.curate import normalize_text
+
+    texts = ["Hello   World", "MIXED café et CAFÉ"]
+    out = normalize_text(_docs_ds(texts)).to_pandas().sort_values("doc_id")
+    for t, got in zip(texts, out.norm_text):
+        expect = " ".join(
+            unicodedata.normalize("NFC", t).lower().split()
+        )
+        assert got == expect
