@@ -260,9 +260,18 @@ def main(argv=None) -> int:
                                num_buckets=16)
         kept = bucket_join(kept_ids, docs(), left_key="doc_id",
                            right_key="doc_id", num_buckets=16)
-        kept.write_parquet(args.out)
-        n = ray.data.read_parquet(args.out).count()
-        print(json.dumps({"kept": n, "out": args.out}))
+        # bucketed lake + manifest; row count comes from the write's own
+        # parquet footers — no second read of the output
+        from htrc_feature_reader_ray.state.lineage import write_partitioned
+
+        manifest = write_partitioned(
+            kept, args.out, key="doc_id", num_buckets=16,
+            inputs=[args.docs],
+            params={"lang": want_lang, "min_tokens": min_tok,
+                    "max_stopword_ratio": max_stop,
+                    "dedup_threshold": args.dedup_threshold},
+        )
+        print(json.dumps({"kept": manifest["row_count"], "out": args.out}))
         ray.shutdown()
         return 0
 

@@ -34,7 +34,21 @@ def write_training_shards(docs_path: str, out_dir: str, *, budget: int,
     )
     from htrc_feature_reader_ray.stages.partition import bucket_join
     from htrc_feature_reader_ray.stages.textstats import token_count
-    from htrc_feature_reader_ray.state.lineage import write_partitioned
+    from htrc_feature_reader_ray.state.lineage import (
+        _load_manifest,
+        fingerprint_inputs,
+        write_partitioned,
+    )
+
+    # manifest-match skip: unchanged input + params -> the lake is current
+    existing = _load_manifest(out_dir)
+    if (
+        existing is not None
+        and existing.get("inputs") == fingerprint_inputs([docs_path])
+        and existing.get("params") == {"budget": budget}
+        and existing.get("partition_col") == "shard_id"
+    ):
+        return existing
 
     docs = ray.data.read_parquet(docs_path, columns=[id_col, text_col])
     bounds = parquet_column_bounds(docs_path, id_col)

@@ -351,16 +351,18 @@ def normalize_text(ds, *, text_col: str = "text", id_cols=("doc_id",),
         col = batch.column(text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        null_mask = pc.is_null(col)
+        filled = pc.fill_null(col, "")
         # NFC composition. NOT pc.utf8_normalize: this pyarrow's
         # form="NFC" DECOMPOSES composed characters (observed: 'É' ->
         # 'E'+U+0301), diverging from DuckDB's nfc_normalize. ASCII rows
         # (the bulk of web text after extraction) are NFC-invariant and
         # skip Python entirely; only non-ASCII rows pay the per-row call.
-        ascii_mask = pc.string_is_ascii(col)
+        ascii_mask = pc.string_is_ascii(filled)
         has_non_ascii = len(col) > 0 and not pc.min(ascii_mask).as_py()
         if has_non_ascii:
             flags = ascii_mask.to_numpy(zero_copy_only=False)
-            vals = col.to_pylist()
+            vals = filled.to_pylist()
             t = pa.array(
                 [
                     v if a else unicodedata.normalize("NFC", v)
@@ -369,10 +371,12 @@ def normalize_text(ds, *, text_col: str = "text", id_cols=("doc_id",),
                 type=pa.string(),
             )
         else:
-            t = col
+            t = filled
         t = pc.utf8_lower(t)
         t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
         t = pc.utf8_trim_whitespace(t)
+        # null text stays null (the engine-wide null pass-through contract)
+        t = pc.if_else(null_mask, pa.nulls(len(col), type=pa.string()), t)
         out = batch.select(list(id_cols))
         out = out.append_column(out_col, t)
         return out.append_column(
@@ -463,9 +467,8 @@ def contamination_flags(ds, needles, *, text_col: str = "text",
         text = batch.column(text_col)
         hits = np.zeros(len(batch), dtype=np.int64)
         for nd in needles:
-            hits += pc.match_substring(text, pattern=nd).to_numpy(
-                zero_copy_only=False
-            )
+            m = pc.fill_null(pc.match_substring(text, pattern=nd), False)
+            hits += m.to_numpy(zero_copy_only=False).astype(np.int64)
         out = batch.select(list(id_cols))
         return out.append_column("n_hits", pa.array(hits, type=pa.int64()))
 

@@ -202,15 +202,21 @@ def bloom_join(left_ds, right_ds, *, left_key: str, right_key: str,
     no false negatives; the residual join removes false positives). Use
     when right keys are too many for a broadcast hash set but the bloom
     bits fit; for small right sides use ``bucket_join`` directly.
+
+    Cost contract: the right side's KEY COLUMN is materialized once and
+    reused (bloom build + exact join). The left side is scanned twice for
+    ``anti`` (positive and negative screens are independent plans) — two
+    columnar scans are normally far cheaper than shuffling the negatives,
+    but if the left has expensive upstream transforms, pass a
+    materialized/persisted Dataset.
     """
     import ray
 
     if how not in ("semi", "anti"):
         raise ValueError(f"bloom_join how={how!r}")
+    right_keys = right_ds.select_columns([right_key]).materialize()
     bloom = BloomFilter(right_capacity, fp_rate)
-    for batch in right_ds.select_columns([right_key]).iter_batches(
-        batch_format="pyarrow"
-    ):
+    for batch in right_keys.iter_batches(batch_format="pyarrow"):
         vals = batch.column(right_key).to_numpy(zero_copy_only=False)
         if len(vals):
             bloom.add_batch(vals)
@@ -228,8 +234,10 @@ def bloom_join(left_ds, right_ds, *, left_key: str, right_key: str,
         return fn
 
     positives = left_ds.map_batches(screen(True), batch_format="pyarrow")
-    exact = bucket_join(positives, right_ds, left_key=left_key,
-                        right_key=right_key, how=how,
+    # semi/anti need only key PRESENCE on the right — the projected,
+    # already-materialized key column is reused here (bucket_join contract)
+    exact = bucket_join(positives, right_keys,
+                        left_key=left_key, right_key=right_key, how=how,
                         num_buckets=num_buckets)
     if how == "semi":
         return exact

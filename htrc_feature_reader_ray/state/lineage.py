@@ -170,7 +170,18 @@ def missing_buckets(out_dir: str, num_buckets: int) -> list[int]:
 def resume_missing_buckets(ds, out_dir: str, *, key: str, num_buckets: int):
     """Recompute ONLY the missing buckets of a partially-written lake:
     filter the input to rows hashing into missing buckets (deterministic
-    bucketing) and append their partitions. Returns the list recomputed."""
+    bucketing) and append their partitions. Returns the list recomputed.
+
+    Hash-bucket lakes only: a data-derived partition layout (e.g.
+    ``shard_id=K/`` from a global prefix sum) is NOT per-partition
+    recomputable from the inputs — rerun that stage instead (its manifest
+    makes an unchanged rerun a skip)."""
+    m = _load_manifest(out_dir)
+    if m is not None and m.get("partition_col", "bucket") != "bucket":
+        raise ValueError(
+            f"resume_missing_buckets requires a hash-bucket lake; "
+            f"{out_dir} is partitioned by {m['partition_col']!r}"
+        )
     todo = missing_buckets(out_dir, num_buckets)
     if not todo:
         return []

@@ -248,3 +248,26 @@ def test_normalize_text_ascii_fast_path_equals_python():
             unicodedata.normalize("NFC", t).lower().split()
         )
         assert got == expect
+
+
+def test_normalize_and_contamination_null_text_passthrough():
+    from htrc_feature_reader_ray.stages.curate import (
+        contamination_flags,
+        normalize_text,
+    )
+
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": ["CAFÉ  x", None, "plain"],
+            }
+        )
+    )
+    out = normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert out.iloc[0].norm_text == "café x"
+    assert pd.isna(out.iloc[1].norm_text) and pd.isna(out.iloc[1].n_chars_norm)
+    assert out.iloc[2].norm_text == "plain"
+
+    flags = contamination_flags(ds, ["plain"]).to_pandas().sort_values("doc_id")
+    assert list(flags.n_hits) == [0, 0, 1]  # null text -> 0 hits, no crash

@@ -220,3 +220,38 @@ def test_write_training_shards_roundtrip(tmp_path):
         num_buckets=8,
     )
     assert again["row_count"] == 500
+
+
+def test_write_training_shards_manifest_skip_is_a_noop(tmp_path):
+    from htrc_feature_reader_ray.pipelines.export import write_training_shards
+
+    out = str(tmp_path / "shards2")
+    m1 = write_training_shards(
+        "/root/testdata/sf0.001/documents.parquet", out, budget=4096,
+        num_buckets=4,
+    )
+    m2 = write_training_shards(
+        "/root/testdata/sf0.001/documents.parquet", out, budget=4096,
+        num_buckets=4,
+    )
+    assert m2["completed_at"] == m1["completed_at"]  # skipped, not rewritten
+    # changed params -> recompute
+    m3 = write_training_shards(
+        "/root/testdata/sf0.001/documents.parquet", out, budget=1024,
+        num_buckets=4,
+    )
+    assert m3["completed_at"] != m1["completed_at"]
+
+
+def test_resume_missing_buckets_refuses_shard_lakes(tmp_path):
+    import pytest
+    from htrc_feature_reader_ray.pipelines.export import write_training_shards
+    from htrc_feature_reader_ray.state.lineage import resume_missing_buckets
+
+    out = str(tmp_path / "shards3")
+    write_training_shards(
+        "/root/testdata/sf0.001/documents.parquet", out, budget=4096,
+        num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="hash-bucket"):
+        resume_missing_buckets(None, out, key="doc_id", num_buckets=4)
