@@ -37,9 +37,11 @@ def _normalize(t: str) -> str:
 
 
 def text_md5_batch(batch: pa.Table, text_col: str) -> pa.Array:
+    # null text hashes like empty text (robustness contract: a missing
+    # field never aborts a corpus-wide pass; see tests null sweep)
     return pa.array(
         [
-            hashlib.md5(_normalize(t).encode("utf-8")).hexdigest()
+            hashlib.md5(_normalize(t or "").encode("utf-8")).hexdigest()
             for t in batch.column(text_col).to_pylist()
         ],
         type=pa.string(),
@@ -97,7 +99,7 @@ class MinHasher:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles([t for t in text.split(" ") if t], self.k)
+        sh = word_shingles([t for t in (text or "").split(" ") if t], self.k)
         if not sh:
             return np.full(self.num_perm, np.uint64(0xFFFFFFFFFFFFFFFF))
         base = stable_hash64(sh)  # (S,) uint64
@@ -131,7 +133,7 @@ class MinHasher:
         empty = np.zeros(len(texts), dtype=bool)
         pos = 0
         for i, text in enumerate(texts):
-            sh = word_shingles([t for t in text.split(" ") if t], self.k)
+            sh = word_shingles([t for t in (text or "").split(" ") if t], self.k)
             starts[i] = pos
             if not sh:
                 empty[i] = True
@@ -262,7 +264,7 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     if verify == "broadcast":
         docs_df = ds.select_columns([id_col, text_col]).to_pandas()
         token_map = {
-            i: [t for t in s.split(" ") if t]
+            i: [t for t in (s or "").split(" ") if t]
             for i, s in zip(docs_df[id_col], docs_df[text_col])
         }
         tokens_ref = ray.put(token_map)
@@ -303,8 +305,8 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     def check_joined(batch: pd.DataFrame) -> pd.DataFrame:
         jac = [
             jaccard(
-                [t for t in ta.split(" ") if t],
-                [t for t in tb.split(" ") if t],
+                [t for t in (ta or "").split(" ") if t],
+                [t for t in (tb or "").split(" ") if t],
                 k_shingle,
             )
             for ta, tb in zip(batch["text_a"], batch["text_b"])
@@ -830,7 +832,7 @@ def md5_hash64(tokens) -> np.ndarray:
 
 def simhash_scalar(text: str) -> np.uint64:
     """Reference single-doc simhash (test oracle for the batched kernel)."""
-    toks = [t for t in text.split(" ") if t]
+    toks = [t for t in (text or "").split(" ") if t]
     if not toks:
         return np.uint64(0)
     uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
@@ -854,7 +856,7 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     all_toks: list[str] = []
     doc_of: list[int] = []
     for i, text in enumerate(texts):
-        tk = [t for t in text.split(" ") if t]
+        tk = [t for t in (text or "").split(" ") if t]
         all_toks.extend(tk)
         doc_of.extend([i] * len(tk))
     out = np.zeros(len(texts), dtype=np.uint64)
@@ -888,7 +890,9 @@ def simhash(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     = near-dup cluster key; equal 16-bit band = Hamming<=3-candidate key."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch.column(text_col).to_pylist())
+        sh = simhash_batch(
+            [t or "" for t in batch.column(text_col).to_pylist()]
+        )
         out = pa.table(
             {
                 id_col: batch.column(id_col),

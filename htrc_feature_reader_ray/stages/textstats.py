@@ -159,7 +159,9 @@ def fingerprint(ds, *, text_col: str = "text", id_cols=("doc_id",)):
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         fps = [
-            hashlib.md5(_WS_RE.sub(" ", t).lower().encode("utf-8")).hexdigest()
+            hashlib.md5(
+                _WS_RE.sub(" ", t or "").lower().encode("utf-8")
+            ).hexdigest()
             for t in texts
         ]
         out = batch.select(list(id_cols))

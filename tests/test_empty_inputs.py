@@ -245,3 +245,56 @@ def test_mixture_sample_empty_and_no_matching_strata():
     )
     assert mixture_sample(only_zh, stratum_col="lang", id_col="doc_id",
                           fractions={"en": 0.5}).count() == 0
+
+
+def test_null_text_never_aborts_text_ops():
+    """Real corpora carry null text fields; every text op must either pass
+    nulls through or treat them as empty text — never crash the pass."""
+    from htrc_feature_reader_ray.stages.curate import (
+        ngram_top,
+        redact_pii,
+        repetition_stats,
+        term_frequencies,
+        tfidf,
+    )
+    from htrc_feature_reader_ray.stages.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+        simhash,
+    )
+    from htrc_feature_reader_ray.stages.textstats import (
+        fingerprint,
+        langid,
+        quality_score,
+        token_count,
+    )
+
+    tbl = pa.table(
+        {"doc_id": [0, 1, 2], "text": ["hello world", None, "a b c"]}
+    )
+
+    def ds():
+        return ray.data.from_arrow(tbl)
+
+    assert token_count(ds()).count() == 3
+    assert quality_score(ds()).count() == 3
+    assert langid(ds()).count() == 3
+    fp = fingerprint(ds()).to_pandas().sort_values("doc_id")
+    assert fp["fp"].notna().all()
+    dd = exact_dedup(ds()).to_pandas()
+    assert len(dd) == 3  # null text fingerprints like empty text
+    assert simhash(ds()).count() == 3
+    assert minhash_dedup_pairs(ds(), corpus_rows=3).count() == 0
+    assert term_frequencies(ds()).count() == 5
+    assert repetition_stats(ds()).count() == 3
+    assert redact_pii(ds()).count() == 3
+    assert ngram_top(ds()).count() == 3
+    assert tfidf(ds(), n_docs=3).count() == 5
+
+
+def test_null_and_empty_text_share_a_fingerprint():
+    from htrc_feature_reader_ray.stages.dedup import exact_dedup
+
+    tbl = pa.table({"doc_id": [0, 1], "text": [None, ""]})
+    out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
+    assert len(out) == 1 and out.iloc[0].n_dups == 2
