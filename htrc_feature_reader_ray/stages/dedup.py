@@ -187,7 +187,8 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         bands: int = 16, threshold: float = 0.5,
                         concurrency=(1, 8), verify: str = "auto",
                         broadcast_limit: int = 1_000_000,
-                        corpus_rows: int | None = None):
+                        corpus_rows: int | None = None,
+                        materialize_bands: bool = True):
     """Near-duplicate pairs via MinHash-LSH: signature (actor pool) → band
     explode → band groupby → candidate pairs → exact n-gram-Jaccard verify.
 
@@ -212,6 +213,16 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+    if materialize_bands:
+        # pin the (id, band, band_hash) table before the band groupby.
+        # Chaining the actor-pool signature stage straight into the sort
+        # exchange measured several-fold slower on the heavy-banding case
+        # (500k docs, 64 bands, 17.6M candidates: ~300s lazy vs ~60s from
+        # the object store; exact ratios vary with host load). The table is
+        # 3 small ints per (doc, band) — spill-backed at corpus scale; pass
+        # False to keep the fully streaming plan when band volume dwarfs
+        # the object store.
+        band_rows = band_rows.materialize()
 
     def pairs_of_bucket(df: pd.DataFrame) -> pd.DataFrame:
         """Candidate pairs within one band_hash hash-bucket. Most LSH
@@ -293,10 +304,16 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
         return fn
 
+    # the candidate list is pair-sized (the tiny near-dup subset) but its
+    # LINEAGE is the whole signature+banding pipeline; bucket_join reads
+    # .schema() and unions its left side, each of which would re-execute
+    # that lineage (measured 91s -> 31s at 500k docs). Pin both pair-sized
+    # intermediates in the object store instead.
+    cand = cand.materialize()
     with_a = bucket_join(
         cand, docs.map_batches(rename("a"), batch_format="pyarrow"),
         left_key="doc_a", right_key="id_a", num_buckets=16,
-    )
+    ).materialize()
     with_ab = bucket_join(
         with_a, docs.map_batches(rename("b"), batch_format="pyarrow"),
         left_key="doc_b", right_key="id_b", num_buckets=16,
