@@ -806,6 +806,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return contamination_flags(_docs(sf), BENCHMARK_NEEDLES)
 
+    def q_countmin_tokens(sf):
+        """Count-Min sketch vs exact corpus token counts: bounded-memory
+        (depth×width cells) partials, SUM-merge, min-over-rows point
+        queries; the oracle rebuilds the identical cells in SQL. Output
+        carries both values so the overestimate-only property is visible
+        in the gate."""
+        from ray.data.aggregate import Sum
+        from htrc_feature_reader_ray.stages.sketch import (
+            countmin_build,
+            countmin_estimate,
+        )
+        from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+        cms = countmin_build(_docs(sf)).to_pandas()  # ≤ depth×width rows
+
+        def partial(batch: pa.Table) -> pa.Table:
+            flat, _, _ = _tok_stats(batch, "text")
+            g = pa.table({"token": flat}).group_by("token").aggregate(
+                [([], "count_all")]
+            )
+            return g.rename_columns(["token", "exact_count"])
+
+        exact = (
+            _docs(sf)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(Sum("exact_count", alias_name="exact_count"))
+            .to_pandas()  # vocabulary-sized
+        )
+        est = countmin_estimate(cms, exact["token"])
+        return exact.merge(est, on="token")
+
     def q_pack_sequences(sf):
         """Token-budget sequence packing via the two-pass distributed
         prefix sum (range partition → per-partition sums → driver exclusive
@@ -1131,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_blocklist": q_domain_blocklist,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "countmin_tokens": q_countmin_tokens,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
@@ -1988,4 +2021,5 @@ def oracle_sql() -> dict[str, str]:
             weight_expr=TOKEN_COUNT_SQL.format(text="text"),
             id_col="doc_id", budget=2048, table="documents",
         ),
+        "countmin_tokens": sketch.countmin_sql(),
     }

@@ -107,6 +107,10 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.temporal", "interval_join"),
         "approx_distinct": (
             "htrc_feature_reader_ray.stages.sketch", "approx_distinct"),
+        "countmin_build": (
+            "htrc_feature_reader_ray.stages.sketch", "countmin_build"),
+        "countmin_estimate": (
+            "htrc_feature_reader_ray.stages.sketch", "countmin_estimate"),
         "grouped_profile": (
             "htrc_feature_reader_ray.stages.profile", "grouped_profile"),
         "mixture_sample": (

@@ -114,6 +114,103 @@ def approx_distinct(ds, *, group_cols, value_col: str, p: int = 6,
     )
 
 
+def countmin_build(ds, *, text_col: str = "text", depth: int = 4,
+                   width: int = 1024):
+    """Count-Min sketch of corpus token frequencies: a Dataset of
+    ``(row, cell, cnt)`` with ``depth × width`` cells.
+
+    The bounded-memory sibling of the exact ``corpus_term_freqs`` fold:
+    per-batch partials are ≤ depth×width cells regardless of vocabulary
+    size, cells SUM-merge (fully commutative), and estimates overestimate
+    only (min over rows). Cell hash = md5 of ``"<row>:<token>"`` — the same
+    SQL-replayable convention as simhash/HLL (``md5_number_upper``)."""
+    from ray.data.aggregate import Sum
+
+    from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        t = pa.table({"token": flat})
+        g = t.group_by("token").aggregate([([], "count_all")])
+        toks = g.column("token").to_pylist()
+        cnts = g.column("count_all").to_numpy()
+        rows_out, cells_out, cnt_out = [], [], []
+        for j in range(depth):
+            if toks:
+                cells = (
+                    md5_hash64([f"{j}:{t}" for t in toks])
+                    % np.uint64(width)
+                ).astype(np.int64)
+                folded = np.bincount(cells, weights=cnts, minlength=width)
+            else:
+                folded = np.zeros(width)
+            nz = np.flatnonzero(folded)
+            rows_out.append(np.full(len(nz), j, dtype=np.int64))
+            cells_out.append(nz.astype(np.int64))
+            cnt_out.append(folded[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows_out)),
+                "cell": pa.array(np.concatenate(cells_out)),
+                "cnt": pa.array(np.concatenate(cnt_out)),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["row", "cell"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def countmin_estimate(cms_df, tokens, *, depth: int = 4, width: int = 1024):
+    """Point-query the folded sketch: est(token) = min over rows of the
+    token's cell — never underestimates. ``cms_df`` is the pandas form of
+    :func:`countmin_build` (depth×width rows, tiny)."""
+    import pandas as pd
+
+    table = np.zeros((depth, width), dtype=np.int64)
+    if len(cms_df):
+        table[cms_df["row"].to_numpy(), cms_df["cell"].to_numpy()] = (
+            cms_df["cnt"].to_numpy()
+        )
+    tokens = list(tokens)
+    ests = np.full(len(tokens), np.iinfo(np.int64).max)
+    for j in range(depth):
+        cells = (
+            md5_hash64([f"{j}:{t}" for t in tokens]) % np.uint64(width)
+        ).astype(np.int64)
+        ests = np.minimum(ests, table[j, cells])
+    return pd.DataFrame({"token": tokens, "cms_est": ests})
+
+
+def countmin_sql(*, table: str = "documents", text: str = "text",
+                 depth: int = 4, width: int = 1024) -> str:
+    """(token, exact_count, cms_est) re-derivation: DuckDB rebuilds the
+    exact same cells and takes the same min."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH tok AS (
+          SELECT t.token FROM {table}, unnest({toks}) AS t(token)
+        ), tc AS (
+          SELECT token, count(*)::BIGINT AS exact_count FROM tok GROUP BY 1
+        ), j AS (SELECT unnest(range({depth})) AS row),
+        cells AS (
+          SELECT j.row,
+                 (md5_number_upper(j.row || ':' || tc.token)::UBIGINT
+                  % {width})::BIGINT AS cell,
+                 sum(exact_count)::BIGINT AS cnt
+          FROM tc, j GROUP BY 1, 2
+        )
+        SELECT tc.token, tc.exact_count, min(cells.cnt)::BIGINT AS cms_est
+        FROM tc, j
+        JOIN cells
+          ON cells.row = j.row
+         AND cells.cell = (md5_number_upper(j.row || ':' || tc.token)::UBIGINT
+                           % {width})::BIGINT
+        GROUP BY 1, 2"""
+
+
 def approx_distinct_sql(*, group_cols, value_expr: str, table: str,
                         p: int = 6) -> str:
     """DuckDB re-derivation of :func:`approx_distinct` (bit-exact)."""

@@ -216,3 +216,65 @@ def test_approx_distinct_duplicates_do_not_inflate():
     ).to_pandas()
     assert out.iloc[0]["registers_used"] == 1
     assert out.iloc[0]["approx_distinct"] == _hll_scalar([7])
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+
+
+def test_countmin_overestimates_only_and_is_exact_when_sparse():
+    from htrc_feature_reader_ray.stages.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    texts = ["a a a b", "b c", "a d"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(3), "text": texts})
+    )
+    cms = countmin_build(ds, width=1024).to_pandas()
+    est = countmin_estimate(cms, ["a", "b", "c", "d", "absent"]).set_index(
+        "token"
+    )["cms_est"]
+    # 5 tokens in 1024 cells x 4 rows: collisions essentially impossible
+    assert est["a"] == 4 and est["b"] == 2
+    assert est["c"] == 1 and est["d"] == 1
+    assert est["absent"] == 0
+
+
+def test_countmin_merge_across_partitions_equals_single_pass():
+    from htrc_feature_reader_ray.stages.sketch import countmin_build
+
+    texts = [f"t{i % 40} t{i % 7} shared" for i in range(500)]
+    df = pd.DataFrame({"doc_id": range(500), "text": texts})
+    one = (
+        countmin_build(ray.data.from_pandas(df)).to_pandas()
+        .sort_values(["row", "cell"]).reset_index(drop=True)
+    )
+    many = (
+        countmin_build(ray.data.from_pandas(df).repartition(17)).to_pandas()
+        .sort_values(["row", "cell"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_countmin_bounded_error_under_collisions():
+    from htrc_feature_reader_ray.stages.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    # 2000 distinct tokens in width=256 cells -> real collisions
+    texts = [f"tok{i} tok{i} filler{i % 2000}" for i in range(2000)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(2000), "text": texts})
+    )
+    cms = countmin_build(ds, width=256).to_pandas()
+    est = countmin_estimate(
+        cms, [f"tok{i}" for i in range(50)], width=256
+    )["cms_est"].to_numpy()
+    true = 2
+    assert (est >= true).all()  # never under
+    total = 6000  # total token occurrences
+    # CMS bound: err <= e/width * total with prob 1-e^-depth; generous 3x
+    assert (est - true).max() <= 3 * np.e / 256 * total
