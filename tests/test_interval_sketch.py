@@ -278,3 +278,39 @@ def test_countmin_bounded_error_under_collisions():
     total = 6000  # total token occurrences
     # CMS bound: err <= e/width * total with prob 1-e^-depth; generous 3x
     assert (est - true).max() <= 3 * np.e / 256 * total
+
+
+def test_interval_join_composite_keys():
+    rng = np.random.RandomState(13)
+    pts_df = pd.DataFrame(
+        {
+            "pid": np.arange(200, dtype=np.int64),
+            "k1": rng.randint(0, 4, 200).astype(np.int64),
+            "k2": rng.choice(["a", "b"], 200),
+            "ts": _us(pd.to_datetime(rng.randint(0, 10**5, 200), unit="s")),
+        }
+    )
+    lo = pd.to_datetime(rng.randint(0, 10**5, 40), unit="s")
+    ivs_df = pd.DataFrame(
+        {
+            "k1": rng.randint(0, 4, 40).astype(np.int64),
+            "k2": rng.choice(["a", "b"], 40),
+            "lo": _us(lo),
+            "hi": _us(lo + pd.Timedelta("4h")),
+            "tag": np.arange(40, dtype=np.int64),
+        }
+    )
+    got = (
+        interval_join(
+            ray.data.from_pandas(pts_df), ray.data.from_pandas(ivs_df),
+            on=["k1", "k2"], ts="ts", start="lo", end="hi", num_buckets=3,
+        )
+        .to_pandas().sort_values(["pid", "tag"]).reset_index(drop=True)
+    )
+    brute = pts_df.merge(ivs_df, on=["k1", "k2"], how="inner")
+    brute = (
+        brute[(brute.lo <= brute.ts) & (brute.ts <= brute.hi)]
+        .sort_values(["pid", "tag"]).reset_index(drop=True)
+    )
+    assert list(got.pid) == list(brute.pid)
+    assert list(got.tag) == list(brute.tag)
