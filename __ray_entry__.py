@@ -401,6 +401,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_duplicated_spans(sf):
+        from htrc_feature_reader_ray.stages.dedup import duplicated_spans
+
+        # exact substring-level dedup signal (arXiv:2107.06499 shape):
+        # windows of 5 consecutive tokens occurring in >= 2 distinct docs,
+        # merged into per-doc duplicated-token coverage
+        return duplicated_spans(_docs(sf), width=5)
+
     def q_url_parts(sf):
         """URL decomposition/normalization (scheme, host, domain, path) —
         vectorized pandas string kernels, SQL-mirrored 1:1."""
@@ -1128,6 +1136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set is the tiny near-dup subset; 'distributed' label propagation
         # covers the edge-list-exceeds-one-node regime)
         "dedup_clusters": q_dedup_clusters,
+        # exact duplicated-span coverage (substring-level dedup signal)
+        "duplicated_spans": q_duplicated_spans,
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
         "dedup_embedding_cosine": q_dedup_emb,
         "ann_cosine_topk": q_ann,
@@ -1947,6 +1957,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(reach)::BIGINT AS cluster_id
             FROM walk GROUP BY 1""",
+        # the engine compares 64-bit md5 gram hashes; SQL compares the gram
+        # strings themselves — identical equality (collisions ~1e-9, none
+        # at this sf). Coverage = count of DISTINCT covered token indices,
+        # which equals the engine's equal-width run-merge union.
+        "duplicated_spans": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents
+            ), stats AS (
+              SELECT doc_id, len(arr)::BIGINT AS n_tokens,
+                     greatest(len(arr) - 4, 0)::BIGINT AS n_windows
+              FROM base
+            ), w AS (
+              SELECT doc_id, i, array_to_string(arr[i:i+4], ' ') AS gram
+              FROM base, LATERAL unnest(range(1, len(arr) - 3)) AS t(i)
+              WHERE len(arr) >= 5
+            ), dup AS (
+              SELECT gram FROM w
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), hit AS (
+              SELECT doc_id, i FROM w
+              WHERE gram IN (SELECT gram FROM dup)
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+              FROM hit GROUP BY 1
+            ), cover AS (
+              SELECT doc_id, count(DISTINCT j)::BIGINT AS dup_tokens
+              FROM hit, LATERAL unnest(range(i, i + 5)) AS t(j)
+              GROUP BY 1
+            )
+            SELECT s.doc_id, s.n_tokens, s.n_windows,
+                   coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   coalesce(c.dup_tokens, 0)
+                       / greatest(s.n_tokens, 1)::DOUBLE AS dup_frac
+            FROM stats s
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN cover c USING (doc_id)""",
         # simhash's token hash is md5-based precisely so SQL can replay it:
         # md5_number_upper(token) == little-endian first 8 md5 bytes.
         "dedup_simhash": r"""

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_clusters",
+    "duplicated_spans",
     "ann_cosine_topk",
     "quality_score",
     # round-2 ops

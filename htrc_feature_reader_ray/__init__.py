@@ -52,6 +52,8 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.dedup", "embedding_dedup_pairs"),
         "dedup_clusters": (
             "htrc_feature_reader_ray.stages.dedup", "dedup_clusters"),
+        "duplicated_spans": (
+            "htrc_feature_reader_ray.stages.dedup", "duplicated_spans"),
         "extract_metadata": (
             "htrc_feature_reader_ray.stages.metadata", "extract_metadata"),
         "numeric_profile": (

@@ -922,3 +922,234 @@ def simhash(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (substring-level dedup signal)
+
+
+def _flatten_windows(texts, width: int):
+    """Flatten every doc's width-token windows (space-joined gram strings,
+    hashed with the SQL-replayable md5 convention). Returns
+    ``(hashes uint64 (G_total,), gram_counts int64 (D,), token_counts
+    int64 (D,))``. Docs shorter than ``width`` contribute no windows (no
+    short-doc fallback — unlike ``word_shingles``, a span must be a full
+    window to count as duplicated text)."""
+    grams: list[str] = []
+    gcounts = np.empty(len(texts), dtype=np.int64)
+    tcounts = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = [t for t in (text or "").split(" ") if t]
+        tcounts[i] = len(toks)
+        if len(toks) >= width:
+            n = len(toks) - width + 1
+            grams.extend(
+                " ".join(toks[j:j + width]) for j in range(n)
+            )
+            gcounts[i] = n
+        else:
+            gcounts[i] = 0
+    return md5_hash64(grams), gcounts, tcounts
+
+
+def duplicated_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     width: int = 8, min_docs: int = 2,
+                     distribute: str = "auto",
+                     broadcast_limit: int = 2_000_000,
+                     num_buckets: int = 32):
+    """Exact duplicated-window detection — the substring-level complement to
+    doc-level fuzzy dedup (the signal behind exact-substring training-data
+    dedup, arXiv:2107.06499): a window of ``width`` consecutive tokens is
+    *duplicated* when the identical token sequence occurs in at least
+    ``min_docs`` distinct documents.
+
+    Per-doc output: ``(id, n_tokens, n_windows, n_dup_windows, dup_tokens,
+    dup_frac)`` where ``dup_tokens`` is the size of the union of all
+    duplicated windows' token positions (overlaps merged) and ``dup_frac``
+    = dup_tokens / n_tokens. Filtering/trimming policy is the caller's.
+
+    Two passes over the corpus:
+      1. distinct (doc, gram-hash) rows per batch (one vectorized lexsort —
+         a doc's windows never straddle batches since a doc is one row) →
+         ``groupby(gh).count()`` (map-side combined) → grams present in
+         >= min_docs docs.
+      2. re-hash windows with positions and mark members of the dup set:
+         - ``distribute='broadcast'``: the dup hash set is ``ray.put`` ONCE
+           as a sorted uint64 array and membership is a searchsorted per
+           batch — no shuffle. Chosen by 'auto' when the dup table has
+           <= broadcast_limit entries.
+         - ``distribute='join'``: (gh, id, pos) rows semi-``bucket_join``
+           the dup table on gh, then one bucketed per-doc pass — nothing is
+           driver-materialized, the scale path when duplication is rampant.
+    Coverage union is computed without per-doc Python: windows are equal
+    width, so union size = width + sum(min(gap, width)) over consecutive
+    duplicated positions, evaluated with one segmented pass per batch.
+
+    Gram hashes are 64-bit (md5 low bytes — DuckDB-replayable); at corpus
+    scale (~2^32+ distinct grams) birthday collisions can over-mark a
+    window at ~1e-9 rates, acceptable for a dedup *signal*.
+    """
+    import pyarrow.compute as pc
+
+    if distribute not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown distribute={distribute!r}")
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h, gcounts, _ = _flatten_windows(texts, width)
+        docidx = np.repeat(np.arange(len(texts), dtype=np.int64), gcounts)
+        if h.size:
+            order = np.lexsort((h, docidx))
+            hs, dx = h[order], docidx[order]
+            keep = np.ones(hs.size, dtype=bool)
+            keep[1:] = (hs[1:] != hs[:-1]) | (dx[1:] != dx[:-1])
+            hs = hs[keep]
+        else:
+            hs = h
+        return pa.table({"gh": pa.array(hs.view(np.int64), type=pa.int64())})
+
+    counts = ds.map_batches(gram_rows, batch_format="pyarrow") \
+               .groupby("gh").count()
+
+    def keep_dup(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t.column("count()"), pa.scalar(min_docs))
+        return t.filter(m).select(["gh"])
+
+    dup_ds = counts.map_batches(keep_dup, batch_format="pyarrow").materialize()
+    n_dup = dup_ds.count()
+
+    def _agg_masked(d: np.ndarray, p: np.ndarray, n_docs: int):
+        """(doc-index, window-pos) of duplicated windows, doc-grouped and
+        position-sorted -> per-doc (n_dup_windows, dup_tokens)."""
+        n_dup_w = np.bincount(d, minlength=n_docs).astype(np.int64)
+        if d.size:
+            first = np.ones(d.size, dtype=bool)
+            first[1:] = d[1:] != d[:-1]
+            diff = np.empty(d.size, dtype=np.int64)
+            diff[0] = 0
+            diff[1:] = p[1:] - p[:-1]
+            contrib = np.where(first, width, np.minimum(diff, width))
+            cover = np.bincount(
+                d, weights=contrib, minlength=n_docs
+            ).astype(np.int64)
+        else:
+            cover = np.zeros(n_docs, dtype=np.int64)
+        return n_dup_w, cover
+
+    def _finish(ids, tcounts, gcounts, n_dup_w, cover) -> pa.Table:
+        frac = cover / np.maximum(tcounts, 1)
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pa.array(tcounts, type=pa.int64()),
+            "n_windows": pa.array(gcounts, type=pa.int64()),
+            "n_dup_windows": pa.array(n_dup_w, type=pa.int64()),
+            "dup_tokens": pa.array(cover, type=pa.int64()),
+            "dup_frac": pa.array(frac, type=pa.float64()),
+        })
+
+    use_broadcast = (distribute == "broadcast") or (
+        distribute == "auto" and n_dup <= broadcast_limit
+    )
+
+    if use_broadcast:
+        if n_dup:
+            arr = np.sort(
+                dup_ds.to_pandas()["gh"].to_numpy().view(np.uint64)
+            )
+        else:
+            arr = np.empty(0, dtype=np.uint64)
+        ref = ray.put(arr)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            dup_sorted = ray.get(ref)
+            texts = batch.column(text_col).to_pylist()
+            h, gcounts, tcounts = _flatten_windows(texts, width)
+            dx = np.repeat(np.arange(len(texts), dtype=np.int64), gcounts)
+            starts = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+            pos = np.arange(h.size, dtype=np.int64) - np.repeat(starts, gcounts)
+            if dup_sorted.size and h.size:
+                idx = np.minimum(
+                    np.searchsorted(dup_sorted, h), dup_sorted.size - 1
+                )
+                mask = dup_sorted[idx] == h
+            else:
+                mask = np.zeros(h.size, dtype=bool)
+            n_dup_w, cover = _agg_masked(dx[mask], pos[mask], len(texts))
+            return _finish(
+                batch.column(id_col), tcounts, gcounts, n_dup_w, cover
+            )
+
+        return ds.map_batches(mark, batch_format="pyarrow")
+
+    # join path: nothing dup-set-sized touches the driver.
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join, bucketed_map_groups,
+    )
+
+    def base_stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        _, gcounts, tcounts = _flatten_windows(texts, width)
+        z = np.zeros(len(texts), dtype=np.int64)
+        return _finish(batch.column(id_col), tcounts, gcounts, z, z) \
+            .select([id_col, "n_tokens", "n_windows"])
+
+    base = ds.map_batches(base_stats, batch_format="pyarrow")
+    if n_dup == 0:
+        def pad_zero(t: pa.Table) -> pa.Table:
+            z = np.zeros(len(t), dtype=np.int64)
+            return _finish(t.column(id_col), t.column("n_tokens").to_numpy(),
+                           t.column("n_windows").to_numpy(), z, z)
+        return base.map_batches(pad_zero, batch_format="pyarrow")
+
+    def long_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h, gcounts, _ = _flatten_windows(texts, width)
+        starts = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+        pos = np.arange(h.size, dtype=np.int64) - np.repeat(starts, gcounts)
+        ids = batch.column(id_col).take(
+            pa.array(np.repeat(np.arange(len(texts)), gcounts))
+        )
+        return pa.table({
+            "gh": pa.array(h.view(np.int64), type=pa.int64()),
+            id_col: ids,
+            "pos": pa.array(pos, type=pa.int64()),
+        })
+
+    long = ds.map_batches(long_rows, batch_format="pyarrow")
+    hits = bucket_join(long, dup_ds, left_key="gh", right_key="gh",
+                       how="semi", num_buckets=num_buckets)
+
+    def agg_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "pos"], kind="mergesort")
+        codes, uniques = pd.factorize(df[id_col], sort=False)
+        n_dup_w, cover = _agg_masked(
+            codes.astype(np.int64), df["pos"].to_numpy(), len(uniques)
+        )
+        return pd.DataFrame({
+            id_col: uniques,
+            "n_dup_windows": n_dup_w,
+            "dup_tokens": cover,
+        })
+
+    agg = bucketed_map_groups(hits, id_col, agg_bucket,
+                              num_buckets=num_buckets)
+    joined = bucket_join(base, agg, left_key=id_col, right_key=id_col,
+                         how="left", num_buckets=num_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # an all-unmatched bucket yields null-typed columns: cast first
+        ndw = pc.fill_null(pc.cast(t.column("n_dup_windows"), pa.int64()), 0)
+        cov = pc.fill_null(pc.cast(t.column("dup_tokens"), pa.int64()), 0)
+        nt = t.column("n_tokens").to_numpy()
+        cov_np = cov.combine_chunks().to_numpy()
+        return pa.table({
+            id_col: t.column(id_col),
+            "n_tokens": t.column("n_tokens"),
+            "n_windows": t.column("n_windows"),
+            "n_dup_windows": ndw,
+            "dup_tokens": cov,
+            "dup_frac": pa.array(cov_np / np.maximum(nt, 1),
+                                 type=pa.float64()),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

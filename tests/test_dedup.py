@@ -289,3 +289,108 @@ def test_dedup_clusters_long_chain_driver():
     out = dedup_clusters(ray.data.from_arrow(pairs), num_buckets=4).to_pandas()
     assert (out["cluster_id"] == 0).all()
     assert len(out) == n
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans (exact substring-level dedup signal)
+
+
+def _brute_spans(df: pd.DataFrame, width: int, min_docs: int = 2):
+    def toks(t):
+        return [x for x in (t or "").split(" ") if x]
+
+    grams: dict[str, set] = {}
+    for i, t in df.itertuples(index=False):
+        tk = toks(t)
+        for j in range(max(0, len(tk) - width + 1)):
+            grams.setdefault(" ".join(tk[j:j + width]), set()).add(i)
+    dup = {g for g, s in grams.items() if len(s) >= min_docs}
+    rows = []
+    for i, t in df.itertuples(index=False):
+        tk = toks(t)
+        n, nw = len(tk), max(0, len(tk) - width + 1)
+        pos = [j for j in range(nw) if " ".join(tk[j:j + width]) in dup]
+        cov: set = set()
+        for p in pos:
+            cov.update(range(p, p + width))
+        rows.append((i, n, nw, len(pos), len(cov), len(cov) / max(n, 1)))
+    return pd.DataFrame(rows, columns=[
+        "doc_id", "n_tokens", "n_windows", "n_dup_windows",
+        "dup_tokens", "dup_frac",
+    ])
+
+
+_SPAN_DOCS = pd.DataFrame({
+    "doc_id": np.arange(10, dtype=np.int64),
+    "text": [
+        "a b c d e f g h",            # shares 'a b c d e' prefix with 1, 3, 8
+        "x y a b c d e z",
+        "q r s t u v w",              # unique
+        "a b c d e f g h",            # exact dup of 0
+        "one two three four five",    # unique
+        "",                           # empty
+        None,                         # null text (hashes as empty)
+        "a b",                        # shorter than width: 0 windows
+        "m n o p a b c d e q r s",
+        "z z z z z",                  # self-repeating but single-doc
+    ],
+})
+
+
+def test_duplicated_spans_broadcast_exact():
+    from htrc_feature_reader_ray.stages.dedup import duplicated_spans
+
+    ds = ray.data.from_pandas(_SPAN_DOCS).repartition(4)
+    got = duplicated_spans(ds, width=5, distribute="broadcast") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _brute_spans(_SPAN_DOCS, 5))
+    # overlapping windows merge: doc 0's dup windows [0..3] cover 8 tokens
+    row0 = got[got.doc_id == 0].iloc[0]
+    assert row0.n_dup_windows == 4 and row0.dup_tokens == 8
+    assert row0.dup_frac == 1.0
+    # short / empty / null docs emit zero windows, frac 0
+    for d in (5, 6, 7):
+        r = got[got.doc_id == d].iloc[0]
+        assert r.n_windows == 0 and r.dup_frac == 0.0
+    # within-doc repetition alone is NOT cross-doc duplication
+    r9 = got[got.doc_id == 9].iloc[0]
+    assert r9.n_dup_windows == 0
+
+
+def test_duplicated_spans_join_equals_broadcast():
+    from htrc_feature_reader_ray.stages.dedup import duplicated_spans
+
+    ds = ray.data.read_parquet(DOCS, columns=["doc_id", "text"])
+    b = duplicated_spans(ds, width=5, distribute="broadcast") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    j = duplicated_spans(ds, width=5, distribute="join", num_buckets=7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, j)
+    assert (b.n_dup_windows > 0).any()  # fixture has real duplication
+
+
+def test_duplicated_spans_min_docs_threshold():
+    from htrc_feature_reader_ray.stages.dedup import duplicated_spans
+
+    ds = ray.data.from_pandas(_SPAN_DOCS).repartition(3)
+    got = duplicated_spans(ds, width=5, min_docs=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, _brute_spans(_SPAN_DOCS, 5, 4))
+    # 'a b c d e' appears in docs {0,1,3,8} = 4 docs -> still duplicated
+    assert got[got.doc_id == 1].iloc[0].n_dup_windows == 1
+    # but 'b c d e f' ({0,3}) no longer qualifies
+    assert got[got.doc_id == 0].iloc[0].n_dup_windows == 1
+
+
+def test_duplicated_spans_no_dups_join_path():
+    from htrc_feature_reader_ray.stages.dedup import duplicated_spans
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b c d e f", "g h i j k l", "m n o p q r"],
+    })
+    ds = ray.data.from_pandas(docs)
+    got = duplicated_spans(ds, width=5, distribute="join") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (got.n_dup_windows == 0).all() and (got.dup_frac == 0.0).all()
+    assert list(got.n_windows) == [2, 2, 2]
