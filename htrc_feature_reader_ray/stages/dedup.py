@@ -956,7 +956,8 @@ def duplicated_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      width: int = 8, min_docs: int = 2,
                      distribute: str = "auto",
                      broadcast_limit: int = 2_000_000,
-                     num_buckets: int = 32):
+                     num_buckets: int = 32,
+                     gram_batch_size: int = 2048):
     """Exact duplicated-window detection — the substring-level complement to
     doc-level fuzzy dedup (the signal behind exact-substring training-data
     dedup, arXiv:2107.06499): a window of ``width`` consecutive tokens is
@@ -1006,16 +1007,28 @@ def duplicated_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
             hs = hs[keep]
         else:
             hs = h
-        return pa.table({"gh": pa.array(hs.view(np.int64), type=pa.int64())})
+        bucket = (hs % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "gh": pa.array(hs.view(np.int64), type=pa.int64()),
+            "_gb": pa.array(bucket, type=pa.int32()),
+        })
 
-    counts = ds.map_batches(gram_rows, batch_format="pyarrow") \
-               .groupby("gh").count()
+    # Counting ~1 distinct gram per token makes groupby(gh) a
+    # high-cardinality aggregate — Ray's sort-aggregate walks groups in
+    # Python (measured 2.5-8s per 100k-row block on the 5k-doc fixture), so
+    # count inside hash buckets instead: the exchange keys on _gb (tiny
+    # cardinality), each bucket counts its grams with one vectorized
+    # pandas value_counts. batch_size coalesces tiny source blocks first.
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
+                           batch_size=gram_batch_size)
 
-    def keep_dup(t: pa.Table) -> pa.Table:
-        m = pc.greater_equal(t.column("count()"), pa.scalar(min_docs))
-        return t.filter(m).select(["gh"])
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["gh"].value_counts()
+        return pd.DataFrame({"gh": vc.index[vc >= min_docs].to_numpy()})
 
-    dup_ds = counts.map_batches(keep_dup, batch_format="pyarrow").materialize()
+    dup_ds = grams.groupby("_gb").map_groups(
+        count_bucket, batch_format="pandas"
+    ).materialize()
     n_dup = dup_ds.count()
 
     def _agg_masked(d: np.ndarray, p: np.ndarray, n_docs: int):
@@ -1115,7 +1128,8 @@ def duplicated_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
             "pos": pa.array(pos, type=pa.int64()),
         })
 
-    long = ds.map_batches(long_rows, batch_format="pyarrow")
+    long = ds.map_batches(long_rows, batch_format="pyarrow",
+                          batch_size=gram_batch_size)
     hits = bucket_join(long, dup_ds, left_key="gh", right_key="gh",
                        how="semi", num_buckets=num_buckets)
 
