@@ -48,9 +48,11 @@ def doc_frequency(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
     Partial-combine shape: per-batch distinct (doc, token) collapses to a
     per-batch (token, partial_df) table (vocabulary-sized, tiny vs the
-    text), then ONE vocabulary-sized groupby-sum finishes. Correct because
-    a document row never splits across batches."""
-    from ray.data.aggregate import Sum
+    text), then one bucketed sum finishes (vocabulary cardinality is
+    corpus-scale — millions of tokens — so the finish is a
+    ``bucketed_aggregate``, not a native per-group-Python sort-aggregate).
+    Correct because a document row never splits across batches."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, parent, _ = _tok_stats(batch, text_col)
@@ -62,7 +64,8 @@ def doc_frequency(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         return g.rename_columns(["token", "df"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+    return bucketed_aggregate(partials, "token", {"df": ("df", "sum")},
+                              num_buckets=16)
 
 
 def tfidf(ds, *, n_docs: int, text_col: str = "text",
@@ -123,13 +126,13 @@ def tfidf(ds, *, n_docs: int, text_col: str = "text",
 
         joined = tf.map_batches(attach, batch_format="pandas")
     elif method == "join":
-        from ray.data.aggregate import Sum
-        from htrc_feature_reader_ray.stages.partition import bucket_join
+        from htrc_feature_reader_ray.stages.partition import (
+            bucket_join, bucketed_aggregate,
+        )
 
-        dfs = (
-            tf.map_batches(df_partials, batch_format="pyarrow")
-            .groupby("token")
-            .aggregate(Sum("df", alias_name="df"))
+        dfs = bucketed_aggregate(
+            tf.map_batches(df_partials, batch_format="pyarrow"),
+            "token", {"df": ("df", "sum")}, num_buckets=num_buckets,
         )
         joined = bucket_join(tf, dfs, left_key="token", right_key="token",
                              num_buckets=num_buckets)
@@ -403,7 +406,6 @@ def ngram_top(ds, *, n: int = 2, k: int = 40, text_col: str = "text"):
     group_by (partial combine — only (ngram, count) partials cross the
     exchange), vocabulary-sized groupby-sum, desc sort with deterministic
     ngram tie-break, limit k."""
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         flat, parent, _ = _tok_stats(batch, text_col)
@@ -418,9 +420,12 @@ def ngram_top(ds, *, n: int = 2, k: int = 40, text_col: str = "text"):
         return g.rename_columns(["ngram", "count"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    summed = partials.groupby("ngram").aggregate(
-        Sum("count", alias_name="count")
-    )
+    # n-gram vocabulary is corpus-scale: bucketed vectorized sum, then the
+    # tiny global top-k sort
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    summed = bucketed_aggregate(partials, "ngram",
+                                {"count": ("count", "sum")}, num_buckets=16)
     return summed.sort(["count", "ngram"], descending=[True, False]).limit(k)
 
 

@@ -23,7 +23,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
-from ray.data.aggregate import Count, Min
 
 from htrc_feature_reader_ray.functions.ids import stable_hash64
 
@@ -48,9 +47,16 @@ def text_md5_batch(batch: pa.Table, text_col: str) -> pa.Array:
     )
 
 
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 32):
     """One row per distinct (normalized) text: (text_md5, kept id = min id,
-    n_dups). SQL mirror: GROUP BY md5(lower(regexp_replace(text,...)))."""
+    n_dups). SQL mirror: GROUP BY md5(lower(regexp_replace(text,...))).
+
+    Digest cardinality ~= corpus cardinality, so the fold runs as a
+    ``bucketed_aggregate`` (vectorized per-bucket pandas) — Ray's native
+    sort-aggregate walks every group in Python, which at digest
+    cardinality would dominate the whole op."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
 
     def add_hash(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -60,9 +66,14 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    return hashed.groupby("text_md5").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_dups")
+    # batch_size coalesces tiny source blocks so the bucket exchange sees
+    # few right-sized blocks, not one per source task
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            batch_size=8192)
+    return bucketed_aggregate(
+        hashed, "text_md5",
+        {id_col: (id_col, "min"), "n_dups": (id_col, "size")},
+        num_buckets=num_buckets,
     )
 
 

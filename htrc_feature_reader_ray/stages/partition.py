@@ -264,3 +264,36 @@ def bucketed_map_groups(ds, key, fn, *, num_buckets: int, drop_bucket: bool = Tr
             fn_wrapped, batch_format="pandas"
         )
     return bucketed.groupby(BUCKET_COL).map_groups(fn, batch_format="pandas")
+
+
+def bucketed_aggregate(ds, keys, agg_spec, *, num_buckets: int = 64,
+                       bucket_key: str | None = None):
+    """Grouped aggregation for HIGH-CARDINALITY keys: one exchange keyed on
+    ``hash(bucket_key) % num_buckets`` (tiny cardinality), then a single
+    vectorized pandas ``groupby().agg`` per bucket.
+
+    Ray's native sort-aggregate accumulates each group in the interpreter —
+    O(#groups) Python work (measured ~50-75us/group) — pathological when
+    group cardinality approaches the row count: content digests, n-gram
+    vocabularies, (entity, window) pairs. Bucketing makes the *exchange*
+    cardinality ``num_buckets`` while the real aggregation stays in C.
+
+    ``keys``: group column(s). All rows of a key tuple land in one bucket
+    because only ``bucket_key`` (default ``keys[0]``) is hashed — tuple
+    equality implies bucket equality. Pick a first key with enough spread,
+    or pass ``bucket_key`` explicitly.
+    ``agg_spec``: pandas named-agg dict ``{out_col: (in_col, fn)}``; output
+    columns are ``keys + list(agg_spec)`` in that order.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    bucket_key = bucket_key or keys[0]
+
+    def agg_bucket(df):
+        return (
+            df.drop(columns=[BUCKET_COL], errors="ignore")
+            .groupby(keys, sort=False, dropna=False, as_index=False)
+            .agg(**agg_spec)
+        )
+
+    return bucketed_map_groups(ds, bucket_key, agg_bucket,
+                               num_buckets=num_buckets)

@@ -583,13 +583,15 @@ def tumbling_window(ds, *, key, ts, width, sum_cols=(), count_col: str = "n_even
         names = [key, "window_start", count_col] + [f"{c}" for c in sum_cols]
         return g.rename_columns(names)
 
-    from ray.data.aggregate import Sum
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(count_col, alias_name=count_col)] + [
-        Sum(c, alias_name=c) for c in sum_cols
-    ]
-    out = partials.groupby([key, "window_start"]).aggregate(*aggs)
+    # (key, window) cardinality grows with keys x time — bucketed
+    # vectorized merge, not the per-group-Python native aggregate
+    spec = {count_col: (count_col, "sum")}
+    spec.update({c: (c, "sum") for c in sum_cols})
+    out = bucketed_aggregate(partials, [key, "window_start"], spec,
+                             num_buckets=32)
 
     def fix_ts_unit(batch: pa.Table) -> pa.Table:
         # the int64->timestamp(us) cast round-trips to seconds precision
@@ -687,13 +689,13 @@ def hopping_window(ds, *, key, ts, width, slide, sum_cols=(),
             [key, "window_start", count_col] + list(sum_cols)
         )
 
-    from ray.data.aggregate import Sum
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    aggs = [Sum(count_col, alias_name=count_col)] + [
-        Sum(c, alias_name=c) for c in sum_cols
-    ]
-    out = partials.groupby([key, "window_start"]).aggregate(*aggs)
+    spec = {count_col: (count_col, "sum")}
+    spec.update({c: (c, "sum") for c in sum_cols})
+    out = bucketed_aggregate(partials, [key, "window_start"], spec,
+                             num_buckets=32)
 
     def fix_ts_unit(batch: pa.Table) -> pa.Table:
         i = batch.schema.get_field_index("window_start")

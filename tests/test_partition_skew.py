@@ -104,3 +104,46 @@ def test_stratified_sample_hot_stratum():
     ).to_pandas()
     for lang, g in df.groupby("lang"):
         assert (out["lang"] == lang).sum() == int(np.ceil(0.01 * len(g)))
+
+
+def test_bucketed_aggregate_equals_pandas():
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    rng = np.random.RandomState(7)
+    n = 20000
+    df = pd.DataFrame({
+        "k": np.array([f"key{v}" for v in rng.randint(0, 5000, n)]),
+        "w": rng.randint(0, 10, n).astype(np.int64),   # second group key
+        "v": rng.randint(-100, 100, n).astype(np.int64),
+    })
+    # hot key: one key owns 20% of rows
+    df.loc[: n // 5, "k"] = "hotkey"
+
+    got = bucketed_aggregate(
+        ray.data.from_pandas(df).repartition(16),
+        ["k", "w"],
+        {"total": ("v", "sum"), "n": ("v", "size"), "vmin": ("v", "min")},
+        num_buckets=8,
+    ).to_pandas().sort_values(["k", "w"]).reset_index(drop=True)
+
+    exp = df.groupby(["k", "w"], as_index=False).agg(
+        total=("v", "sum"), n=("v", "size"), vmin=("v", "min")
+    ).sort_values(["k", "w"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
+
+
+def test_bucketed_aggregate_single_key_high_cardinality():
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    # cardinality == row count: every group is a singleton (the digest case)
+    n = 5000
+    df = pd.DataFrame({
+        "k": np.array([f"d{v}" for v in range(n)]),
+        "v": np.arange(n, dtype=np.int64),
+    })
+    got = bucketed_aggregate(
+        ray.data.from_pandas(df).repartition(8), "k",
+        {"v": ("v", "min"), "n": ("v", "size")}, num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = df.assign(n=np.int64(1)).sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[["k", "v", "n"]], check_dtype=True)
