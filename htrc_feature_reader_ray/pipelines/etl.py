@@ -94,18 +94,24 @@ def save_feature_lake(sf_dir: str, out_dir: str, *, token_kwargs=None,
                     ["url", "lang", "first_ts", "last_ts", "n_snapshots"]
                 )
 
-            # per-url groups may span batches -> global fold
-            from ray.data.aggregate import Count, Max, Min, Sum
+            # per-url groups may span batches -> global fold; url
+            # cardinality is corpus-scale, so bucketed (vectorized pandas)
+            # rather than the per-group-Python native aggregate
+            from htrc_feature_reader_ray.stages.partition import (
+                bucketed_aggregate,
+            )
 
             partial = read_pages(sf_dir, drop_text=True).map_batches(
                 per_batch, batch_format="pyarrow"
             )
-            return (
-                partial.groupby(["url", "lang"]).aggregate(
-                    Min("first_ts", alias_name="first_ts"),
-                    Max("last_ts", alias_name="last_ts"),
-                    Sum("n_snapshots", alias_name="n_snapshots"),
-                )
+            return bucketed_aggregate(
+                partial, ["url", "lang"],
+                {
+                    "first_ts": ("first_ts", "min"),
+                    "last_ts": ("last_ts", "max"),
+                    "n_snapshots": ("n_snapshots", "sum"),
+                },
+                num_buckets=num_buckets,
             )
 
         _, manifests["meta"] = run_stage(

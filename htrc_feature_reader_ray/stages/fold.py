@@ -8,7 +8,10 @@ Ray-Data aggregate:
   phase 1 (``map_batches``, zero-copy Arrow): filter + derive the lowercase
      column + PARTIAL ``pyarrow.Table.group_by(...).sum`` inside each batch
      (the combiner: shrinks the shuffle input to per-batch key cardinality);
-  phase 2: ``ds.groupby(keys).sum`` across batches.
+  phase 2: bucketed vectorized merge across batches
+     (``partition.bucketed_aggregate`` — fold keys retain url/page at
+     corpus cardinality, where Ray's native per-group-Python
+     sort-aggregate would dominate).
 
 Phase 2 can be skipped ONLY when phase 1 is known to produce exactly one row
 per key — which holds when the fold is FUSED into the same batch function as
@@ -23,7 +26,6 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Sum
 
 from htrc_feature_reader_ray.errors import MissingFieldError, require_columns
 from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
@@ -116,10 +118,15 @@ def phase1_fold(batch: pa.Table, spec: FoldSpec) -> pa.Table:
 def finish_fold(ds, spec: FoldSpec, *, phase1_complete: bool):
     """Phase 2: global merge (skipped when phase 1 is complete), page_freq
     binarization/second fold, dtype normalization, section drop."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
     out = ds
     if not phase1_complete:
-        out = out.groupby(spec.phase1_keys).aggregate(
-            Sum("count", alias_name="count")
+        # fold keys retain url/page at corpus cardinality — bucketed
+        # vectorized merge (native sort-aggregate is per-group Python)
+        out = bucketed_aggregate(
+            out, spec.phase1_keys, {"count": ("count", "sum")},
+            num_buckets=32,
         )
 
     if spec.page_freq:
@@ -134,8 +141,9 @@ def finish_fold(ds, spec: FoldSpec, *, phase1_complete: bool):
         if spec.phase1_keys != spec.keys:
             # fold presence over snapshots -> snapshot frequency; phase-1
             # rows for one output key can span batches -> global groupby.
-            out = out.groupby(spec.keys).aggregate(
-                Sum("count", alias_name="count")
+            out = bucketed_aggregate(
+                out, spec.keys, {"count": ("count", "sum")},
+                num_buckets=32,
             )
 
     if spec.drop_section:

@@ -289,9 +289,12 @@ def bucketed_aggregate(ds, keys, agg_spec, *, num_buckets: int = 64,
     bucket_key = bucket_key or keys[0]
 
     def agg_bucket(df):
+        # observed=True: categorical keys (arrow dictionary columns) must
+        # not expand to the unobserved cross-product
         return (
             df.drop(columns=[BUCKET_COL], errors="ignore")
-            .groupby(keys, sort=False, dropna=False, as_index=False)
+            .groupby(keys, sort=False, dropna=False, as_index=False,
+                     observed=True)
             .agg(**agg_spec)
         )
 

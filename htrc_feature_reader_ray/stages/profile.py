@@ -25,7 +25,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Sum
 
 
 def value_histogram(ds, col: str):
@@ -39,7 +38,12 @@ def value_histogram(ds, col: str):
         )
 
     partial = ds.map_batches(hist, batch_format="pyarrow")
-    return partial.groupby(col).aggregate(Sum("cnt", alias_name="cnt"))
+    # distinct-value cardinality is unbounded at corpus scale: bucketed
+    # vectorized fold, not the per-group-Python native aggregate
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    return bucketed_aggregate(partial, col, {"cnt": ("cnt", "sum")},
+                              num_buckets=16)
 
 
 def _hist_df(ds, col: str) -> pd.DataFrame:
