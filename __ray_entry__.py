@@ -81,6 +81,17 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
     )
 
 
+def _bench_docs(sf_dir: str):
+    """Deterministic stand-in 'benchmark suite' for the decontamination
+    queries: the texts of documents with doc_id % 97 == 3."""
+
+    def pick(t):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 3))
+
+    return _docs(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
 def _tokens(sf_dir: str):
     from htrc_feature_reader_ray.stages.extract import tokens_from_pages
 
@@ -408,6 +419,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windows of 5 consecutive tokens occurring in >= 2 distinct docs,
         # merged into per-doc duplicated-token coverage
         return duplicated_spans(_docs(sf), width=5)
+
+    def q_ngram_contamination(sf):
+        """n-gram train/test contamination flags (GPT-3 appendix-C shape,
+        width=5): per-doc overlap with a fixed 'benchmark' gram set —
+        deterministically, the texts of docs with doc_id % 97 == 3 stand in
+        for the held-out suite."""
+        from htrc_feature_reader_ray.stages.curate import ngram_contamination
+
+        return ngram_contamination(_docs(sf), _bench_docs(sf), width=5)
+
+    def q_ngram_decontaminate(sf):
+        """Single-pass broadcast decontamination filter: drop every doc
+        sharing any full 5-token window with the benchmark set (the
+        benchmark docs remove themselves — overlap 1.0)."""
+        from htrc_feature_reader_ray.stages.curate import ngram_decontaminate
+
+        return ngram_decontaminate(_docs(sf), _bench_docs(sf), width=5)
 
     def q_url_parts(sf):
         """URL decomposition/normalization (scheme, host, domain, path) —
@@ -1138,6 +1166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         # exact duplicated-span coverage (substring-level dedup signal)
         "duplicated_spans": q_duplicated_spans,
+        # n-gram train/test decontamination (broadcast benchmark grams)
+        "ngram_contamination": q_ngram_contamination,
+        "ngram_decontaminate": q_ngram_decontaminate,
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
         "dedup_embedding_cosine": q_dedup_emb,
         "ann_cosine_topk": q_ann,
@@ -1996,6 +2027,60 @@ def oracle_sql() -> dict[str, str]:
             FROM stats s
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN cover c USING (doc_id)""",
+        # decontamination: same window/coverage math as duplicated_spans,
+        # but the marked-gram set is the benchmark docs' grams (doc_id %
+        # 97 == 3) instead of corpus-internal duplicates.
+        "ngram_contamination": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents
+            ), stats AS (
+              SELECT doc_id, len(arr)::BIGINT AS n_tokens,
+                     greatest(len(arr) - 4, 0)::BIGINT AS n_windows
+              FROM base
+            ), w AS (
+              SELECT doc_id, i, array_to_string(arr[i:i+4], ' ') AS gram
+              FROM base, LATERAL unnest(range(1, len(arr) - 3)) AS t(i)
+              WHERE len(arr) >= 5
+            ), bench AS (
+              SELECT DISTINCT gram FROM w WHERE doc_id % 97 = 3
+            ), hit AS (
+              SELECT doc_id, i FROM w
+              WHERE gram IN (SELECT gram FROM bench)
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_dup_windows
+              FROM hit GROUP BY 1
+            ), cover AS (
+              SELECT doc_id, count(DISTINCT j)::BIGINT AS dup_tokens
+              FROM hit, LATERAL unnest(range(i, i + 5)) AS t(j)
+              GROUP BY 1
+            )
+            SELECT s.doc_id, s.n_tokens, s.n_windows,
+                   coalesce(a.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   coalesce(c.dup_tokens, 0)
+                       / greatest(s.n_tokens, 1)::DOUBLE AS dup_frac
+            FROM stats s
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN cover c USING (doc_id)""",
+        "ngram_decontaminate": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents
+            ), w AS (
+              SELECT doc_id, array_to_string(arr[i:i+4], ' ') AS gram
+              FROM base, LATERAL unnest(range(1, len(arr) - 3)) AS t(i)
+              WHERE len(arr) >= 5
+            ), bench AS (
+              SELECT DISTINCT gram FROM w WHERE doc_id % 97 = 3
+            ), dirty AS (
+              SELECT DISTINCT doc_id FROM w
+              WHERE gram IN (SELECT gram FROM bench)
+            )
+            SELECT doc_id, text FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dirty)""",
         # simhash's token hash is md5-based precisely so SQL can replay it:
         # md5_number_upper(token) == little-endian first 8 md5 bytes.
         "dedup_simhash": r"""

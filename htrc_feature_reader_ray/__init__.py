@@ -103,6 +103,10 @@ def __getattr__(name):
             "broadcast_membership_filter"),
         "contamination_flags": (
             "htrc_feature_reader_ray.stages.curate", "contamination_flags"),
+        "ngram_contamination": (
+            "htrc_feature_reader_ray.stages.curate", "ngram_contamination"),
+        "ngram_decontaminate": (
+            "htrc_feature_reader_ray.stages.curate", "ngram_decontaminate"),
         "pack_sequences": (
             "htrc_feature_reader_ray.stages.pack", "pack_sequences"),
         "interval_join": (

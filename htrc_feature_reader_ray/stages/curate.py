@@ -487,3 +487,89 @@ def contamination_sql(needles, text: str = "text") -> str:
         for nd in needles
     )
     return f"({terms})::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# n-gram decontamination (window-level benchmark overlap)
+
+
+def benchmark_gram_hashes(benchmark, *, width: int,
+                          text_col: str = "text") -> "np.ndarray":
+    """Sorted unique 64-bit md5 gram hashes of every ``width``-token window
+    in the benchmark texts. ``benchmark`` is a list of strings or a (small)
+    ``ray.data.Dataset`` — benchmark suites are the canonical small
+    broadcast side (thousands of prompts, not a corpus), so a Dataset is
+    materialized driver-side by contract."""
+    from htrc_feature_reader_ray.stages.dedup import _flatten_windows
+
+    if hasattr(benchmark, "map_batches"):  # ray.data.Dataset
+        texts: list = []
+        for batch in benchmark.select_columns([text_col]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            texts.extend(batch.column(text_col).to_pylist())
+    else:
+        texts = list(benchmark)
+    h, _, _ = _flatten_windows(texts, width)
+    return np.unique(h)
+
+
+def ngram_contamination(ds, benchmark, *, text_col: str = "text",
+                        id_col: str = "doc_id", width: int = 8):
+    """Per-document overlap with a benchmark's ``width``-token windows —
+    the n-gram-level train/test decontamination signal (the 13-gram
+    convention of GPT-3 appendix C / PaLM, generalized): a window is
+    contaminated iff its exact token sequence occurs anywhere in the
+    benchmark. Returns ``(id_col, n_tokens, n_windows, n_dup_windows,
+    dup_tokens, dup_frac)`` — same span-coverage fold as
+    ``dedup.duplicated_spans`` (dup_tokens = merged equal-width window
+    union), against a *fixed external* gram set instead of corpus-internal
+    duplicates.
+
+    Scale shape: the benchmark gram set is hashed once and broadcast via
+    ``ray.put``; marking is a single stateless ``map_batches`` pass — no
+    shuffle, no join, streams at any corpus size.
+    """
+    import ray
+
+    from htrc_feature_reader_ray.stages.dedup import mark_windows_against
+
+    hashes = benchmark_gram_hashes(benchmark, width=width,
+                                   text_col=text_col)
+    ref = ray.put(hashes)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return mark_windows_against(
+            batch, ray.get(ref), text_col=text_col, id_col=id_col,
+            width=width,
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def ngram_decontaminate(ds, benchmark, *, text_col: str = "text",
+                        id_col: str = "doc_id", width: int = 8,
+                        max_frac: float = 0.0):
+    """Drop documents whose benchmark-overlap token fraction exceeds
+    ``max_frac`` (default: any full-window overlap removes the doc). The
+    contamination mark and the filter run in ONE broadcast ``map_batches``
+    pass over the corpus — no flag/corpus join — because window marking
+    needs only the broadcast benchmark hash set and the batch itself. All
+    input columns pass through unchanged."""
+    import ray
+
+    from htrc_feature_reader_ray.stages.dedup import mark_windows_against
+
+    hashes = benchmark_gram_hashes(benchmark, width=width,
+                                   text_col=text_col)
+    ref = ray.put(hashes)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        flags = mark_windows_against(
+            batch, ray.get(ref), text_col=text_col, id_col=id_col,
+            width=width,
+        )
+        frac = flags.column("dup_frac").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(frac <= max_frac))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -963,6 +963,65 @@ def _flatten_windows(texts, width: int):
     return md5_hash64(grams), gcounts, tcounts
 
 
+def _window_span_agg(d: np.ndarray, p: np.ndarray, n_docs: int, width: int):
+    """(doc-index, window-pos) of marked windows, doc-grouped and
+    position-sorted -> per-doc (n_marked_windows, covered_tokens). Equal
+    window width makes the coverage union closed-form:
+    width + sum(min(gap, width)) over consecutive marked positions."""
+    n_marked = np.bincount(d, minlength=n_docs).astype(np.int64)
+    if d.size:
+        first = np.ones(d.size, dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        diff = np.empty(d.size, dtype=np.int64)
+        diff[0] = 0
+        diff[1:] = p[1:] - p[:-1]
+        contrib = np.where(first, width, np.minimum(diff, width))
+        cover = np.bincount(
+            d, weights=contrib, minlength=n_docs
+        ).astype(np.int64)
+    else:
+        cover = np.zeros(n_docs, dtype=np.int64)
+    return n_marked, cover
+
+
+def _window_span_table(ids, tcounts, gcounts, n_marked, cover,
+                       *, id_col: str) -> pa.Table:
+    frac = cover / np.maximum(tcounts, 1)
+    return pa.table({
+        id_col: ids,
+        "n_tokens": pa.array(tcounts, type=pa.int64()),
+        "n_windows": pa.array(gcounts, type=pa.int64()),
+        "n_dup_windows": pa.array(n_marked, type=pa.int64()),
+        "dup_tokens": pa.array(cover, type=pa.int64()),
+        "dup_frac": pa.array(frac, type=pa.float64()),
+    })
+
+
+def mark_windows_against(batch: pa.Table, sorted_hashes: np.ndarray, *,
+                         text_col: str, id_col: str,
+                         width: int) -> pa.Table:
+    """Mark every width-token window of each doc whose gram hash is in
+    ``sorted_hashes`` (sorted uint64) and fold to per-doc span coverage —
+    the broadcast-membership kernel shared by ``duplicated_spans`` and
+    n-gram decontamination (``curate.ngram_decontaminate``)."""
+    texts = batch.column(text_col).to_pylist()
+    h, gcounts, tcounts = _flatten_windows(texts, width)
+    dx = np.repeat(np.arange(len(texts), dtype=np.int64), gcounts)
+    starts = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+    pos = np.arange(h.size, dtype=np.int64) - np.repeat(starts, gcounts)
+    if sorted_hashes.size and h.size:
+        idx = np.minimum(
+            np.searchsorted(sorted_hashes, h), sorted_hashes.size - 1
+        )
+        mask = sorted_hashes[idx] == h
+    else:
+        mask = np.zeros(h.size, dtype=bool)
+    n_marked, cover = _window_span_agg(dx[mask], pos[mask], len(texts),
+                                       width)
+    return _window_span_table(batch.column(id_col), tcounts, gcounts,
+                              n_marked, cover, id_col=id_col)
+
+
 def duplicated_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      width: int = 8, min_docs: int = 2,
                      distribute: str = "auto",
@@ -1043,33 +1102,11 @@ def duplicated_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
     n_dup = dup_ds.count()
 
     def _agg_masked(d: np.ndarray, p: np.ndarray, n_docs: int):
-        """(doc-index, window-pos) of duplicated windows, doc-grouped and
-        position-sorted -> per-doc (n_dup_windows, dup_tokens)."""
-        n_dup_w = np.bincount(d, minlength=n_docs).astype(np.int64)
-        if d.size:
-            first = np.ones(d.size, dtype=bool)
-            first[1:] = d[1:] != d[:-1]
-            diff = np.empty(d.size, dtype=np.int64)
-            diff[0] = 0
-            diff[1:] = p[1:] - p[:-1]
-            contrib = np.where(first, width, np.minimum(diff, width))
-            cover = np.bincount(
-                d, weights=contrib, minlength=n_docs
-            ).astype(np.int64)
-        else:
-            cover = np.zeros(n_docs, dtype=np.int64)
-        return n_dup_w, cover
+        return _window_span_agg(d, p, n_docs, width)
 
     def _finish(ids, tcounts, gcounts, n_dup_w, cover) -> pa.Table:
-        frac = cover / np.maximum(tcounts, 1)
-        return pa.table({
-            id_col: ids,
-            "n_tokens": pa.array(tcounts, type=pa.int64()),
-            "n_windows": pa.array(gcounts, type=pa.int64()),
-            "n_dup_windows": pa.array(n_dup_w, type=pa.int64()),
-            "dup_tokens": pa.array(cover, type=pa.int64()),
-            "dup_frac": pa.array(frac, type=pa.float64()),
-        })
+        return _window_span_table(ids, tcounts, gcounts, n_dup_w, cover,
+                                  id_col=id_col)
 
     use_broadcast = (distribute == "broadcast") or (
         distribute == "auto" and n_dup <= broadcast_limit
@@ -1085,22 +1122,9 @@ def duplicated_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
         ref = ray.put(arr)
 
         def mark(batch: pa.Table) -> pa.Table:
-            dup_sorted = ray.get(ref)
-            texts = batch.column(text_col).to_pylist()
-            h, gcounts, tcounts = _flatten_windows(texts, width)
-            dx = np.repeat(np.arange(len(texts), dtype=np.int64), gcounts)
-            starts = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
-            pos = np.arange(h.size, dtype=np.int64) - np.repeat(starts, gcounts)
-            if dup_sorted.size and h.size:
-                idx = np.minimum(
-                    np.searchsorted(dup_sorted, h), dup_sorted.size - 1
-                )
-                mask = dup_sorted[idx] == h
-            else:
-                mask = np.zeros(h.size, dtype=bool)
-            n_dup_w, cover = _agg_masked(dx[mask], pos[mask], len(texts))
-            return _finish(
-                batch.column(id_col), tcounts, gcounts, n_dup_w, cover
+            return mark_windows_against(
+                batch, ray.get(ref), text_col=text_col, id_col=id_col,
+                width=width,
             )
 
         return ds.map_batches(mark, batch_format="pyarrow")

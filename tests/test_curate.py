@@ -271,3 +271,51 @@ def test_normalize_and_contamination_null_text_passthrough():
 
     flags = contamination_flags(ds, ["plain"]).to_pandas().sort_values("doc_id")
     assert list(flags.n_hits) == [0, 0, 1]  # null text -> 0 hits, no crash
+
+
+def test_ngram_contamination_exact_coverage():
+    from htrc_feature_reader_ray.stages.curate import ngram_contamination
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "a b c d e f g h"},   # hits "c d e" once
+        {"doc_id": 2, "text": "x y z w v"},          # clean
+        {"doc_id": 3, "text": "c d e c d e c d e"},  # overlapping hits
+        {"doc_id": 4, "text": "c d"},                # shorter than width
+        {"doc_id": 5, "text": None},
+    ])
+    bench = ["pad pad c d e pad"]
+    out = (
+        ngram_contamination(docs, bench, width=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.n_tokens.tolist() == [8, 5, 9, 2, 0]
+    assert out.n_windows.tolist() == [6, 3, 7, 0, 0]
+    # doc3 windows: positions 0..6; "c d e" at 0,3,6 -> 3 marked windows,
+    # coverage = 3 + min(3,3) + min(3,3) = 9 tokens (the full doc)
+    assert out.n_dup_windows.tolist() == [1, 0, 3, 0, 0]
+    assert out.dup_tokens.tolist() == [3, 0, 9, 0, 0]
+    assert out.dup_frac.tolist() == [3 / 8, 0.0, 1.0, 0.0, 0.0]
+
+
+def test_ngram_decontaminate_threshold_and_passthrough():
+    from htrc_feature_reader_ray.stages.curate import ngram_decontaminate
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "a b c d e f g h", "extra": 10},
+        {"doc_id": 2, "text": "x y z w v", "extra": 20},
+        {"doc_id": 3, "text": "c d e", "extra": 30},
+    ])
+    bench_ds = ray.data.from_items([{"text": "pad c d e pad"}])
+    strict = (
+        ngram_decontaminate(docs, bench_ds, width=3)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert strict.doc_id.tolist() == [2]
+    assert list(strict.columns) == ["doc_id", "text", "extra"]
+    assert strict.extra.tolist() == [20]
+    # doc1 frac = 3/8; a looser threshold keeps it, still drops doc3 (1.0)
+    loose = (
+        ngram_decontaminate(docs, bench_ds, width=3, max_frac=0.5)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert loose.doc_id.tolist() == [1, 2]
