@@ -437,6 +437,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ngram_decontaminate(_docs(sf), _bench_docs(sf), width=5)
 
+    def q_hash_split(sf):
+        """Leakage-safe train/val/test split keyed on the ENTITY column
+        (source): all docs of a source share a split, so within-entity
+        near-dups can't straddle the train/eval boundary. Exact-rational
+        uint64 thresholds — zero shuffle, pure function of the data."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.sample import hash_split
+
+        ds = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source"]
+        )
+        return hash_split(
+            ds, fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+            by="source", salt="v1:",
+        )
+
+    def q_build_vocab(sf):
+        """Tokenizer-prep vocab: contiguous frequency-ranked token ids via
+        the two-pass distributed rank (driver sees only the (count,
+        hash-bucket) histogram, never a token)."""
+        from htrc_feature_reader_ray.stages.vocab import build_vocab
+
+        return build_vocab(_docs(sf), min_count=2)
+
+    def q_encode_tokens(sf):
+        """Integer-id re-encoding of every document against the broadcast
+        vocab (OOV -> -1): the id-sequence table a trainer consumes."""
+        from htrc_feature_reader_ray.stages.vocab import (
+            build_vocab,
+            encode_tokens,
+        )
+
+        vocab = build_vocab(_docs(sf), min_count=2)
+        return encode_tokens(_docs(sf), vocab)
+
+    def q_normalize_features(sf):
+        """Per-group feature scaling (z-score + min-max of n_chars within
+        each language): broadcast moment table, zero second shuffle,
+        bit-exact IEEE expression parity with the SQL mirror."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import normalize_features
+
+        ds = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        return normalize_features(ds, key="lang", value_col="n_chars")
+
+    def q_deterministic_shuffle(sf):
+        """Reproducible global training order: shuffle_pos = rank under
+        (md5(salt+id), id) — same permutation on any cluster shape, new
+        permutation per salt/epoch; distributed rank via hash-range buckets
+        + driver exclusive scan of B counts."""
+        from htrc_feature_reader_ray.stages.sample import (
+            deterministic_shuffle,
+        )
+
+        return deterministic_shuffle(
+            _docs(sf), id_col="doc_id", salt="ep0:", num_buckets=16
+        )
+
     def q_url_parts(sf):
         """URL decomposition/normalization (scheme, host, domain, path) —
         vectorized pandas string kernels, SQL-mirrored 1:1."""
@@ -1169,6 +1229,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # n-gram train/test decontamination (broadcast benchmark grams)
         "ngram_contamination": q_ngram_contamination,
         "ngram_decontaminate": q_ngram_decontaminate,
+        # reproducible global shuffle order (per-epoch permutation)
+        "deterministic_shuffle": q_deterministic_shuffle,
+        # per-group z-score / min-max feature scaling (broadcast moments)
+        "normalize_features": q_normalize_features,
+        # frequency-ranked token-id vocabulary + integer re-encoding
+        "build_vocab": q_build_vocab,
+        "encode_tokens": q_encode_tokens,
+        # leakage-safe deterministic train/val/test split (entity-keyed)
+        "hash_split": q_hash_split,
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
         "dedup_embedding_cosine": q_dedup_emb,
         "ann_cosine_topk": q_ann,
@@ -1337,6 +1406,15 @@ def _ann_lsh_sql(*, nbits: int = 6, dim: int = 64, seed: int = 42) -> str:
 def oracle_sql() -> dict[str, str]:
     from htrc_feature_reader_ray.stages import curate, sketch
     from htrc_feature_reader_ray.stages.pack import pack_sequences_sql
+    from htrc_feature_reader_ray.stages.profile import normalize_features_sql
+    from htrc_feature_reader_ray.stages.sample import (
+        deterministic_shuffle_sql,
+        hash_split_sql,
+    )
+    from htrc_feature_reader_ray.stages.vocab import (
+        build_vocab_sql,
+        encode_tokens_sql,
+    )
     from htrc_feature_reader_ray.stages.textstats import (
         FINGERPRINT_SQL,
         TOKEN_COUNT_SQL,
@@ -2064,6 +2142,27 @@ def oracle_sql() -> dict[str, str]:
             FROM stats s
             LEFT JOIN agg a USING (doc_id)
             LEFT JOIN cover c USING (doc_id)""",
+        # shuffle_pos: md5_number_upper == engine md5_hash64 (the simhash/
+        # countmin identity); rank order (hash, id) is a total order
+        "deterministic_shuffle": deterministic_shuffle_sql(
+            id_col="doc_id", salt="ep0:", table="documents",
+            columns="doc_id, text",
+        ),
+        # split thresholds are the same exact-rational uint64 literals on
+        # both engines
+        "hash_split": hash_split_sql(
+            fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+            by="source", salt="v1:", columns="doc_id, source",
+        ),
+        # vocab rank total order == engine order: md5 tiebreak within a
+        # count tier (md5_number_upper == engine md5_hash64)
+        "build_vocab": build_vocab_sql(min_count=2),
+        "encode_tokens": encode_tokens_sql(min_count=2),
+        # identical IEEE expression order on both engines -> bit-equal z
+        "normalize_features": normalize_features_sql(
+            key="lang", value_col="n_chars",
+            table="(SELECT doc_id, lang, n_chars FROM documents)",
+        ),
         "ngram_decontaminate": r"""
             WITH base AS (
               SELECT doc_id,

@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "approx_distinct_users",
     "interval_join",
     "late_events",
+    # training-prep ops
+    "ngram_decontaminate",
+    "deterministic_shuffle",
+    "build_vocab",
+    "encode_tokens",
+    "normalize_features",
 ]
 
 HEADLINE = "flagship"

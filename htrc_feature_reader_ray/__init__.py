@@ -119,8 +119,22 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.sketch", "countmin_estimate"),
         "grouped_profile": (
             "htrc_feature_reader_ray.stages.profile", "grouped_profile"),
+        "normalize_features": (
+            "htrc_feature_reader_ray.stages.profile", "normalize_features"),
+        "group_stats": (
+            "htrc_feature_reader_ray.stages.profile", "group_stats"),
         "mixture_sample": (
             "htrc_feature_reader_ray.stages.sample", "mixture_sample"),
+        "deterministic_shuffle": (
+            "htrc_feature_reader_ray.stages.sample", "deterministic_shuffle"),
+        "build_vocab": (
+            "htrc_feature_reader_ray.stages.vocab", "build_vocab"),
+        "encode_tokens": (
+            "htrc_feature_reader_ray.stages.vocab", "encode_tokens"),
+        "corpus_token_counts": (
+            "htrc_feature_reader_ray.stages.vocab", "corpus_token_counts"),
+        "hash_split": (
+            "htrc_feature_reader_ray.stages.sample", "hash_split"),
         "incremental_dedup": (
             "htrc_feature_reader_ray.state.dedup_index", "incremental_dedup"),
         "create_dedup_index": (

@@ -145,3 +145,118 @@ def numeric_profile(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
         rank = max(1, int(np.ceil(q * n)))
         row[f"p{int(q * 100)}"] = int(vals[int(np.searchsorted(cum, rank))])
     return pd.DataFrame([row]).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# grouped feature normalization (z-score / min-max scaling)
+
+
+def group_stats(ds, *, key, value_col):
+    """Small per-key moment table ``(key, n, sum, sumsq, min, max)`` via the
+    partial-combine shape: per-batch pandas groupby partials (combiner), one
+    tiny groupby over #keys × B partial rows — raw rows never cross the
+    exchange. Integer input stays integer (exact moments); the int64 sumsq
+    accumulator bounds the contract to ``max(v)^2 × rows < 2^63`` — pre-scale
+    wider values."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy()
+        g = pd.DataFrame({
+            key: df[key], "_v": v, "_v2": v.astype(np.int64) ** 2,
+        }).groupby(key, sort=False, observed=True)
+        out = g.agg(
+            n=("_v", "size"), s=("_v", "sum"), ss=("_v2", "sum"),
+            mn=("_v", "min"), mx=("_v", "max"),
+        ).reset_index()
+        return out
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(
+            lambda df: pd.DataFrame({
+                key: [df[key].iloc[0]],
+                "n": [int(df["n"].sum())],
+                "s": [int(df["s"].sum())],
+                "ss": [int(df["ss"].sum())],
+                "mn": [int(df["mn"].min())],
+                "mx": [int(df["mx"].max())],
+            }),
+            batch_format="pandas",
+        )
+    )
+    return merged
+
+
+def normalize_features(ds, *, key, value_col):
+    """Per-group feature scaling: appends ``z_<v>`` (population z-score) and
+    ``minmax_<v>`` to every row, all input columns passing through.
+
+    Exact-parity arithmetic (one defined IEEE-double expression order,
+    mirrored verbatim in the SQL oracle):
+
+      mean = s / n;  var = max((ss - s·s/n) / n, 0);  std = sqrt(var)
+      z = (v - mean) / std   (0.0 when std == 0)
+      minmax = (v - mn) / (mx - mn)   (0.0 when mx == mn)
+
+    Scale shape: the moment table from :func:`group_stats` is #keys rows
+    (feature-normalization keys — language, source, domain bucket — are
+    bounded vocabularies); it is broadcast once via ``ray.put`` and each
+    batch maps keys with one vectorized reindex — no second shuffle of the
+    corpus."""
+    import ray
+
+    stats = group_stats(ds, key=key, value_col=value_col).to_pandas()
+    stats = stats.set_index(key)
+    ref = ray.put(stats)
+
+    zc, mc = f"z_{value_col}", f"minmax_{value_col}"
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        sub = st.reindex(df[key])
+        n = sub["n"].to_numpy(dtype=np.float64)
+        s = sub["s"].to_numpy(dtype=np.float64)
+        ss = sub["ss"].to_numpy(dtype=np.float64)
+        mn = sub["mn"].to_numpy(dtype=np.int64)
+        mx = sub["mx"].to_numpy(dtype=np.int64)
+        v = df[value_col].to_numpy(dtype=np.int64)
+        mean = s / n
+        var = np.maximum((ss - s * s / n) / n, 0.0)
+        std = np.sqrt(var)
+        df = df.copy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            df[zc] = np.where(std > 0, (v - mean) / std, 0.0)
+            df[mc] = np.where(mx > mn, (v - mn) / (mx - mn), 0.0)
+        return df
+
+    return ds.map_batches(scale, batch_format="pandas")
+
+
+def normalize_features_sql(*, key: str, value_col: str,
+                           table: str) -> str:
+    """SQL mirror — the identical expression order, so doubles are
+    bit-equal."""
+    v = value_col
+    return f"""
+        WITH st AS (
+          SELECT {key}, count(*)::BIGINT AS n,
+                 sum({v})::BIGINT AS s,
+                 sum({v}::BIGINT * {v}::BIGINT)::BIGINT AS ss,
+                 min({v})::BIGINT AS mn, max({v})::BIGINT AS mx
+          FROM {table} GROUP BY 1
+        ), d AS (
+          SELECT t.*, st.n, st.s, st.ss, st.mn, st.mx,
+                 st.s::DOUBLE / st.n AS mean,
+                 greatest((st.ss::DOUBLE - (st.s::DOUBLE * st.s::DOUBLE)
+                           / st.n) / st.n, 0.0) AS var
+          FROM {table} t JOIN st USING ({key})
+        )
+        SELECT * EXCLUDE (n, s, ss, mn, mx, mean, var),
+               CASE WHEN sqrt(var) > 0
+                    THEN ({v} - mean) / sqrt(var) ELSE 0.0
+               END AS z_{v},
+               CASE WHEN mx > mn
+                    THEN ({v} - mn) / (mx - mn) ELSE 0.0
+               END AS minmax_{v}
+        FROM d"""

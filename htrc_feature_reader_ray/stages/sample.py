@@ -97,3 +97,172 @@ def mixture_sample(ds, *, stratum_col: str, id_col: str,
 
     return bucketed_map_groups(ds, stratum_col, per_bucket,
                                num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training-data ordering)
+
+
+_SHUF_BUCKET = "_shuf_bucket"
+_SHUF_HASH = "_shuf_hash"
+
+
+def deterministic_shuffle(ds, *, id_col: str, salt: str = "",
+                          num_buckets: int = 64):
+    """Reproducible global training order: adds ``shuffle_pos`` = the row's
+    0-based rank under ``(md5_hash64(salt + id), id)`` order — a pure
+    function of the data, so the SAME permutation on any cluster shape
+    (``Dataset.random_shuffle`` is neither reproducible nor rank-emitting),
+    and SQL-replayable (``row_number() OVER (ORDER BY
+    md5_number_upper(...), id)``). Changing ``salt`` draws an independent
+    permutation per epoch.
+
+    Distributed rank via the two-pass prefix-scan shape (pack.py:10-16),
+    with HASH-RANGE buckets instead of id-range: the multiply-shift bucket
+    ``(h >> 32) * B >> 32`` is monotone nondecreasing in ``h`` over the full
+    uint64 space, so bucket order == hash order and the per-bucket base
+    offsets come from one exclusive scan of B counts on the driver. The
+    hash is a pure function of ``id`` and is recomputed per pass — the two
+    passes re-execute the upstream pipeline rather than materializing the
+    (payload-bearing) corpus; materialize upstream first if it is expensive.
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    if not 0 < num_buckets <= 1 << 32:
+        raise ValueError(f"num_buckets must be in (0, 2^32], {num_buckets}")
+
+    def hash_ids(ids) -> np.ndarray:
+        return md5_hash64([f"{salt}{v}" for v in ids])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = hash_ids(df[id_col].to_numpy())
+        df[_SHUF_HASH] = h
+        df[_SHUF_BUCKET] = (
+            ((h >> np.uint64(32)) * np.uint64(num_buckets))
+            >> np.uint64(32)
+        ).astype(np.int64)
+        return df
+
+    # pass 1: per-bucket row counts (B tiny rows) -> exclusive scan
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucketize(df[[id_col]])
+        vc = b[_SHUF_BUCKET].value_counts()
+        return pd.DataFrame({
+            _SHUF_BUCKET: vc.index.to_numpy(dtype=np.int64),
+            "n": vc.to_numpy(dtype=np.int64),
+        })
+
+    counts = (
+        # project to the id column BEFORE the counting pass so the payload
+        # never flows through pass 1 (pushes down to the parquet read)
+        ds.select_columns([id_col])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby(_SHUF_BUCKET).sum("n").to_pandas()
+    )
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    if _SHUF_BUCKET in counts.columns:
+        totals[counts[_SHUF_BUCKET].to_numpy()] = counts["sum(n)"].to_numpy()
+    base = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    # pass 2: co-locate each hash-range bucket, sort, assign base + rank
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([_SHUF_HASH, id_col],
+                            kind="mergesort").reset_index(drop=True)
+        start = int(base[int(df[_SHUF_BUCKET].iloc[0])])
+        df["shuffle_pos"] = start + np.arange(len(df), dtype=np.int64)
+        return df.drop(columns=[_SHUF_BUCKET, _SHUF_HASH])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby(_SHUF_BUCKET)
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def deterministic_shuffle_sql(*, id_col: str, salt: str = "",
+                              table: str = "documents",
+                              columns: str = "*") -> str:
+    """SQL mirror: md5_number_upper == little-endian first 8 md5 bytes ==
+    engine md5_hash64 (same identity the simhash/countmin oracles rely
+    on)."""
+    return f"""
+        SELECT {columns},
+               (row_number() OVER (
+                    ORDER BY md5_number_upper('{salt}' || {id_col}::VARCHAR),
+                             {id_col}
+                ) - 1)::BIGINT AS shuffle_pos
+        FROM {table}"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+
+
+def _split_thresholds(fractions: dict) -> tuple[list, list]:
+    """Cumulative exact-rational thresholds over the uint64 hash space.
+    ``floor(cum_frac × 2^64)`` — the same integer literals the SQL mirror
+    compares against, so assignment is bit-identical."""
+    from fractions import Fraction
+
+    names = list(fractions)
+    fracs = [Fraction(str(fractions[k])) for k in names]
+    if any(f < 0 for f in fracs) or sum(fracs) != 1:
+        raise ValueError(
+            f"fractions must be >= 0 and sum to exactly 1, got {fractions}"
+        )
+    cum = []
+    acc = Fraction(0)
+    for f in fracs[:-1]:  # last split takes the remainder of the space
+        acc += f
+        cum.append((acc.numerator << 64) // acc.denominator)
+    return names, cum
+
+
+def hash_split(ds, *, fractions: dict, by: str, salt: str = "",
+               out_col: str = "split"):
+    """Deterministic dataset split (train/val/test): assigns each row a
+    split label by the md5 hash of ``by`` — a pure function of the data
+    (same assignment on any cluster shape, zero shuffle, one stateless
+    ``map_batches``), disjoint and exhaustive by construction.
+
+    Leakage control is the ``by`` column: split on ``doc_id`` for a plain
+    row split, or on an ENTITY key (domain, source, author) so all of an
+    entity's documents land in the same split and near-duplicates within an
+    entity can never straddle the train/eval boundary.
+
+    ``salt`` re-draws an independent assignment. Fractions must sum to
+    exactly 1 (exact-rational thresholds over the uint64 hash space — the
+    same integer literals as the SQL mirror, so parity is bit-exact).
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    names, cum = _split_thresholds(fractions)
+    thresholds = np.array(cum, dtype=np.uint64)
+    labels = np.array(names, dtype=object)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hash64([f"{salt}{v}" for v in df[by].to_numpy()])
+        idx = np.searchsorted(thresholds, h, side="right")
+        df = df.copy()
+        df[out_col] = labels[idx]
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def hash_split_sql(*, fractions: dict, by: str, salt: str = "",
+                   table: str = "documents", columns: str = "*",
+                   out_col: str = "split") -> str:
+    """SQL mirror: the identical integer thresholds compared against
+    ``md5_number_upper`` (== engine ``md5_hash64``)."""
+    names, cum = _split_thresholds(fractions)
+    h = f"md5_number_upper('{salt}' || {by}::VARCHAR)"
+    branches = "".join(
+        f"WHEN {h} < {t}::UBIGINT THEN '{n}' "
+        for n, t in zip(names[:-1], cum)
+    )
+    return f"""
+        SELECT {columns},
+               CASE {branches}ELSE '{names[-1]}' END AS {out_col}
+        FROM {table}"""

@@ -1,0 +1,230 @@
+"""Vocabulary building and token-id encoding — the tokenizer-prep stage of
+a training-data pipeline: rank every corpus token into a contiguous id space
+(frequency-ordered, like the classic word-embedding / subword-vocab
+convention) and re-encode documents as integer id sequences.
+
+Scale shape:
+
+* token counts: per-batch ``value_counts`` partials (combiner) →
+  ``bucketed_aggregate`` sum — vocabulary-cardinality exchange, raw text
+  never crosses it twice;
+* the global frequency rank is the two-pass distributed-rank shape
+  (pack.py:10-16) generalized to a composite order ``(count DESC,
+  md5_hash64(token) ASC, token ASC)``: the md5 tiebreak makes rank space
+  uniformly splittable by hash range *within* each count tier, so the
+  driver only ever sees the (count, hash-bucket) histogram — never tokens;
+* encoding: the finished vocab is the canonical broadcast small side
+  (``ray.put`` once, one hash-indexed ``pd.Index.get_indexer`` per batch).
+
+The hash tiebreak is also what makes the op SQL-replayable:
+``row_number() OVER (ORDER BY count DESC, md5_number_upper(token), token)``
+is the exact same total order (md5_number_upper == little-endian first 8
+md5 bytes == ``dedup.md5_hash64``).
+
+Reference parity: the reference's ``Volume.tokens`` / ``term_volume_freqs``
+(feature_reader.py:25-112) stop at counts; the id-assignment step is the
+training-pipeline extension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+_HB_COL = "_vocab_hb"
+
+
+def corpus_token_counts(ds, *, text_col: str = "text",
+                        num_buckets: int = 64):
+    """(token, count) — total corpus occurrences. Per-batch value_counts
+    partials, one vocabulary-bucketed sum."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _tok_stats(batch, text_col)
+        t = pa.table({"token": flat})
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return g.rename_columns(["token", "count"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_aggregate(
+        partials, "token", {"count": ("count", "sum")},
+        num_buckets=num_buckets,
+    )
+
+
+def _hash_bucket(h: np.ndarray, nb: int) -> np.ndarray:
+    """Monotone multiply-shift bucket over uint64 hash space (order by
+    (bucket, h) == order by h)."""
+    return (
+        ((h >> np.uint64(32)) * np.uint64(nb)) >> np.uint64(32)
+    ).astype(np.int64)
+
+
+def build_vocab(ds, *, text_col: str = "text", min_count: int = 1,
+                num_buckets: int = 64, hash_buckets: int = 64):
+    """(token, count, token_id) with ``token_id`` = 0-based rank under
+    ``(count DESC, md5_hash64(token) ASC, token ASC)`` — a total order, so
+    ids are contiguous, deterministic, and identical on any cluster shape.
+
+    Distributed rank: (1) hash-augment the counts table; (2) fold the
+    (count, hash_bucket) histogram — ``distinct_counts × hash_buckets``
+    tiny rows — and exclusive-scan it on the driver in rank order;
+    (3) co-locate each hash bucket, sort locally, and add base + local
+    rank. No token string ever reaches the driver."""
+    import ray
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    counts = corpus_token_counts(
+        ds, text_col=text_col, num_buckets=num_buckets
+    )
+    if min_count > 1:
+
+        def keep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(
+                pc.greater_equal(t.column("count"), min_count)
+            )
+
+        counts = counts.map_batches(keep, batch_format="pyarrow")
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = md5_hash64(df["token"].to_numpy())
+        df["_h"] = h
+        df[_HB_COL] = _hash_bucket(h, hash_buckets)
+        return df
+
+    augmented = counts.map_batches(augment, batch_format="pandas")
+    # counts is the vocab table (2 narrow columns); persist so the
+    # histogram pass and the rank pass don't re-run the corpus fold twice
+    augmented = augmented.materialize()
+
+    hist = (
+        augmented.map_batches(
+            lambda df: df.groupby(
+                ["count", _HB_COL], sort=False, observed=True
+            ).size().rename("n").reset_index(),
+            batch_format="pandas",
+        )
+        .groupby(["count", _HB_COL]).sum("n").to_pandas()
+    )
+    n_col = "sum(n)" if "sum(n)" in hist.columns else "n"
+    hist = hist.sort_values(
+        ["count", _HB_COL], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    n = hist[n_col].to_numpy(dtype=np.int64)
+    hist["_base"] = np.concatenate([[0], np.cumsum(n)[:-1]])
+    base = hist[["count", _HB_COL, "_base"]]
+    ref = ray.put(base)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["count", _HB_COL, "_h", "token"],
+            ascending=[False, True, True, True], kind="mergesort",
+        ).reset_index(drop=True)
+        local = df.groupby(
+            ["count", _HB_COL], sort=False, observed=True
+        ).cumcount().to_numpy()
+        b = df.merge(ray.get(ref), on=["count", _HB_COL], how="left")
+        df["token_id"] = b["_base"].to_numpy(dtype=np.int64) + local
+        return df[["token", "count", "token_id"]]
+
+    return bucketed_map_groups(
+        augmented, _HB_COL, per_bucket, num_buckets=hash_buckets
+    )
+
+
+def encode_tokens(ds, vocab, *, text_col: str = "text",
+                  id_col: str = "doc_id", keep_token: bool = True):
+    """Explode documents to ``(id, pos, [token,] token_id)`` — the integer
+    id sequence a trainer consumes. ``vocab`` is the (token, count,
+    token_id) table from :func:`build_vocab` (Dataset or DataFrame); it is
+    the bounded broadcast side (``ray.put`` once, hash-index lookup per
+    batch). Out-of-vocabulary tokens encode as -1 (the unk convention)."""
+    import ray
+
+    vdf = vocab.to_pandas() if hasattr(vocab, "to_pandas") else vocab
+    index = pd.Index(vdf["token"].to_numpy())
+    ids = vdf["token_id"].to_numpy(dtype=np.int64)
+    ref = ray.put((index, ids))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        idx, vid = ray.get(ref)
+        flat, parent, _ = _tok_stats(batch, text_col)
+        parent = np.asarray(parent, dtype=np.int64)
+        # position within each doc: run-relative arange over parent runs
+        npos = len(parent)
+        if npos:
+            first = np.ones(npos, dtype=bool)
+            first[1:] = parent[1:] != parent[:-1]
+            starts = np.flatnonzero(first)
+            pos = np.arange(npos, dtype=np.int64) - np.repeat(
+                starts, np.diff(np.append(starts, npos))
+            )
+        else:
+            pos = np.zeros(0, dtype=np.int64)
+        loc = idx.get_indexer(flat.to_numpy(zero_copy_only=False))
+        tid = np.where(loc >= 0, vid[np.maximum(loc, 0)], -1)
+        cols = {
+            id_col: batch.column(id_col).take(pa.array(parent)),
+            "pos": pa.array(pos, type=pa.int64()),
+        }
+        if keep_token:
+            cols["token"] = flat
+        cols["token_id"] = pa.array(tid, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _vocab_cte(*, table: str, text_col: str, min_count: int) -> str:
+    return f"""
+        toks_v AS (
+          SELECT unnest(list_filter(string_split({text_col}, ' '),
+                                    x -> x <> '')) AS token
+          FROM {table}
+        ), counts_v AS (
+          SELECT token, count(*)::BIGINT AS count FROM toks_v
+          GROUP BY 1 HAVING count(*) >= {min_count}
+        ), vocab AS (
+          SELECT token, count,
+                 (row_number() OVER (
+                      ORDER BY count DESC, md5_number_upper(token), token
+                  ) - 1)::BIGINT AS token_id
+          FROM counts_v
+        )"""
+
+
+def build_vocab_sql(*, table: str = "documents", text_col: str = "text",
+                    min_count: int = 1) -> str:
+    return f"""
+        WITH {_vocab_cte(table=table, text_col=text_col,
+                         min_count=min_count)}
+        SELECT token, count, token_id FROM vocab"""
+
+
+def encode_tokens_sql(*, table: str = "documents",
+                      text_col: str = "text", id_col: str = "doc_id",
+                      min_count: int = 1) -> str:
+    return f"""
+        WITH {_vocab_cte(table=table, text_col=text_col,
+                         min_count=min_count)},
+        base AS (
+          SELECT {id_col},
+                 list_filter(string_split({text_col}, ' '),
+                             x -> x <> '') AS arr
+          FROM {table}
+        ), exploded AS (
+          SELECT {id_col}, (i - 1)::BIGINT AS pos, arr[i] AS token
+          FROM base, LATERAL unnest(range(1, len(arr) + 1)) AS t(i)
+        )
+        SELECT e.{id_col}, e.pos, e.token,
+               coalesce(v.token_id, -1)::BIGINT AS token_id
+        FROM exploded e LEFT JOIN vocab v USING (token)"""

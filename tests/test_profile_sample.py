@@ -81,3 +81,131 @@ def test_stratified_sample_decimal_exact_quota():
     ).to_pandas()
     sql_quota = duckdb.sql("SELECT ceil(0.07 * 300)").fetchone()[0]
     assert len(out) == int(sql_quota) == 21
+
+
+def test_deterministic_shuffle_is_permutation_and_shape_independent():
+    from htrc_feature_reader_ray.stages.sample import deterministic_shuffle
+
+    rows = [{"doc_id": i, "payload": f"p{i}"} for i in range(211)]
+    ds = ray.data.from_items(rows)
+    out = (
+        deterministic_shuffle(ds, id_col="doc_id", salt="s:", num_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # exact 0..n-1 permutation, payload intact
+    assert sorted(out.shuffle_pos.tolist()) == list(range(211))
+    assert out.payload.tolist() == [f"p{i}" for i in range(211)]
+    # cluster-shape independence: different bucket count AND block shape
+    # give the identical permutation (pure function of the data)
+    ds2 = ray.data.from_items(rows).repartition(7)
+    out2 = (
+        deterministic_shuffle(ds2, id_col="doc_id", salt="s:",
+                              num_buckets=32)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out2.shuffle_pos.tolist() == out.shuffle_pos.tolist()
+    # a different salt draws a different permutation (per-epoch reshuffle)
+    out3 = (
+        deterministic_shuffle(ds, id_col="doc_id", salt="t:", num_buckets=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out3.shuffle_pos.tolist() != out.shuffle_pos.tolist()
+    # serial reference: rank of (md5 little-endian-8(salt+id), id)
+    import hashlib
+
+    h = [
+        int.from_bytes(
+            hashlib.md5(f"s:{i}".encode()).digest()[:8], "little"
+        )
+        for i in range(211)
+    ]
+    order = sorted(range(211), key=lambda i: (h[i], i))
+    expect = [0] * 211
+    for pos, i in enumerate(order):
+        expect[i] = pos
+    assert out.shuffle_pos.tolist() == expect
+
+
+def test_normalize_features_exact_vs_pandas():
+    from htrc_feature_reader_ray.stages.profile import normalize_features
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "id": np.arange(300),
+        "g": rng.choice(["a", "b", "c", "solo"], 300,
+                        p=[0.5, 0.3, 0.19, 0.01]),
+        "v": rng.integers(0, 10_000, 300),
+    })
+    # force a constant group (std == 0 and mx == mn -> both features 0.0)
+    df.loc[df.g == "solo", "v"] = 42
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = (
+        normalize_features(ds, key="g", value_col="v")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # reference: population z-score with the same expression order
+    st = df.groupby("g")["v"].agg(["size", "sum", "min", "max"])
+    ss = df.assign(v2=df.v.astype(np.int64) ** 2).groupby("g")["v2"].sum()
+    for gname, sub in out.groupby("g"):
+        n = float(st.loc[gname, "size"]); s = float(st.loc[gname, "sum"])
+        var = max((float(ss.loc[gname]) - s * s / n) / n, 0.0)
+        std = var ** 0.5
+        mn, mx = st.loc[gname, "min"], st.loc[gname, "max"]
+        v = sub.v.to_numpy()
+        ez = (v - s / n) / std if std > 0 else np.zeros(len(v))
+        em = (v - mn) / (mx - mn) if mx > mn else np.zeros(len(v))
+        assert np.array_equal(sub.z_v.to_numpy(), ez)
+        assert np.array_equal(sub.minmax_v.to_numpy(), em)
+    solo = out[out.g == "solo"]
+    assert (solo.z_v == 0.0).all() and (solo.minmax_v == 0.0).all()
+
+
+def test_hash_split_entity_keyed_and_deterministic():
+    from htrc_feature_reader_ray.stages.sample import hash_split
+
+    rows = [
+        {"doc_id": i, "source": f"src{i % 37}"} for i in range(400)
+    ]
+    ds = ray.data.from_items(rows)
+    out = hash_split(
+        ds, fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        by="source", salt="v1:",
+    ).to_pandas()
+    # exhaustive + disjoint: every row gets exactly one valid label
+    assert set(out.split.unique()) <= {"train", "val", "test"}
+    assert len(out) == 400
+    # entity consistency: all docs of a source share one split
+    assert (out.groupby("source").split.nunique() == 1).all()
+    # pure function of the data: block shape doesn't change assignment
+    out2 = hash_split(
+        ray.data.from_items(rows).repartition(9),
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        by="source", salt="v1:",
+    ).to_pandas()
+    m1 = out.set_index("doc_id").split
+    m2 = out2.set_index("doc_id").split
+    assert m1.sort_index().equals(m2.sort_index())
+    # serial reference: md5 little-endian-8 vs exact-rational thresholds
+    import hashlib
+    t_train = (4 << 64) // 5
+    t_val = (9 << 64) // 10
+    for src in {r["source"] for r in rows}:
+        h = int.from_bytes(
+            hashlib.md5(f"v1:{src}".encode()).digest()[:8], "little")
+        expect = ("train" if h < t_train
+                  else "val" if h < t_val else "test")
+        assert (out[out.source == src].split == expect).all()
+
+
+def test_hash_split_rejects_bad_fractions():
+    import pytest as _pytest
+    from htrc_feature_reader_ray.stages.sample import _split_thresholds
+
+    with _pytest.raises(ValueError):
+        _split_thresholds({"a": 0.5, "b": 0.6})
+    with _pytest.raises(ValueError):
+        _split_thresholds({"a": 1.2, "b": -0.2})
+    # exact decimal strings sum to 1 via Fraction('0.9') etc.
+    names, cum = _split_thresholds({"a": 0.9, "b": 0.05, "c": 0.05})
+    assert names == ["a", "b", "c"] and len(cum) == 2
+    assert cum[0] == (9 << 64) // 10
