@@ -497,6 +497,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), id_col="doc_id", salt="ep0:", num_buckets=16
         )
 
+    def q_token_windows(sf):
+        """Sliding token-window text chunking (LLM context-window prep):
+        width-32 windows every 24 tokens, last window truncated at n —
+        zero shuffle, windows materialize inside each doc's batch."""
+        from htrc_feature_reader_ray.stages.chunk import token_windows
+
+        return token_windows(_docs(sf), width=32, stride=24)
+
+    def q_quantile_bucketize(sf):
+        """Corpus-relative decile binning of doc length (n_chars): tiny
+        distinct-value histogram fold -> driver thresholds (exact integer
+        rank formula) -> stateless closure-captured assignment."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import quantile_bucketize
+
+        ds = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return quantile_bucketize(ds, "n_chars", num_buckets=10)
+
     def q_url_parts(sf):
         """URL decomposition/normalization (scheme, host, domain, path) —
         vectorized pandas string kernels, SQL-mirrored 1:1."""
@@ -1238,6 +1258,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_tokens": q_encode_tokens,
         # leakage-safe deterministic train/val/test split (entity-keyed)
         "hash_split": q_hash_split,
+        # sliding token-window chunking (LLM context-window prep)
+        "token_windows": q_token_windows,
+        # corpus-relative quantile binning (decile buckets of doc length)
+        "quantile_bucketize": q_quantile_bucketize,
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
         "dedup_embedding_cosine": q_dedup_emb,
         "ann_cosine_topk": q_ann,
@@ -1406,7 +1430,13 @@ def _ann_lsh_sql(*, nbits: int = 6, dim: int = 64, seed: int = 42) -> str:
 def oracle_sql() -> dict[str, str]:
     from htrc_feature_reader_ray.stages import curate, sketch
     from htrc_feature_reader_ray.stages.pack import pack_sequences_sql
-    from htrc_feature_reader_ray.stages.profile import normalize_features_sql
+    from htrc_feature_reader_ray.stages.chunk import (
+        token_windows_sql as _token_windows_sql,
+    )
+    from htrc_feature_reader_ray.stages.profile import (
+        normalize_features_sql,
+        quantile_bucketize_sql as _quantile_bucketize_sql,
+    )
     from htrc_feature_reader_ray.stages.sample import (
         deterministic_shuffle_sql,
         hash_split_sql,
@@ -2158,6 +2188,12 @@ def oracle_sql() -> dict[str, str]:
         # count tier (md5_number_upper == engine md5_hash64)
         "build_vocab": build_vocab_sql(min_count=2),
         "encode_tokens": encode_tokens_sql(min_count=2),
+        # identical integer window-count formula + 1-based inclusive slices
+        "token_windows": _token_windows_sql(width=32, stride=24),
+        # identical integer rank formula, duplicate thresholds preserved
+        "quantile_bucketize": _quantile_bucketize_sql(
+            "n_chars", num_buckets=10, columns="d.doc_id, d.n_chars",
+        ),
         # identical IEEE expression order on both engines -> bit-equal z
         "normalize_features": normalize_features_sql(
             key="lang", value_col="n_chars",

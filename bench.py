@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "build_vocab",
     "encode_tokens",
     "normalize_features",
+    "token_windows",
+    "quantile_bucketize",
 ]
 
 HEADLINE = "flagship"

@@ -135,6 +135,10 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.vocab", "corpus_token_counts"),
         "hash_split": (
             "htrc_feature_reader_ray.stages.sample", "hash_split"),
+        "token_windows": (
+            "htrc_feature_reader_ray.stages.chunk", "token_windows"),
+        "quantile_bucketize": (
+            "htrc_feature_reader_ray.stages.profile", "quantile_bucketize"),
         "incremental_dedup": (
             "htrc_feature_reader_ray.state.dedup_index", "incremental_dedup"),
         "create_dedup_index": (

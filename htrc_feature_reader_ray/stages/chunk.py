@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
@@ -327,3 +328,95 @@ def chunk_bounds(tokens_ds, *, target, strategy: str = "even",
     prefolded = tokens_ds.map_batches(prefold, batch_format="pyarrow")
     return bucketed_map_groups(prefolded, "url", per_bucket,
                                num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# sliding token-window text chunking (LLM context-window prep)
+
+
+def token_windows(ds, *, width: int, stride: int | None = None,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Sliding token-window chunking: split each document into whitespace
+    tokens (empties filtered, the engine-wide convention of
+    textstats._tok_stats) and emit windows of ``width`` tokens every
+    ``stride`` tokens — the standard LLM context-window prep. ``stride <
+    width`` yields overlapping windows; default ``stride = width`` tiles.
+
+    Window count per doc: ``(max(n - width, 0) + stride - 1) // stride + 1``
+    for ``n > 0`` (the last window truncates at ``n``, so every token is
+    covered and the final window starts before ``n``); empty docs emit
+    nothing. Output: ``(id, window_id, start_tok, n_tok, window_text)``.
+
+    Scale shape: one stateless ``map_batches`` — zero shuffle, each doc's
+    windows are produced inside its own batch. The token split/offset math
+    is vectorized Arrow/numpy; only the final per-window join is a
+    C-level ``str.join`` over numpy slices (output-proportional work, same
+    as any re-materialization of the window text).
+    """
+    if width <= 0 or (stride is not None and stride <= 0):
+        raise ValueError(f"width/stride must be > 0, got {width}/{stride}")
+    stride = width if stride is None else stride
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+        flat, parent, n = _tok_stats(batch, text_col)
+        ntok = np.bincount(parent, minlength=n).astype(np.int64)
+        nw = np.where(
+            ntok > 0,
+            (np.maximum(ntok - width, 0) + stride - 1) // stride + 1,
+            0,
+        ).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), nw)
+        total = int(nw.sum())
+        offs = np.concatenate([[0], np.cumsum(nw)[:-1]]) if n else np.zeros(0, np.int64)
+        win_id = (np.arange(total, dtype=np.int64)
+                  - (offs[doc_idx] if total else np.zeros(0, np.int64)))
+        start = win_id * stride
+        end = np.minimum(start + width, ntok[doc_idx])
+        tok_off = (np.concatenate([[0], np.cumsum(ntok)[:-1]])
+                   if n else np.zeros(0, np.int64))
+        a = tok_off[doc_idx] + start
+        b = tok_off[doc_idx] + end
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        texts = [" ".join(toks[x:y]) for x, y in zip(a, b)]
+        ids = batch.column(id_col).take(pa.array(doc_idx, type=pa.int64()))
+        return pa.table({
+            id_col: ids,
+            "window_id": pa.array(win_id, type=pa.int64()),
+            "start_tok": pa.array(start, type=pa.int64()),
+            "n_tok": pa.array(end - start, type=pa.int64()),
+            "window_text": pa.array(texts, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_windows_sql(*, width: int, stride: int | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      table: str = "documents") -> str:
+    """SQL mirror of :func:`token_windows` (1-based inclusive DuckDB list
+    slices; identical integer window-count formula)."""
+    stride = width if stride is None else stride
+    return f"""
+        WITH base AS (
+          SELECT {id_col},
+                 list_filter(string_split({text_col}, ' '), x -> x <> '') AS arr
+          FROM {table}
+        ), s AS (
+          SELECT {id_col}, arr, len(arr)::BIGINT AS n,
+                 CASE WHEN len(arr) = 0 THEN 0
+                      ELSE (greatest(len(arr) - {width}, 0) + {stride} - 1)
+                           // {stride} + 1
+                 END AS nw
+          FROM base
+        )
+        SELECT {id_col}, w::BIGINT AS window_id,
+               (w * {stride})::BIGINT AS start_tok,
+               (least(w * {stride} + {width}, n) - w * {stride})::BIGINT
+                   AS n_tok,
+               array_to_string(
+                   arr[(w * {stride} + 1)::INT
+                       : least(w * {stride} + {width}, n)::INT], ' ')
+                   AS window_text
+        FROM s, LATERAL unnest(range(0, nw)) AS t(w)"""

@@ -260,3 +260,69 @@ def normalize_features_sql(*, key: str, value_col: str,
                     THEN ({v} - mn) / (mx - mn) ELSE 0.0
                END AS minmax_{v}
         FROM d"""
+
+
+# ---------------------------------------------------------------------------
+# quantile bucketize (corpus-relative binning for filtering / stratification)
+
+
+def quantile_bucketize(ds, col: str, *, num_buckets: int = 4,
+                       out_col: str = "bucket"):
+    """Assign each row its corpus-relative quantile bucket of ``col``
+    (0-based, ``num_buckets`` bins): bucket = count of quantile thresholds
+    strictly below the row's value, thresholds being the values at 1-based
+    ranks ``ceil(k·n / num_buckets)`` (exact integer arithmetic) for
+    k = 1..num_buckets-1 — a pure function of the data, SQL-replayable.
+
+    Two passes: (1) the tiny distinct-value histogram fold of
+    :func:`value_histogram` (projected to ``col``, so the read pushes down
+    and the payload never flows through pass 1) → thresholds on the driver;
+    (2) one stateless ``map_batches`` with the K-1 thresholds captured in
+    the closure (no shuffle, no broadcast table needed). Pass 1 re-executes
+    the upstream pipeline — materialize upstream first if it is expensive.
+    Module contract applies: ``col`` is an integer quantization."""
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    hdf = _hist_df(ds.select_columns([col]), col)
+    if hdf.empty:
+        thresholds = np.zeros(0, dtype=np.int64)
+    else:
+        cum = hdf["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = hdf[col].to_numpy()
+        K = num_buckets
+        ranks = [max(1, (k * n + K - 1) // K) for k in range(1, K)]
+        thresholds = np.array(
+            [vals[int(np.searchsorted(cum, r))] for r in ranks]
+        )  # nondecreasing by construction (ranks ascending, vals sorted)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        # count of thresholds < v (left insertion point), duplicates counted
+        b = np.searchsorted(thresholds, v, side="left").astype(np.int64)
+        return batch.append_column(out_col, pa.array(b, type=pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def quantile_bucketize_sql(col: str, *, num_buckets: int = 4,
+                           out_col: str = "bucket",
+                           table: str = "documents",
+                           columns: str = "*") -> str:
+    """SQL mirror: identical integer rank formula, duplicate thresholds
+    preserved (one row per k), strict `<` comparison."""
+    K = num_buckets
+    return f"""
+        WITH c AS (SELECT count(*)::BIGINT AS n FROM {table}),
+        r AS (SELECT {col} AS v, row_number() OVER (ORDER BY {col}) AS rn
+              FROM {table}),
+        th AS (
+          SELECT r.v AS t
+          FROM (SELECT greatest(1, (s.k * c.n + {K} - 1) // {K}) AS rk
+                FROM c, LATERAL unnest(range(1, {K})) AS s(k)) ranks
+          JOIN r ON r.rn = ranks.rk
+        )
+        SELECT {columns},
+               (SELECT count(*) FROM th WHERE th.t < d.{col})::BIGINT
+                   AS {out_col}
+        FROM {table} d"""

@@ -257,3 +257,65 @@ def test_reference_strategy_in_chunk_units():
             g["wt"].to_numpy(dtype=float), 100, "even"
         )
         assert g["chunk"].tolist() == expect.tolist(), u
+
+
+def test_token_windows_vs_sql_mirror():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.chunk import (
+        token_windows,
+        token_windows_sql,
+    )
+
+    rows = []
+    rng = np.random.default_rng(3)
+    for i in range(60):
+        n = int(rng.integers(0, 25))
+        # irregular whitespace + empty docs exercise the filter convention
+        toks = [f"w{int(rng.integers(0, 9))}" for _ in range(n)]
+        rows.append({"doc_id": i, "text": "  ".join(toks) if i % 7 else ""})
+    ds = ray.data.from_items(rows).repartition(5)
+    out = (
+        token_windows(ds, width=6, stride=4)
+        .to_pandas()
+        .sort_values(["doc_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs_df", pd.DataFrame(rows))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_df")
+    exp = (
+        con.execute(token_windows_sql(width=6, stride=4))
+        .df()
+        .sort_values(["doc_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+    assert (out.n_tok > 0).all()
+    assert (out.n_tok <= 6).all()
+
+
+def test_token_windows_tiling_and_empty():
+    from htrc_feature_reader_ray.stages.chunk import token_windows
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "a b c d e f g h"},  # 8 toks
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "x"},
+        ]
+    )
+    # default stride == width: exact tiling, last window truncated
+    out = (
+        token_windows(ds, width=3)
+        .to_pandas()
+        .sort_values(["doc_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert d1.window_text.tolist() == ["a b c", "d e f", "g h"]
+    assert d1.start_tok.tolist() == [0, 3, 6]
+    assert d1.n_tok.tolist() == [3, 3, 2]
+    assert (out.doc_id == 2).sum() == 0  # empty doc emits nothing
+    d3 = out[out.doc_id == 3]
+    assert d3.window_text.tolist() == ["x"] and d3.n_tok.tolist() == [1]

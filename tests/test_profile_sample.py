@@ -209,3 +209,44 @@ def test_hash_split_rejects_bad_fractions():
     names, cum = _split_thresholds({"a": 0.9, "b": 0.05, "c": 0.05})
     assert names == ["a", "b", "c"] and len(cum) == 2
     assert cum[0] == (9 << 64) // 10
+
+
+def test_quantile_bucketize_vs_sql_and_ties():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.profile import (
+        quantile_bucketize,
+        quantile_bucketize_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    # heavy ties: values drawn from a tiny space so thresholds collide
+    df = pd.DataFrame({
+        "doc_id": np.arange(500),
+        "v": rng.integers(0, 7, 500).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = (
+        quantile_bucketize(ds, "v", num_buckets=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs_df", df)
+    exp = (
+        con.execute(quantile_bucketize_sql(
+            "v", num_buckets=10, table="docs_df",
+            columns="d.doc_id, d.v",
+        )).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+    # equal values always share a bucket; buckets monotone in value
+    m = out.groupby("v").bucket
+    assert (m.nunique() == 1).all()
+    assert m.first().sort_index().is_monotonic_increasing
+    # shape independence
+    out2 = (
+        quantile_bucketize(ray.data.from_pandas(df).repartition(13),
+                           "v", num_buckets=10)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out2.bucket.tolist() == out.bucket.tolist()
