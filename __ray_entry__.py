@@ -593,6 +593,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak="event_id",
         )
 
+    def q_rolling_time(sf):
+        """Per-key rolling TIME-RANGE aggregate (RANGE INTERVAL '1 day'
+        PRECEDING): one bucketed pass, frame bounds for all keys from two
+        global searchsorted calls on a disjoint per-key epoch axis."""
+        from htrc_feature_reader_ray.stages.temporal import (
+            rolling_time_aggregate,
+        )
+
+        return rolling_time_aggregate(
+            _with_cents(_events(sf, ["event_id", "user_id", "ts", "value"])),
+            key="user_id", ts="ts", value_col="value_cents",
+            window="1 day",
+        )
+
+    def q_top_k_per_group(sf):
+        """Per-language top-5 longest documents: bucketed co-location +
+        one vectorized sort/head per bucket (no global sort)."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.fold import top_k_per_group
+
+        ds = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        return top_k_per_group(
+            ds, group_cols="lang", order_col="n_chars", k=5,
+            tiebreak="doc_id",
+        )
+
     def q_window_hopping(sf):
         from htrc_feature_reader_ray.stages.temporal import hopping_window
 
@@ -1274,6 +1302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parts": q_url_parts,
         "corpus_curation": q_corpus_curation,
         "rolling_features": q_rolling_features,
+        # per-key rolling time-range aggregate (RANGE INTERVAL PRECEDING)
+        "rolling_time": q_rolling_time,
+        # per-group top-k selection (deterministic ties)
+        "top_k_per_group": q_top_k_per_group,
         "window_hopping": q_window_hopping,
         "top_tokens_per_lang": q_top_tokens_per_lang,
         "customers_without_orders": q_customers_without_orders,
@@ -1887,6 +1919,34 @@ def oracle_sql() -> dict[str, str]:
                    percent_rank() OVER (
                      PARTITION BY user_id ORDER BY value_cents) AS pct_rank
             FROM e""",
+        # RANGE frame is a pure function of ts (peers at equal ts all
+        # included) -> order-independent; sums ::BIGINT, mean = one division
+        "rolling_time": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents
+              FROM events
+            )
+            SELECT event_id, user_id, ts, value_cents,
+                   (sum(value_cents) OVER w)::BIGINT AS rsum_value_cents,
+                   (count(*) OVER w)::BIGINT AS rcnt_value_cents,
+                   (sum(value_cents) OVER w)::DOUBLE / (count(*) OVER w)
+                       AS rmean_value_cents
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL '1 day' PRECEDING
+                               AND CURRENT ROW)""",
+        "top_k_per_group": """
+            WITH r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id)::BIGINT
+                         AS rank_in_group
+              FROM documents
+            )
+            SELECT doc_id, lang, n_chars, rank_in_group
+            FROM r WHERE rank_in_group <= 5""",
         "window_hopping": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS t,

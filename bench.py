@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "normalize_features",
     "token_windows",
     "quantile_bucketize",
+    "rolling_time",
+    "top_k_per_group",
 ]
 
 HEADLINE = "flagship"

@@ -137,6 +137,11 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.sample", "hash_split"),
         "token_windows": (
             "htrc_feature_reader_ray.stages.chunk", "token_windows"),
+        "rolling_time_aggregate": (
+            "htrc_feature_reader_ray.stages.temporal",
+            "rolling_time_aggregate"),
+        "top_k_per_group": (
+            "htrc_feature_reader_ray.stages.fold", "top_k_per_group"),
         "quantile_bucketize": (
             "htrc_feature_reader_ray.stages.profile", "quantile_bucketize"),
         "incremental_dedup": (

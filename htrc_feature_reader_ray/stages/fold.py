@@ -280,3 +280,31 @@ def term_freqs_topk(tokens_ds, k: int = 50, *, descending: bool = True):
         case=True, pos=False,
     )
     return folded.sort(["count", "token"], descending=[descending, False]).limit(k)
+
+
+def top_k_per_group(ds, *, group_cols, order_col, k: int,
+                    descending: bool = True, tiebreak=None,
+                    num_buckets: int = 32):
+    """Per-GROUP top-k selection (e.g. the k longest / highest-quality docs
+    per language): one bucketed pass co-locating each group, then a single
+    vectorized sort + ``groupby.head(k)`` per bucket — no global sort, no
+    driver materialization. Deterministic under ties via ``tiebreak``
+    (ascending), mirroring SQL
+    ``row_number() OVER (PARTITION BY g ORDER BY v [DESC], tiebreak)``;
+    emits ``rank_in_group`` (1-based) alongside every input column."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    sort_cols = group_cols + [order_col] + ([tiebreak] if tiebreak else [])
+    ascending = [True] * len(group_cols) + [not descending] + (
+        [True] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending,
+                            kind="mergesort").reset_index(drop=True)
+        g = df.groupby(group_cols, sort=False, observed=True)
+        df["rank_in_group"] = (g.cumcount() + 1).astype("int64")
+        return df[df["rank_in_group"] <= k]
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    return bucketed_map_groups(ds, group_cols[0], per_bucket,
+                               num_buckets=num_buckets)

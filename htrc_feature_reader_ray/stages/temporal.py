@@ -733,3 +733,71 @@ def backfill(grid_ds, features_df: pd.DataFrame, *, on, ts,
         grid_ds, features_df, on=on, ts=ts,
         direction="backward", tolerance=tolerance,
     )
+
+
+def rolling_time_aggregate(ds, *, key, ts, value_col, window,
+                           num_buckets: int = 32):
+    """Per-key rolling TIME-RANGE aggregate: for every row, the exact
+    sum/count/mean of ``value_col`` over the key's rows with
+    ``ts ∈ [row.ts − window, row.ts]`` — SQL's
+    ``RANGE BETWEEN INTERVAL window PRECEDING AND CURRENT ROW`` (peer rows
+    at the same ts are all included; the frame is a pure function of ts, so
+    results are order-independent under ties). Complements the ROW-window
+    battery of :func:`rolling_key_features`.
+
+    One bucketed pass, fully vectorized ACROSS keys (no per-key Python
+    loop): each key's epoch-µs axis is shifted onto a disjoint global axis
+    (consecutive keys separated by > window), so frame bounds for every row
+    of every key come from two global ``searchsorted`` calls and the sums
+    from one prefix-sum difference. Integer sums stay int64 (exact);
+    ``rmean`` is one IEEE division (sum→double / count), mirroring SQL.
+
+    Output: all input columns + ``rsum_<v>``, ``rcnt_<v>``, ``rmean_<v>``.
+    """
+    require_columns(ds.schema().names, [key, ts, value_col],
+                    op="rolling_time_aggregate")
+    window_us = int(pd.Timedelta(window).value // 1000)
+    rsum, rcnt, rmean = (f"{p}_{value_col}" for p in ("rsum", "rcnt", "rmean"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts], kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            df[rsum] = np.zeros(0, np.int64)
+            df[rcnt] = np.zeros(0, np.int64)
+            df[rmean] = np.zeros(0, np.float64)
+            return df
+        t = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        codes, _ = pd.factorize(df[key], sort=False)
+        newg = np.empty(n, dtype=bool)
+        newg[0] = True
+        newg[1:] = codes[1:] != codes[:-1]
+        gidx = np.cumsum(newg) - 1
+        gs = np.flatnonzero(newg)          # group start indices
+        ge = np.append(gs[1:], n)          # group end (exclusive)
+        gmin = t[gs]
+        step = (t[ge - 1] - gmin) + window_us + 1
+        v = df[value_col].to_numpy(dtype=np.int64)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        if float(step.sum(dtype=np.float64)) > 9e18:
+            # pathological spans × groups would overflow the disjoint axis:
+            # per-group searchsorted fallback (still vectorized per group)
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            for g0, g1 in zip(gs, ge):
+                seg = t[g0:g1]
+                lo[g0:g1] = g0 + np.searchsorted(seg, seg - window_us, "left")
+                hi[g0:g1] = g0 + np.searchsorted(seg, seg, "right")
+        else:
+            base = np.concatenate([[0], np.cumsum(step)[:-1]])
+            u = t - gmin[gidx] + base[gidx]
+            lo = np.searchsorted(u, u - window_us, "left")
+            hi = np.searchsorted(u, u, "right")
+        df[rsum] = (cs[hi] - cs[lo]).astype(np.int64)
+        df[rcnt] = (hi - lo).astype(np.int64)
+        df[rmean] = (cs[hi] - cs[lo]).astype(np.float64) / (hi - lo)
+        return df
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)

@@ -1,3 +1,5 @@
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -180,3 +182,44 @@ def test_term_freqs_topk(tokens_ds, duck):
         """
     ).df()
     assert_frames_match(got, oracle)
+
+
+def test_top_k_per_group_vs_sql_ties_and_shape():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.fold import top_k_per_group
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "g": rng.choice(["en", "de", "fr"], 300),
+        "v": rng.integers(0, 20, 300).astype(np.int64),  # heavy ties
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = (
+        top_k_per_group(ds, group_cols="g", order_col="v", k=4,
+                        tiebreak="doc_id", num_buckets=4)
+        .to_pandas().sort_values(["g", "rank_in_group"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        WITH r AS (
+          SELECT doc_id, g, v,
+                 row_number() OVER (PARTITION BY g
+                                    ORDER BY v DESC, doc_id)::BIGINT
+                   AS rank_in_group
+          FROM t)
+        SELECT * FROM r WHERE rank_in_group <= 4
+        ORDER BY g, rank_in_group
+    """).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "g", "v", "rank_in_group"]], exp, check_dtype=True)
+    # ascending variant returns the k smallest
+    asc = (
+        top_k_per_group(ds, group_cols="g", order_col="v", k=1,
+                        descending=False, tiebreak="doc_id", num_buckets=4)
+        .to_pandas()
+    )
+    assert (asc.groupby("g").v.max() == df.groupby("g").v.min()).all()

@@ -317,3 +317,65 @@ def test_mark_late_events_watermark_semantics():
         .sort_values("event_id")
     )
     assert list(out.is_late) == [1, 0, 0, 0, 0, 0]
+
+
+def test_rolling_time_aggregate_vs_sql_with_ties():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.temporal import rolling_time_aggregate
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 12, n),
+        # coarse grid forces duplicate ts within keys (RANGE peer semantics)
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 50, n) * 3600, unit="s"),
+        "v": rng.integers(-100, 100, n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = (
+        rolling_time_aggregate(ds, key="k", ts="ts", value_col="v",
+                               window="5 hours", num_buckets=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("e", df)
+    exp = con.execute("""
+        SELECT event_id, k, ts, v,
+               (sum(v) OVER w)::BIGINT AS rsum_v,
+               (count(*) OVER w)::BIGINT AS rcnt_v,
+               (sum(v) OVER w)::DOUBLE / (count(*) OVER w) AS rmean_v
+        FROM e
+        WINDOW w AS (PARTITION BY k ORDER BY ts
+                     RANGE BETWEEN INTERVAL '5 hours' PRECEDING
+                           AND CURRENT ROW)
+    """).df().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["event_id", "k", "ts", "v", "rsum_v", "rcnt_v", "rmean_v"]],
+        exp, check_dtype=True,
+    )
+
+
+def test_rolling_time_aggregate_overflow_fallback_path():
+    from htrc_feature_reader_ray.stages.temporal import rolling_time_aggregate
+
+    # 600 keys × ~500-year span in µs exceeds the 9e18 disjoint-axis budget,
+    # forcing the per-group searchsorted fallback; answers must be identical
+    rows = []
+    for k in range(600):
+        rows.append({"event_id": 2 * k, "k": k,
+                     "ts": pd.Timestamp("1700-01-01"), "v": 1})
+        rows.append({"event_id": 2 * k + 1, "k": k,
+                     "ts": pd.Timestamp("2200-01-01"), "v": 10})
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df)
+    out = (
+        rolling_time_aggregate(ds, key="k", ts="ts", value_col="v",
+                               window="1 hour", num_buckets=1)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # each event only sees itself (gap >> window)
+    assert out.rsum_v.tolist() == [1, 10] * 600
+    assert (out.rcnt_v == 1).all()
