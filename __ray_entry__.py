@@ -517,6 +517,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quantile_bucketize(ds, "n_chars", num_buckets=10)
 
+    def q_ecdf(sf):
+        """Corpus-relative ECDF of doc length (cume_dist): histogram fold
+        -> broadcast (values, cum) arrays -> stateless vectorized lookup."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import ecdf
+
+        ds = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "n_chars"]
+        )
+        return ecdf(ds, "n_chars")
+
     def q_url_parts(sf):
         """URL decomposition/normalization (scheme, host, domain, path) —
         vectorized pandas string kernels, SQL-mirrored 1:1."""
@@ -608,17 +619,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_top_k_per_group(sf):
-        """Per-language top-5 longest documents: bucketed co-location +
-        one vectorized sort/head per bucket (no global sort)."""
+        """Per-language top-5 longest documents with emitted 1-based rank:
+        the lossless local-top-k combiner + bucketed finish (rank computed
+        only after the combiner — exchange carries <= groups*k rows)."""
         import ray.data
-        from htrc_feature_reader_ray.stages.fold import top_k_per_group
+        from htrc_feature_reader_ray.stages.fold import topk_per_group
 
         ds = ray.data.read_parquet(
             f"{sf}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
         )
-        return top_k_per_group(
-            ds, group_cols="lang", order_col="n_chars", k=5,
-            tiebreak="doc_id",
+        return topk_per_group(
+            ds, group_cols=["lang"], sort_col="n_chars", k=5,
+            tie_cols=["doc_id"], rank_col="rank_in_group", num_buckets=8,
         )
 
     def q_window_hopping(sf):
@@ -1290,6 +1302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_windows": q_token_windows,
         # corpus-relative quantile binning (decile buckets of doc length)
         "quantile_bucketize": q_quantile_bucketize,
+        # corpus-relative empirical CDF column (cume_dist)
+        "ecdf": q_ecdf,
         "dedup_simhash": lambda sf: simhash(_docs(sf)),
         "dedup_embedding_cosine": q_dedup_emb,
         "ann_cosine_topk": q_ann,
@@ -1466,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         token_windows_sql as _token_windows_sql,
     )
     from htrc_feature_reader_ray.stages.profile import (
+        ecdf_sql as _ecdf_sql,
         normalize_features_sql,
         quantile_bucketize_sql as _quantile_bucketize_sql,
     )
@@ -2250,6 +2265,8 @@ def oracle_sql() -> dict[str, str]:
         "encode_tokens": encode_tokens_sql(min_count=2),
         # identical integer window-count formula + 1-based inclusive slices
         "token_windows": _token_windows_sql(width=32, stride=24),
+        # cume_dist == count(<=v)/n, identical int/int IEEE division
+        "ecdf": _ecdf_sql("n_chars", columns="doc_id, n_chars"),
         # identical integer rank formula, duplicate thresholds preserved
         "quantile_bucketize": _quantile_bucketize_sql(
             "n_chars", num_buckets=10, columns="d.doc_id, d.n_chars",

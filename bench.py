@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "quantile_bucketize",
     "rolling_time",
     "top_k_per_group",
+    "ecdf",
 ]
 
 HEADLINE = "flagship"

@@ -140,10 +140,10 @@ def __getattr__(name):
         "rolling_time_aggregate": (
             "htrc_feature_reader_ray.stages.temporal",
             "rolling_time_aggregate"),
-        "top_k_per_group": (
-            "htrc_feature_reader_ray.stages.fold", "top_k_per_group"),
         "quantile_bucketize": (
             "htrc_feature_reader_ray.stages.profile", "quantile_bucketize"),
+        "ecdf": (
+            "htrc_feature_reader_ray.stages.profile", "ecdf"),
         "incremental_dedup": (
             "htrc_feature_reader_ray.state.dedup_index", "incremental_dedup"),
         "create_dedup_index": (

@@ -247,7 +247,8 @@ def distinct_tokens(tokens_ds, *, min_count: int = 1, case: bool = True):
 
 
 def topk_per_group(ds, *, group_cols, sort_col, k: int, tie_cols=(),
-                   descending: bool = True, num_buckets: int = 32):
+                   descending: bool = True, num_buckets: int = 32,
+                   rank_col=None):
     """Top-k ROWS per group by ``sort_col`` (ties broken by ``tie_cols``
     ascending) — the per-entity sibling of the corpus-level desc-sort top-k
     (``term_volume_freqs``, feature_reader.py:772-779).
@@ -256,7 +257,12 @@ def topk_per_group(ds, *, group_cols, sort_col, k: int, tie_cols=(),
     top-k can't be in the global top-k, so the combiner is lossless) shrinks
     the exchange to ≤ groups×k rows per batch, then one bucketed pass
     finishes each group. Input rows must already be globally aggregated
-    (one row per candidate) — run the fold first."""
+    (one row per candidate) — run the fold first.
+
+    ``rank_col`` (optional) emits the 1-based within-group rank in the
+    finishing pass — SQL's ``row_number() OVER (PARTITION BY g ORDER BY v
+    [DESC], ties)`` — computed only after the lossless combiner, so the
+    exchange shape is unchanged."""
     group_cols = list(group_cols)
     sort_by = group_cols + [sort_col] + list(tie_cols)
     asc = [True] * len(group_cols) + [not descending] + [True] * len(tie_cols)
@@ -265,9 +271,18 @@ def topk_per_group(ds, *, group_cols, sort_col, k: int, tie_cols=(),
         df = df.sort_values(sort_by, ascending=asc, kind="mergesort")
         return df.groupby(group_cols, sort=False).head(k)
 
+    def finish(df):
+        df = df.sort_values(sort_by, ascending=asc,
+                            kind="mergesort").reset_index(drop=True)
+        g = df.groupby(group_cols, sort=False, observed=True)
+        if rank_col is None:
+            return g.head(k)
+        df[rank_col] = (g.cumcount() + 1).astype("int64")
+        return df[df[rank_col] <= k]
+
     partial = ds.map_batches(local_topk, batch_format="pandas")
     return bucketed_map_groups(
-        partial, group_cols[0], local_topk, num_buckets=num_buckets
+        partial, group_cols[0], finish, num_buckets=num_buckets
     )
 
 
@@ -280,31 +295,3 @@ def term_freqs_topk(tokens_ds, k: int = 50, *, descending: bool = True):
         case=True, pos=False,
     )
     return folded.sort(["count", "token"], descending=[descending, False]).limit(k)
-
-
-def top_k_per_group(ds, *, group_cols, order_col, k: int,
-                    descending: bool = True, tiebreak=None,
-                    num_buckets: int = 32):
-    """Per-GROUP top-k selection (e.g. the k longest / highest-quality docs
-    per language): one bucketed pass co-locating each group, then a single
-    vectorized sort + ``groupby.head(k)`` per bucket — no global sort, no
-    driver materialization. Deterministic under ties via ``tiebreak``
-    (ascending), mirroring SQL
-    ``row_number() OVER (PARTITION BY g ORDER BY v [DESC], tiebreak)``;
-    emits ``rank_in_group`` (1-based) alongside every input column."""
-    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    sort_cols = group_cols + [order_col] + ([tiebreak] if tiebreak else [])
-    ascending = [True] * len(group_cols) + [not descending] + (
-        [True] if tiebreak else [])
-
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(sort_cols, ascending=ascending,
-                            kind="mergesort").reset_index(drop=True)
-        g = df.groupby(group_cols, sort=False, observed=True)
-        df["rank_in_group"] = (g.cumcount() + 1).astype("int64")
-        return df[df["rank_in_group"] <= k]
-
-    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
-
-    return bucketed_map_groups(ds, group_cols[0], per_bucket,
-                               num_buckets=num_buckets)

@@ -326,3 +326,41 @@ def quantile_bucketize_sql(col: str, *, num_buckets: int = 4,
                (SELECT count(*) FROM th WHERE th.t < d.{col})::BIGINT
                    AS {out_col}
         FROM {table} d"""
+
+
+def ecdf(ds, col: str, *, out_col: str = "cume_dist"):
+    """Corpus-relative empirical CDF column: for every row,
+    ``count(v' <= v) / n`` over the whole corpus — SQL ``cume_dist() OVER
+    (ORDER BY col)``. The rank-normalized feature used for threshold-free
+    filtering (drop the bottom X% by quality, cap the top Y% by length).
+
+    Same two-pass shape as :func:`quantile_bucketize`: distinct-value
+    histogram fold (tiny, module contract: integer quantization) → the
+    (values, cumulative-count) arrays broadcast once via ``ray.put`` → one
+    stateless vectorized lookup per batch. One IEEE int/int division,
+    mirroring SQL."""
+    import ray
+
+    hdf = _hist_df(ds.select_columns([col]), col)
+    vals = hdf[col].to_numpy()
+    cum = np.concatenate([[0], hdf["cnt"].cumsum().to_numpy()])
+    n = int(cum[-1]) if len(cum) > 1 else 0
+    ref = ray.put((vals, cum))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tv, tc = ray.get(ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        le = tc[np.searchsorted(tv, v, side="right")]
+        pct = le.astype(np.float64) / n if n else np.zeros(len(v))
+        return batch.append_column(out_col, pa.array(pct, type=pa.float64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ecdf_sql(col: str, *, out_col: str = "cume_dist",
+             table: str = "documents", columns: str = "*") -> str:
+    """SQL mirror: ``cume_dist()`` == count(<=v)/n, identical operands."""
+    return f"""
+        SELECT {columns},
+               cume_dist() OVER (ORDER BY {col}) AS {out_col}
+        FROM {table}"""

@@ -187,7 +187,7 @@ def test_term_freqs_topk(tokens_ds, duck):
 def test_top_k_per_group_vs_sql_ties_and_shape():
     import duckdb
 
-    from htrc_feature_reader_ray.stages.fold import top_k_per_group
+    from htrc_feature_reader_ray.stages.fold import topk_per_group
 
     rng = np.random.default_rng(23)
     df = pd.DataFrame({
@@ -197,8 +197,9 @@ def test_top_k_per_group_vs_sql_ties_and_shape():
     })
     ds = ray.data.from_pandas(df).repartition(7)
     out = (
-        top_k_per_group(ds, group_cols="g", order_col="v", k=4,
-                        tiebreak="doc_id", num_buckets=4)
+        topk_per_group(ds, group_cols=["g"], sort_col="v", k=4,
+                       tie_cols=["doc_id"], rank_col="rank_in_group",
+                       num_buckets=4)
         .to_pandas().sort_values(["g", "rank_in_group"])
         .reset_index(drop=True)
     )
@@ -218,8 +219,9 @@ def test_top_k_per_group_vs_sql_ties_and_shape():
         out[["doc_id", "g", "v", "rank_in_group"]], exp, check_dtype=True)
     # ascending variant returns the k smallest
     asc = (
-        top_k_per_group(ds, group_cols="g", order_col="v", k=1,
-                        descending=False, tiebreak="doc_id", num_buckets=4)
+        topk_per_group(ds, group_cols=["g"], sort_col="v", k=1,
+                       descending=False, tie_cols=["doc_id"],
+                       rank_col="rank_in_group", num_buckets=4)
         .to_pandas()
     )
     assert (asc.groupby("g").v.max() == df.groupby("g").v.min()).all()

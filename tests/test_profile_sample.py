@@ -250,3 +250,30 @@ def test_quantile_bucketize_vs_sql_and_ties():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert out2.bucket.tolist() == out.bucket.tolist()
+
+
+def test_ecdf_vs_sql():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.profile import ecdf, ecdf_sql
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({
+        "doc_id": np.arange(400),
+        "v": rng.integers(0, 30, 400).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (
+        ecdf(ds, "v")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = (
+        con.execute(ecdf_sql("v", table="t", columns="doc_id, v"))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+    # invariants: ties share a value; max is exactly 1.0
+    assert (out.groupby("v").cume_dist.nunique() == 1).all()
+    assert out.cume_dist.max() == 1.0
