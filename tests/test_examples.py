@@ -22,3 +22,22 @@ def test_curation_pipeline_example(tmp_path):
     assert out["rows_packed"] == 500
     assert 0 < out["kept"] <= 500
     assert out["shards"] >= 1
+
+
+def test_training_prep_pipeline(tmp_path):
+    from examples.training_prep import prepare
+
+    out = prepare("/root/testdata/sf0.001/documents.parquet",
+                  str(tmp_path / "prep"), width=16, stride=12,
+                  epoch_salt="e0:")
+    import pyarrow.parquet as pq
+
+    win = pq.read_table(f"{out}/windows").to_pandas()
+    tok = pq.read_table(f"{out}/tokens").to_pandas()
+    assert len(win) > 0 and len(tok) > 0
+    # shuffle_pos is a permutation of the WINDOWS (epoch order)
+    assert sorted(win.shuffle_pos.tolist()) == list(range(len(win)))
+    assert win.win_key.is_unique
+    # every token row belongs to a known window; OOV ids >= -1
+    assert set(tok.win_key) <= set(win.win_key)
+    assert int(tok.token_id.min()) >= -1
