@@ -497,6 +497,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf), id_col="doc_id", salt="ep0:", num_buckets=16
         )
 
+    def q_unigram_stats(sf):
+        """Per-doc unigram-frequency quality signals (exact-integer LM-score
+        analog): corpus counts (min_count 2) broadcast once, one stateless
+        lookup pass; oov_ratio / mean_count single IEEE divisions."""
+        import pyarrow.compute as pc
+        from htrc_feature_reader_ray.stages.vocab import (
+            corpus_token_counts,
+            unigram_stats,
+        )
+
+        counts = corpus_token_counts(_docs(sf)).map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("count"), 2)),
+            batch_format="pyarrow",
+        )
+        return unigram_stats(_docs(sf), counts)
+
     def q_token_windows(sf):
         """Sliding token-window text chunking (LLM context-window prep):
         width-32 windows every 24 tokens, last window truncated at n —
@@ -1300,6 +1316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         # sliding token-window chunking (LLM context-window prep)
         "token_windows": q_token_windows,
+        # per-doc unigram corpus-frequency / OOV quality signals
+        "unigram_stats": q_unigram_stats,
         # corpus-relative quantile binning (decile buckets of doc length)
         "quantile_bucketize": q_quantile_bucketize,
         # corpus-relative empirical CDF column (cume_dist)
@@ -1491,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
     from htrc_feature_reader_ray.stages.vocab import (
         build_vocab_sql,
         encode_tokens_sql,
+        unigram_stats_sql,
     )
     from htrc_feature_reader_ray.stages.textstats import (
         FINGERPRINT_SQL,
@@ -2262,6 +2281,8 @@ def oracle_sql() -> dict[str, str]:
         # vocab rank total order == engine order: md5 tiebreak within a
         # count tier (md5_number_upper == engine md5_hash64)
         "build_vocab": build_vocab_sql(min_count=2),
+        # identical integer numerators; single IEEE divisions
+        "unigram_stats": unigram_stats_sql(min_count=2),
         "encode_tokens": encode_tokens_sql(min_count=2),
         # identical integer window-count formula + 1-based inclusive slices
         "token_windows": _token_windows_sql(width=32, stride=24),

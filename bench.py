@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "rolling_time",
     "top_k_per_group",
     "ecdf",
+    "unigram_stats",
 ]
 
 HEADLINE = "flagship"

@@ -133,6 +133,8 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.vocab", "encode_tokens"),
         "corpus_token_counts": (
             "htrc_feature_reader_ray.stages.vocab", "corpus_token_counts"),
+        "unigram_stats": (
+            "htrc_feature_reader_ray.stages.vocab", "unigram_stats"),
         "hash_split": (
             "htrc_feature_reader_ray.stages.sample", "hash_split"),
         "token_windows": (

@@ -228,3 +228,93 @@ def encode_tokens_sql(*, table: str = "documents",
         SELECT e.{id_col}, e.pos, e.token,
                coalesce(v.token_id, -1)::BIGINT AS token_id
         FROM exploded e LEFT JOIN vocab v USING (token)"""
+
+
+# ---------------------------------------------------------------------------
+# per-document unigram-frequency quality signals (LM-score-filter analog)
+
+
+def unigram_stats(ds, vocab_counts, *, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Per-document unigram corpus-frequency stats against a reference
+    (token, count) vocabulary — the exact-integer analog of the classic
+    "LM perplexity filter" quality signal (docs whose tokens are rare in
+    the reference corpus score low; high OOV rate flags noise/boilerplate):
+
+      * ``n_tokens``   — whitespace token count
+      * ``n_oov``      — tokens absent from the vocabulary
+      * ``oov_ratio``  — n_oov / max(n_tokens, 1)        (one IEEE division)
+      * ``sum_count``  — Σ corpus-count of in-vocab tokens (int64, exact)
+      * ``mean_count`` — sum_count / max(n_tokens − n_oov, 1)
+
+    All numerators are integers, divisions single IEEE ops — bit-exact
+    against the SQL mirror. ``vocab_counts`` (Dataset or DataFrame, e.g.
+    :func:`corpus_token_counts` output filtered by min_count) is the
+    bounded broadcast side — ``ray.put`` once, one hash-indexed lookup per
+    batch; the corpus itself streams through one stateless ``map_batches``.
+    Zero-token docs emit (0, 0, 0.0, 0, 0.0)."""
+    import ray
+
+    vdf = (vocab_counts.to_pandas()
+           if hasattr(vocab_counts, "to_pandas") else vocab_counts)
+    ref = ray.put((pd.Index(vdf["token"].to_numpy()),
+                   vdf["count"].to_numpy(dtype=np.int64)))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        idx, cnts = ray.get(ref)
+        flat, parent, n = _tok_stats(batch, text_col)
+        parent = np.asarray(parent, dtype=np.int64)
+        pos = idx.get_indexer(flat.to_numpy(zero_copy_only=False))
+        oov = pos < 0
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        n_oov = np.bincount(parent, weights=oov, minlength=n).astype(np.int64)
+        sum_count = np.bincount(
+            parent, weights=np.where(oov, 0, cnts[np.maximum(pos, 0)]),
+            minlength=n,
+        ).astype(np.int64)
+        n_in = n_tokens - n_oov
+        out = batch.select([id_col])
+        out = out.append_column("n_tokens", pa.array(n_tokens))
+        out = out.append_column("n_oov", pa.array(n_oov))
+        out = out.append_column("oov_ratio", pa.array(
+            n_oov.astype(np.float64) / np.maximum(n_tokens, 1)))
+        out = out.append_column("sum_count", pa.array(sum_count))
+        out = out.append_column("mean_count", pa.array(
+            sum_count.astype(np.float64) / np.maximum(n_in, 1)))
+        return out
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def unigram_stats_sql(*, table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id", min_count: int = 1) -> str:
+    """SQL mirror: re-derives the corpus counts, left-joins per token,
+    aggregates with the identical integer numerators and divisions."""
+    toks = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    return f"""
+        WITH toks AS (
+          SELECT {id_col}, t.t AS token
+          FROM {table}, LATERAL unnest({toks}) AS t(t)
+        ), voc AS (
+          SELECT token, count(*)::BIGINT AS cnt
+          FROM toks GROUP BY token HAVING count(*) >= {min_count}
+        ), j AS (
+          SELECT toks.{id_col}, voc.cnt
+          FROM toks LEFT JOIN voc USING (token)
+        ), agg AS (
+          SELECT {id_col},
+                 count(*)::BIGINT AS n_tokens,
+                 (count(*) FILTER (WHERE cnt IS NULL))::BIGINT AS n_oov,
+                 coalesce(sum(cnt), 0)::BIGINT AS sum_count
+          FROM j GROUP BY {id_col}
+        )
+        SELECT d.{id_col},
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_oov, 0) AS n_oov,
+               coalesce(a.n_oov, 0)::DOUBLE
+                   / greatest(coalesce(a.n_tokens, 0), 1) AS oov_ratio,
+               coalesce(a.sum_count, 0) AS sum_count,
+               coalesce(a.sum_count, 0)::DOUBLE
+                   / greatest(coalesce(a.n_tokens, 0)
+                              - coalesce(a.n_oov, 0), 1) AS mean_count
+        FROM {table} d LEFT JOIN agg a USING ({id_col})"""

@@ -85,3 +85,47 @@ def test_encode_tokens_positions_and_oov():
     assert out.pos.tolist() == [0, 1, 2, 3, 0, 1]  # double-space collapsed
     assert out.token.tolist() == ["a", "b", "rare", "a", "b", "a"]
     assert out.token_id.tolist() == [0, 1, -1, 0, 1, 0]
+
+
+def test_unigram_stats_vs_sql_and_edges():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.vocab import (
+        unigram_stats,
+        unigram_stats_sql,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "a a b rare1"},
+        {"doc_id": 1, "text": "b b c  c a"},
+        {"doc_id": 2, "text": ""},             # zero-token doc
+        {"doc_id": 3, "text": "rare2 rare3"},  # all-OOV doc
+    ]
+    df = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(df).repartition(3)
+    # vocab = counts with min_count=2 (rare* drop out -> OOV)
+    vocab = (
+        df.text.str.split().explode().dropna().value_counts()
+        .rename_axis("token").rename("count").reset_index()
+    )
+    vocab = vocab[vocab["count"] >= 2]
+    out = (
+        unigram_stats(ds, vocab)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = (
+        con.execute(unigram_stats_sql(min_count=2))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=True)
+    # spot values: doc0 = a(3) a(3) b(3) oov -> sum 9, n_in 3
+    r0 = out.iloc[0]
+    assert (r0.n_tokens, r0.n_oov, r0.sum_count) == (4, 1, 9)
+    assert r0.mean_count == 3.0 and r0.oov_ratio == 0.25
+    r2 = out.iloc[2]
+    assert (r2.n_tokens, r2.n_oov, r2.sum_count) == (0, 0, 0)
+    assert r2.oov_ratio == 0.0 and r2.mean_count == 0.0
+    r3 = out.iloc[3]
+    assert r3.oov_ratio == 1.0 and r3.sum_count == 0
