@@ -620,6 +620,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak="event_id",
         )
 
+    def q_snapshot_change(sf):
+        """Re-crawl change detection over the pages stream: distinct-token
+        Jaccard / added / removed vs each url's previous snapshot — one
+        bucketed pass, vectorized explode + shifted self-merge."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.extract import extract_pages
+        from htrc_feature_reader_ray.stages.temporal import snapshot_change
+
+        pages = extract_pages(read_pages(sf, drop_text=True)).select_columns(
+            ["url", "warc_ts", "text"]
+        )
+        return snapshot_change(pages)
+
     def q_rolling_time(sf):
         """Per-key rolling TIME-RANGE aggregate (RANGE INTERVAL '1 day'
         PRECEDING): one bucketed pass, frame bounds for all keys from two
@@ -1336,6 +1349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_features": q_rolling_features,
         # per-key rolling time-range aggregate (RANGE INTERVAL PRECEDING)
         "rolling_time": q_rolling_time,
+        # re-crawl change detection (token Jaccard vs previous snapshot)
+        "snapshot_change": q_snapshot_change,
         # per-group top-k selection (deterministic ties)
         "top_k_per_group": q_top_k_per_group,
         "window_hopping": q_window_hopping,
@@ -1970,6 +1985,47 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL '1 day' PRECEDING
                                AND CURRENT ROW)""",
+        # token sets re-derived from the pages CTE; jaccard/counts NULL on
+        # each url's first snapshot; single int/int IEEE division
+        "snapshot_change": f"""
+            {PAGES_PRE},
+            p AS (
+              SELECT url, warc_ts, {PAGES_TEXT_SQL} AS text FROM pages
+            ), ordered AS (
+              SELECT url, warc_ts, text,
+                     row_number() OVER (PARTITION BY url
+                                        ORDER BY warc_ts) AS r
+              FROM p
+            ), tok AS (
+              SELECT DISTINCT url, r, t.t AS token
+              FROM ordered, LATERAL unnest(
+                list_filter(string_split(text, ' '), x -> x <> '')) AS t(t)
+            ), sizes AS (
+              SELECT url, r, count(*)::BIGINT AS n FROM tok GROUP BY url, r
+            ), inter AS (
+              SELECT a.url, a.r, count(*)::BIGINT AS ni
+              FROM tok a JOIN tok b
+                ON a.url = b.url AND b.r = a.r - 1 AND a.token = b.token
+              GROUP BY a.url, a.r
+            )
+            SELECT o.url, o.warc_ts,
+                   CASE WHEN o.r = 1 OR coalesce(sa.n, 0)
+                             + coalesce(sb.n, 0) - coalesce(i.ni, 0) = 0
+                        THEN NULL
+                        ELSE coalesce(i.ni, 0)::DOUBLE
+                             / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                                - coalesce(i.ni, 0))
+                   END AS jaccard,
+                   CASE WHEN o.r = 1 THEN NULL
+                        ELSE (coalesce(sa.n, 0) - coalesce(i.ni, 0))::DOUBLE
+                   END AS n_added,
+                   CASE WHEN o.r = 1 THEN NULL
+                        ELSE (coalesce(sb.n, 0) - coalesce(i.ni, 0))::DOUBLE
+                   END AS n_removed
+            FROM ordered o
+            LEFT JOIN sizes sa ON sa.url = o.url AND sa.r = o.r
+            LEFT JOIN sizes sb ON sb.url = o.url AND sb.r = o.r - 1
+            LEFT JOIN inter i ON i.url = o.url AND i.r = o.r""",
         "top_k_per_group": """
             WITH r AS (
               SELECT doc_id, lang, n_chars,

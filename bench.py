@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "top_k_per_group",
     "ecdf",
     "unigram_stats",
+    "snapshot_change",
 ]
 
 HEADLINE = "flagship"

@@ -139,6 +139,8 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.sample", "hash_split"),
         "token_windows": (
             "htrc_feature_reader_ray.stages.chunk", "token_windows"),
+        "snapshot_change": (
+            "htrc_feature_reader_ray.stages.temporal", "snapshot_change"),
         "rolling_time_aggregate": (
             "htrc_feature_reader_ray.stages.temporal",
             "rolling_time_aggregate"),

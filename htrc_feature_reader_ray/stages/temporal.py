@@ -801,3 +801,64 @@ def rolling_time_aggregate(ds, *, key, ts, value_col, window,
     from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def snapshot_change(ds, *, key: str = "url", ts: str = "warc_ts",
+                    text_col: str = "text", num_buckets: int = 32):
+    """Re-crawl change detection: for every snapshot of a key, the distinct-
+    token overlap against the key's PREVIOUS snapshot in ts order —
+
+      * ``jaccard``   — |A∩B| / |A∪B| of the two distinct-token sets
+      * ``n_added``   — tokens in this snapshot absent from the previous
+      * ``n_removed`` — tokens of the previous snapshot now gone
+
+    (NULL/NaN on each key's first snapshot, and on a 0∪0 pair.) The signal
+    web pipelines use to decide whether a re-crawl is a near-identical
+    re-fetch (keep latest only) or real content drift (keep both).
+
+    One bucketed pass; inside a bucket everything is vectorized pandas —
+    token sets via split+explode+drop_duplicates, the consecutive-snapshot
+    intersection via ONE self-merge of the exploded table against itself
+    shifted by one snapshot ordinal (no per-row Python set work). Integer
+    numerators; jaccard is a single IEEE int/int division (SQL-mirrored).
+    Snapshot timestamps must be unique per key (re-crawl semantics); ties
+    would make the previous-snapshot ordering undefined.
+    """
+    require_columns(ds.schema().names, [key, ts, text_col],
+                    op="snapshot_change")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts], kind="mergesort").reset_index(drop=True)
+        df["_r"] = df.groupby(key, sort=False).cumcount()
+        tok = df[[key, "_r", text_col]].copy()
+        tok["token"] = tok[text_col].str.split(" ")
+        tok = tok.drop(columns=[text_col]).explode("token")
+        tok = tok[tok["token"].notna() & (tok["token"] != "")]
+        tok = tok.drop_duplicates([key, "_r", "token"])
+        sizes = tok.groupby([key, "_r"], sort=False).size()
+        prev = tok.copy()
+        prev["_r"] = prev["_r"] + 1
+        inter = prev.merge(tok, on=[key, "_r", "token"]).groupby(
+            [key, "_r"], sort=False
+        ).size()
+        idx = pd.MultiIndex.from_arrays([df[key], df["_r"]])
+        pidx = pd.MultiIndex.from_arrays([df[key], df["_r"] - 1])
+        nA = sizes.reindex(idx).fillna(0).to_numpy(dtype=np.int64)
+        nB = sizes.reindex(pidx).fillna(0).to_numpy(dtype=np.int64)
+        ni = inter.reindex(idx).fillna(0).to_numpy(dtype=np.int64)
+        first = df["_r"].to_numpy() == 0
+        union = nA + nB - ni
+        invalid = first | (union == 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            jac = np.where(invalid, np.nan,
+                           ni / np.where(union > 0, union, 1))
+        out = df[[key, ts]].copy()
+        out["jaccard"] = jac
+        out["n_added"] = np.where(first, np.nan, (nA - ni).astype(np.float64))
+        out["n_removed"] = np.where(first, np.nan,
+                                    (nB - ni).astype(np.float64))
+        return out
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)

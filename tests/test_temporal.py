@@ -379,3 +379,41 @@ def test_rolling_time_aggregate_overflow_fallback_path():
     # each event only sees itself (gap >> window)
     assert out.rsum_v.tolist() == [1, 10] * 600
     assert (out.rcnt_v == 1).all()
+
+
+def test_snapshot_change_exact_cases():
+    from htrc_feature_reader_ray.stages.temporal import snapshot_change
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        # url A: identical re-fetch -> jaccard 1.0, 0 added/removed
+        {"url": "A", "warc_ts": t0, "text": "x y z"},
+        {"url": "A", "warc_ts": t0 + pd.Timedelta("1h"), "text": "z y x x"},
+        # url B: full replacement -> jaccard 0.0
+        {"url": "B", "warc_ts": t0, "text": "a b"},
+        {"url": "B", "warc_ts": t0 + pd.Timedelta("1h"), "text": "c d e"},
+        # url C: partial drift
+        {"url": "C", "warc_ts": t0, "text": "p q r"},
+        {"url": "C", "warc_ts": t0 + pd.Timedelta("1h"), "text": "q r s t"},
+        # url D: empty -> empty (0 union -> NaN)
+        {"url": "D", "warc_ts": t0, "text": ""},
+        {"url": "D", "warc_ts": t0 + pd.Timedelta("1h"), "text": ""},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+    out = (
+        snapshot_change(ds, num_buckets=4)
+        .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    )
+    # first snapshots all NaN
+    firsts = out.groupby("url").head(1)
+    assert firsts.jaccard.isna().all() and firsts.n_added.isna().all()
+    second = out.groupby("url").tail(1).set_index("url")
+    assert second.loc["A"].jaccard == 1.0
+    assert second.loc["A"].n_added == 0 and second.loc["A"].n_removed == 0
+    assert second.loc["B"].jaccard == 0.0
+    assert second.loc["B"].n_added == 3 and second.loc["B"].n_removed == 2
+    # C: inter {q,r}=2, union {p,q,r,s,t}=5
+    assert second.loc["C"].jaccard == 2 / 5
+    assert second.loc["C"].n_added == 2 and second.loc["C"].n_removed == 1
+    # D: 0-union pair stays NaN
+    assert np.isnan(second.loc["D"].jaccard)
