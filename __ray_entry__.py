@@ -620,6 +620,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak="event_id",
         )
 
+    def q_latest_snapshot(sf):
+        """CDX-style re-crawl pruning: keep each url's NEWEST snapshot only
+        — topk_per_group(k=1) over warc_ts desc (lossless local combiner,
+        <= one row per url per batch crosses the exchange)."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.extract import extract_pages
+        from htrc_feature_reader_ray.stages.fold import topk_per_group
+
+        pages = extract_pages(read_pages(sf, drop_text=True)).select_columns(
+            ["url", "warc_ts", "lang", "text"]
+        )
+        return topk_per_group(
+            pages, group_cols=["url"], sort_col="warc_ts", k=1,
+            num_buckets=16,
+        )
+
     def q_snapshot_change(sf):
         """Re-crawl change detection over the pages stream: distinct-token
         Jaccard / added / removed vs each url's previous snapshot — one
@@ -1351,6 +1367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_time": q_rolling_time,
         # re-crawl change detection (token Jaccard vs previous snapshot)
         "snapshot_change": q_snapshot_change,
+        # keep newest snapshot per url (CDX-style re-crawl pruning)
+        "latest_snapshot": q_latest_snapshot,
         # per-group top-k selection (deterministic ties)
         "top_k_per_group": q_top_k_per_group,
         "window_hopping": q_window_hopping,
@@ -1985,6 +2003,19 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL '1 day' PRECEDING
                                AND CURRENT ROW)""",
+        # newest crawl per url: ts is unique per url in the fixture, so
+        # max(warc_ts) needs no tiebreak
+        "latest_snapshot": f"""
+            {PAGES_PRE},
+            p AS (
+              SELECT url, warc_ts, lang, {PAGES_TEXT_SQL} AS text FROM pages
+            )
+            SELECT url, warc_ts, lang, text
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY url
+                                           ORDER BY warc_ts DESC) AS rn
+              FROM p
+            ) WHERE rn = 1""",
         # token sets re-derived from the pages CTE; jaccard/counts NULL on
         # each url's first snapshot; single int/int IEEE division
         "snapshot_change": f"""
