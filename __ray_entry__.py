@@ -22,6 +22,7 @@ import pyarrow as pa
 # shared SQL preambles (single definition site: sources/pages.py, functions/)
 
 from htrc_feature_reader_ray.sources.pages import (
+    LINKS_SQL,
     PAGES_SQL,
     PAGES_TEXT_SQL,
     SECTIONS_SQL,
@@ -29,6 +30,36 @@ from htrc_feature_reader_ray.sources.pages import (
 from htrc_feature_reader_ray.functions.tokenize import POS_SQL
 
 PAGES_PRE = f"WITH {PAGES_SQL.strip()}"
+LINKS_PRE = f"WITH {LINKS_SQL.strip()}"
+
+
+def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000_000,
+                  damping_pct: int = 85) -> str:
+    """Unrolled-CTE replay of stages/linkgraph.pagerank's integer
+    recurrence (DuckDB `//` = floor division on BIGINT, matching numpy)."""
+    base = f"({100 - damping_pct} * ({scale} // n)) // 100"
+    sql = LINKS_PRE + f""",
+e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges),
+outdeg AS (SELECT src_url, count(*)::BIGINT AS od
+           FROM e2 GROUP BY src_url),
+nodes AS (SELECT DISTINCT url FROM (
+    SELECT src_url AS url FROM e2
+    UNION ALL SELECT dst_url FROM e2)),
+params AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT url, ({scale} // n)::BIGINT AS r FROM nodes CROSS JOIN params),
+"""
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        sql += f"""c{i} AS (SELECT e.dst_url, sum(r.r // o.od)::BIGINT AS s
+    FROM e2 e JOIN {prev} r ON e.src_url = r.url
+    JOIN outdeg o ON e.src_url = o.src_url GROUP BY e.dst_url),
+r{i} AS (SELECT nodes.url,
+    ({base} + ({damping_pct} * coalesce(c{i}.s, 0)) // 100)::BIGINT AS r
+    FROM nodes CROSS JOIN params
+    LEFT JOIN c{i} ON nodes.url = c{i}.dst_url),
+"""
+        prev = f"r{i}"
+    return sql.rstrip(",\n") + f"\nSELECT url, r AS rank FROM r{iterations}"
 TOK_PRE = f"""
 WITH {PAGES_SQL.strip()}, {SECTIONS_SQL.strip()},
 tok AS (
@@ -648,6 +679,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["url", "warc_ts", "text"]
         )
         return snapshot_change(pages)
+
+    def q_link_edges(sf):
+        """Hyperlink extraction over the raw html stream: byte find-kernel
+        href parse per batch, batch-local distinct, one src-hash-bucketed
+        exchange for the global edge distinct."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import extract_links
+
+        return extract_links(read_pages(sf, drop_text=True))
+
+    def q_link_degree(sf):
+        """Per-url out/in degree over the crawl link graph — edge explode
+        to (url, out, in) partials with per-batch combine (hub in-degree
+        skew collapses before the exchange), one bucketed sum."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            link_degree,
+        )
+
+        return link_degree(extract_links(read_pages(sf, drop_text=True)))
+
+    def q_canonical_url(sf):
+        """URL canonicalization over deterministically-messied urls
+        (fragment, tracking params, default port, case variants built from
+        documents in BOTH engines; only the Ray side actually parses)."""
+        from htrc_feature_reader_ray.stages.urltools import canonicalize_urls
+
+        def messy(df):
+            d = df["doc_id"].to_numpy()
+            src = df["source"].astype(str)
+            base = src + ".example.com"
+            tail = pd.Series(d.astype(str), index=df.index)
+            url = pd.Series(index=df.index, dtype=object)
+            m0, m1, m2 = d % 4 == 0, d % 4 == 1, d % 4 == 2
+            m3 = ~(m0 | m1 | m2)
+            url[m0] = ("HTTPS://" + src.str.upper() + ".Example.COM:443/doc/"
+                       + tail + "?utm_source=feed&b=2&a=1#frag")[m0]
+            url[m1] = ("http://" + base + ":80/doc/" + tail
+                       + "?z=9&utm_campaign=x")[m1]
+            url[m2] = ("https://" + base + "/doc/" + tail + "#sec-2")[m2]
+            url[m3] = ("https://" + base + "/doc/" + tail
+                       + "?b=2&a=1&fbclid=abc")[m3]
+            return pd.DataFrame({"doc_id": df["doc_id"], "url": url})
+
+        ds = _docs(sf, columns=["doc_id", "source"]).map_batches(
+            messy, batch_format="pandas"
+        )
+        return canonicalize_urls(ds)
+
+    def q_robots_filter(sf):
+        """Robots-style (host, path-prefix) disallow filtering of the
+        crawl: rules are the broadcast small side (vectorized mask per
+        RULE); emits each url's allowed flag."""
+        import pyarrow.parquet as pq
+
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_map_groups,
+        )
+        from htrc_feature_reader_ray.stages.urltools import robots_filter
+
+        sources = sorted(
+            pq.read_table(f"{sf}/documents.parquet", columns=["source"])
+            .column("source").to_pylist()
+        )
+        rules = pd.DataFrame([
+            {"host": f"{s}.example.com", "disallow": "/doc/1"}
+            for s in sorted(set(sources)) if int(s[3:]) % 2 == 0
+        ])
+        flagged = robots_filter(
+            read_pages(sf, drop_text=True).select_columns(["url"]), rules
+        )
+        return bucketed_map_groups(
+            flagged, "url", lambda df: df.drop_duplicates(["url"]),
+            num_buckets=8,
+        )
+
+    def q_host_stats(sf):
+        """Per-host crawl rollup (page counts, distinct urls/langs, char
+        volume) — the hot-key aggregation: every page of a site shares the
+        host, absorbed by per-batch (host,url,lang) partials."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.extract import extract_pages
+        from htrc_feature_reader_ray.stages.urltools import host_stats
+
+        pages = extract_pages(read_pages(sf, drop_text=True)).select_columns(
+            ["url", "lang", "text"]
+        )
+        return host_stats(pages)
+
+    def q_anchor_text(sf):
+        """Inlink anchor-text index: how the rest of the crawl describes
+        each target url — (dst_url, anchor, n_links), exchange keyed on
+        the target."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            inlink_anchor_counts,
+        )
+
+        return inlink_anchor_counts(
+            extract_links(read_pages(sf, drop_text=True), with_anchors=True)
+        )
+
+    def q_pagerank(sf):
+        """Fixed-point integer PageRank (3 synchronous iterations) over the
+        extracted link graph: bit-exact across parallelism levels, replayed
+        by the oracle as unrolled SQL CTEs with identical integer floor
+        division."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            pagerank,
+        )
+
+        return pagerank(
+            extract_links(read_pages(sf, drop_text=True)), iterations=3
+        )
 
     def q_rolling_time(sf):
         """Per-key rolling TIME-RANGE aggregate (RANGE INTERVAL '1 day'
@@ -1369,6 +1519,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_change": q_snapshot_change,
         # keep newest snapshot per url (CDX-style re-crawl pruning)
         "latest_snapshot": q_latest_snapshot,
+        # -- crawl link-graph ops --
+        "link_edges": q_link_edges,
+        "link_degree": q_link_degree,
+        "pagerank": q_pagerank,
+        "anchor_text": q_anchor_text,
+        # -- url hygiene / host rollups --
+        "canonical_url": q_canonical_url,
+        "robots_filter": q_robots_filter,
+        "host_stats": q_host_stats,
         # per-group top-k selection (deterministic ties)
         "top_k_per_group": q_top_k_per_group,
         "window_hopping": q_window_hopping,
@@ -2016,6 +2175,61 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY warc_ts DESC) AS rn
               FROM p
             ) WHERE rn = 1""",
+        # ground-truth edge set re-derived from documents (the fixture's
+        # <nav> anchors are a pure function of (source, doc_id); LINKS_SQL
+        # lives next to the html generator in sources/pages.py)
+        "link_edges": LINKS_PRE
+        + "\nSELECT DISTINCT src_url, dst_url FROM link_edges",
+        "link_degree": LINKS_PRE + """,
+            e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)
+            SELECT url, sum(o)::BIGINT AS out_degree,
+                   sum(i)::BIGINT AS in_degree
+            FROM (SELECT src_url AS url, 1 AS o, 0 AS i FROM e2
+                  UNION ALL SELECT dst_url, 0, 1 FROM e2)
+            GROUP BY url""",
+        "pagerank": _pagerank_sql(iterations=3),
+        "anchor_text": LINKS_PRE + """
+            SELECT dst_url, anchor, count(*)::BIGINT AS n_links
+            FROM link_edges GROUP BY dst_url, anchor""",
+        # the messy-url construction is mirrored; the EXPECTED canonical
+        # form is stated in closed form (only the Ray side parses urls)
+        "canonical_url": """
+            SELECT doc_id,
+              CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'HTTPS://' || upper(source)
+                     || '.Example.COM:443/doc/' || doc_id
+                     || '?utm_source=feed&b=2&a=1#frag'
+                WHEN 1 THEN 'http://' || source || '.example.com:80/doc/'
+                     || doc_id || '?z=9&utm_campaign=x'
+                WHEN 2 THEN 'https://' || source || '.example.com/doc/'
+                     || doc_id || '#sec-2'
+                ELSE 'https://' || source || '.example.com/doc/' || doc_id
+                     || '?b=2&a=1&fbclid=abc'
+              END AS url,
+              CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 1 THEN 'http://' || source || '.example.com/doc/'
+                     || doc_id || '?z=9'
+                WHEN 2 THEN 'https://' || source || '.example.com/doc/'
+                     || doc_id
+                ELSE 'https://' || source || '.example.com/doc/' || doc_id
+                     || '?a=1&b=2'
+              END AS canonical_url
+            FROM documents""",
+        # path of every fixture url is '/doc/<id>': the '/doc/1' prefix rule
+        # on even-numbered source hosts hits ids whose decimal starts with 1
+        "robots_filter": """
+            SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                     AS url,
+              NOT ((CAST(substr(source, 4) AS INTEGER) % 2 = 0)
+                   AND (CAST(doc_id AS VARCHAR) LIKE '1%')) AS allowed
+            FROM documents""",
+        "host_stats": PAGES_PRE + f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                   count(*)::BIGINT AS n_snapshots,
+                   count(DISTINCT url)::BIGINT AS n_urls,
+                   count(DISTINCT lang)::BIGINT AS n_langs,
+                   sum(length({PAGES_TEXT_SQL}))::BIGINT AS sum_chars
+            FROM pages GROUP BY 1""",
         # token sets re-derived from the pages CTE; jaccard/counts NULL on
         # each url's first snapshot; single int/int IEEE division
         "snapshot_change": f"""

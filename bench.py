@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "ecdf",
     "unigram_stats",
     "snapshot_change",
+    # link-graph ops
+    "link_degree",
+    "pagerank",
 ]
 
 HEADLINE = "flagship"

@@ -82,6 +82,11 @@ def __getattr__(name):
             "htrc_feature_reader_ray.sources.jsonvol", "TreeResolver"),
         "CachedResolver": (
             "htrc_feature_reader_ray.sources.jsonvol", "CachedResolver"),
+        "extract_links": (
+            "htrc_feature_reader_ray.stages.linkgraph", "extract_links"),
+        "link_degree": (
+            "htrc_feature_reader_ray.stages.linkgraph", "link_degree"),
+        "pagerank": ("htrc_feature_reader_ray.stages.linkgraph", "pagerank"),
         "cosine_topk": ("htrc_feature_reader_ray.stages.similarity", "cosine_topk"),
         "lsh_topk": ("htrc_feature_reader_ray.stages.similarity", "lsh_topk"),
         "flagship": ("htrc_feature_reader_ray.pipelines.flagship", "flagship"),

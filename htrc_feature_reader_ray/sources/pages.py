@@ -52,6 +52,61 @@ pages AS (
 )
 """
 
+# Ground-truth hyperlink set embedded in each page's <nav> zone (placed
+# BEFORE <header>, outside the three extracted text zones, so the
+# byte-identical `text` contract is untouched). Every (href, anchor-text)
+# pair is derivable from (source, doc_id) alone, so the SQL side can
+# re-derive the exact edge set without parsing html: a site-home hub link
+# (heavy-hitter in-degree skew by construction), two intra-site prev-doc
+# links, and one cross-domain link into a 10-url search hub.
+LINKS_SQL = """
+link_edges AS (
+    SELECT DISTINCT
+        'https://' || source || '.example.com/doc/' || doc_id AS src_url,
+        dst_url, anchor
+    FROM (
+        SELECT doc_id, source,
+               'https://' || source || '.example.com/' AS dst_url,
+               'home' AS anchor
+        FROM documents
+        UNION ALL
+        SELECT doc_id, source,
+               'https://' || source || '.example.com/doc/' || (doc_id - 1),
+               'doc ' || (doc_id - 1)
+        FROM documents WHERE doc_id >= 1
+        UNION ALL
+        SELECT doc_id, source,
+               'https://' || source || '.example.com/doc/' || (doc_id - 7),
+               'doc ' || (doc_id - 7)
+        FROM documents WHERE doc_id >= 7
+        UNION ALL
+        SELECT doc_id, source,
+               'https://search.example.com/doc/' || (doc_id % 10),
+               'search'
+        FROM documents
+    )
+)
+"""
+
+
+def doc_links(source: str, doc_id: int) -> list[tuple[str, str]]:
+    """The fixture's ground-truth (href, anchor-text) outlinks of one
+    document (must stay in lockstep with ``LINKS_SQL``)."""
+    links = [(f"https://{source}.example.com/", "home")]
+    if doc_id >= 1:
+        links.append(
+            (f"https://{source}.example.com/doc/{doc_id - 1}",
+             f"doc {doc_id - 1}")
+        )
+    if doc_id >= 7:
+        links.append(
+            (f"https://{source}.example.com/doc/{doc_id - 7}",
+             f"doc {doc_id - 7}")
+        )
+    links.append((f"https://search.example.com/doc/{doc_id % 10}", "search"))
+    return links
+
+
 # Section union in SQL form, matching stages/extract.py's section explode.
 SECTIONS_SQL = """
 sections AS (
@@ -98,11 +153,14 @@ def synth_pages_batch(batch: pa.Table, *, mult: int = 1) -> pa.Table:
         header = f"header {source[i]}"
         footer = f"footer doc {d}"
         toks = text[i].split(" ")
+        nav = "<nav>" + "".join(
+            f'<a href="{u}">{a}</a>' for u, a in doc_links(source[i], d)
+        ) + "</nav>"
         for snap in range(int(n_snaps[i])):
             body = " ".join(toks[snap:])
             gt = header + "\n" + body + "\n" + footer
             html = (
-                f"<html><head><title>{url}</title></head><body>"
+                f"<html><head><title>{url}</title></head><body>{nav}"
                 f"<header>{header}</header><main>{body}</main>"
                 f"<footer>{footer}</footer></body></html>"
             ).encode("utf-8")

@@ -1,0 +1,273 @@
+"""Hyperlink-graph operators over the crawl: href extraction, degree
+statistics, and fixed-point PageRank.
+
+The reference engine reshapes WITHIN one document (Volume.tokenlist,
+parsers.py:340-420); the web-scale generalization also needs the BETWEEN-
+document structure — the link graph — because crawl curation ranks, filters
+and samples by it (hub/authority signals, spam-farm down-weighting).
+
+Scale shape:
+
+* ``extract_links`` — stateless ``map_batches`` over the raw ``html``
+  binary (byte ``find`` kernel, same approach as the zone extractor in
+  stages/extract.py — measured faster than regex there); per-batch
+  dedup, then ONE exchange keyed on ``hash(src_url)`` for global edge
+  distinct (all snapshots of a url share a bucket, so bucket-local
+  ``drop_duplicates`` is globally exact).
+* ``link_degree`` — each edge explodes into two (url, out, in) partial
+  rows; ``bucketed_aggregate`` sums them in one exchange. In-degree skew
+  (site-home hubs collect an edge from every page of the site) is absorbed
+  by the partial-combine: per-batch pre-aggregation collapses a hub's
+  arbitrarily many edges to ≤ one row per batch before the exchange.
+* ``pagerank`` — synchronous fixed-point iteration. Integer fixed-point
+  arithmetic (ranks scaled by ``scale``; all updates are int floor-division
+  and order-independent int sums) so results are bit-identical regardless
+  of parallelism/summation order AND exactly replayable in SQL — the same
+  exactness discipline as the engine's cent-integer money columns.
+  Per iteration: one ``bucket_join`` (ranks onto edges, keyed src), one
+  ``bucketed_aggregate`` (contribution sums, keyed dst), one union+fold to
+  re-attach zero-in-degree nodes — 3 bounded exchanges, no driver-side
+  state beyond the scalar node count. The rank table is materialized per
+  iteration (it is the iteration state — O(nodes) rows, the standard
+  PageRank frontier shape; everything else streams).
+
+Dangling mass: nodes without out-links leak their damped mass (the common
+"no redistribution" PageRank variant); the SQL oracle implements the exact
+same recurrence, so parity is well-defined.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from htrc_feature_reader_ray.stages.partition import (
+    bucket_join,
+    bucketed_aggregate,
+    bucketed_map_groups,
+)
+
+PR_SCALE = 1_000_000_000  # rank fixed-point scale (ppb of total mass)
+
+
+def _str_array(batch: pa.Table, name: str) -> pa.Array:
+    """One contiguous string Array from a (possibly chunked) table column."""
+    col = batch.column(name).cast(pa.string())
+    if isinstance(col, pa.ChunkedArray):
+        return pa.concat_arrays(col.chunks) if col.num_chunks != 1 else col.chunk(0)
+    return col
+
+
+def _hrefs(doc: bytes) -> list[tuple[str, str]]:
+    """All (href, anchor-text) pairs in one html payload (byte find kernel).
+
+    Anchor text is the run between the tag's closing ``>`` and the next
+    ``</a>`` ('' when the anchor is empty or malformed)."""
+    out = []
+    pos = doc.find(b'href="')
+    while pos != -1:
+        end = doc.find(b'"', pos + 6)
+        if end == -1:
+            break
+        href = doc[pos + 6 : end].decode("utf-8", "replace")
+        anchor = ""
+        gt = doc.find(b">", end + 1)
+        if gt != -1:
+            close = doc.find(b"</a>", gt + 1)
+            if close != -1:
+                anchor = doc[gt + 1 : close].decode("utf-8", "replace")
+        out.append((href, anchor))
+        pos = doc.find(b'href="', end + 1)
+    return out
+
+
+def extract_links(pages, *, url_col: str = "url", html_col: str = "html",
+                  distinct: bool = True, with_anchors: bool = False,
+                  num_buckets: int = 32):
+    """pages(url, html, ...) -> distinct edge table (src_url, dst_url
+    [, anchor] when ``with_anchors``).
+
+    Every snapshot of a url re-states its outlinks; the per-batch dedup
+    collapses the repeats that share a batch, the bucketed pass collapses
+    the rest (snapshots of one url may span batches).
+    """
+    cols = ["src_url", "dst_url"] + (["anchor"] if with_anchors else [])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        htmls = batch.column(html_col).to_pylist()
+        src, dst, anc = [], [], []
+        for u, h in zip(urls, htmls):
+            if h is None:
+                continue
+            for link, anchor in _hrefs(h):
+                src.append(u)
+                dst.append(link)
+                anc.append(anchor)
+        data = {
+            "src_url": pa.array(src, type=pa.string()),
+            "dst_url": pa.array(dst, type=pa.string()),
+        }
+        if with_anchors:
+            data["anchor"] = pa.array(anc, type=pa.string())
+        # batch-local distinct (snapshot repeats of one url collapse here)
+        return pa.table(data).group_by(cols).aggregate([])
+
+    edges = pages.map_batches(parse, batch_format="pyarrow")
+    if not distinct:
+        return edges
+    return bucketed_map_groups(
+        edges, "src_url", lambda df: df.drop_duplicates(cols),
+        num_buckets=num_buckets,
+    )
+
+
+def inlink_anchor_counts(edges_with_anchor, *, num_buckets: int = 32):
+    """(src_url, dst_url, anchor) -> (dst_url, anchor, n_links): how the web
+    describes each target — the classic inlink anchor-text relevance signal
+    (aggregated per target, exchange keyed on ``hash(dst_url)``; hub skew
+    is absorbed by bucketed_aggregate's vectorized per-bucket fold)."""
+    return bucketed_aggregate(
+        edges_with_anchor.map_batches(
+            lambda t: t.select(["dst_url", "anchor"]), batch_format="pyarrow"
+        ),
+        ["dst_url", "anchor"],
+        {"n_links": ("anchor", "size")},
+        num_buckets=num_buckets,
+        bucket_key="dst_url",
+    )
+
+
+def link_degree(edges, *, num_buckets: int = 32):
+    """edge table -> (url, out_degree, in_degree), one exchange.
+
+    A url appearing only as a source has in_degree 0 and vice versa (the
+    two-partial-rows union is the full outer join, without a join).
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ones = np.ones(n, dtype=np.int64)
+        zeros = np.zeros(n, dtype=np.int64)
+        t = pa.table({
+            "url": pa.concat_arrays(
+                [_str_array(batch, "src_url"), _str_array(batch, "dst_url")]
+            ),
+            "out_degree": pa.array(np.concatenate([ones, zeros])),
+            "in_degree": pa.array(np.concatenate([zeros, ones])),
+        })
+        # partial combine: hub urls collapse to one row per batch before
+        # the exchange — in-degree skew never crosses the network raw
+        return t.group_by("url").aggregate(
+            [("out_degree", "sum"), ("in_degree", "sum")]
+        ).rename_columns(["url", "out_degree", "in_degree"])
+
+    return bucketed_aggregate(
+        edges.map_batches(explode, batch_format="pyarrow"),
+        "url",
+        {"out_degree": ("out_degree", "sum"), "in_degree": ("in_degree", "sum")},
+        num_buckets=num_buckets,
+    )
+
+
+def _distinct_nodes(edges, *, num_buckets: int):
+    def urls(batch: pa.Table) -> pa.Table:
+        arr = pa.concat_arrays(
+            [_str_array(batch, "src_url"), _str_array(batch, "dst_url")]
+        ).unique()
+        return pa.table({"url": arr})
+
+    flat = edges.map_batches(urls, batch_format="pyarrow")
+    return bucketed_map_groups(
+        flat, "url", lambda df: df.drop_duplicates(["url"]),
+        num_buckets=num_buckets,
+    )
+
+
+def pagerank(edges, *, iterations: int = 3, scale: int = PR_SCALE,
+             damping_pct: int = 85, num_buckets: int = 32):
+    """Fixed-point integer PageRank over a distinct edge table.
+
+    Recurrence (all integer; ``//`` is floor division):
+
+        r_0(v)     = scale // N
+        contrib(u) = r_t(u) // out_degree(u)
+        r_{t+1}(v) = (100 - damping_pct) * (scale // N) // 100
+                     + damping_pct * (sum of contrib over in-edges) // 100
+
+    Returns (url, rank) with rank int64. Bit-exact across runs and
+    parallelism levels; the driver oracle replays the identical recurrence
+    as unrolled SQL CTEs (see __ray_entry__.py `pagerank`).
+    """
+    nodes = _distinct_nodes(edges, num_buckets=num_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "rank": pa.array([], type=pa.int64()),
+        }))
+
+    outdeg = bucketed_aggregate(
+        edges, "src_url", {"out_degree": ("dst_url", "size")},
+        num_buckets=num_buckets,
+    )
+    # edge list with each source's out-degree attached — loop-invariant,
+    # computed once and materialized (it is re-scanned every iteration)
+    edges_od = bucket_join(
+        edges, outdeg, left_key="src_url", right_key="src_url",
+        how="inner", num_buckets=num_buckets,
+    ).materialize()
+    r0 = scale // n
+    base = (100 - damping_pct) * r0 // 100
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.full(len(batch), r0, dtype=np.int64))
+        )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url").cast(pa.string()),
+            "s": pa.array(np.zeros(len(batch), dtype=np.int64)),
+        })
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        joined = bucket_join(
+            edges_od, ranks, left_key="src_url", right_key="url",
+            how="inner", num_buckets=num_buckets,
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch.column("rank").to_numpy()
+            od = batch.column("out_degree").to_numpy()
+            return pa.table({
+                "url": batch.column("dst_url").cast(pa.string()),
+                "s": pa.array(r // od),
+            })
+
+        partial = joined.map_batches(contrib, batch_format="pyarrow")
+        # union with an all-nodes zero row so zero-in-degree nodes survive
+        # the fold (full-outer semantics without a join)
+        summed = bucketed_aggregate(
+            partial.union(
+                nodes.map_batches(zero_rows, batch_format="pyarrow")
+            ),
+            "url", {"s": ("s", "sum")}, num_buckets=num_buckets,
+        )
+
+        def update(batch: pa.Table) -> pa.Table:
+            s = batch.column("s").to_numpy().astype(np.int64)
+            rank = base + damping_pct * s // 100
+            return pa.table({
+                "url": batch.column("url").cast(pa.string()),
+                "rank": pa.array(rank.astype(np.int64)),
+            })
+
+        ranks = summed.map_batches(update, batch_format="pyarrow").materialize()
+
+    return ranks

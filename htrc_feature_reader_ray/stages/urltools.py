@@ -1,0 +1,172 @@
+"""URL hygiene operators for crawl curation: canonicalization, robots-style
+prefix filtering, and per-host rollups.
+
+The reference's id/path normalization surface (utils.py id→path cleaning,
+resolver path schemes) generalizes at web scale to URL canonicalization —
+the step that makes exact dedup and re-crawl diffing meaningful, because a
+crawl sees the same resource under fragment/tracking-param/port/case
+variants. All ops are stateless ``map_batches`` (the rules side of
+``robots_filter`` is a broadcast small side, looped over RULES — never over
+rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# query parameters dropped during canonicalization: click/campaign trackers
+# that never change the addressed resource
+TRACKING_EXACT = frozenset(
+    {"fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid", "igshid"}
+)
+TRACKING_PREFIX = ("utm_",)
+
+
+def _canon_query(q: str) -> str:
+    """Drop tracking params, sort the rest by (key, value). '' if none."""
+    kept = []
+    for part in q.split("&"):
+        if not part:
+            continue
+        key = part.split("=", 1)[0].lower()
+        if key in TRACKING_EXACT or key.startswith(TRACKING_PREFIX):
+            continue
+        kept.append(part)
+    kept.sort()
+    return "&".join(kept)
+
+
+def canonicalize_batch(urls: pd.Series) -> pd.Series:
+    """Vectorized canonical form of a url column:
+
+      * fragment (#...) dropped
+      * scheme and host lowercased
+      * default port stripped (:80 for http, :443 for https)
+      * tracking query params dropped (utm_*, fbclid, gclid, ...);
+        remaining params sorted; a now-empty query drops its '?'
+      * empty path becomes '/'
+
+    String surgery is pandas-vectorized; only rows WITH a query string pay
+    the per-row param sort (a loop over that minority's short param lists).
+    """
+    s = urls.astype(str)
+    s = s.str.split("#", n=1).str[0]  # fragment off first
+    has_scheme = s.str.contains("://", regex=False)
+    scheme = (
+        s.str.split("://", n=1, regex=False).str[0].str.lower().where(
+            has_scheme, ""
+        )
+    )
+    rest = s.str.split("://", n=1, regex=False).str[-1]
+    hostport = rest.str.split("/", n=1, regex=False).str[0].str.lower()
+    pathq = rest.str.replace(r"^[^/]*", "", regex=True)
+
+    host = np.where(
+        (scheme == "http") & hostport.str.endswith(":80"),
+        hostport.str.slice(0, -3),
+        np.where(
+            (scheme == "https") & hostport.str.endswith(":443"),
+            hostport.str.slice(0, -4),
+            hostport,
+        ),
+    )
+
+    path = pathq.str.split("?", n=1, regex=False).str[0]
+    path = path.where(path != "", "/")
+    has_q = pathq.str.contains("?", regex=False)
+    query = pathq.str.split("?", n=1, regex=False).str[-1].where(has_q, "")
+    if has_q.any():
+        # per-row param sort only where a query exists
+        idx = query.index[has_q]
+        query.loc[idx] = [_canon_query(q) for q in query.loc[idx]]
+
+    out = scheme + "://" + host + path
+    out = out.where(query == "", out + "?" + query)
+    return out.where(has_scheme, urls.astype(str))  # schemeless: unchanged
+
+
+def canonicalize_urls(ds, *, url_col: str = "url",
+                      out_col: str = "canonical_url"):
+    """Append ``out_col`` = canonical form of ``url_col``."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df[out_col] = canonicalize_batch(df[url_col])
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def robots_filter(ds, rules: pd.DataFrame, *, url_col: str = "url",
+                  flag_col: str = "allowed", keep_denied: bool = True):
+    """Flag (or drop) rows whose url matches a (host, disallow path-prefix)
+    rule — the robots.txt/blocklist shape of crawl filtering.
+
+    ``rules``: DataFrame with columns ``host``, ``disallow`` (path prefix).
+    The rule table is the broadcast small side: shipped once into the batch
+    closure; evaluation loops over RULES (vectorized mask per rule), never
+    over rows.
+    """
+    hosts = rules["host"].to_numpy()
+    prefixes = rules["disallow"].to_numpy()
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[url_col].astype(str)
+        rest = s.str.split("://", n=1, regex=False).str[-1]
+        host = rest.str.split("/", n=1, regex=False).str[0].str.lower()
+        path = rest.str.replace(r"^[^/]*", "", regex=True)
+        denied = np.zeros(len(df), dtype=bool)
+        for h, p in zip(hosts, prefixes):
+            denied |= ((host == h) & path.str.startswith(p)).to_numpy()
+        if keep_denied:
+            df[flag_col] = ~denied
+            return df
+        return df[~denied]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def host_stats(pages, *, url_col: str = "url", lang_col: str = "lang",
+               text_col: str = "text", num_buckets: int = 8):
+    """Per-host crawl rollup: (host, n_snapshots, n_urls, n_langs,
+    sum_chars).
+
+    Host cardinality is tiny relative to the stream (every page of a site
+    shares a host — the heavy-hitter key by construction), so the per-batch
+    partial collapses to (host, url, lang) rows BEFORE the exchange: the
+    shuffle carries ~distinct-url volume, not page volume, and the final
+    per-bucket fold is a vectorized two-level groupby.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[url_col].astype(str)
+        rest = s.str.split("://", n=1, regex=False).str[-1]
+        out = pd.DataFrame({
+            "host": rest.str.split("/", n=1, regex=False).str[0].str.lower(),
+            "url": df[url_col],
+            "lang": df[lang_col],
+            "n": np.ones(len(df), dtype=np.int64),
+            "chars": df[text_col].astype(str).str.len().astype(np.int64),
+        })
+        return (
+            out.groupby(["host", "url", "lang"], sort=False, as_index=False)
+            .agg(n=("n", "sum"), chars=("chars", "sum"))
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", sort=False)
+        return pd.DataFrame({
+            "host": g.size().index,
+            "n_snapshots": g["n"].sum().to_numpy(dtype=np.int64),
+            "n_urls": g["url"].nunique().to_numpy(dtype=np.int64),
+            "n_langs": g["lang"].nunique().to_numpy(dtype=np.int64),
+            "sum_chars": g["chars"].sum().to_numpy(dtype=np.int64),
+        })
+
+    import ray.data  # noqa: F401  (Dataset type comes in via `pages`)
+
+    partials = pages.map_batches(partial, batch_format="pandas")
+    return bucketed_map_groups(partials, "host", finish,
+                               num_buckets=num_buckets)

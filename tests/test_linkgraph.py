@@ -1,0 +1,169 @@
+"""Link-graph operators: href parsing, degree, fixed-point PageRank.
+
+Fixture-level parity (Ray pipeline vs LINKS_SQL ground truth) is covered by
+the oracle rehearsal (test_oracle_parity.py: link_edges / link_degree /
+pagerank); these tests pin the operator semantics on hand-built graphs.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from htrc_feature_reader_ray.stages.linkgraph import (
+    PR_SCALE,
+    _hrefs,
+    extract_links,
+    link_degree,
+    pagerank,
+)
+
+
+def _pages(rows):
+    return ray.data.from_arrow(
+        pa.table({
+            "url": pa.array([r[0] for r in rows], type=pa.string()),
+            "html": pa.array([r[1] for r in rows], type=pa.binary()),
+        })
+    )
+
+
+def _edges(pairs):
+    return ray.data.from_arrow(
+        pa.table({
+            "src_url": pa.array([p[0] for p in pairs], type=pa.string()),
+            "dst_url": pa.array([p[1] for p in pairs], type=pa.string()),
+        })
+    )
+
+
+def test_hrefs_kernel():
+    assert _hrefs(b"no links here") == []
+    assert _hrefs(b'<a href="http://a/">x</a><a href="http://b/"></a>') == [
+        ("http://a/", "x"), ("http://b/", ""),
+    ]
+    # unterminated quote: parse stops cleanly
+    assert _hrefs(b'<a href="http://a/">ok</a><a href="broken') == [
+        ("http://a/", "ok"),
+    ]
+    # href with no closing tag: empty anchor, link still captured
+    assert _hrefs(b'href=""') == [("", "")]
+
+
+def test_extract_links_with_anchors(ray_session):
+    rows = [
+        ("u1", b'<a href="d1">first</a><a href="d2">second</a>'),
+        ("u1", b'<a href="d1">first</a>'),  # restated -> one edge
+        ("u1", b'<a href="d1">renamed</a>'),  # same edge, new anchor text
+    ]
+    got = (
+        extract_links(_pages(rows), with_anchors=True, num_buckets=4)
+        .to_pandas()
+        .sort_values(["src_url", "dst_url", "anchor"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({
+        "src_url": ["u1", "u1", "u1"],
+        "dst_url": ["d1", "d1", "d2"],
+        "anchor": ["first", "renamed", "second"],
+    })
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_extract_links_distinct_and_nulls():
+    rows = [
+        ("u1", b'<nav><a href="d1"></a><a href="d2"></a></nav>'),
+        # second snapshot of u1 restates the same links -> no duplicate edges
+        ("u1", b'<nav><a href="d1"></a><a href="d2"></a></nav>'),
+        ("u2", b'<a href="d1"></a>'),
+        ("u3", None),
+        ("u4", b"no anchors"),
+    ]
+    got = (
+        extract_links(_pages(rows), num_buckets=4)
+        .to_pandas()
+        .sort_values(["src_url", "dst_url"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"src_url": ["u1", "u1", "u2"], "dst_url": ["d1", "d2", "d1"]}
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_link_degree_full_outer_semantics():
+    deg = (
+        link_degree(_edges([("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]),
+                    num_buckets=4)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({
+        "url": ["a", "b", "c"],
+        "out_degree": [2, 1, 1],
+        "in_degree": [1, 1, 2],
+    })
+    pd.testing.assert_frame_equal(
+        deg, want, check_dtype=False
+    )
+    assert deg["out_degree"].dtype == np.int64
+    # source-only / sink-only urls keep a row with a zero side
+    deg2 = link_degree(_edges([("s", "t")]), num_buckets=2).to_pandas()
+    d = deg2.set_index("url")
+    assert d.loc["s", "out_degree"] == 1 and d.loc["s", "in_degree"] == 0
+    assert d.loc["t", "out_degree"] == 0 and d.loc["t", "in_degree"] == 1
+
+
+def _pagerank_reference(pairs, iterations, scale=PR_SCALE, damping=85):
+    """Independent pure-Python replay of the documented recurrence."""
+    out = {}
+    for s, d in pairs:
+        out.setdefault(s, []).append(d)
+    nodes = sorted({u for p in pairs for u in p})
+    n = len(nodes)
+    r = {u: scale // n for u in nodes}
+    base = (100 - damping) * (scale // n) // 100
+    for _ in range(iterations):
+        s = {u: 0 for u in nodes}
+        for u, dsts in out.items():
+            c = r[u] // len(dsts)
+            for d in dsts:
+                s[d] += c
+        r = {u: base + damping * s[u] // 100 for u in nodes}
+    return pd.DataFrame(
+        {"url": nodes, "rank": [r[u] for u in nodes]}
+    )
+
+
+@pytest.mark.parametrize("pairs", [
+    # 3-cycle: symmetric ranks, integer drift still bit-matched
+    [("a", "b"), ("b", "c"), ("c", "a")],
+    # star: every leaf links the hub; hub links one leaf; l3 dangles
+    [("l1", "hub"), ("l2", "hub"), ("l3", "hub"), ("hub", "l1")],
+    # disconnected pair + self-loop
+    [("x", "x"), ("p", "q")],
+])
+def test_pagerank_matches_reference_recurrence(pairs):
+    got = (
+        pagerank(_edges(pairs), iterations=4, num_buckets=4)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = _pagerank_reference(pairs, iterations=4)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_pagerank_hub_outranks_leaves():
+    pairs = [(f"l{i}", "hub") for i in range(20)] + [("hub", "l0")]
+    pr = pagerank(_edges(pairs), iterations=3, num_buckets=4).to_pandas()
+    r = pr.set_index("url")["rank"]
+    assert r["hub"] > r["l0"] > r["l1"]  # l0 gets the hub's backlink
+    assert (r.loc[[f"l{i}" for i in range(1, 20)]] == r["l1"]).all()
+
+
+def test_pagerank_empty():
+    pr = pagerank(_edges([]), iterations=2, num_buckets=2).to_pandas()
+    assert len(pr) == 0

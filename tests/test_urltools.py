@@ -1,0 +1,99 @@
+"""URL hygiene ops: canonicalization, robots prefix filter, host rollup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from htrc_feature_reader_ray.stages.urltools import (
+    canonicalize_batch,
+    canonicalize_urls,
+    host_stats,
+    robots_filter,
+)
+
+
+def test_canonicalize_batch_cases():
+    got = canonicalize_batch(pd.Series([
+        "HTTPS://WWW.Example.COM:443/A/b?utm_source=x&b=2&a=1#frag",
+        "http://example.com:80/",
+        "http://example.com:8080/x",          # non-default port kept
+        "https://example.com",                # empty path -> '/'
+        "https://example.com/p?fbclid=1",     # all params tracking -> no '?'
+        "https://example.com/p?b=2&a=1&a=0",  # sort by (key, value)
+        "relative/path#f",                    # schemeless: untouched
+        "https://example.com/p?",             # empty query -> dropped
+    ]))
+    want = [
+        "https://www.example.com/A/b?a=1&b=2",
+        "http://example.com/",
+        "http://example.com:8080/x",
+        "https://example.com/",
+        "https://example.com/p",
+        "https://example.com/p?a=0&a=1&b=2",
+        "relative/path#f",
+        "https://example.com/p",
+    ]
+    assert list(got) == want
+
+
+def test_canonicalize_urls_dataset():
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array(
+            ["https://A.com:443/x?utm_a=1&k=v#z"], type=pa.string()
+        ),
+    }))
+    out = canonicalize_urls(ds).to_pandas()
+    assert out["canonical_url"].tolist() == ["https://a.com/x?k=v"]
+    assert out["url"].tolist() == ["https://A.com:443/x?utm_a=1&k=v#z"]
+
+
+def test_robots_filter_rules():
+    rules = pd.DataFrame([
+        {"host": "a.com", "disallow": "/private/"},
+        {"host": "a.com", "disallow": "/tmp"},
+        {"host": "b.com", "disallow": "/"},
+    ])
+    ds = ray.data.from_arrow(pa.table({"url": pa.array([
+        "https://a.com/private/x",   # denied (rule 1)
+        "https://a.com/tmpfile",     # denied (prefix, not directory, match)
+        "https://a.com/public",      # allowed
+        "https://A.COM/private/y",   # host matching is case-insensitive
+        "https://b.com/anything",    # denied (whole host)
+        "https://c.com/private/x",   # allowed (no rules for host)
+    ], type=pa.string())}))
+    out = robots_filter(ds, rules).to_pandas()
+    assert out["allowed"].tolist() == [False, False, True, False, False, True]
+    kept = robots_filter(ds, rules, keep_denied=False).to_pandas()
+    assert kept["url"].tolist() == [
+        "https://a.com/public", "https://c.com/private/x",
+    ]
+
+
+def test_host_stats_rollup():
+    rows = [
+        # (url, lang, text) — a.com: 3 snapshots over 2 urls, 2 langs
+        ("https://a.com/1", "en", "xx"),
+        ("https://a.com/1", "en", "xxx"),
+        ("https://a.com/2", "de", "x"),
+        ("https://b.com/1", "en", "yyyy"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], type=pa.string()),
+        "lang": pa.array([r[1] for r in rows], type=pa.string()),
+        "text": pa.array([r[2] for r in rows], type=pa.string()),
+    }))
+    got = (
+        host_stats(ds, num_buckets=4)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({
+        "host": ["a.com", "b.com"],
+        "n_snapshots": np.array([3, 1], dtype=np.int64),
+        "n_urls": np.array([2, 1], dtype=np.int64),
+        "n_langs": np.array([2, 1], dtype=np.int64),
+        "sum_chars": np.array([6, 4], dtype=np.int64),
+    })
+    pd.testing.assert_frame_equal(got, want)
