@@ -701,6 +701,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return link_degree(extract_links(read_pages(sf, drop_text=True)))
 
+    def q_crawl_frontier(sf):
+        """Next-wave crawl discovery: urls seen as link targets but never
+        fetched — ONE exchange of (url, seen_src, seen_dst) max-partials,
+        no join (includes phantom intra-site prev-doc urls, site homes and
+        the search hub, none of which the fixture crawl fetched)."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            crawl_frontier,
+            extract_links,
+        )
+
+        return crawl_frontier(
+            extract_links(read_pages(sf, drop_text=True))
+        )
+
+    def q_link_components(sf):
+        """Connected components of the undirected link graph (site
+        neighborhoods): reuses the dedup cluster machinery over
+        stable-hashed node ids, then recovers the lexicographic-min url
+        per component so the output contract is hash-free. Oracle is a
+        recursive-CTE reachability closure."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            link_components,
+        )
+
+        return link_components(
+            extract_links(read_pages(sf, drop_text=True))
+        )
+
     def q_canonical_url(sf):
         """URL canonicalization over deterministically-messied urls
         (fragment, tracking params, default port, case variants built from
@@ -1524,6 +1555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_degree": q_link_degree,
         "pagerank": q_pagerank,
         "anchor_text": q_anchor_text,
+        "crawl_frontier": q_crawl_frontier,
+        "link_components": q_link_components,
         # -- url hygiene / host rollups --
         "canonical_url": q_canonical_url,
         "robots_filter": q_robots_filter,
@@ -2191,6 +2224,23 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text": LINKS_PRE + """
             SELECT dst_url, anchor, count(*)::BIGINT AS n_links
             FROM link_edges GROUP BY dst_url, anchor""",
+        "crawl_frontier": LINKS_PRE + """,
+            e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)
+            SELECT DISTINCT dst_url AS url FROM e2
+            WHERE dst_url NOT IN (SELECT src_url FROM e2)""",
+        # undirected reachability closure (UNION-deduped recursion), then
+        # min url per node = the component's canonical member
+        "link_components": "WITH RECURSIVE " + LINKS_SQL.strip() + """,
+            e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges),
+            sym AS (SELECT src_url AS u, dst_url AS v FROM e2
+                    UNION SELECT dst_url, src_url FROM e2),
+            nodes AS (SELECT DISTINCT u FROM sym),
+            walk AS (
+              SELECT u, u AS l FROM nodes
+              UNION
+              SELECT s.u, w.l FROM sym s JOIN walk w ON s.v = w.u
+            )
+            SELECT u AS url, min(l) AS component FROM walk GROUP BY u""",
         # the messy-url construction is mirrored; the EXPECTED canonical
         # form is stated in closed form (only the Ray side parses urls)
         "canonical_url": """

@@ -171,6 +171,101 @@ def link_degree(edges, *, num_buckets: int = 32):
     )
 
 
+def crawl_frontier(edges, *, num_buckets: int = 32):
+    """Urls the crawl has SEEN (as a link target) but never FETCHED (never a
+    source) — the next-wave frontier of a breadth-first crawl.
+
+    ONE exchange: each edge emits (url, seen_src, seen_dst) partials with a
+    per-batch max-combine; the bucketed fold keeps urls where seen_dst=1
+    and seen_src=0. No join, no second distinct pass.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ones = np.ones(n, dtype=np.int64)
+        zeros = np.zeros(n, dtype=np.int64)
+        t = pa.table({
+            "url": pa.concat_arrays(
+                [_str_array(batch, "src_url"), _str_array(batch, "dst_url")]
+            ),
+            "seen_src": pa.array(np.concatenate([ones, zeros])),
+            "seen_dst": pa.array(np.concatenate([zeros, ones])),
+        })
+        out = t.group_by("url").aggregate(
+            [("seen_src", "max"), ("seen_dst", "max")]
+        )
+        return out.rename_columns(["url", "seen_src", "seen_dst"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url", sort=False, as_index=False).agg(
+            seen_src=("seen_src", "max"), seen_dst=("seen_dst", "max")
+        )
+        return g.loc[(g["seen_dst"] == 1) & (g["seen_src"] == 0), ["url"]]
+
+    return bucketed_map_groups(
+        edges.map_batches(partial, batch_format="pyarrow"), "url", finish,
+        num_buckets=num_buckets,
+    )
+
+
+def link_components(edges, *, num_buckets: int = 16, **cluster_kwargs):
+    """Connected components of the (undirected) link graph: every url gets
+    ``component`` = the lexicographically smallest url reachable from it.
+
+    Reuses the dedup-cluster machinery (stages/dedup.py::dedup_clusters —
+    union-find on the collected pair list, or distributed min-label
+    propagation past its driver_limit) over int64 node ids from
+    ``stable_hash64(url)``; the string-min canonical member is then
+    recovered with one bucketed min-fold + join-back, so the OUTPUT is
+    hash-free (no collision exposure in the contract; a 64-bit collision
+    among distinct urls — ~1e-9 at 10^8 urls — could only merge two
+    components, same exposure the exact-dedup digest path documents).
+    """
+    from htrc_feature_reader_ray.functions.ids import stable_hash64
+    from htrc_feature_reader_ray.stages.dedup import dedup_clusters
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        a = stable_hash64(
+            _str_array(batch, "src_url").to_numpy(zero_copy_only=False)
+        ).view(np.int64)
+        b = stable_hash64(
+            _str_array(batch, "dst_url").to_numpy(zero_copy_only=False)
+        ).view(np.int64)
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+
+    clusters = dedup_clusters(
+        edges.map_batches(pairs, batch_format="pyarrow"),
+        num_buckets=num_buckets, **cluster_kwargs,
+    )
+
+    def node_ids(batch: pa.Table) -> pa.Table:
+        arr = pa.concat_arrays(
+            [_str_array(batch, "src_url"), _str_array(batch, "dst_url")]
+        ).unique()
+        nid = stable_hash64(arr.to_numpy(zero_copy_only=False)).view(np.int64)
+        return pa.table({"url": arr, "nid": pa.array(nid)})
+
+    nodes = bucketed_map_groups(
+        edges.map_batches(node_ids, batch_format="pyarrow"), "url",
+        lambda df: df.drop_duplicates(["url"]), num_buckets=num_buckets,
+    )
+    labeled = bucket_join(
+        nodes, clusters, left_key="nid", right_key="doc_id",
+        how="inner", num_buckets=num_buckets,
+    ).materialize()
+    canon = bucketed_aggregate(
+        labeled, "cluster_id", {"component": ("url", "min")},
+        num_buckets=num_buckets,
+    )
+    out = bucket_join(
+        labeled, canon, left_key="cluster_id", right_key="cluster_id",
+        how="inner", num_buckets=num_buckets,
+    )
+    return out.map_batches(
+        lambda t: t.select(["url", "component"]), batch_format="pyarrow"
+    )
+
+
 def _distinct_nodes(edges, *, num_buckets: int):
     def urls(batch: pa.Table) -> pa.Table:
         arr = pa.concat_arrays(

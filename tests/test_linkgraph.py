@@ -14,7 +14,9 @@ import ray.data
 from htrc_feature_reader_ray.stages.linkgraph import (
     PR_SCALE,
     _hrefs,
+    crawl_frontier,
     extract_links,
+    link_components,
     link_degree,
     pagerank,
 )
@@ -167,3 +169,35 @@ def test_pagerank_hub_outranks_leaves():
 def test_pagerank_empty():
     pr = pagerank(_edges([]), iterations=2, num_buckets=2).to_pandas()
     assert len(pr) == 0
+
+
+def test_crawl_frontier():
+    # c is linked-to but never a source; a and b were both fetched
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("b", "c")]
+    got = sorted(
+        crawl_frontier(_edges(pairs), num_buckets=4).to_pandas()["url"]
+    )
+    assert got == ["c"]
+    # a pure cycle has no frontier
+    assert len(crawl_frontier(_edges([("x", "y"), ("y", "x")]),
+                              num_buckets=2).to_pandas()) == 0
+
+
+def test_link_components():
+    pairs = [
+        ("a", "b"), ("b", "c"),          # component min 'a'
+        ("q", "p"),                      # component min 'p' (direction
+                                         # must not matter)
+        ("z", "z"),                      # self-loop singleton
+    ]
+    got = (
+        link_components(_edges(pairs), num_buckets=4)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({
+        "url": ["a", "b", "c", "p", "q", "z"],
+        "component": ["a", "a", "a", "p", "p", "z"],
+    })
+    pd.testing.assert_frame_equal(got, want)
