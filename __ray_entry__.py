@@ -701,6 +701,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return link_degree(extract_links(read_pages(sf, drop_text=True)))
 
+    def q_redirects(sf):
+        """Redirect-chain resolution (HTTP-30x normalization): pointer
+        doubling resolves length-L chains in ceil(log2 L) bucketed
+        self-joins, not L passes. Fixture chains: doc d redirects to d+1
+        (same-source url) when d%5 in (0,1,2) — chains up to 3 hops, some
+        ending at phantom cross-source urls."""
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            resolve_redirects,
+        )
+
+        def build(df):
+            keep = (df["doc_id"] % 5).isin([0, 1, 2])
+            d = df.loc[keep]
+            base = "https://" + d["source"].astype(str) + ".example.com/doc/"
+            return pd.DataFrame({
+                "url": base + d["doc_id"].astype(str),
+                "target": base + (d["doc_id"] + 1).astype(str),
+            })
+
+        red = _docs(sf, columns=["doc_id", "source"]).map_batches(
+            build, batch_format="pandas"
+        )
+        return resolve_redirects(red)
+
+    def q_neighbor_tokens(sf):
+        """Neighborhood aggregation ('company you keep' signal): per link
+        target, the count and token-mass of the pages that link to it —
+        edge table bucket-joined to per-url token counts, folded per
+        target; single int/int IEEE division for the mean."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import extract_links
+        from htrc_feature_reader_ray.stages.partition import (
+            bucket_join,
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.textstats import token_count
+
+        def with_url(df):
+            return pd.DataFrame({
+                "url": "https://" + df["source"].astype(str)
+                + ".example.com/doc/" + df["doc_id"].astype(str),
+                "text": df["text"],
+            })
+
+        toks = token_count(
+            _docs(sf, columns=["doc_id", "source", "text"]).map_batches(
+                with_url, batch_format="pandas"
+            ),
+            id_cols=("url",),
+        )
+        edges = extract_links(read_pages(sf, drop_text=True))
+        joined = bucket_join(edges, toks, left_key="src_url",
+                             right_key="url", how="inner", num_buckets=16)
+        agg = bucketed_aggregate(
+            joined, "dst_url",
+            {"n_inlinks": ("n_tokens", "size"),
+             "sum_src_tokens": ("n_tokens", "sum")},
+            num_buckets=16,
+        )
+
+        def avg(df):
+            df["avg_src_tokens"] = (
+                df["sum_src_tokens"].to_numpy(dtype=np.float64)
+                / df["n_inlinks"].to_numpy(dtype=np.float64)
+            )
+            return df
+
+        return agg.map_batches(avg, batch_format="pandas")
+
     def q_crawl_frontier(sf):
         """Next-wave crawl discovery: urls seen as link targets but never
         fetched — ONE exchange of (url, seen_src, seen_dst) max-partials,
@@ -1557,6 +1626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": q_anchor_text,
         "crawl_frontier": q_crawl_frontier,
         "link_components": q_link_components,
+        "redirects": q_redirects,
+        "neighbor_tokens": q_neighbor_tokens,
         # -- url hygiene / host rollups --
         "canonical_url": q_canonical_url,
         "robots_filter": q_robots_filter,
@@ -2241,6 +2312,41 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.u, w.l FROM sym s JOIN walk w ON s.v = w.u
             )
             SELECT u AS url, min(l) AS component FROM walk GROUP BY u""",
+        # redirect map mirrored from documents; UNION ALL recursion walks
+        # each chain (acyclic by construction), keep the deepest row
+        "redirects": """
+            WITH RECURSIVE r AS (
+              SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                       AS url,
+                     'https://' || source || '.example.com/doc/'
+                       || (doc_id + 1) AS target
+              FROM documents WHERE doc_id % 5 IN (0, 1, 2)
+            ), walk AS (
+              SELECT url, target AS next, 1::BIGINT AS hops FROM r
+              UNION ALL
+              SELECT w.url, r.target, w.hops + 1
+              FROM walk w JOIN r ON w.next = r.url
+            )
+            SELECT url, next AS final_url, hops FROM (
+              SELECT *, row_number() OVER (PARTITION BY url
+                                           ORDER BY hops DESC) AS rn
+              FROM walk
+            ) WHERE rn = 1""",
+        "neighbor_tokens": LINKS_PRE + """,
+            e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges),
+            toks AS (
+              SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                       AS url,
+                     len(list_filter(string_split(text, ' '),
+                                     t -> t != ''))::BIGINT AS n_tokens
+              FROM documents
+            )
+            SELECT e2.dst_url, count(*)::BIGINT AS n_inlinks,
+                   sum(t.n_tokens)::BIGINT AS sum_src_tokens,
+                   (sum(t.n_tokens)::BIGINT)::DOUBLE
+                     / count(*)::BIGINT AS avg_src_tokens
+            FROM e2 JOIN toks t ON e2.src_url = t.url
+            GROUP BY e2.dst_url""",
         # the messy-url construction is mirrored; the EXPECTED canonical
         # form is stated in closed form (only the Ray side parses urls)
         "canonical_url": """

@@ -224,6 +224,8 @@ def link_components(edges, *, num_buckets: int = 16, **cluster_kwargs):
     from htrc_feature_reader_ray.functions.ids import stable_hash64
     from htrc_feature_reader_ray.stages.dedup import dedup_clusters
 
+    edges = edges.materialize()  # two consumers (pair list, node table)
+
     def pairs(batch: pa.Table) -> pa.Table:
         a = stable_hash64(
             _str_array(batch, "src_url").to_numpy(zero_copy_only=False)
@@ -266,6 +268,91 @@ def link_components(edges, *, num_buckets: int = 16, **cluster_kwargs):
     )
 
 
+def resolve_redirects(redirects, *, src_col: str = "url",
+                      dst_col: str = "target", num_buckets: int = 32,
+                      max_doubling: int = 10):
+    """Resolve redirect CHAINS to their terminal url: (url, final_url,
+    hops) for every url in the redirect map — the HTTP-30x / alias /
+    symlink resolution step of crawl normalization (generalizing the
+    reference's id→path resolver indirection, resolvers.py).
+
+    Pointer doubling: the state S_k maps url → (next, hops) where next is
+    2^k redirect steps ahead (or terminal); each round self-joins S on
+    S.next = S.url, so a chain of length L resolves in ceil(log2 L)
+    bucketed exchanges — not L sequential passes. Rounds stop early when a
+    round matches nothing (exact convergence test on the round's
+    materialized state, one tiny aggregate).
+
+    Redirect CYCLES never converge; the ``max_doubling`` cap terminates
+    them deterministically (their next/hops are then 2^max_doubling steps
+    around the loop — callers that care can filter ``hops >=
+    2**max_doubling``).
+    """
+
+    def init(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "url": _str_array(batch, src_col),
+            "next": _str_array(batch, dst_col),
+            "hops": pa.array(np.ones(n, dtype=np.int64)),
+        })
+
+    state = redirects.map_batches(init, batch_format="pyarrow").materialize()
+    if state.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "final_url": pa.array([], type=pa.string()),
+            "hops": pa.array([], type=pa.int64()),
+        }))
+
+    for _ in range(max_doubling):
+        # self-join: where my `next` is itself a mapped url, jump ahead by
+        # that entry's (already up to 2^k) steps
+        def as_map(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "_m_url": _str_array(batch, "url"),
+                "_m_next": _str_array(batch, "next"),
+                "_m_hops": batch.column("hops"),
+            })
+
+        mapping = state.map_batches(as_map, batch_format="pyarrow")
+        joined = bucket_join(
+            state, mapping, left_key="next", right_key="_m_url",
+            how="left", num_buckets=num_buckets,
+        )
+
+        def advance(df: pd.DataFrame) -> pd.DataFrame:
+            hit = df["_m_next"].notna()
+            nxt = df["next"].where(~hit, df["_m_next"])
+            hops = df["hops"].astype(np.int64) + np.where(
+                hit, df["_m_hops"].fillna(0).astype(np.int64), 0
+            )
+            return pd.DataFrame({
+                "url": df["url"], "next": nxt,
+                "hops": hops.astype(np.int64),
+                "_hit": hit.astype(np.int64),
+            })
+
+        advanced = joined.map_batches(
+            advance, batch_format="pandas"
+        ).materialize()
+        moved = advanced.sum("_hit")
+        state = advanced.drop_columns(["_hit"])  # projection on materialized
+        if not moved:
+            break
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "final_url": batch.column("next"),
+            "hops": batch.column("hops"),
+        })
+
+    return state.map_batches(final, batch_format="pyarrow")
+
+
 def _distinct_nodes(edges, *, num_buckets: int):
     def urls(batch: pa.Table) -> pa.Table:
         arr = pa.concat_arrays(
@@ -295,6 +382,11 @@ def pagerank(edges, *, iterations: int = 3, scale: int = PR_SCALE,
     parallelism levels; the driver oracle replays the identical recurrence
     as unrolled SQL CTEs (see __ray_entry__.py `pagerank`).
     """
+    # the edge list feeds three consumers (node set, out-degrees, the
+    # per-iteration join) — pin it once so the upstream (html parse,
+    # distinct exchange) doesn't re-execute per consumer. O(E) object-store
+    # residency is inherent to iterative graph algorithms.
+    edges = edges.materialize()
     nodes = _distinct_nodes(edges, num_buckets=num_buckets).materialize()
     n = nodes.count()
     if n == 0:

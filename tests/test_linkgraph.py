@@ -19,6 +19,7 @@ from htrc_feature_reader_ray.stages.linkgraph import (
     link_components,
     link_degree,
     pagerank,
+    resolve_redirects,
 )
 
 
@@ -169,6 +170,56 @@ def test_pagerank_hub_outranks_leaves():
 def test_pagerank_empty():
     pr = pagerank(_edges([]), iterations=2, num_buckets=2).to_pandas()
     assert len(pr) == 0
+
+
+def _redirects(pairs):
+    return ray.data.from_arrow(
+        pa.table({
+            "url": pa.array([p[0] for p in pairs], type=pa.string()),
+            "target": pa.array([p[1] for p in pairs], type=pa.string()),
+        })
+    )
+
+
+def test_resolve_redirects_chains():
+    # chain a->b->c->T (3 hops), isolated d->T2 (1 hop)
+    got = (
+        resolve_redirects(
+            _redirects([("a", "b"), ("b", "c"), ("c", "T"), ("d", "T2")]),
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({
+        "url": ["a", "b", "c", "d"],
+        "final_url": ["T", "T", "T", "T2"],
+        "hops": np.array([3, 2, 1, 1], dtype=np.int64),
+    })
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_resolve_redirects_long_chain_log_rounds():
+    # length-20 chain must resolve within the doubling cap (2^10 >> 20)
+    pairs = [(f"u{i}", f"u{i+1}") for i in range(20)]
+    got = resolve_redirects(_redirects(pairs), num_buckets=4).to_pandas()
+    r = got.set_index("url")
+    assert r.loc["u0", "final_url"] == "u20" and r.loc["u0", "hops"] == 20
+    assert r.loc["u19", "hops"] == 1
+
+
+def test_resolve_redirects_cycle_terminates():
+    got = resolve_redirects(
+        _redirects([("a", "b"), ("b", "a")]), num_buckets=2, max_doubling=4
+    ).to_pandas()
+    # no crash/hang; both rows still present with capped hop counts
+    assert sorted(got["url"]) == ["a", "b"]
+    assert (got["hops"] >= 1).all()
+
+
+def test_resolve_redirects_empty():
+    assert len(resolve_redirects(_redirects([]), num_buckets=2).to_pandas()) == 0
 
 
 def test_crawl_frontier():
