@@ -60,6 +60,32 @@ r{i} AS (SELECT nodes.url,
 """
         prev = f"r{i}"
     return sql.rstrip(",\n") + f"\nSELECT url, r AS rank FROM r{iterations}"
+
+
+def _components_sql(rounds: int = 12) -> str:
+    """Unrolled min-label propagation over the undirected link graph:
+    l_0(u) = u; l_{k+1}(u) = least(l_k(u), min over neighbors of l_k).
+    Exact connected components provided ``rounds`` >= graph eccentricity
+    (see the call site for the fixture's diameter bound)."""
+    # AS MATERIALIZED is load-bearing: each round references the previous
+    # label table twice, so default CTE inlining doubles the plan per
+    # round (2^rounds base-table scans — "too many open files")
+    sql = LINKS_PRE + """,
+e2 AS MATERIALIZED (SELECT DISTINCT src_url, dst_url FROM link_edges),
+sym AS MATERIALIZED (SELECT src_url AS u, dst_url AS v FROM e2
+        UNION SELECT dst_url, src_url FROM e2),
+l0 AS MATERIALIZED (SELECT DISTINCT u, u AS l FROM sym),
+"""
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        sql += f"""l{i} AS MATERIALIZED (
+  SELECT p.u, least(p.l, coalesce(min(n.l), p.l)) AS l
+  FROM {prev} p LEFT JOIN sym s ON s.u = p.u
+  LEFT JOIN {prev} n ON n.u = s.v
+  GROUP BY p.u, p.l),
+"""
+        prev = f"l{i}"
+    return sql.rstrip(",\n") + f"\nSELECT u AS url, l AS component FROM {prev}"
 TOK_PRE = f"""
 WITH {PAGES_SQL.strip()}, {SECTIONS_SQL.strip()},
 tok AS (
@@ -2301,17 +2327,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE dst_url NOT IN (SELECT src_url FROM e2)""",
         # undirected reachability closure (UNION-deduped recursion), then
         # min url per node = the component's canonical member
-        "link_components": "WITH RECURSIVE " + LINKS_SQL.strip() + """,
-            e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges),
-            sym AS (SELECT src_url AS u, dst_url AS v FROM e2
-                    UNION SELECT dst_url, src_url FROM e2),
-            nodes AS (SELECT DISTINCT u FROM sym),
-            walk AS (
-              SELECT u, u AS l FROM nodes
-              UNION
-              SELECT s.u, w.l FROM sym s JOIN walk w ON s.v = w.u
-            )
-            SELECT u AS url, min(l) AS component FROM walk GROUP BY u""",
+        # undirected min-label propagation, unrolled like the pagerank
+        # oracle (a reachability-closure recursion materializes O(C^2)
+        # rows per component — minutes at sf0.1; label propagation is
+        # O(E) per round). 12 rounds >= the fixture graph's eccentricity
+        # (hub-star components: every node <= 2 hops from a hub, hubs
+        # <= 2 hops apart => diameter <= 6), so this IS the fixpoint.
+        "link_components": _components_sql(rounds=12),
         # redirect map mirrored from documents; UNION ALL recursion walks
         # each chain (acyclic by construction), keep the deepest row
         "redirects": """

@@ -24,6 +24,19 @@ def test_curation_pipeline_example(tmp_path):
     assert out["shards"] >= 1
 
 
+def test_link_analysis_example():
+    from examples.link_analysis import analyze
+
+    out = analyze("/root/testdata/sf0.001")
+    assert out["edges"] > 0
+    assert out["urls_with_degree"] > 0
+    assert out["frontier_urls"] > 0
+    assert len(out["top_ranked"]) == 5
+    # the highest-rank urls are the engineered hubs (site homes / search)
+    assert any("search.example.com" in u or u.endswith(".example.com/")
+               for u in out["top_ranked"])
+
+
 def test_training_prep_pipeline(tmp_path):
     from examples.training_prep import prepare
 
