@@ -883,6 +883,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_buckets=8,
         )
 
+    def q_crawl_schedule(sf):
+        """Per-url recrawl features (snapshot count, first/last fetch,
+        max/mean inter-fetch gap) — what a revisit policy ranks by."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.urltools import crawl_schedule
+
+        return crawl_schedule(
+            read_pages(sf, drop_text=True).select_columns(["url", "warc_ts"])
+        )
+
+    def q_fetch_sessions(sf):
+        """Crawler politeness sessions: gap-based sessionization of the
+        fetch stream keyed by HOST (the generic sessionize operator
+        re-targeted from users to sites), aggregated to one row per
+        session."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.temporal import sessionize
+
+        def with_host(df):
+            rest = df["url"].astype(str).str.split(
+                "://", n=1, regex=False
+            ).str[-1]
+            df["host"] = rest.str.split("/", n=1, regex=False).str[0]
+            return df[["host", "url", "warc_ts"]]
+
+        pages = read_pages(sf, drop_text=True).select_columns(
+            ["url", "warc_ts"]
+        ).map_batches(with_host, batch_format="pandas")
+        return sessionize(
+            pages, key="host", ts="warc_ts", gap="2h", tiebreak="url",
+            num_buckets=16, aggregate=True,
+        )
+
     def q_host_stats(sf):
         """Per-host crawl rollup (page counts, distinct urls/langs, char
         volume) — the hot-key aggregation: every page of a site shares the
@@ -1658,6 +1691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url": q_canonical_url,
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
+        "crawl_schedule": q_crawl_schedule,
+        "fetch_sessions": q_fetch_sessions,
         # per-group top-k selection (deterministic ties)
         "top_k_per_group": q_top_k_per_group,
         "window_hopping": q_window_hopping,
@@ -2408,6 +2443,48 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::BIGINT AS n_langs,
                    sum(length({PAGES_TEXT_SQL}))::BIGINT AS sum_chars
             FROM pages GROUP BY 1""",
+        # single-snapshot urls get 0 gaps (not NULL): exact-int contract
+        "crawl_schedule": PAGES_PRE + """,
+            gaps AS (
+              SELECT url, warc_ts,
+                     epoch_us(warc_ts) - lag(epoch_us(warc_ts))
+                       OVER (PARTITION BY url ORDER BY warc_ts) AS gap
+              FROM pages
+            )
+            SELECT url, count(*)::BIGINT AS n_snapshots,
+                   min(warc_ts) AS first_ts, max(warc_ts) AS last_ts,
+                   coalesce(max(gap), 0)::BIGINT AS max_gap_us,
+                   CASE WHEN count(*) = 1 THEN 0
+                        ELSE (epoch_us(max(warc_ts))
+                              - epoch_us(min(warc_ts)))
+                             // (count(*) - 1) END::BIGINT AS mean_gap_us
+            FROM gaps GROUP BY url""",
+        # host-keyed politeness sessions; cumulative sum ordered by
+        # (ts, url) so tied timestamps resolve deterministically
+        "fetch_sessions": PAGES_PRE + """,
+            p AS (
+              SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                     url, warc_ts
+              FROM pages
+            ), flagged AS (
+              SELECT host, url, warc_ts,
+                     CASE WHEN lag(warc_ts) OVER w IS NULL
+                               OR warc_ts - lag(warc_ts) OVER w
+                                  > INTERVAL 2 HOUR
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM p
+              WINDOW w AS (PARTITION BY host ORDER BY warc_ts, url)
+            ), sess AS (
+              SELECT host, warc_ts,
+                     sum(new_sess) OVER (PARTITION BY host
+                         ORDER BY warc_ts, url
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT host, session_id::BIGINT AS session_id,
+                   count(*)::BIGINT AS n_events,
+                   min(warc_ts) AS ts_start, max(warc_ts) AS ts_end
+            FROM sess GROUP BY 1, 2""",
         # token sets re-derived from the pages CTE; jaccard/counts NULL on
         # each url's first snapshot; single int/int IEEE division
         "snapshot_change": f"""

@@ -127,6 +127,49 @@ def robots_filter(ds, rules: pd.DataFrame, *, url_col: str = "url",
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def crawl_schedule(pages, *, url_col: str = "url", ts_col: str = "warc_ts",
+                   num_buckets: int = 32):
+    """Per-url recrawl-scheduling features from the snapshot history:
+    (url, n_snapshots, first_ts, last_ts, max_gap_us, mean_gap_us) — the
+    signals a crawler's revisit policy ranks by (stale-but-changing urls
+    first). Single-snapshot urls get 0 gaps (never-nullable ints keep the
+    engine's exact-integer contract).
+
+    One bucketed pass (all snapshots of a url share a bucket); gaps via a
+    vectorized per-bucket sorted diff, mean gap by the exact closed form
+    span // (n-1).
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([url_col, ts_col], kind="mergesort")
+        ts64 = df[ts_col].astype("int64")
+        prev = ts64.groupby(df[url_col], sort=False).shift(1)  # NaN at firsts
+        gap = (ts64 - prev).fillna(0.0)
+        g = df.groupby(url_col, sort=False)
+        sizes = g.size()
+        agg = pd.DataFrame({
+            "url": sizes.index,
+            "n_snapshots": sizes.to_numpy(dtype=np.int64),
+            "first_ts": g[ts_col].min().to_numpy(),
+            "last_ts": g[ts_col].max().to_numpy(),
+            "max_gap_us": gap.groupby(df[url_col], sort=False).max()
+            .reindex(sizes.index).to_numpy().astype(np.int64),
+        })
+        span = (agg["last_ts"].astype("int64")
+                - agg["first_ts"].astype("int64")).to_numpy()
+        denom = np.maximum(agg["n_snapshots"].to_numpy() - 1, 1)
+        agg["mean_gap_us"] = (span // denom).astype(np.int64)
+        return agg
+
+    return bucketed_map_groups(
+        pages.map_batches(
+            lambda t: t.select([url_col, ts_col]), batch_format="pyarrow"
+        ),
+        url_col, per_bucket, num_buckets=num_buckets,
+    )
+
+
 def host_stats(pages, *, url_col: str = "url", lang_col: str = "lang",
                text_col: str = "text", num_buckets: int = 8):
     """Per-host crawl rollup: (host, n_snapshots, n_urls, n_langs,

@@ -8,6 +8,7 @@ import ray.data
 from htrc_feature_reader_ray.stages.urltools import (
     canonicalize_batch,
     canonicalize_urls,
+    crawl_schedule,
     host_stats,
     robots_filter,
 )
@@ -68,6 +69,29 @@ def test_robots_filter_rules():
     assert kept["url"].tolist() == [
         "https://a.com/public", "https://c.com/private/x",
     ]
+
+
+def test_crawl_schedule_gaps():
+    us = 1_000_000
+    rows = [  # u1: fetches at 0s, 10s, 70s -> gaps 10s, 60s; u2: single
+        ("u1", 0), ("u1", 10 * us), ("u1", 70 * us), ("u2", 5 * us),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows], type=pa.string()),
+        "warc_ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+    }))
+    got = (
+        crawl_schedule(ds, num_buckets=4)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got["n_snapshots"].tolist() == [3, 1]
+    assert got["max_gap_us"].tolist() == [60 * us, 0]
+    assert got["mean_gap_us"].tolist() == [35 * us, 0]  # 70s span // 2
+    assert got["first_ts"].astype("int64").tolist() == [0, 5 * us]
+    assert got["last_ts"].astype("int64").tolist() == [70 * us, 5 * us]
+    assert got["max_gap_us"].dtype == np.int64
 
 
 def test_host_stats_rollup():
