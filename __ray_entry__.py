@@ -22,6 +22,7 @@ import pyarrow as pa
 # shared SQL preambles (single definition site: sources/pages.py, functions/)
 
 from htrc_feature_reader_ray.sources.pages import (
+    HEAD_META_SQL,
     LINKS_SQL,
     PAGES_SQL,
     PAGES_TEXT_SQL,
@@ -272,11 +273,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from htrc_feature_reader_ray.stages.dedup import (
         embedding_dedup_pairs,
         exact_dedup,
+        line_dedup,
         minhash_dedup_pairs,
         simhash,
     )
     from htrc_feature_reader_ray.stages.extract import (
         extract_pages,
+        head_meta,
         line_chars,
         section_features,
         sections_long,
@@ -307,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return extract_pages(read_pages(sf, drop_text=True)).select_columns(
             ["url", "warc_ts", "lang", "text"]
         )
+
+    def q_head_meta(sf):
+        return head_meta(read_pages(sf, drop_text=True))
 
     def q_sections(sf):
         return section_features(
@@ -1554,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- extraction / tokenlist family (SURVEY §2.1-2.3) --
         "extract_text": q_extract_text,
+        "head_meta": q_head_meta,
         "tokenlist": lambda sf: _folded(sf),
         "tokenlist_case_fold": lambda sf: _folded(sf, case=False, pos=False),
         "tokenlist_pos_fold": lambda sf: _folded(sf, pos=False),
@@ -1629,6 +1636,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_embeddings": q_chunk_embeddings,
         # -- dedup / similarity / text analysis (training-data ops) --
         "dedup_exact": lambda sf: exact_dedup(_docs(sf)),
+        # exchange path forced: the broadcast path shares no shuffle code,
+        # and path equality is pinned by pytest — the gate should exercise
+        # the at-scale shape
+        "line_dedup": lambda sf: line_dedup(read_pages(sf),
+                                            method="exchange"),
         # bands=64 (2 rows/band): candidate-miss probability <= 1e-8 per true
         # pair at jaccard 0.5, so the LSH output equals exact all-pairs
         # Jaccard and is oracle-checkable (verification is exact either way).
@@ -1899,6 +1911,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": (
             PAGES_PRE
             + f" SELECT url, warc_ts, lang, {PAGES_TEXT_SQL} AS text FROM pages"
+        ),
+        "head_meta": (
+            f"WITH {HEAD_META_SQL.strip()} SELECT * FROM head_meta"
         ),
         "tokenlist": TOK_PRE + """
             SELECT url, warc_ts, section, token, pos,
@@ -2656,6 +2671,30 @@ def oracle_sql() -> dict[str, str]:
                        AS text_md5,
                    min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
             FROM documents GROUP BY 1""",
+        "line_dedup": PAGES_PRE + """,
+            lines AS (
+              SELECT url, warc_ts,
+                     generate_subscripts(ls, 1)::BIGINT - 1 AS line_idx,
+                     unnest(ls) AS line
+              FROM (SELECT url, warc_ts,
+                           string_split(header || chr(10) || body
+                                        || chr(10) || footer,
+                                        chr(10)) AS ls
+                    FROM pages)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                          PARTITION BY line
+                          ORDER BY url, warc_ts, line_idx) AS rn
+              FROM lines
+            )
+            SELECT url, warc_ts,
+                   count(*)::BIGINT AS n_lines,
+                   (count(*) FILTER (rn = 1))::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN line END,
+                                       chr(10) ORDER BY line_idx),
+                            '') AS clean_text
+            FROM ranked GROUP BY url, warc_ts""",
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a, embeddings b

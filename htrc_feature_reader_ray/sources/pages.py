@@ -107,6 +107,22 @@ def doc_links(source: str, doc_id: int) -> list[tuple[str, str]]:
     return links
 
 
+# Ground-truth <head> metadata per snapshot (lockstep with
+# synth_pages_batch's head construction): title = url, description derived
+# from (doc_id, source), content-language = the page's lang column.
+HEAD_META_SQL = """
+head_meta AS (
+    SELECT
+        'https://' || source || '.example.com/doc/' || doc_id AS url,
+        TIMESTAMP '2024-01-01' + to_minutes(doc_id)
+            + to_hours(CAST(snap * snap AS BIGINT)) AS warc_ts,
+        'https://' || source || '.example.com/doc/' || doc_id AS title,
+        'doc ' || doc_id || ' from ' || source AS description,
+        lang AS content_language
+    FROM documents, unnest(range(1 + doc_id % 3)) AS t(snap)
+)
+"""
+
 # Section union in SQL form, matching stages/extract.py's section explode.
 SECTIONS_SQL = """
 sections AS (
@@ -160,7 +176,10 @@ def synth_pages_batch(batch: pa.Table, *, mult: int = 1) -> pa.Table:
             body = " ".join(toks[snap:])
             gt = header + "\n" + body + "\n" + footer
             html = (
-                f"<html><head><title>{url}</title></head><body>{nav}"
+                f"<html><head><title>{url}</title>"
+                f'<meta name="description" content="doc {d} from {source[i]}">'
+                f'<meta http-equiv="content-language" content="{lang[i]}">'
+                f"</head><body>{nav}"
                 f"<header>{header}</header><main>{body}</main>"
                 f"<footer>{footer}</footer></body></html>"
             ).encode("utf-8")

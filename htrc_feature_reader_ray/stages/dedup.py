@@ -1202,3 +1202,178 @@ def duplicated_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line-level dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def _line_explode(batch: pa.Table, *, text_col: str, key_cols,
+                  with_text: bool) -> pa.Table:
+    """(keys…, text) batch -> one row per line.
+
+    Vectorized: one split + flatten per batch; line identity is a 128-bit
+    pair of independent siphash-64s (``h1``, ``h2``) so NO line text has to
+    cross an exchange (the same corpus-scale collision argument as
+    ``exact_dedup``'s md5 grouping). Null text is treated as '' (one empty
+    line), matching the engine-wide null-hashes-as-empty-text convention.
+    """
+    import pyarrow.compute as pc
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lists = pc.split_pattern(text.cast(pa.string()).fill_null(""),
+                             pattern="\n")
+    lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    parent = np.repeat(np.arange(len(batch)), lens)
+    offsets = np.cumsum(lens) - lens
+    flat = pc.list_flatten(lists)
+    idx = np.arange(len(flat)) - np.repeat(offsets, lens)
+
+    out = batch.select(list(key_cols)).take(pa.array(parent))
+    out = out.append_column("line_idx", pa.array(idx, type=pa.int64()))
+    if with_text:
+        out = out.append_column("line", flat)
+    else:
+        vals = flat.to_numpy(zero_copy_only=False)
+        out = out.append_column(
+            "h1", pa.array(stable_hash64(vals), type=pa.uint64()))
+        out = out.append_column(
+            "h2", pa.array(stable_hash64(vals, seed="graft-l2"),
+                           type=pa.uint64()))
+    return out
+
+
+def _reassemble_lines(lines_df: pd.DataFrame, key_cols) -> pd.DataFrame:
+    """Per-line frame (keys…, line_idx, line, keep) -> per-page
+    (keys…, n_lines, n_kept, clean_text); kept lines joined in line order."""
+    keys = list(key_cols)
+    df = lines_df.sort_values(keys + ["line_idx"], kind="mergesort")
+    stats = (
+        df.groupby(keys, sort=False, as_index=False)
+        .agg(n_lines=("line_idx", "size"), n_kept=("keep", "sum"))
+    )
+    kept = df[df["keep"]]
+    joined = (
+        kept.groupby(keys, sort=False)["line"]
+        .agg("\n".join)
+        .rename("clean_text")
+        .reset_index()
+    )
+    out = stats.merge(joined, on=keys, how="left")
+    out["clean_text"] = out["clean_text"].fillna("")
+    out["n_lines"] = out["n_lines"].astype("int64")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out
+
+
+def line_dedup(pages, *, text_col: str = "text",
+               key_cols=("url", "warc_ts"),
+               method: str = "auto", broadcast_limit: int = 2_000_000,
+               num_buckets: int = 64):
+    """C4-style corpus-wide line dedup: every distinct line keeps exactly its
+    globally-FIRST occurrence (ordered by ``key_cols + line_idx``); later
+    occurrences are dropped. Returns one row per input page:
+    ``(keys…, n_lines, n_kept, clean_text)`` where clean_text is the kept
+    lines re-joined in original order ('' when every line lost).
+
+    Scale shape — line TEXT never enters the dedup exchange:
+      1. explode to (keys, line_idx, h1, h2) — two independent 64-bit
+         siphashes = a 128-bit line identity (16 bytes/line moves, not the
+         line);
+      2. one hash-bucket exchange on h1; inside a bucket every occurrence of
+         a line is present, so the non-first rows fall out of a vectorized
+         sort + duplicated() — the emitted DROP set (keys, line_idx) is
+         proportional to the corpus duplication rate, not its size;
+      3. drops re-apply to the source pages either by BROADCAST (drop set
+         fits a worker: zero further shuffle — lines of one page never leave
+         their batch) or by a tagged union co-bucketed on the page key
+         (text moves exactly once). ``method='auto'`` picks by drop count
+         against ``broadcast_limit``.
+
+    Reference analog: none (the reference dedups nothing); this is the
+    C4/Gopher "discard duplicated lines across documents" curation op, a
+    structural level between exact_dedup (whole doc) and duplicated_spans
+    (token windows).
+    """
+    import functools
+
+    from htrc_feature_reader_ray.stages.partition import (
+        add_bucket_column,
+        bucketed_map_groups,
+    )
+
+    keys = list(key_cols)
+    explode_keys = functools.partial(
+        _line_explode, text_col=text_col, key_cols=keys, with_text=False)
+    explode_text = functools.partial(
+        _line_explode, text_col=text_col, key_cols=keys, with_text=True)
+
+    def mark_drops(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h1", "h2"] + keys + ["line_idx"],
+                            kind="mergesort")
+        dup = df.duplicated(subset=["h1", "h2"])
+        return df.loc[dup, keys + ["line_idx"]]
+
+    drops = bucketed_map_groups(
+        pages.map_batches(explode_keys, batch_format="pyarrow"),
+        "h1", mark_drops, num_buckets=num_buckets,
+    ).materialize()
+
+    if method == "auto":
+        method = ("broadcast" if drops.count() <= broadcast_limit
+                  else "exchange")
+
+    if method == "broadcast":
+        drops_df = drops.to_pandas()
+        if len(drops_df) == 0:
+            drops_df = pd.DataFrame(
+                {**{k: pd.Series(dtype="object") for k in keys},
+                 "line_idx": pd.Series(dtype="int64")})
+        ref = ray.put(drops_df)
+
+        def clean(batch: pa.Table) -> pd.DataFrame:
+            lines = explode_text(batch).to_pandas()
+            d = ray.get(ref)
+            if len(d):
+                m = lines.merge(d, on=keys + ["line_idx"], how="left",
+                                indicator=True)
+                lines["keep"] = (m["_merge"] == "left_only").to_numpy()
+            else:
+                lines["keep"] = True
+            return _reassemble_lines(lines, keys)
+
+        return pages.map_batches(clean, batch_format="pyarrow")
+
+    # exchange path: lines (with text) and drop keys co-bucketed on the
+    # page key; one tagged union, one exchange, per-bucket anti-merge
+    lines_ds = pages.map_batches(explode_text, batch_format="pyarrow")
+
+    def tag(is_drop: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if is_drop:
+                t = t.append_column(
+                    "line", pa.array([None] * len(t), type=pa.string()))
+            return t.append_column(
+                "__drop", pa.array([is_drop] * len(t), type=pa.bool_()))
+        return fn
+
+    unioned = lines_ds.map_batches(tag(False), batch_format="pyarrow").union(
+        drops.map_batches(tag(True), batch_format="pyarrow"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["__drop"]][keys + ["line_idx"]]
+        lines = df[~df["__drop"]].drop(columns=["__drop"])
+        if len(d):
+            m = lines.merge(d, on=keys + ["line_idx"], how="left",
+                            indicator=True)
+            lines = lines.copy()
+            lines["keep"] = (m["_merge"] == "left_only").to_numpy()
+        else:
+            lines = lines.copy()
+            lines["keep"] = True
+        return _reassemble_lines(lines, keys)
+
+    return bucketed_map_groups(unioned, keys[0], per_bucket,
+                               num_buckets=num_buckets)

@@ -445,3 +445,58 @@ def sections_from_text(batch: pa.Table) -> pa.Table:
     for i, sect in enumerate(SECTIONS):
         out = out.append_column(sect, pc.list_element(split, i))
     return out
+
+
+# ---------------------------------------------------------------------------
+# <head> metadata extraction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible named-group patterns; each extracts one head field. Kept as
+# three single-field patterns (not one combined regex) so a page missing any
+# one tag still yields the others — pc.extract_regex nulls the whole struct
+# on a non-match.
+_HEAD_PATTERNS = {
+    "title": r"<title>(?P<title>[^<]*)</title>",
+    "description":
+        r'<meta name="description" content="(?P<description>[^"]*)"',
+    "content_language":
+        r'<meta http-equiv="content-language" content="'
+        r'(?P<content_language>[^"]*)"',
+}
+
+
+def head_meta_batch(batch: pa.Table, *, html_col: str = "html",
+                    keep_cols=("url", "warc_ts")) -> pa.Table:
+    """One Arrow batch of pages -> (keep_cols…, title, description,
+    content_language). Fully vectorized: one utf-8 cast + one
+    ``pc.extract_regex`` (RE2, no backtracking) per field; rows whose html
+    lacks a tag get null for that field only.
+
+    Reference analog: the head-of-file metadata block the reference exposes
+    via ``Volume.parser.meta`` (parsers.py:206-242) — here the metadata
+    lives in the raw html head instead of a JSON sidecar.
+    """
+    html = batch.column(html_col)
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    # head tags are pure ASCII markup around utf-8 payloads: cast validates
+    text = html.cast(pa.string())
+    out = batch.select(list(keep_cols))
+    for field, pattern in _HEAD_PATTERNS.items():
+        extracted = pc.extract_regex(text, pattern)
+        out = out.append_column(field, pc.struct_field(extracted, field))
+    return out
+
+
+def head_meta(pages_ds, *, html_col: str = "html",
+              keep_cols=("url", "warc_ts")):
+    """pages (with raw html) -> per-snapshot head metadata table
+    (url, warc_ts, title, description, content_language).
+
+    Stateless vectorized map — fuses with the upstream read; no shuffle.
+    """
+    import functools
+
+    fn = functools.partial(head_meta_batch, html_col=html_col,
+                           keep_cols=keep_cols)
+    return pages_ds.map_batches(fn, batch_format="pyarrow")

@@ -394,3 +394,59 @@ def test_duplicated_spans_no_dups_join_path():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (got.n_dup_windows == 0).all() and (got.dup_frac == 0.0).all()
     assert list(got.n_windows) == [2, 2, 2]
+
+
+# ---------------------------------------------------------------------------
+# line_dedup (C4-style corpus line dedup)
+# ---------------------------------------------------------------------------
+
+def _line_pages(rows):
+    import pyarrow as pa
+
+    return ray.data.from_arrow(pa.table({
+        "url": [r[0] for r in rows],
+        "warc_ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "text": pa.array([r[2] for r in rows], type=pa.string()),
+    }))
+
+
+def test_line_dedup_keeps_first_occurrence():
+    from htrc_feature_reader_ray.stages.dedup import line_dedup
+
+    pages = _line_pages([
+        ("a", 1, "shared\nunique-a\nshared"),   # 2nd 'shared' in-page dup
+        ("b", 1, "shared\nunique-b"),
+        ("b", 2, "unique-b\ntail"),             # dup of b@1's line
+    ])
+    out = (line_dedup(pages, method="broadcast", num_buckets=4)
+           .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    assert out["n_lines"].tolist() == [3, 2, 2]
+    assert out["n_kept"].tolist() == [2, 1, 1]
+    assert out["clean_text"].tolist() == [
+        "shared\nunique-a", "unique-b", "tail"]
+
+
+def test_line_dedup_paths_equal_and_null_text():
+    from htrc_feature_reader_ray.stages.dedup import line_dedup
+
+    rows = [("a", 1, "x\ny"), ("b", 1, None), ("c", 1, ""), ("d", 1, "")]
+    a = (line_dedup(_line_pages(rows), method="broadcast", num_buckets=4)
+         .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    b = (line_dedup(_line_pages(rows), method="exchange", num_buckets=4)
+         .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+    # null text == '' (one empty line); the three empty lines dedup to one
+    assert a["n_lines"].tolist() == [2, 1, 1, 1]
+    assert a["n_kept"].tolist() == [2, 1, 0, 0]
+    assert a["clean_text"].tolist() == ["x\ny", "", "", ""]
+
+
+def test_line_dedup_no_duplicates_identity():
+    from htrc_feature_reader_ray.stages.dedup import line_dedup
+
+    rows = [("a", 1, "p\nq"), ("b", 1, "r\ns")]
+    out = (line_dedup(_line_pages(rows), method="exchange", num_buckets=2)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert out["n_kept"].tolist() == [2, 2]
+    assert out["clean_text"].tolist() == ["p\nq", "r\ns"]

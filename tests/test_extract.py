@@ -118,3 +118,35 @@ def test_extractor_vectorized_matches_scalar():
     ref = ex._extract_scalar(docs)
     for col in ("header", "body", "footer", "text"):
         assert got.column(col).to_pylist() == list(ref[col]), col
+
+
+def test_head_meta_batch_missing_tags_null():
+    """Each head field is extracted independently: a page missing one tag
+    nulls that field only; null html nulls all three."""
+    from htrc_feature_reader_ray.stages.extract import head_meta_batch
+
+    docs = [
+        b'<html><head><title>t0</title>'
+        b'<meta name="description" content="d0">'
+        b'<meta http-equiv="content-language" content="en"></head></html>',
+        b"<html><head><title>only title</title></head></html>",
+        b'<meta name="description" content="only desc">',
+        b"no head at all",
+        None,
+    ]
+    batch = pa.table(
+        {
+            "url": [f"u{i}" for i in range(len(docs))],
+            "warc_ts": pa.array([1] * len(docs), type=pa.timestamp("us")),
+            "html": pa.array(docs, type=pa.binary()),
+        }
+    )
+    out = head_meta_batch(batch)
+    assert out.column("title").to_pylist() == [
+        "t0", "only title", None, None, None]
+    assert out.column("description").to_pylist() == [
+        "d0", None, "only desc", None, None]
+    assert out.column("content_language").to_pylist() == [
+        "en", None, None, None, None]
+    assert out.column_names == [
+        "url", "warc_ts", "title", "description", "content_language"]
