@@ -35,12 +35,15 @@ LINKS_PRE = f"WITH {LINKS_SQL.strip()}"
 
 
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000_000,
-                  damping_pct: int = 85) -> str:
+                  damping_pct: int = 85,
+                  e2_select: str =
+                  "SELECT DISTINCT src_url, dst_url FROM link_edges") -> str:
     """Unrolled-CTE replay of stages/linkgraph.pagerank's integer
-    recurrence (DuckDB `//` = floor division on BIGINT, matching numpy)."""
+    recurrence (DuckDB `//` = floor division on BIGINT, matching numpy).
+    ``e2_select`` swaps the edge table (e.g. the host-graph projection)."""
     base = f"({100 - damping_pct} * ({scale} // n)) // 100"
     sql = LINKS_PRE + f""",
-e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges),
+e2 AS ({e2_select}),
 outdeg AS (SELECT src_url, count(*)::BIGINT AS od
            FROM e2 GROUP BY src_url),
 nodes AS (SELECT DISTINCT url FROM (
@@ -964,6 +967,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             extract_links(read_pages(sf, drop_text=True)), iterations=3
         )
 
+    def q_host_rank(sf):
+        """Domain-level authority: integer PageRank over the host-graph
+        projection (distinct host pairs, self-loops kept) of the extracted
+        link graph."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            host_rank,
+        )
+
+        return host_rank(
+            extract_links(read_pages(sf, drop_text=True)), iterations=3
+        )
+
+    def q_page_profile(sf):
+        """Per-snapshot crawl-QA profile (text size, line/token counts,
+        outlink count) from the raw html."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.extract import page_profile
+
+        return page_profile(read_pages(sf, drop_text=True))
+
     def q_rolling_time(sf):
         """Per-key rolling TIME-RANGE aggregate (RANGE INTERVAL '1 day'
         PRECEDING): one bucketed pass, frame bounds for all keys from two
@@ -1694,6 +1719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_edges": q_link_edges,
         "link_degree": q_link_degree,
         "pagerank": q_pagerank,
+        "host_rank": q_host_rank,
+        "page_profile": q_page_profile,
         "anchor_text": q_anchor_text,
         "crawl_frontier": q_crawl_frontier,
         "link_components": q_link_components,
@@ -2368,6 +2395,35 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT dst_url, 0, 1 FROM e2)
             GROUP BY url""",
         "pagerank": _pagerank_sql(iterations=3),
+        "host_rank": (
+            "SELECT url AS host, rank FROM (" + _pagerank_sql(
+                iterations=3,
+                e2_select="""SELECT DISTINCT
+                    regexp_extract(src_url, '://([^/]+)', 1) AS src_url,
+                    regexp_extract(dst_url, '://([^/]+)', 1) AS dst_url
+                FROM link_edges""",
+            ) + ")"
+        ),
+        # honest recomputation: sizes from the ground-truth text expression,
+        # outlink count from the nav construction rule (home + prev-1 +
+        # prev-7 + search; href= appears exactly once per link)
+        "page_profile": PAGES_PRE + f""",
+            prof AS (
+              SELECT url, warc_ts,
+                     {PAGES_TEXT_SQL} AS text,
+                     CAST(regexp_extract(url, '/doc/(\\d+)', 1) AS BIGINT)
+                         AS doc_id
+              FROM pages
+            )
+            SELECT url, warc_ts,
+                   length(text)::BIGINT AS text_chars,
+                   (len(string_split(text, chr(10))))::BIGINT AS n_lines,
+                   (len(regexp_extract_all(text, '\\S+')))::BIGINT
+                       AS n_tokens,
+                   (2 + CASE WHEN doc_id >= 1 THEN 1 ELSE 0 END
+                      + CASE WHEN doc_id >= 7 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_out_links
+            FROM prof""",
         "anchor_text": LINKS_PRE + """
             SELECT dst_url, anchor, count(*)::BIGINT AS n_links
             FROM link_edges GROUP BY dst_url, anchor""",

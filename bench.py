@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     # link-graph ops
     "link_degree",
     "pagerank",
+    # late round-2 ops
+    "head_meta",
+    "line_dedup",
 ]
 
 HEADLINE = "flagship"

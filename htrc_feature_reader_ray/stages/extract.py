@@ -500,3 +500,49 @@ def head_meta(pages_ds, *, html_col: str = "html",
     fn = functools.partial(head_meta_batch, html_col=html_col,
                            keep_cols=keep_cols)
     return pages_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-snapshot crawl-QA profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_EXTRACTOR = HtmlExtractor()
+
+
+def page_profile_batch(batch: pa.Table, *, html_col: str = "html",
+                       keep_cols=("url", "warc_ts")) -> pa.Table:
+    """One pages batch -> (keys…, text_chars, n_lines, n_tokens,
+    n_out_links): the stateless per-snapshot quality/size profile a crawl
+    QA dashboard reads. All int64; all kernels vectorized (utf8_length,
+    count_substring, count_substring_regex over the extracted text / raw
+    html)."""
+    html = batch.column(html_col)
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    zones = _PROFILE_EXTRACTOR._extract_find(html.to_pylist())
+    text = pa.array(zones["text"], type=pa.string())
+    html_str = html.cast(pa.string())
+
+    def i64(arr):
+        return arr.cast(pa.int64())
+
+    out = batch.select(list(keep_cols))
+    out = out.append_column("text_chars", i64(pc.utf8_length(text)))
+    out = out.append_column(
+        "n_lines", i64(pc.add(pc.count_substring(text, "\n"), 1)))
+    out = out.append_column(
+        "n_tokens", i64(pc.count_substring_regex(text, r"\S+")))
+    out = out.append_column(
+        "n_out_links", i64(pc.count_substring(html_str, 'href="')))
+    return out
+
+
+def page_profile(pages_ds, *, html_col: str = "html",
+                 keep_cols=("url", "warc_ts")):
+    """pages (raw html) -> per-snapshot size/quality profile. Stateless
+    vectorized map (fuses with the read; zero shuffle)."""
+    import functools
+
+    fn = functools.partial(page_profile_batch, html_col=html_col,
+                           keep_cols=keep_cols)
+    return pages_ds.map_batches(fn, batch_format="pyarrow")

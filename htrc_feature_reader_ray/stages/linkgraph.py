@@ -458,3 +458,51 @@ def pagerank(edges, *, iterations: int = 3, scale: int = PR_SCALE,
         ranks = summed.map_batches(update, batch_format="pyarrow").materialize()
 
     return ranks
+
+
+def host_edges(edges, *, num_buckets: int = 32):
+    """Page-level edge table -> distinct directed HOST pairs
+    (src_host, dst_host), self-loops (intra-host links) included — the
+    host-graph projection used for domain-level authority. Host = the
+    authority part of the url (scheme stripped, first path slash ends it).
+    """
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    host_re = r"://(?P<host>[^/]+)"
+
+    def project(batch: pa.Table) -> pa.Table:
+        out = {}
+        for col, name in (("src_url", "src_host"), ("dst_url", "dst_host")):
+            ex = pc.extract_regex(_str_array(batch, col), host_re)
+            out[name] = pc.struct_field(ex, "host")
+        t = pa.table(out)
+        return t.group_by(["src_host", "dst_host"]).aggregate([])
+
+    projected = edges.map_batches(project, batch_format="pyarrow")
+    return bucketed_map_groups(
+        projected, "src_host",
+        lambda df: df.drop_duplicates(["src_host", "dst_host"]),
+        num_buckets=num_buckets,
+    )
+
+
+def host_rank(edges, *, iterations: int = 3, num_buckets: int = 16,
+              **pagerank_kwargs):
+    """Domain-level authority: the fixed-point integer ``pagerank`` run on
+    the host-graph projection of a page-level edge table. Returns
+    (host, rank). Same bit-exactness contract as ``pagerank`` — the oracle
+    replays the identical recurrence over SQL-derived host edges."""
+
+    def rename_in(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["src_url", "dst_url"])
+
+    def rename_out(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["host", "rank"])
+
+    hedges = host_edges(edges, num_buckets=num_buckets).map_batches(
+        rename_in, batch_format="pyarrow")
+    ranked = pagerank(hedges, iterations=iterations,
+                      num_buckets=num_buckets, **pagerank_kwargs)
+    return ranked.map_batches(rename_out, batch_format="pyarrow")

@@ -150,3 +150,27 @@ def test_head_meta_batch_missing_tags_null():
         "en", None, None, None, None]
     assert out.column_names == [
         "url", "warc_ts", "title", "description", "content_language"]
+
+
+def test_page_profile_batch_counts():
+    from htrc_feature_reader_ray.stages.extract import page_profile_batch
+
+    docs = [
+        b'<html><head></head><body><nav><a href="u1">x</a>'
+        b'<a href="u2">y</a></nav><header>h h</header><main>m1  m2</main>'
+        b"<footer>f</footer></body></html>",
+        b"no zones, no links",  # extractor miss -> empty text, 1 'line'
+    ]
+    batch = pa.table({
+        "url": ["a", "b"],
+        "warc_ts": pa.array([1, 2], type=pa.timestamp("us")),
+        "html": pa.array(docs, type=pa.binary()),
+    })
+    out = page_profile_batch(batch)
+    # text = "h h\nm1  m2\nf": 12 chars, 3 lines, 5 \S+ tokens (double
+    # space does NOT create an empty token), 2 hrefs
+    assert out.column("text_chars").to_pylist() == [12, 0]
+    assert out.column("n_lines").to_pylist() == [3, 1]
+    assert out.column("n_tokens").to_pylist() == [5, 0]
+    assert out.column("n_out_links").to_pylist() == [2, 0]
+    assert out.schema.field("n_tokens").type == pa.int64()

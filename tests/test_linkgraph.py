@@ -252,3 +252,24 @@ def test_link_components():
         "component": ["a", "a", "a", "p", "p", "z"],
     })
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_host_edges_projection_and_selfloops():
+    import pyarrow as pa
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import host_edges
+
+    edges = ray.data.from_arrow(pa.table({
+        "src_url": ["https://a.com/x", "https://a.com/y",
+                    "https://a.com/x", "http://b.org/p"],
+        "dst_url": ["https://a.com/z", "https://b.org/q",
+                    "https://b.org/q", "https://a.com/"],
+    }))
+    got = (host_edges(edges, num_buckets=2).to_pandas()
+           .sort_values(["src_host", "dst_host"]).reset_index(drop=True))
+    assert list(map(tuple, got.to_numpy())) == [
+        ("a.com", "a.com"),   # self-loop kept
+        ("a.com", "b.org"),   # two page edges collapse to one host edge
+        ("b.org", "a.com"),
+    ]
