@@ -938,6 +938,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return host_stats(pages)
 
+    def q_crawl_depth(sf):
+        """Seed-distance BFS over the crawl link graph (crawl-frontier
+        prioritization / spam prior): min hop count from the seed set
+        (every 20th doc url), level-synchronous frontier joins with early
+        convergence exit."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            crawl_depth,
+            extract_links,
+        )
+
+        edges = extract_links(read_pages(sf, drop_text=True))
+
+        def seed_build(df):
+            d = df.loc[df["doc_id"] % 20 == 0]
+            return pd.DataFrame({
+                "url": "https://" + d["source"].astype(str)
+                + ".example.com/doc/" + d["doc_id"].astype(str),
+            })
+
+        seeds = _docs(sf, columns=["doc_id", "source"]).map_batches(
+            seed_build, batch_format="pandas"
+        )
+        return crawl_depth(edges, seeds, max_hops=8)
+
+    def q_mirror_hosts(sf):
+        """Mirror/syndication host detection: host pairs sharing content
+        fingerprints (md5 of each doc's first-8-token prefix) — text never
+        crosses the exchange, pair emission capped per fingerprint."""
+        from htrc_feature_reader_ray.stages.urltools import mirror_hosts
+
+        return mirror_hosts(_docs(sf, columns=("source", "text")))
+
+    def q_url_templates(sf):
+        """URL template mining over the crawl stream: digit runs in the url
+        path collapse to N; distinct-url counts per (host, template) spot
+        infinite pagination/calendar spaces for crawl budgeting."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.urltools import url_templates
+
+        return url_templates(read_pages(sf, drop_text=True)
+                             .select_columns(["url"]))
+
     def q_anchor_text(sf):
         """Inlink anchor-text index: how the rest of the crawl describes
         each target url — (dst_url, anchor, n_links), exchange keyed on
@@ -1247,6 +1290,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _events(sf, ["event_id", "props"]).map_batches(
             fn, batch_format="pyarrow"
         )
+
+    def q_build_postings(sf):
+        """Inverted-index build: exact per-token document frequency plus the
+        capped ascending head of each posting list (one token-bucketed
+        exchange of distinct (doc, token) pairs)."""
+        from htrc_feature_reader_ray.stages.curate import build_postings
+
+        return build_postings(_docs(sf))
+
+    def q_pmi_collocations(sf):
+        """Collocation mining: min_count-filtered adjacent bigrams with
+        exact counts and the integer lift_ppm association score — two
+        vocabulary-bucketed count folds + two token-bucketed joins."""
+        from htrc_feature_reader_ray.stages.curate import pmi_collocations
+
+        return pmi_collocations(_docs(sf), min_count=5)
 
     def q_tfidf(sf):
         """TF-IDF with the rational BM25 idf — tf rows bucket-join the
@@ -1730,6 +1789,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url": q_canonical_url,
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
+        "crawl_depth": q_crawl_depth,
+        "mirror_hosts": q_mirror_hosts,
+        "url_templates": q_url_templates,
         "crawl_schedule": q_crawl_schedule,
         "fetch_sessions": q_fetch_sessions,
         # per-group top-k selection (deterministic ties)
@@ -1750,6 +1812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         # -- corpus-curation ops (training-data pipeline surface) --
         "tfidf": q_tfidf,
+        "build_postings": q_build_postings,
+        "pmi_collocations": q_pmi_collocations,
         "pii_redaction": q_pii_redaction,
         "normalize_text": q_normalize_text,
         "repetition_stats": q_repetition_stats,
@@ -1888,7 +1952,12 @@ def _ann_lsh_sql(*, nbits: int = 6, dim: int = 64, seed: int = 42) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from htrc_feature_reader_ray.stages import curate, sketch
+    from htrc_feature_reader_ray.stages import (
+        curate,
+        linkgraph,
+        sketch,
+        urltools,
+    )
     from htrc_feature_reader_ray.stages.pack import pack_sequences_sql
     from htrc_feature_reader_ray.stages.chunk import (
         token_windows_sql as _token_windows_sql,
@@ -2514,6 +2583,18 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::BIGINT AS n_langs,
                    sum(length({PAGES_TEXT_SQL}))::BIGINT AS sum_chars
             FROM pages GROUP BY 1""",
+        # seeds mirror q_crawl_depth's every-20th-doc rule; e2 strips the
+        # anchor column so the recursion walks the distinct edge relation
+        "crawl_depth": "WITH RECURSIVE " + LINKS_SQL.strip() + """,
+            e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges),
+            seeds AS (
+              SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                       AS url
+              FROM documents WHERE doc_id % 20 = 0
+            )""" + linkgraph.crawl_depth_sql(edges_cte="e2"),
+        "mirror_hosts": urltools.mirror_hosts_sql(),
+        "url_templates": PAGES_PRE
+        + urltools.url_templates_sql(from_clause="pages"),
         # single-snapshot urls get 0 gaps (not NULL): exact-int contract
         "crawl_schedule": PAGES_PRE + """,
             gaps AS (
@@ -3005,6 +3086,8 @@ def oracle_sql() -> dict[str, str]:
             FROM su""",
         # -- corpus-curation ops --
         "tfidf": curate.tfidf_sql(),
+        "build_postings": curate.build_postings_sql(),
+        "pmi_collocations": curate.pmi_collocations_sql(min_count=5),
         "pii_redaction": f"""
             WITH aug AS (
               SELECT doc_id,

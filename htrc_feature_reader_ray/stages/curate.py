@@ -573,3 +573,216 @@ def ngram_decontaminate(ds, benchmark, *, text_col: str = "text",
         return batch.filter(pa.array(frac <= max_frac))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (posting lists)
+# ---------------------------------------------------------------------------
+
+def build_postings(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   max_postings: int = 16, num_buckets: int = 64):
+    """Search-engine posting-list build: (token, df, postings) where ``df``
+    is the EXACT document frequency and ``postings`` the first
+    ``max_postings`` doc ids ascending, comma-joined (the capped head of the
+    posting list an index shard would store; VARCHAR so the result is
+    hash-comparable).
+
+    Shape: per-batch distinct (doc, token) pairs (a document row never
+    splits across batches), ONE token-bucketed exchange carrying exactly the
+    distinct-pair volume — the irreducible payload of index construction —
+    then a vectorized per-bucket fold. Vocabulary cardinality is
+    corpus-scale, so the fold is a bucketed pass, never a native per-group
+    sort-aggregate.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        ids = batch.column(id_col).to_numpy()[parent]
+        t = pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "token": flat,
+        })
+        return t.group_by(["doc_id", "token"]).aggregate([])
+
+    def finish(df):
+        import pandas as pd  # noqa: F401  (frame ops only)
+
+        df = df.sort_values(["token", "doc_id"], kind="mergesort")
+        stats = (
+            df.groupby("token", sort=False, as_index=False)
+            .agg(df_=("doc_id", "size"))
+            .rename(columns={"df_": "df"})
+        )
+        head = df.groupby("token", sort=False).head(max_postings)
+        joined = (
+            head.assign(s=head["doc_id"].astype(str))
+            .groupby("token", sort=False)["s"]
+            .agg(",".join)
+            .rename("postings")
+            .reset_index()
+        )
+        out = stats.merge(joined, on="token", how="left")
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    pairs_ds = ds.map_batches(pairs, batch_format="pyarrow")
+    return bucketed_map_groups(pairs_ds, "token", finish,
+                               num_buckets=num_buckets)
+
+
+def build_postings_sql(*, table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id", max_postings: int = 16) -> str:
+    """DuckDB mirror of ``build_postings`` (same tokenizer contract as
+    ``_tok_stats``: split on single spaces, drop empties)."""
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT {id_col} AS doc_id, t.token
+          FROM {table}, unnest(string_split({text_col}, ' ')) AS t(token)
+          WHERE t.token != ''
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                      PARTITION BY token ORDER BY doc_id) AS rn
+          FROM pairs
+        )
+        SELECT token, count(*)::BIGINT AS df,
+               string_agg(CASE WHEN rn <= {max_postings}
+                               THEN doc_id::VARCHAR END,
+                          ',' ORDER BY doc_id) AS postings
+        FROM ranked GROUP BY token"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5,
+                     num_buckets: int = 16):
+    """Collocation mining: adjacent bigrams occurring ``min_count``+ times,
+    with their exact corpus counts and an exact-integer association score
+    ``lift_ppm = floor(1e6 * P(x,y) / (P(x)·P(y)))`` (the PMI argument in
+    parts-per-million — monotone in PMI, but hash-comparable because it
+    never touches floating point; consumers wanting log-PMI take
+    ``log(lift_ppm) - log(1e6)``).
+
+    Scale shape: bigram and unigram count tables are both vocabulary-scale
+    → ``bucketed_aggregate`` folds (per-batch Arrow partials first, so the
+    exchanges carry (gram, count) partials, not token streams). The two
+    probability denominators attach via token-bucketed joins (the unigram
+    table is corpus-vocabulary-sized — NEVER a broadcast side); the final
+    exact-rational score runs only over the min_count-filtered collocation
+    table. Corpus totals are two scalar aggregates over the already
+    materialized count tables.
+    """
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        grams, _gp = _adjacent_ngrams(flat, parent.astype(np.int64), 2)
+        if len(grams) == 0:
+            return pa.table({"ngram": pa.array([], type=pa.string()),
+                             "n_xy": pa.array([], type=pa.int64())})
+        g = pa.table({"ngram": grams}).group_by("ngram").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["ngram", "n_xy"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat, _parent, _ = _tok_stats(batch, text_col)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["token", "n"])
+
+    bi = bucketed_aggregate(
+        ds.map_batches(bi_partial, batch_format="pyarrow"),
+        "ngram", {"n_xy": ("n_xy", "sum")}, num_buckets=num_buckets,
+    ).materialize()
+    uni = bucketed_aggregate(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        "token", {"n": ("n", "sum")}, num_buckets=num_buckets,
+    ).materialize()
+
+    n_big = int(bi.sum("n_xy") or 0)
+    n_uni = int(uni.sum("n") or 0)
+
+    def split_xy(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(
+            pc.greater_equal(batch.column("n_xy"), min_count))
+        parts = pc.split_pattern(keep.column("ngram"), " ")
+        return pa.table({
+            "x": pc.list_element(parts, 0),
+            "y": pc.list_element(parts, 1),
+            "n_xy": keep.column("n_xy"),
+        })
+
+    def uni_as(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                f"_k_{name}": batch.column("token"),
+                f"n_{name}": batch.column("n"),
+            })
+        return fn
+
+    filtered = bi.map_batches(split_xy, batch_format="pyarrow")
+    with_x = bucket_join(
+        filtered, uni.map_batches(uni_as("x"), batch_format="pyarrow"),
+        left_key="x", right_key="_k_x", num_buckets=num_buckets,
+    )
+    with_xy = bucket_join(
+        with_x, uni.map_batches(uni_as("y"), batch_format="pyarrow"),
+        left_key="y", right_key="_k_y", num_buckets=num_buckets,
+    )
+
+    def score(df):
+        import pandas as pd
+        # exact rational: python-int arithmetic, but only over the
+        # min_count-filtered collocation rows (tiny vs the corpus)
+        lift = [
+            (int(nxy) * n_uni * n_uni * 1_000_000)
+            // (n_big * int(nx) * int(ny))
+            for nxy, nx, ny in zip(df["n_xy"], df["n_x"], df["n_y"])
+        ]
+        out = df[["x", "y"]].copy()
+        out["n_xy"] = df["n_xy"].astype("int64")
+        out["n_x"] = df["n_x"].astype("int64")
+        out["n_y"] = df["n_y"].astype("int64")
+        out["lift_ppm"] = pd.Series(lift, index=df.index, dtype="int64")
+        return out
+
+    return with_xy.map_batches(score, batch_format="pandas")
+
+
+def pmi_collocations_sql(*, table: str = "documents", text: str = "text",
+                         min_count: int = 5) -> str:
+    """DuckDB mirror of ``pmi_collocations`` (HUGEINT exact division)."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH base AS (SELECT {toks} AS arr FROM {table}),
+        u AS (
+          SELECT t.token, count(*)::BIGINT AS n
+          FROM base, unnest(arr) AS t(token) GROUP BY 1
+        ),
+        bc AS (
+          SELECT arr[i] AS x, arr[i+1] AS y, count(*)::BIGINT AS n_xy
+          FROM base, LATERAL unnest(range(1, len(arr))) AS t(i)
+          GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT (SELECT sum(n) FROM u) AS nu,
+                 (SELECT sum(n_xy) FROM bc) AS nb
+        )
+        SELECT bc.x, bc.y, bc.n_xy, ux.n AS n_x, uy.n AS n_y,
+               ((bc.n_xy::HUGEINT * nu * nu * 1000000)
+                 // (nb * ux.n * uy.n))::BIGINT AS lift_ppm
+        FROM bc
+        JOIN u ux ON ux.token = bc.x
+        JOIN u uy ON uy.token = bc.y, tot
+        WHERE bc.n_xy >= {min_count}"""

@@ -506,3 +506,112 @@ def host_rank(edges, *, iterations: int = 3, num_buckets: int = 16,
     ranked = pagerank(hedges, iterations=iterations,
                       num_buckets=num_buckets, **pagerank_kwargs)
     return ranked.map_batches(rename_out, batch_format="pyarrow")
+
+
+def crawl_depth(edges, seeds, *, max_hops: int = 8, num_buckets: int = 32):
+    """Crawl/click depth: minimum hop distance from a seed url set along
+    link direction — (url, depth) for every url reachable in <=``max_hops``
+    hops (seeds themselves at depth 0). The feature crawl scheduling ranks
+    by ("how far from a trusted seed did we find this?") and quality
+    filtering uses as a spam prior.
+
+    Level-synchronous frontier BFS, the standard distributed-BFS shape: the
+    per-round work is ONE frontier×edges bucketed join (frontier projected
+    to its url column — depth is implied by the round number) plus one
+    url-bucketed min-fold of dist ∪ candidates. Rounds stop early when a
+    level discovers nothing new (exact convergence test: the fold is
+    materialized anyway, so the frontier count is a cheap filter-count over
+    it). Total exchange volume is O(E + V·hops); no driver-side state —
+    dist/frontier stay Datasets throughout.
+    """
+    import ray.data
+
+    def seed_init(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": _str_array(batch, "url").unique(),
+        })
+
+    def dedup_urls(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["url"])
+
+    seed_urls = bucketed_map_groups(
+        seeds.map_batches(seed_init, batch_format="pyarrow"),
+        "url", dedup_urls, num_buckets=num_buckets,
+    )
+
+    def with_depth(depth: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch.column("url"),
+                "depth": pa.array(
+                    np.full(len(batch), depth, dtype=np.int64)),
+            })
+        return fn
+
+    dist = seed_urls.map_batches(with_depth(0),
+                                 batch_format="pyarrow").materialize()
+    frontier = dist
+
+    def edge_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_url": _str_array(batch, "src_url"),
+            "dst_url": _str_array(batch, "dst_url"),
+        })
+
+    edges_p = edges.map_batches(edge_proj, batch_format="pyarrow")
+    # the loop joins against edges every round: pay the scan once
+    edges_p = edges_p.materialize()
+
+    for hop in range(1, max_hops + 1):
+        frontier_urls = frontier.select_columns(["url"])
+        reached = bucket_join(
+            frontier_urls, edges_p, left_key="url", right_key="src_url",
+            how="inner", num_buckets=num_buckets,
+        )
+
+        def as_candidate(batch: pa.Table, *, _h=hop) -> pa.Table:
+            t = pa.table({
+                "url": _str_array(batch, "dst_url"),
+            })
+            t = t.group_by(["url"]).aggregate([])
+            return pa.table({
+                "url": t.column("url"),
+                "depth": pa.array(np.full(len(t), _h, dtype=np.int64)),
+            })
+
+        candidates = reached.map_batches(as_candidate,
+                                         batch_format="pyarrow")
+
+        def min_fold(df: pd.DataFrame) -> pd.DataFrame:
+            out = (
+                df.groupby("url", sort=False, as_index=False)["depth"].min()
+            )
+            out["depth"] = out["depth"].astype("int64")
+            return out
+
+        dist = bucketed_map_groups(
+            dist.union(candidates), "url", min_fold,
+            num_buckets=num_buckets,
+        ).materialize()
+
+        frontier = dist.filter(expr=f"depth == {hop}")
+        if frontier.count() == 0:
+            break
+
+    return dist
+
+
+def crawl_depth_sql(*, seeds_cte: str = "seeds", max_hops: int = 8,
+                    edges_cte: str = "link_edges") -> str:
+    """DuckDB mirror of ``crawl_depth``: hop-capped recursive reachability
+    with a min-depth fold (UNION dedups (url, depth) pairs, so the
+    recursion is bounded by V × max_hops rows)."""
+    return f"""
+        , bfs(url, depth) AS (
+            SELECT url, 0 AS depth FROM {seeds_cte}
+          UNION
+            SELECT e.dst_url, b.depth + 1
+            FROM bfs b JOIN {edges_cte} e ON e.src_url = b.url
+            WHERE b.depth + 1 <= {max_hops}
+        )
+        SELECT url, min(depth)::BIGINT AS depth FROM bfs GROUP BY url"""

@@ -213,3 +213,171 @@ def host_stats(pages, *, url_col: str = "url", lang_col: str = "lang",
     partials = pages.map_batches(partial, batch_format="pandas")
     return bucketed_map_groups(partials, "host", finish,
                                num_buckets=num_buckets)
+
+
+def mirror_hosts(docs, *, host_col: str = "source", text_col: str = "text",
+                 prefix_tokens: int = 8, min_shared: int = 1,
+                 max_hosts_per_fp: int = 64, num_buckets: int = 32):
+    """Mirror/syndication host detection: host pairs sharing ``min_shared``+
+    content fingerprints, where a fingerprint is the md5 of a document's
+    first ``prefix_tokens`` tokens (the cheap prefix proxy real crawl-QA
+    uses before paying for full-body comparison).
+
+    Scale shape: per batch, distinct ``(fingerprint, host)`` pairs (text
+    never leaves the batch — the exchange carries 32-hex digests); ONE
+    fingerprint-bucketed exchange; per bucket a vectorized global distinct,
+    then pair emission per fingerprint via a merge on the fingerprint key
+    (host lists are sorted so emitted pairs are canonically ``host_a <
+    host_b``); final (host_a, host_b) count is a second tiny bucketed fold.
+
+    ``max_hosts_per_fp`` drops boilerplate fingerprints (an empty page or a
+    parked-domain template can appear on thousands of hosts — quadratic pair
+    blowup with no mirror signal). The cap is part of the op's contract and
+    is mirrored exactly in the SQL oracle.
+    """
+    import hashlib
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.split(" ")
+        pre = toks.map(
+            lambda ts: " ".join([t for t in ts if t][:prefix_tokens])
+        )
+        fp = pre.map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+        out = pd.DataFrame({"fp": fp, "host": df[host_col].astype(str)})
+        return out.drop_duplicates()
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["fp", "host"])
+        sizes = d.groupby("fp", sort=False)["host"].transform("size")
+        d = d.loc[(sizes >= 2) & (sizes <= max_hosts_per_fp)]
+        if not len(d):
+            return pd.DataFrame({"host_a": pd.Series([], dtype=str),
+                                 "host_b": pd.Series([], dtype=str)})
+        d = d.sort_values(["fp", "host"], kind="mergesort")
+        m = d.merge(d, on="fp", suffixes=("_a", "_b"))
+        m = m.loc[m["host_a"] < m["host_b"]]
+        return m[["host_a", "host_b"]]
+
+    fps = docs.map_batches(fingerprint, batch_format="pandas",
+                           batch_size=8192)
+    pair_rows = bucketed_map_groups(fps, "fp", pairs,
+                                    num_buckets=num_buckets)
+    counted = bucketed_aggregate(
+        pair_rows, ["host_a", "host_b"],
+        {"n_shared": ("host_b", "size")},
+        num_buckets=max(4, num_buckets // 4),
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column("n_shared"), min_shared)
+        )
+
+    return counted.map_batches(threshold, batch_format="pyarrow")
+
+
+def mirror_hosts_sql(*, table: str = "documents", host_col: str = "source",
+                     text_col: str = "text", prefix_tokens: int = 8,
+                     min_shared: int = 1, max_hosts_per_fp: int = 64) -> str:
+    """DuckDB mirror of ``mirror_hosts`` (same tokenizer contract: split on
+    single spaces, drop empties, md5 of the space-joined prefix)."""
+    return f"""
+        WITH fp AS (
+          SELECT DISTINCT
+            md5(array_to_string(
+                  list_slice(
+                    list_filter(string_split({text_col}, ' '),
+                                t -> t != ''),
+                    1, {prefix_tokens}), ' ')) AS fp,
+            {host_col}::VARCHAR AS host
+          FROM {table}
+        ),
+        keep AS (
+          SELECT fp FROM fp GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND {max_hosts_per_fp}
+        ),
+        pr AS (
+          SELECT a.host AS host_a, b.host AS host_b
+          FROM fp a JOIN fp b USING (fp) JOIN keep USING (fp)
+          WHERE a.host < b.host
+        )
+        SELECT host_a, host_b, count(*)::BIGINT AS n_shared
+        FROM pr GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}"""
+
+
+def url_templates(pages, *, url_col: str = "url",
+                  num_buckets: int = 16):
+    """URL template mining per host: collapse every digit run in the url
+    path to ``N`` and count distinct urls per ``(host, template)`` — the
+    signal crawl scheduling uses to spot infinite calendar/pagination
+    spaces and to cap per-template crawl budgets.
+
+    Scale shape: vectorized regex template per batch, per-batch distinct
+    ``(host, template, url)``, ONE host-bucketed exchange (per-batch
+    distinct already collapsed the snapshot dimension, so the exchange
+    carries ~distinct-url volume), vectorized per-bucket nunique.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def template(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[url_col].astype(str)
+        rest = s.str.split("://", n=1, regex=False).str[-1]
+        host = rest.str.split("/", n=1, regex=False).str[0].str.lower()
+        path = "/" + rest.str.split("/", n=1, regex=False).str[1].fillna("")
+        out = pd.DataFrame({
+            "host": host,
+            "template": path.str.replace(r"[0-9]+", "N", regex=True),
+            "url": df[url_col],
+        })
+        return out.drop_duplicates()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby(["host", "template"], sort=False)
+        out = g["url"].nunique().rename("n_urls").reset_index()
+        out["n_urls"] = out["n_urls"].astype("int64")
+        return out
+
+    partials = pages.map_batches(template, batch_format="pandas",
+                                 batch_size=8192)
+    return bucketed_map_groups(partials, "host", finish,
+                               num_buckets=num_buckets)
+
+
+def url_templates_sql(*, url_expr: str = "url",
+                      from_clause: str = "pages",
+                      standalone: bool = False) -> str:
+    """DuckDB mirror of ``url_templates`` over any url-producing relation.
+
+    With ``standalone=False`` (default) the text begins with ``, u AS`` so
+    it composes after an existing ``WITH <cte>`` preamble (e.g.
+    ``PAGES_PRE``); pass ``standalone=True`` for a self-contained query.
+    """
+    head = "WITH" if standalone else ","
+    return f"""
+        {head} u AS (
+          SELECT DISTINCT {url_expr} AS url FROM {from_clause}
+        ),
+        t AS (
+          SELECT
+            lower(string_split(string_split(url, '://')[2], '/')[1]) AS host,
+            regexp_replace(
+              '/' || coalesce(
+                       array_to_string(
+                         list_slice(string_split(
+                                      string_split(url, '://')[2], '/'),
+                                    2, 100000), '/'),
+                       ''),
+              '[0-9]+', 'N', 'g') AS template,
+            url
+          FROM u
+        )
+        SELECT host, template, count(distinct url)::BIGINT AS n_urls
+        FROM t GROUP BY 1, 2"""

@@ -319,3 +319,37 @@ def test_ngram_decontaminate_threshold_and_passthrough():
         .to_pandas().sort_values("doc_id")
     )
     assert loose.doc_id.tolist() == [1, 2]
+
+
+def test_build_postings_df_and_capped_head():
+    from htrc_feature_reader_ray.stages.curate import build_postings
+
+    docs = _docs_ds(
+        ["b a a", "a c", "a b", "c", ""],
+        ids=[10, 3, 7, 5, 9],
+    )
+    out = (
+        build_postings(docs, max_postings=2, num_buckets=4)
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    assert out.token.tolist() == ["a", "b", "c"]
+    # exact df counts distinct docs, not occurrences ("a a" counts once)
+    assert out.df.tolist() == [3, 2, 2]
+    # postings: ascending doc ids, capped at max_postings
+    assert out.postings.tolist() == ["3,7", "7,10", "3,5"]
+
+
+def test_pmi_collocations_exact_lift():
+    from htrc_feature_reader_ray.stages.curate import pmi_collocations
+
+    # corpus: "a b" x3 (in two docs), "c d" x1; unigrams: a3 b3 c1 d1 e2
+    docs = _docs_ds(["a b a b e", "a b c d e"])
+    out = (
+        pmi_collocations(docs, min_count=2, num_buckets=4)
+        .to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    )
+    # N_uni = 10, N_big = 8; only "a b" (n_xy=3) passes min_count=2
+    assert list(zip(out.x, out.y, out.n_xy, out.n_x, out.n_y)) == [
+        ("a", "b", 3, 3, 3)]
+    # lift_ppm = floor(1e6 * 3 * 10 * 10 / (8 * 3 * 3)) = floor(4166666.66)
+    assert out.lift_ppm.tolist() == [4_166_666]

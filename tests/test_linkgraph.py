@@ -273,3 +273,45 @@ def test_host_edges_projection_and_selfloops():
         ("a.com", "b.org"),   # two page edges collapse to one host edge
         ("b.org", "a.com"),
     ]
+
+
+def _edges_ds(pairs):
+    return ray.data.from_pandas(pd.DataFrame(
+        {"src_url": [p[0] for p in pairs],
+         "dst_url": [p[1] for p in pairs]}
+    ))
+
+
+def test_crawl_depth_min_over_paths_and_seeds():
+    from htrc_feature_reader_ray.stages.linkgraph import crawl_depth
+
+    # s1 -> a -> b -> c, plus shortcut s1 -> c; s2 -> b (min over seeds)
+    edges = _edges_ds([
+        ("s1", "a"), ("a", "b"), ("b", "c"), ("s1", "c"), ("s2", "b"),
+        ("z", "s1"),  # edge INTO a seed: seeds stay depth 0
+    ])
+    seeds = ray.data.from_pandas(pd.DataFrame({"url": ["s1", "s2", "s2"]}))
+    out = (
+        crawl_depth(edges, seeds, max_hops=8, num_buckets=4)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert list(zip(out.url, out.depth)) == [
+        ("a", 1), ("b", 1), ("c", 1), ("s1", 0), ("s2", 0)]
+    # 'z' is unreachable along link direction -> absent
+
+
+def test_crawl_depth_hop_cap_and_early_exit():
+    from htrc_feature_reader_ray.stages.linkgraph import crawl_depth
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    seeds = ray.data.from_pandas(pd.DataFrame({"url": ["n0"]}))
+    capped = (
+        crawl_depth(_edges_ds(chain), seeds, max_hops=3, num_buckets=4)
+        .to_pandas()
+    )
+    assert dict(zip(capped.url, capped.depth)) == {
+        "n0": 0, "n1": 1, "n2": 2, "n3": 3}
+    # cycle: converges via the empty-frontier exit before max_hops
+    cyc = _edges_ds([("n0", "n1"), ("n1", "n0")])
+    out = crawl_depth(cyc, seeds, max_hops=8, num_buckets=4).to_pandas()
+    assert dict(zip(out.url, out.depth)) == {"n0": 0, "n1": 1}

@@ -121,3 +121,63 @@ def test_host_stats_rollup():
         "sum_chars": np.array([6, 4], dtype=np.int64),
     })
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_mirror_hosts_shared_prefix_and_cap():
+    from htrc_feature_reader_ray.stages.urltools import mirror_hosts
+
+    # a/b share two 2-token prefixes; c shares one with a; "x y" appears on
+    # ALL four hosts -> dropped by max_hosts_per_fp=3 (boilerplate cap)
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "source": ["a", "b", "a", "b", "c", "a", "b", "c", "d"],
+        "text": ["p q tail1", "p q tail2", "r s", "r s more",
+                 "p q other", "x y", "x y", "x y", "x y"],
+    }))
+    out = (
+        mirror_hosts(docs, prefix_tokens=2, max_hosts_per_fp=3,
+                     num_buckets=4)
+        .to_pandas().sort_values(["host_a", "host_b"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.host_a, out.host_b, out.n_shared)) == [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 1)]
+
+
+def test_mirror_hosts_min_shared_threshold():
+    from htrc_feature_reader_ray.stages.urltools import mirror_hosts
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "source": ["a", "b", "a", "b", "c"],
+        "text": ["p q", "p q", "r s", "r s", "p q"],
+    }))
+    out = (
+        mirror_hosts(docs, prefix_tokens=2, min_shared=2, num_buckets=4)
+        .to_pandas()
+    )
+    assert list(zip(out.host_a, out.host_b, out.n_shared)) == [("a", "b", 2)]
+
+
+def test_url_templates_digit_collapse_and_distinct():
+    from htrc_feature_reader_ray.stages.urltools import url_templates
+
+    urls = [
+        "https://E.com/doc/1",
+        "https://e.com/doc/2",         # same template, distinct url
+        "https://e.com/doc/1",         # dup url (snapshot) not re-counted
+        "https://e.com/cal/2024/01/5",
+        "https://e.com/cal/2024/02/6",
+        "https://f.com/doc/9",
+        "https://f.com/",              # bare path
+    ]
+    out = (
+        url_templates(ray.data.from_pandas(pd.DataFrame({"url": urls})),
+                      num_buckets=4)
+        .to_pandas().sort_values(["host", "template"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.host, out.template, out.n_urls)) == [
+        ("e.com", "/cal/N/N/N", 2),
+        ("e.com", "/doc/N", 3),
+        ("f.com", "/", 1),
+        ("f.com", "/doc/N", 1),
+    ]
