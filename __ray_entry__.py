@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from htrc_feature_reader_ray.sources.pages import read_pages
     from htrc_feature_reader_ray.stages.chunk import chunk_units, chunked_tokenlist
     from htrc_feature_reader_ray.stages.dedup import (
+        boilerplate_lines,
         embedding_dedup_pairs,
         exact_dedup,
         line_dedup,
@@ -962,6 +963,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             seed_build, batch_format="pandas"
         )
         return crawl_depth(edges, seeds, max_hops=8)
+
+    def q_related_pages(sf):
+        """Co-citation relatedness over the link graph: url pairs cited by
+        2+ common source pages — the shared co-occurrence pair kernel with
+        sources as keys and their outlink targets as members."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            related_pages,
+        )
+
+        return related_pages(extract_links(read_pages(sf, drop_text=True)))
 
     def q_mirror_hosts(sf):
         """Mirror/syndication host detection: host pairs sharing content
@@ -1725,6 +1738,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the at-scale shape
         "line_dedup": lambda sf: line_dedup(read_pages(sf),
                                             method="exchange"),
+        # same path-forcing rationale as line_dedup: pytest pins
+        # broadcast==exchange, the gate exercises the exchange shape
+        "boilerplate_lines": lambda sf: boilerplate_lines(
+            read_pages(sf), method="exchange"),
         # bands=64 (2 rows/band): candidate-miss probability <= 1e-8 per true
         # pair at jaccard 0.5, so the LSH output equals exact all-pairs
         # Jaccard and is oracle-checkable (verification is exact either way).
@@ -1790,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
         "crawl_depth": q_crawl_depth,
+        "related_pages": q_related_pages,
         "mirror_hosts": q_mirror_hosts,
         "url_templates": q_url_templates,
         "crawl_schedule": q_crawl_schedule,
@@ -2592,6 +2610,8 @@ def oracle_sql() -> dict[str, str]:
                        AS url
               FROM documents WHERE doc_id % 20 = 0
             )""" + linkgraph.crawl_depth_sql(edges_cte="e2"),
+        "related_pages": LINKS_PRE
+        + linkgraph.related_pages_sql(edges_cte="link_edges"),
         "mirror_hosts": urltools.mirror_hosts_sql(),
         "url_templates": PAGES_PRE
         + urltools.url_templates_sql(from_clause="pages"),
@@ -2832,6 +2852,39 @@ def oracle_sql() -> dict[str, str]:
                                        chr(10) ORDER BY line_idx),
                             '') AS clean_text
             FROM ranked GROUP BY url, warc_ts""",
+        # host-scoped template removal: a line on >= 2 DISTINCT urls of one
+        # host is stripped everywhere (vs line_dedup's keep-first-anywhere)
+        "boilerplate_lines": PAGES_PRE + """,
+            lines AS (
+              SELECT url, warc_ts,
+                     lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1))
+                       AS host,
+                     generate_subscripts(ls, 1)::BIGINT - 1 AS line_idx,
+                     unnest(ls) AS line
+              FROM (SELECT url, warc_ts,
+                           string_split(header || chr(10) || body
+                                        || chr(10) || footer,
+                                        chr(10)) AS ls
+                    FROM pages)
+            ),
+            boiler AS (
+              SELECT host, line
+              FROM (SELECT DISTINCT host, line, url FROM lines)
+              GROUP BY host, line HAVING count(*) >= 2
+            ),
+            flagged AS (
+              SELECT l.url, l.warc_ts, l.line_idx, l.line,
+                     b.line IS NULL AS keep
+              FROM lines l LEFT JOIN boiler b
+                ON l.host = b.host AND l.line = b.line
+            )
+            SELECT url, warc_ts,
+                   count(*)::BIGINT AS n_lines,
+                   (count(*) FILTER (keep))::BIGINT AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY line_idx),
+                            '') AS clean_text
+            FROM flagged GROUP BY url, warc_ts""",
         "dedup_embedding_cosine": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a, embeddings b

@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     # late round-2 ops
     "head_meta",
     "line_dedup",
+    "build_postings",
+    "crawl_depth",
+    "pmi_collocations",
+    "boilerplate_lines",
+    "related_pages",
 ]
 
 HEADLINE = "flagship"

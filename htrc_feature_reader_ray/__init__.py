@@ -157,6 +157,24 @@ def __getattr__(name):
             "htrc_feature_reader_ray.state.dedup_index", "incremental_dedup"),
         "create_dedup_index": (
             "htrc_feature_reader_ray.state.dedup_index", "create_dedup_index"),
+        "line_dedup": ("htrc_feature_reader_ray.stages.dedup", "line_dedup"),
+        "boilerplate_lines": (
+            "htrc_feature_reader_ray.stages.dedup", "boilerplate_lines"),
+        "build_postings": (
+            "htrc_feature_reader_ray.stages.curate", "build_postings"),
+        "pmi_collocations": (
+            "htrc_feature_reader_ray.stages.curate", "pmi_collocations"),
+        "mirror_hosts": (
+            "htrc_feature_reader_ray.stages.urltools", "mirror_hosts"),
+        "url_templates": (
+            "htrc_feature_reader_ray.stages.urltools", "url_templates"),
+        "crawl_depth": (
+            "htrc_feature_reader_ray.stages.linkgraph", "crawl_depth"),
+        "related_pages": (
+            "htrc_feature_reader_ray.stages.linkgraph", "related_pages"),
+        "shared_key_pair_counts": (
+            "htrc_feature_reader_ray.stages.partition",
+            "shared_key_pair_counts"),
     }
     if name in surface:
         import importlib

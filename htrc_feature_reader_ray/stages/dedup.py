@@ -1377,3 +1377,134 @@ def line_dedup(pages, *, text_col: str = "text",
 
     return bucketed_map_groups(unioned, keys[0], per_bucket,
                                num_buckets=num_buckets)
+
+
+def _host_from_url(urls: pa.Array) -> pa.Array:
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    return pc.utf8_lower(pc.extract_regex(
+        urls.cast(pa.string()), r"^[a-z]+://(?P<h>[^/]+)").field("h"))
+
+
+def boilerplate_lines(pages, *, text_col: str = "text",
+                      url_col: str = "url", key_cols=("url", "warc_ts"),
+                      min_pages: int = 2, method: str = "auto",
+                      broadcast_limit: int = 2_000_000,
+                      num_buckets: int = 64):
+    """Host-scoped boilerplate removal: a line appearing on ``min_pages``+
+    DISTINCT urls of the same host (nav bars, cookie banners, footers) is
+    stripped from every page of that host. Returns one row per page:
+    ``(keys…, n_lines, n_kept, clean_text)`` — the host-level complement of
+    corpus-wide ``line_dedup`` (C4 drops later duplicates anywhere;
+    boilerplate is site template text, so ALL occurrences go).
+
+    Scale shape: the count pass moves (host, h1, h2, url)-distinct rows —
+    16-byte line identities, never line text — through one h1-bucketed
+    exchange; the boilerplate set it emits is template-sized. Re-apply is
+    either BROADCAST (set fits a worker: zero further shuffle, a page's
+    lines never leave their batch) or one HOST-bucketed tagged union
+    (text moves once; anti-merge + page reassembly happen inside the same
+    bucket because a url's host is a function of the url).
+    """
+    import functools
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    keys = list(key_cols)
+    # host rides through the explode as an extra key column
+    explode_keys = functools.partial(
+        _line_explode, text_col=text_col, key_cols=keys + ["host"],
+        with_text=False)
+    explode_text = functools.partial(
+        _line_explode, text_col=text_col, key_cols=keys + ["host"],
+        with_text=True)
+
+    def with_host(batch: pa.Table) -> pa.Table:
+        return batch.append_column("host", _host_from_url(
+            batch.column(url_col)))
+
+    def distinct_line_urls(batch: pa.Table) -> pa.Table:
+        t = explode_keys(with_host(batch))
+        return t.select(["host", "h1", "h2", url_col]).group_by(
+            ["host", "h1", "h2", url_col]).aggregate([])
+
+    def boiler_fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["host", "h1", "h2", url_col])
+        g = (
+            d.groupby(["host", "h1", "h2"], sort=False, as_index=False)
+            .agg(n_urls=(url_col, "size"))
+        )
+        return g.loc[g["n_urls"] >= min_pages, ["host", "h1", "h2"]]
+
+    boiler = bucketed_map_groups(
+        pages.map_batches(distinct_line_urls, batch_format="pyarrow"),
+        "h1", boiler_fold, num_buckets=num_buckets,
+    ).materialize()
+
+    def lines_with_hashes(batch: pa.Table) -> pd.DataFrame:
+        t = explode_text(with_host(batch))
+        df = t.to_pandas()
+        vals = t.column("line").to_numpy(zero_copy_only=False)
+        df["h1"] = stable_hash64(vals)
+        df["h2"] = stable_hash64(vals, seed="graft-l2")
+        return df
+
+    if method == "auto":
+        method = ("broadcast" if boiler.count() <= broadcast_limit
+                  else "exchange")
+
+    if method == "broadcast":
+        boiler_df = boiler.to_pandas()
+        ref = ray.put(boiler_df)
+
+        def clean(batch: pa.Table) -> pd.DataFrame:
+            lines = lines_with_hashes(batch)
+            b = ray.get(ref)
+            if len(b):
+                m = lines.merge(b, on=["host", "h1", "h2"], how="left",
+                                indicator=True)
+                lines["keep"] = (m["_merge"] == "left_only").to_numpy()
+            else:
+                lines["keep"] = True
+            return _reassemble_lines(lines, keys)
+
+        return pages.map_batches(clean, batch_format="pyarrow")
+
+    # exchange path: mark-by-join on the (host, h1, h2) composite key, then
+    # a url-bucketed reassembly — two exchanges, line text moves twice; the
+    # broadcast path above is the normal case (boilerplate sets are
+    # template-sized), this is the unbounded-set fallback
+    from htrc_feature_reader_ray.stages.partition import bucket_join
+
+    def _bk(host, h1, h2):
+        return (host.astype(str) + "|" + h1.astype(str)
+                + "|" + h2.astype(str))
+
+    def lines_keyed(batch: pa.Table) -> pd.DataFrame:
+        df = lines_with_hashes(batch)
+        df["bk"] = _bk(df["host"], df["h1"], df["h2"])
+        return df[keys + ["line_idx", "line", "bk"]]
+
+    def boiler_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"bk_r": _bk(df["host"], df["h1"], df["h2"])})
+        out["__boiler"] = np.int8(1)
+        return out
+
+    lines_ds = pages.map_batches(lines_keyed, batch_format="pyarrow")
+    boiler_ds = boiler.map_batches(boiler_keyed, batch_format="pandas")
+    marked = bucket_join(lines_ds, boiler_ds, left_key="bk",
+                         right_key="bk_r", how="left",
+                         num_buckets=num_buckets)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["keep"] = df["__boiler"].isna()
+        return df[keys + ["line_idx", "line", "keep"]]
+
+    flagged = marked.map_batches(flag, batch_format="pandas")
+    return bucketed_map_groups(
+        flagged, url_col, lambda df: _reassemble_lines(df, keys),
+        num_buckets=num_buckets,
+    )

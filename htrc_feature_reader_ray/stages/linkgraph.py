@@ -508,21 +508,24 @@ def host_rank(edges, *, iterations: int = 3, num_buckets: int = 16,
     return ranked.map_batches(rename_out, batch_format="pyarrow")
 
 
-def crawl_depth(edges, seeds, *, max_hops: int = 8, num_buckets: int = 32):
+def crawl_depth(edges, seeds, *, max_hops: int = 8, num_buckets: int = 32,
+                broadcast_limit: int = 2_000_000):
     """Crawl/click depth: minimum hop distance from a seed url set along
     link direction — (url, depth) for every url reachable in <=``max_hops``
     hops (seeds themselves at depth 0). The feature crawl scheduling ranks
     by ("how far from a trusted seed did we find this?") and quality
     filtering uses as a spam prior.
 
-    Level-synchronous frontier BFS, the standard distributed-BFS shape: the
-    per-round work is ONE frontier×edges bucketed join (frontier projected
-    to its url column — depth is implied by the round number) plus one
-    url-bucketed min-fold of dist ∪ candidates. Rounds stop early when a
-    level discovers nothing new (exact convergence test: the fold is
-    materialized anyway, so the frontier count is a cheap filter-count over
-    it). Total exchange volume is O(E + V·hops); no driver-side state —
-    dist/frontier stay Datasets throughout.
+    Level-synchronous frontier BFS. Each round expands the frontier one
+    hop: while the frontier fits a worker (``broadcast_limit``) its url set
+    ships once via ``ray.put`` and the materialized edge list is filtered
+    in place (``pc.is_in``) — the edge set is scanned but never
+    re-exchanged; an over-limit frontier falls back to a co-partitioned
+    frontier×edges bucket join. Either way the round ends with one
+    url-bucketed min-fold of dist ∪ candidates, and the loop exits early
+    when a level discovers nothing (exact count on the materialized fold).
+    Exchange volume: O(V·hops) folds + the edge scan per round; edges are
+    exchanged only in the fallback regime.
     """
     import ray.data
 
@@ -562,25 +565,52 @@ def crawl_depth(edges, seeds, *, max_hops: int = 8, num_buckets: int = 32):
     # the loop joins against edges every round: pay the scan once
     edges_p = edges_p.materialize()
 
+    import ray as _ray
+
+    n_frontier = dist.count()
     for hop in range(1, max_hops + 1):
-        frontier_urls = frontier.select_columns(["url"])
-        reached = bucket_join(
-            frontier_urls, edges_p, left_key="url", right_key="src_url",
-            how="inner", num_buckets=num_buckets,
-        )
+        if n_frontier <= broadcast_limit:
+            # frontier fits a worker: ship its url set once (ray.put) and
+            # stream edges in place — no per-round edge re-exchange
+            fvals = frontier.select_columns(["url"]).to_pandas()["url"]
+            ref = _ray.put(pa.array(fvals.astype(str)))
 
-        def as_candidate(batch: pa.Table, *, _h=hop) -> pa.Table:
-            t = pa.table({
-                "url": _str_array(batch, "dst_url"),
-            })
-            t = t.group_by(["url"]).aggregate([])
-            return pa.table({
-                "url": t.column("url"),
-                "depth": pa.array(np.full(len(t), _h, dtype=np.int64)),
-            })
+            def expand(batch: pa.Table, *, _h=hop, _ref=ref) -> pa.Table:
+                import pyarrow.compute as pc
 
-        candidates = reached.map_batches(as_candidate,
-                                         batch_format="pyarrow")
+                vals = _ray.get(_ref)
+                hit = batch.filter(
+                    pc.is_in(batch.column("src_url"), value_set=vals))
+                t = pa.table({"url": hit.column("dst_url")}).group_by(
+                    ["url"]).aggregate([])
+                return pa.table({
+                    "url": t.column("url"),
+                    "depth": pa.array(
+                        np.full(len(t), _h, dtype=np.int64)),
+                })
+
+            candidates = edges_p.map_batches(expand,
+                                             batch_format="pyarrow")
+        else:
+            # frontier too big to broadcast: co-partitioned join (edges
+            # re-exchange this round — the unbounded-frontier fallback)
+            reached = bucket_join(
+                frontier.select_columns(["url"]), edges_p,
+                left_key="url", right_key="src_url",
+                how="inner", num_buckets=num_buckets,
+            )
+
+            def as_candidate(batch: pa.Table, *, _h=hop) -> pa.Table:
+                t = pa.table({
+                    "url": _str_array(batch, "dst_url"),
+                }).group_by(["url"]).aggregate([])
+                return pa.table({
+                    "url": t.column("url"),
+                    "depth": pa.array(np.full(len(t), _h, dtype=np.int64)),
+                })
+
+            candidates = reached.map_batches(as_candidate,
+                                             batch_format="pyarrow")
 
         def min_fold(df: pd.DataFrame) -> pd.DataFrame:
             out = (
@@ -595,7 +625,8 @@ def crawl_depth(edges, seeds, *, max_hops: int = 8, num_buckets: int = 32):
         ).materialize()
 
         frontier = dist.filter(expr=f"depth == {hop}")
-        if frontier.count() == 0:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
 
     return dist
@@ -615,3 +646,56 @@ def crawl_depth_sql(*, seeds_cte: str = "seeds", max_hops: int = 8,
             WHERE b.depth + 1 <= {max_hops}
         )
         SELECT url, min(depth)::BIGINT AS depth FROM bfs GROUP BY url"""
+
+
+def related_pages(edges, *, min_shared: int = 2,
+                  max_outlinks_per_src: int = 32, num_buckets: int = 32):
+    """Co-citation relatedness: url pairs linked FROM ``min_shared``+ common
+    source pages — "people who link X also link Y"... inverted: two pages
+    are related when the same sources cite both. Emits (url_a, url_b,
+    n_shared) with url_a < url_b.
+
+    Runs on the generic co-occurrence kernel
+    (``partition.shared_key_pair_counts``): the key is the source page, the
+    members are its outlink targets, so two targets co-cited by ``k``
+    sources get n_shared = k. ``max_outlinks_per_src`` caps OUTLINKS per
+    source page (a link-farm page citing thousands of urls manufactures
+    quadratic relatedness with no signal).
+    """
+    from htrc_feature_reader_ray.stages.partition import (
+        shared_key_pair_counts,
+    )
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_url": _str_array(batch, "src_url"),
+            "dst_url": _str_array(batch, "dst_url"),
+        })
+
+    return shared_key_pair_counts(
+        edges.map_batches(proj, batch_format="pyarrow"),
+        key_col="src_url", member_col="dst_url", min_shared=min_shared,
+        max_members_per_key=max_outlinks_per_src, num_buckets=num_buckets,
+        out_a="url_a", out_b="url_b", out_n="n_shared",
+    )
+
+
+def related_pages_sql(*, min_shared: int = 2, max_outlinks_per_src: int = 32,
+                      edges_cte: str = "link_edges") -> str:
+    """DuckDB mirror of ``related_pages`` (composes after a WITH preamble
+    that defines ``edges_cte`` with src_url/dst_url columns)."""
+    return f"""
+        , rp_d AS (SELECT DISTINCT src_url, dst_url FROM {edges_cte}),
+        rp_keep AS (
+          SELECT src_url FROM rp_d GROUP BY src_url
+          HAVING count(*) BETWEEN 2 AND {max_outlinks_per_src}
+        ),
+        rp_pairs AS (
+          SELECT a.dst_url AS url_a, b.dst_url AS url_b
+          FROM rp_d a JOIN rp_d b USING (src_url)
+               JOIN rp_keep USING (src_url)
+          WHERE a.dst_url < b.dst_url
+        )
+        SELECT url_a, url_b, count(*)::BIGINT AS n_shared
+        FROM rp_pairs GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}"""

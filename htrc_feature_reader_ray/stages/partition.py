@@ -300,3 +300,62 @@ def bucketed_aggregate(ds, keys, agg_spec, *, num_buckets: int = 64,
 
     return bucketed_map_groups(ds, bucket_key, agg_bucket,
                                num_buckets=num_buckets)
+
+
+def shared_key_pair_counts(ds, *, key_col: str, member_col: str,
+                           min_shared: int = 1,
+                           max_members_per_key: int = 64,
+                           num_buckets: int = 32,
+                           out_a: str = "a", out_b: str = "b",
+                           out_n: str = "n_shared"):
+    """Co-occurrence pair mining: count, for every member pair, how many
+    keys they share — the kernel under mirror-host detection (members =
+    hosts, keys = content fingerprints) and co-citation relatedness
+    (members = linking pages, keys = shared link targets).
+
+    Scale shape: per-batch distinct (key, member) pairs, ONE key-bucketed
+    exchange (carrying exactly the distinct-pair volume), per-bucket
+    vectorized pair emission via a self-merge on the key (members ordered,
+    so pairs are canonically ``a < b``), then a tiny second bucketed fold
+    on the pair. ``max_members_per_key`` drops degenerate hub keys (a key
+    shared by thousands of members is boilerplate/hub structure, not a
+    similarity signal, and emits O(m²) pairs); the cap is part of the
+    contract and must be mirrored by any oracle.
+    """
+    import pandas as pd  # noqa: F401  (frame kernels below)
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col, member_col]).group_by(
+            [key_col, member_col]).aggregate([])
+
+    def emit_pairs(df):
+        d = df.drop_duplicates([key_col, member_col])
+        sizes = d.groupby(key_col, sort=False)[member_col].transform("size")
+        d = d.loc[(sizes >= 2) & (sizes <= max_members_per_key)]
+        if not len(d):
+            import pandas as pd
+            return pd.DataFrame({out_a: pd.Series([], dtype=str),
+                                 out_b: pd.Series([], dtype=str)})
+        m = d.merge(d, on=key_col, suffixes=("_a", "_b"))
+        m = m.loc[m[f"{member_col}_a"] < m[f"{member_col}_b"]]
+        return m[[f"{member_col}_a", f"{member_col}_b"]].rename(columns={
+            f"{member_col}_a": out_a, f"{member_col}_b": out_b})
+
+    pairs = bucketed_map_groups(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        key_col, emit_pairs, num_buckets=num_buckets,
+    )
+    counted = bucketed_aggregate(
+        pairs, [out_a, out_b], {out_n: (out_b, "size")},
+        num_buckets=max(4, num_buckets // 4),
+    )
+    if min_shared <= 1:
+        return counted
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.greater_equal(batch.column(out_n), min_shared))
+
+    return counted.map_batches(threshold, batch_format="pyarrow")

@@ -234,12 +234,15 @@ def mirror_hosts(docs, *, host_col: str = "source", text_col: str = "text",
     parked-domain template can appear on thousands of hosts — quadratic pair
     blowup with no mirror signal). The cap is part of the op's contract and
     is mirrored exactly in the SQL oracle.
+
+    Pair mining runs on the generic co-occurrence kernel
+    (``partition.shared_key_pair_counts``), shared with co-citation
+    relatedness (``linkgraph.related_pages``).
     """
     import hashlib
 
     from htrc_feature_reader_ray.stages.partition import (
-        bucketed_aggregate,
-        bucketed_map_groups,
+        shared_key_pair_counts,
     )
 
     def fingerprint(df: pd.DataFrame) -> pd.DataFrame:
@@ -251,36 +254,13 @@ def mirror_hosts(docs, *, host_col: str = "source", text_col: str = "text",
         out = pd.DataFrame({"fp": fp, "host": df[host_col].astype(str)})
         return out.drop_duplicates()
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates(["fp", "host"])
-        sizes = d.groupby("fp", sort=False)["host"].transform("size")
-        d = d.loc[(sizes >= 2) & (sizes <= max_hosts_per_fp)]
-        if not len(d):
-            return pd.DataFrame({"host_a": pd.Series([], dtype=str),
-                                 "host_b": pd.Series([], dtype=str)})
-        d = d.sort_values(["fp", "host"], kind="mergesort")
-        m = d.merge(d, on="fp", suffixes=("_a", "_b"))
-        m = m.loc[m["host_a"] < m["host_b"]]
-        return m[["host_a", "host_b"]]
-
     fps = docs.map_batches(fingerprint, batch_format="pandas",
                            batch_size=8192)
-    pair_rows = bucketed_map_groups(fps, "fp", pairs,
-                                    num_buckets=num_buckets)
-    counted = bucketed_aggregate(
-        pair_rows, ["host_a", "host_b"],
-        {"n_shared": ("host_b", "size")},
-        num_buckets=max(4, num_buckets // 4),
+    return shared_key_pair_counts(
+        fps, key_col="fp", member_col="host", min_shared=min_shared,
+        max_members_per_key=max_hosts_per_fp, num_buckets=num_buckets,
+        out_a="host_a", out_b="host_b", out_n="n_shared",
     )
-
-    def threshold(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(
-            pc.greater_equal(batch.column("n_shared"), min_shared)
-        )
-
-    return counted.map_batches(threshold, batch_format="pyarrow")
 
 
 def mirror_hosts_sql(*, table: str = "documents", host_col: str = "source",

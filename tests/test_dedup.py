@@ -450,3 +450,48 @@ def test_line_dedup_no_duplicates_identity():
            .to_pandas().sort_values("url").reset_index(drop=True))
     assert out["n_kept"].tolist() == [2, 2]
     assert out["clean_text"].tolist() == ["p\nq", "r\ns"]
+
+
+def test_boilerplate_lines_host_scoped_strip():
+    from htrc_feature_reader_ray.stages.dedup import boilerplate_lines
+
+    # "nav" is on 2 distinct urls of host a -> stripped from BOTH (unlike
+    # line_dedup, which would keep the first); host b also has "nav" but on
+    # one url only -> kept (host-scoped counting); a1's two snapshots count
+    # as ONE url
+    rows = [
+        ("http://a/1", 1, "nav\nbody1"),
+        ("http://a/1", 2, "nav\nbody1b"),
+        ("http://a/2", 1, "nav\nbody2"),
+        ("http://b/9", 1, "nav\nbody9"),
+    ]
+    out = (
+        boilerplate_lines(_line_pages(rows), min_pages=2, num_buckets=4)
+        .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True)
+    )
+    assert out["n_lines"].tolist() == [2, 2, 2, 2]
+    assert out["n_kept"].tolist() == [1, 1, 1, 2]
+    assert out["clean_text"].tolist() == [
+        "body1", "body1b", "body2", "nav\nbody9"]
+
+
+def test_boilerplate_lines_paths_equal_and_all_dropped():
+    from htrc_feature_reader_ray.stages.dedup import boilerplate_lines
+
+    rows = [
+        ("http://a/1", 1, "nav\nfoot"),
+        ("http://a/2", 1, "nav\nfoot"),
+        ("http://a/3", 1, None),
+        ("http://a/4", 1, None),
+    ]
+    a = (boilerplate_lines(_line_pages(rows), method="broadcast",
+                           num_buckets=4)
+         .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    b = (boilerplate_lines(_line_pages(rows), method="exchange",
+                           num_buckets=4)
+         .to_pandas().sort_values(["url", "warc_ts"]).reset_index(drop=True))
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+    # every line is host-boilerplate (incl. the null->'' empty line pages)
+    assert a["n_kept"].tolist() == [0, 0, 0, 0]
+    assert a["clean_text"].tolist() == ["", "", "", ""]

@@ -315,3 +315,46 @@ def test_crawl_depth_hop_cap_and_early_exit():
     cyc = _edges_ds([("n0", "n1"), ("n1", "n0")])
     out = crawl_depth(cyc, seeds, max_hops=8, num_buckets=4).to_pandas()
     assert dict(zip(out.url, out.depth)) == {"n0": 0, "n1": 1}
+
+
+def test_crawl_depth_join_fallback_equals_broadcast():
+    from htrc_feature_reader_ray.stages.linkgraph import crawl_depth
+
+    edges = _edges_ds([("s", "a"), ("a", "b"), ("b", "c"), ("s", "c"),
+                       ("c", "d")])
+    seeds = ray.data.from_pandas(pd.DataFrame({"url": ["s"]}))
+    bc = (crawl_depth(edges, seeds, max_hops=4, num_buckets=4)
+          .to_pandas().sort_values("url").reset_index(drop=True))
+    # broadcast_limit=0 forces the co-partitioned join path every round
+    jn = (crawl_depth(edges, seeds, max_hops=4, num_buckets=4,
+                      broadcast_limit=0)
+          .to_pandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, jn)
+    assert dict(zip(bc.url, bc.depth)) == {
+        "s": 0, "a": 1, "b": 2, "c": 1, "d": 2}
+
+
+def test_related_pages_cocitation_counts_and_cap():
+    from htrc_feature_reader_ray.stages.linkgraph import related_pages
+
+    # x,y co-cited by s1 and s2 (n_shared=2); y,z only by s2 (filtered at
+    # min_shared=2); farm cites everything -> dropped by the outlink cap
+    edges = _edges_ds([
+        ("s1", "x"), ("s1", "y"),
+        ("s2", "x"), ("s2", "y"), ("s2", "z"),
+        ("farm", "x"), ("farm", "y"), ("farm", "z"), ("farm", "w"),
+    ])
+    out = (
+        related_pages(edges, min_shared=2, max_outlinks_per_src=3,
+                      num_buckets=4)
+        .to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    )
+    assert list(zip(out.url_a, out.url_b, out.n_shared)) == [("x", "y", 2)]
+    # without the cap, farm's co-citations count
+    loose = (
+        related_pages(edges, min_shared=2, max_outlinks_per_src=32,
+                      num_buckets=4)
+        .to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    )
+    assert list(zip(loose.url_a, loose.url_b, loose.n_shared)) == [
+        ("x", "y", 3), ("x", "z", 2), ("y", "z", 2)]
