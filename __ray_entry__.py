@@ -964,6 +964,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return crawl_depth(edges, seeds, max_hops=8)
 
+    def q_hits(sf):
+        """HITS hubs/authorities over the crawl link graph — integer
+        fixed-point mutual recursion with per-half-step L1 normalization
+        (bit-exact across parallelism; unrolled-CTE SQL replay)."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            hits,
+        )
+
+        return hits(extract_links(read_pages(sf, drop_text=True)),
+                    iterations=2)
+
     def q_related_pages(sf):
         """Co-citation relatedness over the link graph: url pairs cited by
         2+ common source pages — the shared co-occurrence pair kernel with
@@ -1807,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
         "crawl_depth": q_crawl_depth,
+        "hits": q_hits,
         "related_pages": q_related_pages,
         "mirror_hosts": q_mirror_hosts,
         "url_templates": q_url_templates,
@@ -2610,6 +2624,9 @@ def oracle_sql() -> dict[str, str]:
                        AS url
               FROM documents WHERE doc_id % 20 = 0
             )""" + linkgraph.crawl_depth_sql(edges_cte="e2"),
+        "hits": LINKS_PRE
+        + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+        + linkgraph.hits_sql(iterations=2, edges_cte="e2"),
         "related_pages": LINKS_PRE
         + linkgraph.related_pages_sql(edges_cte="link_edges"),
         "mirror_hosts": urltools.mirror_hosts_sql(),

@@ -172,6 +172,7 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.linkgraph", "crawl_depth"),
         "related_pages": (
             "htrc_feature_reader_ray.stages.linkgraph", "related_pages"),
+        "hits": ("htrc_feature_reader_ray.stages.linkgraph", "hits"),
         "shared_key_pair_counts": (
             "htrc_feature_reader_ray.stages.partition",
             "shared_key_pair_counts"),

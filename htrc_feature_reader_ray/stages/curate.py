@@ -658,7 +658,8 @@ def build_postings_sql(*, table: str = "documents", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5,
-                     num_buckets: int = 16):
+                     num_buckets: int = 16, method: str = "auto",
+                     broadcast_limit: int = 2_000_000):
     """Collocation mining: adjacent bigrams occurring ``min_count``+ times,
     with their exact corpus counts and an exact-integer association score
     ``lift_ppm = floor(1e6 * P(x,y) / (P(x)·P(y)))`` (the PMI argument in
@@ -669,11 +670,13 @@ def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5,
     Scale shape: bigram and unigram count tables are both vocabulary-scale
     → ``bucketed_aggregate`` folds (per-batch Arrow partials first, so the
     exchanges carry (gram, count) partials, not token streams). The two
-    probability denominators attach via token-bucketed joins (the unigram
-    table is corpus-vocabulary-sized — NEVER a broadcast side); the final
-    exact-rational score runs only over the min_count-filtered collocation
-    table. Corpus totals are two scalar aggregates over the already
-    materialized count tables.
+    probability denominators attach by BROADCAST of the unigram count
+    table when it fits a worker (``broadcast_limit`` rows — real-text
+    unigram vocabularies almost always do; the lookup is one vectorized
+    merge per batch, zero extra exchange) and by token-bucketed joins
+    otherwise (``method='join'``). The exact-rational score runs only over
+    the min_count-filtered collocation table; corpus totals are two scalar
+    aggregates over the already materialized count tables.
     """
     from htrc_feature_reader_ray.stages.partition import (
         bucket_join,
@@ -699,12 +702,17 @@ def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5,
             [([], "count_all")])
         return g.rename_columns(["token", "n"])
 
+    # batch_size coalesces tiny source blocks (the explode dominates
+    # per-task cost, so fewer bigger tasks win). The two folds re-scan the
+    # input rather than pinning it: at corpus scale a parquet re-read is
+    # cheaper than full-text object-store residency
     bi = bucketed_aggregate(
-        ds.map_batches(bi_partial, batch_format="pyarrow"),
+        ds.map_batches(bi_partial, batch_format="pyarrow", batch_size=1024),
         "ngram", {"n_xy": ("n_xy", "sum")}, num_buckets=num_buckets,
     ).materialize()
     uni = bucketed_aggregate(
-        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ds.map_batches(uni_partial, batch_format="pyarrow",
+                       batch_size=1024),
         "token", {"n": ("n", "sum")}, num_buckets=num_buckets,
     ).materialize()
 
@@ -732,14 +740,37 @@ def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5,
         return fn
 
     filtered = bi.map_batches(split_xy, batch_format="pyarrow")
-    with_x = bucket_join(
-        filtered, uni.map_batches(uni_as("x"), batch_format="pyarrow"),
-        left_key="x", right_key="_k_x", num_buckets=num_buckets,
-    )
-    with_xy = bucket_join(
-        with_x, uni.map_batches(uni_as("y"), batch_format="pyarrow"),
-        left_key="y", right_key="_k_y", num_buckets=num_buckets,
-    )
+
+    if method == "auto":
+        method = ("broadcast" if uni.count() <= broadcast_limit
+                  else "join")
+
+    if method == "broadcast":
+        import ray as _ray
+
+        ref = _ray.put(uni.to_pandas())
+
+        def attach(df):
+            u = _ray.get(ref)
+            out = df.merge(
+                u.rename(columns={"token": "x", "n": "n_x"}),
+                on="x", how="left",
+            ).merge(
+                u.rename(columns={"token": "y", "n": "n_y"}),
+                on="y", how="left",
+            )
+            return out
+
+        with_xy = filtered.map_batches(attach, batch_format="pandas")
+    else:
+        with_x = bucket_join(
+            filtered, uni.map_batches(uni_as("x"), batch_format="pyarrow"),
+            left_key="x", right_key="_k_x", num_buckets=num_buckets,
+        )
+        with_xy = bucket_join(
+            with_x, uni.map_batches(uni_as("y"), batch_format="pyarrow"),
+            left_key="y", right_key="_k_y", num_buckets=num_buckets,
+        )
 
     def score(df):
         import pandas as pd

@@ -699,3 +699,171 @@ def related_pages_sql(*, min_shared: int = 2, max_outlinks_per_src: int = 32,
         SELECT url_a, url_b, count(*)::BIGINT AS n_shared
         FROM rp_pairs GROUP BY 1, 2
         HAVING count(*) >= {min_shared}"""
+
+
+HITS_SCALE = 1_000_000  # hub/authority fixed-point scale (ppm of L1 mass)
+
+
+def _norm_int(raw: np.ndarray, total: int, scale: int) -> np.ndarray:
+    """Exact ``raw * scale // total`` for int64 vectors, falling back to
+    python-int arithmetic when the multiply would overflow int64 (possible
+    at extreme hub in-degree × scale; the SQL mirror is HUGEINT throughout
+    so the fallback keeps bit-parity)."""
+    if total <= 0:
+        return np.zeros(len(raw), dtype=np.int64)
+    if raw.size and int(raw.max()) > (2**63 - 1) // scale:
+        return np.array(
+            [int(v) * scale // total for v in raw], dtype=np.int64)
+    return raw.astype(np.int64) * scale // total
+
+
+def hits(edges, *, iterations: int = 2, scale: int = HITS_SCALE,
+         num_buckets: int = 32):
+    """HITS hubs & authorities over a distinct edge table — the companion
+    authority signal to :func:`pagerank` (Kleinberg's mutual recursion:
+    good hubs cite good authorities, good authorities are cited by good
+    hubs; crawl curation uses the hub score to find index/portal pages and
+    the authority score as a content-quality prior).
+
+    Fixed-point INTEGER iteration, L1-normalized each half-step so values
+    stay in [0, scale] (ppm of the total mass):
+
+        a_t(v) = Σ h_{t-1}(u) over in-edges   → a_t ·= scale // Σ a_t
+        h_t(u) = Σ a_t(v)     over out-edges  → h_t ·= scale // Σ h_t
+
+    All updates are order-independent integer sums and floor divisions —
+    bit-exact across parallelism levels and replayed verbatim by the
+    unrolled-CTE SQL oracle (``hits_sql``). Per iteration: two bucket
+    joins (scores onto edges) + two bucketed folds + two scalar sums; the
+    score tables are the only materialized iteration state (O(nodes)).
+    """
+    edges = edges.materialize()
+    nodes = _distinct_nodes(edges, num_buckets=num_buckets).materialize()
+    if nodes.count() == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "hub": pa.array([], type=pa.int64()),
+            "authority": pa.array([], type=pa.int64()),
+        }))
+
+    def init_h(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url").cast(pa.string()),
+            "h": pa.array(np.full(len(batch), scale, dtype=np.int64)),
+        })
+
+    h = nodes.map_batches(init_h, batch_format="pyarrow").materialize()
+    a = None
+
+    def half_step(score_ds, score_col, join_on, emit_as, out_col):
+        """One HITS half-step: push score over edges, fold, L1-normalize."""
+        joined = bucket_join(
+            edges, score_ds, left_key=join_on, right_key="url",
+            how="inner", num_buckets=num_buckets,
+        )
+
+        def push(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch.column(emit_as).cast(pa.string()),
+                out_col: batch.column(score_col),
+            })
+
+        raw = bucketed_aggregate(
+            joined.map_batches(push, batch_format="pyarrow"),
+            "url", {out_col: (out_col, "sum")}, num_buckets=num_buckets,
+        ).materialize()
+        total = int(raw.sum(out_col) or 0)
+
+        def norm(batch: pa.Table) -> pa.Table:
+            v = batch.column(out_col).to_numpy().astype(np.int64)
+            return pa.table({
+                "url": batch.column("url").cast(pa.string()),
+                out_col: pa.array(_norm_int(v, total, scale)),
+            })
+
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        a = half_step(h, "h", "src_url", "dst_url", "a")
+        h = half_step(a, "a", "dst_url", "src_url", "h")
+
+    # full-outer re-attach over the node set (absent score = 0), one fold
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        z = np.zeros(len(batch), dtype=np.int64)
+        return pa.table({
+            "url": batch.column("url").cast(pa.string()),
+            "h": pa.array(z), "a": pa.array(z),
+        })
+
+    def pad(col_have, col_zero):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch.column("url").cast(pa.string()),
+                "h" if col_have == "h" else "a": batch.column(col_have),
+                col_zero: pa.array(
+                    np.zeros(len(batch), dtype=np.int64)),
+            }).select(["url", "h", "a"])
+        return fn
+
+    unioned = (
+        nodes.map_batches(zero_rows, batch_format="pyarrow")
+        .union(h.map_batches(pad("h", "a"), batch_format="pyarrow"))
+        .union(a.map_batches(pad("a", "h"), batch_format="pyarrow"))
+    )
+    out = bucketed_aggregate(
+        unioned, "url", {"h": ("h", "sum"), "a": ("a", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url"),
+            "hub": batch.column("h").cast(pa.int64()),
+            "authority": batch.column("a").cast(pa.int64()),
+        })
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def hits_sql(*, iterations: int = 2, scale: int = HITS_SCALE,
+             edges_cte: str = "e2") -> str:
+    """Unrolled-CTE DuckDB replay of :func:`hits` (HUGEINT arithmetic —
+    composes after a WITH preamble defining ``edges_cte``)."""
+    parts = [f"""
+        , hits_nodes AS (
+            SELECT src_url AS url FROM {edges_cte}
+            UNION SELECT dst_url FROM {edges_cte}
+        ),
+        h0 AS (SELECT url, {scale}::HUGEINT AS h FROM hits_nodes)"""]
+    prev = "h0"
+    for i in range(1, iterations + 1):
+        parts.append(f"""
+        , a{i}r AS (
+            SELECT e.dst_url AS url, sum(p.h) AS a
+            FROM {edges_cte} e JOIN {prev} p ON p.url = e.src_url
+            GROUP BY 1
+        ),
+        a{i} AS (
+            SELECT url, a * {scale} // (SELECT sum(a) FROM a{i}r) AS a
+            FROM a{i}r
+        ),
+        h{i}r AS (
+            SELECT e.src_url AS url, sum(q.a) AS h
+            FROM {edges_cte} e JOIN a{i} q ON q.url = e.dst_url
+            GROUP BY 1
+        ),
+        h{i} AS (
+            SELECT url, h * {scale} // (SELECT sum(h) FROM h{i}r) AS h
+            FROM h{i}r
+        )""")
+        prev = f"h{i}"
+    parts.append(f"""
+        SELECT n.url,
+               coalesce(h.h, 0)::BIGINT AS hub,
+               coalesce(a.a, 0)::BIGINT AS authority
+        FROM hits_nodes n
+        LEFT JOIN h{iterations} h ON h.url = n.url
+        LEFT JOIN a{iterations} a ON a.url = n.url""")
+    return "".join(parts)

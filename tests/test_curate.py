@@ -353,3 +353,17 @@ def test_pmi_collocations_exact_lift():
         ("a", "b", 3, 3, 3)]
     # lift_ppm = floor(1e6 * 3 * 10 * 10 / (8 * 3 * 3)) = floor(4166666.66)
     assert out.lift_ppm.tolist() == [4_166_666]
+
+
+def test_pmi_collocations_paths_equal():
+    from htrc_feature_reader_ray.stages.curate import pmi_collocations
+
+    docs = _docs_ds(["a b a b e", "a b c d e", "c d c d"])
+    key = ["x", "y"]
+    bc = (pmi_collocations(docs, min_count=2, num_buckets=4,
+                           method="broadcast")
+          .to_pandas().sort_values(key).reset_index(drop=True))
+    jn = (pmi_collocations(docs, min_count=2, num_buckets=4, method="join")
+          .to_pandas().sort_values(key).reset_index(drop=True))
+    cols = sorted(bc.columns)
+    pd.testing.assert_frame_equal(bc[cols], jn[cols])

@@ -358,3 +358,32 @@ def test_related_pages_cocitation_counts_and_cap():
     )
     assert list(zip(loose.url_a, loose.url_b, loose.n_shared)) == [
         ("x", "y", 3), ("x", "z", 2), ("y", "z", 2)]
+
+
+def test_hits_exact_one_iteration_and_bucket_independence():
+    from htrc_feature_reader_ray.stages.linkgraph import hits
+
+    edges = _edges_ds([("h1", "a1"), ("h1", "a2"), ("h2", "a1")])
+    out = (
+        hits(edges, iterations=1, num_buckets=4)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    # a_raw = (2e6, 1e6), sum 3e6 -> a = (666666, 333333)
+    # h_raw = (999999, 666666), sum 1666665 -> h = (600000, 400000) exactly
+    assert list(zip(out.url, out.hub, out.authority)) == [
+        ("a1", 0, 666666), ("a2", 0, 333333),
+        ("h1", 600000, 0), ("h2", 400000, 0)]
+    # integer arithmetic => bit-identical at any parallelism level
+    out2 = (
+        hits(edges, iterations=1, num_buckets=17)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_hits_empty_edges():
+    from htrc_feature_reader_ray.stages.linkgraph import hits
+
+    ds = hits(_edges_ds([]), iterations=2, num_buckets=4)
+    assert sorted(ds.schema().names) == ["authority", "hub", "url"]
+    assert ds.count() == 0
