@@ -964,6 +964,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return crawl_depth(edges, seeds, max_hops=8)
 
+    def q_wet_roundtrip(sf):
+        """WET (Common-Crawl plain-text interchange) ingest: the fixture
+        pages are serialized to gzipped url-hash-sharded WET files under
+        /tmp (fixture tooling — a real crawl writes WET at fetch time) and
+        read back through sources.wet.read_wet (one Content-Length-driven
+        parse task per shard)."""
+        import os
+        import tempfile
+
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.sources.wet import (
+            read_wet,
+            write_wet_shards,
+        )
+        from htrc_feature_reader_ray.stages.extract import extract_pages
+
+        pages = extract_pages(read_pages(sf, drop_text=True)).select_columns(
+            ["url", "warc_ts", "text"]
+        ).to_pandas()
+        out_dir = os.path.join(
+            tempfile.gettempdir(), "graft_wet",
+            os.path.basename(os.path.normpath(sf)),
+        )
+        write_wet_shards(pages, out_dir)
+        return read_wet(out_dir)
+
     def q_hits(sf):
         """HITS hubs/authorities over the crawl link graph — integer
         fixed-point mutual recursion with per-half-step L1 normalization
@@ -1821,6 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": q_host_stats,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
+        "wet_roundtrip": q_wet_roundtrip,
         "related_pages": q_related_pages,
         "mirror_hosts": q_mirror_hosts,
         "url_templates": q_url_templates,
@@ -2624,6 +2651,8 @@ def oracle_sql() -> dict[str, str]:
                        AS url
               FROM documents WHERE doc_id % 20 = 0
             )""" + linkgraph.crawl_depth_sql(edges_cte="e2"),
+        "wet_roundtrip": PAGES_PRE + f"""
+            SELECT url, warc_ts, {PAGES_TEXT_SQL} AS text FROM pages""",
         "hits": LINKS_PRE
         + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
         + linkgraph.hits_sql(iterations=2, edges_cte="e2"),

@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "boilerplate_lines",
     "related_pages",
+    "hits",
 ]
 
 HEADLINE = "flagship"

@@ -173,6 +173,9 @@ def __getattr__(name):
         "related_pages": (
             "htrc_feature_reader_ray.stages.linkgraph", "related_pages"),
         "hits": ("htrc_feature_reader_ray.stages.linkgraph", "hits"),
+        "read_wet": ("htrc_feature_reader_ray.sources.wet", "read_wet"),
+        "write_wet_shards": (
+            "htrc_feature_reader_ray.sources.wet", "write_wet_shards"),
         "shared_key_pair_counts": (
             "htrc_feature_reader_ray.stages.partition",
             "shared_key_pair_counts"),
