@@ -310,6 +310,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         token_count,
     )
 
+    def q_sentence_stats(sf):
+        """Sentence-segmentation quality features (the C4 too-few-sentences
+        filter's inputs). The fixture text is punctuation-free, so the query
+        deterministically injects sentence breaks (sort->sort., data->data!)
+        identically on BOTH engines before segmenting — same shape as the
+        normalize_text augmentation."""
+        import pyarrow.compute as _pc
+
+        from htrc_feature_reader_ray.stages.textstats import sentence_stats
+
+        def aug(batch: pa.Table) -> pa.Table:
+            t = _pc.replace_substring(
+                batch.column("text"), pattern="sort", replacement="sort."
+            )
+            t = _pc.replace_substring(t, pattern="data", replacement="data!")
+            return pa.table({"doc_id": batch.column("doc_id"), "text": t})
+
+        return sentence_stats(
+            _docs(sf).map_batches(aug, batch_format="pyarrow")
+        )
+
     def q_extract_text(sf):
         return extract_pages(read_pages(sf, drop_text=True)).select_columns(
             ["url", "warc_ts", "lang", "text"]
@@ -518,6 +539,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hash_split(
             ds, fractions={"train": 0.9, "val": 0.05, "test": 0.05},
             by="source", salt="v1:",
+        )
+
+    def q_char_coverage(sf):
+        """Tokenizer-prep character coverage (sentencepiece
+        character_coverage input): exact corpus char histogram, integer
+        ppm coverage, codepoint-tiebroken rank. Only (char, count)
+        partials cross the exchange."""
+        from htrc_feature_reader_ray.stages.vocab import char_coverage
+
+        return char_coverage(_docs(sf), k=40)
+
+    def q_host_cap(sf):
+        """Anti-domination quota (the C4/CCNet per-domain cap): at most 3
+        docs per host, drawn by deterministic hash order within each host —
+        a reproducible unbiased subsample, not head-of-crawl bias. Lossless
+        local-top-k combiner: the exchange carries <= hosts*k rows."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.sample import host_cap
+
+        ds = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source"]
+        )
+
+        def add_host(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "host": df["source"] + ".example.com",
+            })
+
+        return host_cap(
+            ds.map_batches(add_host, batch_format="pandas"),
+            host_col="host", id_col="doc_id", k=3, salt="v1:",
         )
 
     def q_build_vocab(sf):
@@ -989,6 +1042,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         write_wet_shards(pages, out_dir)
         return read_wet(out_dir)
+
+    def q_warc_roundtrip(sf):
+        """WARC (raw-crawl capture) ingest: fixture pages' html is
+        serialized to gzipped url-hash-sharded WARC response records under
+        /tmp (fixture tooling — a real crawl writes WARC at fetch time),
+        read back through sources.warc.read_warc (two-level Content-Length
+        framing, one parse task per shard), and pushed through the html
+        extractor — proving the raw-capture path reproduces the ground
+        truth text byte-identically."""
+        import os
+        import tempfile
+
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.sources.warc import (
+            read_warc,
+            write_warc_shards,
+        )
+        from htrc_feature_reader_ray.stages.extract import extract_pages
+
+        pages = read_pages(sf, drop_text=True).select_columns(
+            ["url", "warc_ts", "html"]
+        ).to_pandas()
+        out_dir = os.path.join(
+            tempfile.gettempdir(), "graft_warc",
+            os.path.basename(os.path.normpath(sf)),
+        )
+        write_warc_shards(pages, out_dir)
+        return extract_pages(read_warc(out_dir)).select_columns(
+            ["url", "warc_ts", "text"]
+        )
 
     def q_hits(sf):
         """HITS hubs/authorities over the crawl link graph — integer
@@ -1804,6 +1887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_tokens": q_encode_tokens,
         # leakage-safe deterministic train/val/test split (entity-keyed)
         "hash_split": q_hash_split,
+        "host_cap": q_host_cap,
+        "char_coverage": q_char_coverage,
         # sliding token-window chunking (LLM context-window prep)
         "token_windows": q_token_windows,
         # per-doc unigram corpus-frequency / OOV quality signals
@@ -1820,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": lambda sf: token_count(_docs(sf)),
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
+        "sentence_stats": q_sentence_stats,
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "url_parts": q_url_parts,
         "corpus_curation": q_corpus_curation,
@@ -1848,6 +1934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "wet_roundtrip": q_wet_roundtrip,
+        "warc_roundtrip": q_warc_roundtrip,
         "related_pages": q_related_pages,
         "mirror_hosts": q_mirror_hosts,
         "url_templates": q_url_templates,
@@ -2014,7 +2101,9 @@ def oracle_sql() -> dict[str, str]:
     from htrc_feature_reader_ray.stages import (
         curate,
         linkgraph,
+        sample,
         sketch,
+        textstats,
         urltools,
     )
     from htrc_feature_reader_ray.stages.pack import pack_sequences_sql
@@ -2032,6 +2121,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from htrc_feature_reader_ray.stages.vocab import (
         build_vocab_sql,
+        char_coverage_sql as _char_coverage_sql,
         encode_tokens_sql,
         unigram_stats_sql,
     )
@@ -2653,6 +2743,8 @@ def oracle_sql() -> dict[str, str]:
             )""" + linkgraph.crawl_depth_sql(edges_cte="e2"),
         "wet_roundtrip": PAGES_PRE + f"""
             SELECT url, warc_ts, {PAGES_TEXT_SQL} AS text FROM pages""",
+        "warc_roundtrip": PAGES_PRE + f"""
+            SELECT url, warc_ts, {PAGES_TEXT_SQL} AS text FROM pages""",
         "hits": LINKS_PRE
         + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
         + linkgraph.hits_sql(iterations=2, edges_cte="e2"),
@@ -2956,6 +3048,15 @@ def oracle_sql() -> dict[str, str]:
         "langid": (
             f"SELECT doc_id, {langid_sql('text')} AS pred_lang FROM documents"
         ),
+        "sentence_stats": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     replace(replace(text, 'sort', 'sort.'),
+                             'data', 'data!') AS text
+              FROM documents
+            )
+            SELECT doc_id, {textstats.sentence_stats_sql('text')}
+            FROM aug""",
         "fingerprint": (
             f"SELECT doc_id, {FINGERPRINT_SQL.format(text='text')} AS fp"
             " FROM documents"
@@ -3109,9 +3210,18 @@ def oracle_sql() -> dict[str, str]:
             fractions={"train": 0.9, "val": 0.05, "test": 0.05},
             by="source", salt="v1:", columns="doc_id, source",
         ),
+        # same md5_number_upper == md5_hash64 identity; HUGEINT order ==
+        # uint64 order, so the within-host hash ranks agree bit-exactly
+        "host_cap": sample.host_cap_sql(
+            host_expr="host", id_col="doc_id", k=3, salt="v1:",
+            columns="doc_id, host",
+            table="(SELECT doc_id, source || '.example.com' AS host"
+                  " FROM documents)",
+        ),
         # vocab rank total order == engine order: md5 tiebreak within a
         # count tier (md5_number_upper == engine md5_hash64)
         "build_vocab": build_vocab_sql(min_count=2),
+        "char_coverage": _char_coverage_sql(k=40),
         # identical integer numerators; single IEEE divisions
         "unigram_stats": unigram_stats_sql(min_count=2),
         "encode_tokens": encode_tokens_sql(min_count=2),

@@ -266,3 +266,62 @@ def hash_split_sql(*, fractions: dict, by: str, salt: str = "",
         SELECT {columns},
                CASE {branches}ELSE '{names[-1]}' END AS {out_col}
         FROM {table}"""
+
+
+# ---------------------------------------------------------------------------
+# per-host document cap (anti-domination quota)
+
+
+_CAP_HASH = "_cap_hash"
+
+
+def host_cap(ds, *, host_col: str, id_col: str, k: int, salt: str = "",
+             num_buckets: int = 32, rank_col: str = "cap_rank"):
+    """C4/CCNet-style anti-domination quota: keep at most ``k`` documents
+    per host, chosen by deterministic hash order over ``id_col`` — a
+    reproducible uniform subsample WITHIN each host, independent of input
+    order and partitioning (head-of-scan caps keep whatever the crawler
+    happened to fetch first; a hash-order cap is an unbiased draw).
+
+    Composition, not new machinery: one stateless hash projection, then the
+    lossless local-top-k combiner (``fold.topk_per_group`` ascending) — the
+    exchange carries ≤ hosts×k rows per input batch, so a 10⁹-doc corpus
+    with a 10⁴-doc megasite costs the same shuffle as a balanced one.
+    ``rank_col`` emits the 1-based within-host rank (< k means the host is
+    under quota; SQL: ``row_number() OVER (PARTITION BY host ORDER BY
+    md5_number_upper(salt||id), id)``).
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.fold import topk_per_group
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[_CAP_HASH] = md5_hash64(
+            [f"{salt}{v}" for v in df[id_col].to_numpy()]
+        )
+        return df
+
+    capped = topk_per_group(
+        ds.map_batches(add_hash, batch_format="pandas"),
+        group_cols=[host_col], sort_col=_CAP_HASH, k=k,
+        tie_cols=[id_col], descending=False, num_buckets=num_buckets,
+        rank_col=rank_col,
+    )
+    return capped.drop_columns([_CAP_HASH])
+
+
+def host_cap_sql(*, host_expr: str, id_col: str, k: int, salt: str = "",
+                 table: str = "documents", columns: str = "*",
+                 rank_col: str = "cap_rank") -> str:
+    """SQL mirror (same md5_number_upper == md5_hash64 identity as the
+    shuffle/split oracles; HUGEINT order == uint64 order)."""
+    h = f"md5_number_upper('{salt}' || {id_col}::VARCHAR)"
+    return f"""
+        SELECT * FROM (
+          SELECT {columns},
+                 row_number() OVER (
+                     PARTITION BY {host_expr}
+                     ORDER BY {h}, {id_col}
+                 )::BIGINT AS {rank_col}
+          FROM {table}
+        ) WHERE {rank_col} <= {k}"""

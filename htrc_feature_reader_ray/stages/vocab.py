@@ -318,3 +318,58 @@ def unigram_stats_sql(*, table: str = "documents", text_col: str = "text",
                    / greatest(coalesce(a.n_tokens, 0)
                               - coalesce(a.n_oov, 0), 1) AS mean_count
         FROM {table} d LEFT JOIN agg a USING ({id_col})"""
+
+
+def char_coverage(ds, *, text_col: str = "text", k: int = 40):
+    """Corpus character histogram — the sentencepiece ``character_coverage``
+    input: top-``k`` codepoints by frequency with exact counts, integer
+    coverage ``ppm`` (count·10⁶ // corpus_chars) and a dense rank
+    (ties broken by codepoint, == UTF-8 binary collation, so the order is
+    SQL-replayable).
+
+    Scale shape: one ``np.unique`` over each batch's UTF-32 view (a partial
+    histogram of ≤ alphabet-size rows per batch — the combiner), a native
+    groupby-sum over the tiny alphabet-cardinality key space, and a
+    driver-side finish on the full (tiny) histogram. Text crosses no
+    exchange; only (char, count) partials do. Returns pandas (the result is
+    an alphabet-sized lookup, the canonical broadcast small side)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        joined = "".join(x or "" for x in col.to_pylist())
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        uniq, counts = np.unique(cps, return_counts=True)
+        return pa.table({
+            "ch": pa.array([chr(c) for c in uniq], type=pa.string()),
+            "n": pa.array(counts, type=pa.int64()),
+        })
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ch").sum("n").to_pandas()
+    )
+    hist = hist.rename(columns={"sum(n)": "n"})
+    total = int(hist["n"].sum())
+    hist = hist.sort_values(["n", "ch"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+    hist["ppm"] = (hist["n"] * 1_000_000) // max(total, 1)
+    hist["cov_rank"] = np.arange(1, len(hist) + 1, dtype=np.int64)
+    return hist.head(k).reset_index(drop=True)
+
+
+def char_coverage_sql(*, text: str = "text", table: str = "documents",
+                      k: int = 40) -> str:
+    """SQL mirror ('(?s).' matches newlines too; // is exact BIGINT
+    division; binary collation == codepoint order)."""
+    return f"""
+        WITH chars AS (
+          SELECT unnest(regexp_extract_all({text}, '(?s).')) AS ch
+          FROM {table}
+        ), hist AS (
+          SELECT ch, count(*)::BIGINT AS n FROM chars GROUP BY ch
+        ), tot AS (SELECT sum(n)::BIGINT AS t FROM hist)
+        SELECT ch, n, (n * 1000000 // t)::BIGINT AS ppm,
+               row_number() OVER (ORDER BY n DESC, ch)::BIGINT AS cov_rank
+        FROM hist, tot
+        ORDER BY cov_rank
+        LIMIT {k}"""

@@ -277,3 +277,39 @@ def test_ecdf_vs_sql():
     # invariants: ties share a value; max is exactly 1.0
     assert (out.groupby("v").cume_dist.nunique() == 1).all()
     assert out.cume_dist.max() == 1.0
+
+
+def test_host_cap_quota_and_partitioning_independence():
+    """Cap enforced per host; selection is a pure function of (salt, id) —
+    identical rows whether the corpus arrives in 1 block or 13."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.sample import host_cap
+
+    df = pd.DataFrame({
+        "doc_id": range(100),
+        # megasite host 'a' (70 docs) vs tail hosts
+        "host": ["a"] * 70 + ["b"] * 20 + ["c"] * 9 + ["d"],
+    })
+
+    def run(blocks):
+        ds = ray.data.from_pandas(df).repartition(blocks)
+        return (host_cap(ds, host_col="host", id_col="doc_id", k=5,
+                         salt="s:")
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    one, many = run(1), run(13)
+    pd.testing.assert_frame_equal(one, many)
+    sizes = one.groupby("host").size()
+    assert sizes["a"] == 5 and sizes["b"] == 5
+    assert sizes["c"] == 5 and sizes["d"] == 1          # under-quota kept
+    assert set(one["cap_rank"]) <= set(range(1, 6))
+    # rank is dense 1..min(k, n) within each host
+    assert (one.groupby("host")["cap_rank"].max().to_numpy()
+            == [5, 5, 5, 1]).all()
+    # different salt draws a different subsample of the megasite
+    other = (host_cap(ray.data.from_pandas(df), host_col="host",
+                      id_col="doc_id", k=5, salt="t:")
+             .to_pandas())
+    assert set(other.loc[other.host == "a", "doc_id"]) != set(
+        one.loc[one.host == "a", "doc_id"])

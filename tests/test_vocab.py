@@ -129,3 +129,26 @@ def test_unigram_stats_vs_sql_and_edges():
     assert r2.oov_ratio == 0.0 and r2.mean_count == 0.0
     r3 = out.iloc[3]
     assert r3.oov_ratio == 1.0 and r3.sum_count == 0
+
+
+def test_char_coverage_exact_and_block_independent():
+    import numpy as np
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.vocab import char_coverage
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["aab\nb", "b中中é", None, ""],  # null -> '' convention
+    })
+    out = char_coverage(ray.data.from_pandas(df).repartition(3), k=3)
+    # counts: b=3, a=2, 中=2, \n=1, é=1 -> top3 by (n desc, codepoint asc)
+    assert out["ch"].tolist() == ["b", "a", "中"]
+    assert out["n"].tolist() == [3, 2, 2]
+    total = 9
+    assert out["ppm"].tolist() == [
+        3 * 1_000_000 // total, 2 * 1_000_000 // total,
+        2 * 1_000_000 // total]
+    assert out["cov_rank"].tolist() == [1, 2, 3]
+    single = char_coverage(ray.data.from_pandas(df).repartition(1), k=3)
+    pd.testing.assert_frame_equal(out, single)
