@@ -790,6 +790,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return link_degree(extract_links(read_pages(sf, drop_text=True)))
 
+    def q_host_outlink_mix(sf):
+        """Per-host external-outlink ratio (link-farm / SEO-spam prior):
+        integer ppm share of a host's distinct outgoing edges that leave
+        the host; megasite skew collapses in the per-batch partial."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            host_outlink_mix,
+        )
+
+        return host_outlink_mix(
+            extract_links(read_pages(sf, drop_text=True))
+        )
+
     def q_redirects(sf):
         """Redirect-chain resolution (HTTP-30x normalization): pointer
         doubling resolves length-L chains in ceil(log2 L) bucketed
@@ -991,6 +1005,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["url", "lang", "text"]
         )
         return host_stats(pages)
+
+    def q_host_lang_mix(sf):
+        """Per-host language mix (language routing / mixed-language-site
+        signal): dominant language + integer ppm share per host; partials
+        collapse to (host, lang, n) before the one host-bucketed fold."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.urltools import host_lang_mix
+
+        return host_lang_mix(
+            read_pages(sf, drop_text=True).select_columns(["url", "lang"])
+        )
 
     def q_crawl_depth(sf):
         """Seed-distance BFS over the crawl link graph (crawl-frontier
@@ -1919,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- crawl link-graph ops --
         "link_edges": q_link_edges,
         "link_degree": q_link_degree,
+        "host_outlink_mix": q_host_outlink_mix,
         "pagerank": q_pagerank,
         "host_rank": q_host_rank,
         "page_profile": q_page_profile,
@@ -1931,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url": q_canonical_url,
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
+        "host_lang_mix": q_host_lang_mix,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "wet_roundtrip": q_wet_roundtrip,
@@ -2612,6 +2639,9 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT src_url AS url, 1 AS o, 0 AS i FROM e2
                   UNION ALL SELECT dst_url, 0, 1 FROM e2)
             GROUP BY url""",
+        "host_outlink_mix": LINKS_PRE
+        + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+        + linkgraph.host_outlink_mix_sql(edges_cte="e2"),
         "pagerank": _pagerank_sql(iterations=3),
         "host_rank": (
             "SELECT url AS host, rank FROM (" + _pagerank_sql(
@@ -2732,6 +2762,8 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT lang)::BIGINT AS n_langs,
                    sum(length({PAGES_TEXT_SQL}))::BIGINT AS sum_chars
             FROM pages GROUP BY 1""",
+        "host_lang_mix": PAGES_PRE
+        + urltools.host_lang_mix_sql(from_clause="pages"),
         # seeds mirror q_crawl_depth's every-20th-doc rule; e2 strips the
         # anchor column so the recursion walks the distinct edge relation
         "crawl_depth": "WITH RECURSIVE " + LINKS_SQL.strip() + """,

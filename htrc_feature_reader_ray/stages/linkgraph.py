@@ -867,3 +867,67 @@ def hits_sql(*, iterations: int = 2, scale: int = HITS_SCALE,
         LEFT JOIN h{iterations} h ON h.url = n.url
         LEFT JOIN a{iterations} a ON a.url = n.url""")
     return "".join(parts)
+
+
+def host_outlink_mix(edges, *, num_buckets: int = 16):
+    """Per-host outlink mix — the link-farm / SEO-spam prior: ``(host,
+    n_out, n_external, external_ppm)`` over the DISTINCT page-level edge
+    set, where external = the link leaves its host. Hosts that only link
+    within themselves (nav boilerplate) score 0; pure link directories
+    score ~10⁶.
+
+    Scale shape: vectorized RE2 host projection + per-batch collapse to
+    (host, n, n_ext) — megasite skew is absorbed before the exchange —
+    then one host-bucketed sum and a stateless integer-ppm projection.
+    """
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    host_re = r"://(?P<host>[^/]+)"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.struct_field(
+            pc.extract_regex(_str_array(batch, "src_url"), host_re), "host")
+        dst = pc.struct_field(
+            pc.extract_regex(_str_array(batch, "dst_url"), host_re), "host")
+        ext = pc.cast(pc.not_equal(src, dst), pa.int64())
+        t = pa.table({"host": src, "n_ext": ext})
+        g = t.group_by("host").aggregate(
+            [("n_ext", "sum"), ([], "count_all")])
+        return g.rename_columns(["host", "n_ext", "n_out"])
+
+    agg = bucketed_aggregate(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        "host", {"n_out": ("n_out", "sum"), "n_ext": ("n_ext", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_out"].to_numpy(dtype=np.int64)
+        ext = df["n_ext"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "host": df["host"],
+            "n_out": n,
+            "n_external": ext,
+            "external_ppm": (ext * 1_000_000) // n,
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def host_outlink_mix_sql(*, edges_cte: str = "link_edges") -> str:
+    """SQL mirror (composes after a WITH preamble providing ``edges_cte``
+    with distinct (src_url, dst_url))."""
+    return f"""
+        , he AS (
+          SELECT regexp_extract(src_url, '://([^/]+)', 1) AS host,
+                 regexp_extract(dst_url, '://([^/]+)', 1) AS dst_host
+          FROM {edges_cte}
+        )
+        SELECT host, count(*)::BIGINT AS n_out,
+               (count(*) FILTER (WHERE dst_host <> host))::BIGINT
+                   AS n_external,
+               ((count(*) FILTER (WHERE dst_host <> host)) * 1000000
+                   // count(*))::BIGINT AS external_ppm
+        FROM he GROUP BY 1"""

@@ -361,3 +361,83 @@ def url_templates_sql(*, url_expr: str = "url",
         )
         SELECT host, template, count(distinct url)::BIGINT AS n_urls
         FROM t GROUP BY 1, 2"""
+
+
+def host_lang_mix(pages, *, url_col: str = "url", lang_col: str = "lang",
+                  num_buckets: int = 8):
+    """Per-host language mix — the language-routing / mixed-language-site
+    signal crawl pipelines feed the langid stage: ``(host, n_pages,
+    n_langs, top_lang, top_lang_ppm)`` where ``top_lang`` is the host's
+    dominant language (ties by lang ascending) and ``top_lang_ppm`` its
+    integer-exact share of the host's pages.
+
+    Same hot-key shape as :func:`host_stats`: the per-batch partial
+    collapses page rows to (host, lang, n) — the exchange carries at most
+    hosts×langs rows per batch regardless of how large a megasite is —
+    then one host-bucketed vectorized fold."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[url_col].astype(str)
+        rest = s.str.split("://", n=1, regex=False).str[-1]
+        out = pd.DataFrame({
+            "host": rest.str.split("/", n=1, regex=False).str[0].str.lower(),
+            "lang": df[lang_col],
+            "n": np.ones(len(df), dtype=np.int64),
+        })
+        return out.groupby(["host", "lang"], sort=False, as_index=False).agg(
+            n=("n", "sum")
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        pl = df.groupby(["host", "lang"], sort=False, as_index=False).agg(
+            n=("n", "sum")
+        )
+        pl = pl.sort_values(["host", "n", "lang"],
+                            ascending=[True, False, True], kind="mergesort")
+        g = pl.groupby("host", sort=False)
+        top = g.head(1).set_index("host")
+        n_pages = g["n"].sum()
+        out = pd.DataFrame({
+            "host": n_pages.index,
+            "n_pages": n_pages.to_numpy(dtype=np.int64),
+            "n_langs": g.size().to_numpy(dtype=np.int64),
+            "top_lang": top.loc[n_pages.index, "lang"].to_numpy(),
+            "top_lang_ppm": (
+                top.loc[n_pages.index, "n"].to_numpy(dtype=np.int64)
+                * 1_000_000
+            ) // n_pages.to_numpy(dtype=np.int64),
+        })
+        return out
+
+    partials = pages.map_batches(partial, batch_format="pandas")
+    return bucketed_map_groups(partials, "host", finish,
+                               num_buckets=num_buckets)
+
+
+def host_lang_mix_sql(*, from_clause: str = "pages",
+                      standalone: bool = False) -> str:
+    """SQL mirror of :func:`host_lang_mix` (same host projection as
+    host_stats, same (n DESC, lang) tie-break, exact // ppm). Default
+    composes after an existing ``WITH`` preamble (url_templates_sql
+    convention); ``standalone=True`` emits a self-contained query."""
+    head = "WITH" if standalone else ","
+    return f"""
+        {head} pl AS (
+          SELECT lower(split_part(split_part(url, '://', 2), '/', 1))
+                   AS host,
+                 lang, count(*)::BIGINT AS n
+          FROM {from_clause} GROUP BY 1, 2
+        ), tot AS (
+          SELECT host, sum(n)::BIGINT AS n_pages,
+                 count(*)::BIGINT AS n_langs
+          FROM pl GROUP BY 1
+        ), top AS (
+          SELECT host, lang, n,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY n DESC, lang) AS rn
+          FROM pl
+        )
+        SELECT t.host, t.n_pages, t.n_langs, p.lang AS top_lang,
+               (p.n * 1000000 // t.n_pages)::BIGINT AS top_lang_ppm
+        FROM tot t JOIN top p ON t.host = p.host AND p.rn = 1"""

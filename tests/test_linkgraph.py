@@ -387,3 +387,22 @@ def test_hits_empty_edges():
     ds = hits(_edges_ds([]), iterations=2, num_buckets=4)
     assert sorted(ds.schema().names) == ["authority", "hub", "url"]
     assert ds.count() == 0
+
+
+def test_host_outlink_mix_exact_ppm():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import host_outlink_mix
+
+    edges = pd.DataFrame({
+        "src_url": ["https://a.com/1", "https://a.com/1", "https://a.com/2",
+                    "https://b.com/x", "https://c.com/y"],
+        "dst_url": ["https://a.com/2", "https://x.com/", "https://a.com/3",
+                    "https://b.com/z", "https://d.com/"],
+    })
+    out = (host_outlink_mix(ray.data.from_pandas(edges).repartition(3))
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    assert out["host"].tolist() == ["a.com", "b.com", "c.com"]
+    assert out["n_out"].tolist() == [3, 1, 1]
+    assert out["n_external"].tolist() == [1, 0, 1]
+    assert out["external_ppm"].tolist() == [1_000_000 // 3, 0, 1_000_000]

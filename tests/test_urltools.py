@@ -181,3 +181,24 @@ def test_url_templates_digit_collapse_and_distinct():
         ("f.com", "/", 1),
         ("f.com", "/doc/N", 1),
     ]
+
+
+def test_host_lang_mix_dominance_and_ties():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.urltools import host_lang_mix
+
+    df = pd.DataFrame({
+        "url": (["https://A.com/x"] * 3 + ["https://a.com/y"] * 2
+                + ["https://b.com/1", "https://b.com/2"]),
+        # a.com: en=3, de=2 -> top en 600000ppm; b.com: de=1, en=1 tie
+        # -> lang-ascending tie-break picks 'de'
+        "lang": ["en", "en", "en", "de", "de", "de", "en"],
+    })
+    out = (host_lang_mix(ray.data.from_pandas(df).repartition(4))
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    a, b = out.iloc[0], out.iloc[1]
+    assert a.host == "a.com" and a.n_pages == 5 and a.n_langs == 2
+    assert a.top_lang == "en" and a.top_lang_ppm == 600000
+    assert b.host == "b.com" and b.n_pages == 2 and b.n_langs == 2
+    assert b.top_lang == "de" and b.top_lang_ppm == 500000
