@@ -331,6 +331,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf).map_batches(aug, batch_format="pyarrow")
         )
 
+    def q_dup_line_stats(sf):
+        """Gopher duplicate-line repetition signals. The fixture text is
+        single-line, so the query maps token separators to newlines
+        identically on both engines — every token becomes a line, giving
+        real duplicate-line variance."""
+        import pyarrow.compute as _pc
+
+        from htrc_feature_reader_ray.stages.textstats import dup_line_stats
+
+        def aug(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "text": _pc.replace_substring(
+                    batch.column("text"), pattern=" ", replacement="\n"
+                ),
+            })
+
+        return dup_line_stats(
+            _docs(sf).map_batches(aug, batch_format="pyarrow")
+        )
+
+    def q_gopher_quality(sf):
+        """Gopher/Dolma quality-rule inputs. The fixture text is
+        all-alpha with no symbols, so the query appends a deterministic
+        per-doc suffix (a number, a '#' run, an ellipsis word) identically
+        on both engines to give every ratio real variance."""
+        from htrc_feature_reader_ray.stages.textstats import gopher_quality
+
+        def aug(df: pd.DataFrame) -> pd.DataFrame:
+            did = df["doc_id"].to_numpy()
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "text": (
+                    df["text"]
+                    + " " + pd.Series(did % 100, index=df.index).astype(str)
+                    + " " + pd.Series(["#" * int(k) for k in did % 4],
+                                      index=df.index)
+                    + " x..."
+                ),
+            })
+
+        return gopher_quality(
+            _docs(sf).map_batches(aug, batch_format="pandas")
+        )
+
     def q_extract_text(sf):
         return extract_pages(read_pages(sf, drop_text=True)).select_columns(
             ["url", "warc_ts", "lang", "text"]
@@ -1931,6 +1976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
         "sentence_stats": q_sentence_stats,
+        "dup_line_stats": q_dup_line_stats,
+        "gopher_quality": q_gopher_quality,
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "url_parts": q_url_parts,
         "corpus_curation": q_corpus_curation,
@@ -3093,6 +3140,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {FINGERPRINT_SQL.format(text='text')} AS fp"
             " FROM documents"
         ),
+        "dup_line_stats": textstats.dup_line_stats_sql(
+            text="replace(text, ' ', chr(10))"
+        ),
+        "gopher_quality": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' ' || (doc_id % 100) || ' '
+                          || repeat('#', CAST(doc_id % 4 AS INTEGER))
+                          || ' x...' AS text
+              FROM documents
+            )
+            SELECT doc_id, {textstats.gopher_quality_sql('text')}
+            FROM aug""",
         "filter_project": (
             "SELECT doc_id, n_chars FROM documents"
             " WHERE lang = 'en' AND n_chars > 200"

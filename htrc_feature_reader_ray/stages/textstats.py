@@ -238,3 +238,142 @@ def sentence_stats_sql(text: str = "text") -> str:
          FROM unnest({sents}) AS u(s))::BIGINT
             / greatest(len({sents}), 1)::DOUBLE AS mean_sentence_chars
     """
+
+
+def dup_line_stats(ds, *, text_col: str = "text", id_cols=("doc_id",)):
+    """Per-doc duplicate-line signals (the Gopher repetition filters
+    'duplicate line fraction' / 'duplicate line character fraction'):
+    ``n_lines``, ``n_dup_lines`` (every member of a line-value group with
+    count > 1), ``dup_line_ppm`` and ``dup_char_ppm`` — exact integers,
+    ppm = x·10⁶ // total.
+
+    Lines are ``\\n``-delimited (empty lines count: a run of blank lines is
+    itself boilerplate repetition). Per-doc work never leaves the batch —
+    zero shuffle; the group-count is one C-level hash groupby per batch."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        lines = pc.split_pattern(batch.column(text_col), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        parent = pc.list_parent_indices(lines).to_numpy()
+        flat = pc.list_flatten(lines)
+        lens = pc.utf8_length(flat).to_numpy()
+        df = pd.DataFrame({"p": parent, "l": flat.to_pandas(), "len": lens})
+        grp = df.groupby(["p", "l"], sort=False).agg(
+            c=("len", "size"), len=("len", "first")
+        ).reset_index()
+        p = grp["p"].to_numpy()
+        c = grp["c"].to_numpy(dtype=np.int64)
+        ln = grp["len"].to_numpy(dtype=np.int64)
+        dup = c > 1
+        n_lines = np.bincount(p, weights=c, minlength=n).astype(np.int64)
+        n_dup = np.bincount(p, weights=c * dup, minlength=n).astype(np.int64)
+        chars = np.bincount(p, weights=c * ln, minlength=n).astype(np.int64)
+        dchars = np.bincount(
+            p, weights=c * ln * dup, minlength=n).astype(np.int64)
+        out = batch.select(list(id_cols))
+        out = out.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        out = out.append_column("n_dup_lines", pa.array(n_dup, pa.int64()))
+        out = out.append_column(
+            "dup_line_ppm",
+            pa.array(n_dup * 1_000_000 // np.maximum(n_lines, 1), pa.int64()),
+        )
+        out = out.append_column(
+            "dup_char_ppm",
+            pa.array(dchars * 1_000_000 // np.maximum(chars, 1), pa.int64()),
+        )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dup_line_stats_sql(text: str = "text", *, table: str = "documents",
+                       id_col: str = "doc_id") -> str:
+    """Self-contained SQL mirror of :func:`dup_line_stats`."""
+    return f"""
+        WITH lines AS (
+          SELECT {id_col}, unnest(string_split({text}, chr(10))) AS l
+          FROM {table}
+        ), lc AS (
+          SELECT {id_col}, l, count(*)::BIGINT AS c,
+                 length(l)::BIGINT AS len
+          FROM lines GROUP BY {id_col}, l
+        )
+        SELECT {id_col},
+               sum(c)::BIGINT AS n_lines,
+               coalesce(sum(c) FILTER (WHERE c > 1), 0)::BIGINT
+                   AS n_dup_lines,
+               (coalesce(sum(c) FILTER (WHERE c > 1), 0) * 1000000
+                   // greatest(sum(c), 1))::BIGINT AS dup_line_ppm,
+               (coalesce(sum(c * len) FILTER (WHERE c > 1), 0) * 1000000
+                   // greatest(sum(c * len), 1))::BIGINT AS dup_char_ppm
+        FROM lc GROUP BY {id_col}"""
+
+
+def gopher_quality(ds, *, text_col: str = "text", id_cols=("doc_id",)):
+    """Per-doc Gopher-style quality ratios (the rule battery Gopher/Dolma
+    apply before model-based filtering): ``n_words``, ``alpha_word_ppm``
+    (words containing an ASCII letter), ``symbol_ppm`` (``#`` and ``...``
+    occurrences per word), ``min_word_len`` / ``max_word_len``.
+
+    Exact integers throughout (ppm = x·10⁶ // max(n,1)); substring counts
+    are non-overlapping on both engines (Arrow ``count_substring`` ==
+    SQL replace-length counting). Stateless vectorized map — zero
+    shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, n = _tok_stats(batch, text_col)
+        n_words = np.bincount(parent, minlength=n).astype(np.int64)
+        alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+            zero_copy_only=False)
+        n_alpha = np.bincount(
+            parent, weights=alpha, minlength=n).astype(np.int64)
+        text = batch.column(text_col)
+        n_sym = (
+            pc.count_substring(text, pattern="#").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            + pc.count_substring(text, pattern="...").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        )
+        wl = pc.utf8_length(flat).to_numpy()
+        mn = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, parent, wl)
+        mn[n_words == 0] = 0
+        mx = np.zeros(n, dtype=np.int64)
+        np.maximum.at(mx, parent, wl)
+        denom = np.maximum(n_words, 1)
+        out = batch.select(list(id_cols))
+        out = out.append_column("n_words", pa.array(n_words, pa.int64()))
+        out = out.append_column(
+            "alpha_word_ppm",
+            pa.array(n_alpha * 1_000_000 // denom, pa.int64()))
+        out = out.append_column(
+            "symbol_ppm", pa.array(n_sym * 1_000_000 // denom, pa.int64()))
+        out = out.append_column("min_word_len", pa.array(mn, pa.int64()))
+        out = out.append_column("max_word_len", pa.array(mx, pa.int64()))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gopher_quality_sql(text: str = "text") -> str:
+    """Column expressions mirroring :func:`gopher_quality`."""
+    toks = f"list_filter(string_split({text}, ' '), t -> t != '')"
+    n = f"len({toks})"
+    nsym = (
+        f"((length({text}) - length(replace({text}, '#', '')))::BIGINT"
+        f" + (length({text}) - length(replace({text}, '...', '')))::BIGINT"
+        " // 3)"
+    )
+    return f"""
+        {n}::BIGINT AS n_words,
+        ((SELECT count(*) FILTER (WHERE regexp_matches(t, '[A-Za-z]'))
+          FROM unnest({toks}) AS u(t)) * 1000000
+            // greatest({n}, 1))::BIGINT AS alpha_word_ppm,
+        ({nsym} * 1000000 // greatest({n}, 1))::BIGINT AS symbol_ppm,
+        coalesce(list_min(list_transform({toks}, t -> length(t))),
+                 0)::BIGINT AS min_word_len,
+        coalesce(list_max(list_transform({toks}, t -> length(t))),
+                 0)::BIGINT AS max_word_len
+    """

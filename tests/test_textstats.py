@@ -77,3 +77,45 @@ def test_sentence_stats_edges():
     assert out["mean_sentence_chars"].tolist() == [
         (7 + 10 + 4) / 3, 0.0, 0.0, 15.0, (3 + 2) / 2
     ]
+
+
+def test_dup_line_stats_exact():
+    from htrc_feature_reader_ray.stages.textstats import dup_line_stats
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "a\nb\na\n\n\nc",      # 'a' x2 + '' x2 dup, b/c unique -> 6 lines
+            "x",                    # single line, no dups
+            "same\nsame\nsame",     # all dup
+        ],
+    })
+    out = (dup_line_stats(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_lines"].tolist() == [6, 1, 3]
+    assert out["n_dup_lines"].tolist() == [4, 0, 3]
+    # doc0 chars: a,b,a,'','',c = 4; dup chars: a+a = 2
+    assert out["dup_line_ppm"].tolist() == [
+        4 * 1_000_000 // 6, 0, 1_000_000]
+    assert out["dup_char_ppm"].tolist() == [
+        2 * 1_000_000 // 4, 0, 1_000_000]
+
+
+def test_gopher_quality_exact():
+    from htrc_feature_reader_ray.stages.textstats import gopher_quality
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "abc 42 #x ....",   # 4 words: alpha=2; sym: 1x'#' + 1x'...'
+            "",
+            "a bb ccc",
+        ],
+    })
+    out = (gopher_quality(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_words"].tolist() == [4, 0, 3]
+    assert out["alpha_word_ppm"].tolist() == [500000, 0, 1_000_000]
+    assert out["symbol_ppm"].tolist() == [2 * 1_000_000 // 4, 0, 0]
+    assert out["min_word_len"].tolist() == [2, 0, 1]
+    assert out["max_word_len"].tolist() == [4, 0, 3]
