@@ -1062,6 +1062,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_pages(sf, drop_text=True).select_columns(["url", "lang"])
         )
 
+    def q_host_fetch_rate(sf):
+        """Crawler-politeness QA: the PEAK 1-hour fetch count per host —
+        pure composition: host projection -> tumbling_window on (host,
+        warc_ts) -> lossless per-group top-1 (window_start tie-break)."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.fold import topk_per_group
+        from htrc_feature_reader_ray.stages.temporal import tumbling_window
+
+        pages = read_pages(sf, drop_text=True).select_columns(
+            ["url", "warc_ts"]
+        )
+
+        def add_host(df: pd.DataFrame) -> pd.DataFrame:
+            rest = df["url"].astype(str).str.split(
+                "://", n=1, regex=False).str[-1]
+            return pd.DataFrame({
+                "host": rest.str.split(
+                    "/", n=1, regex=False).str[0].str.lower(),
+                "warc_ts": df["warc_ts"],
+            })
+
+        hw = tumbling_window(
+            pages.map_batches(add_host, batch_format="pandas"),
+            key="host", ts="warc_ts", width="1h", count_col="n_fetches",
+        )
+        return topk_per_group(
+            hw, group_cols=["host"], sort_col="n_fetches", k=1,
+            tie_cols=["window_start"], descending=True,
+        )
+
+    def q_host_dup_rate(sf):
+        """Per-host exact-duplicate rate (template-farm / parked-domain
+        crawl-QA): keep-first-by-id loser marking in a digest-bucketed
+        pass, (host, n, losers) partials into one host-bucketed sum."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.dedup import host_dup_rate
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        )
+
+        def add_host(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "host": df["source"] + ".example.com",
+                "text": df["text"],
+            })
+
+        return host_dup_rate(
+            docs.map_batches(add_host, batch_format="pandas")
+        )
+
     def q_crawl_depth(sf):
         """Seed-distance BFS over the crawl link graph (crawl-frontier
         prioritization / spam prior): min hop count from the seed set
@@ -2005,6 +2058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
         "host_lang_mix": q_host_lang_mix,
+        "host_fetch_rate": q_host_fetch_rate,
+        "host_dup_rate": q_host_dup_rate,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "wet_roundtrip": q_wet_roundtrip,
@@ -2174,6 +2229,7 @@ def _ann_lsh_sql(*, nbits: int = 6, dim: int = 64, seed: int = 42) -> str:
 def oracle_sql() -> dict[str, str]:
     from htrc_feature_reader_ray.stages import (
         curate,
+        dedup as dedup_mod,
         linkgraph,
         sample,
         sketch,
@@ -2811,6 +2867,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pages GROUP BY 1""",
         "host_lang_mix": PAGES_PRE
         + urltools.host_lang_mix_sql(from_clause="pages"),
+        "host_fetch_rate": PAGES_PRE + """,
+            hw AS (
+              SELECT lower(split_part(split_part(url, '://', 2), '/', 1))
+                       AS host,
+                     make_timestamp(epoch_us(warc_ts)
+                         // 3600000000 * 3600000000) AS window_start,
+                     count(*)::BIGINT AS n_fetches
+              FROM pages GROUP BY 1, 2
+            )
+            SELECT host, window_start, n_fetches FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY host
+                  ORDER BY n_fetches DESC, window_start) AS rn
+              FROM hw
+            ) WHERE rn = 1""",
         # seeds mirror q_crawl_depth's every-20th-doc rule; e2 strips the
         # anchor column so the recursion walks the distinct edge relation
         "crawl_depth": "WITH RECURSIVE " + LINKS_SQL.strip() + """,
@@ -3045,6 +3116,9 @@ def oracle_sql() -> dict[str, str]:
                        AS text_md5,
                    min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
             FROM documents GROUP BY 1""",
+        "host_dup_rate": dedup_mod.host_dup_rate_sql(
+            host_expr="source || '.example.com'"
+        ),
         "line_dedup": PAGES_PRE + """,
             lines AS (
               SELECT url, warc_ts,

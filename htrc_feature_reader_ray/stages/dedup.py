@@ -1508,3 +1508,79 @@ def boilerplate_lines(pages, *, text_col: str = "text",
         flagged, url_col, lambda df: _reassemble_lines(df, keys),
         num_buckets=num_buckets,
     )
+
+
+def host_dup_rate(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  host_col: str = "host", num_buckets: int = 32):
+    """Per-host exact-duplicate rate — the crawl-QA rollup that flags
+    template farms and parked domains: ``(host, n_docs, n_dup_losers,
+    dup_ppm)`` where a doc is a LOSER if another doc with the same
+    normalized-text digest has a smaller id (the keep-first rule
+    ``exact_dedup`` applies).
+
+    Two text-free exchanges: digests+hosts cross a digest-bucketed pass
+    that marks losers vectorized (sort + duplicated per bucket) and
+    collapses to (host, n, losers) partials BEFORE the second,
+    host-bucketed sum — so a megasite's pages never pile into one task."""
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            host_col: batch.column(host_col),
+            "text_md5": text_md5_batch(batch, text_col),
+        })
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            batch_size=8192)
+
+    def mark_and_collapse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text_md5", id_col], kind="mergesort")
+        loser = df.duplicated("text_md5", keep="first").to_numpy()
+        out = pd.DataFrame({
+            host_col: df[host_col].to_numpy(),
+            "n_docs": np.ones(len(df), dtype=np.int64),
+            "n_dup_losers": loser.astype(np.int64),
+        })
+        return out.groupby(host_col, sort=False, as_index=False).sum()
+
+    partials = bucketed_map_groups(
+        hashed, "text_md5", mark_and_collapse, num_buckets=num_buckets,
+    )
+    agg = bucketed_aggregate(
+        partials, host_col,
+        {"n_docs": ("n_docs", "sum"), "n_dup_losers": ("n_dup_losers", "sum")},
+        num_buckets=max(8, num_buckets // 4),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dup_ppm"] = (
+            df["n_dup_losers"].to_numpy(dtype=np.int64) * 1_000_000
+        ) // df["n_docs"].to_numpy(dtype=np.int64)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def host_dup_rate_sql(*, host_expr: str, text: str = "text",
+                      id_col: str = "doc_id",
+                      table: str = "documents") -> str:
+    """SQL mirror of :func:`host_dup_rate` (same normalized-md5 digest as
+    FINGERPRINT_SQL / exact_dedup, same keep-first-by-id rule)."""
+    d = f"md5(lower(regexp_replace({text}, '\\s+', ' ', 'g')))"
+    return f"""
+        WITH l AS (
+          SELECT {host_expr} AS host,
+                 CASE WHEN row_number() OVER (
+                     PARTITION BY {d} ORDER BY {id_col}) > 1
+                 THEN 1 ELSE 0 END AS loser
+          FROM {table}
+        )
+        SELECT host, count(*)::BIGINT AS n_docs,
+               sum(loser)::BIGINT AS n_dup_losers,
+               (sum(loser) * 1000000 // count(*))::BIGINT AS dup_ppm
+        FROM l GROUP BY 1"""

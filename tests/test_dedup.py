@@ -495,3 +495,23 @@ def test_boilerplate_lines_paths_equal_and_all_dropped():
     # every line is host-boilerplate (incl. the null->'' empty line pages)
     assert a["n_kept"].tolist() == [0, 0, 0, 0]
     assert a["clean_text"].tolist() == ["", "", "", ""]
+
+
+def test_host_dup_rate_keep_first_and_cross_host():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import host_dup_rate
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "host":   ["a", "a", "a", "b", "b", "c"],
+        # doc1 dups doc0 (same host); doc4 dups doc0 (CROSS host: the
+        # loser lands on b, the winner stays on a); doc5 unique
+        "text": ["t one", "T  ONE", "other", "unrelated", "t one", "zzz"],
+    })
+    out = (host_dup_rate(ray.data.from_pandas(df).repartition(4))
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    assert out["host"].tolist() == ["a", "b", "c"]
+    assert out["n_docs"].tolist() == [3, 2, 1]
+    assert out["n_dup_losers"].tolist() == [1, 1, 0]
+    assert out["dup_ppm"].tolist() == [1_000_000 // 3, 500_000, 0]
