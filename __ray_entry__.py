@@ -376,6 +376,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf).map_batches(aug, batch_format="pandas")
         )
 
+    def q_charclass_mix(sf):
+        """Character-class mix (cheap script/charset gate). The fixture
+        text is pure lowercase+space, so a deterministic per-doc suffix
+        (digits, a non-ASCII char, a symbol) is appended identically on
+        both engines to exercise every class."""
+        from htrc_feature_reader_ray.stages.textstats import charclass_mix
+
+        def aug(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "text": (df["text"] + " "
+                         + (df["doc_id"] % 100).astype(str) + " é#"),
+            })
+
+        return charclass_mix(
+            _docs(sf).map_batches(aug, batch_format="pandas")
+        )
+
     def q_extract_text(sf):
         return extract_pages(read_pages(sf, drop_text=True)).select_columns(
             ["url", "warc_ts", "lang", "text"]
@@ -1090,6 +1108,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return topk_per_group(
             hw, group_cols=["host"], sort_col="n_fetches", k=1,
             tie_cols=["window_start"], descending=True,
+        )
+
+    def q_dedup_containment(sf):
+        """Asymmetric near-dup (doc-inside-doc): containment >= 0.8 over
+        distinct 3-word shingles, mined on the shared-key pair kernel with
+        the boilerplate-shingle cap; sizes attach via the bucket_join
+        scale path (the gate exercises the path a 10^9-doc corpus needs)."""
+        from htrc_feature_reader_ray.stages.dedup import containment_pairs
+
+        return containment_pairs(
+            _docs(sf), k=3, min_containment=0.8,
+            max_docs_per_shingle=64, sizes_path="join",
         )
 
     def q_host_dup_rate(sf):
@@ -2031,6 +2061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": q_sentence_stats,
         "dup_line_stats": q_dup_line_stats,
         "gopher_quality": q_gopher_quality,
+        "charclass_mix": q_charclass_mix,
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "url_parts": q_url_parts,
         "corpus_curation": q_corpus_curation,
@@ -2060,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_lang_mix": q_host_lang_mix,
         "host_fetch_rate": q_host_fetch_rate,
         "host_dup_rate": q_host_dup_rate,
+        "dedup_containment": q_dedup_containment,
         "crawl_depth": q_crawl_depth,
         "hits": q_hits,
         "wet_roundtrip": q_wet_roundtrip,
@@ -2104,7 +2136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # exact all-pairs shingle-Jaccard >= 0.5 — shared by the dedup_minhash
 # oracle and (as the edge list) the dedup_clusters recursive-CTE oracle
-JACCARD_PAIRS_BODY = r"""toks AS (
+SHINGLES_BODY = r"""toks AS (
       SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS arr
       FROM documents
@@ -2116,7 +2148,9 @@ JACCARD_PAIRS_BODY = r"""toks AS (
       UNION
       SELECT doc_id, array_to_string(arr, ' ') AS shingle
       FROM toks WHERE len(arr) BETWEEN 1 AND 2
-    ), sizes AS (
+    )"""
+
+JACCARD_PAIRS_BODY = SHINGLES_BODY + r""", sizes AS (
       SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
     ), inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
@@ -3119,6 +3153,29 @@ def oracle_sql() -> dict[str, str]:
         "host_dup_rate": dedup_mod.host_dup_rate_sql(
             host_expr="source || '.example.com'"
         ),
+        # cap (2..64 docs/shingle) mirrors the kernel contract; denominators
+        # are the UNCAPPED per-doc shingle sizes, intersections only count
+        # capped shingles — identical on both engines
+        "dedup_containment": "WITH " + SHINGLES_BODY + """,
+            sizes AS (
+              SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1
+            ), capped AS (
+              SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) BETWEEN 2 AND 64
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*)::BIGINT AS i
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+                AND shingle IN (SELECT shingle FROM capped)
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, i AS n_shared,
+                   i / least(sa.n, sb.n) AS containment
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i / least(sa.n, sb.n) >= 0.8""",
         "line_dedup": PAGES_PRE + """,
             lines AS (
               SELECT url, warc_ts,
@@ -3217,6 +3274,15 @@ def oracle_sql() -> dict[str, str]:
         "dup_line_stats": textstats.dup_line_stats_sql(
             text="replace(text, ' ', chr(10))"
         ),
+        "charclass_mix": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' ' || (doc_id % 100) || ' '
+                          || chr(233) || '#' AS text
+              FROM documents
+            )
+            SELECT doc_id, {textstats.charclass_mix_sql('text')}
+            FROM aug""",
         "gopher_quality": f"""
             WITH aug AS (
               SELECT doc_id,

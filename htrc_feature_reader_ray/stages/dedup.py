@@ -1584,3 +1584,98 @@ def host_dup_rate_sql(*, host_expr: str, text: str = "text",
                sum(loser)::BIGINT AS n_dup_losers,
                (sum(loser) * 1000000 // count(*))::BIGINT AS dup_ppm
         FROM l GROUP BY 1"""
+
+
+def _shingle_rows(batch: pa.Table, text_col: str, id_col: str,
+                  k: int) -> pa.Table:
+    """Distinct (shingle, id) rows for one batch (``word_shingles``
+    semantics incl. the short-doc whole-text fallback; a doc lives in one
+    row, so per-batch distinct == global distinct)."""
+    ids_in = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    ids, shingles = [], []
+    for i, text in enumerate(texts):
+        toks = [t for t in (text or "").split(" ") if t]
+        for s in set(word_shingles(toks, k)):
+            ids.append(ids_in[i])
+            shingles.append(s)
+    return pa.table({
+        "shingle": pa.array(shingles, type=pa.string()),
+        id_col: pa.array(ids, type=pa.int64()),
+    })
+
+
+def containment_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, min_containment: float = 0.8,
+                      max_docs_per_shingle: int = 64,
+                      sizes_path: str = "join", num_buckets: int = 32):
+    """Asymmetric near-dup detection — the doc-INSIDE-doc case Jaccard
+    misses (a page quoted wholesale inside a bigger page has low Jaccard
+    but containment ~1): pairs with ``n_shared / min(|A|, |B|) >=
+    min_containment`` over distinct k-word shingles.
+
+    Scale shape: the generic co-occurrence kernel
+    (``partition.shared_key_pair_counts`` — shared with mirror_hosts /
+    related_pages) mines (doc_a, doc_b, n_shared) with ONE shingle-bucketed
+    exchange; ``max_docs_per_shingle`` caps boilerplate shingles (part of
+    the contract, mirrored by the oracle — intersections count only capped
+    shingles, denominators are the UNCAPPED per-doc sizes). Sizes attach
+    via two ``bucket_join`` passes (``sizes_path='join'``, default — pair
+    volume only) or a driver broadcast (``'broadcast'`` — only when the
+    (id, size) table fits a worker); both paths are pinned equal by tests.
+    """
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        shared_key_pair_counts,
+    )
+
+    rows = ds.map_batches(
+        lambda b: _shingle_rows(b, text_col, id_col, k),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    pairs = shared_key_pair_counts(
+        rows, key_col="shingle", member_col=id_col,
+        max_members_per_key=max_docs_per_shingle, num_buckets=num_buckets,
+        out_a="doc_a", out_b="doc_b", out_n="n_shared",
+    )
+
+    def size_rows(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(id_col).aggregate([([], "count_all")])
+        return t.rename_columns([id_col, "n_sh"])
+
+    sizes = rows.map_batches(size_rows, batch_format="pyarrow")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n_shared"].to_numpy(dtype=np.int64) / np.minimum(
+            df["n_a"].to_numpy(dtype=np.int64),
+            df["n_b"].to_numpy(dtype=np.int64))
+        df = df.assign(containment=c)
+        df = df.loc[df["containment"] >= min_containment]
+        return df[["doc_a", "doc_b", "n_shared", "containment"]]
+
+    if sizes_path == "broadcast":
+        import ray
+
+        sz = sizes.to_pandas().set_index(id_col)["n_sh"]
+        ref = ray.put(sz)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(ref)
+            df = df.assign(
+                n_a=s.loc[df["doc_a"]].to_numpy(dtype=np.int64),
+                n_b=s.loc[df["doc_b"]].to_numpy(dtype=np.int64))
+            return score(df)
+
+        return pairs.map_batches(attach, batch_format="pandas")
+
+    j1 = bucket_join(
+        pairs,
+        sizes.map_batches(lambda t: t.rename_columns([id_col, "n_a"]),
+                          batch_format="pyarrow"),
+        left_key="doc_a", right_key=id_col, num_buckets=num_buckets)
+    j2 = bucket_join(
+        j1,
+        sizes.map_batches(lambda t: t.rename_columns([id_col, "n_b"]),
+                          batch_format="pyarrow"),
+        left_key="doc_b", right_key=id_col, num_buckets=num_buckets)
+    return j2.map_batches(score, batch_format="pandas")

@@ -334,8 +334,11 @@ def shared_key_pair_counts(ds, *, key_col: str, member_col: str,
         d = d.loc[(sizes >= 2) & (sizes <= max_members_per_key)]
         if not len(d):
             import pandas as pd
-            return pd.DataFrame({out_a: pd.Series([], dtype=str),
-                                 out_b: pd.Series([], dtype=str)})
+            # empty frame must keep the member dtype: a str-typed empty
+            # block next to int64 pair blocks breaks the downstream union
+            mdt = df[member_col].dtype
+            return pd.DataFrame({out_a: pd.Series([], dtype=mdt),
+                                 out_b: pd.Series([], dtype=mdt)})
         m = d.merge(d, on=key_col, suffixes=("_a", "_b"))
         m = m.loc[m[f"{member_col}_a"] < m[f"{member_col}_b"]]
         return m[[f"{member_col}_a", f"{member_col}_b"]].rename(columns={

@@ -377,3 +377,51 @@ def gopher_quality_sql(text: str = "text") -> str:
         coalesce(list_max(list_transform({toks}, t -> length(t))),
                  0)::BIGINT AS max_word_len
     """
+
+
+def charclass_mix(ds, *, text_col: str = "text", id_cols=("doc_id",)):
+    """Per-doc character-class mix — the cheap script/charset signal
+    (CCNet's pre-langid gate; also catches binary-junk pages): ``n_chars``
+    plus integer ppm shares of ASCII letters, digits, whitespace, and
+    everything else. One RE2 count per class per batch — zero shuffle."""
+
+    classes = (("latin", "[A-Za-z]"), ("digit", "[0-9]"),
+               ("space", "[ \t\n\r]"))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        n = pc.utf8_length(text).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        denom = np.maximum(n, 1)
+        out = batch.select(list(id_cols))
+        out = out.append_column("n_chars", pa.array(n, pa.int64()))
+        rest = n.copy()
+        for name, pat in classes:
+            c = pc.count_substring_regex(text, pattern=pat).cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            rest = rest - c
+            out = out.append_column(
+                f"{name}_ppm", pa.array(c * 1_000_000 // denom, pa.int64()))
+        out = out.append_column(
+            "other_ppm", pa.array(rest * 1_000_000 // denom, pa.int64()))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def charclass_mix_sql(text: str = "text") -> str:
+    """Column expressions mirroring :func:`charclass_mix` (ASCII classes
+    only, so RE2 and DuckDB regex semantics cannot diverge)."""
+    n = f"length({text})"
+    latin = f"length(regexp_replace({text}, '[^A-Za-z]', '', 'g'))"
+    digit = f"length(regexp_replace({text}, '[^0-9]', '', 'g'))"
+    space = (f"({n} - length(regexp_replace({text},"
+             f" '[ ' || chr(9) || chr(10) || chr(13) || ']', '', 'g')))")
+    return f"""
+        {n}::BIGINT AS n_chars,
+        ({latin} * 1000000 // greatest({n}, 1))::BIGINT AS latin_ppm,
+        ({digit} * 1000000 // greatest({n}, 1))::BIGINT AS digit_ppm,
+        ({space} * 1000000 // greatest({n}, 1))::BIGINT AS space_ppm,
+        (({n} - {latin} - {digit} - {space}) * 1000000
+            // greatest({n}, 1))::BIGINT AS other_ppm
+    """

@@ -515,3 +515,33 @@ def test_host_dup_rate_keep_first_and_cross_host():
     assert out["n_docs"].tolist() == [3, 2, 1]
     assert out["n_dup_losers"].tolist() == [1, 1, 0]
     assert out["dup_ppm"].tolist() == [1_000_000 // 3, 500_000, 0]
+
+
+def test_containment_pairs_doc_inside_doc_and_path_equality():
+    """A small doc fully quoted inside a big doc: Jaccard is low (would be
+    missed by symmetric near-dup) but containment = 1. Broadcast and join
+    size-attach paths must emit identical rows."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = ("zero one two three four five six seven eight nine ten "
+           + small + " eleven twelve thirteen fourteen fifteen sixteen")
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [small, big, "totally different words here now ok"],
+    })
+
+    def run(path):
+        return (containment_pairs(
+                    ray.data.from_pandas(df).repartition(2),
+                    min_containment=0.9, sizes_path=path)
+                .to_pandas().sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+
+    out = run("join")
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert out.loc[0, "containment"] == 1.0     # all of doc1's shingles
+    assert out.loc[0, "n_shared"] == 3          # 5 tokens -> 3 trigrams
+    pd.testing.assert_frame_equal(out, run("broadcast"))

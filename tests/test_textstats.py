@@ -119,3 +119,22 @@ def test_gopher_quality_exact():
     assert out["symbol_ppm"].tolist() == [2 * 1_000_000 // 4, 0, 0]
     assert out["min_word_len"].tolist() == [2, 0, 1]
     assert out["max_word_len"].tolist() == [4, 0, 3]
+
+
+def test_charclass_mix_exact():
+    from htrc_feature_reader_ray.stages.textstats import charclass_mix
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["ab1 2\tc!", "中 文9"],
+    })
+    out = (charclass_mix(ray.data.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_chars"].tolist() == [8, 4]
+    assert out["latin_ppm"].tolist() == [3 * 1_000_000 // 8, 0]
+    assert out["digit_ppm"].tolist() == [2 * 1_000_000 // 8,
+                                         1 * 1_000_000 // 4]
+    assert out["space_ppm"].tolist() == [2 * 1_000_000 // 8,
+                                         1 * 1_000_000 // 4]
+    assert out["other_ppm"].tolist() == [1 * 1_000_000 // 8,
+                                         2 * 1_000_000 // 4]
