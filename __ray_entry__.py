@@ -867,6 +867,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             extract_links(read_pages(sf, drop_text=True))
         )
 
+    def q_degree_histogram(sf):
+        """Graph-QA degree distribution: power-of-two (bit_length) degree
+        buckets for out- and in-degree — exact integer bucketing (frexp ==
+        SQL length(bin(d))), ≤128-row result."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            degree_histogram,
+            extract_links,
+            link_degree,
+        )
+
+        return degree_histogram(
+            link_degree(extract_links(read_pages(sf, drop_text=True)))
+        )
+
+    def q_doc_keywords(sf):
+        """Per-doc top-3 TF-IDF keywords with rank — pure composition:
+        the materialized-once tfidf table into the lossless per-group
+        top-k (score desc, token tie-break; float order is IEEE-identical
+        on both engines because the scores are pinned by the tfidf
+        oracle)."""
+        import pyarrow.parquet as pq
+
+        from htrc_feature_reader_ray.stages.curate import tfidf
+        from htrc_feature_reader_ray.stages.fold import topk_per_group
+
+        n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        return topk_per_group(
+            tfidf(_docs(sf), n_docs=n),
+            group_cols=["doc_id"], sort_col="tfidf", k=3,
+            tie_cols=["token"], descending=True, rank_col="kw_rank",
+        )
+
     def q_redirects(sf):
         """Redirect-chain resolution (HTTP-30x normalization): pointer
         doubling resolves length-L chains in ceil(log2 L) bucketed
@@ -2076,6 +2109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_edges": q_link_edges,
         "link_degree": q_link_degree,
         "host_outlink_mix": q_host_outlink_mix,
+        "degree_histogram": q_degree_histogram,
+        "doc_keywords": q_doc_keywords,
         "pagerank": q_pagerank,
         "host_rank": q_host_rank,
         "page_profile": q_page_profile,
@@ -2779,6 +2814,16 @@ def oracle_sql() -> dict[str, str]:
         "host_outlink_mix": LINKS_PRE
         + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
         + linkgraph.host_outlink_mix_sql(edges_cte="e2"),
+        "degree_histogram": LINKS_PRE
+        + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+        + linkgraph.degree_histogram_sql(edges_cte="e2"),
+        "doc_keywords": f"""
+            SELECT * FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY tfidf DESC, token)::BIGINT AS kw_rank
+              FROM ({curate.tfidf_sql()})
+            ) WHERE kw_rank <= 3""",
         "pagerank": _pagerank_sql(iterations=3),
         "host_rank": (
             "SELECT url AS host, rank FROM (" + _pagerank_sql(

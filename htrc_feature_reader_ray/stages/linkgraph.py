@@ -931,3 +931,59 @@ def host_outlink_mix_sql(*, edges_cte: str = "link_edges") -> str:
                ((count(*) FILTER (WHERE dst_host <> host)) * 1000000
                    // count(*))::BIGINT AS external_ppm
         FROM he GROUP BY 1"""
+
+
+def degree_histogram(degrees):
+    """Graph-QA degree distribution: ``(kind, degree_bucket, n_urls)``
+    where ``kind`` ∈ {'out','in'} and ``degree_bucket`` = bit_length(d)
+    (0 for d=0, else floor(log2 d)+1 — the power-of-two histogram a crawl
+    dashboard plots). Exact integer bucketing via ``np.frexp`` (no log
+    rounding; == SQL ``length(bin(d))``). Bucket cardinality ≤ 2×64, so
+    the final fold is a native groupby over per-batch partials."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kind, col in (("out", "out_degree"), ("in", "in_degree")):
+            v = df[col].to_numpy(dtype=np.int64)
+            b = np.where(v > 0, np.frexp(v.astype(np.float64))[1], 0)
+            vc = pd.Series(b).value_counts()
+            outs.append(pd.DataFrame({
+                "kind": kind,
+                "degree_bucket": vc.index.to_numpy(dtype=np.int64),
+                "n_urls": vc.to_numpy(dtype=np.int64),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    agg = (degrees.map_batches(partial, batch_format="pandas")
+           .groupby(["kind", "degree_bucket"]).sum("n_urls"))
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"sum(n_urls)": "n_urls"})
+
+    return agg.map_batches(rename, batch_format="pandas")
+
+
+def degree_histogram_sql(*, edges_cte: str = "link_edges") -> str:
+    """SQL mirror (composes after a WITH preamble; ``length(bin(d))`` ==
+    bit_length == the engine's frexp bucket)."""
+    return f"""
+        , deg AS (
+          SELECT url, sum(o)::BIGINT AS out_degree,
+                 sum(i)::BIGINT AS in_degree
+          FROM (SELECT src_url AS url, 1 AS o, 0 AS i FROM {edges_cte}
+                UNION ALL SELECT dst_url, 0, 1 FROM {edges_cte})
+          GROUP BY url
+        ), buck AS (
+          SELECT 'out' AS kind,
+                 CASE WHEN out_degree = 0 THEN 0
+                      ELSE length(bin(out_degree)) END AS degree_bucket
+          FROM deg
+          UNION ALL
+          SELECT 'in',
+                 CASE WHEN in_degree = 0 THEN 0
+                      ELSE length(bin(in_degree)) END
+          FROM deg
+        )
+        SELECT kind, degree_bucket::BIGINT AS degree_bucket,
+               count(*)::BIGINT AS n_urls
+        FROM buck GROUP BY 1, 2"""

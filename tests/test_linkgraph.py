@@ -406,3 +406,21 @@ def test_host_outlink_mix_exact_ppm():
     assert out["n_out"].tolist() == [3, 1, 1]
     assert out["n_external"].tolist() == [1, 0, 1]
     assert out["external_ppm"].tolist() == [1_000_000 // 3, 0, 1_000_000]
+
+
+def test_degree_histogram_bit_buckets():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import degree_histogram
+
+    deg = pd.DataFrame({
+        "url": ["a", "b", "c", "d"],
+        "out_degree": [0, 1, 5, 8],     # buckets 0, 1, 3, 4
+        "in_degree": [3, 3, 0, 16],     # buckets 2, 2, 0, 5
+    })
+    out = (degree_histogram(ray.data.from_pandas(deg).repartition(2))
+           .to_pandas().sort_values(["kind", "degree_bucket"])
+           .reset_index(drop=True))
+    got = {(r.kind, r.degree_bucket): r.n_urls for r in out.itertuples()}
+    assert got == {("out", 0): 1, ("out", 1): 1, ("out", 3): 1,
+                   ("out", 4): 1, ("in", 0): 1, ("in", 2): 2, ("in", 5): 1}
