@@ -1113,6 +1113,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_pages(sf, drop_text=True).select_columns(["url", "lang"])
         )
 
+    def q_funnel_steps(sf):
+        """Ordered funnel progression (view -> click -> purchase, each
+        step strictly after the previous and within 3 days): greedy-
+        earliest chained minima, one user-bucketed exchange, vectorized
+        across all users per step."""
+        from htrc_feature_reader_ray.stages.temporal import funnel_steps
+
+        return funnel_steps(
+            _events(sf, ["user_id", "ts", "event_type"]),
+            steps=("view", "click", "purchase"), within="3 days",
+        )
+
     def q_host_fetch_rate(sf):
         """Crawler-politeness QA: the PEAK 1-hour fetch count per host —
         pure composition: host projection -> tumbling_window on (host,
@@ -2031,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "interval_join": q_interval_join,
         "approx_distinct_users": q_approx_distinct_users,
+        "funnel_steps": q_funnel_steps,
         "backfill_daily": q_backfill,
         # -- chunking (SURVEY §2.4) --
         "chunk_even_events": q_chunk_events("even"),
@@ -2302,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
         linkgraph,
         sample,
         sketch,
+        temporal as temporal_mod,
         textstats,
         urltools,
     )
@@ -2525,6 +2539,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": sketch.approx_distinct_sql(
             group_cols=["event_type"], value_expr="user_id",
             table="events", p=6,
+        ),
+        "funnel_steps": temporal_mod.funnel_steps_sql(
+            steps=("view", "click", "purchase"), within="3 days",
         ),
         "lag_lead": """
             SELECT event_id, user_id, ts, value,

@@ -862,3 +862,83 @@ def snapshot_change(ds, *, key: str = "url", ts: str = "warc_ts",
     from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
     return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def funnel_steps(ds, *, key: str = "user_id", ts: str = "ts",
+                 type_col: str = "event_type", steps=(),
+                 within: str = "1 day", num_buckets: int = 32):
+    """Ordered-funnel progression per entity (the product-analytics
+    sequence query): for ``steps = (s1, s2, ...)``, the number of
+    consecutive steps completed where step k+1 must occur STRICTLY after
+    step k and within ``within`` of it. Matching is greedy-earliest, which
+    is optimal for existence: taking the earliest feasible occurrence of a
+    step can only widen the window for the next one.
+
+    One user-bucketed exchange; inside each bucket every step is one
+    vectorized filter + merge + groupby-min across ALL users at once (no
+    per-user Python). Returns ``(key, funnel_steps)`` for every entity
+    (0 = never did s1)."""
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be a non-empty sequence of types")
+    w_us = int(pd.Timedelta(within).value // 1000)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({
+            key: df[key].to_numpy(),
+            "_t": df[ts].astype("datetime64[us]").astype("int64").to_numpy(),
+            "_y": df[type_col].to_numpy(),
+        })
+        users = pd.DataFrame({key: e[key].unique()})
+        done = pd.Series(np.zeros(len(users), dtype=np.int64),
+                         index=users[key])
+        cur = None  # Series: user -> completion time of previous step
+        for i, s in enumerate(steps):
+            cand = e.loc[e["_y"] == s, [key, "_t"]]
+            if i > 0:
+                cand = cand.merge(cur.rename("_prev"), left_on=key,
+                                  right_index=True)
+                cand = cand.loc[(cand["_t"] > cand["_prev"])
+                                & (cand["_t"] <= cand["_prev"] + w_us)]
+            if not len(cand):
+                break
+            cur = cand.groupby(key)["_t"].min()
+            done.loc[cur.index] = i + 1
+        return pd.DataFrame({
+            key: users[key],
+            "funnel_steps": done.loc[users[key]].to_numpy(dtype=np.int64),
+        })
+
+    return bucketed_map_groups(ds, key, per_bucket, num_buckets=num_buckets)
+
+
+def funnel_steps_sql(*, steps, within: str = "1 day",
+                     key: str = "user_id", ts: str = "ts",
+                     type_col: str = "event_type",
+                     table: str = "events") -> str:
+    """SQL mirror: chained greedy-earliest scalar minima (one CTE per
+    step), identical strict-after + within-window rule."""
+    w_us = int(pd.Timedelta(within).value // 1000)
+    ctes = [f"u AS (SELECT DISTINCT {key} FROM {table})"]
+    prev = None
+    for i, s in enumerate(steps):
+        name = f"s{i + 1}"
+        if i == 0:
+            ctes.append(
+                f"{name} AS (SELECT {key}, min({ts}) AS t FROM {table}"
+                f" WHERE {type_col} = '{s}' GROUP BY 1)")
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.{key}, min(e.{ts}) AS t"
+                f" FROM {table} e JOIN {prev} p USING ({key})"
+                f" WHERE e.{type_col} = '{s}' AND e.{ts} > p.t"
+                f" AND epoch_us(e.{ts}) <= epoch_us(p.t) + {w_us}"
+                f" GROUP BY 1)")
+        prev = name
+    cases = " + ".join(
+        f"CASE WHEN s{i + 1}.{key} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(len(steps)))
+    joins = " ".join(
+        f"LEFT JOIN s{i + 1} USING ({key})" for i in range(len(steps)))
+    return (f"WITH {', '.join(ctes)} SELECT u.{key},"
+            f" ({cases})::BIGINT AS funnel_steps FROM u {joins}")
