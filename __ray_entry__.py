@@ -882,6 +882,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             link_degree(extract_links(read_pages(sf, drop_text=True)))
         )
 
+    def q_triangle_stats(sf):
+        """Exact triangle census + global clustering coefficient (ppm) of
+        the undirected link graph — degree-ordered wedge counting (each
+        triangle charged to its lowest-degree vertex), wedge pairs
+        semi-joined against the edge set."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            triangle_stats,
+        )
+
+        return triangle_stats(extract_links(read_pages(sf, drop_text=True)))
+
+    def q_basket_pairs(sf):
+        """Market-basket co-occurrence over lineitem: part pairs ordered
+        together in ≥2 orders — the shared-key pair kernel (keys = orders,
+        members = parts); per-order fan-out is bounded by the order's line
+        count, so the cap never binds (mirrored in the oracle)."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.partition import (
+            shared_key_pair_counts,
+        )
+
+        return shared_key_pair_counts(
+            ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                  columns=["l_orderkey", "l_partkey"]),
+            key_col="l_orderkey", member_col="l_partkey",
+            min_shared=2, max_members_per_key=64,
+            out_a="part_a", out_b="part_b", out_n="n_orders",
+        )
+
+    def q_basket_triangles(sf):
+        """Triangle census of the co-purchase graph (parts linked when
+        ordered together ≥2 times) — the triangle-DENSE case exercising
+        the wedge kernel (the crawl link graph is triangle-free by fixture
+        construction)."""
+        from htrc_feature_reader_ray.stages.linkgraph import triangle_stats
+
+        def as_edges(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "src_url": pc.cast(t.column("part_a"), pa.string()),
+                "dst_url": pc.cast(t.column("part_b"), pa.string()),
+            })
+
+        return triangle_stats(
+            q_basket_pairs(sf).map_batches(as_edges, batch_format="pyarrow")
+        )
+
     def q_doc_keywords(sf):
         """Per-doc top-3 TF-IDF keywords with rank — pure composition:
         the materialized-once tfidf table into the lossless per-group
@@ -1123,6 +1174,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return funnel_steps(
             _events(sf, ["user_id", "ts", "event_type"]),
             steps=("view", "click", "purchase"), within="3 days",
+        )
+
+    def q_cohort_retention(sf):
+        """Weekly cohort-retention matrix: entities cohorted by Monday week
+        of first event; distinct-active counts per (cohort_week,
+        weeks_since). Per-bucket exact distinct partials, then a tiny
+        (cohort, week) fold."""
+        from htrc_feature_reader_ray.stages.temporal import cohort_retention
+
+        return cohort_retention(_events(sf, ["user_id", "ts"]))
+
+    def q_rfm_features(sf):
+        """Per-customer RFM (recency/frequency/monetary) in exact integers
+        over orders: per-batch partial collapse, one key-bucketed fold,
+        scalar corpus-max broadcast for recency."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.profile import rfm_features
+
+        return rfm_features(
+            ray.data.read_parquet(
+                f"{sf}/orders.parquet",
+                columns=["o_custkey", "o_orderdate", "o_totalprice"],
+            ),
+            key="o_custkey", ts="o_orderdate", amount_col="o_totalprice",
         )
 
     def q_host_fetch_rate(sf):
@@ -2044,6 +2120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "approx_distinct_users": q_approx_distinct_users,
         "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
+        "rfm_features": q_rfm_features,
         "backfill_daily": q_backfill,
         # -- chunking (SURVEY §2.4) --
         "chunk_even_events": q_chunk_events("even"),
@@ -2123,6 +2201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_degree": q_link_degree,
         "host_outlink_mix": q_host_outlink_mix,
         "degree_histogram": q_degree_histogram,
+        "triangle_stats": q_triangle_stats,
+        "basket_pairs": q_basket_pairs,
+        "basket_triangles": q_basket_triangles,
         "doc_keywords": q_doc_keywords,
         "pagerank": q_pagerank,
         "host_rank": q_host_rank,
@@ -2313,6 +2394,7 @@ def oracle_sql() -> dict[str, str]:
         curate,
         dedup as dedup_mod,
         linkgraph,
+        profile as profile_mod,
         sample,
         sketch,
         temporal as temporal_mod,
@@ -2542,6 +2624,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "funnel_steps": temporal_mod.funnel_steps_sql(
             steps=("view", "click", "purchase"), within="3 days",
+        ),
+        "cohort_retention": temporal_mod.cohort_retention_sql(),
+        "rfm_features": profile_mod.rfm_features_sql(
+            key="o_custkey", ts="o_orderdate", amount_col="o_totalprice",
+            table="orders",
         ),
         "lag_lead": """
             SELECT event_id, user_id, ts, value,
@@ -2834,6 +2921,29 @@ def oracle_sql() -> dict[str, str]:
         "degree_histogram": LINKS_PRE
         + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
         + linkgraph.degree_histogram_sql(edges_cte="e2"),
+        "triangle_stats": LINKS_PRE + linkgraph.triangle_stats_sql(),
+        "basket_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            sz AS (SELECT l_orderkey, count(*) AS c FROM d GROUP BY 1),
+            dd AS (SELECT d.* FROM d JOIN sz USING (l_orderkey)
+                   WHERE sz.c BETWEEN 2 AND 64)
+            SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                   count(*)::BIGINT AS n_orders
+            FROM dd x JOIN dd y ON x.l_orderkey = y.l_orderkey
+                               AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "basket_triangles": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            sz AS (SELECT l_orderkey, count(*) AS c FROM d GROUP BY 1),
+            dd AS (SELECT d.* FROM d JOIN sz USING (l_orderkey)
+                   WHERE sz.c BETWEEN 2 AND 64),
+            pe AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb
+                   FROM dd x JOIN dd y ON x.l_orderkey = y.l_orderkey
+                                      AND x.l_partkey < y.l_partkey
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            e AS (SELECT pa::VARCHAR AS src_url, pb::VARCHAR AS dst_url
+                  FROM pe)"""
+        + linkgraph.triangle_stats_sql(edges_cte="e"),
         "doc_keywords": f"""
             SELECT * FROM (
               SELECT *, row_number() OVER (

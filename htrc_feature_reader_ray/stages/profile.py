@@ -364,3 +364,79 @@ def ecdf_sql(col: str, *, out_col: str = "cume_dist",
         SELECT {columns},
                cume_dist() OVER (ORDER BY {col}) AS {out_col}
         FROM {table}"""
+
+
+def rfm_features(ds, *, key: str, ts: str, amount_col: str,
+                 num_buckets: int = 32):
+    """Per-entity RFM (recency / frequency / monetary) features — the
+    classic customer-value triple, in exact integers: ``n_orders``,
+    ``total_cents`` (sum of round(amount*100)), ``last_order`` and
+    ``recency_days`` (whole days between the entity's last transaction and
+    the corpus-wide latest one).
+
+    Scale shape: per-batch partial (key, n, cents, last) collapse inside
+    ``map_batches`` — the exchange carries ≤ one row per key per batch —
+    then one key-bucketed fold.  The corpus max timestamp is a separate
+    single-column aggregate (column-pruned read, scalar result) broadcast
+    into the finishing cast, not a second shuffle."""
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column(amount_col).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        t2 = pa.table({
+            key: t.column(key),
+            "_cents": pa.array(cents, type=pa.int64()),
+            "_ts": pc.cast(t.column(ts), pa.int64()),
+        })
+        g = t2.group_by([key]).aggregate(
+            [("_cents", "sum"), ("_ts", "max"), ([], "count_all")])
+        return g.rename_columns([key, "total_cents", "_last_us", "n_orders"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    folded = bucketed_aggregate(
+        partials, [key],
+        {"n_orders": ("n_orders", "sum"),
+         "total_cents": ("total_cents", "sum"),
+         "_last_us": ("_last_us", "max")},
+        num_buckets=num_buckets,
+    )
+    # tiny scalar pass: global latest transaction (column-pruned aggregate)
+    gmax_us = int(pd.Timestamp(ds.max(ts)).value // 1000)
+
+    def finish(t: pa.Table) -> pa.Table:
+        last_us = pc.cast(t.column("_last_us"), pa.int64())
+        rec = pc.divide(
+            pc.subtract(pa.scalar(gmax_us, type=pa.int64()), last_us),
+            pa.scalar(86_400_000_000, type=pa.int64()))
+        return pa.table({
+            key: t.column(key),
+            "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            "total_cents": pc.cast(t.column("total_cents"), pa.int64()),
+            "last_order": pc.cast(last_us, pa.timestamp("us")),
+            "recency_days": pc.cast(rec, pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def rfm_features_sql(*, key: str, ts: str, amount_col: str,
+                     table: str) -> str:
+    """SQL mirror: identical rounding (round→BIGINT cents) and identical
+    floor-division day arithmetic on epoch microseconds."""
+    return f"""
+        WITH g AS (SELECT max({ts}) AS gmax FROM {table}),
+        r AS (
+            SELECT {key}, count(*)::BIGINT AS n_orders,
+                   sum(CAST(round({amount_col} * 100) AS BIGINT))::BIGINT
+                       AS total_cents,
+                   max({ts}) AS last_order
+            FROM {table} GROUP BY 1
+        )
+        SELECT {key}, n_orders, total_cents, last_order,
+               ((epoch_us(gmax) - epoch_us(last_order))
+                // 86400000000)::BIGINT AS recency_days
+        FROM r CROSS JOIN g"""

@@ -942,3 +942,88 @@ def funnel_steps_sql(*, steps, within: str = "1 day",
         f"LEFT JOIN s{i + 1} USING ({key})" for i in range(len(steps)))
     return (f"WITH {', '.join(ctes)} SELECT u.{key},"
             f" ({cases})::BIGINT AS funnel_steps FROM u {joins}")
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _monday_week_days(t_us: np.ndarray) -> np.ndarray:
+    """Days-since-epoch of the Monday starting each timestamp's ISO week —
+    exact integer mirror of SQL ``date_trunc('week', ts)`` (epoch day 0 =
+    Thursday, so Monday-alignment shifts by (d + 3) % 7)."""
+    day = t_us // _US_PER_DAY
+    return day - ((day + 3) % 7)
+
+
+def cohort_retention(ds, *, key: str = "user_id", ts: str = "ts",
+                     num_buckets: int = 32):
+    """Weekly cohort-retention matrix (long form): entities are cohorted by
+    the Monday week of their FIRST event; for every (cohort_week,
+    weeks_since) cell, the number of distinct entities with any activity in
+    that week. The classic product-analytics retention triangle.
+
+    Scale shape: each entity's rows land in ONE key bucket, so per-bucket
+    distinct (entity, cohort, weeks_since) counts are exact partials; the
+    second exchange carries only (cohort_week, weeks_since, n) rows —
+    O(weeks²) regardless of corpus size. Week truncation is pure int64
+    arithmetic (no datetime objects in the hot path)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = df[ts].astype("datetime64[us]").astype("int64").to_numpy()
+        wk = _monday_week_days(t_us)
+        e = pd.DataFrame({key: df[key].to_numpy(), "_wk": wk})
+        cohort = e.groupby(key, sort=False)["_wk"].transform("min")
+        e["_cw"] = cohort
+        e["_ws"] = (e["_wk"] - cohort) // 7
+        cells = e.drop_duplicates([key, "_cw", "_ws"])
+        out = (cells.groupby(["_cw", "_ws"], sort=False)
+               .size().reset_index(name="n_users"))
+        return pd.DataFrame({
+            "cohort_week": out["_cw"].to_numpy(dtype=np.int64),
+            "weeks_since": out["_ws"].to_numpy(dtype=np.int64),
+            "n_users": out["n_users"].to_numpy(dtype=np.int64),
+        })
+
+    partials = bucketed_map_groups(ds, key, per_bucket,
+                                   num_buckets=num_buckets)
+    folded = bucketed_aggregate(
+        partials, ["cohort_week", "weeks_since"],
+        {"n_users": ("n_users", "sum")},
+        num_buckets=max(4, num_buckets // 4),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cw = pc.cast(
+            pc.multiply(pc.cast(t.column("cohort_week"), pa.int64()),
+                        pa.scalar(_US_PER_DAY, type=pa.int64())),
+            pa.timestamp("us"))
+        return pa.table({
+            "cohort_week": cw,
+            "weeks_since": pc.cast(t.column("weeks_since"), pa.int64()),
+            "n_users": pc.cast(t.column("n_users"), pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def cohort_retention_sql(*, key: str = "user_id", ts: str = "ts",
+                         table: str = "events") -> str:
+    """SQL mirror: date_trunc('week') cohorts + week-boundary datediff
+    (both sides are Monday-truncated, so datediff('week') is exact)."""
+    return f"""
+        WITH f AS (
+            SELECT {key}, date_trunc('week', min({ts})) AS cohort_week
+            FROM {table} GROUP BY 1
+        ), act AS (
+            SELECT DISTINCT e.{key}, f.cohort_week,
+                   datediff('week', f.cohort_week,
+                            date_trunc('week', e.{ts})) AS weeks_since
+            FROM {table} e JOIN f USING ({key})
+        )
+        SELECT cohort_week::TIMESTAMP AS cohort_week,
+               weeks_since::BIGINT AS weeks_since,
+               count(*)::BIGINT AS n_users
+        FROM act GROUP BY 1, 2"""

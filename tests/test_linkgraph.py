@@ -424,3 +424,23 @@ def test_degree_histogram_bit_buckets():
     got = {(r.kind, r.degree_bucket): r.n_urls for r in out.itertuples()}
     assert got == {("out", 0): 1, ("out", 1): 1, ("out", 3): 1,
                    ("out", 4): 1, ("in", 0): 1, ("in", 2): 2, ("in", 5): 1}
+
+
+def test_triangle_stats_k4_plus_tail():
+    """K4 (4 triangles, 12 wedges, cc=1.0 on its own) plus a pendant
+    vertex: exact census through the degree-ordered wedge kernel."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import triangle_stats
+
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for i, x in enumerate(nodes) for y in nodes[i + 1:]]
+    edges += [("d", "e"), ("e", "d")]  # duplicate + reversed must collapse
+    df = pd.DataFrame(edges, columns=["src_url", "dst_url"])
+    out = triangle_stats(ray.data.from_pandas(df), num_buckets=4)
+    row = out.iloc[0]
+    assert row.n_nodes == 5 and row.n_edges == 7
+    # wedges: a,b,c have d=3 (3 each), d has d=4 (6), e has d=1 (0) -> 15
+    assert row.n_wedges == 15
+    assert row.n_triangles == 4
+    assert row.global_cc_ppm == (3 * 4 * 1_000_000) // 15

@@ -417,3 +417,56 @@ def test_snapshot_change_exact_cases():
     assert second.loc["C"].n_added == 2 and second.loc["C"].n_removed == 1
     # D: 0-union pair stays NaN
     assert np.isnan(second.loc["D"].jaccard)
+
+
+def test_cohort_retention_exact():
+    from htrc_feature_reader_ray.stages.temporal import cohort_retention
+
+    # u1 first event Wed 1970-01-07 (week of Mon 1/5); active again the
+    # following week (Mon 1/12) and 3 weeks later.  u2 first event Mon
+    # 1/12 exactly at the week boundary.
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([
+            "1970-01-07 12:00", "1970-01-08 01:00",  # same week, 1 cell
+            "1970-01-13 00:00", "1970-01-26 23:59",
+            "1970-01-12 00:00", "1970-01-18 23:59",  # sun = same week
+        ]).astype("datetime64[us]"),
+    })
+    out = (
+        cohort_retention(ray.data.from_pandas(df), num_buckets=4)
+        .to_pandas().sort_values(["cohort_week", "weeks_since"])
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame({
+        "cohort_week": pd.to_datetime(
+            ["1970-01-05", "1970-01-05", "1970-01-05", "1970-01-12"]
+        ).astype("datetime64[us]"),
+        "weeks_since": np.array([0, 1, 3, 0], dtype=np.int64),
+        "n_users": np.array([1, 1, 1, 1], dtype=np.int64),
+    })
+    assert_frames_match(out, expect)
+
+
+def test_rfm_features_exact():
+    from htrc_feature_reader_ray.stages.profile import rfm_features
+
+    df = pd.DataFrame({
+        "k": [1, 1, 2],
+        "t": pd.to_datetime(
+            ["1970-01-01 00:00", "1970-01-10 06:00", "1970-01-11 00:00"]
+        ).astype("datetime64[us]"),
+        "amt": [1.005, 2.0, 0.994],  # 1.005*100 rounds half-even? np.round(100.5)=100
+    })
+    out = (
+        rfm_features(ray.data.from_pandas(df), key="k", ts="t",
+                     amount_col="amt", num_buckets=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out.n_orders.tolist() == [2, 1]
+    # np.round is banker's rounding: 100.5 -> 100
+    assert out.total_cents.tolist() == [100 + 200, 99]
+    # global max = 1/11; k=1 last = 1/10 06:00 -> 0 whole days (18h)
+    assert out.recency_days.tolist() == [0, 0]
+    assert out.last_order.astype(str).tolist() == [
+        "1970-01-10 06:00:00", "1970-01-11 00:00:00"]
