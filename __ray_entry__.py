@@ -882,6 +882,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
             link_degree(extract_links(read_pages(sf, drop_text=True)))
         )
 
+    def q_value_outliers(sf):
+        """Per-event-type exact-p99 outlier flags: grouped exact quantile
+        (histogram fold), thresholds broadcast into a stateless filter —
+        no second shuffle."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import grouped_profile
+
+        ev = _with_cents(_events(sf, ["event_id", "event_type", "value"]))
+        prof = grouped_profile(
+            ev, group_cols=["event_type"], col="value_cents", qs=(0.99,)
+        ).to_pandas()  # tiny: one row per event type
+        thresholds = dict(zip(prof.event_type, prof.p99.astype(int)))
+
+        def flag(t: pa.Table) -> pa.Table:
+            types = t.column("event_type").to_pandas()
+            p99 = pa.array(types.map(thresholds).to_numpy(dtype=np.int64),
+                           type=pa.int64())
+            t = t.append_column("p99", p99)
+            return t.filter(pc.greater(t.column("value_cents"),
+                                       t.column("p99")))
+
+        return ev.map_batches(flag, batch_format="pyarrow")
+
+    def q_user_session_stats(sf):
+        """Per-user session-behavior features: rollup over gap-30min
+        sessionization (exact integer durations), one user-bucketed fold
+        on the per-session rows."""
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.temporal import sessionize
+
+        sess = sessionize(
+            _events(sf, ["event_id", "user_id", "ts"]),
+            key="user_id", ts="ts", gap="30m", tiebreak="event_id",
+            num_buckets=32, aggregate=True,
+        )
+
+        def dur(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            d = pc.divide(
+                pc.subtract(pc.cast(t.column("ts_end"), pa.int64()),
+                            pc.cast(t.column("ts_start"), pa.int64())),
+                pa.scalar(1_000_000, type=pa.int64()))
+            return t.append_column("dur_s", d)
+
+        return bucketed_aggregate(
+            sess.map_batches(dur, batch_format="pyarrow"),
+            ["user_id"],
+            {"n_sessions": ("session_id", "size"),
+             "n_events": ("n_events", "sum"),
+             "total_duration_s": ("dur_s", "sum"),
+             "max_duration_s": ("dur_s", "max")},
+        )
+
+    def q_trending_terms(sf):
+        """Corpus drift: tokens gaining frequency between the early and
+        late halves of the crawl window (midpoint of min/max warc_ts,
+        exact integer add-one growth ppm, top-40)."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.curate import trending_terms
+
+        pages = read_pages(sf, drop_text=True)
+        mn = int(pd.Timestamp(pages.min("warc_ts")).value // 1000)
+        mx = int(pd.Timestamp(pages.max("warc_ts")).value // 1000)
+        return trending_terms(
+            _folded(sf, entity=False, snapshots=True, section="group",
+                    pos=False),
+            mid_us=(mn + mx) // 2,
+        )
+
     def q_triangle_stats(sf):
         """Exact triangle census + global clustering coefficient (ppm) of
         the undirected link graph — degree-ordered wedge counting (each
@@ -2204,6 +2277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_stats": q_triangle_stats,
         "basket_pairs": q_basket_pairs,
         "basket_triangles": q_basket_triangles,
+        "value_outliers": q_value_outliers,
+        "user_session_stats": q_user_session_stats,
+        "trending_terms": q_trending_terms,
         "doc_keywords": q_doc_keywords,
         "pagerank": q_pagerank,
         "host_rank": q_host_rank,
@@ -2922,6 +2998,44 @@ def oracle_sql() -> dict[str, str]:
         + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
         + linkgraph.degree_histogram_sql(edges_cte="e2"),
         "triangle_stats": LINKS_PRE + linkgraph.triangle_stats_sql(),
+        "value_outliers": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS value_cents
+                FROM events
+            ), t AS (
+                SELECT event_type,
+                       quantile_disc(value_cents, 0.99)::BIGINT AS p99
+                FROM v GROUP BY 1
+            )
+            SELECT v.event_id, v.event_type, v.value_cents, t.p99
+            FROM v JOIN t USING (event_type)
+            WHERE v.value_cents > t.p99""",
+        "user_session_stats": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            ), s AS (
+              SELECT user_id, session_id, count(*)::BIGINT AS n,
+                     (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                         AS dur_s
+              FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, count(*)::BIGINT AS n_sessions,
+                   sum(n)::BIGINT AS n_events,
+                   sum(dur_s)::BIGINT AS total_duration_s,
+                   max(dur_s)::BIGINT AS max_duration_s
+            FROM s GROUP BY 1""",
+        "trending_terms": TOK_PRE + curate.trending_terms_sql(),
         "basket_pairs": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             sz AS (SELECT l_orderkey, count(*) AS c FROM d GROUP BY 1),

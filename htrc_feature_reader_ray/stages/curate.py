@@ -817,3 +817,76 @@ def pmi_collocations_sql(*, table: str = "documents", text: str = "text",
         JOIN u ux ON ux.token = bc.x
         JOIN u uy ON uy.token = bc.y, tot
         WHERE bc.n_xy >= {min_count}"""
+
+
+def trending_terms(folded, *, mid_us: int, k: int = 40,
+                   ts_col: str = "warc_ts", token_col: str = "token",
+                   count_col: str = "count", num_buckets: int = 32):
+    """Corpus drift mining: tokens whose frequency GROWS between the early
+    and late halves of the crawl window (split at ``mid_us`` epoch-µs).
+    Exact integer growth: ``growth_ppm = n_late * 1e6 // (n_early + 1)``
+    (add-one so newborn terms rank highest but stay totally ordered).
+
+    Input is the already-folded ``(ts, token, count)`` table, so the hot
+    explode never re-runs here; per-batch (token, early, late) partials
+    collapse before the one token-bucketed fold, and only the ≤k winners
+    leave the final sort."""
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def halves(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        cnt = pc.cast(t.column(count_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        late = ts_us > mid_us
+        part = pa.table({
+            token_col: t.column(token_col),
+            "n_early": pa.array(np.where(late, 0, cnt), type=pa.int64()),
+            "n_late": pa.array(np.where(late, cnt, 0), type=pa.int64()),
+        })
+        g = part.group_by([token_col]).aggregate(
+            [("n_early", "sum"), ("n_late", "sum")])
+        return g.rename_columns([token_col, "n_early", "n_late"])
+
+    agg = bucketed_aggregate(
+        folded.map_batches(halves, batch_format="pyarrow"),
+        [token_col], {"n_early": ("n_early", "sum"),
+                      "n_late": ("n_late", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def growth(t: pa.Table) -> pa.Table:
+        ne = pc.cast(t.column("n_early"), pa.int64())
+        nl = pc.cast(t.column("n_late"), pa.int64())
+        g = pc.divide(pc.multiply(nl, pa.scalar(1_000_000, type=pa.int64())),
+                      pc.add(ne, pa.scalar(1, type=pa.int64())))
+        return pa.table({token_col: t.column(token_col), "n_early": ne,
+                         "n_late": nl, "growth_ppm": g})
+
+    return (agg.map_batches(growth, batch_format="pyarrow")
+            .sort(["growth_ppm", token_col], descending=[True, False])
+            .limit(k))
+
+
+def trending_terms_sql(*, k: int = 40, tok_cte: str = "tok",
+                       pages_cte: str = "pages",
+                       ts: str = "warc_ts", token: str = "token") -> str:
+    """SQL mirror (composes after TOK_PRE): identical midpoint floor
+    division, add-one growth and (growth DESC, token) total order."""
+    return f"""
+        , b AS (SELECT (min(epoch_us({ts})) + max(epoch_us({ts}))) // 2
+                       AS mid FROM {pages_cte})
+        , c AS (
+            SELECT {token},
+                   sum(CASE WHEN epoch_us({ts}) <= b.mid
+                            THEN 1 ELSE 0 END)::BIGINT AS n_early,
+                   sum(CASE WHEN epoch_us({ts}) > b.mid
+                            THEN 1 ELSE 0 END)::BIGINT AS n_late
+            FROM {tok_cte} CROSS JOIN b GROUP BY 1
+        )
+        SELECT {token}, n_early, n_late,
+               ((n_late * 1000000) // (n_early + 1))::BIGINT AS growth_ppm
+        FROM c
+        ORDER BY growth_ppm DESC, {token} LIMIT {k}"""
