@@ -882,6 +882,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             link_degree(extract_links(read_pages(sf, drop_text=True)))
         )
 
+    def q_quality_rule_flags(sf):
+        """Gopher/C4 rule battery as a keep/drop decision with an
+        auditable reason bitmask — one stateless map, zero shuffle."""
+        from htrc_feature_reader_ray.stages.textstats import (
+            quality_rule_flags,
+        )
+
+        return quality_rule_flags(_docs(sf))
+
+    def q_rolling_active_users(sf):
+        """Rolling 7-day distinct active users per day: per-user-bucket
+        globally-distinct (user, window-day) expansion, only (day, n)
+        partials cross the second (tiny, native) fold."""
+        from htrc_feature_reader_ray.stages.temporal import (
+            rolling_active_users,
+        )
+
+        return rolling_active_users(_events(sf, ["user_id", "ts"]))
+
     def q_value_outliers(sf):
         """Per-event-type exact-p99 outlier flags: grouped exact quantile
         (histogram fold), thresholds broadcast into a stateless filter —
@@ -986,6 +1005,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             min_shared=2, max_members_per_key=64,
             out_a="part_a", out_b="part_b", out_n="n_orders",
         )
+
+    def q_k_core(sf):
+        """2-core of the crawl link graph (iterative peeling, early-exit
+        fixpoint; per round one degree fold + two semi-join passes, edge
+        set materialized as the iteration state)."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            k_core,
+        )
+
+        return k_core(extract_links(read_pages(sf, drop_text=True)), k=2)
 
     def q_basket_triangles(sf):
         """Triangle census of the co-purchase graph (parts linked when
@@ -2278,6 +2309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": q_basket_pairs,
         "basket_triangles": q_basket_triangles,
         "value_outliers": q_value_outliers,
+        "k_core": q_k_core,
+        "quality_rule_flags": q_quality_rule_flags,
+        "rolling_active_users": q_rolling_active_users,
         "user_session_stats": q_user_session_stats,
         "trending_terms": q_trending_terms,
         "doc_keywords": q_doc_keywords,
@@ -2998,6 +3032,9 @@ def oracle_sql() -> dict[str, str]:
         + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
         + linkgraph.degree_histogram_sql(edges_cte="e2"),
         "triangle_stats": LINKS_PRE + linkgraph.triangle_stats_sql(),
+        "k_core": LINKS_PRE + linkgraph.k_core_sql(k=2),
+        "quality_rule_flags": textstats.quality_rule_flags_sql(),
+        "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "value_outliers": """
             WITH v AS (
                 SELECT event_id, event_type,

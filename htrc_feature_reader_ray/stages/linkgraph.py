@@ -1139,3 +1139,112 @@ def triangle_stats_sql(*, edges_cte: str = "link_edges") -> str:
                      THEN (3 * (SELECT t FROM tri) * 1000000)
                           // (SELECT w FROM wed)
                      ELSE 0 END)::BIGINT AS global_cc_ppm"""
+
+
+def k_core(edges, *, k: int = 2, max_rounds: int = 12,
+           num_buckets: int = 32):
+    """k-core of the UNDIRECTED graph by iterative peeling: each round
+    drops every node of degree < k, then the edges touching it; the k-core
+    is the fixpoint (the classic crawl-graph density signal — spam farms
+    and true communities live in high cores, pendant chains do not).
+
+    The op is defined as AT MOST ``max_rounds`` peeling rounds with early
+    exit at the fixpoint — so engine and SQL mirror are equal by
+    construction (converged early: the mirror's remaining rounds are
+    no-ops; not converged: both executed exactly ``max_rounds`` rounds).
+
+    Scale shape: per round, degrees = one bucketed fold over the current
+    edge set; survivors semi-join back onto the edges (two key-bucketed
+    passes). The edge set is materialized per round (it IS the iteration
+    state, like pagerank's rank table); the only driver values are two
+    scalar counts per round (the convergence test). Returns
+    ``(url, core_degree)`` — the node's degree inside the final core."""
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucket_join
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t.column("src_url"), t.column("dst_url")
+        keep = pc.invert(pc.equal(s, d))
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "a": pc.min_element_wise(s, d),
+            "b": pc.max_element_wise(s, d),
+        }).group_by(["a", "b"]).aggregate([])
+
+    def explode_deg(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            t.column("a").combine_chunks().cast(pa.string()),
+            t.column("b").combine_chunks().cast(pa.string()),
+        ])
+        return (pa.table({"node": nodes})
+                .group_by(["node"]).aggregate([([], "count_all")])
+                .rename_columns(["node", "d"]))
+
+    def degrees(edge_ds):
+        return bucketed_aggregate(
+            edge_ds.map_batches(explode_deg, batch_format="pyarrow"),
+            ["node"], {"d": ("d", "sum")}, num_buckets=num_buckets,
+        ).materialize()
+
+    def survivors(deg_ds):
+        return deg_ds.filter(
+            expr=f"d >= {int(k)}").select_columns(["node"])
+
+    def finish(deg_ds):
+        out = deg_ds.filter(expr=f"d >= {int(k)}")
+        return out.map_batches(
+            lambda t: t.rename_columns(["url", "core_degree"]),
+            batch_format="pyarrow")
+
+    cur = bucketed_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], {"_n": ("b", "size")}, num_buckets=num_buckets,
+    ).drop_columns(["_n"]).materialize()
+
+    for _ in range(max_rounds):
+        deg = degrees(cur)
+        keep = survivors(deg)
+        if keep.count() == deg.count():
+            return finish(deg)  # fixpoint: further rounds are no-ops
+        cur = bucket_join(
+            bucket_join(cur, keep, left_key="a", right_key="node",
+                        how="semi", num_buckets=num_buckets),
+            keep.map_batches(lambda t: t.rename_columns(["node_b"]),
+                             batch_format="pyarrow"),
+            left_key="b", right_key="node_b", how="semi",
+            num_buckets=num_buckets,
+        ).materialize()
+
+    return finish(degrees(cur))
+
+
+def k_core_sql(*, k: int = 2, max_rounds: int = 12,
+               edges_cte: str = "link_edges") -> str:
+    """SQL mirror (composes after a WITH preamble): exactly ``max_rounds``
+    unrolled peel rounds — equal to the engine's early-exit iteration by
+    the fixpoint argument in :func:`k_core`. MATERIALIZED is load-bearing
+    (each round references the previous edge table three times)."""
+    sql = f"""
+        , und AS MATERIALIZED (
+            SELECT DISTINCT least(src_url, dst_url) AS a,
+                            greatest(src_url, dst_url) AS b
+            FROM {edges_cte} WHERE src_url <> dst_url
+        ), e0 AS MATERIALIZED (SELECT a, b FROM und)"""
+    prev = "e0"
+    for r in range(1, max_rounds + 1):
+        sql += f"""
+        , d{r} AS (SELECT n, count(*)::BIGINT AS d FROM (
+              SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev})
+              GROUP BY 1)
+        , s{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k})
+        , e{r} AS MATERIALIZED (
+              SELECT e.a, e.b FROM {prev} e
+              JOIN s{r} x ON e.a = x.n JOIN s{r} y ON e.b = y.n)"""
+        prev = f"e{r}"
+    return sql + f"""
+        SELECT n AS url, d AS core_degree FROM (
+            SELECT n, count(*)::BIGINT AS d FROM (
+                SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev})
+            GROUP BY 1)
+        WHERE d >= {k}"""

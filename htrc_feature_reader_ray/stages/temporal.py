@@ -1027,3 +1027,71 @@ def cohort_retention_sql(*, key: str = "user_id", ts: str = "ts",
                weeks_since::BIGINT AS weeks_since,
                count(*)::BIGINT AS n_users
         FROM act GROUP BY 1, 2"""
+
+
+def rolling_active_users(ds, *, key: str = "user_id", ts: str = "ts",
+                         window_days: int = 7, num_buckets: int = 32,
+                         out_col: str = "active_7d"):
+    """Trailing-window distinct-entity counts per day (the rolling-WAU
+    metric): for every day ``d``, how many distinct entities had any event
+    in ``[d - window_days + 1, d]``.
+
+    Exact distinct over SLIDING windows without a window join: each
+    entity's rows share one key bucket, so the bucket can produce the
+    globally-distinct (entity, window_day) set — day truncation, unique
+    days, a ×window_days vectorized offset explode, unique again — and
+    emit only (window_day, n) partials. The final fold is a native groupby
+    over day cardinality (tiny). One exchange, text/id-free."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        t_us = df[ts].astype("datetime64[us]").astype("int64").to_numpy()
+        day = t_us // _US_PER_DAY
+        e = pd.DataFrame({key: df[key].to_numpy(), "_d": day})
+        e = e.drop_duplicates()
+        m = len(e)
+        wd = (np.repeat(e["_d"].to_numpy(), window_days)
+              + np.tile(np.arange(window_days, dtype=np.int64), m))
+        w = pd.DataFrame({key: np.repeat(e[key].to_numpy(), window_days),
+                          "_wd": wd}).drop_duplicates()
+        out = w.groupby("_wd", sort=False).size().reset_index(name="n")
+        return pd.DataFrame({
+            "day": out["_wd"].to_numpy(dtype=np.int64),
+            "n": out["n"].to_numpy(dtype=np.int64),
+        })
+
+    partials = bucketed_map_groups(ds, key, per_bucket,
+                                   num_buckets=num_buckets)
+    agg = partials.groupby("day").sum("n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = pc.cast(
+            pc.multiply(pc.cast(t.column("day"), pa.int64()),
+                        pa.scalar(_US_PER_DAY, type=pa.int64())),
+            pa.timestamp("us"))
+        n = t.column("sum(n)") if "sum(n)" in t.column_names \
+            else t.column("n")
+        return pa.table({"day": d, out_col: pc.cast(n, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rolling_active_users_sql(*, key: str = "user_id", ts: str = "ts",
+                             window_days: int = 7,
+                             table: str = "events",
+                             out_col: str = "active_7d") -> str:
+    """SQL mirror: the same (entity, window-day) distinct construction —
+    a day `d` event makes the entity active for window days d..d+W-1
+    (trailing windows whose anchor lies past the last event day are
+    included by both sides, a definitional choice kept in lockstep)."""
+    offs = ", ".join(str(i) for i in range(window_days))
+    return f"""
+        WITH ud AS (
+            SELECT DISTINCT {key}, date_trunc('day', {ts}) AS d FROM {table}
+        ), win AS (
+            SELECT DISTINCT {key}, d + (o * INTERVAL 1 DAY) AS wd
+            FROM ud, unnest([{offs}]) AS t(o)
+        )
+        SELECT wd::TIMESTAMP AS day, count(*)::BIGINT AS {out_col}
+        FROM win GROUP BY 1"""

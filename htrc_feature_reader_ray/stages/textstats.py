@@ -425,3 +425,53 @@ def charclass_mix_sql(text: str = "text") -> str:
         (({n} - {latin} - {digit} - {space}) * 1000000
             // greatest({n}, 1))::BIGINT AS other_ppm
     """
+
+
+def quality_rule_flags(ds, *, text_col: str = "text", id_cols=("doc_id",),
+                       min_words: int = 50, max_words: int = 100_000,
+                       min_alpha_ppm: int = 800_000,
+                       max_symbol_ppm: int = 100_000,
+                       max_word_len_cap: int = 25):
+    """The Gopher/C4 rule battery applied as a KEEP/DROP decision with an
+    auditable reason bitmask: bit 0 = word count outside
+    [min_words, max_words], bit 1 = alpha-word share below threshold,
+    bit 2 = symbol share above threshold, bit 3 = a degenerate over-long
+    token. ``keep`` = no bit set. Composes :func:`gopher_quality`'s
+    vectorized signal kernel — still one stateless map, zero shuffle."""
+
+    def flags(t: pa.Table) -> pa.Table:
+        nw = t.column("n_words").to_numpy()
+        f = ((nw < min_words) | (nw > max_words)).astype(np.int64)
+        f |= (t.column("alpha_word_ppm").to_numpy()
+              < min_alpha_ppm).astype(np.int64) << 1
+        f |= (t.column("symbol_ppm").to_numpy()
+              > max_symbol_ppm).astype(np.int64) << 2
+        f |= (t.column("max_word_len").to_numpy()
+              > max_word_len_cap).astype(np.int64) << 3
+        out = t.select(list(id_cols))
+        out = out.append_column("quality_flags", pa.array(f, pa.int64()))
+        return out.append_column("keep", pa.array(f == 0, pa.bool_()))
+
+    return gopher_quality(ds, text_col=text_col, id_cols=id_cols).map_batches(
+        flags, batch_format="pyarrow")
+
+
+def quality_rule_flags_sql(*, text: str = "text", id_cols: str = "doc_id",
+                           table: str = "documents",
+                           min_words: int = 50, max_words: int = 100_000,
+                           min_alpha_ppm: int = 800_000,
+                           max_symbol_ppm: int = 100_000,
+                           max_word_len_cap: int = 25) -> str:
+    """SQL mirror: the same bit arithmetic over the gopher signal CTE."""
+    bits = (
+        f"(CASE WHEN n_words < {min_words} OR n_words > {max_words}"
+        f" THEN 1 ELSE 0 END"
+        f" + CASE WHEN alpha_word_ppm < {min_alpha_ppm} THEN 2 ELSE 0 END"
+        f" + CASE WHEN symbol_ppm > {max_symbol_ppm} THEN 4 ELSE 0 END"
+        f" + CASE WHEN max_word_len > {max_word_len_cap} THEN 8 ELSE 0 END)"
+    )
+    return f"""
+        WITH g AS (SELECT {id_cols}, {gopher_quality_sql(text)} FROM {table})
+        SELECT {id_cols}, {bits}::BIGINT AS quality_flags,
+               ({bits} = 0) AS keep
+        FROM g"""

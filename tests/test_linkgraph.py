@@ -444,3 +444,31 @@ def test_triangle_stats_k4_plus_tail():
     assert row.n_wedges == 15
     assert row.n_triangles == 4
     assert row.global_cc_ppm == (3 * 4 * 1_000_000) // 15
+
+
+def test_k_core_clique_with_pendant_chain():
+    """Triangle core + a 4-node pendant chain: 2-core peeling must cascade
+    down the chain over MULTIPLE rounds (one chain end per round), then
+    early-exit at the fixpoint."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import k_core
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),          # triangle
+             ("c", "p1"), ("p1", "p2"), ("p2", "p3")]      # pendant chain
+    df = pd.DataFrame(edges, columns=["src_url", "dst_url"])
+    out = (k_core(ray.data.from_pandas(df), k=2, num_buckets=4)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert out.url.tolist() == ["a", "b", "c"]
+    assert out.core_degree.tolist() == [2, 2, 2]
+
+
+def test_k_core_empty_result():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import k_core
+
+    df = pd.DataFrame([("a", "b"), ("b", "c")],
+                      columns=["src_url", "dst_url"])
+    out = k_core(ray.data.from_pandas(df), k=2, num_buckets=4).to_pandas()
+    assert len(out) == 0

@@ -470,3 +470,24 @@ def test_rfm_features_exact():
     assert out.recency_days.tolist() == [0, 0]
     assert out.last_order.astype(str).tolist() == [
         "1970-01-10 06:00:00", "1970-01-11 00:00:00"]
+
+
+def test_rolling_active_users_exact():
+    from htrc_feature_reader_ray.stages.temporal import rolling_active_users
+
+    # u1 active day 0 and day 2; u2 active day 0 only; 3-day windows
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2],
+        "ts": pd.to_datetime([
+            "1970-01-01 05:00", "1970-01-03 01:00", "1970-01-01 23:00",
+        ]).astype("datetime64[us]"),
+    })
+    out = (rolling_active_users(ray.data.from_pandas(df), window_days=3,
+                                num_buckets=4, out_col="active_3d")
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    # windows: day0 {u1,u2}=2, day1 {u1,u2}=2, day2 {u1,u2}=2 (u1 via d0
+    # AND d2 — distinct!), day3 {u1}=1 (d2 window), day4 {u1}=1
+    assert out.day.astype(str).tolist() == [
+        "1970-01-01", "1970-01-02", "1970-01-03",
+        "1970-01-04", "1970-01-05"]
+    assert out.active_3d.tolist() == [2, 2, 2, 1, 1]
