@@ -882,6 +882,104 @@ def queries() -> dict[str, Callable[[str], Any]]:
             link_degree(extract_links(read_pages(sf, drop_text=True)))
         )
 
+    def q_syndicated_content(sf):
+        """Cross-host content syndication/theft detection: content
+        fingerprints appearing on ≥2 distinct hosts — per-batch distinct
+        (fp, source) collapse, ONE fp-bucketed exchange carrying digests
+        (never text), per-bucket exact distinct-host / doc counts."""
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_map_groups,
+        )
+        from htrc_feature_reader_ray.stages.textstats import fingerprint
+
+        def aug(t: pa.Table) -> pa.Table:
+            # deterministic syndication fixture (mirrored in the oracle):
+            # every 31st doc is re-published verbatim on mirror.example
+            import pyarrow.compute as pc
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = t.filter(pa.array(ids % 31 == 5))
+            mirror = pa.table({
+                "doc_id": pc.add(m.column("doc_id"),
+                                 pa.scalar(1_000_000, type=pa.int64())),
+                "text": m.column("text"),
+                "source": pa.array(["mirror.example"] * len(m),
+                                   type=pa.string()),
+            })
+            return pa.concat_tables(
+                [t.select(["doc_id", "text", "source"]), mirror])
+
+        fps = fingerprint(
+            _docs(sf, ("doc_id", "text", "source")).map_batches(
+                aug, batch_format="pyarrow"),
+            id_cols=("doc_id", "source"))
+
+        def distinct_pairs(t: pa.Table) -> pa.Table:
+            return t.group_by(["fp", "source", "doc_id"]).aggregate([])
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("fp", sort=False)
+            out = g.agg(
+                n_docs=("doc_id", "size"),
+                n_hosts=("source", "nunique"),
+                min_doc_id=("doc_id", "min"),
+            ).reset_index()
+            out = out[out.n_hosts >= 2]
+            for c in ("n_docs", "n_hosts", "min_doc_id"):
+                out[c] = out[c].astype(np.int64)
+            return out
+
+        return bucketed_map_groups(
+            fps.map_batches(distinct_pairs, batch_format="pyarrow"),
+            "fp", per_bucket, num_buckets=32,
+        )
+
+    def q_host_quality(sf):
+        """Per-host corpus-quality dashboard: doc count, quality-rule keep
+        count and keep share (integer ppm) — partial counts collapse per
+        batch before one host-bucketed fold."""
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.textstats import (
+            quality_rule_flags,
+        )
+
+        flags = quality_rule_flags(
+            _docs(sf, ("doc_id", "text", "source")),
+            id_cols=("doc_id", "source"),
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t2 = pa.table({
+                "source": t.column("source"),
+                "k": pc.cast(t.column("keep"), pa.int64()),
+            })
+            g = t2.group_by(["source"]).aggregate(
+                [("k", "sum"), ([], "count_all")])
+            return g.rename_columns(["source", "n_keep", "n_docs"])
+
+        folded = bucketed_aggregate(
+            flags.map_batches(partial, batch_format="pyarrow"),
+            ["source"],
+            {"n_docs": ("n_docs", "sum"), "n_keep": ("n_keep", "sum")},
+            num_buckets=8,
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            nd = pc.cast(t.column("n_docs"), pa.int64())
+            nk = pc.cast(t.column("n_keep"), pa.int64())
+            ppm = pc.divide(
+                pc.multiply(nk, pa.scalar(1_000_000, type=pa.int64())), nd)
+            return pa.table({"source": t.column("source"), "n_docs": nd,
+                             "n_keep": nk, "keep_ppm": ppm})
+
+        return folded.map_batches(finish, batch_format="pyarrow")
+
     def q_quality_rule_flags(sf):
         """Gopher/C4 rule battery as a keep/drop decision with an
         auditable reason bitmask — one stateless map, zero shuffle."""
@@ -2311,6 +2409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "k_core": q_k_core,
         "quality_rule_flags": q_quality_rule_flags,
+        "syndicated_content": q_syndicated_content,
+        "host_quality": q_host_quality,
         "rolling_active_users": q_rolling_active_users,
         "user_session_stats": q_user_session_stats,
         "trending_terms": q_trending_terms,
@@ -3034,6 +3134,30 @@ def oracle_sql() -> dict[str, str]:
         "triangle_stats": LINKS_PRE + linkgraph.triangle_stats_sql(),
         "k_core": LINKS_PRE + linkgraph.k_core_sql(k=2),
         "quality_rule_flags": textstats.quality_rule_flags_sql(),
+        "syndicated_content": f"""
+            WITH aug AS (
+                SELECT doc_id, text, source FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, 'mirror.example'
+                FROM documents WHERE doc_id % 31 = 5
+            ), f AS (
+                SELECT doc_id, source,
+                       {textstats.FINGERPRINT_SQL.format(text='text')} AS fp
+                FROM aug
+            )
+            SELECT fp, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT source)::BIGINT AS n_hosts,
+                   min(doc_id)::BIGINT AS min_doc_id
+            FROM f GROUP BY 1
+            HAVING count(DISTINCT source) >= 2""",
+        "host_quality": f"""
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+                   (sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000
+                    // count(*))::BIGINT AS keep_ppm
+            FROM ({textstats.quality_rule_flags_sql(
+                id_cols='doc_id, source')}) q
+            GROUP BY 1""",
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "value_outliers": """
             WITH v AS (

@@ -81,6 +81,20 @@ BENCH_QUERIES = [
     "boilerplate_lines",
     "related_pages",
     "hits",
+    # round-2 continuation ops
+    "funnel_steps",
+    "cohort_retention",
+    "rfm_features",
+    "user_session_stats",
+    "rolling_active_users",
+    "value_outliers",
+    "trending_terms",
+    "quality_rule_flags",
+    "host_quality",
+    "syndicated_content",
+    "basket_pairs",
+    "triangle_stats",
+    "k_core",
 ]
 
 HEADLINE = "flagship"
