@@ -1253,11 +1253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             extract_links(read_pages(sf, drop_text=True))
         )
 
-    def q_canonical_url(sf):
-        """URL canonicalization over deterministically-messied urls
-        (fragment, tracking params, default port, case variants built from
-        documents in BOTH engines; only the Ray side actually parses)."""
-        from htrc_feature_reader_ray.stages.urltools import canonicalize_urls
+    def _messy_urls(sf):
+        """Deterministically-messied urls (fragment, tracking params,
+        default port, case variants) built from documents in BOTH engines
+        — the shared fixture for canonicalization and url-feature ops."""
 
         def messy(df):
             d = df["doc_id"].to_numpy()
@@ -1276,10 +1275,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        + "?b=2&a=1&fbclid=abc")[m3]
             return pd.DataFrame({"doc_id": df["doc_id"], "url": url})
 
-        ds = _docs(sf, columns=["doc_id", "source"]).map_batches(
+        return _docs(sf, columns=["doc_id", "source"]).map_batches(
             messy, batch_format="pandas"
         )
-        return canonicalize_urls(ds)
+
+    def q_canonical_url(sf):
+        """URL canonicalization over deterministically-messied urls
+        (fragment, tracking params, default port, case variants built from
+        documents in BOTH engines; only the Ray side actually parses)."""
+        from htrc_feature_reader_ray.stages.urltools import canonicalize_urls
+
+        return canonicalize_urls(_messy_urls(sf))
+
+    def q_url_features(sf):
+        """Structural URL features (scheme/host/path-depth/param-count/
+        fragment) over the messy-url fixture — explicit split rules, so
+        engine and SQL agree split-for-split; zero shuffle."""
+        from htrc_feature_reader_ray.stages.urltools import url_features
+
+        return url_features(_messy_urls(sf))
+
+    def q_parse_robots(sf):
+        """robots.txt directive extraction over a deterministic per-host
+        robots fixture (comments / blanks / other directives ignored):
+        vectorized line explode + RE2 prefix slice."""
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.urltools import parse_robots
+
+        hosts = bucketed_aggregate(
+            _docs(sf, ("source",)), ["source"],
+            {"_n": ("source", "size")}, num_buckets=4,
+        ).drop_columns(["_n"])
+
+        def synth(df: pd.DataFrame) -> pd.DataFrame:
+            src = df["source"].astype(str)
+            host = src + ".example.com"
+            txt = ("User-agent: *\n# autogenerated\n"
+                   + "Disallow: /" + src + "/private/\n"
+                   + "\nAllow:   /" + src + "/public\n"
+                   + "Crawl-delay: 5\nDisallow: /tmp\n"
+                   + "Sitemap: https://" + host + "/sitemap.xml")
+            return pd.DataFrame({"host": host, "robots_txt": txt})
+
+        return parse_robots(
+            hosts.map_batches(synth, batch_format="pandas"))
 
     def q_robots_filter(sf):
         """Robots-style (host, path-prefix) disallow filtering of the
@@ -2425,6 +2466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_tokens": q_neighbor_tokens,
         # -- url hygiene / host rollups --
         "canonical_url": q_canonical_url,
+        "url_features": q_url_features,
+        "parse_robots": q_parse_robots,
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
         "host_lang_mix": q_host_lang_mix,
@@ -3331,6 +3374,34 @@ def oracle_sql() -> dict[str, str]:
                      || '?a=1&b=2'
               END AS canonical_url
             FROM documents""",
+        "url_features": f"""
+            WITH m AS (
+                SELECT doc_id,
+                  CASE CAST(doc_id % 4 AS INTEGER)
+                    WHEN 0 THEN 'HTTPS://' || upper(source)
+                         || '.Example.COM:443/doc/' || doc_id
+                         || '?utm_source=feed&b=2&a=1#frag'
+                    WHEN 1 THEN 'http://' || source || '.example.com:80/doc/'
+                         || doc_id || '?z=9&utm_campaign=x'
+                    WHEN 2 THEN 'https://' || source || '.example.com/doc/'
+                         || doc_id || '#sec-2'
+                    ELSE 'https://' || source || '.example.com/doc/'
+                         || doc_id || '?b=2&a=1&fbclid=abc'
+                  END AS url
+                FROM documents
+            )
+            SELECT {urltools.url_features_sql()} FROM m""",
+        "parse_robots": "WITH robots AS (" + """
+            SELECT source || '.example.com' AS host,
+                   'User-agent: *' || chr(10) || '# autogenerated' || chr(10)
+                   || 'Disallow: /' || source || '/private/' || chr(10)
+                   || chr(10)
+                   || 'Allow:   /' || source || '/public' || chr(10)
+                   || 'Crawl-delay: 5' || chr(10) || 'Disallow: /tmp'
+                   || chr(10) || 'Sitemap: https://' || source
+                   || '.example.com/sitemap.xml' AS robots_txt
+            FROM (SELECT DISTINCT source FROM documents)
+        )""" + urltools.parse_robots_sql(),
         # path of every fixture url is '/doc/<id>': the '/doc/1' prefix rule
         # on even-numbered source hosts hits ids whose decimal starts with 1
         "robots_filter": """

@@ -441,3 +441,127 @@ def host_lang_mix_sql(*, from_clause: str = "pages",
         SELECT t.host, t.n_pages, t.n_langs, p.lang AS top_lang,
                (p.n * 1000000 // t.n_pages)::BIGINT AS top_lang_ppm
         FROM tot t JOIN top p ON t.host = p.host AND p.rn = 1"""
+
+
+def url_features(ds, *, url_col: str = "url"):
+    """Structural URL features for crawl prioritization / URL-level quality
+    priors: scheme, lowercased host, non-empty path-segment depth, query
+    parameter count and fragment presence.
+
+    Parsing is defined by EXPLICIT split rules (first ``://``, first ``/``,
+    first ``?``, first ``#``) rather than a URL library, so the SQL mirror
+    is split-for-split identical on any input — the same exactness
+    discipline as ``canonicalize_urls``. Stateless vectorized map, zero
+    shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[url_col].astype(str)
+        parts = u.str.partition("://")
+        scheme = parts[0].str.lower()
+        rest = parts[2]
+        hp = rest.str.partition("/")
+        hostport = hp[0]
+        pathqf = hp[1] + hp[2]  # '' when the url has no path at all
+        host = hostport.str.partition(":")[0].str.lower()
+        after_q = pathqf.str.partition("?")
+        path = after_q[0].str.partition("#")[0]
+        query = after_q[2].str.partition("#")[0]
+        depth = pc.count_substring_regex(
+            pa.array(path, type=pa.string()), pattern="[^/]+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        has_q = query.str.len() > 0
+        n_params = np.where(
+            has_q, query.str.count("&").to_numpy() + 1, 0
+        ).astype(np.int64)
+        out = df.copy()
+        out["is_https"] = (scheme == "https").to_numpy()
+        out["host"] = host.to_numpy()
+        out["path_depth"] = depth
+        out["n_params"] = n_params
+        out["has_fragment"] = pathqf.str.contains("#", regex=False).to_numpy()
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def url_features_sql(*, url: str = "url", columns: str = "doc_id") -> str:
+    """Column expressions mirroring :func:`url_features` split-for-split
+    (``split_part`` takes the FIRST occurrence, like ``str.partition``)."""
+    rest = f"split_part({url}, '://', 2)"
+    hostport = f"split_part({rest}, '/', 1)"
+    # pathqf: everything from the first '/' after the authority (may be '')
+    pathqf = (f"CASE WHEN length({rest}) > length({hostport})"
+              f" THEN substr({rest}, length({hostport}) + 1) ELSE '' END")
+    path = f"split_part(split_part({pathqf}, '?', 1), '#', 1)"
+    query = f"split_part(split_part({pathqf}, '?', 2), '#', 1)"
+    return f"""
+        {columns}, {url},
+        (lower(split_part({url}, '://', 1)) = 'https') AS is_https,
+        lower(split_part({hostport}, ':', 1)) AS host,
+        len(list_filter(string_split({path}, '/'),
+                        s -> s != ''))::BIGINT AS path_depth,
+        (CASE WHEN {query} = '' THEN 0
+              ELSE len(string_split({query}, '&')) END)::BIGINT AS n_params,
+        contains({pathqf}, '#') AS has_fragment
+    """
+
+
+def parse_robots(ds, *, host_col: str = "host", txt_col: str = "robots_txt"):
+    """robots.txt directive extraction: one output row per Allow/Disallow
+    line — ``(host, directive, rule_path)`` — ignoring comments, blank
+    lines, and other directives (User-agent, Crawl-delay, Sitemap…). The
+    producer of `robots_filter`'s rule table.
+
+    Vectorized explode: one Arrow ``split_pattern`` per batch, flat line
+    array with a repeated-host parent map, RE2 prefix match + slice — no
+    per-row Python. Zero shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch.column(txt_col), pa.string())
+        lines = pc.split_pattern(txt, pattern="\n")
+        counts = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        flat = pc.utf8_trim_whitespace(pc.list_flatten(lines))
+        hosts = batch.column(host_col).take(pa.array(parent))
+        out_rows = []
+        for directive, prefix in (("allow", "Allow:"),
+                                  ("disallow", "Disallow:")):
+            m = pc.starts_with(flat, pattern=prefix)
+            sel = flat.filter(m)
+            path = pc.utf8_trim_whitespace(
+                pc.utf8_slice_codeunits(sel, start=len(prefix)))
+            out_rows.append(pa.table({
+                "host": hosts.filter(m),
+                "directive": pa.array([directive] * len(sel),
+                                      type=pa.string()),
+                "rule_path": path,
+            }))
+        return pa.concat_tables(out_rows)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def parse_robots_sql(*, robots_cte: str = "robots", host: str = "host",
+                     txt: str = "robots_txt") -> str:
+    """SQL mirror (composes after a WITH preamble providing the robots
+    table): line unnest + prefix filter + trim — identical line algebra."""
+    return f"""
+        , lines AS (
+            SELECT {host}, trim(l.line, ' ' || chr(9) || chr(13))
+                       AS line
+            FROM {robots_cte},
+                 unnest(string_split({txt}, chr(10))) AS l(line)
+        )
+        SELECT {host} AS host,
+               CASE WHEN starts_with(line, 'Allow:')
+                    THEN 'allow' ELSE 'disallow' END AS directive,
+               trim(CASE WHEN starts_with(line, 'Allow:')
+                         THEN substr(line, 7)
+                         ELSE substr(line, 10) END,
+                    ' ' || chr(9) || chr(13)) AS rule_path
+        FROM lines
+        WHERE starts_with(line, 'Allow:')
+           OR starts_with(line, 'Disallow:')"""

@@ -202,3 +202,45 @@ def test_host_lang_mix_dominance_and_ties():
     assert a.top_lang == "en" and a.top_lang_ppm == 600000
     assert b.host == "b.com" and b.n_pages == 2 and b.n_langs == 2
     assert b.top_lang == "de" and b.top_lang_ppm == 500000
+
+
+def test_url_features_edge_shapes():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.urltools import url_features
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "url": [
+            "https://a.example.com",                    # no path at all
+            "http://B.example.com:8080/",               # root path, port
+            "https://c.example.com/x//y/?a=1&b=2&c=3",  # empty segment
+            "https://d.example.com/p#frag?notquery",    # '#' before '?'
+        ],
+    })
+    out = (url_features(ray.data.from_pandas(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.host.tolist() == [
+        "a.example.com", "b.example.com", "c.example.com", "d.example.com"]
+    assert out.is_https.tolist() == [True, False, True, True]
+    assert out.path_depth.tolist() == [0, 0, 2, 1]
+    # case 4: the explicit split rules read text after the first '?'
+    # as query even when a '#' precedes it — SQL split_part agrees
+    assert out.n_params.tolist() == [0, 0, 3, 1]
+    assert out.has_fragment.tolist() == [False, False, False, True]
+
+
+def test_parse_robots_ignores_noise():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.urltools import parse_robots
+
+    df = pd.DataFrame({
+        "host": ["h1"],
+        "robots_txt": ["User-agent: *\n# c\n\nDisallow: /a\n"
+                       "Allow:\t/b\nSitemap: x\nDisallow: /c  "],
+    })
+    out = (parse_robots(ray.data.from_pandas(df))
+           .to_pandas().sort_values("rule_path").reset_index(drop=True))
+    assert out.directive.tolist() == ["disallow", "allow", "disallow"]
+    assert out.rule_path.tolist() == ["/a", "/b", "/c"]
