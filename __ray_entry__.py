@@ -999,6 +999,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rolling_active_users(_events(sf, ["user_id", "ts"]))
 
+    def q_event_transitions(sf):
+        """First-order behavioral transition counts (Markov features):
+        per-user ordered shift inside one bucketed pass, ≤ |types|²
+        partials to a native fold."""
+        from htrc_feature_reader_ray.stages.temporal import event_transitions
+
+        return event_transitions(
+            _events(sf, ["event_id", "user_id", "ts", "event_type"]),
+            tiebreak="event_id",
+        )
+
+    def q_label_centroids(sf):
+        """Per-class embedding centroid accumulators in exact fixed-point
+        integers (order-independent distributed sums — bit-identical
+        across parallelism levels and to SQL)."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            label_centroid_sums,
+        )
+
+        return label_centroid_sums(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["label", "embedding"])
+        )
+
     def q_value_outliers(sf):
         """Per-event-type exact-p99 outlier flags: grouped exact quantile
         (histogram fold), thresholds broadcast into a stateless filter —
@@ -2449,6 +2475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_triangles": q_basket_triangles,
         "value_outliers": q_value_outliers,
         "k_core": q_k_core,
+        "event_transitions": q_event_transitions,
+        "label_centroids": q_label_centroids,
         "quality_rule_flags": q_quality_rule_flags,
         "syndicated_content": q_syndicated_content,
         "host_quality": q_host_quality,
@@ -2649,6 +2677,7 @@ def oracle_sql() -> dict[str, str]:
         linkgraph,
         profile as profile_mod,
         sample,
+        similarity as similarity_mod,
         sketch,
         temporal as temporal_mod,
         textstats,
@@ -3202,6 +3231,8 @@ def oracle_sql() -> dict[str, str]:
                 id_cols='doc_id, source')}) q
             GROUP BY 1""",
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
+        "event_transitions": temporal_mod.event_transitions_sql(),
+        "label_centroids": similarity_mod.label_centroid_sums_sql(),
         "value_outliers": """
             WITH v AS (
                 SELECT event_id, event_type,

@@ -280,3 +280,67 @@ def lsh_topk(ds, query_matrix: np.ndarray, *, k: int = 10, nbits: int = 8,
     return partials.groupby("query_id").map_groups(
         _global_topk_fn(k, id_col), batch_format="pandas"
     )
+
+
+CENTROID_SCALE = 1 << 20  # fixed-point scale for exact centroid sums
+
+
+def label_centroid_sums(ds, *, label_col: str = "label",
+                        vec_col: str = "embedding"):
+    """Per-class embedding centroid accumulators in EXACT integers (long
+    form ``(label, dim, sum_q, n)``): each float32 component is scaled by
+    2^20 (a power of two — exact in float64) and floored to int64, so the
+    distributed sum is order-independent and bit-identical to the SQL
+    mirror — the same fixed-point discipline as pagerank/cent columns.
+    The centroid is ``sum_q / (n * 2^20)`` at the consumer's precision.
+
+    Scale shape: per-batch ``np.add.at`` collapse to (labels_in_batch ×
+    dims) partials; the exchange carries only those; one native groupby
+    finishes (labels × dims is tiny). Used for SemDeDup-style cluster
+    profiling and class-prototype features."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = _as_matrix(t.column(vec_col))
+        q = np.floor(mat * CENTROID_SCALE).astype(np.int64)
+        labels = t.column(label_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        k, d = len(uniq), q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq.astype(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "sum_q": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, d)),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["label", "dim"]).sum(["sum_q", "n"]))
+
+    def rename(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "label": pc.cast(t.column("label"), pa.int64()),
+            "dim": pc.cast(t.column("dim"), pa.int64()),
+            "sum_q": pc.cast(t.column("sum(sum_q)"), pa.int64()),
+            "n": pc.cast(t.column("sum(n)"), pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def label_centroid_sums_sql(*, table: str = "embeddings",
+                            label: str = "label",
+                            vec: str = "embedding") -> str:
+    """SQL mirror: 1-based array indexing over a generated dim series,
+    identical power-of-two scale + floor."""
+    return f"""
+        SELECT {label}::BIGINT AS label, (u.i - 1)::BIGINT AS dim,
+               sum(floor({vec}[u.i]::DOUBLE * {CENTROID_SCALE}))::BIGINT
+                   AS sum_q,
+               count(*)::BIGINT AS n
+        FROM {table},
+             unnest(generate_series(1, len({vec}))) AS u(i)
+        GROUP BY 1, 2"""

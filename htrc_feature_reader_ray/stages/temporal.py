@@ -1095,3 +1095,53 @@ def rolling_active_users_sql(*, key: str = "user_id", ts: str = "ts",
         )
         SELECT wd::TIMESTAMP AS day, count(*)::BIGINT AS {out_col}
         FROM win GROUP BY 1"""
+
+
+def event_transitions(ds, *, key: str = "user_id", ts: str = "ts",
+                      type_col: str = "event_type", tiebreak=None,
+                      num_buckets: int = 32):
+    """First-order behavioral transition counts (the Markov-chain feature
+    of product analytics): for every ordered within-entity event pair,
+    ``(from_type, to_type, n)``. One key-bucketed exchange; inside each
+    bucket the shift and pair count are fully vectorized; the final fold
+    is a native groupby over ≤ |types|² partial rows."""
+    sort_cols = [key, ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort")
+        nxt = df.groupby(key, sort=False)[type_col].shift(-1)
+        mask = nxt.notna()
+        pairs = pd.DataFrame({
+            "from_type": df.loc[mask, type_col].to_numpy(),
+            "to_type": nxt[mask].to_numpy(),
+        })
+        out = (pairs.groupby(["from_type", "to_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = bucketed_map_groups(ds, key, per_bucket,
+                                   num_buckets=num_buckets)
+    agg = partials.groupby(["from_type", "to_type"]).sum("n")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"sum(n)": "n"})
+
+    return agg.map_batches(rename, batch_format="pandas")
+
+
+def event_transitions_sql(*, key: str = "user_id", ts: str = "ts",
+                          type_col: str = "event_type",
+                          tiebreak: str = "event_id",
+                          table: str = "events") -> str:
+    """SQL mirror: lead() window with the identical order key."""
+    return f"""
+        WITH s AS (
+            SELECT {type_col},
+                   lead({type_col}) OVER (PARTITION BY {key}
+                       ORDER BY {ts}, {tiebreak}) AS nxt
+            FROM {table}
+        )
+        SELECT {type_col} AS from_type, nxt AS to_type,
+               count(*)::BIGINT AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"""

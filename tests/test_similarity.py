@@ -123,3 +123,30 @@ def test_lsh_topk_sane_and_partial_recall():
     a = set(map(tuple, approx[["query_id", "vec_id"]].values))
     e = set(map(tuple, exact[["query_id", "vec_id"]].values))
     assert len(a & e) > 0
+
+
+def test_label_centroid_sums_exact():
+    import pyarrow as pa
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        CENTROID_SCALE,
+        label_centroid_sums,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((20, 4)).astype(np.float32)
+    labels = (np.arange(20) % 3).astype(np.int32)
+    tbl = pa.table({
+        "label": pa.array(labels, type=pa.int32()),
+        "embedding": pa.array([row.tolist() for row in mat],
+                              type=pa.list_(pa.float32())),
+    })
+    out = (label_centroid_sums(ray.data.from_arrow(tbl))
+           .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
+    q = np.floor(mat.astype(np.float64) * CENTROID_SCALE).astype(np.int64)
+    for lab in range(3):
+        sel = out[out.label == lab]
+        expect = q[labels == lab].sum(axis=0)
+        assert sel.sum_q.tolist() == expect.tolist()
+        assert (sel.n == (labels == lab).sum()).all()
