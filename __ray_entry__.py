@@ -1010,6 +1010,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak="event_id",
         )
 
+    def q_semdedup_pairs(sf):
+        """SemDeDup-shaped semantic near-dup pairs within clusters
+        (label = the cell assignment): one cluster-bucketed exchange,
+        per-cell normalized matmul + upper-triangle threshold."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.dedup import semdedup_pairs
+
+        return semdedup_pairs(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet"),
+            threshold=0.3,
+        )
+
     def q_label_centroids(sf):
         """Per-class embedding centroid accumulators in exact fixed-point
         integers (order-independent distributed sums — bit-identical
@@ -2477,6 +2490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "label_centroids": q_label_centroids,
+        "semdedup_pairs": q_semdedup_pairs,
         "quality_rule_flags": q_quality_rule_flags,
         "syndicated_content": q_syndicated_content,
         "host_quality": q_host_quality,
@@ -3233,6 +3247,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "event_transitions": temporal_mod.event_transitions_sql(),
         "label_centroids": similarity_mod.label_centroid_sums_sql(),
+        "semdedup_pairs": dedup_mod.semdedup_pairs_sql(threshold=0.3),
         "value_outliers": """
             WITH v AS (
                 SELECT event_id, event_type,

@@ -19,8 +19,10 @@ def analyze(sf_dir: str) -> dict:
         crawl_frontier,
         extract_links,
         inlink_anchor_counts,
+        k_core,
         link_degree,
         pagerank,
+        triangle_stats,
     )
 
     from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
@@ -39,6 +41,8 @@ def analyze(sf_dir: str) -> dict:
     anchors = inlink_anchor_counts(edges)
     ranks = pagerank(no_anchor, iterations=3)
     frontier = crawl_frontier(no_anchor)
+    census = triangle_stats(no_anchor)
+    core = k_core(no_anchor, k=2)
 
     top = ranks.sort("rank", descending=True).limit(5).to_pandas()
     return {
@@ -47,6 +51,8 @@ def analyze(sf_dir: str) -> dict:
         "anchor_index_rows": anchors.count(),
         "frontier_urls": frontier.count(),
         "top_ranked": top["url"].tolist(),
+        "clustering_ppm": int(census.global_cc_ppm.iloc[0]),
+        "two_core_urls": core.count(),
     }
 
 

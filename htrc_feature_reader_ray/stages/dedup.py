@@ -1679,3 +1679,67 @@ def containment_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                           batch_format="pyarrow"),
         left_key="doc_b", right_key=id_col, num_buckets=num_buckets)
     return j2.map_batches(score, batch_format="pandas")
+
+
+def semdedup_pairs(ds, *, cluster_col: str = "label",
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   threshold: float = 0.95, num_buckets: int = 16):
+    """SemDeDup-shaped semantic near-dup mining (Abbas et al. 2023,
+    arXiv:2303.09540): near-duplicate pairs are searched WITHIN clusters
+    only — the cluster column is the co-partitioning key (k-means cell,
+    LSH bucket, or any upstream assignment), so the all-pairs kernel runs
+    per cell instead of per corpus. Emits ``(cluster, id_a, id_b)`` with
+    cosine ≥ threshold, ids ascending.
+
+    Scale shape: ONE cluster-bucketed exchange; per cluster a normalized
+    matmul + upper-triangle threshold (vectorized; the per-cluster loop is
+    over clusters in the bucket, never rows). Cell sizes bound the
+    quadratic term — the documented contract of the SemDeDup recipe.
+    Threshold comparisons are float64 on both engines; the oracle-parity
+    caveat of `embedding_dedup_pairs` (thresholds not adversarially close
+    to a pair's cosine) applies unchanged."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lab, g in df.groupby(cluster_col, sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col, kind="mergesort")
+            m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+            norms[norms == 0] = 1.0
+            sims = (m / norms) @ (m / norms).T
+            iu = np.triu_indices(len(g), k=1)
+            hit = sims[iu] >= threshold
+            ids = g[id_col].to_numpy()
+            out.append(pd.DataFrame({
+                cluster_col: np.repeat(lab, int(hit.sum())),
+                "id_a": ids[iu[0][hit]],
+                "id_b": ids[iu[1][hit]],
+            }))
+        if not out:
+            return pd.DataFrame({
+                cluster_col: pd.Series([], dtype=df[cluster_col].dtype),
+                "id_a": pd.Series([], dtype=df[id_col].dtype),
+                "id_b": pd.Series([], dtype=df[id_col].dtype),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    return bucketed_map_groups(ds, cluster_col, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def semdedup_pairs_sql(*, table: str = "embeddings",
+                       cluster_col: str = "label", id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.95) -> str:
+    """SQL mirror: equi-join on the cluster, double-precision cosine."""
+    return f"""
+        SELECT a.{cluster_col}, a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM {table} a JOIN {table} b
+          ON a.{cluster_col} = b.{cluster_col}
+         AND a.{id_col} < b.{id_col}
+        WHERE list_cosine_similarity(a.{vec_col}::DOUBLE[],
+                                     b.{vec_col}::DOUBLE[]) >= {threshold}"""

@@ -35,6 +35,9 @@ def test_link_analysis_example():
     # the highest-rank urls are the engineered hubs (site homes / search)
     assert any("search.example.com" in u or u.endswith(".example.com/")
                for u in out["top_ranked"])
+    # fixture link graph is triangle-free; its 2-core is non-empty
+    assert out["clustering_ppm"] == 0
+    assert out["two_core_urls"] > 0
 
 
 def test_training_prep_pipeline(tmp_path):
