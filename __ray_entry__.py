@@ -33,6 +33,10 @@ from htrc_feature_reader_ray.functions.tokenize import POS_SQL
 PAGES_PRE = f"WITH {PAGES_SQL.strip()}"
 LINKS_PRE = f"WITH {LINKS_SQL.strip()}"
 
+# fixed behavioral-feature layout for the events pivot (explicit by design:
+# stable Ray block schema + config-pinned feature columns at scale)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
 
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000_000,
                   damping_pct: int = 85,
@@ -998,6 +1002,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         return rolling_active_users(_events(sf, ["user_id", "ts"]))
+
+    def q_pivot_user_events(sf):
+        """Wide behavioral feature vector: per-user count column per
+        event type (fixed category layout, zero-filled).  Per-batch Arrow
+        (user, type) collapse, then one user-bucketed vectorized pivot."""
+        from htrc_feature_reader_ray.stages.profile import pivot_counts
+
+        return pivot_counts(
+            _events(sf, ["user_id", "event_type"]),
+            key="user_id", cat_col="event_type",
+            categories=EVENT_TYPES,
+        )
+
+    def q_rollup_lang_source(sf):
+        """GROUP BY ROLLUP(lang, source) over documents: doc count + char
+        volume at every prefix level, folded-out keys as NULL.  The input
+        is scanned once; each coarser level folds the previous level's
+        (tiny) result."""
+        from htrc_feature_reader_ray.stages.profile import rollup_counts
+
+        return rollup_counts(
+            _docs(sf, ["lang", "source", "n_chars"]),
+            keys=("lang", "source"), sum_col="n_chars",
+        )
+
+    def q_value_hour_corr(sf):
+        """Per-event-type exact second-order moments of (value_cents,
+        hour-of-day) + Pearson corr as a bit-identical double (one
+        int→double rounding per operand on both sides)."""
+        from htrc_feature_reader_ray.stages.profile import grouped_moments
+
+        ev = _events(sf, ["event_type", "ts", "value"])
+
+        def quantize(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "value_cents": pa.array(cents),
+                "hour": pa.array((ts_us // 3_600_000_000) % 24),
+            })
+
+        return grouped_moments(
+            ev.map_batches(quantize, batch_format="pyarrow"),
+            key="event_type", x_col="value_cents", y_col="hour",
+        )
+
+    def q_decayed_score(sf):
+        """Per-user time-decayed engagement score with an exact
+        power-of-two decay kernel (cents >> age_days) — order-independent
+        integers, corpus-max broadcast, one user-bucketed fold."""
+        from htrc_feature_reader_ray.stages.temporal import decayed_score
+
+        return decayed_score(
+            _events(sf, ["user_id", "ts", "value"]),
+            key="user_id", ts="ts", amount_col="value",
+        )
 
     def q_event_transitions(sf):
         """First-order behavioral transition counts (Markov features):
@@ -2489,6 +2554,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
+        "pivot_user_events": q_pivot_user_events,
+        "rollup_lang_source": q_rollup_lang_source,
+        "value_hour_corr": q_value_hour_corr,
+        "decayed_score": q_decayed_score,
         "label_centroids": q_label_centroids,
         "semdedup_pairs": q_semdedup_pairs,
         "quality_rule_flags": q_quality_rule_flags,
@@ -3246,6 +3315,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "event_transitions": temporal_mod.event_transitions_sql(),
+        "pivot_user_events": profile_mod.pivot_counts_sql(
+            key="user_id", cat_col="event_type",
+            categories=EVENT_TYPES, table="events"),
+        "rollup_lang_source": profile_mod.rollup_counts_sql(
+            keys=("lang", "source"), sum_col="n_chars",
+            table="documents"),
+        "value_hour_corr": profile_mod.grouped_moments_sql(
+            key="event_type",
+            x_expr="CAST(round(value * 100) AS BIGINT)",
+            y_expr="(epoch_us(ts) // 3600000000) % 24",
+            table="events"),
+        "decayed_score": temporal_mod.decayed_score_sql(
+            key="user_id", ts="ts", amount_col="value"),
         "label_centroids": similarity_mod.label_centroid_sums_sql(),
         "semdedup_pairs": dedup_mod.semdedup_pairs_sql(threshold=0.3),
         "value_outliers": """

@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     "basket_pairs",
     "triangle_stats",
     "k_core",
+    # round-2 feature-vector / rollup ops
+    "pivot_user_events",
+    "rollup_lang_source",
+    "value_hour_corr",
+    "decayed_score",
 ]
 
 HEADLINE = "flagship"

@@ -440,3 +440,258 @@ def rfm_features_sql(*, key: str, ts: str, amount_col: str,
                ((epoch_us(gmax) - epoch_us(last_order))
                 // 86400000000)::BIGINT AS recency_days
         FROM r CROSS JOIN g"""
+
+
+# ---------------------------------------------------------------------------
+# categorical pivot (behavioral feature vectors)
+
+
+def pivot_counts(ds, *, key: str, cat_col: str, categories,
+                 prefix: str = "n_", num_buckets: int = 32):
+    """Wide per-entity categorical count features — the classic behavioral
+    feature vector (one ``n_<category>`` column per category, zero-filled).
+
+    The category set is an EXPLICIT argument, not discovered from data:
+    Ray Data needs a stable schema per block, and at web scale you want the
+    feature layout pinned by config, not by whichever categories a shard
+    happened to contain.  (The reference's ``term_page_freqs`` pivot has the
+    same contract: columns fixed up front — feature_reader.py:467-519.)
+
+    Scale shape: per-batch Arrow ``(key, cat)`` count collapse (the map-side
+    combiner — exchange carries ≤ |batch keys|×|categories| rows, never raw
+    events), then ONE key-bucketed pass that pivots each bucket with a
+    vectorized pandas ``pivot_table`` reindexed to the fixed column list.
+    """
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    categories = list(categories)
+    out_cols = [f"{prefix}{c}" for c in categories]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key, cat_col]).group_by([key, cat_col]).aggregate(
+            [([], "count_all")])
+        g = g.rename_columns([key, cat_col, "n"])
+        # unknown categories are dropped HERE (cheap, before the exchange)
+        mask = pc.is_in(g.column(cat_col), value_set=pa.array(categories))
+        return g.filter(mask)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(index=key, columns=cat_col, values="n",
+                              aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=categories, fill_value=0).astype("int64")
+        wide.columns = out_cols
+        return wide.reset_index()
+
+    return bucketed_map_groups(partials, key, pivot,
+                               num_buckets=num_buckets)
+
+
+def pivot_counts_sql(*, key: str, cat_col: str, categories,
+                     prefix: str = "n_", table: str) -> str:
+    """SQL mirror: conditional aggregation with the same fixed columns."""
+    cols = ",\n                   ".join(
+        f"count(*) FILTER (WHERE {cat_col} = '{c}')::BIGINT"
+        f" AS {prefix}{c}" for c in categories
+    )
+    return f"""
+        SELECT {key}, {cols}
+        FROM {table}
+        WHERE {cat_col} IN ({", ".join(f"'{c}'" for c in categories)})
+        GROUP BY {key}"""
+
+
+# ---------------------------------------------------------------------------
+# hierarchical ROLLUP aggregation
+
+
+def rollup_counts(ds, *, keys, sum_col: str | None = None,
+                  num_buckets: int = 32):
+    """``GROUP BY ROLLUP(k1, k2)`` as a Ray pipeline: count (+ optional
+    integer sum) at every prefix level — ``(k1, k2)``, ``(k1)``, and the
+    grand total — with folded-out key columns emitted as NULL, exactly like
+    the SQL ROLLUP row format.
+
+    Scale shape: the INPUT is scanned ONCE (per-batch Arrow combiner +
+    one bucketed fold to the finest level); every coarser level re-folds
+    the previous level's RESULT, whose cardinality is the finest group
+    count — by the time data reaches level 1 it is |k1×k2| rows, not the
+    corpus.  No rollup level re-reads the input.
+    """
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    k1, k2 = keys
+    n_col, s_col = "n", "total"
+    aggs = [([], "count_all")] if sum_col is None else [
+        (sum_col, "sum"), ([], "count_all")]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([k1, k2]).aggregate(aggs)
+        names = [k1, k2] + ([s_col, n_col] if sum_col else [n_col])
+        return g.rename_columns(names)
+
+    spec_fine = {n_col: (n_col, "sum")}
+    spec_1 = {n_col: (n_col, "sum")}
+    if sum_col is not None:
+        spec_fine[s_col] = (s_col, "sum")
+        spec_1[s_col] = (s_col, "sum")
+
+    finest = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [k1, k2], spec_fine, num_buckets=num_buckets)
+
+    val_cols = [n_col] + ([s_col] if sum_col is not None else [])
+
+    def cast_vals(df: pd.DataFrame) -> pd.DataFrame:
+        for c in val_cols:
+            df[c] = df[c].astype("int64")
+        return df
+
+    def null_k2(df: pd.DataFrame) -> pd.DataFrame:
+        df = cast_vals(df.copy())
+        df[k2] = pd.Series([None] * len(df), dtype=object)
+        return df[[k1, k2] + val_cols]
+
+    level1 = bucketed_aggregate(finest, [k1], spec_1,
+                                num_buckets=num_buckets)
+    level1 = level1.map_batches(null_k2, batch_format="pandas")
+
+    def grand(df: pd.DataFrame) -> pd.DataFrame:
+        out = {k1: [None], k2: [None]}
+        for c in val_cols:
+            out[c] = [int(df[c].sum())]
+        return pd.DataFrame(out)
+
+    # grand total folds level-1 (already tiny) through one constant bucket
+    def const_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_g"] = 0
+        return df
+
+    level0 = (
+        level1.map_batches(const_key, batch_format="pandas")
+        .groupby("_g")
+        .map_groups(lambda df: grand(df.drop(columns=["_g"])),
+                    batch_format="pandas")
+    )
+
+    finest_cast = finest.map_batches(
+        lambda df: cast_vals(df)[[k1, k2] + val_cols],
+        batch_format="pandas")
+    return finest_cast.union(level1).union(level0)
+
+
+def rollup_counts_sql(*, keys, sum_col: str | None = None,
+                      table: str) -> str:
+    k1, k2 = keys
+    s = (f", sum({sum_col})::BIGINT AS total" if sum_col else "")
+    return f"""
+        SELECT {k1}, {k2}, count(*)::BIGINT AS n{s}
+        FROM {table} GROUP BY ROLLUP({k1}, {k2})"""
+
+
+# ---------------------------------------------------------------------------
+# exact grouped moments + Pearson correlation
+
+
+def grouped_moments(ds, *, key: str, x_col: str, y_col: str,
+                    num_buckets: int = 32):
+    """Per-group EXACT second-order moments of two pre-quantized integer
+    columns — ``n, sum_x, sum_y, sum_xx, sum_yy, sum_xy`` (BIGINT) — plus
+    Pearson ``corr`` as DOUBLE, computed by an expression both the engine
+    and the SQL mirror evaluate identically:
+
+        num  = n·Σxy − Σx·Σy          (exact integer)
+        den² = (n·Σxx − Σx²)(n·Σyy − Σy²)   (exact integer)
+        corr = double(num) / sqrt(double(den²))
+
+    Each side performs exactly ONE int→double rounding per operand and the
+    IEEE-correctly-rounded sqrt/divide, so the doubles are bit-identical.
+    Zero-variance groups yield NULL.
+
+    Scale shape: per-batch Arrow sum/count collapse (moments are
+    commutative — the exchange carries one row per (batch, key)), one
+    key-bucketed fold, then a driver-free finishing map over the tiny
+    grouped table.  The finish uses Python arbitrary-precision ints per
+    group row, mirroring SQL HUGEINT; at 10^12-row groups the BIGINT
+    output columns themselves are the overflow boundary (documented).
+    """
+    import math
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t2 = pa.table({
+            key: t.column(key),
+            "sum_x": pa.array(x), "sum_y": pa.array(y),
+            "sum_xx": pa.array(x * x), "sum_yy": pa.array(y * y),
+            "sum_xy": pa.array(x * y),
+        })
+        g = t2.group_by([key]).aggregate(
+            [("sum_x", "sum"), ("sum_y", "sum"), ("sum_xx", "sum"),
+             ("sum_yy", "sum"), ("sum_xy", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [key, "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy", "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key],
+        {c: (c, "sum")
+         for c in ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]},
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        corrs = []
+        for _, r in df.iterrows():
+            n, sx, sy = int(r["n"]), int(r["sum_x"]), int(r["sum_y"])
+            sxx, syy, sxy = int(r["sum_xx"]), int(r["sum_yy"]), int(r["sum_xy"])
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                corrs.append(None)
+            else:
+                corrs.append(
+                    float(n * sxy - sx * sy) / math.sqrt(float(vx * vy)))
+        out = df.copy()
+        for c in ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]:
+            out[c] = out[c].astype("int64")
+        out["corr"] = pd.Series(corrs, index=df.index, dtype="float64")
+        return out[[key, "n", "sum_x", "sum_y", "sum_xx", "sum_yy",
+                    "sum_xy", "corr"]]
+
+    return folded.map_batches(finish, batch_format="pandas")
+
+
+def grouped_moments_sql(*, key: str, x_expr: str, y_expr: str,
+                        table: str, where: str = "") -> str:
+    """SQL mirror: HUGEINT sums (DuckDB sum(BIGINT) widens), the identical
+    single int→double rounding, correctly-rounded sqrt/divide."""
+    return f"""
+        WITH m AS (
+            SELECT {key}, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM (SELECT {key}, ({x_expr})::BIGINT AS x,
+                         ({y_expr})::BIGINT AS y FROM {table} {where})
+            GROUP BY {key}
+        )
+        SELECT {key}, n::BIGINT AS n,
+               sx::BIGINT AS sum_x, sy::BIGINT AS sum_y,
+               sxx::BIGINT AS sum_xx, syy::BIGINT AS sum_yy,
+               sxy::BIGINT AS sum_xy,
+               CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                    THEN (n*sxy - sx*sy)::DOUBLE
+                         / sqrt(((n*sxx - sx*sx) * (n*syy - sy*sy))::DOUBLE)
+               END AS corr
+        FROM m"""

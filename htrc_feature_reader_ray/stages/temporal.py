@@ -1145,3 +1145,81 @@ def event_transitions_sql(*, key: str = "user_id", ts: str = "ts",
         SELECT {type_col} AS from_type, nxt AS to_type,
                count(*)::BIGINT AS n
         FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# time-decayed engagement score (exact power-of-two decay)
+
+
+def decayed_score(ds, *, key: str, ts: str, amount_col: str,
+                  halflife_days: int = 1, num_buckets: int = 32):
+    """Per-entity time-decayed engagement score with an EXACT decay kernel:
+    each event contributes ``cents >> (age_days // halflife_days)`` — the
+    amount halves every ``halflife_days`` relative to the corpus-wide latest
+    event.  Power-of-two decay keeps the whole computation in integers
+    (arithmetic right shift == floor division by 2^k), so the score is
+    bit-identical across parallelism levels and SQL-replayable — unlike
+    ``exp(-λΔt)`` float decay, which is order-dependent under re-association.
+
+    Scale shape: the corpus max timestamp is a single column-pruned scalar
+    aggregate broadcast into a stateless per-batch map (decay + per-batch
+    key collapse); ONE key-bucketed fold finishes.  Shift is capped at 62
+    (contributions are exactly 0 beyond that horizon anyway).
+    """
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    gmax_us = int(pd.Timestamp(ds.max(ts)).value // 1000)
+    day_us = 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column(amount_col).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ts_us = pc.cast(
+            pc.cast(t.column(ts), pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        shift = np.minimum(
+            (gmax_us - ts_us) // day_us // halflife_days, 62)
+        t2 = pa.table({
+            key: t.column(key),
+            "decayed_cents": pa.array(cents >> shift, type=pa.int64()),
+        })
+        g = t2.group_by([key]).aggregate(
+            [("decayed_cents", "sum"), ([], "count_all")])
+        return g.rename_columns([key, "decayed_cents", "n_events"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key],
+        {"decayed_cents": ("decayed_cents", "sum"),
+         "n_events": ("n_events", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t.column(key),
+            "decayed_cents": pc.cast(t.column("decayed_cents"), pa.int64()),
+            "n_events": pc.cast(t.column("n_events"), pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def decayed_score_sql(*, key: str, ts: str, amount_col: str,
+                      halflife_days: int = 1, table: str = "events") -> str:
+    """SQL mirror: identical cents rounding, floor-division age, and
+    power-of-two floor division (DuckDB ``//`` floors like ``>>``)."""
+    return f"""
+        WITH g AS (SELECT max({ts}) AS gmax FROM {table})
+        SELECT {key},
+               sum(CAST(round({amount_col} * 100) AS BIGINT)
+                   // (1::BIGINT << least(
+                        (epoch_us(gmax) - epoch_us({ts}))
+                        // 86400000000 // {halflife_days}, 62))
+               )::BIGINT AS decayed_cents,
+               count(*)::BIGINT AS n_events
+        FROM {table} CROSS JOIN g
+        GROUP BY {key}"""

@@ -313,3 +313,93 @@ def test_host_cap_quota_and_partitioning_independence():
              .to_pandas())
     assert set(other.loc[other.host == "a", "doc_id"]) != set(
         one.loc[one.host == "a", "doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# pivot_counts / rollup_counts / grouped_moments / decayed_score
+
+
+def test_pivot_counts_fixed_layout_and_zero_fill():
+    from htrc_feature_reader_ray.stages.profile import pivot_counts
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2, 3],
+        "t": ["a", "a", "b", "b", "zz", "a"],  # zz: not in the layout
+    })
+    out = (
+        pivot_counts(ray.data.from_pandas(df).repartition(4),
+                     key="u", cat_col="t", categories=("a", "b", "c"))
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    assert list(out.columns) == ["u", "n_a", "n_b", "n_c"]
+    assert out["n_a"].tolist() == [2, 0, 1]
+    assert out["n_b"].tolist() == [1, 1, 0]
+    assert out["n_c"].tolist() == [0, 0, 0]  # zero-filled, zz dropped
+    assert all(out[c].dtype == "int64" for c in ["n_a", "n_b", "n_c"])
+
+
+def test_rollup_counts_levels_and_nulls():
+    from htrc_feature_reader_ray.stages.profile import rollup_counts
+
+    df = pd.DataFrame({
+        "k1": ["x", "x", "x", "y"],
+        "k2": ["p", "p", "q", "p"],
+        "v": [1, 2, 4, 8],
+    })
+    out = rollup_counts(
+        ray.data.from_pandas(df).repartition(3),
+        keys=("k1", "k2"), sum_col="v",
+    ).to_pandas()
+    finest = out[out["k2"].notna()].set_index(["k1", "k2"])
+    assert finest.loc[("x", "p"), "total"] == 3
+    assert finest.loc[("x", "q"), "total"] == 4
+    assert finest.loc[("y", "p"), "total"] == 8
+    lvl1 = out[out["k2"].isna() & out["k1"].notna()].set_index("k1")
+    assert lvl1.loc["x", "n"] == 3 and lvl1.loc["x", "total"] == 7
+    assert lvl1.loc["y", "n"] == 1 and lvl1.loc["y", "total"] == 8
+    grand = out[out["k1"].isna()]
+    assert len(grand) == 1
+    assert grand.iloc[0]["n"] == 4 and grand.iloc[0]["total"] == 15
+
+
+def test_grouped_moments_corr_exact_and_degenerate():
+    import math
+
+    from htrc_feature_reader_ray.stages.profile import grouped_moments
+
+    df = pd.DataFrame({
+        "g": ["lin"] * 4 + ["anti"] * 3 + ["flat"] * 3,
+        "x": [1, 2, 3, 4, 1, 2, 3, 5, 5, 5],
+        "y": [2, 4, 6, 8, 9, 6, 3, 1, 2, 3],
+    })
+    out = grouped_moments(
+        ray.data.from_pandas(df).repartition(4),
+        key="g", x_col="x", y_col="y",
+    ).to_pandas().set_index("g")
+    assert out.loc["lin", "corr"] == 1.0
+    assert out.loc["anti", "corr"] == -1.0
+    assert math.isnan(out.loc["flat", "corr"])  # zero x-variance -> NULL
+    # exact moments
+    assert out.loc["lin", ["n", "sum_x", "sum_y", "sum_xx", "sum_yy",
+                           "sum_xy"]].tolist() == [4, 10, 20, 30, 120, 60]
+
+
+def test_decayed_score_shift_kernel_and_cap():
+    from htrc_feature_reader_ray.stages.temporal import decayed_score
+
+    base = pd.Timestamp("2026-01-10")
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2],
+        "ts": [base, base - pd.Timedelta(days=1),
+               base - pd.Timedelta(days=2), base - pd.Timedelta(days=200)],
+        "amount": [10.00, 10.00, 10.00, 10.00],
+    })
+    out = decayed_score(
+        ray.data.from_pandas(df).repartition(3),
+        key="u", ts="ts", amount_col="amount",
+    ).to_pandas().set_index("u")
+    # 1000 + 1000>>1 + 1000>>2 = 1000 + 500 + 250
+    assert out.loc[1, "decayed_cents"] == 1750
+    assert out.loc[1, "n_events"] == 3
+    # age 200 days -> shift capped at 62 -> exactly 0
+    assert out.loc[2, "decayed_cents"] == 0
