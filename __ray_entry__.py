@@ -1064,6 +1064,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_name_dedup_pairs(sf):
+        """Entity-resolution near-dup pairs by exact edit distance ≤ 2
+        within nation blocks: one block-bucketed exchange, length-band
+        candidate prefilter, vectorized-across-pairs Levenshtein DP
+        (min-plus prefix scan — no per-pair Python loop)."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            edit_distance_pairs,
+        )
+
+        return edit_distance_pairs(
+            ray.data.read_parquet(
+                f"{sf}/customer.parquet",
+                columns=["c_custkey", "c_name", "c_nationkey"]),
+            id_col="c_custkey", text_col="c_name",
+            block_col="c_nationkey", max_dist=2,
+        )
+
+    def q_value_mad_outliers(sf):
+        """Per-event-type robust outlier stats (median / MAD / strict
+        k·MAD outlier count) from ONE grouped histogram pass — median,
+        deviation histogram and outlier count all derived from the same
+        folded distinct-value histogram."""
+        from htrc_feature_reader_ray.stages.profile import grouped_mad
+
+        ev = _events(sf, ["event_type", "value"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "value_cents": pa.array(c),
+            })
+
+        return grouped_mad(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            key="event_type", col="value_cents", k=3,
+        )
+
+    def q_degree_assortativity(sf):
+        """Directed degree assortativity of the crawl graph (corr over
+        edges of src out-degree vs dst in-degree): link_degree fold + two
+        co-partitioning bucket joins + the exact-integer moments fold."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            degree_assortativity,
+            extract_links,
+        )
+
+        return degree_assortativity(
+            extract_links(read_pages(sf, drop_text=True)))
+
     def q_event_transitions(sf):
         """First-order behavioral transition counts (Markov features):
         per-user ordered shift inside one bucketed pass, ≤ |types|²
@@ -2554,6 +2609,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
+        "name_dedup_pairs": q_name_dedup_pairs,
+        "value_mad_outliers": q_value_mad_outliers,
+        "degree_assortativity": q_degree_assortativity,
         "pivot_user_events": q_pivot_user_events,
         "rollup_lang_source": q_rollup_lang_source,
         "value_hour_corr": q_value_hour_corr,
@@ -3315,6 +3373,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "event_transitions": temporal_mod.event_transitions_sql(),
+        "name_dedup_pairs": similarity_mod.edit_distance_pairs_sql(
+            id_col="c_custkey", text_col="c_name",
+            block_col="c_nationkey", max_dist=2, table="customer"),
+        "value_mad_outliers": profile_mod.grouped_mad_sql(
+            key="event_type", value_expr="CAST(round(value * 100) AS BIGINT)",
+            k=3, table="events"),
+        "degree_assortativity": (
+            LINKS_PRE
+            + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+            + linkgraph.degree_assortativity_sql(edges_cte="e2")),
         "pivot_user_events": profile_mod.pivot_counts_sql(
             key="user_id", cat_col="event_type",
             categories=EVENT_TYPES, table="events"),

@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "k_core",
     # round-2 feature-vector / rollup ops
     "pivot_user_events",
+    "name_dedup_pairs",
+    "value_mad_outliers",
+    "degree_assortativity",
     "rollup_lang_source",
     "value_hour_corr",
     "decayed_score",

@@ -1248,3 +1248,83 @@ def k_core_sql(*, k: int = 2, max_rounds: int = 12,
                 SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev})
             GROUP BY 1)
         WHERE d >= {k}"""
+
+
+def degree_assortativity(edges, *, num_buckets: int = 32):
+    """Directed degree assortativity of the crawl graph: the Pearson
+    correlation, over EDGES, of (source out-degree, target in-degree) —
+    negative values are the web's classic disassortative signature (hubs
+    point at low-degree pages); a strongly positive value on a host graph
+    is a link-farm / mutual-promotion prior (Newman, PRL 89:208701 recipe
+    specialized to the out→in directed variant).
+
+    Composition, all existing kernels: ``link_degree`` (one exchange) →
+    two ``bucket_join``s attaching x = out_degree(src), y = in_degree(dst)
+    to each edge (each join co-partitions on the url it needs, so a hub's
+    degree row meets its edges without broadcast) → the exact-integer
+    ``grouped_moments`` fold under a constant key.  Output: one row
+    ``(scope='all', n, sum_x, sum_y, sum_xx, sum_yy, sum_xy, corr)`` with
+    the bit-identical-double corr contract of ``grouped_moments``."""
+    import pandas as pd
+
+    from htrc_feature_reader_ray.stages.partition import bucket_join
+    from htrc_feature_reader_ray.stages.profile import grouped_moments
+
+    deg = link_degree(edges, num_buckets=num_buckets)
+
+    def src_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": df["url"],
+                             "x": df["out_degree"].astype("int64")})
+
+    def dst_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": df["url"],
+                             "y": df["in_degree"].astype("int64")})
+
+    with_x = bucket_join(
+        edges, deg.map_batches(src_side, batch_format="pandas"),
+        left_key="src_url", right_key="url", num_buckets=num_buckets)
+    with_xy = bucket_join(
+        with_x, deg.map_batches(dst_side, batch_format="pandas"),
+        left_key="dst_url", right_key="url", num_buckets=num_buckets)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "scope": np.repeat("all", len(df)),
+            "x": df["x"].astype("int64"),
+            "y": df["y"].astype("int64"),
+        })
+
+    return grouped_moments(
+        with_xy.map_batches(tag, batch_format="pandas"),
+        key="scope", x_col="x", y_col="y", num_buckets=1)
+
+
+def degree_assortativity_sql(*, edges_cte: str = "e2") -> str:
+    """SQL mirror fragment (append after an edges CTE): degree re-derivation
+    + the grouped_moments HUGEINT/one-rounding corr expression."""
+    return f""",
+        deg AS (
+            SELECT url, sum(o)::BIGINT AS out_degree,
+                   sum(i)::BIGINT AS in_degree
+            FROM (SELECT src_url AS url, 1 AS o, 0 AS i FROM {edges_cte}
+                  UNION ALL SELECT dst_url, 0, 1 FROM {edges_cte})
+            GROUP BY url
+        ),
+        xy AS (
+            SELECT 'all' AS scope, ds.out_degree AS x, dd.in_degree AS y
+            FROM {edges_cte} e JOIN deg ds ON e.src_url = ds.url
+                 JOIN deg dd ON e.dst_url = dd.url
+        ),
+        mom AS (
+            SELECT scope, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM xy GROUP BY scope
+        )
+        SELECT scope, n::BIGINT AS n, sx::BIGINT AS sum_x,
+               sy::BIGINT AS sum_y, sxx::BIGINT AS sum_xx,
+               syy::BIGINT AS sum_yy, sxy::BIGINT AS sum_xy,
+               CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                    THEN (n*sxy - sx*sy)::DOUBLE
+                         / sqrt(((n*sxx - sx*sx) * (n*syy - sy*sy))::DOUBLE)
+               END AS corr
+        FROM mom"""

@@ -695,3 +695,84 @@ def grouped_moments_sql(*, key: str, x_expr: str, y_expr: str,
                          / sqrt(((n*sxx - sx*sx) * (n*syy - sy*sy))::DOUBLE)
                END AS corr
         FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# robust grouped outlier stats (median / MAD) in one histogram pass
+
+
+def grouped_mad(ds, *, key: str, col: str, k: int = 3,
+                num_buckets: int = 16):
+    """Per-group robust outlier statistics: discrete median, MAD (median
+    absolute deviation), and the count of rows with ``|v - med| > k·MAD``
+    — the standard robust alternative to z-score outlier flags (median/MAD
+    have a 50% breakdown point; mean/std are dragged by the very outliers
+    being hunted).
+
+    Scale shape: ONE distributed histogram pass — per-batch ``(key, v)``
+    count combiner, one key-bucketed fold — and the finish derives all
+    three statistics from the same per-group DISTINCT-VALUE histogram
+    (median by rank lookup, the deviation histogram by re-weighting the
+    value histogram, outliers by masked count-sum).  No second scan of the
+    input, unlike the textbook two-pass median-then-MAD formulation.
+    Quantile convention: 1-based rank ``ceil(n/2)`` == ``quantile_disc``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.select([key, col]).group_by([key, col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([key, col, "cnt"])
+
+    partial = ds.map_batches(hist, batch_format="pyarrow")
+
+    def rank_value(vals, cum, q_rank):
+        return int(vals[int(np.searchsorted(cum, q_rank))])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        merged = df.groupby([key, col], as_index=False)["cnt"].sum()
+        rows = []
+        for gkey, g in merged.groupby(key, sort=False):
+            g = g.sort_values(col)
+            cnt = g["cnt"].to_numpy()
+            vals = g[col].to_numpy()
+            cum = cnt.cumsum()
+            n = int(cum[-1])
+            med = rank_value(vals, cum, -(-n // 2))  # 1-based ceil(n/2)
+            dev = np.abs(vals - med)
+            order = np.argsort(dev, kind="stable")
+            dcum = cnt[order].cumsum()
+            mad = int(dev[order][int(np.searchsorted(dcum, -(-n // 2)))])
+            n_out = int(cnt[dev > k * mad].sum())
+            rows.append((gkey, n, med, mad, n_out))
+        return pd.DataFrame(
+            rows, columns=[key, "n", "median", "mad", "n_outliers"]
+        ).astype({c: "int64" for c in ["n", "median", "mad", "n_outliers"]})
+
+    return bucketed_map_groups(partial, key, finish,
+                               num_buckets=num_buckets)
+
+
+def grouped_mad_sql(*, key: str, value_expr: str, k: int = 3,
+                    table: str) -> str:
+    """SQL mirror: two quantile_disc levels + the identical strict-``>``
+    outlier rule."""
+    return f"""
+        WITH v AS (
+            SELECT {key}, ({value_expr})::BIGINT AS c FROM {table}
+        ), m AS (
+            SELECT {key}, quantile_disc(c, 0.5)::BIGINT AS med
+            FROM v GROUP BY 1
+        ), d AS (
+            SELECT v.{key}, v.c, m.med, abs(v.c - m.med) AS dev
+            FROM v JOIN m USING ({key})
+        ), a AS (
+            SELECT {key}, quantile_disc(dev, 0.5)::BIGINT AS mad
+            FROM d GROUP BY 1
+        )
+        SELECT d.{key}, count(*)::BIGINT AS n,
+               any_value(d.med) AS median, any_value(a.mad) AS mad,
+               sum(CASE WHEN d.dev > {k} * a.mad THEN 1 ELSE 0 END)::BIGINT
+                   AS n_outliers
+        FROM d JOIN a USING ({key})
+        GROUP BY d.{key}"""

@@ -344,3 +344,119 @@ def label_centroid_sums_sql(*, table: str = "embeddings",
         FROM {table},
              unnest(generate_series(1, len({vec}))) AS u(i)
         GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs (blocked, vectorized Levenshtein)
+
+
+def _levenshtein_pairs(a_strs: np.ndarray, b_strs: np.ndarray) -> np.ndarray:
+    """Exact unit-cost Levenshtein for N string pairs, VECTORIZED across the
+    pair axis: the row recurrence runs once per character of the left
+    string, with the insertion dependency resolved by a min-plus prefix
+    scan —
+
+        dp_i[j] = min_{k<=j} ( min(dp_{i-1}[k]+1, dp_{i-1}[k-1]+cost) + (j-k) )
+                = ( accumulate-min over (tmp - j) ) + j
+
+    so the inner column loop (the part that is sequential in the textbook
+    DP) becomes one ``np.minimum.accumulate``.  Total work: ``L_a`` numpy
+    passes over an (N, L_b) matrix — no Python per-pair loop."""
+    n = len(a_strs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    la = np.char.str_len(a_strs).astype(np.int64)
+    lb = np.char.str_len(b_strs).astype(np.int64)
+    lam, lbm = int(la.max()), int(lb.max())
+    # fixed-width UTF-32 codepoint matrices; 0-padding never matches a char
+    a = a_strs.astype(f"U{max(lam, 1)}").view(np.uint32).reshape(n, -1)
+    b = b_strs.astype(f"U{max(lbm, 1)}").view(np.uint32).reshape(n, -1)
+    cols = np.arange(lbm + 1, dtype=np.int64)
+    dp = np.broadcast_to(cols, (n, lbm + 1)).copy()
+    out = np.where(la == 0, lb, 0).astype(np.int64)
+    tmp = np.empty_like(dp)
+    for i in range(1, lam + 1):
+        cost = (a[:, i - 1 : i] != b).astype(np.int64)
+        tmp[:, 0] = i
+        np.minimum(dp[:, :-1] + cost, dp[:, 1:] + 1, out=tmp[:, 1:])
+        # min-plus prefix scan: dp_i[j] = min_k<=j (tmp[k] - k) + j
+        dp = np.minimum.accumulate(tmp - cols, axis=1) + cols
+        done = la == i
+        if done.any():
+            out[done] = dp[done, lb[done]]
+    return out
+
+
+def edit_distance_pairs(ds, *, id_col: str, text_col: str, block_col: str,
+                        max_dist: int = 2, num_buckets: int = 32):
+    """Near-duplicate record linkage by exact edit distance ≤ ``max_dist``
+    within BLOCKS — the classic entity-resolution shape (Levenshtein is
+    quadratic, so it is never run corpus×corpus; the blocking key bounds
+    the candidate set, like ``semdedup_pairs``' cluster column).
+
+    Scale shape: ONE exchange bucketed on ``block_col`` (all rows of a
+    block co-locate); per block, candidate pairs are the upper triangle
+    pre-filtered by the length band ``|len_a - len_b| <= max_dist`` (a
+    sound Levenshtein lower bound), then scored by the vectorized DP
+    kernel in one numpy pass over ALL candidates of the bucket.  The
+    quadratic term is bounded by the largest block, a documented contract
+    the caller controls by picking the blocking key.
+
+    Output: ``(id_a, id_b, dist)``, ``id_a < id_b``, one row per pair with
+    ``dist <= max_dist``."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "dist": pd.Series(dtype="int64"),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty()
+        ia_all, ib_all = [], []
+        base = 0
+        df = df.sort_values([block_col, id_col]).reset_index(drop=True)
+        texts = df[text_col].fillna("").to_numpy(dtype=object)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                           count=len(texts))
+        for _, g in df.groupby(block_col, sort=False):
+            m = len(g)
+            if m > 1:
+                iu, ju = np.triu_indices(m, k=1)
+                keep = np.abs(
+                    lens[base + iu] - lens[base + ju]) <= max_dist
+                ia_all.append(base + iu[keep])
+                ib_all.append(base + ju[keep])
+            base += m
+        if not ia_all:
+            return empty()
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        d = _levenshtein_pairs(
+            texts[ia].astype(str), texts[ib].astype(str))
+        hit = d <= max_dist
+        ids = df[id_col].to_numpy()
+        return pd.DataFrame({
+            "id_a": ids[ia[hit]].astype(np.int64),
+            "id_b": ids[ib[hit]].astype(np.int64),
+            "dist": d[hit],
+        })
+
+    return bucketed_map_groups(ds, block_col, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def edit_distance_pairs_sql(*, id_col: str, text_col: str, block_col: str,
+                            max_dist: int = 2, table: str) -> str:
+    """SQL mirror: blocked self-join + DuckDB ``levenshtein`` (same
+    unit-cost unicode edit distance as the DP kernel)."""
+    return f"""
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               levenshtein(a.{text_col}, b.{text_col})::BIGINT AS dist
+        FROM {table} a JOIN {table} b
+          ON a.{block_col} = b.{block_col}
+         AND a.{id_col} < b.{id_col}
+        WHERE levenshtein(a.{text_col}, b.{text_col}) <= {max_dist}"""

@@ -472,3 +472,34 @@ def test_k_core_empty_result():
                       columns=["src_url", "dst_url"])
     out = k_core(ray.data.from_pandas(df), k=2, num_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_degree_assortativity_hand_graph():
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import degree_assortativity
+
+    # chain a->b->c->d plus hub a->{c,d}: degrees out(a)=3,out(b)=1,out(c)=1
+    # in(b)=1, in(c)=2, in(d)=2
+    edges = pd.DataFrame({
+        "src_url": ["a", "b", "c", "a", "a"],
+        "dst_url": ["b", "c", "d", "c", "d"],
+    })
+    out = degree_assortativity(
+        ray.data.from_pandas(edges).repartition(2)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    xs = [3, 1, 1, 3, 3]   # out-degree of src per edge
+    ys = [1, 2, 2, 2, 2]   # in-degree of dst per edge
+    n = 5
+    sx, sy = sum(xs), sum(ys)
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    assert [r["n"], r["sum_x"], r["sum_y"], r["sum_xx"], r["sum_yy"],
+            r["sum_xy"]] == [n, sx, sy, sxx, syy, sxy]
+    expect = float(n * sxy - sx * sy) / math.sqrt(
+        float((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    assert r["corr"] == expect

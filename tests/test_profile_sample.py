@@ -403,3 +403,22 @@ def test_decayed_score_shift_kernel_and_cap():
     assert out.loc[1, "n_events"] == 3
     # age 200 days -> shift capped at 62 -> exactly 0
     assert out.loc[2, "decayed_cents"] == 0
+
+
+def test_grouped_mad_hand_fixture():
+    from htrc_feature_reader_ray.stages.profile import grouped_mad
+
+    # g1: values 1..7 plus outlier 100 -> med ceil-rank(8/2)=4th = 4;
+    # dev sorted: 0,1,1,2,2,3,3,96 -> mad = 2; outliers: dev > 6 -> {100}
+    df = pd.DataFrame({
+        "g": ["g1"] * 8 + ["g2"] * 2,
+        "v": [1, 2, 3, 4, 5, 6, 7, 100, 5, 5],
+    })
+    out = grouped_mad(
+        ray.data.from_pandas(df).repartition(4), key="g", col="v", k=3,
+    ).to_pandas().set_index("g")
+    assert out.loc["g1", ["n", "median", "mad", "n_outliers"]].tolist() == \
+        [8, 4, 2, 1]
+    # constant group: mad 0, strict > keeps outliers at 0
+    assert out.loc["g2", ["n", "median", "mad", "n_outliers"]].tolist() == \
+        [2, 5, 0, 0]

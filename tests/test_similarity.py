@@ -150,3 +150,60 @@ def test_label_centroid_sums_exact():
         expect = q[labels == lab].sum(axis=0)
         assert sel.sum_q.tolist() == expect.tolist()
         assert (sel.n == (labels == lab).sum()).all()
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs
+
+
+def _scalar_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_levenshtein_kernel_matches_scalar_reference():
+    import random
+
+    import numpy as np
+
+    from htrc_feature_reader_ray.stages.similarity import _levenshtein_pairs
+
+    random.seed(11)
+    pairs = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting"),
+             ("flaw", "lawn"), ("a" * 30, "a" * 29 + "b")]
+    for _ in range(400):
+        a = "".join(random.choice("abcd") for _ in range(random.randint(0, 14)))
+        b = "".join(random.choice("abcd") for _ in range(random.randint(0, 14)))
+        pairs.append((a, b))
+    got = _levenshtein_pairs(
+        np.array([p[0] for p in pairs], dtype=str),
+        np.array([p[1] for p in pairs], dtype=str))
+    assert got.tolist() == [_scalar_lev(a, b) for a, b in pairs]
+
+
+def test_edit_distance_pairs_blocking_and_threshold():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import edit_distance_pairs
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5],
+        "name": ["alpha", "alphq", "alxhq", "alpha", "zzzzz"],
+        "blk": [10, 10, 10, 20, 10],
+    })
+    out = (
+        edit_distance_pairs(
+            ray.data.from_pandas(df).repartition(3),
+            id_col="id", text_col="name", block_col="blk", max_dist=2)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    # (1,2) dist1, (1,3) dist2, (2,3) dist1; id 4 is an exact copy of id 1
+    # but in another block; id 5 too far
+    assert out[["id_a", "id_b", "dist"]].values.tolist() == [
+        [1, 2, 1], [1, 3, 2], [2, 3, 1]]
