@@ -1064,6 +1064,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_lexical_diversity(sf):
+        """Per-doc exact-integer lexical diversity (TTR + Simpson repeat
+        probability in ppm) — the log-free reproducible cousins of token
+        entropy; zero shuffle."""
+        from htrc_feature_reader_ray.stages.curate import lexical_diversity
+
+        return lexical_diversity(_docs(sf))
+
+    def q_lang_source_chi2(sf):
+        """lang × source contingency table with per-cell chi-square terms
+        from exact integer marginals ((n·o − rt·ct)²/(n·rt·ct), one
+        rounding per operand) — categorical-association feature
+        selection."""
+        from htrc_feature_reader_ray.stages.profile import contingency_chi2
+
+        return contingency_chi2(
+            _docs(sf, ["lang", "source"]), k1="lang", k2="source")
+
+    def q_association_rules(sf):
+        """A-priori rule metrics over lineitem baskets: support /
+        confidence / lift in exact integer ppm on top of the capped pair
+        kernel + item-bucketed support fold + two co-partitioning joins."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.assoc import association_rules
+
+        return association_rules(
+            ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                                  columns=["l_orderkey", "l_partkey"]),
+            key_col="l_orderkey", member_col="l_partkey",
+            min_shared=2, max_members_per_key=64,
+        )
+
+    def q_snapshot_intervals(sf):
+        """SCD2 validity windows over the re-crawl stream: per url,
+        [valid_from, valid_to) + version counter, vectorized across all
+        urls in one bucketed pass."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.temporal import (
+            snapshot_intervals,
+        )
+
+        return snapshot_intervals(
+            read_pages(sf, drop_text=True), key="url", ts="warc_ts")
+
     def q_name_dedup_pairs(sf):
         """Entity-resolution near-dup pairs by exact edit distance ≤ 2
         within nation blocks: one block-bucketed exchange, length-band
@@ -2610,6 +2655,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "lexical_diversity": q_lexical_diversity,
+        "lang_source_chi2": q_lang_source_chi2,
+        "association_rules": q_association_rules,
+        "snapshot_intervals": q_snapshot_intervals,
         "value_mad_outliers": q_value_mad_outliers,
         "degree_assortativity": q_degree_assortativity,
         "pivot_user_events": q_pivot_user_events,
@@ -2813,6 +2862,7 @@ def _ann_lsh_sql(*, nbits: int = 6, dim: int = 64, seed: int = 42) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from htrc_feature_reader_ray.stages import (
+        assoc as assoc_mod,
         curate,
         dedup as dedup_mod,
         linkgraph,
@@ -3373,6 +3423,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "event_transitions": temporal_mod.event_transitions_sql(),
+        "lexical_diversity": curate.lexical_diversity_sql(),
+        "lang_source_chi2": profile_mod.contingency_chi2_sql(
+            k1="lang", k2="source", table="documents"),
+        "association_rules": assoc_mod.association_rules_sql(
+            key_col="l_orderkey", member_col="l_partkey",
+            min_shared=2, max_members_per_key=64, table="lineitem"),
+        "snapshot_intervals": PAGES_PRE + " "
+        + temporal_mod.snapshot_intervals_sql(
+            key="url", ts="warc_ts",
+            source_sql="SELECT url, warc_ts FROM pages"),
         "name_dedup_pairs": similarity_mod.edit_distance_pairs_sql(
             id_col="c_custkey", text_col="c_name",
             block_col="c_nationkey", max_dist=2, table="customer"),

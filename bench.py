@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "rollup_lang_source",
     "value_hour_corr",
     "decayed_score",
+    "lexical_diversity",
+    "lang_source_chi2",
+    "association_rules",
+    "snapshot_intervals",
 ]
 
 HEADLINE = "flagship"

@@ -890,3 +890,70 @@ def trending_terms_sql(*, k: int = 40, tok_cte: str = "tok",
                ((n_late * 1000000) // (n_early + 1))::BIGINT AS growth_ppm
         FROM c
         ORDER BY growth_ppm DESC, {token} LIMIT {k}"""
+
+
+def lexical_diversity(ds, *, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Per-document lexical-diversity signals as EXACT integers — the
+    log-free cousins of token entropy (IEEE ``ln`` is not correctly
+    rounded, so entropy is not reproducible cross-engine; these rationals
+    are):
+
+    * ``n_tokens``, ``n_distinct``
+    * ``ttr_ppm``      = type-token ratio, ``distinct·10⁶ // n``
+    * ``simpson_ppm``  = repeat probability ``Σnᵢ(nᵢ−1)·10⁶ // (n(n−1))``
+      — the Simpson/Herfindahl concentration of the doc's unigram
+      distribution (0 = all tokens distinct, 10⁶ = one token repeated).
+
+    Zero shuffle: per-doc stats complete inside the batch (one explode +
+    one Arrow group_by), like the sibling ``repetition_stats``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        parent = parent.astype(np.int64)
+        n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
+
+        t = pa.table({"d": pa.array(parent), "tok": flat})
+        g = t.group_by(["d", "tok"]).aggregate([([], "count_all")])
+        d_idx = g.column("d").to_numpy()
+        cnt = g.column("count_all").to_numpy().astype(np.int64)
+        distinct = np.bincount(d_idx, minlength=nrows).astype(np.int64)
+        rep = np.zeros(nrows, dtype=np.int64)
+        np.add.at(rep, d_idx, cnt * (cnt - 1))  # int64 path: exact
+
+        ttr = distinct * 1_000_000 // np.maximum(n_tok, 1)
+        den = n_tok * (n_tok - 1)
+        simpson = rep * 1_000_000 // np.maximum(den, 1)
+        out = batch.select([id_col])
+        for name, arr in (("n_tokens", n_tok), ("n_distinct", distinct),
+                          ("ttr_ppm", ttr), ("simpson_ppm", simpson)):
+            out = out.append_column(name, pa.array(arr, type=pa.int64()))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lexical_diversity_sql(*, table: str = "documents", text: str = "text",
+                          id_col: str = "doc_id") -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {toks} AS arr, len({toks})::BIGINT AS n
+          FROM {table}
+        ), tok AS (
+          SELECT {id_col}, n, u.t AS tok, count(*)::BIGINT AS c
+          FROM base, unnest(arr) AS u(t)
+          GROUP BY 1, 2, 3
+        ), agg AS (
+          SELECT {id_col}, any_value(n) AS n,
+                 count(*)::BIGINT AS n_distinct,
+                 sum(c * (c - 1))::BIGINT AS rep
+          FROM tok GROUP BY 1
+        )
+        SELECT b.{id_col}, b.n AS n_tokens,
+               coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
+               (coalesce(a.n_distinct, 0) * 1000000
+                // greatest(b.n, 1))::BIGINT AS ttr_ppm,
+               (coalesce(a.rep, 0) * 1000000
+                // greatest(b.n * (b.n - 1), 1))::BIGINT AS simpson_ppm
+        FROM base b LEFT JOIN agg a USING ({id_col})"""

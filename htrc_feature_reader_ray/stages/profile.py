@@ -776,3 +776,65 @@ def grouped_mad_sql(*, key: str, value_expr: str, k: int = 3,
                    AS n_outliers
         FROM d JOIN a USING ({key})
         GROUP BY d.{key}"""
+
+
+# ---------------------------------------------------------------------------
+# contingency table + per-cell chi-square terms
+
+
+def contingency_chi2(ds, *, k1: str, k2: str, num_buckets: int = 32):
+    """Categorical-association table for feature selection: observed cell
+    counts of ``(k1, k2)`` plus each cell's chi-square contribution
+
+        chi2_term = (n·o − rt·ct)² / (n·rt·ct)
+
+    (the classic (o−e)²/e with e = rt·ct/n, cleared of the inner division
+    so both numerator and denominator are EXACT integers — one int→double
+    rounding each plus a correctly-rounded divide makes the doubles
+    bit-identical to the SQL mirror; the total χ² is then a sum the READER
+    performs, cell order being their choice — the engine never emits an
+    order-dependent float sum).
+
+    Scale shape: per-batch Arrow cell-count combiner → one bucketed fold.
+    Cell cardinality |k1|×|k2| is small by the nature of a contingency
+    table (it is read by humans / a feature selector), so the marginal
+    totals are a driver-side finish over the folded cells — the INPUT is
+    never materialized."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([k1, k2]).group_by([k1, k2]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([k1, k2, "o"])
+
+    cells = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [k1, k2], {"o": ("o", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+
+    rt = cells.groupby(k1)["o"].transform("sum").astype("int64")
+    ct = cells.groupby(k2)["o"].transform("sum").astype("int64")
+    n = int(cells["o"].sum())
+    terms = []
+    for o, r, c in zip(cells["o"].astype("int64"), rt, ct):
+        num = (n * int(o) - int(r) * int(c)) ** 2
+        den = n * int(r) * int(c)
+        terms.append(float(num) / float(den))
+    out = cells.copy()
+    out["observed"] = out.pop("o").astype("int64")
+    out["chi2_term"] = pd.Series(terms, index=cells.index, dtype="float64")
+    return out[[k1, k2, "observed", "chi2_term"]]
+
+
+def contingency_chi2_sql(*, k1: str, k2: str, table: str) -> str:
+    """SQL mirror: HUGEINT-exact numerator/denominator, one rounding each."""
+    return f"""
+        WITH c AS (
+            SELECT {k1}, {k2}, count(*) AS o FROM {table} GROUP BY 1, 2
+        ), r AS (SELECT {k1}, sum(o) AS rt FROM c GROUP BY 1),
+        cc AS (SELECT {k2}, sum(o) AS ct FROM c GROUP BY 1),
+        g AS (SELECT sum(o) AS n FROM c)
+        SELECT c.{k1}, c.{k2}, o::BIGINT AS observed,
+               ((n*o - rt*ct) * (n*o - rt*ct))::DOUBLE
+               / (n * rt * ct)::DOUBLE AS chi2_term
+        FROM c JOIN r USING ({k1}) JOIN cc USING ({k2}) CROSS JOIN g"""

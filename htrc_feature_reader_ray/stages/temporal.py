@@ -1223,3 +1223,63 @@ def decayed_score_sql(*, key: str, ts: str, amount_col: str,
                count(*)::BIGINT AS n_events
         FROM {table} CROSS JOIN g
         GROUP BY {key}"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 snapshot validity intervals
+
+
+def snapshot_intervals(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Slowly-changing-dimension (SCD type 2) interval view of a snapshot
+    stream: per entity, each snapshot becomes a validity window
+    ``[valid_from, valid_to)`` with ``valid_to`` = the next snapshot's
+    timestamp (NULL on the current version) and a 1-based ``version``
+    counter — the standard re-crawl history layout for point-in-time joins
+    (compose with ``asof_join`` to query "which version was live at T").
+
+    ONE key-bucketed exchange; inside the bucket the shift/rank runs
+    vectorized across ALL entities at once (single sort + groupby-cumcount
+    + boundary-masked shift, no per-entity loop).  Output ``valid_from``
+    / ``valid_to`` keep the engine-wide ``timestamp[us]`` contract."""
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts], kind="mergesort").reset_index(
+            drop=True)
+        nxt = df[ts].shift(-1)
+        same = df[key].shift(-1) == df[key]
+        return pd.DataFrame({
+            key: df[key],
+            "valid_from": df[ts],
+            "valid_to": nxt.where(same),
+            "version": (df.groupby(key, sort=False).cumcount() + 1
+                        ).astype("int64"),
+        })
+
+    out = bucketed_map_groups(ds.select_columns([key, ts]), key,
+                              per_bucket, num_buckets=num_buckets)
+
+    def cast_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t.column(key),
+            "valid_from": pc.cast(t.column("valid_from"),
+                                  pa.timestamp("us")),
+            "valid_to": pc.cast(t.column("valid_to"), pa.timestamp("us")),
+            "version": t.column("version"),
+        })
+
+    return out.map_batches(cast_us, batch_format="pyarrow")
+
+
+def snapshot_intervals_sql(*, key: str, ts: str, source_sql: str) -> str:
+    """SQL mirror: lead() + row_number() over the identical order key
+    (``ts`` is unique per entity in a snapshot stream)."""
+    return f"""
+        SELECT {key}, {ts} AS valid_from,
+               lead({ts}) OVER (PARTITION BY {key} ORDER BY {ts})
+                   AS valid_to,
+               row_number() OVER (PARTITION BY {key} ORDER BY {ts})::BIGINT
+                   AS version
+        FROM ({source_sql})"""

@@ -367,3 +367,23 @@ def test_pmi_collocations_paths_equal():
           .to_pandas().sort_values(key).reset_index(drop=True))
     cols = sorted(bc.columns)
     pd.testing.assert_frame_equal(bc[cols], jn[cols])
+
+
+def test_lexical_diversity_hand_fixture():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.curate import lexical_diversity
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a b", "x y z", ""],
+    })
+    out = lexical_diversity(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().set_index("doc_id")
+    # doc 1: n=3 distinct=2 ttr=2e6//3 simpson=(2*1)*1e6//(3*2)
+    assert out.loc[1].tolist() == [3, 2, 666666, 333333]
+    # doc 2: all distinct -> simpson 0, ttr 1e6
+    assert out.loc[2].tolist() == [3, 3, 1000000, 0]
+    # empty doc: all zeros (greatest(n,1) guards)
+    assert out.loc[3].tolist() == [0, 0, 0, 0]

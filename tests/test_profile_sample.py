@@ -422,3 +422,54 @@ def test_grouped_mad_hand_fixture():
     # constant group: mad 0, strict > keeps outliers at 0
     assert out.loc["g2", ["n", "median", "mad", "n_outliers"]].tolist() == \
         [2, 5, 0, 0]
+
+
+def test_contingency_chi2_independent_and_skewed():
+    from htrc_feature_reader_ray.stages.profile import contingency_chi2
+
+    # perfectly independent 2x2 -> every chi2 term exactly 0
+    ind = pd.DataFrame({
+        "a": ["x"] * 4 + ["y"] * 4,
+        "b": ["p", "p", "q", "q"] * 2,
+    })
+    out = contingency_chi2(
+        ray.data.from_pandas(ind).repartition(3), k1="a", k2="b"
+    ).sort_values(["a", "b"]).reset_index(drop=True)
+    assert out["observed"].tolist() == [2, 2, 2, 2]
+    assert out["chi2_term"].tolist() == [0.0, 0.0, 0.0, 0.0]
+
+    # skewed cell: verify against the exact rational formula
+    sk = pd.DataFrame({
+        "a": ["x", "x", "x", "y"],
+        "b": ["p", "p", "q", "q"],
+    })
+    out2 = contingency_chi2(
+        ray.data.from_pandas(sk), k1="a", k2="b"
+    ).set_index(["a", "b"])
+    # cell (x,p): o=2, rt=3, ct=2, n=4 -> (8-6)^2/(4*3*2)
+    assert out2.loc[("x", "p"), "chi2_term"] == float(4) / float(24)
+
+
+def test_association_rules_hand_baskets():
+    from htrc_feature_reader_ray.stages.assoc import association_rules
+
+    # baskets: {A,B} x3, {A,C}, {B,C}, {A}, {D}  -> N=7
+    rows = []
+    for k, items in enumerate(
+            [("A", "B"), ("A", "B"), ("A", "B"), ("A", "C"),
+             ("B", "C"), ("A",), ("D",)]):
+        rows += [(k, it) for it in items]
+    df = pd.DataFrame(rows, columns=["basket", "item"])
+    out = association_rules(
+        ray.data.from_pandas(df).repartition(3),
+        key_col="basket", member_col="item", min_shared=2,
+    ).to_pandas().set_index(["item_a", "item_b"])
+    r = out.loc[("A", "B")]
+    # n_joint=3, n_a=5, n_b=4, N=7
+    assert r[["n_joint", "n_a", "n_b"]].tolist() == [3, 5, 4]
+    assert r["support_ppm"] == 3 * 1_000_000 // 7
+    assert r["conf_a_to_b_ppm"] == 3 * 1_000_000 // 5
+    assert r["conf_b_to_a_ppm"] == 3 * 1_000_000 // 4
+    assert r["lift_ppm"] == 3 * 7 * 1_000_000 // (5 * 4)
+    # pairs sharing only one basket are below min_shared
+    assert ("A", "C") not in out.index

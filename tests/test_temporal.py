@@ -491,3 +491,28 @@ def test_rolling_active_users_exact():
         "1970-01-01", "1970-01-02", "1970-01-03",
         "1970-01-04", "1970-01-05"]
     assert out.active_3d.tolist() == [2, 2, 2, 1, 1]
+
+
+def test_snapshot_intervals_versions_and_open_end():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.temporal import snapshot_intervals
+
+    t = pd.to_datetime(["2026-01-01", "2026-01-05", "2026-02-01",
+                        "2026-01-03"])
+    df = pd.DataFrame({
+        "url": ["u1", "u1", "u1", "u2"],
+        "ts": t,
+    })
+    out = snapshot_intervals(
+        ray.data.from_pandas(df).repartition(3), key="url", ts="ts"
+    ).to_pandas().sort_values(["url", "version"]).reset_index(drop=True)
+    u1 = out[out["url"] == "u1"]
+    assert u1["version"].tolist() == [1, 2, 3]
+    assert u1["valid_to"].iloc[0] == t[1]
+    assert u1["valid_to"].iloc[1] == t[2]
+    assert pd.isna(u1["valid_to"].iloc[2])  # current version open-ended
+    u2 = out[out["url"] == "u2"]
+    assert u2["version"].tolist() == [1]
+    assert pd.isna(u2["valid_to"].iloc[0])
