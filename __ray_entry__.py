@@ -1064,6 +1064,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_jaccard_join(sf):
+        """EXACT set-similarity self-join (3-shingle Jaccard ≥ 0.5) via
+        lossless prefix filtering (Vernica et al. SIGMOD'10): candidates
+        mined from rarest-shingle prefixes only, then verified exactly —
+        bit-equal to the unfiltered all-pairs SQL."""
+        from htrc_feature_reader_ray.stages.dedup import jaccard_join
+
+        return jaccard_join(
+            _docs(sf), k_shingle=3, threshold_ppm=500_000)
+
     def q_lexical_diversity(sf):
         """Per-doc exact-integer lexical diversity (TTR + Simpson repeat
         probability in ppm) — the log-free reproducible cousins of token
@@ -2655,6 +2665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "jaccard_join": q_jaccard_join,
         "lexical_diversity": q_lexical_diversity,
         "lang_source_chi2": q_lang_source_chi2,
         "association_rules": q_association_rules,
@@ -3423,6 +3434,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "event_transitions": temporal_mod.event_transitions_sql(),
+        "jaccard_join": dedup_mod.jaccard_join_sql(threshold_ppm=500_000),
         "lexical_diversity": curate.lexical_diversity_sql(),
         "lang_source_chi2": profile_mod.contingency_chi2_sql(
             k1="lang", k2="source", table="documents"),

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "lang_source_chi2",
     "association_rules",
     "snapshot_intervals",
+    "jaccard_join",
 ]
 
 HEADLINE = "flagship"

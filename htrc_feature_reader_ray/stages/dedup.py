@@ -1743,3 +1743,206 @@ def semdedup_pairs_sql(*, table: str = "embeddings",
          AND a.{id_col} < b.{id_col}
         WHERE list_cosine_similarity(a.{vec_col}::DOUBLE[],
                                      b.{vec_col}::DOUBLE[]) >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering, Vernica et al. SIGMOD'10)
+
+
+def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 k_shingle: int = 3, threshold_ppm: int = 500_000,
+                 num_buckets: int = 32):
+    """EXACT all-pairs set-similarity join: every doc pair whose distinct
+    ``k_shingle``-gram Jaccard is ≥ ``threshold_ppm/10⁶`` — no sketch, no
+    recall loss.  The quadratic candidate space is cut by LOSSLESS prefix
+    filtering (the MapReduce set-similarity join of Vernica/Carey/Li,
+    SIGMOD'10): order every doc's shingles by ascending corpus frequency,
+    keep only the first ``n − ceil(t·n) + 1`` as its PREFIX; two docs can
+    reach the threshold only if their prefixes share a shingle (standard
+    prefix-filter lemma, any consistent global order) — so candidates are
+    mined from rare shingles only and then verified exactly.
+
+    Plan (each stage a bounded exchange):
+      1. per-batch distinct (doc, shingle) explode          [no exchange]
+      2. shingle document-frequency fold                    [g-bucketed]
+      3. df attach                                          [g-bucket join]
+      4. per-doc (df, g)-sorted set payloads                [doc-bucketed]
+         — MATERIALIZED once: three consumers below (prefix explode +
+         both verify joins); re-deriving the tokenized corpus thrice
+         would cost more than the checkpoint
+      5. prefix explode → candidate pairs (pair kernel)     [g-bucketed]
+      6. exact verify: payloads joined on both ids, intersection counted
+         by one factorize + lexsort-duplicate pass per batch (no per-pair
+         Python loop)                                       [2 id joins]
+
+    Integer contract: the threshold test is ``inter·10⁶ ≥ t_ppm·union``
+    (exact ⟺ J ≥ t); ``jaccard_ppm = inter·10⁶ // union``.
+    """
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+        bucketed_map_groups,
+        shared_key_pair_counts,
+    )
+
+    M = 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, gs_out = [], []
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        for i, text in zip(ids, texts):
+            sh = set(word_shingles(
+                [t for t in (text or "").split(" ") if t], k_shingle))
+            ids_out.extend([i] * len(sh))
+            gs_out.extend(sh)
+        return pa.table({
+            id_col: pa.array(ids_out, type=pa.int64()),
+            "g": pa.array(gs_out, type=pa.string()),
+        })
+
+    # (doc, shingle) rows are globally distinct (a doc lives in one batch),
+    # so the df fold needs no second dedup
+    long = ds.map_batches(explode, batch_format="pyarrow")
+    dfs = bucketed_aggregate(
+        long, ["g"], {"_df": (id_col, "size")}, num_buckets=num_buckets)
+
+    def df_side(frame: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": frame["g"],
+                             "_df": frame["_df"].astype("int64")})
+
+    with_df = bucket_join(
+        long, dfs.map_batches(df_side, batch_format="pandas"),
+        left_key="g", right_key="g", num_buckets=num_buckets)
+
+    def build_sets(frame: pd.DataFrame) -> pd.DataFrame:
+        if frame.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "gs": pd.Series(dtype=object)})
+        frame = frame.sort_values([id_col, "_df", "g"], kind="mergesort")
+        ids = frame[id_col].to_numpy()
+        gs = frame["g"].to_numpy()
+        uids, starts = np.unique(ids, return_index=True)
+        parts = np.split(gs, starts[1:])
+        return pd.DataFrame({
+            id_col: uids.astype(np.int64),
+            "n": np.diff(np.append(starts, len(ids))).astype(np.int64),
+            # one \x1f-joined string per doc: a plain Arrow string column
+            # survives bucket_join's null-pad alignment (list<string>
+            # cannot) and splits vectorized at use
+            "gs": ["\x1f".join(p) for p in parts],
+        })
+
+    payloads = bucketed_map_groups(
+        with_df, id_col, build_sets, num_buckets=num_buckets
+    ).materialize()
+
+    def prefix_rows(frame: pd.DataFrame) -> pd.DataFrame:
+        if frame.empty:
+            return pd.DataFrame({"g": pd.Series(dtype=object),
+                                 id_col: pd.Series(dtype="int64")})
+        n = frame["n"].to_numpy()
+        p = n - (threshold_ppm * n + M - 1) // M + 1
+        flat = np.concatenate(frame["gs"].str.split("\x1f").to_list())
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        pos = np.arange(len(flat)) - np.repeat(starts, n)
+        keep = pos < np.repeat(p, n)
+        return pd.DataFrame({
+            "g": flat[keep],
+            id_col: np.repeat(frame[id_col].to_numpy(), n)[keep],
+        })
+
+    candidates = shared_key_pair_counts(
+        payloads.map_batches(prefix_rows, batch_format="pandas"),
+        key_col="g", member_col=id_col, min_shared=1,
+        # losslessness forbids a real cap; a hub PREFIX shingle would mean
+        # the threshold is too low for this corpus, not a plan defect
+        max_members_per_key=1_000_000,
+        num_buckets=num_buckets,
+        out_a="id_a", out_b="id_b", out_n="_n_prefix_shared",
+    )
+
+    def side(suffix):
+        def fn(frame: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                f"id_{suffix}": frame[id_col].astype("int64"),
+                f"n_{suffix}": frame["n"].astype("int64"),
+                f"gs_{suffix}": frame["gs"],
+            })
+        return fn
+
+    with_a = bucket_join(
+        candidates, payloads.map_batches(side("a"), batch_format="pandas"),
+        left_key="id_a", right_key="id_a", num_buckets=num_buckets)
+    with_ab = bucket_join(
+        with_a, payloads.map_batches(side("b"), batch_format="pandas"),
+        left_key="id_b", right_key="id_b", num_buckets=num_buckets)
+
+    def verify(frame: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "inter": pd.Series(dtype="int64"),
+            "union_n": pd.Series(dtype="int64"),
+            "jaccard_ppm": pd.Series(dtype="int64"),
+        })
+        if frame.empty:
+            return empty
+        nrows = len(frame)
+        la = frame["n_a"].to_numpy()
+        lb = frame["n_b"].to_numpy()
+        toks = np.concatenate(
+            frame["gs_a"].str.split("\x1f").to_list()
+            + frame["gs_b"].str.split("\x1f").to_list())
+        pidx = np.concatenate(
+            [np.repeat(np.arange(nrows), la),
+             np.repeat(np.arange(nrows), lb)])
+        codes, _ = pd.factorize(toks)
+        order = np.lexsort((codes, pidx))
+        pc, cc = pidx[order], codes[order]
+        dup = (pc[1:] == pc[:-1]) & (cc[1:] == cc[:-1])
+        inter = np.bincount(pc[1:][dup], minlength=nrows).astype(np.int64)
+        union = la + lb - inter
+        hit = inter * M >= threshold_ppm * union
+        return pd.DataFrame({
+            "id_a": frame["id_a"].to_numpy()[hit].astype(np.int64),
+            "id_b": frame["id_b"].to_numpy()[hit].astype(np.int64),
+            "inter": inter[hit],
+            "union_n": union[hit],
+            "jaccard_ppm": inter[hit] * M // union[hit],
+        })
+
+    return with_ab.map_batches(verify, batch_format="pandas")
+
+
+def jaccard_join_sql(*, id_col: str = "doc_id", text_col: str = "text",
+                     k_shingle: int = 3, threshold_ppm: int = 500_000,
+                     table: str = "documents") -> str:
+    """SQL mirror: the UNFILTERED exact all-pairs join — prefix filtering
+    is lossless, so the engine must reproduce it bit for bit."""
+    assert k_shingle == 3, "oracle only mirrors k=3"
+    return f"""
+        WITH toks AS (
+          SELECT {id_col},
+                 list_filter(string_split({text_col}, ' '), x -> x <> '')
+                     AS arr
+          FROM {table}
+        ), sh AS (
+          SELECT DISTINCT {id_col},
+                 arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+          FROM toks, unnest(generate_series(1, len(arr) - 2)) AS u(i)
+        ), sz AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                 count(*)::BIGINT AS i
+          FROM sh a JOIN sh b ON a.g = b.g
+                    AND a.{id_col} < b.{id_col}
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, i AS inter,
+               (sa.n + sb.n - i)::BIGINT AS union_n,
+               (i * 1000000 // (sa.n + sb.n - i))::BIGINT AS jaccard_ppm
+        FROM inter JOIN sz sa ON id_a = sa.{id_col}
+                   JOIN sz sb ON id_b = sb.{id_col}
+        WHERE i * 1000000 >= {threshold_ppm} * (sa.n + sb.n - i)"""

@@ -1270,7 +1270,11 @@ def degree_assortativity(edges, *, num_buckets: int = 32):
     from htrc_feature_reader_ray.stages.partition import bucket_join
     from htrc_feature_reader_ray.stages.profile import grouped_moments
 
-    deg = link_degree(edges, num_buckets=num_buckets)
+    # edges feed three consumers (degree fold + both joins) and typically
+    # sit behind an html-parse pipeline: materialize once, like pagerank's
+    # loop-invariant edge list, instead of re-running the parse per consumer
+    edges = edges.materialize()
+    deg = link_degree(edges, num_buckets=num_buckets).materialize()
 
     def src_side(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"url": df["url"],

@@ -545,3 +545,49 @@ def test_containment_pairs_doc_inside_doc_and_path_equality():
     assert out.loc[0, "containment"] == 1.0     # all of doc1's shingles
     assert out.loc[0, "n_shared"] == 3          # 5 tokens -> 3 trigrams
     pd.testing.assert_frame_equal(out, run("broadcast"))
+
+
+# ---------------------------------------------------------------------------
+# exact prefix-filtered Jaccard join
+
+
+def test_jaccard_join_exact_vs_bruteforce():
+    import itertools
+
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import jaccard_join, word_shingles
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "the quick brown fox jumps over the lazy cat tonight",   # near 1
+        3: "the quick brown fox jumps over the lazy dog tonight",   # == 1
+        4: "completely different text with no shared shingles at all",
+        5: "one two",                                               # no 3-shingle
+    }
+    df = pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+    out = (
+        jaccard_join(ray.data.from_pandas(df).repartition(3),
+                     k_shingle=3, threshold_ppm=500_000)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+
+    # brute-force reference
+    sets = {i: set(word_shingles(t.split(), 3)) for i, t in docs.items()}
+    expect = []
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter * 1_000_000 >= 500_000 * union:
+            expect.append((a, b, inter, union, inter * 1_000_000 // union))
+    assert out[["id_a", "id_b", "inter", "union_n",
+                "jaccard_ppm"]].values.tolist() == [list(e) for e in expect]
+    # the identical pair is found at exactly 10^6 ppm
+    ident = out[(out["id_a"] == 1) & (out["id_b"] == 3)]
+    assert ident["jaccard_ppm"].tolist() == [1_000_000]
+    # doc 5 (too short for a 3-shingle) and doc 4 (disjoint) never pair
+    assert not set(out["id_a"]) & {4, 5}
+    assert not set(out["id_b"]) & {4, 5}
