@@ -35,10 +35,20 @@ import pyarrow as pa
 
 def association_rules(ds, *, key_col: str, member_col: str,
                       min_shared: int = 2, max_members_per_key: int = 64,
+                      counts_path: str = "auto",
+                      broadcast_limit: int = 4_000_000,
                       num_buckets: int = 32):
     """(item_a, item_b, n_joint, n_a, n_b, support_ppm, conf_a_to_b_ppm,
     conf_b_to_a_ppm, lift_ppm) for every pair sharing ≥ ``min_shared``
-    baskets.  ``item_a < item_b`` canonical order from the pair kernel."""
+    baskets.  ``item_a < item_b`` canonical order from the pair kernel.
+
+    ``counts_path``: how item supports reach the pair table —
+    ``'broadcast'`` (ray.put the (item, n) arrays once, searchsorted lookup
+    inside the finish map — ZERO extra exchanges; right whenever the item
+    vocabulary fits a worker, same rationale as pmi_collocations'
+    denominator lookup), ``'join'`` (two co-partitioning bucket joins, for
+    unbounded vocabularies), or ``'auto'`` (broadcast below
+    ``broadcast_limit`` items).  Both paths are pinned equal in tests."""
     from htrc_feature_reader_ray.stages.partition import (
         bucket_join,
         bucketed_aggregate,
@@ -85,20 +95,46 @@ def association_rules(ds, *, key_col: str, member_col: str,
         ).count()
     )
 
-    def a_side(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"item_a": df[member_col],
-                             "n_a": df["n_item"].astype("int64")})
+    if counts_path == "auto":
+        item_counts = item_counts.materialize()
+        counts_path = (
+            "broadcast" if item_counts.count() <= broadcast_limit
+            else "join")
 
-    def b_side(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"item_b": df[member_col],
-                             "n_b": df["n_item"].astype("int64")})
+    if counts_path == "broadcast":
+        import ray
 
-    with_a = bucket_join(
-        pairs, item_counts.map_batches(a_side, batch_format="pandas"),
-        left_key="item_a", right_key="item_a", num_buckets=num_buckets)
-    with_ab = bucket_join(
-        with_a, item_counts.map_batches(b_side, batch_format="pandas"),
-        left_key="item_b", right_key="item_b", num_buckets=num_buckets)
+        icdf = item_counts.to_pandas().sort_values(member_col)
+        lookup_ref = ray.put((
+            icdf[member_col].to_numpy(),
+            icdf["n_item"].to_numpy().astype(np.int64),
+        ))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            items, counts = ray.get(lookup_ref)
+            df = df.copy()
+            df["n_a"] = counts[
+                np.searchsorted(items, df["item_a"].to_numpy())]
+            df["n_b"] = counts[
+                np.searchsorted(items, df["item_b"].to_numpy())]
+            return df
+
+        with_ab = pairs.map_batches(attach, batch_format="pandas")
+    else:
+        def a_side(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"item_a": df[member_col],
+                                 "n_a": df["n_item"].astype("int64")})
+
+        def b_side(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"item_b": df[member_col],
+                                 "n_b": df["n_item"].astype("int64")})
+
+        with_a = bucket_join(
+            pairs, item_counts.map_batches(a_side, batch_format="pandas"),
+            left_key="item_a", right_key="item_a", num_buckets=num_buckets)
+        with_ab = bucket_join(
+            with_a, item_counts.map_batches(b_side, batch_format="pandas"),
+            left_key="item_b", right_key="item_b", num_buckets=num_buckets)
 
     M = 1_000_000
     N = n_baskets

@@ -435,8 +435,48 @@ def edit_distance_pairs(ds, *, id_col: str, text_col: str, block_col: str,
             return empty()
         ia = np.concatenate(ia_all)
         ib = np.concatenate(ib_all)
-        d = _levenshtein_pairs(
-            texts[ia].astype(str), texts[ib].astype(str))
+        # bag-distance prefilter (lossless: max(|A∖B|,|B∖A|) over char
+        # MULTISETS lower-bounds edit distance — each edit op repairs at
+        # most one element of each side's difference), so the quadratic
+        # DP only runs on pairs that survive a cheap histogram compare
+        strs = texts.astype(str)
+        lmax = max(int(lens.max()), 1)
+        mat = strs.astype(f"U{lmax}").view(np.uint32).reshape(len(strs), -1)
+        alphabet = np.unique(mat)
+        counts = np.zeros((len(strs), len(alphabet)), dtype=np.int16)
+        np.add.at(
+            counts,
+            (np.repeat(np.arange(len(strs)), mat.shape[1]),
+             np.searchsorted(alphabet, mat).ravel()),
+            1,
+        )
+        if alphabet[0] == 0:  # drop the pad column
+            counts = counts[:, 1:]
+        diff = counts[ia].astype(np.int32) - counts[ib].astype(np.int32)
+        bag = np.maximum(
+            np.clip(diff, 0, None).sum(axis=1),
+            np.clip(-diff, 0, None).sum(axis=1))
+        cand = bag <= max_dist
+        ia, ib = ia[cand], ib[cand]
+        if not len(ia):
+            return empty()
+        # lossless affix strip: edit distance is invariant under removing a
+        # shared prefix (and, when lengths are uniform, a shared suffix) —
+        # id-style keys ("Customer#0000…") collapse to their differing tail,
+        # shrinking the DP from O(L²) rows to the few variable positions
+        same = np.cumprod((mat == mat[0:1]).all(axis=0))
+        cp = int(same.sum())
+        cs = 0
+        if len(np.unique(lens)) == 1:
+            rsame = np.cumprod((mat[:, ::-1] == mat[0:1, ::-1]).all(axis=0))
+            cs = min(int(rsame.sum()), int(lens[0]) - cp)
+        if cp or cs:
+            end = None if cs == 0 else -cs
+            strs_dp = np.frompyfunc(
+                lambda s: s[cp:end], 1, 1)(strs).astype(str)
+        else:
+            strs_dp = strs
+        d = _levenshtein_pairs(strs_dp[ia], strs_dp[ib])
         hit = d <= max_dist
         ids = df[id_col].to_numpy()
         return pd.DataFrame({

@@ -473,3 +473,25 @@ def test_association_rules_hand_baskets():
     assert r["lift_ppm"] == 3 * 7 * 1_000_000 // (5 * 4)
     # pairs sharing only one basket are below min_shared
     assert ("A", "C") not in out.index
+
+
+def test_association_rules_paths_equal():
+    from htrc_feature_reader_ray.stages.assoc import association_rules
+
+    rows = []
+    for k, items in enumerate(
+            [("A", "B", "C"), ("A", "B"), ("B", "C"), ("A", "C"),
+             ("A", "B"), ("D",)]):
+        rows += [(k, it) for it in items]
+    df = pd.DataFrame(rows, columns=["basket", "item"])
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = {}
+    for path in ("broadcast", "join"):
+        out[path] = (
+            association_rules(ds, key_col="basket", member_col="item",
+                              min_shared=2, counts_path=path)
+            .to_pandas().sort_values(["item_a", "item_b"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(
+        out["broadcast"], out["join"][out["broadcast"].columns])
