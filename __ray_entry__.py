@@ -37,6 +37,11 @@ LINKS_PRE = f"WITH {LINKS_SQL.strip()}"
 # stable Ray block schema + config-pinned feature columns at scale)
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
+# fixed term list for the corpus-wide snapshot×term matrix (the reference's
+# term_page_freqs pivot, feature_reader.py:723-733, made distributed by the
+# explicit-vocabulary contract)
+MATRIX_TERMS = ("scan", "column", "window", "order", "sort", "agg")
+
 
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000_000,
                   damping_pct: int = 85,
@@ -1062,6 +1067,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decayed_score(
             _events(sf, ["user_id", "ts", "value"]),
             key="user_id", ts="ts", amount_col="value",
+        )
+
+    def q_term_matrix(sf):
+        """Corpus-wide snapshot × term count matrix — the reference's
+        term_page_freqs pivot made DISTRIBUTED: the explicit term list
+        pins the row width (SURVEY §7.5.4's blow-up objection), composite
+        (url, warc_ts) key, weighted by the folded token counts."""
+        from htrc_feature_reader_ray.stages.profile import pivot_counts
+
+        tokens = _folded(sf, section="ignore", pos=False)
+        return pivot_counts(
+            tokens, key=["url", "warc_ts"], cat_col="token",
+            categories=MATRIX_TERMS, value_col="count",
         )
 
     def q_jaccard_join(sf):
@@ -2665,6 +2683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
         "lexical_diversity": q_lexical_diversity,
         "lang_source_chi2": q_lang_source_chi2,
@@ -3434,6 +3453,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "event_transitions": temporal_mod.event_transitions_sql(),
+        "term_matrix": TOK_PRE + ", tl AS (SELECT url, warc_ts, token,"
+        " count(*)::BIGINT AS count FROM tokpos GROUP BY ALL)"
+        + profile_mod.pivot_counts_sql(
+            key=["url", "warc_ts"], cat_col="token",
+            categories=MATRIX_TERMS, value_col="count", table="tl"),
         "jaccard_join": dedup_mod.jaccard_join_sql(threshold_ppm=500_000),
         "lexical_diversity": curate.lexical_diversity_sql(),
         "lang_source_chi2": profile_mod.contingency_chi2_sql(

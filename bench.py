@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "association_rules",
     "snapshot_intervals",
     "jaccard_join",
+    "term_matrix",
 ]
 
 HEADLINE = "flagship"

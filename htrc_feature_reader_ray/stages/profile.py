@@ -446,7 +446,8 @@ def rfm_features_sql(*, key: str, ts: str, amount_col: str,
 # categorical pivot (behavioral feature vectors)
 
 
-def pivot_counts(ds, *, key: str, cat_col: str, categories,
+def pivot_counts(ds, *, key, cat_col: str, categories,
+                 value_col: str | None = None,
                  prefix: str = "n_", num_buckets: int = 32):
     """Wide per-entity categorical count features — the classic behavioral
     feature vector (one ``n_<category>`` column per category, zero-filled).
@@ -466,13 +467,16 @@ def pivot_counts(ds, *, key: str, cat_col: str, categories,
 
     from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
+    keys = [key] if isinstance(key, str) else list(key)
     categories = list(categories)
     out_cols = [f"{prefix}{c}" for c in categories]
+    agg = ([([], "count_all")] if value_col is None
+           else [(value_col, "sum")])
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.select([key, cat_col]).group_by([key, cat_col]).aggregate(
-            [([], "count_all")])
-        g = g.rename_columns([key, cat_col, "n"])
+        sel = keys + [cat_col] + ([value_col] if value_col else [])
+        g = t.select(sel).group_by(keys + [cat_col]).aggregate(agg)
+        g = g.rename_columns(keys + [cat_col, "n"])
         # unknown categories are dropped HERE (cheap, before the exchange)
         mask = pc.is_in(g.column(cat_col), value_set=pa.array(categories))
         return g.filter(mask)
@@ -480,28 +484,33 @@ def pivot_counts(ds, *, key: str, cat_col: str, categories,
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def pivot(df: pd.DataFrame) -> pd.DataFrame:
-        wide = df.pivot_table(index=key, columns=cat_col, values="n",
+        wide = df.pivot_table(index=keys, columns=cat_col, values="n",
                               aggfunc="sum", fill_value=0)
         wide = wide.reindex(columns=categories, fill_value=0).astype("int64")
         wide.columns = out_cols
         return wide.reset_index()
 
-    return bucketed_map_groups(partials, key, pivot,
+    # co-partition on the first key: composite-key tuples share its bucket
+    return bucketed_map_groups(partials, keys[0], pivot,
                                num_buckets=num_buckets)
 
 
-def pivot_counts_sql(*, key: str, cat_col: str, categories,
+def pivot_counts_sql(*, key, cat_col: str, categories,
+                     value_col: str | None = None,
                      prefix: str = "n_", table: str) -> str:
     """SQL mirror: conditional aggregation with the same fixed columns."""
+    keys = key if isinstance(key, str) else ", ".join(key)
+    expr = "count(*)" if value_col is None else f"sum({value_col})"
+    # sum() FILTER over an empty cell is NULL; the engine zero-fills
     cols = ",\n                   ".join(
-        f"count(*) FILTER (WHERE {cat_col} = '{c}')::BIGINT"
+        f"coalesce({expr} FILTER (WHERE {cat_col} = '{c}'), 0)::BIGINT"
         f" AS {prefix}{c}" for c in categories
     )
     return f"""
-        SELECT {key}, {cols}
+        SELECT {keys}, {cols}
         FROM {table}
         WHERE {cat_col} IN ({", ".join(f"'{c}'" for c in categories)})
-        GROUP BY {key}"""
+        GROUP BY {keys}"""
 
 
 # ---------------------------------------------------------------------------

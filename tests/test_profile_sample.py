@@ -495,3 +495,23 @@ def test_association_rules_paths_equal():
         )
     pd.testing.assert_frame_equal(
         out["broadcast"], out["join"][out["broadcast"].columns])
+
+
+def test_pivot_counts_composite_key_weighted():
+    from htrc_feature_reader_ray.stages.profile import pivot_counts
+
+    df = pd.DataFrame({
+        "k1": ["u", "u", "u", "v"],
+        "k2": [1, 1, 2, 1],
+        "cat": ["a", "a", "b", "a"],
+        "w": [10, 5, 7, 2],
+    })
+    out = (
+        pivot_counts(ray.data.from_pandas(df).repartition(3),
+                     key=["k1", "k2"], cat_col="cat",
+                     categories=("a", "b"), value_col="w")
+        .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    )
+    assert list(out.columns) == ["k1", "k2", "n_a", "n_b"]
+    assert out.values.tolist() == [
+        ["u", 1, 15, 0], ["u", 2, 0, 7], ["v", 1, 2, 0]]
