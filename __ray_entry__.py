@@ -1069,6 +1069,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_snapshot_diff(sf):
+        """CDC reconciliation between two deterministic snapshots of
+        orders (keys dropped / prices bumped by residue rules, mirrored
+        exactly in SQL): added/removed/changed/unchanged per key via the
+        128-bit text-free digest exchange."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.partition import table_diff
+
+        def snap(drop_mod: int, bump_mod: int | None):
+            def fn(t: pa.Table) -> pa.Table:
+                k = t.column("o_orderkey").to_numpy()
+                cents = np.round(
+                    t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+                if bump_mod is not None:
+                    cents = cents + np.where(k % bump_mod == 0, 100, 0)
+                keep = k % drop_mod != 0
+                return pa.table({
+                    "o_orderkey": pa.array(k[keep]),
+                    "cents": pa.array(cents[keep]),
+                    "status_col": t.column("o_orderstatus").filter(
+                        pa.array(keep)),
+                })
+            return fn
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+        left = orders.map_batches(snap(11, None), batch_format="pyarrow")
+        right = orders.map_batches(snap(13, 7), batch_format="pyarrow")
+        return table_diff(left, right, key="o_orderkey",
+                          compare_cols=["cents", "status_col"])
+
     def q_term_matrix(sf):
         """Corpus-wide snapshot × term count matrix — the reference's
         term_page_freqs pivot made DISTRIBUTED: the explicit term list
@@ -2683,6 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
         "lexical_diversity": q_lexical_diversity,
@@ -3453,6 +3488,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "event_transitions": temporal_mod.event_transitions_sql(),
+        "snapshot_diff": """
+            WITH a AS (
+                SELECT o_orderkey AS k,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                       o_orderstatus AS s
+                FROM orders WHERE o_orderkey % 11 <> 0
+            ), b AS (
+                SELECT o_orderkey AS k,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                       + CASE WHEN o_orderkey % 7 = 0 THEN 100 ELSE 0 END
+                           AS c,
+                       o_orderstatus AS s
+                FROM orders WHERE o_orderkey % 13 <> 0
+            )
+            SELECT coalesce(a.k, b.k)::BIGINT AS o_orderkey,
+                   CASE WHEN a.k IS NULL THEN 'added'
+                        WHEN b.k IS NULL THEN 'removed'
+                        WHEN a.c = b.c AND a.s = b.s THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM a FULL JOIN b ON a.k = b.k""",
         "term_matrix": TOK_PRE + ", tl AS (SELECT url, warc_ts, token,"
         " count(*)::BIGINT AS count FROM tokpos GROUP BY ALL)"
         + profile_mod.pivot_counts_sql(

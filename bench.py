@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "snapshot_intervals",
     "jaccard_join",
     "term_matrix",
+    "snapshot_diff",
 ]
 
 HEADLINE = "flagship"

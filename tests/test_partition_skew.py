@@ -147,3 +147,32 @@ def test_bucketed_aggregate_single_key_high_cardinality():
     ).to_pandas().sort_values("k").reset_index(drop=True)
     exp = df.assign(n=np.int64(1)).sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp[["k", "v", "n"]], check_dtype=True)
+
+
+def test_table_diff_statuses():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import table_diff
+
+    left = pd.DataFrame({
+        "k": [1, 2, 3, 4],
+        "v": ["a", "b", "c", "d"],
+        "w": [10, 20, 30, 40],
+    })
+    right = pd.DataFrame({
+        "k": [2, 3, 4, 5],
+        "v": ["b", "CHANGED", "d", "e"],
+        "w": [20, 30, 40, 50],
+    })
+    out = table_diff(
+        ray.data.from_pandas(left).repartition(2),
+        ray.data.from_pandas(right).repartition(3),
+        key="k", compare_cols=["v", "w"],
+    ).to_pandas().set_index("k")["status"]
+    assert out.loc[1] == "removed"
+    assert out.loc[2] == "unchanged"
+    assert out.loc[3] == "changed"
+    assert out.loc[4] == "unchanged"
+    assert out.loc[5] == "added"
+    assert out.index.dtype.kind == "i"  # int key survives the outer merge
