@@ -46,20 +46,31 @@ MATRIX_TERMS = ("scan", "column", "window", "order", "sort", "agg")
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000_000,
                   damping_pct: int = 85,
                   e2_select: str =
-                  "SELECT DISTINCT src_url, dst_url FROM link_edges") -> str:
+                  "SELECT DISTINCT src_url, dst_url FROM link_edges",
+                  seed_mod: int | None = None) -> str:
     """Unrolled-CTE replay of stages/linkgraph.pagerank's integer
     recurrence (DuckDB `//` = floor division on BIGINT, matching numpy).
-    ``e2_select`` swaps the edge table (e.g. the host-graph projection)."""
-    base = f"({100 - damping_pct} * ({scale} // n)) // 100"
+    ``e2_select`` swaps the edge table (e.g. the host-graph projection);
+    ``seed_mod`` switches to the PERSONALIZED variant: teleport mass lands
+    only on nodes with md5_number_upper(url) % seed_mod = 0 (the shared
+    engine/SQL hash identity)."""
+    if seed_mod is None:
+        seed_pred, n_expr = "TRUE", "count(*)"
+    else:
+        seed_pred = f"(md5_number_upper(url) % {seed_mod} = 0)"
+        n_expr = f"count(*) FILTER (WHERE {seed_pred})"
+    base = (f"(CASE WHEN seed THEN {100 - damping_pct} * ({scale} // n)"
+            " // 100 ELSE 0 END)")
     sql = LINKS_PRE + f""",
 e2 AS ({e2_select}),
 outdeg AS (SELECT src_url, count(*)::BIGINT AS od
            FROM e2 GROUP BY src_url),
-nodes AS (SELECT DISTINCT url FROM (
+nodes AS (SELECT url, {seed_pred} AS seed FROM (SELECT DISTINCT url FROM (
     SELECT src_url AS url FROM e2
-    UNION ALL SELECT dst_url FROM e2)),
-params AS (SELECT count(*)::BIGINT AS n FROM nodes),
-r0 AS (SELECT url, ({scale} // n)::BIGINT AS r FROM nodes CROSS JOIN params),
+    UNION ALL SELECT dst_url FROM e2))),
+params AS (SELECT {n_expr}::BIGINT AS n FROM nodes),
+r0 AS (SELECT url, (CASE WHEN seed THEN {scale} // n ELSE 0 END)::BIGINT
+       AS r FROM nodes CROSS JOIN params),
 """
     prev = "r0"
     for i in range(1, iterations + 1):
@@ -1068,6 +1079,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _events(sf, ["user_id", "ts", "value"]),
             key="user_id", ts="ts", amount_col="value",
         )
+
+    def q_interpolate_daily(sf):
+        """Per-user daily purchase-cents series with exact integer linear
+        interpolation across gap days (floor lerp — bit-exact, unlike a
+        float lerp); daily pre-fold guarantees unique (key, day)."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.temporal import interpolate_daily
+
+        ev = _events(sf, ["user_id", "ts", "value", "event_type"])
+
+        def daily(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            day = pc.cast(t.column("ts"), pa.int64()).to_numpy() \
+                // 86_400_000_000
+            t2 = pa.table({
+                "user_id": t.column("user_id"),
+                "day": pa.array(day),
+                "v": pa.array(cents),
+            })
+            g = t2.group_by(["user_id", "day"]).aggregate([("v", "sum")])
+            return g.rename_columns(["user_id", "day", "v"])
+
+        folded = bucketed_aggregate(
+            ev.map_batches(daily, batch_format="pyarrow"),
+            ["user_id", "day"], {"v": ("v", "sum")})
+
+        def to_ts(t: pa.Table) -> pa.Table:
+            day_us = pc.multiply(
+                pc.cast(t.column("day"), pa.int64()),
+                pa.scalar(86_400_000_000, type=pa.int64()))
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "ts": pc.cast(day_us, pa.timestamp("us")),
+                "v": pc.cast(t.column("v"), pa.int64()),
+            })
+
+        return interpolate_daily(
+            folded.map_batches(to_ts, batch_format="pyarrow"),
+            key="user_id", ts="ts", value_col="v")
+
+    def q_personalized_pagerank(sf):
+        """Topic-sensitive PageRank: teleport mass restricted to a
+        deterministic seed set (md5(url) % 10 == 0) — the crawl-
+        prioritization variant, same bit-exact integer recurrence and
+        3-bounded-exchange iteration shape as global pagerank."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            personalized_pagerank,
+        )
+
+        return personalized_pagerank(
+            extract_links(read_pages(sf, drop_text=True)),
+            iterations=3, seed_mod=10)
 
     def q_snapshot_diff(sf):
         """CDC reconciliation between two deterministic snapshots of
@@ -2717,6 +2789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "interpolate_daily": q_interpolate_daily,
+        "personalized_pagerank": q_personalized_pagerank,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -3617,6 +3691,12 @@ def oracle_sql() -> dict[str, str]:
               FROM ({curate.tfidf_sql()})
             ) WHERE kw_rank <= 3""",
         "pagerank": _pagerank_sql(iterations=3),
+        "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
+        "interpolate_daily": temporal_mod.interpolate_daily_sql(
+            key="user_id", obs_sql="""
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS v
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2"""),
         "host_rank": (
             "SELECT url AS host, rank FROM (" + _pagerank_sql(
                 iterations=3,

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "jaccard_join",
     "term_matrix",
     "snapshot_diff",
+    "personalized_pagerank",
+    "interpolate_daily",
 ]
 
 HEADLINE = "flagship"

@@ -1332,3 +1332,104 @@ def degree_assortativity_sql(*, edges_cte: str = "e2") -> str:
                          / sqrt(((n*sxx - sx*sx) * (n*syy - sy*sy))::DOUBLE)
                END AS corr
         FROM mom"""
+
+
+def personalized_pagerank(edges, *, iterations: int = 3,
+                          scale: int = PR_SCALE, damping_pct: int = 85,
+                          seed_mod: int = 10, num_buckets: int = 32):
+    """Personalized (topic-sensitive) PageRank: the teleport mass lands only
+    on a SEED set instead of uniformly — the crawl-prioritization variant
+    ("how reachable is v from pages we already trust").  Same fixed-point
+    INTEGER recurrence as :func:`pagerank` (bit-exact across parallelism,
+    unrolled-CTE replayable), with
+
+        r_0(v)     = scale // S          if v ∈ seeds else 0
+        r_{t+1}(v) = [v ∈ seeds] · (100−d)·(scale//S)//100
+                     + d · Σ contrib // 100
+
+    The seed set is a DETERMINISTIC url predicate (md5_hash64(url) %
+    seed_mod == 0 — the engine/SQL-shared hash identity), so the whole op
+    stays oracle-checkable; swap the predicate for a real allowlist in
+    production (broadcast membership, same shape).
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    edges = edges.materialize()
+    nodes = _distinct_nodes(edges, num_buckets=num_buckets).materialize()
+
+    def seed_mask(urls) -> np.ndarray:
+        return (md5_hash64([str(u) for u in urls])
+                % np.uint64(seed_mod)) == 0
+
+    def count_seeds(batch: pa.Table) -> pa.Table:
+        m = seed_mask(batch.column("url").to_pylist())
+        return pa.table({"s": pa.array([int(m.sum())], type=pa.int64())})
+
+    seed_counts = nodes.map_batches(count_seeds, batch_format="pyarrow")
+    s_total = int(seed_counts.sum("s") or 0)
+    if s_total == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "rank": pa.array([], type=pa.int64()),
+        }))
+
+    outdeg = bucketed_aggregate(
+        edges, "src_url", {"out_degree": ("dst_url", "size")},
+        num_buckets=num_buckets,
+    )
+    edges_od = bucket_join(
+        edges, outdeg, left_key="src_url", right_key="src_url",
+        how="inner", num_buckets=num_buckets,
+    ).materialize()
+    r0 = scale // s_total
+    base_seed = (100 - damping_pct) * r0 // 100
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        m = seed_mask(batch.column("url").to_pylist())
+        return batch.append_column(
+            "rank", pa.array(np.where(m, r0, 0).astype(np.int64)))
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url").cast(pa.string()),
+            "s": pa.array(np.zeros(len(batch), dtype=np.int64)),
+        })
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    for _ in range(iterations):
+        joined = bucket_join(
+            edges_od, ranks, left_key="src_url", right_key="url",
+            how="inner", num_buckets=num_buckets,
+        )
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch.column("rank").to_numpy()
+            od = batch.column("out_degree").to_numpy()
+            return pa.table({
+                "url": batch.column("dst_url").cast(pa.string()),
+                "s": pa.array(r // od),
+            })
+
+        partial = joined.map_batches(contrib, batch_format="pyarrow")
+        summed = bucketed_aggregate(
+            partial.union(
+                nodes.map_batches(zero_rows, batch_format="pyarrow")),
+            "url", {"s": ("s", "sum")}, num_buckets=num_buckets,
+        )
+
+        def update(batch: pa.Table) -> pa.Table:
+            s = batch.column("s").to_numpy().astype(np.int64)
+            m = seed_mask(batch.column("url").to_pylist())
+            rank = np.where(m, base_seed, 0) + damping_pct * s // 100
+            return pa.table({
+                "url": batch.column("url").cast(pa.string()),
+                "rank": pa.array(rank.astype(np.int64)),
+            })
+
+        ranks = summed.map_batches(
+            update, batch_format="pyarrow").materialize()
+
+    return ranks

@@ -1283,3 +1283,91 @@ def snapshot_intervals_sql(*, key: str, ts: str, source_sql: str) -> str:
                row_number() OVER (PARTITION BY {key} ORDER BY {ts})::BIGINT
                    AS version
         FROM ({source_sql})"""
+
+
+# ---------------------------------------------------------------------------
+# exact integer gap interpolation (daily grid)
+
+
+def interpolate_daily(ds, *, key: str, ts: str, value_col: str,
+                      num_buckets: int = 32):
+    """Per-key DAILY gap interpolation with an exact integer kernel: the
+    observation stream collapses to one value per (key, epoch-day), and
+    every missing day between consecutive observations (d₀,v₀)→(d₁,v₁)
+    emits
+
+        v(d) = v₀ + (v₁−v₀)·(d−d₀) // (d₁−d₀)      (floor — exact, SQL `//`)
+
+    — the linear-interpolation backfill for continuous features (float
+    lerp would be order/rounding-dependent; the floor form is bit-exact).
+    Days at/after each key's last observation are NOT extrapolated.
+
+    ONE key-bucketed exchange; the expansion is vectorized across ALL keys
+    (interval lengths → one repeat + offset arange, no per-key loop).
+    Output: ``(key, day, value, observed)`` with ``day`` = epoch-day BIGINT.
+    Duplicate observations per (key, day) must be pre-folded by the caller
+    (the op asserts uniqueness — silent last-wins would be value-dependent).
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series(dtype=df[key].dtype if len(df) else "int64"),
+            "day": pd.Series(dtype="int64"),
+            "value": pd.Series(dtype="int64"),
+            "observed": pd.Series(dtype="bool"),
+        })
+        if df.empty:
+            return empty
+        df = df.sort_values([key, ts], kind="mergesort")
+        # epoch-day; normalize to ns first (pandas 2.x preserves the
+        # source resolution, so a bare astype(int64) unit would vary)
+        days = (pd.to_datetime(df[ts]).astype("datetime64[ns]")
+                .astype("int64") // 86_400_000_000_000).to_numpy()
+        keys_arr = df[key].to_numpy()
+        vals = df[value_col].to_numpy().astype(np.int64)
+        if pd.DataFrame({key: keys_arr, "_d": days}).duplicated().any():
+            raise ValueError("duplicate (key, day) observation")
+        same_next = np.zeros(len(df), dtype=bool)
+        same_next[:-1] = keys_arr[1:] == keys_arr[:-1]
+        span = np.where(same_next,
+                        np.append(days[1:], 0) - days, 1).astype(np.int64)
+        dv = np.where(same_next, np.append(vals[1:], 0) - vals, 0)
+        total = int(span.sum())
+        starts = np.concatenate(([0], np.cumsum(span)[:-1]))
+        src = np.repeat(np.arange(len(df)), span)
+        off = np.arange(total) - np.repeat(starts, span)
+        # TRUNCATING division (toward zero): DuckDB's integer `//`
+        # truncates for negative numerators (verified: (-5)//4 = -1),
+        # unlike numpy's floor — negative slopes must match the mirror
+        num = dv[src] * off
+        den = np.maximum(span[src], 1)
+        out_vals = vals[src] + np.sign(num) * (np.abs(num) // den)
+        return pd.DataFrame({
+            key: keys_arr[src],
+            "day": days[src] + off,
+            "value": out_vals.astype(np.int64),
+            "observed": off == 0,
+        })
+
+    return bucketed_map_groups(ds, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def interpolate_daily_sql(*, key: str, obs_sql: str) -> str:
+    """SQL mirror over an ``obs(key, day, v)`` subquery: lead() window +
+    generate_series expansion + the identical floor-division lerp."""
+    return f"""
+        WITH obs AS ({obs_sql}),
+        nxt AS (
+            SELECT {key}, day, v,
+                   lead(day) OVER w AS nd, lead(v) OVER w AS nv
+            FROM obs WINDOW w AS (PARTITION BY {key} ORDER BY day)
+        )
+        SELECT {key}, (day + u.i)::BIGINT AS day,
+               (v + CASE WHEN nd IS NULL THEN 0
+                         ELSE (nv - v) * u.i // (nd - day) END)::BIGINT
+                   AS value,
+               (u.i = 0) AS observed
+        FROM nxt, unnest(generate_series(
+            0, CASE WHEN nd IS NULL THEN 0 ELSE nd - day - 1 END)) AS u(i)"""

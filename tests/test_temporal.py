@@ -516,3 +516,46 @@ def test_snapshot_intervals_versions_and_open_end():
     u2 = out[out["url"] == "u2"]
     assert u2["version"].tolist() == [1]
     assert pd.isna(u2["valid_to"].iloc[0])
+
+
+def test_interpolate_daily_exact_lerp_and_trunc_division():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.temporal import interpolate_daily
+
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2],
+        "ts": pd.to_datetime(
+            ["2026-01-01", "2026-01-04", "2026-01-05", "2026-01-02"]),
+        "v": [10, 3, 100, 7],
+    })
+    out = interpolate_daily(
+        ray.data.from_pandas(df).repartition(2), key="u", ts="ts",
+        value_col="v",
+    ).to_pandas().sort_values(["u", "day"]).reset_index(drop=True)
+    u1 = out[out["u"] == 1]
+    # days 1..4 with dv=-7 over 3 days, TRUNCATING division (DuckDB //):
+    # 10, 10+trunc(-7/3)=8, 10+trunc(-14/3)=6, 3, then 100
+    # (floor semantics would give 7 and 5 — this pins the trunc contract)
+    assert u1["value"].tolist() == [10, 8, 6, 3, 100]
+    assert u1["observed"].tolist() == [True, False, False, True, True]
+    u2 = out[out["u"] == 2]
+    assert u2["value"].tolist() == [7]  # single observation: no extrapolation
+
+
+def test_interpolate_daily_rejects_duplicate_day():
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.temporal import interpolate_daily
+
+    df = pd.DataFrame({
+        "u": [1, 1],
+        "ts": pd.to_datetime(["2026-01-01 03:00", "2026-01-01 09:00"]),
+        "v": [1, 2],
+    })
+    with pytest.raises(Exception, match="duplicate"):
+        interpolate_daily(ray.data.from_pandas(df), key="u", ts="ts",
+                          value_col="v").materialize()
