@@ -1080,6 +1080,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_reciprocity(sf):
+        """Crawl-graph reciprocity (share of edges with a reverse edge —
+        link-exchange prior): join-free, one undirected-pair-keyed
+        exchange of direction bits."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            edge_reciprocity,
+            extract_links,
+        )
+
+        return edge_reciprocity(
+            extract_links(read_pages(sf, drop_text=True)))
+
+    def q_fetch_history(sf):
+        """Ordered collect: per url the '|'-joined epoch-µs fetch
+        timeline (string_agg ORDER BY warc_ts) — one-row-per-entity
+        history assembly for feature stores."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.fold import collect_sorted
+
+        pages = read_pages(sf, drop_text=True).select_columns(
+            ["url", "warc_ts"])
+
+        def us_str(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t.column("warc_ts"), pa.int64()),
+                         pa.string())
+            return pa.table({
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "ts_us": us,
+            })
+
+        return collect_sorted(
+            pages.map_batches(us_str, batch_format="pyarrow"),
+            key="url", order_col="warc_ts", value_col="ts_us",
+            out_col="history")
+
     def q_interpolate_daily(sf):
         """Per-user daily purchase-cents series with exact integer linear
         interpolation across gap days (floor lerp — bit-exact, unlike a
@@ -2789,6 +2828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "reciprocity": q_reciprocity,
+        "fetch_history": q_fetch_history,
         "interpolate_daily": q_interpolate_daily,
         "personalized_pagerank": q_personalized_pagerank,
         "snapshot_diff": q_snapshot_diff,
@@ -3692,6 +3733,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE kw_rank <= 3""",
         "pagerank": _pagerank_sql(iterations=3),
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
+        "reciprocity": (
+            LINKS_PRE
+            + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+            + linkgraph.edge_reciprocity_sql(edges_cte="e2")),
+        "fetch_history": PAGES_PRE + """
+            SELECT url, string_agg(CAST(epoch_us(warc_ts) AS VARCHAR), '|'
+                       ORDER BY warc_ts) AS history
+            FROM pages GROUP BY url""",
         "interpolate_daily": temporal_mod.interpolate_daily_sql(
             key="user_id", obs_sql="""
             SELECT user_id, epoch_us(ts) // 86400000000 AS day,

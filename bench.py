@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "personalized_pagerank",
     "interpolate_daily",
+    "reciprocity",
+    "fetch_history",
 ]
 
 HEADLINE = "flagship"

@@ -295,3 +295,44 @@ def term_freqs_topk(tokens_ds, k: int = 50, *, descending: bool = True):
         case=True, pos=False,
     )
     return folded.sort(["count", "token"], descending=[descending, False]).limit(k)
+
+
+def collect_sorted(ds, *, key, order_col: str, value_col: str,
+                   sep: str = "|", out_col: str = "collected",
+                   num_buckets: int = 32):
+    """Deterministic ordered collect (SQL ``string_agg(v, sep ORDER BY
+    o)`` / ordered ``array_agg``): per key, the value strings joined in
+    ``order_col`` order.  Collection order is part of the CONTRACT (an
+    unordered collect is nondeterministic under parallelism and therefore
+    untestable); ties in ``order_col`` must not exist — the caller picks a
+    unique order key, as in SQL.
+
+    One key-bucketed exchange; inside the bucket one global sort + a
+    C-level ``groupby().agg(join)`` across all keys.  The output row
+    count is |keys| — the op ASSEMBLES history rows (re-crawl timelines,
+    session event paths) for feature stores that want one row per entity.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def per_bucket(df):
+        import pandas as pd
+
+        if df.empty:
+            return pd.DataFrame(
+                {**{k: pd.Series(dtype=object) for k in keys},
+                 out_col: pd.Series(dtype=object)})
+        if df.duplicated(keys + [order_col]).any():
+            raise ValueError("collect_sorted: order_col ties within a key")
+        df = df.sort_values(keys + [order_col], kind="mergesort")
+        return (
+            df.assign(**{out_col: df[value_col].astype(str)})
+            .groupby(keys, sort=False, as_index=False, observed=True)
+            .agg(**{out_col: (out_col, sep.join)})
+        )
+
+    return bucketed_map_groups(ds.select_columns(
+        keys + [order_col] + ([value_col] if value_col not in
+                              keys + [order_col] else [])),
+        keys[0], per_bucket, num_buckets=num_buckets)

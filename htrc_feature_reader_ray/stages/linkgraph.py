@@ -1433,3 +1433,96 @@ def personalized_pagerank(edges, *, iterations: int = 3,
             update, batch_format="pyarrow").materialize()
 
     return ranks
+
+
+def edge_reciprocity(edges, *, num_buckets: int = 32):
+    """Graph reciprocity: the share of directed edges whose reverse edge
+    also exists (u→v and v→u) — a mutual-linking / link-exchange-scheme
+    prior on the crawl graph (self-loops excluded, as in the standard
+    definition).
+
+    Join-free single-exchange shape: every edge emits one row keyed on its
+    UNDIRECTED pair (min,max) with a direction bit; the bucketed fold ORs
+    the bits per pair — a pair with both bits contributes 2 reciprocal
+    edges.  Output one row: (n_edges, n_reciprocal, reciprocity_ppm).
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = _str_array(batch, "src_url").to_numpy(zero_copy_only=False)
+        d = _str_array(batch, "dst_url").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        fwd = (s == lo).astype(np.int64)  # direction bit per edge
+        t = pa.table({
+            "lo": pa.array(lo), "hi": pa.array(hi),
+            "has_fwd": pa.array(fwd), "has_rev": pa.array(1 - fwd),
+        })
+        g = t.group_by(["lo", "hi"]).aggregate(
+            [("has_fwd", "max"), ("has_rev", "max")])
+        return g.rename_columns(["lo", "hi", "has_fwd", "has_rev"])
+
+    folded = bucketed_aggregate(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        ["lo", "hi"],
+        {"has_fwd": ("has_fwd", "max"), "has_rev": ("has_rev", "max")},
+        num_buckets=num_buckets,
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        f = t.column("has_fwd").to_numpy().astype(np.int64)
+        r = t.column("has_rev").to_numpy().astype(np.int64)
+        both = int(((f == 1) & (r == 1)).sum())
+        return pa.table({
+            "n_edges": pa.array([int(f.sum() + r.sum())], type=pa.int64()),
+            "n_reciprocal": pa.array([2 * both], type=pa.int64()),
+        })
+
+    summed = folded.map_batches(count, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ne = int(df["n_edges"].sum())
+        nr = int(df["n_reciprocal"].sum())
+        return pd.DataFrame({
+            "n_edges": [ne], "n_reciprocal": [nr],
+            "reciprocity_ppm": [nr * 1_000_000 // max(ne, 1)],
+        })
+
+    def const_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_g"] = 0
+        return df
+
+    return (
+        summed.map_batches(const_key, batch_format="pandas")
+        .groupby("_g")
+        .map_groups(lambda df: finish(df.drop(columns=["_g"])),
+                    batch_format="pandas")
+    )
+
+
+def edge_reciprocity_sql(*, edges_cte: str = "e2") -> str:
+    """SQL mirror fragment (append after an edges CTE): undirected-pair
+    fold with direction bits, identical ppm floor."""
+    return f""",
+        ne AS (SELECT src_url, dst_url FROM {edges_cte}
+               WHERE src_url <> dst_url),
+        p AS (
+            SELECT least(src_url, dst_url) AS lo,
+                   greatest(src_url, dst_url) AS hi,
+                   max(CASE WHEN src_url = least(src_url, dst_url)
+                            THEN 1 ELSE 0 END) AS has_fwd,
+                   max(CASE WHEN src_url = greatest(src_url, dst_url)
+                            THEN 1 ELSE 0 END) AS has_rev
+            FROM ne GROUP BY 1, 2
+        )
+        SELECT sum(has_fwd + has_rev)::BIGINT AS n_edges,
+               (2 * sum(CASE WHEN has_fwd = 1 AND has_rev = 1
+                             THEN 1 ELSE 0 END))::BIGINT AS n_reciprocal,
+               (2 * sum(CASE WHEN has_fwd = 1 AND has_rev = 1
+                             THEN 1 ELSE 0 END) * 1000000
+                // greatest(sum(has_fwd + has_rev), 1))::BIGINT
+                   AS reciprocity_ppm
+        FROM p"""

@@ -225,3 +225,28 @@ def test_top_k_per_group_vs_sql_ties_and_shape():
         .to_pandas()
     )
     assert (asc.groupby("g").v.max() == df.groupby("g").v.min()).all()
+
+
+def test_collect_sorted_order_and_tie_rejection():
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.fold import collect_sorted
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "b", "a"],
+        "o": [3, 1, 5, 2],
+        "v": ["x", "y", "z", "w"],
+    })
+    out = collect_sorted(
+        ray.data.from_pandas(df).repartition(3),
+        key="k", order_col="o", value_col="v",
+    ).to_pandas().set_index("k")["collected"]
+    assert out.loc["a"] == "y|w|x"   # ordered by o, not input order
+    assert out.loc["b"] == "z"
+
+    dup = pd.DataFrame({"k": ["a", "a"], "o": [1, 1], "v": ["p", "q"]})
+    with pytest.raises(Exception, match="ties"):
+        collect_sorted(ray.data.from_pandas(dup), key="k", order_col="o",
+                       value_col="v").materialize()

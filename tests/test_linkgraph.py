@@ -503,3 +503,21 @@ def test_degree_assortativity_hand_graph():
     expect = float(n * sxy - sx * sy) / math.sqrt(
         float((n * sxx - sx * sx) * (n * syy - sy * sy)))
     assert r["corr"] == expect
+
+
+def test_edge_reciprocity_hand_graph():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import edge_reciprocity
+
+    edges = pd.DataFrame({
+        "src_url": ["a", "b", "a", "c", "x"],
+        "dst_url": ["b", "a", "c", "c", "y"],  # (a,b) mutual; c->c self-loop
+    })
+    out = edge_reciprocity(
+        ray.data.from_pandas(edges).repartition(2)).to_pandas()
+    r = out.iloc[0]
+    # self-loop excluded: edges = ab, ba, ac, xy -> 4; reciprocal = 2
+    assert [r["n_edges"], r["n_reciprocal"]] == [4, 2]
+    assert r["reciprocity_ppm"] == 2 * 1_000_000 // 4
