@@ -1080,6 +1080,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_local_clustering(sf):
+        """Per-node clustering coefficient (vertex-resolved triangle
+        census): degree-ordered wedge emission with the apex KEPT, so
+        each closed wedge credits all three triangle vertices."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            local_clustering,
+        )
+
+        return local_clustering(
+            extract_links(read_pages(sf, drop_text=True)))
+
     def q_reciprocity(sf):
         """Crawl-graph reciprocity (share of edges with a reverse edge —
         link-exchange prior): join-free, one undirected-pair-keyed
@@ -2828,6 +2841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "local_clustering": q_local_clustering,
         "reciprocity": q_reciprocity,
         "fetch_history": q_fetch_history,
         "interpolate_daily": q_interpolate_daily,
@@ -3733,6 +3747,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE kw_rank <= 3""",
         "pagerank": _pagerank_sql(iterations=3),
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
+        "local_clustering": (
+            LINKS_PRE
+            + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+            + linkgraph.local_clustering_sql(edges_cte="e2")),
         "reciprocity": (
             LINKS_PRE
             + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"

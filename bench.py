@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "interpolate_daily",
     "reciprocity",
     "fetch_history",
+    "local_clustering",
 ]
 
 HEADLINE = "flagship"

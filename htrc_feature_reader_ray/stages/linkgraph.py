@@ -1526,3 +1526,178 @@ def edge_reciprocity_sql(*, edges_cte: str = "e2") -> str:
                 // greatest(sum(has_fwd + has_rev), 1))::BIGINT
                    AS reciprocity_ppm
         FROM p"""
+
+
+def local_clustering(edges, *, num_buckets: int = 32):
+    """PER-NODE clustering coefficient on the undirected link graph:
+    ``local_cc(v) = 2·T(v)·10⁶ // (d(v)·(d(v)−1))`` with T(v) = triangles
+    through v — the node-level spam-farm / community-density signal (the
+    global census is :func:`triangle_stats`; this is its vertex-resolved
+    sibling).
+
+    Same degree-ordered wedge discipline (Suri–Vassilvitskii WWW'11):
+    wedges are emitted at each edge's LOWEST-degree endpoint (fan-out
+    O(√m) amortized), but unlike the global census the wedge APEX is kept
+    in the row, so every surviving (closed) wedge credits all THREE
+    vertices of its triangle — apex and both endpoints — in one explode +
+    fold.  Exchanges: undirected distinct, degree fold, two orientation
+    joins, wedge-key pair pass, one semi-join, credit fold, one left join
+    onto degrees.  Output: (node, degree, n_triangles, local_cc_ppm).
+    """
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t.column("src_url"), t.column("dst_url")
+        keep = pc.invert(pc.equal(s, d))
+        s, d = s.filter(keep), d.filter(keep)
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        return pa.table({"a": lo, "b": hi}).group_by(["a", "b"]).aggregate([])
+
+    und = bucketed_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], {"_n": ("b", "size")}, num_buckets=num_buckets,
+    ).drop_columns(["_n"]).materialize()
+
+    def explode_deg(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            t.column("a").combine_chunks().cast(pa.string()),
+            t.column("b").combine_chunks().cast(pa.string()),
+        ])
+        return (pa.table({"node": nodes})
+                .group_by(["node"]).aggregate([([], "count_all")])
+                .rename_columns(["node", "d"]))
+
+    deg = bucketed_aggregate(
+        und.map_batches(explode_deg, batch_format="pyarrow"),
+        ["node"], {"d": ("d", "sum")}, num_buckets=num_buckets,
+    ).materialize()
+
+    da = deg.map_batches(
+        lambda t: t.rename_columns(["node", "da"]), batch_format="pyarrow")
+    db = deg.map_batches(
+        lambda t: t.rename_columns(["node_b", "db"]), batch_format="pyarrow")
+    withdeg = bucket_join(
+        bucket_join(und, da, left_key="a", right_key="node",
+                    num_buckets=num_buckets),
+        db, left_key="b", right_key="node_b", num_buckets=num_buckets,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        less = (t.column("da").to_numpy(zero_copy_only=False)
+                < t.column("db").to_numpy(zero_copy_only=False))
+        eq = (t.column("da").to_numpy(zero_copy_only=False)
+              == t.column("db").to_numpy(zero_copy_only=False))
+        first = less | (eq & (a < b))
+        return pa.table({
+            "lo": pa.array(np.where(first, a, b), type=pa.string()),
+            "hi": pa.array(np.where(first, b, a), type=pa.string()),
+        })
+
+    oriented = withdeg.map_batches(orient, batch_format="pyarrow")
+
+    # wedge TRIPLES (apex kept): self-merge per lo-bucket, canonical a < b
+    def wedge_triples(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"lo": pd.Series(dtype=object),
+                                 "a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object)})
+        m = df.merge(df, on="lo")
+        m = m[m["hi_x"] < m["hi_y"]]
+        return pd.DataFrame({"lo": m["lo"], "a": m["hi_x"],
+                             "b": m["hi_y"]})
+
+    wedges = bucketed_map_groups(oriented, "lo", wedge_triples,
+                                 num_buckets=num_buckets)
+
+    def with_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("a").cast(pa.string()),
+            t.column("b").cast(pa.string()), "|")
+        return t.append_column("_k", k)
+
+    closed = bucket_join(
+        wedges.map_batches(with_key, batch_format="pyarrow"),
+        und.map_batches(with_key, batch_format="pyarrow")
+           .select_columns(["_k"]),
+        left_key="_k", right_key="_k", how="semi",
+        num_buckets=num_buckets,
+    )
+
+    # join-free finish: triangle credits (d=0) union degree rows (t=0)
+    # into ONE fold — full-outer semantics without touching the possibly
+    # schemaless empty fold output with a join
+    def credit(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            t.column(c).combine_chunks().cast(pa.string())
+            for c in ("lo", "a", "b")
+        ])
+        g = (pa.table({"node": nodes})
+             .group_by(["node"]).aggregate([([], "count_all")])
+             .rename_columns(["node", "t"]))
+        return g.append_column(
+            "d", pa.array(np.zeros(len(g), dtype=np.int64)))
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node").cast(pa.string()),
+            "t": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "d": pc.cast(t.column("d"), pa.int64()),
+        })
+
+    merged = bucketed_aggregate(
+        closed.map_batches(credit, batch_format="pyarrow").union(
+            deg.map_batches(deg_rows, batch_format="pyarrow")),
+        ["node"], {"t": ("t", "sum"), "d": ("d", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].astype("int64").to_numpy()
+        t = df["t"].astype("int64").to_numpy()
+        den = d * (d - 1)
+        cc = np.where(den > 0, 2 * t * 1_000_000 // np.maximum(den, 1), 0)
+        return pd.DataFrame({
+            "node": df["node"], "degree": d, "n_triangles": t,
+            "local_cc_ppm": cc.astype(np.int64),
+        })
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+def local_clustering_sql(*, edges_cte: str = "e2") -> str:
+    """SQL mirror fragment: lexicographic triangle triples credit all three
+    vertices; identical ppm floor."""
+    return f""",
+        ne AS (SELECT least(src_url, dst_url) AS a,
+                      greatest(src_url, dst_url) AS b
+               FROM {edges_cte} WHERE src_url <> dst_url
+               GROUP BY 1, 2),
+        degs AS (
+            SELECT node, count(*)::BIGINT AS d FROM (
+                SELECT a AS node FROM ne UNION ALL SELECT b FROM ne)
+            GROUP BY node
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM ne e1 JOIN ne e2 ON e2.a = e1.b
+                 JOIN ne e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tv AS (
+            SELECT node, count(*)::BIGINT AS t FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+            GROUP BY node
+        )
+        SELECT degs.node, degs.d AS degree,
+               coalesce(tv.t, 0)::BIGINT AS n_triangles,
+               (CASE WHEN degs.d >= 2
+                     THEN 2 * coalesce(tv.t, 0) * 1000000
+                          // (degs.d * (degs.d - 1))
+                     ELSE 0 END)::BIGINT AS local_cc_ppm
+        FROM degs LEFT JOIN tv ON degs.node = tv.node"""

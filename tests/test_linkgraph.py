@@ -521,3 +521,24 @@ def test_edge_reciprocity_hand_graph():
     # self-loop excluded: edges = ab, ba, ac, xy -> 4; reciprocal = 2
     assert [r["n_edges"], r["n_reciprocal"]] == [4, 2]
     assert r["reciprocity_ppm"] == 2 * 1_000_000 // 4
+
+
+def test_local_clustering_k4_minus_edge():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import local_clustering
+
+    # K4 minus edge (c,d): triangles {a,b,c} and {a,b,d}
+    edges = pd.DataFrame({
+        "src_url": ["a", "a", "a", "b", "b"],
+        "dst_url": ["b", "c", "d", "c", "d"],
+    })
+    out = local_clustering(
+        ray.data.from_pandas(edges).repartition(2)
+    ).to_pandas().set_index("node")
+    assert out.loc["a", ["degree", "n_triangles"]].tolist() == [3, 2]
+    assert out.loc["a", "local_cc_ppm"] == 2 * 2 * 1_000_000 // 6
+    assert out.loc["b", "n_triangles"] == 2
+    assert out.loc["c", ["degree", "n_triangles"]].tolist() == [2, 1]
+    assert out.loc["c", "local_cc_ppm"] == 1_000_000  # fully clustered pair
