@@ -1080,6 +1080,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_table_audit(sf):
+        """Per-column data-quality audit of events (row count, null
+        count, HLL approx distinct — registers, not values, cross the
+        exchange); int/string column contract."""
+        from htrc_feature_reader_ray.stages.profile import table_audit
+
+        return table_audit(
+            _events(sf, ["event_id", "user_id", "event_type", "props"]),
+            columns=["event_id", "user_id", "event_type", "props"])
+
     def q_local_clustering(sf):
         """Per-node clustering coefficient (vertex-resolved triangle
         census): degree-ordered wedge emission with the apex KEPT, so
@@ -2841,6 +2851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "table_audit": q_table_audit,
         "local_clustering": q_local_clustering,
         "reciprocity": q_reciprocity,
         "fetch_history": q_fetch_history,
@@ -3747,6 +3758,9 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE kw_rank <= 3""",
         "pagerank": _pagerank_sql(iterations=3),
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
+        "table_audit": profile_mod.table_audit_sql(
+            columns=["event_id", "user_id", "event_type", "props"],
+            table="events"),
         "local_clustering": (
             LINKS_PRE
             + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"

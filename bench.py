@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "reciprocity",
     "fetch_history",
     "local_clustering",
+    "table_audit",
 ]
 
 HEADLINE = "flagship"

@@ -847,3 +847,113 @@ def contingency_chi2_sql(*, k1: str, k2: str, table: str) -> str:
                ((n*o - rt*ct) * (n*o - rt*ct))::DOUBLE
                / (n * rt * ct)::DOUBLE AS chi2_term
         FROM c JOIN r USING ({k1}) JOIN cc USING ({k2}) CROSS JOIN g"""
+
+
+# ---------------------------------------------------------------------------
+# table-level data-quality audit
+
+
+def table_audit(ds, *, columns, p: int = 6, num_buckets: int = 16):
+    """Per-column data-quality profile of a table: ``(col_name, n,
+    n_null, approx_distinct, registers_used)`` — the first look any
+    ingestion pipeline takes at a new feed (null health + cardinality
+    class per column) without paying an exact per-column distinct.
+
+    Composition: a long-format projection (column label, value string,
+    nulls dropped) feeds the existing HyperLogLog fold
+    (:func:`~htrc_feature_reader_ray.stages.sketch.approx_distinct`,
+    registers — not values — cross the exchange, bit-exact md5 SQL
+    replay), while null/row counts fold as per-batch integer partials.
+    Values hash via ``str(v)``; the audit contract is int/string columns
+    (the SQL mirror casts ``::VARCHAR`` — float formatting differs
+    between engines, quantize floats first as everywhere else).
+    Both folded tables are |columns| rows; the driver merge is trivial.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+    from htrc_feature_reader_ray.stages.sketch import approx_distinct
+
+    columns = list(columns)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        for c in columns:
+            col = t.column(c)
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+        return pa.table({
+            "col_name": pa.array(names, type=pa.string()),
+            "n": pa.array(ns, type=pa.int64()),
+            "n_null": pa.array(nulls, type=pa.int64()),
+        })
+
+    counts = bucketed_aggregate(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["col_name"], {"n": ("n", "sum"), "n_null": ("n_null", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    def long_rows(t: pa.Table) -> pa.Table:
+        labels, vals = [], []
+        for c in columns:
+            arr = t.column(c).drop_null()
+            s = [str(v) for v in arr.to_pylist()]
+            labels.extend([c] * len(s))
+            vals.extend(s)
+        return pa.table({
+            "col_name": pa.array(labels, type=pa.string()),
+            "v": pa.array(vals, type=pa.string()),
+        })
+
+    distincts = approx_distinct(
+        ds.map_batches(long_rows, batch_format="pyarrow"),
+        group_cols=["col_name"], value_col="v", p=p,
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    out = counts.merge(distincts, on="col_name")
+    out["n"] = out["n"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    return out[["col_name", "n", "n_null", "approx_distinct",
+                "registers_used"]].sort_values("col_name").reset_index(
+        drop=True)
+
+
+def table_audit_sql(*, columns, table: str, p: int = 6) -> str:
+    """SQL mirror: per-column UNION ALL of null counts + the bit-exact
+    HLL re-derivation (same estimator constants as sketch.approx_distinct)."""
+    from htrc_feature_reader_ray.stages.sketch import _alpha
+
+    m = 1 << p
+    K = 64 - p
+    C = _alpha(m) * (m * m) * 2.0**64
+    parts = []
+    for c in columns:
+        parts.append(f"""
+        SELECT '{c}' AS col_name,
+               (SELECT count(*) FROM {table})::BIGINT AS n,
+               (SELECT count(*) FILTER (WHERE {c} IS NULL)
+                FROM {table})::BIGINT AS n_null,
+               est.approx_distinct, est.registers_used
+        FROM (
+            WITH vals AS (
+              SELECT DISTINCT ({c})::VARCHAR AS v FROM {table}
+              WHERE {c} IS NOT NULL
+            ), h AS (
+              SELECT md5_number_upper(v)::UBIGINT AS h FROM vals
+            ), reg AS (
+              SELECT (h & {m - 1})::BIGINT AS reg,
+                     (CASE WHEN (h >> {p}) = 0 THEN {K + 1}
+                           ELSE {K} - length(bin(h >> {p})) + 1
+                      END)::BIGINT AS rho
+              FROM h
+            ), mx AS (
+              SELECT reg, max(rho) AS rho FROM reg GROUP BY reg
+            )
+            SELECT {C!r} / (({m} - count(*))::HUGEINT * 18446744073709551616
+                   + sum((1::UBIGINT << (64 - rho))::HUGEINT))::DOUBLE
+                       AS approx_distinct,
+                   count(*)::BIGINT AS registers_used
+            FROM mx
+        ) est""")
+    return " UNION ALL ".join(parts)

@@ -515,3 +515,20 @@ def test_pivot_counts_composite_key_weighted():
     assert list(out.columns) == ["k1", "k2", "n_a", "n_b"]
     assert out.values.tolist() == [
         ["u", 1, 15, 0], ["u", 2, 0, 7], ["v", 1, 2, 0]]
+
+
+def test_table_audit_nulls_and_exact_small_distinct():
+    from htrc_feature_reader_ray.stages.profile import table_audit
+
+    df = pd.DataFrame({
+        "a": [1, 2, 2, None],
+        "b": ["x", "x", None, None],
+    })
+    out = table_audit(
+        ray.data.from_pandas(df).repartition(2), columns=["a", "b"]
+    ).set_index("col_name")
+    assert out.loc["a", ["n", "n_null"]].tolist() == [4, 1]
+    assert out.loc["b", ["n", "n_null"]].tolist() == [4, 2]
+    # HLL with m=64 registers is near-exact at these cardinalities
+    assert 1 <= out.loc["a", "registers_used"] <= 2
+    assert out.loc["b", "registers_used"] == 1
