@@ -1080,6 +1080,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_session_covisit(sf):
+        """Items co-viewed within one user session (recommender
+        co-visitation): gap-30min sessionize keeps event rows, the
+        (user, session) composite becomes the basket key of the shared-
+        key pair kernel; items from the JSON props field."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.partition import (
+            shared_key_pair_counts,
+        )
+        from htrc_feature_reader_ray.stages.temporal import sessionize
+
+        ev = _events(sf, ["event_id", "user_id", "ts", "props"])
+
+        def item(t: pa.Table) -> pa.Table:
+            k = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+            return pa.table({
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "item": pc.cast(pc.struct_field(k, "k"), pa.int64()),
+            })
+
+        sess = sessionize(
+            ev.map_batches(item, batch_format="pyarrow"),
+            key="user_id", ts="ts", gap="30min", tiebreak="event_id",
+            aggregate=False,
+        )
+
+        def basket(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "basket": df["user_id"].astype(str) + "|"
+                + df["session_id"].astype(str),
+                "item": df["item"].astype("int64"),
+            })
+
+        return shared_key_pair_counts(
+            sess.map_batches(basket, batch_format="pandas"),
+            key_col="basket", member_col="item",
+            min_shared=1, max_members_per_key=256,
+            out_a="item_a", out_b="item_b", out_n="n_sessions",
+        )
+
     def q_table_audit(sf):
         """Per-column data-quality audit of events (row count, null
         count, HLL approx distinct — registers, not values, cross the
@@ -2851,6 +2894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
         "local_clustering": q_local_clustering,
         "reciprocity": q_reciprocity,
@@ -3758,6 +3802,31 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE kw_rank <= 3""",
         "pagerank": _pagerank_sql(iterations=3),
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
+        "session_covisit": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, item,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            ), km AS (
+              SELECT DISTINCT user_id::VARCHAR || '|' ||
+                     session_id::VARCHAR AS k, item AS m FROM sess
+            ), keep AS (
+              SELECT k FROM km GROUP BY k HAVING count(*) <= 256
+            )
+            SELECT a.m AS item_a, b.m AS item_b,
+                   count(*)::BIGINT AS n_sessions
+            FROM km a JOIN km b ON a.k = b.k AND a.m < b.m
+            WHERE a.k IN (SELECT k FROM keep)
+            GROUP BY 1, 2 HAVING count(*) >= 1""",
         "table_audit": profile_mod.table_audit_sql(
             columns=["event_id", "user_id", "event_type", "props"],
             table="events"),

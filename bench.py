@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "fetch_history",
     "local_clustering",
     "table_audit",
+    "session_covisit",
 ]
 
 HEADLINE = "flagship"
