@@ -1080,6 +1080,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_bpe_merges(sf):
+        """BPE tokenizer merge training (3 rounds) over documents: after
+        one corpus token fold everything runs on the word-TYPE vocabulary;
+        per round one pair-count fold + lossless block-top-1 argmax + a
+        vectorized fixpoint replace (Python/SQL replace share left-to-
+        right non-overlap semantics, so merges are oracle-replayable)."""
+        from htrc_feature_reader_ray.stages.vocab import bpe_train
+
+        return bpe_train(_docs(sf, ["text"]), rounds=3)
+
     def q_session_covisit(sf):
         """Items co-viewed within one user session (recommender
         co-visitation): gap-30min sessionize keeps event rows, the
@@ -2894,6 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
+        "bpe_merges": q_bpe_merges,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
         "local_clustering": q_local_clustering,
@@ -3136,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
         deterministic_shuffle_sql,
         hash_split_sql,
     )
+    from htrc_feature_reader_ray.stages import vocab as vocab_mod
     from htrc_feature_reader_ray.stages.vocab import (
         build_vocab_sql,
         char_coverage_sql as _char_coverage_sql,
@@ -3802,6 +3814,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE kw_rank <= 3""",
         "pagerank": _pagerank_sql(iterations=3),
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
+        "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "session_covisit": """
             WITH flagged AS (
               SELECT user_id, ts,

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "local_clustering",
     "table_audit",
     "session_covisit",
+    "bpe_merges",
 ]
 
 HEADLINE = "flagship"

@@ -373,3 +373,156 @@ def char_coverage_sql(*, text: str = "text", table: str = "documents",
         FROM hist, tot
         ORDER BY cov_rank
         LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (bounded rounds, oracle-replayable)
+
+
+def bpe_train(ds, *, text_col: str = "text", rounds: int = 3,
+              num_buckets: int = 32):
+    """Byte-pair-encoding merge training (the sentencepiece/GPT-2 tokenizer
+    prep) as a bounded-round Ray pipeline: per round, the corpus-wide most
+    frequent ADJACENT symbol pair (weighted by word frequency, ties broken
+    (count desc, left asc, right asc)) becomes a merge, and every word's
+    symbol sequence applies it greedily left-to-right.
+
+    The classic trick that makes this corpus-scale cheap: after the ONE
+    token-count fold, everything runs on the WORD-TYPE vocabulary (weights
+    carry the corpus multiplicity) — rounds never rescan the corpus.
+
+    Exactness contract (what makes a trained tokenizer SQL-replayable):
+    a sequence is a concatenation of ``\x1e<sym>\x1f`` units (the record/
+    unit separator pair — chars that cannot appear in whitespace-split
+    symbols), so ONE ``replace('\x1el\x1f\x1er\x1f', '\x1elr\x1f')``
+    pass IS exactly greedy leftmost non-overlapping merge application:
+    adjacent matches share no boundary characters (a space-joined
+    encoding would let ``replace`` consume the next match's separator and
+    mis-pair odd runs), and Python ``str.replace`` and SQL ``replace``
+    share resume-after-replacement semantics.
+
+    Per round: one (l, r)-bucketed pair-count fold (per-batch combiner),
+    block-local top-1s → driver argmax over ≤ blocks rows (disjoint pairs
+    per block post-fold ⇒ lossless), one vectorized replace map; the
+    vocab-sized sequence table is the materialized iteration state.
+    Returns a pandas DataFrame (round, left, right, merged, count).
+    """
+    import pandas as pd
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    words = corpus_token_counts(ds, text_col=text_col,
+                                num_buckets=num_buckets)
+
+    SEP_L, SEP_R = "\x1e", "\x1f"
+
+    def to_seq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c": df["count"].astype("int64"),
+            "s": [SEP_L + (SEP_R + SEP_L).join(list(w)) + SEP_R
+                  for w in df["token"].astype(str)],
+        })
+
+    seqs = words.map_batches(to_seq, batch_format="pandas").materialize()
+    merges = []
+
+    for rnd in range(1, rounds + 1):
+        def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+            toks = df["s"].str.slice(1, -1).str.split(SEP_R + SEP_L)
+            lens = toks.str.len().to_numpy()
+            c = df["c"].to_numpy()
+            npairs = np.maximum(lens - 1, 0)
+            if npairs.sum() == 0:
+                return pd.DataFrame({
+                    "l": pd.Series(dtype=object),
+                    "r": pd.Series(dtype=object),
+                    "cnt": pd.Series(dtype="int64")})
+            flat = np.concatenate(toks.to_list())
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos = np.arange(len(flat)) - np.repeat(starts, lens)
+            first = pos < np.repeat(lens - 1, lens)
+            l_arr = flat[first]
+            # right neighbor = next flat element of the same word
+            r_arr = flat[1:][first[:-1]] if len(flat) > 1 else flat[:0]
+            w = np.repeat(c, lens)[first]
+            g = pd.DataFrame({"l": l_arr, "r": r_arr, "cnt": w})
+            return g.groupby(["l", "r"], sort=False,
+                             as_index=False)["cnt"].sum()
+
+        folded = bucketed_aggregate(
+            seqs.map_batches(pair_partial, batch_format="pandas"),
+            ["l", "r"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
+
+        def local_top1(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            return df.sort_values(
+                ["cnt", "l", "r"], ascending=[False, True, True]
+            ).head(1)
+
+        tops = folded.map_batches(
+            local_top1, batch_format="pandas").to_pandas()
+        if tops.empty:
+            break
+        best = tops.sort_values(
+            ["cnt", "l", "r"], ascending=[False, True, True]).iloc[0]
+        l, r, cnt = str(best["l"]), str(best["r"]), int(best["cnt"])
+        merges.append((rnd, l, r, l + r, cnt))
+
+        pat = f"{SEP_L}{l}{SEP_R}{SEP_L}{r}{SEP_R}"
+        rep = f"{SEP_L}{l}{r}{SEP_R}"
+
+        def apply(df: pd.DataFrame) -> pd.DataFrame:
+            # ONE pass == greedy leftmost (boundary-disjoint matches)
+            return pd.DataFrame({
+                "c": df["c"],
+                "s": df["s"].str.replace(pat, rep, regex=False),
+            })
+
+        seqs = seqs.map_batches(apply, batch_format="pandas").materialize()
+
+    return pd.DataFrame(
+        merges, columns=["round", "left", "right", "merged", "count"]
+    ).astype({"round": "int64", "count": "int64"})
+
+
+def bpe_train_sql(*, table: str = "documents", text: str = "text",
+                  rounds: int = 3) -> str:
+    """SQL mirror: unrolled per-round CTEs — adjacent-pair unnest count,
+    (cnt desc, l, r) argmax, ONE boundary-disjoint replace application
+    (chr(30)/chr(31) unit separators == the engine's \x1e/\x1f)."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    sql = f"""
+        WITH words AS (
+          SELECT u.t AS w, count(*)::BIGINT AS c
+          FROM {table}, unnest({toks}) AS u(t) GROUP BY 1
+        ),
+        seq0 AS (
+          SELECT c, chr(30) || array_to_string(
+                   list_transform(range(1, length(w) + 1), i -> w[i]),
+                   chr(31) || chr(30)) || chr(31) AS s
+          FROM words
+        ),"""
+    prev = "seq0"
+    for i in range(1, rounds + 1):
+        sql += f"""
+        p{i} AS (
+          SELECT a[i.i] AS l, a[i.i + 1] AS r, sum(c)::BIGINT AS cnt
+          FROM (SELECT string_split(
+                    substr(s, 2, length(s) - 2), chr(31) || chr(30)
+                ) AS a, c FROM {prev}),
+               unnest(generate_series(1, len(a) - 1)) AS i(i)
+          GROUP BY 1, 2
+        ),
+        m{i} AS (SELECT l, r, cnt FROM p{i}
+                 ORDER BY cnt DESC, l, r LIMIT 1),
+        seq{i} AS (SELECT c, replace(s,
+                 chr(30) || l || chr(31) || chr(30) || r || chr(31),
+                 chr(30) || l || r || chr(31)) AS s
+                 FROM {prev} CROSS JOIN m{i}),"""
+        prev = f"seq{i}"
+    unions = "\n          UNION ALL ".join(
+        f'SELECT {i}::BIGINT AS round, l AS "left", r AS "right",'
+        f' l || r AS merged, cnt AS count FROM m{i}'
+        for i in range(1, rounds + 1))
+    return sql.rstrip(",") + f"\n        {unions}"

@@ -152,3 +152,57 @@ def test_char_coverage_exact_and_block_independent():
     assert out["cov_rank"].tolist() == [1, 2, 3]
     single = char_coverage(ray.data.from_pandas(df).repartition(1), k=3)
     pd.testing.assert_frame_equal(out, single)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+
+
+def _ref_bpe(word_counts, rounds):
+    """Reference scalar BPE trainer (greedy left-to-right apply)."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pairs = {}
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + word_counts[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rnd, l, r, l + r, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_incl_runs():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.vocab import bpe_train
+
+    # 'aaaaaaa' exercises the even/odd-run fixpoint-replace path
+    docs = ["low low low lower lowest", "aaaaaaa aaaaaaa aaa",
+            "new newer newest low"]
+    counts = {}
+    for d in docs:
+        for w in d.split():
+            counts[w] = counts.get(w, 0) + 1
+    expect = _ref_bpe(counts, 4)
+
+    out = bpe_train(
+        ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(2),
+        rounds=4)
+    got = [tuple(r) for r in out[["round", "left", "right", "merged",
+                                  "count"]].itertuples(index=False)]
+    assert got == expect
