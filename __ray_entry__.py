@@ -1080,6 +1080,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_bpe_encode(sf):
+        """Subword segmentation of the corpus with the trained BPE
+        merges: word-TYPE segmentation broadcast to occurrences (docs are
+        never re-segmented row by row); (doc, pos, sym_pos, symbol)."""
+        from htrc_feature_reader_ray.stages.vocab import bpe_encode
+
+        return bpe_encode(_docs(sf), rounds=3)
+
     def q_bpe_merges(sf):
         """BPE tokenizer merge training (3 rounds) over documents: after
         one corpus token fold everything runs on the word-TYPE vocabulary;
@@ -2905,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "name_dedup_pairs": q_name_dedup_pairs,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
         "local_clustering": q_local_clustering,
@@ -3815,6 +3824,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(iterations=3),
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
+        "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
         "session_covisit": """
             WITH flagged AS (
               SELECT user_id, ts,

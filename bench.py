@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "table_audit",
     "session_covisit",
     "bpe_merges",
+    "bpe_encode",
 ]
 
 HEADLINE = "flagship"

@@ -380,7 +380,7 @@ def char_coverage_sql(*, text: str = "text", table: str = "documents",
 
 
 def bpe_train(ds, *, text_col: str = "text", rounds: int = 3,
-              num_buckets: int = 32):
+              return_segmented: bool = False, num_buckets: int = 32):
     """Byte-pair-encoding merge training (the sentencepiece/GPT-2 tokenizer
     prep) as a bounded-round Ray pipeline: per round, the corpus-wide most
     frequent ADJACENT symbol pair (weighted by word frequency, ties broken
@@ -418,6 +418,7 @@ def bpe_train(ds, *, text_col: str = "text", rounds: int = 3,
 
     def to_seq(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
+            "token": df["token"].astype(str),
             "c": df["count"].astype("int64"),
             "s": [SEP_L + (SEP_R + SEP_L).join(list(w)) + SEP_R
                   for w in df["token"].astype(str)],
@@ -475,15 +476,19 @@ def bpe_train(ds, *, text_col: str = "text", rounds: int = 3,
         def apply(df: pd.DataFrame) -> pd.DataFrame:
             # ONE pass == greedy leftmost (boundary-disjoint matches)
             return pd.DataFrame({
+                "token": df["token"],
                 "c": df["c"],
                 "s": df["s"].str.replace(pat, rep, regex=False),
             })
 
         seqs = seqs.map_batches(apply, batch_format="pandas").materialize()
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         merges, columns=["round", "left", "right", "merged", "count"]
     ).astype({"round": "int64", "count": "int64"})
+    if return_segmented:
+        return out, seqs
+    return out
 
 
 def bpe_train_sql(*, table: str = "documents", text: str = "text",
@@ -526,3 +531,115 @@ def bpe_train_sql(*, table: str = "documents", text: str = "text",
         f' l || r AS merged, cnt AS count FROM m{i}'
         for i in range(1, rounds + 1))
     return sql.rstrip(",") + f"\n        {unions}"
+
+
+def bpe_encode(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               rounds: int = 3, num_buckets: int = 32):
+    """Apply :func:`bpe_train`'s merges to the corpus: explode every
+    document into ``(id, pos, sym_pos, symbol)`` subword rows.
+
+    The efficient shape: segmentation depends only on the word TYPE, so
+    the trained segmented vocabulary (token → symbol list, vocab-sized —
+    the canonical broadcast small side) maps per-occurrence via one
+    ``ray.put`` lookup; documents are never re-segmented row by row."""
+    import ray
+
+    merges, seqs = bpe_train(ds, text_col=text_col, rounds=rounds,
+                             return_segmented=True,
+                             num_buckets=num_buckets)
+    seg = seqs.to_pandas()
+    idx = pd.Index(seg["token"].to_numpy())
+    syms = [s[1:-1].split("\x1f\x1e") for s in seg["s"]]
+    nsyms = np.fromiter((len(s) for s in syms), dtype=np.int64,
+                        count=len(syms))
+    # flat symbol pool + per-type offsets: occurrence expansion becomes
+    # pure index arithmetic (no Python loop over token occurrences)
+    flat_syms = (np.concatenate(syms) if syms
+                 else np.array([], dtype=object))
+    type_starts = np.concatenate(([0], np.cumsum(nsyms)[:-1]))
+    ref = ray.put((idx, flat_syms, type_starts, nsyms))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        index, pool, starts_pool, counts = ray.get(ref)
+        flat, parent, _ = _tok_stats(batch, text_col)
+        parent = np.asarray(parent, dtype=np.int64)
+        npos = len(parent)
+        if npos:
+            first = np.ones(npos, dtype=bool)
+            first[1:] = parent[1:] != parent[:-1]
+            starts = np.flatnonzero(first)
+            pos = np.arange(npos, dtype=np.int64) - np.repeat(
+                starts, np.diff(np.append(starts, npos)))
+        else:
+            pos = np.zeros(0, dtype=np.int64)
+        loc = index.get_indexer(flat.to_numpy(zero_copy_only=False))
+        k = counts[loc]  # every corpus token is in the trained vocab
+        total = int(k.sum())
+        starts2 = np.concatenate(([0], np.cumsum(k)[:-1]))
+        sym_pos = np.arange(total) - np.repeat(starts2, k)
+        sym_flat = pool[np.repeat(starts_pool[loc], k) + sym_pos]
+        return pa.table({
+            id_col: batch.column(id_col).take(
+                pa.array(np.repeat(parent, k))),
+            "pos": pa.array(np.repeat(pos, k), type=pa.int64()),
+            "sym_pos": pa.array(sym_pos, type=pa.int64()),
+            "symbol": pa.array(sym_flat.astype(str)),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def bpe_encode_sql(*, table: str = "documents", text: str = "text",
+                   id_col: str = "doc_id", rounds: int = 3) -> str:
+    """SQL mirror: the train CTEs carrying the word column, then the doc
+    explode joined to its word's final segmentation."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    sql = f"""
+        WITH words AS (
+          SELECT u.t AS w, count(*)::BIGINT AS c
+          FROM {table}, unnest({toks}) AS u(t) GROUP BY 1
+        ),
+        seq0 AS (
+          SELECT w, c, chr(30) || array_to_string(
+                   list_transform(range(1, length(w) + 1), i -> w[i]),
+                   chr(31) || chr(30)) || chr(31) AS s
+          FROM words
+        ),"""
+    prev = "seq0"
+    for i in range(1, rounds + 1):
+        sql += f"""
+        p{i} AS (
+          SELECT a[i.i] AS l, a[i.i + 1] AS r, sum(c)::BIGINT AS cnt
+          FROM (SELECT string_split(
+                    substr(s, 2, length(s) - 2), chr(31) || chr(30)
+                ) AS a, c FROM {prev}),
+               unnest(generate_series(1, len(a) - 1)) AS i(i)
+          GROUP BY 1, 2
+        ),
+        m{i} AS (SELECT l, r, cnt FROM p{i}
+                 ORDER BY cnt DESC, l, r LIMIT 1),
+        seq{i} AS (SELECT w, c, replace(s,
+                 chr(30) || l || chr(31) || chr(30) || r || chr(31),
+                 chr(30) || l || r || chr(31)) AS s
+                 FROM {prev} CROSS JOIN m{i}),"""
+        prev = f"seq{i}"
+    sql += f"""
+        seg AS (
+          SELECT w, string_split(
+              substr(s, 2, length(s) - 2), chr(31) || chr(30)) AS syms
+          FROM {prev}
+        ),
+        base AS (
+          SELECT {id_col},
+                 {toks} AS arr
+          FROM {table}
+        ),
+        exploded AS (
+          SELECT {id_col}, (i - 1)::BIGINT AS pos, arr[i] AS token
+          FROM base, LATERAL unnest(range(1, len(arr) + 1)) AS t(i)
+        )
+        SELECT e.{id_col}, e.pos, (j.j - 1)::BIGINT AS sym_pos,
+               seg.syms[j.j] AS symbol
+        FROM exploded e JOIN seg ON e.token = seg.w,
+             LATERAL unnest(range(1, len(seg.syms) + 1)) AS j(j)"""
+    return sql

@@ -206,3 +206,39 @@ def test_bpe_train_matches_reference_incl_runs():
     got = [tuple(r) for r in out[["round", "left", "right", "merged",
                                   "count"]].itertuples(index=False)]
     assert got == expect
+
+
+def test_bpe_encode_segments_match_reference():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.vocab import bpe_encode
+
+    docs = ["low low lower", "aaaa aa"]
+    counts = {}
+    for d in docs:
+        for w in d.split():
+            counts[w] = counts.get(w, 0) + 1
+    merges = _ref_bpe(counts, 3)
+    # reference segmentation: re-apply merges in order
+    seqs = {w: list(w) for w in counts}
+    for _, l, r, _, _ in merges:
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+
+    got = bpe_encode(
+        ray.data.from_pandas(
+            pd.DataFrame({"doc_id": [0, 1], "text": docs})),
+        rounds=3,
+    ).to_pandas().sort_values(["doc_id", "pos", "sym_pos"])
+    for (doc_id, pos), g in got.groupby(["doc_id", "pos"]):
+        word = docs[doc_id].split()[pos]
+        assert g["symbol"].tolist() == seqs[word], (doc_id, pos, word)
