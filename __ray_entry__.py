@@ -1080,6 +1080,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_cusum_flags(sf):
+        """Per-user upward spend-drift CUSUM flags (exact integer state;
+        the recursion closes into prefix-sum minus running-min, so the
+        engine's vectorized bucketed pass mirrors a window-min SQL)."""
+        from htrc_feature_reader_ray.stages.temporal import cusum_flags
+
+        ev = _events(sf, ["event_id", "user_id", "ts", "value"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "cents": pa.array(c),
+            })
+
+        return cusum_flags(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            key="user_id", ts="ts", value_col="cents",
+            drift=10_000, threshold=50_000, tiebreak="event_id",
+        )
+
     def q_bpe_encode(sf):
         """Subword segmentation of the corpus with the trained BPE
         merges: word-TYPE segmentation broadcast to occurrences (docs are
@@ -2914,6 +2939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_dedup_pairs": q_name_dedup_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "cusum_flags": q_cusum_flags,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
         "local_clustering": q_local_clustering,
@@ -3825,6 +3851,11 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
+        "cusum_flags": temporal_mod.cusum_flags_sql(
+            key="user_id", ts="ts",
+            value_expr="CAST(round(value * 100) AS BIGINT)",
+            drift=10_000, threshold=50_000, tiebreak="event_id",
+            table="events"),
         "session_covisit": """
             WITH flagged AS (
               SELECT user_id, ts,

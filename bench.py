@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "session_covisit",
     "bpe_merges",
     "bpe_encode",
+    "cusum_flags",
 ]
 
 HEADLINE = "flagship"

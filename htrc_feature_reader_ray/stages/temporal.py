@@ -1371,3 +1371,76 @@ def interpolate_daily_sql(*, key: str, obs_sql: str) -> str:
                (u.i = 0) AS observed
         FROM nxt, unnest(generate_series(
             0, CASE WHEN nd IS NULL THEN 0 ELSE nd - day - 1 END)) AS u(i)"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift / change-point flags
+
+
+def cusum_flags(ds, *, key: str, ts: str, value_col: str, drift: int,
+                threshold: int, tiebreak: str | None = None,
+                num_buckets: int = 32):
+    """Per-key one-sided CUSUM drift detector over an integer metric: the
+    classic recursive statistic
+
+        s_i = max(0, s_{i-1} + (x_i − drift))
+
+    flags ``s_i > threshold`` — upward level-shift detection (latency
+    regressions, spend spikes) with exact integer state.  The recursion is
+    closed-form SQL-expressible via the running-minimum identity
+
+        s_i = P_i − min_{j ≤ i} P_j,   P_i = Σ_{k ≤ i} (x_k − drift)
+
+    (P_0 = 0 included — min(…, 0) — so the statistic never goes negative),
+    which both sides compute: engine = vectorized per-key cumsum/cummin in
+    one bucketed pass, mirror = a window ``min() OVER (ROWS UNBOUNDED
+    PRECEDING)``.  Output: input keys/ts + ``cusum`` + ``flag``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    order = [key, ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                key: pd.Series(dtype=object),
+                ts: pd.Series(dtype="datetime64[us]"),
+                "cusum": pd.Series(dtype="int64"),
+                "flag": pd.Series(dtype="bool"),
+            })
+        df = df.sort_values(order, kind="mergesort").reset_index(drop=True)
+        x = df[value_col].astype("int64").to_numpy() - drift
+        p = pd.Series(x).groupby(df[key].to_numpy()).cumsum().to_numpy()
+        running_min = np.minimum(
+            pd.Series(p).groupby(df[key].to_numpy()).cummin().to_numpy(), 0)
+        s = p - running_min
+        return pd.DataFrame({
+            key: df[key], ts: df[ts],
+            "cusum": s.astype(np.int64),
+            "flag": s > threshold,
+        })
+
+    return bucketed_map_groups(
+        ds.select_columns(list(dict.fromkeys(order + [value_col]))),
+        key, per_bucket, num_buckets=num_buckets)
+
+
+def cusum_flags_sql(*, key: str, ts: str, value_expr: str, drift: int,
+                    threshold: int, tiebreak: str | None = None,
+                    table: str) -> str:
+    """SQL mirror: prefix sum − min(prefix, 0) running minimum."""
+    order = f"{ts}" + (f", {tiebreak}" if tiebreak else "")
+    carry = f", {tiebreak}" if tiebreak else ""
+    return f"""
+        WITH p AS (
+            SELECT {key}, {ts}{carry},
+                   sum(({value_expr}) - {drift}) OVER (
+                       PARTITION BY {key} ORDER BY {order}
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS pfx
+            FROM {table}
+        )
+        SELECT {key}, {ts},
+               (pfx - least(min(pfx) OVER w, 0))::BIGINT AS cusum,
+               (pfx - least(min(pfx) OVER w, 0)) > {threshold} AS flag
+        FROM p WINDOW w AS (PARTITION BY {key} ORDER BY {order}
+                            ROWS UNBOUNDED PRECEDING)"""

@@ -559,3 +559,28 @@ def test_interpolate_daily_rejects_duplicate_day():
     with pytest.raises(Exception, match="duplicate"):
         interpolate_daily(ray.data.from_pandas(df), key="u", ts="ts",
                           value_col="v").materialize()
+
+
+def test_cusum_flags_recursion_identity():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.temporal import cusum_flags
+
+    ts = pd.date_range("2026-01-01", periods=6, freq="1h")
+    df = pd.DataFrame({
+        "u": [1] * 6,
+        "ts": ts,
+        "v": [5, 20, 1, 1, 30, 30],
+    })
+    out = cusum_flags(
+        ray.data.from_pandas(df).repartition(2),
+        key="u", ts="ts", value_col="v", drift=10, threshold=25,
+    ).to_pandas().sort_values("ts")
+    # reference recursion s = max(0, s + x - k)
+    s, expect = 0, []
+    for x in df["v"]:
+        s = max(0, s + x - 10)
+        expect.append(s)
+    assert out["cusum"].tolist() == expect
+    assert out["flag"].tolist() == [e > 25 for e in expect]
