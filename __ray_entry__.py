@@ -1080,6 +1080,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_kmeans(sf):
+        """Integer-exact distributed k-means (3 Lloyd rounds, k=8):
+        fixed-point quantized vectors, exact squared-L2 argmin, floor-mean
+        centroid update — bit-identical across parallelism and replayed
+        by unrolled SQL CTEs; centroids are the k×d iteration state."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import kmeans_fixed
+
+        return kmeans_fixed(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+            k=8, rounds=3)
+
     def q_cusum_flags(sf):
         """Per-user upward spend-drift CUSUM flags (exact integer state;
         the recursion closes into prefix-sum minus running-min, so the
@@ -2940,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "cusum_flags": q_cusum_flags,
+        "kmeans": q_kmeans,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
         "local_clustering": q_local_clustering,
@@ -3851,6 +3866,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
+        "kmeans": similarity_mod.kmeans_fixed_sql(k=8, rounds=3),
         "cusum_flags": temporal_mod.cusum_flags_sql(
             key="user_id", ts="ts",
             value_expr="CAST(round(value * 100) AS BIGINT)",

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_encode",
     "cusum_flags",
+    "kmeans",
 ]
 
 HEADLINE = "flagship"

@@ -500,3 +500,169 @@ def edit_distance_pairs_sql(*, id_col: str, text_col: str, block_col: str,
           ON a.{block_col} = b.{block_col}
          AND a.{id_col} < b.{id_col}
         WHERE levenshtein(a.{text_col}, b.{text_col}) <= {max_dist}"""
+
+
+# ---------------------------------------------------------------------------
+# integer-exact distributed k-means (Lloyd, bounded rounds)
+
+
+def kmeans_fixed(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+                 k: int = 8, rounds: int = 3, num_buckets: int = 32):
+    """Lloyd's k-means with an INTEGER-EXACT kernel — the clustering stage
+    a SemDeDup / IVF pipeline needs, made bit-identical across parallelism
+    levels and SQL-replayable (float k-means is neither: distance sums and
+    centroid means depend on summation order):
+
+      * vectors quantize to ``floor(x · 2²⁰)`` int64 (the
+        ``CENTROID_SCALE`` fixed-point contract of
+        :func:`label_centroid_sums`);
+      * assignment = exact integer squared-L2 argmin, ties to the lowest
+        centroid id;
+      * update = per-cluster per-dim FLOOR(sum/n) (floor, not truncation —
+        the SQL mirror carries the explicit negative-remainder correction
+        since DuckDB ``//`` truncates);
+      * init = the ``k`` smallest ``id_col`` vectors (deterministic);
+        clusters that lose all members keep their previous centroid.
+
+    Scale shape per round: centroids are the k×d driver-side iteration
+    state broadcast into one stateless assignment map (per-batch numpy
+    (N,k,d) reduction); cluster sums collapse per batch via ``np.add.at``
+    partials and fold through one (cluster,dim)-keyed exchange — the
+    label_centroid_sums shape with labels = current assignment.  Returns
+    the final assignment Dataset ``(id, cluster, dist)``.
+    """
+    scale = CENTROID_SCALE
+
+    def quantize(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col))
+        q = np.floor(m * scale).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "_q": pa.array(list(q)),
+        })
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+
+    import pyarrow.compute as pc
+
+    # deterministic init: the k smallest ids (tiny driver pull)
+    seed = qds.map_batches(
+        lambda t: t.filter(pc.less(t.column(id_col), k)),
+        batch_format="pyarrow",
+    ).to_pandas().sort_values(id_col)
+    cent = np.stack([np.asarray(v, dtype=np.int64) for v in seed["_q"]])
+    d = cent.shape[1]
+
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    for _ in range(rounds):
+        cref = ray.put(cent)
+
+        def sums_partial(t: pa.Table) -> pa.Table:
+            C = ray.get(cref)
+            q = np.stack([np.asarray(v, dtype=np.int64)
+                          for v in t.column("_q").to_pylist()])
+            dist = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)  # ties -> lowest id
+            sums = np.zeros((C.shape[0], q.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            n = np.bincount(assign, minlength=C.shape[0]).astype(np.int64)
+            cl = np.repeat(np.arange(C.shape[0], dtype=np.int64),
+                           q.shape[1])
+            return pa.table({
+                "cluster": pa.array(cl),
+                "dim": pa.array(np.tile(
+                    np.arange(q.shape[1], dtype=np.int64), C.shape[0])),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(n, q.shape[1])),
+            })
+
+        folded = bucketed_aggregate(
+            qds.map_batches(sums_partial, batch_format="pyarrow"),
+            ["cluster", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")},
+            num_buckets=num_buckets,
+        ).to_pandas()  # k×d rows: the iteration state
+        folded = folded.sort_values(["cluster", "dim"])
+        s = folded["s"].to_numpy().reshape(k, d)
+        n = folded["n"].to_numpy().reshape(k, d)[:, 0]
+        new = cent.copy()
+        nz = n > 0
+        # floor division (numpy semantics) — mirrored explicitly in SQL
+        new[nz] = s[nz] // n[nz, None]
+        cent = new
+
+    cref = ray.put(cent)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        q = np.stack([np.asarray(v, dtype=np.int64)
+                      for v in t.column("_q").to_pylist()])
+        dist = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = dist.argmin(axis=1)
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist": pa.array(dist[np.arange(len(a)), a].astype(np.int64)),
+        })
+
+    return qds.map_batches(assign_final, batch_format="pyarrow")
+
+
+def kmeans_fixed_sql(*, table: str = "embeddings",
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     k: int = 8, rounds: int = 3) -> str:
+    """SQL mirror: unrolled per-round CTEs — dim-exploded exact integer
+    distances, (dist, cid) argmin, floor-corrected centroid means,
+    empty-cluster carry-forward."""
+    scale = CENTROID_SCALE
+    sql = f"""
+        WITH q AS (
+          SELECT {id_col} AS vid, u.i - 1 AS dim,
+                 floor({vec_col}[u.i]::DOUBLE * {scale})::BIGINT AS qd
+          FROM {table},
+               unnest(generate_series(1, len({vec_col}))) AS u(i)
+        ),
+        c0 AS (SELECT vid::BIGINT AS cid, dim, qd AS cd FROM q
+               WHERE vid < {k}),"""
+    prev = "c0"
+    for i in range(1, rounds + 1):
+        sql += f"""
+        d{i} AS (
+          SELECT q.vid, c.cid,
+                 sum((q.qd - c.cd) * (q.qd - c.cd)) AS dist
+          FROM q JOIN {prev} c USING (dim) GROUP BY 1, 2
+        ),
+        a{i} AS (
+          SELECT vid, cid FROM (
+            SELECT vid, cid, row_number() OVER (
+                PARTITION BY vid ORDER BY dist, cid) AS rn FROM d{i})
+          WHERE rn = 1
+        ),
+        s{i} AS (
+          SELECT a.cid, q.dim, sum(q.qd) AS s, count(*) AS n
+          FROM q JOIN a{i} a USING (vid) GROUP BY 1, 2
+        ),
+        c{i} AS (
+          SELECT p.cid, p.dim,
+                 CASE WHEN s.n IS NULL THEN p.cd
+                      ELSE (s.s // s.n
+                            - CASE WHEN s.s % s.n <> 0 AND s.s < 0
+                                   THEN 1 ELSE 0 END)::BIGINT
+                 END AS cd
+          FROM {prev} p LEFT JOIN s{i} s
+               ON p.cid = s.cid AND p.dim = s.dim
+        ),"""
+        prev = f"c{i}"
+    sql += f"""
+        df AS (
+          SELECT q.vid, c.cid,
+                 sum((q.qd - c.cd) * (q.qd - c.cd))::BIGINT AS dist
+          FROM q JOIN {prev} c USING (dim) GROUP BY 1, 2
+        )
+        SELECT vid AS {id_col}, cid::BIGINT AS cluster, dist FROM (
+          SELECT vid, cid, dist, row_number() OVER (
+              PARTITION BY vid ORDER BY dist, cid) AS rn FROM df)
+        WHERE rn = 1"""
+    return sql

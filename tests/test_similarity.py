@@ -207,3 +207,53 @@ def test_edit_distance_pairs_blocking_and_threshold():
     # but in another block; id 5 too far
     assert out[["id_a", "id_b", "dist"]].values.tolist() == [
         [1, 2, 1], [1, 3, 2], [2, 3, 1]]
+
+
+# ---------------------------------------------------------------------------
+# integer-exact k-means
+
+
+def test_kmeans_fixed_matches_scalar_lloyd_and_parallelism_independent():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        CENTROID_SCALE,
+        kmeans_fixed,
+    )
+
+    rng = np.random.RandomState(3)
+    # 3 separated blobs in 4d + an outlier
+    pts = np.concatenate([
+        rng.normal(0.0, 0.02, (10, 4)),
+        rng.normal(0.3, 0.02, (10, 4)),
+        rng.normal(-0.3, 0.02, (10, 4)),
+    ]).astype(np.float32)
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(pts)),
+        "embedding": [list(map(float, p)) for p in pts],
+    })
+
+    # scalar reference with identical integer kernel
+    q = np.floor(pts.astype(np.float64) * CENTROID_SCALE).astype(np.int64)
+    k, rounds = 3, 3
+    cent = q[:k].copy()
+    for _ in range(rounds):
+        dist = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = dist.argmin(axis=1)
+        new = cent.copy()
+        for j in range(k):
+            m = q[a == j]
+            if len(m):
+                new[j] = m.sum(axis=0) // len(m)
+        cent = new
+    dist = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    expect = dist.argmin(axis=1)
+
+    for parts in (1, 7):
+        out = kmeans_fixed(
+            ray.data.from_pandas(df).repartition(parts),
+            k=k, rounds=rounds,
+        ).to_pandas().sort_values("vec_id")
+        assert out["cluster"].tolist() == expect.tolist(), parts
