@@ -1094,6 +1094,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   columns=["vec_id", "embedding"]),
             k=8, rounds=3)
 
+    def q_kmeans_semdedup(sf):
+        """The full SemDeDup paper pipeline (arXiv:2303.09540): integer-
+        exact k-means supplies the cells, then near-dup pairs are mined
+        within cells only — the cluster column co-partitions the
+        quadratic kernel; assignment attaches by one vec_id bucket join."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.dedup import semdedup_pairs
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+        from htrc_feature_reader_ray.stages.similarity import kmeans_fixed
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        assign = kmeans_fixed(emb, k=8, rounds=3).drop_columns(["dist"])
+        joined = bucket_join(
+            emb, assign.map_batches(
+                lambda df: df.rename(columns={"vec_id": "vid"}),
+                batch_format="pandas"),
+            left_key="vec_id", right_key="vid")
+        return semdedup_pairs(joined, cluster_col="cluster",
+                              threshold=0.3)
+
     def q_cusum_flags(sf):
         """Per-user upward spend-drift CUSUM flags (exact integer state;
         the recursion closes into prefix-sum minus running-min, so the
@@ -2955,6 +2977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": q_bpe_encode,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
+        "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
         "local_clustering": q_local_clustering,
@@ -3867,6 +3890,20 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
         "kmeans": similarity_mod.kmeans_fixed_sql(k=8, rounds=3),
+        "kmeans_semdedup": f"""
+            WITH assign AS (
+                SELECT * FROM ({similarity_mod.kmeans_fixed_sql(
+                    k=8, rounds=3)}) t
+            ),
+            e AS (
+                SELECT emb.vec_id, a.cluster, emb.embedding
+                FROM embeddings emb JOIN assign a USING (vec_id)
+            )
+            SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.3""",
         "cusum_flags": temporal_mod.cusum_flags_sql(
             key="user_id", ts="ts",
             value_expr="CAST(round(value * 100) AS BIGINT)",

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "cusum_flags",
     "kmeans",
+    "kmeans_semdedup",
 ]
 
 HEADLINE = "flagship"
