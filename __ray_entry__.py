@@ -1080,6 +1080,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", amount_col="value",
         )
 
+    def q_user_spend_trend(sf):
+        """Per-user least-squares spend TREND (slope + intercept of
+        value_cents over epoch-day) — exact integer moments folded once
+        per user bucket, one correctly-rounded divide per output double
+        on both sides."""
+        from htrc_feature_reader_ray.stages.profile import grouped_trend
+
+        ev = _events(sf, ["user_id", "ts", "value"])
+
+        def quantize(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            ts_us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "day": pa.array(ts_us // 86_400_000_000),
+                "cents": pa.array(cents),
+            })
+
+        return grouped_trend(
+            ev.map_batches(quantize, batch_format="pyarrow"),
+            key="user_id", x_col="day", y_col="cents",
+        )
+
     def q_kmeans(sf):
         """Integer-exact distributed k-means (3 Lloyd rounds, k=8):
         fixed-point quantized vectors, exact squared-L2 argmin, floor-mean
@@ -2998,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_lang_source": q_rollup_lang_source,
         "value_hour_corr": q_value_hour_corr,
         "decayed_score": q_decayed_score,
+        "user_spend_trend": q_user_spend_trend,
         "label_centroids": q_label_centroids,
         "semdedup_pairs": q_semdedup_pairs,
         "quality_rule_flags": q_quality_rule_flags,
@@ -3816,6 +3844,11 @@ def oracle_sql() -> dict[str, str]:
             table="events"),
         "decayed_score": temporal_mod.decayed_score_sql(
             key="user_id", ts="ts", amount_col="value"),
+        "user_spend_trend": profile_mod.grouped_trend_sql(
+            key="user_id",
+            x_expr="epoch_us(ts) // 86400000000",
+            y_expr="CAST(round(value * 100) AS BIGINT)",
+            table="events"),
         "label_centroids": similarity_mod.label_centroid_sums_sql(),
         "semdedup_pairs": dedup_mod.semdedup_pairs_sql(threshold=0.3),
         "value_outliers": """

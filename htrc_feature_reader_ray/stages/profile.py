@@ -957,3 +957,87 @@ def table_audit_sql(*, columns, table: str, p: int = 6) -> str:
             FROM mx
         ) est""")
     return " UNION ALL ".join(parts)
+
+
+def grouped_trend(ds, *, key: str, x_col: str, y_col: str,
+                  num_buckets: int = 32):
+    """Per-group least-squares TREND (slope + intercept) of a quantized
+    integer pair — the "is this user's spend rising" feature — from the
+    same exact-moment fold as :func:`grouped_moments`:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+        intercept = (Σy − slope·Σx) / n
+
+    Numerator/denominator are exact integers (Python arbitrary precision
+    == SQL HUGEINT); slope is ONE correctly-rounded divide on each side,
+    intercept one fused expression evaluated identically.  Zero-x-variance
+    groups yield NULL slope/intercept."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t2 = pa.table({
+            key: t.column(key),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "sxy": pa.array(x * y),
+        })
+        g = t2.group_by([key]).aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxx", "sum"),
+             ("sxy", "sum"), ([], "count_all")])
+        return g.rename_columns([key, "sx", "sy", "sxx", "sxy", "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key],
+        {c: (c, "sum") for c in ["n", "sx", "sy", "sxx", "sxy"]},
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        slopes, intercepts = [], []
+        for _, r in df.iterrows():
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxx, sxy = int(r["sxx"]), int(r["sxy"])
+            den = n * sxx - sx * sx
+            if den <= 0:
+                slopes.append(None)
+                intercepts.append(None)
+            else:
+                s = float(n * sxy - sx * sy) / float(den)
+                slopes.append(s)
+                intercepts.append((float(sy) - s * float(sx)) / float(n))
+        return pd.DataFrame({
+            key: df[key],
+            "n": df["n"].astype("int64"),
+            "slope": pd.Series(slopes, index=df.index, dtype="float64"),
+            "intercept": pd.Series(intercepts, index=df.index,
+                                   dtype="float64"),
+        })
+
+    return folded.map_batches(finish, batch_format="pandas")
+
+
+def grouped_trend_sql(*, key: str, x_expr: str, y_expr: str,
+                      table: str) -> str:
+    """SQL mirror: HUGEINT moments, the identical divide/FMA-free
+    intercept expression."""
+    return f"""
+        WITH m AS (
+            SELECT {key}, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy
+            FROM (SELECT {key}, ({x_expr})::BIGINT AS x,
+                         ({y_expr})::BIGINT AS y FROM {table})
+            GROUP BY {key}
+        )
+        SELECT {key}, n::BIGINT AS n,
+               CASE WHEN (n*sxx - sx*sx) > 0
+                    THEN (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE
+               END AS slope,
+               CASE WHEN (n*sxx - sx*sx) > 0
+                    THEN (sy::DOUBLE
+                          - ((n*sxy - sx*sy)::DOUBLE
+                             / (n*sxx - sx*sx)::DOUBLE) * sx::DOUBLE)
+                         / n::DOUBLE
+               END AS intercept
+        FROM m"""

@@ -384,6 +384,34 @@ def test_grouped_moments_corr_exact_and_degenerate():
                            "sum_xy"]].tolist() == [4, 10, 20, 30, 120, 60]
 
 
+def test_grouped_trend_exact_and_degenerate():
+    import math
+
+    from htrc_feature_reader_ray.stages.profile import grouped_trend
+
+    df = pd.DataFrame({
+        "g": ["lin"] * 4 + ["noisy"] * 3 + ["flat"] * 2,
+        "x": [1, 2, 3, 4, 0, 1, 2, 7, 7],
+        "y": [5, 7, 9, 11, 1, 4, 5, 3, 9],
+    })
+    out = grouped_trend(
+        ray.data.from_pandas(df).repartition(4),
+        key="g", x_col="x", y_col="y",
+    ).to_pandas().set_index("g")
+    # y = 2x + 3 exactly
+    assert out.loc["lin", "slope"] == 2.0
+    assert out.loc["lin", "intercept"] == 3.0
+    # least squares on (0,1),(1,4),(2,5): slope = 2, intercept = 4/3
+    assert out.loc["noisy", "slope"] == 2.0
+    assert out.loc["noisy", "intercept"] == (
+        float(10) - 2.0 * float(3)) / float(3)
+    # zero x-variance -> NULL slope/intercept
+    assert math.isnan(out.loc["flat", "slope"])
+    assert math.isnan(out.loc["flat", "intercept"])
+    assert out["n"].tolist() == [2, 4, 3] or set(
+        out["n"].tolist()) == {2, 4, 3}
+
+
 def test_decayed_score_shift_kernel_and_cap():
     from htrc_feature_reader_ray.stages.temporal import decayed_score
 
