@@ -1107,6 +1107,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", x_col="day", y_col="cents",
         )
 
+    def q_impute_value_median(sf):
+        """Group-median NULL imputation: value_cents is deterministically
+        masked (event_id % 7 == 0 → NULL) then filled with the
+        event_type's discrete median of the surviving rows — histogram
+        fold for the medians, ray.put broadcast, stateless vectorized
+        fill pass; was_null flags the imputed rows."""
+        from htrc_feature_reader_ray.stages.profile import (
+            impute_group_median,
+        )
+
+        ev = _events(sf, ["event_id", "event_type", "value"])
+
+        def quantize_mask(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy(zero_copy_only=False)
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value_cents": pa.array(
+                    np.ma.masked_array(cents, mask=(eid % 7 == 0))),
+            })
+
+        return impute_group_median(
+            ev.map_batches(quantize_mask, batch_format="pyarrow"),
+            key="event_type", col="value_cents",
+        )
+
     def q_kmeans(sf):
         """Integer-exact distributed k-means (3 Lloyd rounds, k=8):
         fixed-point quantized vectors, exact squared-L2 argmin, floor-mean
@@ -3026,6 +3055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_corr": q_value_hour_corr,
         "decayed_score": q_decayed_score,
         "user_spend_trend": q_user_spend_trend,
+        "impute_value_median": q_impute_value_median,
         "label_centroids": q_label_centroids,
         "semdedup_pairs": q_semdedup_pairs,
         "quality_rule_flags": q_quality_rule_flags,
@@ -3844,6 +3874,12 @@ def oracle_sql() -> dict[str, str]:
             table="events"),
         "decayed_score": temporal_mod.decayed_score_sql(
             key="user_id", ts="ts", amount_col="value"),
+        "impute_value_median": profile_mod.impute_group_median_sql(
+            key="event_type",
+            value_expr=("CASE WHEN event_id % 7 <> 0 "
+                        "THEN CAST(round(value * 100) AS BIGINT) END"),
+            table="events", select_cols="event_id",
+            col_name="value_cents"),
         "user_spend_trend": profile_mod.grouped_trend_sql(
             key="user_id",
             x_expr="epoch_us(ts) // 86400000000",

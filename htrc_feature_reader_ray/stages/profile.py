@@ -1018,6 +1018,100 @@ def grouped_trend(ds, *, key: str, x_col: str, y_col: str,
     return folded.map_batches(finish, batch_format="pandas")
 
 
+def impute_group_median(ds, *, key: str, col: str, num_buckets: int = 16,
+                        flag_col: str = "was_null"):
+    """Group-median NULL imputation — the standard feature-store fill for
+    a numeric column with missing values: every NULL in ``col`` is
+    replaced by its group's discrete median (1-based rank ``ceil(n/2)``
+    over the NON-NULL rows == DuckDB ``quantile_disc(col, 0.5)``), and a
+    boolean ``flag_col`` records which rows were imputed.  Groups whose
+    values are ALL NULL have no median and stay NULL (flag still set).
+
+    Scale shape: phase 1 folds a per-group DISTINCT-VALUE histogram of
+    the non-null rows (per-batch ``group_by(key, col).count`` combiner →
+    one key-bucketed fold → rank lookup), so only ``(key, value, cnt)``
+    partials cross the exchange; the resulting one-row-per-group median
+    table is broadcast once via ``ray.put`` (sorted arrays + searchsorted,
+    the same small-side pattern as ``assoc.attach``) and the fill is a
+    single stateless vectorized ``map_batches`` over the streaming input.
+    Documented contract: the (key, median) table fits a worker — one int
+    per group; for 10^9-key domains use a ``bucket_join`` attach instead.
+
+    ``col`` must be integer-typed (quantize doubles to cents first) so the
+    median is exact and order-independent."""
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def hist(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([key, col]).filter(
+            pc.is_valid(batch.column(col)))
+        g = t.group_by([key, col]).aggregate([([], "count_all")])
+        return g.rename_columns([key, col, "cnt"])
+
+    def medians(df: pd.DataFrame) -> pd.DataFrame:
+        merged = df.groupby([key, col], as_index=False)["cnt"].sum()
+        rows = []
+        for gkey, g in merged.groupby(key, sort=False):
+            g = g.sort_values(col)
+            cum = g["cnt"].to_numpy().cumsum()
+            n = int(cum[-1])
+            med = int(g[col].to_numpy()[
+                int(np.searchsorted(cum, -(-n // 2)))])
+            rows.append((gkey, med))
+        return pd.DataFrame(rows, columns=[key, "median"]).astype(
+            {"median": "int64"})
+
+    med_df = bucketed_map_groups(
+        ds.map_batches(hist, batch_format="pyarrow"), key, medians,
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values(key)
+    med_ref = ray.put((med_df[key].to_numpy(),
+                       med_df["median"].to_numpy().astype(np.int64)))
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        keys_arr, meds = ray.get(med_ref)
+        out = df.copy()
+        isnull = out[col].isna().to_numpy()
+        out[flag_col] = isnull
+        kv = out[key].to_numpy()
+        pos = np.searchsorted(keys_arr, kv)
+        # groups absent from the median table (all-NULL) keep NULL
+        pos_ok = pos < len(keys_arr)
+        has_med = np.zeros(len(out), dtype=bool)
+        has_med[pos_ok] = keys_arr[pos[pos_ok]] == kv[pos_ok]
+        take = isnull & has_med
+        vals = out[col].to_numpy(dtype="float64", na_value=np.nan)
+        vals[take] = meds[pos[take]]
+        mask = np.isnan(vals)
+        out[col] = pd.arrays.IntegerArray(
+            np.where(mask, 0, vals).astype(np.int64), mask=mask)
+        return out
+
+    return ds.map_batches(fill, batch_format="pandas")
+
+
+def impute_group_median_sql(*, key: str, value_expr: str, table: str,
+                            select_cols: str, col_name: str,
+                            flag_col: str = "was_null") -> str:
+    """SQL mirror: quantile_disc(0.5) over non-null rows per group,
+    LEFT JOIN + coalesce fill, IS NULL flag."""
+    return f"""
+        WITH v AS (
+            SELECT {select_cols}, {key}, ({value_expr})::BIGINT AS c
+            FROM {table}
+        ), m AS (
+            SELECT {key}, quantile_disc(c, 0.5)::BIGINT AS med
+            FROM v WHERE c IS NOT NULL GROUP BY 1
+        )
+        SELECT {select_cols}, v.{key},
+               coalesce(v.c, m.med) AS {col_name},
+               (v.c IS NULL) AS {flag_col}
+        FROM v LEFT JOIN m USING ({key})"""
+
+
 def grouped_trend_sql(*, key: str, x_expr: str, y_expr: str,
                       table: str) -> str:
     """SQL mirror: HUGEINT moments, the identical divide/FMA-free

@@ -412,6 +412,26 @@ def test_grouped_trend_exact_and_degenerate():
         out["n"].tolist()) == {2, 4, 3}
 
 
+def test_impute_group_median_fill_and_all_null_group():
+    from htrc_feature_reader_ray.stages.profile import impute_group_median
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "g": ["a", "a", "a", "a", "b", "b", "c", "c"],
+        # a: non-null {10, 20, 30} -> median rank ceil(3/2)=2 -> 20
+        # b: non-null {7} -> 7;  c: ALL NULL -> stays NULL
+        "v": pd.array([10, None, 20, 30, None, 7, None, None],
+                      dtype="Int64"),
+    })
+    out = impute_group_median(
+        ray.data.from_pandas(df).repartition(4), key="g", col="v",
+    ).to_pandas().sort_values("id").set_index("id")
+    assert out["v"].tolist()[:6] == [10, 20, 20, 30, 7, 7]
+    assert out.loc[7, "v"] is pd.NA and out.loc[8, "v"] is pd.NA
+    assert out["was_null"].tolist() == [
+        False, True, False, False, True, False, True, True]
+
+
 def test_decayed_score_shift_kernel_and_cap():
     from htrc_feature_reader_ray.stages.temporal import decayed_score
 
