@@ -1766,14 +1766,30 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
       1. per-batch distinct (doc, shingle) explode          [no exchange]
       2. shingle document-frequency fold                    [g-bucketed]
       3. df attach                                          [g-bucket join]
-      4. per-doc (df, g)-sorted set payloads                [doc-bucketed]
-         — MATERIALIZED once: three consumers below (prefix explode +
+      4. per-doc payloads                                   [doc-bucketed]
+         — each doc's DISTINCT shingles are md5-128-digested ONCE (per
+         frame VOCABULARY, not per occurrence) into two fixed-width
+         binary blobs: its PREFIX upper-64 hashes in (df, g) order and
+         its full (hi, lo) set sorted numerically.  After this stage no
+         shingle STRING ever crosses an exchange again (the text-free
+         exchange contract of ``table_diff``/``line_dedup``); set
+         equality is md5-128 (collision-free absent adversarial inputs,
+         the same documented contract as ``table_diff``).
+         MATERIALIZED once: three consumers below (prefix explode +
          both verify joins); re-deriving the tokenized corpus thrice
          would cost more than the checkpoint
-      5. prefix explode → candidate pairs (pair kernel)     [g-bucketed]
-      6. exact verify: payloads joined on both ids, intersection counted
-         by one factorize + lexsort-duplicate pass per batch (no per-pair
-         Python loop)                                       [2 id joins]
+      5. prefix explode → candidate pairs (pair kernel) on the UPPER-64
+         hash as the join key — a 64-bit collision only ever ADDS a
+         candidate (verified away below), so mining stays lossless while
+         the exchange carries 8-byte ints instead of shingle strings
+                                                            [g-bucketed]
+      6. exact verify: payloads joined on both ids; pairs failing the
+         LENGTH filter ``min(n_a,n_b)·10⁶ ≥ t_ppm·max(n_a,n_b)`` are
+         dropped before any set work (J = i/(n_a+n_b−i) ≤ min/max since
+         i ≤ min — pure arithmetic, zero recall loss); survivors'
+         (hi, lo) blobs are intersected by one concatenated
+         (pair, hi, lo) lexsort-duplicate pass per batch — integer
+         compares only, no per-pair Python loop    [2 id joins]
 
     Integer contract: the threshold test is ``inter·10⁶ ≥ t_ppm·union``
     (exact ⟺ J ≥ t); ``jaccard_ppm = inter·10⁶ // union``.
@@ -1816,22 +1832,43 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         left_key="g", right_key="g", num_buckets=num_buckets)
 
     def build_sets(frame: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64"),
+                              "pref": pd.Series(dtype=object),
+                              "blob": pd.Series(dtype=object)})
         if frame.empty:
-            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 "n": pd.Series(dtype="int64"),
-                                 "gs": pd.Series(dtype=object)})
+            return empty
         frame = frame.sort_values([id_col, "_df", "g"], kind="mergesort")
         ids = frame[id_col].to_numpy()
         gs = frame["g"].to_numpy()
+        # digest the frame VOCABULARY once (shingles repeat across docs)
+        uniq, inv = np.unique(gs, return_inverse=True)
+        dig = np.empty((len(uniq), 2), dtype=np.uint64)
+        for i, s in enumerate(uniq):
+            d = hashlib.md5(s.encode("utf-8")).digest()
+            dig[i, 0] = int.from_bytes(d[:8], "little")
+            dig[i, 1] = int.from_bytes(d[8:], "little")
+        hi, lo = dig[inv, 0], dig[inv, 1]
         uids, starts = np.unique(ids, return_index=True)
-        parts = np.split(gs, starts[1:])
+        bounds = np.append(starts, len(ids))
+        n = np.diff(bounds).astype(np.int64)
+        p = n - (threshold_ppm * n + M - 1) // M + 1
+        # rows stay doc-contiguous under the stable (id, hi, lo) lexsort,
+        # so each doc's slice is its numerically sorted digest set
+        order = np.lexsort((lo, hi, ids))
+        pairs = np.empty((len(ids), 2), dtype=np.uint64)
+        pairs[:, 0], pairs[:, 1] = hi[order], lo[order]
+        # bytes blobs survive bucket_join's null-pad alignment (a binary
+        # column; list<uint64> cannot) and frombuffer at use is zero-copy
+        prefs = [hi[s:s + k].tobytes()
+                 for s, k in zip(bounds[:-1], p)]
+        blobs = [pairs[s:e].tobytes()
+                 for s, e in zip(bounds[:-1], bounds[1:])]
         return pd.DataFrame({
             id_col: uids.astype(np.int64),
-            "n": np.diff(np.append(starts, len(ids))).astype(np.int64),
-            # one \x1f-joined string per doc: a plain Arrow string column
-            # survives bucket_join's null-pad alignment (list<string>
-            # cannot) and splits vectorized at use
-            "gs": ["\x1f".join(p) for p in parts],
+            "n": n,
+            "pref": prefs,
+            "blob": blobs,
         })
 
     payloads = bucketed_map_groups(
@@ -1840,17 +1877,14 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     def prefix_rows(frame: pd.DataFrame) -> pd.DataFrame:
         if frame.empty:
-            return pd.DataFrame({"g": pd.Series(dtype=object),
+            return pd.DataFrame({"g": pd.Series(dtype="uint64"),
                                  id_col: pd.Series(dtype="int64")})
-        n = frame["n"].to_numpy()
-        p = n - (threshold_ppm * n + M - 1) // M + 1
-        flat = np.concatenate(frame["gs"].str.split("\x1f").to_list())
-        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
-        pos = np.arange(len(flat)) - np.repeat(starts, n)
-        keep = pos < np.repeat(p, n)
+        parts = [np.frombuffer(b, dtype=np.uint64) for b in frame["pref"]]
+        lens = np.fromiter((len(a) for a in parts), dtype=np.int64,
+                           count=len(parts))
         return pd.DataFrame({
-            "g": flat[keep],
-            id_col: np.repeat(frame[id_col].to_numpy(), n)[keep],
+            "g": np.concatenate(parts),
+            id_col: np.repeat(frame[id_col].to_numpy(), lens),
         })
 
     candidates = shared_key_pair_counts(
@@ -1868,7 +1902,7 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
             return pd.DataFrame({
                 f"id_{suffix}": frame[id_col].astype("int64"),
                 f"n_{suffix}": frame["n"].astype("int64"),
-                f"gs_{suffix}": frame["gs"],
+                f"blob_{suffix}": frame["blob"],
             })
         return fn
 
@@ -1889,19 +1923,29 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
         if frame.empty:
             return empty
+        la = frame["n_a"].to_numpy().astype(np.int64)
+        lb = frame["n_b"].to_numpy().astype(np.int64)
+        # exact length filter: J <= min/max, so min·10⁶ < t·max can't hit
+        frame = frame.loc[np.minimum(la, lb) * M
+                          >= threshold_ppm * np.maximum(la, lb)]
+        if frame.empty:
+            return empty
         nrows = len(frame)
-        la = frame["n_a"].to_numpy()
-        lb = frame["n_b"].to_numpy()
-        toks = np.concatenate(
-            frame["gs_a"].str.split("\x1f").to_list()
-            + frame["gs_b"].str.split("\x1f").to_list())
+        la = frame["n_a"].to_numpy().astype(np.int64)
+        lb = frame["n_b"].to_numpy().astype(np.int64)
+        cat = np.concatenate(
+            [np.frombuffer(b, dtype=np.uint64).reshape(-1, 2)
+             for b in frame["blob_a"]]
+            + [np.frombuffer(b, dtype=np.uint64).reshape(-1, 2)
+               for b in frame["blob_b"]])
         pidx = np.concatenate(
             [np.repeat(np.arange(nrows), la),
              np.repeat(np.arange(nrows), lb)])
-        codes, _ = pd.factorize(toks)
-        order = np.lexsort((codes, pidx))
-        pc, cc = pidx[order], codes[order]
-        dup = (pc[1:] == pc[:-1]) & (cc[1:] == cc[:-1])
+        order = np.lexsort((cat[:, 1], cat[:, 0], pidx))
+        pc = pidx[order]
+        h, lw = cat[order, 0], cat[order, 1]
+        dup = ((pc[1:] == pc[:-1]) & (h[1:] == h[:-1])
+               & (lw[1:] == lw[:-1]))
         inter = np.bincount(pc[1:][dup], minlength=nrows).astype(np.int64)
         union = la + lb - inter
         hit = inter * M >= threshold_ppm * union
