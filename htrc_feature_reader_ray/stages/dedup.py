@@ -1751,7 +1751,7 @@ def semdedup_pairs_sql(*, table: str = "embeddings",
 
 def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
                  k_shingle: int = 3, threshold_ppm: int = 500_000,
-                 num_buckets: int = 32):
+                 num_buckets: int = 32, verify_grid: int = 8):
     """EXACT all-pairs set-similarity join: every doc pair whose distinct
     ``k_shingle``-gram Jaccard is ≥ ``threshold_ppm/10⁶`` — no sketch, no
     recall loss.  The quadratic candidate space is cut by LOSSLESS prefix
@@ -1783,13 +1783,17 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
          candidate (verified away below), so mining stays lossless while
          the exchange carries 8-byte ints instead of shingle strings
                                                             [g-bucketed]
-      6. exact verify: payloads joined on both ids; pairs failing the
-         LENGTH filter ``min(n_a,n_b)·10⁶ ≥ t_ppm·max(n_a,n_b)`` are
-         dropped before any set work (J = i/(n_a+n_b−i) ≤ min/max since
-         i ≤ min — pure arithmetic, zero recall loss); survivors'
-         (hi, lo) blobs are intersected by one concatenated
-         (pair, hi, lo) lexsort-duplicate pass per batch — integer
-         compares only, no per-pair Python loop    [2 id joins]
+      6. exact verify in a RENDEZVOUS GRID: candidate (a,b) goes to one
+         (bucket(a), bucket(b)) cell as three ints; payloads replicate to
+         their G cells — blob exchange volume is G·|payloads| instead of
+         one blob copy PER CANDIDATE (wins whenever G < the per-doc
+         candidate fan-out).  In-cell: pairs failing the LENGTH filter
+         ``min(n_a,n_b)·10⁶ ≥ t_ppm·max(n_a,n_b)`` are dropped before any
+         set work (J = i/(n_a+n_b−i) ≤ min/max since i ≤ min — pure
+         arithmetic, zero recall loss); survivors' (hi, lo) blobs are
+         intersected by one concatenated (pair, hi, lo) lexsort-duplicate
+         pass per cell — integer compares only, no per-pair Python loop
+                                                   [1 grid exchange]
 
     Integer contract: the threshold test is ``inter·10⁶ ≥ t_ppm·union``
     (exact ⟺ J ≥ t); ``jaccard_ppm = inter·10⁶ // union``.
@@ -1897,67 +1901,119 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         out_a="id_a", out_b="id_b", out_n="_n_prefix_shared",
     )
 
-    def side(suffix):
-        def fn(frame: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                f"id_{suffix}": frame[id_col].astype("int64"),
-                f"n_{suffix}": frame["n"].astype("int64"),
-                f"blob_{suffix}": frame["blob"],
-            })
-        return fn
+    # ---- rendezvous-grid verify -----------------------------------------
+    # Joining blobs onto candidate rows duplicates each doc's set PER
+    # CANDIDATE (the per-doc candidate fan-out, ~80× here) across two
+    # exchanges.  Instead both sides meet in a G×G bucket grid: candidate
+    # (a,b) goes to ONE cell (bucket(a), bucket(b)) as three ints; each
+    # payload doc is replicated to its G cells — blob exchange volume is
+    # G × |payload table|, wins whenever G < avg candidates per doc (same
+    # grid as the embedding all-pairs path above).  Per-cell state is two
+    # doc-buckets of payloads, so cell memory is bounded by the bucket
+    # size, not the candidate count.
+    G = verify_grid
+    n_cells = G * (G + 1) // 2
 
-    with_a = bucket_join(
-        candidates, payloads.map_batches(side("a"), batch_format="pandas"),
-        left_key="id_a", right_key="id_a", num_buckets=num_buckets)
-    with_ab = bucket_join(
-        with_a, payloads.map_batches(side("b"), batch_format="pandas"),
-        left_key="id_b", right_key="id_b", num_buckets=num_buckets)
+    from htrc_feature_reader_ray.functions.ids import stable_hash64
 
-    def verify(frame: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "id_a": pd.Series(dtype="int64"),
-            "id_b": pd.Series(dtype="int64"),
-            "inter": pd.Series(dtype="int64"),
-            "union_n": pd.Series(dtype="int64"),
-            "jaccard_ppm": pd.Series(dtype="int64"),
-        })
-        if frame.empty:
-            return empty
-        la = frame["n_a"].to_numpy().astype(np.int64)
-        lb = frame["n_b"].to_numpy().astype(np.int64)
-        # exact length filter: J <= min/max, so min·10⁶ < t·max can't hit
-        frame = frame.loc[np.minimum(la, lb) * M
-                          >= threshold_ppm * np.maximum(la, lb)]
-        if frame.empty:
-            return empty
-        nrows = len(frame)
-        la = frame["n_a"].to_numpy().astype(np.int64)
-        lb = frame["n_b"].to_numpy().astype(np.int64)
-        cat = np.concatenate(
-            [np.frombuffer(b, dtype=np.uint64).reshape(-1, 2)
-             for b in frame["blob_a"]]
-            + [np.frombuffer(b, dtype=np.uint64).reshape(-1, 2)
-               for b in frame["blob_b"]])
-        pidx = np.concatenate(
-            [np.repeat(np.arange(nrows), la),
-             np.repeat(np.arange(nrows), lb)])
-        order = np.lexsort((cat[:, 1], cat[:, 0], pidx))
-        pc = pidx[order]
-        h, lw = cat[order, 0], cat[order, 1]
-        dup = ((pc[1:] == pc[:-1]) & (h[1:] == h[:-1])
-               & (lw[1:] == lw[:-1]))
-        inter = np.bincount(pc[1:][dup], minlength=nrows).astype(np.int64)
-        union = la + lb - inter
-        hit = inter * M >= threshold_ppm * union
+    def _grid_bucket(ids: np.ndarray) -> np.ndarray:
+        return (stable_hash64(ids.astype(object)) % np.uint64(G)).astype(
+            np.int64)
+
+    def cand_cells(frame: pd.DataFrame) -> pd.DataFrame:
+        ia = frame["id_a"].to_numpy().astype(np.int64)
+        ib = frame["id_b"].to_numpy().astype(np.int64)
+        ba, bb = _grid_bucket(ia), _grid_bucket(ib)
+        lo_b, hi_b = np.minimum(ba, bb), np.maximum(ba, bb)
         return pd.DataFrame({
-            "id_a": frame["id_a"].to_numpy()[hit].astype(np.int64),
-            "id_b": frame["id_b"].to_numpy()[hit].astype(np.int64),
-            "inter": inter[hit],
-            "union_n": union[hit],
-            "jaccard_ppm": inter[hit] * M // union[hit],
+            "cell": lo_b * G + hi_b,
+            "id_a": ia, "id_b": ib,
+            "pid": np.full(len(ia), -1, dtype=np.int64),
+            "n": np.zeros(len(ia), dtype=np.int64),
+            "blob": [b""] * len(ia),
         })
 
-    return with_ab.map_batches(verify, batch_format="pandas")
+    def payload_cells(frame: pd.DataFrame) -> pd.DataFrame:
+        ids = frame[id_col].to_numpy().astype(np.int64)
+        bi = _grid_bucket(ids)
+        rep = np.repeat(np.arange(len(ids)), G)
+        j = np.tile(np.arange(G, dtype=np.int64), len(ids))
+        birep = bi[rep]
+        cells = np.minimum(birep, j) * G + np.maximum(birep, j)
+        return pd.DataFrame({
+            "cell": cells,
+            "id_a": np.full(len(rep), -1, dtype=np.int64),
+            "id_b": np.full(len(rep), -1, dtype=np.int64),
+            "pid": ids[rep],
+            "n": frame["n"].to_numpy().astype(np.int64)[rep],
+            "blob": frame["blob"].to_numpy()[rep],
+        })
+
+    unioned = candidates.map_batches(
+        cand_cells, batch_format="pandas",
+    ).union(payloads.map_batches(payload_cells, batch_format="pandas"))
+
+    OUT_EMPTY = {
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "inter": pd.Series(dtype="int64"),
+        "union_n": pd.Series(dtype="int64"),
+        "jaccard_ppm": pd.Series(dtype="int64"),
+    }
+
+    def verify_cells(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(OUT_EMPTY)
+        parts = []
+        for _, cdf in df.groupby("cell", sort=False):
+            is_pay = cdf["pid"].to_numpy() >= 0
+            cand = cdf.loc[~is_pay]
+            if cand.empty:
+                continue
+            pay = cdf.loc[is_pay]
+            pn = pd.Series(pay["n"].to_numpy(), index=pay["pid"].to_numpy())
+            pblob = pd.Series(pay["blob"].to_numpy(),
+                              index=pay["pid"].to_numpy())
+            ia = cand["id_a"].to_numpy()
+            ib = cand["id_b"].to_numpy()
+            la = pn.loc[ia].to_numpy()
+            lb = pn.loc[ib].to_numpy()
+            # exact length filter: J <= min/max, so min·10⁶ < t·max can't hit
+            keep = np.minimum(la, lb) * M >= threshold_ppm * np.maximum(
+                la, lb)
+            if not keep.any():
+                continue
+            ia, ib, la, lb = ia[keep], ib[keep], la[keep], lb[keep]
+            nrows = len(ia)
+            cat = np.concatenate(
+                [np.frombuffer(b, dtype=np.uint64).reshape(-1, 2)
+                 for b in pblob.loc[ia]]
+                + [np.frombuffer(b, dtype=np.uint64).reshape(-1, 2)
+                   for b in pblob.loc[ib]])
+            pidx = np.concatenate(
+                [np.repeat(np.arange(nrows), la),
+                 np.repeat(np.arange(nrows), lb)])
+            order = np.lexsort((cat[:, 1], cat[:, 0], pidx))
+            pc = pidx[order]
+            h, lw = cat[order, 0], cat[order, 1]
+            dup = ((pc[1:] == pc[:-1]) & (h[1:] == h[:-1])
+                   & (lw[1:] == lw[:-1]))
+            inter = np.bincount(pc[1:][dup], minlength=nrows).astype(
+                np.int64)
+            union = la + lb - inter
+            hit = inter * M >= threshold_ppm * union
+            if hit.any():
+                parts.append(pd.DataFrame({
+                    "id_a": ia[hit], "id_b": ib[hit],
+                    "inter": inter[hit], "union_n": union[hit],
+                    "jaccard_ppm": inter[hit] * M // union[hit],
+                }))
+        if not parts:
+            return pd.DataFrame(OUT_EMPTY)
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed_map_groups(unioned, "cell", verify_cells,
+                               num_buckets=n_cells)
 
 
 def jaccard_join_sql(*, id_col: str = "doc_id", text_col: str = "text",
