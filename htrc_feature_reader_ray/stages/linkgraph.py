@@ -367,8 +367,42 @@ def _distinct_nodes(edges, *, num_buckets: int):
     )
 
 
+def _bcast_push_fold(edges, weights: pd.Series, *, src_col: str,
+                     dst_col: str, num_buckets: int) -> pd.Series:
+    """One broadcast push half-step for the score-propagation fast paths:
+    ship the per-source weight Series once (``ray.put``), fold each batch's
+    contributions per target locally, then ONE bucketed exchange of
+    (url, s) partials; collect the ≤|nodes|-row folded result back to the
+    driver.  Legal only because the caller checked |nodes| fits a worker
+    (``broadcast_limit``) — the bucketed join path below stays the
+    unbounded-graph plan."""
+    import ray
+
+    ref = ray.put(weights)
+
+    def push(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        src = batch.column(src_col).to_pandas()
+        s = w.loc[src.to_numpy()].to_numpy()
+        t = pa.table({
+            "url": batch.column(dst_col).cast(pa.string()),
+            "s": pa.array(s, type=pa.int64()),
+        })
+        # per-batch combine: a hub target collapses pre-exchange
+        g = t.group_by("url").aggregate([("s", "sum")])
+        return pa.table({"url": g.column("url"), "s": g.column("s_sum")})
+
+    folded = bucketed_aggregate(
+        edges.map_batches(push, batch_format="pyarrow"),
+        "url", {"s": ("s", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    return pd.Series(folded["s"].to_numpy().astype(np.int64),
+                     index=folded["url"].to_numpy())
+
+
 def pagerank(edges, *, iterations: int = 3, scale: int = PR_SCALE,
-             damping_pct: int = 85, num_buckets: int = 32):
+             damping_pct: int = 85, num_buckets: int = 32,
+             broadcast_limit: int = 2_000_000):
     """Fixed-point integer PageRank over a distinct edge table.
 
     Recurrence (all integer; ``//`` is floor division):
@@ -397,6 +431,39 @@ def pagerank(edges, *, iterations: int = 3, scale: int = PR_SCALE,
             "rank": pa.array([], type=pa.int64()),
         }))
 
+    r0 = scale // n
+    base = (100 - damping_pct) * r0 // 100
+
+    if n <= broadcast_limit:
+        # ---- broadcast fast path: the rank table fits one worker ----
+        # Out-degrees and ranks live in a broadcast Series, so each
+        # iteration is ONE exchange (the contribution fold) — no rank
+        # join, no loop-invariant out-degree join, no zero-row union
+        # (the driver reindex fills absent in-degrees with 0).  Same
+        # integer recurrence, bit-identical to the bucketed path.
+        outdeg_pd = bucketed_aggregate(
+            edges, "src_url", {"out_degree": ("dst_url", "size")},
+            num_buckets=num_buckets,
+        ).to_pandas()
+        od_idx = outdeg_pd["src_url"].to_numpy()
+        od = outdeg_pd["out_degree"].to_numpy().astype(np.int64)
+        urls = nodes.to_pandas()["url"].to_numpy()
+        rank = pd.Series(np.full(n, r0, dtype=np.int64), index=urls)
+        for _ in range(iterations):
+            contrib = pd.Series(
+                rank.loc[od_idx].to_numpy() // od, index=od_idx)
+            summed = _bcast_push_fold(
+                edges, contrib, src_col="src_url", dst_col="dst_url",
+                num_buckets=num_buckets)
+            s = summed.reindex(urls, fill_value=0).to_numpy()
+            rank = pd.Series(base + damping_pct * s // 100, index=urls)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "rank": pa.array(rank.to_numpy(), type=pa.int64()),
+        }))
+
     outdeg = bucketed_aggregate(
         edges, "src_url", {"out_degree": ("dst_url", "size")},
         num_buckets=num_buckets,
@@ -407,8 +474,6 @@ def pagerank(edges, *, iterations: int = 3, scale: int = PR_SCALE,
         edges, outdeg, left_key="src_url", right_key="src_url",
         how="inner", num_buckets=num_buckets,
     ).materialize()
-    r0 = scale // n
-    base = (100 - damping_pct) * r0 // 100
 
     def init_rank(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -718,7 +783,7 @@ def _norm_int(raw: np.ndarray, total: int, scale: int) -> np.ndarray:
 
 
 def hits(edges, *, iterations: int = 2, scale: int = HITS_SCALE,
-         num_buckets: int = 32):
+         num_buckets: int = 32, broadcast_limit: int = 2_000_000):
     """HITS hubs & authorities over a distinct edge table — the companion
     authority signal to :func:`pagerank` (Kleinberg's mutual recursion:
     good hubs cite good authorities, good authorities are cited by good
@@ -739,13 +804,45 @@ def hits(edges, *, iterations: int = 2, scale: int = HITS_SCALE,
     """
     edges = edges.materialize()
     nodes = _distinct_nodes(edges, num_buckets=num_buckets).materialize()
-    if nodes.count() == 0:
+    n = nodes.count()
+    if n == 0:
         import ray.data
 
         return ray.data.from_arrow(pa.table({
             "url": pa.array([], type=pa.string()),
             "hub": pa.array([], type=pa.int64()),
             "authority": pa.array([], type=pa.int64()),
+        }))
+
+    if n <= broadcast_limit:
+        # broadcast fast path — see pagerank(); ONE exchange per
+        # half-step, normalization and the zero re-attach happen on the
+        # driver-resident score vectors.  In the bucketed path the inner
+        # score join never drops an edge (every edge src has an h row,
+        # every edge dst an a row), so the full-vector push with absent
+        # scores as 0 is the identical sum — bit-exact parity.
+        urls = nodes.to_pandas()["url"].to_numpy()
+        h_vec = pd.Series(np.full(n, scale, dtype=np.int64), index=urls)
+        a_vec = pd.Series(np.zeros(n, dtype=np.int64), index=urls)
+        for _ in range(iterations):
+            raw_a = _bcast_push_fold(
+                edges, h_vec, src_col="src_url", dst_col="dst_url",
+                num_buckets=num_buckets).reindex(urls, fill_value=0)
+            a_vec = pd.Series(
+                _norm_int(raw_a.to_numpy(), int(raw_a.sum()), scale),
+                index=urls)
+            raw_h = _bcast_push_fold(
+                edges, a_vec, src_col="dst_url", dst_col="src_url",
+                num_buckets=num_buckets).reindex(urls, fill_value=0)
+            h_vec = pd.Series(
+                _norm_int(raw_h.to_numpy(), int(raw_h.sum()), scale),
+                index=urls)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "hub": pa.array(h_vec.to_numpy(), type=pa.int64()),
+            "authority": pa.array(a_vec.to_numpy(), type=pa.int64()),
         }))
 
     def init_h(batch: pa.Table) -> pa.Table:
@@ -1336,7 +1433,8 @@ def degree_assortativity_sql(*, edges_cte: str = "e2") -> str:
 
 def personalized_pagerank(edges, *, iterations: int = 3,
                           scale: int = PR_SCALE, damping_pct: int = 85,
-                          seed_mod: int = 10, num_buckets: int = 32):
+                          seed_mod: int = 10, num_buckets: int = 32,
+                          broadcast_limit: int = 2_000_000):
     """Personalized (topic-sensitive) PageRank: the teleport mass lands only
     on a SEED set instead of uniformly — the crawl-prioritization variant
     ("how reachable is v from pages we already trust").  Same fixed-point
@@ -1375,6 +1473,39 @@ def personalized_pagerank(edges, *, iterations: int = 3,
             "rank": pa.array([], type=pa.int64()),
         }))
 
+    r0 = scale // s_total
+    base_seed = (100 - damping_pct) * r0 // 100
+
+    n = nodes.count()
+    if n <= broadcast_limit:
+        # broadcast fast path — see pagerank(); identical recurrence with
+        # the seed-restricted teleport vector held driver-side
+        outdeg_pd = bucketed_aggregate(
+            edges, "src_url", {"out_degree": ("dst_url", "size")},
+            num_buckets=num_buckets,
+        ).to_pandas()
+        od_idx = outdeg_pd["src_url"].to_numpy()
+        od = outdeg_pd["out_degree"].to_numpy().astype(np.int64)
+        urls = nodes.to_pandas()["url"].to_numpy()
+        m = seed_mask(urls)
+        base_vec = np.where(m, base_seed, 0).astype(np.int64)
+        rank = pd.Series(np.where(m, r0, 0).astype(np.int64), index=urls)
+        for _ in range(iterations):
+            contrib = pd.Series(
+                rank.loc[od_idx].to_numpy() // od, index=od_idx)
+            summed = _bcast_push_fold(
+                edges, contrib, src_col="src_url", dst_col="dst_url",
+                num_buckets=num_buckets)
+            s = summed.reindex(urls, fill_value=0).to_numpy()
+            rank = pd.Series(base_vec + damping_pct * s // 100,
+                             index=urls)
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "rank": pa.array(rank.to_numpy(), type=pa.int64()),
+        }))
+
     outdeg = bucketed_aggregate(
         edges, "src_url", {"out_degree": ("dst_url", "size")},
         num_buckets=num_buckets,
@@ -1383,8 +1514,6 @@ def personalized_pagerank(edges, *, iterations: int = 3,
         edges, outdeg, left_key="src_url", right_key="src_url",
         how="inner", num_buckets=num_buckets,
     ).materialize()
-    r0 = scale // s_total
-    base_seed = (100 - damping_pct) * r0 // 100
 
     def init_rank(batch: pa.Table) -> pa.Table:
         m = seed_mask(batch.column("url").to_pylist())
