@@ -1086,6 +1086,102 @@ def degree_histogram_sql(*, edges_cte: str = "link_edges") -> str:
         FROM buck GROUP BY 1, 2"""
 
 
+def _orient_by_degree(und, deg, *, num_buckets: int,
+                      broadcast_limit: int = 2_000_000):
+    """Orient each undirected edge (a, b) as (lo, hi) with ``lo`` the
+    endpoint of smaller (degree, node) rank — the Suri–Vassilvitskii
+    charging rule shared by the triangle census and the per-node
+    clustering pass.  When the degree table fits a worker it broadcasts
+    once and orientation is a single stateless map; otherwise two bucket
+    joins attach the degrees (the unbounded-graph plan)."""
+    import ray
+
+    if deg.count() <= broadcast_limit:
+        deg_pd = deg.to_pandas()
+        dser = pd.Series(deg_pd["d"].to_numpy().astype(np.int64),
+                         index=deg_pd["node"].to_numpy())
+        ref = ray.put(dser)
+
+        def orient_b(t: pa.Table) -> pa.Table:
+            w = ray.get(ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            da = w.loc[a].to_numpy()
+            db = w.loc[b].to_numpy()
+            first = (da < db) | ((da == db) & (a < b))
+            return pa.table({
+                "lo": pa.array(np.where(first, a, b), type=pa.string()),
+                "hi": pa.array(np.where(first, b, a), type=pa.string()),
+            })
+
+        return und.map_batches(orient_b, batch_format="pyarrow")
+
+    da = deg.map_batches(
+        lambda t: t.rename_columns(["node", "da"]), batch_format="pyarrow")
+    db = deg.map_batches(
+        lambda t: t.rename_columns(["node_b", "db"]), batch_format="pyarrow")
+    withdeg = bucket_join(
+        bucket_join(und, da, left_key="a", right_key="node",
+                    num_buckets=num_buckets),
+        db, left_key="b", right_key="node_b", num_buckets=num_buckets,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        less = (t.column("da").to_numpy(zero_copy_only=False)
+                < t.column("db").to_numpy(zero_copy_only=False))
+        eq = (t.column("da").to_numpy(zero_copy_only=False)
+              == t.column("db").to_numpy(zero_copy_only=False))
+        first = less | (eq & (a < b))
+        return pa.table({
+            "lo": pa.array(np.where(first, a, b), type=pa.string()),
+            "hi": pa.array(np.where(first, b, a), type=pa.string()),
+        })
+
+    return withdeg.map_batches(orient, batch_format="pyarrow")
+
+
+def _semi_on_edge_keys(keyed, und, *, num_buckets: int, n_edges: int,
+                       broadcast_limit: int = 5_000_000):
+    """Keep rows of ``keyed`` whose ``_k`` is an existing edge key.  When
+    the edge-key set fits a worker it broadcasts as a pd.Index (exact
+    hash-set membership, one stateless filter map); otherwise a bucketed
+    semi-join — same result, one exchange."""
+    import pyarrow.compute as pc
+    import ray
+
+    def with_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("a").cast(pa.string()),
+            t.column("b").cast(pa.string()), "|")
+        return t.append_column("_k", k)
+
+    if n_edges <= broadcast_limit:
+        keys = und.map_batches(
+            with_key, batch_format="pyarrow",
+        ).select_columns(["_k"]).to_pandas()["_k"]
+        ref = ray.put(pd.Index(keys.to_numpy()))
+
+        def filt(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            ix = ray.get(ref)
+            mask = ix.get_indexer(
+                t.column("_k").to_numpy(zero_copy_only=False)) >= 0
+            return t.filter(pa.array(mask))
+
+        return keyed.map_batches(filt, batch_format="pyarrow")
+
+    return bucket_join(
+        keyed,
+        und.map_batches(with_key, batch_format="pyarrow")
+           .select_columns(["_k"]),
+        left_key="_k", right_key="_k", how="semi",
+        num_buckets=num_buckets,
+    )
+
+
 def triangle_stats(edges, *, num_buckets: int = 32):
     """Global triangle census of the UNDIRECTED link graph: node / edge /
     wedge / triangle counts and the global clustering coefficient
@@ -1154,48 +1250,24 @@ def triangle_stats(edges, *, num_buckets: int = 32):
     ).sum("w") or 0)
 
     # orientation: lo = endpoint with the smaller (degree, node) rank
-    da = deg.map_batches(
-        lambda t: t.rename_columns(["node", "da"]), batch_format="pyarrow")
-    db = deg.map_batches(
-        lambda t: t.rename_columns(["node_b", "db"]), batch_format="pyarrow")
-    withdeg = bucket_join(
-        bucket_join(und, da, left_key="a", right_key="node",
-                    num_buckets=num_buckets),
-        db, left_key="b", right_key="node_b", num_buckets=num_buckets,
-    )
-
-    def orient(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        less = (t.column("da").to_numpy(zero_copy_only=False)
-                < t.column("db").to_numpy(zero_copy_only=False))
-        eq = (t.column("da").to_numpy(zero_copy_only=False)
-              == t.column("db").to_numpy(zero_copy_only=False))
-        first = less | (eq & (a < b))
-        return pa.table({
-            "lo": pa.array(np.where(first, a, b), type=pa.string()),
-            "hi": pa.array(np.where(first, b, a), type=pa.string()),
-        })
-
-    oriented = withdeg.map_batches(orient, batch_format="pyarrow")
+    oriented = _orient_by_degree(und, deg, num_buckets=num_buckets)
     wedges = shared_key_pair_counts(
         oriented, key_col="lo", member_col="hi",
         max_members_per_key=1 << 30,  # orientation already bounds fan-out
         num_buckets=num_buckets, out_a="a", out_b="b", out_n="n_wedge",
     )
 
+    import pyarrow.compute as _pc
+
     def with_key(t: pa.Table) -> pa.Table:
-        k = pc.binary_join_element_wise(
+        k = _pc.binary_join_element_wise(
             t.column("a").cast(pa.string()), t.column("b").cast(pa.string()),
             "|")
         return t.append_column("_k", k)
 
-    closed = bucket_join(
+    closed = _semi_on_edge_keys(
         wedges.map_batches(with_key, batch_format="pyarrow"),
-        und.map_batches(with_key, batch_format="pyarrow")
-           .select_columns(["_k"]),
-        left_key="_k", right_key="_k", how="semi",
-        num_buckets=num_buckets,
+        und, num_buckets=num_buckets, n_edges=n_edges,
     )
     n_triangles = int(closed.sum("n_wedge") or 0)
 
@@ -1704,30 +1776,7 @@ def local_clustering(edges, *, num_buckets: int = 32):
         ["node"], {"d": ("d", "sum")}, num_buckets=num_buckets,
     ).materialize()
 
-    da = deg.map_batches(
-        lambda t: t.rename_columns(["node", "da"]), batch_format="pyarrow")
-    db = deg.map_batches(
-        lambda t: t.rename_columns(["node_b", "db"]), batch_format="pyarrow")
-    withdeg = bucket_join(
-        bucket_join(und, da, left_key="a", right_key="node",
-                    num_buckets=num_buckets),
-        db, left_key="b", right_key="node_b", num_buckets=num_buckets,
-    )
-
-    def orient(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b").to_numpy(zero_copy_only=False)
-        less = (t.column("da").to_numpy(zero_copy_only=False)
-                < t.column("db").to_numpy(zero_copy_only=False))
-        eq = (t.column("da").to_numpy(zero_copy_only=False)
-              == t.column("db").to_numpy(zero_copy_only=False))
-        first = less | (eq & (a < b))
-        return pa.table({
-            "lo": pa.array(np.where(first, a, b), type=pa.string()),
-            "hi": pa.array(np.where(first, b, a), type=pa.string()),
-        })
-
-    oriented = withdeg.map_batches(orient, batch_format="pyarrow")
+    oriented = _orient_by_degree(und, deg, num_buckets=num_buckets)
 
     # wedge TRIPLES (apex kept): self-merge per lo-bucket, canonical a < b
     def wedge_triples(df: pd.DataFrame) -> pd.DataFrame:
@@ -1749,12 +1798,9 @@ def local_clustering(edges, *, num_buckets: int = 32):
             t.column("b").cast(pa.string()), "|")
         return t.append_column("_k", k)
 
-    closed = bucket_join(
+    closed = _semi_on_edge_keys(
         wedges.map_batches(with_key, batch_format="pyarrow"),
-        und.map_batches(with_key, batch_format="pyarrow")
-           .select_columns(["_k"]),
-        left_key="_k", right_key="_k", how="semi",
-        num_buckets=num_buckets,
+        und, num_buckets=num_buckets, n_edges=und.count(),
     )
 
     # join-free finish: triangle credits (d=0) union degree rows (t=0)
