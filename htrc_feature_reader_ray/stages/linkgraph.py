@@ -633,7 +633,70 @@ def crawl_depth(edges, seeds, *, max_hops: int = 8, num_buckets: int = 32,
     import ray as _ray
 
     n_frontier = dist.count()
-    for hop in range(1, max_hops + 1):
+
+    if n_frontier <= broadcast_limit:
+        # ---- driver-resident dist regime -----------------------------
+        # While the reached set fits a worker, dist lives on the driver:
+        # per round ONE exchange (the candidate distinct fold, sized by
+        # the NEW frontier's neighborhood, not by |reached|) — the
+        # distributed loop below re-folds the whole dist table every
+        # round, O(V·hops) fold volume.  Falls back to that loop the
+        # moment dist outgrows the limit.
+        dist_pd = dist.select_columns(["url"]).to_pandas()["url"]
+        depths = pd.Series(np.zeros(len(dist_pd), dtype=np.int64),
+                           index=dist_pd.to_numpy())
+        frontier_urls = depths.index.to_numpy()
+        fell_back = False
+        for hop in range(1, max_hops + 1):
+            ref = _ray.put(pa.array(frontier_urls.astype(str)))
+
+            def expand_b(batch: pa.Table, *, _ref=ref) -> pa.Table:
+                import pyarrow.compute as pc
+
+                vals = _ray.get(_ref)
+                hit = batch.filter(
+                    pc.is_in(batch.column("src_url"), value_set=vals))
+                return pa.table({"url": hit.column("dst_url")}).group_by(
+                    ["url"]).aggregate([])
+
+            cand_pd = bucketed_map_groups(
+                edges_p.map_batches(expand_b, batch_format="pyarrow"),
+                "url", dedup_urls, num_buckets=num_buckets,
+            ).to_pandas()
+            # an all-empty fold loses its schema — no candidates this hop
+            cand = (cand_pd["url"].to_numpy()
+                    if "url" in cand_pd.columns else np.array([], dtype=object))
+            new = cand[~pd.Index(cand).isin(depths.index)]
+            if len(new) == 0:
+                break
+            depths = pd.concat([
+                depths,
+                pd.Series(np.full(len(new), hop, dtype=np.int64),
+                          index=new),
+            ])
+            frontier_urls = new
+            if len(depths) > broadcast_limit:
+                fell_back = True
+                break
+        if not fell_back:
+            return ray.data.from_arrow(pa.table({
+                "url": pa.array(depths.index.to_numpy(), type=pa.string()),
+                "depth": pa.array(depths.to_numpy(), type=pa.int64()),
+            }))
+        # rebuild distributed state and continue below from hop+1
+        dist = ray.data.from_arrow(pa.table({
+            "url": pa.array(depths.index.to_numpy(), type=pa.string()),
+            "depth": pa.array(depths.to_numpy(), type=pa.int64()),
+        })).materialize()
+        frontier = dist.filter(expr=f"depth == {hop}")
+        n_frontier = frontier.count()
+        start_hop = hop + 1
+    else:
+        start_hop = 1
+
+    for hop in range(start_hop, max_hops + 1):
+        if n_frontier == 0:
+            break
         if n_frontier <= broadcast_limit:
             # frontier fits a worker: ship its url set once (ray.put) and
             # stream edges in place — no per-round edge re-exchange
