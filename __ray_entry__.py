@@ -2529,6 +2529,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return build_postings(_docs(sf))
 
+    def q_boolean_retrieval(sf):
+        """Conjunctive AND retrieval: docs containing ALL query terms —
+        broadcast term set, per-batch distinct-match counting, zero
+        exchange (doc rows are batch-local)."""
+        from htrc_feature_reader_ray.stages.curate import boolean_retrieval
+
+        return boolean_retrieval(
+            _docs(sf), ["scan", "window", "merge"])
+
+    def q_feature_hashing(sf):
+        """Hashing-trick doc vectors (ICML'09): signed md5 dims, long
+        (doc, dim, value) rows, no vocabulary pass and no exchange."""
+        from htrc_feature_reader_ray.stages.vocab import feature_hashing
+
+        return feature_hashing(_docs(sf), dims=64)
+
     def q_pmi_collocations(sf):
         """Collocation mining: min_count-filtered adjacent bigrams with
         exact counts and the integer lift_ppm association score — two
@@ -3111,6 +3127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- corpus-curation ops (training-data pipeline surface) --
         "tfidf": q_tfidf,
         "build_postings": q_build_postings,
+        "boolean_retrieval": q_boolean_retrieval,
+        "feature_hashing": q_feature_hashing,
         "pmi_collocations": q_pmi_collocations,
         "pii_redaction": q_pii_redaction,
         "normalize_text": q_normalize_text,
@@ -4799,6 +4817,9 @@ def oracle_sql() -> dict[str, str]:
         # -- corpus-curation ops --
         "tfidf": curate.tfidf_sql(),
         "build_postings": curate.build_postings_sql(),
+        "boolean_retrieval": curate.boolean_retrieval_sql(
+            ["scan", "window", "merge"]),
+        "feature_hashing": vocab_mod.feature_hashing_sql(dims=64),
         "pmi_collocations": curate.pmi_collocations_sql(min_count=5),
         "pii_redaction": f"""
             WITH aug AS (

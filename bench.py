@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "cusum_flags",
     "kmeans",
     "kmeans_semdedup",
+    "boolean_retrieval",
+    "feature_hashing",
 ]
 
 HEADLINE = "flagship"

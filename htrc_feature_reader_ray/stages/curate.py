@@ -654,6 +654,76 @@ def build_postings_sql(*, table: str = "documents", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# conjunctive boolean retrieval
+# ---------------------------------------------------------------------------
+
+def boolean_retrieval(ds, terms, *, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Conjunctive (AND) boolean retrieval: doc ids containing EVERY term
+    of the query set — the filter-side consumer of ``build_postings`` run
+    directly over the corpus (scan-side retrieval is the right plan when
+    the query set is broadcast-small and the corpus pass is already paid,
+    e.g. inside a curation pipeline; the postings path is for repeated
+    queries).
+
+    Zero exchange: the term list ships in the task closure, per-doc
+    distinct-match counting completes inside the batch (docs never split
+    across batches); output is (doc_id, n_terms_matched) for matching
+    docs only.
+    """
+    terms = sorted(set(terms))
+    n_terms = len(terms)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "n_terms": pa.array([], type=pa.int64()),
+        })
+        if n_terms == 0 or len(batch) == 0:
+            return empty
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        if len(flat) == 0:
+            return empty
+        hit = pc.is_in(flat, value_set=pa.array(terms)).to_numpy(
+            zero_copy_only=False)
+        if not hit.any():
+            return empty
+        toks = flat.to_numpy(zero_copy_only=False)[hit]
+        par = parent[hit].astype(np.int64)
+        # distinct (doc, term) matches, then per-doc distinct count;
+        # the query set is tiny, so term index = searchsorted rank
+        tidx = np.searchsorted(np.array(terms, dtype=object), toks)
+        uniq_pairs = np.unique(par * n_terms + tidx)
+        cnt = np.bincount(uniq_pairs // n_terms, minlength=nrows)
+        keep = cnt == n_terms
+        ids = batch.column(id_col).to_numpy()[keep]
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "n_terms": pa.array(
+                np.full(len(ids), n_terms, dtype=np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def boolean_retrieval_sql(terms, *, table: str = "documents",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    terms = sorted(set(terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+        SELECT {id_col}, count(*)::BIGINT AS n_terms
+        FROM (
+          SELECT DISTINCT {id_col}, u.t
+          FROM {table},
+               unnest(string_split({text_col}, ' ')) AS u(t)
+          WHERE u.t IN ({in_list})
+        ) GROUP BY 1 HAVING count(*) = {len(terms)}"""
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations
 # ---------------------------------------------------------------------------
 

@@ -231,6 +231,77 @@ def encode_tokens_sql(*, table: str = "documents",
 
 
 # ---------------------------------------------------------------------------
+# hashing-trick document vectorizer
+
+
+def feature_hashing(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    dims: int = 64):
+    """Hashing-trick document vectors (Weinberger et al., ICML'09 feature
+    hashing): every token lands in ``dim = md5_hash64(token) % dims`` with
+    a deterministic ±1 sign from the hash's top bit (the unbiasing sign
+    hash of the paper), summed per (doc, dim).  The fixed-width,
+    vocabulary-free alternative to ``build_vocab``+``encode_tokens`` —
+    no global vocabulary pass, so NO exchange at all: per-doc rows
+    complete inside their batch (docs never split across batches).
+
+    Output is LONG format (doc_id, dim, value) — one row per touched dim,
+    zero-sum collisions kept (the group exists in SQL's GROUP BY too).
+    Long format keeps the op schema-stable for any ``dims`` and lets the
+    consumer pivot only if its dims are small.
+
+    SQL-replayable: md5_number_upper(token) == engine md5_hash64, dim is
+    ``% dims``, sign is ``1 - 2·(h // 2⁶³)``.
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        if len(flat) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.int64()),
+            })
+        toks = flat.to_numpy(zero_copy_only=False)
+        # hash the batch VOCABULARY once, not per occurrence
+        uniq, inv = np.unique(toks, return_inverse=True)
+        h = md5_hash64(uniq)
+        dim = (h % np.uint64(dims)).astype(np.int64)[inv]
+        sign = (1 - 2 * (h >> np.uint64(63)).astype(np.int64))[inv]
+        ids = batch.column(id_col).to_numpy()[parent]
+        t = pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "dim": pa.array(dim, type=pa.int64()),
+            "value": pa.array(sign, type=pa.int64()),
+        })
+        g = t.group_by([id_col, "dim"]).aggregate([("value", "sum")])
+        return pa.table({
+            id_col: g.column(id_col),
+            "dim": g.column("dim"),
+            "value": g.column("value_sum").cast(pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def feature_hashing_sql(*, table: str = "documents", text_col: str = "text",
+                        id_col: str = "doc_id", dims: int = 64) -> str:
+    return f"""
+        WITH tok AS (
+          SELECT {id_col}, u.t AS token
+          FROM {table},
+               unnest(string_split({text_col}, ' ')) AS u(t)
+          WHERE u.t <> ''
+        ), h AS (
+          SELECT {id_col}, md5_number_upper(token) AS h FROM tok
+        )
+        SELECT {id_col},
+               (h % {dims})::BIGINT AS dim,
+               sum(1 - 2 * (h >> 63)::BIGINT)::BIGINT AS value
+        FROM h GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
 # per-document unigram-frequency quality signals (LM-score-filter analog)
 
 

@@ -387,3 +387,51 @@ def test_lexical_diversity_hand_fixture():
     assert out.loc[2].tolist() == [3, 3, 1000000, 0]
     # empty doc: all zeros (greatest(n,1) guards)
     assert out.loc[3].tolist() == [0, 0, 0, 0]
+
+
+def test_boolean_retrieval_hand_fixture():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.curate import boolean_retrieval
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "scan merge window scan",      # all three -> hit
+            "scan merge",                  # missing window
+            "window window merge scan x",  # repeats still one match each
+            "",                            # empty doc
+        ],
+    })
+    out = boolean_retrieval(
+        ray.data.from_pandas(df).repartition(2),
+        ["window", "scan", "merge"],
+    ).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_terms"].tolist() == [3, 3]
+
+
+def test_feature_hashing_matches_scalar():
+    import hashlib
+
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.vocab import feature_hashing
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["alpha beta alpha gamma", ""],
+    })
+    out = feature_hashing(
+        ray.data.from_pandas(df).repartition(2), dims=8
+    ).to_pandas()
+
+    # scalar re-derivation: dim = md5_64 % 8, sign from the top hash bit
+    expect = {}
+    for tok in "alpha beta alpha gamma".split():
+        h = int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:8], "little")
+        key = (1, h % 8)
+        expect[key] = expect.get(key, 0) + (1 - 2 * (h >> 63))
+    got = {(r.doc_id, r.dim): r.value for r in out.itertuples()}
+    assert got == expect  # empty doc emits nothing
