@@ -1107,6 +1107,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", x_col="day", y_col="cents",
         )
 
+    def q_winsorize_value(sf):
+        """Per-event-type winsorization: clip value_cents to the group's
+        exact discrete [p5, p95] — histogram-fold thresholds, ray.put
+        broadcast, one stateless clip pass (no second shuffle)."""
+        from htrc_feature_reader_ray.stages.profile import winsorize_group
+
+        ev = _with_cents(_events(sf, ["event_id", "event_type", "value"]))
+        return winsorize_group(ev, key="event_type", col="value_cents")
+
+    def q_quantile_transform(sf):
+        """Per-event-type quantile (rank) transform — exact-integer
+        QuantileTransformer: (rank−1)·10⁶ // (n−1) with min-rank ties,
+        one key-bucketed lexsort pass across all groups."""
+        from htrc_feature_reader_ray.stages.profile import (
+            quantile_transform_group,
+        )
+
+        ev = _with_cents(_events(sf, ["event_id", "event_type", "value"]))
+        return quantile_transform_group(
+            ev, key="event_type", col="value_cents")
+
+    def q_target_encoding(sf):
+        """Smoothed target encoding of order priority by order value —
+        (Σcents + m·μ) // (n+m), all exact integers; per-batch partials,
+        one category fold, two distributive scalar sums."""
+        from htrc_feature_reader_ray.stages.profile import target_encoding
+
+        def cents(t: pa.Table) -> np.ndarray:
+            return np.round(
+                t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+
+        import ray.data
+
+        return target_encoding(
+            ray.data.read_parquet(
+                f"{sf}/orders.parquet",
+                columns=["o_orderpriority", "o_totalprice"]),
+            cat_col="o_orderpriority", label_expr=cents, m=10)
+
     def q_impute_value_median(sf):
         """Group-median NULL imputation: value_cents is deterministically
         masked (event_id % 7 == 0 → NULL) then filled with the
@@ -3072,6 +3111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_score": q_decayed_score,
         "user_spend_trend": q_user_spend_trend,
         "impute_value_median": q_impute_value_median,
+        "winsorize_value": q_winsorize_value,
+        "quantile_transform": q_quantile_transform,
+        "target_encoding": q_target_encoding,
         "label_centroids": q_label_centroids,
         "semdedup_pairs": q_semdedup_pairs,
         "quality_rule_flags": q_quality_rule_flags,
@@ -3898,6 +3940,20 @@ def oracle_sql() -> dict[str, str]:
                         "THEN CAST(round(value * 100) AS BIGINT) END"),
             table="events", select_cols="event_id",
             col_name="value_cents"),
+        "winsorize_value": profile_mod.winsorize_group_sql(
+            key="event_type",
+            value_expr="CAST(round(value * 100) AS BIGINT)",
+            table="events", select_cols="event_id",
+            col_name="value_cents"),
+        "quantile_transform": profile_mod.quantile_transform_group_sql(
+            key="event_type",
+            value_expr="CAST(round(value * 100) AS BIGINT)",
+            table="events", select_cols="event_id",
+            col_name="value_cents"),
+        "target_encoding": profile_mod.target_encoding_sql(
+            cat_col="o_orderpriority",
+            value_expr="CAST(round(o_totalprice * 100) AS BIGINT)",
+            table="orders", m=10),
         "user_spend_trend": profile_mod.grouped_trend_sql(
             key="user_id",
             x_expr="epoch_us(ts) // 86400000000",

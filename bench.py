@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "kmeans_semdedup",
     "boolean_retrieval",
     "feature_hashing",
+    "winsorize_value",
+    "quantile_transform",
+    "target_encoding",
 ]
 
 HEADLINE = "flagship"

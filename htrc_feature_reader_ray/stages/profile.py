@@ -1112,6 +1112,186 @@ def impute_group_median_sql(*, key: str, value_expr: str, table: str,
         FROM v LEFT JOIN m USING ({key})"""
 
 
+def winsorize_group(ds, *, key: str, col: str, q_lo: float = 0.05,
+                    q_hi: float = 0.95, num_buckets: int = 16,
+                    out_col: str | None = None):
+    """Per-group winsorization — clip ``col`` to its group's exact
+    discrete [q_lo, q_hi] quantiles (the standard heavy-tail taming pass
+    before scaling/encoding a feature).  Adds ``out_col`` (default
+    ``{col}_winsor``); original rows/columns pass through untouched.
+
+    Scale shape: the per-group thresholds come from ONE distinct-value
+    histogram fold (identical machinery and rank convention —
+    1-based ``ceil(q·n)`` == DuckDB ``quantile_disc`` — as
+    :func:`grouped_profile`); the two-int-per-group threshold table
+    broadcasts via ``ray.put`` (documented worker-fit contract, same as
+    :func:`impute_group_median`) and the clip is one stateless
+    vectorized pass — no second shuffle.  ``col`` must be integer-typed
+    (quantize doubles first)."""
+    import ray
+
+    out_col = out_col or f"{col}_winsor"
+    prof = grouped_profile(
+        ds, group_cols=[key], col=col, qs=(q_lo, q_hi),
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values(key)
+    lo_col, hi_col = f"p{int(q_lo * 100)}", f"p{int(q_hi * 100)}"
+    ref = ray.put((prof[key].to_numpy(),
+                   prof[lo_col].to_numpy().astype(np.int64),
+                   prof[hi_col].to_numpy().astype(np.int64)))
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        keys_arr, lo, hi = ray.get(ref)
+        out = df.copy()
+        pos = np.searchsorted(keys_arr, out[key].to_numpy())
+        v = out[col].to_numpy().astype(np.int64)
+        out[out_col] = np.minimum(np.maximum(v, lo[pos]), hi[pos])
+        return out
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
+def winsorize_group_sql(*, key: str, value_expr: str, table: str,
+                        select_cols: str, col_name: str,
+                        q_lo: float = 0.05, q_hi: float = 0.95,
+                        out_col: str | None = None) -> str:
+    """SQL mirror: per-group quantile_disc thresholds + least/greatest."""
+    out_col = out_col or f"{col_name}_winsor"
+    return f"""
+        WITH v AS (
+            SELECT {select_cols}, {key}, ({value_expr})::BIGINT AS c
+            FROM {table}
+        ), th AS (
+            SELECT {key}, quantile_disc(c, {q_lo})::BIGINT AS lo,
+                   quantile_disc(c, {q_hi})::BIGINT AS hi
+            FROM v GROUP BY 1
+        )
+        SELECT {select_cols}, v.{key}, v.c AS {col_name},
+               least(greatest(v.c, th.lo), th.hi)::BIGINT AS {out_col}
+        FROM v JOIN th USING ({key})"""
+
+
+def quantile_transform_group(ds, *, key: str, col: str,
+                             num_buckets: int = 16,
+                             out_col: str = "q_ppm"):
+    """Per-group quantile (rank) transform — map each value to its
+    group-relative rank position ``(rank−1)·10⁶ // (n−1)`` with rank the
+    MIN rank of equal values (ties share a rank, SQL ``rank()``): the
+    exact-integer cousin of sklearn's QuantileTransformer, immune to the
+    outliers that break min-max scaling.  Single-value groups map to 0.
+
+    One key-bucketed exchange; inside each bucket ranks are computed for
+    ALL groups in one lexsort pass (no per-group Python loop)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.copy()
+            out[out_col] = pd.Series(dtype="int64")
+            return out
+        order = np.lexsort((df[col].to_numpy(), df[key].to_numpy()))
+        k = df[key].to_numpy()[order]
+        v = df[col].to_numpy()[order]
+        idx = np.arange(len(df), dtype=np.int64)
+        new_grp = np.ones(len(df), dtype=bool)
+        new_grp[1:] = k[1:] != k[:-1]
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        # min rank of equal values: index of the run's first occurrence
+        new_val = new_grp.copy()
+        new_val[1:] |= v[1:] != v[:-1]
+        val_start = np.maximum.accumulate(np.where(new_val, idx, 0))
+        rank = val_start - grp_start + 1
+        # group sizes by scatter of (next_start - start)
+        starts = idx[new_grp]
+        sizes = np.diff(np.append(starts, len(df)))
+        n = np.repeat(sizes, sizes)
+        q = (rank - 1) * 1_000_000 // np.maximum(n - 1, 1)
+        out = df.iloc[order].copy()
+        out[out_col] = q.astype(np.int64)
+        return out
+
+    return bucketed_map_groups(ds, key, ranks, num_buckets=num_buckets)
+
+
+def quantile_transform_group_sql(*, key: str, value_expr: str, table: str,
+                                 select_cols: str, col_name: str,
+                                 out_col: str = "q_ppm") -> str:
+    """SQL mirror: rank() window over the identical (key, value) order."""
+    return f"""
+        WITH v AS (
+            SELECT {select_cols}, {key}, ({value_expr})::BIGINT AS c
+            FROM {table}
+        )
+        SELECT {select_cols}, {key}, c AS {col_name},
+               ((rank() OVER (PARTITION BY {key} ORDER BY c) - 1)
+                * 1000000
+                // greatest(count(*) OVER (PARTITION BY {key}) - 1, 1)
+               )::BIGINT AS {out_col}
+        FROM v"""
+
+
+def target_encoding(ds, *, cat_col: str, label_expr, m: int = 10,
+                    num_buckets: int = 16):
+    """Smoothed target encoding of a categorical column — the classic
+    supervised category feature ``enc = (Σ_cat label + m·μ) // (n_cat+m)``
+    with ``μ = Σlabel // N`` the global floor-mean (all exact integers,
+    order-independent; ``m`` is the pseudo-count pull toward the prior
+    that keeps rare categories from memorizing their few labels).
+
+    Scale shape: per-batch (cat, n, sum) partials (combiner) → one
+    cat-bucketed fold; the two global scalars fold distributively off the
+    category table; the finish map is stateless.  Output one row per
+    category: (cat, n, enc).  ``label_expr`` is a callable
+    ``pa.Table -> np.int64 array`` (quantize doubles to cents there)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = label_expr(batch)
+        t = pa.table({
+            cat_col: batch.column(cat_col),
+            "_s": pa.array(lab, type=pa.int64()),
+        })
+        g = t.group_by(cat_col).aggregate([("_s", "sum"), ([], "count_all")])
+        return g.rename_columns([cat_col, "s", "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        cat_col, {"s": ("s", "sum"), "n": ("n", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()
+    big_g = int(folded.sum("s") or 0)
+    big_n = int(folded.sum("n") or 0)
+    mu = big_g // big_n if big_n else 0
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy().astype(np.int64)
+        n = batch.column("n").to_numpy().astype(np.int64)
+        return pa.table({
+            cat_col: batch.column(cat_col),
+            "n": pa.array(n, type=pa.int64()),
+            "enc": pa.array((s + m * mu) // (n + m), type=pa.int64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def target_encoding_sql(*, cat_col: str, value_expr: str, table: str,
+                        m: int = 10) -> str:
+    """SQL mirror: identical integer smoothing, global floor-mean CTE."""
+    return f"""
+        WITH v AS (
+            SELECT {cat_col}, ({value_expr})::BIGINT AS c FROM {table}
+        ), agg AS (
+            SELECT {cat_col}, count(*)::BIGINT AS n, sum(c)::BIGINT AS s
+            FROM v GROUP BY 1
+        ), g AS (
+            SELECT sum(s) // sum(n) AS mu FROM agg
+        )
+        SELECT {cat_col}, n,
+               ((s + {m} * mu) // (n + {m}))::BIGINT AS enc
+        FROM agg, g"""
+
+
 def grouped_trend_sql(*, key: str, x_expr: str, y_expr: str,
                       table: str) -> str:
     """SQL mirror: HUGEINT moments, the identical divide/FMA-free

@@ -580,3 +580,72 @@ def test_table_audit_nulls_and_exact_small_distinct():
     # HLL with m=64 registers is near-exact at these cardinalities
     assert 1 <= out.loc["a", "registers_used"] <= 2
     assert out.loc["b", "registers_used"] == 1
+
+
+def test_winsorize_group_hand_fixture():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import winsorize_group
+
+    df = pd.DataFrame({
+        "id": range(10),
+        "k": ["a"] * 10,
+        "v": [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000],
+    })
+    out = winsorize_group(
+        ray.data.from_pandas(df).repartition(3), key="k", col="v",
+        q_lo=0.1, q_hi=0.9,
+    ).to_pandas().sort_values("id")
+    # quantile_disc(0.1)=ceil(1)=1st value=1; 0.9 -> 9th value = 9
+    assert out["v_winsor"].tolist() == [1, 2, 3, 4, 5, 6, 7, 8, 9, 9]
+
+
+def test_quantile_transform_ties_and_singleton():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import (
+        quantile_transform_group,
+    )
+
+    df = pd.DataFrame({
+        "id": range(6),
+        "k": ["a", "a", "a", "a", "b", "c"],
+        "v": [10, 20, 20, 30, 7, 7],
+    })
+    out = quantile_transform_group(
+        ray.data.from_pandas(df).repartition(2), key="k", col="v",
+    ).to_pandas().set_index("id")
+    # group a (n=4): ranks 1,2,2,4 -> (r-1)*1e6//3
+    assert out.loc[0, "q_ppm"] == 0
+    assert out.loc[1, "q_ppm"] == 333333
+    assert out.loc[2, "q_ppm"] == 333333
+    assert out.loc[3, "q_ppm"] == 1000000
+    # singleton groups map to 0 (den guard)
+    assert out.loc[4, "q_ppm"] == 0
+    assert out.loc[5, "q_ppm"] == 0
+
+
+def test_target_encoding_smoothing():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import target_encoding
+
+    df = pd.DataFrame({
+        "cat": ["x"] * 8 + ["rare"],
+        "label": [100] * 8 + [9000],
+    })
+
+    def lab(t: pa.Table):
+        return t.column("label").to_numpy().astype(np.int64)
+
+    out = target_encoding(
+        ray.data.from_pandas(df).repartition(2),
+        cat_col="cat", label_expr=lab, m=10,
+    ).to_pandas().set_index("cat")
+    mu = (800 + 9000) // 9  # 1088
+    assert out.loc["x", "enc"] == (800 + 10 * mu) // 18
+    # the rare category is pulled hard toward the prior
+    assert out.loc["rare", "enc"] == (9000 + 10 * mu) // 11
+    assert out.loc["rare", "n"] == 1
