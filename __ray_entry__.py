@@ -1107,6 +1107,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", x_col="day", y_col="cents",
         )
 
+    def q_winnow_fingerprints(sf):
+        """Winnowing (SIGMOD'03 / MOSS) positional fingerprints: min hash
+        of each w-window of word k-gram hashes, rightmost ties — the
+        local-dedup sketch; zero exchange, grams never leave the batch."""
+        from htrc_feature_reader_ray.stages.textstats import (
+            winnow_fingerprints,
+        )
+
+        return winnow_fingerprints(_docs(sf), k=4, w=4)
+
     def q_winsorize_value(sf):
         """Per-event-type winsorization: clip value_cents to the group's
         exact discrete [p5, p95] — histogram-fold thresholds, ray.put
@@ -3111,6 +3121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_score": q_decayed_score,
         "user_spend_trend": q_user_spend_trend,
         "impute_value_median": q_impute_value_median,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "winsorize_value": q_winsorize_value,
         "quantile_transform": q_quantile_transform,
         "target_encoding": q_target_encoding,
@@ -3940,6 +3951,8 @@ def oracle_sql() -> dict[str, str]:
                         "THEN CAST(round(value * 100) AS BIGINT) END"),
             table="events", select_cols="event_id",
             col_name="value_cents"),
+        "winnow_fingerprints": textstats.winnow_fingerprints_sql(
+            k=4, w=4),
         "winsorize_value": profile_mod.winsorize_group_sql(
             key="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)",

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "winsorize_value",
     "quantile_transform",
     "target_encoding",
+    "winnow_fingerprints",
 ]
 
 HEADLINE = "flagship"

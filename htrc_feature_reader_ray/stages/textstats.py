@@ -173,6 +173,121 @@ def fingerprint(ds, *, text_col: str = "text", id_cols=("doc_id",)):
 FINGERPRINT_SQL = "md5(lower(regexp_replace({text}, '\\s+', ' ', 'g')))"
 
 
+def winnow_fingerprints(ds, *, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4, w: int = 4):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS sketch): hash every word ``k``-gram, slide a ``w``-gram window,
+    keep each window's minimum hash (rightmost on ties) — guaranteed to
+    share a fingerprint with any copy of ≥ ``k+w−1`` contiguous tokens,
+    at ~``2/(w+1)`` the density of the full gram set.  The positional
+    local-dedup sketch used for code/corpus decontamination where
+    doc-level ``fingerprint`` and set-level ``jaccard_join`` are too
+    coarse.
+
+    Zero exchange: grams never leave their batch (docs are batch-local);
+    output (doc_id, pos, fp) rows — pos is the chosen gram's 0-based
+    token offset.  Hashes are md5-64 masked to 63 bits so the SQL mirror
+    (md5_number_upper & 2⁶³−1) compares in BIGINT.
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    mask63 = np.uint64((1 << 63) - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+            "fp": pa.array([], type=pa.int64()),
+        })
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        n = len(flat)
+        if n < k:
+            return empty
+        toks = flat.to_numpy(zero_copy_only=False)
+        parent = parent.astype(np.int64)
+        ok = parent[: n - k + 1] == parent[k - 1:]
+        if not ok.any():
+            return empty
+        gidx = np.flatnonzero(ok)           # gram start token index
+        grams = toks[gidx].astype(object)
+        for j in range(1, k):
+            grams = grams + " "
+            grams = grams + toks[gidx + j]
+        uniq, inv = np.unique(grams, return_inverse=True)
+        h = (md5_hash64(uniq) & mask63).astype(np.int64)[inv]
+        gpar = parent[gidx]                 # doc of each gram
+        m = len(gidx)
+        if m < w:
+            return empty
+        # windows live in gram space; a doc's grams are one contiguous
+        # run, so window-fits-doc is just an endpoint parent check
+        wok = gpar[: m - w + 1] == gpar[w - 1:]
+        if not wok.any():
+            return empty
+        nw = m - w + 1
+        wmin = h[:nw].copy()
+        for j in range(1, w):
+            np.minimum(wmin, h[j:j + nw], out=wmin)
+        # rightmost argmin: ascending-j writes, last win
+        sel = np.zeros(nw, dtype=np.int64)
+        for j in range(w):
+            hit = h[j:j + nw] == wmin
+            sel[hit] = j
+        widx = np.flatnonzero(wok)
+        pick = widx + sel[widx]             # chosen gram index per window
+        # token offset within the doc
+        doc_vals, doc_first = np.unique(parent, return_index=True)
+        start_of = np.zeros(int(parent.max()) + 1, dtype=np.int64)
+        start_of[doc_vals] = doc_first
+        pos = gidx[pick] - start_of[gpar[pick]]
+        out = np.unique(
+            np.stack([gpar[pick], pos, h[pick]], axis=1), axis=0)
+        ids = batch.column(id_col).to_numpy()[out[:, 0]]
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "pos": pa.array(out[:, 1], type=pa.int64()),
+            "fp": pa.array(out[:, 2], type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def winnow_fingerprints_sql(*, table: str = "documents",
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            k: int = 4, w: int = 4) -> str:
+    """SQL mirror: O(n·w) window self-join; min hash per window, rightmost
+    position on ties, DISTINCT picks.  ``HAVING count(*) = w`` is the
+    window-fits-document test (gram positions are contiguous per doc)."""
+    gram = " || ' ' || ".join(f"arr[i + {j}]" for j in range(k))
+    return f"""
+        WITH base AS (
+          SELECT {id_col},
+                 list_filter(string_split({text_col}, ' '),
+                             x -> x <> '') AS arr
+          FROM {table}
+        ), g AS (
+          SELECT {id_col}, (i - 1)::BIGINT AS p,
+                 (md5_number_upper({gram})
+                  & 9223372036854775807)::BIGINT AS h
+          FROM base,
+               unnest(generate_series(1, len(arr) - {k - 1})) AS u(i)
+        ), wmin AS (
+          SELECT a.{id_col}, a.p AS s, min(b.h) AS m
+          FROM g a JOIN g b
+            ON b.{id_col} = a.{id_col}
+           AND b.p BETWEEN a.p AND a.p + {w - 1}
+          GROUP BY 1, 2 HAVING count(*) = {w}
+        ), pick AS (
+          SELECT w.{id_col}, max(b.p)::BIGINT AS pos, w.m
+          FROM wmin w JOIN g b
+            ON b.{id_col} = w.{id_col}
+           AND b.p BETWEEN w.s AND w.s + {w - 1} AND b.h = w.m
+          GROUP BY 1, w.s, w.m
+        )
+        SELECT DISTINCT {id_col}, pos, m AS fp FROM pick"""
+
+
 def sentence_stats(ds, *, text_col: str = "text", id_cols=("doc_id",)):
     """Per-doc sentence segmentation features (quality-filter staples:
     C4 drops pages with too few sentences / sentence-final punctuation):

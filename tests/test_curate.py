@@ -435,3 +435,47 @@ def test_feature_hashing_matches_scalar():
         expect[key] = expect.get(key, 0) + (1 - 2 * (h >> 63))
     got = {(r.doc_id, r.dim): r.value for r in out.itertuples()}
     assert got == expect  # empty doc emits nothing
+
+
+def _winnow_scalar(tokens, k=4, w=4):
+    """Scalar reference winnowing: min of each w-window of masked md5-64
+    k-gram hashes, rightmost tie, distinct (pos, fp)."""
+    import hashlib
+
+    grams = [" ".join(tokens[i:i + k])
+             for i in range(len(tokens) - k + 1)]
+    hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+          & ((1 << 63) - 1) for g in grams]
+    picks = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s:s + w]
+        m = min(win)
+        j = max(i for i, v in enumerate(win) if v == m)
+        picks.add((s + j, m))
+    return picks
+
+
+def test_winnow_fingerprints_matches_scalar_and_guarantee():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.textstats import winnow_fingerprints
+
+    shared = "one two three four five six seven eight"  # 8 tokens >= k+w-1
+    d1 = "aa bb " + shared + " cc"
+    d2 = "zz " + shared + " yy xx"
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [d1, d2, "tiny doc"]})
+    out = winnow_fingerprints(
+        ray.data.from_pandas(df).repartition(2), k=4, w=4
+    ).to_pandas()
+
+    for doc_id, text in [(1, d1), (2, d2)]:
+        got = {(r.pos, r.fp) for r in
+               out[out.doc_id == doc_id].itertuples()}
+        assert got == _winnow_scalar(text.split())
+    # a doc shorter than k+w-1 grams still fingerprints iff >= k+w-1 toks;
+    # "tiny doc" (2 tokens < k) emits nothing
+    assert (out.doc_id == 3).sum() == 0
+    # winnowing guarantee: the shared 8-token run yields a common fp
+    f1 = set(out[out.doc_id == 1].fp)
+    f2 = set(out[out.doc_id == 2].fp)
+    assert f1 & f2
