@@ -24,11 +24,16 @@ def clean_id(raw_id: str) -> str:
 
 def extract_id(clean: str) -> str:
     """Inverse of :func:`clean_id` (also strips a trailing ``.ext`` suffix
-    chain if the input looks like a filename)."""
+    chain if the input looks like a filename) — reference parity with
+    ``utils.extract_htid`` (utils.py:38-54): compression, then format,
+    then the parquet-lake facet sidecars (.meta/.tokens/.chars/.section),
+    one strip per tier."""
     base = clean
-    for suffix in (".json", ".parquet", ".bz2", ".gz"):
-        while base.endswith(suffix):
-            base = base[: -len(suffix)]
+    for tier in ((".gz", ".bz2"), (".json", ".parquet"),
+                 (".meta", ".tokens", ".chars", ".section")):
+        for suffix in tier:
+            if base.endswith(suffix):
+                base = base[: -len(suffix)]
     return base.translate(_DEC)
 
 

@@ -64,3 +64,12 @@ def test_stable_hash_deterministic():
     assert (a == b).all()
     assert (hash_bucket(["x"] * 5, 16) == hash_bucket(["x"] * 5, 16)).all()
     assert (hash_bucket(["x", "y", "z"], 4) < 4).all()
+
+
+def test_extract_id_strips_facet_sidecars():
+    # reference utils.extract_htid parity: compression -> format -> facet
+    assert extract_id("nyp.334330.json.bz2") == "nyp.334330"
+    assert extract_id("mdp.39015.tokens.parquet") == "mdp.39015"
+    assert extract_id("uc1.b33+=4.meta.json.gz") == "uc1.b33:/4"
+    # one strip per tier, like the reference (no infinite chain strip)
+    assert extract_id("a.section.section") == "a.section"
