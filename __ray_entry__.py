@@ -1117,6 +1117,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return winnow_fingerprints(_docs(sf), k=4, w=4)
 
+    def q_log2_value(sf):
+        """Exact log-scale binning of value_cents: floor(log2) via bit
+        length — no float log (not correctly rounded), zero exchange."""
+        from htrc_feature_reader_ray.stages.profile import log2_bucketize
+
+        ev = _with_cents(_events(sf, ["event_id", "value"]))
+        return log2_bucketize(ev, col="value_cents")
+
+    def q_collapse_rare(sf):
+        """Rare-category collapse of each doc's leading token (a skewed
+        natural category): head categories kept, tail folds to __other__;
+        one count fold + broadcast KEEP set + stateless rewrite."""
+        from htrc_feature_reader_ray.stages.profile import collapse_rare
+
+        def first_tok(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            cats = [(s or "").split(" ")[0] for s in texts]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "cat": pa.array(cats, type=pa.string()),
+            })
+
+        cats = _docs(sf).map_batches(first_tok, batch_format="pyarrow")
+        return collapse_rare(cats, cat_col="cat", min_count=14)
+
     def q_winsorize_value(sf):
         """Per-event-type winsorization: clip value_cents to the group's
         exact discrete [p5, p95] — histogram-fold thresholds, ray.put
@@ -3122,6 +3147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_spend_trend": q_user_spend_trend,
         "impute_value_median": q_impute_value_median,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "log2_value": q_log2_value,
+        "collapse_rare": q_collapse_rare,
         "winsorize_value": q_winsorize_value,
         "quantile_transform": q_quantile_transform,
         "target_encoding": q_target_encoding,
@@ -3953,6 +3980,14 @@ def oracle_sql() -> dict[str, str]:
             col_name="value_cents"),
         "winnow_fingerprints": textstats.winnow_fingerprints_sql(
             k=4, w=4),
+        "log2_value": profile_mod.log2_bucketize_sql(
+            value_expr="CAST(round(value * 100) AS BIGINT)",
+            table="events", select_cols="event_id",
+            col_name="value_cents"),
+        "collapse_rare": profile_mod.collapse_rare_sql(
+            cat_col="cat", min_count=14, select_cols="doc_id",
+            table=("(SELECT doc_id, split_part(text, ' ', 1) AS cat"
+                   " FROM documents)")),
         "winsorize_value": profile_mod.winsorize_group_sql(
             key="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)",

@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "quantile_transform",
     "target_encoding",
     "winnow_fingerprints",
+    "log2_value",
+    "collapse_rare",
 ]
 
 HEADLINE = "flagship"

@@ -1292,6 +1292,111 @@ def target_encoding_sql(*, cat_col: str, value_expr: str, table: str,
         FROM agg, g"""
 
 
+def _ilog2(v: np.ndarray) -> np.ndarray:
+    """Exact floor(log2(v)) for int64 v >= 1 (binary-search shifts — no
+    float log, which misplaces near power-of-two boundaries past 2^53);
+    v <= 0 maps to -1."""
+    b = np.full(len(v), -1, dtype=np.int64)
+    pos = v > 0
+    x = v[pos].astype(np.uint64)
+    bb = np.zeros(len(x), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = x >= np.uint64(1 << shift)
+        bb[m] += shift
+        x[m] >>= np.uint64(shift)
+    b[pos] = bb
+    return b
+
+
+def log2_bucketize(ds, *, col: str, out_col: str = "log2_bucket"):
+    """Log-scale feature binning without a float log: bucket =
+    EXACT floor(log2(v)) (the bit length minus one) for v ≥ 1, −1 for
+    v ≤ 0 — the order-independent, cross-engine-reproducible way to bin
+    heavy-tailed counts/amounts (IEEE ``log2`` is not correctly rounded,
+    so float binning can flip a value across a power-of-two boundary).
+    Stateless vectorized map, zero exchange.
+
+    SQL mirror: ``length(format('{:b}', v)) - 1``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy().astype(np.int64)
+        return batch.append_column(
+            out_col, pa.array(_ilog2(v), type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def log2_bucketize_sql(*, value_expr: str, table: str, select_cols: str,
+                       col_name: str,
+                       out_col: str = "log2_bucket") -> str:
+    return f"""
+        WITH v AS (
+            SELECT {select_cols}, ({value_expr})::BIGINT AS c FROM {table}
+        )
+        SELECT {select_cols}, c AS {col_name},
+               (CASE WHEN c <= 0 THEN -1
+                     ELSE length(format('{{:b}}', c)) - 1
+                END)::BIGINT AS {out_col}
+        FROM v"""
+
+
+def collapse_rare(ds, *, cat_col: str, min_count: int,
+                  other: str = "__other__", num_buckets: int = 16,
+                  out_col: str | None = None):
+    """Rare-category collapse — categories seen fewer than ``min_count``
+    times fold into one ``other`` bucket (the standard cardinality-taming
+    pass before one-hot/target encoding; keeps the encoder's key space
+    bounded by the head of the distribution).
+
+    Scale shape: per-batch category-count partials → one cat-bucketed
+    fold; the KEEP set (head categories only — bounded by
+    corpus_size/min_count, so worker-fit by construction) broadcasts via
+    ``ray.put``; the rewrite is one stateless vectorized pass."""
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    out_col = out_col or f"{cat_col}_c"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([cat_col]).group_by(cat_col).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([cat_col, "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        cat_col, {"n": ("n", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    keep = np.sort(
+        folded.loc[folded["n"] >= min_count, cat_col].to_numpy())
+    ref = ray.put(keep)
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(ref)
+        out = df.copy()
+        v = out[cat_col].to_numpy()
+        pos = np.searchsorted(k, v)
+        ok = pos < len(k)
+        hit = np.zeros(len(v), dtype=bool)
+        hit[ok] = k[pos[ok]] == v[ok]
+        out[out_col] = np.where(hit, v, other)
+        return out
+
+    return ds.map_batches(rewrite, batch_format="pandas")
+
+
+def collapse_rare_sql(*, cat_col: str, table: str, select_cols: str,
+                      min_count: int, other: str = "__other__",
+                      out_col: str | None = None) -> str:
+    out_col = out_col or f"{cat_col}_c"
+    return f"""
+        SELECT {select_cols}, {cat_col},
+               CASE WHEN count(*) OVER (PARTITION BY {cat_col})
+                         >= {min_count}
+                    THEN {cat_col} ELSE '{other}' END AS {out_col}
+        FROM {table}"""
+
+
 def grouped_trend_sql(*, key: str, x_expr: str, y_expr: str,
                       table: str) -> str:
     """SQL mirror: HUGEINT moments, the identical divide/FMA-free

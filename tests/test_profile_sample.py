@@ -649,3 +649,47 @@ def test_target_encoding_smoothing():
     # the rare category is pulled hard toward the prior
     assert out.loc["rare", "enc"] == (9000 + 10 * mu) // 11
     assert out.loc["rare", "n"] == 1
+
+
+def test_log2_bucketize_exact_boundaries():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import log2_bucketize
+
+    df = pd.DataFrame({
+        "id": range(8),
+        "v": [0, 1, 2, 3, 4, 1023, 1024, -5],
+    })
+    out = log2_bucketize(
+        ray.data.from_pandas(df).repartition(2), col="v",
+    ).to_pandas().sort_values("id")
+    assert out["log2_bucket"].tolist() == [-1, 0, 1, 1, 2, 9, 10, -1]
+
+
+def test_log2_bucketize_exact_past_2_53():
+    # the float-log failure zone: 2^60 and 2^60 - 1 must split buckets
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import log2_bucketize
+
+    df = pd.DataFrame({"id": [0, 1], "v": [(1 << 60) - 1, 1 << 60]})
+    out = log2_bucketize(
+        ray.data.from_pandas(df), col="v").to_pandas().sort_values("id")
+    assert out["log2_bucket"].tolist() == [59, 60]
+
+
+def test_collapse_rare_hand_fixture():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import collapse_rare
+
+    df = pd.DataFrame({
+        "id": range(7),
+        "cat": ["a", "a", "a", "b", "b", "c", "d"],
+    })
+    out = collapse_rare(
+        ray.data.from_pandas(df).repartition(2), cat_col="cat",
+        min_count=2,
+    ).to_pandas().sort_values("id")
+    assert out["cat_c"].tolist() == [
+        "a", "a", "a", "b", "b", "__other__", "__other__"]
