@@ -1117,6 +1117,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return winnow_fingerprints(_docs(sf), k=4, w=4)
 
+    def q_target_encoding_loo(sf):
+        """Leave-one-out target encoding per order row — the leak-resistant
+        variant: own label excluded, fixed global floor-mean prior;
+        category stats fold once and broadcast."""
+        from htrc_feature_reader_ray.stages.profile import target_encoding_loo
+
+        def cents(t: pa.Table) -> np.ndarray:
+            return np.round(
+                t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+
+        import ray.data
+
+        return target_encoding_loo(
+            ray.data.read_parquet(
+                f"{sf}/orders.parquet",
+                columns=["o_orderkey", "o_orderpriority", "o_totalprice"]),
+            cat_col="o_orderpriority", label_expr=cents, m=10,
+        ).drop_columns(["o_totalprice"])
+
+    def q_surprisal_score(sf):
+        """Per-doc unigram surprisal in exact bits (floor-log2 inverse
+        probabilities) — the reproducible LM-perplexity-filter analog;
+        one vocabulary fold + broadcast + stateless scoring pass."""
+        from htrc_feature_reader_ray.stages.curate import surprisal_score
+
+        return surprisal_score(_docs(sf))
+
     def q_log2_value(sf):
         """Exact log-scale binning of value_cents: floor(log2) via bit
         length — no float log (not correctly rounded), zero exchange."""
@@ -3149,6 +3176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "log2_value": q_log2_value,
         "collapse_rare": q_collapse_rare,
+        "target_encoding_loo": q_target_encoding_loo,
+        "surprisal_score": q_surprisal_score,
         "winsorize_value": q_winsorize_value,
         "quantile_transform": q_quantile_transform,
         "target_encoding": q_target_encoding,
@@ -3980,6 +4009,11 @@ def oracle_sql() -> dict[str, str]:
             col_name="value_cents"),
         "winnow_fingerprints": textstats.winnow_fingerprints_sql(
             k=4, w=4),
+        "target_encoding_loo": profile_mod.target_encoding_loo_sql(
+            cat_col="o_orderpriority",
+            value_expr="CAST(round(o_totalprice * 100) AS BIGINT)",
+            table="orders", select_cols="o_orderkey", m=10),
+        "surprisal_score": curate.surprisal_score_sql(),
         "log2_value": profile_mod.log2_bucketize_sql(
             value_expr="CAST(round(value * 100) AS BIGINT)",
             table="events", select_cols="event_id",

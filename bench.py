@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "winnow_fingerprints",
     "log2_value",
     "collapse_rare",
+    "target_encoding_loo",
+    "surprisal_score",
 ]
 
 HEADLINE = "flagship"

@@ -654,6 +654,86 @@ def build_postings_sql(*, table: str = "documents", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# integer unigram-surprisal quality score
+# ---------------------------------------------------------------------------
+
+def surprisal_score(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int = 64):
+    """Per-document unigram surprisal in EXACT bits — the reproducible
+    stand-in for the LM-perplexity quality filter (CCNet/Gopher style):
+    ``surprisal_bits(doc) = Σ_tokens (⌊log2 N⌋ − ⌊log2 cnt(tok)⌋)``
+    with ``cnt`` the corpus occurrence count and ``N`` the corpus token
+    total — ⌊log2⌋ of the inverse unigram probability, so rare-token-heavy
+    (high-perplexity) docs score high and boilerplate scores low, with no
+    IEEE ``ln`` anywhere (not correctly rounded ⇒ not cross-engine
+    reproducible; the engine-wide exactness discipline).
+
+    Scale shape: ONE vocabulary-bucketed count fold (``corpus_token_
+    counts``), the (token, ⌊log2 cnt⌋) table broadcasts via ``ray.put``
+    (vocabulary is the worker-fit small side, same contract as
+    ``encode_tokens``), then one stateless scoring pass.  Output
+    (doc_id, n_tokens, surprisal_bits)."""
+    import ray
+
+    from htrc_feature_reader_ray.stages.profile import _ilog2
+    from htrc_feature_reader_ray.stages.vocab import corpus_token_counts
+
+    counts = corpus_token_counts(
+        ds, text_col=text_col, num_buckets=num_buckets,
+    ).to_pandas().sort_values("token")
+    n_total = int(counts["count"].sum())
+    l_total = int(_ilog2(np.array([max(n_total, 1)], dtype=np.int64))[0])
+    ref = ray.put((counts["token"].to_numpy(),
+                   _ilog2(counts["count"].to_numpy().astype(np.int64))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks_arr, lbits = ray.get(ref)
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        n_tok = np.bincount(
+            parent.astype(np.int64), minlength=nrows).astype(np.int64)
+        bits = np.zeros(nrows, dtype=np.int64)
+        if len(flat):
+            pos = np.searchsorted(
+                toks_arr, flat.to_numpy(zero_copy_only=False))
+            np.add.at(bits, parent.astype(np.int64),
+                      l_total - lbits[pos])
+        out = batch.select([id_col])
+        out = out.append_column(
+            "n_tokens", pa.array(n_tok, type=pa.int64()))
+        return out.append_column(
+            "surprisal_bits", pa.array(bits, type=pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def surprisal_score_sql(*, table: str = "documents",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    toks = f"""
+          SELECT {id_col}, u.t AS tok
+          FROM {table},
+               unnest(string_split({text_col}, ' ')) AS u(t)
+          WHERE u.t <> ''"""
+    return f"""
+        WITH tok AS ({toks}),
+        cnt AS (SELECT tok, count(*)::BIGINT AS k FROM tok GROUP BY 1),
+        tot AS (
+          SELECT (length(format('{{:b}}', count(*))) - 1)::BIGINT AS l
+          FROM tok
+        ), scored AS (
+          SELECT t.{id_col}, count(*)::BIGINT AS n_tokens,
+                 sum(tot.l - (length(format('{{:b}}', c.k)) - 1))::BIGINT
+                     AS surprisal_bits
+          FROM tok t JOIN cnt c USING (tok), tot
+          GROUP BY 1
+        )
+        SELECT d.{id_col},
+               coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(s.surprisal_bits, 0)::BIGINT AS surprisal_bits
+        FROM {table} d LEFT JOIN scored s USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
 # conjunctive boolean retrieval
 # ---------------------------------------------------------------------------
 

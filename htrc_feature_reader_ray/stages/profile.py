@@ -1292,6 +1292,73 @@ def target_encoding_sql(*, cat_col: str, value_expr: str, table: str,
         FROM agg, g"""
 
 
+def target_encoding_loo(ds, *, cat_col: str, label_expr, m: int = 10,
+                        num_buckets: int = 16, out_col: str = "enc_loo"):
+    """Leave-one-out target encoding — the leak-resistant per-ROW variant
+    of :func:`target_encoding`: each row's own label is excluded from its
+    category's statistic, ``enc_i = (Σ_cat − label_i + m·μ) //
+    (n_cat − 1 + m)`` (μ the fixed global floor-mean, all exact ints).
+
+    Scale shape: the per-category (n, Σ) table folds once and broadcasts
+    (``ray.put``; categories are the worker-fit small side by the same
+    contract as :func:`collapse_rare`), then one stateless row pass —
+    input rows stream through untouched plus the new column."""
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = label_expr(batch)
+        t = pa.table({
+            cat_col: batch.column(cat_col),
+            "_s": pa.array(lab, type=pa.int64()),
+        })
+        g = t.group_by(cat_col).aggregate([("_s", "sum"), ([], "count_all")])
+        return g.rename_columns([cat_col, "s", "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        cat_col, {"s": ("s", "sum"), "n": ("n", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values(cat_col)
+    big_g = int(folded["s"].sum())
+    big_n = int(folded["n"].sum())
+    mu = big_g // big_n if big_n else 0
+    ref = ray.put((folded[cat_col].to_numpy(),
+                   folded["s"].to_numpy().astype(np.int64),
+                   folded["n"].to_numpy().astype(np.int64)))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cats_arr, s, n = ray.get(ref)
+        lab = label_expr(batch)
+        pos = np.searchsorted(
+            cats_arr, batch.column(cat_col).to_numpy(zero_copy_only=False))
+        enc = (s[pos] - lab + m * mu) // (n[pos] - 1 + m)
+        return batch.append_column(
+            out_col, pa.array(enc.astype(np.int64), type=pa.int64()))
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def target_encoding_loo_sql(*, cat_col: str, value_expr: str, table: str,
+                            select_cols: str, m: int = 10,
+                            out_col: str = "enc_loo") -> str:
+    """SQL mirror: window sums per category, identical LOO arithmetic."""
+    return f"""
+        WITH v AS (
+            SELECT {select_cols}, {cat_col},
+                   ({value_expr})::BIGINT AS c
+            FROM {table}
+        ), g AS (
+            SELECT sum(c) // count(*) AS mu FROM v
+        )
+        SELECT {select_cols}, {cat_col},
+               ((sum(c) OVER (PARTITION BY {cat_col}) - c + {m} * mu)
+                // (count(*) OVER (PARTITION BY {cat_col}) - 1 + {m})
+               )::BIGINT AS {out_col}
+        FROM v, g"""
+
+
 def _ilog2(v: np.ndarray) -> np.ndarray:
     """Exact floor(log2(v)) for int64 v >= 1 (binary-search shifts — no
     float log, which misplaces near power-of-two boundaries past 2^53);

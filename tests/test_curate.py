@@ -479,3 +479,22 @@ def test_winnow_fingerprints_matches_scalar_and_guarantee():
     f1 = set(out[out.doc_id == 1].fp)
     f2 = set(out[out.doc_id == 2].fp)
     assert f1 & f2
+
+
+def test_surprisal_score_hand_fixture():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.curate import surprisal_score
+
+    # corpus: 8 tokens total (L = 3 bits); 'a' x4 (2 bits), 'b' x2 (1),
+    # 'c','d' x1 (0 bits) -> per-token surprisal 1, 2, 3, 3
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a a a a", "b b c", "d"],
+    })
+    out = surprisal_score(
+        ray.data.from_pandas(df).repartition(2)
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [4, 4 * (3 - 2)]
+    assert out.loc[2].tolist() == [3, 2 * (3 - 1) + (3 - 0)]
+    assert out.loc[3].tolist() == [1, 3 - 0]

@@ -693,3 +693,30 @@ def test_collapse_rare_hand_fixture():
     ).to_pandas().sort_values("id")
     assert out["cat_c"].tolist() == [
         "a", "a", "a", "b", "b", "__other__", "__other__"]
+
+
+def test_target_encoding_loo_hand_fixture():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import target_encoding_loo
+
+    df = pd.DataFrame({
+        "id": range(4),
+        "cat": ["x", "x", "x", "solo"],
+        "label": [100, 200, 300, 9000],
+    })
+
+    def lab(t: pa.Table):
+        return t.column("label").to_numpy().astype(np.int64)
+
+    out = target_encoding_loo(
+        ray.data.from_pandas(df).repartition(2),
+        cat_col="cat", label_expr=lab, m=10,
+    ).to_pandas().set_index("id")
+    mu = 9600 // 4  # 2400
+    assert out.loc[0, "enc_loo"] == (600 - 100 + 10 * mu) // 12
+    assert out.loc[1, "enc_loo"] == (600 - 200 + 10 * mu) // 12
+    # singleton category: pure prior (n-1=0, only the pseudo-count)
+    assert out.loc[3, "enc_loo"] == (10 * mu) // 10
