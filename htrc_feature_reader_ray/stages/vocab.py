@@ -451,7 +451,8 @@ def char_coverage_sql(*, text: str = "text", table: str = "documents",
 
 
 def bpe_train(ds, *, text_col: str = "text", rounds: int = 3,
-              return_segmented: bool = False, num_buckets: int = 32):
+              return_segmented: bool = False, num_buckets: int = 32,
+              driver_limit: int = 5_000_000):
     """Byte-pair-encoding merge training (the sentencepiece/GPT-2 tokenizer
     prep) as a bounded-round Ray pipeline: per round, the corpus-wide most
     frequent ADJACENT symbol pair (weighted by word frequency, ties broken
@@ -495,32 +496,68 @@ def bpe_train(ds, *, text_col: str = "text", rounds: int = 3,
                   for w in df["token"].astype(str)],
         })
 
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["s"].str.slice(1, -1).str.split(SEP_R + SEP_L)
+        lens = toks.str.len().to_numpy()
+        c = df["c"].to_numpy()
+        npairs = np.maximum(lens - 1, 0)
+        if npairs.sum() == 0:
+            return pd.DataFrame({
+                "l": pd.Series(dtype=object),
+                "r": pd.Series(dtype=object),
+                "cnt": pd.Series(dtype="int64")})
+        flat = np.concatenate(toks.to_list())
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(flat)) - np.repeat(starts, lens)
+        first = pos < np.repeat(lens - 1, lens)
+        l_arr = flat[first]
+        # right neighbor = next flat element of the same word
+        r_arr = flat[1:][first[:-1]] if len(flat) > 1 else flat[:0]
+        w = np.repeat(c, lens)[first]
+        g = pd.DataFrame({"l": l_arr, "r": r_arr, "cnt": w})
+        return g.groupby(["l", "r"], sort=False,
+                         as_index=False)["cnt"].sum()
+
+    # ---- driver-resident rounds fast path ------------------------------
+    # The word-TYPE table is the module's canonical worker-fit small side
+    # (encode_tokens already broadcasts it whole); while it also fits the
+    # driver, the bounded merge rounds run as plain pandas passes on the
+    # collected frame — zero per-round exchanges, identical arithmetic
+    # (same pair kernel, same (cnt desc, l, r) argmax, same one-pass
+    # replace).  The distributed loop below stays the unbounded-vocabulary
+    # plan.
+    words = words.materialize()
+    if words.count() <= driver_limit:
+        seq_pd = to_seq(words.to_pandas())
+        merges = []
+        for rnd in range(1, rounds + 1):
+            pc_df = pair_partial(seq_pd)
+            if pc_df.empty:
+                break
+            pc_df = pc_df.groupby(["l", "r"], as_index=False)["cnt"].sum()
+            best = pc_df.sort_values(
+                ["cnt", "l", "r"], ascending=[False, True, True]).iloc[0]
+            l, r, cnt = str(best["l"]), str(best["r"]), int(best["cnt"])
+            merges.append((rnd, l, r, l + r, cnt))
+            pat = f"{SEP_L}{l}{SEP_R}{SEP_L}{r}{SEP_R}"
+            rep = f"{SEP_L}{l}{r}{SEP_R}"
+            seq_pd = pd.DataFrame({
+                "token": seq_pd["token"], "c": seq_pd["c"],
+                "s": seq_pd["s"].str.replace(pat, rep, regex=False),
+            })
+        out = pd.DataFrame(
+            merges, columns=["round", "left", "right", "merged", "count"]
+        ).astype({"round": "int64", "count": "int64"})
+        if return_segmented:
+            import ray.data
+
+            return out, ray.data.from_pandas(seq_pd)
+        return out
+
     seqs = words.map_batches(to_seq, batch_format="pandas").materialize()
     merges = []
 
     for rnd in range(1, rounds + 1):
-        def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-            toks = df["s"].str.slice(1, -1).str.split(SEP_R + SEP_L)
-            lens = toks.str.len().to_numpy()
-            c = df["c"].to_numpy()
-            npairs = np.maximum(lens - 1, 0)
-            if npairs.sum() == 0:
-                return pd.DataFrame({
-                    "l": pd.Series(dtype=object),
-                    "r": pd.Series(dtype=object),
-                    "cnt": pd.Series(dtype="int64")})
-            flat = np.concatenate(toks.to_list())
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            pos = np.arange(len(flat)) - np.repeat(starts, lens)
-            first = pos < np.repeat(lens - 1, lens)
-            l_arr = flat[first]
-            # right neighbor = next flat element of the same word
-            r_arr = flat[1:][first[:-1]] if len(flat) > 1 else flat[:0]
-            w = np.repeat(c, lens)[first]
-            g = pd.DataFrame({"l": l_arr, "r": r_arr, "cnt": w})
-            return g.groupby(["l", "r"], sort=False,
-                             as_index=False)["cnt"].sum()
-
         folded = bucketed_aggregate(
             seqs.map_batches(pair_partial, batch_format="pandas"),
             ["l", "r"], {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)

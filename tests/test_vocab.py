@@ -242,3 +242,26 @@ def test_bpe_encode_segments_match_reference():
     for (doc_id, pos), g in got.groupby(["doc_id", "pos"]):
         word = docs[doc_id].split()[pos]
         assert g["symbol"].tolist() == seqs[word], (doc_id, pos, word)
+
+
+def test_bpe_train_paths_equal():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.vocab import bpe_train
+
+    docs = ["low low low lower lowest", "aaaaaaa aaaaaaa aaa",
+            "new newer newest low", "wide wider widest new"]
+    ds = ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(3)
+    fast = bpe_train(ds, rounds=4)
+    dist = bpe_train(ds, rounds=4, driver_limit=0)
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  dist.reset_index(drop=True))
+
+    f_m, f_seg = bpe_train(ds, rounds=3, return_segmented=True)
+    d_m, d_seg = bpe_train(ds, rounds=3, return_segmented=True,
+                           driver_limit=0)
+    a = f_seg.to_pandas().sort_values("token").reset_index(drop=True)
+    b = d_seg.to_pandas().sort_values("token").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["token", "c", "s"]],
+                                  b[["token", "c", "s"]])
