@@ -2753,6 +2753,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return contamination_flags(_docs(sf), BENCHMARK_NEEDLES)
 
+    def _gram_explode(sf, *, width=4, carry=()):
+        """(carry..., ngram) occurrence rows — per-batch adjacent word
+        n-gram explode (grams never cross a doc row, so no exchange)."""
+        from htrc_feature_reader_ray.stages.curate import _adjacent_ngrams
+        from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+        carry = list(carry)
+
+        def explode(batch: pa.Table) -> pa.Table:
+            flat, parent, _ = _tok_stats(batch, "text")
+            grams, gp = _adjacent_ngrams(flat, parent.astype(np.int64),
+                                         width)
+            cols = {c: batch.column(c).take(pa.array(gp)) for c in carry}
+            cols["ngram"] = grams
+            return pa.table(cols)
+
+        cols = list(dict.fromkeys(["doc_id", "text", *carry]))
+        return _docs(sf, columns=cols).map_batches(
+            explode, batch_format="pyarrow")
+
+    def q_bloom_decontaminate(sf):
+        """Bloom-filter benchmark decontamination — the FIXED-SIZE
+        broadcast membership summary (2 KiB bitmap here) vs the exact
+        grow-with-benchmark hash set of ngram_decontaminate. Build
+        exchanges only distinct bit positions; probe is zero-exchange.
+        The exact_member audit column sits next to bloom_hit so the
+        measured false-positive rate is part of the gate (bloom_hit >=
+        exact_member always; equality would mean zero FPs)."""
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.sketch import (
+            bloom_build,
+            bloom_flag,
+        )
+
+        grams = _gram_explode(sf, width=4)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("ngram").aggregate([([], "count_all")])
+            return g.rename_columns(["ngram", "count"])
+
+        vocab = bucketed_aggregate(
+            grams.map_batches(partial, batch_format="pyarrow"),
+            "ngram", {"count": ("count", "sum")}, num_buckets=16)
+
+        bench_grams = _gram_explode(sf, width=4, carry=("doc_id",))
+        bench_grams = bench_grams.map_batches(
+            lambda t: t.filter(pa.array(
+                t.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 3
+            )).select(["ngram"]),
+            batch_format="pyarrow")
+        bitmap = bloom_build(bench_grams, value_col="ngram", m_bits=12, k=4)
+        flagged = bloom_flag(vocab, bitmap, value_col="ngram",
+                             m_bits=12, k=4)
+
+        bench_set = pa.array(sorted(set(bench_grams.unique("ngram"))))
+
+        def audit(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            member = pc.is_in(batch.column("ngram"), value_set=bench_set)
+            return batch.append_column(
+                "exact_member",
+                pc.cast(member, pa.int64()))
+
+        return flagged.map_batches(audit, batch_format="pyarrow")
+
+    def _kmv_lang_sketch(sf):
+        from htrc_feature_reader_ray.stages.sketch import kmv_sketch
+
+        grams = _gram_explode(sf, width=4, carry=("lang",))
+        return kmv_sketch(grams, group_cols=["lang"], value_col="ngram",
+                          k=64).to_pandas()  # <= k rows per group
+
+    def q_kmv_lang_distinct(sf):
+        """KMV (bottom-k) distinct sketch per language over word 4-grams:
+        per-group payload is k int64 hashes however large the group; the
+        estimator is one HUGEINT floor division (exact below k)."""
+        from htrc_feature_reader_ray.stages.sketch import kmv_distinct
+
+        return kmv_distinct(_kmv_lang_sketch(sf), group_cols=["lang"],
+                            k=64)
+
+    def q_kmv_lang_jaccard(sf):
+        """Sketch-space Jaccard between languages' 4-gram sets (Beyer
+        SIGMOD'07 inclusion estimator in exact integer ppm) — cross-
+        partition similarity without co-shuffling the values; driver
+        finish over the k x |groups| sketch only."""
+        from htrc_feature_reader_ray.stages.sketch import kmv_jaccard
+
+        return kmv_jaccard(_kmv_lang_sketch(sf), group_col="lang", k=64)
+
     def q_countmin_tokens(sf):
         """Count-Min sketch vs exact corpus token counts: bounded-memory
         (depth×width cells) partials, SUM-merge, min-over-rows point
@@ -3247,6 +3340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "countmin_tokens": q_countmin_tokens,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "kmv_lang_distinct": q_kmv_lang_distinct,
+        "kmv_lang_jaccard": q_kmv_lang_jaccard,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
@@ -4994,4 +5090,7 @@ def oracle_sql() -> dict[str, str]:
             id_col="doc_id", budget=2048, table="documents",
         ),
         "countmin_tokens": sketch.countmin_sql(),
+        "bloom_decontaminate": sketch.bloom_decontaminate_sql(),
+        "kmv_lang_distinct": sketch.kmv_distinct_sql(),
+        "kmv_lang_jaccard": sketch.kmv_jaccard_sql(),
     }

@@ -242,3 +242,298 @@ def approx_distinct_sql(*, group_cols, value_expr: str, table: str,
                         + s_present)::DOUBLE AS approx_distinct,
                n_used::BIGINT AS registers_used
         FROM agg"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (broadcastable membership summary)
+# ---------------------------------------------------------------------------
+#
+# The production shape of benchmark decontamination at corpus scale: the
+# benchmark's n-gram set is summarized into a FIXED-SIZE bit array (16 KiB at
+# m_bits=17) that ships to every worker once, instead of broadcasting the
+# exact hash set (``curate.ngram_decontaminate``) whose size grows with the
+# benchmark. Build exchanges only distinct bit POSITIONS (<= m ints total,
+# regardless of input size); probe is a zero-exchange broadcast map. False
+# positives are inherent — the audit query carries the exact-membership
+# column next to the bloom flag so the measured FP rate is part of the gate.
+#
+# Determinism/SQL-replay contract: position j of value v is
+# ``md5_number_upper(j || ':' || v) % m`` — the same seeded-md5 cell
+# convention as the Count-Min sketch above, so DuckDB rebuilds the identical
+# bit set and probes it with the identical k positions.
+
+
+def bloom_positions(values, *, m_bits: int, k: int) -> np.ndarray:
+    """Distinct sorted bit positions (int64) for an iterable of values."""
+    vals = [str(v) for v in values]
+    if not vals:
+        return np.array([], dtype=np.int64)
+    m = np.uint64(1 << m_bits)
+    pos = [
+        (md5_hash64([f"{j}:{v}" for v in vals]) % m).astype(np.int64)
+        for j in range(k)
+    ]
+    return np.unique(np.concatenate(pos))
+
+
+def bloom_build(ds, *, value_col: str, m_bits: int = 12,
+                k: int = 4) -> np.ndarray:
+    """Fold a Dataset column into a bloom bitmap (bool array of 2**m_bits).
+
+    Per-batch: distinct values -> their distinct positions (each batch
+    contributes <= m ints however large it is); one global distinct over
+    positions. The returned bitmap is the broadcast artifact (``ray.put`` it
+    once; at m_bits=17 it packs to 16 KiB)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        distinct = batch.select([value_col]).group_by(
+            [value_col]).aggregate([])
+        pos = bloom_positions(
+            distinct.column(value_col).to_pylist(), m_bits=m_bits, k=k)
+        return pa.table({"pos": pa.array(pos, type=pa.int64())})
+
+    pos = ds.map_batches(partial, batch_format="pyarrow").unique("pos")
+    bitmap = np.zeros(1 << m_bits, dtype=bool)
+    if len(pos):
+        bitmap[np.asarray(pos, dtype=np.int64)] = True
+    return bitmap
+
+
+def bloom_flag(ds, bitmap: np.ndarray, *, value_col: str, m_bits: int = 12,
+               k: int = 4, out_col: str = "bloom_hit"):
+    """Append ``out_col`` (int64 0/1): 1 iff ALL k positions of the row's
+    value are set. Zero exchange — the packed bitmap rides the object store
+    once; each batch hashes its value VOCABULARY (np.unique), not every
+    occurrence."""
+    import ray
+
+    ref = ray.put(np.packbits(bitmap))
+    m = np.uint64(1 << m_bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        col = [str(v) for v in batch.column(value_col).to_pylist()]
+        if not col:
+            return batch.append_column(
+                out_col, pa.array([], type=pa.int64()))
+        uniq, inv = np.unique(np.asarray(col, dtype=object),
+                              return_inverse=True)
+        bm = np.unpackbits(ray.get(ref)).astype(bool)
+        hit = np.ones(len(uniq), dtype=bool)
+        for j in range(k):
+            p = (md5_hash64([f"{j}:{v}" for v in uniq]) % m).astype(np.int64)
+            hit &= bm[p]
+        return batch.append_column(
+            out_col, pa.array(hit[inv].astype(np.int64)))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def bloom_decontaminate_sql(*, table: str = "documents", text: str = "text",
+                            bench_pred: str = "doc_id % 97 = 3",
+                            width: int = 4, m_bits: int = 12,
+                            k: int = 4) -> str:
+    """(ngram, count, bloom_hit, exact_member) re-derivation: DuckDB rebuilds
+    the identical bit set from the benchmark's grams and probes the corpus
+    gram vocabulary with the identical k positions."""
+    m = 1 << m_bits
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH d AS (SELECT doc_id, {toks} AS arr FROM {table}),
+        g AS (
+          SELECT doc_id,
+                 array_to_string(arr[i.i:i.i + {width - 1}], ' ') AS ngram
+          FROM d, unnest(generate_series(1, len(arr) - {width - 1})) AS i(i)
+        ),
+        vocab AS (SELECT ngram, count(*)::BIGINT AS count FROM g GROUP BY 1),
+        bench AS (SELECT DISTINCT ngram FROM g WHERE {bench_pred}),
+        js AS (SELECT unnest(range({k}))::BIGINT AS j),
+        bits AS (
+          SELECT DISTINCT (md5_number_upper(js.j || ':' || ngram)::UBIGINT
+                           % {m})::BIGINT AS pos
+          FROM bench, js
+        ),
+        probe AS (
+          SELECT v.ngram, v.count,
+                 (count(b.pos) = {k})::BIGINT AS bloom_hit
+          FROM vocab v
+          CROSS JOIN js
+          LEFT JOIN bits b
+            ON b.pos = (md5_number_upper(js.j || ':' || v.ngram)::UBIGINT
+                        % {m})::BIGINT
+          GROUP BY 1, 2
+        )
+        SELECT p.ngram, p.count, p.bloom_hit,
+               (p.ngram IN (SELECT ngram FROM bench))::BIGINT AS exact_member
+        FROM probe p"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + sketch-space Jaccard
+# ---------------------------------------------------------------------------
+#
+# The third sketch family: where HLL answers only |A|, a KMV sketch (the k
+# smallest value hashes) additionally composes across groups — union sketches
+# merge by re-taking the k smallest, and the inclusion estimator gives the
+# JACCARD between two groups' value sets without ever co-shuffling the
+# values (Beyer et al. SIGMOD'07 / the "bottom-k sketch"). This is the
+# cheap cross-partition similarity screen: per-group payload is k int64s.
+#
+# Exactness contract: hashes are 63-bit-masked little-endian md5 (the
+# winnow_fingerprints convention — masking keeps the BIGINT SQL compare),
+# the estimator is one HUGEINT floor division, and Jaccard is reported in
+# exact integer ppm of the merged-sketch inclusion ratio.
+
+_MASK63 = np.uint64((1 << 63) - 1)
+
+
+def kmv_sketch(ds, *, group_cols, value_col: str, k: int = 64,
+               num_buckets: int = 16):
+    """(group_cols..., h:int64) — per group, the k smallest 63-bit md5
+    hashes of its DISTINCT values (< k rows iff the group has < k distinct
+    values, in which case the sketch is exact).
+
+    Per-batch partial: distinct (group, value) -> hash the batch vocabulary
+    -> keep k per group (<= k rows per group per batch cross the exchange);
+    one group-bucketed fold re-takes the k smallest."""
+    group_cols = list(group_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[group_cols + [value_col]].drop_duplicates()
+        h = (md5_hash64([str(v) for v in d[value_col]])
+             & _MASK63).astype(np.int64)
+        out = pd.DataFrame({
+            **{c: d[c].to_numpy() for c in group_cols}, "h": h,
+        }).drop_duplicates()
+        out = out.sort_values(group_cols + ["h"], kind="mergesort")
+        return out.groupby(group_cols, sort=False).head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(group_cols + ["h"]).sort_values(
+            group_cols + ["h"], kind="mergesort")
+        return d.groupby(group_cols, sort=False).head(k)
+
+    return bucketed_map_groups(partials, group_cols[0], finish,
+                               num_buckets=num_buckets)
+
+
+def kmv_distinct(sketch_df: pd.DataFrame, *, group_cols, k: int = 64
+                 ) -> pd.DataFrame:
+    """(group..., sketch_size, kth_hash, distinct_est) from the collected
+    sketch table (tiny by construction: <= k rows per group). Estimator:
+    exact count below k, else ``(k-1) * 2^63 // kth_hash`` — integer floor,
+    mirrored by HUGEINT division in SQL."""
+    group_cols = list(group_cols)
+    rows = []
+    for key, g in sketch_df.groupby(group_cols, sort=False):
+        key = key if isinstance(key, tuple) else (key,)
+        n = len(g)
+        kth = int(g["h"].max())
+        est = n if n < k else (k - 1) * (1 << 63) // kth
+        rows.append((*key, np.int64(n), np.int64(kth), np.int64(est)))
+    return pd.DataFrame(
+        rows, columns=group_cols + ["sketch_size", "kth_hash",
+                                    "distinct_est"]
+    ).sort_values(group_cols).reset_index(drop=True)
+
+
+def kmv_jaccard(sketch_df: pd.DataFrame, *, group_col: str, k: int = 64
+                ) -> pd.DataFrame:
+    """All group pairs (a < b): merged-sketch inclusion Jaccard.
+
+    merged = k smallest of the two sketches' union; ``inter_k`` = merged
+    hashes present in BOTH sketches; ``jaccard_ppm = inter_k * 10^6 //
+    union_k``. Driver finish over the k x |groups| sketch table only."""
+    by = {key: set(g["h"].astype("int64"))
+          for key, g in sketch_df.groupby(group_col, sort=False)}
+    names = sorted(by)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            merged = sorted(by[a] | by[b])[:k]
+            union_k = len(merged)
+            inter_k = sum(1 for h in merged if h in by[a] and h in by[b])
+            rows.append((a, b, np.int64(union_k), np.int64(inter_k),
+                         np.int64(inter_k * 1_000_000 // union_k)))
+    return pd.DataFrame(
+        rows, columns=[f"{group_col}_a", f"{group_col}_b", "union_k",
+                       "inter_k", "jaccard_ppm"])
+
+
+def _kmv_gram_sketch_cte(*, table: str, text: str, group: str, width: int,
+                         k: int) -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH d AS (SELECT {group}, {toks} AS arr FROM {table}),
+        g AS (
+          SELECT {group},
+                 array_to_string(arr[i.i:i.i + {width - 1}], ' ') AS ngram
+          FROM d, unnest(generate_series(1, len(arr) - {width - 1})) AS i(i)
+        ),
+        h AS (
+          SELECT DISTINCT {group},
+                 (md5_number_upper(ngram)::UBIGINT
+                  & 9223372036854775807)::BIGINT AS h
+          FROM g
+        ),
+        rk AS (
+          SELECT {group}, h,
+                 row_number() OVER (PARTITION BY {group} ORDER BY h) AS rn
+          FROM h
+        ),
+        sk AS (SELECT {group}, h FROM rk WHERE rn <= {k})"""
+
+
+def kmv_distinct_sql(*, table: str = "documents", text: str = "text",
+                     group: str = "lang", width: int = 4,
+                     k: int = 64) -> str:
+    """DuckDB re-derivation of kmv_sketch + kmv_distinct over per-group
+    word n-grams (bit-exact)."""
+    cte = _kmv_gram_sketch_cte(table=table, text=text, group=group,
+                               width=width, k=k)
+    return f"""{cte}
+        SELECT {group}, count(*)::BIGINT AS sketch_size,
+               max(h)::BIGINT AS kth_hash,
+               CASE WHEN count(*) < {k} THEN count(*)::BIGINT
+                    ELSE (({k - 1}::HUGEINT
+                           * (9223372036854775807::HUGEINT + 1))
+                          // max(h))::BIGINT
+               END AS distinct_est
+        FROM sk GROUP BY 1"""
+
+
+def kmv_jaccard_sql(*, table: str = "documents", text: str = "text",
+                    group: str = "lang", width: int = 4,
+                    k: int = 64) -> str:
+    """DuckDB re-derivation of kmv_jaccard (bit-exact)."""
+    cte = _kmv_gram_sketch_cte(table=table, text=text, group=group,
+                               width=width, k=k)
+    return f"""{cte},
+        pairs AS (
+          SELECT a.{group} AS ga, b.{group} AS gb
+          FROM (SELECT DISTINCT {group} FROM sk) a
+          JOIN (SELECT DISTINCT {group} FROM sk) b ON a.{group} < b.{group}
+        ),
+        uh AS (
+          SELECT p.ga, p.gb, s.h
+          FROM pairs p JOIN sk s ON s.{group} IN (p.ga, p.gb)
+          GROUP BY 1, 2, 3
+        ),
+        urk AS (
+          SELECT ga, gb, h,
+                 row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+          FROM uh
+        ),
+        merged AS (SELECT ga, gb, h FROM urk WHERE rn <= {k})
+        SELECT m.ga AS {group}_a, m.gb AS {group}_b,
+               count(*)::BIGINT AS union_k,
+               count(*) FILTER (WHERE sa.h IS NOT NULL
+                                  AND sb.h IS NOT NULL)::BIGINT AS inter_k,
+               (count(*) FILTER (WHERE sa.h IS NOT NULL
+                                   AND sb.h IS NOT NULL)::BIGINT
+                * 1000000 // count(*)::BIGINT) AS jaccard_ppm
+        FROM merged m
+        LEFT JOIN sk sa ON sa.{group} = m.ga AND sa.h = m.h
+        LEFT JOIN sk sb ON sb.{group} = m.gb AND sb.h = m.h
+        GROUP BY 1, 2"""

@@ -314,3 +314,79 @@ def test_interval_join_composite_keys():
     )
     assert list(got.pid) == list(brute.pid)
     assert list(got.tag) == list(brute.tag)
+
+
+def test_bloom_build_flag_no_false_negatives_and_sql_convention():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.sketch import (
+        bloom_build,
+        bloom_flag,
+        bloom_positions,
+    )
+
+    members = [f"v-{i}" for i in range(600)]
+    ds = ray.data.from_pandas(pd.DataFrame({"v": members})).repartition(4)
+    bitmap = bloom_build(ds, value_col="v", m_bits=12, k=4)
+
+    # the distributed fold equals the scalar position derivation
+    ref = np.zeros(1 << 12, dtype=bool)
+    ref[bloom_positions(members, m_bits=12, k=4)] = True
+    assert (bitmap == ref).all()
+    # position convention == the countmin/simhash seeded-md5 cell
+    p0 = int(md5_hash64(["0:v-0"])[0] % np.uint64(1 << 12))
+    assert bitmap[p0]
+
+    probe = ray.data.from_pandas(pd.DataFrame(
+        {"v": members + [f"other-{i}" for i in range(5000)]}
+    )).repartition(3)
+    got = bloom_flag(probe, bitmap, value_col="v", m_bits=12,
+                     k=4).to_pandas()
+    hits = dict(zip(got["v"], got["bloom_hit"]))
+    assert all(hits[v] == 1 for v in members)  # no false negatives
+    fp = np.mean([hits[f"other-{i}"] for i in range(5000)])
+    assert fp < 0.05  # n=600, m=4096, k=4 -> ~0.3% expected
+
+
+def test_kmv_distinct_estimate_and_shape_independence():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.sketch import kmv_distinct, kmv_sketch
+
+    vals = pd.DataFrame({
+        "g": ["a"] * 9000 + ["b"] * 40,
+        "v": [f"x-{i % 3000}" for i in range(9000)]
+             + [f"y-{i}" for i in range(40)],
+    })
+    out = {}
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(vals).repartition(parts)
+        sk = kmv_sketch(ds, group_cols=["g"], value_col="v",
+                        k=128).to_pandas()
+        out[parts] = kmv_distinct(sk, group_cols=["g"], k=128)
+    pd.testing.assert_frame_equal(out[1], out[7])  # cluster-shape-proof
+    est = dict(zip(out[1]["g"], out[1]["distinct_est"]))
+    assert est["b"] == 40  # below k: exact
+    assert abs(est["a"] - 3000) / 3000 < 0.30  # ~1/sqrt(k) band
+
+
+def test_kmv_jaccard_overlap_bands():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.sketch import kmv_jaccard, kmv_sketch
+
+    shared = [f"s-{i}" for i in range(2000)]
+    only_a = [f"a-{i}" for i in range(2000)]
+    only_c = [f"c-{i}" for i in range(2000)]
+    df = pd.DataFrame({
+        "g": ["A"] * 4000 + ["B"] * 4000 + ["C"] * 2000,
+        "v": shared + only_a + shared + only_a[:0] + [f"b-{i}" for i in
+                                                      range(2000)] + only_c,
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    sk = kmv_sketch(ds, group_cols=["g"], value_col="v", k=256).to_pandas()
+    jac = kmv_jaccard(sk, group_col="g", k=256)
+    j = {(r.g_a, r.g_b): r.jaccard_ppm / 1e6 for r in jac.itertuples()}
+    assert abs(j[("A", "B")] - 1 / 3) < 0.12  # true J = 2000/6000
+    assert j[("A", "C")] < 0.05 and j[("B", "C")] < 0.05  # disjoint
