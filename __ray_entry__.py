@@ -1237,6 +1237,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_random_projection(sf):
+        """JL/Achlioptas ±1 random projection to 16 dims, integer-exact
+        (fixed-point quantize + deterministic sign hash + int64 matmul):
+        bit-identical across parallelism where float projections are
+        summation-order-dependent; zero exchange, no stored model."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            random_projection,
+        )
+
+        return random_projection(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+            d_out=16)
+
+    def q_two_hop_neighbors(sf):
+        """Per-node 2-hop reach (n1 = distinct out-neighbors, n2 =
+        distinct nodes within 2 directed hops, self excluded): one
+        mid-keyed bucket join for the hop-2 pairs, a (src, nbr) min-hop
+        fold, one vectorized count pass."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            two_hop_neighbors,
+        )
+
+        return two_hop_neighbors(extract_links(read_pages(sf,
+                                                          drop_text=True)))
+
     def q_kmeans(sf):
         """Integer-exact distributed k-means (3 Lloyd rounds, k=8):
         fixed-point quantized vectors, exact squared-L2 argmin, floor-mean
@@ -3243,6 +3273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": q_bpe_encode,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
+        "random_projection": q_random_projection,
+        "two_hop_neighbors": q_two_hop_neighbors,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4211,6 +4243,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
         "kmeans": similarity_mod.kmeans_fixed_sql(k=8, rounds=3),
+        "random_projection": similarity_mod.random_projection_sql(d_out=16),
+        "two_hop_neighbors": LINKS_PRE + linkgraph.two_hop_neighbors_sql(),
         "kmeans_semdedup": f"""
             WITH assign AS (
                 SELECT * FROM ({similarity_mod.kmeans_fixed_sql(

@@ -1939,3 +1939,107 @@ def local_clustering_sql(*, edges_cte: str = "e2") -> str:
                           // (degs.d * (degs.d - 1))
                      ELSE 0 END)::BIGINT AS local_cc_ppm
         FROM degs LEFT JOIN tv ON degs.node = tv.node"""
+
+
+# ---------------------------------------------------------------------------
+# 2-hop neighborhood size (friends-of-friends)
+# ---------------------------------------------------------------------------
+
+def two_hop_neighbors(edges, *, num_buckets: int = 32):
+    """(url, n1, n2) per source node: ``n1`` = distinct direct out-
+    neighbors, ``n2`` = distinct nodes reachable in <= 2 directed hops
+    (self excluded from both) — the hub/spam "reach" feature a link-graph
+    scorer wants next to degree.
+
+    Shape: ONE mid-keyed bucket join materializes the hop-2 pairs
+    (e1.dst = e2.src — the irreducible payload of 2-hop expansion), then a
+    (src, nbr)-level min-hop fold and a src-keyed count pass. Nodes with no
+    out-edges don't appear (their reach is 0 by contract). Fan-out caveat:
+    hop-2 volume is Σ_mid in(mid)·out(mid); on graphs whose hubs have BOTH
+    high in- and out-degree, cap or sample mids first (the fixture's hubs
+    are sinks, so the join is linear here)."""
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
+
+    def dedup(batch: pa.Table) -> pa.Table:
+        return batch.select(["src_url", "dst_url"]).group_by(
+            ["src_url", "dst_url"]).aggregate([])
+
+    e = edges.map_batches(dedup, batch_format="pyarrow")
+
+    def as_mid(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "mid": _str_array(batch, "src_url"),
+            "nbr2": _str_array(batch, "dst_url"),
+        })
+
+    hop2 = bucket_join(
+        e, e.map_batches(as_mid, batch_format="pyarrow"),
+        left_key="dst_url", right_key="mid", num_buckets=num_buckets,
+    )
+
+    def pairs2(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "src_url": _str_array(batch, "src_url"),
+            "nbr": _str_array(batch, "nbr2"),
+            "hop": pa.array(np.full(len(batch), 2, dtype=np.int64)),
+        })
+        return t.group_by(["src_url", "nbr"]).aggregate(
+            [("hop", "min")]).rename_columns(["src_url", "nbr", "hop"])
+
+    def pairs1(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_url": _str_array(batch, "src_url"),
+            "nbr": _str_array(batch, "dst_url"),
+            "hop": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+
+    un = e.map_batches(pairs1, batch_format="pyarrow").union(
+        hop2.map_batches(pairs2, batch_format="pyarrow"))
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(batch.column("src_url"), batch.column("nbr"))
+        return batch.filter(keep)
+
+    folded = bucketed_aggregate(
+        un.map_batches(drop_self, batch_format="pyarrow"),
+        ["src_url", "nbr"], {"hop": ("hop", "min")},
+        num_buckets=num_buckets)
+
+    def count_pass(df):
+        # vectorized across ALL groups: hop==1 indicator summed per src
+        g = df.assign(is1=(df["hop"] == 1).astype("int64")).groupby(
+            "src_url", sort=False, as_index=False)
+        out = g.agg(n1=("is1", "sum"), n2=("hop", "size"))
+        out = out.rename(columns={"src_url": "url"})
+        out["n2"] = out["n2"].astype("int64")
+        return out
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    return bucketed_map_groups(folded, "src_url", count_pass,
+                               num_buckets=num_buckets)
+
+
+def two_hop_neighbors_sql(*, edges_cte: str = "link_edges") -> str:
+    """SQL fragment (appends to the LINKS_PRE CTE): exact re-derivation."""
+    return f""",
+        e2h AS (SELECT DISTINCT src_url, dst_url FROM {edges_cte}),
+        hop2 AS (
+          SELECT a.src_url, b.dst_url AS nbr, 2 AS hop
+          FROM e2h a JOIN e2h b ON a.dst_url = b.src_url
+        ),
+        un2h AS (
+          SELECT src_url, nbr, min(hop) AS hop FROM (
+            SELECT src_url, dst_url AS nbr, 1 AS hop FROM e2h
+            UNION ALL SELECT src_url, nbr, hop FROM hop2
+          ) WHERE nbr <> src_url GROUP BY 1, 2
+        )
+        SELECT src_url AS url,
+               count(*) FILTER (WHERE hop = 1)::BIGINT AS n1,
+               count(*)::BIGINT AS n2
+        FROM un2h GROUP BY 1"""

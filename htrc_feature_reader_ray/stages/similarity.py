@@ -666,3 +666,84 @@ def kmeans_fixed_sql(*, table: str = "embeddings",
               PARTITION BY vid ORDER BY dist, cid) AS rn FROM df)
         WHERE rn = 1"""
     return sql
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (integer-exact)
+# ---------------------------------------------------------------------------
+
+_SIGN_CACHE: dict = {}
+
+
+def _jl_signs(d_in: int, d_out: int) -> np.ndarray:
+    """(d_in, d_out) ±1 sign matrix: sign(i, j) = 1 - 2·topbit(md5("j:i"))
+    — the feature_hashing sign over the countmin seeded-cell key. Cached
+    per process (built once per worker, not per batch)."""
+    key = (d_in, d_out)
+    if key not in _SIGN_CACHE:
+        from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+        keys = [f"{j}:{i}" for i in range(d_in) for j in range(d_out)]
+        h = md5_hash64(keys)
+        signs = (1 - 2 * (h >> np.uint64(63)).astype(np.int64))
+        _SIGN_CACHE[key] = signs.reshape(d_in, d_out)
+    return _SIGN_CACHE[key]
+
+
+def random_projection(ds, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", d_out: int = 16):
+    """JL/Achlioptas ±1 random projection of an embedding column to
+    ``d_out`` dims — the dimensionality-reduction front of an ANN/dedup
+    pipeline, made INTEGER-EXACT (float projections are summation-order-
+    dependent; this one is bit-identical across any parallelism):
+
+      * inputs quantize to ``floor(x · 2²⁰)`` int64 (the
+        ``CENTROID_SCALE`` fixed-point contract of ``kmeans_fixed``);
+      * the projection matrix is the deterministic ±1 sign hash
+        ``1 - 2·topbit(md5(j || ':' || i))`` — no stored model, any worker
+        reconstructs it from (d_in, d_out) alone;
+      * output dim j of vector x is the exact int64 ``Σ_i sign(i,j)·q(x_i)``
+        (one (B,d_in)·(d_in,d_out) integer matmul per batch).
+
+    Zero exchange; LONG output (id, dim, value) — schema-stable for any
+    d_out and directly hash-comparable."""
+    scale = CENTROID_SCALE
+
+    def project(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col))
+        if m.size == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "value": pa.array([], type=pa.int64()),
+            })
+        q = np.floor(m * scale).astype(np.int64)
+        out = q @ _jl_signs(m.shape[1], d_out)
+        n = len(q)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d_out)),
+            "dim": pa.array(np.tile(np.arange(d_out, dtype=np.int64), n)),
+            "value": pa.array(out.reshape(-1)),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def random_projection_sql(*, table: str = "embeddings",
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id", d_out: int = 16) -> str:
+    """DuckDB re-derivation (bit-exact): same quantization, same sign hash,
+    exact integer sum per (vector, output dim)."""
+    scale = CENTROID_SCALE
+    return f"""
+        WITH q AS (
+          SELECT {id_col}, u.i - 1 AS i,
+                 floor({vec_col}[u.i]::DOUBLE * {scale})::BIGINT AS qd
+          FROM {table},
+               unnest(generate_series(1, len({vec_col}))) AS u(i)
+        ), js AS (SELECT unnest(range({d_out}))::BIGINT AS j)
+        SELECT {id_col}, js.j AS dim,
+               sum(qd * (1 - 2 * (md5_number_upper(js.j || ':' || q.i)
+                                  ::UBIGINT >> 63)::BIGINT))::BIGINT AS value
+        FROM q, js GROUP BY 1, 2"""

@@ -542,3 +542,26 @@ def test_local_clustering_k4_minus_edge():
     assert out.loc["b", "n_triangles"] == 2
     assert out.loc["c", ["degree", "n_triangles"]].tolist() == [2, 1]
     assert out.loc["c", "local_cc_ppm"] == 1_000_000  # fully clustered pair
+
+
+def test_two_hop_neighbors_hand_graph():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import two_hop_neighbors
+
+    # chain a->b->c->d plus hub: a->h, e->h (h is a sink)
+    edges = pd.DataFrame({
+        "src_url": ["a", "b", "c", "a", "e", "a"],
+        "dst_url": ["b", "c", "d", "h", "h", "b"],  # dup a->b on purpose
+    })
+    got = (
+        two_hop_neighbors(ray.data.from_pandas(edges).repartition(3))
+        .to_pandas().set_index("url").sort_index()
+    )
+    # a: hop1 {b,h}, hop2 via b -> {c}  => n1=2, n2=3
+    assert tuple(got.loc["a"][["n1", "n2"]]) == (2, 3)
+    # b: hop1 {c}, hop2 {d} => (1, 2); c: (1, 1); e: (1, 1)
+    assert tuple(got.loc["b"][["n1", "n2"]]) == (1, 2)
+    assert tuple(got.loc["c"][["n1", "n2"]]) == (1, 1)
+    assert tuple(got.loc["e"][["n1", "n2"]]) == (1, 1)
+    assert "d" not in got.index and "h" not in got.index  # sinks absent

@@ -257,3 +257,53 @@ def test_kmeans_fixed_matches_scalar_lloyd_and_parallelism_independent():
             k=k, rounds=rounds,
         ).to_pandas().sort_values("vec_id")
         assert out["cluster"].tolist() == expect.tolist(), parts
+
+
+def test_random_projection_exactness_and_geometry():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.similarity import (
+        CENTROID_SCALE,
+        random_projection,
+    )
+
+    rng = np.random.RandomState(7)
+    n, d_in, d_out = 200, 32, 16
+    vecs = rng.randn(n, d_in).astype(np.float32)
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+
+    out = {}
+    for parts in (1, 6):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out[parts] = (
+            random_projection(ds, d_out=d_out).to_pandas()
+            .sort_values(["vec_id", "dim"]).reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(out[1], out[6])  # parallelism-proof
+
+    # scalar reference for one vector/dim
+    q = np.floor(vecs.astype(np.float64) * CENTROID_SCALE).astype(np.int64)
+    h = md5_hash64([f"3:{i}" for i in range(d_in)])
+    signs = 1 - 2 * (h >> np.uint64(63)).astype(np.int64)
+    want = int((q[5] * signs).sum())
+    got = out[1][(out[1].vec_id == 5) & (out[1].dim == 3)]["value"].iloc[0]
+    assert int(got) == want
+
+    # JL property: projected squared distances track original ones
+    proj = (
+        out[1].pivot(index="vec_id", columns="dim", values="value")
+        .to_numpy().astype(np.float64) / CENTROID_SCALE
+    )
+    a, b = rng.randint(0, n, 60), rng.randint(0, n, 60)
+    d_orig = ((vecs[a] - vecs[b]) ** 2).sum(1)
+    d_proj = ((proj[a] - proj[b]) ** 2).sum(1) / d_out
+    mask = d_orig > 0
+    ratio = d_proj[mask] / d_orig[mask]
+    assert 0.4 < np.median(ratio) < 1.8  # distances preserved in band
