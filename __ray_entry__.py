@@ -1237,6 +1237,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_touch_attribution(sf):
+        """First/last-touch attribution per purchase (7-day lookback,
+        strict-before, (ts,id) tie order): one user-bucketed exchange,
+        two searchsorted calls per bucket on a composite (entity, ts)
+        key — no per-entity loop."""
+        from htrc_feature_reader_ray.stages.temporal import (
+            touch_attribution,
+        )
+
+        return touch_attribution(
+            _events(sf, ["event_id", "user_id", "ts", "event_type"]))
+
+    def q_bigram_lm(sf):
+        """Laplace-smoothed bigram conditional-probability table in exact
+        integer ppm: pair fold bucketed on w1 (context sums derive from
+        the folded table itself — no second exchange), vocabulary-size
+        scalar broadcast."""
+        from htrc_feature_reader_ray.stages.vocab import bigram_lm
+
+        return bigram_lm(_docs(sf))
+
     def q_random_projection(sf):
         """JL/Achlioptas ±1 random projection to 16 dims, integer-exact
         (fixed-point quantize + deterministic sign hash + int64 matmul):
@@ -3275,6 +3296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
         "two_hop_neighbors": q_two_hop_neighbors,
+        "touch_attribution": q_touch_attribution,
+        "bigram_lm": q_bigram_lm,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4245,6 +4268,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": similarity_mod.kmeans_fixed_sql(k=8, rounds=3),
         "random_projection": similarity_mod.random_projection_sql(d_out=16),
         "two_hop_neighbors": LINKS_PRE + linkgraph.two_hop_neighbors_sql(),
+        "touch_attribution": temporal_mod.touch_attribution_sql(),
+        "bigram_lm": vocab_mod.bigram_lm_sql(),
         "kmeans_semdedup": f"""
             WITH assign AS (
                 SELECT * FROM ({similarity_mod.kmeans_fixed_sql(

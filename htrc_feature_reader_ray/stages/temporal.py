@@ -1444,3 +1444,125 @@ def cusum_flags_sql(*, key: str, ts: str, value_expr: str, drift: int,
                (pfx - least(min(pfx) OVER w, 0)) > {threshold} AS flag
         FROM p WINDOW w AS (PARTITION BY {key} ORDER BY {order}
                             ROWS UNBOUNDED PRECEDING)"""
+
+
+# ---------------------------------------------------------------------------
+# marketing-touch attribution (first-touch / last-touch)
+# ---------------------------------------------------------------------------
+
+def touch_attribution(ds, *, key: str = "user_id", ts: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type",
+                      conversion: str = "purchase",
+                      touches=("click", "view"),
+                      lookback: str = "7D", num_buckets: int = 32):
+    """Per conversion event: the entity's FIRST and LAST touch (of the
+    ``touches`` types) strictly before the conversion and within
+    ``lookback``, plus the touch count — the multi-touch-attribution
+    primitive (first-touch / last-touch models read their column; a
+    position-weighted model needs only n_touches more).
+
+    Output: (id_col, key, ts, n_touches, first_touch, last_touch);
+    first/last_touch are NULL (and n_touches 0) when no touch is in the
+    window. Ties at one timestamp break by ``id_col`` (asc for first,
+    desc for last) — the deterministic contract the SQL mirror replays.
+
+    Shape: ONE key-bucketed exchange; inside a bucket, both the touch and
+    the conversion rows of all entities sort once by (key, ts, id) and
+    every conversion's window resolves by TWO searchsorted calls on a
+    composite (entity, ts) key — no per-entity or per-conversion loop.
+    The composite key packs entity-rank x time-span into int64 and raises
+    loudly if the product would overflow (split buckets further or
+    shorten the span before that)."""
+    lb_us = int(pd.Timedelta(lookback).value // 1000)
+    touch_set = set(touches)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts, id_col], kind="mergesort")
+        t_us = df[ts].astype("datetime64[us]").astype("int64").to_numpy()
+        codes, _ = pd.factorize(df[key], sort=True)
+        is_touch = df[type_col].isin(touch_set).to_numpy()
+        is_conv = (df[type_col] == conversion).to_numpy()
+
+        t0 = int(t_us.min()) if len(t_us) else 0
+        span = (int(t_us.max()) - t0) + lb_us + 2
+        if span and codes.size and (int(codes.max()) + 1) * span > 2**62:
+            raise ValueError(
+                "touch_attribution composite key would overflow int64; "
+                "raise num_buckets or shorten the lookback")
+        comp = codes.astype(np.int64) * span + (t_us - t0)
+
+        tk = comp[is_touch]
+        conv_comp = comp[is_conv]
+        lo = np.searchsorted(tk, conv_comp - lb_us)
+        hi = np.searchsorted(tk, conv_comp)  # strictly before: ts offset>0
+        # clamp window starts that crossed into the previous entity's range
+        ent_start = np.searchsorted(
+            tk, codes[is_conv].astype(np.int64) * span)
+        lo = np.maximum(lo, ent_start)
+        n = (hi - lo).astype(np.int64)
+        has = n > 0
+
+        types_t = df[type_col].to_numpy()[is_touch]
+        if len(tk):
+            first = np.where(has, types_t[np.minimum(lo, len(tk) - 1)],
+                             None)
+            last = np.where(has, types_t[np.maximum(hi - 1, 0)], None)
+        else:
+            first = np.full(len(conv_comp), None, dtype=object)
+            last = first.copy()
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[is_conv],
+            key: df[key].to_numpy()[is_conv],
+            ts: df[ts].to_numpy()[is_conv],
+            "n_touches": n,
+            "first_touch": first,
+            "last_touch": last,
+        })
+        return out
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    return bucketed_map_groups(ds, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def touch_attribution_sql(*, table: str = "events", key: str = "user_id",
+                          ts: str = "ts", id_col: str = "event_id",
+                          type_col: str = "event_type",
+                          conversion: str = "purchase",
+                          touches=("click", "view"),
+                          lookback_days: int = 7) -> str:
+    """Window-replay oracle: per conversion, row_number over the joined
+    in-window touches ordered (ts, id) asc / desc."""
+    tlist = ", ".join(f"'{t}'" for t in touches)
+    return f"""
+        WITH conv AS (
+          SELECT {id_col}, {key}, {ts} FROM {table}
+          WHERE {type_col} = '{conversion}'
+        ), t AS (
+          SELECT {key}, {ts} AS tts, {id_col} AS teid, {type_col} AS ttype
+          FROM {table} WHERE {type_col} IN ({tlist})
+        ), j AS (
+          SELECT c.{id_col}, c.{key}, c.{ts}, t.tts, t.teid, t.ttype
+          FROM conv c JOIN t
+            ON t.{key} = c.{key}
+           AND t.tts < c.{ts}
+           AND t.tts >= c.{ts} - INTERVAL {lookback_days} DAY
+        ), rk AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY {id_col}
+                                    ORDER BY tts, teid) AS rf,
+                 row_number() OVER (PARTITION BY {id_col}
+                                    ORDER BY tts DESC, teid DESC) AS rl
+          FROM j
+        ), agg AS (
+          SELECT {id_col}, count(*)::BIGINT AS n_touches,
+                 max(CASE WHEN rf = 1 THEN ttype END) AS first_touch,
+                 max(CASE WHEN rl = 1 THEN ttype END) AS last_touch
+          FROM rk GROUP BY 1
+        )
+        SELECT c.{id_col}, c.{key}, c.{ts},
+               coalesce(a.n_touches, 0)::BIGINT AS n_touches,
+               a.first_touch, a.last_touch
+        FROM conv c LEFT JOIN agg a USING ({id_col})"""

@@ -751,3 +751,89 @@ def bpe_encode_sql(*, table: str = "documents", text: str = "text",
         FROM exploded e JOIN seg ON e.token = seg.w,
              LATERAL unnest(range(1, len(seg.syms) + 1)) AS j(j)"""
     return sql
+
+
+# ---------------------------------------------------------------------------
+# bigram conditional-probability LM (Laplace smoothing, exact integer ppm)
+
+
+def bigram_lm(ds, *, text_col: str = "text", alpha: int = 1,
+              num_buckets: int = 32):
+    """Smoothed bigram language model table — (w1, w2, c_pair, c_ctx,
+    p_ppm) with ``p_ppm = (c_pair + α)·10⁶ // (c_ctx + α·V)`` — the
+    next-token conditional-probability table behind perplexity filters and
+    synthetic-data detectors, in exact integers (float division would make
+    the table parallelism-dependent at the margins).
+
+    * ``c_ctx`` = Σ_w2 c(w1, w2) — derived from the folded pair table
+      itself (all rows of a w1 share its bucket), NOT a second corpus
+      scan;
+    * ``V`` = corpus unigram vocabulary size — one scalar from the
+      token-count fold, broadcast into the finish (so the op reads the
+      corpus twice: once for pairs, once for V; both are single
+      exchanges).
+    """
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_map_groups,
+    )
+
+    V = corpus_token_counts(ds, text_col=text_col,
+                            num_buckets=num_buckets).count()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        m = len(parent)
+        if m < 2:
+            return pa.table({
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "c_pair": pa.array([], type=pa.int64()),
+            })
+        same = parent[:-1] == parent[1:]
+        t = pa.table({
+            "w1": flat.slice(0, m - 1).filter(pa.array(same)),
+            "w2": flat.slice(1, m - 1).filter(pa.array(same)),
+        })
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "c_pair"])
+
+    partials = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], sort=False,
+                       as_index=False)["c_pair"].sum()
+        ctx = g.groupby("w1", sort=False)["c_pair"].transform("sum")
+        g["c_ctx"] = ctx.astype("int64")
+        g["p_ppm"] = (
+            (g["c_pair"].astype(object) + alpha) * 1_000_000
+            // (g["c_ctx"].astype(object) + alpha * V)
+        ).astype("int64")
+        g["c_pair"] = g["c_pair"].astype("int64")
+        return g
+
+    return bucketed_map_groups(partials, "w1", finish,
+                               num_buckets=num_buckets)
+
+
+def bigram_lm_sql(*, table: str = "documents", text: str = "text",
+                  alpha: int = 1) -> str:
+    """SQL replay: adjacent-pair unnest counts, per-w1 context sums, the
+    same integer Laplace division."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH base AS (SELECT {toks} AS arr FROM {table}),
+        p AS (
+          SELECT arr[i.i] AS w1, arr[i.i + 1] AS w2,
+                 count(*)::BIGINT AS c_pair
+          FROM base, unnest(generate_series(1, len(arr) - 1)) AS i(i)
+          GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT count(DISTINCT t.tok)::BIGINT AS vocab
+          FROM base, unnest(arr) AS t(tok)
+        ),
+        ctx AS (SELECT w1, sum(c_pair)::BIGINT AS c_ctx FROM p GROUP BY 1)
+        SELECT p.w1, p.w2, p.c_pair, ctx.c_ctx,
+               ((p.c_pair + {alpha}) * 1000000
+                // (ctx.c_ctx + {alpha} * v.vocab))::BIGINT AS p_ppm
+        FROM p JOIN ctx USING (w1), v"""

@@ -584,3 +584,41 @@ def test_cusum_flags_recursion_identity():
         expect.append(s)
     assert out["cusum"].tolist() == expect
     assert out["flag"].tolist() == [e > 25 for e in expect]
+
+
+def test_touch_attribution_window_edges_and_ties():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.temporal import touch_attribution
+
+    T = pd.Timestamp("2024-03-10 12:00:00")
+    D = pd.Timedelta
+    rows = [
+        # user 1: edge-inclusive window start, tie at one ts, same-ts excl
+        (1, 1, T - D("7D"), "click"),      # exactly lookback edge: IN
+        (2, 1, T - D("3D"), "view"),       # tie pair (same ts) ...
+        (3, 1, T - D("3D"), "click"),      # ... id asc decides first/last
+        (4, 1, T, "view"),                 # same ts as conversion: OUT
+        (5, 1, T, "purchase"),
+        (6, 1, T + D("1D"), "click"),      # after: OUT
+        # user 2: conversion with no touches in window
+        (7, 2, T - D("30D"), "click"),
+        (8, 2, T, "purchase"),
+        # user 3: only an error event (not a touch type)
+        (9, 3, T - D("1D"), "error"),
+        (10, 3, T, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    got = (
+        touch_attribution(ray.data.from_pandas(df).repartition(3))
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    r1 = got.loc[5]
+    assert r1["n_touches"] == 3
+    assert r1["first_touch"] == "click"      # the 7D-edge click
+    assert r1["last_touch"] == "click"       # (T-3D, id 3) beats id 2
+    r2 = got.loc[8]
+    assert r2["n_touches"] == 0 and r2["first_touch"] is None
+    r3 = got.loc[10]
+    assert r3["n_touches"] == 0 and r3["last_touch"] is None

@@ -265,3 +265,24 @@ def test_bpe_train_paths_equal():
     b = d_seg.to_pandas().sort_values("token").reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["token", "c", "s"]],
                                   b[["token", "c", "s"]])
+
+
+def test_bigram_lm_hand_counts():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.vocab import bigram_lm
+
+    docs = ["a b a b c", "b c"]
+    # pairs: (a,b):2 (b,a):1 (b,c):2  ctx: a->2, b->3 ; V = 3
+    got = (
+        bigram_lm(ray.data.from_pandas(pd.DataFrame({"text": docs}))
+                  .repartition(2))
+        .to_pandas().set_index(["w1", "w2"]).sort_index()
+    )
+    assert got.loc[("a", "b"), "c_pair"] == 2
+    assert got.loc[("a", "b"), "c_ctx"] == 2
+    assert got.loc[("a", "b"), "p_ppm"] == (2 + 1) * 1_000_000 // (2 + 3)
+    assert got.loc[("b", "a"), "p_ppm"] == (1 + 1) * 1_000_000 // (3 + 3)
+    assert got.loc[("b", "c"), "c_pair"] == 2
+    assert len(got) == 3  # no cross-document pair (c,b)
