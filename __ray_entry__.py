@@ -1237,6 +1237,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_events_skew_join(sf):
+        """Skew-aware fact-to-dim join: hot users (left frequency > 60)
+        broadcast their dim rows and merge map-side — hub keys never
+        concentrate on one bucket — while cold keys run the ordinary
+        co-partitioned bucket join; the oracle pins both paths' union to
+        the plain SQL join."""
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+            skew_join,
+        )
+
+        ev = _events(sf, ["event_id", "user_id", "ts", "event_type"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.select(["user_id", "ts"]).group_by(
+                "user_id").aggregate([("ts", "min")])
+            return g.rename_columns(["user_id", "first_seen"])
+
+        dim = bucketed_aggregate(
+            ev.map_batches(partial, batch_format="pyarrow"),
+            "user_id", {"first_seen": ("first_seen", "min")},
+            num_buckets=8)
+        return skew_join(ev, dim, left_key="user_id",
+                         right_key="user_id", hot_threshold=60)
+
+    def q_cube_lang_source(sf):
+        """GROUP BY CUBE(lang, source): one fold to the finest cuboid,
+        lattice expansion over that categorical-product-sized base only
+        (additive aggregates compose up the lattice)."""
+        from htrc_feature_reader_ray.stages.profile import cube_rollup
+
+        return cube_rollup(
+            _docs(sf, columns=["lang", "source", "n_chars"]),
+            dims=["lang", "source"],
+            aggs={"n_docs": ("n_chars", "count"),
+                  "sum_chars": ("n_chars", "sum")})
+
     def q_touch_attribution(sf):
         """First/last-touch attribution per purchase (7-day lookback,
         strict-before, (ts,id) tie order): one user-bucketed exchange,
@@ -3298,6 +3335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_neighbors": q_two_hop_neighbors,
         "touch_attribution": q_touch_attribution,
         "bigram_lm": q_bigram_lm,
+        "events_skew_join": q_events_skew_join,
+        "cube_lang_source": q_cube_lang_source,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4270,6 +4309,15 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_neighbors": LINKS_PRE + linkgraph.two_hop_neighbors_sql(),
         "touch_attribution": temporal_mod.touch_attribution_sql(),
         "bigram_lm": vocab_mod.bigram_lm_sql(),
+        "events_skew_join": """
+        SELECT e.event_id, e.user_id, e.ts, e.event_type, f.first_seen
+        FROM events e
+        JOIN (SELECT user_id, min(ts) AS first_seen FROM events
+              GROUP BY 1) f USING (user_id)""",
+        "cube_lang_source": profile_mod.cube_rollup_sql(
+            table="documents", dims=["lang", "source"],
+            agg_exprs=["count(*)::BIGINT AS n_docs",
+                       "sum(n_chars)::BIGINT AS sum_chars"]),
         "kmeans_semdedup": f"""
             WITH assign AS (
                 SELECT * FROM ({similarity_mod.kmeans_fixed_sql(

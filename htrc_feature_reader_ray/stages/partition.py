@@ -431,3 +431,90 @@ def table_diff(left_ds, right_ds, *, key: str, compare_cols,
 
     return bucketed_map_groups(unioned, key, per_bucket,
                                num_buckets=num_buckets)
+
+
+def skew_join(left_ds, right_ds, *, left_key: str, right_key: str,
+              hot_threshold: int = 100_000, num_buckets: int = 32,
+              how: str = "inner", max_hot_right_rows: int = 2_000_000):
+    """Skew-aware equi-join: keys whose LEFT-side frequency exceeds
+    ``hot_threshold`` take a BROADCAST path — their right rows ship once
+    via ``ray.put`` and merge map-side inside the left scan, so a hot key
+    never concentrates its whole row mass on one bucket worker — while cold
+    keys take the ordinary :func:`bucket_join`. Output rows are exactly the
+    bucket_join rows (pinned by test); only the physical plan differs.
+
+    Contract: the right side is dimension-like on the hot keys (their
+    matching right rows must fit a worker; a loud guard at
+    ``max_hot_right_rows`` enforces it). ``how``: 'inner' | 'left'.
+
+    Cost model: the hot-key count fold is one vocabulary-bucketed exchange
+    of per-batch (key, count) partials — at 100 TB the partial combine
+    keeps hub keys to one row per batch, and the fold output is filtered to
+    the (tiny) hot set before it ever reaches the driver.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports how='inner'|'left'")
+    import pandas as pd
+    import ray
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([left_key]).group_by(left_key).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([left_key, "cnt"])
+
+    counts = bucketed_aggregate(
+        left_ds.map_batches(key_partial, batch_format="pyarrow"),
+        left_key, {"cnt": ("cnt", "sum")}, num_buckets=num_buckets)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("cnt"),
+                                       hot_threshold))
+
+    hot = counts.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    if hot.empty:
+        return bucket_join(left_ds, right_ds, left_key=left_key,
+                           right_key=right_key, num_buckets=num_buckets,
+                           how=how)
+
+    hot_vals = pa.array(sorted(hot[left_key].tolist()))
+
+    def side_filter(col: str, keep_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.is_in(batch.column(col), value_set=hot_vals)
+            return batch.filter(m if keep_hot else pc.invert(m))
+
+        return fn
+
+    right_hot = right_ds.map_batches(
+        side_filter(right_key, True), batch_format="pyarrow").to_pandas()
+    if len(right_hot) > max_hot_right_rows:
+        raise ValueError(
+            f"skew_join: hot keys match {len(right_hot)} right rows "
+            f"(> {max_hot_right_rows}); right side is not dimension-like "
+            "on the hot keys — raise hot_threshold or use bucket_join")
+    ref = ray.put(right_hot)
+
+    drop_rk = [right_key] if right_key != left_key else []
+
+    def hot_merge(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        return df.merge(r, how=how, left_on=left_key,
+                        right_on=right_key).drop(columns=drop_rk)
+
+    hot_out = left_ds.map_batches(
+        side_filter(left_key, True), batch_format="pyarrow"
+    ).map_batches(hot_merge, batch_format="pandas")
+
+    cold_out = bucket_join(
+        left_ds.map_batches(side_filter(left_key, False),
+                            batch_format="pyarrow"),
+        right_ds.map_batches(side_filter(right_key, False),
+                             batch_format="pyarrow"),
+        left_key=left_key, right_key=right_key, num_buckets=num_buckets,
+        how=how)
+
+    return hot_out.union(cold_out)

@@ -1487,3 +1487,69 @@ def grouped_trend_sql(*, key: str, x_expr: str, y_expr: str,
                          / n::DOUBLE
                END AS intercept
         FROM m"""
+
+
+def cube_rollup(ds, *, dims, aggs, num_buckets: int = 16):
+    """GROUP BY CUBE(dims...) — all 2^D grouping sets, with NULL marking
+    the rolled-up dimensions (the OLAP cube materialization for dashboard
+    fan-out). ``aggs``: ``{out_col: (in_col, 'sum'|'count')}``.
+
+    Shape: the corpus folds ONCE to the finest cuboid (one bucketed
+    exchange of per-batch partials); every coarser cuboid is re-aggregated
+    from that base table, which is |dim1|x...x|dimD| rows — the lattice
+    expansion is a driver pass over the base cuboid only, justified
+    because cube dims are categorical by construction (a high-cardinality
+    cube is a query bug, not an engine case). Additive aggregates only
+    (sum/count compose through the lattice; min/max would too, avg would
+    not)."""
+    import itertools
+
+    import pandas as pd
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    dims = list(dims)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spec = []
+        names = list(dims)
+        for out, (col, fn) in aggs.items():
+            if fn == "count":
+                spec.append(([], "count_all"))
+            else:
+                spec.append((col, "sum"))
+            names.append(out)
+        g = batch.group_by(dims).aggregate(spec)
+        return g.rename_columns(names)
+
+    base = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        dims, {out: (out, "sum") for out in aggs},
+        num_buckets=num_buckets,
+    ).to_pandas()  # finest cuboid: categorical-product-sized by contract
+
+    out_cols = list(aggs)
+    frames = []
+    for r in range(len(dims) + 1):
+        for keep in itertools.combinations(dims, r):
+            if keep:
+                f = base.groupby(list(keep), sort=False,
+                                 as_index=False)[out_cols].sum()
+            else:
+                f = base[out_cols].sum().to_frame().T
+            for d in dims:
+                if d not in keep:
+                    f[d] = None
+            frames.append(f[dims + out_cols])
+    out = pd.concat(frames, ignore_index=True)
+    for c in out_cols:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def cube_rollup_sql(*, table: str, dims, agg_exprs) -> str:
+    """``agg_exprs``: list of full SQL aggregate expressions with aliases,
+    e.g. ``["count(*)::BIGINT AS n", "sum(x)::BIGINT AS sx"]``."""
+    d = ", ".join(dims)
+    a = ", ".join(agg_exprs)
+    return f"SELECT {d}, {a} FROM {table} GROUP BY CUBE ({d})"

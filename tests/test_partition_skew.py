@@ -176,3 +176,65 @@ def test_table_diff_statuses():
     assert out.loc[4] == "unchanged"
     assert out.loc[5] == "added"
     assert out.index.dtype.kind == "i"  # int key survives the outer merge
+
+
+def _skew_sides():
+    rng = np.random.RandomState(11)
+    # one mega-hot key (0), a warm key (1), cold tail
+    keys = np.concatenate([
+        np.zeros(5000, dtype=np.int64),
+        np.ones(300, dtype=np.int64),
+        rng.randint(2, 200, 800).astype(np.int64),
+    ])
+    left = pd.DataFrame({"k": keys,
+                         "lid": np.arange(len(keys), dtype=np.int64)})
+    right = pd.DataFrame({
+        "rk": np.arange(0, 150, dtype=np.int64),
+        "dim": [f"d{i}" for i in range(150)],
+    })
+    return left, right
+
+
+def test_skew_join_equals_bucket_join_inner_and_left():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        skew_join,
+    )
+
+    left, right = _skew_sides()
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right).repartition(2)
+    for how in ("inner", "left"):
+        want = (
+            bucket_join(lds, rds, left_key="k", right_key="rk", how=how)
+            .to_pandas().sort_values(["lid"]).reset_index(drop=True)
+        )
+        got = (
+            skew_join(lds, rds, left_key="k", right_key="rk", how=how,
+                      hot_threshold=250)
+            .to_pandas().sort_values(["lid"]).reset_index(drop=True)
+        )
+        got["dim"] = got["dim"].where(got["dim"].notna(), None)
+        want["dim"] = want["dim"].where(want["dim"].notna(), None)
+        pd.testing.assert_frame_equal(
+            got[want.columns], want, check_dtype=False)
+
+
+def test_skew_join_no_hot_falls_back_and_guard_raises():
+    import pytest
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import skew_join
+
+    left, right = _skew_sides()
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+    # threshold above every key count -> pure bucket_join path
+    out = skew_join(lds, rds, left_key="k", right_key="rk",
+                    hot_threshold=10**9).to_pandas()
+    assert len(out) == (left["k"] < 150).sum()
+    with pytest.raises(ValueError, match="dimension-like"):
+        skew_join(lds, rds, left_key="k", right_key="rk",
+                  hot_threshold=250, max_hot_right_rows=0)

@@ -720,3 +720,28 @@ def test_target_encoding_loo_hand_fixture():
     assert out.loc[1, "enc_loo"] == (600 - 200 + 10 * mu) // 12
     # singleton category: pure prior (n-1=0, only the pseudo-count)
     assert out.loc[3, "enc_loo"] == (10 * mu) // 10
+
+
+def test_cube_rollup_lattice_hand_check():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import cube_rollup
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", "q"],
+        "v": [1, 2, 4, 8, 16],
+    })
+    got = cube_rollup(
+        ray.data.from_pandas(df).repartition(3),
+        dims=["a", "b"],
+        aggs={"n": ("v", "count"), "sv": ("v", "sum")})
+    assert len(got) == 4 + 2 + 2 + 1  # cells + two rollups + grand total
+    gt = got[got["a"].isna() & got["b"].isna()].iloc[0]
+    assert (gt["n"], gt["sv"]) == (5, 31)
+    ya = got[(got["a"] == "y") & got["b"].isna()].iloc[0]
+    assert (ya["n"], ya["sv"]) == (3, 28)
+    yp = got[(got["a"] == "y") & (got["b"] == "p")].iloc[0]
+    assert (yp["n"], yp["sv"]) == (2, 12)
+    pb = got[got["a"].isna() & (got["b"] == "p")].iloc[0]
+    assert (pb["n"], pb["sv"]) == (3, 13)
