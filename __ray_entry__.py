@@ -2888,16 +2888,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ngram", {"count": ("count", "sum")}, num_buckets=16)
 
         bench_grams = _gram_explode(sf, width=4, carry=("doc_id",))
+        # batch-local distinct, then ONE bucketed fold to the benchmark's
+        # distinct gram vocabulary, materialized once — it has two
+        # consumers (bitmap build + audit set) and the occurrence rows
+        # should not be recomputed for either
         bench_grams = bench_grams.map_batches(
             lambda t: t.filter(pa.array(
                 t.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 3
-            )).select(["ngram"]),
+            )).select(["ngram"]).group_by("ngram").aggregate(
+                [([], "count_all")]).rename_columns(["ngram", "n"]),
             batch_format="pyarrow")
-        bitmap = bloom_build(bench_grams, value_col="ngram", m_bits=12, k=4)
+        bench_vocab = bucketed_aggregate(
+            bench_grams, "ngram", {"n": ("n", "sum")}, num_buckets=4,
+        ).select_columns(["ngram"]).materialize()
+        bitmap = bloom_build(bench_vocab, value_col="ngram", m_bits=12, k=4)
         flagged = bloom_flag(vocab, bitmap, value_col="ngram",
                              m_bits=12, k=4)
 
-        bench_set = pa.array(sorted(set(bench_grams.unique("ngram"))))
+        bench_set = pa.array(sorted(bench_vocab.to_pandas()["ngram"]))
 
         def audit(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

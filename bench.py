@@ -132,6 +132,15 @@ BENCH_QUERIES = [
     "collapse_rare",
     "target_encoding_loo",
     "surprisal_score",
+    "bloom_decontaminate",
+    "kmv_lang_distinct",
+    "kmv_lang_jaccard",
+    "random_projection",
+    "two_hop_neighbors",
+    "touch_attribution",
+    "bigram_lm",
+    "events_skew_join",
+    "cube_lang_source",
 ]
 
 HEADLINE = "flagship"
