@@ -1237,6 +1237,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_vocab_coverage(sf):
+        """Tokenizer vocab-size selection curve: corpus coverage ppm of
+        the top-k token types at log2-spaced ranks — one token fold, the
+        ranked cumsum runs over the collected worker-fit vocabulary."""
+        from htrc_feature_reader_ray.stages.vocab import vocab_coverage
+
+        return vocab_coverage(_docs(sf))
+
+    def q_rendezvous_shards(sf):
+        """Rendezvous (HRW) sharding of doc ids to 8 shard nodes — the
+        minimal-movement consistent assignment (vs hash%n's full
+        reshuffle on node change); zero exchange, argmax of seeded md5
+        per key, auditable by the SQL replay."""
+        from htrc_feature_reader_ray.stages.partition import (
+            rendezvous_assign,
+        )
+
+        return rendezvous_assign(
+            _docs(sf, columns=["doc_id"]),
+            key_col="doc_id", nodes=[f"shard-{i}" for i in range(8)])
+
+    def q_rolling_approx_users(sf):
+        """Trailing-7-day approximate distinct users per day — HLL
+        register MERGEABILITY cashed in: values fold once to per-day
+        registers, each day's window estimate is a register-wise max
+        over the sketch table only (exact rolling distinct would
+        re-shuffle every window's raw values daily)."""
+        from htrc_feature_reader_ray.stages.sketch import (
+            rolling_approx_distinct,
+        )
+
+        return rolling_approx_distinct(
+            _events(sf, ["ts", "user_id"]),
+            ts_col="ts", value_col="user_id", window_days=7)
+
     def q_events_skew_join(sf):
         """Skew-aware fact-to-dim join: hot users (left frequency > 60)
         broadcast their dim rows and merge map-side — hub keys never
@@ -3345,6 +3380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": q_bigram_lm,
         "events_skew_join": q_events_skew_join,
         "cube_lang_source": q_cube_lang_source,
+        "vocab_coverage": q_vocab_coverage,
+        "rendezvous_shards": q_rendezvous_shards,
+        "rolling_approx_users": q_rolling_approx_users,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -3591,6 +3629,9 @@ def oracle_sql() -> dict[str, str]:
         urltools,
     )
     from htrc_feature_reader_ray.stages.pack import pack_sequences_sql
+    from htrc_feature_reader_ray.stages.partition import (
+        rendezvous_assign_sql,
+    )
     from htrc_feature_reader_ray.stages.chunk import (
         token_windows_sql as _token_windows_sql,
     )
@@ -4326,6 +4367,11 @@ def oracle_sql() -> dict[str, str]:
             table="documents", dims=["lang", "source"],
             agg_exprs=["count(*)::BIGINT AS n_docs",
                        "sum(n_chars)::BIGINT AS sum_chars"]),
+        "vocab_coverage": vocab_mod.vocab_coverage_sql(),
+        "rendezvous_shards": rendezvous_assign_sql(
+            table="documents", key_expr="doc_id", key_alias="doc_id",
+            nodes=[f"shard-{i}" for i in range(8)]),
+        "rolling_approx_users": sketch.rolling_approx_distinct_sql(),
         "kmeans_semdedup": f"""
             WITH assign AS (
                 SELECT * FROM ({similarity_mod.kmeans_fixed_sql(

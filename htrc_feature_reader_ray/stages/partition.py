@@ -518,3 +518,55 @@ def skew_join(left_ds, right_ds, *, left_key: str, right_key: str,
         how=how)
 
     return hot_out.union(cold_out)
+
+
+def rendezvous_assign(ds, *, key_col: str, nodes, out_col: str = "node"):
+    """Highest-random-weight (rendezvous) sharding: each key goes to
+    ``argmax over nodes of md5(node || ':' || key)`` — the consistent
+    assignment whose minimal-movement property (removing a node moves ONLY
+    that node's keys; ``hash % n`` reshuffles almost everything) is what a
+    cache/shard router wants. Zero exchange; ties (md5 collisions across
+    nodes) break to the list-order-first node.
+
+    SQL-replayable via the engine's md5_number_upper identity, so shard
+    routing decisions are auditable outside the engine."""
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    nodes = list(nodes)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch.column(key_col).to_pylist()]
+        if not keys:
+            return batch.append_column(out_col,
+                                       pa.array([], type=pa.string()))
+        uniq, inv = np.unique(np.asarray(keys, dtype=object),
+                              return_inverse=True)
+        # (n_nodes, n_uniq) hash matrix; argmax rows, first-node ties
+        hs = np.stack([md5_hash64([f"{nd}:{k}" for k in uniq])
+                       for nd in nodes])
+        best = np.asarray(nodes, dtype=object)[hs.argmax(axis=0)]
+        return batch.append_column(out_col, pa.array(best[inv]))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def rendezvous_assign_sql(*, table: str, key_expr: str, nodes,
+                          key_alias: str = "key",
+                          out_col: str = "node") -> str:
+    """(key, node) re-derivation: per key, row_number over nodes ordered
+    (hash desc, node list position) — identical argmax + tie rule."""
+    vals = " UNION ALL ".join(
+        f"SELECT '{n}' AS node, {i} AS pos" for i, n in enumerate(nodes))
+    return f"""
+        WITH nodes AS ({vals}),
+        keys AS (SELECT DISTINCT {key_expr} AS k FROM {table}),
+        h AS (
+          SELECT keys.k, nodes.node, nodes.pos,
+                 md5_number_upper(nodes.node || ':' || keys.k)
+                   ::UBIGINT AS hv
+          FROM keys, nodes
+        )
+        SELECT k AS {key_alias}, node AS {out_col} FROM (
+          SELECT k, node, row_number() OVER (
+              PARTITION BY k ORDER BY hv DESC, pos) AS rn
+          FROM h) WHERE rn = 1"""

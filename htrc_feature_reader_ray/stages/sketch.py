@@ -537,3 +537,119 @@ def kmv_jaccard_sql(*, table: str = "documents", text: str = "text",
         LEFT JOIN sk sa ON sa.{group} = m.ga AND sa.h = m.h
         LEFT JOIN sk sb ON sb.{group} = m.gb AND sb.h = m.h
         GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# rolling-window approximate uniques (HLL register MERGEABILITY)
+# ---------------------------------------------------------------------------
+
+
+def rolling_approx_distinct(ds, *, ts_col: str, value_col: str,
+                            window_days: int = 7, p: int = 6,
+                            num_buckets: int = 8):
+    """(day, approx_distinct, registers_used) — approximate distinct
+    ``value_col`` over a trailing ``window_days`` CALENDAR window per day:
+    the rolling-uniques dashboard metric that exact distinct cannot serve
+    at scale (every day would re-shuffle the whole window's raw values).
+
+    This is the op that cashes in HLL's mergeability: values fold ONCE to
+    per-day registers (<= days x m rows total), and every day's window
+    estimate is a register-wise max over its window days — computed on
+    the collected register table (sketch-sized by construction), never
+    touching raw values again. Same estimator constant as
+    :func:`approx_distinct` (bit-exact vs the SQL replay)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    m = 1 << p
+    C = _alpha(m) * (m * m) * 2.0**64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        day = pc.floor_temporal(batch.column(ts_col), unit="day")
+        t = pa.table({"day": day, "v": batch.column(value_col)})
+        distinct = t.group_by(["day", "v"]).aggregate([])
+        vals = [str(v) for v in distinct.column("v").to_pylist()]
+        if not vals:
+            return pa.table({
+                "day": distinct.column("day"),
+                "reg": pa.array([], type=pa.int64()),
+                "rho": pa.array([], type=pa.int64()),
+            })
+        j, rho = hll_registers_batch(vals, p)
+        reg = pa.table({
+            "day": distinct.column("day"),
+            "reg": pa.array(j),
+            "rho": pa.array(rho),
+        })
+        return reg.group_by(["day", "reg"]).aggregate(
+            [("rho", "max")]).rename_columns(["day", "reg", "rho"])
+
+    regs = bucketed_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["day", "reg"], {"rho": ("rho", "max")}, num_buckets=num_buckets,
+    ).to_pandas()  # sketch table: <= |days| x m rows
+
+    day_us = regs["day"].astype("datetime64[us]").astype("int64")
+    days = np.sort(day_us.unique())
+    day_idx = {d: i for i, d in enumerate(days)}
+    mat = np.zeros((len(days), m), dtype=np.int64)
+    mat[day_us.map(day_idx).to_numpy(),
+        regs["reg"].to_numpy()] = regs["rho"].to_numpy()
+
+    win_us = (window_days - 1) * 86_400_000_000
+    rows = []
+    for i, d in enumerate(days):  # driver pass over the SKETCH table only
+        lo = np.searchsorted(days, d - win_us)
+        merged = mat[lo:i + 1].max(axis=0)
+        used = merged > 0
+        n_used = int(used.sum())
+        s = (m - n_used) * 2**64 + sum(
+            2 ** (64 - int(r)) for r in merged[used])
+        rows.append((d, C / float(s), np.int64(n_used)))
+    out = pd.DataFrame(
+        rows, columns=["day", "approx_distinct", "registers_used"])
+    # keep the engine-wide timestamp[us] contract through the pandas pass
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out
+
+
+def rolling_approx_distinct_sql(*, table: str = "events",
+                                ts: str = "ts", value_expr: str = "user_id",
+                                window_days: int = 7, p: int = 6) -> str:
+    """DuckDB re-derivation: same registers, same calendar-window
+    register-wise max, same single-division estimator."""
+    m = 1 << p
+    K = 64 - p
+    C = _alpha(m) * (m * m) * 2.0**64
+    return f"""
+        WITH vals AS (
+          SELECT DISTINCT date_trunc('day', {ts}) AS day,
+                 ({value_expr})::VARCHAR AS v
+          FROM {table}
+        ), h AS (
+          SELECT day, md5_number_upper(v)::UBIGINT AS h FROM vals
+        ), reg AS (
+          SELECT day, (h & {m - 1})::BIGINT AS reg,
+                 max(CASE WHEN (h >> {p}) = 0 THEN {K + 1}
+                          ELSE {K} - length(bin(h >> {p})) + 1
+                     END)::BIGINT AS rho
+          FROM h GROUP BY 1, 2
+        ), days AS (SELECT DISTINCT day FROM reg),
+        win AS (
+          SELECT d.day, r.reg, max(r.rho) AS rho
+          FROM days d JOIN reg r
+            ON r.day >= d.day - INTERVAL {window_days - 1} DAY
+           AND r.day <= d.day
+          GROUP BY 1, 2
+        ), agg AS (
+          SELECT day, count(*) AS n_used,
+                 sum((1::UBIGINT << (64 - rho))::HUGEINT) AS s_present
+          FROM win GROUP BY 1
+        )
+        SELECT day,
+               {C!r} / (({m} - n_used)::HUGEINT
+                        * 18446744073709551616::HUGEINT
+                        + s_present)::DOUBLE AS approx_distinct,
+               n_used::BIGINT AS registers_used
+        FROM agg"""

@@ -837,3 +837,60 @@ def bigram_lm_sql(*, table: str = "documents", text: str = "text",
                ((p.c_pair + {alpha}) * 1000000
                 // (ctx.c_ctx + {alpha} * v.vocab))::BIGINT AS p_ppm
         FROM p JOIN ctx USING (w1), v"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer vocab-size selection)
+
+
+def vocab_coverage(ds, *, text_col: str = "text", num_buckets: int = 32):
+    """(k, cum_count, coverage_ppm) at log2-spaced ranks k = 1, 2, 4, ...
+    capped at V — the cumulative corpus coverage of the top-k token TYPES
+    (count desc, token asc ties = UTF-8 binary collation), i.e. the
+    token-level sibling of ``char_coverage`` and the curve behind "how big
+    must the tokenizer vocabulary be to cover 99% of running tokens".
+
+    One token fold; the ranked cumulative sum runs over the collected
+    vocabulary table (the module's canonical worker-fit small side) and
+    the output is <= log2(V)+1 rows."""
+    tc = corpus_token_counts(ds, text_col=text_col,
+                             num_buckets=num_buckets).to_pandas()
+    if tc.empty:
+        return pd.DataFrame({"k": pd.Series(dtype="int64"),
+                             "cum_count": pd.Series(dtype="int64"),
+                             "coverage_ppm": pd.Series(dtype="int64")})
+    tc = tc.sort_values(["count", "token"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    total = int(tc["count"].sum())
+    cum = tc["count"].to_numpy().cumsum()
+    V = len(tc)
+    ks = sorted({min(1 << e, V) for e in range(41)})
+    return pd.DataFrame({
+        "k": np.asarray(ks, dtype=np.int64),
+        "cum_count": cum[np.asarray(ks) - 1].astype(np.int64),
+        "coverage_ppm": (cum[np.asarray(ks) - 1] * 1_000_000
+                         // total).astype(np.int64),
+    })
+
+
+def vocab_coverage_sql(*, table: str = "documents",
+                       text: str = "text") -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH tc AS (
+          SELECT t.token, count(*)::BIGINT AS n
+          FROM {table}, unnest({toks}) AS t(token) GROUP BY 1
+        ),
+        rk AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rn
+          FROM tc
+        ),
+        cum AS (SELECT rn, sum(n) OVER (ORDER BY rn)::BIGINT AS c FROM rk),
+        tot AS (SELECT sum(n)::BIGINT AS t, count(*)::BIGINT AS nv FROM tc),
+        ks AS (
+          SELECT DISTINCT least((1::BIGINT << e.e), tot.nv) AS k
+          FROM unnest(range(41)) AS e(e), tot
+        )
+        SELECT ks.k, cum.c AS cum_count,
+               (cum.c * 1000000 // tot.t)::BIGINT AS coverage_ppm
+        FROM ks JOIN cum ON cum.rn = ks.k, tot"""

@@ -390,3 +390,35 @@ def test_kmv_jaccard_overlap_bands():
     j = {(r.g_a, r.g_b): r.jaccard_ppm / 1e6 for r in jac.itertuples()}
     assert abs(j[("A", "B")] - 1 / 3) < 0.12  # true J = 2000/6000
     assert j[("A", "C")] < 0.05 and j[("B", "C")] < 0.05  # disjoint
+
+
+def test_rolling_approx_distinct_merge_vs_single_day():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.sketch import (
+        rolling_approx_distinct,
+    )
+
+    # days 1-3 have disjoint user sets; the 7-day window must merge them.
+    # n >> m keeps the raw estimator (no small-range correction — see the
+    # module docstring) in its valid regime.
+    rows = []
+    for d, users in ((1, range(0, 500)), (2, range(500, 1000)),
+                     (3, range(1000, 1500))):
+        for u in users:
+            rows.append((pd.Timestamp(f"2024-01-0{d} 10:00"), u))
+    df = pd.DataFrame(rows, columns=["ts", "user_id"])
+    out = {}
+    for parts in (1, 5):
+        got = rolling_approx_distinct(
+            ray.data.from_pandas(df).repartition(parts),
+            ts_col="ts", value_col="user_id", window_days=7, p=6)
+        out[parts] = got
+    pd.testing.assert_frame_equal(out[1], out[5])  # shape-independent
+    got = out[1].set_index(out[1]["day"].dt.day)
+    # estimates grow with the merged window and land near truth
+    assert abs(got.loc[1, "approx_distinct"] - 500) < 200
+    assert abs(got.loc[3, "approx_distinct"] - 1500) < 500
+    assert (got.loc[3, "approx_distinct"]
+            > got.loc[1, "approx_distinct"] * 1.8)
+    assert (got["registers_used"].diff().dropna() >= 0).all()

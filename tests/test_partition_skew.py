@@ -238,3 +238,28 @@ def test_skew_join_no_hot_falls_back_and_guard_raises():
     with pytest.raises(ValueError, match="dimension-like"):
         skew_join(lds, rds, left_key="k", right_key="rk",
                   hot_threshold=250, max_hot_right_rows=0)
+
+
+def test_rendezvous_assign_minimal_movement():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import rendezvous_assign
+
+    keys = pd.DataFrame({"k": [f"key-{i}" for i in range(2000)]})
+    ds = ray.data.from_pandas(keys).repartition(4)
+    nodes = [f"n{i}" for i in range(5)]
+    a = rendezvous_assign(ds, key_col="k", nodes=nodes).to_pandas()
+    a = dict(zip(a["k"], a["node"]))
+    # roughly balanced
+    counts = pd.Series(list(a.values())).value_counts()
+    assert counts.min() > 2000 / 5 * 0.7
+
+    # remove one node: ONLY its keys move (the HRW property)
+    survivors = [n for n in nodes if n != "n2"]
+    b = rendezvous_assign(ds, key_col="k", nodes=survivors).to_pandas()
+    b = dict(zip(b["k"], b["node"]))
+    for k, old in a.items():
+        if old != "n2":
+            assert b[k] == old  # untouched keys never move
+        else:
+            assert b[k] in survivors

@@ -286,3 +286,20 @@ def test_bigram_lm_hand_counts():
     assert got.loc[("b", "a"), "p_ppm"] == (1 + 1) * 1_000_000 // (3 + 3)
     assert got.loc[("b", "c"), "c_pair"] == 2
     assert len(got) == 3  # no cross-document pair (c,b)
+
+
+def test_vocab_coverage_curve_hand_check():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.vocab import vocab_coverage
+
+    # counts: a:6 b:3 c:2 d:1  (total 12, V=4)
+    docs = ["a a a b b c", "a a a b c d"]
+    got = vocab_coverage(
+        ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(2))
+    want_k = [1, 2, 4]  # powers of two capped at V=4
+    assert got["k"].tolist() == want_k
+    assert got["cum_count"].tolist() == [6, 9, 12]
+    assert got["coverage_ppm"].tolist() == [
+        6 * 10**6 // 12, 9 * 10**6 // 12, 10**6]
