@@ -1360,6 +1360,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return two_hop_neighbors(extract_links(read_pages(sf,
                                                           drop_text=True)))
 
+    def q_hard_negatives(sf):
+        """Contrastive-training hard negatives: per query vector, the
+        top-3 most cosine-similar vectors of a DIFFERENT label —
+        broadcast query matrix + per-batch matmul with a label mask,
+        local top-k partials, one tiny per-query fold."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            hard_negative_topk,
+        )
+
+        t = pd.read_parquet(f"{sf}/embeddings.parquet")
+        qdf = t[t.vec_id < 10].sort_values("vec_id")
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        ds = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"])
+        return hard_negative_topk(
+            ds, q, qdf["label"].to_numpy(), k=3,
+            query_ids=qdf["vec_id"].to_numpy())
+
+    def q_embedding_minmax(sf):
+        """Per-dim min-max scaling to exact integer ppm (quantization
+        prep): d-row per-batch partials, one tiny d-keyed fold, broadcast
+        stateless scale map."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            embedding_minmax_scale,
+        )
+
+        return embedding_minmax_scale(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]))
+
     def q_kmeans(sf):
         """Integer-exact distributed k-means (3 Lloyd rounds, k=8):
         fixed-point quantized vectors, exact squared-L2 argmin, floor-mean
@@ -3383,6 +3418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q_vocab_coverage,
         "rendezvous_shards": q_rendezvous_shards,
         "rolling_approx_users": q_rolling_approx_users,
+        "hard_negatives": q_hard_negatives,
+        "embedding_minmax": q_embedding_minmax,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4368,6 +4405,8 @@ def oracle_sql() -> dict[str, str]:
             agg_exprs=["count(*)::BIGINT AS n_docs",
                        "sum(n_chars)::BIGINT AS sum_chars"]),
         "vocab_coverage": vocab_mod.vocab_coverage_sql(),
+        "hard_negatives": similarity_mod.hard_negative_topk_sql(),
+        "embedding_minmax": similarity_mod.embedding_minmax_scale_sql(),
         "rendezvous_shards": rendezvous_assign_sql(
             table="documents", key_expr="doc_id", key_alias="doc_id",
             nodes=[f"shard-{i}" for i in range(8)]),

@@ -747,3 +747,171 @@ def random_projection_sql(*, table: str = "embeddings",
                sum(qd * (1 - 2 * (md5_number_upper(js.j || ':' || q.i)
                                   ::UBIGINT >> 63)::BIGINT))::BIGINT AS value
         FROM q, js GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training prep)
+# ---------------------------------------------------------------------------
+
+
+def hard_negative_topk(ds, query_matrix: np.ndarray, query_labels,
+                       *, k: int = 3, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label", query_ids=None):
+    """Per query: the top-k most cosine-similar vectors whose ``label_col``
+    DIFFERS from the query's — the hard-negative set contrastive training
+    mines (same-label neighbours are positives, not negatives). Same
+    scale shape as :func:`cosine_topk`: broadcast query matrix, per-batch
+    matmul + label mask, local top-k partials, one tiny per-query fold.
+    (query_id, vec_id, rank); float64 scoring for SQL rank parity."""
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(
+        query_ids if query_ids is not None else np.arange(len(q)),
+        dtype=np.int64)
+    qlab = np.asarray(query_labels)
+    q_ref = ray.put((q, qids, qlab))
+
+    empty_out = _empty_topk(id_col)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty_out
+        qm, qi, ql = ray.get(q_ref)
+        vecs = _normalize(_as_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy()
+        labs = batch.column(label_col).to_numpy(zero_copy_only=False)
+        sims = vecs @ qm.T  # (n, Q)
+        sims = np.where(labs[:, None] == ql[None, :], -np.inf, sims)
+        kk = min(k, len(ids))
+        order = np.lexsort(
+            (ids[:, None].repeat(sims.shape[1], 1), -sims), axis=0)
+        top = order[:kk]
+        out_q = np.repeat(qi, kk)
+        out_id = ids[top].T.reshape(-1)
+        out_sim = np.take_along_axis(sims, top, axis=0).T.reshape(-1)
+        keep = np.isfinite(out_sim)  # batches that are all-positive emit none
+        return pa.table({
+            "query_id": pa.array(out_q[keep], type=pa.int64()),
+            id_col: pa.array(out_id[keep].astype(np.int64),
+                             type=pa.int64()),
+            "sim": pa.array(out_sim[keep], type=pa.float64()),
+        })
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k, id_col), batch_format="pandas")
+
+
+def hard_negative_topk_sql(*, table: str = "embeddings",
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           label_col: str = "label",
+                           query_pred: str = "vec_id < 10",
+                           k: int = 3) -> str:
+    return f"""
+        WITH q AS (
+          SELECT {id_col} AS query_id, {label_col} AS qlabel,
+                 {vec_col}::DOUBLE[] AS qe
+          FROM {table} WHERE {query_pred}
+        ), s AS (
+          SELECT q.query_id, e.{id_col},
+                 list_cosine_similarity(q.qe, e.{vec_col}::DOUBLE[]) AS sim
+          FROM q JOIN {table} e ON e.{label_col} <> q.qlabel
+        )
+        SELECT query_id, {id_col}, rank FROM (
+          SELECT query_id, {id_col},
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, {id_col}) AS rank
+          FROM s
+        ) WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# per-dim min-max scaling (integer-exact feature scaling)
+# ---------------------------------------------------------------------------
+
+
+def embedding_minmax_scale(ds, *, vec_col: str = "embedding",
+                           id_col: str = "vec_id"):
+    """Per-dimension min-max scaling of an embedding column to exact
+    integer ppm of the dim's range — the quantization-prep scaling pass
+    (float scalers drift with summation order; min/max are exact under any
+    batching). Vectors quantize to the engine-wide ``floor(x · 2²⁰)``
+    fixed point first, so the scaled values are pure-integer functions of
+    the input.
+
+    Shape: per-batch (dim, min, max) partials — d rows however large the
+    batch — one tiny d-keyed fold, broadcast back into a stateless scale
+    map. Long output (id, dim, value_ppm); a constant dim scales to 0 by
+    contract."""
+    scale = CENTROID_SCALE
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col))
+        if m.size == 0:
+            return pa.table({
+                "dim": pa.array([], type=pa.int64()),
+                "mn": pa.array([], type=pa.int64()),
+                "mx": pa.array([], type=pa.int64()),
+            })
+        q = np.floor(m * scale).astype(np.int64)
+        return pa.table({
+            "dim": pa.array(np.arange(q.shape[1], dtype=np.int64)),
+            "mn": pa.array(q.min(axis=0)),
+            "mx": pa.array(q.max(axis=0)),
+        })
+
+    from ray.data.aggregate import Max, Min
+
+    mm = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()  # d rows
+    ).sort_values("dim")
+    mn = mm["mn"].to_numpy()
+    span = (mm["mx"] - mm["mn"]).to_numpy()
+    b_ref = ray.put((mn, span))
+
+    def scale_map(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col))
+        if m.size == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "dim": pa.array([], type=pa.int64()),
+                "value_ppm": pa.array([], type=pa.int64()),
+            })
+        lo, sp = ray.get(b_ref)
+        q = np.floor(m * scale).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = np.where(sp > 0,
+                         (q - lo) * 1_000_000 // np.maximum(sp, 1), 0)
+        n, d = q.shape
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "value_ppm": pa.array(v.reshape(-1).astype(np.int64)),
+        })
+
+    return ds.map_batches(scale_map, batch_format="pyarrow")
+
+
+def embedding_minmax_scale_sql(*, table: str = "embeddings",
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id") -> str:
+    scale = CENTROID_SCALE
+    return f"""
+        WITH q AS (
+          SELECT {id_col}, u.i - 1 AS dim,
+                 floor({vec_col}[u.i]::DOUBLE * {scale})::BIGINT AS qd
+          FROM {table},
+               unnest(generate_series(1, len({vec_col}))) AS u(i)
+        ), mm AS (
+          SELECT dim, min(qd) AS mn, max(qd) AS mx FROM q GROUP BY 1
+        )
+        SELECT {id_col}, q.dim,
+               (CASE WHEN mm.mx = mm.mn THEN 0
+                     ELSE (q.qd - mm.mn) * 1000000 // (mm.mx - mm.mn)
+                END)::BIGINT AS value_ppm
+        FROM q JOIN mm USING (dim)"""

@@ -307,3 +307,67 @@ def test_random_projection_exactness_and_geometry():
     mask = d_orig > 0
     ratio = d_proj[mask] / d_orig[mask]
     assert 0.4 < np.median(ratio) < 1.8  # distances preserved in band
+
+
+def test_hard_negative_topk_excludes_own_label():
+    import pyarrow as pa
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import hard_negative_topk
+
+    rng = np.random.RandomState(5)
+    n, d = 120, 8
+    vecs = rng.randn(n, d).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = hard_negative_topk(
+        ds, vecs[:5], labels[:5], k=4,
+        query_ids=np.arange(5)).to_pandas()
+    assert set(got["query_id"]) == set(range(5))
+    for qid, g in got.groupby("query_id"):
+        assert len(g) == 4
+        assert (labels[g["vec_id"].to_numpy()] != labels[qid]).all()
+        # brute-force reference
+        qn = vecs[qid] / np.linalg.norm(vecs[qid])
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vn.astype(np.float64) @ qn.astype(np.float64)
+        sims[labels == labels[qid]] = -np.inf
+        want = np.lexsort((np.arange(n), -sims))[:4]
+        assert g.sort_values("rank")["vec_id"].tolist() == list(want)
+
+
+def test_embedding_minmax_scale_bounds_and_constant_dim():
+    import pyarrow as pa
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        embedding_minmax_scale,
+    )
+
+    vecs = np.array([
+        [0.0, 5.0, -1.0],
+        [1.0, 5.0, 0.5],
+        [2.0, 5.0, 3.0],
+    ], dtype=np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    got = (
+        embedding_minmax_scale(ray.data.from_arrow(tbl).repartition(3))
+        .to_pandas().set_index(["vec_id", "dim"]).sort_index()
+    )
+    assert got.loc[(0, 0), "value_ppm"] == 0
+    assert got.loc[(2, 0), "value_ppm"] == 1_000_000
+    assert got.loc[(1, 0), "value_ppm"] == 500_000
+    # constant dim scales to 0 by contract
+    assert (got.xs(1, level="dim")["value_ppm"] == 0).all()
+    assert got.loc[(0, 2), "value_ppm"] == 0
+    assert got.loc[(2, 2), "value_ppm"] == 1_000_000
