@@ -1237,6 +1237,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_value_gini(sf):
+        """Exact integer Gini (ppm) of spend per event type — the
+        concentration/inequality feature; rank math vectorized across all
+        groups in one bucketed pass, tie order provably cancels,
+        arbitrary-precision finish mirrors HUGEINT."""
+        from htrc_feature_reader_ray.stages.profile import grouped_gini
+
+        ev = _events(sf, ["event_type", "value"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            v = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "value_cents": pa.array(v),
+            })
+
+        return grouped_gini(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            group_cols=["event_type"], value_col="value_cents")
+
+    def q_token_dropout(sf):
+        """Deterministic hash-gated token dropout (expected rate 1/8) —
+        reproducible augmentation: regenerate bit-identically instead of
+        storing; zero exchange, one pc.binary_join rebuild per batch."""
+        from htrc_feature_reader_ray.stages.curate import token_dropout
+
+        return token_dropout(_docs(sf))
+
     def q_vocab_coverage(sf):
         """Tokenizer vocab-size selection curve: corpus coverage ppm of
         the top-k token types at log2-spaced ranks — one token fold, the
@@ -3420,6 +3450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_approx_users": q_rolling_approx_users,
         "hard_negatives": q_hard_negatives,
         "embedding_minmax": q_embedding_minmax,
+        "value_gini": q_value_gini,
+        "token_dropout": q_token_dropout,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4407,6 +4439,10 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": vocab_mod.vocab_coverage_sql(),
         "hard_negatives": similarity_mod.hard_negative_topk_sql(),
         "embedding_minmax": similarity_mod.embedding_minmax_scale_sql(),
+        "value_gini": profile_mod.grouped_gini_sql(
+            table="events", group="event_type",
+            value_expr="CAST(round(value * 100) AS BIGINT)"),
+        "token_dropout": curate.token_dropout_sql(),
         "rendezvous_shards": rendezvous_assign_sql(
             table="documents", key_expr="doc_id", key_alias="doc_id",
             nodes=[f"shard-{i}" for i in range(8)]),

@@ -1107,3 +1107,83 @@ def lexical_diversity_sql(*, table: str = "documents", text: str = "text",
                (coalesce(a.rep, 0) * 1000000
                 // greatest(b.n * (b.n - 1), 1))::BIGINT AS simpson_ppm
         FROM base b LEFT JOIN agg a USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic augmentation (hash-gated token dropout)
+# ---------------------------------------------------------------------------
+
+def token_dropout(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  mod: int = 8):
+    """Rule-based augmentation: drop every token OCCURRENCE whose seeded
+    hash ``md5(doc_id:pos:token) % mod == 0`` (expected dropout rate
+    1/mod) — the reproducible counterpart of random word dropout, so an
+    augmented corpus can be regenerated bit-identically (and audited in
+    SQL) instead of stored. Position-seeded: repeated tokens drop
+    independently.
+
+    Zero exchange; the rebuild is fully vectorized — kept tokens re-list
+    via offset arithmetic and join through ONE ``pc.binary_join`` per
+    batch (no per-doc Python concat). Output: (id, text_aug, n_dropped);
+    a fully-dropped or empty doc yields ''."""
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    def augment(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(parent) == 0:
+            return pa.table({
+                id_col: batch.column(id_col),
+                "text_aug": pa.array([""] * nrows, type=pa.string()),
+                "n_dropped": pa.array(np.zeros(nrows, dtype=np.int64)),
+            })
+        toks = flat.to_pylist()
+        doc_ids = ids[parent]
+        # per-doc position: global index minus the doc's start offset
+        counts = np.bincount(parent, minlength=nrows)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+        h = md5_hash64([f"{d}:{p}:{t}" for d, p, t in
+                        zip(doc_ids, pos, toks)])
+        keep = (h % np.uint64(mod)) != 0
+        kept_counts = np.bincount(parent[keep], minlength=nrows)
+        offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            flat.take(pa.array(np.flatnonzero(keep))))
+        joined = pc.binary_join(kept_list, " ")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text_aug": joined,
+            "n_dropped": pa.array(
+                (counts - kept_counts).astype(np.int64)),
+        })
+
+    return ds.map_batches(augment, batch_format="pyarrow")
+
+
+def token_dropout_sql(*, table: str = "documents", text: str = "text",
+                      id_col: str = "doc_id", mod: int = 8) -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH d AS (SELECT {id_col}, {toks} AS arr FROM {table}),
+        tok AS (
+          SELECT {id_col}, arr[i.i] AS token, i.i - 1 AS pos
+          FROM d, unnest(generate_series(1, len(arr))) AS i(i)
+        ),
+        flagged AS (
+          SELECT {id_col}, token, pos,
+                 (md5_number_upper({id_col} || ':' || pos || ':' || token)
+                  % {mod} = 0) AS dropped
+          FROM tok
+        ),
+        agg AS (
+          SELECT {id_col},
+                 string_agg(token, ' ' ORDER BY pos)
+                   FILTER (WHERE NOT dropped) AS text_aug,
+                 count(*) FILTER (WHERE dropped)::BIGINT AS n_dropped
+          FROM flagged GROUP BY 1
+        )
+        SELECT d.{id_col}, coalesce(agg.text_aug, '') AS text_aug,
+               coalesce(agg.n_dropped, 0)::BIGINT AS n_dropped
+        FROM d LEFT JOIN agg USING ({id_col})"""

@@ -1553,3 +1553,73 @@ def cube_rollup_sql(*, table: str, dims, agg_exprs) -> str:
     d = ", ".join(dims)
     a = ", ".join(agg_exprs)
     return f"SELECT {d}, {a} FROM {table} GROUP BY CUBE ({d})"
+
+
+def grouped_gini(ds, *, group_cols, value_col: str,
+                 num_buckets: int = 16):
+    """Exact integer Gini coefficient per group, in ppm:
+    ``G = Σ_i (2i − n − 1)·x_(i) / (n·Σx)`` over the ascending-sorted
+    values (1-based i) — the inequality/concentration feature (traffic
+    skew per host, spend skew per cohort). Tie order among equal values
+    provably cancels (equal x share the weight sum of their rank block),
+    so the statistic is deterministic under any sort of ties.
+
+    One group-bucketed exchange; rank/weight math vectorized across ALL
+    groups per bucket; the final multiply runs in arbitrary-precision ints
+    (mirrored by HUGEINT) so n²·x·10⁶ cannot silently wrap. Zero-sum
+    groups report 0 by contract. Output: (group..., n, sum_value,
+    gini_ppm)."""
+    import pandas as pd
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    group_cols = list(group_cols)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(group_cols + [value_col], kind="mergesort")
+        g = df.groupby(group_cols, sort=False)
+        i = g.cumcount().to_numpy() + 1
+        n = g[value_col].transform("size").to_numpy()
+        x = df[value_col].astype("int64").to_numpy()
+        term = (2 * i - n - 1).astype(object) * x.astype(object)
+        agg = pd.DataFrame({
+            **{c: df[c].to_numpy() for c in group_cols},
+            "_term": term, "_x": x,
+        }).groupby(group_cols, sort=False, as_index=False).agg(
+            num=("_term", "sum"), s=("_x", "sum"), n=("_x", "size"))
+        gini = [
+            0 if int(s) == 0
+            else int(int(num) * 1_000_000 // (int(n_) * int(s)))
+            for num, s, n_ in zip(agg["num"], agg["s"], agg["n"])
+        ]
+        out = agg[group_cols].copy()
+        out["n"] = agg["n"].astype("int64")
+        out["sum_value"] = agg["s"].astype("int64")
+        out["gini_ppm"] = np.asarray(gini, dtype=np.int64)
+        return out
+
+    return bucketed_map_groups(ds, group_cols[0], per_bucket,
+                               num_buckets=num_buckets)
+
+
+def grouped_gini_sql(*, table: str, group: str, value_expr: str) -> str:
+    return f"""
+        WITH c AS (SELECT {group} AS g, ({value_expr})::BIGINT AS v
+                   FROM {table}),
+        r AS (
+          SELECT g, v,
+                 row_number() OVER (PARTITION BY g ORDER BY v) AS i,
+                 count(*) OVER (PARTITION BY g) AS n,
+                 sum(v) OVER (PARTITION BY g) AS s
+          FROM c
+        ),
+        t AS (
+          SELECT g, sum((2 * i - n - 1)::HUGEINT * v) AS num,
+                 max(n)::BIGINT AS n, max(s)::BIGINT AS s
+          FROM r GROUP BY 1
+        )
+        SELECT g AS {group}, n, s AS sum_value,
+               (CASE WHEN s = 0 THEN 0
+                     ELSE num * 1000000 // (n::HUGEINT * s::HUGEINT)
+                END)::BIGINT AS gini_ppm
+        FROM t"""

@@ -498,3 +498,40 @@ def test_surprisal_score_hand_fixture():
     assert out.loc[1].tolist() == [4, 4 * (3 - 2)]
     assert out.loc[2].tolist() == [3, 2 * (3 - 1) + (3 - 0)]
     assert out.loc[3].tolist() == [1, 3 - 0]
+
+
+def test_token_dropout_deterministic_and_rate():
+    import hashlib
+
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.curate import token_dropout
+
+    rng = np.random.RandomState(9)
+    docs = [" ".join(rng.choice(list("abcdefgh"), 40)) for _ in range(50)]
+    docs.append("")  # empty doc stays ''
+    df = pd.DataFrame({"doc_id": np.arange(51, dtype=np.int64),
+                       "text": docs})
+    out = {}
+    for parts in (1, 4):
+        out[parts] = (
+            token_dropout(ray.data.from_pandas(df).repartition(parts))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(out[1], out[4])  # regenerable
+    got = out[1].set_index("doc_id")
+    assert got.loc[50, "text_aug"] == "" and got.loc[50, "n_dropped"] == 0
+
+    # scalar reference for one doc
+    toks = docs[0].split()
+    kept = [
+        t for p, t in enumerate(toks)
+        if int.from_bytes(hashlib.md5(f"0:{p}:{t}".encode())
+                          .digest()[:8], "little") % 8 != 0
+    ]
+    assert got.loc[0, "text_aug"] == " ".join(kept)
+    assert got.loc[0, "n_dropped"] == len(toks) - len(kept)
+    # aggregate rate near 1/8
+    total = sum(len(d.split()) for d in docs)
+    rate = got["n_dropped"].sum() / total
+    assert 0.06 < rate < 0.20

@@ -745,3 +745,33 @@ def test_cube_rollup_lattice_hand_check():
     assert (yp["n"], yp["sv"]) == (2, 12)
     pb = got[got["a"].isna() & (got["b"] == "p")].iloc[0]
     assert (pb["n"], pb["sv"]) == (3, 13)
+
+
+def test_grouped_gini_reference_values():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import grouped_gini
+
+    # g=eq: all equal -> 0; g=max: one holder -> (n-1)/n; g=zero: sum 0
+    df = pd.DataFrame({
+        "g": ["eq"] * 4 + ["max"] * 5 + ["zero"] * 3,
+        "v": [7, 7, 7, 7] + [0, 0, 0, 0, 100] + [0, 0, 0],
+    })
+    got = (
+        grouped_gini(ray.data.from_pandas(df).repartition(3),
+                     group_cols=["g"], value_col="v")
+        .to_pandas().set_index("g")
+    )
+    assert got.loc["eq", "gini_ppm"] == 0
+    assert got.loc["max", "gini_ppm"] == 4 * 1_000_000 // 5
+    assert got.loc["zero", "gini_ppm"] == 0
+    # scalar reference on a mixed group
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 1000, 50)
+    x = np.sort(vals)
+    i = np.arange(1, 51)
+    want = int(((2 * i - 50 - 1) * x).sum()) * 1_000_000 // (50 * int(x.sum()))
+    df2 = pd.DataFrame({"g": ["m"] * 50, "v": vals})
+    got2 = grouped_gini(ray.data.from_pandas(df2).repartition(4),
+                        group_cols=["g"], value_col="v").to_pandas()
+    assert got2["gini_ppm"].iloc[0] == want
