@@ -1237,6 +1237,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_wordpiece_merges(sf):
+        """WordPiece training (BERT's likelihood-scored merges, vs BPE's
+        raw counts): score compared as the integer c_pair·10¹² //
+        (c_l·c_r) so engine and SQL pick identical merges; rounds run on
+        the folded word-TYPE vocabulary."""
+        from htrc_feature_reader_ray.stages.vocab import wordpiece_train
+
+        return wordpiece_train(_docs(sf), rounds=3)
+
     def q_value_gini(sf):
         """Exact integer Gini (ppm) of spend per event type — the
         concentration/inequality feature; rank math vectorized across all
@@ -3452,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_minmax": q_embedding_minmax,
         "value_gini": q_value_gini,
         "token_dropout": q_token_dropout,
+        "wordpiece_merges": q_wordpiece_merges,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4443,6 +4453,7 @@ def oracle_sql() -> dict[str, str]:
             table="events", group="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)"),
         "token_dropout": curate.token_dropout_sql(),
+        "wordpiece_merges": vocab_mod.wordpiece_train_sql(rounds=3),
         "rendezvous_shards": rendezvous_assign_sql(
             table="documents", key_expr="doc_id", key_alias="doc_id",
             nodes=[f"shard-{i}" for i in range(8)]),

@@ -894,3 +894,203 @@ def vocab_coverage_sql(*, table: str = "documents",
         SELECT ks.k, cum.c AS cum_count,
                (cum.c * 1000000 // tot.t)::BIGINT AS coverage_ppm
         FROM ks JOIN cum ON cum.rn = ks.k, tot"""
+
+
+# ---------------------------------------------------------------------------
+# WordPiece merge training (likelihood-scored; the BERT tokenizer prep)
+
+
+def wordpiece_train(ds, *, text_col: str = "text", rounds: int = 3,
+                    num_buckets: int = 32,
+                    driver_limit: int = 5_000_000):
+    """WordPiece tokenizer training (Schuster & Nakajima '12 / BERT): per
+    round the merge maximizing the LIKELIHOOD score ``c(l,r)/(c(l)·c(r))``
+    — not BPE's raw pair count — wins; frequent-but-uninformative pairs
+    (both symbols already common) lose to genuinely cohesive ones.
+
+    Exactness contract: the score is compared as the INTEGER
+    ``c_pair·10¹² // (c_l·c_r)`` (HUGEINT-safe; floor ties then break
+    (cnt desc, l asc, r asc) — the floor is part of the contract, so
+    engine and SQL pick the same merge even when true ratios differ
+    inside one floor bucket). Symbol counts are corpus occurrence counts
+    under the CURRENT segmentation, weighted by word frequency — single-
+    symbol words count too.
+
+    Same shapes as :func:`bpe_train`: after one corpus token fold all
+    rounds run on the word-TYPE vocabulary; driver-resident rounds when
+    the vocabulary fits (identical arithmetic), else per round one
+    (l,r)-bucketed pair fold + a symbol fold whose output is
+    alphabet+merges-sized (broadcast back for scoring) + one vectorized
+    replace. Returns (round, left, right, merged, count, score_scaled).
+    """
+    import pandas as pd
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    words = corpus_token_counts(ds, text_col=text_col,
+                                num_buckets=num_buckets)
+
+    SEP_L, SEP_R = "\x1e", "\x1f"
+
+    def to_seq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "token": df["token"].astype(str),
+            "c": df["count"].astype("int64"),
+            "s": [SEP_L + (SEP_R + SEP_L).join(list(w)) + SEP_R
+                  for w in df["token"].astype(str)],
+        })
+
+    def split_syms(df: pd.DataFrame):
+        toks = df["s"].str.slice(1, -1).str.split(SEP_R + SEP_L)
+        lens = toks.str.len().to_numpy()
+        c = df["c"].to_numpy()
+        flat = (np.concatenate(toks.to_list()) if len(toks)
+                else np.array([], dtype=object))
+        return flat, lens, c
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens, c = split_syms(df)
+        if len(flat) == 0 or (lens - 1).clip(min=0).sum() == 0:
+            return pd.DataFrame({"l": pd.Series(dtype=object),
+                                 "r": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype="int64")})
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(flat)) - np.repeat(starts, lens)
+        first = pos < np.repeat(lens - 1, lens)
+        g = pd.DataFrame({
+            "l": flat[first],
+            "r": flat[1:][first[:-1]] if len(flat) > 1 else flat[:0],
+            "cnt": np.repeat(c, lens)[first],
+        })
+        return g.groupby(["l", "r"], sort=False, as_index=False)["cnt"].sum()
+
+    def sym_partial(df: pd.DataFrame) -> pd.DataFrame:
+        flat, lens, c = split_syms(df)
+        if len(flat) == 0:
+            return pd.DataFrame({"sym": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        g = pd.DataFrame({"sym": flat, "n": np.repeat(c, lens)})
+        return g.groupby("sym", sort=False, as_index=False)["n"].sum()
+
+    def pick(pc_df: pd.DataFrame, sc: dict):
+        # arbitrary-precision score vectorized via object dtype (Python
+        # ints) — the same exact arithmetic HUGEINT runs in SQL
+        cl = pc_df["l"].map(sc).astype(object)
+        cr = pc_df["r"].map(sc).astype(object)
+        score = (pc_df["cnt"].astype(object) * 10**12) // (cl * cr)
+        d = pc_df.assign(_score=score).sort_values(
+            ["_score", "cnt", "l", "r"],
+            ascending=[False, False, True, True], kind="mergesort")
+        row = d.iloc[0]
+        return (None, str(row["l"]), str(row["r"]), int(row["cnt"]),
+                int(row["_score"]))
+
+    merges = []
+    words = words.materialize()
+    if words.count() <= driver_limit:
+        seq_pd = to_seq(words.to_pandas())
+        for rnd in range(1, rounds + 1):
+            pc_df = pair_partial(seq_pd)
+            if pc_df.empty:
+                break
+            pc_df = pc_df.groupby(["l", "r"], as_index=False)["cnt"].sum()
+            sc_df = sym_partial(seq_pd)
+            sc = dict(zip(sc_df["sym"],
+                          sc_df["n"].astype("int64").map(int)))
+            _, l, r, cnt, score = pick(pc_df, sc)
+            merges.append((rnd, l, r, l + r, cnt, score))
+            pat = f"{SEP_L}{l}{SEP_R}{SEP_L}{r}{SEP_R}"
+            rep = f"{SEP_L}{l}{r}{SEP_R}"
+            seq_pd = pd.DataFrame({
+                "token": seq_pd["token"], "c": seq_pd["c"],
+                "s": seq_pd["s"].str.replace(pat, rep, regex=False),
+            })
+    else:
+        seqs = words.map_batches(to_seq, batch_format="pandas").materialize()
+        for rnd in range(1, rounds + 1):
+            folded = bucketed_aggregate(
+                seqs.map_batches(pair_partial, batch_format="pandas"),
+                ["l", "r"], {"cnt": ("cnt", "sum")},
+                num_buckets=num_buckets)
+            # symbol table is alphabet+merges-sized: fold then broadcast
+            sc_df = bucketed_aggregate(
+                seqs.map_batches(sym_partial, batch_format="pandas"),
+                "sym", {"n": ("n", "sum")}, num_buckets=8).to_pandas()
+            sc = dict(zip(sc_df["sym"], sc_df["n"].map(int)))
+            pc_df = folded.to_pandas()  # pair table of the shrinking vocab
+            if pc_df.empty:
+                break
+            _, l, r, cnt, score = pick(pc_df, sc)
+            merges.append((rnd, l, r, l + r, cnt, score))
+            pat = f"{SEP_L}{l}{SEP_R}{SEP_L}{r}{SEP_R}"
+            rep = f"{SEP_L}{l}{r}{SEP_R}"
+
+            def apply(df: pd.DataFrame, *, _p=pat, _r=rep) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "token": df["token"], "c": df["c"],
+                    "s": df["s"].str.replace(_p, _r, regex=False),
+                })
+
+            seqs = seqs.map_batches(apply,
+                                    batch_format="pandas").materialize()
+
+    return pd.DataFrame(
+        merges,
+        columns=["round", "left", "right", "merged", "count",
+                 "score_scaled"],
+    ).astype({"round": "int64", "count": "int64",
+              "score_scaled": "int64"})
+
+
+def wordpiece_train_sql(*, table: str = "documents", text: str = "text",
+                        rounds: int = 3) -> str:
+    """SQL mirror: the bpe_train CTE skeleton plus per-round symbol-count
+    CTEs and the HUGEINT likelihood argmax."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    sql = f"""
+        WITH words AS (
+          SELECT u.t AS w, count(*)::BIGINT AS c
+          FROM {table}, unnest({toks}) AS u(t) GROUP BY 1
+        ),
+        seq0 AS (
+          SELECT c, chr(30) || array_to_string(
+                   list_transform(range(1, length(w) + 1), i -> w[i]),
+                   chr(31) || chr(30)) || chr(31) AS s
+          FROM words
+        ),"""
+    prev = "seq0"
+    for i in range(1, rounds + 1):
+        sql += f"""
+        a{i} AS (SELECT string_split(
+                     substr(s, 2, length(s) - 2), chr(31) || chr(30)
+                 ) AS arr, c FROM {prev}),
+        p{i} AS (
+          SELECT arr[j.j] AS l, arr[j.j + 1] AS r, sum(c)::BIGINT AS cnt
+          FROM a{i}, unnest(generate_series(1, len(arr) - 1)) AS j(j)
+          GROUP BY 1, 2
+        ),
+        sc{i} AS (
+          SELECT t.sym, sum(c)::BIGINT AS n
+          FROM a{i}, unnest(arr) AS t(sym) GROUP BY 1
+        ),
+        m{i} AS (
+          SELECT p.l, p.r, p.cnt,
+                 (p.cnt::HUGEINT * 1000000000000
+                  // (sl.n::HUGEINT * sr.n::HUGEINT))::BIGINT AS score
+          FROM p{i} p
+          JOIN sc{i} sl ON sl.sym = p.l
+          JOIN sc{i} sr ON sr.sym = p.r
+          ORDER BY score DESC, p.cnt DESC, p.l, p.r LIMIT 1
+        ),
+        seq{i} AS (SELECT c, replace(s,
+                 chr(30) || l || chr(31) || chr(30) || r || chr(31),
+                 chr(30) || l || r || chr(31)) AS s
+                 FROM {prev} CROSS JOIN m{i}),"""
+        prev = f"seq{i}"
+    unions = "\n          UNION ALL ".join(
+        f'SELECT {i}::BIGINT AS round, l AS "left", r AS "right",'
+        f' l || r AS merged, cnt AS count, score AS score_scaled FROM m{i}'
+        for i in range(1, rounds + 1))
+    return sql + f"""
+        sink AS (SELECT 1)
+        {unions}"""

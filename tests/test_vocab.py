@@ -303,3 +303,70 @@ def test_vocab_coverage_curve_hand_check():
     assert got["cum_count"].tolist() == [6, 9, 12]
     assert got["coverage_ppm"].tolist() == [
         6 * 10**6 // 12, 9 * 10**6 // 12, 10**6]
+
+
+def _ref_wordpiece(counts, rounds):
+    """Scalar reference: likelihood-scored merges with the integer-floor
+    score contract."""
+    seqs = {w: list(w) for w in counts}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pc, sc = {}, {}
+        for w, syms in seqs.items():
+            c = counts[w]
+            for s in syms:
+                sc[s] = sc.get(s, 0) + c
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        best = min(
+            (-(cnt * 10**12 // (sc[l] * sc[r])), -cnt, l, r)
+            for (l, r), cnt in pc.items()
+        )
+        score, cnt, l, r = -best[0], -best[1], best[2], best[3]
+        merges.append((rnd, l, r, l + r, cnt, score))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_wordpiece_train_matches_reference_and_differs_from_bpe():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.vocab import bpe_train, wordpiece_train
+
+    # 'th' is the most FREQUENT pair but both symbols are common;
+    # 'qu' is rarer but q occurs only before u -> likelihood favors it
+    docs = ["the then they there them " * 3, "queen quick quote",
+            "tin ten ton tan"]
+    counts = {}
+    for d in docs:
+        for w in d.split():
+            counts[w] = counts.get(w, 0) + 1
+    expect = _ref_wordpiece(counts, 4)
+
+    ds = ray.data.from_pandas(pd.DataFrame({"text": docs})).repartition(2)
+    out = wordpiece_train(ds, rounds=4)
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert got == expect
+    # likelihood picks the cohesive rare pair ('c','k': both symbols occur
+    # ONLY together -> score 10^12), not BPE's most-frequent pair
+    assert got[0][1:3] == ("c", "k")
+    assert got[0][5] == 10**12
+
+    bpe = bpe_train(ds, rounds=1)
+    assert (bpe["left"].iloc[0], bpe["right"].iloc[0]) != ("c", "k")
+
+    # distributed loop path pins equal
+    dist = wordpiece_train(ds, rounds=4, driver_limit=0)
+    pd.testing.assert_frame_equal(out, dist)
