@@ -1237,6 +1237,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_bm25(sf):
+        """BM25 top-20 (k1=1.2, b=0.75) with the module's rational-idf
+        contract — the fractions cleared to one exact integer
+        floor-division per (doc, term); pass 1 folds N/Σdl/df (tiny),
+        pass 2 scores statelessly, only (doc, score) rows reach the
+        top-k sort."""
+        from htrc_feature_reader_ray.stages.curate import bm25_topk
+
+        return bm25_topk(_docs(sf), ("spark", "window", "merge"), k=20)
+
     def q_wordpiece_merges(sf):
         """WordPiece training (BERT's likelihood-scored merges, vs BPE's
         raw counts): score compared as the integer c_pair·10¹² //
@@ -3462,6 +3472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_gini": q_value_gini,
         "token_dropout": q_token_dropout,
         "wordpiece_merges": q_wordpiece_merges,
+        "bm25_topk": q_bm25,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4454,6 +4465,8 @@ def oracle_sql() -> dict[str, str]:
             value_expr="CAST(round(value * 100) AS BIGINT)"),
         "token_dropout": curate.token_dropout_sql(),
         "wordpiece_merges": vocab_mod.wordpiece_train_sql(rounds=3),
+        "bm25_topk": curate.bm25_topk_sql(
+            query_terms=("spark", "window", "merge"), k=20),
         "rendezvous_shards": rendezvous_assign_sql(
             table="documents", key_expr="doc_id", key_alias="doc_id",
             nodes=[f"shard-{i}" for i in range(8)]),

@@ -1187,3 +1187,132 @@ def token_dropout_sql(*, table: str = "documents", text: str = "text",
         SELECT d.{id_col}, coalesce(agg.text_aug, '') AS text_aug,
                coalesce(agg.n_dropped, 0)::BIGINT AS n_dropped
         FROM d LEFT JOIN agg USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (rational-idf, integer-exact)
+# ---------------------------------------------------------------------------
+
+def bm25_topk(ds, query_terms, *, text_col: str = "text",
+              id_col: str = "doc_id", k: int = 20):
+    """BM25 top-k with Robertson parameters k1=1.2, b=0.75 and the
+    RATIONAL idf ``(N − df + ½)/(df + ½)`` kept as an exact fraction —
+    the engine's reproducibility contract deliberately drops the standard
+    ``ln`` around that ratio (IEEE ln is not correctly rounded, so a
+    float BM25 is neither parallelism-stable nor SQL-replayable; the
+    rational variant is per-term monotone in the standard idf). Every
+    per-(doc, term) score is the exact integer
+
+        10⁶ · tf·44·Σdl·(2N − 2df + 1)
+        ------------------------------------------  (floor)
+        (2df + 1)·(20·tf·Σdl + 6·Σdl + 18·dl·N)
+
+    (the k1/b fractions cleared to integers), summed per doc.
+
+    Shape: pass 1 folds three TINY statistics — N, Σdl, and df per query
+    term (per-batch partials; the query term set is broadcast) — pass 2
+    scores each batch statelessly with arbitrary-precision ints
+    (HUGEINT-mirrored) and only (doc, score) rows reach the global
+    top-k sort. Docs matching no term are excluded."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    terms = sorted(set(query_terms))
+    term_set = pa.array(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        dl_sum = int(len(parent))
+        if len(flat):
+            t = pa.table({"d": pa.array(parent.astype(np.int64)),
+                          "tok": flat})
+            m = pc.is_in(t.column("tok"), value_set=term_set)
+            dd = t.filter(m).group_by(["d", "tok"]).aggregate([])
+            dfp = dd.group_by("tok").aggregate([([], "count_all")])
+            toks = dfp.column("tok").to_pylist()
+            dfs = dfp.column("count_all").to_numpy().astype(np.int64)
+        else:
+            toks, dfs = [], np.array([], dtype=np.int64)
+        return pa.table({
+            "term": pa.array(["\x00N", "\x00DL"] + toks,
+                             type=pa.string()),
+            "v": pa.array(np.concatenate(
+                [[nrows, dl_sum], dfs]).astype(np.int64)),
+        })
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("v", alias_name="v"))
+        .to_pandas()  # |terms| + 2 rows
+    )
+    sv = dict(zip(stats["term"], stats["v"].map(int)))
+    N, SDL = sv.pop("\x00N"), sv.pop("\x00DL")
+    ref = ray.put((N, SDL, sv))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_, sdl, dfm = ray.get(ref)
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_scores = {}
+        if len(flat):
+            dl = np.bincount(parent, minlength=nrows)
+            t = pa.table({"d": pa.array(parent.astype(np.int64)),
+                          "tok": flat})
+            m = pc.is_in(t.column("tok"), value_set=term_set)
+            tf_tbl = t.filter(m).group_by(["d", "tok"]).aggregate(
+                [([], "count_all")])
+            for d, tok, tf in zip(
+                    tf_tbl.column("d").to_pylist(),
+                    tf_tbl.column("tok").to_pylist(),
+                    tf_tbl.column("count_all").to_pylist()):
+                df_ = dfm.get(tok, 0)
+                num = (10**6 * tf * 44 * sdl * (2 * n_ - 2 * df_ + 1))
+                den = ((2 * df_ + 1)
+                       * (20 * tf * sdl + 6 * sdl + 18 * int(dl[d]) * n_))
+                out_scores[d] = out_scores.get(d, 0) + num // den
+        rows = sorted(out_scores)
+        return pa.table({
+            id_col: pa.array([int(ids[d]) for d in rows],
+                             type=pa.int64()),
+            "score_ppm": pa.array([out_scores[d] for d in rows],
+                                  type=pa.int64()),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score_ppm", id_col],
+                       descending=[True, False]).limit(k)
+
+
+def bm25_topk_sql(*, query_terms, table: str = "documents",
+                  text: str = "text", id_col: str = "doc_id",
+                  k: int = 20) -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    tlist = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+        WITH d AS (SELECT {id_col}, {toks} AS arr FROM {table}),
+        tok AS (
+          SELECT {id_col}, t.token, len(arr) AS dl
+          FROM d, unnest(arr) AS t(token)
+        ),
+        st AS (SELECT count(*)::HUGEINT AS n, sum(len(arr))::HUGEINT AS sdl
+               FROM d),
+        dfv AS (
+          SELECT token, count(DISTINCT {id_col})::HUGEINT AS df
+          FROM tok WHERE token IN ({tlist}) GROUP BY 1
+        ),
+        tf AS (
+          SELECT {id_col}, token, count(*)::HUGEINT AS tf, max(dl) AS dl
+          FROM tok WHERE token IN ({tlist}) GROUP BY 1, 2
+        ),
+        term_scores AS (
+          SELECT tf.{id_col},
+                 (1000000::HUGEINT * tf.tf * 44 * st.sdl
+                  * (2 * st.n - 2 * dfv.df + 1))
+                 // ((2 * dfv.df + 1)
+                     * (20 * tf.tf * st.sdl + 6 * st.sdl
+                        + 18 * tf.dl::HUGEINT * st.n)) AS s
+          FROM tf JOIN dfv USING (token), st
+        )
+        SELECT {id_col}, sum(s)::BIGINT AS score_ppm
+        FROM term_scores GROUP BY 1
+        ORDER BY score_ppm DESC, {id_col} LIMIT {k}"""

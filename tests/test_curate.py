@@ -535,3 +535,48 @@ def test_token_dropout_deterministic_and_rate():
     total = sum(len(d.split()) for d in docs)
     rate = got["n_dropped"].sum() / total
     assert 0.06 < rate < 0.20
+
+
+def test_bm25_topk_scalar_reference_and_ranking_sanity():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.curate import bm25_topk
+
+    docs = [
+        "spark spark spark window",          # heavy tf on spark
+        "merge window",                       # short doc, two terms
+        "window window window window window window window window",
+        "the a of and",                       # no query terms -> excluded
+        "spark merge window",                 # all three terms
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": docs})
+    terms = ("spark", "window", "merge")
+    got = (
+        bm25_topk(ray.data.from_pandas(df).repartition(3), terms, k=10)
+        .to_pandas()
+    )
+    assert 3 not in set(got["doc_id"])  # no-term doc excluded
+
+    # scalar reference
+    tok = [d.split() for d in docs]
+    N = len(docs)
+    sdl = sum(len(t) for t in tok)
+    dfc = {t: sum(1 for w in tok if t in w) for t in terms}
+    want = {}
+    for i, w in enumerate(tok):
+        s = 0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            num = 10**6 * tf * 44 * sdl * (2 * N - 2 * dfc[t] + 1)
+            den = (2 * dfc[t] + 1) * (20 * tf * sdl + 6 * sdl
+                                      + 18 * len(w) * N)
+            s += num // den
+        if s:
+            want[i] = s
+    got_map = dict(zip(got["doc_id"], got["score_ppm"]))
+    assert got_map == want
+    # the all-terms doc must beat the single-common-term doc 2
+    assert got_map[4] > got_map[2]
