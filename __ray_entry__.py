@@ -1237,6 +1237,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_host_url_churn(sf):
+        """Per (host, day) crawl churn — fetch volume, first-seen urls,
+        revisit fetches (the recrawl-scheduler freshness signal): one
+        url-bucketed pass collapses to (host, day) partials before a
+        tiny host-day fold."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.urltools import host_url_churn
+
+        return host_url_churn(
+            read_pages(sf, drop_text=True).select_columns(
+                ["url", "warc_ts"]))
+
+    def q_pq_codes(sf):
+        """Product-quantization encoding (the FAISS IVF-PQ memory
+        layout): dims split into 2 subspaces, each clustered by the
+        integer-exact k-means (k=4, 2 rounds) — one small code per
+        subspace per vector plus its exact quantization error."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import pq_codes
+
+        return pq_codes(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+            subspaces=2, k=4, rounds=2)
+
     def q_bm25(sf):
         """BM25 top-20 (k1=1.2, b=0.75) with the module's rational-idf
         contract — the fractions cleared to one exact integer
@@ -3473,6 +3499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_dropout": q_token_dropout,
         "wordpiece_merges": q_wordpiece_merges,
         "bm25_topk": q_bm25,
+        "pq_codes": q_pq_codes,
+        "host_url_churn": q_host_url_churn,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4467,6 +4495,9 @@ def oracle_sql() -> dict[str, str]:
         "wordpiece_merges": vocab_mod.wordpiece_train_sql(rounds=3),
         "bm25_topk": curate.bm25_topk_sql(
             query_terms=("spark", "window", "merge"), k=20),
+        "pq_codes": similarity_mod.pq_codes_sql(
+            subspaces=2, k=4, rounds=2, dim=64),
+        "host_url_churn": PAGES_PRE + urltools.host_url_churn_sql(),
         "rendezvous_shards": rendezvous_assign_sql(
             table="documents", key_expr="doc_id", key_alias="doc_id",
             nodes=[f"shard-{i}" for i in range(8)]),

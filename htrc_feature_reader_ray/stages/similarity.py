@@ -915,3 +915,92 @@ def embedding_minmax_scale_sql(*, table: str = "embeddings",
                      ELSE (q.qd - mm.mn) * 1000000 // (mm.mx - mm.mn)
                 END)::BIGINT AS value_ppm
         FROM q JOIN mm USING (dim)"""
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) codes
+# ---------------------------------------------------------------------------
+
+
+def pq_codes(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+             subspaces: int = 2, k: int = 4, rounds: int = 2,
+             num_buckets: int = 32):
+    """Product-quantization encoding (Jégou et al. TPAMI'11 — the memory
+    layout behind FAISS IVF-PQ): dims split into ``subspaces`` contiguous
+    blocks, each block clustered independently with the engine's
+    INTEGER-EXACT :func:`kmeans_fixed`, and every vector is stored as one
+    centroid id per subspace — d floats compress to ``subspaces`` small
+    ints. Bit-identical across parallelism and SQL-replayable because the
+    underlying k-means is.
+
+    Output: (id, subspace, code, dist) — ``dist`` the exact integer
+    squared-L2 to the chosen centroid in the fixed-point space (the
+    per-subspace quantization error an IVF-PQ recall model needs).
+    Subspace slicing is zero-copy column math; each subspace runs the
+    full kmeans pipeline (k×(d/m) driver state, one (cluster,dim)
+    exchange per round)."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    def dim_count():
+        # probe one row for dimensionality (schema-stable list width)
+        first = ds.limit(1).to_pandas()
+        return len(first[vec_col].iloc[0])
+
+    d = dim_count()
+    if d % subspaces:
+        raise ValueError(f"dim {d} not divisible into {subspaces} subspaces")
+    w = d // subspaces
+
+    outs = []
+    for s in range(subspaces):
+        lo = s * w
+
+        def slice_batch(t: pa.Table, *, _lo=lo) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({
+                    id_col: t.column(id_col),
+                    vec_col: pa.array([], type=pa.list_(pa.float32())),
+                })
+            m = _as_matrix(t.column(vec_col))[:, _lo:_lo + w]
+            return pa.table({
+                id_col: t.column(id_col),
+                vec_col: pa.array(list(m.astype(np.float32)),
+                                  type=pa.list_(pa.float32())),
+            })
+
+        sub = ds.map_batches(slice_batch, batch_format="pyarrow")
+        asg = kmeans_fixed(sub, vec_col=vec_col, id_col=id_col, k=k,
+                           rounds=rounds, num_buckets=num_buckets)
+
+        def tag(t: pa.Table, *, _s=s) -> pa.Table:
+            return pa.table({
+                id_col: t.column(id_col),
+                "subspace": pa.array(
+                    np.full(len(t), _s, dtype=np.int64)),
+                "code": t.column("cluster"),
+                "dist": t.column("dist"),
+            })
+
+        outs.append(asg.map_batches(tag, batch_format="pyarrow"))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def pq_codes_sql(*, table: str = "embeddings", vec_col: str = "embedding",
+                 id_col: str = "vec_id", subspaces: int = 2, k: int = 4,
+                 rounds: int = 2, dim: int = 64) -> str:
+    """SQL mirror: one kmeans_fixed_sql replay per subspace over the
+    sliced list expression, unioned with the subspace tag."""
+    w = dim // subspaces
+    parts = []
+    for s in range(subspaces):
+        sliced = f"(list_slice({vec_col}, {s * w + 1}, {(s + 1) * w}))"
+        inner = kmeans_fixed_sql(table=table, vec_col=sliced,
+                                 id_col=id_col, k=k, rounds=rounds)
+        parts.append(
+            f"SELECT {id_col}, {s}::BIGINT AS subspace, "
+            f"cluster AS code, dist FROM ({inner})")
+    return "\nUNION ALL\n".join(parts)

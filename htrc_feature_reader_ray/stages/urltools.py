@@ -565,3 +565,78 @@ def parse_robots_sql(*, robots_cte: str = "robots", host: str = "host",
         FROM lines
         WHERE starts_with(line, 'Allow:')
            OR starts_with(line, 'Disallow:')"""
+
+
+def host_url_churn(pages, *, url_col: str = "url", ts_col: str = "warc_ts",
+                   num_buckets: int = 16):
+    """Per (host, day) crawl churn: (n_fetches, n_new_urls,
+    n_revisit_fetches) — fetch volume, urls whose FIRST-EVER fetch day is
+    that day, and fetches of urls first seen on an earlier day (fetches on
+    the discovery day itself are not revisits; day granularity by
+    contract). The crawl-scheduler freshness signal: a host whose churn is
+    all revisits wants slower recrawl than one still surfacing new urls.
+
+    Shape: ONE url-bucketed pass (a url's whole history shares its bucket)
+    computes per-(url, day) counts and the url's first day, collapses to
+    (host, day) partials BEFORE leaving the bucket, then one tiny
+    host-day fold."""
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[url_col].astype(str)
+        rest = s.str.split("://", n=1, regex=False).str[-1]
+        host = rest.str.split("/", n=1, regex=False).str[0].str.lower()
+        day = df[ts_col].astype("datetime64[us]").dt.floor("D")
+        fd = pd.DataFrame({"host": host, "url": s, "day": day}).groupby(
+            ["host", "url", "day"], sort=False, as_index=False).agg(
+            n=("day", "size"))
+        fd["d0"] = fd.groupby("url", sort=False)["day"].transform("min")
+        fd["new_u"] = (fd["day"] == fd["d0"]).astype("int64")
+        fd["revis"] = np.where(fd["day"] > fd["d0"], fd["n"], 0)
+        out = fd.groupby(["host", "day"], sort=False, as_index=False).agg(
+            n_fetches=("n", "sum"), n_new_urls=("new_u", "sum"),
+            n_revisit_fetches=("revis", "sum"))
+        for c in ("n_fetches", "n_new_urls", "n_revisit_fetches"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = bucketed_map_groups(pages, url_col, per_bucket,
+                                   num_buckets=num_buckets)
+    folded = bucketed_aggregate(
+        partials, ["host", "day"],
+        {"n_fetches": ("n_fetches", "sum"),
+         "n_new_urls": ("n_new_urls", "sum"),
+         "n_revisit_fetches": ("n_revisit_fetches", "sum")},
+        num_buckets=4)
+
+    def fix_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["day"].astype("datetime64[us]")
+        return df
+
+    return folded.map_batches(fix_dtypes, batch_format="pandas")
+
+
+def host_url_churn_sql(*, pages_cte: str = "pages") -> str:
+    """SQL fragment appended to the pages CTE: identical day/first-day
+    churn definitions."""
+    return f""",
+        fch AS (SELECT url, date_trunc('day', warc_ts) AS day
+                FROM {pages_cte}),
+        fdc AS (SELECT url, day, count(*)::BIGINT AS n
+                FROM fch GROUP BY 1, 2),
+        fuc AS (SELECT url, min(day) AS d0 FROM fdc GROUP BY 1),
+        jc AS (
+          SELECT lower(string_split(
+                   string_split(fdc.url, '://')[2], '/')[1]) AS host,
+                 fdc.day, fdc.n, fuc.d0
+          FROM fdc JOIN fuc USING (url)
+        )
+        SELECT host, day, sum(n)::BIGINT AS n_fetches,
+               count(*) FILTER (WHERE day = d0)::BIGINT AS n_new_urls,
+               coalesce(sum(n) FILTER (WHERE day > d0), 0)::BIGINT
+                 AS n_revisit_fetches
+        FROM jc GROUP BY 1, 2"""

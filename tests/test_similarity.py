@@ -371,3 +371,37 @@ def test_embedding_minmax_scale_bounds_and_constant_dim():
     assert (got.xs(1, level="dim")["value_ppm"] == 0).all()
     assert got.loc[(0, 2), "value_ppm"] == 0
     assert got.loc[(2, 2), "value_ppm"] == 1_000_000
+
+
+def test_pq_codes_shape_independence_and_reconstruction_monotone():
+    import pyarrow as pa
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import pq_codes
+
+    rng = np.random.RandomState(13)
+    n = 160
+    # two well-separated blobs per subspace -> codes must separate them
+    half = np.concatenate([np.zeros(n // 2), np.ones(n // 2) * 10.0])
+    vecs = (rng.randn(n, 8) * 0.1 + half[:, None]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })
+    out = {}
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out[parts] = (
+            pq_codes(ds, subspaces=2, k=2, rounds=3)
+            .to_pandas().sort_values(["vec_id", "subspace"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(out[1], out[5])  # bit-identical
+    got = out[1]
+    assert len(got) == n * 2
+    for s in (0, 1):
+        g = got[got.subspace == s]
+        lo = set(g[g.vec_id < n // 2]["code"])
+        hi = set(g[g.vec_id >= n // 2]["code"])
+        assert lo.isdisjoint(hi)  # blobs get distinct codes

@@ -244,3 +244,30 @@ def test_parse_robots_ignores_noise():
            .to_pandas().sort_values("rule_path").reset_index(drop=True))
     assert out.directive.tolist() == ["disallow", "allow", "disallow"]
     assert out.rule_path.tolist() == ["/a", "/b", "/c"]
+
+
+def test_host_url_churn_hand_fixture():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.urltools import host_url_churn
+
+    T = pd.Timestamp
+    rows = [
+        ("https://a.com/x", T("2024-01-01 05:00")),  # x discovered d1
+        ("https://a.com/x", T("2024-01-01 09:00")),  # same-day refetch
+        ("https://a.com/x", T("2024-01-02 05:00")),  # revisit d2
+        ("https://a.com/y", T("2024-01-02 06:00")),  # y discovered d2
+        ("https://b.com/z", T("2024-01-01 01:00")),  # other host
+    ]
+    df = pd.DataFrame(rows, columns=["url", "warc_ts"])
+    got = (
+        host_url_churn(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index(["host", got_day := "day"]).sort_index()
+    )
+    a1 = got.loc[("a.com", pd.Timestamp("2024-01-01"))]
+    assert tuple(a1) == (2, 1, 0)  # both d1 fetches are discovery-day
+    a2 = got.loc[("a.com", pd.Timestamp("2024-01-02"))]
+    assert tuple(a2) == (2, 1, 1)  # y new + x revisit
+    b1 = got.loc[("b.com", pd.Timestamp("2024-01-01"))]
+    assert tuple(b1) == (1, 1, 0)
