@@ -1237,6 +1237,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_split_leakage(sf):
+        """Eval-hygiene audit at the decontamination unit: verbatim word
+        8-grams present on BOTH sides of a doc-hash train/test split,
+        with per-split document counts — each row is benchmark text the
+        model would see in training. Gram rows distinct per doc inside
+        the batch (a doc never splits), digest-bucketed fold, text never
+        crosses the exchange."""
+        from htrc_feature_reader_ray.stages.dedup import (
+            md5_hash64,
+            split_leakage,
+        )
+
+        grams = _gram_explode(sf, width=8, carry=("doc_id",))
+
+        def tag(t: pa.Table) -> pa.Table:
+            d = t.group_by(["doc_id", "ngram"]).aggregate([])
+            ids = [str(v) for v in d.column("doc_id").to_pylist()]
+            h = md5_hash64(ids) % np.uint64(10)
+            split = np.where(h < 8, "train", "test")
+            return pa.table({
+                "text": d.column("ngram"),
+                "split": pa.array(split.astype(object),
+                                  type=pa.string()),
+            })
+
+        return split_leakage(
+            grams.map_batches(tag, batch_format="pyarrow"),
+            split_col="split")
+
+    def q_readability(sf):
+        """Flesch reading-ease in exact integer milli-points (separately
+        floored divisions as the reproducibility contract; vowel-group
+        syllable proxy) — zero exchange, three RE2 kernels per batch."""
+        from htrc_feature_reader_ray.stages.textstats import readability
+
+        return readability(_docs(sf))
+
     def q_host_url_churn(sf):
         """Per (host, day) crawl churn — fetch volume, first-seen urls,
         revisit fetches (the recrawl-scheduler freshness signal): one
@@ -3501,6 +3538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25,
         "pq_codes": q_pq_codes,
         "host_url_churn": q_host_url_churn,
+        "split_leakage": q_split_leakage,
+        "readability": q_readability,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4498,6 +4537,33 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": similarity_mod.pq_codes_sql(
             subspaces=2, k=4, rounds=2, dim=64),
         "host_url_churn": PAGES_PRE + urltools.host_url_churn_sql(),
+        "split_leakage": """
+        WITH arr8 AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS arr
+          FROM documents
+        ),
+        g8 AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(arr[i.i:i.i + 7], ' ') AS gram
+          FROM arr8, unnest(generate_series(1, len(arr) - 7)) AS i(i)
+        ),
+        d8 AS (
+          SELECT md5(lower(regexp_replace(gram, '\\s+', ' ', 'g')))
+                   AS digest,
+                 CASE WHEN md5_number_upper(doc_id::VARCHAR) % 10 < 8
+                      THEN 'train' ELSE 'test' END AS split
+          FROM g8
+        ),
+        a8 AS (
+          SELECT digest,
+                 count(*) FILTER (WHERE split = 'test')::BIGINT AS n_test,
+                 count(*) FILTER (WHERE split = 'train')::BIGINT AS n_train
+          FROM d8 GROUP BY 1
+        )
+        SELECT digest, n_test, n_train FROM a8
+        WHERE n_test > 0 AND n_train > 0""",
+        "readability": textstats.readability_sql(),
         "rendezvous_shards": rendezvous_assign_sql(
             table="documents", key_expr="doc_id", key_alias="doc_id",
             nodes=[f"shard-{i}" for i in range(8)]),

@@ -141,6 +141,17 @@ BENCH_QUERIES = [
     "bigram_lm",
     "events_skew_join",
     "cube_lang_source",
+    "vocab_coverage",
+    "rendezvous_shards",
+    "rolling_approx_users",
+    "hard_negatives",
+    "embedding_minmax",
+    "value_gini",
+    "token_dropout",
+    "wordpiece_merges",
+    "bm25_topk",
+    "pq_codes",
+    "host_url_churn",
 ]
 
 HEADLINE = "flagship"

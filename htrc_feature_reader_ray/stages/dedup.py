@@ -2046,3 +2046,76 @@ def jaccard_join_sql(*, id_col: str = "doc_id", text_col: str = "text",
         FROM inter JOIN sz sa ON id_a = sa.{id_col}
                    JOIN sz sb ON id_b = sb.{id_col}
         WHERE i * 1000000 >= {threshold_ppm} * (sa.n + sb.n - i)"""
+
+
+# ---------------------------------------------------------------------------
+# train/test split leakage audit
+# ---------------------------------------------------------------------------
+
+def split_leakage(ds, *, text_col: str = "text", split_col: str,
+                  splits=("test", "train"), num_buckets: int = 32):
+    """Evaluation-hygiene audit: content digests present in MORE THAN ONE
+    split of ``split_col`` — every such digest is a leak (an eval doc the
+    model saw in training verbatim). Output: (digest, splits..., counts)
+    as one row per leaked digest with per-split counts.
+
+    Shape: per-batch (digest, split) count partials (normalized-text md5,
+    the exact_dedup identity), one digest-bucketed fold, leak filter
+    inside the bucket — only digest rows ever cross, never text."""
+    import pandas as pd
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "digest": text_md5_batch(batch, text_col),
+            "split": batch.column(split_col),
+        })
+        g = t.group_by(["digest", "split"]).aggregate([([], "count_all")])
+        return g.rename_columns(["digest", "split", "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["digest", "split"], {"n": ("n", "sum")},
+        num_buckets=num_buckets)
+
+    splits = list(splits)
+
+    def leaks(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.pivot_table(index="digest", columns="split", values="n",
+                           aggfunc="sum", fill_value=0)
+        # explicit split domain: bucket-local absence must not change the
+        # output schema
+        w = w.reindex(columns=splits, fill_value=0)
+        w = w[(w > 0).sum(axis=1) > 1]
+        out = w.reset_index()
+        out.columns.name = None  # pivot leaves the split axis name behind
+        for c in splits:
+            out[f"n_{c}"] = out[c].astype("int64")
+            out = out.drop(columns=[c])
+        return out
+
+    return bucketed_map_groups(folded, "digest", leaks,
+                               num_buckets=num_buckets)
+
+
+def split_leakage_sql(*, table: str = "documents", text: str = "text",
+                      split_expr: str) -> str:
+    return f"""
+        WITH d AS (
+          SELECT md5(lower(regexp_replace({text}, '\\s+', ' ', 'g')))
+                   AS digest,
+                 {split_expr} AS split
+          FROM {table}
+        ),
+        a AS (
+          SELECT digest,
+                 count(*) FILTER (WHERE split = 'test')::BIGINT AS n_test,
+                 count(*) FILTER (WHERE split = 'train')::BIGINT AS n_train
+          FROM d GROUP BY 1
+        )
+        SELECT digest, n_test, n_train FROM a
+        WHERE n_test > 0 AND n_train > 0"""

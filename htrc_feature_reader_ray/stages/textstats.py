@@ -590,3 +590,59 @@ def quality_rule_flags_sql(*, text: str = "text", id_cols: str = "doc_id",
         SELECT {id_cols}, {bits}::BIGINT AS quality_flags,
                ({bits} = 0) AS keep
         FROM g"""
+
+
+def readability(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Flesch-style reading-ease in exact integer milli-points:
+
+        flesch_milli = 206835 − (1015·W) // S − (84600·Y) // W
+
+    with W = word count, S = sentence count ([.!?]+ runs, floor 1), and
+    Y = vowel-group runs ([aeiou]+, the standard cheap syllable proxy) —
+    each division floored SEPARATELY as the reproducibility contract
+    (float Flesch differs in the last bits across platforms). A classic
+    curation feature next to gopher_quality. Zero exchange; all three
+    counts come from vectorized RE2 kernels (Arrow and DuckDB embed the
+    same regex engine)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(text_col), pa.string())
+        text = pc.coalesce(text, pa.scalar("", type=pa.string()))
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        w = np.bincount(parent, minlength=nrows).astype(np.int64)
+        s = pc.count_substring_regex(
+            text, "[.!?]+").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.count_substring_regex(
+            text, "[aeiou]+").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        w1 = np.maximum(w, 1)
+        s1 = np.maximum(s, 1)
+        flesch = 206835 - (1015 * w1) // s1 - (84600 * y) // w1
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(w),
+            "n_sentences": pa.array(s),
+            "n_vowel_groups": pa.array(y),
+            "flesch_milli": pa.array(flesch.astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def readability_sql(*, table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id") -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH b AS (
+          SELECT {id_col},
+                 len({toks})::BIGINT AS w,
+                 len(regexp_extract_all({text}, '[.!?]+'))::BIGINT AS s,
+                 len(regexp_extract_all({text}, '[aeiou]+'))::BIGINT AS y
+          FROM {table}
+        )
+        SELECT {id_col}, w AS n_words, s AS n_sentences,
+               y AS n_vowel_groups,
+               (206835 - (1015 * greatest(w, 1)) // greatest(s, 1)
+                - (84600 * y) // greatest(w, 1))::BIGINT AS flesch_milli
+        FROM b"""

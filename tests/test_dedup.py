@@ -591,3 +591,25 @@ def test_jaccard_join_exact_vs_bruteforce():
     # doc 5 (too short for a 3-shingle) and doc 4 (disjoint) never pair
     assert not set(out["id_a"]) & {4, 5}
     assert not set(out["id_b"]) & {4, 5}
+
+
+def test_split_leakage_hand_fixture():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import split_leakage
+
+    df = pd.DataFrame({
+        "text": ["shared  doc", "SHARED doc", "only train", "only test",
+                 "tri", "tri", "tri"],
+        "split": ["train", "test", "train", "test",
+                  "train", "train", "test"],
+    })
+    got = (
+        split_leakage(ray.data.from_pandas(df).repartition(3),
+                      split_col="split")
+        .to_pandas().sort_values("digest").reset_index(drop=True)
+    )
+    # 'shared  doc' vs 'SHARED doc' normalize to one digest -> leak;
+    # 'tri' leaks with counts 2/1; singles don't
+    assert len(got) == 2
+    assert set(zip(got["n_train"], got["n_test"])) == {(1, 1), (2, 1)}

@@ -138,3 +138,32 @@ def test_charclass_mix_exact():
                                          1 * 1_000_000 // 4]
     assert out["other_ppm"].tolist() == [1 * 1_000_000 // 8,
                                          2 * 1_000_000 // 4]
+
+
+def test_readability_hand_values():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.textstats import readability
+
+    import numpy as np
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["the cat sat. it ran!", "", "zzz zzz"],
+    })
+    got = (
+        readability(ray.data.from_pandas(df).repartition(2))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    r0 = got.loc[0]
+    # words: the cat sat. it ran! -> 5; sentences 2; vowel groups:
+    # e,a,a,i,a -> 5
+    assert (r0["n_words"], r0["n_sentences"], r0["n_vowel_groups"]) \
+        == (5, 2, 5)
+    assert r0["flesch_milli"] == 206835 - (1015 * 5) // 2 - (84600 * 5) // 5
+    r1 = got.loc[1]  # empty doc: floors kick in
+    assert (r1["n_words"], r1["n_sentences"]) == (0, 0)
+    assert r1["flesch_milli"] == 206835 - 1015 - 0
+    r2 = got.loc[2]  # vowel-free
+    assert r2["n_vowel_groups"] == 0
+    assert r2["flesch_milli"] == 206835 - (1015 * 2) // 1
