@@ -1237,6 +1237,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="event_type", col="value_cents",
         )
 
+    def q_pareto_sources(sf):
+        """Pareto/80-20 concentration: sources ranked by byte volume with
+        exact cumulative ppm and the minimal-prefix head flag — one
+        weight fold, ranked pass over the bounded key table."""
+        from htrc_feature_reader_ray.stages.profile import pareto_rank
+
+        return pareto_rank(_docs(sf, columns=["source", "n_chars"]),
+                           key_col="source", weight_col="n_chars")
+
+    def q_fk_violations(sf):
+        """Referential-integrity audit (join-health before trusting a
+        join): event user_ids with no customer row, with row counts —
+        distinct keys anti-join, child rows never move."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.profile import fk_violations
+
+        return fk_violations(
+            _events(sf, ["user_id"]),
+            ray.data.read_parquet(f"{sf}/supplier.parquet",
+                                  columns=["s_suppkey"]),
+            child_key="user_id", parent_key="s_suppkey")
+
+    def q_topn_sources_per_lang(sf):
+        """Long-tail collapse: per lang the top-2 sources by doc count,
+        the tail folded into one __other__ row — (group,key) fold
+        bucketed on the group, rank+collapse inside the bucket."""
+        from htrc_feature_reader_ray.stages.profile import topn_collapse
+
+        return topn_collapse(_docs(sf, columns=["lang", "source"]),
+                             group_cols=["lang"], key_col="source", n=2)
+
     def q_split_leakage(sf):
         """Eval-hygiene audit at the decontamination unit: verbatim word
         8-grams present on BOTH sides of a doc-hash train/test split,
@@ -3540,6 +3572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_url_churn": q_host_url_churn,
         "split_leakage": q_split_leakage,
         "readability": q_readability,
+        "pareto_sources": q_pareto_sources,
+        "fk_violations": q_fk_violations,
+        "topn_sources_per_lang": q_topn_sources_per_lang,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
         "table_audit": q_table_audit,
@@ -4564,6 +4599,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT digest, n_test, n_train FROM a8
         WHERE n_test > 0 AND n_train > 0""",
         "readability": textstats.readability_sql(),
+        "pareto_sources": profile_mod.pareto_rank_sql(
+            table_expr="documents", key="source",
+            weight_expr="n_chars"),
+        "fk_violations": profile_mod.fk_violations_sql(
+            child_table="events", parent_table="supplier",
+            child_key="user_id", parent_key="s_suppkey"),
+        "topn_sources_per_lang": profile_mod.topn_collapse_sql(
+            table="documents", group="lang", key="source", n=2),
         "rendezvous_shards": rendezvous_assign_sql(
             table="documents", key_expr="doc_id", key_alias="doc_id",
             nodes=[f"shard-{i}" for i in range(8)]),

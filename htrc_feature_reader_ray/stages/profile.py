@@ -1623,3 +1623,173 @@ def grouped_gini_sql(*, table: str, group: str, value_expr: str) -> str:
                      ELSE num * 1000000 // (n::HUGEINT * s::HUGEINT)
                 END)::BIGINT AS gini_ppm
         FROM t"""
+
+
+def pareto_rank(ds, *, key_col: str, weight_col: str,
+                threshold_ppm: int = 800_000, num_buckets: int = 16):
+    """Pareto/80-20 concentration table: keys ranked by summed weight
+    desc (key asc ties), with exact cumulative share in ppm and an
+    ``in_head`` flag marking the minimal prefix reaching
+    ``threshold_ppm`` of the total — "which hosts are 80% of the crawl".
+
+    One bucketed weight fold; the ranked cumulative pass runs on the
+    collected key table (bounded by key cardinality — hosts/sources, the
+    op's contract; don't point it at raw urls). Output: (key, weight,
+    cum_ppm, in_head)."""
+    import pandas as pd
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col, weight_col]).group_by(
+            key_col).aggregate([(weight_col, "sum")])
+        return g.rename_columns([key_col, "weight"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        key_col, {"weight": ("weight", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    folded = folded.sort_values(["weight", key_col],
+                                ascending=[False, True],
+                                kind="mergesort").reset_index(drop=True)
+    total = int(folded["weight"].sum())
+    cum = folded["weight"].astype("int64").cumsum()
+    cum_ppm = (cum * 1_000_000 // max(total, 1)).astype("int64")
+    # head = ranks up to and including the first row reaching threshold
+    reached = (cum_ppm >= threshold_ppm).to_numpy()
+    first = int(np.argmax(reached)) if reached.any() else len(folded)
+    in_head = (np.arange(len(folded)) <= first).astype(np.int64)
+    out = folded.copy()
+    out["weight"] = out["weight"].astype("int64")
+    out["cum_ppm"] = cum_ppm
+    out["in_head"] = in_head
+    return out
+
+
+def pareto_rank_sql(*, table_expr: str, key: str, weight_expr: str,
+                    threshold_ppm: int = 800_000) -> str:
+    """``table_expr`` supplies rows; identical rank/cum/first-reach
+    contract."""
+    return f"""
+        WITH w AS (
+          SELECT {key} AS k, sum({weight_expr})::BIGINT AS weight
+          FROM {table_expr} GROUP BY 1
+        ),
+        r AS (
+          SELECT k, weight,
+                 row_number() OVER (ORDER BY weight DESC, k) AS rn,
+                 (sum(weight) OVER (ORDER BY weight DESC, k)
+                  * 1000000 // greatest(sum(weight) OVER (), 1))::BIGINT
+                   AS cum_ppm
+          FROM w
+        ),
+        f AS (SELECT coalesce(min(rn), 9223372036854775807) AS first_rn
+              FROM r WHERE cum_ppm >= {threshold_ppm})
+        SELECT k AS {key}, weight, cum_ppm,
+               (rn <= f.first_rn)::BIGINT AS in_head
+        FROM r, f"""
+
+
+def fk_violations(child, parent, *, child_key: str, parent_key: str,
+                  num_buckets: int = 16):
+    """Referential-integrity audit: child keys with NO matching parent
+    row, with their row counts — the ingestion-QA join-health check run
+    BEFORE a big pipeline trusts a join. Child keys fold to (key, n)
+    partials first (per-batch combine), so the anti-join moves distinct
+    keys, never child rows. Output: (child_key, n_rows)."""
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([child_key]).group_by(child_key).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([child_key, "n_rows"])
+
+    counts = bucketed_aggregate(
+        child.map_batches(partial, batch_format="pyarrow"),
+        child_key, {"n_rows": ("n_rows", "sum")}, num_buckets=num_buckets)
+
+    def keys_only(batch: pa.Table) -> pa.Table:
+        return batch.select([parent_key]).group_by(parent_key).aggregate([])
+
+    pkeys = parent.map_batches(keys_only, batch_format="pyarrow")
+    return bucket_join(counts, pkeys, left_key=child_key,
+                       right_key=parent_key, how="anti",
+                       num_buckets=num_buckets)
+
+
+def fk_violations_sql(*, child_table: str, parent_table: str,
+                      child_key: str, parent_key: str) -> str:
+    return f"""
+        SELECT {child_key}, count(*)::BIGINT AS n_rows
+        FROM {child_table}
+        WHERE {child_key} NOT IN
+              (SELECT {parent_key} FROM {parent_table})
+        GROUP BY 1"""
+
+
+def topn_collapse(ds, *, group_cols, key_col: str, n: int = 2,
+                  other: str = "__other__", num_buckets: int = 16):
+    """Per group: the top-``n`` keys by row count (count desc, key asc
+    ties) kept verbatim, the tail collapsed into ONE ``other`` row — the
+    long-tail dashboard collapse (every per-group breakdown wants it).
+    One (group,key)-folded exchange bucketed on the group, rank +
+    collapse vectorized inside the bucket. Output: (group..., key_col,
+    n_rows)."""
+    import pandas as pd
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    group_cols = list(group_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(group_cols + [key_col]).group_by(
+            group_cols + [key_col]).aggregate([([], "count_all")])
+        return g.rename_columns(group_cols + [key_col, "n_rows"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_cols + [key_col], {"n_rows": ("n_rows", "sum")},
+        num_buckets=num_buckets, bucket_key=group_cols[0])
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(group_cols + ["n_rows", key_col],
+                            ascending=[True] * len(group_cols)
+                            + [False, True], kind="mergesort")
+        rank = df.groupby(group_cols, sort=False).cumcount()
+        head = df[rank < n][group_cols + [key_col, "n_rows"]]
+        tail = df[rank >= n]
+        if len(tail):
+            t = tail.groupby(group_cols, sort=False,
+                             as_index=False)["n_rows"].sum()
+            t[key_col] = other
+            head = pd.concat([head, t[group_cols + [key_col, "n_rows"]]],
+                             ignore_index=True)
+        head["n_rows"] = head["n_rows"].astype("int64")
+        return head
+
+    return bucketed_map_groups(folded, group_cols[0], collapse,
+                               num_buckets=num_buckets)
+
+
+def topn_collapse_sql(*, table: str, group: str, key: str, n: int = 2,
+                      other: str = "__other__") -> str:
+    return f"""
+        WITH c AS (
+          SELECT {group}, {key}, count(*)::BIGINT AS n_rows
+          FROM {table} GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY {group} ORDER BY n_rows DESC, {key}) AS rn
+          FROM c
+        )
+        SELECT {group},
+               CASE WHEN rn <= {n} THEN {key} ELSE '{other}' END AS {key},
+               sum(n_rows)::BIGINT AS n_rows
+        FROM r GROUP BY 1, 2"""

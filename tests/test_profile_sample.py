@@ -775,3 +775,54 @@ def test_grouped_gini_reference_values():
     got2 = grouped_gini(ray.data.from_pandas(df2).repartition(4),
                         group_cols=["g"], value_col="v").to_pandas()
     assert got2["gini_ppm"].iloc[0] == want
+
+
+def test_pareto_rank_head_flag_and_ties():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import pareto_rank
+
+    df = pd.DataFrame({"k": ["a"] * 6 + ["b"] * 3 + ["c"],
+                       "w": [10] * 6 + [10] * 3 + [10]})
+    got = pareto_rank(ray.data.from_pandas(df).repartition(3),
+                      key_col="k", weight_col="w",
+                      threshold_ppm=800_000)
+    # weights: a=60, b=30, c=10; cum ppm 600000, 900000, 1000000
+    assert got["k"].tolist() == ["a", "b", "c"]
+    assert got["cum_ppm"].tolist() == [600000, 900000, 1000000]
+    assert got["in_head"].tolist() == [1, 1, 0]  # b first to reach 80%
+
+
+def test_fk_violations_and_topn_collapse():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import (
+        fk_violations,
+        topn_collapse,
+    )
+
+    child = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2, 3, 9, 9, 9]})).repartition(3)
+    parent = ray.data.from_pandas(pd.DataFrame(
+        {"pk": [1, 2, 4]})).repartition(2)
+    got = (
+        fk_violations(child, parent, child_key="k", parent_key="pk")
+        .to_pandas().set_index("k").sort_index()
+    )
+    assert got["n_rows"].to_dict() == {3: 1, 9: 3}
+
+    df = pd.DataFrame({
+        "g": ["x"] * 10 + ["y"] * 3,
+        "s": ["p"] * 5 + ["q"] * 3 + ["r", "t"] + ["p", "q", "q"],
+    })
+    tc = (
+        topn_collapse(ray.data.from_pandas(df).repartition(4),
+                      group_cols=["g"], key_col="s", n=2)
+        .to_pandas().set_index(["g", "s"]).sort_index()
+    )
+    assert tc.loc[("x", "p"), "n_rows"] == 5
+    assert tc.loc[("x", "q"), "n_rows"] == 3
+    assert tc.loc[("x", "__other__"), "n_rows"] == 2
+    # y has only 2 distinct keys -> no __other__ row
+    assert ("y", "__other__") not in tc.index
+    assert tc.loc[("y", "q"), "n_rows"] == 2
