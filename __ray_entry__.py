@@ -1306,6 +1306,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return readability(_docs(sf))
 
+    def q_heavy_hitter_tokens(sf):
+        """Exact φ=1/31 heavy-hitter tokens with exact counts in two
+        candidate-pruned passes — the full token vocabulary is never
+        folded (the 100 TB win over a plain GROUP BY + HAVING)."""
+        from htrc_feature_reader_ray.stages.profile import heavy_hitters
+        from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+        def explode(batch: pa.Table) -> pa.Table:
+            flat, _, _ = _tok_stats(batch, "text")
+            return pa.table({"token": flat})
+
+        toks = _docs(sf, columns=["text"]).map_batches(
+            explode, batch_format="pyarrow")
+        return heavy_hitters(toks, col="token", k=31)
+
+    def q_bigram_surprisal(sf):
+        """Per-doc bigram surprisal in exact bits — the perplexity-style
+        gibberish filter unigram surprisal cannot see (scrambled text
+        keeps its unigram score; its bigram score jumps). One pair fold
+        broadcasts, one stateless scoring pass."""
+        from htrc_feature_reader_ray.stages.curate import bigram_surprisal
+
+        return bigram_surprisal(_docs(sf, columns=["doc_id", "text"]))
+
+    def q_lang_temperature_weights(sf):
+        """α=½ temperature-rebalanced sampling weights per language (the
+        mC4/XLM-R multilingual mixture recipe) — exact integer isqrt
+        form; one count fold to the bounded language table."""
+        from htrc_feature_reader_ray.stages.sample import (
+            temperature_weights,
+        )
+
+        return temperature_weights(
+            _docs(sf, columns=["lang"]), stratum_col="lang")
+
     def q_host_url_churn(sf):
         """Per (host, day) crawl churn — fetch volume, first-seen urls,
         revisit fetches (the recrawl-scheduler freshness signal): one
@@ -3572,6 +3607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_url_churn": q_host_url_churn,
         "split_leakage": q_split_leakage,
         "readability": q_readability,
+        "heavy_hitter_tokens": q_heavy_hitter_tokens,
+        "bigram_surprisal": q_bigram_surprisal,
+        "lang_temperature_weights": q_lang_temperature_weights,
         "pareto_sources": q_pareto_sources,
         "fk_violations": q_fk_violations,
         "topn_sources_per_lang": q_topn_sources_per_lang,
@@ -4599,6 +4637,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT digest, n_test, n_train FROM a8
         WHERE n_test > 0 AND n_train > 0""",
         "readability": textstats.readability_sql(),
+        "heavy_hitter_tokens": profile_mod.heavy_hitters_sql(
+            table_expr="""(
+              SELECT t.t AS token FROM documents, LATERAL unnest(
+                list_filter(string_split(text, ' '), x -> x <> '')
+              ) AS t(t))""",
+            col="token", k=31),
+        "bigram_surprisal": curate.bigram_surprisal_sql(),
+        "lang_temperature_weights": sample.temperature_weights_sql(
+            stratum_col="lang", table="documents"),
         "pareto_sources": profile_mod.pareto_rank_sql(
             table_expr="documents", key="source",
             weight_expr="n_chars"),

@@ -152,6 +152,14 @@ BENCH_QUERIES = [
     "bm25_topk",
     "pq_codes",
     "host_url_churn",
+    "split_leakage",
+    "readability",
+    "pareto_sources",
+    "fk_violations",
+    "topn_sources_per_lang",
+    "heavy_hitter_tokens",
+    "bigram_surprisal",
+    "lang_temperature_weights",
 ]
 
 HEADLINE = "flagship"

@@ -1316,3 +1316,106 @@ def bm25_topk_sql(*, query_terms, table: str = "documents",
         SELECT {id_col}, sum(s)::BIGINT AS score_ppm
         FROM term_scores GROUP BY 1
         ORDER BY score_ppm DESC, {id_col} LIMIT {k}"""
+
+
+def bigram_surprisal(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     alpha: int = 1, num_buckets: int = 32):
+    """Per-document BIGRAM surprisal in exact bits — the perplexity-style
+    quality filter (CCNet's KenLM gate) at bigram order, with the module's
+    log-free reproducibility contract: per adjacent pair occurrence
+
+        bits(w1, w2) = ⌊log2(c_ctx(w1) + α·V)⌋ − ⌊log2(c_pair(w1,w2) + α)⌋
+
+    — ⌊log2⌋ of the inverse Laplace-smoothed conditional probability
+    ``(c_pair+α)/(c_ctx+α·V)`` (the same counts as :func:`vocab.bigram_lm`),
+    summed over the doc.  High bits ⇒ improbable next-token sequence ⇒
+    gibberish/shuffled text that UNIGRAM surprisal cannot see: a scrambled
+    doc keeps its unigram score but its bigram score jumps.
+
+    Scale shape: the smoothed pair table folds once (``bigram_lm``: pair
+    partials → one w1-bucketed exchange) and broadcasts via ``ray.put`` —
+    the observed-bigram table is the worker-fit contract here (same
+    posture as ``encode_tokens``'s vocabulary; for an unbounded pair
+    table, exchange per-doc pair partials through a w1-bucketed join
+    instead); scoring is one stateless pass, every corpus pair is in the
+    table by construction.  Output ``(id_col, n_pairs, bigram_bits)`` —
+    docs with < 2 tokens score (0, 0).
+    """
+    import ray
+
+    from htrc_feature_reader_ray.stages.profile import _ilog2
+    from htrc_feature_reader_ray.stages.textstats import _tok_stats
+    from htrc_feature_reader_ray.stages.vocab import (
+        bigram_lm,
+        corpus_token_counts,
+    )
+
+    V = corpus_token_counts(ds, text_col=text_col,
+                            num_buckets=num_buckets).count()
+    lm = bigram_lm(ds, text_col=text_col, alpha=alpha,
+                   num_buckets=num_buckets).to_pandas()
+    key = (lm["w1"].astype(str) + "\x1f" + lm["w2"].astype(str)).to_numpy()
+    order = np.argsort(key)
+    bits = (
+        _ilog2((lm["c_ctx"].to_numpy() + alpha * V).astype(np.int64))
+        - _ilog2((lm["c_pair"].to_numpy() + alpha).astype(np.int64))
+    ).astype(np.int64)
+    ref = ray.put((key[order], bits[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, pair_bits = ray.get(ref)
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        parent = parent.astype(np.int64)
+        toks = flat.to_numpy(zero_copy_only=False)
+        n_pairs = np.zeros(nrows, dtype=np.int64)
+        total = np.zeros(nrows, dtype=np.int64)
+        if len(toks) >= 2:
+            same = parent[:-1] == parent[1:]
+            w1 = toks[:-1][same]
+            w2 = toks[1:][same]
+            owner = parent[:-1][same]
+            if len(w1):
+                pk = np.char.add(np.char.add(w1.astype(str), "\x1f"),
+                                 w2.astype(str))
+                pos = np.searchsorted(keys, pk)
+                np.add.at(total, owner, pair_bits[pos])
+                np.add.at(n_pairs, owner, 1)
+        out = batch.select([id_col])
+        out = out.append_column("n_pairs",
+                                pa.array(n_pairs, type=pa.int64()))
+        return out.append_column("bigram_bits",
+                                 pa.array(total, type=pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_surprisal_sql(*, table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id", alpha: int = 1) -> str:
+    """SQL replay: rebuild the pair/context/vocab counts, join each doc's
+    adjacent pairs, sum the identical bit-length difference
+    (``⌊log2 x⌋ = length(format('{:b}', x)) − 1``; the −1s cancel)."""
+    toks = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    return f"""
+        WITH base AS (SELECT {id_col}, {toks} AS arr FROM {table}),
+        dp AS (
+          SELECT {id_col}, arr[i.i] AS w1, arr[i.i + 1] AS w2
+          FROM base, unnest(generate_series(1, len(arr) - 1)) AS i(i)
+        ),
+        p AS (SELECT w1, w2, count(*)::BIGINT AS c_pair FROM dp GROUP BY 1, 2),
+        v AS (
+          SELECT count(DISTINCT t.tok)::BIGINT AS vocab
+          FROM base, unnest(arr) AS t(tok)
+        ),
+        ctx AS (SELECT w1, sum(c_pair)::BIGINT AS c_ctx FROM p GROUP BY 1),
+        scored AS (
+          SELECT dp.{id_col}, count(*)::BIGINT AS n_pairs,
+                 sum(length(format('{{:b}}', ctx.c_ctx + {alpha} * v.vocab))
+                     - length(format('{{:b}}', p.c_pair + {alpha})))::BIGINT
+                     AS bigram_bits
+          FROM dp JOIN p USING (w1, w2) JOIN ctx USING (w1), v
+          GROUP BY 1
+        )
+        SELECT d.{id_col},
+               coalesce(s.n_pairs, 0)::BIGINT AS n_pairs,
+               coalesce(s.bigram_bits, 0)::BIGINT AS bigram_bits
+        FROM {table} d LEFT JOIN scored s USING ({id_col})"""

@@ -1793,3 +1793,80 @@ def topn_collapse_sql(*, table: str, group: str, key: str, n: int = 2,
                CASE WHEN rn <= {n} THEN {key} ELSE '{other}' END AS {key},
                sum(n_rows)::BIGINT AS n_rows
         FROM r GROUP BY 1, 2"""
+
+
+def heavy_hitters(ds, *, col: str, k: int, num_buckets: int = 16,
+                  materialize: bool = True):
+    """EXACT φ=1/k heavy hitters — every value with global frequency
+    strictly above ``N/k`` and its exact count — in two passes with
+    bounded state; the full value vocabulary is NEVER folded (the win
+    over a plain GROUP BY at 100 TB, where the distinct-value table
+    itself can be petabyte-class while the answer is ≤ k-1 rows).
+
+    Pass 1 (candidates): each batch keeps values with
+    ``batch_count·k > batch_rows``. Any value with ``global_count·k > N``
+    must clear that bar in at least one batch (if it missed in every
+    batch, summing gives ``global·k ≤ N`` — the Misra-Gries union
+    bound), so the batch-candidate union is a lossless superset. Each
+    batch emits < k keys; the distinct fold is worker-fit for any
+    realistic skew (bounded by ``k·n_blocks`` even adversarially).
+
+    Pass 2 (verify): the sorted candidate array broadcasts via
+    ``ray.put``; per-batch counts of candidate values only fold once,
+    and the ``n·k > N`` filter finishes on the candidate-sized table.
+
+    ``materialize=True`` (default) pins the input so the two passes and
+    the row-count read execute upstream once; pass ``False`` to keep the
+    input fully lazy at the price of re-executing it per pass.
+    Output: ``(col, n)`` — exact counts, only true heavy hitters.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    if materialize:
+        ds = ds.materialize()
+    n_total = ds.count()
+
+    def cands(batch: pa.Table) -> pa.Table:
+        g = batch.select([col]).group_by(col).aggregate([([], "count_all")])
+        keep = pc.greater(
+            pc.multiply(g.column("count_all"), pa.scalar(k, type=pa.int64())),
+            pa.scalar(len(batch), type=pa.int64()))
+        return g.filter(keep).select([col])
+
+    cand_tbl = bucketed_aggregate(
+        ds.map_batches(cands, batch_format="pyarrow"),
+        col, {"n_batches": (col, "size")}, num_buckets=num_buckets,
+    ).to_pandas()
+    cand = np.sort(cand_tbl[col].to_numpy())
+    ref = ray.put(cand)
+
+    def verify_partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        v = batch.column(col)
+        sel = batch.filter(pc.is_in(v, value_set=pa.array(c, type=v.type)))
+        g = sel.select([col]).group_by(col).aggregate([([], "count_all")])
+        return g.rename_columns([col, "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(verify_partial, batch_format="pyarrow"),
+        col, {"n": ("n", "sum")}, num_buckets=num_buckets,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(t.column("n"), pa.scalar(k, type=pa.int64())),
+            pa.scalar(n_total, type=pa.int64()))
+        return t.filter(keep)
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def heavy_hitters_sql(*, table_expr: str, col: str, k: int) -> str:
+    """SQL mirror: the plain full-vocabulary GROUP BY the engine avoids."""
+    return f"""
+        SELECT {col}, count(*)::BIGINT AS n
+        FROM {table_expr} GROUP BY {col}
+        HAVING count(*) * {k} > (SELECT count(*) FROM {table_expr})"""

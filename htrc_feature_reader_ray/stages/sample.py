@@ -325,3 +325,68 @@ def host_cap_sql(*, host_expr: str, id_col: str, k: int, salt: str = "",
                  )::BIGINT AS {rank_col}
           FROM {table}
         ) WHERE {rank_col} <= {k}"""
+
+
+def temperature_weights(ds, *, stratum_col: str, num_buckets: int = 16):
+    """α=½ temperature-rebalanced mixture weights per stratum — the
+    multilingual corpus-sampling recipe (mC4 / XLM-R style): sampling
+    probability ∝ p_stratum^α flattens the head so low-resource strata
+    are not drowned, and α=½ is the one temperature with an EXACT integer
+    form — ``r = isqrt(n)`` (⌊√n⌋, correct for all int64 where float
+    ``pow(p, α)`` is neither correctly rounded nor cross-engine stable).
+
+    ``weight_ppm = isqrt(n_stratum)·10⁶ // Σ_s isqrt(n_s)`` — feed it to
+    :func:`mixture_sample` as the fraction map (scaled by the desired
+    corpus size) to draw the rebalanced mixture.
+
+    Scale shape: ONE count fold to the stratum table (bounded: languages
+    / sources), finish on the driver over those rows only.  Output
+    ``(stratum_col, n_rows, weight_ppm)``.
+    """
+    import math
+
+    import pyarrow as pa
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([stratum_col]).group_by(stratum_col).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([stratum_col, "n_rows"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        stratum_col, {"n_rows": ("n_rows", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+    r = folded["n_rows"].map(lambda n: math.isqrt(int(n)))
+    denom = int(r.sum())
+    folded["weight_ppm"] = (
+        (r.astype(object) * 1_000_000) // max(denom, 1)
+    ).astype("int64")
+    folded["n_rows"] = folded["n_rows"].astype("int64")
+    import ray.data
+
+    return ray.data.from_pandas(
+        folded[[stratum_col, "n_rows", "weight_ppm"]])
+
+
+def temperature_weights_sql(*, stratum_col: str, table: str) -> str:
+    """SQL mirror. ``isqrt`` is rebuilt exactly from the float sqrt with a
+    ±1 correction (float sqrt of a BIGINT can land one off around perfect
+    squares; the two CASE terms repair both directions)."""
+
+    def isqrt(x: str) -> str:
+        s = f"CAST(floor(sqrt(({x})::DOUBLE)) AS BIGINT)"
+        return (f"({s} + (CASE WHEN ({s}+1)*({s}+1) <= ({x}) THEN 1 ELSE 0 END)"
+                f" - (CASE WHEN {s}*{s} > ({x}) THEN 1 ELSE 0 END))")
+
+    return f"""
+        WITH c AS (
+          SELECT {stratum_col}, count(*)::BIGINT AS n_rows FROM {table}
+          GROUP BY 1
+        ),
+        r AS (SELECT {stratum_col}, n_rows, {isqrt('n_rows')} AS rt FROM c),
+        d AS (SELECT greatest(sum(rt), 1)::HUGEINT AS denom FROM r)
+        SELECT {stratum_col}, n_rows,
+               (rt::HUGEINT * 1000000 // d.denom)::BIGINT AS weight_ppm
+        FROM r, d"""

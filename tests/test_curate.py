@@ -580,3 +580,57 @@ def test_bm25_topk_scalar_reference_and_ranking_sanity():
     assert got_map == want
     # the all-terms doc must beat the single-common-term doc 2
     assert got_map[4] > got_map[2]
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal (perplexity-style filter)
+
+
+def test_bigram_surprisal_scalar_reference():
+    """Engine equals a direct scalar re-derivation of the formula."""
+    import math
+
+    from htrc_feature_reader_ray.stages.curate import bigram_surprisal
+
+    texts = ["a b a b c", "c c c c", "a", ""]
+    ds = _docs_ds(texts)
+    out = (bigram_surprisal(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+
+    # scalar reference
+    toks = [t.split() for t in texts]
+    vocab = {w for ts in toks for w in ts}
+    V = len(vocab)
+    from collections import Counter
+    pair = Counter((a, b) for ts in toks for a, b in zip(ts, ts[1:]))
+    ctx = Counter()
+    for (a, _), c in pair.items():
+        ctx[a] += c
+    for i, ts in enumerate(toks):
+        n_pairs = max(len(ts) - 1, 0)
+        bits = sum(
+            (ctx[a] + V).bit_length() - 1 - ((pair[(a, b)] + 1)
+                                             .bit_length() - 1)
+            for a, b in zip(ts, ts[1:]))
+        assert out.loc[i, "n_pairs"] == n_pairs, i
+        assert out.loc[i, "bigram_bits"] == bits, i
+
+
+def test_bigram_surprisal_sees_scrambling_unigram_misses():
+    """A token-shuffled doc keeps its unigram stats but its bigram
+    surprisal rises — the reason to run the filter at bigram order."""
+    from htrc_feature_reader_ray.stages.curate import (
+        bigram_surprisal,
+        surprisal_score,
+    )
+
+    fluent = "the cat sat on the mat"
+    # same token multiset, adjacent pairs swapped -> every bigram unseen
+    # in the fluent corpus that dominates the LM
+    scrambled = "cat the on sat mat the"
+    ds = _docs_ds([fluent] * 50 + [scrambled])
+    uni = surprisal_score(ds).to_pandas().set_index("doc_id")
+    assert (uni.loc[0, "surprisal_bits"]
+            == uni.loc[50, "surprisal_bits"])  # unigram is blind
+    bi = bigram_surprisal(ds).to_pandas().set_index("doc_id")
+    assert bi.loc[50, "bigram_bits"] > bi.loc[0, "bigram_bits"]

@@ -826,3 +826,73 @@ def test_fk_violations_and_topn_collapse():
     # y has only 2 distinct keys -> no __other__ row
     assert ("y", "__other__") not in tc.index
     assert tc.loc[("y", "q"), "n_rows"] == 2
+
+
+# ---------------------------------------------------------------------------
+# exact two-pass heavy hitters
+
+
+def _hh_ds(vals, parts=7):
+    return ray.data.from_arrow(
+        pa.table({"k": pa.array(vals, type=pa.string())})
+    ).repartition(parts)
+
+
+def test_heavy_hitters_exact_on_skew():
+    # zipf-ish skew: 'hot' 40%, 'warm' 15%, long uniform tail
+    vals = (["hot"] * 400 + ["warm"] * 150
+            + [f"t{i}" for i in range(450)])
+    from htrc_feature_reader_ray.stages.profile import heavy_hitters
+
+    out = heavy_hitters(_hh_ds(vals), col="k", k=10).to_pandas()
+    got = dict(zip(out["k"], out["n"]))
+    # exact definition: count*k > N  (N=1000, k=10 -> count > 100)
+    assert got == {"hot": 400, "warm": 150}
+
+
+def test_heavy_hitters_candidate_union_is_lossless():
+    # adversarial: the heavy key is spread thin across partitions so no
+    # single partition makes it look dominant relative to OTHER keys,
+    # yet it exceeds B/k somewhere by the union bound.
+    vals = []
+    for p in range(10):
+        vals += [f"u{p}_{i}" for i in range(80)] + ["heavy"] * 20
+    from htrc_feature_reader_ray.stages.profile import heavy_hitters
+
+    out = heavy_hitters(_hh_ds(vals, parts=10), col="k", k=6).to_pandas()
+    got = dict(zip(out["k"], out["n"]))
+    # N=1000, threshold N/6=166.7 -> only 'heavy' (200) qualifies
+    assert got == {"heavy": 200}
+
+
+def test_heavy_hitters_empty_answer():
+    vals = [f"v{i}" for i in range(300)]  # all distinct
+    from htrc_feature_reader_ray.stages.profile import heavy_hitters
+
+    out = heavy_hitters(_hh_ds(vals), col="k", k=50).to_pandas()
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# temperature-rebalanced mixture weights
+
+
+def test_temperature_weights_isqrt_exact():
+    import math
+
+    from htrc_feature_reader_ray.stages.sample import temperature_weights
+
+    counts = {"en": 900, "de": 100, "yo": 4}
+    rows = [lang for lang, n in counts.items() for _ in range(n)]
+    ds = ray.data.from_arrow(
+        pa.table({"lang": pa.array(rows, type=pa.string())})
+    ).repartition(6)
+    out = temperature_weights(ds, stratum_col="lang").to_pandas()
+    out = out.set_index("lang")
+    denom = sum(math.isqrt(n) for n in counts.values())  # 30+10+2 = 42
+    for lang, n in counts.items():
+        assert out.loc[lang, "n_rows"] == n
+        assert out.loc[lang, "weight_ppm"] == math.isqrt(n) * 10**6 // denom
+    # flattening: en is 89.6% of docs but only ~71% of the sample weight
+    assert out.loc["en", "weight_ppm"] < 900_000 // 1  # sanity
+    assert out.loc["yo", "weight_ppm"] * 225 > out.loc["en", "weight_ppm"]
