@@ -1330,6 +1330,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bigram_surprisal(_docs(sf, columns=["doc_id", "text"]))
 
+    def q_value_auc_by_day(sf):
+        """Exact per-day ROC-AUC (Mann-Whitney doubled-midrank identity,
+        integer ppm) of value_cents separating purchase events from the
+        rest — the supervised-eval primitive; one day-bucketed exchange,
+        ranks vectorized across all days per bucket."""
+        from htrc_feature_reader_ray.stages.profile import grouped_auc
+
+        def prep(t: pa.Table) -> pa.Table:
+            ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+            cents = np.round(
+                t.column("value").to_numpy() * 100).astype(np.int64)
+            lab = (t.column("event_type").to_numpy(zero_copy_only=False)
+                   == "purchase").astype(np.int64)
+            return pa.table({
+                "day": pa.array(ts_us // 86_400_000_000),
+                "label": pa.array(lab, type=pa.int64()),
+                "value_cents": pa.array(cents, type=pa.int64()),
+            })
+
+        ev = _events(sf, ["ts", "event_type", "value"]).map_batches(
+            prep, batch_format="pyarrow")
+        return grouped_auc(ev, group_col="day", label_col="label",
+                           score_col="value_cents")
+
+    def q_postings_size(sf):
+        """Inverted-index capacity planning: per-term posting-list bytes
+        under delta+varint (LEB128) coding — exact integers from one
+        token-bucketed exchange of distinct (doc, token) pairs."""
+        from htrc_feature_reader_ray.stages.curate import postings_size
+
+        return postings_size(_docs(sf, columns=["doc_id", "text"]))
+
     def q_lang_temperature_weights(sf):
         """α=½ temperature-rebalanced sampling weights per language (the
         mC4/XLM-R multilingual mixture recipe) — exact integer isqrt
@@ -3610,6 +3642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": q_heavy_hitter_tokens,
         "bigram_surprisal": q_bigram_surprisal,
         "lang_temperature_weights": q_lang_temperature_weights,
+        "value_auc_by_day": q_value_auc_by_day,
+        "postings_size": q_postings_size,
         "pareto_sources": q_pareto_sources,
         "fk_violations": q_fk_violations,
         "topn_sources_per_lang": q_topn_sources_per_lang,
@@ -4646,6 +4680,15 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": curate.bigram_surprisal_sql(),
         "lang_temperature_weights": sample.temperature_weights_sql(
             stratum_col="lang", table="documents"),
+        "value_auc_by_day": profile_mod.grouped_auc_sql(
+            table_expr="""(
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                         AS label,
+                     CAST(round(value * 100) AS BIGINT) AS value_cents
+              FROM events)""",
+            group="day", label="label", score="value_cents"),
+        "postings_size": curate.postings_size_sql(),
         "pareto_sources": profile_mod.pareto_rank_sql(
             table_expr="documents", key="source",
             weight_expr="n_chars"),

@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "heavy_hitter_tokens",
     "bigram_surprisal",
     "lang_temperature_weights",
+    "value_auc_by_day",
+    "postings_size",
 ]
 
 HEADLINE = "flagship"

@@ -1419,3 +1419,73 @@ def bigram_surprisal_sql(*, table: str = "documents", text_col: str = "text",
                coalesce(s.n_pairs, 0)::BIGINT AS n_pairs,
                coalesce(s.bigram_bits, 0)::BIGINT AS bigram_bits
         FROM {table} d LEFT JOIN scored s USING ({id_col})"""
+
+
+def postings_size(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  num_buckets: int = 64):
+    """Per-term inverted-index size estimate under delta + varint coding —
+    ``(token, df, bytes_varint)`` — the index-capacity-planning pass run
+    before building shards: posting lists store ascending doc-id GAPS,
+    each gap in LEB128 (``⌈bitlen(gap)/7⌉`` bytes, 1 byte for gap 0), so
+    total bytes is an exact integer any engine reproduces.
+
+    Shape: the same distinct (doc, token) pair partials as
+    :func:`build_postings`, one token-bucketed exchange, then one
+    vectorized diff/bitlen pass per bucket (no per-term loop) — the
+    estimate costs exactly one index-construction exchange, not an index
+    build."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+    from htrc_feature_reader_ray.stages.profile import _ilog2
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        ids = batch.column(id_col).to_numpy()[parent]
+        t = pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "token": flat,
+        })
+        return t.group_by(["doc_id", "token"]).aggregate([])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = (df.drop_duplicates(["token", "doc_id"])
+                .sort_values(["token", "doc_id"], kind="mergesort",
+                             ignore_index=True))
+        ids = df["doc_id"].to_numpy()
+        first = (df["token"].to_numpy()[1:] != df["token"].to_numpy()[:-1])
+        first = np.concatenate(([True], first))
+        gaps = np.where(first, ids, ids - np.concatenate(([0], ids[:-1])))
+        nbytes = np.where(
+            gaps == 0, 1,
+            (_ilog2(np.maximum(gaps, 1)) + 7) // 7).astype(np.int64)
+        df["_b"] = nbytes
+        out = df.groupby("token", sort=False, as_index=False).agg(
+            df_docs=("doc_id", "size"), bytes_varint=("_b", "sum"))
+        out["df_docs"] = out["df_docs"].astype("int64")
+        out["bytes_varint"] = out["bytes_varint"].astype("int64")
+        return out
+
+    folded = ds.map_batches(pairs, batch_format="pyarrow")
+    return bucketed_map_groups(folded, "token", finish,
+                               num_buckets=num_buckets)
+
+
+def postings_size_sql(*, table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """SQL mirror: lag() gaps, ``⌈bitlen/7⌉`` via format('{:b}')."""
+    return f"""
+        WITH pairs AS (
+          SELECT DISTINCT t.token, {id_col} AS doc_id
+          FROM {table}, unnest(string_split({text_col}, ' ')) AS t(token)
+          WHERE t.token <> ''
+        ),
+        g AS (
+          SELECT token,
+                 doc_id - coalesce(lag(doc_id) OVER (
+                     PARTITION BY token ORDER BY doc_id), 0) AS gap
+          FROM pairs
+        )
+        SELECT token, count(*)::BIGINT AS df_docs,
+               sum(CASE WHEN gap = 0 THEN 1
+                        ELSE (length(format('{{:b}}', gap)) + 6) // 7
+                   END)::BIGINT AS bytes_varint
+        FROM g GROUP BY token"""

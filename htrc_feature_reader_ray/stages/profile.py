@@ -1870,3 +1870,78 @@ def heavy_hitters_sql(*, table_expr: str, col: str, k: int) -> str:
         SELECT {col}, count(*)::BIGINT AS n
         FROM {table_expr} GROUP BY {col}
         HAVING count(*) * {k} > (SELECT count(*) FROM {table_expr})"""
+
+
+def grouped_auc(ds, *, group_col: str, label_col: str, score_col: str,
+                num_buckets: int = 16):
+    """Exact ROC-AUC per group via the Mann-Whitney rank-sum identity —
+    the supervised-eval primitive ("does this quality score actually
+    separate the positives?") with the module's no-IEEE contract: with
+    midranks doubled everything stays in integers,
+
+        auc_ppm = (Σ_pos 2·midrank − n₁(n₁+1)) · 10⁶ // (2·n₁·n₀)
+
+    (2·midrank of a tie block = first_rank + last_rank, so ties
+    contribute the exact ½ the float formulation hand-waves). Groups
+    missing either class are dropped by contract (AUC undefined).
+
+    Scale shape: ranks are global per group, so this is ONE
+    group-bucketed exchange; inside a bucket one lexsort ranks ALL
+    groups at once (no per-group loop). Output
+    ``(group_col, n_pos, n_neg, auc_ppm)``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, score_col],
+                            kind="mergesort", ignore_index=True)
+        g = df.groupby(group_col, sort=False)
+        pos_in_group = g.cumcount().to_numpy() + 1
+        df["_r"] = pos_in_group
+        tie = df.groupby([group_col, score_col], sort=False)["_r"]
+        tworank = (tie.transform("min") + tie.transform("max")).to_numpy()
+        lab = df[label_col].to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            group_col: df[group_col],
+            "n_pos": lab,
+            "n_neg": 1 - lab,
+            "_s2": np.where(lab == 1, tworank, 0),
+        }).groupby(group_col, sort=False, as_index=False).sum()
+        out = out[(out["n_pos"] > 0) & (out["n_neg"] > 0)]
+        n1 = out["n_pos"].astype(object)
+        num = (out["_s2"].astype(object) - n1 * (n1 + 1)) * 1_000_000
+        out["auc_ppm"] = (
+            num // (2 * n1 * out["n_neg"].astype(object))
+        ).astype("int64")
+        out["n_pos"] = out["n_pos"].astype("int64")
+        out["n_neg"] = out["n_neg"].astype("int64")
+        return out.drop(columns=["_s2"])
+
+    return bucketed_map_groups(ds, group_col, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def grouped_auc_sql(*, table_expr: str, group: str, label: str,
+                    score: str) -> str:
+    """SQL mirror: ``2·midrank = 2·rank() + tie_count − 1`` (rank() is
+    the tie block's min rank), HUGEINT finish."""
+    return f"""
+        WITH r AS (
+          SELECT {group} AS g, {label} AS lab,
+                 2 * rank() OVER (PARTITION BY {group} ORDER BY {score})
+                   + count(*) OVER (PARTITION BY {group}, {score}) - 1
+                   AS tworank
+          FROM {table_expr}
+        ),
+        a AS (
+          SELECT g, count(*) FILTER (WHERE lab = 1)::BIGINT AS n_pos,
+                 count(*) FILTER (WHERE lab = 0)::BIGINT AS n_neg,
+                 coalesce(sum(tworank) FILTER (WHERE lab = 1), 0)::HUGEINT
+                     AS s2
+          FROM r GROUP BY g
+          HAVING n_pos > 0 AND n_neg > 0
+        )
+        SELECT g AS {group}, n_pos, n_neg,
+               ((s2 - n_pos::HUGEINT * (n_pos + 1)) * 1000000
+                // (2::HUGEINT * n_pos * n_neg))::BIGINT AS auc_ppm
+        FROM a"""

@@ -634,3 +634,25 @@ def test_bigram_surprisal_sees_scrambling_unigram_misses():
             == uni.loc[50, "surprisal_bits"])  # unigram is blind
     bi = bigram_surprisal(ds).to_pandas().set_index("doc_id")
     assert bi.loc[50, "bigram_bits"] > bi.loc[0, "bigram_bits"]
+
+
+def test_postings_size_scalar_reference():
+    from htrc_feature_reader_ray.stages.curate import postings_size
+
+    texts = ["x y", "x", "x z z", "y x"]
+    ds = _docs_ds(texts, ids=[0, 3, 200, 131072])
+    out = (postings_size(ds).to_pandas()
+           .set_index("token").sort_index())
+
+    def varint(g):
+        return 1 if g == 0 else (g.bit_length() + 6) // 7
+
+    # x: ids 0,3,200,131072 -> gaps 0,3,197,130872 -> 1+1+2+3 = 7 bytes
+    assert out.loc["x", "df_docs"] == 4
+    assert out.loc["x", "bytes_varint"] == sum(
+        varint(g) for g in (0, 3, 197, 130872))
+    # z appears twice in one doc -> distinct df 1, gap=200 -> 2 bytes
+    assert out.loc["z", "df_docs"] == 1
+    assert out.loc["z", "bytes_varint"] == 2
+    assert out.loc["y", "df_docs"] == 2
+    assert out.loc["y", "bytes_varint"] == varint(0) + varint(131072)

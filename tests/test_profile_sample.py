@@ -896,3 +896,51 @@ def test_temperature_weights_isqrt_exact():
     # flattening: en is 89.6% of docs but only ~71% of the sample weight
     assert out.loc["en", "weight_ppm"] < 900_000 // 1  # sanity
     assert out.loc["yo", "weight_ppm"] * 225 > out.loc["en", "weight_ppm"]
+
+
+# ---------------------------------------------------------------------------
+# exact grouped ROC-AUC (Mann-Whitney)
+
+
+def _auc_brute(scores, labels):
+    """Pair-counting AUC with ties = 1/2, in exact doubled integers."""
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    two_u = sum(2 if p > n else (1 if p == n else 0)
+                for p in pos for n in neg)
+    return two_u * 10**6 // (2 * len(pos) * len(neg))
+
+
+def test_grouped_auc_matches_pair_counting_with_ties():
+    from htrc_feature_reader_ray.stages.profile import grouped_auc
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for g in ("a", "b", "c"):
+        n = 200
+        scores = rng.randint(0, 25, size=n)  # heavy ties
+        labels = rng.randint(0, 2, size=n)
+        rows += [(g, int(s), int(y)) for s, y in zip(scores, labels)]
+    df = pd.DataFrame(rows, columns=["g", "s", "y"])
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = grouped_auc(ds, group_col="g", label_col="y",
+                      score_col="s").to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        assert out.loc[g, "auc_ppm"] == _auc_brute(
+            sub["s"].tolist(), sub["y"].tolist()), g
+        assert out.loc[g, "n_pos"] == int(sub["y"].sum())
+
+
+def test_grouped_auc_perfect_and_degenerate():
+    from htrc_feature_reader_ray.stages.profile import grouped_auc
+
+    df = pd.DataFrame({
+        "g": ["p"] * 6 + ["onecls"] * 3,
+        "s": [1, 2, 3, 10, 11, 12, 5, 5, 5],
+        "y": [0, 0, 0, 1, 1, 1, 1, 1, 1],
+    })
+    out = grouped_auc(ray.data.from_pandas(df).repartition(4),
+                      group_col="g", label_col="y",
+                      score_col="s").to_pandas()
+    assert set(out["g"]) == {"p"}  # single-class group dropped
+    assert out.set_index("g").loc["p", "auc_ppm"] == 1_000_000
