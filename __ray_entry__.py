@@ -1330,6 +1330,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bigram_surprisal(_docs(sf, columns=["doc_id", "text"]))
 
+    def q_unigram_pieces(sf):
+        """Unigram-LM tokenizer training (SentencePiece's trainer as
+        integer-exact hard-EM: half-bit Viterbi costs, smallest-split
+        ties, usage reprune + re-smooth per round) — one corpus fold,
+        rounds on the word-type vocabulary."""
+        from htrc_feature_reader_ray.stages.vocab import unigram_train
+
+        return unigram_train(_docs(sf, columns=["text"]))
+
     def q_value_auc_by_day(sf):
         """Exact per-day ROC-AUC (Mann-Whitney doubled-midrank identity,
         integer ppm) of value_cents separating purchase events from the
@@ -3644,6 +3653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_temperature_weights": q_lang_temperature_weights,
         "value_auc_by_day": q_value_auc_by_day,
         "postings_size": q_postings_size,
+        "unigram_pieces": q_unigram_pieces,
         "pareto_sources": q_pareto_sources,
         "fk_violations": q_fk_violations,
         "topn_sources_per_lang": q_topn_sources_per_lang,
@@ -4689,6 +4699,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events)""",
             group="day", label="label", score="value_cents"),
         "postings_size": curate.postings_size_sql(),
+        "unigram_pieces": vocab_mod.unigram_train_sql(),
         "pareto_sources": profile_mod.pareto_rank_sql(
             table_expr="documents", key="source",
             weight_expr="n_chars"),

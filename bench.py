@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "lang_temperature_weights",
     "value_auc_by_day",
     "postings_size",
+    "unigram_pieces",
 ]
 
 HEADLINE = "flagship"

@@ -1094,3 +1094,227 @@ def wordpiece_train_sql(*, table: str = "documents", text: str = "text",
     return sql + f"""
         sink AS (SELECT 1)
         {unions}"""
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer training (SentencePiece's third trainer, after BPE
+# and WordPiece)
+
+
+def unigram_train(ds, *, text_col: str = "text", rounds: int = 2,
+                  max_piece_len: int = 4, seed_size: int = 200,
+                  prune_min: int = 1, max_word_len: int = 12,
+                  num_buckets: int = 32):
+    """Unigram-LM tokenizer training (Kudo ACL'18 / SentencePiece) as a
+    bounded-round hard-EM with the module's integer-exactness contract —
+    completing the BPE / WordPiece / Unigram trainer trifecta.
+
+    The reproducibility contract (what replaces SentencePiece's float
+    forward-backward EM, which is summation-order-dependent and hence
+    not cross-engine stable):
+
+    * piece costs are HALF-BITS of inverse probability:
+      ``cost(p) = bitlen(T²) − bitlen(cnt(p)²)`` with ``T = Σ cnt`` —
+      ``⌊2·log2(T/cnt)⌋ ± 1`` computed exactly in integers on both
+      engines (the SQL mirror squares in BIGINT, so its documented
+      domain is ``T < 2³¹·⁵``; the engine itself uses arbitrary
+      precision);
+    * the E-step is VITERBI (hard-EM): each word type takes its single
+      best segmentation under ``min Σ cost`` with ties broken by the
+      smallest split point at every DP cell — a total order, so the
+      segmentation is deterministic and SQL-unrollable;
+    * the M-step recounts piece usage over best paths (weighted by word
+      frequency), prunes multi-char pieces used fewer than ``prune_min``
+      times (single chars are never pruned — feasibility), and
+      re-smoothes ``cnt = usage + 1``.
+
+    Seeding: all single chars plus the top ``seed_size`` multi-char
+    substrings (length ≤ ``max_piece_len``) by positionally-exploded
+    frequency-weighted count, ties (count desc, piece asc).
+
+    Scale shape: ONE corpus token fold; every round runs on the folded
+    word-TYPE vocabulary (the module's canonical worker-fit small side,
+    same contract as ``bpe_train``'s driver-resident regime) — the
+    corpus is never rescanned. Words longer than ``max_word_len`` are
+    rejected loudly (the SQL unroll depth; raise it for long-token
+    corpora). Returns a pandas DataFrame ``(piece, piece_len, usage)`` —
+    the final vocabulary with its last-E-step usage.
+    """
+    words = corpus_token_counts(
+        ds, text_col=text_col, num_buckets=num_buckets
+    ).to_pandas()
+    words = words.sort_values("token", ignore_index=True)
+    wlist = words["token"].astype(str).tolist()
+    freqs = words["count"].astype("int64").to_numpy()
+    too_long = [w for w in wlist if len(w) > max_word_len]
+    if too_long:
+        raise ValueError(
+            f"unigram_train: {len(too_long)} word types exceed "
+            f"max_word_len={max_word_len} (e.g. {too_long[0]!r}); raise "
+            "max_word_len (the SQL unroll depth) to cover them")
+
+    # ---- seed vocabulary -------------------------------------------------
+    from collections import Counter
+
+    seed = Counter()
+    for w, f in zip(wlist, freqs):
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(max_piece_len, n - i) + 1):
+                seed[w[i:i + ln]] += int(f)
+    chars = sorted({p for p in seed if len(p) == 1})
+    multi = sorted(
+        ((p, c) for p, c in seed.items() if len(p) > 1),
+        key=lambda pc: (-pc[1], pc[0]))[:seed_size]
+    vocab = {p: seed[p] for p in chars}
+    vocab.update(dict(multi))
+
+    def _viterbi_usage(cnt: dict) -> Counter:
+        T = sum(cnt.values())
+        lt = (T * T).bit_length()
+        cost = {p: lt - (c * c).bit_length() for p, c in cnt.items()}
+        usage = Counter()
+        big = 1 << 60
+        for w, f in zip(wlist, freqs):
+            n = len(w)
+            best = [0] + [big] * n
+            prev = [-1] * (n + 1)
+            for i in range(1, n + 1):
+                for j in range(max(0, i - max_piece_len), i):
+                    piece = w[j:i]
+                    c = cost.get(piece)
+                    if c is None or best[j] >= big:
+                        continue
+                    cand = best[j] + c
+                    # strict < with ascending j == min by (cost, j)
+                    if cand < best[i]:
+                        best[i] = cand
+                        prev[i] = j
+            pos = n
+            while pos > 0:
+                j = prev[pos]
+                usage[w[j:pos]] += int(f)
+                pos = j
+        return usage
+
+    cnt = dict(vocab)
+    usage = Counter()
+    for _ in range(rounds):
+        usage = _viterbi_usage(cnt)
+        cnt = {p: usage[p] + 1 for p in chars}
+        cnt.update({p: u + 1 for p, u in usage.items()
+                    if len(p) > 1 and u >= prune_min})
+
+    pieces = sorted(set(chars) | {p for p in usage if len(p) > 1
+                                  and usage[p] >= prune_min})
+    return pd.DataFrame({
+        "piece": pieces,
+        "piece_len": np.array([len(p) for p in pieces], dtype=np.int64),
+        "usage": np.array([int(usage.get(p, 0)) for p in pieces],
+                          dtype=np.int64),
+    })
+
+
+def unigram_train_sql(*, table: str = "documents", text: str = "text",
+                      rounds: int = 2, max_piece_len: int = 4,
+                      seed_size: int = 200, prune_min: int = 1,
+                      max_word_len: int = 12) -> str:
+    """SQL replay of :func:`unigram_train`: the Viterbi DP unrolls to
+    ``max_word_len`` per-position argmin stages per round (min by
+    ``(cost, split_point)`` via ``row_number``), the best path walks back
+    through the same stages, and usage/prune/re-smooth are plain
+    aggregates. Costs square in BIGINT, so the mirror's domain is
+    ``Σcnt < 3·10⁹`` (the engine itself is arbitrary-precision)."""
+    L, W, R = max_piece_len, max_word_len, rounds
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    parts = [f"""w AS MATERIALIZED (
+          SELECT t.t AS word, count(*)::BIGINT AS freq
+          FROM {table}, LATERAL unnest({toks}) AS t(t)
+          GROUP BY 1
+        )""", f"""sub AS MATERIALIZED (
+          SELECT substring(word, i.i, l.l) AS piece, l.l::BIGINT AS plen,
+                 sum(freq)::BIGINT AS cnt
+          FROM w,
+               unnest(generate_series(1, length(word))) i(i),
+               unnest(generate_series(1, {L})) l(l)
+          WHERE i.i + l.l - 1 <= length(word)
+          GROUP BY 1, 2
+        )""", """chars0 AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE plen = 1)""",
+        f"""multi0 AS MATERIALIZED (
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+            FROM sub WHERE plen > 1)
+          WHERE rn <= {seed_size}
+        )""", """v0 AS MATERIALIZED (
+          SELECT piece, cnt FROM chars0
+          UNION ALL SELECT piece, cnt FROM multi0
+        )"""]
+    for r in range(1, R + 1):
+        parts.append(f"t{r} AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS t FROM v{r-1})")
+        parts.append(f"""c{r} AS MATERIALIZED (
+          SELECT piece,
+                 (length(format('{{:b}}', t.t * t.t))
+                  - length(format('{{:b}}', cnt * cnt)))::BIGINT AS cost
+          FROM v{r-1}, t{r} t
+        )""")
+        parts.append(
+            f"b{r}_0 AS MATERIALIZED (SELECT word, 0::BIGINT AS cost FROM w)")
+        for i in range(1, W + 1):
+            arms = []
+            for j in range(max(0, i - L), i):
+                arms.append(f"""
+                SELECT b.word, b.cost + c.cost AS cost, {j} AS j
+                FROM b{r}_{j} b JOIN c{r} c
+                  ON c.piece = substring(b.word, {j + 1}, {i - j})
+                WHERE length(b.word) >= {i}""")
+            union = " UNION ALL ".join(arms)
+            parts.append(f"""b{r}_{i} AS MATERIALIZED (
+              SELECT word, cost, j FROM (
+                SELECT word, cost, j, row_number() OVER (
+                    PARTITION BY word ORDER BY cost, j) AS rn
+                FROM ({union})
+              ) WHERE rn = 1
+            )""")
+        bb = " UNION ALL ".join(
+            f"SELECT word, {i}::BIGINT AS pos, j FROM b{r}_{i}"
+            for i in range(1, W + 1))
+        parts.append(f"bb{r} AS MATERIALIZED ({bb})")
+        parts.append(
+            f"p{r}_0 AS MATERIALIZED (SELECT word, length(word)::BIGINT AS pos FROM w)")
+        for k in range(1, W + 1):
+            parts.append(f"""p{r}_{k} AS MATERIALIZED (
+              SELECT p.word, bb.j::BIGINT AS pos
+              FROM p{r}_{k-1} p JOIN bb{r} bb
+                ON bb.word = p.word AND bb.pos = p.pos
+              WHERE p.pos > 0
+            )""")
+        segs = " UNION ALL ".join(f"""
+            SELECT a.word,
+                   substring(a.word, (b.pos + 1)::INT,
+                             (a.pos - b.pos)::INT) AS piece
+            FROM p{r}_{k} a JOIN p{r}_{k+1} b USING (word)
+            WHERE a.pos > 0""" for k in range(0, W))
+        parts.append(f"seg{r} AS MATERIALIZED ({segs})")
+        parts.append(f"""u{r} AS MATERIALIZED (
+          SELECT piece, sum(freq)::BIGINT AS usage
+          FROM seg{r} JOIN w USING (word) GROUP BY 1
+        )""")
+        if r < R:
+            parts.append(f"""v{r} AS MATERIALIZED (
+              SELECT c.piece, coalesce(u.usage, 0) + 1 AS cnt
+              FROM chars0 c LEFT JOIN u{r} u USING (piece)
+              UNION ALL
+              SELECT piece, usage + 1 AS cnt FROM u{r}
+              WHERE length(piece) > 1 AND usage >= {prune_min}
+            )""")
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT p.piece, length(p.piece)::BIGINT AS piece_len,
+               coalesce(u.usage, 0)::BIGINT AS usage
+        FROM (SELECT piece FROM chars0
+              UNION
+              SELECT piece FROM u{R}
+              WHERE length(piece) > 1 AND usage >= {prune_min}) p
+        LEFT JOIN u{R} u USING (piece)"""

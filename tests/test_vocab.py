@@ -370,3 +370,57 @@ def test_wordpiece_train_matches_reference_and_differs_from_bpe():
     # distributed loop path pins equal
     dist = wordpiece_train(ds, rounds=4, driver_limit=0)
     pd.testing.assert_frame_equal(out, dist)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer training
+
+
+def test_unigram_train_hand_worked():
+    """Corpus 'ab ab ab c': round 1 scores [ab]=3 half-bits vs [a,b]=6,
+    so 'ab' wins; round 2 keeps it; final usage ab:3, c:1, a/b unused."""
+    from htrc_feature_reader_ray.stages.vocab import unigram_train
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"text": ["ab ab ab c"]})).repartition(1)
+    out = unigram_train(ds).set_index("piece")
+    assert set(out.index) == {"a", "b", "c", "ab"}
+    assert out.loc["ab", "usage"] == 3
+    assert out.loc["c", "usage"] == 1
+    assert out.loc["a", "usage"] == 0 and out.loc["b", "usage"] == 0
+    assert out.loc["ab", "piece_len"] == 2
+
+
+def test_unigram_train_prunes_unused_seeds_keeps_chars():
+    from htrc_feature_reader_ray.stages.vocab import unigram_train
+
+    # 'xy' dominates; the seed also contains 'xyz'/'yz'/'zq' etc. from the
+    # rare word, but unused multi-char pieces must be pruned while every
+    # single char survives with usage >= 0.
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"text": ["xy xy xy xy xy xy zq"]})).repartition(1)
+    out = unigram_train(ds).set_index("piece")
+    assert "xy" in out.index
+    chars = {p for p in out.index if len(p) == 1}
+    assert chars == {"x", "y", "z", "q"}
+    multis = {p for p in out.index if len(p) > 1}
+    assert all(out.loc[p, "usage"] > 0 for p in multis)
+
+
+def test_unigram_train_partitioning_invariant_and_long_word_guard():
+    import pytest
+
+    from htrc_feature_reader_ray.stages.vocab import unigram_train
+
+    texts = [f"tok{i % 5} abcd{i % 3} xx" for i in range(60)]
+    a = unigram_train(
+        ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(1))
+    b = unigram_train(
+        ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(13))
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(ValueError, match="max_word_len"):
+        unigram_train(
+            ray.data.from_pandas(
+                pd.DataFrame({"text": ["supercalifragilistic"]})),
+            max_word_len=8)
