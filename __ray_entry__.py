@@ -1339,6 +1339,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return unigram_train(_docs(sf, columns=["text"]))
 
+    def q_unigram_encode(sf):
+        """Corpus segmentation under the trained unigram-LM pieces —
+        (doc, pos, sym_pos, piece) subword rows; the segmented word-type
+        vocabulary broadcasts once, occurrences expand by index
+        arithmetic (same shape as bpe_encode)."""
+        from htrc_feature_reader_ray.stages.vocab import unigram_encode
+
+        return unigram_encode(_docs(sf, columns=["doc_id", "text"]))
+
     def q_value_auc_by_day(sf):
         """Exact per-day ROC-AUC (Mann-Whitney doubled-midrank identity,
         integer ppm) of value_cents separating purchase events from the
@@ -3654,6 +3663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_auc_by_day": q_value_auc_by_day,
         "postings_size": q_postings_size,
         "unigram_pieces": q_unigram_pieces,
+        "unigram_encode": q_unigram_encode,
         "pareto_sources": q_pareto_sources,
         "fk_violations": q_fk_violations,
         "topn_sources_per_lang": q_topn_sources_per_lang,
@@ -4700,6 +4710,7 @@ def oracle_sql() -> dict[str, str]:
             group="day", label="label", score="value_cents"),
         "postings_size": curate.postings_size_sql(),
         "unigram_pieces": vocab_mod.unigram_train_sql(),
+        "unigram_encode": vocab_mod.unigram_train_sql(emit="encode"),
         "pareto_sources": profile_mod.pareto_rank_sql(
             table_expr="documents", key="source",
             weight_expr="n_chars"),

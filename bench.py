@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "value_auc_by_day",
     "postings_size",
     "unigram_pieces",
+    "unigram_encode",
 ]
 
 HEADLINE = "flagship"

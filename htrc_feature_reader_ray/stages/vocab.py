@@ -656,12 +656,22 @@ def bpe_encode(ds, *, text_col: str = "text", id_col: str = "doc_id",
                              return_segmented=True,
                              num_buckets=num_buckets)
     seg = seqs.to_pandas()
-    idx = pd.Index(seg["token"].to_numpy())
     syms = [s[1:-1].split("\x1f\x1e") for s in seg["s"]]
+    return _encode_with_segmentation(
+        ds, seg["token"].to_numpy(), syms,
+        text_col=text_col, id_col=id_col, symbol_col="symbol")
+
+
+def _encode_with_segmentation(ds, words, syms, *, text_col: str,
+                              id_col: str, symbol_col: str):
+    """Expand every token occurrence into its word TYPE's subword rows:
+    the segmented vocabulary broadcasts once (flat symbol pool +
+    per-type offsets), expansion is pure index arithmetic per batch."""
+    import ray
+
+    idx = pd.Index(words)
     nsyms = np.fromiter((len(s) for s in syms), dtype=np.int64,
                         count=len(syms))
-    # flat symbol pool + per-type offsets: occurrence expansion becomes
-    # pure index arithmetic (no Python loop over token occurrences)
     flat_syms = (np.concatenate(syms) if syms
                  else np.array([], dtype=object))
     type_starts = np.concatenate(([0], np.cumsum(nsyms)[:-1]))
@@ -691,10 +701,28 @@ def bpe_encode(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 pa.array(np.repeat(parent, k))),
             "pos": pa.array(np.repeat(pos, k), type=pa.int64()),
             "sym_pos": pa.array(sym_pos, type=pa.int64()),
-            "symbol": pa.array(sym_flat.astype(str)),
+            symbol_col: pa.array(sym_flat.astype(str)),
         })
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def unigram_encode(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   rounds: int = 2, max_piece_len: int = 4,
+                   seed_size: int = 200, prune_min: int = 1,
+                   max_word_len: int = 12, num_buckets: int = 32):
+    """Apply :func:`unigram_train`'s final Viterbi segmentation to the
+    corpus: ``(id, pos, sym_pos, piece)`` subword rows. Same broadcast
+    shape as :func:`bpe_encode` — segmentation is a function of the word
+    TYPE, so the segmented vocabulary ships once via ``ray.put`` and
+    occurrences expand by index arithmetic, never re-segmented per row."""
+    _, seg = unigram_train(
+        ds, text_col=text_col, rounds=rounds, max_piece_len=max_piece_len,
+        seed_size=seed_size, prune_min=prune_min, max_word_len=max_word_len,
+        num_buckets=num_buckets, return_segmented=True)
+    return _encode_with_segmentation(
+        ds, seg["token"].to_numpy(), seg["syms"].tolist(),
+        text_col=text_col, id_col=id_col, symbol_col="piece")
 
 
 def bpe_encode_sql(*, table: str = "documents", text: str = "text",
@@ -1104,7 +1132,7 @@ def wordpiece_train_sql(*, table: str = "documents", text: str = "text",
 def unigram_train(ds, *, text_col: str = "text", rounds: int = 2,
                   max_piece_len: int = 4, seed_size: int = 200,
                   prune_min: int = 1, max_word_len: int = 12,
-                  num_buckets: int = 32):
+                  num_buckets: int = 32, return_segmented: bool = False):
     """Unigram-LM tokenizer training (Kudo ACL'18 / SentencePiece) as a
     bounded-round hard-EM with the module's integer-exactness contract —
     completing the BPE / WordPiece / Unigram trainer trifecta.
@@ -1169,11 +1197,12 @@ def unigram_train(ds, *, text_col: str = "text", rounds: int = 2,
     vocab = {p: seed[p] for p in chars}
     vocab.update(dict(multi))
 
-    def _viterbi_usage(cnt: dict) -> Counter:
+    def _viterbi_usage(cnt: dict):
         T = sum(cnt.values())
         lt = (T * T).bit_length()
         cost = {p: lt - (c * c).bit_length() for p, c in cnt.items()}
         usage = Counter()
+        segs = []
         big = 1 << 60
         for w, f in zip(wlist, freqs):
             n = len(w)
@@ -1191,34 +1220,43 @@ def unigram_train(ds, *, text_col: str = "text", rounds: int = 2,
                         best[i] = cand
                         prev[i] = j
             pos = n
+            rev = []
             while pos > 0:
                 j = prev[pos]
-                usage[w[j:pos]] += int(f)
+                piece = w[j:pos]
+                usage[piece] += int(f)
+                rev.append(piece)
                 pos = j
-        return usage
+            segs.append(rev[::-1])
+        return usage, segs
 
     cnt = dict(vocab)
     usage = Counter()
+    segs: list = []
     for _ in range(rounds):
-        usage = _viterbi_usage(cnt)
+        usage, segs = _viterbi_usage(cnt)
         cnt = {p: usage[p] + 1 for p in chars}
         cnt.update({p: u + 1 for p, u in usage.items()
                     if len(p) > 1 and u >= prune_min})
 
     pieces = sorted(set(chars) | {p for p in usage if len(p) > 1
                                   and usage[p] >= prune_min})
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "piece": pieces,
         "piece_len": np.array([len(p) for p in pieces], dtype=np.int64),
         "usage": np.array([int(usage.get(p, 0)) for p in pieces],
                           dtype=np.int64),
     })
+    if return_segmented:
+        return out, pd.DataFrame({"token": wlist, "syms": segs})
+    return out
 
 
 def unigram_train_sql(*, table: str = "documents", text: str = "text",
                       rounds: int = 2, max_piece_len: int = 4,
                       seed_size: int = 200, prune_min: int = 1,
-                      max_word_len: int = 12) -> str:
+                      max_word_len: int = 12, emit: str = "pieces",
+                      id_col: str = "doc_id") -> str:
     """SQL replay of :func:`unigram_train`: the Viterbi DP unrolls to
     ``max_word_len`` per-position argmin stages per round (min by
     ``(cost, split_point)`` via ``row_number``), the best path walks back
@@ -1290,7 +1328,7 @@ def unigram_train_sql(*, table: str = "documents", text: str = "text",
               WHERE p.pos > 0
             )""")
         segs = " UNION ALL ".join(f"""
-            SELECT a.word,
+            SELECT a.word, b.pos AS start,
                    substring(a.word, (b.pos + 1)::INT,
                              (a.pos - b.pos)::INT) AS piece
             FROM p{r}_{k} a JOIN p{r}_{k+1} b USING (word)
@@ -1309,6 +1347,23 @@ def unigram_train_sql(*, table: str = "documents", text: str = "text",
               WHERE length(piece) > 1 AND usage >= {prune_min}
             )""")
     body = ",\n        ".join(parts)
+    if emit == "encode":
+        return f"""
+        WITH {body},
+        ordseg AS (
+          SELECT word, piece,
+                 (row_number() OVER (
+                      PARTITION BY word ORDER BY start) - 1)::BIGINT
+                     AS sym_pos
+          FROM seg{R}
+        ),
+        base AS (SELECT {id_col}, {toks} AS arr FROM {table}),
+        exploded AS (
+          SELECT {id_col}, (i - 1)::BIGINT AS pos, arr[i] AS token
+          FROM base, LATERAL unnest(range(1, len(arr) + 1)) AS t(i)
+        )
+        SELECT e.{id_col}, e.pos, s.sym_pos, s.piece
+        FROM exploded e JOIN ordseg s ON e.token = s.word"""
     return f"""
         WITH {body}
         SELECT p.piece, length(p.piece)::BIGINT AS piece_len,

@@ -424,3 +424,25 @@ def test_unigram_train_partitioning_invariant_and_long_word_guard():
             ray.data.from_pandas(
                 pd.DataFrame({"text": ["supercalifragilistic"]})),
             max_word_len=8)
+
+
+def test_unigram_encode_reapplies_training_segmentation():
+    from htrc_feature_reader_ray.stages.vocab import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    texts = ["ab ab ab c", "c ab"]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": texts})).repartition(2)
+    _, seg = unigram_train(ds, return_segmented=True)
+    seg_map = dict(zip(seg["token"], [tuple(s) for s in seg["syms"]]))
+    out = unigram_encode(ds).to_pandas()
+    # every (doc, pos) group re-assembles its word, in training's pieces
+    for (doc, pos), grp in out.groupby(["doc_id", "pos"]):
+        word = texts[doc].split()[pos]
+        got = tuple(grp.sort_values("sym_pos")["piece"])
+        assert got == seg_map[word], (doc, pos)
+    # 'ab' is one piece -> occurrences of 'ab' emit a single row
+    ab_rows = out[(out.doc_id == 0) & (out.pos == 0)]
+    assert list(ab_rows["piece"]) == ["ab"]
