@@ -782,14 +782,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.compute as pc
         from htrc_feature_reader_ray.stages.dedup import dedup_clusters
         from htrc_feature_reader_ray.stages.partition import bucket_join
+        from htrc_feature_reader_ray.stages.textstats import quality_langid
 
-        quality = quality_score(_docs(sf))
-        lang = langid(_docs(sf)).map_batches(
-            lambda t: t.rename_columns(["lang_doc_id", "pred_lang"]),
-            batch_format="pyarrow",
-        )
-        feats = bucket_join(quality, lang, left_key="doc_id",
-                            right_key="lang_doc_id", num_buckets=16)
+        # fused single pass: one tokenization, no quality<->lang join
+        feats = quality_langid(_docs(sf))
 
         def keep(batch: pa.Table) -> pa.Table:
             m = pc.and_(

@@ -646,3 +646,49 @@ def readability_sql(*, table: str = "documents", text: str = "text",
                (206835 - (1015 * greatest(w, 1)) // greatest(s, 1)
                 - (84600 * y) // greatest(w, 1))::BIGINT AS flesch_milli
         FROM b"""
+
+
+def quality_langid(ds, *, text_col: str = "text", id_cols=("doc_id",)):
+    """Fused :func:`quality_score` + :func:`langid` — ONE pass, ONE
+    tokenization, no join: the curation gate needs both per-doc feature
+    sets, and computing them as separate ops costs a second full corpus
+    scan plus a doc-keyed bucket join that this fusion deletes outright.
+    Emits the quality columns plus ``pred_lang``."""
+    stop = set(STOPWORDS_EN)
+    markers = [(lang, pa.array(sorted(words)))
+               for lang, words in LANG_MARKERS]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, n = _tok_stats(batch, text_col)
+        n_tokens = np.bincount(parent, minlength=n).astype(np.int64)
+        tok_len = pc.utf8_length(flat).to_numpy()
+        sum_len = np.bincount(
+            parent, weights=tok_len, minlength=n).astype(np.int64)
+        is_stop = pc.is_in(
+            flat, value_set=pa.array(sorted(stop))
+        ).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(
+            parent, weights=is_stop, minlength=n).astype(np.int64)
+        denom = np.maximum(n_tokens, 1).astype(np.float64)
+        hits = []
+        for _, words in markers:
+            h = pc.is_in(flat, value_set=words).to_numpy(
+                zero_copy_only=False)
+            hits.append(np.bincount(
+                parent, weights=h, minlength=n).astype(np.int64))
+        best = np.stack(hits).argmax(axis=0)
+        langs = np.array([lang for lang, _ in markers], dtype=object)
+        out = batch.select(list(id_cols))
+        out = out.append_column(
+            "n_chars",
+            pc.utf8_length(batch.column(text_col)).cast(pa.int64()))
+        out = out.append_column(
+            "n_tokens", pa.array(n_tokens, type=pa.int64()))
+        out = out.append_column(
+            "mean_token_len", pa.array(sum_len / denom, type=pa.float64()))
+        out = out.append_column(
+            "stopword_ratio", pa.array(n_stop / denom, type=pa.float64()))
+        return out.append_column(
+            "pred_lang", pa.array(langs[best], type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -167,3 +167,28 @@ def test_readability_hand_values():
     r2 = got.loc[2]  # vowel-free
     assert r2["n_vowel_groups"] == 0
     assert r2["flesch_milli"] == 206835 - (1015 * 2) // 1
+
+
+def test_quality_langid_fusion_equals_separate_ops():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.textstats import (
+        langid,
+        quality_langid,
+        quality_score,
+    )
+
+    texts = ["the of and is here", "der die und das", "el la de los",
+             "zz qq xx", ""]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "text": texts})).repartition(3)
+    fused = (quality_langid(ds).to_pandas()
+             .sort_values("doc_id", ignore_index=True))
+    q = (quality_score(ds).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    l = (langid(ds).to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        fused.drop(columns=["pred_lang"]), q)
+    pd.testing.assert_series_equal(fused["pred_lang"], l["pred_lang"])
