@@ -553,9 +553,12 @@ def rollup_counts(ds, *, keys, sum_col: str | None = None,
         spec_fine[s_col] = (s_col, "sum")
         spec_1[s_col] = (s_col, "sum")
 
+    # materialize: the finest cuboid is |k1×k2| rows and has TWO lazy
+    # consumers (level-1 refold + the union branch) — without pinning,
+    # each consumer re-executes the full input scan
     finest = bucketed_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
-        [k1, k2], spec_fine, num_buckets=num_buckets)
+        [k1, k2], spec_fine, num_buckets=num_buckets).materialize()
 
     val_cols = [n_col] + ([s_col] if sum_col is not None else [])
 
@@ -564,38 +567,23 @@ def rollup_counts(ds, *, keys, sum_col: str | None = None,
             df[c] = df[c].astype("int64")
         return df
 
-    def null_k2(df: pd.DataFrame) -> pd.DataFrame:
-        df = cast_vals(df.copy())
-        df[k2] = pd.Series([None] * len(df), dtype=object)
-        return df[[k1, k2] + val_cols]
+    # coarser levels re-aggregate the |k1×k2|-row base ON THE DRIVER —
+    # rollup dims are categorical by construction (the cube_rollup
+    # argument), so this deletes two all-to-all exchanges outright
+    import ray.data as rd
 
-    level1 = bucketed_aggregate(finest, [k1], spec_1,
-                                num_buckets=num_buckets)
-    level1 = level1.map_batches(null_k2, batch_format="pandas")
-
-    def grand(df: pd.DataFrame) -> pd.DataFrame:
-        out = {k1: [None], k2: [None]}
-        for c in val_cols:
-            out[c] = [int(df[c].sum())]
-        return pd.DataFrame(out)
-
-    # grand total folds level-1 (already tiny) through one constant bucket
-    def const_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_g"] = 0
-        return df
-
-    level0 = (
-        level1.map_batches(const_key, batch_format="pandas")
-        .groupby("_g")
-        .map_groups(lambda df: grand(df.drop(columns=["_g"])),
-                    batch_format="pandas")
-    )
+    base = cast_vals(finest.to_pandas())
+    l1 = base.groupby(k1, sort=False, as_index=False)[val_cols].sum()
+    l1[k2] = pd.Series([None] * len(l1), dtype=object)
+    l1 = cast_vals(l1)[[k1, k2] + val_cols]
+    l0 = pd.DataFrame({k1: [None], k2: [None],
+                       **{c: [int(base[c].sum())] for c in val_cols}})
 
     finest_cast = finest.map_batches(
         lambda df: cast_vals(df)[[k1, k2] + val_cols],
         batch_format="pandas")
-    return finest_cast.union(level1).union(level0)
+    return finest_cast.union(rd.from_pandas(pd.concat(
+        [l1, l0], ignore_index=True)))
 
 
 def rollup_counts_sql(*, keys, sum_col: str | None = None,
