@@ -583,6 +583,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_dedup_keep_best(sf):
+        """Canonical-doc selection per near-dup cluster, production rule:
+        keep the LONGEST member (n_chars desc, doc_id asc ties) rather
+        than min-id — (cluster_id, keep_doc_id, n_members). Cluster rows
+        join char counts by one doc-keyed bucket join; the argmax is one
+        cluster-bucketed lexsort pass."""
+        from htrc_feature_reader_ray.stages.dedup import dedup_clusters
+        from htrc_feature_reader_ray.stages.partition import (
+            bucket_join,
+            bucketed_map_groups,
+        )
+
+        clusters = dedup_clusters(q_dedup_minhash(sf))
+        joined = bucket_join(
+            clusters, _docs(sf, ["doc_id", "n_chars"]),
+            left_key="doc_id", right_key="doc_id", num_buckets=16)
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(
+                ["cluster_id", "n_chars", "doc_id"],
+                ascending=[True, False, True], kind="mergesort")
+            g = df.groupby("cluster_id", sort=False)
+            head = g.head(1).copy()
+            head["n_members"] = g.size().to_numpy()
+            head = head.rename(columns={"doc_id": "keep_doc_id"})
+            return head[["cluster_id", "keep_doc_id", "n_members"]].astype(
+                {"keep_doc_id": "int64", "n_members": "int64"})
+
+        return bucketed_map_groups(joined, "cluster_id", pick,
+                                   num_buckets=16)
+
     def q_duplicated_spans(sf):
         from htrc_feature_reader_ray.stages.dedup import duplicated_spans
 
@@ -3572,6 +3603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set is the tiny near-dup subset; 'distributed' label propagation
         # covers the edge-list-exceeds-one-node regime)
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         # exact duplicated-span coverage (substring-level dedup signal)
         "duplicated_spans": q_duplicated_spans,
         # n-gram train/test decontamination (broadcast benchmark grams)
@@ -5385,6 +5417,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(reach)::BIGINT AS cluster_id
             FROM walk GROUP BY 1""",
+        # canonical selection per cluster: longest member wins (chars desc,
+        # doc_id asc) — the cluster walk plus one ranked join
+        "dedup_keep_best": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + """,
+            sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM jac_pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM jac_pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM sym
+            ), walk(node, reach) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
+            ), cl AS (
+              SELECT node AS doc_id, min(reach)::BIGINT AS cluster_id
+              FROM walk GROUP BY 1
+            ), j AS (
+              SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+                     row_number() OVER (
+                         PARTITION BY cl.cluster_id
+                         ORDER BY d.n_chars DESC, cl.doc_id) AS rn,
+                     count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+              FROM cl JOIN documents d USING (doc_id)
+            )
+            SELECT cluster_id, doc_id AS keep_doc_id,
+                   n_members::BIGINT AS n_members
+            FROM j WHERE rn = 1""",
         # the engine compares 64-bit md5 gram hashes; SQL compares the gram
         # strings themselves — identical equality (collisions ~1e-9, none
         # at this sf). Coverage = count of DISTINCT covered token indices,

@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "postings_size",
     "unigram_pieces",
     "unigram_encode",
+    "dedup_keep_best",
 ]
 
 HEADLINE = "flagship"
