@@ -1366,6 +1366,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return unigram_train(_docs(sf, columns=["text"]))
 
+    def q_freq_subsample(sf):
+        """word2vec frequent-word subsampling, reproducible: exact-isqrt
+        keep probabilities per token (threshold t=1000 ppm) gated by the
+        seeded occurrence hash — one vocabulary fold broadcast, one
+        stateless rebuild pass."""
+        from htrc_feature_reader_ray.stages.curate import freq_subsample
+
+        return freq_subsample(_docs(sf, columns=["doc_id", "text"]))
+
     def q_unigram_encode(sf):
         """Corpus segmentation under the trained unigram-LM pieces —
         (doc, pos, sym_pos, piece) subword rows; the segmented word-type
@@ -3692,6 +3701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_size": q_postings_size,
         "unigram_pieces": q_unigram_pieces,
         "unigram_encode": q_unigram_encode,
+        "freq_subsample": q_freq_subsample,
         "pareto_sources": q_pareto_sources,
         "fk_violations": q_fk_violations,
         "topn_sources_per_lang": q_topn_sources_per_lang,
@@ -4739,6 +4749,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_size": curate.postings_size_sql(),
         "unigram_pieces": vocab_mod.unigram_train_sql(),
         "unigram_encode": vocab_mod.unigram_train_sql(emit="encode"),
+        "freq_subsample": curate.freq_subsample_sql(),
         "pareto_sources": profile_mod.pareto_rank_sql(
             table_expr="documents", key="source",
             weight_expr="n_chars"),

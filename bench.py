@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "unigram_pieces",
     "unigram_encode",
     "dedup_keep_best",
+    "freq_subsample",
 ]
 
 HEADLINE = "flagship"

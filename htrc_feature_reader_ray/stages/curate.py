@@ -1489,3 +1489,126 @@ def postings_size_sql(*, table: str = "documents", text_col: str = "text",
                         ELSE (length(format('{{:b}}', gap)) + 6) // 7
                    END)::BIGINT AS bytes_varint
         FROM g GROUP BY token"""
+
+
+def freq_subsample(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   t_ppm: int = 1000, num_buckets: int = 64):
+    """Frequent-word subsampling (word2vec's Mikolov rule: drop an
+    occurrence of ``w`` with probability ``1 − √(t/f(w))``) made
+    REPRODUCIBLE: the keep probability is the exact integer
+    ``p_keep_ppm = min(10⁶, isqrt(t_ppm·10¹² // f_ppm))`` with
+    ``f_ppm = cnt·10⁶ // N`` (tokens at or below the threshold frequency
+    are always kept), and the coin is the corpus-seeded hash gate
+    ``md5(doc:pos:token) % 10⁶ < p_keep_ppm`` — the same convention as
+    :func:`token_dropout`, so the subsampled corpus regenerates
+    bit-identically and audits in SQL instead of being stored.
+
+    Scale shape: ONE vocabulary-bucketed count fold; the (token,
+    p_keep_ppm) table broadcasts via ``ray.put`` (worker-fit vocabulary
+    contract); the gate + rebuild is one stateless vectorized pass
+    (offset arithmetic + one ``pc.binary_join`` per batch). Output
+    ``(id, text_sub, n_dropped)``."""
+    import math
+
+    import ray
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.vocab import corpus_token_counts
+
+    counts = corpus_token_counts(
+        ds, text_col=text_col, num_buckets=num_buckets
+    ).to_pandas().sort_values("token", ignore_index=True)
+    N = int(counts["count"].sum())
+    pk = []
+    for c in counts["count"].astype(int):
+        f_ppm = c * 1_000_000 // max(N, 1)
+        if f_ppm <= t_ppm:
+            pk.append(1_000_000)
+        else:
+            pk.append(min(1_000_000,
+                          math.isqrt(t_ppm * 10**12 // f_ppm)))
+    ref = ray.put((counts["token"].to_numpy(),
+                   np.array(pk, dtype=np.int64)))
+
+    def subsample(batch: pa.Table) -> pa.Table:
+        toks_arr, p_keep = ray.get(ref)
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(parent) == 0:
+            return pa.table({
+                id_col: batch.column(id_col),
+                "text_sub": pa.array([""] * nrows, type=pa.string()),
+                "n_dropped": pa.array(np.zeros(nrows, dtype=np.int64)),
+            })
+        toks = flat.to_pylist()
+        doc_ids = ids[parent]
+        counts_b = np.bincount(parent, minlength=nrows)
+        starts = np.concatenate(([0], np.cumsum(counts_b)[:-1]))
+        pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+        h = md5_hash64([f"{d}:{p}:{t}" for d, p, t in
+                        zip(doc_ids, pos, toks)])
+        loc = np.searchsorted(
+            toks_arr, flat.to_numpy(zero_copy_only=False))
+        keep = (h % np.uint64(1_000_000)).astype(np.int64) < p_keep[loc]
+        kept_counts = np.bincount(parent[keep], minlength=nrows)
+        offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            flat.take(pa.array(np.flatnonzero(keep))))
+        joined = pc.binary_join(kept_list, " ")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text_sub": joined,
+            "n_dropped": pa.array(
+                (counts_b - kept_counts).astype(np.int64)),
+        })
+
+    return ds.map_batches(subsample, batch_format="pyarrow")
+
+
+def freq_subsample_sql(*, table: str = "documents", text: str = "text",
+                       id_col: str = "doc_id", t_ppm: int = 1000) -> str:
+    """SQL mirror: count fold + the ±1-corrected isqrt (exact floor
+    square root) + the identical md5 gate and ordered rebuild."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+
+    def isqrt(x: str) -> str:
+        s = f"CAST(floor(sqrt(({x})::DOUBLE)) AS BIGINT)"
+        return (f"({s} + (CASE WHEN ({s}+1)*({s}+1) <= ({x}) THEN 1 "
+                f"ELSE 0 END) - (CASE WHEN {s}*{s} > ({x}) THEN 1 "
+                f"ELSE 0 END))")
+
+    return f"""
+        WITH d AS (SELECT {id_col}, {toks} AS arr FROM {table}),
+        tok AS (
+          SELECT {id_col}, arr[i.i] AS token, i.i - 1 AS pos
+          FROM d, unnest(generate_series(1, len(arr))) AS i(i)
+        ),
+        voc AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+        tot AS (SELECT greatest(sum(cnt), 1)::BIGINT AS n FROM voc),
+        pkeep AS (
+          SELECT token,
+                 CASE WHEN cnt * 1000000 // tot.n <= {t_ppm} THEN 1000000
+                      ELSE least(1000000, {isqrt(
+                          f"{t_ppm} * 1000000000000 // (cnt * 1000000 // tot.n)")})
+                 END AS p_keep
+          FROM voc, tot
+        ),
+        flagged AS (
+          SELECT t.{id_col}, t.token, t.pos,
+                 (md5_number_upper(
+                      t.{id_col} || ':' || t.pos || ':' || t.token)
+                  % 1000000 >= p.p_keep) AS dropped
+          FROM tok t JOIN pkeep p USING (token)
+        ),
+        agg AS (
+          SELECT {id_col},
+                 string_agg(token, ' ' ORDER BY pos)
+                   FILTER (WHERE NOT dropped) AS text_sub,
+                 count(*) FILTER (WHERE dropped)::BIGINT AS n_dropped
+          FROM flagged GROUP BY 1
+        )
+        SELECT doc.{id_col},
+               coalesce(a.text_sub, '') AS text_sub,
+               coalesce(a.n_dropped, 0)::BIGINT AS n_dropped
+        FROM {table} doc LEFT JOIN agg a USING ({id_col})"""

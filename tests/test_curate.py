@@ -656,3 +656,29 @@ def test_postings_size_scalar_reference():
     assert out.loc["z", "bytes_varint"] == 2
     assert out.loc["y", "df_docs"] == 2
     assert out.loc["y", "bytes_varint"] == varint(0) + varint(131072)
+
+
+def test_freq_subsample_rule_and_determinism():
+    import math
+
+    from htrc_feature_reader_ray.stages.curate import freq_subsample
+
+    # 'hot' is ~96% of tokens -> heavy drop; 'rare' under threshold -> kept
+    texts = [("hot " * 96).strip() + " rare abcd efgh ijkl"] * 5
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(range(5)), "text": texts}))
+    out = freq_subsample(ds, t_ppm=20000).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    # tokens at/below the threshold frequency (1% <= 2%) always survive
+    for t in out["text_sub"]:
+        assert "rare" in t and "abcd" in t
+    # hot (96% of tokens) keeps ~ sqrt(t/f) ~ 14.4% of occurrences
+    n_hot_kept = sum(t.split().count("hot") for t in out["text_sub"])
+    f_ppm = 480 * 1_000_000 // 500
+    p_keep = math.isqrt(20000 * 10**12 // f_ppm)
+    assert 140_000 < p_keep < 150_000
+    assert n_hot_kept < 480 * 0.40  # far below unsampled
+    # regenerating yields the identical corpus (hash-gated, not random)
+    again = freq_subsample(ds, t_ppm=20000).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, again)
