@@ -98,6 +98,21 @@ def main(argv=None) -> int:
     cur.add_argument("--dedup-threshold", type=float, default=0.5)
     cur.add_argument("--num-cpus", type=int, default=None)
 
+    tok = sub.add_parser(
+        "train-tokenizer",
+        help="train a subword tokenizer (bpe | wordpiece | unigram) on a "
+             "documents parquet -> vocab/merges parquet",
+    )
+    tok.add_argument("--docs", required=True,
+                     help="parquet with a text column")
+    tok.add_argument("--out", required=True)
+    tok.add_argument("--algo", choices=("bpe", "wordpiece", "unigram"),
+                     default="unigram")
+    tok.add_argument("--rounds", type=int, default=None,
+                     help="merge/EM rounds (default: 8 bpe/wordpiece, "
+                          "2 unigram)")
+    tok.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "clean-id":
@@ -272,6 +287,31 @@ def main(argv=None) -> int:
                     "dedup_threshold": args.dedup_threshold},
         )
         print(json.dumps({"kept": manifest["row_count"], "out": args.out}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "train-tokenizer":
+        _ensure_ray(args.num_cpus)
+        import ray
+        import ray.data
+
+        docs = ray.data.read_parquet(args.docs, columns=["text"])
+        if args.algo == "bpe":
+            from htrc_feature_reader_ray.stages.vocab import bpe_train
+
+            table = bpe_train(docs, rounds=args.rounds or 8)
+        elif args.algo == "wordpiece":
+            from htrc_feature_reader_ray.stages.vocab import wordpiece_train
+
+            table = wordpiece_train(docs, rounds=args.rounds or 8)
+        else:
+            from htrc_feature_reader_ray.stages.vocab import unigram_train
+
+            table = unigram_train(docs, rounds=args.rounds or 2)
+        table.to_parquet(args.out, index=False)
+        print(json.dumps(
+            {"rows": len(table), "algo": args.algo, "out": args.out}
+        ))
         ray.shutdown()
         return 0
 

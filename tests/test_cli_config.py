@@ -68,6 +68,24 @@ def test_cli_dedup_and_metadata(tmp_path):
     assert res["rows"] == 500
 
 
+def test_cli_train_tokenizer(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "htrc_feature_reader_ray", "train-tokenizer",
+         "--docs", "/root/testdata/sf0.001/documents.parquet",
+         "--algo", "bpe", "--rounds", "2",
+         "--out", str(tmp_path / "merges.parquet"), "--num-cpus", "4"],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    ).stdout
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["rows"] == 2 and res["algo"] == "bpe"
+    import pandas as pd
+
+    merges = pd.read_parquet(tmp_path / "merges.parquet")
+    assert list(merges.columns) == ["round", "left", "right", "merged",
+                                    "count"]
+    assert (merges["merged"] == merges["left"] + merges["right"]).all()
+
+
 def test_url_parts_frame():
     import pandas as pd
     from htrc_feature_reader_ray.functions.ids import url_parts_frame
