@@ -1729,6 +1729,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_wordpiece_encode(sf):
+        """WordPiece greedy longest-match-first segmentation (BERT's
+        WordpieceTokenizer) with the trained vocabulary — deliberately
+        not merge replay; word-TYPE segmentation broadcast to
+        occurrences; (doc, pos, sym_pos, piece)."""
+        from htrc_feature_reader_ray.stages.vocab import wordpiece_encode
+
+        return wordpiece_encode(_docs(sf), rounds=3)
+
     def q_bpe_merges(sf):
         """BPE tokenizer merge training (3 rounds) over documents: after
         one corpus token fold everything runs on the word-TYPE vocabulary;
@@ -3673,6 +3682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_dedup_pairs": q_name_dedup_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "wordpiece_encode": q_wordpiece_encode,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4675,6 +4685,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
+        "wordpiece_encode": vocab_mod.wordpiece_encode_sql(rounds=3),
         "kmeans": similarity_mod.kmeans_fixed_sql(k=8, rounds=3),
         "random_projection": similarity_mod.random_projection_sql(d_out=16),
         "two_hop_neighbors": LINKS_PRE + linkgraph.two_hop_neighbors_sql(),

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "unigram_encode",
     "dedup_keep_best",
     "freq_subsample",
+    "wordpiece_encode",
 ]
 
 HEADLINE = "flagship"

@@ -930,7 +930,8 @@ def vocab_coverage_sql(*, table: str = "documents",
 
 def wordpiece_train(ds, *, text_col: str = "text", rounds: int = 3,
                     num_buckets: int = 32,
-                    driver_limit: int = 5_000_000):
+                    driver_limit: int = 5_000_000,
+                    return_segmented: bool = False):
     """WordPiece tokenizer training (Schuster & Nakajima '12 / BERT): per
     round the merge maximizing the LIKELIHOOD score ``c(l,r)/(c(l)·c(r))``
     — not BPE's raw pair count — wins; frequent-but-uninformative pairs
@@ -1062,12 +1063,17 @@ def wordpiece_train(ds, *, text_col: str = "text", rounds: int = 3,
             seqs = seqs.map_batches(apply,
                                     batch_format="pandas").materialize()
 
-    return pd.DataFrame(
+    out = pd.DataFrame(
         merges,
         columns=["round", "left", "right", "merged", "count",
                  "score_scaled"],
     ).astype({"round": "int64", "count": "int64",
               "score_scaled": "int64"})
+    if return_segmented:
+        seg = (seq_pd if words.count() <= driver_limit
+               else seqs.to_pandas())
+        return out, seg
+    return out
 
 
 def wordpiece_train_sql(*, table: str = "documents", text: str = "text",
@@ -1122,6 +1128,159 @@ def wordpiece_train_sql(*, table: str = "documents", text: str = "text",
     return sql + f"""
         sink AS (SELECT 1)
         {unions}"""
+
+
+def _greedy_wordpiece(word: str, pieces: set, maxlen: int) -> list:
+    """Greedy longest-match-first segmentation (BERT's
+    WordpieceTokenizer.tokenize): at each position take the LONGEST
+    vocabulary piece. Always terminates because the alphabet (every
+    single char of every word type) is in the vocabulary."""
+    out = []
+    p, n = 0, len(word)
+    while p < n:
+        k = min(maxlen, n - p)
+        while k > 1 and word[p:p + k] not in pieces:
+            k -= 1
+        out.append(word[p:p + k])
+        p += k
+    return out
+
+
+def wordpiece_encode(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     rounds: int = 3, max_word_len: int = 12,
+                     num_buckets: int = 32):
+    """Apply a trained WordPiece vocabulary to the corpus by GREEDY
+    LONGEST-MATCH-FIRST (Devlin et al. '19, BERT's WordpieceTokenizer) —
+    ``(id, pos, sym_pos, piece)`` subword rows, completing the
+    BPE / Unigram / WordPiece encode trifecta.
+
+    Deliberately NOT merge-order replay: WordPiece *encoding* matches the
+    longest vocabulary piece at each position, so a late merge ``abc``
+    beats replaying ``a+b`` then ``ab+c`` step by step, and the two
+    segmentations genuinely diverge on real vocabularies (pinned by
+    test). The vocabulary is alphabet ∪ merged symbols; words longer
+    than ``max_word_len`` emit the single piece ``[UNK]`` (BERT's
+    ``max_input_chars_per_word`` rule — the bound that also keeps the
+    SQL replay's stage unroll finite).
+
+    Scale shape (same as :func:`bpe_encode`): segmentation is a function
+    of the word TYPE, so the segmented vocabulary — the module's
+    canonical worker-fit small side — broadcasts once via ``ray.put``
+    and occurrences expand by flat-pool index arithmetic; documents are
+    never re-segmented row by row and nothing exchanges.
+    """
+    merges, seg = wordpiece_train(
+        ds, text_col=text_col, rounds=rounds, num_buckets=num_buckets,
+        return_segmented=True)
+    words = seg["token"].astype(str).to_numpy()
+    pieces = set(merges["merged"].astype(str))
+    for w in words:
+        pieces.update(w)
+    maxlen = max((len(p) for p in pieces), default=1)
+    syms = [["[UNK]"] if len(w) > max_word_len
+            else _greedy_wordpiece(w, pieces, maxlen) for w in words]
+    return _encode_with_segmentation(
+        ds, words, syms, text_col=text_col, id_col=id_col,
+        symbol_col="piece")
+
+
+def wordpiece_encode_sql(*, table: str = "documents", text: str = "text",
+                         id_col: str = "doc_id", rounds: int = 3,
+                         max_word_len: int = 12) -> str:
+    """SQL mirror: the wordpiece_train CTEs supply the merges, the
+    vocabulary is chars ∪ merged, and the greedy scan unrolls to
+    ``max_word_len`` stages (each stage consumes ≥ 1 char) — per stage
+    the longest vocab piece at the cursor wins via a length-desc
+    row_number over candidate substrings."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    sql = f"""
+        WITH words AS MATERIALIZED (
+          SELECT u.t AS w, count(*)::BIGINT AS c
+          FROM {table}, unnest({toks}) AS u(t) GROUP BY 1
+        ),
+        seq0 AS (
+          SELECT c, chr(30) || array_to_string(
+                   list_transform(range(1, length(w) + 1), i -> w[i]),
+                   chr(31) || chr(30)) || chr(31) AS s
+          FROM words
+        ),"""
+    prev = "seq0"
+    for i in range(1, rounds + 1):
+        sql += f"""
+        a{i} AS (SELECT string_split(
+                     substr(s, 2, length(s) - 2), chr(31) || chr(30)
+                 ) AS arr, c FROM {prev}),
+        p{i} AS (
+          SELECT arr[j.j] AS l, arr[j.j + 1] AS r, sum(c)::BIGINT AS cnt
+          FROM a{i}, unnest(generate_series(1, len(arr) - 1)) AS j(j)
+          GROUP BY 1, 2
+        ),
+        sc{i} AS (
+          SELECT t.sym, sum(c)::BIGINT AS n
+          FROM a{i}, unnest(arr) AS t(sym) GROUP BY 1
+        ),
+        m{i} AS MATERIALIZED (
+          SELECT p.l, p.r, p.cnt,
+                 (p.cnt::HUGEINT * 1000000000000
+                  // (sl.n::HUGEINT * sr.n::HUGEINT))::BIGINT AS score
+          FROM p{i} p
+          JOIN sc{i} sl ON sl.sym = p.l
+          JOIN sc{i} sr ON sr.sym = p.r
+          ORDER BY score DESC, p.cnt DESC, p.l, p.r LIMIT 1
+        ),
+        seq{i} AS (SELECT c, replace(s,
+                 chr(30) || l || chr(31) || chr(30) || r || chr(31),
+                 chr(30) || l || r || chr(31)) AS s
+                 FROM {prev} CROSS JOIN m{i}),"""
+        prev = f"seq{i}"
+    merged_union = "\n          UNION ".join(
+        f"SELECT l || r AS piece FROM m{i}" for i in range(1, rounds + 1))
+    sql += f"""
+        vocab AS MATERIALIZED (
+          SELECT DISTINCT w[i.i] AS piece
+          FROM words, unnest(range(1, length(w) + 1)) AS i(i)
+          UNION
+          {merged_union}
+        ),
+        st0 AS (
+          SELECT w, length(w) AS n, 1 AS p, 0 AS k
+          FROM words WHERE length(w) <= {max_word_len}
+        ),"""
+    prev = "st0"
+    for t in range(1, max_word_len + 1):
+        sql += f"""
+        mt{t} AS MATERIALIZED (
+          SELECT w, n, p, k, piece FROM (
+            SELECT s.w, s.n, s.p, s.k, substr(s.w, s.p, l.l) AS piece,
+                   row_number() OVER (PARTITION BY s.w, s.p
+                                      ORDER BY l.l DESC) AS rn
+            FROM {prev} s,
+                 unnest(range(1, s.n - s.p + 2)) AS l(l)
+            JOIN vocab v ON substr(s.w, s.p, l.l) = v.piece
+          ) WHERE rn = 1
+        ),
+        st{t} AS (
+          SELECT w, n, p + length(piece) AS p, k + 1 AS k
+          FROM mt{t} WHERE p + length(piece) <= n
+        ),"""
+        prev = f"st{t}"
+    seg_union = "\n          UNION ALL ".join(
+        f"SELECT w, k AS sym_pos, piece FROM mt{t}"
+        for t in range(1, max_word_len + 1))
+    return sql + f"""
+        seg AS (
+          {seg_union}
+          UNION ALL
+          SELECT w, 0 AS sym_pos, '[UNK]' AS piece
+          FROM words WHERE length(w) > {max_word_len}
+        ),
+        base AS (SELECT {id_col}, {toks} AS arr FROM {table}),
+        exploded AS (
+          SELECT {id_col}, (i - 1)::BIGINT AS pos, arr[i] AS token
+          FROM base, LATERAL unnest(range(1, len(arr) + 1)) AS t(i)
+        )
+        SELECT e.{id_col}, e.pos, s.sym_pos::BIGINT AS sym_pos, s.piece
+        FROM exploded e JOIN seg s ON e.token = s.w"""
 
 
 # ---------------------------------------------------------------------------

@@ -446,3 +446,50 @@ def test_unigram_encode_reapplies_training_segmentation():
     # 'ab' is one piece -> occurrences of 'ab' emit a single row
     ab_rows = out[(out.doc_id == 0) & (out.pos == 0)]
     assert list(ab_rows["piece"]) == ["ab"]
+
+
+def test_greedy_wordpiece_diverges_from_merge_replay():
+    from htrc_feature_reader_ray.stages.vocab import _greedy_wordpiece
+
+    # vocab from merges [(b,c), (a,b)]: replaying them on "abc" gives
+    # ["a","bc"] (b consumed by the earlier bc merge), but greedy
+    # longest-match-first takes "ab" at position 0 -> ["ab","c"]
+    pieces = {"a", "b", "c", "bc", "ab"}
+    assert _greedy_wordpiece("abc", pieces, 2) == ["ab", "c"]
+    # longest match wins over a shorter one starting at the same spot
+    pieces2 = {"a", "b", "c", "ab", "abc"}
+    assert _greedy_wordpiece("abcab", pieces2, 3) == ["abc", "ab"]
+    # alphabet fallback: unseen bigrams split to chars
+    assert _greedy_wordpiece("ca", pieces, 2) == ["c", "a"]
+
+
+def test_wordpiece_encode_greedy_and_unk():
+    from htrc_feature_reader_ray.stages.vocab import (
+        wordpiece_encode,
+        wordpiece_train,
+    )
+
+    texts = ["abab ab cd abcd", "ab abab abab cd"]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": texts})).repartition(2)
+    merges = wordpiece_train(ds, rounds=3)
+    pieces = set("abcd") | set(merges["merged"])
+    out = wordpiece_encode(ds, rounds=3).to_pandas()
+    # every (doc, pos) group re-assembles its word from vocab pieces via
+    # greedy longest-match-first
+    from htrc_feature_reader_ray.stages.vocab import _greedy_wordpiece
+
+    maxlen = max(len(p) for p in pieces)
+    for (doc, pos), grp in out.groupby(["doc_id", "pos"]):
+        word = texts[doc].split()[pos]
+        got = grp.sort_values("sym_pos")["piece"].tolist()
+        assert got == _greedy_wordpiece(word, pieces, maxlen), (doc, pos)
+    assert "[UNK]" not in set(out["piece"])
+
+    # the BERT max_input_chars_per_word rule: long words -> single [UNK]
+    long_ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0], "text": ["ab waytoolongforapiece"]}))
+    out2 = wordpiece_encode(long_ds, rounds=1, max_word_len=12).to_pandas()
+    unk = out2[out2["pos"] == 1]
+    assert unk["piece"].tolist() == ["[UNK]"]
+    assert unk["sym_pos"].tolist() == [0]
