@@ -1729,6 +1729,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_dsir_weights(sf):
+        """DSIR importance weights (hashed uni+bigram target-vs-raw
+        log-likelihood ratio in exact half-bits; Xie et al. NeurIPS'23)
+        with target = the lang='en' slice of the corpus; two fixed-size
+        bucket folds + one stateless scoring pass."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.curate import dsir_weights
+
+        docs = _docs(sf, columns=["doc_id", "lang", "text"])
+        target = docs.map_batches(
+            lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+            batch_format="pyarrow")
+        return dsir_weights(docs, target, n_feat=256)
+
     def q_wordpiece_encode(sf):
         """WordPiece greedy longest-match-first segmentation (BERT's
         WordpieceTokenizer) with the trained vocabulary — deliberately
@@ -3683,6 +3698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "wordpiece_encode": q_wordpiece_encode,
+        "dsir_weights": q_dsir_weights,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4747,6 +4763,7 @@ def oracle_sql() -> dict[str, str]:
               ) AS t(t))""",
             col="token", k=31),
         "bigram_surprisal": curate.bigram_surprisal_sql(),
+        "dsir_weights": curate.dsir_weights_sql(n_feat=256),
         "lang_temperature_weights": sample.temperature_weights_sql(
             stratum_col="lang", table="documents"),
         "value_auc_by_day": profile_mod.grouped_auc_sql(

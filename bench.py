@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "freq_subsample",
     "wordpiece_encode",
+    "dsir_weights",
 ]
 
 HEADLINE = "flagship"

@@ -1612,3 +1612,174 @@ def freq_subsample_sql(*, table: str = "documents", text: str = "text",
                coalesce(a.text_sub, '') AS text_sub,
                coalesce(a.n_dropped, 0)::BIGINT AS n_dropped
         FROM {table} doc LEFT JOIN agg a USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed-n-gram data selection)
+
+
+def dsir_weights(ds, target_ds, *, text_col: str = "text",
+                 id_col: str = "doc_id", n_feat: int = 1024):
+    """DSIR importance weights (Xie et al. NeurIPS'23, "Data Selection
+    for Language Models via Importance Resampling"): per document, the
+    log-likelihood ratio of a TARGET distribution vs the RAW corpus
+    distribution over hashed n-gram features — the model-free
+    data-selection score that upweights documents resembling a curated
+    target (Wikipedia/books in the paper).
+
+    Features are the paper's: unigrams + adjacent bigrams, hashed to
+    ``n_feat`` buckets (md5 — the countmin cell convention, so SQL
+    rebuilds identical buckets). The reproducibility contract replaces
+    float log-probabilities with the module's exact HALF-BIT costs
+    (cf. ``vocab.unigram_train``): with Laplace-smoothed bucket counts
+    ``c+1`` and total ``T = Σ(c+1)``,
+
+        cost(b) = bitlen(T²) − bitlen((c(b)+1)²)     ≈ 2·log2(T/(c+1))
+        dsir_half_bits(doc) = Σ_grams cost_raw(b(g)) − cost_target(b(g))
+
+    — positive ⇒ the doc's features are likelier under the target than
+    under the raw corpus. Resample by thresholding, or pair the score
+    with the deterministic hash gates (cf. ``freq_subsample`` /
+    ``sample.hash_split``) for reproducible selection.
+
+    Scale shape: each distribution folds to ≤ ``n_feat`` (bucket, count)
+    rows — per-batch bincount partials then one FIXED-SIZE fold (n_feat
+    is a constant, not vocabulary-sized), so the exchange volume is
+    independent of corpus size; the cost-difference array broadcasts
+    (8 KiB at the default) and scoring is one stateless zero-exchange
+    pass. Output ``(id_col, n_grams, dsir_half_bits)``; docs with no
+    tokens score (0, 0).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+    def gram_buckets(batch: pa.Table):
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        toks = flat.to_numpy(zero_copy_only=False)
+        parent = parent.astype(np.int64)
+        grams = [toks.astype(str)]
+        owners = [parent]
+        if len(toks) >= 2:
+            same = parent[:-1] == parent[1:]
+            if same.any():
+                grams.append(np.char.add(
+                    np.char.add(grams[0][:-1][same], " "),
+                    grams[0][1:][same]))
+                owners.append(parent[:-1][same])
+        g = np.concatenate(grams)
+        own = np.concatenate(owners)
+        if len(g) == 0:
+            return np.zeros(0, dtype=np.int64), own, nrows
+        b = (md5_hash64(list(g)) % np.uint64(n_feat)).astype(np.int64)
+        return b, own, nrows
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        b, _, _ = gram_buckets(batch)
+        folded = np.bincount(b, minlength=n_feat)
+        nz = np.flatnonzero(folded)
+        return pa.table({
+            "bucket": pa.array(nz.astype(np.int64)),
+            "cnt": pa.array(folded[nz].astype(np.int64)),
+        })
+
+    def fold_counts(d) -> np.ndarray:
+        rows = (
+            d.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
+        ).to_pandas()
+        c = np.zeros(n_feat, dtype=np.int64)
+        if len(rows):
+            c[rows["bucket"].to_numpy()] = rows["cnt"].to_numpy()
+        return c
+
+    def half_bit_costs(c: np.ndarray) -> np.ndarray:
+        # arbitrary-precision per bucket — T² overflows int64 past ~3e9
+        # grams; n_feat-sized loop on the driver is free
+        T = int(c.sum()) + n_feat
+        t2len = (T * T).bit_length()
+        return np.array(
+            [t2len - ((int(x) + 1) ** 2).bit_length() for x in c],
+            dtype=np.int64)
+
+    diff = half_bit_costs(fold_counts(ds)) - half_bit_costs(
+        fold_counts(target_ds))
+    ref = ray.put(diff)
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        b, own, nrows = gram_buckets(batch)
+        n_grams = np.zeros(nrows, dtype=np.int64)
+        total = np.zeros(nrows, dtype=np.int64)
+        if len(b):
+            np.add.at(n_grams, own, 1)
+            np.add.at(total, own, d[b])
+        out = batch.select([id_col])
+        out = out.append_column("n_grams",
+                                pa.array(n_grams, type=pa.int64()))
+        return out.append_column("dsir_half_bits",
+                                 pa.array(total, type=pa.int64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_weights_sql(*, table: str = "documents",
+                     target_where: str = "lang = 'en'",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_feat: int = 1024) -> str:
+    """SQL replay: identical md5 buckets (``md5_number_upper % n_feat``),
+    Laplace bucket counts per side over all ``n_feat`` buckets, the same
+    bit-length half-bit costs. DuckDB's ``format('{:b}')`` is
+    BIGINT-only, so the mirror squares in BIGINT — its documented domain
+    is ``T < 2³¹·⁵`` grams per side (the same bound as
+    ``unigram_train_sql``); the engine itself is arbitrary-precision.
+    LEFT-JOIN finish so token-free docs keep (0, 0)."""
+    toks = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    cost = ("length(format('{{:b}}', {t}.t * {t}.t)) - length(format("
+            "'{{:b}}', (coalesce({c}.c, 0) + 1)"
+            " * (coalesce({c}.c, 0) + 1)))")
+    return f"""
+        WITH base AS (SELECT {id_col}, {toks} AS arr FROM {table}),
+        grams AS (
+          SELECT {id_col}, t.g FROM base, unnest(arr) AS t(g)
+          UNION ALL
+          SELECT {id_col}, arr[i.i] || ' ' || arr[i.i + 1] AS g
+          FROM base, unnest(generate_series(1, len(arr) - 1)) AS i(i)
+        ),
+        gb AS MATERIALIZED (
+          SELECT {id_col},
+                 (md5_number_upper(g)::UBIGINT % {n_feat})::BIGINT AS bucket
+          FROM grams
+        ),
+        tc AS (
+          SELECT bucket, count(*)::BIGINT AS c FROM gb
+          WHERE {id_col} IN (SELECT {id_col} FROM {table}
+                             WHERE {target_where})
+          GROUP BY 1
+        ),
+        rc AS (SELECT bucket, count(*)::BIGINT AS c FROM gb GROUP BY 1),
+        tt AS (SELECT (coalesce(sum(c), 0) + {n_feat})::BIGINT AS t
+               FROM tc),
+        rt AS (SELECT (coalesce(sum(c), 0) + {n_feat})::BIGINT AS t
+               FROM rc),
+        allb AS (SELECT r.range::BIGINT AS bucket FROM range({n_feat}) r),
+        costs AS (
+          SELECT b.bucket,
+                 {cost.format(t='rt', c='rc')} AS cost_raw,
+                 {cost.format(t='tt', c='tc')} AS cost_tgt
+          FROM allb b
+          LEFT JOIN rc ON rc.bucket = b.bucket
+          LEFT JOIN tc ON tc.bucket = b.bucket, rt, tt
+        ),
+        scored AS (
+          SELECT gb.{id_col}, count(*)::BIGINT AS n_grams,
+                 sum(costs.cost_raw - costs.cost_tgt)::BIGINT
+                     AS dsir_half_bits
+          FROM gb JOIN costs USING (bucket) GROUP BY 1
+        )
+        SELECT d.{id_col},
+               coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+               coalesce(s.dsir_half_bits, 0)::BIGINT AS dsir_half_bits
+        FROM {table} d LEFT JOIN scored s USING ({id_col})"""

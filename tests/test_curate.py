@@ -682,3 +682,45 @@ def test_freq_subsample_rule_and_determinism():
     again = freq_subsample(ds, t_ppm=20000).to_pandas().sort_values(
         "doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_dsir_weights_direction_and_exactness():
+    import duckdb
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.curate import (
+        dsir_weights,
+        dsir_weights_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d", "e", "f"],
+        "lang": ["en", "en", "fr", "fr", "en", "fr"],
+        "text": ["the quick brown fox jumps", "the lazy dog sleeps",
+                 "le chat noir dort", "le chien court vite",
+                 "the fox and the dog", ""],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    target = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+        batch_format="pyarrow")
+    eng = (dsir_weights(ds, target, n_feat=64).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(dsir_weights_sql(n_feat=64)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql)  # bit-exact vs the replay
+
+    # target-language docs must outscore off-target docs on average
+    s = eng.set_index("doc_id")["dsir_half_bits"]
+    assert s[["a", "b", "e"]].mean() > s[["c", "d"]].mean()
+    # token-free docs score (0, 0)
+    assert eng.set_index("doc_id").loc["f"].tolist() == [0, 0]
+    # deterministic under different partitioning
+    eng1 = (dsir_weights(ray.data.from_pandas(df).repartition(1), target,
+                         n_feat=64).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, eng1)
