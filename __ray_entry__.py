@@ -1729,6 +1729,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_mixture_interleave(sf):
+        """Deterministic stride-scheduled data-mixing order (weighted
+        source interleave, GLaM-style): per-source md5 shuffle rank via
+        the two-pass prefix scan + the exact-integer stride key."""
+        from htrc_feature_reader_ray.stages.sample import mixture_interleave
+
+        weights = {f"src{i}": 1 + i % 4 for i in range(20)}
+        out = mixture_interleave(
+            _docs(sf, columns=["doc_id", "source"]),
+            source_col="source", id_col="doc_id", weights=weights)
+        return out.select_columns(["doc_id", "source", "src_rank",
+                                   "mix_key"])
+
     def q_dsir_weights(sf):
         """DSIR importance weights (hashed uni+bigram target-vs-raw
         log-likelihood ratio in exact half-bits; Xie et al. NeurIPS'23)
@@ -3699,6 +3712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": q_bpe_encode,
         "wordpiece_encode": q_wordpiece_encode,
         "dsir_weights": q_dsir_weights,
+        "mixture_interleave": q_mixture_interleave,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4764,6 +4778,10 @@ def oracle_sql() -> dict[str, str]:
             col="token", k=31),
         "bigram_surprisal": curate.bigram_surprisal_sql(),
         "dsir_weights": curate.dsir_weights_sql(n_feat=256),
+        "mixture_interleave": sample.mixture_interleave_sql(
+            source_col="source", id_col="doc_id",
+            weights={f"src{i}": 1 + i % 4 for i in range(20)},
+            columns="doc_id, source"),
         "lang_temperature_weights": sample.temperature_weights_sql(
             stratum_col="lang", table="documents"),
         "value_auc_by_day": profile_mod.grouped_auc_sql(

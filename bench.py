@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "freq_subsample",
     "wordpiece_encode",
     "dsir_weights",
+    "mixture_interleave",
 ]
 
 HEADLINE = "flagship"

@@ -390,3 +390,123 @@ def temperature_weights_sql(*, stratum_col: str, table: str) -> str:
         SELECT {stratum_col}, n_rows,
                (rt::HUGEINT * 1000000 // d.denom)::BIGINT AS weight_ppm
         FROM r, d"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic mixture interleave (stride-scheduled data mixing)
+
+
+def mixture_interleave(ds, *, source_col: str, id_col: str, weights: dict,
+                       salt: str = "", num_buckets: int = 64):
+    """Deterministic weighted interleave of sources into one training
+    order — the data-mixing schedule (GLaM / DoReMi-style source
+    weighting) made reproducible. Each source's stream is deterministically
+    shuffled (md5 order, cf. :func:`deterministic_shuffle`), then streams
+    merge by STRIDE SCHEDULING (Waldspurger & Weihl, OSDI '95): item
+    ``r`` of source ``s`` gets
+
+        mix_key = ((2·r + 1) · 10⁶) // (2 · w_s)
+
+    — the exact-integer pass value whose ascending order interleaves
+    sources proportionally to their weights with low discrepancy (any
+    prefix of the order holds ≈ P·w_s/W items of source ``s``, error
+    bounded by the number of sources). The training order is
+    ``ORDER BY (mix_key, source, src_rank)`` — a pure function of the
+    data, identical on any cluster shape, replayable in SQL.
+
+    Unknown sources fail loudly (weights is the complete contract);
+    weights are positive ints. Output adds ``src_rank`` (0-based rank
+    within the source under (md5(salt+id), id)) and ``mix_key``.
+
+    Scale shape: the per-source dense rank uses the two-pass
+    prefix-scan (pass 1: (hash-range bucket × source) counts — a
+    B×S-row fold; pass 2: one bucketed exchange co-locates each
+    hash-range bucket, ranks all its sources in one lexsort). The
+    final total order is the CONSUMER's sort (or a range-partitioned
+    write keyed on mix_key) — the op itself never global-sorts.
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    for s, w in weights.items():
+        if not isinstance(w, int) or w <= 0:
+            raise ValueError(f"weights must be positive ints, got {s}={w}")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = md5_hash64([f"{salt}{v}" for v in df[id_col].to_numpy()])
+        df[_SHUF_HASH] = h
+        df[_SHUF_BUCKET] = (
+            ((h >> np.uint64(32)) * np.uint64(num_buckets))
+            >> np.uint64(32)
+        ).astype(np.int64)
+        return df
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucketize(df[[id_col, source_col]])
+        g = b.groupby([_SHUF_BUCKET, source_col], sort=False,
+                      as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = (
+        ds.select_columns([id_col, source_col])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby([_SHUF_BUCKET, source_col]).sum("n").to_pandas()
+    )
+    # exclusive per-source prefix over hash-range buckets (driver, B×S rows)
+    base: dict = {}
+    if len(counts):
+        counts = counts.sort_values([source_col, _SHUF_BUCKET])
+        for src, grp in counts.groupby(source_col, sort=False):
+            if src not in weights:
+                raise KeyError(
+                    f"source {src!r} has no weight — weights must cover "
+                    f"every source value")
+            n = grp["sum(n)"].to_numpy(dtype=np.int64)
+            offs = np.concatenate([[0], np.cumsum(n)[:-1]])
+            base[src] = dict(zip(grp[_SHUF_BUCKET].to_numpy(), offs))
+
+    wmap = dict(weights)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([_SHUF_HASH, id_col],
+                            kind="mergesort").reset_index(drop=True)
+        bkt = int(df[_SHUF_BUCKET].iloc[0])
+        rank = df.groupby(source_col, sort=False).cumcount().to_numpy()
+        offs = np.fromiter(
+            (base[s][bkt] for s in df[source_col]),
+            dtype=np.int64, count=len(df))
+        r = rank + offs
+        w = np.fromiter((wmap[s] for s in df[source_col]),
+                        dtype=np.int64, count=len(df))
+        df["src_rank"] = r
+        df["mix_key"] = ((2 * r + 1) * 1_000_000) // (2 * w)
+        return df.drop(columns=[_SHUF_BUCKET, _SHUF_HASH])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby(_SHUF_BUCKET)
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def mixture_interleave_sql(*, source_col: str, id_col: str, weights: dict,
+                           salt: str = "", table: str = "documents",
+                           columns: str = "*") -> str:
+    """SQL mirror: per-source row_number under the identical md5 order,
+    the same stride formula; weights render as a CASE over the dict."""
+    case = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(weights.items()))
+    return f"""
+        SELECT {columns},
+               (row_number() OVER (
+                    PARTITION BY {source_col}
+                    ORDER BY md5_number_upper('{salt}' || {id_col}::VARCHAR),
+                             {id_col}
+                ) - 1)::BIGINT AS src_rank,
+               ((2 * (row_number() OVER (
+                    PARTITION BY {source_col}
+                    ORDER BY md5_number_upper('{salt}' || {id_col}::VARCHAR),
+                             {id_col}
+                ) - 1) + 1) * 1000000
+                // (2 * (CASE {source_col} {case} END)))::BIGINT AS mix_key
+        FROM {table}"""

@@ -944,3 +944,51 @@ def test_grouped_auc_perfect_and_degenerate():
                       score_col="s").to_pandas()
     assert set(out["g"]) == {"p"}  # single-class group dropped
     assert out.set_index("g").loc["p", "auc_ppm"] == 1_000_000
+
+
+def test_mixture_interleave_stride_schedule():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.sample import (
+        mixture_interleave,
+        mixture_interleave_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(240, dtype=np.int64),
+        "source": [f"s{i % 3}" for i in range(240)],
+    })
+    W = {"s0": 5, "s1": 2, "s2": 1}
+    ds = ray.data.from_pandas(df).repartition(4)
+    eng = (mixture_interleave(ds, source_col="source", id_col="doc_id",
+                              weights=W).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(mixture_interleave_sql(
+        source_col="source", id_col="doc_id", weights=W)).df()
+        .sort_values("doc_id").reset_index(drop=True))
+    cols = ["doc_id", "source", "src_rank", "mix_key"]
+    pd.testing.assert_frame_equal(eng[cols], sql[cols])
+
+    # stride guarantee: every weight-multiple prefix of the order is
+    # EXACTLY proportional (low-discrepancy interleave) — while no
+    # source is exhausted (80 items each; s0 runs dry past P=128)
+    order = eng.sort_values(["mix_key", "source", "src_rank"])
+    for P in (8, 80, 120):
+        cnt = order.head(P)["source"].value_counts()
+        for s, w in W.items():
+            assert cnt.get(s, 0) == P * w // 8, (P, s)
+    # per-source ranks are dense 0..n-1 under the md5 order
+    for s, grp in eng.groupby("source"):
+        assert sorted(grp["src_rank"]) == list(range(len(grp)))
+    # unknown source fails loudly
+    import pytest
+
+    with pytest.raises(KeyError):
+        mixture_interleave(
+            ds, source_col="source", id_col="doc_id",
+            weights={"s0": 1, "s1": 1}).materialize()
+    with pytest.raises(ValueError):
+        mixture_interleave(ds, source_col="source", id_col="doc_id",
+                           weights={"s0": 0, "s1": 1, "s2": 1})
