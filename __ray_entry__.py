@@ -1729,6 +1729,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_source_divergence(sf):
+        """Per-source KL-style divergence from the corpus token mix in
+        exact half-bits (DoReMi-ish mixture health): one (source, token)
+        token-bucketed fold, vocab costs derived from it, tiny finish."""
+        from htrc_feature_reader_ray.stages.curate import source_divergence
+
+        return source_divergence(_docs(sf, columns=["source", "text"]))
+
     def q_mixture_interleave(sf):
         """Deterministic stride-scheduled data-mixing order (weighted
         source interleave, GLaM-style): per-source md5 shuffle rank via
@@ -3713,6 +3721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wordpiece_encode": q_wordpiece_encode,
         "dsir_weights": q_dsir_weights,
         "mixture_interleave": q_mixture_interleave,
+        "source_divergence": q_source_divergence,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4778,6 +4787,7 @@ def oracle_sql() -> dict[str, str]:
             col="token", k=31),
         "bigram_surprisal": curate.bigram_surprisal_sql(),
         "dsir_weights": curate.dsir_weights_sql(n_feat=256),
+        "source_divergence": curate.source_divergence_sql(),
         "mixture_interleave": sample.mixture_interleave_sql(
             source_col="source", id_col="doc_id",
             weights={f"src{i}": 1 + i % 4 for i in range(20)},

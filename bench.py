@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "wordpiece_encode",
     "dsir_weights",
     "mixture_interleave",
+    "source_divergence",
 ]
 
 HEADLINE = "flagship"

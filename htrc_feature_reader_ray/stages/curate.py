@@ -19,6 +19,7 @@ classic ``ln(N/df)`` (identical rankings, bit-exact parity).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1783,3 +1784,128 @@ def dsir_weights_sql(*, table: str = "documents",
                coalesce(s.n_grams, 0)::BIGINT AS n_grams,
                coalesce(s.dsir_half_bits, 0)::BIGINT AS dsir_half_bits
         FROM {table} d LEFT JOIN scored s USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
+# per-source distribution divergence (corpus-mixture health)
+
+
+def source_divergence(ds, *, group_col: str = "source",
+                      text_col: str = "text", num_buckets: int = 32):
+    """Per-group KL-style divergence of the group's token distribution
+    from the WHOLE corpus's — the mixture-health diagnostic behind
+    DoReMi-style reweighting ("which source is most off-distribution").
+    Both distributions are Laplace-smoothed over the global vocabulary
+    (support V), and the divergence uses the module's exact HALF-BIT
+    contract:
+
+        cost_X(t) = bitlen((T_X + V)²) − bitlen((c_X(t)+1)²)
+        kl_half_bits(s) = Σ_t c_s(t) · (cost_global(t) − cost_s(t))
+
+    ≈ 2·n_s·KL(p̂_s ‖ p̂_corpus) in occurrence-weighted half-bits —
+    integer-exact, so bit-identical across parallelism and SQL-
+    replayable (per-token floors may leave tiny negative contributions;
+    the sum tracks KL, it is not axiomatically ≥ 0). Output
+    ``(group_col, n_tokens, n_types, kl_half_bits)``.
+
+    Scale shape: ONE token-bucketed (group, token) fold (the pair table
+    is ≤ S·V, never occurrence-sized); the global vocabulary costs and
+    per-group totals derive from that fold — no second corpus scan; the
+    finish is a tiny per-group sum over the folded table with the
+    vocabulary cost map broadcast (the module's canonical worker-fit
+    small side, same posture as ``encode_tokens``).
+    """
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+    from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        grp = batch.column(group_col).take(
+            pa.array(parent, type=pa.int64()))
+        t = pa.table({group_col: grp, "token": flat})
+        g = t.group_by([group_col, "token"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "token", "c"])
+
+    pair = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "token"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="token",
+    ).materialize()  # two folded consumers below — fold the corpus ONCE
+
+    # global vocabulary costs + per-group totals: V- and S-sized tables
+    # derived from the pair fold, both worker-fit by the vocab contract
+    gcnt = bucketed_aggregate(
+        pair, "token", {"c": ("c", "sum")}, num_buckets=8).to_pandas()
+    totals = pair.to_pandas().groupby(group_col, as_index=False)["c"].sum()
+    V = len(gcnt)
+    Tg = int(gcnt["c"].sum()) + V
+    tg2 = (Tg * Tg).bit_length()
+    gcost = {
+        t: tg2 - ((int(c) + 1) ** 2).bit_length()
+        for t, c in zip(gcnt["token"], gcnt["c"])
+    }
+    ts2 = {
+        s: ((int(n) + V) * (int(n) + V)).bit_length()
+        for s, n in zip(totals[group_col], totals["c"])
+    }
+    ref = ray.put((gcost, ts2))
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        gc, t2 = ray.get(ref)
+        c = df["c"].to_numpy(dtype=np.int64)
+        cost_g = df["token"].map(gc).to_numpy(dtype=np.int64)
+        cost_s = (
+            df[group_col].map(t2).to_numpy(dtype=np.int64)
+            - np.array([((int(x) + 1) ** 2).bit_length() for x in c],
+                       dtype=np.int64)
+        )
+        out = pd.DataFrame({
+            group_col: df[group_col],
+            "n_tokens": c,
+            "n_types": np.ones(len(df), dtype=np.int64),
+            "kl_half_bits": c * (cost_g - cost_s),
+        })
+        return out.groupby(group_col, sort=False, as_index=False).sum()
+
+    return (
+        pair.map_batches(contrib, batch_format="pandas")
+        .groupby(group_col)
+        .sum(["n_tokens", "n_types", "kl_half_bits"])
+        .map_batches(lambda t: t.rename_columns(
+            [group_col, "n_tokens", "n_types", "kl_half_bits"]),
+            batch_format="pyarrow")
+    )
+
+
+def source_divergence_sql(*, table: str = "documents",
+                          group_col: str = "source",
+                          text_col: str = "text") -> str:
+    """SQL replay: the same (group, token) / global counts and
+    bit-length half-bit costs (BIGINT domain: corpora under 2³¹·⁵
+    tokens, cf. dsir_weights_sql)."""
+    toks = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    return f"""
+        WITH occ AS (
+          SELECT {group_col}, u.t AS token
+          FROM {table}, unnest({toks}) AS u(t)
+        ),
+        sc AS (SELECT {group_col}, token, count(*)::BIGINT AS c
+               FROM occ GROUP BY 1, 2),
+        gc AS (SELECT token, sum(c)::BIGINT AS c FROM sc GROUP BY 1),
+        v AS (SELECT count(*)::BIGINT AS v, (sum(c) + count(*))::BIGINT
+                     AS tg FROM gc),
+        st AS (SELECT {group_col}, (sum(c) + (SELECT v FROM v))::BIGINT
+                      AS ts FROM sc GROUP BY 1)
+        SELECT sc.{group_col},
+               sum(sc.c)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS n_types,
+               sum(sc.c * (
+                 (length(format('{{:b}}', v.tg * v.tg))
+                  - length(format('{{:b}}', (gc.c + 1) * (gc.c + 1))))
+                 - (length(format('{{:b}}', st.ts * st.ts))
+                    - length(format('{{:b}}', (sc.c + 1) * (sc.c + 1))))
+               ))::BIGINT AS kl_half_bits
+        FROM sc JOIN gc USING (token) JOIN st USING ({group_col}), v
+        GROUP BY 1"""

@@ -724,3 +724,36 @@ def test_dsir_weights_direction_and_exactness():
                          n_feat=64).to_pandas()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(eng, eng1)
+
+
+def test_source_divergence_exact_and_directional():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.curate import (
+        source_divergence,
+        source_divergence_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "source": ["a", "a", "b", "b", "c", "c"],
+        "text": ["x x y", "x z", "y y y w", "w w y", "x y z w",
+                 "z z x y"],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    eng = (source_divergence(ds).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(source_divergence_sql()).df()
+           .sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql)  # bit-exact vs the replay
+
+    # the source skewed onto 2 types (b: y/w only) diverges more than the
+    # one whose mix matches the corpus (c: one of each)
+    s = eng.set_index("source")["kl_half_bits"]
+    assert s["b"] > s["c"]
+    # partitioning-invariant
+    eng1 = (source_divergence(ray.data.from_pandas(df).repartition(1))
+            .to_pandas().sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, eng1)
