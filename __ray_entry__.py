@@ -1729,6 +1729,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_hash_cross(sf):
+        """Hashed categorical features + lang×source interaction cross
+        (VW -q / hashing trick for tabular columns): namespaced md5 dims,
+        ±1 top-bit sign, zero exchange."""
+        from htrc_feature_reader_ray.stages.profile import hash_cross
+
+        return hash_cross(
+            _docs(sf, columns=["doc_id", "lang", "source"]),
+            id_col="doc_id", cols=["lang", "source"],
+            quadratic=[("lang", "source")], dims=64)
+
     def q_source_divergence(sf):
         """Per-source KL-style divergence from the corpus token mix in
         exact half-bits (DoReMi-ish mixture health): one (source, token)
@@ -3722,6 +3733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "mixture_interleave": q_mixture_interleave,
         "source_divergence": q_source_divergence,
+        "hash_cross": q_hash_cross,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4788,6 +4800,9 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": curate.bigram_surprisal_sql(),
         "dsir_weights": curate.dsir_weights_sql(n_feat=256),
         "source_divergence": curate.source_divergence_sql(),
+        "hash_cross": profile_mod.hash_cross_sql(
+            table="documents", id_col="doc_id", cols=["lang", "source"],
+            quadratic=[("lang", "source")], dims=64),
         "mixture_interleave": sample.mixture_interleave_sql(
             source_col="source", id_col="doc_id",
             weights={f"src{i}": 1 + i % 4 for i in range(20)},

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "mixture_interleave",
     "source_divergence",
+    "hash_cross",
 ]
 
 HEADLINE = "flagship"

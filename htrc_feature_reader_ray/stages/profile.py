@@ -1933,3 +1933,76 @@ def grouped_auc_sql(*, table_expr: str, group: str, label: str,
                ((s2 - n_pos::HUGEINT * (n_pos + 1)) * 1000000
                 // (2::HUGEINT * n_pos * n_neg))::BIGINT AS auc_ppm
         FROM a"""
+
+
+# ---------------------------------------------------------------------------
+# hashed categorical feature crosses (the tabular hashing trick)
+
+
+def hash_cross(ds, *, id_col: str, cols, quadratic=(), dims: int = 256):
+    """Hashed categorical features + interaction crosses (Vowpal Wabbit's
+    ``-q`` / Weinberger et al. ICML'09 for TABULAR columns — the sibling
+    of ``vocab.feature_hashing``): every column value hashes as the
+    namespaced feature ``col=value`` and every requested pair ``(a, b)``
+    as the cross ``a^b=va\\x1fvb``, each landing in
+    ``dim = md5 % dims`` with the paper's unbiasing ±1 top-bit sign,
+    summed per (id, dim).
+
+    Fixed-width and vocabulary-free: no category table, no exchange at
+    all — per-row features complete inside their batch (long output
+    ``(id_col, dim, value)``, zero-sum collisions kept, same contract as
+    ``feature_hashing``). ``id_col`` must be row-unique (one feature
+    vector per row); repeated ids would emit per-batch partial sums. The namespace prefix keeps equal values in
+    different columns distinct; the ``\\x1f`` separator keeps cross
+    values unambiguous (a value containing ``=`` cannot forge another
+    column's feature).
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    cols = list(cols)
+    quadratic = [tuple(q) for q in quadratic]
+    for a, b in quadratic:
+        if a not in cols or b not in cols:
+            raise ValueError(f"quadratic pair ({a}, {b}) not in cols")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        feats = []
+        for c in cols:
+            feats.append(c + "=" + df[c].astype(str))
+        for a, b in quadratic:
+            feats.append(a + "^" + b + "=" + df[a].astype(str) + "\x1f"
+                         + df[b].astype(str))
+        ids = np.tile(df[id_col].to_numpy(), len(feats))
+        flat = pd.concat(feats, ignore_index=True).to_numpy()
+        uniq, inv = np.unique(flat, return_inverse=True)
+        h = md5_hash64(uniq)
+        dim = (h % np.uint64(dims)).astype(np.int64)[inv]
+        sign = (1 - 2 * (h >> np.uint64(63)).astype(np.int64))[inv]
+        out = pd.DataFrame({id_col: ids, "dim": dim, "value": sign})
+        return (out.groupby([id_col, "dim"], sort=False, as_index=False)
+                ["value"].sum())
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def hash_cross_sql(*, table: str, id_col: str, cols, quadratic=(),
+                   dims: int = 256) -> str:
+    """SQL replay: the identical namespaced feature strings through
+    ``md5_number_upper``; one UNION ALL branch per feature."""
+    branches = [
+        f"SELECT {id_col}, md5_number_upper('{c}=' || {c}::VARCHAR) AS h"
+        f" FROM {table}" for c in cols
+    ] + [
+        f"SELECT {id_col}, md5_number_upper('{a}^{b}=' || {a}::VARCHAR"
+        f" || chr(31) || {b}::VARCHAR) AS h FROM {table}"
+        for a, b in quadratic
+    ]
+    un = "\n          UNION ALL ".join(branches)
+    return f"""
+        WITH h AS (
+          {un}
+        )
+        SELECT {id_col},
+               (h % {dims})::BIGINT AS dim,
+               sum(1 - 2 * (h >> 63)::BIGINT)::BIGINT AS value
+        FROM h GROUP BY 1, 2"""

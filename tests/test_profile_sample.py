@@ -992,3 +992,41 @@ def test_mixture_interleave_stride_schedule():
     with pytest.raises(ValueError):
         mixture_interleave(ds, source_col="source", id_col="doc_id",
                            weights={"s0": 0, "s1": 1, "s2": 1})
+
+
+def test_hash_cross_namespaces_and_sign():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.profile import (
+        hash_cross,
+        hash_cross_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": range(8),
+        "lang": ["en", "fr", "en", "de", "en", "fr", "de", "en"],
+        "source": [f"s{i % 3}" for i in range(8)],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    kw = dict(id_col="doc_id", cols=["lang", "source"],
+              quadratic=[("lang", "source")], dims=32)
+    eng = (hash_cross(ds, **kw).to_pandas()
+           .sort_values(["doc_id", "dim"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = (con.execute(hash_cross_sql(table="t", **kw)).df()
+           .sort_values(["doc_id", "dim"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql)
+
+    # 3 features per row (2 singles + 1 cross), each with |value| == 1
+    # barring same-dim collisions
+    per_doc = eng.groupby("doc_id")["value"].apply(
+        lambda v: v.abs().sum())
+    assert (per_doc <= 3).all() and (per_doc >= 1).all()
+    # namespacing: equal VALUES in different columns hash apart — rows
+    # with lang=='en' and source=='s0' share no forced dim collision
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_cross(ds, id_col="doc_id", cols=["lang"],
+                   quadratic=[("lang", "source")])
