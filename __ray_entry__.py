@@ -1281,11 +1281,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from htrc_feature_reader_ray.stages.profile import fk_violations
 
+        import pyarrow.parquet as pq
+
         return fk_violations(
             _events(sf, ["user_id"]),
             ray.data.read_parquet(f"{sf}/supplier.parquet",
                                   columns=["s_suppkey"]),
-            child_key="user_id", parent_key="s_suppkey")
+            child_key="user_id", parent_key="s_suppkey",
+            parent_rows=pq.ParquetFile(
+                f"{sf}/supplier.parquet").metadata.num_rows)
 
     def q_topn_sources_per_lang(sf):
         """Long-tail collapse: per lang the top-2 sources by doc count,

@@ -1679,12 +1679,25 @@ def pareto_rank_sql(*, table_expr: str, key: str, weight_expr: str,
 
 
 def fk_violations(child, parent, *, child_key: str, parent_key: str,
-                  num_buckets: int = 16):
+                  num_buckets: int = 16, method: str = "auto",
+                  parent_rows: int | None = None,
+                  broadcast_limit: int = 2_000_000):
     """Referential-integrity audit: child keys with NO matching parent
     row, with their row counts — the ingestion-QA join-health check run
     BEFORE a big pipeline trusts a join. Child keys fold to (key, n)
     partials first (per-batch combine), so the anti-join moves distinct
-    keys, never child rows. Output: (child_key, n_rows)."""
+    keys, never child rows. Output: (child_key, n_rows).
+
+    The parent side of an FK audit is usually a DIMENSION table, so when
+    its key set fits a worker (``method='broadcast'``, picked by 'auto'
+    when ``parent_rows`` ≤ ``broadcast_limit`` — pass the count, e.g.
+    from parquet metadata) the distinct parent keys ship once via
+    ``ray.put`` and the anti-join becomes a stateless map-side
+    ``isin`` filter over the folded counts — ONE exchange total instead
+    of two. Unbounded parents keep the co-partitioned ``bucket_join``
+    path ('auto' without ``parent_rows`` stays on it)."""
+    import ray
+
     from htrc_feature_reader_ray.stages.partition import (
         bucket_join,
         bucketed_aggregate,
@@ -1703,6 +1716,22 @@ def fk_violations(child, parent, *, child_key: str, parent_key: str,
         return batch.select([parent_key]).group_by(parent_key).aggregate([])
 
     pkeys = parent.map_batches(keys_only, batch_format="pyarrow")
+    if method == "auto":
+        method = ("broadcast" if parent_rows is not None
+                  and parent_rows <= broadcast_limit else "join")
+    if method == "broadcast":
+        # per-batch distinct -> driver set union (≤ parent_rows keys)
+        idx = pd.Index(pkeys.to_pandas()[parent_key].unique())
+        if len(idx) > broadcast_limit:
+            raise ValueError(
+                f"parent key set ({len(idx)}) exceeds broadcast_limit "
+                f"({broadcast_limit}) — use method='join'")
+        ref = ray.put(idx)
+
+        def anti(df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df[child_key].isin(ray.get(ref))]
+
+        return counts.map_batches(anti, batch_format="pandas")
     return bucket_join(counts, pkeys, left_key=child_key,
                        right_key=parent_key, how="anti",
                        num_buckets=num_buckets)

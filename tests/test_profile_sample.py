@@ -810,6 +810,19 @@ def test_fk_violations_and_topn_collapse():
         .to_pandas().set_index("k").sort_index()
     )
     assert got["n_rows"].to_dict() == {3: 1, 9: 3}
+    # broadcast fast path (dimension-sized parent) pinned equal to the
+    # co-partitioned join path
+    bc = (
+        fk_violations(child, parent, child_key="k", parent_key="pk",
+                      parent_rows=3)
+        .to_pandas().set_index("k").sort_index()
+    )
+    assert bc["n_rows"].to_dict() == got["n_rows"].to_dict()
+    import pytest
+
+    with pytest.raises(ValueError):
+        fk_violations(child, parent, child_key="k", parent_key="pk",
+                      method="broadcast", broadcast_limit=2).to_pandas()
 
     df = pd.DataFrame({
         "g": ["x"] * 10 + ["y"] * 3,
