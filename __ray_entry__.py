@@ -1733,6 +1733,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_rrf_hybrid(sf):
+        """Hybrid retrieval finish: BM25 lexical top-50 ⊕ dense cosine
+        top-50 (query = doc 0's embedding) fused by reciprocal-rank
+        fusion in exact integer ppb (SIGIR'09 k=60)."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.curate import (
+            bm25_topk,
+            rank_by,
+            rrf_fuse,
+        )
+
+        bm = bm25_topk(_docs(sf), ("spark", "window", "merge"), k=50)
+        bm_r = rank_by(bm, id_col="doc_id",
+                       sort_cols=["score_ppm", "doc_id"],
+                       ascending=[False, True])
+        t = pd.read_parquet(f"{sf}/embeddings.parquet")
+        qdf = t[t.vec_id == 0]
+        q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        dn = cosine_topk(emb, q, k=50,
+                         query_ids=qdf["vec_id"].to_numpy())
+        dn_r = dn.map_batches(
+            lambda tb: tb.select(["vec_id", "rank"]).rename_columns(
+                ["doc_id", "rank"]),
+            batch_format="pyarrow")
+        return rrf_fuse([bm_r, dn_r], id_col="doc_id")
+
     def q_hash_cross(sf):
         """Hashed categorical features + lang×source interaction cross
         (VW -q / hashing trick for tabular columns): namespaced md5 dims,
@@ -3738,6 +3767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_interleave": q_mixture_interleave,
         "source_divergence": q_source_divergence,
         "hash_cross": q_hash_cross,
+        "rrf_hybrid": q_rrf_hybrid,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4804,6 +4834,24 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": curate.bigram_surprisal_sql(),
         "dsir_weights": curate.dsir_weights_sql(n_feat=256),
         "source_divergence": curate.source_divergence_sql(),
+        "rrf_hybrid": curate.rrf_fuse_sql(
+            list_sqls=[
+                "SELECT doc_id, row_number() OVER (ORDER BY score_ppm"
+                " DESC, doc_id) AS rank FROM ("
+                + curate.bm25_topk_sql(
+                    query_terms=("spark", "window", "merge"), k=50) + ")",
+                """SELECT vec_id, rank FROM (
+                     SELECT e.vec_id,
+                            row_number() OVER (
+                              ORDER BY list_cosine_similarity(
+                                q.qe, e.embedding::DOUBLE[]) DESC,
+                              e.vec_id) AS rank
+                     FROM (SELECT embedding::DOUBLE[] AS qe
+                           FROM embeddings WHERE vec_id = 0) q,
+                          embeddings e
+                   ) WHERE rank <= 50""",
+            ],
+            id_cols=["doc_id", "vec_id"]),
         "hash_cross": profile_mod.hash_cross_sql(
             table="documents", id_col="doc_id", cols=["lang", "source"],
             quadratic=[("lang", "source")], dims=64),

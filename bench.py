@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "mixture_interleave",
     "source_divergence",
     "hash_cross",
+    "rrf_hybrid",
 ]
 
 HEADLINE = "flagship"

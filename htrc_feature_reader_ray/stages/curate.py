@@ -1909,3 +1909,81 @@ def source_divergence_sql(*, table: str = "documents",
                ))::BIGINT AS kl_half_bits
         FROM sc JOIN gc USING (token) JOIN st USING ({group_col}), v
         GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion (hybrid retrieval)
+
+
+def rank_by(ds, *, id_col: str, sort_cols, ascending,
+            out_id: str | None = None):
+    """Turn a TOP-K result table into a 1-based ranked list
+    ``(out_id, rank)`` under the given (sort_cols, ascending) order.
+    Top-k lists are k-row by construction, so the table folds to one
+    block for the row_number — this helper is for RANKED-LIST finishes,
+    not corpus-sized tables."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(list(sort_cols), ascending=list(ascending),
+                            kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            out_id or id_col: df[id_col],
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64),
+        })
+
+    return ds.repartition(1).map_batches(assign, batch_format="pandas")
+
+
+def rrf_fuse(ranked, *, id_col: str = "doc_id", k_rrf: int = 60):
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    hybrid-retrieval combiner (lexical BM25 ⊕ dense cosine, or any set
+    of ranked lists): per document
+
+        rrf_ppb = Σ_lists 10⁹ // (k_rrf + rank)
+
+    in exact integer parts-per-billion (the float 1/(k+r) made
+    reproducible; k_rrf=60 is the paper's constant). Rank-based, so
+    incomparable score scales fuse without normalization. Output
+    ``(id_col, n_lists, rrf_ppb)``; docs appear once per list they rank
+    in (n_lists tracks coverage).
+
+    Inputs are ``(id_col, rank)`` tables (see :func:`rank_by`); the
+    union + per-doc fold moves only ranked rows — Σk rows total, never
+    the corpus."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_lists": np.ones(len(df), dtype=np.int64),
+            "rrf_ppb": 1_000_000_000 // (k_rrf + r),
+        })
+
+    u = ranked[0]
+    for d in ranked[1:]:
+        u = u.union(d)
+    return (
+        u.map_batches(contrib, batch_format="pandas")
+        .groupby(id_col)
+        .sum(["n_lists", "rrf_ppb"])
+        .map_batches(lambda t: t.rename_columns(
+            [id_col, "n_lists", "rrf_ppb"]), batch_format="pyarrow")
+    )
+
+
+def rrf_fuse_sql(*, list_sqls, id_cols, k_rrf: int = 60,
+                 id_col: str = "doc_id") -> str:
+    """SQL replay: each list SQL must emit (its id col, rank); lists
+    union and fold with the identical integer floor."""
+    branches = "\n          UNION ALL ".join(
+        f"SELECT {ic} AS {id_col}, rank FROM ({q})"
+        for q, ic in zip(list_sqls, id_cols))
+    return f"""
+        WITH u AS (
+          {branches}
+        )
+        SELECT {id_col}, count(*)::BIGINT AS n_lists,
+               sum(1000000000 // ({k_rrf} + rank))::BIGINT AS rrf_ppb
+        FROM u GROUP BY 1"""

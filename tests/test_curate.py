@@ -757,3 +757,31 @@ def test_source_divergence_exact_and_directional():
     eng1 = (source_divergence(ray.data.from_pandas(df).repartition(1))
             .to_pandas().sort_values("source").reset_index(drop=True))
     pd.testing.assert_frame_equal(eng, eng1)
+
+
+def test_rrf_fuse_exact_and_rank_semantics():
+    from htrc_feature_reader_ray.stages.curate import rank_by, rrf_fuse
+
+    # two ranked lists sharing doc 5; RRF(k=60): rank 1 -> 10^9//61, etc.
+    a = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [5, 2, 9], "score": [30, 20, 10]}))
+    b = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [7, 5], "score": [9, 1]}))
+    ra = rank_by(a, id_col="doc_id", sort_cols=["score", "doc_id"],
+                 ascending=[False, True])
+    rb = rank_by(b, id_col="doc_id", sort_cols=["score", "doc_id"],
+                 ascending=[False, True])
+    out = (rrf_fuse([ra, rb]).to_pandas()
+           .set_index("doc_id").sort_index())
+    E = 1_000_000_000
+    assert out.loc[5, "rrf_ppb"] == E // 61 + E // 62  # rank 1 + rank 2
+    assert out.loc[5, "n_lists"] == 2
+    assert out.loc[2, "rrf_ppb"] == E // 62
+    assert out.loc[7, "rrf_ppb"] == E // 61
+    assert out.loc[9, "rrf_ppb"] == E // 63
+    # the doc in both lists outranks every single-list doc here
+    assert out.loc[5, "rrf_ppb"] == out["rrf_ppb"].max()
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
