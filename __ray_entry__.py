@@ -1733,6 +1733,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_tokenizer_fertility(sf):
+        """Pieces-per-word fertility of the trained WordPiece tokenizer
+        (exact integer ppm) — zero-exchange fold over the batch-aligned
+        encode output."""
+        from htrc_feature_reader_ray.stages.vocab import (
+            tokenizer_fertility,
+            wordpiece_encode,
+        )
+
+        return tokenizer_fertility(wordpiece_encode(_docs(sf), rounds=3))
+
     def q_rrf_hybrid(sf):
         """Hybrid retrieval finish: BM25 lexical top-50 ⊕ dense cosine
         top-50 (query = doc 0's embedding) fused by reciprocal-rank
@@ -3768,6 +3779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_divergence": q_source_divergence,
         "hash_cross": q_hash_cross,
         "rrf_hybrid": q_rrf_hybrid,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4771,6 +4783,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
         "wordpiece_encode": vocab_mod.wordpiece_encode_sql(rounds=3),
+        "tokenizer_fertility": vocab_mod.tokenizer_fertility_sql(
+            vocab_mod.wordpiece_encode_sql(rounds=3)),
         "kmeans": similarity_mod.kmeans_fixed_sql(k=8, rounds=3),
         "random_projection": similarity_mod.random_projection_sql(d_out=16),
         "two_hop_neighbors": LINKS_PRE + linkgraph.two_hop_neighbors_sql(),

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "source_divergence",
     "hash_cross",
     "rrf_hybrid",
+    "tokenizer_fertility",
 ]
 
 HEADLINE = "flagship"

@@ -1532,3 +1532,49 @@ def unigram_train_sql(*, table: str = "documents", text: str = "text",
               SELECT piece FROM u{R}
               WHERE length(piece) > 1 AND usage >= {prune_min}) p
         LEFT JOIN u{R} u USING (piece)"""
+
+
+def tokenizer_fertility(encoded, *, id_col: str = "doc_id"):
+    """Per-document tokenizer FERTILITY (pieces per word — the standard
+    subword-tokenizer quality metric; ~1.0 = vocabulary fits the corpus,
+    high = over-fragmentation): consumes any encode output
+    (``bpe_encode`` / ``wordpiece_encode`` / ``unigram_encode``,
+    ``(id, pos, sym_pos, piece)`` rows) and emits
+    ``(id, n_words, n_pieces, fertility_ppm)`` with
+    ``fertility_ppm = n_pieces·10⁶ // n_words`` (exact integer).
+
+    Zero exchange: the encode kernels are batch-aligned (every row of a
+    document stays in the batch that held the document), so the per-doc
+    fold completes inside each batch."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "w": pa.array(
+                (batch.column("sym_pos").to_numpy() == 0).astype(np.int64)),
+        })
+        g = t.group_by(id_col).aggregate([("w", "sum"), ([], "count_all")])
+        nw = g.column("w_sum").to_numpy().astype(np.int64)
+        np_ = g.column("count_all").to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: g.column(id_col),
+            "n_words": pa.array(nw, type=pa.int64()),
+            "n_pieces": pa.array(np_, type=pa.int64()),
+            "fertility_ppm": pa.array(np_ * 1_000_000 // nw,
+                                      type=pa.int64()),
+        })
+
+    return encoded.map_batches(fold, batch_format="pyarrow")
+
+
+def tokenizer_fertility_sql(encode_sql: str, *,
+                            id_col: str = "doc_id") -> str:
+    """SQL replay over any encode replay subquery."""
+    return f"""
+        SELECT {id_col},
+               count(*) FILTER (sym_pos = 0)::BIGINT AS n_words,
+               count(*)::BIGINT AS n_pieces,
+               (count(*) * 1000000
+                // count(*) FILTER (sym_pos = 0))::BIGINT
+                   AS fertility_ppm
+        FROM ({encode_sql}) GROUP BY 1"""

@@ -493,3 +493,23 @@ def test_wordpiece_encode_greedy_and_unk():
     unk = out2[out2["pos"] == 1]
     assert unk["piece"].tolist() == ["[UNK]"]
     assert unk["sym_pos"].tolist() == [0]
+
+
+def test_tokenizer_fertility_exact():
+    from htrc_feature_reader_ray.stages.vocab import (
+        tokenizer_fertility,
+        wordpiece_encode,
+    )
+
+    texts = ["abab ab cd", "ab ab"]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": texts})).repartition(2)
+    enc = wordpiece_encode(ds, rounds=2)
+    out = (tokenizer_fertility(enc).to_pandas()
+           .set_index("doc_id").sort_index())
+    # n_words counts sym_pos==0 groups; fertility = pieces*1e6//words
+    assert out.loc[0, "n_words"] == 3 and out.loc[1, "n_words"] == 2
+    assert (out["fertility_ppm"]
+            == out["n_pieces"] * 1_000_000 // out["n_words"]).all()
+    # with merges 'ab' (and maybe 'abab') trained, fertility < chars/word
+    assert out.loc[1, "n_pieces"] <= 2  # 'ab' is one piece
