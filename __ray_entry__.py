@@ -1733,6 +1733,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_mmr_rerank(sf):
+        """MMR diversified re-ranking (SIGIR'98, λ=1/2) of the top-40
+        cosine candidates for doc 0's embedding — exact integer ppm
+        cosine (shifted-floor contract), greedy loop on the n-candidate
+        driver table, unrolled-argmax SQL replay."""
+        from htrc_feature_reader_ray.stages.similarity import mmr_rerank
+
+        t = pd.read_parquet(f"{sf}/embeddings.parquet")
+        qv = np.asarray(
+            t.loc[t.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+        import ray.data
+
+        emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        return mmr_rerank(emb, qv, k=8, n_candidates=40, lam=(1, 2))
+
     def q_tokenizer_fertility(sf):
         """Pieces-per-word fertility of the trained WordPiece tokenizer
         (exact integer ppm) — zero-exchange fold over the batch-aligned
@@ -3780,6 +3796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_cross": q_hash_cross,
         "rrf_hybrid": q_rrf_hybrid,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "mmr_rerank": q_mmr_rerank,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4848,6 +4865,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": curate.bigram_surprisal_sql(),
         "dsir_weights": curate.dsir_weights_sql(n_feat=256),
         "source_divergence": curate.source_divergence_sql(),
+        "mmr_rerank": similarity_mod.mmr_rerank_sql(
+            k=8, n_candidates=40, lam=(1, 2)),
         "rrf_hybrid": curate.rrf_fuse_sql(
             list_sqls=[
                 "SELECT doc_id, row_number() OVER (ORDER BY score_ppm"

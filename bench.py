@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "hash_cross",
     "rrf_hybrid",
     "tokenizer_fertility",
+    "mmr_rerank",
 ]
 
 HEADLINE = "flagship"

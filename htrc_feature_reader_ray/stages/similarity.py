@@ -1004,3 +1004,198 @@ def pq_codes_sql(*, table: str = "embeddings", vec_col: str = "embedding",
             f"SELECT {id_col}, {s}::BIGINT AS subspace, "
             f"cluster AS code, dist FROM ({inner})")
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+
+
+def _isqrt_vec(n2: np.ndarray) -> np.ndarray:
+    """Exact elementwise isqrt for int64 inputs: float sqrt ±1-corrected
+    (the temperature_weights convention, vectorized)."""
+    r = np.sqrt(n2.astype(np.float64)).astype(np.int64)
+    r += ((r + 1) * (r + 1) <= n2)
+    r -= (r * r > n2)
+    return r
+
+
+def _sim_ppm(dot: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Exact integer cosine in ppm under the SHIFTED floor contract:
+    ``((dot + 2D)·10⁶) // D − 2·10⁶`` with ``D = max(na·nb, 1)`` — the
+    shift keeps the dividend nonnegative (|dot| ≤ |a||b| < 2D for any
+    quantized norm ≥ 2), where numpy's floor division and DuckDB's
+    truncating ``//`` agree. The ×1000-twice staging keeps every
+    intermediate inside int64 (dot ≤ 2⁴⁶ at the 2²⁰ scale)."""
+    num = (dot + 2 * d) * 1000
+    if (num < 0).any():
+        raise ValueError("sim contract violated: quantized norms too small")
+    q1, r1 = np.divmod(num, d)
+    return q1 * 1000 + (r1 * 1000) // d - 2_000_000
+
+
+def mmr_rerank(ds, query_vec, *, vec_col: str = "embedding",
+               id_col: str = "vec_id", k: int = 5, n_candidates: int = 30,
+               lam=(7, 10), scale: int = CENTROID_SCALE):
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) — the diversity-aware finish of a retrieval stack: greedily
+    pick ``k`` of the top ``n_candidates`` maximizing
+
+        mmr = lam_num·sim(q, d) − (lam_den − lam_num)·max_{s∈selected} sim(d, s)
+
+    (λ = lam_num/lam_den, paper's trade-off) so near-duplicates of an
+    already-selected result lose to novel ones. Every similarity is the
+    exact integer ppm cosine over 2²⁰ fixed-point vectors (shifted-floor
+    contract, see ``_sim_ppm``) — bit-identical across parallelism and
+    SQL-replayable; ties break (score desc, id asc).
+
+    Scale shape: ONE stateless pass scores the whole embedding table
+    against the broadcast query (per-batch local top-n, global top-n over
+    candidate rows only); the greedy loop runs on the driver over the
+    n-candidate table (n·d ints — the k×d centroid posture of
+    ``kmeans_fixed``). Returns a k-row pandas DataFrame
+    ``(mmr_rank, id, sim_ppm, mmr_score)``; round 1's max-sim term is 0
+    by the empty-set convention.
+    """
+    import ray
+
+    lam_num, lam_den = lam
+    mu = lam_den - lam_num
+    qq = np.floor(np.asarray(query_vec, dtype=np.float64)
+                  * scale).astype(np.int64)
+    nq = max(int(_isqrt_vec(np.array([qq @ qq]))[0]), 1)
+    ref = ray.put(qq)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(ref)
+        m = np.stack(batch.column(vec_col).to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        dot = q @ qv
+        d = np.maximum(_isqrt_vec((q * q).sum(axis=1)) * nq, 1)
+        sim = _sim_ppm(dot, d)
+        order = np.lexsort((batch.column(id_col).to_numpy(), -sim))
+        keep = order[:n_candidates]
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(keep)),
+            "sim_ppm": pa.array(sim[keep], type=pa.int64()),
+            vec_col: batch.column(vec_col).take(pa.array(keep)),
+        })
+
+    cand = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["sim_ppm", id_col], descending=[True, False])
+        .limit(n_candidates)
+        .to_pandas()
+    )
+    ids = cand[id_col].to_numpy()
+    simq = cand["sim_ppm"].to_numpy(dtype=np.int64)
+    q = np.floor(np.stack(cand[vec_col].to_numpy())
+                 .astype(np.float64) * scale).astype(np.int64)
+    nr = np.maximum(_isqrt_vec((q * q).sum(axis=1)), 1)
+    dots = q @ q.T
+    dmat = np.maximum(np.outer(nr, nr), 1)
+    psim = _sim_ppm(dots.ravel(), dmat.ravel()).reshape(dots.shape)
+
+    taken: list[int] = []
+    rows = []
+    avail = np.ones(len(ids), dtype=bool)
+    for rnd in range(1, min(k, len(ids)) + 1):
+        maxsim = (psim[:, taken].max(axis=1) if taken
+                  else np.zeros(len(ids), dtype=np.int64))
+        mmr = lam_num * simq - mu * maxsim
+        idx = np.flatnonzero(avail)
+        best = int(idx[np.lexsort((ids[idx], -mmr[idx]))[0]])
+        rows.append((rnd, int(ids[best]), int(simq[best]),
+                     int(mmr[best])))
+        taken.append(best)
+        avail[best] = False
+    return pd.DataFrame(
+        rows, columns=["mmr_rank", id_col, "sim_ppm", "mmr_score"]
+    ).astype("int64")
+
+
+def mmr_rerank_sql(*, table: str = "embeddings", vec_col: str = "embedding",
+                   id_col: str = "vec_id", query_where: str = "vec_id = 0",
+                   k: int = 5, n_candidates: int = 30, lam=(7, 10),
+                   dims: int = 64, scale: int = CENTROID_SCALE) -> str:
+    """SQL replay: 2²⁰-quantized lists, exact double dot products (every
+    product ≤ 2⁴⁰, sums ≤ 2⁴⁶ < 2⁵³ — double-exact), the shifted-floor
+    ppm cosine in HUGEINT, and the greedy loop unrolled to ``k``
+    argmax-over-remaining stages."""
+    lam_num, lam_den = lam
+    mu = lam_den - lam_num
+
+    def isqrt(x: str) -> str:
+        s = f"CAST(floor(sqrt(({x})::DOUBLE)) AS BIGINT)"
+        return (f"({s} + (CASE WHEN ({s}+1)*({s}+1) <= ({x}) THEN 1 ELSE 0"
+                f" END) - (CASE WHEN {s}*{s} > ({x}) THEN 1 ELSE 0 END))")
+
+    def sim(dot: str, d: str) -> str:
+        return (f"(((({dot})::HUGEINT + 2 * ({d})::HUGEINT) * 1000000)"
+                f" // ({d})::HUGEINT - 2000000)")
+
+    sql = f"""
+        WITH ev AS MATERIALIZED (
+          SELECT {id_col},
+                 list_transform({vec_col}::DOUBLE[],
+                                x -> floor(x * {scale})) AS qd
+          FROM {table}
+        ),
+        qv AS (SELECT qd FROM ev
+               JOIN {table} USING ({id_col}) WHERE {query_where}),
+        nrm AS (
+          SELECT {id_col},
+                 greatest({isqrt(
+                     'CAST(list_dot_product(qd, qd) AS BIGINT)')}, 1)
+                     AS nr
+          FROM ev
+        ),
+        nq AS (SELECT greatest({isqrt(
+            'CAST(list_dot_product(qd, qd) AS BIGINT)')}, 1) AS n
+               FROM qv),
+        simq AS (
+          SELECT ev.{id_col},
+                 {sim('CAST(list_dot_product(ev.qd, qv.qd) AS BIGINT)',
+                      'greatest(nrm.nr * nq.n, 1)')} AS sim_ppm
+          FROM ev JOIN nrm USING ({id_col}), qv, nq
+        ),
+        cand AS MATERIALIZED (
+          SELECT {id_col}, sim_ppm::BIGINT AS sim_ppm
+          FROM simq ORDER BY sim_ppm DESC, {id_col}
+          LIMIT {n_candidates}
+        ),
+        pair AS MATERIALIZED (
+          SELECT a.{id_col} AS ia, b.{id_col} AS ib,
+                 {sim('CAST(list_dot_product(ea.qd, eb.qd) AS BIGINT)',
+                      'greatest(na.nr * nb.nr, 1)')}::BIGINT AS sim
+          FROM cand a JOIN ev ea ON ea.{id_col} = a.{id_col}
+               JOIN nrm na ON na.{id_col} = a.{id_col},
+               cand b JOIN ev eb ON eb.{id_col} = b.{id_col}
+               JOIN nrm nb ON nb.{id_col} = b.{id_col}
+        ),
+        pick1 AS MATERIALIZED (
+          SELECT 1::BIGINT AS mmr_rank, {id_col}, sim_ppm,
+                 ({lam_num} * sim_ppm)::BIGINT AS mmr_score
+          FROM cand ORDER BY sim_ppm DESC, {id_col} LIMIT 1
+        ),
+        sel1 AS (SELECT {id_col} FROM pick1)"""
+    for t in range(2, k + 1):
+        sql += f""",
+        pick{t} AS MATERIALIZED (
+          SELECT {t}::BIGINT AS mmr_rank, {id_col}, sim_ppm,
+                 mmr_score::BIGINT AS mmr_score FROM (
+            SELECT c.{id_col}, c.sim_ppm,
+                   {lam_num} * c.sim_ppm - {mu} * max(p.sim) AS mmr_score
+            FROM cand c
+            JOIN pair p ON p.ia = c.{id_col}
+            JOIN sel{t - 1} s ON p.ib = s.{id_col}
+            WHERE c.{id_col} NOT IN (SELECT {id_col} FROM sel{t - 1})
+            GROUP BY c.{id_col}, c.sim_ppm
+          ) ORDER BY mmr_score DESC, {id_col} LIMIT 1
+        ),
+        sel{t} AS (SELECT {id_col} FROM sel{t - 1}
+                   UNION ALL SELECT {id_col} FROM pick{t})"""
+    unions = "\n        UNION ALL ".join(
+        f"SELECT * FROM pick{t}" for t in range(1, k + 1))
+    return sql + f"""
+        {unions}"""

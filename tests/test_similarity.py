@@ -405,3 +405,36 @@ def test_pq_codes_shape_independence_and_reconstruction_monotone():
         lo = set(g[g.vec_id < n // 2]["code"])
         hi = set(g[g.vec_id >= n // 2]["code"])
         assert lo.isdisjoint(hi)  # blobs get distinct codes
+
+
+def test_mmr_rerank_diversity_and_sql_parity():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        mmr_rerank,
+        mmr_rerank_sql,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 40, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb[1] = emb[0] * 0.98 + 0.01  # near-dups of the query doc
+    emb[2] = emb[0] * 0.97 + 0.02
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(emb)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    con = duckdb.connect()
+    con.register("embeddings", df)
+    for lam in ((7, 10), (1, 2)):
+        out = mmr_rerank(ds, emb[0], k=5, n_candidates=12, lam=lam)
+        sql = (con.execute(
+            mmr_rerank_sql(k=5, n_candidates=12, dims=d, lam=lam)).df()
+            .sort_values("mmr_rank").reset_index(drop=True))
+        pd.testing.assert_frame_equal(out.reset_index(drop=True), sql)
+    # rank 1 is pure relevance (the query doc itself)
+    assert out.iloc[0]["vec_id"] == 0
+    # diversity bites: at lambda=1/2 a redundant near-dup ranks strictly
+    # worse than under pure relevance order (sim order would put 1,2 next)
+    assert out["vec_id"].tolist()[:3] != [0, 1, 2]
+    # scores are monotone nonincreasing in rank past round 1
+    assert (np.diff(out["mmr_score"].to_numpy()[1:]) <= 0).all()
