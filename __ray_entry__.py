@@ -1733,6 +1733,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_token_entropy(sf):
+        """Per-doc Shannon entropy of the doc's own token distribution
+        in exact half-bits — the low-entropy gibberish gate; zero
+        exchange."""
+        from htrc_feature_reader_ray.stages.textstats import token_entropy
+
+        return token_entropy(_docs(sf))
+
     def q_mmr_rerank(sf):
         """MMR diversified re-ranking (SIGIR'98, λ=1/2) of the top-40
         cosine candidates for doc 0's embedding — exact integer ppm
@@ -3797,6 +3805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_hybrid": q_rrf_hybrid,
         "tokenizer_fertility": q_tokenizer_fertility,
         "mmr_rerank": q_mmr_rerank,
+        "token_entropy": q_token_entropy,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4856,6 +4865,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT digest, n_test, n_train FROM a8
         WHERE n_test > 0 AND n_train > 0""",
         "readability": textstats.readability_sql(),
+        "token_entropy": textstats.token_entropy_sql(),
         "heavy_hitter_tokens": profile_mod.heavy_hitters_sql(
             table_expr="""(
               SELECT t.t AS token FROM documents, LATERAL unnest(

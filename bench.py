@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "rrf_hybrid",
     "tokenizer_fertility",
     "mmr_rerank",
+    "token_entropy",
 ]
 
 HEADLINE = "flagship"

@@ -692,3 +692,67 @@ def quality_langid(ds, *, text_col: str = "text", id_cols=("doc_id",)):
             "pred_lang", pa.array(langs[best], type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon entropy of the doc's OWN token distribution,
+    in exact occurrence-weighted half-bits — the low-entropy gibberish
+    gate ("aaa aaa aaa" scores 0; keyword-stuffed / template pages score
+    far below prose of the same length). The module's log-free contract:
+
+        entropy_half_bits = Σ_types c · (bitlen(n²) − bitlen(c²))
+
+    with ``n`` the doc's token count — each term is the half-bit cost of
+    the type under the doc's empirical distribution (cf. unigram_train),
+    so the sum ≈ 2·n·H(doc) exactly in integers. Zero exchange: types
+    are counted within the doc's own batch row. Output
+    ``(id_col, n_tokens, entropy_half_bits)``; empty docs score (0, 0).
+    """
+    from htrc_feature_reader_ray.stages.profile import _ilog2
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        n = np.bincount(parent, minlength=nrows).astype(np.int64)
+        ent = np.zeros(nrows, dtype=np.int64)
+        if len(flat):
+            t = pa.table({"d": pa.array(parent.astype(np.int64)),
+                          "tok": flat})
+            g = t.group_by(["d", "tok"]).aggregate([([], "count_all")])
+            d = g.column("d").to_numpy().astype(np.int64)
+            c = g.column("count_all").to_numpy().astype(np.int64)
+            nd = n[d]
+            term = c * ((_ilog2(nd * nd) + 1) - (_ilog2(c * c) + 1))
+            np.add.at(ent, d, term)
+        out = batch.select([id_col])
+        out = out.append_column("n_tokens", pa.array(n, type=pa.int64()))
+        return out.append_column("entropy_half_bits",
+                                 pa.array(ent, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_entropy_sql(*, table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """SQL replay: per-(doc, type) counts, the identical bit-length
+    difference, LEFT-JOIN finish so empty docs keep (0, 0). BIGINT
+    domain: docs under 2³¹·⁵ tokens (any real document)."""
+    toks = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    return f"""
+        WITH base AS (SELECT {id_col}, {toks} AS arr FROM {table}),
+        tc AS (
+          SELECT {id_col}, t.tok, count(*)::BIGINT AS c,
+                 max(len(arr))::BIGINT AS n
+          FROM base, unnest(arr) AS t(tok) GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT {id_col}, max(n)::BIGINT AS n_tokens,
+                 sum(c * (length(format('{{:b}}', n * n))
+                          - length(format('{{:b}}', c * c))))::BIGINT
+                     AS entropy_half_bits
+          FROM tc GROUP BY 1
+        )
+        SELECT b.{id_col},
+               coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(s.entropy_half_bits, 0)::BIGINT
+                   AS entropy_half_bits
+        FROM {table} b LEFT JOIN scored s USING ({id_col})"""

@@ -192,3 +192,28 @@ def test_quality_langid_fusion_equals_separate_ops():
     pd.testing.assert_frame_equal(
         fused.drop(columns=["pred_lang"]), q)
     pd.testing.assert_series_equal(fused["pred_lang"], l["pred_lang"])
+
+
+def test_token_entropy_exact_half_bits():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.textstats import (
+        token_entropy,
+        token_entropy_sql,
+    )
+
+    df = pd.DataFrame({"doc_id": range(4),
+                       "text": ["aaa aaa aaa", "a b c d", "a a b b", ""]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    eng = (token_entropy(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(token_entropy_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql)
+    e = eng.set_index("doc_id")["entropy_half_bits"]
+    assert e[0] == 0          # single repeated type: zero entropy
+    assert e[1] == 16         # uniform over 4 types: 4·(2·2 half-bits)
+    assert e[3] == 0          # empty doc
+    assert e[1] > e[2] > e[0]  # diversity ordering
