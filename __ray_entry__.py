@@ -879,6 +879,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return snapshot_change(pages)
 
+    def q_simhash_drift(sf):
+        """Sketch-space re-crawl drift: Hamming distance between each
+        snapshot's simhash and the url's previous one — O(1) state per
+        page vs snapshot_change's token-set diff; one url-bucketed pass,
+        batched simhash + shifted XOR popcount."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.dedup import simhash_drift
+        from htrc_feature_reader_ray.stages.extract import extract_pages
+
+        pages = extract_pages(read_pages(sf, drop_text=True))
+        return simhash_drift(pages)
+
     def q_link_edges(sf):
         """Hyperlink extraction over the raw html stream: byte find-kernel
         href parse per batch, batch-local distinct, one src-hash-bucketed
@@ -3806,6 +3818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "mmr_rerank": q_mmr_rerank,
         "token_entropy": q_token_entropy,
+        "simhash_drift": q_simhash_drift,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -5221,6 +5234,12 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY 1, 2""",
         # token sets re-derived from the pages CTE; jaccard/counts NULL on
         # each url's first snapshot; single int/int IEEE division
+        "simhash_drift": f"""
+            {PAGES_PRE},
+            p AS (
+              SELECT url, warc_ts, {PAGES_TEXT_SQL} AS text FROM pages
+            ),
+            {dedup_mod.simhash_drift_sql(table="p").strip()}""",
         "snapshot_change": f"""
             {PAGES_PRE},
             p AS (

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "mmr_rerank",
     "token_entropy",
+    "simhash_drift",
 ]
 
 HEADLINE = "flagship"

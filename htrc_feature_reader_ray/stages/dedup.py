@@ -2119,3 +2119,104 @@ def split_leakage_sql(*, table: str = "documents", text: str = "text",
         )
         SELECT digest, n_test, n_train FROM a
         WHERE n_test > 0 AND n_train > 0"""
+
+
+# ---------------------------------------------------------------------------
+# simhash drift between consecutive snapshots
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    b = np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+    return b.reshape(len(x), 64).sum(axis=1).astype(np.int64)
+
+
+def simhash_drift(pages, *, url_col: str = "url", ts_col: str = "warc_ts",
+                  text_col: str = "text", num_buckets: int = 32):
+    """Per-snapshot content drift: the Hamming distance between each
+    snapshot's simhash and its url's PREVIOUS snapshot's — the recrawl
+    scheduler's "how much actually changed" signal at O(1) state per
+    page (the sketch-space alternative to ``snapshot_change``'s exact
+    token diff, which exchanges token sets). ``hamming = -1`` marks a
+    url's first snapshot; token-free pages hash to 0 by the simhash
+    convention. Snapshots of a url are assumed ts-unique (the crawl
+    fixture's contract — ties would make "previous" ambiguous).
+
+    One url-bucketed exchange; in-bucket lexsort + shifted XOR popcount,
+    the simhash kernel batched per bucket. Output
+    ``(url, warc_ts, simhash, hamming)`` with simhash as signed int64
+    (the ``dedup_simhash`` two's-complement convention)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([url_col, ts_col],
+                            kind="mergesort").reset_index(drop=True)
+        sh = simhash_batch(df[text_col].tolist())
+        prev = np.roll(sh, 1)
+        urls = df[url_col].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            first[1:] = urls[1:] != urls[:-1]
+        ham = np.where(first, np.int64(-1),
+                       _popcount64(sh ^ prev)).astype(np.int64)
+        return pd.DataFrame({
+            url_col: df[url_col],
+            ts_col: df[ts_col],
+            "simhash": sh.view(np.int64),
+            "hamming": ham,
+        })
+
+    return bucketed_map_groups(
+        pages.select_columns([url_col, ts_col, text_col]),
+        url_col, per_bucket, num_buckets=num_buckets)
+
+
+def simhash_drift_sql(*, table: str, url_col: str = "url",
+                      ts_col: str = "warc_ts",
+                      text_col: str = "text") -> str:
+    """SQL fragment (continuation CTEs — prepend a WITH chain that
+    defines ``table`` with (url, ts, text)): the dedup_simhash replay
+    per (url, ts), then a window lag + ``bit_count(xor(...))``."""
+    return f"""
+        sd_tok AS (
+          SELECT {url_col}, {ts_col},
+                 unnest(list_filter(string_split({text_col}, ' '),
+                                    x -> x <> '')) AS token
+          FROM {table}
+        ),
+        sd_tc AS (
+          SELECT {url_col}, {ts_col}, token, count(*)::BIGINT AS cnt
+          FROM sd_tok GROUP BY 1, 2, 3
+        ),
+        sd_bits AS (
+          SELECT {url_col}, {ts_col}, b.b,
+                 sum(CASE WHEN (md5_number_upper(token) >> b.b) & 1 = 1
+                          THEN cnt ELSE -cnt END) AS score
+          FROM sd_tc, (SELECT unnest(range(64)) AS b) b
+          GROUP BY 1, 2, 3
+        ),
+        sd_sh AS (
+          SELECT {url_col}, {ts_col},
+                 sum(CASE WHEN score > 0
+                          THEN (1::UBIGINT << b)::HUGEINT
+                          ELSE 0 END) AS s
+          FROM sd_bits GROUP BY 1, 2
+        ),
+        sd_all AS (
+          SELECT p.{url_col}, p.{ts_col}, coalesce(sd_sh.s, 0) AS s
+          FROM {table} p LEFT JOIN sd_sh USING ({url_col}, {ts_col})
+        ),
+        sd_drift AS (
+          SELECT {url_col}, {ts_col}, s,
+                 lag(s) OVER (PARTITION BY {url_col}
+                              ORDER BY {ts_col}) AS ps
+          FROM sd_all
+        )
+        SELECT {url_col}, {ts_col},
+               (CASE WHEN s >= 9223372036854775808
+                     THEN s - 18446744073709551616
+                     ELSE s END)::BIGINT AS simhash,
+               (CASE WHEN ps IS NULL THEN -1
+                     ELSE bit_count(xor(s::UBIGINT, ps::UBIGINT))
+                END)::BIGINT AS hamming
+        FROM sd_drift"""

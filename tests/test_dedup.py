@@ -613,3 +613,33 @@ def test_split_leakage_hand_fixture():
     # 'tri' leaks with counts 2/1; singles don't
     assert len(got) == 2
     assert set(zip(got["n_train"], got["n_test"])) == {(1, 1), (2, 1)}
+
+
+def test_simhash_drift_hamming_and_first_snapshot():
+    from htrc_feature_reader_ray.stages.dedup import (
+        simhash_batch,
+        simhash_drift,
+    )
+
+    df = pd.DataFrame({
+        "url": ["u1", "u1", "u1", "u2", "u2"],
+        "warc_ts": pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-03",
+             "2024-01-01", "2024-01-02"]).astype("datetime64[us]"),
+        "text": ["alpha beta gamma", "alpha beta gamma",
+                 "totally different words here",
+                 "same same", "same same"],
+    })
+    out = (simhash_drift(ray.data.from_pandas(df).repartition(3),
+                         num_buckets=4)
+           .to_pandas().sort_values(["url", "warc_ts"])
+           .reset_index(drop=True))
+    # first snapshot per url marks -1
+    assert out.groupby("url")["hamming"].first().tolist() == [-1, -1]
+    h = out["hamming"].tolist()
+    assert h[1] == 0          # identical content: zero drift
+    assert h[2] > 10          # full rewrite: large Hamming distance
+    assert h[4] == 0
+    # simhash column equals the batched kernel's (signed int64 view)
+    sh = simhash_batch(df.sort_values(["url", "warc_ts"])["text"].tolist())
+    assert out["simhash"].tolist() == list(sh.view("int64"))
