@@ -1745,6 +1745,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_oov_rate(sf):
+        """Per-lang OOV rate of the whole corpus against the lang='en'
+        slice's vocabulary (occurrence-weighted exact ppm) — the
+        domain-shift / tokenizer-coverage diagnostic; vocabulary folds
+        once and broadcasts, one tiny G-row fold."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.vocab import (
+            corpus_token_counts,
+            oov_rate,
+        )
+
+        docs = _docs(sf, columns=["lang", "text"])
+        en = docs.map_batches(
+            lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+            batch_format="pyarrow")
+        vocab = corpus_token_counts(en).to_pandas()["token"]
+        return oov_rate(docs, vocab, group_col="lang")
+
     def q_token_entropy(sf):
         """Per-doc Shannon entropy of the doc's own token distribution
         in exact half-bits — the low-entropy gibberish gate; zero
@@ -3819,6 +3838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": q_mmr_rerank,
         "token_entropy": q_token_entropy,
         "simhash_drift": q_simhash_drift,
+        "oov_rate": q_oov_rate,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4822,6 +4842,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
         "wordpiece_encode": vocab_mod.wordpiece_encode_sql(rounds=3),
+        "oov_rate": vocab_mod.oov_rate_sql(),
         "tokenizer_fertility": vocab_mod.tokenizer_fertility_sql(
             vocab_mod.wordpiece_encode_sql(rounds=3)),
         "kmeans": similarity_mod.kmeans_fixed_sql(k=8, rounds=3),

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "mmr_rerank",
     "token_entropy",
     "simhash_drift",
+    "oov_rate",
 ]
 
 HEADLINE = "flagship"

@@ -1578,3 +1578,84 @@ def tokenizer_fertility_sql(encode_sql: str, *,
                 // count(*) FILTER (sym_pos = 0))::BIGINT
                    AS fertility_ppm
         FROM ({encode_sql}) GROUP BY 1"""
+
+
+def oov_rate(ds, vocab_tokens, *, text_col: str = "text",
+             group_col: str = "lang"):
+    """Per-group out-of-vocabulary rate against a REFERENCE vocabulary —
+    the domain-shift / tokenizer-coverage diagnostic ("how much of corpus
+    B does corpus A's vocabulary miss"): occurrence-weighted
+    ``oov_ppm = n_oov·10⁶ // n_tokens`` per group, exact integers.
+
+    ``vocab_tokens`` is the reference vocabulary (any iterable — e.g.
+    ``build_vocab``'s token column, or the distinct tokens of a trusted
+    slice): the module's canonical worker-fit small side, broadcast once
+    via ``ray.put`` as a pd.Index. Per-batch (group, n, oov) partials
+    combine before ONE tiny G-row fold; groups appear iff they have at
+    least one token occurrence (counts derive from occurrences)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    idx = pd.Index(pd.unique(pd.Series(list(vocab_tokens), dtype=object)))
+    ref = ray.put(idx)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        if len(flat) == 0:
+            return pa.table({
+                group_col: pa.array([], type=batch.schema.field(
+                    group_col).type),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "n_oov": pa.array([], type=pa.int64()),
+            })
+        grp = batch.column(group_col).take(
+            pa.array(parent, type=pa.int64()))
+        oov = (~pd.Index(flat.to_numpy(zero_copy_only=False))
+               .isin(ray.get(ref))).astype(np.int64)
+        t = pa.table({group_col: grp,
+                      "n_tokens": pa.array(np.ones(len(oov), np.int64)),
+                      "n_oov": pa.array(oov)})
+        g = t.group_by(group_col).aggregate(
+            [("n_tokens", "sum"), ("n_oov", "sum")])
+        return g.rename_columns([group_col, "n_tokens", "n_oov"])
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("n_oov", alias_name="n_oov"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy().astype(np.int64)
+        o = batch.column("n_oov").to_numpy().astype(np.int64)
+        return batch.append_column(
+            "oov_ppm", pa.array(o * 1_000_000 // np.maximum(n, 1),
+                                type=pa.int64()))
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def oov_rate_sql(*, table: str = "documents", text_col: str = "text",
+                 group_col: str = "lang",
+                 vocab_where: str = "lang = 'en'") -> str:
+    """SQL replay: reference vocabulary = distinct tokens of the
+    ``vocab_where`` slice of the same table."""
+    toks = f"list_filter(string_split({text_col}, ' '), x -> x <> '')"
+    return f"""
+        WITH v AS (
+          SELECT DISTINCT t.tok FROM {table},
+                 unnest({toks}) AS t(tok)
+          WHERE {vocab_where}
+        ),
+        occ AS (
+          SELECT {group_col}, t.tok FROM {table},
+                 unnest({toks}) AS t(tok)
+        )
+        SELECT {group_col},
+               count(*)::BIGINT AS n_tokens,
+               count(*) FILTER (tok NOT IN (SELECT tok FROM v))::BIGINT
+                   AS n_oov,
+               (count(*) FILTER (tok NOT IN (SELECT tok FROM v))
+                * 1000000 // count(*))::BIGINT AS oov_ppm
+        FROM occ GROUP BY 1"""

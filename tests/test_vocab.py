@@ -513,3 +513,30 @@ def test_tokenizer_fertility_exact():
             == out["n_pieces"] * 1_000_000 // out["n_words"]).all()
     # with merges 'ab' (and maybe 'abab') trained, fertility < chars/word
     assert out.loc[1, "n_pieces"] <= 2  # 'ab' is one piece
+
+
+def test_oov_rate_exact_ppm():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.vocab import oov_rate, oov_rate_sql
+
+    df = pd.DataFrame({
+        "lang": ["en", "en", "fr", "fr"],
+        "text": ["the cat sat", "the dog ran",
+                 "le chat the", "le chien dort"],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    vocab = ["the", "cat", "sat", "dog", "ran"]  # en vocabulary
+    out = (oov_rate(ds, vocab).to_pandas()
+           .set_index("lang").sort_index())
+    assert out.loc["en", "n_oov"] == 0
+    # fr: 6 tokens, 'the' is the only in-vocab one -> 5 OOV
+    assert out.loc["fr", "n_tokens"] == 6
+    assert out.loc["fr", "n_oov"] == 5
+    assert out.loc["fr", "oov_ppm"] == 5 * 1_000_000 // 6
+    # SQL replay (vocabulary = the en slice's distinct tokens) matches
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(oov_rate_sql()).df()
+           .set_index("lang").sort_index())
+    pd.testing.assert_frame_equal(out, sql)
