@@ -1745,6 +1745,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_span_corruption(sf):
+        """T5-style denoising pairs (deterministic span masking with
+        <extra_id_k> sentinels — stride-aligned overlap-free spans,
+        md5 gates; regenerate instead of store); zero exchange."""
+        from htrc_feature_reader_ray.stages.curate import span_corruption
+
+        return span_corruption(_docs(sf))
+
     def q_oov_rate(sf):
         """Per-lang OOV rate of the whole corpus against the lang='en'
         slice's vocabulary (occurrence-weighted exact ppm) — the
@@ -3839,6 +3847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q_token_entropy,
         "simhash_drift": q_simhash_drift,
         "oov_rate": q_oov_rate,
+        "span_corruption": q_span_corruption,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4908,6 +4917,7 @@ def oracle_sql() -> dict[str, str]:
             col="token", k=31),
         "bigram_surprisal": curate.bigram_surprisal_sql(),
         "dsir_weights": curate.dsir_weights_sql(n_feat=256),
+        "span_corruption": curate.span_corruption_sql(),
         "source_divergence": curate.source_divergence_sql(),
         "mmr_rerank": similarity_mod.mmr_rerank_sql(
             k=8, n_candidates=40, lam=(1, 2)),

@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "token_entropy",
     "simhash_drift",
     "oov_rate",
+    "span_corruption",
 ]
 
 HEADLINE = "flagship"

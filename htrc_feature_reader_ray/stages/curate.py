@@ -1987,3 +1987,177 @@ def rrf_fuse_sql(*, list_sqls, id_cols, k_rrf: int = 60,
         SELECT {id_col}, count(*)::BIGINT AS n_lists,
                sum(1000000000 // ({k_rrf} + rank))::BIGINT AS rrf_ppb
         FROM u GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (denoising-pretraining prep)
+
+
+def span_corruption(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    stride: int = 4, gate_mod: int = 4, max_span: int = 3):
+    """Deterministic T5-style span corruption (Raffel et al., JMLR'20):
+    mask contiguous token spans with ``<extra_id_k>`` sentinels, emitting
+    ``(id, input_text, target_text, n_spans, n_masked)`` — the denoising
+    pretraining pair, REGENERATED bit-identically instead of stored (the
+    ``token_dropout`` posture at span granularity).
+
+    The reproducibility contract that keeps it vectorized and
+    SQL-replayable: span starts are STRIDE-ALIGNED (``pos % stride == 0``)
+    and gated by ``md5(doc:pos:span) % gate_mod == 0``; span length is
+    ``md5(doc:pos:len) % max_span + 1 ≤ stride``, so spans can never
+    overlap and membership is pure block arithmetic (no sequential scan).
+    Expected mask rate ≈ mean_len/(stride·gate_mod) (≈ 12.5% at the
+    defaults, T5's ballpark). Sentinels number spans 0.. in document
+    order; the target is each sentinel followed by its masked tokens
+    (document order). Zero exchange; both texts rebuild through ONE
+    ``pc.binary_join`` per batch."""
+    if max_span > stride:
+        raise ValueError("max_span must be <= stride (overlap-free "
+                         "contract)")
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(parent) == 0:
+            empty = pa.array([""] * nrows, type=pa.string())
+            z = pa.array(np.zeros(nrows, dtype=np.int64))
+            return pa.table({id_col: batch.column(id_col),
+                             "input_text": empty, "target_text": empty,
+                             "n_spans": z, "n_masked": z})
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        n = len(parent)
+        counts = np.bincount(parent, minlength=nrows)
+        doc_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos = np.arange(n, dtype=np.int64) - doc_start[parent]
+        doc_ids = ids[parent]
+
+        cand = np.flatnonzero(pos % stride == 0)
+        hg = md5_hash64([f"{doc_ids[g]}:{pos[g]}:span" for g in cand])
+        gated = cand[(hg % np.uint64(gate_mod)) == 0]
+        span_len = np.zeros(n, dtype=np.int64)
+        head = np.zeros(n, dtype=bool)
+        if len(gated):
+            hl = md5_hash64([f"{doc_ids[g]}:{pos[g]}:len" for g in gated])
+            span_len[gated] = (hl % np.uint64(max_span)).astype(
+                np.int64) + 1
+            head[gated] = True
+        gb = np.arange(n, dtype=np.int64) - (pos % stride)
+        masked = head[gb] & ((pos % stride) < span_len[gb])
+
+        c = np.cumsum(head.astype(np.int64))
+        excl = c - head.astype(np.int64)
+        k = excl - excl[doc_start[parent]]  # span ordinal within doc
+        sent = np.array([f"<extra_id_{v}>" for v in k], dtype=object)
+
+        # input: unmasked tokens verbatim, heads replaced by sentinels,
+        # members dropped
+        keep_in = ~masked | head
+        tok_in = np.where(head, sent, toks)
+        kept_counts = np.bincount(parent[keep_in], minlength=nrows)
+        off_in = np.concatenate(([0], np.cumsum(kept_counts)))
+        in_list = pa.ListArray.from_arrays(
+            pa.array(off_in, type=pa.int32()),
+            pa.array(tok_in[keep_in], type=pa.string()))
+
+        # target: per span, sentinel then its tokens (doc order)
+        e = np.where(masked & head, 2, np.where(masked, 1, 0))
+        o = np.cumsum(e) - e
+        total = int(e.sum())
+        out = np.empty(total, dtype=object)
+        hm = masked & head
+        out[o[hm]] = sent[hm]
+        out[o[hm] + 1] = toks[hm]
+        mm = masked & ~head
+        out[o[mm]] = toks[mm]
+        tgt_counts = np.bincount(parent, weights=e,
+                                 minlength=nrows).astype(np.int64)
+        off_t = np.concatenate(([0], np.cumsum(tgt_counts)))
+        tgt_list = pa.ListArray.from_arrays(
+            pa.array(off_t, type=pa.int32()),
+            pa.array(out, type=pa.string()))
+
+        return pa.table({
+            id_col: batch.column(id_col),
+            "input_text": pc.binary_join(in_list, " "),
+            "target_text": pc.binary_join(tgt_list, " "),
+            "n_spans": pa.array(
+                np.bincount(parent[hm], minlength=nrows).astype(np.int64)),
+            "n_masked": pa.array(
+                np.bincount(parent[masked],
+                            minlength=nrows).astype(np.int64)),
+        })
+
+    return ds.map_batches(corrupt, batch_format="pyarrow")
+
+
+def span_corruption_sql(*, table: str = "documents", text: str = "text",
+                        id_col: str = "doc_id", stride: int = 4,
+                        gate_mod: int = 4, max_span: int = 3) -> str:
+    """SQL replay: block-head join for membership, window count for
+    sentinel ordinals, two-slot sub-order for the target string_agg."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH d AS (SELECT {id_col}, {toks} AS arr FROM {table}),
+        tok AS (
+          SELECT {id_col}, arr[i.i] AS token, (i.i - 1)::BIGINT AS pos
+          FROM d, unnest(generate_series(1, len(arr))) AS i(i)
+        ),
+        heads AS (
+          SELECT {id_col}, pos,
+                 (md5_number_upper({id_col} || ':' || pos || ':span')
+                  % {gate_mod} = 0) AS gated,
+                 (md5_number_upper({id_col} || ':' || pos || ':len')
+                  % {max_span} + 1)::BIGINT AS l
+          FROM tok WHERE pos % {stride} = 0
+        ),
+        marks AS (
+          SELECT t.{id_col}, t.pos, t.token,
+                 coalesce(h.gated AND (t.pos % {stride}) < h.l, FALSE)
+                     AS masked,
+                 coalesce(h.gated, FALSE)
+                     AND t.pos % {stride} = 0 AS is_head
+          FROM tok t LEFT JOIN heads h
+            ON h.{id_col} = t.{id_col}
+           AND h.pos = t.pos - t.pos % {stride}
+        ),
+        ranked AS (
+          SELECT *, (sum(CASE WHEN is_head THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY {id_col} ORDER BY pos)
+                     - CASE WHEN is_head THEN 1 ELSE 0 END)::BIGINT AS k
+          FROM marks
+        ),
+        input_agg AS (
+          SELECT {id_col},
+                 string_agg(CASE WHEN is_head
+                                 THEN '<extra_id_' || k || '>'
+                                 ELSE token END, ' ' ORDER BY pos)
+                   FILTER (WHERE NOT masked OR is_head) AS input_text
+          FROM ranked GROUP BY 1
+        ),
+        tgt_rows AS (
+          SELECT {id_col}, pos, 0 AS sub,
+                 '<extra_id_' || k || '>' AS piece
+          FROM ranked WHERE is_head
+          UNION ALL
+          SELECT {id_col}, pos, 1 AS sub, token FROM ranked WHERE masked
+        ),
+        tgt_agg AS (
+          SELECT {id_col},
+                 string_agg(piece, ' ' ORDER BY pos, sub) AS target_text
+          FROM tgt_rows GROUP BY 1
+        ),
+        stats AS (
+          SELECT {id_col},
+                 count(*) FILTER (is_head)::BIGINT AS n_spans,
+                 count(*) FILTER (masked)::BIGINT AS n_masked
+          FROM ranked GROUP BY 1
+        )
+        SELECT d.{id_col},
+               coalesce(i.input_text, '') AS input_text,
+               coalesce(t.target_text, '') AS target_text,
+               coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+               coalesce(s.n_masked, 0)::BIGINT AS n_masked
+        FROM d LEFT JOIN input_agg i USING ({id_col})
+               LEFT JOIN tgt_agg t USING ({id_col})
+               LEFT JOIN stats s USING ({id_col})"""

@@ -785,3 +785,50 @@ def test_rrf_fuse_exact_and_rank_semantics():
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_span_corruption_contract():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.curate import (
+        span_corruption,
+        span_corruption_sql,
+    )
+
+    texts = [" ".join(f"w{i}" for i in range(25)), "a b c", ""]
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": texts})
+    ds = ray.data.from_pandas(df).repartition(2)
+    eng = (span_corruption(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(span_corruption_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql)  # bit-exact vs the replay
+
+    r0 = eng.loc[0]
+    # sentinel numbering is document-ordered and dense
+    for k in range(int(r0["n_spans"])):
+        assert f"<extra_id_{k}>" in r0["input_text"]
+        assert f"<extra_id_{k}>" in r0["target_text"]
+    # reconstruction: replacing each sentinel in the input with its
+    # target span recovers the original document
+    tgt = r0["target_text"].split(" ")
+    spans, cur = {}, None
+    for t in tgt:
+        if t.startswith("<extra_id_"):
+            cur = t
+            spans[cur] = []
+        else:
+            spans[cur].append(t)
+    rebuilt = []
+    for t in r0["input_text"].split(" "):
+        rebuilt.extend(spans[t] if t in spans else [t])
+    assert rebuilt == texts[0].split(" ")
+    # empty doc: all-empty outputs
+    assert eng.loc[2].tolist() == [2, "", "", 0, 0]
+    # overlap-free contract is enforced
+    import pytest
+
+    with pytest.raises(ValueError):
+        span_corruption(ds, stride=2, max_span=3)
