@@ -1753,6 +1753,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return span_corruption(_docs(sf))
 
+    def q_prefix_lm_split(sf):
+        """UL2 S-denoiser / PrefixLM prep: deterministic (prefix,
+        continuation) split at a reproducible md5-drawn pivot in
+        [25%, 75%] of each doc's length; zero exchange."""
+        from htrc_feature_reader_ray.stages.curate import prefix_lm_split
+
+        return prefix_lm_split(_docs(sf))
+
     def q_oov_rate(sf):
         """Per-lang OOV rate of the whole corpus against the lang='en'
         slice's vocabulary (occurrence-weighted exact ppm) — the
@@ -3848,6 +3856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_drift": q_simhash_drift,
         "oov_rate": q_oov_rate,
         "span_corruption": q_span_corruption,
+        "prefix_lm_split": q_prefix_lm_split,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4918,6 +4927,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": curate.bigram_surprisal_sql(),
         "dsir_weights": curate.dsir_weights_sql(n_feat=256),
         "span_corruption": curate.span_corruption_sql(),
+        "prefix_lm_split": curate.prefix_lm_split_sql(),
         "source_divergence": curate.source_divergence_sql(),
         "mmr_rerank": similarity_mod.mmr_rerank_sql(
             k=8, n_candidates=40, lam=(1, 2)),

@@ -2161,3 +2161,80 @@ def span_corruption_sql(*, table: str = "documents", text: str = "text",
         FROM d LEFT JOIN input_agg i USING ({id_col})
                LEFT JOIN tgt_agg t USING ({id_col})
                LEFT JOIN stats s USING ({id_col})"""
+
+
+def prefix_lm_split(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    lo_ppm: int = 250_000, hi_ppm: int = 750_000):
+    """Deterministic prefix-LM split (UL2's S-denoiser / PrefixLM prep,
+    Tay et al. '23): each document splits into (prefix, continuation) at
+    a pivot drawn REPRODUCIBLY in [lo_ppm, hi_ppm] of its length —
+    ``frac_ppm = lo + md5(doc:pivot) % (hi − lo + 1)``,
+    ``pivot = max(1, n·frac_ppm // 10⁶)`` tokens. Completes the UL2
+    denoiser family next to :func:`span_corruption` (R) and plain LM.
+
+    Zero exchange, fully vectorized (list-slice rebuild through two
+    ``pc.binary_join`` calls). Docs with < 2 tokens emit
+    ``(text, '')`` — nothing to continue. Output
+    ``(id, prefix_text, target_text, pivot, n_tokens)``."""
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    width = hi_ppm - lo_ppm + 1
+
+    def split(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = np.bincount(parent, minlength=nrows).astype(np.int64)
+        h = md5_hash64([f"{v}:pivot" for v in ids])
+        frac = lo_ppm + (h % np.uint64(width)).astype(np.int64)
+        pivot = np.maximum(n * frac // 1_000_000, 1)
+        pivot = np.where(n < 2, n, np.minimum(pivot, n - 1))
+        doc_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+        cut = doc_start + pivot
+        # interleaved offsets: [start_0, cut_0, end_0(=start_1), cut_1, ...]
+        # give each doc two contiguous list slots (prefix, continuation)
+        off = np.zeros(2 * nrows + 1, dtype=np.int64)
+        off[1::2] = cut
+        off[2::2] = doc_start + n
+        lists = pa.ListArray.from_arrays(
+            pa.array(off, type=pa.int32()), flat)
+        joined = pc.binary_join(lists, " ")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "prefix_text": joined.take(
+                pa.array(np.arange(0, 2 * nrows, 2))),
+            "target_text": joined.take(
+                pa.array(np.arange(1, 2 * nrows, 2))),
+            "pivot": pa.array(np.where(n < 2, n, pivot), type=pa.int64()),
+            "n_tokens": pa.array(n, type=pa.int64()),
+        })
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def prefix_lm_split_sql(*, table: str = "documents", text: str = "text",
+                        id_col: str = "doc_id", lo_ppm: int = 250_000,
+                        hi_ppm: int = 750_000) -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    width = hi_ppm - lo_ppm + 1
+    return f"""
+        WITH d AS (
+          SELECT {id_col}, {toks} AS arr,
+                 len({toks})::BIGINT AS n,
+                 ({lo_ppm} + md5_number_upper({id_col} || ':pivot')
+                  % {width})::BIGINT AS frac
+          FROM {table}
+        ),
+        p AS (
+          SELECT {id_col}, arr, n,
+                 CASE WHEN n < 2 THEN n
+                      ELSE least(greatest(n * frac // 1000000, 1), n - 1)
+                 END AS piv
+          FROM d
+        )
+        SELECT {id_col},
+               coalesce(array_to_string(list_slice(arr, 1, piv), ' '), '')
+                   AS prefix_text,
+               coalesce(array_to_string(list_slice(arr, piv + 1, n), ' '),
+                        '') AS target_text,
+               piv::BIGINT AS "pivot", n AS n_tokens
+        FROM p"""

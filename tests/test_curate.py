@@ -832,3 +832,45 @@ def test_span_corruption_contract():
 
     with pytest.raises(ValueError):
         span_corruption(ds, stride=2, max_span=3)
+
+
+def test_prefix_lm_split_contract():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.curate import (
+        prefix_lm_split,
+        prefix_lm_split_sql,
+    )
+
+    texts = [" ".join(f"w{i}" for i in range(25)), "a b c", "solo", ""]
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": texts})
+    ds = ray.data.from_pandas(df).repartition(2)
+    eng = (prefix_lm_split(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(prefix_lm_split_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql)  # bit-exact vs the replay
+
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        r = eng.loc[i]
+        assert r["n_tokens"] == len(toks)
+        # reconstruction: prefix ++ target is exactly the document
+        joined = [t for t in
+                  (r["prefix_text"] + " " + r["target_text"]).split(" ")
+                  if t]
+        assert joined == toks
+        if len(toks) >= 2:
+            # a real split: both sides non-empty, pivot interior and
+            # inside the configured [25%, 75%] band
+            assert 1 <= r["pivot"] <= len(toks) - 1
+            assert r["prefix_text"].split(" ") == toks[: r["pivot"]]
+            assert r["target_text"].split(" ") == toks[r["pivot"]:]
+            assert len(toks) * 250_000 // 1_000_000 <= r["pivot"] or \
+                r["pivot"] == 1
+        else:
+            # degenerate docs: nothing to continue
+            assert r["target_text"] == ""
+            assert r["pivot"] == len(toks)
