@@ -1761,6 +1761,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return prefix_lm_split(_docs(sf))
 
+    def q_fim_split(sf):
+        """Fill-in-the-middle training pairs (PSM order): deterministic
+        (prefix, middle, suffix) at two md5-drawn interior pivots, plus
+        the assembled '<PRE> .. <SUF> .. <MID> ..' string; zero
+        exchange."""
+        from htrc_feature_reader_ray.stages.curate import fim_split
+
+        return fim_split(_docs(sf))
+
     def q_oov_rate(sf):
         """Per-lang OOV rate of the whole corpus against the lang='en'
         slice's vocabulary (occurrence-weighted exact ppm) — the
@@ -3857,6 +3866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": q_oov_rate,
         "span_corruption": q_span_corruption,
         "prefix_lm_split": q_prefix_lm_split,
+        "fim_split": q_fim_split,
         "cusum_flags": q_cusum_flags,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
@@ -4928,6 +4938,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": curate.dsir_weights_sql(n_feat=256),
         "span_corruption": curate.span_corruption_sql(),
         "prefix_lm_split": curate.prefix_lm_split_sql(),
+        "fim_split": curate.fim_split_sql(),
         "source_divergence": curate.source_divergence_sql(),
         "mmr_rerank": similarity_mod.mmr_rerank_sql(
             k=8, n_candidates=40, lam=(1, 2)),

@@ -2238,3 +2238,116 @@ def prefix_lm_split_sql(*, table: str = "documents", text: str = "text",
                         '') AS target_text,
                piv::BIGINT AS "pivot", n AS n_tokens
         FROM p"""
+
+
+def fim_split(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministic fill-in-the-middle transform (Bavarian et al. '22,
+    arXiv:2207.14255): split each document into (prefix, middle, suffix)
+    at two reproducibly md5-drawn pivots and emit the PSM training string
+    ``<PRE> prefix <SUF> suffix <MID> middle``. Completes the denoiser
+    family next to :func:`span_corruption` (R) and
+    :func:`prefix_lm_split` (S).
+
+    Reproducibility contract (exact integers, SQL-replayable):
+    ``f_k = md5(doc:fimk) % 10⁶``; for n ≥ 3 tokens
+    ``p1 = 1 + (n−2)·f1 // 10⁶ ∈ [1, n−2]`` and
+    ``p2 = p1 + 1 + (n−1−p1)·f2 // 10⁶ ∈ [p1+1, n−1]``, so all three
+    parts are non-empty. Docs with < 3 tokens degenerate to
+    ``(text, '', '')`` with ``p1 = p2 = n``. Zero exchange: each doc gets
+    three contiguous list slots via one interleaved-offset ``ListArray``
+    and all parts rebuild through ONE ``pc.binary_join``; the PSM string
+    is a second 6-slot join (sentinels interleaved).
+
+    Output ``(id, prefix_text, middle_text, suffix_text, psm_text,
+    p1, p2, n_tokens)``."""
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    M = np.uint64(1_000_000)
+
+    def split(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = np.bincount(parent, minlength=nrows).astype(np.int64)
+        f1 = (md5_hash64([f"{v}:fim1" for v in ids]) % M).astype(np.int64)
+        f2 = (md5_hash64([f"{v}:fim2" for v in ids]) % M).astype(np.int64)
+        p1 = 1 + (n - 2) * f1 // 1_000_000
+        p2 = p1 + 1 + (n - 1 - p1) * f2 // 1_000_000
+        deg = n < 3
+        p1 = np.where(deg, n, p1)
+        p2 = np.where(deg, n, p2)
+        doc_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+        off = np.zeros(3 * nrows + 1, dtype=np.int64)
+        off[1::3] = doc_start + p1
+        off[2::3] = doc_start + p2
+        off[3::3] = doc_start + n
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), flat),
+            " ")
+        prefix = joined.take(pa.array(np.arange(0, 3 * nrows, 3)))
+        middle = joined.take(pa.array(np.arange(1, 3 * nrows, 3)))
+        suffix = joined.take(pa.array(np.arange(2, 3 * nrows, 3)))
+        # PSM assembly: 6 slots per doc [<PRE>, prefix, <SUF>, suffix,
+        # <MID>, middle], one more binary_join
+        slot = np.empty(6 * nrows, dtype=object)
+        slot[0::6] = "<PRE>"
+        slot[1::6] = prefix.to_numpy(zero_copy_only=False)
+        slot[2::6] = "<SUF>"
+        slot[3::6] = suffix.to_numpy(zero_copy_only=False)
+        slot[4::6] = "<MID>"
+        slot[5::6] = middle.to_numpy(zero_copy_only=False)
+        psm = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(np.arange(0, 6 * nrows + 1, 6), type=pa.int32()),
+                pa.array(slot, type=pa.string())),
+            " ")
+        return pa.table({
+            id_col: batch.column(id_col),
+            "prefix_text": prefix, "middle_text": middle,
+            "suffix_text": suffix, "psm_text": psm,
+            "p1": pa.array(p1, type=pa.int64()),
+            "p2": pa.array(p2, type=pa.int64()),
+            "n_tokens": pa.array(n, type=pa.int64()),
+        })
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+def fim_split_sql(*, table: str = "documents", text: str = "text",
+                  id_col: str = "doc_id") -> str:
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH d AS (
+          SELECT {id_col}, {toks} AS arr, len({toks})::BIGINT AS n,
+                 (md5_number_upper({id_col} || ':fim1')
+                  % 1000000)::BIGINT AS f1,
+                 (md5_number_upper({id_col} || ':fim2')
+                  % 1000000)::BIGINT AS f2
+          FROM {table}
+        ),
+        c1 AS (
+          SELECT *, CASE WHEN n < 3 THEN n
+                         ELSE 1 + (n - 2) * f1 // 1000000 END AS p1
+          FROM d
+        ),
+        c2 AS (
+          SELECT *, CASE WHEN n < 3 THEN n
+                         ELSE p1 + 1 + (n - 1 - p1) * f2 // 1000000
+                    END AS p2
+          FROM c1
+        ),
+        parts AS (
+          SELECT {id_col},
+                 coalesce(array_to_string(
+                     list_slice(arr, 1, p1), ' '), '') AS prefix_text,
+                 coalesce(array_to_string(
+                     list_slice(arr, p1 + 1, p2), ' '), '') AS middle_text,
+                 coalesce(array_to_string(
+                     list_slice(arr, p2 + 1, n), ' '), '') AS suffix_text,
+                 p1::BIGINT AS p1, p2::BIGINT AS p2, n AS n_tokens
+          FROM c2
+        )
+        SELECT {id_col}, prefix_text, middle_text, suffix_text,
+               '<PRE> ' || prefix_text || ' <SUF> ' || suffix_text
+                 || ' <MID> ' || middle_text AS psm_text,
+               p1, p2, n_tokens
+        FROM parts"""

@@ -874,3 +874,42 @@ def test_prefix_lm_split_contract():
             # degenerate docs: nothing to continue
             assert r["target_text"] == ""
             assert r["pivot"] == len(toks)
+
+
+def test_fim_split_contract():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.curate import fim_split, fim_split_sql
+
+    texts = [" ".join(f"w{i}" for i in range(25)), "a b c", "x y", "solo", ""]
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4], "text": texts})
+    ds = ray.data.from_pandas(df).repartition(2)
+    eng = (fim_split(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(fim_split_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql)  # bit-exact vs the replay
+
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        r = eng.loc[i]
+        assert r["n_tokens"] == len(toks)
+        # reconstruction: prefix ++ middle ++ suffix is the document
+        glued = " ".join(
+            p for p in (r["prefix_text"], r["middle_text"],
+                        r["suffix_text"]) if p)
+        assert [t for t in glued.split(" ") if t] == toks
+        if len(toks) >= 3:
+            # all three parts non-empty, pivots interior and ordered
+            assert 1 <= r["p1"] < r["p2"] <= len(toks) - 1
+            assert r["prefix_text"].split(" ") == toks[: r["p1"]]
+            assert r["middle_text"].split(" ") == toks[r["p1"]:r["p2"]]
+            assert r["suffix_text"].split(" ") == toks[r["p2"]:]
+        else:
+            assert (r["middle_text"], r["suffix_text"]) == ("", "")
+        # PSM string is the exact sentinel-interleaved assembly
+        assert r["psm_text"] == (
+            f"<PRE> {r['prefix_text']} <SUF> {r['suffix_text']}"
+            f" <MID> {r['middle_text']}")
