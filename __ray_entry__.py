@@ -1745,6 +1745,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_encode(_docs(sf), rounds=3)
 
+    def q_length_emd(sf):
+        """Per-source doc-length distribution drift from the corpus as
+        exact-integer Wasserstein-1 (char·ppm) — the W1 sibling of
+        source_divergence's KL; one (source, n_chars) fold, CDF walk on
+        the bounded support table."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import grouped_emd
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["source", "n_chars"])
+        return grouped_emd(docs, group_col="source", value_col="n_chars")
+
+    def q_luhn_card_flags(sf):
+        """Checksum-validated card-number detection (Luhn mod-10 over
+        maximal digit runs of card length) — the PII-redaction
+        refinement. The fixture carries no digit runs, so card-like
+        numbers are synthesized deterministically per doc (same
+        expression mirrored in the oracle); ~10% pass Luhn."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.curate import luhn_card_flags
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+        def aug(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["doc_id"]
+            return pd.DataFrame({
+                "doc_id": i,
+                "text": (df["text"] + " card 4"
+                         + (i * 7919 % 10**15).astype(str).str.zfill(15)
+                         + " ref 123456789012"),
+            })
+
+        return luhn_card_flags(docs.map_batches(aug, batch_format="pandas"))
+
+    def q_neg_sampling_weights(sf):
+        """word2vec negative-sampling distribution: weight ∝ count^(3/4)
+        in EXACT integers (nested isqrt = floored fourth root of n³);
+        one vocabulary fold, r attaches on token TYPES, fold materialized
+        for its two consumers (Σr + the weight pass)."""
+        from htrc_feature_reader_ray.stages.vocab import neg_sampling_weights
+
+        return neg_sampling_weights(_docs(sf))
+
     def q_span_corruption(sf):
         """T5-style denoising pairs (deterministic span masking with
         <extra_id_k> sentinels — stride-aligned overlap-free spans,
@@ -3865,6 +3909,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_drift": q_simhash_drift,
         "oov_rate": q_oov_rate,
         "span_corruption": q_span_corruption,
+        "neg_sampling_weights": q_neg_sampling_weights,
+        "luhn_card_flags": q_luhn_card_flags,
+        "length_emd": q_length_emd,
         "prefix_lm_split": q_prefix_lm_split,
         "fim_split": q_fim_split,
         "cusum_flags": q_cusum_flags,
@@ -4888,6 +4935,7 @@ def oracle_sql() -> dict[str, str]:
             agg_exprs=["count(*)::BIGINT AS n_docs",
                        "sum(n_chars)::BIGINT AS sum_chars"]),
         "vocab_coverage": vocab_mod.vocab_coverage_sql(),
+        "neg_sampling_weights": vocab_mod.neg_sampling_weights_sql(),
         "hard_negatives": similarity_mod.hard_negative_topk_sql(),
         "embedding_minmax": similarity_mod.embedding_minmax_scale_sql(),
         "value_gini": profile_mod.grouped_gini_sql(
@@ -4939,7 +4987,17 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption": curate.span_corruption_sql(),
         "prefix_lm_split": curate.prefix_lm_split_sql(),
         "fim_split": curate.fim_split_sql(),
+        "luhn_card_flags": curate.luhn_card_flags_sql(
+            table="""(SELECT doc_id,
+                             text || ' card 4'
+                                  || lpad((doc_id * 7919
+                                           % 1000000000000000)::VARCHAR,
+                                          15, '0')
+                                  || ' ref 123456789012' AS text
+                      FROM documents)"""),
         "source_divergence": curate.source_divergence_sql(),
+        "length_emd": profile_mod.grouped_emd_sql(
+            table="documents", group="source", value_expr="n_chars"),
         "mmr_rerank": similarity_mod.mmr_rerank_sql(
             k=8, n_candidates=40, lam=(1, 2)),
         "rrf_hybrid": curate.rrf_fuse_sql(

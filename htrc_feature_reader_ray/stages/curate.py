@@ -2351,3 +2351,95 @@ def fim_split_sql(*, table: str = "documents", text: str = "text",
                  || ' <MID> ' || middle_text AS psm_text,
                p1, p2, n_tokens
         FROM parts"""
+
+
+def luhn_card_flags(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    min_len: int = 13, max_len: int = 19):
+    """Checksum-validated payment-card detection (the PII-redaction
+    refinement): per document, every MAXIMAL digit run of plausible card
+    length is a candidate, and a candidate is flagged only when it passes
+    the Luhn mod-10 check (ISO/IEC 7812) — cutting the false-positive
+    redactions a bare ``\\d{13,19}`` rule makes on ids/timestamps (~10% of
+    random digit runs pass Luhn).
+
+    Vectorized, zero exchange: non-digits collapse to spaces in one RE2
+    replace, runs split into one list array; candidates LEFT-zero-pad to
+    ``max_len`` (leading zeros never change a Luhn sum — they contribute
+    0 doubled or not) and the whole candidate set becomes one (k, max_len)
+    codepoint matrix; the doubled-digit correction ``2d − 9·[2d>9]`` is a
+    single mask, per-doc counts are two bincounts. Output
+    ``(id, n_candidates, n_luhn_valid)``."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        text = pc.cast(batch.column(text_col), pa.string())
+        runs = pc.split_pattern(
+            pc.replace_substring_regex(text, "[^0-9]", " "), " ")
+        if isinstance(runs, pa.ChunkedArray):
+            runs = runs.combine_chunks()
+        off = runs.offsets.to_numpy()
+        flat = runs.values
+        parent = np.repeat(np.arange(nrows), np.diff(off))
+        ln = pc.utf8_length(flat).to_numpy()
+        keep = (ln >= min_len) & (ln <= max_len)
+        cands = flat.filter(pa.array(keep))
+        parent = parent[keep]
+        n_cand = np.bincount(parent, minlength=nrows)
+        if len(parent):
+            padded = pc.utf8_lpad(cands, max_len, "0")
+            m = np.array(padded.to_pylist(), dtype=f"<U{max_len}")
+            d = m.view(np.uint32).reshape(len(parent), max_len) - 48
+            # from the right: check digit r=0 undoubled, double odd r;
+            # column c holds r = max_len-1-c, so double where (max_len-1-c)
+            # is odd
+            dbl = ((max_len - 1 - np.arange(max_len)) % 2) == 1
+            contrib = np.where(dbl[None, :], 2 * d - 9 * (d >= 5), d)
+            valid = contrib.sum(axis=1) % 10 == 0
+            n_valid = np.bincount(parent[valid], minlength=nrows)
+        else:
+            n_valid = np.zeros(nrows, dtype=np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_candidates": pa.array(n_cand.astype(np.int64)),
+            "n_luhn_valid": pa.array(n_valid.astype(np.int64)),
+        })
+
+    return ds.map_batches(flags, batch_format="pyarrow")
+
+
+def luhn_card_flags_sql(*, table: str = "documents", text: str = "text",
+                        id_col: str = "doc_id", min_len: int = 13,
+                        max_len: int = 19) -> str:
+    """SQL replay: maximal digit runs via regexp_extract_all, Luhn as a
+    per-character unnest sum with the identical doubled-digit CASE."""
+    return f"""
+        WITH cand AS (
+          SELECT {id_col}, arr[j.j] AS run, j.j AS ord
+          FROM (SELECT {id_col},
+                       regexp_extract_all({text}, '[0-9]+') AS arr
+                FROM {table}),
+               LATERAL unnest(generate_series(1, len(arr))) AS j(j)
+          WHERE len(arr[j.j]) BETWEEN {min_len} AND {max_len}
+        ),
+        luhn AS (
+          SELECT {id_col}, ord,
+                 sum(CASE WHEN (len(run) - i) % 2 = 1
+                          THEN 2 * dgt - 9 * (CASE WHEN dgt >= 5
+                                                   THEN 1 ELSE 0 END)
+                          ELSE dgt END) % 10 = 0 AS ok
+          FROM (
+            SELECT {id_col}, ord, run, i.i AS i,
+                   substring(run, i.i, 1)::INT AS dgt
+            FROM cand, LATERAL unnest(
+              generate_series(1, len(run))) AS i(i)
+          )
+          GROUP BY 1, 2
+        )
+        SELECT d.{id_col},
+               coalesce(c.n_candidates, 0)::BIGINT AS n_candidates,
+               coalesce(v.n_valid, 0)::BIGINT AS n_luhn_valid
+        FROM {table} d
+        LEFT JOIN (SELECT {id_col}, count(*) AS n_candidates
+                   FROM cand GROUP BY 1) c USING ({id_col})
+        LEFT JOIN (SELECT {id_col}, count(*) AS n_valid
+                   FROM luhn WHERE ok GROUP BY 1) v USING ({id_col})"""

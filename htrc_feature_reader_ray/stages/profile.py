@@ -2035,3 +2035,100 @@ def hash_cross_sql(*, table: str, id_col: str, cols, quadratic=(),
                (h % {dims})::BIGINT AS dim,
                sum(1 - 2 * (h >> 63)::BIGINT)::BIGINT AS value
         FROM h GROUP BY 1, 2"""
+
+
+def grouped_emd(ds, *, group_col: str, value_col: str,
+                num_buckets: int = 16):
+    """Per-group 1-D earth-mover (Wasserstein-1) distance from the CORPUS
+    distribution of an integer-valued column, in exact integer value·ppm —
+    the distribution-drift diagnostic that complements the KL of
+    ``source_divergence``: W1 is in the VALUE's own units (chars, tokens),
+    is finite on disjoint supports, and weights drift by how FAR mass
+    moved, not just that it moved.
+
+    Closed form on ordered discrete support: ``W1 = Σ_i |F_g(v_i) −
+    F(v_i)| · (v_{i+1} − v_i)``. Exactness contract: the CDF difference is
+    kept as the integer ``|cum_g·N − cum_all·n_g|`` over the common
+    denominator ``n_g·N``, so ``emd_ppm = (Σ terms · 10⁶) // (n_g · N)``
+    is a single floor division in arbitrary precision (HUGEINT mirror).
+
+    Scale shape: ONE (group, value) count fold — support is bounded like
+    any distinct-value histogram — then the CDF walk runs on the driver
+    over those |groups|·|support| rows only (Python ints: no overflow at
+    any corpus size). Output ``(group_col, n_rows, emd_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, value_col], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key=value_col,
+    ).to_pandas()
+
+    support = np.sort(folded[value_col].unique())
+    gap = np.diff(support.astype(np.int64))
+    corpus = (folded.groupby(value_col)["c"].sum()
+              .reindex(support, fill_value=0).to_numpy())
+    cum_all = np.cumsum(corpus.astype(object))  # Python ints
+    N = int(cum_all[-1]) if len(cum_all) else 0
+    rows = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        cg = (sub.set_index(value_col)["c"]
+              .reindex(support, fill_value=0).to_numpy())
+        cum_g = np.cumsum(cg.astype(object))
+        n_g = int(cum_g[-1])
+        terms = sum(
+            abs(int(cum_g[i]) * N - int(cum_all[i]) * n_g) * int(gap[i])
+            for i in range(len(gap)))
+        emd = terms * 1_000_000 // max(n_g * N, 1)
+        rows.append((grp, n_g, int(emd)))
+    out = pd.DataFrame(rows, columns=[group_col, "n_rows", "emd_ppm"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["emd_ppm"] = out["emd_ppm"].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def grouped_emd_sql(*, table: str, group: str, value_expr: str) -> str:
+    """SQL mirror: grid = groups × support, window cumsums, the identical
+    cross-multiplied integer terms in HUGEINT."""
+    return f"""
+        WITH g AS (
+          SELECT {group} AS grp, {value_expr} AS v, count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        support AS (
+          SELECT v, lead(v) OVER (ORDER BY v) AS nxt
+          FROM (SELECT DISTINCT v FROM g)
+        ),
+        tot AS (SELECT grp, sum(c)::BIGINT AS n_g FROM g GROUP BY 1),
+        big AS (SELECT sum(c)::BIGINT AS n FROM g),
+        ca AS (
+          SELECT s.v, s.nxt,
+                 sum(coalesce(cc.c, 0)) OVER (ORDER BY s.v)::BIGINT
+                     AS cum_all
+          FROM support s LEFT JOIN (
+            SELECT v, sum(c)::BIGINT AS c FROM g GROUP BY 1) cc
+          USING (v)
+        ),
+        cg AS (
+          SELECT t.grp, s.v,
+                 sum(coalesce(g.c, 0)) OVER (
+                   PARTITION BY t.grp ORDER BY s.v)::BIGINT AS cum_g
+          FROM tot t CROSS JOIN support s
+          LEFT JOIN g ON g.grp = t.grp AND g.v = s.v
+        )
+        SELECT cg.grp AS {group}, t.n_g AS n_rows,
+               (sum(abs(cg.cum_g::HUGEINT * big.n
+                        - ca.cum_all::HUGEINT * t.n_g)
+                    * coalesce(ca.nxt - ca.v, 0)) * 1000000
+                // greatest(t.n_g::HUGEINT * big.n, 1))::BIGINT AS emd_ppm
+        FROM cg
+        JOIN ca USING (v) JOIN tot t ON t.grp = cg.grp, big
+        GROUP BY cg.grp, t.n_g, big.n
+        ORDER BY 1"""

@@ -1659,3 +1659,81 @@ def oov_rate_sql(*, table: str = "documents", text_col: str = "text",
                (count(*) FILTER (tok NOT IN (SELECT tok FROM v))
                 * 1000000 // count(*))::BIGINT AS oov_ppm
         FROM occ GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# word2vec negative-sampling distribution (unigram^{3/4})
+
+
+def neg_sampling_weights(ds, *, text_col: str = "text",
+                         num_buckets: int = 64):
+    """word2vec's noise distribution (Mikolov et al., NeurIPS'13): negative
+    samples are drawn ∝ count(token)^{3/4} — the one smoothing exponent the
+    paper found to beat both the raw unigram and the uniform. ¾ has an
+    EXACT integer form (where float ``pow`` is neither correctly rounded
+    nor cross-engine stable): ``r = ⌊n^{3/4}⌋ = isqrt(isqrt(n³))`` — the
+    nested floored square roots ARE the floored fourth root of ``n³``.
+
+    ``weight_ppb = r·10⁹ // Σ_tokens r`` (ppb not ppm: a 10⁶ grid rounds
+    mid-tail tokens of a big vocabulary to 0).
+
+    Scale shape: ONE vocabulary-bucketed count fold; ``r`` attaches
+    vectorized on the folded (token, count) table (Python-int isqrt over
+    TYPES, not occurrences — exact at any count, no int64 overflow on
+    ``n³``); the fold is materialized for its two consumers (Σr scalar +
+    the weight pass) so the corpus is never rescanned. Output
+    ``(token, count, weight_ppb)``."""
+    import math
+
+    counts = corpus_token_counts(
+        ds, text_col=text_col, num_buckets=num_buckets)
+
+    def attach_r(batch: pa.Table) -> pa.Table:
+        n = batch.column("count").to_pylist()
+        r = [math.isqrt(math.isqrt(v * v * v)) for v in n]
+        return batch.append_column("r", pa.array(r, type=pa.int64()))
+
+    with_r = counts.map_batches(attach_r, batch_format="pyarrow")
+    with_r = with_r.materialize()  # two consumers below
+    denom = max(int(with_r.sum("r")), 1)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch.column("r").to_numpy()
+        w = r.astype(object) * 1_000_000_000 // denom  # HUGEINT-safe
+        return pa.table({
+            "token": batch.column("token"),
+            "count": batch.column("count"),
+            "weight_ppb": pa.array([int(x) for x in w], type=pa.int64()),
+        })
+
+    return with_r.map_batches(finish, batch_format="pyarrow")
+
+
+def neg_sampling_weights_sql(*, table: str = "documents",
+                             text_col: str = "text") -> str:
+    """SQL mirror: nested ±1-corrected isqrt (float sqrt of a wide int can
+    land one off near perfect squares; both directions repaired), n³ in
+    HUGEINT."""
+
+    def isqrt(x: str, wide: bool) -> str:
+        s = f"CAST(floor(sqrt(({x})::DOUBLE)) AS {'HUGEINT' if wide else 'BIGINT'})"
+        return (f"({s} + (CASE WHEN ({s}+1)*({s}+1) <= ({x}) THEN 1 ELSE 0 END)"
+                f" - (CASE WHEN {s}*{s} > ({x}) THEN 1 ELSE 0 END))")
+
+    return f"""
+        WITH c AS (
+          SELECT t.t AS token, count(*)::BIGINT AS count
+          FROM {table}, LATERAL unnest(
+            list_filter(string_split({text_col}, ' '), x -> x <> '')
+          ) AS t(t)
+          GROUP BY 1
+        ),
+        r1 AS (SELECT token, count,
+                      {isqrt('count::HUGEINT * count * count', True)} AS s1
+               FROM c),
+        r2 AS (SELECT token, count, {isqrt('s1', False)}::BIGINT AS r
+               FROM r1),
+        d AS (SELECT greatest(sum(r), 1)::HUGEINT AS denom FROM r2)
+        SELECT token, count,
+               (r::HUGEINT * 1000000000 // d.denom)::BIGINT AS weight_ppb
+        FROM r2, d"""

@@ -913,3 +913,36 @@ def test_fim_split_contract():
         assert r["psm_text"] == (
             f"<PRE> {r['prefix_text']} <SUF> {r['suffix_text']}"
             f" <MID> {r['middle_text']}")
+
+
+def test_luhn_card_flags():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.curate import (
+        luhn_card_flags,
+        luhn_card_flags_sql,
+    )
+
+    texts = [
+        # one valid (classic test PAN) + one invalid 16-digit run
+        "pay 4111111111111111 or 4111111111111112 now",
+        # too short (12) and too long (20) runs: no candidates
+        "id 123456789012 ref 12345678901234567890",
+        # same valid number twice: both count (duplicates not collapsed)
+        "4111111111111111 4111111111111111",
+        # valid with leading zero padding irrelevant: 13-digit valid visa
+        "4222222222222",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4], "text": texts})
+    ds = ray.data.from_pandas(df).repartition(2)
+    eng = (luhn_card_flags(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert eng["n_candidates"].tolist() == [2, 0, 2, 1, 0]
+    assert eng["n_luhn_valid"].tolist() == [1, 0, 2, 1, 0]
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(luhn_card_flags_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql)

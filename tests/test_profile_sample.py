@@ -1043,3 +1043,43 @@ def test_hash_cross_namespaces_and_sign():
     with pytest.raises(ValueError):
         hash_cross(ds, id_col="doc_id", cols=["lang"],
                    quadratic=[("lang", "source")])
+
+
+def test_grouped_emd_exact_and_sql():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.profile import (
+        grouped_emd,
+        grouped_emd_sql,
+    )
+
+    # corpus: values 1,1,3,5 (N=4); group A = {1,1}, group B = {3,5}
+    # support 1,3,5; gaps 2,2
+    # F_A = 1, 1, 1;  F = 1/2, 3/4, 1;  F_B = 0, 1/2, 1
+    # W1_A = (1/2)*2 + (1/4)*2 = 1.5 -> 1_500_000 ppm
+    # W1_B = (1/2)*2 + (1/4)*2 = 1.5 -> 1_500_000 ppm
+    df = pd.DataFrame({"g": ["A", "A", "B", "B"], "v": [1, 1, 3, 5]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (grouped_emd(ds, group_col="g", value_col="v").to_pandas()
+           .set_index("g").sort_index())
+    assert out.loc["A", "emd_ppm"] == 1_500_000
+    assert out.loc["B", "emd_ppm"] == 1_500_000
+    assert out["n_rows"].tolist() == [2, 2]
+
+    # identical distribution -> 0; single-value support -> 0 rows kept
+    df2 = pd.DataFrame({"g": ["A", "B"], "v": [7, 7]})
+    out2 = (grouped_emd(ray.data.from_pandas(df2), group_col="g",
+                        value_col="v").to_pandas().set_index("g"))
+    assert out2["emd_ppm"].tolist() == [0, 0]
+
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = (con.execute(
+        grouped_emd_sql(table="t", group="g", value_expr="v")).df()
+        .set_index("g").sort_index())
+    pd.testing.assert_frame_equal(out, sql)
+    con.register("t2", df2)
+    sql2 = (con.execute(
+        grouped_emd_sql(table="t2", group="g", value_expr="v")).df()
+        .set_index("g").sort_index())
+    pd.testing.assert_frame_equal(out2, sql2)

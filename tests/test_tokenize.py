@@ -73,3 +73,4 @@ def test_extract_id_strips_facet_sidecars():
     assert extract_id("uc1.b33+=4.meta.json.gz") == "uc1.b33:/4"
     # one strip per tier, like the reference (no infinite chain strip)
     assert extract_id("a.section.section") == "a.section"
+

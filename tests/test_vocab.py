@@ -540,3 +540,37 @@ def test_oov_rate_exact_ppm():
     sql = (con.execute(oov_rate_sql()).df()
            .set_index("lang").sort_index())
     pd.testing.assert_frame_equal(out, sql)
+
+
+def test_neg_sampling_weights_exact():
+    import math
+
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.vocab import (
+        neg_sampling_weights,
+        neg_sampling_weights_sql,
+    )
+
+    # skewed counts: "a" x 16 (r = 8), "b" x 4 (r = 2), "c" x 1 (r = 1)
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a a a a a a a b b", "a a a a a a a a b b", "c"],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (neg_sampling_weights(ds).to_pandas()
+           .set_index("token").sort_index())
+    assert out.loc["a", "count"] == 16 and out.loc["a", "weight_ppb"] == \
+        8 * 1_000_000_000 // 11
+    assert out.loc["b", "weight_ppb"] == 2 * 1_000_000_000 // 11
+    assert out.loc["c", "weight_ppb"] == 1_000_000_000 // 11
+    # r is the exact floored 3/4 power (nested isqrt identity)
+    for n in [1, 2, 3, 15, 16, 17, 255, 256, 257, 10**6, 2**40]:
+        assert math.isqrt(math.isqrt(n**3)) == int(n ** 0.75) or \
+            abs(math.isqrt(math.isqrt(n**3)) - n ** 0.75) < 1
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(neg_sampling_weights_sql()).df()
+           .set_index("token").sort_index())
+    pd.testing.assert_frame_equal(out, sql)
