@@ -1712,6 +1712,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return semdedup_pairs(joined, cluster_col="cluster",
                               threshold=0.3)
 
+    def q_cdc_chunks(sf):
+        """Content-defined chunking: chunk boundaries at md5-gated
+        tokens — shift-robust dedup units (an inserted paragraph only
+        re-cuts the chunks it touches); zero exchange, 63-bit chunk
+        digests in the winnow convention."""
+        from htrc_feature_reader_ray.stages.dedup import cdc_chunks
+
+        return cdc_chunks(_docs(sf))
+
+    def q_knn_label_agreement(sf):
+        """Label-error detection: fraction of each vector's k nearest
+        cosine neighbors (within its k-means cell) sharing its label —
+        the quadratic kNN kernel runs per cell in the SemDeDup posture,
+        assignment attaches by one vec_id bucket join."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+        from htrc_feature_reader_ray.stages.similarity import (
+            kmeans_fixed,
+            knn_label_agreement,
+        )
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"])
+        assign = kmeans_fixed(
+            emb.drop_columns(["label"]), k=8, rounds=3
+        ).drop_columns(["dist"])
+        joined = bucket_join(
+            emb, assign.map_batches(
+                lambda df: df.rename(columns={"vec_id": "vid"}),
+                batch_format="pandas"),
+            left_key="vec_id", right_key="vid")
+        return knn_label_agreement(joined, k=5)
+
     def q_cusum_flags(sf):
         """Per-user upward spend-drift CUSUM flags (exact integer state;
         the recursion closes into prefix-sum minus running-min, so the
@@ -3912,6 +3947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neg_sampling_weights": q_neg_sampling_weights,
         "luhn_card_flags": q_luhn_card_flags,
         "length_emd": q_length_emd,
+        "knn_label_agreement": q_knn_label_agreement,
+        "cdc_chunks": q_cdc_chunks,
         "prefix_lm_split": q_prefix_lm_split,
         "fim_split": q_fim_split,
         "cusum_flags": q_cusum_flags,
@@ -4845,6 +4882,7 @@ def oracle_sql() -> dict[str, str]:
             table="events"),
         "label_centroids": similarity_mod.label_centroid_sums_sql(),
         "semdedup_pairs": dedup_mod.semdedup_pairs_sql(threshold=0.3),
+        "cdc_chunks": dedup_mod.cdc_chunks_sql(),
         "value_outliers": """
             WITH v AS (
                 SELECT event_id, event_type,
@@ -5065,6 +5103,13 @@ def oracle_sql() -> dict[str, str]:
               ON a.cluster = b.cluster AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.3""",
+        "knn_label_agreement": similarity_mod.knn_label_agreement_sql(
+            source_sql=f"""
+                SELECT emb.vec_id, emb.embedding, emb.label, a.cluster
+                FROM embeddings emb
+                JOIN ({similarity_mod.kmeans_fixed_sql(k=8, rounds=3)}) a
+                USING (vec_id)""",
+            k=5),
         "cusum_flags": temporal_mod.cusum_flags_sql(
             key="user_id", ts="ts",
             value_expr="CAST(round(value * 100) AS BIGINT)",

@@ -2220,3 +2220,109 @@ def simhash_drift_sql(*, table: str, url_col: str = "url",
                      ELSE bit_count(xor(s::UBIGINT, ps::UBIGINT))
                 END)::BIGINT AS hamming
         FROM sd_drift"""
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (hash-gated boundaries)
+
+
+def cdc_chunks(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               divisor: int = 16):
+    """Content-defined chunking at token granularity: a new chunk starts
+    at every token whose ``md5 % divisor == 0`` — the storage-dedup /
+    LBFS-family idea (boundaries are a function of CONTENT, so inserting
+    or deleting a paragraph only re-cuts the chunks it touches, where
+    fixed-size windows shift every downstream chunk). Expected chunk
+    length ≈ ``divisor`` tokens. This is the shift-robust unit for
+    cross-document boilerplate dedup: identical paragraphs yield identical
+    ``(chunk_text, chunk_digest)`` rows wherever they sit.
+
+    Token-hash gates (vs a byte-level gear rolling hash) keep the op
+    stateless and embarrassingly parallel — the gate is a function of the
+    token TYPE, hashed once per batch vocabulary; FastCDC's min/max
+    chunk-size clamps are a production knob deliberately left out of the
+    reproducibility contract. Zero exchange; chunks rebuild through ONE
+    ``pc.binary_join`` over boundary offsets. Digests are md5-64 masked
+    to 63 bits (the ``winnow_fingerprints`` convention) so the SQL mirror
+    compares in BIGINT.
+
+    Output ``(id, chunk_idx, chunk_text, n_tokens, chunk_digest)``; empty
+    documents emit no rows."""
+    mask63 = np.uint64((1 << 63) - 1)
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        if len(parent) == 0:
+            return pa.table({
+                id_col: batch.column(id_col).slice(0, 0),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_digest": pa.array([], type=pa.int64()),
+            })
+        flat_np = flat.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat_np, return_inverse=True)
+        gate = (md5_hash64(uniq) % np.uint64(divisor) == 0)[inv]
+        first = np.ones(len(parent), dtype=bool)
+        first[1:] = parent[1:] != parent[:-1]
+        start = first | gate
+        s_idx = np.flatnonzero(start)
+        off = np.concatenate((s_idx, [len(parent)])).astype(np.int64)
+        texts = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), flat),
+            " ")
+        cdoc = parent[s_idx]
+        # chunk_idx: 0-based rank within its doc = position - first
+        # start position of the doc
+        doc_first = np.ones(len(s_idx), dtype=bool)
+        doc_first[1:] = cdoc[1:] != cdoc[:-1]
+        base = np.maximum.accumulate(
+            np.where(doc_first, np.arange(len(s_idx)), 0))
+        idx = np.arange(len(s_idx)) - base
+        n_tok = np.diff(off)
+        digest = (md5_hash64(texts.to_pylist()) & mask63).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(cdoc)),
+            "chunk_idx": pa.array(idx, type=pa.int64()),
+            "chunk_text": texts,
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "chunk_digest": pa.array(digest, type=pa.int64()),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def cdc_chunks_sql(*, table: str = "documents", text: str = "text",
+                   id_col: str = "doc_id", divisor: int = 16) -> str:
+    """SQL replay: per-token gate + running-sum window → chunk ordinal,
+    ordered string_agg per chunk, identical 63-bit digest."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH tok AS (
+          SELECT {id_col}, arr[i.i] AS token, i.i AS pos,
+                 CASE WHEN i.i > 1 AND
+                           md5_number_upper(arr[i.i]) % {divisor} = 0
+                      THEN 1 ELSE 0 END AS cut
+          FROM (SELECT {id_col}, {toks} AS arr FROM {table}),
+               LATERAL unnest(generate_series(1, len(arr))) AS i(i)
+        ),
+        lab AS (
+          SELECT {id_col}, token, pos,
+                 sum(cut) OVER (PARTITION BY {id_col}
+                                ORDER BY pos)::BIGINT AS chunk_idx
+          FROM tok
+        ),
+        agg AS (
+          SELECT {id_col}, chunk_idx,
+                 string_agg(token, ' ' ORDER BY pos) AS chunk_text,
+                 count(*)::BIGINT AS n_tokens
+          FROM lab GROUP BY 1, 2
+        )
+        SELECT {id_col}, chunk_idx, chunk_text, n_tokens,
+               (md5_number_upper(chunk_text)
+                & 9223372036854775807)::BIGINT AS chunk_digest
+        FROM agg"""

@@ -1199,3 +1199,116 @@ def mmr_rerank_sql(*, table: str = "embeddings", vec_col: str = "embedding",
         f"SELECT * FROM pick{t}" for t in range(1, k + 1))
     return sql + f"""
         {unions}"""
+
+
+# ---------------------------------------------------------------------------
+# kNN label agreement (label-error detection within cells)
+
+
+def knn_label_agreement(ds, *, cluster_col: str = "cluster",
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        label_col: str = "label", k: int = 5,
+                        num_buckets: int = 16):
+    """Per-vector label QA: the fraction of a vector's k nearest cosine
+    neighbors (WITHIN its cell) that share its label — the
+    Confident-Learning-flavored mislabeled-sample signal (a clean example
+    agrees with its neighborhood; a label error sits in a neighborhood
+    that votes against it).
+
+    Runs in the SemDeDup posture (:func:`~htrc_feature_reader_ray.stages.
+    dedup.semdedup_pairs`): the quadratic kNN kernel runs per CELL (k-means
+    cluster / LSH bucket), never per corpus — cell sizes bound the
+    all-pairs term, one cluster-bucketed exchange total. Neighbor order is
+    ``(cosine DESC, id ASC)`` with float64 cosine on both engines (the
+    module's established rank-parity contract). Cells smaller than ``k+1``
+    use every available neighbor; singletons emit ``agree_ppm = -1``.
+
+    Output ``(id, label, cluster, n_neighbors, n_agree, agree_ppm)`` with
+    ``agree_ppm = n_agree·10⁶ // n_neighbors``."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cell, g in df.groupby(cluster_col, sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            ids = g[id_col].to_numpy()
+            lb = g[label_col].to_numpy()
+            sz = len(g)
+            if sz == 1:
+                out.append(pd.DataFrame({
+                    id_col: ids, label_col: lb,
+                    cluster_col: np.repeat(cell, 1),
+                    "n_neighbors": np.zeros(1, dtype=np.int64),
+                    "n_agree": np.zeros(1, dtype=np.int64),
+                    "agree_ppm": np.full(1, -1, dtype=np.int64),
+                }))
+                continue
+            m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+            n = np.sqrt((m * m).sum(axis=1))
+            n[n == 0] = 1.0
+            cos = (m @ m.T) / np.outer(n, n)
+            np.fill_diagonal(cos, -np.inf)
+            # stable argsort of -cos: ties broken by position == id asc
+            order = np.argsort(-cos, axis=1, kind="stable")
+            nn = min(k, sz - 1)
+            nbr = order[:, :nn]
+            agree = (lb[nbr] == lb[:, None]).sum(axis=1).astype(np.int64)
+            out.append(pd.DataFrame({
+                id_col: ids, label_col: lb,
+                cluster_col: np.repeat(cell, sz),
+                "n_neighbors": np.full(sz, nn, dtype=np.int64),
+                "n_agree": agree,
+                "agree_ppm": agree * 1_000_000 // nn,
+            }))
+        if not out:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=df[id_col].dtype),
+                label_col: pd.Series([], dtype=df[label_col].dtype),
+                cluster_col: pd.Series([], dtype=df[cluster_col].dtype),
+                "n_neighbors": pd.Series([], dtype="int64"),
+                "n_agree": pd.Series([], dtype="int64"),
+                "agree_ppm": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_map_groups(ds, cluster_col, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def knn_label_agreement_sql(*, source_sql: str, cluster_col: str = "cluster",
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            label_col: str = "label", k: int = 5) -> str:
+    """SQL mirror over any (id, vec, label, cluster) relation: cell
+    equi-join + row_number kNN + agreement fold, LEFT JOIN keeps
+    singleton cells at -1."""
+    return f"""
+        WITH e AS ({source_sql}),
+        pairs AS (
+          SELECT a.{id_col}, a.{label_col}, a.{cluster_col},
+                 b.{label_col} AS nb_label,
+                 row_number() OVER (
+                   PARTITION BY a.{id_col}
+                   ORDER BY list_cosine_similarity(
+                              a.{vec_col}::DOUBLE[],
+                              b.{vec_col}::DOUBLE[]) DESC,
+                            b.{id_col}) AS rn
+          FROM e a JOIN e b
+            ON a.{cluster_col} = b.{cluster_col}
+           AND a.{id_col} <> b.{id_col}
+        ),
+        agg AS (
+          SELECT {id_col},
+                 count(*)::BIGINT AS n_neighbors,
+                 sum(CASE WHEN nb_label = {label_col}
+                          THEN 1 ELSE 0 END)::BIGINT AS n_agree
+          FROM pairs WHERE rn <= {k}
+          GROUP BY 1
+        )
+        SELECT e.{id_col}, e.{label_col}, e.{cluster_col},
+               coalesce(a.n_neighbors, 0)::BIGINT AS n_neighbors,
+               coalesce(a.n_agree, 0)::BIGINT AS n_agree,
+               CASE WHEN a.n_neighbors IS NULL THEN -1
+                    ELSE a.n_agree * 1000000 // a.n_neighbors
+               END::BIGINT AS agree_ppm
+        FROM e LEFT JOIN agg a USING ({id_col})"""

@@ -643,3 +643,50 @@ def test_simhash_drift_hamming_and_first_snapshot():
     # simhash column equals the batched kernel's (signed int64 view)
     sh = simhash_batch(df.sort_values(["url", "warc_ts"])["text"].tolist())
     assert out["simhash"].tolist() == list(sh.view("int64"))
+
+
+def test_cdc_chunks_contract():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.dedup import (
+        cdc_chunks,
+        cdc_chunks_sql,
+        md5_hash64,
+    )
+
+    # find a token whose md5 gates at divisor=4 to build a known cut
+    div = np.uint64(4)
+    gated = next(t for t in (f"w{i}" for i in range(100))
+                 if md5_hash64([t])[0] % div == 0)
+    plain = [t for t in (f"p{i}" for i in range(100))
+             if md5_hash64([t])[0] % div != 0][:6]
+    texts = [
+        " ".join(plain[:3] + [gated] + plain[3:5]),  # cut before gated
+        gated + " " + plain[0],                       # gate at doc start
+        " ".join(plain[:2]),                          # no cut: one chunk
+        "",                                           # empty: no rows
+    ]
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": texts})
+    ds = ray.data.from_pandas(df).repartition(2)
+    eng = (cdc_chunks(ds, divisor=4).to_pandas()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    d0 = eng[eng.doc_id == 0]
+    assert d0["chunk_text"].tolist() == [
+        " ".join(plain[:3]), gated + " " + " ".join(plain[3:5])]
+    assert d0["chunk_idx"].tolist() == [0, 1]
+    # gate on the very first token does not create an empty chunk
+    d1 = eng[eng.doc_id == 1]
+    assert d1["chunk_text"].tolist() == [gated + " " + plain[0]]
+    assert len(eng[eng.doc_id == 3]) == 0
+    # shift-robustness: prepending a paragraph leaves the gated-suffix
+    # chunk identical (same digest)
+    df2 = pd.DataFrame({"doc_id": [9], "text": [
+        " ".join(plain[5:6] + plain[:3] + [gated] + plain[3:5])]})
+    eng2 = cdc_chunks(ray.data.from_pandas(df2), divisor=4).to_pandas()
+    assert d0["chunk_digest"].iloc[1] in set(eng2["chunk_digest"])
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(cdc_chunks_sql(divisor=4)).df()
+           .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql)

@@ -438,3 +438,44 @@ def test_mmr_rerank_diversity_and_sql_parity():
     assert out["vec_id"].tolist()[:3] != [0, 1, 2]
     # scores are monotone nonincreasing in rank past round 1
     assert (np.diff(out["mmr_score"].to_numpy()[1:]) <= 0).all()
+
+
+def test_knn_label_agreement_exact():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        knn_label_agreement,
+        knn_label_agreement_sql,
+    )
+
+    # one cell: 4 vectors on a line; one mislabeled point; one singleton
+    # cell. Neighbor order by cosine desc is deterministic here.
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3, 9],
+        "embedding": [[1.0, 0.0], [0.9, 0.1], [0.8, 0.3], [0.0, 1.0],
+                      [0.5, 0.5]],
+        "label": [7, 7, 7, 8, 3],
+        "cluster": [0, 0, 0, 0, 1],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (knn_label_agreement(ds, k=2).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    # vec 0: nearest are 1, 2 (both label 7) -> 2/2 agree
+    r0 = out[out.vec_id == 0].iloc[0]
+    assert (r0["n_neighbors"], r0["n_agree"], r0["agree_ppm"]) == \
+        (2, 2, 1_000_000)
+    # vec 3 ([0,1], label 8): nearest two are 2 and 1 (label 7) -> 0 agree
+    r3 = out[out.vec_id == 3].iloc[0]
+    assert (r3["n_agree"], r3["agree_ppm"]) == (0, 0)
+    # singleton cell -> -1 sentinel
+    r9 = out[out.vec_id == 9].iloc[0]
+    assert (r9["n_neighbors"], r9["agree_ppm"]) == (0, -1)
+
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = (con.execute(knn_label_agreement_sql(
+        source_sql="SELECT * FROM t", k=2)).df()
+        .sort_values("vec_id").reset_index(drop=True))
+    lhs = out.astype({"label": "int64", "cluster": "int64"})
+    rhs = sql.astype({"label": "int64", "cluster": "int64"})
+    pd.testing.assert_frame_equal(lhs, rhs)
