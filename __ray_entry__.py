@@ -1712,6 +1712,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return semdedup_pairs(joined, cluster_col="cluster",
                               threshold=0.3)
 
+    def q_knn_hubness(sf):
+        """k-occurrence hubness within k-means cells (JMLR'10 retrieval
+        pathology metric): how many other vectors list each vector in
+        their top-k — hubs distort retrieval and contrastive sampling;
+        same cell-bounded kernel as knn_label_agreement."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+        from htrc_feature_reader_ray.stages.similarity import (
+            kmeans_fixed,
+            knn_hubness,
+        )
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        assign = kmeans_fixed(emb, k=8, rounds=3).drop_columns(["dist"])
+        joined = bucket_join(
+            emb, assign.map_batches(
+                lambda df: df.rename(columns={"vec_id": "vid"}),
+                batch_format="pandas"),
+            left_key="vec_id", right_key="vid")
+        return knn_hubness(joined, k=5)
+
     def q_cdc_chunks(sf):
         """Content-defined chunking: chunk boundaries at md5-gated
         tokens — shift-robust dedup units (an inserted paragraph only
@@ -3184,6 +3207,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               concurrency=(1, 4))
         return feats.select_columns(["media_id", "n_pixels", "pixel_sum"])
 
+    def q_image_phash(sf):
+        """Perceptual-hash image dedup plumbing end-to-end: media table →
+        resize actor pool (8×8 raw pixels) → exact-integer aHash
+        (pixel·64 > Σ cross-multiply — no float mean), emitted as two
+        BIGINT halves; SQL replays tiling + nearest-neighbor sampling +
+        the identical bit math."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.multimodal import (
+            FakeImageCodec,
+            ahash_images,
+            resize_images,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        )
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            n_chars = batch.column("n_chars").to_numpy()
+            payloads = [t.encode("utf-8")
+                        for t in batch.column("text").to_pylist()]
+            return pa.table({
+                "media_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "width": pa.array(np.full(len(payloads), 16, dtype=np.int32)),
+                "height": pa.array((n_chars % 8 + 1).astype(np.int32)),
+            })
+
+        media = docs.map_batches(to_media, batch_format="pyarrow")
+        small = resize_images(media, out_w=8, out_h=8,
+                              codec_factory=FakeImageCodec,
+                              concurrency=(1, 4))
+        return ahash_images(small)
+
     def q_numeric_profile(sf):
         """Distributed EXACT quantiles + summary stats over value_cents —
         histogram combiner -> tiny value-space fold -> rank lookup."""
@@ -3949,6 +4006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_emd": q_length_emd,
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
+        "knn_hubness": q_knn_hubness,
         "prefix_lm_split": q_prefix_lm_split,
         "fim_split": q_fim_split,
         "cusum_flags": q_cusum_flags,
@@ -4057,6 +4115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "metadata": q_metadata,
         "multimodal_decode": q_multimodal_decode,
+        "image_phash": q_image_phash,
         "numeric_profile": q_numeric_profile,
         "grouped_profile": q_grouped_profile,
         "stratified_sample": q_stratified_sample,
@@ -5110,6 +5169,13 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ({similarity_mod.kmeans_fixed_sql(k=8, rounds=3)}) a
                 USING (vec_id)""",
             k=5),
+        "knn_hubness": similarity_mod.knn_hubness_sql(
+            source_sql=f"""
+                SELECT emb.vec_id, emb.embedding, a.cluster
+                FROM embeddings emb
+                JOIN ({similarity_mod.kmeans_fixed_sql(k=8, rounds=3)}) a
+                USING (vec_id)""",
+            k=5),
         "cusum_flags": temporal_mod.cusum_flags_sql(
             key="user_id", ts="ts",
             value_expr="CAST(round(value * 100) AS BIGINT)",
@@ -5507,6 +5573,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, n::BIGINT AS n_pixels,
                    ((n // blen) * total + prefix)::BIGINT AS pixel_sum
             FROM b""",
+        "image_phash": """
+            WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS blen,
+                     ((n_chars % 8) + 1)::BIGINT AS h
+              FROM documents
+            ), px AS (
+              SELECT media_id, (r.r * 8 + c.c)::BIGINT AS i,
+                     ord(substr(text,
+                                (((((r.r * h) // 8) * 16 + 2 * c.c) % blen)
+                                 + 1)::INT, 1))::BIGINT AS o
+              FROM m, LATERAL unnest(range(0, 8)) AS r(r),
+                      LATERAL unnest(range(0, 8)) AS c(c)
+            ), t AS (
+              SELECT media_id, sum(o)::BIGINT AS tot FROM px GROUP BY 1
+            )
+            SELECT px.media_id,
+                   sum(CASE WHEN o * 64 > tot AND i >= 32
+                            THEN 1::BIGINT << (i - 32)::INT
+                            ELSE 0 END)::BIGINT AS phash_hi,
+                   sum(CASE WHEN o * 64 > tot AND i < 32
+                            THEN 1::BIGINT << i::INT
+                            ELSE 0 END)::BIGINT AS phash_lo,
+                   sum(CASE WHEN o * 64 > tot
+                            THEN 1 ELSE 0 END)::BIGINT AS n_ones
+            FROM px JOIN t USING (media_id)
+            GROUP BY 1""",
         "numeric_profile": """
             WITH v AS (
               SELECT CAST(round(value * 100) AS BIGINT) AS val FROM events

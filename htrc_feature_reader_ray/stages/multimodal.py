@@ -202,3 +202,48 @@ def synth_media(n: int = 64, *, seed: int = 7) -> pa.Table:
         "duration_ms": np.asarray([(i % 7 + 1) * 1500 for i in range(n)], dtype=np.int32),
     }
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def ahash_images(media_ds, *, grid: int = 8):
+    """Average-hash perceptual fingerprint over RAW resized pixels — the
+    standard near-duplicate-image sketch (aHash): bit_i = pixel_i above
+    the image mean, packed row-major. Consumes the ``ResizeImages``
+    output contract (payload = row-major uint8, width = height = grid),
+    so the full pipeline is decode → resize(grid×grid) → ahash, all
+    codec-free after the decode.
+
+    Exactness contract: the mean comparison is the INTEGER cross-multiply
+    ``pixel·grid² > Σpixels`` (strict; ties are 0) — no float mean, so
+    the hash is bit-identical on any engine. The 64-bit hash is emitted
+    as two BIGINT halves (``phash_hi``/``phash_lo``) to stay in signed
+    SQL range without masking a bit away. Stateless vectorized
+    ``map_batches`` (one frombuffer + reshape per batch), zero exchange.
+
+    Output ``(media_id, phash_hi, phash_lo, n_ones)``. Hamming distance
+    between two images = popcount(hi⊕hi') + popcount(lo⊕lo')."""
+    n_px = grid * grid
+    half = n_px // 2
+
+    def ahash(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        buf = b"".join(payloads.to_pylist())
+        k = batch.num_rows
+        if len(buf) != k * n_px:
+            raise ValueError(
+                f"ahash_images expects {n_px}-byte raw payloads "
+                f"(ResizeImages grid={grid} output); got "
+                f"{len(buf)} bytes for {k} rows")
+        d = np.frombuffer(buf, dtype=np.uint8).reshape(k, n_px)
+        tot = d.sum(axis=1, dtype=np.int64)
+        bits = (d.astype(np.int64) * n_px) > tot[:, None]
+        w_lo = (1 << np.arange(half, dtype=np.int64))
+        lo = (bits[:, :half] * w_lo).sum(axis=1)
+        hi = (bits[:, half:] * w_lo).sum(axis=1)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "phash_hi": pa.array(hi, type=pa.int64()),
+            "phash_lo": pa.array(lo, type=pa.int64()),
+            "n_ones": pa.array(bits.sum(axis=1).astype(np.int64)),
+        })
+
+    return media_ds.map_batches(ahash, batch_format="pyarrow")

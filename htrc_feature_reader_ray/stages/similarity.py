@@ -1312,3 +1312,73 @@ def knn_label_agreement_sql(*, source_sql: str, cluster_col: str = "cluster",
                     ELSE a.n_agree * 1000000 // a.n_neighbors
                END::BIGINT AS agree_ppm
         FROM e LEFT JOIN agg a USING ({id_col})"""
+
+
+def knn_hubness(ds, *, cluster_col: str = "cluster", id_col: str = "vec_id",
+                vec_col: str = "embedding", k: int = 5,
+                num_buckets: int = 16):
+    """k-occurrence hubness: how many OTHER vectors (within the cell) list
+    this vector among their k nearest cosine neighbors. The classic
+    high-dimensional retrieval pathology metric (Radovanović et al.,
+    JMLR'10): hubs (n_k ≫ k) dominate nearest-neighbor lists and distort
+    retrieval/contrastive sampling; antihubs (n_k = 0) are never
+    retrieved. Same cell-bounded quadratic posture and (cos DESC, id ASC)
+    rank contract as :func:`knn_label_agreement`; one cluster-bucketed
+    exchange. Output ``(id, cluster, n_k)``."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cell, g in df.groupby(cluster_col, sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            ids = g[id_col].to_numpy()
+            sz = len(g)
+            if sz == 1:
+                out.append(pd.DataFrame({
+                    id_col: ids, cluster_col: np.repeat(cell, 1),
+                    "n_k": np.zeros(1, dtype=np.int64)}))
+                continue
+            m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+            n = np.sqrt((m * m).sum(axis=1))
+            n[n == 0] = 1.0
+            cos = (m @ m.T) / np.outer(n, n)
+            np.fill_diagonal(cos, -np.inf)
+            nbr = np.argsort(-cos, axis=1, kind="stable")[:, :min(k, sz - 1)]
+            n_k = np.bincount(nbr.ravel(), minlength=sz).astype(np.int64)
+            out.append(pd.DataFrame({
+                id_col: ids, cluster_col: np.repeat(cell, sz), "n_k": n_k}))
+        if not out:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=df[id_col].dtype),
+                cluster_col: pd.Series([], dtype=df[cluster_col].dtype),
+                "n_k": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_map_groups(ds, cluster_col, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def knn_hubness_sql(*, source_sql: str, cluster_col: str = "cluster",
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    k: int = 5) -> str:
+    """SQL mirror: the kNN pairs CTE grouped by the NEIGHBOR side."""
+    return f"""
+        WITH e AS ({source_sql}),
+        pairs AS (
+          SELECT a.{id_col}, b.{id_col} AS nb,
+                 row_number() OVER (
+                   PARTITION BY a.{id_col}
+                   ORDER BY list_cosine_similarity(
+                              a.{vec_col}::DOUBLE[],
+                              b.{vec_col}::DOUBLE[]) DESC,
+                            b.{id_col}) AS rn
+          FROM e a JOIN e b
+            ON a.{cluster_col} = b.{cluster_col}
+           AND a.{id_col} <> b.{id_col}
+        )
+        SELECT e.{id_col}, e.{cluster_col},
+               coalesce(h.n_k, 0)::BIGINT AS n_k
+        FROM e LEFT JOIN (
+          SELECT nb AS {id_col}, count(*) AS n_k
+          FROM pairs WHERE rn <= {k} GROUP BY 1) h
+        USING ({id_col})"""

@@ -136,3 +136,40 @@ def test_resize_images_nearest_neighbor_exact():
         dtype=np.uint8,
     ).reshape(2, 4)
     assert np.array_equal(got, exp)
+
+
+def test_ahash_images_exact_and_hamming():
+    import pyarrow as pa
+
+    from htrc_feature_reader_ray.stages.multimodal import ahash_images
+
+    # two identical gradients + one inverted: identical images share the
+    # hash, the inverted one is (nearly) its complement
+    g = bytes(range(64))
+    inv = bytes(255 - b for b in range(64))
+    media = pa.table({
+        "media_id": pa.array([1, 2, 3], type=pa.int64()),
+        "payload": pa.array([g, g, inv], type=pa.binary()),
+    })
+    out = (ahash_images(ray.data.from_arrow(media)).to_pandas()
+           .set_index("media_id"))
+    assert out.loc[1].tolist() == out.loc[2].tolist()
+    # gradient 0..63: mean cross-multiply pixel*64 > sum(2016) -> pixels
+    # >= 32 are ones -> lo half all zero, hi half all one
+    assert out.loc[1, "phash_lo"] == 0
+    assert out.loc[1, "phash_hi"] == (1 << 32) - 1
+    assert out.loc[1, "n_ones"] == 32
+    # inverted gradient flips every bit except exact-tie handling:
+    # pixels 255..192: > mean(223.5*64=14304) -> 224..255 = first 32
+    assert out.loc[3, "phash_lo"] == (1 << 32) - 1
+    assert out.loc[3, "phash_hi"] == 0
+
+    # wrong payload width is a loud error
+    bad = pa.table({
+        "media_id": pa.array([9], type=pa.int64()),
+        "payload": pa.array([b"abc"], type=pa.binary()),
+    })
+    import pytest
+
+    with pytest.raises(Exception):
+        ahash_images(ray.data.from_arrow(bad)).to_pandas()

@@ -479,3 +479,33 @@ def test_knn_label_agreement_exact():
     lhs = out.astype({"label": "int64", "cluster": "int64"})
     rhs = sql.astype({"label": "int64", "cluster": "int64"})
     pd.testing.assert_frame_equal(lhs, rhs)
+
+
+def test_knn_hubness_exact():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        knn_hubness,
+        knn_hubness_sql,
+    )
+
+    # hub construction: v0 at the centroid of a fan; with k=1 every other
+    # vector's nearest is v0 (cos to v0 exceeds cos between fan arms)
+    df = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [[1.0, 0.2], [1.0, 0.9], [1.0, -0.5], [0.8, 0.35]],
+        "cluster": [0, 0, 0, 0],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (knn_hubness(ds, k=1).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert int(out["n_k"].sum()) == 4  # k=1: exactly one vote per vector
+    assert out.loc[0, "n_k"] >= 2      # v0 is the hub
+
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = (con.execute(knn_hubness_sql(
+        source_sql="SELECT * FROM t", k=1)).df()
+        .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"cluster": "int64"}), sql.astype({"cluster": "int64"}))
