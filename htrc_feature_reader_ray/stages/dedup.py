@@ -894,7 +894,7 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     h = md5_hash64(vocab)  # (V,)
     signed = (
         ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
+            np.int8
         )
         * 2
         - 1
@@ -903,7 +903,22 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     key = np.asarray(doc_of, dtype=np.int64) * v + codes
     uk, cnt = np.unique(key, return_counts=True)  # per-(doc, token) counts
     d_id = uk // v
-    contrib = signed[uk % v] * cnt[:, None]  # (K, 64)
+    t_id = (uk % v).astype(np.int64)
+    max_doc_len = int(np.bincount(d_id, weights=cnt).max())
+    if len(texts) * v <= 1 << 25 and max_doc_len < (1 << 24):
+        # dense-matmul fast path: scores = C @ signed via BLAS. float32 is
+        # EXACT here — every product is an integer ±cnt < 2^24 and every
+        # partial sum is an integer bounded by the doc length, all exactly
+        # representable — so the sign test matches the integer path bit
+        # for bit (pinned by test_simhash_batch_matches_scalar).
+        dense = np.zeros((len(texts), v), dtype=np.float32)
+        dense[d_id, t_id] = cnt
+        scores = dense @ signed.astype(np.float32)  # (D, 64)
+        return (
+            (scores > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1, dtype=np.uint64)
+    contrib = signed[t_id].astype(np.int32) * cnt[:, None].astype(np.int32)
     starts = np.flatnonzero(np.r_[True, d_id[1:] != d_id[:-1]])
     scores = np.add.reduceat(contrib, starts, axis=0)  # (docs-present, 64)
     vals = (
@@ -2142,16 +2157,27 @@ def simhash_drift(pages, *, url_col: str = "url", ts_col: str = "warc_ts",
     convention. Snapshots of a url are assumed ts-unique (the crawl
     fixture's contract — ties would make "previous" ambiguous).
 
-    One url-bucketed exchange; in-bucket lexsort + shifted XOR popcount,
-    the simhash kernel batched per bucket. Output
-    ``(url, warc_ts, simhash, hamming)`` with simhash as signed int64
-    (the ``dedup_simhash`` two's-complement convention)."""
+    The simhash kernel runs MAP-SIDE (scan tasks, batched) so the
+    url-bucketed exchange moves only 24-byte ``(url, ts, simhash)`` sketch
+    rows — page text never crosses the shuffle (~50× less exchange volume
+    than sketching in-bucket); in-bucket work is just lexsort + shifted
+    XOR popcount. Output ``(url, warc_ts, simhash, hamming)`` with simhash
+    as signed int64 (the ``dedup_simhash`` two's-complement
+    convention)."""
     from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch.column(text_col).to_pylist())
+        return pa.table({
+            url_col: batch.column(url_col),
+            ts_col: batch.column(ts_col),
+            "simhash": pa.array(sh.view(np.int64)),
+        })
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([url_col, ts_col],
                             kind="mergesort").reset_index(drop=True)
-        sh = simhash_batch(df[text_col].tolist())
+        sh = df["simhash"].to_numpy().view(np.uint64)
         prev = np.roll(sh, 1)
         urls = df[url_col].to_numpy()
         first = np.ones(len(df), dtype=bool)
@@ -2166,9 +2192,11 @@ def simhash_drift(pages, *, url_col: str = "url", ts_col: str = "warc_ts",
             "hamming": ham,
         })
 
+    sketched = pages.select_columns(
+        [url_col, ts_col, text_col]
+    ).map_batches(sketch, batch_format="pyarrow")
     return bucketed_map_groups(
-        pages.select_columns([url_col, ts_col, text_col]),
-        url_col, per_bucket, num_buckets=num_buckets)
+        sketched, url_col, per_bucket, num_buckets=num_buckets)
 
 
 def simhash_drift_sql(*, table: str, url_col: str = "url",
