@@ -1712,6 +1712,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return semdedup_pairs(joined, cluster_col="cluster",
                               threshold=0.3)
 
+    def q_cdc_dup_rate(sf):
+        """Per-doc boilerplate fraction under content-defined chunking
+        (share of a doc's CDC chunks appearing in other docs); chunk
+        table materialized once for its two consumers, distinct
+        (digest, doc) fold + co-partitioned join back."""
+        from htrc_feature_reader_ray.stages.dedup import cdc_dup_rate
+
+        return cdc_dup_rate(_docs(sf))
+
     def q_knn_hubness(sf):
         """k-occurrence hubness within k-means cells (JMLR'10 retrieval
         pathology metric): how many other vectors list each vector in
@@ -4007,6 +4016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
+        "cdc_dup_rate": q_cdc_dup_rate,
         "prefix_lm_split": q_prefix_lm_split,
         "fim_split": q_fim_split,
         "cusum_flags": q_cusum_flags,
@@ -4942,6 +4952,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": similarity_mod.label_centroid_sums_sql(),
         "semdedup_pairs": dedup_mod.semdedup_pairs_sql(threshold=0.3),
         "cdc_chunks": dedup_mod.cdc_chunks_sql(),
+        "cdc_dup_rate": dedup_mod.cdc_dup_rate_sql(),
         "value_outliers": """
             WITH v AS (
                 SELECT event_id, event_type,

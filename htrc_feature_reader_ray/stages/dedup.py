@@ -2354,3 +2354,96 @@ def cdc_chunks_sql(*, table: str = "documents", text: str = "text",
                (md5_number_upper(chunk_text)
                 & 9223372036854775807)::BIGINT AS chunk_digest
         FROM agg"""
+
+
+def cdc_dup_rate(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 divisor: int = 16, num_buckets: int = 32):
+    """Per-document boilerplate fraction under content-defined chunking:
+    the share of a doc's CDC chunks whose digest also appears in at least
+    one OTHER document — the actionable per-doc dedup signal (RefinedWeb-
+    style "how much of this page is shared template/syndication"), robust
+    to paragraph shifts because the chunk boundaries are content-defined.
+
+    Scale shape: the chunk table is materialized once for its two
+    consumers (digest fold + join back — the ``rollup_counts`` lesson);
+    duplicate status folds as distinct (digest, doc) pairs so a chunk
+    repeated WITHIN one doc does not count as cross-doc boilerplate; one
+    digest-bucketed fold + one digest-co-partitioned join + one doc fold.
+    Output ``(id, n_chunks, n_dup_chunks, dup_ppm)`` (docs with no chunks
+    emit no rows — empty docs have no boilerplate to measure)."""
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
+
+    chunks = cdc_chunks(ds, text_col=text_col, id_col=id_col,
+                        divisor=divisor).select_columns(
+        [id_col, "chunk_digest"]).materialize()
+
+    def pair_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by([
+            "chunk_digest", id_col]).aggregate([]).rename_columns(
+            ["chunk_digest", id_col])
+
+    n_docs = bucketed_aggregate(
+        chunks.map_batches(pair_distinct, batch_format="pyarrow"),
+        "chunk_digest", {"n_docs_partial": (id_col, "nunique")},
+        num_buckets=num_buckets,
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "digest": df["chunk_digest"],
+            "n_docs": df["n_docs_partial"].astype("int64"),
+        })
+
+    joined = bucket_join(
+        chunks, n_docs.map_batches(fin, batch_format="pandas"),
+        left_key="chunk_digest", right_key="digest",
+        num_buckets=num_buckets)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dup = pc.cast(pc.greater(batch.column("n_docs"), 1), pa.int64())
+        return pa.table({
+            id_col: batch.column(id_col),
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            "dup": dup,
+        })
+
+    per_doc = bucketed_aggregate(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        id_col, {"n_chunks": ("one", "sum"), "n_dup_chunks": ("dup", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def ratio(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_chunks"] = df["n_chunks"].astype("int64")
+        df["n_dup_chunks"] = df["n_dup_chunks"].astype("int64")
+        df["dup_ppm"] = (
+            df["n_dup_chunks"] * 1_000_000 // df["n_chunks"]
+        ).astype("int64")
+        return df
+
+    return per_doc.map_batches(ratio, batch_format="pandas")
+
+
+def cdc_dup_rate_sql(*, table: str = "documents", text: str = "text",
+                     id_col: str = "doc_id", divisor: int = 16) -> str:
+    return f"""
+        WITH chunks AS ({cdc_chunks_sql(table=table, text=text,
+                                        id_col=id_col, divisor=divisor)}),
+        d AS (
+          SELECT chunk_digest,
+                 count(DISTINCT {id_col})::BIGINT AS n_docs
+          FROM chunks GROUP BY 1
+        )
+        SELECT c.{id_col}, count(*)::BIGINT AS n_chunks,
+               sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_chunks,
+               (sum(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*))::BIGINT AS dup_ppm
+        FROM chunks c JOIN d USING (chunk_digest)
+        GROUP BY 1"""

@@ -690,3 +690,40 @@ def test_cdc_chunks_contract():
     sql = (con.execute(cdc_chunks_sql(divisor=4)).df()
            .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(eng, sql)
+
+
+def test_cdc_dup_rate():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.dedup import (
+        cdc_dup_rate,
+        cdc_dup_rate_sql,
+        md5_hash64,
+    )
+
+    div = np.uint64(4)
+    gated = [t for t in (f"w{i}" for i in range(200))
+             if md5_hash64([t])[0] % div == 0][:2]
+    plain = [t for t in (f"p{i}" for i in range(200))
+             if md5_hash64([t])[0] % div != 0][:8]
+    shared = " ".join(plain[:3])          # chunk shared by docs 0 and 1
+    uniq_a = " ".join(plain[3:6])
+    uniq_b = " ".join(plain[6:8])
+    texts = [
+        shared + " " + gated[0] + " " + uniq_a,   # chunks: shared | g+uniq_a
+        shared + " " + gated[0] + " " + uniq_b,   # chunks: shared | g+uniq_b
+        " ".join(plain[3:5]),                     # one unique chunk
+    ]
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": texts})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (cdc_dup_rate(ds, divisor=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_chunks"].tolist() == [2, 2, 1]
+    assert out["n_dup_chunks"].tolist() == [1, 1, 0]
+    assert out["dup_ppm"].tolist() == [500_000, 500_000, 0]
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(cdc_dup_rate_sql(divisor=4)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, sql)
