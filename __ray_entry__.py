@@ -1571,10 +1571,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "user_id").aggregate([("ts", "min")])
             return g.rename_columns(["user_id", "first_seen"])
 
+        # materialized: skew_join consumes the dim side twice (hot filter
+        # + cold bucket join) and would re-execute the fold per consumer
         dim = bucketed_aggregate(
             ev.map_batches(partial, batch_format="pyarrow"),
             "user_id", {"first_seen": ("first_seen", "min")},
-            num_buckets=8)
+            num_buckets=8).materialize()
         return skew_join(ev, dim, left_key="user_id",
                          right_key="user_id", hot_threshold=60)
 

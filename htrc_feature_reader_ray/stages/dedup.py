@@ -1766,7 +1766,9 @@ def semdedup_pairs_sql(*, table: str = "embeddings",
 
 def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
                  k_shingle: int = 3, threshold_ppm: int = 500_000,
-                 num_buckets: int = 32, verify_grid: int = 8):
+                 num_buckets: int = 32, verify_grid: int = 8,
+                 df_mode: str = "auto",
+                 df_broadcast_limit: int = 2_000_000):
     """EXACT all-pairs set-similarity join: every doc pair whose distinct
     ``k_shingle``-gram Jaccard is ≥ ``threshold_ppm/10⁶`` — no sketch, no
     recall loss.  The quadratic candidate space is cut by LOSSLESS prefix
@@ -1812,6 +1814,22 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     Integer contract: the threshold test is ``inter·10⁶ ≥ t_ppm·union``
     (exact ⟺ J ≥ t); ``jaccard_ppm = inter·10⁶ // union``.
+
+    ``df_mode`` picks how document frequencies reach the prefix builder
+    (the output is identical either way — the prefix order only shapes
+    the CANDIDATE superset, never the verified result):
+      * ``'join'`` — df attaches by a g-bucketed join and payloads are
+        rebuilt doc-bucketed: 6 bounded exchanges, unbounded corpora.
+      * ``'broadcast'`` — the folded df table (only df ≥ 2 rows; absent
+        shingles are df = 1 by construction) ships once via ``ray.put``
+        and payloads build PER BATCH (a doc's rows never leave its
+        batch), cutting the plan to 3 exchanges: df fold, prefix-pair
+        mining, verify grid.  Valid while the repeated-shingle table
+        fits a worker heap (``df_broadcast_limit``).
+      * ``'auto'`` — broadcast when the folded distinct-shingle table is
+        ≤ ``df_broadcast_limit`` rows, else join.  Auto materializes the
+        (small) df table to count it; at true corpus scale pass
+        ``df_mode='join'`` explicitly so the fold streams.
     """
     from htrc_feature_reader_ray.stages.partition import (
         bucket_join,
@@ -1841,6 +1859,20 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
     long = ds.map_batches(explode, batch_format="pyarrow")
     dfs = bucketed_aggregate(
         long, ["g"], {"_df": (id_col, "size")}, num_buckets=num_buckets)
+
+    mode = df_mode
+    if mode == "auto":
+        dfs = dfs.materialize()
+        mode = ("broadcast" if dfs.count() <= df_broadcast_limit
+                else "join")
+    elif mode not in ("broadcast", "join"):
+        raise ValueError(f"df_mode must be auto|broadcast|join, got {mode!r}")
+
+    if mode == "broadcast":
+        return _jaccard_join_broadcast_df(
+            ds, dfs, id_col=id_col, text_col=text_col, k_shingle=k_shingle,
+            threshold_ppm=threshold_ppm, num_buckets=num_buckets,
+            verify_grid=verify_grid, df_broadcast_limit=df_broadcast_limit)
 
     def df_side(frame: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"g": frame["g"],
@@ -1916,20 +1948,38 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         out_a="id_a", out_b="id_b", out_n="_n_prefix_shared",
     )
 
-    # ---- rendezvous-grid verify -----------------------------------------
-    # Joining blobs onto candidate rows duplicates each doc's set PER
-    # CANDIDATE (the per-doc candidate fan-out, ~80× here) across two
-    # exchanges.  Instead both sides meet in a G×G bucket grid: candidate
-    # (a,b) goes to ONE cell (bucket(a), bucket(b)) as three ints; each
-    # payload doc is replicated to its G cells — blob exchange volume is
-    # G × |payload table|, wins whenever G < avg candidates per doc (same
-    # grid as the embedding all-pairs path above).  Per-cell state is two
-    # doc-buckets of payloads, so cell memory is bounded by the bucket
-    # size, not the candidate count.
+    # ---- rendezvous-grid verify (shared with the broadcast-df path) -----
+    cand_cells, payload_cells, verify_cells, n_cells = _jaccard_grid_fns(
+        id_col=id_col, threshold_ppm=threshold_ppm, verify_grid=verify_grid)
+
+    unioned = candidates.map_batches(
+        cand_cells, batch_format="pandas",
+    ).union(payloads.map_batches(payload_cells, batch_format="pandas"))
+
+    return bucketed_map_groups(unioned, "cell", verify_cells,
+                               num_buckets=n_cells)
+
+
+def _jaccard_grid_fns(*, id_col: str, threshold_ppm: int, verify_grid: int):
+    """Rendezvous-grid verify kernels for the exact set-similarity join.
+
+    Joining blobs onto candidate rows duplicates each doc's set PER
+    CANDIDATE (the per-doc candidate fan-out, ~80× here) across two
+    exchanges.  Instead both sides meet in a G×G bucket grid: candidate
+    (a,b) goes to ONE cell (bucket(a), bucket(b)) as three ints; each
+    payload doc is replicated to its G cells — blob exchange volume is
+    G × |payload table|, wins whenever G < avg candidates per doc (same
+    grid as the embedding all-pairs path).  Per-cell state is two
+    doc-buckets of payloads, so cell memory is bounded by the bucket
+    size, not the candidate count.  Candidate rows are deduplicated
+    IN-CELL (all copies of a pair land in the same cell by construction),
+    which lets callers skip a dedicated pair-distinct exchange.
+    """
+    from htrc_feature_reader_ray.functions.ids import stable_hash64
+
+    M = 1_000_000
     G = verify_grid
     n_cells = G * (G + 1) // 2
-
-    from htrc_feature_reader_ray.functions.ids import stable_hash64
 
     def _grid_bucket(ids: np.ndarray) -> np.ndarray:
         return (stable_hash64(ids.astype(object)) % np.uint64(G)).astype(
@@ -1964,10 +2014,6 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "blob": frame["blob"].to_numpy()[rep],
         })
 
-    unioned = candidates.map_batches(
-        cand_cells, batch_format="pandas",
-    ).union(payloads.map_batches(payload_cells, batch_format="pandas"))
-
     OUT_EMPTY = {
         "id_a": pd.Series(dtype="int64"),
         "id_b": pd.Series(dtype="int64"),
@@ -1975,6 +2021,17 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         "union_n": pd.Series(dtype="int64"),
         "jaccard_ppm": pd.Series(dtype="int64"),
     }
+
+    def _gather(P: np.ndarray, starts: np.ndarray,
+                lens: np.ndarray) -> np.ndarray:
+        # rows P[starts[i] : starts[i]+lens[i]] for every i, concatenated —
+        # the standard repeat+arange slice gather, no per-pair Python
+        total = int(lens.sum())
+        if total == 0:
+            return P[:0]
+        shift = starts - np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx = np.arange(total, dtype=np.int64) + np.repeat(shift, lens)
+        return P[idx]
 
     def verify_cells(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -1986,11 +2043,21 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
             if cand.empty:
                 continue
             pay = cdf.loc[is_pay]
-            pn = pd.Series(pay["n"].to_numpy(), index=pay["pid"].to_numpy())
-            pblob = pd.Series(pay["blob"].to_numpy(),
-                              index=pay["pid"].to_numpy())
-            ia = cand["id_a"].to_numpy()
-            ib = cand["id_b"].to_numpy()
+            pids = pay["pid"].to_numpy()
+            pns = pay["n"].to_numpy().astype(np.int64)
+            # ONE concatenation of the cell's payload blobs; every pair's
+            # set is then a (start, len) slice — no per-pair frombuffer
+            P = np.frombuffer(b"".join(pay["blob"]),
+                              dtype=np.uint64).reshape(-1, 2)
+            starts = np.concatenate(([0], np.cumsum(pns)[:-1]))
+            pn = pd.Series(pns, index=pids)
+            pstart = pd.Series(starts, index=pids)
+            # in-cell candidate dedup: a pair reached by several prefix
+            # shingles (or mined in several g-buckets) verifies once
+            pr = np.unique(np.stack([cand["id_a"].to_numpy(),
+                                     cand["id_b"].to_numpy()], axis=1),
+                           axis=0)
+            ia, ib = pr[:, 0], pr[:, 1]
             la = pn.loc[ia].to_numpy()
             lb = pn.loc[ib].to_numpy()
             # exact length filter: J <= min/max, so min·10⁶ < t·max can't hit
@@ -2000,11 +2067,10 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 continue
             ia, ib, la, lb = ia[keep], ib[keep], la[keep], lb[keep]
             nrows = len(ia)
-            cat = np.concatenate(
-                [np.frombuffer(b, dtype=np.uint64).reshape(-1, 2)
-                 for b in pblob.loc[ia]]
-                + [np.frombuffer(b, dtype=np.uint64).reshape(-1, 2)
-                   for b in pblob.loc[ib]])
+            cat = np.concatenate([
+                _gather(P, pstart.loc[ia].to_numpy(), la),
+                _gather(P, pstart.loc[ib].to_numpy(), lb),
+            ])
             pidx = np.concatenate(
                 [np.repeat(np.arange(nrows), la),
                  np.repeat(np.arange(nrows), lb)])
@@ -2027,6 +2093,150 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
             return pd.DataFrame(OUT_EMPTY)
         return pd.concat(parts, ignore_index=True)
 
+    return cand_cells, payload_cells, verify_cells, n_cells
+
+
+def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
+                               threshold_ppm, num_buckets, verify_grid,
+                               df_broadcast_limit):
+    """3-exchange exact set-similarity join (broadcast-df variant).
+
+    The folded shingle document frequencies (the ONLY global state the
+    prefix filter needs) ship once via ``ray.put`` — and only the df ≥ 2
+    rows: a shingle absent from the broadcast occurs in exactly one doc,
+    so its df is 1 by construction.  With df available map-side, the
+    per-doc payloads (prefix hashes + full digest set) build PER BATCH —
+    a doc's shingle rows never leave the batch that exploded them — so
+    the df-attach join and the doc-bucketed payload rebuild of the join
+    path disappear, and candidate pairs fuse straight into their grid
+    cells inside the prefix-mining bucket pass (the pair-distinct fold is
+    subsumed by the grid's in-cell dedup: all copies of a pair land in
+    one cell).  Plan: df fold (caller) → prefix-pair mining → grid
+    verify.  Prefix ORDER differs from the join path only inside equal
+    (df, shingle) ranks — both orders are globally consistent, so the
+    candidate supersets differ but the verified output is identical
+    (pinned by test against the join path).
+    """
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    M = 1_000_000
+    cap = 1_000_000  # losslessness forbids a real hub cap (join-path rule)
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.greater(batch.column("_df"), 1))
+        return pa.table({"g": pc.cast(t.column("g"), pa.large_string()),
+                         "_df": pc.cast(t.column("_df"), pa.int64())})
+
+    dup_pdf = dfs.map_batches(dup_only, batch_format="pyarrow").to_pandas()
+    if len(dup_pdf) > df_broadcast_limit:
+        raise ValueError(
+            f"repeated-shingle table ({len(dup_pdf)}) exceeds "
+            f"df_broadcast_limit ({df_broadcast_limit}) — use "
+            f"df_mode='join'")
+    df_ref = ray.put((pd.Index(dup_pdf["g"].astype(object).to_numpy()),
+                      dup_pdf["_df"].to_numpy().astype(np.int64)))
+
+    def build_payloads(batch: pa.Table) -> pa.Table:
+        idx, dfv = ray.get(df_ref)
+        ids_in = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        gs, didx, keep_ids = [], [], []
+        for j, (i, text) in enumerate(zip(ids_in, texts)):
+            sh = set(word_shingles(
+                [t for t in (text or "").split(" ") if t], k_shingle))
+            if not sh:
+                continue
+            keep_ids.append(i)
+            d = len(keep_ids) - 1
+            gs.extend(sh)
+            didx.extend([d] * len(sh))
+        empty = pa.table({
+            id_col: pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "pref": pa.array([], type=pa.large_binary()),
+            "blob": pa.array([], type=pa.large_binary()),
+        })
+        if not gs:
+            return empty
+        g_arr = np.array(gs, dtype=object)
+        didx = np.array(didx, dtype=np.int64)
+        uniq, inv = np.unique(g_arr, return_inverse=True)
+        pos = idx.get_indexer(uniq)
+        dfu = np.ones(len(uniq), dtype=np.int64)
+        hit = pos >= 0
+        dfu[hit] = dfv[pos[hit]]
+        dig = np.empty((len(uniq), 2), dtype=np.uint64)
+        for i, s in enumerate(uniq):
+            d = hashlib.md5(s.encode("utf-8")).digest()
+            dig[i, 0] = int.from_bytes(d[:8], "little")
+            dig[i, 1] = int.from_bytes(d[8:], "little")
+        hi, lo = dig[inv, 0], dig[inv, 1]
+        dfr = dfu[inv]
+        n = np.bincount(didx, minlength=len(keep_ids)).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(n)])
+        p = n - (threshold_ppm * n + M - 1) // M + 1
+        # prefix order: (df asc, shingle asc) within each doc — any
+        # globally consistent order keeps the prefix lemma lossless
+        order_pref = np.lexsort((g_arr, dfr, didx))
+        hi_pref = hi[order_pref]
+        order_num = np.lexsort((lo, hi, didx))
+        pairs = np.empty((len(didx), 2), dtype=np.uint64)
+        pairs[:, 0], pairs[:, 1] = hi[order_num], lo[order_num]
+        prefs = [hi_pref[s:s + k].tobytes() for s, k in zip(bounds[:-1], p)]
+        blobs = [pairs[s:e].tobytes()
+                 for s, e in zip(bounds[:-1], bounds[1:])]
+        return pa.table({
+            id_col: pa.array(keep_ids, type=pa.int64()),
+            "n": pa.array(n),
+            "pref": pa.array(prefs, type=pa.large_binary()),
+            "blob": pa.array(blobs, type=pa.large_binary()),
+        })
+
+    payloads = ds.map_batches(
+        build_payloads, batch_format="pyarrow").materialize()
+
+    cand_cells, payload_cells, verify_cells, n_cells = _jaccard_grid_fns(
+        id_col=id_col, threshold_ppm=threshold_ppm, verify_grid=verify_grid)
+
+    def prefix_rows(frame: pd.DataFrame) -> pd.DataFrame:
+        if frame.empty:
+            return pd.DataFrame({"g": pd.Series(dtype="uint64"),
+                                 id_col: pd.Series(dtype="int64")})
+        parts = [np.frombuffer(b, dtype=np.uint64) for b in frame["pref"]]
+        lens = np.fromiter((len(a) for a in parts), dtype=np.int64,
+                           count=len(parts))
+        return pd.DataFrame({
+            "g": np.concatenate(parts),
+            id_col: np.repeat(frame[id_col].to_numpy(), lens),
+        })
+
+    def mine_cells(df: pd.DataFrame) -> pd.DataFrame:
+        # pairs sharing a prefix hash, fused straight into grid cells —
+        # duplicates (same pair via several shingles/buckets) are fine,
+        # the grid dedups in-cell
+        sizes = df.groupby("g", sort=False)[id_col].transform("size")
+        d = df.loc[(sizes >= 2) & (sizes <= cap)]
+        if d.empty:
+            return cand_cells(pd.DataFrame({
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64")}))
+        m = d.merge(d, on="g", suffixes=("_a", "_b"))
+        m = m.loc[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        pr = np.unique(np.stack([m[f"{id_col}_a"].to_numpy(),
+                                 m[f"{id_col}_b"].to_numpy()], axis=1),
+                       axis=0)
+        return cand_cells(pd.DataFrame({"id_a": pr[:, 0], "id_b": pr[:, 1]}))
+
+    cand_rows = bucketed_map_groups(
+        payloads.map_batches(prefix_rows, batch_format="pandas"),
+        "g", mine_cells, num_buckets=num_buckets)
+
+    unioned = cand_rows.union(
+        payloads.map_batches(payload_cells, batch_format="pandas"))
     return bucketed_map_groups(unioned, "cell", verify_cells,
                                num_buckets=n_cells)
 

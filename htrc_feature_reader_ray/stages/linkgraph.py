@@ -1952,22 +1952,23 @@ def two_hop_neighbors(edges, *, num_buckets: int = 32):
     scorer wants next to degree.
 
     Shape: ONE mid-keyed bucket join materializes the hop-2 pairs
-    (e1.dst = e2.src — the irreducible payload of 2-hop expansion), then a
-    (src, nbr)-level min-hop fold and a src-keyed count pass. Nodes with no
-    out-edges don't appear (their reach is 0 by contract). Fan-out caveat:
-    hop-2 volume is Σ_mid in(mid)·out(mid); on graphs whose hubs have BOTH
-    high in- and out-degree, cap or sample mids first (the fixture's hubs
-    are sinks, so the join is linear here)."""
-    from htrc_feature_reader_ray.stages.partition import (
-        bucket_join,
-        bucketed_aggregate,
-    )
+    (e1.dst = e2.src — the irreducible payload of 2-hop expansion), then
+    ONE src-bucketed pass that folds (src, nbr) min-hop AND counts in the
+    same bucket (the two stages share the src key, so a second exchange
+    would re-shuffle already co-located rows). The distinct edge table is
+    materialized once — it has three consumers (join left, join right,
+    hop-1 pairs) that would each re-execute the upstream scan. Nodes with
+    no out-edges don't appear (their reach is 0 by contract). Fan-out
+    caveat: hop-2 volume is Σ_mid in(mid)·out(mid); on graphs whose hubs
+    have BOTH high in- and out-degree, cap or sample mids first (the
+    fixture's hubs are sinks, so the join is linear here)."""
+    from htrc_feature_reader_ray.stages.partition import bucket_join
 
     def dedup(batch: pa.Table) -> pa.Table:
         return batch.select(["src_url", "dst_url"]).group_by(
             ["src_url", "dst_url"]).aggregate([])
 
-    e = edges.map_batches(dedup, batch_format="pyarrow")
+    e = edges.map_batches(dedup, batch_format="pyarrow").materialize()
 
     def as_mid(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -2005,24 +2006,25 @@ def two_hop_neighbors(edges, *, num_buckets: int = 32):
         keep = pc.not_equal(batch.column("src_url"), batch.column("nbr"))
         return batch.filter(keep)
 
-    folded = bucketed_aggregate(
-        un.map_batches(drop_self, batch_format="pyarrow"),
-        ["src_url", "nbr"], {"hop": ("hop", "min")},
-        num_buckets=num_buckets)
-
-    def count_pass(df):
-        # vectorized across ALL groups: hop==1 indicator summed per src
-        g = df.assign(is1=(df["hop"] == 1).astype("int64")).groupby(
+    def fold_and_count(df):
+        # min-hop distinct fold + count in ONE bucket: stable hop sort +
+        # drop_duplicates == per-(src,nbr) min, then the hop==1 indicator
+        # sums per src — all vectorized across the bucket's groups
+        d = df.sort_values("hop", kind="stable").drop_duplicates(
+            ["src_url", "nbr"])
+        g = d.assign(is1=(d["hop"] == 1).astype("int64")).groupby(
             "src_url", sort=False, as_index=False)
         out = g.agg(n1=("is1", "sum"), n2=("hop", "size"))
         out = out.rename(columns={"src_url": "url"})
+        out["n1"] = out["n1"].astype("int64")
         out["n2"] = out["n2"].astype("int64")
         return out
 
     from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
-    return bucketed_map_groups(folded, "src_url", count_pass,
-                               num_buckets=num_buckets)
+    return bucketed_map_groups(
+        un.map_batches(drop_self, batch_format="pyarrow"),
+        "src_url", fold_and_count, num_buckets=num_buckets)
 
 
 def two_hop_neighbors_sql(*, edges_cte: str = "link_edges") -> str:

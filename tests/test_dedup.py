@@ -593,6 +593,35 @@ def test_jaccard_join_exact_vs_bruteforce():
     assert not set(out["id_b"]) & {4, 5}
 
 
+def test_jaccard_join_broadcast_equals_join_path():
+    """The broadcast-df fast path and the bucketed join path must emit the
+    IDENTICAL verified pair set — prefix order differences only reshape the
+    candidate superset, never the exact output."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import jaccard_join
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+             for _ in range(120)]
+    # inject exact + near duplicates
+    texts[100] = texts[0]
+    texts[101] = texts[1] + " extra"
+    df = pd.DataFrame({"doc_id": range(120), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    def run(mode):
+        return (jaccard_join(ds, k_shingle=3, threshold_ppm=400_000,
+                             df_mode=mode)
+                .to_pandas()
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    a, b = run("broadcast"), run("join")
+    pd.testing.assert_frame_equal(a, b)
+    assert ((a["id_a"] == 0) & (a["id_b"] == 100)).any()
+
+
 def test_split_leakage_hand_fixture():
     import ray.data
 
