@@ -3042,6 +3042,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             extract_links(read_pages(sf, drop_text=True), with_anchors=True)
         )
 
+    def q_link_communities(sf):
+        """Deterministic synchronous label propagation (Raghavan'07) over
+        the undirected crawl link graph: 3 rounds of most-frequent-
+        neighbor-label with (count desc, label asc) ties — bit-exact
+        across parallelism, replayed as unrolled SQL CTEs."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            label_communities,
+        )
+
+        return label_communities(
+            extract_links(read_pages(sf, drop_text=True)), iterations=3)
+
     def q_pagerank(sf):
         """Fixed-point integer PageRank (3 synchronous iterations) over the
         extracted link graph: bit-exact across parallelism levels, replayed
@@ -4094,6 +4108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": q_trending_terms,
         "doc_keywords": q_doc_keywords,
         "pagerank": q_pagerank,
+        "link_communities": q_link_communities,
         "host_rank": q_host_rank,
         "page_profile": q_page_profile,
         "anchor_text": q_anchor_text,
@@ -5419,6 +5434,9 @@ def oracle_sql() -> dict[str, str]:
         "hits": LINKS_PRE
         + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
         + linkgraph.hits_sql(iterations=2, edges_cte="e2"),
+        "link_communities": LINKS_PRE
+        + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+        + linkgraph.label_communities_sql(iterations=3, edges_cte="e2"),
         "related_pages": LINKS_PRE
         + linkgraph.related_pages_sql(edges_cte="link_edges"),
         "mirror_hosts": urltools.mirror_hosts_sql(),

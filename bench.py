@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     # link-graph ops
     "link_degree",
     "pagerank",
+    "link_communities",
     # late round-2 ops
     "head_meta",
     "line_dedup",

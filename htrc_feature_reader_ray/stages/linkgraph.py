@@ -2045,3 +2045,160 @@ def two_hop_neighbors_sql(*, edges_cte: str = "link_edges") -> str:
                count(*) FILTER (WHERE hop = 1)::BIGINT AS n1,
                count(*)::BIGINT AS n2
         FROM un2h GROUP BY 1"""
+
+
+def label_communities(edges, *, iterations: int = 3, num_buckets: int = 32,
+                      broadcast_limit: int = 2_000_000):
+    """Deterministic synchronous label propagation (Raghavan et al. 2007,
+    Phys. Rev. E 76:036106) over the UNDIRECTED distinct edge view —
+    the near-linear community detector next to the exact structural ops
+    (components/k-core/clustering): every node starts as its own label;
+    each round it adopts the MOST FREQUENT label among its distinct
+    neighbors, ties broken by ascending label.  Classic LPA is
+    order-and-tie random; the synchronous update plus the total
+    (count desc, label asc) tie order makes this variant bit-exact
+    across runs, parallelism levels and the SQL replay.
+
+    Scale shape: the undirected edge table folds once and pins (it is
+    re-scanned every round — O(E) object-store residency is inherent to
+    iterative graph algorithms, the :func:`pagerank` argument).  While
+    the node set fits a worker (``broadcast_limit``) each round is ONE
+    node-bucketed exchange: labels ship via ``ray.put``, neighbor-label
+    counts pre-fold per batch, the argmax runs in-bucket.  Beyond it,
+    each round is a label bucket-join + the same argmax fold — the
+    unbounded-graph plan.  Output ``(url, community)``; isolated nodes
+    never appear (no neighbors to vote).  Self-loops are dropped (a node
+    does not vote for itself, the standard LPA convention).
+    """
+    import ray.data
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = _str_array(batch, "src_url")
+        d = _str_array(batch, "dst_url")
+        t = pa.table({
+            "a": pa.concat_arrays([s, d]),
+            "b": pa.concat_arrays([d, s]),
+        })
+        t = t.filter(pc.not_equal(t.column("a"), t.column("b")))
+        return t.group_by(["a", "b"]).aggregate([])
+
+    und = bucketed_map_groups(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        "a", lambda df: df.drop_duplicates(["a", "b"]),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        # per-(node,label) count -> (count desc, label asc) argmax, all
+        # vectorized across the bucket's nodes
+        c = df.groupby(["a", "lbl"], sort=False, as_index=False).agg(
+            c=("lbl", "size"))
+        c = c.sort_values(["a", "c", "lbl"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = c.drop_duplicates(["a"])[["a", "lbl"]]
+        return out.rename(columns={"a": "url", "lbl": "community"})
+
+    n = und.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "community": pa.array([], type=pa.string()),
+        }))
+
+    if n <= broadcast_limit:  # und rows bound node count from above
+        labels: pd.Series | None = None  # None = round 0, label(v) = v
+        for _ in range(iterations):
+            ref = ray.put(labels)
+
+            def nbr_votes(batch: pa.Table) -> pa.Table:
+                lab = ray.get(ref)
+                b = batch.column("b").to_pandas().to_numpy()
+                lbl = b if lab is None else lab.loc[b].to_numpy()
+                t = pa.table({
+                    "a": batch.column("a").cast(pa.string()),
+                    "lbl": pa.array(lbl, type=pa.string()),
+                })
+                return t
+
+            new = bucketed_map_groups(
+                und.map_batches(nbr_votes, batch_format="pyarrow"),
+                "a", vote, num_buckets=num_buckets,
+            ).to_pandas()
+            labels = pd.Series(new["community"].to_numpy(),
+                               index=new["url"].to_numpy())
+        if labels is None:
+            return und.map_batches(
+                lambda b: pa.table({
+                    "url": b.column("a").cast(pa.string()),
+                    "community": b.column("a").cast(pa.string()),
+                }).group_by(["url", "community"]).aggregate([]),
+                batch_format="pyarrow")
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array(labels.index.to_numpy(), type=pa.string()),
+            "community": pa.array(labels.to_numpy(), type=pa.string()),
+        }))
+
+    # ---- bucketed scale path: label table exceeds a worker heap --------
+    labels_ds = und.map_batches(
+        lambda b: pa.table({
+            "url": b.column("a").cast(pa.string()),
+            "community": b.column("a").cast(pa.string()),
+        }).group_by(["url", "community"]).aggregate([]),
+        batch_format="pyarrow")
+    labels_ds = bucketed_map_groups(
+        labels_ds, "url", lambda df: df.drop_duplicates(["url"]),
+        num_buckets=num_buckets).materialize()
+    for _ in range(iterations):
+        joined = bucket_join(
+            und, labels_ds, left_key="b", right_key="url",
+            how="inner", num_buckets=num_buckets)
+
+        def as_votes(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": batch.column("a").cast(pa.string()),
+                "lbl": batch.column("community").cast(pa.string()),
+            })
+
+        labels_ds = bucketed_map_groups(
+            joined.map_batches(as_votes, batch_format="pyarrow"),
+            "a", vote, num_buckets=num_buckets).materialize()
+    return labels_ds
+
+
+def label_communities_sql(*, iterations: int = 3,
+                          edges_cte: str = "e2") -> str:
+    """Unrolled-CTE DuckDB replay of :func:`label_communities` (composes
+    after a WITH preamble defining ``edges_cte`` with src_url/dst_url)."""
+    parts = [f"""
+        , lp_und AS (
+            SELECT src_url AS a, dst_url AS b FROM {edges_cte}
+            WHERE src_url <> dst_url
+            UNION
+            SELECT dst_url, src_url FROM {edges_cte}
+            WHERE src_url <> dst_url
+        )"""]
+    prev = None
+    for i in range(1, iterations + 1):
+        lbl = "u.b" if prev is None else "p.lbl"
+        join = "" if prev is None else f" JOIN {prev} p ON p.url = u.b"
+        parts.append(f"""
+        , c{i} AS (
+            SELECT u.a AS url, {lbl} AS lbl, count(*) AS c
+            FROM lp_und u{join} GROUP BY 1, 2
+        ),
+        l{i} AS (
+            SELECT url, lbl FROM (
+                SELECT url, lbl, row_number() OVER (
+                    PARTITION BY url ORDER BY c DESC, lbl ASC) AS rn
+                FROM c{i}) WHERE rn = 1
+        )""")
+        prev = f"l{i}"
+    if prev is None:
+        parts.append("""
+        SELECT DISTINCT a AS url, a AS community FROM lp_und""")
+    else:
+        parts.append(f"""
+        SELECT url, lbl AS community FROM {prev}""")
+    return "".join(parts)

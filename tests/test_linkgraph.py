@@ -565,3 +565,49 @@ def test_two_hop_neighbors_hand_graph():
     assert tuple(got.loc["c"][["n1", "n2"]]) == (1, 1)
     assert tuple(got.loc["e"][["n1", "n2"]]) == (1, 1)
     assert "d" not in got.index and "h" not in got.index  # sinks absent
+
+
+def test_label_communities_two_cliques_and_sql():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        label_communities,
+        label_communities_sql,
+    )
+
+    # two 4-cliques bridged by one edge: LPA must assign each clique one
+    # community and the two communities must differ
+    cliq_a = [f"a{i}" for i in range(4)]
+    cliq_b = [f"b{i}" for i in range(4)]
+    rows = []
+    for grp in (cliq_a, cliq_b):
+        rows += [(u, v) for u in grp for v in grp if u < v]
+    rows.append(("a0", "b0"))  # bridge
+    edges = pd.DataFrame(rows, columns=["src_url", "dst_url"])
+    ds = ray.data.from_pandas(edges).repartition(3)
+
+    out = (label_communities(ds, iterations=3)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    by = out.set_index("url")["community"]
+    assert len(set(by.loc[cliq_a])) == 1
+    assert len(set(by.loc[cliq_b])) == 1
+    assert by.loc["a1"] != by.loc["b1"]
+
+    # SQL replay identical
+    con = duckdb.connect()
+    con.register("edges_tbl", edges)
+    sql = ("WITH e2 AS (SELECT DISTINCT src_url, dst_url FROM edges_tbl)"
+           + label_communities_sql(iterations=3, edges_cte="e2"))
+    ref = (con.execute(sql).df()
+           .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref)
+
+    # bucketed scale path (forced) emits the identical labels
+    scale = (label_communities(ds, iterations=3, broadcast_limit=0)
+             .to_pandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, scale)
+
+    # zero-iteration contract: every node is its own community
+    l0 = (label_communities(ds, iterations=0)
+          .to_pandas().sort_values("url").reset_index(drop=True))
+    assert (l0["url"] == l0["community"]).all()
