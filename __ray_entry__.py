@@ -1849,6 +1849,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return luhn_card_flags(docs.map_batches(aug, batch_format="pandas"))
 
+    def q_mojibake_stats(sf):
+        """Encoding-damage detection: U+FFFD + classic UTF-8-as-cp1252
+        digraph counts with an exact-ppm damage rate. The fixture is
+        clean, so damage is synthesized deterministically per doc_id
+        (same expression mirrored in the oracle)."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.textstats import mojibake_stats
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+        def aug(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["doc_id"]
+            t = (df["text"]
+                 + np.where(i % 7 == 0, " cafÃ© "
+                            "â€œquoteâ€“", "")
+                 + np.where(i % 11 == 3,
+                            " bad�byte�", ""))
+            return pd.DataFrame({"doc_id": i, "text": t})
+
+        return mojibake_stats(docs.map_batches(aug, batch_format="pandas"))
+
     def q_neg_sampling_weights(sf):
         """word2vec negative-sampling distribution: weight ∝ count^(3/4)
         in EXACT integers (nested isqrt = floored fourth root of n³);
@@ -4028,6 +4050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": q_span_corruption,
         "neg_sampling_weights": q_neg_sampling_weights,
         "luhn_card_flags": q_luhn_card_flags,
+        "mojibake_stats": q_mojibake_stats,
         "length_emd": q_length_emd,
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
@@ -5119,6 +5142,14 @@ def oracle_sql() -> dict[str, str]:
                                            % 1000000000000000)::VARCHAR,
                                           15, '0')
                                   || ' ref 123456789012' AS text
+                      FROM documents)"""),
+        "mojibake_stats": textstats.mojibake_stats_sql(
+            table="""(SELECT doc_id,
+                             text
+                             || CASE WHEN doc_id % 7 = 0
+                                THEN ' cafÃ© â€œquoteâ€“' ELSE '' END
+                             || CASE WHEN doc_id % 11 = 3
+                                THEN ' bad�byte�' ELSE '' END AS text
                       FROM documents)"""),
         "source_divergence": curate.source_divergence_sql(),
         "length_emd": profile_mod.grouped_emd_sql(

@@ -756,3 +756,88 @@ def token_entropy_sql(*, table: str = "documents", text_col: str = "text",
                coalesce(s.entropy_half_bits, 0)::BIGINT
                    AS entropy_half_bits
         FROM {table} b LEFT JOIN scored s USING ({id_col})"""
+
+
+# classic UTF-8-decoded-as-Latin-1/cp1252 two-step damage digraphs: the
+# high-frequency western accents (Ã + second byte) and the cp1252 punct
+# family (â€¦).  A fixed, documented list — both engine and SQL count the
+# SAME literals, so the contract is exact by construction.
+MOJIBAKE_PATTERNS = (
+    "Ã©",  # Ã© = é
+    "Ã¨",  # Ã¨ = è
+    "Ã¡",  # Ã¡ = á
+    "Ã³",  # Ã³ = ó
+    "Ã¼",  # Ã¼ = ü
+    "Ã±",  # Ã± = ñ
+    "â€™",  # â€™ = ’
+    "â€œ",  # â€œ = “
+    "â€“",  # â€“ = –
+    "â€”",  # â€” = —
+    "Â»",  # Â» = »
+    "Â«",  # Â« = «
+)
+
+
+def mojibake_stats(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Encoding-damage detection — the web-corpus gate next to langid and
+    quality scoring: per doc the count of U+FFFD replacement characters
+    (a decoder already gave up) and of the classic UTF-8-read-as-
+    Latin-1/cp1252 mojibake digraphs (``MOJIBAKE_PATTERNS``: Ã©-family
+    accents + the â€¦ punctuation family), plus a damage rate in exact
+    ppm of the doc's character count.  Re-encode repair is out of scope
+    by contract — this is the *detector* that routes a shard to one.
+
+    Scale shape: stateless vectorized pass (one ``pc.count_substring``
+    per pattern — non-overlapping left-to-right counts, matching SQL's
+    replace()-difference arithmetic), zero exchange.  Output
+    ``(id, n_fffd, n_mojibake, n_chars, damage_ppm)``; empty docs score
+    0 by contract.
+    """
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch.column(text_col), pa.large_string())
+        n = len(batch)
+        fffd = pc.count_substring(txt, "�").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        moji = np.zeros(n, dtype=np.int64)
+        for pat in MOJIBAKE_PATTERNS:
+            moji += pc.count_substring(txt, pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        chars = pc.utf8_length(txt).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dmg = np.zeros(n, dtype=np.int64)
+        nz = chars > 0
+        dmg[nz] = (fffd[nz] + moji[nz]) * 1_000_000 // chars[nz]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_fffd": pa.array(fffd),
+            "n_mojibake": pa.array(moji),
+            "n_chars": pa.array(chars),
+            "damage_ppm": pa.array(dmg),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def mojibake_stats_sql(*, table: str = "documents", text: str = "text",
+                       id_col: str = "doc_id") -> str:
+    def cnt(pat: str) -> str:
+        lit = pat.replace("'", "''")
+        return (f"(length({text}) - length(replace({text}, '{lit}', '')))"
+                f" // {len(pat)}")
+
+    moji = " + ".join(cnt(p) for p in MOJIBAKE_PATTERNS)
+    # subquery (not a WITH) so callers can prepend their own CTE preamble
+    return f"""
+        SELECT {id_col}, n_fffd, n_mojibake, n_chars,
+               (CASE WHEN n_chars > 0
+                     THEN (n_fffd + n_mojibake) * 1000000 // n_chars
+                     ELSE 0 END)::BIGINT AS damage_ppm
+        FROM (
+          SELECT {id_col},
+                 ({cnt(chr(0xFFFD))})::BIGINT AS n_fffd,
+                 ({moji})::BIGINT AS n_mojibake,
+                 length({text})::BIGINT AS n_chars
+          FROM {table}
+        ) b"""

@@ -217,3 +217,36 @@ def test_token_entropy_exact_half_bits():
     assert e[1] == 16         # uniform over 4 types: 4·(2·2 half-bits)
     assert e[3] == 0          # empty doc
     assert e[1] > e[2] > e[0]  # diversity ordering
+
+
+def test_mojibake_stats_hand_values():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.textstats import (
+        mojibake_stats,
+        mojibake_stats_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "clean ascii text",
+            "brokÃ©n cafÃ© â€œquotedâ€“",   # 2×Ã©, â€œ, â€“
+            "lost � bytes ��",  # 3 replacement chars
+            "",
+        ],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (mojibake_stats(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_fffd"].tolist() == [0, 0, 3, 0]
+    assert out["n_mojibake"].tolist() == [0, 4, 0, 0]
+    assert out["damage_ppm"].tolist() == [
+        0, 4 * 1_000_000 // out.loc[1, "n_chars"],
+        3 * 1_000_000 // out.loc[2, "n_chars"], 0]
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(mojibake_stats_sql()).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, sql)
