@@ -1664,6 +1664,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds, q, qdf["label"].to_numpy(), k=3,
             query_ids=qdf["vec_id"].to_numpy())
 
+    def q_embedding_covariance(sf):
+        """Exact d×d covariance of the quantized embedding table (ZCA
+        whitening / drift-monitoring prep): per-batch integer Gram
+        partials, one tiny (i,j) fold, big-int ppm finish on the bounded
+        d² table."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            embedding_covariance,
+        )
+
+        return embedding_covariance(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]))
+
     def q_embedding_minmax(sf):
         """Per-dim min-max scaling to exact integer ppm (quantization
         prep): d-row per-batch partials, one tiny d-keyed fold, broadcast
@@ -4071,6 +4086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_approx_users": q_rolling_approx_users,
         "hard_negatives": q_hard_negatives,
         "embedding_minmax": q_embedding_minmax,
+        "embedding_covariance": q_embedding_covariance,
         "value_gini": q_value_gini,
         "token_dropout": q_token_dropout,
         "wordpiece_merges": q_wordpiece_merges,
@@ -5086,6 +5102,7 @@ def oracle_sql() -> dict[str, str]:
         "neg_sampling_weights": vocab_mod.neg_sampling_weights_sql(),
         "hard_negatives": similarity_mod.hard_negative_topk_sql(),
         "embedding_minmax": similarity_mod.embedding_minmax_scale_sql(),
+        "embedding_covariance": similarity_mod.embedding_covariance_sql(),
         "value_gini": profile_mod.grouped_gini_sql(
             table="events", group="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)"),

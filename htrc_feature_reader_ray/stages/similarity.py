@@ -1382,3 +1382,96 @@ def knn_hubness_sql(*, source_sql: str, cluster_col: str = "cluster",
           SELECT nb AS {id_col}, count(*) AS n_k
           FROM pairs WHERE rn <= {k} GROUP BY 1) h
         USING ({id_col})"""
+
+
+def embedding_covariance(ds, *, vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         scale: int = CENTROID_SCALE,
+                         num_buckets: int = 8):
+    """Exact d×d covariance of the quantized embedding table — the
+    whitening / PCA-prep moment matrix (ZCA whitening, embedding-drift
+    monitoring, and the input every random-projection sanity check
+    wants).  Upper triangle ``(i ≤ j)`` with
+
+        cov_ppm = (n·Σ v_i v_j − Σ v_i · Σ v_j) · 10⁶ // (n² · scale²)
+
+    over the 2²⁰ fixed-point values ``v = floor(x·scale)`` — i.e. the
+    float-domain covariance in exact ppm, bit-identical across runs and
+    parallelism (no float mean is ever subtracted; the cross-multiplied
+    numerator is the textbook n²-denominator identity).
+
+    Scale shape: each batch contributes ONE exact int64 Gram partial
+    (``Qᵀ@Q`` — integer matmul, products ≤ 2⁴⁰·B < 2⁶³ for any sane
+    batch) plus the d column sums, emitted as d(d+1)/2 upper-triangle
+    rows; one tiny (i,j)-keyed fold; the ppm finish walks the bounded
+    d² table on the driver in arbitrary-precision Python ints (the
+    grouped_emd HUGEINT-mirror posture).  Output ``(i, j, n, cov_ppm)``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column(vec_col).to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        n, d = q.shape
+        s = q.T @ q
+        col = q.sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "i": pa.array(iu.astype(np.int64)),
+            "j": pa.array(ju.astype(np.int64)),
+            "n": pa.array(np.full(len(iu), n, dtype=np.int64)),
+            "si": pa.array(col[iu]),
+            "sj": pa.array(col[ju]),
+            "sij": pa.array(s[iu, ju]),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["i", "j"], {"n": ("n", "sum"), "si": ("si", "sum"),
+                     "sj": ("sj", "sum"), "sij": ("sij", "sum")},
+        num_buckets=num_buckets, bucket_key="i")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # bounded d² rows: exact big-int finish (int64 would overflow on
+        # n·sij), mirroring the oracle's HUGEINT arithmetic
+        den_unit = scale * scale
+        cov = [
+            (int(n) * int(sij) - int(si) * int(sj)) * 1_000_000
+            // (int(n) * int(n) * den_unit)
+            for n, si, sj, sij in zip(df["n"], df["si"], df["sj"],
+                                      df["sij"])
+        ]
+        return pd.DataFrame({
+            "i": df["i"].astype("int64"),
+            "j": df["j"].astype("int64"),
+            "n": df["n"].astype("int64"),
+            "cov_ppm": pd.Series(cov, dtype="int64"),
+        })
+
+    return folded.map_batches(finish, batch_format="pandas")
+
+
+def embedding_covariance_sql(*, table: str = "embeddings",
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             scale: int = CENTROID_SCALE) -> str:
+    # SHIFT makes the HUGEINT dividend nonnegative so DuckDB's truncating
+    # // equals Python's floor // (the _sim_ppm shifted-floor contract):
+    # |cov·10⁶/scale²| is bounded by 10⁶·max|x|² ≪ 10¹³.
+    shift = 10 ** 13
+    den = f"(count(*)::HUGEINT * count(*)::HUGEINT * {scale}::HUGEINT * {scale}::HUGEINT)"
+    num = (f"((count(*)::HUGEINT * sum(a.v::HUGEINT * b.v::HUGEINT)"
+           f" - sum(a.v)::HUGEINT * sum(b.v)::HUGEINT) * 1000000)")
+    return f"""
+        WITH q AS (
+          SELECT {id_col}, u.i - 1 AS dim,
+                 floor({vec_col}[u.i]::DOUBLE * {scale})::BIGINT AS v
+          FROM {table},
+               unnest(generate_series(1, len({vec_col}))) AS u(i)
+        )
+        SELECT a.dim AS i, b.dim AS j, count(*)::BIGINT AS n,
+               (({num} + {shift}::HUGEINT * {den}) // {den}
+                - {shift})::BIGINT AS cov_ppm
+        FROM q a JOIN q b ON a.{id_col} = b.{id_col} AND a.dim <= b.dim
+        GROUP BY 1, 2"""

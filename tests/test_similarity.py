@@ -509,3 +509,47 @@ def test_knn_hubness_exact():
         .sort_values("vec_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         out.astype({"cluster": "int64"}), sql.astype({"cluster": "int64"}))
+
+
+def test_embedding_covariance_exact_and_partition_invariant():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        CENTROID_SCALE,
+        embedding_covariance,
+        embedding_covariance_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(0, 0.3, size=(40, 3)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(40), "embedding": list(m)})
+
+    def run(parts):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        return (embedding_covariance(ds).to_pandas()
+                .sort_values(["i", "j"]).reset_index(drop=True))
+
+    out = run(1)
+    # scalar reference in the quantized domain (pure-python big ints)
+    q = np.floor(m.astype(np.float64) * CENTROID_SCALE).astype(np.int64)
+    n = len(q)
+    for _, r in out.iterrows():
+        i, j = int(r["i"]), int(r["j"])
+        numer = (n * int(q[:, i].astype(object) @ q[:, j].astype(object))
+                 - int(q[:, i].sum()) * int(q[:, j].sum()))
+        expect = numer * 1_000_000 // (n * n * CENTROID_SCALE ** 2)
+        assert r["cov_ppm"] == expect, (i, j)
+    assert len(out) == 6  # upper triangle of d=3
+    # diagonal = variance > 0; off-diagonals can be negative (floor exact)
+    assert (out[out["i"] == out["j"]]["cov_ppm"] > 0).all()
+
+    # bit-identical across parallelism
+    pd.testing.assert_frame_equal(out, run(7))
+
+    # SQL replay identical
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame({
+        "vec_id": range(40), "embedding": [list(map(float, v)) for v in m]}))
+    sql = (con.execute(embedding_covariance_sql()).df()
+           .sort_values(["i", "j"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, sql)
