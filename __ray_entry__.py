@@ -1886,6 +1886,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mojibake_stats(docs.map_batches(aug, batch_format="pandas"))
 
+    def q_vocab_growth(sf):
+        """Heaps-law vocabulary-growth curve in the canonical md5 order
+        (distinct types seen per 20k-token checkpoint — tokenizer-sizing
+        / dedup-health diagnostic; deterministic_shuffle's prefix scan
+        lifted to token granularity, bit-exact across parallelism)."""
+        from htrc_feature_reader_ray.stages.vocab import vocab_growth
+
+        return vocab_growth(_docs(sf), checkpoint=20_000)
+
     def q_neg_sampling_weights(sf):
         """word2vec negative-sampling distribution: weight ∝ count^(3/4)
         in EXACT integers (nested isqrt = floored fourth root of n³);
@@ -4066,6 +4075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neg_sampling_weights": q_neg_sampling_weights,
         "luhn_card_flags": q_luhn_card_flags,
         "mojibake_stats": q_mojibake_stats,
+        "vocab_growth": q_vocab_growth,
         "length_emd": q_length_emd,
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
@@ -5100,6 +5110,7 @@ def oracle_sql() -> dict[str, str]:
                        "sum(n_chars)::BIGINT AS sum_chars"]),
         "vocab_coverage": vocab_mod.vocab_coverage_sql(),
         "neg_sampling_weights": vocab_mod.neg_sampling_weights_sql(),
+        "vocab_growth": vocab_mod.vocab_growth_sql(checkpoint=20_000),
         "hard_negatives": similarity_mod.hard_negative_topk_sql(),
         "embedding_minmax": similarity_mod.embedding_minmax_scale_sql(),
         "embedding_covariance": similarity_mod.embedding_covariance_sql(),

@@ -1737,3 +1737,180 @@ def neg_sampling_weights_sql(*, table: str = "documents",
         SELECT token, count,
                (r::HUGEINT * 1000000000 // d.denom)::BIGINT AS weight_ppb
         FROM r2, d"""
+
+
+def vocab_growth(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 checkpoint: int = 10_000, salt: str = "",
+                 num_buckets: int = 64, token_buckets: int = 32):
+    """Heaps-law vocabulary-growth curve: distinct token TYPES seen after
+    every ``checkpoint`` tokens of the corpus, read in the engine's
+    canonical deterministic md5 order (``deterministic_shuffle``'s
+    (md5(salt+id), id) permutation — the effectively-random order Heaps'
+    law assumes; crawl/id order would confound the curve with topical
+    drift).  The curve answers "how fast does this corpus stop paying
+    vocabulary rent" — tokenizer sizing and dedup-health diagnostic
+    (a duplicated corpus's curve flattens early).
+
+    Exact contract: global token position = (doc offset under the md5
+    permutation) + in-doc position; a type's first occurrence is
+    ``min(gpos)``; the row for checkpoint b reports
+    ``tokens_seen = min((b+1)·checkpoint, T)`` and the number of types
+    first seen before ``tokens_seen``.  Pure function of the data —
+    bit-identical across parallelism, replayed in SQL by a row_number
+    window over the same md5 order.
+
+    Scale shape: the deterministic_shuffle two-pass prefix scan lifted
+    to TOKEN granularity (pass 1: per-hash-range-bucket token counts, a
+    B-row fold; pass 2: per-bucket doc sort + offset-exploded (token,
+    gpos) rows pre-folded to per-bucket min); then one token-bucketed
+    min fold and a checkpoint-histogram fold; the cumulative finish
+    walks the bounded T/checkpoint grid on the driver.
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    K = int(checkpoint)
+    if K <= 0:
+        raise ValueError(f"checkpoint must be positive, got {checkpoint}")
+
+    _B, _H = "_vg_bucket", "_vg_hash"
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = md5_hash64([f"{salt}{v}" for v in df[id_col].to_numpy()])
+        df[_H] = h
+        df[_B] = (((h >> np.uint64(32)) * np.uint64(num_buckets))
+                  >> np.uint64(32)).astype(np.int64)
+        return df
+
+    def _doc_lens(texts: pa.Array) -> np.ndarray:
+        # vectorized (split + filter-empty) token counts, the _tok_stats
+        # kernel shape
+        import pyarrow.compute as pc
+
+        toks = pc.split_pattern(texts, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        mask = pc.not_equal(flat, "")
+        par = parent.filter(mask).to_numpy()
+        return np.bincount(par, minlength=len(texts)).astype(np.int64)
+
+    # pass 1: per-bucket TOKEN counts (B tiny rows) -> exclusive scan
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = md5_hash64([f"{salt}{v}" for v in ids])
+        bkt = (((h >> np.uint64(32)) * np.uint64(num_buckets))
+               >> np.uint64(32)).astype(np.int64)
+        lens = _doc_lens(batch.column(text_col))
+        n = np.bincount(bkt, weights=lens,
+                        minlength=num_buckets).astype(np.int64)
+        nz = np.nonzero(n)[0]
+        return pa.table({_B: pa.array(nz.astype(np.int64)),
+                         "n": pa.array(n[nz])})
+
+    counts = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby(_B).sum("n").to_pandas()
+    )
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    if len(counts):
+        totals[counts[_B].to_numpy()] = counts["sum(n)"].to_numpy()
+    base = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    T = int(totals.sum())
+
+    # pass 2: per-bucket first-occurrence partials.  After the (hash, id)
+    # doc sort the bucket's tokens are one contiguous global range
+    # starting at base[bucket], so gpos is just base + flat index.
+    def firsts_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        df = df.sort_values([_H, id_col], kind="mergesort")
+        toks = pc.split_pattern(
+            pa.array(df[text_col].to_numpy(), type=pa.large_string()),
+            pattern=" ")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if not len(flat):
+            return pd.DataFrame({"tok": pd.Series(dtype=object),
+                                 "fp": pd.Series(dtype="int64")})
+        start = int(base[int(df[_B].iloc[0])])
+        # vocabulary-level min: first occurrence of each distinct token
+        # in the (already globally ordered) flat stream
+        uniq, first_idx = np.unique(
+            flat.to_numpy(zero_copy_only=False), return_index=True)
+        # np.unique's return_index gives the FIRST index of each value
+        return pd.DataFrame({"tok": uniq,
+                             "fp": start + first_idx.astype(np.int64)})
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby(_B)
+        .map_groups(firsts_in_bucket, batch_format="pandas")
+    )
+    firsts = bucketed_aggregate(parts, ["tok"], {"fp": ("fp", "min")},
+                                num_buckets=token_buckets)
+
+    def to_hist(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": df["fp"].to_numpy() // K,
+                             "one": np.ones(len(df), dtype=np.int64)})
+
+    hist = bucketed_aggregate(
+        firsts.map_batches(to_hist, batch_format="pandas"),
+        ["b"], {"c": ("one", "sum")}, num_buckets=4,
+    ).to_pandas()
+
+    import ray.data
+
+    n_cp = (T + K - 1) // K
+    c = np.zeros(n_cp, dtype=np.int64)
+    if len(hist) and n_cp:
+        c[hist["b"].to_numpy(dtype=np.int64)] = hist["c"].to_numpy()
+    return ray.data.from_arrow(pa.table({
+        "tokens_seen": pa.array(
+            np.minimum((np.arange(n_cp, dtype=np.int64) + 1) * K, T)),
+        "n_types": pa.array(np.cumsum(c)),
+    }))
+
+
+def vocab_growth_sql(*, table: str = "documents", text: str = "text",
+                     id_col: str = "doc_id", checkpoint: int = 10_000,
+                     salt: str = "") -> str:
+    K = int(checkpoint)
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH vg_d AS (
+          SELECT {id_col} AS did, {toks} AS t FROM {table}
+        ),
+        vg_o AS (
+          SELECT did, t,
+                 coalesce(sum(len(t)) OVER (
+                     ORDER BY md5_number_upper('{salt}' || did::VARCHAR),
+                              did
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS off
+          FROM vg_d
+        ),
+        vg_toks AS (
+          SELECT t[u.i] AS tok, off + u.i - 1 AS gpos
+          FROM vg_o, unnest(generate_series(1, len(t))) AS u(i)
+        ),
+        vg_first AS (SELECT tok, min(gpos) AS fp FROM vg_toks GROUP BY 1),
+        vg_hist AS (
+          SELECT fp // {K} AS b, count(*)::BIGINT AS c
+          FROM vg_first GROUP BY 1
+        ),
+        vg_total AS (
+          SELECT coalesce(sum(len(t)), 0)::BIGINT AS tt FROM vg_d
+        ),
+        vg_grid AS (
+          SELECT unnest(generate_series(
+              0, (SELECT (tt + {K} - 1) // {K} FROM vg_total) - 1)) AS b
+        )
+        SELECT least((g.b + 1) * {K},
+                     (SELECT tt FROM vg_total))::BIGINT AS tokens_seen,
+               (sum(coalesce(h.c, 0)) OVER (
+                   ORDER BY g.b ROWS UNBOUNDED PRECEDING))::BIGINT
+                   AS n_types
+        FROM vg_grid g LEFT JOIN vg_hist h ON h.b = g.b"""

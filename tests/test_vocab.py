@@ -574,3 +574,43 @@ def test_neg_sampling_weights_exact():
     sql = (con.execute(neg_sampling_weights_sql()).df()
            .set_index("token").sort_index())
     pd.testing.assert_frame_equal(out, sql)
+
+
+def test_vocab_growth_hand_fixture():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.vocab import (
+        vocab_growth,
+        vocab_growth_sql,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c a", "b c d", "", "d e e e"],
+    })
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (vocab_growth(ds, checkpoint=4).to_pandas()
+           .sort_values("tokens_seen").reset_index(drop=True))
+    # 11 tokens total -> checkpoints at 4, 8, 11; 5 types overall
+    assert out["tokens_seen"].tolist() == [4, 8, 11]
+    assert out["n_types"].iloc[-1] == 5
+    assert (out["n_types"].diff().dropna() >= 0).all()
+
+    # SQL replay identical (same md5 order, same grid)
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(vocab_growth_sql(checkpoint=4)).df()
+           .sort_values("tokens_seen").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, sql)
+
+    # parallelism invariance
+    out1 = (vocab_growth(ray.data.from_pandas(df).repartition(1),
+                         checkpoint=4).to_pandas()
+            .sort_values("tokens_seen").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out1)
+
+    # empty corpus -> empty curve
+    e = vocab_growth(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": [9], "text": [""]})),
+        checkpoint=4).to_pandas()
+    assert len(e) == 0
