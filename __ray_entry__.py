@@ -2763,6 +2763,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parse_robots(
             hosts.map_batches(synth, batch_format="pandas"))
 
+    def q_parse_sitemaps(sf):
+        """sitemap.xml entry extraction over a deterministic per-host
+        sitemap fixture (3 urls per host, lastmod on even entries only —
+        absent lastmod is null by contract): vectorized <url> split +
+        RE2 extract, zero shuffle."""
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.urltools import parse_sitemaps
+
+        hosts = bucketed_aggregate(
+            _docs(sf, ("source",)), ["source"],
+            {"_n": ("source", "size")}, num_buckets=4,
+        ).drop_columns(["_n"])
+
+        def synth(df: pd.DataFrame) -> pd.DataFrame:
+            src = df["source"].astype(str)
+            host = src + ".example.com"
+            base = "https://" + host
+            xml = ('<?xml version="1.0"?><urlset>'
+                   + "<url><loc>" + base + "/p/0</loc>"
+                   + "<lastmod>2024-01-01</lastmod></url>"
+                   + "<url><loc>" + base + "/p/1</loc></url>"
+                   + "<url><loc>" + base + "/p/2</loc>"
+                   + "<lastmod>2024-01-03</lastmod></url>"
+                   + "<url><lastmod>2024-01-04</lastmod></url>"
+                   + "</urlset>")
+            return pd.DataFrame({"host": host, "sitemap_xml": xml})
+
+        return parse_sitemaps(
+            hosts.map_batches(synth, batch_format="pandas"))
+
     def q_robots_filter(sf):
         """Robots-style (host, path-prefix) disallow filtering of the
         crawl: rules are the broadcast small side (vectorized mask per
@@ -4169,6 +4201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url": q_canonical_url,
         "url_features": q_url_features,
         "parse_robots": q_parse_robots,
+        "parse_sitemaps": q_parse_sitemaps,
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
         "host_lang_mix": q_host_lang_mix,
@@ -5445,6 +5478,21 @@ def oracle_sql() -> dict[str, str]:
                    || '.example.com/sitemap.xml' AS robots_txt
             FROM (SELECT DISTINCT source FROM documents)
         )""" + urltools.parse_robots_sql(),
+        "parse_sitemaps": "WITH sitemaps AS (" + """
+            SELECT source || '.example.com' AS host,
+                   '<?xml version="1.0"?><urlset>'
+                   || '<url><loc>https://' || source
+                   || '.example.com/p/0</loc>'
+                   || '<lastmod>2024-01-01</lastmod></url>'
+                   || '<url><loc>https://' || source
+                   || '.example.com/p/1</loc></url>'
+                   || '<url><loc>https://' || source
+                   || '.example.com/p/2</loc>'
+                   || '<lastmod>2024-01-03</lastmod></url>'
+                   || '<url><lastmod>2024-01-04</lastmod></url>'
+                   || '</urlset>' AS sitemap_xml
+            FROM (SELECT DISTINCT source FROM documents)
+        )""" + urltools.parse_sitemaps_sql(),
         # path of every fixture url is '/doc/<id>': the '/doc/1' prefix rule
         # on even-numbered source hosts hits ids whose decimal starts with 1
         "robots_filter": """

@@ -567,6 +567,64 @@ def parse_robots_sql(*, robots_cte: str = "robots", host: str = "host",
            OR starts_with(line, 'Disallow:')"""
 
 
+def parse_sitemaps(ds, *, host_col: str = "host",
+                   xml_col: str = "sitemap_xml"):
+    """sitemap.xml extraction — the crawl-frontier seed feed next to
+    :func:`parse_robots`: one output row per ``<url>`` entry —
+    ``(host, loc, lastmod)`` with ``lastmod`` null when the entry omits
+    it.  Entries without a ``<loc>`` are dropped (they are invalid per
+    the sitemaps.org protocol).
+
+    Vectorized explode: one Arrow ``split_pattern`` on the ``<url>``
+    entry delimiter per batch (each fragment then holds at most one
+    loc/lastmod pair), two RE2 ``extract_regex`` calls over the flat
+    fragment array — no per-row Python, no XML library (the protocol's
+    element grammar is regular at this granularity). Zero shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        xml = pc.cast(batch.column(xml_col), pa.large_string())
+        segs = pc.split_pattern(xml, pattern="<url>")
+        counts = pc.list_value_length(segs).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        flat = pc.list_flatten(segs)
+        loc = pc.struct_field(
+            pc.extract_regex(flat, r"<loc>(?P<v>[^<]*)</loc>"), "v")
+        lastmod = pc.struct_field(
+            pc.extract_regex(flat, r"<lastmod>(?P<v>[^<]*)</lastmod>"),
+            "v")
+        keep = pc.is_valid(loc)
+        hosts = batch.column(host_col).take(pa.array(parent))
+        return pa.table({
+            "host": pc.cast(hosts.filter(keep), pa.string()),
+            "loc": pc.cast(loc.filter(keep), pa.string()),
+            "lastmod": pc.cast(lastmod.filter(keep), pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def parse_sitemaps_sql(*, sitemaps_cte: str = "sitemaps",
+                       host: str = "host",
+                       xml: str = "sitemap_xml") -> str:
+    """SQL mirror (composes after a WITH preamble providing the sitemap
+    table): <url> split + regexp_extract — identical fragment algebra
+    (DuckDB's '' no-match sentinel is NULLIFed to match Arrow's null)."""
+    return f"""
+        , sm_frags AS (
+            SELECT {host}, f.frag
+            FROM {sitemaps_cte},
+                 unnest(string_split({xml}, '<url>')) AS f(frag)
+        )
+        SELECT {host} AS host,
+               regexp_extract(frag, '<loc>([^<]*)</loc>', 1) AS loc,
+               nullif(regexp_extract(frag, '<lastmod>([^<]*)</lastmod>', 1),
+                      '') AS lastmod
+        FROM sm_frags
+        WHERE regexp_matches(frag, '<loc>[^<]*</loc>')"""
+
+
 def host_url_churn(pages, *, url_col: str = "url", ts_col: str = "warc_ts",
                    num_buckets: int = 16):
     """Per (host, day) crawl churn: (n_fetches, n_new_urls,

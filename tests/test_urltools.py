@@ -271,3 +271,34 @@ def test_host_url_churn_hand_fixture():
     assert tuple(a2) == (2, 1, 1)  # y new + x revisit
     b1 = got.loc[("b.com", pd.Timestamp("2024-01-01"))]
     assert tuple(b1) == (1, 1, 0)
+
+
+def test_parse_sitemaps_hand_fixture():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.urltools import (
+        parse_sitemaps,
+        parse_sitemaps_sql,
+    )
+
+    xml_a = ('<?xml version="1.0"?><urlset>'
+             '<url><loc>https://a.com/x</loc>'
+             '<lastmod>2024-05-01</lastmod></url>'
+             '<url><loc>https://a.com/y</loc></url>'
+             '<url><lastmod>2024-05-02</lastmod></url>'  # no loc: dropped
+             '</urlset>')
+    df = pd.DataFrame({"host": ["a.com", "b.com"],
+                       "sitemap_xml": [xml_a, "<urlset></urlset>"]})
+    out = (parse_sitemaps(ray.data.from_pandas(df).repartition(2))
+           .to_pandas().sort_values(["host", "loc"]).reset_index(drop=True))
+    assert out["loc"].tolist() == ["https://a.com/x", "https://a.com/y"]
+    assert out["lastmod"].tolist()[0] == "2024-05-01"
+    assert out["lastmod"].isna().tolist() == [False, True]
+
+    con = duckdb.connect()
+    con.register("sm", df)
+    sql = (con.execute(
+        "WITH sitemaps AS (SELECT * FROM sm)"
+        + parse_sitemaps_sql()).df()
+        .sort_values(["host", "loc"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, sql)
