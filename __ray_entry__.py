@@ -1738,6 +1738,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cdc_dup_rate(_docs(sf))
 
+    def q_dedup_incremental(sf):
+        """Incremental near-dup join: a deterministic md5 slice of the
+        corpus plays the 'new crawl' (side 1), the rest the standing
+        corpus (side 0); only CROSS-side pairs with exact shingle-Jaccard
+        ≥ 0.5 are emitted — the new-data-vs-index production shape,
+        same-side pairs never mined."""
+        from htrc_feature_reader_ray.stages.dedup import (
+            jaccard_join,
+            md5_hash64,
+        )
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            h = md5_hash64([str(v) for v in df["doc_id"].to_numpy()])
+            df = df.copy()
+            df["side"] = (h % np.uint64(5) == 0).astype(np.int64)
+            return df
+
+        return jaccard_join(
+            _docs(sf).map_batches(tag, batch_format="pandas"),
+            threshold_ppm=500_000, cross_col="side")
+
     def q_knn_hubness(sf):
         """k-occurrence hubness within k-means cells (JMLR'10 retrieval
         pathology metric): how many other vectors list each vector in
@@ -4159,6 +4180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
+        "dedup_incremental": q_dedup_incremental,
         "lexical_diversity": q_lexical_diversity,
         "lang_source_chi2": q_lang_source_chi2,
         "association_rules": q_association_rules,
@@ -4975,6 +4997,9 @@ def oracle_sql() -> dict[str, str]:
             key=["url", "warc_ts"], cat_col="token",
             categories=MATRIX_TERMS, value_col="count", table="tl"),
         "jaccard_join": dedup_mod.jaccard_join_sql(threshold_ppm=500_000),
+        "dedup_incremental": dedup_mod.jaccard_join_sql(
+            threshold_ppm=500_000,
+            cross_side_expr="md5_number_upper({id}::VARCHAR) % 5 = 0"),
         "lexical_diversity": curate.lexical_diversity_sql(),
         "lang_source_chi2": profile_mod.contingency_chi2_sql(
             k1="lang", k2="source", table="documents"),

@@ -1768,7 +1768,8 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
                  k_shingle: int = 3, threshold_ppm: int = 500_000,
                  num_buckets: int = 32, verify_grid: int = 8,
                  df_mode: str = "auto",
-                 df_broadcast_limit: int = 2_000_000):
+                 df_broadcast_limit: int = 2_000_000,
+                 cross_col: str | None = None):
     """EXACT all-pairs set-similarity join: every doc pair whose distinct
     ``k_shingle``-gram Jaccard is ≥ ``threshold_ppm/10⁶`` — no sketch, no
     recall loss.  The quadratic candidate space is cut by LOSSLESS prefix
@@ -1830,6 +1831,13 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         ≤ ``df_broadcast_limit`` rows, else join.  Auto materializes the
         (small) df table to count it; at true corpus scale pass
         ``df_mode='join'`` explicitly so the fold streams.
+
+    ``cross_col`` switches to the INCREMENTAL-dedup join: name an int64
+    side column (e.g. 0 = existing corpus, 1 = new crawl) and only pairs
+    whose sides DIFFER are emitted — dedup of a new crawl against the
+    standing corpus without re-pairing the corpus against itself.  The
+    broadcast path suppresses same-side pairs at mine time; both paths
+    enforce the filter at verify.  Pair orientation stays id_a < id_b.
     """
     from htrc_feature_reader_ray.stages.partition import (
         bucket_join,
@@ -1841,17 +1849,21 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
     M = 1_000_000
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids_out, gs_out = [], []
+        ids_out, gs_out, sides_out = [], [], []
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        for i, text in zip(ids, texts):
+        sides = (batch.column(cross_col).to_pylist() if cross_col
+                 else [0] * len(ids))
+        for i, text, sd in zip(ids, texts, sides):
             sh = set(word_shingles(
                 [t for t in (text or "").split(" ") if t], k_shingle))
             ids_out.extend([i] * len(sh))
             gs_out.extend(sh)
+            sides_out.extend([sd] * len(sh))
         return pa.table({
             id_col: pa.array(ids_out, type=pa.int64()),
             "g": pa.array(gs_out, type=pa.string()),
+            "side": pa.array(sides_out, type=pa.int64()),
         })
 
     # (doc, shingle) rows are globally distinct (a doc lives in one batch),
@@ -1872,7 +1884,8 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return _jaccard_join_broadcast_df(
             ds, dfs, id_col=id_col, text_col=text_col, k_shingle=k_shingle,
             threshold_ppm=threshold_ppm, num_buckets=num_buckets,
-            verify_grid=verify_grid, df_broadcast_limit=df_broadcast_limit)
+            verify_grid=verify_grid, df_broadcast_limit=df_broadcast_limit,
+            cross_col=cross_col)
 
     def df_side(frame: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"g": frame["g"],
@@ -1885,6 +1898,7 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
     def build_sets(frame: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
                               "n": pd.Series(dtype="int64"),
+                              "side": pd.Series(dtype="int64"),
                               "pref": pd.Series(dtype=object),
                               "blob": pd.Series(dtype=object)})
         if frame.empty:
@@ -1918,6 +1932,7 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
         return pd.DataFrame({
             id_col: uids.astype(np.int64),
             "n": n,
+            "side": frame["side"].to_numpy()[starts].astype(np.int64),
             "pref": prefs,
             "blob": blobs,
         })
@@ -1950,7 +1965,8 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     # ---- rendezvous-grid verify (shared with the broadcast-df path) -----
     cand_cells, payload_cells, verify_cells, n_cells = _jaccard_grid_fns(
-        id_col=id_col, threshold_ppm=threshold_ppm, verify_grid=verify_grid)
+        id_col=id_col, threshold_ppm=threshold_ppm, verify_grid=verify_grid,
+        cross_only=cross_col is not None)
 
     unioned = candidates.map_batches(
         cand_cells, batch_format="pandas",
@@ -1960,7 +1976,8 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                num_buckets=n_cells)
 
 
-def _jaccard_grid_fns(*, id_col: str, threshold_ppm: int, verify_grid: int):
+def _jaccard_grid_fns(*, id_col: str, threshold_ppm: int, verify_grid: int,
+                      cross_only: bool = False):
     """Rendezvous-grid verify kernels for the exact set-similarity join.
 
     Joining blobs onto candidate rows duplicates each doc's set PER
@@ -1995,6 +2012,7 @@ def _jaccard_grid_fns(*, id_col: str, threshold_ppm: int, verify_grid: int):
             "id_a": ia, "id_b": ib,
             "pid": np.full(len(ia), -1, dtype=np.int64),
             "n": np.zeros(len(ia), dtype=np.int64),
+            "side": np.zeros(len(ia), dtype=np.int64),
             "blob": [b""] * len(ia),
         })
 
@@ -2005,12 +2023,16 @@ def _jaccard_grid_fns(*, id_col: str, threshold_ppm: int, verify_grid: int):
         j = np.tile(np.arange(G, dtype=np.int64), len(ids))
         birep = bi[rep]
         cells = np.minimum(birep, j) * G + np.maximum(birep, j)
+        side = (frame["side"].to_numpy().astype(np.int64)
+                if "side" in frame.columns
+                else np.zeros(len(ids), dtype=np.int64))
         return pd.DataFrame({
             "cell": cells,
             "id_a": np.full(len(rep), -1, dtype=np.int64),
             "id_b": np.full(len(rep), -1, dtype=np.int64),
             "pid": ids[rep],
             "n": frame["n"].to_numpy().astype(np.int64)[rep],
+            "side": side[rep],
             "blob": frame["blob"].to_numpy()[rep],
         })
 
@@ -2058,6 +2080,13 @@ def _jaccard_grid_fns(*, id_col: str, threshold_ppm: int, verify_grid: int):
                                      cand["id_b"].to_numpy()], axis=1),
                            axis=0)
             ia, ib = pr[:, 0], pr[:, 1]
+            if cross_only and len(ia):
+                pside = pd.Series(pay["side"].to_numpy(), index=pids)
+                cross = (pside.loc[ia].to_numpy()
+                         != pside.loc[ib].to_numpy())
+                ia, ib = ia[cross], ib[cross]
+                if not len(ia):
+                    continue
             la = pn.loc[ia].to_numpy()
             lb = pn.loc[ib].to_numpy()
             # exact length filter: J <= min/max, so min·10⁶ < t·max can't hit
@@ -2098,7 +2127,7 @@ def _jaccard_grid_fns(*, id_col: str, threshold_ppm: int, verify_grid: int):
 
 def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
                                threshold_ppm, num_buckets, verify_grid,
-                               df_broadcast_limit):
+                               df_broadcast_limit, cross_col=None):
     """3-exchange exact set-similarity join (broadcast-df variant).
 
     The folded shingle document frequencies (the ONLY global state the
@@ -2144,19 +2173,23 @@ def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
         idx, dfv = ray.get(df_ref)
         ids_in = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        gs, didx, keep_ids = [], [], []
-        for j, (i, text) in enumerate(zip(ids_in, texts)):
+        sides_in = (batch.column(cross_col).to_pylist() if cross_col
+                    else [0] * len(ids_in))
+        gs, didx, keep_ids, keep_sides = [], [], [], []
+        for i, text, sd in zip(ids_in, texts, sides_in):
             sh = set(word_shingles(
                 [t for t in (text or "").split(" ") if t], k_shingle))
             if not sh:
                 continue
             keep_ids.append(i)
+            keep_sides.append(sd)
             d = len(keep_ids) - 1
             gs.extend(sh)
             didx.extend([d] * len(sh))
         empty = pa.table({
             id_col: pa.array([], type=pa.int64()),
             "n": pa.array([], type=pa.int64()),
+            "side": pa.array([], type=pa.int64()),
             "pref": pa.array([], type=pa.large_binary()),
             "blob": pa.array([], type=pa.large_binary()),
         })
@@ -2192,6 +2225,7 @@ def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
         return pa.table({
             id_col: pa.array(keep_ids, type=pa.int64()),
             "n": pa.array(n),
+            "side": pa.array(keep_sides, type=pa.int64()),
             "pref": pa.array(prefs, type=pa.large_binary()),
             "blob": pa.array(blobs, type=pa.large_binary()),
         })
@@ -2200,18 +2234,22 @@ def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
         build_payloads, batch_format="pyarrow").materialize()
 
     cand_cells, payload_cells, verify_cells, n_cells = _jaccard_grid_fns(
-        id_col=id_col, threshold_ppm=threshold_ppm, verify_grid=verify_grid)
+        id_col=id_col, threshold_ppm=threshold_ppm, verify_grid=verify_grid,
+        cross_only=cross_col is not None)
 
     def prefix_rows(frame: pd.DataFrame) -> pd.DataFrame:
         if frame.empty:
             return pd.DataFrame({"g": pd.Series(dtype="uint64"),
-                                 id_col: pd.Series(dtype="int64")})
+                                 id_col: pd.Series(dtype="int64"),
+                                 "side": pd.Series(dtype="int64")})
         parts = [np.frombuffer(b, dtype=np.uint64) for b in frame["pref"]]
         lens = np.fromiter((len(a) for a in parts), dtype=np.int64,
                            count=len(parts))
         return pd.DataFrame({
             "g": np.concatenate(parts),
             id_col: np.repeat(frame[id_col].to_numpy(), lens),
+            "side": np.repeat(
+                frame["side"].to_numpy().astype(np.int64), lens),
         })
 
     def mine_cells(df: pd.DataFrame) -> pd.DataFrame:
@@ -2224,8 +2262,11 @@ def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
             return cand_cells(pd.DataFrame({
                 "id_a": pd.Series(dtype="int64"),
                 "id_b": pd.Series(dtype="int64")}))
-        m = d.merge(d, on="g", suffixes=("_a", "_b"))
+        m = d.merge(d[[id_col, "g", "side"]], on="g", suffixes=("_a", "_b"))
         m = m.loc[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if cross_col is not None:
+            # incremental mode: same-side pairs never leave the miner
+            m = m.loc[m["side_a"] != m["side_b"]]
         pr = np.unique(np.stack([m[f"{id_col}_a"].to_numpy(),
                                  m[f"{id_col}_b"].to_numpy()], axis=1),
                        axis=0)
@@ -2243,10 +2284,19 @@ def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
 
 def jaccard_join_sql(*, id_col: str = "doc_id", text_col: str = "text",
                      k_shingle: int = 3, threshold_ppm: int = 500_000,
-                     table: str = "documents") -> str:
+                     table: str = "documents",
+                     cross_side_expr: str | None = None) -> str:
     """SQL mirror: the UNFILTERED exact all-pairs join — prefix filtering
-    is lossless, so the engine must reproduce it bit for bit."""
+    is lossless, so the engine must reproduce it bit for bit.
+    ``cross_side_expr`` (a boolean SQL template over an ``{id}``
+    placeholder) mirrors the engine's ``cross_col`` incremental mode:
+    only pairs whose side expressions DIFFER survive."""
     assert k_shingle == 3, "oracle only mirrors k=3"
+    cross = ""
+    if cross_side_expr is not None:
+        ea = cross_side_expr.format(id="id_a")
+        eb = cross_side_expr.format(id="id_b")
+        cross = f"\n          AND (({ea}) <> ({eb}))"
     return f"""
         WITH toks AS (
           SELECT {id_col},
@@ -2270,7 +2320,7 @@ def jaccard_join_sql(*, id_col: str = "doc_id", text_col: str = "text",
                (i * 1000000 // (sa.n + sb.n - i))::BIGINT AS jaccard_ppm
         FROM inter JOIN sz sa ON id_a = sa.{id_col}
                    JOIN sz sb ON id_b = sb.{id_col}
-        WHERE i * 1000000 >= {threshold_ppm} * (sa.n + sb.n - i)"""
+        WHERE i * 1000000 >= {threshold_ppm} * (sa.n + sb.n - i){cross}"""
 
 
 # ---------------------------------------------------------------------------

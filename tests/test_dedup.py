@@ -756,3 +756,44 @@ def test_cdc_dup_rate():
     sql = (con.execute(cdc_dup_rate_sql(divisor=4)).df()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, sql)
+
+
+def test_jaccard_join_cross_col_incremental():
+    """cross_col emits exactly the cross-side subset of the full join —
+    on BOTH df paths — and never a same-side pair."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import jaccard_join
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(6, 24)))
+             for _ in range(80)]
+    texts[70] = texts[0]            # cross-side exact dup (sides 0/1 below)
+    texts[71] = texts[1]            # same-side dup -> must NOT appear
+    df = pd.DataFrame({"doc_id": range(80), "text": texts,
+                       "side": [1 if i >= 70 else 0 for i in range(80)]})
+    df.loc[71, "side"] = 0
+    df.loc[1, "side"] = 0
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    full = (jaccard_join(ds, threshold_ppm=400_000)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    side = df.set_index("doc_id")["side"]
+    expect = full[
+        side.loc[full["id_a"]].to_numpy()
+        != side.loc[full["id_b"]].to_numpy()].reset_index(drop=True)
+
+    for mode in ("broadcast", "join"):
+        got = (jaccard_join(ds, threshold_ppm=400_000, cross_col="side",
+                            df_mode=mode)
+               .to_pandas().sort_values(["id_a", "id_b"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, expect)
+        assert ((side.loc[got["id_a"]].to_numpy()
+                 != side.loc[got["id_b"]].to_numpy()).all())
+    assert ((expect["id_a"] == 0) & (expect["id_b"] == 70)).any()
+    # the same-side dup exists in the FULL join but not in the cross set
+    assert ((full["id_a"] == 1) & (full["id_b"] == 71)).any()
+    assert not ((expect["id_a"] == 1) & (expect["id_b"] == 71)).any()
