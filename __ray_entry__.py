@@ -2784,6 +2784,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parse_robots(
             hosts.map_batches(synth, batch_format="pandas"))
 
+    def q_html_tables(sf):
+        """<table> cell extraction over deterministically synthesized
+        page tables (2 rows / ragged cells, second table on even ids):
+        three vectorized explode levels, zero shuffle."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.extract import html_tables
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "source"])
+
+        def synth(df: pd.DataFrame) -> pd.DataFrame:
+            i = df["doc_id"].astype(str)
+            src = df["source"].astype(str)
+            html = ("<div>noise " + i + "</div>"
+                    + "<table><tr><td>a</td><td>b" + i + "</td></tr>"
+                    + "<tr><td>c " + src + "</td></tr></table>"
+                    + np.where(
+                        df["doc_id"] % 2 == 0,
+                        "<table><tr><td>x" + i + "</td></tr></table>", ""))
+            return pd.DataFrame({
+                "url": "https://" + src + ".example.com/doc/" + i,
+                "html": html,
+            })
+
+        return html_tables(docs.map_batches(synth, batch_format="pandas"))
+
     def q_parse_sitemaps(sf):
         """sitemap.xml entry extraction over a deterministic per-host
         sitemap fixture (3 urls per host, lastmod on even entries only —
@@ -4224,6 +4250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features": q_url_features,
         "parse_robots": q_parse_robots,
         "parse_sitemaps": q_parse_sitemaps,
+        "html_tables": q_html_tables,
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
         "host_lang_mix": q_host_lang_mix,
@@ -4409,6 +4436,7 @@ def oracle_sql() -> dict[str, str]:
         assoc as assoc_mod,
         curate,
         dedup as dedup_mod,
+        extract as extract_mod,
         linkgraph,
         profile as profile_mod,
         sample,
@@ -5518,6 +5546,19 @@ def oracle_sql() -> dict[str, str]:
                    || '</urlset>' AS sitemap_xml
             FROM (SELECT DISTINCT source FROM documents)
         )""" + urltools.parse_sitemaps_sql(),
+        "html_tables": "WITH tpages AS (" + """
+            SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                       AS url,
+                   '<div>noise ' || doc_id || '</div>'
+                   || '<table><tr><td>a</td><td>b' || doc_id
+                   || '</td></tr><tr><td>c ' || source
+                   || '</td></tr></table>'
+                   || CASE WHEN doc_id % 2 = 0
+                      THEN '<table><tr><td>x' || doc_id
+                           || '</td></tr></table>'
+                      ELSE '' END AS html
+            FROM documents
+        )""" + extract_mod.html_tables_sql(),
         # path of every fixture url is '/doc/<id>': the '/doc/1' prefix rule
         # on even-numbered source hosts hits ids whose decimal starts with 1
         "robots_filter": """

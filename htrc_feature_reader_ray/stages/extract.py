@@ -546,3 +546,91 @@ def page_profile(pages_ds, *, html_col: str = "html",
     fn = functools.partial(page_profile_batch, html_col=html_col,
                            keep_cols=keep_cols)
     return pages_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _explode_level(frags: pa.Array, open_tag: str, close_tag: str):
+    """One level of the nested tag explode: split every fragment on
+    ``open_tag``, drop the preamble before the first occurrence, and cut
+    each child at its ``close_tag``.  Returns (parent_index, local_index,
+    child_fragments) — all flat, no per-row Python."""
+    lists = pc.list_slice(pc.split_pattern(frags, pattern=open_tag),
+                          start=1)
+    counts = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    parent = np.repeat(np.arange(len(frags), dtype=np.int64), counts)
+    excl = (np.concatenate(([0], np.cumsum(counts)[:-1]))
+            if len(counts) else counts)
+    local = (np.arange(int(counts.sum()), dtype=np.int64)
+             - np.repeat(excl, counts))
+    flat = pc.list_flatten(lists)
+    child = pc.list_element(
+        pc.split_pattern(flat, pattern=close_tag, max_splits=1), 0)
+    return parent, local, child
+
+
+def html_tables(ds, *, url_col: str = "url", html_col: str = "html"):
+    """<table> cell extraction — the semi-structured ETL feed (tabular
+    facts inside crawled pages): one row per cell,
+    ``(url, table_idx, row_idx, col_idx, cell)``, indexes 0-based in
+    document order.
+
+    Contract (documented, regular grammar): literal attribute-free
+    ``<table>``/``<tr>``/``<td>`` tags and plain-text cells — the shape a
+    normalizing pre-pass emits; a full HTML5 parser is a codec by the
+    multimodal-stub argument and out of scope.  A fragment missing its
+    close tag yields the remainder verbatim (split-once semantics,
+    identical in SQL).
+
+    Three vectorized explode levels (split + list_slice + list_flatten
+    with parent/local index arithmetic — no per-row Python), zero
+    shuffle.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        html = pc.cast(batch.column(html_col), pa.large_string())
+        t_parent, t_idx, t_html = _explode_level(
+            html, "<table>", "</table>")
+        r_parent, r_idx, r_html = _explode_level(t_html, "<tr>", "</tr>")
+        c_parent, c_idx, cell = _explode_level(r_html, "<td>", "</td>")
+        urls = batch.column(url_col).take(
+            pa.array(t_parent[r_parent[c_parent]]))
+        return pa.table({
+            "url": pc.cast(urls, pa.string()),
+            "table_idx": pa.array(t_idx[r_parent[c_parent]]),
+            "row_idx": pa.array(r_idx[c_parent]),
+            "col_idx": pa.array(c_idx),
+            "cell": pc.cast(cell, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def html_tables_sql(*, pages_cte: str = "tpages", url: str = "url",
+                    html: str = "html") -> str:
+    """SQL mirror (composes after a WITH preamble providing the page
+    table): three nested split+generate_series explodes with identical
+    split-once close-tag semantics."""
+    return f"""
+        , ht_t AS (
+            SELECT {url}, u.i - 2 AS table_idx,
+                   string_split(tf[u.i], '</table>')[1] AS thtml
+            FROM (SELECT {url}, string_split({html}, '<table>') AS tf
+                  FROM {pages_cte}),
+                 unnest(generate_series(2, len(tf))) AS u(i)
+        ),
+        ht_r AS (
+            SELECT {url}, table_idx, v.i - 2 AS row_idx,
+                   string_split(rf[v.i], '</tr>')[1] AS rhtml
+            FROM (SELECT {url}, table_idx,
+                         string_split(thtml, '<tr>') AS rf
+                  FROM ht_t),
+                 unnest(generate_series(2, len(rf))) AS v(i)
+        )
+        SELECT {url} AS url, table_idx::BIGINT AS table_idx,
+               row_idx::BIGINT AS row_idx,
+               (w.i - 2)::BIGINT AS col_idx,
+               string_split(cf[w.i], '</td>')[1] AS cell
+        FROM (SELECT {url}, table_idx, row_idx,
+                     string_split(rhtml, '<td>') AS cf
+              FROM ht_r),
+             unnest(generate_series(2, len(cf))) AS w(i)"""

@@ -174,3 +174,37 @@ def test_page_profile_batch_counts():
     assert out.column("n_tokens").to_pylist() == [5, 0]
     assert out.column("n_out_links").to_pylist() == [2, 0]
     assert out.schema.field("n_tokens").type == pa.int64()
+
+
+def test_html_tables_hand_fixture():
+    import duckdb
+
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.extract import (
+        html_tables,
+        html_tables_sql,
+    )
+
+    html = ("<p>pre</p>"
+            "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>"
+            "mid<table><tr><td>x</td></tr></table>")
+    df = pd.DataFrame({"url": ["u1", "u2"], "html": [html, "<p>none</p>"]})
+    out = (html_tables(ray.data.from_pandas(df).repartition(2))
+           .to_pandas()
+           .sort_values(["url", "table_idx", "row_idx", "col_idx"])
+           .reset_index(drop=True))
+    assert out["url"].tolist() == ["u1"] * 4
+    assert out["cell"].tolist() == ["a", "b", "c", "x"]
+    assert out["table_idx"].tolist() == [0, 0, 0, 1]
+    assert out["row_idx"].tolist() == [0, 0, 1, 0]
+    assert out["col_idx"].tolist() == [0, 1, 0, 0]
+
+    con = duckdb.connect()
+    con.register("pg", df)
+    sql = (con.execute("WITH tpages AS (SELECT * FROM pg)"
+                       + html_tables_sql()).df()
+           .sort_values(["url", "table_idx", "row_idx", "col_idx"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, sql)
