@@ -2161,6 +2161,10 @@ def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
                          "_df": pc.cast(t.column("_df"), pa.int64())})
 
     dup_pdf = dfs.map_batches(dup_only, batch_format="pyarrow").to_pandas()
+    if dup_pdf.empty:
+        # zero-block upstream drops even the columns
+        dup_pdf = pd.DataFrame({"g": pd.Series(dtype=object),
+                                "_df": pd.Series(dtype="int64")})
     if len(dup_pdf) > df_broadcast_limit:
         raise ValueError(
             f"repeated-shingle table ({len(dup_pdf)}) exceeds "

@@ -76,6 +76,14 @@ def bucket_join(left_ds, right_ds, *, left_key: str, right_key: str,
 
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
+    # a side whose pipeline produced ZERO blocks reports schema None (the
+    # streaming executor drops empty bundles): the join result is then
+    # provably row-free (inner/semi: no matches possible; left/anti with an
+    # empty RIGHT side: the left rows pass through unchanged)
+    if l_schema is None:
+        return left_ds.limit(0)
+    if r_schema is None:
+        return left_ds if how in ("left", "anti") else left_ds.limit(0)
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     r_carry = [c for c in r_names if c != right_key]

@@ -298,3 +298,52 @@ def test_null_and_empty_text_share_a_fingerprint():
     tbl = pa.table({"doc_id": [0, 1], "text": [None, ""]})
     out = exact_dedup(ray.data.from_arrow(tbl)).to_pandas()
     assert len(out) == 1 and out.iloc[0].n_dups == 2
+
+
+def test_round2_late_ops_empty_corpus():
+    """The late-round operators over an empty documents table: no crashes,
+    empty outputs with stable schemas."""
+    from htrc_feature_reader_ray.stages.dedup import cdc_dup_rate, jaccard_join
+    from htrc_feature_reader_ray.stages.extract import html_tables
+    from htrc_feature_reader_ray.stages.textstats import mojibake_stats
+    from htrc_feature_reader_ray.stages.urltools import parse_sitemaps
+    from htrc_feature_reader_ray.stages.vocab import vocab_growth
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+    }))
+    assert mojibake_stats(docs).to_pandas().empty
+    assert vocab_growth(docs, checkpoint=10).to_pandas().empty
+    assert cdc_dup_rate(docs).to_pandas().empty
+    assert jaccard_join(docs).to_pandas().empty
+    assert jaccard_join(docs, df_mode="join").to_pandas().empty
+
+    pages = ray.data.from_arrow(pa.table({
+        "url": pa.array([], type=pa.string()),
+        "html": pa.array([], type=pa.string()),
+    }))
+    assert html_tables(pages).to_pandas().empty
+
+    sm = ray.data.from_arrow(pa.table({
+        "host": pa.array([], type=pa.string()),
+        "sitemap_xml": pa.array([], type=pa.string()),
+    }))
+    assert parse_sitemaps(sm).to_pandas().empty
+
+
+def test_round2_late_ops_empty_graph_and_vectors():
+    from htrc_feature_reader_ray.stages.linkgraph import label_communities
+    from htrc_feature_reader_ray.stages.similarity import embedding_covariance
+
+    edges = ray.data.from_arrow(pa.table({
+        "src_url": pa.array([], type=pa.string()),
+        "dst_url": pa.array([], type=pa.string()),
+    }))
+    assert label_communities(edges).to_pandas().empty
+
+    vecs = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float32())),
+    }))
+    assert embedding_covariance(vecs).to_pandas().empty
