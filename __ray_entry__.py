@@ -583,6 +583,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_dedup_rate_by_source(sf):
+        """Where does the duplication live: per source the doc count, the
+        near-dup LOSER count (non-canonical cluster members — exactly
+        what curation removes) and the loser rate in exact ppm; the
+        pair-list-sized loser set broadcasts, docs fold map-side."""
+        from htrc_feature_reader_ray.stages.dedup import (
+            dedup_clusters,
+            dedup_loser_rate,
+        )
+
+        return dedup_loser_rate(
+            dedup_clusters(q_dedup_minhash(sf)),
+            _docs(sf, ("doc_id", "source")))
+
     def q_dedup_keep_best(sf):
         """Canonical-doc selection per near-dup cluster, production rule:
         keep the LONGEST member (n_chars desc, doc_id asc ties) rather
@@ -2842,6 +2856,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parse_sitemaps(
             hosts.map_batches(synth, batch_format="pandas"))
 
+    def q_robots_crawl_delay(sf):
+        """Per-host Crawl-delay politeness extraction (min of conflicting
+        directives, non-numeric lines ignored) over a deterministic
+        robots fixture with two valid + one bogus directive per host."""
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.urltools import (
+            robots_crawl_delay,
+        )
+
+        hosts = bucketed_aggregate(
+            _docs(sf, ("source",)), ["source"],
+            {"_n": ("source", "size")}, num_buckets=4,
+        ).drop_columns(["_n"])
+
+        def synth(df: pd.DataFrame) -> pd.DataFrame:
+            src = df["source"].astype(str)
+            n = src.str[3:].astype(int)
+            txt = ("User-agent: *\nCrawl-delay: "
+                   + (n % 9 + 2).astype(str)
+                   + "\nDisallow: /x\nCrawl-delay: nope\nCrawl-delay: "
+                   + (n % 5 + 1).astype(str))
+            return pd.DataFrame({"host": src + ".example.com",
+                                 "robots_txt": txt})
+
+        return robots_crawl_delay(
+            hosts.map_batches(synth, batch_format="pandas"))
+
     def q_robots_filter(sf):
         """Robots-style (host, path-prefix) disallow filtering of the
         crawl: rules are the broadcast small side (vectorized mask per
@@ -4079,6 +4122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # covers the edge-list-exceeds-one-node regime)
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
         # exact duplicated-span coverage (substring-level dedup signal)
         "duplicated_spans": q_duplicated_spans,
         # n-gram train/test decontamination (broadcast benchmark grams)
@@ -4250,6 +4294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features": q_url_features,
         "parse_robots": q_parse_robots,
         "parse_sitemaps": q_parse_sitemaps,
+        "robots_crawl_delay": q_robots_crawl_delay,
         "html_tables": q_html_tables,
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
@@ -5531,6 +5576,16 @@ def oracle_sql() -> dict[str, str]:
                    || '.example.com/sitemap.xml' AS robots_txt
             FROM (SELECT DISTINCT source FROM documents)
         )""" + urltools.parse_robots_sql(),
+        "robots_crawl_delay": "WITH robots AS (" + """
+            SELECT source || '.example.com' AS host,
+                   'User-agent: *' || chr(10) || 'Crawl-delay: '
+                   || (CAST(substr(source, 4) AS INTEGER) % 9 + 2)
+                   || chr(10) || 'Disallow: /x' || chr(10)
+                   || 'Crawl-delay: nope' || chr(10) || 'Crawl-delay: '
+                   || (CAST(substr(source, 4) AS INTEGER) % 5 + 1)
+                       AS robots_txt
+            FROM (SELECT DISTINCT source FROM documents)
+        )""" + urltools.robots_crawl_delay_sql(),
         "parse_sitemaps": "WITH sitemaps AS (" + """
             SELECT source || '.example.com' AS host,
                    '<?xml version="1.0"?><urlset>'
@@ -6064,6 +6119,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(reach)::BIGINT AS cluster_id
             FROM walk GROUP BY 1""",
+        # per-source dup-loser rollup: the cluster walk, losers = members
+        # above their cluster min, LEFT-joined onto the docs table
+        "dedup_rate_by_source": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + """,
+            sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM jac_pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM jac_pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM sym
+            ), walk(node, reach) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
+            ), cl AS (
+              SELECT node, min(reach) AS cluster_id FROM walk GROUP BY 1
+            ), losers AS (
+              SELECT node FROM cl WHERE cluster_id < node
+            )
+            SELECT d.source, count(*)::BIGINT AS n_docs,
+                   count(l.node)::BIGINT AS n_dup_losers,
+                   (count(l.node) * 1000000 // count(*))::BIGINT
+                       AS loser_ppm
+            FROM documents d LEFT JOIN losers l ON l.node = d.doc_id
+            GROUP BY 1""",
         # canonical selection per cluster: longest member wins (chars desc,
         # doc_id asc) — the cluster walk plus one ranked join
         "dedup_keep_best": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + """,

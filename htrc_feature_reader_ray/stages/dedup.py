@@ -2711,3 +2711,60 @@ def cdc_dup_rate_sql(*, table: str = "documents", text: str = "text",
                 // count(*))::BIGINT AS dup_ppm
         FROM chunks c JOIN d USING (chunk_digest)
         GROUP BY 1"""
+
+
+def dedup_loser_rate(clusters, docs, *, id_col: str = "doc_id",
+                     group_col: str = "source",
+                     broadcast_limit: int = 2_000_000):
+    """Corpus-health rollup of a near-dup clustering: per ``group_col``
+    (source, host, snapshot…) the document count, the number of DUP
+    LOSERS (cluster members that are not their cluster's canonical
+    min-id doc — exactly the rows ``corpus_curation`` removes), and the
+    loser rate in exact ppm.  The dashboard that says WHERE the
+    duplication lives before anyone pays for a full curation run.
+
+    Scale shape: the loser id set is pair-list-sized (``dedup_clusters``
+    output), ships once via ``ray.put`` behind a loud ``broadcast_limit``
+    guard; the docs table folds per batch to (group, n, n_losers)
+    partials — one tiny group fold, no doc-keyed exchange."""
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def only_losers(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.not_equal(batch.column(id_col), batch.column("cluster_id"))
+        return batch.filter(m).select([id_col])
+
+    lose_pdf = clusters.map_batches(
+        only_losers, batch_format="pyarrow").to_pandas()
+    ids = (lose_pdf[id_col].to_numpy() if len(lose_pdf)
+           else np.array([], dtype=np.int64))
+    if len(ids) > broadcast_limit:
+        raise ValueError(
+            f"loser set ({len(ids)}) exceeds broadcast_limit "
+            f"({broadcast_limit}) — rollup needs the anti-join shape")
+    ref = ray.put(pd.Index(ids))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        loser = df[id_col].isin(ray.get(ref)).astype("int64")
+        g = df.assign(_l=loser).groupby(group_col, sort=False,
+                                        as_index=False)
+        return g.agg(n=(id_col, "size"), n_losers=("_l", "sum"))
+
+    folded = bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        [group_col], {"n": ("n", "sum"), "n_losers": ("n_losers", "sum")},
+        num_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group_col: df[group_col],
+            "n_docs": df["n"].astype("int64"),
+            "n_dup_losers": df["n_losers"].astype("int64"),
+            "loser_ppm": (df["n_losers"] * 1_000_000
+                          // df["n"]).astype("int64"),
+        })
+
+    return folded.map_batches(finish, batch_format="pandas")

@@ -797,3 +797,23 @@ def test_jaccard_join_cross_col_incremental():
     # the same-side dup exists in the FULL join but not in the cross set
     assert ((full["id_a"] == 1) & (full["id_b"] == 71)).any()
     assert not ((expect["id_a"] == 1) & (expect["id_b"] == 71)).any()
+
+
+def test_dedup_loser_rate_hand_fixture():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import dedup_loser_rate
+
+    clusters = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 7],
+        "cluster_id": [1, 1, 1, 7],   # 2,3 lose to 1; 7 canonical alone
+    }))
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 7, 8],
+        "source": ["a", "a", "b", "b", "a", "b"],
+    })).repartition(2)
+    out = (dedup_loser_rate(clusters, docs).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert out["n_docs"].tolist() == [3, 3]
+    assert out["n_dup_losers"].tolist() == [1, 1]   # a: doc 2; b: doc 3
+    assert out["loser_ppm"].tolist() == [333_333, 333_333]

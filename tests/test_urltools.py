@@ -302,3 +302,32 @@ def test_parse_sitemaps_hand_fixture():
         + parse_sitemaps_sql()).df()
         .sort_values(["host", "loc"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, sql)
+
+
+def test_robots_crawl_delay_min_and_leniency():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.urltools import (
+        robots_crawl_delay,
+        robots_crawl_delay_sql,
+    )
+
+    df = pd.DataFrame({
+        "host": ["a.com", "b.com", "c.com"],
+        "robots_txt": [
+            "User-agent: *\nCrawl-delay: 10\nCrawl-delay:  3\nAllow: /",
+            "Crawl-delay: x\nCrawl-delay: 7s",   # no valid directive
+            "  Crawl-delay: 5  \nDisallow: /p",  # edge whitespace trimmed
+        ],
+    })
+    out = (robots_crawl_delay(ray.data.from_pandas(df).repartition(2))
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    assert out["host"].tolist() == ["a.com", "c.com"]
+    assert out["crawl_delay_s"].tolist() == [3, 5]
+
+    con = duckdb.connect()
+    con.register("r", df)
+    sql = (con.execute("WITH robots AS (SELECT * FROM r)"
+                       + robots_crawl_delay_sql()).df()
+           .sort_values("host").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, sql)
