@@ -864,6 +864,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tiebreak="event_id",
         )
 
+    def q_url_feature_store(sf):
+        """Feature-store assembly: ONE wide row per url (latest-snapshot
+        text features + whole-graph degree and PageRank, absent graph
+        rows coalesce to 0) — the engine's canonical multi-operator
+        composition; edges extract once and pin for their two graph
+        consumers."""
+        from htrc_feature_reader_ray.pipelines.feature_store import (
+            url_feature_store,
+        )
+
+        return url_feature_store(sf)
+
     def q_latest_snapshot(sf):
         """CDX-style re-crawl pruning: keep each url's NEWEST snapshot only
         — topk_per_group(k=1) over warc_ts desc (lossless local combiner,
@@ -4169,6 +4181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_change": q_snapshot_change,
         # keep newest snapshot per url (CDX-style re-crawl pruning)
         "latest_snapshot": q_latest_snapshot,
+        "url_feature_store": q_url_feature_store,
         # -- crawl link-graph ops --
         "link_edges": q_link_edges,
         "link_degree": q_link_degree,
@@ -4986,6 +4999,42 @@ def oracle_sql() -> dict[str, str]:
                                AND CURRENT ROW)""",
         # newest crawl per url: ts is unique per url in the fixture, so
         # max(warc_ts) needs no tiebreak
+        "url_feature_store": f"""
+            {PAGES_PRE},
+            {LINKS_SQL.strip()},
+            p AS (
+              SELECT url, warc_ts, {PAGES_TEXT_SQL} AS text FROM pages
+            ),
+            latest AS (
+              SELECT url, warc_ts, text FROM (
+                SELECT *, row_number() OVER (PARTITION BY url
+                                             ORDER BY warc_ts DESC) AS rn
+                FROM p) WHERE rn = 1
+            ),
+            feat AS (
+              SELECT url, warc_ts,
+                     length(text)::BIGINT AS text_chars,
+                     (len(string_split(text, chr(10))))::BIGINT AS n_lines,
+                     (len(regexp_extract_all(text, '\\S+')))::BIGINT
+                         AS n_tokens
+              FROM latest
+            ),
+            fs_e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges),
+            fs_deg AS (
+              SELECT url, sum(o)::BIGINT AS out_degree,
+                     sum(i)::BIGINT AS in_degree
+              FROM (SELECT src_url AS url, 1 AS o, 0 AS i FROM fs_e2
+                    UNION ALL SELECT dst_url, 0, 1 FROM fs_e2)
+              GROUP BY 1
+            )
+            SELECT f.url, f.warc_ts, f.text_chars, f.n_lines, f.n_tokens,
+                   coalesce(d.out_degree, 0)::BIGINT AS out_degree,
+                   coalesce(d.in_degree, 0)::BIGINT AS in_degree,
+                   coalesce(pr.rank, 0)::BIGINT AS rank
+            FROM feat f
+            LEFT JOIN fs_deg d ON d.url = f.url
+            LEFT JOIN ({_pagerank_sql(iterations=3)}) pr
+                   ON pr.url = f.url""",
         "latest_snapshot": f"""
             {PAGES_PRE},
             p AS (

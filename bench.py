@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "link_degree",
     "pagerank",
     "link_communities",
+    "url_feature_store",
     # late round-2 ops
     "head_meta",
     "line_dedup",
