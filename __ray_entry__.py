@@ -372,6 +372,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf).map_batches(aug, batch_format="pyarrow")
         )
 
+    def q_line_dedup(sf):
+        """CCNet-style cross-doc boilerplate-line removal with text rebuild.
+        The fixture text is single-line, so token separators map to newlines
+        identically on both engines — every token becomes a line and the
+        Zipf head becomes cross-doc boilerplate; min_docs=20 drops the head
+        while keeping the mid-tail, so rebuilt texts have real variance."""
+        import pyarrow.compute as _pc
+
+        from htrc_feature_reader_ray.stages.curate import line_dedup
+
+        def aug(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "text": _pc.replace_substring(
+                    batch.column("text"), pattern=" ", replacement="\n"
+                ),
+            })
+
+        return line_dedup(
+            _docs(sf).map_batches(aug, batch_format="pyarrow"),
+            min_docs=20)
+
     def q_gopher_quality(sf):
         """Gopher/Dolma quality-rule inputs. The fixture text is
         all-alpha with no symbols, so the query appends a deterministic
@@ -4169,6 +4191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": lambda sf: langid(_docs(sf)),
         "sentence_stats": q_sentence_stats,
         "dup_line_stats": q_dup_line_stats,
+        "line_dedup": q_line_dedup,
         "gopher_quality": q_gopher_quality,
         "charclass_mix": q_charclass_mix,
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
@@ -6087,6 +6110,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dup_line_stats": textstats.dup_line_stats_sql(
             text="replace(text, ' ', chr(10))"
+        ),
+        "line_dedup": curate.line_dedup_sql(
+            text="replace(text, ' ', chr(10))", min_docs=20
         ),
         "charclass_mix": f"""
             WITH aug AS (

@@ -2443,3 +2443,191 @@ def luhn_card_flags_sql(*, table: str = "documents", text: str = "text",
                    FROM cand GROUP BY 1) c USING ({id_col})
         LEFT JOIN (SELECT {id_col}, count(*) AS n_valid
                    FROM luhn WHERE ok GROUP BY 1) v USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate-line removal (CCNet-style line dedup)
+
+
+def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               min_docs: int = 2, method: str = "auto",
+               broadcast_limit: int = 2_000_000, num_buckets: int = 32):
+    """CCNet-style boilerplate-line removal (Wenzek et al., LREC'20 §3.2;
+    the same pre-dedup step RefinedWeb/Dolma run): a line whose exact text
+    appears in at least ``min_docs`` DISTINCT documents is boilerplate
+    (nav bars, cookie banners, footers) and is removed from every document;
+    the survivors are re-joined in original order.  Output: one row per doc
+    — (id, ``text_clean``, ``n_lines``, ``n_dropped``).
+
+    Distinct-doc counting is exact under any batching because a document row
+    never splits across batches: the per-batch partial drops within-batch
+    (doc, line) repeats, so summing partials counts each (doc, line) pair
+    once.  Lines are identified by 64-bit md5 (the simhash/winnow
+    convention, :func:`..dedup.md5_hash64`) hashed once per batch line
+    VOCABULARY; the SQL mirror groups by the raw line — identical output
+    absent a 64-bit collision.
+
+    Scale shape: line text NEVER crosses an exchange.  Phase 1 folds
+    (digest, n_docs) partials through one digest-keyed
+    ``bucketed_aggregate``; the boilerplate digest set then applies either
+
+    * ``method='broadcast'`` — ship the int64 digest array once via
+      ``ray.put`` behind a loud ``broadcast_limit`` guard and rebuild
+      map-side (zero further exchange).  Boilerplate is by definition the
+      high-df head of the line distribution, so this set is vocabulary-like
+      small even when the corpus is not; or
+    * ``method='join'`` — for unbounded dup sets: explode (id, pos, digest)
+      24-byte rows, inner ``bucket_join`` against the dup digests, fold the
+      dropped positions per doc (pair-output-sized), LEFT ``bucket_join``
+      back onto the docs and rebuild — the one doc-text exchange.
+
+    ``method='auto'`` picks 'broadcast' while the folded dup set is within
+    ``broadcast_limit`` rows, else 'join'.  Both paths are pinned equal by
+    test."""
+    import ray
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
+
+    def _line_hashes(batch: pa.Table):
+        """(parent int64[], digest int64[], flat lines) for one batch."""
+        lines = pc.split_pattern(batch.column(text_col), pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        parent = pc.list_parent_indices(lines).to_numpy()
+        flat = pc.list_flatten(lines)
+        vals = flat.to_pandas().to_numpy(dtype=object)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        dig = md5_hash64(uniq).view(np.int64)[inv]
+        return parent, dig, flat
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parent, dig, _ = _line_hashes(batch)
+        pairs = pd.DataFrame({"p": parent, "digest": dig}).drop_duplicates()
+        g = pairs.groupby("digest", sort=False).size()
+        return pa.table({
+            "digest": pa.array(g.index.to_numpy(), pa.int64()),
+            "n_docs": pa.array(g.to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["digest"], {"n_docs": ("n_docs", "sum")}, num_buckets=num_buckets)
+    dup = folded.filter(expr=f"n_docs >= {min_docs}").select_columns(
+        ["digest"])
+
+    if method == "auto":
+        dup_pdf = dup.limit(broadcast_limit + 1).to_pandas()
+        method = "broadcast" if len(dup_pdf) <= broadcast_limit else "join"
+    elif method == "broadcast":
+        dup_pdf = dup.to_pandas()
+        if len(dup_pdf) > broadcast_limit:
+            raise ValueError(
+                f"dup-line set ({len(dup_pdf)}) exceeds broadcast_limit "
+                f"({broadcast_limit}); use method='join'")
+
+    def _rebuild(batch: pa.Table, keep: np.ndarray, parent: np.ndarray,
+                 flat: pa.Array) -> pa.Table:
+        n = len(batch)
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        kept_per = np.bincount(parent[keep], minlength=n).astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(kept_per, out=offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets), flat.filter(pa.array(keep)))
+        out = batch.select([id_col])
+        out = out.append_column(
+            "text_clean", pc.binary_join(
+                kept_list.cast(pa.list_(pa.string())), "\n"))
+        out = out.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        out = out.append_column(
+            "n_dropped", pa.array(n_lines - kept_per, pa.int64()))
+        return out
+
+    if method == "broadcast":
+        arr = (dup_pdf["digest"].to_numpy(dtype=np.int64)
+               if len(dup_pdf) else np.array([], dtype=np.int64))
+        ref = ray.put(np.sort(arr))
+
+        def apply_bcast(batch: pa.Table) -> pa.Table:
+            parent, dig, flat = _line_hashes(batch)
+            keep = ~np.isin(dig, ray.get(ref))
+            return _rebuild(batch, keep, parent, flat)
+
+        return ds.map_batches(apply_bcast, batch_format="pyarrow")
+
+    if method != "join":
+        raise ValueError(f"unknown method {method!r}")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parent, dig, _ = _line_hashes(batch)
+        ids = batch.column(id_col).take(pa.array(parent))
+        # parent is nondecreasing, so the first flat index of each doc is
+        # searchsorted-left of the doc's own parent value
+        pos = (np.arange(len(parent), dtype=np.int64)
+               - np.searchsorted(parent, parent, side="left"))
+        return pa.table({
+            id_col: ids,
+            "pos": pa.array(pos, pa.int64()),
+            "digest": pa.array(dig, pa.int64()),
+        })
+
+    dropped = bucket_join(
+        ds.map_batches(explode, batch_format="pyarrow"), dup,
+        left_key="digest", right_key="digest", how="semi",
+        num_buckets=num_buckets).select_columns([id_col, "pos"])
+    # positions ride the exchange as a comma-joined string: pair-output
+    # sized, and schema-stable through the tag+union join substrate (a
+    # list<int64> column with nulls is not)
+    drop_lists = bucketed_aggregate(
+        dropped, [id_col],
+        {"drop_pos": ("pos", lambda s: ",".join(map(str, sorted(s))))},
+        num_buckets=num_buckets)
+    joined = bucket_join(ds, drop_lists, left_key=id_col, right_key=id_col,
+                         how="left", num_buckets=num_buckets)
+
+    def apply_join(df: pd.DataFrame) -> pa.Table:
+        batch = pa.Table.from_pandas(
+            df[[id_col, text_col]].astype({text_col: str}),
+            preserve_index=False)
+        parent, _, flat = _line_hashes(batch)
+        keep = np.ones(len(parent), dtype=bool)
+        base = (np.searchsorted(parent, np.arange(len(df)), side="left")
+                if len(parent) else np.zeros(len(df), dtype=np.int64))
+        for i, s in enumerate(df["drop_pos"].tolist()):
+            if isinstance(s, str) and s:
+                keep[base[i] + np.array(s.split(","), dtype=np.int64)] \
+                    = False
+        return _rebuild(batch, keep, parent, flat)
+
+    return joined.map_batches(apply_join, batch_format="pandas")
+
+
+def line_dedup_sql(*, table: str = "documents", text: str = "text",
+                   id_col: str = "doc_id", min_docs: int = 2) -> str:
+    """Self-contained SQL mirror of :func:`line_dedup` (groups by the raw
+    line where the engine groups by its 64-bit md5)."""
+    return f"""
+        WITH d AS (
+          SELECT {id_col}, string_split({text}, chr(10)) AS arr
+          FROM {table}
+        ),
+        lines AS (
+          SELECT {id_col}, arr[i.i] AS l, i.i - 1 AS pos
+          FROM d, LATERAL unnest(generate_series(1, len(arr))) AS i(i)
+        ),
+        dup AS (
+          SELECT l FROM lines
+          GROUP BY l HAVING count(DISTINCT {id_col}) >= {min_docs}
+        )
+        SELECT {id_col},
+               coalesce(string_agg(l, chr(10) ORDER BY pos)
+                   FILTER (WHERE l NOT IN (SELECT l FROM dup)), '')
+                   AS text_clean,
+               count(*)::BIGINT AS n_lines,
+               count(*) FILTER (WHERE l IN (SELECT l FROM dup))::BIGINT
+                   AS n_dropped
+        FROM lines GROUP BY 1"""

@@ -946,3 +946,61 @@ def test_luhn_card_flags():
     sql = (con.execute(luhn_card_flags_sql()).df()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(eng, sql)
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate-line removal
+
+
+def test_line_dedup_hand_fixture_and_paths_equal():
+    from htrc_feature_reader_ray.stages.curate import line_dedup
+
+    texts = [
+        "cookie banner\nunique one\nfooter",
+        "cookie banner\nsomething else\nfooter",
+        "totally unique\nlines here",
+        "",
+    ]
+    ds = _docs_ds(texts)
+    outs = {}
+    for m in ("broadcast", "join"):
+        out = (
+            line_dedup(_docs_ds(texts), min_docs=2, method=m)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        outs[m] = out
+    want_clean = ["unique one", "something else",
+                  "totally unique\nlines here", ""]
+    assert outs["broadcast"]["text_clean"].tolist() == want_clean
+    assert outs["broadcast"]["n_lines"].tolist() == [3, 3, 2, 1]
+    assert outs["broadcast"]["n_dropped"].tolist() == [2, 2, 0, 0]
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["join"])
+    # auto path resolves to one of them
+    auto = (
+        line_dedup(ds, min_docs=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(auto, outs["broadcast"])
+
+
+def test_line_dedup_distinct_doc_counting():
+    from htrc_feature_reader_ray.stages.curate import line_dedup
+
+    # "rep" appears 3 times but in ONE doc: within-doc repeats must not
+    # reach min_docs=2; "shared" appears once in each of two docs and must.
+    texts = ["rep\nrep\nrep\nshared", "shared\nunique"]
+    out = (
+        line_dedup(_docs_ds(texts), min_docs=2, method="broadcast")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["text_clean"].tolist() == ["rep\nrep\nrep", "unique"]
+    assert out["n_dropped"].tolist() == [1, 1]
+
+
+def test_line_dedup_empty_corpus():
+    from htrc_feature_reader_ray.stages.curate import line_dedup
+
+    ds = _docs_ds([]).filter(lambda r: False)
+    for m in ("broadcast", "join"):
+        out = line_dedup(ds, min_docs=2, method=m).to_pandas()
+        assert len(out) == 0
