@@ -3468,6 +3468,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               concurrency=(1, 4))
         return ahash_images(small)
 
+    def q_image_dedup_pairs(sf):
+        """Near-duplicate IMAGE pairs end-to-end: deterministic synthetic
+        8×8 payloads (groups of 10 docs share a base image, one byte
+        tweaked per member — so intra-group Hamming is small and
+        cross-group is ~32) → exact-integer aHash → pigeonhole-exact
+        banded Hamming pairs. The oracle replays the pixel construction,
+        the bit math, and a brute-force all-pairs popcount join — the
+        banded engine path must produce the identical set."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.multimodal import (
+            ahash_images,
+            phash_dedup_pairs,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id"])
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            k = len(ids)
+            px = ((ids[:, None] // 10) * 31
+                  + np.arange(64, dtype=np.int64)[None, :] * 7) % 251
+            rows = np.arange(k)
+            px[rows, ids % 8] = (px[rows, ids % 8] + ids % 10) % 256
+            payloads = [row.astype(np.uint8).tobytes() for row in px]
+            return pa.table({
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, pa.binary()),
+            })
+
+        media = docs.map_batches(to_media, batch_format="pyarrow")
+        return phash_dedup_pairs(ahash_images(media), max_hamming=6)
+
     def q_numeric_profile(sf):
         """Distributed EXACT quantiles + summary stats over value_cents —
         histogram combiner -> tiny value-space fold -> rank lookup."""
@@ -4355,6 +4388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metadata": q_metadata,
         "multimodal_decode": q_multimodal_decode,
         "image_phash": q_image_phash,
+        "image_dedup_pairs": q_image_dedup_pairs,
         "numeric_profile": q_numeric_profile,
         "grouped_profile": q_grouped_profile,
         "stratified_sample": q_stratified_sample,
@@ -4527,6 +4561,7 @@ def oracle_sql() -> dict[str, str]:
         textstats,
         urltools,
     )
+    from htrc_feature_reader_ray.stages.multimodal import phash_pairs_sql
     from htrc_feature_reader_ray.stages.pack import pack_sequences_sql
     from htrc_feature_reader_ray.stages.partition import (
         rendezvous_assign_sql,
@@ -5930,6 +5965,34 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END)::BIGINT AS n_ones
             FROM px JOIN t USING (media_id)
             GROUP BY 1""",
+        "image_dedup_pairs": (
+            """
+            WITH px AS (
+              SELECT doc_id AS media_id, i.i AS i,
+                     CASE WHEN i.i = doc_id % 8
+                          THEN ((((doc_id // 10) * 31 + i.i * 7) % 251)
+                                + doc_id % 10) % 256
+                          ELSE ((doc_id // 10) * 31 + i.i * 7) % 251
+                     END AS o
+              FROM documents, LATERAL unnest(range(0, 64)) AS i(i)
+            ), t AS (
+              SELECT media_id, sum(o)::BIGINT AS tot FROM px GROUP BY 1
+            ), h AS (
+              SELECT px.media_id,
+                     sum(CASE WHEN o * 64 > tot AND i >= 32
+                              THEN 1::BIGINT << (i - 32)::INT
+                              ELSE 0 END)::BIGINT AS phash_hi,
+                     sum(CASE WHEN o * 64 > tot AND i < 32
+                              THEN 1::BIGINT << i::INT
+                              ELSE 0 END)::BIGINT AS phash_lo
+              FROM px JOIN t USING (media_id) GROUP BY 1
+            )
+            """
+            + phash_pairs_sql(
+                "SELECT media_id, phash_hi, phash_lo FROM h",
+                max_hamming=6,
+            )
+        ),
         "numeric_profile": """
             WITH v AS (
               SELECT CAST(round(value * 100) AS BIGINT) AS val FROM events

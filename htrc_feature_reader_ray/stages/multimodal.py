@@ -17,6 +17,7 @@ Design rules encoded here (SURVEY 'Multimodal columns' requirement):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 MEDIA_SCHEMA = pa.schema(
@@ -247,3 +248,122 @@ def ahash_images(media_ds, *, grid: int = 8):
         })
 
     return media_ds.map_batches(ahash, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# banded-Hamming near-duplicate image pairs over aHash fingerprints
+
+
+def phash_dedup_pairs(hashes, *, max_hamming: int = 6,
+                      id_col: str = "media_id", num_buckets: int = 32):
+    """EXACT near-duplicate image pairs from :func:`ahash_images` output:
+    every (a, b, hamming) with ``a < b`` and
+    ``hamming = popcount(hash_a XOR hash_b) <= max_hamming``.
+
+    Exactness by pigeonhole: the 64 hash bits split into
+    ``B = max_hamming + 1`` contiguous bands, so two hashes within
+    ``max_hamming`` differing bits agree EXACTLY on at least one band —
+    banding here is a completeness-preserving partitioner, not a recall
+    trade-off (contrast minhash LSH, where banding is probabilistic).
+    Candidates surface only inside (band, value) groups; the Hamming verify
+    is a map-side popcount in the same kernel.  A pair matching several
+    bands is emitted only by its FIRST matching band (earlier-band equality
+    recomputed from the carried halves), so output is globally distinct
+    with zero extra exchange.
+
+    Scale shape: one exchange of B × 40-byte (band, value, id, hi, lo)
+    rows; pair emission is quadratic only within a (band, value) group —
+    with ~64/B-bit bands, group size is corpus/2^(64/B)-ish except for
+    genuinely duplicated imagery, which is exactly what the op exists to
+    surface.  Payload bytes never cross.
+
+    Output: (a, b, hamming), int64."""
+    from htrc_feature_reader_ray.stages.dedup import _popcount64
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    base = 64 // n_bands
+    widths = np.full(n_bands, base, dtype=np.uint64)
+    widths[: 64 % n_bands] += 1
+    offs = np.concatenate(([0], np.cumsum(widths)[:-1])).astype(np.uint64)
+    # (1 << 64) - 1 overflows int64; build masks in uint64
+    masks = np.where(
+        widths == 64,
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        (np.uint64(1) << widths) - np.uint64(1),
+    )
+
+    def _full(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        k = len(batch)
+        hi = batch.column("phash_hi").to_numpy()
+        lo = batch.column("phash_lo").to_numpy()
+        u = _full(hi, lo)
+        vals = ((u[:, None] >> offs[None, :]) & masks[None, :])
+        return pa.table({
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), k)),
+            "val": pa.array(vals.reshape(-1).view(np.int64)),
+            id_col: pa.array(np.repeat(
+                batch.column(id_col).to_numpy(), n_bands)),
+            "hi": pa.array(np.repeat(hi, n_bands), pa.int64()),
+            "lo": pa.array(np.repeat(lo, n_bands), pa.int64()),
+        })
+
+    empty = pd.DataFrame({
+        "a": pd.Series(dtype="int64"),
+        "b": pd.Series(dtype="int64"),
+        "hamming": pd.Series(dtype="int64"),
+    })
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (band, _val), g in df.groupby(["band", "val"], sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            u = _full(g["hi"].to_numpy(), g["lo"].to_numpy())
+            iu, ju = np.triu_indices(m, k=1)
+            keep = np.ones(len(iu), dtype=bool)
+            for eb in range(int(band)):  # first-matching-band dedup
+                bv = (u >> offs[eb]) & masks[eb]
+                keep &= bv[iu] != bv[ju]
+            if not keep.any():
+                continue
+            iu, ju = iu[keep], ju[keep]
+            ham = _popcount64(u[iu] ^ u[ju])
+            sel = ham <= max_hamming
+            if not sel.any():
+                continue
+            ia, ib = ids[iu[sel]], ids[ju[sel]]
+            outs.append(pd.DataFrame({
+                "a": np.minimum(ia, ib),
+                "b": np.maximum(ia, ib),
+                "hamming": ham[sel],
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else empty.copy()
+
+    exploded = hashes.map_batches(explode, batch_format="pyarrow")
+    return bucketed_map_groups(exploded, "val", pairs_in_bucket,
+                               num_buckets=num_buckets)
+
+
+def phash_pairs_sql(hashes_cte: str, *, max_hamming: int = 6,
+                    id_col: str = "media_id", hi: str = "phash_hi",
+                    lo: str = "phash_lo") -> str:
+    """Brute-force SQL mirror of :func:`phash_dedup_pairs` over a CTE/
+    subquery producing (id, hi, lo) rows — the banded engine path and this
+    all-pairs replay are provably the same set (pigeonhole completeness +
+    in-kernel verify)."""
+    ham = (f"bit_count(xor(a.{hi}, b.{hi})) + "
+           f"bit_count(xor(a.{lo}, b.{lo}))")
+    return f"""
+        SELECT a.{id_col} AS a, b.{id_col} AS b,
+               ({ham})::BIGINT AS hamming
+        FROM ({hashes_cte}) a JOIN ({hashes_cte}) b
+          ON a.{id_col} < b.{id_col}
+        WHERE {ham} <= {max_hamming}"""

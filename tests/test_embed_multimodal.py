@@ -1,5 +1,6 @@
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -173,3 +174,70 @@ def test_ahash_images_exact_and_hamming():
 
     with pytest.raises(Exception):
         ahash_images(ray.data.from_arrow(bad)).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# banded-Hamming near-dup image pairs
+
+
+def _synthetic_hashes(n=120):
+    """aHash table from deterministic 8x8 payloads: groups of 10 share a
+    base image with one tweaked byte per member."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.multimodal import ahash_images
+
+    ids = np.arange(n, dtype=np.int64)
+    px = ((ids[:, None] // 10) * 31
+          + np.arange(64, dtype=np.int64)[None, :] * 7) % 251
+    rows = np.arange(n)
+    px[rows, ids % 8] = (px[rows, ids % 8] + ids % 10) % 256
+    payloads = [row.astype(np.uint8).tobytes() for row in px]
+    media = ray.data.from_arrow(pa.table({
+        "media_id": pa.array(ids),
+        "payload": pa.array(payloads, pa.binary()),
+    }))
+    return ahash_images(media)
+
+
+def test_phash_dedup_pairs_matches_brute_force():
+    from htrc_feature_reader_ray.stages.dedup import _popcount64
+    from htrc_feature_reader_ray.stages.multimodal import phash_dedup_pairs
+
+    h = _synthetic_hashes()
+    hp = h.to_pandas().sort_values("media_id").reset_index(drop=True)
+    u = (hp["phash_hi"].to_numpy().astype(np.uint64) << np.uint64(32)) \
+        | hp["phash_lo"].to_numpy().astype(np.uint64)
+    ids = hp["media_id"].to_numpy()
+    iu, ju = np.triu_indices(len(u), k=1)
+    ham = _popcount64(u[iu] ^ u[ju])
+    sel = ham <= 6
+    want = pd.DataFrame({
+        "a": ids[iu[sel]], "b": ids[ju[sel]], "hamming": ham[sel],
+    }).sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(want) > 50  # fixture really produces near-dups
+
+    got = (
+        phash_dedup_pairs(h, max_hamming=6, num_buckets=8)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_phash_dedup_pairs_exact_dup_and_empty():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.multimodal import phash_dedup_pairs
+
+    # max_hamming=0 (a single 64-bit band): exact-duplicate hashes only
+    h = ray.data.from_pandas(pd.DataFrame({
+        "media_id": [1, 2, 3],
+        "phash_hi": [7, 7, 9],
+        "phash_lo": [3, 3, 3],
+    }))
+    out = phash_dedup_pairs(h, max_hamming=0, num_buckets=4).to_pandas()
+    assert out.values.tolist() == [[1, 2, 0]]
+
+    empty = h.filter(lambda r: False)
+    out = phash_dedup_pairs(empty, max_hamming=6, num_buckets=4).to_pandas()
+    assert len(out) == 0
