@@ -577,6 +577,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["vec_id", "embedding"])
         return lsh_topk(ds, q, k=10, nbits=6, query_ids=qdf["vec_id"].to_numpy())
 
+    def q_ann_recall(sf):
+        """Recall@10 of the LSH ANN path against the exact top-k, per
+        query in exact integer ppm — the acceptance metric for the nbits
+        trade-off; the oracle recomputes both sides (literal seeded
+        hyperplanes + brute-force rank) and the identical hit count."""
+        from htrc_feature_reader_ray.stages.similarity import topk_recall
+
+        return topk_recall(q_ann_lsh(sf), q_ann(sf), k=10)
+
     def q_dedup_emb(sf):
         import ray.data
 
@@ -4219,6 +4228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": q_ann,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
+        "ann_recall": q_ann_recall,
         "token_count": lambda sf: token_count(_docs(sf)),
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
@@ -6148,6 +6158,9 @@ def oracle_sql() -> dict[str, str]:
         # the recall-growth pytest (non-SQL-expressible: data-dependent
         # k-means centroids)
         "ann_ivf_topk": exact_topk_sql,
+        "ann_recall": similarity_mod.topk_recall_sql(
+            exact_topk_sql, _ann_lsh_sql(), k=10
+        ),
         "token_count": (
             f"SELECT doc_id, {TOKEN_COUNT_SQL.format(text='text')} AS n_tokens"
             " FROM documents"

@@ -1475,3 +1475,46 @@ def embedding_covariance_sql(*, table: str = "embeddings",
                 - {shift})::BIGINT AS cov_ppm
         FROM q a JOIN q b ON a.{id_col} = b.{id_col} AND a.dim <= b.dim
         GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# retrieval-quality evaluation: recall@k of an ANN path vs the exact top-k
+
+
+def topk_recall(approx, exact, *, k: int, query_col: str = "query_id",
+                id_col: str = "vec_id"):
+    """Recall@k of an approximate top-k table against the exact one — THE
+    acceptance metric for every ANN trade-off (LSH nbits, IVF nprobe): per
+    query, ``recall_ppm = |approx ∩ exact| · 10⁶ // k`` in exact integer
+    ppm.  Queries with no approx rows (e.g. an empty LSH bucket) score 0 —
+    the query domain is the EXACT side's, so a silent ANN miss cannot
+    silently drop its row.
+
+    Both inputs are (query, id[, rank]) top-k tables — Q×k rows, bounded by
+    the query count, so this merges on the driver per the kmeans-centroid
+    posture; the distributed work already happened inside the two top-k
+    ops."""
+    a = approx.to_pandas() if hasattr(approx, "to_pandas") else approx
+    e = exact.to_pandas() if hasattr(exact, "to_pandas") else exact
+    hits = e[[query_col, id_col]].merge(
+        a[[query_col, id_col]], on=[query_col, id_col], how="inner")
+    n_hit = hits.groupby(query_col, sort=False).size().rename("n_hit")
+    out = (
+        e[[query_col]].drop_duplicates()
+        .merge(n_hit, left_on=query_col, right_index=True, how="left")
+    )
+    out["n_hit"] = out["n_hit"].fillna(0).astype("int64")
+    out["recall_ppm"] = out["n_hit"] * 1_000_000 // k
+    return out[[query_col, "recall_ppm"]].reset_index(drop=True)
+
+
+def topk_recall_sql(exact_sql: str, approx_sql: str, *, k: int,
+                    query_col: str = "query_id",
+                    id_col: str = "vec_id") -> str:
+    """SQL mirror of :func:`topk_recall` over two top-k replay queries."""
+    return f"""
+        SELECT e.{query_col},
+               (count(a.{id_col}) * 1000000 // {k})::BIGINT AS recall_ppm
+        FROM ({exact_sql}) e LEFT JOIN ({approx_sql}) a
+          USING ({query_col}, {id_col})
+        GROUP BY 1"""

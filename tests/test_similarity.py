@@ -553,3 +553,25 @@ def test_embedding_covariance_exact_and_partition_invariant():
     sql = (con.execute(embedding_covariance_sql()).df()
            .sort_values(["i", "j"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, sql)
+
+
+def test_topk_recall_exact_and_missing_query():
+    import pandas as pd
+
+    from htrc_feature_reader_ray.stages.similarity import topk_recall
+
+    exact = pd.DataFrame({
+        "query_id": [1, 1, 1, 1, 2, 2, 2, 2],
+        "vec_id":   [10, 11, 12, 13, 20, 21, 22, 23],
+    })
+    # query 1: 3/4 hit; query 2: no approx rows at all -> 0
+    approx = pd.DataFrame({
+        "query_id": [1, 1, 1, 1],
+        "vec_id":   [10, 11, 13, 99],
+    })
+    out = topk_recall(approx, exact, k=4).sort_values(
+        "query_id").reset_index(drop=True)
+    assert out["recall_ppm"].tolist() == [750000, 0]
+    # identical tables -> exactly 1.0 for every query
+    full = topk_recall(exact, exact, k=4)
+    assert set(full["recall_ppm"]) == {1000000}
