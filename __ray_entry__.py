@@ -3510,6 +3510,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = docs.map_batches(to_media, batch_format="pyarrow")
         return phash_dedup_pairs(ahash_images(media), max_hamming=6)
 
+    def q_sniff_content_type(sf):
+        """Magic-number content-type sniffing — the decode-routing step a
+        media pipeline runs because crawl Content-Type headers lie. The
+        deterministic fixture covers every dispatch branch: real magics
+        (jpeg/png/gif/pdf), the RIFF container fork (WEBP/WAVE/unknown
+        tag), a TRUNCATED magic, an HTML prefix and plain bytes — the
+        last three must all fall back per the documented priority table.
+        The oracle replays the fixture arithmetic and the expected
+        sniff verdicts."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.multimodal import (
+            sniff_content_type,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id"])
+
+        prefixes = [b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+                    b"%PDF-", b"RIFF0000WEBP", b"RIFF0000WAVE",
+                    b"RIFF0000XXXX", b"\xff\xd8", b"<html", b"data!"]
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            payloads = [prefixes[i % 10] + b"x" * (i % 5) for i in ids]
+            return pa.table({
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, pa.binary()),
+            })
+
+        media = docs.map_batches(to_media, batch_format="pyarrow")
+        return sniff_content_type(media)
+
     def q_numeric_profile(sf):
         """Distributed EXACT quantiles + summary stats over value_cents —
         histogram combiner -> tiny value-space fold -> rank lookup."""
@@ -4399,6 +4431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "image_phash": q_image_phash,
         "image_dedup_pairs": q_image_dedup_pairs,
+        "sniff_content_type": q_sniff_content_type,
         "numeric_profile": q_numeric_profile,
         "grouped_profile": q_grouped_profile,
         "stratified_sample": q_stratified_sample,
@@ -6003,6 +6036,24 @@ def oracle_sql() -> dict[str, str]:
                 max_hamming=6,
             )
         ),
+        "sniff_content_type": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 10
+                     WHEN 0 THEN 'image/jpeg'
+                     WHEN 1 THEN 'image/png'
+                     WHEN 2 THEN 'image/gif'
+                     WHEN 3 THEN 'application/pdf'
+                     WHEN 4 THEN 'image/webp'
+                     WHEN 5 THEN 'audio/wav'
+                     WHEN 8 THEN 'text/html'
+                     ELSE 'application/octet-stream'
+                   END AS sniffed_type,
+                   (CASE doc_id % 10
+                      WHEN 0 THEN 3 WHEN 1 THEN 8 WHEN 2 THEN 6
+                      WHEN 3 THEN 5 WHEN 7 THEN 2 WHEN 8 THEN 5
+                      WHEN 9 THEN 5 ELSE 12
+                    END + doc_id % 5)::BIGINT AS payload_bytes
+            FROM documents""",
         "numeric_profile": """
             WITH v AS (
               SELECT CAST(round(value * 100) AS BIGINT) AS val FROM events

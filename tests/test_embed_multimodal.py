@@ -241,3 +241,28 @@ def test_phash_dedup_pairs_exact_dup_and_empty():
     empty = h.filter(lambda r: False)
     out = phash_dedup_pairs(empty, max_hamming=6, num_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_sniff_content_type_branches():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.multimodal import sniff_content_type
+
+    pl = [b"\xff\xd8\xff rest", b"\x89PNG\r\n\x1a\nxx", b"GIF87a..",
+          b"%PDF-1.7", b"RIFF1234WEBPdata", b"RIFF1234WAVEdata",
+          b"RIFF1234XXXXdata", b"\xff\xd8", b"<html><body>",
+          b"<!DOCTYPE html><p>", b"plain words", b"", b"PK\x03\x04zz",
+          b"\x1f\x8bgz", b"\xef\xbb\xbfbom"]
+    ds = ray.data.from_arrow(pa.table({
+        "media_id": pa.array(range(len(pl)), pa.int64()),
+        "payload": pa.array(pl, pa.binary()),
+    }))
+    out = (sniff_content_type(ds).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    assert out["sniffed_type"].tolist() == [
+        "image/jpeg", "image/png", "image/gif", "application/pdf",
+        "image/webp", "audio/wav", "application/octet-stream",
+        "application/octet-stream", "text/html", "text/html",
+        "application/octet-stream", "application/octet-stream",
+        "application/zip", "application/gzip", "text/plain"]
+    assert out["payload_bytes"].tolist() == [len(p) for p in pl]
