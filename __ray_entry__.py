@@ -3510,6 +3510,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = docs.map_batches(to_media, batch_format="pyarrow")
         return phash_dedup_pairs(ahash_images(media), max_hamming=6)
 
+    def q_weighted_sample(sf):
+        """Deterministic weight-proportional bottom-k sample (integer
+        A-ES priority order md5_64(id)//w, smallest k win; weights
+        derived with a few non-positive values to exercise the exclusion
+        contract)."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.sample import weighted_sample
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+
+        def add_w(batch: pa.Table) -> pa.Table:
+            n = batch.column("n_chars").to_numpy()
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "w": pa.array(n % 97 - 3, pa.int64()),
+            })
+
+        return weighted_sample(
+            docs.map_batches(add_w, batch_format="pyarrow"),
+            id_col="doc_id", weight_col="w", k=40)
+
     def q_sniff_content_type(sf):
         """Magic-number content-type sniffing — the decode-routing step a
         media pipeline runs because crawl Content-Type headers lie. The
@@ -4432,6 +4454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash": q_image_phash,
         "image_dedup_pairs": q_image_dedup_pairs,
         "sniff_content_type": q_sniff_content_type,
+        "weighted_sample": q_weighted_sample,
         "numeric_profile": q_numeric_profile,
         "grouped_profile": q_grouped_profile,
         "stratified_sample": q_stratified_sample,
@@ -6035,6 +6058,10 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT media_id, phash_hi, phash_lo FROM h",
                 max_hamming=6,
             )
+        ),
+        "weighted_sample": sample.weighted_sample_sql(
+            table="(SELECT doc_id, n_chars % 97 - 3 AS w FROM documents)",
+            id_col="doc_id", weight_expr="w", k=40, columns="doc_id, w",
         ),
         "sniff_content_type": """
             SELECT doc_id AS media_id,

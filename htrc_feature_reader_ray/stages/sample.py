@@ -510,3 +510,60 @@ def mixture_interleave_sql(*, source_col: str, id_col: str, weights: dict,
                 ) - 1) + 1) * 1000000
                 // (2 * (CASE {source_col} {case} END)))::BIGINT AS mix_key
         FROM {table}"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic weight-proportional bottom-k sampling
+
+_WS_PRI = "__ws_priority"
+_WS_ONE = "__ws_const"
+
+
+def weighted_sample(ds, *, id_col: str, weight_col: str, k: int,
+                    salt: str = "", num_buckets: int = 8):
+    """Deterministic weight-proportional sample WITHOUT replacement — the
+    integer-exact cousin of Efraimidis–Spirakis A-ES priority sampling
+    (IPL'06): each row draws priority ``md5_64(salt||id) // weight`` and
+    the k SMALLEST priorities win.  For a uniform 64-bit hash, ``h/w`` is
+    an exponentially-distributed order key with rate ``w``, so heavier
+    rows win proportionally more often; the floor-division form keeps the
+    whole order integer-exact, input-order/partitioning-independent, and
+    SQL-replayable (``md5_number_upper // w`` — HUGEINT order equals
+    uint64 order).  Rows with ``weight <= 0`` are excluded by contract.
+
+    Composition, not new machinery: one stateless hash projection, then
+    the lossless local-bottom-k combiner (:func:`..fold.topk_per_group`
+    ascending over a constant group) — the exchange carries ≤ k rows per
+    input batch regardless of corpus size.  Output: the sampled rows plus
+    a 1-based ``sample_rank`` by (priority, id)."""
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.fold import topk_per_group
+
+    def add_priority(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[weight_col] > 0].copy()
+        h = md5_hash64([f"{salt}{v}" for v in df[id_col].to_numpy()])
+        df[_WS_PRI] = h // df[weight_col].to_numpy().astype(np.uint64)
+        df[_WS_ONE] = np.int64(0)
+        return df
+
+    out = topk_per_group(
+        ds.map_batches(add_priority, batch_format="pandas"),
+        group_cols=[_WS_ONE], sort_col=_WS_PRI, k=k,
+        tie_cols=[id_col], descending=False, num_buckets=num_buckets,
+        rank_col="sample_rank",
+    )
+    return out.drop_columns([_WS_PRI, _WS_ONE])
+
+
+def weighted_sample_sql(*, table: str, id_col: str, weight_expr: str,
+                        k: int, salt: str = "", columns: str = "*") -> str:
+    """SQL mirror of :func:`weighted_sample`."""
+    h = f"md5_number_upper('{salt}' || {id_col}::VARCHAR)"
+    return f"""
+        SELECT * FROM (
+          SELECT {columns},
+                 row_number() OVER (
+                     ORDER BY {h} // ({weight_expr})::UBIGINT, {id_col}
+                 )::BIGINT AS sample_rank
+          FROM {table} WHERE ({weight_expr}) > 0
+        ) WHERE sample_rank <= {k}"""

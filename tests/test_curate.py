@@ -1004,3 +1004,31 @@ def test_line_dedup_empty_corpus():
     for m in ("broadcast", "join"):
         out = line_dedup(ds, min_docs=2, method=m).to_pandas()
         assert len(out) == 0
+
+
+def test_weighted_sample_contract():
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.sample import weighted_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64),
+                       "w": (np.arange(500) % 11).astype(np.int64) - 1})
+    ds = ray.data.from_pandas(df)
+    got = (
+        weighted_sample(ds, id_col="doc_id", weight_col="w", k=25)
+        .to_pandas().sort_values("sample_rank").reset_index(drop=True)
+    )
+    # scalar reference: priority = md5_64(id) // w over positive weights
+    pos = df[df.w > 0].copy()
+    h = md5_hash64([str(v) for v in pos["doc_id"].to_numpy()])
+    pos["pri"] = h // pos["w"].to_numpy().astype(np.uint64)
+    want = pos.sort_values(["pri", "doc_id"]).head(25).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["sample_rank"].tolist() == list(range(1, 26))
+    assert (got["w"] > 0).all()
+    # partitioning invariance: tiny blocks give the identical sample
+    got2 = (
+        weighted_sample(ray.data.from_pandas(df).repartition(19),
+                        id_col="doc_id", weight_col="w", k=25)
+        .to_pandas().sort_values("sample_rank").reset_index(drop=True)
+    )
+    assert got2["doc_id"].tolist() == got["doc_id"].tolist()
