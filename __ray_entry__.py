@@ -1795,6 +1795,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cdc_dup_rate(_docs(sf))
 
+    def q_doc_novelty(sf):
+        """Per-doc n-gram novelty under the canonical md5 corpus order
+        (Lee et al. ACL'22 dedup-health signal): fraction of a doc's
+        5-gram occurrences whose shingle it OWNS (first doc to contain
+        it); later copies of templated text lose credit. One exploded
+        (digest, doc) pass materialized for its two consumers, owner
+        election per digest bucket, join back + doc fold."""
+        from htrc_feature_reader_ray.stages.dedup import doc_novelty
+
+        return doc_novelty(_docs(sf), n=5)
+
     def q_dedup_incremental(sf):
         """Incremental near-dup join: a deterministic md5 slice of the
         corpus plays the 'new crawl' (side 1), the rest the standing
@@ -4337,6 +4348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
         "cdc_dup_rate": q_cdc_dup_rate,
+        "doc_novelty": q_doc_novelty,
         "prefix_lm_split": q_prefix_lm_split,
         "fim_split": q_fim_split,
         "cusum_flags": q_cusum_flags,
@@ -5323,6 +5335,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_pairs": dedup_mod.semdedup_pairs_sql(threshold=0.3),
         "cdc_chunks": dedup_mod.cdc_chunks_sql(),
         "cdc_dup_rate": dedup_mod.cdc_dup_rate_sql(),
+        "doc_novelty": dedup_mod.doc_novelty_sql(n=5),
         "value_outliers": """
             WITH v AS (
                 SELECT event_id, event_type,

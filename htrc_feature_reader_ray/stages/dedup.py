@@ -2768,3 +2768,192 @@ def dedup_loser_rate(clusters, docs, *, id_col: str = "doc_id",
         })
 
     return folded.map_batches(finish, batch_format="pandas")
+
+
+def doc_novelty(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                n: int = 8, salt: str = "", num_buckets: int = 32):
+    """Per-document n-gram novelty under the canonical corpus order — the
+    Lee et al. ACL'22 ("Deduplicating Training Data Makes Language Models
+    Better") dedup-health signal: for each doc, the fraction of its
+    n-token shingle OCCURRENCES whose shingle the doc *owns*, where the
+    owner of a shingle is the first document to contain it in the
+    engine's deterministic md5 order (min over ``(md5_64(salt||id),
+    id)``).  A heavily templated / syndicated corpus shows low novelty on
+    late copies; a clean corpus is ~all-novel.  Unlike ``cdc_dup_rate``
+    (symmetric "is this chunk shared") novelty is ORDERED — the first
+    copy keeps full credit, later copies lose it — matching how a
+    training run actually experiences duplication.
+
+    Exact contract: tokens = space-split non-empties; shingles = the
+    ``len-n+1`` consecutive n-token windows joined with ' '; ownership
+    compares 64-bit shingle digests (``md5_hash64``; digest-level on both
+    engine and oracle sides).  All occurrences in the owner doc count
+    novel, including within-doc repeats.  Zero-shingle docs (< n tokens)
+    emit ``n_shingles = 0`` and ``novel_ppm = 1_000_000`` (nothing
+    copied).  Pure function of the data — bit-identical across runs and
+    parallelism.
+
+    Scale shape: one exploded pass pre-folds to distinct (digest, doc)
+    rows map-side (a doc never splits across batches), materialized once
+    for its two consumers; owner election is ONE digest-bucketed pass
+    (per-bucket vectorized sort + drop_duplicates — an exact composite
+    argmin over (h, id), no string order keys); one digest-co-partitioned
+    join back, one doc-keyed fold, and a doc-keyed LEFT join onto the
+    map-side totals.  Shingle text never crosses an exchange — only
+    16-byte (digest, h) + id rows move.
+    """
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    if n <= 0:
+        raise ValueError(f"shingle width must be positive, got {n}")
+
+    def _shingles(batch: pa.Table):
+        """(docrep int64[], digests int64[]) for one batch's shingles."""
+        import pyarrow.compute as pc
+
+        texts = batch.column(text_col)
+        toks = pc.split_pattern(texts, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        mask = pc.not_equal(flat, "")
+        parent = parent.filter(mask).to_numpy()
+        flat = flat.filter(mask)
+        lens = np.bincount(parent, minlength=len(texts)).astype(np.int64)
+        ks = np.maximum(lens - n + 1, 0)
+        total = int(ks.sum())
+        if not total:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64), ks)
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        docrep = np.repeat(np.arange(len(lens), dtype=np.int64), ks)
+        k_start = np.concatenate([[0], np.cumsum(ks)[:-1]])
+        local = np.arange(total, dtype=np.int64) - np.repeat(k_start, ks)
+        start = doc_start[docrep] + local
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.cast(pa.large_string())
+        parts = [flat.take(pa.array(start + j)) for j in range(n)]
+        sh = pc.binary_join_element_wise(
+            *parts, pa.scalar(" ", pa.large_string()))
+        vals = sh.to_pandas().to_numpy(dtype=object)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        dig = md5_hash64(uniq)[inv]  # uint64 — unsigned on BOTH sides
+        return docrep, dig, ks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        docrep, dig, _ = _shingles(batch)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"p": docrep, "digest": dig})
+             .groupby(["p", "digest"], sort=False).size())
+        p = g.index.get_level_values("p").to_numpy()
+        h = md5_hash64([f"{salt}{v}" for v in ids])
+        return pa.table({
+            "digest": pa.array(
+                g.index.get_level_values("digest").to_numpy(dtype=np.uint64),
+                pa.uint64()),
+            "h": pa.array(h[p], pa.uint64()),
+            id_col: pa.array(ids[p]),
+            "cnt": pa.array(g.to_numpy(dtype=np.int64), pa.int64()),
+        })
+
+    def totals(batch: pa.Table) -> pa.Table:
+        _, _, ks = _shingles(batch)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_shingles": pa.array(ks, pa.int64()),
+        })
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # owner election: exact composite argmin over (h, id) per digest — h
+    # stays UNSIGNED uint64 on the engine side and UBIGINT in the oracle,
+    # so (engine sort) ≡ (SQL ORDER BY h, did); ties in h resolve on id.
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        w = (df.sort_values(["digest", "h", id_col], kind="mergesort")
+             .drop_duplicates("digest"))
+        return pd.DataFrame({"digest": w["digest"].to_numpy(),
+                             "wid": w[id_col].to_numpy()})
+
+    winners = bucketed_map_groups(pairs, "digest", elect,
+                                  num_buckets=num_buckets)
+
+    joined = bucket_join(pairs.select_columns(["digest", id_col, "cnt"]),
+                         winners, left_key="digest", right_key="digest",
+                         num_buckets=num_buckets)
+
+    def novel_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df[id_col] == df["wid"]]
+        return pd.DataFrame({id_col: keep[id_col].to_numpy(),
+                             "cnt": keep["cnt"].to_numpy()})
+
+    novel = bucketed_aggregate(
+        joined.map_batches(novel_rows, batch_format="pandas"),
+        [id_col], {"novel": ("cnt", "sum")}, num_buckets=num_buckets)
+
+    out = bucket_join(ds.map_batches(totals, batch_format="pyarrow"),
+                      novel, left_key=id_col, right_key=id_col,
+                      num_buckets=num_buckets, how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["n_shingles"].astype("int64")
+        nov = df["novel"].fillna(0).astype("int64")
+        ppm = np.where(ns.to_numpy() == 0, 1_000_000,
+                       nov.to_numpy() * 1_000_000
+                       // np.maximum(ns.to_numpy(), 1))
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "n_shingles": ns,
+            "novel": nov,
+            "novel_ppm": ppm.astype(np.int64),
+        })
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def doc_novelty_sql(*, table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id", n: int = 8,
+                    salt: str = "") -> str:
+    """SQL replay: identical shingle construction, 64-bit digest identity
+    via md5_number_upper (UBIGINT — unsigned on both sides, matching the
+    engine's uint64), owner via a (h, did) row_number window."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH nv_d AS (
+          SELECT {id_col} AS did, {toks} AS t FROM {table}
+        ),
+        nv_sh AS (
+          SELECT did,
+                 md5_number_upper('{salt}' || did::VARCHAR) AS h,
+                 md5_number_upper(array_to_string(
+                      list_slice(t, i.i, i.i + {n} - 1), ' ')) AS digest
+          FROM nv_d, unnest(generate_series(1, len(t) - {n} + 1)) AS i(i)
+        ),
+        nv_w AS (
+          SELECT digest, did AS wid FROM (
+            SELECT digest, did,
+                   row_number() OVER (PARTITION BY digest
+                                      ORDER BY h, did) AS rn
+            FROM (SELECT DISTINCT digest, h, did FROM nv_sh))
+          WHERE rn = 1
+        ),
+        nv_nov AS (
+          SELECT s.did, count(*)::BIGINT AS novel
+          FROM nv_sh s JOIN nv_w w
+            ON s.digest = w.digest AND s.did = w.wid
+          GROUP BY 1
+        ),
+        nv_tot AS (
+          SELECT did, greatest(len(t) - {n} + 1, 0)::BIGINT AS n_shingles
+          FROM nv_d
+        )
+        SELECT t.did AS {id_col}, t.n_shingles,
+               coalesce(v.novel, 0)::BIGINT AS novel,
+               (CASE WHEN t.n_shingles = 0 THEN 1000000
+                     ELSE coalesce(v.novel, 0) * 1000000 // t.n_shingles
+                END)::BIGINT AS novel_ppm
+        FROM nv_tot t LEFT JOIN nv_nov v ON v.did = t.did"""

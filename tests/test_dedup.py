@@ -817,3 +817,47 @@ def test_dedup_loser_rate_hand_fixture():
     assert out["n_docs"].tolist() == [3, 3]
     assert out["n_dup_losers"].tolist() == [1, 1]   # a: doc 2; b: doc 3
     assert out["loser_ppm"].tolist() == [333_333, 333_333]
+
+
+def test_doc_novelty():
+    """Owner doc (min (md5_64(id), id)) keeps full credit for a shared
+    shingle — including within-doc repeats — later copies lose it;
+    zero-shingle docs report full novelty; SQL replay is identical."""
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.dedup import (
+        doc_novelty,
+        doc_novelty_sql,
+        md5_hash64,
+    )
+
+    shared = "a b c"           # the one 3-gram both twins contain
+    texts = {
+        0: shared + " x0 " + shared,    # shingles: 5, 'a b c' twice
+        1: shared,                      # shingles: 1, the shared one
+        2: "u v w t",                   # unique: 2 novel shingles
+        3: "p q",                       # < n tokens: 0 shingles
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (doc_novelty(ds, n=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    h = md5_hash64(["0", "1"])
+    owner = 0 if h[0] < h[1] else 1
+    assert out["n_shingles"].tolist() == [5, 1, 2, 0]
+    if owner == 0:
+        # doc 0 owns 'a b c': both its occurrences novel + its 3 unique
+        assert out["novel"].tolist() == [5, 0, 2, 0]
+        assert out["novel_ppm"].tolist() == [1_000_000, 0,
+                                             1_000_000, 1_000_000]
+    else:
+        assert out["novel"].tolist() == [3, 1, 2, 0]
+        assert out["novel_ppm"].tolist() == [600_000, 1_000_000,
+                                             1_000_000, 1_000_000]
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(doc_novelty_sql(n=3)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, sql)
