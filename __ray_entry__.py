@@ -3719,6 +3719,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feature_hashing(_docs(sf), dims=64)
 
+    def q_phrase_search(sf):
+        """Exact positional phrase match (adjacency, which tokenlist
+        folding discards): per-doc match count + first offset via one
+        shift-AND pass per batch, zero exchange."""
+        from htrc_feature_reader_ray.stages.curate import phrase_search
+
+        return phrase_search(_docs(sf), "merge sort")
+
     def q_pmi_collocations(sf):
         """Collocation mining: min_count-filtered adjacent bigrams with
         exact counts and the integer lift_ppm association score — two
@@ -4480,6 +4488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": q_tfidf,
         "build_postings": q_build_postings,
         "boolean_retrieval": q_boolean_retrieval,
+        "phrase_search": q_phrase_search,
         "feature_hashing": q_feature_hashing,
         "pmi_collocations": q_pmi_collocations,
         "pii_redaction": q_pii_redaction,
@@ -6588,6 +6597,7 @@ def oracle_sql() -> dict[str, str]:
         "build_postings": curate.build_postings_sql(),
         "boolean_retrieval": curate.boolean_retrieval_sql(
             ["scan", "window", "merge"]),
+        "phrase_search": curate.phrase_search_sql("merge sort"),
         "feature_hashing": vocab_mod.feature_hashing_sql(dims=64),
         "pmi_collocations": curate.pmi_collocations_sql(min_count=5),
         "pii_redaction": f"""

@@ -655,6 +655,101 @@ def build_postings_sql(*, table: str = "documents", text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+def phrase_search(ds, phrase, *, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Exact positional phrase match — the query-side consumer the
+    reference's per-page token tables serve (a user greps HTRC volumes for
+    a multi-word phrase the way ``Volume.tokenlist`` users post-filter;
+    feature_reader.py:25-112's folding never keeps adjacency, so this is
+    the op that *does*). Emits one row per document containing the phrase:
+    ``(doc_id, n_matches, first_pos)`` with ``first_pos`` the 0-based token
+    offset of the earliest occurrence. Overlapping occurrences all count
+    (``a a a`` matches ``a a`` twice).
+
+    Scale shape: ZERO exchange. Adjacency is a within-document property and
+    a document row never splits across batches, so the whole match is one
+    vectorized pass per batch: one ``pc.equal`` per phrase word against the
+    flat token array, numpy shift-AND across the ``m`` lanes, a same-parent
+    guard so matches never straddle documents, then a ``bincount`` fold to
+    per-doc counts and a ``minimum.at`` fold to first positions. Phrase
+    text never leaves the driver closure; the output is match-sized.
+    """
+    words = [w for w in phrase.split(" ") if w]
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    m = len(words)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        empty = pa.table({
+            id_col: batch.column(id_col).slice(0, 0),
+            "n_matches": pa.array([], type=pa.int64()),
+            "first_pos": pa.array([], type=pa.int64()),
+        })
+        n = len(parent)
+        if n < m:
+            return empty
+        parent = parent.astype(np.int64)
+        # lane k: token at offset k equals phrase word k
+        match = pc.equal(flat, words[0]).to_numpy(
+            zero_copy_only=False)[:n - m + 1].copy()
+        for k in range(1, m):
+            lane = pc.equal(flat, words[k]).to_numpy(zero_copy_only=False)
+            match &= lane[k:n - m + 1 + k]
+        # a match must live entirely inside one document
+        match &= parent[:n - m + 1] == parent[m - 1:]
+        hit = np.flatnonzero(match)
+        if len(hit) == 0:
+            return empty
+        doc = parent[hit]
+        counts = np.bincount(doc, minlength=nrows)
+        # token position within the owning document
+        starts = np.concatenate(
+            ([0], np.cumsum(np.bincount(parent, minlength=nrows))[:-1]))
+        pos = hit - starts[doc]
+        first = np.full(nrows, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, doc, pos)
+        keep = np.flatnonzero(counts > 0)
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(keep)),
+            "n_matches": pa.array(counts[keep].astype(np.int64)),
+            "first_pos": pa.array(first[keep]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def phrase_search_sql(phrase, *, table: str = "documents",
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB mirror of :func:`phrase_search` (same tokenizer contract as
+    ``_tok_stats``: split on single spaces, drop empties; positions are
+    0-based over the kept tokens)."""
+    words = [w for w in phrase.split(" ") if w]
+    m = len(words)
+    conds = " AND ".join(
+        f"arr[i.i + {k}] = '{w}'" for k, w in enumerate(words))
+    return f"""
+        WITH d AS (
+          SELECT {id_col},
+                 list_filter(string_split({text_col}, ' '),
+                             x -> x <> '') AS arr
+          FROM {table}
+        ),
+        hits AS (
+          SELECT {id_col}, i.i - 1 AS pos
+          FROM d, unnest(generate_series(1, len(arr) - {m - 1})) AS i(i)
+          WHERE {conds}
+        )
+        SELECT {id_col}, count(*)::BIGINT AS n_matches,
+               min(pos)::BIGINT AS first_pos
+        FROM hits GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # integer unigram-surprisal quality score
 # ---------------------------------------------------------------------------
 

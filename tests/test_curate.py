@@ -1032,3 +1032,53 @@ def test_weighted_sample_contract():
         .to_pandas().sort_values("sample_rank").reset_index(drop=True)
     )
     assert got2["doc_id"].tolist() == got["doc_id"].tolist()
+
+
+def test_phrase_search_exact_positions():
+    from htrc_feature_reader_ray.stages.curate import phrase_search
+
+    texts = [
+        "a a a b",          # "a a" overlaps: matches at 0 and 1
+        "b a a",            # match at 1
+        "a b a",            # no adjacent "a a"
+        "",                 # empty doc
+        "a",                # shorter than phrase
+    ]
+    out = (
+        phrase_search(_docs_ds(texts), "a a")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_matches"].tolist() == [2, 1]
+    assert out["first_pos"].tolist() == [0, 1]
+
+
+def test_phrase_search_never_straddles_docs():
+    from htrc_feature_reader_ray.stages.curate import phrase_search
+
+    # doc 0 ends with "x", doc 1 starts with "y": the flat token stream
+    # contains adjacent "x y" but across a doc boundary — must not match.
+    out = phrase_search(_docs_ds(["q x", "y q"]), "x y").to_pandas()
+    assert len(out) == 0
+
+
+def test_phrase_search_three_words_and_extra_spaces():
+    from htrc_feature_reader_ray.stages.curate import phrase_search
+
+    # double spaces produce empty tokens that _tok_stats drops, so
+    # "a  b c" still contains the adjacent phrase "a b c"
+    out = (
+        phrase_search(_docs_ds(["a  b c d", "a b d c"]), "a b c")
+        .to_pandas()
+    )
+    assert out["doc_id"].tolist() == [0]
+    assert out["n_matches"].tolist() == [1]
+    assert out["first_pos"].tolist() == [0]
+
+
+def test_phrase_search_empty_phrase_raises():
+    import pytest as _pytest
+    from htrc_feature_reader_ray.stages.curate import phrase_search
+
+    with _pytest.raises(ValueError):
+        phrase_search(_docs_ds(["a"]), "  ")
