@@ -1360,6 +1360,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             parent_rows=pq.ParquetFile(
                 f"{sf}/supplier.parquet").metadata.num_rows)
 
+    def q_k_anonymity(sf):
+        """Privacy release gate: (event_type, day, $50-band) groups
+        violating k=5 anonymity or distinct-2-diversity on user_id —
+        map-side distinct partials, ONE composite-QI-keyed exchange."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import k_anonymity
+
+        def derive(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                         pa.int64()).to_numpy()
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "day": pa.array(us // 86_400_000_000),
+                "band": pa.array(cents // 5000),
+                "user_id": t.column("user_id"),
+            })
+
+        ev = _events(sf, ["ts", "user_id", "event_type", "value"])
+        return k_anonymity(
+            ev.map_batches(derive, batch_format="pyarrow"),
+            qi_cols=["event_type", "day", "band"],
+            sensitive_col="user_id", k=5, l_div=2)
+
     def q_topn_sources_per_lang(sf):
         """Long-tail collapse: per lang the top-2 sources by doc count,
         the tail folded into one __other__ row — (group,key) fold
@@ -4391,6 +4418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_subsample": q_freq_subsample,
         "pareto_sources": q_pareto_sources,
         "fk_violations": q_fk_violations,
+        "k_anonymity": q_k_anonymity,
         "topn_sources_per_lang": q_topn_sources_per_lang,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
@@ -5555,6 +5583,13 @@ def oracle_sql() -> dict[str, str]:
         "fk_violations": profile_mod.fk_violations_sql(
             child_table="events", parent_table="supplier",
             child_key="user_id", parent_key="s_suppkey"),
+        "k_anonymity": profile_mod.k_anonymity_sql(
+            table_expr="events",
+            qi_exprs=[("event_type", "event_type"),
+                      ("day", "epoch_us(ts) // 86400000000"),
+                      ("band",
+                       "CAST(round(value * 100) AS BIGINT) // 5000")],
+            sensitive="user_id", k=5, l_div=2),
         "topn_sources_per_lang": profile_mod.topn_collapse_sql(
             table="documents", group="lang", key="source", n=2),
         "rendezvous_shards": rendezvous_assign_sql(

@@ -2132,3 +2132,75 @@ def grouped_emd_sql(*, table: str, group: str, value_expr: str) -> str:
         JOIN ca USING (v) JOIN tot t ON t.grp = cg.grp, big
         GROUP BY cg.grp, t.n_g, big.n
         ORDER BY 1"""
+
+
+def k_anonymity(ds, *, qi_cols, sensitive_col: str, k: int = 5,
+                l_div: int = 2, num_buckets: int = 32):
+    """Privacy audit: quasi-identifier groups violating k-anonymity
+    (Sweeney, IJUFKS 2002) or distinct-l-diversity (Machanavajjhala et
+    al., ICDE 2006) — the release gate a training corpus runs before
+    shipping event/interaction data, because a (type, day, amount-band)
+    tuple with <k rows re-identifies its subject and a group whose rows
+    all belong to ONE subject leaks the sensitive attribute even when
+    the group is large.
+
+    Output: one row per VIOLATING group — ``qi_cols + (group_size,
+    n_sensitive)`` where ``group_size < k OR n_sensitive < l_div``
+    (``n_sensitive`` = exact distinct count of ``sensitive_col``).
+    Violations-only keeps the result audit-sized at corpus scale; the
+    compliant mass never leaves the fold.
+
+    Scale shape: per-batch Arrow ``group_by(qi+sensitive).count`` collapses
+    the event stream to distinct (QI, subject) partials before the ONE
+    exchange, which is keyed on a composite QI string (hash spread comes
+    from the full tuple — bucketing on a low-cardinality component like
+    event_type alone would skew). Both folds (finish the distinct, then
+    count subjects per group) run co-partitioned inside the same bucket
+    pass, so distinctness is exact with a single shuffle.
+    """
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    qi = list(qi_cols)
+    key_col = "_qi"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(qi + [sensitive_col]).group_by(
+            qi + [sensitive_col]).aggregate([([], "count_all")])
+        g = g.rename_columns(qi + [sensitive_col, "n"])
+        key = pc.cast(g.column(qi[0]), pa.string())
+        for c in qi[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(g.column(c), pa.string()), "\x1f")
+        return g.append_column(key_col, key)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.groupby([key_col] + qi + [sensitive_col], sort=False,
+                        as_index=False, observed=True)["n"].sum())
+        g = (d.groupby([key_col] + qi, sort=False, as_index=False,
+                       observed=True)
+             .agg(group_size=("n", "sum"), n_sensitive=("n", "size")))
+        bad = g[(g["group_size"] < k) | (g["n_sensitive"] < l_div)]
+        return bad.drop(columns=[key_col]).reset_index(drop=True)
+
+    return bucketed_map_groups(partials, key_col, fold,
+                               num_buckets=num_buckets)
+
+
+def k_anonymity_sql(*, table_expr: str, qi_exprs, sensitive: str,
+                    k: int = 5, l_div: int = 2) -> str:
+    """SQL mirror: plain GROUP BY over the same derived QI expressions with
+    count(*) / count(DISTINCT sensitive), filtered to violations."""
+    sel = ", ".join(f"{e} AS {n}" for n, e in qi_exprs)
+    names = ", ".join(n for n, _ in qi_exprs)
+    return f"""
+        WITH base AS (
+          SELECT {sel}, {sensitive} AS s FROM {table_expr}
+        )
+        SELECT {names}, count(*)::BIGINT AS group_size,
+               count(DISTINCT s)::BIGINT AS n_sensitive
+        FROM base GROUP BY {names}
+        HAVING count(*) < {k} OR count(DISTINCT s) < {l_div}"""

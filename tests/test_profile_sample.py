@@ -1083,3 +1083,52 @@ def test_grouped_emd_exact_and_sql():
         grouped_emd_sql(table="t2", group="g", value_expr="v")).df()
         .set_index("g").sort_index())
     pd.testing.assert_frame_equal(out2, sql2)
+
+
+def test_k_anonymity_exact_violations():
+    from htrc_feature_reader_ray.stages.profile import k_anonymity
+
+    # group A: 6 rows, 3 users -> compliant (k=5, l=2)
+    # group B: 3 rows, 3 users -> k-violation (size < 5)
+    # group C: 7 rows, 1 user  -> l-violation (large but single subject)
+    rows = (
+        [("A", u) for u in [1, 2, 3, 1, 2, 3]]
+        + [("B", u) for u in [4, 5, 6]]
+        + [("C", 7)] * 7
+    )
+    df = pd.DataFrame(rows, columns=["qi", "user"])
+    ds = ray.data.from_pandas(df)
+    out = (
+        k_anonymity(ds, qi_cols=["qi"], sensitive_col="user", k=5, l_div=2)
+        .to_pandas().sort_values("qi").reset_index(drop=True)
+    )
+    assert out["qi"].tolist() == ["B", "C"]
+    assert out["group_size"].tolist() == [3, 7]
+    assert out["n_sensitive"].tolist() == [3, 1]
+    assert str(out["group_size"].dtype) == "int64"
+    # partition invariance: distinct counting stays exact when a group's
+    # rows split across many blocks
+    out2 = (
+        k_anonymity(ray.data.from_pandas(df).repartition(8),
+                    qi_cols=["qi"], sensitive_col="user", k=5, l_div=2)
+        .to_pandas().sort_values("qi").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_k_anonymity_composite_qi():
+    from htrc_feature_reader_ray.stages.profile import k_anonymity
+
+    # same first component, different second: must NOT merge
+    df = pd.DataFrame({
+        "a": ["x"] * 10, "b": [0] * 5 + [1] * 5,
+        "user": [1, 2, 3, 4, 5, 6, 6, 6, 6, 6],
+    })
+    out = (
+        k_anonymity(ray.data.from_pandas(df), qi_cols=["a", "b"],
+                    sensitive_col="user", k=5, l_div=2)
+        .to_pandas()
+    )
+    # (x,0): 5 rows 5 users -> ok; (x,1): 5 rows 1 user -> l-violation
+    assert len(out) == 1
+    assert out.iloc[0]["b"] == 1 and out.iloc[0]["n_sensitive"] == 1
