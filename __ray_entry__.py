@@ -1387,6 +1387,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             qi_cols=["event_type", "day", "band"],
             sensitive_col="user_id", k=5, l_div=2)
 
+    def q_benford_audit(sf):
+        """Numeric-authenticity screen: leading-digit histogram of value
+        cents per event_type vs the literal Benford ppm table — map-side
+        digit counts, one tiny fold, driver grid finish."""
+        from htrc_feature_reader_ray.stages.profile import benford_audit
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({"event_type": t.column("event_type"),
+                             "cents": pa.array(c)})
+
+        ev = _events(sf, ["event_type", "value"])
+        return benford_audit(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            group_col="event_type", value_col="cents")
+
     def q_topn_sources_per_lang(sf):
         """Long-tail collapse: per lang the top-2 sources by doc count,
         the tail folded into one __other__ row — (group,key) fold
@@ -4419,6 +4437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_sources": q_pareto_sources,
         "fk_violations": q_fk_violations,
         "k_anonymity": q_k_anonymity,
+        "benford_audit": q_benford_audit,
         "topn_sources_per_lang": q_topn_sources_per_lang,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
@@ -5590,6 +5609,9 @@ def oracle_sql() -> dict[str, str]:
                       ("band",
                        "CAST(round(value * 100) AS BIGINT) // 5000")],
             sensitive="user_id", k=5, l_div=2),
+        "benford_audit": profile_mod.benford_audit_sql(
+            table_expr="events", group="event_type",
+            value_expr="CAST(round(value * 100) AS BIGINT)"),
         "topn_sources_per_lang": profile_mod.topn_collapse_sql(
             table="documents", group="lang", key="source", n=2),
         "rendezvous_shards": rendezvous_assign_sql(

@@ -2204,3 +2204,102 @@ def k_anonymity_sql(*, table_expr: str, qi_exprs, sensitive: str,
                count(DISTINCT s)::BIGINT AS n_sensitive
         FROM base GROUP BY {names}
         HAVING count(*) < {k} OR count(DISTINCT s) < {l_div}"""
+
+
+# first-significant-digit probabilities log10(1 + 1/d) in floor ppm —
+# LITERAL on both engine and SQL sides (libm log10 may differ by an ulp
+# across engines, so the contract is this table, not a runtime log)
+BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+               6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+
+def benford_audit(ds, *, group_col: str, value_col: str,
+                  num_buckets: int = 16):
+    """Benford first-digit conformance per group (Benford 1938; Nigrini's
+    forensic-accounting screen): naturally-occurring multiplicative
+    quantities put digit d first with probability log10(1+1/d), so a
+    group whose leading-digit histogram deviates hard is machine-generated,
+    capped, or tampered — the cheap authenticity screen a pipeline runs
+    over transaction values and scraped numeric fields before trusting
+    them as training signal.
+
+    Input contract: ``value_col`` is a positive int64 (quantize floats to
+    cents first — engine-wide convention); zero/negative rows are excluded
+    (they have no leading significant digit). Output: the full 9-digit
+    grid per group — ``(group, digit, n, obs_ppm, benford_ppm)`` with
+    ``obs_ppm = n·10⁶ // n_group`` exact and absent digits present with
+    n=0 (an auditor needs the zero rows; silently missing digits ARE the
+    signal). Deviation is left to the consumer (obs−benford is a derived
+    column) to keep the relation minimal.
+
+    Scale shape: the first digit is integer-exact via ≤19 vectorized
+    ``//=10`` halvings (no float log10 — exact at every power-of-10
+    boundary), per-batch (group, digit) counts collapse the stream
+    map-side, one tiny fold of ≤ |groups|·9 rows, and the zero-fill grid
+    finish runs on the driver over that audit-sized table only
+    (``grouped_emd`` posture: group_col is a bounded audit dimension).
+    """
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        g = batch.column(group_col)
+        pos = v > 0
+        d = v[pos].copy()
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        t = pa.table({group_col: g.filter(pa.array(pos)),
+                      "digit": pa.array(d)})
+        c = t.group_by([group_col, "digit"]).aggregate([([], "count_all")])
+        return c.rename_columns([group_col, "digit", "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "digit"], {"n": ("n", "sum")},
+        num_buckets=num_buckets, bucket_key="digit",
+    ).to_pandas()
+
+    grid = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        total = int(sub["n"].sum())
+        by_d = sub.set_index("digit")["n"]
+        for digit in range(1, 10):
+            n = int(by_d.get(digit, 0))
+            grid.append((grp, digit, n, n * 1_000_000 // total,
+                         BENFORD_PPM[digit]))
+    out = pd.DataFrame(
+        grid, columns=[group_col, "digit", "n", "obs_ppm", "benford_ppm"])
+    for c in ("digit", "n", "obs_ppm", "benford_ppm"):
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def benford_audit_sql(*, table_expr: str, group: str,
+                      value_expr: str) -> str:
+    """SQL mirror: leading digit via VARCHAR substr (exact for positive
+    BIGINT), the identical literal ppm table, LEFT-JOINed 9-digit grid."""
+    bf = ", ".join(f"({d}, {p})" for d, p in BENFORD_PPM.items())
+    return f"""
+        WITH v AS (
+          SELECT {group} AS g, {value_expr} AS n
+          FROM {table_expr} WHERE {value_expr} > 0
+        ),
+        d AS (
+          SELECT g, CAST(substr(CAST(n AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit,
+                 count(*)::BIGINT AS n
+          FROM v GROUP BY 1, 2
+        ),
+        tot AS (SELECT g, sum(n)::BIGINT AS t FROM d GROUP BY 1),
+        bf(digit, benford_ppm) AS (VALUES {bf})
+        SELECT tot.g AS {group}, bf.digit::BIGINT AS digit,
+               coalesce(d.n, 0)::BIGINT AS n,
+               (coalesce(d.n, 0) * 1000000 // tot.t)::BIGINT AS obs_ppm,
+               bf.benford_ppm::BIGINT AS benford_ppm
+        FROM tot CROSS JOIN bf
+        LEFT JOIN d ON d.g = tot.g AND d.digit = bf.digit"""

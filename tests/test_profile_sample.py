@@ -1132,3 +1132,38 @@ def test_k_anonymity_composite_qi():
     # (x,0): 5 rows 5 users -> ok; (x,1): 5 rows 1 user -> l-violation
     assert len(out) == 1
     assert out.iloc[0]["b"] == 1 and out.iloc[0]["n_sensitive"] == 1
+
+
+def test_benford_constants_match_log10():
+    import math
+
+    from htrc_feature_reader_ray.stages.profile import BENFORD_PPM
+
+    for d, ppm in BENFORD_PPM.items():
+        assert ppm == math.floor(math.log10(1 + 1 / d) * 1_000_000)
+    assert sum(BENFORD_PPM.values()) == 999995  # floors lose 5 ppm
+
+
+def test_benford_audit_exact_grid():
+    from htrc_feature_reader_ray.stages.profile import benford_audit
+
+    # group g: values with leading digits 1,1,1,9 (incl. power-of-10
+    # boundaries 10 and 1000 where float log10 could misround);
+    # zeros/negatives excluded
+    df = pd.DataFrame({
+        "g": ["g"] * 6 + ["h"] * 2,
+        "v": [10, 1000, 199, 9, 0, -5, 7, 70],
+    })
+    out = (
+        benford_audit(ray.data.from_pandas(df).repartition(4),
+                      group_col="g", value_col="v")
+        .to_pandas().sort_values(["g", "digit"]).reset_index(drop=True)
+    )
+    assert len(out) == 18  # full 9-digit grid per group
+    g = out[out.g == "g"].set_index("digit")
+    assert g.loc[1, "n"] == 3 and g.loc[9, "n"] == 1
+    assert g.loc[2, "n"] == 0  # absent digit present with n=0
+    assert g.loc[1, "obs_ppm"] == 3 * 1_000_000 // 4
+    h = out[out.g == "h"].set_index("digit")
+    assert h.loc[7, "n"] == 2 and h.loc[7, "obs_ppm"] == 1_000_000
+    assert (out.benford_ppm[out.digit == 1] == 301029).all()
