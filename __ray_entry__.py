@@ -1405,6 +1405,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(cents, batch_format="pyarrow"),
             group_col="event_type", value_col="cents")
 
+    def q_cohens_kappa(sf):
+        """Silver-vs-gold label QA: chance-corrected agreement between
+        the marker-word language-ID and the stored lang label in exact
+        ppm — confusion counts fold map-side, L x L finish on driver."""
+        from htrc_feature_reader_ray.stages.profile import cohens_kappa
+        from htrc_feature_reader_ray.stages.textstats import langid
+
+        pred = langid(_docs(sf, ("doc_id", "text", "lang")),
+                      id_cols=("doc_id", "lang"))
+        return cohens_kappa(pred, pred_col="pred_lang", true_col="lang")
+
     def q_topn_sources_per_lang(sf):
         """Long-tail collapse: per lang the top-2 sources by doc count,
         the tail folded into one __other__ row — (group,key) fold
@@ -4438,6 +4449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations": q_fk_violations,
         "k_anonymity": q_k_anonymity,
         "benford_audit": q_benford_audit,
+        "cohens_kappa": q_cohens_kappa,
         "topn_sources_per_lang": q_topn_sources_per_lang,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
@@ -5612,6 +5624,11 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": profile_mod.benford_audit_sql(
             table_expr="events", group="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)"),
+        "cohens_kappa": profile_mod.cohens_kappa_sql(
+            table_expr=(
+                f"(SELECT {langid_sql('text')} AS pred_lang, lang "
+                "FROM documents)"),
+            pred="pred_lang", true="lang"),
         "topn_sources_per_lang": profile_mod.topn_collapse_sql(
             table="documents", group="lang", key="source", n=2),
         "rendezvous_shards": rendezvous_assign_sql(

@@ -2303,3 +2303,90 @@ def benford_audit_sql(*, table_expr: str, group: str,
                bf.benford_ppm::BIGINT AS benford_ppm
         FROM tot CROSS JOIN bf
         LEFT JOIN d ON d.g = tot.g AND d.digit = bf.digit"""
+
+
+def cohens_kappa(ds, *, pred_col: str, true_col: str,
+                 num_buckets: int = 8):
+    """Chance-corrected agreement between two categorical columns —
+    Cohen's kappa (Cohen 1960) in exact integer ppm: the label-QA metric
+    for silver-vs-gold comparisons (a heuristic language-ID against the
+    stored label, two annotation runs, a classifier against ground
+    truth), where raw accuracy flatters any skewed label distribution
+    and kappa subtracts the agreement chance would produce.
+
+    ``κ = (po − pe)/(1 − pe)`` over common denominator N²:
+    ``kappa_ppm = (N·A − S)·10⁶ / (N² − S)`` with ``A`` the agreeing
+    rows and ``S = Σ_k rowmarg_k·colmarg_k``. Exactness contract: the
+    division is evaluated as ``(num + D)·10⁶ // D − 10⁶`` after clamping
+    ``num`` at ``−D`` — the shift makes the dividend nonnegative so
+    Python floor and DuckDB's truncating ``//`` agree (similarity.py
+    SHIFT convention), and the clamp bounds the fixed-point domain at
+    κ = −1 (κ < −1 exists only in the pe > ½ adversarial regime and
+    reads "total disagreement" either way). Degenerate D = 0 (both
+    marginals a point mass on the same label) reports 0 via the
+    max(D, 1) guard, documented rather than NULL.
+
+    Scale shape: per-batch (pred, true) confusion counts collapse the
+    stream map-side, one fold of ≤ L² rows, exact Python-int kappa on
+    the driver (N² overflows int64 at 10¹⁰ rows — driver ints and the
+    SQL mirror's HUGEINT both carry it). Output one row:
+    ``(n, n_agree, kappa_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.select([pred_col, true_col]).group_by(
+            [pred_col, true_col]).aggregate([([], "count_all")])
+        return c.rename_columns([pred_col, true_col, "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [pred_col, true_col], {"n": ("n", "sum")},
+        num_buckets=num_buckets, bucket_key=pred_col,
+    ).to_pandas()
+
+    n_total = int(folded["n"].sum())
+    agree = int(folded.loc[folded[pred_col] == folded[true_col], "n"].sum())
+    rowm = folded.groupby(pred_col)["n"].sum()
+    colm = folded.groupby(true_col)["n"].sum()
+    s = sum(int(rowm[k]) * int(colm[k]) for k in rowm.index
+            if k in colm.index)
+    d = max(n_total * n_total - s, 1)
+    num = max(n_total * agree - s, -d)
+    kappa = (num + d) * 1_000_000 // d - 1_000_000
+    out = pd.DataFrame({"n": [n_total], "n_agree": [agree],
+                        "kappa_ppm": [kappa]})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def cohens_kappa_sql(*, table_expr: str, pred: str, true: str) -> str:
+    """SQL mirror: confusion CTE, HUGEINT marginal product, identical
+    shift-clamp fixed-point division."""
+    return f"""
+        WITH c AS (
+          SELECT {pred} AS p, {true} AS t, count(*)::BIGINT AS n
+          FROM {table_expr} GROUP BY 1, 2
+        ),
+        tot AS (SELECT sum(n)::HUGEINT AS n FROM c),
+        ag AS (
+          SELECT coalesce(sum(n), 0)::HUGEINT AS a FROM c WHERE p = t
+        ),
+        marg AS (
+          SELECT coalesce(sum(pm.r * tm.cc), 0)::HUGEINT AS s
+          FROM (SELECT p AS k, sum(n)::HUGEINT AS r FROM c GROUP BY 1) pm
+          JOIN (SELECT t AS k, sum(n)::HUGEINT AS cc FROM c GROUP BY 1) tm
+          USING (k)
+        ),
+        dd AS (
+          SELECT greatest(tot.n * tot.n - marg.s, 1) AS d,
+                 greatest(tot.n * ag.a - marg.s,
+                          -(tot.n * tot.n - marg.s)) AS num,
+                 tot.n AS n, ag.a AS a
+          FROM tot, ag, marg
+        )
+        SELECT n::BIGINT AS n, a::BIGINT AS n_agree,
+               ((num + d) * 1000000 // d - 1000000)::BIGINT AS kappa_ppm
+        FROM dd"""

@@ -1167,3 +1167,48 @@ def test_benford_audit_exact_grid():
     h = out[out.g == "h"].set_index("digit")
     assert h.loc[7, "n"] == 2 and h.loc[7, "obs_ppm"] == 1_000_000
     assert (out.benford_ppm[out.digit == 1] == 301029).all()
+
+
+def test_cohens_kappa_exact():
+    from htrc_feature_reader_ray.stages.profile import cohens_kappa
+
+    # classic 2x2: pred/true over 100 rows
+    # agree: 45 (a,a) + 30 (b,b); disagree: 15 (a,b pred=a true=b), 10 (b,a)
+    rows = ([("a", "a")] * 45 + [("b", "b")] * 30
+            + [("a", "b")] * 15 + [("b", "a")] * 10)
+    df = pd.DataFrame(rows, columns=["p", "t"])
+    out = (
+        cohens_kappa(ray.data.from_pandas(df).repartition(7),
+                     pred_col="p", true_col="t")
+        .to_pandas()
+    )
+    n, a = 100, 75
+    s = 60 * 55 + 40 * 45  # rowmarg(a)=60, colmarg(a)=55; b: 40/45
+    want = (n * a - s) * 1_000_000 // (n * n - s)
+    assert out.iloc[0]["n"] == n and out.iloc[0]["n_agree"] == a
+    assert out.iloc[0]["kappa_ppm"] == want
+    # float cross-check of the fixed-point value
+    assert abs(want - (0.75 - s / 10000) / (1 - s / 10000) * 1e6) <= 1
+
+
+def test_cohens_kappa_chance_and_perfect():
+    from htrc_feature_reader_ray.stages.profile import cohens_kappa
+
+    # independence: kappa ~ 0 (exactly 0 for this balanced construction)
+    rows = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")] * 5
+    out = cohens_kappa(ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["p", "t"])), pred_col="p",
+        true_col="t").to_pandas()
+    assert out.iloc[0]["kappa_ppm"] == 0
+    # perfect agreement: exactly 1e6
+    rows = [("a", "a")] * 3 + [("b", "b")] * 7
+    out = cohens_kappa(ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["p", "t"])), pred_col="p",
+        true_col="t").to_pandas()
+    assert out.iloc[0]["kappa_ppm"] == 1_000_000
+    # total disagreement with pe=1/2: kappa = -1e6 (clamp boundary)
+    rows = [("a", "b")] * 5 + [("b", "a")] * 5
+    out = cohens_kappa(ray.data.from_pandas(
+        pd.DataFrame(rows, columns=["p", "t"])), pred_col="p",
+        true_col="t").to_pandas()
+    assert out.iloc[0]["kappa_ppm"] == -1_000_000
