@@ -3288,6 +3288,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return related_pages(extract_links(read_pages(sf, drop_text=True)))
 
+    def q_resource_allocation(sf):
+        """Degree-aware link prediction (Zhou et al. '09): co-cited url
+        pairs scored by sum of floor(1e9/outdeg) over common citing
+        sources — hubs downweighted smoothly, not just capped."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            resource_allocation,
+        )
+
+        return resource_allocation(
+            extract_links(read_pages(sf, drop_text=True)))
+
     def q_mirror_hosts(sf):
         """Mirror/syndication host detection: host pairs sharing content
         fingerprints (md5 of each doc's first-8-token prefix) — text never
@@ -4519,6 +4532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_roundtrip": q_wet_roundtrip,
         "warc_roundtrip": q_warc_roundtrip,
         "related_pages": q_related_pages,
+        "resource_allocation": q_resource_allocation,
         "mirror_hosts": q_mirror_hosts,
         "url_templates": q_url_templates,
         "crawl_schedule": q_crawl_schedule,
@@ -5936,6 +5950,8 @@ def oracle_sql() -> dict[str, str]:
         + linkgraph.label_communities_sql(iterations=3, edges_cte="e2"),
         "related_pages": LINKS_PRE
         + linkgraph.related_pages_sql(edges_cte="link_edges"),
+        "resource_allocation": LINKS_PRE
+        + linkgraph.resource_allocation_sql(edges_cte="link_edges"),
         "mirror_hosts": urltools.mirror_hosts_sql(),
         "url_templates": PAGES_PRE
         + urltools.url_templates_sql(from_clause="pages"),

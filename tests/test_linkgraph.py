@@ -611,3 +611,47 @@ def test_label_communities_two_cliques_and_sql():
     l0 = (label_communities(ds, iterations=0)
           .to_pandas().sort_values("url").reset_index(drop=True))
     assert (l0["url"] == l0["community"]).all()
+
+
+def test_resource_allocation_exact_weights():
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        RA_SCALE,
+        resource_allocation,
+    )
+
+    # s1 (deg 2) cites x,y; s2 (deg 4) cites x,y,z,w; s3 (deg 1) dropped
+    edges = [("s1", "x"), ("s1", "y"),
+             ("s2", "x"), ("s2", "y"), ("s2", "z"), ("s2", "w"),
+             ("s3", "x")]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src_url", "dst_url"]))
+    out = (
+        resource_allocation(ds, min_shared=1)
+        .to_pandas().sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    )
+    got = {(r.url_a, r.url_b): (r.n_shared, r.ra_score)
+           for r in out.itertuples()}
+    w2, w4 = RA_SCALE // 2, RA_SCALE // 4
+    assert got[("x", "y")] == (2, w2 + w4)  # both sources
+    assert got[("w", "x")] == (1, w4)
+    assert got[("y", "z")] == (1, w4)
+    assert len(got) == 6  # s2's C(4,2) pairs; s1's (x,y) merges into one
+    # min_shared=2 keeps only the doubly-cited pair
+    out2 = resource_allocation(ds, min_shared=2).to_pandas()
+    assert len(out2) == 1 and out2.iloc[0]["ra_score"] == w2 + w4
+
+
+def test_resource_allocation_dedups_multiedges_and_partitions():
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        RA_SCALE,
+        resource_allocation,
+    )
+
+    # duplicate (src,dst) rows must not inflate outdeg or pair counts
+    edges = [("s", "x"), ("s", "x"), ("s", "y"), ("s", "y"), ("s", "z")]
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src_url", "dst_url"])).repartition(4)
+    out = resource_allocation(ds, min_shared=1).to_pandas()
+    assert len(out) == 3
+    assert (out["ra_score"] == RA_SCALE // 3).all()
+    assert (out["n_shared"] == 1).all()
