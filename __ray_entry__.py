@@ -1405,6 +1405,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(cents, batch_format="pyarrow"),
             group_col="event_type", value_col="cents")
 
+    def q_shuffle_audit(sf):
+        """Shuffle-quality pre-flight: per-source adjacent same-pair rate
+        under the canonical md5 training order vs the exchangeability
+        expectation — one hash-range exchange of (id, source) rows."""
+        from htrc_feature_reader_ray.stages.sample import shuffle_audit
+
+        return shuffle_audit(_docs(sf, ("doc_id", "source")),
+                             id_col="doc_id", cat_col="source")
+
     def q_cohens_kappa(sf):
         """Silver-vs-gold label QA: chance-corrected agreement between
         the marker-word language-ID and the stored lang label in exact
@@ -4463,6 +4472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": q_k_anonymity,
         "benford_audit": q_benford_audit,
         "cohens_kappa": q_cohens_kappa,
+        "shuffle_audit": q_shuffle_audit,
         "topn_sources_per_lang": q_topn_sources_per_lang,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
@@ -6593,6 +6603,8 @@ def oracle_sql() -> dict[str, str]:
             id_col="doc_id", salt="ep0:", table="documents",
             columns="doc_id, text",
         ),
+        "shuffle_audit": sample.shuffle_audit_sql(
+            id_col="doc_id", cat_col="source", table="documents"),
         # split thresholds are the same exact-rational uint64 literals on
         # both engines
         "hash_split": hash_split_sql(

@@ -567,3 +567,129 @@ def weighted_sample_sql(*, table: str, id_col: str, weight_expr: str,
                  )::BIGINT AS sample_rank
           FROM {table} WHERE ({weight_expr}) > 0
         ) WHERE sample_rank <= {k}"""
+
+
+def shuffle_audit(ds, *, id_col: str, cat_col: str, salt: str = "",
+                  num_buckets: int = 64):
+    """Shuffle-quality audit: does the canonical training order actually
+    interleave ``cat_col`` (source / language / shard-of-origin)? A bad
+    shuffle — or ingestion that was never shuffled — leaves long
+    same-source runs, and same-source runs are what produce the loss
+    spikes and forgetting curves a training run debugs far too late
+    (this is the pre-flight check, run BEFORE tokens ship). Measures,
+    under the engine-wide ``(md5_64(salt||id), id)`` order
+    (:func:`deterministic_shuffle`'s permutation), each category's
+    adjacent same-pair count against the exchangeability expectation:
+
+      ``obs_ppm = n_adj_same·10⁶ // (N−1)``
+      ``exp_ppm = n_s·(n_s−1)·10⁶ // (N·(N−1))``
+
+    (each adjacent pair attributed to its LATER row's category; the
+    expectation is exact under permutation exchangeability, not an
+    approximation). obs ≫ exp for any category means clumping.
+
+    Scale shape: ONE hash-range-bucketed exchange of (id, cat) rows only
+    (payload pruned before the pass); the multiply-shift bucket is
+    monotone in the hash, so buckets tile the global order and each
+    bucket's adjacency is computed vectorized in-bucket; the B
+    cross-bucket boundary pairs plus the per-(bucket, cat) partials —
+    an audit-sized table — finish on the driver with Python-int
+    arithmetic (N² overflows int64 at 10¹⁰ rows; the SQL mirror carries
+    HUGEINT)."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, cat_col]].copy()
+        h = md5_hash64([f"{salt}{v}" for v in df[id_col].to_numpy()])
+        df["_h"] = h
+        df["_b"] = (
+            ((h >> np.uint64(32)) * np.uint64(num_buckets))
+            >> np.uint64(32)
+        ).astype(np.int64)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", id_col],
+                            kind="mergesort").reset_index(drop=True)
+        cats = df[cat_col].to_numpy()
+        n = pd.Series(cats).value_counts()
+        same = cats[1:] == cats[:-1]
+        adj = pd.Series(cats[1:][same]).value_counts()
+        out = pd.DataFrame({
+            "b": int(df["_b"].iloc[0]),
+            cat_col: n.index,
+            "n": n.to_numpy(dtype=np.int64),
+            "adj": adj.reindex(n.index, fill_value=0)
+                      .to_numpy(dtype=np.int64),
+        })
+        out["first_cat"] = (out[cat_col] == cats[0]).astype(np.int64)
+        out["last_cat"] = (out[cat_col] == cats[-1]).astype(np.int64)
+        return out
+
+    partials = (
+        ds.select_columns([id_col, cat_col])
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # stitch the B−1 cross-bucket boundary pairs in global bucket order
+    adj_tot = partials.groupby(cat_col)["adj"].sum().astype(object)
+    prev_last = None
+    for b in sorted(partials["b"].unique()):
+        sub = partials[partials["b"] == b]
+        first = sub.loc[sub["first_cat"] == 1, cat_col].iloc[0]
+        if prev_last is not None and prev_last == first:
+            adj_tot[first] += 1
+        prev_last = sub.loc[sub["last_cat"] == 1, cat_col].iloc[0]
+
+    n_tot = partials.groupby(cat_col)["n"].sum().astype(object)
+    n = int(n_tot.sum())
+    rows = []
+    for cat in sorted(n_tot.index):
+        ns, a = int(n_tot[cat]), int(adj_tot[cat])
+        rows.append((
+            cat, ns, a,
+            a * 1_000_000 // max(n - 1, 1),
+            ns * (ns - 1) * 1_000_000 // max(n * (n - 1), 1),
+        ))
+    out = pd.DataFrame(rows, columns=[cat_col, "n_rows", "n_adj_same",
+                                      "obs_ppm", "exp_ppm"])
+    for c in ("n_rows", "n_adj_same", "obs_ppm", "exp_ppm"):
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def shuffle_audit_sql(*, id_col: str, cat_col: str, salt: str = "",
+                      table: str = "documents") -> str:
+    """SQL mirror: window lag over the identical md5 order, HUGEINT
+    expectation."""
+    return f"""
+        WITH ord AS (
+          SELECT {cat_col} AS cat,
+                 row_number() OVER (
+                   ORDER BY md5_number_upper('{salt}' || {id_col}::VARCHAR),
+                            {id_col}) AS pos
+          FROM {table}
+        ),
+        adj AS (
+          SELECT cat,
+                 CASE WHEN lag(cat) OVER (ORDER BY pos) = cat
+                      THEN 1 ELSE 0 END AS same
+          FROM ord
+        ),
+        s AS (
+          SELECT cat, count(*)::BIGINT AS n_rows,
+                 sum(same)::BIGINT AS n_adj_same
+          FROM adj GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_rows)::HUGEINT AS n FROM s)
+        SELECT cat AS {cat_col}, n_rows, n_adj_same,
+               (n_adj_same::HUGEINT * 1000000
+                // greatest(tot.n - 1, 1))::BIGINT AS obs_ppm,
+               (n_rows::HUGEINT * (n_rows - 1) * 1000000
+                // greatest(tot.n * (tot.n - 1), 1))::BIGINT AS exp_ppm
+        FROM s, tot"""

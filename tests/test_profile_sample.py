@@ -1212,3 +1212,53 @@ def test_cohens_kappa_chance_and_perfect():
         pd.DataFrame(rows, columns=["p", "t"])), pred_col="p",
         true_col="t").to_pandas()
     assert out.iloc[0]["kappa_ppm"] == -1_000_000
+
+
+def test_shuffle_audit_matches_serial_reference():
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.sample import shuffle_audit
+
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "src": np.array(["a", "b", "c"])[np.arange(n) % 3],
+    })
+    out = (
+        shuffle_audit(ray.data.from_pandas(df).repartition(9),
+                      id_col="doc_id", cat_col="src", num_buckets=16)
+        .to_pandas().sort_values("src").reset_index(drop=True)
+    )
+    # serial reference: sort by (md5, id), count adjacent same pairs
+    h = md5_hash64([str(v) for v in df["doc_id"]])
+    order = np.lexsort((df["doc_id"].to_numpy(), h))
+    cats = df["src"].to_numpy()[order]
+    same = cats[1:] == cats[:-1]
+    for _, r in out.iterrows():
+        want_adj = int(np.sum(same & (cats[1:] == r["src"])))
+        ns = int((df["src"] == r["src"]).sum())
+        assert r["n_adj_same"] == want_adj
+        assert r["n_rows"] == ns
+        assert r["obs_ppm"] == want_adj * 1_000_000 // (n - 1)
+        assert r["exp_ppm"] == ns * (ns - 1) * 1_000_000 // (n * (n - 1))
+    assert out["n_rows"].sum() == n
+    # partitioning invariance (boundary stitching must not depend on
+    # block layout)
+    out2 = (
+        shuffle_audit(ray.data.from_pandas(df).repartition(2),
+                      id_col="doc_id", cat_col="src", num_buckets=16)
+        .to_pandas().sort_values("src").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_shuffle_audit_detects_clumping():
+    from htrc_feature_reader_ray.stages.sample import shuffle_audit
+
+    # ids chosen so category == coarse hash region: category 'hot' holds
+    # every row (a single-category corpus), so ALL adjacent pairs are
+    # same-pair: obs = 1e6 * (n-1)/(n-1) = 1e6 >> exp
+    df = pd.DataFrame({"doc_id": np.arange(50), "src": ["hot"] * 50})
+    out = shuffle_audit(ray.data.from_pandas(df), id_col="doc_id",
+                        cat_col="src").to_pandas()
+    assert out.iloc[0]["n_adj_same"] == 49
+    assert out.iloc[0]["obs_ppm"] == 1_000_000
