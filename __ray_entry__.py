@@ -1995,6 +1995,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["source", "n_chars"])
         return grouped_emd(docs, group_col="source", value_col="n_chars")
 
+    def q_length_ks(sf):
+        """Per-source KS separability of doc length vs the REST of the
+        corpus (the optimal-single-threshold drift metric next to
+        length_emd's W1) — same (source, n_chars) fold, sup-norm walk."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import grouped_ks
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["source", "n_chars"])
+        return grouped_ks(docs, group_col="source", value_col="n_chars")
+
     def q_luhn_card_flags(sf):
         """Checksum-validated card-number detection (Luhn mod-10 over
         maximal digit runs of card length) — the PII-redaction
@@ -4430,6 +4441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_stats": q_mojibake_stats,
         "vocab_growth": q_vocab_growth,
         "length_emd": q_length_emd,
+        "length_ks": q_length_ks,
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
@@ -5590,6 +5602,8 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)"""),
         "source_divergence": curate.source_divergence_sql(),
         "length_emd": profile_mod.grouped_emd_sql(
+            table="documents", group="source", value_expr="n_chars"),
+        "length_ks": profile_mod.grouped_ks_sql(
             table="documents", group="source", value_expr="n_chars"),
         "mmr_rerank": similarity_mod.mmr_rerank_sql(
             k=8, n_candidates=40, lam=(1, 2)),

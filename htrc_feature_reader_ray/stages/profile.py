@@ -2390,3 +2390,104 @@ def cohens_kappa_sql(*, table_expr: str, pred: str, true: str) -> str:
         SELECT n::BIGINT AS n, a::BIGINT AS n_agree,
                ((num + d) * 1000000 // d - 1000000)::BIGINT AS kappa_ppm
         FROM dd"""
+
+
+def grouped_ks(ds, *, group_col: str, value_col: str,
+               num_buckets: int = 16):
+    """Per-group two-sample Kolmogorov–Smirnov statistic against the REST
+    of the corpus, in exact integer ppm — the sup-norm drift metric next
+    to :func:`grouped_emd`'s W1: KS answers "is there ANY threshold at
+    which this group's value distribution separates from everyone
+    else's" (it IS the optimal single-threshold separability), which is
+    the question a filter-tuning pass actually asks, while W1 weighs how
+    far mass moved. Group-vs-REST (not group-vs-corpus) because the
+    corpus contains the group: a dominant group compared against a
+    mixture of itself reads artificially calm.
+
+    ``KS = max_v |F_g(v) − F_rest(v)|`` evaluated exactly over the
+    common denominator ``n_g·(N−n_g)``:
+    ``ks_ppm = max_v |cum_g·(N−n_g) − (cum_all−cum_g)·n_g| · 10⁶
+    // (n_g·(N−n_g))``, one floor division after the integer max.
+    A group that IS the whole corpus reports 0 via the max(·,1)
+    denominator guard (documented; there is no "rest" to drift from).
+
+    Scale shape (grouped_emd posture): ONE (group, value) count fold —
+    bounded-cardinality support contract — then the CDF walk on the
+    driver over |groups|·|support| rows in Python ints (cum·N overflows
+    int64 at 10¹⁰ rows; HUGEINT mirror). Output
+    ``(group_col, n_rows, ks_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, value_col], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key=value_col,
+    ).to_pandas()
+
+    support = np.sort(folded[value_col].unique())
+    corpus = (folded.groupby(value_col)["c"].sum()
+              .reindex(support, fill_value=0).to_numpy())
+    cum_all = np.cumsum(corpus.astype(object))
+    n_total = int(cum_all[-1]) if len(cum_all) else 0
+    rows = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        cg = (sub.set_index(value_col)["c"]
+              .reindex(support, fill_value=0).to_numpy())
+        cum_g = np.cumsum(cg.astype(object))
+        n_g = int(cum_g[-1])
+        n_rest = n_total - n_g
+        num = max(
+            (abs(int(cum_g[i]) * n_rest
+                 - (int(cum_all[i]) - int(cum_g[i])) * n_g)
+             for i in range(len(support))),
+            default=0,
+        )
+        ks = num * 1_000_000 // max(n_g * n_rest, 1)
+        rows.append((grp, n_g, int(ks)))
+    out = pd.DataFrame(rows, columns=[group_col, "n_rows", "ks_ppm"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["ks_ppm"] = out["ks_ppm"].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def grouped_ks_sql(*, table: str, group: str, value_expr: str) -> str:
+    """SQL mirror: groups × support grid, window cumsums, HUGEINT
+    cross-multiplied sup."""
+    return f"""
+        WITH g AS (
+          SELECT {group} AS grp, {value_expr} AS v, count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        support AS (SELECT DISTINCT v FROM g),
+        tot AS (SELECT grp, sum(c)::BIGINT AS n_g FROM g GROUP BY 1),
+        big AS (SELECT sum(c)::BIGINT AS n FROM g),
+        ca AS (
+          SELECT s.v,
+                 sum(coalesce(cc.c, 0)) OVER (ORDER BY s.v)::HUGEINT
+                     AS cum_all
+          FROM support s LEFT JOIN (
+            SELECT v, sum(c)::BIGINT AS c FROM g GROUP BY 1) cc
+          USING (v)
+        ),
+        cg AS (
+          SELECT t.grp, s.v, t.n_g,
+                 sum(coalesce(g.c, 0)) OVER (
+                   PARTITION BY t.grp ORDER BY s.v)::HUGEINT AS cum_g
+          FROM tot t CROSS JOIN support s
+          LEFT JOIN g ON g.grp = t.grp AND g.v = s.v
+        )
+        SELECT cg.grp AS {group}, cg.n_g AS n_rows,
+               (max(abs(cg.cum_g * (big.n - cg.n_g)
+                        - (ca.cum_all - cg.cum_g) * cg.n_g)) * 1000000
+                // greatest(cg.n_g::HUGEINT * (big.n - cg.n_g), 1)
+               )::BIGINT AS ks_ppm
+        FROM cg JOIN ca USING (v), big
+        GROUP BY cg.grp, cg.n_g, big.n
+        ORDER BY 1"""

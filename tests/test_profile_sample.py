@@ -1262,3 +1262,46 @@ def test_shuffle_audit_detects_clumping():
                         cat_col="src").to_pandas()
     assert out.iloc[0]["n_adj_same"] == 49
     assert out.iloc[0]["obs_ppm"] == 1_000_000
+
+
+def test_grouped_ks_exact_vs_scipy_style_reference():
+    from htrc_feature_reader_ray.stages.profile import grouped_ks
+
+    rng = np.random.RandomState(3)
+    # group a: values 0..9 uniform; group b: shifted 5..14 uniform
+    va = rng.randint(0, 10, 300)
+    vb = rng.randint(5, 15, 200)
+    df = pd.DataFrame({
+        "g": ["a"] * 300 + ["b"] * 200,
+        "v": np.concatenate([va, vb]).astype(np.int64),
+    })
+    out = (
+        grouped_ks(ray.data.from_pandas(df).repartition(7),
+                   group_col="g", value_col="v")
+        .to_pandas().set_index("g")
+    )
+    # serial two-sample KS of each group vs the rest over the support
+    support = np.sort(df["v"].unique())
+    for g, other in (("a", vb), ("b", va)):
+        mine = df.loc[df.g == g, "v"].to_numpy()
+        fg = np.array([(mine <= s).sum() for s in support]) / len(mine)
+        fr = np.array([(other <= s).sum() for s in support]) / len(other)
+        want = int(np.max(np.abs(fg - fr)) * 1e6)  # exact: denom divides
+        got = int(out.loc[g, "ks_ppm"])
+        assert abs(got - want) <= 1  # float reference rounding only
+        assert out.loc[g, "n_rows"] == len(mine)
+    # one group == whole corpus -> ks 0 by contract
+    solo = pd.DataFrame({"g": ["x"] * 10, "v": range(10)})
+    o2 = grouped_ks(ray.data.from_pandas(solo), group_col="g",
+                    value_col="v").to_pandas()
+    assert o2.iloc[0]["ks_ppm"] == 0
+
+
+def test_grouped_ks_identical_groups_zero():
+    from htrc_feature_reader_ray.stages.profile import grouped_ks
+
+    df = pd.DataFrame({"g": ["a"] * 50 + ["b"] * 50,
+                       "v": list(range(50)) * 2})
+    out = grouped_ks(ray.data.from_pandas(df), group_col="g",
+                     value_col="v").to_pandas()
+    assert (out["ks_ppm"] == 0).all()
