@@ -162,6 +162,11 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
     )
 
 
+# phrase queries for the retrieval_mrr evaluation (relevance = exact
+# adjacent-phrase containment; ranking = bag-of-words BM25 on the words)
+_MRR_QUERIES = {"q1": "merge sort", "q2": "table scan", "q3": "hash join"}
+
+
 def _bench_docs(sf_dir: str):
     """Deterministic stand-in 'benchmark suite' for the decontamination
     queries: the texts of documents with doc_id % 97 == 3."""
@@ -3808,6 +3813,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return feature_hashing(_docs(sf), dims=64)
 
+    def q_retrieval_mrr(sf):
+        """Retrieval acceptance metric: MRR@20 of the rational-BM25
+        bag-of-words ranker against exact adjacent-phrase relevance —
+        the sparse sibling of ann_recall; driver merges Q k-sized
+        tables, the corpus passes live inside bm25/phrase."""
+        from htrc_feature_reader_ray.stages.curate import retrieval_mrr
+
+        return retrieval_mrr(_docs(sf), _MRR_QUERIES, k=20)
+
     def q_phrase_search(sf):
         """Exact positional phrase match (adjacency, which tokenlist
         folding discards): per-doc match count + first offset via one
@@ -4584,6 +4598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "build_postings": q_build_postings,
         "boolean_retrieval": q_boolean_retrieval,
         "phrase_search": q_phrase_search,
+        "retrieval_mrr": q_retrieval_mrr,
         "feature_hashing": q_feature_hashing,
         "pmi_collocations": q_pmi_collocations,
         "pii_redaction": q_pii_redaction,
@@ -6714,6 +6729,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_retrieval": curate.boolean_retrieval_sql(
             ["scan", "window", "merge"]),
         "phrase_search": curate.phrase_search_sql("merge sort"),
+        "retrieval_mrr": curate.retrieval_mrr_sql(_MRR_QUERIES, k=20),
         "feature_hashing": vocab_mod.feature_hashing_sql(dims=64),
         "pmi_collocations": curate.pmi_collocations_sql(min_count=5),
         "pii_redaction": f"""

@@ -2726,3 +2726,92 @@ def line_dedup_sql(*, table: str = "documents", text: str = "text",
                count(*) FILTER (WHERE l IN (SELECT l FROM dup))::BIGINT
                    AS n_dropped
         FROM lines GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: MRR over phrase relevance
+# ---------------------------------------------------------------------------
+
+def retrieval_mrr(ds, queries: dict, *, k: int = 20,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Mean-reciprocal-rank evaluation of the rational-BM25 ranker against
+    exact positional-phrase relevance — the retrieval acceptance metric
+    (the sparse sibling of :func:`similarity.ann_recall`): per query,
+    rank the corpus by :func:`bm25_topk` over the phrase's WORDS
+    (order-blind bag-of-words) and define relevance as
+    :func:`phrase_search` containment of the exact ADJACENT phrase; the
+    gap between the two is precisely what MRR measures. ``rr_ppm =
+    10⁶ // rank`` of the first relevant doc in the top-k under the
+    (score desc, id asc) rank contract, 0 when no relevant doc makes the
+    cut. Output one row per query: ``(query_id, n_relevant, first_rank,
+    rr_ppm)`` with first_rank = 0 for a miss.
+
+    Posture: each query's top-k and its relevance set are k-sized /
+    match-sized relations — the distributed work happens inside
+    ``bm25_topk`` (two corpus passes) and ``phrase_search`` (one pass);
+    the Q×k merge runs on the driver per the ann_recall convention.
+    Queries evaluate in sorted(qid) order for determinism.
+    """
+    import ray.data
+
+    rows = []
+    for qid in sorted(queries):
+        phrase = queries[qid]
+        top = (
+            bm25_topk(ds, phrase.split(), text_col=text_col,
+                      id_col=id_col, k=k)
+            .to_pandas()
+            .sort_values(["score_ppm", id_col], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        rel_df = phrase_search(
+            ds, phrase, text_col=text_col, id_col=id_col).to_pandas()
+        # an empty Dataset may come back schemaless
+        rel = set(rel_df[id_col]) if id_col in rel_df.columns else set()
+        rank = 0
+        for i, d in enumerate(
+                top[id_col] if id_col in top.columns else (), 1):
+            if d in rel:
+                rank = i
+                break
+        rows.append((qid, len(rel), rank,
+                     1_000_000 // rank if rank else 0))
+    out = pd.DataFrame(
+        rows, columns=["query_id", "n_relevant", "first_rank", "rr_ppm"])
+    for c in ("n_relevant", "first_rank", "rr_ppm"):
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def retrieval_mrr_sql(queries: dict, *, k: int = 20,
+                      table: str = "documents", text: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """SQL mirror: per query, row_number the bm25 top-k replay under the
+    identical rank contract, min rank over the phrase-relevant set."""
+    parts = []
+    for qid in sorted(queries):
+        phrase = queries[qid]
+        bm25 = bm25_topk_sql(query_terms=phrase.split(), table=table,
+                             text=text, id_col=id_col, k=k)
+        rel = phrase_search_sql(phrase, table=table, text_col=text,
+                                id_col=id_col)
+        parts.append(f"""
+        SELECT '{qid}' AS query_id,
+               (SELECT count(*) FROM ({rel}))::BIGINT AS n_relevant,
+               coalesce((
+                 SELECT min(rk) FROM (
+                   SELECT row_number() OVER (
+                       ORDER BY score_ppm DESC, {id_col}) AS rk, {id_col}
+                   FROM ({bm25})
+                 ) r
+                 WHERE {id_col} IN (SELECT {id_col} FROM ({rel}))
+               ), 0)::BIGINT AS first_rank,
+               coalesce((
+                 SELECT 1000000 // min(rk) FROM (
+                   SELECT row_number() OVER (
+                       ORDER BY score_ppm DESC, {id_col}) AS rk, {id_col}
+                   FROM ({bm25})
+                 ) r
+                 WHERE {id_col} IN (SELECT {id_col} FROM ({rel}))
+               ), 0)::BIGINT AS rr_ppm""")
+    return " UNION ALL ".join(parts)

@@ -1082,3 +1082,41 @@ def test_phrase_search_empty_phrase_raises():
 
     with _pytest.raises(ValueError):
         phrase_search(_docs_ds(["a"]), "  ")
+
+
+def test_retrieval_mrr_exact_ranks():
+    from htrc_feature_reader_ray.stages.curate import retrieval_mrr
+
+    # doc0: phrase "a b" present AND high tf of both words -> rank 1
+    # doc1: words present, never adjacent (relevant=False, still ranks)
+    # doc2: only filler
+    texts = ["a b a b filler", "a x b x a x b", "filler filler filler"]
+    out = (
+        retrieval_mrr(_docs_ds(texts), {"p": "a b"}, k=3)
+        .to_pandas()
+    )
+    r = out.iloc[0]
+    assert r["query_id"] == "p"
+    assert r["n_relevant"] == 1
+    assert r["first_rank"] == 1 and r["rr_ppm"] == 1_000_000
+    # no relevant doc in top-k -> miss contract
+    out2 = retrieval_mrr(_docs_ds(texts), {"m": "b a x"}, k=3).to_pandas()
+    assert out2.iloc[0]["n_relevant"] == 0
+    assert out2.iloc[0]["first_rank"] == 0
+    assert out2.iloc[0]["rr_ppm"] == 0
+
+
+def test_retrieval_mrr_rank_below_one():
+    from htrc_feature_reader_ray.stages.curate import retrieval_mrr
+
+    # the phrase-bearing doc has LOW bag-of-words tf; a phrase-free doc
+    # stuffs the words and outranks it -> first_rank > 1, rr = 1e6//rank
+    texts = ["q q q q q q r r r r r r",  # word-stuffed, not adjacent? q r IS adjacent at 5->6
+             "x q r y", "filler"]
+    # make doc0 non-relevant: interleave so "q r" never adjacent
+    texts[0] = "q z q z q z r z r z r z"
+    out = retrieval_mrr(_docs_ds(texts), {"p": "q r"}, k=3).to_pandas()
+    r = out.iloc[0]
+    assert r["n_relevant"] == 1
+    assert r["first_rank"] == 2
+    assert r["rr_ppm"] == 500_000
