@@ -1410,6 +1410,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(cents, batch_format="pyarrow"),
             group_col="event_type", value_col="cents")
 
+    def q_unimax_epochs(sf):
+        """UniMax budget water-filling (ICLR'23): per-lang token mass,
+        ascending-size greedy with a 3-epoch repeat cap over a 50k-token
+        budget — one fold, S-step driver greedy, recursive-CTE mirror."""
+        from htrc_feature_reader_ray.stages.sample import unimax_epochs
+        from htrc_feature_reader_ray.stages.textstats import token_count
+
+        counts = token_count(_docs(sf, ("doc_id", "text", "lang")),
+                             id_cols=("lang",))
+        return unimax_epochs(counts, group_col="lang",
+                             weight_col="n_tokens", budget=50_000,
+                             max_epochs=3)
+
     def q_shuffle_audit(sf):
         """Shuffle-quality pre-flight: per-source adjacent same-pair rate
         under the canonical md5 training order vs the exchangeability
@@ -4499,6 +4512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": q_benford_audit,
         "cohens_kappa": q_cohens_kappa,
         "shuffle_audit": q_shuffle_audit,
+        "unimax_epochs": q_unimax_epochs,
         "topn_sources_per_lang": q_topn_sources_per_lang,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
@@ -6634,6 +6648,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shuffle_audit": sample.shuffle_audit_sql(
             id_col="doc_id", cat_col="source", table="documents"),
+        "unimax_epochs": sample.unimax_epochs_sql(
+            group_expr="lang", group_alias="lang",
+            weight_expr=(
+                "len(list_filter(string_split(text, ' '),"
+                " t -> t != ''))"),
+            table="documents", budget=50_000, max_epochs=3),
         # split thresholds are the same exact-rational uint64 literals on
         # both engines
         "hash_split": hash_split_sql(

@@ -693,3 +693,96 @@ def shuffle_audit_sql(*, id_col: str, cat_col: str, salt: str = "",
                (n_rows::HUGEINT * (n_rows - 1) * 1000000
                 // greatest(tot.n * (tot.n - 1), 1))::BIGINT AS exp_ppm
         FROM s, tot"""
+
+
+def unimax_epochs(ds, *, group_col: str, weight_col: str, budget: int,
+                  max_epochs: int = 4, num_buckets: int = 16):
+    """UniMax token-budget allocation (Chung et al., ICLR 2023): given a
+    total training budget and a per-source repeat cap, water-fill the
+    budget across sources — visit sources by ASCENDING size; each gets
+    ``min(max_epochs·n_s, remaining // sources_left)``; whatever a small
+    source cannot absorb flows to the larger ones. This is the
+    principled replacement for temperature sampling when repeats are
+    what you actually control: no source exceeds ``max_epochs`` passes
+    (the overfitting guard temperature mixing cannot express) and the
+    budget is used exactly up to cap-induced slack.
+
+    Exactness contract: the greedy loop is pure integer arithmetic over
+    the sorted ``(n_s, group)`` order — deterministic, partitioning-
+    independent, and replayed by a recursive CTE in the SQL mirror.
+    Output per source: ``(group_col, n_tokens, alloc_tokens,
+    epochs_ppm)`` with ``epochs_ppm = alloc·10⁶ // max(n_s, 1)`` (a
+    zero-token source reports 0 by contract).
+
+    Scale shape: ONE weight-sum fold to the bounded source table, then
+    the S-step greedy on the driver in Python ints (budget·10⁶ can
+    exceed int64 at web scale; HUGEINT mirrors it).
+    """
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, weight_col]).group_by(
+            group_col).aggregate([(weight_col, "sum")])
+        return g.rename_columns([group_col, "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col, {"n": ("n", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+
+    folded = folded.sort_values(
+        ["n", group_col]).reset_index(drop=True)
+    remaining = int(budget)
+    rows = []
+    s_left = len(folded)
+    for _, r in folded.iterrows():
+        n_s = int(r["n"])
+        alloc = min(max_epochs * n_s, remaining // s_left)
+        remaining -= alloc
+        s_left -= 1
+        rows.append((r[group_col], n_s, alloc,
+                     alloc * 1_000_000 // max(n_s, 1)))
+    out = pd.DataFrame(rows, columns=[group_col, "n_tokens",
+                                      "alloc_tokens", "epochs_ppm"])
+    for c in ("n_tokens", "alloc_tokens", "epochs_ppm"):
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def unimax_epochs_sql(*, group_expr: str, group_alias: str,
+                      weight_expr: str, table: str, budget: int,
+                      max_epochs: int = 4) -> str:
+    """SQL mirror: recursive CTE walks the identical ascending-(n, group)
+    order carrying the remaining budget."""
+    return f"""
+        WITH RECURSIVE src AS (
+          SELECT {group_expr} AS g, sum({weight_expr})::BIGINT AS n
+          FROM {table} GROUP BY 1
+        ),
+        ranked AS (
+          SELECT g, n,
+                 row_number() OVER (ORDER BY n, g) AS rk,
+                 count(*) OVER () AS s_total
+          FROM src
+        ),
+        alloc AS (
+          SELECT rk, g, n, s_total,
+                 least({max_epochs} * n,
+                       {budget} // s_total) AS a,
+                 {budget}::HUGEINT
+                   - least({max_epochs} * n, {budget} // s_total) AS rem
+          FROM ranked WHERE rk = 1
+          UNION ALL
+          SELECT s.rk, s.g, s.n, s.s_total,
+                 least({max_epochs} * s.n,
+                       (a.rem // (s.s_total - s.rk + 1))::BIGINT),
+                 a.rem - least({max_epochs} * s.n,
+                               (a.rem // (s.s_total - s.rk + 1))::BIGINT)
+          FROM ranked s JOIN alloc a ON s.rk = a.rk + 1
+        )
+        SELECT g AS {group_alias}, n AS n_tokens, a::BIGINT AS alloc_tokens,
+               (a::HUGEINT * 1000000 // greatest(n, 1))::BIGINT
+                   AS epochs_ppm
+        FROM alloc"""

@@ -1305,3 +1305,44 @@ def test_grouped_ks_identical_groups_zero():
     out = grouped_ks(ray.data.from_pandas(df), group_col="g",
                      value_col="v").to_pandas()
     assert (out["ks_ppm"] == 0).all()
+
+
+def test_unimax_epochs_water_filling():
+    from htrc_feature_reader_ray.stages.sample import unimax_epochs
+
+    # sources: tiny=10, small=100, big=1000 tokens; budget 600, cap 4
+    # ascending walk: tiny quota 600//3=200 -> capped at 40, rem 560
+    #                 small quota 560//2=280 -> capped at 400? min(400,280)=280
+    #                 big quota 280//1=280 -> min(4000,280)=280
+    df = pd.DataFrame({
+        "src": ["tiny"] * 1 + ["small"] * 2 + ["big"] * 4,
+        "w": [10, 40, 60, 250, 250, 250, 250],
+    })
+    out = (
+        unimax_epochs(ray.data.from_pandas(df).repartition(3),
+                      group_col="src", weight_col="w",
+                      budget=600, max_epochs=4)
+        .to_pandas().set_index("src")
+    )
+    assert out.loc["tiny", "n_tokens"] == 10
+    assert out.loc["tiny", "alloc_tokens"] == 40   # 4 epochs, cap binds
+    assert out.loc["tiny", "epochs_ppm"] == 4_000_000
+    assert out.loc["small", "alloc_tokens"] == 280  # budget binds
+    assert out.loc["small", "epochs_ppm"] == 2_800_000
+    assert out.loc["big", "alloc_tokens"] == 280
+    assert out.loc["big", "epochs_ppm"] == 280_000
+    assert out["alloc_tokens"].sum() == 600  # budget exhausted
+
+
+def test_unimax_epochs_cap_slack_and_zero_source():
+    from htrc_feature_reader_ray.stages.sample import unimax_epochs
+
+    # budget larger than every cap: slack remains, every source capped
+    df = pd.DataFrame({"src": ["a", "b", "z"], "w": [10, 20, 0]})
+    out = unimax_epochs(ray.data.from_pandas(df), group_col="src",
+                        weight_col="w", budget=10_000,
+                        max_epochs=2).to_pandas().set_index("src")
+    assert out.loc["a", "alloc_tokens"] == 20
+    assert out.loc["b", "alloc_tokens"] == 40
+    assert out.loc["z", "alloc_tokens"] == 0
+    assert out.loc["z", "epochs_ppm"] == 0  # zero-token contract
