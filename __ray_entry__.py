@@ -705,6 +705,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="source", salt="v1:",
         )
 
+    def q_temporal_split(sf):
+        """Purged time-based train/test split with a 1-day embargo band:
+        the last 1/5 of the event span is test, train ends one embargo
+        before the cut, the band between stays labeled 'embargo' — no
+        train row within a lookback-window of any test row. Two scalar
+        bound folds + one stateless labeling pass; zero exchange."""
+        from htrc_feature_reader_ray.stages.sample import temporal_split
+
+        return temporal_split(
+            _events(sf, ["event_id", "ts"]), ts_col="ts",
+            test_num=1, test_den=5, embargo_us=86_400_000_000,
+        )
+
     def q_char_coverage(sf):
         """Tokenizer-prep character coverage (sentencepiece
         character_coverage input): exact corpus char histogram, integer
@@ -4402,6 +4415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_tokens": q_encode_tokens,
         # leakage-safe deterministic train/val/test split (entity-keyed)
         "hash_split": q_hash_split,
+        "temporal_split": q_temporal_split,
         "host_cap": q_host_cap,
         "char_coverage": q_char_coverage,
         # sliding token-window chunking (LLM context-window prep)
@@ -4788,6 +4802,7 @@ def oracle_sql() -> dict[str, str]:
     from htrc_feature_reader_ray.stages.sample import (
         deterministic_shuffle_sql,
         hash_split_sql,
+        temporal_split_sql,
     )
     from htrc_feature_reader_ray.stages import vocab as vocab_mod
     from htrc_feature_reader_ray.stages.vocab import (
@@ -6659,6 +6674,12 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": hash_split_sql(
             fractions={"train": 0.9, "val": 0.05, "test": 0.05},
             by="source", salt="v1:", columns="doc_id, source",
+        ),
+        # integer lerp over min/max epoch-us: both // operands
+        # non-negative, so Python floor == DuckDB truncation
+        "temporal_split": temporal_split_sql(
+            table="events", ts_col="ts", id_cols="event_id, ts",
+            test_num=1, test_den=5, embargo_us=86_400_000_000,
         ),
         # same md5_number_upper == md5_hash64 identity; HUGEINT order ==
         # uint64 order, so the within-host hash ranks agree bit-exactly

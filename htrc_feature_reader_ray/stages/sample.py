@@ -786,3 +786,80 @@ def unimax_epochs_sql(*, group_expr: str, group_alias: str,
                (a::HUGEINT * 1000000 // greatest(n, 1))::BIGINT
                    AS epochs_ppm
         FROM alloc"""
+
+
+# ---------------------------------------------------------------------------
+# purged temporal train/test split with embargo (leakage-safe eval split)
+
+
+def temporal_split(ds, *, ts_col: str, test_num: int = 1, test_den: int = 5,
+                   embargo_us: int = 86_400_000_000, out_col: str = "split"):
+    """Leakage-safe time-based train/test split with an embargo gap — the
+    eval split a point-in-time feature pipeline actually needs (de Prado,
+    *Advances in Financial Machine Learning* ch.7 "purged" splits, single
+    boundary form). :func:`hash_split` guarantees entity disjointness but
+    is blind to TIME: features built with lookback windows (lag/lead,
+    rolling, as-of) let a train row within one window-length of the test
+    boundary see test-period information. The fix is structural — cut at
+    a time boundary ``T`` and PURGE the embargo band before it:
+
+      * ``ts >= T``                  → ``'test'``
+      * ``ts <  T - embargo_us``     → ``'train'``
+      * otherwise                    → ``'embargo'`` (excluded from both)
+
+    so no train row lies within ``embargo_us`` of any test row, by
+    construction. Rows are labeled, not dropped — the embargo band stays
+    auditable (and countable) downstream.
+
+    ``T`` is derived deterministically from the data's own time range by
+    exact integer lerp: ``T = mn + (mx - mn) * (test_den - test_num) //
+    test_den`` over epoch-µs bounds, i.e. the last ``test_num/test_den``
+    of the observed span is the test period. Both ``//`` operands are
+    non-negative so Python floor and DuckDB's truncating ``//`` agree.
+
+    Scale shape: two tiny global folds (min/max of the timestamp column —
+    Ray pre-aggregates per block, only two scalars reach the driver),
+    then ONE stateless vectorized labeling pass against two broadcast
+    int literals. Zero exchange; assignment is a pure function of the
+    row's timestamp and the corpus bounds, identical on any cluster
+    shape. Generalizes the reference's strict watermark discipline
+    (see SURVEY §2.4; feature_reader parity: no analog — the reference
+    has no train/eval machinery) to the train/eval boundary itself."""
+    mn_us = int(pd.Timestamp(ds.min(ts_col)).value // 1000)
+    mx_us = int(pd.Timestamp(ds.max(ts_col)).value // 1000)
+    if test_num <= 0 or test_den <= test_num:
+        raise ValueError("need 0 < test_num < test_den")
+    cut_us = mn_us + (mx_us - mn_us) * (test_den - test_num) // test_den
+    lo_us = cut_us - int(embargo_us)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        lab = np.where(t >= cut_us, "test",
+                       np.where(t < lo_us, "train", "embargo"))
+        df = df.copy()
+        df[out_col] = lab
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def temporal_split_sql(*, table: str, ts_col: str, id_cols: str,
+                       test_num: int = 1, test_den: int = 5,
+                       embargo_us: int = 86_400_000_000,
+                       out_col: str = "split") -> str:
+    """SQL mirror: identical integer lerp over the min/max epoch-µs CTE."""
+    return f"""
+        WITH b AS (
+          SELECT epoch_us(min({ts_col})) AS mn, epoch_us(max({ts_col})) AS mx
+          FROM {table}
+        ),
+        c AS (
+          SELECT mn + (mx - mn) * {test_den - test_num} // {test_den} AS cut
+          FROM b
+        )
+        SELECT {id_cols},
+               CASE WHEN epoch_us({ts_col}) >= c.cut THEN 'test'
+                    WHEN epoch_us({ts_col}) < c.cut - {int(embargo_us)}
+                        THEN 'train'
+                    ELSE 'embargo' END AS {out_col}
+        FROM {table}, c"""

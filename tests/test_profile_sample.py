@@ -1346,3 +1346,36 @@ def test_unimax_epochs_cap_slack_and_zero_source():
     assert out.loc["b", "alloc_tokens"] == 40
     assert out.loc["z", "alloc_tokens"] == 0
     assert out.loc["z", "epochs_ppm"] == 0  # zero-token contract
+
+
+def test_temporal_split_purge_invariant():
+    from htrc_feature_reader_ray.stages.sample import temporal_split
+
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    ts = (t0 + np.arange(0, 100) * 3_600_000_000).astype(
+        "datetime64[us]")  # 100 hourly events
+    df = pd.DataFrame({"event_id": np.arange(100, dtype=np.int64),
+                       "ts": ts})
+    out = temporal_split(
+        ray.data.from_pandas(df).repartition(5), ts_col="ts",
+        test_num=1, test_den=4, embargo_us=5 * 3_600_000_000,
+    ).to_pandas()
+    # span = 99h; cut = t0 + 99*3//4 h = t0+74.25h -> ts>=cut means idx>=75
+    assert set(out.loc[out.split == "test", "event_id"]) == set(range(75, 100))
+    # train ends 5h before the cut: idx*1h < 74.25-5 -> idx <= 69
+    assert set(out.loc[out.split == "train", "event_id"]) == set(range(0, 70))
+    assert set(out.loc[out.split == "embargo", "event_id"]) == set(
+        range(70, 75))
+    # purge invariant: no train row within embargo of any test row
+    tr = out.loc[out.split == "train", "ts"].max()
+    te = out.loc[out.split == "test", "ts"].min()
+    assert (te - tr).value // 1000 >= 5 * 3_600_000_000
+
+
+def test_temporal_split_degenerate_single_instant():
+    from htrc_feature_reader_ray.stages.sample import temporal_split
+
+    df = pd.DataFrame({"event_id": [1, 2],
+                       "ts": pd.to_datetime(["2024-01-01"] * 2)})
+    out = temporal_split(ray.data.from_pandas(df), ts_col="ts").to_pandas()
+    assert (out["split"] == "test").all()  # zero span -> cut == mn
