@@ -925,6 +925,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return url_feature_store(sf)
 
+    def q_cdx_index(sf):
+        """CDX crawl index with SURT keys: (surt, url, warc_ts, digest)
+        range-sorted by (surt, ts) — the web archive's binary-searchable
+        lookup artifact; md5 text digest for revisit detection. Text is
+        digested map-side; only 4 slim columns cross the sort."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.urltools import cdx_index
+
+        return cdx_index(
+            read_pages(sf).select_columns(["url", "warc_ts", "text"])
+        )
+
     def q_latest_snapshot(sf):
         """CDX-style re-crawl pruning: keep each url's NEWEST snapshot only
         — topk_per_group(k=1) over warc_ts desc (lossless local combiner,
@@ -4450,6 +4462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_change": q_snapshot_change,
         # keep newest snapshot per url (CDX-style re-crawl pruning)
         "latest_snapshot": q_latest_snapshot,
+        "cdx_index": q_cdx_index,
         "url_feature_store": q_url_feature_store,
         # -- crawl link-graph ops --
         "link_edges": q_link_edges,
@@ -5589,6 +5602,11 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": similarity_mod.pq_codes_sql(
             subspaces=2, k=4, rounds=2, dim=64),
         "host_url_churn": PAGES_PRE + urltools.host_url_churn_sql(),
+        # first-occurrence split rules == engine str.partition; md5(text)
+        # == hashlib hexdigest; row order is compare-insensitive, the
+        # ORDER BY documents the artifact contract
+        "cdx_index": urltools.cdx_index_sql(
+            pages_pre=PAGES_PRE, text_expr=PAGES_TEXT_SQL),
         "split_leakage": """
         WITH arr8 AS (
           SELECT doc_id,

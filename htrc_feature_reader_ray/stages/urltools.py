@@ -757,3 +757,128 @@ def host_url_churn_sql(*, pages_cte: str = "pages") -> str:
                coalesce(sum(n) FILTER (WHERE day > d0), 0)::BIGINT
                  AS n_revisit_fetches
         FROM jc GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# CDX-style crawl index with SURT keys (the web archive's lookup artifact)
+
+
+def cdx_index(pages, *, url_col: str = "url", ts_col: str = "warc_ts",
+              text_col: str = "text"):
+    """CDX-style crawl index: one ``(surt, url, warc_ts, digest)`` row per
+    capture, range-sorted by ``(surt, warc_ts)`` — the canonical lookup
+    artifact of every web archive (Common Crawl's cc-index, IA's CDX
+    files): a binary-searchable, host-grouped index where all captures of
+    one page sit adjacent and a host's pages are a contiguous key range.
+
+    SURT (Sort-friendly URI Reordering Transform, the public
+    webarchive-commons / pywb convention) under EXPLICIT split rules so
+    the SQL mirror agrees character-for-character on any input, with no
+    URL-library divergence (same posture as ``url_features``):
+
+      1. scheme = everything up to the FIRST ``://`` (dropped; absent →
+         nothing dropped),
+      2. host:port = up to the first ``/``; the path INCLUDING query and
+         fragment is everything from that ``/`` on (no path left → ``/``),
+      3. the port is dropped at the first ``:``; the host lowercased,
+      4. one leading ``www.`` label is dropped,
+      5. key = dot-labels reversed and comma-joined, then ``)`` + path:
+         ``https://sub.Example.com:8080/a?b=1`` → ``com,example,sub)/a?b=1``.
+
+    Query-param canonicalization is deliberately NOT applied here —
+    :func:`canonicalize_urls` is the canonicalizer; compose it upstream
+    when index keys should collapse tracking-param variants.
+
+    ``digest`` = lowercase md5 hex of the capture's extracted text (what
+    CDX's content digest is for: revisit detection — identical digest
+    under one surt means the recrawl fetched unchanged content), exactly
+    DuckDB's ``md5(text)``.
+
+    Scale shape: the per-batch kernel is stateless and vectorized (host
+    label reversal runs once per DISTINCT host in the batch — bounded
+    support — and is scattered back by inverse index); the page text
+    never crosses an exchange (digested map-side, only 4 slim index
+    columns leave the batch); then ONE range-partition sort on
+    ``(surt, ts)`` — the sort IS the artifact, a CDX index is defined by
+    its order. Reference parity: no analog (the reference's id→path
+    resolvers, SURVEY §2.1, are the closest shape)."""
+    import hashlib
+
+    import ray.data  # noqa: F401  (pages is already a Dataset)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        url = df[url_col].astype(str)
+        parts = url.str.partition("://")
+        rest = np.where(parts[1].eq("://"), parts[2], url)
+        rest = pd.Series(rest, index=df.index, dtype=object)
+        hp = rest.str.partition("/")
+        path = np.where(hp[1].eq("/"), "/" + hp[2], "/")
+        host = hp[0].str.partition(":")[0].str.lower()
+        host = host.mask(host.str.startswith("www."), host.str.slice(4))
+        uh, inv = np.unique(host.to_numpy(), return_inverse=True)
+        rev = np.array(
+            [",".join(reversed(h.split("."))) for h in uh], dtype=object
+        )
+        surt = rev[inv] + ")" + path
+        digest = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in df[text_col].astype(str)
+        ]
+        return pd.DataFrame({
+            "surt": surt,
+            url_col: url,
+            ts_col: df[ts_col].to_numpy(),
+            "digest": np.array(digest, dtype=object),
+        })
+
+    idx = pages.map_batches(kernel, batch_format="pandas")
+    return idx.sort(["surt", ts_col])
+
+
+def cdx_index_sql(*, pages_pre: str, text_expr: str,
+                  url_col: str = "url", ts_col: str = "warc_ts") -> str:
+    """SQL mirror: identical first-occurrence split rules (``strpos`` = 1st
+    match, as in the engine's ``str.partition``), ``list_reverse`` host
+    labels, ``md5(text)``."""
+    return f"""
+        {pages_pre},
+        u AS (
+          SELECT {url_col} AS url, {ts_col} AS ts, {text_expr} AS text
+          FROM pages
+        ),
+        r AS (
+          SELECT url, ts, text,
+                 CASE WHEN strpos(url, '://') > 0
+                      THEN substr(url, strpos(url, '://') + 3)
+                      ELSE url END AS rest
+          FROM u
+        ),
+        hp AS (
+          SELECT url, ts, text,
+                 CASE WHEN strpos(rest, '/') > 0
+                      THEN substr(rest, 1, strpos(rest, '/') - 1)
+                      ELSE rest END AS hostport,
+                 CASE WHEN strpos(rest, '/') > 0
+                      THEN substr(rest, strpos(rest, '/'))
+                      ELSE '/' END AS path
+          FROM r
+        ),
+        h AS (
+          SELECT url, ts, text, path,
+                 lower(CASE WHEN strpos(hostport, ':') > 0
+                            THEN substr(hostport, 1,
+                                        strpos(hostport, ':') - 1)
+                            ELSE hostport END) AS host0
+          FROM hp
+        ),
+        s AS (
+          SELECT url, ts, text, path,
+                 CASE WHEN starts_with(host0, 'www.')
+                      THEN substr(host0, 5) ELSE host0 END AS host
+          FROM h
+        )
+        SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+                   || ')' || path AS surt,
+               url AS {url_col}, ts AS {ts_col}, md5(text) AS digest
+        FROM s
+        ORDER BY 1, 3"""

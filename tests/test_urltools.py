@@ -331,3 +331,50 @@ def test_robots_crawl_delay_min_and_leniency():
                        + robots_crawl_delay_sql()).df()
            .sort_values("host").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, sql)
+
+
+def test_cdx_index_surt_branches_and_digest():
+    import hashlib
+
+    from htrc_feature_reader_ray.stages.urltools import cdx_index
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "url": [
+            "https://sub.Example.COM:8080/a/b?x=1#f",  # port+case+query
+            "http://www.example.com/",                 # www strip, bare /
+            "example.com",                             # no scheme, no path
+            "https://one.two.three.org/deep",          # 4-label reverse
+        ],
+        "warc_ts": [t0, t0, t0, t0],
+        "text": ["alpha", "beta", "gamma", "delta"],
+    })
+    out = cdx_index(ray.data.from_pandas(df)).to_pandas()
+    got = dict(zip(out["url"], out["surt"]))
+    assert got["https://sub.Example.COM:8080/a/b?x=1#f"] == \
+        "com,example,sub)/a/b?x=1#f"
+    assert got["http://www.example.com/"] == "com,example)/"
+    assert got["example.com"] == "com,example)/"
+    assert got["https://one.two.three.org/deep"] == "org,three,two,one)/deep"
+    dig = dict(zip(out["url"], out["digest"]))
+    assert dig["example.com"] == hashlib.md5(b"gamma").hexdigest()
+
+
+def test_cdx_index_sorted_and_groups_captures():
+    from htrc_feature_reader_ray.stages.urltools import cdx_index
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for d in range(20):
+        for s in range(1 + d % 3):
+            rows.append((f"https://h{d % 5}.example.com/doc/{d}",
+                         t0 + pd.Timedelta(hours=s), f"text {d} {s}"))
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    out = cdx_index(
+        ray.data.from_pandas(df).repartition(6)).to_pandas()
+    assert len(out) == len(df)
+    # global order: (surt, ts) non-decreasing
+    key = list(zip(out["surt"], out["warc_ts"]))
+    assert key == sorted(key)
+    # all captures of one url adjacent under one surt
+    assert out.groupby("surt")["url"].nunique().max() == 1
