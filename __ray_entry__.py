@@ -1993,6 +1993,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_key="vec_id", right_key="vid")
         return knn_label_agreement(joined, k=5)
 
+    def q_change_point(sf):
+        """Retrospective AMOC change-point per user over the zero-filled
+        daily event-count grid: break_day = argmax of the integer CUSUM
+        deviation |n*S_k - k*S| (first k on ties), dev_ppm its KS-style
+        normalization. Map-side day-count partials, ONE user-bucketed
+        exchange, flat-grid vectorized finish."""
+        from htrc_feature_reader_ray.stages.temporal import change_point
+
+        return change_point(_events(sf, ["user_id", "ts"]),
+                            key="user_id", ts="ts")
+
     def q_cusum_flags(sf):
         """Per-user upward spend-drift CUSUM flags (exact integer state;
         the recursion closes into prefix-sum minus running-min, so the
@@ -4504,6 +4515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_lm_split": q_prefix_lm_split,
         "fim_split": q_fim_split,
         "cusum_flags": q_cusum_flags,
+        "change_point": q_change_point,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
         "two_hop_neighbors": q_two_hop_neighbors,
@@ -5763,6 +5775,8 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ({similarity_mod.kmeans_fixed_sql(k=8, rounds=3)}) a
                 USING (vec_id)""",
             k=5),
+        "change_point": temporal_mod.change_point_sql(
+            table="events", key="user_id", ts="ts"),
         "cusum_flags": temporal_mod.cusum_flags_sql(
             key="user_id", ts="ts",
             value_expr="CAST(round(value * 100) AS BIGINT)",

@@ -1566,3 +1566,159 @@ def touch_attribution_sql(*, table: str = "events", key: str = "user_id",
                coalesce(a.n_touches, 0)::BIGINT AS n_touches,
                a.first_touch, a.last_touch
         FROM conv c LEFT JOIN agg a USING ({id_col})"""
+
+
+# ---------------------------------------------------------------------------
+# retrospective change-point localization (AMOC over daily activity)
+
+
+def change_point(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Single most-likely change point per key over its daily event-count
+    series — the retrospective sibling of :func:`cusum_flags`: CUSUM flags
+    answer "is this key drifting right now" while running forward; this op
+    answers "WHERE did the level shift" after the fact (AMOC — at-most-one
+    change — in its classic max-CUSUM form, Page 1954 / Hinkley 1970),
+    which is what a crawl-scheduling or incident-forensics pass asks of a
+    host's fetch series.
+
+    Contract: per key, the day grid is the key's own closed span
+    ``[min_day, max_day]`` ZERO-FILLED (a level shift to silence is a
+    change; dropping empty days would hide exactly the breaks that
+    matter). With prefix sums ``S_k`` over the grid of length ``n`` and
+    total ``S``, the break maximizes the integer CUSUM deviation
+
+        ``dev_k = | n·S_k − k·S |``,  k = 1..n−1
+
+    (the max gap between observed cumulative activity share and the
+    uniform clock — dev/(n·S) is exactly a KS distance against uniform
+    time). First k wins ties; ``break_day`` = last day of the left
+    segment = ``min_day + k − 1``; ``dev_ppm = dev·10⁶ // (n·S)`` done in
+    Python ints on the one winning row per key (n·S·10⁶ can pass int64 at
+    hot-key scale; the in-grid dev fits int64 for any key with fewer than
+    ~10¹⁵ events across a bounded day span — documented bound). Keys
+    observed on a single day have no valid split and are EXCLUDED
+    (documented; no null-break rows).
+
+    Scale shape: per-batch (key, day, count) Arrow partials collapse the
+    event stream map-side, ONE key-bucketed exchange of partial rows, then
+    an all-keys vectorized flat-grid pass per bucket (np.repeat segment
+    layout, one cumsum, segment-rebased prefix sums — no per-key Python
+    loop); output is one row per key."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by([key, "day"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "day", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "n_days": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "break_day": pd.Series([], dtype="int64"),
+                                 "dev_ppm": pd.Series([], dtype="int64")})
+        df = (df.groupby([key, "day"], as_index=False, sort=False)["c"]
+              .sum().sort_values([key, "day"], kind="mergesort"))
+        g = df.groupby(key, sort=False)
+        bounds = g.agg(mn=("day", "min"), mx=("day", "max"),
+                       s=("c", "sum")).reset_index()
+        bounds["n"] = bounds["mx"] - bounds["mn"] + 1
+        bounds = bounds[bounds["n"] >= 2].reset_index(drop=True)
+        if not len(bounds):
+            return per_bucket(df.iloc[0:0])
+        n = bounds["n"].to_numpy()
+        off = np.concatenate([[0], np.cumsum(n)])
+        flat = np.zeros(off[-1], dtype=np.int64)
+        keep = df[key].isin(set(bounds[key]))
+        dfk = df[keep]
+        kidx = pd.Series(np.arange(len(bounds)),
+                         index=bounds[key]).reindex(dfk[key]).to_numpy()
+        pos = off[kidx] + (dfk["day"].to_numpy()
+                           - bounds["mn"].to_numpy()[kidx])
+        np.add.at(flat, pos, dfk["c"].to_numpy())
+        cs = np.cumsum(flat)
+        base = np.concatenate([[0], cs[off[1:-1] - 1]])
+        seg = np.repeat(np.arange(len(bounds)), n)
+        cum = cs - base[seg]                      # per-segment prefix sums
+        k = np.arange(off[-1]) - off[seg] + 1     # 1..n within each segment
+        S = bounds["s"].to_numpy()[seg]
+        nn = n[seg]
+        dev = np.abs(nn * cum - k * S)
+        valid = k < nn                            # k = 1..n-1 only
+        frame = pd.DataFrame({"seg": seg[valid], "k": k[valid],
+                              "dev": dev[valid]})
+        win = frame.loc[frame.groupby("seg", sort=False)["dev"].idxmax()]
+        # object-int ppm on the one winning row per key (no per-key Python
+        # loop; dev*1e6 may pass int64 for hot keys)
+        segw = win["seg"].to_numpy().astype(np.int64)
+        nw = n[segw].astype(object)
+        sw = bounds["s"].to_numpy()[segw].astype(object)
+        ppm = (win["dev"].to_numpy().astype(object) * 1_000_000
+               // (nw * sw))
+        out = pd.DataFrame({
+            key: bounds[key].to_numpy()[segw],
+            "n_days": n[segw],
+            "n_events": bounds["s"].to_numpy()[segw],
+            "break_day": (bounds["mn"].to_numpy()[segw]
+                          + win["k"].to_numpy() - 1),
+            "dev_ppm": ppm.astype(np.int64),
+        })
+        return out.astype({key: "int64", "n_days": "int64",
+                           "n_events": "int64", "break_day": "int64",
+                           "dev_ppm": "int64"})
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def change_point_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: day-count fold, lateral zero-filled grid, window prefix
+    sum, HUGEINT CUSUM deviation, first-max via (dev DESC, k ASC) rank."""
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT kk, min(day) AS mn, max(day) AS mx, sum(c)::BIGINT AS s,
+                 (max(day) - min(day) + 1)::BIGINT AS n
+          FROM d GROUP BY 1 HAVING max(day) > min(day)
+        ),
+        g0 AS (
+          SELECT b.kk, b.mn, b.n, b.s, u.day
+          FROM b, unnest(generate_series(b.mn, b.mx)) AS u(day)
+        ),
+        grid AS (
+          SELECT g0.kk, g0.mn, g0.n, g0.s, g0.day,
+                 coalesce(d.c, 0)::BIGINT AS c
+          FROM g0 LEFT JOIN d ON d.kk = g0.kk AND d.day = g0.day
+        ),
+        cum AS (
+          SELECT kk, mn, n, s, day,
+                 (day - mn + 1)::BIGINT AS k,
+                 sum(c) OVER (PARTITION BY kk ORDER BY day)::BIGINT AS sk
+          FROM grid
+        ),
+        dev AS (
+          SELECT kk, mn, n, s, k,
+                 abs(n::HUGEINT * sk - k::HUGEINT * s) AS dv,
+                 row_number() OVER (
+                   PARTITION BY kk
+                   ORDER BY abs(n::HUGEINT * sk - k::HUGEINT * s) DESC,
+                            k ASC) AS rnk
+          FROM cum WHERE k < n
+        )
+        SELECT kk AS {key}, n AS n_days, s AS n_events,
+               (mn + k - 1)::BIGINT AS break_day,
+               (dv * 1000000 // (n::HUGEINT * s))::BIGINT AS dev_ppm
+        FROM dev WHERE rnk = 1"""

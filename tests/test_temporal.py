@@ -622,3 +622,49 @@ def test_touch_attribution_window_edges_and_ties():
     assert r2["n_touches"] == 0 and r2["first_touch"] is None
     r3 = got.loc[10]
     assert r3["n_touches"] == 0 and r3["last_touch"] is None
+
+
+def test_change_point_localizes_level_shift():
+    from htrc_feature_reader_ray.stages.temporal import change_point
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: 1 event/day for 10 days, then 5/day for 10 days -> break at
+    # day index 9 (last quiet day)
+    for d in range(20):
+        for _ in range(1 if d < 10 else 5):
+            rows.append((1, t0 + pd.Timedelta(days=d, hours=1)))
+    # user 2: constant 2/day -> dev small, but still emits a row
+    for d in range(15):
+        for _ in range(2):
+            rows.append((2, t0 + pd.Timedelta(days=d)))
+    # user 3: single day -> excluded (no valid split)
+    rows.append((3, t0))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = change_point(
+        ray.data.from_pandas(df).repartition(7), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    day0 = (t0.value // 1000) // 86_400_000_000
+    assert 3 not in out.index
+    assert out.loc[1, "break_day"] == day0 + 9
+    assert out.loc[1, "n_days"] == 20 and out.loc[1, "n_events"] == 60
+    # exact dev at k=10: |20*10 - 10*60| = 400 -> ppm = 400e6 // 1200
+    assert out.loc[1, "dev_ppm"] == 400 * 1_000_000 // (20 * 60)
+    # constant-rate user: perfectly uniform -> dev 0 at every split
+    assert out.loc[2, "dev_ppm"] == 0
+
+
+def test_change_point_zero_filled_gap_is_a_break():
+    from htrc_feature_reader_ray.stages.temporal import change_point
+
+    t0 = pd.Timestamp("2024-03-01")
+    # active 5 days, silent 5 days: the shift to silence must localize
+    # at the last active day
+    rows = [(7, t0 + pd.Timedelta(days=d)) for d in range(5)]
+    rows.append((7, t0 + pd.Timedelta(days=9)))  # one late event fixes mx
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = change_point(ray.data.from_pandas(df), key="user_id",
+                       ts="ts").to_pandas()
+    day0 = (t0.value // 1000) // 86_400_000_000
+    assert out.iloc[0]["n_days"] == 10
+    assert out.iloc[0]["break_day"] == day0 + 4
