@@ -2049,6 +2049,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["source", "n_chars"])
         return grouped_emd(docs, group_col="source", value_col="n_chars")
 
+    def q_rank_agreement(sf):
+        """Per-language Kendall tau-a (exact integer ppm) between doc
+        length and whitespace token count on the quantized
+        (n_chars//64, n_tokens//16) grid — the monotone-dependence check
+        a proxy-metric pass runs; ties count against agreement."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import kendall_tau
+        from htrc_feature_reader_ray.stages.textstats import token_count
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["lang", "n_chars", "text"])
+        withtok = token_count(docs, id_cols=("lang", "n_chars"))
+        return kendall_tau(withtok, group_col="lang", x_col="n_chars",
+                           y_col="n_tokens", qx=64, qy=16)
+
     def q_length_ks(sf):
         """Per-source KS separability of doc length vs the REST of the
         corpus (the optimal-single-threshold drift metric next to
@@ -4507,6 +4522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "length_emd": q_length_emd,
         "length_ks": q_length_ks,
+        "rank_agreement": q_rank_agreement,
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
@@ -5677,6 +5693,12 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": curate.source_divergence_sql(),
         "length_emd": profile_mod.grouped_emd_sql(
             table="documents", group="source", value_expr="n_chars"),
+        "rank_agreement": profile_mod.kendall_tau_sql(
+            src_sql=("SELECT lang, n_chars, "
+                     + TOKEN_COUNT_SQL.format(text="text")
+                     + " AS n_tokens FROM documents"),
+            group="lang", x_expr="n_chars", y_expr="n_tokens",
+            qx=64, qy=16),
         "length_ks": profile_mod.grouped_ks_sql(
             table="documents", group="source", value_expr="n_chars"),
         "mmr_rerank": similarity_mod.mmr_rerank_sql(

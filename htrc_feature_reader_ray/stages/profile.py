@@ -2491,3 +2491,110 @@ def grouped_ks_sql(*, table: str, group: str, value_expr: str) -> str:
         FROM cg JOIN ca USING (v), big
         GROUP BY cg.grp, cg.n_g, big.n
         ORDER BY 1"""
+
+
+def kendall_tau(ds, *, group_col: str, x_col: str, y_col: str,
+                qx: int = 1, qy: int = 1, num_buckets: int = 16):
+    """Per-group Kendall rank agreement between two integer features, in
+    exact integer ppm — the ORDER-based dependence check next to the
+    moment-based correlation ops: Pearson-style products answer "do x and
+    y move together linearly", Kendall answers "does ranking by x agree
+    with ranking by y at all", which is the question a feature-selection
+    or proxy-metric pass actually asks (is cheap feature x a usable stand-
+    in for expensive feature y), and it is immune to outliers and any
+    monotone rescaling of either axis.
+
+    Contract: computed on the QUANTIZED pair ``(x//qx, y//qy)`` — the
+    quantizers are part of the metric (they bound the support like
+    grouped_emd's value grid) — in the tau-a form over all ``n0 =
+    m(m−1)/2`` pairs, ties counting against agreement (a tie is "no
+    evidence of agreement", the conservative read for a proxy check):
+    ``tau_ppm = (C − D)·10⁶ / n0`` with C/D the concordant/discordant
+    pair mass. Division follows the engine-wide signed-floor convention
+    (shift by +n0 then subtract 10⁶ — numerator ≥ 0, so Python floor ==
+    DuckDB truncation). Groups with m < 2 report 0 by contract.
+
+    Scale shape (grouped_emd posture): per-batch (group, xq, yq) Arrow
+    count partials, ONE bounded-grid fold, then the exact pair count on
+    the driver — dominance sums via one int64 mask-matmul per group
+    (dom_j ≤ m), and the final Σ c_j·dom_j in Python ints since pair
+    counts pass int64 at 10¹⁰ rows; HUGEINT carries the SQL mirror's
+    cells×cells self-join."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.int64())
+        y = batch.column(y_col).cast(pa.int64())
+        tb = pa.table({
+            group_col: batch.column(group_col),
+            "xq": pa.compute.divide(x, qx).cast(pa.int64()),
+            "yq": pa.compute.divide(y, qy).cast(pa.int64()),
+        })
+        g = tb.group_by([group_col, "xq", "yq"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "xq", "yq", "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "xq", "yq"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="xq",
+    ).to_pandas()
+
+    rows = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        x = sub["xq"].to_numpy()
+        y = sub["yq"].to_numpy()
+        c = sub["c"].to_numpy()
+        m = int(c.sum())
+        n0 = m * (m - 1) // 2
+        if n0 == 0:
+            rows.append((grp, m, 0))
+            continue
+        gt_x = x[None, :] > x[:, None]
+        dom_c = (gt_x & (y[None, :] > y[:, None]))
+        dom_d = (gt_x & (y[None, :] < y[:, None]))
+        # dom vectors stay in int64 (each entry <= m); the quadratic form
+        # finishes in Python ints
+        cc = sum(int(a) * int(b)
+                 for a, b in zip(c, dom_c.astype(np.int64).T @ c))
+        dd = sum(int(a) * int(b)
+                 for a, b in zip(c, dom_d.astype(np.int64).T @ c))
+        tau = (cc - dd + n0) * 1_000_000 // n0 - 1_000_000
+        rows.append((grp, m, int(tau)))
+    out = pd.DataFrame(rows, columns=[group_col, "n_rows", "tau_ppm"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["tau_ppm"] = out["tau_ppm"].astype("int64")
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def kendall_tau_sql(*, src_sql: str, group: str, x_expr: str, y_expr: str,
+                    qx: int = 1, qy: int = 1) -> str:
+    """SQL mirror: quantized cell fold, cells×cells self-join with strict
+    dominance filters (each unordered pair counted once — only one
+    ordering has x strictly increasing), HUGEINT shift-division."""
+    return f"""
+        WITH src AS ({src_sql}),
+        cells AS (
+          SELECT {group} AS grp, ({x_expr}) // {qx} AS xq,
+                 ({y_expr}) // {qy} AS yq, count(*)::BIGINT AS c
+          FROM src GROUP BY 1, 2, 3
+        ),
+        mm AS (SELECT grp, sum(c)::BIGINT AS m FROM cells GROUP BY 1),
+        pairs AS (
+          SELECT a.grp,
+                 coalesce(sum(a.c::HUGEINT * b.c) FILTER (
+                   WHERE b.xq > a.xq AND b.yq > a.yq), 0) AS cc,
+                 coalesce(sum(a.c::HUGEINT * b.c) FILTER (
+                   WHERE b.xq > a.xq AND b.yq < a.yq), 0) AS dd
+          FROM cells a JOIN cells b ON a.grp = b.grp
+          GROUP BY 1
+        )
+        SELECT mm.grp AS {group}, mm.m AS n_rows,
+               CASE WHEN mm.m < 2 THEN 0 ELSE (
+                 (pairs.cc - pairs.dd
+                  + mm.m::HUGEINT * (mm.m - 1) // 2) * 1000000
+                 // (mm.m::HUGEINT * (mm.m - 1) // 2) - 1000000
+               )::BIGINT END AS tau_ppm
+        FROM mm JOIN pairs USING (grp)
+        ORDER BY 1"""

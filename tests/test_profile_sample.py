@@ -1379,3 +1379,45 @@ def test_temporal_split_degenerate_single_instant():
                        "ts": pd.to_datetime(["2024-01-01"] * 2)})
     out = temporal_split(ray.data.from_pandas(df), ts_col="ts").to_pandas()
     assert (out["split"] == "test").all()  # zero span -> cut == mn
+
+
+def test_kendall_tau_exact_vs_scipy_style_reference():
+    from htrc_feature_reader_ray.stages.profile import kendall_tau
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 40, 250).astype(np.int64)
+    noise = rng.randint(-6, 7, 250)
+    y = (x + noise).astype(np.int64)  # positively rank-associated
+    df = pd.DataFrame({"g": ["a"] * 250, "x": x, "y": y})
+    out = kendall_tau(ray.data.from_pandas(df).repartition(5),
+                      group_col="g", x_col="x", y_col="y").to_pandas()
+    # brute force tau-a on the same (unquantized: qx=qy=1) values
+    C = D = 0
+    for i in range(250):
+        for j in range(i + 1, 250):
+            dx, dy = x[j] - x[i], y[j] - y[i]
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    n0 = 250 * 249 // 2
+    want = (C - D + n0) * 1_000_000 // n0 - 1_000_000
+    assert int(out.iloc[0]["tau_ppm"]) == want
+    assert int(out.iloc[0]["n_rows"]) == 250
+    assert want > 500_000  # sanity: strong positive association
+
+
+def test_kendall_tau_extremes_and_singleton():
+    from htrc_feature_reader_ray.stages.profile import kendall_tau
+
+    x = np.arange(60, dtype=np.int64)
+    df = pd.DataFrame({
+        "g": ["up"] * 60 + ["down"] * 60 + ["solo"],
+        "x": np.concatenate([x, x, [0]]),
+        "y": np.concatenate([x * 3, -x, [5]]),
+    })
+    out = kendall_tau(ray.data.from_pandas(df), group_col="g",
+                      x_col="x", y_col="y").to_pandas().set_index("g")
+    assert out.loc["up", "tau_ppm"] == 1_000_000
+    assert out.loc["down", "tau_ppm"] == -1_000_000
+    assert out.loc["solo", "tau_ppm"] == 0  # m<2 contract
