@@ -2049,6 +2049,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["source", "n_chars"])
         return grouped_emd(docs, group_col="source", value_col="n_chars")
 
+    def q_padding_waste(sf):
+        """Power-of-2 length-bucket histogram + exact padding waste over
+        whitespace token counts — the batch-shape planning pass before a
+        padded-batching run (high waste in a fat bucket => split it or
+        pack instead). Map-side partials; <=41-row fold."""
+        from htrc_feature_reader_ray.stages.pack import length_buckets
+        from htrc_feature_reader_ray.stages.textstats import token_count
+
+        return length_buckets(token_count(_docs(sf)),
+                              weight_col="n_tokens")
+
     def q_rank_agreement(sf):
         """Per-language Kendall tau-a (exact integer ppm) between doc
         length and whitespace token count on the quantized
@@ -4523,6 +4534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_emd": q_length_emd,
         "length_ks": q_length_ks,
         "rank_agreement": q_rank_agreement,
+        "padding_waste": q_padding_waste,
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
@@ -4828,7 +4840,10 @@ def oracle_sql() -> dict[str, str]:
         urltools,
     )
     from htrc_feature_reader_ray.stages.multimodal import phash_pairs_sql
-    from htrc_feature_reader_ray.stages.pack import pack_sequences_sql
+    from htrc_feature_reader_ray.stages.pack import (
+        length_buckets_sql,
+        pack_sequences_sql,
+    )
     from htrc_feature_reader_ray.stages.partition import (
         rendezvous_assign_sql,
     )
@@ -5693,6 +5708,10 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": curate.source_divergence_sql(),
         "length_emd": profile_mod.grouped_emd_sql(
             table="documents", group="source", value_expr="n_chars"),
+        "padding_waste": length_buckets_sql(
+            src_sql=("SELECT " + TOKEN_COUNT_SQL.format(text="text")
+                     + " AS n_tokens FROM documents"),
+            len_expr="n_tokens"),
         "rank_agreement": profile_mod.kendall_tau_sql(
             src_sql=("SELECT lang, n_chars, "
                      + TOKEN_COUNT_SQL.format(text="text")

@@ -129,3 +129,94 @@ def pack_sequences_sql(*, weight_expr: str, id_col: str, budget: int,
                (global_offset // {budget})::BIGINT AS shard_id,
                (global_offset % {budget})::BIGINT AS offset_in_shard
         FROM o"""
+
+
+# ---------------------------------------------------------------------------
+# power-of-2 length-bucket histogram + padding waste (batch-shape planner)
+
+
+def length_buckets(ds, *, weight_col: str):
+    """Power-of-2 sequence-length bucket histogram with exact padding
+    waste — the batch-shape planning artifact for padded/bucketed
+    batching (the TF bucket_by_sequence_length / fairseq
+    ``--required-batch-size-multiple`` planning step): before a training
+    run fixes its bucket boundaries, this answers "how many sequences
+    land in each 2^k ceiling bucket, and what fraction of the padded
+    token grid would be pad" — high waste in a fat bucket is the signal
+    to split it or to route those docs through :func:`pack_sequences`
+    instead of padding.
+
+    Bucket = smallest power of two ≥ length (lengths ≤ 1 → bucket 1),
+    computed by ``searchsorted`` against the literal 2^0..2^40 table —
+    no float log2, exact at every power-of-2 boundary, and the SQL
+    mirror joins the SAME literal table (``p.v >= L AND p.v // 2 < L``
+    picks the unique ceiling power). Per bucket: ``n_seqs``,
+    ``sum_tokens``, and ``waste_ppm = (n·bucket − Σlen)·10⁶ //
+    (n·bucket)`` — exact, with the padded grid ``n·bucket`` the
+    denominator.
+
+    Scale shape: per-batch (bucket, n, sum) partials collapse the stream
+    map-side; the fold is ≤ 41 rows (one per power) so the driver finish
+    is audit-sized; Python-int ppm since n·bucket·10⁶ passes int64 at
+    web scale."""
+    powers = np.left_shift(np.int64(1), np.arange(41, dtype=np.int64))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df[weight_col].to_numpy().astype(np.int64)
+        b = powers[np.searchsorted(powers, np.maximum(ln, 1), side="left")]
+        g = pd.DataFrame({"bucket": b, "n": 1, "s": ln}).groupby(
+            "bucket", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+        return g
+
+    folded = (ds.map_batches(partial, batch_format="pandas")
+              .to_pandas())
+    if not len(folded):
+        return _empty_length_buckets()
+    g = folded.groupby("bucket", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")).sort_values("bucket")
+    waste = [
+        (int(n) * int(b) - int(s)) * 1_000_000 // (int(n) * int(b))
+        for b, n, s in zip(g["bucket"], g["n"], g["s"])
+    ]
+    out = pd.DataFrame({
+        "bucket": g["bucket"].to_numpy().astype(np.int64),
+        "n_seqs": g["n"].to_numpy().astype(np.int64),
+        "sum_tokens": g["s"].to_numpy().astype(np.int64),
+        "waste_ppm": np.array(waste, dtype=np.int64),
+    })
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def _empty_length_buckets():
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame({
+        "bucket": pd.Series([], dtype="int64"),
+        "n_seqs": pd.Series([], dtype="int64"),
+        "sum_tokens": pd.Series([], dtype="int64"),
+        "waste_ppm": pd.Series([], dtype="int64"),
+    }))
+
+
+def length_buckets_sql(*, src_sql: str, len_expr: str) -> str:
+    """SQL mirror: literal powers table join (unique ceiling power via
+    ``v >= L AND v // 2 < L``), HUGEINT ppm."""
+    return f"""
+        WITH src AS ({src_sql}),
+        lens AS (SELECT greatest(({len_expr})::BIGINT, 1) AS gl,
+                        ({len_expr})::BIGINT AS l FROM src),
+        powers AS (
+          SELECT (1::BIGINT << k)::BIGINT AS v
+          FROM unnest(generate_series(0, 40)) AS t(k)
+        ),
+        bucketed AS (
+          SELECT p.v AS bucket, l
+          FROM lens JOIN powers p ON p.v >= lens.gl AND p.v // 2 < lens.gl
+        )
+        SELECT bucket, count(*)::BIGINT AS n_seqs,
+               sum(l)::BIGINT AS sum_tokens,
+               ((count(*)::HUGEINT * bucket - sum(l)) * 1000000
+                // (count(*)::HUGEINT * bucket))::BIGINT AS waste_ppm
+        FROM bucketed GROUP BY 1 ORDER BY 1"""

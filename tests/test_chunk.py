@@ -319,3 +319,24 @@ def test_token_windows_tiling_and_empty():
     assert (out.doc_id == 2).sum() == 0  # empty doc emits nothing
     d3 = out[out.doc_id == 3]
     assert d3.window_text.tolist() == ["x"] and d3.n_tok.tolist() == [1]
+
+
+def test_length_buckets_exact_powers_and_waste():
+    from htrc_feature_reader_ray.stages.pack import length_buckets
+
+    lens = np.array([0, 1, 2, 3, 4, 5, 8, 9, 1024, 1025], dtype=np.int64)
+    df = pd.DataFrame({"n_tokens": lens})
+    out = length_buckets(
+        ray.data.from_pandas(df).repartition(4), weight_col="n_tokens"
+    ).to_pandas().set_index("bucket")
+    # power-of-2 boundary exactness: 4 -> 4 (not 8), 1024 -> 1024
+    assert out.loc[4, "n_seqs"] == 2 and out.loc[4, "sum_tokens"] == 7
+    assert out.loc[1024, "n_seqs"] == 1
+    assert out.loc[2048, "n_seqs"] == 1  # 1025 spills up
+    # lens 0 and 1 share bucket 1
+    assert out.loc[1, "n_seqs"] == 2 and out.loc[1, "sum_tokens"] == 1
+    # exact waste: bucket 4 pads 2 seqs to 8 slots holding 7 tokens
+    assert out.loc[4, "waste_ppm"] == (8 - 7) * 1_000_000 // 8
+    assert out.loc[1, "waste_ppm"] == (2 - 1) * 1_000_000 // 2
+    # zero-waste bucket: exactly-full
+    assert out.loc[1024, "waste_ppm"] == 0
