@@ -2973,6 +2973,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return canonicalize_urls(_messy_urls(sf))
 
+    def q_path_rollup(sf):
+        """Hierarchical directory rollup over the messy-url fixture:
+        every url counts into EACH ancestor dir of its path (leaf
+        excluded) — 'which subtree holds the crawl's mass'. Level-loop
+        vectorized explode, map-side (host,dir) partials, one
+        host-bucketed fold."""
+        from htrc_feature_reader_ray.stages.urltools import path_rollup
+
+        return path_rollup(_messy_urls(sf))
+
     def q_url_features(sf):
         """Structural URL features (scheme/host/path-depth/param-count/
         fragment) over the messy-url fixture — explicit split rules, so
@@ -4634,6 +4644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- url hygiene / host rollups --
         "canonical_url": q_canonical_url,
         "url_features": q_url_features,
+        "path_rollup": q_path_rollup,
         "parse_robots": q_parse_robots,
         "parse_sitemaps": q_parse_sitemaps,
         "robots_crawl_delay": q_robots_crawl_delay,
@@ -5650,6 +5661,19 @@ def oracle_sql() -> dict[str, str]:
         # ORDER BY documents the artifact contract
         "cdx_index": urltools.cdx_index_sql(
             pages_pre=PAGES_PRE, text_expr=PAGES_TEXT_SQL),
+        "path_rollup": urltools.path_rollup_sql(src_sql="""
+            SELECT CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'HTTPS://' || upper(source)
+                     || '.Example.COM:443/doc/' || doc_id
+                     || '?utm_source=feed&b=2&a=1#frag'
+                WHEN 1 THEN 'http://' || source || '.example.com:80/doc/'
+                     || doc_id || '?z=9&utm_campaign=x'
+                WHEN 2 THEN 'https://' || source || '.example.com/doc/'
+                     || doc_id || '#sec-2'
+                ELSE 'https://' || source || '.example.com/doc/' || doc_id
+                     || '?b=2&a=1&fbclid=abc'
+              END AS url
+            FROM documents"""),
         "split_leakage": """
         WITH arr8 AS (
           SELECT doc_id,

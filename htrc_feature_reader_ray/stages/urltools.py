@@ -882,3 +882,99 @@ def cdx_index_sql(*, pages_pre: str, text_expr: str,
                url AS {url_col}, ts AS {ts_col}, md5(text) AS digest
         FROM s
         ORDER BY 1, 3"""
+
+
+# ---------------------------------------------------------------------------
+# hierarchical directory rollup (which subtrees hold the crawl's mass)
+
+
+def path_rollup(ds, *, url_col: str = "url", num_buckets: int = 16):
+    """Hierarchical directory rollup: every url contributes one count to
+    EACH ancestor directory of its path — ``(host, dir, n_pages)`` with
+    ``dir`` always '/'-terminated — the crawl-analytics artifact that
+    answers "which subtree holds the mass" (site-section budgeting,
+    sitemap inference, boilerplate-section detection: a /tag/ subtree
+    with 80% of a host's pages is a faceted-navigation trap the frontier
+    should down-prioritize; compose with :func:`url_templates`, which
+    clusters LEAF shapes, where this rolls up ANCESTOR mass).
+
+    Split rules are :func:`url_features`'s exactly (first ``://``, first
+    ``/``, port at first ``:``, query/fragment cut at first ``?`` / ``#``;
+    urls are scheme'd by that shared contract). A path with k slashes
+    yields its k ancestors: ``/doc/123`` → ``/`` and ``/doc/`` (the leaf
+    itself is not a directory); a bare authority with no path yields
+    nothing.
+
+    Scale shape: the ancestor explode is a LEVEL loop — one vectorized
+    ``str.partition`` pass per path depth level, every row at that depth
+    handled at once (html_tables' explode posture; no per-row Python) —
+    then per-batch (host, dir) Arrow count partials collapse the explode
+    map-side before ONE host-bucketed fold, so the exchange carries
+    counted prefixes, not per-page rows, and a host's whole subtree
+    finishes in one bucket."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[url_col].astype(str)
+        rest = u.str.partition("://")[2]
+        hp = rest.str.partition("/")
+        host = hp[0].str.partition(":")[0].str.lower()
+        pathqf = hp[1] + hp[2]
+        path = pathqf.str.partition("?")[0].str.partition("#")[0]
+        hosts, dirs = [], []
+        prefix = pd.Series("", index=df.index, dtype=object)
+        remainder = path
+        while True:
+            sp = remainder.str.partition("/")
+            has = sp[1].eq("/")
+            if not has.any():
+                break
+            prefix = (prefix + sp[0] + "/").where(has, prefix)
+            hosts.append(host[has].to_numpy())
+            dirs.append(prefix[has].to_numpy())
+            remainder = sp[2].where(has, "")
+        if not hosts:
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "dir": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+            })
+        flat = pd.DataFrame({
+            "host": np.concatenate(hosts),
+            "dir": np.concatenate(dirs),
+        })
+        return flat.groupby(["host", "dir"], as_index=False).agg(
+            n=("dir", "size"))
+
+    partials = ds.map_batches(fn, batch_format="pandas")
+    out = bucketed_aggregate(partials, ["host", "dir"], {"n": ("n", "sum")},
+                             num_buckets=num_buckets, bucket_key="host")
+    return out.map_batches(
+        lambda df: df.rename(columns={"n": "n_pages"}),
+        batch_format="pandas")
+
+
+def path_rollup_sql(*, src_sql: str, url: str = "url") -> str:
+    """SQL mirror: url_features' split expressions, then a lateral
+    ``generate_series(1, n_slashes)`` ancestor explode where
+    ``dir_k = array_to_string(list_slice(parts, 1, k), '/') || '/'``."""
+    rest = f"split_part({url}, '://', 2)"
+    hostport = f"split_part({rest}, '/', 1)"
+    pathqf = (f"CASE WHEN length({rest}) > length({hostport})"
+              f" THEN substr({rest}, length({hostport}) + 1) ELSE '' END")
+    path = f"split_part(split_part({pathqf}, '?', 1), '#', 1)"
+    return f"""
+        WITH src AS ({src_sql}),
+        p AS (
+          SELECT lower(split_part({hostport}, ':', 1)) AS host,
+                 string_split({path}, '/') AS parts
+          FROM src
+        ),
+        e AS (
+          SELECT host,
+                 array_to_string(list_slice(parts, 1, t.k), '/') || '/'
+                     AS dir
+          FROM p, unnest(generate_series(1, len(parts) - 1)) AS t(k)
+        )
+        SELECT host, dir, count(*)::BIGINT AS n_pages
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2"""

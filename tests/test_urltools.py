@@ -378,3 +378,27 @@ def test_cdx_index_sorted_and_groups_captures():
     assert key == sorted(key)
     # all captures of one url adjacent under one surt
     assert out.groupby("surt")["url"].nunique().max() == 1
+
+
+def test_path_rollup_ancestor_counts():
+    from htrc_feature_reader_ray.stages.urltools import path_rollup
+
+    df = pd.DataFrame({"url": [
+        "https://a.com/blog/2024/post-1?q=1",
+        "https://a.com/blog/2024/post-2#frag",
+        "https://a.com/blog/about",
+        "https://a.com/shop/item",
+        "https://A.com:8080/",          # bare dir, port+case
+        "https://b.com",                # no path at all -> contributes 0
+    ]})
+    out = path_rollup(ray.data.from_pandas(df).repartition(3)).to_pandas()
+    got = {(h, d): n for h, d, n in
+           zip(out["host"], out["dir"], out["n_pages"])}
+    assert got[("a.com", "/")] == 5
+    assert got[("a.com", "/blog/")] == 3
+    assert got[("a.com", "/blog/2024/")] == 2
+    assert got[("a.com", "/shop/")] == 1
+    assert ("a.com", "/blog/2024/post-1") not in got  # leaves excluded
+    assert not any(h == "b.com" for h, _ in got)
+    # every dir '/'-terminated
+    assert out["dir"].str.endswith("/").all()
