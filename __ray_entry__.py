@@ -1993,6 +1993,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_key="vec_id", right_key="vid")
         return knn_label_agreement(joined, k=5)
 
+    def q_fano_factor(sf):
+        """Per-user Fano factor (Var/Mean of the zero-filled daily count
+        grid, exact integer ppm) — the overdispersion test behind every
+        Poisson recrawl/rate model: ~1e6 Poisson-like, >1e6 bursty.
+        Same map-side day partials + one key-bucketed exchange as
+        change_point, but moments only — no grid materialization."""
+        from htrc_feature_reader_ray.stages.temporal import fano_factor
+
+        return fano_factor(_events(sf, ["user_id", "ts"]),
+                           key="user_id", ts="ts")
+
     def q_change_point(sf):
         """Retrospective AMOC change-point per user over the zero-filled
         daily event-count grid: break_day = argmax of the integer CUSUM
@@ -4554,6 +4565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_split": q_fim_split,
         "cusum_flags": q_cusum_flags,
         "change_point": q_change_point,
+        "fano_factor": q_fano_factor,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
         "two_hop_neighbors": q_two_hop_neighbors,
@@ -5841,6 +5853,8 @@ def oracle_sql() -> dict[str, str]:
                 USING (vec_id)""",
             k=5),
         "change_point": temporal_mod.change_point_sql(
+            table="events", key="user_id", ts="ts"),
+        "fano_factor": temporal_mod.fano_factor_sql(
             table="events", key="user_id", ts="ts"),
         "cusum_flags": temporal_mod.cusum_flags_sql(
             key="user_id", ts="ts",

@@ -1722,3 +1722,96 @@ def change_point_sql(*, table: str, key: str, ts: str) -> str:
                (mn + k - 1)::BIGINT AS break_day,
                (dv * 1000000 // (n::HUGEINT * s))::BIGINT AS dev_ppm
         FROM dev WHERE rnk = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness per key (overdispersion of the daily rate)
+
+
+def fano_factor(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key Fano factor of the zero-filled daily event-count series, in
+    exact integer ppm — the overdispersion check behind every
+    Poisson-rate assumption: recrawl schedulers (Cho & Garcia-Molina's
+    change-rate estimators) and rate-limit budgeting both model a key's
+    daily activity as Poisson, and the Fano factor ``F = Var/Mean`` is
+    the test of that assumption — ``F ≈ 1`` Poisson-like, ``F > 1``
+    bursty (visits clump; schedule adaptively), ``F < 1`` regular
+    (metronomic bots). Sits beside :func:`change_point` (same zero-filled
+    ``[min_day, max_day]`` grid contract — silent days carry exactly the
+    dispersion signal) but answers "is the rate STABLE" rather than
+    "where did it shift".
+
+    Population-variance form over grid length n and daily counts x:
+    ``F = Var/Mean = (n·Σx² − S²) / (n·S)``, so
+    ``fano_ppm = (n·Σx² − S²)·10⁶ // (n·S)`` — numerator ≥ 0 by
+    Cauchy-Schwarz, so Python floor == DuckDB truncation; single-day
+    keys (n == 1) report 0 by the same documented no-dispersion contract
+    as change_point's exclusion, but stay in the output (their mean IS
+    defined). HUGEINT carries the mirror; the engine finishes the ppm in
+    object ints since n·Σx²·10⁶ passes int64 for hot keys.
+
+    Scale shape: per-batch (key, day, count) Arrow partials, ONE
+    key-bucketed exchange, vectorized per-bucket finish — Σx² needs only
+    the OBSERVED days (zero days add nothing to Σx² and S; the grid
+    length enters as the closed-form n) so no grid materialization at
+    all, unlike change_point's prefix walk."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by([key, "day"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "day", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "n_days": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "fano_ppm": pd.Series([], dtype="int64")})
+        df = df.groupby([key, "day"], as_index=False, sort=False)["c"].sum()
+        df["c2"] = df["c"] * df["c"]
+        g = df.groupby(key, sort=False).agg(
+            mn=("day", "min"), mx=("day", "max"),
+            s=("c", "sum"), sq=("c2", "sum")).reset_index()
+        n = (g["mx"] - g["mn"] + 1).to_numpy().astype(object)
+        s = g["s"].to_numpy().astype(object)
+        sq = g["sq"].to_numpy().astype(object)
+        num = (n * sq - s * s) * 1_000_000
+        den = n * s
+        ppm = np.where(n > 1, num // den, 0)
+        return pd.DataFrame({
+            key: g[key].to_numpy(),
+            "n_days": n.astype(np.int64),
+            "n_events": s.astype(np.int64),
+            "fano_ppm": ppm.astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def fano_factor_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: observed-day fold + closed-form grid length, HUGEINT
+    moments."""
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT kk, (max(day) - min(day) + 1)::HUGEINT AS n,
+                 sum(c)::HUGEINT AS s, sum(c::HUGEINT * c) AS sq
+          FROM d GROUP BY 1
+        )
+        SELECT kk AS {key}, n::BIGINT AS n_days, s::BIGINT AS n_events,
+               CASE WHEN n > 1
+                    THEN ((n * sq - s * s) * 1000000 // (n * s))::BIGINT
+                    ELSE 0 END AS fano_ppm
+        FROM g"""

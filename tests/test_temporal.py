@@ -668,3 +668,30 @@ def test_change_point_zero_filled_gap_is_a_break():
     day0 = (t0.value // 1000) // 86_400_000_000
     assert out.iloc[0]["n_days"] == 10
     assert out.iloc[0]["break_day"] == day0 + 4
+
+
+def test_fano_factor_exact_regimes():
+    from htrc_feature_reader_ray.stages.temporal import fano_factor
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: metronomic 3/day for 10 days -> Var=0 -> F=0
+    for d in range(10):
+        rows += [(1, t0 + pd.Timedelta(days=d))] * 3
+    # user 2: bursty — all 30 events on one day of a 10-day span
+    rows += [(2, t0)] * 30
+    rows += [(2, t0 + pd.Timedelta(days=9))] * 0  # span via a marker below
+    rows.append((2, t0 + pd.Timedelta(days=9)))
+    # user 3: single day -> F=0 by contract
+    rows += [(3, t0)] * 7
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = fano_factor(
+        ray.data.from_pandas(df).repartition(6), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert out.loc[1, "fano_ppm"] == 0
+    assert out.loc[3, "fano_ppm"] == 0
+    # user 2 exact: days [30,0,...,0,1], n=10, S=31, sumsq=901
+    n, s, sq = 10, 31, 901
+    assert out.loc[2, "fano_ppm"] == (n * sq - s * s) * 1_000_000 // (n * s)
+    assert out.loc[2, "fano_ppm"] > 1_000_000  # bursty >> Poisson
+    assert out.loc[2, "n_days"] == 10 and out.loc[2, "n_events"] == 31
