@@ -705,6 +705,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="source", salt="v1:",
         )
 
+    def q_eval_quota(sf):
+        """Fixed-size stratified eval suite: EXACTLY 200 docs apportioned
+        across languages by largest-remainder (Hamilton), each stratum
+        filled with its lowest-md5 members — same set on any cluster
+        shape. Bounded count fold + driver greedy + lossless bottom-q
+        combiner."""
+        from htrc_feature_reader_ray.stages.sample import eval_quota
+
+        return eval_quota(
+            _docs(sf, columns=["doc_id", "lang"]),
+            stratum_col="lang", id_col="doc_id", k=200, salt="v1:",
+        )
+
     def q_temporal_split(sf):
         """Purged time-based train/test split with a 1-day embargo band:
         the last 1/5 of the event span is test, train ends one embargo
@@ -4486,6 +4499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # leakage-safe deterministic train/val/test split (entity-keyed)
         "hash_split": q_hash_split,
         "temporal_split": q_temporal_split,
+        "eval_quota": q_eval_quota,
         "host_cap": q_host_cap,
         "char_coverage": q_char_coverage,
         # sliding token-window chunking (LLM context-window prep)
@@ -6786,6 +6800,11 @@ def oracle_sql() -> dict[str, str]:
             fractions={"train": 0.9, "val": 0.05, "test": 0.05},
             by="source", salt="v1:", columns="doc_id, source",
         ),
+        # Hamilton quotas: identical integer arithmetic both sides;
+        # uint64 hash order == HUGEINT md5_number_upper order
+        "eval_quota": sample.eval_quota_sql(
+            table="documents", stratum="lang", id_col="doc_id",
+            k=200, salt="v1:"),
         # integer lerp over min/max epoch-us: both // operands
         # non-negative, so Python floor == DuckDB truncation
         "temporal_split": temporal_split_sql(

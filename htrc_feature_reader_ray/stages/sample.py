@@ -863,3 +863,119 @@ def temporal_split_sql(*, table: str, ts_col: str, id_cols: str,
                         THEN 'train'
                     ELSE 'embargo' END AS {out_col}
         FROM {table}, c"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-size eval-set construction: Hamilton apportionment + hash selection
+
+
+def eval_quota(ds, *, stratum_col: str, id_col: str, k: int,
+               salt: str = "", num_buckets: int = 16):
+    """Fixed-size stratified eval-set selection: apportion EXACTLY ``k``
+    slots across strata proportional to their counts by the
+    largest-remainder (Hamilton) method, then fill each stratum's quota
+    with its deterministically-lowest-hash members. The gap this closes:
+    :func:`stratified_sample` keeps a FRACTION per stratum (output size
+    floats with the corpus), while an eval suite needs an exact budget —
+    "give me 10,000 docs, proportionally by language, same set on any
+    cluster shape, every run".
+
+    Hamilton apportionment (the unique quota-monotone divisor-free
+    method; used by most national censuses): ``q_s = k·n_s // N``, the
+    ``k − Σq_s`` leftover slots go to the largest remainders
+    ``k·n_s % N`` (stratum ascending on ties). Exact-integer — no float
+    shares — and for ``k ≤ N`` no stratum is ever over-allocated
+    (``floor(k·n_s/N) < n_s`` when k < N, so +1 stays ≤ n_s). ``k > N``
+    raises. Selection per stratum = the ``q_s`` smallest
+    ``md5_64(salt||id)`` (id ascending on hash ties) — a pure function
+    of the data, so the suite is reproducible across runs, partitions
+    and cluster sizes, and re-salting draws an independent suite.
+
+    Scale shape: ONE bounded stratum-count fold → the Hamilton greedy on
+    the driver over |strata| rows in Python ints (k·n_s passes int64 at
+    web scale) → broadcast quota table; selection reuses the lossless
+    local-bottom-q combiner (any row outside its batch's per-stratum
+    bottom-q cannot be in the global bottom-q) so the exchange carries
+    ≤ strata·q rows per batch into one stratum-bucketed finish."""
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    counts = (
+        ds.map_batches(
+            lambda t: t.group_by(stratum_col).aggregate([([], "count_all")])
+            .rename_columns([stratum_col, "n"]),
+            batch_format="pyarrow")
+        .to_pandas()
+        .groupby(stratum_col, as_index=False)["n"].sum()
+        .sort_values(stratum_col)
+    )
+    n_total = int(counts["n"].sum())
+    if k > n_total:
+        raise ValueError(f"k={k} exceeds corpus size {n_total}")
+    base = {s: int(k) * int(n) // n_total
+            for s, n in zip(counts[stratum_col], counts["n"])}
+    rem = sorted(
+        ((int(k) * int(n) % n_total, s)
+         for s, n in zip(counts[stratum_col], counts["n"])),
+        key=lambda t: (-t[0], t[1]),
+    )
+    leftover = int(k) - sum(base.values())
+    for _, s in rem[:leftover]:
+        base[s] += 1
+    quota = base  # stratum -> exact slot count, sums to k
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hash64([f"{salt}{v}" for v in df[id_col].to_numpy()])
+        out = df[[stratum_col, id_col]].copy()
+        out["_h"] = h
+        out["_q"] = out[stratum_col].map(quota).fillna(0).astype(np.int64)
+        out = out.sort_values(["_h", id_col])
+        keep = out.groupby(stratum_col, sort=False).cumcount() < out["_q"]
+        return out.loc[keep, [stratum_col, id_col, "_h"]]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[[stratum_col, id_col]]
+        df = df.sort_values(["_h", id_col])
+        q = df[stratum_col].map(quota).fillna(0).astype(np.int64)
+        keep = df.groupby(stratum_col, sort=False).cumcount() < q
+        return df.loc[keep, [stratum_col, id_col]]
+
+    pruned = ds.map_batches(local_prune, batch_format="pandas")
+    return bucketed_map_groups(pruned, stratum_col, finish,
+                               num_buckets=num_buckets)
+
+
+def eval_quota_sql(*, table: str, stratum: str, id_col: str, k: int,
+                   salt: str = "") -> str:
+    """SQL mirror: Hamilton quota CTE (identical integer arithmetic and
+    (remainder DESC, stratum ASC) leftover rank), then per-stratum
+    row_number over (md5_number_upper, id)."""
+    h = f"md5_number_upper('{salt}' || {id_col}::VARCHAR)"
+    return f"""
+        WITH c AS (
+          SELECT {stratum} AS s, count(*)::BIGINT AS n FROM {table}
+          GROUP BY 1
+        ),
+        tot AS (SELECT sum(n)::BIGINT AS nt FROM c),
+        q AS (
+          SELECT s, {k}::HUGEINT * n // tot.nt AS base,
+                 row_number() OVER (
+                   ORDER BY {k}::HUGEINT * n % tot.nt DESC, s ASC) AS r
+          FROM c, tot
+        ),
+        lo AS (SELECT ({k} - sum(base))::BIGINT AS l FROM q),
+        quota AS (
+          SELECT s, (base + CASE WHEN r <= lo.l THEN 1 ELSE 0 END)::BIGINT
+                     AS qq
+          FROM q, lo
+        ),
+        ranked AS (
+          SELECT {stratum} AS s, {id_col} AS id,
+                 row_number() OVER (
+                   PARTITION BY {stratum} ORDER BY {h}, {id_col}) AS rn
+          FROM {table}
+        )
+        SELECT ranked.s AS {stratum}, ranked.id AS {id_col}
+        FROM ranked JOIN quota USING (s)
+        WHERE ranked.rn <= quota.qq"""

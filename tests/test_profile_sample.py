@@ -1421,3 +1421,45 @@ def test_kendall_tau_extremes_and_singleton():
     assert out.loc["up", "tau_ppm"] == 1_000_000
     assert out.loc["down", "tau_ppm"] == -1_000_000
     assert out.loc["solo", "tau_ppm"] == 0  # m<2 contract
+
+
+def test_eval_quota_hamilton_exact_and_deterministic():
+    from htrc_feature_reader_ray.stages.sample import eval_quota
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "lang": ["en"] * 55 + ["de"] * 30 + ["fr"] * 14 + ["xx"],
+    })
+    out = eval_quota(ray.data.from_pandas(df).repartition(7),
+                     stratum_col="lang", id_col="doc_id", k=17,
+                     salt="t:").to_pandas()
+    assert len(out) == 17  # exact budget
+    got = out.groupby("lang").size().to_dict()
+    # Hamilton by hand: shares 9.35/5.1/2.38/0.17 -> base 9/5/2/0,
+    # leftover 1 -> largest remainder (.38 fr) wins
+    assert got == {"en": 9, "de": 5, "fr": 3}
+    # determinism across partitioning
+    out2 = eval_quota(ray.data.from_pandas(df).repartition(2),
+                      stratum_col="lang", id_col="doc_id", k=17,
+                      salt="t:").to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    # different salt -> (almost surely) different members, same quotas
+    out3 = eval_quota(ray.data.from_pandas(df), stratum_col="lang",
+                      id_col="doc_id", k=17, salt="u:").to_pandas()
+    assert out3.groupby("lang").size().to_dict() == got
+    assert sorted(out3["doc_id"]) != sorted(out["doc_id"])
+
+
+def test_eval_quota_k_equals_n_and_overflow():
+    import pytest
+
+    from htrc_feature_reader_ray.stages.sample import eval_quota
+
+    df = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                       "lang": ["a"] * 7 + ["b"] * 3})
+    out = eval_quota(ray.data.from_pandas(df), stratum_col="lang",
+                     id_col="doc_id", k=10).to_pandas()
+    assert len(out) == 10  # k == N takes everything
+    with pytest.raises(ValueError):
+        eval_quota(ray.data.from_pandas(df), stratum_col="lang",
+                   id_col="doc_id", k=11)
