@@ -2084,6 +2084,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return length_buckets(token_count(_docs(sf)),
                               weight_col="n_tokens")
 
+    def q_quantile_normalize(sf):
+        """Cross-source quantile normalization of doc length: each doc's
+        n_chars replaced by the POOLED corpus value at its within-source
+        quantile — batch-effect removal so per-source thresholds
+        compare. One bounded histogram fold broadcast + one
+        source-bucketed rank pass."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import quantile_normalize
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "source", "n_chars"])
+        return quantile_normalize(docs, group_col="source",
+                                  id_col="doc_id", value_col="n_chars")
+
     def q_rank_agreement(sf):
         """Per-language Kendall tau-a (exact integer ppm) between doc
         length and whitespace token count on the quantized
@@ -4570,6 +4585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ks": q_length_ks,
         "rank_agreement": q_rank_agreement,
         "padding_waste": q_padding_waste,
+        "quantile_normalize": q_quantile_normalize,
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
@@ -5762,6 +5778,9 @@ def oracle_sql() -> dict[str, str]:
             src_sql=("SELECT " + TOKEN_COUNT_SQL.format(text="text")
                      + " AS n_tokens FROM documents"),
             len_expr="n_tokens"),
+        "quantile_normalize": profile_mod.quantile_normalize_sql(
+            table="documents", group="source", id_col="doc_id",
+            value_expr="n_chars", value_alias="n_chars"),
         "rank_agreement": profile_mod.kendall_tau_sql(
             src_sql=("SELECT lang, n_chars, "
                      + TOKEN_COUNT_SQL.format(text="text")

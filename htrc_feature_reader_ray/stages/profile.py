@@ -2598,3 +2598,110 @@ def kendall_tau_sql(*, src_sql: str, group: str, x_expr: str, y_expr: str,
                )::BIGINT END AS tau_ppm
         FROM mm JOIN pairs USING (grp)
         ORDER BY 1"""
+
+
+def quantile_normalize(ds, *, group_col: str, id_col: str, value_col: str,
+                       num_buckets: int = 16):
+    """Cross-group quantile normalization: replace each row's value with
+    the POOLED corpus value at the same within-group quantile — the
+    batch-effect removal step (Bolstad et al., Bioinformatics 2003,
+    lifted from microarray practice to corpus QA) for scores that are
+    comparable WITHIN a source but mis-calibrated ACROSS sources: a
+    quality score of 0.8 from a lenient crawler and 0.5 from a strict one
+    may denote the same percentile, and ranking-based ops downstream
+    (host_cap, curation thresholds) silently favor the lenient source
+    unless the distributions are aligned first. :func:`quantile_transform`
+    emits the within-group RANK; this emits the pooled VALUE at that
+    rank, so downstream thresholds keep their original units.
+
+    Exact-integer contract: within-group ordinal rank ``r`` (1-based,
+    ties by ``id_col`` ascending) among ``m_g`` rows maps to pooled
+    0-based position ``p = (r−1)·N // m_g`` and the normalized value is
+    the pooled sorted multiset's element at index ``p`` (floor indexing;
+    both ``//`` operands non-negative so Python floor == DuckDB
+    truncation). Deterministic on any partitioning.
+
+    Scale shape: ONE bounded-support pooled value-histogram fold
+    (grouped_emd's support contract) broadcast to every bucket as a
+    (value, cumulative-count) table, plus ONE group-bucketed exchange of
+    slim (group, id, value) rows ranked vectorized across all groups per
+    bucket; position lookup is a searchsorted against the broadcast CDF.
+    The rank·N product is finished in object ints (N² passes int64 at
+    10¹⁰ rows)."""
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    hist = bucketed_aggregate(
+        ds.map_batches(
+            lambda t: t.group_by(value_col).aggregate([([], "count_all")])
+            .rename_columns([value_col, "c"]),
+            batch_format="pyarrow"),
+        [value_col], {"c": ("c", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values(value_col)
+    hv = hist[value_col].to_numpy()
+    cum = np.cumsum(hist["c"].to_numpy()).astype(np.int64)
+    n_total = int(cum[-1]) if len(cum) else 0
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df[[id_col, group_col, value_col]].assign(
+                **{"norm_" + value_col: pd.Series([], dtype=hv.dtype)})
+        df = df.sort_values([group_col, value_col, id_col],
+                            kind="mergesort")
+        r = df.groupby(group_col, sort=False).cumcount().to_numpy()
+        m = df.groupby(group_col, sort=False)[value_col].transform(
+            "size").to_numpy()
+        # r·N passes int64 only past ~2^31 rows; the POSITION p < N always
+        # fits int64 again, so the object path is a fallback, not the norm
+        if n_total < 2**31:
+            p = (r * np.int64(n_total)) // m
+        else:
+            po = (r.astype(object) * n_total) // m.astype(object)
+            p = np.fromiter((int(x) for x in po), dtype=np.int64,
+                            count=len(po))
+        idx = np.searchsorted(cum, p, side="right")
+        out = df[[id_col, group_col, value_col]].copy()
+        out["norm_" + value_col] = hv[idx.astype(np.int64)]
+        return out
+
+    return bucketed_map_groups(
+        ds.select_columns([id_col, group_col, value_col]),
+        group_col, per_bucket, num_buckets=num_buckets)
+
+
+def quantile_normalize_sql(*, table: str, group: str, id_col: str,
+                           value_expr: str, value_alias: str) -> str:
+    """SQL mirror: pooled cumulative histogram, per-group (value, id)
+    row_number, floor position, half-open CDF interval join."""
+    return f"""
+        WITH src AS (
+          SELECT {group} AS g, {id_col} AS id, ({value_expr}) AS v
+          FROM {table}
+        ),
+        hist AS (
+          SELECT v AS hv, count(*)::BIGINT AS c FROM src GROUP BY 1
+        ),
+        cdf AS (
+          SELECT hv, sum(c) OVER (ORDER BY hv)::HUGEINT AS cum,
+                 (sum(c) OVER (ORDER BY hv) - c)::HUGEINT AS cum_lo
+          FROM hist
+        ),
+        tot AS (SELECT count(*)::HUGEINT AS n FROM src),
+        ranked AS (
+          SELECT g, id, v,
+                 (row_number() OVER (
+                    PARTITION BY g ORDER BY v, id) - 1)::HUGEINT AS r,
+                 count(*) OVER (PARTITION BY g)::HUGEINT AS m
+          FROM src
+        ),
+        pos AS (
+          SELECT g, id, v, ranked.r * tot.n // ranked.m AS p
+          FROM ranked, tot
+        )
+        SELECT pos.id AS {id_col}, pos.g AS {group},
+               pos.v AS {value_alias},
+               cdf.hv AS norm_{value_alias}
+        FROM pos JOIN cdf ON pos.p >= cdf.cum_lo AND pos.p < cdf.cum"""

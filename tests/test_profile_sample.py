@@ -1463,3 +1463,45 @@ def test_eval_quota_k_equals_n_and_overflow():
     with pytest.raises(ValueError):
         eval_quota(ray.data.from_pandas(df), stratum_col="lang",
                    id_col="doc_id", k=11)
+
+
+def test_quantile_normalize_exact_mapping():
+    from htrc_feature_reader_ray.stages.profile import quantile_normalize
+
+    # group a: values 0..9 (10 rows); group b: values 100..104 (5 rows)
+    df = pd.DataFrame({
+        "doc_id": np.arange(15, dtype=np.int64),
+        "g": ["a"] * 10 + ["b"] * 5,
+        "v": np.concatenate([np.arange(10), np.arange(100, 105)]
+                            ).astype(np.int64),
+    })
+    out = quantile_normalize(
+        ray.data.from_pandas(df).repartition(5), group_col="g",
+        id_col="doc_id", value_col="v").to_pandas().set_index("doc_id")
+    pooled = np.sort(df["v"].to_numpy())
+    N = 15
+    # group a rank r (0-based) -> pooled[ r*15//10 ]
+    for i, r in enumerate(range(10)):
+        assert out.loc[i, "norm_v"] == pooled[r * N // 10]
+    # group b rank r -> pooled[ r*15//5 ] = pooled[3r]
+    for i, r in zip(range(10, 15), range(5)):
+        assert out.loc[i, "norm_v"] == pooled[r * N // 5]
+    # post-normalization, the two groups' distributions are aligned:
+    # both medians land in the pooled middle
+    med_a = np.median(out[out.g == "a"]["norm_v"])
+    med_b = np.median(out[out.g == "b"]["norm_v"])
+    assert abs(med_a - med_b) <= pooled[9] - pooled[4]
+
+
+def test_quantile_normalize_identity_single_group():
+    from htrc_feature_reader_ray.stages.profile import quantile_normalize
+
+    # one group: rank r of m maps to pooled index r*N//m = r (N == m),
+    # i.e. the op is the identity
+    df = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                       "g": ["x"] * 30,
+                       "v": np.random.RandomState(5).permutation(30)
+                       .astype(np.int64)})
+    out = quantile_normalize(ray.data.from_pandas(df), group_col="g",
+                             id_col="doc_id", value_col="v").to_pandas()
+    assert (out["norm_v"] == out["v"]).all()
