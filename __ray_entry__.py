@@ -2685,6 +2685,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return degree_assortativity(
             extract_links(read_pages(sf, drop_text=True)))
 
+    def q_markov_stationary(sf):
+        """Steady-state occupancy of the behavioral Markov chain (the
+        event-type pagerank): per-term-floored integer power iteration
+        over the bounded transition matrix, dangling states self-loop.
+        Distributed work = the one bucketed transitions exchange."""
+        from htrc_feature_reader_ray.stages.temporal import markov_stationary
+
+        return markov_stationary(
+            _events(sf, ["event_id", "user_id", "ts", "event_type"]),
+            tiebreak="event_id",
+        )
+
     def q_event_transitions(sf):
         """First-order behavioral transition counts (Markov features):
         per-user ordered shift inside one bucketed pass, ≤ |types|²
@@ -4562,6 +4574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
+        "markov_stationary": q_markov_stationary,
         "name_dedup_pairs": q_name_dedup_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -5486,6 +5499,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "event_transitions": temporal_mod.event_transitions_sql(),
+        "markov_stationary": temporal_mod.markov_stationary_sql(),
         "snapshot_diff": """
             WITH a AS (
                 SELECT o_orderkey AS k,

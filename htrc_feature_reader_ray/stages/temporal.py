@@ -1815,3 +1815,121 @@ def fano_factor_sql(*, table: str, key: str, ts: str) -> str:
                     THEN ((n * sq - s * s) * 1000000 // (n * s))::BIGINT
                     ELSE 0 END AS fano_ppm
         FROM g"""
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution over the behavioral transition chain
+
+
+_MARKOV_SCALE = 10**12
+
+
+def markov_stationary(ds, *, key: str = "user_id", ts: str = "ts",
+                      type_col: str = "event_type", tiebreak=None,
+                      iterations: int = 12, num_buckets: int = 32):
+    """Stationary distribution of the first-order behavioral Markov chain
+    — the long-run occupancy the transition COUNTS only hint at:
+    :func:`event_transitions` says "click→purchase happens 3× more than
+    view→purchase", the stationary vector says "in steady state, X ppm
+    of a user's time is spent in `purchase`" — the summary a
+    session-simulation, cache-sizing or funnel-health pass consumes
+    (and the event-type analog of pagerank, which is exactly this
+    computation on the link graph).
+
+    Exact-integer contract (the pagerank recurrence convention): states
+    = the distinct types on either side of the transition table;
+    DANGLING states (no outgoing transitions) get a synthetic self-loop
+    ``c=r=1`` so mass is conserved without a redistribution term;
+    ``pi_0 = SCALE // L`` and
+    ``pi_{t+1}[j] = Σ_i pi_t[i]·c_ij // r_i`` with the floor applied PER
+    TERM (that is what the SQL mirror replays); after ``iterations``
+    fixed steps, ``pi_ppm = pi·10⁶ // SCALE``. Deterministic,
+    partitioning-independent, replayable.
+
+    Scale shape: all the distributed work lives in
+    :func:`event_transitions` (one key-bucketed exchange, ≤ |types|²
+    partials); the chain itself is a bounded ≤ L² matrix, so the power
+    iteration is a driver finish in Python ints — the grouped_emd
+    posture."""
+    trans = event_transitions(ds, key=key, ts=ts, type_col=type_col,
+                              tiebreak=tiebreak,
+                              num_buckets=num_buckets).to_pandas()
+    states = sorted(set(trans["from_type"]) | set(trans["to_type"]))
+    if not states:
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({
+            type_col: pd.Series([], dtype=object),
+            "pi_ppm": pd.Series([], dtype="int64")}))
+    outd = trans.groupby("from_type")["n"].sum().to_dict()
+    edges = [(f, t, int(c), int(outd[f]))
+             for f, t, c in zip(trans["from_type"], trans["to_type"],
+                                trans["n"])]
+    edges += [(s, s, 1, 1) for s in states if s not in outd]
+    L = len(states)
+    pi = {s: _MARKOV_SCALE // L for s in states}
+    for _ in range(iterations):
+        nxt = {s: 0 for s in states}
+        for f, t, c, r in edges:
+            nxt[t] += pi[f] * c // r
+        pi = nxt
+    out = pd.DataFrame({
+        type_col: states,
+        "pi_ppm": [pi[s] * 1_000_000 // _MARKOV_SCALE for s in states],
+    })
+    out["pi_ppm"] = out["pi_ppm"].astype("int64")
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def markov_stationary_sql(*, key: str = "user_id", ts: str = "ts",
+                          type_col: str = "event_type",
+                          tiebreak: str = "event_id",
+                          table: str = "events",
+                          iterations: int = 12) -> str:
+    """SQL mirror: transition CTE + dangling self-loops, then the power
+    iteration UNROLLED one CTE per step with the identical per-term
+    HUGEINT floor."""
+    steps = []
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+        p{i} AS (
+          SELECT m.dst AS st, sum({prev}.pi * m.c // m.r) AS pi
+          FROM {prev} JOIN m ON m.src = {prev}.st GROUP BY 1
+        )""")
+        prev = f"p{i}"
+    return f"""
+        WITH trans AS (
+          SELECT from_type, to_type, count(*)::BIGINT AS n FROM (
+            SELECT {type_col} AS from_type,
+                   lead({type_col}) OVER (PARTITION BY {key}
+                       ORDER BY {ts}, {tiebreak}) AS to_type
+            FROM {table}
+          ) WHERE to_type IS NOT NULL GROUP BY 1, 2
+        ),
+        states AS (
+          SELECT DISTINCT t FROM (
+            SELECT from_type AS t FROM trans
+            UNION SELECT to_type FROM trans)
+        ),
+        outd AS (SELECT from_type, sum(n)::HUGEINT AS r FROM trans
+                 GROUP BY 1),
+        m AS (
+          SELECT from_type AS src, to_type AS dst, n::HUGEINT AS c,
+                 outd.r AS r
+          FROM trans JOIN outd USING (from_type)
+          UNION ALL
+          SELECT s.t, s.t, 1::HUGEINT, 1::HUGEINT
+          FROM states s LEFT JOIN outd ON outd.from_type = s.t
+          WHERE outd.from_type IS NULL
+        ),
+        nstates AS (SELECT count(*)::HUGEINT AS l FROM states),
+        p0 AS (SELECT t AS st, {_MARKOV_SCALE}::HUGEINT // nstates.l AS pi
+               FROM states, nstates),{",".join(steps)}
+        SELECT states.t AS {type_col},
+               (coalesce({prev}.pi, 0) * 1000000
+                // {_MARKOV_SCALE})::BIGINT AS pi_ppm
+        FROM states LEFT JOIN {prev} ON {prev}.st = states.t
+        ORDER BY 1"""

@@ -695,3 +695,44 @@ def test_fano_factor_exact_regimes():
     assert out.loc[2, "fano_ppm"] == (n * sq - s * s) * 1_000_000 // (n * s)
     assert out.loc[2, "fano_ppm"] > 1_000_000  # bursty >> Poisson
     assert out.loc[2, "n_days"] == 10 and out.loc[2, "n_events"] == 31
+
+
+def test_markov_stationary_two_state_exact():
+    from htrc_feature_reader_ray.stages.temporal import (
+        _MARKOV_SCALE,
+        markov_stationary,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    # one user alternating a,b,a,b,... -> chain a<->b deterministic,
+    # stationary = 50/50
+    seq = ["a", "b"] * 20
+    df = pd.DataFrame({
+        "event_id": np.arange(40, dtype=np.int64),
+        "user_id": np.ones(40, dtype=np.int64),
+        "ts": [t0 + pd.Timedelta(minutes=i) for i in range(40)],
+        "event_type": seq,
+    })
+    out = markov_stationary(
+        ray.data.from_pandas(df).repartition(4), tiebreak="event_id"
+    ).to_pandas().set_index("event_type")
+    assert abs(out.loc["a", "pi_ppm"] - 500_000) <= 1
+    assert abs(out.loc["b", "pi_ppm"] - 500_000) <= 1
+
+
+def test_markov_stationary_dangling_absorbs():
+    from htrc_feature_reader_ray.stages.temporal import markov_stationary
+
+    t0 = pd.Timestamp("2024-01-01")
+    # a -> b always, b has no outgoing (dangling self-loop): b absorbs
+    df = pd.DataFrame({
+        "event_id": [1, 2],
+        "user_id": [1, 1],
+        "ts": [t0, t0 + pd.Timedelta(minutes=1)],
+        "event_type": ["a", "b"],
+    })
+    out = markov_stationary(ray.data.from_pandas(df),
+                            tiebreak="event_id").to_pandas(
+    ).set_index("event_type")
+    assert out.loc["a", "pi_ppm"] == 0
+    assert out.loc["b", "pi_ppm"] >= 999_999
