@@ -731,6 +731,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             test_num=1, test_den=5, embargo_us=86_400_000_000,
         )
 
+    def q_hapax_rate(sf):
+        """Per-language hapax legomena share of the vocabulary (exact
+        integer ppm) — vocab-sizing input + templated-content
+        fingerprint (natural text runs ~40-60% hapax; boilerplate
+        collapses it). One token-bucketed exchange of counted partials;
+        token strings cross once."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.textstats import hapax_rate
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["lang", "text"])
+        return hapax_rate(docs, group_col="lang")
+
     def q_char_coverage(sf):
         """Tokenizer-prep character coverage (sentencepiece
         character_coverage input): exact corpus char histogram, integer
@@ -4599,6 +4612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_agreement": q_rank_agreement,
         "padding_waste": q_padding_waste,
         "quantile_normalize": q_quantile_normalize,
+        "hapax_rate": q_hapax_rate,
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
@@ -5792,6 +5806,7 @@ def oracle_sql() -> dict[str, str]:
             src_sql=("SELECT " + TOKEN_COUNT_SQL.format(text="text")
                      + " AS n_tokens FROM documents"),
             len_expr="n_tokens"),
+        "hapax_rate": textstats.hapax_rate_sql(),
         "quantile_normalize": profile_mod.quantile_normalize_sql(
             table="documents", group="source", id_col="doc_id",
             value_expr="n_chars", value_alias="n_chars"),

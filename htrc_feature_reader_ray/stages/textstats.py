@@ -841,3 +841,90 @@ def mojibake_stats_sql(*, table: str = "documents", text: str = "text",
                  length({text})::BIGINT AS n_chars
           FROM {table}
         ) b"""
+
+
+# ---------------------------------------------------------------------------
+# hapax legomena rate per group (vocabulary-shape / tokenizer-health)
+
+
+def hapax_rate(ds, *, group_col: str = "lang", text_col: str = "text",
+               num_buckets: int = 32):
+    """Per-group hapax legomena rate: the fraction of a group's VOCABULARY
+    (distinct whitespace tokens, the engine-wide tokenizer contract) that
+    occurs exactly once, in exact integer ppm — the corpus-level
+    vocabulary-shape diagnostic next to the per-doc TTR of
+    ``lexical_diversity``: a high hapax share means a long tail the
+    tokenizer will shatter into bytes (vocab sizing input), and a hapax
+    share that is too LOW for natural text is the fingerprint of
+    templated/machine-generated content (natural language runs ~40-60%
+    hapax by Zipf; boilerplate collapses it). Emits ``(group, vocab_size,
+    n_hapax, n_tokens, hapax_ppm)`` with ``hapax_ppm = n_hapax·10⁶ //
+    vocab_size``.
+
+    Scale shape: per-batch (group, token, count) Arrow partials collapse
+    each batch's text map-side, ONE token-bucketed exchange of partial
+    rows (token strings cross once, counted — never per-occurrence), the
+    exact per-(group,token) fold finishes in-bucket, and a second
+    audit-sized fold reduces to one row per group. Python-int ppm on the
+    bounded group table."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        grp = batch.column(group_col).take(pa.array(parent))
+        tb = pa.table({group_col: grp, "token": flat})
+        g = tb.group_by([group_col, "token"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "token", "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "token"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="token",
+    )
+
+    def per_group_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, as_index=False).agg(
+            vocab=("c", "size"),
+            hapax=("c", lambda s: int((s == 1).sum())),
+            toks=("c", "sum"))
+        return g
+
+    small = (folded.map_batches(per_group_partial, batch_format="pandas")
+             .to_pandas()
+             .groupby(group_col, as_index=False)
+             .agg(vocab=("vocab", "sum"), hapax=("hapax", "sum"),
+                  toks=("toks", "sum"))
+             .sort_values(group_col))
+    out = pd.DataFrame({
+        group_col: small[group_col].to_numpy(),
+        "vocab_size": small["vocab"].to_numpy().astype(np.int64),
+        "n_hapax": small["hapax"].to_numpy().astype(np.int64),
+        "n_tokens": small["toks"].to_numpy().astype(np.int64),
+        "hapax_ppm": np.array(
+            [int(h) * 1_000_000 // max(int(v), 1)
+             for h, v in zip(small["hapax"], small["vocab"])],
+            dtype=np.int64),
+    })
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def hapax_rate_sql(*, table: str = "documents", group: str = "lang",
+                   text: str = "text") -> str:
+    """SQL mirror: unnest the identical tokenizer, (group, token) fold,
+    hapax filter, greatest-guarded ppm."""
+    return f"""
+        WITH tok AS (
+          SELECT {group} AS g, t.tok
+          FROM {table},
+               unnest(list_filter(string_split({text}, ' '),
+                                  x -> x != '')) AS t(tok)
+        ),
+        vt AS (SELECT g, tok, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
+        SELECT g AS {group}, count(*)::BIGINT AS vocab_size,
+               count(*) FILTER (WHERE c = 1)::BIGINT AS n_hapax,
+               sum(c)::BIGINT AS n_tokens,
+               (count(*) FILTER (WHERE c = 1)::HUGEINT * 1000000
+                // greatest(count(*), 1))::BIGINT AS hapax_ppm
+        FROM vt GROUP BY 1 ORDER BY 1"""

@@ -250,3 +250,23 @@ def test_mojibake_stats_hand_values():
     sql = (con.execute(mojibake_stats_sql()).df()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, sql)
+
+
+def test_hapax_rate_exact():
+    from htrc_feature_reader_ray.stages.textstats import hapax_rate
+
+    df = pd.DataFrame({
+        "lang": ["en", "en", "de"],
+        "text": ["a b b c  c c", "d a", "x x y"],
+    })
+    out = hapax_rate(
+        ray.data.from_pandas(df).repartition(3), group_col="lang"
+    ).to_pandas().set_index("lang")
+    # en vocab: a(2) b(2) c(3) d(1) -> 4 types, 1 hapax, 8 tokens
+    assert out.loc["en", "vocab_size"] == 4
+    assert out.loc["en", "n_hapax"] == 1
+    assert out.loc["en", "n_tokens"] == 8
+    assert out.loc["en", "hapax_ppm"] == 1_000_000 // 4
+    # de vocab: x(2) y(1)
+    assert out.loc["de", "vocab_size"] == 2
+    assert out.loc["de", "hapax_ppm"] == 500_000
