@@ -619,6 +619,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_source_overlap(sf):
+        """Source x source shingle-Jaccard matrix (which ingest feeds
+        duplicate each other — the dedup-PLANNING signal above the
+        per-doc ops). Distinct (shingle, source) rows into the generic
+        pair kernel; <= S^2 pair finish."""
+        from htrc_feature_reader_ray.stages.dedup import source_overlap
+
+        return source_overlap(
+            _docs(sf, columns=["source", "text"]))
+
     def q_dedup_rate_by_source(sf):
         """Where does the duplication live: per source the doc count, the
         near-dup LOSER count (non-canonical cluster members — exactly
@@ -4524,6 +4534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "source_overlap": q_source_overlap,
         # exact duplicated-span coverage (substring-level dedup signal)
         "duplicated_spans": q_duplicated_spans,
         # n-gram train/test decontamination (broadcast benchmark grams)
@@ -6497,6 +6508,7 @@ def oracle_sql() -> dict[str, str]:
         # cap (2..64 docs/shingle) mirrors the kernel contract; denominators
         # are the UNCAPPED per-doc shingle sizes, intersections only count
         # capped shingles — identical on both engines
+        "source_overlap": dedup_mod.source_overlap_sql(),
         "dedup_containment": "WITH " + SHINGLES_BODY + """,
             sizes AS (
               SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1

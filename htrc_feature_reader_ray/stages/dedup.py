@@ -2957,3 +2957,132 @@ def doc_novelty_sql(*, table: str = "documents", text: str = "text",
                      ELSE coalesce(v.novel, 0) * 1000000 // t.n_shingles
                 END)::BIGINT AS novel_ppm
         FROM nv_tot t LEFT JOIN nv_nov v ON v.did = t.did"""
+
+
+# ---------------------------------------------------------------------------
+# source × source shingle-overlap matrix (which crawls duplicate each other)
+
+
+def source_overlap(ds, *, text_col: str = "text",
+                   source_col: str = "source", k: int = 3,
+                   max_sources_per_shingle: int = 1024,
+                   num_buckets: int = 32):
+    """Pairwise shingle-set Jaccard between SOURCES — the dedup-planning
+    matrix one level above the per-document ops: before spending a
+    corpus-wide near-dup pass, "which ingest feeds duplicate each other,
+    and how much" decides whether to drop a whole feed, dedup a pair of
+    feeds against each other, or skip. Emits one row per source pair
+    sharing ≥1 shingle: ``(source_a, source_b, n_shared, jaccard_ppm)``
+    over DISTINCT k-word shingles (``word_shingles`` semantics including
+    the short-doc whole-text fallback), ``jaccard_ppm = i·10⁶ //
+    (|A|+|B|−i)`` exact.
+
+    ``max_sources_per_shingle`` caps universal-boilerplate shingles out
+    of the INTERSECTION counts (contract, mirrored by the oracle — with
+    denominators the UNCAPPED per-source set sizes), the
+    ``containment_pairs`` convention.
+
+    Scale shape: per-batch distinct (shingle, source) rows — shingle text
+    crosses the exchange once per batch-distinct occurrence, counted not
+    per-token — into the generic ``shared_key_pair_counts`` kernel (ONE
+    shingle-bucketed exchange, vectorized self-merge pair emission, tiny
+    pair fold), plus a per-source distinct-size fold sharing the same
+    bucketed dedup; the ≤ S² pair table and ≤ S size table finish on the
+    driver in Python-int ppm."""
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_map_groups,
+        shared_key_pair_counts,
+    )
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(source_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        seen = set()
+        for s, text in zip(srcs, texts):
+            toks = [t for t in (text or "").split(" ") if t]
+            for sh in set(word_shingles(toks, k)):
+                seen.add((sh, s))
+        if not seen:
+            return pa.table({"shingle": pa.array([], type=pa.string()),
+                             source_col: pa.array([], type=pa.string())})
+        shs, ss = zip(*seen)
+        return pa.table({"shingle": pa.array(shs, type=pa.string()),
+                         source_col: pa.array(ss, type=pa.string())})
+
+    rows = ds.map_batches(rows_fn, batch_format="pyarrow", batch_size=4096)
+    pairs = shared_key_pair_counts(
+        rows, key_col="shingle", member_col=source_col,
+        max_members_per_key=max_sources_per_shingle,
+        num_buckets=num_buckets,
+        out_a="source_a", out_b="source_b", out_n="n_shared",
+    ).to_pandas()
+
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["shingle", source_col])
+        return d.groupby(source_col, as_index=False).agg(
+            n=("shingle", "size"))
+
+    sizes = (bucketed_map_groups(rows, "shingle", size_partial,
+                                 num_buckets=num_buckets)
+             .to_pandas().groupby(source_col)["n"].sum().to_dict())
+    if not len(pairs):
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({
+            "source_a": pd.Series([], dtype=object),
+            "source_b": pd.Series([], dtype=object),
+            "n_shared": pd.Series([], dtype="int64"),
+            "jaccard_ppm": pd.Series([], dtype="int64")}))
+    jac = [
+        int(i) * 1_000_000
+        // (int(sizes[a]) + int(sizes[b]) - int(i))
+        for a, b, i in zip(pairs["source_a"], pairs["source_b"],
+                           pairs["n_shared"])
+    ]
+    out = pairs.copy()
+    out["n_shared"] = out["n_shared"].astype("int64")
+    out["jaccard_ppm"] = np.array(jac, dtype=np.int64)
+    import ray.data
+
+    return ray.data.from_pandas(out.sort_values(["source_a", "source_b"])
+                                .reset_index(drop=True))
+
+
+def source_overlap_sql(*, table: str = "documents", text: str = "text",
+                       source: str = "source",
+                       max_sources_per_shingle: int = 1024) -> str:
+    """SQL mirror: the SHINGLES_BODY construction per source, hub-capped
+    intersection, uncapped denominators."""
+    return f"""
+        WITH toks AS (
+          SELECT {source} AS src,
+                 list_filter(string_split({text}, ' '), x -> x <> '') AS arr
+          FROM {table}
+        ),
+        sh AS (
+          SELECT DISTINCT src,
+                 arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+          FROM toks, LATERAL unnest(range(1, len(arr) - 1)) AS t(i)
+          WHERE len(arr) >= 3
+          UNION
+          SELECT DISTINCT src, array_to_string(arr, ' ') AS shingle
+          FROM toks WHERE len(arr) BETWEEN 1 AND 2
+        ),
+        keyok AS (
+          SELECT shingle FROM sh GROUP BY 1
+          HAVING count(*) BETWEEN 2 AND {max_sources_per_shingle}
+        ),
+        sizes AS (SELECT src, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.src AS sa, b.src AS sb, count(*)::BIGINT AS i
+          FROM sh a JOIN keyok USING (shingle)
+          JOIN sh b ON b.shingle = a.shingle
+          WHERE a.src < b.src GROUP BY 1, 2
+        )
+        SELECT sa AS source_a, sb AS source_b, i AS n_shared,
+               (i::HUGEINT * 1000000
+                // (za.n + zb.n - i))::BIGINT AS jaccard_ppm
+        FROM inter
+        JOIN sizes za ON za.src = sa
+        JOIN sizes zb ON zb.src = sb
+        ORDER BY 1, 2"""

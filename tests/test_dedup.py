@@ -861,3 +861,44 @@ def test_doc_novelty():
     sql = (con.execute(doc_novelty_sql(n=3)).df()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, sql)
+
+
+def test_source_overlap_exact_jaccard():
+    from htrc_feature_reader_ray.stages.dedup import source_overlap
+
+    # source A docs cover shingles {abc, bcd}, B = {abc, bcd} + {xyz},
+    # C disjoint
+    df = pd.DataFrame({
+        "source": ["A", "A", "B", "B", "C"],
+        "text": [
+            "a b c d",          # A: shingles 'a b c','b c d'
+            "a b c",            # A: 'a b c' (dup within source)
+            "a b c d",          # B: same two
+            "x y z",            # B: 'x y z'
+            "q r s",            # C: 'q r s'
+        ],
+    })
+    out = source_overlap(
+        ray.data.from_pandas(df).repartition(3)).to_pandas()
+    got = {(a, b): (n, j) for a, b, n, j in zip(
+        out["source_a"], out["source_b"], out["n_shared"],
+        out["jaccard_ppm"])}
+    # |A|=2, |B|=3, inter=2 -> J = 2/3
+    assert got[("A", "B")] == (2, 2 * 1_000_000 // 3)
+    assert ("A", "C") not in got and ("B", "C") not in got
+
+
+def test_source_overlap_short_doc_fallback_and_empty():
+    from htrc_feature_reader_ray.stages.dedup import source_overlap
+
+    df = pd.DataFrame({
+        "source": ["A", "B"],
+        "text": ["hi there", "hi there"],  # <3 tokens -> whole-text shingle
+    })
+    out = source_overlap(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["jaccard_ppm"] == 1_000_000
+    # fully disjoint corpus -> typed empty result
+    df2 = pd.DataFrame({"source": ["A", "B"], "text": ["a a a", "b b b"]})
+    out2 = source_overlap(ray.data.from_pandas(df2)).to_pandas()
+    assert len(out2) == 0
