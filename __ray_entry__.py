@@ -741,6 +741,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             test_num=1, test_den=5, embargo_us=86_400_000_000,
         )
 
+    def q_zipf_deviation(sf):
+        """Per-language Zipf conformance of the top-20 token ranks
+        (sum |obs - c1//r| in ppm of the head mass) — too flat =>
+        templated/keyword-stuffed, too steep => boilerplate-owned.
+        Token-bucketed fold + lossless top-k combiner + driver finish."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.textstats import zipf_deviation
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["lang", "text"])
+        return zipf_deviation(docs, group_col="lang", top_k=20)
+
     def q_hapax_rate(sf):
         """Per-language hapax legomena share of the vocabulary (exact
         integer ppm) — vocab-sizing input + templated-content
@@ -4624,6 +4636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste": q_padding_waste,
         "quantile_normalize": q_quantile_normalize,
         "hapax_rate": q_hapax_rate,
+        "zipf_deviation": q_zipf_deviation,
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
@@ -5818,6 +5831,7 @@ def oracle_sql() -> dict[str, str]:
                      + " AS n_tokens FROM documents"),
             len_expr="n_tokens"),
         "hapax_rate": textstats.hapax_rate_sql(),
+        "zipf_deviation": textstats.zipf_deviation_sql(top_k=20),
         "quantile_normalize": profile_mod.quantile_normalize_sql(
             table="documents", group="source", id_col="doc_id",
             value_expr="n_chars", value_alias="n_chars"),

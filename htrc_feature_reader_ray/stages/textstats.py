@@ -928,3 +928,93 @@ def hapax_rate_sql(*, table: str = "documents", group: str = "lang",
                (count(*) FILTER (WHERE c = 1)::HUGEINT * 1000000
                 // greatest(count(*), 1))::BIGINT AS hapax_ppm
         FROM vt GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law conformance per group (token-distribution health)
+
+
+def zipf_deviation(ds, *, group_col: str = "lang", text_col: str = "text",
+                   top_k: int = 20, num_buckets: int = 32):
+    """Per-group Zipf-law conformance over the top-K token ranks, in exact
+    integer ppm — the distribution-health sibling of
+    :func:`~htrc_feature_reader_ray.stages.profile.benford_audit` for
+    TEXT: natural language's rank-frequency curve tracks ``c_r ≈ c_1/r``
+    (Zipf 1949, s=1), so a head that is too FLAT fingerprints
+    templated/keyword-stuffed content while one too STEEP means a few
+    boilerplate tokens own the corpus — either way the group deserves a
+    curation look before training. Integer-exact contract (no float fits,
+    no logs): expected count at rank r is ``c_1 // r`` (c_1 = the
+    observed top count), ranks by count desc with token-ascending ties,
+    ``zipf_dev_ppm = Σ_{r≤K} |obs_r − c_1//r| · 10⁶ // Σ_{r≤K} obs_r``.
+    Groups with fewer than K types use their available ranks (``n_top``
+    reports how many).
+
+    Scale shape: the (group, token, count) fold with token-bucketed
+    exchange (hapax_rate's posture — token strings cross once, counted),
+    then the lossless local-top-k combiner shrinks per-batch output to
+    ≤ groups·K rows before one group fold; the ≤ groups·K table finishes
+    on the driver in Python ints."""
+    from htrc_feature_reader_ray.stages.fold import topk_per_group
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        grp = batch.column(group_col).take(pa.array(parent))
+        tb = pa.table({group_col: grp, "token": flat})
+        g = tb.group_by([group_col, "token"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "token", "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "token"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="token",
+    )
+    top = topk_per_group(
+        folded, group_cols=[group_col], sort_col="c", k=top_k,
+        tie_cols=("token",), descending=True, rank_col="r",
+    ).to_pandas()
+
+    rows = []
+    for grp, sub in top.groupby(group_col, sort=True):
+        sub = sub.sort_values("r")
+        obs = [int(x) for x in sub["c"]]
+        c1 = obs[0]
+        dev = sum(abs(o - c1 // r) for r, o in enumerate(obs, start=1))
+        tot = sum(obs)
+        rows.append((grp, len(obs), c1,
+                     dev * 1_000_000 // max(tot, 1)))
+    out = pd.DataFrame(rows, columns=[group_col, "n_top", "c1",
+                                      "zipf_dev_ppm"])
+    for col in ("n_top", "c1", "zipf_dev_ppm"):
+        out[col] = out[col].astype("int64")
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def zipf_deviation_sql(*, table: str = "documents", group: str = "lang",
+                       text: str = "text", top_k: int = 20) -> str:
+    """SQL mirror: token fold, (count DESC, token ASC) row_number ≤ K,
+    first_value head count, HUGEINT deviation sum."""
+    return f"""
+        WITH tok AS (
+          SELECT {group} AS g, t.tok
+          FROM {table},
+               unnest(list_filter(string_split({text}, ' '),
+                                  x -> x != '')) AS t(tok)
+        ),
+        vt AS (SELECT g, tok, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+        ranked AS (
+          SELECT g, c,
+                 row_number() OVER (PARTITION BY g
+                                    ORDER BY c DESC, tok ASC) AS r,
+                 first_value(c) OVER (PARTITION BY g
+                                      ORDER BY c DESC, tok ASC) AS c1
+          FROM vt QUALIFY r <= {top_k}
+        )
+        SELECT g AS {group}, count(*)::BIGINT AS n_top,
+               max(c1)::BIGINT AS c1,
+               (sum(abs(c - c1 // r))::HUGEINT * 1000000
+                // greatest(sum(c), 1))::BIGINT AS zipf_dev_ppm
+        FROM ranked GROUP BY 1 ORDER BY 1"""

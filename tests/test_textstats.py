@@ -270,3 +270,24 @@ def test_hapax_rate_exact():
     # de vocab: x(2) y(1)
     assert out.loc["de", "vocab_size"] == 2
     assert out.loc["de", "hapax_ppm"] == 500_000
+
+
+def test_zipf_deviation_exact_and_perfect_curve():
+    from htrc_feature_reader_ray.stages.textstats import zipf_deviation
+
+    # construct a corpus whose counts are EXACTLY c1//r: c1=12 ->
+    # counts 12,6,4,3 for tokens t1..t4 -> deviation 0
+    words = (["t1"] * 12 + ["t2"] * 6 + ["t3"] * 4 + ["t4"] * 3)
+    df = pd.DataFrame({"lang": ["zz"], "text": [" ".join(words)]})
+    out = zipf_deviation(ray.data.from_pandas(df), group_col="lang",
+                         top_k=4).to_pandas()
+    assert out.iloc[0]["zipf_dev_ppm"] == 0
+    assert out.iloc[0]["c1"] == 12 and out.iloc[0]["n_top"] == 4
+    # flat distribution (all counts equal) deviates hard: obs_r = c1,
+    # exp_r = c1//r -> dev = sum(c1 - c1//r)
+    words2 = [f"w{i}" for i in range(4) for _ in range(10)]
+    df2 = pd.DataFrame({"lang": ["ff"], "text": [" ".join(words2)]})
+    out2 = zipf_deviation(ray.data.from_pandas(df2).repartition(2),
+                          group_col="lang", top_k=4).to_pandas()
+    dev = sum(10 - 10 // r for r in range(1, 5))
+    assert out2.iloc[0]["zipf_dev_ppm"] == dev * 1_000_000 // 40
