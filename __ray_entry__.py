@@ -2548,6 +2548,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             folded.map_batches(to_ts, batch_format="pyarrow"),
             key="user_id", ts="ts", value_col="v")
 
+    def q_bfs_layers(sf):
+        """Hop-labeled BFS coverage from the deterministic md5 seed set
+        (the crawl-budget curve personalized_pagerank smooths into a
+        score): <= 3 exchanges per hop, bounded hops, shortest hop by
+        synchronous layers."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            bfs_layers,
+            extract_links,
+        )
+
+        return bfs_layers(
+            extract_links(read_pages(sf, drop_text=True)),
+            seed_mod=10, max_hops=3)
+
     def q_personalized_pagerank(sf):
         """Topic-sensitive PageRank: teleport mass restricted to a
         deterministic seed set (md5(url) % 10 == 0) — the crawl-
@@ -4692,6 +4707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fetch_history": q_fetch_history,
         "interpolate_daily": q_interpolate_daily,
         "personalized_pagerank": q_personalized_pagerank,
+        "bfs_layers": q_bfs_layers,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -5714,6 +5730,8 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE kw_rank <= 3""",
         "pagerank": _pagerank_sql(iterations=3),
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
+        "bfs_layers": linkgraph.bfs_layers_sql(
+            links_pre=LINKS_PRE, seed_mod=10, max_hops=3),
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
         "wordpiece_encode": vocab_mod.wordpiece_encode_sql(rounds=3),

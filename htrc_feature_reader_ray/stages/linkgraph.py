@@ -2305,3 +2305,119 @@ def resource_allocation_sql(*, min_shared: int = 2,
                sum(w)::BIGINT AS ra_score
         FROM ra_pairs GROUP BY 1, 2
         HAVING count(*) >= {min_shared}"""
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability layers from a seed set (frontier planning)
+
+
+def bfs_layers(edges, *, seed_mod: int = 10, max_hops: int = 4,
+               num_buckets: int = 32):
+    """Hop-labeled BFS reachability from a seed set over the directed link
+    graph: every node reachable within ``max_hops`` gets its SHORTEST hop
+    distance — the frontier-planning answer ("what does a depth-H crawl
+    from the seeds actually cover, and how fast does coverage grow per
+    hop") that :func:`personalized_pagerank` smooths into a score but
+    never states as layers; the layer sizes are the crawl-budget curve.
+
+    The seed set is the engine's deterministic url predicate
+    (``md5_hash64(url) % seed_mod == 0`` — the personalized_pagerank
+    convention, engine/SQL-shared), so the whole op stays
+    oracle-checkable; swap in a real seed list in production (broadcast
+    membership, same shape). Nodes never reached within ``max_hops`` are
+    excluded (documented; hop counts are exact minima because BFS layers
+    are synchronous). Seeds must occur as a SRC or DST in the edge table
+    — the graph's node universe, matching the SQL mirror's.
+
+    Scale shape: the textbook bounded-round frontier expansion — per hop
+    ONE semi-join of the edge table against the materialized frontier
+    (src-bucketed, co-partitioning), a distinct fold of the new dsts and
+    ONE anti-join against the visited set; ``max_hops`` is a documented
+    bound so the exchange count is ≤ 3·H, and every intermediate is a
+    slim (url[, hop]) table. Edges materialize once for their H
+    consumers (the pagerank discipline)."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
+
+    edges = edges.materialize()
+    nodes = bucketed_aggregate(
+        edges.map_batches(
+            lambda t: pa.table({"url": pa.concat_arrays(
+                [t.column("src_url").combine_chunks(),
+                 t.column("dst_url").combine_chunks()])}),
+            batch_format="pyarrow"),
+        ["url"], {"_n": ("url", "size")},
+        num_buckets=num_buckets,
+    ).drop_columns(["_n"])
+
+    def pick_seeds(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hash64([str(u) for u in df["url"].to_numpy()])
+        out = df.loc[h % seed_mod == 0, ["url"]].copy()
+        out["hop"] = np.int64(0)
+        return out
+
+    frontier = nodes.map_batches(pick_seeds,
+                                 batch_format="pandas").materialize()
+    layers = [frontier]
+    visited = frontier.drop_columns(["hop"]).materialize()
+    for h in range(1, max_hops + 1):
+        hit = bucket_join(edges, frontier.drop_columns(["hop"]),
+                          left_key="src_url", right_key="url",
+                          num_buckets=num_buckets, how="semi")
+        nxt = bucketed_aggregate(
+            hit.map_batches(
+                lambda t: pa.table(
+                    {"url": t.column("dst_url").combine_chunks()}),
+                batch_format="pyarrow"),
+            ["url"], {"_n": ("url", "size")},
+            num_buckets=num_buckets,
+        ).drop_columns(["_n"])
+        new = bucket_join(nxt, visited, left_key="url", right_key="url",
+                          num_buckets=num_buckets, how="anti")
+        frontier = new.map_batches(
+            lambda df, _h=h: df.assign(hop=np.int64(_h)),
+            batch_format="pandas").materialize()
+        if frontier.count() == 0:
+            break
+        layers.append(frontier)
+        visited = visited.union(
+            frontier.drop_columns(["hop"])).materialize()
+    out = layers[0]
+    for ly in layers[1:]:
+        out = out.union(ly)
+    return out
+
+
+def bfs_layers_sql(*, links_pre: str, seed_mod: int = 10,
+                   max_hops: int = 4) -> str:
+    """SQL mirror: node universe from both edge ends, md5 seed predicate,
+    one chained CTE per hop with NOT-IN visited semantics folded into a
+    min-hop group at the end."""
+    steps = []
+    for h in range(1, max_hops + 1):
+        prev = f"l{h - 1}"
+        steps.append(f"""
+        l{h} AS (
+          SELECT DISTINCT e.dst_url AS url, {h} AS hop
+          FROM link_edges e JOIN {prev} f ON e.src_url = f.url
+        )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM l{h}" for h in range(0, max_hops + 1))
+    return f"""
+        {links_pre},
+        nodes AS (
+          SELECT DISTINCT url FROM (
+            SELECT src_url AS url FROM link_edges
+            UNION SELECT dst_url FROM link_edges)
+        ),
+        l0 AS (
+          SELECT url, 0 AS hop FROM nodes
+          WHERE md5_number_upper(url) % {seed_mod} = 0
+        ),{",".join(steps)}
+        SELECT url, min(hop)::BIGINT AS hop
+        FROM ({unions}) GROUP BY 1 ORDER BY 1"""

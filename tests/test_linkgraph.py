@@ -655,3 +655,52 @@ def test_resource_allocation_dedups_multiedges_and_partitions():
     assert len(out) == 3
     assert (out["ra_score"] == RA_SCALE // 3).all()
     assert (out["n_shared"] == 1).all()
+
+
+def test_bfs_layers_shortest_hops():
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.linkgraph import bfs_layers
+
+    # chain graph a->b->c->d plus shortcut a->c; pick seed_mod so ONLY
+    # 'a' is a seed (probe hashes)
+    urls = ["a", "b", "c", "d"]
+    mod = None
+    for m in range(2, 200):
+        h = md5_hash64(urls) % m
+        if h[0] == 0 and all(x != 0 for x in h[1:]):
+            mod = m
+            break
+    assert mod is not None
+    edges = pd.DataFrame({
+        "src_url": ["a", "b", "c", "a"],
+        "dst_url": ["b", "c", "d", "c"],
+    })
+    out = bfs_layers(ray.data.from_pandas(edges).repartition(2),
+                     seed_mod=mod, max_hops=4).to_pandas(
+    ).set_index("url")["hop"].to_dict()
+    # shortest hops: a=0, b=1, c=1 (via shortcut), d=2
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_layers_bounded_hops_and_early_stop():
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.linkgraph import bfs_layers
+
+    urls = [f"n{i}" for i in range(6)]
+    mod = None
+    for m in range(2, 500):
+        h = md5_hash64(urls) % m
+        if h[0] == 0 and all(x != 0 for x in h[1:]):
+            mod = m
+            break
+    assert mod is not None
+    # path n0->n1->...->n5
+    edges = pd.DataFrame({
+        "src_url": urls[:-1],
+        "dst_url": urls[1:],
+    })
+    out = bfs_layers(ray.data.from_pandas(edges), seed_mod=mod,
+                     max_hops=2).to_pandas()
+    # only hops 0..2 present; n3..n5 excluded
+    assert set(out["url"]) == {"n0", "n1", "n2"}
+    assert out["hop"].max() == 2
