@@ -2006,6 +2006,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_key="vec_id", right_key="vid")
         return knn_hubness(joined, k=5)
 
+    def q_mutual_nn(sf):
+        """Reciprocal cosine top-1 pairs within kmeans cells (the
+        alignment/matching primitive: reciprocity filters hub-induced
+        one-way matches). Same cell-bounded kernel + rank contract as
+        knn_hubness."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+        from htrc_feature_reader_ray.stages.similarity import (
+            kmeans_fixed,
+            mutual_nn,
+        )
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        assign = kmeans_fixed(emb, k=8, rounds=3).drop_columns(["dist"])
+        joined = bucket_join(
+            emb, assign.map_batches(
+                lambda df: df.rename(columns={"vec_id": "vid"}),
+                batch_format="pandas"),
+            left_key="vec_id", right_key="vid")
+        return mutual_nn(joined)
+
     def q_cdc_chunks(sf):
         """Content-defined chunking: chunk boundaries at md5-gated
         tokens — shift-robust dedup units (an inserted paragraph only
@@ -4655,6 +4678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_agreement": q_knn_label_agreement,
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
+        "mutual_nn": q_mutual_nn,
         "cdc_dup_rate": q_cdc_dup_rate,
         "doc_novelty": q_doc_novelty,
         "prefix_lm_split": q_prefix_lm_split,
@@ -5950,6 +5974,12 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ({similarity_mod.kmeans_fixed_sql(k=8, rounds=3)}) a
                 USING (vec_id)""",
             k=5),
+        "mutual_nn": similarity_mod.mutual_nn_sql(
+            source_sql=f"""
+                SELECT emb.vec_id, emb.embedding, a.cluster
+                FROM embeddings emb
+                JOIN ({similarity_mod.kmeans_fixed_sql(k=8, rounds=3)}) a
+                USING (vec_id)"""),
         "knn_hubness": similarity_mod.knn_hubness_sql(
             source_sql=f"""
                 SELECT emb.vec_id, emb.embedding, a.cluster

@@ -1518,3 +1518,76 @@ def topk_recall_sql(exact_sql: str, approx_sql: str, *, k: int,
         FROM ({exact_sql}) e LEFT JOIN ({approx_sql}) a
           USING ({query_col}, {id_col})
         GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# mutual nearest-neighbor pairs (reciprocal top-1 cosine)
+
+
+def mutual_nn(ds, *, cluster_col: str = "cluster", id_col: str = "vec_id",
+              vec_col: str = "embedding", num_buckets: int = 16):
+    """Mutual nearest-neighbor pairs: ``(a, b)`` where b is a's cosine
+    top-1 AND a is b's — the high-precision alignment/matching primitive
+    (de-facto standard for unsupervised bitext mining, Artetxe & Schwenk
+    ACL'19 margin-scoring lineage, and the pairing step of
+    entity-matching pipelines): reciprocity filters out hub-induced
+    one-way matches, which is why mutual-NN precision beats plain top-1
+    wherever :func:`knn_hubness` reports hubs. Same cell-bounded
+    quadratic posture and ``(cos DESC, id ASC)`` rank contract as
+    knn_hubness — exact within the kmeans cell, cells keep the quadratic
+    bounded, ONE cluster-bucketed exchange; singleton cells emit nothing
+    (no neighbor exists). Output ``(vec_a, vec_b)`` with a < b."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby(cluster_col, sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            sz = len(g)
+            if sz < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+            n = np.sqrt((m * m).sum(axis=1))
+            n[n == 0] = 1.0
+            cos = (m @ m.T) / np.outer(n, n)
+            np.fill_diagonal(cos, -np.inf)
+            nn = np.argsort(-cos, axis=1, kind="stable")[:, 0]
+            i = np.arange(sz)
+            mutual = (nn[nn[i]] == i) & (i < nn[i])
+            out.append(pd.DataFrame({
+                "vec_a": ids[i[mutual]],
+                "vec_b": ids[nn[i[mutual]]],
+            }))
+        if not out:
+            return pd.DataFrame({
+                "vec_a": pd.Series([], dtype=df[id_col].dtype),
+                "vec_b": pd.Series([], dtype=df[id_col].dtype)})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_map_groups(ds, cluster_col, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def mutual_nn_sql(*, source_sql: str, cluster_col: str = "cluster",
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """SQL mirror: the top-1 rank CTE self-joined on reciprocity."""
+    return f"""
+        WITH e AS ({source_sql}),
+        nn AS (
+          SELECT a.{id_col} AS id, b.{id_col} AS nb,
+                 row_number() OVER (
+                   PARTITION BY a.{id_col}
+                   ORDER BY list_cosine_similarity(
+                              a.{vec_col}::DOUBLE[],
+                              b.{vec_col}::DOUBLE[]) DESC,
+                            b.{id_col}) AS rn
+          FROM e a JOIN e b
+            ON a.{cluster_col} = b.{cluster_col}
+           AND a.{id_col} <> b.{id_col}
+        ),
+        top AS (SELECT id, nb FROM nn WHERE rn = 1)
+        SELECT t1.id AS vec_a, t1.nb AS vec_b
+        FROM top t1 JOIN top t2 ON t1.nb = t2.id AND t2.nb = t1.id
+        WHERE t1.id < t1.nb
+        ORDER BY 1"""

@@ -575,3 +575,31 @@ def test_topk_recall_exact_and_missing_query():
     # identical tables -> exactly 1.0 for every query
     full = topk_recall(exact, exact, k=4)
     assert set(full["recall_ppm"]) == {1000000}
+
+
+def test_mutual_nn_reciprocity_filters_hubs():
+    from htrc_feature_reader_ray.stages.similarity import mutual_nn
+
+    # 2-d toy: v0 and v1 nearly parallel (mutual), v2 closer to v1 than
+    # to v0 but v1's top-1 is v0 -> v2 gets NO mutual partner with v3
+    # pointing elsewhere
+    vecs = {
+        0: [1.0, 0.00],
+        1: [1.0, 0.01],
+        2: [0.9, 0.30],
+        3: [0.0, 1.00],
+    }
+    df = pd.DataFrame({
+        "vec_id": list(vecs),
+        "embedding": [np.array(v) for v in vecs.values()],
+        "cluster": [0, 0, 0, 0],
+    })
+    out = mutual_nn(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    assert (0, 1) in pairs          # reciprocal top-1
+    assert not any(2 in p or 3 in p for p in pairs)  # one-way matches die
+    # cells bound the search: same vectors in different clusters -> no pair
+    df2 = df.copy()
+    df2["cluster"] = [0, 1, 0, 1]
+    out2 = mutual_nn(ray.data.from_pandas(df2)).to_pandas()
+    assert (0, 1) not in set(zip(out2["vec_a"], out2["vec_b"]))
