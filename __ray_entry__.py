@@ -2131,6 +2131,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["source", "n_chars"])
         return grouped_emd(docs, group_col="source", value_col="n_chars")
 
+    def q_truncation_loss(sf):
+        """Exact token-loss curve at candidate max_seq_len cut points —
+        padding_waste prices the padding side, this prices the cutting
+        side. Audit-sized partials, zero exchange."""
+        from htrc_feature_reader_ray.stages.pack import truncation_loss
+        from htrc_feature_reader_ray.stages.textstats import token_count
+
+        return truncation_loss(token_count(_docs(sf)),
+                               weight_col="n_tokens",
+                               lengths=(16, 64, 256))
+
     def q_padding_waste(sf):
         """Power-of-2 length-bucket histogram + exact padding waste over
         whitespace token counts — the batch-shape planning pass before a
@@ -4672,6 +4683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ks": q_length_ks,
         "rank_agreement": q_rank_agreement,
         "padding_waste": q_padding_waste,
+        "truncation_loss": q_truncation_loss,
         "quantile_normalize": q_quantile_normalize,
         "hapax_rate": q_hapax_rate,
         "zipf_deviation": q_zipf_deviation,
@@ -4987,6 +4999,7 @@ def oracle_sql() -> dict[str, str]:
     from htrc_feature_reader_ray.stages.pack import (
         length_buckets_sql,
         pack_sequences_sql,
+        truncation_loss_sql,
     )
     from htrc_feature_reader_ray.stages.partition import (
         rendezvous_assign_sql,
@@ -5868,6 +5881,10 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": curate.source_divergence_sql(),
         "length_emd": profile_mod.grouped_emd_sql(
             table="documents", group="source", value_expr="n_chars"),
+        "truncation_loss": truncation_loss_sql(
+            src_sql=("SELECT " + TOKEN_COUNT_SQL.format(text="text")
+                     + " AS n_tokens FROM documents"),
+            len_expr="n_tokens", lengths=(16, 64, 256)),
         "padding_waste": length_buckets_sql(
             src_sql=("SELECT " + TOKEN_COUNT_SQL.format(text="text")
                      + " AS n_tokens FROM documents"),

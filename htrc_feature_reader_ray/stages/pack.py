@@ -220,3 +220,69 @@ def length_buckets_sql(*, src_sql: str, len_expr: str) -> str:
                ((count(*)::HUGEINT * bucket - sum(l)) * 1000000
                 // (count(*)::HUGEINT * bucket))::BIGINT AS waste_ppm
         FROM bucketed GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# truncation-loss curve (max_seq_len policy audit)
+
+
+def truncation_loss(ds, *, weight_col: str, lengths=(64, 256, 1024)):
+    """Truncation-loss curve: for each candidate ``max_seq_len`` L, the
+    exact fraction of corpus tokens LOST if every sequence is cut at L —
+    the policy audit run before fixing a context length
+    (:func:`length_buckets` prices the PADDING side of the trade;
+    this prices the CUTTING side; together they bracket the choice
+    between padding, packing and truncation). Per L:
+    ``n_truncated`` (sequences longer than L), ``lost_tokens =
+    Σ max(0, len−L)`` and ``loss_ppm = lost·10⁶ // total`` — exact.
+
+    Scale shape: one stateless pass computes per-batch (L, n_trunc,
+    lost, total) partials against the broadcast length list — the fold
+    is ≤ |lengths| rows; Python-int ppm finish. Zero exchange beyond the
+    audit-sized partials."""
+    ls = sorted(int(x) for x in lengths)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df[weight_col].to_numpy().astype(np.int64)
+        rows = []
+        for L in ls:
+            over = np.maximum(ln - L, 0)
+            rows.append((L, int((ln > L).sum()), int(over.sum()),
+                         int(ln.sum())))
+        return pd.DataFrame(rows, columns=["max_len", "n_trunc", "lost",
+                                           "total"])
+
+    folded = (ds.map_batches(partial, batch_format="pandas")
+              .to_pandas()
+              .groupby("max_len", as_index=False).sum()
+              .sort_values("max_len"))
+    out = pd.DataFrame({
+        "max_len": folded["max_len"].to_numpy().astype(np.int64),
+        "n_trunc": folded["n_trunc"].to_numpy().astype(np.int64),
+        "lost_tokens": folded["lost"].to_numpy().astype(np.int64),
+        "loss_ppm": np.array(
+            [int(lo) * 1_000_000 // max(int(t), 1)
+             for lo, t in zip(folded["lost"], folded["total"])],
+            dtype=np.int64),
+    })
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def truncation_loss_sql(*, src_sql: str, len_expr: str,
+                        lengths=(64, 256, 1024)) -> str:
+    """SQL mirror: lateral length-list explode, HUGEINT ppm."""
+    vals = ", ".join(str(int(x)) for x in sorted(lengths))
+    return f"""
+        WITH src AS ({src_sql}),
+        l AS (SELECT unnest([{vals}]) AS max_len)
+        SELECT l.max_len::BIGINT AS max_len,
+               count(*) FILTER (WHERE ({len_expr}) > l.max_len)::BIGINT
+                   AS n_trunc,
+               sum(greatest(({len_expr}) - l.max_len, 0))::BIGINT
+                   AS lost_tokens,
+               (sum(greatest(({len_expr}) - l.max_len, 0))::HUGEINT
+                * 1000000 // greatest(sum({len_expr}), 1))::BIGINT
+                   AS loss_ppm
+        FROM src, l GROUP BY 1 ORDER BY 1"""

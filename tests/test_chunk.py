@@ -340,3 +340,20 @@ def test_length_buckets_exact_powers_and_waste():
     assert out.loc[1, "waste_ppm"] == (2 - 1) * 1_000_000 // 2
     # zero-waste bucket: exactly-full
     assert out.loc[1024, "waste_ppm"] == 0
+
+
+def test_truncation_loss_exact():
+    from htrc_feature_reader_ray.stages.pack import truncation_loss
+
+    lens = np.array([10, 100, 300, 5], dtype=np.int64)  # total 415
+    df = pd.DataFrame({"n_tokens": lens})
+    out = truncation_loss(
+        ray.data.from_pandas(df).repartition(3), weight_col="n_tokens",
+        lengths=(64, 256)).to_pandas().set_index("max_len")
+    # L=64: lose (100-64)+(300-64)=272 from 2 docs
+    assert out.loc[64, "n_trunc"] == 2
+    assert out.loc[64, "lost_tokens"] == 272
+    assert out.loc[64, "loss_ppm"] == 272 * 1_000_000 // 415
+    # L=256: lose 44 from 1 doc
+    assert out.loc[256, "n_trunc"] == 1
+    assert out.loc[256, "lost_tokens"] == 44
