@@ -715,6 +715,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="source", salt="v1:",
         )
 
+    def q_effective_sample_size(sf):
+        """Kish ESS of length-weighted sampling per source (ppm of the
+        group size): ~1e6 = weights uniform, small = a few heavy docs
+        dominate — clip or resample before variance explodes. Map-side
+        moment partials, audit-sized fold."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.sample import (
+            effective_sample_size,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["source", "n_chars"])
+        return effective_sample_size(docs, group_col="source",
+                                     weight_col="n_chars")
+
     def q_eval_quota(sf):
         """Fixed-size stratified eval suite: EXACTLY 200 docs apportioned
         across languages by largest-remainder (Hamilton), each stratum
@@ -4612,6 +4627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "temporal_split": q_temporal_split,
         "eval_quota": q_eval_quota,
+        "effective_sample_size": q_effective_sample_size,
         "host_cap": q_host_cap,
         "char_coverage": q_char_coverage,
         # sliding token-window chunking (LLM context-window prep)
@@ -6941,6 +6957,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Hamilton quotas: identical integer arithmetic both sides;
         # uint64 hash order == HUGEINT md5_number_upper order
+        "effective_sample_size": sample.effective_sample_size_sql(
+            table="documents", group="source", weight_expr="n_chars"),
         "eval_quota": sample.eval_quota_sql(
             table="documents", stratum="lang", id_col="doc_id",
             k=200, salt="v1:"),

@@ -19,6 +19,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
@@ -979,3 +980,76 @@ def eval_quota_sql(*, table: str, stratum: str, id_col: str, k: int,
         SELECT ranked.s AS {stratum}, ranked.id AS {id_col}
         FROM ranked JOIN quota USING (s)
         WHERE ranked.rn <= quota.qq"""
+
+
+# ---------------------------------------------------------------------------
+# effective sample size under importance weights (Kish ESS)
+
+
+def effective_sample_size(ds, *, group_col: str, weight_col: str,
+                          num_buckets: int = 16):
+    """Per-group Kish effective sample size under a weight column, in
+    exact integer ppm of the group's row count — the diagnostic every
+    importance-weighted pass (DSIR selection scores, temperature
+    weights, dedup-survivor weights) owes its consumer: ``ESS =
+    (Σw)² / Σw²`` is how many UNWEIGHTED samples the weighted group is
+    statistically worth, so ``ess_ppm = (Σw)²·10⁶ // (n·Σw²)`` near 10⁶
+    means the weights are nearly uniform (reweighting is a no-op) and a
+    small value means a few heavy rows dominate — the signal to clip or
+    resample before training variance explodes (Kish 1965; the standard
+    particle-filter degeneracy check).
+
+    Weights must be non-negative integers (the engine-wide cents/ppm
+    quantization); rows with w = 0 count in ``n_rows`` but contribute
+    nothing (documented). Groups with Σw = 0 report 0.
+
+    Scale shape: per-batch (group, Σw, Σw², n) Arrow partials collapse
+    the stream map-side, one audit-sized group fold, Python-int finish —
+    (Σw)² passes int64 at web scale, HUGEINT carries the mirror."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).cast(pa.int64())
+        tb = pa.table({
+            group_col: batch.column(group_col),
+            "s": w,
+            "q": pa.compute.multiply_checked(w, w),
+        })
+        g = tb.group_by(group_col).aggregate(
+            [("s", "sum"), ("q", "sum"), ([], "count_all")])
+        return g.rename_columns([group_col, "s", "q", "n"])
+
+    small = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby(group_col, as_index=False)
+             .agg(s=("s", "sum"), q=("q", "sum"), n=("n", "sum"))
+             .sort_values(group_col))
+    ess = [
+        (int(s) * int(s) * 1_000_000 // (int(n) * int(q))
+         if int(q) > 0 else 0)
+        for s, q, n in zip(small["s"], small["q"], small["n"])
+    ]
+    out = pd.DataFrame({
+        group_col: small[group_col].to_numpy(),
+        "n_rows": small["n"].to_numpy().astype(np.int64),
+        "sum_w": small["s"].to_numpy().astype(np.int64),
+        "ess_ppm": np.array(ess, dtype=np.int64),
+    })
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def effective_sample_size_sql(*, table: str, group: str,
+                              weight_expr: str) -> str:
+    """SQL mirror: HUGEINT moment fold."""
+    return f"""
+        WITH w AS (
+          SELECT {group} AS g, ({weight_expr})::BIGINT AS w FROM {table}
+        )
+        SELECT g AS {group}, count(*)::BIGINT AS n_rows,
+               sum(w)::BIGINT AS sum_w,
+               CASE WHEN sum(w * w::HUGEINT) > 0 THEN
+                 (sum(w)::HUGEINT * sum(w) * 1000000
+                  // (count(*)::HUGEINT * sum(w * w::HUGEINT)))::BIGINT
+               ELSE 0 END AS ess_ppm
+        FROM w GROUP BY 1 ORDER BY 1"""

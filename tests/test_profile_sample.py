@@ -1505,3 +1505,22 @@ def test_quantile_normalize_identity_single_group():
     out = quantile_normalize(ray.data.from_pandas(df), group_col="g",
                              id_col="doc_id", value_col="v").to_pandas()
     assert (out["norm_v"] == out["v"]).all()
+
+
+def test_effective_sample_size_regimes():
+    from htrc_feature_reader_ray.stages.sample import effective_sample_size
+
+    df = pd.DataFrame({
+        "g": ["u"] * 10 + ["h"] * 10 + ["z"] * 3,
+        "w": ([5] * 10                 # uniform -> ESS = n -> 1e6
+              + [100] + [1] * 9        # one heavy row dominates
+              + [0, 0, 0]),            # all-zero -> 0 by contract
+    })
+    out = effective_sample_size(
+        ray.data.from_pandas(df).repartition(4), group_col="g",
+        weight_col="w").to_pandas().set_index("g")
+    assert out.loc["u", "ess_ppm"] == 1_000_000
+    # heavy: (109)^2*1e6 // (10*(10000+9))
+    assert out.loc["h", "ess_ppm"] == 109 * 109 * 1_000_000 // (10 * 10009)
+    assert out.loc["h", "ess_ppm"] < 150_000  # degeneracy visible
+    assert out.loc["z", "ess_ppm"] == 0 and out.loc["z", "n_rows"] == 3
