@@ -619,6 +619,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_dup_weights(sf):
+        """Duplicate-multiplicity loss weights (weight_ppm = 1e6 //
+        near-dup cluster size; singletons keep 1e6) — the down-weighting
+        alternative to hard dedup removal: expected gradient matches the
+        deduped corpus without discarding variety."""
+        from htrc_feature_reader_ray.stages.dedup import dup_weights
+
+        return dup_weights(_docs(sf, columns=["doc_id"]),
+                           q_dedup_minhash(sf))
+
     def q_source_overlap(sf):
         """Source x source shingle-Jaccard matrix (which ingest feeds
         duplicate each other — the dedup-PLANNING signal above the
@@ -4611,6 +4621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "source_overlap": q_source_overlap,
+        "dup_weights": q_dup_weights,
         # exact duplicated-span coverage (substring-level dedup signal)
         "duplicated_spans": q_duplicated_spans,
         # n-gram train/test decontamination (broadcast benchmark grams)
@@ -6794,6 +6805,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, jaccard FROM jac_pairs""",
         # connected components over the near-dup pairs: min reachable id per
         # node via a recursive CTE (UNION dedups, so the walk terminates)
+        "dup_weights": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + """,
+            sym AS (
+              SELECT doc_a AS src, doc_b AS dst FROM jac_pairs
+              UNION ALL
+              SELECT doc_b, doc_a FROM jac_pairs
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM sym
+            ), walk(node, reach) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
+            ), cl AS (
+              SELECT node, min(reach) AS cluster_id FROM walk GROUP BY 1
+            ), cs AS (
+              SELECT cluster_id, count(*)::BIGINT AS n FROM cl GROUP BY 1
+            )
+            SELECT d.doc_id, coalesce(cs.n, 1)::BIGINT AS cluster_size,
+                   (1000000 // coalesce(cs.n, 1))::BIGINT AS weight_ppm
+            FROM documents d
+            LEFT JOIN cl ON cl.node = d.doc_id
+            LEFT JOIN cs ON cs.cluster_id = cl.cluster_id""",
         "dedup_clusters": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + """,
             sym AS (
               SELECT doc_a AS src, doc_b AS dst FROM jac_pairs

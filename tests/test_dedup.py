@@ -902,3 +902,19 @@ def test_source_overlap_short_doc_fallback_and_empty():
     df2 = pd.DataFrame({"source": ["A", "B"], "text": ["a a a", "b b b"]})
     out2 = source_overlap(ray.data.from_pandas(df2)).to_pandas()
     assert len(out2) == 0
+
+
+def test_dup_weights_multiplicity():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import dup_weights
+
+    docs = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64)})
+    # pairs: {0,1,2} one cluster, {3,4} another; 5 singleton
+    pairs = pd.DataFrame({"doc_a": [0, 1, 3], "doc_b": [1, 2, 4]})
+    out = dup_weights(ray.data.from_pandas(docs).repartition(3),
+                      ray.data.from_pandas(pairs)).to_pandas(
+    ).set_index("doc_id").sort_index()
+    assert list(out["cluster_size"]) == [3, 3, 3, 2, 2, 1]
+    assert list(out["weight_ppm"]) == [333333, 333333, 333333,
+                                       500000, 500000, 1_000_000]
