@@ -619,6 +619,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_daily_novelty(sf):
+        """Per-day crawl content novelty (n_new distinct digests / all
+        distinct digests that day, ppm) — the recrawl-budget dashboard.
+        Digests computed map-side; one digest-bucketed pass;
+        audit-sized day fold."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.dedup import daily_novelty
+
+        return daily_novelty(
+            read_pages(sf).select_columns(["text", "warc_ts"]))
+
     def q_dup_weights(sf):
         """Duplicate-multiplicity loss weights (weight_ppm = 1e6 //
         near-dup cluster size; singletons keep 1e6) — the down-weighting
@@ -4622,6 +4633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "source_overlap": q_source_overlap,
         "dup_weights": q_dup_weights,
+        "daily_novelty": q_daily_novelty,
         # exact duplicated-span coverage (substring-level dedup signal)
         "duplicated_spans": q_duplicated_spans,
         # n-gram train/test decontamination (broadcast benchmark grams)
@@ -6615,6 +6627,8 @@ def oracle_sql() -> dict[str, str]:
         # are the UNCAPPED per-doc shingle sizes, intersections only count
         # capped shingles — identical on both engines
         "source_overlap": dedup_mod.source_overlap_sql(),
+        "daily_novelty": dedup_mod.daily_novelty_sql(
+            pages_pre=PAGES_PRE, text_expr=PAGES_TEXT_SQL),
         "dedup_containment": "WITH " + SHINGLES_BODY + """,
             sizes AS (
               SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1

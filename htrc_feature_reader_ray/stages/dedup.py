@@ -3154,3 +3154,93 @@ def dup_weights(docs, pairs_ds, *, id_col: str = "doc_id",
         })
 
     return withs.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-day crawl novelty (how much of each day's crawl is new content)
+
+
+def daily_novelty(pages, *, text_col: str = "text", ts_col: str = "warc_ts",
+                  num_buckets: int = 32):
+    """Per-day content novelty of the crawl: for each capture day, how
+    many DISTINCT content digests were seen that day and how many of
+    them were seen for the FIRST time — the crawl-health dashboard
+    number ("is today's crawl discovering new content or re-fetching
+    what we have") that drives recrawl-budget reallocation; the
+    corpus-level daily sibling of :func:`~htrc_feature_reader_ray.stages.
+    sketch.snapshot_change`'s per-url view. ``novelty_ppm = n_new·10⁶ //
+    n_digests`` exact; a digest captured twice on its first day counts
+    new ONCE (digest-level, not capture-level — documented).
+
+    Scale shape: per-batch distinct (digest, day) rows — the digest is
+    md5 of the text, computed map-side so page text never crosses the
+    exchange — then ONE digest-bucketed pass (all rows of a digest
+    co-partition) does the global (digest, day) dedup, takes each
+    digest's min day, and collapses to (day, n_digests, n_new) partials;
+    the day-keyed fold is audit-sized (bounded crawl span) and finishes
+    on the driver in Python-int ppm."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def rows_fn(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        texts = batch.column(text_col).to_pylist()
+        dig = md5_hash64([x or "" for x in texts])
+        tb = pa.table({"digest": pa.array(dig, type=pa.uint64()),
+                       "day": day})
+        return tb.group_by(["digest", "day"]).aggregate([])
+
+    rows = pages.map_batches(rows_fn, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "new": pd.Series([], dtype="int64")})
+        d = df.drop_duplicates(["digest", "day"])
+        mn = d.groupby("digest", sort=False)["day"].transform("min")
+        out = d.assign(_new=(d["day"] == mn).astype(np.int64)).groupby(
+            "day", as_index=False).agg(n=("digest", "size"),
+                                       new=("_new", "sum"))
+        return out
+
+    folded = (bucketed_map_groups(rows, "digest", per_bucket,
+                                  num_buckets=num_buckets)
+              .to_pandas()
+              .groupby("day", as_index=False).sum()
+              .sort_values("day"))
+    out = pd.DataFrame({
+        "day": folded["day"].to_numpy().astype(np.int64),
+        "n_digests": folded["n"].to_numpy().astype(np.int64),
+        "n_new": folded["new"].to_numpy().astype(np.int64),
+        "novelty_ppm": np.array(
+            [int(nw) * 1_000_000 // max(int(n), 1)
+             for nw, n in zip(folded["new"], folded["n"])],
+            dtype=np.int64),
+    })
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def daily_novelty_sql(*, pages_pre: str, text_expr: str,
+                      ts_col: str = "warc_ts") -> str:
+    """SQL mirror: text identity stands in for the digest (equality
+    semantics identical), distinct (text, day), min-day window."""
+    return f"""
+        {pages_pre},
+        dd AS (
+          SELECT DISTINCT {text_expr} AS t,
+                 epoch_us({ts_col}) // 86400000000 AS day
+          FROM pages
+        ),
+        m AS (
+          SELECT t, day, min(day) OVER (PARTITION BY t) AS mn FROM dd
+        )
+        SELECT day::BIGINT AS day, count(*)::BIGINT AS n_digests,
+               count(*) FILTER (WHERE day = mn)::BIGINT AS n_new,
+               (count(*) FILTER (WHERE day = mn)::HUGEINT * 1000000
+                // greatest(count(*), 1))::BIGINT AS novelty_ppm
+        FROM m GROUP BY 1 ORDER BY 1"""

@@ -918,3 +918,29 @@ def test_dup_weights_multiplicity():
     assert list(out["cluster_size"]) == [3, 3, 3, 2, 2, 1]
     assert list(out["weight_ppm"]) == [333333, 333333, 333333,
                                        500000, 500000, 1_000_000]
+
+
+def test_daily_novelty_first_seen_semantics():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import daily_novelty
+
+    d0 = pd.Timestamp("2024-01-01")
+    rows = [
+        ("aaa", d0), ("bbb", d0),                 # day0: 2 new
+        ("aaa", d0 + pd.Timedelta(hours=3)),      # same digest same day
+        ("aaa", d0 + pd.Timedelta(days=1)),       # day1: seen before
+        ("ccc", d0 + pd.Timedelta(days=1)),       # day1: new
+        ("bbb", d0 + pd.Timedelta(days=2)),       # day2: 0 new
+    ]
+    df = pd.DataFrame(rows, columns=["text", "warc_ts"])
+    out = daily_novelty(
+        ray.data.from_pandas(df).repartition(3)).to_pandas(
+    ).set_index("day")
+    day0 = (d0.value // 1000) // 86_400_000_000
+    assert out.loc[day0, "n_digests"] == 2 and out.loc[day0, "n_new"] == 2
+    assert out.loc[day0, "novelty_ppm"] == 1_000_000
+    assert out.loc[day0 + 1, "n_digests"] == 2
+    assert out.loc[day0 + 1, "n_new"] == 1
+    assert out.loc[day0 + 1, "novelty_ppm"] == 500_000
+    assert out.loc[day0 + 2, "n_new"] == 0
