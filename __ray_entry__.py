@@ -777,6 +777,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             test_num=1, test_den=5, embargo_us=86_400_000_000,
         )
 
+    def q_langid_margin(sf):
+        """Language-ID with confidence margin + abstain bit (the CLD-style
+        reliability flag argmax alone hides): margin = (top-second)*1e6
+        // top over the marker-hit counts; zero-exchange kernel."""
+        from htrc_feature_reader_ray.stages.textstats import langid_margin
+
+        return langid_margin(_docs(sf))
+
     def q_zipf_deviation(sf):
         """Per-language Zipf conformance of the top-20 token ranks
         (sum |obs - c1//r| in ppm of the head mass) — too flat =>
@@ -4670,6 +4678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": lambda sf: token_count(_docs(sf)),
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
+        "langid_margin": q_langid_margin,
         "sentence_stats": q_sentence_stats,
         "dup_line_stats": q_dup_line_stats,
         "line_dedup": q_line_dedup,
@@ -6733,6 +6742,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid": (
             f"SELECT doc_id, {langid_sql('text')} AS pred_lang FROM documents"
+        ),
+        "langid_margin": (
+            "SELECT doc_id, " + textstats.langid_margin_sql("text")
+            + " FROM documents"
         ),
         "sentence_stats": f"""
             WITH aug AS (

@@ -1018,3 +1018,65 @@ def zipf_deviation_sql(*, table: str = "documents", group: str = "lang",
                (sum(abs(c - c1 // r))::HUGEINT * 1000000
                 // greatest(sum(c), 1))::BIGINT AS zipf_dev_ppm
         FROM ranked GROUP BY 1 ORDER BY 1"""
+
+
+def langid_margin(ds, *, text_col: str = "text", id_cols=("doc_id",),
+                  abstain_below_ppm: int = 300_000):
+    """Language-ID with a CONFIDENCE MARGIN and an abstain flag — the
+    router's version of :func:`langid`: argmax alone silently routes
+    mixed-language and marker-free docs to whatever wins a 1-vs-1 hit
+    tie, while every production language-ID (CLD2/CLD3, fastText's
+    threshold idiom) exposes a reliability bit instead. Margin =
+    ``(top − second)·10⁶ // max(top, 1)`` over the same marker-hit
+    counts as langid (0 when the top two tie; 0 when no marker hits at
+    all — both abstain); ``abstain = margin < abstain_below_ppm OR top
+    == 0``. Routing contract: abstained docs go to the und/human-review
+    queue rather than polluting a language bucket.
+
+    Same zero-exchange stateless kernel as langid (one is_in pass per
+    language, bincount fold per batch)."""
+    markers = [(lang, pa.array(sorted(words))) for lang, words in LANG_MARKERS]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, n = _tok_stats(batch, text_col)
+        hits = []
+        for _, words in markers:
+            h = pc.is_in(flat, value_set=words).to_numpy(
+                zero_copy_only=False)
+            hits.append(np.bincount(parent, weights=h,
+                                    minlength=n).astype(np.int64))
+        hits = np.stack(hits)  # (L, n)
+        best = hits.argmax(axis=0)
+        srt = np.sort(hits, axis=0)
+        top = srt[-1]
+        second = srt[-2] if hits.shape[0] >= 2 else np.zeros_like(top)
+        margin = (top - second) * 1_000_000 // np.maximum(top, 1)
+        abstain = (margin < abstain_below_ppm) | (top == 0)
+        langs = np.array([lang for lang, _ in markers], dtype=object)
+        out = batch.select(list(id_cols))
+        out = out.append_column(
+            "pred_lang", pa.array(langs[best], type=pa.string()))
+        out = out.append_column(
+            "margin_ppm", pa.array(margin, type=pa.int64()))
+        return out.append_column("abstain", pa.array(abstain))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def langid_margin_sql(text: str = "text",
+                      abstain_below_ppm: int = 300_000) -> str:
+    """Column expressions mirroring :func:`langid_margin`: the hit-count
+    subqueries sorted as a list literal for top/second."""
+    toks = f"list_filter(string_split({text}, ' '), t -> t != '')"
+    hit_exprs = [
+        (f"(SELECT count(*) FILTER (WHERE t IN {sql_in_list(sorted(words))})"
+         f" FROM unnest({toks}) AS u(t))")
+        for _, words in LANG_MARKERS
+    ]
+    arr = "list_sort([" + ", ".join(hit_exprs) + "], 'DESC')"
+    top = f"({arr}[1])"
+    second = f"({arr}[2])"
+    margin = f"(({top} - {second}) * 1000000 // greatest({top}, 1))"
+    return (f"{langid_sql(text)} AS pred_lang, "
+            f"{margin}::BIGINT AS margin_ppm, "
+            f"({margin} < {abstain_below_ppm} OR {top} = 0) AS abstain")

@@ -1,3 +1,4 @@
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -291,3 +292,29 @@ def test_zipf_deviation_exact_and_perfect_curve():
                           group_col="lang", top_k=4).to_pandas()
     dev = sum(10 - 10 // r for r in range(1, 5))
     assert out2.iloc[0]["zipf_dev_ppm"] == dev * 1_000_000 // 40
+
+
+def test_langid_margin_abstain_semantics():
+    from htrc_feature_reader_ray.stages.textstats import (
+        LANG_MARKERS,
+        langid_margin,
+    )
+
+    en = sorted(dict(LANG_MARKERS)["en"])
+    de = sorted(dict(LANG_MARKERS)["de"])
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [
+            " ".join(en[:4]),                 # clear en -> margin 1e6
+            " ".join(en[:2] + de[:2]),        # 2-2 tie -> margin 0, abstain
+            "zzz qqq xxx",                    # no markers -> abstain
+        ],
+    })
+    out = langid_margin(
+        ray.data.from_pandas(df).repartition(2)).to_pandas(
+    ).set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[0, "margin_ppm"] == 1_000_000
+    assert not out.loc[0, "abstain"]
+    assert out.loc[1, "margin_ppm"] == 0 and out.loc[1, "abstain"]
+    assert out.loc[2, "abstain"] and out.loc[2, "margin_ppm"] == 0
