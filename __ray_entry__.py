@@ -2108,6 +2108,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_key="vec_id", right_key="vid")
         return knn_label_agreement(joined, k=5)
 
+    def q_peak_hour_share(sf):
+        """Per-user peak-hour concentration (hour-of-day argmax + share
+        ppm, smallest-hour ties) — the cheap bot-cadence fingerprint.
+        <=24 partial rows per key per batch; one key-bucketed fold."""
+        from htrc_feature_reader_ray.stages.profile import peak_hour_share
+
+        return peak_hour_share(_events(sf, ["user_id", "ts"]),
+                               key="user_id", ts="ts")
+
     def q_fano_factor(sf):
         """Per-user Fano factor (Var/Mean of the zero-filled daily count
         grid, exact integer ppm) — the overdispersion test behind every
@@ -4746,6 +4755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_flags": q_cusum_flags,
         "change_point": q_change_point,
         "fano_factor": q_fano_factor,
+        "peak_hour_share": q_peak_hour_share,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
         "two_hop_neighbors": q_two_hop_neighbors,
@@ -6055,6 +6065,8 @@ def oracle_sql() -> dict[str, str]:
         "change_point": temporal_mod.change_point_sql(
             table="events", key="user_id", ts="ts"),
         "fano_factor": temporal_mod.fano_factor_sql(
+            table="events", key="user_id", ts="ts"),
+        "peak_hour_share": profile_mod.peak_hour_share_sql(
             table="events", key="user_id", ts="ts"),
         "cusum_flags": temporal_mod.cusum_flags_sql(
             key="user_id", ts="ts",

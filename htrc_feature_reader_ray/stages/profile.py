@@ -2705,3 +2705,77 @@ def quantile_normalize_sql(*, table: str, group: str, id_col: str,
                pos.v AS {value_alias},
                cdf.hv AS norm_{value_alias}
         FROM pos JOIN cdf ON pos.p >= cdf.cum_lo AND pos.p < cdf.cum"""
+
+
+def peak_hour_share(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key circadian concentration: the hour-of-day holding the key's
+    largest event share, and that share in exact integer ppm — the
+    cheap bot-vs-human cadence fingerprint (humans spread activity over
+    a waking day, cron jobs and scrapers stack one hour bucket;
+    > ~500000 ppm in one of 24 buckets is machine cadence) used by
+    abuse triage before any model runs. Ties break to the SMALLEST
+    hour (documented; mirrors the SQL rank order).
+
+    Scale shape: per-batch (key, hour, n) Arrow partials — at most
+    24 rows per key per batch cross the exchange — then ONE key-bucketed
+    fold and a vectorized per-bucket argmax; ``share_ppm = n_peak·10⁶ //
+    n_events`` in int64 (n·10⁶ is the engine-wide safe product)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    hour_us = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        hours = pa.compute.divide(t, hour_us).cast(pa.int64())
+        hr = pa.compute.subtract(
+            hours, pa.compute.multiply(
+                pa.compute.divide(hours, 24).cast(pa.int64()), 24))
+        tb = pa.table({key: batch.column(key),
+                       "hour": hr.cast(pa.int64())})
+        g = tb.group_by([key, "hour"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "hour", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "peak_hour": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "share_ppm": pd.Series([], dtype="int64")})
+        df = (df.groupby([key, "hour"], as_index=False, sort=False)["c"]
+              .sum().sort_values([key, "hour"], kind="mergesort"))
+        g = df.groupby(key, sort=False)
+        tot = g["c"].transform("sum")
+        # first max by hour order: idxmax on the hour-sorted frame
+        win = df.loc[g["c"].idxmax()]
+        wtot = tot.loc[win.index]
+        return pd.DataFrame({
+            key: win[key].to_numpy(),
+            "peak_hour": win["hour"].to_numpy().astype(np.int64),
+            "n_events": wtot.to_numpy().astype(np.int64),
+            "share_ppm": (win["c"].to_numpy() * 1_000_000
+                          // wtot.to_numpy()).astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def peak_hour_share_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: hour fold + (n DESC, hour ASC) rank."""
+    return f"""
+        WITH h AS (
+          SELECT {key} AS kk, (epoch_us({ts}) // 3600000000) % 24 AS hour,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT kk, hour, c, sum(c) OVER (PARTITION BY kk)::BIGINT AS n,
+                 row_number() OVER (PARTITION BY kk
+                                    ORDER BY c DESC, hour ASC) AS rn
+          FROM h
+        )
+        SELECT kk AS {key}, hour::BIGINT AS peak_hour, n AS n_events,
+               (c::HUGEINT * 1000000 // n)::BIGINT AS share_ppm
+        FROM r WHERE rn = 1"""

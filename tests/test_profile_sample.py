@@ -1524,3 +1524,27 @@ def test_effective_sample_size_regimes():
     assert out.loc["h", "ess_ppm"] == 109 * 109 * 1_000_000 // (10 * 10009)
     assert out.loc["h", "ess_ppm"] < 150_000  # degeneracy visible
     assert out.loc["z", "ess_ppm"] == 0 and out.loc["z", "n_rows"] == 3
+
+
+def test_peak_hour_share_bot_vs_human():
+    from htrc_feature_reader_ray.stages.profile import peak_hour_share
+
+    t0 = pd.Timestamp("2024-01-01")  # midnight -> hour 0
+    rows = []
+    # user 1 (cron bot): 30 events at 03:xx across days, 2 elsewhere
+    for d in range(30):
+        rows.append((1, t0 + pd.Timedelta(days=d, hours=3, minutes=d)))
+    rows += [(1, t0 + pd.Timedelta(hours=10)),
+             (1, t0 + pd.Timedelta(hours=15))]
+    # user 2 (human-ish): one event in each of 8 different hours ->
+    # tie broken to the smallest hour
+    for h in range(8, 16):
+        rows.append((2, t0 + pd.Timedelta(hours=h)))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = peak_hour_share(
+        ray.data.from_pandas(df).repartition(5), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert out.loc[1, "peak_hour"] == 3
+    assert out.loc[1, "share_ppm"] == 30 * 1_000_000 // 32
+    assert out.loc[2, "peak_hour"] == 8  # smallest hour on ties
+    assert out.loc[2, "share_ppm"] == 1_000_000 // 8
