@@ -2139,6 +2139,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return change_point(_events(sf, ["user_id", "ts"]),
                             key="user_id", ts="ts")
 
+    def q_duplicate_events(sf):
+        """Double-fire detection: is_dup for events whose identical
+        (user, type, cents) tuple fired within 2h before — retry/
+        double-click telemetry dedup, chain semantics (N copies flag
+        N-1). One user-bucketed exchange, lag_lead posture."""
+        from htrc_feature_reader_ray.stages.temporal import duplicate_events
+
+        ev = _events(sf, ["event_id", "user_id", "ts", "event_type",
+                          "value"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_type": t.column("event_type"),
+                "cents": pa.array(c),
+            })
+
+        return duplicate_events(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            key="user_id", ts="ts", match_cols=["event_type", "cents"],
+            within_us=7_200_000_000, tiebreak="event_id")
+
     def q_cusum_flags(sf):
         """Per-user upward spend-drift CUSUM flags (exact integer state;
         the recursion closes into prefix-sum minus running-min, so the
@@ -4753,6 +4780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_lm_split": q_prefix_lm_split,
         "fim_split": q_fim_split,
         "cusum_flags": q_cusum_flags,
+        "duplicate_events": q_duplicate_events,
         "change_point": q_change_point,
         "fano_factor": q_fano_factor,
         "peak_hour_share": q_peak_hour_share,
@@ -6068,6 +6096,13 @@ def oracle_sql() -> dict[str, str]:
             table="events", key="user_id", ts="ts"),
         "peak_hour_share": profile_mod.peak_hour_share_sql(
             table="events", key="user_id", ts="ts"),
+        "duplicate_events": temporal_mod.duplicate_events_sql(
+            table=("(SELECT event_id, user_id, ts, event_type,"
+                   " CAST(round(value * 100) AS BIGINT) AS cents"
+                   " FROM events)"),
+            key="user_id", ts="ts", match_cols=["event_type", "cents"],
+            within_us=7_200_000_000, tiebreak="event_id",
+            columns="event_id, user_id, ts, event_type, cents"),
         "cusum_flags": temporal_mod.cusum_flags_sql(
             key="user_id", ts="ts",
             value_expr="CAST(round(value * 100) AS BIGINT)",

@@ -1933,3 +1933,64 @@ def markov_stationary_sql(*, key: str = "user_id", ts: str = "ts",
                 // {_MARKOV_SCALE})::BIGINT AS pi_ppm
         FROM states LEFT JOIN {prev} ON {prev}.st = states.t
         ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# double-fire event detection (telemetry-quality dedup)
+
+
+def duplicate_events(ds, *, key: str, ts: str, match_cols,
+                     within_us: int = 5_000_000, tiebreak=None,
+                     num_buckets: int = 32):
+    """Double-fire detection over an event stream: flag every event whose
+    identical ``(key, match_cols...)`` tuple already fired within
+    ``within_us`` BEFORE it — the telemetry-quality dedup every
+    analytics ingest runs (client retries, at-least-once queues and
+    double-clicks all stamp near-identical events seconds apart; exact
+    dedup misses them because the timestamp differs, session logic
+    mustn't see them at all). Emits the full stream with ``is_dup`` so
+    the fix is auditable (``filter`` downstream to drop).
+
+    Chain semantics: each event compares to the PREVIOUS event of the
+    same (key, match) tuple, so a burst of N copies flags N−1 (every
+    copy after the first in each ≤-window step) — the lag-window
+    contract, mirrored exactly by SQL.
+
+    Scale shape: ONE key-bucketed exchange; inside each bucket one
+    mergesort by (key, match..., ts, tiebreak) and a vectorized
+    shifted-comparison — same posture as :func:`lag_lead`."""
+    match_cols = list(match_cols)
+    sort_cols = [key] + match_cols + [ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(is_dup=pd.Series([], dtype=bool))
+        df = df.sort_values(sort_cols, kind="mergesort")
+        t = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.ones(len(df), dtype=bool)
+        for c in [key] + match_cols:
+            v = df[c].to_numpy()
+            same &= np.concatenate([[False], v[1:] == v[:-1]])
+        gap = np.concatenate([[np.iinfo(np.int64).max],
+                              t[1:] - t[:-1]])
+        df = df.assign(is_dup=same & (gap <= within_us))
+        return df
+
+    return bucketed_map_groups(ds, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def duplicate_events_sql(*, table: str, key: str, ts: str, match_cols,
+                         within_us: int = 5_000_000,
+                         tiebreak: str = "event_id",
+                         columns: str = "*") -> str:
+    """SQL mirror: lag window over the identical partition + order."""
+    match_cols = list(match_cols)
+    part = ", ".join([key] + match_cols)
+    return f"""
+        SELECT {columns},
+               coalesce(
+                 epoch_us({ts}) - lag(epoch_us({ts})) OVER (
+                   PARTITION BY {part} ORDER BY {ts}, {tiebreak})
+                 <= {int(within_us)}, FALSE) AS is_dup
+        FROM {table}"""

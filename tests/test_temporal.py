@@ -736,3 +736,38 @@ def test_markov_stationary_dangling_absorbs():
     ).set_index("event_type")
     assert out.loc["a", "pi_ppm"] == 0
     assert out.loc["b", "pi_ppm"] >= 999_999
+
+
+def test_duplicate_events_chain_semantics():
+    from htrc_feature_reader_ray.stages.temporal import duplicate_events
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": [1, 1, 1, 1, 2, 1],
+        "event_type": ["click", "click", "click", "view", "click",
+                       "click"],
+        "cents": np.array([100, 100, 100, 100, 100, 200],
+                          dtype=np.int64),
+        "ts": [t0,
+               t0 + pd.Timedelta(seconds=3),    # dup (same tuple, 3s)
+               t0 + pd.Timedelta(seconds=6),    # dup of the 3s copy
+               t0 + pd.Timedelta(seconds=1),    # different type
+               t0 + pd.Timedelta(seconds=2),    # different user
+               t0 + pd.Timedelta(seconds=4)],   # different cents
+    })
+    out = duplicate_events(
+        ray.data.from_pandas(df).repartition(3), key="user_id", ts="ts",
+        match_cols=["event_type", "cents"], within_us=5_000_000,
+        tiebreak="event_id").to_pandas().set_index("event_id")
+    assert list(out.loc[[0, 1, 2, 3, 4, 5], "is_dup"]) == [
+        False, True, True, False, False, False]
+    # outside the window at every chain step: not a dup
+    df2 = df.copy()
+    df2.loc[1, "ts"] = t0 + pd.Timedelta(seconds=10)
+    df2.loc[2, "ts"] = t0 + pd.Timedelta(seconds=20)
+    out2 = duplicate_events(
+        ray.data.from_pandas(df2), key="user_id", ts="ts",
+        match_cols=["event_type", "cents"], within_us=5_000_000,
+        tiebreak="event_id").to_pandas().set_index("event_id")
+    assert not out2.loc[1, "is_dup"] and not out2.loc[2, "is_dup"]
