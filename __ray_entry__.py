@@ -2849,6 +2849,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return degree_assortativity(
             extract_links(read_pages(sf, drop_text=True)))
 
+    def q_event_trigrams(sf):
+        """Top-25 ordered 3-step behavioral paths (funnels/UX loops are
+        >=3 steps; first-order chains can't tell A->B->A from A->B->C).
+        One key-bucketed exchange, two vectorized shifts, <=|types|^3
+        fold."""
+        from htrc_feature_reader_ray.stages.temporal import event_trigrams
+
+        return event_trigrams(
+            _events(sf, ["event_id", "user_id", "ts", "event_type"]),
+            tiebreak="event_id", top_k=25)
+
     def q_markov_stationary(sf):
         """Steady-state occupancy of the behavioral Markov chain (the
         event-type pagerank): per-term-floored integer power iteration
@@ -4744,6 +4755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
         "markov_stationary": q_markov_stationary,
+        "event_trigrams": q_event_trigrams,
         "name_dedup_pairs": q_name_dedup_pairs,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -5677,6 +5689,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": temporal_mod.rolling_active_users_sql(),
         "event_transitions": temporal_mod.event_transitions_sql(),
         "markov_stationary": temporal_mod.markov_stationary_sql(),
+        "event_trigrams": temporal_mod.event_trigrams_sql(top_k=25),
         "snapshot_diff": """
             WITH a AS (
                 SELECT o_orderkey AS k,

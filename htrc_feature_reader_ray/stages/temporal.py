@@ -1994,3 +1994,75 @@ def duplicate_events_sql(*, table: str, key: str, ts: str, match_cols,
                    PARTITION BY {part} ORDER BY {ts}, {tiebreak})
                  <= {int(within_us)}, FALSE) AS is_dup
         FROM {table}"""
+
+
+def event_trigrams(ds, *, key: str = "user_id", ts: str = "ts",
+                   type_col: str = "event_type", tiebreak=None,
+                   top_k: int = 25, num_buckets: int = 32):
+    """Top-k ordered event TRIGRAMS (within-entity paths of length 3) —
+    the path-mining step up from :func:`event_transitions`' first-order
+    pairs: funnels and UX loops are ≥3 steps (view→click→purchase,
+    error→retry→error), and a first-order chain provably cannot
+    distinguish A→B→A ping-pong from A→B→C progression — the trigram
+    table can, which is why product-analytics path reports are built on
+    it. Emits ``(t1, t2, t3, n)`` for the k most frequent trigrams,
+    ``(n DESC, t1, t2, t3)`` order contract.
+
+    Scale shape: ONE key-bucketed exchange (event_transitions' posture);
+    inside each bucket one mergesort and two vectorized shifts build all
+    trigrams, per-bucket partials collapse to ≤ |types|³ rows, and the
+    lossless local-top-k argument bounds the final fold (a trigram
+    outside every bucket's local table can't reach the global top-k only
+    if counted per-bucket-complete — which it is NOT across buckets, so
+    the fold keeps ALL ≤ |types|³ partials, an audit-sized table by the
+    bounded-type contract, then ranks)."""
+    sort_cols = [key, ts] + ([tiebreak] if tiebreak else [])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, kind="mergesort")
+        g = df.groupby(key, sort=False)[type_col]
+        t2 = g.shift(-1)
+        t3 = g.shift(-2)
+        mask = t3.notna()
+        tri = pd.DataFrame({
+            "t1": df.loc[mask, type_col].to_numpy(),
+            "t2": t2[mask].to_numpy(),
+            "t3": t3[mask].to_numpy(),
+        })
+        out = (tri.groupby(["t1", "t2", "t3"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = bucketed_map_groups(ds, key, per_bucket,
+                                   num_buckets=num_buckets)
+    folded = (partials.to_pandas()
+              .groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
+              .sort_values(["n", "t1", "t2", "t3"],
+                           ascending=[False, True, True, True],
+                           kind="mergesort")
+              .head(top_k).reset_index(drop=True))
+    import ray.data
+
+    return ray.data.from_pandas(folded)
+
+
+def event_trigrams_sql(*, key: str = "user_id", ts: str = "ts",
+                       type_col: str = "event_type",
+                       tiebreak: str = "event_id",
+                       table: str = "events", top_k: int = 25) -> str:
+    """SQL mirror: double lead() window + (n DESC, t1, t2, t3) rank."""
+    return f"""
+        WITH s AS (
+          SELECT {type_col} AS t1,
+                 lead({type_col}, 1) OVER w AS t2,
+                 lead({type_col}, 2) OVER w AS t3
+          FROM {table}
+          WINDOW w AS (PARTITION BY {key} ORDER BY {ts}, {tiebreak})
+        ),
+        c AS (
+          SELECT t1, t2, t3, count(*)::BIGINT AS n
+          FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+        )
+        SELECT t1, t2, t3, n FROM c
+        ORDER BY n DESC, t1, t2, t3 LIMIT {top_k}"""

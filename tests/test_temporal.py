@@ -771,3 +771,30 @@ def test_duplicate_events_chain_semantics():
         match_cols=["event_type", "cents"], within_us=5_000_000,
         tiebreak="event_id").to_pandas().set_index("event_id")
     assert not out2.loc[1, "is_dup"] and not out2.loc[2, "is_dup"]
+
+
+def test_event_trigrams_path_vs_pingpong():
+    from htrc_feature_reader_ray.stages.temporal import event_trigrams
+
+    t0 = pd.Timestamp("2024-01-01")
+    # user 1: a b a b a (ping-pong) -> trigrams aba, bab, aba
+    # user 2: a b c (progression)   -> abc
+    seqs = {1: ["a", "b", "a", "b", "a"], 2: ["a", "b", "c"]}
+    rows = []
+    eid = 0
+    for u, seq in seqs.items():
+        for i, t in enumerate(seq):
+            rows.append((eid, u, t0 + pd.Timedelta(minutes=i), t))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    out = event_trigrams(ray.data.from_pandas(df).repartition(3),
+                         tiebreak="event_id", top_k=10).to_pandas()
+    got = {(a, b, c): n for a, b, c, n in
+           zip(out["t1"], out["t2"], out["t3"], out["n"])}
+    assert got == {("a", "b", "a"): 2, ("b", "a", "b"): 1,
+                   ("a", "b", "c"): 1}
+    # top-1 ordering: count desc
+    assert (out.iloc[0][["t1", "t2", "t3"]] == ["a", "b", "a"]).all()
+    # no cross-user trigrams: total = 4
+    assert out["n"].sum() == 4
