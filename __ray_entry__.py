@@ -751,6 +751,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return effective_sample_size(docs, group_col="source",
                                      weight_col="n_chars")
 
+    def q_split_drift(sf):
+        """Drift across the purged temporal split boundary: per split
+        label, KS separability of the event-value distribution vs the
+        REST — large train-vs-test KS means the eval period is
+        distributionally shifted and a static model will look worse
+        than it is. Pure composition: temporal_split -> cents
+        quantization -> grouped_ks."""
+        from htrc_feature_reader_ray.stages.profile import grouped_ks
+        from htrc_feature_reader_ray.stages.sample import temporal_split
+
+        ev = temporal_split(
+            _events(sf, ["event_id", "ts", "value"]), ts_col="ts",
+            test_num=1, test_den=5, embargo_us=86_400_000_000,
+        )
+
+        def cents(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "split": df["split"],
+                "cents": np.round(df["value"].to_numpy() * 100)
+                .astype(np.int64),
+            })
+
+        return grouped_ks(ev.map_batches(cents, batch_format="pandas"),
+                          group_col="split", value_col="cents")
+
     def q_eval_quota(sf):
         """Fixed-size stratified eval suite: EXACTLY 200 docs apportioned
         across languages by largest-remainder (Hamilton), each stratum
@@ -4704,6 +4729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # leakage-safe deterministic train/val/test split (entity-keyed)
         "hash_split": q_hash_split,
         "temporal_split": q_temporal_split,
+        "split_drift": q_split_drift,
         "eval_quota": q_eval_quota,
         "effective_sample_size": q_effective_sample_size,
         "host_cap": q_host_cap,
@@ -7081,6 +7107,15 @@ def oracle_sql() -> dict[str, str]:
         "eval_quota": sample.eval_quota_sql(
             table="documents", stratum="lang", id_col="doc_id",
             k=200, salt="v1:"),
+        # composition oracle: the split mirror feeds the KS mirror as a
+        # derived table
+        "split_drift": profile_mod.grouped_ks_sql(
+            table=("(" + temporal_split_sql(
+                table="events", ts_col="ts",
+                id_cols="CAST(round(value * 100) AS BIGINT) AS cents",
+                test_num=1, test_den=5, embargo_us=86_400_000_000,
+            ) + ")"),
+            group="split", value_expr="cents"),
         # integer lerp over min/max epoch-us: both // operands
         # non-negative, so Python floor == DuckDB truncation
         "temporal_split": temporal_split_sql(
