@@ -57,3 +57,16 @@ def test_training_prep_pipeline(tmp_path):
     # every token row belongs to a known window; OOV ids >= -1
     assert set(tok.win_key) <= set(win.win_key)
     assert int(tok.token_id.min()) >= -1
+
+
+def test_corpus_audit_example():
+    from examples.corpus_audit import audit_corpus
+
+    rep = audit_corpus("/root/testdata/sf0.001/documents.parquet",
+                       "/root/testdata/sf0.001/events.parquet")
+    assert set(rep) == {"hapax", "zipf", "padding", "truncation", "ess",
+                        "eval_suite", "split_sizes", "length_ks"}
+    assert len(rep["eval_suite"]) == 100
+    assert (rep["padding"]["n_seqs"] > 0).all()
+    assert set(rep["split_sizes"]["split"]) <= {"train", "test", "embargo"}
+    assert (rep["ess"]["ess_ppm"] <= 1_000_000).all()
