@@ -736,6 +736,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             by="source", salt="v1:",
         )
 
+    def q_curriculum_order(sf):
+        """Phase-staged deterministic training order (short docs first,
+        shuffled within each length phase — Bengio'09 curriculum with
+        i.i.d. in-phase gradients). Two-pass composite prefix scan."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.sample import curriculum_order
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+
+        def phase(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"],
+                "phase": np.minimum(
+                    df["n_chars"].to_numpy() // 200, 4).astype(np.int64),
+            })
+
+        return curriculum_order(
+            docs.map_batches(phase, batch_format="pandas"),
+            phase_col="phase", id_col="doc_id", salt="cur:")
+
     def q_effective_sample_size(sf):
         """Kish ESS of length-weighted sampling per source (ppm of the
         group size): ~1e6 = weights uniform, small = a few heavy docs
@@ -4732,6 +4753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_drift": q_split_drift,
         "eval_quota": q_eval_quota,
         "effective_sample_size": q_effective_sample_size,
+        "curriculum_order": q_curriculum_order,
         "host_cap": q_host_cap,
         "char_coverage": q_char_coverage,
         # sliding token-window chunking (LLM context-window prep)
@@ -7102,6 +7124,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Hamilton quotas: identical integer arithmetic both sides;
         # uint64 hash order == HUGEINT md5_number_upper order
+        "curriculum_order": sample.curriculum_order_sql(
+            table=("(SELECT doc_id, least(n_chars // 200, 4) AS phase"
+                   " FROM documents)"),
+            phase_expr="phase", id_col="doc_id", salt="cur:",
+            columns="doc_id, phase"),
         "effective_sample_size": sample.effective_sample_size_sql(
             table="documents", group="source", weight_expr="n_chars"),
         "eval_quota": sample.eval_quota_sql(

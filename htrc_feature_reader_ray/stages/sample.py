@@ -1053,3 +1053,101 @@ def effective_sample_size_sql(*, table: str, group: str,
                   // (count(*)::HUGEINT * sum(w * w::HUGEINT)))::BIGINT
                ELSE 0 END AS ess_ppm
         FROM w GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering (phase-staged deterministic training order)
+
+
+def curriculum_order(ds, *, phase_col: str, id_col: str, salt: str = "",
+                     num_buckets: int = 64):
+    """Curriculum training order: global 0-based ``curriculum_pos`` under
+    ``(phase ASC, md5_hash64(salt||id), id)`` — all of phase 0 (easy)
+    before any of phase 1, SHUFFLED within each phase (Bengio et al.
+    ICML'09: curriculum gains come from the stage ordering, while
+    in-phase shuffling keeps gradients i.i.d. inside a stage; a sort by
+    raw difficulty would re-introduce length/quality autocorrelation in
+    the batch stream, which is exactly what :func:`shuffle_audit`
+    flags). Same purity contract as :func:`deterministic_shuffle`: a
+    pure function of the data, identical on any cluster shape,
+    re-salting redraws the in-phase order without touching the stages.
+
+    Phase cardinality is bounded by contract (quartile/decile-style
+    difficulty buckets — the caller derives them with
+    ``quantile_bucketize`` or a cheap heuristic).
+
+    Scale shape: deterministic_shuffle's two-pass prefix-scan lifted to
+    the composite key — pass 1 folds (phase, hash-range-bucket) counts
+    (≤ P·B tiny rows) for one driver exclusive scan in (phase, bucket)
+    lexicographic order; pass 2 co-locates each composite bucket (the
+    multiply-shift bucket is monotone in the hash, so composite-bucket
+    order == global key order), sorts in-bucket and assigns
+    ``base + arange``. Payload-free pass 1 (projects to the id/phase
+    columns, pushed to the read)."""
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    if not 0 < num_buckets <= 1 << 32:
+        raise ValueError(f"num_buckets must be in (0, 2^32], {num_buckets}")
+
+    def hashed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = md5_hash64([f"{salt}{v}" for v in df[id_col].to_numpy()])
+        df["_h"] = h
+        df["_hb"] = (
+            ((h >> np.uint64(32)) * np.uint64(num_buckets))
+            >> np.uint64(32)
+        ).astype(np.int64)
+        return df
+
+    counts = (
+        ds.select_columns([id_col, phase_col])
+        .map_batches(
+            lambda df: hashed(df).groupby(
+                [phase_col, "_hb"], as_index=False).agg(
+                    n=(id_col, "size")),
+            batch_format="pandas")
+        .to_pandas()
+        .groupby([phase_col, "_hb"], as_index=False)["n"].sum()
+        .sort_values([phase_col, "_hb"], kind="mergesort")
+    )
+    phases = sorted(counts[phase_col].unique())
+    pidx = {p: i for i, p in enumerate(phases)}
+    combo_of = {(p, b): pidx[p] * num_buckets + b
+                for p, b in zip(counts[phase_col], counts["_hb"])}
+    base_arr = np.zeros(len(phases) * num_buckets + 1, dtype=np.int64)
+    cum = 0
+    for p, b, n in zip(counts[phase_col], counts["_hb"], counts["n"]):
+        base_arr[combo_of[(p, b)]] = cum
+        cum += int(n)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = hashed(df)
+        pc_idx = df[phase_col].map(pidx)
+        if pc_idx.isna().any():
+            raise ValueError("phase appeared in pass 2 but not pass 1")
+        df["_combo"] = (pc_idx.astype(np.int64) * num_buckets
+                        + df["_hb"]).astype(np.int64)
+        return df.drop(columns=["_hb"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", id_col],
+                            kind="mergesort").reset_index(drop=True)
+        start = int(base_arr[int(df["_combo"].iloc[0])])
+        df["curriculum_pos"] = start + np.arange(len(df), dtype=np.int64)
+        return df.drop(columns=["_combo", "_h"])
+
+    return (ds.map_batches(bucketize, batch_format="pandas")
+            .groupby("_combo").map_groups(finish, batch_format="pandas"))
+
+
+def curriculum_order_sql(*, table: str, phase_expr: str, id_col: str,
+                         salt: str = "", columns: str = "*") -> str:
+    """SQL mirror: row_number over (phase, md5_number_upper, id)."""
+    return f"""
+        SELECT {columns},
+               (row_number() OVER (
+                    ORDER BY {phase_expr},
+                             md5_number_upper('{salt}' || {id_col}::VARCHAR),
+                             {id_col}
+                ) - 1)::BIGINT AS curriculum_pos
+        FROM {table}"""

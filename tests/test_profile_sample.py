@@ -1548,3 +1548,33 @@ def test_peak_hour_share_bot_vs_human():
     assert out.loc[1, "share_ppm"] == 30 * 1_000_000 // 32
     assert out.loc[2, "peak_hour"] == 8  # smallest hour on ties
     assert out.loc[2, "share_ppm"] == 1_000_000 // 8
+
+
+def test_curriculum_order_stage_then_shuffle():
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.sample import curriculum_order
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "phase": np.repeat([0, 1, 2], 20),
+    })
+    out = curriculum_order(
+        ray.data.from_pandas(df).repartition(7), phase_col="phase",
+        id_col="doc_id", salt="s:").to_pandas()
+    # permutation of 0..59
+    assert sorted(out["curriculum_pos"]) == list(range(60))
+    out = out.sort_values("curriculum_pos")
+    # stage ordering: all phase 0 before any phase 1 before any phase 2
+    assert list(out["phase"]) == sorted(out["phase"])
+    # within-phase order == (md5(salt||id), id)
+    p0 = out[out.phase == 0]["doc_id"].to_numpy()
+    h = md5_hash64([f"s:{v}" for v in p0])
+    assert (np.argsort(np.arange(len(p0))) == np.argsort(
+        np.lexsort((p0, h)))).all() or list(p0) == [
+        x for _, x in sorted(zip(h, p0))]
+    # partitioning independence
+    out2 = curriculum_order(
+        ray.data.from_pandas(df).repartition(2), phase_col="phase",
+        id_col="doc_id", salt="s:").to_pandas().sort_values(
+        "curriculum_pos")
+    assert list(out2["doc_id"]) == list(out["doc_id"])
