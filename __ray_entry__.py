@@ -1586,6 +1586,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              weight_col="n_tokens", budget=50_000,
                              max_epochs=3)
 
+    def q_epoch_assignment(sf):
+        """Materialized UniMax schedule: one (doc, lang, epoch) row per
+        pass — full epochs for everyone, the fractional pass decided by
+        an exact-rational salted hash gate. Zero exchange beyond the
+        unimax fold; <= (max_epochs+1)x explode."""
+        from htrc_feature_reader_ray.stages.sample import epoch_assignment
+        from htrc_feature_reader_ray.stages.textstats import token_count
+
+        counts = token_count(_docs(sf, ("doc_id", "text", "lang")),
+                             id_cols=("doc_id", "lang"))
+        return epoch_assignment(
+            counts, group_col="lang", weight_col="n_tokens",
+            id_col="doc_id", budget=50_000, max_epochs=3, salt="ep:")
+
     def q_shuffle_audit(sf):
         """Shuffle-quality pre-flight: per-source adjacent same-pair rate
         under the canonical md5 training order vs the exchangeability
@@ -4880,6 +4894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohens_kappa": q_cohens_kappa,
         "shuffle_audit": q_shuffle_audit,
         "unimax_epochs": q_unimax_epochs,
+        "epoch_assignment": q_epoch_assignment,
         "topn_sources_per_lang": q_topn_sources_per_lang,
         "kmeans_semdedup": q_kmeans_semdedup,
         "session_covisit": q_session_covisit,
@@ -7116,6 +7131,17 @@ def oracle_sql() -> dict[str, str]:
                 "len(list_filter(string_split(text, ' '),"
                 " t -> t != ''))"),
             table="documents", budget=50_000, max_epochs=3),
+        # the unimax recursive replay nests as a derived table; 2^64
+        # threshold literal matches the engine's exact-rational gate
+        "epoch_assignment": sample.epoch_assignment_sql(
+            unimax_sql=sample.unimax_epochs_sql(
+                group_expr="lang", group_alias="lang",
+                weight_expr=(
+                    "len(list_filter(string_split(text, ' '),"
+                    " t -> t != ''))"),
+                table="documents", budget=50_000, max_epochs=3),
+            table="documents", group="lang", id_col="doc_id",
+            salt="ep:"),
         # split thresholds are the same exact-rational uint64 literals on
         # both engines
         "hash_split": hash_split_sql(

@@ -1151,3 +1151,88 @@ def curriculum_order_sql(*, table: str, phase_expr: str, id_col: str,
                              {id_col}
                 ) - 1)::BIGINT AS curriculum_pos
         FROM {table}"""
+
+
+# ---------------------------------------------------------------------------
+# epoch assignment: materialize the UniMax schedule into per-doc epochs
+
+
+def epoch_assignment(ds, *, group_col: str, weight_col: str, id_col: str,
+                     budget: int, max_epochs: int = 4, salt: str = "",
+                     num_buckets: int = 16):
+    """Materialize the UniMax allocation into the artifact a training
+    loop actually consumes: one ``(id, group, epoch)`` row per pass each
+    document makes over the run — :func:`unimax_epochs` SAYS "source s
+    gets 2.4 epochs", this op DECIDES which docs make the fractional
+    0.4th pass, deterministically. Every doc of a source appears in
+    epochs ``0..floor(e_s)−1``; for the fractional epoch each doc enters
+    iff ``md5_64(salt||E||':'||id) < frac·2⁶⁴ // 10⁶`` — an exact-rational
+    Bernoulli(frac) gate, salted with the epoch index so the draw is
+    independent of the shuffle/split hashes. Selection is by DOC (not an
+    exact token quota — documented; compose :func:`weighted_sample`
+    when the fractional pass must hit a token budget exactly).
+
+    Scale shape: the bounded source fold + driver greedy live inside
+    unimax_epochs; this adds ONE broadcast (source → (full, frac)) map
+    and a stateless vectorized np.repeat explode — zero exchange, output
+    ≤ (max_epochs+1)× input rows."""
+    alloc = unimax_epochs(ds, group_col=group_col, weight_col=weight_col,
+                          budget=budget, max_epochs=max_epochs,
+                          num_buckets=num_buckets).to_pandas()
+    full = {g: int(p) // 1_000_000
+            for g, p in zip(alloc[group_col], alloc["epochs_ppm"])}
+    thresh = {g: (int(p) % 1_000_000) * (1 << 64) // 1_000_000
+              for g, p in zip(alloc[group_col], alloc["epochs_ppm"])}
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col].to_numpy()
+        ids = df[id_col].to_numpy()
+        nf = np.array([full.get(x, 0) for x in g], dtype=np.int64)
+        th = np.array([thresh.get(x, 0) for x in g], dtype=np.uint64)
+        h = md5_hash64([f"{salt}{f}:{i}"
+                        for f, i in zip(nf, ids)])
+        extra = h < th
+        total = nf + extra.astype(np.int64)
+        rep_ids = np.repeat(ids, total)
+        rep_g = np.repeat(g, total)
+        # epoch index within each row's run: flat arange rebased per row
+        off = np.concatenate([[0], np.cumsum(total)[:-1]])
+        epoch = (np.arange(int(total.sum()), dtype=np.int64)
+                 - np.repeat(off, total))
+        return pd.DataFrame({id_col: rep_ids, group_col: rep_g,
+                             "epoch": epoch})
+
+    return ds.select_columns([id_col, group_col]).map_batches(
+        explode, batch_format="pandas")
+
+
+def epoch_assignment_sql(*, unimax_sql: str, table: str, group: str,
+                         id_col: str, salt: str = "") -> str:
+    """SQL mirror: the unimax replay as a derived table, a
+    generate_series explode for the full epochs, plus the hash-gated
+    fractional-epoch branch."""
+    return f"""
+        WITH um AS ({unimax_sql}),
+        fe AS (
+          SELECT {group} AS g, (epochs_ppm // 1000000)::BIGINT AS nf,
+                 ((epochs_ppm % 1000000)::HUGEINT
+                  * 18446744073709551616 // 1000000) AS th
+          FROM um
+        ),
+        fullrows AS (
+          SELECT d.{id_col}, d.{group}, t.e AS epoch
+          FROM {table} d
+          JOIN fe ON fe.g = d.{group},
+          LATERAL unnest(generate_series(0, fe.nf - 1)) AS t(e)
+        ),
+        fracrows AS (
+          SELECT d.{id_col}, d.{group}, fe.nf AS epoch
+          FROM {table} d JOIN fe ON fe.g = d.{group}
+          WHERE md5_number_upper(
+                  '{salt}' || fe.nf::VARCHAR || ':'
+                  || d.{id_col}::VARCHAR)::HUGEINT < fe.th
+        )
+        SELECT * FROM fullrows
+        UNION ALL
+        SELECT * FROM fracrows"""

@@ -1578,3 +1578,36 @@ def test_curriculum_order_stage_then_shuffle():
         id_col="doc_id", salt="s:").to_pandas().sort_values(
         "curriculum_pos")
     assert list(out2["doc_id"]) == list(out["doc_id"])
+
+
+def test_epoch_assignment_full_and_fractional():
+    from htrc_feature_reader_ray.stages.sample import epoch_assignment
+
+    # source A: 10 docs x 10 tokens = 100; B: 40 docs x 10 = 400.
+    # budget 700, cap 4: ascending greedy -> A gets min(400, 350)=350?
+    # no: A first (n=100): min(4*100, 700//2=350) = 350 -> but alloc
+    # capped at 400.. min(400,350)=350 -> A alloc 350 (3.5 epochs),
+    # B: min(1600, 350//1)=350 (0.875 epochs)
+    df = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "g": ["A"] * 10 + ["B"] * 40,
+        "w": np.full(50, 10, dtype=np.int64),
+    })
+    out = epoch_assignment(
+        ray.data.from_pandas(df).repartition(4), group_col="g",
+        weight_col="w", id_col="doc_id", budget=700, max_epochs=4,
+        salt="t:").to_pandas()
+    a = out[out.g == "A"]
+    b = out[out.g == "B"]
+    # A: every doc in epochs 0,1,2; ~half in epoch 3
+    assert (a.groupby("doc_id")["epoch"].min() == 0).all()
+    n3 = (a["epoch"] == 3).sum()
+    assert a.groupby("doc_id").size().min() >= 3 and 0 < n3 < 10
+    # B: no full epoch; subset of docs in epoch 0 only
+    assert set(b["epoch"]) == {0} and 0 < len(b) < 40
+    # determinism across partitioning
+    out2 = epoch_assignment(
+        ray.data.from_pandas(df), group_col="g", weight_col="w",
+        id_col="doc_id", budget=700, max_epochs=4, salt="t:").to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "epoch"]].to_numpy()))
+    assert key(out) == key(out2)
