@@ -2168,6 +2168,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_key="vec_id", right_key="vid")
         return knn_label_agreement(joined, k=5)
 
+    def q_daily_trend(sf):
+        """Per-user OLS slope of the zero-filled daily count series
+        (ppm events/day, truncating division) — the growth/decay
+        direction completing change_point (where) + fano (dispersion).
+        Moments only; one key-bucketed exchange."""
+        from htrc_feature_reader_ray.stages.temporal import daily_trend
+
+        return daily_trend(_events(sf, ["user_id", "ts"]),
+                           key="user_id", ts="ts")
+
     def q_peak_hour_share(sf):
         """Per-user peak-hour concentration (hour-of-day argmax + share
         ppm, smallest-hour ties) — the cheap bot-cadence fingerprint.
@@ -4858,6 +4868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_point": q_change_point,
         "fano_factor": q_fano_factor,
         "peak_hour_share": q_peak_hour_share,
+        "daily_trend": q_daily_trend,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
         "two_hop_neighbors": q_two_hop_neighbors,
@@ -6171,6 +6182,8 @@ def oracle_sql() -> dict[str, str]:
         "fano_factor": temporal_mod.fano_factor_sql(
             table="events", key="user_id", ts="ts"),
         "peak_hour_share": profile_mod.peak_hour_share_sql(
+            table="events", key="user_id", ts="ts"),
+        "daily_trend": temporal_mod.daily_trend_sql(
             table="events", key="user_id", ts="ts"),
         "duplicate_events": temporal_mod.duplicate_events_sql(
             table=("(SELECT event_id, user_id, ts, event_type,"

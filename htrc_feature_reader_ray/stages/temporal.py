@@ -2066,3 +2066,99 @@ def event_trigrams_sql(*, key: str = "user_id", ts: str = "ts",
         )
         SELECT t1, t2, t3, n FROM c
         ORDER BY n DESC, t1, t2, t3 LIMIT {top_k}"""
+
+
+def daily_trend(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key least-squares trend of the zero-filled daily count series,
+    in exact integer ppm-per-day — the DIRECTION metric completing the
+    daily-grid triptych: :func:`change_point` localizes a shift,
+    :func:`fano_factor` measures dispersion, this measures sustained
+    growth or decay — the "is this source dying" input to crawl-budget
+    reallocation. With day index x = 0..n−1 and counts y (zeros
+    included via closed-form Σx, Σx² over the span):
+
+        ``slope_ppm = (n·Σxy − Σx·Σy) · 10⁶ // (n·Σx² − (Σx)²)``
+
+    — the OLS slope in events/day scaled by 10⁶, exact, with the
+    division TRUNCATING toward zero by documented contract (the
+    interpolate_daily convention: DuckDB ``//`` truncates, so the engine
+    computes ``sign·(|num| // den)`` explicitly — a floor here would
+    drift one ulp on negative slopes). Single-day keys are excluded
+    (den = 0, no trend exists — the change_point convention).
+
+    Scale shape: moments only — zero days contribute nothing to Σxy and
+    Σy, and Σx/Σx² close over the span — so per-batch (key, day, count)
+    Arrow partials, ONE key-bucketed exchange, object-int finish (n·Σxy
+    passes int64 for hot keys)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by([key, "day"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "day", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "n_days": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "slope_ppm": pd.Series([], dtype="int64")})
+        df = df.groupby([key, "day"], as_index=False, sort=False)["c"].sum()
+        g = df.groupby(key, sort=False)
+        mn = g["day"].transform("min")
+        df = df.assign(x=(df["day"] - mn), xy=(df["day"] - mn) * df["c"])
+        agg = g.agg(mn=("day", "min"), mx=("day", "max"),
+                    s=("c", "sum")).reset_index()
+        sxy = df.groupby(key, sort=False)["xy"].sum().to_numpy()
+        n = (agg["mx"] - agg["mn"] + 1).to_numpy().astype(object)
+        sy = agg["s"].to_numpy().astype(object)
+        sxy = sxy.astype(object)
+        keep = n > 1
+        agg, n, sy, sxy = agg[keep], n[keep], sy[keep], sxy[keep]
+        if not len(agg):
+            return per_bucket(df.iloc[0:0][[key, "day", "c"]])
+        sx = n * (n - 1) // 2
+        sx2 = (n - 1) * n * (2 * n - 1) // 6
+        num = (n * sxy - sx * sy) * 1_000_000
+        den = n * sx2 - sx * sx
+        neg = num < 0
+        slope = np.where(neg, -((-num) // den), num // den)
+        return pd.DataFrame({
+            key: agg[key].to_numpy(),
+            "n_days": n.astype(np.int64),
+            "n_events": sy.astype(np.int64),
+            "slope_ppm": slope.astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def daily_trend_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: observed-day moments + closed-form Σx/Σx², the
+    shifted HUGEINT division for negative-slope agreement."""
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        b AS (SELECT kk, min(day) AS mn FROM d GROUP BY 1),
+        g AS (
+          SELECT d.kk, (max(d.day) - min(d.day) + 1)::HUGEINT AS n,
+                 sum(d.c)::HUGEINT AS sy,
+                 sum((d.day - b.mn)::HUGEINT * d.c) AS sxy
+          FROM d JOIN b ON b.kk = d.kk GROUP BY 1
+        )
+        SELECT kk AS {key}, n::BIGINT AS n_days, sy::BIGINT AS n_events,
+               (((n * sxy - (n * (n - 1) // 2) * sy) * 1000000)
+                // (n * ((n - 1) * n * (2 * n - 1) // 6)
+                    - (n * (n - 1) // 2) * (n * (n - 1) // 2))
+               )::BIGINT AS slope_ppm
+        FROM g WHERE n > 1"""

@@ -798,3 +798,36 @@ def test_event_trigrams_path_vs_pingpong():
     assert (out.iloc[0][["t1", "t2", "t3"]] == ["a", "b", "a"]).all()
     # no cross-user trigrams: total = 4
     assert out["n"].sum() == 4
+
+
+def test_daily_trend_exact_ols():
+    from htrc_feature_reader_ray.stages.temporal import daily_trend
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: counts 1,2,3,4,5 per day -> slope exactly +1 event/day
+    for d in range(5):
+        rows += [(1, t0 + pd.Timedelta(days=d))] * (d + 1)
+    # user 2: counts 5,4,3,2,1 -> slope exactly -1
+    for d in range(5):
+        rows += [(2, t0 + pd.Timedelta(days=d))] * (5 - d)
+    # user 3: constant -> slope 0; user 4: single day -> excluded
+    for d in range(4):
+        rows += [(3, t0 + pd.Timedelta(days=d))] * 2
+    rows.append((4, t0))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = daily_trend(
+        ray.data.from_pandas(df).repartition(6), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert out.loc[1, "slope_ppm"] == 1_000_000
+    assert out.loc[2, "slope_ppm"] == -1_000_000
+    assert out.loc[3, "slope_ppm"] == 0
+    assert 4 not in out.index
+    # zero-fill matters: activity on days {0, 4} only, 2 events each ->
+    # slope 0 over the 5-day grid (symmetric), NOT over 2 points
+    df2 = pd.DataFrame(
+        [(7, t0)] * 2 + [(7, t0 + pd.Timedelta(days=4))] * 2,
+        columns=["user_id", "ts"])
+    o2 = daily_trend(ray.data.from_pandas(df2), key="user_id",
+                     ts="ts").to_pandas()
+    assert o2.iloc[0]["slope_ppm"] == 0 and o2.iloc[0]["n_days"] == 5
