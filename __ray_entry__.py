@@ -2168,6 +2168,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_key="vec_id", right_key="vid")
         return knn_label_agreement(joined, k=5)
 
+    def q_hdr_quantiles(sf):
+        """HdrHistogram-style p50/p95/p99 of event cents per type: fixed
+        state (<= 64*2^5 cells) over unbounded value support, estimates
+        are data lower bounds within 2^-5 relative error — the
+        latency-dashboard quantile path numeric_profile's exact fold
+        can't take at unbounded support."""
+        from htrc_feature_reader_ray.stages.profile import hdr_quantiles
+
+        ev = _events(sf, ["event_type", "value"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({"event_type": t.column("event_type"),
+                             "cents": pa.array(c)})
+
+        return hdr_quantiles(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            group_col="event_type", value_col="cents")
+
     def q_daily_trend(sf):
         """Per-user OLS slope of the zero-filled daily count series
         (ppm events/day, truncating division) — the growth/decay
@@ -4869,6 +4890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_factor": q_fano_factor,
         "peak_hour_share": q_peak_hour_share,
         "daily_trend": q_daily_trend,
+        "hdr_quantiles": q_hdr_quantiles,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
         "two_hop_neighbors": q_two_hop_neighbors,
@@ -6185,6 +6207,9 @@ def oracle_sql() -> dict[str, str]:
             table="events", key="user_id", ts="ts"),
         "daily_trend": temporal_mod.daily_trend_sql(
             table="events", key="user_id", ts="ts"),
+        "hdr_quantiles": profile_mod.hdr_quantiles_sql(
+            table="events", group="event_type",
+            value_expr="CAST(round(value * 100) AS BIGINT)"),
         "duplicate_events": temporal_mod.duplicate_events_sql(
             table=("(SELECT event_id, user_id, ts, event_type,"
                    " CAST(round(value * 100) AS BIGINT) AS cents"

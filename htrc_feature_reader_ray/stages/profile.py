@@ -2779,3 +2779,114 @@ def peak_hour_share_sql(*, table: str, key: str, ts: str) -> str:
         SELECT kk AS {key}, hour::BIGINT AS peak_hour, n AS n_events,
                (c::HUGEINT * 1000000 // n)::BIGINT AS share_ppm
         FROM r WHERE rn = 1"""
+
+
+def hdr_quantiles(ds, *, group_col: str, value_col: str,
+                  quantiles=((1, 2), (19, 20), (99, 100)),
+                  sig_bits: int = 5, num_buckets: int = 16):
+    """Per-group quantile estimates from a FIXED-STATE log-linear
+    histogram (the HdrHistogram idea, Gil Tene's public design): each
+    non-negative value is quantized to its top ``sig_bits+1``
+    significant bits — ``lb(v) = (v >> s) << s`` with
+    ``s = max(floor(log2 v) − sig_bits, 0)`` — so the histogram has at
+    most ``~64·2^sig_bits`` cells for ARBITRARY int64 values and every
+    estimate is a true data lower bound within relative error
+    ``2^-sig_bits``. This is the scale path the exact quantile ops can't
+    take: ``numeric_profile``'s exact fold needs bounded VALUE support,
+    this bounds the STATE instead — the latency-dashboard trade, made
+    deterministic and SQL-replayable (floor-log2 via the literal powers
+    table, no float log).
+
+    Rank convention: estimate for q = num/den is the smallest bucket
+    lower bound whose cumulative count exceeds the 0-based position
+    ``(n−1)·num // den`` (the quantile_normalize floor-position
+    convention). Negative values raise (quantize magnitudes upstream).
+
+    Scale shape: per-batch (group, lb, count) Arrow partials, one
+    bounded fold (cells ≤ 64·2^sig_bits per group by construction),
+    driver cum-walk per (group, quantile) in Python ints."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    powers = np.left_shift(np.int64(1), np.arange(63, dtype=np.int64))
+
+    def lb_of(v: np.ndarray) -> np.ndarray:
+        if (v < 0).any():
+            raise ValueError("hdr_quantiles requires non-negative values")
+        bl = np.searchsorted(powers, v, side="right")  # floor(log2 v)+1
+        s = np.maximum(bl - 1 - sig_bits, 0)
+        return (v >> s) << s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tb = pa.table({
+            group_col: batch.column(group_col),
+            "lb": pa.array(lb_of(v), type=pa.int64()),
+        })
+        g = tb.group_by([group_col, "lb"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "lb", "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "lb"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="lb",
+    ).to_pandas().sort_values([group_col, "lb"])
+
+    rows = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        cum = np.cumsum(sub["c"].to_numpy().astype(object))
+        n = int(cum[-1])
+        lbs = sub["lb"].to_numpy()
+        for qn, qd in quantiles:
+            p = (n - 1) * qn // qd
+            idx = int(np.searchsorted(cum, p, side="right"))
+            rows.append((grp, qn * 1_000_000 // qd, n, int(lbs[idx])))
+    out = pd.DataFrame(rows, columns=[group_col, "q_ppm", "n_rows",
+                                      "estimate"])
+    for c in ("q_ppm", "n_rows", "estimate"):
+        out[c] = out[c].astype("int64")
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def hdr_quantiles_sql(*, table: str, group: str, value_expr: str,
+                      quantiles=((1, 2), (19, 20), (99, 100)),
+                      sig_bits: int = 5) -> str:
+    """SQL mirror: floor-log2 via the literal powers join, identical
+    shift quantization, window-cum rank walk."""
+    qrows = ", ".join(f"({qn}, {qd})" for qn, qd in quantiles)
+    return f"""
+        WITH src AS (
+          SELECT {group} AS g, ({value_expr})::BIGINT AS v FROM {table}
+        ),
+        powers AS (
+          SELECT k, (1::BIGINT << k)::BIGINT AS p
+          FROM unnest(generate_series(0, 62)) AS t(k)
+        ),
+        ql AS (
+          SELECT greatest(k - {sig_bits}, 0) AS s, v, g
+          FROM src JOIN powers
+            ON powers.p <= greatest(v, 1)
+           AND (greatest(v, 1) >> 1) < powers.p  -- v < 2p, overflow-free
+        ),
+        cells AS (
+          SELECT g, ((v >> s) << s)::BIGINT AS lb, count(*)::BIGINT AS c
+          FROM ql GROUP BY 1, 2
+        ),
+        cdf AS (
+          SELECT g, lb,
+                 sum(c) OVER (PARTITION BY g ORDER BY lb)::HUGEINT AS cum,
+                 (sum(c) OVER (PARTITION BY g ORDER BY lb) - c)::HUGEINT
+                     AS cum_lo,
+                 sum(c) OVER (PARTITION BY g)::HUGEINT AS n
+          FROM cells
+        ),
+        qs AS (SELECT * FROM (VALUES {qrows}) AS t(qn, qd))
+        SELECT cdf.g AS {group},
+               (qs.qn::BIGINT * 1000000 // qs.qd)::BIGINT AS q_ppm,
+               cdf.n::BIGINT AS n_rows, cdf.lb AS estimate
+        FROM cdf JOIN qs
+          ON (cdf.n - 1) * qs.qn // qs.qd >= cdf.cum_lo
+         AND (cdf.n - 1) * qs.qn // qs.qd < cdf.cum
+        ORDER BY 1, 2"""

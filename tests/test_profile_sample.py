@@ -1611,3 +1611,28 @@ def test_epoch_assignment_full_and_fractional():
         id_col="doc_id", budget=700, max_epochs=4, salt="t:").to_pandas()
     key = lambda d: sorted(map(tuple, d[["doc_id", "epoch"]].to_numpy()))
     assert key(out) == key(out2)
+
+
+def test_hdr_quantiles_error_bound_and_exact_small():
+    from htrc_feature_reader_ray.stages.profile import hdr_quantiles
+
+    rng = np.random.RandomState(9)
+    v = rng.randint(0, 1_000_000, 5000).astype(np.int64)
+    df = pd.DataFrame({"g": ["x"] * 5000, "v": v})
+    out = hdr_quantiles(
+        ray.data.from_pandas(df).repartition(6), group_col="g",
+        value_col="v", sig_bits=5).to_pandas().set_index("q_ppm")
+    sv = np.sort(v)
+    for qn, qd in ((1, 2), (19, 20), (99, 100)):
+        p = (5000 - 1) * qn // qd
+        exact = int(sv[p])
+        est = int(out.loc[qn * 1_000_000 // qd, "estimate"])
+        # lower bound within 2^-5 relative error
+        assert est <= exact
+        assert exact - est <= exact // 32 + 1
+    # small values (< 2^sig_bits+1) are EXACT (no quantization)
+    df2 = pd.DataFrame({"g": ["y"] * 41, "v": np.arange(41,
+                                                        dtype=np.int64)})
+    o2 = hdr_quantiles(ray.data.from_pandas(df2), group_col="g",
+                       value_col="v", sig_bits=5).to_pandas()
+    assert int(o2[o2.q_ppm == 500_000].iloc[0]["estimate"]) == 20
