@@ -2354,6 +2354,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kendall_tau(withtok, group_col="lang", x_col="n_chars",
                            y_col="n_tokens", qx=64, qy=16)
 
+    def q_length_effect(sf):
+        """Mann-Whitney common-language effect size of doc length per
+        source vs the rest (exact half-credit ties): >>500000 = runs
+        systematically long, ~500000 with big KS = shape change not
+        shift. Same bounded fold as length_ks."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import (
+            grouped_mannwhitney,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["source", "n_chars"])
+        return grouped_mannwhitney(docs, group_col="source",
+                                   value_col="n_chars")
+
     def q_length_ks(sf):
         """Per-source KS separability of doc length vs the REST of the
         corpus (the optimal-single-threshold drift metric next to
@@ -4870,6 +4885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "length_emd": q_length_emd,
         "length_ks": q_length_ks,
+        "length_effect": q_length_effect,
         "rank_agreement": q_rank_agreement,
         "padding_waste": q_padding_waste,
         "truncation_loss": q_truncation_loss,
@@ -6095,6 +6111,8 @@ def oracle_sql() -> dict[str, str]:
                      + " AS n_tokens FROM documents"),
             group="lang", x_expr="n_chars", y_expr="n_tokens",
             qx=64, qy=16),
+        "length_effect": profile_mod.grouped_mannwhitney_sql(
+            table="documents", group="source", value_expr="n_chars"),
         "length_ks": profile_mod.grouped_ks_sql(
             table="documents", group="source", value_expr="n_chars"),
         "mmr_rerank": similarity_mod.mmr_rerank_sql(

@@ -1636,3 +1636,34 @@ def test_hdr_quantiles_error_bound_and_exact_small():
     o2 = hdr_quantiles(ray.data.from_pandas(df2), group_col="g",
                        value_col="v", sig_bits=5).to_pandas()
     assert int(o2[o2.q_ppm == 500_000].iloc[0]["estimate"]) == 20
+
+
+def test_grouped_mannwhitney_exact_vs_brute_force():
+    from htrc_feature_reader_ray.stages.profile import grouped_mannwhitney
+
+    rng = np.random.RandomState(17)
+    va = rng.randint(0, 30, 200)   # group a
+    vb = rng.randint(10, 40, 300)  # rest runs higher
+    df = pd.DataFrame({
+        "g": ["a"] * 200 + ["b"] * 300,
+        "v": np.concatenate([va, vb]).astype(np.int64),
+    })
+    out = grouped_mannwhitney(
+        ray.data.from_pandas(df).repartition(5), group_col="g",
+        value_col="v").to_pandas().set_index("g")
+    # brute force: a-vs-rest(b)
+    u2 = 0
+    for x in va:
+        for y in vb:
+            u2 += 2 if x > y else (1 if x == y else 0)
+    want = u2 * 1_000_000 // (2 * 200 * 300)
+    assert int(out.loc["a", "u_ppm"]) == want
+    assert out.loc["a", "u_ppm"] < 400_000  # a runs low
+    # symmetry: u(a) + u(b) == 1e6 (up to floor) for two groups
+    assert abs(int(out.loc["a", "u_ppm"]) + int(out.loc["b", "u_ppm"])
+               - 1_000_000) <= 1
+    # whole-corpus group: neutral 500000
+    solo = pd.DataFrame({"g": ["x"] * 9, "v": np.arange(9)})
+    o2 = grouped_mannwhitney(ray.data.from_pandas(solo), group_col="g",
+                             value_col="v").to_pandas()
+    assert o2.iloc[0]["u_ppm"] == 500_000
