@@ -2168,6 +2168,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_key="vec_id", right_key="vid")
         return knn_label_agreement(joined, k=5)
 
+    def q_theil_sen_trend(sf):
+        """Robust median-of-pairwise-slopes trend per user (29.3%
+        breakdown point — one viral/outage day can't flip the verdict
+        the way it swings OLS; disagreement with daily_trend means the
+        outlier IS the story). Same partials + exchange; O(span^2)
+        bounded pair kernel."""
+        from htrc_feature_reader_ray.stages.temporal import theil_sen_trend
+
+        return theil_sen_trend(_events(sf, ["user_id", "ts"]),
+                               key="user_id", ts="ts")
+
     def q_hdr_quantiles(sf):
         """HdrHistogram-style p50/p95/p99 of event cents per type: fixed
         state (<= 64*2^5 cells) over unbounded value support, estimates
@@ -4907,6 +4918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_hour_share": q_peak_hour_share,
         "daily_trend": q_daily_trend,
         "hdr_quantiles": q_hdr_quantiles,
+        "theil_sen_trend": q_theil_sen_trend,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
         "two_hop_neighbors": q_two_hop_neighbors,
@@ -6224,6 +6236,8 @@ def oracle_sql() -> dict[str, str]:
         "peak_hour_share": profile_mod.peak_hour_share_sql(
             table="events", key="user_id", ts="ts"),
         "daily_trend": temporal_mod.daily_trend_sql(
+            table="events", key="user_id", ts="ts"),
+        "theil_sen_trend": temporal_mod.theil_sen_trend_sql(
             table="events", key="user_id", ts="ts"),
         "hdr_quantiles": profile_mod.hdr_quantiles_sql(
             table="events", group="event_type",

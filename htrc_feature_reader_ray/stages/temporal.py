@@ -2162,3 +2162,104 @@ def daily_trend_sql(*, table: str, key: str, ts: str) -> str:
                     - (n * (n - 1) // 2) * (n * (n - 1) // 2))
                )::BIGINT AS slope_ppm
         FROM g WHERE n > 1"""
+
+
+def theil_sen_trend(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key Theil–Sen robust trend of the zero-filled daily count
+    series — the outlier-proof sibling of :func:`daily_trend`'s OLS
+    slope (Theil 1950 / Sen 1968: the median of all pairwise slopes has
+    a 29.3% breakdown point, so one viral day or one outage day cannot
+    flip the verdict the way it can swing least squares; when the two
+    ops disagree, the OUTLIER is the story). Contract: slopes are
+    computed per day pair (i < j over the closed zero-filled grid) as
+    ``(y_j − y_i)·10⁶ // (j − i)`` with the TRUNCATING per-pair
+    division of the daily_trend convention, and the reported value is
+    the LOWER median (0-based position ``(m−1)//2`` of the sorted slope
+    multiset — quantile_disc's convention). Single-day keys are
+    excluded.
+
+    Scale shape: the change_point partials (per-batch (key, day, count)
+    Arrow fold, ONE key-bucketed exchange), then a per-bucket vectorized
+    pair kernel — np.triu indices over each key's grid, O(span²) pairs
+    bounded by the day-span contract, one sort per key."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by([key, "day"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "day", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if len(df):
+            df = (df.groupby([key, "day"], as_index=False,
+                             sort=False)["c"].sum())
+            for kk, sub in df.groupby(key, sort=False):
+                mn, mx = int(sub["day"].min()), int(sub["day"].max())
+                n = mx - mn + 1
+                if n < 2:
+                    continue
+                y = np.zeros(n, dtype=np.int64)
+                y[sub["day"].to_numpy() - mn] = sub["c"].to_numpy()
+                i, j = np.triu_indices(n, k=1)
+                dy = (y[j] - y[i]) * 1_000_000
+                dx = (j - i).astype(np.int64)
+                neg = dy < 0
+                sl = np.where(neg, -((-dy) // dx), dy // dx)
+                sl.sort()
+                m = len(sl)
+                rows.append((kk, n, m, int(sl[(m - 1) // 2])))
+        out = pd.DataFrame(rows, columns=[key, "n_days", "n_pairs",
+                                          "ts_slope_ppm"])
+        for c in (key, "n_days", "n_pairs", "ts_slope_ppm"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def theil_sen_trend_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: zero-filled lateral grid, i<j self-join, truncating
+    per-pair slope, lower-median row_number pick."""
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT kk, min(day) AS mn, max(day) AS mx,
+                 (max(day) - min(day) + 1)::BIGINT AS n
+          FROM d GROUP BY 1 HAVING max(day) > min(day)
+        ),
+        g0 AS (
+          SELECT b.kk, b.n, b.mn, u.x
+          FROM b, unnest(generate_series(0, (b.mx - b.mn)::BIGINT)) AS u(x)
+        ),
+        grid AS (
+          SELECT g0.kk, g0.n, g0.x, coalesce(d.c, 0)::BIGINT AS y
+          FROM g0 LEFT JOIN d
+            ON d.kk = g0.kk AND d.day = g0.x + g0.mn
+        ),
+        slopes AS (
+          SELECT a.kk, a.n, (b2.y - a.y) * 1000000 // (b2.x - a.x)
+                     AS sl
+          FROM grid a JOIN grid b2
+            ON a.kk = b2.kk AND a.x < b2.x
+        ),
+        ranked AS (
+          SELECT kk, n, sl,
+                 row_number() OVER (PARTITION BY kk ORDER BY sl) AS rn,
+                 count(*) OVER (PARTITION BY kk) AS m
+          FROM slopes
+        )
+        SELECT kk AS {key}, n AS n_days, m::BIGINT AS n_pairs,
+               sl::BIGINT AS ts_slope_ppm
+        FROM ranked WHERE rn = (m - 1) // 2 + 1"""

@@ -831,3 +831,35 @@ def test_daily_trend_exact_ols():
     o2 = daily_trend(ray.data.from_pandas(df2), key="user_id",
                      ts="ts").to_pandas()
     assert o2.iloc[0]["slope_ppm"] == 0 and o2.iloc[0]["n_days"] == 5
+
+
+def test_theil_sen_robust_to_outlier_day():
+    from htrc_feature_reader_ray.stages.temporal import (
+        daily_trend,
+        theil_sen_trend,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: flat 2/day for 11 days, but day 10 is a 100-event spike.
+    for d in range(11):
+        rows += [(1, t0 + pd.Timedelta(days=d))] * (100 if d == 10 else 2)
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    ts_out = theil_sen_trend(
+        ray.data.from_pandas(df).repartition(4), key="user_id", ts="ts"
+    ).to_pandas()
+    ols = daily_trend(ray.data.from_pandas(df), key="user_id",
+                      ts="ts").to_pandas()
+    # OLS dragged hard positive by the spike; Theil-Sen stays at 0
+    assert ols.iloc[0]["slope_ppm"] > 2_000_000
+    assert ts_out.iloc[0]["ts_slope_ppm"] == 0
+    assert ts_out.iloc[0]["n_pairs"] == 11 * 10 // 2
+    # exact clean trend: counts 1..5 -> every pair slope is 1e6
+    rows2 = []
+    for d in range(5):
+        rows2 += [(2, t0 + pd.Timedelta(days=d))] * (d + 1)
+    o2 = theil_sen_trend(
+        ray.data.from_pandas(pd.DataFrame(
+            rows2, columns=["user_id", "ts"])),
+        key="user_id", ts="ts").to_pandas()
+    assert o2.iloc[0]["ts_slope_ppm"] == 1_000_000
