@@ -2168,6 +2168,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_key="vec_id", right_key="vid")
         return knn_label_agreement(joined, k=5)
 
+    def q_survival_curve(sf):
+        """Kaplan-Meier user-retention curve (censoring-correct: users
+        active near the window end are censored, not churned; per-step
+        floored product limit so both engines replay bit-exactly)."""
+        from htrc_feature_reader_ray.stages.temporal import survival_curve
+
+        return survival_curve(_events(sf, ["user_id", "ts"]),
+                              key="user_id", ts="ts",
+                              censor_gap_days=1)
+
     def q_theil_sen_trend(sf):
         """Robust median-of-pairwise-slopes trend per user (29.3%
         breakdown point — one viral/outage day can't flip the verdict
@@ -4919,6 +4929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_trend": q_daily_trend,
         "hdr_quantiles": q_hdr_quantiles,
         "theil_sen_trend": q_theil_sen_trend,
+        "survival_curve": q_survival_curve,
         "kmeans": q_kmeans,
         "random_projection": q_random_projection,
         "two_hop_neighbors": q_two_hop_neighbors,
@@ -6239,6 +6250,8 @@ def oracle_sql() -> dict[str, str]:
             table="events", key="user_id", ts="ts"),
         "theil_sen_trend": temporal_mod.theil_sen_trend_sql(
             table="events", key="user_id", ts="ts"),
+        "survival_curve": temporal_mod.survival_curve_sql(
+            table="events", key="user_id", ts="ts", censor_gap_days=1),
         "hdr_quantiles": profile_mod.hdr_quantiles_sql(
             table="events", group="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)"),

@@ -2263,3 +2263,142 @@ def theil_sen_trend_sql(*, table: str, key: str, ts: str) -> str:
         SELECT kk AS {key}, n AS n_days, m::BIGINT AS n_pairs,
                sl::BIGINT AS ts_slope_ppm
         FROM ranked WHERE rn = (m - 1) // 2 + 1"""
+
+
+def survival_curve(ds, *, key: str, ts: str, censor_gap_days: int = 3,
+                   num_buckets: int = 32):
+    """Discrete Kaplan–Meier retention curve over entity lifetimes — the
+    censoring-correct answer to "how long do users stay" that a naive
+    lifetime histogram gets wrong: users still active near the end of
+    the observation window haven't churned, they're CENSORED, and
+    counting them as short lifetimes biases retention down exactly where
+    the product-limit estimator (Kaplan & Meier, JASA 1958) doesn't.
+    Lifetime = last_active_day − first_active_day; a subject whose last
+    activity lies within ``censor_gap_days`` of the corpus's max day is
+    censored at its observed lifetime (at risk through it, no churn
+    event). One row per CHURN duration d: ``n_at_risk`` (lifetime ≥ d,
+    censored included), ``n_churned`` (churn events at d), and
+    ``survival_ppm`` — the product limit staged with a PER-STEP floor
+    (``S_i = S_{i−1}·(r_i − e_i) // r_i`` at scale 10⁶, the
+    markov/pagerank per-term-floor convention) so both engines replay it
+    bit-exactly.
+
+    Scale shape: per-batch (key, min, max) Arrow partials, ONE
+    key-bucketed exchange for exact per-subject bounds, a map-side
+    collapse to the bounded (duration, churn/censor) count table, and
+    the KM walk on the driver in Python ints; recursive-CTE mirror walks
+    the identical ordered durations carrying S."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by(key).aggregate([("day", "min"), ("day", "max")])
+        return g.rename_columns([key, "mn", "mx"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"mn": pd.Series([], dtype="int64"),
+                                 "mx": pd.Series([], dtype="int64"),
+                                 key: pd.Series([], dtype="int64")})
+        g = df.groupby(key, as_index=False).agg(mn=("mn", "min"),
+                                                mx=("mx", "max"))
+        return g[[key, "mn", "mx"]]
+
+    subjects = (bucketed_map_groups(partials, key, per_bucket,
+                                    num_buckets=num_buckets)
+                .to_pandas())
+    empty = pd.DataFrame({
+        "duration_days": pd.Series([], dtype="int64"),
+        "n_at_risk": pd.Series([], dtype="int64"),
+        "n_churned": pd.Series([], dtype="int64"),
+        "survival_ppm": pd.Series([], dtype="int64")})
+    if not len(subjects):
+        return empty
+    gmax = int(subjects["mx"].max())
+    dur = (subjects["mx"] - subjects["mn"]).to_numpy()
+    censored = (gmax - subjects["mx"].to_numpy()) < censor_gap_days
+    tbl = pd.DataFrame({"d": dur, "cen": censored}).groupby(
+        ["d", "cen"]).size().reset_index(name="n")
+    n_total = int(tbl["n"].sum())
+    # at-risk at d = subjects with duration >= d
+    by_d = tbl.groupby("d").agg(
+        e=("n", lambda s: 0), n_all=("n", "sum")).reset_index()
+    churn = tbl[~tbl["cen"]].set_index("d")["n"]
+    by_d["e"] = by_d["d"].map(churn).fillna(0).astype(int)
+    by_d = by_d.sort_values("d")
+    cum_before = np.concatenate(
+        [[0], np.cumsum(by_d["n_all"].to_numpy())[:-1]])
+    rows = []
+    s = 1_000_000
+    for d, e, cb in zip(by_d["d"], by_d["e"], cum_before):
+        r = n_total - int(cb)
+        if e:
+            s = s * (r - int(e)) // r
+            rows.append((int(d), r, int(e), s))
+    out = pd.DataFrame(rows, columns=["duration_days", "n_at_risk",
+                                      "n_churned", "survival_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    # the curve is an audit-sized driver artifact; returned as pandas so a
+    # zero-churn corpus keeps its typed schema (an empty Ray Dataset
+    # reports no columns)
+    return out
+
+
+def survival_curve_sql(*, table: str, key: str, ts: str,
+                       censor_gap_days: int = 3) -> str:
+    """SQL mirror: per-subject bounds, censor flag vs the global max day,
+    duration fold, recursive product-limit walk with the identical
+    per-step floor."""
+    return f"""
+        WITH RECURSIVE s0 AS (
+          SELECT {key} AS kk,
+                 min(epoch_us({ts}) // 86400000000) AS mn,
+                 max(epoch_us({ts}) // 86400000000) AS mx
+          FROM {table} GROUP BY 1
+        ),
+        gm AS (SELECT max(mx) AS gmax FROM s0),
+        subj AS (
+          SELECT (mx - mn)::BIGINT AS d,
+                 (gm.gmax - mx) < {censor_gap_days} AS cen
+          FROM s0, gm
+        ),
+        tot AS (SELECT count(*)::BIGINT AS n FROM subj),
+        byd AS (
+          SELECT d, count(*)::BIGINT AS n_all,
+                 count(*) FILTER (WHERE NOT cen)::BIGINT AS e
+          FROM subj GROUP BY 1
+        ),
+        ranked AS (
+          SELECT d, n_all, e,
+                 row_number() OVER (ORDER BY d) AS rk,
+                 (sum(n_all) OVER (ORDER BY d) - n_all)::BIGINT
+                     AS cum_before
+          FROM byd
+        ),
+        walk AS (
+          SELECT rk, d, e,
+                 (tot.n - cum_before)::BIGINT AS r,
+                 CASE WHEN e > 0 THEN
+                   1000000::HUGEINT * (tot.n - cum_before - e)
+                       // (tot.n - cum_before)
+                 ELSE 1000000::HUGEINT END AS s
+          FROM ranked, tot WHERE rk = 1
+          UNION ALL
+          SELECT x.rk, x.d, x.e,
+                 (tot.n - x.cum_before)::BIGINT,
+                 CASE WHEN x.e > 0 THEN
+                   w.s * (tot.n - x.cum_before - x.e)
+                       // (tot.n - x.cum_before)
+                 ELSE w.s END
+          FROM ranked x JOIN walk w ON x.rk = w.rk + 1, tot
+        )
+        SELECT d AS duration_days, r AS n_at_risk, e AS n_churned,
+               s::BIGINT AS survival_ppm
+        FROM walk WHERE e > 0 ORDER BY 1"""

@@ -863,3 +863,32 @@ def test_theil_sen_robust_to_outlier_day():
             rows2, columns=["user_id", "ts"])),
         key="user_id", ts="ts").to_pandas()
     assert o2.iloc[0]["ts_slope_ppm"] == 1_000_000
+
+
+def test_survival_curve_km_with_censoring():
+    from htrc_feature_reader_ray.stages.temporal import survival_curve
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # global window will end at day 20 (user 99 keeps gmax at 20)
+    rows += [(99, t0), (99, t0 + pd.Timedelta(days=20))]  # dur 20, censored
+    # 4 users churn at duration 2 (last day 2, far from day 20)
+    for u in range(1, 5):
+        rows += [(u, t0), (u, t0 + pd.Timedelta(days=2))]
+    # 2 users churn at duration 5
+    for u in range(5, 7):
+        rows += [(u, t0), (u, t0 + pd.Timedelta(days=5))]
+    # 1 user censored: active through day 19 (within 3 of gmax)
+    rows += [(7, t0), (7, t0 + pd.Timedelta(days=19))]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = survival_curve(
+        ray.data.from_pandas(df).repartition(4), key="user_id", ts="ts",
+        censor_gap_days=3).set_index("duration_days")
+    # KM by hand: n=8 subjects. d=2: r=8, e=4 -> S = 1e6*4//8 = 500000
+    assert out.loc[2, "n_at_risk"] == 8 and out.loc[2, "n_churned"] == 4
+    assert out.loc[2, "survival_ppm"] == 500_000
+    # d=5: r=4, e=2 -> S = 500000*2//4 = 250000
+    assert out.loc[5, "n_at_risk"] == 4
+    assert out.loc[5, "survival_ppm"] == 250_000
+    # censored durations (19, 20) emit no churn rows
+    assert 19 not in out.index and 20 not in out.index
