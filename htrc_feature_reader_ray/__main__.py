@@ -113,6 +113,20 @@ def main(argv=None) -> int:
                           "2 unigram)")
     tok.add_argument("--num-cpus", type=int, default=None)
 
+    aud = sub.add_parser(
+        "audit-corpus",
+        help="pre-training audit report (distribution health, batch-shape"
+             " economics, mixture ESS, eval suite, split drift) -> one"
+             " parquet per section",
+    )
+    aud.add_argument("--docs", required=True,
+                     help="parquet with (doc_id, text, lang, source,"
+                          " n_chars)")
+    aud.add_argument("--events", required=True,
+                     help="parquet with (event_id, ts)")
+    aud.add_argument("--out", required=True)
+    aud.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "clean-id":
@@ -333,6 +347,25 @@ def main(argv=None) -> int:
         out = extract_metadata(src)
         out.write_parquet(args.out)
         print(json.dumps({"rows": out.count(), "out": args.out}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "audit-corpus":
+        _ensure_ray(args.num_cpus)
+        import os
+
+        import ray
+
+        from examples.corpus_audit import audit_corpus
+
+        rep = audit_corpus(args.docs, args.events)
+        os.makedirs(args.out, exist_ok=True)
+        sizes = {}
+        for name, frame in rep.items():
+            path = os.path.join(args.out, f"{name}.parquet")
+            frame.to_parquet(path, index=False)
+            sizes[name] = len(frame)
+        print(json.dumps({"sections": sizes, "out": args.out}))
         ray.shutdown()
         return 0
     return 1

@@ -102,3 +102,21 @@ def test_url_parts_frame():
     assert df["domain"].tolist() == ["h.com", "example.com",
                                      "example.com", "one"]
     assert df["path"].tolist() == ["/p", "/x/y", "", ""]
+
+
+def test_cli_audit_corpus(tmp_path, capsys):
+    import json
+
+    from htrc_feature_reader_ray.__main__ import main
+
+    out = tmp_path / "audit"
+    rc = main([
+        "audit-corpus",
+        "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--events", "/root/testdata/sf0.001/events.parquet",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["sections"]["eval_suite"] == 100
+    assert (out / "zipf.parquet").exists()
