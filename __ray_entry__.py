@@ -2189,6 +2189,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return theil_sen_trend(_events(sf, ["user_id", "ts"]),
                                key="user_id", ts="ts")
 
+    def q_value_trimmed_mean(sf):
+        """10%-per-side trimmed mean of event cents per type (exact:
+        histogram walk with partial buckets) — the robust location
+        statistic; tolerates 10% garbage rows per side where the plain
+        mean follows one adversarial row arbitrarily far."""
+        from htrc_feature_reader_ray.stages.profile import trimmed_mean
+
+        ev = _events(sf, ["event_type", "value"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({"event_type": t.column("event_type"),
+                             "cents": pa.array(c)})
+
+        return trimmed_mean(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            group_col="event_type", value_col="cents",
+            trim_ppm=100_000)
+
     def q_hdr_quantiles(sf):
         """HdrHistogram-style p50/p95/p99 of event cents per type: fixed
         state (<= 64*2^5 cells) over unbounded value support, estimates
@@ -4928,6 +4949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_hour_share": q_peak_hour_share,
         "daily_trend": q_daily_trend,
         "hdr_quantiles": q_hdr_quantiles,
+        "value_trimmed_mean": q_value_trimmed_mean,
         "theil_sen_trend": q_theil_sen_trend,
         "survival_curve": q_survival_curve,
         "kmeans": q_kmeans,
@@ -6255,6 +6277,10 @@ def oracle_sql() -> dict[str, str]:
         "hdr_quantiles": profile_mod.hdr_quantiles_sql(
             table="events", group="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)"),
+        "value_trimmed_mean": profile_mod.trimmed_mean_sql(
+            table="events", group="event_type",
+            value_expr="CAST(round(value * 100) AS BIGINT)",
+            trim_ppm=100_000),
         "duplicate_events": temporal_mod.duplicate_events_sql(
             table=("(SELECT event_id, user_id, ts, event_type,"
                    " CAST(round(value * 100) AS BIGINT) AS cents"

@@ -3000,3 +3000,113 @@ def grouped_mannwhitney_sql(*, table: str, group: str,
         FROM walk, big
         GROUP BY walk.grp, walk.n_g, big.n
         ORDER BY 1"""
+
+
+def trimmed_mean(ds, *, group_col: str, value_col: str,
+                 trim_ppm: int = 100_000, num_buckets: int = 16):
+    """Per-group trimmed mean in exact integer ppm of the value unit —
+    the robust LOCATION statistic completing the winsorize family:
+    :func:`winsorize_value` CLIPS tails for downstream consumers, the
+    trimmed mean DROPS them and reports where the bulk actually sits
+    (the Olympic-scoring estimator; with trim 10% it tolerates up to
+    10% garbage rows per side — exactly the contamination a scraped
+    numeric field carries — while the plain mean follows a single
+    adversarial row arbitrarily far).
+
+    Contract: ``k = n·trim_ppm // 10⁶`` rows are dropped from EACH side
+    of the sorted multiset (value order with duplicate rows interchange-
+    able — partial histogram buckets contribute ``value × remaining``
+    exactly), and ``tmean_ppm = middle_sum·10⁶ // (n − 2k)``. Groups
+    with ``n − 2k ≤ 0`` are excluded (over-trimmed; documented).
+
+    Scale shape (grouped_emd posture): ONE bounded-support
+    (group, value) count fold, then an exact two-sided histogram walk
+    per group on the driver in Python ints (sum·10⁶ passes int64 at
+    web scale); HUGEINT mirror via window cums and partial-bucket
+    arithmetic."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, value_col], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key=value_col,
+    ).to_pandas()
+
+    rows = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        sub = sub.sort_values(value_col)
+        v = [int(x) for x in sub[value_col]]
+        c = [int(x) for x in sub["c"]]
+        n = sum(c)
+        k = n * trim_ppm // 1_000_000
+        m = n - 2 * k
+        if m <= 0:
+            continue
+        total = sum(a * b for a, b in zip(v, c))
+        # drop k from the low side
+        low_drop = 0
+        rem = k
+        for a, b in zip(v, c):
+            take = min(rem, b)
+            low_drop += a * take
+            rem -= take
+            if not rem:
+                break
+        hi_drop = 0
+        rem = k
+        for a, b in zip(reversed(v), reversed(c)):
+            take = min(rem, b)
+            hi_drop += a * take
+            rem -= take
+            if not rem:
+                break
+        mid = total - low_drop - hi_drop
+        rows.append((grp, n, mid * 1_000_000 // m))
+    out = pd.DataFrame(rows, columns=[group_col, "n_rows", "tmean_ppm"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["tmean_ppm"] = out["tmean_ppm"].astype("int64")
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def trimmed_mean_sql(*, table: str, group: str, value_expr: str,
+                     trim_ppm: int = 100_000) -> str:
+    """SQL mirror: window cums over the value-sorted histogram, partial
+    buckets via greatest/least clamps, HUGEINT arithmetic."""
+    return f"""
+        WITH g AS (
+          SELECT {group} AS grp, ({value_expr})::BIGINT AS v,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT grp, sum(c)::BIGINT AS n,
+                 (sum(c) * {trim_ppm} // 1000000)::BIGINT AS k
+          FROM g GROUP BY 1
+        ),
+        w AS (
+          SELECT g.grp, g.v, g.c, t.n, t.k,
+                 (sum(g.c) OVER (PARTITION BY g.grp ORDER BY g.v)
+                  - g.c)::BIGINT AS below
+          FROM g JOIN t USING (grp)
+        ),
+        kept AS (
+          -- rows kept from this bucket: overlap of [below, below+c) with
+          -- [k, n-k)
+          SELECT grp, n, k, v,
+                 greatest(least(below + c, n - k) - greatest(below, k),
+                          0)::HUGEINT AS keepc
+          FROM w
+        )
+        SELECT grp AS {group}, max(n)::BIGINT AS n_rows,
+               (sum(v::HUGEINT * keepc) * 1000000
+                // (max(n) - 2 * max(k)))::BIGINT AS tmean_ppm
+        FROM kept
+        WHERE n - 2 * k > 0
+        GROUP BY grp ORDER BY 1"""

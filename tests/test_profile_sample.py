@@ -1667,3 +1667,34 @@ def test_grouped_mannwhitney_exact_vs_brute_force():
     o2 = grouped_mannwhitney(ray.data.from_pandas(solo), group_col="g",
                              value_col="v").to_pandas()
     assert o2.iloc[0]["u_ppm"] == 500_000
+
+
+def test_trimmed_mean_exact_partial_buckets():
+    from htrc_feature_reader_ray.stages.profile import trimmed_mean
+
+    # group a: values [0]*5 + [10]*10 + [1000]*5 ; n=20, trim 25% -> k=5
+    # drop all five 0s and all five 1000s -> mean of ten 10s = 10
+    df = pd.DataFrame({
+        "g": ["a"] * 20,
+        "v": np.array([0] * 5 + [10] * 10 + [1000] * 5, dtype=np.int64),
+    })
+    out = trimmed_mean(ray.data.from_pandas(df).repartition(4),
+                       group_col="g", value_col="v",
+                       trim_ppm=250_000).to_pandas()
+    assert out.iloc[0]["tmean_ppm"] == 10 * 1_000_000
+    # partial bucket: trim k=2 from [1,1,1,5,9,9,9] (n=7) -> drop two 1s
+    # and two 9s -> mean of [1,5,9] = 5
+    df2 = pd.DataFrame({"g": ["b"] * 7,
+                        "v": np.array([1, 1, 1, 5, 9, 9, 9],
+                                      dtype=np.int64)})
+    o2 = trimmed_mean(ray.data.from_pandas(df2), group_col="g",
+                      value_col="v", trim_ppm=290_000).to_pandas()
+    assert o2.iloc[0]["tmean_ppm"] == 5 * 1_000_000
+    # trim to the single middle row: k=3 of n=7 -> mean of [5]
+    o3 = trimmed_mean(ray.data.from_pandas(df2), group_col="g",
+                      value_col="v", trim_ppm=500_000).to_pandas()
+    assert o3.iloc[0]["tmean_ppm"] == 5_000_000
+    # over-trim (k=4, m=-1) excludes the group
+    o4 = trimmed_mean(ray.data.from_pandas(df2), group_col="g",
+                      value_col="v", trim_ppm=600_000).to_pandas()
+    assert len(o4) == 0
