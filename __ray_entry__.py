@@ -3479,6 +3479,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return robots_crawl_delay(
             hosts.map_batches(synth, batch_format="pandas"))
 
+    def q_politeness_audit(sf):
+        """Per-host Crawl-delay compliance over the fetch log: violations
+        = consecutive gaps strictly under the robots delay (shared
+        fixture). Payload dropped map-side; one host-bucketed lag pass;
+        delay table broadcast."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.urltools import (
+            politeness_audit,
+            robots_crawl_delay,
+        )
+
+        hosts = bucketed_aggregate(
+            _docs(sf, ("source",)), ["source"],
+            {"_n": ("source", "size")}, num_buckets=4,
+        ).drop_columns(["_n"])
+
+        def synth(df: pd.DataFrame) -> pd.DataFrame:
+            src = df["source"].astype(str)
+            n = src.str[3:].astype(int)
+            txt = ("User-agent: *\nCrawl-delay: "
+                   + (n % 9 + 2).astype(str)
+                   + "\nDisallow: /x\nCrawl-delay: nope\nCrawl-delay: "
+                   + (n % 5 + 1).astype(str))
+            return pd.DataFrame({"host": src + ".example.com",
+                                 "robots_txt": txt})
+
+        delays = robots_crawl_delay(
+            hosts.map_batches(synth, batch_format="pandas")).to_pandas()
+        return politeness_audit(
+            read_pages(sf, drop_text=True).select_columns(
+                ["url", "warc_ts"]),
+            delays)
+
     def q_robots_filter(sf):
         """Robots-style (host, path-prefix) disallow filtering of the
         crawl: rules are the broadcast small side (vectorized mask per
@@ -5048,6 +5084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_robots": q_parse_robots,
         "parse_sitemaps": q_parse_sitemaps,
         "robots_crawl_delay": q_robots_crawl_delay,
+        "politeness_audit": q_politeness_audit,
         "html_tables": q_html_tables,
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
@@ -6480,6 +6517,19 @@ def oracle_sql() -> dict[str, str]:
                        AS robots_txt
             FROM (SELECT DISTINCT source FROM documents)
         )""" + urltools.robots_crawl_delay_sql(),
+        "politeness_audit": urltools.politeness_audit_sql(
+            pages_pre=PAGES_PRE,
+            delays_sql=("WITH robots AS (" + """
+                SELECT source || '.example.com' AS host,
+                       'User-agent: *' || chr(10) || 'Crawl-delay: '
+                       || (CAST(substr(source, 4) AS INTEGER) % 9 + 2)
+                       || chr(10) || 'Disallow: /x' || chr(10)
+                       || 'Crawl-delay: nope' || chr(10)
+                       || 'Crawl-delay: '
+                       || (CAST(substr(source, 4) AS INTEGER) % 5 + 1)
+                           AS robots_txt
+                FROM (SELECT DISTINCT source FROM documents)
+            )""" + urltools.robots_crawl_delay_sql())),
         "parse_sitemaps": "WITH sitemaps AS (" + """
             SELECT source || '.example.com' AS host,
                    '<?xml version="1.0"?><urlset>'

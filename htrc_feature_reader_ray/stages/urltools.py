@@ -978,3 +978,109 @@ def path_rollup_sql(*, src_sql: str, url: str = "url") -> str:
         )
         SELECT host, dir, count(*)::BIGINT AS n_pages
         FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# crawl-politeness violation audit (observed gaps vs Crawl-delay)
+
+
+def politeness_audit(pages, delays: pd.DataFrame, *, url_col: str = "url",
+                     ts_col: str = "warc_ts", host_col: str = "host",
+                     delay_col: str = "crawl_delay_s",
+                     num_buckets: int = 16):
+    """Crawl-politeness compliance audit: per host, how many consecutive
+    fetch gaps violated the host's robots ``Crawl-delay`` — the check a
+    crawler ops team runs on its own logs before a webmaster does it
+    for them (each violation is a ban risk; the rate is the scheduler
+    bug signal). Consumes :func:`robots_crawl_delay`'s output as the
+    ``delays`` side. Per host: ``n_fetches``, ``n_gaps``,
+    ``n_violations`` (gap strictly below ``delay·10⁶`` µs between
+    CONSECUTIVE fetches in ``(ts, url)`` order — same-timestamp pairs
+    count, they are the worst violation), ``violation_ppm``. Hosts with
+    no Crawl-delay directive are excluded (nothing to violate —
+    documented).
+
+    Scale shape: host derived map-side via the url_features split rules
+    and the page payload dropped before ONE host-bucketed exchange of
+    (host, ts, url) rows; inside each bucket one mergesort + a shifted
+    vectorized gap compare against the broadcast delay map; the delay
+    table is audit-sized (hosts with directives) and broadcasts via the
+    map closure."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    dmap = {h: int(d) * 1_000_000
+            for h, d in zip(delays[host_col], delays[delay_col])}
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[url_col].astype(str)
+        rest = u.str.partition("://")[2]
+        host = (rest.str.partition("/")[0]
+                .str.partition(":")[0].str.lower())
+        out = pd.DataFrame({"host": host.to_numpy(),
+                            "ts": df[ts_col].to_numpy(),
+                            "url": u.to_numpy()})
+        return out[out["host"].isin(dmap.keys())]
+
+    rows = pages.map_batches(project, batch_format="pandas")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "n_fetches": pd.Series([], dtype="int64"),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "n_violations": pd.Series([], dtype="int64"),
+                "violation_ppm": pd.Series([], dtype="int64")})
+        df = df.sort_values(["host", "ts", "url"], kind="mergesort")
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.concatenate(
+            [[False], df["host"].to_numpy()[1:]
+             == df["host"].to_numpy()[:-1]])
+        gap = np.concatenate([[0], t[1:] - t[:-1]])
+        lim = df["host"].map(dmap).to_numpy().astype(np.int64)
+        viol = same & (gap < lim)
+        out = pd.DataFrame({"host": df["host"].to_numpy(),
+                            "g": same.astype(np.int64),
+                            "v": viol.astype(np.int64)})
+        agg = out.groupby("host", as_index=False).agg(
+            n_fetches=("g", "size"), n_gaps=("g", "sum"),
+            n_violations=("v", "sum"))
+        agg["violation_ppm"] = np.array(
+            [int(v) * 1_000_000 // max(int(g), 1)
+             for v, g in zip(agg["n_violations"], agg["n_gaps"])],
+            dtype=np.int64)
+        for c in ("n_fetches", "n_gaps", "n_violations"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    return bucketed_map_groups(rows, "host", per_bucket,
+                               num_buckets=num_buckets)
+
+
+def politeness_audit_sql(*, pages_pre: str, delays_sql: str,
+                         url_col: str = "url",
+                         ts_col: str = "warc_ts") -> str:
+    """SQL mirror: host projection via the shared split rules, lag window
+    over (host ORDER BY ts, url), strict-below compare."""
+    rest = f"split_part({url_col}, '://', 2)"
+    host = f"lower(split_part(split_part({rest}, '/', 1), ':', 1))"
+    return f"""
+        {pages_pre},
+        delays AS ({delays_sql}),
+        f AS (
+          SELECT {host} AS host, {ts_col} AS ts, {url_col} AS url
+          FROM pages
+        ),
+        j AS (
+          SELECT f.host, f.ts, f.url,
+                 delays.crawl_delay_s * 1000000 AS lim,
+                 epoch_us(f.ts) - lag(epoch_us(f.ts)) OVER (
+                   PARTITION BY f.host ORDER BY f.ts, f.url) AS gap
+          FROM f JOIN delays ON delays.host = f.host
+        )
+        SELECT host, count(*)::BIGINT AS n_fetches,
+               count(gap)::BIGINT AS n_gaps,
+               count(*) FILTER (WHERE gap < lim)::BIGINT AS n_violations,
+               (count(*) FILTER (WHERE gap < lim)::HUGEINT * 1000000
+                // greatest(count(gap), 1))::BIGINT AS violation_ppm
+        FROM j GROUP BY 1 ORDER BY 1"""

@@ -402,3 +402,32 @@ def test_path_rollup_ancestor_counts():
     assert not any(h == "b.com" for h, _ in got)
     # every dir '/'-terminated
     assert out["dir"].str.endswith("/").all()
+
+
+def test_politeness_audit_gap_semantics():
+    from htrc_feature_reader_ray.stages.urltools import politeness_audit
+
+    t0 = pd.Timestamp("2024-01-01")
+    delays = pd.DataFrame({"host": ["a.com", "b.com"],
+                           "crawl_delay_s": [5, 2]})
+    df = pd.DataFrame({
+        "url": ["https://a.com/1", "https://a.com/2", "https://a.com/3",
+                "https://A.com:80/4",         # case/port -> same host
+                "https://b.com/1", "https://b.com/2",
+                "https://nodirective.com/1"],  # excluded host
+        "warc_ts": [t0,
+                    t0 + pd.Timedelta(seconds=3),   # gap 3 < 5: violation
+                    t0 + pd.Timedelta(seconds=9),   # gap 6: ok
+                    t0 + pd.Timedelta(seconds=9),   # gap 0: violation
+                    t0, t0 + pd.Timedelta(seconds=2),  # gap 2: ok (not <2)
+                    t0],
+    })
+    out = politeness_audit(
+        ray.data.from_pandas(df).repartition(3), delays
+    ).to_pandas().set_index("host")
+    assert out.loc["a.com", "n_fetches"] == 4
+    assert out.loc["a.com", "n_gaps"] == 3
+    assert out.loc["a.com", "n_violations"] == 2
+    assert out.loc["a.com", "violation_ppm"] == 2 * 1_000_000 // 3
+    assert out.loc["b.com", "n_violations"] == 0
+    assert "nodirective.com" not in out.index
