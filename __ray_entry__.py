@@ -823,6 +823,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             test_num=1, test_den=5, embargo_us=86_400_000_000,
         )
 
+    def q_lang_mismatch(sf):
+        """Per-source disagreement between the stored lang label and the
+        marker langid (which FEED mislabels — the actionable unit kappa
+        can't localize). Zero exchange; audit-sized fold."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.textstats import (
+            lang_mismatch_by_source,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet",
+            columns=["source", "lang", "text"])
+        return lang_mismatch_by_source(docs)
+
     def q_langid_margin(sf):
         """Language-ID with confidence margin + abstain bit (the CLD-style
         reliability flag argmax alone hides): margin = (top-second)*1e6
@@ -4912,6 +4926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": lambda sf: quality_score(_docs(sf)),
         "langid": lambda sf: langid(_docs(sf)),
         "langid_margin": q_langid_margin,
+        "lang_mismatch": q_lang_mismatch,
         "sentence_stats": q_sentence_stats,
         "dup_line_stats": q_dup_line_stats,
         "line_dedup": q_line_dedup,
@@ -7029,6 +7044,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, " + textstats.langid_margin_sql("text")
             + " FROM documents"
         ),
+        "lang_mismatch": textstats.lang_mismatch_by_source_sql(),
         "sentence_stats": f"""
             WITH aug AS (
               SELECT doc_id,

@@ -1080,3 +1080,76 @@ def langid_margin_sql(text: str = "text",
     return (f"{langid_sql(text)} AS pred_lang, "
             f"{margin}::BIGINT AS margin_ppm, "
             f"({margin} < {abstain_below_ppm} OR {top} = 0) AS abstain")
+
+
+def lang_mismatch_by_source(ds, *, source_col: str = "source",
+                            lang_col: str = "lang",
+                            text_col: str = "text"):
+    """Per-source disagreement rate between the STORED language label and
+    the marker-word language-ID — the feed-level QA rollup over the
+    per-doc signal (:func:`~htrc_feature_reader_ray.stages.profile.
+    cohens_kappa` scores the labeler corpus-wide; this localizes WHICH
+    ingest feed mislabels, which is the actionable unit — you fix or
+    re-tag a feed, not a kappa). ``mismatch_ppm = n_mismatch·10⁶ //
+    n_docs`` exact, prediction by the langid argmax contract.
+
+    Zero exchange: label and text ride the same row, so the compare is
+    map-side and only (source, n, n_mismatch) partials cross — one
+    audit-sized fold."""
+    markers = [(lang, pa.array(sorted(words)))
+               for lang, words in LANG_MARKERS]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, n = _tok_stats(batch, text_col)
+        hits = []
+        for _, words in markers:
+            h = pc.is_in(flat, value_set=words).to_numpy(
+                zero_copy_only=False)
+            hits.append(np.bincount(parent, weights=h,
+                                    minlength=n).astype(np.int64))
+        best = np.stack(hits).argmax(axis=0)
+        langs = np.array([lang for lang, _ in markers], dtype=object)
+        pred = langs[best]
+        stored = batch.column(lang_col).to_numpy(zero_copy_only=False)
+        mism = (pred != stored).astype(np.int64)
+        df = pd.DataFrame({
+            "source": batch.column(source_col).to_numpy(
+                zero_copy_only=False),
+            "m": mism,
+        })
+        g = df.groupby("source", as_index=False).agg(
+            n=("m", "size"), nm=("m", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    small = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas()
+             .groupby("source", as_index=False)
+             .agg(n=("n", "sum"), nm=("nm", "sum"))
+             .sort_values("source"))
+    out = pd.DataFrame({
+        source_col: small["source"].to_numpy(),
+        "n_docs": small["n"].to_numpy().astype(np.int64),
+        "n_mismatch": small["nm"].to_numpy().astype(np.int64),
+        "mismatch_ppm": np.array(
+            [int(m) * 1_000_000 // max(int(n), 1)
+             for m, n in zip(small["nm"], small["n"])], dtype=np.int64),
+    })
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def lang_mismatch_by_source_sql(*, table: str = "documents",
+                                source: str = "source",
+                                lang: str = "lang",
+                                text: str = "text") -> str:
+    """SQL mirror: the langid CASE per row, FILTER-counted per source."""
+    pred = langid_sql(text)
+    return f"""
+        SELECT {source}, count(*)::BIGINT AS n_docs,
+               count(*) FILTER (WHERE {pred} <> {lang})::BIGINT
+                   AS n_mismatch,
+               (count(*) FILTER (WHERE {pred} <> {lang})::HUGEINT
+                * 1000000 // greatest(count(*), 1))::BIGINT
+                   AS mismatch_ppm
+        FROM {table} GROUP BY 1 ORDER BY 1"""

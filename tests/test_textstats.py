@@ -318,3 +318,25 @@ def test_langid_margin_abstain_semantics():
     assert not out.loc[0, "abstain"]
     assert out.loc[1, "margin_ppm"] == 0 and out.loc[1, "abstain"]
     assert out.loc[2, "abstain"] and out.loc[2, "margin_ppm"] == 0
+
+
+def test_lang_mismatch_by_source_localizes_bad_feed():
+    from htrc_feature_reader_ray.stages.textstats import (
+        LANG_MARKERS,
+        lang_mismatch_by_source,
+    )
+
+    en = sorted(dict(LANG_MARKERS)["en"])
+    de = sorted(dict(LANG_MARKERS)["de"])
+    df = pd.DataFrame({
+        "source": ["good"] * 4 + ["bad"] * 4,
+        "lang": ["en"] * 4 + ["en"] * 4,       # 'bad' feed labels en...
+        "text": [" ".join(en[:3])] * 4          # good: truly en
+        + [" ".join(de[:3])] * 4,               # ...but content is de
+    })
+    out = lang_mismatch_by_source(
+        ray.data.from_pandas(df).repartition(3)).to_pandas(
+    ).set_index("source")
+    assert out.loc["good", "mismatch_ppm"] == 0
+    assert out.loc["bad", "mismatch_ppm"] == 1_000_000
+    assert out.loc["bad", "n_mismatch"] == 4
