@@ -3843,6 +3843,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return mirror_hosts(_docs(sf, columns=("source", "text")))
 
+    def q_mirror_clusters(sf):
+        """Canonical mirror-family election: connected components over
+        the mirror-host pair graph, each host mapped to its family's
+        lexicographic-min host — the keep-ONE-host decision unit dedup
+        planning consumes. Pure composition: mirror_hosts ->
+        link_components."""
+        from htrc_feature_reader_ray.stages.linkgraph import link_components
+        from htrc_feature_reader_ray.stages.urltools import mirror_hosts
+
+        pairs = mirror_hosts(_docs(sf, columns=("source", "text")))
+        edges = pairs.map_batches(
+            lambda df: df.rename(columns={
+                "host_a": "src_url", "host_b": "dst_url",
+            })[["src_url", "dst_url"]],
+            batch_format="pandas")
+        comp = link_components(edges)
+        return comp.map_batches(
+            lambda df: df.rename(columns={
+                "url": "host", "component": "canonical_host"}),
+            batch_format="pandas")
+
     def q_url_templates(sf):
         """URL template mining over the crawl stream: digit runs in the url
         path collapse to N; distinct-url counts per (host, template) spot
@@ -5114,6 +5135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_pages": q_related_pages,
         "resource_allocation": q_resource_allocation,
         "mirror_hosts": q_mirror_hosts,
+        "mirror_clusters": q_mirror_clusters,
         "url_templates": q_url_templates,
         "crawl_schedule": q_crawl_schedule,
         "fetch_sessions": q_fetch_sessions,
@@ -6629,6 +6651,23 @@ def oracle_sql() -> dict[str, str]:
         "resource_allocation": LINKS_PRE
         + linkgraph.resource_allocation_sql(edges_cte="link_edges"),
         "mirror_hosts": urltools.mirror_hosts_sql(),
+        # the mirror pair replay feeds a recursive min-reach closure
+        # (string min == the engine's lexicographic-min canonical member)
+        "mirror_clusters": "WITH RECURSIVE pairs AS ("
+            + urltools.mirror_hosts_sql() + """
+            ),
+            sym AS (
+              SELECT host_a AS s, host_b AS d FROM pairs
+              UNION ALL SELECT host_b, host_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT s AS node FROM sym),
+            walk(node, reach) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT w.node, s.d FROM walk w JOIN sym s ON w.reach = s.s
+            )
+            SELECT node AS host, min(reach) AS canonical_host
+            FROM walk GROUP BY 1 ORDER BY 1""",
         "url_templates": PAGES_PRE
         + urltools.url_templates_sql(from_clause="pages"),
         # single-snapshot urls get 0 gaps (not NULL): exact-int contract
