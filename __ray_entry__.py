@@ -2255,6 +2255,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return daily_trend(_events(sf, ["user_id", "ts"]),
                            key="user_id", ts="ts")
 
+    def q_activity_streaks(sf):
+        """Per-user longest run of consecutive active days (gaps-and-
+        islands) — the persistence scalar fano (dispersion) and
+        daily_trend (direction) can't see. Map-side distinct (key, day);
+        one key-bucketed exchange; earliest-run tie-break."""
+        from htrc_feature_reader_ray.stages.temporal import activity_streaks
+
+        return activity_streaks(_events(sf, ["user_id", "ts"]),
+                                key="user_id", ts="ts")
+
     def q_peak_hour_share(sf):
         """Per-user peak-hour concentration (hour-of-day argmax + share
         ppm, smallest-hour ties) — the cheap bot-cadence fingerprint.
@@ -3207,6 +3217,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return triangle_stats(
             q_basket_pairs(sf).map_batches(as_edges, batch_format="pyarrow")
+        )
+
+    def q_basket_truss(sf):
+        """3-truss of the co-purchase graph (iterative per-edge triangle-
+        support peeling, early-exit fixpoint) — the EDGE-cohesion
+        refinement of k_core over the triangle-dense basket graph: per
+        round one degree fold, degree-rank-oriented wedge emission with
+        the center kept, one semi-join close, one support fold."""
+        from htrc_feature_reader_ray.stages.linkgraph import k_truss
+
+        def as_edges(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "src_url": pc.cast(t.column("part_a"), pa.string()),
+                "dst_url": pc.cast(t.column("part_b"), pa.string()),
+            })
+
+        return k_truss(
+            q_basket_pairs(sf).map_batches(as_edges, batch_format="pyarrow"),
+            k=3, max_rounds=6,
         )
 
     def q_doc_keywords(sf):
@@ -4973,6 +5004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_stats": q_triangle_stats,
         "basket_pairs": q_basket_pairs,
         "basket_triangles": q_basket_triangles,
+        "basket_truss": q_basket_truss,
         "value_outliers": q_value_outliers,
         "k_core": q_k_core,
         "event_transitions": q_event_transitions,
@@ -5020,6 +5052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_factor": q_fano_factor,
         "peak_hour_share": q_peak_hour_share,
         "daily_trend": q_daily_trend,
+        "activity_streaks": q_activity_streaks,
         "hdr_quantiles": q_hdr_quantiles,
         "value_trimmed_mean": q_value_trimmed_mean,
         "theil_sen_trend": q_theil_sen_trend,
@@ -6088,6 +6121,18 @@ def oracle_sql() -> dict[str, str]:
             e AS (SELECT pa::VARCHAR AS src_url, pb::VARCHAR AS dst_url
                   FROM pe)"""
         + linkgraph.triangle_stats_sql(edges_cte="e"),
+        "basket_truss": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            sz AS (SELECT l_orderkey, count(*) AS c FROM d GROUP BY 1),
+            dd AS (SELECT d.* FROM d JOIN sz USING (l_orderkey)
+                   WHERE sz.c BETWEEN 2 AND 64),
+            pe AS (SELECT x.l_partkey AS pa, y.l_partkey AS pb
+                   FROM dd x JOIN dd y ON x.l_orderkey = y.l_orderkey
+                                      AND x.l_partkey < y.l_partkey
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            e AS (SELECT pa::VARCHAR AS src_url, pb::VARCHAR AS dst_url
+                  FROM pe)"""
+        + linkgraph.k_truss_sql(k=3, max_rounds=6, edges_cte="e"),
         "doc_keywords": f"""
             SELECT * FROM (
               SELECT *, row_number() OVER (
@@ -6343,6 +6388,8 @@ def oracle_sql() -> dict[str, str]:
         "peak_hour_share": profile_mod.peak_hour_share_sql(
             table="events", key="user_id", ts="ts"),
         "daily_trend": temporal_mod.daily_trend_sql(
+            table="events", key="user_id", ts="ts"),
+        "activity_streaks": temporal_mod.activity_streaks_sql(
             table="events", key="user_id", ts="ts"),
         "theil_sen_trend": temporal_mod.theil_sen_trend_sql(
             table="events", key="user_id", ts="ts"),

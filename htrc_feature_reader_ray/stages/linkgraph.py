@@ -2421,3 +2421,181 @@ def bfs_layers_sql(*, links_pre: str, seed_mod: int = 10,
         ),{",".join(steps)}
         SELECT url, min(hop)::BIGINT AS hop
         FROM ({unions}) GROUP BY 1 ORDER BY 1"""
+
+
+def k_truss(edges, *, k: int = 3, max_rounds: int = 6,
+            num_buckets: int = 32):
+    """k-truss of the UNDIRECTED graph by iterative support peeling: each
+    round computes per-edge triangle support (number of triangles the
+    edge closes) and drops every edge with support < k−2; the k-truss is
+    the fixpoint — the EDGE-level cohesion refinement of :func:`k_core`
+    (a k-core keeps a node for having k neighbors anywhere; a k-truss
+    keeps an edge only if its endpoints share k−2 common neighbors, so
+    spam link wheels and star hubs fall out while genuinely clustered
+    communities survive — Cohen, "Trusses: cohesive subgraphs for social
+    network analysis", 2008).
+
+    Defined as AT MOST ``max_rounds`` peel rounds with early exit at the
+    fixpoint (same construction as :func:`k_core`: converged early means
+    the mirror's remaining unrolled rounds are no-ops). Requires
+    ``k >= 3`` — at k=2 the threshold is 0 and the truss is the whole
+    graph, which needs no machinery.
+
+    Scale shape per round: one degree fold; degree-rank orientation
+    (Suri–Vassilvitskii) so wedge emission is bounded by oriented
+    out-degree, with the CENTER kept — each surviving wedge is a whole
+    triangle (c, x, y), exploded to its three canonical edges and folded
+    into per-edge support with ONE bucketed exchange; the support filter
+    is the next round's edge set (materialized — it IS the iteration
+    state). Returns ``(url_a, url_b, support)`` — the surviving edges
+    with their in-truss triangle support."""
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    if k < 3:
+        raise ValueError("k_truss requires k >= 3")
+    thresh = k - 2
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t.column("src_url"), t.column("dst_url")
+        keep = pc.invert(pc.equal(s, d))
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "a": pc.min_element_wise(s, d).cast(pa.string()),
+            "b": pc.max_element_wise(s, d).cast(pa.string()),
+        }).group_by(["a", "b"]).aggregate([])
+
+    def explode_deg(t: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays([
+            t.column("a").combine_chunks().cast(pa.string()),
+            t.column("b").combine_chunks().cast(pa.string()),
+        ])
+        return (pa.table({"node": nodes})
+                .group_by(["node"]).aggregate([([], "count_all")])
+                .rename_columns(["node", "d"]))
+
+    def emit_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"c": pd.Series([], dtype=object),
+                                 "x": pd.Series([], dtype=object),
+                                 "y": pd.Series([], dtype=object)})
+        m = df.merge(df, on="lo", suffixes=("_a", "_b"))
+        m = m.loc[m["hi_a"] < m["hi_b"]]
+        return pd.DataFrame({"c": m["lo"].to_numpy(),
+                             "x": m["hi_a"].to_numpy(),
+                             "y": m["hi_b"].to_numpy()})
+
+    def tri_to_edges(t: pa.Table) -> pa.Table:
+        c = t.column("c").cast(pa.string())
+        x = t.column("x").cast(pa.string())
+        y = t.column("y").cast(pa.string())
+        ea = pa.concat_arrays([
+            pc.min_element_wise(c, x).combine_chunks(),
+            pc.min_element_wise(c, y).combine_chunks(),
+            x.combine_chunks(),   # wedge pair is already a < b
+        ])
+        eb = pa.concat_arrays([
+            pc.max_element_wise(c, x).combine_chunks(),
+            pc.max_element_wise(c, y).combine_chunks(),
+            y.combine_chunks(),
+        ])
+        return (pa.table({"ea": ea, "eb": eb})
+                .group_by(["ea", "eb"]).aggregate([([], "count_all")])
+                .rename_columns(["ea", "eb", "s"]))
+
+    def empty_truss():
+        import ray.data
+
+        return ray.data.from_pandas(pd.DataFrame({
+            "url_a": pd.Series([], dtype=object),
+            "url_b": pd.Series([], dtype=object),
+            "support": pd.Series([], dtype="int64"),
+        }))
+
+    def finish(sup_ds):
+        if sup_ds is None or sup_ds.count() == 0:
+            return empty_truss()
+        out = sup_ds.filter(expr=f"s >= {thresh}")
+        return out.map_batches(
+            lambda t: pa.table({
+                "url_a": t.column("ea").cast(pa.string()),
+                "url_b": t.column("eb").cast(pa.string()),
+                "support": t.column("s").cast(pa.int64()),
+            }), batch_format="pyarrow")
+
+    def with_key(t: pa.Table) -> pa.Table:
+        kk = pc.binary_join_element_wise(
+            t.column("x").cast(pa.string()),
+            t.column("y").cast(pa.string()), "|")
+        return t.append_column("_k", kk)
+
+    cur = bucketed_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], {"_n": ("b", "size")}, num_buckets=num_buckets,
+    ).drop_columns(["_n"]).materialize()
+
+    sup = None
+    for _ in range(max_rounds):
+        n_cur = cur.count()
+        if n_cur == 0:
+            return empty_truss()  # peeled dry: later rounds are no-ops
+        deg = bucketed_aggregate(
+            cur.map_batches(explode_deg, batch_format="pyarrow"),
+            ["node"], {"d": ("d", "sum")}, num_buckets=num_buckets,
+        ).materialize()
+        oriented = _orient_by_degree(cur, deg, num_buckets=num_buckets)
+        wedges = bucketed_map_groups(oriented, "lo", emit_wedges,
+                                     num_buckets=num_buckets)
+        triangles = _semi_on_edge_keys(
+            wedges.map_batches(with_key, batch_format="pyarrow"),
+            cur, num_buckets=num_buckets, n_edges=n_cur,
+        )
+        sup = bucketed_aggregate(
+            triangles.map_batches(tri_to_edges, batch_format="pyarrow"),
+            ["ea", "eb"], {"s": ("s", "sum")}, num_buckets=num_buckets,
+        ).materialize()
+        nxt = (sup.filter(expr=f"s >= {thresh}")
+                  .map_batches(lambda t: pa.table({
+                      "a": t.column("ea"), "b": t.column("eb")}),
+                      batch_format="pyarrow")
+                  .materialize())
+        if nxt.count() == n_cur:
+            return finish(sup)  # fixpoint: further rounds are no-ops
+        cur = nxt
+
+    return finish(sup)
+
+
+def k_truss_sql(*, k: int = 3, max_rounds: int = 6,
+                edges_cte: str = "link_edges") -> str:
+    """SQL mirror (composes after a WITH preamble): exactly ``max_rounds``
+    unrolled peel rounds — triangles enumerated once as x<y<z (the
+    orientation-independent set the engine's degree-charged wedges also
+    enumerate), exploded to their three edges and folded to support."""
+    thresh = k - 2
+    sql = f"""
+        , und AS MATERIALIZED (
+            SELECT DISTINCT least(src_url, dst_url) AS a,
+                            greatest(src_url, dst_url) AS b
+            FROM {edges_cte} WHERE src_url <> dst_url
+        ), te0 AS MATERIALIZED (SELECT a, b FROM und)"""
+    prev = "te0"
+    for r in range(1, max_rounds + 1):
+        sql += f"""
+        , tt{r} AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM {prev} e1
+            JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b
+        ), ts{r} AS MATERIALIZED (
+            SELECT a, b, count(*)::BIGINT AS sup FROM (
+                SELECT x AS a, y AS b FROM tt{r}
+                UNION ALL SELECT x, z FROM tt{r}
+                UNION ALL SELECT y, z FROM tt{r}) GROUP BY 1, 2
+        ), te{r} AS MATERIALIZED (
+            SELECT a, b FROM ts{r} WHERE sup >= {thresh})"""
+        prev = f"te{r}"
+    return sql + f"""
+        SELECT a AS url_a, b AS url_b, sup AS support
+        FROM ts{max_rounds} WHERE sup >= {thresh}"""

@@ -2402,3 +2402,107 @@ def survival_curve_sql(*, table: str, key: str, ts: str,
         SELECT d AS duration_days, r AS n_at_risk, e AS n_churned,
                s::BIGINT AS survival_ppm
         FROM walk WHERE e > 0 ORDER BY 1"""
+
+
+def activity_streaks(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key longest run of CONSECUTIVE active days (gaps-and-islands)
+    — the engagement-persistence scalar the daily-grid family lacks:
+    :func:`fano_factor` sees dispersion and :func:`daily_trend` sees
+    direction, but neither distinguishes "active 30 days in a row then
+    gone" from "active every other day for 60 days" — the distinction
+    retention models and crawl-freshness schedulers key on (reference
+    orders pages the same way before chunking, parsers.py:379-381; a
+    streak is the temporal analog of a maximal contiguous page run).
+
+    Output per key: ``n_active_days`` (distinct days), ``n_streaks``
+    (maximal runs), ``longest_streak`` (days, ties broken to the
+    EARLIEST run by documented contract), and ``streak_start`` — the
+    start of that longest run as ``timestamp[us]`` (the engine-wide
+    timestamp contract).
+
+    Scale shape: map-side distinct on (key, day) collapses each batch to
+    at most one row per active day BEFORE the exchange, so only slim
+    (key, day) pairs cross — ONE key-bucketed exchange, then a sorted
+    vectorized islands pass per bucket (run id = day − rank, a constant
+    within a consecutive run)."""
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        return (pa.table({key: batch.column(key), "day": day})
+                .group_by([key, "day"]).aggregate([]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    key_dtype = "int64"
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype=key_dtype),
+            "n_active_days": pd.Series([], dtype="int64"),
+            "n_streaks": pd.Series([], dtype="int64"),
+            "longest_streak": pd.Series([], dtype="int64"),
+            "streak_start": pd.Series([], dtype="datetime64[us]"),
+        })
+        if not len(df):
+            return empty
+        df = (df.drop_duplicates([key, "day"])
+                .sort_values([key, "day"], kind="mergesort"))
+        g = df.groupby(key, sort=False)
+        df = df.assign(run=df["day"] - g.cumcount())
+        runs = (df.groupby([key, "run"], as_index=False, sort=False)
+                  .agg(length=("day", "size"), start=("day", "min")))
+        per_key = (runs.groupby(key, as_index=False, sort=False)
+                       .agg(n_streaks=("length", "size"),
+                            n_active_days=("length", "sum")))
+        top = (runs.sort_values([key, "length", "start"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+                   .groupby(key, as_index=False, sort=False).first())
+        out = per_key.merge(top[[key, "length", "start"]], on=key)
+        return pd.DataFrame({
+            key: out[key].to_numpy(),
+            "n_active_days": out["n_active_days"].to_numpy().astype(np.int64),
+            "n_streaks": out["n_streaks"].to_numpy().astype(np.int64),
+            "longest_streak": out["length"].to_numpy().astype(np.int64),
+            "streak_start": (out["start"].to_numpy().astype(np.int64)
+                             * day_us).astype("datetime64[us]"),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def activity_streaks_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: distinct-day islands via day − row_number (constant
+    within a consecutive run), longest run per key with earliest-start
+    tie-break, start day rebuilt as make_timestamp(µs)."""
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day
+          FROM {table} GROUP BY 1, 2
+        ),
+        r AS (
+          SELECT kk, day,
+                 day - row_number() OVER (
+                     PARTITION BY kk ORDER BY day) AS run
+          FROM d
+        ),
+        s AS (
+          SELECT kk, run, count(*)::BIGINT AS len, min(day) AS start
+          FROM r GROUP BY 1, 2
+        ),
+        agg AS (
+          SELECT kk, count(*)::BIGINT AS n_streaks,
+                 sum(len)::BIGINT AS n_active_days
+          FROM s GROUP BY 1
+        ),
+        best AS (
+          SELECT kk, len, start, row_number() OVER (
+              PARTITION BY kk ORDER BY len DESC, start ASC) AS rn
+          FROM s
+        )
+        SELECT agg.kk AS {key}, agg.n_active_days, agg.n_streaks,
+               best.len AS longest_streak,
+               make_timestamp(best.start * 86400000000) AS streak_start
+        FROM agg JOIN best ON best.kk = agg.kk AND best.rn = 1"""

@@ -704,3 +704,34 @@ def test_bfs_layers_bounded_hops_and_early_stop():
     # only hops 0..2 present; n3..n5 excluded
     assert set(out["url"]) == {"n0", "n1", "n2"}
     assert out["hop"].max() == 2
+
+
+def test_k_truss_peels_to_fixpoint():
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.linkgraph import k_truss
+
+    # two triangles sharing edge A-B (support 2), plus a pendant edge D-E
+    edges = [("A", "B"), ("B", "C"), ("A", "C"),
+             ("A", "D"), ("B", "D"), ("D", "E")]
+    ds = ray.data.from_pandas(pd.DataFrame(
+        edges, columns=["src_url", "dst_url"]))
+
+    out = (k_truss(ds, k=3).to_pandas()
+           .sort_values(["url_a", "url_b"]).reset_index(drop=True))
+    # 3-truss: every triangle edge survives, pendant D-E drops
+    assert list(map(tuple, out[["url_a", "url_b"]].to_numpy())) == [
+        ("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D")]
+    assert out.set_index(["url_a", "url_b"])["support"].to_dict() == {
+        ("A", "B"): 2, ("A", "C"): 1, ("A", "D"): 1,
+        ("B", "C"): 1, ("B", "D"): 1}
+
+    # 4-truss (threshold 2): round 1 keeps only A-B, round 2 has no
+    # triangles left -> empty fixpoint (exercises the iteration)
+    out4 = k_truss(ds, k=4).to_pandas()
+    assert len(out4) == 0
+
+    with pytest.raises(ValueError):
+        k_truss(ds, k=2)

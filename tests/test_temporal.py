@@ -892,3 +892,33 @@ def test_survival_curve_km_with_censoring():
     assert out.loc[5, "survival_ppm"] == 250_000
     # censored durations (19, 20) emit no churn rows
     assert 19 not in out.index and 20 not in out.index
+
+
+def test_activity_streaks_islands_and_tiebreak():
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.temporal import activity_streaks
+
+    day = 86_400_000_000
+    rows = []
+    # user 1: days 1,2,3, 10,11  -> longest 3 starting day 1, 2 streaks
+    for d in [1, 2, 3, 10, 11]:
+        rows.append((1, d * day + 5))
+    # user 2: days 5,6, 20,21    -> tie (2,2) -> earliest start day 5
+    for d in [5, 6, 20, 21]:
+        rows.append((2, d * day))
+    # user 3: single day, two events same day -> streak 1, 1 active day
+    rows += [(3, 7 * day), (3, 7 * day + 999)]
+    df = pd.DataFrame(rows, columns=["user_id", "us"])
+    df["ts"] = df["us"].astype("datetime64[us]")
+    ds = ray.data.from_pandas(df[["user_id", "ts"]])
+
+    out = (activity_streaks(ds, key="user_id", ts="ts")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["n_active_days"].tolist() == [5, 4, 1]
+    assert out["n_streaks"].tolist() == [2, 2, 1]
+    assert out["longest_streak"].tolist() == [3, 2, 1]
+    assert out["streak_start"].astype("int64").tolist() == [
+        1 * day, 5 * day, 7 * day]
+    assert str(out["streak_start"].dtype) == "datetime64[us]"
