@@ -2285,6 +2285,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return fano_factor(_events(sf, ["user_id", "ts"]),
                            key="user_id", ts="ts")
 
+    def q_activity_half_life(sf):
+        """Per-user activity half-life: first grid-day offset where
+        cumulative events reach half the lifetime total, + its span
+        share in ppm — the non-parametric content-decay scalar
+        (front-loaded -> 0, steady -> 5e5, late bloom -> 1e6).
+        Observed-day partials only; one key-bucketed exchange."""
+        from htrc_feature_reader_ray.stages.temporal import (
+            activity_half_life,
+        )
+
+        return activity_half_life(_events(sf, ["user_id", "ts"]),
+                                  key="user_id", ts="ts")
+
+    def q_weighted_median_price(sf):
+        """Per-part LOWER weighted median unit price (cents), weighted
+        by line quantity — the robust typical-price-per-unit plain
+        median gets wrong under unequal line mass. Duplicate values
+        pre-fold map-side; one part-bucketed exchange + segmented
+        cumulative-weight threshold walk."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.profile import weighted_median
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_quantity"])
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = np.round(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64)
+            q = t.column("l_quantity").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"l_partkey": t.column("l_partkey"),
+                             "price_cents": pa.array(c),
+                             "qty": pa.array(q)})
+
+        return weighted_median(
+            li.map_batches(cents, batch_format="pyarrow"),
+            group_col="l_partkey", value_col="price_cents",
+            weight_col="qty")
+
+    def q_gap_stats(sf):
+        """Per-user inter-event gap stats in EVENT time (lower-median
+        gap, exact CV² ppm — Cox–Lewis dispersion: ~1e6 Poisson, <<1e6
+        cron, >>1e6 bursty) — the cadence fingerprint the daily-grid
+        family bins away. (key, ts) rows through one key-bucketed
+        exchange (the sessionize shape), lexsort + segmented finish."""
+        from htrc_feature_reader_ray.stages.temporal import gap_stats
+
+        return gap_stats(_events(sf, ["user_id", "ts"]),
+                         key="user_id", ts="ts")
+
+    def q_hour_concentration(sf):
+        """Per-user HHI (Σp²) over the 24 hour-of-day bins in exact ppm
+        — the full-distribution evenness index completing
+        peak_hour_share's argmax; 1e6/24 uniform, 1e6 single-hour cron.
+        <=24 partial rows per key per batch; one key-bucketed fold."""
+        from htrc_feature_reader_ray.stages.profile import hour_concentration
+
+        return hour_concentration(_events(sf, ["user_id", "ts"]),
+                                  key="user_id", ts="ts")
+
+    def q_dow_chi2(sf):
+        """Per-user Pearson χ² of the day-of-week profile vs the
+        uniform-week null (exact ppm, closed form over observed bins;
+        df=6 -> >12.59e6 ppm rejects at 5%) — the weekly-seasonality
+        test: office traffic is weekly, scraper cadence is not.
+        <=7 partial rows per key per batch; one key-bucketed fold."""
+        from htrc_feature_reader_ray.stages.profile import dow_chi2
+
+        return dow_chi2(_events(sf, ["user_id", "ts"]),
+                        key="user_id", ts="ts")
+
+    def q_daily_autocorr(sf):
+        """Per-user lag-1 autocorrelation of the zero-filled daily count
+        grid (exact integer ppm, truncating division) — the MEMORY
+        scalar the rest of the daily-grid family can't see: >0 means a
+        busy day predicts a busy tomorrow, <0 a day-on/day-off cron
+        cadence. Moments only (consecutive-observed-day products); one
+        key-bucketed exchange."""
+        from htrc_feature_reader_ray.stages.temporal import daily_autocorr
+
+        return daily_autocorr(_events(sf, ["user_id", "ts"]),
+                              key="user_id", ts="ts")
+
     def q_change_point(sf):
         """Retrospective AMOC change-point per user over the zero-filled
         daily event-count grid: break_day = argmax of the integer CUSUM
@@ -5050,6 +5136,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_events": q_duplicate_events,
         "change_point": q_change_point,
         "fano_factor": q_fano_factor,
+        "daily_autocorr": q_daily_autocorr,
+        "gap_stats": q_gap_stats,
+        "activity_half_life": q_activity_half_life,
+        "weighted_median_price": q_weighted_median_price,
+        "hour_concentration": q_hour_concentration,
+        "dow_chi2": q_dow_chi2,
         "peak_hour_share": q_peak_hour_share,
         "daily_trend": q_daily_trend,
         "activity_streaks": q_activity_streaks,
@@ -6384,6 +6476,23 @@ def oracle_sql() -> dict[str, str]:
         "change_point": temporal_mod.change_point_sql(
             table="events", key="user_id", ts="ts"),
         "fano_factor": temporal_mod.fano_factor_sql(
+            table="events", key="user_id", ts="ts"),
+        "daily_autocorr": temporal_mod.daily_autocorr_sql(
+            table="events", key="user_id", ts="ts"),
+        "gap_stats": temporal_mod.gap_stats_sql(
+            table="events", key="user_id", ts="ts"),
+        "activity_half_life": temporal_mod.activity_half_life_sql(
+            table="events", key="user_id", ts="ts"),
+        "weighted_median_price": profile_mod.weighted_median_sql(
+            table_expr="""(SELECT l_partkey,
+                    CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS price_cents,
+                    CAST(l_quantity AS BIGINT) AS qty
+                  FROM lineitem)""",
+            group="l_partkey", value="price_cents", weight="qty"),
+        "hour_concentration": profile_mod.hour_concentration_sql(
+            table="events", key="user_id", ts="ts"),
+        "dow_chi2": profile_mod.dow_chi2_sql(
             table="events", key="user_id", ts="ts"),
         "peak_hour_share": profile_mod.peak_hour_share_sql(
             table="events", key="user_id", ts="ts"),

@@ -2781,6 +2781,261 @@ def peak_hour_share_sql(*, table: str, key: str, ts: str) -> str:
         FROM r WHERE rn = 1"""
 
 
+def hour_concentration(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key Herfindahl–Hirschman concentration of activity across the
+    24 hour-of-day bins, in exact integer ppm — the full-distribution
+    evenness index completing :func:`peak_hour_share`'s argmax: peak
+    share only sees the TALLEST bin, HHI = Σpᵢ² sees the whole shape
+    (two half-size bins and one full bin have the same peak share but
+    different HHI). Range [10⁶/24 ≈ 41667, 10⁶]: uniform-over-24 floors
+    it, single-hour cadence (cron) pins it at 10⁶.
+
+    ``hhi_ppm = Σc² · 10⁶ // S²`` over the observed hour counts c with
+    S = Σc (empty bins add nothing to either side). ``active_hours``
+    (distinct hours touched, 1–24) rides along as the support size.
+
+    Scale shape: identical to peak_hour_share — per-batch (key, hour,
+    count) Arrow partials, ≤ 24 rows per key per batch cross the ONE
+    key-bucketed exchange; object-int finish (S² can pass int64 for
+    corpus-scale hot keys)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    hour_us = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        hours = pa.compute.divide(t, hour_us).cast(pa.int64())
+        hr = pa.compute.subtract(
+            hours, pa.compute.multiply(
+                pa.compute.divide(hours, 24).cast(pa.int64()), 24))
+        tb = pa.table({key: batch.column(key),
+                       "hour": hr.cast(pa.int64())})
+        g = tb.group_by([key, "hour"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "hour", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "active_hours": pd.Series([], dtype="int64"),
+                                 "hhi_ppm": pd.Series([], dtype="int64")})
+        df = df.groupby([key, "hour"], as_index=False, sort=False)["c"].sum()
+        g = df.groupby(key, sort=False)
+        agg = g.agg(s=("c", "sum"), nh=("hour", "count")).reset_index()
+        c = df["c"].to_numpy().astype(object)
+        sq = (pd.Series(c * c, index=df[key]).groupby(level=0, sort=False)
+              .sum().reindex(agg[key]).to_numpy(dtype=object))
+        s = agg["s"].to_numpy().astype(object)
+        return pd.DataFrame({
+            key: agg[key].to_numpy(),
+            "n_events": s.astype(np.int64),
+            "active_hours": agg["nh"].to_numpy().astype(np.int64),
+            "hhi_ppm": (sq * 1_000_000 // (s * s)).astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def hour_concentration_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: hour fold + HUGEINT Σc²/S²."""
+    return f"""
+        WITH h AS (
+          SELECT {key} AS kk, (epoch_us({ts}) // 3600000000) % 24 AS hour,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT kk, sum(c)::HUGEINT AS s, count(*)::BIGINT AS nh,
+                 sum(c::HUGEINT * c) AS sq
+          FROM h GROUP BY 1
+        )
+        SELECT kk AS {key}, s::BIGINT AS n_events, nh AS active_hours,
+               (sq * 1000000 // (s * s))::BIGINT AS hhi_ppm
+        FROM g"""
+
+
+def dow_chi2(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key chi-squared statistic of the day-of-week activity profile
+    against the uniform-week null, in exact integer ppm of the χ²
+    value — the WEEKLY-seasonality test beside the hour-of-day ops:
+    human/office traffic is strongly weekly (χ² ≫ critical), uniform
+    scraper cadence is not. With c_d the count in weekday bin d and
+    S = Σc, the 7-bin Pearson statistic closes over observed bins only:
+
+        ``χ² = Σ_d (c_d − S/7)² / (S/7) = (7·Σc² − S²) / S``
+        ``chi2_ppm = (7·Σc² − S²)·10⁶ // S``
+
+    (zero bins are handled by the closed form — they add nothing to
+    Σc²). Numerator ≥ 0 by Cauchy–Schwarz over 7 bins, so Python floor
+    == DuckDB truncation. df = 6: χ² > 12.59 rejects uniformity at
+    α = 0.05, i.e. chi2_ppm > 12_590_000. Weekday convention is pure
+    epoch arithmetic, timezone-free: ``dow = (epoch_us // 86400e6) % 7``
+    with 0 = Thursday (1970-01-01), documented so the mirror is exact.
+
+    Scale shape: per-batch (key, dow, count) partials — ≤ 7 rows per
+    key per batch — ONE key-bucketed exchange, object-int finish."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        dow = pa.compute.subtract(
+            day, pa.compute.multiply(
+                pa.compute.divide(day, 7).cast(pa.int64()), 7))
+        tb = pa.table({key: batch.column(key),
+                       "dow": dow.cast(pa.int64())})
+        g = tb.group_by([key, "dow"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "dow", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "active_days": pd.Series([], dtype="int64"),
+                                 "chi2_ppm": pd.Series([], dtype="int64")})
+        df = df.groupby([key, "dow"], as_index=False, sort=False)["c"].sum()
+        g = df.groupby(key, sort=False)
+        agg = g.agg(s=("c", "sum"), nd=("dow", "count")).reset_index()
+        c = df["c"].to_numpy().astype(object)
+        sq = (pd.Series(c * c, index=df[key]).groupby(level=0, sort=False)
+              .sum().reindex(agg[key]).to_numpy(dtype=object))
+        s = agg["s"].to_numpy().astype(object)
+        return pd.DataFrame({
+            key: agg[key].to_numpy(),
+            "n_events": s.astype(np.int64),
+            "active_days": agg["nd"].to_numpy().astype(np.int64),
+            "chi2_ppm": ((7 * sq - s * s) * 1_000_000
+                         // s).astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def dow_chi2_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: epoch-arithmetic weekday fold (0 = Thursday) +
+    HUGEINT closed-form χ²."""
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, (epoch_us({ts}) // 86400000000) % 7 AS dow,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT kk, sum(c)::HUGEINT AS s, count(*)::BIGINT AS nd,
+                 sum(c::HUGEINT * c) AS sq
+          FROM d GROUP BY 1
+        )
+        SELECT kk AS {key}, s::BIGINT AS n_events, nd AS active_days,
+               ((7 * sq - s * s) * 1000000 // s)::BIGINT AS chi2_ppm
+        FROM g"""
+
+
+def weighted_median(ds, *, group_col: str, value_col: str,
+                    weight_col: str, num_buckets: int = 32):
+    """Per-group LOWER weighted median: the smallest value v whose
+    cumulative weight (over values ≤ v) reaches half the group's total
+    — ``2·cumw(v) ≥ W`` — the robust "typical value per unit of
+    weight" aggregation plain median gets wrong whenever rows carry
+    unequal mass (a part's typical unit price should weight each line
+    by its quantity; a host's typical page quality by page bytes).
+    Deterministic under duplicate values by construction: equal values
+    pre-fold into one (group, value, Σweight) row before the threshold
+    walk, so row tie-order can't move the answer — the quantile_disc
+    lower-median convention generalized to weights (weight ≡ 1 reduces
+    to it exactly).
+
+    Output: ``(group, n_rows, total_weight, wmedian)`` — all int64
+    (engine-wide cents/integer-weight contract; zero/negative weights
+    are the caller's bug and are not defended).
+
+    Scale shape: per-batch Arrow ``group_by(group, value)`` partials
+    (sum weight + row count) collapse duplicate values map-side, ONE
+    group-bucketed exchange, per-bucket sort + segmented cumsum +
+    first-hit pick — the activity_half_life kernel on the VALUE axis
+    instead of the time axis."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([group_col, value_col, weight_col])
+             .group_by([group_col, value_col])
+             .aggregate([(weight_col, "sum"), ([], "count_all")]))
+        return g.rename_columns([group_col, value_col, "w", "nr"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                group_col: pd.Series([], dtype="int64"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "total_weight": pd.Series([], dtype="int64"),
+                "wmedian": pd.Series([], dtype="int64")})
+        df = (df.groupby([group_col, value_col], as_index=False,
+                         sort=False).agg(w=("w", "sum"), nr=("nr", "sum")))
+        df = df.sort_values([group_col, value_col], kind="mergesort",
+                            ignore_index=True)
+        k = df[group_col].to_numpy()
+        v = df[value_col].to_numpy()
+        w = df["w"].to_numpy()
+        new = np.empty(len(k), dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        cum = np.cumsum(w)
+        base = np.zeros(len(k), dtype=cum.dtype)
+        base[starts[1:]] = cum[starts[1:] - 1]
+        cum = cum - np.maximum.accumulate(np.where(new, base, 0))
+        ends = np.append(starts[1:], len(k)) - 1
+        tot = cum[ends]
+        hit = 2 * cum >= tot[seg]
+        hit_pos = np.flatnonzero(hit)
+        first_hit = np.full(len(starts), len(k), dtype=np.int64)
+        np.minimum.at(first_hit, seg[hit_pos], hit_pos)
+        nr = np.cumsum(df["nr"].to_numpy())
+        nr_base = np.append(0, nr[ends[:-1]])
+        return pd.DataFrame({
+            group_col: k[starts],
+            "n_rows": (nr[ends] - nr_base).astype(np.int64),
+            "total_weight": tot.astype(np.int64),
+            "wmedian": v[first_hit].astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, group_col, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def weighted_median_sql(*, table_expr: str, group: str, value: str,
+                        weight: str) -> str:
+    """SQL mirror: duplicate-value pre-fold, windowed cumulative weight,
+    first 2·cumw ≥ W value."""
+    return f"""
+        WITH v AS (
+          SELECT {group} AS kk, {value} AS val,
+                 sum({weight})::BIGINT AS w, count(*)::BIGINT AS nr
+          FROM {table_expr} GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT kk, val, nr,
+                 sum(w) OVER (PARTITION BY kk ORDER BY val)::BIGINT AS cumw,
+                 sum(w) OVER (PARTITION BY kk)::BIGINT AS tot,
+                 sum(nr) OVER (PARTITION BY kk)::BIGINT AS n
+          FROM v
+        )
+        SELECT kk AS {group}, max(n) AS n_rows,
+               max(tot) AS total_weight,
+               min(val)::BIGINT AS wmedian
+        FROM c WHERE 2 * cumw >= tot GROUP BY kk"""
+
+
 def hdr_quantiles(ds, *, group_col: str, value_col: str,
                   quantiles=((1, 2), (19, 20), (99, 100)),
                   sig_bits: int = 5, num_buckets: int = 16):

@@ -1818,6 +1818,366 @@ def fano_factor_sql(*, table: str, key: str, ts: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Activity half-life (time to half of lifetime engagement)
+
+
+def activity_half_life(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key activity half-life over the zero-filled daily grid: the
+    smallest day offset h (0-based from the key's first active day)
+    such that events through day h reach HALF the key's lifetime total
+    — ``2·cum(h) ≥ S`` — plus ``half_share_ppm = h·10⁶ // (n−1)``, the
+    half-life as a share of the span. The content-decay scalar crawl
+    and freshness models key on (Cho & Garcia-Molina's recrawl work
+    models decay; this measures it non-parametrically): front-loaded
+    keys (viral page: one hot week, long tail) have half_share → 0,
+    steady keys sit near 500000, late bloomers → 10⁶. Single-day keys
+    report h = 0 and share 0 by the documented span-free contract
+    (they stay in the output — their half-life IS day one).
+
+    The threshold day is always an OBSERVED day (zero days never move
+    the cumulative), so the op needs only observed (key, day, count)
+    partials — the change_point exchange — and the per-bucket finish is
+    a sort + segmented cumsum + first-hit pick; no grid materialization.
+    Ceiling-half contract: ``2·cum ≥ S`` (for S odd, the day crossing
+    ⌈S/2⌉), matching the SQL mirror's integer test verbatim."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by([key, "day"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "day", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                key: pd.Series([], dtype="int64"),
+                "n_days": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "half_life_days": pd.Series([], dtype="int64"),
+                "half_share_ppm": pd.Series([], dtype="int64")})
+        df = df.groupby([key, "day"], as_index=False, sort=False)["c"].sum()
+        df = df.sort_values([key, "day"], kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        day = df["day"].to_numpy()
+        c = df["c"].to_numpy()
+        new = np.empty(len(k), dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        cum = np.cumsum(c)
+        base = np.zeros(len(k), dtype=np.int64)
+        base[starts[1:]] = cum[starts[1:] - 1]
+        cum = cum - np.maximum.accumulate(np.where(new, base, 0))
+        ends = np.append(starts[1:], len(k)) - 1
+        s = cum[ends]
+        hit = 2 * cum >= s[seg]
+        # hits are a suffix of each segment (cum is nondecreasing; the
+        # segment end always hits), so first hit = min position per seg
+        hit_pos = np.flatnonzero(hit)
+        first_hit = np.full(len(starts), len(k), dtype=np.int64)
+        np.minimum.at(first_hit, seg[hit_pos], hit_pos)
+        mn = day[starts]
+        mx = day[ends]
+        h = day[first_hit] - mn
+        n = mx - mn + 1
+        span = n - 1
+        share = np.where(span > 0, h * 1_000_000 // np.maximum(span, 1), 0)
+        return pd.DataFrame({
+            key: k[starts],
+            "n_days": n.astype(np.int64),
+            "n_events": s.astype(np.int64),
+            "half_life_days": h.astype(np.int64),
+            "half_share_ppm": share.astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def activity_half_life_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: windowed cumulative + first 2·cum ≥ S day, span via
+    min/max windows."""
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT kk, day,
+                 sum(c) OVER (PARTITION BY kk ORDER BY day)::BIGINT AS cum,
+                 sum(c) OVER (PARTITION BY kk)::BIGINT AS s,
+                 min(day) OVER (PARTITION BY kk) AS mn,
+                 max(day) OVER (PARTITION BY kk) AS mx
+          FROM d
+        )
+        SELECT kk AS {key},
+               (max(mx) - max(mn) + 1)::BIGINT AS n_days,
+               max(s) AS n_events,
+               min(day - mn)::BIGINT AS half_life_days,
+               CASE WHEN max(mx) > max(mn)
+                    THEN (min(day - mn) * 1000000
+                          // (max(mx) - max(mn)))::BIGINT
+                    ELSE 0 END AS half_share_ppm
+        FROM c WHERE 2 * cum >= s GROUP BY kk"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap statistics (event-time cadence, not the daily grid)
+
+
+def gap_stats(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key inter-event gap statistics in EVENT time — the cadence
+    fingerprint the daily-grid family is blind to: :func:`fano_factor`
+    bins to days first, so a bot firing every 61 minutes and a human
+    browsing in bursts can show the same daily counts while their GAP
+    distributions are nothing alike. Emits, per key with ≥ 2 events,
+    over the consecutive gaps ``g`` of the time-sorted event sequence:
+
+    - ``n_gaps`` = m, ``gap_sum_us`` = Σg (== max ts − min ts),
+    - ``median_gap_us`` — the LOWER median (0-based position
+      ``(m−1)//2`` of the sorted gap multiset; quantile_disc's
+      convention, the theil_sen tie rule) — the robust cadence period,
+    - ``cv2_ppm`` = squared coefficient of variation
+      ``(m·Σg² − G²)·10⁶ // G²`` — the Cox–Lewis dispersion test in
+      exact integers: ≈10⁶ Poisson, ≪10⁶ metronomic (cron), ≫10⁶
+      bursty; CV² avoids the sqrt the Goh–Barabási B would need, so
+      the mirror stays integer-exact. G = 0 (all events simultaneous)
+      reports 0 by the fano no-dispersion contract.
+
+    Deterministic under ts ties: the gap MULTISET of a sorted sequence
+    doesn't depend on tie order (ties contribute 0-gaps either way).
+
+    Scale shape: gaps need the key's full time order, so (key, ts)
+    rows ship through ONE key-bucketed exchange (the sessionize
+    shape — no map-side reduction exists for consecutive differences);
+    per-bucket finish is one lexsort + vectorized diff + segmented
+    median pick. Σg² runs in object ints (a year-long gap squares past
+    int64)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key: batch.column(key), "t": t})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                              "n_gaps": pd.Series([], dtype="int64"),
+                              "gap_sum_us": pd.Series([], dtype="int64"),
+                              "median_gap_us": pd.Series([], dtype="int64"),
+                              "cv2_ppm": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        df = df.sort_values([key, "t"], kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        t = df["t"].to_numpy()
+        same = k[1:] == k[:-1]
+        gaps = (t[1:] - t[:-1])[same]
+        gk = k[:-1][same]
+        if not len(gaps):
+            return empty
+        # segment boundaries over the gap array (keys are contiguous)
+        new = np.empty(len(gk), dtype=bool)
+        new[0] = True
+        new[1:] = gk[1:] != gk[:-1]
+        starts = np.flatnonzero(new)
+        m = np.diff(np.append(starts, len(gk)))
+        # per-key sorted gaps -> lower median at start + (m-1)//2
+        order = np.lexsort((gaps, np.cumsum(new) - 1))
+        med = gaps[order][starts + (m - 1) // 2]
+        go = gaps.astype(object)
+        s = np.add.reduceat(go, starts)
+        sq = np.add.reduceat(go * go, starts)
+        mo = m.astype(object)
+        den = s * s
+        den_safe = np.where(den > 0, den, 1)
+        cv2 = np.where(den > 0,
+                       (mo * sq - den) * 1_000_000 // den_safe, 0)
+        return pd.DataFrame({
+            key: gk[starts],
+            "n_gaps": m.astype(np.int64),
+            "gap_sum_us": s.astype(np.int64),
+            "median_gap_us": med.astype(np.int64),
+            "cv2_ppm": cv2.astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def gap_stats_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: lag() gaps, HUGEINT moments, quantile_disc lower
+    median, DuckDB ``//`` truncation (numerator ≥ 0 by Cauchy–Schwarz)."""
+    return f"""
+        WITH e AS (
+          SELECT {key} AS kk, epoch_us({ts}) AS t FROM {table}
+        ),
+        g AS (
+          SELECT kk, t - lag(t) OVER (PARTITION BY kk ORDER BY t) AS gap
+          FROM e
+        ),
+        a AS (
+          SELECT kk, count(gap)::HUGEINT AS m, sum(gap)::HUGEINT AS s,
+                 sum(gap::HUGEINT * gap) AS sq,
+                 quantile_disc(gap, 0.5) AS med
+          FROM g WHERE gap IS NOT NULL GROUP BY 1
+        )
+        SELECT kk AS {key}, m::BIGINT AS n_gaps, s::BIGINT AS gap_sum_us,
+               med::BIGINT AS median_gap_us,
+               CASE WHEN s > 0
+                    THEN ((m * sq - s * s) * 1000000 // (s * s))::BIGINT
+                    ELSE 0 END AS cv2_ppm
+        FROM a"""
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the zero-filled daily grid (rhythm/memory)
+
+
+def daily_autocorr(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key lag-1 autocorrelation of the zero-filled daily event-count
+    series, in exact integer ppm — the MEMORY metric completing the
+    daily-grid family: :func:`change_point` localizes a shift,
+    :func:`fano_factor` measures dispersion, :func:`daily_trend` measures
+    direction, and this measures persistence — does a busy day predict a
+    busy tomorrow (r₁ > 0: sessions/campaigns span days; recrawl sooner
+    after a hit) or alternate (r₁ < 0: day-on/day-off cadence — the
+    classic cron fingerprint) or carry no memory (r₁ ≈ 0: Poisson-like,
+    matching fano ≈ 1e6)?
+
+    Box–Jenkins sample form over the n-day grid x with mean m = S/n,
+    cleared of the fraction by multiplying num and den by n²:
+
+        ``r₁ = Σₜ(xₜ−m)(xₜ₊₁−m) / Σₜ(xₜ−m)²``
+        ``num = n²·P − n·S·(2S − x₁ − xₙ) + (n−1)·S²``
+        ``den = n²·Σx² − n·S²``
+        ``autocorr_ppm = sign·(|num|·10⁶ // den)``
+
+    where ``P = Σₜ xₜ·xₜ₊₁`` over the grid. Division TRUNCATES toward
+    zero (the daily_trend convention — DuckDB ``//`` truncates, so the
+    engine sign-splits explicitly). den ≥ 0 by Cauchy–Schwarz with
+    equality iff the grid is constant (includes n = 1); those keys stay
+    in the output with autocorr_ppm = 0 by the fano no-dispersion
+    contract.
+
+    Scale shape: moments only, NO grid materialization — zero days
+    contribute nothing to P (any product touching a silent day is 0), so
+    P needs only CONSECUTIVE observed days (dayⱼ = dayᵢ + 1), and
+    x₁/xₙ are the counts at the observed min/max day. Per-batch
+    (key, day, count) Arrow partials, ONE key-bucketed exchange,
+    object-int finish (n²·Σx²·10⁶ can pass int64 for hot keys)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by([key, "day"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "day", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "n_days": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "autocorr_ppm": pd.Series([], dtype="int64")})
+        df = df.groupby([key, "day"], as_index=False, sort=False)["c"].sum()
+        df = df.sort_values([key, "day"], kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        day = df["day"].to_numpy()
+        c = df["c"].to_numpy().astype(object)
+        # P: products across consecutive observed days only.
+        adj = (k[1:] == k[:-1]) & (day[1:] == day[:-1] + 1)
+        pser = pd.Series(c[:-1][adj] * c[1:][adj],
+                         index=pd.Index(k[:-1][adj], name=key), dtype=object)
+        df["c2"] = df["c"] * df["c"]
+        g = df.groupby(key, sort=False)
+        agg = g.agg(mn=("day", "min"), mx=("day", "max"),
+                    s=("c", "sum"), sq=("c2", "sum"), cf=("c", "first"),
+                    cl=("c", "last")).reset_index()
+        p = (pser.groupby(level=0, sort=False).sum()
+             .reindex(agg[key], fill_value=0).to_numpy(dtype=object))
+        n = (agg["mx"] - agg["mn"] + 1).to_numpy().astype(object)
+        s = agg["s"].to_numpy().astype(object)
+        sq = agg["sq"].to_numpy().astype(object)
+        cf = agg["cf"].to_numpy().astype(object)
+        cl = agg["cl"].to_numpy().astype(object)
+        num = (n * n * p - n * s * (2 * s - cf - cl)
+               + (n - 1) * s * s) * 1_000_000
+        den = n * n * sq - n * s * s
+        den_safe = np.where(den > 0, den, 1)
+        ppm = np.where(den > 0,
+                       np.where(num < 0, -((-num) // den_safe),
+                                num // den_safe),
+                       0)
+        return pd.DataFrame({
+            key: agg[key].to_numpy(),
+            "n_days": n.astype(np.int64),
+            "n_events": s.astype(np.int64),
+            "autocorr_ppm": ppm.astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def daily_autocorr_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: lead() pairs consecutive observed days for P,
+    arg_min/arg_max pick the grid-edge counts, HUGEINT moments, DuckDB
+    ``//`` truncation == the engine's sign-split."""
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        adj AS (
+          SELECT kk, day, c,
+                 lead(day) OVER (PARTITION BY kk ORDER BY day) AS nday,
+                 lead(c)   OVER (PARTITION BY kk ORDER BY day) AS nc
+          FROM d
+        ),
+        g AS (
+          SELECT kk,
+                 (max(day) - min(day) + 1)::HUGEINT AS n,
+                 sum(c)::HUGEINT AS s,
+                 sum(c::HUGEINT * c) AS sq,
+                 coalesce(sum(CASE WHEN nday = day + 1
+                                   THEN c::HUGEINT * nc END), 0) AS p,
+                 arg_min(c, day)::HUGEINT AS cf,
+                 arg_max(c, day)::HUGEINT AS cl
+          FROM adj GROUP BY 1
+        ),
+        f AS (
+          SELECT kk, n, s,
+                 n * n * p - n * s * (2 * s - cf - cl)
+                   + (n - 1) * s * s AS num,
+                 n * n * sq - n * s * s AS den
+          FROM g
+        )
+        SELECT kk AS {key}, n::BIGINT AS n_days, s::BIGINT AS n_events,
+               CASE WHEN den > 0 THEN (num * 1000000 // den)::BIGINT
+                    ELSE 0 END AS autocorr_ppm
+        FROM f"""
+
+
+# ---------------------------------------------------------------------------
 # Markov stationary distribution over the behavioral transition chain
 
 

@@ -1550,6 +1550,96 @@ def test_peak_hour_share_bot_vs_human():
     assert out.loc[2, "share_ppm"] == 1_000_000 // 8
 
 
+def test_hour_concentration_cron_vs_uniform():
+    from htrc_feature_reader_ray.stages.profile import hour_concentration
+
+    t0 = pd.Timestamp("2024-01-01")  # midnight -> hour 0
+    rows = []
+    # user 1 (cron): all 12 events in hour 3 -> HHI = 1e6 exactly
+    for d in range(12):
+        rows.append((1, t0 + pd.Timedelta(days=d, hours=3)))
+    # user 2 (uniform over 24 hours, 1 each) -> HHI = 1e6 // 24 = 41666
+    for h in range(24):
+        rows.append((2, t0 + pd.Timedelta(hours=h)))
+    # user 3: counts (2,1,1) over 3 hours -> 6e6 // 16 = 375000
+    rows += [(3, t0), (3, t0),
+             (3, t0 + pd.Timedelta(hours=1)),
+             (3, t0 + pd.Timedelta(hours=2))]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = hour_concentration(
+        ray.data.from_pandas(df).repartition(5), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert out.loc[1, "hhi_ppm"] == 1_000_000
+    assert out.loc[1, "active_hours"] == 1
+    assert out.loc[2, "hhi_ppm"] == 41_666
+    assert out.loc[2, "active_hours"] == 24
+    assert out.loc[3, "hhi_ppm"] == 375_000
+    assert out.loc[3, "n_events"] == 4
+
+
+def test_dow_chi2_weekly_vs_uniform():
+    from htrc_feature_reader_ray.stages.profile import dow_chi2
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: 7 events on 7 consecutive days (one per weekday bin)
+    # -> chi2 = (7*7 - 49)/7 = 0 exactly
+    for d in range(7):
+        rows.append((1, t0 + pd.Timedelta(days=d)))
+    # user 2: 14 events all on the same weekday (every 7 days)
+    # -> chi2 = (7*196 - 196)/14 = 84 -> 84e6 ppm (>> 12.59e6 critical)
+    for w in range(14):
+        rows.append((2, t0 + pd.Timedelta(days=7 * w)))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = dow_chi2(
+        ray.data.from_pandas(df).repartition(4), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert out.loc[1, "chi2_ppm"] == 0
+    assert out.loc[1, "active_days"] == 7
+    assert out.loc[2, "chi2_ppm"] == 84_000_000
+    assert out.loc[2, "active_days"] == 1
+
+
+def test_weighted_median_exact():
+    from htrc_feature_reader_ray.stages.profile import weighted_median
+
+    df = pd.DataFrame({
+        # group 1: values 10(w1), 20(w1), 30(w10) -> W=12, first
+        #   2*cumw>=12 at 30 (cumw 12): plain median 20, weighted 30
+        # group 2: values 5(w2), 7(w2) -> W=4, 2*2>=4 at 5 (lower)
+        # group 3: duplicate values fold: 9 w=1 three times -> 9
+        "g": np.array([1, 1, 1, 2, 2, 3, 3, 3], dtype=np.int64),
+        "v": np.array([10, 20, 30, 5, 7, 9, 9, 9], dtype=np.int64),
+        "w": np.array([1, 1, 10, 2, 2, 1, 1, 1], dtype=np.int64),
+    })
+    out = weighted_median(
+        ray.data.from_pandas(df).repartition(4),
+        group_col="g", value_col="v", weight_col="w"
+    ).to_pandas().set_index("g")
+    assert out.loc[1, "wmedian"] == 30
+    assert out.loc[1, "total_weight"] == 12 and out.loc[1, "n_rows"] == 3
+    assert out.loc[2, "wmedian"] == 5  # lower median on even weight
+    assert out.loc[3, "wmedian"] == 9 and out.loc[3, "n_rows"] == 3
+
+
+def test_weighted_median_unit_weights_match_quantile_disc():
+    from htrc_feature_reader_ray.stages.profile import weighted_median
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, 200).astype(np.int64),
+        "v": rng.integers(-50, 50, 200).astype(np.int64),
+        "w": np.ones(200, dtype=np.int64),
+    })
+    out = weighted_median(
+        ray.data.from_pandas(df).repartition(7),
+        group_col="g", value_col="v", weight_col="w"
+    ).to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        v = np.sort(sub["v"].to_numpy())
+        assert out.loc[g, "wmedian"] == v[(len(v) - 1) // 2]
+
+
 def test_curriculum_order_stage_then_shuffle():
     from htrc_feature_reader_ray.stages.dedup import md5_hash64
     from htrc_feature_reader_ray.stages.sample import curriculum_order

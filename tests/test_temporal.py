@@ -697,6 +697,135 @@ def test_fano_factor_exact_regimes():
     assert out.loc[2, "n_days"] == 10 and out.loc[2, "n_events"] == 31
 
 
+def test_daily_autocorr_exact_regimes():
+    from htrc_feature_reader_ray.stages.temporal import daily_autocorr
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: day-on/day-off — 2 events on days 0,2,4 (grid 2,0,2,0,2)
+    for d in (0, 2, 4):
+        rows += [(1, t0 + pd.Timedelta(days=d))] * 2
+    # user 2: increasing run 1,2,3,4 on consecutive days
+    for d in range(4):
+        rows += [(2, t0 + pd.Timedelta(days=d))] * (d + 1)
+    # user 3: constant 2/day for 5 days -> den = 0 -> 0 by contract
+    for d in range(5):
+        rows += [(3, t0 + pd.Timedelta(days=d))] * 2
+    # user 4: single day -> stays in output with 0
+    rows += [(4, t0)] * 7
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = daily_autocorr(
+        ray.data.from_pandas(df).repartition(6), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    # user 1 by hand: mean 1.2, r1 = -3.84/4.8 = -0.8 exactly
+    assert out.loc[1, "autocorr_ppm"] == -800_000
+    assert out.loc[1, "n_days"] == 5 and out.loc[1, "n_events"] == 6
+    # user 2 by hand: num/den = 20/80 = 0.25 exactly
+    assert out.loc[2, "autocorr_ppm"] == 250_000
+    assert out.loc[2, "n_days"] == 4 and out.loc[2, "n_events"] == 10
+    assert out.loc[3, "autocorr_ppm"] == 0
+    assert out.loc[4, "autocorr_ppm"] == 0
+    assert out.loc[4, "n_days"] == 1 and out.loc[4, "n_events"] == 7
+
+
+def test_daily_autocorr_truncates_toward_zero():
+    from htrc_feature_reader_ray.stages.temporal import daily_autocorr
+
+    t0 = pd.Timestamp("2024-06-01")
+    # grid 1,0,2 over days 0..2: num/den = -9/18 = -0.5 -> -500000;
+    # and a key whose ratio is NOT exact to force the trunc branch:
+    # grid 3,0,1 -> n=3 S=4 SQ=10 P=0 cf=3 cl=1:
+    #   num = 0 - 3*4*(8-3-1) + 2*16 = -48+32 = -16; den = 90-48 = 42
+    #   -16e6 trunc/ 42 = -380952 (floor would give -380953)
+    rows = [(1, t0), (1, t0 + pd.Timedelta(days=2)),
+            (1, t0 + pd.Timedelta(days=2))]
+    rows += [(2, t0)] * 3 + [(2, t0 + pd.Timedelta(days=2))]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = daily_autocorr(ray.data.from_pandas(df), key="user_id",
+                         ts="ts").to_pandas().set_index("user_id")
+    assert out.loc[1, "autocorr_ppm"] == -500_000
+    assert out.loc[2, "autocorr_ppm"] == -(16_000_000 // 42)
+    assert (16_000_000 // 42) == 380_952
+
+
+def test_activity_half_life_regimes():
+    from htrc_feature_reader_ray.stages.temporal import activity_half_life
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1 front-loaded: 8 events day 0, 1 event/day days 1..8
+    #   S=16, cum day0=8 -> 2*8 >= 16 -> h=0, share 0
+    rows += [(1, t0)] * 8
+    for d in range(1, 9):
+        rows.append((1, t0 + pd.Timedelta(days=d)))
+    # user 2 steady: 1/day for 10 days -> S=10, first 2*cum>=10 at
+    #   day 4 (cum 5) -> h=4, share = 4e6 // 9 = 444444
+    for d in range(10):
+        rows.append((2, t0 + pd.Timedelta(days=d)))
+    # user 3 late bloom: 1 event day 0, 9 events day 6 -> cum day0=1
+    #   (2<10), day6 cum=10 -> h=6, share 1e6
+    rows.append((3, t0))
+    rows += [(3, t0 + pd.Timedelta(days=6))] * 9
+    # user 4 single day -> h=0, share 0, stays in output
+    rows += [(4, t0)] * 3
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = activity_half_life(
+        ray.data.from_pandas(df).repartition(6), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert out.loc[1, "half_life_days"] == 0
+    assert out.loc[1, "half_share_ppm"] == 0
+    assert out.loc[2, "half_life_days"] == 4
+    assert out.loc[2, "half_share_ppm"] == 4_000_000 // 9
+    assert out.loc[3, "half_life_days"] == 6
+    assert out.loc[3, "half_share_ppm"] == 1_000_000
+    assert out.loc[4, "half_life_days"] == 0
+    assert out.loc[4, "n_days"] == 1 and out.loc[4, "n_events"] == 3
+
+
+def test_gap_stats_exact_regimes():
+    from htrc_feature_reader_ray.stages.temporal import gap_stats
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: metronomic every 60s x 5 events -> 4 equal gaps, CV2=0
+    for i in range(5):
+        rows.append((1, t0 + pd.Timedelta(seconds=60 * i)))
+    # user 2: gaps 1s,1s,10s (bursty) -> m=3 G=12 SQ=102
+    #   cv2 = (3*102-144)*1e6 // 144 = 162e6//144 = 1125000
+    #   sorted gaps (1,1,10): lower median (m-1)//2=1 -> 1s
+    for off in (0, 1, 2, 12):
+        rows.append((2, t0 + pd.Timedelta(seconds=off)))
+    # user 3: single event -> excluded (no gaps)
+    rows.append((3, t0))
+    # user 4: two simultaneous events -> G=0 -> cv2 0 by contract
+    rows += [(4, t0), (4, t0)]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = gap_stats(
+        ray.data.from_pandas(df).repartition(5), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert 3 not in out.index
+    assert out.loc[1, "cv2_ppm"] == 0
+    assert out.loc[1, "n_gaps"] == 4
+    assert out.loc[1, "median_gap_us"] == 60_000_000
+    assert out.loc[2, "cv2_ppm"] == 1_125_000
+    assert out.loc[2, "median_gap_us"] == 1_000_000
+    assert out.loc[2, "gap_sum_us"] == 12_000_000
+    assert out.loc[4, "cv2_ppm"] == 0 and out.loc[4, "gap_sum_us"] == 0
+
+
+def test_gap_stats_even_count_lower_median():
+    from htrc_feature_reader_ray.stages.temporal import gap_stats
+
+    t0 = pd.Timestamp("2024-02-01")
+    # gaps 2s,8s (even count): lower median = 2s, not 5s
+    rows = [(9, t0), (9, t0 + pd.Timedelta(seconds=2)),
+            (9, t0 + pd.Timedelta(seconds=10))]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = gap_stats(ray.data.from_pandas(df), key="user_id",
+                    ts="ts").to_pandas()
+    assert out.iloc[0]["median_gap_us"] == 2_000_000
+
+
 def test_markov_stationary_two_state_exact():
     from htrc_feature_reader_ray.stages.temporal import (
         _MARKOV_SCALE,
