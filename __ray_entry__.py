@@ -2285,6 +2285,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return fano_factor(_events(sf, ["user_id", "ts"]),
                            key="user_id", ts="ts")
 
+    def q_max_silence(sf):
+        """Per-user longest interior silent stretch (zero-day run that
+        ENDED — dormancy depth for winback/recrawl models), earliest
+        tie-break, timestamp[us] silence_start; keys that never went
+        dark are excluded (audit-sized). Map-side distinct (key, day);
+        one key-bucketed exchange."""
+        from htrc_feature_reader_ray.stages.temporal import max_silence
+
+        return max_silence(_events(sf, ["user_id", "ts"]),
+                           key="user_id", ts="ts")
+
+    def q_seasonal_strength(sf):
+        """Per-user weekly seasonal strength: seasonal-naive vs naive
+        absolute-error ratio (lag-7 vs lag-1) over the zero-filled grid
+        in exact ppm — <<1e6 strong weekly structure, 1e6 neutral.
+        Tests lag-7 PREDICTABILITY where dow_chi2 tests the marginal
+        weekday profile. Observed-day partials; one exchange; span<8
+        excluded."""
+        from htrc_feature_reader_ray.stages.temporal import (
+            seasonal_strength,
+        )
+
+        return seasonal_strength(_events(sf, ["user_id", "ts"]),
+                                 key="user_id", ts="ts")
+
     def q_activity_half_life(sf):
         """Per-user activity half-life: first grid-day offset where
         cumulative events reach half the lifetime total, + its span
@@ -5139,6 +5164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_autocorr": q_daily_autocorr,
         "gap_stats": q_gap_stats,
         "activity_half_life": q_activity_half_life,
+        "max_silence": q_max_silence,
+        "seasonal_strength": q_seasonal_strength,
         "weighted_median_price": q_weighted_median_price,
         "hour_concentration": q_hour_concentration,
         "dow_chi2": q_dow_chi2,
@@ -6482,6 +6509,10 @@ def oracle_sql() -> dict[str, str]:
         "gap_stats": temporal_mod.gap_stats_sql(
             table="events", key="user_id", ts="ts"),
         "activity_half_life": temporal_mod.activity_half_life_sql(
+            table="events", key="user_id", ts="ts"),
+        "max_silence": temporal_mod.max_silence_sql(
+            table="events", key="user_id", ts="ts"),
+        "seasonal_strength": temporal_mod.seasonal_strength_sql(
             table="events", key="user_id", ts="ts"),
         "weighted_median_price": profile_mod.weighted_median_sql(
             table_expr="""(SELECT l_partkey,

@@ -1818,6 +1818,293 @@ def fano_factor_sql(*, table: str, key: str, ts: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Longest silence (the churn complement of activity_streaks)
+
+
+def max_silence(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key LONGEST silent stretch — the maximal run of consecutive
+    zero days strictly inside the key's [min_day, max_day] span — the
+    churn-risk complement of :func:`activity_streaks`: a streak measures
+    sustained presence, this measures the worst ABSENCE that ended (the
+    key came back), the "dormancy depth" survival/winback models key on
+    and recrawl schedulers read as the observed tolerance before a
+    source resumes. Keys with no interior silence (every active pair
+    consecutive, or a single active day) are EXCLUDED — the output is an
+    audit of keys that went dark and returned, kept audit-sized the
+    k_anonymity way.
+
+    Output per key: ``n_active_days`` (distinct), ``max_silence_days``
+    (zero-day run length ≥ 1), and ``silence_start`` — the first silent
+    day of that longest run as ``timestamp[us]`` (engine-wide timestamp
+    contract), ties broken to the EARLIEST run (the activity_streaks
+    contract).
+
+    Scale shape: identical exchange to activity_streaks — map-side
+    distinct (key, day), ONE key-bucketed exchange, sorted consecutive
+    diff per bucket; a silence is just an observed-day gap d ≥ 2 seen
+    as (d − 1) zeros starting at prev_day + 1."""
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        return (pa.table({key: batch.column(key), "day": day})
+                .group_by([key, "day"]).aggregate([]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="int64"),
+            "n_active_days": pd.Series([], dtype="int64"),
+            "max_silence_days": pd.Series([], dtype="int64"),
+            "silence_start": pd.Series([], dtype="datetime64[us]"),
+        })
+        if not len(df):
+            return empty
+        df = (df.drop_duplicates([key, "day"])
+              .sort_values([key, "day"], kind="mergesort",
+                           ignore_index=True))
+        k = df[key].to_numpy()
+        day = df["day"].to_numpy()
+        same = k[1:] == k[:-1]
+        gap = (day[1:] - day[:-1] - 1)
+        sil = same & (gap >= 1)
+        if not sil.any():
+            return empty
+        sk = k[:-1][sil]
+        slen = gap[sil]
+        sstart = day[:-1][sil] + 1
+        new = np.empty(len(sk), dtype=bool)
+        new[0] = True
+        new[1:] = sk[1:] != sk[:-1]
+        seg = np.cumsum(new) - 1
+        # longest run, earliest start on ties: lexsort (start asc,
+        # -len asc, seg asc) -> first row per segment wins
+        order = np.lexsort((sstart, -slen, seg))
+        sseg = seg[order]
+        first = np.empty(len(sseg), dtype=bool)
+        first[0] = True
+        first[1:] = sseg[1:] != sseg[:-1]
+        win = order[first]
+        active = (pd.Series(1, index=pd.Index(k, name=key))
+                  .groupby(level=0, sort=False).sum())
+        wk = sk[win]
+        return pd.DataFrame({
+            key: wk,
+            "n_active_days": active.reindex(wk).to_numpy(
+                dtype=np.int64),
+            "max_silence_days": slen[win].astype(np.int64),
+            "silence_start": pd.to_datetime(
+                sstart[win] * day_us, unit="us").astype("datetime64[us]"),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def max_silence_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: distinct-day lag gaps, (len DESC, start ASC) rank,
+    epoch-day → timestamp[us]."""
+    return f"""
+        WITH d AS (
+          SELECT DISTINCT {key} AS kk,
+                 epoch_us({ts}) // 86400000000 AS day
+          FROM {table}
+        ),
+        g AS (
+          SELECT kk, day,
+                 day - lag(day) OVER (PARTITION BY kk ORDER BY day) - 1
+                   AS sil,
+                 lag(day) OVER (PARTITION BY kk ORDER BY day) + 1
+                   AS sstart,
+                 count(*) OVER (PARTITION BY kk)::BIGINT AS nact
+          FROM d
+        ),
+        s AS (
+          SELECT kk, sil, sstart, nact,
+                 row_number() OVER (PARTITION BY kk
+                                    ORDER BY sil DESC, sstart ASC) AS rn
+          FROM g WHERE sil >= 1
+        )
+        SELECT kk AS {key}, nact AS n_active_days,
+               sil::BIGINT AS max_silence_days,
+               make_timestamp(sstart * 86400000000) AS silence_start
+        FROM s WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Weekly seasonal strength (lag-7 vs lag-1 naive forecast error)
+
+
+def seasonal_strength(ds, *, key: str, ts: str, lag: int = 7,
+                      num_buckets: int = 32):
+    """Per-key weekly-seasonality STRENGTH of the zero-filled daily
+    count grid, as the exact integer ratio of the seasonal-naive to the
+    naive forecast error (the M-competition / MASE denominator idea,
+    Hyndman & Koehler 2006, made integer-exact): with
+    ``s1 = Σ|xₜ − xₜ₋₁|`` and ``s7 = Σ|xₜ − xₜ₋₇|`` over the grid,
+
+        ``seasonal_ratio_ppm = s7 · 10⁶ // s1``
+
+    — ratio ≪ 10⁶ means last week predicts today better than yesterday
+    does (strong weekly structure: schedule crawls a week apart), ≈ 10⁶
+    no weekly memory, > 10⁶ anti-seasonal. Complements
+    :func:`~htrc_feature_reader_ray.stages.profile.dow_chi2`: χ² tests
+    the marginal weekday PROFILE, this tests lag-7 PREDICTABILITY (a
+    growing series can have a flat weekday profile yet strong lag-7
+    structure, and vice versa). Keys with span < lag+1 days are
+    excluded (no lag-7 term exists); s1 = 0 (constant grid) reports the
+    neutral 10⁶ by documented contract (s7 is then also 0 — seasonal
+    naive is exactly as good as naive).
+
+    Both sums close over OBSERVED days only — zero days contribute |0−0|
+    except at run boundaries, so: a consecutive observed pair (gap 1)
+    adds |a−b| to s1, a gap ≥ 2 adds a+b (drop to zero, rise from zero);
+    for s7, an observed day t adds |cₜ − cₜ₋₇| if t−7 observed, cₜ if
+    t−7 is an in-span zero day, and cₜ again if t+7 is an in-span zero
+    day (the x_{t+7}=0 term). No grid materialization; membership via
+    one searchsorted per bucket."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by([key, "day"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "day", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            key: pd.Series([], dtype="int64"),
+            "n_days": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "naive_abs": pd.Series([], dtype="int64"),
+            "seasonal_abs": pd.Series([], dtype="int64"),
+            "seasonal_ratio_ppm": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        df = df.groupby([key, "day"], as_index=False, sort=False)["c"].sum()
+        df = df.sort_values([key, "day"], kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        day = df["day"].to_numpy()
+        c = df["c"].to_numpy()
+        new = np.empty(len(k), dtype=bool)
+        new[0] = True
+        new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k)) - 1
+        seg = np.cumsum(new) - 1
+        mn = day[starts][seg]
+        mx = day[ends][seg]
+        # s1: consecutive observed pairs
+        same = ~new[1:]
+        d1 = day[1:] - day[:-1]
+        a, b = c[:-1], c[1:]
+        t1 = np.where(d1 == 1, np.abs(a - b), a + b)
+        s1 = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(s1, seg[1:][same], t1[same])
+        # s7 membership: is (key, day-lag) / (key, day+lag) observed?
+        # keys are contiguous and day sorted within key, so a composite
+        # sortable code gives one searchsorted for each direction
+        code = seg * (np.int64(1) << 42) + (day - day.min())
+        prev_obs = np.isin(code - lag, code, assume_unique=True)
+        next_obs = np.isin(code + lag, code, assume_unique=True)
+        pc_ = np.zeros(len(k), dtype=np.int64)
+        idx_prev = np.searchsorted(code, code - lag)
+        has_prev = prev_obs
+        pc_[has_prev] = c[np.clip(idx_prev[has_prev], 0, len(k) - 1)]
+        in_span_prev = day - lag >= mn
+        in_span_next = day + lag <= mx
+        t7 = (np.where(has_prev, np.abs(c - pc_), c) * in_span_prev
+              + c * (in_span_next & ~next_obs))
+        s7 = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(s7, seg, t7)
+        n = day[ends] - day[starts] + 1
+        s = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(s, seg, c)
+        keep = n >= lag + 1
+        if not keep.any():
+            return empty
+        s1k, s7k = s1[keep], s7[keep]
+        ratio = np.where(s1k > 0,
+                         s7k.astype(object) * 1_000_000
+                         // np.where(s1k > 0, s1k, 1).astype(object),
+                         1_000_000)
+        return pd.DataFrame({
+            key: k[starts][keep],
+            "n_days": n[keep].astype(np.int64),
+            "n_events": s[keep].astype(np.int64),
+            "naive_abs": s1k.astype(np.int64),
+            "seasonal_abs": s7k.astype(np.int64),
+            "seasonal_ratio_ppm": ratio.astype(np.int64),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def seasonal_strength_sql(*, table: str, key: str, ts: str,
+                          lag: int = 7) -> str:
+    """SQL mirror: lag() pairs for s1, self-joins at ±lag for s7's
+    three observed-day term classes, neutral-10⁶ constant-grid CASE."""
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT kk, min(day) AS mn, max(day) AS mx,
+                 (max(day) - min(day) + 1)::BIGINT AS n,
+                 sum(c)::BIGINT AS s
+          FROM d GROUP BY 1
+        ),
+        p1 AS (
+          SELECT kk, day, c,
+                 lag(day) OVER (PARTITION BY kk ORDER BY day) AS pd,
+                 lag(c)   OVER (PARTITION BY kk ORDER BY day) AS pc
+          FROM d
+        ),
+        s1 AS (
+          SELECT kk, sum(CASE WHEN day - pd = 1 THEN abs(c - pc)
+                              ELSE c + pc END)::BIGINT AS v
+          FROM p1 WHERE pd IS NOT NULL GROUP BY 1
+        ),
+        t7 AS (
+          SELECT d.kk,
+                 (CASE WHEN d.day - {lag} >= b.mn THEN
+                    CASE WHEN q.c IS NULL THEN d.c
+                         ELSE abs(d.c - q.c) END
+                  ELSE 0 END
+                + CASE WHEN d.day + {lag} <= b.mx AND r.c IS NULL
+                       THEN d.c ELSE 0 END) AS v
+          FROM d
+          JOIN b ON b.kk = d.kk
+          LEFT JOIN d q ON q.kk = d.kk AND q.day = d.day - {lag}
+          LEFT JOIN d r ON r.kk = d.kk AND r.day = d.day + {lag}
+        ),
+        s7 AS (SELECT kk, sum(v)::BIGINT AS v FROM t7 GROUP BY 1)
+        SELECT b.kk AS {key}, b.n AS n_days, b.s AS n_events,
+               coalesce(s1.v, 0) AS naive_abs,
+               coalesce(s7.v, 0) AS seasonal_abs,
+               CASE WHEN coalesce(s1.v, 0) > 0
+                    THEN (s7.v::HUGEINT * 1000000 // s1.v)::BIGINT
+                    ELSE 1000000 END AS seasonal_ratio_ppm
+        FROM b
+        LEFT JOIN s1 ON s1.kk = b.kk
+        LEFT JOIN s7 ON s7.kk = b.kk
+        WHERE b.n >= {lag} + 1"""
+
+
+# ---------------------------------------------------------------------------
 # Activity half-life (time to half of lifetime engagement)
 
 

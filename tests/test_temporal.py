@@ -748,6 +748,70 @@ def test_daily_autocorr_truncates_toward_zero():
     assert (16_000_000 // 42) == 380_952
 
 
+def test_max_silence_longest_and_ties():
+    from htrc_feature_reader_ray.stages.temporal import max_silence
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def on(u, days):
+        return [(u, t0 + pd.Timedelta(days=d)) for d in days]
+
+    rows = []
+    # user 1: silences of 7 (days 3..9) and 8 (days 12..19) -> 8 wins
+    rows += on(1, [0, 1, 2, 10, 11, 20])
+    # user 2: two silences of 4 -> earliest (start day 1) wins
+    rows += on(2, [0, 5, 10])
+    # user 3: fully consecutive -> excluded
+    rows += on(3, [0, 1, 2])
+    # user 4: single day -> excluded
+    rows += on(4, [0])
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = max_silence(
+        ray.data.from_pandas(df).repartition(5), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert 3 not in out.index and 4 not in out.index
+    assert out.loc[1, "max_silence_days"] == 8
+    assert out.loc[1, "silence_start"] == t0 + pd.Timedelta(days=12)
+    assert out.loc[1, "n_active_days"] == 6
+    assert out.loc[2, "max_silence_days"] == 4
+    assert out.loc[2, "silence_start"] == t0 + pd.Timedelta(days=1)
+
+
+def test_seasonal_strength_regimes():
+    from htrc_feature_reader_ray.stages.temporal import seasonal_strength
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: perfectly weekly (2 events every 7th day) -> s7=0, ratio 0
+    for w in range(4):
+        rows += [(1, t0 + pd.Timedelta(days=7 * w))] * 2
+    # user 2: constant 3/day for 9 days -> s1=0 -> neutral 1e6
+    for d in range(9):
+        rows += [(2, t0 + pd.Timedelta(days=d))] * 3
+    # user 3: 1/day days 0..10 with a burst of 10 on day 9
+    #   s1 = 9+9 = 18; s7 = |10-1| at t=9 -> 9; ratio 500000
+    for d in range(11):
+        rows += [(3, t0 + pd.Timedelta(days=d))] * (10 if d == 9 else 1)
+    # user 4: zeros dominate — 2 events day 0, 3 events day 10
+    #   grid s1 = 2+3 = 5; s7 = |x7-x0| + |x10-x3| = 2+3 = 5 -> 1e6
+    rows += [(4, t0)] * 2 + [(4, t0 + pd.Timedelta(days=10))] * 3
+    # user 5: span 7 (< lag+1) -> excluded
+    rows += [(5, t0), (5, t0 + pd.Timedelta(days=6))]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = seasonal_strength(
+        ray.data.from_pandas(df).repartition(6), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert 5 not in out.index
+    assert out.loc[1, "seasonal_ratio_ppm"] == 0
+    assert out.loc[1, "naive_abs"] == 12 and out.loc[1, "seasonal_abs"] == 0
+    assert out.loc[2, "seasonal_ratio_ppm"] == 1_000_000  # neutral s1=0
+    assert out.loc[3, "naive_abs"] == 18
+    assert out.loc[3, "seasonal_abs"] == 9
+    assert out.loc[3, "seasonal_ratio_ppm"] == 500_000
+    assert out.loc[4, "naive_abs"] == 5 and out.loc[4, "seasonal_abs"] == 5
+    assert out.loc[4, "seasonal_ratio_ppm"] == 1_000_000
+
+
 def test_activity_half_life_regimes():
     from htrc_feature_reader_ray.stages.temporal import activity_half_life
 
