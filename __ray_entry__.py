@@ -2024,6 +2024,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]))
 
+    def q_kmeans_silhouette(sf):
+        """Per-point simplified silhouette of the integer-exact k-means
+        fit ((b-a)*1e6 // b over exact SQUARED centroid distances — 1e6
+        crisp, 0 on the decision boundary, the semdedup routing-
+        ambiguity zone). Lloyd rounds as in kmeans; scoring is one
+        stateless exchange-free map."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            kmeans_silhouette,
+        )
+
+        return kmeans_silhouette(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+            k=8, rounds=3)
+
     def q_kmeans(sf):
         """Integer-exact distributed k-means (3 Lloyd rounds, k=8):
         fixed-point quantized vectors, exact squared-L2 argmin, floor-mean
@@ -5177,6 +5194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_trend": q_theil_sen_trend,
         "survival_curve": q_survival_curve,
         "kmeans": q_kmeans,
+        "kmeans_silhouette": q_kmeans_silhouette,
         "random_projection": q_random_projection,
         "two_hop_neighbors": q_two_hop_neighbors,
         "touch_attribution": q_touch_attribution,
@@ -6270,6 +6288,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": vocab_mod.tokenizer_fertility_sql(
             vocab_mod.wordpiece_encode_sql(rounds=3)),
         "kmeans": similarity_mod.kmeans_fixed_sql(k=8, rounds=3),
+        "kmeans_silhouette": similarity_mod.kmeans_silhouette_sql(
+            k=8, rounds=3),
         "random_projection": similarity_mod.random_projection_sql(d_out=16),
         "two_hop_neighbors": LINKS_PRE + linkgraph.two_hop_neighbors_sql(),
         "touch_attribution": temporal_mod.touch_attribution_sql(),

@@ -506,44 +506,17 @@ def edit_distance_pairs_sql(*, id_col: str, text_col: str, block_col: str,
 # integer-exact distributed k-means (Lloyd, bounded rounds)
 
 
-def kmeans_fixed(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
-                 k: int = 8, rounds: int = 3, num_buckets: int = 32):
-    """Lloyd's k-means with an INTEGER-EXACT kernel — the clustering stage
-    a SemDeDup / IVF pipeline needs, made bit-identical across parallelism
-    levels and SQL-replayable (float k-means is neither: distance sums and
-    centroid means depend on summation order):
-
-      * vectors quantize to ``floor(x · 2²⁰)`` int64 (the
-        ``CENTROID_SCALE`` fixed-point contract of
-        :func:`label_centroid_sums`);
-      * assignment = exact integer squared-L2 argmin, ties to the lowest
-        centroid id;
-      * update = per-cluster per-dim FLOOR(sum/n) (floor, not truncation —
-        the SQL mirror carries the explicit negative-remainder correction
-        since DuckDB ``//`` truncates);
-      * init = the ``k`` smallest ``id_col`` vectors (deterministic);
-        clusters that lose all members keep their previous centroid.
-
-    Scale shape per round: centroids are the k×d driver-side iteration
-    state broadcast into one stateless assignment map (per-batch numpy
-    (N,k,d) reduction); cluster sums collapse per batch via ``np.add.at``
-    partials and fold through one (cluster,dim)-keyed exchange — the
-    label_centroid_sums shape with labels = current assignment.  Returns
-    the final assignment Dataset ``(id, cluster, dist)``.
-    """
-    scale = CENTROID_SCALE
-
-    def quantize(t: pa.Table) -> pa.Table:
-        m = _as_matrix(t.column(vec_col))
-        q = np.floor(m * scale).astype(np.int64)
-        return pa.table({
-            id_col: t.column(id_col),
-            "_q": pa.array(list(q)),
-        })
-
-    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
-
+def _fit_centroids(qds, *, id_col: str, k: int, rounds: int,
+                   num_buckets: int) -> np.ndarray:
+    """Shared Lloyd loop over a quantized ``(id, _q)`` dataset: seed =
+    k smallest ids, per-round broadcast-assign + one (cluster, dim)
+    exchange, FLOOR centroid means, empty-cluster carry-forward.
+    Returns the final k×d int64 centroid matrix."""
     import pyarrow.compute as pc
+
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
 
     # deterministic init: the k smallest ids (tiny driver pull)
     seed = qds.map_batches(
@@ -552,10 +525,6 @@ def kmeans_fixed(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
     ).to_pandas().sort_values(id_col)
     cent = np.stack([np.asarray(v, dtype=np.int64) for v in seed["_q"]])
     d = cent.shape[1]
-
-    import ray
-
-    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
 
     for _ in range(rounds):
         cref = ray.put(cent)
@@ -593,6 +562,50 @@ def kmeans_fixed(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
         new[nz] = s[nz] // n[nz, None]
         cent = new
 
+    return cent
+
+
+def kmeans_fixed(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+                 k: int = 8, rounds: int = 3, num_buckets: int = 32):
+    """Lloyd's k-means with an INTEGER-EXACT kernel — the clustering stage
+    a SemDeDup / IVF pipeline needs, made bit-identical across parallelism
+    levels and SQL-replayable (float k-means is neither: distance sums and
+    centroid means depend on summation order):
+
+      * vectors quantize to ``floor(x · 2²⁰)`` int64 (the
+        ``CENTROID_SCALE`` fixed-point contract of
+        :func:`label_centroid_sums`);
+      * assignment = exact integer squared-L2 argmin, ties to the lowest
+        centroid id;
+      * update = per-cluster per-dim FLOOR(sum/n) (floor, not truncation —
+        the SQL mirror carries the explicit negative-remainder correction
+        since DuckDB ``//`` truncates);
+      * init = the ``k`` smallest ``id_col`` vectors (deterministic);
+        clusters that lose all members keep their previous centroid.
+
+    Scale shape per round: centroids are the k×d driver-side iteration
+    state broadcast into one stateless assignment map (per-batch numpy
+    (N,k,d) reduction); cluster sums collapse per batch via ``np.add.at``
+    partials and fold through one (cluster,dim)-keyed exchange — the
+    label_centroid_sums shape with labels = current assignment.  Returns
+    the final assignment Dataset ``(id, cluster, dist)``.
+    """
+    scale = CENTROID_SCALE
+
+    def quantize(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col))
+        q = np.floor(m * scale).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "_q": pa.array(list(q)),
+        })
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+    cent = _fit_centroids(qds, id_col=id_col, k=k, rounds=rounds,
+                          num_buckets=num_buckets)
+
+    import ray
+
     cref = ray.put(cent)
 
     def assign_final(t: pa.Table) -> pa.Table:
@@ -610,12 +623,10 @@ def kmeans_fixed(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
     return qds.map_batches(assign_final, batch_format="pyarrow")
 
 
-def kmeans_fixed_sql(*, table: str = "embeddings",
-                     vec_col: str = "embedding", id_col: str = "vec_id",
-                     k: int = 8, rounds: int = 3) -> str:
-    """SQL mirror: unrolled per-round CTEs — dim-exploded exact integer
-    distances, (dist, cid) argmin, floor-corrected centroid means,
-    empty-cluster carry-forward."""
+def _kmeans_cte(*, table: str, vec_col: str, id_col: str,
+                k: int, rounds: int) -> str:
+    """Shared unrolled-round CTE body ending with the final-centroid
+    ``df`` CTE of per-(vid, cid) exact integer distances."""
     scale = CENTROID_SCALE
     sql = f"""
         WITH q AS (
@@ -660,12 +671,112 @@ def kmeans_fixed_sql(*, table: str = "embeddings",
           SELECT q.vid, c.cid,
                  sum((q.qd - c.cd) * (q.qd - c.cd))::BIGINT AS dist
           FROM q JOIN {prev} c USING (dim) GROUP BY 1, 2
-        )
+        )"""
+    return sql
+
+
+def kmeans_fixed_sql(*, table: str = "embeddings",
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     k: int = 8, rounds: int = 3) -> str:
+    """SQL mirror: unrolled per-round CTEs — dim-exploded exact integer
+    distances, (dist, cid) argmin, floor-corrected centroid means,
+    empty-cluster carry-forward."""
+    return _kmeans_cte(table=table, vec_col=vec_col, id_col=id_col,
+                       k=k, rounds=rounds) + f"""
         SELECT vid AS {id_col}, cid::BIGINT AS cluster, dist FROM (
           SELECT vid, cid, dist, row_number() OVER (
               PARTITION BY vid ORDER BY dist, cid) AS rn FROM df)
         WHERE rn = 1"""
-    return sql
+
+
+def kmeans_silhouette(ds, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id", k: int = 8, rounds: int = 3,
+                      num_buckets: int = 32):
+    """Per-point SIMPLIFIED silhouette of the integer-exact k-means fit
+    (Rousseeuw 1987's cluster-quality score in its centroid-based
+    simplified form, Hruschka et al.'s variant — the O(N·k) scale path;
+    the classic O(N²) pairwise form cannot stream): with exact integer
+    SQUARED distances d(x, cᵢ) to the final centroids of
+    :func:`kmeans_fixed` (same quantize/seed/floor-mean contract),
+
+        ``a = d(x, nearest centroid)  — the assignment distance``
+        ``b = second-smallest centroid distance``
+        ``silhouette_ppm = (b − a)·10⁶ // b``   (0 when b = 0)
+
+    in [0, 10⁶]: → 10⁶ means the point sits on its centroid relative to
+    the runner-up (crisp cluster), → 0 means it lies on the decision
+    boundary (the semdedup/IVF-routing ambiguity zone — exactly the
+    points whose cluster routing is unstable under re-fit). Squared
+    distances are the documented contract (no sqrt keeps the mirror
+    integer-exact; the [0,1] simplified silhouette is monotone in this
+    ratio). Ties: a takes the LOWEST centroid id (kmeans_fixed's rule);
+    a tie for nearest makes b = a and the score 0, as it should.
+
+    Scale shape: the Lloyd rounds are the kmeans_fixed iteration
+    (broadcast k×d centroids, one (cluster, dim) exchange per round);
+    the scoring pass is ONE stateless map with a per-batch (N, k)
+    integer matmul and a partial sort — no exchange at all."""
+    scale = CENTROID_SCALE
+
+    def quantize(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t.column(vec_col))
+        q = np.floor(m * scale).astype(np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "_q": pa.array(list(q)),
+        })
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+    cent = _fit_centroids(qds, id_col=id_col, k=k, rounds=rounds,
+                          num_buckets=num_buckets)
+
+    import ray
+
+    cref = ray.put(cent)
+
+    def score(t: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        q = np.stack([np.asarray(v, dtype=np.int64)
+                      for v in t.column("_q").to_pylist()])
+        dist = ((q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a_idx = dist.argmin(axis=1)  # ties -> lowest centroid id
+        two = np.partition(dist, 1, axis=1)[:, :2]
+        a, b = two[:, 0], two[:, 1]
+        # object ints: (b-a)*1e6 can pass int64 at d*(2*scale)^2 scale
+        sil = np.where(b > 0,
+                       (b - a).astype(object) * 1_000_000
+                       // np.maximum(b, 1).astype(object), 0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "cluster": pa.array(a_idx.astype(np.int64)),
+            "dist_own": pa.array(a.astype(np.int64)),
+            "dist_next": pa.array(b.astype(np.int64)),
+            "silhouette_ppm": pa.array(sil.astype(np.int64)),
+        })
+
+    return qds.map_batches(score, batch_format="pyarrow")
+
+
+def kmeans_silhouette_sql(*, table: str = "embeddings",
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          k: int = 8, rounds: int = 3) -> str:
+    """SQL mirror: the shared kmeans round CTEs + rn=1/rn=2 self-join
+    on the final distance relation."""
+    return _kmeans_cte(table=table, vec_col=vec_col, id_col=id_col,
+                       k=k, rounds=rounds) + f""",
+        r AS (
+          SELECT vid, cid, dist, row_number() OVER (
+              PARTITION BY vid ORDER BY dist, cid) AS rn FROM df
+        )
+        SELECT a.vid AS {id_col}, a.cid::BIGINT AS cluster,
+               a.dist AS dist_own, b.dist AS dist_next,
+               CASE WHEN b.dist > 0
+                    THEN ((b.dist - a.dist)::HUGEINT * 1000000
+                          // b.dist)::BIGINT
+                    ELSE 0 END AS silhouette_ppm
+        FROM r a JOIN r b ON a.vid = b.vid AND b.rn = 2
+        WHERE a.rn = 1"""
 
 
 # ---------------------------------------------------------------------------

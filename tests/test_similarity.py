@@ -213,6 +213,38 @@ def test_edit_distance_pairs_blocking_and_threshold():
 # integer-exact k-means
 
 
+def test_kmeans_silhouette_crisp_and_boundary():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        CENTROID_SCALE,
+        kmeans_silhouette,
+    )
+
+    S = CENTROID_SCALE
+    # rounds=0: centroids are the k=2 seeds [0,0] and [1,0].
+    # ids 0..3 sit exactly on a centroid -> silhouette 1e6;
+    # id 4 = [0.5, 0] is equidistant -> b = a -> silhouette 0,
+    # cluster ties to the LOWER centroid id (0).
+    df = pd.DataFrame({
+        "vec_id": np.arange(5, dtype=np.int64),
+        "embedding": [[0.0, 0.0], [1.0, 0.0], [0.0, 0.0],
+                      [1.0, 0.0], [0.5, 0.0]],
+    })
+    out = kmeans_silhouette(
+        ray.data.from_pandas(df).repartition(3), k=2, rounds=0
+    ).to_pandas().set_index("vec_id").sort_index()
+    assert (out.loc[[0, 1, 2, 3], "silhouette_ppm"] == 1_000_000).all()
+    assert out.loc[0, "dist_own"] == 0
+    assert out.loc[0, "dist_next"] == S * S
+    assert out.loc[4, "silhouette_ppm"] == 0
+    assert out.loc[4, "cluster"] == 0  # tie -> lowest centroid id
+    assert out.loc[4, "dist_own"] == out.loc[4, "dist_next"] == (S // 2) ** 2
+    assert out.loc[1, "cluster"] == 1
+
+
 def test_kmeans_fixed_matches_scalar_lloyd_and_parallelism_independent():
     import numpy as np
     import pandas as pd
