@@ -2302,6 +2302,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return fano_factor(_events(sf, ["user_id", "ts"]),
                            key="user_id", ts="ts")
 
+    def q_growth_accounting(sf):
+        """Daily growth accounting: new/retained/resurrected/churned
+        decomposition of the active-user base with the exact identity
+        net = new + resurrected - churned (closed per-entity churn at
+        d+1). One slim (key, day) exchange + a tiny day-level fold."""
+        from htrc_feature_reader_ray.stages.temporal import (
+            growth_accounting,
+        )
+
+        return growth_accounting(_events(sf, ["user_id", "ts"]))
+
     def q_max_silence(sf):
         """Per-user longest interior silent stretch (zero-day run that
         ENDED — dormancy depth for winback/recrawl models), earliest
@@ -5182,6 +5193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_stats": q_gap_stats,
         "activity_half_life": q_activity_half_life,
         "max_silence": q_max_silence,
+        "growth_accounting": q_growth_accounting,
         "seasonal_strength": q_seasonal_strength,
         "weighted_median_price": q_weighted_median_price,
         "hour_concentration": q_hour_concentration,
@@ -6531,6 +6543,8 @@ def oracle_sql() -> dict[str, str]:
         "activity_half_life": temporal_mod.activity_half_life_sql(
             table="events", key="user_id", ts="ts"),
         "max_silence": temporal_mod.max_silence_sql(
+            table="events", key="user_id", ts="ts"),
+        "growth_accounting": temporal_mod.growth_accounting_sql(
             table="events", key="user_id", ts="ts"),
         "seasonal_strength": temporal_mod.seasonal_strength_sql(
             table="events", key="user_id", ts="ts"),

@@ -1097,6 +1097,148 @@ def rolling_active_users_sql(*, key: str = "user_id", ts: str = "ts",
         FROM win GROUP BY 1"""
 
 
+def growth_accounting(ds, *, key: str = "user_id", ts: str = "ts",
+                      num_buckets: int = 32):
+    """Daily growth accounting — the canonical product-analytics
+    decomposition of active-entity change (the Duolingo/a16z "growth
+    accounting" identity): every (entity, active day) is exactly one of
+    **new** (first day ever), **retained** (also active the previous
+    day) or **resurrected** (active before, but not yesterday); and an
+    entity active on ``d`` but not ``d+1`` **churns on d+1**. The daily
+    identity ``active(d) = new + retained + resurrected`` and
+    ``net = new + resurrected − churned = active(d) − active(d−1)``
+    holds exactly. Churn is attributed by the closed per-entity rule —
+    including after an entity's last active day — so the day after the
+    corpus's last day appears (everyone still active "churns" there);
+    this keeps the op shuffle-local per entity (no global max-day
+    scalar) and is documented contract on both sides.
+
+    Output per day (timestamp[us]): ``n_new, n_retained, n_resurrected,
+    n_churned, net`` — all exact int64.
+
+    Scale shape: map-side distinct (key, day) would suffice, but each
+    entity's full day set must co-locate (new/retained need the
+    entity's history), so: ONE key-bucketed exchange of slim (key, day)
+    pairs, vectorized per-bucket classification (sorted diffs), then
+    only (day, 4 counters) partials — at most days×buckets rows — cross
+    into the tiny native day fold."""
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        return (pa.table({key: batch.column(key), "day": day})
+                .group_by([key, "day"]).aggregate([]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "day": pd.Series([], dtype="int64"),
+            "n_new": pd.Series([], dtype="int64"),
+            "n_retained": pd.Series([], dtype="int64"),
+            "n_resurrected": pd.Series([], dtype="int64"),
+            "n_churned": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        df = (df.drop_duplicates([key, "day"])
+              .sort_values([key, "day"], kind="mergesort",
+                           ignore_index=True))
+        k = df[key].to_numpy()
+        day = df["day"].to_numpy()
+        first = np.empty(len(k), dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        prev_gap = np.empty(len(k), dtype=np.int64)
+        prev_gap[0] = 0
+        prev_gap[1:] = day[1:] - day[:-1]
+        retained = (~first) & (prev_gap == 1)
+        resurrected = (~first) & (prev_gap > 1)
+        # churn at d+1 for every active day not followed by d+1 activity
+        last = np.append(first[1:], True)
+        churn_gap = np.append(prev_gap[1:], 0)
+        churns = day[last | (churn_gap > 1)] + 1
+        frames = [
+            pd.DataFrame({"day": day[first], "cls": 0}),
+            pd.DataFrame({"day": day[retained], "cls": 1}),
+            pd.DataFrame({"day": day[resurrected], "cls": 2}),
+            pd.DataFrame({"day": churns, "cls": 3}),
+        ]
+        lng = pd.concat(frames, ignore_index=True)
+        pv = (lng.groupby(["day", "cls"]).size().unstack(fill_value=0)
+              .reindex(columns=[0, 1, 2, 3], fill_value=0).reset_index())
+        pv.columns = ["day", "n_new", "n_retained", "n_resurrected",
+                      "n_churned"]
+        return pv.astype(np.int64)
+
+    folded = bucketed_map_groups(partials, key, per_bucket,
+                                 num_buckets=num_buckets)
+    agg = folded.groupby("day").sum(
+        ["n_new", "n_retained", "n_resurrected", "n_churned"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def col(name):
+            c = (t.column(f"sum({name})")
+                 if f"sum({name})" in t.column_names else t.column(name))
+            return pc.cast(c, pa.int64())
+
+        d = pc.cast(
+            pc.multiply(pc.cast(t.column("day"), pa.int64()),
+                        pa.scalar(day_us, type=pa.int64())),
+            pa.timestamp("us"))
+        new, ret = col("n_new"), col("n_retained")
+        res, chu = col("n_resurrected"), col("n_churned")
+        net = pc.subtract(pc.add(new, res), chu)
+        return pa.table({"day": d, "n_new": new, "n_retained": ret,
+                         "n_resurrected": res, "n_churned": chu,
+                         "net": net})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def growth_accounting_sql(*, table: str = "events",
+                          key: str = "user_id", ts: str = "ts") -> str:
+    """SQL mirror: distinct-day lag/lead classification + FILTER pivot,
+    the same closed churn-at-d+1 rule."""
+    return f"""
+        WITH ud AS (
+          SELECT DISTINCT {key} AS u,
+                 epoch_us({ts}) // 86400000000 AS d
+          FROM {table}
+        ),
+        l AS (
+          SELECT u, d,
+                 lag(d)  OVER (PARTITION BY u ORDER BY d) AS pd,
+                 lead(d) OVER (PARTITION BY u ORDER BY d) AS nd
+          FROM ud
+        ),
+        cls AS (
+          SELECT d, CASE WHEN pd IS NULL THEN 0
+                         WHEN pd = d - 1 THEN 1
+                         ELSE 2 END AS c
+          FROM l
+          UNION ALL
+          SELECT d + 1 AS d, 3 AS c
+          FROM l WHERE nd IS NULL OR nd > d + 1
+        ),
+        p AS (
+          SELECT d,
+                 count(*) FILTER (c = 0)::BIGINT AS n_new,
+                 count(*) FILTER (c = 1)::BIGINT AS n_retained,
+                 count(*) FILTER (c = 2)::BIGINT AS n_resurrected,
+                 count(*) FILTER (c = 3)::BIGINT AS n_churned
+          FROM cls GROUP BY 1
+        )
+        SELECT make_timestamp(d * 86400000000) AS day,
+               n_new, n_retained, n_resurrected, n_churned,
+               (n_new + n_resurrected - n_churned)::BIGINT AS net
+        FROM p"""
+
+
 def event_transitions(ds, *, key: str = "user_id", ts: str = "ts",
                       type_col: str = "event_type", tiebreak=None,
                       num_buckets: int = 32):

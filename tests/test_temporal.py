@@ -748,6 +748,43 @@ def test_daily_autocorr_truncates_toward_zero():
     assert (16_000_000 // 42) == 380_952
 
 
+def test_growth_accounting_identity_and_classes():
+    from htrc_feature_reader_ray.stages.temporal import growth_accounting
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def on(u, days):
+        return [(u, t0 + pd.Timedelta(days=d)) for d in days]
+
+    # u1 active days 0,1,3; u2 active days 1,2; u3 active day 3 only
+    rows = on(1, [0, 1, 3]) + on(2, [1, 2]) + on(3, [3])
+    # duplicate events within a day must not double-count
+    rows += on(1, [0])
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = growth_accounting(
+        ray.data.from_pandas(df).repartition(4)
+    ).to_pandas().set_index("day").sort_index()
+
+    d = {i: t0 + pd.Timedelta(days=i) for i in range(5)}
+    # day0: u1 new. day1: u1 retained, u2 new. day2: u2 retained,
+    #   u1 churned (active 1, not 2). day3: u1 resurrected, u3 new,
+    #   u2 churned. day4: u1,u3 churn (closed rule past corpus end).
+    assert out.loc[d[0], "n_new"] == 1 and out.loc[d[0], "n_churned"] == 0
+    assert out.loc[d[1], "n_new"] == 1
+    assert out.loc[d[1], "n_retained"] == 1
+    assert out.loc[d[2], "n_retained"] == 1
+    assert out.loc[d[2], "n_churned"] == 1
+    assert out.loc[d[3], "n_resurrected"] == 1
+    assert out.loc[d[3], "n_new"] == 1
+    assert out.loc[d[3], "n_churned"] == 1
+    assert out.loc[d[4], "n_churned"] == 2
+    # exact identity: net telescopes active counts
+    active = {0: 1, 1: 2, 2: 1, 3: 2, 4: 0}
+    for i in range(5):
+        prev = active[i - 1] if i else 0
+        assert out.loc[d[i], "net"] == active[i] - prev
+
+
 def test_max_silence_longest_and_ties():
     from htrc_feature_reader_ray.stages.temporal import max_silence
 
