@@ -2973,6 +2973,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             folded.map_batches(to_ts, batch_format="pyarrow"),
             key="user_id", ts="ts", value_col="v")
 
+    def q_harmonic_centrality(sf):
+        """Sampled harmonic centrality (Boldi-Vigna via Eppstein-Wang:
+        exact labeled BFS from 4 bottom-(md5,url) seeds, 1e6//d per-hop
+        weights — absolute-scale, disconnectedness-native centrality
+        pagerank can't give). <=3 exchanges/hop on slim (url, sid)
+        state; first-visit == shortest hop."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            harmonic_centrality,
+        )
+
+        return harmonic_centrality(
+            extract_links(read_pages(sf, drop_text=True)),
+            seed_mod=10, n_seeds=4, max_hops=3)
+
     def q_bfs_layers(sf):
         """Hop-labeled BFS coverage from the deterministic md5 seed set
         (the crawl-budget curve personalized_pagerank smooths into a
@@ -5253,6 +5269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interpolate_daily": q_interpolate_daily,
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_layers": q_bfs_layers,
+        "harmonic_centrality": q_harmonic_centrality,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -6293,6 +6310,8 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
         "bfs_layers": linkgraph.bfs_layers_sql(
             links_pre=LINKS_PRE, seed_mod=10, max_hops=3),
+        "harmonic_centrality": linkgraph.harmonic_centrality_sql(
+            links_pre=LINKS_PRE, seed_mod=10, n_seeds=4, max_hops=3),
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
         "wordpiece_encode": vocab_mod.wordpiece_encode_sql(rounds=3),

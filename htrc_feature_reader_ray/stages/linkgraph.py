@@ -2393,6 +2393,156 @@ def bfs_layers(edges, *, seed_mod: int = 10, max_hops: int = 4,
     return out
 
 
+def harmonic_centrality(edges, *, seed_mod: int = 10, n_seeds: int = 4,
+                        max_hops: int = 4, num_buckets: int = 32):
+    """Sampled harmonic centrality over the directed link graph
+    (Boldi–Vigna's recommended centrality, estimated the Eppstein–Wang
+    way: exact BFS from a small deterministic seed sample instead of
+    all-pairs): for every node v reachable from the sample,
+
+        ``harmonic_ppm(v) = Σ_{s ∈ seeds, d(s→v) ≥ 1} 10⁶ // d(s→v)``
+
+    with d the exact forward hop distance (≤ ``max_hops``) — the
+    "how centrally reachable is this page from representative entry
+    points" score that, unlike pagerank, has an absolute scale (each
+    seed contributes at most 10⁶) and handles disconnectedness natively
+    (unreachable ⇒ contributes 0 — the reason Boldi–Vigna prefer
+    harmonic over closeness). Integer-exact: 10⁶//d is the documented
+    per-hop weight (no float reciprocals), so the mirror replays it.
+
+    Seeds: the ``n_seeds`` bottom nodes by (md5 hash, url) among
+    DISTINCT SRC urls passing the engine's md5 % seed_mod predicate —
+    deterministic, oracle-checkable, and a bottom-k (the KMV
+    discipline) so seed selection never materializes the candidate
+    set; restricting to nodes WITH out-edges makes seeds actual entry
+    points (a dst-only node's BFS is empty by construction). Nodes
+    whose only distance is hop 0 (an isolated seed) are excluded — the
+    sum above is empty. Output: ``(url, seeds_reached, harmonic_ppm)``.
+
+    Scale shape: the bfs_layers frontier loop lifted to (url, seed)
+    labeled state — per hop ONE inner co-partitioned join edges⋈frontier
+    carrying the seed id, a distinct fold, ONE anti-join against the
+    (url, seed) visited set (first visit == shortest hop, so no min
+    pass), then a single url-keyed fold of 10⁶//hop terms. ≤ 3·H
+    exchanges on slim (url, sid) tables; state is n_seeds× BFS."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
+
+    edges = edges.materialize()
+    nodes = bucketed_aggregate(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("src_url").combine_chunks()}),
+            batch_format="pyarrow"),
+        ["url"], {"_n": ("url", "size")},
+        num_buckets=num_buckets,
+    ).drop_columns(["_n"])
+
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].to_numpy()
+        h = md5_hash64([str(u) for u in urls])
+        keep = h % seed_mod == 0
+        sub = pd.DataFrame({"url": urls[keep], "_h": h[keep]})
+        return sub.sort_values(["_h", "url"]).head(n_seeds)
+
+    cand = nodes.map_batches(bottomk, batch_format="pandas").to_pandas()
+    seeds = cand.sort_values(["_h", "url"]).head(n_seeds).reset_index(
+        drop=True)
+    seeds = pd.DataFrame({
+        "url": seeds["url"],
+        "sid": np.arange(len(seeds), dtype=np.int64),
+    })
+
+    def vkeyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["vkey"] = df["url"].astype(str) + "\x1f" + df["sid"].astype(str)
+        return df
+
+    frontier = ray.data.from_pandas(vkeyed(seeds)).materialize()
+    visited = frontier.select_columns(["vkey"]).materialize()
+    dists = []
+    for h in range(1, max_hops + 1):
+        hit = bucket_join(edges, frontier.select_columns(["url", "sid"]),
+                          left_key="src_url", right_key="url",
+                          num_buckets=num_buckets, how="inner")
+        nxt = bucketed_aggregate(
+            hit.map_batches(
+                lambda t: pa.table({
+                    "url": t.column("dst_url").combine_chunks(),
+                    "sid": t.column("sid").combine_chunks()}),
+                batch_format="pyarrow"),
+            ["url", "sid"], {"_n": ("url", "size")},
+            num_buckets=num_buckets,
+        ).drop_columns(["_n"])
+        nxt = nxt.map_batches(vkeyed, batch_format="pandas")
+        new = bucket_join(nxt, visited, left_key="vkey", right_key="vkey",
+                          num_buckets=num_buckets, how="anti")
+        frontier = new.materialize()
+        if frontier.count() == 0:
+            break
+        dists.append((h, frontier))
+        visited = visited.union(
+            frontier.select_columns(["vkey"])).materialize()
+
+    if not dists:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "seeds_reached": pa.array([], type=pa.int64()),
+            "harmonic_ppm": pa.array([], type=pa.int64())}))
+
+    terms = None
+    for h, fr in dists:
+        t = fr.map_batches(
+            lambda df, _h=h: pd.DataFrame({
+                "url": df["url"],
+                "n": np.int64(1),
+                "w": np.int64(1_000_000 // _h)}),
+            batch_format="pandas")
+        terms = t if terms is None else terms.union(t)
+    return bucketed_aggregate(
+        terms, ["url"],
+        {"seeds_reached": ("n", "sum"), "harmonic_ppm": ("w", "sum")},
+        num_buckets=num_buckets)
+
+
+def harmonic_centrality_sql(*, links_pre: str, seed_mod: int = 10,
+                            n_seeds: int = 4, max_hops: int = 4) -> str:
+    """SQL mirror: bottom-k (md5, url) seed pick, per-hop labeled CTEs,
+    min-hop fold (== the engine's first-visit rule), Σ 10⁶//d."""
+    steps = []
+    for h in range(1, max_hops + 1):
+        steps.append(f"""
+        l{h} AS (
+          SELECT DISTINCT e.dst_url AS url, f.sid, {h} AS hop
+          FROM link_edges e JOIN l{h - 1} f ON e.src_url = f.url
+        )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM l{h}" for h in range(0, max_hops + 1))
+    return f"""
+        {links_pre},
+        nodes AS (
+          SELECT DISTINCT src_url AS url FROM link_edges
+        ),
+        seeds AS (
+          SELECT url, row_number() OVER (
+              ORDER BY md5_number_upper(url), url) - 1 AS sid
+          FROM nodes WHERE md5_number_upper(url) % {seed_mod} = 0
+          ORDER BY md5_number_upper(url), url LIMIT {n_seeds}
+        ),
+        l0 AS (SELECT url, sid, 0 AS hop FROM seeds),{",".join(steps)},
+        md AS (
+          SELECT url, sid, min(hop) AS d FROM ({unions}) GROUP BY 1, 2
+        )
+        SELECT url, count(*)::BIGINT AS seeds_reached,
+               sum(1000000 // d)::BIGINT AS harmonic_ppm
+        FROM md WHERE d >= 1 GROUP BY 1"""
+
+
 def bfs_layers_sql(*, links_pre: str, seed_mod: int = 10,
                    max_hops: int = 4) -> str:
     """SQL mirror: node universe from both edge ends, md5 seed predicate,

@@ -657,6 +657,55 @@ def test_resource_allocation_dedups_multiedges_and_partitions():
     assert (out["n_shared"] == 1).all()
 
 
+def test_harmonic_centrality_matches_scalar_bfs():
+    import itertools
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.linkgraph import harmonic_centrality
+
+    rng = np.random.RandomState(11)
+    urls = [f"u{i}" for i in range(30)]
+    pairs = [(urls[a], urls[b])
+             for a, b in rng.randint(0, 30, (120, 2)) if a != b]
+    edges = pd.DataFrame(pairs, columns=["src_url", "dst_url"])
+    seed_mod, n_seeds, max_hops = 3, 4, 3
+
+    # scalar replay of the documented contract (seeds: src universe)
+    nodes = sorted(set(edges["src_url"]))
+    h = md5_hash64(nodes)
+    # int(hh) BEFORE %: numpy uint64 SCALAR % int promotes to float64
+    # and corrupts values > 2^53 (the array path the engine uses stays
+    # exact uint64)
+    cand = sorted((int(hh), u) for hh, u in zip(h, nodes)
+                  if int(hh) % seed_mod == 0)[:n_seeds]
+    adj = {}
+    for s, t in pairs:
+        adj.setdefault(s, set()).add(t)
+    expect = {}
+    for _, seed in cand:
+        dist = {seed: 0}
+        frontier = {seed}
+        for hop in range(1, max_hops + 1):
+            nxt = set(itertools.chain.from_iterable(
+                adj.get(u, ()) for u in frontier)) - dist.keys()
+            for v in nxt:
+                dist[v] = hop
+            frontier = nxt
+        for v, dv in dist.items():
+            if dv >= 1:
+                n, w = expect.get(v, (0, 0))
+                expect[v] = (n + 1, w + 1_000_000 // dv)
+
+    out = harmonic_centrality(
+        ray.data.from_pandas(edges).repartition(5),
+        seed_mod=seed_mod, n_seeds=n_seeds, max_hops=max_hops
+    ).to_pandas().set_index("url")
+    assert len(out) == len(expect)
+    for v, (n, w) in expect.items():
+        assert out.loc[v, "seeds_reached"] == n
+        assert out.loc[v, "harmonic_ppm"] == w
+
+
 def test_bfs_layers_shortest_hops():
     from htrc_feature_reader_ray.stages.dedup import md5_hash64
     from htrc_feature_reader_ray.stages.linkgraph import bfs_layers
