@@ -2973,6 +2973,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             folded.map_batches(to_ts, batch_format="pyarrow"),
             key="user_id", ts="ts", value_col="v")
 
+    def q_link_resolution_rate(sf):
+        """Per-src-host outlink resolution rate (share of outgoing
+        edges whose dst the crawl actually has — dead-link/frontier-gap
+        audit; unresolved edges ARE pagerank's leaked dangling mass,
+        localized to the hosts causing it). One dst-keyed semi
+        co-partition; totals and resolved collapse map-side to (host,
+        n) partials."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            link_resolution_rate,
+        )
+
+        return link_resolution_rate(
+            extract_links(read_pages(sf, drop_text=True)))
+
+    def q_retrieval_pr_at_k(sf):
+        """Retrieval set-quality metrics: exact-integer P/R/F1@20 of
+        the rational-BM25 ranker vs adjacent-phrase relevance (F1 via
+        the 2h/(k+n) identity — no float harmonic mean); completes
+        retrieval_mrr's first-hit rank with whole-cutoff quality."""
+        from htrc_feature_reader_ray.stages.curate import retrieval_pr_at_k
+
+        return retrieval_pr_at_k(_docs(sf), _MRR_QUERIES, k=20)
+
     def q_harmonic_centrality(sf):
         """Sampled harmonic centrality (Boldi-Vigna via Eppstein-Wang:
         exact labeled BFS from 4 bottom-(md5,url) seeds, 1e6//d per-hop
@@ -5270,6 +5295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_layers": q_bfs_layers,
         "harmonic_centrality": q_harmonic_centrality,
+        "link_resolution_rate": q_link_resolution_rate,
+        "retrieval_pr_at_k": q_retrieval_pr_at_k,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -6312,6 +6339,10 @@ def oracle_sql() -> dict[str, str]:
             links_pre=LINKS_PRE, seed_mod=10, max_hops=3),
         "harmonic_centrality": linkgraph.harmonic_centrality_sql(
             links_pre=LINKS_PRE, seed_mod=10, n_seeds=4, max_hops=3),
+        "link_resolution_rate": LINKS_PRE
+        + linkgraph.link_resolution_rate_sql(edges_cte="link_edges"),
+        "retrieval_pr_at_k": curate.retrieval_pr_at_k_sql(
+            _MRR_QUERIES, k=20),
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
         "wordpiece_encode": vocab_mod.wordpiece_encode_sql(rounds=3),

@@ -2783,6 +2783,85 @@ def retrieval_mrr(ds, queries: dict, *, k: int = 20,
     return ray.data.from_pandas(out)
 
 
+def retrieval_pr_at_k(ds, queries: dict, *, k: int = 20,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Precision/recall/F1 @ k of the rational-BM25 ranker against exact
+    positional-phrase relevance — the set-quality half of the retrieval
+    acceptance suite (:func:`retrieval_mrr` scores the FIRST hit's rank;
+    P/R@k score the whole cutoff, which is what matters when the
+    retrieved set feeds RAG context or labeling): with ``h = |top-k ∩
+    relevant|``,
+
+        ``precision_ppm = h·10⁶ // k``
+        ``recall_ppm    = h·10⁶ // n_relevant``  (0 when none relevant)
+        ``f1_ppm        = 2·h·10⁶ // (k + n_relevant)``
+
+    — the F1 identity 2PR/(P+R) = 2h/(k+n) keeps all three exact
+    integers (no float harmonic mean). Same (score desc, id asc) rank
+    contract and driver-side Q×k merge posture as retrieval_mrr; the
+    distributed work is inside bm25_topk and phrase_search.
+
+    Reference parity: evaluation-harness shape follows the reference's
+    acceptance-test style (cf. test_feature_reader.py) re-expressed as
+    a corpus-scale metric."""
+    import ray.data
+
+    rows = []
+    for qid in sorted(queries):
+        phrase = queries[qid]
+        top = (
+            bm25_topk(ds, phrase.split(), text_col=text_col,
+                      id_col=id_col, k=k)
+            .to_pandas()
+            .sort_values(["score_ppm", id_col], ascending=[False, True])
+            .head(k)
+        )
+        rel_df = phrase_search(
+            ds, phrase, text_col=text_col, id_col=id_col).to_pandas()
+        rel = set(rel_df[id_col]) if id_col in rel_df.columns else set()
+        got = (set(top[id_col]) if id_col in top.columns else set())
+        h = len(got & rel)
+        n_rel = len(rel)
+        rows.append((qid, n_rel, h,
+                     h * 1_000_000 // k,
+                     h * 1_000_000 // n_rel if n_rel else 0,
+                     2 * h * 1_000_000 // (k + n_rel)))
+    out = pd.DataFrame(rows, columns=[
+        "query_id", "n_relevant", "hits", "precision_ppm",
+        "recall_ppm", "f1_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def retrieval_pr_at_k_sql(queries: dict, *, k: int = 20,
+                          table: str = "documents", text: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """SQL mirror: per query, bm25 top-k replay under the identical rank
+    contract, hit count vs the phrase-relevant set, the same exact
+    integer P/R/F1 forms."""
+    parts = []
+    for qid in sorted(queries):
+        phrase = queries[qid]
+        bm25 = bm25_topk_sql(query_terms=phrase.split(), table=table,
+                             text=text, id_col=id_col, k=k)
+        rel = phrase_search_sql(phrase, table=table, text_col=text,
+                                id_col=id_col)
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, nr AS n_relevant, h AS hits,
+               (h * 1000000 // {k})::BIGINT AS precision_ppm,
+               CASE WHEN nr > 0 THEN (h * 1000000 // nr)::BIGINT
+                    ELSE 0 END AS recall_ppm,
+               (2 * h * 1000000 // ({k} + nr))::BIGINT AS f1_ppm
+        FROM (
+          SELECT (SELECT count(*) FROM ({rel}))::BIGINT AS nr,
+                 (SELECT count(*) FROM ({bm25}) t
+                   WHERE t.{id_col} IN (SELECT {id_col} FROM ({rel}))
+                 )::BIGINT AS h
+        )""")
+    return " UNION ALL ".join(parts)
+
+
 def retrieval_mrr_sql(queries: dict, *, k: int = 20,
                       table: str = "documents", text: str = "text",
                       id_col: str = "doc_id") -> str:

@@ -2393,6 +2393,100 @@ def bfs_layers(edges, *, seed_mod: int = 10, max_hops: int = 4,
     return out
 
 
+def link_resolution_rate(edges, *, num_buckets: int = 16):
+    """Per-src-host outlink RESOLUTION rate — the dead-link crawl-QA
+    audit: what share of a site's outgoing edges point at a url the
+    crawl actually has (dst ∈ the distinct src universe)? Low
+    resolved_ppm flags frontier gaps (pages we link to but never
+    fetched — crawl-budget leaks), template rot (links into retired
+    paths), or walled-garden boundaries; it's the first thing to read
+    before trusting link-graph features (pagerank mass leaks exactly
+    through unresolved edges — the dangling mass personalized_pagerank
+    redistributes is THIS, localized to the hosts causing it).
+
+    Output: ``(host, n_links, n_resolved, resolved_ppm)`` over the same
+    distinct page-level edge multiplicity as
+    :func:`host_outlink_mix` (same RE2 host projection).
+
+    Scale shape: distinct src universe via one url-bucketed fold; ONE
+    dst-keyed semi co-partition marks resolved edges; both total and
+    resolved collapse to (host, n) partials map-side before their
+    host fold; final left-merge is host-cardinality-sized."""
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
+
+    host_re = r"://(?P<host>[^/]+)"
+    edges = edges.materialize()
+
+    srcs = bucketed_aggregate(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("src_url").combine_chunks()}),
+            batch_format="pyarrow"),
+        ["url"], {"_n": ("url", "size")},
+        num_buckets=num_buckets,
+    ).drop_columns(["_n"])
+
+    def host_partial(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(_str_array(batch, "src_url"), host_re),
+            "host")
+        g = (pa.table({"host": host})
+             .group_by("host").aggregate([([], "count_all")]))
+        return g.rename_columns(["host", "n"])
+
+    totals = bucketed_aggregate(
+        edges.map_batches(host_partial, batch_format="pyarrow"),
+        "host", {"n_links": ("n", "sum")}, num_buckets=num_buckets)
+
+    resolved = bucket_join(
+        edges, srcs, left_key="dst_url", right_key="url",
+        num_buckets=num_buckets, how="semi")
+    res_counts = bucketed_aggregate(
+        resolved.map_batches(host_partial, batch_format="pyarrow"),
+        "host", {"n_resolved": ("n", "sum")}, num_buckets=num_buckets)
+
+    joined = bucket_join(totals, res_counts, left_key="host",
+                         right_key="host", num_buckets=num_buckets,
+                         how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_links"].to_numpy(dtype=np.int64)
+        r = (df["n_resolved"].fillna(0).to_numpy()
+             if "n_resolved" in df.columns
+             else np.zeros(len(df))).astype(np.int64)
+        return pd.DataFrame({
+            "host": df["host"],
+            "n_links": n,
+            "n_resolved": r,
+            "resolved_ppm": (r * 1_000_000) // n,
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def link_resolution_rate_sql(*, edges_cte: str = "link_edges") -> str:
+    """SQL mirror (composes after a WITH preamble providing
+    ``edges_cte``): IN-subquery membership + the same host fold."""
+    return f"""
+        , srcs AS (SELECT DISTINCT src_url AS url FROM {edges_cte}),
+        marked AS (
+          SELECT regexp_extract(src_url, '://([^/]+)', 1) AS host,
+                 CASE WHEN dst_url IN (SELECT url FROM srcs)
+                      THEN 1 ELSE 0 END AS res
+          FROM {edges_cte}
+        )
+        SELECT host, count(*)::BIGINT AS n_links,
+               sum(res)::BIGINT AS n_resolved,
+               (sum(res)::HUGEINT * 1000000 // count(*))::BIGINT
+                 AS resolved_ppm
+        FROM marked GROUP BY 1"""
+
+
 def harmonic_centrality(edges, *, seed_mod: int = 10, n_seeds: int = 4,
                         max_hops: int = 4, num_buckets: int = 32):
     """Sampled harmonic centrality over the directed link graph

@@ -1106,6 +1106,30 @@ def test_retrieval_mrr_exact_ranks():
     assert out2.iloc[0]["rr_ppm"] == 0
 
 
+def test_retrieval_pr_at_k_exact():
+    from htrc_feature_reader_ray.stages.curate import retrieval_pr_at_k
+
+    # two relevant docs ("a b" adjacent), k=2 cutoff: doc0 (high tf)
+    # makes the cut; doc3 is relevant but low-tf -> may miss the top-2
+    texts = ["a b a b a b", "a x b x a x b", "filler filler",
+             "z z z z z a b"]
+    out = retrieval_pr_at_k(
+        _docs_ds(texts), {"p": "a b"}, k=2).to_pandas().iloc[0]
+    assert out["n_relevant"] == 2
+    h = out["hits"]
+    assert out["precision_ppm"] == h * 1_000_000 // 2
+    assert out["recall_ppm"] == h * 1_000_000 // 2
+    assert out["f1_ppm"] == 2 * h * 1_000_000 // 4
+    assert 1 <= h <= 2
+    # no relevant docs -> recall contract 0, precision 0
+    out2 = retrieval_pr_at_k(
+        _docs_ds(texts), {"m": "b a x"}, k=2).to_pandas().iloc[0]
+    assert out2["n_relevant"] == 0 and out2["hits"] == 0
+    assert out2["precision_ppm"] == 0
+    assert out2["recall_ppm"] == 0
+    assert out2["f1_ppm"] == 0
+
+
 def test_retrieval_mrr_rank_below_one():
     from htrc_feature_reader_ray.stages.curate import retrieval_mrr
 

@@ -657,6 +657,30 @@ def test_resource_allocation_dedups_multiedges_and_partitions():
     assert (out["n_shared"] == 1).all()
 
 
+def test_link_resolution_rate_exact():
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        link_resolution_rate,
+    )
+
+    edges = pd.DataFrame({
+        "src_url": ["https://a.com/1", "https://a.com/1",
+                    "https://a.com/2", "https://b.com/1"],
+        "dst_url": ["https://a.com/2",       # resolved (a.com/2 is a src)
+                    "https://gone.com/x",    # dead
+                    "https://b.com/1",       # resolved
+                    "https://gone.com/y"],   # dead
+    })
+    out = link_resolution_rate(
+        ray.data.from_pandas(edges).repartition(3)
+    ).to_pandas().set_index("host")
+    assert out.loc["a.com", "n_links"] == 3
+    assert out.loc["a.com", "n_resolved"] == 2
+    assert out.loc["a.com", "resolved_ppm"] == 2 * 1_000_000 // 3
+    assert out.loc["b.com", "n_links"] == 1
+    assert out.loc["b.com", "n_resolved"] == 0
+    assert out.loc["b.com", "resolved_ppm"] == 0
+
+
 def test_harmonic_centrality_matches_scalar_bfs():
     import itertools
 
