@@ -4227,6 +4227,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tie_cols=["token"], num_buckets=8,
         )
 
+    def q_local_supplier_revenue(sf):
+        """TPC-H Q5-shaped 6-table join chain (region→nation→customer→
+        orders→lineitem→supplier, customer-nation == supplier-nation):
+        revenue per ASIA nation for orders in 1996 — the deep multi-join
+        pipeline demonstrator. Scale shape: truly-tiny dims (nation,
+        region) broadcast once via ray.put; customers pruned to the
+        region's nations MAP-SIDE before any exchange; the three
+        big×big joins are co-partitioned bucket_joins each keyed on its
+        own equi-key (custkey, orderkey, suppkey); per-row exact
+        integer revenue cents·(100−d_pct)//100 computed at the lineitem
+        SCAN so only (orderkey, suppkey, rev) crosses; final fold is a
+        ≤25-row nation groupby."""
+        import datetime
+
+        import ray
+        import ray.data
+
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+
+        nat = pd.read_parquet(f"{sf}/nation.parquet")
+        reg = pd.read_parquet(f"{sf}/region.parquet")
+        rk = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+        nat = nat[nat["n_regionkey"] == rk]
+        nref = ray.put(dict(zip(nat["n_nationkey"].astype(int),
+                                nat["n_name"])))
+
+        lo = pa.scalar(datetime.datetime(1996, 1, 1),
+                       type=pa.timestamp("us"))
+        hi = pa.scalar(datetime.datetime(1997, 1, 1),
+                       type=pa.timestamp("us"))
+
+        def fo(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t.column("o_orderdate"), lo),
+                        pc.less(t.column("o_orderdate"), hi))
+            return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+        orders = ray.data.read_parquet(
+            f"{sf}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(fo, batch_format="pyarrow")
+
+        def fc(t: pa.Table) -> pa.Table:
+            keys = pa.array(
+                np.fromiter(ray.get(nref).keys(), dtype=np.int64))
+            nk = pc.cast(t.column("c_nationkey"), pa.int64())
+            t = pa.table({"c_custkey": t.column("c_custkey"),
+                          "c_nationkey": nk})
+            return t.filter(pc.is_in(t.column("c_nationkey"),
+                                     value_set=keys))
+
+        cust = ray.data.read_parquet(
+            f"{sf}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ).map_batches(fc, batch_format="pyarrow")
+
+        oc = bucket_join(orders, cust, left_key="o_custkey",
+                         right_key="c_custkey", how="inner")
+
+        def fl(t: pa.Table) -> pa.Table:
+            cents = np.round(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64)
+            dpct = np.round(
+                t.column("l_discount").to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64)
+            return pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": pa.array(cents * (100 - dpct) // 100),
+            })
+
+        li = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"],
+        ).map_batches(fl, batch_format="pyarrow")
+
+        j1 = bucket_join(li, oc, left_key="l_orderkey",
+                         right_key="o_orderkey", how="inner")
+
+        supp = ray.data.read_parquet(
+            f"{sf}/supplier.parquet",
+            columns=["s_suppkey", "s_nationkey"],
+        ).map_batches(
+            lambda t: pa.table({
+                "s_suppkey": t.column("s_suppkey"),
+                "s_nationkey": pc.cast(t.column("s_nationkey"),
+                                       pa.int64())}),
+            batch_format="pyarrow")
+
+        j2 = bucket_join(j1, supp, left_key="l_suppkey",
+                         right_key="s_suppkey", how="inner")
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("c_nationkey"),
+                                  t.column("s_nationkey")))
+            g = (pa.table({"nk": t.column("c_nationkey"),
+                           "rev": t.column("rev")})
+                 .group_by("nk")
+                 .aggregate([("rev", "sum"), ([], "count_all")]))
+            return g.rename_columns(["nk", "rev", "n"])
+
+        agg = (j2.map_batches(partial, batch_format="pyarrow")
+               .groupby("nk").sum(["rev", "n"]))
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            nm = ray.get(nref)
+            rev = df["sum(rev)"] if "sum(rev)" in df.columns else df["rev"]
+            n = df["sum(n)"] if "sum(n)" in df.columns else df["n"]
+            return pd.DataFrame({
+                "n_name": df["nk"].map(nm),
+                "n_lineitems": n.to_numpy().astype(np.int64),
+                "revenue_cents": rev.to_numpy().astype(np.int64),
+            })
+
+        return agg.map_batches(finish, batch_format="pandas")
+
     def q_customers_without_orders(sf):
         """Partitioned ANTI join (bucket_join how='anti'): right side
         pre-projected to its key column — only key presence crosses the
@@ -5296,6 +5415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_layers": q_bfs_layers,
         "harmonic_centrality": q_harmonic_centrality,
         "link_resolution_rate": q_link_resolution_rate,
+        "local_supplier_revenue": q_local_supplier_revenue,
         "retrieval_pr_at_k": q_retrieval_pr_at_k,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
@@ -6341,6 +6461,22 @@ def oracle_sql() -> dict[str, str]:
             links_pre=LINKS_PRE, seed_mod=10, n_seeds=4, max_hops=3),
         "link_resolution_rate": LINKS_PRE
         + linkgraph.link_resolution_rate_sql(edges_cte="link_edges"),
+        "local_supplier_revenue": """
+            SELECT n_name, count(*)::BIGINT AS n_lineitems,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       // 100)::BIGINT AS revenue_cents
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1""",
         "retrieval_pr_at_k": curate.retrieval_pr_at_k_sql(
             _MRR_QUERIES, k=20),
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
