@@ -2291,6 +2291,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return peak_hour_share(_events(sf, ["user_id", "ts"]),
                                key="user_id", ts="ts")
 
+    def q_datetime_features(sf):
+        """Row-level calendar features (year/month/dom/hour/isodow/
+        is_weekend, ISO weekday convention shared by pandas dt and SQL
+        date_part) — the basic feature-eng map, zero exchange."""
+        from htrc_feature_reader_ray.stages.profile import datetime_features
+
+        return datetime_features(_events(sf, ["event_id", "ts"]),
+                                 id_col="event_id", ts="ts")
+
+    def q_count_encoding(sf):
+        """Frequency encoding of event_type (exact support + freq ppm
+        vs the distributively-folded global N) — the unsupervised
+        sibling of target_encoding; one cat-bucketed fold."""
+        from htrc_feature_reader_ray.stages.profile import count_encoding
+
+        return count_encoding(_events(sf, ["event_type"]),
+                              cat_col="event_type")
+
     def q_fano_factor(sf):
         """Per-user Fano factor (Var/Mean of the zero-filled daily count
         grid, exact integer ppm) — the overdispersion test behind every
@@ -5358,6 +5376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": q_weighted_median_price,
         "hour_concentration": q_hour_concentration,
         "dow_chi2": q_dow_chi2,
+        "datetime_features": q_datetime_features,
+        "count_encoding": q_count_encoding,
         "peak_hour_share": q_peak_hour_share,
         "daily_trend": q_daily_trend,
         "activity_streaks": q_activity_streaks,
@@ -6745,6 +6765,10 @@ def oracle_sql() -> dict[str, str]:
             table="events", key="user_id", ts="ts"),
         "dow_chi2": profile_mod.dow_chi2_sql(
             table="events", key="user_id", ts="ts"),
+        "datetime_features": profile_mod.datetime_features_sql(
+            table="events", id_col="event_id", ts="ts"),
+        "count_encoding": profile_mod.count_encoding_sql(
+            table="events", cat="event_type"),
         "peak_hour_share": profile_mod.peak_hour_share_sql(
             table="events", key="user_id", ts="ts"),
         "daily_trend": temporal_mod.daily_trend_sql(

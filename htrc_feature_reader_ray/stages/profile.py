@@ -1218,6 +1218,99 @@ def quantile_transform_group_sql(*, key: str, value_expr: str, table: str,
         FROM v"""
 
 
+def datetime_features(ds, *, id_col: str, ts: str):
+    """Row-level calendar feature extraction — the most basic
+    feature-engineering map there is (every tabular-ML pipeline's first
+    derived columns), made contract-exact so the mirror replays it:
+    per row, ``year, month, dom, hour`` (proleptic-Gregorian calendar —
+    pandas datetime64 and SQL date_part agree by construction),
+    ``isodow`` (ISO: Monday=1 … Sunday=7 — the convention both pandas
+    ``dayofweek+1`` and DuckDB ``isodow`` share, chosen over the
+    ambiguous 0-based forms), and ``is_weekend`` (isodow ≥ 6, int64
+    0/1). Cyclic sin/cos encodings are deliberately omitted: libm trig
+    is not bit-stable across engines; downstream one-hots or the
+    integer fields themselves carry the signal exactly.
+
+    Scale shape: stateless zero-exchange ``map_batches``; vectorized
+    pandas ``.dt`` accessors (the calendar kernel Arrow lacks)."""
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts].astype("datetime64[us]")
+        isodow = (t.dt.dayofweek + 1).astype(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "year": t.dt.year.astype(np.int64),
+            "month": t.dt.month.astype(np.int64),
+            "dom": t.dt.day.astype(np.int64),
+            "hour": t.dt.hour.astype(np.int64),
+            "isodow": isodow,
+            "is_weekend": (isodow >= 6).astype(np.int64),
+        })
+
+    return ds.map_batches(feats, batch_format="pandas")
+
+
+def datetime_features_sql(*, table: str, id_col: str, ts: str) -> str:
+    """SQL mirror: date_part fields, isodow, the same is_weekend int."""
+    return f"""
+        SELECT {id_col},
+               date_part('year', {ts})::BIGINT AS year,
+               date_part('month', {ts})::BIGINT AS month,
+               date_part('day', {ts})::BIGINT AS dom,
+               date_part('hour', {ts})::BIGINT AS hour,
+               date_part('isodow', {ts})::BIGINT AS isodow,
+               (date_part('isodow', {ts}) >= 6)::BIGINT AS is_weekend
+        FROM {table}"""
+
+
+def count_encoding(ds, *, cat_col: str, num_buckets: int = 16):
+    """Frequency (count) encoding of a categorical column — the
+    unsupervised sibling of :func:`target_encoding` (no label leakage
+    risk, so no smoothing needed; gradient-boosting pipelines reach for
+    it first): one row per category with its exact support ``n`` and
+    ``freq_ppm = n·10⁶ // N`` against the global row count. Consumers
+    broadcast-join the (small) category table back onto rows — the
+    engine-wide dim-lookup discipline.
+
+    Scale shape: per-batch Arrow count partials (combiner) → ONE
+    cat-bucketed fold; the global N folds distributively off the
+    category table (no second data pass); stateless ppm finish."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (batch.select([cat_col]).group_by(cat_col)
+             .aggregate([([], "count_all")]))
+        return g.rename_columns([cat_col, "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        cat_col, {"n": ("n", "sum")}, num_buckets=num_buckets,
+    ).materialize()
+    big_n = int(folded.sum("n") or 0)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            cat_col: df[cat_col],
+            "n": n,
+            "freq_ppm": (n * 1_000_000) // max(big_n, 1),
+        })
+
+    return folded.map_batches(finish, batch_format="pandas")
+
+
+def count_encoding_sql(*, table: str, cat: str) -> str:
+    """SQL mirror: plain count fold + cross-joined global N."""
+    return f"""
+        WITH c AS (
+          SELECT {cat}, count(*)::BIGINT AS n FROM {table} GROUP BY 1
+        ),
+        g AS (SELECT sum(n)::BIGINT AS big_n FROM c)
+        SELECT {cat}, n,
+               (n::HUGEINT * 1000000 // big_n)::BIGINT AS freq_ppm
+        FROM c, g"""
+
+
 def target_encoding(ds, *, cat_col: str, label_expr, m: int = 10,
                     num_buckets: int = 16):
     """Smoothed target encoding of a categorical column — the classic

@@ -1550,6 +1550,39 @@ def test_peak_hour_share_bot_vs_human():
     assert out.loc[2, "share_ppm"] == 1_000_000 // 8
 
 
+def test_datetime_features_iso_convention():
+    from htrc_feature_reader_ray.stages.profile import datetime_features
+
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 3], dtype=np.int64),
+        # 2024-01-01 is a Monday; 2024-01-06 Saturday; 2024-01-07 Sunday
+        "ts": pd.to_datetime(["2024-01-01 05:30:00",
+                              "2024-01-06 23:59:59",
+                              "2024-01-07 00:00:00"]),
+    })
+    out = datetime_features(
+        ray.data.from_pandas(df), id_col="event_id", ts="ts"
+    ).to_pandas().set_index("event_id")
+    assert out.loc[1, "isodow"] == 1 and out.loc[1, "is_weekend"] == 0
+    assert out.loc[2, "isodow"] == 6 and out.loc[2, "is_weekend"] == 1
+    assert out.loc[3, "isodow"] == 7 and out.loc[3, "is_weekend"] == 1
+    assert out.loc[1, "hour"] == 5 and out.loc[2, "hour"] == 23
+    assert (out["year"] == 2024).all() and (out["month"] == 1).all()
+    assert list(out["dom"]) == [1, 6, 7]
+
+
+def test_count_encoding_exact():
+    from htrc_feature_reader_ray.stages.profile import count_encoding
+
+    df = pd.DataFrame({"c": ["a"] * 6 + ["b"] * 3 + ["z"]})
+    out = count_encoding(
+        ray.data.from_pandas(df).repartition(4), cat_col="c"
+    ).to_pandas().set_index("c")
+    assert out.loc["a", "n"] == 6 and out.loc["a", "freq_ppm"] == 600_000
+    assert out.loc["b", "freq_ppm"] == 300_000
+    assert out.loc["z", "freq_ppm"] == 100_000
+
+
 def test_hour_concentration_cron_vs_uniform():
     from htrc_feature_reader_ray.stages.profile import hour_concentration
 
