@@ -3398,6 +3398,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return k_core(extract_links(read_pages(sf, drop_text=True)), k=2)
 
+    def q_coreness(sf):
+        """Full core decomposition of the link graph (every node's core
+        NUMBER where k_core answers one fixed k): the Lü-et-al. h-index
+        iteration — c(v) <- H(neighbor c's), non-increasing, fixpoint =
+        coreness; bounded rounds + early exit == the unrolled mirror.
+        Per round one value-onto-edge co-partition + one src-keyed
+        H-fold."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            coreness,
+            extract_links,
+        )
+
+        return coreness(extract_links(read_pages(sf, drop_text=True)),
+                        max_rounds=8)
+
     def q_basket_triangles(sf):
         """Triangle census of the co-purchase graph (parts linked when
         ordered together ≥2 times) — the triangle-DENSE case exercising
@@ -5324,6 +5340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_truss": q_basket_truss,
         "value_outliers": q_value_outliers,
         "k_core": q_k_core,
+        "coreness": q_coreness,
         "event_transitions": q_event_transitions,
         "markov_stationary": q_markov_stationary,
         "event_trigrams": q_event_trigrams,
@@ -6258,6 +6275,7 @@ def oracle_sql() -> dict[str, str]:
         + linkgraph.degree_histogram_sql(edges_cte="e2"),
         "triangle_stats": LINKS_PRE + linkgraph.triangle_stats_sql(),
         "k_core": LINKS_PRE + linkgraph.k_core_sql(k=2),
+        "coreness": LINKS_PRE + linkgraph.coreness_sql(max_rounds=8),
         "quality_rule_flags": textstats.quality_rule_flags_sql(),
         "syndicated_content": f"""
             WITH aug AS (

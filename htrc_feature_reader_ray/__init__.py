@@ -179,6 +179,40 @@ def __getattr__(name):
         "shared_key_pair_counts": (
             "htrc_feature_reader_ray.stages.partition",
             "shared_key_pair_counts"),
+        "daily_autocorr": (
+            "htrc_feature_reader_ray.stages.temporal", "daily_autocorr"),
+        "gap_stats": (
+            "htrc_feature_reader_ray.stages.temporal", "gap_stats"),
+        "activity_half_life": (
+            "htrc_feature_reader_ray.stages.temporal",
+            "activity_half_life"),
+        "max_silence": (
+            "htrc_feature_reader_ray.stages.temporal", "max_silence"),
+        "seasonal_strength": (
+            "htrc_feature_reader_ray.stages.temporal", "seasonal_strength"),
+        "growth_accounting": (
+            "htrc_feature_reader_ray.stages.temporal", "growth_accounting"),
+        "hour_concentration": (
+            "htrc_feature_reader_ray.stages.profile", "hour_concentration"),
+        "dow_chi2": (
+            "htrc_feature_reader_ray.stages.profile", "dow_chi2"),
+        "weighted_median": (
+            "htrc_feature_reader_ray.stages.profile", "weighted_median"),
+        "datetime_features": (
+            "htrc_feature_reader_ray.stages.profile", "datetime_features"),
+        "count_encoding": (
+            "htrc_feature_reader_ray.stages.profile", "count_encoding"),
+        "kmeans_silhouette": (
+            "htrc_feature_reader_ray.stages.similarity",
+            "kmeans_silhouette"),
+        "harmonic_centrality": (
+            "htrc_feature_reader_ray.stages.linkgraph",
+            "harmonic_centrality"),
+        "link_resolution_rate": (
+            "htrc_feature_reader_ray.stages.linkgraph",
+            "link_resolution_rate"),
+        "retrieval_pr_at_k": (
+            "htrc_feature_reader_ray.stages.curate", "retrieval_pr_at_k"),
     }
     if name in surface:
         import importlib

@@ -1482,6 +1482,155 @@ def k_core_sql(*, k: int = 2, max_rounds: int = 12,
         WHERE d >= {k}"""
 
 
+def coreness(edges, *, max_rounds: int = 8, num_buckets: int = 32):
+    """Full core decomposition of the undirected graph — every node's
+    core NUMBER, where :func:`k_core` answers membership for one fixed
+    k — via the distributed h-index iteration (Lü, Chen, Zhang,
+    Zhou & Stanley, Nature Comm. 7:10168's H-operator): start at
+    ``c₀(v) = deg(v)`` and repeat
+
+        ``c_r(v) = H({c_{r−1}(u) : u ∈ N(v)})``
+
+    with H the Hirsch index (largest h with ≥ h neighbors valued ≥ h).
+    The sequence is pointwise non-increasing and its fixpoint IS the
+    coreness — the peeling order no sequential algorithm could
+    distribute becomes a message-passing iteration. As with k_core the
+    op is DEFINED as at most ``max_rounds`` rounds with early exit at
+    the fixpoint, so engine and unrolled mirror are equal by
+    construction (values where not yet converged are the r-th H-iterate
+    on both sides). Output: ``(url, coreness)``.
+
+    Scale shape per round: neighbor values = ONE value-onto-directed-
+    edge co-partition (state joined on the edge's dst), H-index = ONE
+    src-keyed fold with a vectorized sort-rank kernel (h = max
+    min(rank, value) over the desc-sorted neighbor values); the
+    directed adjacency (2|E|, static) materializes once, the state is
+    node-cardinality-sized; convergence test = one co-partition diff
+    producing a single driver scalar."""
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        s, d = t.column("src_url"), t.column("dst_url")
+        keep = pc.invert(pc.equal(s, d))
+        s, d = s.filter(keep), d.filter(keep)
+        return pa.table({
+            "a": pc.min_element_wise(s, d),
+            "b": pc.max_element_wise(s, d),
+        }).group_by(["a", "b"]).aggregate([])
+
+    und = bucketed_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"], {"_n": ("b", "size")}, num_buckets=num_buckets,
+    ).drop_columns(["_n"])
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": pa.concat_arrays([t.column("a").combine_chunks(),
+                                   t.column("b").combine_chunks()]),
+            "v": pa.concat_arrays([t.column("b").combine_chunks(),
+                                   t.column("a").combine_chunks()]),
+        })
+
+    dirs = und.map_batches(both_dirs,
+                           batch_format="pyarrow").materialize()
+
+    state = bucketed_aggregate(
+        dirs.map_batches(
+            lambda t: (pa.table({"node": t.column("u")})
+                       .group_by("node").aggregate([([], "count_all")])
+                       .rename_columns(["node", "c"])),
+            batch_format="pyarrow"),
+        ["node"], {"c": ("c", "sum")}, num_buckets=num_buckets,
+    ).materialize()
+
+    def hindex_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"node": pd.Series([], dtype="object"),
+                                 "c": pd.Series([], dtype="int64")})
+        cv = df["cv"].to_numpy()
+        node = df["node"].to_numpy()
+        order = np.lexsort((-cv, node))
+        node, cv = node[order], cv[order]
+        new = np.empty(len(node), dtype=bool)
+        new[0] = True
+        new[1:] = node[1:] != node[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(node), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(node)))) + 1
+        h = np.minimum(rank, cv)
+        hm = np.maximum.reduceat(h, starts)
+        return pd.DataFrame({"node": node[starts], "c": hm.astype(
+            np.int64)})
+
+    for _ in range(max_rounds):
+        vals = bucket_join(
+            dirs, state.map_batches(
+                lambda t: t.rename_columns(["nv", "cv"]),
+                batch_format="pyarrow"),
+            left_key="v", right_key="nv", how="inner",
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("u"),
+                                "cv": t.column("cv")}),
+            batch_format="pyarrow")
+        nxt = bucketed_map_groups(vals, "node", hindex_bucket,
+                                  num_buckets=num_buckets).materialize()
+        diff = bucket_join(
+            nxt, state.map_batches(
+                lambda t: t.rename_columns(["no", "c_old"]),
+                batch_format="pyarrow"),
+            left_key="node", right_key="no", how="inner",
+            num_buckets=num_buckets)
+        changed = int(diff.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [int((df["c"] != df["c_old"]).sum())]}),
+            batch_format="pandas").sum("n") or 0)
+        state = nxt
+        if changed == 0:
+            break
+
+    return state.map_batches(
+        lambda t: t.rename_columns(["url", "coreness"]),
+        batch_format="pyarrow")
+
+
+def coreness_sql(*, max_rounds: int = 8,
+                 edges_cte: str = "link_edges") -> str:
+    """SQL mirror: exactly ``max_rounds`` unrolled H-operator rounds —
+    H-index as max(least(rank, value)) over desc-sorted neighbor
+    values; equal to the engine's early-exit iteration by the fixpoint
+    argument in :func:`coreness`."""
+    sql = f"""
+        , und AS MATERIALIZED (
+            SELECT DISTINCT least(src_url, dst_url) AS a,
+                            greatest(src_url, dst_url) AS b
+            FROM {edges_cte} WHERE src_url <> dst_url
+        ), dir AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und
+        ), h0 AS MATERIALIZED (
+            SELECT u AS node, count(*)::BIGINT AS c FROM dir GROUP BY 1)"""
+    prev = "h0"
+    for r in range(1, max_rounds + 1):
+        sql += f"""
+        , h{r} AS MATERIALIZED (
+            SELECT node, max(least(rnk, cv))::BIGINT AS c FROM (
+              SELECT d.u AS node, s.c AS cv,
+                     row_number() OVER (PARTITION BY d.u
+                                        ORDER BY s.c DESC) AS rnk
+              FROM dir d JOIN {prev} s ON s.node = d.v)
+            GROUP BY 1)"""
+        prev = f"h{r}"
+    return sql + f"""
+        SELECT node AS url, c AS coreness FROM {prev}"""
+
+
 def degree_assortativity(edges, *, num_buckets: int = 32):
     """Directed degree assortativity of the crawl graph: the Pearson
     correlation, over EDGES, of (source out-degree, target in-degree) —

@@ -657,6 +657,26 @@ def test_resource_allocation_dedups_multiedges_and_partitions():
     assert (out["n_shared"] == 1).all()
 
 
+def test_coreness_clique_triangle_chain():
+    from htrc_feature_reader_ray.stages.linkgraph import coreness
+
+    # K4 {a,b,c,d} -> coreness 3; triangle {g,h,i} hung off a -> 2;
+    # pendant chain d-e-f -> e,f coreness 1
+    und = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+           ("c", "d"), ("g", "h"), ("g", "i"), ("h", "i"), ("a", "g"),
+           ("d", "e"), ("e", "f")]
+    edges = pd.DataFrame(
+        [(f"https://x/{s}", f"https://x/{t}") for s, t in und],
+        columns=["src_url", "dst_url"])
+    out = coreness(
+        ray.data.from_pandas(edges).repartition(4), max_rounds=8
+    ).to_pandas().set_index("url")["coreness"]
+    want = {"a": 3, "b": 3, "c": 3, "d": 3, "g": 2, "h": 2, "i": 2,
+            "e": 1, "f": 1}
+    for n, c in want.items():
+        assert out[f"https://x/{n}"] == c, (n, out[f"https://x/{n}"])
+
+
 def test_link_resolution_rate_exact():
     from htrc_feature_reader_ray.stages.linkgraph import (
         link_resolution_rate,
