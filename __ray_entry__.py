@@ -2199,6 +2199,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             left_key="vec_id", right_key="vid")
         return knn_label_agreement(joined, k=5)
 
+    def q_knn_label_propagation(sf):
+        """Semi-supervised kNN label spreading (Zhu-Ghahramani hard-
+        majority form): labels revealed on vec_id%5==0 seeds, 4
+        synchronous in-cell majority rounds, output = held-out accuracy
+        audit per non-seed vector reached. All rounds bucket-local —
+        one cluster exchange total."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.partition import bucket_join
+        from htrc_feature_reader_ray.stages.similarity import (
+            kmeans_fixed,
+            knn_label_propagation,
+        )
+
+        emb = ray.data.read_parquet(
+            f"{sf}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"])
+        assign = kmeans_fixed(
+            emb.drop_columns(["label"]), k=8, rounds=3
+        ).drop_columns(["dist"])
+        joined = bucket_join(
+            emb, assign.map_batches(
+                lambda df: df.rename(columns={"vec_id": "vid"}),
+                batch_format="pandas"),
+            left_key="vec_id", right_key="vid")
+        return knn_label_propagation(joined, k=5, seed_mod=5, rounds=4)
+
     def q_survival_curve(sf):
         """Kaplan-Meier user-retention curve (censoring-correct: users
         active near the window end are censored, not churned; per-step
@@ -5373,6 +5400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_rate": q_hapax_rate,
         "zipf_deviation": q_zipf_deviation,
         "knn_label_agreement": q_knn_label_agreement,
+        "knn_label_propagation": q_knn_label_propagation,
         "cdc_chunks": q_cdc_chunks,
         "knn_hubness": q_knn_hubness,
         "mutual_nn": q_mutual_nn,
@@ -6743,6 +6771,13 @@ def oracle_sql() -> dict[str, str]:
                 JOIN ({similarity_mod.kmeans_fixed_sql(k=8, rounds=3)}) a
                 USING (vec_id)""",
             k=5),
+        "knn_label_propagation": similarity_mod.knn_label_propagation_sql(
+            source_sql=f"""
+                SELECT emb.vec_id, emb.embedding, emb.label, a.cluster
+                FROM embeddings emb
+                JOIN ({similarity_mod.kmeans_fixed_sql(k=8, rounds=3)}) a
+                USING (vec_id)""",
+            k=5, seed_mod=5, rounds=4),
         "mutual_nn": similarity_mod.mutual_nn_sql(
             source_sql=f"""
                 SELECT emb.vec_id, emb.embedding, a.cluster

@@ -1425,6 +1425,149 @@ def knn_label_agreement_sql(*, source_sql: str, cluster_col: str = "cluster",
         FROM e LEFT JOIN agg a USING ({id_col})"""
 
 
+def knn_label_propagation(ds, *, cluster_col: str = "cluster",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label", k: int = 5,
+                          seed_mod: int = 5, rounds: int = 4,
+                          num_buckets: int = 16):
+    """Semi-supervised kNN label propagation (Zhu & Ghahramani's label
+    spreading in its hard-label majority form, the workhorse for
+    stretching a small labeled set across an embedding corpus): reveal
+    labels only on the deterministic seed set (``id % seed_mod == 0``),
+    then run ``rounds`` SYNCHRONOUS updates where every non-seed vector
+    takes the majority label among its k nearest cosine neighbors'
+    current labels (unlabeled neighbors abstain; zero labeled neighbors
+    → stay unlabeled; ties count-desc then label-asc). Because the
+    held-out truth is known, the output doubles as the accuracy audit
+    of the propagation: ``(id, cluster, label, prop_label, correct)``
+    for every NON-SEED vector that received a label. Seeds are input,
+    not output.
+
+    Runs in the SemDeDup posture of :func:`knn_label_agreement`: kNN
+    edges live within a coarse cell (k-means cluster / LSH bucket), so
+    the quadratic kernel AND every propagation round are bucket-local —
+    ONE cluster-bucketed exchange total, rounds are in-memory numpy
+    (one-hot bincount majority, no per-row loop). Neighbor order is the
+    module's (cosine DESC, id ASC) float64 rank-parity contract.
+    Bounded ``rounds`` == the mirror's unroll (converged early: extra
+    rounds are no-ops since majorities over unchanged labels repeat)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cell, g in df.groupby(cluster_col, sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            ids = g[id_col].to_numpy()
+            lab = g[label_col].to_numpy().astype(np.int64)
+            sz = len(g)
+            seed = (ids % seed_mod) == 0
+            if sz == 1:
+                continue
+            m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+            n = np.sqrt((m * m).sum(axis=1))
+            n[n == 0] = 1.0
+            cos = (m @ m.T) / np.outer(n, n)
+            np.fill_diagonal(cos, -np.inf)
+            order = np.argsort(-cos, axis=1, kind="stable")
+            nn = min(k, sz - 1)
+            nbr = order[:, :nn]
+            L = int(lab.max()) + 1
+            cur = np.where(seed, lab, -1)
+            rows = np.repeat(np.arange(sz, dtype=np.int64), nn)
+            for _ in range(rounds):
+                nb = cur[nbr].ravel()
+                mask = nb >= 0
+                cnt = np.zeros((sz, L), dtype=np.int64)
+                np.add.at(cnt, (rows[mask], nb[mask]), 1)
+                mx = cnt.max(axis=1)
+                best = cnt.argmax(axis=1)  # ties -> smallest label
+                cur = np.where(seed, lab, np.where(mx > 0, best, -1))
+            got = (~seed) & (cur >= 0)
+            if not got.any():
+                continue
+            out.append(pd.DataFrame({
+                id_col: ids[got],
+                cluster_col: np.repeat(cell, int(got.sum())),
+                label_col: lab[got],
+                "prop_label": cur[got].astype(np.int64),
+                "correct": (cur[got] == lab[got]).astype(np.int64),
+            }))
+        if not out:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                cluster_col: pd.Series([], dtype="int64"),
+                label_col: pd.Series([], dtype="int64"),
+                "prop_label": pd.Series([], dtype="int64"),
+                "correct": pd.Series([], dtype="int64"),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    def cast_lab(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index(label_col), label_col,
+            t.column(label_col).cast(pa.int64()))
+
+    return bucketed_map_groups(
+        ds.map_batches(cast_lab, batch_format="pyarrow"),
+        cluster_col, per_bucket, num_buckets=num_buckets)
+
+
+def knn_label_propagation_sql(*, source_sql: str,
+                              cluster_col: str = "cluster",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              label_col: str = "label", k: int = 5,
+                              seed_mod: int = 5,
+                              rounds: int = 4) -> str:
+    """SQL mirror: materialized in-cell kNN edges, seeds CTE, unrolled
+    synchronous majority rounds ((count DESC, label ASC) rank), final
+    non-seed accuracy join."""
+    sql = f"""
+        WITH e AS ({source_sql}),
+        knn AS MATERIALIZED (
+          SELECT src, dst FROM (
+            SELECT a.{id_col} AS src, b.{id_col} AS dst,
+                   row_number() OVER (
+                     PARTITION BY a.{id_col}
+                     ORDER BY list_cosine_similarity(
+                                a.{vec_col}::DOUBLE[],
+                                b.{vec_col}::DOUBLE[]) DESC,
+                              b.{id_col}) AS rn
+            FROM e a JOIN e b
+              ON a.{cluster_col} = b.{cluster_col}
+             AND a.{id_col} <> b.{id_col}
+          ) WHERE rn <= {k}
+        ),
+        seeds AS MATERIALIZED (
+          SELECT {id_col} AS node, {label_col}::BIGINT AS lab
+          FROM e WHERE {id_col} % {seed_mod} = 0
+        ),
+        l0 AS (SELECT node, lab FROM seeds)"""
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        sql += f"""
+        , m{r} AS (
+          SELECT node, lab FROM (
+            SELECT kk.src AS node, p.lab, count(*) AS c,
+                   row_number() OVER (
+                     PARTITION BY kk.src
+                     ORDER BY count(*) DESC, p.lab) AS rn
+            FROM knn kk JOIN {prev} p ON p.node = kk.dst
+            WHERE kk.src NOT IN (SELECT node FROM seeds)
+            GROUP BY 1, 2
+          ) WHERE rn = 1
+        ),
+        l{r} AS (SELECT * FROM seeds UNION ALL SELECT * FROM m{r})"""
+        prev = f"l{r}"
+    return sql + f"""
+        SELECT e.{id_col}, e.{cluster_col},
+               e.{label_col}::BIGINT AS {label_col},
+               m.lab AS prop_label,
+               (m.lab = e.{label_col})::BIGINT AS correct
+        FROM m{rounds} m JOIN e ON e.{id_col} = m.node"""
+
+
 def knn_hubness(ds, *, cluster_col: str = "cluster", id_col: str = "vec_id",
                 vec_col: str = "embedding", k: int = 5,
                 num_buckets: int = 16):

@@ -213,6 +213,43 @@ def test_edit_distance_pairs_blocking_and_threshold():
 # integer-exact k-means
 
 
+def test_knn_label_propagation_wave_and_accuracy():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        knn_label_propagation,
+    )
+
+    def at(deg):
+        r = np.deg2rad(deg)
+        return [float(np.cos(r)), float(np.sin(r))]
+
+    # seeds (id%5==0): id0 label 0 @0deg, id5 label 1 @90deg.
+    # k=1 chain: id1@10 -> id0 (round 1); id2@80 -> id5 (round 1);
+    # id3@50 -> nearest is id2@80 (30deg) -> labeled only in round 2.
+    df = pd.DataFrame({
+        "vec_id": np.array([0, 1, 2, 3, 5], dtype=np.int64),
+        "embedding": [at(0), at(10), at(80), at(50), at(90)],
+        "label": np.array([0, 0, 0, 1, 1], dtype=np.int64),
+        "cluster": np.zeros(5, dtype=np.int64),
+    })
+    out = knn_label_propagation(
+        ray.data.from_pandas(df).repartition(2),
+        k=1, seed_mod=5, rounds=2
+    ).to_pandas().set_index("vec_id")
+    assert set(out.index) == {1, 2, 3}  # seeds excluded
+    assert out.loc[1, "prop_label"] == 0 and out.loc[1, "correct"] == 1
+    assert out.loc[2, "prop_label"] == 1 and out.loc[2, "correct"] == 0
+    assert out.loc[3, "prop_label"] == 1 and out.loc[3, "correct"] == 1
+    # with rounds=1 the wave hasn't reached id3 yet
+    out1 = knn_label_propagation(
+        ray.data.from_pandas(df), k=1, seed_mod=5, rounds=1
+    ).to_pandas()
+    assert set(out1["vec_id"]) == {1, 2}
+
+
 def test_kmeans_silhouette_crisp_and_boundary():
     import numpy as np
     import pandas as pd
