@@ -4295,8 +4295,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pipeline demonstrator. Scale shape: truly-tiny dims (nation,
         region) broadcast once via ray.put; customers pruned to the
         region's nations MAP-SIDE before any exchange; the three
-        big×big joins are co-partitioned bucket_joins each keyed on its
-        own equi-key (custkey, orderkey, suppkey); per-row exact
+        big×big joins are Ray-native hash joins (Dataset.join) each
+        keyed on its own equi-key (custkey, orderkey, suppkey) — the
+        inputs are scan+map relations so the native hash-shuffle
+        aggregator applies (bucket_join stays the fallback for
+        groupby-fed sides, see stages/partition.py); per-row exact
         integer revenue cents·(100−d_pct)//100 computed at the lineitem
         SCAN so only (orderkey, suppkey, rev) crosses; final fold is a
         ≤25-row nation groupby."""
@@ -4306,8 +4309,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data
 
         import pyarrow.compute as pc
-
-        from htrc_feature_reader_ray.stages.partition import bucket_join
 
         nat = pd.read_parquet(f"{sf}/nation.parquet")
         reg = pd.read_parquet(f"{sf}/region.parquet")
@@ -4345,8 +4346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["c_custkey", "c_nationkey"],
         ).map_batches(fc, batch_format="pyarrow")
 
-        oc = bucket_join(orders, cust, left_key="o_custkey",
-                         right_key="c_custkey", how="inner")
+        oc = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",)
+                         ).select_columns(["o_orderkey", "c_nationkey"])
 
         def fl(t: pa.Table) -> pa.Table:
             cents = np.round(
@@ -4367,32 +4369,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      "l_discount"],
         ).map_batches(fl, batch_format="pyarrow")
 
-        j1 = bucket_join(li, oc, left_key="l_orderkey",
-                         right_key="o_orderkey", how="inner")
+        j1 = li.join(oc, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",)
+                     ).select_columns(["l_suppkey", "rev", "c_nationkey"])
 
-        supp = ray.data.read_parquet(
-            f"{sf}/supplier.parquet",
-            columns=["s_suppkey", "s_nationkey"],
-        ).map_batches(
-            lambda t: pa.table({
-                "s_suppkey": t.column("s_suppkey"),
-                "s_nationkey": pc.cast(t.column("s_nationkey"),
-                                       pa.int64())}),
-            batch_format="pyarrow")
-
-        j2 = bucket_join(j1, supp, left_key="l_suppkey",
-                         right_key="s_suppkey", how="inner")
+        # supplier is the dim-sized side of Q5 (smallest big table by
+        # orders of magnitude): broadcast suppkey->nationkey once and
+        # fold the locality predicate into the same map — removes the
+        # third shuffle entirely (the classic Q5 plan)
+        sup = pd.read_parquet(f"{sf}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
+        sref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                sup["s_nationkey"].astype(int))))
 
         def partial(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t.column("c_nationkey"),
-                                  t.column("s_nationkey")))
-            g = (pa.table({"nk": t.column("c_nationkey"),
-                           "rev": t.column("rev")})
+            sm = ray.get(sref)
+            sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+            snk = pd.Series(sk).map(sm).to_numpy()
+            keep = snk == t.column("c_nationkey").to_numpy(
+                zero_copy_only=False)
+            g = (pa.table({
+                    "nk": pa.array(
+                        t.column("c_nationkey").to_numpy(
+                            zero_copy_only=False)[keep]),
+                    "rev": pa.array(
+                        t.column("rev").to_numpy(
+                            zero_copy_only=False)[keep])})
                  .group_by("nk")
                  .aggregate([("rev", "sum"), ([], "count_all")]))
             return g.rename_columns(["nk", "rev", "n"])
 
-        agg = (j2.map_batches(partial, batch_format="pyarrow")
+        agg = (j1.map_batches(partial, batch_format="pyarrow")
                .groupby("nk").sum(["rev", "n"]))
 
         def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -180,6 +180,25 @@ BENCH_QUERIES = [
     "simhash_drift",
     "oov_rate",
     "span_corruption",
+    # round-2-late additions
+    "daily_autocorr",
+    "gap_stats",
+    "hour_concentration",
+    "dow_chi2",
+    "activity_half_life",
+    "max_silence",
+    "seasonal_strength",
+    "growth_accounting",
+    "weighted_median_price",
+    "datetime_features",
+    "count_encoding",
+    "kmeans_silhouette",
+    "harmonic_centrality",
+    "link_resolution_rate",
+    "coreness",
+    "local_supplier_revenue",
+    "knn_label_propagation",
+    "retrieval_pr_at_k",
 ]
 
 HEADLINE = "flagship"

@@ -127,6 +127,17 @@ def main(argv=None) -> int:
     aud.add_argument("--out", required=True)
     aud.add_argument("--num-cpus", type=int, default=None)
 
+    uaud = sub.add_parser(
+        "audit-users",
+        help="user-activity audit (growth accounting, cadence dispersion,"
+             " circadian/weekly shape, dormancy) -> one parquet per"
+             " section",
+    )
+    uaud.add_argument("--events", required=True,
+                      help="parquet with (user_id, ts)")
+    uaud.add_argument("--out", required=True)
+    uaud.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "clean-id":
@@ -359,6 +370,25 @@ def main(argv=None) -> int:
         from examples.corpus_audit import audit_corpus
 
         rep = audit_corpus(args.docs, args.events)
+        os.makedirs(args.out, exist_ok=True)
+        sizes = {}
+        for name, frame in rep.items():
+            path = os.path.join(args.out, f"{name}.parquet")
+            frame.to_parquet(path, index=False)
+            sizes[name] = len(frame)
+        print(json.dumps({"sections": sizes, "out": args.out}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "audit-users":
+        _ensure_ray(args.num_cpus)
+        import os
+
+        import ray
+
+        from examples.user_activity_audit import audit_users
+
+        rep = audit_users(args.events)
         os.makedirs(args.out, exist_ok=True)
         sizes = {}
         for name, frame in rep.items():

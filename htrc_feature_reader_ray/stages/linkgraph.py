@@ -1550,23 +1550,41 @@ def coreness(edges, *, max_rounds: int = 8, num_buckets: int = 32):
     ).materialize()
 
     def hindex_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """H-index per node over its is_self=0 neighbor values; the
+        tagged is_self=1 row carries the node's OLD value so the
+        convergence diff rides the same exchange (no separate join)."""
         if not len(df):
             return pd.DataFrame({"node": pd.Series([], dtype="object"),
-                                 "c": pd.Series([], dtype="int64")})
-        cv = df["cv"].to_numpy()
+                                 "c": pd.Series([], dtype="int64"),
+                                 "chg": pd.Series([], dtype="int64")})
+        # sort self rows (is_self=1) FIRST within a node so reduceat
+        # segments align; exclude them from rank/H via a -inf-like value
+        df = df.sort_values(["node", "is_self", "cv"],
+                            ascending=[True, False, False],
+                            kind="mergesort", ignore_index=True)
         node = df["node"].to_numpy()
-        order = np.lexsort((-cv, node))
-        node, cv = node[order], cv[order]
+        cv = df["cv"].to_numpy()
+        selfm = df["is_self"].to_numpy() == 1
         new = np.empty(len(node), dtype=bool)
         new[0] = True
         new[1:] = node[1:] != node[:-1]
         starts = np.flatnonzero(new)
-        rank = np.arange(len(node), dtype=np.int64) - np.repeat(
-            starts, np.diff(np.append(starts, len(node)))) + 1
-        h = np.minimum(rank, cv)
+        seg = np.cumsum(new) - 1
+        # neighbor rank: position within segment counting non-self only
+        pos = np.arange(len(node), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(node))))
+        nself = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(nself, seg[selfm], 1)
+        rank = pos - nself[seg] + 1  # 1-based among neighbor rows
+        h = np.where(selfm, 0, np.minimum(rank, cv))
         hm = np.maximum.reduceat(h, starts)
-        return pd.DataFrame({"node": node[starts], "c": hm.astype(
-            np.int64)})
+        old = np.zeros(len(starts), dtype=np.int64)
+        old[seg[selfm]] = cv[selfm]
+        return pd.DataFrame({
+            "node": node[starts],
+            "c": hm.astype(np.int64),
+            "chg": (hm != old).astype(np.int64),
+        })
 
     for _ in range(max_rounds):
         vals = bucket_join(
@@ -1576,22 +1594,24 @@ def coreness(edges, *, max_rounds: int = 8, num_buckets: int = 32):
             left_key="v", right_key="nv", how="inner",
             num_buckets=num_buckets,
         ).map_batches(
-            lambda t: pa.table({"node": t.column("u"),
-                                "cv": t.column("cv")}),
+            lambda t: pa.table({
+                "node": t.column("u"),
+                "cv": t.column("cv"),
+                "is_self": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64))}),
             batch_format="pyarrow")
-        nxt = bucketed_map_groups(vals, "node", hindex_bucket,
-                                  num_buckets=num_buckets).materialize()
-        diff = bucket_join(
-            nxt, state.map_batches(
-                lambda t: t.rename_columns(["no", "c_old"]),
-                batch_format="pyarrow"),
-            left_key="node", right_key="no", how="inner",
-            num_buckets=num_buckets)
-        changed = int(diff.map_batches(
-            lambda df: pd.DataFrame(
-                {"n": [int((df["c"] != df["c_old"]).sum())]}),
-            batch_format="pandas").sum("n") or 0)
-        state = nxt
+        tagged_state = state.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "cv": t.column("c"),
+                "is_self": pa.array(
+                    np.ones(t.num_rows, dtype=np.int64))}),
+            batch_format="pyarrow")
+        nxt = bucketed_map_groups(
+            vals.union(tagged_state), "node", hindex_bucket,
+            num_buckets=num_buckets).materialize()
+        changed = int(nxt.sum("chg") or 0)
+        state = nxt.drop_columns(["chg"])
         if changed == 0:
             break
 
