@@ -3164,6 +3164,164 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return contingency_chi2(
             _docs(sf, ["lang", "source"]), k1="lang", k2="source")
 
+    def q_cramers_v(sf):
+        """Cramér's V (as exact V²·10⁶) for lang × source — the
+        normalized scalar that makes contingency_chi2 a comparable
+        feature-selection ranking; per-term-floor χ² so the sum is an
+        order-free integer."""
+        from htrc_feature_reader_ray.stages.profile import cramers_v
+
+        return cramers_v(_docs(sf, ["lang", "source"]),
+                         k1="lang", k2="source")
+
+    def q_group_kfold(sf):
+        """Group-aware 5-fold CV assignment: fold = md5(user_id) % 5 so
+        ALL of a user's events share a fold (the GroupKFold leakage
+        contract as a pure function of the data — zero shuffle)."""
+        from htrc_feature_reader_ray.stages.sample import group_kfold
+
+        return group_kfold(_events(sf, ["event_id", "user_id"]),
+                           by="user_id", k=5)
+
+    def q_calibration_bins(sf):
+        """Reliability diagram of the stopword-ratio English scorer vs
+        the lang metadata label: score_ppm = n_stopwords·10⁶ // n_tokens
+        binned into deciles, per bin mean promised score vs delivered
+        en-rate — the calibration audit before trusting scores as keep
+        probabilities."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import calibration_bins
+        from htrc_feature_reader_ray.stages.textstats import (
+            STOPWORDS_EN,
+            _tok_stats,
+        )
+
+        stopset = pa.array(sorted(set(STOPWORDS_EN)))
+
+        def scored(batch: pa.Table) -> pa.Table:
+            flat, parent, n = _tok_stats(batch, "text")
+            is_stop = pc.is_in(flat, value_set=stopset).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nstop = np.zeros(n, dtype=np.int64)
+            np.add.at(nstop, parent, is_stop)
+            ntok = np.bincount(parent, minlength=n).astype(np.int64)
+            score = nstop * 1_000_000 // np.maximum(ntok, 1)
+            y = pc.equal(batch.column("lang"), "en").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"s": pa.array(score), "y": pa.array(y)})
+
+        return calibration_bins(
+            _docs(sf, ["text", "lang"]).map_batches(
+                scored, batch_format="pyarrow"),
+            score_col="s", label_col="y", num_bins=10)
+
+    def q_psi_drift(sf):
+        """PSI (floor-log2 bits form) of the event-value distribution,
+        first half of the observation month vs the second — the
+        one-number per-feature drift dashboard beside grouped_ks/EMD;
+        log2(v+1) bins, every term an exact nonneg integer."""
+        from htrc_feature_reader_ray.stages.profile import psi_drift
+
+        def prep(t: pa.Table) -> pa.Table:
+            v = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            early = (t.column("ts").to_numpy(zero_copy_only=False)
+                     < np.datetime64("2024-01-16"))
+            sd = np.where(early, "a", "b")
+            return pa.table({"v": pa.array(v),
+                             "sd": pa.array(sd, type=pa.string())})
+
+        return psi_drift(
+            _events(sf, ["ts", "value"]).map_batches(
+                prep, batch_format="pyarrow"),
+            value_col="v", side_col="sd", left="a", right="b")
+
+    def q_woe_iv(sf):
+        """Weight-of-Evidence / Information Value of the event value
+        against the purchase label — the credit-scoring feature-strength
+        screen; IV == PSI between the label-conditional distributions,
+        with the per-bin WoE direction surfaced."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import woe_iv
+
+        def prep(t: pa.Table) -> pa.Table:
+            v = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            y = pc.equal(t.column("event_type"), "purchase").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"v": pa.array(v), "y": pa.array(y)})
+
+        return woe_iv(
+            _events(sf, ["event_type", "value"]).map_batches(
+                prep, batch_format="pyarrow"),
+            value_col="v", label_col="y")
+
+    def q_pr_curve(sf):
+        """Exact precision/recall at every achievable threshold of the
+        stopword-ratio English scorer vs the lang label — the operating-
+        point table behind threshold picking; bounded score support,
+        one score-keyed fold + driver cumsum."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import pr_curve
+        from htrc_feature_reader_ray.stages.textstats import (
+            STOPWORDS_EN,
+            _tok_stats,
+        )
+
+        stopset = pa.array(sorted(set(STOPWORDS_EN)))
+
+        def scored(batch: pa.Table) -> pa.Table:
+            flat, parent, n = _tok_stats(batch, "text")
+            is_stop = pc.is_in(flat, value_set=stopset).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nstop = np.zeros(n, dtype=np.int64)
+            np.add.at(nstop, parent, is_stop)
+            ntok = np.bincount(parent, minlength=n).astype(np.int64)
+            score = nstop * 1_000_000 // np.maximum(ntok, 1)
+            y = pc.equal(batch.column("lang"), "en").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"s": pa.array(score), "y": pa.array(y)})
+
+        return pr_curve(
+            _docs(sf, ["text", "lang"]).map_batches(
+                scored, batch_format="pyarrow"),
+            score_col="s", label_col="y")
+
+    def q_pca_power(sf):
+        """Top principal axis of the embedding corpus: fixed-point power
+        iteration (max-abs normalization, truncating division) on the
+        exact integer covariance — all distributed work is the one Gram
+        fold; 8 unrolled rounds replayed by the mirror."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import pca_power
+
+        return pca_power(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]),
+            rounds=8)
+
+    def q_link_prediction(sf):
+        """Common-neighbor + neighborhood-Jaccard link prediction over
+        the crawl graph's undirected view: non-adjacent distance-2 pairs
+        scored cn·10⁶ // (deg_u+deg_v−cn); composition of the
+        association-rules pair kernel (shared wedge centers) + one
+        tag-union anti-join pass."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            link_prediction,
+        )
+
+        return link_prediction(
+            extract_links(read_pages(sf, drop_text=True)),
+            min_cn=2, max_degree=64)
+
     def q_association_rules(sf):
         """A-priori rule metrics over lineitem baskets: support /
         confidence / lift in exact integer ppm on top of the capped pair
@@ -4346,8 +4504,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["c_custkey", "c_nationkey"],
         ).map_batches(fc, batch_format="pyarrow")
 
-        oc = orders.join(cust, join_type="inner", num_partitions=16,
-                         on=("o_custkey",), right_on=("c_custkey",)
+        # Size the hash-shuffle to the cluster: each join partition pins
+        # an aggregator ACTOR, and two chained joins run concurrently in
+        # the streaming plan — 16+16 full-core actors deadlock a 4-CPU
+        # session (they must ALL schedule before either join progresses).
+        # Fractional-CPU aggregators + cpu-scaled partition count keep
+        # the same plan healthy from the 4-CPU test fixture to a 256-node
+        # cluster (where num_partitions scales up with the core count).
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nparts = max(2, min(64, ncpu // 2))
+        agg_args = {"num_cpus": 0.25}
+
+        oc = orders.join(cust, join_type="inner", num_partitions=nparts,
+                         on=("o_custkey",), right_on=("c_custkey",),
+                         aggregator_ray_remote_args=agg_args,
                          ).select_columns(["o_orderkey", "c_nationkey"])
 
         def fl(t: pa.Table) -> pa.Table:
@@ -4369,8 +4539,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      "l_discount"],
         ).map_batches(fl, batch_format="pyarrow")
 
-        j1 = li.join(oc, join_type="inner", num_partitions=16,
-                     on=("l_orderkey",), right_on=("o_orderkey",)
+        j1 = li.join(oc, join_type="inner", num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",),
+                     aggregator_ray_remote_args=agg_args,
                      ).select_columns(["l_suppkey", "rev", "c_nationkey"])
 
         # supplier is the dim-sized side of Q5 (smallest big table by
@@ -5495,6 +5666,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "lexical_diversity": q_lexical_diversity,
         "lang_source_chi2": q_lang_source_chi2,
+        "cramers_v": q_cramers_v,
+        "group_kfold": q_group_kfold,
+        "calibration_bins": q_calibration_bins,
+        "psi_drift": q_psi_drift,
+        "woe_iv": q_woe_iv,
+        "pr_curve": q_pr_curve,
+        "pca_power": q_pca_power,
+        "link_prediction": q_link_prediction,
         "association_rules": q_association_rules,
         "snapshot_intervals": q_snapshot_intervals,
         "value_mad_outliers": q_value_mad_outliers,
@@ -6372,6 +6551,56 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": curate.lexical_diversity_sql(),
         "lang_source_chi2": profile_mod.contingency_chi2_sql(
             k1="lang", k2="source", table="documents"),
+        "cramers_v": profile_mod.cramers_v_sql(
+            k1="lang", k2="source", table="documents"),
+        "group_kfold": sample.group_kfold_sql(
+            by="user_id", k=5, table="events",
+            columns="event_id, user_id"),
+        "calibration_bins": profile_mod.calibration_bins_sql(
+            table_expr=f"""(
+              SELECT
+                (SELECT coalesce(count(*) FILTER (WHERE t IN
+                    {textstats.sql_in_list(
+                        sorted(set(textstats.STOPWORDS_EN)))}), 0)
+                 FROM unnest(list_filter(string_split(text, ' '),
+                                         t -> t != '')) AS u(t)
+                )::BIGINT * 1000000
+                // greatest(len(list_filter(string_split(text, ' '),
+                                            t -> t != '')), 1) AS s,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents)""",
+            score="s", label="y", num_bins=10),
+        "psi_drift": profile_mod.psi_drift_sql(
+            table_expr="""(
+              SELECT round(value*100)::BIGINT AS v,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16'
+                          THEN 'a' ELSE 'b' END AS sd
+              FROM events)""",
+            value="v", side="sd", left="a", right="b"),
+        "woe_iv": profile_mod.woe_iv_sql(
+            table_expr="""(
+              SELECT round(value*100)::BIGINT AS v,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                         AS y
+              FROM events)""",
+            value="v", label="y"),
+        "pr_curve": profile_mod.pr_curve_sql(
+            table_expr=f"""(
+              SELECT
+                (SELECT coalesce(count(*) FILTER (WHERE t IN
+                    {textstats.sql_in_list(
+                        sorted(set(textstats.STOPWORDS_EN)))}), 0)
+                 FROM unnest(list_filter(string_split(text, ' '),
+                                         t -> t != '')) AS u(t)
+                )::BIGINT * 1000000
+                // greatest(len(list_filter(string_split(text, ' '),
+                                            t -> t != '')), 1) AS s,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents)""",
+            score="s", label="y"),
+        "pca_power": similarity_mod.pca_power_sql(rounds=8),
+        "link_prediction": LINKS_PRE + linkgraph.link_prediction_sql(
+            min_cn=2, max_degree=64),
         "association_rules": assoc_mod.association_rules_sql(
             key_col="l_orderkey", member_col="l_partkey",
             min_shared=2, max_members_per_key=64, table="lineitem"),

@@ -199,6 +199,14 @@ BENCH_QUERIES = [
     "local_supplier_revenue",
     "knn_label_propagation",
     "retrieval_pr_at_k",
+    "cramers_v",
+    "group_kfold",
+    "calibration_bins",
+    "psi_drift",
+    "woe_iv",
+    "pr_curve",
+    "pca_power",
+    "link_prediction",
 ]
 
 HEADLINE = "flagship"

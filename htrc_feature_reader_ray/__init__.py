@@ -142,6 +142,22 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.vocab", "unigram_stats"),
         "hash_split": (
             "htrc_feature_reader_ray.stages.sample", "hash_split"),
+        "group_kfold": (
+            "htrc_feature_reader_ray.stages.sample", "group_kfold"),
+        "cramers_v": (
+            "htrc_feature_reader_ray.stages.profile", "cramers_v"),
+        "calibration_bins": (
+            "htrc_feature_reader_ray.stages.profile", "calibration_bins"),
+        "psi_drift": (
+            "htrc_feature_reader_ray.stages.profile", "psi_drift"),
+        "woe_iv": (
+            "htrc_feature_reader_ray.stages.profile", "woe_iv"),
+        "pr_curve": (
+            "htrc_feature_reader_ray.stages.profile", "pr_curve"),
+        "pca_power": (
+            "htrc_feature_reader_ray.stages.similarity", "pca_power"),
+        "link_prediction": (
+            "htrc_feature_reader_ray.stages.linkgraph", "link_prediction"),
         "token_windows": (
             "htrc_feature_reader_ray.stages.chunk", "token_windows"),
         "snapshot_change": (

@@ -2216,6 +2216,136 @@ def two_hop_neighbors_sql(*, edges_cte: str = "link_edges") -> str:
         FROM un2h GROUP BY 1"""
 
 
+def link_prediction(edges, *, min_cn: int = 2, max_degree: int = 64,
+                    num_buckets: int = 32, counts_path: str = "auto"):
+    """Structural link-prediction scores (Liben-Nowell & Kleinberg,
+    CIKM'03): for every NON-adjacent url pair at distance 2, the two
+    classic neighborhood-overlap features — common-neighbor count and
+    neighborhood Jaccard
+
+        cn          = |N(u) ∩ N(v)|
+        jaccard_ppm = cn·10⁶ // (deg(u) + deg(v) − cn)
+
+    over the UNDIRECTED distinct edge view (self-loops dropped) — the
+    "which links are missing" signal: crawl-frontier prioritization
+    (a page strongly wedged into a neighborhood it doesn't link yet is
+    where the next discovery lives) and related-page suggestion beside
+    :func:`related_pages`' co-citation view.
+
+    PURE composition over oracled machinery: common neighbors ARE
+    shared-basket counts with key = the wedge CENTER and member = its
+    neighbors, so the pair table is
+    :func:`~htrc_feature_reader_ray.stages.assoc.association_rules`
+    (whose ``n_a``/``n_b`` item supports are exactly deg(u)/deg(v) here —
+    a basket containing u IS a neighbor of u), followed by one tag-union
+    anti-join pass against the edge set and a stateless jaccard finish.
+
+    Contract mirrored by the oracle: ``max_degree`` caps the CENTER
+    degree for wedge emission only (a stop-hub center wedges everything
+    to everything — non-informative and quadratic; the standard cap of
+    the pair kernel) while deg(u)/deg(v) count ALL neighbors; pairs need
+    ``cn ≥ min_cn``; existing edges are excluded. Output
+    ``(u, v, cn, deg_u, deg_v, jaccard_ppm)`` with ``u < v``.
+
+    Scale shape: the pair kernel's one center-bucketed exchange bounded
+    by ``max_degree``² per center + tiny pair fold (its documented
+    shape); the anti-join rides ONE u-bucketed tag-union pass (edge rows
+    carry ``is_edge=1`` into the same bucket — the coreness co-location
+    trick); jaccard is a vectorized in-bucket finish.
+    """
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.assoc import association_rules
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def und_view(batch: pa.Table) -> pa.Table:
+        s = _str_array(batch, "src_url")
+        d = _str_array(batch, "dst_url")
+        t = pa.concat_tables([
+            pa.table({"ctr": s, "nbr": d}),
+            pa.table({"ctr": d, "nbr": s}),
+        ])
+        t = t.filter(pc.not_equal(t.column("ctr"), t.column("nbr")))
+        return t.group_by(["ctr", "nbr"]).aggregate([])
+
+    und = edges.map_batches(und_view, batch_format="pyarrow")
+
+    assoc = association_rules(
+        und, key_col="ctr", member_col="nbr", min_shared=min_cn,
+        max_members_per_key=max_degree, counts_path=counts_path,
+        num_buckets=num_buckets)
+
+    def as_cand(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(t), dtype=np.int64))
+        return pa.table({
+            "u": _str_array(t, "item_a"), "v": _str_array(t, "item_b"),
+            "cn": t.column("n_joint").cast(pa.int64()),
+            "deg_u": t.column("n_a").cast(pa.int64()),
+            "deg_v": t.column("n_b").cast(pa.int64()),
+            "is_edge": z,
+        })
+
+    def as_edge(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.less(t.column("ctr"), t.column("nbr")))
+        z = pa.array(np.zeros(len(keep), dtype=np.int64))
+        one = pa.array(np.ones(len(keep), dtype=np.int64))
+        return pa.table({
+            "u": _str_array(keep, "ctr"), "v": _str_array(keep, "nbr"),
+            "cn": z, "deg_u": z, "deg_v": z, "is_edge": one,
+        })
+
+    tagged = assoc.map_batches(as_cand, batch_format="pyarrow").union(
+        und.map_batches(as_edge, batch_format="pyarrow"))
+
+    def anti_and_score(df):
+        cand = df.loc[df["is_edge"] == 0]
+        e = df.loc[df["is_edge"] == 1, ["u", "v"]].drop_duplicates()
+        m = cand.merge(e, on=["u", "v"], how="left", indicator=True)
+        keep = m.loc[m["_merge"] == "left_only"].drop(
+            columns=["_merge", "is_edge"])
+        cn = keep["cn"].astype("int64")
+        keep = keep.assign(
+            jaccard_ppm=(cn * 1_000_000
+                         // (keep["deg_u"].astype("int64")
+                             + keep["deg_v"].astype("int64") - cn)
+                         ).astype("int64"))
+        return keep.reset_index(drop=True)
+
+    return bucketed_map_groups(tagged, "u", anti_and_score,
+                               num_buckets=num_buckets)
+
+
+def link_prediction_sql(*, min_cn: int = 2, max_degree: int = 64,
+                        edges_cte: str = "link_edges") -> str:
+    """SQL fragment (appends to the LINKS_PRE CTE): exact replay — same
+    center-degree cap (wedges only), uncapped endpoint degrees, edge
+    anti-join, floor jaccard (nonneg, so // == floor)."""
+    return f""",
+        lp_e2 AS (SELECT DISTINCT src_url AS a, dst_url AS b
+                  FROM {edges_cte} WHERE src_url <> dst_url),
+        lp_und AS MATERIALIZED (
+          SELECT a, b FROM lp_e2 UNION SELECT b, a FROM lp_e2),
+        lp_deg AS (SELECT a, count(*) AS deg FROM lp_und GROUP BY 1),
+        lp_ctr AS (SELECT a FROM lp_deg
+                   WHERE deg BETWEEN 2 AND {max_degree}),
+        lp_w AS (
+          SELECT u1.b AS u, u2.b AS v, count(*)::BIGINT AS cn
+          FROM lp_und u1
+          JOIN lp_und u2 ON u1.a = u2.a AND u1.b < u2.b
+          JOIN lp_ctr c ON c.a = u1.a
+          GROUP BY 1, 2 HAVING count(*) >= {min_cn}
+        )
+        SELECT w.u, w.v, w.cn,
+               du.deg::BIGINT AS deg_u, dv.deg::BIGINT AS deg_v,
+               (w.cn * 1000000
+                // (du.deg + dv.deg - w.cn))::BIGINT AS jaccard_ppm
+        FROM lp_w w
+        JOIN lp_deg du ON du.a = w.u
+        JOIN lp_deg dv ON dv.a = w.v
+        WHERE NOT EXISTS (SELECT 1 FROM lp_und e
+                          WHERE e.a = w.u AND e.b = w.v)"""
+
+
 def label_communities(edges, *, iterations: int = 3, num_buckets: int = 32,
                       broadcast_limit: int = 2_000_000):
     """Deterministic synchronous label propagation (Raghavan et al. 2007,

@@ -837,6 +837,503 @@ def contingency_chi2_sql(*, k1: str, k2: str, table: str) -> str:
         FROM c JOIN r USING ({k1}) JOIN cc USING ({k2}) CROSS JOIN g"""
 
 
+def cramers_v(ds, *, k1: str, k2: str, num_buckets: int = 32):
+    """Cramér's V association strength between two categoricals, as ONE
+    comparable scalar in exact integer ppm — the normalization that makes
+    :func:`contingency_chi2` usable as a feature-selection RANKING
+    (χ² grows with n and table size, so raw χ² can't compare a 2×2 against
+    a 20×5 or a 10⁶-row feed against a 10⁹-row one; V ∈ [0,1] can —
+    Cramér 1946, the standard bias-unaware form).
+
+    Exactness contract (the per-term-floor convention shared with
+    markov/pagerank): each cell of the FULL r×c marginal grid —
+    including never-observed combinations, whose ``o = 0`` term
+    ``(rt·ct)²·10⁶ // (n·rt·ct)`` is exactly the textbook ``e`` the
+    observed-cells-only view of :func:`contingency_chi2` leaves to the
+    reader, and without which a perfectly-associated table (all mass on
+    the diagonal = maximal missing cells) would read far below V = 1 —
+    contributes
+
+        term = (n·o − rt·ct)² · 10⁶ // (n·rt·ct)
+
+    — an exact nonneg integer — and ``chi2_ppm = Σ terms`` is an
+    order-free integer sum (the reason :func:`contingency_chi2` leaves its
+    float total to the reader disappears here). Then
+
+        v2_ppm = chi2_ppm // (n · (min(r,c) − 1))
+
+    i.e. V² in ppm (V² rather than V: no integer sqrt convention needed,
+    and V² is monotone in V so the ranking is identical). A single-category
+    axis (min(r,c) = 1) has no association dimension → ``v2_ppm = 0`` by
+    documented contract.
+
+    Scale shape: identical to :func:`contingency_chi2` — per-batch Arrow
+    cell-count partials, ONE bucketed fold, driver finish over the bounded
+    cell table in Python ints (n⁴·10⁶ passes int64 — the HUGEINT-mirror
+    posture). Output: one row ``(n, k1_card, k2_card, chi2_ppm, v2_ppm)``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([k1, k2]).group_by([k1, k2]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([k1, k2, "o"])
+
+    cells = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [k1, k2], {"o": ("o", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+
+    rt = cells.groupby(k1)["o"].sum().astype("int64")
+    ct = cells.groupby(k2)["o"].sum().astype("int64")
+    n = int(cells["o"].sum())
+    observed = {(a, b): int(o) for a, b, o in
+                zip(cells[k1], cells[k2], cells["o"])}
+    chi2_ppm = 0
+    for a, r in rt.items():
+        for b, c in ct.items():
+            o = observed.get((a, b), 0)
+            chi2_ppm += ((n * o - int(r) * int(c)) ** 2 * 1_000_000
+                         // (n * int(r) * int(c)))
+    r_card = len(rt)
+    c_card = len(ct)
+    mindim = min(r_card, c_card) - 1
+    v2_ppm = chi2_ppm // (n * mindim) if mindim > 0 else 0
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "k1_card": pd.Series([r_card], dtype="int64"),
+        "k2_card": pd.Series([c_card], dtype="int64"),
+        "chi2_ppm": pd.Series([chi2_ppm], dtype="int64"),
+        "v2_ppm": pd.Series([v2_ppm], dtype="int64"),
+    })
+
+
+def cramers_v_sql(*, k1: str, k2: str, table: str) -> str:
+    """SQL mirror: HUGEINT per-cell floor terms over the FULL marginal
+    grid (CROSS JOIN of the marginals, unobserved cells at o = 0),
+    integer sum, same single-axis-⇒-0 contract (all terms nonneg so
+    DuckDB's truncating // equals floor)."""
+    return f"""
+        WITH c AS (
+            SELECT {k1}, {k2}, count(*)::HUGEINT AS o FROM {table}
+            GROUP BY 1, 2
+        ), r AS (SELECT {k1}, sum(o) AS rt FROM c GROUP BY 1),
+        cc AS (SELECT {k2}, sum(o) AS ct FROM c GROUP BY 1),
+        g AS (SELECT sum(o) AS n,
+                     count(DISTINCT {k1}) AS rcard,
+                     count(DISTINCT {k2}) AS ccard FROM c),
+        grid AS (
+          SELECT r.{k1}, cc.{k2}, r.rt, cc.ct,
+                 coalesce(c.o, 0::HUGEINT) AS o
+          FROM r CROSS JOIN cc
+          LEFT JOIN c ON c.{k1} = r.{k1} AND c.{k2} = cc.{k2}
+        ),
+        t AS (
+          SELECT ((n*o - rt*ct) * (n*o - rt*ct) * 1000000)
+                 // (n * rt * ct) AS term, n, rcard, ccard
+          FROM grid CROSS JOIN g
+        )
+        SELECT n::BIGINT AS n, rcard::BIGINT AS k1_card,
+               ccard::BIGINT AS k2_card,
+               sum(term)::BIGINT AS chi2_ppm,
+               CASE WHEN least(rcard, ccard) > 1
+                    THEN (sum(term) // (n * (least(rcard, ccard) - 1)))::BIGINT
+                    ELSE 0 END AS v2_ppm
+        FROM t GROUP BY n, rcard, ccard"""
+
+
+def calibration_bins(ds, *, score_col: str, label_col: str,
+                     num_bins: int = 10, scale: int = 1_000_000,
+                     num_buckets: int = 8):
+    """Reliability diagram over a scored corpus — the calibration audit
+    (Guo et al. ICML'17 posture, equal-width binning) every
+    quality-classifier gate runs before its scores are trusted as keep
+    probabilities: bin the integer score ``∈ [0, scale]`` into
+    ``num_bins`` equal-width bins and report, per bin, how the score
+    PROMISES (mean score) vs what the labels DELIVER (positive rate).
+    A calibrated scorer tracks the diagonal; a bin whose
+    ``pos_rate_ppm`` sits far under its ``mean_score_ppm`` is
+    over-confident exactly there — the threshold region to distrust.
+
+    Contract: ``bin = min(score·num_bins // scale, num_bins−1)`` (the
+    top edge closes the last bin); ``mean_score_ppm = Σscore // n`` (the
+    engine-wide floor convention — exact because scores are already ppm
+    integers); ``pos_rate_ppm = n_pos·10⁶ // n``. Labels are 0/1 int64;
+    negative scores violate the contract and raise. Empty bins are
+    omitted (no rows → no evidence, and the output stays audit-sized).
+
+    Scale shape: per-batch ``np.add.at`` histogram partials — each batch
+    collapses to ≤ num_bins rows of exact int64 (n, n_pos, sum_score)
+    before the ONE tiny bin-keyed fold; the ppm finish walks ≤ num_bins
+    rows on the driver.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(s) and s.min() < 0:
+            raise ValueError("calibration_bins: negative score "
+                             "(contract: score in [0, scale])")
+        b = np.minimum(s * num_bins // scale, num_bins - 1)
+        n = np.bincount(b, minlength=num_bins)
+        npos = np.zeros(num_bins, dtype=np.int64)
+        np.add.at(npos, b, y)
+        ssum = np.zeros(num_bins, dtype=np.int64)
+        np.add.at(ssum, b, s)
+        keep = n > 0
+        return pa.table({
+            "bin": pa.array(np.arange(num_bins, dtype=np.int64)[keep]),
+            "n": pa.array(n[keep].astype(np.int64)),
+            "n_pos": pa.array(npos[keep]),
+            "sum_score": pa.array(ssum[keep]),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], {"n": ("n", "sum"), "n_pos": ("n_pos", "sum"),
+                  "sum_score": ("sum_score", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    folded = folded.sort_values("bin").reset_index(drop=True)
+    n = folded["n"].astype("int64")
+    return pd.DataFrame({
+        "bin": folded["bin"].astype("int64"),
+        "n": n,
+        "n_pos": folded["n_pos"].astype("int64"),
+        "mean_score_ppm": (folded["sum_score"].astype("int64")
+                           // n).astype("int64"),
+        "pos_rate_ppm": (folded["n_pos"].astype("int64") * 1_000_000
+                         // n).astype("int64"),
+    })
+
+
+def calibration_bins_sql(*, table_expr: str, score: str, label: str,
+                         num_bins: int = 10,
+                         scale: int = 1_000_000) -> str:
+    """SQL mirror over a ``(score, label)`` table expression: identical
+    bin edge and floor-division conventions (all quantities nonneg)."""
+    return f"""
+        WITH b AS (
+          SELECT least({score} * {num_bins} // {scale}, {num_bins} - 1)
+                     AS bin,
+                 {score} AS s, {label} AS y
+          FROM {table_expr}
+        )
+        SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+               sum(y)::BIGINT AS n_pos,
+               (sum(s)::HUGEINT // count(*))::BIGINT AS mean_score_ppm,
+               (sum(y)::HUGEINT * 1000000 // count(*))::BIGINT
+                   AS pos_rate_ppm
+        FROM b GROUP BY 1"""
+
+
+def psi_drift(ds, *, value_col: str, side_col: str, left: str, right: str,
+              num_buckets: int = 8):
+    """Population Stability Index between two slices of a nonnegative
+    integer feature, in the engine's floor-log2 BITS convention — the
+    industry-standard feature-drift monitor (the credit-scoring PSI,
+    Σ (p−q)·ln(p/q), with the natural log replaced by exact ⌊log2⌋ so
+    every term is an integer both engines reproduce bit-for-bit; the
+    grouped_ks/EMD drift duo says whether and where a distribution
+    moved — PSI is the one-number per-feature dashboard row that says
+    HOW MUCH, comparable across features and days).
+
+    Binning: ``bin = ⌊log2(v+1)⌋`` (the :func:`log2_bucketize` scheme —
+    ≤ 64 bins for any int64, no quantile pass needed). Per bin:
+    ``p_ppm = n_left·10⁶ // N_left`` (and q for the right side), and
+
+        psi_term = (p_ppm − q_ppm) · (⌊log2(p_ppm+1)⌋ − ⌊log2(q_ppm+1)⌋)
+
+    — both factors share sign by ⌊log2⌋ monotonicity, so every term is
+    ≥ 0 like true PSI and the total is an order-free integer sum the
+    reader performs. Rows whose side is neither ``left`` nor ``right``
+    are ignored; values must be ≥ 0 (quantize to cents first — the
+    engine-wide convention; negatives raise).
+
+    Scale shape: per-batch (bin, side) count partials via one
+    ``np.add.at`` histogram each — ≤ 128 rows cross per batch — one tiny
+    bin-keyed fold, driver ppm/log finish over ≤ 64 bins.
+    Output: ``(bin, n_left, n_right, p_ppm, q_ppm, psi_term)`` for bins
+    observed on either side.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        side = t.column(side_col)
+        is_l = pc.equal(side, left).to_numpy(zero_copy_only=False)
+        is_r = pc.equal(side, right).to_numpy(zero_copy_only=False)
+        if len(v) and v[is_l | is_r].size and v[is_l | is_r].min() < 0:
+            raise ValueError("psi_drift: negative value "
+                             "(contract: value >= 0)")
+        b = _ilog2(v + 1)
+        nl = np.zeros(64, dtype=np.int64)
+        nr = np.zeros(64, dtype=np.int64)
+        np.add.at(nl, b[is_l], 1)
+        np.add.at(nr, b[is_r], 1)
+        keep = (nl > 0) | (nr > 0)
+        return pa.table({
+            "bin": pa.array(np.arange(64, dtype=np.int64)[keep]),
+            "n_left": pa.array(nl[keep]),
+            "n_right": pa.array(nr[keep]),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], {"n_left": ("n_left", "sum"),
+                  "n_right": ("n_right", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+
+    tl = int(folded["n_left"].sum())
+    tr = int(folded["n_right"].sum())
+    nl = folded["n_left"].astype("int64").to_numpy()
+    nr = folded["n_right"].astype("int64").to_numpy()
+    p = nl * 1_000_000 // max(tl, 1)
+    q = nr * 1_000_000 // max(tr, 1)
+    term = (p - q) * (_ilog2(p + 1) - _ilog2(q + 1))
+    return pd.DataFrame({
+        "bin": folded["bin"].astype("int64"),
+        "n_left": pd.Series(nl, dtype="int64"),
+        "n_right": pd.Series(nr, dtype="int64"),
+        "p_ppm": pd.Series(p, dtype="int64"),
+        "q_ppm": pd.Series(q, dtype="int64"),
+        "psi_term": pd.Series(term, dtype="int64"),
+    })
+
+
+def woe_iv(ds, *, value_col: str, label_col: str, num_buckets: int = 8):
+    """Weight of Evidence + Information Value per feature bin — the
+    credit-scoring feature-strength screen (Siddiqi's standard tables),
+    in the engine's floor-log2 bits convention. IV is literally
+    :func:`psi_drift` between the label-conditional distributions of the
+    feature (goods vs bads) — the identity this implementation leans on —
+    but the per-bin WoE DIRECTION is the part a modeler reads (which bins
+    vote good, which bad), so it's surfaced as its own column rather than
+    folded into the product.
+
+    Bins: ``⌊log2(v+1)⌋`` over nonneg int64 values (negatives raise).
+    Per bin, with ``g_ppm = n_good·10⁶ // N_good`` (label 0) and
+    ``b_ppm = n_bad·10⁶ // N_bad`` (label 1):
+
+        woe_bits = ⌊log2(g_ppm+1)⌋ − ⌊log2(b_ppm+1)⌋
+        iv_term  = (g_ppm − b_ppm) · woe_bits        (≥ 0, weak-sign)
+
+    Total IV = Σ iv_term — an order-free integer the reader sums
+    (>~0.3·10⁶·bits ⇒ strong predictor, the usual reading rescaled).
+    Labels are 0/1 int64.
+
+    Scale shape: per-batch double ``np.add.at`` histograms — ≤ 128 rows
+    per batch cross the ONE bin-keyed fold; ≤ 64-bin driver finish.
+    Output ``(bin, n_good, n_bad, g_ppm, b_ppm, woe_bits, iv_term)``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError("woe_iv: negative value (contract: v >= 0)")
+        b = _ilog2(v + 1)
+        ng = np.zeros(64, dtype=np.int64)
+        nb = np.zeros(64, dtype=np.int64)
+        np.add.at(ng, b, 1 - y)
+        np.add.at(nb, b, y)
+        keep = (ng > 0) | (nb > 0)
+        return pa.table({
+            "bin": pa.array(np.arange(64, dtype=np.int64)[keep]),
+            "n_good": pa.array(ng[keep]),
+            "n_bad": pa.array(nb[keep]),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], {"n_good": ("n_good", "sum"), "n_bad": ("n_bad", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("bin").reset_index(drop=True)
+
+    tg = int(folded["n_good"].sum())
+    tb = int(folded["n_bad"].sum())
+    ng = folded["n_good"].astype("int64").to_numpy()
+    nb = folded["n_bad"].astype("int64").to_numpy()
+    g = ng * 1_000_000 // max(tg, 1)
+    b = nb * 1_000_000 // max(tb, 1)
+    woe = _ilog2(g + 1) - _ilog2(b + 1)
+    return pd.DataFrame({
+        "bin": folded["bin"].astype("int64"),
+        "n_good": pd.Series(ng, dtype="int64"),
+        "n_bad": pd.Series(nb, dtype="int64"),
+        "g_ppm": pd.Series(g, dtype="int64"),
+        "b_ppm": pd.Series(b, dtype="int64"),
+        "woe_bits": pd.Series(woe, dtype="int64"),
+        "iv_term": pd.Series((g - b) * woe, dtype="int64"),
+    })
+
+
+def woe_iv_sql(*, table_expr: str, value: str, label: str) -> str:
+    """SQL mirror over a ``(value, label)`` expression: the psi_drift
+    format('{{:b}}') ⌊log2⌋ identity with label-conditional totals."""
+    def ilog2(x: str) -> str:
+        return f"(length(format('{{:b}}', {x})) - 1)"
+
+    return f"""
+        WITH base AS (
+          SELECT {ilog2(f"({value}) + 1")} AS bin, {label} AS y
+          FROM {table_expr}
+        ), c AS (
+          SELECT bin,
+                 count(*) FILTER (WHERE y = 0)::BIGINT AS n_good,
+                 count(*) FILTER (WHERE y = 1)::BIGINT AS n_bad
+          FROM base GROUP BY 1
+        ), g AS (
+          SELECT greatest(sum(n_good), 1) AS tg,
+                 greatest(sum(n_bad), 1) AS tb FROM c
+        ), pq AS (
+          SELECT bin, n_good, n_bad,
+                 (n_good::HUGEINT * 1000000 // tg)::BIGINT AS g_ppm,
+                 (n_bad::HUGEINT * 1000000 // tb)::BIGINT AS b_ppm
+          FROM c CROSS JOIN g
+        )
+        SELECT bin, n_good, n_bad, g_ppm, b_ppm,
+               ({ilog2("g_ppm + 1")} - {ilog2("b_ppm + 1")})::BIGINT
+                   AS woe_bits,
+               ((g_ppm - b_ppm)
+                * ({ilog2("g_ppm + 1")} - {ilog2("b_ppm + 1")}))::BIGINT
+                   AS iv_term
+        FROM pq"""
+
+
+def pr_curve(ds, *, score_col: str, label_col: str, num_buckets: int = 8):
+    """Exact precision/recall curve over every distinct score threshold —
+    the table behind threshold picking ("smallest keep-score giving
+    ≥95% precision"), computed distributed under the bounded-support
+    contract of :func:`numeric_profile` (distinct score values ≪ rows:
+    ppm scores, quantized features — quantize first otherwise, the
+    engine-wide convention).
+
+    Decision rule at threshold t: predict positive iff ``score ≥ t``;
+    thresholds are the observed distinct scores (every achievable
+    operating point, nothing else). Per threshold, in exact floor ppm:
+
+        precision_ppm = tp·10⁶ // n_ge       recall_ppm = tp·10⁶ // P
+
+    where ``n_ge``/``tp`` are rows/positives at score ≥ t and P is the
+    corpus positive count. A corpus with NO positives has no defined
+    recall — empty result by documented contract.
+
+    Scale shape: per-batch (score, n, n_pos) partials via Arrow group_by,
+    ONE score-keyed fold, driver desc-sort + cumsum over the bounded
+    support. Output ``(threshold, n_ge, tp, precision_ppm,
+    recall_ppm)``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([score_col, label_col]).group_by(
+            [score_col]).aggregate([([], "count_all"),
+                                    (label_col, "sum")])
+        names = g.column_names
+        # group_by output order: key, count, sum — normalize names
+        out = {"s": g.column(score_col)}
+        for nm in names:
+            if nm.endswith("count_all"):
+                out["n"] = g.column(nm).cast(pa.int64())
+            elif nm.endswith("sum"):
+                out["n_pos"] = g.column(nm).cast(pa.int64())
+        return pa.table(out)
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["s"], {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("s", ascending=False).reset_index(drop=True)
+
+    total_pos = int(folded["n_pos"].sum())
+    if total_pos == 0:
+        return pd.DataFrame({
+            "threshold": pd.Series([], dtype="int64"),
+            "n_ge": pd.Series([], dtype="int64"),
+            "tp": pd.Series([], dtype="int64"),
+            "precision_ppm": pd.Series([], dtype="int64"),
+            "recall_ppm": pd.Series([], dtype="int64"),
+        })
+    n_ge = folded["n"].astype("int64").cumsum()
+    tp = folded["n_pos"].astype("int64").cumsum()
+    return pd.DataFrame({
+        "threshold": folded["s"].astype("int64"),
+        "n_ge": n_ge.astype("int64"),
+        "tp": tp.astype("int64"),
+        "precision_ppm": (tp * 1_000_000 // n_ge).astype("int64"),
+        "recall_ppm": (tp * 1_000_000 // total_pos).astype("int64"),
+    })
+
+
+def pr_curve_sql(*, table_expr: str, score: str, label: str) -> str:
+    """SQL mirror: desc-ordered window cumulatives over the distinct
+    score support; empty when the corpus has no positives."""
+    return f"""
+        WITH base AS (
+          SELECT {score} AS s, {label} AS y FROM {table_expr}
+        ), c AS (
+          SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+          FROM base GROUP BY 1
+        ), w AS (
+          SELECT s,
+                 sum(n) OVER (ORDER BY s DESC) AS n_ge,
+                 sum(n_pos) OVER (ORDER BY s DESC) AS tp,
+                 (SELECT sum(n_pos) FROM c) AS p
+          FROM c
+        )
+        SELECT s::BIGINT AS threshold, n_ge::BIGINT AS n_ge,
+               tp::BIGINT AS tp,
+               (tp::HUGEINT * 1000000 // n_ge)::BIGINT AS precision_ppm,
+               (tp::HUGEINT * 1000000 // p)::BIGINT AS recall_ppm
+        FROM w WHERE p > 0"""
+
+
+def psi_drift_sql(*, table_expr: str, value: str, side: str,
+                  left: str, right: str) -> str:
+    """SQL mirror: ⌊log2 x⌋ = length(format('{{:b}}', x)) − 1 (the
+    surprisal-oracle identity); floor divisions are of nonnegatives so
+    DuckDB's truncating // agrees."""
+    def ilog2(x: str) -> str:
+        return f"(length(format('{{:b}}', {x})) - 1)"
+
+    return f"""
+        WITH base AS (
+          SELECT {ilog2(f"({value}) + 1")} AS bin, {side} AS sd
+          FROM {table_expr}
+          WHERE {side} IN ('{left}', '{right}')
+        ), c AS (
+          SELECT bin,
+                 count(*) FILTER (WHERE sd = '{left}')::BIGINT AS n_left,
+                 count(*) FILTER (WHERE sd = '{right}')::BIGINT AS n_right
+          FROM base GROUP BY 1
+        ), g AS (
+          SELECT greatest(sum(n_left), 1) AS tl,
+                 greatest(sum(n_right), 1) AS tr FROM c
+        ), pq AS (
+          SELECT bin, n_left, n_right,
+                 (n_left::HUGEINT * 1000000 // tl)::BIGINT AS p_ppm,
+                 (n_right::HUGEINT * 1000000 // tr)::BIGINT AS q_ppm
+          FROM c CROSS JOIN g
+        )
+        SELECT bin, n_left, n_right, p_ppm, q_ppm,
+               ((p_ppm - q_ppm)
+                * ({ilog2("p_ppm + 1")} - {ilog2("q_ppm + 1")}))::BIGINT
+                   AS psi_term
+        FROM pq"""
+
+
 # ---------------------------------------------------------------------------
 # table-level data-quality audit
 

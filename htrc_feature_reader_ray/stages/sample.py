@@ -269,6 +269,46 @@ def hash_split_sql(*, fractions: dict, by: str, salt: str = "",
         FROM {table}"""
 
 
+def group_kfold(ds, *, by: str, k: int, salt: str = "",
+                out_col: str = "fold"):
+    """Group-aware k-fold cross-validation assignment: every row gets
+    ``fold = md5(salt‖by) mod k`` — so ALL rows sharing the group key land
+    in the same fold, the property that makes CV honest when rows within a
+    group are correlated (a user's events, a domain's documents, an
+    author's posts: scikit-learn's GroupKFold contract, realized as a pure
+    function of the data instead of an index-ordered partition, so the
+    assignment is identical on any cluster shape and any row order,
+    zero-shuffle, one stateless ``map_batches``).
+
+    :func:`hash_split` is the same idea for ONE named split; k-fold is the
+    rotation form (evaluate k times, each fold held out once). Folds are
+    hash-balanced, not exactly equal-sized — the price of purity, and what
+    every production hash-splitter accepts. ``salt`` re-draws an
+    independent fold structure.
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hash64([f"{salt}{v}" for v in df[by].to_numpy()])
+        df = df.copy()
+        df[out_col] = (h % np.uint64(k)).astype(np.int64)
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def group_kfold_sql(*, by: str, k: int, salt: str = "",
+                    table: str = "documents", columns: str = "*",
+                    out_col: str = "fold") -> str:
+    """SQL mirror: ``md5_number_upper`` == engine ``md5_hash64`` (the
+    deterministic_shuffle identity); UBIGINT mod matches uint64 mod."""
+    return f"""
+        SELECT {columns},
+               (md5_number_upper('{salt}' || {by}::VARCHAR)
+                % {k}::UBIGINT)::BIGINT AS {out_col}
+        FROM {table}"""
+
+
 # ---------------------------------------------------------------------------
 # per-host document cap (anti-domination quota)
 

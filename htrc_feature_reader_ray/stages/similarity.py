@@ -1731,6 +1731,117 @@ def embedding_covariance_sql(*, table: str = "embeddings",
         GROUP BY 1, 2"""
 
 
+def pca_power(ds, *, vec_col: str = "embedding", id_col: str = "vec_id",
+              rounds: int = 8, scale: int = CENTROID_SCALE,
+              num_buckets: int = 8):
+    """Top principal component of the embedding corpus via fixed-point
+    power iteration on the exact integer covariance — the first PCA axis
+    (dominant drift/variance direction: the de-biasing vector of
+    all-but-the-top-component postprocessing, Mu & Viswanath ICLR'18, and
+    the first thing an embedding-drift monitor plots). The deflation-free
+    single-component form is deliberately chosen: it is the piece that
+    streams (everything after the d×d moment fold is driver math on a
+    BOUNDED table), and it is SQL-replayable round by round.
+
+    Iteration contract (bit-exact across parallelism and vs the mirror):
+    ``C`` = the symmetrized ``cov_ppm`` matrix from
+    :func:`embedding_covariance` (exact ints); ``v₀ = 10⁶·𝟙``; per round
+
+        raw = C @ v;   v ← sign(raw)·(|raw|·10⁶ // max|raw|)
+
+    — max-abs normalization instead of the L2 norm, because max is exact
+    and integer where a sqrt is neither (any norm works for power
+    iteration); division truncates toward zero (DuckDB ``//`` semantics,
+    the interpolate_daily convention). Fixed ``rounds`` (no convergence
+    test — the unrolled mirror must replay the same count; covariance is
+    PSD so iterates don't oscillate). ``eig_ppm`` is the final Rayleigh
+    quotient ``Σv·raw // Σv²`` (≈ 10⁶·λ in the float-covariance domain),
+    constant across rows. An all-zero covariance (constant corpus) has no
+    principal direction and raises.
+
+    Scale shape: ALL distributed work is :func:`embedding_covariance`'s
+    one Gram-partial fold; the iteration itself touches only the d²
+    table in Python ints (Σv·raw ≈ d·10⁶·d·10¹² passes int64 — the
+    HUGEINT-mirror posture). Output: ``(dim, component_ppm, eig_ppm)``.
+    """
+    cov = embedding_covariance(
+        ds, vec_col=vec_col, id_col=id_col, scale=scale,
+        num_buckets=num_buckets).to_pandas()
+
+    d = int(cov["j"].max()) + 1
+    C = [[0] * d for _ in range(d)]
+    for i, j, c in zip(cov["i"], cov["j"], cov["cov_ppm"]):
+        C[int(i)][int(j)] = int(c)
+        C[int(j)][int(i)] = int(c)
+
+    def trunc_div(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    v = [1_000_000] * d
+    eig = 0
+    for _ in range(rounds):
+        raw = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in raw)
+        if m == 0:
+            raise ValueError("pca_power: zero covariance matrix "
+                             "(constant corpus has no principal axis)")
+        svr = sum(a * b for a, b in zip(v, raw))
+        svv = sum(a * a for a in v)
+        eig = trunc_div(svr, svv)
+        v = [trunc_div(x * 1_000_000, m) for x in raw]
+
+    return pd.DataFrame({
+        "dim": pd.Series(range(d), dtype="int64"),
+        "component_ppm": pd.Series(v, dtype="int64"),
+        "eig_ppm": pd.Series([eig] * d, dtype="int64"),
+    })
+
+
+def pca_power_sql(*, table: str = "embeddings",
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  rounds: int = 8, scale: int = CENTROID_SCALE) -> str:
+    """SQL mirror: the covariance oracle as a derived table, symmetrized,
+    then ``rounds`` unrolled (join → max-abs → sign-split truncating
+    division) CTE rounds; the final Rayleigh quotient uses the last
+    round's pre-normalization ``raw`` exactly like the engine."""
+    cov_inner = embedding_covariance_sql(
+        table=table, vec_col=vec_col, id_col=id_col, scale=scale)
+    parts = [f"""
+        WITH cov AS MATERIALIZED ({cov_inner}),
+        sym AS (
+          SELECT i, j, cov_ppm FROM cov
+          UNION ALL
+          SELECT j AS i, i AS j, cov_ppm FROM cov WHERE i < j
+        ),
+        v0 AS (SELECT DISTINCT i AS dim, 1000000::HUGEINT AS val
+               FROM sym)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+        r{r} AS (
+          SELECT s.i AS dim, sum(s.cov_ppm::HUGEINT * v.val) AS raw
+          FROM sym s JOIN v{r - 1} v ON s.j = v.dim GROUP BY 1
+        ),
+        m{r} AS (SELECT max(abs(raw)) AS m FROM r{r}),
+        v{r} AS (
+          SELECT dim,
+                 CASE WHEN raw < 0 THEN -((-raw) * 1000000 // m)
+                      ELSE raw * 1000000 // m END AS val
+          FROM r{r} CROSS JOIN m{r}
+        )""")
+    parts.append(f""",
+        e AS (
+          SELECT CASE WHEN svr < 0 THEN -((-svr) // svv)
+                      ELSE svr // svv END AS eig_ppm
+          FROM (SELECT sum(v.val * r.raw) AS svr,
+                       sum(v.val * v.val) AS svv
+                FROM v{rounds - 1} v JOIN r{rounds} r ON v.dim = r.dim)
+        )
+        SELECT v.dim::BIGINT AS dim, v.val::BIGINT AS component_ppm,
+               e.eig_ppm::BIGINT AS eig_ppm
+        FROM v{rounds} v CROSS JOIN e""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # retrieval-quality evaluation: recall@k of an ANN path vs the exact top-k
 

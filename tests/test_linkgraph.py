@@ -828,3 +828,55 @@ def test_k_truss_peels_to_fixpoint():
 
     with pytest.raises(ValueError):
         k_truss(ds, k=2)
+
+
+def test_link_prediction_cycle_and_edge_exclusion():
+    from htrc_feature_reader_ray.stages.linkgraph import link_prediction
+
+    # 4-cycle A-B-C-D-A (directed one way; the undirected view closes it):
+    # the two diagonals (A,C) and (B,D) each share BOTH their wedge
+    # centers -> cn=2; all degrees are 2 -> jaccard = 2/(2+2-2) = 1e6
+    pairs = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "A")]
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src_url": [p[0] for p in pairs],
+        "dst_url": [p[1] for p in pairs],
+    })).repartition(3)
+    out = (link_prediction(edges, min_cn=2).to_pandas()
+           .sort_values(["u", "v"]).reset_index(drop=True))
+    assert list(zip(out["u"], out["v"])) == [("A", "C"), ("B", "D")]
+    assert (out["cn"] == 2).all()
+    assert (out["deg_u"] == 2).all() and (out["deg_v"] == 2).all()
+    assert (out["jaccard_ppm"] == 1_000_000).all()
+
+    # triangle A-B-C plus D linked to A and B: the pair (A,B) shares two
+    # centers (C and D) but IS an edge -> excluded; (C,D) shares A and B
+    # and is not an edge -> cn=2, deg both 2... deg_C=2 (A,B), deg_D=2
+    pairs2 = [("A", "B"), ("B", "C"), ("A", "C"), ("A", "D"), ("B", "D")]
+    e2 = ray.data.from_pandas(pd.DataFrame({
+        "src_url": [p[0] for p in pairs2],
+        "dst_url": [p[1] for p in pairs2],
+    }))
+    o2 = (link_prediction(e2, min_cn=2).to_pandas()
+          .sort_values(["u", "v"]).reset_index(drop=True))
+    assert list(zip(o2["u"], o2["v"])) == [("C", "D")]
+    r = o2.iloc[0]
+    # deg_C = deg_D = 2, cn = 2 -> jaccard = 2e6 // 2 = 1e6
+    assert r["cn"] == 2 and r["jaccard_ppm"] == 1_000_000
+
+    # hub cap: center degree above max_degree emits no wedges, but the
+    # hub still counts toward endpoint degrees
+    hub_pairs = [("H", f"n{i}") for i in range(5)] + [("n0", "X"),
+                                                      ("n1", "X")]
+    e3 = ray.data.from_pandas(pd.DataFrame({
+        "src_url": [p[0] for p in hub_pairs],
+        "dst_url": [p[1] for p in hub_pairs],
+    }))
+    o3 = (link_prediction(e3, min_cn=2, max_degree=4).to_pandas()
+          .sort_values(["u", "v"]).reset_index(drop=True))
+    # H's wedges (all ni pairs via H) are suppressed by the cap (deg 5);
+    # X's wedges give (n0, n1) cn>=... n0,n1 share ONLY X as a usable
+    # center -> cn=1 < 2 -> nothing; (H, X) shares n0 and n1 -> cn=2,
+    # deg_H=5 (uncapped count), deg_X=2 -> jaccard = 2e6 // 5
+    assert list(zip(o3["u"], o3["v"])) == [("H", "X")]
+    assert o3.iloc[0]["deg_u"] == 5 and o3.iloc[0]["deg_v"] == 2
+    assert o3.iloc[0]["jaccard_ppm"] == 2_000_000 // 5

@@ -1821,3 +1821,179 @@ def test_trimmed_mean_exact_partial_buckets():
     o4 = trimmed_mean(ray.data.from_pandas(df2), group_col="g",
                       value_col="v", trim_ppm=600_000).to_pandas()
     assert len(o4) == 0
+
+
+def test_cramers_v_perfect_and_independent():
+    from htrc_feature_reader_ray.stages.profile import cramers_v
+
+    # perfect 2x2 association: full-grid chi2 == n exactly (the two
+    # empty diagonal-complement cells contribute their e terms), V2 = 1
+    rows = ([{"lang": "en", "src": "a"}] * 30
+            + [{"lang": "de", "src": "b"}] * 20)
+    out = cramers_v(ray.data.from_items(rows).repartition(4),
+                    k1="lang", k2="src")
+    r = out.iloc[0]
+    assert r["n"] == 50 and r["k1_card"] == 2 and r["k2_card"] == 2
+    assert r["chi2_ppm"] == 50 * 1_000_000
+    assert r["v2_ppm"] == 1_000_000
+    # exact independence (balanced grid): every term 0
+    rows2 = [{"lang": lg, "src": s}
+             for lg in ("en", "de") for s in ("a", "b", "c")
+             for _ in range(7)]
+    o2 = cramers_v(ray.data.from_items(rows2).repartition(5),
+                   k1="lang", k2="src")
+    assert o2.iloc[0]["chi2_ppm"] == 0 and o2.iloc[0]["v2_ppm"] == 0
+    # single-category axis: no association dimension -> 0 by contract
+    rows3 = [{"lang": "en", "src": s} for s in ("a", "b", "a", "c")]
+    o3 = cramers_v(ray.data.from_items(rows3), k1="lang", k2="src")
+    assert o3.iloc[0]["v2_ppm"] == 0
+
+
+def test_calibration_bins_hand():
+    from htrc_feature_reader_ray.stages.profile import calibration_bins
+
+    # scores in ppm; bin = min(s*10 // 1e6, 9); scale top edge closes
+    df = pd.DataFrame({
+        "s": np.array([50_000, 99_999, 950_000, 1_000_000, 820_000],
+                      dtype=np.int64),
+        "y": np.array([0, 1, 1, 1, 0], dtype=np.int64),
+    })
+    out = calibration_bins(ray.data.from_pandas(df).repartition(3),
+                           score_col="s", label_col="y")
+    out = out.set_index("bin")
+    # bin 0: scores 50000, 99999 -> n=2, pos=1
+    assert out.loc[0, "n"] == 2 and out.loc[0, "n_pos"] == 1
+    assert out.loc[0, "mean_score_ppm"] == (50_000 + 99_999) // 2
+    assert out.loc[0, "pos_rate_ppm"] == 500_000
+    # bin 8: 820000 alone, neg
+    assert out.loc[8, "n"] == 1 and out.loc[8, "pos_rate_ppm"] == 0
+    # top edge: s == scale lands in bin 9 with 950000
+    assert out.loc[9, "n"] == 2 and out.loc[9, "n_pos"] == 2
+    # empty bins omitted
+    assert set(out.index) == {0, 8, 9}
+    # negative score violates the contract
+    bad = pd.DataFrame({"s": np.array([-1], dtype=np.int64),
+                        "y": np.array([0], dtype=np.int64)})
+    import pytest
+    with pytest.raises(Exception):
+        calibration_bins(ray.data.from_pandas(bad),
+                         score_col="s", label_col="y")
+
+
+def test_psi_drift_hand_and_zero():
+    from htrc_feature_reader_ray.stages.profile import psi_drift
+
+    # identical sides -> every term exactly 0
+    df = pd.DataFrame({
+        "v": np.array([0, 1, 3, 7, 100] * 4, dtype=np.int64),
+        "sd": ["a", "a", "a", "a", "a", "b", "b", "b", "b", "b"] * 2,
+    })
+    out = psi_drift(ray.data.from_pandas(df).repartition(3),
+                    value_col="v", side_col="sd", left="a", right="b")
+    assert (out["psi_term"] == 0).all()
+    assert (out["p_ppm"] == out["q_ppm"]).all()
+    # hand case: left all in bin 0 (v=0), right all in bin 3 (v in 7..14)
+    df2 = pd.DataFrame({
+        "v": np.array([0] * 4 + [8] * 4, dtype=np.int64),
+        "sd": ["a"] * 4 + ["b"] * 4,
+    })
+    o2 = psi_drift(ray.data.from_pandas(df2).repartition(2),
+                   value_col="v", side_col="sd", left="a", right="b")
+    o2 = o2.set_index("bin")
+    # bin 0: p=1e6, q=0 -> term = 1e6 * (ilog2(1e6+1) - ilog2(1))
+    #      = 1e6 * (19 - 0)
+    assert o2.loc[0, "psi_term"] == 1_000_000 * 19
+    assert o2.loc[3, "psi_term"] == 1_000_000 * 19
+    # terms are always nonnegative (weak-sign agreement of the factors)
+    assert (o2["psi_term"] >= 0).all()
+    # rows of other sides are ignored
+    df3 = pd.concat([df2, pd.DataFrame(
+        {"v": np.array([10**12], dtype=np.int64), "sd": ["zz"]})])
+    o3 = psi_drift(ray.data.from_pandas(df3), value_col="v",
+                   side_col="sd", left="a", right="b")
+    assert set(o3["bin"]) == {0, 3}
+
+
+def test_group_kfold_contract():
+    from htrc_feature_reader_ray.stages.sample import group_kfold
+
+    df = pd.DataFrame({
+        "event_id": np.arange(200, dtype=np.int64),
+        "user_id": np.arange(200, dtype=np.int64) % 17,
+    })
+    out = group_kfold(ray.data.from_pandas(df).repartition(8),
+                      by="user_id", k=5).to_pandas()
+    # every group maps to exactly one fold
+    assert (out.groupby("user_id")["fold"].nunique() == 1).all()
+    assert out["fold"].between(0, 4).all()
+    # pure function of the data: partitioning-independent
+    o2 = group_kfold(ray.data.from_pandas(df).repartition(1),
+                     by="user_id", k=5).to_pandas()
+    merged = out.drop_duplicates("user_id").merge(
+        o2.drop_duplicates("user_id"), on="user_id")
+    assert (merged["fold_x"] == merged["fold_y"]).all()
+    # salt re-draws an independent fold structure
+    o3 = group_kfold(ray.data.from_pandas(df), by="user_id", k=5,
+                     salt="other").to_pandas()
+    m3 = out.drop_duplicates("user_id").merge(
+        o3.drop_duplicates("user_id"), on="user_id")
+    assert (m3["fold_x"] != m3["fold_y"]).any()
+
+
+def test_woe_iv_hand():
+    from htrc_feature_reader_ray.stages.profile import woe_iv
+
+    # goods all small (bin 0: v=0), bads all large (bin 3: v=8)
+    df = pd.DataFrame({
+        "v": np.array([0] * 4 + [8] * 4, dtype=np.int64),
+        "y": np.array([0] * 4 + [1] * 4, dtype=np.int64),
+    })
+    out = woe_iv(ray.data.from_pandas(df).repartition(3),
+                 value_col="v", label_col="y").set_index("bin")
+    # bin 0: g=1e6, b=0 -> woe = ilog2(1e6+1) - ilog2(1) = 19
+    assert out.loc[0, "woe_bits"] == 19
+    assert out.loc[0, "iv_term"] == 1_000_000 * 19
+    # bin 3: g=0, b=1e6 -> woe = -19, iv_term = (-1e6)*(-19) >= 0
+    assert out.loc[3, "woe_bits"] == -19
+    assert out.loc[3, "iv_term"] == 1_000_000 * 19
+    assert (out["iv_term"] >= 0).all()
+    # non-informative feature: same distribution per label -> all 0
+    df2 = pd.DataFrame({
+        "v": np.array([0, 8] * 6, dtype=np.int64),
+        "y": np.array([0, 0, 1, 1] * 3, dtype=np.int64),
+    })
+    o2 = woe_iv(ray.data.from_pandas(df2), value_col="v", label_col="y")
+    assert (o2["iv_term"] == 0).all() and (o2["woe_bits"] == 0).all()
+
+
+def test_pr_curve_hand():
+    from htrc_feature_reader_ray.stages.profile import pr_curve
+
+    # scores: 90 (pos), 80 (neg), 80 (pos), 10 (neg)
+    df = pd.DataFrame({
+        "s": np.array([90, 80, 80, 10], dtype=np.int64),
+        "y": np.array([1, 0, 1, 0], dtype=np.int64),
+    })
+    out = (pr_curve(ray.data.from_pandas(df).repartition(3),
+                    score_col="s", label_col="y")
+           .sort_values("threshold", ascending=False)
+           .reset_index(drop=True))
+    assert list(out["threshold"]) == [90, 80, 10]
+    # t=90: 1 row, 1 tp -> precision 1e6, recall 1/2
+    assert out.iloc[0]["precision_ppm"] == 1_000_000
+    assert out.iloc[0]["recall_ppm"] == 500_000
+    # t=80: 3 rows, 2 tp -> precision 2e6//3, recall 1e6
+    assert out.iloc[1]["precision_ppm"] == 2_000_000 // 3
+    assert out.iloc[1]["recall_ppm"] == 1_000_000
+    # t=10: 4 rows, 2 tp
+    assert out.iloc[2]["precision_ppm"] == 500_000
+    assert out.iloc[2]["recall_ppm"] == 1_000_000
+    # recall is monotone nonincreasing in threshold (cum property)
+    assert (out["recall_ppm"].diff().dropna() >= 0).all()
+    # no positives -> empty by contract, typed schema kept
+    df2 = pd.DataFrame({"s": np.array([5, 6], dtype=np.int64),
+                        "y": np.array([0, 0], dtype=np.int64)})
+    o2 = pr_curve(ray.data.from_pandas(df2), score_col="s",
+                  label_col="y")
+    assert len(o2) == 0 and list(o2.columns) == [
+        "threshold", "n_ge", "tp", "precision_ppm", "recall_ppm"]

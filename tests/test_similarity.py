@@ -672,3 +672,52 @@ def test_mutual_nn_reciprocity_filters_hubs():
     df2["cluster"] = [0, 1, 0, 1]
     out2 = mutual_nn(ray.data.from_pandas(df2)).to_pandas()
     assert (0, 1) not in set(zip(out2["vec_a"], out2["vec_b"]))
+
+
+def test_pca_power_dominant_axis_and_invariance():
+    from htrc_feature_reader_ray.stages.similarity import (
+        embedding_covariance,
+        pca_power,
+    )
+
+    rng = np.random.default_rng(7)
+    # dominant variance along axis 0, small isotropic noise elsewhere
+    m = np.zeros((60, 4), dtype=np.float64)
+    m[:, 0] = rng.normal(0, 1.0, 60)
+    m[:, 1:] = rng.normal(0, 0.05, (60, 3))
+    df = pd.DataFrame({"vec_id": range(60),
+                       "embedding": list(m.astype(np.float32))})
+
+    out = pca_power(ray.data.from_pandas(df).repartition(5), rounds=8)
+    out = out.sort_values("dim").reset_index(drop=True)
+    v = out["component_ppm"].to_numpy().astype(np.float64)
+    # max-abs normalization contract: the peak component is +-1e6
+    assert np.abs(v).max() == 1_000_000
+    assert np.abs(v).argmax() == 0
+    # direction matches numpy's top eigenvector of the engine's own
+    # exact integer covariance (cosine ~ 1)
+    cov = embedding_covariance(
+        ray.data.from_pandas(df)).to_pandas()
+    d = 4
+    C = np.zeros((d, d))
+    for i, j, c in zip(cov["i"], cov["j"], cov["cov_ppm"]):
+        C[int(i), int(j)] = C[int(j), int(i)] = float(c)
+    w, vec = np.linalg.eigh(C)
+    top = vec[:, np.argmax(w)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999
+    # eig_ppm ~ top eigenvalue of the ppm covariance (within 1%)
+    eig = float(out["eig_ppm"].iloc[0])
+    assert abs(eig - w.max()) <= 0.01 * w.max()
+    # bit-identical across parallelism
+    o2 = pca_power(ray.data.from_pandas(df).repartition(1), rounds=8)
+    pd.testing.assert_frame_equal(
+        out, o2.sort_values("dim").reset_index(drop=True))
+    # constant corpus: zero covariance has no principal axis
+    dfc = pd.DataFrame({
+        "vec_id": range(8),
+        "embedding": [np.ones(3, dtype=np.float32)] * 8,
+    })
+    import pytest
+    with pytest.raises(Exception):
+        pca_power(ray.data.from_pandas(dfc), rounds=2)
