@@ -138,6 +138,17 @@ def main(argv=None) -> int:
     uaud.add_argument("--out", required=True)
     uaud.add_argument("--num-cpus", type=int, default=None)
 
+    gaud = sub.add_parser(
+        "audit-graph",
+        help="link-graph audit (components, degree shape, cohesion,"
+             " crawl health, importance, link suggestions) -> one parquet"
+             " per section",
+    )
+    gaud.add_argument("--sf-dir", required=True,
+                      help="directory with the pages fixture tables")
+    gaud.add_argument("--out", required=True)
+    gaud.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "clean-id":
@@ -370,6 +381,25 @@ def main(argv=None) -> int:
         from examples.corpus_audit import audit_corpus
 
         rep = audit_corpus(args.docs, args.events)
+        os.makedirs(args.out, exist_ok=True)
+        sizes = {}
+        for name, frame in rep.items():
+            path = os.path.join(args.out, f"{name}.parquet")
+            frame.to_parquet(path, index=False)
+            sizes[name] = len(frame)
+        print(json.dumps({"sections": sizes, "out": args.out}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "audit-graph":
+        _ensure_ray(args.num_cpus)
+        import os
+
+        import ray
+
+        from examples.link_graph_audit import audit_graph
+
+        rep = audit_graph(args.sf_dir)
         os.makedirs(args.out, exist_ok=True)
         sizes = {}
         for name, frame in rep.items():

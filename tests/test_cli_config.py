@@ -120,3 +120,26 @@ def test_cli_audit_corpus(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["sections"]["eval_suite"] == 100
     assert (out / "zipf.parquet").exists()
+
+
+def test_cli_audit_graph(tmp_path, capsys):
+    import json
+
+    from htrc_feature_reader_ray.__main__ import main
+
+    out = tmp_path / "gaudit"
+    rc = main([
+        "audit-graph",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep["sections"]) == {
+        "components", "degree_histogram", "clustering", "coreness",
+        "assortativity", "reciprocity", "frontier", "resolution",
+        "pagerank_top", "harmonic", "suggestions"}
+    assert rep["sections"]["clustering"] == 1
+    assert rep["sections"]["pagerank_top"] <= 50
+    assert (out / "coreness.parquet").exists()
+    assert (out / "suggestions.parquet").exists()
