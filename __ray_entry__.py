@@ -619,6 +619,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dedup_clusters(q_dedup_minhash(sf))
 
+    def q_dedup_cluster_sizes(sf):
+        """Cluster-size histogram over the minhash dup clusters — the
+        dedup-health curve (size-2 tail = near-dup noise, big-cluster
+        head = template boilerplate worth a look before deleting);
+        composition: dedup_clusters → one cluster-keyed count fold →
+        tiny size fold."""
+        from htrc_feature_reader_ray.stages.dedup import dedup_cluster_sizes
+
+        return dedup_cluster_sizes(q_dedup_clusters(sf))
+
+    def q_robust_scale(sf):
+        """Median/IQR scaling of event value cents (sklearn RobustScaler
+        in exact integer ppm — the outlier-proof scaler beside the
+        z-score); quantiles from the bounded-support fold, stateless
+        scale map, truncating division."""
+        from htrc_feature_reader_ray.stages.profile import robust_scale
+
+        def cents(t: pa.Table) -> pa.Table:
+            v = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({"event_id": t.column("event_id"),
+                             "v": pa.array(v)})
+
+        return robust_scale(
+            _events(sf, ["event_id", "value"]).map_batches(
+                cents, batch_format="pyarrow"),
+            value_col="v")
+
     def q_daily_novelty(sf):
         """Per-day crawl content novelty (n_new distinct digests / all
         distinct digests that day, ppm) — the recrawl-budget dashboard.
@@ -5472,6 +5501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set is the tiny near-dup subset; 'distributed' label propagation
         # covers the edge-list-exceeds-one-node regime)
         "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "robust_scale": q_robust_scale,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "source_overlap": q_source_overlap,
@@ -5812,6 +5843,24 @@ JACCARD_PAIRS_BODY = SHINGLES_BODY + r""", sizes AS (
     )"""
 
 JACCARD_PAIRS_PRE = "WITH " + JACCARD_PAIRS_BODY
+
+# connected components over the minhash dup pairs (recursive min-reach
+# closure) — used verbatim by dedup_clusters and, as a derived table, by
+# the dedup_cluster_sizes composition oracle
+_DEDUP_CLUSTERS_ORACLE = "WITH RECURSIVE " + JACCARD_PAIRS_BODY + """,
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jac_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac_pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM sym
+    ), walk(node, reach) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
+    )
+    SELECT node AS doc_id, min(reach)::BIGINT AS cluster_id
+    FROM walk GROUP BY 1"""
 
 
 def _metadata_sql() -> str:
@@ -6577,6 +6626,11 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'a' ELSE 'b' END AS sd
               FROM events)""",
             value="v", side="sd", left="a", right="b"),
+        "robust_scale": profile_mod.robust_scale_sql(
+            table_expr="""(SELECT event_id,
+                                  round(value*100)::BIGINT AS v
+                           FROM events)""",
+            value="v", columns="event_id, v"),
         "woe_iv": profile_mod.woe_iv_sql(
             table_expr="""(
               SELECT round(value*100)::BIGINT AS v,
@@ -7910,20 +7964,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN cl ON cl.node = d.doc_id
             LEFT JOIN cs ON cs.cluster_id = cl.cluster_id""",
-        "dedup_clusters": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + """,
-            sym AS (
-              SELECT doc_a AS src, doc_b AS dst FROM jac_pairs
-              UNION ALL
-              SELECT doc_b, doc_a FROM jac_pairs
-            ), nodes AS (
-              SELECT DISTINCT src AS node FROM sym
-            ), walk(node, reach) AS (
-              SELECT node, node FROM nodes
-              UNION
-              SELECT w.node, s.dst FROM walk w JOIN sym s ON w.reach = s.src
-            )
-            SELECT node AS doc_id, min(reach)::BIGINT AS cluster_id
-            FROM walk GROUP BY 1""",
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
+        # composition oracle: the cluster walk as a derived table, then
+        # the size histogram's two GROUP BYs
+        "dedup_cluster_sizes": f"""
+            SELECT size, count(*)::BIGINT AS n_clusters FROM (
+              SELECT cluster_id, count(*)::BIGINT AS size
+              FROM ({_DEDUP_CLUSTERS_ORACLE}) GROUP BY 1
+            ) GROUP BY 1""",
         # per-source dup-loser rollup: the cluster walk, losers = members
         # above their cluster min, LEFT-joined onto the docs table
         "dedup_rate_by_source": "WITH RECURSIVE " + JACCARD_PAIRS_BODY + """,

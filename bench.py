@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "pr_curve",
     "pca_power",
     "link_prediction",
+    "robust_scale",
+    "dedup_cluster_sizes",
 ]
 
 HEADLINE = "flagship"

@@ -154,6 +154,10 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.profile", "woe_iv"),
         "pr_curve": (
             "htrc_feature_reader_ray.stages.profile", "pr_curve"),
+        "robust_scale": (
+            "htrc_feature_reader_ray.stages.profile", "robust_scale"),
+        "dedup_cluster_sizes": (
+            "htrc_feature_reader_ray.stages.dedup", "dedup_cluster_sizes"),
         "pca_power": (
             "htrc_feature_reader_ray.stages.similarity", "pca_power"),
         "link_prediction": (

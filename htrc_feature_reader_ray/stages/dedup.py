@@ -839,6 +839,48 @@ def dedup_clusters(pairs_ds, *, a_col: str = "doc_a", b_col: str = "doc_b",
     )
 
 
+def dedup_cluster_sizes(clusters, *, cluster_col: str = "cluster_id",
+                        num_buckets: int = 16):
+    """Cluster-size histogram ``(size, n_clusters)`` over a
+    :func:`dedup_clusters` assignment — the dedup-health curve the
+    SemDeDup/D4 line of work plots before choosing a keep policy: a long
+    tail of size-2 clusters is near-dup noise a keep-first policy prices
+    at ~0; a head of size-10⁴ clusters is template boilerplate whose
+    removal changes the corpus mixture and deserves a look BEFORE the
+    delete pass runs. (Note :func:`dedup_clusters` emits only nodes that
+    appear in a dup pair, so size ≥ 2 always — singletons are the
+    corpus complement, not rows here.)
+
+    Scale shape: per-batch ``(cluster, n)`` Arrow count partials, ONE
+    cluster-bucketed fold for exact sizes (members of a cluster can span
+    batches), then ≤ |distinct sizes| rows into a native size fold — the
+    degree_histogram posture.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([cluster_col]).group_by([cluster_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([cluster_col, "n"])
+
+    sizes = bucketed_aggregate(
+        clusters.map_batches(partial, batch_format="pyarrow"),
+        [cluster_col], {"n": ("n", "sum")}, num_buckets=num_buckets)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n"].value_counts()
+        return pd.DataFrame({
+            "size": vc.index.to_numpy(dtype=np.int64),
+            "n_clusters": vc.to_numpy(dtype=np.int64),
+        })
+
+    agg = (sizes.map_batches(hist, batch_format="pandas")
+           .groupby("size").sum("n_clusters"))
+    return agg.map_batches(
+        lambda df: df.rename(columns={"sum(n_clusters)": "n_clusters"}),
+        batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -147,6 +147,63 @@ def numeric_profile(ds, col: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
     return pd.DataFrame([row]).astype("int64")
 
 
+def robust_scale(ds, *, value_col: str, out_col: str = "robust_ppm"):
+    """Median/IQR feature scaling (sklearn's RobustScaler) in exact
+    integer ppm — the outlier-proof member completing the scaler family
+    (:func:`normalize_features` z-score follows one adversarial row
+    arbitrarily far; the median and quartiles have positive breakdown,
+    exactly the property a scraped numeric field needs):
+
+        scaled = (v − median) · 10⁶ / (p75 − p25)
+
+    with the division TRUNCATING toward zero (DuckDB ``//`` semantics —
+    the interpolate_daily convention; floor would drift one ulp on the
+    below-median half). Degenerate spread (IQR = 0) scales to 0 by
+    documented contract. Quantiles use the engine-wide ceil-rank
+    ``quantile_disc`` convention; the column must be an integer
+    quantization (cents — the module contract).
+
+    Scale shape: pass 1 is :func:`exact_quantiles`' bounded-support
+    histogram fold (three scalars leave it); pass 2 is a stateless
+    vectorized map — no broadcast table, no second exchange. All input
+    columns pass through with ``out_col`` appended.
+    """
+    q = exact_quantiles(ds, value_col, qs=(0.25, 0.5, 0.75))
+    byq = dict(zip(q["q"], q["value"]))
+    q1, med, q3 = int(byq[0.25]), int(byq[0.5]), int(byq[0.75])
+    iqr = q3 - q1
+
+    def scale(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if iqr == 0:
+            df[out_col] = np.zeros(len(df), dtype=np.int64)
+            return df
+        num = (df[value_col].to_numpy().astype(np.int64) - med) * 1_000_000
+        df[out_col] = (np.sign(num) * (np.abs(num) // iqr)).astype(np.int64)
+        return df
+
+    return ds.map_batches(scale, batch_format="pandas")
+
+
+def robust_scale_sql(*, table_expr: str, value: str, columns: str = "*",
+                     out_col: str = "robust_ppm") -> str:
+    """SQL mirror: quantile_disc == the engine's ceil-rank convention;
+    DuckDB integer // truncates toward zero like the engine's
+    sign-split."""
+    return f"""
+        WITH q AS (
+          SELECT quantile_disc({value}, 0.25)::BIGINT AS q1,
+                 quantile_disc({value}, 0.50)::BIGINT AS med,
+                 quantile_disc({value}, 0.75)::BIGINT AS q3
+          FROM {table_expr}
+        )
+        SELECT {columns},
+               CASE WHEN q3 - q1 = 0 THEN 0
+                    ELSE (({value} - med) * 1000000) // (q3 - q1)
+               END::BIGINT AS {out_col}
+        FROM {table_expr} CROSS JOIN q"""
+
+
 # ---------------------------------------------------------------------------
 # grouped feature normalization (z-score / min-max scaling)
 

@@ -944,3 +944,20 @@ def test_daily_novelty_first_seen_semantics():
     assert out.loc[day0 + 1, "n_new"] == 1
     assert out.loc[day0 + 1, "novelty_ppm"] == 500_000
     assert out.loc[day0 + 2, "n_new"] == 0
+
+
+def test_dedup_cluster_sizes_hand():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import dedup_cluster_sizes
+
+    # clusters: {1:3 members, 10:2, 20:2} -> sizes {3:1, 2:2}
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2, 3, 10, 11, 20, 21], dtype=np.int64),
+        "cluster_id": np.array([1, 1, 1, 10, 10, 20, 20],
+                               dtype=np.int64),
+    })
+    out = (dedup_cluster_sizes(ray.data.from_pandas(df).repartition(4))
+           .to_pandas().sort_values("size").reset_index(drop=True))
+    assert list(out["size"]) == [2, 3]
+    assert list(out["n_clusters"]) == [2, 1]

@@ -1997,3 +1997,31 @@ def test_pr_curve_hand():
                   label_col="y")
     assert len(o2) == 0 and list(o2.columns) == [
         "threshold", "n_ge", "tp", "precision_ppm", "recall_ppm"]
+
+
+def test_robust_scale_hand():
+    from htrc_feature_reader_ray.stages.profile import robust_scale
+
+    # values 1..9: q1 = ceil(.25*9)=rank3 -> 3; med = rank5 -> 5;
+    # q3 = rank7 -> 7; iqr = 4
+    df = pd.DataFrame({"id": np.arange(9, dtype=np.int64),
+                       "v": np.arange(1, 10, dtype=np.int64)})
+    out = (robust_scale(ray.data.from_pandas(df).repartition(4),
+                        value_col="v").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # v=5 -> 0; v=9 -> (4*1e6)//4 = 1e6; v=1 -> -1e6; v=2 -> trunc(-750000)
+    byv = dict(zip(out["v"], out["robust_ppm"]))
+    assert byv[5] == 0 and byv[9] == 1_000_000 and byv[1] == -1_000_000
+    assert byv[2] == -750_000
+    # truncation toward zero on a non-exact negative: v=4 with med 5,
+    # iqr 4 -> (-1e6)//4 = -250000 exact; use iqr=3 case instead:
+    df2 = pd.DataFrame({"id": [0, 1, 2, 3],
+                        "v": np.array([0, 1, 2, 3], dtype=np.int64)})
+    # q1=rank1->0, med=rank2->1, q3=rank3->2, iqr=2; v=0 -> -500000
+    o2 = robust_scale(ray.data.from_pandas(df2), value_col="v").to_pandas()
+    assert dict(zip(o2["v"], o2["robust_ppm"]))[0] == -500_000
+    # degenerate spread -> 0 by contract
+    df3 = pd.DataFrame({"id": [0, 1], "v": np.array([7, 7],
+                                                    dtype=np.int64)})
+    o3 = robust_scale(ray.data.from_pandas(df3), value_col="v").to_pandas()
+    assert (o3["robust_ppm"] == 0).all()
