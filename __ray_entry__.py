@@ -3923,6 +3923,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return parse_sitemaps(
             hosts.map_batches(synth, batch_format="pandas"))
 
+    def q_sitemap_coverage(sf):
+        """Sitemap-vs-crawl coverage per host (declared-but-missed
+        inventory — the site-says-so direction of the resolution audit):
+        a synthesized per-host sitemap lists one crawled doc url, one
+        more crawled url (K+20), and K·500 which is crawled only when
+        the corpus is big enough — so coverage varies by host AND scale;
+        ONE url-keyed tag-union co-partition, audit-sized host fold."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.urltools import (
+            parse_sitemaps,
+            sitemap_coverage,
+        )
+
+        hosts = bucketed_aggregate(
+            _docs(sf, ("source",)), ["source"],
+            {"_n": ("source", "size")}, num_buckets=4,
+        ).drop_columns(["_n"])
+
+        def synth(df: pd.DataFrame) -> pd.DataFrame:
+            src = df["source"].astype(str)
+            k = src.str[3:].astype(int)
+            base = "https://" + src + ".example.com"
+            xml = ('<?xml version="1.0"?><urlset>'
+                   + "<url><loc>" + base + "/doc/" + k.astype(str)
+                   + "</loc></url>"
+                   + "<url><loc>" + base + "/doc/"
+                   + (k + 20).astype(str) + "</loc></url>"
+                   + "<url><loc>" + base + "/doc/"
+                   + (k * 500).astype(str) + "</loc></url>"
+                   + "</urlset>")
+            return pd.DataFrame({"host": src + ".example.com",
+                                 "sitemap_xml": xml})
+
+        listed = parse_sitemaps(
+            hosts.map_batches(synth, batch_format="pandas"))
+        return sitemap_coverage(
+            listed, read_pages(sf, drop_text=True).select_columns(["url"]))
+
+    def q_matryoshka_quality(sf):
+        """Matryoshka truncation-quality curve over the embedding corpus:
+        per dim budget, exact prefix-energy ppm (cos² of the padded
+        prefix vs the full vector == prefix_ss/total_ss, no sqrt) —
+        mean + worst-vector min per budget."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            matryoshka_quality,
+        )
+
+        return matryoshka_quality(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]))
+
     def q_robots_crawl_delay(sf):
         """Per-host Crawl-delay politeness extraction (min of conflicting
         directives, non-numeric lines ignored) over a deterministic
@@ -5747,6 +5803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_rollup": q_path_rollup,
         "parse_robots": q_parse_robots,
         "parse_sitemaps": q_parse_sitemaps,
+        "sitemap_coverage": q_sitemap_coverage,
+        "matryoshka_quality": q_matryoshka_quality,
         "robots_crawl_delay": q_robots_crawl_delay,
         "politeness_audit": q_politeness_audit,
         "html_tables": q_html_tables,
@@ -7356,6 +7414,27 @@ def oracle_sql() -> dict[str, str]:
                    || '</urlset>' AS sitemap_xml
             FROM (SELECT DISTINCT source FROM documents)
         )""" + urltools.parse_sitemaps_sql(),
+        "sitemap_coverage": urltools.sitemap_coverage_sql(
+            listed_expr=f"""(
+              WITH sitemaps AS (
+                SELECT source || '.example.com' AS host,
+                       '<?xml version="1.0"?><urlset>'
+                       || '<url><loc>https://' || source
+                       || '.example.com/doc/' || k || '</loc></url>'
+                       || '<url><loc>https://' || source
+                       || '.example.com/doc/' || (k + 20)
+                       || '</loc></url>'
+                       || '<url><loc>https://' || source
+                       || '.example.com/doc/' || (k * 500)
+                       || '</loc></url>'
+                       || '</urlset>' AS sitemap_xml
+                FROM (SELECT DISTINCT source,
+                             substring(source, 4)::BIGINT AS k
+                      FROM documents)
+              ){urltools.parse_sitemaps_sql()})""",
+            crawled_expr=f"(WITH {PAGES_SQL.strip()} "
+                         f"SELECT DISTINCT url FROM pages)"),
+        "matryoshka_quality": similarity_mod.matryoshka_quality_sql(),
         "html_tables": "WITH tpages AS (" + """
             SELECT 'https://' || source || '.example.com/doc/' || doc_id
                        AS url,

@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "link_prediction",
     "robust_scale",
     "dedup_cluster_sizes",
+    "sitemap_coverage",
+    "matryoshka_quality",
 ]
 
 HEADLINE = "flagship"

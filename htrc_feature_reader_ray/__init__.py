@@ -158,6 +158,11 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.profile", "robust_scale"),
         "dedup_cluster_sizes": (
             "htrc_feature_reader_ray.stages.dedup", "dedup_cluster_sizes"),
+        "sitemap_coverage": (
+            "htrc_feature_reader_ray.stages.urltools", "sitemap_coverage"),
+        "matryoshka_quality": (
+            "htrc_feature_reader_ray.stages.similarity",
+            "matryoshka_quality"),
         "pca_power": (
             "htrc_feature_reader_ray.stages.similarity", "pca_power"),
         "link_prediction": (

@@ -1842,6 +1842,119 @@ def pca_power_sql(*, table: str = "embeddings",
     return "".join(parts)
 
 
+def matryoshka_quality(ds, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       budgets=(8, 16, 32, 64),
+                       scale: int = CENTROID_SCALE,
+                       num_buckets: int = 8):
+    """Truncation-quality curve for Matryoshka-style embedding serving
+    (Kusupati et al., NeurIPS'22): before storing only the first d′ of d
+    dims (the standard latency/footprint trade of MRL-trained and
+    API-served embeddings), measure how much of each vector actually
+    lives in the prefix. The metric is exactly computable with NO square
+    root: the padded prefix's dot with the full vector IS the prefix sum
+    of squares, so
+
+        cos²(v[:d′]‖0, v) = Σ_{i<d′} v_i² / Σ v_i²   (exactly)
+
+    and per vector ``energy_ppm(d′) = prefix_ss·10⁶ // total_ss`` over
+    the 2²⁰ fixed-point quantization — bit-identical across parallelism
+    and SQL-replayable. Per budget the corpus rolls up to ``(budget, n,
+    mean_energy_ppm, min_energy_ppm)`` — the mean says what truncation
+    costs on average, the MIN is the worst vector, the number that
+    decides whether truncation is safe. Zero vectors have no direction
+    and are excluded by contract.
+
+    Scale shape: per-batch integer cumulative squares at the budget cuts
+    (object-int ppm division — prefix_ss·10⁶ can pass int64), partials
+    collapse to |budgets| rows per batch, ONE tiny budget-keyed fold,
+    driver finish (mean = Σ energies // n, the engine-wide floor).
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    budgets = tuple(int(b) for b in budgets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column(vec_col).to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        sq = q * q
+        cum = np.cumsum(sq, axis=1)
+        tot = cum[:, -1]
+        keep = tot > 0
+        cum, tot = cum[keep], tot[keep].astype(object)
+        if not len(cum):  # all-zero batch: emit nothing (a 0-row min
+            # partial would wrongly pull the folded min to 0)
+            return pa.table({
+                "budget": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_energy": pa.array([], type=pa.int64()),
+                "min_energy": pa.array([], type=pa.int64()),
+            })
+        rows = {"budget": [], "n": [], "sum_energy": [], "min_energy": []}
+        for b in budgets:
+            pre = cum[:, min(b, cum.shape[1]) - 1].astype(object)
+            e = pre * 1_000_000 // tot  # object ints: exact past int64
+            rows["budget"].append(b)
+            rows["n"].append(len(e))
+            rows["sum_energy"].append(int(sum(e)))
+            rows["min_energy"].append(int(min(e)) if len(e) else 0)
+        return pa.table({
+            "budget": pa.array(rows["budget"], type=pa.int64()),
+            "n": pa.array(rows["n"], type=pa.int64()),
+            "sum_energy": pa.array(rows["sum_energy"], type=pa.int64()),
+            "min_energy": pa.array(rows["min_energy"], type=pa.int64()),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["budget"], {"n": ("n", "sum"), "sum_energy": ("sum_energy", "sum"),
+                     "min_energy": ("min_energy", "min")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("budget").reset_index(drop=True)
+
+    n = folded["n"].astype("int64")
+    return pd.DataFrame({
+        "budget": folded["budget"].astype("int64"),
+        "n": n,
+        "mean_energy_ppm": (folded["sum_energy"].astype("int64")
+                            // n).astype("int64"),
+        "min_energy_ppm": folded["min_energy"].astype("int64"),
+    })
+
+
+def matryoshka_quality_sql(*, table: str = "embeddings",
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           budgets=(8, 16, 32, 64),
+                           scale: int = CENTROID_SCALE) -> str:
+    """SQL mirror: unnest-with-index squares, per-(vector, budget)
+    HUGEINT prefix/total sums, identical floor divisions (all nonneg)."""
+    vals = ", ".join(f"({int(b)})" for b in budgets)
+    return f"""
+        WITH q AS (
+          SELECT {id_col}, u.i - 1 AS dim,
+                 floor({vec_col}[u.i]::DOUBLE * {scale})::BIGINT AS v
+          FROM {table},
+               unnest(generate_series(1, len({vec_col}))) AS u(i)
+        ), b(budget) AS (VALUES {vals}),
+        e AS (
+          SELECT q.{id_col}, b.budget,
+                 coalesce(sum(q.v::HUGEINT * q.v)
+                          FILTER (WHERE q.dim < b.budget), 0) AS pre,
+                 sum(q.v::HUGEINT * q.v) AS tot
+          FROM q CROSS JOIN b
+          GROUP BY 1, 2
+        ), en AS (
+          SELECT budget, (pre * 1000000 // tot) AS energy
+          FROM e WHERE tot > 0
+        )
+        SELECT budget::BIGINT AS budget, count(*)::BIGINT AS n,
+               (sum(energy) // count(*))::BIGINT AS mean_energy_ppm,
+               min(energy)::BIGINT AS min_energy_ppm
+        FROM en GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # retrieval-quality evaluation: recall@k of an ANN path vs the exact top-k
 

@@ -684,6 +684,100 @@ def parse_sitemaps_sql(*, sitemaps_cte: str = "sitemaps",
         WHERE regexp_matches(frag, '<loc>[^<]*</loc>')"""
 
 
+def sitemap_coverage(listed, crawled, *, host_col: str = "host",
+                     loc_col: str = "loc", url_col: str = "url",
+                     num_buckets: int = 16):
+    """Sitemap-vs-crawl coverage per host — the OTHER direction of
+    :func:`~htrc_feature_reader_ray.stages.linkgraph.link_resolution_rate`'s
+    dead-link audit: the site TELLS the crawler what exists
+    (sitemaps.org's whole purpose); every listed url the crawl lacks is
+    declared-but-missed inventory, the first place a coverage SLA
+    conversation goes. Output per host: ``(host, n_listed, n_crawled,
+    coverage_ppm)`` over DISTINCT listed locs, with
+    ``coverage_ppm = n_crawled·10⁶ // n_listed``.
+
+    Inputs: ``listed`` = a ``(host, loc)`` table (the
+    :func:`parse_sitemaps` output); ``crawled`` = any dataset with the
+    crawl's ``url`` column (pages). Scale shape: ONE url-keyed tag-union
+    co-partition (crawl rows ride ``is_crawl=1`` into the loc's bucket —
+    membership is decided where the key lives, no join materializes),
+    listed rows dedup in-bucket (all copies of a loc share its bucket,
+    so the distinct is global), collapse to (host, n, n_crawled)
+    partials, one audit-sized host fold.
+    """
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    def as_listed(t: pa.Table) -> pa.Table:
+        d = t.select([host_col, loc_col]).group_by(
+            [host_col, loc_col]).aggregate([])
+        return pa.table({
+            "key": d.column(loc_col).cast(pa.string()),
+            "h": d.column(host_col).cast(pa.string()),
+            "is_crawl": pa.array(np.zeros(len(d), dtype=np.int64)),
+        })
+
+    def as_crawl(t: pa.Table) -> pa.Table:
+        d = t.select([url_col]).group_by([url_col]).aggregate([])
+        return pa.table({
+            "key": d.column(url_col).cast(pa.string()),
+            "h": pa.array([""] * len(d), type=pa.string()),
+            "is_crawl": pa.array(np.ones(len(d), dtype=np.int64)),
+        })
+
+    tagged = listed.map_batches(as_listed, batch_format="pyarrow").union(
+        crawled.map_batches(as_crawl, batch_format="pyarrow"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        crawl = set(df.loc[df["is_crawl"] == 1, "key"])
+        d = df.loc[df["is_crawl"] == 0, ["h", "key"]].drop_duplicates()
+        if not len(d):
+            return pd.DataFrame({"h": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "n_crawled": pd.Series([], dtype="int64")})
+        d = d.assign(hit=d["key"].isin(crawl).astype("int64"))
+        out = d.groupby("h", sort=False, as_index=False).agg(
+            n=("key", "size"), n_crawled=("hit", "sum"))
+        out["n"] = out["n"].astype("int64")
+        out["n_crawled"] = out["n_crawled"].astype("int64")
+        return out
+
+    partials = bucketed_map_groups(tagged, "key", per_bucket,
+                                   num_buckets=num_buckets)
+    folded = bucketed_aggregate(
+        partials, ["h"], {"n": ("n", "sum"),
+                          "n_crawled": ("n_crawled", "sum")},
+        num_buckets=max(4, num_buckets // 4), bucket_key="h")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].astype("int64")
+        nc = df["n_crawled"].astype("int64")
+        return pd.DataFrame({
+            "host": df["h"],
+            "n_listed": n,
+            "n_crawled": nc,
+            "coverage_ppm": (nc * 1_000_000 // n).astype("int64"),
+        })
+
+    return folded.map_batches(finish, batch_format="pandas")
+
+
+def sitemap_coverage_sql(*, listed_expr: str, crawled_expr: str) -> str:
+    """SQL mirror over a listed ``(host, loc)`` expression and a crawled
+    ``(url)`` expression: distinct locs, IN-membership, floor ppm."""
+    return f"""
+        WITH dl AS (SELECT DISTINCT host, loc FROM {listed_expr}),
+        cr AS (SELECT DISTINCT url FROM {crawled_expr})
+        SELECT host, count(*)::BIGINT AS n_listed,
+               count(*) FILTER (WHERE loc IN (SELECT url FROM cr))::BIGINT
+                   AS n_crawled,
+               (count(*) FILTER (WHERE loc IN (SELECT url FROM cr))::HUGEINT
+                * 1000000 // count(*))::BIGINT AS coverage_ppm
+        FROM dl GROUP BY 1"""
+
+
 def host_url_churn(pages, *, url_col: str = "url", ts_col: str = "warc_ts",
                    num_buckets: int = 16):
     """Per (host, day) crawl churn: (n_fetches, n_new_urls,

@@ -721,3 +721,39 @@ def test_pca_power_dominant_axis_and_invariance():
     import pytest
     with pytest.raises(Exception):
         pca_power(ray.data.from_pandas(dfc), rounds=2)
+
+
+def test_matryoshka_quality_exact():
+    from htrc_feature_reader_ray.stages.similarity import (
+        CENTROID_SCALE,
+        matryoshka_quality,
+    )
+
+    # vectors with known prefix energy: v1 = e0 (all energy in dim 0),
+    # v2 = ones(4) (energy k/4 at budget k)
+    m = np.array([[1.0, 0.0, 0.0, 0.0],
+                  [1.0, 1.0, 1.0, 1.0]], dtype=np.float32)
+    df = pd.DataFrame({"vec_id": [0, 1], "embedding": list(m)})
+    out = matryoshka_quality(ray.data.from_pandas(df).repartition(2),
+                             budgets=(1, 2, 4)).set_index("budget")
+    # budget 1: v1 -> 1e6, v2 -> 250000; mean = (1e6+250000)//2
+    assert out.loc[1, "mean_energy_ppm"] == 625_000
+    assert out.loc[1, "min_energy_ppm"] == 250_000
+    # budget 4: everything -> exactly 1e6
+    assert out.loc[4, "mean_energy_ppm"] == 1_000_000
+    assert out.loc[4, "min_energy_ppm"] == 1_000_000
+    # zero vector excluded by contract (would otherwise divide by zero)
+    df2 = pd.DataFrame({"vec_id": [0, 1],
+                        "embedding": [np.zeros(4, dtype=np.float32),
+                                      m[0]]})
+    o2 = matryoshka_quality(ray.data.from_pandas(df2), budgets=(2,))
+    assert int(o2["n"].iloc[0]) == 1
+    # scalar replay: quantized big-int reference at budget 2 on v2
+    q = np.floor(m.astype(np.float64) * CENTROID_SCALE).astype(np.int64)
+    ref = (int(q[1, :2].astype(object) @ q[1, :2].astype(object))
+           * 1_000_000
+           // int(q[1].astype(object) @ q[1].astype(object)))
+    full = matryoshka_quality(ray.data.from_pandas(df),
+                              budgets=(2,)).set_index("budget")
+    assert ref == 500_000  # 2·q² // 4·q² exactly
+    assert full.loc[2, "min_energy_ppm"] == ref

@@ -431,3 +431,27 @@ def test_politeness_audit_gap_semantics():
     assert out.loc["a.com", "violation_ppm"] == 2 * 1_000_000 // 3
     assert out.loc["b.com", "n_violations"] == 0
     assert "nodirective.com" not in out.index
+
+
+def test_sitemap_coverage_hand():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.urltools import sitemap_coverage
+
+    listed = ray.data.from_pandas(pd.DataFrame({
+        "host": ["a.com", "a.com", "a.com", "b.com", "b.com", "a.com"],
+        "loc": ["https://a.com/1", "https://a.com/2", "https://a.com/3",
+                "https://b.com/1", "https://b.com/2",
+                "https://a.com/1"],  # duplicate listing dedups
+    })).repartition(3)
+    crawled = ray.data.from_pandas(pd.DataFrame({
+        "url": ["https://a.com/1", "https://a.com/2", "https://b.com/9",
+                "https://a.com/1"],  # crawl dups don't double-count
+    })).repartition(2)
+    out = (sitemap_coverage(listed, crawled).to_pandas()
+           .sort_values("host").reset_index(drop=True))
+    a, b = out.iloc[0], out.iloc[1]
+    assert a["host"] == "a.com" and a["n_listed"] == 3
+    assert a["n_crawled"] == 2 and a["coverage_ppm"] == 666666
+    assert b["host"] == "b.com" and b["n_listed"] == 2
+    assert b["n_crawled"] == 0 and b["coverage_ppm"] == 0
