@@ -3979,6 +3979,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]))
 
+    def q_int8_quant_error(sf):
+        """Per-dim int8 symmetric-quantization error audit over the
+        embedding corpus (the fp32→int8 serving check): round-half-away
+        quantize / truncating dequant in exact integers; max + mean err
+        in ppm of each dim's maxabs; two d-row folds, broadcast scales."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            int8_quant_error,
+        )
+
+        return int8_quant_error(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]))
+
     def q_robots_crawl_delay(sf):
         """Per-host Crawl-delay politeness extraction (min of conflicting
         directives, non-numeric lines ignored) over a deterministic
@@ -5805,6 +5820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_sitemaps": q_parse_sitemaps,
         "sitemap_coverage": q_sitemap_coverage,
         "matryoshka_quality": q_matryoshka_quality,
+        "int8_quant_error": q_int8_quant_error,
         "robots_crawl_delay": q_robots_crawl_delay,
         "politeness_audit": q_politeness_audit,
         "html_tables": q_html_tables,
@@ -7435,6 +7451,7 @@ def oracle_sql() -> dict[str, str]:
             crawled_expr=f"(WITH {PAGES_SQL.strip()} "
                          f"SELECT DISTINCT url FROM pages)"),
         "matryoshka_quality": similarity_mod.matryoshka_quality_sql(),
+        "int8_quant_error": similarity_mod.int8_quant_error_sql(),
         "html_tables": "WITH tpages AS (" + """
             SELECT 'https://' || source || '.example.com/doc/' || doc_id
                        AS url,

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "dedup_cluster_sizes",
     "sitemap_coverage",
     "matryoshka_quality",
+    "int8_quant_error",
 ]
 
 HEADLINE = "flagship"

@@ -163,6 +163,9 @@ def __getattr__(name):
         "matryoshka_quality": (
             "htrc_feature_reader_ray.stages.similarity",
             "matryoshka_quality"),
+        "int8_quant_error": (
+            "htrc_feature_reader_ray.stages.similarity",
+            "int8_quant_error"),
         "pca_power": (
             "htrc_feature_reader_ray.stages.similarity", "pca_power"),
         "link_prediction": (

@@ -1923,6 +1923,139 @@ def matryoshka_quality(ds, *, vec_col: str = "embedding",
     })
 
 
+def int8_quant_error(ds, *, vec_col: str = "embedding",
+                     id_col: str = "vec_id", scale: int = CENTROID_SCALE,
+                     num_buckets: int = 8):
+    """Per-dimension int8 symmetric-quantization error audit — the check
+    an embedding-serving stack runs before switching storage from fp32
+    to int8 (4× footprint cut, the standard vector-DB trade): with the
+    per-dim symmetric scale ``maxabs_d / 127``, how much does each
+    dimension actually lose?
+
+    Exact integer contract (both engines replay it bit-for-bit): over
+    the 2²⁰ fixed-point values ``q = floor(x·scale)``,
+
+        code = sign(q) · ((|q|·127 + maxabs_d // 2) // maxabs_d)   [round-half-away]
+        deq  = sign(code) · (|code|·maxabs_d // 127)               [truncating]
+        err  = |q − deq|
+
+    Per dim: ``(dim, maxabs, max_err_ppm, mean_err_ppm)`` with errors in
+    ppm OF that dim's maxabs (the scale-free number you compare across
+    dims): ``max_err_ppm = max(err)·10⁶ // maxabs``, ``mean_err_ppm =
+    Σerr·10⁶ // (n·maxabs)``. A constant-zero dim quantizes losslessly →
+    both 0 by contract. The theoretical bound for this quantizer is
+    ≈ ½ step = 10⁶/254 ≈ 3937 ppm — a dim far above it signals outliers
+    (the LLM.int8() emergent-feature story) and wants a per-dim fp16
+    escape hatch.
+
+    Scale shape: pass 1 = per-batch |q| max partials into one d-row fold
+    (the minmax posture); the d-sized scale table broadcasts via
+    ``ray.put``; pass 2 = stateless vectorized quant/dequant error
+    partials ``(dim, n, sum_err, max_err)`` into one d-row fold; the ppm
+    finish walks d rows in Python ints (Σerr·10⁶ passes int64 at corpus
+    scale — the HUGEINT-mirror posture).
+    """
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def maxabs_partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column(vec_col).to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        a = np.abs(q).max(axis=0)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "maxabs": pa.array(a),
+        })
+
+    ma = bucketed_aggregate(
+        ds.map_batches(maxabs_partial, batch_format="pyarrow"),
+        ["dim"], {"maxabs": ("maxabs", "max")}, num_buckets=num_buckets,
+    ).to_pandas().sort_values("dim")
+    maxabs = ma["maxabs"].to_numpy().astype(np.int64)
+    ma_ref = ray.put(maxabs)
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        mv = ray.get(ma_ref)
+        m = np.stack(batch.column(vec_col).to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        safe = np.maximum(mv, 1)[None, :]
+        aq = np.abs(q)
+        code = np.sign(q) * ((aq * 127 + safe // 2) // safe)
+        deq = np.sign(code) * (np.abs(code) * mv[None, :] // 127)
+        err = np.abs(q - deq)
+        err[:, mv == 0] = 0
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "n": pa.array(np.full(d, q.shape[0], dtype=np.int64)),
+            "sum_err": pa.array(err.sum(axis=0).astype(np.int64)),
+            "max_err": pa.array(err.max(axis=0).astype(np.int64)),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(err_partial, batch_format="pyarrow"),
+        ["dim"], {"n": ("n", "sum"), "sum_err": ("sum_err", "sum"),
+                  "max_err": ("max_err", "max")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("dim").reset_index(drop=True)
+
+    out_max, out_mean = [], []
+    for dim, n, se, me in zip(folded["dim"], folded["n"],
+                              folded["sum_err"], folded["max_err"]):
+        mab = int(maxabs[int(dim)])
+        if mab == 0:
+            out_max.append(0)
+            out_mean.append(0)
+        else:
+            out_max.append(int(me) * 1_000_000 // mab)
+            out_mean.append(int(se) * 1_000_000 // (int(n) * mab))
+    return pd.DataFrame({
+        "dim": folded["dim"].astype("int64"),
+        "maxabs": pd.Series(maxabs[folded["dim"].to_numpy()],
+                            dtype="int64"),
+        "max_err_ppm": pd.Series(out_max, dtype="int64"),
+        "mean_err_ppm": pd.Series(out_mean, dtype="int64"),
+    })
+
+
+def int8_quant_error_sql(*, table: str = "embeddings",
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         scale: int = CENTROID_SCALE) -> str:
+    """SQL mirror: per-dim maxabs join, the identical round-half-away /
+    truncating pair (DuckDB // truncates toward zero, matching the
+    engine's sign-split), HUGEINT ppm finish."""
+    return f"""
+        WITH q AS (
+          SELECT {id_col}, u.i - 1 AS dim,
+                 floor({vec_col}[u.i]::DOUBLE * {scale})::BIGINT AS v
+          FROM {table},
+               unnest(generate_series(1, len({vec_col}))) AS u(i)
+        ), ma AS (
+          SELECT dim, max(abs(v))::BIGINT AS maxabs FROM q GROUP BY 1
+        ), e AS (
+          SELECT q.dim, ma.maxabs,
+                 abs(q.v - CASE WHEN ma.maxabs = 0 THEN q.v ELSE
+                   (CASE WHEN q.v < 0 THEN -1 ELSE 1 END)
+                   * ((abs(q.v) * 127 + ma.maxabs // 2) // ma.maxabs)
+                   * ma.maxabs // 127 END) AS err
+          FROM q JOIN ma USING (dim)
+        )
+        SELECT dim::BIGINT AS dim, maxabs::BIGINT AS maxabs,
+               CASE WHEN maxabs = 0 THEN 0 ELSE
+                 (max(err)::HUGEINT * 1000000 // maxabs) END::BIGINT
+                   AS max_err_ppm,
+               CASE WHEN maxabs = 0 THEN 0 ELSE
+                 (sum(err)::HUGEINT * 1000000
+                  // (count(*)::HUGEINT * maxabs)) END::BIGINT
+                   AS mean_err_ppm
+        FROM e GROUP BY e.dim, e.maxabs"""
+
+
 def matryoshka_quality_sql(*, table: str = "embeddings",
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",

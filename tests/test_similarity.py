@@ -757,3 +757,35 @@ def test_matryoshka_quality_exact():
                               budgets=(2,)).set_index("budget")
     assert ref == 500_000  # 2·q² // 4·q² exactly
     assert full.loc[2, "min_energy_ppm"] == ref
+
+
+def test_int8_quant_error_hand():
+    from htrc_feature_reader_ray.stages.similarity import (
+        CENTROID_SCALE,
+        int8_quant_error,
+    )
+
+    # dim 0: values exactly on code points (k/127 of maxabs 1.0) ->
+    # zero error at the grid; dim 1: constant zero -> lossless; dim 2:
+    # a value at half-step distance -> error ~ step/2
+    m = np.array([[1.0, 0.0, 1.0],
+                  [-1.0, 0.0, 1.0 / 254.0]], dtype=np.float64)
+    df = pd.DataFrame({"vec_id": [0, 1],
+                       "embedding": [m[0].astype(np.float32),
+                                     m[1].astype(np.float32)]})
+    out = int8_quant_error(ray.data.from_pandas(df).repartition(2)
+                           ).set_index("dim")
+    # dim 1 constant-zero: lossless by contract
+    assert out.loc[1, "max_err_ppm"] == 0
+    assert out.loc[1, "mean_err_ppm"] == 0
+    # dim 0: +-maxabs quantize exactly (code +-127, deq == maxabs)
+    assert out.loc[0, "max_err_ppm"] == 0
+    # dim 2: the half-step value's error is bounded by ~half a step of
+    # maxabs/127 -> <= 1e6/254 + rounding slack
+    assert 0 < out.loc[2, "max_err_ppm"] <= 1_000_000 // 254 + 40
+    # scalar replay of the exact contract on dim 2's small value
+    q = int(np.floor((1.0 / 254.0) * CENTROID_SCALE))
+    mab = int(np.floor(1.0 * CENTROID_SCALE))
+    code = (q * 127 + mab // 2) // mab
+    deq = code * mab // 127
+    assert out.loc[2, "max_err_ppm"] == abs(q - deq) * 1_000_000 // mab
