@@ -2039,6 +2039,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ray.data.read_parquet(f"{sf}/embeddings.parquet",
                                   columns=["vec_id", "embedding"]))
 
+    def q_embedding_isotropy(sf):
+        """One-row isotropy audit of the embedding corpus (Ethayarajh /
+        Mu-Viswanath anisotropy, exact-integer form): d-row column-sum
+        partials, one tiny dim fold, big-int ratio finish."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.similarity import (
+            embedding_isotropy,
+        )
+
+        return embedding_isotropy(
+            ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]))
+
     def q_embedding_minmax(sf):
         """Per-dim min-max scaling to exact integer ppm (quantization
         prep): d-row per-batch partials, one tiny d-keyed fold, broadcast
@@ -3102,6 +3116,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bfs_layers(
             extract_links(read_pages(sf, drop_text=True)),
             seed_mod=10, max_hops=3)
+
+    def q_bowtie_structure(sf):
+        """Broder bowtie decomposition (CORE/IN/OUT/TENDRIL/DISCONNECTED
+        relative to the deterministic min-url pivot): three bounded BFS
+        closures + ONE tag-union flag fold, slim url-only exchanges."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            bowtie_structure,
+            extract_links,
+        )
+
+        return bowtie_structure(
+            extract_links(read_pages(sf, drop_text=True)), max_hops=4)
 
     def q_personalized_pagerank(sf):
         """Topic-sensitive PageRank: teleport mass restricted to a
@@ -5724,6 +5751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "embedding_minmax": q_embedding_minmax,
         "embedding_covariance": q_embedding_covariance,
+        "embedding_isotropy": q_embedding_isotropy,
         "value_gini": q_value_gini,
         "token_dropout": q_token_dropout,
         "wordpiece_merges": q_wordpiece_merges,
@@ -5758,6 +5786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interpolate_daily": q_interpolate_daily,
         "personalized_pagerank": q_personalized_pagerank,
         "bfs_layers": q_bfs_layers,
+        "bowtie_structure": q_bowtie_structure,
         "harmonic_centrality": q_harmonic_centrality,
         "link_resolution_rate": q_link_resolution_rate,
         "local_supplier_revenue": q_local_supplier_revenue,
@@ -6887,6 +6916,8 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _pagerank_sql(iterations=3, seed_mod=10),
         "bfs_layers": linkgraph.bfs_layers_sql(
             links_pre=LINKS_PRE, seed_mod=10, max_hops=3),
+        "bowtie_structure": linkgraph.bowtie_structure_sql(
+            links_pre=LINKS_PRE, max_hops=4),
         "harmonic_centrality": linkgraph.harmonic_centrality_sql(
             links_pre=LINKS_PRE, seed_mod=10, n_seeds=4, max_hops=3),
         "link_resolution_rate": LINKS_PRE
@@ -6937,6 +6968,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": similarity_mod.hard_negative_topk_sql(),
         "embedding_minmax": similarity_mod.embedding_minmax_scale_sql(),
         "embedding_covariance": similarity_mod.embedding_covariance_sql(),
+        "embedding_isotropy": similarity_mod.embedding_isotropy_sql(),
         "value_gini": profile_mod.grouped_gini_sql(
             table="events", group="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)"),

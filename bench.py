@@ -212,6 +212,8 @@ BENCH_QUERIES = [
     "sitemap_coverage",
     "matryoshka_quality",
     "int8_quant_error",
+    "bowtie_structure",
+    "embedding_isotropy",
 ]
 
 HEADLINE = "flagship"

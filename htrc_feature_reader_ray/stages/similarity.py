@@ -2202,3 +2202,113 @@ def mutual_nn_sql(*, source_sql: str, cluster_col: str = "cluster",
         FROM top t1 JOIN top t2 ON t1.nb = t2.id AND t2.nb = t1.id
         WHERE t1.id < t1.nb
         ORDER BY 1"""
+
+
+def embedding_isotropy(ds, *, vec_col: str = "embedding",
+                       scale: int = CENTROID_SCALE,
+                       num_buckets: int = 4):
+    """Corpus-level isotropy / anisotropy audit of the embedding table —
+    the one-row health check run before trusting cosine geometry at all:
+    contextual and contrastively-trained embedding spaces are famously
+    ANISOTROPIC (Ethayarajh, EMNLP 2019 — mean pairwise cosine of BERT
+    layers approaches 1; Mu & Viswanath, ICLR 2018 prescribe removing
+    the common mean direction), and an anisotropic space silently
+    inflates every cosine downstream (semdedup thresholds, ANN recall,
+    kNN label agreement all calibrate against it).
+
+    Exact-integer form (no sqrt, no float mean): over the 2²⁰
+    fixed-point vectors ``q = floor(x·scale)`` with ``S = Σᵢ qᵢ`` and
+    ``T = Σᵢ‖qᵢ‖²``, the algebraic identities
+
+        Σ_{i≠j} qᵢ·qⱼ = ‖S‖² − T          (sum of all cross dots)
+        0 ≤ ‖S‖² ≤ n·T                      (Cauchy–Schwarz)
+
+    give two scale-free ratios, both exactly replayable in SQL:
+
+    * ``center_ppm = ‖S‖²·10⁶ // (n·T)`` — the mass-concentration ratio
+      ``‖mean vector‖² / mean ‖v‖²`` in [0, 10⁶]: 0 = perfectly
+      centered, 10⁶ = all vectors identical (the Mu–Viswanath "common
+      direction" share of total energy).
+    * ``pair_ppm = (‖S‖² − T)·10⁶ // ((n−1)·T)`` — mean pairwise dot
+      over mean self dot, the exact-dot analog of Ethayarajh's mean
+      pairwise cosine (equal to it when vectors are unit-norm); signed
+      via the engine-wide shifted-floor convention so Python floor ==
+      DuckDB truncation.
+
+    Contract: n ≥ 2 and at least one nonzero vector (raises otherwise —
+    a degenerate corpus has no geometry to audit).
+
+    Scale shape: per-batch d-row partials ``(dim, s=Σv, ss=Σv², cnt)``
+    — one integer column-sum pass, no Gram matrix — into ONE tiny
+    d-keyed fold; the finish folds the d rows to the three scalars on
+    the driver in Python ints (big-int safe past int64 at corpus n).
+    Output: one row ``(n, center_ppm, pair_ppm)``."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column(vec_col).to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(m * scale).astype(np.int64)
+        n, d = q.shape
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "s": pa.array(q.sum(axis=0)),
+            "ss": pa.array((q * q).sum(axis=0)),
+            "cnt": pa.array(np.full(d, n, dtype=np.int64)),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["dim"], {"s": ("s", "sum"), "ss": ("ss", "sum"),
+                  "cnt": ("cnt", "sum")},
+        num_buckets=num_buckets, bucket_key="dim",
+    ).to_pandas()
+
+    if folded.empty:
+        raise ValueError("embedding_isotropy: empty corpus")
+    n = int(folded["cnt"].iloc[0])
+    s2 = sum(int(v) ** 2 for v in folded["s"])
+    t = sum(int(v) for v in folded["ss"])
+    if n < 2 or t == 0:
+        raise ValueError("embedding_isotropy: need n >= 2 nonzero vectors")
+    shift = 10 ** 7  # |pair ratio| < n <= 10^7-bounded corpus per contract
+    center = s2 * 1_000_000 // (n * t)
+    pair = ((s2 - t) * 1_000_000 + shift * ((n - 1) * t)) \
+        // ((n - 1) * t) - shift
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "center_ppm": pd.Series([center], dtype="int64"),
+        "pair_ppm": pd.Series([pair], dtype="int64"),
+    }))
+
+
+def embedding_isotropy_sql(*, table: str = "embeddings",
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           scale: int = CENTROID_SCALE) -> str:
+    """SQL mirror: unnest to (id, dim, v), per-dim HUGEINT sums, the two
+    shifted-floor ratio finishes over the folded scalars."""
+    shift = 10 ** 7
+    return f"""
+        WITH q AS (
+          SELECT {id_col}, u.i - 1 AS dim,
+                 floor({vec_col}[u.i]::DOUBLE * {scale})::BIGINT AS v
+          FROM {table},
+               unnest(generate_series(1, len({vec_col}))) AS u(i)
+        ),
+        dims AS (
+          SELECT dim, sum(v)::HUGEINT AS s, sum(v::HUGEINT * v) AS ss
+          FROM q GROUP BY 1
+        ),
+        tot AS (
+          SELECT sum(s * s) AS s2, sum(ss) AS t,
+                 (SELECT count(*)::HUGEINT FROM {table}) AS n
+          FROM dims
+        )
+        SELECT n::BIGINT AS n,
+               (s2 * 1000000 // (n * t))::BIGINT AS center_ppm,
+               (((s2 - t) * 1000000 + {shift}::HUGEINT * ((n - 1) * t))
+                // ((n - 1) * t) - {shift})::BIGINT AS pair_ppm
+        FROM tot"""

@@ -880,3 +880,47 @@ def test_link_prediction_cycle_and_edge_exclusion():
     assert list(zip(o3["u"], o3["v"])) == [("H", "X")]
     assert o3.iloc[0]["deg_u"] == 5 and o3.iloc[0]["deg_v"] == 2
     assert o3.iloc[0]["jaccard_ppm"] == 2_000_000 // 5
+
+
+def test_bowtie_structure_regions():
+    """Hand-built bowtie: pivot 'a' sits in a 3-cycle CORE {a,b,c};
+    'in1' -> 'in2' -> core; core -> 'out1' -> 'out2'; a tendril hangs
+    off in1 without reaching the core; one separate component."""
+    from htrc_feature_reader_ray.stages.linkgraph import bowtie_structure
+
+    edges = _edges([
+        ("a", "b"), ("b", "c"), ("c", "a"),        # CORE cycle (pivot=a)
+        ("in1", "in2"), ("in2", "a"),              # IN chain
+        ("a", "out1"), ("out1", "out2"),           # OUT chain
+        ("in1", "t1"), ("t1", "t2"),               # tendril off IN
+        ("x1", "x2"),                              # disconnected
+    ])
+    out = bowtie_structure(edges, max_hops=4, num_buckets=4).to_pandas()
+    got = dict(zip(out["url"], out["region"]))
+    assert got == {
+        "a": "CORE", "b": "CORE", "c": "CORE",
+        "in1": "IN", "in2": "IN",
+        "out1": "OUT", "out2": "OUT",
+        "t1": "TENDRIL", "t2": "TENDRIL",
+        "x1": "DISCONNECTED", "x2": "DISCONNECTED",
+    }
+
+
+def test_bowtie_structure_hop_bound():
+    """max_hops truncates the closure (documented bound): a chain longer
+    than the bound leaves the far end unreached -> TENDRIL (still in the
+    pivot's weak component via the weak closure's own bound)."""
+    from htrc_feature_reader_ray.stages.linkgraph import bowtie_structure
+
+    # pivot 'a' (min url); forward chain of length 3 from a
+    edges = _edges([("a", "m1"), ("m1", "m2"), ("m2", "m3")])
+    out = bowtie_structure(edges, max_hops=2, num_buckets=2).to_pandas()
+    got = dict(zip(out["url"], out["region"]))
+    # m3 is 3 fwd hops away: outside the fwd bound, inside the weak bound?
+    # weak closure is also bounded at 2 -> m3 unreached -> DISCONNECTED
+    assert got == {"a": "CORE", "m1": "OUT", "m2": "OUT",
+                   "m3": "DISCONNECTED"}
+    # with a generous bound the whole chain is OUT
+    out2 = bowtie_structure(edges, max_hops=4, num_buckets=2).to_pandas()
+    got2 = dict(zip(out2["url"], out2["region"]))
+    assert got2 == {"a": "CORE", "m1": "OUT", "m2": "OUT", "m3": "OUT"}

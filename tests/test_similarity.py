@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import pandas as pd
 import pyarrow.parquet as pq
 import ray.data
@@ -789,3 +790,45 @@ def test_int8_quant_error_hand():
     code = (q * 127 + mab // 2) // mab
     deq = code * mab // 127
     assert out.loc[2, "max_err_ppm"] == abs(q - deq) * 1_000_000 // mab
+
+
+def test_embedding_isotropy_exact():
+    """Exact-integer contract: identical vectors read center_ppm =
+    pair_ppm = 10^6; a symmetric +v/-v corpus reads center 0 and the
+    most negative achievable pair ratio."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        embedding_isotropy,
+    )
+
+    same = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": [0, 1, 2],
+        "embedding": [[0.5, 0.25]] * 3,
+    }))
+    out = embedding_isotropy(same, scale=4).to_pandas()
+    assert out.iloc[0].to_dict() == {
+        "n": 3, "center_ppm": 1_000_000, "pair_ppm": 1_000_000}
+
+    # q = [2,1] and [-2,-1] at scale 4: S = 0 -> center 0;
+    # pair = (0 - T)*1e6 // ((n-1)*T) = -1e6 exactly at n=2
+    anti = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": [0, 1],
+        "embedding": [[0.5, 0.25], [-0.5, -0.25]],
+    }))
+    out2 = embedding_isotropy(anti, scale=4).to_pandas()
+    assert out2.iloc[0].to_dict() == {
+        "n": 2, "center_ppm": 0, "pair_ppm": -1_000_000}
+
+
+def test_embedding_isotropy_degenerate_raises():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.similarity import (
+        embedding_isotropy,
+    )
+
+    zeros = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": [0, 1], "embedding": [[0.0, 0.0], [0.0, 0.0]]}))
+    with pytest.raises(ValueError):
+        embedding_isotropy(zeros, scale=4).to_pandas()
