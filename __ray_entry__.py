@@ -2647,6 +2647,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return kendall_tau(withtok, group_col="lang", x_col="n_chars",
                            y_col="n_tokens", qx=64, qy=16)
 
+    def q_conformal_threshold(sf):
+        """Per-language Mondrian split-conformal threshold on doc length
+        (alpha=10%, md5 half-split) + held-out coverage audit — the
+        finite-sample-guaranteed curation cut-off."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import (
+            conformal_threshold,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "lang", "n_chars"])
+        return conformal_threshold(
+            docs, group_col="lang", id_col="doc_id",
+            score_col="n_chars", alpha_ppm=100_000, cal_mod=2,
+            salt="cf:")
+
+    def q_spearman_rho(sf):
+        """Per-language Spearman rank correlation (signed rho^2, exact
+        integer ppm over doubled ties-averaged ranks) between doc length
+        and token count on the rank_agreement grid — the rank-distance-
+        weighted companion to Kendall tau-a."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import spearman_rho
+        from htrc_feature_reader_ray.stages.textstats import token_count
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["lang", "n_chars", "text"])
+        withtok = token_count(docs, id_cols=("lang", "n_chars"))
+        return spearman_rho(withtok, group_col="lang", x_col="n_chars",
+                            y_col="n_tokens", qx=64, qy=16)
+
     def q_length_effect(sf):
         """Mann-Whitney common-language effect size of doc length per
         source vs the rest (exact half-credit ties): >>500000 = runs
@@ -5701,6 +5733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ks": q_length_ks,
         "length_effect": q_length_effect,
         "rank_agreement": q_rank_agreement,
+        "spearman_rho": q_spearman_rho,
+        "conformal_threshold": q_conformal_threshold,
         "padding_waste": q_padding_waste,
         "truncation_loss": q_truncation_loss,
         "quantile_normalize": q_quantile_normalize,
@@ -7069,6 +7103,16 @@ def oracle_sql() -> dict[str, str]:
             table="documents", group="source", id_col="doc_id",
             value_expr="n_chars", value_alias="n_chars"),
         "rank_agreement": profile_mod.kendall_tau_sql(
+            src_sql=("SELECT lang, n_chars, "
+                     + TOKEN_COUNT_SQL.format(text="text")
+                     + " AS n_tokens FROM documents"),
+            group="lang", x_expr="n_chars", y_expr="n_tokens",
+            qx=64, qy=16),
+        "conformal_threshold": profile_mod.conformal_threshold_sql(
+            src_sql="SELECT doc_id, lang, n_chars FROM documents",
+            group="lang", id_expr="doc_id", score_expr="n_chars",
+            alpha_ppm=100_000, cal_mod=2, salt="cf:"),
+        "spearman_rho": profile_mod.spearman_rho_sql(
             src_sql=("SELECT lang, n_chars, "
                      + TOKEN_COUNT_SQL.format(text="text")
                      + " AS n_tokens FROM documents"),

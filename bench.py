@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "int8_quant_error",
     "bowtie_structure",
     "embedding_isotropy",
+    "spearman_rho",
+    "conformal_threshold",
 ]
 
 HEADLINE = "flagship"

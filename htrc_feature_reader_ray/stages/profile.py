@@ -3247,6 +3247,278 @@ def kendall_tau_sql(*, src_sql: str, group: str, x_expr: str, y_expr: str,
         ORDER BY 1"""
 
 
+def spearman_rho(ds, *, group_col: str, x_col: str, y_col: str,
+                 qx: int = 1, qy: int = 1, num_buckets: int = 16):
+    """Per-group Spearman rank correlation between two integer features,
+    as SIGNED rho² in exact integer ppm — the rank-based L2 companion to
+    :func:`kendall_tau`: tau counts pair-order agreements (robust,
+    O(cells²) to evaluate), Spearman is Pearson on the rank transform —
+    it weights HOW FAR apart the disagreeing ranks are, so a feature
+    that is monotone except for a few far-flung outlier rows scores
+    visibly lower than one with many tiny local swaps, which is the
+    distinction a proxy-metric audit wants when choosing between two
+    cheap stand-ins with similar tau. Spearman's exact value needs a
+    square root (the variance product), so the engine reports the
+    square with the sign re-attached — the :func:`cramers_v` precedent
+    (V² ppm), losslessly invertible for ranking/thresholding:
+
+        rho2_ppm = sign(Sc) · Sc²·10⁶ // (Vx · Vy)   ∈ [−10⁶, 10⁶]
+
+    with ``Sc = m·Σrₓr_y − Σrₓ·Σr_y`` and ``Vx, Vy`` the same-form rank
+    variances, over ties-averaged ranks kept integer by DOUBLING
+    (``r = 2·(#strictly smaller) + (#equal) + 1`` — twice the textbook
+    average rank; rho is affine-invariant so the doubling cancels).
+    Truncation toward zero on a nonnegative quotient, so Python ``//``
+    of the squared terms == the mirror's CASE-signed HUGEINT division.
+    Computed on the QUANTIZED pair ``(x//qx, y//qy)`` (the kendall_tau
+    grid contract). Groups with zero rank variance on either axis (all
+    x tied, or m < 2) report 0 by contract.
+
+    Scale shape (kendall_tau posture): per-batch (group, xq, yq) Arrow
+    count partials, ONE bounded-grid fold, exact rank math per group on
+    the driver in Python ints (rank sums pass int64 at m⁴; the mirror's
+    HUGEINT bounds per-group rows at ~3·10⁴ — the engine itself is
+    unbounded). Output ``(group, n_rows, rho2_ppm)``."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).cast(pa.int64())
+        y = batch.column(y_col).cast(pa.int64())
+        tb = pa.table({
+            group_col: batch.column(group_col),
+            "xq": pa.compute.divide(x, qx).cast(pa.int64()),
+            "yq": pa.compute.divide(y, qy).cast(pa.int64()),
+        })
+        g = tb.group_by([group_col, "xq", "yq"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "xq", "yq", "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "xq", "yq"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="xq",
+    ).to_pandas()
+
+    def ranks2(vals: np.ndarray, cnts: np.ndarray) -> dict[int, int]:
+        order = np.argsort(vals, kind="stable")
+        v, c = vals[order], cnts[order]
+        before = np.concatenate(([0], np.cumsum(c)[:-1]))
+        return {int(vv): int(2 * b + cc + 1)
+                for vv, b, cc in zip(v, before, c)}
+
+    rows = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        xs = sub["xq"].to_numpy()
+        ys = sub["yq"].to_numpy()
+        cs = sub["c"].to_numpy()
+        m = int(cs.sum())
+        # per-axis doubled average ranks over the group's distinct values
+        xd = pd.DataFrame({"v": xs, "c": cs}).groupby("v")["c"].sum()
+        yd = pd.DataFrame({"v": ys, "c": cs}).groupby("v")["c"].sum()
+        rx_map = ranks2(xd.index.to_numpy(), xd.to_numpy())
+        ry_map = ranks2(yd.index.to_numpy(), yd.to_numpy())
+        sx = sy = sxx = syy = sxy = 0
+        for xv, yv, cc in zip(xs, ys, cs):
+            rx, ry, cc = rx_map[int(xv)], ry_map[int(yv)], int(cc)
+            sx += cc * rx
+            sy += cc * ry
+            sxx += cc * rx * rx
+            syy += cc * ry * ry
+            sxy += cc * rx * ry
+        sc = m * sxy - sx * sy
+        vx = m * sxx - sx * sx
+        vy = m * syy - sy * sy
+        if m < 2 or vx == 0 or vy == 0:
+            rows.append((grp, m, 0))
+            continue
+        mag = sc * sc * 1_000_000 // (vx * vy)
+        rows.append((grp, m, mag if sc >= 0 else -mag))
+    out = pd.DataFrame(rows, columns=[group_col, "n_rows", "rho2_ppm"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["rho2_ppm"] = out["rho2_ppm"].astype("int64")
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def spearman_rho_sql(*, src_sql: str, group: str, x_expr: str, y_expr: str,
+                     qx: int = 1, qy: int = 1) -> str:
+    """SQL mirror: quantized cell fold, per-axis doubled-rank windows
+    (2·running-before + count + 1), HUGEINT moment sums, CASE-signed
+    truncating division of the squared terms."""
+    return f"""
+        WITH src AS ({src_sql}),
+        cells AS (
+          SELECT {group} AS grp, ({x_expr}) // {qx} AS xq,
+                 ({y_expr}) // {qy} AS yq, count(*)::BIGINT AS c
+          FROM src GROUP BY 1, 2, 3
+        ),
+        xr AS (
+          SELECT grp, xq,
+                 2 * (sum(cx) OVER (PARTITION BY grp ORDER BY xq) - cx)
+                   + cx + 1 AS rx
+          FROM (SELECT grp, xq, sum(c)::BIGINT AS cx
+                FROM cells GROUP BY 1, 2)
+        ),
+        yr AS (
+          SELECT grp, yq,
+                 2 * (sum(cy) OVER (PARTITION BY grp ORDER BY yq) - cy)
+                   + cy + 1 AS ry
+          FROM (SELECT grp, yq, sum(c)::BIGINT AS cy
+                FROM cells GROUP BY 1, 2)
+        ),
+        mom AS (
+          SELECT c.grp, sum(c.c)::HUGEINT AS m,
+                 sum(c.c::HUGEINT * xr.rx) AS sx,
+                 sum(c.c::HUGEINT * yr.ry) AS sy,
+                 sum(c.c::HUGEINT * xr.rx * xr.rx) AS sxx,
+                 sum(c.c::HUGEINT * yr.ry * yr.ry) AS syy,
+                 sum(c.c::HUGEINT * xr.rx * yr.ry) AS sxy
+          FROM cells c
+          JOIN xr ON xr.grp = c.grp AND xr.xq = c.xq
+          JOIN yr ON yr.grp = c.grp AND yr.yq = c.yq
+          GROUP BY 1
+        )
+        SELECT grp AS {group}, m::BIGINT AS n_rows,
+               CASE
+                 WHEN m < 2 OR (m * sxx - sx * sx) = 0
+                   OR (m * syy - sy * sy) = 0 THEN 0
+                 ELSE (CASE WHEN (m * sxy - sx * sy) >= 0 THEN 1
+                            ELSE -1 END
+                       * ((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                          * 1000000
+                          // ((m * sxx - sx * sx)
+                              * (m * syy - sy * sy))))
+               END::BIGINT AS rho2_ppm
+        FROM mom ORDER BY 1"""
+
+
+def conformal_threshold(ds, *, group_col: str, id_col: str,
+                        score_col: str, alpha_ppm: int = 100_000,
+                        cal_mod: int = 2, salt: str = "",
+                        num_buckets: int = 16):
+    """Mondrian split-conformal calibration of a per-row score, with its
+    own held-out coverage audit — the finite-sample-guaranteed way to
+    turn ANY scalar signal (doc length, quality score, perplexity proxy,
+    nonconformity of a model) into a cut-off: the split-conformal
+    threshold at miscoverage α is the ``⌈(n_cal+1)(1−α)⌉``-th smallest
+    calibration score, and scores ≤ it cover fresh draws with
+    probability ≥ 1−α regardless of the score's distribution (Vovk et
+    al.; Angelopoulos & Bates 2022 tutorial) — the guarantee a naive
+    empirical quantile does NOT have at small n. Computed PER GROUP
+    (Mondrian conformal), because corpus-wide thresholds silently
+    under-cover minority groups — exactly the failure mode of pooled
+    curation cut-offs that :func:`quantile_normalize` fights from the
+    other direction.
+
+    Contract (everything exact-integer and hash-deterministic):
+
+    * calibration membership is ``md5(salt‖id) % cal_mod == 0`` (the
+      group_kfold purity convention — same rows on any cluster shape),
+      every other row is the held-out audit set;
+    * ``k = ⌈(n_cal+1)·(10⁶−alpha_ppm)/10⁶⌉`` via integer ceiling;
+      ``threshold`` = the k-th smallest calibration score;
+    * ``coverage_ppm = #(test score ≤ threshold)·10⁶ // n_test`` — the
+      delivered coverage next to the promised ``10⁶ − alpha_ppm``;
+    * groups with ``k > n_cal`` (too few calibration rows for the
+      requested α — the conformal threshold would be +∞) or with an
+      empty audit side are EXCLUDED (documented; the output is the
+      audit-sized table of groups the guarantee can actually be stated
+      for).
+
+    Scale shape (grouped_ks posture): per-batch ``(group, is_cal,
+    score)`` Arrow count partials over the bounded score support, ONE
+    bucketed fold, per-group sorted-cumsum walk on the driver in Python
+    ints. Output ``(group, n_cal, n_test, threshold, coverage_ppm)``."""
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hash64([f"{salt}{v}" for v in df[id_col].to_numpy()])
+        out = pd.DataFrame({
+            group_col: df[group_col],
+            "is_cal": (h % np.uint64(cal_mod) == 0).astype(np.int64),
+            "score": df[score_col].astype(np.int64),
+        })
+        g = out.groupby([group_col, "is_cal", "score"], as_index=False)
+        return g.size().rename(columns={"size": "c"})
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group_col, "is_cal", "score"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="score",
+    ).to_pandas()
+
+    rows = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        sub = sub.sort_values("score", kind="stable")
+        cal = sub[sub["is_cal"] == 1]
+        tst = sub[sub["is_cal"] == 0]
+        n_cal = int(cal["c"].sum())
+        n_test = int(tst["c"].sum())
+        k = ((n_cal + 1) * (1_000_000 - alpha_ppm)
+             + 999_999) // 1_000_000
+        if n_test == 0 or k > n_cal:
+            continue
+        cum = cal["c"].cumsum().to_numpy()
+        thr = int(cal["score"].to_numpy()[np.searchsorted(cum, k)])
+        covered = int(tst.loc[tst["score"] <= thr, "c"].sum())
+        rows.append((grp, n_cal, n_test, thr,
+                     covered * 1_000_000 // n_test))
+    out = pd.DataFrame(
+        rows, columns=[group_col, "n_cal", "n_test", "threshold",
+                       "coverage_ppm"])
+    for c in ("n_cal", "n_test", "threshold", "coverage_ppm"):
+        out[c] = out[c].astype("int64")
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def conformal_threshold_sql(*, src_sql: str, group: str, id_expr: str,
+                            score_expr: str, alpha_ppm: int = 100_000,
+                            cal_mod: int = 2, salt: str = "") -> str:
+    """SQL mirror: md5 split predicate, integer-ceiling rank k, k-th
+    smallest via row_number, FILTER-counted held-out coverage."""
+    return f"""
+        WITH src AS ({src_sql}),
+        tagged AS (
+          SELECT {group} AS grp, ({score_expr})::BIGINT AS score,
+                 CASE WHEN md5_number_upper('{salt}' ||
+                        ({id_expr})::VARCHAR) % {cal_mod} = 0
+                      THEN 1 ELSE 0 END AS is_cal
+          FROM src
+        ),
+        sizes AS (
+          SELECT grp,
+                 count(*) FILTER (WHERE is_cal = 1)::BIGINT AS n_cal,
+                 count(*) FILTER (WHERE is_cal = 0)::BIGINT AS n_test
+          FROM tagged GROUP BY 1
+        ),
+        kk AS (
+          SELECT grp, n_cal, n_test,
+                 ((n_cal + 1) * ({1_000_000} - {alpha_ppm})
+                  + 999999) // 1000000 AS k
+          FROM sizes WHERE n_test > 0
+        ),
+        ranked AS (
+          SELECT grp, score,
+                 row_number() OVER (PARTITION BY grp ORDER BY score) AS rn
+          FROM tagged WHERE is_cal = 1
+        ),
+        thr AS (
+          SELECT kk.grp, kk.n_cal, kk.n_test, ranked.score AS threshold
+          FROM kk JOIN ranked
+            ON ranked.grp = kk.grp AND ranked.rn = kk.k
+          WHERE kk.k <= kk.n_cal
+        )
+        SELECT t.grp AS {group}, t.n_cal, t.n_test, t.threshold,
+               (count(*) FILTER (WHERE g.score <= t.threshold)
+                * 1000000 // t.n_test)::BIGINT AS coverage_ppm
+        FROM thr t JOIN tagged g ON g.grp = t.grp AND g.is_cal = 0
+        GROUP BY 1, 2, 3, 4
+        ORDER BY 1"""
+
+
 def quantile_normalize(ds, *, group_col: str, id_col: str, value_col: str,
                        num_buckets: int = 16):
     """Cross-group quantile normalization: replace each row's value with

@@ -2025,3 +2025,110 @@ def test_robust_scale_hand():
                                                     dtype=np.int64)})
     o3 = robust_scale(ray.data.from_pandas(df3), value_col="v").to_pandas()
     assert (o3["robust_ppm"] == 0).all()
+
+
+def test_spearman_rho_exact_vs_fraction_reference():
+    from fractions import Fraction
+
+    from htrc_feature_reader_ray.stages.profile import spearman_rho
+
+    rng = np.random.RandomState(23)
+    x = rng.randint(0, 25, 200).astype(np.int64)  # heavy ties
+    y = (x * 2 + rng.randint(-8, 9, 200)).astype(np.int64)
+    df = pd.DataFrame({"g": ["a"] * 200, "x": x, "y": y})
+    out = spearman_rho(ray.data.from_pandas(df).repartition(5),
+                       group_col="g", x_col="x", y_col="y").to_pandas()
+
+    # reference: Pearson on ties-AVERAGED ranks, exact via Fraction
+    def avg_ranks(v):
+        order = np.argsort(v, kind="stable")
+        r = np.empty(len(v), dtype=object)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ar = Fraction(i + 1 + j, 2)  # average of ranks i+1..j
+            for k in range(i, j):
+                r[order[k]] = ar
+            i = j
+        return r
+
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    n = len(x)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sc = n * sxy - sx * sy
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    frac = sc * sc * 1_000_000 / (vx * vy)
+    mag = int(frac)  # trunc toward zero on the nonnegative square
+    want = mag if sc >= 0 else -mag
+    assert int(out.iloc[0]["rho2_ppm"]) == want
+    assert want > 700_000  # sanity: strong positive rank association
+
+
+def test_spearman_rho_extremes_and_contracts():
+    from htrc_feature_reader_ray.stages.profile import spearman_rho
+
+    x = np.arange(50, dtype=np.int64)
+    df = pd.DataFrame({
+        "g": ["up"] * 50 + ["down"] * 50 + ["flat"] * 5 + ["solo"],
+        "x": np.concatenate([x, x, np.arange(5), [0]]),
+        "y": np.concatenate([x * 7 + 1, -x, [3] * 5, [5]]),
+    })
+    out = spearman_rho(ray.data.from_pandas(df), group_col="g",
+                       x_col="x", y_col="y").to_pandas().set_index("g")
+    assert out.loc["up", "rho2_ppm"] == 1_000_000
+    assert out.loc["down", "rho2_ppm"] == -1_000_000
+    assert out.loc["flat", "rho2_ppm"] == 0   # zero y-variance contract
+    assert out.loc["solo", "rho2_ppm"] == 0   # m<2 contract
+
+
+def test_conformal_threshold_exact_guarantee_and_contracts():
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.profile import conformal_threshold
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": ["a"] * n,
+        "s": rng.randint(0, 10_000, n).astype(np.int64),
+    })
+    out = conformal_threshold(
+        ray.data.from_pandas(df).repartition(5), group_col="g",
+        id_col="id", score_col="s", alpha_ppm=200_000, cal_mod=2,
+        salt="t:").to_pandas()
+    row = out.iloc[0]
+
+    # scalar replay of the contract
+    h = md5_hash64([f"t:{v}" for v in df["id"]])
+    cal = np.sort(df["s"].to_numpy()[h % 2 == 0])
+    tst = df["s"].to_numpy()[h % 2 != 0]
+    k = ((len(cal) + 1) * 800_000 + 999_999) // 1_000_000
+    thr = int(cal[k - 1])
+    assert int(row["n_cal"]) == len(cal)
+    assert int(row["n_test"]) == len(tst)
+    assert int(row["threshold"]) == thr
+    want_cov = int((tst <= thr).sum()) * 1_000_000 // len(tst)
+    assert int(row["coverage_ppm"]) == want_cov
+    # the conformal promise is marginal over splits; this single draw
+    # sits within binomial noise of the promised 800000
+    assert want_cov >= 700_000
+
+    # exclusion contracts: a group too small for alpha (k > n_cal) and a
+    # group whose audit side is empty are both dropped
+    tiny = pd.DataFrame({
+        "id": [1_000_001, 1_000_003],  # both hash to the same split side?
+        "g": ["tiny"] * 2,
+        "s": [5, 6],
+    })
+    out2 = conformal_threshold(
+        ray.data.from_pandas(pd.concat([df, tiny], ignore_index=True)),
+        group_col="g", id_col="id", score_col="s",
+        alpha_ppm=1_000, cal_mod=2, salt="t:").to_pandas()
+    # alpha=0.1%: k = n_cal+1 > n_cal for any group -> everything excluded
+    assert len(out2) == 0
