@@ -138,6 +138,17 @@ def main(argv=None) -> int:
     uaud.add_argument("--out", required=True)
     uaud.add_argument("--num-cpus", type=int, default=None)
 
+    eaud = sub.add_parser(
+        "audit-embeddings",
+        help="embedding-corpus audit (isotropy, PCA axis, covariance,"
+             " int8 quant error, Matryoshka curve, silhouette, hubness,"
+             " reciprocal matches) -> one parquet per section",
+    )
+    eaud.add_argument("--sf-dir", required=True,
+                      help="directory with embeddings.parquet")
+    eaud.add_argument("--out", required=True)
+    eaud.add_argument("--num-cpus", type=int, default=None)
+
     gaud = sub.add_parser(
         "audit-graph",
         help="link-graph audit (components, degree shape, cohesion,"
@@ -381,6 +392,25 @@ def main(argv=None) -> int:
         from examples.corpus_audit import audit_corpus
 
         rep = audit_corpus(args.docs, args.events)
+        os.makedirs(args.out, exist_ok=True)
+        sizes = {}
+        for name, frame in rep.items():
+            path = os.path.join(args.out, f"{name}.parquet")
+            frame.to_parquet(path, index=False)
+            sizes[name] = len(frame)
+        print(json.dumps({"sections": sizes, "out": args.out}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "audit-embeddings":
+        _ensure_ray(args.num_cpus)
+        import os
+
+        import ray
+
+        from examples.embedding_audit import audit_embeddings
+
+        rep = audit_embeddings(args.sf_dir)
         os.makedirs(args.out, exist_ok=True)
         sizes = {}
         for name, frame in rep.items():

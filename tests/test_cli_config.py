@@ -143,3 +143,25 @@ def test_cli_audit_graph(tmp_path, capsys):
     assert rep["sections"]["pagerank_top"] <= 50
     assert (out / "coreness.parquet").exists()
     assert (out / "suggestions.parquet").exists()
+
+
+def test_cli_audit_embeddings(tmp_path, capsys):
+    import json
+
+    from htrc_feature_reader_ray.__main__ import main
+
+    out = tmp_path / "eaudit"
+    rc = main([
+        "audit-embeddings",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep["sections"]) == {
+        "isotropy", "pca_axis", "covariance", "int8_quant",
+        "matryoshka", "silhouette", "hubness", "mutual_nn"}
+    assert rep["sections"]["isotropy"] == 1
+    assert rep["sections"]["silhouette"] == rep["sections"]["hubness"]
+    assert (out / "isotropy.parquet").exists()
+    assert (out / "matryoshka.parquet").exists()

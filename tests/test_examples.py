@@ -70,3 +70,13 @@ def test_corpus_audit_example():
     assert (rep["padding"]["n_seqs"] > 0).all()
     assert set(rep["split_sizes"]["split"]) <= {"train", "test", "embargo"}
     assert (rep["ess"]["ess_ppm"] <= 1_000_000).all()
+
+
+def test_embedding_audit_example():
+    from examples.embedding_audit import main
+
+    sizes = main("/root/testdata/sf0.001")
+    assert sizes["isotropy"] == 1
+    assert sizes["pca_axis"] == 64
+    assert sizes["silhouette"] == sizes["hubness"] > 0
+    assert sizes["mutual_nn"] > 0
