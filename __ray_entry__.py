@@ -3380,6 +3380,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 scored, batch_format="pyarrow"),
             score_col="s", label_col="y")
 
+    def q_isotonic_calibration(sf):
+        """Isotonic (PAV) recalibration map of the stopword-ratio
+        English scorer vs the lang label, via the order-free minimax
+        identity on floored ppms — the monotone calibrator applied
+        before thresholding a quality score corpus-wide; qs=50000
+        bounds the support at <=21 bins."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import (
+            isotonic_calibration,
+        )
+        from htrc_feature_reader_ray.stages.textstats import (
+            STOPWORDS_EN,
+            _tok_stats,
+        )
+
+        stopset = pa.array(sorted(set(STOPWORDS_EN)))
+
+        def scored(batch: pa.Table) -> pa.Table:
+            flat, parent, n = _tok_stats(batch, "text")
+            is_stop = pc.is_in(flat, value_set=stopset).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nstop = np.zeros(n, dtype=np.int64)
+            np.add.at(nstop, parent, is_stop)
+            ntok = np.bincount(parent, minlength=n).astype(np.int64)
+            score = nstop * 1_000_000 // np.maximum(ntok, 1)
+            y = pc.equal(batch.column("lang"), "en").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"s": pa.array(score), "y": pa.array(y)})
+
+        return isotonic_calibration(
+            _docs(sf, ["text", "lang"]).map_batches(
+                scored, batch_format="pyarrow"),
+            score_col="s", label_col="y", qs=50_000)
+
     def q_pca_power(sf):
         """Top principal axis of the embedding corpus: fixed-point power
         iteration (max-abs normalization, truncating division) on the
@@ -3949,6 +3984,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             })
 
         return html_tables(docs.map_batches(synth, batch_format="pandas"))
+
+    def q_registered_domain(sf):
+        """eTLD+1 site rollup over a deterministic host fixture spanning
+        PSL ccTLD registries and plain TLDs: the pinned-suffix-table
+        registered-domain rule (last 3 labels iff last 2 are a public
+        suffix), then (site, n_urls, n_hosts) — the site-level grouping
+        raw host over-splits and naive last-two merges wrongly."""
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.urltools import (
+            registered_domain,
+        )
+
+        subs = np.array(["www", "news", "cdn.static"])
+        tlds = np.array(["example.com", "co.uk", "gov.uk", "com.au",
+                         "org", "co.jp"])
+
+        def synth(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["doc_id"].to_numpy(dtype=np.int64)
+            host = (pd.Series(subs[d % 3]) + ".site"
+                    + pd.Series(d % 10).astype(str) + "."
+                    + pd.Series(tlds[d % 6]))
+            return pd.DataFrame({"host": host.to_numpy()})
+
+        hosts = _docs(sf, ("doc_id",)).map_batches(
+            synth, batch_format="pandas")
+        sited = registered_domain(hosts)
+        per_host = bucketed_aggregate(
+            sited, ["site", "host"], {"n": ("host", "size")},
+            num_buckets=8, bucket_key="site")
+        return bucketed_aggregate(
+            per_host, ["site"],
+            {"n_urls": ("n", "sum"), "n_hosts": ("host", "size")},
+            num_buckets=4)
 
     def q_parse_sitemaps(sf):
         """sitemap.xml entry extraction over a deterministic per-host
@@ -5838,6 +5908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "woe_iv": q_woe_iv,
         "pr_curve": q_pr_curve,
         "pca_power": q_pca_power,
+        "isotonic_calibration": q_isotonic_calibration,
         "link_prediction": q_link_prediction,
         "association_rules": q_association_rules,
         "snapshot_intervals": q_snapshot_intervals,
@@ -5881,6 +5952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_rollup": q_path_rollup,
         "parse_robots": q_parse_robots,
         "parse_sitemaps": q_parse_sitemaps,
+        "registered_domain": q_registered_domain,
         "sitemap_coverage": q_sitemap_coverage,
         "matryoshka_quality": q_matryoshka_quality,
         "int8_quant_error": q_int8_quant_error,
@@ -6775,6 +6847,20 @@ def oracle_sql() -> dict[str, str]:
                          AS y
               FROM events)""",
             value="v", label="y"),
+        "isotonic_calibration": profile_mod.isotonic_calibration_sql(
+            table_expr=f"""(
+              SELECT
+                (SELECT coalesce(count(*) FILTER (WHERE t IN
+                    {textstats.sql_in_list(
+                        sorted(set(textstats.STOPWORDS_EN)))}), 0)
+                 FROM unnest(list_filter(string_split(text, ' '),
+                                         t -> t != '')) AS u(t)
+                )::BIGINT * 1000000
+                // greatest(len(list_filter(string_split(text, ' '),
+                                            t -> t != '')), 1) AS s,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents)""",
+            score="s", label="y", qs=50_000),
         "pr_curve": profile_mod.pr_curve_sql(
             table_expr=f"""(
               SELECT
@@ -7491,6 +7577,25 @@ def oracle_sql() -> dict[str, str]:
                            AS robots_txt
                 FROM (SELECT DISTINCT source FROM documents)
             )""" + urltools.robots_crawl_delay_sql())),
+        "registered_domain": f"""
+            WITH hosts AS (
+              SELECT (CASE doc_id % 3 WHEN 0 THEN 'www'
+                      WHEN 1 THEN 'news' ELSE 'cdn.static' END)
+                     || '.site' || (doc_id % 10) || '.'
+                     || (CASE doc_id % 6 WHEN 0 THEN 'example.com'
+                         WHEN 1 THEN 'co.uk' WHEN 2 THEN 'gov.uk'
+                         WHEN 3 THEN 'com.au' WHEN 4 THEN 'org'
+                         ELSE 'co.jp' END) AS host
+              FROM documents
+            ),
+            sited AS (
+              SELECT host,
+                     {urltools.registered_domain_sql(host="host")} AS site
+              FROM hosts
+            )
+            SELECT site, count(*)::BIGINT AS n_urls,
+                   count(DISTINCT host)::BIGINT AS n_hosts
+            FROM sited GROUP BY 1""",
         "parse_sitemaps": "WITH sitemaps AS (" + """
             SELECT source || '.example.com' AS host,
                    '<?xml version="1.0"?><urlset>'

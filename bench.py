@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "embedding_isotropy",
     "spearman_rho",
     "conformal_threshold",
+    "isotonic_calibration",
+    "registered_domain",
 ]
 
 HEADLINE = "flagship"

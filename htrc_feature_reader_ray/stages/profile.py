@@ -3392,6 +3392,131 @@ def spearman_rho_sql(*, src_sql: str, group: str, x_expr: str, y_expr: str,
         FROM mom ORDER BY 1"""
 
 
+def isotonic_calibration(ds, *, score_col: str, label_col: str,
+                         qs: int = 1, num_buckets: int = 8):
+    """Isotonic (PAV) calibration of a score against a binary label —
+    the NONPARAMETRIC calibrator next to :func:`calibration_bins`:
+    equal-width bins report how mis-calibrated a scorer is; isotonic
+    regression produces the best monotone recalibration map itself (the
+    classic Zadrozny–Elkan treatment), the thing you actually apply
+    before thresholding a quality or langid score corpus-wide.
+
+    Exactness device: instead of the sequential pool-adjacent-violators
+    stack (order-dependent, not SQL-replayable), the engine evaluates
+    the closed minimax identity of the isotonic fit
+
+        fitted(i) = max_{j ≤ i} min_{k ≥ i} avg(pos) over bins j..k
+
+    which is order-free and exact — and because floor-to-ppm is
+    monotone non-decreasing, taking each range's ``ppm = pos·10⁶ //
+    n`` FIRST and then max-min over the ppms equals the ppm of the
+    true rational fit (g nondecreasing ⇒ g(min S) = min g(S)), so
+    engine and mirror replay bit-for-bit with no fraction comparisons.
+    Scores are quantized to ``score // qs`` bins — the quantizer bounds
+    the support at B bins (the kendall_tau grid contract) and bounds
+    the mirror's O(B³) range enumeration.
+
+    Scale shape (pr_curve posture): per-batch (bin, n, pos) Arrow count
+    partials, ONE bounded fold, O(B²) suffix-min / prefix-max driver
+    finish in Python ints. Output ``(bin, n, n_pos, fitted_ppm)`` over
+    the observed bins, fitted_ppm non-decreasing in bin by
+    construction."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).cast(pa.int64())
+        tb = pa.table({
+            "bin": pa.compute.divide(s, qs).cast(pa.int64()),
+            "y": batch.column(label_col).cast(pa.int64()),
+        })
+        g = tb.group_by("bin").aggregate(
+            [([], "count_all"), ("y", "sum")])
+        return g.rename_columns(["bin", "n", "pos"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], {"n": ("n", "sum"), "pos": ("pos", "sum")},
+        num_buckets=num_buckets, bucket_key="bin",
+    ).to_pandas().sort_values("bin", kind="stable")
+
+    import ray.data
+
+    if folded.empty:
+        return ray.data.from_pandas(pd.DataFrame({
+            "bin": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "n_pos": pd.Series([], dtype="int64"),
+            "fitted_ppm": pd.Series([], dtype="int64")}))
+
+    n = folded["n"].to_numpy(dtype=np.int64)
+    pos = folded["pos"].to_numpy(dtype=np.int64)
+    B = len(n)
+    # prefix sums (Python ints: counts can pass int64 at corpus scale
+    # only via the ppm products; the sums themselves are int64-safe,
+    # the ppm products are done in object ints)
+    cn = np.concatenate(([0], np.cumsum(n)))
+    cp = np.concatenate(([0], np.cumsum(pos)))
+    # r[j,k] = floor ppm of range j..k (0-based, inclusive)
+    r = np.empty((B, B), dtype=np.int64)
+    for j in range(B):
+        for k in range(j, B):
+            r[j, k] = (int(cp[k + 1]) - int(cp[j])) * 1_000_000 \
+                // (int(cn[k + 1]) - int(cn[j]))
+    # m[j, i] = min_{k >= i} r[j, k] via suffix min per row
+    suf = np.empty((B, B), dtype=np.int64)
+    for j in range(B):
+        suf[j, B - 1] = r[j, B - 1]
+        for k in range(B - 2, j - 1, -1):
+            suf[j, k] = min(r[j, k], suf[j, k + 1])
+    fitted = np.empty(B, dtype=np.int64)
+    for i in range(B):
+        fitted[i] = max(int(suf[j, i]) for j in range(i + 1))
+    out = pd.DataFrame({
+        "bin": folded["bin"].to_numpy(dtype=np.int64),
+        "n": n, "n_pos": pos, "fitted_ppm": fitted})
+    return ray.data.from_pandas(out)
+
+
+def isotonic_calibration_sql(*, table_expr: str, score: str,
+                             label: str, qs: int = 1) -> str:
+    """SQL mirror: bin fold + window prefix sums, j≤k range ppm via a
+    rank self-join, then min-per-(i,j) / max-per-i over a bounded
+    j≤i≤k join — the same minimax identity on the same floored ppms."""
+    return f"""
+        WITH src AS (SELECT * FROM {table_expr} AS _t),
+        bins AS (
+          SELECT ({score}) // {qs} AS bin,
+                 count(*)::BIGINT AS n, sum({label})::BIGINT AS pos
+          FROM src GROUP BY 1
+        ),
+        ranked AS (
+          SELECT bin, n, pos,
+                 row_number() OVER (ORDER BY bin) AS rn,
+                 sum(n) OVER (ORDER BY bin) AS cn,
+                 sum(pos) OVER (ORDER BY bin) AS cp
+          FROM bins
+        ),
+        ranges AS (
+          SELECT a.rn AS j, b.rn AS k,
+                 ((b.cp - a.cp + a.pos)::HUGEINT * 1000000
+                  // (b.cn - a.cn + a.n))::BIGINT AS ppm
+          FROM ranked a JOIN ranked b ON a.rn <= b.rn
+        ),
+        inner_min AS (
+          SELECT i.rn, r.j, min(r.ppm) AS m
+          FROM ranked i JOIN ranges r
+            ON r.j <= i.rn AND r.k >= i.rn
+          GROUP BY 1, 2
+        )
+        SELECT ranked.bin, ranked.n, ranked.pos AS n_pos,
+               mm.fitted_ppm
+        FROM ranked JOIN (
+          SELECT rn, max(m)::BIGINT AS fitted_ppm
+          FROM inner_min GROUP BY 1
+        ) mm ON mm.rn = ranked.rn
+        ORDER BY 1"""
+
+
 def conformal_threshold(ds, *, group_col: str, id_col: str,
                         score_col: str, alpha_ppm: int = 100_000,
                         cal_mod: int = 2, salt: str = "",

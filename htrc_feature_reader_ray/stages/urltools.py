@@ -1178,3 +1178,63 @@ def politeness_audit_sql(*, pages_pre: str, delays_sql: str,
                (count(*) FILTER (WHERE gap < lim)::HUGEINT * 1000000
                 // greatest(count(gap), 1))::BIGINT AS violation_ppm
         FROM j GROUP BY 1 ORDER BY 1"""
+
+
+# Two-level public suffixes the registered-domain rule must not split —
+# a pinned, documented subset of the Mozilla Public Suffix List covering
+# the common ccTLD second-level registries (the full PSL is a data file a
+# production deployment broadcasts the same way; the CONTRACT — longest
+# matching suffix, then one more label — is what the operator pins).
+PSL2 = (
+    "ac.jp", "ac.uk", "co.il", "co.in", "co.jp", "co.kr", "co.nz",
+    "co.uk", "co.za", "com.ar", "com.au", "com.br", "com.cn", "com.mx",
+    "com.sg", "com.tr", "com.tw", "edu.au", "gov.au", "gov.uk", "ne.jp",
+    "net.au", "or.jp", "org.au", "org.uk",
+)
+
+
+def registered_domain(ds, *, host_col: str = "host",
+                      out_col: str = "site"):
+    """eTLD+1 / registered-domain projection — the SITE grouping key every
+    crawl policy actually wants where raw ``host`` over-splits
+    (``news.bbc.co.uk`` and ``www.bbc.co.uk`` are one site, one robots
+    owner, one dedup/blocklist/host-cap unit) and a naive last-two-labels
+    rule corrupts ccTLD registries (``bbc.co.uk`` would become ``co.uk``,
+    merging every UK company into one key — the classic crawler bug the
+    Public Suffix List exists to prevent).
+
+    Contract (vectorized, zero-shuffle, SQL-replayable): if the host's
+    last TWO labels form a suffix in the pinned :data:`PSL2` table, the
+    site is the last THREE labels; otherwise the last two; hosts with too
+    few labels (bare TLDs, intranet names, IP-ish strings) pass through
+    unchanged. Matching is on the lowercased host (the
+    :func:`url_features` host convention feeds this directly).
+
+    Scale shape: one stateless ``map_batches`` — two anchored RE2
+    extracts + one membership test against the broadcast-by-closure
+    suffix tuple; no exchange. Adds ``out_col`` to the row."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[host_col].astype(str).str.lower()
+        last2 = h.str.extract(r"([^.]+\.[^.]+)$", expand=False)
+        last3 = h.str.extract(r"([^.]+\.[^.]+\.[^.]+)$", expand=False)
+        site = np.where(
+            last2.isin(PSL2) & last3.notna(), last3,
+            np.where(last2.notna(), last2, h))
+        out = df.copy()
+        out[out_col] = site
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def registered_domain_sql(*, host: str = "host") -> str:
+    """Column expression mirroring :func:`registered_domain` — same
+    anchored extracts, same literal suffix list."""
+    in_list = ", ".join(f"'{s}'" for s in PSL2)
+    l2 = f"regexp_extract(lower({host}), '([^.]+\\.[^.]+)$', 1)"
+    l3 = f"regexp_extract(lower({host}), '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    return f"""CASE
+        WHEN {l2} IN ({in_list}) AND {l3} != '' THEN {l3}
+        WHEN {l2} != '' THEN {l2}
+        ELSE lower({host}) END"""

@@ -2132,3 +2132,63 @@ def test_conformal_threshold_exact_guarantee_and_contracts():
         alpha_ppm=1_000, cal_mod=2, salt="t:").to_pandas()
     # alpha=0.1%: k = n_cal+1 > n_cal for any group -> everything excluded
     assert len(out2) == 0
+
+
+def test_isotonic_calibration_equals_stack_pav():
+    from fractions import Fraction
+
+    from htrc_feature_reader_ray.stages.profile import isotonic_calibration
+
+    rng = np.random.RandomState(3)
+    s = rng.randint(0, 120, 600).astype(np.int64)
+    # noisy monotone relationship with deliberate local violations
+    y = (rng.rand(600) < np.clip(s / 150.0 + rng.randn(600) * 0.3,
+                                 0, 1)).astype(np.int64)
+    df = pd.DataFrame({"s": s, "y": y})
+    out = isotonic_calibration(
+        ray.data.from_pandas(df).repartition(5), score_col="s",
+        label_col="y", qs=10).to_pandas()
+
+    # reference: classic weighted PAV stack over the same bins, exact
+    g = df.assign(b=s // 10).groupby("b").agg(
+        n=("y", "size"), p=("y", "sum")).reset_index()
+    stack = []  # (n, p) pools
+    for _, row in g.iterrows():
+        stack.append([int(row["n"]), int(row["p"])])
+        while len(stack) > 1 and (
+            Fraction(stack[-2][1], stack[-2][0])
+            >= Fraction(stack[-1][1], stack[-1][0])
+        ):
+            b2 = stack.pop()
+            stack[-1][0] += b2[0]
+            stack[-1][1] += b2[1]
+    want = []
+    i = 0
+    sizes = g["n"].to_numpy()
+    # expand pools back to bins (pool averages floored to ppm)
+    consumed = 0
+    bin_rows = 0
+    for pool_n, pool_p in stack:
+        covered = 0
+        while covered < pool_n:
+            covered += int(sizes[bin_rows])
+            want.append(pool_p * 1_000_000 // pool_n)
+            bin_rows += 1
+    assert list(out["fitted_ppm"]) == want
+    assert list(out["bin"]) == list(g["b"])
+    # monotone by construction
+    assert (np.diff(out["fitted_ppm"].to_numpy()) >= 0).all()
+
+
+def test_isotonic_calibration_perfectly_separated():
+    from htrc_feature_reader_ray.stages.profile import isotonic_calibration
+
+    df = pd.DataFrame({
+        "s": [0, 1, 2, 3, 10, 11, 12],
+        "y": [0, 0, 0, 0, 1, 1, 1],
+    })
+    out = isotonic_calibration(
+        ray.data.from_pandas(df), score_col="s", label_col="y",
+        qs=1).to_pandas()
+    assert list(out["fitted_ppm"][:4]) == [0, 0, 0, 0]
+    assert list(out["fitted_ppm"][4:]) == [1_000_000] * 3

@@ -455,3 +455,25 @@ def test_sitemap_coverage_hand():
     assert a["n_crawled"] == 2 and a["coverage_ppm"] == 666666
     assert b["host"] == "b.com" and b["n_listed"] == 2
     assert b["n_crawled"] == 0 and b["coverage_ppm"] == 0
+
+
+def test_registered_domain_psl_rule():
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.urltools import registered_domain
+
+    df = pd.DataFrame({"host": [
+        "news.bbc.co.uk",        # PSL 2-level suffix -> 3 labels
+        "www.bbc.co.uk",         # same site as above
+        "BBC.CO.UK",             # case folded; host == registrable
+        "a.b.example.com",       # plain TLD -> last 2
+        "example.com",
+        "localhost",             # no dot -> passthrough
+        "sub.shop.com.au",       # PSL -> shop.com.au
+        "x.co.jp",
+    ]})
+    out = registered_domain(
+        ray.data.from_pandas(df)).to_pandas()["site"].tolist()
+    assert out == [
+        "bbc.co.uk", "bbc.co.uk", "bbc.co.uk", "example.com",
+        "example.com", "localhost", "shop.com.au", "x.co.jp"]
