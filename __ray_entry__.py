@@ -3118,6 +3118,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retrieval_pr_at_k(_docs(sf), _MRR_QUERIES, k=20)
 
+    def q_retrieval_ndcg_at_k(sf):
+        """NDCG@10 of the rational-BM25 ranker under GRADED relevance
+        (2 = exact adjacent phrase, 1 = all words without adjacency) —
+        the rank-position-aware leg of the retrieval suite; pinned
+        literal round(1e6/log2(i+1)) discount weights on both engines,
+        exact-integer DCG/IDCG, ndcg_ppm = DCG*1e6 // IDCG."""
+        from htrc_feature_reader_ray.stages.curate import (
+            retrieval_ndcg_at_k,
+        )
+
+        return retrieval_ndcg_at_k(_docs(sf), _MRR_QUERIES, k=10)
+
+    def q_bradley_terry(sf):
+        """Bradley-Terry strength ranking of event types from pairwise
+        per-user preference evidence (consecutive events: the larger
+        value_cents wins; equal values and same-type pairs carry no
+        signal and are dropped) — the arena-eval primitive fit by
+        Hunter's MM iteration in the engine's fixed-point convention:
+        6 fixed all-integer rounds, truncating division, mean strength
+        renormalized to 1e6; the SQL mirror unrolls identical rounds."""
+        from htrc_feature_reader_ray.stages.profile import bradley_terry
+        from htrc_feature_reader_ray.stages.temporal import lag_lead
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_id": t.column("event_id"),
+                "item": t.column("event_type"),
+                "cents": pa.array(cents),
+            })
+
+        lagd = lag_lead(
+            _events(sf, ["event_id", "ts", "user_id", "event_type",
+                         "value"]).map_batches(
+                prep, batch_format="pyarrow"),
+            key="user_id", ts="ts", cols=["item", "cents"],
+            tiebreak="event_id")
+
+        def comp(df):
+            m = (df["lag_item"].notna()
+                 & (df["cents"] != df["lag_cents"])
+                 & (df["item"] != df["lag_item"]))
+            d = df[m]
+            up = d["cents"].to_numpy() > d["lag_cents"].to_numpy()
+            win = np.where(up, d["item"], d["lag_item"])
+            lose = np.where(up, d["lag_item"], d["item"])
+            return pd.DataFrame({
+                "winner": pd.Series(win, dtype=object),
+                "loser": pd.Series(lose, dtype=object),
+            })
+
+        return bradley_terry(
+            lagd.map_batches(comp, batch_format="pandas"),
+            winner_col="winner", loser_col="loser", rounds=6)
+
     def q_harmonic_centrality(sf):
         """Sampled harmonic centrality (Boldi-Vigna via Eppstein-Wang:
         exact labeled BFS from 4 bottom-(md5,url) seeds, 1e6//d per-hop
@@ -5895,6 +5954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_resolution_rate": q_link_resolution_rate,
         "local_supplier_revenue": q_local_supplier_revenue,
         "retrieval_pr_at_k": q_retrieval_pr_at_k,
+        "retrieval_ndcg_at_k": q_retrieval_ndcg_at_k,
+        "bradley_terry": q_bradley_terry,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -7060,6 +7121,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "retrieval_pr_at_k": curate.retrieval_pr_at_k_sql(
             _MRR_QUERIES, k=20),
+        "retrieval_ndcg_at_k": curate.retrieval_ndcg_at_k_sql(
+            _MRR_QUERIES, k=10),
+        "bradley_terry": profile_mod.bradley_terry_sql(
+            comparisons_sql="""
+              SELECT CASE WHEN cents > lcents THEN item ELSE litem END
+                         AS winner,
+                     CASE WHEN cents > lcents THEN litem ELSE item END
+                         AS loser
+              FROM (
+                SELECT event_type AS item,
+                       round(value * 100)::BIGINT AS cents,
+                       lag(event_type) OVER w AS litem,
+                       lag(round(value * 100)::BIGINT) OVER w AS lcents
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              )
+              WHERE litem IS NOT NULL AND cents != lcents
+                AND item != litem""",
+            rounds=6),
         "bpe_merges": vocab_mod.bpe_train_sql(rounds=3),
         "bpe_encode": vocab_mod.bpe_encode_sql(rounds=3),
         "wordpiece_encode": vocab_mod.wordpiece_encode_sql(rounds=3),

@@ -2894,3 +2894,135 @@ def retrieval_mrr_sql(queries: dict, *, k: int = 20,
                  WHERE {id_col} IN (SELECT {id_col} FROM ({rel}))
                ), 0)::BIGINT AS rr_ppm""")
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# graded retrieval quality: NDCG@k
+# ---------------------------------------------------------------------------
+
+#: Pinned DCG discount weights: ``_NDCG_W[i] = round(10**6 / log2(i+1))``
+#: for rank i = 1..20, embedded as LITERALS (never recomputed at runtime)
+#: so engine and SQL mirror share the exact same integers and no libm /
+#: float-rounding question can enter the hash gate.  Index 0 is unused.
+_NDCG_W = (0, 1000000, 630930, 500000, 430677, 386853, 356207, 333333,
+           315465, 301030, 289065, 278943, 270238, 262650, 255958, 250000,
+           244651, 239812, 235409, 231378, 227670)
+
+
+def retrieval_ndcg_at_k(ds, queries: dict, *, k: int = 10,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """NDCG@k of the rational-BM25 ranker under GRADED relevance — the
+    third leg of the retrieval acceptance suite (:func:`retrieval_mrr`
+    scores the first hit's rank, :func:`retrieval_pr_at_k` the binary
+    cutoff set; NDCG is the metric that rewards putting the MORE relevant
+    docs higher, which is what matters when grades aren't binary —
+    Järvelin & Kekäläinen's standard, the default leaderboard metric of
+    BEIR/MTEB-style retrieval evals).
+
+    Graded relevance is derived from the corpus itself, exactly: grade 2 =
+    :func:`phrase_search` containment of the ADJACENT phrase, grade 1 =
+    :func:`boolean_retrieval` conjunctive containment of all the phrase's
+    words without adjacency, grade 0 otherwise — the natural two-level
+    ladder for a phrase query (exact mention beats bag-of-words mention).
+
+    Exact-integer contract: ``DCG = Σ_{i≤k} grade(rank i) · W[i]`` with
+    ``W`` the PINNED literal table ``round(10⁶/log2(i+1))`` (both engines
+    read the same integers — no runtime log); ``IDCG`` sorts the full
+    relevance grade multiset desc and truncates at k; ``ndcg_ppm =
+    DCG·10⁶ // IDCG`` (0 when nothing is relevant, by contract). Rank
+    order is the engine-wide (score desc, id asc) contract.
+
+    Posture: the distributed work is inside bm25_topk (two corpus passes)
+    and the two relevance passes; the Q×k merge is driver-side per the
+    retrieval_mrr convention. Output one row per query: ``(query_id,
+    n_rel2, n_rel1, dcg_fix, idcg_fix, ndcg_ppm)``.
+    """
+    if k >= len(_NDCG_W):
+        raise ValueError(f"retrieval_ndcg_at_k: k <= {len(_NDCG_W) - 1}")
+    rows = []
+    for qid in sorted(queries):
+        phrase = queries[qid]
+        top = bm25_topk(ds, phrase.split(), text_col=text_col,
+                        id_col=id_col, k=k).to_pandas()
+        if "score_ppm" in top.columns:
+            top = top.sort_values(
+                ["score_ppm", id_col], ascending=[False, True]).head(k)
+        rel2_df = phrase_search(
+            ds, phrase, text_col=text_col, id_col=id_col).to_pandas()
+        rel2 = set(rel2_df[id_col]) if id_col in rel2_df.columns else set()
+        bool_df = boolean_retrieval(
+            ds, phrase.split(), text_col=text_col,
+            id_col=id_col).to_pandas()
+        rel1 = (set(bool_df[id_col])
+                if id_col in bool_df.columns else set()) - rel2
+        ids = list(top[id_col]) if id_col in top.columns else []
+        dcg = sum(
+            _NDCG_W[i] * (2 if d in rel2 else 1 if d in rel1 else 0)
+            for i, d in enumerate(ids, 1))
+        grades = [2] * len(rel2) + [1] * len(rel1)  # already desc
+        idcg = sum(_NDCG_W[i] * g
+                   for i, g in enumerate(grades[:k], 1))
+        rows.append((qid, len(rel2), len(rel1), dcg, idcg,
+                     dcg * 1_000_000 // idcg if idcg else 0))
+    out = pd.DataFrame(rows, columns=[
+        "query_id", "n_rel2", "n_rel1", "dcg_fix", "idcg_fix",
+        "ndcg_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def retrieval_ndcg_at_k_sql(queries: dict, *, k: int = 10,
+                            table: str = "documents", text: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """SQL mirror: bm25 top-k replay row_number'd under the identical rank
+    contract, grade CASE over the phrase/boolean relevance sets, the same
+    literal W(i) VALUES table on both the DCG and the desc-sorted-grades
+    IDCG sides."""
+    wvals = ", ".join(f"({i}, {_NDCG_W[i]})" for i in range(1, k + 1))
+    parts = []
+    for qid in sorted(queries):
+        phrase = queries[qid]
+        bm25 = bm25_topk_sql(query_terms=phrase.split(), table=table,
+                             text=text, id_col=id_col, k=k)
+        rel2 = phrase_search_sql(phrase, table=table, text_col=text,
+                                 id_col=id_col)
+        rel1 = boolean_retrieval_sql(phrase.split(), table=table,
+                                     text_col=text, id_col=id_col)
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, n_rel2, n_rel1, dcg AS dcg_fix,
+               idcg AS idcg_fix,
+               CASE WHEN idcg > 0 THEN (dcg * 1000000 // idcg)::BIGINT
+                    ELSE 0 END AS ndcg_ppm
+        FROM (
+          SELECT
+            (SELECT count(*) FROM ({rel2}))::BIGINT AS n_rel2,
+            (SELECT count(*) FROM ({rel1}) b
+              WHERE b.{id_col} NOT IN (SELECT {id_col} FROM ({rel2}))
+            )::BIGINT AS n_rel1,
+            coalesce((
+              SELECT sum(w.w * CASE
+                  WHEN t.{id_col} IN (SELECT {id_col} FROM ({rel2}))
+                      THEN 2
+                  WHEN t.{id_col} IN (SELECT {id_col} FROM ({rel1}))
+                      THEN 1
+                  ELSE 0 END)
+              FROM (SELECT {id_col}, row_number() OVER (
+                        ORDER BY score_ppm DESC, {id_col}) AS rk
+                    FROM ({bm25})) t
+              JOIN (VALUES {wvals}) AS w(i, w) ON w.i = t.rk
+            ), 0)::BIGINT AS dcg,
+            coalesce((
+              SELECT sum(w.w * g.g)
+              FROM (SELECT g, row_number() OVER (ORDER BY g DESC) AS rk
+                    FROM (
+                      SELECT 2 AS g FROM ({rel2})
+                      UNION ALL
+                      SELECT 1 AS g FROM ({rel1}) b
+                      WHERE b.{id_col} NOT IN
+                            (SELECT {id_col} FROM ({rel2}))
+                    )) g
+              JOIN (VALUES {wvals}) AS w(i, w) ON w.i = g.rk
+            ), 0)::BIGINT AS idcg
+        )""")
+    return " UNION ALL ".join(parts)

@@ -4409,3 +4409,163 @@ def trimmed_mean_sql(*, table: str, group: str, value_expr: str,
         FROM kept
         WHERE n - 2 * k > 0
         GROUP BY grp ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise-preference ranking
+# ---------------------------------------------------------------------------
+
+
+def bradley_terry(ds, *, winner_col: str = "winner",
+                  loser_col: str = "loser", rounds: int = 6,
+                  num_buckets: int = 8):
+    """Bradley-Terry strength ranking from pairwise comparisons — the
+    arena-eval primitive (Chatbot-Arena-style model rating, Elo's batch
+    MLE sibling): given (winner, loser) outcome rows, fit per-item
+    strengths p with P(i beats j) = p_i/(p_i+p_j) via Hunter's (2004) MM
+    iteration, made bit-replayable by the engine's fixed-point
+    convention — FIXED round count, all-integer arithmetic, truncating
+    division — so the SQL mirror unrolls the identical rounds and agrees
+    exactly (the kmeans_fixed / coreness / pca_power posture).
+
+    Per round, with strengths in ppm (start: 10⁶ each) over the bounded
+    item support:
+
+        denom_i = Σ_{pairs (i,j)}  n_ij·10¹² // max(p_i + p_j, 1)
+        q_i     = W_i·10¹² // max(denom_i, 1)
+        p_i     = q_i·m·10⁶ // max(Σq, 1)        (scale renorm, m items)
+
+    where n_ij = games between i and j (either direction), W_i = total
+    wins of i. The renorm pins the mean strength at 10⁶ (BT is
+    scale-invariant; truncation would otherwise drift the scale).
+    Never-winning items go to 0 — the MLE boundary, kept by contract.
+    Self-comparisons (winner == loser) carry no information and are
+    DROPPED by contract.
+
+    Scale shape: per-batch canonical-pair count partials (lo, hi, n,
+    lo_wins) via one pandas groupby — the only thing that crosses is the
+    bounded pair support — ONE pair-keyed fold, then the iteration walks
+    the tiny pair table in exact Python ints on the driver (items are an
+    audit-sized set: models, event types, variants — never corpus-sized).
+    Output ``(item, games, wins, strength_ppm)`` sorted by item.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = t.column(winner_col).to_numpy(zero_copy_only=False)
+        lo_ = t.column(loser_col).to_numpy(zero_copy_only=False)
+        keep = w != lo_
+        w, lo_ = w[keep], lo_[keep]
+        lo = np.minimum(w, lo_)
+        hi = np.maximum(w, lo_)
+        df = pd.DataFrame({"lo": lo, "hi": hi,
+                           "lw": (w == lo).astype(np.int64)})
+        g = (df.groupby(["lo", "hi"], sort=False)
+             .agg(n=("lw", "size"), lo_wins=("lw", "sum"))
+             .reset_index())
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lo", "hi"], {"n": ("n", "sum"), "lo_wins": ("lo_wins", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    if len(folded) == 0:
+        return pd.DataFrame({
+            "item": pd.Series([], dtype=object),
+            "games": pd.Series([], dtype="int64"),
+            "wins": pd.Series([], dtype="int64"),
+            "strength_ppm": pd.Series([], dtype="int64"),
+        })
+
+    prs = [(str(r.lo), str(r.hi), int(r.n), int(r.lo_wins))
+           for r in folded.itertuples(index=False)]
+    items = sorted({x for lo, hi, _, _ in prs for x in (lo, hi)})
+    idx = {it: i for i, it in enumerate(items)}
+    m = len(items)
+    wins = [0] * m
+    games = [0] * m
+    for lo, hi, n, lw in prs:
+        wins[idx[lo]] += lw
+        wins[idx[hi]] += n - lw
+        games[idx[lo]] += n
+        games[idx[hi]] += n
+    p = [1_000_000] * m
+    for _ in range(rounds):
+        denom = [0] * m
+        for lo, hi, n, _ in prs:
+            d = (n * 10**12) // max(p[idx[lo]] + p[idx[hi]], 1)
+            denom[idx[lo]] += d
+            denom[idx[hi]] += d
+        q = [(wins[i] * 10**12) // max(denom[i], 1) for i in range(m)]
+        s = sum(q)
+        p = [(q[i] * m * 1_000_000) // max(s, 1) for i in range(m)]
+    return pd.DataFrame({
+        "item": pd.Series(items, dtype=object),
+        "games": pd.Series(games, dtype="int64"),
+        "wins": pd.Series(wins, dtype="int64"),
+        "strength_ppm": pd.Series(p, dtype="int64"),
+    })
+
+
+def bradley_terry_sql(*, comparisons_sql: str, winner: str = "winner",
+                      loser: str = "loser", rounds: int = 6) -> str:
+    """SQL mirror: canonical-pair counts, then the MM rounds unrolled as
+    CTE triples (denom join through both endpoints' previous strengths,
+    q, renorm) — exact by the shared all-integer truncating-division
+    convention; HUGEINT throughout the products."""
+    ctes = [f"""comp AS MATERIALIZED ({comparisons_sql}),
+        pairs AS (
+          SELECT least({winner}, {loser}) AS lo,
+                 greatest({winner}, {loser}) AS hi,
+                 count(*)::BIGINT AS n,
+                 count(*) FILTER (WHERE {winner} < {loser})::BIGINT
+                     AS lo_wins
+          FROM comp WHERE {winner} != {loser} GROUP BY 1, 2
+        ),
+        sides AS MATERIALIZED (
+          SELECT lo AS item, lo, hi, n FROM pairs
+          UNION ALL
+          SELECT hi, lo, hi, n FROM pairs
+        ),
+        items AS MATERIALIZED (
+          SELECT item, sum(wins)::BIGINT AS wins,
+                 sum(games)::BIGINT AS games
+          FROM (
+            SELECT lo AS item, lo_wins AS wins, n AS games FROM pairs
+            UNION ALL
+            SELECT hi, n - lo_wins, n FROM pairs
+          ) GROUP BY 1
+        ),
+        mm AS MATERIALIZED (SELECT count(*)::HUGEINT AS m FROM items),
+        p0 AS MATERIALIZED (SELECT item, 1000000::HUGEINT AS p FROM items)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+        d{r} AS MATERIALIZED (
+          SELECT t.item,
+                 sum((t.n::HUGEINT * 1000000000000)
+                     // greatest(pa.p + pb.p, 1)) AS denom
+          FROM sides t
+          JOIN p{r - 1} pa ON pa.item = t.lo
+          JOIN p{r - 1} pb ON pb.item = t.hi
+          GROUP BY 1
+        ),
+        q{r} AS MATERIALIZED (
+          SELECT i.item,
+                 (i.wins::HUGEINT * 1000000000000)
+                     // greatest(coalesce(d.denom, 0), 1) AS q
+          FROM items i LEFT JOIN d{r} d ON d.item = i.item
+        ),
+        p{r} AS MATERIALIZED (
+          SELECT item,
+                 (q * (SELECT m FROM mm) * 1000000)
+                     // greatest((SELECT sum(q) FROM q{r}), 1) AS p
+          FROM q{r}
+        )""")
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT i.item, i.games, i.wins, p.p::BIGINT AS strength_ppm
+        FROM items i JOIN p{rounds} p ON p.item = i.item
+        ORDER BY 1"""

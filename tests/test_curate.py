@@ -1144,3 +1144,83 @@ def test_retrieval_mrr_rank_below_one():
     assert r["n_relevant"] == 1
     assert r["first_rank"] == 2
     assert r["rr_ppm"] == 500_000
+
+
+# ---------------------------------------------------------------------------
+# retrieval_ndcg_at_k
+
+
+def test_retrieval_ndcg_reference_assembly():
+    """NDCG assembly validated against a scalar reference that derives
+    grades by plain Python string logic and the ranking from bm25_topk
+    itself — checks grading, pinned weights, truncation, and the
+    DCG*1e6//IDCG contract independent of the stage internals."""
+    from htrc_feature_reader_ray.stages.curate import (
+        _NDCG_W,
+        bm25_topk,
+        retrieval_ndcg_at_k,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(1, 9)),
+        "text": [
+            "alpha beta gamma",          # grade 2 (exact phrase)
+            "alpha zz beta",             # grade 1 (both words, apart)
+            "alpha alpha alpha alpha",   # grade 0 (AND fails)
+            "beta beta",                 # grade 0
+            "alpha beta alpha beta",     # grade 2
+            "unrelated words here",      # grade 0
+            "beta then alpha later",     # grade 1
+            "nothing at all",            # grade 0
+        ],
+    })
+    ds = ray.data.from_pandas(docs).repartition(3)
+    k = 5
+    out = retrieval_ndcg_at_k(ds, {"q": "alpha beta"}, k=k)
+    row = out.iloc[0]
+
+    # scalar grade derivation
+    def grade(text):
+        toks = text.split()
+        if "alpha beta" in " ".join(toks):
+            # adjacency check on token level
+            for i in range(len(toks) - 1):
+                if toks[i] == "alpha" and toks[i + 1] == "beta":
+                    return 2
+        return 1 if "alpha" in toks and "beta" in toks else 0
+
+    g = {d: grade(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    assert row["n_rel2"] == sum(1 for v in g.values() if v == 2) == 2
+    assert row["n_rel1"] == sum(1 for v in g.values() if v == 1) == 2
+
+    top = (bm25_topk(ds, ["alpha", "beta"], k=k).to_pandas()
+           .sort_values(["score_ppm", "doc_id"],
+                        ascending=[False, True]).head(k))
+    dcg = sum(_NDCG_W[i] * g[d]
+              for i, d in enumerate(top["doc_id"], 1))
+    grades = sorted(g.values(), reverse=True)[:k]
+    idcg = sum(_NDCG_W[i] * v for i, v in enumerate(grades, 1))
+    assert row["dcg_fix"] == dcg
+    assert row["idcg_fix"] == idcg
+    assert row["ndcg_ppm"] == dcg * 1_000_000 // idcg
+    assert 0 < row["ndcg_ppm"] <= 1_000_000
+
+
+def test_retrieval_ndcg_perfect_and_no_relevant():
+    from htrc_feature_reader_ray.stages.curate import retrieval_ndcg_at_k
+
+    # all relevant docs identical -> any top-k order is ideal -> 1e6
+    # (two non-matching docs keep the idf of the query terms positive)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["alpha beta"] * 3 + ["other stuff", "more filler"],
+    })
+    out = retrieval_ndcg_at_k(
+        ray.data.from_pandas(docs), {"q": "alpha beta"}, k=3)
+    assert int(out.iloc[0]["ndcg_ppm"]) == 1_000_000
+
+    # nothing relevant -> idcg 0 -> ndcg 0 by contract
+    out2 = retrieval_ndcg_at_k(
+        ray.data.from_pandas(docs), {"q": "missing phrase"}, k=3)
+    assert int(out2.iloc[0]["idcg_fix"]) == 0
+    assert int(out2.iloc[0]["ndcg_ppm"]) == 0

@@ -2192,3 +2192,96 @@ def test_isotonic_calibration_perfectly_separated():
         qs=1).to_pandas()
     assert list(out["fitted_ppm"][:4]) == [0, 0, 0, 0]
     assert list(out["fitted_ppm"][4:]) == [1_000_000] * 3
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry
+
+
+def _bt_reference(comparisons, rounds):
+    """Independent scalar replay of the bradley_terry fixed-point
+    contract (pairs canonicalized, 10^12 fixed point, trunc division,
+    mean-1e6 renorm each round)."""
+    pairs = {}
+    for w, l in comparisons:
+        if w == l:
+            continue
+        lo, hi = min(w, l), max(w, l)
+        n, lw = pairs.get((lo, hi), (0, 0))
+        pairs[(lo, hi)] = (n + 1, lw + (1 if w == lo else 0))
+    items = sorted({x for k in pairs for x in k})
+    idx = {it: i for i, it in enumerate(items)}
+    m = len(items)
+    wins = [0] * m
+    games = [0] * m
+    for (lo, hi), (n, lw) in pairs.items():
+        wins[idx[lo]] += lw
+        wins[idx[hi]] += n - lw
+        games[idx[lo]] += n
+        games[idx[hi]] += n
+    p = [1_000_000] * m
+    for _ in range(rounds):
+        denom = [0] * m
+        for (lo, hi), (n, _) in pairs.items():
+            d = (n * 10**12) // max(p[idx[lo]] + p[idx[hi]], 1)
+            denom[idx[lo]] += d
+            denom[idx[hi]] += d
+        q = [(wins[i] * 10**12) // max(denom[i], 1) for i in range(m)]
+        s = sum(q)
+        p = [(q[i] * m * 1_000_000) // max(s, 1) for i in range(m)]
+    return items, games, wins, p
+
+
+def test_bradley_terry_exact_scalar_replay_and_partition_invariance():
+    from htrc_feature_reader_ray.stages.profile import bradley_terry
+
+    rng = np.random.RandomState(7)
+    names = ["ada", "bob", "cid", "dee"]
+    true = {"ada": 4.0, "bob": 2.0, "cid": 1.0, "dee": 0.5}
+    comps = []
+    for _ in range(400):
+        a, b = rng.choice(names, 2, replace=False)
+        # deterministic winner draw from the BT model itself
+        u = rng.rand()
+        w, l = (a, b) if u < true[a] / (true[a] + true[b]) else (b, a)
+        comps.append((w, l))
+    comps.append(("ada", "ada"))  # self-pair: dropped by contract
+    df = pd.DataFrame(comps, columns=["winner", "loser"])
+
+    items, games, wins, p = _bt_reference(comps, rounds=6)
+    for parts in (1, 7):
+        out = bradley_terry(
+            ray.data.from_pandas(df).repartition(parts),
+            winner_col="winner", loser_col="loser", rounds=6)
+        assert list(out["item"]) == items
+        assert list(out["games"]) == games
+        assert list(out["wins"]) == wins
+        assert list(out["strength_ppm"]) == p
+
+    # dominance ordering recovered: ada > bob > cid
+    s = dict(zip(out["item"], out["strength_ppm"]))
+    assert s["ada"] > s["bob"] > s["cid"]
+    # renorm contract: mean strength pinned near 1e6
+    assert abs(sum(s.values()) - len(s) * 1_000_000) < len(s) * 4
+
+
+def test_bradley_terry_never_wins_goes_to_zero_and_empty():
+    from htrc_feature_reader_ray.stages.profile import bradley_terry
+
+    df = pd.DataFrame(
+        [("a", "z")] * 10 + [("b", "z")] * 10,
+        columns=["winner", "loser"])
+    out = bradley_terry(ray.data.from_pandas(df).repartition(3),
+                        winner_col="winner", loser_col="loser")
+    s = dict(zip(out["item"], out["strength_ppm"]))
+    assert s["z"] == 0  # MLE boundary: never wins
+    assert s["a"] > 0 and s["b"] > 0
+
+    empty = bradley_terry(
+        ray.data.from_pandas(
+            pd.DataFrame({"winner": pd.Series([], dtype=object),
+                          "loser": pd.Series([], dtype=object)})),
+        winner_col="winner", loser_col="loser")
+    assert len(empty) == 0
+    assert list(empty.columns) == ["item", "games", "wins",
+                                   "strength_ppm"]
