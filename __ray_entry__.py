@@ -3177,6 +3177,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lagd.map_batches(comp, batch_format="pandas"),
             winner_col="winner", loser_col="loser", rounds=6)
 
+    def q_bootstrap_ci(sf):
+        """Per-event-type Poisson-bootstrap 80% CI of the mean value in
+        cents — the cluster-scale resampling scheme (Chamandy et al.):
+        deterministic md5-drawn Poisson(1) multiplicities against pinned
+        literal CDF thresholds, 20 replicates, exact floor replicate
+        means, percentile ranks 3/18."""
+        from htrc_feature_reader_ray.stages.profile import bootstrap_ci
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "event_id": t.column("event_id"),
+                "cents": pa.array(cents),
+            })
+
+        return bootstrap_ci(
+            _events(sf, ["event_id", "event_type", "value"]).map_batches(
+                prep, batch_format="pyarrow"),
+            group_col="event_type", value_col="cents",
+            id_col="event_id", n_reps=20, alpha_ppm=200_000)
+
+    def q_perplexity_buckets(sf):
+        """CCNet head/middle/tail LM-quality terciles per language —
+        per-token milli-bit unigram surprisal (bounded support), ceil-
+        rank tercile thresholds, ties to the better bucket; the label
+        downstream mixing policies consume."""
+        from htrc_feature_reader_ray.stages.curate import (
+            perplexity_buckets,
+        )
+
+        return perplexity_buckets(
+            _docs(sf, ["doc_id", "text", "lang"]))
+
     def q_harmonic_centrality(sf):
         """Sampled harmonic centrality (Boldi-Vigna via Eppstein-Wang:
         exact labeled BFS from 4 bottom-(md5,url) seeds, 1e6//d per-hop
@@ -5956,6 +5992,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_pr_at_k": q_retrieval_pr_at_k,
         "retrieval_ndcg_at_k": q_retrieval_ndcg_at_k,
         "bradley_terry": q_bradley_terry,
+        "bootstrap_ci": q_bootstrap_ci,
+        "perplexity_buckets": q_perplexity_buckets,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -7123,6 +7161,14 @@ def oracle_sql() -> dict[str, str]:
             _MRR_QUERIES, k=20),
         "retrieval_ndcg_at_k": curate.retrieval_ndcg_at_k_sql(
             _MRR_QUERIES, k=10),
+        "bootstrap_ci": profile_mod.bootstrap_ci_sql(
+            table_expr="""(
+              SELECT event_id, event_type,
+                     round(value * 100)::BIGINT AS cents
+              FROM events)""",
+            group="event_type", value="cents", id_col="event_id",
+            n_reps=20, alpha_ppm=200_000),
+        "perplexity_buckets": curate.perplexity_buckets_sql(),
         "bradley_terry": profile_mod.bradley_terry_sql(
             comparisons_sql="""
               SELECT CASE WHEN cents > lcents THEN item ELSE litem END

@@ -754,7 +754,7 @@ def phrase_search_sql(phrase, *, table: str = "documents",
 # ---------------------------------------------------------------------------
 
 def surprisal_score(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                    num_buckets: int = 64):
+                    num_buckets: int = 64, keep_cols=()):
     """Per-document unigram surprisal in EXACT bits — the reproducible
     stand-in for the LM-perplexity quality filter (CCNet/Gopher style):
     ``surprisal_bits(doc) = Σ_tokens (⌊log2 N⌋ − ⌊log2 cnt(tok)⌋)``
@@ -793,7 +793,7 @@ def surprisal_score(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 toks_arr, flat.to_numpy(zero_copy_only=False))
             np.add.at(bits, parent.astype(np.int64),
                       l_total - lbits[pos])
-        out = batch.select([id_col])
+        out = batch.select([id_col, *keep_cols])
         out = out.append_column(
             "n_tokens", pa.array(n_tok, type=pa.int64()))
         return out.append_column(
@@ -3026,3 +3026,139 @@ def retrieval_ndcg_at_k_sql(queries: dict, *, k: int = 10,
             ), 0)::BIGINT AS idcg
         )""")
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(ds, *, text_col: str = "text",
+                       id_col: str = "doc_id", lang_col: str = "lang",
+                       num_buckets: int = 64):
+    """CCNet's head/middle/tail language-model-quality split (Wenzek et
+    al., the partition behind CCNet/RedPajama corpus releases): per
+    language, docs are ordered by per-token LM surprisal and cut into
+    terciles — ``head`` = lowest-perplexity third (Wikipedia-like),
+    ``tail`` = highest (noisy), the label downstream mixing policies
+    consume directly.
+
+    Exact contract: per-doc score = ``surprisal_bits·1000 //
+    max(n_tokens, 1)`` (per-token MILLI-bits over
+    :func:`surprisal_score`'s exact ⌊log2⌋ unigram surprisal — bounded
+    support ≤ 64 000 since bits/token ≤ ⌊log2 N⌋ ≤ 63, the quantization
+    that makes the tercile fold a bounded-support fold). Thresholds use
+    the engine-wide ceil-rank ``quantile_disc`` convention per language:
+    ``t1`` = value at ascending rank ``(n+2)//3``, ``t2`` at
+    ``(2n+2)//3``; bucket = head iff score ≤ t1, middle iff ≤ t2, else
+    tail (ties fall to the better bucket — tie-order-proof because the
+    value AT a rank is invariant to tie permutation). Empty docs score 0
+    → head, by contract.
+
+    Scale shape: ONE vocabulary fold (inside surprisal_score) + one
+    stateless scoring pass into a slim materialized (id, lang, score)
+    table, ONE bounded-support (lang, score) count fold, per-lang
+    threshold walk on the driver (audit-sized), thresholds broadcast
+    into a stateless assignment map — no doc-keyed exchange anywhere.
+    Output ``(doc_id, lang, score_mbits, bucket)``.
+    """
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    scored = surprisal_score(ds, text_col=text_col, id_col=id_col,
+                             num_buckets=num_buckets,
+                             keep_cols=(lang_col,))
+
+    def to_score(t: pa.Table) -> pa.Table:
+        bits = t.column("surprisal_bits").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        s = bits * 1000 // np.maximum(n, 1)
+        return pa.table({
+            id_col: t.column(id_col),
+            lang_col: t.column(lang_col),
+            "score_mbits": pa.array(s.astype(np.int64)),
+        })
+
+    sds = scored.map_batches(to_score, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([lang_col, "score_mbits"]).group_by(
+            [lang_col, "score_mbits"]).aggregate([([], "count_all")])
+        cnt = [c for c in g.column_names if c.endswith("count_all")][0]
+        return pa.table({
+            lang_col: g.column(lang_col),
+            "score_mbits": g.column("score_mbits"),
+            "n": g.column(cnt).cast(pa.int64()),
+        })
+
+    folded = bucketed_aggregate(
+        sds.map_batches(partial, batch_format="pyarrow"),
+        [lang_col, "score_mbits"], {"n": ("n", "sum")},
+        num_buckets=num_buckets, bucket_key="score_mbits",
+    ).to_pandas().sort_values([lang_col, "score_mbits"])
+
+    th = {}
+    for lang, grp in folded.groupby(lang_col, sort=False):
+        c = grp["n"].astype("int64").to_numpy()
+        v = grp["score_mbits"].astype("int64").to_numpy()
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        r1, r2 = (n + 2) // 3, (2 * n + 2) // 3
+        t1 = int(v[np.searchsorted(cum, r1)])
+        t2 = int(v[np.searchsorted(cum, r2)])
+        th[lang] = (t1, t2)
+    ref = ray.put(th)
+
+    def assign(t: pa.Table) -> pa.Table:
+        thresholds = ray.get(ref)
+        langs = t.column(lang_col).to_numpy(zero_copy_only=False)
+        s = t.column("score_mbits").to_numpy(zero_copy_only=False)
+        t1 = np.array([thresholds[x][0] for x in langs], dtype=np.int64)
+        t2 = np.array([thresholds[x][1] for x in langs], dtype=np.int64)
+        bucket = np.where(s <= t1, "head",
+                          np.where(s <= t2, "middle", "tail"))
+        return t.append_column(
+            "bucket", pa.array(bucket, type=pa.string()))
+
+    return sds.map_batches(assign, batch_format="pyarrow")
+
+
+def perplexity_buckets_sql(*, table: str = "documents",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           lang_col: str = "lang") -> str:
+    """SQL mirror: the surprisal oracle joined back to lang, the same
+    milli-bit floor quantization, ceil-rank tercile thresholds via
+    row_number over (score, id) — the value at a rank is tie-order
+    invariant — and the identical ≤-threshold CASE ladder."""
+    surp = surprisal_score_sql(table=table, text_col=text_col,
+                               id_col=id_col)
+    return f"""
+        WITH surp AS ({surp}),
+        s AS (
+          SELECT d.{id_col}, d.{lang_col},
+                 (sp.surprisal_bits * 1000
+                  // greatest(sp.n_tokens, 1))::BIGINT AS score_mbits
+          FROM {table} d JOIN surp sp USING ({id_col})
+        ),
+        rk AS (
+          SELECT {lang_col}, score_mbits,
+                 row_number() OVER (PARTITION BY {lang_col}
+                     ORDER BY score_mbits, {id_col}) AS r,
+                 count(*) OVER (PARTITION BY {lang_col}) AS n
+          FROM s
+        ),
+        th AS (
+          SELECT {lang_col},
+                 max(CASE WHEN r = (n + 2) // 3
+                     THEN score_mbits END) AS t1,
+                 max(CASE WHEN r = (2 * n + 2) // 3
+                     THEN score_mbits END) AS t2
+          FROM rk GROUP BY 1
+        )
+        SELECT s.{id_col}, s.{lang_col}, s.score_mbits,
+               CASE WHEN s.score_mbits <= th.t1 THEN 'head'
+                    WHEN s.score_mbits <= th.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s JOIN th USING ({lang_col})"""

@@ -4569,3 +4569,175 @@ def bradley_terry_sql(*, comparisons_sql: str, winner: str = "winner",
         SELECT i.item, i.games, i.wins, p.p::BIGINT AS strength_ppm
         FROM items i JOIN p{rounds} p ON p.item = i.item
         ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals
+# ---------------------------------------------------------------------------
+
+#: Pinned Poisson(1) CDF thresholds on the 2^64 hash scale:
+#: ``_POIS_C[j] = floor(P(X <= j) * 2^64)`` for j = 0..8, embedded as
+#: LITERALS (float provenance is irrelevant — both engines compare the
+#: same integers).  A draw u ~ U[0, 2^64) maps to weight
+#: ``k = #{j : u >= _POIS_C[j]}`` ∈ 0..9; the truncated tail
+#: P(X > 9) ≈ 1.1e-7 is part of the pinned contract.
+_POIS_C = (6786177901268885504, 13572355802537771008,
+           16965444753172213760, 18096474403383695360,
+           18379231815936565248, 18435783298447138816,
+           18445208545532233728, 18446555009401532416,
+           18446723317385195520)
+
+
+def bootstrap_ci(ds, *, group_col: str, value_col: str, id_col: str,
+                 n_reps: int = 20, alpha_ppm: int = 200_000,
+                 salt: str = "", num_buckets: int = 16):
+    """Per-group bootstrap confidence interval of the mean via the
+    POISSON bootstrap — the resampling scheme that actually runs at
+    cluster scale (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams": classical resampling needs the whole sample in one
+    place; giving every row an independent Poisson(1) multiplicity per
+    replicate is embarrassingly parallel and equals the multinomial
+    bootstrap as n grows). The error bar belongs next to every mean this
+    toolkit reports — a curation decision made on a group mean without
+    one reads noise as signal.
+
+    Determinism contract: replicate r's weight for a row is ``k = #{j :
+    md5_hash64(salt|r|id) >= _POIS_C[j]}`` — a pure function of the data
+    (any cluster shape, any partitioning) that SQL replays exactly via
+    ``md5_number_upper`` and the same literal thresholds. Replicate
+    mean = ``Σ(k·v) // max(Σk, 1)`` in exact floor division (an all-zero
+    replicate contributes 0 — vanishing probability beyond toy groups,
+    pinned by contract). With the B replicate means ascending,
+
+        ci_lo = value at rank  B·alpha_ppm // 2·10⁶ + 1   (1-indexed)
+        ci_hi = value at rank  B − B·alpha_ppm // 2·10⁶
+
+    — the percentile bootstrap at confidence 1−alpha (default 80%:
+    ranks 3 and 18 of 20). Point estimate = plain floor mean.
+
+    Scale shape: per-batch, per-replicate vectorized weight draw (B md5
+    passes over the batch's ids) folded map-side to (group, rep) moment
+    partials — B×G rows cross per batch, nothing row-sized — ONE
+    (group, rep)-keyed fold, driver rank walk over B values per group.
+    Output ``(group, n, mean, ci_lo, ci_hi)`` sorted by group; values
+    must already be integers (quantize to cents first — the engine-wide
+    convention).
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    thresholds = np.array(_POIS_C, dtype=np.uint64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(v) and v.min() < 0:
+            raise ValueError("bootstrap_ci: negative value (contract: "
+                             "v >= 0 — floor/trunc division parity)")
+        codes, uniq = pd.factorize(g)
+        m = len(uniq)
+        out_g, out_r, out_k, out_kv = [], [], [], []
+        # rep -1 carries the plain moments for the point estimate
+        nn = np.bincount(codes, minlength=m).astype(np.int64)
+        sv = np.zeros(m, dtype=np.int64)
+        np.add.at(sv, codes, v)
+        out_g.append(uniq)
+        out_r.append(np.full(m, -1, dtype=np.int64))
+        out_k.append(nn)
+        out_kv.append(sv)
+        for r in range(n_reps):
+            u = md5_hash64([f"{salt}|{r}|{i}" for i in ids])
+            k = (u[:, None] >= thresholds[None, :]).sum(
+                axis=1).astype(np.int64)
+            sk = np.zeros(m, dtype=np.int64)
+            skv = np.zeros(m, dtype=np.int64)
+            np.add.at(sk, codes, k)
+            np.add.at(skv, codes, k * v)
+            out_g.append(uniq)
+            out_r.append(np.full(m, r, dtype=np.int64))
+            out_k.append(sk)
+            out_kv.append(skv)
+        return pa.table({
+            "grp": pa.array(np.concatenate(out_g)),
+            "rep": pa.array(np.concatenate(out_r)),
+            "sk": pa.array(np.concatenate(out_k)),
+            "skv": pa.array(np.concatenate(out_kv)),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["grp", "rep"], {"sk": ("sk", "sum"), "skv": ("skv", "sum")},
+        num_buckets=num_buckets, bucket_key="grp",
+    ).to_pandas()
+
+    lo_rank = n_reps * alpha_ppm // 2_000_000 + 1
+    hi_rank = n_reps - n_reps * alpha_ppm // 2_000_000
+    rows = []
+    for grp, sub in folded.groupby("grp", sort=True):
+        by_rep = {int(r.rep): (int(r.sk), int(r.skv))
+                  for r in sub.itertuples(index=False)}
+        n, sv = by_rep.get(-1, (0, 0))
+        means = sorted(
+            by_rep.get(r, (0, 0))[1] // max(by_rep.get(r, (0, 0))[0], 1)
+            for r in range(n_reps))
+        rows.append((grp, n, sv // max(n, 1),
+                     means[lo_rank - 1], means[hi_rank - 1]))
+    out = pd.DataFrame(
+        rows, columns=[group_col, "n", "mean", "ci_lo", "ci_hi"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def bootstrap_ci_sql(*, table_expr: str, group: str, value: str,
+                     id_col: str, n_reps: int = 20,
+                     alpha_ppm: int = 200_000, salt: str = "") -> str:
+    """SQL mirror: generate_series replicate cross join,
+    md5_number_upper draw vs the same literal thresholds, (group, rep)
+    moment fold, row_number rank pick at the identical 1-indexed
+    ranks."""
+    lo_rank = n_reps * alpha_ppm // 2_000_000 + 1
+    hi_rank = n_reps - n_reps * alpha_ppm // 2_000_000
+    ksum = " + ".join(
+        f"CASE WHEN u >= {c}::UBIGINT THEN 1 ELSE 0 END"
+        for c in _POIS_C)
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT {group} AS grp, {value} AS v, {id_col} AS id
+          FROM {table_expr}
+        ),
+        w AS (
+          SELECT grp, v, r, ({ksum})::BIGINT AS k
+          FROM (
+            SELECT b.grp, b.v, t.r,
+                   md5_number_upper(
+                       '{salt}|' || t.r::VARCHAR || '|'
+                       || b.id::VARCHAR) AS u
+            FROM base b
+            CROSS JOIN generate_series(0, {n_reps - 1}) t(r)
+          )
+        ),
+        rm AS (
+          SELECT grp, r,
+                 (sum(k * v)::HUGEINT
+                  // greatest(sum(k), 1))::BIGINT AS mu
+          FROM w GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT grp, mu,
+                 row_number() OVER (PARTITION BY grp ORDER BY mu) AS rk
+          FROM rm
+        ),
+        pt AS (
+          SELECT grp, count(*)::BIGINT AS n,
+                 (sum(v)::HUGEINT // count(*))::BIGINT AS mean
+          FROM base GROUP BY 1
+        )
+        SELECT p.grp AS {group}, p.n, p.mean,
+               lo.mu AS ci_lo, hi.mu AS ci_hi
+        FROM pt p
+        JOIN ranked lo ON lo.grp = p.grp AND lo.rk = {lo_rank}
+        JOIN ranked hi ON hi.grp = p.grp AND hi.rk = {hi_rank}
+        ORDER BY 1"""

@@ -1224,3 +1224,65 @@ def test_retrieval_ndcg_perfect_and_no_relevant():
         ray.data.from_pandas(docs), {"q": "missing phrase"}, k=3)
     assert int(out2.iloc[0]["idcg_fix"]) == 0
     assert int(out2.iloc[0]["ndcg_ppm"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets
+
+
+def test_perplexity_buckets_scalar_assembly_and_monotonicity():
+    """Bucket assembly validated against a scalar recomputation of the
+    milli-bit scores and ceil-rank terciles from the (already oracled)
+    surprisal_score stage output."""
+    from htrc_feature_reader_ray.stages.curate import (
+        perplexity_buckets,
+        surprisal_score,
+    )
+
+    rng = np.random.RandomState(5)
+    common = ["the", "of", "and", "to", "in"]
+    rare = [f"rare{i}" for i in range(60)]
+    texts, langs = [], []
+    for i in range(45):
+        lang = ["en", "fr"][i % 2]
+        # mix: more rare tokens -> higher per-token surprisal
+        n_rare = i % 9
+        toks = (list(rng.choice(common, 12 - n_rare))
+                + list(rng.choice(rare, n_rare)))
+        texts.append(" ".join(toks))
+        langs.append(lang)
+    texts.append("")  # empty doc: score 0 -> head
+    langs.append("en")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts, "lang": langs,
+    })
+    ds = ray.data.from_pandas(docs).repartition(4)
+    out = perplexity_buckets(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    scored = surprisal_score(ds).to_pandas()
+    sc = {int(r.doc_id): int(r.surprisal_bits) * 1000
+          // max(int(r.n_tokens), 1)
+          for r in scored.itertuples(index=False)}
+    assert list(out["score_mbits"]) == [sc[d] for d in out["doc_id"]]
+
+    for lang, grp in out.groupby("lang"):
+        vals = sorted(grp["score_mbits"])
+        n = len(vals)
+        t1 = vals[(n + 2) // 3 - 1]
+        t2 = vals[(2 * n + 2) // 3 - 1]
+        want = ["head" if s <= t1 else "middle" if s <= t2 else "tail"
+                for s in grp["score_mbits"]]
+        assert list(grp["bucket"]) == want
+        # monotone: every head score <= every middle <= every tail
+        hs = grp[grp["bucket"] == "head"]["score_mbits"]
+        ms = grp[grp["bucket"] == "middle"]["score_mbits"]
+        ts = grp[grp["bucket"] == "tail"]["score_mbits"]
+        if len(hs) and len(ms):
+            assert hs.max() <= ms.min()
+        if len(ms) and len(ts):
+            assert ms.max() <= ts.min()
+
+    # empty doc lands in head
+    assert out[out["doc_id"] == len(texts) - 1]["bucket"].iloc[0] == "head"

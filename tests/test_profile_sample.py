@@ -2285,3 +2285,72 @@ def test_bradley_terry_never_wins_goes_to_zero_and_empty():
     assert len(empty) == 0
     assert list(empty.columns) == ["item", "games", "wins",
                                    "strength_ppm"]
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci
+
+
+def test_bootstrap_ci_exact_scalar_replay():
+    import hashlib
+
+    from htrc_feature_reader_ray.stages.profile import (
+        _POIS_C,
+        bootstrap_ci,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 120
+    df = pd.DataFrame({
+        "grp": np.where(np.arange(n) % 3 == 0, "a", "b"),
+        "v": rng.randint(0, 5000, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64) * 7 + 1,
+    })
+    B, alpha = 12, 200_000
+
+    def u64(s):
+        return int.from_bytes(
+            hashlib.md5(s.encode()).digest()[:8], "little")
+
+    ref_rows = []
+    for grp in ["a", "b"]:
+        sub = df[df["grp"] == grp]
+        means = []
+        for r in range(B):
+            sk = skv = 0
+            for _, row in sub.iterrows():
+                u = u64(f"|{r}|{row['id']}")
+                k = sum(1 for c in _POIS_C if u >= c)
+                sk += k
+                skv += k * int(row["v"])
+            means.append(skv // max(sk, 1))
+        means.sort()
+        lo = B * alpha // 2_000_000 + 1
+        hi = B - B * alpha // 2_000_000
+        ref_rows.append((grp, len(sub), int(sub["v"].sum()) // len(sub),
+                         means[lo - 1], means[hi - 1]))
+
+    for parts in (1, 9):
+        out = bootstrap_ci(
+            ray.data.from_pandas(df).repartition(parts),
+            group_col="grp", value_col="v", id_col="id",
+            n_reps=B, alpha_ppm=alpha)
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == ref_rows
+
+    # bounds: replicate means of nonneg values live inside [min, max]
+    for grp, nn, mean, lo, hi in got:
+        sub = df[df["grp"] == grp]["v"]
+        assert sub.min() <= lo <= hi <= sub.max()
+        assert lo <= hi
+
+
+def test_bootstrap_ci_negative_value_raises():
+    import pytest as _pytest
+
+    from htrc_feature_reader_ray.stages.profile import bootstrap_ci
+
+    df = pd.DataFrame({"grp": ["a"], "v": [-1], "id": [1]})
+    with _pytest.raises(Exception):
+        bootstrap_ci(ray.data.from_pandas(df), group_col="grp",
+                     value_col="v", id_col="id", n_reps=4)
