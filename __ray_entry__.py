@@ -3177,6 +3177,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lagd.map_batches(comp, batch_format="pandas"),
             winner_col="winner", loser_col="loser", rounds=6)
 
+    def q_theils_u(sf):
+        """Theil's uncertainty coefficient U(source|lang) over documents
+        — the asymmetric categorical-association screen beside
+        cramers_v: what fraction of the source feed's entropy does
+        knowing the language remove; floor-log2 bits convention,
+        sign-split ppm division."""
+        from htrc_feature_reader_ray.stages.profile import theils_u
+
+        return theils_u(_docs(sf, ["lang", "source"]),
+                        x_col="lang", y_col="source")
+
+    def q_gini_split(sf):
+        """CART decision-stump Gini split curve of the event value (in
+        whole dollars — the bounded-support quantization) against the
+        purchase label: every proper threshold's child impurity and
+        gain in exact ppm, one floor per threshold over the common
+        denominator so argmax is engine-independent."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import gini_split
+
+        def prep(t: pa.Table) -> pa.Table:
+            v = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64) // 100
+            y = pc.equal(t.column("event_type"), "purchase").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"v": pa.array(v), "y": pa.array(y)})
+
+        return gini_split(
+            _events(sf, ["event_type", "value"]).map_batches(
+                prep, batch_format="pyarrow"),
+            value_col="v", label_col="y")
+
     def q_bootstrap_ci(sf):
         """Per-event-type Poisson-bootstrap 80% CI of the mean value in
         cents — the cluster-scale resampling scheme (Chamandy et al.):
@@ -5994,6 +6028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bradley_terry": q_bradley_terry,
         "bootstrap_ci": q_bootstrap_ci,
         "perplexity_buckets": q_perplexity_buckets,
+        "theils_u": q_theils_u,
+        "gini_split": q_gini_split,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -7169,6 +7205,15 @@ def oracle_sql() -> dict[str, str]:
             group="event_type", value="cents", id_col="event_id",
             n_reps=20, alpha_ppm=200_000),
         "perplexity_buckets": curate.perplexity_buckets_sql(),
+        "theils_u": profile_mod.theils_u_sql(
+            x="lang", y="source", table="documents"),
+        "gini_split": profile_mod.gini_split_sql(
+            table_expr="""(
+              SELECT round(value * 100)::BIGINT // 100 AS v,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                         AS y
+              FROM events)""",
+            value="v", label="y"),
         "bradley_terry": profile_mod.bradley_terry_sql(
             comparisons_sql="""
               SELECT CASE WHEN cents > lcents THEN item ELSE litem END

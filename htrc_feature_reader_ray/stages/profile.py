@@ -4741,3 +4741,228 @@ def bootstrap_ci_sql(*, table_expr: str, group: str, value: str,
         JOIN ranked lo ON lo.grp = p.grp AND lo.rk = {lo_rank}
         JOIN ranked hi ON hi.grp = p.grp AND hi.rk = {hi_rank}
         ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Theil's U (uncertainty coefficient)
+# ---------------------------------------------------------------------------
+
+
+def theils_u(ds, *, x_col: str, y_col: str, num_buckets: int = 32):
+    """Theil's uncertainty coefficient U(Y|X) — the ASYMMETRIC
+    categorical-association screen beside :func:`cramers_v`'s symmetric
+    one (Theil 1970; the 'categorical correlation' of EDA dashboards):
+    what fraction of Y's entropy does knowing X remove, U = I(X;Y)/H(Y)
+    ∈ [0,1] — direction-aware, so U(source|lang) and U(lang|source) can
+    legitimately differ, which is exactly what a feed-vs-language audit
+    wants to see.
+
+    Exactness contract (the floor-log2 BITS convention of psi_drift /
+    woe_iv): over the observed cell counts o with marginals cx, cy and
+    total n,
+
+        mi_fix = Σ_cells o · (⌊log2(o·n)⌋ − ⌊log2(cx·cy)⌋)
+        hy_fix = Σ_y    cy · (⌊log2 n⌋ − ⌊log2 cy⌋)          (≥ 0)
+        u_ppm  = sign(mi_fix) · (|mi_fix|·10⁶ // hy_fix)
+
+    — every term an exact integer both engines reproduce (unobserved
+    cells contribute 0 exactly, as in true MI; individual floored terms
+    may be negative though true MI is ≥ 0 — the convention trades the
+    sign guarantee for bit-replayability, same as psi's weak-sign trade
+    in reverse). Constant Y (hy_fix = 0) → u_ppm = 0 by contract.
+
+    Scale shape: identical to cramers_v — per-batch Arrow cell-count
+    partials, ONE bounded-cell fold, driver finish in Python ints.
+    Output one row ``(n, x_card, y_card, mi_fix, hy_fix, u_ppm)``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([x_col, y_col]).group_by([x_col, y_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([x_col, y_col, "o"])
+
+    cells = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [x_col, y_col], {"o": ("o", "sum")}, num_buckets=num_buckets,
+    ).to_pandas()
+
+    def il2(v: int) -> int:
+        return v.bit_length() - 1
+
+    cx = cells.groupby(x_col)["o"].sum().astype("int64")
+    cy = cells.groupby(y_col)["o"].sum().astype("int64")
+    n = int(cells["o"].sum())
+    mi_fix = sum(
+        int(o) * (il2(int(o) * n) - il2(int(cx[a]) * int(cy[b])))
+        for a, b, o in zip(cells[x_col], cells[y_col], cells["o"]))
+    hy_fix = sum(int(c) * (il2(n) - il2(int(c))) for c in cy)
+    mag = abs(mi_fix) * 1_000_000 // hy_fix if hy_fix > 0 else 0
+    u_ppm = mag if mi_fix >= 0 else -mag
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "x_card": pd.Series([len(cx)], dtype="int64"),
+        "y_card": pd.Series([len(cy)], dtype="int64"),
+        "mi_fix": pd.Series([mi_fix], dtype="int64"),
+        "hy_fix": pd.Series([hy_fix], dtype="int64"),
+        "u_ppm": pd.Series([u_ppm], dtype="int64"),
+    })
+
+
+def theils_u_sql(*, x: str, y: str, table: str) -> str:
+    """SQL mirror: observed-cell fold + marginal joins, ⌊log2⌋ via the
+    format('{{:b}}') length identity (BIGINT products — the mirror's
+    test-scale contract; the engine side uses unbounded Python ints),
+    CASE-signed truncating division == the engine's sign-split."""
+    def il2(expr: str) -> str:
+        return f"(length(format('{{:b}}', {expr})) - 1)"
+
+    return f"""
+        WITH c AS (
+          SELECT {x} AS xk, {y} AS yk, count(*)::BIGINT AS o
+          FROM {table} GROUP BY 1, 2
+        ),
+        mx AS (SELECT xk, sum(o)::BIGINT AS cx FROM c GROUP BY 1),
+        my AS (SELECT yk, sum(o)::BIGINT AS cy FROM c GROUP BY 1),
+        g AS (SELECT sum(o)::BIGINT AS n FROM c),
+        mi AS (
+          SELECT sum(c.o * ({il2("c.o * g.n")}
+                            - {il2("mx.cx * my.cy")}))::BIGINT AS mi_fix
+          FROM c JOIN mx USING (xk) JOIN my USING (yk) CROSS JOIN g
+        ),
+        hy AS (
+          SELECT sum(cy * ({il2("g.n")} - {il2("cy")}))::BIGINT AS hy_fix
+          FROM my CROSS JOIN g
+        )
+        SELECT g.n,
+               (SELECT count(*) FROM mx)::BIGINT AS x_card,
+               (SELECT count(*) FROM my)::BIGINT AS y_card,
+               mi.mi_fix, hy.hy_fix,
+               CASE WHEN hy.hy_fix = 0 THEN 0
+                    WHEN mi.mi_fix >= 0
+                        THEN (mi.mi_fix::HUGEINT * 1000000
+                              // hy.hy_fix)::BIGINT
+                    ELSE -((-mi.mi_fix::HUGEINT) * 1000000
+                           // hy.hy_fix)::BIGINT
+               END AS u_ppm
+        FROM g, mi, hy"""
+
+
+# ---------------------------------------------------------------------------
+# CART decision-stump split curve (Gini)
+# ---------------------------------------------------------------------------
+
+
+def gini_split(ds, *, value_col: str, label_col: str,
+               num_buckets: int = 8):
+    """Exact Gini-impurity split curve of a bounded-support integer
+    feature against a 0/1 label — the CART decision stump (Breiman et
+    al.), the supervised companion to :func:`pr_curve`: pr_curve scores
+    a feature USED AS the classifier, the stump curve scores every
+    binary split ``v ≤ t`` by how much class impurity it removes, which
+    is the number a feature-selection pass or a shallow-tree curation
+    rule actually consumes.
+
+    Exact contract, per distinct threshold t (left = v ≤ t, nR > 0 —
+    the proper splits only), from cumulative counts nL, pL and
+    complements nR, pR over total n, P:
+
+        child_ppm  = (2·pL·(nL−pL)·nR + 2·pR·(nR−pR)·nL)·10⁶
+                         // (n·nL·nR)
+        parent_ppm = 2·P·(n−P)·10⁶ // n²
+        gain_ppm   = parent_ppm − child_ppm        (≥ 0: Gini concavity
+                     survives the shared one-floor-each convention)
+
+    — the two-class Gini 2p(1−p) over the common denominator n·nL·nR,
+    ONE floor per threshold, so argmax-by-gain with a smallest-t
+    tie-break is engine-independent. Bounded-support contract of
+    :func:`numeric_profile` (quantize first — the engine-wide
+    convention).
+
+    Scale shape: per-batch (value, n, n_pos) Arrow partials, ONE
+    value-keyed fold, driver cumsum walk in Python ints. Output
+    ``(threshold, n_le, pos_le, child_gini_ppm, gain_ppm)`` ascending;
+    empty / single-value inputs → typed empty (no proper split).
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([value_col, label_col]).group_by(
+            [value_col]).aggregate([([], "count_all"),
+                                    (label_col, "sum")])
+        out = {"v": g.column(value_col)}
+        for nm in g.column_names:
+            if nm.endswith("count_all"):
+                out["n"] = g.column(nm).cast(pa.int64())
+            elif nm.endswith("sum"):
+                out["pos"] = g.column(nm).cast(pa.int64())
+        return pa.table(out)
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["v"], {"n": ("n", "sum"), "pos": ("pos", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+
+    empty = pd.DataFrame({
+        "threshold": pd.Series([], dtype="int64"),
+        "n_le": pd.Series([], dtype="int64"),
+        "pos_le": pd.Series([], dtype="int64"),
+        "child_gini_ppm": pd.Series([], dtype="int64"),
+        "gain_ppm": pd.Series([], dtype="int64"),
+    })
+    if len(folded) < 2:
+        return empty
+    n = int(folded["n"].sum())
+    p = int(folded["pos"].sum())
+    parent = 2 * p * (n - p) * 1_000_000 // (n * n)
+    rows = []
+    nl = pl = 0
+    for r in folded.itertuples(index=False):
+        nl += int(r.n)
+        pl += int(r.pos)
+        nr = n - nl
+        if nr == 0:
+            break
+        pr = p - pl
+        child = ((2 * pl * (nl - pl) * nr + 2 * pr * (nr - pr) * nl)
+                 * 1_000_000 // (n * nl * nr))
+        rows.append((int(r.v), nl, pl, child, parent - child))
+    out = pd.DataFrame(rows, columns=[
+        "threshold", "n_le", "pos_le", "child_gini_ppm", "gain_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def gini_split_sql(*, table_expr: str, value: str, label: str) -> str:
+    """SQL mirror: value-keyed count fold, ascending window cumsums,
+    the identical common-denominator one-floor-per-threshold forms in
+    HUGEINT."""
+    return f"""
+        WITH base AS (
+          SELECT {value} AS v, {label} AS y FROM {table_expr}
+        ),
+        c AS (
+          SELECT v, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+          FROM base GROUP BY 1
+        ),
+        g AS (SELECT sum(cnt)::HUGEINT AS n, sum(pos)::HUGEINT AS p
+              FROM c),
+        w AS (
+          SELECT v,
+                 sum(cnt) OVER (ORDER BY v)::HUGEINT AS nl,
+                 sum(pos) OVER (ORDER BY v)::HUGEINT AS pl
+          FROM c
+        )
+        SELECT v::BIGINT AS threshold, nl::BIGINT AS n_le,
+               pl::BIGINT AS pos_le,
+               ((2*pl*(nl-pl)*(n-nl) + 2*(p-pl)*((n-nl)-(p-pl))*nl)
+                * 1000000 // (n * nl * (n-nl)))::BIGINT
+                   AS child_gini_ppm,
+               ((2*p*(n-p) * 1000000 // (n*n))
+                - ((2*pl*(nl-pl)*(n-nl) + 2*(p-pl)*((n-nl)-(p-pl))*nl)
+                   * 1000000 // (n * nl * (n-nl))))::BIGINT AS gain_ppm
+        FROM w CROSS JOIN g
+        WHERE nl < n AND (SELECT count(*) FROM c) >= 2
+        ORDER BY 1"""

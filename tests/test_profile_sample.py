@@ -2354,3 +2354,102 @@ def test_bootstrap_ci_negative_value_raises():
     with _pytest.raises(Exception):
         bootstrap_ci(ray.data.from_pandas(df), group_col="grp",
                      value_col="v", id_col="id", n_reps=4)
+
+
+# ---------------------------------------------------------------------------
+# theils_u
+
+
+def test_theils_u_extremes_and_asymmetry():
+    from htrc_feature_reader_ray.stages.profile import theils_u
+
+    # perfect determination: y is a function of x -> u close to 1e6
+    # (floor-log2 quantization keeps it near, not exactly at, 1e6 when
+    # marginals aren't powers of two; use power-of-two cells for exact)
+    df = pd.DataFrame({
+        "x": ["a"] * 8 + ["b"] * 8,
+        "y": ["p"] * 8 + ["q"] * 8,
+    })
+    out = theils_u(ray.data.from_pandas(df).repartition(3),
+                   x_col="x", y_col="y")
+    # cells o=8, n=16, marginals 8*8: term 8*(il2(128)-il2(64))=8 each
+    # mi_fix=16; hy_fix=2*8*(4-3)=16 -> u = 1e6 exactly
+    assert int(out.iloc[0]["u_ppm"]) == 1_000_000
+
+    # independence with power-of-two counts: mi_fix exactly 0
+    df2 = pd.DataFrame({
+        "x": ["a", "a", "b", "b"] * 4,
+        "y": ["p", "q", "p", "q"] * 4,
+    })
+    out2 = theils_u(ray.data.from_pandas(df2).repartition(2),
+                    x_col="x", y_col="y")
+    assert int(out2.iloc[0]["mi_fix"]) == 0
+    assert int(out2.iloc[0]["u_ppm"]) == 0
+
+    # constant y: hy_fix = 0 -> u 0 by contract
+    df3 = pd.DataFrame({"x": ["a", "b"] * 4, "y": ["p"] * 8})
+    out3 = theils_u(ray.data.from_pandas(df3), x_col="x", y_col="y")
+    assert int(out3.iloc[0]["hy_fix"]) == 0
+    assert int(out3.iloc[0]["u_ppm"]) == 0
+
+    # asymmetry: x with 4 values determining y with 2 -> U(y|x)=1 full,
+    # but U(x|y) < 1 (y can't pin down x)
+    df4 = pd.DataFrame({
+        "x": ["a"] * 4 + ["b"] * 4 + ["c"] * 4 + ["d"] * 4,
+        "y": ["p"] * 8 + ["q"] * 8,
+    })
+    u_yx = int(theils_u(ray.data.from_pandas(df4),
+                        x_col="x", y_col="y").iloc[0]["u_ppm"])
+    u_xy = int(theils_u(ray.data.from_pandas(df4),
+                        x_col="y", y_col="x").iloc[0]["u_ppm"])
+    assert u_yx == 1_000_000
+    assert u_xy < u_yx
+
+
+# ---------------------------------------------------------------------------
+# gini_split
+
+
+def test_gini_split_exact_fraction_reference_and_argmax():
+    from fractions import Fraction
+
+    from htrc_feature_reader_ray.stages.profile import gini_split
+
+    rng = np.random.RandomState(3)
+    v = rng.randint(0, 12, 300).astype(np.int64)
+    y = (v >= 7).astype(np.int64)
+    # 10% label noise so the split isn't trivially clean
+    flip = rng.rand(300) < 0.1
+    y[flip] = 1 - y[flip]
+    df = pd.DataFrame({"v": v, "y": y})
+    out = gini_split(ray.data.from_pandas(df).repartition(6),
+                     value_col="v", label_col="y")
+
+    n, p = 300, int(y.sum())
+    support = sorted(set(v))
+    assert list(out["threshold"]) == support[:-1]
+    for row in out.itertuples(index=False):
+        nl = int((v <= row.threshold).sum())
+        pl = int(y[v <= row.threshold].sum())
+        nr, pr = n - nl, p - pl
+        child = Fraction(2 * pl * (nl - pl), n * nl) \
+            + Fraction(2 * pr * (nr - pr), n * nr)
+        assert row.child_gini_ppm == int(child * 1_000_000)
+        parent = 2 * p * (n - p) * 1_000_000 // (n * n)
+        assert row.gain_ppm == parent - row.child_gini_ppm
+        assert row.gain_ppm >= 0
+    # best split recovers the generating threshold despite the noise
+    best = out.sort_values(["gain_ppm", "threshold"],
+                           ascending=[False, True]).iloc[0]
+    assert best["threshold"] == 6
+
+
+def test_gini_split_degenerate_inputs():
+    from htrc_feature_reader_ray.stages.profile import gini_split
+
+    one = pd.DataFrame({"v": [5] * 10, "y": [0, 1] * 5})
+    out = gini_split(ray.data.from_pandas(one),
+                     value_col="v", label_col="y")
+    assert len(out) == 0
+    assert list(out.columns) == ["threshold", "n_le", "pos_le",
+                                 "child_gini_ppm", "gain_ppm"]
