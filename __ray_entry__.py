@@ -3177,6 +3177,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lagd.map_batches(comp, batch_format="pandas"),
             winner_col="winner", loser_col="loser", rounds=6)
 
+    def q_ab_lift(sf):
+        """A/B readout over a deterministic md5 user split: user-level
+        big-purchase conversion (a purchase of >= 150.00, ~45% of
+        users — a plain any-purchase collapse converts everyone) per
+        arm, signed lift, and the one-floor 2x2 chi-square (df=1) — an
+        A/A test on the hash split, so chi2 should sit far below the
+        3.84e6 significance bar."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import ab_lift
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            y = (pc.equal(t.column("event_type"), "purchase").to_numpy(
+                zero_copy_only=False) & (cents >= 15_000)).astype(
+                np.int64)
+            return pa.table({"user_id": t.column("user_id"),
+                             "y": pa.array(y)})
+
+        return ab_lift(
+            _events(sf, ["user_id", "event_type", "value"]).map_batches(
+                prep, batch_format="pyarrow"),
+            unit_col="user_id", convert_col="y")
+
+    def q_gains_table(sf):
+        """Cumulative gains/lift deciles of the event value (whole
+        dollars) as a purchase-targeting score — tie-order-proof
+        distinct-score decile boundaries, exact gain/lift ppm."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import gains_table
+
+        def prep(t: pa.Table) -> pa.Table:
+            v = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64) // 100
+            y = pc.equal(t.column("event_type"), "purchase").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"s": pa.array(v), "y": pa.array(y)})
+
+        return gains_table(
+            _events(sf, ["event_type", "value"]).map_batches(
+                prep, batch_format="pyarrow"),
+            score_col="s", label_col="y")
+
     def q_theils_u(sf):
         """Theil's uncertainty coefficient U(source|lang) over documents
         — the asymmetric categorical-association screen beside
@@ -6030,6 +6077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": q_perplexity_buckets,
         "theils_u": q_theils_u,
         "gini_split": q_gini_split,
+        "ab_lift": q_ab_lift,
+        "gains_table": q_gains_table,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -7214,6 +7263,21 @@ def oracle_sql() -> dict[str, str]:
                          AS y
               FROM events)""",
             value="v", label="y"),
+        "ab_lift": profile_mod.ab_lift_sql(
+            table_expr="""(
+              SELECT user_id,
+                     CASE WHEN event_type = 'purchase'
+                               AND round(value * 100)::BIGINT >= 15000
+                          THEN 1 ELSE 0 END AS y
+              FROM events)""",
+            unit="user_id", convert="y"),
+        "gains_table": profile_mod.gains_table_sql(
+            table_expr="""(
+              SELECT round(value * 100)::BIGINT // 100 AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                         AS y
+              FROM events)""",
+            score="s", label="y"),
         "bradley_terry": profile_mod.bradley_terry_sql(
             comparisons_sql="""
               SELECT CASE WHEN cents > lcents THEN item ELSE litem END

@@ -4966,3 +4966,260 @@ def gini_split_sql(*, table_expr: str, value: str, label: str) -> str:
         FROM w CROSS JOIN g
         WHERE nl < n AND (SELECT count(*) FROM c) >= 2
         ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (two-proportion z / 2x2 chi-square)
+# ---------------------------------------------------------------------------
+
+
+def ab_lift(ds, *, unit_col: str, convert_col: str, salt: str = "",
+            num_buckets: int = 32):
+    """A/B experiment readout over a hash-randomized unit split — the
+    two-proportion conversion comparison every growth/quality experiment
+    reduces to, with the deterministic assignment the engine's
+    hash_split convention provides: arm = ``md5_hash64(salt‖unit) % 2``
+    ('a' on 0), a pure function of the data on any cluster shape (and
+    of course the real use: the unit column IS the experiment
+    assignment your logging wrote; the hash arm makes the op
+    self-contained and A/A-testable).
+
+    A unit converts if ANY of its rows has ``convert_col`` = 1 (the
+    standard user-level conversion collapse). In exact integers:
+
+        rate_ppm  = conv·10⁶ // n              (per arm)
+        lift_ppm  = rate_b − rate_a            (signed)
+        chi2_ppm  = n·(ad−bc)²·10⁶ // (n_a·n_b·C·NC)   (ONE floor;
+                    a,b,c,d the 2×2 cells, C/NC the conversion
+                    marginals; any zero marginal → 0 by contract —
+                    the 2×2 closed form of cramers_v's statistic,
+                    df = 1: ≥ 3.84·10⁶ ⇒ p < .05)
+
+    Scale shape: per-batch (unit, any-convert) collapse partials, ONE
+    unit-keyed max fold (the only exchange), arm assignment map-side
+    from the hash, tiny 2-row arm fold, driver closed form in Python
+    ints. Output one row ``(n_a, conv_a, rate_a_ppm, n_b, conv_b,
+    rate_b_ppm, lift_ppm, chi2_ppm)``.
+    """
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def collapse(t: pa.Table) -> pa.Table:
+        g = t.select([unit_col, convert_col]).group_by(
+            [unit_col]).aggregate([(convert_col, "max")])
+        return g.rename_columns([unit_col, "conv"])
+
+    units = bucketed_aggregate(
+        ds.map_batches(collapse, batch_format="pyarrow"),
+        [unit_col], {"conv": ("conv", "max")}, num_buckets=num_buckets,
+    )
+
+    def arm_partial(t: pa.Table) -> pa.Table:
+        u = t.column(unit_col).to_numpy(zero_copy_only=False)
+        conv = t.column("conv").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        arm = (md5_hash64([f"{salt}{v}" for v in u])
+               % np.uint64(2)).astype(np.int64)
+        n = np.bincount(arm, minlength=2)
+        c = np.zeros(2, dtype=np.int64)
+        np.add.at(c, arm, conv)
+        return pa.table({"arm": pa.array(np.array([0, 1], dtype=np.int64)),
+                         "n": pa.array(n.astype(np.int64)),
+                         "conv": pa.array(c)})
+
+    folded = bucketed_aggregate(
+        units.map_batches(arm_partial, batch_format="pyarrow"),
+        ["arm"], {"n": ("n", "sum"), "conv": ("conv", "sum")},
+        num_buckets=2,
+    ).to_pandas().set_index("arm")
+
+    def get(arm):
+        if arm in folded.index:
+            return int(folded.loc[arm, "n"]), int(folded.loc[arm, "conv"])
+        return 0, 0
+
+    n_a, conv_a = get(0)
+    n_b, conv_b = get(1)
+    rate_a = conv_a * 1_000_000 // max(n_a, 1)
+    rate_b = conv_b * 1_000_000 // max(n_b, 1)
+    n = n_a + n_b
+    c_tot = conv_a + conv_b
+    nc_tot = n - c_tot
+    det = conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+    denom = n_a * n_b * c_tot * nc_tot
+    chi2 = n * det * det * 1_000_000 // denom if denom > 0 else 0
+    return pd.DataFrame({
+        "n_a": pd.Series([n_a], dtype="int64"),
+        "conv_a": pd.Series([conv_a], dtype="int64"),
+        "rate_a_ppm": pd.Series([rate_a], dtype="int64"),
+        "n_b": pd.Series([n_b], dtype="int64"),
+        "conv_b": pd.Series([conv_b], dtype="int64"),
+        "rate_b_ppm": pd.Series([rate_b], dtype="int64"),
+        "lift_ppm": pd.Series([rate_b - rate_a], dtype="int64"),
+        "chi2_ppm": pd.Series([chi2], dtype="int64"),
+    })
+
+
+def ab_lift_sql(*, table_expr: str, unit: str, convert: str,
+                salt: str = "") -> str:
+    """SQL mirror: unit-level max collapse, md5_number_upper % 2 arm,
+    FILTER-counted 2×2, the identical one-floor HUGEINT closed form."""
+    return f"""
+        WITH u AS (
+          SELECT {unit} AS unit, max({convert})::BIGINT AS conv
+          FROM {table_expr} GROUP BY 1
+        ),
+        arms AS (
+          SELECT CASE WHEN md5_number_upper(
+                     '{salt}' || unit::VARCHAR) % 2 = 0
+                 THEN 0 ELSE 1 END AS arm, conv
+          FROM u
+        ),
+        c AS (
+          SELECT count(*) FILTER (WHERE arm = 0)::BIGINT AS n_a,
+                 sum(conv) FILTER (WHERE arm = 0)::BIGINT AS conv_a,
+                 count(*) FILTER (WHERE arm = 1)::BIGINT AS n_b,
+                 sum(conv) FILTER (WHERE arm = 1)::BIGINT AS conv_b
+          FROM arms
+        )
+        SELECT coalesce(n_a, 0) AS n_a, coalesce(conv_a, 0) AS conv_a,
+               (coalesce(conv_a, 0) * 1000000
+                // greatest(coalesce(n_a, 0), 1))::BIGINT AS rate_a_ppm,
+               coalesce(n_b, 0) AS n_b, coalesce(conv_b, 0) AS conv_b,
+               (coalesce(conv_b, 0) * 1000000
+                // greatest(coalesce(n_b, 0), 1))::BIGINT AS rate_b_ppm,
+               ((coalesce(conv_b, 0) * 1000000
+                 // greatest(coalesce(n_b, 0), 1))
+                - (coalesce(conv_a, 0) * 1000000
+                   // greatest(coalesce(n_a, 0), 1)))::BIGINT AS lift_ppm,
+               CASE WHEN coalesce(n_a, 0) * coalesce(n_b, 0)
+                         * (coalesce(conv_a, 0) + coalesce(conv_b, 0))
+                         * (coalesce(n_a, 0) + coalesce(n_b, 0)
+                            - coalesce(conv_a, 0) - coalesce(conv_b, 0))
+                         > 0
+                 THEN ((coalesce(n_a, 0) + coalesce(n_b, 0))::HUGEINT
+                       * (coalesce(conv_a, 0)
+                          * (coalesce(n_b, 0) - coalesce(conv_b, 0))
+                          - (coalesce(n_a, 0) - coalesce(conv_a, 0))
+                            * coalesce(conv_b, 0))
+                       * (coalesce(conv_a, 0)
+                          * (coalesce(n_b, 0) - coalesce(conv_b, 0))
+                          - (coalesce(n_a, 0) - coalesce(conv_a, 0))
+                            * coalesce(conv_b, 0))
+                       * 1000000
+                       // (coalesce(n_a, 0)::HUGEINT * coalesce(n_b, 0)
+                           * (coalesce(conv_a, 0) + coalesce(conv_b, 0))
+                           * (coalesce(n_a, 0) + coalesce(n_b, 0)
+                              - coalesce(conv_a, 0)
+                              - coalesce(conv_b, 0))))::BIGINT
+                 ELSE 0 END AS chi2_ppm
+        FROM c"""
+
+
+# ---------------------------------------------------------------------------
+# cumulative gains table (model-targeting deciles)
+# ---------------------------------------------------------------------------
+
+
+def gains_table(ds, *, score_col: str, label_col: str,
+                num_buckets: int = 8):
+    """Cumulative gains / lift table at score-desc deciles — the
+    model-targeting readout ("contacting the top 20% by score reaches
+    X% of all converters at Y× random"), the marketing-science sibling
+    of :func:`pr_curve`. Tie-order-proof by construction: deciles are
+    realized at DISTINCT-SCORE boundaries — for decile d with nominal
+    cutoff ``c_d = d·n // 10``, the reported row is the smallest
+    desc-cumulative count ``n_ge ≥ c_d`` (ties inflate the realized
+    bucket rather than splitting a score value across deciles, so no
+    per-row tie-break leaks in). In exact integers:
+
+        gain_ppm = tp·10⁶ // P            (share of all positives)
+        lift_ppm = tp·n·10⁶ // (P·n_ge)   (vs random targeting; 10⁶ =
+                                           exactly random)
+
+    Bounded-support contract of :func:`pr_curve` (quantize scores
+    first). No positives → typed empty, by the pr_curve contract.
+
+    Scale shape: the pr_curve fold verbatim — per-batch (score, n,
+    n_pos) partials, ONE score-keyed fold — then a 10-row driver walk.
+    Output ``(decile, cutoff_rank, n_ge, tp, gain_ppm, lift_ppm)``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([score_col, label_col]).group_by(
+            [score_col]).aggregate([([], "count_all"),
+                                    (label_col, "sum")])
+        out = {"s": g.column(score_col)}
+        for nm in g.column_names:
+            if nm.endswith("count_all"):
+                out["n"] = g.column(nm).cast(pa.int64())
+            elif nm.endswith("sum"):
+                out["n_pos"] = g.column(nm).cast(pa.int64())
+        return pa.table(out)
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["s"], {"n": ("n", "sum"), "n_pos": ("n_pos", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values("s", ascending=False).reset_index(drop=True)
+
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in [
+        "decile", "cutoff_rank", "n_ge", "tp", "gain_ppm", "lift_ppm"]})
+    p = int(folded["n_pos"].sum()) if len(folded) else 0
+    if p == 0:
+        return empty
+    n = int(folded["n"].sum())
+    n_ge = folded["n"].astype("int64").cumsum().to_numpy()
+    tp = folded["n_pos"].astype("int64").cumsum().to_numpy()
+    rows = []
+    for d in range(1, 11):
+        cd = d * n // 10
+        i = int(np.searchsorted(n_ge, cd))
+        g, t_ = int(n_ge[i]), int(tp[i])
+        rows.append((d, cd, g, t_, t_ * 1_000_000 // p,
+                     t_ * n * 1_000_000 // (p * g)))
+    out = pd.DataFrame(rows, columns=[
+        "decile", "cutoff_rank", "n_ge", "tp", "gain_ppm", "lift_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def gains_table_sql(*, table_expr: str, score: str, label: str) -> str:
+    """SQL mirror: desc window cumsums over the distinct-score support,
+    generate_series decile cutoffs joined to the smallest n_ge ≥ c_d,
+    identical exact-integer gain/lift forms; empty when no positives."""
+    return f"""
+        WITH base AS (
+          SELECT {score} AS s, {label} AS y FROM {table_expr}
+        ),
+        c AS (
+          SELECT s, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+          FROM base GROUP BY 1
+        ),
+        g AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p
+              FROM c),
+        w AS (
+          SELECT s,
+                 sum(cnt) OVER (ORDER BY s DESC)::BIGINT AS n_ge,
+                 sum(pos) OVER (ORDER BY s DESC)::BIGINT AS tp
+          FROM c
+        ),
+        d AS (
+          SELECT t.d, (t.d * g.n) // 10 AS cd
+          FROM generate_series(1, 10) t(d) CROSS JOIN g
+        ),
+        pick AS (
+          SELECT d.d, d.cd, min(w.n_ge) AS n_ge
+          FROM d JOIN w ON w.n_ge >= d.cd
+          GROUP BY 1, 2
+        )
+        SELECT pick.d::BIGINT AS decile, pick.cd::BIGINT AS cutoff_rank,
+               pick.n_ge::BIGINT AS n_ge, w.tp,
+               (w.tp::HUGEINT * 1000000 // g.p)::BIGINT AS gain_ppm,
+               (w.tp::HUGEINT * g.n * 1000000
+                // (g.p * pick.n_ge))::BIGINT AS lift_ppm
+        FROM pick JOIN w ON w.n_ge = pick.n_ge CROSS JOIN g
+        WHERE g.p > 0
+        ORDER BY 1"""

@@ -2453,3 +2453,91 @@ def test_gini_split_degenerate_inputs():
     assert len(out) == 0
     assert list(out.columns) == ["threshold", "n_le", "pos_le",
                                  "child_gini_ppm", "gain_ppm"]
+
+
+# ---------------------------------------------------------------------------
+# ab_lift
+
+
+def test_ab_lift_exact_hand_computation():
+    import hashlib
+
+    from htrc_feature_reader_ray.stages.profile import ab_lift
+
+    # units 1..40, unit converts iff unit % 5 == 0; arm from md5 % 2
+    rows = []
+    for u in range(1, 41):
+        for _ in range(3):  # repeated rows: unit-level max collapse
+            rows.append((u, 1 if u % 5 == 0 else 0))
+    df = pd.DataFrame(rows, columns=["u", "y"])
+    out = ab_lift(ray.data.from_pandas(df).repartition(7),
+                  unit_col="u", convert_col="y")
+    row = out.iloc[0]
+
+    def arm(u):
+        h = int.from_bytes(
+            hashlib.md5(str(u).encode()).digest()[:8], "little")
+        return h % 2
+
+    units = {u: 1 if u % 5 == 0 else 0 for u in range(1, 41)}
+    n_a = sum(1 for u in units if arm(u) == 0)
+    conv_a = sum(v for u, v in units.items() if arm(u) == 0)
+    n_b, conv_b = 40 - n_a, sum(units.values()) - conv_a
+    assert (row["n_a"], row["conv_a"]) == (n_a, conv_a)
+    assert (row["n_b"], row["conv_b"]) == (n_b, conv_b)
+    assert row["rate_a_ppm"] == conv_a * 1_000_000 // max(n_a, 1)
+    assert row["lift_ppm"] == (conv_b * 1_000_000 // max(n_b, 1)
+                               - conv_a * 1_000_000 // max(n_a, 1))
+    det = conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b
+    c, nc = conv_a + conv_b, 40 - conv_a - conv_b
+    assert row["chi2_ppm"] == 40 * det * det * 1_000_000 // (
+        n_a * n_b * c * nc)
+
+
+def test_ab_lift_degenerate_marginal_zero_chi2():
+    from htrc_feature_reader_ray.stages.profile import ab_lift
+
+    df = pd.DataFrame({"u": list(range(10)), "y": [1] * 10})
+    out = ab_lift(ray.data.from_pandas(df), unit_col="u",
+                  convert_col="y")
+    assert int(out.iloc[0]["chi2_ppm"]) == 0  # nc marginal = 0
+    assert int(out.iloc[0]["lift_ppm"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# gains_table
+
+
+def test_gains_table_exact_and_tie_semantics():
+    from htrc_feature_reader_ray.stages.profile import gains_table
+
+    # 100 rows, scores 0..99 distinct, positives = top 10 scores
+    df = pd.DataFrame({"s": np.arange(100, dtype=np.int64),
+                       "y": (np.arange(100) >= 90).astype(np.int64)})
+    out = gains_table(ray.data.from_pandas(df).repartition(5),
+                      score_col="s", label_col="y")
+    assert list(out["decile"]) == list(range(1, 11))
+    d1 = out.iloc[0]
+    # top decile captures ALL positives: gain 1e6, lift 10x
+    assert (d1["n_ge"], d1["tp"]) == (10, 10)
+    assert d1["gain_ppm"] == 1_000_000
+    assert d1["lift_ppm"] == 10_000_000
+    # gains monotone nondecreasing, last decile covers everything
+    assert list(out["gain_ppm"]) == sorted(out["gain_ppm"])
+    assert out.iloc[-1]["n_ge"] == 100
+    assert out.iloc[-1]["lift_ppm"] == 1_000_000
+
+    # ties inflate the realized bucket instead of splitting a score:
+    # 50 rows share the top score -> decile 1 (cutoff 6) realizes n_ge=50
+    df2 = pd.DataFrame({
+        "s": np.array([5] * 50 + list(range(5)) * 2, dtype=np.int64),
+        "y": np.array([1] * 50 + [0] * 10, dtype=np.int64)})
+    out2 = gains_table(ray.data.from_pandas(df2).repartition(3),
+                       score_col="s", label_col="y")
+    assert out2.iloc[0]["n_ge"] == 50
+
+    # no positives -> typed empty
+    df3 = pd.DataFrame({"s": [1, 2], "y": [0, 0]})
+    out3 = gains_table(ray.data.from_pandas(df3),
+                       score_col="s", label_col="y")
+    assert len(out3) == 0 and "lift_ppm" in out3.columns
