@@ -3177,6 +3177,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lagd.map_batches(comp, batch_format="pandas"),
             winner_col="winner", loser_col="loser", rounds=6)
 
+    def q_brier_decomposition(sf):
+        """Brier score + Murphy reliability/resolution/uncertainty of
+        the stopword-ratio English scorer vs the lang label — the
+        one-row scorecard beside calibration_bins' diagram; per-mille²
+        units, milli-quantized squares keep the fold int64-safe."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import (
+            brier_decomposition,
+        )
+        from htrc_feature_reader_ray.stages.textstats import (
+            STOPWORDS_EN,
+            _tok_stats,
+        )
+
+        stopset = pa.array(sorted(set(STOPWORDS_EN)))
+
+        def scored(batch: pa.Table) -> pa.Table:
+            flat, parent, n = _tok_stats(batch, "text")
+            is_stop = pc.is_in(flat, value_set=stopset).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            nstop = np.zeros(n, dtype=np.int64)
+            np.add.at(nstop, parent, is_stop)
+            ntok = np.bincount(parent, minlength=n).astype(np.int64)
+            score = nstop * 1_000_000 // np.maximum(ntok, 1)
+            y = pc.equal(batch.column("lang"), "en").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"s": pa.array(score), "y": pa.array(y)})
+
+        return brier_decomposition(
+            _docs(sf, ["text", "lang"]).map_batches(
+                scored, batch_format="pyarrow"),
+            score_col="s", label_col="y")
+
+    def q_disparate_impact(sf):
+        """Four-fifths-rule audit of a Gopher-style keep rule
+        (n_words >= 40 AND alpha_word_ppm >= 800000 AND max_word_len
+        <= 20) across languages — which languages the rule battery
+        suppresses below 80% of the most-kept language's keep rate."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import (
+            disparate_impact,
+        )
+        from htrc_feature_reader_ray.stages.textstats import (
+            gopher_quality,
+        )
+
+        gq = gopher_quality(_docs(sf, ["doc_id", "text", "lang"]),
+                            id_cols=("doc_id", "lang"))
+
+        def flag(t: pa.Table) -> pa.Table:
+            keep = ((t.column("n_words").to_numpy(
+                        zero_copy_only=False) >= 40)
+                    & (t.column("alpha_word_ppm").to_numpy(
+                        zero_copy_only=False) >= 800_000)
+                    & (t.column("max_word_len").to_numpy(
+                        zero_copy_only=False) <= 20)).astype(np.int64)
+            return pa.table({"lang": t.column("lang"),
+                             "keep": pa.array(keep)})
+
+        return disparate_impact(
+            gq.map_batches(flag, batch_format="pyarrow"),
+            group_col="lang", flag_col="keep")
+
     def q_ab_lift(sf):
         """A/B readout over a deterministic md5 user split: user-level
         big-purchase conversion (a purchase of >= 150.00, ~45% of
@@ -6079,6 +6144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_split": q_gini_split,
         "ab_lift": q_ab_lift,
         "gains_table": q_gains_table,
+        "brier_decomposition": q_brier_decomposition,
+        "disparate_impact": q_disparate_impact,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -7278,6 +7345,31 @@ def oracle_sql() -> dict[str, str]:
                          AS y
               FROM events)""",
             score="s", label="y"),
+        "brier_decomposition": profile_mod.brier_decomposition_sql(
+            table_expr=f"""(
+              SELECT
+                (SELECT coalesce(count(*) FILTER (WHERE t IN
+                    {textstats.sql_in_list(
+                        sorted(set(textstats.STOPWORDS_EN)))}), 0)
+                 FROM unnest(list_filter(string_split(text, ' '),
+                                         t -> t != '')) AS u(t)
+                )::BIGINT * 1000000
+                // greatest(len(list_filter(string_split(text, ' '),
+                                            t -> t != '')), 1) AS s,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents)""",
+            score="s", label="y", num_bins=10),
+        "disparate_impact": profile_mod.disparate_impact_sql(
+            table_expr=f"""(
+              SELECT lang,
+                     CASE WHEN gq.n_words >= 40
+                               AND gq.alpha_word_ppm >= 800000
+                               AND gq.max_word_len <= 20
+                          THEN 1 ELSE 0 END AS keep
+              FROM (SELECT lang,
+                           {textstats.gopher_quality_sql(text="text")}
+                    FROM documents) gq)""",
+            group="lang", flag="keep"),
         "bradley_terry": profile_mod.bradley_terry_sql(
             comparisons_sql="""
               SELECT CASE WHEN cents > lcents THEN item ELSE litem END

@@ -218,6 +218,16 @@ BENCH_QUERIES = [
     "conformal_threshold",
     "isotonic_calibration",
     "registered_domain",
+    "retrieval_ndcg_at_k",
+    "bradley_terry",
+    "bootstrap_ci",
+    "perplexity_buckets",
+    "theils_u",
+    "gini_split",
+    "ab_lift",
+    "gains_table",
+    "brier_decomposition",
+    "disparate_impact",
 ]
 
 HEADLINE = "flagship"

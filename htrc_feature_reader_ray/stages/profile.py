@@ -5223,3 +5223,222 @@ def gains_table_sql(*, table_expr: str, score: str, label: str) -> str:
         FROM pick JOIN w ON w.n_ge = pick.n_ge CROSS JOIN g
         WHERE g.p > 0
         ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition
+# ---------------------------------------------------------------------------
+
+
+def brier_decomposition(ds, *, score_col: str, label_col: str,
+                        num_bins: int = 10, scale: int = 1_000_000,
+                        num_buckets: int = 8):
+    """Brier score with the Murphy (1973) reliability / resolution /
+    uncertainty decomposition — the one-row scorecard completing
+    :func:`calibration_bins`' per-bin diagram: the Brier score says how
+    good the probabilistic scorer is overall, REL says how much is lost
+    to MIScalibration (fixable by recalibrating — exactly what
+    :func:`isotonic_calibration` then repairs), RES says how much the
+    scorer actually discriminates, UNC is the label base-rate floor no
+    scorer can beat.
+
+    Exact contract, all in per-mille² units ∈ [0, 10⁶]: scores quantize
+    ONCE to ``s_m = s·1000 // scale`` ∈ [0, 1000] (the bound that keeps
+    the distributed square-sum fold inside int64 out to ~9·10¹² rows —
+    a raw-ppm square sum would overflow at 9·10⁶), bins by the
+    calibration_bins edge rule on the milli score. With per-bin moments
+    (n_k, P_k, S_k = Σs_m) and totals n, P:
+
+        brier_pm2 = Σ (s_m − 1000·y)²              // n
+        rel_pm2   = (Σ_k (S_k − 1000·P_k)² // n_k)  // n
+        res_pm2   = (Σ_k 10⁶·(P_k·n − P·n_k)² // (n_k·n²)) // n
+        unc_pm2   = 10⁶·P·(n−P) // n²
+
+    — one floor per term plus one outer floor, order-free integer sums
+    both engines replay (the true-rational identity brier = rel − res +
+    unc holds up to the documented floor slack and the within-bin
+    forecast spread). Negative scores raise; labels are 0/1.
+
+    Scale shape: the calibration_bins histogram partials plus a
+    square-sum lane — ≤ num_bins rows per batch, ONE tiny bin fold,
+    Python-int driver finish. Output one row ``(n, n_pos, brier_pm2,
+    rel_pm2, res_pm2, unc_pm2)``.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(s) and s.min() < 0:
+            raise ValueError("brier_decomposition: negative score "
+                             "(contract: score in [0, scale])")
+        sm = s * 1000 // scale
+        b = np.minimum(sm * num_bins // 1000, num_bins - 1)
+        n = np.bincount(b, minlength=num_bins)
+        npos = np.zeros(num_bins, dtype=np.int64)
+        np.add.at(npos, b, y)
+        ssum = np.zeros(num_bins, dtype=np.int64)
+        np.add.at(ssum, b, sm)
+        sq = np.zeros(num_bins, dtype=np.int64)
+        np.add.at(sq, b, (sm - 1000 * y) ** 2)
+        keep = n > 0
+        return pa.table({
+            "bin": pa.array(np.arange(num_bins, dtype=np.int64)[keep]),
+            "n": pa.array(n[keep].astype(np.int64)),
+            "n_pos": pa.array(npos[keep]),
+            "s_sum": pa.array(ssum[keep]),
+            "sq_sum": pa.array(sq[keep]),
+        })
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"], {"n": ("n", "sum"), "n_pos": ("n_pos", "sum"),
+                  "s_sum": ("s_sum", "sum"), "sq_sum": ("sq_sum", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    n = int(folded["n"].sum())
+    p = int(folded["n_pos"].sum())
+    if n == 0:
+        raise ValueError("brier_decomposition: empty input")
+    brier = int(folded["sq_sum"].sum()) // n
+    rel = sum((int(r.s_sum) - 1000 * int(r.n_pos)) ** 2 // int(r.n)
+              for r in folded.itertuples(index=False)) // n
+    res = sum(1_000_000 * (int(r.n_pos) * n - p * int(r.n)) ** 2
+              // (int(r.n) * n * n)
+              for r in folded.itertuples(index=False)) // n
+    unc = 1_000_000 * p * (n - p) // (n * n)
+    return pd.DataFrame({
+        "n": pd.Series([n], dtype="int64"),
+        "n_pos": pd.Series([p], dtype="int64"),
+        "brier_pm2": pd.Series([brier], dtype="int64"),
+        "rel_pm2": pd.Series([rel], dtype="int64"),
+        "res_pm2": pd.Series([res], dtype="int64"),
+        "unc_pm2": pd.Series([unc], dtype="int64"),
+    })
+
+
+def brier_decomposition_sql(*, table_expr: str, score: str, label: str,
+                            num_bins: int = 10,
+                            scale: int = 1_000_000) -> str:
+    """SQL mirror: the identical milli quantization, bin-edge rule, and
+    one-floor-per-term HUGEINT sums."""
+    return f"""
+        WITH b AS (
+          SELECT ({score}) * 1000 // {scale} AS sm,
+                 least((({score}) * 1000 // {scale}) * {num_bins} // 1000,
+                       {num_bins} - 1) AS bin,
+                 {label} AS y
+          FROM {table_expr}
+        ),
+        c AS (
+          SELECT bin, count(*)::HUGEINT AS nk, sum(y)::HUGEINT AS pk,
+                 sum(sm)::HUGEINT AS sk,
+                 sum((sm - 1000 * y) * (sm - 1000 * y))::HUGEINT AS sqk
+          FROM b GROUP BY 1
+        ),
+        g AS (SELECT sum(nk) AS n, sum(pk) AS p FROM c)
+        SELECT n::BIGINT AS n, p::BIGINT AS n_pos,
+               ((SELECT sum(sqk) FROM c) // n)::BIGINT AS brier_pm2,
+               ((SELECT sum((sk - 1000 * pk) * (sk - 1000 * pk) // nk)
+                 FROM c) // n)::BIGINT AS rel_pm2,
+               ((SELECT sum(1000000 * (pk * g.n - g.p * nk)
+                            * (pk * g.n - g.p * nk)
+                            // (nk * g.n * g.n))
+                 FROM c, g) // n)::BIGINT AS res_pm2,
+               (1000000 * p * (n - p) // (n * n))::BIGINT AS unc_pm2
+        FROM g"""
+
+
+# ---------------------------------------------------------------------------
+# disparate impact (four-fifths rule)
+# ---------------------------------------------------------------------------
+
+
+def disparate_impact(ds, *, group_col: str, flag_col: str,
+                     num_buckets: int = 8):
+    """Disparate-impact audit of a binary pass/keep decision across
+    groups — the EEOC four-fifths rule applied to corpus curation
+    (a quality gate whose keep-rate for one language or feed is under
+    80% of the most-kept group's rate is materially reshaping the
+    mixture toward that group; the number to read BEFORE shipping a
+    rule battery corpus-wide, beside :func:`theils_u`'s association
+    view).
+
+    Exact contract: per group ``rate_ppm = pos·10⁶ // n``; the
+    reference rate is the MAX group rate (a value, so no tie-break
+    needed); ``di_ppm = rate·10⁶ // ref_rate`` (all groups 0 when the
+    reference is 0), ``below_80pct = 1`` iff di_ppm < 800 000.
+
+    Scale shape: per-batch Arrow (group, n, pos) partials, ONE
+    audit-sized group fold, driver ratio walk. Output ``(group, n,
+    n_pos, rate_ppm, di_ppm, below_80pct)`` sorted by group.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, flag_col]).group_by(
+            [group_col]).aggregate([([], "count_all"),
+                                    (flag_col, "sum")])
+        out = {group_col: g.column(group_col)}
+        for nm in g.column_names:
+            if nm.endswith("count_all"):
+                out["n"] = g.column(nm).cast(pa.int64())
+            elif nm.endswith("sum"):
+                out["pos"] = g.column(nm).cast(pa.int64())
+        return pa.table(out)
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], {"n": ("n", "sum"), "pos": ("pos", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas().sort_values(group_col).reset_index(drop=True)
+
+    nn = folded["n"].astype("int64").to_numpy()
+    pos = folded["pos"].astype("int64").to_numpy()
+    rate = pos * 1_000_000 // np.maximum(nn, 1)
+    ref = int(rate.max()) if len(rate) else 0
+    di = (rate * 1_000_000 // ref if ref > 0
+          else np.zeros(len(rate), dtype=np.int64))
+    return pd.DataFrame({
+        group_col: folded[group_col],
+        "n": pd.Series(nn, dtype="int64"),
+        "n_pos": pd.Series(pos, dtype="int64"),
+        "rate_ppm": pd.Series(rate, dtype="int64"),
+        "di_ppm": pd.Series(di, dtype="int64"),
+        "below_80pct": pd.Series(
+            (di < 800_000).astype(np.int64), dtype="int64"),
+    })
+
+
+def disparate_impact_sql(*, table_expr: str, group: str,
+                         flag: str) -> str:
+    """SQL mirror: group fold + cross-joined max rate, identical floor
+    ratios and the 800 000 ppm threshold."""
+    return f"""
+        WITH c AS (
+          SELECT {group} AS grp, count(*)::BIGINT AS n,
+                 sum({flag})::BIGINT AS pos
+          FROM {table_expr} GROUP BY 1
+        ),
+        r AS (
+          SELECT grp, n, pos,
+                 (pos::HUGEINT * 1000000 // greatest(n, 1))::BIGINT
+                     AS rate_ppm
+          FROM c
+        ),
+        m AS (SELECT max(rate_ppm) AS ref FROM r)
+        SELECT r.grp AS {group}, r.n, r.pos AS n_pos, r.rate_ppm,
+               CASE WHEN m.ref > 0
+                    THEN (r.rate_ppm::HUGEINT * 1000000
+                          // m.ref)::BIGINT
+                    ELSE 0 END AS di_ppm,
+               CASE WHEN (CASE WHEN m.ref > 0
+                          THEN (r.rate_ppm::HUGEINT * 1000000
+                                // m.ref)::BIGINT
+                          ELSE 0 END) < 800000
+                    THEN 1 ELSE 0 END::BIGINT AS below_80pct
+        FROM r CROSS JOIN m
+        ORDER BY 1"""

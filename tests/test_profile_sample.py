@@ -2541,3 +2541,81 @@ def test_gains_table_exact_and_tie_semantics():
     out3 = gains_table(ray.data.from_pandas(df3),
                        score_col="s", label_col="y")
     assert len(out3) == 0 and "lift_ppm" in out3.columns
+
+
+# ---------------------------------------------------------------------------
+# brier_decomposition
+
+
+def test_brier_decomposition_reference_and_extremes():
+    from fractions import Fraction
+
+    from htrc_feature_reader_ray.stages.profile import brier_decomposition
+
+    rng = np.random.RandomState(13)
+    s = rng.randint(0, 1_000_001, 400).astype(np.int64)
+    # labels correlated with score: P(y=1) grows with s
+    y = (rng.rand(400) * 1_000_000 < s).astype(np.int64)
+    df = pd.DataFrame({"s": s, "y": y})
+    out = brier_decomposition(ray.data.from_pandas(df).repartition(5),
+                              score_col="s", label_col="y")
+    row = out.iloc[0]
+
+    sm = s * 1000 // 1_000_000
+    b = np.minimum(sm * 10 // 1000, 9)
+    n, p = 400, int(y.sum())
+    brier = int(((sm - 1000 * y) ** 2).sum()) // n
+    rel = sum(
+        (int(sm[b == k].sum()) - 1000 * int(y[b == k].sum())) ** 2
+        // int((b == k).sum())
+        for k in range(10) if (b == k).any()) // n
+    res = sum(
+        1_000_000 * (int(y[b == k].sum()) * n - p * int((b == k).sum()))
+        ** 2 // (int((b == k).sum()) * n * n)
+        for k in range(10) if (b == k).any()) // n
+    assert row["brier_pm2"] == brier
+    assert row["rel_pm2"] == rel
+    assert row["res_pm2"] == res
+    assert row["unc_pm2"] == 1_000_000 * p * (n - p) // (n * n)
+    # murphy identity holds within the documented floor slack plus the
+    # within-bin forecast variance (bounded by the bin width squared)
+    approx = rel - res + row["unc_pm2"]
+    assert abs(brier - approx) < 12_000
+
+    # a perfect scorer: s==1e6 iff y==1 -> brier 0, rel 0
+    df2 = pd.DataFrame({"s": np.array([0, 0, 1_000_000] * 5,
+                                      dtype=np.int64),
+                        "y": np.array([0, 0, 1] * 5, dtype=np.int64)})
+    out2 = brier_decomposition(ray.data.from_pandas(df2),
+                               score_col="s", label_col="y")
+    assert int(out2.iloc[0]["brier_pm2"]) == 0
+    assert int(out2.iloc[0]["rel_pm2"]) == 0
+    # resolution == uncertainty for the perfect scorer (exact here:
+    # bin rates are 0 and 1)
+    assert int(out2.iloc[0]["res_pm2"]) == int(out2.iloc[0]["unc_pm2"])
+
+
+# ---------------------------------------------------------------------------
+# disparate_impact
+
+
+def test_disparate_impact_exact_and_flag():
+    from htrc_feature_reader_ray.stages.profile import disparate_impact
+
+    # rates: a=1.0 (ref), b=0.5 (di 500000, flagged), c=0.9 (not)
+    df = pd.DataFrame({
+        "g": ["a"] * 10 + ["b"] * 10 + ["c"] * 10,
+        "f": [1] * 10 + [1, 0] * 5 + [1] * 9 + [0],
+    })
+    out = disparate_impact(ray.data.from_pandas(df).repartition(4),
+                           group_col="g", flag_col="f")
+    r = {row.g: row for row in out.itertuples(index=False)}
+    assert r["a"].rate_ppm == 1_000_000 and r["a"].di_ppm == 1_000_000
+    assert r["b"].di_ppm == 500_000 and r["b"].below_80pct == 1
+    assert r["c"].di_ppm == 900_000 and r["c"].below_80pct == 0
+
+    # all-zero reference: di 0 everywhere by contract
+    df2 = pd.DataFrame({"g": ["a", "b"], "f": [0, 0]})
+    out2 = disparate_impact(ray.data.from_pandas(df2),
+                            group_col="g", flag_col="f")
+    assert list(out2["di_ppm"]) == [0, 0]
