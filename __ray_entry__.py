@@ -3177,6 +3177,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lagd.map_batches(comp, batch_format="pandas"),
             winner_col="winner", loser_col="loser", rounds=6)
 
+    def q_hop_histogram(sf):
+        """Sampled neighbourhood function + effective diameter (the
+        HyperANF readout via exact labeled BFS from the harmonic seed
+        sample): per hop the first-visit (seed, node) pair count and
+        the cumulative reach CDF; smallest hop with cum_ppm >= 9e5 is
+        d90."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            hop_histogram,
+        )
+
+        return hop_histogram(
+            extract_links(read_pages(sf, drop_text=True)),
+            seed_mod=10, n_seeds=4, max_hops=3)
+
+    def q_random_walks(sf):
+        """DeepWalk walk corpus as a pure function of the graph: 8
+        walks of length 4 from the bottom-(md5,url) starts, each step
+        to the out-neighbor minimizing (md5(salt|wid|step|u|v), v) —
+        per-(walk, step) keyed hashing so walks diverge while any
+        cluster shape and SQL replay the identical corpus."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            random_walks,
+        )
+
+        return random_walks(
+            extract_links(read_pages(sf, drop_text=True)),
+            seed_mod=10, n_walks=8, walk_len=4)
+
     def q_brier_decomposition(sf):
         """Brier score + Murphy reliability/resolution/uncertainty of
         the stopword-ratio English scorer vs the lang label — the
@@ -6146,6 +6178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gains_table": q_gains_table,
         "brier_decomposition": q_brier_decomposition,
         "disparate_impact": q_disparate_impact,
+        "hop_histogram": q_hop_histogram,
+        "random_walks": q_random_walks,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
         "jaccard_join": q_jaccard_join,
@@ -7291,6 +7325,10 @@ def oracle_sql() -> dict[str, str]:
             links_pre=LINKS_PRE, max_hops=4),
         "harmonic_centrality": linkgraph.harmonic_centrality_sql(
             links_pre=LINKS_PRE, seed_mod=10, n_seeds=4, max_hops=3),
+        "hop_histogram": linkgraph.hop_histogram_sql(
+            links_pre=LINKS_PRE, seed_mod=10, n_seeds=4, max_hops=3),
+        "random_walks": linkgraph.random_walks_sql(
+            links_pre=LINKS_PRE, seed_mod=10, n_walks=8, walk_len=4),
         "link_resolution_rate": LINKS_PRE
         + linkgraph.link_resolution_rate_sql(edges_cte="link_edges"),
         "local_supplier_revenue": """

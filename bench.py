@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "gains_table",
     "brier_decomposition",
     "disparate_impact",
+    "hop_histogram",
+    "random_walks",
 ]
 
 HEADLINE = "flagship"

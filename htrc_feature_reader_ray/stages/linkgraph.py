@@ -2786,38 +2786,15 @@ def link_resolution_rate_sql(*, edges_cte: str = "link_edges") -> str:
         FROM marked GROUP BY 1"""
 
 
-def harmonic_centrality(edges, *, seed_mod: int = 10, n_seeds: int = 4,
-                        max_hops: int = 4, num_buckets: int = 32):
-    """Sampled harmonic centrality over the directed link graph
-    (Boldi–Vigna's recommended centrality, estimated the Eppstein–Wang
-    way: exact BFS from a small deterministic seed sample instead of
-    all-pairs): for every node v reachable from the sample,
-
-        ``harmonic_ppm(v) = Σ_{s ∈ seeds, d(s→v) ≥ 1} 10⁶ // d(s→v)``
-
-    with d the exact forward hop distance (≤ ``max_hops``) — the
-    "how centrally reachable is this page from representative entry
-    points" score that, unlike pagerank, has an absolute scale (each
-    seed contributes at most 10⁶) and handles disconnectedness natively
-    (unreachable ⇒ contributes 0 — the reason Boldi–Vigna prefer
-    harmonic over closeness). Integer-exact: 10⁶//d is the documented
-    per-hop weight (no float reciprocals), so the mirror replays it.
-
-    Seeds: the ``n_seeds`` bottom nodes by (md5 hash, url) among
-    DISTINCT SRC urls passing the engine's md5 % seed_mod predicate —
-    deterministic, oracle-checkable, and a bottom-k (the KMV
-    discipline) so seed selection never materializes the candidate
-    set; restricting to nodes WITH out-edges makes seeds actual entry
-    points (a dst-only node's BFS is empty by construction). Nodes
-    whose only distance is hop 0 (an isolated seed) are excluded — the
-    sum above is empty. Output: ``(url, seeds_reached, harmonic_ppm)``.
-
-    Scale shape: the bfs_layers frontier loop lifted to (url, seed)
-    labeled state — per hop ONE inner co-partitioned join edges⋈frontier
-    carrying the seed id, a distinct fold, ONE anti-join against the
-    (url, seed) visited set (first visit == shortest hop, so no min
-    pass), then a single url-keyed fold of 10⁶//hop terms. ≤ 3·H
-    exchanges on slim (url, sid) tables; state is n_seeds× BFS."""
+def _labeled_bfs(edges, *, seed_mod: int, n_seeds: int, max_hops: int,
+                 num_buckets: int):
+    """Shared (url, seed)-labeled frontier walk of harmonic_centrality /
+    hop_histogram: bottom-(md5, url) seed pick among distinct SRC urls
+    passing the md5 %% seed_mod predicate, then per hop ONE inner
+    co-partitioned edges⋈frontier join carrying the seed id, a distinct
+    fold, and ONE anti-join against the (url, seed) visited set (first
+    visit == shortest hop). Returns ``(seeds_df, [(hop, frontier_ds),
+    ...])`` with frontiers materialized."""
     import ray.data
 
     from htrc_feature_reader_ray.stages.dedup import md5_hash64
@@ -2881,6 +2858,46 @@ def harmonic_centrality(edges, *, seed_mod: int = 10, n_seeds: int = 4,
         dists.append((h, frontier))
         visited = visited.union(
             frontier.select_columns(["vkey"])).materialize()
+    return seeds, dists
+
+
+def harmonic_centrality(edges, *, seed_mod: int = 10, n_seeds: int = 4,
+                        max_hops: int = 4, num_buckets: int = 32):
+    """Sampled harmonic centrality over the directed link graph
+    (Boldi–Vigna's recommended centrality, estimated the Eppstein–Wang
+    way: exact BFS from a small deterministic seed sample instead of
+    all-pairs): for every node v reachable from the sample,
+
+        ``harmonic_ppm(v) = Σ_{s ∈ seeds, d(s→v) ≥ 1} 10⁶ // d(s→v)``
+
+    with d the exact forward hop distance (≤ ``max_hops``) — the
+    "how centrally reachable is this page from representative entry
+    points" score that, unlike pagerank, has an absolute scale (each
+    seed contributes at most 10⁶) and handles disconnectedness natively
+    (unreachable ⇒ contributes 0 — the reason Boldi–Vigna prefer
+    harmonic over closeness). Integer-exact: 10⁶//d is the documented
+    per-hop weight (no float reciprocals), so the mirror replays it.
+
+    Seeds: the ``n_seeds`` bottom nodes by (md5 hash, url) among
+    DISTINCT SRC urls passing the engine's md5 % seed_mod predicate —
+    deterministic, oracle-checkable, and a bottom-k (the KMV
+    discipline) so seed selection never materializes the candidate
+    set; restricting to nodes WITH out-edges makes seeds actual entry
+    points (a dst-only node's BFS is empty by construction). Nodes
+    whose only distance is hop 0 (an isolated seed) are excluded — the
+    sum above is empty. Output: ``(url, seeds_reached, harmonic_ppm)``.
+
+    Scale shape: the bfs_layers frontier loop lifted to (url, seed)
+    labeled state — per hop ONE inner co-partitioned join edges⋈frontier
+    carrying the seed id, a distinct fold, ONE anti-join against the
+    (url, seed) visited set (first visit == shortest hop, so no min
+    pass), then a single url-keyed fold of 10⁶//hop terms. ≤ 3·H
+    exchanges on slim (url, sid) tables; state is n_seeds× BFS."""
+    import ray.data
+
+    seeds, dists = _labeled_bfs(edges, seed_mod=seed_mod,
+                                n_seeds=n_seeds, max_hops=max_hops,
+                                num_buckets=num_buckets)
 
     if not dists:
         return ray.data.from_arrow(pa.table({
@@ -3347,3 +3364,248 @@ def bowtie_structure_sql(*, links_pre: str, max_hops: int = 4) -> str:
                  ELSE 'DISCONNECTED'
                END AS region
         FROM nodes n ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# neighbourhood-function hop histogram / effective diameter
+# ---------------------------------------------------------------------------
+
+
+def hop_histogram(edges, *, seed_mod: int = 10, n_seeds: int = 4,
+                  max_hops: int = 4, num_buckets: int = 32):
+    """Sampled neighbourhood function N(h) and its normalized CDF — the
+    HyperANF readout (Palmer et al.'s ANF, Boldi–Vigna–Rosa's HyperANF:
+    the number behind every "the web is ~19 clicks across" claim):
+    per hop h, how many (seed, node) pairs are within distance ≤ h of
+    the deterministic seed sample; the smallest h whose ``cum_ppm ≥
+    900 000`` is the EFFECTIVE DIAMETER d90, the graph-wide reach scalar
+    read next to :func:`bowtie_structure`'s region split. Exact labeled
+    BFS from the harmonic_centrality seed sample instead of sketched
+    counters — the Eppstein–Wang discipline again; the hop bound is
+    part of the contract (cum_ppm normalizes by the ≤ max_hops total,
+    exact when the true eccentricity is below the bound — the
+    harmonic/bowtie convention).
+
+    Output one row per realized hop 0..H: ``(hop, n_pairs, cum_pairs,
+    cum_ppm)`` — hop 0 counts the seeds themselves, n_pairs counts
+    FIRST visits at exactly hop h (distinct (seed, node) pairs), and
+    ``cum_ppm = cum_pairs·10⁶ // total``.
+
+    Scale shape: the shared :func:`_labeled_bfs` frontier walk (≤ 3·H
+    slim exchanges); the histogram itself is H+1 driver scalars —
+    frontier COUNTS, never contents.
+    """
+    seeds, dists = _labeled_bfs(edges, seed_mod=seed_mod,
+                                n_seeds=n_seeds, max_hops=max_hops,
+                                num_buckets=num_buckets)
+    counts = [(0, len(seeds))]
+    for h, fr in dists:
+        counts.append((h, fr.count()))
+    total = sum(c for _, c in counts)
+    cum = 0
+    rows = []
+    for h, c in counts:
+        cum += c
+        rows.append((h, c, cum,
+                     cum * 1_000_000 // total if total else 0))
+    out = pd.DataFrame(rows, columns=["hop", "n_pairs", "cum_pairs",
+                                      "cum_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def hop_histogram_sql(*, links_pre: str, seed_mod: int = 10,
+                      n_seeds: int = 4, max_hops: int = 4) -> str:
+    """SQL mirror: the harmonic_centrality labeled-CTE chain, min-hop
+    fold INCLUDING d = 0, hop-level counts + window cumulatives."""
+    steps = []
+    for h in range(1, max_hops + 1):
+        steps.append(f"""
+        l{h} AS (
+          SELECT DISTINCT e.dst_url AS url, f.sid, {h} AS hop
+          FROM link_edges e JOIN l{h - 1} f ON e.src_url = f.url
+        )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM l{h}" for h in range(0, max_hops + 1))
+    return f"""
+        {links_pre},
+        nodes AS (
+          SELECT DISTINCT src_url AS url FROM link_edges
+        ),
+        seeds AS (
+          SELECT url, row_number() OVER (
+              ORDER BY md5_number_upper(url), url) - 1 AS sid
+          FROM nodes WHERE md5_number_upper(url) % {seed_mod} = 0
+          ORDER BY md5_number_upper(url), url LIMIT {n_seeds}
+        ),
+        l0 AS (SELECT url, sid, 0 AS hop FROM seeds),{",".join(steps)},
+        md AS (
+          SELECT url, sid, min(hop) AS d FROM ({unions}) GROUP BY 1, 2
+        ),
+        c AS (SELECT d AS hop, count(*)::BIGINT AS n_pairs
+              FROM md GROUP BY 1),
+        g AS (SELECT sum(n_pairs)::BIGINT AS total FROM c)
+        SELECT hop::BIGINT AS hop, n_pairs,
+               sum(n_pairs) OVER (ORDER BY hop)::BIGINT AS cum_pairs,
+               (sum(n_pairs) OVER (ORDER BY hop)::HUGEINT * 1000000
+                // g.total)::BIGINT AS cum_ppm
+        FROM c CROSS JOIN g
+        ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (DeepWalk corpus prep)
+# ---------------------------------------------------------------------------
+
+
+def random_walks(edges, *, seed_mod: int = 10, n_walks: int = 8,
+                 walk_len: int = 4, salt: str = "",
+                 num_buckets: int = 32):
+    """Walk corpus over the link graph — the DeepWalk/node2vec data-prep
+    stage (Perozzi et al. KDD'14: truncated walks ARE the sentences a
+    skip-gram embedding trains on), with the walk made a PURE FUNCTION
+    of the data the way every sampler in this engine is: at each step
+    the walk at node u moves to the out-neighbor v minimizing
+    ``(md5_hash64(salt|wid|step|u|v), v)`` — per-(walk, step) keyed
+    hashing so distinct walks from the same start diverge and re-visits
+    at different steps take different edges, while any cluster shape
+    and the SQL mirror replay the identical corpus (the md5 analog of a
+    seeded RNG; marginally each choice is hash-uniform over the
+    neighbors). Walk starts: the harmonic_centrality bottom-(md5, url)
+    seed discipline, ``n_walks`` ids round-robined over the seed set.
+    Dead ends truncate the walk (the DeepWalk convention).
+
+    Scale shape: walk state is one (wid, url) row per live walk; per
+    step ONE inner co-partitioned edges⋈state join, then a vectorized
+    per-wid argmin inside the bucket (lexsort on (wid, hash, dst)) —
+    nothing corpus-sized ever sits on the driver; n_walks·walk_len
+    bounded output. Output ``(wid, step, url)`` — step 0 is the start.
+    """
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
+
+    edges = edges.materialize()
+    nodes = bucketed_aggregate(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"url": t.column("src_url").combine_chunks()}),
+            batch_format="pyarrow"),
+        ["url"], {"_n": ("url", "size")},
+        num_buckets=num_buckets,
+    ).drop_columns(["_n"])
+
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        urls = df["url"].to_numpy()
+        h = md5_hash64([str(u) for u in urls])
+        keep = h % seed_mod == 0
+        sub = pd.DataFrame({"url": urls[keep], "_h": h[keep]})
+        return sub.sort_values(["_h", "url"]).head(n_walks)
+
+    cand = nodes.map_batches(bottomk, batch_format="pandas").to_pandas()
+    starts = cand.sort_values(["_h", "url"]).head(n_walks).reset_index(
+        drop=True)["url"].tolist()
+    if not starts:
+        return pd.DataFrame({
+            "wid": pd.Series([], dtype="int64"),
+            "step": pd.Series([], dtype="int64"),
+            "url": pd.Series([], dtype=object),
+        })
+    state = pd.DataFrame({
+        "wid": np.arange(n_walks, dtype=np.int64),
+        "url": [starts[i % len(starts)] for i in range(n_walks)],
+    })
+    out_rows = [state.assign(step=np.int64(0))]
+    cur = ray.data.from_pandas(state).materialize()
+    for step in range(1, walk_len + 1):
+        hit = bucket_join(edges, cur, left_key="src_url",
+                          right_key="url", num_buckets=num_buckets,
+                          how="inner")
+
+        def step_pick(df: pd.DataFrame, _s=step) -> pd.DataFrame:
+            # per-batch PARTIAL argmin (min is associative — the hash
+            # rides along so the wid-keyed fold finishes it exactly)
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "wid": pd.Series([], dtype="int64"),
+                    "_h": pd.Series([], dtype="uint64"),
+                    "url": pd.Series([], dtype=object)})
+            h = md5_hash64([
+                f"{salt}|{w}|{_s}|{u}|{v}"
+                for w, u, v in zip(df["wid"], df["src_url"],
+                                   df["dst_url"])])
+            d = pd.DataFrame({"wid": df["wid"].to_numpy(),
+                              "_h": h, "url": df["dst_url"].to_numpy()})
+            d = d.sort_values(["wid", "_h", "url"], kind="mergesort")
+            return d.groupby("wid", sort=False, as_index=False).first()
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.sort_values(["wid", "_h", "url"], kind="mergesort")
+            return d.groupby("wid", sort=False, as_index=False).first()[
+                ["wid", "url"]]
+
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_map_groups,
+        )
+        nxt = bucketed_map_groups(
+            hit.map_batches(step_pick, batch_format="pandas"),
+            "wid", finish, num_buckets=num_buckets)
+        got = nxt.to_pandas()
+        if len(got) == 0:
+            break
+        out_rows.append(got.assign(step=np.int64(step)))
+        cur = ray.data.from_pandas(got[["wid", "url"]]).materialize()
+    out = pd.concat(out_rows, ignore_index=True)[["wid", "step", "url"]]
+    out["wid"] = out["wid"].astype("int64")
+    out["step"] = out["step"].astype("int64")
+    return out.sort_values(["wid", "step"]).reset_index(drop=True)
+
+
+def random_walks_sql(*, links_pre: str, seed_mod: int = 10,
+                     n_walks: int = 8, walk_len: int = 4,
+                     salt: str = "") -> str:
+    """SQL mirror: bottom-k starts round-robined to wids, walk_len
+    unrolled steps each picking min-(md5_number_upper, dst) among the
+    current node's out-edges per wid."""
+    steps = []
+    for s in range(1, walk_len + 1):
+        steps.append(f"""
+        w{s} AS (
+          SELECT wid, url FROM (
+            SELECT f.wid, e.dst_url AS url,
+                   row_number() OVER (
+                     PARTITION BY f.wid
+                     ORDER BY md5_number_upper(
+                       '{salt}|' || f.wid::VARCHAR || '|{s}|'
+                       || f.url || '|' || e.dst_url), e.dst_url) AS rk
+            FROM w{s - 1} f JOIN link_edges e ON e.src_url = f.url
+          ) WHERE rk = 1
+        )""")
+    unions = " UNION ALL ".join(
+        f"SELECT wid, {s} AS step, url FROM w{s}"
+        for s in range(0, walk_len + 1))
+    return f"""
+        {links_pre},
+        nodes AS (
+          SELECT DISTINCT src_url AS url FROM link_edges
+        ),
+        starts AS (
+          SELECT url, row_number() OVER (
+              ORDER BY md5_number_upper(url), url) - 1 AS sid
+          FROM nodes WHERE md5_number_upper(url) % {seed_mod} = 0
+          ORDER BY md5_number_upper(url), url LIMIT {n_walks}
+        ),
+        w0 AS (
+          SELECT t.wid, s.url
+          FROM generate_series(0, {n_walks - 1}) t(wid)
+          JOIN starts s
+            ON s.sid = t.wid % (SELECT count(*) FROM starts)
+        ),{",".join(steps)}
+        SELECT wid::BIGINT AS wid, step::BIGINT AS step, url
+        FROM ({unions})
+        ORDER BY 1, 2"""

@@ -924,3 +924,98 @@ def test_bowtie_structure_hop_bound():
     out2 = bowtie_structure(edges, max_hops=4, num_buckets=2).to_pandas()
     got2 = dict(zip(out2["url"], out2["region"]))
     assert got2 == {"a": "CORE", "m1": "OUT", "m2": "OUT", "m3": "OUT"}
+
+
+# ---------------------------------------------------------------------------
+# hop_histogram
+
+
+def test_hop_histogram_exact_on_chain_and_d90():
+    import hashlib
+
+    from htrc_feature_reader_ray.stages.linkgraph import hop_histogram
+
+    # pick urls so exactly one passes md5 % mod == 0 and seeds the walk;
+    # chain seed -> c1 -> c2 -> c3 plus a branch at hop 1
+    def h(u):
+        return int.from_bytes(
+            hashlib.md5(u.encode()).digest()[:8], "little")
+
+    cands = [f"n{i}" for i in range(200)]
+    seedable = [u for u in cands if h(u) % 3 == 0]
+    seed = seedable[0]
+    others = [u for u in cands if h(u) % 3 != 0][:5]
+    c1, c2, c3, br, _ = others
+    pairs = [(seed, c1), (c1, c2), (c2, c3), (seed, br)]
+    edges = _edges_ds(pairs)
+    out = hop_histogram(edges, seed_mod=3, n_seeds=1, max_hops=4)
+    # hop0: seed; hop1: c1+br; hop2: c2; hop3: c3
+    assert list(out["hop"]) == [0, 1, 2, 3]
+    assert list(out["n_pairs"]) == [1, 2, 1, 1]
+    assert list(out["cum_pairs"]) == [1, 3, 4, 5]
+    assert list(out["cum_ppm"]) == [200000, 600000, 800000, 1000000]
+    # d90 = smallest hop with cum_ppm >= 900000
+    d90 = int(out[out["cum_ppm"] >= 900_000]["hop"].min())
+    assert d90 == 3
+
+    # revisits don't double-count: add a back edge c2 -> seed
+    out2 = hop_histogram(_edges_ds(pairs + [(c2, seed)]),
+                         seed_mod=3, n_seeds=1, max_hops=4)
+    assert int(out2["cum_pairs"].max()) == 5
+
+
+# ---------------------------------------------------------------------------
+# random_walks
+
+
+def test_random_walks_scalar_replay_and_invariance():
+    import hashlib
+
+    from htrc_feature_reader_ray.stages.linkgraph import random_walks
+
+    def h64(s):
+        return int.from_bytes(
+            hashlib.md5(s.encode()).digest()[:8], "little")
+
+    # dense little digraph over urls u0..u9, every node seedable
+    urls = [f"u{i}" for i in range(10)]
+    pairs = [(urls[i], urls[(i * 3 + j) % 10])
+             for i in range(10) for j in (1, 2, 3)]
+    for parts in (1, 6):
+        out = random_walks(_edges_ds(pairs).repartition(parts),
+                           seed_mod=1, n_walks=4, walk_len=3,
+                           salt="s")
+        # scalar replay: starts = bottom-4 by (md5, url) among srcs
+        starts = sorted({p[0] for p in pairs},
+                        key=lambda u: (h64(u), u))[:4]
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, []).append(b)
+        want = []
+        for wid in range(4):
+            cur = starts[wid % len(starts)]
+            want.append((wid, 0, cur))
+            for step in range(1, 4):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(nbrs,
+                          key=lambda v: (h64(f"s|{wid}|{step}|{cur}|{v}"),
+                                         v))
+                want.append((wid, step, cur))
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == want
+    # walks genuinely diverge across wids (not all identical paths)
+    paths = out.groupby("wid")["url"].apply(tuple)
+    assert len(set(paths)) > 1
+
+
+def test_random_walks_dead_end_truncates():
+    from htrc_feature_reader_ray.stages.linkgraph import random_walks
+
+    out = random_walks(_edges_ds([("a", "sink")]), seed_mod=1,
+                       n_walks=2, walk_len=5)
+    # both walks start at 'a' (round-robin over 1 start), step to sink,
+    # then truncate
+    assert list(out["step"]) == [0, 1, 0, 1]
+    assert set(out["url"]) == {"a", "sink"}
