@@ -2479,6 +2479,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return gap_stats(_events(sf, ["user_id", "ts"]),
                          key="user_id", ts="ts")
 
+    def q_burst_detection(sf):
+        """Per-user burst windows over the event stream — Kleinberg's
+        2-state automaton (KDD'02) in its forward-filter form, exact
+        integers via the multiply-through-by-span trick (zero divisions
+        in the recursion). Where gap_stats' CV² says a key is bursty,
+        this says WHEN: burst-gap count, run count, longest run and
+        share — the inputs a recrawl scheduler or bot rule consumes.
+        ONE key-bucketed exchange, per-bucket step-loop vectorized
+        across keys; recursive-CTE mirror."""
+        from htrc_feature_reader_ray.stages.temporal import burst_detection
+
+        return burst_detection(_events(sf, ["user_id", "ts"]),
+                               key="user_id", ts="ts")
+
     def q_hour_concentration(sf):
         """Per-user HHI (Σp²) over the 24 hour-of-day bins in exact ppm
         — the full-distribution evenness index completing
@@ -6098,6 +6112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_factor": q_fano_factor,
         "daily_autocorr": q_daily_autocorr,
         "gap_stats": q_gap_stats,
+        "burst_detection": q_burst_detection,
         "activity_half_life": q_activity_half_life,
         "max_silence": q_max_silence,
         "growth_accounting": q_growth_accounting,
@@ -7689,6 +7704,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_autocorr": temporal_mod.daily_autocorr_sql(
             table="events", key="user_id", ts="ts"),
         "gap_stats": temporal_mod.gap_stats_sql(
+            table="events", key="user_id", ts="ts"),
+        "burst_detection": temporal_mod.burst_detection_sql(
             table="events", key="user_id", ts="ts"),
         "activity_half_life": temporal_mod.activity_half_life_sql(
             table="events", key="user_id", ts="ts"),

@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "disparate_impact",
     "hop_histogram",
     "random_walks",
+    "burst_detection",
 ]
 
 HEADLINE = "flagship"

@@ -211,6 +211,8 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.temporal", "daily_autocorr"),
         "gap_stats": (
             "htrc_feature_reader_ray.stages.temporal", "gap_stats"),
+        "burst_detection": (
+            "htrc_feature_reader_ray.stages.temporal", "burst_detection"),
         "activity_half_life": (
             "htrc_feature_reader_ray.stages.temporal",
             "activity_half_life"),

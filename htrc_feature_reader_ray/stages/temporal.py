@@ -3295,3 +3295,243 @@ def activity_streaks_sql(*, table: str, key: str, ts: str) -> str:
                best.len AS longest_streak,
                make_timestamp(best.start * 86400000000) AS streak_start
         FROM agg JOIN best ON best.kk = agg.kk AND best.rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg burst detection (forward-filter form of the 2-state automaton)
+
+
+def burst_detection(ds, *, key: str, ts: str, s: int = 2,
+                    gamma_milli: int = 1000, num_buckets: int = 32):
+    """Per-key burst detection over the inter-event gap sequence —
+    Kleinberg's 2-state infinite automaton (KDD'02) in its FORWARD
+    (filtering) form, made a pure integer function of the data so any
+    cluster shape and the SQL mirror replay bit-for-bit.
+
+    Model: a key with n gaps over total span T emits gaps from state 0
+    (base rate ``a0 = n/T``) or state 1 (burst rate ``a1 = s·a0``,
+    default s = 2); entering a burst costs ``γ·ln n``. Where
+    :func:`gap_stats`' CV² says "this key is bursty overall", this op
+    says WHEN — which stretches of the event stream are the burst —
+    the input a recrawl scheduler, a bot-mitigation rule, or a
+    trending-window picker actually consumes.
+
+    The engine evaluates the Viterbi forward COST DIFFERENCE
+    ``d(j) = c1(j) − c0(j)``, which for the 2-state chain collapses to
+    one scalar recursion (derivation: split on the sign of d(j−1)):
+
+        ``d(j) = min(max(d(j−1), 0), Γ) + Δ(x_j)``,  ``d(0) = Γ``
+
+    with Δ(x) = (s−1)·a0·x − ln s the per-gap emission-cost difference
+    and Γ = γ·ln n the transition cost; gap j is IN a burst iff
+    d(j) < 0 (the filtering state: the cheaper state given the prefix
+    — the backward smoothing pass of Kleinberg's batch algorithm is
+    deliberately dropped: at stream scale there is no "end of
+    sequence" to backtrack from, and the filtered labeling is the one
+    an online scheduler can act on; documented divergence).
+
+    Exact-integer convention: everything is multiplied through by
+    ``T`` (the recursion is positively homogeneous), which removes
+    EVERY division from the hot recursion:
+
+        ``Δ'(x) = (s−1)·n·x·10⁶ − LN_S·T``
+        ``Γ'    = (gamma_milli · ilog2(n) · LN2 // 1000) · T``
+
+    in nat-micro units with pinned literals ``LN2 = 693147`` =
+    floor(ln 2 ·10⁶) and ``LN_S = floor(ln s ·10⁶)`` (s = 2 → 693147;
+    the only supported s values are the pinned ones: 2, 3, 4), and the
+    engine-wide floor-log2 bits convention ``ln n ≈ ilog2(n)·ln 2``
+    (the psi/woe/theils_u trade: bit-replayability over the exact
+    libm log). The s = 2 crossover sits at x = ln 2 · mean-gap,
+    exactly Kleinberg's equal-emission-cost point.
+
+    Output per key with ≥ 1 gap: ``n_gaps``, ``n_burst_gaps``
+    (gaps labeled burst), ``n_bursts`` (maximal burst runs),
+    ``max_burst_gaps`` (longest run, 0 if none), ``burst_share_ppm``
+    = n_burst_gaps·10⁶ // n_gaps. All-simultaneous keys (T = 0) fall
+    out naturally: every Δ' and Γ' is 0, so d ≡ 0 and no gap is a
+    burst (d < 0 strictly). Single-event keys are excluded (no gap
+    sequence exists). Deterministic under ts ties: the gap SEQUENCE
+    of a sorted multiset of timestamps is unique.
+
+    Scale shape: the recursion needs each key's full time order, so
+    (key, ts) rows ship through ONE key-bucketed exchange (the
+    sessionize/gap_stats shape). The per-bucket finish vectorizes
+    ACROSS keys: one object-int numpy step per global gap index j
+    updates every key whose sequence is still live (the random_walks
+    step-loop discipline), so the Python-level loop count is
+    max-gaps-per-key, not total gaps. Object ints because
+    n·x·10⁶ (n rows × µs gaps × 10⁶) passes int64 long before
+    web-scale does.
+    """
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    LN = {2: 693_147, 3: 1_098_612, 4: 1_386_294}
+    if s not in LN:
+        raise ValueError(f"pinned s values are {sorted(LN)}; got {s}")
+    ln_s = LN[s]
+    ln2 = LN[2]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key: batch.column(key), "t": t})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                              "n_gaps": pd.Series([], dtype="int64"),
+                              "n_burst_gaps": pd.Series([], dtype="int64"),
+                              "n_bursts": pd.Series([], dtype="int64"),
+                              "max_burst_gaps": pd.Series([], dtype="int64"),
+                              "burst_share_ppm": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        df = df.sort_values([key, "t"], kind="mergesort", ignore_index=True)
+        k = df[key].to_numpy()
+        t = df["t"].to_numpy()
+        same = k[1:] == k[:-1]
+        gaps = (t[1:] - t[:-1])[same]
+        gk = k[:-1][same]
+        if not len(gaps):
+            return empty
+        new = np.empty(len(gk), dtype=bool)
+        new[0] = True
+        new[1:] = gk[1:] != gk[:-1]
+        starts = np.flatnonzero(new)
+        m = np.diff(np.append(starts, len(gk)))
+        # per-key integer constants (object ints: n*x*1e6 passes int64)
+        go = gaps.astype(object)
+        n_o = m.astype(object)
+        T = np.add.reduceat(go, starts)
+        ilog = _seg_ilog2(m)
+        gam = (gamma_milli * ilog * ln2 // 1000).astype(object) * T
+        # vectorized-across-keys forward recursion
+        d = gam.copy()                      # d(0) = Γ'
+        state = np.zeros(len(gaps), dtype=bool)
+        max_m = int(m.max())
+        zero = np.zeros(len(m), dtype=object)
+        for j in range(max_m):
+            live = m > j
+            idx = starts[live] + j
+            delta = (s - 1) * n_o[live] * go[idx] * 1_000_000 \
+                - ln_s * T[live]
+            d[live] = np.minimum(np.maximum(d[live], zero[live]),
+                                 gam[live]) + delta
+            state[idx] = np.less(d[live], 0)
+        # run-length stats per key over the state array
+        st = state.astype(np.int64)
+        n_burst = np.add.reduceat(st, starts)
+        rise = state & ~np.concatenate(([False], state[:-1]))
+        rise[starts] = state[starts]        # run starting at a key boundary
+        n_runs = np.add.reduceat(rise.astype(np.int64), starts)
+        # longest run: positions of burst gaps minus their run rank
+        max_run = np.zeros(len(m), dtype=np.int64)
+        if state.any():
+            seg = np.cumsum(new) - 1        # key index per gap
+            pos = np.arange(len(gaps))
+            bpos = pos[state]
+            bseg = seg[state]
+            # island id = position - rank within (key, consecutive run)
+            brank = np.arange(len(bpos))
+            island = bpos - brank
+            # run lengths via change points of (bseg, island)
+            chg = np.empty(len(bpos), dtype=bool)
+            chg[0] = True
+            chg[1:] = (bseg[1:] != bseg[:-1]) | (island[1:] != island[:-1])
+            rstarts = np.flatnonzero(chg)
+            rlen = np.diff(np.append(rstarts, len(bpos)))
+            rkey = bseg[rstarts]
+            np.maximum.at(max_run, rkey, rlen)
+        share = (n_burst.astype(object) * 1_000_000 // n_o).astype(np.int64)
+        return pd.DataFrame({
+            key: gk[starts],
+            "n_gaps": m.astype(np.int64),
+            "n_burst_gaps": n_burst.astype(np.int64),
+            "n_bursts": n_runs.astype(np.int64),
+            "max_burst_gaps": max_run,
+            "burst_share_ppm": share,
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def _seg_ilog2(v: np.ndarray) -> np.ndarray:
+    """floor(log2) for int64 v >= 1 (object-int safe wrapper around the
+    profile module's exact shift ladder)."""
+    from htrc_feature_reader_ray.stages.profile import _ilog2
+    return _ilog2(np.asarray(v, dtype=np.int64))
+
+
+def burst_detection_sql(*, table: str, key: str, ts: str, s: int = 2,
+                        gamma_milli: int = 1000) -> str:
+    """SQL mirror: lag() gap sequence, per-key HUGEINT constants with
+    the length(format('{:b}', n))−1 ilog2, the clamp recursion as a
+    recursive CTE stepping j → j+1 across all keys at once, then
+    gaps-and-islands run stats over the d < 0 labels."""
+    ln = {2: 693_147, 3: 1_098_612, 4: 1_386_294}[s]
+    return f"""
+        WITH RECURSIVE e AS (
+          SELECT {key} AS kk, epoch_us({ts}) AS t FROM {table}
+        ),
+        o AS (
+          SELECT kk, t, row_number() OVER (
+              PARTITION BY kk ORDER BY t) AS rn
+          FROM e
+        ),
+        g AS (
+          SELECT kk, rn - 1 AS j,
+                 (t - lag(t) OVER (PARTITION BY kk ORDER BY rn))::HUGEINT
+                     AS gap
+          FROM o
+          QUALIFY gap IS NOT NULL
+        ),
+        c AS (
+          SELECT kk, count(*)::HUGEINT AS n, sum(gap) AS tt,
+                 ({gamma_milli}::HUGEINT
+                  * (length(format('{{:b}}', count(*))) - 1)
+                  * 693147 // 1000) * sum(gap) AS gam
+          FROM g GROUP BY 1
+        ),
+        d AS (
+          SELECT kk, 0::BIGINT AS j, gam AS dv FROM c
+          UNION ALL
+          SELECT g.kk, g.j,
+                 least(greatest(d.dv, 0), c.gam)
+                 + ({s - 1}::HUGEINT * c.n * g.gap * 1000000
+                    - {ln}::HUGEINT * c.tt)
+          FROM d
+          JOIN g ON g.kk = d.kk AND g.j = d.j + 1
+          JOIN c ON c.kk = d.kk
+        ),
+        st AS (
+          SELECT kk, j, CASE WHEN dv < 0 THEN 1 ELSE 0 END AS b
+          FROM d WHERE j >= 1
+        ),
+        runs AS (
+          SELECT kk, j - row_number() OVER (
+              PARTITION BY kk ORDER BY j) AS island
+          FROM st WHERE b = 1
+        ),
+        rl AS (
+          SELECT kk, count(*)::BIGINT AS len
+          FROM runs GROUP BY kk, island
+        ),
+        ra AS (
+          SELECT kk, count(*)::BIGINT AS n_bursts,
+                 max(len) AS max_burst_gaps
+          FROM rl GROUP BY 1
+        ),
+        agg AS (
+          SELECT kk, count(*)::BIGINT AS n_gaps,
+                 sum(b)::BIGINT AS n_burst_gaps,
+                 (sum(b)::HUGEINT * 1000000 // count(*))::BIGINT
+                     AS burst_share_ppm
+          FROM st GROUP BY 1
+        )
+        SELECT agg.kk AS {key}, agg.n_gaps, agg.n_burst_gaps,
+               coalesce(ra.n_bursts, 0)::BIGINT AS n_bursts,
+               coalesce(ra.max_burst_gaps, 0)::BIGINT AS max_burst_gaps,
+               agg.burst_share_ppm
+        FROM agg LEFT JOIN ra ON ra.kk = agg.kk"""

@@ -1152,3 +1152,82 @@ def test_activity_streaks_islands_and_tiebreak():
     assert out["streak_start"].astype("int64").tolist() == [
         1 * day, 5 * day, 7 * day]
     assert str(out["streak_start"].dtype) == "datetime64[us]"
+
+
+def test_burst_detection_kleinberg_fixture():
+    from htrc_feature_reader_ray.stages.temporal import burst_detection
+
+    t0 = pd.Timestamp("2024-03-01")
+    rows = []
+    # user 1: hourly x 10, then a burst of 12 events 1s apart, then
+    # hourly x 10 — expect exactly one burst run over the 1s gaps
+    cur = t0
+    for _ in range(10):
+        rows.append((1, cur)); cur += pd.Timedelta(hours=1)
+    for _ in range(12):
+        rows.append((1, cur)); cur += pd.Timedelta(seconds=1)
+    for _ in range(10):
+        rows.append((1, cur)); cur += pd.Timedelta(hours=1)
+    # user 2: metronomic hourly x 20 -> no bursts
+    for i in range(20):
+        rows.append((2, t0 + pd.Timedelta(hours=i)))
+    # user 3: single event -> excluded
+    rows.append((3, t0))
+    # user 4: all simultaneous (T=0) -> zero bursts by contract
+    rows += [(4, t0)] * 5
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = burst_detection(
+        ray.data.from_pandas(df).repartition(7), key="user_id", ts="ts"
+    ).to_pandas().set_index("user_id")
+    assert 3 not in out.index
+    assert out.loc[1, "n_bursts"] == 1
+    # entry inertia: the transition cost Γ = γ·ln n must be amortized
+    # before d crosses 0, so the first few 1s gaps are NOT labeled —
+    # the burst run is a strict suffix of the 11-gap 1s stretch
+    assert 6 <= out.loc[1, "max_burst_gaps"] <= 11
+    assert out.loc[1, "max_burst_gaps"] == out.loc[1, "n_burst_gaps"]
+    assert out.loc[1, "n_gaps"] == 31
+    assert out.loc[2, "n_bursts"] == 0
+    assert out.loc[2, "burst_share_ppm"] == 0
+    assert out.loc[4, "n_bursts"] == 0 and out.loc[4, "n_gaps"] == 4
+
+
+def test_burst_detection_scalar_replay():
+    """Engine output == a pure-Python replay of the documented
+    convention (clamp recursion, multiply-through-by-T, floor-log2
+    transition cost) on an adversarial mixed-gap sequence."""
+    from htrc_feature_reader_ray.stages.temporal import burst_detection
+
+    gaps_s = ([3600] * 3 + [1] * 10 + [3600] * 3 + [2, 1, 1, 2, 1, 1,
+               1, 2, 1, 1] + [3600, 60, 7200])
+    t0 = pd.Timestamp("2024-04-01")
+    ts = [t0]
+    for g in gaps_s:
+        ts.append(ts[-1] + pd.Timedelta(seconds=g))
+    df = pd.DataFrame({"user_id": [7] * len(ts), "ts": ts})
+    out = burst_detection(
+        ray.data.from_pandas(df).repartition(3), key="user_id", ts="ts"
+    ).to_pandas().iloc[0]
+
+    gaps = [g * 1_000_000 for g in gaps_s]
+    n, T = len(gaps), sum(gaps)
+    gam = (1000 * (n.bit_length() - 1) * 693_147 // 1000) * T
+    d, state = gam, []
+    for x in gaps:
+        d = min(max(d, 0), gam) + (n * x * 1_000_000 - 693_147 * T)
+        state.append(d < 0)
+    n_burst = sum(state)
+    runs, prev = 0, False
+    longest = cur = 0
+    for s in state:
+        if s and not prev:
+            runs += 1
+        cur = cur + 1 if s else 0
+        longest = max(longest, cur)
+        prev = s
+    assert out["n_gaps"] == n
+    assert out["n_burst_gaps"] == n_burst
+    assert out["n_bursts"] == runs
+    assert out["max_burst_gaps"] == longest
+    assert out["burst_share_ppm"] == n_burst * 1_000_000 // n
+    assert runs >= 2  # the fixture genuinely has multiple bursts
