@@ -2719,6 +2719,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["source", "n_chars"])
         return grouped_ks(docs, group_col="source", value_col="n_chars")
 
+    def q_mann_whitney(sf):
+        """Per-source Mann–Whitney rank-sum vs the rest of the corpus
+        over doc length — the stochastic-dominance leg beside
+        length_ks' sup-norm and length_emd's W1, the right test when
+        the length distributions are skewed and the mean misleads.
+        Doubled-U integers (ties stay integral), tie-corrected z² kept
+        rational by clearing the variance fractions; same bounded
+        (source, n_chars) fold + driver walk."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import mann_whitney
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["source", "n_chars"])
+        return mann_whitney(docs, group_col="source", value_col="n_chars")
+
+    def q_mcnemar(sf):
+        """Which cheap activity feature better predicts a user's
+        big-purchase conversion (the ab_lift ≥150.00 truth): raw event
+        count (≥65) or purchase count (≥15)? Paired per user, so only
+        the users the two rules DISAGREE on carry evidence — McNemar
+        reads exactly those cells; marginal accuracies ride along for
+        direction. Per-batch user collapse partials, ONE user-keyed
+        fold, stateless pair map, 1-row 2×2 fold."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.partition import (
+            bucketed_aggregate,
+        )
+        from htrc_feature_reader_ray.stages.profile import mcnemar
+
+        ev = _events(sf, ["user_id", "event_type", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            isp = pc.equal(t.column("event_type"), "purchase").to_numpy(
+                zero_copy_only=False)
+            conv = (isp & (cents >= 15_000)).astype(np.int64)
+            tb = pa.table({"user_id": t.column("user_id"),
+                           "one": pa.array(np.ones(len(t), np.int64)),
+                           "pu": pa.array(isp.astype(np.int64)),
+                           "cv": pa.array(conv)})
+            g = tb.group_by(["user_id"]).aggregate(
+                [("one", "sum"), ("pu", "sum"), ("cv", "max")])
+            return g.rename_columns(["user_id", "n", "np", "t"])
+
+        per_user = bucketed_aggregate(
+            ev.map_batches(partial, batch_format="pyarrow"),
+            ["user_id"],
+            {"n": ("n", "sum"), "np": ("np", "sum"), "t": ("t", "max")},
+            num_buckets=16)
+
+        def pair(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            npu = t.column("np").to_numpy(zero_copy_only=False)
+            tr = t.column("t").to_numpy(zero_copy_only=False)
+            a = ((n >= 65).astype(np.int64) == tr).astype(np.int64)
+            b = ((npu >= 15).astype(np.int64) == tr).astype(np.int64)
+            return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+        return mcnemar(per_user.map_batches(pair, batch_format="pyarrow"),
+                       a_col="a", b_col="b")
+
     def q_luhn_card_flags(sf):
         """Checksum-validated card-number detection (Luhn mod-10 over
         maximal digit runs of card length) — the PII-redaction
@@ -6088,6 +6152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "length_emd": q_length_emd,
         "length_ks": q_length_ks,
+        "mann_whitney": q_mann_whitney,
+        "mcnemar": q_mcnemar,
         "length_effect": q_length_effect,
         "rank_agreement": q_rank_agreement,
         "spearman_rho": q_spearman_rho,
@@ -8517,6 +8583,20 @@ def oracle_sql() -> dict[str, str]:
             + " FROM documents"
         ),
         "lang_mismatch": textstats.lang_mismatch_by_source_sql(),
+        "mann_whitney": profile_mod.mann_whitney_sql(
+            table="documents", group="source", value_expr="n_chars"),
+        "mcnemar": profile_mod.mcnemar_sql(
+            pairs_expr=(
+                "SELECT CASE WHEN (count(*) >= 65)"
+                " = bool_or(event_type = 'purchase'"
+                " AND CAST(round(value * 100) AS BIGINT) >= 15000)"
+                " THEN 1 ELSE 0 END AS a,"
+                " CASE WHEN (count(*) FILTER"
+                " (WHERE event_type = 'purchase') >= 15)"
+                " = bool_or(event_type = 'purchase'"
+                " AND CAST(round(value * 100) AS BIGINT) >= 15000)"
+                " THEN 1 ELSE 0 END AS b"
+                " FROM events GROUP BY user_id")),
         "sentence_stats": f"""
             WITH aug AS (
               SELECT doc_id,

@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "hop_histogram",
     "random_walks",
     "burst_detection",
+    "mann_whitney",
+    "mcnemar",
 ]
 
 HEADLINE = "flagship"

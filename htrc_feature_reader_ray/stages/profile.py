@@ -5442,3 +5442,234 @@ def disparate_impact_sql(*, table_expr: str, group: str,
                     THEN 1 ELSE 0 END::BIGINT AS below_80pct
         FROM r CROSS JOIN m
         ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U rank-sum test (group vs rest, tie-corrected, exact ppm)
+
+
+def mann_whitney(ds, *, group_col: str, value_col: str,
+                 num_buckets: int = 16):
+    """Per-group Mann–Whitney U rank-sum test against the REST of the
+    corpus, in exact integers — the RANK companion to
+    :func:`grouped_ks`'s sup-norm and :func:`grouped_emd`'s W1: KS asks
+    "is there a separating threshold", W1 asks "how far did mass move",
+    MWU asks the stochastic-dominance question "does a random doc from
+    this group tend to have a LARGER value than a random doc from
+    everywhere else" — the test a length/quality slice audit reaches
+    for when the distributions are skewed and a t-test's mean is the
+    wrong summary. Group-vs-rest (not vs corpus) for the same reason as
+    grouped_ks: a dominant group vs a mixture of itself reads calm.
+
+    Exact-integer convention (no halves, no sqrt): the DOUBLED
+    U statistic ``u2 = 2·#(g > rest pairs) + #(ties)`` — so tie halves
+    stay integral — then
+
+    - ``rank_biserial_ppm`` = (u2 − n_g·n_r)·10⁶ / (n_g·n_r), the
+      signed effect size in [−10⁶, 10⁶] (sign-split truncating
+      division, the engine-wide toward-zero convention): +10⁶ = every
+      group value beats every rest value.
+    - ``z2_ppm`` = the SQUARED tie-corrected normal deviate, kept
+      rational by clearing the classical variance of its fractions:
+
+        ``z² = 3·n·(n−1)·(u2 − n_g·n_r)²
+               / (n_g·n_r·((n³−n) − Σ_v(t_v³−t_v)))``
+
+      with t_v the combined tie counts (the combined sample of group
+      ∪ rest IS the corpus, so t_v is the corpus support histogram);
+      one floor to ppm. ≥ ~3.84e6 ⇒ significant at 5% under the
+      normal approximation. All-tied support (denominator 0) and a
+      group that is the whole corpus report 0 by contract.
+
+    Scale shape (grouped_ks posture): ONE (group, value) count fold
+    under the bounded-support contract, then a driver walk over
+    |groups|·|support| rows in Python ints (u2 ~ n_g·n_r passes int64
+    at ~4·10⁹ rows; the mirror runs HUGEINT). Output
+    ``(group_col, n_rows, u2, rank_biserial_ppm, z2_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, value_col], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key=value_col,
+    ).to_pandas()
+
+    support = np.sort(folded[value_col].unique())
+    corpus = (folded.groupby(value_col)["c"].sum()
+              .reindex(support, fill_value=0).to_numpy())
+    n = int(corpus.sum()) if len(corpus) else 0
+    cum_all = np.cumsum(corpus.astype(object))
+    tie_term = sum(int(t) ** 3 - int(t) for t in corpus)
+    rows = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        cg = (sub.set_index(value_col)["c"]
+              .reindex(support, fill_value=0).to_numpy())
+        cum_g = np.cumsum(cg.astype(object))
+        n_g = int(cum_g[-1])
+        n_r = n - n_g
+        u2 = 0
+        for i in range(len(support)):
+            cgi = int(cg[i])
+            if not cgi:
+                continue
+            cri = int(corpus[i]) - cgi
+            cum_r_lt = (int(cum_all[i]) - int(corpus[i])) \
+                - (int(cum_g[i]) - cgi)
+            u2 += cgi * (2 * cum_r_lt + cri)
+        den = n_g * n_r
+        diff = u2 - den
+        if den:
+            rb = (-((-diff) * 1_000_000 // den) if diff < 0
+                  else diff * 1_000_000 // den)
+        else:
+            rb = 0
+        vden = den * ((n ** 3 - n) - tie_term)
+        z2 = (3 * n * (n - 1) * diff * diff * 1_000_000 // vden
+              if vden else 0)
+        rows.append((grp, n_g, u2, rb, z2))
+    out = pd.DataFrame(rows, columns=[group_col, "n_rows", "u2",
+                                      "rank_biserial_ppm", "z2_ppm"])
+    for c in ("n_rows", "u2", "rank_biserial_ppm", "z2_ppm"):
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def mann_whitney_sql(*, table: str, group: str, value_expr: str) -> str:
+    """SQL mirror: groups × support grid, window cumsums, HUGEINT u2
+    fold, CASE-signed effect division, one-floor z²."""
+    return f"""
+        WITH g AS (
+          SELECT {group} AS grp, {value_expr} AS v, count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        support AS (SELECT DISTINCT v FROM g),
+        tot AS (SELECT grp, sum(c)::BIGINT AS n_g FROM g GROUP BY 1),
+        big AS (SELECT sum(c)::HUGEINT AS n FROM g),
+        allv AS (SELECT v, sum(c)::HUGEINT AS ca FROM g GROUP BY 1),
+        ca AS (
+          SELECT v, ca, sum(ca) OVER (ORDER BY v)::HUGEINT AS cum_all
+          FROM allv
+        ),
+        tie AS (SELECT sum(ca * ca * ca - ca)::HUGEINT AS tt FROM allv),
+        grid AS (
+          SELECT t.grp, t.n_g, s.v, coalesce(g.c, 0)::HUGEINT AS cgv,
+                 sum(coalesce(g.c, 0)) OVER (
+                   PARTITION BY t.grp ORDER BY s.v)::HUGEINT AS cum_g
+          FROM tot t CROSS JOIN support s
+          LEFT JOIN g ON g.grp = t.grp AND g.v = s.v
+        ),
+        u AS (
+          SELECT grid.grp, grid.n_g,
+                 sum(grid.cgv
+                     * (2 * ((ca.cum_all - ca.ca)
+                             - (grid.cum_g - grid.cgv))
+                        + (ca.ca - grid.cgv)))::HUGEINT AS u2
+          FROM grid JOIN ca USING (v)
+          GROUP BY 1, 2
+        )
+        SELECT u.grp AS {group}, u.n_g AS n_rows, u.u2::BIGINT AS u2,
+               CASE WHEN u.n_g * (big.n - u.n_g) = 0 THEN 0
+                    WHEN u.u2 < u.n_g * (big.n - u.n_g)
+                    THEN -(((u.n_g * (big.n - u.n_g) - u.u2) * 1000000)
+                           // (u.n_g * (big.n - u.n_g)))
+                    ELSE ((u.u2 - u.n_g * (big.n - u.n_g)) * 1000000)
+                         // (u.n_g * (big.n - u.n_g))
+               END::BIGINT AS rank_biserial_ppm,
+               CASE WHEN u.n_g * (big.n - u.n_g)
+                         * ((big.n * big.n * big.n - big.n) - tie.tt) = 0
+                    THEN 0
+                    ELSE (3 * big.n * (big.n - 1)
+                          * (u.u2 - u.n_g * (big.n - u.n_g))
+                          * (u.u2 - u.n_g * (big.n - u.n_g)) * 1000000)
+                         // (u.n_g * (big.n - u.n_g)
+                             * ((big.n * big.n * big.n - big.n) - tie.tt))
+               END::BIGINT AS z2_ppm
+        FROM u, big, tie
+        ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired-classifier test
+
+
+def mcnemar(ds, *, a_col: str, b_col: str):
+    """McNemar's test over two PAIRED binary correctness indicators —
+    the eval-suite primitive for "is classifier A actually better than
+    classifier B on the SAME documents": marginal accuracies can differ
+    by luck on the agree cells; only the DISAGREE cells carry evidence,
+    and McNemar reads exactly those. b = #(A right, B wrong),
+    c = #(A wrong, B right); ``chi2_ppm = (b−c)²·10⁶ // (b+c)``
+    (df = 1, no continuity correction — documented; ≥ ~3.84e6 ⇒ 5%
+    significance), 0 when b + c = 0 (the classifiers never disagree —
+    no evidence either way). Marginal accuracies ride along in exact
+    ppm so the direction of a significant result is readable in place.
+
+    Scale shape: a stateless per-batch 2×2 collapse (four int64
+    counters per batch), ONE tiny 1-row fold, Python-int finish —
+    nothing row-sized crosses the cluster. Output one row:
+    ``(n_pairs, n_a_only, n_b_only, acc_a_ppm, acc_b_ppm, chi2_ppm)``."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = batch.column(b_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(a)], type=pa.int64()),
+            "na": pa.array([int(a.sum())], type=pa.int64()),
+            "nb": pa.array([int(b.sum())], type=pa.int64()),
+            "n_a_only": pa.array([int((a * (1 - b)).sum())],
+                                 type=pa.int64()),
+            "n_b_only": pa.array([int(((1 - a) * b).sum())],
+                                 type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n", "na", "nb", "n_a_only", "n_b_only"])
+    n = int(agg["sum(n)"]); na = int(agg["sum(na)"])
+    nb = int(agg["sum(nb)"])
+    b_ = int(agg["sum(n_a_only)"]); c_ = int(agg["sum(n_b_only)"])
+    chi2 = ((b_ - c_) * (b_ - c_) * 1_000_000 // (b_ + c_)
+            if b_ + c_ else 0)
+    out = pd.DataFrame({
+        "n_pairs": [n],
+        "n_a_only": [b_],
+        "n_b_only": [c_],
+        "acc_a_ppm": [na * 1_000_000 // n if n else 0],
+        "acc_b_ppm": [nb * 1_000_000 // n if n else 0],
+        "chi2_ppm": [chi2],
+    }).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def mcnemar_sql(*, pairs_expr: str) -> str:
+    """SQL mirror over a derived table exposing int columns a, b
+    (the paired correctness indicators)."""
+    return f"""
+        WITH p AS ({pairs_expr}),
+        t AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb,
+                 sum(a * (1 - b))::BIGINT AS n_a_only,
+                 sum((1 - a) * b)::BIGINT AS n_b_only
+          FROM p
+        )
+        SELECT n AS n_pairs, n_a_only, n_b_only,
+               CASE WHEN n = 0 THEN 0
+                    ELSE na * 1000000 // n END::BIGINT AS acc_a_ppm,
+               CASE WHEN n = 0 THEN 0
+                    ELSE nb * 1000000 // n END::BIGINT AS acc_b_ppm,
+               CASE WHEN n_a_only + n_b_only = 0 THEN 0
+                    ELSE ((n_a_only - n_b_only)::HUGEINT
+                          * (n_a_only - n_b_only) * 1000000)
+                         // (n_a_only + n_b_only)
+               END::BIGINT AS chi2_ppm
+        FROM t"""

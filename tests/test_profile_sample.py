@@ -2619,3 +2619,77 @@ def test_disparate_impact_exact_and_flag():
     out2 = disparate_impact(ray.data.from_pandas(df2),
                             group_col="g", flag_col="f")
     assert list(out2["di_ppm"]) == [0, 0]
+
+
+def test_mann_whitney_exact_scipy_free_reference():
+    """Engine == a Fraction-exact direct pair count on a small skewed
+    fixture (with ties), including the tie-corrected z²."""
+    from htrc_feature_reader_ray.stages.profile import mann_whitney
+
+    # group 'hi' stochastically dominates 'lo'; shared tie value 5
+    vals = {"hi": [5, 7, 9, 9, 12], "lo": [1, 2, 5, 5, 7, 3]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = pd.DataFrame(rows, columns=["grp", "v"])
+    out = mann_whitney(
+        ray.data.from_pandas(df).repartition(4),
+        group_col="grp", value_col="v",
+    ).to_pandas().set_index("grp")
+
+    all_vals = [v for vs in vals.values() for v in vs]
+    n = len(all_vals)
+    from collections import Counter
+    tie = sum(t ** 3 - t for t in Counter(all_vals).values())
+    for g, vs in vals.items():
+        rest = [v for og, ovs in vals.items() if og != g for v in ovs]
+        u2 = sum(2 * sum(r < x for r in rest) + sum(r == x for r in rest)
+                 for x in vs)
+        n_g, n_r = len(vs), len(rest)
+        diff = u2 - n_g * n_r
+        rb = (-((-diff) * 10**6 // (n_g * n_r)) if diff < 0
+              else diff * 10**6 // (n_g * n_r))
+        vden = n_g * n_r * ((n**3 - n) - tie)
+        z2 = 3 * n * (n - 1) * diff * diff * 10**6 // vden
+        assert out.loc[g, "u2"] == u2
+        assert out.loc[g, "rank_biserial_ppm"] == rb
+        assert out.loc[g, "z2_ppm"] == z2
+    assert out.loc["hi", "rank_biserial_ppm"] > 0
+    assert out.loc["lo", "rank_biserial_ppm"] < 0
+    # vs-rest partition symmetry: two groups' u2 sum to 2*n_g*n_r
+    assert out["u2"].sum() == 2 * 5 * 6
+
+
+def test_mann_whitney_degenerate_contracts():
+    from htrc_feature_reader_ray.stages.profile import mann_whitney
+
+    # all values tied -> z2 = 0 (variance 0), rank_biserial 0 (u2 == den)
+    df = pd.DataFrame({"grp": ["a"] * 3 + ["b"] * 2, "v": [4] * 5})
+    out = mann_whitney(ray.data.from_pandas(df), group_col="grp",
+                       value_col="v").to_pandas().set_index("grp")
+    assert (out["z2_ppm"] == 0).all()
+    assert (out["rank_biserial_ppm"] == 0).all()
+    assert out.loc["a", "u2"] == 2 * 3 * 2 // 2 * 1  # all ties: u2 = n_g*n_r
+    # single group == whole corpus -> all zeros by contract
+    df2 = pd.DataFrame({"grp": ["only"] * 4, "v": [1, 2, 3, 4]})
+    out2 = mann_whitney(ray.data.from_pandas(df2), group_col="grp",
+                        value_col="v").to_pandas()
+    assert out2.iloc[0]["u2"] == 0 and out2.iloc[0]["z2_ppm"] == 0
+
+
+def test_mcnemar_two_by_two_exact():
+    from htrc_feature_reader_ray.stages.profile import mcnemar
+
+    # 3 both-right, 2 both-wrong, 4 A-only, 1 B-only
+    a = [1, 1, 1, 0, 0, 1, 1, 1, 1, 0]
+    b = [1, 1, 1, 0, 0, 0, 0, 0, 0, 1]
+    df = pd.DataFrame({"a": a, "b": b})
+    out = mcnemar(ray.data.from_pandas(df).repartition(3),
+                  a_col="a", b_col="b").to_pandas().iloc[0]
+    assert out["n_pairs"] == 10
+    assert out["n_a_only"] == 4 and out["n_b_only"] == 1
+    assert out["chi2_ppm"] == (4 - 1) ** 2 * 10**6 // 5
+    assert out["acc_a_ppm"] == 700_000 and out["acc_b_ppm"] == 400_000
+    # never-disagree contract
+    df2 = pd.DataFrame({"a": [1, 0, 1], "b": [1, 0, 1]})
+    out2 = mcnemar(ray.data.from_pandas(df2), a_col="a",
+                   b_col="b").to_pandas().iloc[0]
+    assert out2["chi2_ppm"] == 0 and out2["n_a_only"] == 0
