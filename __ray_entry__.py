@@ -2734,6 +2734,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["source", "n_chars"])
         return mann_whitney(docs, group_col="source", value_col="n_chars")
 
+    def q_kruskal_wallis(sf):
+        """Omnibus k-group rank test: does ANY language's doc-length
+        distribution sit apart from the others — the gate to read
+        before k per-group mann_whitneys (multiple-comparison
+        control). Doubled mid-ranks, one floor per group; same bounded
+        (lang, n_chars) fold + driver walk."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.profile import kruskal_wallis
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["lang", "n_chars"])
+        return kruskal_wallis(docs, group_col="lang", value_col="n_chars")
+
+    def q_cochrans_q(sf):
+        """Do three keep-rules of a curation battery — length floor
+        (≥40 words), lexical-diversity floor (distinct-token ratio
+        ≥ 0.40), content marker (mentions 'spark') — differ in pass
+        rate on the SAME docs? Cochran's Q reads only the
+        non-unanimous rows — the omnibus gate before pairwise
+        McNemars when tuning a battery (the canned Gopher thresholds
+        are unanimous on this corpus: alpha = 1.0, symbols = 0
+        everywhere — a constant rule proves nothing, so the battery
+        uses rules that genuinely vary here). Stateless k+2-scalar
+        fold."""
+        import pyarrow.compute as pc
+
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.profile import cochrans_q
+        from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+        def ind(t: pa.Table) -> pa.Table:
+            flat, parent, n = _tok_stats(t, "text")
+            nw = np.bincount(parent, minlength=n).astype(np.int64)
+            nd = (pd.DataFrame({"p": parent,
+                                "t": flat.to_numpy(zero_copy_only=False)})
+                  .drop_duplicates().groupby("p").size()
+                  .reindex(range(n), fill_value=0).to_numpy())
+            spark = pc.equal(flat, "spark").to_numpy(zero_copy_only=False)
+            has = np.bincount(parent, weights=spark,
+                              minlength=n) > 0
+            safe = np.maximum(nw, 1)
+            return pa.table({
+                "pass_words": pa.array((nw >= 40).astype(np.int64)),
+                "pass_diversity": pa.array(
+                    ((nw > 0) & (nd * 1_000_000 // safe
+                                 >= 400_000)).astype(np.int64)),
+                "pass_marker": pa.array(has.astype(np.int64)),
+            })
+
+        return cochrans_q(
+            docs.map_batches(ind, batch_format="pyarrow"),
+            cols=["pass_words", "pass_diversity", "pass_marker"])
+
     def q_mcnemar(sf):
         """Which cheap activity feature better predicts a user's
         big-purchase conversion (the ab_lift ≥150.00 truth): raw event
@@ -6154,6 +6211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ks": q_length_ks,
         "mann_whitney": q_mann_whitney,
         "mcnemar": q_mcnemar,
+        "kruskal_wallis": q_kruskal_wallis,
+        "cochrans_q": q_cochrans_q,
         "length_effect": q_length_effect,
         "rank_agreement": q_rank_agreement,
         "spearman_rho": q_spearman_rho,
@@ -8585,6 +8644,21 @@ def oracle_sql() -> dict[str, str]:
         "lang_mismatch": textstats.lang_mismatch_by_source_sql(),
         "mann_whitney": profile_mod.mann_whitney_sql(
             table="documents", group="source", value_expr="n_chars"),
+        "kruskal_wallis": profile_mod.kruskal_wallis_sql(
+            table="documents", group="lang", value_expr="n_chars"),
+        "cochrans_q": profile_mod.cochrans_q_sql(
+            rows_expr=(
+                "SELECT CASE WHEN len(toks) >= 40 THEN 1 ELSE 0 END"
+                " AS pass_words,"
+                " CASE WHEN len(toks) > 0 AND"
+                " len(list_distinct(toks))::BIGINT * 1000000"
+                " // len(toks) >= 400000 THEN 1 ELSE 0 END"
+                " AS pass_diversity,"
+                " CASE WHEN list_contains(toks, 'spark')"
+                " THEN 1 ELSE 0 END AS pass_marker"
+                " FROM (SELECT list_filter(string_split(text, ' '),"
+                " t -> t != '') AS toks FROM documents)"),
+            cols=["pass_words", "pass_diversity", "pass_marker"]),
         "mcnemar": profile_mod.mcnemar_sql(
             pairs_expr=(
                 "SELECT CASE WHEN (count(*) >= 65)"

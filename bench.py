@@ -233,6 +233,8 @@ BENCH_QUERIES = [
     "burst_detection",
     "mann_whitney",
     "mcnemar",
+    "kruskal_wallis",
+    "cochrans_q",
 ]
 
 HEADLINE = "flagship"

@@ -5673,3 +5673,197 @@ def mcnemar_sql(*, pairs_expr: str) -> str:
                          // (n_a_only + n_b_only)
                END::BIGINT AS chi2_ppm
         FROM t"""
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis k-group rank test
+
+
+def kruskal_wallis(ds, *, group_col: str, value_col: str,
+                   num_buckets: int = 16):
+    """Kruskal–Wallis H over ALL groups at once — the k-group
+    generalization of :func:`mann_whitney`: one scalar answering "does
+    ANY group's value distribution sit higher or lower than the
+    others" before k per-group tests are read (the omnibus gate that
+    controls the multiple-comparison temptation). Significant at 5%
+    when ``h_ppm`` exceeds the χ²(k−1) critical value ·10⁶ (5.99e6 at
+    k = 3, 9.49e6 at k = 5).
+
+    Exact-integer convention: DOUBLED mid-ranks (ties averaged —
+    doubling keeps the half-integers integral, the spearman_rho trick):
+    a value v with t_v ties starting after cum(<v) prior rows has
+    doubled rank ``2·cum(<v) + t_v + 1``, so the per-group doubled rank
+    sum is ``DR_g = Σ_v c_g(v)·(2·cum_all(v) − t_v + 1)`` and
+    ``Σ_g DR_g = n(n+1)`` exactly (pinned in tests). The tie-corrected
+    statistic, cleared of fractions:
+
+        ``H = 3(n−1)·(Σ_g DR_g²/n_g − n(n+1)²) / ((n³−n) − Σ(t³−t))``
+
+    with ONE floor per group (``DR_g² // n_g`` — the theils_u/psi
+    sum-of-floored-terms trade: order-free and engine-independent, at
+    the cost of ≤ (k−1) absolute slack in the numerator, negligible at
+    ppm scale) and one outer floor to ppm. A floored numerator that
+    dips ≤ 0 (possible only via that slack on near-constant data) and
+    an all-tied support (denominator 0) both report 0 — true H ≥ 0.
+
+    Scale shape: the mann_whitney fold verbatim — ONE bounded
+    (group, value) count fold, driver walk in Python ints. Output one
+    row ``(n_rows, n_groups, h_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, value_col]).group_by(
+            [group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, value_col], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key=value_col,
+    ).to_pandas()
+
+    support = np.sort(folded[value_col].unique())
+    corpus = (folded.groupby(value_col)["c"].sum()
+              .reindex(support, fill_value=0).to_numpy())
+    n = int(corpus.sum()) if len(corpus) else 0
+    cum_all = np.cumsum(corpus.astype(object))
+    tie_term = sum(int(t) ** 3 - int(t) for t in corpus)
+    qsum = 0
+    n_groups = 0
+    for grp, sub in folded.groupby(group_col, sort=True):
+        cg = (sub.set_index(value_col)["c"]
+              .reindex(support, fill_value=0).to_numpy())
+        n_g = int(cg.sum())
+        dr = sum(int(cg[i]) * (2 * int(cum_all[i]) - int(corpus[i]) + 1)
+                 for i in range(len(support)) if cg[i])
+        qsum += dr * dr // n_g
+        n_groups += 1
+    den = (n ** 3 - n) - tie_term
+    num = qsum - n * (n + 1) ** 2
+    h = (3 * (n - 1) * num * 1_000_000 // den
+         if den > 0 and num > 0 else 0)
+    out = pd.DataFrame({"n_rows": [n], "n_groups": [n_groups],
+                        "h_ppm": [h]}).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def kruskal_wallis_sql(*, table: str, group: str, value_expr: str) -> str:
+    """SQL mirror: the mann_whitney grid with doubled mid-ranks, one
+    HUGEINT floor per group, one outer floor."""
+    return f"""
+        WITH g AS (
+          SELECT {group} AS grp, {value_expr} AS v, count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        allv AS (SELECT v, sum(c)::HUGEINT AS ca FROM g GROUP BY 1),
+        ca AS (
+          SELECT v, ca, sum(ca) OVER (ORDER BY v)::HUGEINT AS cum_all
+          FROM allv
+        ),
+        big AS (
+          SELECT sum(ca)::HUGEINT AS n,
+                 sum(ca * ca * ca - ca)::HUGEINT AS tt
+          FROM allv
+        ),
+        dr AS (
+          SELECT g.grp, sum(g.c)::HUGEINT AS n_g,
+                 sum(g.c * (2 * ca.cum_all - ca.ca + 1))::HUGEINT AS d
+          FROM g JOIN ca USING (v) GROUP BY 1
+        ),
+        q AS (
+          SELECT count(*)::BIGINT AS n_groups,
+                 sum(d * d // n_g)::HUGEINT AS qsum
+          FROM dr
+        )
+        SELECT big.n::BIGINT AS n_rows, q.n_groups,
+               CASE WHEN (big.n * big.n * big.n - big.n) - big.tt > 0
+                     AND q.qsum - big.n * (big.n + 1) * (big.n + 1) > 0
+                    THEN (3 * (big.n - 1)
+                          * (q.qsum - big.n * (big.n + 1) * (big.n + 1))
+                          * 1000000)
+                         // ((big.n * big.n * big.n - big.n) - big.tt)
+                    ELSE 0 END::BIGINT AS h_ppm
+        FROM q, big"""
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (k paired binary treatments)
+
+
+def cochrans_q(ds, *, cols):
+    """Cochran's Q over k PAIRED binary columns — the k-treatment
+    generalization of :func:`mcnemar` (k = 2 reduces to McNemar's
+    χ² without continuity correction): do k keep-rules / classifiers
+    applied to the SAME rows differ in pass rate, read only from the
+    rows where they disagree? The omnibus gate before k·(k−1)/2
+    pairwise McNemars. Significant at 5% when ``q_ppm`` exceeds
+    χ²(k−1)·10⁶.
+
+    Fully integer closed form (cleared of the mean fractions):
+
+        ``Q = (k−1)·(k·ΣC_j² − S²)·10⁶ // (k·S − ΣR_i²)``
+
+    with C_j the per-column success totals, S = ΣC_j, R_i the per-row
+    success counts. Numerator ≥ 0 by Cauchy–Schwarz; denominator = 0
+    exactly when every row is unanimous (all k agree) — no disagree
+    evidence — reported 0 by the mcnemar contract. ONE floor.
+
+    Scale shape: stateless per-batch fold to k+2 scalars (column sums,
+    Σrow², n), ONE 1-row fold, Python-int finish. Output one row:
+    ``n_rows``, one ``n_<col>`` total per input column, ``q_ppm``."""
+    import ray.data
+
+    cols = list(cols)
+    k = len(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mats = [batch.column(c).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) for c in cols]
+        r = np.zeros(len(batch), dtype=np.int64)
+        out = {"n": pa.array([len(batch)], type=pa.int64())}
+        for c, v in zip(cols, mats):
+            out[f"n_{c}"] = pa.array([int(v.sum())], type=pa.int64())
+            r += v
+        out["r2"] = pa.array([int((r * r).sum())], type=pa.int64())
+        return pa.table(out)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").sum(
+        ["n"] + [f"n_{c}" for c in cols] + ["r2"])
+    n = int(agg["sum(n)"])
+    cj = [int(agg[f"sum(n_{c})"]) for c in cols]
+    r2 = int(agg["sum(r2)"])
+    s = sum(cj)
+    den = k * s - r2
+    num = k * sum(c * c for c in cj) - s * s
+    q = (k - 1) * num * 1_000_000 // den if den else 0
+    out = pd.DataFrame(
+        {"n_rows": [n], **{f"n_{c}": [v] for c, v in zip(cols, cj)},
+         "q_ppm": [q]}).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def cochrans_q_sql(*, rows_expr: str, cols) -> str:
+    """SQL mirror over a derived table exposing the k int indicator
+    columns named in ``cols``."""
+    cols = list(cols)
+    k = len(cols)
+    csum = " + ".join(cols)
+    totals = ", ".join(f"sum({c})::HUGEINT AS n_{c}" for c in cols)
+    sq = " + ".join(f"n_{c} * n_{c}" for c in cols)
+    stot = " + ".join(f"n_{c}" for c in cols)
+    return f"""
+        WITH p AS ({rows_expr}),
+        t AS (
+          SELECT count(*)::BIGINT AS n, {totals},
+                 sum(({csum})::HUGEINT * ({csum}))::HUGEINT AS r2
+          FROM p
+        )
+        SELECT n AS n_rows,
+               {", ".join(f"n_{c}::BIGINT AS n_{c}" for c in cols)},
+               CASE WHEN {k} * ({stot}) - r2 = 0 THEN 0
+                    ELSE ({k - 1} * ({k} * ({sq}) - ({stot}) * ({stot}))
+                          * 1000000) // ({k} * ({stot}) - r2)
+               END::BIGINT AS q_ppm
+        FROM t"""

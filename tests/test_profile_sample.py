@@ -2693,3 +2693,87 @@ def test_mcnemar_two_by_two_exact():
     out2 = mcnemar(ray.data.from_pandas(df2), a_col="a",
                    b_col="b").to_pandas().iloc[0]
     assert out2["chi2_ppm"] == 0 and out2["n_a_only"] == 0
+
+
+def test_kruskal_wallis_fraction_exact_reference():
+    """Engine == a Fraction-exact reference (per-group floor convention
+    applied identically) on a 3-group fixture with ties; doubled-rank
+    sum identity Σ DR_g = n(n+1) pinned along the way."""
+    from htrc_feature_reader_ray.stages.profile import kruskal_wallis
+
+    vals = {"a": [1, 3, 5, 7, 7], "b": [2, 4, 6, 7], "c": [8, 9, 10]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = pd.DataFrame(rows, columns=["grp", "v"])
+    out = kruskal_wallis(
+        ray.data.from_pandas(df).repartition(4),
+        group_col="grp", value_col="v",
+    ).to_pandas().iloc[0]
+
+    from collections import Counter
+    all_vals = sorted(v for vs in vals.values() for v in vs)
+    n = len(all_vals)
+    cnt = Counter(all_vals)
+    support = sorted(cnt)
+    cum = {}
+    run = 0
+    for v in support:
+        run += cnt[v]
+        cum[v] = run
+    tie = sum(t ** 3 - t for t in cnt.values())
+    drs = {}
+    for g, vs in vals.items():
+        drs[g] = sum(2 * cum[v] - cnt[v] + 1 for v in vs)
+    assert sum(drs.values()) == n * (n + 1)
+    qsum = sum(d * d // len(vals[g]) for g, d in drs.items())
+    num = qsum - n * (n + 1) ** 2
+    h = 3 * (n - 1) * num * 10**6 // ((n**3 - n) - tie)
+    assert out["h_ppm"] == h
+    assert out["n_groups"] == 3 and out["n_rows"] == n
+    # group c clearly dominates -> significant at k=3 (chi2_2 5.99e6)
+    assert out["h_ppm"] > 5_990_000
+
+
+def test_kruskal_wallis_identical_groups_near_zero():
+    from htrc_feature_reader_ray.stages.profile import kruskal_wallis
+
+    # same multiset in both groups -> exact H is 0 up to floor slack
+    df = pd.DataFrame({"grp": ["a"] * 4 + ["b"] * 4,
+                       "v": [1, 2, 3, 4, 1, 2, 3, 4]})
+    out = kruskal_wallis(ray.data.from_pandas(df), group_col="grp",
+                         value_col="v").to_pandas().iloc[0]
+    assert out["h_ppm"] == 0
+    # all-tied support -> 0 by contract
+    df2 = pd.DataFrame({"grp": ["a", "a", "b"], "v": [5, 5, 5]})
+    out2 = kruskal_wallis(ray.data.from_pandas(df2), group_col="grp",
+                          value_col="v").to_pandas().iloc[0]
+    assert out2["h_ppm"] == 0
+
+
+def test_cochrans_q_exact_and_mcnemar_reduction():
+    from htrc_feature_reader_ray.stages.profile import cochrans_q, mcnemar
+
+    # classic 3-treatment fixture
+    a = [1, 1, 0, 1, 0, 1, 1, 0, 1, 1]
+    b = [0, 1, 0, 0, 0, 1, 0, 0, 1, 0]
+    c = [1, 1, 1, 0, 0, 1, 1, 1, 1, 1]
+    df = pd.DataFrame({"a": a, "b": b, "c": c})
+    out = cochrans_q(ray.data.from_pandas(df).repartition(3),
+                     cols=["a", "b", "c"]).to_pandas().iloc[0]
+    k, cj = 3, [sum(a), sum(b), sum(c)]
+    s = sum(cj)
+    r2 = sum((x + y + z) ** 2 for x, y, z in zip(a, b, c))
+    expect = (k - 1) * (k * sum(v * v for v in cj) - s * s) \
+        * 10**6 // (k * s - r2)
+    assert out["q_ppm"] == expect
+    assert out["n_a"] == 7 and out["n_b"] == 3 and out["n_c"] == 8
+    # k=2 Cochran's Q == McNemar chi2 (no continuity correction)
+    q2 = cochrans_q(ray.data.from_pandas(df[["a", "b"]]),
+                    cols=["a", "b"]).to_pandas().iloc[0]
+    m2 = mcnemar(ray.data.from_pandas(df[["a", "b"]]),
+                 a_col="a", b_col="b").to_pandas().iloc[0]
+    assert q2["q_ppm"] == m2["chi2_ppm"]
+    # unanimous rows only -> 0 by contract
+    df3 = pd.DataFrame({"a": [1, 0, 1], "b": [1, 0, 1]})
+    out3 = cochrans_q(ray.data.from_pandas(df3),
+                      cols=["a", "b"]).to_pandas().iloc[0]
+    assert out3["q_ppm"] == 0
