@@ -149,6 +149,18 @@ def main(argv=None) -> int:
     eaud.add_argument("--out", required=True)
     eaud.add_argument("--num-cpus", type=int, default=None)
 
+    vaud = sub.add_parser(
+        "audit-eval",
+        help="scorer-quality audit (PR curve, gains, CART stump,"
+             " calibration bins, Brier split, isotonic map, conformal"
+             " cut-offs, rank separation, omnibus, cutoff battery,"
+             " bootstrap CIs) -> one parquet per section",
+    )
+    vaud.add_argument("--sf-dir", required=True,
+                      help="directory with documents.parquet")
+    vaud.add_argument("--out", required=True)
+    vaud.add_argument("--num-cpus", type=int, default=None)
+
     gaud = sub.add_parser(
         "audit-graph",
         help="link-graph audit (components, degree shape, cohesion,"
@@ -392,6 +404,25 @@ def main(argv=None) -> int:
         from examples.corpus_audit import audit_corpus
 
         rep = audit_corpus(args.docs, args.events)
+        os.makedirs(args.out, exist_ok=True)
+        sizes = {}
+        for name, frame in rep.items():
+            path = os.path.join(args.out, f"{name}.parquet")
+            frame.to_parquet(path, index=False)
+            sizes[name] = len(frame)
+        print(json.dumps({"sections": sizes, "out": args.out}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "audit-eval":
+        _ensure_ray(args.num_cpus)
+        import os
+
+        import ray
+
+        from examples.eval_audit import audit_eval
+
+        rep = audit_eval(args.sf_dir)
         os.makedirs(args.out, exist_ok=True)
         sizes = {}
         for name, frame in rep.items():

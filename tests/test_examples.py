@@ -80,3 +80,15 @@ def test_embedding_audit_example():
     assert sizes["pca_axis"] == 64
     assert sizes["silhouette"] == sizes["hubness"] > 0
     assert sizes["mutual_nn"] > 0
+
+
+def test_eval_audit_example():
+    from examples.eval_audit import main
+
+    sizes = main("/root/testdata/sf0.001")
+    assert sizes["gains"] == 10
+    assert sizes["brier"] == 1 and sizes["omnibus"] == 1
+    assert sizes["separation"] == 2 and sizes["score_ci"] == 2
+    assert sizes["conformal"] >= 4        # one row per language slice
+    assert sizes["pr_curve"] > 50         # bounded distinct-score support
+    assert sizes["cutoff_battery"] == 1 and sizes["cutoff_compare"] == 1
