@@ -2493,6 +2493,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return burst_detection(_events(sf, ["user_id", "ts"]),
                                key="user_id", ts="ts")
 
+    def q_transition_entropy(sf):
+        """Per-user next-event-type predictability: conditional entropy
+        H(next|cur) of the ts-ordered event-type sequence in exact
+        floor-log2 millibits (doubled precision via squared arguments)
+        — ~0 = scripted/funnel, ~log2(k) = maximal surprise; the STATE-
+        order dimension gap_stats (timing) and fano (volume) miss.
+        ONE key-bucketed exchange, in-bucket vectorized count fold;
+        event_id tiebreak pins the sequence under ts ties."""
+        from htrc_feature_reader_ray.stages.temporal import (
+            transition_entropy,
+        )
+
+        return transition_entropy(
+            _events(sf, ["user_id", "ts", "event_type", "event_id"]),
+            key="user_id", ts="ts", state_col="event_type",
+            tiebreak="event_id")
+
     def q_hour_concentration(sf):
         """Per-user HHI (Σp²) over the 24 hour-of-day bins in exact ppm
         — the full-distribution evenness index completing
@@ -6238,6 +6255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_autocorr": q_daily_autocorr,
         "gap_stats": q_gap_stats,
         "burst_detection": q_burst_detection,
+        "transition_entropy": q_transition_entropy,
         "activity_half_life": q_activity_half_life,
         "max_silence": q_max_silence,
         "growth_accounting": q_growth_accounting,
@@ -7832,6 +7850,9 @@ def oracle_sql() -> dict[str, str]:
             table="events", key="user_id", ts="ts"),
         "burst_detection": temporal_mod.burst_detection_sql(
             table="events", key="user_id", ts="ts"),
+        "transition_entropy": temporal_mod.transition_entropy_sql(
+            table="events", key="user_id", ts="ts",
+            state="event_type", tiebreak="event_id"),
         "activity_half_life": temporal_mod.activity_half_life_sql(
             table="events", key="user_id", ts="ts"),
         "max_silence": temporal_mod.max_silence_sql(

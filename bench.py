@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "mcnemar",
     "kruskal_wallis",
     "cochrans_q",
+    "transition_entropy",
 ]
 
 HEADLINE = "flagship"

@@ -213,6 +213,9 @@ def __getattr__(name):
             "htrc_feature_reader_ray.stages.temporal", "gap_stats"),
         "burst_detection": (
             "htrc_feature_reader_ray.stages.temporal", "burst_detection"),
+        "transition_entropy": (
+            "htrc_feature_reader_ray.stages.temporal",
+            "transition_entropy"),
         "activity_half_life": (
             "htrc_feature_reader_ray.stages.temporal",
             "activity_half_life"),

@@ -3535,3 +3535,143 @@ def burst_detection_sql(*, table: str, key: str, ts: str, s: int = 2,
                coalesce(ra.max_burst_gaps, 0)::BIGINT AS max_burst_gaps,
                agg.burst_share_ppm
         FROM agg LEFT JOIN ra ON ra.kk = agg.kk"""
+
+
+# ---------------------------------------------------------------------------
+# Per-key next-state conditional entropy (behavioral predictability)
+
+
+def transition_entropy(ds, *, key: str, ts: str, state_col: str,
+                       tiebreak: str | None = None,
+                       num_buckets: int = 32):
+    """Per-key conditional entropy of the NEXT state given the current
+    one, over the ts-ordered state sequence — the behavioral
+    PREDICTABILITY scalar (the Song/Barabási limit-of-predictability
+    read, and the per-entity refinement of :func:`event_transitions`'
+    corpus-wide matrix): ``H(next|cur) ≈ 0`` bits means the key's next
+    action is a deterministic function of its last one (cron, scripted
+    bot, strict funnel), ``≈ log2(#states)`` means maximal surprise —
+    exactly the signal a bot-mitigation rule or a prefetch scheduler
+    ranks keys by, and a dimension :func:`gap_stats` (timing) and
+    :func:`fano_factor` (volume) cannot see (STATE order).
+
+    Exact-integer convention (the psi/woe/theils_u floor-log2 bits
+    family, at DOUBLED precision via squares):
+
+        ``h2 = Σ_{x,y} c_xy · (ilog2(c_x²) − ilog2(c_xy²))``
+        ``h_millibits = h2 · 1000 // (2 · n)``
+
+    with c_xy the key's (cur, next) transition counts, c_x = Σ_y c_xy
+    its row marginals and n = Σ c_xy; every term ≥ 0 (c_x ≥ c_xy and
+    ilog2 is monotone), so the documented floor trade never produces a
+    negative entropy. Squaring doubles the bit resolution of each
+    floored log for free (ilog2(v²) ∈ {2·ilog2(v), 2·ilog2(v)+1}).
+    Keys with < 2 events (no transition) are excluded.
+
+    Determinism under ts ties: the transition SEQUENCE depends on tie
+    order, so ties are broken by ``tiebreak`` (pass the row id column;
+    REQUIRED to be total for bit-replayability — the lag_lead
+    contract).
+
+    Scale shape: state order needs each key's full sequence, so
+    (key, ts, state) rows ship through ONE key-bucketed exchange (the
+    sessionize/gap_stats shape); the per-bucket finish is one lexsort
+    + shift + a vectorized (key, cur, next) count fold entirely inside
+    the bucket (the key's whole sequence is local by construction),
+    with ilog2 evaluated array-wise. Output
+    ``(key, n_trans, n_states, h_millibits)``."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+    from htrc_feature_reader_ray.stages.profile import _ilog2
+
+    cols = [key, ts, state_col] + ([tiebreak] if tiebreak else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        out = {key: batch.column(key), "t": t,
+               "s": batch.column(state_col)}
+        if tiebreak:
+            out["tb"] = batch.column(tiebreak)
+        return pa.table(out)
+
+    partials = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                              "n_trans": pd.Series([], dtype="int64"),
+                              "n_states": pd.Series([], dtype="int64"),
+                              "h_millibits": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        sort_cols = [key, "t"] + (["tb"] if tiebreak else [])
+        df = df.sort_values(sort_cols, kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        s = df["s"].to_numpy()
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return empty
+        pairs = pd.DataFrame({key: k[:-1][same], "x": s[:-1][same],
+                              "y": s[1:][same]})
+        c = (pairs.groupby([key, "x", "y"], sort=False)
+             .size().rename("c").reset_index())
+        cx = (c.groupby([key, "x"], sort=False)["c"].sum()
+              .rename("cx").reset_index())
+        c = c.merge(cx, on=[key, "x"])
+        cv = c["c"].to_numpy().astype(np.int64)
+        cxv = c["cx"].to_numpy().astype(np.int64)
+        bits2 = _ilog2(cxv * cxv) - _ilog2(cv * cv)
+        c["term"] = cv * bits2
+        g = c.groupby(key, sort=False).agg(
+            h2=("term", "sum"), n=("c", "sum"))
+        nst = (pairs.drop_duplicates([key, "x"])
+               .groupby(key, sort=False).size())
+        out = pd.DataFrame({
+            key: g.index.to_numpy(),
+            "n_trans": g["n"].to_numpy().astype(np.int64),
+            "n_states": nst.reindex(g.index).to_numpy().astype(np.int64),
+            "h_millibits": (g["h2"].to_numpy().astype(object) * 1000
+                            // (2 * g["n"].to_numpy().astype(object))
+                            ).astype(np.int64),
+        })
+        return out.reset_index(drop=True)
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def transition_entropy_sql(*, table: str, key: str, ts: str,
+                           state: str, tiebreak: str) -> str:
+    """SQL mirror: lead() pairs under the (ts, tiebreak) total order,
+    (key, cur, next) counts + row-marginal join, squared-argument
+    format('{:b}') floor-log2 terms, one outer floor."""
+    return f"""
+        WITH o AS (
+          SELECT {key} AS kk, {state} AS x,
+                 lead({state}) OVER (
+                   PARTITION BY {key}
+                   ORDER BY {ts}, {tiebreak}) AS y
+          FROM {table}
+        ),
+        c AS (
+          SELECT kk, x, y, count(*)::BIGINT AS c
+          FROM o WHERE y IS NOT NULL GROUP BY 1, 2, 3
+        ),
+        m AS (
+          SELECT kk, x, sum(c)::BIGINT AS cx FROM c GROUP BY 1, 2
+        ),
+        t AS (
+          SELECT c.kk,
+                 sum(c.c * ((length(format('{{:b}}', m.cx * m.cx)) - 1)
+                            - (length(format('{{:b}}', c.c * c.c)) - 1))
+                     )::HUGEINT AS h2,
+                 sum(c.c)::HUGEINT AS n
+          FROM c JOIN m ON m.kk = c.kk AND m.x = c.x
+          GROUP BY 1
+        ),
+        ns AS (
+          SELECT kk, count(*)::BIGINT AS n_states FROM m GROUP BY 1
+        )
+        SELECT t.kk AS {key}, t.n::BIGINT AS n_trans, ns.n_states,
+               (t.h2 * 1000 // (2 * t.n))::BIGINT AS h_millibits
+        FROM t JOIN ns ON ns.kk = t.kk"""

@@ -1231,3 +1231,51 @@ def test_burst_detection_scalar_replay():
     assert out["max_burst_gaps"] == longest
     assert out["burst_share_ppm"] == n_burst * 1_000_000 // n
     assert runs >= 2  # the fixture genuinely has multiple bursts
+
+
+def test_transition_entropy_exact_bits():
+    from htrc_feature_reader_ray.stages.temporal import transition_entropy
+
+    t0 = pd.Timestamp("2024-05-01")
+    rows = []
+    # user 1: strict a-b alternation -> H(next|cur) = 0 exactly
+    for i, s in enumerate(["a", "b", "a", "b", "a"]):
+        rows.append((1, t0 + pd.Timedelta(seconds=i), s, i))
+    # user 2: [a,a,b] -> from 'a': {a:1, b:1} -> exactly 1 bit
+    #   h2 = 1*(ilog2(4)-ilog2(1)) + 1*(ilog2(4)-ilog2(1)) = 4; n=2
+    #   h_millibits = 4*1000 // 4 = 1000
+    for i, s in enumerate(["a", "a", "b"]):
+        rows.append((2, t0 + pd.Timedelta(seconds=i), s, 10 + i))
+    # user 3: single event -> excluded
+    rows.append((3, t0, "a", 20))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type",
+                                     "event_id"])
+    out = transition_entropy(
+        ray.data.from_pandas(df).repartition(4), key="user_id", ts="ts",
+        state_col="event_type", tiebreak="event_id",
+    ).to_pandas().set_index("user_id")
+    assert 3 not in out.index
+    assert out.loc[1, "h_millibits"] == 0
+    assert out.loc[1, "n_trans"] == 4 and out.loc[1, "n_states"] == 2
+    assert out.loc[2, "h_millibits"] == 1000
+    assert out.loc[2, "n_trans"] == 2 and out.loc[2, "n_states"] == 1
+
+
+def test_transition_entropy_tiebreak_pins_sequence():
+    from htrc_feature_reader_ray.stages.temporal import transition_entropy
+
+    t0 = pd.Timestamp("2024-05-02")
+    # three events at the SAME ts: order comes from event_id, giving the
+    # sequence a,b,c (ids 1,2,3) -> transitions ab, bc -> each cur state
+    # has a single deterministic successor -> H = 0
+    df = pd.DataFrame({
+        "user_id": [7, 7, 7],
+        "ts": [t0, t0, t0],
+        "event_type": ["b", "a", "c"],
+        "event_id": [2, 1, 3],
+    })
+    out = transition_entropy(
+        ray.data.from_pandas(df), key="user_id", ts="ts",
+        state_col="event_type", tiebreak="event_id",
+    ).to_pandas().iloc[0]
+    assert out["n_trans"] == 2 and out["h_millibits"] == 0
