@@ -1598,6 +1598,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             qi_cols=["event_type", "day", "band"],
             sensitive_col="user_id", k=5, l_div=2)
 
+    def q_t_closeness(sf):
+        """Privacy audit, third leg after k_anonymity's k and
+        distinct-l checks: (event_type, day) groups whose $50-band
+        value distribution sits far (ordered EMD > t) from the
+        corpus's — a group can be k-safe and l-safe and still leak
+        'this slice is all bottom-band'. Corpus histogram folded once
+        and broadcast into the ONE composite-QI bucket pass;
+        violations only leave."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import t_closeness
+
+        def derive(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                         pa.int64()).to_numpy()
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "day": pa.array(us // 86_400_000_000),
+                "band": pa.array(cents // 5000),
+            })
+
+        ev = _events(sf, ["ts", "event_type", "value"])
+        return t_closeness(
+            ev.map_batches(derive, batch_format="pyarrow"),
+            qi_cols=["event_type", "day"], sensitive_col="band",
+            t_ppm=25_000)
+
     def q_benford_audit(sf):
         """Numeric-authenticity screen: leading-digit histogram of value
         cents per event_type vs the literal Benford ppm table — map-side
@@ -6306,6 +6336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_sources": q_pareto_sources,
         "fk_violations": q_fk_violations,
         "k_anonymity": q_k_anonymity,
+        "t_closeness": q_t_closeness,
         "benford_audit": q_benford_audit,
         "cohens_kappa": q_cohens_kappa,
         "shuffle_audit": q_shuffle_audit,
@@ -7788,6 +7819,12 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": profile_mod.benford_audit_sql(
             table_expr="events", group="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)"),
+        "t_closeness": profile_mod.t_closeness_sql(
+            table_expr="events",
+            qi_exprs=[("event_type", "event_type"),
+                      ("day", "epoch_us(ts) // 86400000000")],
+            sensitive="CAST(round(value * 100) AS BIGINT) // 5000",
+            t_ppm=25_000),
         "cohens_kappa": profile_mod.cohens_kappa_sql(
             table_expr=(
                 f"(SELECT {langid_sql('text')} AS pred_lang, lang "

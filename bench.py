@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "kruskal_wallis",
     "cochrans_q",
     "transition_entropy",
+    "t_closeness",
 ]
 
 HEADLINE = "flagship"

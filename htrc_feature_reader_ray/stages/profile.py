@@ -5867,3 +5867,173 @@ def cochrans_q_sql(*, rows_expr: str, cols) -> str:
                           * 1000000) // ({k} * ({stot}) - r2)
                END::BIGINT AS q_ppm
         FROM t"""
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (Li–Li–Venkatasubramanian, ICDE 2007)
+
+
+def t_closeness(ds, *, qi_cols, sensitive_col: str, t_ppm: int = 200_000,
+                num_buckets: int = 32):
+    """Privacy audit, third leg after :func:`k_anonymity`'s k and
+    distinct-l checks: t-CLOSENESS (Li et al., ICDE 2007) — a QI group
+    can be large (k-safe) and diverse (l-safe) and still leak, when its
+    SENSITIVE-value distribution sits far from the corpus's (the
+    classic example: a group whose salaries are all in the bottom
+    band). Flags every QI group whose ordered earth-mover's distance
+    to the corpus distribution exceeds ``t``.
+
+    Distance is Li et al.'s ordered-attribute EMD (equal-step ground
+    distance over the corpus support of m distinct sensitive values),
+    exact in integers over the common denominator:
+
+        ``emd_ppm = Σ_{i<m} |cum_g(i)·N − cum_c(i)·n_g| · 10⁶
+                    // (n_g · N · (m−1))``
+
+    — ONE floor per group; m = 1 (constant sensitive column) reports 0.
+    Output: violating groups only (``qi_cols + (group_size, emd_ppm)``
+    with ``emd_ppm > t_ppm``) — the compliant mass never leaves the
+    fold, keeping the result audit-sized at corpus scale.
+
+    Scale shape: pass 1 folds the corpus sensitive histogram (bounded
+    support — the grouped_ks contract) to a driver-side array; pass 2
+    is the k_anonymity exchange — per-batch (QI, sensitive) count
+    partials, ONE composite-QI-keyed bucket pass — with the corpus
+    cumulative BROADCAST into the fold closure (shipped once per
+    actor, never per row), where each group's support-aligned cumsum
+    and |diff| fold run vectorized; only violating rows leave."""
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    qi = list(qi_cols)
+    key_col = "_qi"
+
+    def s_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([sensitive_col]).group_by(
+            [sensitive_col]).aggregate([([], "count_all")])
+        return g.rename_columns([sensitive_col, "n"])
+
+    corpus = bucketed_aggregate(
+        ds.map_batches(s_partial, batch_format="pyarrow"),
+        [sensitive_col], {"n": ("n", "sum")},
+        num_buckets=num_buckets, bucket_key=sensitive_col,
+    ).to_pandas().sort_values(sensitive_col, ignore_index=True)
+    support = corpus[sensitive_col].to_numpy()
+    cum_c = np.cumsum(corpus["n"].to_numpy().astype(object))
+    n_total = int(cum_c[-1]) if len(cum_c) else 0
+    m = len(support)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(qi + [sensitive_col]).group_by(
+            qi + [sensitive_col]).aggregate([([], "count_all")])
+        g = g.rename_columns(qi + [sensitive_col, "n"])
+        key = pc.cast(g.column(qi[0]), pa.string())
+        for c in qi[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(g.column(c), pa.string()), "\x1f")
+        return g.append_column(key_col, key)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {**{c: pd.Series([], dtype=df[c].dtype) for c in qi},
+             "group_size": pd.Series([], dtype="int64"),
+             "emd_ppm": pd.Series([], dtype="int64")})
+        if not len(df) or m <= 1:
+            return empty
+        d = (df.groupby([key_col] + qi + [sensitive_col], sort=False,
+                        as_index=False, observed=True)["n"].sum())
+        rows = []
+        for gkey, sub in d.groupby(key_col, sort=False):
+            cg = np.zeros(m, dtype=object)
+            idx = np.searchsorted(support,
+                                  sub[sensitive_col].to_numpy())
+            cg[idx] = sub["n"].to_numpy().astype(object)
+            cum_g = np.cumsum(cg)
+            n_g = int(cum_g[-1])
+            num = int(np.abs(cum_g[:-1] * n_total
+                             - cum_c[:-1] * n_g).sum())
+            emd = num * 1_000_000 // (n_g * n_total * (m - 1))
+            if emd > t_ppm:
+                first = sub.iloc[0]
+                rows.append(tuple(first[c] for c in qi) + (n_g, emd))
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=qi + ["group_size", "emd_ppm"])
+        out["group_size"] = out["group_size"].astype("int64")
+        out["emd_ppm"] = out["emd_ppm"].astype("int64")
+        return out
+
+    out = bucketed_map_groups(partials, key_col, fold,
+                              num_buckets=num_buckets).to_pandas()
+    if not len(out) or not len(out.columns):
+        # typed-empty contract: an all-compliant corpus must still carry
+        # the schema (an all-empty bucketed pass comes back schemaless);
+        # qi dtypes come from the partials schema itself
+        sch = partials.schema()
+        types = dict(zip(sch.names, sch.types))
+        qi_empty = pa.table(
+            {c: pa.array([], type=types[c]) for c in qi}).to_pandas()
+        out = qi_empty.assign(
+            group_size=pd.Series([], dtype="int64"),
+            emd_ppm=pd.Series([], dtype="int64"))
+    # audit-sized result (violations only): returned as pandas — the
+    # pr_curve posture — so the typed-empty schema survives (Ray drops
+    # the schema of an all-empty block set on the pandas round trip)
+    return out
+
+
+def t_closeness_sql(*, table_expr: str, qi_exprs, sensitive: str,
+                    t_ppm: int = 200_000) -> str:
+    """SQL mirror: corpus support + cum, groups × support grid with
+    window cumsums, HUGEINT |diff| fold, HAVING over the one floor."""
+    sel = ", ".join(f"{e} AS {n}" for n, e in qi_exprs)
+    names = ", ".join(n for n, _ in qi_exprs)
+    gnames = ", ".join(f"g.{n}" for n, _ in qi_exprs)
+    return f"""
+        WITH base AS (
+          SELECT {sel}, {sensitive} AS s FROM {table_expr}
+        ),
+        sup AS (
+          SELECT s, count(*)::BIGINT AS c FROM base GROUP BY 1
+        ),
+        big AS (
+          SELECT sum(c)::HUGEINT AS n, count(*)::BIGINT AS m FROM sup
+        ),
+        cc AS (
+          SELECT s, sum(c) OVER (ORDER BY s)::HUGEINT AS cum_c,
+                 row_number() OVER (ORDER BY s) AS i
+          FROM sup
+        ),
+        gc AS (
+          SELECT {names}, s, count(*)::BIGINT AS c
+          FROM base GROUP BY ALL
+        ),
+        tot AS (
+          SELECT {names}, sum(c)::HUGEINT AS n_g FROM gc GROUP BY ALL
+        ),
+        grid AS (
+          SELECT t.*, cc.s, cc.cum_c, cc.i,
+                 sum(coalesce(gc.c, 0)) OVER (
+                   PARTITION BY {", ".join(f"t.{n}" for n, _ in qi_exprs)}
+                   ORDER BY cc.s)::HUGEINT AS cum_g
+          FROM tot t CROSS JOIN cc
+          LEFT JOIN gc ON {" AND ".join(f"gc.{n} = t.{n}" for n, _ in qi_exprs)}
+                       AND gc.s = cc.s
+        )
+        SELECT {names}, max(n_g)::BIGINT AS group_size,
+               (sum(CASE WHEN i < big.m
+                         THEN abs(cum_g * big.n - cum_c * n_g)
+                         ELSE 0 END) * 1000000
+                // (max(n_g) * big.n * (big.m - 1)))::BIGINT AS emd_ppm
+        FROM grid, big
+        GROUP BY {names}, big.n, big.m
+        HAVING (sum(CASE WHEN i < big.m
+                         THEN abs(cum_g * big.n - cum_c * n_g)
+                         ELSE 0 END) * 1000000
+                // (max(n_g) * big.n * (big.m - 1))) > {t_ppm}"""

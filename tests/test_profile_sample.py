@@ -2777,3 +2777,47 @@ def test_cochrans_q_exact_and_mcnemar_reduction():
     out3 = cochrans_q(ray.data.from_pandas(df3),
                       cols=["a", "b"]).to_pandas().iloc[0]
     assert out3["q_ppm"] == 0
+
+
+def test_t_closeness_exact_emd_and_violations_only():
+    from htrc_feature_reader_ray.stages.profile import t_closeness
+
+    # corpus sensitive support {1,2,3}: counts 4,4,4 -> cum 4,8,12
+    # group 'low' = [1,1,1,1] (the all-bottom-band leak), 'mid' = four
+    # of each spread evenly, in two QI groups
+    rows = ([("low", 0, 1)] * 4
+            + [("even", 0, 1), ("even", 0, 1), ("even", 0, 2),
+               ("even", 0, 2), ("even", 0, 3), ("even", 0, 3)]
+            + [("rest", 0, 2), ("rest", 0, 3)])
+    df = pd.DataFrame(rows, columns=["slice", "day", "band"])
+    out = t_closeness(
+        ray.data.from_pandas(df).repartition(3),
+        qi_cols=["slice", "day"], sensitive_col="band", t_ppm=150_000,
+    ).set_index("slice")
+    # hand EMD for 'low': N=12, corpus bands (6,3,3) -> cum_c=(6,9);
+    #   n_g=4, cum_g=(4,4): num = |4*12-6*4| + |4*12-9*4| = 24+12 = 36
+    #   emd = 36e6 // (4*12*2) = 375_000
+    assert out.loc["low", "emd_ppm"] == 375_000
+    assert out.loc["low", "group_size"] == 4
+    # 'even' (emd 125_000) tracks the corpus -> below t, not emitted
+    assert "even" not in out.index
+    assert out.loc["rest", "emd_ppm"] == 375_000
+
+
+def test_t_closeness_typed_empty_and_constant_sensitive():
+    from htrc_feature_reader_ray.stages.profile import t_closeness
+
+    # all groups == corpus distribution -> no violations, TYPED empty
+    df = pd.DataFrame({"slice": ["a", "a", "b", "b"], "day": [0] * 4,
+                       "band": [1, 2, 1, 2]})
+    out = t_closeness(ray.data.from_pandas(df), qi_cols=["slice", "day"],
+                      sensitive_col="band", t_ppm=10_000)
+    assert len(out) == 0
+    assert list(out.columns) == ["slice", "day", "group_size", "emd_ppm"]
+    assert str(out["emd_ppm"].dtype) == "int64"
+    # constant sensitive column (m=1): distance undefined -> 0, no rows
+    df2 = pd.DataFrame({"slice": ["a", "b"], "day": [0, 0],
+                        "band": [7, 7]})
+    out2 = t_closeness(ray.data.from_pandas(df2), qi_cols=["slice", "day"],
+                       sensitive_col="band", t_ppm=0)
+    assert len(out2) == 0
