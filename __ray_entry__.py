@@ -1598,6 +1598,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             qi_cols=["event_type", "day", "band"],
             sensitive_col="user_id", k=5, l_div=2)
 
+    def q_friedman_test(sf):
+        """Does the event-type mix keep the same RANKING day after day?
+        Friedman ranks the k=5 types within each day (blocks cancel
+        busy-vs-quiet magnitude) — the ordinal member beside
+        cochrans_q (binary) and kruskal_wallis (independent). Doubled
+        mid-ranks, zero-filled day×type grid, one bucket exchange."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import friedman_test
+
+        def derive(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                         pa.int64()).to_numpy()
+            return pa.table({
+                "day": pa.array(us // 86_400_000_000),
+                "event_type": t.column("event_type"),
+                "one": pa.array(np.ones(len(t), dtype=np.int64)),
+            })
+
+        ev = _events(sf, ["ts", "event_type"])
+        return friedman_test(
+            ev.map_batches(derive, batch_format="pyarrow"),
+            block_col="day", treatment_col="event_type",
+            value_col="one")
+
     def q_t_closeness(sf):
         """Privacy audit, third leg after k_anonymity's k and
         distinct-l checks: (event_type, day) groups whose $50-band
@@ -6337,6 +6362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations": q_fk_violations,
         "k_anonymity": q_k_anonymity,
         "t_closeness": q_t_closeness,
+        "friedman_test": q_friedman_test,
         "benford_audit": q_benford_audit,
         "cohens_kappa": q_cohens_kappa,
         "shuffle_audit": q_shuffle_audit,
@@ -7819,6 +7845,9 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": profile_mod.benford_audit_sql(
             table_expr="events", group="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)"),
+        "friedman_test": profile_mod.friedman_test_sql(
+            table_expr="events", block="epoch_us(ts) // 86400000000",
+            treatment="event_type", value_expr="1"),
         "t_closeness": profile_mod.t_closeness_sql(
             table_expr="events",
             qi_exprs=[("event_type", "event_type"),

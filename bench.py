@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "cochrans_q",
     "transition_entropy",
     "t_closeness",
+    "friedman_test",
 ]
 
 HEADLINE = "flagship"

@@ -6037,3 +6037,166 @@ def t_closeness_sql(*, table_expr: str, qi_exprs, sensitive: str,
                          THEN abs(cum_g * big.n - cum_c * n_g)
                          ELSE 0 END) * 1000000
                 // (max(n_g) * big.n * (big.m - 1))) > {t_ppm}"""
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (k treatments ranked within n blocks)
+
+
+def friedman_test(ds, *, block_col: str, treatment_col: str,
+                  value_col: str, num_buckets: int = 16):
+    """Friedman's rank test over k treatments × n blocks — the ORDINAL
+    member completing the engine's nonparametric family:
+    :func:`cochrans_q` compares k paired BINARY rules,
+    :func:`kruskal_wallis` compares k INDEPENDENT groups, Friedman
+    compares k treatments measured on the SAME blocks (days, users,
+    shards) by ranking within each block — the right test for "does
+    the event-type mix keep the same ordering day after day" or "does
+    scorer A consistently out-rank scorer B per document", where
+    block-level magnitudes (busy vs quiet days) must cancel out.
+    Significant at 5% when ``chi2_ppm`` exceeds χ²(k−1)·10⁶.
+
+    Input: rows (block, treatment, value); values are summed per cell
+    and MISSING cells are zero-filled against the global treatment set
+    (a treatment unobserved in a block genuinely ranked last — the
+    daily-count semantics), so every block is complete by construction.
+
+    Exact-integer convention: DOUBLED mid-ranks within each block
+    (``dr = 2·#smaller + #equal + 1``, the kruskal/spearman trick) and
+    the tie-general statistic cleared of fractions:
+
+        ``χ² = (k−1) · Σ_j (DR_j − n(k+1))²
+               / (Σ_{ij} DR_ij² − n·k·(k+1)²)``
+
+    with DR_j the per-treatment doubled rank sum — ONE floor to ppm.
+    All-tied blocks everywhere (denominator 0) report 0; the identity
+    ``Σ_j DR_j = n·k·(k+1)`` is pinned in tests.
+
+    Scale shape: per-batch (block, treatment) sum partials, ONE
+    block-keyed bucket exchange (a block's ranks need all its cells)
+    with the global treatment list — a bounded audit dimension folded
+    in a tiny first pass — broadcast into the fold closure; per bucket
+    the rank pass is a vectorized lexsort + segment walk emitting k+2
+    scalars per bucket; driver finishes in Python ints. Output one row
+    ``(n_blocks, k, chi2_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([block_col, treatment_col, value_col]).group_by(
+            [block_col, treatment_col]).aggregate([(value_col, "sum")])
+        return g.rename_columns([block_col, treatment_col, "v"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    cells = bucketed_aggregate(
+        partials, [block_col, treatment_col], {"v": ("v", "sum")},
+        num_buckets=num_buckets, bucket_key=block_col,
+    ).materialize()
+
+    treatments = sorted(
+        cells.groupby(treatment_col).count().to_pandas()[
+            treatment_col].tolist())
+    k = len(treatments)
+    t_index = {t: i for i, t in enumerate(treatments)}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "n_blocks": pd.Series([], dtype="int64"),
+            "dr2_sum": pd.Series([], dtype="int64"),
+            **{f"dr_{i}": pd.Series([], dtype="int64")
+               for i in range(k)}})
+        if not len(df):
+            return empty
+        # zero-fill: (blocks in bucket) × (global treatments) grid
+        blocks = df[block_col].unique()
+        nb = len(blocks)
+        b_index = {b: i for i, b in enumerate(blocks)}
+        grid = np.zeros((nb, k), dtype=np.int64)
+        bi = df[block_col].map(b_index).to_numpy()
+        ti = df[treatment_col].map(t_index).to_numpy()
+        np.add.at(grid, (bi, ti), df["v"].to_numpy().astype(np.int64))
+        # doubled mid-ranks row-wise: dr = 2*#smaller + #equal + 1
+        order = np.argsort(grid, axis=1, kind="stable")
+        sorted_v = np.take_along_axis(grid, order, axis=1)
+        lt = np.zeros((nb, k), dtype=np.int64)
+        eq = np.zeros((nb, k), dtype=np.int64)
+        for j in range(k):
+            v = grid[:, j][:, None]
+            lt[:, j] = (sorted_v < v).sum(axis=1)
+            eq[:, j] = (sorted_v == v).sum(axis=1)
+        dr = 2 * lt + eq + 1
+        out = {"n_blocks": [nb],
+               "dr2_sum": [int((dr.astype(object) ** 2).sum())]}
+        for i in range(k):
+            out[f"dr_{i}"] = [int(dr[:, i].sum())]
+        return pd.DataFrame(out).astype("int64")
+
+    folded = bucketed_map_groups(partials, block_col, per_bucket,
+                                 num_buckets=num_buckets).to_pandas()
+    n = int(folded["n_blocks"].sum()) if len(folded) else 0
+    if not n or k < 2:
+        return pd.DataFrame({"n_blocks": pd.Series([n], dtype="int64"),
+                             "k": pd.Series([k], dtype="int64"),
+                             "chi2_ppm": pd.Series([0], dtype="int64")})
+    dr2 = int(folded["dr2_sum"].sum())
+    drj = [int(folded[f"dr_{i}"].sum()) for i in range(k)]
+    assert sum(drj) == n * k * (k + 1)
+    den = dr2 - n * k * (k + 1) ** 2
+    num = sum((d - n * (k + 1)) ** 2 for d in drj)
+    chi2 = (k - 1) * num * 1_000_000 // den if den > 0 else 0
+    return pd.DataFrame({"n_blocks": pd.Series([n], dtype="int64"),
+                         "k": pd.Series([k], dtype="int64"),
+                         "chi2_ppm": pd.Series([chi2], dtype="int64")})
+
+
+def friedman_test_sql(*, table_expr: str, block: str, treatment: str,
+                      value_expr: str) -> str:
+    """SQL mirror: (block × global-treatment) zero-filled grid, doubled
+    mid-ranks via rank() + in-block tie counts, one-floor statistic."""
+    return f"""
+        WITH base AS (
+          SELECT {block} AS b, {treatment} AS t,
+                 sum({value_expr})::BIGINT AS v
+          FROM {table_expr} GROUP BY 1, 2
+        ),
+        blocks AS (SELECT DISTINCT b FROM base),
+        treats AS (SELECT DISTINCT t FROM base),
+        grid AS (
+          SELECT blocks.b, treats.t, coalesce(base.v, 0) AS v
+          FROM blocks CROSS JOIN treats
+          LEFT JOIN base ON base.b = blocks.b AND base.t = treats.t
+        ),
+        ranked AS (
+          SELECT b, t,
+                 (2 * rank() OVER (PARTITION BY b ORDER BY v)
+                  + count(*) OVER (PARTITION BY b, v) - 1)::HUGEINT
+                     AS dr
+          FROM grid
+        ),
+        agg AS (
+          SELECT (SELECT count(*) FROM blocks)::HUGEINT AS n,
+                 (SELECT count(*) FROM treats)::HUGEINT AS k,
+                 sum(dr * dr)::HUGEINT AS dr2
+          FROM ranked
+        ),
+        tr AS (
+          SELECT sum(dr)::HUGEINT AS drj FROM ranked GROUP BY t
+        ),
+        num AS (
+          SELECT sum((tr.drj - agg.n * (agg.k + 1))
+                     * (tr.drj - agg.n * (agg.k + 1)))::HUGEINT AS s
+          FROM tr, agg
+        )
+        SELECT agg.n::BIGINT AS n_blocks, agg.k::BIGINT AS k,
+               CASE WHEN agg.dr2 - agg.n * agg.k * (agg.k + 1)
+                         * (agg.k + 1) > 0
+                    THEN ((agg.k - 1) * num.s * 1000000)
+                         // (agg.dr2 - agg.n * agg.k * (agg.k + 1)
+                             * (agg.k + 1))
+                    ELSE 0 END::BIGINT AS chi2_ppm
+        FROM agg, num"""

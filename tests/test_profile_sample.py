@@ -2821,3 +2821,44 @@ def test_t_closeness_typed_empty_and_constant_sensitive():
     out2 = t_closeness(ray.data.from_pandas(df2), qi_cols=["slice", "day"],
                        sensitive_col="band", t_ppm=0)
     assert len(out2) == 0
+
+
+def test_friedman_exact_consistency_and_ties():
+    from htrc_feature_reader_ray.stages.profile import friedman_test
+
+    # perfectly consistent ranking, n=3 blocks, k=3 treatments
+    # classic chi2 = n(k-1) = 6 at perfect consistency
+    rows = []
+    for b in range(3):
+        for j, t in enumerate(["lo", "mid", "hi"]):
+            rows.append((b, t, 10 * (j + 1) + b))
+    df = pd.DataFrame(rows, columns=["blk", "trt", "v"])
+    out = friedman_test(ray.data.from_pandas(df).repartition(3),
+                        block_col="blk", treatment_col="trt",
+                        value_col="v")
+    r = out.iloc[0]
+    assert r["n_blocks"] == 3 and r["k"] == 3
+    assert r["chi2_ppm"] == 6_000_000
+    # all-tied blocks -> denominator 0 -> 0 by contract
+    df2 = pd.DataFrame([(b, t, 5) for b in range(2)
+                        for t in ("x", "y")],
+                       columns=["blk", "trt", "v"])
+    out2 = friedman_test(ray.data.from_pandas(df2), block_col="blk",
+                         treatment_col="trt", value_col="v")
+    assert out2.iloc[0]["chi2_ppm"] == 0
+
+
+def test_friedman_zero_fill_missing_cells():
+    from htrc_feature_reader_ray.stages.profile import friedman_test
+
+    # treatment 'b' missing in block 1 -> zero-filled, ranked last
+    # block 0: a=1, b=9 -> dr(a)=2, dr(b)=4
+    # block 1: a=5, b=0 -> dr(b)=2, dr(a)=4
+    # DR_a = 6, DR_b = 6 == n(k+1) -> num 0 -> chi2 0 (perfect swap)
+    df = pd.DataFrame([(0, "a", 1), (0, "b", 9), (1, "a", 5)],
+                      columns=["blk", "trt", "v"])
+    out = friedman_test(ray.data.from_pandas(df), block_col="blk",
+                        treatment_col="trt", value_col="v")
+    r = out.iloc[0]
+    assert r["n_blocks"] == 2 and r["k"] == 2
+    assert r["chi2_ppm"] == 0
