@@ -2565,6 +2565,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key="user_id", ts="ts", state_col="event_type",
             tiebreak="event_id")
 
+    def q_logrank_test(sf):
+        """Does arm A stop PURCHASING sooner than arm B? Log-rank
+        (Mantel–Cox) over purchase-activity lifetimes with
+        survival_curve's censoring contract — an A/A test on the md5
+        hash split, so chi2 should sit below the 3.84e6 df=1 bar;
+        with real assignments the arm hashes in via the salt. The
+        purchase sub-stream is used because the full event stream
+        keeps every user active to the window edge (all censored —
+        a zero-churn readout proves nothing: 40/150 users genuinely
+        churn here). At-risk/expected comparison at every distinct
+        churn time, nano-floor per-term sums."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.temporal import logrank_test
+
+        ev = _events(sf, ["user_id", "ts", "event_type"])
+
+        def purchases(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.equal(t.column("event_type"), "purchase")
+            ).select(["user_id", "ts"])
+
+        return logrank_test(
+            ev.map_batches(purchases, batch_format="pyarrow"),
+            key="user_id", ts="ts")
+
     def q_hour_concentration(sf):
         """Per-user HHI (Σp²) over the 24 hour-of-day bins in exact ppm
         — the full-distribution evenness index completing
@@ -6311,6 +6337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_stats": q_gap_stats,
         "burst_detection": q_burst_detection,
         "transition_entropy": q_transition_entropy,
+        "logrank_test": q_logrank_test,
         "activity_half_life": q_activity_half_life,
         "max_silence": q_max_silence,
         "growth_accounting": q_growth_accounting,
@@ -7919,6 +7946,10 @@ def oracle_sql() -> dict[str, str]:
         "transition_entropy": temporal_mod.transition_entropy_sql(
             table="events", key="user_id", ts="ts",
             state="event_type", tiebreak="event_id"),
+        "logrank_test": temporal_mod.logrank_test_sql(
+            table="(SELECT user_id, ts FROM events"
+                  " WHERE event_type = 'purchase')",
+            key="user_id", ts="ts"),
         "activity_half_life": temporal_mod.activity_half_life_sql(
             table="events", key="user_id", ts="ts"),
         "max_silence": temporal_mod.max_silence_sql(

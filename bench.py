@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "transition_entropy",
     "t_closeness",
     "friedman_test",
+    "logrank_test",
 ]
 
 HEADLINE = "flagship"

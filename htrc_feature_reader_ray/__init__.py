@@ -216,6 +216,8 @@ def __getattr__(name):
         "transition_entropy": (
             "htrc_feature_reader_ray.stages.temporal",
             "transition_entropy"),
+        "logrank_test": (
+            "htrc_feature_reader_ray.stages.temporal", "logrank_test"),
         "activity_half_life": (
             "htrc_feature_reader_ray.stages.temporal",
             "activity_half_life"),

@@ -3675,3 +3675,183 @@ def transition_entropy_sql(*, table: str, key: str, ts: str,
         SELECT t.kk AS {key}, t.n::BIGINT AS n_trans, ns.n_states,
                (t.h2 * 1000 // (2 * t.n))::BIGINT AS h_millibits
         FROM t JOIN ns ON ns.kk = t.kk"""
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test (two-group survival comparison over entity lifetimes)
+
+
+def logrank_test(ds, *, key: str, ts: str, censor_gap_days: int = 3,
+                 salt: str = "", num_buckets: int = 32):
+    """Log-rank (Mantel–Cox) test over entity lifetimes — the
+    censoring-correct answer to "does group A churn faster than group
+    B" that completes :func:`survival_curve`'s single-population
+    Kaplan–Meier: comparing raw lifetime means double-counts the
+    still-active (censored) users; the log-rank statistic compares, at
+    every distinct churn time, the observed group-A churn count
+    against its hypergeometric expectation among those still AT RISK,
+    which is exactly how an experiment readout over retention must be
+    scored. Groups come from the engine's deterministic hash split
+    (``md5_hash64(salt‖key) % 2``, the ab_lift arm convention), so the
+    op is self-contained and A/A-testable — with real assignments,
+    hash the experiment arm into the salt upstream.
+
+    Lifetime/censoring contract is :func:`survival_curve`'s verbatim:
+    lifetime = last − first active day; a subject whose last activity
+    lies within ``censor_gap_days`` of the corpus max day is censored
+    (at risk through its lifetime, no churn event).
+
+    Exact-integer convention (nano-unit per-term floors — the
+    theils_u order-free sum-of-floors trade, documented slack ≤ 1 nano
+    per distinct time): at each distinct duration d with r at risk
+    (r1 in arm a), e churn events (e1 in arm a),
+
+        ``u += e1·10⁹ − (e·r1·10⁹ // r)``
+        ``v += e·r1·(r−r1)·(r−e)·10⁹ // (r²·(r−1))``   (r ≥ 2)
+        ``chi2_ppm = u²·10⁶ // (v·10⁹)``                (v > 0 else 0)
+
+    df = 1: ≥ ~3.84·10⁶ ⇒ p < .05. Output one row:
+    ``(n_a, n_b, churn_a, churn_b, chi2_ppm)``.
+
+    Scale shape: per-batch (key, min-day, max-day) partials, the ONE
+    key-bucketed exchange for exact per-subject bounds (the
+    survival_curve shape) with the corpus max day folded separately
+    (max is associative — exact from partials) and broadcast; each
+    bucket classifies + collapses to (arm, duration, censored) COUNTS,
+    so only a bounded table reaches the driver walk."""
+    from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by(key).aggregate([("day", "min"), ("day", "max")])
+        return g.rename_columns([key, "mn", "mx"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow"
+                              ).materialize()
+    gmax = int(partials.max("mx"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"arm": pd.Series([], dtype="int64"),
+                              "d": pd.Series([], dtype="int64"),
+                              "cen": pd.Series([], dtype="bool"),
+                              "n": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        g = df.groupby(key, as_index=False).agg(mn=("mn", "min"),
+                                                mx=("mx", "max"))
+        arm = (md5_hash64([f"{salt}{v}" for v in g[key]])
+               % np.uint64(2)).astype(np.int64)
+        d = (g["mx"] - g["mn"]).to_numpy()
+        cen = (gmax - g["mx"].to_numpy()) < censor_gap_days
+        out = (pd.DataFrame({"arm": arm, "d": d, "cen": cen})
+               .groupby(["arm", "d", "cen"]).size().reset_index(name="n"))
+        return out
+
+    tbl = (bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+           .to_pandas())
+    if not len(tbl):
+        return pd.DataFrame({c: pd.Series([0], dtype="int64")
+                             for c in ("n_a", "n_b", "churn_a",
+                                       "churn_b", "chi2_ppm")})
+    tbl = tbl.groupby(["arm", "d", "cen"], as_index=False)["n"].sum()
+    n_a = int(tbl.loc[tbl["arm"] == 0, "n"].sum())
+    n_b = int(tbl.loc[tbl["arm"] == 1, "n"].sum())
+    ch = tbl[~tbl["cen"]]
+    churn_a = int(ch.loc[ch["arm"] == 0, "n"].sum())
+    churn_b = int(ch.loc[ch["arm"] == 1, "n"].sum())
+    durs = np.sort(tbl["d"].unique())
+    # suffix sums: at risk (all subjects with duration >= d)
+    def at_risk(mask):
+        per_d = (tbl[mask].groupby("d")["n"].sum()
+                 .reindex(durs, fill_value=0).to_numpy())
+        return np.cumsum(per_d[::-1])[::-1]
+    r_all = at_risk(np.ones(len(tbl), dtype=bool))
+    r_a = at_risk((tbl["arm"] == 0).to_numpy())
+    e_all = (ch.groupby("d")["n"].sum()
+             .reindex(durs, fill_value=0).to_numpy())
+    e_a = (ch[ch["arm"] == 0].groupby("d")["n"].sum()
+           .reindex(durs, fill_value=0).to_numpy())
+    u = v = 0
+    for i in range(len(durs)):
+        e, e1 = int(e_all[i]), int(e_a[i])
+        r, r1 = int(r_all[i]), int(r_a[i])
+        if e and r:
+            u += e1 * 1_000_000_000 - (e * r1 * 1_000_000_000 // r)
+            if r >= 2:
+                v += (e * r1 * (r - r1) * (r - e) * 1_000_000_000
+                      // (r * r * (r - 1)))
+    chi2 = u * u * 1_000_000 // (v * 1_000_000_000) if v > 0 else 0
+    return pd.DataFrame({
+        "n_a": pd.Series([n_a], dtype="int64"),
+        "n_b": pd.Series([n_b], dtype="int64"),
+        "churn_a": pd.Series([churn_a], dtype="int64"),
+        "churn_b": pd.Series([churn_b], dtype="int64"),
+        "chi2_ppm": pd.Series([chi2], dtype="int64")})
+
+
+def logrank_test_sql(*, table: str, key: str, ts: str,
+                     censor_gap_days: int = 3, salt: str = "") -> str:
+    """SQL mirror: per-subject bounds + md5 arm, global-max censoring,
+    non-equi at-risk counts per distinct duration, identical nano-floor
+    u/v accumulation, one outer floor."""
+    return f"""
+        WITH e AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day
+          FROM {table}
+        ),
+        s AS (
+          SELECT kk, min(day) AS mn, max(day) AS mx,
+                 (md5_number_upper('{salt}' || kk::VARCHAR)::UBIGINT
+                  % 2)::BIGINT AS arm
+          FROM e GROUP BY kk
+        ),
+        g AS (SELECT max(mx) AS gmax FROM s),
+        subj AS (
+          SELECT arm, mx - mn AS d,
+                 ((SELECT gmax FROM g) - mx) < {censor_gap_days} AS cen
+          FROM s
+        ),
+        durs AS (SELECT DISTINCT d FROM subj),
+        terms AS (
+          SELECT durs.d,
+                 count(*) FILTER (WHERE s2.d >= durs.d)::HUGEINT AS r,
+                 count(*) FILTER (WHERE s2.d >= durs.d
+                                  AND s2.arm = 0)::HUGEINT AS r1,
+                 count(*) FILTER (WHERE s2.d = durs.d
+                                  AND NOT s2.cen)::HUGEINT AS ev,
+                 count(*) FILTER (WHERE s2.d = durs.d AND NOT s2.cen
+                                  AND s2.arm = 0)::HUGEINT AS e1
+          FROM durs, subj s2 GROUP BY durs.d
+        ),
+        acc AS (
+          SELECT sum(CASE WHEN ev > 0 AND r > 0
+                          THEN e1 * 1000000000
+                               - (ev * r1 * 1000000000 // r)
+                          ELSE 0 END)::HUGEINT AS u,
+                 sum(CASE WHEN ev > 0 AND r >= 2
+                          THEN (ev * r1 * (r - r1) * (r - ev)
+                                * 1000000000) // (r * r * (r - 1))
+                          ELSE 0 END)::HUGEINT AS v
+          FROM terms
+        ),
+        counts AS (
+          SELECT count(*) FILTER (WHERE arm = 0)::BIGINT AS n_a,
+                 count(*) FILTER (WHERE arm = 1)::BIGINT AS n_b,
+                 count(*) FILTER (WHERE arm = 0 AND NOT cen)::BIGINT
+                     AS churn_a,
+                 count(*) FILTER (WHERE arm = 1 AND NOT cen)::BIGINT
+                     AS churn_b
+          FROM subj
+        )
+        SELECT counts.n_a, counts.n_b, counts.churn_a, counts.churn_b,
+               CASE WHEN acc.v > 0
+                    THEN (acc.u * acc.u * 1000000)
+                         // (acc.v * 1000000000)
+                    ELSE 0 END::BIGINT AS chi2_ppm
+        FROM counts, acc"""

@@ -1279,3 +1279,66 @@ def test_transition_entropy_tiebreak_pins_sequence():
         state_col="event_type", tiebreak="event_id",
     ).to_pandas().iloc[0]
     assert out["n_trans"] == 2 and out["h_millibits"] == 0
+
+
+def test_logrank_scalar_replay_and_contracts():
+    """Engine == a pure-Python replay of the documented nano-floor
+    convention on a fixture with churn, censoring, and both arms; an
+    all-censored input reports 0 by contract."""
+    import hashlib
+
+    from htrc_feature_reader_ray.stages.temporal import logrank_test
+
+    t0 = pd.Timestamp("2024-06-01")
+
+    def arm_of(uid):
+        h = int.from_bytes(
+            hashlib.md5(str(uid).encode()).digest()[:8], "little")
+        return h % 2
+
+    # users 1..12: user u active day 0 .. day L(u); corpus max day set
+    # by user 99 active through day 20 (so earlier-ending users churn)
+    rows = []
+    lifetimes = {1: 2, 2: 5, 3: 8, 4: 11, 5: 2, 6: 5, 7: 8, 8: 14,
+                 9: 3, 10: 6, 11: 9, 12: 12}
+    for u, L in lifetimes.items():
+        rows.append((u, t0))
+        rows.append((u, t0 + pd.Timedelta(days=L)))
+    rows += [(99, t0), (99, t0 + pd.Timedelta(days=20))]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    out = logrank_test(
+        ray.data.from_pandas(df).repartition(5),
+        key="user_id", ts="ts", censor_gap_days=3,
+    ).iloc[0]
+
+    # scalar replay of the documented convention
+    subs = [(arm_of(u), L, (20 - L) < 3) for u, L in lifetimes.items()]
+    subs.append((arm_of(99), 20, True))
+    durs = sorted({d for _, d, _ in subs})
+    u_acc = v_acc = 0
+    for d in durs:
+        r = sum(1 for _, dd, _ in subs if dd >= d)
+        r1 = sum(1 for a, dd, _ in subs if dd >= d and a == 0)
+        e = sum(1 for _, dd, c in subs if dd == d and not c)
+        e1 = sum(1 for a, dd, c in subs if dd == d and not c and a == 0)
+        if e and r:
+            u_acc += e1 * 10**9 - (e * r1 * 10**9 // r)
+            if r >= 2:
+                v_acc += (e * r1 * (r - r1) * (r - e) * 10**9
+                          // (r * r * (r - 1)))
+    expect = (u_acc * u_acc * 10**6 // (v_acc * 10**9)
+              if v_acc else 0)
+    assert out["chi2_ppm"] == expect
+    assert out["n_a"] + out["n_b"] == 13
+    assert out["churn_a"] + out["churn_b"] == sum(
+        1 for _, _, c in subs if not c)
+    assert out["churn_a"] + out["churn_b"] > 0  # fixture genuinely churns
+
+    # all users active to the window edge -> all censored -> 0
+    df2 = pd.DataFrame([(u, t0 + pd.Timedelta(days=k))
+                        for u in (1, 2, 3) for k in (0, 10)],
+                       columns=["user_id", "ts"])
+    out2 = logrank_test(ray.data.from_pandas(df2), key="user_id",
+                        ts="ts").iloc[0]
+    assert out2["chi2_ppm"] == 0
+    assert out2["churn_a"] + out2["churn_b"] == 0
