@@ -899,6 +899,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["lang", "text"])
         return hapax_rate(docs, group_col="lang")
 
+    def q_vocab_richness(sf):
+        """Per-language vocabulary-richness estimators — what
+        hapax_rate describes this PREDICTS: Chao1 (bias-corrected
+        richness floor — how many distinct tokens exist beyond the
+        sample, the vocab-budget question) and Good–Turing missing
+        mass (P(next token is a new type) — the OOV-risk price of a
+        frozen vocab); over BIGRAM types because the fixture's unigram
+        vocab is a closed 31-token set (f1 = 0 everywhere — a constant
+        readout proves nothing) while the bigram tail genuinely varies
+        by language (f1 5–87). Same one-type-bucketed-exchange fold."""
+        import ray.data
+        from htrc_feature_reader_ray.stages.textstats import (
+            vocab_richness,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["lang", "text"])
+        return vocab_richness(docs, group_col="lang", ngram=2)
+
     def q_char_coverage(sf):
         """Tokenizer-prep character coverage (sentencepiece
         character_coverage input): exact corpus char histogram, integer
@@ -6319,6 +6338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncation_loss": q_truncation_loss,
         "quantile_normalize": q_quantile_normalize,
         "hapax_rate": q_hapax_rate,
+        "vocab_richness": q_vocab_richness,
         "zipf_deviation": q_zipf_deviation,
         "knn_label_agreement": q_knn_label_agreement,
         "knn_label_propagation": q_knn_label_propagation,
@@ -7791,6 +7811,7 @@ def oracle_sql() -> dict[str, str]:
                      + " AS n_tokens FROM documents"),
             len_expr="n_tokens"),
         "hapax_rate": textstats.hapax_rate_sql(),
+        "vocab_richness": textstats.vocab_richness_sql(ngram=2),
         "zipf_deviation": textstats.zipf_deviation_sql(top_k=20),
         "quantile_normalize": profile_mod.quantile_normalize_sql(
             table="documents", group="source", id_col="doc_id",

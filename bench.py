@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "t_closeness",
     "friedman_test",
     "logrank_test",
+    "vocab_richness",
 ]
 
 HEADLINE = "flagship"

@@ -1153,3 +1153,129 @@ def lang_mismatch_by_source_sql(*, table: str = "documents",
                 * 1000000 // greatest(count(*), 1))::BIGINT
                    AS mismatch_ppm
         FROM {table} GROUP BY 1 ORDER BY 1"""
+
+
+def vocab_richness(ds, *, group_col: str = "lang", text_col: str = "text",
+                   ngram: int = 1, num_buckets: int = 32):
+    """Per-group vocabulary-richness ESTIMATORS — what :func:`hapax_rate`
+    describes, this PREDICTS: how many distinct tokens exist beyond the
+    sample (the vocab-sizing question a tokenizer-training pass asks
+    before committing to a vocab budget), and how much probability mass
+    the next batch will spend on unseen types.
+
+    - ``chao1`` (Chao 1984, the abundance-based richness floor):
+      ``D + f1·(f1−1) // (2·(f2+1))`` — the bias-corrected form, defined
+      even when no doubletons exist; D = observed distinct, f1/f2 =
+      singleton/doubleton type counts. A lower bound on the true
+      vocabulary size, exact integers with ONE floor.
+    - ``unseen_mass_ppm`` (Good–Turing missing mass, Good 1953):
+      ``f1·10⁶ // N`` — the probability the NEXT token is a new type;
+      the number that prices OOV risk for a frozen vocab.
+
+    Output per group: ``(group, vocab_size, f1, f2, n_tokens, chao1,
+    unseen_mass_ppm)``.
+
+    ``ngram=2`` estimates over BIGRAM types instead — the n-gram-LM
+    coverage question (a closed unigram vocabulary can still have a
+    long open bigram tail, which is exactly what prices an n-gram
+    model's backoff mass).
+
+    Scale shape: hapax_rate's verbatim — per-batch (group, type, count)
+    map-side collapse, ONE type-bucketed exchange (type strings cross
+    once, counted), in-bucket exact fold + per-group f1/f2 partials,
+    audit-sized finish in Python ints."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    if ngram not in (1, 2):
+        raise ValueError("ngram must be 1 or 2")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        if ngram == 2:
+            same = parent[1:] == parent[:-1]
+            a = pa.compute.binary_join_element_wise(
+                flat.slice(0, max(len(flat) - 1, 0)),
+                flat.slice(1), " ")
+            flat = a.filter(pa.array(same))
+            parent = parent[:-1][same] if len(parent) else parent
+        grp = batch.column(group_col).take(pa.array(parent))
+        tb = pa.table({group_col: grp, "token": flat})
+        g = tb.group_by([group_col, "token"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "token", "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "token"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="token",
+    )
+
+    def per_group_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_col, as_index=False).agg(
+            vocab=("c", "size"),
+            f1=("c", lambda s: int((s == 1).sum())),
+            f2=("c", lambda s: int((s == 2).sum())),
+            toks=("c", "sum"))
+
+    small = (folded.map_batches(per_group_partial, batch_format="pandas")
+             .to_pandas()
+             .groupby(group_col, as_index=False)
+             .agg(vocab=("vocab", "sum"), f1=("f1", "sum"),
+                  f2=("f2", "sum"), toks=("toks", "sum"))
+             .sort_values(group_col))
+    chao1 = [int(d) + int(f1) * (int(f1) - 1) // (2 * (int(f2) + 1))
+             for d, f1, f2 in zip(small["vocab"], small["f1"],
+                                  small["f2"])]
+    unseen = [int(f1) * 1_000_000 // max(int(n), 1)
+              for f1, n in zip(small["f1"], small["toks"])]
+    out = pd.DataFrame({
+        group_col: small[group_col].to_numpy(),
+        "vocab_size": small["vocab"].to_numpy().astype(np.int64),
+        "f1": small["f1"].to_numpy().astype(np.int64),
+        "f2": small["f2"].to_numpy().astype(np.int64),
+        "n_tokens": small["toks"].to_numpy().astype(np.int64),
+        "chao1": np.array(chao1, dtype=np.int64),
+        "unseen_mass_ppm": np.array(unseen, dtype=np.int64),
+    })
+    import ray.data
+
+    return ray.data.from_pandas(out)
+
+
+def vocab_richness_sql(*, table: str = "documents", group: str = "lang",
+                       text: str = "text", ngram: int = 1) -> str:
+    """SQL mirror: the hapax_rate fold (adjacent-pair join for
+    ngram=2) + bias-corrected Chao1 and Good–Turing missing mass,
+    HUGEINT floors."""
+    if ngram == 2:
+        tok_cte = f"""
+        base AS (SELECT {group} AS g,
+                        list_filter(string_split({text}, ' '),
+                                    x -> x != '') AS arr
+                 FROM {table}),
+        tok AS (
+          SELECT g, arr[i.i] || ' ' || arr[i.i + 1] AS tok
+          FROM base, unnest(generate_series(1, len(arr) - 1)) AS i(i)
+        )"""
+    else:
+        tok_cte = f"""
+        tok AS (
+          SELECT {group} AS g, t.tok
+          FROM {table},
+               unnest(list_filter(string_split({text}, ' '),
+                                  x -> x != '')) AS t(tok)
+        )"""
+    return f"""
+        WITH {tok_cte},
+        vt AS (SELECT g, tok, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
+        SELECT g AS {group}, count(*)::BIGINT AS vocab_size,
+               count(*) FILTER (WHERE c = 1)::BIGINT AS f1,
+               count(*) FILTER (WHERE c = 2)::BIGINT AS f2,
+               sum(c)::BIGINT AS n_tokens,
+               (count(*)
+                + count(*) FILTER (WHERE c = 1)::HUGEINT
+                  * (count(*) FILTER (WHERE c = 1) - 1)
+                  // (2 * (count(*) FILTER (WHERE c = 2) + 1)))::BIGINT
+                   AS chao1,
+               (count(*) FILTER (WHERE c = 1)::HUGEINT * 1000000
+                // greatest(sum(c), 1))::BIGINT AS unseen_mass_ppm
+        FROM vt GROUP BY 1 ORDER BY 1"""

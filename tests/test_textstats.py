@@ -340,3 +340,39 @@ def test_lang_mismatch_by_source_localizes_bad_feed():
     assert out.loc["good", "mismatch_ppm"] == 0
     assert out.loc["bad", "mismatch_ppm"] == 1_000_000
     assert out.loc["bad", "n_mismatch"] == 4
+
+
+def test_vocab_richness_chao1_exact():
+    from htrc_feature_reader_ray.stages.textstats import vocab_richness
+
+    # lang g1: tokens a a b c c d -> vocab 4, f1 (b,d) = 2, f2 (a,c) = 2
+    #   chao1 = 4 + 2*1 // (2*3) = 4; unseen = 2e6 // 6 = 333333
+    # lang g2: all distinct -> f1 = 3, f2 = 0
+    #   chao1 = 3 + 3*2 // 2 = 6; unseen = 1e6
+    df = pd.DataFrame({
+        "lang": ["g1", "g1", "g2"],
+        "text": ["a a b c", "c d", "x y z"],
+    })
+    out = vocab_richness(
+        ray.data.from_pandas(df).repartition(2), group_col="lang",
+    ).to_pandas().set_index("lang")
+    assert out.loc["g1", "vocab_size"] == 4
+    assert out.loc["g1", "f1"] == 2 and out.loc["g1", "f2"] == 2
+    assert out.loc["g1", "chao1"] == 4
+    assert out.loc["g1", "unseen_mass_ppm"] == 333_333
+    assert out.loc["g2", "chao1"] == 3 + 3 * 2 // 2
+    assert out.loc["g2", "unseen_mass_ppm"] == 1_000_000
+
+
+def test_vocab_richness_bigrams_do_not_span_docs():
+    from htrc_feature_reader_ray.stages.textstats import vocab_richness
+
+    # two docs "a b" and "b a": bigram types {a b, b a} (one each);
+    # the cross-doc pair "b b" must NOT appear
+    df = pd.DataFrame({"lang": ["g", "g"], "text": ["a b", "b a"]})
+    out = vocab_richness(ray.data.from_pandas(df), group_col="lang",
+                         ngram=2).to_pandas().iloc[0]
+    assert out["vocab_size"] == 2 and out["n_tokens"] == 2
+    assert out["f1"] == 2
+    # chao1 = 2 + 2*1 // (2*1) = 3
+    assert out["chao1"] == 3
