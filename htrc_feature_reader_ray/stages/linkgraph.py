@@ -2814,13 +2814,24 @@ def _labeled_bfs(edges, *, seed_mod: int, n_seeds: int, max_hops: int,
     ).drop_columns(["_n"])
 
     def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"url": pd.Series([], dtype=object),
+                              "_h": pd.Series([], dtype="uint64")})
+        if not len(df):
+            return empty
         urls = df["url"].to_numpy()
         h = md5_hash64([str(u) for u in urls])
         keep = h % seed_mod == 0
+        if not keep.any():
+            return empty
         sub = pd.DataFrame({"url": urls[keep], "_h": h[keep]})
         return sub.sort_values(["_h", "url"]).head(n_seeds)
 
     cand = nodes.map_batches(bottomk, batch_format="pandas").to_pandas()
+    if len(cand) == 0:
+        # Seedless graph: no url passes the seed predicate — return
+        # the empty seed set so callers can emit their typed empty.
+        return pd.DataFrame({"url": pd.Series([], dtype=object),
+                             "sid": pd.Series([], dtype="int64")}), []
     seeds = cand.sort_values(["_h", "url"]).head(n_seeds).reset_index(
         drop=True)
     seeds = pd.DataFrame({
@@ -3398,6 +3409,13 @@ def hop_histogram(edges, *, seed_mod: int = 10, n_seeds: int = 4,
     seeds, dists = _labeled_bfs(edges, seed_mod=seed_mod,
                                 n_seeds=n_seeds, max_hops=max_hops,
                                 num_buckets=num_buckets)
+    if not len(seeds):
+        # Seedless graph: the SQL mirror's recursive CTE yields zero
+        # rows, so return the typed empty frame rather than a
+        # degenerate (0, 0, 0, 0) row (harmonic_centrality's guard).
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("hop", "n_pairs", "cum_pairs",
+                                       "cum_ppm")})
     counts = [(0, len(seeds))]
     for h, fr in dists:
         counts.append((h, fr.count()))

@@ -4480,7 +4480,13 @@ def bradley_terry(ds, *, winner_col: str = "winner",
             "strength_ppm": pd.Series([], dtype="int64"),
         })
 
-    prs = [(str(r.lo), str(r.hi), int(r.n), int(r.lo_wins))
+    def _native(v):
+        # Keep the item column's NATIVE type (ints stay ints) so the
+        # output sorts numerically exactly like the SQL mirror; str()
+        # coercion here would sort integer items lexicographically.
+        return v.item() if isinstance(v, np.generic) else v
+
+    prs = [(_native(r.lo), _native(r.hi), int(r.n), int(r.lo_wins))
            for r in folded.itertuples(index=False)]
     items = sorted({x for lo, hi, _, _ in prs for x in (lo, hi)})
     idx = {it: i for i, it in enumerate(items)}
@@ -4502,8 +4508,11 @@ def bradley_terry(ds, *, winner_col: str = "winner",
         q = [(wins[i] * 10**12) // max(denom[i], 1) for i in range(m)]
         s = sum(q)
         p = [(q[i] * m * 1_000_000) // max(s, 1) for i in range(m)]
+    item_dtype = ("int64" if items and all(
+        isinstance(x, int) and not isinstance(x, bool) for x in items)
+        else object)
     return pd.DataFrame({
-        "item": pd.Series(items, dtype=object),
+        "item": pd.Series(items, dtype=item_dtype),
         "games": pd.Series(games, dtype="int64"),
         "wins": pd.Series(wins, dtype="int64"),
         "strength_ppm": pd.Series(p, dtype="int64"),
@@ -5634,6 +5643,11 @@ def mcnemar(ds, *, a_col: str, b_col: str):
 
     agg = ds.map_batches(partial, batch_format="pyarrow").sum(
         ["n", "na", "nb", "n_a_only", "n_b_only"])
+    if agg is None or agg.get("sum(n)") is None:
+        # Zero-block input: Ray's sum() yields None; match the SQL
+        # mirror's typed zero row instead of raising TypeError.
+        agg = {k: 0 for k in ("sum(n)", "sum(na)", "sum(nb)",
+                              "sum(n_a_only)", "sum(n_b_only)")}
     n = int(agg["sum(n)"]); na = int(agg["sum(na)"])
     nb = int(agg["sum(nb)"])
     b_ = int(agg["sum(n_a_only)"]); c_ = int(agg["sum(n_b_only)"])
@@ -5831,6 +5845,10 @@ def cochrans_q(ds, *, cols):
 
     agg = ds.map_batches(partial, batch_format="pyarrow").sum(
         ["n"] + [f"n_{c}" for c in cols] + ["r2"])
+    if agg is None or agg.get("sum(n)") is None:
+        # Zero-block input (mcnemar's guard): typed zero row, no crash.
+        agg = {f"sum({k_})": 0
+               for k_ in ["n"] + [f"n_{c}" for c in cols] + ["r2"]}
     n = int(agg["sum(n)"])
     cj = [int(agg[f"sum(n_{c})"]) for c in cols]
     r2 = int(agg["sum(r2)"])

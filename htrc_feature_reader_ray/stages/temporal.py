@@ -3620,7 +3620,15 @@ def transition_entropy(ds, *, key: str, ts: str, state_col: str,
         c = c.merge(cx, on=[key, "x"])
         cv = c["c"].to_numpy().astype(np.int64)
         cxv = c["cx"].to_numpy().astype(np.int64)
-        bits2 = _ilog2(cxv * cxv) - _ilog2(cv * cv)
+        # Square in Python ints: cxv*cxv silently wraps int64 once a
+        # per-(key, cur-state) marginal passes ~3.04e9 transitions.
+        # These arrays are distinct-transition-table sized (post
+        # groupby), so the elementwise bit_length walk is audit-cost.
+        bits2 = np.fromiter(
+            (((int(a) * int(a)).bit_length() - 1)
+             - ((int(b) * int(b)).bit_length() - 1)
+             for a, b in zip(cxv, cv)),
+            dtype=np.int64, count=len(cv))
         c["term"] = cv * bits2
         g = c.groupby(key, sort=False).agg(
             h2=("term", "sum"), n=("c", "sum"))

@@ -1019,3 +1019,26 @@ def test_random_walks_dead_end_truncates():
     # then truncate
     assert list(out["step"]) == [0, 1, 0, 1]
     assert set(out["url"]) == {"a", "sink"}
+
+
+def test_hop_histogram_seedless_graph_returns_typed_empty():
+    import hashlib
+
+    from htrc_feature_reader_ray.stages.linkgraph import hop_histogram
+
+    # build a graph where NO url passes the md5 % seed_mod == 0 seed
+    # predicate — the SQL mirror yields zero rows, so the engine must
+    # return the typed empty frame, not a degenerate (0,0,0,0) row
+    def h(u):
+        return int.from_bytes(
+            hashlib.md5(u.encode()).digest()[:8], "little")
+
+    cands = [f"q{i}" for i in range(100)]
+    unseedable = [u for u in cands if h(u) % 7 != 0][:4]
+    a, b, c, d = unseedable
+    out = hop_histogram(_edges_ds([(a, b), (b, c), (c, d)]),
+                        seed_mod=7, n_seeds=2, max_hops=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["hop", "n_pairs", "cum_pairs",
+                                 "cum_ppm"]
+    assert all(str(dt) == "int64" for dt in out.dtypes)

@@ -2862,3 +2862,35 @@ def test_friedman_zero_fill_missing_cells():
     r = out.iloc[0]
     assert r["n_blocks"] == 2 and r["k"] == 2
     assert r["chi2_ppm"] == 0
+
+
+def test_bradley_terry_integer_items_stay_native_and_sort_numerically():
+    from htrc_feature_reader_ray.stages.profile import bradley_terry
+
+    # items 2, 10, 100: str() coercion would sort them "10" < "100" <
+    # "2"; native ints must sort numerically, matching the SQL mirror
+    df = pd.DataFrame(
+        [(10, 2)] * 5 + [(100, 10)] * 5 + [(2, 100)] * 2,
+        columns=["winner", "loser"])
+    out = bradley_terry(ray.data.from_pandas(df).repartition(3),
+                        winner_col="winner", loser_col="loser")
+    assert list(out["item"]) == [2, 10, 100]
+    assert str(out["item"].dtype) == "int64"
+    # games: 2 plays in 5+2, 10 in 5+5, 100 in 5+2
+    g = dict(zip(out["item"], out["games"]))
+    assert g == {2: 7, 10: 10, 100: 7}
+
+
+def test_mcnemar_and_cochrans_q_zero_block_input():
+    from htrc_feature_reader_ray.stages.profile import cochrans_q, mcnemar
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                      "b": pd.Series([], dtype="int64")}))
+    m = mcnemar(empty, a_col="a", b_col="b").to_pandas()
+    assert len(m) == 1
+    assert int(m["n_pairs"][0]) == 0 and int(m["chi2_ppm"][0]) == 0
+
+    q = cochrans_q(empty, cols=["a", "b"]).to_pandas()
+    assert len(q) == 1
+    assert int(q["n_rows"][0]) == 0 and int(q["q_ppm"][0]) == 0

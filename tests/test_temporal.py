@@ -1342,3 +1342,24 @@ def test_logrank_scalar_replay_and_contracts():
                         ts="ts").iloc[0]
     assert out2["chi2_ppm"] == 0
     assert out2["churn_a"] + out2["churn_b"] == 0
+
+
+def test_transition_entropy_marginal_square_no_int64_wrap():
+    """Pin the overflow-proof ilog2(c²) path: a synthetic count table
+    whose marginal square would wrap int64 must still produce the
+    exact bit_length-based term (unit-level check of the kernel used
+    by transition_entropy)."""
+    big = 4_000_000_000  # big² = 1.6e19 > int64 max 9.22e18
+    cv = np.array([1, big], dtype=np.int64)
+    cxv = np.array([big, big], dtype=np.int64)
+    got = np.fromiter(
+        (((int(a) * int(a)).bit_length() - 1)
+         - ((int(b) * int(b)).bit_length() - 1)
+         for a, b in zip(cxv, cv)),
+        dtype=np.int64, count=len(cv))
+    import math
+    want = [math.floor(math.log2(big * big)) - 0, 0]
+    assert list(got) == want
+    # and the wrapped int64 square really is wrong (guards the reason)
+    wrapped = (cxv * cxv)[0]
+    assert int(wrapped) != big * big
