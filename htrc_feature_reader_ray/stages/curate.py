@@ -2732,6 +2732,209 @@ def line_dedup_sql(*, table: str = "documents", text: str = "text",
 # retrieval evaluation: MRR over phrase relevance
 # ---------------------------------------------------------------------------
 
+def _retrieval_sweep(ds, queries: dict, *, k: int, text_col: str,
+                     id_col: str, num_buckets: int = 16):
+    """Shared ONE-corpus-pass kernel under the retrieval-eval suite
+    (:func:`retrieval_mrr` / :func:`retrieval_pr_at_k` /
+    :func:`retrieval_ndcg_at_k`): the per-query loop those ops shipped
+    with ran ``bm25_topk`` (2 corpus passes) + ``phrase_search`` (1
+    pass) PER QUERY — 3·Q scans, unacceptable at an evaluation suite of
+    Q = 1000. This sweep broadcasts the WHOLE query set and pays a
+    Q-independent number of passes:
+
+    - pass 1 folds N, Σdl and df over the UNION of all queries' terms
+      (the bm25 stats partial, one fold for every query at once);
+    - pass 2 scores each batch once: per-(doc, union-term) exact
+      rational-BM25 term scores (computed ONCE — the score of a
+      (doc, term) pair is query-independent, so each query's doc score
+      is just a subset-sum), one ``pc.equal`` lane per DISTINCT union
+      word shared across all phrase-adjacency checks, then per query a
+      local top-k plus (n_rel2, n_rel1x) count partials;
+    - ONE query-bucketed fold collapses local top-ks to the global
+      top-k per query (k-sized tables in the exchange, rank contract
+      (score desc, id asc)) and sums the relevance counts; the driver
+      merge is Q×k rows.
+
+    Relevance contract is verbatim from the per-query ops: rel2 = exact
+    adjacent-phrase containment (``phrase_search`` shift-AND kernel),
+    rel1x = conjunctive all-words containment (``boolean_retrieval``
+    distinct-term count) minus rel2. Docs matching no union term never
+    leave their batch.
+
+    Returns ``(topk, counts)``: ``topk[qid]`` = rank-ordered list of
+    ``(doc_id, score_ppm, rel2, rel1x)`` (≤ k rows), ``counts[qid]`` =
+    ``(n_rel2, n_rel1x)``.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    qids = sorted(queries)
+    qspec = []
+    for qid in qids:
+        words = [w for w in queries[qid].split(" ") if w]
+        if not words:
+            raise ValueError("phrase must contain at least one token")
+        qspec.append((qid, words, frozenset(words)))
+    union_terms = sorted({w for _, words, _ in qspec for w in words})
+    term_set = pa.array(union_terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        dl_sum = int(len(parent))
+        if len(flat):
+            t = pa.table({"d": pa.array(parent.astype(np.int64)),
+                          "tok": flat})
+            m = pc.is_in(t.column("tok"), value_set=term_set)
+            dd = t.filter(m).group_by(["d", "tok"]).aggregate([])
+            dfp = dd.group_by("tok").aggregate([([], "count_all")])
+            toks = dfp.column("tok").to_pylist()
+            dfs = dfp.column("count_all").to_numpy().astype(np.int64)
+        else:
+            toks, dfs = [], np.array([], dtype=np.int64)
+        return pa.table({
+            "term": pa.array(["\x00N", "\x00DL"] + toks,
+                             type=pa.string()),
+            "v": pa.array(np.concatenate(
+                [[nrows, dl_sum], dfs]).astype(np.int64)),
+        })
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("v", alias_name="v"))
+        .to_pandas()
+    )
+    sv = dict(zip(stats["term"], stats["v"].map(int)))
+    n_corpus = sv.pop("\x00N", 0)
+    sdl_corpus = sv.pop("\x00DL", 0)
+    ref = ray.put((n_corpus, sdl_corpus, sv, qspec))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n_, sdl, dfm, spec = ray.get(ref)
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        parent = parent.astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ntok = len(parent)
+        dl = np.bincount(parent, minlength=nrows) if nrows else \
+            np.array([], dtype=np.int64)
+        d_rows, t_rows, s_rows = [], [], []
+        if ntok:
+            t = pa.table({"d": pa.array(parent), "tok": flat})
+            m_in = pc.is_in(t.column("tok"), value_set=term_set)
+            tf_tbl = t.filter(m_in).group_by(["d", "tok"]).aggregate(
+                [([], "count_all")])
+            for d, tok, tf in zip(
+                    tf_tbl.column("d").to_pylist(),
+                    tf_tbl.column("tok").to_pylist(),
+                    tf_tbl.column("count_all").to_pylist()):
+                df_ = dfm.get(tok, 0)
+                num = (10**6 * tf * 44 * sdl * (2 * n_ - 2 * df_ + 1))
+                den = ((2 * df_ + 1)
+                       * (20 * tf * sdl + 6 * sdl
+                          + 18 * int(dl[d]) * n_))
+                d_rows.append(d)
+                t_rows.append(tok)
+                s_rows.append(num // den)
+        lanes: dict = {}
+
+        def lane(w):
+            if w not in lanes:
+                lanes[w] = pc.equal(flat, w).to_numpy(
+                    zero_copy_only=False)
+            return lanes[w]
+
+        o_qid, o_doc, o_score, o_r2, o_r1, o_cnt = [], [], [], [], [], []
+        for qid, words, wset in spec:
+            mq = len(words)
+            rel2_docs: set = set()
+            if ntok >= mq:
+                match = lane(words[0])[:ntok - mq + 1].copy()
+                for k2 in range(1, mq):
+                    match &= lane(words[k2])[k2:ntok - mq + 1 + k2]
+                match &= parent[:ntok - mq + 1] == parent[mq - 1:]
+                rel2_docs = set(
+                    np.unique(parent[np.flatnonzero(match)]).tolist())
+            scores: dict = {}
+            matched: dict = {}
+            for d, tok, s in zip(d_rows, t_rows, s_rows):
+                if tok in wset:
+                    scores[d] = scores.get(d, 0) + s
+                    matched[d] = matched.get(d, 0) + 1
+            nw = len(wset)
+            rel1x_docs = {d for d, c in matched.items()
+                          if c == nw} - rel2_docs
+            order = sorted(scores,
+                           key=lambda d: (-scores[d], int(ids[d])))[:k]
+            for d in order:
+                o_qid.append(qid)
+                o_doc.append(int(ids[d]))
+                o_score.append(scores[d])
+                o_r2.append(int(d in rel2_docs))
+                o_r1.append(int(d in rel1x_docs))
+                o_cnt.append(0)
+            o_qid.append(qid)
+            o_doc.append(-1)
+            o_score.append(0)
+            o_r2.append(len(rel2_docs))
+            o_r1.append(len(rel1x_docs))
+            o_cnt.append(1)
+        return pa.table({
+            "query_id": pa.array(o_qid, type=pa.string()),
+            "doc_id_": pa.array(o_doc, type=pa.int64()),
+            "score_ppm": pa.array(o_score, type=pa.int64()),
+            "rel2": pa.array(o_r2, type=pa.int64()),
+            "rel1x": pa.array(o_r1, type=pa.int64()),
+            "is_cnt": pa.array(o_cnt, type=pa.int64()),
+        })
+
+    slim = ds.map_batches(kernel, batch_format="pyarrow").materialize()
+
+    def only(flag):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("is_cnt"), flag))
+        return f
+
+    counts_df = bucketed_aggregate(
+        slim.map_batches(only(1), batch_format="pyarrow"),
+        ["query_id"],
+        {"n_rel2": ("rel2", "sum"), "n_rel1x": ("rel1x", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    def head_k(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(["query_id", "score_ppm", "doc_id_"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k)
+
+    topk_df = bucketed_map_groups(
+        slim.map_batches(only(0), batch_format="pyarrow"),
+        "query_id", head_k, num_buckets=num_buckets,
+    ).to_pandas()
+
+    counts = {qid: (0, 0) for qid in qids}
+    for r in counts_df.itertuples(index=False):
+        counts[r.query_id] = (int(r.n_rel2), int(r.n_rel1x))
+    topk = {qid: [] for qid in qids}
+    if len(topk_df):
+        for qid, grp in topk_df.groupby("query_id", sort=False):
+            g = grp.sort_values(["score_ppm", "doc_id_"],
+                                ascending=[False, True],
+                                kind="mergesort").head(k)
+            topk[qid] = [
+                (int(r.doc_id_), int(r.score_ppm), int(r.rel2),
+                 int(r.rel1x))
+                for r in g.itertuples(index=False)]
+    return topk, counts
+
+
 def retrieval_mrr(ds, queries: dict, *, k: int = 20,
                   text_col: str = "text", id_col: str = "doc_id"):
     """Mean-reciprocal-rank evaluation of the rational-BM25 ranker against
@@ -2746,35 +2949,23 @@ def retrieval_mrr(ds, queries: dict, *, k: int = 20,
     cut. Output one row per query: ``(query_id, n_relevant, first_rank,
     rr_ppm)`` with first_rank = 0 for a miss.
 
-    Posture: each query's top-k and its relevance set are k-sized /
-    match-sized relations — the distributed work happens inside
-    ``bm25_topk`` (two corpus passes) and ``phrase_search`` (one pass);
-    the Q×k merge runs on the driver per the ann_recall convention.
-    Queries evaluate in sorted(qid) order for determinism.
+    Posture: the WHOLE query set evaluates in the Q-independent
+    :func:`_retrieval_sweep` (one stats fold + one scoring pass + one
+    query-bucketed top-k fold); the driver merge is Q×k rows. Queries
+    evaluate in sorted(qid) order for determinism.
     """
     import ray.data
 
+    topk, counts = _retrieval_sweep(ds, queries, k=k, text_col=text_col,
+                                    id_col=id_col)
     rows = []
     for qid in sorted(queries):
-        phrase = queries[qid]
-        top = (
-            bm25_topk(ds, phrase.split(), text_col=text_col,
-                      id_col=id_col, k=k)
-            .to_pandas()
-            .sort_values(["score_ppm", id_col], ascending=[False, True])
-            .reset_index(drop=True)
-        )
-        rel_df = phrase_search(
-            ds, phrase, text_col=text_col, id_col=id_col).to_pandas()
-        # an empty Dataset may come back schemaless
-        rel = set(rel_df[id_col]) if id_col in rel_df.columns else set()
         rank = 0
-        for i, d in enumerate(
-                top[id_col] if id_col in top.columns else (), 1):
-            if d in rel:
+        for i, (_, _, r2, _) in enumerate(topk[qid], 1):
+            if r2:
                 rank = i
                 break
-        rows.append((qid, len(rel), rank,
+        rows.append((qid, counts[qid][0], rank,
                      1_000_000 // rank if rank else 0))
     out = pd.DataFrame(
         rows, columns=["query_id", "n_relevant", "first_rank", "rr_ppm"])
@@ -2798,30 +2989,21 @@ def retrieval_pr_at_k(ds, queries: dict, *, k: int = 20,
 
     — the F1 identity 2PR/(P+R) = 2h/(k+n) keeps all three exact
     integers (no float harmonic mean). Same (score desc, id asc) rank
-    contract and driver-side Q×k merge posture as retrieval_mrr; the
-    distributed work is inside bm25_topk and phrase_search.
+    contract as retrieval_mrr; the whole query set evaluates in the
+    Q-independent :func:`_retrieval_sweep` (one stats fold + one
+    scoring pass + one query-bucketed fold), driver merge of Q×k rows.
 
     Reference parity: evaluation-harness shape follows the reference's
     acceptance-test style (cf. test_feature_reader.py) re-expressed as
     a corpus-scale metric."""
     import ray.data
 
+    topk, counts = _retrieval_sweep(ds, queries, k=k, text_col=text_col,
+                                    id_col=id_col)
     rows = []
     for qid in sorted(queries):
-        phrase = queries[qid]
-        top = (
-            bm25_topk(ds, phrase.split(), text_col=text_col,
-                      id_col=id_col, k=k)
-            .to_pandas()
-            .sort_values(["score_ppm", id_col], ascending=[False, True])
-            .head(k)
-        )
-        rel_df = phrase_search(
-            ds, phrase, text_col=text_col, id_col=id_col).to_pandas()
-        rel = set(rel_df[id_col]) if id_col in rel_df.columns else set()
-        got = (set(top[id_col]) if id_col in top.columns else set())
-        h = len(got & rel)
-        n_rel = len(rel)
+        h = sum(r2 for _, _, r2, _ in topk[qid])
+        n_rel = counts[qid][0]
         rows.append((qid, n_rel, h,
                      h * 1_000_000 // k,
                      h * 1_000_000 // n_rel if n_rel else 0,
@@ -2932,37 +3114,27 @@ def retrieval_ndcg_at_k(ds, queries: dict, *, k: int = 10,
     DCG·10⁶ // IDCG`` (0 when nothing is relevant, by contract). Rank
     order is the engine-wide (score desc, id asc) contract.
 
-    Posture: the distributed work is inside bm25_topk (two corpus passes)
-    and the two relevance passes; the Q×k merge is driver-side per the
-    retrieval_mrr convention. Output one row per query: ``(query_id,
-    n_rel2, n_rel1, dcg_fix, idcg_fix, ndcg_ppm)``.
+    Posture: the whole query set evaluates in the Q-independent
+    :func:`_retrieval_sweep` (one stats fold + one scoring/relevance
+    pass + one query-bucketed fold — the graded flags ride the same
+    rows); the Q×k merge is driver-side per the retrieval_mrr
+    convention. Output one row per query: ``(query_id, n_rel2, n_rel1,
+    dcg_fix, idcg_fix, ndcg_ppm)``.
     """
     if k >= len(_NDCG_W):
         raise ValueError(f"retrieval_ndcg_at_k: k <= {len(_NDCG_W) - 1}")
+    topk, counts = _retrieval_sweep(ds, queries, k=k, text_col=text_col,
+                                    id_col=id_col)
     rows = []
     for qid in sorted(queries):
-        phrase = queries[qid]
-        top = bm25_topk(ds, phrase.split(), text_col=text_col,
-                        id_col=id_col, k=k).to_pandas()
-        if "score_ppm" in top.columns:
-            top = top.sort_values(
-                ["score_ppm", id_col], ascending=[False, True]).head(k)
-        rel2_df = phrase_search(
-            ds, phrase, text_col=text_col, id_col=id_col).to_pandas()
-        rel2 = set(rel2_df[id_col]) if id_col in rel2_df.columns else set()
-        bool_df = boolean_retrieval(
-            ds, phrase.split(), text_col=text_col,
-            id_col=id_col).to_pandas()
-        rel1 = (set(bool_df[id_col])
-                if id_col in bool_df.columns else set()) - rel2
-        ids = list(top[id_col]) if id_col in top.columns else []
+        n2, n1 = counts[qid]
         dcg = sum(
-            _NDCG_W[i] * (2 if d in rel2 else 1 if d in rel1 else 0)
-            for i, d in enumerate(ids, 1))
-        grades = [2] * len(rel2) + [1] * len(rel1)  # already desc
+            _NDCG_W[i] * (2 if r2 else 1 if r1 else 0)
+            for i, (_, _, r2, r1) in enumerate(topk[qid], 1))
+        grades = [2] * n2 + [1] * n1  # already desc
         idcg = sum(_NDCG_W[i] * g
                    for i, g in enumerate(grades[:k], 1))
-        rows.append((qid, len(rel2), len(rel1), dcg, idcg,
+        rows.append((qid, n2, n1, dcg, idcg,
                      dcg * 1_000_000 // idcg if idcg else 0))
     out = pd.DataFrame(rows, columns=[
         "query_id", "n_rel2", "n_rel1", "dcg_fix", "idcg_fix",

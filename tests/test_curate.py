@@ -1286,3 +1286,76 @@ def test_perplexity_buckets_scalar_assembly_and_monotonicity():
 
     # empty doc lands in head
     assert out[out["doc_id"] == len(texts) - 1]["bucket"].iloc[0] == "head"
+
+
+# ---------------------------------------------------------------------------
+# _retrieval_sweep: one-pass multi-query harness vs the per-query loop path
+
+
+def _loop_path_metrics(ds, queries, *, k):
+    """Reconstruct the pre-sweep per-query loop from the PUBLIC ops
+    (bm25_topk + phrase_search + boolean_retrieval), per query —
+    the equality reference for the batched _retrieval_sweep."""
+    from htrc_feature_reader_ray.stages.curate import (
+        _NDCG_W,
+        bm25_topk,
+        boolean_retrieval,
+        phrase_search,
+    )
+
+    mrr_rows, pr_rows, ndcg_rows = [], [], []
+    for qid in sorted(queries):
+        phrase = queries[qid]
+        top = bm25_topk(ds, phrase.split(), k=k).to_pandas()
+        if "score_ppm" in top.columns:  # schemaless when nothing matches
+            top = top.sort_values(["score_ppm", "doc_id"],
+                                  ascending=[False, True]).head(k)
+        rel_df = phrase_search(ds, phrase).to_pandas()
+        rel = set(rel_df["doc_id"]) if "doc_id" in rel_df.columns else set()
+        bool_df = boolean_retrieval(ds, phrase.split()).to_pandas()
+        rel1 = (set(bool_df["doc_id"])
+                if "doc_id" in bool_df.columns else set()) - rel
+        ids = list(top["doc_id"]) if "doc_id" in top.columns else []
+        rank = next((i for i, d in enumerate(ids, 1) if d in rel), 0)
+        mrr_rows.append((qid, len(rel), rank,
+                         1_000_000 // rank if rank else 0))
+        h = len(set(ids) & rel)
+        pr_rows.append((qid, len(rel), h, h * 1_000_000 // k,
+                        h * 1_000_000 // len(rel) if rel else 0,
+                        2 * h * 1_000_000 // (k + len(rel))))
+        dcg = sum(_NDCG_W[i] * (2 if d in rel else 1 if d in rel1 else 0)
+                  for i, d in enumerate(ids, 1))
+        grades = [2] * len(rel) + [1] * len(rel1)
+        idcg = sum(_NDCG_W[i] * g for i, g in enumerate(grades[:k], 1))
+        ndcg_rows.append((qid, len(rel), len(rel1), dcg, idcg,
+                          dcg * 1_000_000 // idcg if idcg else 0))
+    return mrr_rows, pr_rows, ndcg_rows
+
+
+def test_retrieval_sweep_equals_per_query_loop_path():
+    from htrc_feature_reader_ray.stages.curate import (
+        retrieval_mrr,
+        retrieval_ndcg_at_k,
+        retrieval_pr_at_k,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 30)))
+             for _ in range(120)]
+    ds = _docs_ds(texts).repartition(5)
+    queries = {"q1": "alpha beta", "q2": "gamma delta eps",
+               "q3": "zeta", "q4": "nosuchword here"}
+    k = 7
+    want_mrr, want_pr, want_ndcg = _loop_path_metrics(ds, queries, k=k)
+
+    got_mrr = [tuple(r) for r in retrieval_mrr(ds, queries, k=k)
+               .to_pandas().itertuples(index=False)]
+    assert got_mrr == want_mrr
+    got_pr = [tuple(r) for r in retrieval_pr_at_k(ds, queries, k=k)
+              .to_pandas().itertuples(index=False)]
+    assert got_pr == want_pr
+    got_ndcg = [tuple(r)
+                for r in retrieval_ndcg_at_k(ds, queries, k=k)
+                .itertuples(index=False)]
+    assert got_ndcg == want_ndcg
