@@ -754,7 +754,9 @@ def phrase_search_sql(phrase, *, table: str = "documents",
 # ---------------------------------------------------------------------------
 
 def surprisal_score(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                    num_buckets: int = 64, keep_cols=()):
+                    num_buckets: int = 64, keep_cols=(),
+                    min_count: int = 1, method: str = "auto",
+                    broadcast_limit: int = 5_000_000):
     """Per-document unigram surprisal in EXACT bits — the reproducible
     stand-in for the LM-perplexity quality filter (CCNet/Gopher style):
     ``surprisal_bits(doc) = Σ_tokens (⌊log2 N⌋ − ⌊log2 cnt(tok)⌋)``
@@ -765,41 +767,140 @@ def surprisal_score(ds, *, text_col: str = "text", id_col: str = "doc_id",
     reproducible; the engine-wide exactness discipline).
 
     Scale shape: ONE vocabulary-bucketed count fold (``corpus_token_
-    counts``), the (token, ⌊log2 cnt⌋) table broadcasts via ``ray.put``
-    (vocabulary is the worker-fit small side, same contract as
-    ``encode_tokens``), then one stateless scoring pass.  Output
+    counts``), then either a BROADCAST of the (token, ⌊log2 cnt⌋) table
+    via ``ray.put`` + one stateless scoring pass (the worker-fit
+    vocabulary contract, same as ``encode_tokens``), or — when the
+    distinct-token table is NOT worker-fit (raw web text's
+    URL/hash/typo tail) — a token-bucketed JOIN path that never pulls
+    the vocabulary to the driver: per-(doc, token) occurrence partials
+    ⋈ the counts table co-bucketed on token, then one doc-bucketed
+    fold. ``method='auto'`` (the ``line_dedup`` convention) picks by
+    pruned-vocabulary row count against ``broadcast_limit``.
+
+    ``min_count`` prunes tokens below the floor from the table; a
+    pruned/unseen token scores the closed-form default ``l_total −
+    ⌊log2(max(min_count−1, 1))⌋`` (max surprisal). For ``min_count=2``
+    this is EXACT — every pruned token is a hapax with ⌊log2 1⌋ = 0 —
+    and it removes the hapax tail, typically ~half the distinct types
+    of web text; above 2 it is a documented score floor. Output
     (doc_id, n_tokens, surprisal_bits)."""
     import ray
 
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+    )
     from htrc_feature_reader_ray.stages.profile import _ilog2
     from htrc_feature_reader_ray.stages.vocab import corpus_token_counts
 
-    counts = corpus_token_counts(
+    counts_ds = corpus_token_counts(
         ds, text_col=text_col, num_buckets=num_buckets,
-    ).to_pandas().sort_values("token")
-    n_total = int(counts["count"].sum())
+    ).materialize()
+    tot = counts_ds.sum("count")
+    n_total = int(tot) if tot is not None else 0
     l_total = int(_ilog2(np.array([max(n_total, 1)], dtype=np.int64))[0])
-    ref = ray.put((counts["token"].to_numpy(),
-                   _ilog2(counts["count"].to_numpy().astype(np.int64))))
+    default_bits = l_total - int(_ilog2(np.array(
+        [max(min_count - 1, 1)], dtype=np.int64))[0])
+    if min_count > 1:
+        counts_ds = counts_ds.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("count"), min_count)),
+            batch_format="pyarrow")
+    if method == "auto":
+        method = ("broadcast" if counts_ds.count() <= broadcast_limit
+                  else "join")
 
-    def score(batch: pa.Table) -> pa.Table:
-        toks_arr, lbits = ray.get(ref)
-        flat, parent, nrows = _tok_stats(batch, text_col)
+    if method == "broadcast":
+        counts = counts_ds.to_pandas().sort_values("token")
+        ref = ray.put((counts["token"].to_numpy(),
+                       _ilog2(counts["count"].to_numpy()
+                              .astype(np.int64))))
+
+        def score(batch: pa.Table) -> pa.Table:
+            toks_arr, lbits = ray.get(ref)
+            flat, parent, nrows = _tok_stats(batch, text_col)
+            n_tok = np.bincount(
+                parent.astype(np.int64), minlength=nrows).astype(np.int64)
+            bits = np.zeros(nrows, dtype=np.int64)
+            if len(flat):
+                flat_np = flat.to_numpy(zero_copy_only=False)
+                if len(toks_arr):
+                    pos = np.searchsorted(toks_arr, flat_np)
+                    pos_c = np.minimum(pos, len(toks_arr) - 1)
+                    hit = toks_arr[pos_c] == flat_np
+                    per_tok = np.where(hit, l_total - lbits[pos_c],
+                                       default_bits)
+                else:
+                    per_tok = np.full(len(flat_np), default_bits,
+                                      dtype=np.int64)
+                np.add.at(bits, parent.astype(np.int64), per_tok)
+            out = batch.select([id_col, *keep_cols])
+            out = out.append_column(
+                "n_tokens", pa.array(n_tok, type=pa.int64()))
+            return out.append_column(
+                "surprisal_bits", pa.array(bits, type=pa.int64()))
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    if method != "join":
+        raise ValueError(f"unknown method {method!r}")
+
+    # join path: vocabulary never reaches the driver
+    def base(batch: pa.Table) -> pa.Table:
+        _, parent, nrows = _tok_stats(batch, text_col)
         n_tok = np.bincount(
             parent.astype(np.int64), minlength=nrows).astype(np.int64)
-        bits = np.zeros(nrows, dtype=np.int64)
-        if len(flat):
-            pos = np.searchsorted(
-                toks_arr, flat.to_numpy(zero_copy_only=False))
-            np.add.at(bits, parent.astype(np.int64),
-                      l_total - lbits[pos])
         out = batch.select([id_col, *keep_cols])
-        out = out.append_column(
-            "n_tokens", pa.array(n_tok, type=pa.int64()))
         return out.append_column(
-            "surprisal_bits", pa.array(bits, type=pa.int64()))
+            "n_tokens", pa.array(n_tok, type=pa.int64()))
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    base_ds = ds.map_batches(base, batch_format="pyarrow")
+
+    def occ(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        d = batch.column(id_col).take(
+            pa.array(parent.astype(np.int64)))
+        g = pa.table({"__d": d, "token": flat}).group_by(
+            ["__d", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["__d", "token", "n_occ"])
+
+    occ_ds = ds.map_batches(occ, batch_format="pyarrow")
+
+    def with_bits(t: pa.Table) -> pa.Table:
+        lb = _ilog2(t.column("count").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"token": t.column("token"),
+                         "lbits": pa.array(lb, type=pa.int64())})
+
+    joined = bucket_join(
+        occ_ds, counts_ds.map_batches(with_bits, batch_format="pyarrow"),
+        left_key="token", right_key="token",
+        num_buckets=num_buckets, how="left")
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        lb = df["lbits"].fillna(l_total - default_bits).astype("int64")
+        return pd.DataFrame({
+            "__d": df["__d"],
+            "bits": (df["n_occ"].astype("int64")
+                     * (l_total - lb)).astype("int64"),
+        })
+
+    bits_agg = bucketed_aggregate(
+        joined.map_batches(contrib, batch_format="pandas"),
+        ["__d"], {"surprisal_bits": ("bits", "sum")},
+        num_buckets=num_buckets)
+
+    final = bucket_join(base_ds, bits_agg, left_key=id_col,
+                        right_key="__d", num_buckets=num_buckets,
+                        how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["surprisal_bits"] = df["surprisal_bits"].fillna(0).astype(
+            "int64")
+        return df[[id_col, *keep_cols, "n_tokens", "surprisal_bits"]]
+
+    return final.map_batches(finish, batch_format="pandas")
 
 
 def surprisal_score_sql(*, table: str = "documents",
@@ -1588,7 +1689,9 @@ def postings_size_sql(*, table: str = "documents", text_col: str = "text",
 
 
 def freq_subsample(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                   t_ppm: int = 1000, num_buckets: int = 64):
+                   t_ppm: int = 1000, num_buckets: int = 64,
+                   min_count: int = 1, method: str = "auto",
+                   broadcast_limit: int = 5_000_000):
     """Frequent-word subsampling (word2vec's Mikolov rule: drop an
     occurrence of ``w`` with probability ``1 − √(t/f(w))``) made
     REPRODUCIBLE: the keep probability is the exact integer
@@ -1599,67 +1702,187 @@ def freq_subsample(ds, *, text_col: str = "text", id_col: str = "doc_id",
     :func:`token_dropout`, so the subsampled corpus regenerates
     bit-identically and audits in SQL instead of being stored.
 
-    Scale shape: ONE vocabulary-bucketed count fold; the (token,
-    p_keep_ppm) table broadcasts via ``ray.put`` (worker-fit vocabulary
-    contract); the gate + rebuild is one stateless vectorized pass
-    (offset arithmetic + one ``pc.binary_join`` per batch). Output
+    Scale shape: ONE vocabulary-bucketed count fold; then either the
+    (token, p_keep_ppm) table BROADCASTS via ``ray.put`` (worker-fit
+    vocabulary contract) and the gate + rebuild is one stateless
+    vectorized pass (offset arithmetic + one ``pc.binary_join`` per
+    batch), or — unbounded vocab — a token-bucketed JOIN path: the
+    (doc, pos, token) stream ⋈ pkeep co-bucketed on token, then a
+    doc-bucketed reassembly (text crosses twice, the vocabulary never
+    reaches the driver). ``method='auto'`` picks by pruned-vocab row
+    count against ``broadcast_limit`` (the ``line_dedup`` convention).
+
+    ``min_count`` prunes tokens below the floor; a pruned/unseen token
+    is ALWAYS KEPT (p_keep = 10⁶) — semantically EXACT whenever
+    ``(min_count−1)·10⁶ // N ≤ t_ppm`` (a token that rare is at or
+    under the threshold frequency, so the full table would keep it
+    too; at the default t_ppm = 1000 that holds up to min_count ≈
+    N/1000, far past any useful floor). Output
     ``(id, text_sub, n_dropped)``."""
     import math
 
     import ray
 
     from htrc_feature_reader_ray.stages.dedup import md5_hash64
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_map_groups,
+    )
     from htrc_feature_reader_ray.stages.vocab import corpus_token_counts
 
-    counts = corpus_token_counts(
-        ds, text_col=text_col, num_buckets=num_buckets
-    ).to_pandas().sort_values("token", ignore_index=True)
-    N = int(counts["count"].sum())
-    pk = []
-    for c in counts["count"].astype(int):
-        f_ppm = c * 1_000_000 // max(N, 1)
-        if f_ppm <= t_ppm:
-            pk.append(1_000_000)
-        else:
-            pk.append(min(1_000_000,
-                          math.isqrt(t_ppm * 10**12 // f_ppm)))
-    ref = ray.put((counts["token"].to_numpy(),
-                   np.array(pk, dtype=np.int64)))
+    counts_ds = corpus_token_counts(
+        ds, text_col=text_col, num_buckets=num_buckets).materialize()
+    tot = counts_ds.sum("count")
+    N = int(tot) if tot is not None else 0
 
-    def subsample(batch: pa.Table) -> pa.Table:
-        toks_arr, p_keep = ray.get(ref)
-        flat, parent, nrows = _tok_stats(batch, text_col)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        if len(parent) == 0:
+    def pkeep_of(cnt: int) -> int:
+        f_ppm = cnt * 1_000_000 // max(N, 1)
+        if f_ppm <= t_ppm:
+            return 1_000_000
+        return min(1_000_000, math.isqrt(t_ppm * 10**12 // f_ppm))
+
+    if min_count > 1:
+        counts_ds = counts_ds.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("count"), min_count)),
+            batch_format="pyarrow")
+    if method == "auto":
+        method = ("broadcast" if counts_ds.count() <= broadcast_limit
+                  else "join")
+
+    if method == "broadcast":
+        counts = counts_ds.to_pandas().sort_values(
+            "token", ignore_index=True)
+        pk = np.array([pkeep_of(int(c)) for c in counts["count"]],
+                      dtype=np.int64)
+        ref = ray.put((counts["token"].to_numpy(), pk))
+
+        def subsample(batch: pa.Table) -> pa.Table:
+            toks_arr, p_keep = ray.get(ref)
+            flat, parent, nrows = _tok_stats(batch, text_col)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            if len(parent) == 0:
+                return pa.table({
+                    id_col: batch.column(id_col),
+                    "text_sub": pa.array([""] * nrows, type=pa.string()),
+                    "n_dropped": pa.array(np.zeros(nrows, dtype=np.int64)),
+                })
+            toks = flat.to_pylist()
+            doc_ids = ids[parent]
+            counts_b = np.bincount(parent, minlength=nrows)
+            starts = np.concatenate(([0], np.cumsum(counts_b)[:-1]))
+            pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+            h = md5_hash64([f"{d}:{p}:{t}" for d, p, t in
+                            zip(doc_ids, pos, toks)])
+            flat_np = flat.to_numpy(zero_copy_only=False)
+            if len(toks_arr):
+                loc = np.searchsorted(toks_arr, flat_np)
+                loc_c = np.minimum(loc, len(toks_arr) - 1)
+                hit = toks_arr[loc_c] == flat_np
+                # pruned/unseen tokens: always kept (exact when rare
+                # enough to sit under the threshold frequency)
+                pk_tok = np.where(hit, p_keep[loc_c], 1_000_000)
+            else:
+                pk_tok = np.full(len(flat_np), 1_000_000, dtype=np.int64)
+            keep = (h % np.uint64(1_000_000)).astype(np.int64) < pk_tok
+            kept_counts = np.bincount(parent[keep], minlength=nrows)
+            offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+            kept_list = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                flat.take(pa.array(np.flatnonzero(keep))))
+            joined = pc.binary_join(kept_list, " ")
             return pa.table({
                 id_col: batch.column(id_col),
-                "text_sub": pa.array([""] * nrows, type=pa.string()),
-                "n_dropped": pa.array(np.zeros(nrows, dtype=np.int64)),
+                "text_sub": joined,
+                "n_dropped": pa.array(
+                    (counts_b - kept_counts).astype(np.int64)),
             })
-        toks = flat.to_pylist()
-        doc_ids = ids[parent]
+
+        return ds.map_batches(subsample, batch_format="pyarrow")
+
+    if method != "join":
+        raise ValueError(f"unknown method {method!r}")
+
+    # join path: (doc, pos, token) stream gated through a token-bucketed
+    # join; text crosses the cluster twice, the vocab never leaves it
+    def base(batch: pa.Table) -> pa.Table:
+        _, parent, nrows = _tok_stats(batch, text_col)
+        n_tok = np.bincount(
+            parent.astype(np.int64), minlength=nrows).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+        })
+
+    base_ds = ds.map_batches(base, batch_format="pyarrow")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        parent = parent.astype(np.int64)
         counts_b = np.bincount(parent, minlength=nrows)
         starts = np.concatenate(([0], np.cumsum(counts_b)[:-1]))
         pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
-        h = md5_hash64([f"{d}:{p}:{t}" for d, p, t in
-                        zip(doc_ids, pos, toks)])
-        loc = np.searchsorted(
-            toks_arr, flat.to_numpy(zero_copy_only=False))
-        keep = (h % np.uint64(1_000_000)).astype(np.int64) < p_keep[loc]
-        kept_counts = np.bincount(parent[keep], minlength=nrows)
-        offsets = np.concatenate(([0], np.cumsum(kept_counts)))
-        kept_list = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
-            flat.take(pa.array(np.flatnonzero(keep))))
-        joined = pc.binary_join(kept_list, " ")
         return pa.table({
-            id_col: batch.column(id_col),
-            "text_sub": joined,
-            "n_dropped": pa.array(
-                (counts_b - kept_counts).astype(np.int64)),
+            "__d": batch.column(id_col).take(pa.array(parent)),
+            "pos": pa.array(pos, type=pa.int64()),
+            "token": flat,
         })
 
-    return ds.map_batches(subsample, batch_format="pyarrow")
+    def with_pk(t: pa.Table) -> pa.Table:
+        pk = np.array([pkeep_of(int(c)) for c in
+                       t.column("count").to_pylist()], dtype=np.int64)
+        return pa.table({"token": t.column("token"),
+                         "p_keep": pa.array(pk, type=pa.int64())})
+
+    gated = bucket_join(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        counts_ds.map_batches(with_pk, batch_format="pyarrow"),
+        left_key="token", right_key="token",
+        num_buckets=num_buckets, how="left")
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"__d": df["__d"], "pos": df["pos"],
+                                 "token": df["token"]})
+        pk = df["p_keep"].fillna(1_000_000).astype("int64").to_numpy()
+        h = md5_hash64([f"{d}:{p}:{t}" for d, p, t in
+                        zip(df["__d"], df["pos"], df["token"])])
+        keep = (h % np.uint64(1_000_000)).astype(np.int64) < pk
+        out = df.loc[keep, ["__d", "pos", "token"]]
+        return out.reset_index(drop=True)
+
+    kept = gated.map_batches(gate, batch_format="pandas")
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "__d": pd.Series([], dtype=df["__d"].dtype),
+                "text_sub": pd.Series([], dtype=object),
+                "n_kept": pd.Series([], dtype="int64")})
+        df = df.sort_values(["__d", "pos"], kind="mergesort")
+        g = df.groupby("__d", sort=False)
+        out = pd.DataFrame({
+            "text_sub": g["token"].agg(" ".join),
+            "n_kept": g["pos"].size().astype("int64"),
+        }).reset_index().rename(columns={"__d": "__d"})
+        return out
+
+    joined_docs = bucket_join(
+        base_ds,
+        bucketed_map_groups(kept, "__d", reassemble,
+                            num_buckets=num_buckets),
+        left_key=id_col, right_key="__d",
+        num_buckets=num_buckets, how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text_sub"] = df["text_sub"].fillna("")
+        n_kept = df["n_kept"].fillna(0).astype("int64")
+        df["n_dropped"] = (df["n_tokens"].astype("int64")
+                           - n_kept).astype("int64")
+        return df[[id_col, "text_sub", "n_dropped"]]
+
+    return joined_docs.map_batches(finish, batch_format="pandas")
 
 
 def freq_subsample_sql(*, table: str = "documents", text: str = "text",

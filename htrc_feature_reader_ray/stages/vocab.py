@@ -142,21 +142,32 @@ def build_vocab(ds, *, text_col: str = "text", min_count: int = 1,
 
 
 def encode_tokens(ds, vocab, *, text_col: str = "text",
-                  id_col: str = "doc_id", keep_token: bool = True):
+                  id_col: str = "doc_id", keep_token: bool = True,
+                  method: str = "auto",
+                  broadcast_limit: int = 5_000_000,
+                  num_buckets: int = 64):
     """Explode documents to ``(id, pos, [token,] token_id)`` — the integer
     id sequence a trainer consumes. ``vocab`` is the (token, count,
-    token_id) table from :func:`build_vocab` (Dataset or DataFrame); it is
-    the bounded broadcast side (``ray.put`` once, hash-index lookup per
-    batch). Out-of-vocabulary tokens encode as -1 (the unk convention)."""
+    token_id) table from :func:`build_vocab` (Dataset or DataFrame).
+    Out-of-vocabulary tokens encode as -1 (the unk convention).
+
+    Physical plan (``method``): ``'broadcast'`` ships the vocab once via
+    ``ray.put`` and encodes in one stateless pass (the worker-fit
+    vocabulary contract — right for any tokenizer-shaped vocab);
+    ``'join'`` never pulls the vocab anywhere — the exploded (id, pos,
+    token) stream co-buckets with the vocab table on token hash, one
+    exchange, per-bucket merge with -1 fill (the scale path when the
+    vocab is an unpruned raw-web distinct-token table). ``'auto'``
+    (the ``line_dedup`` convention) picks by vocab row count against
+    ``broadcast_limit``."""
     import ray
 
-    vdf = vocab.to_pandas() if hasattr(vocab, "to_pandas") else vocab
-    index = pd.Index(vdf["token"].to_numpy())
-    ids = vdf["token_id"].to_numpy(dtype=np.int64)
-    ref = ray.put((index, ids))
+    vocab_is_ds = hasattr(vocab, "to_pandas") and hasattr(vocab, "count")
+    if method == "auto":
+        n_vocab = vocab.count() if vocab_is_ds else len(vocab)
+        method = "broadcast" if n_vocab <= broadcast_limit else "join"
 
-    def encode(batch: pa.Table) -> pa.Table:
-        idx, vid = ray.get(ref)
+    def explode(batch: pa.Table) -> pa.Table:
         flat, parent, _ = _tok_stats(batch, text_col)
         parent = np.asarray(parent, dtype=np.int64)
         # position within each doc: run-relative arange over parent runs
@@ -170,18 +181,64 @@ def encode_tokens(ds, vocab, *, text_col: str = "text",
             )
         else:
             pos = np.zeros(0, dtype=np.int64)
-        loc = idx.get_indexer(flat.to_numpy(zero_copy_only=False))
-        tid = np.where(loc >= 0, vid[np.maximum(loc, 0)], -1)
-        cols = {
+        return flat, parent, pos
+
+    if method == "broadcast":
+        vdf = vocab.to_pandas() if vocab_is_ds else vocab
+        index = pd.Index(vdf["token"].to_numpy())
+        ids = vdf["token_id"].to_numpy(dtype=np.int64)
+        ref = ray.put((index, ids))
+
+        def encode(batch: pa.Table) -> pa.Table:
+            idx, vid = ray.get(ref)
+            flat, parent, pos = explode(batch)
+            loc = idx.get_indexer(flat.to_numpy(zero_copy_only=False))
+            tid = np.where(loc >= 0, vid[np.maximum(loc, 0)], -1)
+            cols = {
+                id_col: batch.column(id_col).take(pa.array(parent)),
+                "pos": pa.array(pos, type=pa.int64()),
+            }
+            if keep_token:
+                cols["token"] = flat
+            cols["token_id"] = pa.array(tid, type=pa.int64())
+            return pa.table(cols)
+
+        return ds.map_batches(encode, batch_format="pyarrow")
+
+    if method != "join":
+        raise ValueError(f"unknown method {method!r}")
+
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucket_join
+
+    vocab_ds = (vocab if vocab_is_ds
+                else ray.data.from_pandas(pd.DataFrame(vocab)))
+    vocab_slim = vocab_ds.map_batches(
+        lambda t: t.select(["token", "token_id"]).rename_columns(
+            ["token", "__tid"]),
+        batch_format="pyarrow")
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        flat, parent, pos = explode(batch)
+        return pa.table({
             id_col: batch.column(id_col).take(pa.array(parent)),
             "pos": pa.array(pos, type=pa.int64()),
-        }
-        if keep_token:
-            cols["token"] = flat
-        cols["token_id"] = pa.array(tid, type=pa.int64())
-        return pa.table(cols)
+            "token": flat,
+        })
 
-    return ds.map_batches(encode, batch_format="pyarrow")
+    joined = bucket_join(
+        ds.map_batches(to_rows, batch_format="pyarrow"),
+        vocab_slim, left_key="token", right_key="token",
+        num_buckets=num_buckets, how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["token_id"] = df["__tid"].fillna(-1).astype("int64")
+        cols = [id_col, "pos"] + (["token"] if keep_token else [])
+        return df[cols + ["token_id"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 def _vocab_cte(*, table: str, text_col: str, min_count: int) -> str:
