@@ -3749,6 +3749,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             categories=MATRIX_TERMS, value_col="count",
         )
 
+    def q_term_matrix_dense(sf):
+        """Per-entity UNBOUNDED-vocab pivot (the reference's
+        term_page_freqs with page_freq=True incl. fillna(0)), run for a
+        deterministic url subset inside a url-bucketed pass and
+        serialized dense-long — every |snapshots|x|tokens| cell per url
+        including the fillna zeros, binarized presence. The md5 % 17
+        subset keeps the oracle cheap; max_terms guards the wide-row
+        hazard."""
+        import pyarrow.compute as pc  # noqa: F401
+
+        from htrc_feature_reader_ray.stages.dedup import md5_hash64
+        from htrc_feature_reader_ray.stages.fold import term_matrix_dense
+
+        tokens = _folded(sf, section="ignore", pos=False)
+
+        def pick(t):
+            urls = t.column("url").to_pylist()
+            h = md5_hash64(urls)
+            return t.filter(pa.array(h % np.uint64(17) == 0))
+
+        return term_matrix_dense(
+            tokens.map_batches(pick, batch_format="pyarrow"),
+            page_freq=True)
+
     def q_jaccard_join(sf):
         """EXACT set-similarity self-join (3-shingle Jaccard ≥ 0.5) via
         lossless prefix filtering (Vernica et al. SIGMOD'10): candidates
@@ -6444,6 +6468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "snapshot_diff": q_snapshot_diff,
         "term_matrix": q_term_matrix,
+        "term_matrix_dense": q_term_matrix_dense,
         "jaccard_join": q_jaccard_join,
         "dedup_incremental": q_dedup_incremental,
         "lexical_diversity": q_lexical_diversity,
@@ -7349,6 +7374,23 @@ def oracle_sql() -> dict[str, str]:
         + profile_mod.pivot_counts_sql(
             key=["url", "warc_ts"], cat_col="token",
             categories=MATRIX_TERMS, value_col="count", table="tl"),
+        "term_matrix_dense": TOK_PRE + """,
+        tl AS (
+          SELECT url, warc_ts, token, count(*)::BIGINT AS count
+          FROM tokpos
+          WHERE md5_number_upper(url) % 17 = 0
+          GROUP BY ALL
+        ),
+        axes_ts AS (SELECT DISTINCT url, warc_ts FROM tl),
+        axes_tok AS (SELECT DISTINCT url, token FROM tl)
+        SELECT a.url, a.warc_ts, b.token,
+               CASE WHEN c.count IS NULL THEN 0 ELSE 1 END::BIGINT
+                   AS count
+        FROM axes_ts a
+        JOIN axes_tok b USING (url)
+        LEFT JOIN tl c
+          ON c.url = a.url AND c.warc_ts = a.warc_ts
+         AND c.token = b.token""",
         "jaccard_join": dedup_mod.jaccard_join_sql(threshold_ppm=500_000),
         "dedup_incremental": dedup_mod.jaccard_join_sql(
             threshold_ppm=500_000,

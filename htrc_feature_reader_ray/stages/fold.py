@@ -226,6 +226,71 @@ def term_snapshot_matrix(tokens_ds, url: str, *, page_freq: bool = False):
     return wide.fillna(0).astype("int64")
 
 
+def term_matrix_dense(tokens_ds, *, page_freq: bool = False,
+                      max_terms: int = 10_000, num_buckets: int = 32):
+    """DISTRIBUTED per-entity wide pivot, serialized dense-long — the
+    reference's ``term_page_freqs`` (feature_reader.py:723-733) for EVERY
+    url at once, without the corpus-wide wide-row blow-up
+    (:func:`term_snapshot_matrix` handles the one-url driver-side case;
+    this runs the SAME pandas pivot per entity INSIDE a url-bucketed
+    pass). Output is the dense long serialization ``(url, warc_ts,
+    token, count)`` containing every cell of each per-entity matrix —
+    INCLUDING the ``fillna(0)`` zeros, which is precisely what
+    distinguishes the pivot from a plain long-form fold: each url
+    contributes its full |snapshots| × |tokens| cross product, 0 where
+    the token never occurs in that snapshot, presence-binarized when
+    ``page_freq=True``.
+
+    Wide-row hazard (SURVEY §7.5.4): an entity's matrix width is its
+    distinct-token count; ``max_terms`` caps it and raises rather than
+    letting one giant entity materialize an unbounded row — the cap is
+    part of the contract.
+
+    Scale shape: ONE url-bucketed exchange of the folded long rows; the
+    pivot+melt runs per entity inside the bucket (an entity's matrix is
+    worker-fit BY CONTRACT via max_terms); output streams back out
+    dense-long."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    def per_bucket(df):
+        import pandas as pd
+
+        outs = []
+        for url, g in df.groupby("url", sort=False):
+            grouped = g.groupby(
+                ["warc_ts", "token"], as_index=False)["count"].sum()
+            if page_freq:
+                grouped["count"] = 1
+            wide = grouped.pivot(index="warc_ts", columns="token",
+                                 values="count")
+            if wide.shape[1] > max_terms:
+                raise ValueError(
+                    f"term_matrix_dense: entity {url!r} has "
+                    f"{wide.shape[1]} distinct tokens > max_terms="
+                    f"{max_terms} (wide-row hazard; raise max_terms "
+                    f"only if a {wide.shape[1]}-column row is truly "
+                    f"worker-fit)")
+            wide = wide.fillna(0).astype("int64")
+            long = wide.reset_index().melt(
+                id_vars="warc_ts", var_name="token", value_name="count")
+            long.insert(0, "url", url)
+            outs.append(long)
+        if not outs:
+            import pandas as pd
+
+            return pd.DataFrame({
+                "url": pd.Series([], dtype=object),
+                "warc_ts": pd.Series([], dtype="datetime64[us]"),
+                "token": pd.Series([], dtype=object),
+                "count": pd.Series([], dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        out["count"] = out["count"].astype("int64")
+        return out
+
+    return bucketed_map_groups(tokens_ds, "url", per_bucket,
+                               num_buckets=num_buckets)
+
+
 def distinct_tokens(tokens_ds, *, min_count: int = 1, case: bool = True):
     """Distinct tokens with a minimum total-count threshold — the reference's
     ``Volume.tokens(min_count=…)`` (feature_reader.py:559-568) at corpus

@@ -106,3 +106,42 @@ def test_hopping_window_membership():
     # windows: 23:00 (events 1,2), 00:00 (all 3), 01:00 (event 3)
     assert out["v"].tolist() == [30, 60, 30]
     assert out["n_events"].tolist() == [2, 3, 1]
+
+
+def test_term_matrix_dense_matches_per_url_pivot(sf_dir):
+    import pandas as pd
+    import pytest
+
+    from htrc_feature_reader_ray.stages.fold import term_matrix_dense
+
+    tokens = tokens_from_pages(sf_dir, via_html=False)
+    long = (term_matrix_dense(tokens, page_freq=False).to_pandas()
+            .sort_values(["url", "warc_ts", "token"])
+            .reset_index(drop=True))
+    # dense-long serialization == every per-url term_snapshot_matrix cell
+    urls = sorted(long["url"].unique())
+    assert len(urls) > 1  # multi-entity, not a one-url special case
+    for url in urls[:3]:
+        wide = term_snapshot_matrix(tokens, url)
+        got = (long[long["url"] == url]
+               .pivot(index="warc_ts", columns="token", values="count"))
+        got.index = pd.to_datetime(got.index)
+        pd.testing.assert_frame_equal(
+            got.sort_index(), wide.sort_index(), check_names=False)
+    # zeros are real (fillna cells present), and page_freq binarizes
+    pres = term_matrix_dense(tokens, page_freq=True).to_pandas()
+    assert set(pres["count"].unique()) <= {0, 1}
+    assert len(pres) == len(long)  # same dense cross product
+
+    # wide-row hazard: a vocab cap below any entity's width raises
+    with pytest.raises(ValueError, match="max_terms"):
+        term_matrix_dense(tokens, max_terms=2).to_pandas()
+
+
+def test_term_matrix_dense_parity(duck, sf_dir):
+    import __ray_entry__ as m
+    from tests.util import assert_frames_match, to_pandas
+
+    got = to_pandas(m.queries()["term_matrix_dense"](sf_dir))
+    oracle = duck.execute(m.oracle_sql()["term_matrix_dense"]).df()
+    assert_frames_match(got, oracle)
