@@ -5425,6 +5425,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               concurrency=(1, 4))
         return feats.select_columns(["media_id", "n_pixels", "pixel_sum"])
 
+    def q_multimodal_audio(sf):
+        """Audio decode plumbing end-to-end (the DecodeImage sibling):
+        documents' text bytes become PCM-shaped audio payloads (LE int16
+        pairs via FakeAudioCodec — the frozen audio protocol's
+        deterministic stand-in), the actor-pool stage projects exact
+        integer clip features, and SQL re-derives every sample from
+        ord(char) pairs. Real-codec swap = pass a different
+        codec_factory; the Ray plumbing is identical."""
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.multimodal import (
+            FakeAudioCodec,
+            decode_audio,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        )
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            n_chars = batch.column("n_chars").to_numpy()
+            payloads = [t.encode("utf-8")
+                        for t in batch.column("text").to_pylist()]
+            return pa.table({
+                "media_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "sample_rate": pa.array(
+                    ((n_chars % 3 + 1) * 8000).astype(np.int32)),
+            })
+
+        media = docs.map_batches(to_media, batch_format="pyarrow")
+        return decode_audio(media, codec_factory=FakeAudioCodec,
+                            concurrency=(1, 4))
+
+    def q_multimodal_frames(sf):
+        """Video frame-sampling + per-frame decode end-to-end: the
+        SampleFrames actor pool walks frame_sample's timestamp grid
+        (max(1, duration//1000) frames at 1s steps) and decodes each
+        frame through the frozen video protocol (FakeVideoCodec: frame
+        at t = payload tiled circularly from offset t mod blen — frames
+        genuinely differ by timestamp); SQL replays the circular-window
+        byte sum per frame. doc_id % 3 subset keeps the per-char
+        unnest oracle cheap."""
+        import pyarrow.compute as pc  # noqa: F401
+
+        import ray.data
+
+        from htrc_feature_reader_ray.stages.multimodal import (
+            FakeVideoCodec,
+            sample_frames,
+        )
+
+        docs = ray.data.read_parquet(
+            f"{sf}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        )
+
+        def to_media(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            keep = ids % 3 == 0
+            batch = batch.filter(pa.array(keep))
+            n_chars = batch.column("n_chars").to_numpy()
+            payloads = [t.encode("utf-8")
+                        for t in batch.column("text").to_pylist()]
+            return pa.table({
+                "media_id": batch.column("doc_id"),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "width": pa.array(
+                    np.full(len(payloads), 16, dtype=np.int32)),
+                "height": pa.array((n_chars % 8 + 1).astype(np.int32)),
+                "duration_ms": pa.array(
+                    ((n_chars % 7 + 1) * 1500).astype(np.int32)),
+            })
+
+        media = docs.map_batches(to_media, batch_format="pyarrow")
+        return sample_frames(media, codec_factory=FakeVideoCodec,
+                             every_ms=1000, concurrency=(1, 4))
+
     def q_image_phash(sf):
         """Perceptual-hash image dedup plumbing end-to-end: media table →
         resize actor pool (8×8 raw pixels) → exact-integer aHash
@@ -6555,6 +6632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": q_customers_without_orders,
         "metadata": q_metadata,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
         "image_phash": q_image_phash,
         "image_dedup_pairs": q_image_dedup_pairs,
         "sniff_content_type": q_sniff_content_type,
@@ -8571,6 +8650,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, n::BIGINT AS n_pixels,
                    ((n // blen) * total + prefix)::BIGINT AS pixel_sum
             FROM b""",
+        "multimodal_audio": """
+            WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS blen,
+                     ((n_chars % 3) + 1) * 8000 AS sr
+              FROM documents
+            ), s AS (
+              SELECT media_id,
+                     count(*)::BIGINT AS n_samples,
+                     sum(ord(substr(text, 2 * t.i - 1, 1))
+                         + 256 * ord(substr(text, 2 * t.i, 1)))::BIGINT
+                         AS sample_sum,
+                     max(ord(substr(text, 2 * t.i - 1, 1))
+                         + 256 * ord(substr(text, 2 * t.i, 1)))::BIGINT
+                         AS peak_abs
+              FROM m, LATERAL unnest(range(1, blen // 2 + 1)) AS t(i)
+              GROUP BY 1
+            )
+            SELECT m.media_id,
+                   coalesce(s.n_samples, 0)::BIGINT AS n_samples,
+                   (coalesce(s.n_samples, 0) * 1000 // m.sr)::BIGINT
+                       AS duration_ms,
+                   coalesce(s.sample_sum, 0)::BIGINT AS sample_sum,
+                   coalesce(s.peak_abs, 0)::BIGINT AS peak_abs
+            FROM m LEFT JOIN s USING (media_id)""",
+        "multimodal_frames": """
+            WITH m AS (
+              SELECT doc_id AS media_id, text, length(text) AS blen,
+                     16 * ((n_chars % 8) + 1) AS n,
+                     greatest(1, ((n_chars % 7 + 1) * 1500) // 1000)
+                         AS n_frames
+              FROM documents WHERE doc_id % 3 = 0
+            ), ch AS (
+              SELECT media_id, t.i - 1 AS p,
+                     ord(substr(text, t.i, 1))::BIGINT AS o
+              FROM m, LATERAL unnest(range(1, blen + 1)) AS t(i)
+            ), fr AS (
+              SELECT media_id, (f.f * 1000)::BIGINT AS frame_ms,
+                     n, blen
+              FROM m, LATERAL unnest(range(0, n_frames)) AS f(f)
+            ), px AS (
+              SELECT fr.media_id, fr.frame_ms,
+                     max(fr.n)::BIGINT AS n, max(fr.blen) AS blen,
+                     sum(ch.o)::BIGINT AS total,
+                     sum(CASE WHEN ((ch.p - fr.frame_ms % fr.blen)
+                                    % fr.blen + fr.blen) % fr.blen
+                                   < fr.n % fr.blen
+                              THEN ch.o ELSE 0 END)::BIGINT AS win
+              FROM fr JOIN ch USING (media_id)
+              GROUP BY 1, 2
+            )
+            SELECT media_id, frame_ms, n AS n_pixels,
+                   ((n // blen) * total + win)::BIGINT AS pixel_sum
+            FROM px""",
         "image_phash": """
             WITH m AS (
               SELECT doc_id AS media_id, text, length(text) AS blen,

@@ -42,6 +42,24 @@ def media_batch_size(payload_bytes: int, *, worker_heap_bytes: int = 512 << 20,
     return max(1, int(worker_heap_bytes / (payload_bytes * safety)))
 
 
+# ---------------------------------------------------------------------------
+# FROZEN decoder protocols — the bind-later contract for real codecs.
+#
+# Any object satisfying the relevant protocol slots into the actor stages
+# unchanged (pass its factory as ``codec_factory``); the fakes below and the
+# PIL-shaped adapter prove the contract in-sandbox, a real PIL/libvips/
+# soundfile binding satisfies it outside.
+#
+#   image codec:  decode(payload: bytes, width: int, height: int)
+#                     -> np.ndarray[uint8, (height, width)]
+#   audio codec:  decode(payload: bytes, sample_rate: int)
+#                     -> np.ndarray[int16, (n_samples,)]   (PCM mono)
+#   video codec:  decode_frame(payload: bytes, frame_ms: int,
+#                              width: int, height: int)
+#                     -> np.ndarray[uint8, (height, width)]
+# ---------------------------------------------------------------------------
+
+
 class FakeImageCodec:
     """Deterministic stand-in codec: 'decodes' payload bytes to a fake pixel
     array whose stats depend only on the bytes (so tests are exact)."""
@@ -51,6 +69,55 @@ class FakeImageCodec:
         n = max(1, int(width) * int(height))
         reps = -(-n // max(1, len(arr)))
         return np.tile(arr, reps)[:n].reshape(int(height), int(width))
+
+
+class PilShapedCodec:
+    """Adapter binding any PIL-shaped imaging API to the frozen image
+    protocol: the wrapped module needs only ``open(io.BytesIO(payload))``
+    returning an array-convertible image (``np.asarray(img)`` — PIL
+    images satisfy this via ``__array_interface__``). Outside the sandbox
+    this is ``PilShapedCodec(PIL.Image)``; in tests a fake PIL-shaped
+    module proves the adapter contract. Grayscale output: RGB-shaped
+    arrays collapse by exact integer mean (sum // channels)."""
+
+    def __init__(self, pil_module) -> None:
+        self.pil = pil_module
+
+    def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        import io
+
+        img = self.pil.open(io.BytesIO(payload))
+        arr = np.asarray(img)
+        if arr.ndim == 3:  # (h, w, channels) -> exact-integer grayscale
+            arr = (arr.sum(axis=2, dtype=np.int64)
+                   // arr.shape[2]).astype(np.uint8)
+        return arr.astype(np.uint8, copy=False)
+
+
+class FakeAudioCodec:
+    """Deterministic audio stand-in: payload bytes -> little-endian int16
+    PCM mono samples (odd trailing byte dropped) — byte-exact, so every
+    downstream feature is SQL-replayable from the payload bytes."""
+
+    def decode(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        return np.frombuffer(
+            payload[: len(payload) & ~1], dtype="<i2")
+
+
+class FakeVideoCodec:
+    """Deterministic video stand-in: the frame at ``frame_ms`` is the
+    payload bytes tiled circularly starting at offset ``frame_ms mod
+    len(payload)`` — frames genuinely differ by timestamp while staying
+    exactly replayable (the image fake is the frame_ms=0 case)."""
+
+    def decode_frame(self, payload: bytes, frame_ms: int,
+                     width: int, height: int) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if len(arr) == 0:
+            arr = np.zeros(1, dtype=np.uint8)
+        n = max(1, int(width) * int(height))
+        idx = (int(frame_ms) + np.arange(n, dtype=np.int64)) % len(arr)
+        return arr[idx].reshape(int(height), int(width))
 
 
 class DecodeImage:
@@ -162,6 +229,120 @@ def resize_images(media_ds, *, out_w: int, out_h: int, codec_factory=None,
         ResizeImages,
         fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h,
                                    codec_factory=codec_factory),
+        batch_format="pyarrow",
+        batch_size=media_batch_size(payload_bytes),
+        concurrency=concurrency,
+    )
+
+
+class DecodeAudio:
+    """Actor-pool stage symmetric to :class:`DecodeImage`: audio payload →
+    per-clip features ``(media_id, n_samples, duration_ms, sample_sum,
+    peak_abs)``. Codec loaded ONCE per actor; all projections are exact
+    integers (oracle-checkable): ``duration_ms = n·1000 // sample_rate``,
+    ``sample_sum = Σ samples`` (int64), ``peak_abs = max |sample|`` (0 for
+    an empty clip).
+
+    With no codec available this raises NotImplementedError at init —
+    the documented stub behavior for this container; pass
+    ``codec_factory=FakeAudioCodec`` for the deterministic stand-in or
+    any object satisfying the frozen audio protocol."""
+
+    def __init__(self, codec_factory=None) -> None:
+        if codec_factory is None:
+            raise NotImplementedError(
+                "no audio codec in this environment; pass "
+                "codec_factory=FakeAudioCodec for the deterministic stub"
+            )
+        self.codec = codec_factory()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        srs = batch.column("sample_rate").to_pylist()
+        k = len(payloads)
+        n = np.empty(k, dtype=np.int64)
+        dur = np.empty(k, dtype=np.int64)
+        ssum = np.empty(k, dtype=np.int64)
+        peak = np.empty(k, dtype=np.int64)
+        for i, (p, sr) in enumerate(zip(payloads, srs)):
+            s = self.codec.decode(p, sr)
+            n[i] = len(s)
+            dur[i] = len(s) * 1000 // max(int(sr), 1)
+            ssum[i] = int(s.sum(dtype=np.int64))
+            peak[i] = int(np.abs(s.astype(np.int64)).max()) if len(s) else 0
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_samples": pa.array(n, type=pa.int64()),
+            "duration_ms": pa.array(dur, type=pa.int64()),
+            "sample_sum": pa.array(ssum, type=pa.int64()),
+            "peak_abs": pa.array(peak, type=pa.int64()),
+        })
+
+
+def decode_audio(media_ds, *, codec_factory=None, concurrency=(1, 4),
+                 payload_bytes: int = 1 << 20):
+    """Run the audio-decode actor pool (memory-aware batch size, codec
+    loaded once per actor) — the :func:`decode_images` sibling."""
+    return media_ds.map_batches(
+        DecodeAudio,
+        fn_constructor_kwargs=dict(codec_factory=codec_factory),
+        batch_format="pyarrow",
+        batch_size=media_batch_size(payload_bytes),
+        concurrency=concurrency,
+    )
+
+
+class SampleFrames:
+    """Actor-pool stage: video payload → one row PER SAMPLED FRAME with
+    exact per-frame features — :func:`frame_sample` plans the timestamp
+    grid (``max(1, duration_ms // every_ms)`` frames at ``every_ms``
+    steps); this stage additionally DECODES each planned frame through
+    the frozen video protocol (``decode_frame``) and projects
+    ``(media_id, frame_ms, n_pixels, pixel_sum)``. Codec loaded once per
+    actor; with no codec this raises NotImplementedError at init
+    (``FakeVideoCodec`` is the deterministic stand-in)."""
+
+    def __init__(self, codec_factory=None, *, every_ms: int = 1000) -> None:
+        if codec_factory is None:
+            raise NotImplementedError(
+                "no video codec in this environment; pass "
+                "codec_factory=FakeVideoCodec for the deterministic stub"
+            )
+        self.codec = codec_factory()
+        self.every_ms = int(every_ms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        dur = batch.column("duration_ms").to_numpy(zero_copy_only=False)
+        o_id, o_ms, o_np, o_ps = [], [], [], []
+        for i, (p, w, h) in enumerate(zip(payloads, ws, hs)):
+            n_frames = max(1, int(np.nan_to_num(dur[i])) // self.every_ms)
+            for f in range(n_frames):
+                ms = f * self.every_ms
+                px = self.codec.decode_frame(p, ms, w, h)
+                o_id.append(int(ids[i]))
+                o_ms.append(ms)
+                o_np.append(px.size)
+                o_ps.append(int(px.sum(dtype=np.int64)))
+        return pa.table({
+            "media_id": pa.array(o_id, type=pa.int64()),
+            "frame_ms": pa.array(o_ms, type=pa.int64()),
+            "n_pixels": pa.array(o_np, type=pa.int64()),
+            "pixel_sum": pa.array(o_ps, type=pa.int64()),
+        })
+
+
+def sample_frames(media_ds, *, codec_factory=None, every_ms: int = 1000,
+                  concurrency=(1, 4), payload_bytes: int = 1 << 20):
+    """Run the frame-sample+decode actor pool (memory-aware batch size;
+    output rows = planned frame grid of :func:`frame_sample`)."""
+    return media_ds.map_batches(
+        SampleFrames,
+        fn_constructor_kwargs=dict(codec_factory=codec_factory,
+                                   every_ms=every_ms),
         batch_format="pyarrow",
         batch_size=media_batch_size(payload_bytes),
         concurrency=concurrency,

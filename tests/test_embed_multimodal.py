@@ -266,3 +266,120 @@ def test_sniff_content_type_branches():
         "application/octet-stream", "application/octet-stream",
         "application/zip", "application/gzip", "text/plain"]
     assert out["payload_bytes"].tolist() == [len(p) for p in pl]
+
+
+# ---------------------------------------------------------------------------
+# frozen codec protocols: PIL-shaped adapter + audio + per-frame decode
+
+
+def _fake_pil_module():
+    """Second fake mimicking the PIL-shaped API (`open(BytesIO) -> img`
+    with an array-convertible image): proves ANY object satisfying the
+    protocol slots into the adapter. Defined INSIDE a function so
+    cloudpickle ships the classes by VALUE to Ray workers (a
+    test-module-level class would pickle by reference to a module the
+    workers can't import — the actor pool would restart forever)."""
+
+    class _FakePilImage:
+        def __init__(self, arr):
+            self._arr = np.ascontiguousarray(arr)
+            self.__array_interface__ = self._arr.__array_interface__
+
+    class _FakePilModule:
+        @staticmethod
+        def open(fp):
+            data = np.frombuffer(fp.read(), dtype=np.uint8)
+            h, w = 4, 6
+            n = h * w * 3
+            reps = -(-n // max(1, len(data)))
+            return _FakePilImage(np.tile(data, reps)[:n].reshape(h, w, 3))
+
+    return _FakePilModule
+
+
+def test_pil_shaped_adapter_slots_into_decode_stage():
+    from htrc_feature_reader_ray.stages.multimodal import PilShapedCodec
+
+    _FakePilModule = _fake_pil_module()
+    payload = bytes(range(40))
+    codec = PilShapedCodec(_FakePilModule)
+    px = codec.decode(payload, 6, 4)
+    assert px.shape == (4, 6) and px.dtype == np.uint8
+    # grayscale collapse is the exact integer channel mean
+    rgb = np.asarray(_FakePilModule.open(__import__("io").BytesIO(payload)))
+    want = (rgb.sum(axis=2, dtype=np.int64) // 3).astype(np.uint8)
+    assert (px == want).all()
+
+    # and the adapter satisfies the frozen protocol end-to-end through
+    # the SAME actor stage the fakes use
+    media = synth_media(8)
+    ds = ray.data.from_arrow(media)
+    out = decode_images(
+        ds, codec_factory=lambda: PilShapedCodec(_FakePilModule),
+        concurrency=2).to_pandas()
+    assert len(out) == 8
+    assert (out["n_pixels"] == 24).all()  # adapter's own (4, 6) geometry
+
+
+def test_decode_audio_exact_and_requires_codec():
+    from htrc_feature_reader_ray.stages.multimodal import (
+        DecodeAudio,
+        FakeAudioCodec,
+        decode_audio,
+    )
+
+    with pytest.raises(NotImplementedError):
+        DecodeAudio()
+
+    tbl = pa.table({
+        "media_id": pa.array([0, 1, 2], type=pa.int64()),
+        "payload": pa.array(
+            [b"\x01\x02\x03\x04\x05", b"", b"\xff\xff"],
+            type=pa.binary()),
+        "sample_rate": pa.array([8000, 16000, 8000], type=pa.int32()),
+    })
+    out = (decode_audio(ray.data.from_arrow(tbl),
+                        codec_factory=FakeAudioCodec, concurrency=1)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    # row 0: LE int16 pairs (0x0201, 0x0403), odd byte dropped
+    assert out.loc[0, "n_samples"] == 2
+    assert out.loc[0, "sample_sum"] == 0x0201 + 0x0403
+    assert out.loc[0, "peak_abs"] == 0x0403
+    assert out.loc[0, "duration_ms"] == 2 * 1000 // 8000
+    # row 1: empty clip -> all zeros
+    assert tuple(out.loc[1, ["n_samples", "sample_sum", "peak_abs"]]) \
+        == (0, 0, 0)
+    # row 2: 0xffff is -1 as int16 -> sum -1, peak 1
+    assert out.loc[2, "sample_sum"] == -1 and out.loc[2, "peak_abs"] == 1
+
+
+def test_sample_frames_decodes_planned_grid():
+    from htrc_feature_reader_ray.stages.multimodal import (
+        FakeVideoCodec,
+        SampleFrames,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        SampleFrames()
+
+    media = synth_media(12)
+    ds = ray.data.from_arrow(media)
+    out = (sample_frames(ds, codec_factory=FakeVideoCodec, every_ms=1000)
+           .to_pandas())
+    # row grid == frame_sample's plan exactly
+    plan = frame_sample(ds, every_ms=1000).to_pandas()
+    assert (out[["media_id", "frame_ms"]]
+            .sort_values(["media_id", "frame_ms"]).to_numpy().tolist()
+            == plan.sort_values(["media_id", "frame_ms"])
+            .to_numpy().tolist())
+    # per-frame pixel_sum replays the circular tile from offset frame_ms
+    codec = FakeVideoCodec()
+    row = out.sort_values(["media_id", "frame_ms"]).iloc[3]
+    payload = media.column("payload")[int(row["media_id"])].as_py()
+    px = codec.decode_frame(payload, int(row["frame_ms"]), 16, 8)
+    assert int(row["pixel_sum"]) == int(px.sum(dtype=np.int64))
+    assert int(row["n_pixels"]) == 16 * 8
+    # frames of one clip genuinely differ (offset walks the payload)
+    sums = out[out["media_id"] == out["media_id"].max()]["pixel_sum"]
+    assert len(sums) == 1 or sums.nunique() > 1
