@@ -54,6 +54,67 @@ class HashEmbeddingModel:
         return out
 
 
+class MmapWordVectors:
+    """Real-model loader contract: a gensim-KeyedVectors-shaped
+    word-embedding model as a MEMORY-MAPPED array + token index — the
+    shape reference ``transformations.py:16-24`` consumes (``model[vocab]``
+    over an in-memory KeyedVectors), made multi-actor-friendly:
+
+    * ``{path}.npy`` — the (V, dim) vector matrix, loaded once per actor
+      in ``__init__`` via ``np.load(mmap_mode='r')``: the OS page cache
+      shares the READ-ONLY pages across every actor replica on a node,
+      so a multi-GB model costs one physical copy per node, not one per
+      actor;
+    * ``{path}.vocab`` — one token per line (utf-8), line i ↔ row i.
+
+    Satisfies the :class:`ChunkEmbedder` model protocol (``dim``,
+    ``vectors(tokens)``) plus the optional ``contains(tokens)`` mask —
+    with it, OOV tokens contribute nothing AND don't count toward
+    ``min_tokens`` (the reference's in-vocab filter,
+    transformations.py:26-34). ``HashEmbeddingModel`` (no ``contains``:
+    every token is in-vocab by construction) stays the test/oracle stub.
+    """
+
+    def __init__(self, path: str) -> None:
+        self.mat = np.load(f"{path}.npy", mmap_mode="r")
+        if self.mat.ndim != 2:
+            raise ValueError(
+                f"MmapWordVectors: expected (V, dim) matrix at "
+                f"{path}.npy, got shape {self.mat.shape}")
+        self.dim = int(self.mat.shape[1])
+        with open(f"{path}.vocab", encoding="utf-8") as f:
+            toks = f.read().splitlines()
+        if len(toks) != self.mat.shape[0]:
+            raise ValueError(
+                f"MmapWordVectors: vocab has {len(toks)} tokens but "
+                f"matrix has {self.mat.shape[0]} rows")
+        self.index = {t: i for i, t in enumerate(toks)}
+
+    @staticmethod
+    def save(path: str, tokens, matrix: np.ndarray) -> None:
+        """Write the ``{path}.npy`` + ``{path}.vocab`` pair (the format
+        ``__init__`` memory-maps)."""
+        tokens = list(tokens)
+        matrix = np.asarray(matrix)
+        if matrix.ndim != 2 or matrix.shape[0] != len(tokens):
+            raise ValueError("save: matrix must be (len(tokens), dim)")
+        np.save(f"{path}.npy", matrix)
+        with open(f"{path}.vocab", "w", encoding="utf-8") as f:
+            f.write("\n".join(tokens))
+
+    def contains(self, tokens: np.ndarray) -> np.ndarray:
+        return np.fromiter((t in self.index for t in tokens),
+                           dtype=bool, count=len(tokens))
+
+    def vectors(self, tokens: np.ndarray) -> np.ndarray:
+        out = np.zeros((len(tokens), self.dim), dtype=np.float64)
+        for i, t in enumerate(tokens):
+            j = self.index.get(t)
+            if j is not None:
+                out[i] = self.mat[j]
+        return out
+
+
 class ChunkEmbedder:
     """Actor-pool stage: chunk tokenlist rows -> one embedding per chunk.
 
@@ -111,12 +172,23 @@ class ChunkEmbedder:
         vmat = self._vecs(np.asarray(vocab, dtype=object))  # (V, dim)
         counts = df["count"].to_numpy(dtype=np.float64)
         w = np.log1p(counts) if self.log else counts
+        if hasattr(self.model, "contains"):
+            # real-model vocab filter (reference transformations.py:26-34):
+            # OOV rows contribute nothing and don't count toward
+            # min_tokens; the group row itself survives (zero-vector
+            # placeholder when everything is OOV)
+            match = self.model.contains(
+                np.asarray(vocab, dtype=object))[tcodes]
+            w = w * match
+        else:
+            match = np.ones(len(tcodes), dtype=bool)
         contrib = vmat[tcodes] * w[:, None]  # (rows, dim)
         order = np.argsort(codes, kind="stable")
         c_sorted = codes[order]
         starts = np.flatnonzero(np.r_[True, c_sorted[1:] != c_sorted[:-1]])
         sums = np.add.reduceat(contrib[order], starts, axis=0)  # (G, dim)
-        sizes = np.diff(np.r_[starts, len(c_sorted)])
+        sizes = np.add.reduceat(
+            match[order].astype(np.int64), starts)  # in-vocab matches
         sums[sizes < self.min_tokens] = 0.0
         first_rows = order[starts]  # one representative row per group
         out = df.iloc[first_rows][self.group_cols].reset_index(drop=True)

@@ -383,3 +383,86 @@ def test_sample_frames_decodes_planned_grid():
     # frames of one clip genuinely differ (offset walks the payload)
     sums = out[out["media_id"] == out["media_id"].max()]["pixel_sum"]
     assert len(sums) == 1 or sums.nunique() > 1
+
+
+# ---------------------------------------------------------------------------
+# MmapWordVectors: real-model loader contract (memory-mapped gensim shape)
+
+
+def test_mmap_word_vectors_loader_contract(tmp_path):
+    from htrc_feature_reader_ray.stages.embed import (
+        ChunkEmbedder,
+        MmapWordVectors,
+    )
+
+    rng = np.random.RandomState(3)
+    toks = ["alpha", "beta", "gamma"]
+    mat = rng.randn(3, 4)
+    path = str(tmp_path / "wem")
+    MmapWordVectors.save(path, toks, mat)
+
+    m = MmapWordVectors(path)
+    assert m.dim == 4
+    # np.load(mmap_mode='r') really memory-maps (shared read-only pages)
+    assert isinstance(m.mat, np.memmap)
+    assert list(m.contains(np.array(["alpha", "nope", "gamma"],
+                                    dtype=object))) == [True, False, True]
+    v = m.vectors(np.array(["beta", "nope"], dtype=object))
+    assert np.allclose(v[0], mat[1]) and (v[1] == 0).all()
+
+    # slots into the SAME embedder stage; OOV contributes nothing and
+    # doesn't count toward min_tokens (zero-vector placeholder)
+    df = pd.DataFrame({
+        "url": ["u1"] * 3 + ["u2"] * 2,
+        "chunk": [1, 1, 1, 1, 1],
+        "token": ["alpha", "beta", "zzz_oov", "zzz_oov", "qqq_oov"],
+        "count": [2, 1, 5, 3, 3],
+    })
+    emb = ChunkEmbedder(model_factory=lambda: MmapWordVectors(path),
+                        min_tokens=1, stop=False)
+    out = emb(df).sort_values("url").reset_index(drop=True)
+    assert len(out) == 2
+    want_u1 = np.log1p(2) * mat[0] + np.log1p(1) * mat[1]
+    assert np.allclose(np.stack(out["embedding"])[0], want_u1)
+    # u2 is all-OOV: present with the zero-vector placeholder
+    assert (np.stack(out["embedding"])[1] == 0).all()
+
+    # format guards
+    with pytest.raises(ValueError, match="vocab has"):
+        MmapWordVectors.save(path + "_bad", toks, mat)
+        with open(path + "_bad.vocab", "w") as f:
+            f.write("only_one")
+        MmapWordVectors(path + "_bad")
+
+
+def test_mmap_word_vectors_through_actor_pool(tmp_path):
+    """The mmap model loads once per actor in __init__ and the actor-pool
+    pipeline produces the same embeddings as a driver-side ChunkEmbedder."""
+    from htrc_feature_reader_ray.stages.embed import (
+        ChunkEmbedder,
+        MmapWordVectors,
+        chunk_embeddings,
+    )
+
+    rng = np.random.RandomState(4)
+    toks = [f"t{i}" for i in range(20)]
+    path = str(tmp_path / "wem2")
+    MmapWordVectors.save(path, toks, rng.randn(20, 6))
+
+    rows = pd.DataFrame({
+        "url": np.repeat([f"u{i}" for i in range(10)], 4),
+        "chunk": 1,
+        "token": rng.choice(toks + ["oov1", "oov2"], 40),
+        "count": rng.randint(1, 5, 40),
+    })
+    ds = ray.data.from_pandas(rows)  # single block: groups batch-local
+    got = (chunk_embeddings(ds, dim=6,
+                            model_factory=lambda: MmapWordVectors(path),
+                            stop=False)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    want = (ChunkEmbedder(model_factory=lambda: MmapWordVectors(path),
+                          stop=False)(rows)
+            .sort_values("url").reset_index(drop=True))
+    assert len(got) == 10
+    assert np.allclose(np.stack(got["embedding"]),
+                       np.stack(want["embedding"]))
