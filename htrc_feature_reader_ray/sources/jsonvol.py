@@ -260,6 +260,140 @@ class CachedResolver:
             return self.preferred.open(url)
 
 
+#: Line-char JSON key spellings by schema version — the reference's 3-way
+#: branch (parsers.py:397-402): its '3.0' schema uses the asymmetric
+#: beginCharCounts/endCharCount pair, the URL-identified 3.0 subschema the
+#: symmetric beginCharCount/endCharCount, and every pre-3.0 file
+#: beginLineChars/endLineChars. The engine's native schema uses the modern
+#: symmetric spelling; ANY unrecognized / absent schemaVersion falls back
+#: to the pre-3.0 spelling, which is exactly how a migrating user's old EF
+#: files arrive.
+LINE_CHAR_KEYS: dict = {
+    SCHEMA_VERSION: (("begin", "beginCharCount"), ("end", "endCharCount")),
+    "3.0": (("begin", "beginCharCounts"), ("end", "endCharCount")),
+    "https://schemas.hathitrust.org/EF_Schema_FeaturesSubSchema_v_3.0":
+        (("begin", "beginCharCount"), ("end", "endCharCount")),
+}
+_LEGACY_LINE_CHAR_KEYS = (("begin", "beginLineChars"),
+                          ("end", "endLineChars"))
+
+
+def line_char_keys(schema) -> tuple:
+    """(place, json_key) pairs for a schemaVersion (pre-3.0 fallback)."""
+    return LINE_CHAR_KEYS.get(schema, _LEGACY_LINE_CHAR_KEYS)
+
+
+def line_chars_to_json(lc_ds, out_dir: str, *, num_buckets: int = 16,
+                       codec: str | None = None,
+                       schema: str = SCHEMA_VERSION) -> pd.DataFrame:
+    """Serialize line-char rows (url, warc_ts, section, place, char,
+    count) into nested JSON volume docs — the line-char sibling of
+    :func:`volumes_to_json`, writing whichever begin/end KEY SPELLING the
+    target ``schema`` dictates (:func:`line_char_keys`), so round-trips
+    are testable per schema variant. Same bucketed JSONL layout, codecs,
+    atomic renames; returns the (path, n_docs) manifest."""
+    if codec not in CODECS:
+        raise ValueError(
+            f"unknown codec {codec!r}; one of {sorted(map(str, CODECS))}")
+    ext, compress, _ = CODECS[codec]
+    key_of = dict(line_char_keys(schema))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"path": pd.Series(dtype=object),
+                 "n_docs": pd.Series(dtype="int64")})
+        lines = []
+        for url, g in df.groupby("url", sort=True):
+            snaps = []
+            for ts, gs in g.groupby("warc_ts", sort=True):
+                sections: dict = {}
+                for (sect, place, char), gg in gs.groupby(
+                        ["section", "place", "char"], sort=True):
+                    sections.setdefault(sect, {}).setdefault(
+                        key_of[place], {})[char] = int(gg["count"].sum())
+                snaps.append({"warc_ts": int(ts.value // 1000),
+                              "lineChars": sections})
+            doc = {"url": url, "schemaVersion": schema,
+                   "snapshots": snaps}
+            lines.append(json.dumps(doc, sort_keys=True))
+        bucket = int(df[BUCKET_COL].iloc[0])
+        path = os.path.join(out_dir, f"part-{bucket:05d}.jsonl{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(compress(("\n".join(lines) + "\n").encode("utf-8")))
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path], "n_docs": [len(lines)]})
+
+    return bucketed_map_groups(
+        lc_ds, "url", per_bucket, num_buckets=num_buckets,
+        drop_bucket=False,
+    ).to_pandas()
+
+
+def parse_line_chars_batch(batch: pa.Table) -> pa.Table:
+    """Nested line-char JSON docs -> long rows (url, warc_ts, section,
+    place, char, count) — the ``_make_line_char_df`` walk
+    (parsers.py:384-429) with the reference's PER-DOCUMENT schema switch:
+    the begin/end key spelling is chosen from each doc's schemaVersion
+    (:func:`line_char_keys`), so one lake may mix native, 3.0-spelled and
+    pre-3.0 (``beginLineChars``/``endLineChars``) files and every row
+    still parses."""
+    urls, tss, sects, places, chars, counts = [], [], [], [], [], []
+    for doc_str in batch.column("doc").to_pylist():
+        doc = json.loads(doc_str) if isinstance(doc_str, str) else doc_str
+        keys = line_char_keys(doc.get("schemaVersion"))
+        url = doc["url"]
+        for snap in doc["snapshots"]:
+            ts = snap["warc_ts"]
+            for sect, placemap in snap.get("lineChars", {}).items():
+                if placemap is None:
+                    continue
+                for place, json_key in keys:
+                    charmap = placemap.get(json_key)
+                    if charmap is None:
+                        continue
+                    for char, count in charmap.items():
+                        urls.append(url)
+                        tss.append(ts)
+                        sects.append(sect)
+                        places.append(place)
+                        chars.append(char)
+                        counts.append(count)
+    return pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+        "section": pa.array(sects, type=pa.string()),
+        "place": pa.array(places, type=pa.string()),
+        "char": pa.array(chars, type=pa.string()),
+        "count": pa.array(counts, type=pa.int64()),
+    })
+
+
+def read_json_line_chars(path: str, *, codec: str | None = "auto"):
+    """JSONL line-char lake -> long Dataset, any codec / any schema
+    spelling mix (per-file magic-byte decompression, per-doc schema
+    switch) — the :func:`read_json_volumes` sibling."""
+    if codec != "auto" and codec not in CODECS:
+        raise ValueError(f"unknown codec {codec!r}")
+    files = ray.data.read_binary_files(path)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        docs = []
+        for payload in batch.column("bytes").to_pylist():
+            if payload[:2] == b"\x1f\x8b":
+                payload = gzip.decompress(payload)
+            elif payload[:3] == b"BZh":
+                payload = bz2.decompress(payload)
+            raw = payload.decode("utf-8")
+            docs.extend(line for line in raw.splitlines() if line)
+        return pa.table({"doc": pa.array(docs, type=pa.string())})
+
+    docs = files.map_batches(decode, batch_format="pyarrow")
+    return docs.map_batches(parse_line_chars_batch, batch_format="pyarrow")
+
+
 def read_json_volumes(path: str, *, codec: str | None = "auto"):
     """JSONL volume lake -> token-count Dataset (long form), any codec.
 

@@ -173,3 +173,99 @@ def test_cached_resolver_read_through(sf_dir, tokens):
     assert res.open(url)["url"] == url
     with pytest.raises(MissingDataError):
         res.open("http://missing.example/x")
+
+
+@pytest.mark.parametrize("codec", [None, "gz", "bz2"])
+@pytest.mark.parametrize(
+    "schema, begin_key, end_key",
+    [
+        ("graft-1.0", "beginCharCount", "endCharCount"),
+        ("3.0", "beginCharCounts", "endCharCount"),  # the asymmetric pair
+        ("2.0", "beginLineChars", "endLineChars"),   # pre-3.0 fallback
+    ],
+)
+def test_line_char_schema_codec_roundtrip_matrix(
+        sf_dir, codec, schema, begin_key, end_key):
+    """codec x SCHEMA-SPELLING round-trip matrix for line chars — the
+    reference's 3-way key branch (parsers.py:397-402): each schema
+    version writes its own begin/end JSON key spelling and the per-doc
+    switch in parse_line_chars_batch reads every variant back, so a
+    migrating user's pre-3.0 EF files (beginLineChars/endLineChars)
+    parse alongside native ones."""
+    import glob
+    import gzip as _gzip
+    import bz2 as _bz2
+
+    from htrc_feature_reader_ray.sources.jsonvol import (
+        line_chars_to_json,
+        read_json_line_chars,
+    )
+    from htrc_feature_reader_ray.sources.pages import read_pages
+    from htrc_feature_reader_ray.stages.extract import (
+        extract_pages,
+        line_chars,
+    )
+
+    lc = line_chars(extract_pages(read_pages(sf_dir, drop_text=True)))
+    out = f"{OUT}/lc_{schema.replace('.', '_')}_{codec or 'plain'}"
+    manifest = line_chars_to_json(lc, out, num_buckets=4, codec=codec,
+                                  schema=schema)
+    assert manifest["n_docs"].sum() > 0
+
+    # the on-disk JSON really uses this schema's key spelling
+    path = sorted(glob.glob(f"{out}/part-*"))[0]
+    raw = open(path, "rb").read()
+    if codec == "gz":
+        raw = _gzip.decompress(raw)
+    elif codec == "bz2":
+        raw = _bz2.decompress(raw)
+    text = raw.decode("utf-8")
+    assert begin_key in text and end_key in text
+    for other in {"beginCharCount", "beginCharCounts",
+                  "beginLineChars"} - {begin_key}:
+        # spelling is exclusive per schema (substring-safe check via '"')
+        assert f'"{other}"' not in text
+
+    back = read_json_line_chars(out).to_pandas()
+    key = ["url", "warc_ts", "section", "place", "char"]
+    a = lc.to_pandas().sort_values(key).reset_index(drop=True)
+    b = back.sort_values(key).reset_index(drop=True)[a.columns]
+    assert len(a) == len(b) and len(a) > 0
+    assert a["count"].equals(b["count"])
+    assert (a["char"] == b["char"]).all()
+    assert set(b["place"]) == {"begin", "end"}
+
+
+def test_line_char_mixed_schema_lake_parses():
+    """One lake mixing all three schema spellings parses row-complete."""
+    import json as _json
+
+    import pandas as pd
+    import ray.data
+
+    from htrc_feature_reader_ray.sources.jsonvol import (
+        parse_line_chars_batch,
+    )
+
+    def doc(schema, bkey, ekey, url):
+        return _json.dumps({
+            "url": url, "schemaVersion": schema,
+            "snapshots": [{
+                "warc_ts": 1_600_000_000_000_000,
+                "lineChars": {"body": {bkey: {"a": 2}, ekey: {"z": 1}}},
+            }],
+        })
+
+    import pyarrow as pa
+    docs = pa.table({"doc": pa.array([
+        doc("graft-1.0", "beginCharCount", "endCharCount", "u1"),
+        doc("3.0", "beginCharCounts", "endCharCount", "u2"),
+        doc(None, "beginLineChars", "endLineChars", "u3"),  # schemaless
+        doc("1.7-ancient", "beginLineChars", "endLineChars", "u4"),
+    ])})
+    out = parse_line_chars_batch(docs).to_pandas()
+    assert sorted(out["url"].unique()) == ["u1", "u2", "u3", "u4"]
+    per = out.groupby("url").size()
+    assert (per == 2).all()  # begin + end row for every schema variant
+    assert set(out["place"]) == {"begin", "end"}
+    assert out.set_index(["url", "place"]).loc[("u3", "begin"), "count"] == 2
