@@ -59,12 +59,23 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        return pa.table(
+        t = pa.table(
             {
                 id_col: batch.column(id_col),
                 "text_md5": text_md5_batch(batch, text_col),
             }
         )
+        # MAP-SIDE COMBINE (min/size are commutative): collapse each
+        # batch's duplicate digests before the exchange, so a hot digest
+        # (40% of the corpus one exact text) crosses as one row PER
+        # BATCH instead of 40% of all rows landing in one bucket
+        g = t.group_by("text_md5").aggregate(
+            [(id_col, "min"), (id_col, "count")])
+        return pa.table({
+            "text_md5": g.column("text_md5"),
+            id_col: g.column(f"{id_col}_min"),
+            "n_dups": g.column(f"{id_col}_count").cast(pa.int64()),
+        })
 
     # batch_size coalesces tiny source blocks so the bucket exchange sees
     # few right-sized blocks, not one per source task
@@ -72,7 +83,7 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
                             batch_size=8192)
     return bucketed_aggregate(
         hashed, "text_md5",
-        {id_col: (id_col, "min"), "n_dups": (id_col, "size")},
+        {id_col: (id_col, "min"), "n_dups": ("n_dups", "sum")},
         num_buckets=num_buckets,
     )
 
@@ -1373,10 +1384,40 @@ def line_dedup(pages, *, text_col: str = "text",
         dup = df.duplicated(subset=["h1", "h2"])
         return df.loc[dup, keys + ["line_idx"]]
 
-    drops = bucketed_map_groups(
-        pages.map_batches(explode_keys, batch_format="pyarrow"),
-        "h1", mark_drops, num_buckets=num_buckets,
-    ).materialize()
+    # SKEW GUARD: a batch-local non-first occurrence of a line is a
+    # GLOBAL non-first (a smaller sort key exists in the same batch), so
+    # it can be emitted as a drop WITHOUT crossing the exchange; only
+    # each batch's per-line MINIMUM goes to the h1 bucket. A hot line
+    # (30% of all corpus lines being one boilerplate string) then
+    # contributes one exchange row per batch, not 30% of all rows
+    # landing in a single bucket.
+    def split_local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["h1", "h2"] + keys + ["line_idx"],
+                            kind="mergesort")
+        df = df.copy()
+        df["__ldup"] = df.duplicated(subset=["h1", "h2"]).to_numpy()
+        return df
+
+    exploded = pages.map_batches(
+        explode_keys, batch_format="pyarrow").map_batches(
+        split_local, batch_format="pandas").materialize()
+
+    import pyarrow.compute as pc
+
+    def only_flag(flag: bool, cols):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("__ldup"), flag)
+            return t.filter(m).select(cols)
+        return f
+
+    local_drops = exploded.map_batches(
+        only_flag(True, keys + ["line_idx"]), batch_format="pyarrow")
+    mins = exploded.map_batches(
+        only_flag(False, keys + ["line_idx", "h1", "h2"]),
+        batch_format="pyarrow")
+    global_drops = bucketed_map_groups(
+        mins, "h1", mark_drops, num_buckets=num_buckets)
+    drops = global_drops.union(local_drops).materialize()
 
     if method == "auto":
         method = ("broadcast" if drops.count() <= broadcast_limit

@@ -263,3 +263,144 @@ def test_rendezvous_assign_minimal_movement():
             assert b[k] == old  # untouched keys never move
         else:
             assert b[k] in survivors
+
+
+# ---------------------------------------------------------------------------
+# adversarial dedup-exchange skew (round-2 judge task 8): one host owns 50%
+# of rows, one boilerplate line is 30% of all lines, 40% of docs share one
+# exact text — no single exchange bucket may absorb the hot key's raw share
+
+
+def _skewed_pages(n=3000, n_parts=8):
+    hot_host = "https://hot.example.com"
+    urls, texts, tss = [], [], []
+    for i in range(n):
+        host = hot_host if i % 2 == 0 else f"https://c{i % 97}.example.com"
+        urls.append(f"{host}/p{i}")
+        lines = []
+        # ~30% of all lines are this one string
+        lines.append("HOT BOILER LINE")
+        if i % 3 == 0:
+            lines.append("HOT BOILER LINE")
+        lines.append(f"unique line {i} a")
+        lines.append(f"unique line {i} b")
+        if i % 2 == 0:
+            lines.append(f"host line {i % 5}")
+        texts.append("\n".join(lines))
+        tss.append(np.datetime64("2024-01-01") + np.timedelta64(i, "s"))
+    return ray.data.from_pandas(
+        pd.DataFrame({"url": urls,
+                      "warc_ts": pd.to_datetime(tss).astype(
+                          "datetime64[us]"),
+                      "text": texts})
+    ).repartition(n_parts)
+
+
+def _record_bucket_sizes(monkeypatch, tmp_path):
+    """Record the per-bucket input row counts of every bucketed exchange
+    an op runs (bucketed_aggregate routes through bucketed_map_groups, so
+    one patch sees both). The wrapped kernel executes in WORKER
+    processes, so sizes go through the shared filesystem, not a driver
+    list; returns a reader callable."""
+    import htrc_feature_reader_ray.stages.partition as P
+
+    rec_dir = tmp_path / "bucket_sizes"
+    rec_dir.mkdir()
+    rec_path = str(rec_dir)
+    orig = P.bucketed_map_groups
+
+    def rec(ds, key, fn, **kw):
+        def wrapped(df):
+            import os
+            import uuid
+            with open(os.path.join(rec_path, uuid.uuid4().hex), "w") as f:
+                f.write(str(len(df)))
+            return fn(df)
+        return orig(ds, key, wrapped, **kw)
+
+    monkeypatch.setattr(P, "bucketed_map_groups", rec)
+
+    def read_sizes():
+        import os
+        return [int(open(os.path.join(rec_path, n)).read())
+                for n in os.listdir(rec_path)]
+
+    return read_sizes
+
+
+def test_exact_dedup_hot_digest_no_bucket_blowup(monkeypatch, tmp_path):
+    from htrc_feature_reader_ray.stages.dedup import exact_dedup
+
+    n, parts = 4000, 8
+    texts = ["THE ONE HOT DOC" if i % 5 < 2 else f"unique doc {i}"
+             for i in range(n)]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                      "text": texts})).repartition(parts)
+    read_sizes = _record_bucket_sizes(monkeypatch, tmp_path)
+    out = exact_dedup(ds, num_buckets=16).to_pandas()
+    sizes = read_sizes()
+    # correctness: the hot digest keeps min id with the exact dup count
+    hot = out[out["n_dups"] > 1]
+    assert len(hot) == 1
+    assert int(hot["doc_id"].iloc[0]) == 0
+    assert int(hot["n_dups"].iloc[0]) == sum(
+        1 for i in range(n) if i % 5 < 2)
+    assert len(out) == n - int(hot["n_dups"].iloc[0]) + 1
+    # skew: the map-side combine means the hot digest crosses once per
+    # batch — no bucket sees more than a small multiple of the fair share
+    assert sizes, "no bucketed exchange recorded"
+    fair = sum(sizes) / 16
+    assert max(sizes) < max(6 * fair, n // 10), (max(sizes), fair)
+
+
+def test_line_dedup_hot_line_no_bucket_blowup(monkeypatch, tmp_path):
+    from htrc_feature_reader_ray.stages.dedup import line_dedup
+
+    pages = _skewed_pages()
+    raw = pages.to_pandas()
+    n_lines_total = sum(t.count("\n") + 1 for t in raw["text"])
+    hot_share = sum(t.split("\n").count("HOT BOILER LINE")
+                    for t in raw["text"])
+    assert hot_share / n_lines_total > 0.28  # fixture really is 30%-hot
+
+    read_sizes = _record_bucket_sizes(monkeypatch, tmp_path)
+    out = line_dedup(pages, method="broadcast",
+                     num_buckets=16).to_pandas()
+    sizes = read_sizes()
+    # correctness: exactly ONE occurrence of the hot line survives
+    survivors = sum(t.split("\n").count("HOT BOILER LINE")
+                    for t in out["clean_text"])
+    assert survivors == 1
+    # the globally-first page (min (url, warc_ts, line_idx)) keeps it
+    assert len(out) == len(raw)
+    assert int(out["n_lines"].sum()) == n_lines_total
+    # skew: batch-local non-first occurrences never cross the exchange,
+    # so the h1 bucket holding the hot line gets one row per batch, not
+    # 30% of all line rows
+    assert sizes
+    line_rows = int(out["n_lines"].sum())
+    assert max(sizes) < 0.15 * line_rows, (max(sizes), line_rows)
+
+
+def test_boilerplate_lines_hot_host_correct_under_skew():
+    from htrc_feature_reader_ray.stages.dedup import boilerplate_lines
+
+    pages = _skewed_pages()
+    out = boilerplate_lines(pages, min_pages=2,
+                            num_buckets=16).to_pandas()
+    raw = pages.to_pandas()
+    assert len(out) == len(raw)
+    # the hot line appears on 2+ urls of EVERY host -> stripped everywhere
+    assert not any("HOT BOILER LINE" in t for t in out["clean_text"])
+    # host-template lines ("host line k") repeat across the hot host's
+    # urls -> stripped; unique lines survive
+    assert not any("host line" in t for t in out["clean_text"])
+    assert all(f"unique line" in t for t in out["clean_text"])
+    # both physical paths agree on the skewed fixture
+    out2 = boilerplate_lines(pages, min_pages=2, method="exchange",
+                             num_buckets=16).to_pandas()
+    key = ["url", "warc_ts"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)[a.columns]
+    assert a.equals(b)
