@@ -122,6 +122,50 @@ def flagship_from_lake(lake_dir: str, sf_dir: str, *, num_buckets: int = 32,
     )
 
 
+def flagship_checkpointed(sf_dir: str, work_dir: str, *,
+                          via_html: bool = True, num_buckets: int = 32,
+                          concurrency=None):
+    """Flagship with END-TO-END lineage resume (state/lineage.run_chain):
+    three checkpointed stages — per-snapshot features, windowed features,
+    source-stats join — each persisted as a bucketed parquet lake with a
+    manifest chained on the upstream manifest's content digest. A run
+    killed between stages resumes from the first incomplete stage and
+    READS every complete one (manifest hit, zero recompute); editing the
+    input parquet invalidates the whole chain transitively. Returns
+    ``(final_ds, results)`` with per-stage hit flags."""
+    from htrc_feature_reader_ray.state.lineage import run_chain
+
+    inputs = [f"{sf_dir}/documents.parquet"]
+    stages = [
+        {
+            "name": "features",
+            "out_dir": f"{work_dir}/features",
+            "key": "url", "num_buckets": num_buckets,
+            "inputs": inputs,
+            "params": {"via_html": via_html},
+            "build": lambda up: snapshot_features(
+                sf_dir, via_html=via_html, concurrency=concurrency),
+        },
+        {
+            "name": "windows",
+            "out_dir": f"{work_dir}/windows",
+            "key": "url", "num_buckets": num_buckets,
+            "params": {"gap": SESSION_GAP},
+            "build": lambda up: windowed_features(
+                up, num_buckets=num_buckets),
+        },
+        {
+            "name": "final",
+            "out_dir": f"{work_dir}/final",
+            "key": "url", "num_buckets": num_buckets,
+            "inputs": inputs,  # the join reads source stats from sf_dir
+            "params": {},
+            "build": lambda up: _join_source_stats(up, sf_dir),
+        },
+    ]
+    return run_chain(stages)
+
+
 def flagship(sf_dir: str, *, via_html: bool = True, num_buckets: int = 32,
              concurrency=None):
     """The full flagship pipeline; returns the windowed feature Dataset."""

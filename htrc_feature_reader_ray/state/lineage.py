@@ -157,6 +157,70 @@ def run_stage(out_dir: str, build_fn, *, key: str, num_buckets: int,
     return ray.data.read_parquet(out_dir), manifest
 
 
+def manifest_digest(m: dict) -> str:
+    """Stable digest of a manifest's CONTENT identity (inputs, params,
+    key, buckets, row counts) — deliberately excluding ``completed_at``
+    and write metrics, so a byte-identical rebuild of an upstream stage
+    does NOT invalidate downstream checkpoints while any content change
+    does. This is the value a downstream stage folds into its own params
+    to form the multi-stage chain."""
+    import hashlib
+
+    payload = json.dumps(
+        {k: m.get(k) for k in ("inputs", "params", "key", "num_buckets",
+                               "buckets", "row_count")},
+        sort_keys=True)
+    return hashlib.md5(payload.encode("utf-8")).hexdigest()
+
+
+def run_chain(stages):
+    """Multi-stage checkpointed pipeline — the chain extension of
+    :func:`run_stage`: each stage's manifest folds the UPSTREAM stage's
+    :func:`manifest_digest` into its params, so a rerun after a kill
+    resumes from the first stage whose checkpoint is absent or stale and
+    reads (never recomputes) every complete stage before it; a
+    content-changed upstream transitively invalidates everything below.
+
+    ``stages``: list of dicts with keys ``name``, ``out_dir``, ``key``,
+    ``num_buckets``, ``build`` (callable ``upstream_ds|None ->
+    Dataset``), optional ``inputs`` (external files to fingerprint) and
+    ``params``. Returns ``(final_ds, results)`` where each result is
+    ``{"name", "manifest", "hit"}`` (hit = checkpoint read, no
+    recompute)."""
+    upstream_ds = None
+    upstream_digest = None
+    results = []
+    for st in stages:
+        params = dict(st.get("params") or {})
+        if upstream_digest is not None:
+            params["__upstream"] = upstream_digest
+        out_dir = st["out_dir"]
+        current = {
+            "inputs": fingerprint_inputs(st.get("inputs", ())),
+            "params": params,
+            "key": st["key"],
+            "num_buckets": st["num_buckets"],
+        }
+        m = _load_manifest(out_dir)
+        if m is not None and all(m.get(k) == v for k, v in current.items()):
+            hit = True
+        else:
+            m = write_partitioned(
+                st["build"](upstream_ds), out_dir, key=st["key"],
+                num_buckets=st["num_buckets"],
+                inputs=st.get("inputs", ()), params=params)
+            hit = False
+        ds = ray.data.read_parquet(out_dir)
+        part = m.get("partition_col", "bucket")
+        if part in (ds.schema().names if ds.schema() else []):
+            # the layout column is lineage plumbing, not stage output
+            ds = ds.drop_columns([part])
+        results.append({"name": st["name"], "manifest": m, "hit": hit})
+        upstream_ds = ds
+        upstream_digest = manifest_digest(m)
+    return upstream_ds, results
+
+
 def missing_buckets(out_dir: str, num_buckets: int) -> list[int]:
     """Buckets whose directory is absent (e.g. after a partial failure)."""
     have = set()
