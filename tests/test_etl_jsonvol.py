@@ -269,3 +269,88 @@ def test_line_char_mixed_schema_lake_parses():
     assert (per == 2).all()  # begin + end row for every schema variant
     assert set(out["place"]) == {"begin", "end"}
     assert out.set_index(["url", "place"]).loc[("u3", "begin"), "count"] == 2
+
+
+def test_fetch_resolver_retry_cache_and_dataset_source(sf_dir, tokens,
+                                                       tmp_path):
+    """HTTP-shaped resolver matrix without a socket: FetchResolver wraps a
+    user fetch_fn (dict-backed fake here), retries transient errors,
+    composes as CachedResolver's fallback (read-through: second open
+    never fetches), and feeds the actor-pool Dataset source producing
+    rows identical to reading the lake directly."""
+    import gzip as _gzip
+    import json as _json
+
+    from htrc_feature_reader_ray.errors import MissingDataError
+    from htrc_feature_reader_ray.sources.jsonvol import (
+        CachedResolver,
+        FetchResolver,
+        TreeResolver,
+        parse_volume_batch,
+        read_volumes_via_fetch,
+        volumes_to_json_tree,
+    )
+
+    # a remote "server": the volume tree serialized into a dict, half the
+    # payloads gz-compressed to exercise the codec sniff
+    tree = f"{tmp_path}/srv"
+    manifest = volumes_to_json_tree(tokens, tree, num_buckets=4, codec=None)
+    server = {}
+    srv_resolver = TreeResolver(tree, codec=None)
+    for i, url in enumerate(manifest["url"]):
+        raw = _json.dumps(srv_resolver.open(url), sort_keys=True).encode()
+        server[url] = _gzip.compress(raw) if i % 2 == 0 else raw
+
+    calls = {"n": 0, "fail_first": set(server)}
+
+    def fetch_fn(url):
+        calls["n"] += 1
+        if url in calls["fail_first"]:
+            calls["fail_first"].discard(url)  # transient: fails ONCE
+            raise ConnectionError("flaky")
+        if url not in server:
+            raise KeyError(url)
+        return server[url]
+
+    # retry: first attempt fails, second succeeds
+    fr = FetchResolver(fetch_fn, attempts=3)
+    some_url = next(iter(server))
+    doc = fr.open(some_url)
+    assert doc["url"] == some_url
+    # a truly-absent url exhausts attempts -> MissingDataError
+    with pytest.raises(MissingDataError):
+        fr.open("https://nowhere.example.com/gone")
+
+    # read-through cache composition: miss fetches + persists, second
+    # open serves locally (no new fetch calls)
+    local = TreeResolver(f"{tmp_path}/cache", codec="gz")
+    cached = CachedResolver(local, FetchResolver(fetch_fn, attempts=3))
+    url2 = sorted(server)[1]
+    doc2 = cached.open(url2)
+    n_after_miss = calls["n"]
+    assert cached.open(url2) == doc2  # hit: served from the local tree
+    assert calls["n"] == n_after_miss
+
+    # Dataset source through the actor pool == reading the tree directly
+    calls["fail_first"] = set(server)  # every url flaky once: retry path
+    got = (read_volumes_via_fetch(
+        sorted(server), lambda: FetchResolver(fetch_fn, attempts=3),
+        concurrency=(1, 2), batch_size=16)
+        .to_pandas())
+    want = tokens.to_pandas()
+    key = ["url", "warc_ts", "section", "token", "pos"]
+    a = want.sort_values(key).reset_index(drop=True)
+    b = got.sort_values(key).reset_index(drop=True)[a.columns]
+    assert a["count"].equals(b["count"]) and len(a) == len(b)
+
+    # on_error='skip' drops a dead url instead of killing the stream
+    urls = sorted(server) + ["https://dead.example.com/x"]
+    calls["fail_first"] = set()
+    skipped = read_volumes_via_fetch(
+        urls, lambda: FetchResolver(fetch_fn, attempts=2),
+        on_error="skip", concurrency=(1, 2)).to_pandas()
+    assert len(skipped) == len(a)
+    with pytest.raises(Exception):
+        read_volumes_via_fetch(
+            urls, lambda: FetchResolver(fetch_fn, attempts=2),
+            on_error="raise", concurrency=(1, 2)).to_pandas()
