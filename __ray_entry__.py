@@ -732,6 +732,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merged into per-doc duplicated-token coverage
         return duplicated_spans(_docs(sf), width=5)
 
+    def q_remove_dup_spans(sf):
+        """APPLY exact-substring dedup (the removal half of
+        duplicated_spans, arXiv:2107.06499's dedup step): every token
+        covered by a duplicated 5-window is removed from every doc, the
+        survivors re-join in order; n_removed == dup_tokens by
+        construction."""
+        from htrc_feature_reader_ray.stages.dedup import (
+            remove_duplicated_spans,
+        )
+
+        return remove_duplicated_spans(_docs(sf), width=5)
+
     def q_ngram_contamination(sf):
         """n-gram train/test contamination flags (GPT-3 appendix-C shape,
         width=5): per-doc overlap with a fixed 'benchmark' gram set —
@@ -6336,6 +6348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_novelty": q_daily_novelty,
         # exact duplicated-span coverage (substring-level dedup signal)
         "duplicated_spans": q_duplicated_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         # n-gram train/test decontamination (broadcast benchmark grams)
         "ngram_contamination": q_ngram_contamination,
         "ngram_decontaminate": q_ngram_decontaminate,
@@ -9153,6 +9166,42 @@ def oracle_sql() -> dict[str, str]:
         # strings themselves — identical equality (collisions ~1e-9, none
         # at this sf). Coverage = count of DISTINCT covered token indices,
         # which equals the engine's equal-width run-merge union.
+        "remove_dup_spans": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS arr
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, t.i, arr[t.i] AS tok
+              FROM base, LATERAL unnest(range(1, len(arr) + 1)) AS t(i)
+            ), w AS (
+              SELECT doc_id, i, array_to_string(arr[i:i+4], ' ') AS gram
+              FROM base, LATERAL unnest(range(1, len(arr) - 3)) AS t(i)
+              WHERE len(arr) >= 5
+            ), dup AS (
+              SELECT gram FROM w
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), hit AS (
+              SELECT doc_id, i FROM w
+              WHERE gram IN (SELECT gram FROM dup)
+            ), cov AS (
+              SELECT DISTINCT doc_id, j
+              FROM hit, LATERAL unnest(range(i, i + 5)) AS t(j)
+            ), kept AS (
+              SELECT t.doc_id, t.i, t.tok
+              FROM toks t LEFT JOIN cov c
+                ON c.doc_id = t.doc_id AND c.j = t.i
+              WHERE c.j IS NULL
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(tok, ' ' ORDER BY i) AS clean_text,
+                     count(*)::BIGINT AS n_kept
+              FROM kept GROUP BY 1
+            )
+            SELECT b.doc_id, len(arr)::BIGINT AS n_tokens,
+                   (len(arr) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM base b LEFT JOIN agg a USING (doc_id)""",
         "duplicated_spans": r"""
             WITH base AS (
               SELECT doc_id,

@@ -1065,6 +1065,211 @@ def _window_span_table(ids, tcounts, gcounts, n_marked, cover,
     })
 
 
+def _dup_gram_fold(ds, *, text_col: str, width: int, min_docs: int,
+                   num_buckets: int, gram_batch_size: int):
+    """Pass 1 shared by :func:`duplicated_spans` and
+    :func:`remove_duplicated_spans`: distinct (doc, gram-hash) rows per
+    batch (one vectorized lexsort — a doc's windows never straddle
+    batches since a doc is one row), then grams present in >= min_docs
+    docs, counted INSIDE hash buckets (Ray's sort-aggregate walks groups
+    in Python at ~1-gram-per-token cardinality; the _gb exchange keys on
+    tiny cardinality and each bucket counts with one value_counts).
+    Returns the materialized dup-gram Dataset (column ``gh`` int64)."""
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h, gcounts, _ = _flatten_windows(texts, width)
+        docidx = np.repeat(np.arange(len(texts), dtype=np.int64), gcounts)
+        if h.size:
+            order = np.lexsort((h, docidx))
+            hs, dx = h[order], docidx[order]
+            keep = np.ones(hs.size, dtype=bool)
+            keep[1:] = (hs[1:] != hs[:-1]) | (dx[1:] != dx[:-1])
+            hs = hs[keep]
+        else:
+            hs = h
+        bucket = (hs % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "gh": pa.array(hs.view(np.int64), type=pa.int64()),
+            "_gb": pa.array(bucket, type=pa.int32()),
+        })
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
+                           batch_size=gram_batch_size)
+
+    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["gh"].value_counts()
+        return pd.DataFrame({"gh": vc.index[vc >= min_docs].to_numpy()})
+
+    return grams.groupby("_gb").map_groups(
+        count_bucket, batch_format="pandas"
+    ).materialize()
+
+
+def remove_duplicated_spans(ds, *, text_col: str = "text",
+                            id_col: str = "doc_id", width: int = 8,
+                            min_docs: int = 2, distribute: str = "auto",
+                            broadcast_limit: int = 2_000_000,
+                            num_buckets: int = 32,
+                            gram_batch_size: int = 2048):
+    """APPLY exact-substring dedup — the removal half of
+    :func:`duplicated_spans` (arXiv:2107.06499's dedup step, not just its
+    signal): every token covered by a duplicated ``width``-window (the
+    same >= ``min_docs``-distinct-docs gram contract) is REMOVED from
+    every document and the survivors re-join in original order. Output
+    one row per doc: ``(id, n_tokens, n_removed, clean_text)`` with
+    ``n_removed`` exactly ``duplicated_spans``' ``dup_tokens`` (the
+    overlap-merged coverage union) and ``clean_text = ''`` when a doc is
+    entirely duplicated text.
+
+    Divergence from the paper, by design: ALL occurrences of a
+    duplicated span go (the C4 discipline at span granularity — symmetric
+    and order-free, so the op needs no global occurrence ranking);
+    keep-one-copy semantics live at line granularity in
+    :func:`line_dedup`.
+
+    Scale shape: pass 1 is the shared dup-gram fold; pass 2 either
+    broadcasts the sorted dup-hash array (``ray.put`` once, searchsorted
+    + an interval-delta cumsum marks covered tokens — no per-window
+    Python) or, above ``broadcast_limit``, semi-joins the (gh, id, wpos)
+    stream against the dup table gh-bucketed and re-applies id-bucketed
+    (text crosses once; nothing dup-set-sized touches the driver).
+    """
+    import pyarrow.compute as pc
+
+    if distribute not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown distribute={distribute!r}")
+
+    dup_ds = _dup_gram_fold(
+        ds, text_col=text_col, width=width, min_docs=min_docs,
+        num_buckets=num_buckets, gram_batch_size=gram_batch_size)
+    n_dup = dup_ds.count()
+    use_broadcast = (distribute == "broadcast") or (
+        distribute == "auto" and n_dup <= broadcast_limit)
+
+    def _rebuild(texts, ids_arr, marked_dx, marked_wpos):
+        """Shared rebuild: marked window starts (doc-idx, token-pos) ->
+        kept-token reassembly via one interval-delta cumsum."""
+        toks_per_doc = [[t for t in (x or "").split(" ") if t]
+                        for x in texts]
+        tcounts = np.array([len(t) for t in toks_per_doc],
+                           dtype=np.int64)
+        tstart = np.concatenate(([0], np.cumsum(tcounts)[:-1]))
+        total = int(tcounts.sum())
+        delta = np.zeros(total + 1, dtype=np.int64)
+        if len(marked_dx):
+            fs = tstart[marked_dx] + marked_wpos
+            np.add.at(delta, fs, 1)
+            np.add.at(delta, fs + width, -1)
+        covered = np.cumsum(delta[:total]) > 0
+        flat = np.array(
+            [t for toks in toks_per_doc for t in toks], dtype=object)
+        parent = np.repeat(
+            np.arange(len(texts), dtype=np.int64), tcounts)
+        keepm = ~covered
+        kept_counts = np.bincount(parent[keepm], minlength=len(texts))
+        offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(flat[keepm], type=pa.string()))
+        n_removed = np.bincount(
+            parent[covered], minlength=len(texts)).astype(np.int64)
+        return pa.table({
+            id_col: ids_arr,
+            "n_tokens": pa.array(tcounts, type=pa.int64()),
+            "n_removed": pa.array(n_removed, type=pa.int64()),
+            "clean_text": pc.binary_join(kept_list, " "),
+        })
+
+    if use_broadcast:
+        arr = (np.sort(dup_ds.to_pandas()["gh"].to_numpy()
+                       .view(np.uint64))
+               if n_dup else np.empty(0, dtype=np.uint64))
+        ref = ray.put(arr)
+
+        def clean(batch: pa.Table) -> pa.Table:
+            dup = ray.get(ref)
+            texts = batch.column(text_col).to_pylist()
+            h, gcounts, _ = _flatten_windows(texts, width)
+            dx = np.repeat(
+                np.arange(len(texts), dtype=np.int64), gcounts)
+            gs = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+            wpos = (np.arange(h.size, dtype=np.int64)
+                    - np.repeat(gs, gcounts))
+            if dup.size and h.size:
+                idx = np.minimum(np.searchsorted(dup, h), dup.size - 1)
+                mask = dup[idx] == h
+            else:
+                mask = np.zeros(h.size, dtype=bool)
+            return _rebuild(texts, batch.column(id_col),
+                            dx[mask], wpos[mask])
+
+        return ds.map_batches(clean, batch_format="pyarrow")
+
+    # join path: (gh, id, wpos) semi-join the dup table, re-apply
+    # id-bucketed — text crosses once, the dup set never leaves the
+    # cluster
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_map_groups,
+    )
+
+    def gram_pos_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        h, gcounts, _ = _flatten_windows(texts, width)
+        gs = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+        wpos = (np.arange(h.size, dtype=np.int64)
+                - np.repeat(gs, gcounts))
+        ids = batch.column(id_col).take(
+            pa.array(np.repeat(np.arange(len(texts), dtype=np.int64),
+                               gcounts)))
+        return pa.table({
+            "gh": pa.array(h.view(np.int64), type=pa.int64()),
+            "__id": ids,
+            "wpos": pa.array(wpos, type=pa.int64()),
+        })
+
+    marked = bucket_join(
+        ds.map_batches(gram_pos_rows, batch_format="pyarrow"),
+        dup_ds.map_batches(
+            lambda t: t.select(["gh"]).rename_columns(["gh_r"]),
+            batch_format="pyarrow"),
+        left_key="gh", right_key="gh_r", how="semi",
+        num_buckets=num_buckets,
+    ).map_batches(lambda t: t.select(["__id", "wpos"]),
+                  batch_format="pyarrow")
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "__id": t.column(id_col),
+            "wpos": pa.array([-1] * len(t), type=pa.int64()),
+            "text": t.column(text_col),
+        })
+
+    def tag_marks(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "text", pa.array([None] * len(t), type=pa.string()))
+
+    unioned = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        marked.map_batches(tag_marks, batch_format="pyarrow"))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["wpos"] < 0]
+        marks = df[df["wpos"] >= 0]
+        texts = docs["text"].tolist()
+        idx_of = {v: i for i, v in enumerate(docs["__id"].tolist())}
+        mdx = np.array([idx_of[v] for v in marks["__id"]],
+                       dtype=np.int64)
+        out = _rebuild(
+            texts, pa.array(docs["__id"].to_numpy()),
+            mdx, marks["wpos"].to_numpy(dtype=np.int64))
+        return out.rename_columns(
+            [id_col, "n_tokens", "n_removed", "clean_text"]).to_pandas()
+
+    return bucketed_map_groups(unioned, "__id", per_bucket,
+                               num_buckets=num_buckets)
+
+
 def mark_windows_against(batch: pa.Table, sorted_hashes: np.ndarray, *,
                          text_col: str, id_col: str,
                          width: int) -> pa.Table:
@@ -1133,40 +1338,9 @@ def duplicated_spans(ds, *, text_col: str = "text", id_col: str = "doc_id",
     if distribute not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown distribute={distribute!r}")
 
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        h, gcounts, _ = _flatten_windows(texts, width)
-        docidx = np.repeat(np.arange(len(texts), dtype=np.int64), gcounts)
-        if h.size:
-            order = np.lexsort((h, docidx))
-            hs, dx = h[order], docidx[order]
-            keep = np.ones(hs.size, dtype=bool)
-            keep[1:] = (hs[1:] != hs[:-1]) | (dx[1:] != dx[:-1])
-            hs = hs[keep]
-        else:
-            hs = h
-        bucket = (hs % np.uint64(num_buckets)).astype(np.int32)
-        return pa.table({
-            "gh": pa.array(hs.view(np.int64), type=pa.int64()),
-            "_gb": pa.array(bucket, type=pa.int32()),
-        })
-
-    # Counting ~1 distinct gram per token makes groupby(gh) a
-    # high-cardinality aggregate — Ray's sort-aggregate walks groups in
-    # Python (measured 2.5-8s per 100k-row block on the 5k-doc fixture), so
-    # count inside hash buckets instead: the exchange keys on _gb (tiny
-    # cardinality), each bucket counts its grams with one vectorized
-    # pandas value_counts. batch_size coalesces tiny source blocks first.
-    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
-                           batch_size=gram_batch_size)
-
-    def count_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["gh"].value_counts()
-        return pd.DataFrame({"gh": vc.index[vc >= min_docs].to_numpy()})
-
-    dup_ds = grams.groupby("_gb").map_groups(
-        count_bucket, batch_format="pandas"
-    ).materialize()
+    dup_ds = _dup_gram_fold(
+        ds, text_col=text_col, width=width, min_docs=min_docs,
+        num_buckets=num_buckets, gram_batch_size=gram_batch_size)
     n_dup = dup_ds.count()
 
     def _agg_masked(d: np.ndarray, p: np.ndarray, n_docs: int):

@@ -961,3 +961,47 @@ def test_dedup_cluster_sizes_hand():
            .to_pandas().sort_values("size").reset_index(drop=True))
     assert list(out["size"]) == [2, 3]
     assert list(out["n_clusters"]) == [2, 1]
+
+
+def test_remove_duplicated_spans_paths_and_semantics():
+    """APPLY half of exact-substring dedup: broadcast == join,
+    n_removed == duplicated_spans' dup_tokens, fully-duplicated docs
+    empty out, no duplicated window survives in any clean_text."""
+    from htrc_feature_reader_ray.stages.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    rng = np.random.RandomState(7)
+    boiler = "the quick brown fox jumps over the lazy dog"
+    texts = []
+    for i in range(150):
+        parts = [f"u{i}x{j}" for j in range(rng.randint(0, 15))]
+        if i % 3 == 0:
+            parts = parts[:3] + boiler.split() + parts[3:]
+        texts.append(" ".join(parts))
+    texts += ["", boiler]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    spans = (duplicated_spans(ds, width=5, min_docs=2).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    b = (remove_duplicated_spans(ds, width=5, min_docs=2,
+                                 distribute="broadcast").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    j = (remove_duplicated_spans(ds, width=5, min_docs=2,
+                                 distribute="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert b.equals(j)
+    assert (b["n_removed"].to_numpy()
+            == spans["dup_tokens"].to_numpy()).all()
+    assert int(b["n_removed"].sum()) > 0
+    last = b[b["doc_id"] == len(texts) - 1].iloc[0]
+    assert last["clean_text"] == ""  # entirely duplicated text
+    assert int(last["n_removed"]) == len(boiler.split())
+    assert not any(boiler in t for t in b["clean_text"])
+    # survivors keep original relative order
+    row = b[b["doc_id"] == 0].iloc[0]
+    kept = row["clean_text"].split()
+    orig = [t for t in texts[0].split() if t in set(kept)]
+    assert kept == orig
