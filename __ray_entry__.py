@@ -1749,6 +1749,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       id_cols=("doc_id", "lang"))
         return cohens_kappa(pred, pred_col="pred_lang", true_col="lang")
 
+    def q_fleiss_kappa(sf):
+        """Multi-rater label QA: three deterministic 'annotators' (mod-3
+        buckets of n_chars, two with doc_id-keyed perturbations) rated
+        per item; Fleiss' kappa in exact ppm asks whether they agree
+        beyond the chance their shared marginals produce."""
+        from htrc_feature_reader_ray.stages.profile import fleiss_kappa
+
+        def rate(t: pa.Table) -> pa.Table:
+            nc = t.column("n_chars").to_numpy()
+            did = t.column("doc_id").to_numpy()
+            return pa.table({
+                "r1": pa.array((nc % 3).astype(np.int64)),
+                "r2": pa.array(
+                    ((nc + (did % 5 == 0)) % 3).astype(np.int64)),
+                "r3": pa.array(
+                    ((nc + 2 * (did % 11 == 0)) % 3).astype(np.int64)),
+            })
+
+        rated = _docs(sf, ("doc_id", "n_chars")).map_batches(
+            rate, batch_format="pyarrow")
+        return fleiss_kappa(rated, cols=["r1", "r2", "r3"])
+
     def q_topn_sources_per_lang(sf):
         """Long-tail collapse: per lang the top-2 sources by doc count,
         the tail folded into one __other__ row — (group,key) fold
@@ -6526,6 +6548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "friedman_test": q_friedman_test,
         "benford_audit": q_benford_audit,
         "cohens_kappa": q_cohens_kappa,
+        "fleiss_kappa": q_fleiss_kappa,
         "shuffle_audit": q_shuffle_audit,
         "unimax_epochs": q_unimax_epochs,
         "epoch_assignment": q_epoch_assignment,
@@ -8041,6 +8064,15 @@ def oracle_sql() -> dict[str, str]:
                 f"(SELECT {langid_sql('text')} AS pred_lang, lang "
                 "FROM documents)"),
             pred="pred_lang", true="lang"),
+        "fleiss_kappa": profile_mod.fleiss_kappa_sql(
+            rows_expr="""
+                SELECT n_chars % 3 AS r1,
+                       (n_chars + CASE WHEN doc_id % 5 = 0
+                                       THEN 1 ELSE 0 END) % 3 AS r2,
+                       (n_chars + CASE WHEN doc_id % 11 = 0
+                                       THEN 2 ELSE 0 END) % 3 AS r3
+                FROM documents""",
+            cols=["r1", "r2", "r3"]),
         "topn_sources_per_lang": profile_mod.topn_collapse_sql(
             table="documents", group="lang", key="source", n=2),
         "rendezvous_shards": rendezvous_assign_sql(

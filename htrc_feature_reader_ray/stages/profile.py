@@ -3039,6 +3039,143 @@ def cohens_kappa_sql(*, table_expr: str, pred: str, true: str) -> str:
         FROM dd"""
 
 
+def fleiss_kappa(ds, *, cols, num_buckets: int = 8):
+    """Multi-rater chance-corrected agreement — Fleiss' kappa (Fleiss
+    1971) over k categorical RATER COLUMNS on the same rows, in exact
+    integer ppm: the k-annotator generalization of :func:`cohens_kappa`
+    (k = 2 is equivalent up to Fleiss' marginal convention), and the
+    labeled-data-QA omnibus next to :func:`cochrans_q` (Q asks "do the
+    raters differ in marginal rate"; kappa asks "do they agree per
+    item beyond chance").
+
+    Integer form over cleared denominators: with n = k raters, N rows,
+    ``pairs = Σ_i Σ_j n_ij²`` (ordered agreeing rater pairs incl. self —
+    computed VECTORIZED as Σ over the k² column-pair equality masks, no
+    per-row category counting), ``c_j`` the per-category totals:
+
+        A = pairs − N·n          B = N·n·(n−1)
+        C = Σ_j c_j²             D = (N·n)²
+        κ = (A·D − C·B) / (B·(D − C))
+
+    ``kappa_ppm`` uses the SHIFT convention ((num+den)·10⁶ // den −10⁶
+    after clamping num ≥ −den) so Python floor and DuckDB's truncating
+    ``//`` agree on negative κ; D = C (every assignment one category)
+    reports 0 by contract. ``pbar_ppm = A·10⁶ // B`` and ``pe_ppm =
+    C·10⁶ // D`` ride along (both nonnegative). A·D overflows HUGEINT
+    past ~10¹² rows — the documented mirror bound.
+
+    Categories are tracked by ``str(value)`` identity — rater columns
+    must share a type whose string form is canonical (ints/strings).
+
+    Scale shape: stateless per-batch partials (one scalar pair-count +
+    per-category counts), ONE tiny fold keyed on the sentinel/category
+    term, Python-int finish. Output one row: ``(n_rows, n_raters,
+    n_categories, pbar_ppm, pe_ppm, kappa_ppm)``."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cols = list(cols)
+    k = len(cols)
+    if k < 2:
+        raise ValueError("fleiss_kappa needs >= 2 rater columns")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mats = [batch.column(c).to_numpy(zero_copy_only=False)
+                for c in cols]
+        pairs = 0
+        for a in range(k):
+            for b in range(k):
+                pairs += int((mats[a] == mats[b]).sum())
+        terms = ["\x00P", "\x00N"]
+        vals = [pairs, len(batch)]
+        for m in mats:
+            u, c = np.unique(m.astype(str), return_counts=True)
+            for uv, cv in zip(u, c):
+                terms.append(f"c|{uv}")
+                vals.append(int(cv))
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "v": pa.array(vals, type=pa.int64()),
+        })
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("v", alias_name="v"))
+        .to_pandas()
+    )
+    sv = dict(zip(stats["term"], stats["v"].map(int)))
+    pairs = sv.pop("\x00P", 0)
+    n_rows = sv.pop("\x00N", 0)
+    cj = list(sv.values())  # per-category totals
+    a_ = pairs - n_rows * k
+    b_ = n_rows * k * (k - 1)
+    c_ = sum(x * x for x in cj)
+    d_ = (n_rows * k) ** 2
+    pbar = a_ * 1_000_000 // b_ if b_ else 0
+    pe = c_ * 1_000_000 // d_ if d_ else 0
+    den = b_ * (d_ - c_)
+    num = a_ * d_ - c_ * b_
+    if den > 0:
+        num = max(num, -den)
+        kappa = (num + den) * 1_000_000 // den - 1_000_000
+    else:
+        kappa = 0
+    out = pd.DataFrame({
+        "n_rows": [n_rows], "n_raters": [k],
+        "n_categories": [len(cj)],
+        "pbar_ppm": [pbar], "pe_ppm": [pe], "kappa_ppm": [kappa],
+    }).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def fleiss_kappa_sql(*, rows_expr: str, cols) -> str:
+    """SQL mirror: unpivot the k rater columns over a row_number rid,
+    per-(rid, category) counts, the identical cleared-denominator
+    HUGEINT algebra with the shift-clamp fixed-point division."""
+    cols = list(cols)
+    k = len(cols)
+    long = " UNION ALL ".join(
+        f"SELECT rid, {c}::VARCHAR AS v FROM r" for c in cols)
+    return f"""
+        WITH p AS ({rows_expr}),
+        r AS (SELECT row_number() OVER () AS rid, * FROM p),
+        long AS ({long}),
+        cnt AS (
+          SELECT rid, v, count(*)::HUGEINT AS c
+          FROM long GROUP BY 1, 2
+        ),
+        sc AS (
+          SELECT coalesce(sum(c * c), 0)::HUGEINT AS pairs FROM cnt
+        ),
+        nn AS (SELECT count(*)::HUGEINT AS n FROM p),
+        cj AS (SELECT v, sum(c)::HUGEINT AS cj FROM cnt GROUP BY 1),
+        cs AS (
+          SELECT coalesce(sum(cj * cj), 0)::HUGEINT AS c2,
+                 count(*)::BIGINT AS ncat
+          FROM cj
+        ),
+        alg AS (
+          SELECT nn.n AS n, cs.ncat,
+                 (sc.pairs - nn.n * {k}) AS a,
+                 (nn.n * {k} * {k - 1}) AS b,
+                 cs.c2 AS c,
+                 (nn.n * {k}) * (nn.n * {k}) AS d
+          FROM nn, sc, cs
+        )
+        SELECT n::BIGINT AS n_rows, {k}::BIGINT AS n_raters,
+               ncat AS n_categories,
+               CASE WHEN b > 0 THEN (a * 1000000 // b)::BIGINT
+                    ELSE 0 END AS pbar_ppm,
+               CASE WHEN d > 0 THEN (c * 1000000 // d)::BIGINT
+                    ELSE 0 END AS pe_ppm,
+               CASE WHEN b * (d - c) > 0 THEN
+                 ((greatest(a * d - c * b, -(b * (d - c)))
+                   + b * (d - c)) * 1000000
+                  // (b * (d - c)) - 1000000)::BIGINT
+               ELSE 0 END AS kappa_ppm
+        FROM alg"""
+
+
 def grouped_ks(ds, *, group_col: str, value_col: str,
                num_buckets: int = 16):
     """Per-group two-sample Kolmogorov–Smirnov statistic against the REST

@@ -2894,3 +2894,51 @@ def test_mcnemar_and_cochrans_q_zero_block_input():
     q = cochrans_q(empty, cols=["a", "b"]).to_pandas()
     assert len(q) == 1
     assert int(q["n_rows"][0]) == 0 and int(q["q_ppm"][0]) == 0
+
+
+def test_fleiss_kappa_exact_and_edges():
+    from htrc_feature_reader_ray.stages.profile import fleiss_kappa
+
+    def run(df, cols=("r1", "r2", "r3")):
+        return fleiss_kappa(
+            ray.data.from_pandas(df).repartition(3),
+            cols=list(cols)).to_pandas().iloc[0]
+
+    # Fleiss 1971 closed form replayed in Python floats for a random
+    # fixture: engine's exact-ppm must floor the same value
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({c: rng.randint(0, 4, 300)
+                       for c in ("r1", "r2", "r3")})
+    # inject real agreement so kappa isn't ~0
+    agree = rng.rand(300) < 0.5
+    df.loc[agree, "r2"] = df.loc[agree, "r1"]
+    df.loc[agree, "r3"] = df.loc[agree, "r1"]
+    out = run(df)
+    n, k = 300, 3
+    counts = np.zeros((n, 4), dtype=np.int64)
+    for c in ("r1", "r2", "r3"):
+        np.add.at(counts, (np.arange(n), df[c].to_numpy()), 1)
+    pairs = int((counts ** 2).sum())
+    a, b = pairs - n * k, n * k * (k - 1)
+    cj = counts.sum(axis=0)
+    c_, d_ = int((cj ** 2).sum()), (n * k) ** 2
+    den = b * (d_ - c_)
+    want = (max(a * d_ - c_ * b, -den) + den) * 10**6 // den - 10**6
+    assert int(out["kappa_ppm"]) == want
+    assert int(out["n_categories"]) == 4
+    assert 0 < int(out["kappa_ppm"]) < 1_000_000
+
+    # perfect agreement -> exactly 1e6
+    dfp = pd.DataFrame({"r1": [0, 1, 2] * 20, "r2": [0, 1, 2] * 20,
+                        "r3": [0, 1, 2] * 20})
+    assert int(run(dfp)["kappa_ppm"]) == 1_000_000
+
+    # systematic disagreement -> negative kappa through the shift path
+    dfn = pd.DataFrame({"r1": [0, 1] * 30, "r2": [1, 0] * 30,
+                        "r3": [0, 1] * 30})
+    kn = int(run(dfn)["kappa_ppm"])
+    assert kn < 0
+
+    # degenerate: every assignment one category -> 0 by contract
+    dfz = pd.DataFrame({"r1": [5] * 10, "r2": [5] * 10, "r3": [5] * 10})
+    assert int(run(dfz)["kappa_ppm"]) == 0
