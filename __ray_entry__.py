@@ -86,11 +86,11 @@ r{i} AS (SELECT nodes.url,
     return sql.rstrip(",\n") + f"\nSELECT url, r AS rank FROM r{iterations}"
 
 
-def _components_sql(rounds: int = 12) -> str:
-    """Unrolled min-label propagation over the undirected link graph:
-    l_0(u) = u; l_{k+1}(u) = least(l_k(u), min over neighbors of l_k).
-    Exact connected components provided ``rounds`` >= graph eccentricity
-    (see the call site for the fixture's diameter bound)."""
+def _components_cte(rounds: int = 12) -> tuple:
+    """CTE body of the unrolled min-label propagation over the
+    undirected link graph (l_0(u) = u; l_{k+1}(u) = least over
+    neighbors), reusable by any oracle needing the labels. Returns
+    ``(cte_sql, final_table)``."""
     # AS MATERIALIZED is load-bearing: each round references the previous
     # label table twice, so default CTE inlining doubles the plan per
     # round (2^rounds base-table scans — "too many open files")
@@ -109,7 +109,53 @@ l0 AS MATERIALIZED (SELECT DISTINCT u, u AS l FROM sym),
   GROUP BY p.u, p.l),
 """
         prev = f"l{i}"
-    return sql.rstrip(",\n") + f"\nSELECT u AS url, l AS component FROM {prev}"
+    return sql.rstrip(",\n"), prev
+
+
+def _components_sql(rounds: int = 12) -> str:
+    """Unrolled min-label propagation over the undirected link graph.
+    Exact connected components provided ``rounds`` >= graph eccentricity
+    (see the call site for the fixture's diameter bound)."""
+    cte, prev = _components_cte(rounds)
+    return cte + f"\nSELECT u AS url, l AS component FROM {prev}"
+
+
+def _modularity_sql(rounds: int = 12) -> str:
+    """Per-component Newman modularity contributions over the component
+    labels: canonical undirected edge set, degree fold, both-endpoint
+    label joins, the two-nonnegative-floor ppm algebra."""
+    cte, prev = _components_cte(rounds)
+    return cte + f""",
+labels AS MATERIALIZED (SELECT u AS url, l AS component FROM {prev}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src_url, dst_url) AS lo,
+         greatest(src_url, dst_url) AS hi
+  FROM e2 WHERE src_url != dst_url
+),
+mm AS (SELECT count(*)::HUGEINT AS m FROM und),
+deg AS (
+  SELECT url, count(*)::HUGEINT AS d
+  FROM (SELECT lo AS url FROM und UNION ALL SELECT hi FROM und)
+  GROUP BY 1
+),
+ec AS (
+  SELECT la.component AS component, count(*)::HUGEINT AS e_in
+  FROM und JOIN labels la ON la.url = und.lo
+           JOIN labels lb ON lb.url = und.hi
+  WHERE la.component = lb.component GROUP BY 1
+),
+dc AS (
+  SELECT l.component, sum(d.d)::HUGEINT AS dsum,
+         count(*)::BIGINT AS n_nodes
+  FROM labels l JOIN deg d ON d.url = l.url GROUP BY 1
+)
+SELECT dc.component, dc.n_nodes,
+       coalesce(ec.e_in, 0)::BIGINT AS n_edges_in,
+       dc.dsum::BIGINT AS degree_sum,
+       (coalesce(ec.e_in, 0) * 1000000 // mm.m
+        - dc.dsum * dc.dsum * 1000000 // (4 * mm.m * mm.m))::BIGINT
+           AS q_contrib_ppm
+FROM dc LEFT JOIN ec USING (component), mm"""
 TOK_PRE = f"""
 WITH {PAGES_SQL.strip()}, {SECTIONS_SQL.strip()},
 tok AS (
@@ -4463,6 +4509,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             extract_links(read_pages(sf, drop_text=True))
         )
 
+    def q_modularity(sf):
+        """Per-component Newman modularity over the crawl link graph —
+        the partition-quality readout distinguishing balanced site
+        neighborhoods from one giant hairball (Q contributions in exact
+        ppm; two nonnegative floors per community)."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            modularity,
+        )
+
+        return modularity(extract_links(read_pages(sf, drop_text=True)))
+
     def _messy_urls(sf):
         """Deterministically-messied urls (fragment, tracking params,
         default port, case variants) built from documents in BOTH engines
@@ -6629,6 +6688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": q_anchor_text,
         "crawl_frontier": q_crawl_frontier,
         "link_components": q_link_components,
+        "modularity": q_modularity,
         "redirects": q_redirects,
         "neighbor_tokens": q_neighbor_tokens,
         # -- url hygiene / host rollups --
@@ -8279,6 +8339,7 @@ def oracle_sql() -> dict[str, str]:
         # (hub-star components: every node <= 2 hops from a hub, hubs
         # <= 2 hops apart => diameter <= 6), so this IS the fixpoint.
         "link_components": _components_sql(rounds=12),
+        "modularity": _modularity_sql(rounds=12),
         # redirect map mirrored from documents; UNION ALL recursion walks
         # each chain (acyclic by construction), keep the deepest row
         "redirects": """

@@ -268,6 +268,111 @@ def link_components(edges, *, num_buckets: int = 16, **cluster_kwargs):
     )
 
 
+def modularity(edges, *, num_buckets: int = 16, **component_kwargs):
+    """Newman modularity of the CONNECTED-COMPONENT partition of the
+    undirected link graph, per community in exact integer ppm — the
+    partition-quality readout next to :func:`link_components` (how much
+    denser is each community than the configuration-model expectation;
+    Q = Σ_c e_c/m − (d_c/2m)², Newman & Girvan 2004). For components the
+    e_c/m terms sum to 1 by construction, so the score isolates the
+    degree-concentration penalty — the readout that distinguishes "one
+    giant hairball" from "many balanced neighborhoods", which is what a
+    crawl-frontier allocator actually wants to know about site structure.
+
+    Exact-integer contract: per community
+    ``q_contrib_ppm = e_c·10⁶ // m − d_c²·10⁶ // (4m²)`` — two
+    NONNEGATIVE floors subtracted (never a floor of a negative, so
+    Python // and DuckDB // agree without the shift trick); corpus
+    Q_ppm = the sum of contributions.
+
+    Scale shape: the component labels come from :func:`link_components`
+    (its documented machinery); the undirected edge set canonicalizes
+    with one lo-bucketed distinct fold; e_c needs the labels of BOTH
+    endpoints — two bucketed joins carrying url-only rows; d_c is one
+    degree fold joined with labels. Everything that crosses is
+    node/edge-key-sized; the per-community finish is audit-sized.
+    Output one row per community: ``(component, n_nodes, n_edges_in,
+    degree_sum, q_contrib_ppm)``."""
+    edges = edges.materialize()
+    labels = link_components(
+        edges, num_buckets=num_buckets, **component_kwargs
+    ).materialize()
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = _str_array(batch, "src_url").to_numpy(zero_copy_only=False)
+        d = _str_array(batch, "dst_url").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table({"lo": pa.array(lo, type=pa.string()),
+                         "hi": pa.array(hi, type=pa.string())})
+
+    und = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        "lo", lambda df: df.drop_duplicates(["lo", "hi"]),
+        num_buckets=num_buckets,
+    ).materialize()
+    m = und.count()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"url": pa.concat_arrays([
+            t.column("lo").combine_chunks(),
+            t.column("hi").combine_chunks()])})
+
+    deg = bucketed_aggregate(
+        und.map_batches(endpoints, batch_format="pyarrow"),
+        ["url"], {"d": ("url", "size")}, num_buckets=num_buckets)
+
+    lab_lo = labels.map_batches(
+        lambda t: t.rename_columns(["url_lo", "c_lo"]),
+        batch_format="pyarrow")
+    lab_hi = labels.map_batches(
+        lambda t: t.rename_columns(["url_hi", "c_hi"]),
+        batch_format="pyarrow")
+    both = bucket_join(
+        bucket_join(und, lab_lo, left_key="lo", right_key="url_lo",
+                    how="inner", num_buckets=num_buckets),
+        lab_hi, left_key="hi", right_key="url_hi",
+        how="inner", num_buckets=num_buckets)
+
+    def internal(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["c_lo"] == df["c_hi"]]
+        g = sub.groupby("c_lo", sort=False).size().rename("e_in")
+        return g.reset_index().rename(columns={"c_lo": "component"})
+
+    ec = bucketed_aggregate(
+        both.map_batches(internal, batch_format="pandas"),
+        ["component"], {"e_in": ("e_in", "sum")},
+        num_buckets=num_buckets).to_pandas()
+
+    dc = bucketed_aggregate(
+        bucket_join(deg, labels.map_batches(
+            lambda t: t.rename_columns(["url_l", "component"]),
+            batch_format="pyarrow"),
+            left_key="url", right_key="url_l",
+            how="inner", num_buckets=num_buckets),
+        ["component"],
+        {"degree_sum": ("d", "sum"), "n_nodes": ("url", "size")},
+        num_buckets=num_buckets).to_pandas()
+
+    e_map = dict(zip(ec["component"], ec["e_in"].map(int))) \
+        if len(ec) else {}
+    rows = []
+    for r in dc.itertuples(index=False):
+        e_in = e_map.get(r.component, 0)
+        dsum = int(r.degree_sum)
+        q = (e_in * 1_000_000 // m
+             - dsum * dsum * 1_000_000 // (4 * m * m)) if m else 0
+        rows.append((r.component, int(r.n_nodes), e_in, dsum, q))
+    out = pd.DataFrame(rows, columns=[
+        "component", "n_nodes", "n_edges_in", "degree_sum",
+        "q_contrib_ppm"]).sort_values("component", ignore_index=True)
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def resolve_redirects(redirects, *, src_col: str = "url",
                       dst_col: str = "target", num_buckets: int = 32,
                       max_doubling: int = 10):

@@ -1042,3 +1042,30 @@ def test_hop_histogram_seedless_graph_returns_typed_empty():
     assert list(out.columns) == ["hop", "n_pairs", "cum_pairs",
                                  "cum_ppm"]
     assert all(str(dt) == "int64" for dt in out.dtypes)
+
+
+def test_modularity_exact_two_cliques():
+    """Two disjoint triangles: each community has e_c=3, d_c=6, so with
+    m=6: q_c = 3e6//6 - 36e6//144 = 500000 - 250000 = 250000; Q = 0.5
+    exactly — the textbook two-clique value."""
+    from htrc_feature_reader_ray.stages.linkgraph import modularity
+
+    pairs = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    out = modularity(_edges_ds(pairs))
+    assert len(out) == 2
+    assert list(out["n_nodes"]) == [3, 3]
+    assert list(out["n_edges_in"]) == [3, 3]
+    assert list(out["degree_sum"]) == [6, 6]
+    assert list(out["q_contrib_ppm"]) == [250000, 250000]
+
+    # duplicate + reversed + self-loop edges don't change the score
+    noisy = pairs + [("a2", "a1"), ("a1", "a1"), ("b2", "b3")]
+    out2 = modularity(_edges_ds(noisy))
+    assert list(out2["q_contrib_ppm"]) == [250000, 250000]
+
+    # one connected clique: single community, Q = 1 - 1 = 0
+    tri = [("x1", "x2"), ("x2", "x3"), ("x1", "x3")]
+    out3 = modularity(_edges_ds(tri))
+    assert len(out3) == 1
+    assert int(out3["q_contrib_ppm"].iloc[0]) == 0
