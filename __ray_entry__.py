@@ -2944,6 +2944,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             f"{sf}/documents.parquet", columns=["lang", "n_chars"])
         return kruskal_wallis(docs, group_col="lang", value_col="n_chars")
 
+    def _events_cents(sf):
+        def cents(t: pa.Table) -> pa.Table:
+            c = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({"event_type": t.column("event_type"),
+                             "cents": pa.array(c)})
+
+        return _events(sf, ["event_type", "value"]).map_batches(
+            cents, batch_format="pyarrow")
+
+    def q_anova_eta(sf):
+        """Parametric mean-difference omnibus beside kruskal_wallis's
+        rank test: do event types differ in MEAN spend, and what share
+        of spend variance does the type explain (eta² ppm)? Per-group
+        (n, Σx, Σx²) partials, one tiny fold, exact cleared-denominator
+        driver finish."""
+        from htrc_feature_reader_ray.stages.profile import anova_eta
+
+        return anova_eta(_events_cents(sf), group_col="event_type",
+                         value_col="cents")
+
+    def q_levene_bf(sf):
+        """Brown–Forsythe spread-homogeneity audit: do event types
+        differ in spend DISPERSION around their medians — the
+        trustworthiness gate for anova_eta's pooled F and a mixing
+        readout in its own right. One bounded (type, dollar) count
+        fold; medians + deviation ANOVA finish on the driver."""
+        from htrc_feature_reader_ray.stages.profile import levene_bf
+
+        return levene_bf(_events_cents(sf), group_col="event_type",
+                         value_col="cents", quantize=100)
+
     def q_cochrans_q(sf):
         """Do three keep-rules of a curation battery — length floor
         (≥40 words), lexical-diversity floor (distinct-token ratio
@@ -6524,6 +6557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney": q_mann_whitney,
         "mcnemar": q_mcnemar,
         "kruskal_wallis": q_kruskal_wallis,
+        "anova_eta": q_anova_eta,
+        "levene_bf": q_levene_bf,
         "cochrans_q": q_cochrans_q,
         "length_effect": q_length_effect,
         "rank_agreement": q_rank_agreement,
@@ -9065,6 +9100,14 @@ def oracle_sql() -> dict[str, str]:
             table="documents", group="source", value_expr="n_chars"),
         "kruskal_wallis": profile_mod.kruskal_wallis_sql(
             table="documents", group="lang", value_expr="n_chars"),
+        "anova_eta": profile_mod.anova_eta_sql(
+            src_sql=("SELECT event_type, CAST(round(value * 100)"
+                     " AS BIGINT) AS cents FROM events"),
+            group="event_type", value_expr="cents"),
+        "levene_bf": profile_mod.levene_bf_sql(
+            src_sql=("SELECT event_type, CAST(round(value * 100)"
+                     " AS BIGINT) AS cents FROM events"),
+            group="event_type", value_expr="cents", quantize=100),
         "cochrans_q": profile_mod.cochrans_q_sql(
             rows_expr=(
                 "SELECT CASE WHEN len(toks) >= 40 THEN 1 ELSE 0 END"

@@ -6355,3 +6355,255 @@ def friedman_test_sql(*, table_expr: str, block: str, treatment: str,
                              * (agg.k + 1))
                     ELSE 0 END::BIGINT AS chi2_ppm
         FROM agg, num"""
+
+
+def anova_eta(ds, *, group_col: str, value_col: str,
+              num_buckets: int = 8):
+    """One-way ANOVA omnibus over an integer value column — the
+    parametric mean-difference companion to :func:`kruskal_wallis`
+    (KW asks "does any group stochastically dominate on RANKS";
+    ANOVA asks "do the group MEANS differ relative to within-group
+    spread", which is the right readout when the value is a real
+    magnitude — latency, spend, length — and the analyst wants the
+    variance decomposition, not just dominance), plus eta-squared,
+    the effect-size share of variance the grouping explains.
+
+    Exact integer form over cleared denominators, with ONE documented
+    floor: with per-group ``(n_j, T_j = Σx, S_j = Σx²)`` and totals
+    ``n, T, S, k``:
+
+        sst_n = n·S − T²                       (= n·SST, exact ≥ 0)
+        ssb_n = max(0, Σ_j (n·T_j²)//n_j − T²) (= n·SSB, per-group
+                                                floor — Python // and
+                                                DuckDB // agree; the
+                                                clamp covers the
+                                                all-means-equal case
+                                                where the k floors
+                                                push the sum below T²)
+        ssw_n = sst_n − ssb_n
+        eta2_ppm = ssb_n·10⁶ // sst_n          (0 when sst_n = 0)
+        f_ppm    = ssb_n·(n−k)·10⁶ // (ssw_n·(k−1))
+                                               (0 when ssw_n = 0 or
+                                                k < 2 — an infinite F
+                                                reports 0 by contract
+                                                with eta2_ppm = 10⁶
+                                                carrying the signal)
+
+    All arithmetic past the fold is Python ints (n·S overflows int64
+    near 10⁹ rows of 4-digit values; the HUGEINT mirror bounds at
+    ~10¹⁸ — the documented mirror bound).
+
+    Scale shape: per-batch Arrow group_by partials of (count, Σx, Σx²)
+    — three int64s per group per batch — ONE tiny group-keyed fold,
+    driver finish over k rows. Zero shuffles of row data. Output one
+    row ``(n_rows, k_groups, eta2_ppm, f_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(value_col).cast(pa.int64())
+        tb = pa.table({
+            group_col: batch.column(group_col),
+            "x": x,
+            "x2": pa.compute.multiply_checked(x, x),
+        })
+        g = tb.group_by([group_col]).aggregate(
+            [("x", "sum"), ("x2", "sum"), ([], "count_all")])
+        return g.rename_columns([group_col, "t", "s", "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], {"t": ("t", "sum"), "s": ("s", "sum"),
+                      "c": ("c", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    k = len(folded)
+    n = int(folded["c"].sum())
+    t_ = sum(int(v) for v in folded["t"])
+    s_ = sum(int(v) for v in folded["s"])
+    sst_n = n * s_ - t_ * t_
+    ssb_n = max(0, sum((n * int(tj) * int(tj)) // int(cj)
+                       for tj, cj in zip(folded["t"], folded["c"]))
+                - t_ * t_)
+    ssw_n = sst_n - ssb_n
+    eta2 = ssb_n * 1_000_000 // sst_n if sst_n > 0 else 0
+    f = (ssb_n * (n - k) * 1_000_000 // (ssw_n * (k - 1))
+         if ssw_n > 0 and k >= 2 and n > k else 0)
+    out = pd.DataFrame({
+        "n_rows": [n], "k_groups": [k],
+        "eta2_ppm": [eta2], "f_ppm": [f],
+    }).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def anova_eta_sql(*, src_sql: str, group: str, value_expr: str) -> str:
+    """SQL mirror: per-group HUGEINT (n_j, T_j, S_j) fold, the same
+    single-floor cleared-denominator algebra."""
+    return f"""
+        WITH src AS ({src_sql}),
+        pg AS (
+          SELECT {group} AS g, count(*)::HUGEINT AS c,
+                 sum(v)::HUGEINT AS t, sum(v * v)::HUGEINT AS s
+          FROM (SELECT {group}, ({value_expr})::HUGEINT AS v FROM src)
+               q({group}, v)
+          GROUP BY 1
+        ),
+        tot AS (
+          SELECT sum(c)::HUGEINT AS n, sum(t)::HUGEINT AS t,
+                 sum(s)::HUGEINT AS s, count(*)::HUGEINT AS k
+          FROM pg
+        ),
+        alg AS (
+          SELECT tot.n, tot.k,
+                 tot.n * tot.s - tot.t * tot.t AS sst_n,
+                 greatest(
+                   (SELECT sum((tot.n * pg.t * pg.t) // pg.c)
+                    FROM pg) - tot.t * tot.t,
+                   0) AS ssb_n
+          FROM tot
+        )
+        SELECT n::BIGINT AS n_rows, k::BIGINT AS k_groups,
+               CASE WHEN sst_n > 0
+                    THEN (ssb_n * 1000000 // sst_n)::BIGINT
+                    ELSE 0 END AS eta2_ppm,
+               CASE WHEN (sst_n - ssb_n) > 0 AND k >= 2 AND n > k
+                    THEN (ssb_n * (n - k) * 1000000
+                          // ((sst_n - ssb_n) * (k - 1)))::BIGINT
+                    ELSE 0 END AS f_ppm
+        FROM alg"""
+
+
+def levene_bf(ds, *, group_col: str, value_col: str, quantize: int = 1,
+              num_buckets: int = 16):
+    """Brown–Forsythe robust spread test (Levene's test with the median
+    center, the variant Brown & Forsythe 1974 showed keeps its size
+    under heavy tails): do the GROUPS DIFFER IN SPREAD — the
+    variance-homogeneity audit that decides whether :func:`anova_eta`'s
+    pooled-variance F is even trustworthy, and on its own the readout
+    a mixing-weight tuner wants when two sources have equal means but
+    one is far noisier.
+
+    Deviations are taken from the per-group DISCRETE LOWER MEDIAN
+    (the element at 0-based index (n_j−1)//2 of the sorted group —
+    an actual attained value, integer-exact; ties with DuckDB's
+    cumulative-count formulation below, not ``quantile_disc``, so the
+    engine and mirror pin the same element), then the statistic is
+    exactly :func:`anova_eta`'s cleared-denominator algebra applied to
+    ``d = |x − med_g|`` — W = F(d), reported as ``w_ppm`` with
+    ``eta2_ppm`` (share of deviation variance between groups) riding
+    along.
+
+    Scale shape: ONE bounded-support ``(group, x//quantize)`` count
+    fold (the :func:`grouped_ks` support contract — quantize bounds
+    the grid for continuous values); medians AND the deviation ANOVA
+    both finish on the driver from that same folded table, so the
+    corpus is touched exactly once. Output one row
+    ``(n_rows, k_groups, eta2_ppm, w_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(value_col).cast(pa.int64())
+        tb = pa.table({
+            group_col: batch.column(group_col),
+            "v": pa.compute.divide(x, quantize).cast(pa.int64()),
+        })
+        g = tb.group_by([group_col, "v"]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "v", "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "v"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="v",
+    ).to_pandas()
+
+    n = k = t_ = s_ = 0
+    ssb_terms = []
+    per_group = []
+    for grp, sub in folded.groupby(group_col, sort=True):
+        sub = sub.sort_values("v")
+        vs = sub["v"].to_numpy()
+        cs = sub["c"].to_numpy()
+        nj = int(cs.sum())
+        cum = np.cumsum(cs)
+        med = int(vs[int(np.searchsorted(cum, (nj - 1) // 2 + 1))])
+        d = np.abs(vs - med).astype(object)
+        tj = int((d * cs).sum())
+        sj = int((d * d * cs).sum())
+        per_group.append((nj, tj, sj))
+        n += nj
+        k += 1
+        t_ += tj
+        s_ += sj
+    ssb_n = max(0, sum((n * tj * tj) // nj
+                       for nj, tj, _ in per_group) - t_ * t_) if n else 0
+    sst_n = n * s_ - t_ * t_
+    ssw_n = sst_n - ssb_n
+    eta2 = ssb_n * 1_000_000 // sst_n if sst_n > 0 else 0
+    w = (ssb_n * (n - k) * 1_000_000 // (ssw_n * (k - 1))
+         if ssw_n > 0 and k >= 2 and n > k else 0)
+    out = pd.DataFrame({
+        "n_rows": [n], "k_groups": [k],
+        "eta2_ppm": [eta2], "w_ppm": [w],
+    }).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def levene_bf_sql(*, src_sql: str, group: str, value_expr: str,
+                  quantize: int = 1) -> str:
+    """SQL mirror: the same single (group, v) count fold, lower median
+    via the cumulative-count window (min v with cum ≥ (n_j−1)//2 + 1),
+    deviation sums per group, anova_eta's algebra in HUGEINT."""
+    return f"""
+        WITH src AS ({src_sql}),
+        cnt AS (
+          SELECT {group} AS g, ({value_expr})::BIGINT // {quantize} AS v,
+                 count(*)::HUGEINT AS c
+          FROM src GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT g, v, c,
+                 sum(c) OVER (PARTITION BY g ORDER BY v) AS cm,
+                 sum(c) OVER (PARTITION BY g) AS nj
+          FROM cnt
+        ),
+        med AS (
+          SELECT g, min(v) AS med
+          FROM cum WHERE cm >= (nj - 1) // 2 + 1
+          GROUP BY g
+        ),
+        pg AS (
+          SELECT cnt.g, sum(cnt.c)::HUGEINT AS nj,
+                 sum(abs(cnt.v - med.med)::HUGEINT * cnt.c)
+                     ::HUGEINT AS t,
+                 sum(abs(cnt.v - med.med)::HUGEINT
+                     * abs(cnt.v - med.med) * cnt.c)::HUGEINT AS s
+          FROM cnt JOIN med ON cnt.g = med.g
+          GROUP BY 1
+        ),
+        tot AS (
+          SELECT sum(nj)::HUGEINT AS n, sum(t)::HUGEINT AS t,
+                 sum(s)::HUGEINT AS s, count(*)::HUGEINT AS k
+          FROM pg
+        ),
+        alg AS (
+          SELECT tot.n, tot.k,
+                 tot.n * tot.s - tot.t * tot.t AS sst_n,
+                 greatest(
+                   (SELECT sum((tot.n * pg.t * pg.t) // pg.nj)
+                    FROM pg) - tot.t * tot.t,
+                   0) AS ssb_n
+          FROM tot
+        )
+        SELECT n::BIGINT AS n_rows, k::BIGINT AS k_groups,
+               CASE WHEN sst_n > 0
+                    THEN (ssb_n * 1000000 // sst_n)::BIGINT
+                    ELSE 0 END AS eta2_ppm,
+               CASE WHEN (sst_n - ssb_n) > 0 AND k >= 2 AND n > k
+                    THEN (ssb_n * (n - k) * 1000000
+                          // ((sst_n - ssb_n) * (k - 1)))::BIGINT
+                    ELSE 0 END AS w_ppm
+        FROM alg"""

@@ -2942,3 +2942,109 @@ def test_fleiss_kappa_exact_and_edges():
     # degenerate: every assignment one category -> 0 by contract
     dfz = pd.DataFrame({"r1": [5] * 10, "r2": [5] * 10, "r3": [5] * 10})
     assert int(run(dfz)["kappa_ppm"]) == 0
+
+
+def test_anova_eta_exact_and_edges():
+    from fractions import Fraction
+
+    from htrc_feature_reader_ray.stages.profile import anova_eta
+
+    def run(df):
+        return anova_eta(
+            ray.data.from_pandas(df).repartition(3),
+            group_col="g", value_col="x").to_pandas().iloc[0]
+
+    # textbook fixture replayed with exact Fractions: the engine's
+    # single documented floor (per-group n*Tj^2 // nj) must match
+    rng = np.random.RandomState(7)
+    gs = np.repeat(["a", "b", "c"], [40, 50, 60])
+    xs = np.concatenate([rng.randint(0, 50, 40),
+                         rng.randint(20, 70, 50),
+                         rng.randint(40, 90, 60)])
+    out = run(pd.DataFrame({"g": gs, "x": xs}))
+    n, k = 150, 3
+    t_ = int(xs.sum())
+    s_ = int((xs.astype(np.int64) ** 2).sum())
+    sst_n = n * s_ - t_ * t_
+    ssb_n = 0
+    for g in ("a", "b", "c"):
+        tj = int(xs[gs == g].sum())
+        nj = int((gs == g).sum())
+        ssb_n += (n * tj * tj) // nj
+    ssb_n = max(0, ssb_n - t_ * t_)
+    ssw_n = sst_n - ssb_n
+    assert int(out["eta2_ppm"]) == ssb_n * 10**6 // sst_n
+    assert int(out["f_ppm"]) == ssb_n * (n - k) * 10**6 // (ssw_n * (k - 1))
+    # separated means -> big F, and eta2 agrees with the float SSB/SST
+    f_float = (Fraction(ssb_n, n) / (k - 1)) / (Fraction(ssw_n, n) / (n - k))
+    assert abs(int(out["f_ppm"]) - int(f_float * 10**6)) <= 1
+    assert int(out["f_ppm"]) > 10**6  # F > 1 on separated means
+
+    # identical groups: SSB floors below zero -> clamped, eta2 = F = 0
+    dfe = pd.DataFrame({"g": np.repeat(["a", "b", "c"], 9),
+                        "x": list([1, 2, 4] * 3) * 3})
+    oute = run(dfe)
+    assert int(oute["eta2_ppm"]) == 0
+    assert int(oute["f_ppm"]) == 0
+
+    # constant column: sst_n = 0 -> both 0 by contract
+    outc = run(pd.DataFrame({"g": ["a", "b"] * 5, "x": [7] * 10}))
+    assert int(outc["eta2_ppm"]) == 0 and int(outc["f_ppm"]) == 0
+
+    # groups differing ONLY in mean, zero within-variance: ssw_n = 0
+    # -> F reports 0 by contract with eta2 = 1e6 carrying the signal
+    outm = run(pd.DataFrame({"g": ["a"] * 5 + ["b"] * 5,
+                             "x": [10] * 5 + [20] * 5}))
+    assert int(outm["eta2_ppm"]) == 1_000_000
+    assert int(outm["f_ppm"]) == 0
+
+
+def test_levene_bf_exact_and_edges():
+    from htrc_feature_reader_ray.stages.profile import levene_bf
+
+    def run(df, q=1):
+        return levene_bf(
+            ray.data.from_pandas(df).repartition(3),
+            group_col="g", value_col="x", quantize=q).to_pandas().iloc[0]
+
+    # equal-spread groups with different means: W ~ 0 (deviation
+    # distributions identical) regardless of the mean shift
+    df = pd.DataFrame({
+        "g": ["a"] * 7 + ["b"] * 7,
+        "x": [10, 11, 12, 13, 14, 15, 16,
+              50, 51, 52, 53, 54, 55, 56]})
+    out = run(df)
+    assert int(out["w_ppm"]) == 0
+    assert int(out["eta2_ppm"]) == 0
+
+    # one wide group vs one tight group: W large
+    dfw = pd.DataFrame({
+        "g": ["a"] * 8 + ["b"] * 8,
+        "x": [100, 100, 101, 101, 99, 99, 100, 100,
+              0, 50, 100, 150, 200, 250, 300, 350]})
+    outw = run(dfw)
+    assert int(outw["w_ppm"]) > 10**6
+
+    # replay the exact algebra incl. the LOWER-median pin on an even
+    # group (sorted b: median = element at index (8-1)//2 = 3 -> 150)
+    med_a, med_b = 100, 150
+    d = np.abs(dfw["x"].to_numpy() -
+               np.where(dfw["g"] == "a", med_a, med_b))
+    n, k = 16, 2
+    t_ = int(d.sum()); s_ = int((d.astype(np.int64) ** 2).sum())
+    sst_n = n * s_ - t_ * t_
+    ssb_n = 0
+    for g, m in (("a", med_a), ("b", med_b)):
+        mask = (dfw["g"] == g).to_numpy()
+        tj = int(d[mask].sum()); nj = int(mask.sum())
+        ssb_n += (n * tj * tj) // nj
+    ssb_n = max(0, ssb_n - t_ * t_)
+    want_w = ssb_n * (n - k) * 10**6 // ((sst_n - ssb_n) * (k - 1))
+    assert int(outw["w_ppm"]) == want_w
+
+    # quantize bounds the support grid: /10 grid still flags the gap
+    assert int(run(dfw, q=10)["w_ppm"]) > 10**6
+
+    # constant groups: all deviations 0 -> 0 by contract
+    outz = run(pd.DataFrame({"g": ["a", "b"] * 4, "x": [5] * 8}))
+    assert int(outz["w_ppm"]) == 0
