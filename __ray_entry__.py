@@ -4189,6 +4189,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return degree_assortativity(
             extract_links(read_pages(sf, drop_text=True)))
 
+    def q_host_assortativity(sf):
+        """Chance-corrected silo-ness of the crawl graph: Newman
+        categorical assortativity with attribute = host, derived from
+        the url string itself — no attribute join touches the edges;
+        (host, out, in) marginal fold + scalar finish."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            host_assortativity,
+        )
+
+        return host_assortativity(
+            extract_links(read_pages(sf, drop_text=True)))
+
     def q_event_trigrams(sf):
         """Top-25 ordered 3-step behavioral paths (funnels/UX loops are
         >=3 steps; first-order chains can't tell A->B->A from A->B->C).
@@ -6693,6 +6707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_intervals": q_snapshot_intervals,
         "value_mad_outliers": q_value_mad_outliers,
         "degree_assortativity": q_degree_assortativity,
+        "host_assortativity": q_host_assortativity,
         "pivot_user_events": q_pivot_user_events,
         "rollup_lang_source": q_rollup_lang_source,
         "value_hour_corr": q_value_hour_corr,
@@ -7694,6 +7709,10 @@ def oracle_sql() -> dict[str, str]:
             LINKS_PRE
             + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
             + linkgraph.degree_assortativity_sql(edges_cte="e2")),
+        "host_assortativity": (
+            LINKS_PRE
+            + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+            + linkgraph.host_assortativity_sql(edges_cte="e2")),
         "pivot_user_events": profile_mod.pivot_counts_sql(
             key="user_id", cat_col="event_type",
             categories=EVENT_TYPES, table="events"),

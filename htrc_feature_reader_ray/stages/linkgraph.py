@@ -3732,3 +3732,131 @@ def random_walks_sql(*, links_pre: str, seed_mod: int = 10,
         SELECT wid::BIGINT AS wid, step::BIGINT AS step, url
         FROM ({unions})
         ORDER BY 1, 2"""
+
+
+def host_assortativity(edges, *, num_buckets: int = 16):
+    """Newman CATEGORICAL attribute assortativity of the link graph with
+    attribute = host — the chance-corrected companion to
+    :func:`host_outlink_mix`: the mix reports each host's raw
+    same-host share, while assortativity asks "is within-host linking
+    higher than the hosts' in/out marginals would produce by chance"
+    across the whole graph (Newman, PRE 67:026126 eq. 2, the
+    discrete-attribute form of :func:`degree_assortativity`). A crawl
+    where every host is a silo scores near +1; a hub-and-spoke corpus
+    where navigation all flows through a few cross-host portals goes
+    negative.
+
+    Exact integer form: with m = |edges|, E = same-host edges, A_i/B_i
+    the per-host out/in edge counts and S = Σ_i A_i·B_i:
+
+        r = (E·m − S) / (m² − S)
+        r_ppm   — shift-clamp fixed-point division (engine floor ==
+                  DuckDB truncation on negative r); m² = S (every edge
+                  inside one host) reports 0 by contract
+        same_ppm = E·10⁶ // m rides along (the raw diagonal share)
+
+    The attribute is DERIVED FROM THE URL STRING itself (the
+    ``host_edges`` regex identity, mirrored by ``regexp_extract``), so
+    unlike a node-label assortativity no attribute join touches the
+    edges — zero lookups, and the exchange carries (host, o, i) count
+    rows only.
+
+    Scale shape: per-batch pandas value_counts partials (one row per
+    host per batch + one sentinel row carrying the batch's diagonal
+    and edge counts), ONE host-keyed fold, then the Σ A_i·B_i /
+    marginal totals ride a per-batch scalar partial + native sum —
+    the driver sees four scalars, never the host table. A_i·B_i
+    passes int64 up to ~3·10⁹ edges on one host pair; the HUGEINT
+    mirror bounds at ~10¹⁹ (documented). Input must be the DISTINCT
+    edge set (extract_links' contract). Output one row
+    ``(n_edges, n_hosts, same_ppm, r_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    SENT = "\x00same"
+    host_re = r"://([^/]+)"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["src_url"].astype(str).str.extract(host_re, expand=False)
+        dh = df["dst_url"].astype(str).str.extract(host_re, expand=False)
+        o = sh.value_counts()
+        i = dh.value_counts()
+        hosts = o.index.union(i.index)
+        out = pd.DataFrame({
+            "host": hosts.astype(str),
+            "o": o.reindex(hosts, fill_value=0).astype("int64").to_numpy(),
+            "i": i.reindex(hosts, fill_value=0).astype("int64").to_numpy(),
+        })
+        sent = pd.DataFrame({"host": [SENT],
+                             "o": [int((sh == dh).sum())],
+                             "i": [len(df)]})
+        return pd.concat([out, sent], ignore_index=True)
+
+    folded = bucketed_aggregate(
+        edges.map_batches(partial, batch_format="pandas"),
+        ["host"], {"o": ("o", "sum"), "i": ("i", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def scalars(df: pd.DataFrame) -> pd.DataFrame:
+        sent = df["host"] == SENT
+        hosts = df[~sent]
+        return pd.DataFrame({
+            "e": [int(df.loc[sent, "o"].sum())],
+            "m": [int(df.loc[sent, "i"].sum())],
+            "s": [int((hosts["o"].to_numpy().astype(object)
+                       * hosts["i"].to_numpy()).sum())],
+            "k": [int(len(hosts))],
+        })
+
+    agg = folded.map_batches(scalars, batch_format="pandas").sum(
+        ["e", "m", "s", "k"])
+    e_ = int(agg["sum(e)"] or 0)
+    m = int(agg["sum(m)"] or 0)
+    s_ = int(agg["sum(s)"] or 0)
+    k = int(agg["sum(k)"] or 0)
+    same = e_ * 1_000_000 // m if m > 0 else 0
+    den = m * m - s_
+    if den > 0:
+        num = max(e_ * m - s_, -den)
+        r = (num + den) * 1_000_000 // den - 1_000_000
+    else:
+        r = 0
+    out = pd.DataFrame({
+        "n_edges": [m], "n_hosts": [k],
+        "same_ppm": [same], "r_ppm": [r],
+    }).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def host_assortativity_sql(*, edges_cte: str = "e2") -> str:
+    """SQL mirror fragment (append after a WITH preamble providing
+    ``edges_cte`` with distinct (src_url, dst_url)): the same marginal
+    fold + shift-clamp HUGEINT algebra."""
+    return f""",
+        he AS (
+          SELECT regexp_extract(src_url, '://([^/]+)', 1) AS sh,
+                 regexp_extract(dst_url, '://([^/]+)', 1) AS dh
+          FROM {edges_cte}
+        ),
+        mx AS (
+          SELECT host, sum(o)::HUGEINT AS a, sum(i)::HUGEINT AS b
+          FROM (SELECT sh AS host, 1 AS o, 0 AS i FROM he
+                UNION ALL SELECT dh, 0, 1 FROM he)
+          GROUP BY host
+        ),
+        alg AS (
+          SELECT (SELECT count(*) FROM he)::HUGEINT AS m,
+                 (SELECT count(*) FROM he WHERE sh = dh)::HUGEINT AS e,
+                 coalesce((SELECT sum(a * b) FROM mx), 0)::HUGEINT AS s,
+                 (SELECT count(*) FROM mx)::BIGINT AS k
+        )
+        SELECT m::BIGINT AS n_edges, k AS n_hosts,
+               CASE WHEN m > 0 THEN (e * 1000000 // m)::BIGINT
+                    ELSE 0 END AS same_ppm,
+               CASE WHEN m * m - s > 0 THEN
+                 ((greatest(e * m - s, -(m * m - s)) + (m * m - s))
+                  * 1000000 // (m * m - s) - 1000000)::BIGINT
+               ELSE 0 END AS r_ppm
+        FROM alg"""

@@ -1069,3 +1069,45 @@ def test_modularity_exact_two_cliques():
     out3 = modularity(_edges_ds(tri))
     assert len(out3) == 1
     assert int(out3["q_contrib_ppm"].iloc[0]) == 0
+
+
+def test_host_assortativity_extremes_and_exact():
+    from htrc_feature_reader_ray.stages.linkgraph import host_assortativity
+
+    def u(host, i):
+        return f"https://{host}.example.com/p/{i}"
+
+    def run(pairs):
+        return host_assortativity(_edges_ds(pairs)).to_pandas().iloc[0]
+
+    # perfect silos: every edge intra-host -> r exactly +1e6
+    silo = ([(u("a", i), u("a", i + 1)) for i in range(4)]
+            + [(u("b", i), u("b", i + 1)) for i in range(3)])
+    out = run(silo)
+    assert int(out["r_ppm"]) == 1_000_000
+    assert int(out["same_ppm"]) == 1_000_000
+    assert int(out["n_hosts"]) == 2
+
+    # perfect 2-host mutual exchange: marginals make the chance
+    # diagonal m/2, observed 0 -> r exactly -1e6 via the shift path
+    cross = ([(u("a", i), u("b", i)) for i in range(3)]
+             + [(u("b", i), u("a", i + 10)) for i in range(3)])
+    outc = run(cross)
+    assert int(outc["r_ppm"]) == -1_000_000
+    assert int(outc["same_ppm"]) == 0
+
+    # one-way bipartite a->b: chance diagonal is already 0 -> r = 0
+    oneway = [(u("a", i), u("b", i)) for i in range(5)]
+    assert int(run(oneway)["r_ppm"]) == 0
+
+    # hand-computed mixed case: m=4, E=2; A=(a:3,b:1), B=(a:1,b:3)
+    # S = 3*1 + 1*3 = 6; r = (2*4-6)/(16-6) = 1/5 -> 200000 ppm
+    mixed = [(u("a", 0), u("a", 1)), (u("a", 0), u("b", 1)),
+             (u("a", 2), u("b", 2)), (u("b", 0), u("b", 3))]
+    outm = run(mixed)
+    assert int(outm["r_ppm"]) == 200_000
+    assert int(outm["same_ppm"]) == 500_000
+
+    # degenerate: every edge inside ONE host (m^2 == S) -> 0 by contract
+    single = [(u("a", i), u("a", i + 1)) for i in range(4)]
+    assert int(run(single)["r_ppm"]) == 0
