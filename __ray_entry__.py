@@ -4203,6 +4203,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return host_assortativity(
             extract_links(read_pages(sf, drop_text=True)))
 
+    def q_rich_club(sf):
+        """Do the crawl's hubs wire to each other? Rich-club φ(k) curve
+        over power-of-two degree tiers — canonical undirected fold,
+        degree fold, two url-only joins, ≤8-row threshold fold."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            rich_club,
+        )
+
+        return rich_club(extract_links(read_pages(sf, drop_text=True)))
+
     def q_event_trigrams(sf):
         """Top-25 ordered 3-step behavioral paths (funnels/UX loops are
         >=3 steps; first-order chains can't tell A->B->A from A->B->C).
@@ -6708,6 +6720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_outliers": q_value_mad_outliers,
         "degree_assortativity": q_degree_assortativity,
         "host_assortativity": q_host_assortativity,
+        "rich_club": q_rich_club,
         "pivot_user_events": q_pivot_user_events,
         "rollup_lang_source": q_rollup_lang_source,
         "value_hour_corr": q_value_hour_corr,
@@ -7713,6 +7726,10 @@ def oracle_sql() -> dict[str, str]:
             LINKS_PRE
             + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
             + linkgraph.host_assortativity_sql(edges_cte="e2")),
+        "rich_club": (
+            LINKS_PRE
+            + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+            + linkgraph.rich_club_sql(edges_cte="e2")),
         "pivot_user_events": profile_mod.pivot_counts_sql(
             key="user_id", cat_col="event_type",
             categories=EVENT_TYPES, table="events"),

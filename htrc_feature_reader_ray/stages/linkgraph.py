@@ -3860,3 +3860,158 @@ def host_assortativity_sql(*, edges_cte: str = "e2") -> str:
                   * 1000000 // (m * m - s) - 1000000)::BIGINT
                ELSE 0 END AS r_ppm
         FROM alg"""
+
+
+def rich_club(edges, *, thresholds=(1, 2, 4, 8, 16, 32, 64, 128),
+              num_buckets: int = 16):
+    """Rich-club coefficient curve of the undirected link graph
+    (Zhou & Mondragón 2004): for each degree threshold k,
+    ``φ(k) = 2·E_k / (N_k·(N_k−1))`` where N_k = nodes with degree > k
+    and E_k = edges BETWEEN two such nodes — do the hubs of the crawl
+    link preferentially to each other (a tightly-wired core of portals
+    and link farms) or only down into their spokes? The curve is the
+    core-wiring readout next to :func:`k_core` (which asks who SURVIVES
+    iterated pruning; the rich club asks how densely the survivors
+    wire to each other at each degree tier).
+
+    Exact integer ppm, one nonnegative floor per threshold:
+    ``phi_ppm = 2·E_k·10⁶ // (N_k·(N_k−1))``, 0 by contract when
+    N_k < 2. Raw φ, not the rewiring-normalized ρ (a null model needs
+    degree-preserving randomization — out of scope, documented).
+
+    Scale shape: :func:`modularity`'s documented machinery — one
+    lo-bucketed distinct fold canonicalizing the undirected edge set
+    (dups / reversals / self-loops dropped), one degree fold, two
+    url-only bucketed joins attaching both endpoint degrees to each
+    edge; then BOTH histograms collapse per batch to ≤|thresholds|
+    partial rows (an edge contributes to E_k iff min(d_lo, d_hi) > k;
+    a node to N_k iff d > k), ONE tiny k-keyed fold, driver finish.
+    Output one row per threshold: ``(k, n_nodes, n_edges, phi_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    ks = sorted(int(k) for k in thresholds)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = _str_array(batch, "src_url").to_numpy(zero_copy_only=False)
+        d = _str_array(batch, "dst_url").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "lo": pa.array(np.minimum(s, d), type=pa.string()),
+            "hi": pa.array(np.maximum(s, d), type=pa.string()),
+        })
+
+    und = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        "lo", lambda df: df.drop_duplicates(["lo", "hi"]),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"url": pa.concat_arrays([
+            t.column("lo").combine_chunks(),
+            t.column("hi").combine_chunks()])})
+
+    deg = bucketed_aggregate(
+        und.map_batches(endpoints, batch_format="pyarrow"),
+        ["url"], {"d": ("url", "size")}, num_buckets=num_buckets,
+    ).materialize()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].to_numpy()
+        return pd.DataFrame({
+            "k": np.array(ks, dtype=np.int64),
+            "e": np.zeros(len(ks), dtype=np.int64),
+            "n": np.array([int((d > k).sum()) for k in ks],
+                          dtype=np.int64),
+        })
+
+    def d_lo(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": df["url"],
+                             "d_lo": df["d"].astype("int64")})
+
+    def d_hi(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": df["url"],
+                             "d_hi": df["d"].astype("int64")})
+
+    with_lo = bucket_join(
+        und, deg.map_batches(d_lo, batch_format="pandas"),
+        left_key="lo", right_key="url", num_buckets=num_buckets)
+    with_both = bucket_join(
+        with_lo, deg.map_batches(d_hi, batch_format="pandas"),
+        left_key="hi", right_key="url", num_buckets=num_buckets)
+
+    def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        md = np.minimum(df["d_lo"].to_numpy(), df["d_hi"].to_numpy())
+        return pd.DataFrame({
+            "k": np.array(ks, dtype=np.int64),
+            "e": np.array([int((md > k).sum()) for k in ks],
+                          dtype=np.int64),
+            "n": np.zeros(len(ks), dtype=np.int64),
+        })
+
+    partials = deg.map_batches(node_partial, batch_format="pandas").union(
+        with_both.map_batches(edge_partial, batch_format="pandas"))
+    folded = bucketed_aggregate(
+        partials, ["k"], {"e": ("e", "sum"), "n": ("n", "sum")},
+        num_buckets=1,
+    ).to_pandas().sort_values("k")
+
+    rows = []
+    for k, e, n in zip(folded["k"], folded["e"], folded["n"]):
+        e, n = int(e), int(n)
+        phi = 2 * e * 1_000_000 // (n * (n - 1)) if n >= 2 else 0
+        rows.append((int(k), n, e, phi))
+    out = pd.DataFrame(rows, columns=["k", "n_nodes", "n_edges",
+                                      "phi_ppm"]).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def rich_club_sql(*, edges_cte: str = "e2",
+                  thresholds=(1, 2, 4, 8, 16, 32, 64, 128)) -> str:
+    """SQL mirror fragment (append after a WITH preamble providing
+    ``edges_cte`` with distinct (src_url, dst_url)): canonical
+    undirected set, degree fold, min-endpoint-degree per edge, one
+    threshold row each."""
+    ks = sorted(int(k) for k in thresholds)
+    klist = ", ".join(str(k) for k in ks)
+    return f""",
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src_url, dst_url) AS lo,
+                 greatest(src_url, dst_url) AS hi
+          FROM {edges_cte} WHERE src_url != dst_url
+        ),
+        deg AS MATERIALIZED (
+          SELECT url, count(*)::BIGINT AS d
+          FROM (SELECT lo AS url FROM und UNION ALL SELECT hi FROM und)
+          GROUP BY 1
+        ),
+        th AS (SELECT unnest([{klist}])::BIGINT AS k),
+        ec AS (
+          SELECT th.k, count(*)::HUGEINT AS e
+          FROM und JOIN deg dl ON und.lo = dl.url
+                   JOIN deg dh ON und.hi = dh.url
+               CROSS JOIN th
+          WHERE least(dl.d, dh.d) > th.k
+          GROUP BY th.k
+        ),
+        nc AS (
+          SELECT th.k, count(*)::HUGEINT AS n
+          FROM deg CROSS JOIN th WHERE deg.d > th.k
+          GROUP BY th.k
+        )
+        SELECT th.k AS k, coalesce(nc.n, 0)::BIGINT AS n_nodes,
+               coalesce(ec.e, 0)::BIGINT AS n_edges,
+               CASE WHEN coalesce(nc.n, 0) >= 2 THEN
+                 (2 * coalesce(ec.e, 0) * 1000000
+                  // (nc.n * (nc.n - 1)))::BIGINT
+               ELSE 0 END AS phi_ppm
+        FROM th LEFT JOIN ec ON th.k = ec.k
+                LEFT JOIN nc ON th.k = nc.k
+        ORDER BY th.k"""

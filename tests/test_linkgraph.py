@@ -1111,3 +1111,36 @@ def test_host_assortativity_extremes_and_exact():
     # degenerate: every edge inside ONE host (m^2 == S) -> 0 by contract
     single = [(u("a", i), u("a", i + 1)) for i in range(4)]
     assert int(run(single)["r_ppm"]) == 0
+
+
+def test_rich_club_clique_core_and_contracts():
+    from htrc_feature_reader_ray.stages.linkgraph import rich_club
+
+    # 4 hubs in a clique (6 edges), each hub with 3 pendant leaves:
+    # hub degree = 3 + 3 = 6, leaf degree = 1. For k in {1,2,4} the
+    # club is exactly the 4 hubs and phi = 2*6/(4*3) = 1.
+    hubs = [f"h{i}" for i in range(4)]
+    pairs = [(hubs[a], hubs[b]) for a in range(4) for b in range(a + 1, 4)]
+    for h in hubs:
+        pairs += [(h, f"{h}_leaf{j}") for j in range(3)]
+    out = rich_club(_edges_ds(pairs),
+                    thresholds=(1, 2, 4, 8)).to_pandas().set_index("k")
+    for k in (1, 2, 4):
+        assert int(out.loc[k, "n_nodes"]) == 4
+        assert int(out.loc[k, "n_edges"]) == 6
+        assert int(out.loc[k, "phi_ppm"]) == 1_000_000
+    # nobody clears degree 8 -> N_k < 2 contract zero
+    assert int(out.loc[8, "n_nodes"]) == 0
+    assert int(out.loc[8, "phi_ppm"]) == 0
+
+    # dup / reversed / self-loop edges collapse in the canonical fold
+    noisy = pairs + [(pairs[0][1], pairs[0][0]), ("h0", "h0"), pairs[2]]
+    out2 = rich_club(_edges_ds(noisy),
+                     thresholds=(1, 2, 4, 8)).to_pandas().set_index("k")
+    assert out2.equals(out)
+
+    # star: only the hub clears k=1 -> N_k = 1 -> 0 by contract
+    star = [("hub", f"l{j}") for j in range(5)]
+    outs = rich_club(_edges_ds(star), thresholds=(1,)).to_pandas()
+    assert int(outs["n_nodes"].iloc[0]) == 1
+    assert int(outs["phi_ppm"].iloc[0]) == 0
