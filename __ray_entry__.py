@@ -1675,6 +1675,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             qi_cols=["event_type", "day", "band"],
             sensitive_col="user_id", k=5, l_div=2)
 
+    def q_l_diversity(sf):
+        """Entropy-l privacy audit on the k_anonymity QI grid: groups
+        whose user-entropy falls below 2 bits — including the case
+        distinct-l passes (several users, one dominating the mass);
+        half-bit entropy identity, same single composite-QI exchange."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import l_diversity
+
+        def derive(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                         pa.int64()).to_numpy()
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "day": pa.array(us // 86_400_000_000),
+                "band": pa.array(cents // 5000),
+                "user_id": t.column("user_id"),
+            })
+
+        ev = _events(sf, ["ts", "user_id", "event_type", "value"])
+        return l_diversity(
+            ev.map_batches(derive, batch_format="pyarrow"),
+            qi_cols=["event_type", "day", "band"],
+            sensitive_col="user_id", l=4)
+
     def q_friedman_test(sf):
         """Does the event-type mix keep the same RANKING day after day?
         Friedman ranks the k=5 types within each day (blocks cancel
@@ -6664,6 +6692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_sources": q_pareto_sources,
         "fk_violations": q_fk_violations,
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
         "friedman_test": q_friedman_test,
         "benford_audit": q_benford_audit,
@@ -8178,6 +8207,13 @@ def oracle_sql() -> dict[str, str]:
                       ("band",
                        "CAST(round(value * 100) AS BIGINT) // 5000")],
             sensitive="user_id", k=5, l_div=2),
+        "l_diversity": profile_mod.l_diversity_sql(
+            table_expr="events",
+            qi_exprs=[("event_type", "event_type"),
+                      ("day", "epoch_us(ts) // 86400000000"),
+                      ("band",
+                       "CAST(round(value * 100) AS BIGINT) // 5000")],
+            sensitive="user_id", l=4),
         "benford_audit": profile_mod.benford_audit_sql(
             table_expr="events", group="event_type",
             value_expr="CAST(round(value * 100) AS BIGINT)"),

@@ -2853,6 +2853,110 @@ def k_anonymity_sql(*, table_expr: str, qi_exprs, sensitive: str,
         HAVING count(*) < {k} OR count(DISTINCT s) < {l_div}"""
 
 
+def l_diversity(ds, *, qi_cols, sensitive_col: str, l: int = 4,
+                num_buckets: int = 32):
+    """Entropy l-diversity audit (Machanavajjhala et al., ICDE 2006
+    §3.2) — the third leg of the privacy trio: :func:`k_anonymity`
+    catches SMALL groups and one-subject groups, :func:`t_closeness`
+    catches groups whose sensitive DISTRIBUTION drifts from the
+    corpus, and entropy-l catches the case both miss — a LARGE group
+    with several distinct subjects where one subject still dominates
+    the mass (20 rows, 3 users, but 18 rows belong to one user: a
+    90% re-identification guess passes distinct-l yet fails
+    entropy-l).
+
+    Condition: H(S | group) ≥ log₂(l), evaluated in the module's
+    log-free half-bit identity (the :func:`token_entropy` contract):
+
+        entropy_half_bits = Σ_s c_s · (bitlen(n²) − bitlen(c_s²))
+        violation  ⇔  entropy_half_bits < n · (bitlen(l²) − 1)
+
+    ``l`` must be a POWER OF TWO so the threshold 2·log₂(l) half-bits
+    is exact in integers (asserted); n² bounds group size at ~3·10⁹
+    rows (documented, both sides).
+
+    Output: one row per VIOLATING group — ``qi_cols + (group_size,
+    n_sensitive, entropy_half_bits)`` — violations-only keeps the
+    result audit-sized (the k_anonymity posture).
+
+    Scale shape (k_anonymity's): per-batch Arrow distinct
+    (QI, subject) count partials, ONE exchange keyed on the composite
+    QI string, entropy + filter inside the bucket pass."""
+    import pyarrow.compute as pc
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    if l < 2 or (l & (l - 1)) != 0:
+        raise ValueError("l must be a power of two >= 2 (exact "
+                         "half-bit threshold contract)")
+    thr_hb = 2 * (l.bit_length() - 1)  # = bitlen(l^2) - 1
+    qi = list(qi_cols)
+    key_col = "_qi"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(qi + [sensitive_col]).group_by(
+            qi + [sensitive_col]).aggregate([([], "count_all")])
+        g = g.rename_columns(qi + [sensitive_col, "n"])
+        key = pc.cast(g.column(qi[0]), pa.string())
+        for c in qi[1:]:
+            key = pc.binary_join_element_wise(
+                key, pc.cast(g.column(c), pa.string()), "\x1f")
+        return g.append_column(key_col, key)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.groupby([key_col] + qi + [sensitive_col], sort=False,
+                        as_index=False, observed=True)["n"].sum())
+        sizes = (d.groupby(key_col, sort=False, observed=True)["n"]
+                 .transform("sum").to_numpy().astype(np.int64))
+        c = d["n"].to_numpy().astype(np.int64)
+        term = c * ((_ilog2(sizes * sizes) + 1) - (_ilog2(c * c) + 1))
+        d = d.assign(_term=term)
+        g = (d.groupby([key_col] + qi, sort=False, as_index=False,
+                       observed=True)
+             .agg(group_size=("n", "sum"), n_sensitive=("n", "size"),
+                  entropy_half_bits=("_term", "sum")))
+        bad = g[g["entropy_half_bits"] < g["group_size"] * thr_hb]
+        return bad.drop(columns=[key_col]).reset_index(drop=True)
+
+    return bucketed_map_groups(partials, key_col, fold,
+                               num_buckets=num_buckets)
+
+
+def l_diversity_sql(*, table_expr: str, qi_exprs, sensitive: str,
+                    l: int = 4) -> str:
+    """SQL mirror: (QI, subject) counts, the identical bit-length
+    half-bit entropy, HAVING on the exact threshold."""
+    assert l >= 2 and (l & (l - 1)) == 0
+    thr_hb = 2 * (l.bit_length() - 1)
+    sel = ", ".join(f"{e} AS {n}" for n, e in qi_exprs)
+    names = ", ".join(n for n, _ in qi_exprs)
+    return f"""
+        WITH base AS (
+          SELECT {sel}, {sensitive} AS s FROM {table_expr}
+        ),
+        sc AS (
+          SELECT {names}, s, count(*)::BIGINT AS c
+          FROM base GROUP BY {names}, s
+        ),
+        gs AS (
+          SELECT {names}, sum(c)::BIGINT AS n
+          FROM sc GROUP BY {names}
+        )
+        SELECT sc.{names.replace(", ", ", sc.")},
+               max(gs.n)::BIGINT AS group_size,
+               count(*)::BIGINT AS n_sensitive,
+               sum(sc.c * (length(format('{{:b}}', gs.n * gs.n))
+                           - length(format('{{:b}}', sc.c * sc.c))))
+                   ::BIGINT AS entropy_half_bits
+        FROM sc JOIN gs USING ({names})
+        GROUP BY sc.{names.replace(", ", ", sc.")}
+        HAVING sum(sc.c * (length(format('{{:b}}', gs.n * gs.n))
+                           - length(format('{{:b}}', sc.c * sc.c))))
+               < max(gs.n) * {thr_hb}"""
+
+
 # first-significant-digit probabilities log10(1 + 1/d) in floor ppm —
 # LITERAL on both engine and SQL sides (libm log10 may differ by an ulp
 # across engines, so the contract is this table, not a runtime log)

@@ -3048,3 +3048,48 @@ def test_levene_bf_exact_and_edges():
     # constant groups: all deviations 0 -> 0 by contract
     outz = run(pd.DataFrame({"g": ["a", "b"] * 4, "x": [5] * 8}))
     assert int(outz["w_ppm"]) == 0
+
+
+def test_l_diversity_dominance_and_contracts():
+    import pytest
+
+    from htrc_feature_reader_ray.stages.profile import l_diversity
+
+    def run(df, l=4):
+        return (l_diversity(ray.data.from_pandas(df).repartition(3),
+                            qi_cols=["qa", "qb"], sensitive_col="s",
+                            l=l).to_pandas()
+                .sort_values(["qa", "qb"]).reset_index(drop=True))
+
+    # the case k-anonymity AND distinct-l both pass: 20 rows, 3 distinct
+    # users, but 18 rows belong to one user -> H well under 2 bits
+    dom = pd.DataFrame({"qa": ["t"] * 20, "qb": [1] * 20,
+                        "s": [7] * 18 + [8, 9]})
+    # a balanced group of the same size: 4 users x 5 rows -> H = 2 bits
+    # exactly (uniform over 4) -> NOT a violation at l=4
+    bal = pd.DataFrame({"qa": ["u"] * 20, "qb": [2] * 20,
+                        "s": [1, 2, 3, 4] * 5})
+    out = run(pd.concat([dom, bal], ignore_index=True))
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["qa"] == "t" and int(row["group_size"]) == 20
+    assert int(row["n_sensitive"]) == 3
+    # replay the half-bit identity: n=20, c=(18,1,1)
+    import numpy as np
+    want = sum(int(c) * ((400).bit_length() - (c * c).bit_length())
+               for c in (18, 1, 1))
+    assert int(row["entropy_half_bits"]) == want
+    assert want < 20 * 4  # and it is indeed under the 2-bit threshold
+
+    # uniform-over-4 sits exactly AT the threshold: bitlen(400)-bitlen(25)
+    # = 9-5 = 4 per row -> 80 = n*thr -> compliant (>= is pass)
+    # singletons: entropy 0 -> always violating
+    single = pd.DataFrame({"qa": ["v", "w"], "qb": [3, 3], "s": [1, 2]})
+    outs = run(single)
+    assert len(outs) == 2
+    assert set(outs["group_size"]) == {1}
+
+    # l must be a power of two
+    with pytest.raises(ValueError):
+        l_diversity(ray.data.from_pandas(single), qi_cols=["qa", "qb"],
+                    sensitive_col="s", l=3)
