@@ -2155,6 +2155,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bigram_lm(_docs(sf))
 
+    def q_kneser_ney_lm(sf):
+        """Interpolated Kneser–Ney bigram table (D = 3/4 in exact
+        quarters): bigram_lm's w1-bucketed pair fold, then both
+        continuation quantities ride the DISTINCT-PAIR-TYPE table —
+        one w2 fold + one w2-bucketed join; single-floor ppm."""
+        from htrc_feature_reader_ray.stages.vocab import kneser_ney_lm
+
+        return kneser_ney_lm(_docs(sf))
+
     def q_random_projection(sf):
         """JL/Achlioptas ±1 random projection to 16 dims, integer-exact
         (fixed-point quantize + deterministic sign hash + int64 matmul):
@@ -6664,6 +6673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_neighbors": q_two_hop_neighbors,
         "touch_attribution": q_touch_attribution,
         "bigram_lm": q_bigram_lm,
+        "kneser_ney_lm": q_kneser_ney_lm,
         "events_skew_join": q_events_skew_join,
         "cube_lang_source": q_cube_lang_source,
         "vocab_coverage": q_vocab_coverage,
@@ -8017,6 +8027,7 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_neighbors": LINKS_PRE + linkgraph.two_hop_neighbors_sql(),
         "touch_attribution": temporal_mod.touch_attribution_sql(),
         "bigram_lm": vocab_mod.bigram_lm_sql(),
+        "kneser_ney_lm": vocab_mod.kneser_ney_lm_sql(),
         "events_skew_join": """
         SELECT e.event_id, e.user_id, e.ts, e.event_type, f.first_seen
         FROM events e

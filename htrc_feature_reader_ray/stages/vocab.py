@@ -924,6 +924,123 @@ def bigram_lm_sql(*, table: str = "documents", text: str = "text",
         FROM p JOIN ctx USING (w1), v"""
 
 
+def kneser_ney_lm(ds, *, text_col: str = "text",
+                  num_buckets: int = 32):
+    """Interpolated Kneser–Ney bigram table (Kneser & Ney, ICASSP 1995;
+    the Chen–Goodman 1998 benchmark winner) — the smoothing
+    :func:`bigram_lm`'s Laplace α can't match: absolute discounting
+    moves a FIXED D = 3/4 of a count from every seen bigram to a
+    CONTINUATION back-off, so the back-off probability of w₂ is "how
+    many distinct contexts does w₂ follow" rather than its raw
+    frequency — the classic fix for "San Francisco" making bare
+    "Francisco" look probable.
+
+    Exact integers in QUARTERS (D = 3/4 clears against ×4):
+
+        p(w₂|w₁) = (4c − 3)⁺/(4C) + 3·N1(w₁)/(4C) · Ncont(w₂)/T
+        p_ppm = ((4c−3)⁺·T + 3·N1(w₁)·Ncont(w₂)) · 10⁶ // (4·C·T)
+
+    with c = c(w₁w₂), C = c(w₁·), N1(w₁) = distinct types after w₁,
+    Ncont(w₂) = distinct types before w₂, T = total distinct bigram
+    types. One floor; Σ_w₂ p(w₂|w₁) = 1 exactly in fractions (pytest
+    replays it). The numerator product passes int64 only to ~10⁹
+    tokens — the finish runs in object ints, the HUGEINT mirror
+    bounds at ~10¹⁸ (documented).
+
+    Scale shape: the :func:`bigram_lm` pair fold (w₁-bucketed, C and
+    N1 derived IN the bucket — no second corpus scan), then the two
+    continuation quantities live on the DISTINCT-PAIR-TYPE table, not
+    the corpus: one w₂-keyed fold over it for Ncont, a count() for T,
+    and one w₂-bucketed join re-attaching Ncont — every exchange past
+    the first carries type rows only. Output ``(w1, w2, c_pair,
+    c_ctx, n1_w1, n_cont, p_ppm)``."""
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        m = len(parent)
+        if m < 2:
+            return pa.table({
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "c_pair": pa.array([], type=pa.int64()),
+            })
+        same = parent[:-1] == parent[1:]
+        t = pa.table({
+            "w1": flat.slice(0, m - 1).filter(pa.array(same)),
+            "w2": flat.slice(1, m - 1).filter(pa.array(same)),
+        })
+        g = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "c_pair"])
+
+    partials = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], sort=False,
+                       as_index=False)["c_pair"].sum()
+        g["c_ctx"] = (g.groupby("w1", sort=False)["c_pair"]
+                      .transform("sum").astype("int64"))
+        g["n1_w1"] = (g.groupby("w1", sort=False)["c_pair"]
+                      .transform("size").astype("int64"))
+        g["c_pair"] = g["c_pair"].astype("int64")
+        return g
+
+    ptable = bucketed_map_groups(partials, "w1", fold,
+                                 num_buckets=num_buckets).materialize()
+    t_types = ptable.count()
+
+    ncont = bucketed_aggregate(
+        ptable, ["w2"], {"n_cont": ("w1", "size")},
+        num_buckets=num_buckets)
+
+    joined = bucket_join(ptable, ncont, left_key="w2", right_key="w2",
+                         num_buckets=num_buckets)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c_pair"].astype(object)
+        num = ((4 * c - 3).where(4 * c - 3 > 0, 0) * t_types
+               + 3 * df["n1_w1"].astype(object)
+               * df["n_cont"].astype(object))
+        den = 4 * df["c_ctx"].astype(object) * t_types
+        out = df[["w1", "w2", "c_pair", "c_ctx", "n1_w1",
+                  "n_cont"]].copy()
+        out["p_ppm"] = (num * 1_000_000 // den).astype("int64")
+        return out
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
+def kneser_ney_lm_sql(*, table: str = "documents",
+                      text: str = "text") -> str:
+    """SQL replay: pair-type counts, per-w1 context/type sums, per-w2
+    continuation counts, the identical single-floor quarter algebra."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    return f"""
+        WITH base AS (SELECT {toks} AS arr FROM {table}),
+        p AS (
+          SELECT arr[i.i] AS w1, arr[i.i + 1] AS w2,
+                 count(*)::BIGINT AS c_pair
+          FROM base, unnest(generate_series(1, len(arr) - 1)) AS i(i)
+          GROUP BY 1, 2
+        ),
+        ctx AS (
+          SELECT w1, sum(c_pair)::BIGINT AS c_ctx,
+                 count(*)::BIGINT AS n1 FROM p GROUP BY 1
+        ),
+        cont AS (SELECT w2, count(*)::BIGINT AS n_cont FROM p GROUP BY 1),
+        t AS (SELECT count(*)::HUGEINT AS tt FROM p)
+        SELECT p.w1, p.w2, p.c_pair, ctx.c_ctx, ctx.n1 AS n1_w1,
+               cont.n_cont,
+               ((greatest(4 * p.c_pair - 3, 0)::HUGEINT * t.tt
+                 + 3::HUGEINT * ctx.n1 * cont.n_cont) * 1000000
+                // (4::HUGEINT * ctx.c_ctx * t.tt))::BIGINT AS p_ppm
+        FROM p JOIN ctx USING (w1) JOIN cont USING (w2), t"""
+
+
 # ---------------------------------------------------------------------------
 # vocabulary coverage curve (tokenizer vocab-size selection)
 

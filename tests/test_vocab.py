@@ -614,3 +614,62 @@ def test_vocab_growth_hand_fixture():
         ray.data.from_pandas(pd.DataFrame({"doc_id": [9], "text": [""]})),
         checkpoint=4).to_pandas()
     assert len(e) == 0
+
+
+def test_kneser_ney_lm_exact_and_sums_to_one():
+    from fractions import Fraction
+
+    from htrc_feature_reader_ray.stages.vocab import kneser_ney_lm
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["san francisco is big",
+                 "san francisco san diego",
+                 "the francisco myth is not the truth"],
+    })
+    out = (kneser_ney_lm(ray.data.from_pandas(docs).repartition(3))
+           .to_pandas())
+
+    # independent replay in exact fractions
+    pairs = {}
+    for t in docs["text"]:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    T = len(pairs)
+    C = {}
+    N1 = {}
+    NC = {}
+    for (a, b), c in pairs.items():
+        C[a] = C.get(a, 0) + c
+        N1[a] = N1.get(a, 0) + 1
+        NC[b] = NC.get(b, 0) + 1
+
+    def p_frac(a, b):
+        c = pairs[(a, b)]
+        return (Fraction(max(4 * c - 3, 0), 4 * C[a])
+                + Fraction(3 * N1[a], 4 * C[a]) * Fraction(NC[b], T))
+
+    assert len(out) == T
+    for _, r in out.iterrows():
+        f = p_frac(r["w1"], r["w2"])
+        assert int(r["p_ppm"]) == (f.numerator * 10**6) // f.denominator
+        assert int(r["c_ctx"]) == C[r["w1"]]
+        assert int(r["n1_w1"]) == N1[r["w1"]]
+        assert int(r["n_cont"]) == NC[r["w2"]]
+
+    # interpolated KN is a proper conditional: sums to exactly 1 over
+    # the SEEN successors plus the backoff mass spread over unseen w2 —
+    # over all w2 types: sum_seen (4c-3)/4C + lambda * sum_all NC/T = 1
+    for a in C:
+        seen = sum(Fraction(max(4 * pairs[(x, y)] - 3, 0), 4 * C[a])
+                   for (x, y) in pairs if x == a)
+        lam = Fraction(3 * N1[a], 4 * C[a])
+        # continuation distribution sums to 1 over the full type set
+        total = seen + lam * sum(Fraction(NC[b], T) for b in NC)
+        assert total == 1
+
+    # "francisco" follows 2 distinct contexts but "the" is frequent:
+    # continuation backoff must rank francisco's UNSEEN-context mass by
+    # context diversity, not raw frequency — NC pins that directly
+    assert NC["francisco"] == 2
