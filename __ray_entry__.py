@@ -2992,6 +2992,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _events(sf, ["event_type", "value"]).map_batches(
             cents, batch_format="pyarrow")
 
+    def q_holt_forecast(sf):
+        """Next-week activity forecast per user: Holt level+trend over
+        the zero-filled daily grid with dyadic α=1/2 β=1/4 — exact
+        fixed-point ×4096, recurrence vectorized ACROSS keys inside
+        one key-bucketed exchange."""
+        from htrc_feature_reader_ray.stages.temporal import holt_forecast
+
+        return holt_forecast(_events(sf, ["user_id", "ts"]),
+                             key="user_id", ts="ts")
+
     def q_anova_eta(sf):
         """Parametric mean-difference omnibus beside kruskal_wallis's
         rank test: do event types differ in MEAN spend, and what share
@@ -6620,6 +6630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney": q_mann_whitney,
         "mcnemar": q_mcnemar,
         "kruskal_wallis": q_kruskal_wallis,
+        "holt_forecast": q_holt_forecast,
         "anova_eta": q_anova_eta,
         "levene_bf": q_levene_bf,
         "cochrans_q": q_cochrans_q,
@@ -9183,6 +9194,8 @@ def oracle_sql() -> dict[str, str]:
             table="documents", group="source", value_expr="n_chars"),
         "kruskal_wallis": profile_mod.kruskal_wallis_sql(
             table="documents", group="lang", value_expr="n_chars"),
+        "holt_forecast": temporal_mod.holt_forecast_sql(
+            table="events", key="user_id", ts="ts"),
         "anova_eta": profile_mod.anova_eta_sql(
             src_sql=("SELECT event_type, CAST(round(value * 100)"
                      " AS BIGINT) AS cents FROM events"),

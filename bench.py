@@ -240,6 +240,20 @@ BENCH_QUERIES = [
     "friedman_test",
     "logrank_test",
     "vocab_richness",
+    # round-3 ops
+    "modularity",
+    "fleiss_kappa",
+    "remove_dup_spans",
+    "term_matrix_dense",
+    "multimodal_audio",
+    "multimodal_frames",
+    "anova_eta",
+    "levene_bf",
+    "host_assortativity",
+    "rich_club",
+    "l_diversity",
+    "kneser_ney_lm",
+    "holt_forecast",
 ]
 
 HEADLINE = "flagship"

@@ -3863,3 +3863,144 @@ def logrank_test_sql(*, table: str, key: str, ts: str,
                          // (acc.v * 1000000000)
                     ELSE 0 END::BIGINT AS chi2_ppm
         FROM counts, acc"""
+
+
+def holt_forecast(ds, *, key: str, ts: str, horizon: int = 7,
+                  num_buckets: int = 32):
+    """Per-key Holt double-exponential smoothing over the zero-filled
+    daily event-count grid — the short-horizon activity FORECASTER
+    completing the daily-grid family: :func:`daily_trend` fits one
+    global slope to the whole history, while Holt tracks a local level
+    AND a local trend that exponentially forget the past, which is
+    what a recrawl scheduler actually wants ("how active will this
+    site be next week", weighting last week far above last quarter).
+
+    The smoothing constants are DYADIC — α = 1/2, β = 1/4 — so the
+    recurrence is exact integer arithmetic at fixed-point scale
+    S = 4096 (= 2¹²) with ONE floor per update, and the floor is a
+    true floor on both sides (numpy ``>>``/``floor_divide`` here; the
+    mirror clears DuckDB's truncating ``//`` with the nonnegative-
+    remainder identity ``(x − ((x%d)+d)%d) // d``):
+
+        L₀ = S·x₀          B₀ = S·(x₁ − x₀)   (0 when n = 1)
+        Lₜ = ⌊(S·xₜ + Lₜ₋₁ + Bₜ₋₁) / 2⌋
+        Bₜ = ⌊(Lₜ − Lₜ₋₁ + 3·Bₜ₋₁) / 4⌋
+        forecast = L_T + horizon·B_T
+
+    Output per key: ``(key, n_days, level_x4096, trend_x4096,
+    forecast_x4096)`` — fixed-point ×4096, negative forecasts are
+    real readouts (decaying sites), n over the key's OWN min..max
+    day span.
+
+    Scale shape: per-batch (key, day, count) Arrow partials, ONE
+    key-bucketed exchange; inside the bucket the recurrence runs
+    VECTORIZED ACROSS KEYS (one numpy step per grid day, not per
+    (key, day)) over a keys×span matrix — memory is 8·|bucket keys|·
+    span bytes, so ``num_buckets`` bounds it (documented; a 365-day
+    window at 1M keys/bucket is ~3 GB — size buckets to the worker).
+    int64 holds to daily counts ~2⁵⁰; the mirror is HUGEINT."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+    S = 4096
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by([key, "day"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "day", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    empty = {key: pd.Series([], dtype="int64"),
+             "n_days": pd.Series([], dtype="int64"),
+             "level_x4096": pd.Series([], dtype="int64"),
+             "trend_x4096": pd.Series([], dtype="int64"),
+             "forecast_x4096": pd.Series([], dtype="int64")}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(empty)
+        df = df.groupby([key, "day"], as_index=False, sort=False)["c"].sum()
+        mn = df.groupby(key, sort=False)["day"].transform("min")
+        df["j"] = (df["day"] - mn).astype("int64")
+        keys_idx, keys = pd.factorize(df[key], sort=True)
+        span = np.zeros(len(keys), dtype=np.int64)
+        np.maximum.at(span, keys_idx, df["j"].to_numpy())
+        t_max = int(span.max())
+        x = np.zeros((len(keys), t_max + 1), dtype=np.int64)
+        x[keys_idx, df["j"].to_numpy()] = df["c"].to_numpy()
+
+        lv = S * x[:, 0]
+        b = np.where(span >= 1,
+                     S * (x[:, 1] if t_max >= 1 else 0) - S * x[:, 0], 0)
+        for t in range(1, t_max + 1):
+            active = span >= t
+            lnew = (S * x[:, t] + lv + b) >> 1
+            bnew = np.floor_divide(lnew - lv + 3 * b, 4)
+            lv = np.where(active, lnew, lv)
+            b = np.where(active, bnew, b)
+        return pd.DataFrame({
+            key: keys,
+            "n_days": (span + 1).astype("int64"),
+            "level_x4096": lv.astype("int64"),
+            "trend_x4096": b.astype("int64"),
+            "forecast_x4096": (lv + horizon * b).astype("int64"),
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def holt_forecast_sql(*, table: str, key: str, ts: str,
+                      horizon: int = 7) -> str:
+    """SQL mirror: zero-filled grid via generate_series over each key's
+    span, the identical dyadic recurrence as a recursive CTE stepping
+    j → j+1 across all keys at once (the burst_detection idiom), floors
+    cleared of DuckDB truncation with the nonnegative-remainder
+    identity."""
+
+    def fdiv(x: str, d: int) -> str:
+        return f"(({x}) - (((({x}) % {d}) + {d}) % {d})) // {d}"
+
+    lnew = fdiv("4096 * g.x + r.l + r.b", 2)
+    bnew = fdiv("s.lnew - s.l + 3 * s.b", 4)
+    return f"""
+        WITH RECURSIVE obs AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day,
+                 count(*)::HUGEINT AS x
+          FROM {table} GROUP BY 1, 2
+        ),
+        ext AS (
+          SELECT kk, min(day) AS mn,
+                 (max(day) - min(day))::BIGINT AS span
+          FROM obs GROUP BY 1
+        ),
+        grid AS MATERIALIZED (
+          SELECT e.kk, e.j::BIGINT AS j, coalesce(o.x, 0)::HUGEINT AS x,
+                 e.span
+          FROM (SELECT ext.kk, ext.mn, ext.span, u.j
+                FROM ext, unnest(generate_series(0, ext.span)) AS u(j)) e
+          LEFT JOIN obs o ON o.kk = e.kk AND o.day = e.mn + e.j
+        ),
+        r AS (
+          SELECT g0.kk, 0::BIGINT AS j,
+                 (4096 * g0.x)::HUGEINT AS l,
+                 (CASE WHEN g0.span >= 1
+                       THEN 4096 * (g1.x - g0.x) ELSE 0 END)::HUGEINT AS b
+          FROM (SELECT * FROM grid WHERE j = 0) g0
+          LEFT JOIN (SELECT * FROM grid WHERE j = 1) g1
+            ON g1.kk = g0.kk
+          UNION ALL
+          SELECT s.kk, s.j, s.lnew, ({bnew})::HUGEINT
+          FROM (
+            SELECT r.kk, r.j + 1 AS j, r.l, r.b,
+                   ({lnew})::HUGEINT AS lnew
+            FROM r JOIN grid g ON g.kk = r.kk AND g.j = r.j + 1
+          ) s
+        )
+        SELECT r.kk AS {key}, (ext.span + 1)::BIGINT AS n_days,
+               r.l::BIGINT AS level_x4096, r.b::BIGINT AS trend_x4096,
+               (r.l + {horizon} * r.b)::BIGINT AS forecast_x4096
+        FROM r JOIN ext ON ext.kk = r.kk AND r.j = ext.span"""

@@ -1363,3 +1363,49 @@ def test_transition_entropy_marginal_square_no_int64_wrap():
     # and the wrapped int64 square really is wrong (guards the reason)
     wrapped = (cxv * cxv)[0]
     assert int(wrapped) != big * big
+
+
+def test_holt_forecast_replay_and_gaps():
+    from htrc_feature_reader_ray.stages.temporal import holt_forecast
+
+    day = 86_400_000_000
+    # user 1: rising 5 days; user 2: burst then silence (gap days are
+    # zeros on the grid); user 3: single day (trend 0 by contract)
+    rows = []
+    for d, c in enumerate([1, 2, 3, 4, 5]):
+        rows += [(1, d, k) for k in range(c)]
+    for d, c in [(0, 6), (1, 4), (4, 1)]:   # days 2,3 silent
+        rows += [(2, d, k) for k in range(c)]
+    rows += [(3, 2, 0)]
+    df = pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([(r[1] * day + r[2]) for r in rows],
+                             unit="us"),
+    })
+    out = (holt_forecast(ray.data.from_pandas(df).repartition(3),
+                         key="user_id", ts="ts", horizon=7)
+           .to_pandas().set_index("user_id").sort_index())
+
+    def replay(xs, h=7):
+        S = 4096
+        lv = S * xs[0]
+        b = S * (xs[1] - xs[0]) if len(xs) > 1 else 0
+        for x in xs[1:]:
+            lnew = (S * x + lv + b) >> 1
+            b = (lnew - lv + 3 * b) >> 2
+            lv = lnew
+        return lv, b, lv + h * b
+
+    for uid, xs in ((1, [1, 2, 3, 4, 5]), (2, [6, 4, 0, 0, 1]),
+                    (3, [1])):
+        lv, b, f = replay(xs)
+        assert int(out.loc[uid, "level_x4096"]) == lv
+        assert int(out.loc[uid, "trend_x4096"]) == b
+        assert int(out.loc[uid, "forecast_x4096"]) == f
+        assert int(out.loc[uid, "n_days"]) == len(xs)
+
+    # rising series forecasts above its level; the burst-then-silent
+    # series carries a NEGATIVE trend (floors on negatives exercised)
+    assert int(out.loc[1, "forecast_x4096"]) > int(out.loc[1, "level_x4096"])
+    assert int(out.loc[2, "trend_x4096"]) < 0
+    assert int(out.loc[3, "trend_x4096"]) == 0
