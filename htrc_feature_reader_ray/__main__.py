@@ -161,6 +161,18 @@ def main(argv=None) -> int:
     vaud.add_argument("--out", required=True)
     vaud.add_argument("--num-cpus", type=int, default=None)
 
+    paud = sub.add_parser(
+        "audit-privacy",
+        help="privacy-release audit (k-anonymity, entropy l-diversity,"
+             " t-closeness violations; per-source PII scrub counts;"
+             " Luhn-validated card runs) -> one parquet per section",
+    )
+    paud.add_argument("--sf-dir", required=True,
+                      help="directory with events.parquet +"
+                           " documents.parquet")
+    paud.add_argument("--out", required=True)
+    paud.add_argument("--num-cpus", type=int, default=None)
+
     gaud = sub.add_parser(
         "audit-graph",
         help="link-graph audit (components, degree shape, cohesion,"
@@ -442,6 +454,25 @@ def main(argv=None) -> int:
         from examples.embedding_audit import audit_embeddings
 
         rep = audit_embeddings(args.sf_dir)
+        os.makedirs(args.out, exist_ok=True)
+        sizes = {}
+        for name, frame in rep.items():
+            path = os.path.join(args.out, f"{name}.parquet")
+            frame.to_parquet(path, index=False)
+            sizes[name] = len(frame)
+        print(json.dumps({"sections": sizes, "out": args.out}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "audit-privacy":
+        _ensure_ray(args.num_cpus)
+        import os
+
+        import ray
+
+        from examples.privacy_audit import audit_privacy
+
+        rep = audit_privacy(args.sf_dir)
         os.makedirs(args.out, exist_ok=True)
         sizes = {}
         for name, frame in rep.items():

@@ -165,3 +165,26 @@ def test_cli_audit_embeddings(tmp_path, capsys):
     assert rep["sections"]["silhouette"] == rep["sections"]["hubness"]
     assert (out / "isotropy.parquet").exists()
     assert (out / "matryoshka.parquet").exists()
+
+
+def test_cli_audit_privacy(tmp_path, capsys):
+    import json
+
+    from htrc_feature_reader_ray.__main__ import main
+
+    out = tmp_path / "paudit"
+    rc = main([
+        "audit-privacy",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--out", str(out),
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rep["sections"]) == {
+        "k_anon", "entropy_l", "t_close", "pii_by_source", "card_flags"}
+    # QI violation sections are non-empty on the fixture grid
+    assert rep["sections"]["k_anon"] > 0
+    assert rep["sections"]["entropy_l"] > 0
+    assert rep["sections"]["card_flags"] == 1
+    assert (out / "k_anon.parquet").exists()
+    assert (out / "pii_by_source.parquet").exists()
