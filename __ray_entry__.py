@@ -2992,6 +2992,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _events(sf, ["event_type", "value"]).map_batches(
             cents, batch_format="pyarrow")
 
+    def q_dominant_period(sf):
+        """Per-user activity cadence: the lag in [2,14] maximizing the
+        exact lag-L autocorrelation of the zero-filled daily grid —
+        cron/weekly/biweekly fingerprints; ties to the fundamental.
+        One key-bucketed exchange, searchsorted pair probes per lag."""
+        from htrc_feature_reader_ray.stages.temporal import dominant_period
+
+        return dominant_period(_events(sf, ["user_id", "ts"]),
+                               key="user_id", ts="ts")
+
     def q_holt_forecast(sf):
         """Next-week activity forecast per user: Holt level+trend over
         the zero-filled daily grid with dyadic α=1/2 β=1/4 — exact
@@ -6631,6 +6641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mcnemar": q_mcnemar,
         "kruskal_wallis": q_kruskal_wallis,
         "holt_forecast": q_holt_forecast,
+        "dominant_period": q_dominant_period,
         "anova_eta": q_anova_eta,
         "levene_bf": q_levene_bf,
         "cochrans_q": q_cochrans_q,
@@ -9195,6 +9206,8 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis": profile_mod.kruskal_wallis_sql(
             table="documents", group="lang", value_expr="n_chars"),
         "holt_forecast": temporal_mod.holt_forecast_sql(
+            table="events", key="user_id", ts="ts"),
+        "dominant_period": temporal_mod.dominant_period_sql(
             table="events", key="user_id", ts="ts"),
         "anova_eta": profile_mod.anova_eta_sql(
             src_sql=("SELECT event_type, CAST(round(value * 100)"

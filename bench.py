@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "l_diversity",
     "kneser_ney_lm",
     "holt_forecast",
+    "dominant_period",
 ]
 
 HEADLINE = "flagship"

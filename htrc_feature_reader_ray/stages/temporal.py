@@ -4004,3 +4004,183 @@ def holt_forecast_sql(*, table: str, key: str, ts: str,
                r.l::BIGINT AS level_x4096, r.b::BIGINT AS trend_x4096,
                (r.l + {horizon} * r.b)::BIGINT AS forecast_x4096
         FROM r JOIN ext ON ext.kk = r.kk AND r.j = ext.span"""
+
+
+def dominant_period(ds, *, key: str, ts: str, min_lag: int = 2,
+                    max_lag: int = 14, num_buckets: int = 32):
+    """Per-key dominant activity cadence: the lag L ∈ [min_lag,
+    max_lag] maximizing the exact lag-L autocorrelation of the
+    zero-filled daily count grid — the GENERAL periodicity detector
+    beside :func:`seasonal_strength` (which tests the weekly=7
+    hypothesis specifically) and :func:`daily_autocorr` (lag-1
+    memory): a 3-day cron, a biweekly publishing schedule, or a
+    weekday-only crawler all surface as their own best lag. Ties
+    break to the SMALLEST lag (a 7-day cycle also scores at 14; the
+    fundamental wins).
+
+    Exact integer algebra — :func:`daily_autocorr`'s moments-only
+    derivation generalized to lag L over the n-day grid (×n²):
+
+        num_L = n²·P_L − n·S·(2S − head_L − tail_L) + (n−L)·S²
+        den   = n²·Σx² − n·S²
+        r_L   = trunc(num_L·10⁶ / den)        (DuckDB ``//`` ==
+                                               the engine sign-split)
+
+    with P_L = Σ xₜ·xₜ₊L (only OBSERVED day pairs L apart contribute —
+    no grid materialization), head_L/tail_L the observed mass in the
+    first/last L grid days. Lags with n ≤ L are invalid; keys with no
+    valid lag (short span or zero variance) report (0, 0) by the
+    daily_autocorr zero-dispersion contract.
+
+    Scale shape: the daily_autocorr posture — per-batch (key, day,
+    count) Arrow partials, ONE key-bucketed exchange; inside the
+    bucket P_L for all lags comes from searchsorted probes on a
+    composite (key, day) int key (13 vectorized probes, no per-key
+    loop), head/tail from masked np.add.at folds. Object-int finish
+    (n²·Σx²·10⁶ passes int64 only to ~10⁵ daily events/key). Output
+    ``(key, n_days, n_events, best_lag, autocorr_ppm)``."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+    lags = list(range(min_lag, max_lag + 1))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        g = tb.group_by([key, "day"]).aggregate([([], "count_all")])
+        return g.rename_columns([key, "day", "c"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    empty = {key: pd.Series([], dtype="int64"),
+             "n_days": pd.Series([], dtype="int64"),
+             "n_events": pd.Series([], dtype="int64"),
+             "best_lag": pd.Series([], dtype="int64"),
+             "autocorr_ppm": pd.Series([], dtype="int64")}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(empty)
+        df = df.groupby([key, "day"], as_index=False, sort=False)["c"].sum()
+        df = df.sort_values([key, "day"], kind="mergesort",
+                            ignore_index=True)
+        kf, keys = pd.factorize(df[key], sort=True)
+        day = df["day"].to_numpy()
+        c = df["c"].to_numpy().astype(np.int64)
+        nk = len(keys)
+        mn = np.full(nk, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(nk, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, kf, day)
+        np.maximum.at(mx, kf, day)
+        s = np.zeros(nk, dtype=object)
+        sq = np.zeros(nk, dtype=object)
+        np.add.at(s, kf, c.astype(object))
+        np.add.at(sq, kf, (c.astype(object) * c))
+        n = (mx - mn + 1).astype(object)
+        den = n * n * sq - n * s * s
+        j = day - mn[kf]          # grid offset within the key's span
+        rev = mx[kf] - day        # offset from the key's last day
+        comb = kf.astype(np.int64) * (1 << 32) + j
+
+        best_r = np.zeros(nk, dtype=object)
+        best_l = np.zeros(nk, dtype=np.int64)
+        has_best = np.zeros(nk, dtype=bool)
+        for lag in lags:
+            # P_L via one searchsorted probe on the composite key
+            idx = np.searchsorted(comb, comb + lag)
+            idx = np.minimum(idx, len(comb) - 1)
+            hit = comb[idx] == comb + lag
+            p = np.zeros(nk, dtype=object)
+            if hit.any():
+                np.add.at(p, kf[hit],
+                          c[hit].astype(object) * c[idx[hit]])
+            head = np.zeros(nk, dtype=object)
+            tail = np.zeros(nk, dtype=object)
+            hm = j < lag
+            tm = rev < lag
+            np.add.at(head, kf[hm], c[hm].astype(object))
+            np.add.at(tail, kf[tm], c[tm].astype(object))
+            num = (n * n * p - n * s * (2 * s - head - tail)
+                   + (n - lag) * s * s) * 1_000_000
+            zeros = np.zeros(nk, dtype=object)
+            valid = (n > lag) & (den > zeros)
+            den_safe = np.where(valid, den, np.ones(nk, dtype=object))
+            rv = np.where(num < zeros,
+                          -((-num) // den_safe), num // den_safe)
+            # strict > keeps the SMALLEST lag on ties (lags ascend)
+            take = valid & (rv > np.where(has_best, best_r, rv - 1))
+            best_r = np.where(take, rv, best_r)
+            best_l = np.where(take, lag, best_l)
+            has_best |= take
+        out_r = np.where(has_best, best_r, 0).astype(np.int64)
+        out_l = np.where(has_best, best_l, 0)
+        return pd.DataFrame({
+            key: keys,
+            "n_days": n.astype(np.int64),
+            "n_events": s.astype(np.int64),
+            "best_lag": out_l.astype(np.int64),
+            "autocorr_ppm": out_r,
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def dominant_period_sql(*, table: str, key: str, ts: str,
+                        min_lag: int = 2, max_lag: int = 14) -> str:
+    """SQL mirror: observed-pair self-joins per lag (one lag CROSS
+    JOIN), per-key head/tail conditional mass, the identical ×n²
+    moments formula, argmax via row_number (r desc, lag asc)."""
+    klist = ", ".join(str(x) for x in range(min_lag, max_lag + 1))
+    return f"""
+        WITH d AS (
+          SELECT {key} AS kk, epoch_us({ts}) // 86400000000 AS day,
+                 count(*)::BIGINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        ext AS (
+          SELECT kk, min(day) AS mn, max(day) AS mx,
+                 (max(day) - min(day) + 1)::HUGEINT AS n,
+                 sum(c)::HUGEINT AS s, sum(c::HUGEINT * c) AS sq
+          FROM d GROUP BY 1
+        ),
+        lg AS (SELECT unnest([{klist}])::HUGEINT AS l),
+        p AS (
+          SELECT d1.kk, lg.l,
+                 sum(d1.c::HUGEINT * d2.c)::HUGEINT AS p
+          FROM d d1 CROSS JOIN lg
+               JOIN d d2 ON d2.kk = d1.kk AND d2.day = d1.day + lg.l
+          GROUP BY 1, 2
+        ),
+        ht AS (
+          SELECT d.kk, lg.l,
+                 sum(CASE WHEN d.day < ext.mn + lg.l
+                          THEN d.c ELSE 0 END)::HUGEINT AS head,
+                 sum(CASE WHEN d.day > ext.mx - lg.l
+                          THEN d.c ELSE 0 END)::HUGEINT AS tail
+          FROM d JOIN ext USING (kk) CROSS JOIN lg
+          GROUP BY 1, 2
+        ),
+        sc AS (
+          SELECT ht.kk, ht.l,
+                 ((ext.n * ext.n * coalesce(p.p, 0)
+                   - ext.n * ext.s * (2 * ext.s - ht.head - ht.tail)
+                   + (ext.n - ht.l) * ext.s * ext.s) * 1000000
+                  // (ext.n * ext.n * ext.sq - ext.n * ext.s * ext.s))
+                     AS r
+          FROM ht JOIN ext USING (kk)
+               LEFT JOIN p ON p.kk = ht.kk AND p.l = ht.l
+          WHERE ext.n > ht.l
+            AND ext.n * ext.n * ext.sq - ext.n * ext.s * ext.s > 0
+        ),
+        rk AS (
+          SELECT kk, l, r, row_number() OVER (
+              PARTITION BY kk ORDER BY r DESC, l ASC) AS rn
+          FROM sc
+        )
+        SELECT ext.kk AS {key}, ext.n::BIGINT AS n_days,
+               ext.s::BIGINT AS n_events,
+               coalesce(rk.l, 0)::BIGINT AS best_lag,
+               coalesce(rk.r, 0)::BIGINT AS autocorr_ppm
+        FROM ext LEFT JOIN rk ON rk.kk = ext.kk AND rk.rn = 1"""

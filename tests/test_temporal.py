@@ -1409,3 +1409,58 @@ def test_holt_forecast_replay_and_gaps():
     assert int(out.loc[1, "forecast_x4096"]) > int(out.loc[1, "level_x4096"])
     assert int(out.loc[2, "trend_x4096"]) < 0
     assert int(out.loc[3, "trend_x4096"]) == 0
+
+
+def test_dominant_period_cadences_and_replay():
+    from htrc_feature_reader_ray.stages.temporal import dominant_period
+
+    day = 86_400_000_000
+    rows = []
+    # user 1: perfect 3-day cron over 30 days -> fundamental lag 3 wins
+    # the tie against its multiples (6, 9, 12) by strict-first
+    for d in range(0, 31, 3):
+        rows.append((1, d))
+    # user 2: weekly cadence, two events each hit day
+    for d in range(0, 29, 7):
+        rows += [(2, d), (2, d)]
+    # user 3: every day exactly once -> zero variance -> (0, 0)
+    for d in range(10):
+        rows.append((3, d))
+    # user 4: two days only -> no valid lag in [2, 14] -> (0, 0)
+    rows += [(4, 0), (4, 1)]
+    df = pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] * day for r in rows], unit="us"),
+    })
+    out = (dominant_period(ray.data.from_pandas(df).repartition(3),
+                           key="user_id", ts="ts")
+           .to_pandas().set_index("user_id").sort_index())
+
+    assert int(out.loc[1, "best_lag"]) == 3
+    assert int(out.loc[2, "best_lag"]) == 7
+    assert int(out.loc[3, "best_lag"]) == 0
+    assert int(out.loc[3, "autocorr_ppm"]) == 0
+    assert int(out.loc[4, "best_lag"]) == 0
+
+    # exact replay of r_L for user 1 from the zero-filled grid
+    grid = np.zeros(31, dtype=np.int64)
+    grid[::3] = 1
+    n, S = 31, int(grid.sum())
+    sq = int((grid ** 2).sum())
+    den = n * n * sq - n * S * S
+
+    def r(lag):
+        p = int((grid[:-lag] * grid[lag:]).sum())
+        head = int(grid[:lag].sum())
+        tail = int(grid[-lag:].sum())
+        num = (n * n * p - n * S * (2 * S - head - tail)
+               + (n - lag) * S * S) * 10**6
+        return -((-num) // den) if num < 0 else num // den
+
+    best = max(range(2, 15), key=lambda L: (r(L), -L))
+    assert best == 3
+    assert int(out.loc[1, "autocorr_ppm"]) == r(3)
+    # the fundamental beats its multiples on a finite grid (fewer
+    # overlapping pairs at 2L) and its off-phase neighbors
+    assert r(3) > r(6) > r(9)
+    assert r(3) > r(2) and r(3) > r(4)
