@@ -2155,6 +2155,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bigram_lm(_docs(sf))
 
+    def q_nb_confusion(sf):
+        """Label-hygiene audit one step past langid's marker lists:
+        train multinomial NB on the corpus's own (lang, token) counts
+        (half-bit log contract), score every doc back, report the
+        lang×prediction confusion — one token fold, broadcast model,
+        one stateless scoring pass, ≤L² confusion fold."""
+        from htrc_feature_reader_ray.stages.textstats import (
+            naive_bayes_confusion,
+        )
+
+        return naive_bayes_confusion(
+            _docs(sf, ("doc_id", "text", "lang")), label_col="lang")
+
     def q_kneser_ney_lm(sf):
         """Interpolated Kneser–Ney bigram table (D = 3/4 in exact
         quarters): bigram_lm's w1-bucketed pair fold, then both
@@ -6696,6 +6709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "touch_attribution": q_touch_attribution,
         "bigram_lm": q_bigram_lm,
         "kneser_ney_lm": q_kneser_ney_lm,
+        "nb_confusion": q_nb_confusion,
         "events_skew_join": q_events_skew_join,
         "cube_lang_source": q_cube_lang_source,
         "vocab_coverage": q_vocab_coverage,
@@ -8050,6 +8064,7 @@ def oracle_sql() -> dict[str, str]:
         "touch_attribution": temporal_mod.touch_attribution_sql(),
         "bigram_lm": vocab_mod.bigram_lm_sql(),
         "kneser_ney_lm": vocab_mod.kneser_ney_lm_sql(),
+        "nb_confusion": textstats.naive_bayes_confusion_sql(),
         "events_skew_join": """
         SELECT e.event_id, e.user_id, e.ts, e.event_type, f.first_seen
         FROM events e

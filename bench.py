@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "kneser_ney_lm",
     "holt_forecast",
     "dominant_period",
+    "nb_confusion",
 ]
 
 HEADLINE = "flagship"

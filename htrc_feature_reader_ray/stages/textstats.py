@@ -1279,3 +1279,177 @@ def vocab_richness_sql(*, table: str = "documents", group: str = "lang",
                (count(*) FILTER (WHERE c = 1)::HUGEINT * 1000000
                 // greatest(sum(c), 1))::BIGINT AS unseen_mass_ppm
         FROM vt GROUP BY 1 ORDER BY 1"""
+
+
+def naive_bayes_confusion(ds, *, text_col: str = "text",
+                          label_col: str = "lang",
+                          num_buckets: int = 32):
+    """Self-supervised multinomial Naive Bayes: TRAIN a bag-of-words
+    classifier on the corpus's own (label, token) counts and score
+    every document back, reporting the label×prediction CONFUSION
+    matrix — the label-hygiene audit one step past :func:`langid`'s
+    fixed marker lists (NB learns the discriminative vocabulary from
+    the data itself; a label whose own NB model can't recover it is
+    either noisy or lexically indistinct from a sibling — exactly
+    what a mixture-weights or filter-threshold pass wants to know
+    before trusting the label column), and the repo's classifier
+    analog of the tokenizer TRAINERS (build_vocab/bpe/unigram): a
+    trained model as a broadcast table.
+
+    Exact integer contract — Laplace α = 1 likelihoods and document
+    priors in the module's log-free HALF-BIT identity
+    (:func:`token_entropy`): per token w and class l
+
+        hb(w|l)  = bitlen((c_{l,w}+1)²) − bitlen((n_l+V)²)
+        prior(l) = bitlen(d_l²) − bitlen(D²)
+        score(doc, l) = prior(l) + Σ_w hb(w|l)      (multiplicity)
+
+    with n_l = class token mass, V = corpus vocab size, d_l/D doc
+    counts. Prediction = argmax, ties to the LEXICOGRAPHICALLY
+    smallest class (argmax-first over the sorted class order ==
+    the mirror's ``ORDER BY score DESC, cl ASC``). Empty documents
+    score prior-only (kept, both sides).
+
+    Scale shape: ONE token-bucketed (label, token) count fold builds
+    the model; the model table is the module's canonical worker-fit
+    small side (the encode_tokens vocabulary contract — prune with a
+    min_count floor if a raw-web vocab outgrows workers), broadcast
+    once; scoring is one stateless map_batches gather (tokens →
+    vocab rows → (docs × classes) np.add.at) and the confusion fold
+    is ≤ L² rows. Output ``(label_col, pred_label, n_docs)``."""
+    import ray
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _tok_stats(batch, text_col)
+        labs = batch.column(label_col).to_numpy(zero_copy_only=False)
+        t = pa.table({"cl": pa.array(labs[parent]), "tok": flat})
+        g = t.group_by(["cl", "tok"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cl", "tok", "c"])
+
+    model_pd = bucketed_aggregate(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["cl", "tok"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="tok",
+    ).to_pandas()
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([label_col]).group_by([label_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["cl", "d"])
+
+    docs_pd = (ds.map_batches(doc_partial, batch_format="pyarrow")
+               .groupby("cl").sum("d").to_pandas()
+               .rename(columns={"sum(d)": "d"}))
+
+    classes = sorted(docs_pd["cl"].astype(str))
+    lidx = {c: i for i, c in enumerate(classes)}
+    d_tot = int(docs_pd["d"].sum())
+    d_by = {str(r["cl"]): int(r["d"]) for _, r in docs_pd.iterrows()}
+    n_l = model_pd.groupby("cl")["c"].sum()
+    vocab = pd.Index(model_pd["tok"].unique())
+    V = len(vocab)
+
+    def hb(x: int, den: int) -> int:
+        return (x * x).bit_length() - (den * den).bit_length()
+
+    den_l = [int(n_l.get(c, 0)) + V for c in classes]
+    # (V x L) half-bit matrix + the unseen-token column, Python ints
+    # (c+1)^2 passes any magnitude) cast down to int64 scores
+    mat = np.zeros((V + 1, len(classes)), dtype=np.int64)
+    for ci, c in enumerate(classes):
+        mat[:, ci] = hb(1, den_l[ci])        # unseen default
+    rows = vocab.get_indexer(model_pd["tok"])
+    for r, c, cnt in zip(rows, model_pd["cl"], model_pd["c"]):
+        mat[r, lidx[str(c)]] = hb(int(cnt) + 1, den_l[lidx[str(c)]])
+    prior = np.array([hb(d_by.get(c, 0), d_tot) for c in classes],
+                     dtype=np.int64)
+    model_ref = ray.put((vocab, mat, prior, np.array(classes,
+                                                     dtype=object)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_, mat_, prior_, classes_ = ray.get(model_ref)
+        flat, parent, n = _tok_stats(batch, text_col)
+        scores = np.tile(prior_, (n, 1)).astype(np.int64)
+        if len(parent):
+            idx = vocab_.get_indexer(flat.to_numpy(zero_copy_only=False))
+            idx = np.where(idx < 0, len(vocab_), idx)
+            np.add.at(scores, parent, mat_[idx])
+        best = scores.argmax(axis=1)   # first max == smallest class
+        t = pa.table({
+            label_col: batch.column(label_col),
+            "pred_label": pa.array(classes_[best], type=pa.string()),
+        })
+        g = t.group_by([label_col, "pred_label"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([label_col, "pred_label", "n_docs"])
+
+    return bucketed_aggregate(
+        ds.map_batches(score, batch_format="pyarrow"),
+        [label_col, "pred_label"], {"n_docs": ("n_docs", "sum")},
+        num_buckets=1,
+    )
+
+
+def naive_bayes_confusion_sql(*, table: str = "documents",
+                              text: str = "text",
+                              label: str = "lang") -> str:
+    """SQL replay: (label, token) count model, per-(doc, class) summed
+    half-bit scores over a doc×class cross join with the unseen-token
+    default, prior added once, row_number argmax (score desc, class
+    asc), confusion GROUP BY. DuckDB ``format('{:b}')`` takes BIGINT,
+    so the mirror bounds counts at ~3·10⁹ (squares must fit 2⁶³);
+    the engine itself squares in Python ints — unbounded."""
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+
+    def blen(x):
+        return "length(format('{:b}', " + x + "))"
+
+    return f"""
+        WITH base AS (
+          SELECT row_number() OVER () AS rid, {label} AS lab,
+                 {toks} AS arr
+          FROM {table}
+        ),
+        tok AS (
+          SELECT rid, lab, t.tok FROM base, unnest(arr) AS t(tok)
+        ),
+        model AS (
+          SELECT lab AS cl, tok, count(*)::BIGINT AS c
+          FROM tok GROUP BY 1, 2
+        ),
+        cls AS (SELECT lab AS cl, count(*)::BIGINT AS d
+                FROM base GROUP BY 1),
+        tot AS (SELECT count(*)::BIGINT AS dd FROM base),
+        nl AS (SELECT cl, sum(c)::BIGINT AS n FROM model GROUP BY 1),
+        v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM model),
+        ts AS (
+          SELECT t.rid, c.cl,
+                 sum({blen("(coalesce(m.c, 0) + 1)::BIGINT"
+                           " * (coalesce(m.c, 0) + 1)")}
+                     - {blen("(nl.n + v.v)::BIGINT * (nl.n + v.v)")})
+                     ::BIGINT AS s
+          FROM tok t CROSS JOIN cls c
+               LEFT JOIN model m ON m.cl = c.cl AND m.tok = t.tok
+               JOIN nl ON nl.cl = c.cl, v
+          GROUP BY 1, 2
+        ),
+        sc AS (
+          SELECT b.rid, b.lab, c.cl,
+                 coalesce(ts.s, 0)
+                 + ({blen("c.d::BIGINT * c.d")}
+                    - {blen("tot.dd::BIGINT * tot.dd")}) AS score
+          FROM base b CROSS JOIN cls c
+               LEFT JOIN ts ON ts.rid = b.rid AND ts.cl = c.cl, tot
+        ),
+        pred AS (
+          SELECT rid, lab, cl,
+                 row_number() OVER (PARTITION BY rid
+                                    ORDER BY score DESC, cl ASC) AS rn
+          FROM sc
+        )
+        SELECT lab AS {label}, cl AS pred_label,
+               count(*)::BIGINT AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY 1, 2"""

@@ -35,6 +35,9 @@ HEAVY = [
     "boilerplate_lines", "bigram_surprisal", "rrf_hybrid",
     "bootstrap_ci", "flagship", "split_leakage", "bloom_decontaminate",
     "line_dedup", "dedup_exact", "pagerank",
+    # round-3 session additions worth the sf0.1 pin (graph + LM + grid)
+    "modularity", "rich_club", "kneser_ney_lm", "dominant_period",
+    "holt_forecast", "l_diversity",
 ]
 
 

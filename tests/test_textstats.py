@@ -376,3 +376,60 @@ def test_vocab_richness_bigrams_do_not_span_docs():
     assert out["f1"] == 2
     # chao1 = 2 + 2*1 // (2*1) = 3
     assert out["chao1"] == 3
+
+
+def test_naive_bayes_confusion_discriminative_and_ties():
+    from htrc_feature_reader_ray.stages.textstats import (
+        naive_bayes_confusion,
+    )
+
+    def run(df):
+        return (naive_bayes_confusion(
+            ray.data.from_pandas(df).repartition(3), label_col="lang")
+            .to_pandas().sort_values(["lang", "pred_label"])
+            .reset_index(drop=True))
+
+    # disjoint vocabularies -> the model recovers its own labels
+    df = pd.DataFrame({
+        "doc_id": range(8),
+        "lang": ["en"] * 4 + ["fr"] * 4,
+        "text": ["the cat sat on the mat", "the dog ate the bone",
+                 "a cat and a dog", "the mat was flat"]
+                + ["le chat est noir", "le chien mange l os",
+                   "un chat et un chien", "le tapis est plat"],
+    })
+    out = run(df)
+    diag = out[out["lang"] == out["pred_label"]]["n_docs"].sum()
+    assert int(diag) == 8
+    assert set(out["pred_label"]) <= {"en", "fr"}
+
+    # identical corpora under two labels: every score ties exactly ->
+    # every doc predicts the lexicographically smaller class
+    same = pd.DataFrame({
+        "doc_id": range(6),
+        "lang": ["aa", "zz"] * 3,
+        "text": ["x y z"] * 6,
+    })
+    outs = run(same)
+    assert set(outs["pred_label"]) == {"aa"}
+    assert int(outs["n_docs"].sum()) == 6
+
+    # replay the half-bit score for one doc by hand: 2 classes,
+    # doc "w w q" under en-model vs fr-model
+    tiny = pd.DataFrame({
+        "doc_id": [0, 1],
+        "lang": ["en", "fr"],
+        "text": ["w w q", "r r r"],
+    })
+    outt = run(tiny)
+
+    def hb(x, den):
+        return (x * x).bit_length() - (den * den).bit_length()
+
+    V = 3  # tokens {w, q, r}
+    # en: tokens w:2 q:1 (n=3); fr: r:3 (n=3); priors d=1, D=2
+    s_en = hb(1, 2) + 2 * hb(3, 3 + V) + hb(2, 3 + V)
+    s_fr = hb(1, 2) + 2 * hb(1, 3 + V) + hb(1, 3 + V)
+    assert s_en > s_fr  # doc 0 stays en
+    row0 = outt[(outt["lang"] == "en")].iloc[0]
+    assert row0["pred_label"] == "en"
