@@ -4285,6 +4285,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rich_club(extract_links(read_pages(sf, drop_text=True)))
 
+    def q_neighbor_degree_curve(sf):
+        """knn(k) average-neighbor-degree curve over power-of-two
+        degree tiers — degree_assortativity's scalar unrolled into the
+        curve that says WHICH tiers drive it; rich_club machinery,
+        one floor per bucket."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            neighbor_degree_curve,
+        )
+
+        return neighbor_degree_curve(
+            extract_links(read_pages(sf, drop_text=True)))
+
     def q_event_trigrams(sf):
         """Top-25 ordered 3-step behavioral paths (funnels/UX loops are
         >=3 steps; first-order chains can't tell A->B->A from A->B->C).
@@ -6796,6 +6810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": q_degree_assortativity,
         "host_assortativity": q_host_assortativity,
         "rich_club": q_rich_club,
+        "neighbor_degree_curve": q_neighbor_degree_curve,
         "pivot_user_events": q_pivot_user_events,
         "rollup_lang_source": q_rollup_lang_source,
         "value_hour_corr": q_value_hour_corr,
@@ -7805,6 +7820,10 @@ def oracle_sql() -> dict[str, str]:
             LINKS_PRE
             + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
             + linkgraph.rich_club_sql(edges_cte="e2")),
+        "neighbor_degree_curve": (
+            LINKS_PRE
+            + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
+            + linkgraph.neighbor_degree_curve_sql(edges_cte="e2")),
         "pivot_user_events": profile_mod.pivot_counts_sql(
             key="user_id", cat_col="event_type",
             categories=EVENT_TYPES, table="events"),

@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "holt_forecast",
     "dominant_period",
     "nb_confusion",
+    "neighbor_degree_curve",
 ]
 
 HEADLINE = "flagship"

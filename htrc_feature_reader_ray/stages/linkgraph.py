@@ -4015,3 +4015,167 @@ def rich_club_sql(*, edges_cte: str = "e2",
         FROM th LEFT JOIN ec ON th.k = ec.k
                 LEFT JOIN nc ON th.k = nc.k
         ORDER BY th.k"""
+
+
+def neighbor_degree_curve(edges, *, num_buckets: int = 16):
+    """Average-neighbor-degree curve knn(k) of the undirected link
+    graph (Pastor-Satorras, Vázquez & Vespignani, PRL 87:258701) over
+    power-of-two degree tiers — the CURVE behind
+    :func:`degree_assortativity`'s single scalar: a falling knn(k) is
+    the web's disassortative signature localized to the tiers where
+    it happens (WHICH hubs sit atop low-degree spokes), and read next
+    to :func:`rich_club` it separates "hubs avoid each other" from
+    "hubs wire densely" tier by tier.
+
+    Exact integer contract per degree bucket b = bitlen(d) (the
+    :func:`degree_histogram` bucketing):
+
+        knn_ppm(b) = Σ_{(u,v): u∈b} deg(v) · 10⁶ // Σ_{u∈b} deg(u)
+
+    — the edge-endpoint-weighted mean neighbor degree, one
+    nonnegative floor; the denominator equals the bucket's total
+    edge-endpoint count, so no per-node averaging floors accumulate.
+    Buckets with no edges report 0 by contract (isolated nodes don't
+    occur: nodes come from edges).
+
+    Scale shape: :func:`rich_club`'s machinery verbatim — canonical
+    undirected distinct fold, degree fold, two url-only bucketed
+    joins attaching both endpoint degrees; each edge then emits TWO
+    (bucket, neighbor-degree) contributions that collapse per batch
+    to ≤64 partial rows, node-side sums ride the degree fold the same
+    way, ONE tiny bucket-keyed fold finishes. Output
+    ``(degree_bucket, n_nodes, sum_degree, sum_neighbor_degree,
+    knn_ppm)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import (
+        bucket_join,
+        bucketed_aggregate,
+        bucketed_map_groups,
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = _str_array(batch, "src_url").to_numpy(zero_copy_only=False)
+        d = _str_array(batch, "dst_url").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "lo": pa.array(np.minimum(s, d), type=pa.string()),
+            "hi": pa.array(np.maximum(s, d), type=pa.string()),
+        })
+
+    und = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        "lo", lambda df: df.drop_duplicates(["lo", "hi"]),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.table({"url": pa.concat_arrays([
+            t.column("lo").combine_chunks(),
+            t.column("hi").combine_chunks()])})
+
+    deg = bucketed_aggregate(
+        und.map_batches(endpoints, batch_format="pyarrow"),
+        ["url"], {"d": ("url", "size")}, num_buckets=num_buckets,
+    ).materialize()
+
+    def blen(a: np.ndarray) -> np.ndarray:
+        return np.frexp(a.astype(np.float64))[1].astype(np.int64)
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].to_numpy().astype(np.int64)
+        b = blen(d)
+        out = pd.DataFrame({"b": b, "n": 1, "sd": d, "snd": 0})
+        return (out.groupby("b", as_index=False)
+                .agg(n=("n", "sum"), sd=("sd", "sum"),
+                     snd=("snd", "sum")))
+
+    def d_lo(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": df["url"],
+                             "d_lo": df["d"].astype("int64")})
+
+    def d_hi(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"url": df["url"],
+                             "d_hi": df["d"].astype("int64")})
+
+    with_lo = bucket_join(
+        und, deg.map_batches(d_lo, batch_format="pandas"),
+        left_key="lo", right_key="url", num_buckets=num_buckets)
+    with_both = bucket_join(
+        with_lo, deg.map_batches(d_hi, batch_format="pandas"),
+        left_key="hi", right_key="url", num_buckets=num_buckets)
+
+    def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["d_lo"].to_numpy().astype(np.int64)
+        dh = df["d_hi"].to_numpy().astype(np.int64)
+        b = np.concatenate([blen(dl), blen(dh)])
+        nbr = np.concatenate([dh, dl])
+        out = pd.DataFrame({"b": b, "n": 0, "sd": 0, "snd": nbr})
+        return (out.groupby("b", as_index=False)
+                .agg(n=("n", "sum"), sd=("sd", "sum"),
+                     snd=("snd", "sum")))
+
+    partials = deg.map_batches(node_partial, batch_format="pandas").union(
+        with_both.map_batches(edge_partial, batch_format="pandas"))
+    folded = bucketed_aggregate(
+        partials, ["b"], {"n": ("n", "sum"), "sd": ("sd", "sum"),
+                          "snd": ("snd", "sum")},
+        num_buckets=1,
+    ).to_pandas().sort_values("b")
+
+    sd = folded["sd"].astype(object)
+    knn = [int(s_n) * 1_000_000 // int(s_d) if int(s_d) > 0 else 0
+           for s_n, s_d in zip(folded["snd"], sd)]
+    out = pd.DataFrame({
+        "degree_bucket": folded["b"].astype("int64"),
+        "n_nodes": folded["n"].astype("int64"),
+        "sum_degree": folded["sd"].astype("int64"),
+        "sum_neighbor_degree": folded["snd"].astype("int64"),
+        "knn_ppm": pd.Series(knn, dtype="int64",
+                             index=folded.index),
+    }).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+def neighbor_degree_curve_sql(*, edges_cte: str = "e2") -> str:
+    """SQL mirror fragment (append after a WITH preamble providing
+    ``edges_cte``): canonical undirected set, degree fold, two
+    endpoint contributions per edge, length(bin(d)) buckets."""
+    return f""",
+        und AS MATERIALIZED (
+          SELECT DISTINCT least(src_url, dst_url) AS lo,
+                 greatest(src_url, dst_url) AS hi
+          FROM {edges_cte} WHERE src_url != dst_url
+        ),
+        deg AS MATERIALIZED (
+          SELECT url, count(*)::BIGINT AS d
+          FROM (SELECT lo AS url FROM und UNION ALL SELECT hi FROM und)
+          GROUP BY 1
+        ),
+        contrib AS (
+          SELECT length(bin(dl.d))::BIGINT AS b, dh.d AS nbr
+          FROM und JOIN deg dl ON und.lo = dl.url
+                   JOIN deg dh ON und.hi = dh.url
+          UNION ALL
+          SELECT length(bin(dh.d))::BIGINT, dl.d
+          FROM und JOIN deg dl ON und.lo = dl.url
+                   JOIN deg dh ON und.hi = dh.url
+        ),
+        nodes AS (
+          SELECT length(bin(d))::BIGINT AS b,
+                 count(*)::BIGINT AS n, sum(d)::HUGEINT AS sd
+          FROM deg GROUP BY 1
+        ),
+        edges_b AS (
+          SELECT b, sum(nbr)::HUGEINT AS snd FROM contrib GROUP BY 1
+        )
+        SELECT nodes.b AS degree_bucket, nodes.n AS n_nodes,
+               nodes.sd::BIGINT AS sum_degree,
+               coalesce(edges_b.snd, 0)::BIGINT AS sum_neighbor_degree,
+               CASE WHEN nodes.sd > 0 THEN
+                 (coalesce(edges_b.snd, 0) * 1000000
+                  // nodes.sd)::BIGINT
+               ELSE 0 END AS knn_ppm
+        FROM nodes LEFT JOIN edges_b USING (b)
+        ORDER BY nodes.b"""

@@ -1144,3 +1144,34 @@ def test_rich_club_clique_core_and_contracts():
     outs = rich_club(_edges_ds(star), thresholds=(1,)).to_pandas()
     assert int(outs["n_nodes"].iloc[0]) == 1
     assert int(outs["phi_ppm"].iloc[0]) == 0
+
+
+def test_neighbor_degree_curve_star_and_clique():
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        neighbor_degree_curve,
+    )
+
+    def run(pairs):
+        return (neighbor_degree_curve(_edges_ds(pairs)).to_pandas()
+                .set_index("degree_bucket"))
+
+    # star with 5 leaves: leaves (d=1, bucket 1) see only the hub
+    # (d=5) -> knn = 5e6; the hub (bucket 3) sees only leaves -> 1e6
+    star = [("hub", f"l{j}") for j in range(5)]
+    out = run(star)
+    assert int(out.loc[1, "n_nodes"]) == 5
+    assert int(out.loc[1, "knn_ppm"]) == 5_000_000
+    assert int(out.loc[3, "n_nodes"]) == 1
+    assert int(out.loc[3, "knn_ppm"]) == 1_000_000
+    assert int(out.loc[1, "sum_degree"]) == 5
+    assert int(out.loc[3, "sum_neighbor_degree"]) == 5
+
+    # 4-clique: every node d=3 (bucket 2), every neighbor d=3
+    clique = [(f"c{a}", f"c{b}") for a in range(4) for b in range(a + 1, 4)]
+    outc = run(clique)
+    assert list(outc.index) == [2]
+    assert int(outc.loc[2, "knn_ppm"]) == 3_000_000
+
+    # dup/reversed/self-loop edges collapse in the canonical fold
+    noisy = star + [(star[0][1], star[0][0]), ("hub", "hub")]
+    assert run(noisy).equals(out)
