@@ -4285,6 +4285,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rich_club(extract_links(read_pages(sf, drop_text=True)))
 
+    def q_eigenvector_centrality(sf):
+        """Undamped adjacency-spectrum prestige (prestige flows WHOLE
+        from every endorser — the family member pagerank's vote-split
+        damps away), on the HOST projection: the page-level crawl is
+        bipartite crawled→phantom (no src/dst overlap), where pure
+        power iteration legitimately drains to zero — the host graph
+        has the recurrent structure the spectrum needs. Shift-
+        normalized integer power iteration, one push fold per round."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            eigenvector_centrality,
+            extract_links,
+            host_edges,
+        )
+
+        hedges = host_edges(
+            extract_links(read_pages(sf, drop_text=True))
+        ).map_batches(
+            lambda t: t.rename_columns(["src_url", "dst_url"]),
+            batch_format="pyarrow")
+        scored = eigenvector_centrality(hedges)
+        return scored.map_batches(
+            lambda t: t.rename_columns(["host", "score"]),
+            batch_format="pyarrow")
+
     def q_neighbor_degree_curve(sf):
         """knn(k) average-neighbor-degree curve over power-of-two
         degree tiers — degree_assortativity's scalar unrolled into the
@@ -6811,6 +6836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_assortativity": q_host_assortativity,
         "rich_club": q_rich_club,
         "neighbor_degree_curve": q_neighbor_degree_curve,
+        "eigenvector_centrality": q_eigenvector_centrality,
         "pivot_user_events": q_pivot_user_events,
         "rollup_lang_source": q_rollup_lang_source,
         "value_hour_corr": q_value_hour_corr,
@@ -7824,6 +7850,13 @@ def oracle_sql() -> dict[str, str]:
             LINKS_PRE
             + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
             + linkgraph.neighbor_degree_curve_sql(edges_cte="e2")),
+        "eigenvector_centrality": (
+            "SELECT url AS host, score FROM ("
+            + LINKS_PRE + linkgraph.eigenvector_centrality_sql(
+                e2_select="""SELECT DISTINCT
+                    regexp_extract(src_url, '://([^/]+)', 1) AS src_url,
+                    regexp_extract(dst_url, '://([^/]+)', 1) AS dst_url
+                FROM link_edges""") + ")"),
         "pivot_user_events": profile_mod.pivot_counts_sql(
             key="user_id", cat_col="event_type",
             categories=EVENT_TYPES, table="events"),

@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "dominant_period",
     "nb_confusion",
     "neighbor_degree_curve",
+    "eigenvector_centrality",
 ]
 
 HEADLINE = "flagship"

@@ -4179,3 +4179,146 @@ def neighbor_degree_curve_sql(*, edges_cte: str = "e2") -> str:
                ELSE 0 END AS knn_ppm
         FROM nodes LEFT JOIN edges_b USING (b)
         ORDER BY nodes.b"""
+
+
+EV_INIT = 1 << 10       # r_0 per node
+EV_NORM_BITS = 20       # shift raw sums back under 2^20 each round
+
+
+def eigenvector_centrality(edges, *, iterations: int = 4,
+                           num_buckets: int = 32,
+                           broadcast_limit: int = 2_000_000):
+    """Integer power-iteration eigenvector centrality over the directed
+    edge set — the centrality-family member PageRank deliberately
+    damps away: no teleport, no out-degree normalization, so a node's
+    score is the (normalized) count of length-t walks ENDING at it —
+    prestige flows whole from every endorser, which is why a page
+    endorsed by one mega-hub outranks one endorsed by three minor
+    pages here, while PageRank (which splits each endorser's vote)
+    can order them the other way. Completes the family: degree
+    (local), harmonic (distance), coreness (cohesion), PageRank
+    (damped random walk), HITS (bipartite hub/authority), this
+    (undamped adjacency spectrum).
+
+    Exact-integer contract (bit-exact across parallelism; unrolled-CTE
+    replayable):
+
+        r_0(v)     = 2¹⁰
+        raw(v)     = Σ_{u→v} r_t(u)
+        shift_t    = max(0, bitlen(max_v raw) − 20)
+        r_{t+1}(v) = raw(v) >> shift_t
+
+    The per-round right-shift is the integer stand-in for the power
+    method's norm division — rank ORDER is exact, magnitudes are the
+    documented fixed-point. A DAG can legitimately drain to all-zero
+    ranks once t exceeds its longest path (no length-t walks exist);
+    zeros are the correct readout, kept.
+
+    Scale shape: pagerank's two documented paths — the worker-fit
+    broadcast fast path (ONE exchange per round via the push fold;
+    max on the driver), else the bucketed plan (per round: one rank
+    join, one dst fold, one scalar max fold, one stateless shift
+    map). Output ``(url, score)``."""
+    import ray.data
+
+    edges = edges.materialize()
+    nodes = _distinct_nodes(edges, num_buckets=num_buckets).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "score": pa.array([], type=pa.int64()),
+        }))
+
+    if n <= broadcast_limit:
+        urls = nodes.to_pandas()["url"].to_numpy()
+        rank = pd.Series(np.full(n, EV_INIT, dtype=np.int64), index=urls)
+        for _ in range(iterations):
+            summed = _bcast_push_fold(
+                edges, rank, src_col="src_url", dst_col="dst_url",
+                num_buckets=num_buckets)
+            raw = summed.reindex(urls, fill_value=0).to_numpy()
+            m = int(raw.max()) if len(raw) else 0
+            shift = max(0, int(m).bit_length() - EV_NORM_BITS)
+            rank = pd.Series(raw >> shift, index=urls)
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "score": pa.array(rank.to_numpy(), type=pa.int64()),
+        }))
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.full(len(batch), EV_INIT, dtype=np.int64)))
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": batch.column("url").cast(pa.string()),
+            "s": pa.array(np.zeros(len(batch), dtype=np.int64)),
+        })
+
+    ranks = nodes.map_batches(init_rank,
+                              batch_format="pyarrow").materialize()
+    for _ in range(iterations):
+        joined = bucket_join(
+            edges, ranks, left_key="src_url", right_key="url",
+            how="inner", num_buckets=num_buckets)
+
+        def push(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": batch.column("dst_url").cast(pa.string()),
+                "s": batch.column("rank"),
+            })
+
+        summed = bucketed_aggregate(
+            joined.map_batches(push, batch_format="pyarrow").union(
+                nodes.map_batches(zero_rows, batch_format="pyarrow")),
+            "url", {"s": ("s", "sum")}, num_buckets=num_buckets,
+        ).materialize()
+        m = int(summed.max("s") or 0)
+        shift = max(0, m.bit_length() - EV_NORM_BITS)
+
+        def reshift(batch: pa.Table, _s=shift) -> pa.Table:
+            s = batch.column("s").to_numpy()
+            return pa.table({
+                "url": batch.column("url"),
+                "rank": pa.array(s >> _s, type=pa.int64()),
+            })
+
+        ranks = summed.map_batches(reshift,
+                                   batch_format="pyarrow").materialize()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["url", "score"])
+
+    return ranks.map_batches(rename, batch_format="pyarrow")
+
+
+def eigenvector_centrality_sql(*, iterations: int = 4,
+                               e2_select: str =
+                               "SELECT DISTINCT src_url, dst_url"
+                               " FROM link_edges") -> str:
+    """Unrolled-CTE replay of the shift-normalized integer power
+    iteration (length(bin(m)) == bit_length; DuckDB >> == numpy >>
+    on nonnegative BIGINT)."""
+    sql = f""",
+e2 AS MATERIALIZED ({e2_select}),
+evn AS (SELECT DISTINCT url FROM (
+    SELECT src_url AS url FROM e2
+    UNION ALL SELECT dst_url FROM e2)),
+ev0 AS (SELECT url, {EV_INIT}::BIGINT AS r FROM evn),
+"""
+    prev = "ev0"
+    for i in range(1, iterations + 1):
+        sql += f"""evc{i} AS (
+  SELECT e.dst_url AS url, sum(r.r)::BIGINT AS s
+  FROM e2 e JOIN {prev} r ON e.src_url = r.url GROUP BY 1),
+evm{i} AS (SELECT greatest(0,
+    length(bin(coalesce((SELECT max(s) FROM evc{i}), 0)))
+    - {EV_NORM_BITS})::INTEGER AS sh),
+ev{i} AS (
+  SELECT evn.url, (coalesce(c.s, 0) >> evm{i}.sh)::BIGINT AS r
+  FROM evn LEFT JOIN evc{i} c ON evn.url = c.url, evm{i}),
+"""
+        prev = f"ev{i}"
+    return sql.rstrip(",\n") + (
+        f"\nSELECT url, r AS score FROM ev{iterations}")

@@ -1175,3 +1175,40 @@ def test_neighbor_degree_curve_star_and_clique():
     # dup/reversed/self-loop edges collapse in the canonical fold
     noisy = star + [(star[0][1], star[0][0]), ("hub", "hub")]
     assert run(noisy).equals(out)
+
+
+def test_eigenvector_centrality_cycle_hub_and_dag_drain():
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        eigenvector_centrality,
+    )
+
+    def run(pairs, **kw):
+        return (eigenvector_centrality(_edges_ds(pairs), **kw)
+                .to_pandas().set_index("url")["score"])
+
+    # 3-cycle: permutation matrix, ranks stay exactly at the init 1024
+    cyc = [("a", "b"), ("b", "c"), ("c", "a")]
+    outc = run(cyc)
+    assert set(outc) == {1024}
+
+    # hub with feedback + self-loop (bare star is bipartite and
+    # oscillates — even-round values tie exactly; the loop breaks
+    # periodicity, the classic power-method caveat): hub dominates
+    k = 5
+    hub = [(f"s{i}", "hub") for i in range(k)] + \
+          [("hub", f"s{i}") for i in range(k)] + [("hub", "hub")]
+    outh = run(hub)
+    assert outh["hub"] > outh["s0"] > 0
+
+    # pure DAG drains once t exceeds the longest path — zeros are the
+    # documented correct readout
+    dag = [("x", "y"), ("y", "z")]
+    outd = run(dag, iterations=4)
+    assert set(outd) == {0}
+    # ...but within the path length the walk counts are live
+    outd1 = run(dag, iterations=1)
+    assert outd1["y"] == 1024 and outd1["z"] == 1024 and outd1["x"] == 0
+
+    # bucketed path (broadcast_limit=0 forces it) is bit-identical
+    outb = run(hub, broadcast_limit=0)
+    assert outb.sort_index().equals(outh.sort_index())
