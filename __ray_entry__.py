@@ -3005,6 +3005,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _events(sf, ["event_type", "value"]).map_batches(
             cents, batch_format="pyarrow")
 
+    def q_asof_staleness(sf):
+        """Freshness-SLO audit for the north-star op: staleness
+        histogram (power-of-two second tiers + unmatched mass) of the
+        backward as-of click→purchase join — one stateless bucketing
+        pass on top of the join's own plan."""
+        from htrc_feature_reader_ray.stages.temporal import (
+            asof_staleness,
+            partitioned_asof_join,
+        )
+
+        joined = partitioned_asof_join(
+            _clicks(sf), _purchases_ds(sf), on="user_id", ts="ts",
+            direction="backward", num_buckets=32)
+        return asof_staleness(joined)
+
     def q_dominant_period(sf):
         """Per-user activity cadence: the lag in [2,14] maximizing the
         exact lag-L autocorrelation of the zero-filled daily grid —
@@ -6694,6 +6709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kruskal_wallis": q_kruskal_wallis,
         "holt_forecast": q_holt_forecast,
         "dominant_period": q_dominant_period,
+        "asof_staleness": q_asof_staleness,
         "anova_eta": q_anova_eta,
         "levene_bf": q_levene_bf,
         "cochrans_q": q_cochrans_q,
@@ -9276,6 +9292,11 @@ def oracle_sql() -> dict[str, str]:
             table="events", key="user_id", ts="ts"),
         "dominant_period": temporal_mod.dominant_period_sql(
             table="events", key="user_id", ts="ts"),
+        "asof_staleness": ASOF_PRE + temporal_mod.asof_staleness_sql(
+            joined_select="""
+                SELECT l.ts, r.ts AS matched_ts
+                FROM l ASOF LEFT JOIN r
+                  ON l.user_id = r.user_id AND l.ts >= r.ts"""),
         "anova_eta": profile_mod.anova_eta_sql(
             src_sql=("SELECT event_type, CAST(round(value * 100)"
                      " AS BIGINT) AS cents FROM events"),

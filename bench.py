@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "nb_confusion",
     "neighbor_degree_curve",
     "eigenvector_centrality",
+    "asof_staleness",
 ]
 
 HEADLINE = "flagship"

@@ -4184,3 +4184,64 @@ def dominant_period_sql(*, table: str, key: str, ts: str,
                coalesce(rk.l, 0)::BIGINT AS best_lag,
                coalesce(rk.r, 0)::BIGINT AS autocorr_ppm
         FROM ext LEFT JOIN rk ON rk.kk = ext.kk AND rk.rn = 1"""
+
+
+def asof_staleness(joined, *, ts: str = "ts",
+                   matched_ts: str = "matched_ts"):
+    """Staleness histogram of an as-of join — the QUALITY AUDIT for the
+    engine's north-star op: a point-in-time feature join can be 100%
+    "correct" (no leakage, every match ≤ its as-of point) and still be
+    operationally rotten because the matches are WEEKS old; this reports
+    how stale the matched features actually are, plus the unmatched
+    mass, in one audit-sized histogram a freshness SLO can gate on.
+
+    Exact integer bucketing (the :func:`degree_histogram` convention):
+    per row, ``staleness_s = (ts − matched_ts)`` in whole seconds
+    (floor; both sides nonnegative by the backward-join contract),
+    bucket = −1 for UNMATCHED rows, 0 for sub-second, else
+    bitlen(staleness_s) — power-of-two second tiers (1–2 s, …,
+    ~18 min–36 min, …). Output ``(staleness_bucket, n_events)``,
+    ≤ ~40 rows.
+
+    Scale shape: one stateless per-batch bucketing pass over the join
+    output + a ≤40-key native fold — the audit adds NOTHING to the
+    join's own exchange plan."""
+    day_scale = 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        m = batch.column(matched_ts).cast(pa.timestamp("us"))
+        missing = pa.compute.is_null(m).to_numpy(zero_copy_only=False)
+        mv = pa.compute.fill_null(m.cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tv = t.to_numpy(zero_copy_only=False)
+        stale_s = np.where(missing, 0,
+                           (tv - mv) // day_scale).astype(np.int64)
+        blen = np.frexp(np.maximum(stale_s, 1).astype(np.float64))[1]
+        b = np.where(missing, -1,
+                     np.where(stale_s == 0, 0, blen)).astype(np.int64)
+        tb = pa.table({"staleness_bucket": pa.array(b)})
+        g = tb.group_by(["staleness_bucket"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["staleness_bucket", "n_events"])
+
+    return (joined.map_batches(bucket, batch_format="pyarrow")
+            .groupby("staleness_bucket").sum("n_events")
+            .map_batches(lambda t: t.rename_columns(
+                ["staleness_bucket", "n_events"]),
+                batch_format="pyarrow"))
+
+
+def asof_staleness_sql(*, joined_select: str, ts: str = "ts",
+                       matched_ts: str = "matched_ts") -> str:
+    """SQL mirror: wrap any as-of join SELECT, the identical
+    −1/0/bitlen(seconds) bucketing."""
+    diff = (f"(epoch_us({ts}) - epoch_us({matched_ts})) // 1000000")
+    return f"""
+        SELECT CASE WHEN {matched_ts} IS NULL THEN -1
+                    WHEN {diff} = 0 THEN 0
+                    ELSE length(bin({diff}))
+               END::BIGINT AS staleness_bucket,
+               count(*)::BIGINT AS n_events
+        FROM ({joined_select})
+        GROUP BY 1"""

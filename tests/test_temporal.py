@@ -1464,3 +1464,26 @@ def test_dominant_period_cadences_and_replay():
     # overlapping pairs at 2L) and its off-phase neighbors
     assert r(3) > r(6) > r(9)
     assert r(3) > r(2) and r(3) > r(4)
+
+
+def test_asof_staleness_buckets_exact():
+    from htrc_feature_reader_ray.stages.temporal import asof_staleness
+
+    base = 1_700_000_000_000_000  # epoch us
+    rows = [
+        (base, base),                      # 0 s        -> bucket 0
+        (base + 1_500_000, base),          # 1 s (floor) -> bitlen(1)=1
+        (base + 3_000_000, base),          # 3 s        -> bitlen(3)=2
+        (base + 1024 * 1_000_000, base),   # 1024 s     -> bitlen=11
+        (base, None),                      # unmatched  -> -1
+        (base + 999_999, base),            # sub-second floor -> 0
+    ]
+    df = pd.DataFrame({
+        "ts": pd.to_datetime([r[0] for r in rows], unit="us"),
+        "matched_ts": pd.to_datetime(
+            [r[1] for r in rows], unit="us", errors="coerce"),
+    })
+    out = (asof_staleness(ray.data.from_pandas(df).repartition(2))
+           .to_pandas().set_index("staleness_bucket")["n_events"]
+           .sort_index())
+    assert out.to_dict() == {-1: 1, 0: 2, 1: 1, 2: 1, 11: 1}
