@@ -2155,6 +2155,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bigram_lm(_docs(sf))
 
+    def q_best_window(sf):
+        """Serving-side snippet locator: densest width-12 window of
+        {merge, sort, hash, join} hits per matching doc — zero
+        exchange, cumsum window sums, earliest-tie contract."""
+        from htrc_feature_reader_ray.stages.curate import best_window
+
+        return best_window(_docs(sf),
+                           ["merge", "sort", "hash", "join"], width=12)
+
     def q_nb_confusion(sf):
         """Label-hygiene audit one step past langid's marker lists:
         train multinomial NB on the corpus's own (lang, token) counts
@@ -6765,6 +6774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": q_bigram_lm,
         "kneser_ney_lm": q_kneser_ney_lm,
         "nb_confusion": q_nb_confusion,
+        "best_window": q_best_window,
         "events_skew_join": q_events_skew_join,
         "cube_lang_source": q_cube_lang_source,
         "vocab_coverage": q_vocab_coverage,
@@ -8133,6 +8143,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": vocab_mod.bigram_lm_sql(),
         "kneser_ney_lm": vocab_mod.kneser_ney_lm_sql(),
         "nb_confusion": textstats.naive_bayes_confusion_sql(),
+        "best_window": curate.best_window_sql(
+            query_terms=["merge", "sort", "hash", "join"], width=12),
         "events_skew_join": """
         SELECT e.event_id, e.user_id, e.ts, e.event_type, f.first_seen
         FROM events e

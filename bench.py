@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "neighbor_degree_curve",
     "eigenvector_centrality",
     "asof_staleness",
+    "best_window",
 ]
 
 HEADLINE = "flagship"

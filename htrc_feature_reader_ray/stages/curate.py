@@ -3557,3 +3557,118 @@ def perplexity_buckets_sql(*, table: str = "documents",
                     WHEN s.score_mbits <= th.t2 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM s JOIN th USING ({lang_col})"""
+
+
+def best_window(ds, query_terms, *, width: int = 20,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Snippet locator: for every document containing at least one query
+    term, the 0-based token offset of the DENSEST width-``width`` token
+    window (most query-term hits; earliest such window on ties) — the
+    serving-side step after :func:`bm25_topk` ranks and
+    :func:`phrase_search` verifies: a result page shows a snippet, and
+    the snippet worth showing is the window where the query's terms
+    cluster. Output ``(id, n_hits, win_pos, win_hits)`` with ``n_hits``
+    the doc's total hit count riding along.
+
+    Exact contract: hits = token membership in the query set
+    (multiplicity counts); windows are full-width and fully inside the
+    document; documents SHORTER than ``width`` use their whole span
+    (win_pos 0, win_hits = n_hits). Ties break to the smallest offset
+    (mirror: ``ORDER BY wh DESC, pos ASC``).
+
+    Scale shape: ZERO exchange (the :func:`phrase_search` posture) —
+    membership is one ``pc.is_in`` over the flat token array, window
+    sums are one cumsum difference, the per-doc argmax folds with
+    ``np.maximum.at``/``minimum.at``; the query set ships in the task
+    closure and the output is hit-doc-sized."""
+    terms = sorted({t for t in query_terms if t})
+    if not terms or width < 1:
+        raise ValueError("need nonempty query_terms and width >= 1")
+    vs = pa.array(terms)
+
+    from htrc_feature_reader_ray.stages.textstats import _tok_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, nrows = _tok_stats(batch, text_col)
+        n = len(parent)
+        parent = parent.astype(np.int64)
+        ind = pc.is_in(flat, value_set=vs).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tot = np.bincount(parent, weights=ind,
+                          minlength=nrows).astype(np.int64)
+        nd = np.bincount(parent, minlength=nrows).astype(np.int64)
+        starts = np.cumsum(nd) - nd
+        wmax = np.where(nd < width, tot, -1)
+        wpos = np.zeros(nrows, dtype=np.int64)
+        if n >= width:
+            cs = np.concatenate([[0], np.cumsum(ind)])
+            wh = (cs[width:] - cs[:-width]).astype(np.int64)
+            valid = parent[: n - width + 1] == parent[width - 1:]
+            vi = np.flatnonzero(valid)
+            if len(vi):
+                np.maximum.at(wmax, parent[vi], wh[vi])
+                best = wh[vi] == wmax[parent[vi]]
+                bi = vi[best]
+                pos_in_doc = bi - starts[parent[bi]]
+                first = np.full(nrows, np.iinfo(np.int64).max)
+                np.minimum.at(first, parent[bi], pos_in_doc)
+                long_mask = nd >= width
+                sent = np.iinfo(np.int64).max
+                wpos = np.where(long_mask & (first < sent),
+                                first, wpos).astype(np.int64)
+        keep = tot > 0
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_hits": pa.array(tot[keep]),
+            "win_pos": pa.array(wpos[keep]),
+            "win_hits": pa.array(np.maximum(wmax[keep], 0)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def best_window_sql(*, query_terms, width: int = 20,
+                    table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id") -> str:
+    """SQL replay: per-token hit indicator, forward-frame window sums,
+    row_number argmax (wh desc, pos asc), short docs from totals."""
+    from htrc_feature_reader_ray.functions.tokenize import sql_in_list
+
+    terms = sorted({t for t in query_terms if t})
+    toks = f"list_filter(string_split({text}, ' '), x -> x <> '')"
+    inlist = sql_in_list(terms)
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {toks} AS arr FROM {table}
+        ),
+        tokh AS (
+          SELECT {id_col}, i.i - 1 AS pos,
+                 CASE WHEN arr[i.i] IN {inlist} THEN 1 ELSE 0 END AS h,
+                 len(arr)::BIGINT AS nd
+          FROM base, unnest(generate_series(1, len(arr))) AS i(i)
+        ),
+        tot AS (
+          SELECT {id_col}, sum(h)::BIGINT AS n_hits, max(nd) AS nd
+          FROM tokh GROUP BY 1
+        ),
+        win AS (
+          SELECT {id_col}, pos,
+                 sum(h) OVER (PARTITION BY {id_col} ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {width - 1} FOLLOWING)::BIGINT AS wh,
+                 nd
+          FROM tokh
+        ),
+        best AS (
+          SELECT {id_col}, pos, wh, row_number() OVER (
+              PARTITION BY {id_col} ORDER BY wh DESC, pos ASC) AS rn
+          FROM win WHERE pos <= nd - {width}
+        )
+        SELECT t.{id_col}, t.n_hits,
+               CASE WHEN t.nd < {width} THEN 0 ELSE b.pos END AS win_pos,
+               CASE WHEN t.nd < {width} THEN t.n_hits
+                    ELSE b.wh END AS win_hits
+        FROM tot t LEFT JOIN best b
+          ON b.{id_col} = t.{id_col} AND b.rn = 1
+        WHERE t.n_hits > 0"""

@@ -433,3 +433,37 @@ def test_naive_bayes_confusion_discriminative_and_ties():
     assert s_en > s_fr  # doc 0 stays en
     row0 = outt[(outt["lang"] == "en")].iloc[0]
     assert row0["pred_label"] == "en"
+
+
+def test_best_window_contracts():
+    from htrc_feature_reader_ray.stages.curate import best_window
+
+    def run(texts, terms, width):
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        return (best_window(ray.data.from_pandas(df).repartition(2),
+                            terms, width=width)
+                .to_pandas().set_index("doc_id").sort_index())
+
+    # doc 0: hits cluster at the tail -> window must slide there;
+    # doc 1: shorter than width -> whole-span contract;
+    # doc 2: no hits -> dropped;
+    # doc 3: two equally dense windows -> earliest offset wins
+    texts = [
+        "x x x x x q x x q q q x",        # 12 tokens, dense at 8..10
+        "q x q",                           # 3 tokens < width
+        "x y z",
+        "q q x x x x q q x x x x",        # ties: pos 0 and pos 6
+    ]
+    out = run(texts, ["q"], 4)
+    assert list(out.index) == [0, 1, 3]
+    # doc 0: windows of width 4; best covers q q q at 8..10 ->
+    # starts 7 or 8 give 3 hits; earliest = 7
+    assert int(out.loc[0, "win_hits"]) == 3
+    assert int(out.loc[0, "win_pos"]) == 7
+    assert int(out.loc[0, "n_hits"]) == 4
+    # doc 1 shorter than width: pos 0, hits = total
+    assert int(out.loc[1, "win_pos"]) == 0
+    assert int(out.loc[1, "win_hits"]) == 2
+    # doc 3 tie -> earliest
+    assert int(out.loc[3, "win_pos"]) == 0
+    assert int(out.loc[3, "win_hits"]) == 2
