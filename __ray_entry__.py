@@ -3060,6 +3060,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return anova_eta(_events_cents(sf), group_col="event_type",
                          value_col="cents")
 
+    def q_grouped_ols(sf):
+        """Cents-per-hour spend trend per event type: exact-ppm OLS
+        slope + intercept of value-cents vs hour-of-day — the
+        feature-valued companion to the moments/corr fold; one
+        key-bucketed moment fold, Python-int finish."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import grouped_ols
+
+        def derive(t: pa.Table) -> pa.Table:
+            us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                         pa.int64()).to_numpy()
+            cents = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "hour": pa.array((us % 86_400_000_000)
+                                 // 3_600_000_000),
+                "cents": pa.array(cents),
+            })
+
+        ev = _events(sf, ["ts", "event_type", "value"]).map_batches(
+            derive, batch_format="pyarrow")
+        return grouped_ols(ev, key="event_type", x_col="hour",
+                           y_col="cents")
+
     def q_levene_bf(sf):
         """Brown–Forsythe spread-homogeneity audit: do event types
         differ in spend DISPERSION around their medians — the
@@ -6721,6 +6748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_staleness": q_asof_staleness,
         "anova_eta": q_anova_eta,
         "levene_bf": q_levene_bf,
+        "grouped_ols": q_grouped_ols,
         "cochrans_q": q_cochrans_q,
         "length_effect": q_length_effect,
         "rank_agreement": q_rank_agreement,
@@ -9313,6 +9341,10 @@ def oracle_sql() -> dict[str, str]:
             src_sql=("SELECT event_type, CAST(round(value * 100)"
                      " AS BIGINT) AS cents FROM events"),
             group="event_type", value_expr="cents"),
+        "grouped_ols": profile_mod.grouped_ols_sql(
+            table="events", key="event_type",
+            x_expr="(epoch_us(ts) % 86400000000) // 3600000000",
+            y_expr="CAST(round(value * 100) AS BIGINT)"),
         "levene_bf": profile_mod.levene_bf_sql(
             src_sql=("SELECT event_type, CAST(round(value * 100)"
                      " AS BIGINT) AS cents FROM events"),

@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "eigenvector_centrality",
     "asof_staleness",
     "best_window",
+    "grouped_ols",
 ]
 
 HEADLINE = "flagship"

@@ -6711,3 +6711,109 @@ def levene_bf_sql(*, src_sql: str, group: str, value_expr: str,
                           // ((sst_n - ssb_n) * (k - 1)))::BIGINT
                     ELSE 0 END AS w_ppm
         FROM alg"""
+
+
+def grouped_ols(ds, *, key: str, x_col: str, y_col: str,
+                num_buckets: int = 32):
+    """Per-group simple OLS fit in exact integer ppm — the
+    FEATURE-VALUED companion to :func:`grouped_moments` (corr says how
+    tightly x and y move; the slope and intercept are the numbers a
+    downstream model or dashboard actually consumes: cents-per-hour,
+    tokens-per-day) and the least-squares sibling of
+    :func:`theil_sen_trend`'s median slope (OLS is the efficient
+    estimator when outliers are already handled; Theil–Sen is the
+    robust one):
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)
+        intercept = (Σy·Dx − N·Σx) / (n·Dx)      with N, Dx the slope's
+                                                  num/den
+        *_ppm     — ×10⁶, truncation toward zero (engine sign-split ==
+                    DuckDB ``//``)
+
+    Zero-x-variance groups (incl. n = 1) report slope 0 and intercept
+    = mean y by contract. Inputs are pre-quantized integers (the
+    grouped_moments contract).
+
+    Scale shape: grouped_moments' — per-batch Arrow moment collapse
+    (one row per (batch, key) crosses), ONE key-bucketed fold, a
+    driver-free Python-int finishing map over the tiny grouped table
+    (HUGEINT-mirror bound documented there). Output
+    ``(key, n, slope_ppm, intercept_ppm)``."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t2 = pa.table({
+            key: t.column(key),
+            "sum_x": pa.array(x), "sum_y": pa.array(y),
+            "sum_xx": pa.array(x * x), "sum_xy": pa.array(x * y),
+        })
+        g = t2.group_by([key]).aggregate(
+            [("sum_x", "sum"), ("sum_y", "sum"), ("sum_xx", "sum"),
+             ("sum_xy", "sum"), ([], "count_all")])
+        return g.rename_columns(
+            [key, "sum_x", "sum_y", "sum_xx", "sum_xy", "n"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key],
+        {c: (c, "sum")
+         for c in ["n", "sum_x", "sum_y", "sum_xx", "sum_xy"]},
+        num_buckets=num_buckets,
+    )
+
+    def trunc(num: int, den: int) -> int:
+        return -((-num) // den) if num < 0 else num // den
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        slopes, inters = [], []
+        for _, r in df.iterrows():
+            n, sx, sy = int(r["n"]), int(r["sum_x"]), int(r["sum_y"])
+            sxx, sxy = int(r["sum_xx"]), int(r["sum_xy"])
+            dx = n * sxx - sx * sx
+            if dx <= 0:
+                slopes.append(0)
+                inters.append(trunc(sy * 1_000_000, n))
+                continue
+            num = n * sxy - sx * sy
+            slopes.append(trunc(num * 1_000_000, dx))
+            inters.append(trunc((sy * dx - num * sx) * 1_000_000,
+                                n * dx))
+        return pd.DataFrame({
+            key: df[key],
+            "n": df["n"].astype("int64"),
+            "slope_ppm": pd.Series(slopes, dtype="int64",
+                                   index=df.index),
+            "intercept_ppm": pd.Series(inters, dtype="int64",
+                                       index=df.index),
+        })
+
+    return folded.map_batches(finish, batch_format="pandas")
+
+
+def grouped_ols_sql(*, table: str, key: str, x_expr: str,
+                    y_expr: str) -> str:
+    """SQL mirror: HUGEINT moment fold + the identical cleared-
+    denominator slope/intercept with DuckDB's truncating ``//``."""
+    return f"""
+        WITH m AS (
+          SELECT {key} AS k, count(*)::HUGEINT AS n,
+                 sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                 sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy
+          FROM (SELECT {key}, ({x_expr})::HUGEINT AS x,
+                       ({y_expr})::HUGEINT AS y FROM {table}) q
+          GROUP BY 1
+        )
+        SELECT k AS {key}, n::BIGINT AS n,
+               CASE WHEN n * sxx - sx * sx > 0 THEN
+                 ((n * sxy - sx * sy) * 1000000
+                  // (n * sxx - sx * sx))::BIGINT
+               ELSE 0 END AS slope_ppm,
+               CASE WHEN n * sxx - sx * sx > 0 THEN
+                 ((sy * (n * sxx - sx * sx)
+                   - (n * sxy - sx * sy) * sx) * 1000000
+                  // (n * (n * sxx - sx * sx)))::BIGINT
+               ELSE (sy * 1000000 // n)::BIGINT
+               END AS intercept_ppm
+        FROM m"""

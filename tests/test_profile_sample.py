@@ -3093,3 +3093,41 @@ def test_l_diversity_dominance_and_contracts():
     with pytest.raises(ValueError):
         l_diversity(ray.data.from_pandas(single), qi_cols=["qa", "qb"],
                     sensitive_col="s", l=3)
+
+
+def test_grouped_ols_exact_lines_and_contracts():
+    from fractions import Fraction
+
+    from htrc_feature_reader_ray.stages.profile import grouped_ols
+
+    def run(df):
+        return (grouped_ols(ray.data.from_pandas(df).repartition(3),
+                            key="g", x_col="x", y_col="y")
+                .to_pandas().set_index("g").sort_index())
+
+    xs = list(range(10))
+    df = pd.DataFrame({
+        "g": (["line"] * 10 + ["neg"] * 10 + ["flat"] * 4
+              + ["noisy"] * 5),
+        "x": xs + xs + [3] * 4 + [0, 1, 2, 3, 4],
+        "y": ([3 * x + 7 for x in xs]            # exact y = 3x + 7
+              + [-2 * x + 100 for x in xs]       # exact y = -2x + 100
+              + [11, 12, 13, 14]                 # zero x-variance
+              + [1, 4, 4, 8, 9]),                # inexact fit
+    })
+    out = run(df)
+    assert int(out.loc["line", "slope_ppm"]) == 3_000_000
+    assert int(out.loc["line", "intercept_ppm"]) == 7_000_000
+    assert int(out.loc["neg", "slope_ppm"]) == -2_000_000
+    assert int(out.loc["neg", "intercept_ppm"]) == 100_000_000
+    # zero x-variance: slope 0, intercept = mean y (50/4 = 12.5)
+    assert int(out.loc["flat", "slope_ppm"]) == 0
+    assert int(out.loc["flat", "intercept_ppm"]) == 12_500_000
+    # inexact fit: replay with Fractions, truncation toward zero
+    n, sx, sy = 5, 10, 26
+    sxx = sum(x * x for x in [0, 1, 2, 3, 4])
+    sxy = sum(x * y for x, y in zip([0, 1, 2, 3, 4], [1, 4, 4, 8, 9]))
+    slope = Fraction(n * sxy - sx * sy, n * sxx - sx * sx)
+    inter = Fraction(sy, n) - slope * Fraction(sx, n)
+    assert int(out.loc["noisy", "slope_ppm"]) == int(slope * 10**6)
+    assert int(out.loc["noisy", "intercept_ppm"]) == int(inter * 10**6)
