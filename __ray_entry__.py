@@ -5123,6 +5123,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return host_stats(pages)
 
+    def q_jain_fairness(sf):
+        """Crawl-budget fairness gate: Jain's index over per-host page
+        fetches (J=1 equal shares, →1/n one-host monopoly) with the
+        effective-keys count riding along — one host fold, three
+        scalars to the driver."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.urltools import jain_fairness
+
+        def host(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ex = pc.extract_regex(
+                pc.cast(t.column("url"), pa.string()),
+                r"://(?P<host>[^/]+)")
+            return pa.table({"host": pc.struct_field(ex, "host")})
+
+        pages = read_pages(sf, drop_text=True).map_batches(
+            host, batch_format="pyarrow")
+        return jain_fairness(pages, key_col="host")
+
     def q_host_lang_mix(sf):
         """Per-host language mix (language routing / mixed-language-site
         signal): dominant language + integer ppm share per host; partials
@@ -6940,6 +6960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": q_robots_filter,
         "host_stats": q_host_stats,
         "host_lang_mix": q_host_lang_mix,
+        "jain_fairness": q_jain_fairness,
         "host_fetch_rate": q_host_fetch_rate,
         "host_dup_rate": q_host_dup_rate,
         "dedup_containment": q_dedup_containment,
@@ -8799,6 +8820,9 @@ def oracle_sql() -> dict[str, str]:
             FROM pages GROUP BY 1""",
         "host_lang_mix": PAGES_PRE
         + urltools.host_lang_mix_sql(from_clause="pages"),
+        "jain_fairness": PAGES_PRE + " " + urltools.jain_fairness_sql(
+            from_clause="pages",
+            key_expr="regexp_extract(url, '://([^/]+)', 1)"),
         "host_fetch_rate": PAGES_PRE + """,
             hw AS (
               SELECT lower(split_part(split_part(url, '://', 2), '/', 1))

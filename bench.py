@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "asof_staleness",
     "best_window",
     "grouped_ols",
+    "jain_fairness",
 ]
 
 HEADLINE = "flagship"

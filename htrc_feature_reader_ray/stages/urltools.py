@@ -1238,3 +1238,83 @@ def registered_domain_sql(*, host: str = "host") -> str:
         WHEN {l2} IN ({in_list}) AND {l3} != '' THEN {l3}
         WHEN {l2} != '' THEN {l2}
         ELSE lower({host}) END"""
+
+
+def jain_fairness(ds, *, key_col: str, num_buckets: int = 16):
+    """Jain's fairness index over per-key row counts — the canonical
+    allocation-fairness readout (Jain, Chiu & Hawe, DEC-TR-301 1984):
+    ``J = (Σx)² / (n·Σx²)`` over the per-key share x, = 1 when every
+    key gets an equal share and → 1/n when one key takes everything.
+    Beside :func:`host_stats`' raw counts and the Gini/Pareto family
+    (inequality of the WHOLE distribution) J answers the scheduler's
+    question directly: "what fraction of keys are effectively being
+    served" (J·n is the classic effective-user count) — the
+    crawl-budget fairness gate a politeness-aware frontier runs per
+    cycle.
+
+    Exact integer: ``jain_ppm = S²·10⁶ // (n·Q)`` with S = Σ counts,
+    Q = Σ counts² — one nonnegative floor; ``effective_keys =
+    S²·// Q`` rides along (floor of J·n). Empty input reports the
+    typed zero row.
+
+    Scale shape: ONE key-bucketed count fold (hot keys collapse in the
+    per-batch Arrow partial), then per-batch (n, S, Q) scalar partials
+    + native sum — the driver sees three scalars. S² passes int64 to
+    ~3·10⁹ rows; the mirror is HUGEINT (documented). Output one row
+    ``(n_keys, n_rows, jain_ppm, effective_keys)``."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col]).group_by([key_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([key_col, "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col], {"c": ("c", "sum")}, num_buckets=num_buckets)
+
+    def scalars(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy().astype(object)
+        return pd.DataFrame({
+            "n": [int(len(df))], "s": [int(c.sum())],
+            "q": [int((c * c).sum())],
+        })
+
+    agg = folded.map_batches(scalars, batch_format="pandas").sum(
+        ["n", "s", "q"])
+    n = int(agg["sum(n)"] or 0)
+    s = int(agg["sum(s)"] or 0)
+    q = int(agg["sum(q)"] or 0)
+    jain = s * s * 1_000_000 // (n * q) if n > 0 and q > 0 else 0
+    eff = s * s // q if q > 0 else 0
+    out = pd.DataFrame({
+        "n_keys": [n], "n_rows": [s],
+        "jain_ppm": [jain], "effective_keys": [eff],
+    }).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def jain_fairness_sql(*, from_clause: str, key_expr: str) -> str:
+    """SQL mirror fragment (composes after a WITH preamble, e.g.
+    PAGES_PRE): per-key count fold + the identical one-floor HUGEINT
+    algebra."""
+    return f"""
+        , c AS (
+          SELECT {key_expr} AS k, count(*)::HUGEINT AS c
+          FROM {from_clause} GROUP BY 1
+        ),
+        a AS (
+          SELECT count(*)::HUGEINT AS n,
+                 coalesce(sum(c), 0)::HUGEINT AS s,
+                 coalesce(sum(c * c), 0)::HUGEINT AS q
+          FROM c
+        )
+        SELECT n::BIGINT AS n_keys, s::BIGINT AS n_rows,
+               CASE WHEN n > 0 AND q > 0
+                    THEN (s * s * 1000000 // (n * q))::BIGINT
+                    ELSE 0 END AS jain_ppm,
+               CASE WHEN q > 0 THEN (s * s // q)::BIGINT
+                    ELSE 0 END AS effective_keys
+        FROM a"""

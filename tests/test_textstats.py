@@ -467,3 +467,28 @@ def test_best_window_contracts():
     # doc 3 tie -> earliest
     assert int(out.loc[3, "win_pos"]) == 0
     assert int(out.loc[3, "win_hits"]) == 2
+
+
+def test_jain_fairness_extremes_and_exact():
+    from htrc_feature_reader_ray.stages.urltools import jain_fairness
+
+    def run(hosts):
+        df = pd.DataFrame({"host": hosts})
+        return (jain_fairness(ray.data.from_pandas(df).repartition(3),
+                              key_col="host").to_pandas().iloc[0])
+
+    # perfectly equal shares -> J exactly 1, effective = n
+    eq = run(["a"] * 5 + ["b"] * 5 + ["c"] * 5)
+    assert int(eq["jain_ppm"]) == 1_000_000
+    assert int(eq["effective_keys"]) == 3
+
+    # one-host monopoly among n keys -> J -> ~1/n, effective ~ 1
+    mono = run(["big"] * 97 + ["s1", "s2", "s3"])
+    # S=100, Q=97^2+3=9412, J = 10000/ (4*9412)
+    assert int(mono["jain_ppm"]) == 10_000 * 1_000_000 // (4 * 9412)
+    assert int(mono["effective_keys"]) == 1
+
+    # hand case: counts (1,2,3): J = 36/(3*14) = 6/7
+    h = run(["a", "b", "b", "c", "c", "c"])
+    assert int(h["jain_ppm"]) == 36 * 1_000_000 // (3 * 14)
+    assert int(h["n_rows"]) == 6 and int(h["n_keys"]) == 3
