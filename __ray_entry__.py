@@ -3060,6 +3060,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return anova_eta(_events_cents(sf), group_col="event_type",
                          value_col="cents")
 
+    def q_daily_ks_drift(sf):
+        """Morning-after drift line: exact day-over-day two-sample KS
+        of the value-cents distribution (dollar grid) — only strictly
+        adjacent days compare; one bounded (day, v) fold, driver CDF
+        walk."""
+        import pyarrow.compute as pc
+
+        from htrc_feature_reader_ray.stages.profile import daily_ks_series
+
+        def cents(t: pa.Table) -> pa.Table:
+            c = np.round(
+                t.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table({"ts": t.column("ts"),
+                             "cents": pa.array(c)})
+
+        ev = _events(sf, ["ts", "value"]).map_batches(
+            cents, batch_format="pyarrow")
+        return daily_ks_series(ev, ts_col="ts", value_col="cents",
+                               quantize=100)
+
     def q_grouped_ols(sf):
         """Cents-per-hour spend trend per event type: exact-ppm OLS
         slope + intercept of value-cents vs hour-of-day — the
@@ -6769,6 +6790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_eta": q_anova_eta,
         "levene_bf": q_levene_bf,
         "grouped_ols": q_grouped_ols,
+        "daily_ks_drift": q_daily_ks_drift,
         "cochrans_q": q_cochrans_q,
         "length_effect": q_length_effect,
         "rank_agreement": q_rank_agreement,
@@ -9365,6 +9387,10 @@ def oracle_sql() -> dict[str, str]:
             src_sql=("SELECT event_type, CAST(round(value * 100)"
                      " AS BIGINT) AS cents FROM events"),
             group="event_type", value_expr="cents"),
+        "daily_ks_drift": profile_mod.daily_ks_series_sql(
+            table="events", ts="ts",
+            value_expr="CAST(round(value * 100) AS BIGINT)",
+            quantize=100),
         "grouped_ols": profile_mod.grouped_ols_sql(
             table="events", key="event_type",
             x_expr="(epoch_us(ts) % 86400000000) // 3600000000",

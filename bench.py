@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "best_window",
     "grouped_ols",
     "jain_fairness",
+    "daily_ks_drift",
 ]
 
 HEADLINE = "flagship"

@@ -6817,3 +6817,125 @@ def grouped_ols_sql(*, table: str, key: str, x_expr: str,
                ELSE (sy * 1000000 // n)::BIGINT
                END AS intercept_ppm
         FROM m"""
+
+
+def daily_ks_series(ds, *, ts_col: str, value_col: str,
+                    quantize: int = 1, num_buckets: int = 16):
+    """Day-over-day distribution drift: the exact two-sample KS
+    statistic between EACH calendar day's value distribution and the
+    PREVIOUS day's — the time-SERIES member of the drift family
+    (:func:`psi_drift` scores one static split, :func:`grouped_ks`
+    scores each group against the rest; a monitoring dashboard wants
+    the daily line so a regression shows up the morning it happens).
+    Only strictly adjacent calendar days compare (a gap day has no
+    yesterday and contributes no row — the readout must not blame a
+    weekend gap on drift).
+
+    Exact integers over the common denominator (the grouped_ks
+    convention): ``ks_ppm = max_v |F_prev(v)·n_cur − F_cur(v)·n_prev|
+    ·10⁶ // (n_prev·n_cur)`` — cumulative counts on the union support
+    of the two days, ONE floor after the integer max. Values are
+    compared on the quantized grid ``v // quantize`` (the bounded-
+    support contract).
+
+    Scale shape: ONE bounded (day, v) count fold; the CDF walks run on
+    the driver over the audit-sized day×support table in Python ints.
+    Output ``(day, n_prev, n_cur, ks_ppm)`` per day with a previous
+    day."""
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        v = pa.compute.divide(
+            batch.column(value_col).cast(pa.int64()), quantize
+        ).cast(pa.int64())
+        tb = pa.table({"day": day, "v": v})
+        g = tb.group_by(["day", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "v", "c"])
+
+    folded = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day", "v"], {"c": ("c", "sum")},
+        num_buckets=num_buckets, bucket_key="v",
+    ).to_pandas()
+
+    per_day = {
+        int(d): sub.set_index("v")["c"].astype("int64")
+        for d, sub in folded.groupby("day", sort=True)
+    }
+    rows = []
+    for d in sorted(per_day):
+        if d - 1 not in per_day:
+            continue
+        prev, cur = per_day[d - 1], per_day[d]
+        support = prev.index.union(cur.index).sort_values()
+        cp = prev.reindex(support, fill_value=0).to_numpy(
+            dtype=object).cumsum()
+        cc = cur.reindex(support, fill_value=0).to_numpy(
+            dtype=object).cumsum()
+        n_p, n_c = int(cp[-1]), int(cc[-1])
+        best = max(abs(int(a) * n_c - int(b) * n_p)
+                   for a, b in zip(cp, cc))
+        rows.append((d, n_p, n_c, best * 1_000_000 // (n_p * n_c)))
+    out = pd.DataFrame(rows, columns=["day", "n_prev", "n_cur",
+                                      "ks_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def daily_ks_series_sql(*, table: str, ts: str, value_expr: str,
+                        quantize: int = 1) -> str:
+    """SQL mirror: (day, v) counts, union-support CDFs via a
+    day-pair × support join, the identical cross-multiplied max +
+    one floor."""
+    return f"""
+        WITH cnt AS (
+          SELECT epoch_us({ts}) // 86400000000 AS day,
+                 ({value_expr})::BIGINT // {quantize} AS v,
+                 count(*)::HUGEINT AS c
+          FROM {table} GROUP BY 1, 2
+        ),
+        days AS (SELECT DISTINCT day FROM cnt),
+        pairs AS (
+          SELECT d.day FROM days d
+          JOIN days p ON p.day = d.day - 1
+        ),
+        sup AS (
+          SELECT pairs.day, s.v
+          FROM pairs JOIN (
+            SELECT DISTINCT day, v FROM cnt
+          ) s ON s.day IN (pairs.day, pairs.day - 1)
+          GROUP BY 1, 2
+        ),
+        cdf AS (
+          -- two correlated cumulative sums: a single two-way LEFT JOIN
+          -- would cross-multiply the cp and cc match sets (fan-out)
+          SELECT sup.day, sup.v,
+                 (SELECT coalesce(sum(c), 0) FROM cnt
+                  WHERE cnt.day = sup.day - 1 AND cnt.v <= sup.v
+                 )::HUGEINT AS fp,
+                 (SELECT coalesce(sum(c), 0) FROM cnt
+                  WHERE cnt.day = sup.day AND cnt.v <= sup.v
+                 )::HUGEINT AS fc
+          FROM sup
+        ),
+        nn AS (
+          SELECT pairs.day,
+                 (SELECT sum(c) FROM cnt WHERE cnt.day = pairs.day - 1)
+                     ::HUGEINT AS n_prev,
+                 (SELECT sum(c) FROM cnt WHERE cnt.day = pairs.day)
+                     ::HUGEINT AS n_cur
+          FROM pairs
+        )
+        SELECT nn.day::BIGINT AS day, nn.n_prev::BIGINT AS n_prev,
+               nn.n_cur::BIGINT AS n_cur,
+               (max(abs(cdf.fp * nn.n_cur - cdf.fc * nn.n_prev))
+                * 1000000 // (nn.n_prev * nn.n_cur))::BIGINT AS ks_ppm
+        FROM cdf JOIN nn USING (day)
+        GROUP BY nn.day, nn.n_prev, nn.n_cur"""

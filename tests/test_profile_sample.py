@@ -3131,3 +3131,37 @@ def test_grouped_ols_exact_lines_and_contracts():
     inter = Fraction(sy, n) - slope * Fraction(sx, n)
     assert int(out.loc["noisy", "slope_ppm"]) == int(slope * 10**6)
     assert int(out.loc["noisy", "intercept_ppm"]) == int(inter * 10**6)
+
+
+def test_daily_ks_series_drift_and_gaps():
+    from htrc_feature_reader_ray.stages.profile import daily_ks_series
+
+    day = 86_400_000_000
+
+    def run(rows, q=1):
+        df = pd.DataFrame({
+            "ts": pd.to_datetime([d * day + i for i, (d, _) in
+                                  enumerate(rows)], unit="us"),
+            "x": [v for _, v in rows],
+        })
+        return (daily_ks_series(ray.data.from_pandas(df).repartition(3),
+                                ts_col="ts", value_col="x", quantize=q)
+                .to_pandas().set_index("day"))
+
+    # day 0 and day 1 identical distributions -> ks 0;
+    # day 2 shifts completely -> ks exactly 1e6;
+    # day 4 exists but day 3 does not -> NO row for day 4 (gap rule)
+    rows = ([(0, v) for v in [1, 2, 3, 4]]
+            + [(1, v) for v in [1, 2, 3, 4]]
+            + [(2, v) for v in [10, 11, 12, 13]]
+            + [(4, v) for v in [1, 2]])
+    out = run(rows)
+    assert list(out.index) == [1, 2]
+    assert int(out.loc[1, "ks_ppm"]) == 0
+    assert int(out.loc[2, "ks_ppm"]) == 1_000_000
+
+    # hand case: prev {1,1,2}, cur {1,2,2}: sup {1,2};
+    # F_prev = (2,3)/3, F_cur = (1,3)/3 -> max|2*3-1*3| = 3 over 9
+    rows2 = [(0, 1), (0, 1), (0, 2), (1, 1), (1, 2), (1, 2)]
+    out2 = run(rows2)
+    assert int(out2.loc[1, "ks_ppm"]) == 3 * 1_000_000 // 9
