@@ -6129,6 +6129,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retrieval_mrr(_docs(sf), _MRR_QUERIES, k=20)
 
+    def q_retrieval_bpref(sf):
+        """Incomplete-judgment leg of the retrieval suite (Buckley–
+        Voorhees bpref): relevant-above-judged-nonrelevant share,
+        min-clamped single-floor ppm — same Q-independent sweep."""
+        from htrc_feature_reader_ray.stages.curate import retrieval_bpref
+
+        return retrieval_bpref(_docs(sf), _MRR_QUERIES, k=20)
+
     def q_phrase_search(sf):
         """Exact positional phrase match (adjacency, which tokenlist
         folding discards): per-doc match count + first offset via one
@@ -7025,6 +7033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_retrieval": q_boolean_retrieval,
         "phrase_search": q_phrase_search,
         "retrieval_mrr": q_retrieval_mrr,
+        "retrieval_bpref": q_retrieval_bpref,
         "feature_hashing": q_feature_hashing,
         "pmi_collocations": q_pmi_collocations,
         "pii_redaction": q_pii_redaction,
@@ -9849,6 +9858,8 @@ def oracle_sql() -> dict[str, str]:
             ["scan", "window", "merge"]),
         "phrase_search": curate.phrase_search_sql("merge sort"),
         "retrieval_mrr": curate.retrieval_mrr_sql(_MRR_QUERIES, k=20),
+        "retrieval_bpref": curate.retrieval_bpref_sql(
+            _MRR_QUERIES, k=20),
         "feature_hashing": vocab_mod.feature_hashing_sql(dims=64),
         "pmi_collocations": curate.pmi_collocations_sql(min_count=5),
         "pii_redaction": f"""

@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "grouped_ols",
     "jain_fairness",
     "daily_ks_drift",
+    "retrieval_bpref",
 ]
 
 HEADLINE = "flagship"

@@ -3672,3 +3672,95 @@ def best_window_sql(*, query_terms, width: int = 20,
         FROM tot t LEFT JOIN best b
           ON b.{id_col} = t.{id_col} AND b.rn = 1
         WHERE t.n_hits > 0"""
+
+
+def retrieval_bpref(ds, queries: dict, *, k: int = 20,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """bpref@k of the rational-BM25 ranker — the INCOMPLETE-JUDGMENT
+    member of the retrieval acceptance suite (Buckley & Voorhees,
+    SIGIR 2004): MRR scores the first hit, P/R@k the cutoff set, NDCG
+    the graded ordering — bpref scores how often relevant docs rank
+    above JUDGED-NONRELEVANT ones and ignores unjudged mass, which is
+    why TREC adopted it when pools stopped being exhaustive; here the
+    phrase-relevance oracle judges every doc, so bpref's judged-
+    nonrelevant set is "every retrieved nonrelevant":
+
+        bpref = (1/R) Σ_{r ∈ rel∩topk} (1 − min(N_above(r), R)/R)
+
+    with R = total relevant in the corpus and N_above(r) = retrieved
+    nonrelevant docs ranked above r. Exact integer form, ONE floor:
+    ``bpref_ppm = Σ (R − min(N_above, R)) · 10⁶ // R²``; R = 0 reports
+    0 by contract. Same (score desc, id asc) rank contract as the rest
+    of the suite.
+
+    Posture: the whole query set evaluates in the Q-independent
+    :func:`_retrieval_sweep` (one stats fold + one scoring pass + one
+    query-bucketed top-k fold); the driver walk is Q×k rows. Output
+    ``(query_id, n_relevant, n_rel_ret, bpref_ppm)``."""
+    import ray.data
+
+    topk, counts = _retrieval_sweep(ds, queries, k=k, text_col=text_col,
+                                    id_col=id_col)
+    rows = []
+    for qid in sorted(queries):
+        r_tot = counts[qid][0]
+        nonrel_above = 0
+        acc = 0
+        n_rel_ret = 0
+        for _, _, r2, _ in topk[qid]:
+            if r2:
+                acc += r_tot - min(nonrel_above, r_tot)
+                n_rel_ret += 1
+            else:
+                nonrel_above += 1
+        bp = acc * 1_000_000 // (r_tot * r_tot) if r_tot else 0
+        rows.append((qid, r_tot, n_rel_ret, bp))
+    out = pd.DataFrame(rows, columns=["query_id", "n_relevant",
+                                      "n_rel_ret", "bpref_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def retrieval_bpref_sql(queries: dict, *, k: int = 20,
+                        table: str = "documents", text: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """SQL mirror: per query, bm25 top-k replay with a relevance flag,
+    nonrel-above via rk − running-relevant-count, the identical
+    min-clamped single-floor sum."""
+    parts = []
+    for qid in sorted(queries):
+        phrase = queries[qid]
+        bm25 = bm25_topk_sql(query_terms=phrase.split(), table=table,
+                             text=text, id_col=id_col, k=k)
+        rel = phrase_search_sql(phrase, table=table, text_col=text,
+                                id_col=id_col)
+        flagged = f"""
+          SELECT t.score_ppm, t.{id_col},
+                 t.{id_col} IN (SELECT {id_col} FROM ({rel})) AS is_rel
+          FROM ({bm25}) t"""
+        ranked = f"""
+          SELECT row_number() OVER (
+              ORDER BY score_ppm DESC, {id_col}) AS rk,
+                 count(*) FILTER (WHERE is_rel) OVER (
+                     ORDER BY score_ppm DESC, {id_col}
+                     ROWS UNBOUNDED PRECEDING) AS rel_seq,
+                 is_rel
+          FROM ({flagged})"""
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, q.nr::BIGINT AS n_relevant,
+               q.nrr::BIGINT AS n_rel_ret,
+               CASE WHEN q.nr > 0
+                    THEN (q.acc * 1000000 // (q.nr * q.nr))::BIGINT
+                    ELSE 0 END AS bpref_ppm
+        FROM (
+          SELECT
+            (SELECT count(*) FROM ({rel})) AS nr,
+            (SELECT count(*) FROM ({flagged}) WHERE is_rel) AS nrr,
+            (SELECT coalesce(sum(
+                 (SELECT count(*) FROM ({rel}))
+                 - least(rk - rel_seq,
+                         (SELECT count(*) FROM ({rel})))), 0)
+             FROM ({ranked}) WHERE is_rel) AS acc
+        ) q""")
+    return " UNION ALL ".join(parts)

@@ -492,3 +492,39 @@ def test_jain_fairness_extremes_and_exact():
     h = run(["a", "b", "b", "c", "c", "c"])
     assert int(h["jain_ppm"]) == 36 * 1_000_000 // (3 * 14)
     assert int(h["n_rows"]) == 6 and int(h["n_keys"]) == 3
+
+
+def test_retrieval_bpref_interleaved_and_contracts():
+    from htrc_feature_reader_ray.stages.curate import retrieval_bpref
+
+    # doc 0: 'a'/'b' rich but NEVER adjacent -> top-ranked nonrelevant;
+    # docs 1, 2: one adjacent 'a b' each -> relevant, rank below doc 0
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a x a x b x a x b x a b".replace("a b", "a x b"),
+                 "a b y y y y y y y y",
+                 "a b z z z z z z z z",
+                 "w w w w"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+    out = (retrieval_bpref(ds, {"q": "a b"}, k=20)
+           .to_pandas().iloc[0])
+    # R=2, one nonrelevant above each -> acc = (2-1)+(2-1) = 2 -> 1/2
+    assert int(out["n_relevant"]) == 2
+    assert int(out["n_rel_ret"]) == 2
+    assert int(out["bpref_ppm"]) == 500_000
+
+    # all relevant retrieved, nothing above -> exactly 1e6
+    docs2 = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a b c", "a b d"],
+    })
+    out2 = (retrieval_bpref(ray.data.from_pandas(docs2), {"q": "a b"},
+                            k=20).to_pandas().iloc[0])
+    assert int(out2["bpref_ppm"]) == 1_000_000
+
+    # no relevant docs anywhere -> 0 by contract
+    out3 = (retrieval_bpref(ray.data.from_pandas(docs2),
+                            {"q": "zz qq"}, k=20).to_pandas().iloc[0])
+    assert int(out3["n_relevant"]) == 0
+    assert int(out3["bpref_ppm"]) == 0
