@@ -6137,6 +6137,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return retrieval_bpref(_docs(sf), _MRR_QUERIES, k=20)
 
+    def q_retrieval_ap(sf):
+        """MAP building block: average precision @ 20 — every relevant
+        doc early, the TREC ad-hoc default; two documented floors,
+        same Q-independent sweep."""
+        from htrc_feature_reader_ray.stages.curate import retrieval_ap
+
+        return retrieval_ap(_docs(sf), _MRR_QUERIES, k=20)
+
     def q_phrase_search(sf):
         """Exact positional phrase match (adjacency, which tokenlist
         folding discards): per-doc match count + first offset via one
@@ -7034,6 +7042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "retrieval_mrr": q_retrieval_mrr,
         "retrieval_bpref": q_retrieval_bpref,
+        "retrieval_ap": q_retrieval_ap,
         "feature_hashing": q_feature_hashing,
         "pmi_collocations": q_pmi_collocations,
         "pii_redaction": q_pii_redaction,
@@ -9860,6 +9869,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_mrr": curate.retrieval_mrr_sql(_MRR_QUERIES, k=20),
         "retrieval_bpref": curate.retrieval_bpref_sql(
             _MRR_QUERIES, k=20),
+        "retrieval_ap": curate.retrieval_ap_sql(_MRR_QUERIES, k=20),
         "feature_hashing": vocab_mod.feature_hashing_sql(dims=64),
         "pmi_collocations": curate.pmi_collocations_sql(min_count=5),
         "pii_redaction": f"""

@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "jain_fairness",
     "daily_ks_drift",
     "retrieval_bpref",
+    "retrieval_ap",
 ]
 
 HEADLINE = "flagship"

@@ -3764,3 +3764,83 @@ def retrieval_bpref_sql(queries: dict, *, k: int = 20,
              FROM ({ranked}) WHERE is_rel) AS acc
         ) q""")
     return " UNION ALL ".join(parts)
+
+
+def retrieval_ap(ds, queries: dict, *, k: int = 20,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Average precision @ k — the MAP building block, the last classic
+    of the retrieval acceptance suite (MRR = first hit only, P/R@k =
+    the unordered cutoff, NDCG = graded positions, bpref = judged-only
+    robustness; AP is the area-under-PR that rewards EVERY relevant
+    doc being early, the TREC ad-hoc default for two decades):
+
+        AP = (1/R) Σ_{i : rel_i} P@i,    P@i = rel_count(≤i) / i
+
+    Exact integer form with TWO documented floors (each P@i floors to
+    ppm, then the mean floors over R — both sides replay identically):
+    ``acc = Σ_{rel i} (relcnt_i·10⁶ // i)``, ``ap_ppm = acc // R``;
+    R = 0 reports 0 by contract. Recall-truncated at k like the rest
+    of the suite (unretrieved relevant mass lowers AP through the 1/R
+    normalizer). Output ``(query_id, n_relevant, n_rel_ret, ap_ppm)``.
+
+    Posture: rides the Q-independent :func:`_retrieval_sweep`; driver
+    walk is Q×k rows."""
+    import ray.data
+
+    topk, counts = _retrieval_sweep(ds, queries, k=k, text_col=text_col,
+                                    id_col=id_col)
+    rows = []
+    for qid in sorted(queries):
+        r_tot = counts[qid][0]
+        relcnt = 0
+        acc = 0
+        for i, (_, _, r2, _) in enumerate(topk[qid], 1):
+            if r2:
+                relcnt += 1
+                acc += relcnt * 1_000_000 // i
+        ap = acc // r_tot if r_tot else 0
+        rows.append((qid, r_tot, relcnt, ap))
+    out = pd.DataFrame(rows, columns=["query_id", "n_relevant",
+                                      "n_rel_ret", "ap_ppm"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def retrieval_ap_sql(queries: dict, *, k: int = 20,
+                     table: str = "documents", text: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """SQL mirror: flagged top-k replay, running relevant count over
+    the rank window, the identical two-floor sum."""
+    parts = []
+    for qid in sorted(queries):
+        phrase = queries[qid]
+        bm25 = bm25_topk_sql(query_terms=phrase.split(), table=table,
+                             text=text, id_col=id_col, k=k)
+        rel = phrase_search_sql(phrase, table=table, text_col=text,
+                                id_col=id_col)
+        flagged = f"""
+          SELECT t.score_ppm, t.{id_col},
+                 t.{id_col} IN (SELECT {id_col} FROM ({rel})) AS is_rel
+          FROM ({bm25}) t"""
+        ranked = f"""
+          SELECT row_number() OVER (
+              ORDER BY score_ppm DESC, {id_col}) AS rk,
+                 count(*) FILTER (WHERE is_rel) OVER (
+                     ORDER BY score_ppm DESC, {id_col}
+                     ROWS UNBOUNDED PRECEDING) AS relcnt,
+                 is_rel
+          FROM ({flagged})"""
+        parts.append(f"""
+        SELECT '{qid}' AS query_id, q.nr::BIGINT AS n_relevant,
+               q.nrr::BIGINT AS n_rel_ret,
+               CASE WHEN q.nr > 0 THEN (q.acc // q.nr)::BIGINT
+                    ELSE 0 END AS ap_ppm
+        FROM (
+          SELECT
+            (SELECT count(*) FROM ({rel})) AS nr,
+            (SELECT count(*) FROM ({flagged}) WHERE is_rel) AS nrr,
+            (SELECT coalesce(sum(relcnt * 1000000 // rk), 0)
+             FROM ({ranked}) WHERE is_rel) AS acc
+        ) q""")
+    return " UNION ALL ".join(parts)

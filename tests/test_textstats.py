@@ -528,3 +528,34 @@ def test_retrieval_bpref_interleaved_and_contracts():
                             {"q": "zz qq"}, k=20).to_pandas().iloc[0])
     assert int(out3["n_relevant"]) == 0
     assert int(out3["bpref_ppm"]) == 0
+
+
+def test_retrieval_ap_hand_case_and_contracts():
+    from htrc_feature_reader_ray.stages.curate import retrieval_ap
+
+    # decoy at rank 1 (nonadjacent a/b rich), relevant at ranks 2 and 3:
+    # AP = ((1e6*1//2) + (1e6*2//3)) // 2 with R = 2
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a x a x b x a x b x a x b",
+                 "a b y y y y y y y y",
+                 "a b z z z z z z z z",
+                 "w w w w"],
+    })
+    out = (retrieval_ap(ray.data.from_pandas(docs).repartition(2),
+                        {"q": "a b"}, k=20).to_pandas().iloc[0])
+    want = ((1 * 1_000_000 // 2) + (2 * 1_000_000 // 3)) // 2
+    assert int(out["ap_ppm"]) == want
+    assert int(out["n_rel_ret"]) == 2
+
+    # perfect ranking: all relevant at the top -> exactly 1e6
+    docs2 = pd.DataFrame({"doc_id": [0, 1],
+                          "text": ["a b c", "a b d"]})
+    out2 = (retrieval_ap(ray.data.from_pandas(docs2), {"q": "a b"},
+                         k=20).to_pandas().iloc[0])
+    assert int(out2["ap_ppm"]) == 1_000_000
+
+    # no relevant -> 0 by contract
+    out3 = (retrieval_ap(ray.data.from_pandas(docs2), {"q": "zz qq"},
+                         k=20).to_pandas().iloc[0])
+    assert int(out3["ap_ppm"]) == 0
