@@ -4382,6 +4382,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.rename_columns(["host", "score"]),
             batch_format="pyarrow")
 
+    def q_rank_overlap_rbo(sf):
+        """Does raw in-degree approximate PageRank on this crawl?
+        RBO@10 (dyadic p=1/2, literal weight table) between the host
+        pagerank and host in-degree rankings — two existing op
+        outputs, only their top-10 prefixes reach the driver."""
+        from htrc_feature_reader_ray.sources.pages import read_pages
+        from htrc_feature_reader_ray.stages.linkgraph import (
+            extract_links,
+            host_indegree,
+            host_rank,
+            rank_overlap_rbo,
+        )
+
+        edges = extract_links(
+            read_pages(sf, drop_text=True)).materialize()
+        return rank_overlap_rbo(
+            host_rank(edges), host_indegree(edges),
+            key_col="host", score_a="rank", score_b="in_degree")
+
     def q_neighbor_degree_curve(sf):
         """knn(k) average-neighbor-degree curve over power-of-two
         degree tiers — degree_assortativity's scalar unrolled into the
@@ -6949,6 +6968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": q_rich_club,
         "neighbor_degree_curve": q_neighbor_degree_curve,
         "eigenvector_centrality": q_eigenvector_centrality,
+        "rank_overlap_rbo": q_rank_overlap_rbo,
         "pivot_user_events": q_pivot_user_events,
         "rollup_lang_source": q_rollup_lang_source,
         "value_hour_corr": q_value_hour_corr,
@@ -7965,6 +7985,25 @@ def oracle_sql() -> dict[str, str]:
             LINKS_PRE
             + ",\n e2 AS (SELECT DISTINCT src_url, dst_url FROM link_edges)"
             + linkgraph.neighbor_degree_curve_sql(edges_cte="e2")),
+        "rank_overlap_rbo": linkgraph.rank_overlap_rbo_sql(
+            rank_a_sql=(
+                "SELECT url AS host, rank FROM (" + _pagerank_sql(
+                    iterations=3,
+                    e2_select="""SELECT DISTINCT
+                        regexp_extract(src_url, '://([^/]+)', 1)
+                            AS src_url,
+                        regexp_extract(dst_url, '://([^/]+)', 1)
+                            AS dst_url
+                    FROM link_edges""") + ")"),
+            rank_b_sql=(
+                LINKS_PRE + """,
+                he AS (SELECT DISTINCT
+                    regexp_extract(src_url, '://([^/]+)', 1) AS s,
+                    regexp_extract(dst_url, '://([^/]+)', 1) AS d
+                FROM link_edges)
+                SELECT d AS host, count(*)::BIGINT AS in_degree
+                FROM he GROUP BY 1"""),
+            key="host", score_a="rank", score_b="in_degree"),
         "eigenvector_centrality": (
             "SELECT url AS host, score FROM ("
             + LINKS_PRE + linkgraph.eigenvector_centrality_sql(

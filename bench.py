@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "daily_ks_drift",
     "retrieval_bpref",
     "retrieval_ap",
+    "rank_overlap_rbo",
 ]
 
 HEADLINE = "flagship"

@@ -4322,3 +4322,115 @@ ev{i} AS (
         prev = f"ev{i}"
     return sql.rstrip(",\n") + (
         f"\nSELECT url, r AS score FROM ev{iterations}")
+
+
+#: RBO@10 dyadic weights, p = 1/2, embedded as LITERALS (the _NDCG_W
+#: convention): W[d] = D // (2^d · d) with D = 2^10 · lcm(1..10)
+#: = 2,580,480, so every per-depth term overlap_d · W[d] is an exact
+#: integer; RBO_NORM = Σ_d d·W[d] = D − D//2^10 (perfect agreement).
+RBO_W = (0, 1290240, 322560, 107520, 40320, 16128, 6720, 2880, 1260,
+         560, 252)
+RBO_NORM = 2_577_960
+RBO_K = 10
+
+
+def rank_overlap_rbo(rank_a, rank_b, *, key_col: str, score_a: str,
+                     score_b: str):
+    """Rank-biased overlap @ 10 (Webber, Moffat & Zobel, TOIS 2010)
+    between two score tables over the same keys — "do two rankers
+    agree WHERE IT MATTERS", weighting prefix overlap geometrically
+    (depth d carries weight p^d, p = 1/2) so the top of the list
+    dominates, unlike :func:`kendall_tau`'s every-pair-equal view.
+    The driver query asks the classic crawl question: does raw
+    in-degree approximate PageRank on this graph (if yes, a frontier
+    can skip the fixpoint).
+
+    Exact integer contract: dyadic p = 1/2 clears every weight into
+    the literal ``RBO_W`` table (the ``_NDCG_W`` convention — no libm
+    at runtime): with overlap_d = |top-d(A) ∩ top-d(B)| under the
+    (score desc, key asc) rank contract,
+
+        rbo_ppm = Σ_{d=1..10} overlap_d · RBO_W[d] · 10⁶ // RBO_NORM
+
+    — one floor; identical lists score exactly 10⁶, disjoint prefixes
+    0. Tables shorter than 10 rows truncate the sum at their length
+    (both sides).
+
+    Scale shape: the two score tables are op OUTPUTS (already
+    audit-or-node-sized); only their top-10 prefixes matter, pulled
+    with the rank contract — the comparison itself is driver-trivial.
+    Output one row: ``(k, overlap_at_k, rbo_ppm)``."""
+    import ray.data
+
+    def prefix(ds, score):
+        # distributed top-k: only the 10-row prefix reaches the driver
+        df = (ds.sort([score, key_col], descending=[True, False])
+              .limit(RBO_K).to_pandas())
+        return list(df[key_col])
+
+    a = prefix(rank_a, score_a)
+    b = prefix(rank_b, score_b)
+    acc = 0
+    last = 0
+    for d in range(1, min(RBO_K, len(a), len(b)) + 1):
+        last = len(set(a[:d]) & set(b[:d]))
+        acc += last * RBO_W[d]
+    out = pd.DataFrame({
+        "k": [RBO_K], "overlap_at_k": [last],
+        "rbo_ppm": [acc * 1_000_000 // RBO_NORM],
+    }).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def host_indegree(edges, *, num_buckets: int = 16):
+    """Distinct-source in-degree per host on the host-graph projection
+    (self-loops included — a host linking to itself is an edge of the
+    projection): the zero-fixpoint authority proxy
+    :func:`rank_overlap_rbo`'s driver query compares against
+    :func:`host_rank`. Output (host, in_degree)."""
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["src_url", "dst_url"])
+
+    hedges = host_edges(edges, num_buckets=num_buckets).map_batches(
+        rename, batch_format="pyarrow")
+    deg = bucketed_aggregate(
+        hedges, ["dst_url"], {"in_degree": ("src_url", "size")},
+        num_buckets=num_buckets)
+    return deg.map_batches(
+        lambda t: t.rename_columns(["host", "in_degree"]),
+        batch_format="pyarrow")
+
+
+def rank_overlap_rbo_sql(*, rank_a_sql: str, rank_b_sql: str,
+                         key: str, score_a: str, score_b: str) -> str:
+    """SQL mirror: row_number both rankings under the shared rank
+    contract, per-depth prefix-overlap counts via a depth table, the
+    identical literal-weight single-floor sum."""
+    wvals = ", ".join(f"({d}, {RBO_W[d]})" for d in range(1, RBO_K + 1))
+    return f"""
+        WITH ra AS (
+          SELECT {key} AS k1, row_number() OVER (
+              ORDER BY {score_a} DESC, {key} ASC) AS r
+          FROM ({rank_a_sql}) QUALIFY r <= {RBO_K}
+        ),
+        rb AS (
+          SELECT {key} AS k2, row_number() OVER (
+              ORDER BY {score_b} DESC, {key} ASC) AS r
+          FROM ({rank_b_sql}) QUALIFY r <= {RBO_K}
+        ),
+        w(d, w) AS (VALUES {wvals}),
+        ov AS (
+          SELECT w.d,
+                 (SELECT count(*) FROM ra JOIN rb ON ra.k1 = rb.k2
+                  WHERE ra.r <= w.d AND rb.r <= w.d) AS o
+          FROM w
+          WHERE w.d <= least((SELECT count(*) FROM ra),
+                             (SELECT count(*) FROM rb))
+        )
+        SELECT {RBO_K}::BIGINT AS k,
+               coalesce((SELECT o FROM ov ORDER BY d DESC LIMIT 1),
+                        0)::BIGINT AS overlap_at_k,
+               (coalesce((SELECT sum(o * w.w) FROM ov
+                          JOIN w ON w.d = ov.d), 0)
+                * 1000000 // {RBO_NORM})::BIGINT AS rbo_ppm"""

@@ -1212,3 +1212,45 @@ def test_eigenvector_centrality_cycle_hub_and_dag_drain():
     # bucketed path (broadcast_limit=0 forces it) is bit-identical
     outb = run(hub, broadcast_limit=0)
     assert outb.sort_index().equals(outh.sort_index())
+
+
+def test_rank_overlap_rbo_exact_values():
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        RBO_NORM,
+        RBO_W,
+        rank_overlap_rbo,
+    )
+
+    def run(a, b):
+        da = ray.data.from_pandas(pd.DataFrame(
+            {"host": [k for k, _ in a], "s1": [v for _, v in a]}))
+        db = ray.data.from_pandas(pd.DataFrame(
+            {"host": [k for k, _ in b], "s2": [v for _, v in b]}))
+        return rank_overlap_rbo(da, db, key_col="host",
+                                score_a="s1", score_b="s2").to_pandas().iloc[0]
+
+    keys = [f"h{i:02d}" for i in range(12)]
+    desc = [(k, 100 - i) for i, k in enumerate(keys)]
+
+    # identical rankings -> exactly 1e6
+    out = run(desc, desc)
+    assert int(out["rbo_ppm"]) == 1_000_000
+    assert int(out["overlap_at_k"]) == 10
+
+    # completely disjoint top-10s -> 0
+    other = [(f"z{i:02d}", 100 - i) for i in range(12)]
+    assert int(run(desc, other)["rbo_ppm"]) == 0
+
+    # top-2 swapped: depth 1 overlap 0, depths >= 2 full — replay the
+    # literal-weight sum
+    swapped = ([(keys[1], 100), (keys[0], 99)]
+               + [(k, 100 - i) for i, k in enumerate(keys) if i >= 2])
+    outs = run(desc, swapped)
+    acc = sum(d * RBO_W[d] for d in range(2, 11)) + 0 * RBO_W[1]
+    assert int(outs["rbo_ppm"]) == acc * 10**6 // RBO_NORM
+
+    # tie-break is (score desc, key asc) on BOTH sides: equal scores
+    # order by key, so permuted input rows change nothing
+    tied = [(k, 1) for k in keys]
+    tied_rev = list(reversed(tied))
+    assert int(run(tied, tied_rev)["rbo_ppm"]) == 1_000_000
