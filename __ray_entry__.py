@@ -3014,6 +3014,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _events(sf, ["event_type", "value"]).map_batches(
             cents, batch_format="pyarrow")
 
+    def q_return_label(sf):
+        """Leakage-honest retention target: per (user, active day),
+        will they return within 7 days — with horizon CENSORING so
+        days near the corpus edge aren't silently labeled churned;
+        one key exchange + a global max fold."""
+        from htrc_feature_reader_ray.stages.temporal import return_label
+
+        return return_label(_events(sf, ["user_id", "ts"]),
+                            key="user_id", ts="ts", horizon_days=7)
+
     def q_asof_staleness(sf):
         """Freshness-SLO audit for the north-star op: staleness
         histogram (power-of-two second tiers + unmatched mass) of the
@@ -6822,6 +6832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_forecast": q_holt_forecast,
         "dominant_period": q_dominant_period,
         "asof_staleness": q_asof_staleness,
+        "return_label": q_return_label,
         "anova_eta": q_anova_eta,
         "levene_bf": q_levene_bf,
         "grouped_ols": q_grouped_ols,
@@ -9435,6 +9446,8 @@ def oracle_sql() -> dict[str, str]:
             table="events", key="user_id", ts="ts"),
         "dominant_period": temporal_mod.dominant_period_sql(
             table="events", key="user_id", ts="ts"),
+        "return_label": temporal_mod.return_label_sql(
+            table="events", key="user_id", ts="ts", horizon_days=7),
         "asof_staleness": ASOF_PRE + temporal_mod.asof_staleness_sql(
             joined_select="""
                 SELECT l.ts, r.ts AS matched_ts

@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "retrieval_bpref",
     "retrieval_ap",
     "rank_overlap_rbo",
+    "return_label",
 ]
 
 HEADLINE = "flagship"

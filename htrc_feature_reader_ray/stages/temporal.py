@@ -4245,3 +4245,97 @@ def asof_staleness_sql(*, joined_select: str, ts: str = "ts",
                count(*)::BIGINT AS n_events
         FROM ({joined_select})
         GROUP BY 1"""
+
+
+def return_label(ds, *, key: str, ts: str, horizon_days: int = 7,
+                 num_buckets: int = 32):
+    """Leakage-honest churn/return LABEL builder: for every (key,
+    active day), will the key be active again within ``horizon_days``
+    — the supervised target a retention model trains on, built with
+    the same watermark discipline as the feature side (the engine's
+    north-star theme applied to the LABEL, where leakage does the most
+    damage): a day too close to the corpus horizon cannot honestly be
+    labeled negative (the return may simply not have been observed
+    yet), so it is CENSORED, not defaulted — the silent mistake that
+    teaches models "recent users all churn".
+
+        gap_days = next active day − day      (0 when none observed)
+        label    = 1  iff 0 < gap ≤ horizon
+        censored = 1  iff label = 0 AND day + horizon > max observed
+                   day across the corpus (the return window is not
+                   fully observed)
+
+    Exact integers; the corpus horizon is ONE global max fold (two
+    scalars reach the driver, broadcast into the labeling pass).
+
+    Scale shape: per-batch (key, day) distinct partials, ONE
+    key-bucketed exchange, a vectorized shift inside the bucket.
+    Output ``(key, day, gap_days, label, censored)`` — one row per
+    active (key, day)."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        day = pa.compute.divide(t, day_us).cast(pa.int64())
+        tb = pa.table({key: batch.column(key), "day": day})
+        return tb.group_by([key, "day"]).aggregate([]).rename_columns(
+            [key, "day"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    max_day = int(pd.Timestamp(ds.max(ts)).value // 1000) // day_us
+
+    empty = {key: pd.Series([], dtype="int64"),
+             "day": pd.Series([], dtype="int64"),
+             "gap_days": pd.Series([], dtype="int64"),
+             "label": pd.Series([], dtype="int64"),
+             "censored": pd.Series([], dtype="int64")}
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(empty)
+        df = df.drop_duplicates([key, "day"]).sort_values(
+            [key, "day"], kind="mergesort", ignore_index=True)
+        k = df[key].to_numpy()
+        day = df["day"].to_numpy()
+        nxt = np.roll(day, -1)
+        same = np.concatenate([k[1:] == k[:-1], [False]])
+        gap = np.where(same, nxt - day, 0).astype(np.int64)
+        label = ((gap > 0) & (gap <= horizon_days)).astype(np.int64)
+        censored = ((label == 0)
+                    & (day + horizon_days > max_day)).astype(np.int64)
+        return pd.DataFrame({
+            key: df[key], "day": day,
+            "gap_days": gap, "label": label, "censored": censored,
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def return_label_sql(*, table: str, key: str, ts: str,
+                     horizon_days: int = 7) -> str:
+    """SQL mirror: distinct (key, day), lead() gap per key, the same
+    label/censoring algebra against the global max day."""
+    return f"""
+        WITH d AS (
+          SELECT DISTINCT {key} AS kk,
+                 epoch_us({ts}) // 86400000000 AS day
+          FROM {table}
+        ),
+        mx AS (SELECT max(day) AS m FROM d),
+        g AS (
+          SELECT kk, day,
+                 coalesce(lead(day) OVER (
+                     PARTITION BY kk ORDER BY day) - day, 0) AS gap
+          FROM d
+        )
+        SELECT kk AS {key}, day::BIGINT AS day,
+               gap::BIGINT AS gap_days,
+               (CASE WHEN gap > 0 AND gap <= {horizon_days}
+                     THEN 1 ELSE 0 END)::BIGINT AS label,
+               (CASE WHEN NOT (gap > 0 AND gap <= {horizon_days})
+                          AND day + {horizon_days} > mx.m
+                     THEN 1 ELSE 0 END)::BIGINT AS censored
+        FROM g, mx"""

@@ -1487,3 +1487,34 @@ def test_asof_staleness_buckets_exact():
            .to_pandas().set_index("staleness_bucket")["n_events"]
            .sort_index())
     assert out.to_dict() == {-1: 1, 0: 2, 1: 1, 2: 1, 11: 1}
+
+
+def test_return_label_censoring_and_gaps():
+    from htrc_feature_reader_ray.stages.temporal import return_label
+
+    day = 86_400_000_000
+    # corpus horizon = day 20 (user 9's last activity)
+    rows = [(1, 0), (1, 3), (1, 15),          # gaps 3 (label), 12 (no)
+            (2, 18),                            # near-horizon, no return
+            (9, 5), (9, 20)]                    # sets max day; gap 15
+    df = pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] * day for r in rows], unit="us"),
+    })
+    out = (return_label(ray.data.from_pandas(df).repartition(3),
+                        key="user_id", ts="ts", horizon_days=7)
+           .to_pandas().set_index(["user_id", "day"]).sort_index())
+
+    # user 1 day 0: returns on day 3 -> label 1, not censored
+    assert out.loc[(1, 0)].tolist() == [3, 1, 0]
+    # user 1 day 3: next is day 15, gap 12 > 7 — and the full window
+    # WAS observed (3+7 <= 20) -> honest negative, not censored
+    assert out.loc[(1, 3)].tolist() == [12, 0, 0]
+    # user 1 day 15: no return, window 15+7 > 20 -> CENSORED
+    assert out.loc[(1, 15)].tolist() == [0, 0, 1]
+    # user 2 day 18: same
+    assert out.loc[(2, 18)].tolist() == [0, 0, 1]
+    # user 9 day 5: gap 15 > 7, window fully observed -> negative
+    assert out.loc[(9, 5)].tolist() == [15, 0, 0]
+    # user 9 day 20: the horizon itself -> censored
+    assert out.loc[(9, 20)].tolist() == [0, 0, 1]
