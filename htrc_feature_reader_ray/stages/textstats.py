@@ -1283,6 +1283,7 @@ def vocab_richness_sql(*, table: str = "documents", group: str = "lang",
 
 def naive_bayes_confusion(ds, *, text_col: str = "text",
                           label_col: str = "lang",
+                          min_count: int = 1,
                           num_buckets: int = 32):
     """Self-supervised multinomial Naive Bayes: TRAIN a bag-of-words
     classifier on the corpus's own (label, token) counts and score
@@ -1312,11 +1313,16 @@ def naive_bayes_confusion(ds, *, text_col: str = "text",
 
     Scale shape: ONE token-bucketed (label, token) count fold builds
     the model; the model table is the module's canonical worker-fit
-    small side (the encode_tokens vocabulary contract — prune with a
-    min_count floor if a raw-web vocab outgrows workers), broadcast
+    small side (the encode_tokens vocabulary contract), broadcast
     once; scoring is one stateless map_batches gather (tokens →
     vocab rows → (docs × classes) np.add.at) and the confusion fold
-    is ≤ L² rows. Output ``(label_col, pred_label, n_docs)``."""
+    is ≤ L² rows. ``min_count`` is the raw-web pruning floor: a token
+    whose CORPUS-WIDE count (summed over classes) is below it is
+    dropped from the model — it scores through the unseen default and
+    leaves V — bounding the broadcast on a heavy-tailed vocab
+    (semantically a vocabulary choice, not an approximation; the
+    mirror applies the identical floor). Output ``(label_col,
+    pred_label, n_docs)``."""
     import ray
 
     from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
@@ -1333,6 +1339,10 @@ def naive_bayes_confusion(ds, *, text_col: str = "text",
         ["cl", "tok"], {"c": ("c", "sum")},
         num_buckets=num_buckets, bucket_key="tok",
     ).to_pandas()
+    if min_count > 1:
+        keep = (model_pd.groupby("tok")["c"].transform("sum")
+                >= min_count)
+        model_pd = model_pd[keep].reset_index(drop=True)
 
     def doc_partial(batch: pa.Table) -> pa.Table:
         g = batch.select([label_col]).group_by([label_col]).aggregate(
@@ -1394,7 +1404,8 @@ def naive_bayes_confusion(ds, *, text_col: str = "text",
 
 def naive_bayes_confusion_sql(*, table: str = "documents",
                               text: str = "text",
-                              label: str = "lang") -> str:
+                              label: str = "lang",
+                              min_count: int = 1) -> str:
     """SQL replay: (label, token) count model, per-(doc, class) summed
     half-bit scores over a doc×class cross join with the unseen-token
     default, prior added once, row_number argmax (score desc, class
@@ -1415,9 +1426,14 @@ def naive_bayes_confusion_sql(*, table: str = "documents",
         tok AS (
           SELECT rid, lab, t.tok FROM base, unnest(arr) AS t(tok)
         ),
-        model AS (
+        model0 AS (
           SELECT lab AS cl, tok, count(*)::BIGINT AS c
           FROM tok GROUP BY 1, 2
+        ),
+        model AS (
+          SELECT * FROM model0
+          WHERE tok IN (SELECT tok FROM model0
+                        GROUP BY tok HAVING sum(c) >= {min_count})
         ),
         cls AS (SELECT lab AS cl, count(*)::BIGINT AS d
                 FROM base GROUP BY 1),

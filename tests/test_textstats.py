@@ -559,3 +559,30 @@ def test_retrieval_ap_hand_case_and_contracts():
     out3 = (retrieval_ap(ray.data.from_pandas(docs2), {"q": "zz qq"},
                          k=20).to_pandas().iloc[0])
     assert int(out3["ap_ppm"]) == 0
+
+
+def test_naive_bayes_min_count_pruning():
+    from htrc_feature_reader_ray.stages.textstats import (
+        naive_bayes_confusion,
+    )
+
+    # every token is a hapax: min_count=2 prunes the ENTIRE model, so
+    # every doc scores prior-only and ties to the smallest class —
+    # the adversarial all-unique-vocabulary fixture the broadcast
+    # would otherwise have to carry in full
+    df = pd.DataFrame({
+        "doc_id": range(4),
+        "lang": ["aa", "aa", "zz", "zz"],
+        "text": ["u1 u2", "u3 u4", "v1 v2", "v3 v4"],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+
+    full = (naive_bayes_confusion(ds, label_col="lang")
+            .to_pandas())
+    assert int(full[full["lang"] == full["pred_label"]]
+               ["n_docs"].sum()) == 4  # disjoint vocab -> recovered
+
+    pruned = (naive_bayes_confusion(ds, label_col="lang", min_count=2)
+              .to_pandas())
+    assert set(pruned["pred_label"]) == {"aa"}  # prior tie -> smallest
+    assert int(pruned["n_docs"].sum()) == 4
