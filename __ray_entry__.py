@@ -1845,6 +1845,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rate, batch_format="pyarrow")
         return fleiss_kappa(rated, cols=["r1", "r2", "r3"])
 
+    def q_krippendorff_alpha(sf):
+        """Fleiss with skips: the same three deterministic annotators
+        but annotator 3 skipped every doc_id % 7 == 0 item —
+        Krippendorff's nominal alpha pairs only the ratings that
+        exist (LCM-cleared exact integers, shift-clamp ppm)."""
+        from htrc_feature_reader_ray.stages.profile import (
+            krippendorff_alpha,
+        )
+
+        def rate(t: pa.Table) -> pa.Table:
+            nc = t.column("n_chars").to_numpy()
+            did = t.column("doc_id").to_numpy()
+            r3 = ((nc + 2 * (did % 11 == 0)) % 3).astype(np.int64)
+            return pa.table({
+                "r1": pa.array((nc % 3).astype(np.int64)),
+                "r2": pa.array(
+                    ((nc + (did % 5 == 0)) % 3).astype(np.int64)),
+                "r3": pa.array(r3, mask=(did % 7 == 0)),
+            })
+
+        rated = _docs(sf, ("doc_id", "n_chars")).map_batches(
+            rate, batch_format="pyarrow")
+        return krippendorff_alpha(rated, cols=["r1", "r2", "r3"])
+
     def q_topn_sources_per_lang(sf):
         """Long-tail collapse: per lang the top-2 sources by doc count,
         the tail folded into one __other__ row — (group,key) fold
@@ -6925,6 +6949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": q_benford_audit,
         "cohens_kappa": q_cohens_kappa,
         "fleiss_kappa": q_fleiss_kappa,
+        "krippendorff_alpha": q_krippendorff_alpha,
         "shuffle_audit": q_shuffle_audit,
         "unimax_epochs": q_unimax_epochs,
         "epoch_assignment": q_epoch_assignment,
@@ -8505,6 +8530,17 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END) % 3 AS r2,
                        (n_chars + CASE WHEN doc_id % 11 = 0
                                        THEN 2 ELSE 0 END) % 3 AS r3
+                FROM documents""",
+            cols=["r1", "r2", "r3"]),
+        "krippendorff_alpha": profile_mod.krippendorff_alpha_sql(
+            rows_expr="""
+                SELECT n_chars % 3 AS r1,
+                       (n_chars + CASE WHEN doc_id % 5 = 0
+                                       THEN 1 ELSE 0 END) % 3 AS r2,
+                       CASE WHEN doc_id % 7 = 0 THEN NULL
+                            ELSE (n_chars + CASE WHEN doc_id % 11 = 0
+                                                 THEN 2 ELSE 0 END) % 3
+                       END AS r3
                 FROM documents""",
             cols=["r1", "r2", "r3"]),
         "topn_sources_per_lang": profile_mod.topn_collapse_sql(

@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "retrieval_ap",
     "rank_overlap_rbo",
     "return_label",
+    "krippendorff_alpha",
 ]
 
 HEADLINE = "flagship"

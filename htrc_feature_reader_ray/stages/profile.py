@@ -6939,3 +6939,165 @@ def daily_ks_series_sql(*, table: str, ts: str, value_expr: str,
                 * 1000000 // (nn.n_prev * nn.n_cur))::BIGINT AS ks_ppm
         FROM cdf JOIN nn USING (day)
         GROUP BY nn.day, nn.n_prev, nn.n_cur"""
+
+
+def krippendorff_alpha(ds, *, cols, num_buckets: int = 8):
+    """Krippendorff's alpha (nominal data) over k rater columns WITH
+    MISSING RATINGS — the capability :func:`fleiss_kappa` lacks: Fleiss
+    requires every item rated by all k raters, while real annotation
+    runs have skips; alpha's coincidence algebra pairs only the
+    ratings that exist (Krippendorff, *Content Analysis* §12), so a
+    batch where annotator 3 skipped 20% of items still scores without
+    dropping rows or imputing.
+
+    Exact integer form: items with m_i ≥ 2 non-null ratings are
+    pairable; with L = lcm(1..k−1) (so L/(m_i−1) is always exact),
+    Σ_c n_ic² computed per row as the null-guarded pair-equality sum
+    (the fleiss_kappa k²-mask trick):
+
+        A     = Σ_i (m_i² − Σ_c n_ic²) · L // (m_i − 1)   (exact ÷)
+        n_tot = Σ_i m_i        n_c = pooled category margins
+        C     = Σ_c n_c·(n_tot − n_c)
+        α     = 1 − A·(n_tot − 1) / (L·C)
+
+    ``alpha_ppm`` via the engine-wide shift-clamp division (negative α
+    replays exactly); C = 0 (one pooled category) reports 0 by the
+    fleiss point-mass contract; fully-rated input reproduces the
+    no-missing special case. Output one row: ``(n_items, n_pairable,
+    n_categories, alpha_ppm)``.
+
+    Scale shape (fleiss_kappa's): stateless per-batch partials — one
+    scalar A/n_tot/item-count triple plus per-category margin counts —
+    ONE tiny sentinel/category-keyed fold, Python-int finish."""
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cols = list(cols)
+    k = len(cols)
+    if k < 2:
+        raise ValueError("krippendorff_alpha needs >= 2 rater columns")
+    L = math.lcm(*range(1, k)) if k > 1 else 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # category identity = the value's STRING form (int 1 -> "1"),
+        # matching the mirror's ::VARCHAR — and immune to numpy's
+        # int->float promotion on nullable columns
+        mats = []
+        valids = []
+        for c in cols:
+            col = batch.column(c)
+            valid = pa.compute.is_valid(col).to_numpy(
+                zero_copy_only=False)
+            vals = pa.compute.cast(col, pa.string()).to_numpy(
+                zero_copy_only=False)
+            mats.append(vals)
+            valids.append(valid)
+        n = batch.num_rows
+        m = np.zeros(n, dtype=np.int64)
+        for v in valids:
+            m += v
+        pairs = np.zeros(n, dtype=np.int64)  # Σ_c n_ic² incl. self
+        for a in range(k):
+            for b in range(k):
+                both = valids[a] & valids[b]
+                eq = np.zeros(n, dtype=bool)
+                if both.any():
+                    eq[both] = (np.asarray(mats[a])[both]
+                                == np.asarray(mats[b])[both])
+                pairs += eq
+        ok = m >= 2
+        a_terms = ((m[ok] * m[ok] - pairs[ok]) * L
+                   // (m[ok] - 1)).sum()
+        terms = ["\x00A", "\x00N", "\x00I"]
+        vals_out = [int(a_terms), int(m[ok].sum()), int(ok.sum())]
+        for vv, valid in zip(mats, valids):
+            sel = valid & ok
+            if sel.any():
+                u, c = np.unique(np.asarray(vv)[sel], return_counts=True)
+                for uv, cv in zip(u, c):
+                    terms.append(f"c|{uv}")
+                    vals_out.append(int(cv))
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "v": pa.array(vals_out, type=pa.int64()),
+        })
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("v", alias_name="v"))
+        .to_pandas()
+    )
+    sv = dict(zip(stats["term"], stats["v"].map(int)))
+    a_ = sv.pop("\x00A", 0)
+    n_tot = sv.pop("\x00N", 0)
+    n_items = sv.pop("\x00I", 0)
+    margins = list(sv.values())
+    c_ = sum(x * (n_tot - x) for x in margins)
+    den = L * c_
+    if den > 0:
+        num = den - a_ * (n_tot - 1)
+        num = max(num, -den)
+        alpha = (num + den) * 1_000_000 // den - 1_000_000
+    else:
+        alpha = 0
+    out = pd.DataFrame({
+        "n_items": [n_items], "n_pairable": [n_tot],
+        "n_categories": [len(margins)], "alpha_ppm": [alpha],
+    }).astype("int64")
+    return ray.data.from_pandas(out)
+
+
+def krippendorff_alpha_sql(*, rows_expr: str, cols) -> str:
+    """SQL mirror: NULL-filtered unpivot over a row_number rid,
+    per-(rid, category) counts, the identical LCM-cleared HUGEINT
+    algebra with the shift-clamp division."""
+    import math
+
+    cols = list(cols)
+    k = len(cols)
+    L = math.lcm(*range(1, k)) if k > 1 else 1
+    long = " UNION ALL ".join(
+        f"SELECT rid, {c}::VARCHAR AS v FROM r WHERE {c} IS NOT NULL"
+        for c in cols)
+    return f"""
+        WITH p AS ({rows_expr}),
+        r AS (SELECT row_number() OVER () AS rid, * FROM p),
+        long AS ({long}),
+        cnt AS (
+          SELECT rid, v, count(*)::HUGEINT AS c
+          FROM long GROUP BY 1, 2
+        ),
+        item AS (
+          SELECT rid, sum(c)::HUGEINT AS m,
+                 sum(c * c)::HUGEINT AS s2
+          FROM cnt GROUP BY 1 HAVING sum(c) >= 2
+        ),
+        aa AS (
+          SELECT coalesce(sum((m * m - s2) * {L} // (m - 1)), 0)
+                     ::HUGEINT AS a,
+                 coalesce(sum(m), 0)::HUGEINT AS n_tot,
+                 count(*)::BIGINT AS n_items
+          FROM item
+        ),
+        mg AS (
+          SELECT long.v, count(*)::HUGEINT AS nc
+          FROM long JOIN item USING (rid) GROUP BY 1
+        ),
+        cc AS (
+          SELECT coalesce(sum(nc * ((SELECT n_tot FROM aa) - nc)), 0)
+                     ::HUGEINT AS c,
+                 count(*)::BIGINT AS ncat
+          FROM mg
+        )
+        SELECT aa.n_items, aa.n_tot::BIGINT AS n_pairable,
+               cc.ncat AS n_categories,
+               CASE WHEN {L}::HUGEINT * cc.c > 0 THEN
+                 ((greatest({L}::HUGEINT * cc.c
+                            - aa.a * (aa.n_tot - 1),
+                            -({L}::HUGEINT * cc.c))
+                   + {L}::HUGEINT * cc.c) * 1000000
+                  // ({L}::HUGEINT * cc.c) - 1000000)::BIGINT
+               ELSE 0 END AS alpha_ppm
+        FROM aa, cc"""

@@ -3165,3 +3165,74 @@ def test_daily_ks_series_drift_and_gaps():
     rows2 = [(0, 1), (0, 1), (0, 2), (1, 1), (1, 2), (1, 2)]
     out2 = run(rows2)
     assert int(out2.loc[1, "ks_ppm"]) == 3 * 1_000_000 // 9
+
+
+def test_krippendorff_alpha_missing_and_exact():
+    import math
+
+    from htrc_feature_reader_ray.stages.profile import krippendorff_alpha
+
+    def run(df, cols=("r1", "r2", "r3")):
+        return (krippendorff_alpha(
+            ray.data.from_pandas(df).repartition(3), cols=list(cols))
+            .to_pandas().iloc[0])
+
+    def replay(rows):
+        # rows: list of dicts value-lists per item (non-null only)
+        k = max(len(r) for r in rows)
+        L = math.lcm(*range(1, max(k, 2)))
+        A = n_tot = 0
+        margins = {}
+        for r in rows:
+            m = len(r)
+            if m < 2:
+                continue
+            cnt = {}
+            for v in r:
+                cnt[v] = cnt.get(v, 0) + 1
+                margins[v] = margins.get(v, 0) + 1
+            s2 = sum(c * c for c in cnt.values())
+            A += (m * m - s2) * L // (m - 1)
+            n_tot += m
+        C = sum(x * (n_tot - x) for x in margins.values())
+        den = L * C
+        num = max(den - A * (n_tot - 1), -den)
+        return (num + den) * 10**6 // den - 10**6
+
+    # random fixture with 25% missing in r3, 10% in r2, plus agreement
+    rng = np.random.RandomState(11)
+    n = 240
+    df = pd.DataFrame({c: rng.randint(0, 4, n).astype("float64")
+                       for c in ("r1", "r2", "r3")})
+    agree = rng.rand(n) < 0.6
+    df.loc[agree, "r2"] = df.loc[agree, "r1"]
+    df.loc[agree, "r3"] = df.loc[agree, "r1"]
+    df.loc[rng.rand(n) < 0.25, "r3"] = np.nan
+    df.loc[rng.rand(n) < 0.10, "r2"] = np.nan
+    out = run(df)
+    rows = []
+    for _, r in df.iterrows():
+        rows.append([str(int(v)) for v in r if not np.isnan(v)])
+    assert int(out["alpha_ppm"]) == replay(rows)
+    assert 0 < int(out["alpha_ppm"]) < 1_000_000
+    # items with a single remaining rating are excluded from pairing
+    assert int(out["n_pairable"]) == sum(
+        len(r) for r in rows if len(r) >= 2)
+
+    # perfect agreement incl. missing -> exactly 1e6
+    dfp = pd.DataFrame({
+        "r1": [0.0, 1, 2] * 20,
+        "r2": [0.0, 1, 2] * 20,
+        "r3": [np.nan, 1, 2] * 20,
+    })
+    assert int(run(dfp)["alpha_ppm"]) == 1_000_000
+
+    # systematic disagreement -> negative through the shift path
+    dfn = pd.DataFrame({"r1": [0.0, 1] * 30, "r2": [1.0, 0] * 30,
+                        "r3": [np.nan] * 60})
+    assert int(run(dfn)["alpha_ppm"]) < 0
+
+    # one pooled category -> 0 by contract
+    dfz = pd.DataFrame({"r1": [5.0] * 8, "r2": [5.0] * 8,
+                        "r3": [np.nan] * 8})
+    assert int(run(dfz)["alpha_ppm"]) == 0
