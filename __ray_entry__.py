@@ -3038,6 +3038,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _events(sf, ["event_type", "value"]).map_batches(
             cents, batch_format="pyarrow")
 
+    def q_gap_entropy(sf):
+        """How many rhythms does each user run on? Entropy of the
+        power-of-two-second gap distribution in exact half-bits —
+        cron ≈ 0, human high, two-timer bot ≈ 1 bit; one key
+        exchange, all-vectorized bucket fold."""
+        from htrc_feature_reader_ray.stages.temporal import gap_entropy
+
+        return gap_entropy(_events(sf, ["user_id", "ts"]),
+                           key="user_id", ts="ts")
+
     def q_return_label(sf):
         """Leakage-honest retention target: per (user, active day),
         will they return within 7 days — with horizon CENSORING so
@@ -6857,6 +6867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_period": q_dominant_period,
         "asof_staleness": q_asof_staleness,
         "return_label": q_return_label,
+        "gap_entropy": q_gap_entropy,
         "anova_eta": q_anova_eta,
         "levene_bf": q_levene_bf,
         "grouped_ols": q_grouped_ols,
@@ -9484,6 +9495,8 @@ def oracle_sql() -> dict[str, str]:
             table="events", key="user_id", ts="ts"),
         "return_label": temporal_mod.return_label_sql(
             table="events", key="user_id", ts="ts", horizon_days=7),
+        "gap_entropy": temporal_mod.gap_entropy_sql(
+            table="events", key="user_id", ts="ts"),
         "asof_staleness": ASOF_PRE + temporal_mod.asof_staleness_sql(
             joined_select="""
                 SELECT l.ts, r.ts AS matched_ts

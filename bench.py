@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "rank_overlap_rbo",
     "return_label",
     "krippendorff_alpha",
+    "gap_entropy",
 ]
 
 HEADLINE = "flagship"

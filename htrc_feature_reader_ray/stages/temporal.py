@@ -4339,3 +4339,116 @@ def return_label_sql(*, table: str, key: str, ts: str,
                           AND day + {horizon_days} > mx.m
                      THEN 1 ELSE 0 END)::BIGINT AS censored
         FROM g, mx"""
+
+
+def gap_entropy(ds, *, key: str, ts: str, num_buckets: int = 32):
+    """Per-key entropy of the inter-event-gap DISTRIBUTION — the
+    regularity fingerprint completing the cadence family:
+    :func:`gap_stats` gives gap moments, :func:`burst_detection` finds
+    WHEN the rate shifts, :func:`dominant_period` the daily cadence —
+    this asks "how many distinct rhythms does the key run on": a cron
+    fires at one gap (entropy ~0), a human mixes seconds-to-days
+    (high), and a bot alternating two timers sits at exactly 1 bit —
+    the bot-vs-human discriminator :func:`hour_concentration`
+    approaches from the clock side.
+
+    Exact integer contract: gaps bucket to power-of-two second tiers
+    (``bitlen(gap_s)``, 0 for sub-second — the :func:`asof_staleness`
+    convention), then the module's log-free half-bit identity
+    (:func:`token_entropy`) scores the bucket distribution:
+
+        entropy_half_bits = Σ_buckets c·(bitlen(n²) − bitlen(c²))
+
+    ≈ 2·n·H in half-bits, exactly replayable. Keys with < 2 events
+    (no gaps) keep a row with (0, 0, 0) by contract.
+
+    Scale shape: ONE key-bucketed exchange; inside the bucket gaps,
+    buckets and the entropy fold are all vectorized (sort + diff +
+    double bincount). Output ``(key, n_gaps, n_buckets,
+    entropy_half_bits)``."""
+    from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
+    from htrc_feature_reader_ray.stages.profile import _ilog2
+
+    empty = {key: pd.Series([], dtype="int64"),
+             "n_gaps": pd.Series([], dtype="int64"),
+             "n_buckets": pd.Series([], dtype="int64"),
+             "entropy_half_bits": pd.Series([], dtype="int64")}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({key: batch.column(key), "t": t})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(empty)
+        df = df.sort_values([key, "t"], kind="mergesort",
+                            ignore_index=True)
+        k = df[key].to_numpy()
+        t = df["t"].to_numpy()
+        same = k[1:] == k[:-1]
+        gap_s = (t[1:] - t[:-1]) // 1_000_000
+        kf, keys = pd.factorize(df[key], sort=True)
+        gk = kf[1:][same]
+        g = gap_s[same]
+        blen = np.frexp(np.maximum(g, 1).astype(np.float64))[1]
+        b = np.where(g == 0, 0, blen).astype(np.int64)
+        nk = len(keys)
+        # per-(key, bucket) counts via one composite bincount
+        comb = gk * 64 + b
+        cc = np.bincount(comb, minlength=nk * 64)
+        cc = cc.reshape(nk, 64)
+        n = cc.sum(axis=1).astype(np.int64)
+        ent = np.zeros(nk, dtype=np.int64)
+        nz_k, nz_b = np.nonzero(cc)
+        c = cc[nz_k, nz_b].astype(np.int64)
+        term = c * ((_ilog2(n[nz_k] * n[nz_k]) + 1)
+                    - (_ilog2(c * c) + 1))
+        np.add.at(ent, nz_k, term)
+        return pd.DataFrame({
+            key: keys,
+            "n_gaps": n,
+            "n_buckets": (cc > 0).sum(axis=1).astype(np.int64),
+            "entropy_half_bits": ent,
+        })
+
+    return bucketed_map_groups(partials, key, per_bucket,
+                               num_buckets=num_buckets)
+
+
+def gap_entropy_sql(*, table: str, key: str, ts: str) -> str:
+    """SQL mirror: lag() gaps, the −/0/bitlen(seconds) bucketing,
+    per-(key, bucket) counts, the token_entropy bit-length identity."""
+    return f"""
+        WITH e AS (
+          SELECT {key} AS kk, epoch_us({ts}) AS t FROM {table}
+        ),
+        g AS (
+          SELECT kk,
+                 (t - lag(t) OVER (PARTITION BY kk ORDER BY t))
+                     // 1000000 AS gap_s
+          FROM e QUALIFY gap_s IS NOT NULL
+        ),
+        b AS (
+          SELECT kk, CASE WHEN gap_s = 0 THEN 0
+                          ELSE length(bin(gap_s)) END AS bk,
+                 count(*)::BIGINT AS c
+          FROM g GROUP BY 1, 2
+        ),
+        n AS (SELECT kk, sum(c)::BIGINT AS n,
+                     count(*)::BIGINT AS nb FROM b GROUP BY 1),
+        scored AS (
+          SELECT b.kk,
+                 sum(b.c * (length(format('{{:b}}', n.n * n.n))
+                            - length(format('{{:b}}', b.c * b.c))))
+                     ::BIGINT AS ent
+          FROM b JOIN n USING (kk) GROUP BY 1
+        ),
+        keys AS (SELECT DISTINCT kk FROM e)
+        SELECT keys.kk AS {key},
+               coalesce(n.n, 0)::BIGINT AS n_gaps,
+               coalesce(n.nb, 0)::BIGINT AS n_buckets,
+               coalesce(scored.ent, 0)::BIGINT AS entropy_half_bits
+        FROM keys LEFT JOIN n ON n.kk = keys.kk
+                  LEFT JOIN scored ON scored.kk = keys.kk"""

@@ -1518,3 +1518,33 @@ def test_return_label_censoring_and_gaps():
     assert out.loc[(9, 5)].tolist() == [15, 0, 0]
     # user 9 day 20: the horizon itself -> censored
     assert out.loc[(9, 20)].tolist() == [0, 0, 1]
+
+
+def test_gap_entropy_cron_bot_human():
+    from htrc_feature_reader_ray.stages.temporal import gap_entropy
+
+    S = 1_000_000  # one second in us
+    rows = []
+    # user 1: perfect 60-second cron (every gap in one bucket) -> 0
+    rows += [(1, i * 60 * S) for i in range(11)]
+    # user 2: alternating 60s / 3600s timers, 5 gaps each ->
+    # exactly 1 bit/gap = 2 half-bits * 10 gaps = 20
+    t = 0
+    for i in range(10):
+        t += 60 * S if i % 2 == 0 else 3600 * S
+        rows.append((2, t))
+    rows.append((2, 0))
+    # user 3: single event -> (0, 0, 0) by contract
+    rows.append((3, 5 * S))
+    df = pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
+    })
+    out = (gap_entropy(ray.data.from_pandas(df).repartition(3),
+                       key="user_id", ts="ts")
+           .to_pandas().set_index("user_id").sort_index())
+
+    assert out.loc[1].tolist() == [10, 1, 0]
+    # 2 buckets, 5 gaps each, n=10: per gap bitlen(100)-bitlen(25)=2
+    assert out.loc[2].tolist() == [10, 2, 20]
+    assert out.loc[3].tolist() == [0, 0, 0]
