@@ -5221,7 +5221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ex = pc.extract_regex(
                 pc.cast(t.column("url"), pa.string()),
                 r"://(?P<host>[^/]+)")
-            return pa.table({"host": pc.struct_field(ex, "host")})
+            h = pc.struct_field(ex, "host")
+            # hostless URLs (no '://') drop identically on both sides
+            # (mirror: NULLIF(regexp_extract(...), '') IS NOT NULL)
+            return pa.table({"host": h}).filter(pc.is_valid(h))
 
         pages = read_pages(sf, drop_text=True).map_batches(
             host, batch_format="pyarrow")
@@ -8958,7 +8961,9 @@ def oracle_sql() -> dict[str, str]:
         "host_lang_mix": PAGES_PRE
         + urltools.host_lang_mix_sql(from_clause="pages"),
         "jain_fairness": PAGES_PRE + " " + urltools.jain_fairness_sql(
-            from_clause="pages",
+            from_clause="(SELECT * FROM pages WHERE"
+            " NULLIF(regexp_extract(url, '://([^/]+)', 1), '')"
+            " IS NOT NULL) AS hosted",
             key_expr="regexp_extract(url, '://([^/]+)', 1)"),
         "host_fetch_rate": PAGES_PRE + """,
             hw AS (

@@ -3780,6 +3780,12 @@ def host_assortativity(edges, *, num_buckets: int = 16):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["src_url"].astype(str).str.extract(host_re, expand=False)
         dh = df["dst_url"].astype(str).str.extract(host_re, expand=False)
+        # an edge needs BOTH endpoints hosted: rows where either URL
+        # has no '://host' are dropped from m, E and the marginals
+        # alike, mirrored by the SQL's NULLIF + IS NOT NULL filter
+        # (ADVICE r3: NaN-vs-'' asymmetry on malformed URLs)
+        ok = sh.notna() & dh.notna()
+        sh, dh, df = sh[ok], dh[ok], df[ok]
         o = sh.value_counts()
         i = dh.value_counts()
         hosts = o.index.union(i.index)
@@ -3836,9 +3842,13 @@ def host_assortativity_sql(*, edges_cte: str = "e2") -> str:
     fold + shift-clamp HUGEINT algebra."""
     return f""",
         he AS (
-          SELECT regexp_extract(src_url, '://([^/]+)', 1) AS sh,
-                 regexp_extract(dst_url, '://([^/]+)', 1) AS dh
-          FROM {edges_cte}
+          SELECT sh, dh FROM (
+            SELECT NULLIF(regexp_extract(src_url, '://([^/]+)', 1),
+                          '') AS sh,
+                   NULLIF(regexp_extract(dst_url, '://([^/]+)', 1),
+                          '') AS dh
+            FROM {edges_cte}
+          ) WHERE sh IS NOT NULL AND dh IS NOT NULL
         ),
         mx AS (
           SELECT host, sum(o)::HUGEINT AS a, sum(i)::HUGEINT AS b

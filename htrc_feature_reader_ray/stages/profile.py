@@ -6523,6 +6523,10 @@ def anova_eta(ds, *, group_col: str, value_col: str,
         num_buckets=num_buckets,
     ).to_pandas()
 
+    if folded.empty or "c" not in folded.columns:
+        # zero-block input loses the fold schema entirely: the typed
+        # all-zero contract row, matching the coalesced SQL mirror
+        folded = pd.DataFrame({group_col: [], "t": [], "s": [], "c": []})
     k = len(folded)
     n = int(folded["c"].sum())
     t_ = sum(int(v) for v in folded["t"])
@@ -6555,16 +6559,18 @@ def anova_eta_sql(*, src_sql: str, group: str, value_expr: str) -> str:
           GROUP BY 1
         ),
         tot AS (
-          SELECT sum(c)::HUGEINT AS n, sum(t)::HUGEINT AS t,
-                 sum(s)::HUGEINT AS s, count(*)::HUGEINT AS k
+          SELECT coalesce(sum(c), 0)::HUGEINT AS n,
+                 coalesce(sum(t), 0)::HUGEINT AS t,
+                 coalesce(sum(s), 0)::HUGEINT AS s,
+                 count(*)::HUGEINT AS k
           FROM pg
         ),
         alg AS (
           SELECT tot.n, tot.k,
                  tot.n * tot.s - tot.t * tot.t AS sst_n,
                  greatest(
-                   (SELECT sum((tot.n * pg.t * pg.t) // pg.c)
-                    FROM pg) - tot.t * tot.t,
+                   coalesce((SELECT sum((tot.n * pg.t * pg.t) // pg.c)
+                             FROM pg), 0) - tot.t * tot.t,
                    0) AS ssb_n
           FROM tot
         )
@@ -6624,6 +6630,9 @@ def levene_bf(ds, *, group_col: str, value_col: str, quantize: int = 1,
         num_buckets=num_buckets, bucket_key="v",
     ).to_pandas()
 
+    if folded.empty or group_col not in folded.columns:
+        # zero-block input loses the fold schema: typed all-zero row
+        folded = pd.DataFrame({group_col: [], "v": [], "c": []})
     n = k = t_ = s_ = 0
     ssb_terms = []
     per_group = []
@@ -6689,16 +6698,18 @@ def levene_bf_sql(*, src_sql: str, group: str, value_expr: str,
           GROUP BY 1
         ),
         tot AS (
-          SELECT sum(nj)::HUGEINT AS n, sum(t)::HUGEINT AS t,
-                 sum(s)::HUGEINT AS s, count(*)::HUGEINT AS k
+          SELECT coalesce(sum(nj), 0)::HUGEINT AS n,
+                 coalesce(sum(t), 0)::HUGEINT AS t,
+                 coalesce(sum(s), 0)::HUGEINT AS s,
+                 count(*)::HUGEINT AS k
           FROM pg
         ),
         alg AS (
           SELECT tot.n, tot.k,
                  tot.n * tot.s - tot.t * tot.t AS sst_n,
                  greatest(
-                   (SELECT sum((tot.n * pg.t * pg.t) // pg.nj)
-                    FROM pg) - tot.t * tot.t,
+                   coalesce((SELECT sum((tot.n * pg.t * pg.t) // pg.nj)
+                             FROM pg), 0) - tot.t * tot.t,
                    0) AS ssb_n
           FROM tot
         )

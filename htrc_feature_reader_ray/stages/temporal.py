@@ -4206,7 +4206,7 @@ def asof_staleness(joined, *, ts: str = "ts",
     Scale shape: one stateless per-batch bucketing pass over the join
     output + a ≤40-key native fold — the audit adds NOTHING to the
     join's own exchange plan."""
-    day_scale = 1_000_000
+    us_per_s = 1_000_000
 
     def bucket(batch: pa.Table) -> pa.Table:
         t = batch.column(ts).cast(pa.timestamp("us")).cast(pa.int64())
@@ -4216,7 +4216,7 @@ def asof_staleness(joined, *, ts: str = "ts",
             zero_copy_only=False).astype(np.int64)
         tv = t.to_numpy(zero_copy_only=False)
         stale_s = np.where(missing, 0,
-                           (tv - mv) // day_scale).astype(np.int64)
+                           (tv - mv) // us_per_s).astype(np.int64)
         blen = np.frexp(np.maximum(stale_s, 1).astype(np.float64))[1]
         b = np.where(missing, -1,
                      np.where(stale_s == 0, 0, blen)).astype(np.int64)

@@ -1444,11 +1444,12 @@ def naive_bayes_confusion_sql(*, table: str = "documents",
           SELECT t.rid, c.cl,
                  sum({blen("(coalesce(m.c, 0) + 1)::BIGINT"
                            " * (coalesce(m.c, 0) + 1)")}
-                     - {blen("(nl.n + v.v)::BIGINT * (nl.n + v.v)")})
+                     - {blen("(coalesce(nl.n, 0) + v.v)::BIGINT"
+                             " * (coalesce(nl.n, 0) + v.v)")})
                      ::BIGINT AS s
           FROM tok t CROSS JOIN cls c
                LEFT JOIN model m ON m.cl = c.cl AND m.tok = t.tok
-               JOIN nl ON nl.cl = c.cl, v
+               LEFT JOIN nl ON nl.cl = c.cl, v
           GROUP BY 1, 2
         ),
         sc AS (

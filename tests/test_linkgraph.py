@@ -1113,6 +1113,43 @@ def test_host_assortativity_extremes_and_exact():
     assert int(run(single)["r_ppm"]) == 0
 
 
+def test_host_assortativity_malformed_urls_sql_parity():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        host_assortativity,
+        host_assortativity_sql,
+    )
+
+    # edges whose URLs lack '://host' must drop IDENTICALLY on both
+    # sides (engine: NaN-host rows out of m/E/marginals; mirror:
+    # NULLIF + IS NOT NULL) — ADVICE r3: previously the engine dropped
+    # them from the marginals only while DuckDB counted '' as a real
+    # host and matched two malformed URLs as same-host
+    pairs = [
+        ("https://a.x/1", "https://a.x/2"),     # kept, same-host
+        ("https://a.x/1", "https://b.x/2"),     # kept, cross-host
+        ("nohost-page", "https://a.x/3"),        # dropped (src hostless)
+        ("https://b.x/1", "relative/path"),      # dropped (dst hostless)
+        ("plain1", "plain2"),                    # dropped (both; '' == ''
+                                                 #  must NOT count as same)
+    ]
+    df = pd.DataFrame({"src_url": [p[0] for p in pairs],
+                       "dst_url": [p[1] for p in pairs]})
+    eng = (host_assortativity(ray.data.from_pandas(df).repartition(2))
+           .to_pandas())
+    assert int(eng.loc[0, "n_edges"]) == 2
+    assert int(eng.loc[0, "n_hosts"]) == 2
+    assert int(eng.loc[0, "same_ppm"]) == 500_000
+
+    con = duckdb.connect()
+    con.register("edges", df)
+    sql = con.execute(
+        "WITH e2 AS (SELECT src_url, dst_url FROM edges)"
+        + host_assortativity_sql()).df()
+    pd.testing.assert_frame_equal(eng, sql, check_dtype=False)
+
+
 def test_rich_club_clique_core_and_contracts():
     from htrc_feature_reader_ray.stages.linkgraph import rich_club
 

@@ -2999,6 +2999,40 @@ def test_anova_eta_exact_and_edges():
     assert int(outm["f_ppm"]) == 0
 
 
+def test_anova_levene_empty_input_sql_parity():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.profile import (
+        anova_eta,
+        anova_eta_sql,
+        levene_bf,
+        levene_bf_sql,
+    )
+
+    # empty input: engine emits the typed all-zero row; the mirrors
+    # must match it (coalesced sums over the empty pg CTE — ADVICE r3:
+    # previously n_rows/k_groups came back NULL from SQL)
+    df = pd.DataFrame({"g": pd.Series([], dtype=str),
+                       "x": pd.Series([], dtype="int64")})
+    ds = ray.data.from_pandas(df)
+    con = duckdb.connect()
+    con.register("t_empty", df)
+
+    eng_a = anova_eta(ds, group_col="g", value_col="x").to_pandas()
+    sql_a = con.execute(anova_eta_sql(
+        src_sql="SELECT g, x FROM t_empty", group="g",
+        value_expr="x")).df()
+    assert eng_a.iloc[0].tolist() == [0, 0, 0, 0]
+    pd.testing.assert_frame_equal(eng_a, sql_a, check_dtype=False)
+
+    eng_l = levene_bf(ds, group_col="g", value_col="x").to_pandas()
+    sql_l = con.execute(levene_bf_sql(
+        src_sql="SELECT g, x FROM t_empty", group="g",
+        value_expr="x")).df()
+    assert eng_l.iloc[0].tolist() == [0, 0, 0, 0]
+    pd.testing.assert_frame_equal(eng_l, sql_l, check_dtype=False)
+
+
 def test_levene_bf_exact_and_edges():
     from htrc_feature_reader_ray.stages.profile import levene_bf
 

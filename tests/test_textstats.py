@@ -586,3 +586,35 @@ def test_naive_bayes_min_count_pruning():
               .to_pandas())
     assert set(pruned["pred_label"]) == {"aa"}  # prior tie -> smallest
     assert int(pruned["n_docs"].sum()) == 4
+
+
+def test_naive_bayes_empty_model_class_sql_parity():
+    import duckdb
+
+    from htrc_feature_reader_ray.stages.textstats import (
+        naive_bayes_confusion,
+        naive_bayes_confusion_sql,
+    )
+
+    # min_count=2 prunes class "zz"'s ENTIRE vocabulary (all hapaxes)
+    # while "aa" keeps tokens: the SQL mirror must LEFT JOIN nl so the
+    # empty-model class still pays the per-token unseen default
+    # hb(1, V) like the engine, not a prior-only score (ADVICE r3)
+    df = pd.DataFrame({
+        "doc_id": range(4),
+        "lang": ["aa", "aa", "zz", "zz"],
+        "text": ["kept kept kept", "kept kept other other",
+                 "h1 h2 h3 h4 h5 h6 h7 h8", "h9 h10"],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    eng = (naive_bayes_confusion(ds, label_col="lang", min_count=2)
+           .to_pandas().sort_values(["lang", "pred_label"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = (con.execute(naive_bayes_confusion_sql(min_count=2)).df()
+           .sort_values(["lang", "pred_label"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng, sql, check_dtype=False)
+    # the zz doc with 8 unseen tokens pays 8 defaults under zz's empty
+    # model vs 8 misses under aa's populated one — argmax must agree
+    # between engine and SQL, whatever it is
