@@ -184,6 +184,37 @@ def main(argv=None) -> int:
     gaud.add_argument("--out", required=True)
     gaud.add_argument("--num-cpus", type=int, default=None)
 
+    ing = sub.add_parser(
+        "ingest-lake",
+        help="bulk-fetch ids from a source volume tree into a resumable"
+             " pages lake (download_file analog; per-bucket skip-complete"
+             " resume)",
+    )
+    ing.add_argument("ids", nargs="*", help="volume ids/urls")
+    ing.add_argument("--ids-file", default=None,
+                     help="newline-separated id manifest (rsync"
+                          " --files-from shape)")
+    ing.add_argument("--src-tree", required=True,
+                     help="source volume tree root (the offline stand-in"
+                          " for the remote endpoint)")
+    ing.add_argument("--codec", default=None,
+                     choices=["gz", "bz2", "none"])
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--num-buckets", type=int, default=16)
+    ing.add_argument("--on-error", default="skip",
+                     choices=["skip", "raise"])
+    ing.add_argument("--num-cpus", type=int, default=None)
+
+    fav = sub.add_parser(
+        "files-available",
+        help="existence pre-check of ids against a local volume tree"
+             " (files_available analog)",
+    )
+    fav.add_argument("ids", nargs="*")
+    fav.add_argument("--ids-file", default=None)
+    fav.add_argument("--root", required=True, help="volume tree root")
+    fav.add_argument("--codec", default=None, choices=["gz", "bz2", "none"])
+
     args = p.parse_args(argv)
 
     if args.cmd == "clean-id":
@@ -518,6 +549,41 @@ def main(argv=None) -> int:
             frame.to_parquet(path, index=False)
             sizes[name] = len(frame)
         print(json.dumps({"sections": sizes, "out": args.out}))
+        ray.shutdown()
+        return 0
+
+    if args.cmd in ("ingest-lake", "files-available"):
+        ids = list(args.ids)
+        if args.ids_file:
+            with open(args.ids_file) as f:
+                ids += [ln.strip() for ln in f if ln.strip()]
+        if not ids:
+            print("no ids given", file=sys.stderr)
+            return 2
+        codec = None if args.codec in (None, "none") else args.codec
+
+        from htrc_feature_reader_ray.sources.jsonvol import TreeResolver
+
+        if args.cmd == "files-available":
+            from htrc_feature_reader_ray.pipelines.ingest import (
+                files_available,
+            )
+
+            print(json.dumps(files_available(
+                ids, TreeResolver(args.root, codec=codec)),
+                sort_keys=True))
+            return 0
+
+        _ensure_ray(args.num_cpus)
+        import ray
+
+        from htrc_feature_reader_ray.pipelines.ingest import fetch_to_lake
+
+        root = args.src_tree
+        summary = fetch_to_lake(
+            ids, lambda: TreeResolver(root, codec=codec), args.out,
+            num_buckets=args.num_buckets, on_error=args.on_error)
+        print(json.dumps(summary, sort_keys=True))
         ray.shutdown()
         return 0
     return 1
