@@ -1587,7 +1587,8 @@ def k_core_sql(*, k: int = 2, max_rounds: int = 12,
         WHERE d >= {k}"""
 
 
-def coreness(edges, *, max_rounds: int = 8, num_buckets: int = 32):
+def coreness(edges, *, max_rounds: int = 8, num_buckets: int = 32,
+             broadcast_limit: int = 2_000_000):
     """Full core decomposition of the undirected graph — every node's
     core NUMBER, where :func:`k_core` answers membership for one fixed
     k — via the distributed h-index iteration (Lü, Chen, Zhang,
@@ -1605,13 +1606,20 @@ def coreness(edges, *, max_rounds: int = 8, num_buckets: int = 32):
     construction (values where not yet converged are the r-th H-iterate
     on both sides). Output: ``(url, coreness)``.
 
-    Scale shape per round: neighbor values = ONE value-onto-directed-
-    edge co-partition (state joined on the edge's dst), H-index = ONE
-    src-keyed fold with a vectorized sort-rank kernel (h = max
-    min(rank, value) over the desc-sorted neighbor values); the
-    directed adjacency (2|E|, static) materializes once, the state is
-    node-cardinality-sized; convergence test = one co-partition diff
-    producing a single driver scalar."""
+    Scale shape, two paths on the node-count gate (the engine-wide
+    broadcast↔exchange auto-switch, paths equal by pinned pytest). At
+    or under ``broadcast_limit`` nodes: the adjacency is integer-coded
+    and pinned ONCE as u-bucket-complete blocks; each round is a single
+    map pass over those pinned blocks with the node-value vector
+    ``ray.put`` (neighbor lookup = one vectorized gather, H-index = the
+    same lexsort/reduceat kernel) — ZERO exchanges per round, vs the
+    two |E|-sized exchanges of the fallback. Above the gate, per round:
+    neighbor values = ONE value-onto-directed-edge co-partition (state
+    joined on the edge's dst), H-index = ONE src-keyed fold with a
+    vectorized sort-rank kernel (h = max min(rank, value) over the
+    desc-sorted neighbor values); the directed adjacency (2|E|, static)
+    materializes once, the state is node-cardinality-sized; convergence
+    test = one co-partition diff producing a single driver scalar."""
     import pyarrow.compute as pc
 
     from htrc_feature_reader_ray.stages.partition import (
@@ -1653,6 +1661,88 @@ def coreness(edges, *, max_rounds: int = 8, num_buckets: int = 32):
             batch_format="pyarrow"),
         ["node"], {"c": ("c", "sum")}, num_buckets=num_buckets,
     ).materialize()
+
+    import ray
+    import ray.data
+
+    node_pd = state.to_pandas() if state.count() <= broadcast_limit else None
+    if node_pd is not None:
+        # broadcast fast path: integer-code the adjacency against the
+        # sorted node vocabulary, pin it once as u-bucket-complete
+        # blocks, then iterate with the value vector broadcast per round
+        keys = np.sort(node_pd["node"].to_numpy())
+        vals = np.zeros(len(keys), dtype=np.int64)
+        vals[np.searchsorted(keys, node_pd["node"].to_numpy())] = (
+            node_pd["c"].to_numpy(dtype=np.int64))
+        if len(keys) == 0:
+            return ray.data.from_arrow(pa.table({
+                "url": pa.array([], pa.string()),
+                "coreness": pa.array([], pa.int64())}))
+        kref = ray.put(pa.array(keys, type=pa.string()))
+        # bucket count sized so one bucket's rows stay far below the
+        # block-split threshold (a split u-group would break the
+        # complete-neighborhood contract of the round kernel)
+        nb = max(1, num_buckets, dirs.count() // 2_000_000 + 1)
+
+        def encode(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            ui = pc.index_in(t.column("u").cast(pa.string()),
+                             value_set=ks).cast(pa.int64())
+            vi = pc.index_in(t.column("v").cast(pa.string()),
+                             value_set=ks).cast(pa.int64())
+            g = pa.array(ui.to_numpy(zero_copy_only=False) % nb,
+                         type=pa.int64())
+            return pa.table({"u": ui, "v": vi, "g": g})
+
+        pinned = (dirs.map_batches(encode, batch_format="pyarrow")
+                  .groupby("g")
+                  .map_groups(lambda df: df[["u", "v"]],
+                              batch_format="pandas")
+                  .materialize())
+
+        def round_map_factory(sref):
+            def round_map(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table({
+                        "node": pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                        "chg": pa.array([], pa.int64())})
+                sv = ray.get(sref)
+                u = t.column("u").to_numpy(zero_copy_only=False)
+                v = t.column("v").to_numpy(zero_copy_only=False)
+                cv = sv[v]
+                order = np.lexsort((-cv, u))
+                u2, cv2 = u[order], cv[order]
+                new = np.empty(len(u2), dtype=bool)
+                new[0] = True
+                new[1:] = u2[1:] != u2[:-1]
+                starts = np.flatnonzero(new)
+                pos = (np.arange(len(u2), dtype=np.int64)
+                       - np.repeat(starts, np.diff(
+                           np.append(starts, len(u2)))))
+                h = np.minimum(pos + 1, cv2)
+                hm = np.maximum.reduceat(h, starts)
+                uu = u2[starts]
+                return pa.table({
+                    "node": pa.array(uu.astype(np.int64)),
+                    "c": pa.array(hm.astype(np.int64)),
+                    "chg": pa.array(
+                        (hm != sv[uu]).astype(np.int64))})
+            return round_map
+
+        for _ in range(max_rounds):
+            sref = ray.put(vals)
+            out = pinned.map_batches(
+                round_map_factory(sref),
+                batch_format="pyarrow").to_pandas()
+            if int(out["chg"].sum()) == 0:
+                break
+            vals = vals.copy()
+            vals[out["node"].to_numpy()] = out["c"].to_numpy()
+
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array(keys, type=pa.string()),
+            "coreness": pa.array(vals, type=pa.int64())}))
 
     def hindex_bucket(df: pd.DataFrame) -> pd.DataFrame:
         """H-index per node over its is_self=0 neighbor values; the
@@ -3310,7 +3400,47 @@ def _reach_set(edges, seeds, *, src_col: str, dst_col: str,
     return visited
 
 
-def bowtie_structure(edges, *, max_hops: int = 4, num_buckets: int = 32):
+def _reach_set_broadcast(edges, seed: str, pairs, *, max_hops: int) -> set:
+    """Driver-frontier closure for :func:`bowtie_structure`'s broadcast
+    fast path: the frontier/visited sets live on the driver (valid by
+    the caller's node-count gate), each hop is ONE map pass over the
+    pinned edge blocks with the frontier ``ray.put`` as an Arrow array
+    (C++ hash-probe via ``pc.is_in``) — ZERO exchanges per hop, vs the
+    3-exchange hop of :func:`_reach_set`. ``pairs`` lists the
+    (src_col, dst_col) directions followed per hop, so the weak closure
+    runs over the raw edge table both ways without materializing the
+    symmetrized copy."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    frontier = {seed}
+    visited = {seed}
+    for _ in range(max_hops):
+        fref = ray.put(pa.array(sorted(frontier), type=pa.string()))
+
+        def hop(t: pa.Table, _f=fref) -> pa.Table:
+            fr = ray.get(_f)
+            outs = []
+            for s, d in pairs:
+                hit = pc.is_in(t.column(s), value_set=fr)
+                outs.append(t.column(d).filter(hit).combine_chunks())
+            u = pc.unique(pa.concat_arrays(
+                [o.cast(pa.string()) for o in outs]))
+            return pa.table({"url": u})
+
+        cand = edges.map_batches(hop, batch_format="pyarrow").to_pandas()
+        new = (set(cand["url"]) - visited
+               if "url" in cand.columns else set())
+        if not new:
+            break
+        visited |= new
+        frontier = new
+    return visited
+
+
+def bowtie_structure(edges, *, max_hops: int = 4, num_buckets: int = 32,
+                     broadcast_limit: int = 2_000_000):
     """Broder et al.'s bowtie decomposition of the directed crawl graph
     ("Graph structure in the Web", WWW 2000) relative to a deterministic
     pivot — THE macro-structure read of a web corpus, and the first
@@ -3343,13 +3473,20 @@ def bowtie_structure(edges, *, max_hops: int = 4, num_buckets: int = 32):
     (same shape); at 10^12 nodes each closure is the standard frontier
     BFS whose exchanges stay slim (url-only tables).
 
-    Scale shape: node universe fold (one exchange); THREE bounded
-    closures via :func:`_reach_set` — forward (src→dst), backward
-    (dst→src), weak (over the symmetrized edge table, materialized
-    once); classification is a tag-union — nodes ride flag 0 rows,
-    each closure rides a flag-1 column — folded per url in ONE bucketed
-    pass, then a stateless vectorized CASE map. Output ``(url,
-    region)``."""
+    Scale shape, two paths on the node-count gate (the engine-wide
+    broadcast↔exchange auto-switch): at or under ``broadcast_limit``
+    nodes, the closures run driver-frontier over the pinned edge blocks
+    (:func:`_reach_set_broadcast` — zero exchanges per hop, the weak
+    closure following both directions of the raw table so the
+    symmetrized copy is never materialized) and classification is one
+    stateless ``pc.is_in`` pass over the node universe. Above it: node
+    universe fold (one exchange); THREE bounded closures via
+    :func:`_reach_set` — forward (src→dst), backward (dst→src), weak
+    (over the symmetrized edge table, materialized once);
+    classification is a tag-union — nodes ride flag 0 rows, each
+    closure rides a flag-1 column — folded per url in ONE bucketed
+    pass, then a stateless vectorized CASE map. Paths are equal by the
+    pinned pytest. Output ``(url, region)``."""
     import pyarrow.compute as pc
 
     edges = edges.materialize()
@@ -3371,7 +3508,40 @@ def bowtie_structure(edges, *, max_hops: int = 4, num_buckets: int = 32):
 
     mins = nodes.map_batches(batch_min, batch_format="pyarrow").take_all()
     pivot = min(r["url"] for r in mins)
+    import ray
     import ray.data
+
+    if nodes.count() <= broadcast_limit:
+        # broadcast fast path: the three closures run driver-frontier
+        # over the pinned edge blocks (zero exchanges per hop), and the
+        # classification is one stateless pass over the node universe
+        # with the three membership sets ray.put as sorted Arrow arrays
+        fset = _reach_set_broadcast(
+            edges, pivot, [("src_url", "dst_url")], max_hops=max_hops)
+        bset = _reach_set_broadcast(
+            edges, pivot, [("dst_url", "src_url")], max_hops=max_hops)
+        wset = _reach_set_broadcast(
+            edges, pivot, [("src_url", "dst_url"),
+                           ("dst_url", "src_url")], max_hops=max_hops)
+        ref = ray.put(tuple(pa.array(sorted(s), type=pa.string())
+                            for s in (fset, bset, wset)))
+
+        def classify_bcast(t: pa.Table) -> pa.Table:
+            fa, ba, wa = ray.get(ref)
+            url = _str_array(t, "url")
+            f = pc.is_in(url, value_set=fa).to_numpy(zero_copy_only=False)
+            b = pc.is_in(url, value_set=ba).to_numpy(zero_copy_only=False)
+            w = pc.is_in(url, value_set=wa).to_numpy(zero_copy_only=False)
+            region = np.where(
+                f & b, "CORE",
+                np.where(b, "IN",
+                         np.where(f, "OUT",
+                                  np.where(w, "TENDRIL",
+                                           "DISCONNECTED"))))
+            return pa.table({"url": url,
+                             "region": pa.array(region, pa.string())})
+
+        return nodes.map_batches(classify_bcast, batch_format="pyarrow")
 
     seed = ray.data.from_arrow(
         pa.table({"url": pa.array([pivot], pa.string())}))

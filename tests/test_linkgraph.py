@@ -677,6 +677,30 @@ def test_coreness_clique_triangle_chain():
         assert out[f"https://x/{n}"] == c, (n, out[f"https://x/{n}"])
 
 
+def test_coreness_broadcast_exchange_path_equality():
+    """The node-count auto-switch must be invisible: broadcast (pinned
+    integer-coded adjacency + per-round value-vector gather, the default
+    at test scale) equals exchange (per-round co-partition joins, forced
+    via broadcast_limit=0) — including a truncated max_rounds where both
+    must report the same r-th H-iterate."""
+    from htrc_feature_reader_ray.stages.linkgraph import coreness
+
+    und = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+           ("c", "d"), ("g", "h"), ("g", "i"), ("h", "i"), ("a", "g"),
+           ("d", "e"), ("e", "f"), ("f", "j"), ("j", "k"), ("k", "l")]
+    edges = pd.DataFrame(
+        [(f"https://x/{s}", f"https://x/{t}") for s, t in und],
+        columns=["src_url", "dst_url"])
+    for rounds in (1, 2, 8):
+        bc = (coreness(ray.data.from_pandas(edges).repartition(4),
+                       max_rounds=rounds)
+              .to_pandas().sort_values("url").reset_index(drop=True))
+        ex = (coreness(ray.data.from_pandas(edges).repartition(4),
+                       max_rounds=rounds, broadcast_limit=0)
+              .to_pandas().sort_values("url").reset_index(drop=True))
+        pd.testing.assert_frame_equal(bc, ex)
+
+
 def test_link_resolution_rate_exact():
     from htrc_feature_reader_ray.stages.linkgraph import (
         link_resolution_rate,
@@ -904,6 +928,28 @@ def test_bowtie_structure_regions():
         "t1": "TENDRIL", "t2": "TENDRIL",
         "x1": "DISCONNECTED", "x2": "DISCONNECTED",
     }
+
+
+def test_bowtie_structure_broadcast_exchange_path_equality():
+    """The node-count auto-switch must be invisible: broadcast
+    (driver-frontier over pinned blocks, the default at test scale)
+    and exchange (bucketed BFS, forced via broadcast_limit=0) classify
+    identically on the full region fixture."""
+    from htrc_feature_reader_ray.stages.linkgraph import bowtie_structure
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("in1", "in2"), ("in2", "a"),
+        ("a", "out1"), ("out1", "out2"),
+        ("in1", "t1"), ("t1", "t2"),
+        ("x1", "x2"),
+    ]
+    bc = (bowtie_structure(_edges(pairs), max_hops=4, num_buckets=4)
+          .to_pandas().sort_values("url").reset_index(drop=True))
+    ex = (bowtie_structure(_edges(pairs), max_hops=4, num_buckets=4,
+                           broadcast_limit=0)
+          .to_pandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, ex)
 
 
 def test_bowtie_structure_hop_bound():
