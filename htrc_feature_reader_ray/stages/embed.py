@@ -115,6 +115,60 @@ class MmapWordVectors:
         return out
 
 
+class KeyedVectorsShapedModel:
+    """Adapter binding any gensim-KeyedVectors-shaped object to the
+    :class:`ChunkEmbedder` model protocol (``dim`` / ``vectors`` /
+    ``contains``): the wrapped object needs only ``vector_size``,
+    ``key_to_index`` and ``__getitem__`` — exactly the surface the
+    reference consumes in ``transformations.py:16-34``. Outside the
+    sandbox this wraps ``gensim.models.KeyedVectors.load(path,
+    mmap='r')``; in tests a fake KeyedVectors-shaped object proves the
+    adapter. Prefer :class:`MmapWordVectors` where you control the
+    format — its read-only pages share across actor replicas."""
+
+    def __init__(self, kv) -> None:
+        self.kv = kv
+        self.dim = int(kv.vector_size)
+
+    def contains(self, tokens) -> np.ndarray:
+        idx = self.kv.key_to_index
+        return np.fromiter((t in idx for t in tokens),
+                           dtype=bool, count=len(tokens))
+
+    def vectors(self, tokens) -> np.ndarray:
+        idx = self.kv.key_to_index
+        out = np.zeros((len(tokens), self.dim), dtype=np.float64)
+        for i, t in enumerate(tokens):
+            if t in idx:
+                out[i] = np.asarray(self.kv[t], dtype=np.float64)
+        return out
+
+
+def load_word_vectors(path: str, *, gensim_models=None):
+    """Auto-binding model loader: the ``{path}.npy`` + ``{path}.vocab``
+    mmap pair when present (:class:`MmapWordVectors`, the multi-actor
+    format); otherwise a gensim ``KeyedVectors`` file when gensim is
+    importable (``KeyedVectors.load(path, mmap='r')`` wrapped in
+    :class:`KeyedVectorsShapedModel`). Raises NotImplementedError when
+    neither applies — the documented stub behavior for this container.
+    Pass ``gensim_models`` to bind another KeyedVectors-shaped API
+    (tests inject a fake to prove the wiring without gensim)."""
+    import os
+
+    if os.path.exists(f"{path}.npy"):
+        return MmapWordVectors(path)
+    if gensim_models is None:
+        try:
+            import gensim.models as gensim_models  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                f"no {path}.npy mmap pair and gensim is not importable "
+                "in this environment; save the model with "
+                "MmapWordVectors.save or install gensim") from e
+    kv = gensim_models.KeyedVectors.load(path, mmap="r")
+    return KeyedVectorsShapedModel(kv)
+
+
 class ChunkEmbedder:
     """Actor-pool stage: chunk tokenlist rows -> one embedding per chunk.
 

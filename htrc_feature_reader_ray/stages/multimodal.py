@@ -94,6 +94,58 @@ class PilShapedCodec:
         return arr.astype(np.uint8, copy=False)
 
 
+class SoundfileShapedCodec:
+    """Adapter binding any soundfile-shaped audio API to the frozen
+    audio protocol: the wrapped module needs only
+    ``read(io.BytesIO(payload), dtype='int16')`` returning
+    ``(samples, sample_rate)`` — libsndfile's Python binding satisfies
+    this; in tests a fake soundfile-shaped module proves the adapter.
+    Multi-channel input collapses to mono by exact integer mean
+    (sum // channels), mirroring :class:`PilShapedCodec`'s grayscale
+    rule."""
+
+    def __init__(self, sf_module) -> None:
+        self.sf = sf_module
+
+    def decode(self, payload: bytes, sample_rate: int) -> np.ndarray:
+        import io
+
+        data, _sr = self.sf.read(io.BytesIO(payload), dtype="int16")
+        arr = np.asarray(data)
+        if arr.ndim == 2:  # (n, channels) -> exact-integer mono
+            arr = (arr.sum(axis=1, dtype=np.int64)
+                   // arr.shape[1])
+        return arr.astype("<i2", copy=False)
+
+
+def default_image_codec_factory(pil_module=None):
+    """Auto-binding: a :class:`PilShapedCodec` factory over ``PIL.Image``
+    when it is importable, else ``None`` (this container has no imaging
+    lib — the stages then keep their documented NotImplementedError
+    stub). Pass ``pil_module`` to bind another PIL-shaped API (tests
+    inject a fake to prove the wiring without PIL)."""
+    if pil_module is None:
+        try:
+            from PIL import Image as pil_module  # type: ignore
+        except ImportError:
+            return None
+    mod = pil_module
+    return lambda: PilShapedCodec(mod)
+
+
+def default_audio_codec_factory(sf_module=None):
+    """Auto-binding: a :class:`SoundfileShapedCodec` factory over
+    ``soundfile`` when importable, else ``None`` — the audio twin of
+    :func:`default_image_codec_factory`."""
+    if sf_module is None:
+        try:
+            import soundfile as sf_module  # type: ignore
+        except ImportError:
+            return None
+    mod = sf_module
+    return lambda: SoundfileShapedCodec(mod)
+
+
 class FakeAudioCodec:
     """Deterministic audio stand-in: payload bytes -> little-endian int16
     PCM mono samples (odd trailing byte dropped) — byte-exact, so every
@@ -129,9 +181,12 @@ class DecodeImage:
 
     def __init__(self, codec_factory=None) -> None:
         if codec_factory is None:
+            codec_factory = default_image_codec_factory()
+        if codec_factory is None:
             raise NotImplementedError(
-                "no image codec in this environment; pass "
-                "codec_factory=FakeImageCodec for the deterministic stub"
+                "no image codec in this environment (PIL not importable);"
+                " pass codec_factory=FakeImageCodec for the deterministic"
+                " stub"
             )
         self.codec = codec_factory()
 
@@ -184,9 +239,12 @@ class ResizeImages:
 
     def __init__(self, *, out_w: int, out_h: int, codec_factory=None) -> None:
         if codec_factory is None:
+            codec_factory = default_image_codec_factory()
+        if codec_factory is None:
             raise NotImplementedError(
-                "no image codec in this environment; pass "
-                "codec_factory=FakeImageCodec for the deterministic stub"
+                "no image codec in this environment (PIL not importable);"
+                " pass codec_factory=FakeImageCodec for the deterministic"
+                " stub"
             )
         self.codec = codec_factory()
         self.out_w = int(out_w)
@@ -250,9 +308,12 @@ class DecodeAudio:
 
     def __init__(self, codec_factory=None) -> None:
         if codec_factory is None:
+            codec_factory = default_audio_codec_factory()
+        if codec_factory is None:
             raise NotImplementedError(
-                "no audio codec in this environment; pass "
-                "codec_factory=FakeAudioCodec for the deterministic stub"
+                "no audio codec in this environment (soundfile not"
+                " importable); pass codec_factory=FakeAudioCodec for the"
+                " deterministic stub"
             )
         self.codec = codec_factory()
 

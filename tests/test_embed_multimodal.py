@@ -57,6 +57,11 @@ def test_chunk_embeddings_dataset(sf_dir):
 
 
 def test_decode_image_requires_codec():
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL installed: auto-binding supplies a codec")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         DecodeImage()
 
@@ -328,8 +333,12 @@ def test_decode_audio_exact_and_requires_codec():
         decode_audio,
     )
 
-    with pytest.raises(NotImplementedError):
-        DecodeAudio()
+    try:
+        import soundfile  # noqa: F401
+        pytest.skip("soundfile installed: auto-binding supplies a codec")
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            DecodeAudio()
 
     tbl = pa.table({
         "media_id": pa.array([0, 1, 2], type=pa.int64()),
@@ -466,3 +475,118 @@ def test_mmap_word_vectors_through_actor_pool(tmp_path):
     assert len(got) == 10
     assert np.allclose(np.stack(got["embedding"]),
                        np.stack(want["embedding"]))
+
+
+def test_codec_auto_binding_via_injected_modules():
+    """The r4 auto-binding wiring, proved WITHOUT the real libs: an
+    injected PIL-shaped / soundfile-shaped module flows factory ->
+    stage; with nothing importable the factories return None and the
+    stages keep their documented NotImplementedError stub."""
+    from htrc_feature_reader_ray.stages.multimodal import (
+        DecodeAudio,
+        DecodeImage,
+        default_audio_codec_factory,
+        default_image_codec_factory,
+    )
+
+    fake_pil = _fake_pil_module()
+    st = DecodeImage(codec_factory=default_image_codec_factory(
+        pil_module=fake_pil))
+    px = st.codec.decode(bytes(range(40)), 6, 4)
+    assert px.shape == (4, 6) and px.dtype == np.uint8
+
+    class _FakeSoundfile:
+        @staticmethod
+        def read(fp, dtype):
+            assert dtype == "int16"
+            raw = np.frombuffer(fp.read(), dtype="<i2")
+            return raw[: len(raw) & ~1].reshape(-1, 2), 8000
+
+    sta = DecodeAudio(codec_factory=default_audio_codec_factory(
+        sf_module=_FakeSoundfile))
+    payload = np.array([100, 200, -300, 501], dtype="<i2").tobytes()
+    mono = sta.codec.decode(payload, 8000)
+    # exact integer channel mean (Python floor: (-300+501)//2 = 100)
+    assert mono.tolist() == [(100 + 200) // 2, (-300 + 501) // 2]
+    assert mono.dtype == np.dtype("<i2")
+
+
+def _has_pil():
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_pil(), reason="PIL not in this container")
+def test_real_pil_auto_binding_roundtrip():
+    """Runs only where PIL exists: DecodeImage() with NO factory must
+    auto-bind and decode a real PNG."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.fromarray(
+        np.arange(24, dtype=np.uint8).reshape(4, 6))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    st = DecodeImage()
+    px = st.codec.decode(buf.getvalue(), 6, 4)
+    assert (px == np.arange(24, dtype=np.uint8).reshape(4, 6)).all()
+
+
+def test_keyed_vectors_shaped_model_and_loader(tmp_path):
+    """gensim-format auto-binding via a KeyedVectors-shaped fake: the
+    adapter satisfies the ChunkEmbedder model protocol and agrees with
+    MmapWordVectors on the same data; load_word_vectors prefers the
+    mmap pair when present and errors helpfully with neither."""
+    from htrc_feature_reader_ray.stages.embed import (
+        KeyedVectorsShapedModel,
+        MmapWordVectors,
+        load_word_vectors,
+    )
+
+    rng = np.random.RandomState(11)
+    toks = [f"t{i}" for i in range(8)]
+    mat = rng.randn(8, 5)
+
+    class _FakeKV:
+        vector_size = 5
+        key_to_index = {t: i for i, t in enumerate(toks)}
+
+        def __getitem__(self, t):
+            return mat[self.key_to_index[t]]
+
+    m = KeyedVectorsShapedModel(_FakeKV())
+    assert m.dim == 5
+    q = np.array(["t3", "oov", "t0"], dtype=object)
+    assert m.contains(q).tolist() == [True, False, True]
+    v = m.vectors(q)
+    assert np.allclose(v[0], mat[3]) and (v[1] == 0).all()
+
+    # mmap pair wins when present (multi-actor page-cache format)
+    path = str(tmp_path / "kvmodel")
+    MmapWordVectors.save(path, toks, mat)
+    got = load_word_vectors(path)
+    assert isinstance(got, MmapWordVectors)
+    assert np.allclose(got.vectors(q), m.vectors(q))
+    assert got.contains(q).tolist() == m.contains(q).tolist()
+
+    # gensim path: the injected module's KeyedVectors.load is used
+    class _FakeGensimModels:
+        class KeyedVectors:
+            @staticmethod
+            def load(p, mmap=None):
+                assert mmap == "r"
+                return _FakeKV()
+
+    got2 = load_word_vectors(str(tmp_path / "no_pair"),
+                             gensim_models=_FakeGensimModels)
+    assert isinstance(got2, KeyedVectorsShapedModel)
+    assert np.allclose(got2.vectors(q), m.vectors(q))
+
+    # neither available -> the documented stub error
+    with pytest.raises(NotImplementedError):
+        load_word_vectors(str(tmp_path / "nothing_here"))
