@@ -321,6 +321,30 @@ def run_bench() -> dict:
         rows[name] = _consume(queries[name](SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # single-entity pivot: bucket-pruned lake read (read_lake_entity,
+    # opens ONE bucket dir) vs the full-scan filter — the r4 pushdown.
+    # Lake build is manifest-checkpointed (skip-complete on rerun).
+    from htrc_feature_reader_ray.pipelines.etl import (
+        read_lake,
+        read_lake_entity,
+        save_feature_lake,
+    )
+    from htrc_feature_reader_ray.stages.fold import term_snapshot_matrix
+
+    lake = "/tmp/graft_bench_lake"
+    save_feature_lake(SF_DIR, lake, num_buckets=16, tables=("tokens",))
+    url = read_lake(lake, "tokens").take(1)[0]["url"]
+    t0 = time.perf_counter()
+    piv = term_snapshot_matrix(read_lake_entity(lake, "tokens", url), url)
+    timings["single_entity_pivot_pruned"] = round(
+        time.perf_counter() - t0, 3)
+    rows["single_entity_pivot_pruned"] = len(piv)
+    t0 = time.perf_counter()
+    piv2 = term_snapshot_matrix(read_lake(lake, "tokens"), url)
+    timings["single_entity_pivot_scan"] = round(
+        time.perf_counter() - t0, 3)
+    rows["single_entity_pivot_scan"] = len(piv2)
+
     n_docs = rows[HEADLINE]
     headline_sec = timings[HEADLINE]
     out = {

@@ -129,3 +129,53 @@ def read_lake(out_dir: str, table: str):
     if not os.path.isdir(path):
         raise MissingDataError(f"lake at {out_dir} has no '{table}' table")
     return ray.data.read_parquet(path)
+
+
+def read_lake_entity(out_dir: str, table: str, url: str):
+    """Single-entity read with BUCKET PRUNING — the lake analog of
+    ``TreeResolver.path_for`` random access (resolvers.py:30-100): the
+    lake layout is ``bucket=hash(url)%B``, and the manifest records the
+    key and B, so a one-url read opens exactly ONE bucket directory
+    (1/B of the corpus) instead of filtering a full scan. This is the
+    read path :func:`~htrc_feature_reader_ray.stages.fold.
+    term_snapshot_matrix`-style per-entity ops should feed on.
+
+    Equal to ``read_lake(...).filter(url == ...)`` by pytest; falls back
+    to exactly that full-scan filter when the lake's manifest is absent
+    or keyed on something other than url-hash buckets."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    path = os.path.join(out_dir, table)
+    if not os.path.isdir(path):
+        raise MissingDataError(f"lake at {out_dir} has no '{table}' table")
+
+    def only(t: pa.Table) -> pa.Table:
+        if "bucket" in t.column_names:  # layout plumbing, not data
+            t = t.drop_columns(["bucket"])
+        return t.filter(pc.equal(t.column("url"), url))
+
+    bdir = _entity_bucket_dir(path, url)
+    if bdir is None:
+        return ray.data.read_parquet(path).map_batches(
+            only, batch_format="pyarrow")
+    if not os.path.isdir(bdir):  # bucket empty for this hash slice
+        empty = ray.data.read_parquet(path).limit(0)
+        return empty.map_batches(only, batch_format="pyarrow")
+    return ray.data.read_parquet(bdir).map_batches(
+        only, batch_format="pyarrow")
+
+
+def _entity_bucket_dir(table_path: str, url: str):
+    """The ONE bucket directory holding ``url``'s rows, from the lake
+    manifest's (key, num_buckets) — or None when the lake is not
+    url-hash-bucketed (callers then fall back to the full-scan filter)."""
+    from htrc_feature_reader_ray.functions.ids import hash_bucket
+    from htrc_feature_reader_ray.state.lineage import _load_manifest
+
+    m = _load_manifest(table_path)
+    if (m is None or m.get("key") != "url"
+            or m.get("partition_col", "bucket") != "bucket"):
+        return None
+    b = int(hash_bucket([url], int(m["num_buckets"]))[0])
+    return os.path.join(table_path, f"bucket={b}")

@@ -204,28 +204,17 @@ def jaccard(tokens_a: list[str], tokens_b: list[str], k: int) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
-def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
-                        k_shingle: int = 3, num_perm: int = 64,
-                        bands: int = 16, threshold: float = 0.5,
-                        concurrency=(1, 8), verify: str = "auto",
-                        broadcast_limit: int = 1_000_000,
-                        corpus_rows: int | None = None,
-                        materialize_bands: bool = True):
-    """Near-duplicate pairs via MinHash-LSH: signature (actor pool) → band
-    explode → band groupby → candidate pairs → exact n-gram-Jaccard verify.
-
-    Verification strategies (``verify``):
-      * 'broadcast' — ray.put an id→tokens map once; valid while the corpus
-        token lists fit the object store (fastest at small scale);
-      * 'join' — the 100 TB path: candidate pairs are hash-JOINED back to the
-        documents table twice (doc_a side, doc_b side) so only candidate
-        texts move, then Jaccard is computed per batch;
-      * 'auto' — 'join' when the corpus exceeds ``broadcast_limit`` rows;
-        pass ``corpus_rows`` when known to avoid the sizing ``ds.count()``
-        (which re-executes a non-trivial upstream pipeline).
-
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
-    """
+def minhash_candidate_pairs(ds, *, text_col: str = "text",
+                            id_col: str = "doc_id", k_shingle: int = 3,
+                            num_perm: int = 64, bands: int = 16,
+                            concurrency=(1, 8),
+                            materialize_bands: bool = True):
+    """The candidate stage of :func:`minhash_dedup_pairs`, exposed on its
+    own: signature (actor pool) → band explode → band groupby → candidate
+    pairs, WITHOUT the Jaccard verify. Returns ``(doc_a, doc_b, n_bands)``
+    with doc_a < doc_b — the table the streaming LSH index
+    (``state/dedup_index.py::incremental_minhash_pairs``) must reproduce
+    on a stream, which the equality pytest pins."""
     band_rows = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
@@ -264,7 +253,10 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         if not parts:
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                  "doc_b": pd.Series(dtype="int64")})
-        return pd.concat(parts, ignore_index=True).drop_duplicates()
+        # keep one row PER COLLIDING BAND (no intra-bucket dedupe): the
+        # downstream fold's n_bands is then the true band-collision
+        # count, matching the streaming LSH index bit-for-bit
+        return pd.concat(parts, ignore_index=True)
 
     from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
@@ -284,7 +276,37 @@ def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     # occurrences of a pair (second bucketed pass rather than ds.groupby —
     # Ray's Aggregate can emit schemaless empty blocks that break a
     # downstream hash join in this version)
-    cand = bucketed_map_groups(pairs, "doc_a", dedupe_pairs, num_buckets=16)
+    return bucketed_map_groups(pairs, "doc_a", dedupe_pairs,
+                               num_buckets=16)
+
+
+def minhash_dedup_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        k_shingle: int = 3, num_perm: int = 64,
+                        bands: int = 16, threshold: float = 0.5,
+                        concurrency=(1, 8), verify: str = "auto",
+                        broadcast_limit: int = 1_000_000,
+                        corpus_rows: int | None = None,
+                        materialize_bands: bool = True):
+    """Near-duplicate pairs via MinHash-LSH: signature (actor pool) → band
+    explode → band groupby → candidate pairs
+    (:func:`minhash_candidate_pairs`) → exact n-gram-Jaccard verify.
+
+    Verification strategies (``verify``):
+      * 'broadcast' — ray.put an id→tokens map once; valid while the corpus
+        token lists fit the object store (fastest at small scale);
+      * 'join' — the 100 TB path: candidate pairs are hash-JOINED back to the
+        documents table twice (doc_a side, doc_b side) so only candidate
+        texts move, then Jaccard is computed per batch;
+      * 'auto' — 'join' when the corpus exceeds ``broadcast_limit`` rows;
+        pass ``corpus_rows`` when known to avoid the sizing ``ds.count()``
+        (which re-executes a non-trivial upstream pipeline).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    cand = minhash_candidate_pairs(
+        ds, text_col=text_col, id_col=id_col, k_shingle=k_shingle,
+        num_perm=num_perm, bands=bands, concurrency=concurrency,
+        materialize_bands=materialize_bands)
 
     if verify == "auto":
         if corpus_rows is None:
