@@ -309,3 +309,132 @@ def synthesize_meta_json(batch: pa.Table) -> pa.Table:
             "meta_json": pa.array(docs, type=pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# pymarc-shaped MARC record surface — the reference's ``Volume.metadata``
+# (feature_reader.py:535-557): Bib-API JSON -> marc-xml -> a parsed record
+# the caller navigates by tag/subfield. The HTTP GET is injected (payload
+# in, record out — the FetchResolver discipline); the MARCXML walk is
+# stdlib etree over the public MARC21/slim schema, and the record object
+# exposes the pymarc accessors the reference's docs point users at
+# (``record['245']``, ``field['a']``, ``.title()``, ``.author()``).
+# ---------------------------------------------------------------------------
+
+_MARC_NS = "{http://www.loc.gov/MARC21/slim}"
+
+
+class MarcField:
+    """One MARC field: control fields carry ``data``; data fields carry
+    ordered ``subfields`` [(code, value), ...] plus indicators."""
+
+    def __init__(self, tag, *, data=None, indicators=("", ""),
+                 subfields=()):
+        self.tag = tag
+        self.data = data
+        self.indicators = tuple(indicators)
+        self.subfields = list(subfields)
+
+    def __getitem__(self, code):
+        """First subfield value for ``code`` (pymarc surface), None if
+        absent or a control field."""
+        for c, v in self.subfields:
+            if c == code:
+                return v
+        return None
+
+    def get_subfields(self, *codes):
+        return [v for c, v in self.subfields if c in codes]
+
+    def value(self) -> str:
+        if self.data is not None:
+            return self.data
+        return " ".join(v for _, v in self.subfields)
+
+
+class MarcRecord:
+    """Minimal pymarc-shaped record: ``record['245']`` -> first field of
+    that tag (None if absent), ``get_fields('650', ...)`` -> all matches
+    (all fields with no args), ``.title()`` = 245 $a+$b, ``.author()`` =
+    first of 100/110/111 $a — the accessors the reference's Bib-API
+    metadata path hands to users."""
+
+    def __init__(self, leader: str = "", fields=()):
+        self.leader = leader
+        self.fields = list(fields)
+
+    def __getitem__(self, tag):
+        for f in self.fields:
+            if f.tag == tag:
+                return f
+        return None
+
+    def get_fields(self, *tags):
+        if not tags:
+            return list(self.fields)
+        return [f for f in self.fields if f.tag in tags]
+
+    def title(self):
+        f = self["245"]
+        if f is None:
+            return None
+        parts = f.get_subfields("a") + f.get_subfields("b")
+        return " ".join(p.strip() for p in parts) if parts else None
+
+    def author(self):
+        for tag in ("100", "110", "111"):
+            f = self[tag]
+            if f is not None and f["a"] is not None:
+                return f["a"].strip()
+        return None
+
+
+def parse_marcxml(xml_text: str):
+    """Parse a MARC21/slim XML string into MarcRecord objects (the
+    pymarc.parse_xml_to_array analog, stdlib-only). Accepts a bare
+    ``<record>`` or a ``<collection>`` of records, namespaced or not."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+
+    def local(el):
+        return el.tag.split("}", 1)[-1]
+
+    rec_els = [root] if local(root) == "record" else [
+        el for el in root.iter() if local(el) == "record"]
+    out = []
+    for rec in rec_els:
+        leader = ""
+        fields = []
+        for el in rec:
+            name = local(el)
+            if name == "leader":
+                leader = el.text or ""
+            elif name == "controlfield":
+                fields.append(MarcField(el.get("tag"),
+                                        data=el.text or ""))
+            elif name == "datafield":
+                subs = [(sf.get("code"), sf.text or "")
+                        for sf in el if local(sf) == "subfield"]
+                fields.append(MarcField(
+                    el.get("tag"),
+                    indicators=(el.get("ind1", " "), el.get("ind2", " ")),
+                    subfields=subs))
+        out.append(MarcRecord(leader, fields))
+    return out
+
+
+def bib_api_record(payload) -> MarcRecord:
+    """The reference's Bib-API unwrap (feature_reader.py:544-551): from
+    the API's JSON (dict or string) take ``items[0].fromRecord``, look
+    the id up in ``records``, parse its ``marc-xml``. Network-free: the
+    caller fetches the payload (FetchResolver et al.) and passes it in."""
+    import json as _json
+
+    data = _json.loads(payload) if isinstance(payload, str) else payload
+    record_id = data["items"][0]["fromRecord"]
+    marc = data["records"][record_id]["marc-xml"]
+    recs = parse_marcxml(marc)
+    if not recs:
+        raise ValueError("bib payload contained no MARC records")
+    return recs[0]

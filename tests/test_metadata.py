@@ -141,3 +141,65 @@ def test_dataset_roundtrip_both_variants():
     assert odd["publisher"].notna().all() and odd["imprint"].isna().all()
     # every odd doc's first genre decoded away from the URI form
     assert odd["genre"].map(lambda g: not g[0].startswith("http")).all()
+
+
+def test_marc_record_pymarc_surface():
+    """The Bib-API metadata path (reference feature_reader.py:535-557):
+    payload -> marc-xml -> a pymarc-shaped record with tag/subfield
+    accessors; network injected as the payload itself."""
+    import json
+
+    from htrc_feature_reader_ray.stages.metadata import (
+        MarcRecord,
+        bib_api_record,
+        parse_marcxml,
+    )
+
+    xml = """<collection xmlns="http://www.loc.gov/MARC21/slim">
+      <record>
+        <leader>01234cam a2200301 a 4500</leader>
+        <controlfield tag="001">ocm00000001</controlfield>
+        <controlfield tag="008">890512s1989    nyu           000 0 eng  </controlfield>
+        <datafield tag="100" ind1="1" ind2=" ">
+          <subfield code="a">Doe, Jane,</subfield>
+          <subfield code="d">1950-</subfield>
+        </datafield>
+        <datafield tag="245" ind1="1" ind2="0">
+          <subfield code="a">A treatise on corpora :</subfield>
+          <subfield code="b">web scale and beyond /</subfield>
+          <subfield code="c">Jane Doe.</subfield>
+        </datafield>
+        <datafield tag="650" ind1=" " ind2="0">
+          <subfield code="a">Corpora</subfield>
+        </datafield>
+        <datafield tag="650" ind1=" " ind2="0">
+          <subfield code="a">Web archives</subfield>
+        </datafield>
+      </record>
+    </collection>"""
+
+    recs = parse_marcxml(xml)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.leader.startswith("01234cam")
+    assert r["001"].value() == "ocm00000001"
+    assert r["245"]["a"] == "A treatise on corpora :"
+    assert r["245"].indicators == ("1", "0")
+    assert r.title() == "A treatise on corpora : web scale and beyond /"
+    assert r.author() == "Doe, Jane,"
+    assert [f["a"] for f in r.get_fields("650")] == ["Corpora",
+                                                     "Web archives"]
+    assert r["999"] is None and r["245"]["z"] is None
+    assert len(r.get_fields()) == 6
+
+    # the Bib-API JSON unwrap, fed an injected payload (dict AND string)
+    payload = {"items": [{"fromRecord": "rec1"}],
+               "records": {"rec1": {"marc-xml": xml}}}
+    got = bib_api_record(payload)
+    assert got.title() == r.title()
+    got2 = bib_api_record(json.dumps(payload))
+    assert got2.author() == "Doe, Jane,"
+
+    # corporate author fallback (110 when no 100)
+    r2 = MarcRecord(fields=[recs[0].get_fields("245")[0]])
+    assert r2.author() is None
