@@ -1479,7 +1479,7 @@ def triangle_stats_sql(*, edges_cte: str = "link_edges") -> str:
 
 
 def k_core(edges, *, k: int = 2, max_rounds: int = 12,
-           num_buckets: int = 32):
+           num_buckets: int = 32, broadcast_limit: int = 2_000_000):
     """k-core of the UNDIRECTED graph by iterative peeling: each round
     drops every node of degree < k, then the edges touching it; the k-core
     is the fixpoint (the classic crawl-graph density signal — spam farms
@@ -1490,12 +1490,19 @@ def k_core(edges, *, k: int = 2, max_rounds: int = 12,
     construction (converged early: the mirror's remaining rounds are
     no-ops; not converged: both executed exactly ``max_rounds`` rounds).
 
-    Scale shape: per round, degrees = one bucketed fold over the current
-    edge set; survivors semi-join back onto the edges (two key-bucketed
-    passes). The edge set is materialized per round (it IS the iteration
-    state, like pagerank's rank table); the only driver values are two
-    scalar counts per round (the convergence test). Returns
-    ``(url, core_degree)`` — the node's degree inside the final core."""
+    Scale shape, two paths on the node-count gate (:func:`coreness`'s
+    broadcast↔exchange auto-switch, path equality pinned in pytest). At
+    or under ``broadcast_limit`` nodes the peel iterates over the
+    integer-coded adjacency pinned once: each round is a single map pass
+    with the alive mask broadcast (alive-neighbor degree = one masked
+    bincount), the peel decision runs on the driver's node-sized vector
+    — zero exchanges per round. Above the gate, per round: degrees = one
+    bucketed fold over the current edge set; survivors semi-join back
+    onto the edges (two key-bucketed passes). The edge set is
+    materialized per round (it IS the iteration state, like pagerank's
+    rank table); the only driver values are two scalar counts per round
+    (the convergence test). Returns ``(url, core_degree)`` — the node's
+    degree inside the final core."""
     import pyarrow.compute as pc
 
     from htrc_feature_reader_ray.stages.partition import bucket_join
@@ -1538,6 +1545,74 @@ def k_core(edges, *, k: int = 2, max_rounds: int = 12,
         edges.map_batches(canon, batch_format="pyarrow"),
         ["a", "b"], {"_n": ("b", "size")}, num_buckets=num_buckets,
     ).drop_columns(["_n"]).materialize()
+
+    import ray
+    import ray.data
+
+    deg0 = degrees(cur)
+    if deg0.count() <= broadcast_limit:
+        # broadcast fast path: integer-coded canonical edges pinned
+        # once; each peel round is one map pass with the alive mask
+        # broadcast (masked bincount partials, node-sized driver fold)
+        node_pd = deg0.to_pandas()
+        keys = np.sort(node_pd["node"].to_numpy())
+        n = len(keys)
+        if n == 0:
+            return finish(deg0)
+        kref = ray.put(pa.array(keys, type=pa.string()))
+
+        def encode(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            ai = pc.index_in(t.column("a").cast(pa.string()),
+                             value_set=ks).cast(pa.int64())
+            bi = pc.index_in(t.column("b").cast(pa.string()),
+                             value_set=ks).cast(pa.int64())
+            return pa.table({"a": ai, "b": bi})
+
+        pinned = cur.map_batches(encode,
+                                 batch_format="pyarrow").materialize()
+
+        def deg_of(alive: np.ndarray) -> np.ndarray:
+            aref = ray.put(alive)
+
+            def deg_map(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return pa.table({"node": pa.array([], pa.int64()),
+                                     "d": pa.array([], pa.int64())})
+                al = ray.get(aref)
+                a = t.column("a").to_numpy(zero_copy_only=False)
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                m = al[a] & al[b]
+                cnt = (np.bincount(a[m], minlength=n)
+                       + np.bincount(b[m], minlength=n))
+                nz = np.flatnonzero(cnt)
+                return pa.table({
+                    "node": pa.array(nz.astype(np.int64)),
+                    "d": pa.array(cnt[nz].astype(np.int64))})
+
+            parts = pinned.map_batches(
+                deg_map, batch_format="pyarrow").to_pandas()
+            deg = np.zeros(n, dtype=np.int64)
+            if len(parts) and "node" in parts.columns:
+                np.add.at(deg, parts["node"].to_numpy(),
+                          parts["d"].to_numpy())
+            return deg
+
+        def emit(deg: np.ndarray):
+            sel = np.flatnonzero((deg > 0) & (deg >= int(k)))
+            return ray.data.from_arrow(pa.table({
+                "url": pa.array(keys[sel], type=pa.string()),
+                "core_degree": pa.array(deg[sel], type=pa.int64())}))
+
+        alive = np.ones(n, dtype=bool)
+        for _ in range(max_rounds):
+            deg = deg_of(alive)
+            present = deg > 0
+            keep_m = present & (deg >= int(k))
+            if int(keep_m.sum()) == int(present.sum()):
+                return emit(deg)  # fixpoint, same rule as the exchange
+            alive = keep_m
+        return emit(deg_of(alive))  # rounds exhausted: one extra pass
 
     for _ in range(max_rounds):
         deg = degrees(cur)
