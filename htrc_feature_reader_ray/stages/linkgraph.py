@@ -268,7 +268,8 @@ def link_components(edges, *, num_buckets: int = 16, **cluster_kwargs):
     )
 
 
-def modularity(edges, *, num_buckets: int = 16, **component_kwargs):
+def modularity(edges, *, num_buckets: int = 16,
+               broadcast_limit: int = 2_000_000, **component_kwargs):
     """Newman modularity of the CONNECTED-COMPONENT partition of the
     undirected link graph, per community in exact integer ppm — the
     partition-quality readout next to :func:`link_components` (how much
@@ -314,6 +315,88 @@ def modularity(edges, *, num_buckets: int = 16, **component_kwargs):
         num_buckets=num_buckets,
     ).materialize()
     m = und.count()
+
+    if labels.count() <= broadcast_limit:
+        # broadcast fast path (node-count gate, path equality by pinned
+        # pytest): labels collapse to a driver-side url→community code
+        # vector; ONE map pass over the pinned undirected edges emits
+        # per-community e_in partials + per-node degree partials
+        # (kind-tagged bincounts), folded on node-sized driver vectors.
+        # Community membership rule kept faithful to the exchange path:
+        # a node counts only while its und-degree > 0 (the inner
+        # deg⨝labels), so self-loop-only nodes stay excluded.
+        import pyarrow.compute as pc
+
+        import ray
+
+        lab_pd = labels.to_pandas()
+        keys = np.sort(lab_pd["url"].to_numpy())
+        comp_sorted = (lab_pd.set_index("url")["component"]
+                       .reindex(keys).to_numpy())
+        comps, comp_code = np.unique(comp_sorted, return_inverse=True)
+        n_keys, n_comps = len(keys), len(comps)
+        if n_keys == 0 or m == 0:
+            return pd.DataFrame({
+                "component": pd.Series([], dtype="object"),
+                "n_nodes": pd.Series([], dtype="int64"),
+                "n_edges_in": pd.Series([], dtype="int64"),
+                "degree_sum": pd.Series([], dtype="int64"),
+                "q_contrib_ppm": pd.Series([], dtype="int64")})
+        ref = ray.put((pa.array(keys, type=pa.string()),
+                       comp_code.astype(np.int64)))
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"kind": pa.array([], pa.int64()),
+                                 "idx": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.int64())})
+            ks, cc = ray.get(ref)
+            lo = pc.index_in(t.column("lo").cast(pa.string()),
+                             value_set=ks).to_numpy(zero_copy_only=False)
+            hi = pc.index_in(t.column("hi").cast(pa.string()),
+                             value_set=ks).to_numpy(zero_copy_only=False)
+            clo, chi = cc[lo], cc[hi]
+            e = np.bincount(clo[clo == chi], minlength=n_comps)
+            nd = (np.bincount(lo, minlength=n_keys)
+                  + np.bincount(hi, minlength=n_keys))
+            ez = np.flatnonzero(e)
+            nz = np.flatnonzero(nd)
+            kind = np.concatenate([np.zeros(len(nz), dtype=np.int64),
+                                   np.ones(len(ez), dtype=np.int64)])
+            idx = np.concatenate([nz, ez]).astype(np.int64)
+            val = np.concatenate([nd[nz], e[ez]]).astype(np.int64)
+            return pa.table({"kind": pa.array(kind),
+                             "idx": pa.array(idx),
+                             "val": pa.array(val)})
+
+        parts = und.map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+        node_deg = np.zeros(n_keys, dtype=np.int64)
+        e_in = np.zeros(n_comps, dtype=np.int64)
+        if len(parts) and "kind" in parts.columns:
+            k0 = parts[parts["kind"] == 0]
+            k1 = parts[parts["kind"] == 1]
+            np.add.at(node_deg, k0["idx"].to_numpy(),
+                      k0["val"].to_numpy())
+            np.add.at(e_in, k1["idx"].to_numpy(), k1["val"].to_numpy())
+        active = node_deg > 0
+        n_nodes = np.bincount(comp_code[active], minlength=n_comps)
+        dsum = np.bincount(comp_code, weights=node_deg,
+                           minlength=n_comps).astype(np.int64)
+        rows = []
+        for ci in np.flatnonzero(n_nodes):
+            e_ = int(e_in[ci])
+            d_ = int(dsum[ci])
+            q = (e_ * 1_000_000 // m
+                 - d_ * d_ * 1_000_000 // (4 * m * m))
+            rows.append((comps[ci], int(n_nodes[ci]), e_, d_, q))
+        out = pd.DataFrame(rows, columns=[
+            "component", "n_nodes", "n_edges_in", "degree_sum",
+            "q_contrib_ppm"]).sort_values("component",
+                                          ignore_index=True)
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
 
     def endpoints(t: pa.Table) -> pa.Table:
         return pa.table({"url": pa.concat_arrays([

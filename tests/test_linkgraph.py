@@ -1116,6 +1116,13 @@ def test_modularity_exact_two_cliques():
     assert len(out3) == 1
     assert int(out3["q_contrib_ppm"].iloc[0]) == 0
 
+    # broadcast (default at test scale) == exchange (forced) — including
+    # the self-loop-only-node exclusion rule the inner deg join encodes
+    mixed = pairs + [("solo", "solo"), ("a1", "b1")]
+    bc = modularity(_edges_ds(mixed))
+    ex = modularity(_edges_ds(mixed), broadcast_limit=0)
+    pd.testing.assert_frame_equal(bc, ex)
+
 
 def test_host_assortativity_extremes_and_exact():
     from htrc_feature_reader_ray.stages.linkgraph import host_assortativity
