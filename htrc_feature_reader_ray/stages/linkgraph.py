@@ -2004,7 +2004,8 @@ def coreness_sql(*, max_rounds: int = 8,
         SELECT node AS url, c AS coreness FROM {prev}"""
 
 
-def degree_assortativity(edges, *, num_buckets: int = 32):
+def degree_assortativity(edges, *, num_buckets: int = 32,
+                         broadcast_limit: int = 2_000_000):
     """Directed degree assortativity of the crawl graph: the Pearson
     correlation, over EDGES, of (source out-degree, target in-degree) —
     negative values are the web's classic disassortative signature (hubs
@@ -2029,6 +2030,47 @@ def degree_assortativity(edges, *, num_buckets: int = 32):
     # loop-invariant edge list, instead of re-running the parse per consumer
     edges = edges.materialize()
     deg = link_degree(edges, num_buckets=num_buckets).materialize()
+
+    if deg.count() <= broadcast_limit:
+        # broadcast fast path: (out, in) degree vectors ride to every
+        # edge batch as ONE broadcast lookup — the two endpoint joins
+        # disappear; the moments fold (and its bit-identical-double
+        # corr finish) is unchanged. Paths equal by pinned pytest.
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        deg_pd = deg.to_pandas()
+        keys = np.sort(deg_pd["url"].to_numpy())
+        pos = np.searchsorted(keys, deg_pd["url"].to_numpy())
+        outv = np.zeros(len(keys), dtype=np.int64)
+        inv = np.zeros(len(keys), dtype=np.int64)
+        outv[pos] = deg_pd["out_degree"].to_numpy(dtype=np.int64)
+        inv[pos] = deg_pd["in_degree"].to_numpy(dtype=np.int64)
+        ref = _ray.put((pa.array(keys, type=pa.string()), outv, inv))
+
+        def tag_bcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    "scope": pa.array([], pa.string()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64())})
+            ks_, ov, iv = _ray.get(ref)
+            s = pc.index_in(_str_array(t, "src_url"),
+                            value_set=ks_).to_numpy(
+                                zero_copy_only=False)
+            d = pc.index_in(_str_array(t, "dst_url"),
+                            value_set=ks_).to_numpy(
+                                zero_copy_only=False)
+            n = len(s)
+            return pa.table({
+                "scope": pa.array(np.repeat("all", n)),
+                "x": pa.array(ov[s]),
+                "y": pa.array(iv[d])})
+
+        return grouped_moments(
+            edges.map_batches(tag_bcast, batch_format="pyarrow"),
+            key="scope", x_col="x", y_col="y", num_buckets=1)
 
     def src_side(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"url": df["url"],
@@ -4201,7 +4243,7 @@ def host_assortativity_sql(*, edges_cte: str = "e2") -> str:
 
 
 def rich_club(edges, *, thresholds=(1, 2, 4, 8, 16, 32, 64, 128),
-              num_buckets: int = 16):
+              num_buckets: int = 16, broadcast_limit: int = 2_000_000):
     """Rich-club coefficient curve of the undirected link graph
     (Zhou & Mondragón 2004): for each degree threshold k,
     ``φ(k) = 2·E_k / (N_k·(N_k−1))`` where N_k = nodes with degree > k
@@ -4224,7 +4266,12 @@ def rich_club(edges, *, thresholds=(1, 2, 4, 8, 16, 32, 64, 128),
     edge; then BOTH histograms collapse per batch to ≤|thresholds|
     partial rows (an edge contributes to E_k iff min(d_lo, d_hi) > k;
     a node to N_k iff d > k), ONE tiny k-keyed fold, driver finish.
-    Output one row per threshold: ``(k, n_nodes, n_edges, phi_ppm)``."""
+    Output one row per threshold: ``(k, n_nodes, n_edges, phi_ppm)``.
+    Under the node-count gate, E_k comes from ONE map pass over the
+    pinned edges with the degree vector broadcast and N_k driver-side
+    (no endpoint-degree joins) — paths equal by pinned pytest."""
+    import pyarrow.compute as pc
+
     import ray.data
 
     from htrc_feature_reader_ray.stages.partition import (
@@ -4260,6 +4307,55 @@ def rich_club(edges, *, thresholds=(1, 2, 4, 8, 16, 32, 64, 128),
         und.map_batches(endpoints, batch_format="pyarrow"),
         ["url"], {"d": ("url", "size")}, num_buckets=num_buckets,
     ).materialize()
+
+    def _finish(ekn):
+        rows = []
+        for k, e, n in ekn:
+            e, n = int(e), int(n)
+            phi = 2 * e * 1_000_000 // (n * (n - 1)) if n >= 2 else 0
+            rows.append((int(k), n, e, phi))
+        out = pd.DataFrame(rows, columns=["k", "n_nodes", "n_edges",
+                                          "phi_ppm"]).astype("int64")
+        return ray.data.from_pandas(out)
+
+    if deg.count() <= broadcast_limit:
+        # broadcast fast path (the modularity recipe): the degree
+        # vector rides to the driver; N_k is a driver-side count and
+        # E_k is ONE map pass over the pinned undirected edges with the
+        # vector broadcast — no endpoint-degree joins
+        import ray as _ray
+
+        deg_pd = deg.to_pandas()
+        keys = np.sort(deg_pd["url"].to_numpy())
+        dvec = np.zeros(len(keys), dtype=np.int64)
+        dvec[np.searchsorted(keys, deg_pd["url"].to_numpy())] = (
+            deg_pd["d"].to_numpy(dtype=np.int64))
+        n_of = {k: int((dvec > k).sum()) for k in ks}
+        ref = _ray.put((pa.array(keys, type=pa.string()), dvec))
+
+        def edge_partial_bcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "e": pa.array([], pa.int64())})
+            ks_, dv = _ray.get(ref)
+            lo = pc.index_in(t.column("lo").cast(pa.string()),
+                             value_set=ks_).to_numpy(
+                                 zero_copy_only=False)
+            hi = pc.index_in(t.column("hi").cast(pa.string()),
+                             value_set=ks_).to_numpy(
+                                 zero_copy_only=False)
+            md = np.minimum(dv[lo], dv[hi])
+            return pa.table({
+                "k": pa.array(np.array(ks, dtype=np.int64)),
+                "e": pa.array(np.array(
+                    [int((md > k).sum()) for k in ks],
+                    dtype=np.int64))})
+
+        parts = und.map_batches(edge_partial_bcast,
+                                batch_format="pyarrow").to_pandas()
+        e_of = (parts.groupby("k")["e"].sum().to_dict()
+                if len(parts) and "k" in parts.columns else {})
+        return _finish([(k, int(e_of.get(k, 0)), n_of[k]) for k in ks])
 
     def node_partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df["d"].to_numpy()
@@ -4300,15 +4396,7 @@ def rich_club(edges, *, thresholds=(1, 2, 4, 8, 16, 32, 64, 128),
         partials, ["k"], {"e": ("e", "sum"), "n": ("n", "sum")},
         num_buckets=1,
     ).to_pandas().sort_values("k")
-
-    rows = []
-    for k, e, n in zip(folded["k"], folded["e"], folded["n"]):
-        e, n = int(e), int(n)
-        phi = 2 * e * 1_000_000 // (n * (n - 1)) if n >= 2 else 0
-        rows.append((int(k), n, e, phi))
-    out = pd.DataFrame(rows, columns=["k", "n_nodes", "n_edges",
-                                      "phi_ppm"]).astype("int64")
-    return ray.data.from_pandas(out)
+    return _finish(zip(folded["k"], folded["e"], folded["n"]))
 
 
 def rich_club_sql(*, edges_cte: str = "e2",
@@ -4355,7 +4443,8 @@ def rich_club_sql(*, edges_cte: str = "e2",
         ORDER BY th.k"""
 
 
-def neighbor_degree_curve(edges, *, num_buckets: int = 16):
+def neighbor_degree_curve(edges, *, num_buckets: int = 16,
+                          broadcast_limit: int = 2_000_000):
     """Average-neighbor-degree curve knn(k) of the undirected link
     graph (Pastor-Satorras, Vázquez & Vespignani, PRL 87:258701) over
     power-of-two degree tiers — the CURVE behind
@@ -4377,8 +4466,11 @@ def neighbor_degree_curve(edges, *, num_buckets: int = 16):
     occur: nodes come from edges).
 
     Scale shape: :func:`rich_club`'s machinery verbatim — canonical
-    undirected distinct fold, degree fold, two url-only bucketed
-    joins attaching both endpoint degrees; each edge then emits TWO
+    undirected distinct fold, degree fold; under the node-count gate
+    ONE map pass over the pinned edges with the degree vector
+    broadcast (node stats straight off the driver vector — paths
+    equal by pinned pytest), else two url-only bucketed joins
+    attaching both endpoint degrees where each edge emits TWO
     (bucket, neighbor-degree) contributions that collapse per batch
     to ≤64 partial rows, node-side sums ride the degree fold the same
     way, ONE tiny bucket-keyed fold finishes. Output
@@ -4421,6 +4513,68 @@ def neighbor_degree_curve(edges, *, num_buckets: int = 16):
     def blen(a: np.ndarray) -> np.ndarray:
         return np.frexp(a.astype(np.float64))[1].astype(np.int64)
 
+    def _finish(b_arr, n_arr, sd_arr, snd_arr):
+        knn = [int(s_n) * 1_000_000 // int(s_d) if int(s_d) > 0 else 0
+               for s_n, s_d in zip(snd_arr, sd_arr)]
+        out = pd.DataFrame({
+            "degree_bucket": np.asarray(b_arr, dtype=np.int64),
+            "n_nodes": np.asarray(n_arr, dtype=np.int64),
+            "sum_degree": np.asarray(sd_arr, dtype=np.int64),
+            "sum_neighbor_degree": np.asarray(snd_arr, dtype=np.int64),
+            "knn_ppm": pd.Series(knn, dtype="int64"),
+        }).reset_index(drop=True)
+        return ray.data.from_pandas(out)
+
+    if deg.count() <= broadcast_limit:
+        # broadcast fast path (the rich_club recipe): node stats come
+        # straight off the driver-side degree vector; neighbor-degree
+        # sums are ONE map pass over the pinned edges — no joins
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        deg_pd = deg.to_pandas()
+        keys = np.sort(deg_pd["url"].to_numpy())
+        dvec = np.zeros(len(keys), dtype=np.int64)
+        dvec[np.searchsorted(keys, deg_pd["url"].to_numpy())] = (
+            deg_pd["d"].to_numpy(dtype=np.int64))
+        nb = blen(dvec) if len(dvec) else np.zeros(0, dtype=np.int64)
+        n_of = np.bincount(nb, minlength=65) if len(nb) else \
+            np.zeros(65, dtype=np.int64)
+        sd_of = (np.bincount(nb, weights=dvec, minlength=65)
+                 .astype(np.int64) if len(nb) else
+                 np.zeros(65, dtype=np.int64))
+        ref = _ray.put((pa.array(keys, type=pa.string()), dvec))
+
+        def edge_partial_bcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"b": pa.array([], pa.int64()),
+                                 "snd": pa.array([], pa.int64())})
+            ks_, dv = _ray.get(ref)
+            lo = pc.index_in(t.column("lo").cast(pa.string()),
+                             value_set=ks_).to_numpy(
+                                 zero_copy_only=False)
+            hi = pc.index_in(t.column("hi").cast(pa.string()),
+                             value_set=ks_).to_numpy(
+                                 zero_copy_only=False)
+            dl, dh = dv[lo], dv[hi]
+            b = np.concatenate([blen(dl), blen(dh)])
+            nbr = np.concatenate([dh, dl])
+            snd = np.bincount(b, weights=nbr, minlength=65).astype(
+                np.int64)
+            nz = np.flatnonzero(snd)
+            return pa.table({"b": pa.array(nz.astype(np.int64)),
+                             "snd": pa.array(snd[nz])})
+
+        parts = und.map_batches(edge_partial_bcast,
+                                batch_format="pyarrow").to_pandas()
+        snd_of = np.zeros(65, dtype=np.int64)
+        if len(parts) and "b" in parts.columns:
+            np.add.at(snd_of, parts["b"].to_numpy(),
+                      parts["snd"].to_numpy())
+        bs = np.flatnonzero(n_of)
+        return _finish(bs, n_of[bs], sd_of[bs], snd_of[bs])
+
     def node_partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df["d"].to_numpy().astype(np.int64)
         b = blen(d)
@@ -4462,18 +4616,8 @@ def neighbor_degree_curve(edges, *, num_buckets: int = 16):
         num_buckets=1,
     ).to_pandas().sort_values("b")
 
-    sd = folded["sd"].astype(object)
-    knn = [int(s_n) * 1_000_000 // int(s_d) if int(s_d) > 0 else 0
-           for s_n, s_d in zip(folded["snd"], sd)]
-    out = pd.DataFrame({
-        "degree_bucket": folded["b"].astype("int64"),
-        "n_nodes": folded["n"].astype("int64"),
-        "sum_degree": folded["sd"].astype("int64"),
-        "sum_neighbor_degree": folded["snd"].astype("int64"),
-        "knn_ppm": pd.Series(knn, dtype="int64",
-                             index=folded.index),
-    }).reset_index(drop=True)
-    return ray.data.from_pandas(out)
+    return _finish(folded["b"].to_numpy(), folded["n"].to_numpy(),
+                   folded["sd"].to_numpy(), folded["snd"].to_numpy())
 
 
 def neighbor_degree_curve_sql(*, edges_cte: str = "e2") -> str:

@@ -1344,3 +1344,29 @@ def test_rank_overlap_rbo_exact_values():
     tied = [(k, 1) for k in keys]
     tied_rev = list(reversed(tied))
     assert int(run(tied, tied_rev)["rbo_ppm"]) == 1_000_000
+
+
+def test_degree_family_broadcast_exchange_path_equality():
+    """rich_club / neighbor_degree_curve / degree_assortativity: the
+    node-count auto-switch must be invisible — broadcast (degree vector
+    ray.put, one map pass, the default at test scale) equals the
+    bucketed-join exchange path (forced via broadcast_limit=0)."""
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        degree_assortativity,
+        neighbor_degree_curve,
+        rich_club,
+    )
+
+    pairs = [(f"h{i}", f"h{(i * 3 + 1) % 11}") for i in range(11)] + [
+        ("h0", "spoke1"), ("h0", "spoke2"), ("h0", "spoke3"),
+        ("h1", "h0"), ("spoke1", "spoke2"),
+    ]
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(df.columns.tolist()).reset_index(drop=True)
+
+    for fn in (rich_club, neighbor_degree_curve, degree_assortativity):
+        bc = norm(fn(_edges_ds(pairs)))
+        ex = norm(fn(_edges_ds(pairs), broadcast_limit=0))
+        pd.testing.assert_frame_equal(bc, ex)
