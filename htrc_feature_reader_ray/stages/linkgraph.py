@@ -3182,7 +3182,7 @@ def link_resolution_rate_sql(*, edges_cte: str = "link_edges") -> str:
 
 
 def _labeled_bfs(edges, *, seed_mod: int, n_seeds: int, max_hops: int,
-                 num_buckets: int):
+                 num_buckets: int, broadcast_limit: int = 2_000_000):
     """Shared (url, seed)-labeled frontier walk of harmonic_centrality /
     hop_histogram: bottom-(md5, url) seed pick among distinct SRC urls
     passing the md5 %% seed_mod predicate, then per hop ONE inner
@@ -3234,6 +3234,64 @@ def _labeled_bfs(edges, *, seed_mod: int, n_seeds: int, max_hops: int,
         "sid": np.arange(len(seeds), dtype=np.int64),
     })
 
+    if edges.count() <= broadcast_limit:
+        # broadcast fast path (distinct urls ≤ 2·|edges| bounds the
+        # driver-side visited state): per hop ONE map pass over the
+        # pinned edges carries ALL seeds' frontiers (ray.put dict of
+        # Arrow arrays, pc.is_in per seed inside the task) — vs the
+        # exchange path's 3 exchanges per hop. Same first-visit ==
+        # shortest-hop rule; per-seed early exhaustion, global break
+        # when every frontier empties (identical to the exchange loop).
+        import pyarrow.compute as pc
+
+        import ray as _ray
+
+        fr_sets = {int(r.sid): {r.url} for r in seeds.itertuples()}
+        vis = {sid: set(s) for sid, s in fr_sets.items()}
+        dists = []
+        for h in range(1, max_hops + 1):
+            live = {sid: pa.array(sorted(s), type=pa.string())
+                    for sid, s in fr_sets.items() if s}
+            if not live:
+                break
+            ref = _ray.put(live)
+
+            def hop(t: pa.Table) -> pa.Table:
+                lv = _ray.get(ref)
+                src = _str_array(t, "src_url")
+                dst = _str_array(t, "dst_url")
+                tabs = []
+                for sid, fr in lv.items():
+                    hit = pc.is_in(src, value_set=fr)
+                    d = pc.unique(dst.filter(hit))
+                    tabs.append(pa.table({
+                        "url": d,
+                        "sid": pa.array(np.full(len(d), sid,
+                                                dtype=np.int64))}))
+                if not tabs:
+                    return pa.table({
+                        "url": pa.array([], pa.string()),
+                        "sid": pa.array([], pa.int64())})
+                return pa.concat_tables(tabs)
+
+            cand2 = edges.map_batches(
+                hop, batch_format="pyarrow").to_pandas()
+            fr_sets = {sid: set() for sid in fr_sets}
+            if len(cand2) and "url" in cand2.columns:
+                for sid, g in cand2.groupby("sid"):
+                    fr_sets[int(sid)] = set(g["url"]) - vis[int(sid)]
+            rows = [(u, sid) for sid, s in sorted(fr_sets.items())
+                    for u in sorted(s)]
+            if not rows:
+                break
+            for sid, s in fr_sets.items():
+                vis[sid] |= s
+            dists.append((h, ray.data.from_pandas(pd.DataFrame(
+                {"url": [u for u, _ in rows],
+                 "sid": np.array([s for _, s in rows],
+                                 dtype=np.int64)}))))
+        return seeds, dists
+
     def vkeyed(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["vkey"] = df["url"].astype(str) + "\x1f" + df["sid"].astype(str)
@@ -3268,7 +3326,8 @@ def _labeled_bfs(edges, *, seed_mod: int, n_seeds: int, max_hops: int,
 
 
 def harmonic_centrality(edges, *, seed_mod: int = 10, n_seeds: int = 4,
-                        max_hops: int = 4, num_buckets: int = 32):
+                        max_hops: int = 4, num_buckets: int = 32,
+                        broadcast_limit: int = 2_000_000):
     """Sampled harmonic centrality over the directed link graph
     (Boldi–Vigna's recommended centrality, estimated the Eppstein–Wang
     way: exact BFS from a small deterministic seed sample instead of
@@ -3303,7 +3362,8 @@ def harmonic_centrality(edges, *, seed_mod: int = 10, n_seeds: int = 4,
 
     seeds, dists = _labeled_bfs(edges, seed_mod=seed_mod,
                                 n_seeds=n_seeds, max_hops=max_hops,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                broadcast_limit=broadcast_limit)
 
     if not dists:
         return ray.data.from_arrow(pa.table({
@@ -3858,7 +3918,8 @@ def bowtie_structure_sql(*, links_pre: str, max_hops: int = 4) -> str:
 
 
 def hop_histogram(edges, *, seed_mod: int = 10, n_seeds: int = 4,
-                  max_hops: int = 4, num_buckets: int = 32):
+                  max_hops: int = 4, num_buckets: int = 32,
+                  broadcast_limit: int = 2_000_000):
     """Sampled neighbourhood function N(h) and its normalized CDF — the
     HyperANF readout (Palmer et al.'s ANF, Boldi–Vigna–Rosa's HyperANF:
     the number behind every "the web is ~19 clicks across" claim):
@@ -3883,7 +3944,8 @@ def hop_histogram(edges, *, seed_mod: int = 10, n_seeds: int = 4,
     """
     seeds, dists = _labeled_bfs(edges, seed_mod=seed_mod,
                                 n_seeds=n_seeds, max_hops=max_hops,
-                                num_buckets=num_buckets)
+                                num_buckets=num_buckets,
+                                broadcast_limit=broadcast_limit)
     if not len(seeds):
         # Seedless graph: the SQL mirror's recursive CTE yields zero
         # rows, so return the typed empty frame rather than a

@@ -1370,3 +1370,35 @@ def test_degree_family_broadcast_exchange_path_equality():
         bc = norm(fn(_edges_ds(pairs)))
         ex = norm(fn(_edges_ds(pairs), broadcast_limit=0))
         pd.testing.assert_frame_equal(bc, ex)
+
+
+def test_labeled_bfs_broadcast_exchange_path_equality():
+    """harmonic_centrality / hop_histogram share _labeled_bfs; the
+    edge-count auto-switch must be invisible (broadcast default at test
+    scale vs exchange forced via broadcast_limit=0)."""
+    import hashlib
+
+    from htrc_feature_reader_ray.stages.linkgraph import (
+        harmonic_centrality,
+        hop_histogram,
+    )
+
+    # urls chosen so at least one passes the md5 % 10 == 0 seed gate
+    def md5mod(u):
+        return int(hashlib.md5(u.encode()).hexdigest()[:16], 16) % 10
+
+    urls = [f"u{i}" for i in range(40)]
+    seeds = [u for u in urls if md5mod(u) == 0]
+    assert seeds  # fixture must have a seed
+    pairs = [(urls[i], urls[(i * 7 + 3) % 40]) for i in range(40)] + [
+        (seeds[0], urls[5]), (urls[5], urls[9]), (urls[9], urls[13]),
+    ]
+
+    def norm(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(df.columns.tolist()).reset_index(drop=True)
+
+    for fn in (harmonic_centrality, hop_histogram):
+        bc = norm(fn(_edges_ds(pairs)))
+        ex = norm(fn(_edges_ds(pairs), broadcast_limit=0))
+        pd.testing.assert_frame_equal(bc, ex)
