@@ -242,7 +242,8 @@ def minhash_candidate_pairs(ds, *, text_col: str = "text",
         dup = df[df.duplicated(["band", "band_hash"], keep=False)]
         if dup.empty:
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "nb": pd.Series(dtype="int64")})
         parts = []
         for _, g in dup.groupby(["band", "band_hash"], sort=False):
             ids = np.sort(g[id_col].unique())
@@ -252,19 +253,26 @@ def minhash_candidate_pairs(ds, *, text_col: str = "text",
             parts.append(pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]}))
         if not parts:
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
-        # keep one row PER COLLIDING BAND (no intra-bucket dedupe): the
-        # downstream fold's n_bands is then the true band-collision
-        # count, matching the streaming LSH index bit-for-bit
-        return pd.concat(parts, ignore_index=True)
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "nb": pd.Series(dtype="int64")})
+        # combine within the bucket (map-side): nb = this bucket's
+        # colliding-band count per pair, so the exchange still carries
+        # ~one row per pair per bucket while the downstream SUM yields
+        # the true band-collision total (the streaming-LSH-index
+        # semantics, without the one-row-per-band exchange blow-up an
+        # exact dup at heavy banding would otherwise cause)
+        allp = pd.concat(parts, ignore_index=True)
+        out = (allp.groupby(["doc_a", "doc_b"], as_index=False).size()
+               .rename(columns={"size": "nb"}))
+        out["nb"] = out["nb"].astype(np.int64)
+        return out
 
     from htrc_feature_reader_ray.stages.partition import bucketed_map_groups
 
     def dedupe_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = (
             df.groupby(["doc_a", "doc_b"], as_index=False)
-            .size()
-            .rename(columns={"size": "n_bands"})
+            .agg(n_bands=("nb", "sum"))
         )
         out["n_bands"] = out["n_bands"].astype(np.int64)
         return out
