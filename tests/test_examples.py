@@ -92,3 +92,13 @@ def test_eval_audit_example():
     assert sizes["conformal"] >= 4        # one row per language slice
     assert sizes["pr_curve"] > 50         # bounded distinct-score support
     assert sizes["cutoff_battery"] == 1 and sizes["cutoff_compare"] == 1
+
+
+def test_ingest_resume_example(tmp_path):
+    from examples.ingest_resume import ingest_with_resume
+
+    out = ingest_with_resume(str(tmp_path))
+    assert out["run1_failed"] == 1
+    assert len(out["run2_refetched_buckets"]) == 1  # only the failed bucket
+    assert out["run3_refetched_buckets"] == []      # full skip-complete
+    assert out["lake_rows"] == out["n_ids"]         # one token row per doc

@@ -38,6 +38,8 @@ HEAVY = [
     # round-3 session additions worth the sf0.1 pin (graph + LM + grid)
     "modularity", "rich_club", "kneser_ney_lm", "dominant_period",
     "holt_forecast", "l_diversity",
+    # round-4: the remaining dual-path op not yet pinned at sf0.1
+    "neighbor_degree_curve",
 ]
 
 
