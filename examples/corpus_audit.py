@@ -76,6 +76,12 @@ def audit_corpus(docs_path: str, events_path: str) -> dict:
 
 
 if __name__ == "__main__":
+    # direct-script runs put examples/ (not the repo root) on sys.path
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
     docs = sys.argv[1] if len(sys.argv) > 1 else (
         "/root/testdata/sf0.001/documents.parquet")
     events = sys.argv[2] if len(sys.argv) > 2 else (

@@ -66,6 +66,12 @@ def curate_and_pack(docs_path: str, out_dir: str, *, budget: int = 4096):
 
 
 if __name__ == "__main__":
+    # direct-script runs put examples/ (not the repo root) on sys.path
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
     import ray
 
     if not ray.is_initialized():

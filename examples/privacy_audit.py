@@ -134,4 +134,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
 
 if __name__ == "__main__":
+    # direct-script runs put examples/ (not the repo root) on sys.path
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
     main(*sys.argv[1:2])

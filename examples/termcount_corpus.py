@@ -34,6 +34,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
 
 
 if __name__ == "__main__":
+    # direct-script runs put examples/ (not the repo root) on sys.path
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
     import ray
 
     if not ray.is_initialized():

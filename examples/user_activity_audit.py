@@ -95,5 +95,11 @@ def main(events_path: str) -> None:
 
 
 if __name__ == "__main__":
+    # direct-script runs put examples/ (not the repo root) on sys.path
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
     main(sys.argv[1] if len(sys.argv) > 1
          else "/root/testdata/sf0.001/events.parquet")
