@@ -516,8 +516,6 @@ def _fit_centroids(qds, *, id_col: str, k: int, rounds: int,
 
     import ray
 
-    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
-
     # deterministic init: the k smallest ids (tiny driver pull)
     seed = qds.map_batches(
         lambda t: t.filter(pc.less(t.column(id_col), k)),
@@ -548,11 +546,13 @@ def _fit_centroids(qds, *, id_col: str, k: int, rounds: int,
                 "n": pa.array(np.repeat(n, q.shape[1])),
             })
 
-        folded = bucketed_aggregate(
-            qds.map_batches(sums_partial, batch_format="pyarrow"),
-            ["cluster", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")},
-            num_buckets=num_buckets,
-        ).to_pandas()  # k×d rows: the iteration state
+        # per-batch partials are ≤ k×d rows each: fold them on the
+        # driver (batches × k × d rows total — iteration-state-sized)
+        # instead of paying a (cluster, dim) exchange per round
+        parts = qds.map_batches(
+            sums_partial, batch_format="pyarrow").to_pandas()
+        folded = (parts.groupby(["cluster", "dim"], as_index=False)
+                  [["s", "n"]].sum())
         folded = folded.sort_values(["cluster", "dim"])
         s = folded["s"].to_numpy().reshape(k, d)
         n = folded["n"].to_numpy().reshape(k, d)[:, 0]
