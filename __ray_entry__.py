@@ -4586,8 +4586,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from htrc_feature_reader_ray.stages.curate import trending_terms
 
         pages = read_pages(sf, drop_text=True)
-        mn = int(pd.Timestamp(pages.min("warc_ts")).value // 1000)
-        mx = int(pd.Timestamp(pages.max("warc_ts")).value // 1000)
+        # one pass for both bounds (Min+Max in a single aggregate)
+        from ray.data.aggregate import Max, Min
+
+        bounds = pages.aggregate(Min("warc_ts"), Max("warc_ts"))
+        mn = int(pd.Timestamp(bounds["min(warc_ts)"]).value // 1000)
+        mx = int(pd.Timestamp(bounds["max(warc_ts)"]).value // 1000)
         return trending_terms(
             _folded(sf, entity=False, snapshots=True, section="group",
                     pos=False),

@@ -509,9 +509,11 @@ def edit_distance_pairs_sql(*, id_col: str, text_col: str, block_col: str,
 def _fit_centroids(qds, *, id_col: str, k: int, rounds: int,
                    num_buckets: int) -> np.ndarray:
     """Shared Lloyd loop over a quantized ``(id, _q)`` dataset: seed =
-    k smallest ids, per-round broadcast-assign + one (cluster, dim)
-    exchange, FLOOR centroid means, empty-cluster carry-forward.
-    Returns the final k×d int64 centroid matrix."""
+    k smallest ids, per-round broadcast-assign with the ≤k×d per-batch
+    partials folded ON THE DRIVER (iteration-state-sized — no exchange
+    per round), FLOOR centroid means, empty-cluster carry-forward.
+    ``num_buckets`` kept for callers' signature stability (the fold no
+    longer shuffles). Returns the final k×d int64 centroid matrix."""
     import pyarrow.compute as pc
 
     import ray
