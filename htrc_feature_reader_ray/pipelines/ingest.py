@@ -90,10 +90,20 @@ def _bucket_fingerprints(ids_ds, num_buckets: int) -> pd.DataFrame:
             "hsum": pa.array(hs[keep].astype(np.int64)),
         })
 
-    parts = ids_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if parts.empty:
+    from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
+
+    # fold the per-batch partials THROUGH one small bucket-keyed
+    # exchange before the driver sees them: the driver then reads at
+    # most num_buckets rows even for a 10⁹-id manifest (a raw collect
+    # of partials would scale with batch count × touched buckets)
+    folded = bucketed_aggregate(
+        ids_ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], {"n": ("n", "sum"), "hsum": ("hsum", "sum")},
+        num_buckets=max(1, min(64, num_buckets)),
+    ).to_pandas()
+    if folded.empty or "bucket" not in folded.columns:
         return pd.DataFrame({"n": [], "hsum": []})
-    return parts.groupby("bucket")[["n", "hsum"]].sum()
+    return folded.set_index("bucket")[["n", "hsum"]]
 
 
 def _bucket_manifest_path(out_dir: str, bucket: int) -> str:
