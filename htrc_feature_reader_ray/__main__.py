@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     flag.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     flag.add_argument("--num-cpus", type=int, default=None)
     flag.add_argument("--out", default=None, help="write parquet here")
+    flag.add_argument("--checkpoint", default=None,
+                      help="work dir for the chained per-stage lineage"
+                           " checkpoints (rerun resumes from the first"
+                           " incomplete stage)")
 
     lake = sub.add_parser("save-lake", help="extract + persist feature lakes")
     lake.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -238,6 +242,27 @@ def main(argv=None) -> int:
 
     if args.cmd == "run-flagship":
         _ensure_ray(args.num_cpus)
+        if args.checkpoint:
+            # END-TO-END lineage resume: three chained checkpointed
+            # stages; a rerun (or a run killed between stages) reads
+            # every complete stage and rebuilds only what's missing —
+            # the `ray job submit` shape the north rule asks for
+            import ray
+
+            from htrc_feature_reader_ray.pipelines.flagship import (
+                flagship_checkpointed,
+            )
+
+            ds, results = flagship_checkpointed(
+                args.sf_dir, args.checkpoint)
+            print(json.dumps({
+                "rows": ds.count(),
+                "stages": {r["name"]: ("hit" if r["hit"] else "built")
+                           for r in results},
+                "checkpoint": args.checkpoint,
+            }, sort_keys=True))
+            ray.shutdown()
+            return 0
         from htrc_feature_reader_ray.pipelines.flagship import flagship
 
         ds = flagship(args.sf_dir)

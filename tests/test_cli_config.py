@@ -188,3 +188,31 @@ def test_cli_audit_privacy(tmp_path, capsys):
     assert rep["sections"]["card_flags"] == 1
     assert (out / "k_anon.parquet").exists()
     assert (out / "pii_by_source.parquet").exists()
+
+
+def test_cli_run_flagship_checkpoint_resume(tmp_path, capsys):
+    """--checkpoint drives the chained lineage resume end-to-end: build,
+    full-hit rerun, and stage-loss rebuild (downstream stays hit because
+    the rebuilt stage's content digest is unchanged)."""
+    import shutil
+
+    from htrc_feature_reader_ray.__main__ import main
+
+    ck = str(tmp_path / "ck")
+    args = ["run-flagship", "--sf-dir", "/root/testdata/sf0.001",
+            "--checkpoint", ck]
+    assert main(args) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["rows"] == 999
+    assert set(out1["stages"].values()) == {"built"}
+
+    assert main(args) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out2["stages"].values()) == {"hit"}
+
+    shutil.rmtree(f"{ck}/windows")
+    assert main(args) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["stages"] == {"features": "hit", "windows": "built",
+                              "final": "hit"}
+    assert out3["rows"] == 999
