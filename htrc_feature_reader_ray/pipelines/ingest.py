@@ -82,12 +82,17 @@ def _bucket_fingerprints(ids_ds, num_buckets: int) -> pd.DataFrame:
         b = hash_bucket(urls, num_buckets)
         h = _hash32(urls)
         n = np.bincount(b, minlength=num_buckets)
-        hs = np.bincount(b, weights=h, minlength=num_buckets)
+        # accumulate hsum in int64 (np.add.at), NOT bincount weights:
+        # bincount sums in float64, which goes inexact past 2^53 per
+        # bucket-batch and would never match write_bucket's exact int64
+        # sum — silently degrading skip-complete resume to full refetch
+        hs = np.zeros(num_buckets, dtype=np.int64)
+        np.add.at(hs, b, h)
         keep = n > 0
         return pa.table({
             "bucket": pa.array(np.nonzero(keep)[0].astype(np.int64)),
             "n": pa.array(n[keep].astype(np.int64)),
-            "hsum": pa.array(hs[keep].astype(np.int64)),
+            "hsum": pa.array(hs[keep]),
         })
 
     from htrc_feature_reader_ray.stages.partition import bucketed_aggregate
@@ -141,8 +146,46 @@ def fetch_to_lake(ids, resolver_factory, out_dir: str, *,
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     t0 = time.time()
+    prior = None
+    gp0 = os.path.join(out_dir, MANIFEST)
+    if os.path.exists(gp0):
+        with open(gp0) as f:
+            prior = json.load(f)
+        if prior.get("num_buckets") not in (None, num_buckets):
+            raise ValueError(
+                f"out_dir {out_dir!r} holds a lake with num_buckets="
+                f"{prior['num_buckets']}; resuming with num_buckets="
+                f"{num_buckets} would silently mix bucket layouts — "
+                "use a fresh out_dir or the recorded num_buckets")
     ids_ds = _ids_dataset(ids)
     want = _bucket_fingerprints(ids_ds, num_buckets)
+
+    # reconcile buckets that DROPPED OUT of the id manifest: a bucket
+    # whose whole id-set left is neither pending nor skipped, so its
+    # bucket=K parquet + sidecar would linger as phantom rows for any
+    # out_dir scan while _MANIFEST.json totals exclude it
+    removed = []
+    if os.path.isdir(out_dir):
+        import re
+        import shutil
+
+        wanted = set(int(b) for b in want.index)
+        for name in os.listdir(out_dir):
+            m = re.fullmatch(r"bucket=(\d+)", name)
+            if m and int(m.group(1)) not in wanted:
+                b = int(m.group(1))
+                shutil.rmtree(os.path.join(out_dir, name))
+                sp = _bucket_manifest_path(out_dir, b)
+                if os.path.exists(sp):
+                    os.remove(sp)
+                removed.append(b)
+        fdir = os.path.join(out_dir, FETCH_DIR)
+        if os.path.isdir(fdir):
+            for name in os.listdir(fdir):
+                m = re.fullmatch(r"bucket-(\d+)\.json", name)
+                if m and int(m.group(1)) not in wanted:
+                    os.remove(os.path.join(fdir, name))
+                    removed.append(int(m.group(1)))
 
     pending, skipped = [], []
     for b, row in want.iterrows():
@@ -274,6 +317,7 @@ def fetch_to_lake(ids, resolver_factory, out_dir: str, *,
         "out_dir": out_dir,
         "fetched_buckets": sorted(pending),
         "skipped_buckets": sorted(skipped),
+        "removed_buckets": sorted(set(removed)),
         "n_ids": global_manifest["n_ids"],
         "n_ok": global_manifest["n_ok"],
         "n_failed": global_manifest["n_failed"],

@@ -1890,9 +1890,24 @@ def coreness(edges, *, max_rounds: int = 8, num_buckets: int = 32,
 
         for _ in range(max_rounds):
             sref = ray.put(vals)
+            # batch_size=None EXPLICITLY: the H-index fold is the one
+            # non-additive per-batch kernel in the fast paths — it is
+            # only correct when a node's whole neighborhood arrives in
+            # one batch, which the g-grouped pinned blocks guarantee
+            # ONLY if map_batches passes whole blocks (other Ray
+            # versions default batch_size=1024, which would split them)
             out = pinned.map_batches(
-                round_map_factory(sref),
+                round_map_factory(sref), batch_size=None,
                 batch_format="pyarrow").to_pandas()
+            # loud guard for the same contract: a u-group split across
+            # batches emits the same node from two batches, and the
+            # last-write-wins vals[...] assignment below would silently
+            # keep a PARTIAL H-index
+            if not out["node"].is_unique:
+                raise AssertionError(
+                    "coreness round kernel saw a node in >1 batch — "
+                    "a pinned u-bucket block was split; the per-batch "
+                    "H-index fold is not additive across splits")
             if int(out["chg"].sum()) == 0:
                 break
             vals = vals.copy()

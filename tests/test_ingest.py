@@ -248,3 +248,53 @@ def test_cli_ingest_and_files_available(tmp_path, capsys):
     s = json.loads(capsys.readouterr().out.strip())
     assert s["n_ok"] == 20 and s["n_failed"] == 0
     pd.testing.assert_frame_equal(_lake_rows(out), _expected_rows(IDS))
+
+
+def test_dropped_buckets_reconciled_and_num_buckets_mismatch_refused(
+        tmp_path):
+    out = str(tmp_path / "lake")
+    log = str(tmp_path / "calls.txt")
+    fetch_to_lake(IDS, _factory(log), out, num_buckets=8, batch_size=4)
+
+    from htrc_feature_reader_ray.functions.ids import hash_bucket
+
+    # shrink the manifest to ids of a single bucket: every OTHER bucket's
+    # parquet dir + sidecar must be removed (no phantom rows for readers)
+    keep_b = int(hash_bucket([IDS[0]], 8)[0])
+    keep = [u for u in IDS if int(hash_bucket([u], 8)[0]) == keep_b]
+    s2 = fetch_to_lake(keep, _factory(log), out, num_buckets=8,
+                       batch_size=4)
+    assert keep_b not in s2["removed_buckets"]
+    assert s2["removed_buckets"]  # something was dropped
+    assert s2["fetched_buckets"] == []  # surviving bucket skip-complete
+    dirs = {d for d in os.listdir(out) if d.startswith("bucket=")}
+    assert dirs == {f"bucket={keep_b}"}
+    pd.testing.assert_frame_equal(_lake_rows(out), _expected_rows(keep))
+    m = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert m["n_ids"] == len(keep)
+
+    # resuming into the same out_dir with a different num_buckets would
+    # silently mix layouts -> refused
+    with pytest.raises(ValueError, match="num_buckets"):
+        fetch_to_lake(keep, _factory(log), out, num_buckets=4)
+
+
+def test_bucket_fingerprint_hsum_is_exact_int64(tmp_path):
+    """hsum partials accumulate in int64 (np.add.at), not float64
+    bincount weights — per-batch bucket sums past 2^53 stay exact and
+    match write_bucket's int64 sum (ADVICE r4)."""
+    import numpy as np
+
+    from htrc_feature_reader_ray.pipelines.ingest import (
+        _bucket_fingerprints,
+        _hash32,
+        _ids_dataset,
+    )
+
+    # enough ids in ONE bucket that float64 summation of ~2^31-scale
+    # hashes would need luck to stay exact; verify exact match instead
+    many = [f"https://h.example.com/p/{i}" for i in range(5000)]
+    fp = _bucket_fingerprints(_ids_dataset(many), 1)
+    exact = int(_hash32(np.array(many, dtype=object)).sum())
+    assert int(fp.loc[0, "hsum"]) == exact
+    assert int(fp.loc[0, "n"]) == len(many)
