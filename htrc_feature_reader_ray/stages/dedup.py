@@ -21,6 +21,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -98,6 +99,62 @@ def word_shingles(tokens: list[str], k: int) -> list[str]:
     return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
 
 
+def _shingle_batch(texts, k: int):
+    """Batch-vectorized per-doc DISTINCT word shingles — the same
+    identities ``set(word_shingles(split(text), k))`` yields per doc
+    (including the short-doc fallback: 0 < n_tokens < k emits one gram
+    joining all tokens) but built with Arrow kernels: one batch
+    split/flatten, window concat via ``binary_join_element_wise``,
+    distinct via dictionary codes + lexsort — no per-doc Python loop.
+
+    Returns ``(grams pa.StringArray, didx int64 ndarray)`` where rows are
+    (doc-index, gram) pairs, distinct within each doc, doc-grouped in
+    ascending doc order."""
+    flat, tcounts = _tokenize_batch(texts)
+    if not len(tcounts):
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    toff = np.concatenate(([0], np.cumsum(tcounts)[:-1]))
+    wc = np.where(tcounts >= k, tcounts - k + 1, 0)
+    total_w = int(wc.sum())
+    parts, didx_parts = [], []
+    if total_w:
+        goff = np.concatenate(([0], np.cumsum(wc)[:-1]))
+        starts = (np.repeat(toff, wc)
+                  + np.arange(total_w, dtype=np.int64)
+                  - np.repeat(goff, wc))
+        cols = [flat.take(pa.array(starts + j)) for j in range(k)]
+        parts.append(pc.binary_join_element_wise(*cols, " "))
+        didx_parts.append(np.repeat(
+            np.arange(len(tcounts), dtype=np.int64), wc))
+    short = np.flatnonzero((tcounts > 0) & (tcounts < k))
+    if short.size:
+        offs = np.empty(2 * short.size, dtype=np.int64)
+        offs[0::2] = toff[short]
+        offs[1::2] = toff[short] + tcounts[short]
+        # interleaved [start0,end0,start1,end1,...] offsets: even list
+        # slots are the short docs' token runs, odd slots inter-doc gaps
+        lst = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                       flat)
+        fb = pc.binary_join(lst, " ")
+        # every other slice is the inter-doc gap; keep even positions
+        fb = fb.take(pa.array(np.arange(0, len(fb), 2, dtype=np.int64)))
+        parts.append(fb)
+        didx_parts.append(short.astype(np.int64))
+    if not parts:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    grams = pa.concat_arrays([p.cast(pa.string()) for p in parts])
+    didx = np.concatenate(didx_parts)
+    de = grams.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((codes, didx))
+    ds_, cs_ = didx[order], codes[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (ds_[1:] != ds_[:-1]) | (cs_[1:] != cs_[:-1])
+    # the lexsort order is already (doc asc, code asc) — doc-grouped
+    sel = order[keep]
+    return grams.take(pa.array(sel)), didx[sel]
+
+
 class MinHasher:
     """Actor-pool stage: text -> (num_perm,) minhash signature + LSH band rows.
 
@@ -147,27 +204,22 @@ class MinHasher:
         return self._signatures_slice(texts)
 
     def _signatures_slice(self, texts: list[str]) -> np.ndarray:
-        """One slice: all docs' shingles are flattened, hashed once, permuted
-        as a (P, S_total) matrix, and per-doc minima taken with segmented
-        reduceat — no per-document Python work."""
-        all_sh: list[str] = []
-        starts = np.empty(len(texts), dtype=np.int64)
-        empty = np.zeros(len(texts), dtype=bool)
-        pos = 0
-        for i, text in enumerate(texts):
-            sh = word_shingles([t for t in (text or "").split(" ") if t], self.k)
-            starts[i] = pos
-            if not sh:
-                empty[i] = True
-                all_sh.append("")  # placeholder so segments stay non-empty
-                pos += 1
-            else:
-                all_sh.extend(sh)
-                pos += len(sh)
-        base = stable_hash64(all_sh)  # (S_total,)
+        """One slice: all docs' DISTINCT shingles are built with the
+        vectorized ``_shingle_batch`` kernel (min over distinct == min
+        over all occurrences), hashed once, permuted as a (P, S_total)
+        matrix, and per-doc minima taken with segmented reduceat — no
+        per-document Python work."""
+        grams, didx = _shingle_batch(texts, self.k)
+        sigs = np.full((len(texts), self.num_perm),
+                       np.uint64(0xFFFFFFFFFFFFFFFF))
+        if not len(didx):
+            return sigs
+        counts = np.bincount(didx, minlength=len(texts))
+        ne = np.flatnonzero(counts > 0)
+        base = stable_hash64(grams.to_numpy(zero_copy_only=False))
         perm = self.a[:, None] * base[None, :] + self.b[:, None]  # (P, S)
-        sigs = np.minimum.reduceat(perm, starts, axis=1).T  # (D, P)
-        sigs[empty] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        starts = np.concatenate(([0], np.cumsum(counts[ne])[:-1]))
+        sigs[ne] = np.minimum.reduceat(perm, starts, axis=1).T
         return sigs
 
     # odd multipliers mix the band rows into one 64-bit key (cheap, stable)
@@ -1037,28 +1089,70 @@ def simhash(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 # Exact duplicated-span detection (substring-level dedup signal)
 
 
+#: fixed odd multiplier for the window-gram rolling polynomial (golden
+#: ratio; odd => invertible mod 2^64, so single-token edits never collide)
+_GRAM_R = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates the polynomial's low bits so
+    ``hash % num_buckets`` partitions stay uniform."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _tokenize_batch(texts):
+    """Arrow-vectorized whitespace tokenization of a text batch:
+    ``(flat tokens pa.StringArray in doc order, token_counts int64 (D,))``
+    — same semantics as per-doc ``[t for t in (x or '').split(' ') if t]``
+    but one C-level split/flatten/filter pass for the whole batch."""
+    if not len(texts):
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64)
+    arr = pa.array([x or "" for x in texts], type=pa.string())
+    lst = pc.split_pattern(arr, " ")
+    flat = pc.list_flatten(lst)
+    parent = pc.list_parent_indices(lst)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parent = parent.filter(mask).to_numpy(zero_copy_only=False)
+    tcounts = np.bincount(parent, minlength=len(texts)).astype(np.int64)
+    return flat, tcounts
+
+
 def _flatten_windows(texts, width: int):
-    """Flatten every doc's width-token windows (space-joined gram strings,
-    hashed with the SQL-replayable md5 convention). Returns
-    ``(hashes uint64 (G_total,), gram_counts int64 (D,), token_counts
-    int64 (D,))``. Docs shorter than ``width`` contribute no windows (no
-    short-doc fallback — unlike ``word_shingles``, a span must be a full
-    window to count as duplicated text)."""
-    grams: list[str] = []
-    gcounts = np.empty(len(texts), dtype=np.int64)
-    tcounts = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        toks = [t for t in (text or "").split(" ") if t]
-        tcounts[i] = len(toks)
-        if len(toks) >= width:
-            n = len(toks) - width + 1
-            grams.extend(
-                " ".join(toks[j:j + width]) for j in range(n)
-            )
-            gcounts[i] = n
-        else:
-            gcounts[i] = 0
-    return md5_hash64(grams), gcounts, tcounts
+    """Flatten every doc's width-token windows into 64-bit identities.
+    Returns ``(hashes uint64 (G_total,), gram_counts int64 (D,),
+    token_counts int64 (D,))``. Docs shorter than ``width`` contribute no
+    windows (no short-doc fallback — unlike ``word_shingles``, a span
+    must be a full window to count as duplicated text).
+
+    Window identity = splitmix64-finalized fixed-multiplier polynomial
+    over the window's token md5 hashes: each token is md5-hashed ONCE per
+    batch VOCABULARY (dictionary encode), then every window hash is a
+    width-step vectorized rolling combine — no per-window string build,
+    no per-gram hashlib call (the round-4 hot-loop fix). The hash is an
+    internal equality identity only; the SQL oracles compare the gram
+    STRINGS (``array_to_string(arr[i:i+w], ' ')``), which the identity
+    reproduces exactly up to 64-bit collisions (~2⁻⁶⁴/pair,
+    position-sensitive, single-token edits never collide)."""
+    flat, tcounts = _tokenize_batch(texts)
+    gcounts = np.maximum(tcounts - width + 1, 0)
+    total_g = int(gcounts.sum())
+    if total_g == 0:
+        return np.empty(0, dtype=np.uint64), gcounts, tcounts
+    de = flat.dictionary_encode()
+    hv = md5_hash64(de.dictionary.to_pylist())  # once per vocab entry
+    ht = hv[de.indices.to_numpy(zero_copy_only=False)]
+    toff = np.concatenate(([0], np.cumsum(tcounts)[:-1]))
+    goff = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+    starts = (np.repeat(toff, gcounts)
+              + np.arange(total_g, dtype=np.int64)
+              - np.repeat(goff, gcounts))
+    acc = np.zeros(total_g, dtype=np.uint64)
+    for k in range(width):
+        acc = acc * _GRAM_R + ht[starts + k]
+    return _mix64(acc), gcounts, tcounts
 
 
 def _window_span_agg(d: np.ndarray, p: np.ndarray, n_docs: int, width: int):
@@ -1180,10 +1274,7 @@ def remove_duplicated_spans(ds, *, text_col: str = "text",
     def _rebuild(texts, ids_arr, marked_dx, marked_wpos):
         """Shared rebuild: marked window starts (doc-idx, token-pos) ->
         kept-token reassembly via one interval-delta cumsum."""
-        toks_per_doc = [[t for t in (x or "").split(" ") if t]
-                        for x in texts]
-        tcounts = np.array([len(t) for t in toks_per_doc],
-                           dtype=np.int64)
+        flat_pa, tcounts = _tokenize_batch(texts)
         tstart = np.concatenate(([0], np.cumsum(tcounts)[:-1]))
         total = int(tcounts.sum())
         delta = np.zeros(total + 1, dtype=np.int64)
@@ -1192,8 +1283,7 @@ def remove_duplicated_spans(ds, *, text_col: str = "text",
             np.add.at(delta, fs, 1)
             np.add.at(delta, fs + width, -1)
         covered = np.cumsum(delta[:total]) > 0
-        flat = np.array(
-            [t for toks in toks_per_doc for t in toks], dtype=object)
+        flat = flat_pa.to_numpy(zero_copy_only=False)
         parent = np.repeat(
             np.arange(len(texts), dtype=np.int64), tcounts)
         keepm = ~covered
@@ -1893,17 +1983,11 @@ def _shingle_rows(batch: pa.Table, text_col: str, id_col: str,
     """Distinct (shingle, id) rows for one batch (``word_shingles``
     semantics incl. the short-doc whole-text fallback; a doc lives in one
     row, so per-batch distinct == global distinct)."""
-    ids_in = batch.column(id_col).to_pylist()
-    texts = batch.column(text_col).to_pylist()
-    ids, shingles = [], []
-    for i, text in enumerate(texts):
-        toks = [t for t in (text or "").split(" ") if t]
-        for s in set(word_shingles(toks, k)):
-            ids.append(ids_in[i])
-            shingles.append(s)
+    grams, didx = _shingle_batch(
+        batch.column(text_col).to_pylist(), k)
     return pa.table({
-        "shingle": pa.array(shingles, type=pa.string()),
-        id_col: pa.array(ids, type=pa.int64()),
+        "shingle": grams,
+        id_col: batch.column(id_col).cast(pa.int64()).take(pa.array(didx)),
     })
 
 
@@ -2136,21 +2220,18 @@ def jaccard_join(ds, *, id_col: str = "doc_id", text_col: str = "text",
     M = 1_000_000
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids_out, gs_out, sides_out = [], [], []
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        sides = (batch.column(cross_col).to_pylist() if cross_col
-                 else [0] * len(ids))
-        for i, text, sd in zip(ids, texts, sides):
-            sh = set(word_shingles(
-                [t for t in (text or "").split(" ") if t], k_shingle))
-            ids_out.extend([i] * len(sh))
-            gs_out.extend(sh)
-            sides_out.extend([sd] * len(sh))
+        # batch-vectorized distinct per-doc shingles (_shingle_batch:
+        # Arrow split + window concat + code-lexsort dedup — the r4
+        # per-doc join/set loop removed)
+        grams, didx = _shingle_batch(
+            batch.column(text_col).to_pylist(), k_shingle)
+        take = pa.array(didx)
         return pa.table({
-            id_col: pa.array(ids_out, type=pa.int64()),
-            "g": pa.array(gs_out, type=pa.string()),
-            "side": pa.array(sides_out, type=pa.int64()),
+            id_col: batch.column(id_col).cast(pa.int64()).take(take),
+            "g": grams,
+            "side": (batch.column(cross_col).cast(pa.int64()).take(take)
+                     if cross_col else
+                     pa.array(np.zeros(len(didx), dtype=np.int64))),
         })
 
     # (doc, shingle) rows are globally distinct (a doc lives in one batch),
@@ -2466,17 +2547,6 @@ def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
         texts = batch.column(text_col).to_pylist()
         sides_in = (batch.column(cross_col).to_pylist() if cross_col
                     else [0] * len(ids_in))
-        gs, didx, keep_ids, keep_sides = [], [], [], []
-        for i, text, sd in zip(ids_in, texts, sides_in):
-            sh = set(word_shingles(
-                [t for t in (text or "").split(" ") if t], k_shingle))
-            if not sh:
-                continue
-            keep_ids.append(i)
-            keep_sides.append(sd)
-            d = len(keep_ids) - 1
-            gs.extend(sh)
-            didx.extend([d] * len(sh))
         empty = pa.table({
             id_col: pa.array([], type=pa.int64()),
             "n": pa.array([], type=pa.int64()),
@@ -2484,11 +2554,25 @@ def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
             "pref": pa.array([], type=pa.large_binary()),
             "blob": pa.array([], type=pa.large_binary()),
         })
-        if not gs:
+        # vectorized distinct per-doc shingles; docs with no shingles
+        # drop out, survivors renumber densely in batch order
+        grams, didx0 = _shingle_batch(texts, k_shingle)
+        if not len(didx0):
             return empty
-        g_arr = np.array(gs, dtype=object)
-        didx = np.array(didx, dtype=np.int64)
-        uniq, inv = np.unique(g_arr, return_inverse=True)
+        kept_docs, didx = np.unique(didx0, return_inverse=True)
+        keep_ids = [ids_in[i] for i in kept_docs]
+        keep_sides = [sides_in[i] for i in kept_docs]
+        # batch VOCABULARY (distinct shingles), lexicographically ranked
+        # so `uniq`/`inv` match the former np.unique(g_arr) exactly —
+        # the md5-128 digest loop then runs once per vocab entry
+        de = grams.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(de.dictionary.to_pylist(), dtype=object)
+        sorder = np.argsort(vocab, kind="stable")
+        rank_of = np.empty(len(vocab), dtype=np.int64)
+        rank_of[sorder] = np.arange(len(vocab), dtype=np.int64)
+        uniq = vocab[sorder]
+        inv = rank_of[codes]
         pos = idx.get_indexer(uniq)
         dfu = np.ones(len(uniq), dtype=np.int64)
         hit = pos >= 0
@@ -2505,7 +2589,8 @@ def _jaccard_join_broadcast_df(ds, dfs, *, id_col, text_col, k_shingle,
         p = n - (threshold_ppm * n + M - 1) // M + 1
         # prefix order: (df asc, shingle asc) within each doc — any
         # globally consistent order keeps the prefix lemma lossless
-        order_pref = np.lexsort((g_arr, dfr, didx))
+        # (inv = lexicographic string rank, same order as the strings)
+        order_pref = np.lexsort((inv, dfr, didx))
         hi_pref = hi[order_pref]
         order_num = np.lexsort((lo, hi, didx))
         pairs = np.empty((len(didx), 2), dtype=np.uint64)
@@ -3282,19 +3367,27 @@ def source_overlap(ds, *, text_col: str = "text",
     )
 
     def rows_fn(batch: pa.Table) -> pa.Table:
-        srcs = batch.column(source_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        seen = set()
-        for s, text in zip(srcs, texts):
-            toks = [t for t in (text or "").split(" ") if t]
-            for sh in set(word_shingles(toks, k)):
-                seen.add((sh, s))
-        if not seen:
+        grams, didx = _shingle_batch(
+            batch.column(text_col).to_pylist(), k)
+        if not len(didx):
             return pa.table({"shingle": pa.array([], type=pa.string()),
                              source_col: pa.array([], type=pa.string())})
-        shs, ss = zip(*seen)
-        return pa.table({"shingle": pa.array(shs, type=pa.string()),
-                         source_col: pa.array(ss, type=pa.string())})
+        # distinct (shingle, SOURCE): fold the per-doc-distinct rows to
+        # per-source-distinct via (source code, gram code) lexsort
+        src = batch.column(source_col).cast(pa.string()).combine_chunks()
+        sde = src.dictionary_encode()
+        scodes = sde.indices.to_numpy(zero_copy_only=False)[didx]
+        gcodes = (grams.dictionary_encode().indices
+                  .to_numpy(zero_copy_only=False))
+        order = np.lexsort((gcodes, scodes))
+        ss, gs = scodes[order], gcodes[order]
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = (ss[1:] != ss[:-1]) | (gs[1:] != gs[:-1])
+        sel = pa.array(order[keep])
+        return pa.table({
+            "shingle": grams.take(sel),
+            source_col: src.take(pa.array(didx)).take(sel),
+        })
 
     rows = ds.map_batches(rows_fn, batch_format="pyarrow", batch_size=4096)
     pairs = shared_key_pair_counts(
