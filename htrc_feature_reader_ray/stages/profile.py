@@ -706,20 +706,47 @@ def grouped_moments(ds, *, key: str, x_col: str, y_col: str,
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        corrs = []
-        for _, r in df.iterrows():
-            n, sx, sy = int(r["n"]), int(r["sum_x"]), int(r["sum_y"])
-            sxx, syy, sxy = int(r["sum_xx"]), int(r["sum_yy"]), int(r["sum_xy"])
-            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
-            if vx <= 0 or vy <= 0:
-                corrs.append(None)
-            else:
-                corrs.append(
-                    float(n * sxy - sx * sy) / math.sqrt(float(vx * vy)))
+        # vectorized int64 fast path with a magnitude guard; rows whose
+        # intermediates could leave the exact window drop to the
+        # Python-int (HUGEINT-equivalent) loop. Bit-exact vs the old
+        # all-rows loop: int64->float64 conversion is correctly rounded,
+        # and with |vx|,|vy| < 2^53 exactly representable the IEEE
+        # product equals float(vx*vy)'s single rounding.
+        n = df["n"].to_numpy(dtype=np.int64)
+        sx = df["sum_x"].to_numpy(dtype=np.int64)
+        sy = df["sum_y"].to_numpy(dtype=np.int64)
+        sxx = df["sum_xx"].to_numpy(dtype=np.int64)
+        syy = df["sum_yy"].to_numpy(dtype=np.int64)
+        sxy = df["sum_xy"].to_numpy(dtype=np.int64)
+        nf, sxf, syf = (a.astype(np.float64) for a in (n, sx, sy))
+        sxxf, syyf, sxyf = (a.astype(np.float64) for a in (sxx, syy, sxy))
+        LIM, FLIM = 2.0 ** 61, 2.0 ** 53
+        prods = np.maximum.reduce([
+            np.abs(nf * sxxf), sxf * sxf, np.abs(nf * syyf), syf * syf,
+            np.abs(nf * sxyf), np.abs(sxf * syf)])
+        vxf = nf * sxxf - sxf * sxf
+        vyf = nf * syyf - syf * syf
+        ok = ((prods < LIM) & (np.abs(vxf) < FLIM)
+              & (np.abs(vyf) < FLIM))
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        corr = np.full(len(n), np.nan)
+        pos = ok & (vx > 0) & (vy > 0)
+        corr[pos] = (num[pos].astype(np.float64)
+                     / np.sqrt(vx[pos].astype(np.float64)
+                               * vy[pos].astype(np.float64)))
+        for i in np.flatnonzero(~ok):
+            ni, sxi, syi = int(n[i]), int(sx[i]), int(sy[i])
+            vxi = ni * int(sxx[i]) - sxi * sxi
+            vyi = ni * int(syy[i]) - syi * syi
+            if vxi > 0 and vyi > 0:
+                corr[i] = (float(ni * int(sxy[i]) - sxi * syi)
+                           / math.sqrt(float(vxi * vyi)))
         out = df.copy()
         for c in ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]:
             out[c] = out[c].astype("int64")
-        out["corr"] = pd.Series(corrs, index=df.index, dtype="float64")
+        out["corr"] = pd.Series(corr, index=df.index, dtype="float64")
         return out[[key, "n", "sum_x", "sum_y", "sum_xx", "sum_yy",
                     "sum_xy", "corr"]]
 
@@ -1537,23 +1564,41 @@ def grouped_trend(ds, *, key: str, x_col: str, y_col: str,
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        slopes, intercepts = [], []
-        for _, r in df.iterrows():
-            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
-            sxx, sxy = int(r["sxx"]), int(r["sxy"])
-            den = n * sxx - sx * sx
-            if den <= 0:
-                slopes.append(None)
-                intercepts.append(None)
-            else:
-                s = float(n * sxy - sx * sy) / float(den)
-                slopes.append(s)
-                intercepts.append((float(sy) - s * float(sx)) / float(n))
+        # vectorized fast path (no-int64-overflow guard only: int64 ->
+        # float64 conversion is correctly rounded for ALL int64, so the
+        # divides match the Python-int path bit for bit); guarded rows
+        # drop to the exact loop
+        n = df["n"].to_numpy(dtype=np.int64)
+        sx = df["sx"].to_numpy(dtype=np.int64)
+        sy = df["sy"].to_numpy(dtype=np.int64)
+        sxx = df["sxx"].to_numpy(dtype=np.int64)
+        sxy = df["sxy"].to_numpy(dtype=np.int64)
+        nf, sxf, syf = (a.astype(np.float64) for a in (n, sx, sy))
+        sxxf, sxyf = (a.astype(np.float64) for a in (sxx, sxy))
+        LIM = 2.0 ** 61
+        ok = (np.maximum.reduce([
+            np.abs(nf * sxxf), sxf * sxf,
+            np.abs(nf * sxyf), np.abs(sxf * syf)]) < LIM)
+        den = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        slope = np.full(len(n), np.nan)
+        inter = np.full(len(n), np.nan)
+        pos = ok & (den > 0)
+        s = num[pos].astype(np.float64) / den[pos].astype(np.float64)
+        slope[pos] = s
+        inter[pos] = (syf[pos] - s * sxf[pos]) / nf[pos]
+        for i in np.flatnonzero(~ok):
+            ni, sxi, syi = int(n[i]), int(sx[i]), int(sy[i])
+            d = ni * int(sxx[i]) - sxi * sxi
+            if d > 0:
+                si = float(ni * int(sxy[i]) - sxi * syi) / float(d)
+                slope[i] = si
+                inter[i] = (float(syi) - si * float(sxi)) / float(ni)
         return pd.DataFrame({
             key: df[key],
             "n": df["n"].astype("int64"),
-            "slope": pd.Series(slopes, index=df.index, dtype="float64"),
-            "intercept": pd.Series(intercepts, index=df.index,
+            "slope": pd.Series(slope, index=df.index, dtype="float64"),
+            "intercept": pd.Series(inter, index=df.index,
                                    dtype="float64"),
         })
 
@@ -6778,25 +6823,56 @@ def grouped_ols(ds, *, key: str, x_col: str, y_col: str,
         return -((-num) // den) if num < 0 else num // den
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        slopes, inters = [], []
-        for _, r in df.iterrows():
-            n, sx, sy = int(r["n"]), int(r["sum_x"]), int(r["sum_y"])
-            sxx, sxy = int(r["sum_xx"]), int(r["sum_xy"])
-            dx = n * sxx - sx * sx
-            if dx <= 0:
-                slopes.append(0)
-                inters.append(trunc(sy * 1_000_000, n))
+        # vectorized int64 fast path: every intermediate (incl. the ×10⁶
+        # clearing and sy·dx − num·sx) must fit int64, checked with a
+        # float magnitude guard; guarded rows use the exact Python-int
+        # loop (HUGEINT mirror). Integer results, so fast path == loop.
+        M = 1_000_000
+        n = df["n"].to_numpy(dtype=np.int64)
+        sx = df["sum_x"].to_numpy(dtype=np.int64)
+        sy = df["sum_y"].to_numpy(dtype=np.int64)
+        sxx = df["sum_xx"].to_numpy(dtype=np.int64)
+        sxy = df["sum_xy"].to_numpy(dtype=np.int64)
+        nf, sxf, syf = (a.astype(np.float64) for a in (n, sx, sy))
+        sxxf, sxyf = (a.astype(np.float64) for a in (sxx, sxy))
+        dxf = nf * sxxf - sxf * sxf
+        numf = nf * sxyf - sxf * syf
+        LIM = 2.0 ** 61
+        ok = (np.maximum.reduce([
+            np.abs(nf * sxxf), sxf * sxf, np.abs(nf * sxyf),
+            np.abs(sxf * syf), np.abs(numf) * M, np.abs(nf * dxf),
+            np.abs(syf * dxf) * M, np.abs(numf * sxf) * M,
+            np.abs(syf) * M]) < LIM)
+
+        def vtrunc(num_arr, den_arr):
+            q = np.abs(num_arr) // den_arr
+            return np.where(num_arr < 0, -q, q)
+
+        slope = np.zeros(len(n), dtype=np.int64)
+        inter = np.zeros(len(n), dtype=np.int64)
+        dx = n * sxx - sx * sx
+        num = n * sxy - sx * sy
+        flat = ok & (dx <= 0)
+        inter[flat] = vtrunc(sy[flat] * M, n[flat])
+        pos = ok & (dx > 0)
+        slope[pos] = vtrunc(num[pos] * M, dx[pos])
+        inter[pos] = vtrunc((sy[pos] * dx[pos] - num[pos] * sx[pos]) * M,
+                            n[pos] * dx[pos])
+        for i in np.flatnonzero(~ok):
+            ni, sxi, syi = int(n[i]), int(sx[i]), int(sy[i])
+            dxi = ni * int(sxx[i]) - sxi * sxi
+            if dxi <= 0:
+                inter[i] = trunc(syi * M, ni)
                 continue
-            num = n * sxy - sx * sy
-            slopes.append(trunc(num * 1_000_000, dx))
-            inters.append(trunc((sy * dx - num * sx) * 1_000_000,
-                                n * dx))
+            numi = ni * int(sxy[i]) - sxi * syi
+            slope[i] = trunc(numi * M, dxi)
+            inter[i] = trunc((syi * dxi - numi * sxi) * M, ni * dxi)
         return pd.DataFrame({
             key: df[key],
             "n": df["n"].astype("int64"),
-            "slope_ppm": pd.Series(slopes, dtype="int64",
+            "slope_ppm": pd.Series(slope, dtype="int64",
                                    index=df.index),
-            "intercept_ppm": pd.Series(inters, dtype="int64",
+            "intercept_ppm": pd.Series(inter, dtype="int64",
                                        index=df.index),
         })
 

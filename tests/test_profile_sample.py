@@ -3270,3 +3270,83 @@ def test_krippendorff_alpha_missing_and_exact():
     dfz = pd.DataFrame({"r1": [5.0] * 8, "r2": [5.0] * 8,
                         "r3": [np.nan] * 8})
     assert int(run(dfz)["alpha_ppm"]) == 0
+
+
+def test_grouped_finishes_bit_exact_across_guard_boundary():
+    """The r5 vectorized int64 fast paths in grouped_moments /
+    grouped_trend / grouped_ols must match the Python-int (HUGEINT
+    mirror) reference BIT FOR BIT, including groups whose intermediates
+    cross the 2^53 / 2^61 magnitude guards into the exact-loop tail."""
+    import math
+
+    import ray.data
+
+    from htrc_feature_reader_ray.stages.profile import (
+        grouped_moments,
+        grouped_ols,
+        grouped_trend,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for g in range(8):
+        scale = 10 ** (g + 1)  # sums fit int64; n*sxx crosses both guards
+        for _ in range(50):
+            rows.append((f"g{g}", int(rng.randint(0, scale)),
+                         int(rng.randint(0, scale))))
+    df = pd.DataFrame(rows, columns=["k", "x", "y"])
+    ds = ray.data.from_pandas(df).repartition(3)
+
+    def pyint_sums(g):
+        return (len(g), int(g.x.sum()), int(g.y.sum()),
+                int((g.x.astype(object) ** 2).sum()),
+                int((g.y.astype(object) ** 2).sum()),
+                int((g.x.astype(object) * g.y).sum()))
+
+    def trunc(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    got = (grouped_moments(ds, key="k", x_col="x", y_col="y")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = []
+    for _, g in df.groupby("k"):
+        n, sx, sy, sxx, syy, sxy = pyint_sums(g)
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        want.append(float(n * sxy - sx * sy) / math.sqrt(float(vx * vy))
+                    if vx > 0 and vy > 0 else np.nan)
+    assert np.array_equal(got["corr"].to_numpy().view(np.int64),
+                          np.array(want).view(np.int64))
+
+    got_t = (grouped_trend(ds, key="k", x_col="x", y_col="y")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    ws, wi = [], []
+    for _, g in df.groupby("k"):
+        n, sx, sy, sxx, syy, sxy = pyint_sums(g)
+        den = n * sxx - sx * sx
+        if den <= 0:
+            ws.append(np.nan)
+            wi.append(np.nan)
+            continue
+        s = float(n * sxy - sx * sy) / float(den)
+        ws.append(s)
+        wi.append((float(sy) - s * float(sx)) / float(n))
+    assert np.array_equal(got_t["slope"].to_numpy().view(np.int64),
+                          np.array(ws).view(np.int64))
+    assert np.array_equal(got_t["intercept"].to_numpy().view(np.int64),
+                          np.array(wi).view(np.int64))
+
+    got_o = (grouped_ols(ds, key="k", x_col="x", y_col="y")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    wsp, wip = [], []
+    for _, g in df.groupby("k"):
+        n, sx, sy, sxx, syy, sxy = pyint_sums(g)
+        dx = n * sxx - sx * sx
+        if dx <= 0:
+            wsp.append(0)
+            wip.append(trunc(sy * 1_000_000, n))
+            continue
+        num = n * sxy - sx * sy
+        wsp.append(trunc(num * 1_000_000, dx))
+        wip.append(trunc((sy * dx - num * sx) * 1_000_000, n * dx))
+    assert got_o["slope_ppm"].tolist() == wsp
+    assert got_o["intercept_ppm"].tolist() == wip
