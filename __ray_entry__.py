@@ -11,6 +11,7 @@ calls ``ray.init()``/``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -660,10 +661,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ).metadata.num_rows,
         )
 
+    def _minhash_pairs_shared(sf):
+        """The verified minhash pair list, CHECKPOINT-SHARED across the
+        dedup composites (clusters / cluster_sizes / keep_best /
+        rate_by_source / dup_weights): production mines pairs once and
+        consumes them many times, so the composites route through one
+        ``state/lineage.run_stage`` lake keyed by the documents file's
+        content fingerprint + the mining params — a cold call builds it,
+        every later composite reads the bucketed parquet instead of
+        re-mining (the same resume discipline as ``run-flagship
+        --checkpoint``). Fingerprint-stale or cross-sf calls rebuild."""
+        import hashlib as _hl
+
+        from htrc_feature_reader_ray.state.lineage import run_stage
+
+        params = {"threshold": 0.5, "num_perm": 128, "bands": 64}
+        out_dir = os.path.join(
+            "/tmp/htrc_ray_ckpt", "minhash_pairs",
+            _hl.md5(os.path.abspath(sf).encode()).hexdigest()[:12])
+        ds, _m = run_stage(
+            out_dir, lambda: q_dedup_minhash(sf), key="doc_a",
+            num_buckets=16, inputs=[f"{sf}/documents.parquet"],
+            params=params)
+        if "bucket" in (ds.schema().names if ds.schema() else []):
+            ds = ds.drop_columns(["bucket"])
+        return ds
+
     def q_dedup_clusters(sf):
         from htrc_feature_reader_ray.stages.dedup import dedup_clusters
 
-        return dedup_clusters(q_dedup_minhash(sf))
+        return dedup_clusters(_minhash_pairs_shared(sf))
 
     def q_dedup_cluster_sizes(sf):
         """Cluster-size histogram over the minhash dup clusters — the
@@ -713,7 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from htrc_feature_reader_ray.stages.dedup import dup_weights
 
         return dup_weights(_docs(sf, columns=["doc_id"]),
-                           q_dedup_minhash(sf))
+                           _minhash_pairs_shared(sf))
 
     def q_source_overlap(sf):
         """Source x source shingle-Jaccard matrix (which ingest feeds
@@ -736,7 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         return dedup_loser_rate(
-            dedup_clusters(q_dedup_minhash(sf)),
+            dedup_clusters(_minhash_pairs_shared(sf)),
             _docs(sf, ("doc_id", "source")))
 
     def q_dedup_keep_best(sf):
@@ -751,7 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             bucketed_map_groups,
         )
 
-        clusters = dedup_clusters(q_dedup_minhash(sf))
+        clusters = dedup_clusters(_minhash_pairs_shared(sf))
         joined = bucket_join(
             clusters, _docs(sf, ["doc_id", "n_chars"]),
             left_key="doc_id", right_key="doc_id", num_buckets=16)
