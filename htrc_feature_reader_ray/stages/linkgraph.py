@@ -3781,6 +3781,9 @@ def bowtie_structure(edges, *, max_hops: int = 4, num_buckets: int = 32,
             return pa.table({"url": pa.array([], pa.string())})
         return pa.table({"url": [pc.min(t.column("url")).as_py()]})
 
+    # BOUNDED take_all: batch_min collapses every batch to <=1 row, so
+    # this collects at most one url per block (O(num_blocks), not
+    # O(nodes)) — do not copy this pattern onto an uncollapsed dataset
     mins = nodes.map_batches(batch_min, batch_format="pyarrow").take_all()
     pivot = min(r["url"] for r in mins)
     import ray
