@@ -77,7 +77,7 @@ def _consume(result) -> int:
     return result.count()
 
 
-def run_parity(sf_dir: str) -> dict:
+def run_parity(sf_dir: str, only: list[str] | None = None) -> dict:
     import duckdb
 
     import __ray_entry__ as entry
@@ -90,6 +90,10 @@ def run_parity(sf_dir: str) -> dict:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     queries, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in queries]
+        assert not unknown, f"unknown queries: {unknown}"
+        queries = {n: queries[n] for n in only}
     n_ok, failures = 0, []
     t0 = time.time()
     for name in sorted(queries):
@@ -129,6 +133,8 @@ def main() -> int:
     ap.add_argument("--store-gb", type=float, default=4.0)
     ap.add_argument("--sf-dir", default=None)
     ap.add_argument("--mult", type=int, default=500)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset for parity mode")
     args = ap.parse_args()
 
     if args.mode == "parity":
@@ -144,7 +150,8 @@ def main() -> int:
                                     args.store_gb)
     out = {"mode": args.mode, "sf_dir": sf, **info}
     if args.mode == "parity":
-        out.update(run_parity(sf))
+        out.update(run_parity(
+            sf, args.queries.split(",") if args.queries else None))
     else:
         out.update(run_flagship(sf, args.mult))
     print(json.dumps(out))
