@@ -124,9 +124,51 @@ def run_flagship(sf_dir: str, mult: int) -> dict:
             "pages_per_sec": int(pages / sec)}
 
 
+def run_fault(cluster, sf_dir: str, mult: int, kill_after: float) -> dict:
+    """Start flagship, then REMOVE a worker node mid-run: Ray rebuilds
+    the lost blocks from lineage and the job must complete with the
+    exact row count — the node-loss story a 256-node deployment needs."""
+    import threading
+
+    from htrc_feature_reader_ray.pipelines.flagship import flagship
+
+    result: dict = {}
+
+    def work():
+        t0 = time.time()
+        result["rows"] = flagship(sf_dir).count()
+        result["sec"] = round(time.time() - t0, 2)
+
+    th = threading.Thread(target=work)
+    th.start()
+    time.sleep(kill_after)
+    victim = next(iter(cluster.worker_nodes), None)
+    assert victim is not None, "no worker node to kill"
+    cluster.remove_node(victim, allow_graceful=False)
+    result["killed_node_after_sec"] = kill_after
+    th.join(timeout=600)
+    assert not th.is_alive(), "pipeline hung after node loss"
+    import ray
+
+    result["nodes_alive_after"] = sum(n["Alive"] for n in ray.nodes())
+    result["mult"] = mult
+    result["pages_per_sec_after_loss"] = int(result["rows"]
+                                             / result["sec"])
+    # row-count correctness after the loss: flagship emits one row per
+    # page at these settings, so compare against an independent count
+    from htrc_feature_reader_ray.sources.pages import read_pages
+
+    expected = read_pages(sf_dir).count()
+    result["expected_rows"] = expected
+    result["complete"] = bool(result["rows"] == expected)
+    assert result["complete"], (result["rows"], expected)
+    return result
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["parity", "flagship", "stress"],
+    ap.add_argument("--mode",
+                    choices=["parity", "flagship", "stress", "fault"],
                     default="parity")
     ap.add_argument("--nodes", type=int, default=4)
     ap.add_argument("--cpus-per-node", type=int, default=8)
@@ -135,6 +177,8 @@ def main() -> int:
     ap.add_argument("--mult", type=int, default=500)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset for parity mode")
+    ap.add_argument("--kill-after", type=float, default=5.0,
+                    help="fault mode: seconds before removing a node")
     args = ap.parse_args()
 
     if args.mode == "parity":
@@ -152,6 +196,8 @@ def main() -> int:
     if args.mode == "parity":
         out.update(run_parity(
             sf, args.queries.split(",") if args.queries else None))
+    elif args.mode == "fault":
+        out.update(run_fault(_cluster, sf, args.mult, args.kill_after))
     else:
         out.update(run_flagship(sf, args.mult))
     print(json.dumps(out))
