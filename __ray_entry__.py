@@ -1180,7 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         filtered = feats.map_batches(keep, batch_format="pyarrow")
 
-        losers = dedup_clusters(q_dedup_minhash(sf)).map_batches(
+        losers = dedup_clusters(_minhash_pairs_shared(sf)).map_batches(
             lambda t: t.filter(
                 pc.not_equal(t.column("doc_id"), t.column("cluster_id"))
             ).select(["doc_id"]).rename_columns(["loser_id"]),
