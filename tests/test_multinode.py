@@ -40,3 +40,24 @@ def test_parity_subset_on_virtual_cluster():
     assert out["nodes"] == 2 and out["total_cpus"] == 4
     assert out["failures"] == []
     assert out["queries_ok"] == len(QUERIES.split(","))
+
+
+def test_fault_recovery_on_virtual_cluster():
+    """Kill a worker raylet mid-flagship on a 2-node cluster: the job
+    must complete with the exact row count (lineage resubmission). If
+    the run happens to finish before the kill lands, the row-count
+    assertion still holds — the test is opportunistic about timing but
+    never flaky about correctness."""
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "multinode_sim.py"),
+         "--mode", "fault", "--nodes", "2", "--cpus-per-node", "2",
+         "--store-gb", "1", "--sf-dir", "/root/testdata/sf0.01",
+         "--mult", "300", "--kill-after", "2"],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["complete"] is True
+    assert out["rows"] == out["expected_rows"]
