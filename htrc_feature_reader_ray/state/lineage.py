@@ -60,7 +60,11 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
     column is added. Written atomically: data goes to ``out_dir.tmp``
     first, then a single rename."""
     t_start = time.time()
-    tmp = out_dir + ".tmp"
+    # per-process tmp dir: two writers racing on one out_dir (e.g. two
+    # concurrent gate shards cold-building the same checkpoint) must
+    # never share a staging dir — a shared .tmp lets one writer's rmtree
+    # silently mix/clobber the other's parquet mid-write
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     part = partition_col or "bucket"
@@ -140,20 +144,42 @@ def run_stage(out_dir: str, build_fn, *, key: str, num_buckets: int,
               inputs=(), params: dict | None = None):
     """Checkpointed stage: if ``out_dir``'s manifest matches the current
     input fingerprint + params, read the lake instead of recomputing;
-    otherwise call ``build_fn() -> Dataset`` and persist it."""
-    m = _load_manifest(out_dir)
+    otherwise call ``build_fn() -> Dataset`` and persist it.
+
+    CROSS-PROCESS SAFE: the miss path (check → build → commit) holds an
+    exclusive flock on ``out_dir + '.lock'`` with a double-checked
+    manifest read, so N concurrent processes cold-starting the same
+    checkpoint (e.g. the sharded parity gate on a fresh /tmp) build it
+    exactly once; the losers block, then read the winner's lake."""
     current = {
         "inputs": fingerprint_inputs(inputs),
         "params": params or {},
         "key": key,
         "num_buckets": num_buckets,
     }
-    if m is not None and all(m.get(k) == v for k, v in current.items()):
+
+    def _hit():
+        m = _load_manifest(out_dir)
+        if m is not None and all(m.get(k) == v for k, v in current.items()):
+            return m
+        return None
+
+    m = _hit()
+    if m is not None:
         return ray.data.read_parquet(out_dir), m
-    manifest = write_partitioned(
-        build_fn(), out_dir, key=key, num_buckets=num_buckets,
-        inputs=inputs, params=params,
-    )
+
+    import fcntl
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_dir)), exist_ok=True)
+    with open(out_dir + ".lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        m = _hit()  # another process may have built while we waited
+        if m is not None:
+            return ray.data.read_parquet(out_dir), m
+        manifest = write_partitioned(
+            build_fn(), out_dir, key=key, num_buckets=num_buckets,
+            inputs=inputs, params=params,
+        )
     return ray.data.read_parquet(out_dir), manifest
 
 

@@ -149,3 +149,41 @@ def test_flagship_multi_stage_chain_resumes_after_kill(sf_dir):
                                     num_buckets=8)
     assert [r["hit"] for r in r4] == [False, False, False]
     assert norm(ds4).equals(f0)
+
+
+def test_run_stage_concurrent_cold_builds_exactly_once():
+    """N concurrent callers cold-starting the SAME checkpoint must
+    build it exactly once (flock + double-checked manifest): the losers
+    block, then read the winner's lake — no shared-.tmp clobbering, no
+    doubled rows. flock contends across separate fds, so threads
+    exercise the same lock path as separate gate-shard processes."""
+    import threading
+
+    out = f"{OUT}/concurrent"
+    builds = []
+    results = []
+    lock = threading.Lock()
+
+    def build():
+        import time
+
+        with lock:
+            builds.append(1)
+        time.sleep(0.5)  # widen the race window
+        return _docs()
+
+    def call():
+        ds, m = run_stage(out, build, key="source", num_buckets=4,
+                          inputs=[DOCS])
+        results.append((ds.count(), m["row_count"]))
+
+    threads = [threading.Thread(target=call) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1, f"built {len(builds)} times"
+    assert results == [(500, 500)] * 3
+    # no stray per-pid tmp dirs left behind
+    parent = os.path.dirname(out)
+    assert not [d for d in os.listdir(parent) if ".tmp" in d]
