@@ -289,7 +289,15 @@ def _consume(result) -> int:
 
 
 def run_bench() -> dict:
+    import shutil
+
     import ray
+
+    # deterministic composite timings: the dedup composites share one
+    # minhash checkpoint lake (state/lineage.run_stage under /tmp);
+    # start cold so the mining cost always lands on the first composite
+    # instead of depending on leftover /tmp state from earlier sessions
+    shutil.rmtree("/tmp/htrc_ray_ckpt", ignore_errors=True)
 
     ray.init(
         address="local",
