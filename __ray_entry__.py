@@ -648,13 +648,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # 'broadcast' is the small-N fast path, 'lsh' the high-threshold one
         return embedding_dedup_pairs(ds, threshold=0.4, method="triangle")
 
+    # ONE source of truth for the minhash mining parameters: consumed by
+    # q_dedup_minhash AND the shared checkpoint fingerprint, so a future
+    # parameter change can never leave the composites silently reading a
+    # pair lake mined under the old settings
+    MINHASH_PARAMS = {"threshold": 0.5, "num_perm": 128, "bands": 64}
+
     def q_dedup_minhash(sf):
         import pyarrow.parquet as pq
 
         # corpus_rows from the parquet footer (free) lets verify='auto' pick
         # its path without a sizing count() that re-executes the pipeline
         return minhash_dedup_pairs(
-            _docs(sf), threshold=0.5, num_perm=128, bands=64,
+            _docs(sf), **MINHASH_PARAMS,
             concurrency=(1, 4),
             corpus_rows=pq.ParquetFile(
                 f"{sf}/documents.parquet"
@@ -670,12 +676,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         content fingerprint + the mining params — a cold call builds it,
         every later composite reads the bucketed parquet instead of
         re-mining (the same resume discipline as ``run-flagship
-        --checkpoint``). Fingerprint-stale or cross-sf calls rebuild."""
+        --checkpoint``). Fingerprint-stale or cross-sf calls rebuild.
+        The fingerprint folds in a digest of the mining CODE
+        (stages/dedup.py) so a warm /tmp lake from an older algorithm
+        build is never silently reused after the implementation
+        changes."""
         import hashlib as _hl
 
+        from htrc_feature_reader_ray.stages import dedup as _dedup_mod
         from htrc_feature_reader_ray.state.lineage import run_stage
 
-        params = {"threshold": 0.5, "num_perm": 128, "bands": 64}
+        with open(_dedup_mod.__file__, "rb") as f:
+            code_tok = _hl.md5(f.read()).hexdigest()[:12]
+        params = {**MINHASH_PARAMS, "code": code_tok}
         out_dir = os.path.join(
             "/tmp/htrc_ray_ckpt", "minhash_pairs",
             _hl.md5(os.path.abspath(sf).encode()).hexdigest()[:12])

@@ -3367,6 +3367,10 @@ def source_overlap(ds, *, text_col: str = "text",
     )
 
     def rows_fn(batch: pa.Table) -> pa.Table:
+        # NULL-source rows carry no feed identity and are excluded by
+        # contract (the pair kernel would drop NaN groups anyway —
+        # better to make that explicit than depend on pandas dropna)
+        batch = batch.filter(pc.is_valid(batch.column(source_col)))
         grams, didx = _shingle_batch(
             batch.column(text_col).to_pylist(), k)
         if not len(didx):
@@ -3376,7 +3380,12 @@ def source_overlap(ds, *, text_col: str = "text",
         # per-source-distinct via (source code, gram code) lexsort
         src = batch.column(source_col).cast(pa.string()).combine_chunks()
         sde = src.dictionary_encode()
-        scodes = sde.indices.to_numpy(zero_copy_only=False)[didx]
+        # NULL sources -> code -1 (a real int), NOT NaN: null indices
+        # converted to float NaN compare unequal to themselves, which
+        # would defeat the consecutive-dedup below and emit duplicate
+        # (shingle, NULL) rows, inflating pair intersection counts
+        scodes = (sde.indices.fill_null(-1)
+                  .to_numpy(zero_copy_only=False).astype(np.int64)[didx])
         gcodes = (grams.dictionary_encode().indices
                   .to_numpy(zero_copy_only=False))
         order = np.lexsort((gcodes, scodes))

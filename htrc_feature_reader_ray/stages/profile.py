@@ -724,13 +724,17 @@ def grouped_moments(ds, *, key: str, x_col: str, y_col: str,
         prods = np.maximum.reduce([
             np.abs(nf * sxxf), sxf * sxf, np.abs(nf * syyf), syf * syf,
             np.abs(nf * sxyf), np.abs(sxf * syf)])
-        vxf = nf * sxxf - sxf * sxf
-        vyf = nf * syyf - syf * syf
-        ok = ((prods < LIM) & (np.abs(vxf) < FLIM)
-              & (np.abs(vyf) < FLIM))
+        okp = prods < LIM  # int64 arithmetic below is exact where okp
         vx = n * sxx - sx * sx
         vy = n * syy - sy * sy
         num = n * sxy - sx * sy
+        # the 2^53 window must be tested on the EXACT int64 vx/vy (valid
+        # wherever okp): the float-approximated variances can undershoot
+        # by a few hundred near a binade boundary, admitting a slop
+        # window where float(vx) rounds and the product diverges from
+        # the HUGEINT oracle by 1 ulp
+        ok = (okp & (np.abs(vx) < np.int64(FLIM))
+              & (np.abs(vy) < np.int64(FLIM)))
         corr = np.full(len(n), np.nan)
         pos = ok & (vx > 0) & (vy > 0)
         corr[pos] = (num[pos].astype(np.float64)

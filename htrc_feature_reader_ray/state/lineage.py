@@ -65,8 +65,18 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
     # never share a staging dir — a shared .tmp lets one writer's rmtree
     # silently mix/clobber the other's parquet mid-write
     tmp = f"{out_dir}.tmp.{os.getpid()}"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    # reclaim staging dirs orphaned by crashed writers (kill-resume
+    # leaves out_dir.tmp.<dead-pid> behind, and a fresh pid would never
+    # match it). Writers to one out_dir are single-writer by contract
+    # (run_stage holds an flock; direct callers own their out_dir), so
+    # any existing sibling is dead, not live.
+    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+    prefix = os.path.basename(out_dir) + ".tmp"
+    if os.path.isdir(parent):
+        for name in os.listdir(parent):
+            if name.startswith(prefix):
+                shutil.rmtree(os.path.join(parent, name),
+                              ignore_errors=True)
     part = partition_col or "bucket"
     if partition_col is None:
         ds = add_bucket_column(ds, key, num_buckets, name="bucket")

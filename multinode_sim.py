@@ -54,27 +54,21 @@ def _start_cluster(nodes: int, cpus: int, store_gb: float):
         initialize_head=True,
         head_node_args=dict(num_cpus=cpus, object_store_memory=store),
     )
-    for _ in range(nodes - 1):
-        cluster.add_node(num_cpus=cpus, object_store_memory=store)
+    # connect the driver BEFORE adding workers so its core worker binds
+    # to the head raylet deterministically — binding to a worker raylet
+    # would make that worker unkillable in fault mode (killing it kills
+    # the driver, not the job)
     ray.init(address=cluster.address, include_dashboard=False,
              logging_level="ERROR")
+    for _ in range(nodes - 1):
+        cluster.add_node(num_cpus=cpus, object_store_memory=store)
+    cluster.wait_for_nodes()
     _quiet()
     alive = [n for n in ray.nodes() if n["Alive"]]
     assert len(alive) == nodes, f"wanted {nodes} nodes, got {len(alive)}"
     total_cpus = sum(int(n["Resources"].get("CPU", 0)) for n in alive)
     return cluster, {"nodes": len(alive), "total_cpus": total_cpus,
                      "store_gb_per_node": store_gb}
-
-
-def _consume(result) -> int:
-    import pandas as pd
-    import pyarrow as pa
-
-    if isinstance(result, pd.DataFrame):
-        return len(result)
-    if isinstance(result, pa.Table):
-        return result.num_rows
-    return result.count()
 
 
 def run_parity(sf_dir: str, only: list[str] | None = None) -> dict:
@@ -133,21 +127,34 @@ def run_fault(cluster, sf_dir: str, mult: int, kill_after: float) -> dict:
     from htrc_feature_reader_ray.pipelines.flagship import flagship
 
     result: dict = {}
+    errors: list = []
 
     def work():
         t0 = time.time()
-        result["rows"] = flagship(sf_dir).count()
-        result["sec"] = round(time.time() - t0, 2)
+        try:
+            result["rows"] = flagship(sf_dir).count()
+            result["sec"] = round(time.time() - t0, 2)
+        except BaseException as e:  # noqa: BLE001 — re-raised after join
+            errors.append(e)
+
+    import ray
 
     th = threading.Thread(target=work)
     th.start()
     time.sleep(kill_after)
-    victim = next(iter(cluster.worker_nodes), None)
-    assert victim is not None, "no worker node to kill"
+    # never kill the node the DRIVER's core worker is bound to (ray.init
+    # against a Cluster sometimes binds the driver to a worker raylet,
+    # and killing that raylet kills the driver itself, not the job)
+    me = ray.get_runtime_context().get_node_id()
+    victim = next((n for n in cluster.worker_nodes
+                   if getattr(n, "node_id", None) != me), None)
+    assert victim is not None, "no killable worker node (driver-bound)"
     cluster.remove_node(victim, allow_graceful=False)
     result["killed_node_after_sec"] = kill_after
     th.join(timeout=600)
     assert not th.is_alive(), "pipeline hung after node loss"
+    if errors:
+        raise errors[0]  # the real recovery failure, not a KeyError
     import ray
 
     result["nodes_alive_after"] = sum(n["Alive"] for n in ray.nodes())
@@ -172,7 +179,9 @@ def main() -> int:
                     default="parity")
     ap.add_argument("--nodes", type=int, default=4)
     ap.add_argument("--cpus-per-node", type=int, default=8)
-    ap.add_argument("--store-gb", type=float, default=4.0)
+    ap.add_argument("--store-gb", type=float, default=None,
+                    help="object store GiB per node (default: 4; "
+                         "stress mode defaults to 2)")
     ap.add_argument("--sf-dir", default=None)
     ap.add_argument("--mult", type=int, default=500)
     ap.add_argument("--queries", default=None,
@@ -187,8 +196,8 @@ def main() -> int:
     else:
         sf = args.sf_dir or "/root/testdata/sf0.01"
         os.environ["GRAFT_SNAPSHOT_MULT"] = str(args.mult)
-        if args.mode == "stress" and args.store_gb > 2.0:
-            args.store_gb = 2.0
+    if args.store_gb is None:  # explicit values are always honored
+        args.store_gb = 2.0 if args.mode == "stress" else 4.0
 
     _cluster, info = _start_cluster(args.nodes, args.cpus_per_node,
                                     args.store_gb)

@@ -1005,3 +1005,23 @@ def test_remove_duplicated_spans_paths_and_semantics():
     kept = row["clean_text"].split()
     orig = [t for t in texts[0].split() if t in set(kept)]
     assert kept == orig
+
+
+def test_source_overlap_null_source_rows_excluded():
+    """r5 regression (code-review find): NULL sources must not corrupt
+    the overlap matrix — rows with no feed identity are excluded by
+    contract (and the vectorized dedup no longer chokes on null
+    dictionary codes becoming self-unequal NaNs)."""
+    from htrc_feature_reader_ray.stages.dedup import source_overlap
+
+    df = pd.DataFrame({
+        "source": [None, None, "A", "B"],
+        "text": ["a b c d", "a b c d", "a b c d", "a b c d"],
+    })
+    out = source_overlap(ray.data.from_pandas(df)).to_pandas()
+    # only the (A, B) pair: identical shingle sets -> J = 1.0; the NULL
+    # docs contribute nothing (no phantom group, no inflated counts)
+    assert len(out) == 1
+    assert out["source_a"].iloc[0] == "A" and out["source_b"].iloc[0] == "B"
+    assert int(out["n_shared"].iloc[0]) == 2
+    assert int(out["jaccard_ppm"].iloc[0]) == 1_000_000

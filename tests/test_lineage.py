@@ -173,8 +173,22 @@ def test_run_stage_concurrent_cold_builds_exactly_once():
         return _docs()
 
     def call():
-        ds, m = run_stage(out, build, key="source", num_buckets=4,
-                          inputs=[DOCS])
+        # retry once on ImportError: ray.data's read path lazily tries
+        # `from fsspec.implementations.http import HTTPFileSystem`,
+        # which in this aiohttp-less env raises ModuleNotFoundError
+        # (caught by ray) single-threaded but can surface as a plain
+        # ImportError when several THREADS race the failed import — a
+        # CPython threaded-lazy-import artifact, not the flock under
+        # test (real gate contention is multi-process, own import
+        # state per process)
+        for attempt in (0, 1):
+            try:
+                ds, m = run_stage(out, build, key="source",
+                                  num_buckets=4, inputs=[DOCS])
+                break
+            except ImportError:
+                if attempt:
+                    raise
         results.append((ds.count(), m["row_count"]))
 
     threads = [threading.Thread(target=call) for _ in range(3)]
