@@ -683,12 +683,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         changes."""
         import hashlib as _hl
 
-        from htrc_feature_reader_ray.stages import dedup as _dedup_mod
+        from htrc_feature_reader_ray.functions import ids as _ids_mod
+        from htrc_feature_reader_ray.stages import (
+            dedup as _dedup_mod,
+            partition as _part_mod,
+        )
         from htrc_feature_reader_ray.state.lineage import run_stage
 
-        with open(_dedup_mod.__file__, "rb") as f:
-            code_tok = _hl.md5(f.read()).hexdigest()[:12]
-        params = {**MINHASH_PARAMS, "code": code_tok}
+        h = _hl.md5()
+        for mod in (_dedup_mod, _part_mod, _ids_mod):  # transitive deps
+            with open(mod.__file__, "rb") as f:
+                h.update(f.read())
+        params = {**MINHASH_PARAMS, "code": h.hexdigest()[:12]}
         out_dir = os.path.join(
             "/tmp/htrc_ray_ckpt", "minhash_pairs",
             _hl.md5(os.path.abspath(sf).encode()).hexdigest()[:12])

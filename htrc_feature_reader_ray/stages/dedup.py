@@ -3378,14 +3378,13 @@ def source_overlap(ds, *, text_col: str = "text",
                              source_col: pa.array([], type=pa.string())})
         # distinct (shingle, SOURCE): fold the per-doc-distinct rows to
         # per-source-distinct via (source code, gram code) lexsort
+        # no nulls reach here (filtered above), so dictionary codes are
+        # plain ints — a null code would surface as a float NaN that
+        # defeats the consecutive-dedup (NaN != NaN)
         src = batch.column(source_col).cast(pa.string()).combine_chunks()
         sde = src.dictionary_encode()
-        # NULL sources -> code -1 (a real int), NOT NaN: null indices
-        # converted to float NaN compare unequal to themselves, which
-        # would defeat the consecutive-dedup below and emit duplicate
-        # (shingle, NULL) rows, inflating pair intersection counts
-        scodes = (sde.indices.fill_null(-1)
-                  .to_numpy(zero_copy_only=False).astype(np.int64)[didx])
+        scodes = (sde.indices.to_numpy(zero_copy_only=False)
+                  .astype(np.int64)[didx])
         gcodes = (grams.dictionary_encode().indices
                   .to_numpy(zero_copy_only=False))
         order = np.lexsort((gcodes, scodes))
@@ -3441,12 +3440,15 @@ def source_overlap_sql(*, table: str = "documents", text: str = "text",
                        source: str = "source",
                        max_sources_per_shingle: int = 1024) -> str:
     """SQL mirror: the SHINGLES_BODY construction per source, hub-capped
-    intersection, uncapped denominators."""
+    intersection, uncapped denominators. NULL sources excluded — the
+    engine contract (a row with no feed identity contributes nothing,
+    including to the per-shingle cap)."""
     return f"""
         WITH toks AS (
           SELECT {source} AS src,
                  list_filter(string_split({text}, ' '), x -> x <> '') AS arr
           FROM {table}
+          WHERE {source} IS NOT NULL
         ),
         sh AS (
           SELECT DISTINCT src,

@@ -65,18 +65,8 @@ def write_partitioned(ds, out_dir: str, *, key: str, num_buckets: int,
     # never share a staging dir — a shared .tmp lets one writer's rmtree
     # silently mix/clobber the other's parquet mid-write
     tmp = f"{out_dir}.tmp.{os.getpid()}"
-    # reclaim staging dirs orphaned by crashed writers (kill-resume
-    # leaves out_dir.tmp.<dead-pid> behind, and a fresh pid would never
-    # match it). Writers to one out_dir are single-writer by contract
-    # (run_stage holds an flock; direct callers own their out_dir), so
-    # any existing sibling is dead, not live.
-    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
-    prefix = os.path.basename(out_dir) + ".tmp"
-    if os.path.isdir(parent):
-        for name in os.listdir(parent):
-            if name.startswith(prefix):
-                shutil.rmtree(os.path.join(parent, name),
-                              ignore_errors=True)
+    if os.path.exists(tmp):  # same-pid leftover (pid reuse) only
+        shutil.rmtree(tmp)
     part = partition_col or "bucket"
     if partition_col is None:
         ds = add_bucket_column(ds, key, num_buckets, name="bucket")
@@ -186,6 +176,18 @@ def run_stage(out_dir: str, build_fn, *, key: str, num_buckets: int,
         m = _hit()  # another process may have built while we waited
         if m is not None:
             return ray.data.read_parquet(out_dir), m
+        # reclaim staging dirs orphaned by CRASHED builders (kill-resume
+        # leaves out_dir.tmp.<dead-pid> behind, and a fresh pid never
+        # matches it). Safe ONLY here, under the flock: no other process
+        # can be staging this out_dir right now. Lockless callers
+        # (run_chain, direct write_partitioned) must not sweep siblings
+        # — they could rmtree a LIVE concurrent writer's staging.
+        parent = os.path.dirname(os.path.abspath(out_dir)) or "."
+        prefix = os.path.basename(out_dir) + ".tmp"
+        for name in os.listdir(parent):
+            if name.startswith(prefix):
+                shutil.rmtree(os.path.join(parent, name),
+                              ignore_errors=True)
         manifest = write_partitioned(
             build_fn(), out_dir, key=key, num_buckets=num_buckets,
             inputs=inputs, params=params,

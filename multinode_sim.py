@@ -155,8 +155,6 @@ def run_fault(cluster, sf_dir: str, mult: int, kill_after: float) -> dict:
     assert not th.is_alive(), "pipeline hung after node loss"
     if errors:
         raise errors[0]  # the real recovery failure, not a KeyError
-    import ray
-
     result["nodes_alive_after"] = sum(n["Alive"] for n in ray.nodes())
     result["mult"] = mult
     result["pages_per_sec_after_loss"] = int(result["rows"]
